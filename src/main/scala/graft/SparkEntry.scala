@@ -1,13 +1,45 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the full correctness-gate catalog (one entry per implemented
+  * operator from SURVEY.md §2 + the §2.4 extensions); `oracleSql` carries the
+  * DuckDB-equivalent SQL for everything SQL-expressible. Column names are
+  * aligned pairwise because the driver hashes values under sorted column
+  * names.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private val catalogs: Seq[Catalog] = Seq(Projections, Relational)
+
+  /** Flagship query on sf=0.001: revenue by region across the whole star
+    * schema (two broadcast dims + two fact joins + aggregation).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    def t(n: String) = spark.read.parquet(s"$dir/$n.parquet")
+    val li = t("lineitem")
+    val ord = t("orders")
+    val cust = t("customer")
+    val nat = t("nation")
+    val reg = t("region")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(F.broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .join(F.broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy("r_name")
+      .agg(F.round(F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 2).as("revenue"),
+        F.count(F.lit(1)).as("n_lineitems"))
+      .orderBy("r_name")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    catalogs.flatMap(_.queries).toMap
+
+  def oracleSql: Map[String, String] =
+    catalogs.flatMap(_.oracles).toMap
 }

@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A named group of gate queries with their DuckDB oracles.
+  *
+  * Every query is deterministic (full ORDER BY on a unique key, explicit
+  * tie-breaks under LIMIT) and column-name-aligned with its oracle, because
+  * the driver compares by sorted column name + value hash.
+  */
+trait Catalog {
+  type Q = (SparkSession, String) => DataFrame
+  def queries: Map[String, Q]
+  def oracles: Map[String, String]
+
+  protected def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    Catalog.load(spark, dir, name)
+}
+
+object Catalog {
+  import org.apache.spark.sql.{functions => F}
+
+  /** Load one testdata table. The `events` table carries TIMESTAMP(NANOS)
+    * which Spark 4 refuses to read natively; read nanos as long and convert
+    * to a micros timestamp with integer division (a double division would
+    * lose precision on ~1e18 nano values). DuckDB's TIMESTAMP is micros, so
+    * the oracle sees the identical truncation.
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+}

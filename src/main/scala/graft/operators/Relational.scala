@@ -1,0 +1,368 @@
+package graft.operators
+
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.expressions.Window
+
+/** Spark-contributed relational surface (SURVEY.md §2.3): filter, join
+  * (shuffle/broadcast/semi/anti), aggregation, rollup/cube, window, sort,
+  * limit, set ops, scalar/date/JSON functions — each wired to a DuckDB
+  * oracle.
+  *
+  * Scale notes (100 TB design): filters and projections push to the scan;
+  * dimension joins are explicitly `broadcast()`; fact-fact joins shuffle on
+  * the join key only after filtering; aggregates are partial (map-side) by
+  * construction; float aggregates are rounded so the oracle hash is stable.
+  */
+object Relational extends Catalog {
+
+  val queries: Map[String, Q] = Map(
+
+    // TPC-H Q1 flavour: map-side partial agg, 6 aggregates, tiny result
+    "q1_agg" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-01")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          F.round(F.sum("l_quantity"), 2).as("sum_qty"),
+          F.round(F.sum("l_extendedprice"), 2).as("sum_base_price"),
+          F.round(F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 2).as("sum_disc_price"),
+          F.round(F.avg("l_quantity"), 4).as("avg_qty"),
+          F.round(F.avg("l_discount"), 4).as("avg_disc"),
+          F.count(F.lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // predicate pushdown: filter reaches the parquet scan, no shuffle at all
+    "q_filter" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .filter(F.col("l_discount").between(0.05, 0.07) &&
+          F.col("l_quantity") < 24)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+          "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // TPC-H Q3 flavour: broadcast the filtered dimension, shuffle join facts
+    "q3_top_orders" -> ((s, dir) => {
+      val cust = table(s, dir, "customer")
+        .filter(F.col("c_mktsegment") === "BUILDING")
+      val ord = table(s, dir, "orders")
+        .filter(F.col("o_orderdate") < F.to_timestamp(F.lit("1997-06-01")))
+      val li = table(s, dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.to_timestamp(F.lit("1997-06-01")))
+      li.join(F.broadcast(ord.join(F.broadcast(cust),
+          ord("o_custkey") === cust("c_custkey"))),
+          li("l_orderkey") === ord("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 2).as("revenue"))
+        .orderBy(F.col("revenue").desc, F.col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // star-schema rollup through two broadcast dims
+    "q_region_rollup" -> ((s, dir) => {
+      val sup = table(s, dir, "supplier")
+      val nat = table(s, dir, "nation")
+      val reg = table(s, dir, "region")
+      sup.join(F.broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+        .join(F.broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).as("n_suppliers"),
+          F.round(F.sum("s_acctbal"), 2).as("total_bal"))
+        .orderBy("r_name")
+    }),
+
+    // window: top-3 orders per customer
+    "q_window_topk" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice").desc, F.col("o_orderkey"))
+      table(s, dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // window: running sum per customer over time
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate"), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      table(s, dir, "orders")
+        .withColumn("running_total", F.round(F.sum("o_totalprice").over(w), 2))
+        .select("o_custkey", "o_orderkey", "running_total")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // global top-k: orderBy+limit compiles to TakeOrderedAndProject (no full sort)
+    "q_sort_topk" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .orderBy(F.col("l_extendedprice").desc, F.col("l_orderkey"),
+          F.col("l_linenumber"))
+        .limit(100)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")),
+
+    "q_distinct" -> ((s, dir) =>
+      table(s, dir, "customer")
+        .select("c_nationkey", "c_mktsegment").distinct()
+        .orderBy("c_nationkey", "c_mktsegment")),
+
+    // set ops: symmetric difference of customer/supplier nations, tagged
+    "q_setops" -> ((s, dir) => {
+      val c = table(s, dir, "customer").select(F.col("c_nationkey").as("nk"))
+      val su = table(s, dir, "supplier").select(F.col("s_nationkey").as("nk"))
+      c.except(su).withColumn("side", F.lit("customer_only"))
+        .unionAll(su.except(c).withColumn("side", F.lit("supplier_only")))
+        .unionAll(c.intersect(su).withColumn("side", F.lit("both")))
+        .orderBy("side", "nk")
+    }),
+
+    // grouping sets via rollup (NULL indicators coalesced for the oracle)
+    "q_rollup" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).as("n"),
+          F.round(F.sum("l_quantity"), 2).as("qty"))
+        .select(F.coalesce(F.col("l_returnflag"), F.lit("ALL")).as("rf"),
+          F.coalesce(F.col("l_linestatus"), F.lit("ALL")).as("ls"),
+          F.col("n"), F.col("qty"))
+        .orderBy("rf", "ls")),
+
+    "q_cube" -> ((s, dir) =>
+      table(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).as("n"))
+        .select(F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).as("st"),
+          F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).as("pri"),
+          F.col("n"))
+        .orderBy("st", "pri")),
+
+    // semi/anti joins (EXISTS / NOT EXISTS)
+    "q_semi_join" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+      val o = table(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey").orderBy("c_custkey")
+    }),
+    "q_anti_join" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+      val o = table(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+
+    // scalar function library: string/math
+    "q_scalar_funcs" -> ((s, dir) =>
+      table(s, dir, "part")
+        .select(F.col("p_partkey"),
+          F.upper(F.col("p_brand")).as("brand_u"),
+          F.length(F.col("p_name")).as("name_len"),
+          F.substring(F.col("p_type"), 1, 5).as("type5"),
+          F.concat_ws("-", F.col("p_brand"), F.col("p_type")).as("brand_type"),
+          F.round(F.col("p_retailprice") * 1.1, 2).as("bumped"),
+          F.abs(F.col("p_size") - 25).as("size_dist"))
+        .orderBy("p_partkey")),
+
+    // date/time functions
+    "q_datetime_funcs" -> ((s, dir) =>
+      table(s, dir, "orders")
+        .select(F.col("o_orderkey"),
+          F.year(F.col("o_orderdate")).as("y"),
+          F.month(F.col("o_orderdate")).as("m"),
+          F.dayofmonth(F.col("o_orderdate")).as("d"),
+          F.date_trunc("month", F.col("o_orderdate")).as("month_start"),
+          F.datediff(F.col("o_orderdate"), F.to_date(F.lit("1995-01-01"))).as("days_since"))
+        .orderBy("o_orderkey")),
+
+    // JSON-ish extraction from the events props payload
+    "q_json_extract" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(F.col("event_id"),
+          F.regexp_extract(F.col("props"), "\"k\": (\\d+)", 1).cast("int").as("k"))
+        .orderBy("event_id")),
+
+    // CASE bucketing + aggregation
+    "q_case_agg" -> ((s, dir) =>
+      table(s, dir, "customer")
+        .withColumn("bucket",
+          F.when(F.col("c_acctbal") < 0, "negative")
+            .when(F.col("c_acctbal") < 5000, "mid")
+            .otherwise("high"))
+        .groupBy("c_mktsegment", "bucket")
+        .agg(F.count(F.lit(1)).as("n"),
+          F.round(F.sum("c_acctbal"), 2).as("bal"))
+        .orderBy("c_mktsegment", "bucket")),
+
+    // time-bucketed aggregation over the event stream table (batch form of
+    // the streaming tumbling window — same plan shape as readStream+window)
+    "q_time_window" -> ((s, dir) =>
+      table(s, dir, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).as("hour"),
+          F.col("event_type"))
+        .agg(F.count(F.lit(1)).as("n"),
+          F.round(F.sum("value"), 2).as("total_value"))
+        .orderBy("hour", "event_type")),
+
+    // sessionization: gap-based sessions via lag + running flag sum
+    "q_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      table(s, dir, "events")
+        .withColumn("prev_ts", F.lag("ts", 1).over(byUser))
+        .withColumn("new_session",
+          F.when(F.col("prev_ts").isNull ||
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts")) >
+              1800L * 1000000L,
+            1).otherwise(0))
+        .withColumn("session_idx", F.sum("new_session").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("user_id", "event_id", "session_idx")
+        .orderBy("user_id", "event_id")
+    }),
+
+    "q_having" -> ((s, dir) =>
+      table(s, dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).as("n_sup"))
+        .filter(F.col("n_sup") >= 2)
+        .orderBy("s_nationkey"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+                round(sum(l_quantity), 2) AS sum_qty,
+                round(sum(l_extendedprice), 2) AS sum_base_price,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                round(avg(l_quantity), 4) AS avg_qty,
+                round(avg(l_discount), 4) AS avg_disc,
+                count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
+                l_extendedprice
+         FROM lineitem
+         WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+         ORDER BY l_orderkey, l_linenumber""",
+    "q3_top_orders" ->
+      """SELECT l_orderkey,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM customer, orders, lineitem
+         WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+           AND l_orderkey = o_orderkey
+           AND o_orderdate < TIMESTAMP '1997-06-01'
+           AND l_shipdate > TIMESTAMP '1997-06-01'
+         GROUP BY l_orderkey
+         ORDER BY revenue DESC, l_orderkey
+         LIMIT 10""",
+    "q_region_rollup" ->
+      """SELECT r_name, count(*) AS n_suppliers,
+                round(sum(s_acctbal), 2) AS total_bal
+         FROM supplier, nation, region
+         WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+    "q_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders)
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+                round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                  AS running_total
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q_sort_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+         FROM lineitem
+         ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+         LIMIT 100""",
+    "q_distinct" ->
+      """SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+         ORDER BY c_nationkey, c_mktsegment""",
+    "q_setops" ->
+      """WITH c AS (SELECT c_nationkey AS nk FROM customer),
+            su AS (SELECT s_nationkey AS nk FROM supplier)
+         SELECT nk, 'customer_only' AS side FROM (SELECT * FROM c EXCEPT SELECT * FROM su)
+         UNION ALL
+         SELECT nk, 'supplier_only' AS side FROM (SELECT * FROM su EXCEPT SELECT * FROM c)
+         UNION ALL
+         SELECT nk, 'both' AS side FROM (SELECT * FROM c INTERSECT SELECT * FROM su)
+         ORDER BY side, nk""",
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                coalesce(l_linestatus, 'ALL') AS ls,
+                count(*) AS n, round(sum(l_quantity), 2) AS qty
+         FROM lineitem
+         GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY rf, ls""",
+    "q_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS st,
+                coalesce(o_orderpriority, 'ALL') AS pri, count(*) AS n
+         FROM orders
+         GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY st, pri""",
+    "q_semi_join" ->
+      """SELECT c_custkey FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "q_scalar_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u,
+                length(p_name) AS name_len,
+                substring(p_type, 1, 5) AS type5,
+                concat_ws('-', p_brand, p_type) AS brand_type,
+                round(p_retailprice * 1.1, 2) AS bumped,
+                abs(p_size - 25) AS size_dist
+         FROM part ORDER BY p_partkey""",
+    "q_datetime_funcs" ->
+      """SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
+                day(o_orderdate) AS d,
+                date_trunc('month', o_orderdate) AS month_start,
+                date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                  AS days_since
+         FROM orders ORDER BY o_orderkey""",
+    "q_json_extract" ->
+      """SELECT event_id,
+                CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k
+         FROM events ORDER BY event_id""",
+    "q_case_agg" ->
+      """SELECT c_mktsegment,
+                CASE WHEN c_acctbal < 0 THEN 'negative'
+                     WHEN c_acctbal < 5000 THEN 'mid'
+                     ELSE 'high' END AS bucket,
+                count(*) AS n, round(sum(c_acctbal), 2) AS bal
+         FROM customer
+         GROUP BY 1, 2 ORDER BY c_mktsegment, bucket""",
+    "q_time_window" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+                count(*) AS n, round(sum(value), 2) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "q_sessionize" ->
+      """SELECT user_id, event_id,
+                sum(new_session) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS session_idx
+         FROM (
+           SELECT user_id, event_id, ts,
+                  CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+                              PARTITION BY user_id ORDER BY ts, event_id))
+                            > 1800 * 1000000
+                       THEN 1 ELSE 0 END AS new_session
+           FROM events)
+         ORDER BY user_id, event_id""",
+    "q_having" ->
+      """SELECT s_nationkey, count(*) AS n_sup FROM supplier
+         GROUP BY s_nationkey HAVING count(*) >= 2
+         ORDER BY s_nationkey"""
+  )
+}

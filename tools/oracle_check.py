@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/oracle_check.py <verify_out_dir> <sf_dir>
+
+Reads <out>/oracle_sql.json, runs each SQL in DuckDB against views over the
+sf parquet tables, and compares against <out>/<name>/*.parquet written by
+graft.Verify. Columns are sorted by name before comparison (as the driver
+does); rows are compared in order. Reports per-query PASS/FAIL with the
+first mismatch and max float deviation.
+"""
+import duckdb, sys, json, math, os
+
+TABLES = ['region','nation','customer','supplier','part','orders','lineitem',
+          'events','documents','embeddings']
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return 'NaN'
+        return v
+    return v
+
+def main():
+    out, sf = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f'{sf}/{t}.parquet'
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f'{out}/oracle_sql.json'))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        try:
+            duck = con.sql(sql)
+            dcols = sorted(duck.columns)
+            ddf = duck.df()[dcols]
+            mine = con.sql(
+                f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')")
+            mcols = sorted(mine.columns)
+            mdf = mine.df()[mcols]
+        except Exception as e:
+            print(f'FAIL {name}: exec error: {e}')
+            n_fail += 1
+            continue
+        if dcols != mcols:
+            print(f'FAIL {name}: columns duck={dcols} vs spark={mcols}')
+            n_fail += 1
+            continue
+        if len(ddf) != len(mdf):
+            print(f'FAIL {name}: rows duck={len(ddf)} vs spark={len(mdf)}')
+            n_fail += 1
+            continue
+        bad = None
+        maxdev = 0.0
+        for c in dcols:
+            dv, mv = ddf[c].tolist(), mdf[c].tolist()
+            for i, (a, b) in enumerate(zip(dv, mv)):
+                a, b = norm(a), norm(b)
+                if isinstance(a, float) and isinstance(b, float):
+                    if a != b:
+                        maxdev = max(maxdev, abs(a - b))
+                        if bad is None:
+                            bad = (c, i, a, b)
+                elif a != b and str(a) != str(b):
+                    if bad is None:
+                        bad = (c, i, a, b)
+                        maxdev = float('inf')
+        if bad and maxdev > 0:
+            c, i, a, b = bad
+            print(f'FAIL {name}: first mismatch col={c} row={i} duck={a!r} '
+                  f'spark={b!r} maxfloatdev={maxdev}')
+            n_fail += 1
+        else:
+            print(f'PASS {name} ({len(ddf)} rows, {len(dcols)} cols)')
+            n_pass += 1
+    missing = [n for n in os.listdir(out)
+               if os.path.isdir(f'{out}/{n}') and n not in oracle]
+    for n in missing:
+        print(f'NOTE {n}: no oracle (rows-only check by driver)')
+    print(f'== {n_pass} pass, {n_fail} fail, {len(missing)} rows-only ==')
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == '__main__':
+    main()
