@@ -28,7 +28,10 @@ object Catalog {
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // One-time session config (guarded — plan-time config mutation on
+      // every load would thrash the per-session plan cache).
+      val k = "spark.sql.legacy.parquet.nanosAsLong"
+      if (!spark.conf.getOption(k).contains("true")) spark.conf.set(k, "true")
       spark.read.parquet(s"$dir/events.parquet")
         .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     } else spark.read.parquet(s"$dir/$name.parquet")

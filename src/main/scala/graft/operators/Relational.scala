@@ -48,8 +48,12 @@ object Relational extends Catalog {
         .filter(F.col("o_orderdate") < F.to_timestamp(F.lit("1997-06-01")))
       val li = table(s, dir, "lineitem")
         .filter(F.col("l_shipdate") > F.to_timestamp(F.lit("1997-06-01")))
-      li.join(F.broadcast(ord.join(F.broadcast(cust),
-          ord("o_custkey") === cust("c_custkey"))),
+      // scale-safe plan: broadcast ONLY the filtered customer dim; the
+      // orders⋈lineitem fact-fact join shuffles on orderkey (AQE may still
+      // choose broadcast at toy scale, but nothing fact-sized is forced
+      // through the driver — at 100 TB this stays a shuffle join).
+      li.join(ord.join(F.broadcast(cust),
+          ord("o_custkey") === cust("c_custkey")),
           li("l_orderkey") === ord("o_orderkey"))
         .groupBy("l_orderkey")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 2).as("revenue"))
@@ -346,10 +350,10 @@ object Relational extends Catalog {
          FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
     "q_sessionize" ->
       """SELECT user_id, event_id,
-                sum(new_session) OVER (PARTITION BY user_id
+                CAST(sum(new_session) OVER (PARTITION BY user_id
                   ORDER BY ts, event_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                  AS session_idx
+                  AS BIGINT) AS session_idx
          FROM (
            SELECT user_id, event_id, ts,
                   CASE WHEN lag(ts) OVER (PARTITION BY user_id
