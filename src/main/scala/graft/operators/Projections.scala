@@ -43,6 +43,42 @@ object Projections extends Catalog {
         .select(F.col("o_orderkey"), F.col("info.price").as("price"))
         .orderBy("o_orderkey")),
 
+    // O5: duplicate output names get _N suffixes in select order
+    "proj_collision" -> ((s, dir) =>
+      table(s, dir, "customer")
+        .sql("SELECT c_nationkey as key, c_custkey as key, c_acctbal as key")
+        .orderBy("key_1")),
+
+    // O9: star-with-overrides in structure mode — explicit field first (at
+    // its select-list position), star expands the REST in schema order
+    "proj_struct_star_override" -> ((s, dir) =>
+      table(s, dir, "orders")
+        .sql("SELECT o_orderstatus as st, * FROM t withstructure")
+        .orderBy("o_orderkey")),
+
+    // O11: map key cherry-pick + rename, flattened back out for the oracle
+    "proj_map_pick" -> ((s, dir) =>
+      table(s, dir, "part")
+        .select(F.col("p_partkey"),
+          F.map(F.lit("brand"), F.col("p_brand"),
+            F.lit("type"), F.col("p_type")).as("attrs"))
+        .sql("SELECT p_partkey, attrs.brand as b FROM t withstructure")
+        .select(F.col("p_partkey"),
+          F.element_at(F.col("attrs"), "b").as("brand_val"),
+          F.map_keys(F.col("attrs")).getItem(0).as("kept_key"),
+          F.size(F.col("attrs")).as("n_keys"))
+        .orderBy("p_partkey")),
+
+    // O14: projection through a nullable parent struct → null propagates
+    "proj_nullable_prop" -> ((s, dir) =>
+      table(s, dir, "customer")
+        .select(F.col("c_custkey"),
+          F.when(F.col("c_acctbal") >= 0,
+            F.struct(F.col("c_acctbal").as("bal"),
+              F.col("c_mktsegment").as("seg"))).as("acct"))
+        .sql("SELECT c_custkey, acct.bal as bal")
+        .orderBy("c_custkey")),
+
     // O10: projection inside array elements (transform), flattened back out
     "proj_array_rebuild" -> ((s, dir) =>
       table(s, dir, "lineitem")
@@ -74,6 +110,21 @@ object Projections extends Catalog {
          FROM orders ORDER BY o_orderkey""",
     "proj_array_rebuild" ->
       """SELECT l_orderkey, l_linenumber, l_quantity AS q1, l_tax AS q2
-         FROM lineitem ORDER BY l_orderkey, l_linenumber"""
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "proj_collision" ->
+      """SELECT c_nationkey AS key, c_custkey AS key_1, c_acctbal AS key_2
+         FROM customer ORDER BY key_1""",
+    "proj_struct_star_override" ->
+      """SELECT o_orderstatus AS st, o_orderkey, o_custkey, o_totalprice,
+                o_orderdate, o_orderpriority
+         FROM orders ORDER BY o_orderkey""",
+    "proj_map_pick" ->
+      """SELECT p_partkey, p_brand AS brand_val, 'b' AS kept_key,
+                1 AS n_keys
+         FROM part ORDER BY p_partkey""",
+    "proj_nullable_prop" ->
+      """SELECT c_custkey,
+                CASE WHEN c_acctbal >= 0 THEN c_acctbal END AS bal
+         FROM customer ORDER BY c_custkey"""
   )
 }
