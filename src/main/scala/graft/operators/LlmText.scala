@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.expressions.Window
+
+/** LLM-training-data text operators over the `documents` table
+  * (SURVEY.md §2.4): exact deduplication, quality statistics, token
+  * counting, language identification, and document fingerprinting.
+  *
+  * Cross-engine determinism: every hash is `md5` (identical hex in Spark
+  * and DuckDB), every ratio is integer-derived double division (bit-exact
+  * in both engines), and every DuckDB integer aggregate is cast back to
+  * BIGINT to match Spark's LongType (DuckDB sums widen to HUGEINT).
+  *
+  * Scale notes (100 TB): all per-document stats are narrow projections over
+  * higher-order functions — no explode/shuffle in llm_text_stats,
+  * llm_token_stats, or llm_fingerprint, so they stream through
+  * WholeStageCodegen at scan speed. llm_dedup_exact shuffles once on the
+  * 16-byte content hash (not the document body). llm_langid builds a
+  * vocabulary-bounded profile (distinct words × languages) that is
+  * broadcast back against the corpus — the big side is never shuffled.
+  */
+object LlmText extends Catalog {
+
+  /** documents with the split word array attached (single-space corpus). */
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents").withColumn("w", F.split(F.col("text"), " "))
+
+  val queries: Map[String, Q] = Map(
+
+    // Exact dedup: group on content hash, keep the smallest doc_id.
+    // One shuffle on md5(text); at 100 TB the map side exchanges 16-byte
+    // hashes + ids only, never the document bodies.
+    "llm_dedup_exact" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .groupBy(F.md5(F.col("text")).as("content_hash"))
+        .agg(F.min("doc_id").as("keep_id"),
+          F.count(F.lit(1)).as("n_copies"))
+        .orderBy("keep_id")),
+
+    // Quality stats: everything derives from integers so the doubles are
+    // bit-identical across engines. No explode — array HOFs only.
+    "llm_text_stats" -> ((s, dir) =>
+      docs(s, dir)
+        .select(F.col("doc_id"),
+          F.length(F.col("text")).as("len"),
+          F.size(F.col("w")).cast("long").as("n_words"),
+          F.size(F.array_distinct(F.col("w"))).cast("long").as("n_distinct"),
+          F.expr("cast(size(filter(w, x -> x in ('the','a','of','and','to','in','is'))) as long)")
+            .as("n_stop"))
+        .select(F.col("doc_id"), F.col("len").cast("long").as("n_chars_m"),
+          F.col("n_words"), F.col("n_distinct"), F.col("n_stop"),
+          F.round((F.col("len") - (F.col("n_words") - 1)).cast("double") / F.col("n_words"), 4)
+            .as("avg_word_len"),
+          F.round(F.col("n_distinct").cast("double") / F.col("n_words"), 4).as("ttr"),
+          F.round(F.col("n_stop").cast("double") / F.col("n_words"), 4).as("stop_ratio"))
+        // quality as a floor-scaled integer: round() half-way semantics differ
+        // between Spark (decimal string, HALF_UP) and DuckDB (binary double),
+        // and weighted sums of 4-decimal inputs sit exactly on .xxxx5
+        // boundaries; floor of a bit-identical double is engine-stable.
+        .withColumn("quality_m",
+          F.floor(F.lit(10000.0) * (F.lit(0.4) * (F.col("n_stop").cast("double") / F.col("n_words"))
+            + F.lit(0.3) * (F.col("n_distinct").cast("double") / F.col("n_words"))
+            + F.lit(0.3) * F.least(F.lit(1.0), F.col("n_words").cast("double") / 200.0))))
+        .orderBy("doc_id")),
+
+    // Token counting with a BPE-ish regex (letters / digits / other runs).
+    "llm_token_stats" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(F.col("doc_id"),
+          F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), F.lit(0)).as("toks"))
+        .select(F.col("doc_id"),
+          F.size(F.col("toks")).cast("long").as("n_tokens"),
+          F.size(F.array_distinct(F.col("toks"))).cast("long").as("n_unique"),
+          F.array_max(F.transform(F.col("toks"), x => F.length(x))).cast("long").as("longest"),
+          F.array_min(F.transform(F.col("toks"), x => F.length(x))).cast("long").as("shortest"))
+        .orderBy("doc_id")),
+
+    // Language ID: word-count profile per labelled language (the "training"
+    // aggregate), then classify each doc by integer dot-product of its word
+    // counts with each profile. All-integer scores → exact argmax.
+    "llm_langid" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val docWords = d
+        .select(F.col("doc_id"), F.col("lang"), F.explode(F.col("w")).as("word"))
+        .groupBy("doc_id", "lang", "word").agg(F.count(F.lit(1)).as("cnt"))
+      val profile = docWords
+        .groupBy(F.col("lang").as("plang"), F.col("word"))
+        .agg(F.sum("cnt").as("lcnt"))
+      val scored = docWords
+        .join(F.broadcast(profile), "word")
+        .groupBy("doc_id", "lang", "plang")
+        .agg(F.sum(F.col("cnt") * F.col("lcnt")).as("score"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(F.col("score").desc, F.col("plang"))
+      scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") === 1)
+        .select(F.col("doc_id"), F.col("plang").as("pred_lang"), F.col("score"),
+          (F.col("plang") === F.col("lang")).cast("int").as("is_correct"))
+        .orderBy("doc_id")
+    }),
+
+    // Fingerprinting: full-content hash + winnowing-style minimum
+    // 3-shingle hash. Narrow projection, no shuffle.
+    "llm_fingerprint" -> ((s, dir) =>
+      docs(s, dir)
+        .filter(F.size(F.col("w")) >= 3)
+        .select(F.col("doc_id"),
+          F.md5(F.col("text")).as("content_hash"),
+          F.array_min(F.transform(
+            F.expr("transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3)))"),
+            x => F.md5(x))).as("min_shingle_hash"))
+        .orderBy("doc_id"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "llm_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+                count(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY keep_id""",
+    "llm_text_stats" ->
+      """WITH b AS (
+           SELECT doc_id, length(text) AS len,
+                  string_split(text, ' ') AS w
+           FROM documents),
+         c AS (
+           SELECT doc_id, len,
+                  len(w) AS n_words,
+                  len(list_distinct(w)) AS n_distinct,
+                  len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS n_stop
+           FROM b),
+         d AS (
+           SELECT doc_id, CAST(len AS BIGINT) AS n_chars_m,
+                  CAST(n_words AS BIGINT) AS n_words,
+                  CAST(n_distinct AS BIGINT) AS n_distinct,
+                  CAST(n_stop AS BIGINT) AS n_stop,
+                  round(CAST(len - (n_words - 1) AS DOUBLE) / n_words, 4) AS avg_word_len,
+                  round(CAST(n_distinct AS DOUBLE) / n_words, 4) AS ttr,
+                  round(CAST(n_stop AS DOUBLE) / n_words, 4) AS stop_ratio
+           FROM c)
+         SELECT *, CAST(floor(10000.0 * (0.4 * (CAST(n_stop AS DOUBLE) / n_words)
+                  + 0.3 * (CAST(n_distinct AS DOUBLE) / n_words)
+                  + 0.3 * least(1.0, CAST(n_words AS DOUBLE) / 200.0))) AS BIGINT)
+                  AS quality_m
+         FROM d ORDER BY doc_id""",
+    "llm_token_stats" ->
+      """SELECT doc_id,
+                CAST(len(toks) AS BIGINT) AS n_tokens,
+                CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
+                CAST(list_max(list_transform(toks, x -> length(x))) AS BIGINT) AS longest,
+                CAST(list_min(list_transform(toks, x -> length(x))) AS BIGINT) AS shortest
+         FROM (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks
+               FROM documents)
+         ORDER BY doc_id""",
+    "llm_langid" ->
+      """WITH dw AS (
+           SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+         docwords AS (
+           SELECT doc_id, lang, word, count(*) AS cnt
+           FROM dw GROUP BY 1, 2, 3),
+         profile AS (
+           SELECT lang AS plang, word, CAST(sum(cnt) AS BIGINT) AS lcnt
+           FROM docwords GROUP BY 1, 2),
+         scored AS (
+           SELECT d.doc_id, d.lang, p.plang,
+                  CAST(sum(d.cnt * p.lcnt) AS BIGINT) AS score
+           FROM docwords d JOIN profile p USING (word)
+           GROUP BY 1, 2, 3),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, plang) AS rn
+           FROM scored)
+         SELECT doc_id, plang AS pred_lang, score,
+                CASE WHEN plang = lang THEN 1 ELSE 0 END AS is_correct
+         FROM ranked WHERE rn = 1 ORDER BY doc_id""",
+    "llm_fingerprint" ->
+      """SELECT doc_id, md5(text) AS content_hash,
+                list_aggregate(list_transform(
+                  list_transform(generate_series(1, len(w) - 2),
+                    i -> array_to_string(w[i:i+2], ' ')),
+                  x -> md5(x)), 'min') AS min_shingle_hash
+         FROM (SELECT doc_id, text, string_split(text, ' ') AS w
+               FROM documents)
+         WHERE len(w) >= 3 ORDER BY doc_id"""
+  )
+}
