@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+
+/** Near-duplicate detection over the `documents` table (SURVEY.md §2.4):
+  * banded MinHash, SimHash signatures, and bucketed n-gram Jaccard.
+  *
+  * Scale design (100 TB):
+  *  - llm_dedup_minhash NEVER does an all-pairs comparison: candidates come
+  *    from a self-join on (band, min-hash) signatures, so the join fan-out is
+  *    bounded by band-bucket sizes; only candidates pay the exact-Jaccard
+  *    verification join. This is the standard shingle→minhash→band→bucket
+  *    pipeline.
+  *  - llm_simhash is a narrow aggregation (explode words × 16 bit-seeds →
+  *    two partial-agg shuffles keyed by doc) producing one 16-bit signature
+  *    per document; Hamming-ball grouping on the signature is then a cheap
+  *    equality/bucket problem, not a pairwise one.
+  *  - llm_ngram_jaccard demonstrates the bounded-bucket pairwise pattern:
+  *    pairs are formed only within (lang, source) micro-buckets, and the
+  *    intersection is computed with array HOFs on the joined rows (the
+  *    shingle sets travel with the row; there is no per-shingle explode
+  *    join). Cost is sum over buckets of |bucket|², tunable by bucket key.
+  *
+  * Determinism: md5 everywhere (identical hex in Spark/DuckDB); Jaccard is
+  * reported floor-scaled (jac_m = floor(1e6·j)) because engine round()
+  * half-way semantics differ; thresholds compare bit-identical doubles.
+  */
+object LlmDedup extends Catalog {
+
+  /** (doc_id, sg) — distinct 3-word shingles, exploded. */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .withColumn("w", F.split(F.col("text"), " "))
+      .filter(F.size(F.col("w")) >= 3)
+      .select(F.col("doc_id"), F.explode(F.array_distinct(
+        F.expr("transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3)))")))
+        .as("sg"))
+
+  val queries: Map[String, Q] = Map(
+
+    // MinHash near-dup: 4 one-hash bands → band-signature self-join for
+    // candidates → exact shingle-Jaccard verification at threshold 0.5.
+    "llm_dedup_minhash" -> ((s, dir) => {
+      val sh = shingles(s, dir)
+      val bands = sh.groupBy("doc_id").agg(
+          F.min(F.md5(F.concat(F.col("sg"), F.lit("#0")))).as("b0"),
+          F.min(F.md5(F.concat(F.col("sg"), F.lit("#1")))).as("b1"),
+          F.min(F.md5(F.concat(F.col("sg"), F.lit("#2")))).as("b2"),
+          F.min(F.md5(F.concat(F.col("sg"), F.lit("#3")))).as("b3"))
+        .select(F.col("doc_id"),
+          F.expr("stack(4, 0, b0, 1, b1, 2, b2, 3, b3) as (k, mh)"))
+      val cand = bands.as("x").join(bands.as("y"),
+          F.col("x.k") === F.col("y.k") && F.col("x.mh") === F.col("y.mh") &&
+            F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").as("i"), F.col("y.doc_id").as("j"))
+        .distinct()
+      val sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).as("n"))
+      val common = cand
+        .join(sh.as("a"), F.col("a.doc_id") === F.col("i"))
+        .join(sh.as("b"),
+          F.col("b.doc_id") === F.col("j") && F.col("b.sg") === F.col("a.sg"))
+        .groupBy("i", "j").agg(F.count(F.lit(1)).as("common"))
+      val jac = F.col("common").cast("double") /
+        (F.col("ni") + F.col("nj") - F.col("common"))
+      common
+        .join(sizes.select(F.col("doc_id").as("i"), F.col("n").as("ni")), "i")
+        .join(sizes.select(F.col("doc_id").as("j"), F.col("n").as("nj")), "j")
+        .filter(jac >= 0.5)
+        .select(F.col("i"), F.col("j"), F.col("common"), F.col("ni"), F.col("nj"),
+          F.floor(F.lit(1000000.0) * jac).as("jac_m"))
+        .orderBy("i", "j")
+    }),
+
+    // SimHash: per doc, 16 seeded md5-parity bits over distinct words;
+    // bit b set when the ±1 votes sum positive.
+    "llm_simhash" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(F.col("doc_id"),
+          F.explode(F.array_distinct(F.split(F.col("text"), " "))).as("word"))
+        .withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(15))))
+        .withColumn("v",
+          F.when(F.substring(F.md5(F.concat(F.col("word"), F.lit(":"),
+            F.col("b").cast("string"))), 1, 1)
+            .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1))
+        .groupBy("doc_id", "b").agg(F.sum("v").as("s"))
+        .groupBy("doc_id").agg(
+          F.sum(F.when(F.col("s") > 0,
+            F.pow(F.lit(2.0), F.col("b")).cast("long")).otherwise(0L))
+            .as("simhash"))
+        .orderBy("doc_id")),
+
+    // Bucketed pairwise 2-gram Jaccard: all pairs within each
+    // (lang, source) micro-bucket, set intersection via array HOFs.
+    "llm_ngram_jaccard" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .withColumn("w", F.split(F.col("text"), " "))
+        .filter(F.size(F.col("w")) >= 2)
+        .select(F.col("doc_id"), F.col("lang"), F.col("source"),
+          F.array_distinct(
+            F.expr("transform(sequence(1, size(w)-1), i -> concat_ws(' ', slice(w, i, 2)))"))
+            .as("gs"))
+      val a = d.select(F.col("lang"), F.col("source"), F.col("doc_id").as("i"),
+        F.col("gs").as("ga"))
+      val b = d.select(F.col("lang"), F.col("source"), F.col("doc_id").as("j"),
+        F.col("gs").as("gb"))
+      a.join(b, Seq("lang", "source")).filter(F.col("i") < F.col("j"))
+        .select(F.col("lang"), F.col("source"), F.col("i"), F.col("j"),
+          F.size(F.array_intersect(F.col("ga"), F.col("gb"))).cast("long").as("common"),
+          F.size(F.col("ga")).cast("long").as("ni"),
+          F.size(F.col("gb")).cast("long").as("nj"))
+        .withColumn("jac_m", F.floor(F.lit(1000000.0) *
+          (F.col("common").cast("double") /
+            (F.col("ni") + F.col("nj") - F.col("common")))))
+        .orderBy("lang", "source", "i", "j")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "llm_dedup_minhash" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+             generate_series(1, len(w) - 2),
+             i -> array_to_string(w[i:i+2], ' ')))) AS sg
+           FROM d WHERE len(w) >= 3),
+         bands AS (
+           SELECT doc_id, k, min(md5(sg || '#' || CAST(k AS VARCHAR))) AS mh
+           FROM sh, (SELECT unnest([0,1,2,3]) AS k)
+           GROUP BY 1, 2),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+           FROM bands x JOIN bands y
+             ON x.k = y.k AND x.mh = y.mh AND x.doc_id < y.doc_id),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         common AS (
+           SELECT c.i, c.j, count(*) AS common
+           FROM cand c
+           JOIN sh a ON a.doc_id = c.i
+           JOIN sh b ON b.doc_id = c.j AND b.sg = a.sg
+           GROUP BY 1, 2)
+         SELECT i, j, common, si.n AS ni, sj.n AS nj,
+                CAST(floor(1000000.0 * (CAST(common AS DOUBLE) /
+                  (si.n + sj.n - common))) AS BIGINT) AS jac_m
+         FROM common
+         JOIN sizes si ON si.doc_id = i
+         JOIN sizes sj ON sj.doc_id = j
+         WHERE CAST(common AS DOUBLE) / (si.n + sj.n - common) >= 0.5
+         ORDER BY i, j""",
+    "llm_simhash" ->
+      """WITH dw AS (
+           SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+           FROM documents),
+         votes AS (
+           SELECT doc_id, b,
+                  CASE WHEN substring(md5(word || ':' || CAST(b AS VARCHAR)), 1, 1)
+                         IN ('8','9','a','b','c','d','e','f')
+                       THEN 1 ELSE -1 END AS v
+           FROM dw, (SELECT unnest(range(0, 16)) AS b)),
+         bits AS (
+           SELECT doc_id, b, CAST(sum(v) AS BIGINT) AS s
+           FROM votes GROUP BY 1, 2)
+         SELECT doc_id,
+                CAST(sum(CASE WHEN s > 0
+                  THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT)
+                  AS simhash
+         FROM bits GROUP BY 1 ORDER BY doc_id""",
+    "llm_ngram_jaccard" ->
+      """WITH d AS (
+           SELECT doc_id, lang, source,
+                  list_distinct(list_transform(
+                    generate_series(1, len(string_split(text, ' ')) - 1),
+                    i -> array_to_string(string_split(text, ' ')[i:i+1], ' ')))
+                    AS gs
+           FROM documents WHERE len(string_split(text, ' ')) >= 2)
+         SELECT a.lang, a.source, a.doc_id AS i, b.doc_id AS j,
+                CAST(len(list_intersect(a.gs, b.gs)) AS BIGINT) AS common,
+                CAST(len(a.gs) AS BIGINT) AS ni,
+                CAST(len(b.gs) AS BIGINT) AS nj,
+                CAST(floor(1000000.0 * (CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+                  (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)))))
+                  AS BIGINT) AS jac_m
+         FROM d a JOIN d b
+           ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         ORDER BY a.lang, a.source, i, j"""
+  )
+}
