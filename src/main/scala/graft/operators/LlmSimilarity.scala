@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor / similarity search over the `embeddings`
+  * table (`embedding: array<float>[64]`, `label: int` — SURVEY.md §2.4).
+  *
+  * Three operators, ordered by scale posture:
+  *  - llm_similar_topk: brute-force cosine top-k for a bounded query set —
+  *    the correctness baseline. The tiny query side is broadcast; the corpus
+  *    is scanned once, never shuffled; per-query top-k via window rank.
+  *  - llm_similar_ivf: the 100 TB path. `label` plays the role of an IVF
+  *    coarse-quantizer cell id: each vector probes only its own cell
+  *    (nprobe=1), so the pairwise cost is Σ|cell|² instead of N². The join
+  *    is a shuffle on the cell id — co-partitioned, bounded fan-out.
+  *  - llm_embed_neardup: near-duplicate candidates as MUTUAL nearest
+  *    neighbors within a cell — an equality self-join on the per-vector
+  *    top-1 result, no additional pairwise work.
+  *
+  * Determinism: dot products accumulate float→double products left-to-right
+  * (Spark `aggregate` over `zip_with`; DuckDB `list_sum` over an ascending
+  * `generate_series` transform), so the doubles are bit-identical; cosines
+  * are floor-scaled to cos_m = floor(1e6·cos) and ranked on (cos_m DESC,
+  * vec_id) for engine-stable ordering.
+  */
+object LlmSimilarity extends Catalog {
+
+  /** embeddings + precomputed squared norm (one narrow pass). */
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "embeddings")
+      .withColumn("ss", F.expr(
+        "aggregate(embedding, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double))"))
+
+  private val dot: Column = F.expr(
+    "aggregate(zip_with(qe, embedding, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)")
+
+  /** floor-scaled cosine between (qe, qss) and (embedding, ss). */
+  private val cosM: Column =
+    F.floor(F.lit(1000000.0) *
+      (dot / (F.sqrt(F.col("qss")) * F.sqrt(F.col("ss")))))
+
+  val queries: Map[String, Q] = Map(
+
+    // Brute-force cosine top-5 for queries vec_id < 20 against the corpus.
+    "llm_similar_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").as("qid"), F.col("embedding").as("qe"),
+          F.col("ss").as("qss"))
+      val w = Window.partitionBy("qid")
+        .orderBy(F.col("cos_m").desc, F.col("vec_id"))
+      e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") =!= F.col("qid"))
+        .select(F.col("qid"), F.col("vec_id"), cosM.as("cos_m"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .orderBy("qid", "rn")
+    }),
+
+    // IVF probe: every vector searches its own label cell, top-3.
+    "llm_similar_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.select(F.col("label"), F.col("vec_id").as("qid"),
+        F.col("embedding").as("qe"), F.col("ss").as("qss"))
+      val w = Window.partitionBy("qid")
+        .orderBy(F.col("cos_m").desc, F.col("vec_id"))
+      q.join(e, "label")
+        .filter(F.col("vec_id") =!= F.col("qid"))
+        .select(F.col("label"), F.col("qid"), F.col("vec_id"), cosM.as("cos_m"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .orderBy("qid", "rn")
+    }),
+
+    // Near-dup candidates: mutual top-1 neighbors within a cell.
+    "llm_embed_neardup" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.select(F.col("label"), F.col("vec_id").as("qid"),
+        F.col("embedding").as("qe"), F.col("ss").as("qss"))
+      val w = Window.partitionBy("qid")
+        .orderBy(F.col("cos_m").desc, F.col("nb"))
+      val top1 = q.join(e, "label")
+        .filter(F.col("vec_id") =!= F.col("qid"))
+        .select(F.col("qid"), F.col("vec_id").as("nb"), cosM.as("cos_m"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") === 1)
+        .select("qid", "nb", "cos_m")
+      top1.as("x").join(top1.as("y"),
+          F.col("x.nb") === F.col("y.qid") && F.col("y.nb") === F.col("x.qid") &&
+            F.col("x.qid") < F.col("y.qid"))
+        .select(F.col("x.qid").as("i"), F.col("x.nb").as("j"),
+          F.col("x.cos_m").as("cos_m"))
+        .orderBy("i")
+    })
+  )
+
+  private val oracleProbe =
+    """WITH e AS (
+         SELECT vec_id, label, embedding,
+                list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS ss
+         FROM embeddings),
+       pairs AS (
+         SELECT a.vec_id AS qid, b.vec_id AS vec_id, a.label,
+                CAST(floor(1000000.0 *
+                  (list_sum(list_transform(generate_series(1, len(a.embedding)),
+                     k -> CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)))
+                   / (sqrt(a.ss) * sqrt(b.ss)))) AS BIGINT) AS cos_m
+         FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+       ranked AS (
+         SELECT *, CAST(row_number() OVER (PARTITION BY qid
+                     ORDER BY cos_m DESC, vec_id) AS INT) AS rn
+         FROM pairs)"""
+
+  val oracles: Map[String, String] = Map(
+    "llm_similar_topk" ->
+      """WITH e AS (
+           SELECT vec_id, embedding,
+                  list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS ss
+           FROM embeddings),
+         q AS (SELECT vec_id AS qid, embedding AS qe, ss AS qss
+               FROM e WHERE vec_id < 20),
+         pairs AS (
+           SELECT q.qid, e.vec_id,
+                  CAST(floor(1000000.0 *
+                    (list_sum(list_transform(generate_series(1, len(q.qe)),
+                       k -> CAST(q.qe[k] AS DOUBLE) * CAST(e.embedding[k] AS DOUBLE)))
+                     / (sqrt(q.qss) * sqrt(e.ss)))) AS BIGINT) AS cos_m
+           FROM q JOIN e ON e.vec_id <> q.qid),
+         ranked AS (
+           SELECT *, CAST(row_number() OVER (PARTITION BY qid
+                       ORDER BY cos_m DESC, vec_id) AS INT) AS rn
+           FROM pairs)
+         SELECT qid, vec_id, cos_m, rn FROM ranked
+         WHERE rn <= 5 ORDER BY qid, rn""",
+    "llm_similar_ivf" -> (oracleProbe +
+      """
+         SELECT label, qid, vec_id, cos_m, rn FROM ranked
+         WHERE rn <= 3 ORDER BY qid, rn"""),
+    "llm_embed_neardup" -> (oracleProbe +
+      """,
+       top1 AS (
+         SELECT qid, vec_id AS nb, cos_m FROM ranked WHERE rn = 1)
+       SELECT x.qid AS i, x.nb AS j, x.cos_m
+       FROM top1 x JOIN top1 y
+         ON x.nb = y.qid AND y.nb = x.qid AND x.qid < y.qid
+       ORDER BY i""")
+  )
+}
