@@ -1,0 +1,124 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.matchers.should.Matchers
+import org.scalatest.wordspec.AnyWordSpec
+
+import graft.SparkSpec
+
+case class SInner(bal: Double, seg: String)
+case class SOuter(id: Long, info: SInner)
+case class Ev(ts: Timestamp, user: String, v: Double)
+case class UserCount(user: String, n: Long)
+
+/** Proof that the engine transfers to Structured Streaming (SURVEY.md §1:
+  * "projections are stateless, so it transfers verbatim" — the Kafka
+  * Connect per-message use case the reference was built for), plus the
+  * stream-native operators a pipeline needs: watermarked windowed
+  * aggregation and arbitrary stateful processing.
+  */
+class StreamingSpec extends AnyWordSpec with Matchers with SparkSpec {
+
+  "GraftSql projection" should {
+    "apply unchanged to a streaming DataFrame (flatten + nested path)" in {
+      import graft.sql.GraftSql.implicits._
+      import spark.implicits._
+      implicit val ctx = spark.sqlContext
+
+      val input = MemoryStream[SOuter]
+      val out = input.toDF().sql("SELECT id, info.bal as bal")
+      out.isStreaming shouldBe true
+
+      val q = out.writeStream.format("memory").queryName("proj_stream")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(SOuter(1, SInner(10.5, "A")), SOuter(2, SInner(-3.0, "B")))
+        q.processAllAvailable()
+        val rows = spark.table("proj_stream").as[(Long, Double)]
+          .collect().sortBy(_._1)
+        rows.toSeq shouldBe Seq((1L, 10.5), (2L, -3.0))
+      } finally q.stop()
+    }
+
+    "apply withstructure mode to a stream" in {
+      import graft.sql.GraftSql.implicits._
+      import spark.implicits._
+      implicit val ctx = spark.sqlContext
+
+      val input = MemoryStream[SOuter]
+      val out = input.toDF().sql("SELECT id, info.seg FROM t withstructure")
+      out.schema.fieldNames.toSeq shouldBe Seq("id", "info")
+
+      val q = out.writeStream.format("memory").queryName("ws_stream")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(SOuter(7, SInner(1.0, "X")))
+        q.processAllAvailable()
+        val r = spark.table("ws_stream").collect().head
+        r.getLong(0) shouldBe 7
+        r.getStruct(1).fieldIndex("seg") shouldBe 0
+        r.getStruct(1).getString(0) shouldBe "X"
+      } finally q.stop()
+    }
+  }
+
+  "streaming aggregation" should {
+    "run a watermarked tumbling-window count" in {
+      import spark.implicits._
+      implicit val ctx = spark.sqlContext
+
+      val input = MemoryStream[Ev]
+      val agg = input.toDF()
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window(F.col("ts"), "5 minutes"), F.col("user"))
+        .agg(F.count(F.lit(1)).as("n"), F.round(F.sum("v"), 2).as("total"))
+
+      val q = agg.writeStream.format("memory").queryName("win_stream")
+        .outputMode(OutputMode.Complete()).start()
+      try {
+        def t(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+        input.addData(Ev(t(0), "u1", 1.0), Ev(t(1), "u1", 2.0),
+          Ev(t(6), "u1", 4.0), Ev(t(2), "u2", 8.0))
+        q.processAllAvailable()
+        val rows = spark.table("win_stream")
+          .select("user", "n", "total").as[(String, Long, Double)]
+          .collect().sortBy(r => (r._1, r._2))
+        rows.toSeq should contain theSameElementsAs
+          Seq(("u1", 2L, 3.0), ("u1", 1L, 4.0), ("u2", 1L, 8.0))
+      } finally q.stop()
+    }
+
+    "run arbitrary stateful processing via mapGroupsWithState" in {
+      import spark.implicits._
+      implicit val ctx = spark.sqlContext
+
+      val input = MemoryStream[Ev]
+      val counts = input.toDS()
+        .groupByKey(_.user)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+          (user: String, evs: Iterator[Ev], state: GroupState[Long]) =>
+            val n = state.getOption.getOrElse(0L) + evs.size
+            state.update(n)
+            UserCount(user, n)
+        }
+
+      val q = counts.writeStream.format("memory").queryName("state_stream")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        def t(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+        input.addData(Ev(t(0), "u1", 1.0), Ev(t(1), "u1", 1.0))
+        q.processAllAvailable()
+        input.addData(Ev(t(2), "u1", 1.0))
+        q.processAllAvailable()
+        // state accumulated across micro-batches: 2 then 3
+        val ns = spark.table("state_stream").as[UserCount]
+          .collect().filter(_.user == "u1").map(_.n).sorted
+        ns.toSeq shouldBe Seq(2L, 3L)
+      } finally q.stop()
+    }
+  }
+}
