@@ -28,65 +28,85 @@ import org.apache.spark.sql.{functions => F}
   */
 object LlmDedup extends Catalog {
 
-  /** (doc_id, sg) — distinct 3-word shingles, exploded. */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
+  /** (doc_id, shs) — per-doc DISTINCT 3-word shingle ARRAY. Kept as an
+    * array so signatures and set intersections run as narrow array HOFs on
+    * the row — no per-shingle explode, no shuffle until a join needs one.
+    */
+  private def shingleArrays(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents")
       .withColumn("w", F.split(F.col("text"), " "))
       .filter(F.size(F.col("w")) >= 3)
-      .select(F.col("doc_id"), F.explode(F.array_distinct(
-        F.expr("transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3)))")))
-        .as("sg"))
+      .select(F.col("doc_id"), F.array_distinct(
+        F.expr("transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3)))"))
+        .as("shs"))
+
+  /** One md5 per shingle; band k's signature is the minimum of hex slice
+    * [8k+1, 8k+8] — four independent 32-bit min-hashes from a single hash
+    * pass (hashing is the dominant cost; seeding 4 separate md5s costs 4×).
+    */
+  private def bandSig(k: Int) =
+    F.array_min(F.transform(F.col("hs"),
+      h => F.substring(h, 8 * k + 1, 8)))
 
   val queries: Map[String, Q] = Map(
 
-    // MinHash near-dup: 4 one-hash bands → band-signature self-join for
-    // candidates → exact shingle-Jaccard verification at threshold 0.5.
+    // MinHash near-dup: 4 32-bit min-hashes paired into 2 bands of r=2
+    // (P(candidate) = 1-(1-J²)² — one-hash bands admit ~J per band, far
+    // too many false candidates on a high-overlap corpus) → band-signature
+    // self-join for candidates → exact Jaccard verification at 0.5.
+    // Scale shape: signatures + set sizes are computed per-row with array
+    // HOFs (scan-speed, zero shuffle); the ONLY shuffles are the candidate
+    // band join and the verification join, both bounded by candidate
+    // count, and the shingle arrays travel with the candidate rows so
+    // verification is array_intersect on the joined pair — no per-shingle
+    // explode join over the corpus.
     "llm_dedup_minhash" -> ((s, dir) => {
-      val sh = shingles(s, dir)
-      val bands = sh.groupBy("doc_id").agg(
-          F.min(F.md5(F.concat(F.col("sg"), F.lit("#0")))).as("b0"),
-          F.min(F.md5(F.concat(F.col("sg"), F.lit("#1")))).as("b1"),
-          F.min(F.md5(F.concat(F.col("sg"), F.lit("#2")))).as("b2"),
-          F.min(F.md5(F.concat(F.col("sg"), F.lit("#3")))).as("b3"))
+      val d = shingleArrays(s, dir)
+      val bands = d
+        .withColumn("hs", F.transform(F.col("shs"), x => F.md5(x)))
         .select(F.col("doc_id"),
-          F.expr("stack(4, 0, b0, 1, b1, 2, b2, 3, b3) as (k, mh)"))
+          F.concat(bandSig(0), bandSig(1)).as("b0"),
+          F.concat(bandSig(2), bandSig(3)).as("b1"))
+        .select(F.col("doc_id"),
+          F.expr("stack(2, 0, b0, 1, b1) as (k, mh)"))
       val cand = bands.as("x").join(bands.as("y"),
           F.col("x.k") === F.col("y.k") && F.col("x.mh") === F.col("y.mh") &&
             F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").as("i"), F.col("y.doc_id").as("j"))
         .distinct()
-      val sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).as("n"))
-      val common = cand
-        .join(sh.as("a"), F.col("a.doc_id") === F.col("i"))
-        .join(sh.as("b"),
-          F.col("b.doc_id") === F.col("j") && F.col("b.sg") === F.col("a.sg"))
-        .groupBy("i", "j").agg(F.count(F.lit(1)).as("common"))
       val jac = F.col("common").cast("double") /
         (F.col("ni") + F.col("nj") - F.col("common"))
-      common
-        .join(sizes.select(F.col("doc_id").as("i"), F.col("n").as("ni")), "i")
-        .join(sizes.select(F.col("doc_id").as("j"), F.col("n").as("nj")), "j")
+      cand
+        .join(d.select(F.col("doc_id").as("i"), F.col("shs").as("sa")), "i")
+        .join(d.select(F.col("doc_id").as("j"), F.col("shs").as("sb")), "j")
+        .select(F.col("i"), F.col("j"),
+          F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("long").as("common"),
+          F.size(F.col("sa")).cast("long").as("ni"),
+          F.size(F.col("sb")).cast("long").as("nj"))
         .filter(jac >= 0.5)
         .select(F.col("i"), F.col("j"), F.col("common"), F.col("ni"), F.col("nj"),
           F.floor(F.lit(1000000.0) * jac).as("jac_m"))
         .orderBy("i", "j")
     }),
 
-    // SimHash: per doc, 16 seeded md5-parity bits over distinct words;
-    // bit b set when the ±1 votes sum positive.
+    // SimHash: classic construction — ONE md5 per distinct word; bit b's
+    // ±1 vote is the parity of hex char b of that hash; bit b is set when
+    // votes sum positive. Entirely narrow (nested array HOFs per row, the
+    // word array is hashed once then sliced 16×), zero shuffles; only the
+    // final ORDER BY (an oracle artifact) exchanges.
     "llm_simhash" -> ((s, dir) =>
       table(s, dir, "documents")
         .select(F.col("doc_id"),
-          F.explode(F.array_distinct(F.split(F.col("text"), " "))).as("word"))
-        .withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(15))))
-        .withColumn("v",
-          F.when(F.substring(F.md5(F.concat(F.col("word"), F.lit(":"),
-            F.col("b").cast("string"))), 1, 1)
-            .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1))
-        .groupBy("doc_id", "b").agg(F.sum("v").as("s"))
-        .groupBy("doc_id").agg(
-          F.sum(F.when(F.col("s") > 0,
-            F.pow(F.lit(2.0), F.col("b")).cast("long")).otherwise(0L))
+          F.transform(F.array_distinct(F.split(F.col("text"), " ")),
+            w => F.md5(w)).as("hsw"))
+        .select(F.col("doc_id"),
+          F.expr(
+            """aggregate(sequence(0, 15), 0L, (acc, b) ->
+              |  acc + if(
+              |    aggregate(hsw, 0, (s, h) ->
+              |      s + if(substring(h, b + 1, 1)
+              |              in ('8','9','a','b','c','d','e','f'), 1, -1)) > 0,
+              |    cast(pow(2.0, b) as long), 0L))""".stripMargin)
             .as("simhash"))
         .orderBy("doc_id")),
 
@@ -126,9 +146,13 @@ object LlmDedup extends Catalog {
              i -> array_to_string(w[i:i+2], ' ')))) AS sg
            FROM d WHERE len(w) >= 3),
          bands AS (
-           SELECT doc_id, k, min(md5(sg || '#' || CAST(k AS VARCHAR))) AS mh
-           FROM sh, (SELECT unnest([0,1,2,3]) AS k)
-           GROUP BY 1, 2),
+           SELECT doc_id, 0 AS k,
+                  min(substring(md5(sg), 1, 8)) || min(substring(md5(sg), 9, 8)) AS mh
+           FROM sh GROUP BY doc_id
+           UNION ALL
+           SELECT doc_id, 1 AS k,
+                  min(substring(md5(sg), 17, 8)) || min(substring(md5(sg), 25, 8)) AS mh
+           FROM sh GROUP BY doc_id),
          cand AS (
            SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
            FROM bands x JOIN bands y
@@ -154,7 +178,7 @@ object LlmDedup extends Catalog {
            FROM documents),
          votes AS (
            SELECT doc_id, b,
-                  CASE WHEN substring(md5(word || ':' || CAST(b AS VARCHAR)), 1, 1)
+                  CASE WHEN substring(md5(word), b + 1, 1)
                          IN ('8','9','a','b','c','d','e','f')
                        THEN 1 ELSE -1 END AS v
            FROM dw, (SELECT unnest(range(0, 16)) AS b)),
