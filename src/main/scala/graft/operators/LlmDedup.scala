@@ -110,6 +110,42 @@ object LlmDedup extends Catalog {
             .as("simhash"))
         .orderBy("doc_id")),
 
+    // Survivor materialization — the step a real dedup pipeline ends
+    // with: drop every document that is the HIGHER id of a verified
+    // near-dup pair (union-by-min within pairs), keep the rest. The drop
+    // list is tiny relative to the corpus, so it broadcasts and the keep
+    // step is a broadcast anti-join — the corpus is never shuffled.
+    "llm_dedup_keep" -> ((s, dir) => {
+      val d = shingleArrays(s, dir)
+      val bands = d
+        .withColumn("hs", F.transform(F.col("shs"), x => F.md5(x)))
+        .select(F.col("doc_id"),
+          F.concat(bandSig(0), bandSig(1)).as("b0"),
+          F.concat(bandSig(2), bandSig(3)).as("b1"))
+        .select(F.col("doc_id"),
+          F.expr("stack(2, 0, b0, 1, b1) as (k, mh)"))
+      val cand = bands.as("x").join(bands.as("y"),
+          F.col("x.k") === F.col("y.k") && F.col("x.mh") === F.col("y.mh") &&
+            F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").as("i"), F.col("y.doc_id").as("j"))
+        .distinct()
+      val jac = F.col("common").cast("double") /
+        (F.col("ni") + F.col("nj") - F.col("common"))
+      val drops = cand
+        .join(d.select(F.col("doc_id").as("i"), F.col("shs").as("sa")), "i")
+        .join(d.select(F.col("doc_id").as("j"), F.col("shs").as("sb")), "j")
+        .select(F.col("i"), F.col("j"),
+          F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("long").as("common"),
+          F.size(F.col("sa")).cast("long").as("ni"),
+          F.size(F.col("sb")).cast("long").as("nj"))
+        .filter(jac >= 0.5)
+        .select(F.col("j").as("doc_id")).distinct()
+      table(s, dir, "documents")
+        .join(F.broadcast(drops), Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // Bucketed pairwise 2-gram Jaccard: all pairs within each
     // (lang, source) micro-bucket, set intersection via array HOFs.
     "llm_ngram_jaccard" -> ((s, dir) => {
@@ -172,6 +208,43 @@ object LlmDedup extends Catalog {
          JOIN sizes sj ON sj.doc_id = j
          WHERE CAST(common AS DOUBLE) / (si.n + sj.n - common) >= 0.5
          ORDER BY i, j""",
+    "llm_dedup_keep" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+             generate_series(1, len(w) - 2),
+             i -> array_to_string(w[i:i+2], ' ')))) AS sg
+           FROM d WHERE len(w) >= 3),
+         bands AS (
+           SELECT doc_id, 0 AS k,
+                  min(substring(md5(sg), 1, 8)) || min(substring(md5(sg), 9, 8)) AS mh
+           FROM sh GROUP BY doc_id
+           UNION ALL
+           SELECT doc_id, 1 AS k,
+                  min(substring(md5(sg), 17, 8)) || min(substring(md5(sg), 25, 8)) AS mh
+           FROM sh GROUP BY doc_id),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+           FROM bands x JOIN bands y
+             ON x.k = y.k AND x.mh = y.mh AND x.doc_id < y.doc_id),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         common AS (
+           SELECT c.i, c.j, count(*) AS common
+           FROM cand c
+           JOIN sh a ON a.doc_id = c.i
+           JOIN sh b ON b.doc_id = c.j AND b.sg = a.sg
+           GROUP BY 1, 2),
+         drops AS (
+           SELECT DISTINCT j AS doc_id
+           FROM common
+           JOIN sizes si ON si.doc_id = i
+           JOIN sizes sj ON sj.doc_id = j
+           WHERE CAST(common AS DOUBLE) / (si.n + sj.n - common) >= 0.5)
+         SELECT doc_id, lang, source, n_chars
+         FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+         ORDER BY doc_id""",
     "llm_simhash" ->
       """WITH dw AS (
            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word

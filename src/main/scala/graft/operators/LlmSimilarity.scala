@@ -74,6 +74,35 @@ object LlmSimilarity extends Catalog {
         .orderBy("qid", "rn")
     }),
 
+    // LSH-bucketed probe for UNLABELED data: an 8-bit random-hyperplane
+    // signature buckets the corpus (plane(b,i) sign = md5 hex parity, so
+    // both engines derive the identical planes); each vector probes only
+    // its own bucket, top-1. This is the scale path when no IVF cell id
+    // exists: pairwise cost is Σ|bucket|² over ~2^bits buckets, and the
+    // signature itself is a narrow per-row projection.
+    "llm_similar_lsh" -> ((s, dir) => {
+      val e = emb(s, dir).withColumn("sig", F.expr(
+        """aggregate(sequence(0, 7), 0L, (acc, b) ->
+          |  acc + if(
+          |    aggregate(sequence(1, size(embedding)), 0D, (d, i) ->
+          |      d + if(substring(md5(concat('p', cast(b as string), ':', cast(i as string))), 1, 1)
+          |              in ('8','9','a','b','c','d','e','f'),
+          |            cast(element_at(embedding, i) as double),
+          |            -cast(element_at(embedding, i) as double))) > 0D,
+          |    cast(pow(2.0, b) as long), 0L))""".stripMargin))
+      val q = e.select(F.col("sig"), F.col("vec_id").as("qid"),
+        F.col("embedding").as("qe"), F.col("ss").as("qss"))
+      val w = Window.partitionBy("qid")
+        .orderBy(F.col("cos_m").desc, F.col("vec_id"))
+      q.join(e, "sig")
+        .filter(F.col("vec_id") =!= F.col("qid"))
+        .select(F.col("sig"), F.col("qid"), F.col("vec_id"), cosM.as("cos_m"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") === 1)
+        .select("sig", "qid", "vec_id", "cos_m")
+        .orderBy("qid")
+    }),
+
     // Near-dup candidates: mutual top-1 neighbors within a cell.
     "llm_embed_neardup" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -136,6 +165,35 @@ object LlmSimilarity extends Catalog {
            FROM pairs)
          SELECT qid, vec_id, cos_m, rn FROM ranked
          WHERE rn <= 5 ORDER BY qid, rn""",
+    "llm_similar_lsh" ->
+      """WITH e AS (
+           SELECT vec_id, embedding,
+                  list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS ss,
+                  CAST(list_sum(list_transform(generate_series(0, 7), b ->
+                    CASE WHEN list_sum(list_transform(
+                           generate_series(1, len(embedding)), i ->
+                      CASE WHEN substring(md5('p' || CAST(b AS VARCHAR) || ':'
+                                 || CAST(i AS VARCHAR)), 1, 1)
+                             IN ('8','9','a','b','c','d','e','f')
+                           THEN CAST(embedding[i] AS DOUBLE)
+                           ELSE -CAST(embedding[i] AS DOUBLE) END)) > 0
+                    THEN CAST(power(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT)
+                    AS sig
+           FROM embeddings),
+         pairs AS (
+           SELECT a.sig, a.vec_id AS qid, b.vec_id AS vec_id,
+                  CAST(floor(1000000.0 *
+                    (list_sum(list_transform(generate_series(1, len(a.embedding)),
+                       k -> CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)))
+                     / (sqrt(a.ss) * sqrt(b.ss)))) AS BIGINT) AS cos_m
+           FROM e a JOIN e b ON a.sig = b.sig AND a.vec_id <> b.vec_id),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY qid
+                       ORDER BY cos_m DESC, vec_id) AS rn
+           FROM pairs)
+         SELECT sig, qid, vec_id, cos_m FROM ranked
+         WHERE rn = 1 ORDER BY qid""",
     "llm_similar_ivf" -> (oracleProbe +
       """
          SELECT label, qid, vec_id, cos_m, rn FROM ranked

@@ -226,7 +226,22 @@ object Relational extends Catalog {
         .groupBy("s_nationkey")
         .agg(F.count(F.lit(1)).as("n_sup"))
         .filter(F.col("n_sup") >= 2)
-        .orderBy("s_nationkey"))
+        .orderBy("s_nationkey")),
+
+    // Skew-safe two-stage (salted) aggregation: stage 1 pre-aggregates on
+    // (salt, key) so a hot key spreads over 16 reducers; stage 2 merges the
+    // 16 partials per key. Same result as a direct groupBy — the pattern
+    // bounds any single reducer's load at 1/16th of the hottest key.
+    "q_skew_salted" -> ((s, dir) => {
+      val salted = table(s, dir, "events")
+        .withColumn("salt", F.pmod(F.col("event_id"), F.lit(16)))
+        .groupBy("user_id", "salt")
+        .agg(F.count(F.lit(1)).as("pn"), F.sum("value").as("pv"))
+      salted.groupBy("user_id")
+        .agg(F.sum("pn").as("n_events"),
+          F.round(F.sum("pv"), 2).as("total_value"))
+        .orderBy("user_id")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -367,6 +382,10 @@ object Relational extends Catalog {
     "q_having" ->
       """SELECT s_nationkey, count(*) AS n_sup FROM supplier
          GROUP BY s_nationkey HAVING count(*) >= 2
-         ORDER BY s_nationkey"""
+         ORDER BY s_nationkey""",
+    "q_skew_salted" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                round(sum(value), 2) AS total_value
+         FROM events GROUP BY user_id ORDER BY user_id"""
   )
 }
