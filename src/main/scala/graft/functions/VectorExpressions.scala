@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression for the embedding hot path (SURVEY.md §4's
+  * one sanctioned custom piece): the dot product of two `array<float>`
+  * columns, accumulated left-to-right in double.
+  *
+  * Semantically identical to
+  * `aggregate(zip_with(a, b, (x, y) -> double(x) * double(y)), 0D, +)`,
+  * but that chain of higher-order functions interprets a lambda per
+  * element; this expression participates in whole-stage codegen as a tight
+  * primitive loop over the columnar `ArrayData` (no per-element boxing or
+  * closure dispatch), which is what a 64-float × N-pair similarity scan
+  * needs. Accumulation order matches the HOF form exactly, so DuckDB
+  * oracles computing the ascending-index sum stay bit-identical.
+  */
+case class FloatVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_dot expects two array<float> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      sum += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val sum = ctx.freshName("sum")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $sum += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+
+  /** Register `vec_dot` in the session's function registry (idempotent;
+    * Spark 4 constructs Columns from registered functions, not raw
+    * expressions).
+    */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", exprs => FloatVecDot(exprs.head, exprs(1)), "scala_udf")
+
+  /** Dot product of two `array<float>` columns (double accumulation).
+    * Requires [[register]] on the session first.
+    */
+  def vec_dot(a: Column, b: Column): Column = F.call_function("vec_dot", a, b)
+
+  /** Squared L2 norm of an `array<float>` column. */
+  def vec_norm2(a: Column): Column = vec_dot(a, a)
+}

@@ -27,14 +27,21 @@ import org.apache.spark.sql.expressions.Window
   */
 object LlmSimilarity extends Catalog {
 
-  /** embeddings + precomputed squared norm (one narrow pass). */
-  private def emb(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "embeddings")
-      .withColumn("ss", F.expr(
-        "aggregate(embedding, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double))"))
+  import graft.functions.VectorFunctions
 
-  private val dot: Column = F.expr(
-    "aggregate(zip_with(qe, embedding, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)")
+  /** embeddings + precomputed squared norm (one narrow pass). The dot
+    * kernel is the custom codegen'd [[graft.functions.FloatVecDot]] —
+    * identical accumulation order to the `aggregate`/`zip_with` HOF form,
+    * but a primitive loop instead of an interpreted lambda per element.
+    */
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    table(s, dir, "embeddings")
+      .withColumn("ss", VectorFunctions.vec_norm2(F.col("embedding")))
+  }
+
+  private def dot: Column =
+    VectorFunctions.vec_dot(F.col("qe"), F.col("embedding"))
 
   /** floor-scaled cosine between (qe, qss) and (embedding, ss). */
   private val cosM: Column =
@@ -75,21 +82,28 @@ object LlmSimilarity extends Catalog {
     }),
 
     // LSH-bucketed probe for UNLABELED data: an 8-bit random-hyperplane
-    // signature buckets the corpus (plane(b,i) sign = md5 hex parity, so
-    // both engines derive the identical planes); each vector probes only
-    // its own bucket, top-1. This is the scale path when no IVF cell id
-    // exists: pairwise cost is Σ|bucket|² over ~2^bits buckets, and the
-    // signature itself is a narrow per-row projection.
+    // signature buckets the corpus; each vector probes only its own
+    // bucket, top-1. This is the scale path when no IVF cell id exists:
+    // pairwise cost is Σ|bucket|² over ~2^bits buckets. The plane signs
+    // are md5-hex-parity — CONSTANTS, so they are materialized driver-side
+    // once (same md5 the oracle recomputes per row) and shipped as ±1
+    // float-array literals; the signature is then 8 codegen'd vec_dot
+    // calls per row instead of 512 interpreted per-row md5s.
     "llm_similar_lsh" -> ((s, dir) => {
-      val e = emb(s, dir).withColumn("sig", F.expr(
-        """aggregate(sequence(0, 7), 0L, (acc, b) ->
-          |  acc + if(
-          |    aggregate(sequence(1, size(embedding)), 0D, (d, i) ->
-          |      d + if(substring(md5(concat('p', cast(b as string), ':', cast(i as string))), 1, 1)
-          |              in ('8','9','a','b','c','d','e','f'),
-          |            cast(element_at(embedding, i) as double),
-          |            -cast(element_at(embedding, i) as double))) > 0D,
-          |    cast(pow(2.0, b) as long), 0L))""".stripMargin))
+      val dims = 64
+      val planes: Seq[Seq[Float]] = (0 until 8).map { b =>
+        (1 to dims).map { i =>
+          val h = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"p$b:$i".getBytes("UTF-8"))
+          // first hex char is the high nibble of byte 0; '8'..'f' ⇔ >= 8
+          if (((h(0) >> 4) & 0xf) >= 8) 1.0f else -1.0f
+        }
+      }
+      val sig = (0 until 8).map { b =>
+        F.when(VectorFunctions.vec_dot(F.col("embedding"),
+          F.typedlit(planes(b))) > 0.0, 1L << b).otherwise(0L)
+      }.reduce(_ + _)
+      val e = emb(s, dir).withColumn("sig", sig)
       val q = e.select(F.col("sig"), F.col("vec_id").as("qid"),
         F.col("embedding").as("qe"), F.col("ss").as("qss"))
       val w = Window.partitionBy("qid")

@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+import org.scalatest.matchers.should.Matchers
+import org.scalatest.wordspec.AnyWordSpec
+
+import graft.SparkSpec
+
+class VectorExpressionsSpec extends AnyWordSpec with Matchers with SparkSpec {
+
+  private def df = {
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("a", ArrayType(FloatType, containsNull = false), nullable = true),
+      StructField("b", ArrayType(FloatType, containsNull = false), nullable = true)))
+    spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(1, Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f)),
+      org.apache.spark.sql.Row(2, Seq(0.5f, -2.0f), Seq(2.0f, 0.25f)),
+      org.apache.spark.sql.Row(3, null, Seq(1.0f))
+    ).asJava, schema)
+  }
+
+  "FloatVecDot" should {
+    "compute the double dot product (codegen path)" in {
+      VectorFunctions.register(spark)
+      val out = df.select(F.col("id"),
+        VectorFunctions.vec_dot(F.col("a"), F.col("b")).as("d"))
+        .orderBy("id").collect()
+      out(0).getDouble(1) shouldBe 32.0
+      out(1).getDouble(1) shouldBe 0.5
+      out(2).isNullAt(1) shouldBe true // null input → null out
+    }
+
+    "agree with the aggregate/zip_with HOF form bit-for-bit" in {
+      VectorFunctions.register(spark)
+      val both = df.filter(F.col("a").isNotNull).select(
+        VectorFunctions.vec_dot(F.col("a"), F.col("b")).as("native"),
+        F.expr("aggregate(zip_with(a, b, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)").as("hof"))
+        .collect()
+      both.foreach { r => r.getDouble(0) shouldBe r.getDouble(1) }
+    }
+
+    "reject non-float-array inputs at analysis" in {
+      VectorFunctions.register(spark)
+      an[Exception] should be thrownBy
+        df.select(VectorFunctions.vec_dot(F.col("id"), F.col("b"))).collect()
+    }
+
+    "norm2 is dot with itself" in {
+      VectorFunctions.register(spark)
+      val r = df.filter(F.col("id") === 1)
+        .select(VectorFunctions.vec_norm2(F.col("a"))).collect().head
+      r.getDouble(0) shouldBe (1.0 + 4.0 + 9.0)
+    }
+  }
+}
