@@ -23,8 +23,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Untimed warmup: JVM/codegen/parquet-reader init otherwise lands on
+    // whichever query happens to run first.
+    try {
+      spark.range(100000).selectExpr("md5(cast(id as string)) as h")
+        .write.format("noop").mode("overwrite").save()
+      spark.read.parquet(s"$sfDir/region.parquet")
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
+
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    // Stable order so warmup effects land on the same query every run.
+    // Stable order so residual warmup effects land on the same query.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =

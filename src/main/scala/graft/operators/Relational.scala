@@ -228,6 +228,16 @@ object Relational extends Catalog {
         .filter(F.col("n_sup") >= 2)
         .orderBy("s_nationkey")),
 
+    // Pivot: explicit value list so no extra distinct-values job runs (at
+    // scale, always pass the values — the implicit collect is a full pass)
+    "q_pivot" -> ((s, dir) =>
+      table(s, dir, "customer")
+        .groupBy("c_nationkey")
+        .pivot("c_mktsegment",
+          Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"))
+        .agg(F.round(F.sum("c_acctbal"), 2))
+        .orderBy("c_nationkey")),
+
     // Skew-safe two-stage (salted) aggregation: stage 1 pre-aggregates on
     // (salt, key) so a hot key spreads over 16 reducers; stage 2 merges the
     // 16 partials per key. Same result as a direct groupBy — the pattern
@@ -383,6 +393,14 @@ object Relational extends Catalog {
       """SELECT s_nationkey, count(*) AS n_sup FROM supplier
          GROUP BY s_nationkey HAVING count(*) >= 2
          ORDER BY s_nationkey""",
+    "q_pivot" ->
+      """SELECT c_nationkey,
+                round(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN c_acctbal END), 2) AS "AUTOMOBILE",
+                round(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal END), 2) AS "BUILDING",
+                round(sum(CASE WHEN c_mktsegment = 'FURNITURE' THEN c_acctbal END), 2) AS "FURNITURE",
+                round(sum(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN c_acctbal END), 2) AS "HOUSEHOLD",
+                round(sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN c_acctbal END), 2) AS "MACHINERY"
+         FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",
     "q_skew_salted" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
                 round(sum(value), 2) AS total_value
