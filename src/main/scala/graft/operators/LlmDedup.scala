@@ -146,6 +146,31 @@ object LlmDedup extends Catalog {
         .orderBy("doc_id")
     }),
 
+    // Near-dup CLUSTERS: connected components over the verified MinHash
+    // pair graph, labelled by the component's minimum doc_id. Label
+    // propagation with a fixed hop budget — each iteration is one
+    // edge-join + min-aggregate, the standard distributed
+    // connected-components shape (at web scale you alternate
+    // large-star/small-star, same primitive). The pair graph is tiny
+    // relative to the corpus, so these joins touch only near-dup members.
+    "llm_dedup_clusters" -> ((s, dir) => {
+      val pairs = queries("llm_dedup_minhash")(s, dir).select("i", "j")
+      val edges = pairs
+        .unionAll(pairs.select(F.col("j").as("i"), F.col("i").as("j")))
+        .select(F.col("i").as("src"), F.col("j").as("dst"))
+      var lab = edges.select(F.col("src").as("v")).distinct()
+        .withColumn("lab", F.col("v"))
+      for (_ <- 1 to 8) {
+        val prop = edges.join(lab, edges("dst") === lab("v"))
+          .groupBy(F.col("src")).agg(F.min("lab").as("nlab"))
+        lab = lab.join(prop, lab("v") === prop("src"), "left")
+          .select(lab("v"),
+            F.least(lab("lab"), F.coalesce(F.col("nlab"), lab("lab"))).as("lab"))
+      }
+      lab.select(F.col("v").as("doc_id"), F.col("lab").as("cluster"))
+        .orderBy("doc_id")
+    }),
+
     // Bucketed pairwise 2-gram Jaccard: all pairs within each
     // (lang, source) micro-bucket, set intersection via array HOFs.
     "llm_ngram_jaccard" -> ((s, dir) => {
@@ -245,6 +270,48 @@ object LlmDedup extends Catalog {
          FROM documents
          WHERE doc_id NOT IN (SELECT doc_id FROM drops)
          ORDER BY doc_id""",
+    "llm_dedup_clusters" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+             generate_series(1, len(w) - 2),
+             i -> array_to_string(w[i:i+2], ' ')))) AS sg
+           FROM d WHERE len(w) >= 3),
+         bands AS (
+           SELECT doc_id, 0 AS k,
+                  min(substring(md5(sg), 1, 8)) || min(substring(md5(sg), 9, 8)) AS mh
+           FROM sh GROUP BY doc_id
+           UNION ALL
+           SELECT doc_id, 1 AS k,
+                  min(substring(md5(sg), 17, 8)) || min(substring(md5(sg), 25, 8)) AS mh
+           FROM sh GROUP BY doc_id),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+           FROM bands x JOIN bands y
+             ON x.k = y.k AND x.mh = y.mh AND x.doc_id < y.doc_id),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         common AS (
+           SELECT c.i, c.j, count(*) AS common
+           FROM cand c
+           JOIN sh a ON a.doc_id = c.i
+           JOIN sh b ON b.doc_id = c.j AND b.sg = a.sg
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT i, j
+           FROM common
+           JOIN sizes si ON si.doc_id = i
+           JOIN sizes sj ON sj.doc_id = j
+           WHERE CAST(common AS DOUBLE) / (si.n + sj.n - common) >= 0.5),
+         edges AS (
+           SELECT i AS src, j AS dst FROM pairs
+           UNION ALL SELECT j, i FROM pairs),
+         walk(v, lab) AS (
+           SELECT DISTINCT src AS v, src AS lab FROM edges
+           UNION
+           SELECT e.src, w.lab FROM edges e JOIN walk w ON w.v = e.dst)
+         SELECT v AS doc_id, min(lab) AS cluster
+         FROM walk GROUP BY v ORDER BY doc_id""",
     "llm_simhash" ->
       """WITH dw AS (
            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word

@@ -101,6 +101,21 @@ object LlmText extends Catalog {
         .orderBy("doc_id")
     }),
 
+    // Corpus term statistics — the integer core of TF-IDF/BM25 scoring
+    // (kept log-free: both engines' ln need not be bit-identical, and the
+    // downstream scorer can apply its own weighting). Two partial-agg
+    // shuffles: (doc, word) then word — both keyed on vocabulary-bounded
+    // values.
+    "llm_tfdf" -> ((s, dir) =>
+      docs(s, dir)
+        .select(F.col("doc_id"), F.explode(F.col("w")).as("word"))
+        .groupBy("doc_id", "word").agg(F.count(F.lit(1)).as("tf"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).as("df"),
+          F.sum("tf").as("total_tf"),
+          F.max("tf").as("max_tf"))
+        .orderBy("word")),
+
     // Fingerprinting: full-content hash + winnowing-style minimum
     // 3-shingle hash. Narrow projection, no shuffle.
     "llm_fingerprint" -> ((s, dir) =>
@@ -175,6 +190,16 @@ object LlmText extends Catalog {
          SELECT doc_id, plang AS pred_lang, score,
                 CASE WHEN plang = lang THEN 1 ELSE 0 END AS is_correct
          FROM ranked WHERE rn = 1 ORDER BY doc_id""",
+    "llm_tfdf" ->
+      """WITH tf AS (
+           SELECT doc_id, word, count(*) AS tf
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                 FROM documents)
+           GROUP BY 1, 2)
+         SELECT word, count(*) AS df,
+                CAST(sum(tf) AS BIGINT) AS total_tf,
+                max(tf) AS max_tf
+         FROM tf GROUP BY word ORDER BY word""",
     "llm_fingerprint" ->
       """SELECT doc_id, md5(text) AS content_hash,
                 list_aggregate(list_transform(
