@@ -70,15 +70,81 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Count of common elements between two SORTED, DISTINCT string arrays —
+  * a two-pointer merge, so set-intersection cardinality costs O(n+m)
+  * binary string compares with no result-array allocation (Spark's
+  * `size(array_intersect(a, b))` interprets a lambda-free but
+  * allocation-heavy hash build per row). Callers sort with
+  * `array_sort(array_distinct(...))` once per document; the count equals
+  * any set-intersection size, so DuckDB `len(list_intersect(...))`
+  * oracles are unchanged.
+  */
+case class SortedOverlapCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sorted_overlap expects two array<string> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (n, m) = (x.numElements(), y.numElements())
+    var i = 0; var j = 0; var c = 0
+    while (i < n && j < m) {
+      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val cmp = ctx.freshName("cmp")
+      s"""
+         |int $n = $a.numElements();
+         |int $m = $b.numElements();
+         |int $i = 0, $j = 0, $c = 0;
+         |while ($i < $n && $j < $m) {
+         |  int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  if ($cmp == 0) { $c++; $i++; $j++; }
+         |  else if ($cmp < 0) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
 
   /** Register `vec_dot` in the session's function registry (idempotent;
     * Spark 4 constructs Columns from registered functions, not raw
     * expressions).
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => FloatVecDot(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_overlap", exprs => SortedOverlapCount(exprs.head, exprs(1)),
+      "scala_udf")
+  }
 
   /** Dot product of two `array<float>` columns (double accumulation).
     * Requires [[register]] on the session first.
@@ -87,4 +153,10 @@ object VectorFunctions {
 
   /** Squared L2 norm of an `array<float>` column. */
   def vec_norm2(a: Column): Column = vec_dot(a, a)
+
+  /** Intersection cardinality of two sorted distinct `array<string>`
+    * columns. Requires [[register]] on the session first.
+    */
+  def sorted_overlap(a: Column, b: Column): Column =
+    F.call_function("sorted_overlap", a, b)
 }

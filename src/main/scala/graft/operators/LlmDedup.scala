@@ -28,17 +28,23 @@ import org.apache.spark.sql.{functions => F}
   */
 object LlmDedup extends Catalog {
 
-  /** (doc_id, shs) — per-doc DISTINCT 3-word shingle ARRAY. Kept as an
-    * array so signatures and set intersections run as narrow array HOFs on
-    * the row — no per-shingle explode, no shuffle until a join needs one.
+  import graft.functions.VectorFunctions
+
+  /** (doc_id, shs) — per-doc SORTED DISTINCT 3-word shingle ARRAY. Kept as
+    * an array so signatures and set intersections run as narrow per-row
+    * work — no per-shingle explode, no shuffle until a join needs one;
+    * sorted once here so pair verification is a codegen'd two-pointer
+    * merge (`sorted_overlap`) instead of a per-pair hash build.
     */
-  private def shingleArrays(s: SparkSession, dir: String): DataFrame =
+  private def shingleArrays(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
     table(s, dir, "documents")
       .withColumn("w", F.split(F.col("text"), " "))
       .filter(F.size(F.col("w")) >= 3)
-      .select(F.col("doc_id"), F.array_distinct(
-        F.expr("transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3)))"))
+      .select(F.col("doc_id"), F.array_sort(F.array_distinct(
+        F.expr("transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3)))")))
         .as("shs"))
+  }
 
   /** One md5 per shingle; band k's signature is the minimum of hex slice
     * [8k+1, 8k+8] — four independent 32-bit min-hashes from a single hash
@@ -58,7 +64,7 @@ object LlmDedup extends Catalog {
     // HOFs (scan-speed, zero shuffle); the ONLY shuffles are the candidate
     // band join and the verification join, both bounded by candidate
     // count, and the shingle arrays travel with the candidate rows so
-    // verification is array_intersect on the joined pair — no per-shingle
+    // verification is a codegen'd sorted merge on the joined pair — no per-shingle
     // explode join over the corpus.
     "llm_dedup_minhash" -> ((s, dir) => {
       val d = shingleArrays(s, dir)
@@ -80,7 +86,7 @@ object LlmDedup extends Catalog {
         .join(d.select(F.col("doc_id").as("i"), F.col("shs").as("sa")), "i")
         .join(d.select(F.col("doc_id").as("j"), F.col("shs").as("sb")), "j")
         .select(F.col("i"), F.col("j"),
-          F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("long").as("common"),
+          VectorFunctions.sorted_overlap(F.col("sa"), F.col("sb")).cast("long").as("common"),
           F.size(F.col("sa")).cast("long").as("ni"),
           F.size(F.col("sb")).cast("long").as("nj"))
         .filter(jac >= 0.5)
@@ -135,7 +141,7 @@ object LlmDedup extends Catalog {
         .join(d.select(F.col("doc_id").as("i"), F.col("shs").as("sa")), "i")
         .join(d.select(F.col("doc_id").as("j"), F.col("shs").as("sb")), "j")
         .select(F.col("i"), F.col("j"),
-          F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("long").as("common"),
+          VectorFunctions.sorted_overlap(F.col("sa"), F.col("sb")).cast("long").as("common"),
           F.size(F.col("sa")).cast("long").as("ni"),
           F.size(F.col("sb")).cast("long").as("nj"))
         .filter(jac >= 0.5)
@@ -155,17 +161,26 @@ object LlmDedup extends Catalog {
     // relative to the corpus, so these joins touch only near-dup members.
     "llm_dedup_clusters" -> ((s, dir) => {
       val pairs = queries("llm_dedup_minhash")(s, dir).select("i", "j")
+      // Iterative algorithms MUST truncate lineage: without the eager
+      // localCheckpoint the 8-iteration loop re-plans (and re-executes)
+      // the entire MinHash pipeline once per reference — exponentially.
+      // At cluster scale this is reliable-checkpointing to HDFS; the
+      // pattern (materialize edges once, checkpoint labels per hop) is
+      // identical.
       val edges = pairs
         .unionAll(pairs.select(F.col("j").as("i"), F.col("i").as("j")))
         .select(F.col("i").as("src"), F.col("j").as("dst"))
+        .localCheckpoint()
       var lab = edges.select(F.col("src").as("v")).distinct()
         .withColumn("lab", F.col("v"))
+        .localCheckpoint()
       for (_ <- 1 to 8) {
         val prop = edges.join(lab, edges("dst") === lab("v"))
           .groupBy(F.col("src")).agg(F.min("lab").as("nlab"))
         lab = lab.join(prop, lab("v") === prop("src"), "left")
           .select(lab("v"),
             F.least(lab("lab"), F.coalesce(F.col("nlab"), lab("lab"))).as("lab"))
+          .localCheckpoint()
       }
       lab.select(F.col("v").as("doc_id"), F.col("lab").as("cluster"))
         .orderBy("doc_id")
@@ -174,12 +189,13 @@ object LlmDedup extends Catalog {
     // Bucketed pairwise 2-gram Jaccard: all pairs within each
     // (lang, source) micro-bucket, set intersection via array HOFs.
     "llm_ngram_jaccard" -> ((s, dir) => {
+      VectorFunctions.register(s)
       val d = table(s, dir, "documents")
         .withColumn("w", F.split(F.col("text"), " "))
         .filter(F.size(F.col("w")) >= 2)
         .select(F.col("doc_id"), F.col("lang"), F.col("source"),
-          F.array_distinct(
-            F.expr("transform(sequence(1, size(w)-1), i -> concat_ws(' ', slice(w, i, 2)))"))
+          F.array_sort(F.array_distinct(
+            F.expr("transform(sequence(1, size(w)-1), i -> concat_ws(' ', slice(w, i, 2)))")))
             .as("gs"))
       val a = d.select(F.col("lang"), F.col("source"), F.col("doc_id").as("i"),
         F.col("gs").as("ga"))
@@ -187,7 +203,7 @@ object LlmDedup extends Catalog {
         F.col("gs").as("gb"))
       a.join(b, Seq("lang", "source")).filter(F.col("i") < F.col("j"))
         .select(F.col("lang"), F.col("source"), F.col("i"), F.col("j"),
-          F.size(F.array_intersect(F.col("ga"), F.col("gb"))).cast("long").as("common"),
+          VectorFunctions.sorted_overlap(F.col("ga"), F.col("gb")).cast("long").as("common"),
           F.size(F.col("ga")).cast("long").as("ni"),
           F.size(F.col("gb")).cast("long").as("nj"))
         .withColumn("jac_m", F.floor(F.lit(1000000.0) *

@@ -48,6 +48,22 @@ class VectorExpressionsSpec extends AnyWordSpec with Matchers with SparkSpec {
         df.select(VectorFunctions.vec_dot(F.col("id"), F.col("b"))).collect()
     }
 
+    "sorted_overlap counts common elements of sorted distinct arrays" in {
+      VectorFunctions.register(spark)
+      import spark.implicits._
+      val d = Seq(
+        (Seq("a", "b", "d", "f"), Seq("b", "c", "d", "e", "f")),
+        (Seq.empty[String], Seq("x")),
+        (Seq("a"), Seq("a"))
+      ).toDF("x", "y")
+      val got = d.select(
+        VectorFunctions.sorted_overlap(F.col("x"), F.col("y")).as("c"),
+        F.size(F.array_intersect(F.col("x"), F.col("y"))).as("ref"))
+        .collect()
+      got.foreach { r => r.getInt(0) shouldBe r.getInt(1) }
+      got.map(_.getInt(0)).toSeq shouldBe Seq(3, 0, 1)
+    }
+
     "norm2 is dot with itself" in {
       VectorFunctions.register(spark)
       val r = df.filter(F.col("id") === 1)
