@@ -228,6 +228,27 @@ object Relational extends Catalog {
         .filter(F.col("n_sup") >= 2)
         .orderBy("s_nationkey")),
 
+    // Correlated scalar subquery through the spark.sql(...) string surface
+    // (Catalyst decorrelates it into a left outer aggregate join)
+    "q_scalar_subquery" -> ((s, dir) => {
+      table(s, dir, "customer").createOrReplaceTempView("v_customer")
+      table(s, dir, "orders").createOrReplaceTempView("v_orders")
+      s.sql(
+        """SELECT c_custkey,
+          |       (SELECT count(*) FROM v_orders WHERE o_custkey = c_custkey)
+          |         AS n_orders
+          |FROM v_customer ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // Bag-semantics set ops (EXCEPT ALL keeps duplicate multiplicity)
+    "q_except_all" -> ((s, dir) => {
+      val o = table(s, dir, "orders").select(F.col("o_custkey").as("ck"))
+      val c = table(s, dir, "customer").select(F.col("c_custkey").as("ck"))
+      o.exceptAll(c) // customers with >1 order survive (multiplicity - 1)
+        .groupBy("ck").agg(F.count(F.lit(1)).as("extra_orders"))
+        .orderBy("ck")
+    }),
+
     // Pivot: explicit value list so no extra distinct-values job runs (at
     // scale, always pass the values — the implicit collect is a full pass)
     "q_pivot" -> ((s, dir) =>
@@ -393,6 +414,17 @@ object Relational extends Catalog {
       """SELECT s_nationkey, count(*) AS n_sup FROM supplier
          GROUP BY s_nationkey HAVING count(*) >= 2
          ORDER BY s_nationkey""",
+    "q_scalar_subquery" ->
+      """SELECT c_custkey,
+                (SELECT count(*) FROM orders WHERE o_custkey = c_custkey)
+                  AS n_orders
+         FROM customer ORDER BY c_custkey""",
+    "q_except_all" ->
+      """SELECT ck, count(*) AS extra_orders FROM (
+           SELECT o_custkey AS ck FROM orders
+           EXCEPT ALL
+           SELECT c_custkey AS ck FROM customer)
+         GROUP BY ck ORDER BY ck""",
     "q_pivot" ->
       """SELECT c_nationkey,
                 round(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN c_acctbal END), 2) AS "AUTOMOBILE",
