@@ -47,6 +47,35 @@ object Demo {
     customer.sql("SELECT c_name as name, c_acctbal as bal")
       .explain("formatted")
 
+    println("== avro bridge: record.sql on a GenericRecord ==")
+    locally {
+      import org.apache.avro.SchemaBuilder
+      import org.apache.avro.generic.GenericData
+      import graft.avro.AvroSql.implicits._
+      implicit val s: SparkSession = spark
+      val street = SchemaBuilder.record("Street").namespace("demo")
+        .fields().requiredString("name").endRecord()
+      val addr = SchemaBuilder.record("Address").namespace("demo")
+        .fields().name("street").`type`(street).noDefault()
+        .requiredString("city").endRecord()
+      val person = SchemaBuilder.record("Person").namespace("demo")
+        .fields().requiredString("name")
+        .name("address").`type`(addr).noDefault().endRecord()
+      val st = new GenericData.Record(street); st.put("name", "Rose Ave")
+      val ad = new GenericData.Record(addr); ad.put("street", st); ad.put("city", "Springfield")
+      val p = new GenericData.Record(person); p.put("name", "Homer"); p.put("address", ad)
+      val out = p.sql("SELECT name, address.street.name as streetName")
+      println(s"in : $p")
+      println(s"out: $out")
+      println(s"out schema: ${out.getSchema}")
+    }
+
+    println("== llm pipeline: minhash near-dup pairs on documents ==")
+    graft.operators.LlmDedup.queries("llm_dedup_minhash")(spark, sf).show(5)
+
+    println("== llm pipeline: cosine top-3 (IVF cell probe, codegen'd vec_dot) ==")
+    graft.operators.LlmSimilarity.queries("llm_similar_ivf")(spark, sf).show(5)
+
     spark.stop()
   }
 }
