@@ -101,6 +101,19 @@ object LlmText extends Catalog {
         .orderBy("doc_id")
     }),
 
+    // Deterministic stratified sampling — training-data mixing: each
+    // language keeps a different fraction, decided by a seeded content
+    // hash (reproducible across runs/engines, no RNG state). Narrow
+    // filter, pushes nothing but touches only the rows it keeps.
+    "llm_sample" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .withColumn("h",
+          F.substring(F.md5(F.concat(F.lit("s1:"), F.col("text"))), 1, 1))
+        .filter(F.col("h") < F.when(F.col("lang") === "en", "8")
+          .when(F.col("lang") === "de", "4").otherwise("2"))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")),
+
     // Corpus term statistics — the integer core of TF-IDF/BM25 scoring
     // (kept log-free: both engines' ln need not be bit-identical, and the
     // downstream scorer can apply its own weighting). Two partial-agg
@@ -190,6 +203,13 @@ object LlmText extends Catalog {
          SELECT doc_id, plang AS pred_lang, score,
                 CASE WHEN plang = lang THEN 1 ELSE 0 END AS is_correct
          FROM ranked WHERE rn = 1 ORDER BY doc_id""",
+    "llm_sample" ->
+      """SELECT doc_id, lang, source, n_chars
+         FROM documents
+         WHERE substring(md5('s1:' || text), 1, 1) <
+               CASE WHEN lang = 'en' THEN '8'
+                    WHEN lang = 'de' THEN '4' ELSE '2' END
+         ORDER BY doc_id""",
     "llm_tfdf" ->
       """WITH tf AS (
            SELECT doc_id, word, count(*) AS tf

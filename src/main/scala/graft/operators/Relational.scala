@@ -228,6 +228,21 @@ object Relational extends Catalog {
         .filter(F.col("n_sup") >= 2)
         .orderBy("s_nationkey")),
 
+    // As-of join (each event → most recent strictly-prior purchase of the
+    // same user), composed as a windowed carry-forward: one shuffle on the
+    // partition key, no join. The oracle is DuckDB's native ASOF JOIN, so
+    // this gate proves the composition IS an as-of join.
+    "q_asof_join" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      table(s, dir, "events")
+        .withColumn("last_purchase_id",
+          F.last(F.when(F.col("event_type") === "purchase", F.col("event_id")),
+            ignoreNulls = true).over(w))
+        .select("event_id", "user_id", "last_purchase_id")
+        .orderBy("event_id")
+    }),
+
     // Correlated scalar subquery through the spark.sql(...) string surface
     // (Catalyst decorrelates it into a left outer aggregate join)
     "q_scalar_subquery" -> ((s, dir) => {
@@ -414,6 +429,13 @@ object Relational extends Catalog {
       """SELECT s_nationkey, count(*) AS n_sup FROM supplier
          GROUP BY s_nationkey HAVING count(*) >= 2
          ORDER BY s_nationkey""",
+    "q_asof_join" ->
+      """WITH p AS (SELECT user_id, ts, event_id AS last_purchase_id
+                    FROM events WHERE event_type = 'purchase')
+         SELECT e.event_id, e.user_id, p.last_purchase_id
+         FROM events e ASOF LEFT JOIN p
+           ON e.user_id = p.user_id AND e.ts > p.ts
+         ORDER BY e.event_id""",
     "q_scalar_subquery" ->
       """SELECT c_custkey,
                 (SELECT count(*) FROM orders WHERE o_custkey = c_custkey)
