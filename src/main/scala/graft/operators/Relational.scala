@@ -165,6 +165,24 @@ object Relational extends Catalog {
           F.abs(F.col("p_size") - 25).as("size_dist"))
         .orderBy("p_partkey")),
 
+    // array + map function library over constructed collections, flattened
+    // back to scalars for the oracle
+    "q_array_funcs" -> ((s, dir) =>
+      table(s, dir, "part")
+        .select(F.col("p_partkey"),
+          F.array(F.col("p_size"), F.lit(25), F.col("p_size") * 2).as("arr"),
+          F.map(F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type"))
+            .as("m"))
+        .select(F.col("p_partkey"),
+          F.array_max(F.col("arr")).as("amax"),
+          F.array_min(F.col("arr")).as("amin"),
+          F.element_at(F.array_sort(F.col("arr")), 2).as("amed"),
+          F.array_contains(F.col("arr"), 25).as("has25"),
+          F.size(F.col("arr")).as("alen"),
+          F.element_at(F.col("m"), "brand").as("brand"),
+          F.size(F.col("m")).as("mlen"))
+        .orderBy("p_partkey")),
+
     // date/time functions
     "q_datetime_funcs" -> ((s, dir) =>
       table(s, dir, "orders")
@@ -385,6 +403,16 @@ object Relational extends Catalog {
                 concat_ws('-', p_brand, p_type) AS brand_type,
                 round(p_retailprice * 1.1, 2) AS bumped,
                 abs(p_size - 25) AS size_dist
+         FROM part ORDER BY p_partkey""",
+    "q_array_funcs" ->
+      """SELECT p_partkey,
+                list_max([p_size, 25, p_size * 2]) AS amax,
+                list_min([p_size, 25, p_size * 2]) AS amin,
+                list_sort([p_size, 25, p_size * 2])[2] AS amed,
+                list_contains([p_size, 25, p_size * 2], 25) AS has25,
+                CAST(len([p_size, 25, p_size * 2]) AS INT) AS alen,
+                p_brand AS brand,
+                2 AS mlen
          FROM part ORDER BY p_partkey""",
     "q_datetime_funcs" ->
       """SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
