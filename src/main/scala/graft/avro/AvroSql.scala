@@ -4,7 +4,7 @@ import org.apache.avro.Schema
 import org.apache.avro.generic.{GenericRecord, IndexedRecord}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 
-import graft.sql.{GraftSql, SelectParser}
+import graft.sql.{Field, GraftSql, SelectParser, SelectQuery}
 
 import scala.jdk.CollectionConverters._
 
@@ -35,13 +35,33 @@ object AvroSql {
     implicit class AvroRecordSqlOps(val record: IndexedRecord) {
       def sql(query: String)(implicit spark: SparkSession): GenericRecord =
         AvroSql.sql(record, query)
+      /** EP3 parity (reference AvroSql.scala:86-103): pre-parsed fields —
+        * the host-integration path where the caller already parsed KCQL.
+        */
+      def sql(fields: Seq[Field], flatten: Boolean)(implicit spark: SparkSession): GenericRecord =
+        AvroSql.sql(record, fields, flatten)
     }
     implicit class AvroPrimitiveSqlOps(val p: AvroPrimitive) {
       def sql(query: String): AvroPrimitive = AvroSql.sqlPrimitive(p, query)
     }
   }
 
-  def sql(record: IndexedRecord, query: String)(implicit spark: SparkSession): GenericRecord = {
+  def sql(record: IndexedRecord, query: String)(implicit spark: SparkSession): GenericRecord =
+    run(record, df => project(df, query))
+
+  /** EP3: pre-parsed select-list fields + explicit mode. */
+  def sql(record: IndexedRecord, fields: Seq[Field], flatten: Boolean)(
+      implicit spark: SparkSession): GenericRecord =
+    run(record, { df =>
+      val q = SelectQuery(fields, None, withStructure = !flatten)
+      GraftSql.plan(q, df.schema) match {
+        case graft.sql.FlattenPlanner.Identity => df
+        case graft.sql.FlattenPlanner.Columns(cols) => df.select(cols: _*)
+      }
+    })
+
+  private def run(record: IndexedRecord, proj: DataFrame => DataFrame)(
+      implicit spark: SparkSession): GenericRecord = {
     if (record == null) return null
     val inSchema = record.getSchema
     require(inSchema.getType == Schema.Type.RECORD,
@@ -49,7 +69,7 @@ object AvroSql {
     val struct = AvroSchemaConverter.toStruct(inSchema)
     val df = spark.createDataFrame(
       java.util.Arrays.asList(AvroRowCodec.toRow(record, struct)), struct)
-    val out = project(df, query)
+    val out = proj(df)
     val (name, ns, doc) = AvroSchemaConverter.recordInfo(inSchema)
     val outAvro = AvroSchemaConverter.toAvro(out.schema, name, ns, doc)
     AvroRowCodec.fromRow(out.head(), out.schema, outAvro)

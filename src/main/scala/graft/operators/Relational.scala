@@ -165,6 +165,17 @@ object Relational extends Catalog {
           F.abs(F.col("p_size") - 25).as("size_dist"))
         .orderBy("p_partkey")),
 
+    // exact percentiles (sort-based; DuckDB quantile_cont uses the same
+    // linear interpolation). At scale prefer approx_percentile sketches —
+    // kept exact here because sketch algorithms differ across engines.
+    "q_percentile" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_quantity, 0.5)").as("med"),
+          F.expr("percentile(l_quantity, 0.9)").as("p90"),
+          F.expr("percentile(l_extendedprice, 0.5)").as("med_price"))
+        .orderBy("l_returnflag")),
+
     // array + map function library over constructed collections, flattened
     // back to scalars for the oracle
     "q_array_funcs" -> ((s, dir) =>
@@ -404,6 +415,12 @@ object Relational extends Catalog {
                 round(p_retailprice * 1.1, 2) AS bumped,
                 abs(p_size - 25) AS size_dist
          FROM part ORDER BY p_partkey""",
+    "q_percentile" ->
+      """SELECT l_returnflag,
+                quantile_cont(l_quantity, 0.5) AS med,
+                quantile_cont(l_quantity, 0.9) AS p90,
+                quantile_cont(l_extendedprice, 0.5) AS med_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_array_funcs" ->
       """SELECT p_partkey,
                 list_max([p_size, 25, p_size * 2]) AS amax,

@@ -229,6 +229,22 @@ class AvroBridgeSpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "record.sql EP3 (pre-parsed fields)" should {
+    "project with explicit Field descriptors, both modes (ref :86-103)" in {
+      import graft.sql.Field
+      val fields = Seq(Field("name", "who", Nil),
+        Field("name", "streetName", Seq("address", "street")))
+      val flat = AvroSql.sql(person(true), fields, flatten = true)
+      flat.getSchema.getFields.asScala.map(_.name()).toSeq shouldBe
+        Seq("who", "streetName")
+      flat.get("streetName").toString shouldBe "Rose Ave"
+
+      val ws = AvroSql.sql(person(true),
+        Seq(Field("city", "city", Seq("address"))), flatten = false)
+      ws.getSchema.getFields.asScala.map(_.name()).toSeq shouldBe Seq("address")
+    }
+  }
+
   "primitive containers (O12)" should {
     "pass through on SELECT * (ref :39-65)" in {
       import AvroSql.implicits._
