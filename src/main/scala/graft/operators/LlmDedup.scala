@@ -174,13 +174,21 @@ object LlmDedup extends Catalog {
       var lab = edges.select(F.col("src").as("v")).distinct()
         .withColumn("lab", F.col("v"))
         .localCheckpoint()
-      for (_ <- 1 to 8) {
+      // propagate to FIXPOINT (label count strictly decreases while any
+      // component is still split, so `changed` hits 0 in ≤ diameter hops)
+      var changed = 1L
+      var guard = 0
+      while (changed > 0 && guard < 20) {
+        guard += 1
         val prop = edges.join(lab, edges("dst") === lab("v"))
           .groupBy(F.col("src")).agg(F.min("lab").as("nlab"))
-        lab = lab.join(prop, lab("v") === prop("src"), "left")
+        val next = lab.join(prop, lab("v") === prop("src"), "left")
           .select(lab("v"),
             F.least(lab("lab"), F.coalesce(F.col("nlab"), lab("lab"))).as("lab"))
           .localCheckpoint()
+        changed = next.as("n").join(lab.as("o"), F.col("n.v") === F.col("o.v"))
+          .filter(F.col("n.lab") =!= F.col("o.lab")).count()
+        lab = next
       }
       lab.select(F.col("v").as("doc_id"), F.col("lab").as("cluster"))
         .orderBy("doc_id")

@@ -285,6 +285,36 @@ class AvroBridgeSpec extends AnyWordSpec with Matchers with SparkSpec {
         "timestamp-micros"
     }
 
+    "round-trip enum, fixed and map VALUES through a projection" in {
+      val e = Schema.createEnum("Color", null, "fix",
+        java.util.Arrays.asList("RED", "GREEN"))
+      val fx = Schema.createFixed("Hash", null, "fix", 4)
+      val rec = SchemaBuilder.record("V").namespace("fix").fields()
+        .name("c").`type`(e).noDefault()
+        .name("h").`type`(fx).noDefault()
+        .name("m").`type`().map().values(Schema.create(Schema.Type.INT)).noDefault()
+        .requiredString("keep")
+        .endRecord()
+      val r = new GenericData.Record(rec)
+      r.put("c", new GenericData.EnumSymbol(e, "GREEN"))
+      r.put("h", new GenericData.Fixed(fx, Array[Byte](1, 2, 3, 4)))
+      val m = new java.util.HashMap[String, Int]()
+      m.put("x", 7); m.put("y", 9)
+      r.put("m", m)
+      r.put("keep", "yes")
+      // flatten rejects MAP columns (O7) — structure mode carries them
+      val out = r.sql("SELECT c as colour, h, m, keep FROM t withstructure")
+      out.get("colour") shouldBe a[GenericData.EnumSymbol]
+      out.get("colour").toString shouldBe "GREEN"
+      out.getSchema.getField("colour").schema().getType shouldBe Schema.Type.ENUM
+      out.get("h").asInstanceOf[GenericData.Fixed].bytes().toSeq shouldBe
+        Seq[Byte](1, 2, 3, 4)
+      val mOut = out.get("m").asInstanceOf[java.util.Map[String, Any]]
+      mOut.get("x") shouldBe 7
+      mOut.get("y") shouldBe 9
+      out.get("keep").toString shouldBe "yes"
+    }
+
     "unpack records to plain Scala incl. the micros fix (O17)" in {
       val rec = SchemaBuilder.record("U").fields()
         .requiredString("s")

@@ -92,6 +92,27 @@ class StreamingSpec extends AnyWordSpec with Matchers with SparkSpec {
       } finally q.stop()
     }
 
+    "deduplicate a stream with a watermark (streaming llm_dedup_exact)" in {
+      import spark.implicits._
+      implicit val ctx = spark.sqlContext
+
+      val input = MemoryStream[Ev]
+      val deduped = input.toDF()
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates("user", "ts") // content key; state bounded by watermark
+      val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        def t(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+        input.addData(Ev(t(0), "u1", 1.0), Ev(t(0), "u1", 99.0), // dup key
+          Ev(t(1), "u1", 2.0))
+        q.processAllAvailable()
+        input.addData(Ev(t(0), "u1", 5.0)) // dup arriving in a later batch
+        q.processAllAvailable()
+        spark.table("dedup_stream").count() shouldBe 2
+      } finally q.stop()
+    }
+
     "run arbitrary stateful processing via mapGroupsWithState" in {
       import spark.implicits._
       implicit val ctx = spark.sqlContext
