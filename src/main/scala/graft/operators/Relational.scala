@@ -284,6 +284,28 @@ object Relational extends Catalog {
           |FROM v_customer ORDER BY c_custkey""".stripMargin)
     }),
 
+    // arbitrary GROUPING SETS through the SQL surface (finer than
+    // rollup/cube: exactly the requested combinations are aggregated)
+    "q_grouping_sets" -> ((s, dir) => {
+      table(s, dir, "orders").createOrReplaceTempView("v_orders_gs")
+      s.sql(
+        """SELECT coalesce(o_orderstatus, 'ALL') AS st,
+          |       coalesce(o_orderpriority, 'ALL') AS pri,
+          |       count(*) AS n
+          |FROM v_orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY st, pri""".stripMargin)
+    }),
+
+    // lateral explode with position (posexplode) — flatten the first 5
+    // words of each document with their ordinal
+    "q_explode" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(F.col("doc_id"),
+          F.posexplode(F.slice(F.split(F.col("text"), " "), 1, 5)))
+        .withColumnsRenamed(Map("pos" -> "pos", "col" -> "word"))
+        .orderBy("doc_id", "pos")),
+
     // Bag-semantics set ops (EXCEPT ALL keeps duplicate multiplicity)
     "q_except_all" -> ((s, dir) => {
       val o = table(s, dir, "orders").select(F.col("o_custkey").as("ck"))
@@ -291,6 +313,13 @@ object Relational extends Catalog {
       o.exceptAll(c) // customers with >1 order survive (multiplicity - 1)
         .groupBy("ck").agg(F.count(F.lit(1)).as("extra_orders"))
         .orderBy("ck")
+    }),
+    "q_intersect_all" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem").select(F.col("l_suppkey").as("sk"))
+      val su = table(s, dir, "supplier").select(F.col("s_suppkey").as("sk"))
+      li.intersectAll(su) // min(multiplicity) per key — suppliers used ≥1×
+        .groupBy("sk").agg(F.count(F.lit(1)).as("n"))
+        .orderBy("sk")
     }),
 
     // Pivot: explicit value list so no extra distinct-values job runs (at
@@ -492,6 +521,24 @@ object Relational extends Catalog {
            EXCEPT ALL
            SELECT c_custkey AS ck FROM customer)
          GROUP BY ck ORDER BY ck""",
+    "q_intersect_all" ->
+      """SELECT sk, count(*) AS n FROM (
+           SELECT l_suppkey AS sk FROM lineitem
+           INTERSECT ALL
+           SELECT s_suppkey AS sk FROM supplier)
+         GROUP BY sk ORDER BY sk""",
+    "q_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS st,
+                coalesce(o_orderpriority, 'ALL') AS pri,
+                count(*) AS n
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY st, pri""",
+    "q_explode" ->
+      """SELECT doc_id, CAST(t.i - 1 AS INT) AS pos, w[t.i] AS word
+         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
+              unnest(generate_series(1, least(5, len(d.w)))) t(i)
+         ORDER BY doc_id, pos""",
     "q_pivot" ->
       """SELECT c_nationkey,
                 round(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN c_acctbal END), 2) AS "AUTOMOBILE",
