@@ -70,9 +70,9 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Count of common elements between two SORTED, DISTINCT string arrays —
-  * a two-pointer merge, so set-intersection cardinality costs O(n+m)
-  * binary string compares with no result-array allocation (Spark's
+/** Count of common elements between two SORTED, DISTINCT arrays (string
+  * or long) — a two-pointer merge, so set-intersection cardinality costs
+  * O(n+m) compares with no result-array allocation (Spark's
   * `size(array_intersect(a, b))` interprets a lambda-free but
   * allocation-heavy hash build per row). Callers sort with
   * `array_sort(array_distinct(...))` once per document; the count equals
@@ -84,15 +84,23 @@ case class SortedOverlapCount(left: Expression, right: Expression)
 
   override def dataType: DataType = IntegerType
 
+  private lazy val elemIsLong: Boolean = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = {
-    def ok(t: DataType) = t match {
-      case ArrayType(StringType, _) => true
-      case _ => false
+    def elem(t: DataType) = t match {
+      case ArrayType(e @ (StringType | LongType), _) => Some(e)
+      case _ => None
     }
-    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"sorted_overlap expects two array<string> arguments, got " +
-        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    (elem(left.dataType), elem(right.dataType)) match {
+      case (Some(a), Some(b)) if a == b => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"sorted_overlap expects two array<string> or two array<bigint> " +
+          s"arguments, got ${left.dataType.simpleString} and " +
+          s"${right.dataType.simpleString}")
+    }
   }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -101,7 +109,9 @@ case class SortedOverlapCount(left: Expression, right: Expression)
     val (n, m) = (x.numElements(), y.numElements())
     var i = 0; var j = 0; var c = 0
     while (i < n && j < m) {
-      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      val cmp =
+        if (elemIsLong) java.lang.Long.compare(x.getLong(i), y.getLong(j))
+        else x.getUTF8String(i).compareTo(y.getUTF8String(j))
       if (cmp == 0) { c += 1; i += 1; j += 1 }
       else if (cmp < 0) i += 1
       else j += 1
@@ -114,12 +124,15 @@ case class SortedOverlapCount(left: Expression, right: Expression)
       val n = ctx.freshName("n"); val m = ctx.freshName("m")
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val c = ctx.freshName("c"); val cmp = ctx.freshName("cmp")
+      val cmpExpr =
+        if (elemIsLong) s"java.lang.Long.compare($a.getLong($i), $b.getLong($j))"
+        else s"$a.getUTF8String($i).compareTo($b.getUTF8String($j))"
       s"""
          |int $n = $a.numElements();
          |int $m = $b.numElements();
          |int $i = 0, $j = 0, $c = 0;
          |while ($i < $n && $j < $m) {
-         |  int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  int $cmp = $cmpExpr;
          |  if ($cmp == 0) { $c++; $i++; $j++; }
          |  else if ($cmp < 0) { $i++; } else { $j++; }
          |}

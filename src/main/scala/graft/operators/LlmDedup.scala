@@ -198,12 +198,17 @@ object LlmDedup extends Catalog {
     // (lang, source) micro-bucket, set intersection via array HOFs.
     "llm_ngram_jaccard" -> ((s, dir) => {
       VectorFunctions.register(s)
+      // bigrams are represented by 60-bit md5-prefix hashes: the pairwise
+      // merge then compares longs instead of strings (~4x cheaper), and the
+      // 8-byte elements shrink the arrays the bucket join carries.
       val d = table(s, dir, "documents")
         .withColumn("w", F.split(F.col("text"), " "))
         .filter(F.size(F.col("w")) >= 2)
         .select(F.col("doc_id"), F.col("lang"), F.col("source"),
-          F.array_sort(F.array_distinct(
-            F.expr("transform(sequence(1, size(w)-1), i -> concat_ws(' ', slice(w, i, 2)))")))
+          F.array_sort(F.array_distinct(F.transform(
+            F.array_distinct(
+              F.expr("transform(sequence(1, size(w)-1), i -> concat_ws(' ', slice(w, i, 2)))")),
+            bg => F.conv(F.substring(F.md5(bg), 1, 15), 16, 10).cast("long"))))
             .as("gs"))
       val a = d.select(F.col("lang"), F.col("source"), F.col("doc_id").as("i"),
         F.col("gs").as("ga"))
@@ -357,9 +362,11 @@ object LlmDedup extends Catalog {
     "llm_ngram_jaccard" ->
       """WITH d AS (
            SELECT doc_id, lang, source,
-                  list_distinct(list_transform(
-                    generate_series(1, len(string_split(text, ' ')) - 1),
-                    i -> array_to_string(string_split(text, ' ')[i:i+1], ' ')))
+                  list_sort(list_distinct(list_transform(
+                    list_distinct(list_transform(
+                      generate_series(1, len(string_split(text, ' ')) - 1),
+                      i -> array_to_string(string_split(text, ' ')[i:i+1], ' '))),
+                    bg -> CAST('0x' || substring(md5(bg), 1, 15) AS BIGINT))))
                     AS gs
            FROM documents WHERE len(string_split(text, ' ')) >= 2)
          SELECT a.lang, a.source, a.doc_id AS i, b.doc_id AS j,
