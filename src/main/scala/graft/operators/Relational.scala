@@ -257,6 +257,53 @@ object Relational extends Catalog {
         .filter(F.col("n_sup") >= 2)
         .orderBy("s_nationkey")),
 
+    // Range join, scale-safe shape: candidate pairs come from an equi-join
+    // on (user, minute-bucket ± 1) — each row meets only its temporal
+    // neighbourhood, never the whole partition — then the exact |Δt| ≤ 60 s
+    // predicate filters. A naive theta-join would be O(per-user²) rows;
+    // this is O(per-bucket²) with minute buckets.
+    "q_range_join" -> ((s, dir) => {
+      val e = table(s, dir, "events")
+        .select(F.col("user_id"), F.col("event_id"),
+          F.unix_micros(F.col("ts")).as("us"))
+        .withColumn("bucket", F.floor(F.col("us") / F.lit(60000000L)))
+      val a = e.select(F.col("user_id"), F.col("event_id").as("i"),
+        F.col("us").as("ua"), F.col("bucket"))
+      val b = e.select(F.col("user_id"), F.col("event_id").as("j"),
+        F.col("us").as("ub"),
+        F.explode(F.array(F.col("bucket") - 1, F.col("bucket"),
+          F.col("bucket") + 1)).as("bucket"))
+      a.join(b, Seq("user_id", "bucket"))
+        .filter(F.col("i") < F.col("j") &&
+          F.abs(F.col("ua") - F.col("ub")) <= 60000000L)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).as("n_close_pairs"))
+        .orderBy("user_id")
+    }),
+
+    // RANGE window frame: per-customer order totals over the trailing
+    // 30 days (frame bounded by VALUE distance, not row count), plus
+    // lead/first_value navigation
+    "q_window_range" -> ((s, dir) => {
+      // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC so the cast is the
+      // identity instant and matches DuckDB's epoch() on the naive value
+      val epoch = F.expr(
+        "unix_micros(cast(o_orderdate as timestamp)) DIV 1000000")
+      val w = Window.partitionBy("o_custkey").orderBy("epoch_s")
+        .rangeBetween(-30L * 86400, 0)
+      val wNav = Window.partitionBy("o_custkey")
+        .orderBy("epoch_s", "o_orderkey")
+      table(s, dir, "orders")
+        .withColumn("epoch_s", epoch)
+        .withColumn("trailing_30d",
+          F.round(F.sum("o_totalprice").over(w), 2))
+        .withColumn("next_order", F.lead("o_orderkey", 1).over(wNav))
+        .withColumn("first_order", F.first("o_orderkey").over(wNav))
+        .select("o_custkey", "o_orderkey", "trailing_30d", "next_order",
+          "first_order")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // As-of join (each event → most recent strictly-prior purchase of the
     // same user), composed as a windowed carry-forward: one shuffle on the
     // partition key, no join. The oracle is DuckDB's native ASOF JOIN, so
@@ -503,6 +550,26 @@ object Relational extends Catalog {
       """SELECT s_nationkey, count(*) AS n_sup FROM supplier
          GROUP BY s_nationkey HAVING count(*) >= 2
          ORDER BY s_nationkey""",
+    "q_range_join" ->
+      """SELECT user_id, count(*) AS n_close_pairs FROM (
+           SELECT a.user_id
+           FROM events a JOIN events b
+             ON a.user_id = b.user_id AND a.event_id < b.event_id
+            AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000)
+         GROUP BY user_id ORDER BY user_id""",
+    "q_window_range" ->
+      """SELECT o_custkey, o_orderkey,
+                round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                  ORDER BY epoch_s
+                  RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2)
+                  AS trailing_30d,
+                lead(o_orderkey) OVER (PARTITION BY o_custkey
+                  ORDER BY epoch_s, o_orderkey) AS next_order,
+                first_value(o_orderkey) OVER (PARTITION BY o_custkey
+                  ORDER BY epoch_s, o_orderkey) AS first_order
+         FROM (SELECT *, CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+               FROM orders)
+         ORDER BY o_custkey, o_orderkey""",
     "q_asof_join" ->
       """WITH p AS (SELECT user_id, ts, event_id AS last_purchase_id
                     FROM events WHERE event_type = 'purchase')
