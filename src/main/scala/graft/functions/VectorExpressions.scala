@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -145,6 +145,69 @@ case class SortedOverlapCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** 16-bit SimHash from an array of lowercase hex digests: bit b's ±1 vote
+  * per element is the parity of hex char b ('8'-'f' → +1); bit b is set
+  * when the votes sum positive. One pass over the array reading 16 bytes
+  * per element, replacing 16 interpreted HOF aggregates. Hex chars are
+  * ASCII with '8'and'9' (0x38-39) below 'a'-'f' (0x61+), so `byte >= '8'`
+  * is exactly the high-nibble test.
+  */
+case class SimHash16(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash16 expects array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](16)
+    var i = 0
+    while (i < n) {
+      val h = arr.getUTF8String(i)
+      var b = 0
+      while (b < 16) {
+        if (h.getByte(b) >= '8') votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 16) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val b = ctx.freshName("b"); val votes = ctx.freshName("votes")
+      val h = ctx.freshName("h"); val sig = ctx.freshName("sig")
+      s"""
+         |int $n = $a.numElements();
+         |int[] $votes = new int[16];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  org.apache.spark.unsafe.types.UTF8String $h = $a.getUTF8String($i);
+         |  for (int $b = 0; $b < 16; $b++) {
+         |    if ($h.getByte($b) >= (byte) '8') $votes[$b]++; else $votes[$b]--;
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $b = 0; $b < 16; $b++) {
+         |  if ($votes[$b] > 0) $sig |= (1L << $b);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
 
   /** Register `vec_dot` in the session's function registry (idempotent;
@@ -157,7 +220,14 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_overlap", exprs => SortedOverlapCount(exprs.head, exprs(1)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash16", exprs => SimHash16(exprs.head), "scala_udf")
   }
+
+  /** 16-bit SimHash over an `array<string>` of hex digests.
+    * Requires [[register]] on the session first.
+    */
+  def simhash16(a: Column): Column = F.call_function("simhash16", a)
 
   /** Dot product of two `array<float>` columns (double accumulation).
     * Requires [[register]] on the session first.

@@ -97,24 +97,20 @@ object LlmDedup extends Catalog {
 
     // SimHash: classic construction — ONE md5 per distinct word; bit b's
     // ±1 vote is the parity of hex char b of that hash; bit b is set when
-    // votes sum positive. Entirely narrow (nested array HOFs per row, the
-    // word array is hashed once then sliced 16×), zero shuffles; only the
-    // final ORDER BY (an oracle artifact) exchanges.
-    "llm_simhash" -> ((s, dir) =>
+    // votes sum positive. Entirely narrow and zero-shuffle: the signature
+    // is the codegen'd SimHash16 kernel (one pass over the hash array)
+    // rather than 16 interpreted HOF aggregates; only the final ORDER BY
+    // (an oracle artifact) exchanges.
+    "llm_simhash" -> ((s, dir) => {
+      VectorFunctions.register(s)
       table(s, dir, "documents")
         .select(F.col("doc_id"),
           F.transform(F.array_distinct(F.split(F.col("text"), " ")),
             w => F.md5(w)).as("hsw"))
         .select(F.col("doc_id"),
-          F.expr(
-            """aggregate(sequence(0, 15), 0L, (acc, b) ->
-              |  acc + if(
-              |    aggregate(hsw, 0, (s, h) ->
-              |      s + if(substring(h, b + 1, 1)
-              |              in ('8','9','a','b','c','d','e','f'), 1, -1)) > 0,
-              |    cast(pow(2.0, b) as long), 0L))""".stripMargin)
-            .as("simhash"))
-        .orderBy("doc_id")),
+          VectorFunctions.simhash16(F.col("hsw")).as("simhash"))
+        .orderBy("doc_id")
+    }),
 
     // Survivor materialization — the step a real dedup pipeline ends
     // with: drop every document that is the HIGHER id of a verified

@@ -64,6 +64,25 @@ class VectorExpressionsSpec extends AnyWordSpec with Matchers with SparkSpec {
       got.map(_.getInt(0)).toSeq shouldBe Seq(3, 0, 1)
     }
 
+    "simhash16 matches the HOF reference formula" in {
+      VectorFunctions.register(spark)
+      import spark.implicits._
+      val d = Seq(Seq("alpha", "bravo", "gamma"), Seq("x"), Seq.empty[String])
+        .toDF("ws")
+        .select(F.transform(F.col("ws"), w => F.md5(w)).as("hsw"))
+      val got = d.select(
+        VectorFunctions.simhash16(F.col("hsw")).as("native"),
+        F.expr(
+          """aggregate(sequence(0, 15), 0L, (acc, b) ->
+            |  acc + if(
+            |    aggregate(hsw, 0, (s, h) ->
+            |      s + if(substring(h, b + 1, 1)
+            |              in ('8','9','a','b','c','d','e','f'), 1, -1)) > 0,
+            |    cast(pow(2.0, b) as long), 0L))""".stripMargin).as("hof"))
+        .collect()
+      got.foreach { r => r.getLong(0) shouldBe r.getLong(1) }
+    }
+
     "norm2 is dot with itself" in {
       VectorFunctions.register(spark)
       val r = df.filter(F.col("id") === 1)
