@@ -139,6 +139,20 @@ object Relational extends Catalog {
           F.col("n"))
         .orderBy("st", "pri")),
 
+    // outer joins: orders-per-customer with both unmatched sides kept
+    "q_full_outer" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+        .groupBy(F.col("o_custkey")).agg(F.count(F.lit(1)).as("n_orders"))
+      val c = table(s, dir, "customer")
+        .select(F.col("c_custkey"), F.col("c_mktsegment"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .select(
+          F.coalesce(c("c_custkey"), o("o_custkey")).as("k"),
+          F.coalesce(F.col("c_mktsegment"), F.lit("NO_CUSTOMER")).as("seg"),
+          F.coalesce(F.col("n_orders"), F.lit(0L)).as("n_orders"))
+        .orderBy("k")
+    }),
+
     // semi/anti joins (EXISTS / NOT EXISTS)
     "q_semi_join" -> ((s, dir) => {
       val c = table(s, dir, "customer")
@@ -475,6 +489,15 @@ object Relational extends Catalog {
          FROM orders
          GROUP BY CUBE(o_orderstatus, o_orderpriority)
          ORDER BY st, pri""",
+    "q_full_outer" ->
+      """SELECT coalesce(c.c_custkey, o.o_custkey) AS k,
+                coalesce(c.c_mktsegment, 'NO_CUSTOMER') AS seg,
+                coalesce(o.n_orders, 0) AS n_orders
+         FROM customer c
+         FULL OUTER JOIN (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+                          FROM orders GROUP BY o_custkey) o
+           ON c.c_custkey = o.o_custkey
+         ORDER BY k""",
     "q_semi_join" ->
       """SELECT c_custkey FROM customer
          WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
