@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions injector for the engine's native functions —
+  * the deployment-grade registration path:
+  *
+  * {{{
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)             // programmatic
+  *   // or: --conf spark.sql.extensions=graft.functions.GraftExtensions
+  * }}}
+  *
+  * Sessions built this way resolve `vec_dot`, `sorted_overlap` and
+  * `simhash16` in SQL text and `F.call_function` without any per-session
+  * [[VectorFunctions.register]] call (which remains for ad-hoc sessions).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "scala_udf")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - double dot product of two array<float>"),
+      (exprs: Seq[Expression]) => FloatVecDot(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("sorted_overlap"),
+      info("sorted_overlap",
+        "sorted_overlap(a, b) - intersection count of sorted distinct arrays"),
+      (exprs: Seq[Expression]) => SortedOverlapCount(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("simhash16"),
+      info("simhash16", "simhash16(hashes) - 16-bit simhash of hex digests"),
+      (exprs: Seq[Expression]) => SimHash16(exprs.head)))
+  }
+}
