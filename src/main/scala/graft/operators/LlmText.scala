@@ -129,6 +129,35 @@ object LlmText extends Catalog {
           F.max("tf").as("max_tf"))
         .orderBy("word")),
 
+    // Shard packing: assign docs to fixed token-budget training shards per
+    // language — running token total (windowed cumsum, one shuffle on the
+    // partition key) divided by the budget. Deterministic by (lang,
+    // doc_id) order.
+    "llm_shard_pack" -> ((s, dir) => {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, dir)
+        .select(F.col("doc_id"), F.col("lang"),
+          F.size(F.col("w")).cast("long").as("n_tokens"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .withColumn("shard_id", F.expr("(cum_tokens - 1) DIV 2000"))
+        .orderBy("lang", "doc_id")
+    }),
+
+    // Context chunking: split each document into fixed 50-word windows
+    // (the training-sequence prep step). Narrow explode; chunk count is
+    // derived per row, no shuffle before the oracle ORDER BY.
+    "llm_chunks" -> ((s, dir) =>
+      docs(s, dir)
+        .select(F.col("doc_id"), F.col("w"),
+          F.expr("transform(sequence(0, (size(w)-1) div 50), i -> " +
+            "concat_ws(' ', slice(w, i*50 + 1, 50)))").as("chunks"))
+        .select(F.col("doc_id"), F.posexplode(F.col("chunks")))
+        .select(F.col("doc_id"), F.col("pos").as("chunk_idx"),
+          F.length(F.col("col")).cast("long").as("chunk_chars"),
+          F.md5(F.col("col")).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx")),
+
     // Fingerprinting: full-content hash + winnowing-style minimum
     // 3-shingle hash. Narrow projection, no shuffle.
     "llm_fingerprint" -> ((s, dir) =>
@@ -210,6 +239,27 @@ object LlmText extends Catalog {
                CASE WHEN lang = 'en' THEN '8'
                     WHEN lang = 'de' THEN '4' ELSE '2' END
          ORDER BY doc_id""",
+    "llm_shard_pack" ->
+      """SELECT doc_id, lang, n_tokens,
+                CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_tokens,
+                CAST((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) // 2000
+                  AS BIGINT) AS shard_id
+         FROM (SELECT doc_id, lang,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+               FROM documents)
+         ORDER BY lang, doc_id""",
+    "llm_chunks" ->
+      """SELECT doc_id, CAST(t.i AS INT) AS chunk_idx,
+                CAST(length(array_to_string(w[t.i*50 + 1 : t.i*50 + 50], ' '))
+                  AS BIGINT) AS chunk_chars,
+                md5(array_to_string(w[t.i*50 + 1 : t.i*50 + 50], ' '))
+                  AS chunk_hash
+         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
+              unnest(generate_series(0, (len(d.w) - 1) // 50)) t(i)
+         ORDER BY doc_id, chunk_idx""",
     "llm_tfdf" ->
       """WITH tf AS (
            SELECT doc_id, word, count(*) AS tf
