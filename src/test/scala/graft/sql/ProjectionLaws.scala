@@ -96,6 +96,81 @@ object ProjectionLaws extends Properties("ProjectionLaws") {
         names.distinct == names
     }
 
+  // --- nested-schema laws (SURVEY §5: random nested schemas) ----------
+
+  private case class NestedCase(schema: StructType, rows: Seq[Row],
+      leafPaths: Seq[Seq[String]])
+
+  /** Random 2-3 level struct nesting; returns all leaf paths. */
+  private val nestedCaseGen: Gen[NestedCase] = for {
+    nTop <- Gen.chooseNum(1, 3)
+    topNames <- Gen.pick(nTop, namePool.take(4))
+    nInner <- Gen.chooseNum(1, 3)
+    innerNames <- Gen.pick(nInner, namePool.drop(4))
+    deep <- Gen.oneOf(true, false)
+    innerFields = innerNames.toSeq.map { n =>
+      StructField(n, IntegerType, nullable = true)
+    }
+    inner = StructType(
+      if (deep)
+        innerFields :+ StructField("kern",
+          StructType(Seq(StructField("leaf", LongType, nullable = true))),
+          nullable = true)
+      else innerFields)
+    schema = StructType(
+      StructField("id", IntegerType, nullable = false) +:
+        topNames.toSeq.map(n => StructField(n, inner, nullable = true)))
+    nRows <- Gen.chooseNum(1, 3)
+    rows <- Gen.listOfN(nRows, Gen.chooseNum(0, 1000))
+  } yield {
+    def innerRow(seed: Int): Row = Row.fromSeq(
+      innerFields.indices.map(i => seed + i) ++
+        (if (deep) Seq(Row(seed.toLong * 2)) else Nil))
+    val rws = rows.zipWithIndex.map { case (seed, i) =>
+      Row.fromSeq(i +: topNames.toSeq.map(_ => innerRow(seed)))
+    }
+    val leaves = topNames.toSeq.flatMap { t =>
+      innerNames.toSeq.map(n => Seq(t, n)) ++
+        (if (deep) Seq(Seq(t, "kern", "leaf")) else Nil)
+    }
+    NestedCase(schema, rws, leaves)
+  }
+
+  private def ndf(c: NestedCase): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(c.rows.asJava, c.schema)
+  }
+
+  // Law N1: SELECT * identity holds on nested schemas in both modes.
+  property("select-star identity on nested schemas") =
+    Prop.forAll(nestedCaseGen) { c =>
+      dump(ndf(c).sql("SELECT *")) == dump(ndf(c)) &&
+        dump(ndf(c).sql("SELECT * FROM t withstructure")) == dump(ndf(c))
+    }
+
+  // Law N2: flattening any leaf path equals the native getField chain.
+  property("leaf-path flatten equals native column extraction") =
+    Prop.forAll(nestedCaseGen) { c =>
+      c.leafPaths.forall { p =>
+        val q = s"SELECT id, ${p.mkString(".")} as leaf"
+        val native = ndf(c).select(
+          org.apache.spark.sql.functions.col("id"),
+          p.tail.foldLeft(org.apache.spark.sql.functions.col(p.head))(_.getField(_))
+            .alias("leaf"))
+        dump(ndf(c).sql(q)) == dump(native)
+      }
+    }
+
+  // Law N3: withstructure cherry-pick of one leaf keeps the enclosing
+  // nesting chain and nothing else at the traversed levels' siblings...
+  // structurally: output field count at top == mentioned top segments.
+  property("withstructure cherry-pick keeps only mentioned top segments") =
+    Prop.forAll(nestedCaseGen) { c =>
+      val p = c.leafPaths.head
+      val out = ndf(c).sql(s"SELECT ${p.mkString(".")} FROM t withstructure")
+      out.schema.fieldNames.toSeq == Seq(p.head)
+    }
+
   // Law 5: nullability is monotone — a leaf reached through a nullable
   // parent is nullable in the output, and null parents yield null leaves
   // (O14; ref :160-172).
