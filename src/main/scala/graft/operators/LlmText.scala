@@ -114,6 +114,29 @@ object LlmText extends Catalog {
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")),
 
+    // End-to-end pipeline composition: stratified sample → quality filter
+    // → token-budget shard assignment → per-shard stats. One narrow
+    // filtered scan feeding a windowed cumsum and a small aggregate —
+    // the shape of a real corpus-preparation job.
+    "llm_pipeline_e2e" -> ((s, dir) => {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, dir)
+        .withColumn("h",
+          F.substring(F.md5(F.concat(F.lit("s1:"), F.col("text"))), 1, 1))
+        .filter(F.col("h") < F.when(F.col("lang") === "en", "8")
+          .when(F.col("lang") === "de", "4").otherwise("2"))
+        .select(F.col("doc_id"), F.col("lang"),
+          F.size(F.col("w")).cast("long").as("n_tokens"))
+        .filter(F.col("n_tokens") >= 30)
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .withColumn("shard_id", F.expr("(cum - 1) DIV 1000"))
+        .groupBy("lang", "shard_id")
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.sum("n_tokens").as("shard_tokens"))
+        .orderBy("lang", "shard_id")
+    }),
+
     // Corpus term statistics — the integer core of TF-IDF/BM25 scoring
     // (kept log-free: both engines' ln need not be bit-identical, and the
     // downstream scorer can apply its own weighting). Two partial-agg
@@ -239,6 +262,25 @@ object LlmText extends Catalog {
                CASE WHEN lang = 'en' THEN '8'
                     WHEN lang = 'de' THEN '4' ELSE '2' END
          ORDER BY doc_id""",
+    "llm_pipeline_e2e" ->
+      """WITH sampled AS (
+           SELECT doc_id, lang,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents
+           WHERE substring(md5('s1:' || text), 1, 1) <
+                 CASE WHEN lang = 'en' THEN '8'
+                      WHEN lang = 'de' THEN '4' ELSE '2' END),
+         q AS (SELECT * FROM sampled WHERE n_tokens >= 30),
+         sharded AS (
+           SELECT doc_id, lang, n_tokens,
+                  CAST((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)
+                    // 1000 AS BIGINT) AS shard_id
+           FROM q)
+         SELECT lang, shard_id, count(*) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+         FROM sharded GROUP BY lang, shard_id
+         ORDER BY lang, shard_id""",
     "llm_shard_pack" ->
       """SELECT doc_id, lang, n_tokens,
                 CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
