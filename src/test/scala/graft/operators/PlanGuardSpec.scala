@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+import org.apache.spark.sql.execution.{FileSourceScanExec, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.matchers.should.Matchers
+import org.scalatest.wordspec.AnyWordSpec
+
+import graft.SparkSpec
+
+/** Plan-shape regression guards: the scale rules README documents are
+  * asserted on real plans so a future edit can't silently reintroduce a
+  * fact-side broadcast hint, lose scan pruning/pushdown, or degrade the
+  * global top-k into a full sort.
+  */
+class PlanGuardSpec extends AnyWordSpec with Matchers with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  "q3_top_orders" should {
+    "force a broadcast hint ONLY on the customer dimension" in {
+      val df = Relational.queries("q3_top_orders")(spark, dir)
+      val hints = df.queryExecution.analyzed.collect {
+        case h: ResolvedHint => h
+      }
+      hints should have length 1
+      // the hinted subtree reads customer columns, not fact columns
+      val scanned = hints.head.collectLeaves().map(_.toString).mkString
+      scanned should include("c_mktsegment")
+      scanned should not include "l_orderkey"
+      scanned should not include "o_orderkey"
+    }
+  }
+
+  "q_filter" should {
+    "push its predicates into the parquet scan" in {
+      val df = Relational.queries("q_filter")(spark, dir)
+      val scans = df.queryExecution.executedPlan.collect {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.collect {
+          case s: FileSourceScanExec => s
+        }
+        case s: FileSourceScanExec => Seq(s)
+      }.flatten
+      val scan = scans.head
+      scan.metadata("PushedFilters") should include("l_discount")
+      // column pruning: only the 5 selected columns are read
+      scan.output.map(_.name).toSet shouldBe Set("l_orderkey", "l_linenumber",
+        "l_quantity", "l_discount", "l_extendedprice")
+    }
+  }
+
+  "q_sort_topk" should {
+    "compile to TakeOrderedAndProject, not a full sort" in {
+      val df = Relational.queries("q_sort_topk")(spark, dir)
+      val plan = df.queryExecution.executedPlan
+      val hasTopK = plan.collectFirst {
+        case t: TakeOrderedAndProjectExec => t
+      }.isDefined || plan.toString.contains("TakeOrderedAndProject")
+      hasTopK shouldBe true
+    }
+  }
+
+  "proj_rename" should {
+    "prune the scan to exactly the projected columns" in {
+      val df = Projections.queries("proj_rename")(spark, dir)
+      val scans = df.queryExecution.executedPlan.collect {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.collect {
+          case s: FileSourceScanExec => s
+        }
+        case s: FileSourceScanExec => Seq(s)
+      }.flatten
+      scans.head.output.map(_.name).toSet shouldBe
+        Set("c_custkey", "c_name", "c_acctbal")
+    }
+  }
+}
