@@ -248,6 +248,33 @@ object Relational extends Catalog {
           F.round(F.sum("value"), 2).as("total_value"))
         .orderBy("hour", "event_type")),
 
+    // hopping (sliding) window: 1-hour windows every 30 minutes — each
+    // event lands in exactly 2 windows (the batch shape of the streaming
+    // sliding window; same plan under readStream)
+    "q_sliding_window" -> ((s, dir) =>
+      table(s, dir, "events")
+        .groupBy(F.window(F.col("ts"), "1 hour", "30 minutes"),
+          F.col("event_type"))
+        .agg(F.count(F.lit(1)).as("n"))
+        .select(F.col("window.start").as("ws"), F.col("window.end").as("we"),
+          F.col("event_type"), F.col("n"))
+        .orderBy("ws", "event_type")),
+
+    // native session_window (30-minute gap): sessions merge while events
+    // keep arriving within the gap; end = last event + gap. Oracled
+    // against DuckDB's manual lag/cumsum sessionization.
+    "q_session_window" -> ((s, dir) =>
+      table(s, dir, "events")
+        .groupBy(F.session_window(F.col("ts"), "30 minutes"),
+          F.col("user_id"))
+        .agg(F.count(F.lit(1)).as("n_events"),
+          F.round(F.sum("value"), 2).as("total_value"))
+        .select(F.col("user_id"),
+          F.col("session_window.start").as("ss"),
+          F.col("session_window.end").as("se"),
+          F.col("n_events"), F.col("total_value"))
+        .orderBy("user_id", "ss")),
+
     // sessionization: gap-based sessions via lag + running flag sum
     "q_sessionize" -> ((s, dir) => {
       val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -553,6 +580,37 @@ object Relational extends Catalog {
       """SELECT date_trunc('hour', ts) AS hour, event_type,
                 count(*) AS n, round(sum(value), 2) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "q_sliding_window" ->
+      """SELECT make_timestamp((epoch_us(ts) // 1800000000 - k) * 1800000000)
+                  AS ws,
+                make_timestamp((epoch_us(ts) // 1800000000 - k) * 1800000000
+                  + 3600000000) AS we,
+                event_type, count(*) AS n
+         FROM events, (SELECT unnest([0, 1]) AS k)
+         GROUP BY 1, 2, 3 ORDER BY ws, event_type""",
+    "q_session_window" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, value,
+                  CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+                              PARTITION BY user_id ORDER BY ts, event_id))
+                            >= 1800 * 1000000
+                       THEN 1 ELSE 0 END AS new_session,
+                  event_id
+           FROM events),
+         sessions AS (
+           SELECT user_id, ts, value,
+                  sum(new_session) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS session_idx
+           FROM flagged)
+         SELECT user_id, min(ts) AS ss,
+                max(ts) + INTERVAL 30 MINUTE AS se,
+                count(*) AS n_events, round(sum(value), 2) AS total_value
+         FROM sessions GROUP BY user_id, session_idx
+         ORDER BY user_id, ss""",
     "q_sessionize" ->
       """SELECT user_id, event_id,
                 CAST(sum(new_session) OVER (PARTITION BY user_id
