@@ -4,23 +4,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.{functions => F}
 
 /** Near-duplicate detection over the `documents` table (SURVEY.md §2.4):
-  * banded MinHash, SimHash signatures, and bucketed n-gram Jaccard.
+  * banded MinHash (pairs / survivors / clusters), SimHash signatures, and
+  * bucketed n-gram Jaccard.
   *
   * Scale design (100 TB):
-  *  - llm_dedup_minhash NEVER does an all-pairs comparison: candidates come
-  *    from a self-join on (band, min-hash) signatures, so the join fan-out is
-  *    bounded by band-bucket sizes; only candidates pay the exact-Jaccard
-  *    verification join. This is the standard shingle→minhash→band→bucket
-  *    pipeline.
-  *  - llm_simhash is a narrow aggregation (explode words × 16 bit-seeds →
-  *    two partial-agg shuffles keyed by doc) producing one 16-bit signature
-  *    per document; Hamming-ball grouping on the signature is then a cheap
-  *    equality/bucket problem, not a pairwise one.
+  *  - MinHash NEVER does an all-pairs comparison: candidates come from a
+  *    self-join on (band, min-hash) signatures, so join fan-out is bounded
+  *    by band-bucket sizes; only candidates pay the exact-Jaccard
+  *    verification, which is a codegen'd sorted merge over the shingle
+  *    arrays carried on the candidate rows — the corpus is never exploded
+  *    per shingle. Signatures themselves are narrow per-row array work.
+  *  - llm_simhash is a fully narrow projection (one codegen'd pass over
+  *    the per-word hash array); Hamming-ball grouping on the signature is
+  *    then an equality/bucket problem, not a pairwise one.
   *  - llm_ngram_jaccard demonstrates the bounded-bucket pairwise pattern:
-  *    pairs are formed only within (lang, source) micro-buckets, and the
-  *    intersection is computed with array HOFs on the joined rows (the
-  *    shingle sets travel with the row; there is no per-shingle explode
-  *    join). Cost is sum over buckets of |bucket|², tunable by bucket key.
+  *    pairs form only within (lang, source) micro-buckets; n-gram sets are
+  *    60-bit hashes so the merge compares longs. Cost is Σ|bucket|²,
+  *    tunable by bucket key.
+  *  - llm_dedup_clusters runs label propagation to fixpoint with eager
+  *    lineage checkpoints (iterative DataFrames otherwise replan their
+  *    upstream exponentially).
   *
   * Determinism: md5 everywhere (identical hex in Spark/DuckDB); Jaccard is
   * reported floor-scaled (jac_m = floor(1e6·j)) because engine round()
@@ -54,46 +57,53 @@ object LlmDedup extends Catalog {
     F.array_min(F.transform(F.col("hs"),
       h => F.substring(h, 8 * k + 1, 8)))
 
+  private val jac = F.col("common").cast("double") /
+    (F.col("ni") + F.col("nj") - F.col("common"))
+
+  /** Verified near-dup pairs: (i < j, common, ni, nj) at Jaccard ≥ 0.5.
+    *
+    * The 4 32-bit min-hashes pair into 2 bands of r=2 (P(candidate) =
+    * 1-(1-J²)² — one-hash bands admit ~J per band, far too many false
+    * candidates on a high-overlap corpus) → band-signature self-join for
+    * candidates → exact Jaccard verification. Scale shape: signatures and
+    * set sizes are per-row array work (scan-speed, zero shuffle); the ONLY
+    * shuffles are the candidate band join and the verification join, both
+    * bounded by candidate count, and the shingle arrays travel with the
+    * candidate rows so verification is a codegen'd sorted merge — no
+    * per-shingle explode join over the corpus.
+    */
+  private def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = shingleArrays(s, dir)
+    val bands = d
+      .withColumn("hs", F.transform(F.col("shs"), x => F.md5(x)))
+      .select(F.col("doc_id"),
+        F.concat(bandSig(0), bandSig(1)).as("b0"),
+        F.concat(bandSig(2), bandSig(3)).as("b1"))
+      .select(F.col("doc_id"),
+        F.expr("stack(2, 0, b0, 1, b1) as (k, mh)"))
+    val cand = bands.as("x").join(bands.as("y"),
+        F.col("x.k") === F.col("y.k") && F.col("x.mh") === F.col("y.mh") &&
+          F.col("x.doc_id") < F.col("y.doc_id"))
+      .select(F.col("x.doc_id").as("i"), F.col("y.doc_id").as("j"))
+      .distinct()
+    cand
+      .join(d.select(F.col("doc_id").as("i"), F.col("shs").as("sa")), "i")
+      .join(d.select(F.col("doc_id").as("j"), F.col("shs").as("sb")), "j")
+      .select(F.col("i"), F.col("j"),
+        VectorFunctions.sorted_overlap(F.col("sa"), F.col("sb")).cast("long").as("common"),
+        F.size(F.col("sa")).cast("long").as("ni"),
+        F.size(F.col("sb")).cast("long").as("nj"))
+      .filter(jac >= 0.5)
+  }
+
   val queries: Map[String, Q] = Map(
 
-    // MinHash near-dup: 4 32-bit min-hashes paired into 2 bands of r=2
-    // (P(candidate) = 1-(1-J²)² — one-hash bands admit ~J per band, far
-    // too many false candidates on a high-overlap corpus) → band-signature
-    // self-join for candidates → exact Jaccard verification at 0.5.
-    // Scale shape: signatures + set sizes are computed per-row with array
-    // HOFs (scan-speed, zero shuffle); the ONLY shuffles are the candidate
-    // band join and the verification join, both bounded by candidate
-    // count, and the shingle arrays travel with the candidate rows so
-    // verification is a codegen'd sorted merge on the joined pair — no per-shingle
-    // explode join over the corpus.
-    "llm_dedup_minhash" -> ((s, dir) => {
-      val d = shingleArrays(s, dir)
-      val bands = d
-        .withColumn("hs", F.transform(F.col("shs"), x => F.md5(x)))
-        .select(F.col("doc_id"),
-          F.concat(bandSig(0), bandSig(1)).as("b0"),
-          F.concat(bandSig(2), bandSig(3)).as("b1"))
-        .select(F.col("doc_id"),
-          F.expr("stack(2, 0, b0, 1, b1) as (k, mh)"))
-      val cand = bands.as("x").join(bands.as("y"),
-          F.col("x.k") === F.col("y.k") && F.col("x.mh") === F.col("y.mh") &&
-            F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").as("i"), F.col("y.doc_id").as("j"))
-        .distinct()
-      val jac = F.col("common").cast("double") /
-        (F.col("ni") + F.col("nj") - F.col("common"))
-      cand
-        .join(d.select(F.col("doc_id").as("i"), F.col("shs").as("sa")), "i")
-        .join(d.select(F.col("doc_id").as("j"), F.col("shs").as("sb")), "j")
-        .select(F.col("i"), F.col("j"),
-          VectorFunctions.sorted_overlap(F.col("sa"), F.col("sb")).cast("long").as("common"),
-          F.size(F.col("sa")).cast("long").as("ni"),
-          F.size(F.col("sb")).cast("long").as("nj"))
-        .filter(jac >= 0.5)
+    // MinHash near-dup pairs with their Jaccard (floor-scaled).
+    "llm_dedup_minhash" -> ((s, dir) =>
+      verifiedPairs(s, dir)
         .select(F.col("i"), F.col("j"), F.col("common"), F.col("ni"), F.col("nj"),
           F.floor(F.lit(1000000.0) * jac).as("jac_m"))
-        .orderBy("i", "j")
-    }),
+        .orderBy("i", "j")),
 
     // SimHash: classic construction — ONE md5 per distinct word; bit b's
     // ±1 vote is the parity of hex char b of that hash; bit b is set when
@@ -118,29 +128,7 @@ object LlmDedup extends Catalog {
     // list is tiny relative to the corpus, so it broadcasts and the keep
     // step is a broadcast anti-join — the corpus is never shuffled.
     "llm_dedup_keep" -> ((s, dir) => {
-      val d = shingleArrays(s, dir)
-      val bands = d
-        .withColumn("hs", F.transform(F.col("shs"), x => F.md5(x)))
-        .select(F.col("doc_id"),
-          F.concat(bandSig(0), bandSig(1)).as("b0"),
-          F.concat(bandSig(2), bandSig(3)).as("b1"))
-        .select(F.col("doc_id"),
-          F.expr("stack(2, 0, b0, 1, b1) as (k, mh)"))
-      val cand = bands.as("x").join(bands.as("y"),
-          F.col("x.k") === F.col("y.k") && F.col("x.mh") === F.col("y.mh") &&
-            F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").as("i"), F.col("y.doc_id").as("j"))
-        .distinct()
-      val jac = F.col("common").cast("double") /
-        (F.col("ni") + F.col("nj") - F.col("common"))
-      val drops = cand
-        .join(d.select(F.col("doc_id").as("i"), F.col("shs").as("sa")), "i")
-        .join(d.select(F.col("doc_id").as("j"), F.col("shs").as("sb")), "j")
-        .select(F.col("i"), F.col("j"),
-          VectorFunctions.sorted_overlap(F.col("sa"), F.col("sb")).cast("long").as("common"),
-          F.size(F.col("sa")).cast("long").as("ni"),
-          F.size(F.col("sb")).cast("long").as("nj"))
-        .filter(jac >= 0.5)
+      val drops = verifiedPairs(s, dir)
         .select(F.col("j").as("doc_id")).distinct()
       table(s, dir, "documents")
         .join(F.broadcast(drops), Seq("doc_id"), "left_anti")
@@ -156,7 +144,7 @@ object LlmDedup extends Catalog {
     // large-star/small-star, same primitive). The pair graph is tiny
     // relative to the corpus, so these joins touch only near-dup members.
     "llm_dedup_clusters" -> ((s, dir) => {
-      val pairs = queries("llm_dedup_minhash")(s, dir).select("i", "j")
+      val pairs = verifiedPairs(s, dir).select("i", "j")
       // Iterative algorithms MUST truncate lineage: without the eager
       // localCheckpoint the 8-iteration loop re-plans (and re-executes)
       // the entire MinHash pipeline once per reference — exponentially.
