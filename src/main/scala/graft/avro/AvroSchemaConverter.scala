@@ -130,12 +130,21 @@ object AvroSchemaConverter {
   }
 
   /** Record/enum/fixed metadata for an array element or map value rides on
-    * the enclosing field.
+    * the enclosing field (one collection level deep — matching the
+    * reference's supported shapes).
     */
   private def elementMeta(element: Schema): Metadata = {
     val e = if (element.getType == Type.UNION) fromUnion(element)._1 else element
     e.getType match {
       case Type.RECORD => recordMeta(e)
+      case Type.ENUM => new MetadataBuilder()
+        .putString(MetaEnumName, e.getFullName)
+        .putStringArray(MetaEnumSymbols, e.getEnumSymbols.asScala.toArray)
+        .build()
+      case Type.FIXED => new MetadataBuilder()
+        .putString(MetaFixedName, e.getFullName)
+        .putLong(MetaFixedSize, e.getFixedSize.toLong)
+        .build()
       case _ => Metadata.empty
     }
   }

@@ -146,6 +146,20 @@ class AvroBridgeSpec extends AnyWordSpec with Matchers with SparkSpec {
       AvroSchemaConverter.fromUnion(st2)._1.getFullName shouldBe "fix.Street"
     }
 
+    "round-trip an ARRAY of enum via element metadata" in {
+      val e = Schema.createEnum("Tag", null, "fix",
+        java.util.Arrays.asList("HOT", "COLD"))
+      val rec = SchemaBuilder.record("R").fields()
+        .name("tags").`type`().array().items(e).noDefault()
+        .endRecord()
+      val st = AvroSchemaConverter.toStruct(rec)
+      st("tags").dataType shouldBe ArrayType(StringType, containsNull = false)
+      val back = AvroSchemaConverter.toAvro(st, "R", None, None)
+      val elem = back.getField("tags").schema().getElementType
+      elem.getType shouldBe Schema.Type.ENUM
+      elem.getEnumSymbols.asScala.toSeq shouldBe Seq("HOT", "COLD")
+    }
+
     "round-trip enum and fixed via metadata" in {
       val e = Schema.createEnum("Color", null, "fix",
         java.util.Arrays.asList("RED", "GREEN"))
