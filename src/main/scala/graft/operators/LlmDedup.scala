@@ -42,6 +42,9 @@ object LlmDedup extends Catalog {
   private def shingleArrays(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(s)
     table(s, dir, "documents")
+      // single-row-group input file → one split; repartition so the
+      // per-row shingling/hashing uses every core (see LlmText.docs)
+      .repartition(s.sparkContext.defaultParallelism)
       .withColumn("w", F.split(F.col("text"), " "))
       .filter(F.size(F.col("w")) >= 3)
       .select(F.col("doc_id"), F.array_sort(F.array_distinct(
@@ -114,6 +117,7 @@ object LlmDedup extends Catalog {
     "llm_simhash" -> ((s, dir) => {
       VectorFunctions.register(s)
       table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(F.col("doc_id"),
           F.transform(F.array_distinct(F.split(F.col("text"), " ")),
             w => F.md5(w)).as("hsw"))
@@ -186,6 +190,7 @@ object LlmDedup extends Catalog {
       // merge then compares longs instead of strings (~4x cheaper), and the
       // 8-byte elements shrink the arrays the bucket join carries.
       val d = table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .withColumn("w", F.split(F.col("text"), " "))
         .filter(F.size(F.col("w")) >= 2)
         .select(F.col("doc_id"), F.col("lang"), F.col("source"),

@@ -23,9 +23,19 @@ import org.apache.spark.sql.expressions.Window
   */
 object LlmText extends Catalog {
 
-  /** documents with the split word array attached (single-space corpus). */
+  /** documents with the split word array attached (single-space corpus).
+    *
+    * The testdata ships one single-row-group parquet file per table, so a
+    * plain scan is ONE input split — per-row hashing downstream would run
+    * single-threaded. The explicit repartition (tiny shuffle: the corpus
+    * slice is <1 MB here) restores full-core parallelism; on real
+    * many-file/many-row-group inputs Spark creates the splits itself and
+    * this is a no-op-sized exchange.
+    */
   private def docs(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "documents").withColumn("w", F.split(F.col("text"), " "))
+    table(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("w", F.split(F.col("text"), " "))
 
   val queries: Map[String, Q] = Map(
 
