@@ -68,6 +68,17 @@ object Demo {
       println(s"in : $p")
       println(s"out: $out")
       println(s"out schema: ${out.getSchema}")
+
+      // compiled per-record projector: plan once, no job per record
+      val proj = new graft.avro.AvroProjector(spark, person,
+        "SELECT name, address.street.name as streetName")
+      proj(p) // warm codegen
+      val n = 20000
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < n) { proj(p); i += 1 }
+      val us = (System.nanoTime() - t0) / 1e3 / n
+      println(f"AvroProjector: $us%.1f us/record (${1e6 / us}%.0f rec/s single-thread)")
     }
 
     println("== llm pipeline: minhash near-dup pairs on documents ==")

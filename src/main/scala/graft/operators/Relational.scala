@@ -61,6 +61,34 @@ object Relational extends Catalog {
         .limit(10)
     }),
 
+    // TPC-H Q5 flavour: 6-table join tree. customer and supplier SCALE
+    // with the data (no forced broadcast — they shuffle on their keys,
+    // AQE may still broadcast at small SF); only the fixed-size
+    // nation/region dims are broadcast. The local-supplier condition
+    // (supplier nation = customer nation) rides on the supplier join.
+    "q5_local_supplier" -> ((s, dir) => {
+      val cust = table(s, dir, "customer")
+      val ord = table(s, dir, "orders")
+        .filter(F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")) &&
+          F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01")))
+      val li = table(s, dir, "lineitem")
+      val sup = table(s, dir, "supplier")
+      val nat = table(s, dir, "nation")
+      val reg = table(s, dir, "region")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(sup,
+          li("l_suppkey") === sup("s_suppkey") &&
+            cust("c_nationkey") === sup("s_nationkey"))
+        .join(F.broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+        .join(F.broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+        .filter(reg("r_name") === "ASIA")
+        .groupBy(nat("n_name").as("n_name"))
+        .agg(F.round(F.sum(li("l_extendedprice") * (F.lit(1) - li("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(F.col("revenue").desc, F.col("n_name"))
+    }),
+
     // star-schema rollup through two broadcast dims
     "q_region_rollup" -> ((s, dir) => {
       val sup = table(s, dir, "supplier")
@@ -474,6 +502,18 @@ object Relational extends Catalog {
          GROUP BY l_orderkey
          ORDER BY revenue DESC, l_orderkey
          LIMIT 10""",
+    "q5_local_supplier" ->
+      """SELECT n_name,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM customer, orders, lineitem, supplier, nation, region
+         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           AND r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY n_name
+         ORDER BY revenue DESC, n_name""",
     "q_region_rollup" ->
       """SELECT r_name, count(*) AS n_suppliers,
                 round(sum(s_acctbal), 2) AS total_bal
