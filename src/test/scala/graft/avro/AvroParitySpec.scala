@@ -133,4 +133,64 @@ class AvroParitySpec extends AnyWordSpec with Matchers with SparkSpec {
   }
 
   private implicit class Pipe[A](a: A) { def |>[B](f: A => B): B = f(a) }
+
+  // --- flatten suite (reference AvroSqlTest.scala) -----------------------
+
+  private val simpleAddressSchema = SchemaBuilder.record("SimpleAddress")
+    .namespace("fix").fields()
+    .requiredString("street").requiredString("city").requiredString("state")
+    .requiredString("zip").requiredString("country")
+    .endRecord()
+
+  private def simpleAddress() = {
+    val r = new GenericData.Record(simpleAddressSchema)
+    r.put("street", "1911 Musselman"); r.put("city", "Altoona")
+    r.put("state", "PA"); r.put("zip", "16601"); r.put("country", "US")
+    r
+  }
+
+  "flatten parity at the Avro surface" should {
+
+    "SELECT name, vegan, calories (ref :75)" in {
+      val out = pizza().sql("SELECT name, vegan, calories")
+      fieldNames(out) shouldBe Seq("name", "vegan", "calories")
+      out.get("name").toString shouldBe "pepperoni"
+      out.get("vegan") shouldBe 0L
+      out.get("calories") shouldBe 98
+    }
+
+    "SELECT name as fieldName, vegan as V, calories as C (ref :90)" in {
+      val out = pizza().sql("SELECT name as fieldName, vegan as V, calories as C")
+      fieldNames(out) shouldBe Seq("fieldName", "V", "C")
+    }
+
+    "SELECT calories as C, vegan as V, name as fieldName — reorder (ref :105)" in {
+      val out = pizza().sql("SELECT calories as C ,vegan as V ,name as fieldName FROM topic")
+      fieldNames(out) shouldBe Seq("C", "V", "fieldName")
+      out.get("C") shouldBe 98
+    }
+
+    "SELECT * FROM simpleAddress — identity (ref :251)" in {
+      val out = simpleAddress().sql("SELECT * FROM simpleAddress")
+      out.toString shouldBe simpleAddress().toString
+    }
+
+    "rename with order preserved (ref :262)" in {
+      val out = simpleAddress().sql(
+        "SELECT street as S, city, state, zip as Z, country as C FROM simpleAddress")
+      fieldNames(out) shouldBe Seq("S", "city", "state", "Z", "C")
+      out.get("S").toString shouldBe "1911 Musselman"
+    }
+
+    "SELECT zip as Z, * — explicit ahead of star (ref :277)" in {
+      val out = simpleAddress().sql("SELECT zip as Z, * FROM simpleAddress")
+      fieldNames(out) shouldBe Seq("Z", "street", "city", "state", "country")
+    }
+
+    "SELECT zip as Z, *, state as S — interleaved (ref :292)" in {
+      val out = simpleAddress().sql("SELECT zip as Z, *, state as S FROM simpleAddress")
+      fieldNames(out) shouldBe Seq("Z", "street", "city", "country", "S")
+      out.get("S").toString shouldBe "PA"
+    }
+  }
 }
