@@ -66,6 +66,32 @@ class StreamingSpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "file streaming source" should {
+    "stream a parquet directory through a GraftSql projection" in {
+      import graft.sql.GraftSql.implicits._
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+      val batch1 = Seq(SOuter(1, SInner(1.5, "A")), SOuter(2, SInner(2.5, "B")))
+      batch1.toDF().write.mode("append").parquet(dir)
+
+      val stream = spark.readStream
+        .schema(batch1.toDF().schema)
+        .parquet(dir)
+        .sql("SELECT id, info.seg as seg")
+      val q = stream.writeStream.format("memory").queryName("file_stream")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        q.processAllAvailable()
+        // a second file arrives; the stream picks it up incrementally
+        Seq(SOuter(3, SInner(3.5, "C"))).toDF().write.mode("append").parquet(dir)
+        q.processAllAvailable()
+        val rows = spark.table("file_stream").as[(Long, String)]
+          .collect().sortBy(_._1)
+        rows.toSeq shouldBe Seq((1L, "A"), (2L, "B"), (3L, "C"))
+      } finally q.stop()
+    }
+  }
+
   "streaming aggregation" should {
     "run a watermarked tumbling-window count" in {
       import spark.implicits._
