@@ -89,6 +89,27 @@ object Relational extends Catalog {
         .orderBy(F.col("revenue").desc, F.col("n_name"))
     }),
 
+    // TPC-H Q10 flavour: returned-item revenue per customer, top 20.
+    // Facts shuffle on their join keys; only the fixed nation dim is
+    // broadcast; the global top-20 compiles to TakeOrderedAndProject.
+    "q10_returned_items" -> ((s, dir) => {
+      val cust = table(s, dir, "customer")
+      val ord = table(s, dir, "orders")
+        .filter(F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")) &&
+          F.col("o_orderdate") < F.to_timestamp(F.lit("1996-07-01")))
+      val li = table(s, dir, "lineitem").filter(F.col("l_returnflag") === "R")
+      val nat = table(s, dir, "nation")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(F.broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+        .groupBy(cust("c_custkey").as("c_custkey"), cust("c_name").as("c_name"),
+          nat("n_name").as("n_name"))
+        .agg(F.round(F.sum(li("l_extendedprice") * (F.lit(1) - li("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(F.col("revenue").desc, F.col("c_custkey"))
+        .limit(20)
+    }),
+
     // star-schema rollup through two broadcast dims
     "q_region_rollup" -> ((s, dir) => {
       val sup = table(s, dir, "supplier")
@@ -514,6 +535,18 @@ object Relational extends Catalog {
            AND o_orderdate < TIMESTAMP '1997-01-01'
          GROUP BY n_name
          ORDER BY revenue DESC, n_name""",
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM customer, orders, lineitem, nation
+         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND c_nationkey = n_nationkey
+           AND l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1996-07-01'
+         GROUP BY c_custkey, c_name, n_name
+         ORDER BY revenue DESC, c_custkey
+         LIMIT 20""",
     "q_region_rollup" ->
       """SELECT r_name, count(*) AS n_suppliers,
                 round(sum(s_acctbal), 2) AS total_bal
