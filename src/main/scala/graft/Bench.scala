@@ -39,6 +39,10 @@ object Bench {
       val ok =
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          // drop blocks left by checkpointing/caching queries so later
+          // queries aren't taxed by their memory pressure
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
           true
         } catch {
           case e: Throwable =>
