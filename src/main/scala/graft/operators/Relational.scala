@@ -110,6 +110,28 @@ object Relational extends Catalog {
         .limit(20)
     }),
 
+    // TPC-H Q18 flavour: large-volume orders — an aggregated IN-subquery
+    // becomes a semi-join against the grouped fact (the filter list is
+    // fact-derived, so it joins rather than broadcasts at scale)
+    "q18_big_orders" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val big = li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").as("qty"))
+        .filter(F.col("qty") > 220)
+        .select(F.col("l_orderkey").as("big_ok"))
+      val ord = table(s, dir, "orders")
+      val cust = table(s, dir, "customer")
+      ord.join(big, ord("o_orderkey") === F.col("big_ok"), "left_semi")
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(li, ord("o_orderkey") === li("l_orderkey"))
+        .groupBy(cust("c_custkey").as("c_custkey"),
+          ord("o_orderkey").as("o_orderkey"),
+          ord("o_totalprice").as("o_totalprice"))
+        .agg(F.round(F.sum("l_quantity"), 2).as("total_qty"))
+        .orderBy(F.col("o_totalprice").desc, F.col("o_orderkey"))
+        .limit(50)
+    }),
+
     // star-schema rollup through two broadcast dims
     "q_region_rollup" -> ((s, dir) => {
       val sup = table(s, dir, "supplier")
@@ -547,6 +569,16 @@ object Relational extends Catalog {
          GROUP BY c_custkey, c_name, n_name
          ORDER BY revenue DESC, c_custkey
          LIMIT 20""",
+    "q18_big_orders" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice,
+                round(sum(l_quantity), 2) AS total_qty
+         FROM customer, orders, lineitem
+         WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+           AND o_orderkey IN (SELECT l_orderkey FROM lineitem
+                              GROUP BY l_orderkey HAVING sum(l_quantity) > 220)
+         GROUP BY c_custkey, o_orderkey, o_totalprice
+         ORDER BY o_totalprice DESC, o_orderkey
+         LIMIT 50""",
     "q_region_rollup" ->
       """SELECT r_name, count(*) AS n_suppliers,
                 round(sum(s_acctbal), 2) AS total_bal
