@@ -117,6 +117,32 @@ object LlmSimilarity extends Catalog {
         .orderBy("qid")
     }),
 
+    // int8 scalar quantization — the storage/bandwidth half of a vector
+    // index (embeddings ship as 1 byte/dim + 1 norm instead of 4 bytes/dim).
+    // Each component maps to floor(127·x/‖v‖) clamped to [-127, 127]; the
+    // gate emits integer summaries of the quantized vector (sum, min, max,
+    // position-weighted checksum) plus the floor-scaled norm, so every
+    // compared value is integer-exact. All per-row array work — zero
+    // shuffle before the oracle ORDER BY. floor/div determinism: x and ‖v‖
+    // are identical doubles in both engines (left-to-right float→double
+    // accumulation + one IEEE sqrt), so the quotient and floor match
+    // bit-for-bit.
+    "llm_embed_quant" -> ((s, dir) =>
+      emb(s, dir)
+        .filter(F.col("ss") > 0.0)
+        .withColumn("nrm", F.sqrt(F.col("ss")))
+        .withColumn("q", F.expr(
+          "transform(embedding, x -> greatest(cast(-127 as bigint), " +
+            "least(cast(127 as bigint), floor(cast(x as double) / nrm * 127.0))))"))
+        .select(F.col("vec_id"),
+          F.floor(F.lit(1000000.0) * F.col("nrm")).as("norm_m"),
+          F.expr("aggregate(q, cast(0 as bigint), (a, x) -> a + x)").as("qsum"),
+          F.array_min(F.col("q")).as("qmin"),
+          F.array_max(F.col("q")).as("qmax"),
+          F.expr("aggregate(sequence(1, size(q)), cast(0 as bigint), " +
+            "(a, i) -> a + element_at(q, i) * i)").as("qcheck"))
+        .orderBy("vec_id")),
+
     // Near-dup candidates: mutual top-1 neighbors within a cell.
     "llm_embed_neardup" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -158,6 +184,30 @@ object LlmSimilarity extends Catalog {
          FROM pairs)"""
 
   val oracles: Map[String, String] = Map(
+    "llm_embed_quant" ->
+      """WITH e AS (
+           SELECT vec_id, embedding,
+                  list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS ss
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, embedding, sqrt(ss) AS nrm
+           FROM e WHERE ss > 0.0),
+         qv AS (
+           SELECT vec_id, nrm,
+                  list_transform(embedding, x ->
+                    greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT),
+                      CAST(floor(CAST(x AS DOUBLE) / nrm * 127.0) AS BIGINT))))
+                    AS q
+           FROM n)
+         SELECT vec_id,
+                CAST(floor(1000000.0 * nrm) AS BIGINT) AS norm_m,
+                CAST(list_sum(q) AS BIGINT) AS qsum,
+                list_min(q) AS qmin,
+                list_max(q) AS qmax,
+                CAST(list_sum(list_transform(generate_series(1, len(q)),
+                  i -> q[i] * i)) AS BIGINT) AS qcheck
+         FROM qv ORDER BY vec_id""",
     "llm_similar_topk" ->
       """WITH e AS (
            SELECT vec_id, embedding,
