@@ -139,6 +139,101 @@ class StreamingSpec extends AnyWordSpec with Matchers with SparkSpec {
       } finally q.stop()
     }
 
+    "join two streams on key + event-time interval (watermarked)" in {
+      import spark.implicits._
+      implicit val ctx = spark.sqlContext
+
+      // the ad-tech shape: impressions joined to clicks that happen within
+      // 10 minutes AFTER the impression; both sides watermarked so join
+      // state is bounded and evictable — the only stream-stream join plan
+      // that survives unbounded input.
+      val imps = MemoryStream[Ev]
+      val clicks = MemoryStream[Ev]
+      val i = imps.toDF().withWatermark("ts", "20 minutes")
+        .select(F.col("user"), F.col("ts").as("imp_ts"), F.col("v").as("imp_v"))
+      val c = clicks.toDF().withWatermark("ts", "20 minutes")
+        .select(F.col("user").as("cuser"), F.col("ts").as("click_ts"))
+      val joined = i.join(c,
+        F.col("user") === F.col("cuser") &&
+          F.col("click_ts") >= F.col("imp_ts") &&
+          F.col("click_ts") <= F.col("imp_ts") + F.expr("INTERVAL 10 MINUTES"))
+
+      val q = joined.writeStream.format("memory").queryName("ss_join")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        def t(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+        imps.addData(Ev(t(0), "u1", 1.0), Ev(t(0), "u2", 2.0))
+        clicks.addData(Ev(t(5), "u1", 0.0), // within window → joins
+          Ev(t(40), "u2", 0.0)) // 40 min later → outside window
+        q.processAllAvailable()
+        val rows = spark.table("ss_join").select("user").as[String].collect()
+        rows.toSeq shouldBe Seq("u1")
+      } finally q.stop()
+    }
+
+    "enrich a stream with a static dimension (stream-static broadcast join)" in {
+      import spark.implicits._
+      implicit val ctx = spark.sqlContext
+
+      val dim = Seq(("u1", "gold"), ("u2", "basic")).toDF("user", "tier")
+      val input = MemoryStream[Ev]
+      val enriched = input.toDF().join(F.broadcast(dim), Seq("user"))
+        .select("user", "tier", "v")
+
+      val q = enriched.writeStream.format("memory").queryName("enrich_stream")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        def t(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+        input.addData(Ev(t(0), "u1", 1.0), Ev(t(1), "u3", 9.0)) // u3: no dim row
+        q.processAllAvailable()
+        val rows = spark.table("enrich_stream")
+          .select("user", "tier").as[(String, String)].collect()
+        rows.toSeq shouldBe Seq(("u1", "gold"))
+      } finally q.stop()
+    }
+
+    "close gap-based sessions via flatMapGroupsWithState" in {
+      import spark.implicits._
+      implicit val ctx = spark.sqlContext
+
+      // per-user session state (start, last, n); a >=30-minute gap closes
+      // the running session and emits its summary — the custom-state
+      // analogue of the q_session_window gate.
+      val input = MemoryStream[Ev]
+      val sessions = input.toDS()
+        .groupByKey(_.user)
+        .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+          (user: String, evs: Iterator[Ev], state: GroupState[(Long, Long, Long)]) =>
+            var out = List.empty[(String, Long, Long)] // (user, n, minutes)
+            var cur = state.getOption
+            evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val ts = e.ts.getTime
+              cur match {
+                case Some((start, last, n)) if ts - last >= 30 * 60000L =>
+                  out ::= ((user, n, (last - start) / 60000L))
+                  cur = Some((ts, ts, 1L))
+                case Some((start, _, n)) => cur = Some((start, ts, n + 1))
+                case None => cur = Some((ts, ts, 1L))
+              }
+            }
+            cur.foreach(state.update)
+            out.reverseIterator
+        }
+
+      val q = sessions.writeStream.format("memory").queryName("fmgws_stream")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        def t(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+        input.addData(Ev(t(0), "u1", 1.0), Ev(t(5), "u1", 1.0), Ev(t(9), "u1", 1.0))
+        q.processAllAvailable()
+        // 45-minute gap → first session (3 events, 9 minutes) closes
+        input.addData(Ev(t(54), "u1", 1.0))
+        q.processAllAvailable()
+        val closed = spark.table("fmgws_stream").as[(String, Long, Long)].collect()
+        closed.toSeq shouldBe Seq(("u1", 3L, 9L))
+      } finally q.stop()
+    }
+
     "run arbitrary stateful processing via mapGroupsWithState" in {
       import spark.implicits._
       implicit val ctx = spark.sqlContext
