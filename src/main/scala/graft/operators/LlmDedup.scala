@@ -162,21 +162,31 @@ object LlmDedup extends Catalog {
       var lab = edges.select(F.col("src").as("v")).distinct()
         .withColumn("lab", F.col("v"))
         .localCheckpoint()
-      // propagate to FIXPOINT (label count strictly decreases while any
-      // component is still split, so `changed` hits 0 in ≤ diameter hops)
+      // propagate to FIXPOINT. Each hop combines (a) neighbor-min
+      // propagation with (b) pointer jumping (v's label := its label's
+      // label — "path halving"), so chain-shaped components converge in
+      // O(log diameter) hops instead of O(diameter). Labels only ever
+      // DECREASE, so convergence is detected inline (`chg` carried on the
+      // checkpointed row) — no old-vs-new comparison join per hop.
       var changed = 1L
       var guard = 0
-      while (changed > 0 && guard < 20) {
+      while (changed > 0 && guard < 12) {
         guard += 1
         val prop = edges.join(lab, edges("dst") === lab("v"))
           .groupBy(F.col("src")).agg(F.min("lab").as("nlab"))
-        val next = lab.join(prop, lab("v") === prop("src"), "left")
-          .select(lab("v"),
-            F.least(lab("lab"), F.coalesce(F.col("nlab"), lab("lab"))).as("lab"))
+        val stepped = lab.join(prop, lab("v") === prop("src"), "left")
+          .select(lab("v"), lab("lab").as("old"),
+            F.least(lab("lab"), F.coalesce(F.col("nlab"), lab("lab"))).as("mid"))
+        val parent = stepped.select(F.col("v").as("pv"), F.col("mid").as("plab"))
+        val jumped = F.least(F.col("a.mid"),
+          F.coalesce(F.col("p.plab"), F.col("a.mid")))
+        val next = stepped.as("a")
+          .join(parent.as("p"), F.col("a.mid") === F.col("p.pv"), "left")
+          .select(F.col("a.v").as("v"), jumped.as("lab"),
+            (jumped < F.col("a.old")).as("chg"))
           .localCheckpoint()
-        changed = next.as("n").join(lab.as("o"), F.col("n.v") === F.col("o.v"))
-          .filter(F.col("n.lab") =!= F.col("o.lab")).count()
-        lab = next
+        changed = next.filter(F.col("chg")).count()
+        lab = next.select("v", "lab")
       }
       lab.select(F.col("v").as("doc_id"), F.col("lab").as("cluster"))
         .orderBy("doc_id")

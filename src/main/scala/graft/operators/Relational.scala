@@ -512,6 +512,75 @@ object Relational extends Catalog {
         .agg(F.sum("pn").as("n_events"),
           F.round(F.sum("pv"), 2).as("total_value"))
         .orderBy("user_id")
+    }),
+
+    // UNPIVOT (melt): wide aggregate row → long (metric, value) form —
+    // the inverse of q_pivot. Values share BIGINT type by construction.
+    "q_unpivot" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.col("l_quantity").cast("long")).as("sum_qty"),
+          F.count(F.lit(1)).as("n_lines"))
+        .unpivot(Array(F.col("l_returnflag")),
+          Array(F.col("sum_qty"), F.col("n_lines")), "metric", "value")
+        .orderBy("l_returnflag", "metric")),
+
+    // distribution window functions: ntile / percent_rank / cume_dist.
+    // percent_rank and cume_dist are exact rationals ((rank-1)/(n-1),
+    // rank/n) — identical doubles in both engines — reported floor-scaled
+    // because round()'s half-tie rule differs across engines whenever a
+    // partition size makes the rational dyadic (e.g. 129 rows → k/128
+    // lands exactly on a .xxxxxx5 boundary).
+    "q_window_stats" -> ((s, dir) => {
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(F.col("c_acctbal"), F.col("c_custkey"))
+      table(s, dir, "customer")
+        .select(F.col("c_custkey"), F.col("c_nationkey"),
+          F.ntile(4).over(w).as("quartile"),
+          F.floor(F.lit(1000000.0) * F.percent_rank().over(w)).as("pr_m"),
+          F.floor(F.lit(1000000.0) * F.cume_dist().over(w)).as("cd_m"))
+        .orderBy("c_custkey")
+    }),
+
+    // ordered string aggregation: collect_list is shuffle-order-dependent,
+    // so the list is sorted before joining — same contract as DuckDB's
+    // string_agg(... ORDER BY).
+    "q_string_agg" -> ((s, dir) => {
+      val nat = table(s, dir, "nation")
+      val reg = table(s, dir, "region")
+      nat.join(F.broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+        .groupBy("r_name")
+        .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",")
+          .as("nations"))
+        .orderBy("r_name")
+    }),
+
+    // MERGE/upsert as a full-outer join + COALESCE — the incremental
+    // corpus-refresh primitive (new crawl snapshot into the document
+    // store). One shuffle on the merge key; at 100 TB the base side's
+    // reshuffle is avoided by bucketing both sides on doc_id (see
+    // BucketedJoinSpec) so the merge is a zero-exchange sort-merge join.
+    "q_upsert" -> ((s, dir) => {
+      val base = table(s, dir, "documents")
+        .select(F.col("doc_id"), F.col("lang"), F.col("n_chars"))
+      val changes = base.filter(F.col("doc_id") % 7 === 0)
+        .select(F.col("doc_id"), F.col("lang"),
+          (F.col("n_chars") + 1000L).as("n_chars"))
+        .unionByName(base.filter(F.col("doc_id") % 13 === 0)
+          .select((F.col("doc_id") + 1000000L).as("doc_id"),
+            F.lit("xx").as("lang"), F.lit(42L).as("n_chars")))
+      val b = base.as("b")
+      val u = changes.as("u")
+      b.join(u, F.col("b.doc_id") === F.col("u.doc_id"), "full_outer")
+        .select(
+          F.coalesce(F.col("u.doc_id"), F.col("b.doc_id")).as("doc_id"),
+          F.coalesce(F.col("u.lang"), F.col("b.lang")).as("lang"),
+          F.coalesce(F.col("u.n_chars"), F.col("b.n_chars")).as("n_chars"),
+          F.when(F.col("u.doc_id").isNotNull && F.col("b.doc_id").isNotNull,
+            "updated")
+            .when(F.col("b.doc_id").isNull, "inserted")
+            .otherwise("kept").as("op"))
+        .orderBy("doc_id")
     })
   )
 
@@ -811,6 +880,44 @@ object Relational extends Catalog {
     "q_skew_salted" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
                 round(sum(value), 2) AS total_value
-         FROM events GROUP BY user_id ORDER BY user_id"""
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "q_unpivot" ->
+      """WITH a AS (
+           SELECT l_returnflag,
+                  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                  count(*) AS n_lines
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, metric, value
+         FROM a UNPIVOT (value FOR metric IN (sum_qty, n_lines))
+         ORDER BY l_returnflag, metric""",
+    "q_window_stats" ->
+      """SELECT c_custkey, c_nationkey,
+                CAST(ntile(4) OVER w AS INT) AS quartile,
+                CAST(floor(1000000.0 * (percent_rank() OVER w)) AS BIGINT) AS pr_m,
+                CAST(floor(1000000.0 * (cume_dist() OVER w)) AS BIGINT) AS cd_m
+         FROM customer
+         WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+         ORDER BY c_custkey""",
+    "q_string_agg" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+         FROM nation JOIN region ON r_regionkey = n_regionkey
+         GROUP BY 1 ORDER BY 1""",
+    "q_upsert" ->
+      """WITH base AS (
+           SELECT doc_id, lang, n_chars FROM documents),
+         changes AS (
+           SELECT doc_id, lang, n_chars + 1000 AS n_chars
+           FROM base WHERE doc_id % 7 = 0
+           UNION ALL
+           SELECT doc_id + 1000000, 'xx', 42 FROM base WHERE doc_id % 13 = 0)
+         SELECT coalesce(u.doc_id, b.doc_id) AS doc_id,
+                coalesce(u.lang, b.lang) AS lang,
+                CAST(coalesce(u.n_chars, b.n_chars) AS BIGINT) AS n_chars,
+                CASE WHEN u.doc_id IS NOT NULL AND b.doc_id IS NOT NULL
+                       THEN 'updated'
+                     WHEN b.doc_id IS NULL THEN 'inserted'
+                     ELSE 'kept' END AS op
+         FROM base b FULL OUTER JOIN changes u ON b.doc_id = u.doc_id
+         ORDER BY doc_id"""
   )
 }
