@@ -22,6 +22,21 @@ final case class DecodedAsset(
     nBytes: Int,
     features: Array[Float])
 
+/** Resized asset: payload rewritten for the target dimensions. */
+final case class ResizedAsset(
+    docId: Long,
+    width: Int,
+    height: Int,
+    channels: Int,
+    payload: Array[Byte])
+
+/** One sampled frame of a (fake) video payload. */
+final case class Frame(
+    docId: Long,
+    frameIdx: Int,
+    nBytes: Int,
+    frameHash: String)
+
 /** Batched decode plumbing for multimodal columns.
   *
   * The Spark-side shape is real: a `mapPartitions` that groups rows into
@@ -60,6 +75,49 @@ object StubDecoder {
         // A real implementation hands `batch` to the native decoder in one
         // call; the stub decodes element-wise.
         batch.iterator.map(decodeOne)
+      }
+    }
+  }
+
+  /** STUB resize — nearest-neighbor index mapping over the payload bytes
+    * (a real implementation resamples the decoded pixel buffer; the output
+    * SIZE contract — w·h·channels bytes — and the metadata rewrite are the
+    * real part).
+    */
+  def resizeOne(a: RawAsset, w: Int, h: Int): ResizedAsset = {
+    val out = Array.ofDim[Byte](w * h * a.channels)
+    if (a.payload.nonEmpty) {
+      var i = 0
+      while (i < out.length) {
+        out(i) = a.payload((i.toLong * a.payload.length / out.length).toInt)
+        i += 1
+      }
+    }
+    ResizedAsset(a.docId, w, h, a.channels, out)
+  }
+
+  /** Batched resize — same mapPartitions/batch shape as decode. */
+  def resizeAssets(assets: Dataset[RawAsset], w: Int, h: Int): Dataset[ResizedAsset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(_.iterator.map(resizeOne(_, w, h)))
+    }
+  }
+
+  /** Frame sampling: treat the payload as a sequence of fixed-size frames
+    * and keep every `everyN`-th one — a 1-to-N row expansion (flatMap),
+    * the video analogue of llm_chunks. Narrow per-row work: frame count
+    * scales with payload size, never with the corpus; no shuffle.
+    */
+  def sampleFrames(assets: Dataset[RawAsset], frameBytes: Int,
+      everyN: Int): Dataset[Frame] = {
+    import assets.sparkSession.implicits._
+    assets.flatMap { a =>
+      a.payload.grouped(frameBytes).zipWithIndex.collect {
+        case (frame, idx) if idx % everyN == 0 =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val hex = md.digest(frame).map(b => f"$b%02x").mkString
+          Frame(a.docId, idx, frame.length, hex)
       }
     }
   }
