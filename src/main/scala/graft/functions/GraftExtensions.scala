@@ -34,5 +34,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("simhash16"),
       info("simhash16", "simhash16(hashes) - 16-bit simhash of hex digests"),
       (exprs: Seq[Expression]) => SimHash16(exprs.head)))
+    // whole-operator extension: logical TopKPerKey → partial/final exec
+    // pair (see graft.plans.TopKPerKey)
+    ext.injectPlannerStrategy(_ => new graft.plans.TopKStrategy)
   }
 }

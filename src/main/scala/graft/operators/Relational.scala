@@ -555,6 +555,22 @@ object Relational extends Catalog {
         .orderBy("r_name")
     }),
 
+    // native per-key top-k through the custom-plan stack (logical
+    // TopKPerKey → TopKStrategy → partial/final TopKPerKeyExec): map-side
+    // bounded heaps prune the exchange to partitions×keys×k candidate
+    // rows — no full sort of any partition, unlike the window
+    // row_number() formulation (q_window_topk). Oracled against DuckDB's
+    // QUALIFY row_number form; ties broken by orderkey.
+    "q_topk_native" -> ((s, dir) => {
+      graft.plans.GraftPlans.register(s)
+      graft.plans.GraftPlans.topKPerKey(table(s, dir, "orders"),
+          Seq(F.col("o_orderpriority")),
+          Seq(F.col("o_totalprice").desc, F.col("o_orderkey")), 5)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_orderpriority"), F.col("o_totalprice").desc,
+          F.col("o_orderkey"))
+    }),
+
     // MERGE/upsert as a full-outer join + COALESCE — the incremental
     // corpus-refresh primitive (new crawl snapshot into the document
     // store). One shuffle on the merge key; at 100 TB the base side's
@@ -902,6 +918,12 @@ object Relational extends Catalog {
       """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
          FROM nation JOIN region ON r_regionkey = n_regionkey
          GROUP BY 1 ORDER BY 1""",
+    "q_topk_native" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice
+         FROM orders
+         QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey) <= 5
+         ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""",
     "q_upsert" ->
       """WITH base AS (
            SELECT doc_id, lang, n_chars FROM documents),
