@@ -192,6 +192,29 @@ object LlmDedup extends Catalog {
         .orderBy("doc_id")
     }),
 
+    // Train/test DECONTAMINATION: flag corpus documents sharing any
+    // 3-word shingle with a held-out benchmark set (doc_id % 17 == 0
+    // plays the benchmark role). Scale shape: the benchmark shingle set
+    // is tiny relative to the corpus — it broadcasts, so the corpus-side
+    // explode feeds a broadcast join (no corpus shuffle) and only
+    // contaminated docs reach the aggregate. contam_m is the
+    // floor-scaled fraction of a doc's shingles that are contaminated.
+    "llm_decontaminate" -> ((s, dir) => {
+      val d = shingleArrays(s, dir)
+      val bench = d.filter(F.col("doc_id") % 17 === 0)
+        .select(F.explode(F.col("shs")).as("sg")).distinct()
+      d.filter(F.col("doc_id") % 17 =!= 0)
+        .select(F.col("doc_id"),
+          F.size(F.col("shs")).cast("long").as("n_shingles"),
+          F.explode(F.col("shs")).as("sg"))
+        .join(F.broadcast(bench), "sg")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count(F.lit(1)).as("n_shared"))
+        .withColumn("contam_m", F.floor(F.lit(1000000.0) *
+          F.col("n_shared") / F.col("n_shingles")))
+        .orderBy("doc_id")
+    }),
+
     // Bucketed pairwise 2-gram Jaccard: all pairs within each
     // (lang, source) micro-bucket, set intersection via array HOFs.
     "llm_ngram_jaccard" -> ((s, dir) => {
@@ -358,6 +381,28 @@ object LlmDedup extends Catalog {
                   THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT)
                   AS simhash
          FROM bits GROUP BY 1 ORDER BY doc_id""",
+    "llm_decontaminate" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+             generate_series(1, len(w) - 2),
+             i -> array_to_string(w[i:i+2], ' ')))) AS sg
+           FROM d WHERE len(w) >= 3),
+         bench AS (
+           SELECT DISTINCT sg FROM sh WHERE doc_id % 17 = 0),
+         sizes AS (
+           SELECT doc_id, count(*) AS n_shingles
+           FROM sh WHERE doc_id % 17 <> 0 GROUP BY 1),
+         shared AS (
+           SELECT s.doc_id, count(*) AS n_shared
+           FROM sh s JOIN bench b ON s.sg = b.sg
+           WHERE s.doc_id % 17 <> 0 GROUP BY 1)
+         SELECT s.doc_id, z.n_shingles, s.n_shared,
+                CAST(floor(1000000.0 * s.n_shared / z.n_shingles) AS BIGINT)
+                  AS contam_m
+         FROM shared s JOIN sizes z USING (doc_id)
+         ORDER BY doc_id""",
     "llm_ngram_jaccard" ->
       """WITH d AS (
            SELECT doc_id, lang, source,

@@ -555,6 +555,28 @@ object Relational extends Catalog {
         .orderBy("r_name")
     }),
 
+    // Data-quality profile: one row per column with null and distinct
+    // counts — the "analyze corpus" step of a pipeline. ONE pass computes
+    // every aggregate (count-distincts expand, but the scan is single);
+    // stack() melts the wide aggregate row. String-rendered min/max are
+    // deliberately excluded: double/timestamp formatting differs across
+    // engines.
+    "q_profile" -> ((s, dir) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      val aggs = F.count(F.lit(1)).as("n_rows") +:
+        cols.flatMap(c => Seq(
+          F.sum(F.when(F.col(c).isNull, 1).otherwise(0)).as(s"nul_$c"),
+          F.countDistinct(F.col(c)).as(s"dis_$c")))
+      val stacked = cols.map(c => s"'$c', nul_$c, dis_$c").mkString(", ")
+      table(s, dir, "orders")
+        .agg(aggs.head, aggs.tail: _*)
+        .select(F.col("n_rows"),
+          F.expr(s"stack(${cols.size}, $stacked) as (col_name, n_nulls, n_distinct)"))
+        .select("col_name", "n_rows", "n_nulls", "n_distinct")
+        .orderBy("col_name")
+    }),
+
     // native per-key top-k through the custom-plan stack (logical
     // TopKPerKey → TopKStrategy → partial/final TopKPerKeyExec): map-side
     // bounded heaps prune the exchange to partitions×keys×k candidate
@@ -918,6 +940,33 @@ object Relational extends Catalog {
       """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
          FROM nation JOIN region ON r_regionkey = n_regionkey
          GROUP BY 1 ORDER BY 1""",
+    "q_profile" ->
+      """WITH p AS (
+           SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+                  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                  count(DISTINCT o_orderkey) AS n_distinct FROM orders
+           UNION ALL
+           SELECT 'o_custkey', count(*),
+                  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  count(DISTINCT o_custkey) FROM orders
+           UNION ALL
+           SELECT 'o_orderstatus', count(*),
+                  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  count(DISTINCT o_orderstatus) FROM orders
+           UNION ALL
+           SELECT 'o_totalprice', count(*),
+                  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  count(DISTINCT o_totalprice) FROM orders
+           UNION ALL
+           SELECT 'o_orderdate', count(*),
+                  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  count(DISTINCT o_orderdate) FROM orders
+           UNION ALL
+           SELECT 'o_orderpriority', count(*),
+                  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  count(DISTINCT o_orderpriority) FROM orders)
+         SELECT col_name, n_rows, n_nulls, n_distinct
+         FROM p ORDER BY col_name""",
     "q_topk_native" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice
          FROM orders
