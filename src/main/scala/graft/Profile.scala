@@ -13,14 +13,19 @@ object Profile {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val iters = if (args.length > 2) args(2).toInt else 3
+    // same session/warmup knobs as Bench so per-iteration numbers are
+    // comparable with per-query bench numbers
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(100000).selectExpr("md5(cast(id as string)) as h")
+      .write.format("noop").mode("overwrite").save()
+    spark.read.parquet(s"$sfDir/region.parquet")
       .write.format("noop").mode("overwrite").save()
     val fn = SparkEntry.queries(name)
     for (i <- 1 to iters) {

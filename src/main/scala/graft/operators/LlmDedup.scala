@@ -174,9 +174,13 @@ object LlmDedup extends Catalog {
         guard += 1
         val prop = edges.join(lab, edges("dst") === lab("v"))
           .groupBy(F.col("src")).agg(F.min("lab").as("nlab"))
+        // checkpoint BEFORE the self-join: `stepped` feeds the jump join
+        // twice (probe + parent side) — materialized once here, and the
+        // per-hop lineage stays one join deep for the next iteration.
         val stepped = lab.join(prop, lab("v") === prop("src"), "left")
           .select(lab("v"), lab("lab").as("old"),
             F.least(lab("lab"), F.coalesce(F.col("nlab"), lab("lab"))).as("mid"))
+          .localCheckpoint()
         val parent = stepped.select(F.col("v").as("pv"), F.col("mid").as("plab"))
         val jumped = F.least(F.col("a.mid"),
           F.coalesce(F.col("p.plab"), F.col("a.mid")))
@@ -184,7 +188,6 @@ object LlmDedup extends Catalog {
           .join(parent.as("p"), F.col("a.mid") === F.col("p.pv"), "left")
           .select(F.col("a.v").as("v"), jumped.as("lab"),
             (jumped < F.col("a.old")).as("chg"))
-          .localCheckpoint()
         changed = next.filter(F.col("chg")).count()
         lab = next.select("v", "lab")
       }

@@ -40,7 +40,49 @@ object LlmMultimodal extends Catalog {
             .as("n_pixels"),
           F.length(F.col("payload")).cast("long").as("n_bytes"),
           F.md5(F.col("payload")).as("payload_hash"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Frame sampling THROUGH the typed StubDecoder operator (every 2nd
+    // 64-byte frame): the gate drives the actual flatMap expansion, and
+    // the oracle recomputes each sampled frame's md5 from character
+    // slices — identical bytes because the corpus is pure ASCII
+    // (verified: octet_length == length for every document).
+    "llm_frames" -> ((s, dir) => {
+      import s.implicits._
+      val assets = table(s, dir, "documents")
+        .select(F.col("doc_id").as("docId"),
+          F.to_binary(F.col("text"), F.lit("utf-8")).as("payload"),
+          F.lit("vid/fake").as("fmt"), F.lit(0).as("width"),
+          F.lit(0).as("height"), F.lit(1).as("channels"))
+        .as[graft.multimodal.RawAsset]
+      graft.multimodal.StubDecoder.sampleFrames(assets, frameBytes = 64, everyN = 2)
+        .toDF()
+        .select(F.col("docId").as("doc_id"),
+          F.col("frameIdx").as("frame_idx"),
+          F.col("nBytes").cast("long").as("n_bytes"),
+          F.col("frameHash").as("frame_hash"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
+    // Resize THROUGH the typed StubDecoder operator (4×4×3 target): the
+    // oracle rebuilds the nearest-neighbor byte mapping from character
+    // slices and hashes the same 48 bytes.
+    "llm_resize" -> ((s, dir) => {
+      import s.implicits._
+      val assets = table(s, dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .select(F.col("doc_id").as("docId"),
+          F.to_binary(F.col("text"), F.lit("utf-8")).as("payload"),
+          F.lit("img/fake").as("fmt"), F.lit(0).as("width"),
+          F.lit(0).as("height"), F.lit(3).as("channels"))
+        .as[graft.multimodal.RawAsset]
+      graft.multimodal.StubDecoder.resizeAssets(assets, 4, 4)
+        .toDF()
+        .select(F.col("docId").as("doc_id"),
+          F.length(F.col("payload")).cast("long").as("n_bytes"),
+          F.md5(F.col("payload")).as("payload_hash"))
+        .orderBy("doc_id")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -59,6 +101,27 @@ object LlmMultimodal extends Catalog {
          SELECT doc_id, fmt, width, height, channels,
                 width * height * channels AS n_pixels,
                 n_bytes, payload_hash
-         FROM assets WHERE width >= 128 ORDER BY doc_id"""
+         FROM assets WHERE width >= 128 ORDER BY doc_id""",
+    "llm_frames" ->
+      """SELECT doc_id, CAST(t.i AS INT) AS frame_idx,
+                CAST(length(substring(text, t.i*64 + 1, 64)) AS BIGINT)
+                  AS n_bytes,
+                md5(substring(text, t.i*64 + 1, 64)) AS frame_hash
+         FROM documents d,
+              unnest(generate_series(0, (length(d.text) - 1) // 64)) t(i)
+         WHERE t.i % 2 = 0
+         ORDER BY doc_id, frame_idx""",
+    "llm_resize" ->
+      """WITH px AS (
+           SELECT doc_id, text, t.i AS i,
+                  (t.i * length(text)) // 48 AS idx
+           FROM documents, unnest(generate_series(0, 47)) t(i)
+           WHERE length(text) > 0),
+         s AS (
+           SELECT doc_id,
+                  string_agg(substring(text, idx + 1, 1), '' ORDER BY i) AS sp
+           FROM px GROUP BY doc_id)
+         SELECT doc_id, CAST(48 AS BIGINT) AS n_bytes, md5(sp) AS payload_hash
+         FROM s ORDER BY doc_id"""
   )
 }

@@ -40,10 +40,14 @@ object Sketches extends Catalog {
         .orderBy("event_type")),
 
     // Approximate median per event type, verified by its RANK error: the
-    // fraction of values <= the approximate p50 must sit in [0.45, 0.55]
-    // (accuracy=1000 → rank error 1e-3; the gate allows 50×). The checked
-    // fraction needs a second pass over events, joining the tiny per-group
-    // sketch result back via broadcast.
+    // returned value's rank INTERVAL [count(< ap50), count(<= ap50)] must
+    // intersect [0.45·n, 0.55·n] (accuracy=1000 → rank error 1e-3; the
+    // gate allows 50×). The interval form — not a single <=-fraction — is
+    // tie-robust: a value mass at the median legitimately pushes
+    // count(<=) far past 0.5·n even for a perfect sketch, but its rank
+    // interval still covers the median rank. The check needs a second
+    // pass over events, joining the tiny per-group sketch result back via
+    // broadcast.
     "q_approx_quantile" -> ((s, dir) => {
       val ev = table(s, dir, "events")
       val ap = ev.groupBy(F.col("event_type").as("et"))
@@ -51,10 +55,12 @@ object Sketches extends Catalog {
       ev.join(F.broadcast(ap), ev("event_type") === F.col("et"))
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).as("n_vals"),
-          F.sum(F.when(F.col("value") <= F.col("ap50"), 1).otherwise(0)).as("below"))
+          F.sum(F.when(F.col("value") < F.col("ap50"), 1).otherwise(0)).as("lt"),
+          F.sum(F.when(F.col("value") <= F.col("ap50"), 1).otherwise(0)).as("le"))
         .select(F.col("event_type"), F.col("n_vals"),
-          (F.col("below").cast("double") / F.col("n_vals"))
-            .between(0.45, 0.55).as("rank_ok"))
+          (F.col("lt").cast("double") <= F.lit(0.55) * F.col("n_vals") &&
+            F.col("le").cast("double") >= F.lit(0.45) * F.col("n_vals"))
+            .as("rank_ok"))
         .orderBy("event_type")
     })
   )

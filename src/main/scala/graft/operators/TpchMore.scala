@@ -17,15 +17,30 @@ import org.apache.spark.sql.{functions => F}
   * "global max / global avg" values (Q15/Q22) are computed as 1-row
   * aggregates and broadcast-cross-joined — never a single-partition window.
   *
-  * Determinism (CLAUDE.md rules): money sums are `round(sum(..), 2)`
-  * (double error ≪ the half-cent boundary); ratios divide the ALREADY
-  * ROUNDED sums so both engines divide identical doubles; counts from
-  * CASE-sums are cast to BIGINT on the DuckDB side (integer sum → HUGEINT);
-  * `year()` is cast to INT on the DuckDB side (BIGINT there, INT in Spark).
+  * Determinism (CLAUDE.md rules): ALL money sums run in exact integer
+  * units (see [[discUnits]]) so they are summation-order-independent —
+  * no `round(sum(double))` anywhere in this catalog; ratios floor-scale;
+  * counts from CASE-sums are cast to BIGINT on the DuckDB side (integer
+  * sum → HUGEINT); `year()` is cast to INT on the DuckDB side (BIGINT
+  * there, INT in Spark).
   */
 object TpchMore extends Catalog {
 
-  private val disc1 = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+  /** Discounted revenue in EXACT integer units (1e-4 dollars): price and
+    * (1-discount) are 2-decimal values, so each scales to an exact integer
+    * and the product/sum stay exact in double — ORDER-INDEPENDENT, unlike
+    * `round(sum(double), 2)` whose shuffle-merge order can flip a group
+    * that lands on a half-cent boundary (q9 hit this at sf0.01; and Spark's
+    * partial-merge order is not stable run-to-run, so a green boundary
+    * today can flip tomorrow). Dividing the exact sum once at the end is a
+    * single IEEE operation — bit-identical in both engines, no round().
+    */
+  private val discUnits = F.round(F.col("l_extendedprice") * 100, 0) *
+    F.round((F.lit(1) - F.col("l_discount")) * 100, 0)
+
+  /** revenue-at-discount (price·discount) in the same exact units. */
+  private val rebateUnits = F.round(F.col("l_extendedprice") * 100, 0) *
+    F.round(F.col("l_discount") * 100, 0)
 
   val queries: Map[String, Q] = Map(
 
@@ -37,7 +52,7 @@ object TpchMore extends Catalog {
           F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")) &&
           F.col("l_discount").between(0.05, 0.07) &&
           F.col("l_quantity") < 24)
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).as("revenue"),
+        .agg((F.sum(rebateUnits) / 10000.0).as("revenue"),
           F.count(F.lit(1)).as("n_items"))),
 
     // TPC-H Q4 flavour (no commitdate → "shipped >90 days after order"):
@@ -80,13 +95,12 @@ object TpchMore extends Catalog {
           (F.col("supp_nation") === "NATION_2" && F.col("cust_nation") === "NATION_1"))
         .groupBy(F.col("supp_nation"), F.col("cust_nation"),
           F.year(F.col("l_shipdate")).as("l_year"))
-        .agg(F.round(F.sum(disc1), 2).as("revenue"))
+        .agg((F.sum(discUnits) / 10000.0).as("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     }),
 
     // TPC-H Q8 flavour: NATION_3 suppliers' market share of PROMO-part
-    // volume sold to ASIA customers, by order year. The share divides the
-    // two already-rounded sums (identical doubles in both engines).
+    // volume sold to ASIA customers, by order year, in exact units.
     "q8_market_share" -> ((s, dir) => {
       val li = table(s, dir, "lineitem")
       val part = table(s, dir, "part").filter(F.col("p_type") === "PROMO")
@@ -108,9 +122,9 @@ object TpchMore extends Catalog {
         .join(F.broadcast(reg), F.col("cn_region") === F.col("r_regionkey"))
         .join(F.broadcast(sn), F.col("s_nationkey") === F.col("sn_key"))
         .groupBy(F.year(F.col("o_orderdate")).as("o_year"))
-        .agg(F.round(F.sum(F.when(F.col("supp_nation") === "NATION_3", disc1)
-            .otherwise(F.lit(0.0))), 2).as("nat_vol"),
-          F.round(F.sum(disc1), 2).as("total_vol"))
+        .agg((F.sum(F.when(F.col("supp_nation") === "NATION_3", discUnits)
+            .otherwise(F.lit(0.0))) / 10000.0).as("nat_vol"),
+          (F.sum(discUnits) / 10000.0).as("total_vol"))
         .orderBy("o_year")
     }),
 
@@ -165,11 +179,13 @@ object TpchMore extends Catalog {
           F.col("l_shipdate") < F.to_timestamp(F.lit("1997-12-01")))
       val part = table(s, dir, "part")
       li.join(part, li("l_partkey") === part("p_partkey"))
-        .agg(F.round(F.sum(F.when(F.col("p_type") === "PROMO", disc1)
-            .otherwise(F.lit(0.0))), 2).as("promo_rev"),
-          F.round(F.sum(disc1), 2).as("total_rev"))
-        .withColumn("promo_ratio",
-          F.round(F.lit(100.0) * F.col("promo_rev") / F.col("total_rev"), 4))
+        .agg((F.sum(F.when(F.col("p_type") === "PROMO", discUnits)
+            .otherwise(F.lit(0.0))) / 10000.0).as("promo_rev"),
+          (F.sum(discUnits) / 10000.0).as("total_rev"))
+        // ppm share floor-scaled from the exact sums: a ratio of integers
+        // CAN land exactly on a round() half-way digit; floor cannot tie.
+        .withColumn("promo_ppm",
+          F.floor(F.lit(1000000.0) * F.col("promo_rev") / F.col("total_rev")))
     }),
 
     // TPC-H Q15: top supplier by quarterly revenue. The global max is a
@@ -180,7 +196,7 @@ object TpchMore extends Catalog {
         .filter(F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")) &&
           F.col("l_shipdate") < F.to_timestamp(F.lit("1997-04-01")))
         .groupBy(F.col("l_suppkey").as("suppkey"))
-        .agg(F.round(F.sum(disc1), 2).as("total_revenue"))
+        .agg((F.sum(discUnits) / 10000.0).as("total_revenue"))
       val mx = rev.agg(F.max("total_revenue").as("max_revenue"))
       val sup = table(s, dir, "supplier")
       rev.join(F.broadcast(mx), F.col("total_revenue") === F.col("max_revenue"))
@@ -219,7 +235,8 @@ object TpchMore extends Catalog {
       li.join(part, li("l_partkey") === part("p_partkey"))
         .join(avgq, li("l_partkey") === F.col("ap_key"))
         .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).as("avg_yearly"),
+        .agg((F.sum(F.round(F.col("l_extendedprice") * 100, 0)) / 700.0)
+          .as("avg_yearly"),
           F.count(F.lit(1)).as("n_lines"))
     }),
 
@@ -229,24 +246,29 @@ object TpchMore extends Catalog {
     // screen is a broadcast-able anti-join on the pre-filtered order ids.
     "q22_idle_customers" -> ((s, dir) => {
       val cust = table(s, dir, "customer")
+        .withColumn("bal_c", F.round(F.col("c_acctbal") * 100, 0))
+      // threshold in exact cents: the cent sum is order-independent, the
+      // division exact, and floor cannot tie — the screen is stable even
+      // for a customer sitting exactly on the average.
       val ab = cust.filter(F.col("c_acctbal") > 0.0)
-        .agg(F.round(F.avg("c_acctbal"), 2).as("ab"))
+        .agg(F.floor(F.sum("bal_c") / F.count(F.lit(1))).as("ab_c"))
       val recent = table(s, dir, "orders")
         .filter(F.col("o_orderdate") >= F.to_timestamp(F.lit("2000-01-01")))
         .select(F.col("o_custkey"))
       cust.crossJoin(F.broadcast(ab))
-        .filter(F.col("c_acctbal") > F.col("ab"))
+        .filter(F.col("bal_c") > F.col("ab_c"))
         .join(recent, cust("c_custkey") === recent("o_custkey"), "left_anti")
         .groupBy("c_nationkey")
         .agg(F.count(F.lit(1)).as("numcust"),
-          F.round(F.sum("c_acctbal"), 2).as("totacctbal"))
+          (F.sum("bal_c") / 100.0).as("totacctbal"))
         .orderBy("c_nationkey")
     })
   )
 
   val oracles: Map[String, String] = Map(
     "q6_forecast_revenue" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      """SELECT sum(round(l_extendedprice * 100, 0) *
+                    round(l_discount * 100, 0)) / 10000.0 AS revenue,
                 count(*) AS n_items
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -264,7 +286,8 @@ object TpchMore extends Catalog {
     "q7_volume_shipping" ->
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
                 CAST(year(l_shipdate) AS INT) AS l_year,
-                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                sum(round(l_extendedprice * 100, 0) *
+                    round((1 - l_discount) * 100, 0)) / 10000.0 AS revenue
          FROM lineitem
          JOIN supplier ON s_suppkey = l_suppkey
          JOIN orders ON o_orderkey = l_orderkey
@@ -279,7 +302,8 @@ object TpchMore extends Catalog {
     "q8_market_share" ->
       """WITH vol AS (
            SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-                  l_extendedprice * (1 - l_discount) AS v,
+                  round(l_extendedprice * 100, 0) *
+                    round((1 - l_discount) * 100, 0) AS v,
                   sn.n_name AS supp_nation
            FROM lineitem
            JOIN part ON p_partkey = l_partkey
@@ -293,9 +317,9 @@ object TpchMore extends Catalog {
              AND o_orderdate >= TIMESTAMP '1997-01-01'
              AND o_orderdate < TIMESTAMP '1999-01-01')
          SELECT o_year,
-                round(sum(CASE WHEN supp_nation = 'NATION_3' THEN v ELSE 0 END), 2)
-                  AS nat_vol,
-                round(sum(v), 2) AS total_vol
+                sum(CASE WHEN supp_nation = 'NATION_3' THEN v ELSE 0 END)
+                  / 10000.0 AS nat_vol,
+                sum(v) / 10000.0 AS total_vol
          FROM vol GROUP BY o_year ORDER BY o_year""",
     "q9_profit" ->
       """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
@@ -321,20 +345,24 @@ object TpchMore extends Catalog {
          GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q14_promo_revenue" ->
       """WITH s AS (
-           SELECT round(sum(CASE WHEN p_type = 'PROMO'
-                    THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2)
-                    AS promo_rev,
-                  round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+           SELECT sum(CASE WHEN p_type = 'PROMO'
+                    THEN round(l_extendedprice * 100, 0) *
+                         round((1 - l_discount) * 100, 0) ELSE 0 END)
+                    / 10000.0 AS promo_rev,
+                  sum(round(l_extendedprice * 100, 0) *
+                      round((1 - l_discount) * 100, 0)) / 10000.0 AS total_rev
            FROM lineitem JOIN part ON p_partkey = l_partkey
            WHERE l_shipdate >= TIMESTAMP '1997-09-01'
              AND l_shipdate < TIMESTAMP '1997-12-01')
          SELECT promo_rev, total_rev,
-                round(100.0 * promo_rev / total_rev, 4) AS promo_ratio
+                CAST(floor(1000000.0 * promo_rev / total_rev) AS BIGINT)
+                  AS promo_ppm
          FROM s""",
     "q15_top_supplier" ->
       """WITH rev AS (
            SELECT l_suppkey AS suppkey,
-                  round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+                  sum(round(l_extendedprice * 100, 0) *
+                      round((1 - l_discount) * 100, 0)) / 10000.0 AS total_revenue
            FROM lineitem
            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
              AND l_shipdate < TIMESTAMP '1997-04-01'
@@ -353,20 +381,22 @@ object TpchMore extends Catalog {
          GROUP BY 1, 2, 3
          ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
     "q17_small_qty" ->
-      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+      """SELECT sum(round(l_extendedprice * 100, 0)) / 700.0 AS avg_yearly,
                 count(*) AS n_lines
          FROM lineitem JOIN part ON p_partkey = l_partkey
          WHERE p_brand = 'Brand#3' AND p_size <= 10
            AND l_quantity < (SELECT 0.2 * avg(l_quantity)
                              FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""",
     "q22_idle_customers" ->
-      """WITH avgbal AS (
-           SELECT round(avg(c_acctbal), 2) AS ab
-           FROM customer WHERE c_acctbal > 0.0)
+      """WITH c AS (
+           SELECT *, round(c_acctbal * 100, 0) AS bal_c FROM customer),
+         avgbal AS (
+           SELECT CAST(floor(sum(bal_c) / count(*)) AS BIGINT) AS ab_c
+           FROM c WHERE c_acctbal > 0.0)
          SELECT c_nationkey, count(*) AS numcust,
-                round(sum(c_acctbal), 2) AS totacctbal
-         FROM customer, avgbal
-         WHERE c_acctbal > ab
+                sum(bal_c) / 100.0 AS totacctbal
+         FROM c, avgbal
+         WHERE bal_c > ab_c
            AND NOT EXISTS (SELECT 1 FROM orders
                            WHERE o_custkey = c_custkey
                              AND o_orderdate >= TIMESTAMP '2000-01-01')

@@ -24,20 +24,38 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * followed by a full sort, with every row materialized through the sort
   * buffer, then thrown away. This operator keeps a bounded k-row heap per
   * key on the MAP side (the top-k analogue of a partial aggregate), so the
-  * exchange carries at most `partitions × keys × k` candidate rows and
-  * nothing is ever fully sorted. Same two-phase shape Spark itself uses for
-  * partial aggregation; memory per task is bounded by (#local keys)·k rows
-  * (the hash-aggregate memory profile).
+  * exchange carries bounded candidate sets and nothing is ever fully
+  * sorted. Same two-phase shape Spark itself uses for partial aggregation.
+  * Partial-phase memory is HARD-bounded at maxBufferedKeys·k rows by
+  * flushing under key-cardinality pressure (unlike hash aggregation there
+  * is no sort-spill fallback — see [[TopKPerKey.DefaultMaxBufferedKeys]]
+  * for why flushing is exact); the final phase holds its hash partition's
+  * keys like final hash aggregation does.
   */
 case class TopKPerKey(
     partExprs: Seq[Expression],
     ordering: Seq[SortOrder],
     k: Int,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    maxBufferedKeys: Int = TopKPerKey.DefaultMaxBufferedKeys) extends UnaryNode {
   require(k > 0, s"top-k requires k > 0, got $k")
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
     copy(child = newChild)
+}
+
+object TopKPerKey {
+  /** Partial-phase memory bound: at most this many per-key heaps are held
+    * before the buffered candidates are FLUSHED downstream and the map
+    * restarts. Flushing is correct for the partial phase — a row in the
+    * partition's true top-k is in the top-k of every prefix that contains
+    * it, so the union of flushed prefix top-ks is a candidate superset —
+    * it just prunes less. This bounds partial-phase memory at
+    * maxBufferedKeys·k rows regardless of key cardinality (the final
+    * phase, like final hash aggregation, still holds its hash partition's
+    * keys; for pathological key cardinality prefer the window plan).
+    */
+  val DefaultMaxBufferedKeys: Int = 1 << 16
 }
 
 /** Two-phase physical operator. `partial = true` runs before the exchange
@@ -50,6 +68,7 @@ case class TopKPerKeyExec(
     ordering: Seq[SortOrder],
     k: Int,
     partial: Boolean,
+    maxBufferedKeys: Int,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
@@ -65,30 +84,60 @@ case class TopKPerKeyExec(
     val part = partExprs
     val ord = ordering
     val limit = k
+    // the partial phase flushes under key-cardinality pressure (see
+    // TopKPerKey.DefaultMaxBufferedKeys); the final phase must hold each
+    // key exactly once to be exact, so it never flushes.
+    val flushAt = if (partial) maxBufferedKeys else Int.MaxValue
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(part, schema)
       // generated comparator: compare(a, b) < 0 ⇔ a sorts before b ⇔ a is
       // "better"; the max-heap therefore keeps the WORST retained row on
       // top, where a single compare decides replacement.
       val rowOrd: Ordering[InternalRow] = GenerateOrdering.generate(ord, schema)
-      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      iter.foreach { row =>
-        val key = keyProj(row)
-        val heap = heaps.get(key) match {
-          case Some(h) => h
-          case None =>
-            val h = mutable.PriorityQueue.empty[InternalRow](rowOrd)
-            heaps.put(key.copy(), h)
-            h
+
+      new Iterator[InternalRow] {
+        private var drain: Iterator[InternalRow] = Iterator.empty
+        private var pending: InternalRow = null
+
+        private def refill(): Unit = {
+          val heaps =
+            mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+          def add(row: InternalRow): Boolean = {
+            val key = keyProj(row)
+            heaps.get(key) match {
+              case Some(h) =>
+                if (h.size < limit) h += row.copy()
+                else if (rowOrd.compare(row, h.head) < 0) {
+                  h.dequeue(); h += row.copy()
+                }
+                true
+              case None if heaps.size < flushAt =>
+                val h = mutable.PriorityQueue.empty[InternalRow](rowOrd)
+                h += row.copy()
+                heaps.put(key.copy(), h)
+                true
+              case None => false // would exceed the buffer: flush first
+            }
+          }
+          if (pending != null) { add(pending); pending = null }
+          var full = false
+          while (!full && iter.hasNext) {
+            val row = iter.next()
+            if (!add(row)) { pending = row.copy(); full = true }
+          }
+          // dequeueAll drains worst-first; reverse restores sort order.
+          drain = heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
         }
-        if (heap.size < limit) heap += row.copy()
-        else if (rowOrd.compare(row, heap.head) < 0) {
-          heap.dequeue()
-          heap += row.copy()
+
+        override def hasNext: Boolean = {
+          while (!drain.hasNext && (pending != null || iter.hasNext)) refill()
+          drain.hasNext
+        }
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException
+          drain.next()
         }
       }
-      // dequeueAll drains worst-first; reverse restores sort order per key.
-      heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
     }, preservesPartitioning = true)
   }
 
@@ -99,9 +148,10 @@ case class TopKPerKeyExec(
 /** Planner strategy: one logical [[TopKPerKey]] → partial + final exec pair. */
 class TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKey(part, ord, k, child) =>
-      TopKPerKeyExec(part, ord, k, partial = false,
-        TopKPerKeyExec(part, ord, k, partial = true, planLater(child))) :: Nil
+    case TopKPerKey(part, ord, k, child, maxKeys) =>
+      TopKPerKeyExec(part, ord, k, partial = false, maxKeys,
+        TopKPerKeyExec(part, ord, k, partial = true, maxKeys,
+          planLater(child))) :: Nil
     case _ => Nil
   }
 }
@@ -116,14 +166,16 @@ object GraftPlans {
     * `spark.experimental.extraStrategies`.
     */
   def topKPerKey(df: DataFrame, keys: Seq[Column], ordering: Seq[Column],
-      k: Int): DataFrame = {
+      k: Int,
+      maxBufferedKeys: Int = TopKPerKey.DefaultMaxBufferedKeys): DataFrame = {
     val keyExprs = keys.map(GraftSqlBridge.expression(df.sparkSession, _))
     val sortOrders = ordering.map(GraftSqlBridge.expression(df.sparkSession, _)).map {
       case so: SortOrder => so
       case e => SortOrder(e, Ascending)
     }
     GraftSqlBridge.ofRows(df.sparkSession,
-      TopKPerKey(keyExprs, sortOrders, k, df.queryExecution.analyzed))
+      TopKPerKey(keyExprs, sortOrders, k, df.queryExecution.analyzed,
+        maxBufferedKeys))
   }
 
   /** Idempotently add [[TopKStrategy]] to an existing session (the

@@ -83,6 +83,24 @@ class TopKPerKeySpec extends AnyFunSuite with SparkSpec with Matchers {
       s"expected <= ${parts * 4 * k} candidate rows, shuffled ${shuffleRows.min}")
   }
 
+  test("partial-phase flushing under key pressure stays exact") {
+    registered
+    // 500 distinct keys through a 16-key partial buffer: many flushes per
+    // partition, result must still equal the window formulation
+    val df = spark.range(5000)
+      .select((F.col("id") % 500).as("g"), F.col("id").as("i"),
+        (F.col("id") % 37).as("v"))
+    val native = GraftPlans.topKPerKey(df,
+        Seq(F.col("g")), Seq(F.col("v").desc, F.col("i")), 3,
+        maxBufferedKeys = 16)
+      .select("g", "i").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val w = Window.partitionBy("g").orderBy(F.col("v").desc, F.col("i"))
+    val win = df.withColumn("rn", F.row_number().over(w))
+      .filter(F.col("rn") <= 3).select("g", "i").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    native shouldBe win
+  }
+
   test("keeps fewer than k rows for sparse keys and handles k=1") {
     import spark.implicits._
     registered
