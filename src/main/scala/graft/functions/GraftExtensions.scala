@@ -34,6 +34,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("simhash16"),
       info("simhash16", "simhash16(hashes) - 16-bit simhash of hex digests"),
       (exprs: Seq[Expression]) => SimHash16(exprs.head)))
+    // UDTF surface: generator (table function) usable in a select list or
+    // LATERAL VIEW
+    ext.injectFunction((FunctionIdentifier("shingles"),
+      info("shingles", "shingles(text, n) - one (pos, shingle) row per n-word window"),
+      (exprs: Seq[Expression]) => ShingleGenerate(exprs.head, exprs(1))))
     // whole-operator extension: logical TopKPerKey → partial/final exec
     // pair (see graft.plans.TopKPerKey)
     ext.injectPlannerStrategy(_ => new graft.plans.TopKStrategy)

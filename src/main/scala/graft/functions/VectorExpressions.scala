@@ -222,6 +222,8 @@ object VectorFunctions {
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash16", exprs => SimHash16(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingles", exprs => ShingleGenerate(exprs.head, exprs(1)), "scala_udf")
   }
 
   /** 16-bit SimHash over an `array<string>` of hex digests.

@@ -191,6 +191,20 @@ object LlmText extends Catalog {
           F.md5(F.col("col")).as("chunk_hash"))
         .orderBy("doc_id", "chunk_idx")),
 
+    // UDTF form of shingling: the custom ShingleGenerate Generator
+    // (graft.functions) emits one (pos, shingle) row per 3-word window —
+    // the lateral row-expansion surface, vs the array form the dedup
+    // operators use. Bounded to 50 docs to keep the gate result small.
+    "llm_shingle_gen" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      table(s, dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .selectExpr("doc_id", "shingles(text, 3)")
+        .withColumn("shingle_hash", F.md5(F.col("shingle")))
+        .drop("shingle")
+        .orderBy("doc_id", "pos")
+    }),
+
     // Fingerprinting: full-content hash + winnowing-style minimum
     // 3-shingle hash. Narrow projection, no shuffle.
     "llm_fingerprint" -> ((s, dir) =>
@@ -322,6 +336,13 @@ object LlmText extends Catalog {
                 CAST(sum(tf) AS BIGINT) AS total_tf,
                 max(tf) AS max_tf
          FROM tf GROUP BY word ORDER BY word""",
+    "llm_shingle_gen" ->
+      """SELECT doc_id, CAST(t.i - 1 AS INT) AS pos,
+                md5(array_to_string(w[t.i:t.i+2], ' ')) AS shingle_hash
+         FROM (SELECT doc_id, string_split(text, ' ') AS w
+               FROM documents WHERE doc_id < 50) d,
+              unnest(generate_series(1, len(d.w) - 2)) t(i)
+         ORDER BY doc_id, pos""",
     "llm_fingerprint" ->
       """SELECT doc_id, md5(text) AS content_hash,
                 list_aggregate(list_transform(

@@ -30,6 +30,22 @@ class GraftExtensionsSpec extends AnyWordSpec with Matchers with SparkSpec {
         row.getDouble(0) shouldBe 11.0
         row.getInt(1) shouldBe 2
         row.getLong(2) should be >= 0L
+        // UDTF in a select list and via LATERAL VIEW
+        val gen = s2.sql(
+          "SELECT shingles('a b c d', 3) FROM (SELECT 1)").collect()
+        gen.map(r => (r.getInt(0), r.getString(1))).toSeq shouldBe
+          Seq((0, "a b c"), (1, "b c d"))
+        val lat = s2.sql(
+          """SELECT t.txt, g.pos, g.shingle
+            |FROM (SELECT 'x y z w' AS txt) t
+            |LATERAL VIEW shingles(txt, 2) g AS pos, shingle
+            |WHERE g.pos > 0""".stripMargin).collect()
+        lat.map(r => (r.getInt(1), r.getString(2))).toSeq shouldBe
+          Seq((1, "y z"), (2, "z w"))
+        // short input yields no rows; null yields no rows
+        s2.sql("SELECT shingles('a b', 3) FROM (SELECT 1)").count() shouldBe 0
+        s2.sql("SELECT shingles(cast(null as string), 3) FROM (SELECT 1)")
+          .count() shouldBe 0
       } finally {
         SparkSession.clearDefaultSession()
         SparkSession.clearActiveSession()
