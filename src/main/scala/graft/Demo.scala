@@ -87,6 +87,27 @@ object Demo {
     println("== llm pipeline: cosine top-3 (IVF cell probe, codegen'd vec_dot) ==")
     graft.operators.LlmSimilarity.queries("llm_similar_ivf")(spark, sf).show(5)
 
+    println("== native top-k operator (custom LogicalPlan + Strategy + Exec) ==")
+    graft.plans.GraftPlans.register(spark)
+    val topk = graft.plans.GraftPlans.topKPerKey(
+      spark.read.parquet(s"$sf/orders.parquet"),
+      Seq(F.col("o_orderpriority")),
+      Seq(F.col("o_totalprice").desc, F.col("o_orderkey")), 2)
+    topk.orderBy(F.col("o_orderpriority"), F.col("o_totalprice").desc).show(6)
+
+    println("== z-order clustering key (multi-dimensional layout) ==")
+    spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(F.col("l_orderkey"), (F.col("l_partkey") % 256).as("px"),
+        (F.col("l_suppkey") % 256).as("sx"))
+      .withColumn("zval",
+        graft.functions.ZOrder.zvalue(F.col("px"), F.col("sx"), 8))
+      .show(3)
+
+    println("== shingles() table function (custom Generator UDTF) ==")
+    graft.functions.VectorFunctions.register(spark)
+    spark.read.parquet(s"$sf/documents.parquet")
+      .limit(1).selectExpr("doc_id", "shingles(text, 3)").show(3, truncate = false)
+
     spark.stop()
   }
 }
