@@ -240,6 +240,140 @@ object TpchMore extends Catalog {
           F.count(F.lit(1)).as("n_lines"))
     }),
 
+    // TPC-H Q2 flavour (no partsupp → lineitem is the part-supplier link;
+    // s_acctbal plays supply cost): min-cost EUROPE supplier per
+    // ECONOMY/size-15 part. The per-part minimum is a grouped aggregate
+    // joined back on (part, acctbal) equality — exact stored doubles, no
+    // arithmetic, so the equality is engine-stable.
+    "q2_min_cost_supp" -> ((s, dir) => {
+      val ps = table(s, dir, "lineitem")
+        .select(F.col("l_partkey"), F.col("l_suppkey")).distinct()
+      val eu = table(s, dir, "supplier")
+        .join(F.broadcast(table(s, dir, "nation")),
+          F.col("s_nationkey") === F.col("n_nationkey"))
+        .join(F.broadcast(table(s, dir, "region")
+          .filter(F.col("r_name") === "EUROPE")),
+          F.col("n_regionkey") === F.col("r_regionkey"))
+        .select(F.col("s_suppkey"), F.col("s_name"), F.col("s_acctbal"),
+          F.col("n_name"))
+      val part = table(s, dir, "part")
+        .filter(F.col("p_size") === 15 && F.col("p_type") === "ECONOMY")
+      val cand = part.join(ps, part("p_partkey") === ps("l_partkey"))
+        .join(eu, F.col("l_suppkey") === F.col("s_suppkey"))
+        .select(F.col("p_partkey"), F.col("p_name"), F.col("s_suppkey"),
+          F.col("s_name"), F.col("s_acctbal"), F.col("n_name"))
+      val mins = cand.groupBy(F.col("p_partkey").as("mp"))
+        .agg(F.min("s_acctbal").as("mb"))
+      cand.join(mins,
+          F.col("p_partkey") === F.col("mp") && F.col("s_acctbal") === F.col("mb"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(F.col("s_acctbal").desc, F.col("n_name"), F.col("s_name"),
+          F.col("p_partkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q11 flavour (no partsupp → part value from shipped volume):
+    // NATION_7 suppliers' per-part value with a global-fraction HAVING —
+    // the scalar total is a 1-row aggregate broadcast into the filter.
+    // Units are exact integers (cents × integer quantity).
+    "q11_important_parts" -> ((s, dir) => {
+      val v = table(s, dir, "lineitem")
+        .join(table(s, dir, "supplier").filter(F.col("s_nationkey") === 7),
+          F.col("l_suppkey") === F.col("s_suppkey"))
+        .select(F.col("l_partkey"),
+          (F.round(F.col("l_extendedprice") * 100, 0) * F.col("l_quantity"))
+            .as("u"))
+      val tot = v.agg(F.sum("u").as("t"))
+      v.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("l_partkey").as("partkey"), F.col("t"))
+        .agg((F.sum("u") / 100.0).as("value"), F.sum("u").as("su"))
+        .filter(F.col("su") > F.lit(0.001) * F.col("t"))
+        .select("partkey", "value")
+        .orderBy(F.col("value").desc, F.col("partkey"))
+    }),
+
+    // TPC-H Q13: customer order-count distribution — LEFT join keeps
+    // zero-order customers, double aggregation (per-customer count, then
+    // histogram). Pure counts, no float math.
+    "q13_custdist" -> ((s, dir) => {
+      val ord = table(s, dir, "orders")
+        .filter(F.col("o_orderpriority") =!= "1-URGENT")
+      val perCust = table(s, dir, "customer")
+        .join(ord, F.col("c_custkey") === F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").as("c_count"))
+      perCust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).as("custdist"))
+        .orderBy(F.col("custdist").desc, F.col("c_count").desc)
+    }),
+
+    // TPC-H Q19: disjunctive (brand, size, quantity) predicate triplets —
+    // the OR-of-ANDs shape the optimizer must keep join-pushable. Exact
+    // integer revenue units.
+    "q19_discounted_revenue" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val part = table(s, dir, "part")
+      val joined = li.join(part, li("l_partkey") === part("p_partkey"))
+      val cond =
+        (F.col("p_brand") === "Brand#12" && F.col("p_size").between(1, 5) &&
+          F.col("l_quantity").between(1, 11)) ||
+        (F.col("p_brand") === "Brand#23" && F.col("p_size").between(1, 10) &&
+          F.col("l_quantity").between(10, 20)) ||
+        (F.col("p_brand") === "Brand#15" && F.col("p_size").between(1, 15) &&
+          F.col("l_quantity").between(20, 30))
+      joined.filter(cond)
+        .agg((F.sum(discUnits) / 10000.0).as("revenue"),
+          F.count(F.lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q20 flavour (no partsupp → shipped volume): suppliers whose
+    // 1997 'red'-part quantity exceeds 10% of their total — the ratio
+    // compares exact integer quantity sums (10·red > tot), no division.
+    "q20_red_suppliers" -> ((s, dir) => {
+      val l = table(s, dir, "lineitem")
+        .filter(F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")) &&
+          F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+        .join(table(s, dir, "part"), F.col("l_partkey") === F.col("p_partkey"))
+        .select(F.col("l_suppkey"), F.col("l_quantity").cast("long").as("q"),
+          F.col("p_name"))
+      l.groupBy("l_suppkey")
+        .agg(F.sum(F.when(F.col("p_name").contains("red"), F.col("q"))
+          .otherwise(0L)).as("red_qty"),
+          F.sum("q").as("tot_qty"))
+        .filter(F.lit(10) * F.col("red_qty") > F.col("tot_qty"))
+        .join(table(s, dir, "supplier"),
+          F.col("l_suppkey") === F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "red_qty", "tot_qty")
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q21 flavour (no receiptdate → late = shipped >90 days after
+    // order): suppliers who were the SOLE late supplier on a multi-
+    // supplier finished order — Q21's EXISTS/NOT-EXISTS pair expressed as
+    // one per-order aggregate (distinct suppliers, distinct late
+    // suppliers, the unique late supplier), which shuffles each order's
+    // supplier ids once instead of two correlated probes.
+    "q21_waiting_supplier" -> ((s, dir) => {
+      val ol = table(s, dir, "lineitem")
+        .join(table(s, dir, "orders").filter(F.col("o_orderstatus") === "F"),
+          F.col("l_orderkey") === F.col("o_orderkey"))
+        .select(F.col("l_orderkey").as("ok"), F.col("l_suppkey").as("sk"),
+          F.when(F.col("l_shipdate") >
+            F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"), 1)
+            .otherwise(0).as("late"))
+      val po = ol.groupBy("ok")
+        .agg(F.countDistinct("sk").as("n_supp"),
+          F.countDistinct(F.when(F.col("late") === 1, F.col("sk"))).as("n_late"),
+          F.max(F.when(F.col("late") === 1, F.col("sk"))).as("late_sk"))
+        .filter(F.col("n_supp") > 1 && F.col("n_late") === 1)
+      po.join(table(s, dir, "supplier"),
+          F.col("late_sk") === F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).as("numwait"))
+        .orderBy(F.col("numwait").desc, F.col("s_name"))
+        .limit(20)
+    }),
+
     // TPC-H Q22 flavour (every customer has orders in this data → screen
     // for LAPSED customers: none since 2000). The global average balance
     // is a rounded 1-row aggregate broadcast into the filter; the order
@@ -387,6 +521,82 @@ object TpchMore extends Catalog {
          WHERE p_brand = 'Brand#3' AND p_size <= 10
            AND l_quantity < (SELECT 0.2 * avg(l_quantity)
                              FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""",
+    "q2_min_cost_supp" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+         eu AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+                FROM supplier JOIN nation ON n_nationkey = s_nationkey
+                JOIN region ON r_regionkey = n_regionkey
+                WHERE r_name = 'EUROPE'),
+         cand AS (SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal,
+                         n_name
+                  FROM part JOIN ps ON l_partkey = p_partkey
+                  JOIN eu ON s_suppkey = l_suppkey
+                  WHERE p_size = 15 AND p_type = 'ECONOMY'),
+         m AS (SELECT p_partkey AS mp, min(s_acctbal) AS mb
+               FROM cand GROUP BY 1)
+         SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+         FROM cand JOIN m ON p_partkey = mp AND s_acctbal = mb
+         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 20""",
+    "q11_important_parts" ->
+      """WITH v AS (
+           SELECT l_partkey, round(l_extendedprice * 100, 0) * l_quantity AS u
+           FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+           WHERE s_nationkey = 7),
+         tot AS (SELECT sum(u) AS t FROM v)
+         SELECT l_partkey AS partkey, sum(u) / 100.0 AS value
+         FROM v, tot GROUP BY l_partkey, t
+         HAVING sum(u) > 0.001 * t
+         ORDER BY value DESC, partkey""",
+    "q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist
+         FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+               FROM customer LEFT JOIN orders
+                 ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+               GROUP BY c_custkey)
+         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+    "q19_discounted_revenue" ->
+      """SELECT sum(round(l_extendedprice * 100, 0) *
+                    round((1 - l_discount) * 100, 0)) / 10000.0 AS revenue,
+                count(*) AS n_items
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 20 AND 30)""",
+    "q20_red_suppliers" ->
+      """WITH l AS (
+           SELECT l_suppkey, CAST(l_quantity AS BIGINT) AS q, p_name
+           FROM lineitem JOIN part ON p_partkey = l_partkey
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate < TIMESTAMP '1998-01-01'),
+         agg AS (
+           SELECT l_suppkey,
+                  CAST(sum(CASE WHEN p_name LIKE '%red%' THEN q ELSE 0 END)
+                    AS BIGINT) AS red_qty,
+                  CAST(sum(q) AS BIGINT) AS tot_qty
+           FROM l GROUP BY 1)
+         SELECT s_suppkey, s_name, red_qty, tot_qty
+         FROM agg JOIN supplier ON s_suppkey = l_suppkey
+         WHERE 10 * red_qty > tot_qty
+         ORDER BY s_suppkey""",
+    "q21_waiting_supplier" ->
+      """WITH ol AS (
+           SELECT l_orderkey AS ok, l_suppkey AS sk,
+                  CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                       THEN 1 ELSE 0 END AS late
+           FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+           WHERE o_orderstatus = 'F'),
+         po AS (
+           SELECT ok, count(DISTINCT sk) AS n_supp,
+                  count(DISTINCT CASE WHEN late = 1 THEN sk END) AS n_late,
+                  max(CASE WHEN late = 1 THEN sk END) AS late_sk
+           FROM ol GROUP BY ok)
+         SELECT s_name, count(*) AS numwait
+         FROM po JOIN supplier ON s_suppkey = late_sk
+         WHERE n_supp > 1 AND n_late = 1
+         GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""",
     "q22_idle_customers" ->
       """WITH c AS (
            SELECT *, round(c_acctbal * 100, 0) AS bal_c FROM customer),
