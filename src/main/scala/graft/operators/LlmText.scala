@@ -191,6 +191,64 @@ object LlmText extends Catalog {
           F.md5(F.col("col")).as("chunk_hash"))
         .orderBy("doc_id", "chunk_idx")),
 
+    // Composite quality FILTER (the operational Gopher/C4-style keep/drop
+    // decision): length, stopword-density, and repetition rules evaluated
+    // in order with the first failing rule reported. Every rule compares
+    // exact integers (word counts, 20·n_stop vs n_words, floor-scaled
+    // repetition) so the decision is engine-stable. The repetition signal
+    // is the only shuffling input; the rule cascade itself is a narrow
+    // projection.
+    "llm_quality_filter" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val st = d.select(F.col("doc_id"),
+        F.size(F.col("w")).cast("long").as("n_words"),
+        F.expr("cast(size(filter(w, x -> x in ('the','a','of','and','to','in','is'))) as long)")
+          .as("n_stop"))
+      val rep = d.filter(F.size(F.col("w")) >= 2)
+        .select(F.col("doc_id"),
+          F.explode(F.expr(
+            "transform(sequence(1, size(w)-1), i -> concat_ws(' ', slice(w, i, 2)))"))
+            .as("b"))
+        .groupBy("doc_id", "b").agg(F.count(F.lit(1)).as("c"))
+        .groupBy(F.col("doc_id").as("rid"))
+        .agg(F.floor(F.lit(1000000.0) * F.max("c") / F.sum("c")).as("rep_m"))
+      st.join(rep, st("doc_id") === F.col("rid"), "left")
+        .select(F.col("doc_id"), F.col("n_words"), F.col("n_stop"),
+          F.coalesce(F.col("rep_m"), F.lit(0L)).as("rep_m"))
+        .withColumn("reason",
+          F.when(F.col("n_words") < 40, "too_short")
+            .when(F.lit(20) * F.col("n_stop") < F.col("n_words"), "low_stopwords")
+            .when(F.col("rep_m") > 60000, "repetitive")
+            .otherwise("ok"))
+        .withColumn("keep", F.col("reason") === "ok")
+        .orderBy("doc_id")
+    }),
+
+    // Repetition quality signal (Gopher/C4-style filter): the most
+    // frequent bigram's share of all bigram occurrences — repetitive
+    // machine-generated text scores high and gets filtered. Explode →
+    // two partial-agg shuffles keyed on (doc, bigram) then doc; the
+    // exchanged rows are (id, 8-byte hash-able bigram, count) — never
+    // document bodies.
+    "llm_repetition" -> ((s, dir) => {
+      val bg = docs(s, dir)
+        .filter(F.size(F.col("w")) >= 2)
+        .select(F.col("doc_id"),
+          F.explode(F.expr(
+            "transform(sequence(1, size(w)-1), i -> concat_ws(' ', slice(w, i, 2)))"))
+            .as("b"))
+      bg.groupBy("doc_id", "b").agg(F.count(F.lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").as("n_bigrams"),
+          F.max("c").as("top_cnt"),
+          F.count(F.lit(1)).as("n_distinct"))
+        .select(F.col("doc_id"), F.col("n_bigrams"), F.col("n_distinct"),
+          F.col("top_cnt"),
+          F.floor(F.lit(1000000.0) * F.col("top_cnt") / F.col("n_bigrams"))
+            .as("rep_m"))
+        .orderBy("doc_id")
+    }),
+
     // UDTF form of shingling: the custom ShingleGenerate Generator
     // (graft.functions) emits one (pos, shingle) row per 3-word window —
     // the lateral row-expansion surface, vs the array form the dedup
@@ -336,6 +394,58 @@ object LlmText extends Catalog {
                 CAST(sum(tf) AS BIGINT) AS total_tf,
                 max(tf) AS max_tf
          FROM tf GROUP BY word ORDER BY word""",
+    "llm_quality_filter" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         st AS (
+           SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+                  CAST(len(list_filter(w,
+                    x -> x IN ('the','a','of','and','to','in','is')))
+                    AS BIGINT) AS n_stop
+           FROM d),
+         bg AS (
+           SELECT doc_id,
+                  unnest(list_transform(generate_series(1, len(w) - 1),
+                    i -> array_to_string(w[i:i+1], ' '))) AS b
+           FROM d WHERE len(w) >= 2),
+         cnt AS (
+           SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+         rep AS (
+           SELECT doc_id,
+                  CAST(floor(1000000.0 * max(c) / sum(c)) AS BIGINT) AS rep_m
+           FROM cnt GROUP BY 1),
+         j AS (
+           SELECT st.doc_id, n_words, n_stop,
+                  coalesce(rep_m, 0) AS rep_m
+           FROM st LEFT JOIN rep ON st.doc_id = rep.doc_id),
+         r AS (
+           SELECT *,
+                  CASE WHEN n_words < 40 THEN 'too_short'
+                       WHEN 20 * n_stop < n_words THEN 'low_stopwords'
+                       WHEN rep_m > 60000 THEN 'repetitive'
+                       ELSE 'ok' END AS reason
+           FROM j)
+         SELECT doc_id, n_words, n_stop, rep_m, reason,
+                reason = 'ok' AS keep
+         FROM r ORDER BY doc_id""",
+    "llm_repetition" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         bg AS (
+           SELECT doc_id,
+                  unnest(list_transform(generate_series(1, len(w) - 1),
+                    i -> array_to_string(w[i:i+1], ' '))) AS b
+           FROM d WHERE len(w) >= 2),
+         cnt AS (
+           SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+         agg AS (
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                  CAST(max(c) AS BIGINT) AS top_cnt,
+                  CAST(count(*) AS BIGINT) AS n_distinct
+           FROM cnt GROUP BY 1)
+         SELECT doc_id, n_bigrams, n_distinct, top_cnt,
+                CAST(floor(1000000.0 * top_cnt / n_bigrams) AS BIGINT) AS rep_m
+         FROM agg ORDER BY doc_id""",
     "llm_shingle_gen" ->
       """SELECT doc_id, CAST(t.i - 1 AS INT) AS pos,
                 md5(array_to_string(w[t.i:t.i+2], ' ')) AS shingle_hash
