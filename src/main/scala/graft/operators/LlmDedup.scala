@@ -203,7 +203,16 @@ object LlmDedup extends Catalog {
     // contaminated docs reach the aggregate. contam_m is the
     // floor-scaled fraction of a doc's shingles that are contaminated.
     "llm_decontaminate" -> ((s, dir) => {
-      val d = shingleArrays(s, dir)
+      // unsorted distinct shingles — the order only matters for the
+      // sorted_overlap merge kernel in the MinHash path; skipping the
+      // per-row array_sort saves an interpreted HOF pass over the corpus
+      val d = table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("w", F.split(F.col("text"), " "))
+        .filter(F.size(F.col("w")) >= 3)
+        .select(F.col("doc_id"), F.array_distinct(
+          F.expr("transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3)))"))
+          .as("shs"))
       val bench = d.filter(F.col("doc_id") % 17 === 0)
         .select(F.explode(F.col("shs")).as("sg")).distinct()
       d.filter(F.col("doc_id") % 17 =!= 0)
