@@ -38,18 +38,21 @@ case class ShingleGenerate(child: Expression, nExpr: Expression)
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     if (child.dataType == StringType && nExpr.dataType == IntegerType &&
-      nExpr.foldable)
+      nExpr.foldable && { val v = nExpr.eval(null); v != null && v.asInstanceOf[Int] >= 1 })
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        "shingles(text, n) expects (string, foldable int)")
+        "shingles(text, n) expects (string, foldable int >= 1)")
   }
 
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val text = child.eval(input)
     if (text == null) return Iterator.empty
     val n = nExpr.eval(input).asInstanceOf[Int]
-    val words = text.asInstanceOf[UTF8String].toString.split(" ")
+    // split limit -1 keeps trailing empty tokens — the convention Spark's
+    // F.split and DuckDB's string_split share (Java's default drops them,
+    // which would shift shingle counts on trailing-space inputs)
+    val words = text.asInstanceOf[UTF8String].toString.split(" ", -1)
     if (words.length < n) return Iterator.empty
     Iterator.tabulate(words.length - n + 1) { i =>
       InternalRow(i, UTF8String.fromString(words.slice(i, i + n).mkString(" ")))

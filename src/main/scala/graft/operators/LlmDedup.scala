@@ -39,17 +39,24 @@ object LlmDedup extends Catalog {
     * sorted once here so pair verification is a codegen'd two-pointer
     * merge (`sorted_overlap`) instead of a per-pair hash build.
     */
-  private def shingleArrays(s: SparkSession, dir: String): DataFrame = {
+  /** `sorted = true` additionally array_sorts the set — required only by
+    * the `sorted_overlap` merge kernel; consumers that explode the set
+    * (decontamination) skip the interpreted sort pass.
+    */
+  private def shingleArrays(s: SparkSession, dir: String,
+      sorted: Boolean = true): DataFrame = {
     VectorFunctions.register(s)
+    val distinctShingles = F.array_distinct(
+      F.expr("transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3)))"))
     table(s, dir, "documents")
       // single-row-group input file → one split; repartition so the
       // per-row shingling/hashing uses every core (see LlmText.docs)
       .repartition(s.sparkContext.defaultParallelism)
       .withColumn("w", F.split(F.col("text"), " "))
       .filter(F.size(F.col("w")) >= 3)
-      .select(F.col("doc_id"), F.array_sort(F.array_distinct(
-        F.expr("transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3)))")))
-        .as("shs"))
+      .select(F.col("doc_id"),
+        (if (sorted) F.array_sort(distinctShingles) else distinctShingles)
+          .as("shs"))
   }
 
   /** One md5 per shingle; band k's signature is the minimum of hex slice
@@ -203,16 +210,7 @@ object LlmDedup extends Catalog {
     // contaminated docs reach the aggregate. contam_m is the
     // floor-scaled fraction of a doc's shingles that are contaminated.
     "llm_decontaminate" -> ((s, dir) => {
-      // unsorted distinct shingles — the order only matters for the
-      // sorted_overlap merge kernel in the MinHash path; skipping the
-      // per-row array_sort saves an interpreted HOF pass over the corpus
-      val d = table(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-        .withColumn("w", F.split(F.col("text"), " "))
-        .filter(F.size(F.col("w")) >= 3)
-        .select(F.col("doc_id"), F.array_distinct(
-          F.expr("transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3)))"))
-          .as("shs"))
+      val d = shingleArrays(s, dir, sorted = false)
       val bench = d.filter(F.col("doc_id") % 17 === 0)
         .select(F.explode(F.col("shs")).as("sg")).distinct()
       d.filter(F.col("doc_id") % 17 =!= 0)

@@ -49,7 +49,10 @@ object LlmMultimodal extends Catalog {
     // (verified: octet_length == length for every document).
     "llm_frames" -> ((s, dir) => {
       import s.implicits._
+      // single-row-group parquet → one split; repartition before the
+      // per-frame hashing so it uses every core (CLAUDE.md rule)
       val assets = table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(F.col("doc_id").as("docId"),
           F.to_binary(F.col("text"), F.lit("utf-8")).as("payload"),
           F.lit("vid/fake").as("fmt"), F.lit(0).as("width"),
@@ -70,6 +73,7 @@ object LlmMultimodal extends Catalog {
     "llm_resize" -> ((s, dir) => {
       import s.implicits._
       val assets = table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .filter(F.col("n_chars") > 0)
         .select(F.col("doc_id").as("docId"),
           F.to_binary(F.col("text"), F.lit("utf-8")).as("payload"),

@@ -37,6 +37,25 @@ object LlmText extends Catalog {
       .repartition(s.sparkContext.defaultParallelism)
       .withColumn("w", F.split(F.col("text"), " "))
 
+  /** (doc_id → rep_m): floor-scaled top-bigram share — the repetition
+    * signal shared by llm_repetition (reported raw, with counts) and
+    * llm_quality_filter (thresholded); one definition so the reported
+    * signal and the keep/drop decision can never drift apart.
+    */
+  private def repM(d: DataFrame): DataFrame =
+    d.filter(F.size(F.col("w")) >= 2)
+      .select(F.col("doc_id"),
+        F.explode(F.expr(
+          "transform(sequence(1, size(w)-1), i -> concat_ws(' ', slice(w, i, 2)))"))
+          .as("b"))
+      .groupBy("doc_id", "b").agg(F.count(F.lit(1)).as("c"))
+      .groupBy(F.col("doc_id").as("rid"))
+      .agg(F.sum("c").as("n_bigrams"),
+        F.max("c").as("top_cnt"),
+        F.count(F.lit(1)).as("n_distinct"))
+      .withColumn("rep_m",
+        F.floor(F.lit(1000000.0) * F.col("top_cnt") / F.col("n_bigrams")))
+
   val queries: Map[String, Q] = Map(
 
     // Exact dedup: group on content hash, keep the smallest doc_id.
@@ -204,14 +223,7 @@ object LlmText extends Catalog {
         F.size(F.col("w")).cast("long").as("n_words"),
         F.expr("cast(size(filter(w, x -> x in ('the','a','of','and','to','in','is'))) as long)")
           .as("n_stop"))
-      val rep = d.filter(F.size(F.col("w")) >= 2)
-        .select(F.col("doc_id"),
-          F.explode(F.expr(
-            "transform(sequence(1, size(w)-1), i -> concat_ws(' ', slice(w, i, 2)))"))
-            .as("b"))
-        .groupBy("doc_id", "b").agg(F.count(F.lit(1)).as("c"))
-        .groupBy(F.col("doc_id").as("rid"))
-        .agg(F.floor(F.lit(1000000.0) * F.max("c") / F.sum("c")).as("rep_m"))
+      val rep = repM(d).select("rid", "rep_m")
       st.join(rep, st("doc_id") === F.col("rid"), "left")
         .select(F.col("doc_id"), F.col("n_words"), F.col("n_stop"),
           F.coalesce(F.col("rep_m"), F.lit(0L)).as("rep_m"))
@@ -230,24 +242,11 @@ object LlmText extends Catalog {
     // two partial-agg shuffles keyed on (doc, bigram) then doc; the
     // exchanged rows are (id, 8-byte hash-able bigram, count) — never
     // document bodies.
-    "llm_repetition" -> ((s, dir) => {
-      val bg = docs(s, dir)
-        .filter(F.size(F.col("w")) >= 2)
-        .select(F.col("doc_id"),
-          F.explode(F.expr(
-            "transform(sequence(1, size(w)-1), i -> concat_ws(' ', slice(w, i, 2)))"))
-            .as("b"))
-      bg.groupBy("doc_id", "b").agg(F.count(F.lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(F.sum("c").as("n_bigrams"),
-          F.max("c").as("top_cnt"),
-          F.count(F.lit(1)).as("n_distinct"))
-        .select(F.col("doc_id"), F.col("n_bigrams"), F.col("n_distinct"),
-          F.col("top_cnt"),
-          F.floor(F.lit(1000000.0) * F.col("top_cnt") / F.col("n_bigrams"))
-            .as("rep_m"))
-        .orderBy("doc_id")
-    }),
+    "llm_repetition" -> ((s, dir) =>
+      repM(docs(s, dir))
+        .select(F.col("rid").as("doc_id"), F.col("n_bigrams"),
+          F.col("n_distinct"), F.col("top_cnt"), F.col("rep_m"))
+        .orderBy("doc_id")),
 
     // UDTF form of shingling: the custom ShingleGenerate Generator
     // (graft.functions) emits one (pos, shingle) row per 3-word window —

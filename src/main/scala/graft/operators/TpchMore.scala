@@ -142,15 +142,13 @@ object TpchMore extends Catalog {
       val sup = table(s, dir, "supplier")
       val ord = table(s, dir, "orders")
       val nat = table(s, dir, "nation")
-      val exactUnits = F.round(F.col("l_extendedprice") * 100, 0) *
-        F.round((F.lit(1) - F.col("l_discount")) * 100, 0)
       li.join(part, li("l_partkey") === part("p_partkey"))
         .join(sup, li("l_suppkey") === sup("s_suppkey"))
         .join(ord, li("l_orderkey") === ord("o_orderkey"))
         .join(F.broadcast(nat), F.col("s_nationkey") === F.col("n_nationkey"))
         .groupBy(F.col("n_name").as("nation"),
           F.year(F.col("o_orderdate")).as("o_year"))
-        .agg((F.sum(exactUnits) / 10000.0).as("profit"))
+        .agg((F.sum(discUnits) / 10000.0).as("profit"))
         .orderBy("nation", "o_year")
     }),
 

@@ -39,6 +39,8 @@ case class TopKPerKey(
     child: LogicalPlan,
     maxBufferedKeys: Int = TopKPerKey.DefaultMaxBufferedKeys) extends UnaryNode {
   require(k > 0, s"top-k requires k > 0, got $k")
+  require(maxBufferedKeys > 0,
+    s"top-k requires maxBufferedKeys > 0, got $maxBufferedKeys")
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
     copy(child = newChild)
