@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness contract is "last stdout line is ONE JSON
+// object"; sbt broke that two ways (every BENCH_r*.json shows
+// parsed:null): a trailing "[success] Total time: ..." line, and an
+// "[info] " prefix glued onto the forked process's stdout. Suppress the
+// former and pass run output through unprefixed.
+Global / showSuccess := false
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

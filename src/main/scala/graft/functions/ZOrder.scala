@@ -21,9 +21,14 @@ object ZOrder {
     * composition — whole-stage codegen, no UDF, usable directly in
     * `repartitionByRange`/`sortWithinPartitions`.
     */
-  def zvalue(x: Column, y: Column, bits: Int): Column =
+  def zvalue(x: Column, y: Column, bits: Int): Column = {
+    // 2*i+1 must stay below 64: long shifts wrap mod 64, so bits > 31
+    // would silently corrupt the interleave (ADVICE r3).
+    require(bits >= 1 && bits <= 31,
+      s"zvalue supports 1..31 bits per dimension, got $bits")
     (0 until bits).map { i =>
       F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1L)), 2 * i + 1) +
         F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1L)), 2 * i)
     }.reduce(_ + _)
+  }
 }

@@ -198,6 +198,12 @@ object LlmDedup extends Catalog {
         changed = next.filter(F.col("chg")).count()
         lab = next.select("v", "lab")
       }
+      // Hitting the hop budget with labels still moving means the clusters
+      // are unconverged — fail loudly instead of emitting wrong components
+      // (pointer jumping needs diameter > ~2^12 to get here).
+      require(changed == 0,
+        s"connected-components did not converge within $guard hops " +
+          s"($changed labels still changing)")
       lab.select(F.col("v").as("doc_id"), F.col("lab").as("cluster"))
         .orderBy("doc_id")
     }),

@@ -51,8 +51,12 @@ object LlmMultimodal extends Catalog {
       import s.implicits._
       // single-row-group parquet → one split; repartition before the
       // per-frame hashing so it uses every core (CLAUDE.md rule)
+      // Guard empty payloads: sampleFrames emits no rows for them, but the
+      // oracle's `(length-1) // 64` truncates -1//64 to 0 in DuckDB and
+      // would emit one empty-frame row (ADVICE r3). Mirrors llm_resize.
       val assets = table(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
+        .filter(F.col("n_chars") > 0)
         .select(F.col("doc_id").as("docId"),
           F.to_binary(F.col("text"), F.lit("utf-8")).as("payload"),
           F.lit("vid/fake").as("fmt"), F.lit(0).as("width"),
@@ -113,7 +117,7 @@ object LlmMultimodal extends Catalog {
                 md5(substring(text, t.i*64 + 1, 64)) AS frame_hash
          FROM documents d,
               unnest(generate_series(0, (length(d.text) - 1) // 64)) t(i)
-         WHERE t.i % 2 = 0
+         WHERE t.i % 2 = 0 AND length(d.text) > 0
          ORDER BY doc_id, frame_idx""",
     "llm_resize" ->
       """WITH px AS (

@@ -166,6 +166,14 @@ object GraftPlans {
     * Requires the session to carry [[TopKStrategy]] — injected by
     * `GraftExtensions` or added programmatically via
     * `spark.experimental.extraStrategies`.
+    *
+    * Determinism contract: `ordering` must be a TOTAL order per key.
+    * Comparator ties are broken by arrival order (the heap keeps the
+    * first-arriving of equal rows), so under a partial order the result —
+    * like the `row_number()` window formulation it replaces — is
+    * arrival-order-dependent and may vary run to run. Add a unique
+    * tiebreaker column (e.g. a primary key) to the ordering when the
+    * prefix can tie.
     */
   def topKPerKey(df: DataFrame, keys: Seq[Column], ordering: Seq[Column],
       k: Int,
