@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{functions => F}
+
+import graft.functions.BloomFilters
+
+/** Round-4 relational depth gates: FILTER-clause aggregates, LATERAL
+  * subquery joins, exact-moment statistics, count-min-sketch heavy hitters,
+  * and explicit bloom-filter semi-join prefiltering.
+  *
+  * Determinism notes (CLAUDE.md rules apply throughout):
+  * - Statistics are computed from EXACT integer moments (BIGINT sums), and
+  *   the final corr/stddev formula runs entirely in IEEE doubles with
+  *   identical parenthesization in both engines — +,-,*,/ and sqrt are
+  *   correctly rounded, so the doubles are bit-identical cross-engine
+  *   (only libm transcendentals like ln/exp may differ; none are used).
+  * - Sketches are order-independent (CMS counters are additive; bloom bit
+  *   sets are unions) and seeded, so they are stable under Spark's
+  *   nondeterministic partition/merge order.
+  */
+object Advanced extends Catalog {
+
+  val queries: Map[String, Q] = Map(
+
+    // FILTER-clause aggregates (SQL:2003 T612): several differently-
+    // filtered aggregates in ONE pass over the fact table — the scale-
+    // friendly alternative to N self-joined subqueries. Money in exact
+    // integer cents.
+    "q_filter_agg" -> ((s, dir) => {
+      table(s, dir, "lineitem").createOrReplaceTempView("v_li_fa")
+      s.sql(
+        """SELECT l_returnflag,
+          |       count(*) AS n_all,
+          |       count(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+          |       sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+          |         FILTER (WHERE l_quantity >= 25) AS cents_heavy
+          |FROM v_li_fa GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
+
+    // LATERAL correlated subquery: per-nation top-2 customers by balance.
+    // Catalyst plans the correlated limit as a decorrelated join + per-key
+    // limit — the declarative form of the "top-k per key" pattern
+    // (cf. the native operator gate q_topk_native).
+    "q_lateral" -> ((s, dir) => {
+      table(s, dir, "nation").createOrReplaceTempView("v_nat_lat")
+      table(s, dir, "customer").createOrReplaceTempView("v_cust_lat")
+      s.sql(
+        """SELECT n.n_name, t.c_name, t.c_acctbal
+          |FROM v_nat_lat n,
+          |LATERAL (SELECT c_name, c_acctbal FROM v_cust_lat c
+          |         WHERE c.c_nationkey = n.n_nationkey
+          |         ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+          |ORDER BY n_name, c_name""".stripMargin)
+    }),
+
+    // Statistical aggregates via EXACT integer moments: corr/stddev from
+    // BIGINT sums (n, Σx, Σy, Σx², Σy², Σxy), final formula in doubles.
+    // Spark's native corr()/stddev() accumulate doubles in partition-merge
+    // order (nondeterministic run-to-run); integer moments shuffle-order-
+    // proof the result AND halve the passes (one scan, six sums).
+    // Headroom: Σy² ≈ 2e15 at sf0.1 (y = whole dollars ~1e5) — BIGINT
+    // overflows near sf3000; at that scale switch the sums to DECIMAL(38).
+    "q_stats_moments" -> ((s, dir) => {
+      table(s, dir, "lineitem").createOrReplaceTempView("v_li_mom")
+      s.sql(statsMomentsSql("v_li_mom"))
+    }),
+
+    // Count-min-sketch heavy hitters over document tokens, with the sketch
+    // accuracy contract checked in-engine (cf. Sketches.scala): the CMS
+    // estimate must over-approximate (no under-counting, structurally) and
+    // stay within eps·N of the exact count. The sketch is built in ONE
+    // distributed pass (mergeable counters, fixed seed); only the k exact
+    // top rows and the kilobyte sketch reach the driver.
+    "q_approx_topk" -> ((s, dir) => {
+      val toks = table(s, dir, "documents")
+        .select(F.explode(F.split(F.col("text"), " ")).as("token"))
+        .filter(F.length(F.col("token")) > 0)
+      val eps = 0.001
+      val cms = toks.stat.countMinSketch("token", eps, 0.99, 42)
+      val bound = math.ceil(eps * cms.totalCount()).toLong
+      val top = toks.groupBy("token").agg(F.count(F.lit(1)).as("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc, F.col("token"))
+        .limit(10).collect()
+      val rows = top.toSeq.map { r =>
+        val tok = r.getString(0)
+        val exact = r.getLong(1)
+        val est = cms.estimateCount(tok)
+        (tok, exact, est >= exact && est <= exact + bound)
+      }
+      val out = s.createDataFrame(rows).toDF("token", "exact_cnt", "cms_ok")
+      out.orderBy(F.col("exact_cnt").desc, F.col("token"))
+    }),
+
+    // Explicit bloom-filter semi-join prefilter (graft.functions
+    // .BloomFilters): bloom the filtered customer dim's keys (kilobytes),
+    // probe it INSIDE the orders scan stage (no false negatives → nothing
+    // true is lost), then confirm the ≤fpp false positives with the exact
+    // semi join. At 100 TB the bloom prunes the fact shuffle by the dim
+    // selectivity; the same shape prefilters dedup-candidate joins.
+    "q_bloom_prefilter" -> ((s, dir) => {
+      val cust = table(s, dir, "customer")
+        .filter(F.col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val bloom = cust
+        .agg(BloomFilters.bloomAgg(s, F.col("c_custkey"), 100000L, 1L << 20))
+        .head().getAs[Array[Byte]](0)
+      table(s, dir, "orders")
+        .filter(BloomFilters.mightContain(s, bloom, F.col("o_custkey")))
+        .join(cust, F.col("o_custkey") === F.col("c_custkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).as("n_orders"),
+          F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).as("cents_total"))
+        .orderBy("o_orderpriority")
+    })
+  )
+
+  /** Shared Spark/DuckDB moment-statistics SQL — identical text modulo the
+    * table name so the double arithmetic parenthesization matches exactly.
+    */
+  private def statsMomentsSql(t: String): String =
+    s"""WITH m AS (
+       |  SELECT l_returnflag,
+       |         count(*) AS n,
+       |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+       |         CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sy,
+       |         CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+       |         CAST(sum(CAST(floor(l_extendedprice) AS BIGINT) * CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS syy,
+       |         CAST(sum(CAST(l_quantity AS BIGINT) * CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sxy
+       |  FROM $t GROUP BY l_returnflag)
+       |SELECT l_returnflag, n,
+       |       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+       |       (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+       |        sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       |         AS corr_qty_price,
+       |       sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+       |            (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) AS sd_qty,
+       |       sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) /
+       |            (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) AS sd_price
+       |FROM m ORDER BY l_returnflag""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_filter_agg" ->
+      """SELECT l_returnflag,
+           count(*) AS n_all,
+           CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_disc,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+             FILTER (WHERE l_quantity >= 25) AS BIGINT) AS cents_heavy
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_lateral" ->
+      """SELECT n.n_name, t.c_name, t.c_acctbal
+         FROM nation n,
+         LATERAL (SELECT c_name, c_acctbal FROM customer c
+                  WHERE c.c_nationkey = n.n_nationkey
+                  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+         ORDER BY n_name, c_name""",
+    "q_stats_moments" -> statsMomentsSql("lineitem"),
+    "q_approx_topk" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt, TRUE AS cms_ok
+         FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+         WHERE length(token) > 0
+         GROUP BY token ORDER BY exact_cnt DESC, token LIMIT 10""",
+    "q_bloom_prefilter" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS cents_total
+         FROM orders
+         WHERE o_custkey IN
+           (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+         GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+  )
+}

@@ -23,4 +23,11 @@ object GraftSqlBridge {
     */
   def expression(spark: SparkSession, c: Column): Expression =
     spark.asInstanceOf[classic.SparkSession].expression(c)
+
+  /** Inverse of [[expression]]: wrap a Catalyst expression into a Column.
+    * Needed for built-in expressions Spark ships but does not register in
+    * the SQL function registry (e.g. the bloom-filter aggregate pair that
+    * powers runtime filtering).
+    */
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
 }
