@@ -52,15 +52,35 @@ object Bench {
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double) = f"$v%.3f"
+    def toJson(rs: Seq[(String, Double)]) =
+      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // The driver captures only the LAST 2000 chars of stdout and parses the
+    // JSON line out of that tail (BENCH_r1..r3 all show `parsed: null` —
+    // the full 100+-query map is ~3.4 KB, so the line's opening brace fell
+    // off the tail every round). Emit a compact line: headline queries only
+    // (all 22 TPC-H + the flagship LLM ops), full detail to BENCH_DETAIL
+    // .json alongside.
+    val headline = results.filter { case (k, _) =>
+      k.matches("q\\d+.*") ||
+        Set("llm_dedup_minhash", "llm_similar_topk", "llm_decontaminate",
+          "llm_pipeline_e2e", "q_topk_native").contains(k)
+    }
+    val detail =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${toJson(results)},"errors":$errJson,"sf":"$sfDir"}"""
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+        detail.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(headline)},"sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size}}"""
     // stop() BEFORE the println: the JSON line must be the LAST thing on
     // stdout (driver contract) and session teardown may log.
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(line)
     if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -91,6 +91,47 @@ object Advanced extends Catalog {
       out.orderBy(F.col("exact_cnt").desc, F.col("token"))
     }),
 
+    // NULL-aware anti join: NOT IN over a nullable probe column. Three-
+    // valued logic makes `NULL NOT IN (...)` UNKNOWN, so rows with a null
+    // key drop — the semantic corner that separates NOT IN from a plain
+    // anti join. Spark plans the single-column form as a broadcast hash
+    // join with isNullAwareAntiJoin, scan-side prunable at scale.
+    "q_not_in" -> ((s, dir) => {
+      table(s, dir, "orders").createOrReplaceTempView("v_ord_ni")
+      table(s, dir, "customer").createOrReplaceTempView("v_cust_ni")
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n
+          |FROM v_ord_ni
+          |WHERE nullif(o_custkey, 7) NOT IN
+          |  (SELECT c_custkey FROM v_cust_ni WHERE c_mktsegment = 'BUILDING')
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }),
+
+    // Fuzzy string join (entity resolution): distinct-name pairs within
+    // edit distance 2, banded by length/4 so candidates come from equal or
+    // adjacent bands only — |Δlen| ≤ 2 bounds the band gap to 1, making the
+    // banding SOUND (no pair lost) while avoiding the all-pairs cross join
+    // that a naive levenshtein theta-join would shuffle at scale. The
+    // 3-way band explode is the standard blocking trick: each probe row
+    // lands in its own and both neighbor bands; the build side keeps one.
+    "q_fuzzy_join" -> ((s, dir) => {
+      val names = table(s, dir, "part").select(F.col("p_name").as("nm"))
+        .distinct()
+        .withColumn("ln", F.length(F.col("nm")))
+      val band = F.floor(F.col("ln") / 4).cast("int")
+      val build = names.withColumn("band", band)
+      val probe = names.withColumn("band",
+        F.explode(F.array(band - 1, band, band + 1)))
+      probe.alias("a").join(build.alias("b"),
+          F.col("a.band") === F.col("b.band")
+            && F.col("a.nm") < F.col("b.nm")
+            && F.abs(F.col("a.ln") - F.col("b.ln")) <= 2)
+        .select(F.col("a.nm").as("name_a"), F.col("b.nm").as("name_b"),
+          F.levenshtein(F.col("a.nm"), F.col("b.nm")).as("dist"))
+        .filter(F.col("dist").between(1, 2))
+        .orderBy("name_a", "name_b")
+    }),
+
     // Explicit bloom-filter semi-join prefilter (graft.functions
     // .BloomFilters): bloom the filtered customer dim's keys (kilobytes),
     // probe it INSIDE the orders scan stage (no false negatives → nothing
@@ -154,6 +195,20 @@ object Advanced extends Catalog {
                   ORDER BY c_acctbal DESC, c_name LIMIT 2) t
          ORDER BY n_name, c_name""",
     "q_stats_moments" -> statsMomentsSql("lineitem"),
+    "q_not_in" ->
+      """SELECT o_orderpriority, count(*) AS n
+         FROM orders
+         WHERE nullif(o_custkey, 7) NOT IN
+           (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_fuzzy_join" ->
+      """WITH n AS (SELECT DISTINCT p_name AS nm FROM part)
+         SELECT a.nm AS name_a, b.nm AS name_b,
+                CAST(levenshtein(a.nm, b.nm) AS INT) AS dist
+         FROM n a JOIN n b
+           ON a.nm < b.nm AND abs(length(a.nm) - length(b.nm)) <= 2
+         WHERE levenshtein(a.nm, b.nm) BETWEEN 1 AND 2
+         ORDER BY name_a, name_b""",
     "q_approx_topk" ->
       """SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt, TRUE AS cms_ok
          FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{functions => F}
+
+import graft.functions.BloomFilters
+
+/** Corpus-ingest curation gates: PII redaction, fixed-quota domain
+  * mixing, and incremental (new-batch vs corpus) deduplication.
+  *
+  * These are the operations that run at the FRONT of a training-data
+  * pipeline, where the input is largest — each is a narrow map or a
+  * prefiltered join, never a corpus-wide shuffle:
+  * - redaction is a per-row regex map (codegen'd, no shuffle);
+  * - quota mixing shuffles once on the low-cardinality domain key;
+  * - incremental dedup broadcasts a kilobyte bloom of corpus hashes and
+  *   only the ~duplicate slice of the new batch reaches the exact join.
+  *
+  * Determinism: regex patterns use the Java∩RE2 common subset (char
+  * classes, `+`, bounded repeats — no backrefs/lookaround, which RE2
+  * lacks); ranking keys are md5-based (CLAUDE.md hash rules) with doc_id
+  * tie-breaks.
+  */
+object LlmIngest extends Catalog {
+
+  private val emailPat = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+  private val phonePat = "555-[0-9]{4}"
+
+  val queries: Map[String, Q] = Map(
+
+    // PII redaction: detect + mask emails and phone-like tokens in one
+    // per-row pass. The testdata is synthetic prose with no real PII, so
+    // deterministic PII is APPENDED first (doc_id-derived address and
+    // number) — the redaction pipeline itself is exactly what would run
+    // on real text. Counts survive as audit columns; the masked text is
+    // hash-compared (engines agree byte-for-byte or the md5 differs).
+    "llm_pii_redact" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .withColumn("aug", F.concat(F.col("text"),
+          F.lit(" contact user"), F.col("doc_id").cast("string"),
+          F.lit("@mail.example or call 555-"),
+          F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")))
+        .select(F.col("doc_id"),
+          F.regexp_count(F.col("aug"), F.lit(emailPat)).as("n_email"),
+          F.regexp_count(F.col("aug"), F.lit(phonePat)).as("n_phone"),
+          F.md5(F.regexp_replace(
+            F.regexp_replace(F.col("aug"), emailPat, "<EMAIL>"),
+            phonePat, "<PHONE>")).as("redacted_md5"))
+        .orderBy("doc_id")),
+
+    // Fixed-quota domain mixture: every source contributes at most its
+    // quota, chosen by a seeded content-hash rank (reproducible, no RNG).
+    // Differs from llm_sample (per-stratum FRACTION via hash threshold):
+    // quotas give exact per-domain budgets, the knob real data-mixing
+    // recipes specify. One shuffle on the 20-value domain key; the window
+    // is per-domain rank, spilled by Spark if a domain is huge (at real
+    // scale pre-aggregate a per-domain count and hash-bucket within the
+    // domain instead of a single global window per key).
+    "llm_mixture" -> ((s, dir) => {
+      val w = Window.partitionBy("source")
+        .orderBy(F.md5(F.concat(F.lit("mx:"), F.col("text"))), F.col("doc_id"))
+      table(s, dir, "documents")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= F.when(F.col("source") === "src0", 15)
+          .when(F.col("source") === "src1", 10).otherwise(5))
+        .select("doc_id", "source", "rk")
+        .orderBy("doc_id")
+    }),
+
+    // Incremental dedup: which new-batch docs already exist in the
+    // corpus? (Parity of doc_id stands in for corpus/batch membership so
+    // the gate is scale-invariant; the dup key is a 60-char prefix
+    // fingerprint — whole-text md5 finds nothing in this testdata, whose
+    // duplicates are near-dups sharing long prefixes.) A bloom over the
+    // corpus fingerprints is broadcast as a literal; new-batch rows
+    // failing the probe are PROVABLY novel (blooms have no false
+    // negatives) and skip the join entirely — only the ≤fpp candidate
+    // slice is shuffled for the exact semi-join confirm. At 100 TB:
+    // kilobytes broadcast vs re-shuffling the whole corpus every ingest
+    // tick.
+    "llm_dedup_incremental" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .withColumn("h", F.md5(F.substring(F.col("text"), 1, 60)))
+      val corpus = d.filter(F.col("doc_id") % 2 === 0).select("h")
+      val bloom = corpus
+        .agg(BloomFilters.bloomAgg(s, F.col("h"), 1000000L, 1L << 23))
+        .head().getAs[Array[Byte]](0)
+      d.filter(F.col("doc_id") % 2 === 1)
+        .filter(BloomFilters.mightContain(s, bloom, F.col("h")))
+        .join(corpus, Seq("h"), "left_semi")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "llm_pii_redact" ->
+      """WITH aug AS (
+           SELECT doc_id,
+                  text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@mail.example or call 555-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug
+           FROM documents)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(aug, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS INT) AS n_email,
+                CAST(len(regexp_extract_all(aug, '555-[0-9]{4}')) AS INT) AS n_phone,
+                md5(regexp_replace(regexp_replace(aug,
+                  '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+                  '555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+         FROM aug ORDER BY doc_id""",
+    "llm_mixture" ->
+      """WITH ranked AS (
+           SELECT doc_id, source,
+                  CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY md5('mx:' || text), doc_id) AS INT) AS rk
+           FROM documents)
+         SELECT doc_id, source, rk FROM ranked
+         WHERE rk <= CASE WHEN source = 'src0' THEN 15
+                          WHEN source = 'src1' THEN 10 ELSE 5 END
+         ORDER BY doc_id""",
+    "llm_dedup_incremental" ->
+      """SELECT doc_id, source FROM documents
+         WHERE doc_id % 2 = 1
+           AND md5(substring(text, 1, 60)) IN
+             (SELECT md5(substring(text, 1, 60)) FROM documents
+              WHERE doc_id % 2 = 0)
+         ORDER BY doc_id"""
+  )
+}
