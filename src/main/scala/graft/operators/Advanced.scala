@@ -132,6 +132,57 @@ object Advanced extends Catalog {
         .orderBy("name_a", "name_b")
     }),
 
+    // Equi-width histogram over exact integer cents: bucket = cents DIV
+    // 500000 ($5000 buckets). Integer division sidesteps every double
+    // floor-boundary hazard, and the aggregate is a single partial-agg
+    // pass — the plan shape that holds at any scale (bucket count is
+    // bounded by the value domain, not the row count).
+    "q_histogram" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .withColumn("cents", F.expr("cast(round(l_extendedprice * 100) as bigint)"))
+        .withColumn("bucket", F.expr("cents DIV 500000").cast("int"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).as("n"),
+          F.sum("cents").as("sum_cents"))
+        .orderBy("bucket")),
+
+    // Linear regression per group from EXACT integer sufficient statistics
+    // (n, Σx, Σy, Σxy, Σx², Σy² as BIGINT sums — x = quantity, y = WHOLE
+    // price dollars so Σy² stays far from BIGINT overflow even at sf100:
+    // (1e5)²·6e8 rows ≈ 6e18 < 2⁶³), then slope/r² in IEEE doubles with identical
+    // parenthesization in both engines. This is how regr_slope/regr_r2
+    // must be computed at scale anyway (one partial-agg pass, no second
+    // scan); doing it from integer moments also makes the result exactly
+    // reproducible cross-engine, which the built-in double-accumulating
+    // regr_* aggregates are not (merge order varies run to run).
+    "q_regr" -> ((s, dir) => {
+      table(s, dir, "lineitem").createOrReplaceTempView("v_li_regr")
+      s.sql(
+        """WITH m AS (
+          |  SELECT l_returnflag,
+          |         count(*) AS n,
+          |         sum(CAST(l_quantity AS BIGINT)) AS sx,
+          |         sum(CAST(round(l_extendedprice) AS BIGINT)) AS sy,
+          |         sum(CAST(l_quantity AS BIGINT)
+          |             * CAST(round(l_extendedprice) AS BIGINT)) AS sxy,
+          |         sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+          |         sum(CAST(round(l_extendedprice) AS BIGINT)
+          |             * CAST(round(l_extendedprice) AS BIGINT)) AS syy
+          |  FROM v_li_regr GROUP BY l_returnflag)
+          |SELECT l_returnflag, n, sx, sy,
+          |       CAST(floor(1000000.0 *
+          |         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          |         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+          |         AS BIGINT) AS slope_u,
+          |       CAST(floor(1000000.0 *
+          |         ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          |          * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+          |         / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          |            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+          |         AS BIGINT) AS r2_u
+          |FROM m ORDER BY l_returnflag""".stripMargin)
+    }),
+
     // Explicit bloom-filter semi-join prefilter (graft.functions
     // .BloomFilters): bloom the filtered customer dim's keys (kilobytes),
     // probe it INSIDE the orders scan stage (no false negatives → nothing
@@ -209,6 +260,35 @@ object Advanced extends Catalog {
            ON a.nm < b.nm AND abs(length(a.nm) - length(b.nm)) <= 2
          WHERE levenshtein(a.nm, b.nm) BETWEEN 1 AND 2
          ORDER BY name_a, name_b""",
+    "q_histogram" ->
+      """SELECT CAST(CAST(round(l_extendedprice * 100) AS BIGINT) // 500000 AS INT) AS bucket,
+                count(*) AS n,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM lineitem GROUP BY bucket ORDER BY bucket""",
+    "q_regr" ->
+      """WITH m AS (
+           SELECT l_returnflag,
+                  count(*) AS n,
+                  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+                  CAST(sum(CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sy,
+                  CAST(sum(CAST(l_quantity AS BIGINT)
+                      * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sxy,
+                  CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+                  CAST(sum(CAST(round(l_extendedprice) AS BIGINT)
+                      * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS syy
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, n, sx, sy,
+                CAST(floor(1000000.0 *
+                  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                  AS BIGINT) AS slope_u,
+                CAST(floor(1000000.0 *
+                  ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                  / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+                  AS BIGINT) AS r2_u
+         FROM m ORDER BY l_returnflag""",
     "q_approx_topk" ->
       """SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt, TRUE AS cms_ok
          FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)

@@ -78,6 +78,27 @@ object LlmIngest extends Catalog {
     // slice is shuffled for the exact semi-join confirm. At 100 TB:
     // kilobytes broadcast vs re-shuffling the whole corpus every ingest
     // tick.
+    // k-anonymity suppression over quasi-identifiers (source, lang,
+    // length bucket): any QI combination carried by fewer than k=5
+    // documents is generalized to '*'/-1 before release — the standard
+    // privacy gate before training-data publication. One window count
+    // over the (bounded-cardinality) QI key; the document body is never
+    // shuffled, only the QI columns.
+    "llm_kanon" -> ((s, dir) => {
+      val qi = Seq(F.col("source"), F.col("lang"),
+        F.expr("n_chars DIV 200").cast("int").as("len_bucket"))
+      val w = Window.partitionBy("source", "lang", "len_bucket")
+      table(s, dir, "documents")
+        .select((F.col("doc_id") +: qi): _*)
+        .withColumn("grp_n", F.count(F.lit(1)).over(w))
+        .select(F.col("doc_id"),
+          F.when(F.col("grp_n") >= 5, F.col("source")).otherwise("*").as("g_source"),
+          F.when(F.col("grp_n") >= 5, F.col("lang")).otherwise("*").as("g_lang"),
+          F.when(F.col("grp_n") >= 5, F.col("len_bucket")).otherwise(-1).as("g_bucket"),
+          F.col("grp_n"))
+        .orderBy("doc_id")
+    }),
+
     "llm_dedup_incremental" -> ((s, dir) => {
       val d = table(s, dir, "documents")
         .withColumn("h", F.md5(F.substring(F.col("text"), 1, 60)))
@@ -118,6 +139,19 @@ object LlmIngest extends Catalog {
          WHERE rk <= CASE WHEN source = 'src0' THEN 15
                           WHEN source = 'src1' THEN 10 ELSE 5 END
          ORDER BY doc_id""",
+    "llm_kanon" ->
+      """WITH q AS (
+           SELECT doc_id, source, lang,
+                  CAST(n_chars // 200 AS INT) AS len_bucket,
+                  count(*) OVER (PARTITION BY source, lang, n_chars // 200)
+                    AS grp_n
+           FROM documents)
+         SELECT doc_id,
+                CASE WHEN grp_n >= 5 THEN source ELSE '*' END AS g_source,
+                CASE WHEN grp_n >= 5 THEN lang ELSE '*' END AS g_lang,
+                CASE WHEN grp_n >= 5 THEN len_bucket ELSE -1 END AS g_bucket,
+                CAST(grp_n AS BIGINT) AS grp_n
+         FROM q ORDER BY doc_id""",
     "llm_dedup_incremental" ->
       """SELECT doc_id, source FROM documents
          WHERE doc_id % 2 = 1

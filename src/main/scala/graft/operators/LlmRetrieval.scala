@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+
+/** Retrieval-index operators over the `documents` table: inverted-index
+  * construction and BM25 ranking — the search side of a training-data
+  * platform (RAG corpus prep, boosted sampling, eval-set retrieval).
+  *
+  * Scale notes (100 TB):
+  * - The inverted index uses BLOCKED postings: the posting list for a
+  *   token is segmented by `doc_id DIV blockSize`, so no single groupBy
+  *   value ever aggregates more than `blockSize` ids regardless of how
+  *   common the token is. An unblocked `collect_list` over a stop-word's
+  *   postings is the classic executor-OOM; blocking bounds both the
+  *   shuffle value size and the output row width, and real engines
+  *   (Lucene segments, ES shards) store postings exactly this way.
+  * - BM25 never shuffles the corpus: per-term document frequencies and
+  *   the average document length are tiny aggregates (one row each,
+  *   collected to literals / broadcast), and scoring is then a narrow
+  *   per-row projection over the term-frequency columns.
+  *
+  * Cross-engine determinism: scores use the RATIONAL idf variant
+  * `(N - df + 0.5) / (df + 0.5)` rather than the textbook `ln` of it —
+  * monotone-identical ranking, but exactly computable from integer
+  * sufficient statistics in fixed IEEE-754 op order in both engines
+  * (`ln` is only ~1-ulp accurate in libm/Math.log and may differ).
+  * Scores are floor-scaled (CLAUDE.md rules) before ranking.
+  */
+object LlmRetrieval extends Catalog {
+
+  // BM25 shape parameters (standard defaults) appear ONLY as decimal
+  // literals mirrored verbatim in the oracle SQL — Scala-side constant
+  // folding (e.g. k1 + 1.0) could round differently than DuckDB's parse
+  // of the folded literal.
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("w", F.split(F.col("text"), " "))
+
+  val queries: Map[String, Q] = Map(
+
+    // Blocked inverted index: token → (block, bounded posting segment).
+    // distinct (token, doc) pairs shuffle once on the token+block key;
+    // the per-group value is capped at 100 ids by construction.
+    "llm_inverted_index" -> ((s, dir) =>
+      docs(s, dir)
+        .select(F.col("doc_id"), F.explode(F.col("w")).as("token"))
+        .filter(F.length(F.col("token")) >= 3)
+        .distinct()
+        .withColumn("block_id", F.expr("doc_id DIV 100"))
+        .groupBy("token", "block_id")
+        .agg(
+          F.count(F.lit(1)).as("n_docs"),
+          F.md5(F.concat_ws(",",
+            F.expr("transform(sort_array(collect_list(doc_id)), x -> cast(x as string))")))
+            .as("postings_hash"))
+        .orderBy("token", "block_id")),
+
+    // BM25 top-50 for the fixed query {spark, merge, vector}. df per term
+    // and avgdl are one-row aggregates (cross-joined, i.e. broadcast);
+    // scoring is a narrow projection; final rank is a 50-row top-k.
+    "llm_bm25" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .select(F.col("doc_id"), F.col("w"),
+          F.size(F.col("w")).cast("long").as("dl"))
+      val stats = d.agg(
+        F.count(F.lit(1)).as("n_corpus"),
+        F.sum("dl").as("sum_dl"),
+        F.sum(F.when(F.array_contains(F.col("w"), "spark"), 1L).otherwise(0L)).as("df_spark"),
+        F.sum(F.when(F.array_contains(F.col("w"), "merge"), 1L).otherwise(0L)).as("df_merge"),
+        F.sum(F.when(F.array_contains(F.col("w"), "vector"), 1L).otherwise(0L)).as("df_vector"))
+      def tf(term: String) =
+        F.expr(s"cast(size(filter(w, x -> x = '$term')) as double)")
+      // rational idf and the standard tf saturation, in fixed op order
+      def idf(df: Column) =
+        (F.col("n_corpus").cast("double") - df.cast("double") + F.lit(0.5)) /
+          (df.cast("double") + F.lit(0.5))
+      def part(term: String, df: Column) = {
+        val t = tf(term)
+        idf(df) * (t * F.lit(2.2)) /
+          (t + F.lit(1.2) * (F.lit(0.25) +
+            F.lit(0.75) * F.col("dl").cast("double") /
+              (F.col("sum_dl").cast("double") / F.col("n_corpus").cast("double"))))
+      }
+      d.crossJoin(F.broadcast(stats))
+        .withColumn("score_u", F.floor(F.lit(1000000.0) *
+          (part("spark", F.col("df_spark")) +
+            part("merge", F.col("df_merge")) +
+            part("vector", F.col("df_vector")))).cast("long"))
+        .select("doc_id", "dl", "score_u")
+        .orderBy(F.col("score_u").desc, F.col("doc_id"))
+        .limit(50)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "llm_inverted_index" ->
+      """WITH pairs AS (
+           SELECT DISTINCT doc_id, t.w AS token
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                 FROM documents) t(doc_id, w)
+           WHERE length(t.w) >= 3)
+         SELECT token, doc_id // 100 AS block_id,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+                  AS postings_hash
+         FROM pairs GROUP BY token, block_id
+         ORDER BY token, block_id""",
+    "llm_bm25" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(text, ' ') AS w,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+           FROM documents),
+         stats AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_corpus,
+                  CAST(sum(dl) AS BIGINT) AS sum_dl,
+                  CAST(sum(CASE WHEN list_contains(w, 'spark') THEN 1 ELSE 0 END) AS BIGINT) AS df_spark,
+                  CAST(sum(CASE WHEN list_contains(w, 'merge') THEN 1 ELSE 0 END) AS BIGINT) AS df_merge,
+                  CAST(sum(CASE WHEN list_contains(w, 'vector') THEN 1 ELSE 0 END) AS BIGINT) AS df_vector
+           FROM d)
+         SELECT doc_id, dl,
+                CAST(floor(1000000.0 * (
+                  ((CAST(n_corpus AS DOUBLE) - CAST(df_spark AS DOUBLE) + 0.5) / (CAST(df_spark AS DOUBLE) + 0.5))
+                    * (CAST(len(list_filter(w, x -> x = 'spark')) AS DOUBLE) * 2.2)
+                    / (CAST(len(list_filter(w, x -> x = 'spark')) AS DOUBLE)
+                       + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_corpus AS DOUBLE))))
+                + ((CAST(n_corpus AS DOUBLE) - CAST(df_merge AS DOUBLE) + 0.5) / (CAST(df_merge AS DOUBLE) + 0.5))
+                    * (CAST(len(list_filter(w, x -> x = 'merge')) AS DOUBLE) * 2.2)
+                    / (CAST(len(list_filter(w, x -> x = 'merge')) AS DOUBLE)
+                       + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_corpus AS DOUBLE))))
+                + ((CAST(n_corpus AS DOUBLE) - CAST(df_vector AS DOUBLE) + 0.5) / (CAST(df_vector AS DOUBLE) + 0.5))
+                    * (CAST(len(list_filter(w, x -> x = 'vector')) AS DOUBLE) * 2.2)
+                    / (CAST(len(list_filter(w, x -> x = 'vector')) AS DOUBLE)
+                       + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_corpus AS DOUBLE))))
+                )) AS BIGINT) AS score_u
+         FROM d, stats
+         ORDER BY score_u DESC, doc_id LIMIT 50"""
+  )
+}
