@@ -29,8 +29,13 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * Partial-phase memory is HARD-bounded at maxBufferedKeys·k rows by
   * flushing under key-cardinality pressure (unlike hash aggregation there
   * is no sort-spill fallback — see [[TopKPerKey.DefaultMaxBufferedKeys]]
-  * for why flushing is exact); the final phase holds its hash partition's
-  * keys like final hash aggregation does.
+  * for why flushing is exact). The FINAL phase is memory-bounded too: it
+  * declares `requiredChildOrdering` on (keys, ordering), so
+  * EnsureRequirements plans a SPILLABLE SortExec over the already-pruned
+  * candidate set and the final pass streams each key group in O(k) memory
+  * — no per-partition hash of all keys, so arbitrary key cardinality
+  * cannot OOM it. Sorting only the ≤ partitions·keys·k candidates is the
+  * cheap side of the trade; the raw input is still never sorted.
   */
 case class TopKPerKey(
     partExprs: Seq[Expression],
@@ -54,16 +59,18 @@ object TopKPerKey {
     * it, so the union of flushed prefix top-ks is a candidate superset —
     * it just prunes less. This bounds partial-phase memory at
     * maxBufferedKeys·k rows regardless of key cardinality (the final
-    * phase, like final hash aggregation, still holds its hash partition's
-    * keys; for pathological key cardinality prefer the window plan).
+    * phase streams over sorted runs in O(k) memory — see
+    * [[TopKPerKeyExec.requiredChildOrdering]]).
     */
   val DefaultMaxBufferedKeys: Int = 1 << 16
 }
 
 /** Two-phase physical operator. `partial = true` runs before the exchange
   * with no distribution requirement (narrow, map-side); the final copy
-  * requires [[ClusteredDistribution]] on the keys, so EnsureRequirements
-  * inserts the hash exchange over the pruned candidate set only.
+  * requires [[ClusteredDistribution]] on the keys plus a per-partition
+  * (keys, ordering) sort, so EnsureRequirements inserts the hash exchange
+  * over the pruned candidate set and a spillable sort above it — the
+  * final pass then streams consecutive key groups in O(k) memory.
   */
 case class TopKPerKeyExec(
     partExprs: Seq[Expression],
@@ -79,17 +86,46 @@ case class TopKPerKeyExec(
     if (partial) Seq(UnspecifiedDistribution)
     else Seq(ClusteredDistribution(partExprs))
 
+  /** The final phase consumes key-grouped runs: (keys, ordering)-sorted
+    * input lets it stream with O(k) memory. Spark satisfies this with an
+    * external (spillable) sort over the pruned candidates.
+    */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (partial) Seq(Nil)
+    else Seq(partExprs.map(SortOrder(_, Ascending)) ++ ordering)
+
   override def outputPartitioning = child.outputPartitioning
+
+  /** The final pass is order-preserving, so its (keys, ordering) input
+    * sort survives — downstream per-key consumers get it for free.
+    */
+  override def outputOrdering: Seq[SortOrder] =
+    if (partial) Nil
+    else partExprs.map(SortOrder(_, Ascending)) ++ ordering
 
   override protected def doExecute(): RDD[InternalRow] = {
     val schema = child.output
     val part = partExprs
-    val ord = ordering
     val limit = k
+    if (!partial) {
+      // Streaming final: input is (keys, ordering)-sorted, so each key's
+      // rows form a consecutive best-first run — keep the first k of each.
+      return child.execute().mapPartitions({ iter =>
+        val keyProj = UnsafeProjection.create(part, schema)
+        var cur: UnsafeRow = null
+        var n = 0
+        iter.filter { row =>
+          val key = keyProj(row)
+          if (cur == null || key != cur) { cur = key.copy(); n = 0 }
+          n += 1
+          n <= limit
+        }
+      }, preservesPartitioning = true)
+    }
+    val ord = ordering
     // the partial phase flushes under key-cardinality pressure (see
-    // TopKPerKey.DefaultMaxBufferedKeys); the final phase must hold each
-    // key exactly once to be exact, so it never flushes.
-    val flushAt = if (partial) maxBufferedKeys else Int.MaxValue
+    // TopKPerKey.DefaultMaxBufferedKeys).
+    val flushAt = maxBufferedKeys
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(part, schema)
       // generated comparator: compare(a, b) < 0 ⇔ a sorts before b ⇔ a is

@@ -101,6 +101,34 @@ class TopKPerKeySpec extends AnyFunSuite with SparkSpec with Matchers {
     native shouldBe win
   }
 
+  test("final phase streams sorted runs: spillable sort planned, high key cardinality exact") {
+    registered
+    // 20k distinct keys: the pre-r4 hash-of-all-keys final would hold
+    // every key's heap; the streaming final needs only one group at a time
+    val df = spark.range(40000)
+      .select((F.col("id") % 20000).as("g"), F.col("id").as("i"),
+        (F.col("id") % 13).as("v"))
+    val native = GraftPlans.topKPerKey(df,
+      Seq(F.col("g")), Seq(F.col("v").desc, F.col("i")), 1)
+    val got = native.select("g", "i").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val w = Window.partitionBy("g").orderBy(F.col("v").desc, F.col("i"))
+    val win = df.withColumn("rn", F.row_number().over(w))
+      .filter(F.col("rn") <= 1).select("g", "i").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    got shouldBe win
+    got.size shouldBe 20000
+    // the final exec's child chain must carry a SortExec (the spillable
+    // sort EnsureRequirements inserted for requiredChildOrdering)
+    val nodes = allNodes(native.queryExecution.executedPlan)
+    val finalExec = nodes.collect { case e: TopKPerKeyExec if !e.partial => e }
+    finalExec should not be empty
+    val sortBelowFinal = finalExec.exists(f =>
+      allNodes(f.child).exists(_.isInstanceOf[org.apache.spark.sql.execution.SortExec]))
+    assert(sortBelowFinal,
+      s"expected a SortExec below the final TopKPerKeyExec:\n${native.queryExecution.executedPlan}")
+  }
+
   test("keeps fewer than k rows for sparse keys and handles k=1") {
     import spark.implicits._
     registered
