@@ -39,6 +39,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("shingles"),
       info("shingles", "shingles(text, n) - one (pos, shingle) row per n-word window"),
       (exprs: Seq[Expression]) => ShingleGenerate(exprs.head, exprs(1))))
+    // native sketch aggregate (TypedImperativeAggregate)
+    ext.injectFunction((FunctionIdentifier("minhash4"),
+      info("minhash4", "minhash4(str) - 4-lane MinHash signature as array<bigint>"),
+      (exprs: Seq[Expression]) => MinHashAgg(exprs.head).toAggregateExpression()))
     // whole-operator extension: logical TopKPerKey → partial/final exec
     // pair (see graft.plans.TopKPerKey)
     ext.injectPlannerStrategy(_ => new graft.plans.TopKStrategy)

@@ -224,7 +224,15 @@ object VectorFunctions {
       "simhash16", exprs => SimHash16(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingles", exprs => ShingleGenerate(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash4", exprs => MinHashAgg(exprs.head).toAggregateExpression(),
+      "scala_udf")
   }
+
+  /** 4-lane MinHash signature aggregate over a string column (see
+    * [[MinHashAgg]]). Requires [[register]] on the session first.
+    */
+  def minhash4(a: Column): Column = F.call_function("minhash4", a)
 
   /** 16-bit SimHash over an `array<string>` of hex digests.
     * Requires [[register]] on the session first.

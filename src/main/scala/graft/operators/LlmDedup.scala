@@ -115,6 +115,26 @@ object LlmDedup extends Catalog {
           F.floor(F.lit(1000000.0) * jac).as("jac_m"))
         .orderBy("i", "j")),
 
+    // Per-source MinHash signature through the native minhash4
+    // TypedImperativeAggregate (graft.functions.MinHashAgg): a mergeable
+    // 32-byte sketch per group — the shuffle carries signatures, never
+    // member strings, and element-wise-min merge is order-independent so
+    // AQE merge order cannot change the result. Lanes are md5 slices,
+    // reproduced exactly by the oracle's per-lane min.
+    "llm_minhash_sig" -> ((s, dir) => {
+      VectorFunctions.register(s)
+      table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .groupBy("source")
+        .agg(VectorFunctions.minhash4(F.col("text")).as("sig"))
+        .select(F.col("source"),
+          F.element_at(F.col("sig"), 1).as("h0"),
+          F.element_at(F.col("sig"), 2).as("h1"),
+          F.element_at(F.col("sig"), 3).as("h2"),
+          F.element_at(F.col("sig"), 4).as("h3"))
+        .orderBy("source")
+    }),
+
     // SimHash: classic construction — ONE md5 per distinct word; bit b's
     // ±1 vote is the parity of hex char b of that hash; bit b is set when
     // votes sum positive. Entirely narrow and zero-shuffle: the signature
@@ -379,6 +399,13 @@ object LlmDedup extends Catalog {
            SELECT e.src, w.lab FROM edges e JOIN walk w ON w.v = e.dst)
          SELECT v AS doc_id, min(lab) AS cluster
          FROM walk GROUP BY v ORDER BY doc_id""",
+    "llm_minhash_sig" ->
+      """SELECT source,
+                min(CAST('0x' || substring(md5(text), 1, 8) AS BIGINT)) AS h0,
+                min(CAST('0x' || substring(md5(text), 9, 8) AS BIGINT)) AS h1,
+                min(CAST('0x' || substring(md5(text), 17, 8) AS BIGINT)) AS h2,
+                min(CAST('0x' || substring(md5(text), 25, 8) AS BIGINT)) AS h3
+         FROM documents GROUP BY source ORDER BY source""",
     "llm_simhash" ->
       """WITH dw AS (
            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
