@@ -42,19 +42,21 @@ object LlmRetrieval extends Catalog {
   val queries: Map[String, Q] = Map(
 
     // Blocked inverted index: token → (block, bounded posting segment).
-    // distinct (token, doc) pairs shuffle once on the token+block key;
-    // the per-group value is capped at 100 ids by construction.
+    // ONE shuffle on the token+block key — within-document repeats are
+    // deduped by collect_set inside the aggregate (map-side partial sets)
+    // instead of a separate distinct() exchange, and the per-group set is
+    // capped at the 100-doc block size by construction.
     "llm_inverted_index" -> ((s, dir) =>
       docs(s, dir)
         .select(F.col("doc_id"), F.explode(F.col("w")).as("token"))
         .filter(F.length(F.col("token")) >= 3)
-        .distinct()
         .withColumn("block_id", F.expr("doc_id DIV 100"))
         .groupBy("token", "block_id")
-        .agg(
-          F.count(F.lit(1)).as("n_docs"),
+        .agg(F.collect_set(F.col("doc_id")).as("ids"))
+        .select(F.col("token"), F.col("block_id"),
+          F.size(F.col("ids")).cast("long").as("n_docs"),
           F.md5(F.concat_ws(",",
-            F.expr("transform(sort_array(collect_list(doc_id)), x -> cast(x as string))")))
+            F.expr("transform(sort_array(ids), x -> cast(x as string))")))
             .as("postings_hash"))
         .orderBy("token", "block_id")),
 
