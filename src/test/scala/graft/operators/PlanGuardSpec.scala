@@ -73,4 +73,31 @@ class PlanGuardSpec extends AnyWordSpec with Matchers with SparkSpec {
         Set("c_custkey", "c_name", "c_acctbal")
     }
   }
+
+  "llm_bm25" should {
+    "broadcast the one-row stats side and never sort-merge the corpus" in {
+      val df = LlmRetrieval.queries("llm_bm25")(spark, dir)
+      val s = df.queryExecution.executedPlan.toString
+      // corpus x stats is a broadcast nested-loop of a single-row side —
+      // the only acceptable "cross join" shape; anything exchanging the
+      // corpus for the join is a regression
+      s should include("BroadcastNestedLoopJoin")
+      s should not include "SortMergeJoin"
+      s should not include "CartesianProduct"
+    }
+  }
+
+  "llm_inverted_index" should {
+    "build in one aggregation exchange (partial + final collect_set)" in {
+      val df = LlmRetrieval.queries("llm_inverted_index")(spark, dir)
+      val s = df.queryExecution.executedPlan.toString
+      // two ObjectHashAggregates (partial/final) around one exchange; a
+      // reintroduced distinct() would add a second full-width exchange
+      s.sliding("ObjectHashAggregate".length)
+        .count(_ == "ObjectHashAggregate") shouldBe 2
+      // exchanges: the parallelism repartition, the agg shuffle, and the
+      // oracle ORDER BY's range exchange — nothing else
+      s.sliding("Exchange".length).count(_ == "Exchange") should be <= 3
+    }
+  }
 }
