@@ -1,0 +1,207 @@
+package graft.sources
+
+import java.io.File
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.avro.{AvroRowCodec, AvroSchemaConverter}
+
+/** DataSource V2 source/sink for Avro CONTAINER FILES, built on the
+  * engine's own Avro⇄Catalyst bridge (graft.avro) — the file-based
+  * counterpart of the reference's per-record Kafka Connect surface
+  * (AvroSql.scala:43-65 transforms single records; this reads/writes the
+  * same data model as a Spark table):
+  *
+  * {{{
+  *   df.write.format("graft-avro").mode("append").save(dir)  // or overwrite
+  *   spark.read.format("graft-avro").load(dir)
+  * }}}
+  *
+  * Scale design:
+  * - one [[InputPartition]] per container file — Avro files are
+  *   block-compressed row streams, so the file is the natural split unit
+  *   (finer sync-marker splits are an optimization this local harness
+  *   cannot exercise; the partition-per-file shape already distributes an
+  *   N-file dataset across N tasks);
+  * - COLUMN PRUNING pushes into the Avro decoder itself via
+  *   [[SupportsPushDownRequiredColumns]]: the reader passes a pruned
+  *   READER schema, and Avro's writer/reader schema resolution skips the
+  *   unprojected fields during decode — unread columns cost no
+  *   deserialization, the row-format analogue of parquet column pruning
+  *   (filters intentionally stay in Spark: a row-oriented container has
+  *   no column statistics to prune with);
+  * - the writer emits one container file per task with a deflate codec,
+  *   schema derived through [[AvroSchemaConverter.toAvro]] (so Catalyst
+  *   metadata → Avro logical types/doc/props round-trip).
+  */
+class AvroFileSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-avro"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def dir(options: CaseInsensitiveStringMap): File =
+    new File(Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-avro requires a path")))
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val files = AvroFileSource.listAvro(dir(options))
+    require(files.nonEmpty, s"no .avro files under ${dir(options)}")
+    val reader = new DataFileReader[GenericRecord](
+      files.head, new GenericDatumReader[GenericRecord]())
+    try AvroSchemaConverter.toStruct(reader.getSchema)
+    finally reader.close()
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    AvroTable(properties.get("path"), schema)
+}
+
+object AvroFileSource {
+  def listAvro(d: File): Seq[File] =
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".avro")).sortBy(_.getName)
+}
+
+case class AvroTable(path: String, tableSchema: StructType)
+  extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = s"graft-avro:$path"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new AvroScanBuilder(path, tableSchema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new AvroWriteBuilder(path, info.schema())
+}
+
+class AvroScanBuilder(path: String, full: StructType)
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = full
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new Scan with Batch {
+    override def readSchema(): StructType = required
+    override def toBatch: Batch = this
+    override def planInputPartitions(): Array[InputPartition] =
+      AvroFileSource.listAvro(new File(path))
+        .map(f => AvroInputPartition(f.getAbsolutePath): InputPartition)
+        .toArray
+    override def createReaderFactory(): PartitionReaderFactory =
+      AvroReaderFactory(required, full)
+    override def description(): String =
+      s"graft-avro $path (${required.fieldNames.mkString(",")})"
+  }
+}
+
+case class AvroInputPartition(file: String) extends InputPartition
+
+case class AvroReaderFactory(required: StructType, full: StructType)
+  extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = new File(partition.asInstanceOf[AvroInputPartition].file)
+    // writer schema from the file header; READER schema pruned to the
+    // projected fields so Avro schema resolution skips the rest
+    val headReader = new DataFileReader[GenericRecord](
+      file, new GenericDatumReader[GenericRecord]())
+    val writerSchema = try headReader.getSchema finally headReader.close()
+    val readerSchema =
+      if (required.fieldNames.sameElements(full.fieldNames)) writerSchema
+      else {
+        val keep = required.fieldNames.toSet
+        val fields = writerSchema.getFields.asScala
+          .filter(f => keep.contains(f.name))
+          .map(f => new Schema.Field(f.name, f.schema, f.doc, f.defaultVal))
+        val s = Schema.createRecord(writerSchema.getName, writerSchema.getDoc,
+          writerSchema.getNamespace, false)
+        s.setFields(fields.asJava)
+        s
+      }
+    val reader = new DataFileReader[GenericRecord](file,
+      new GenericDatumReader[GenericRecord](null, readerSchema))
+    val toInternal =
+      ExpressionEncoder(RowEncoder.encoderFor(required)).createSerializer()
+
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = reader.hasNext
+      override def get(): InternalRow = {
+        val rec = reader.next()
+        // serializer reuses its buffer; copy so downstream can hold rows
+        toInternal(AvroRowCodec.toRow(rec, required)).copy()
+      }
+      override def close(): Unit = reader.close()
+    }
+  }
+}
+
+class AvroWriteBuilder(path: String, schema: StructType)
+  extends WriteBuilder with SupportsTruncate {
+
+  private var doTruncate = false
+
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new BatchWrite {
+      override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+        val d = new File(path)
+        d.mkdirs()
+        if (doTruncate) AvroFileSource.listAvro(d).foreach(_.delete())
+        AvroWriterFactory(path, schema)
+      }
+      override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+      override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+    }
+  }
+}
+
+case class AvroWriterFactory(path: String, schema: StructType)
+  extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val avroSchema = AvroSchemaConverter.toAvro(schema, "topLevelRecord", None, None)
+    val writer = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](avroSchema))
+    writer.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+    val file = new File(path, f"part-$partitionId%05d-$taskId.avro")
+    writer.create(avroSchema, file)
+    val fromInternal =
+      ExpressionEncoder(RowEncoder.encoderFor(schema)).resolveAndBind()
+        .createDeserializer()
+
+    new DataWriter[InternalRow] {
+      override def write(record: InternalRow): Unit =
+        writer.append(
+          AvroRowCodec.fromRow(fromInternal(record), schema, avroSchema))
+      override def commit(): WriterCommitMessage = {
+        writer.close()
+        new WriterCommitMessage {}
+      }
+      override def abort(): Unit = { writer.close(); file.delete(); () }
+      override def close(): Unit = ()
+    }
+  }
+}

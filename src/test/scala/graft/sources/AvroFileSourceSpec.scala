@@ -1,0 +1,91 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Specs for the graft-avro DataSource V2 source/sink. */
+class AvroFileSourceSpec extends AnyFunSuite with SparkSpec with Matchers {
+
+  private def tmp() = Files.createTempDirectory("graft_avro_src").toString
+
+  test("round-trips the documents table through avro container files") {
+    val dir = tmp()
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.repartition(3).write.format("graft-avro").mode("append").save(dir)
+
+    val back = spark.read.format("graft-avro").load(dir)
+    back.schema.fieldNames.sorted shouldBe docs.schema.fieldNames.sorted
+    back.count() shouldBe docs.count()
+    // value-exact: compare the md5 of every row's concatenated fields
+    def sig(df: org.apache.spark.sql.DataFrame) = df
+      .select(F.md5(F.concat_ws("|",
+        F.col("doc_id"), F.col("text"), F.col("lang"),
+        F.col("source"), F.col("n_chars"))).as("h"))
+      .agg(F.sum(F.conv(F.substring(F.col("h"), 1, 8), 16, 10).cast("long")))
+      .head().getLong(0)
+    sig(back) shouldBe sig(docs)
+  }
+
+  test("one input partition per container file") {
+    val dir = tmp()
+    spark.range(100).selectExpr("id", "cast(id as string) as s")
+      .repartition(4).write.format("graft-avro").mode("append").save(dir)
+    val back = spark.read.format("graft-avro").load(dir)
+    back.rdd.getNumPartitions shouldBe 4
+    back.count() shouldBe 100
+  }
+
+  test("column pruning reaches the scan (pruned read schema)") {
+    val dir = tmp()
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .write.format("graft-avro").mode("append").save(dir)
+    val pruned = spark.read.format("graft-avro").load(dir)
+      .select("doc_id", "lang")
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b
+    }
+    scans should not be empty
+    scans.head.output.map(_.name).toSet shouldBe Set("doc_id", "lang")
+    pruned.count() shouldBe 500
+    pruned.agg(F.sum("doc_id")).head().getLong(0) shouldBe (0L until 500L).sum
+  }
+
+  test("nested structs and arrays survive the avro round trip") {
+    import spark.implicits._
+    val dir = tmp()
+    val df = Seq(
+      (1L, ("alice", 10.5), Seq("a", "b")),
+      (2L, ("bob", -3.0), Seq.empty[String]))
+      .toDF("id", "info", "tags")
+    df.write.format("graft-avro").mode("append").save(dir)
+    val back = spark.read.format("graft-avro").load(dir)
+      .orderBy("id").collect()
+    back.length shouldBe 2
+    back.head.getStruct(1).getString(0) shouldBe "alice"
+    back.head.getSeq[String](2) shouldBe Seq("a", "b")
+    back(1).getStruct(1).getDouble(1) shouldBe -3.0
+  }
+
+  test("overwrite mode truncates previous files; append adds") {
+    val dir = tmp()
+    spark.range(10).write.format("graft-avro").mode("append").save(dir)
+    spark.range(5).write.format("graft-avro").mode("overwrite").save(dir)
+    spark.read.format("graft-avro").load(dir).count() shouldBe 5
+    spark.range(7).write.format("graft-avro").mode("append").save(dir)
+    spark.read.format("graft-avro").load(dir).count() shouldBe 12
+  }
+
+  test("resolves by short name through the service registry") {
+    val dir = tmp()
+    spark.range(3).write.format("graft-avro").mode("append").save(dir)
+    // the read above already used the short name; also check the provider
+    // class resolves directly
+    spark.read.format("graft.sources.AvroFileSource").load(dir)
+      .count() shouldBe 3
+  }
+}
