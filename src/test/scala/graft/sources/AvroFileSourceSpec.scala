@@ -80,6 +80,29 @@ class AvroFileSourceSpec extends AnyFunSuite with SparkSpec with Matchers {
     spark.read.format("graft-avro").load(dir).count() shouldBe 12
   }
 
+  test("streams a growing avro directory incrementally (micro-batch read)") {
+    val dir = tmp()
+    spark.range(3).selectExpr("id").write.format("graft-avro")
+      .mode("append").save(dir)
+    val stream = spark.readStream.format("graft-avro")
+      .schema(spark.read.format("graft-avro").load(dir).schema)
+      .load(dir)
+    stream.isStreaming shouldBe true
+    val q = stream.writeStream.format("memory").queryName("avro_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      spark.table("avro_stream").count() shouldBe 3
+      // new container files arrive; the next micro-batch picks up ONLY them
+      spark.range(10, 15).selectExpr("id").write.format("graft-avro")
+        .mode("append").save(dir)
+      q.processAllAvailable()
+      val ids = spark.table("avro_stream")
+        .collect().map(_.getLong(0)).sorted
+      ids.toSeq shouldBe Seq(0L, 1L, 2L, 10L, 11L, 12L, 13L, 14L)
+    } finally q.stop()
+  }
+
   test("resolves by short name through the service registry") {
     val dir = tmp()
     spark.range(3).write.format("graft-avro").mode("append").save(dir)
