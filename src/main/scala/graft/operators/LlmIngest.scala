@@ -78,6 +78,34 @@ object LlmIngest extends Catalog {
     // slice is shuffled for the exact semi-join confirm. At 100 TB:
     // kilobytes broadcast vs re-shuffling the whole corpus every ingest
     // tick.
+    // Temperature-scaled mixture sampling (T=2, the multilingual-training
+    // rebalancing op): source s keeps documents with probability
+    // ∝ n_s^(1/T - 1) = 1/sqrt(n_s), normalized so the smallest source
+    // keeps everything — big sources are downsampled toward a flatter
+    // mix. The keep decision is a seeded md5-uniform against an integer
+    // threshold floor(2^32·sqrt(n_min)/sqrt(n_s)): sqrt, *, / are
+    // correctly-rounded IEEE ops, so both engines compute the identical
+    // threshold (pow() with arbitrary exponents is libm, NOT
+    // cross-engine reproducible — hence T=2 specifically). Source counts
+    // are a 20-row broadcast; the corpus-side pass is narrow.
+    "llm_mixture_temp" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val counts = d.groupBy("source").agg(F.count(F.lit(1)).as("n_s"))
+      val minN = counts.agg(F.min("n_s").as("n_min"))
+      val thr = counts.crossJoin(F.broadcast(minN))
+        .withColumn("thr", F.floor(F.lit(4294967296.0) *
+          F.sqrt(F.col("n_min").cast("double")) /
+          F.sqrt(F.col("n_s").cast("double"))).cast("long"))
+      val u = F.conv(F.substring(F.md5(F.concat(F.lit("ts:"), F.col("text"))), 1, 8), 16, 10)
+        .cast("long")
+      d.join(F.broadcast(thr), Seq("source"))
+        .withColumn("kept", (u < F.col("thr")).cast("int"))
+        .groupBy("source")
+        .agg(F.max("n_s").as("n_s"), F.max("thr").as("thr"),
+          F.sum("kept").as("n_kept"))
+        .orderBy("source")
+    }),
+
     // k-anonymity suppression over quasi-identifiers (source, lang,
     // length bucket): any QI combination carried by fewer than k=5
     // documents is generalized to '*'/-1 before release — the standard
@@ -139,6 +167,22 @@ object LlmIngest extends Catalog {
          WHERE rk <= CASE WHEN source = 'src0' THEN 15
                           WHEN source = 'src1' THEN 10 ELSE 5 END
          ORDER BY doc_id""",
+    "llm_mixture_temp" ->
+      """WITH c AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_s
+           FROM documents GROUP BY source),
+         m AS (SELECT min(n_s) AS n_min FROM c),
+         t AS (
+           SELECT source, n_s,
+                  CAST(floor(4294967296.0 * sqrt(CAST(n_min AS DOUBLE))
+                       / sqrt(CAST(n_s AS DOUBLE))) AS BIGINT) AS thr
+           FROM c, m)
+         SELECT d.source, max(t.n_s) AS n_s, max(t.thr) AS thr,
+                CAST(sum(CASE WHEN CAST('0x' || substring(
+                       md5('ts:' || d.text), 1, 8) AS BIGINT) < t.thr
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         FROM documents d JOIN t ON d.source = t.source
+         GROUP BY d.source ORDER BY d.source""",
     "llm_kanon" ->
       """WITH q AS (
            SELECT doc_id, source, lang,

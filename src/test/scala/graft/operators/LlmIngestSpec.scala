@@ -94,6 +94,29 @@ class LlmIngestSpec extends AnyFunSuite with SparkSpec with Matchers {
     perSource.foreach { case (s, (n, mx)) => mx.toLong shouldBe n }
   }
 
+  test("llm_mixture_temp flattens the mix: smaller sources keep larger fractions") {
+    val rows = LlmIngest.queries("llm_mixture_temp")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("n_s"), r.getAs[Long]("thr"),
+        r.getAs[Long]("n_kept")))
+    // the smallest source's threshold is 2^32 → keeps everything
+    val minRow = rows.minBy(_._1)
+    minRow._2 shouldBe 4294967296L
+    minRow._3 shouldBe minRow._1
+    // thresholds decrease as source size grows (1/sqrt(n) scaling)
+    val bySize = rows.sortBy(_._1).toSeq
+    bySize.sliding(2).foreach {
+      case Seq((n1, t1, _), (n2, t2, _)) =>
+        if (n1 < n2) t1 should be > t2 else t1 shouldBe t2
+      case _ => ()
+    }
+    // keep fraction is monotone non-increasing in source size on average:
+    // the largest source keeps a strictly smaller fraction than the smallest
+    val maxRow = rows.maxBy(_._1)
+    if (maxRow._1 > minRow._1) {
+      (maxRow._3.toDouble / maxRow._1) should be < 1.0
+    }
+  }
+
   test("llm_dedup_incremental: bloom prefilter finds exactly the true dups") {
     val got = LlmIngest.queries("llm_dedup_incremental")(spark, sf)
       .select("doc_id").collect().map(_.getLong(0)).toSet
