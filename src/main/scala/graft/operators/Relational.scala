@@ -339,6 +339,23 @@ object Relational extends Catalog {
           F.col("event_type"), F.col("n"))
         .orderBy("ws", "event_type")),
 
+    // Exact DISTINCT count over SLIDING windows — the op naive plans get
+    // wrong at scale: a per-window distinct can't be maintained
+    // incrementally like a sum, so the scale-safe exact form replicates
+    // each event into the (window/slide = 2) windows containing it and
+    // runs ONE partial-aggregatable count-distinct per window group.
+    // The row multiplication is bounded by the overlap factor, not the
+    // data; beyond exactness requirements, swap count_distinct for
+    // approx_count_distinct (HLL, q_approx_distinct) and keep the plan.
+    "q_sliding_distinct" -> ((s, dir) =>
+      table(s, dir, "events")
+        .groupBy(F.window(F.col("ts"), "1 hour", "30 minutes"))
+        .agg(F.countDistinct(F.col("user_id")).as("n_users"),
+          F.count(F.lit(1)).as("n_events"))
+        .select(F.col("window.start").as("ws"), F.col("n_users"),
+          F.col("n_events"))
+        .orderBy("ws")),
+
     // native session_window (30-minute gap): sessions merge while events
     // keep arriving within the gap; end = last event + gap. Oracled
     // against DuckDB's manual lag/cumsum sessionization.
@@ -808,6 +825,13 @@ object Relational extends Catalog {
                 event_type, count(*) AS n
          FROM events, (SELECT unnest([0, 1]) AS k)
          GROUP BY 1, 2, 3 ORDER BY ws, event_type""",
+    "q_sliding_distinct" ->
+      """SELECT make_timestamp((epoch_us(ts) // 1800000000 - k) * 1800000000)
+                  AS ws,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                count(*) AS n_events
+         FROM events, (SELECT unnest([0, 1]) AS k)
+         GROUP BY 1 ORDER BY ws""",
     "q_session_window" ->
       """WITH flagged AS (
            SELECT user_id, ts, value,

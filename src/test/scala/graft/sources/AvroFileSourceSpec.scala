@@ -103,6 +103,22 @@ class AvroFileSourceSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("reading an empty or missing directory fails with a clear message") {
+    val err = intercept[Exception] {
+      spark.read.format("graft-avro").load(tmp())
+    }
+    err.getMessage should include("no .avro files")
+  }
+
+  test("minhash4 rejects non-string input at analysis time") {
+    graft.functions.VectorFunctions.register(spark)
+    spark.range(3).createOrReplaceTempView("mh_badtype")
+    val err = intercept[Exception] {
+      spark.sql("SELECT minhash4(id) FROM mh_badtype").collect()
+    }
+    err.getMessage.toLowerCase should include("string")
+  }
+
   test("resolves by short name through the service registry") {
     val dir = tmp()
     spark.range(3).write.format("graft-avro").mode("append").save(dir)
