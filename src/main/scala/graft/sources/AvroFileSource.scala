@@ -12,10 +12,10 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -96,26 +96,44 @@ case class AvroTable(path: String, tableSchema: StructType)
 }
 
 class AvroScanBuilder(path: String, full: StructType)
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with SupportsPushDownFilters {
 
   private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new Scan with Batch {
-    override def readSchema(): StructType = required
-    override def toBatch: Batch = this
-    override def planInputPartitions(): Array[InputPartition] =
-      AvroFileSource.listAvro(new File(path))
-        .map(f => AvroInputPartition(f.getAbsolutePath): InputPartition)
-        .toArray
-    override def createReaderFactory(): PartitionReaderFactory =
-      AvroReaderFactory(required, full)
-    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-      new AvroMicroBatchStream(path, required, full)
-    override def description(): String =
-      s"graft-avro $path (${required.fieldNames.mkString(",")})"
+  /** Decode-time skip filters (see [[AvroFilterEval]]). EVERY filter is
+    * returned residual — Spark re-evaluates the predicate post-scan under
+    * codegen — so the pushed set is purely a row-skip optimization and
+    * Spark keeps filter-referenced columns in the required schema.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(AvroFilterEval.accepts(full, _))
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = {
+    val filters = pushed
+    new Scan with Batch {
+      override def readSchema(): StructType = required
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] =
+        AvroFileSource.listAvro(new File(path))
+          .map(f => AvroInputPartition(f.getAbsolutePath): InputPartition)
+          .toArray
+      override def createReaderFactory(): PartitionReaderFactory =
+        AvroReaderFactory(required, full, filters)
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new AvroMicroBatchStream(path, required, full, checkpointLocation)
+      override def description(): String =
+        s"graft-avro $path (${required.fieldNames.mkString(",")}) " +
+          s"PushedFilters: [${filters.mkString(", ")}]"
+    }
   }
 }
 
@@ -128,32 +146,53 @@ class AvroScanBuilder(path: String, full: StructType)
   * a micro-batch reads registry slots (start, end], one partition per
   * file — each file is consumed exactly once while the stream runs.
   *
-  * Restart caveat (documented limitation, not silent): exactly-once
-  * across driver restarts needs a durable seen-file log like Spark's
-  * FileStreamSource metadata log; on restart this source rebuilds the
-  * registry from the sorted listing, which is only correct if no new
-  * files arrived during the outage.
+  * The registry is DURABLE: discovery order is journaled to an
+  * append-only log under the query's checkpoint location (the same idea
+  * as Spark's FileStreamSource metadata log). On driver restart the
+  * registry is rebuilt from the journal, so offset `n` always denotes
+  * the same n-file prefix — files that arrived during an outage are
+  * appended AFTER the journaled prefix and picked up by the next batch,
+  * preserving exactly-once across restarts. (The journal grows one line
+  * per file; compaction onto the committed prefix is future work.)
   */
 class AvroMicroBatchStream(path: String, required: StructType,
-    full: StructType) extends MicroBatchStream {
+    full: StructType, checkpointLocation: String) extends MicroBatchStream {
 
   private case class FileCountOffset(n: Long) extends Offset {
     override def json(): String = n.toString
   }
 
-  // append-order registry of discovered files (driver-side, single stream)
+  private val journal: File = {
+    val base = checkpointLocation.stripPrefix("file:")
+    val d = new File(base)
+    d.mkdirs()
+    new File(d, "graft-avro-seen.log")
+  }
+
+  // append-order registry of discovered files, rebuilt from the journal
   private val seen = new java.util.LinkedHashSet[String]()
+  if (journal.isFile)
+    java.nio.file.Files.readAllLines(journal.toPath).asScala
+      .filter(_.nonEmpty).foreach(seen.add)
 
   private def discover(): Unit = synchronized {
-    AvroFileSource.listAvro(new File(path))
-      .foreach(f => seen.add(f.getAbsolutePath))
+    val fresh = AvroFileSource.listAvro(new File(path))
+      .map(_.getAbsolutePath).filterNot(seen.contains)
+    if (fresh.nonEmpty) {
+      // journal BEFORE exposing via offsets: a crash between the two
+      // leaves extra journaled names, which simply re-enter the registry
+      // in the same order on restart — never a skipped or re-read file
+      java.nio.file.Files.write(journal.toPath,
+        fresh.mkString("", "\n", "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      fresh.foreach(seen.add)
+    }
   }
 
   override def initialOffset(): Offset = FileCountOffset(0L)
-  override def deserializeOffset(json: String): Offset = {
-    discover() // restart: rebuild the registry prefix from the listing
+  override def deserializeOffset(json: String): Offset =
     FileCountOffset(json.trim.toLong)
-  }
   override def latestOffset(): Offset = {
     discover()
     FileCountOffset(seen.size.toLong)
@@ -178,7 +217,8 @@ class AvroMicroBatchStream(path: String, required: StructType,
 
 case class AvroInputPartition(file: String) extends InputPartition
 
-case class AvroReaderFactory(required: StructType, full: StructType)
+case class AvroReaderFactory(required: StructType, full: StructType,
+    filters: Array[Filter] = Array.empty)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -204,14 +244,22 @@ case class AvroReaderFactory(required: StructType, full: StructType)
       new GenericDatumReader[GenericRecord](null, readerSchema))
     val toInternal =
       ExpressionEncoder(RowEncoder.encoderFor(required)).createSerializer()
+    val keep = AvroFilterEval.build(required, filters)
 
     new PartitionReader[InternalRow] {
-      override def next(): Boolean = reader.hasNext
-      override def get(): InternalRow = {
-        val rec = reader.next()
-        // serializer reuses its buffer; copy so downstream can hold rows
-        toInternal(AvroRowCodec.toRow(rec, required)).copy()
+      private var row: org.apache.spark.sql.Row = _
+      override def next(): Boolean = {
+        row = null
+        // skip definitely-non-matching rows BEFORE Catalyst serialization
+        while (row == null && reader.hasNext) {
+          val r = AvroRowCodec.toRow(reader.next(), required)
+          if (keep(r)) row = r
+        }
+        row != null
       }
+      override def get(): InternalRow =
+        // serializer reuses its buffer; copy so downstream can hold rows
+        toInternal(row).copy()
       override def close(): Unit = reader.close()
     }
   }

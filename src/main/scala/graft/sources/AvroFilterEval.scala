@@ -1,0 +1,141 @@
+package graft.sources
+
+import java.math.{BigDecimal => JBigDecimal}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+/** Decode-time filter evaluation for the graft-avro source
+  * (`SupportsPushDownFilters`). A row-oriented container has no column
+  * statistics, so "pushdown" here means: evaluate the predicate on the
+  * decoded external Row and skip the Catalyst serialization (the
+  * expensive half of the read path) for rows that cannot match. Spark
+  * ALWAYS re-evaluates the full predicate post-scan — `pushFilters`
+  * returns every filter as residual — so this layer only needs to be
+  * sound in one direction: never drop a row the query keeps.
+  *
+  * Soundness rules:
+  *  - `Not` / nested-column references / unknown Filter nodes are
+  *    rejected at acceptance time (a may-match over-approximation does
+  *    not survive negation);
+  *  - with no `Not`, evaluating leaf comparisons as SQL does at the top
+  *    of a WHERE (null operand → false) and composing And/Or
+  *    monotonically reproduces Catalyst's Filter result exactly;
+  *  - any comparison the evaluator cannot decide confidently (type
+  *    mismatch it does not understand) answers "may match" (true).
+  */
+private[sources] object AvroFilterEval {
+
+  /** Can `f` be evaluated at decode time? Only top-level attributes of
+    * the table schema, and only null-intolerant node shapes.
+    */
+  def accepts(full: StructType, f: Filter): Boolean = f match {
+    case And(l, r) => accepts(full, l) && accepts(full, r)
+    case Or(l, r)  => accepts(full, l) && accepts(full, r)
+    case EqualTo(a, _)            => topLevel(full, a)
+    case EqualNullSafe(a, _)      => topLevel(full, a)
+    case GreaterThan(a, _)        => topLevel(full, a)
+    case GreaterThanOrEqual(a, _) => topLevel(full, a)
+    case LessThan(a, _)           => topLevel(full, a)
+    case LessThanOrEqual(a, _)    => topLevel(full, a)
+    case In(a, _)                 => topLevel(full, a)
+    case IsNull(a)                => topLevel(full, a)
+    case IsNotNull(a)             => topLevel(full, a)
+    case StringStartsWith(a, _)   => topLevel(full, a)
+    case StringEndsWith(a, _)     => topLevel(full, a)
+    case StringContains(a, _)     => topLevel(full, a)
+    case _ => false // Not, AlwaysTrue/False, nested V2 predicates, …
+  }
+
+  private def topLevel(full: StructType, attr: String): Boolean =
+    !attr.contains('.') && full.fieldNames.contains(attr)
+
+  /** Compile accepted filters into one Row predicate (conjunction).
+    * `schema` is the read schema the decoded Row conforms to — Spark
+    * includes every filter-referenced column in it because all filters
+    * are reported residual.
+    */
+  def build(schema: StructType, filters: Array[Filter]): Row => Boolean = {
+    val preds = filters.map(compile(schema, _))
+    row => preds.forall(p => p(row))
+  }
+
+  private def compile(schema: StructType, f: Filter): Row => Boolean = f match {
+    case And(l, r) =>
+      val (pl, pr) = (compile(schema, l), compile(schema, r))
+      row => pl(row) && pr(row)
+    case Or(l, r) =>
+      val (pl, pr) = (compile(schema, l), compile(schema, r))
+      row => pl(row) || pr(row)
+    case IsNull(a)    => at(schema, a)(_ == null)
+    case IsNotNull(a) => at(schema, a)(_ != null)
+    case EqualTo(a, v)       => at(schema, a)(x => x != null && eq0(x, v))
+    case EqualNullSafe(a, v) =>
+      at(schema, a)(x => if (x == null || v == null) x == null && v == null
+                         else eq0(x, v))
+    case In(a, vs) =>
+      at(schema, a)(x => x != null && vs.exists(v => v != null && eq0(x, v)))
+    case GreaterThan(a, v)        => cmpAt(schema, a, v)(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmpAt(schema, a, v)(_ >= 0)
+    case LessThan(a, v)           => cmpAt(schema, a, v)(_ < 0)
+    case LessThanOrEqual(a, v)    => cmpAt(schema, a, v)(_ <= 0)
+    case StringStartsWith(a, p) => str(schema, a)(_.startsWith(p))
+    case StringEndsWith(a, p)   => str(schema, a)(_.endsWith(p))
+    case StringContains(a, p)   => str(schema, a)(_.contains(p))
+    case _ => _ => true // unreachable if accepts() gated; keep = sound
+  }
+
+  private def at(schema: StructType, attr: String)(p: Any => Boolean): Row => Boolean = {
+    val i = schema.fieldIndex(attr)
+    row => p(row.get(i))
+  }
+
+  private def str(schema: StructType, attr: String)(p: String => Boolean): Row => Boolean =
+    at(schema, attr) {
+      case s: String => p(s)
+      case null      => false
+      case _         => true // not a string we understand: may match
+    }
+
+  private def cmpAt(schema: StructType, attr: String, v: Any)(
+      keep: Int => Boolean): Row => Boolean =
+    at(schema, attr)(x => x != null && (cmp(x, v) match {
+      case Some(c) => keep(c)
+      case None    => true // undecidable: may match
+    }))
+
+  private def eq0(x: Any, v: Any): Boolean = (x, v) match {
+    case (a: Array[Byte], b: Array[Byte]) => java.util.Arrays.equals(a, b)
+    case (a: Number, b: Number)           => num(a).compareTo(num(b)) == 0
+    case _ => cmp(x, v) match {
+      case Some(c) => c == 0
+      case None    => true // undecidable equality: may match
+    }
+  }
+
+  /** Total-order compare when both sides are understood; None otherwise. */
+  private def cmp(x: Any, v: Any): Option[Int] = (x, v) match {
+    case (a: Number, b: Number)   => Some(num(a).compareTo(num(b)))
+    case (a: String, b: String)   => Some(a.compareTo(b))
+    case (a: Boolean, b: Boolean) => Some(a.compareTo(b))
+    case (a: java.sql.Date, b: java.sql.Date)           => Some(a.compareTo(b))
+    case (a: java.sql.Timestamp, b: java.sql.Timestamp) => Some(a.compareTo(b))
+    case (a: java.sql.Date, b: java.time.LocalDate) =>
+      Some(a.toLocalDate.compareTo(b))
+    case (a: java.sql.Timestamp, b: java.time.Instant) =>
+      Some(a.toInstant.compareTo(b))
+    case _ => None
+  }
+
+  /** Exact numeric widening: Long/Int/Short/Byte and Float/Double and
+    * BigDecimal all convert to BigDecimal without loss.
+    */
+  private def num(n: Number): JBigDecimal = n match {
+    case d: JBigDecimal => d
+    case d: java.lang.Double => new JBigDecimal(d.doubleValue())
+    case f: java.lang.Float  => new JBigDecimal(f.floatValue().toDouble)
+    case d: scala.math.BigDecimal => d.bigDecimal
+    case i => JBigDecimal.valueOf(i.longValue())
+  }
+}
