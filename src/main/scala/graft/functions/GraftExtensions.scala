@@ -43,6 +43,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("minhash4"),
       info("minhash4", "minhash4(str) - 4-lane MinHash signature as array<bigint>"),
       (exprs: Seq[Expression]) => MinHashAgg(exprs.head).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("minhash8"),
+      info("minhash8", "minhash8(str) - 8-lane MinHash signature as array<bigint>"),
+      (exprs: Seq[Expression]) =>
+        MinHashAgg(exprs.head, lanes = 8).toAggregateExpression()))
     // whole-operator extension: logical TopKPerKey → partial/final exec
     // pair (see graft.plans.TopKPerKey)
     ext.injectPlannerStrategy(_ => new graft.plans.TopKStrategy)

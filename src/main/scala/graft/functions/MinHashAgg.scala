@@ -12,49 +12,56 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Native MinHash-signature aggregate: `minhash4(str)` returns the 4-lane
-  * MinHash signature of a group's string set as `array<bigint>`.
+/** Native MinHash-signature aggregate: `minhash4(str)` / `minhash8(str)`
+  * return the k-lane MinHash signature of a group's string set as
+  * `array<bigint>`.
   *
   * This is the engine's [[TypedImperativeAggregate]] surface — the same
   * imperative-buffer aggregate class Spark's own sketches (HLL++,
   * percentile_approx, bloom_filter_agg) are built on, and the right shape
   * for ANY mergeable sketch at scale:
-  * - `update` folds one row into a fixed 32-byte buffer (4 longs);
+  * - `update` folds one row into a fixed 32-byte buffer of `lanes` longs;
   * - `merge` is an element-wise min — associative, commutative, and
   *   order-independent, so partial aggregation and AQE shuffle-merge
   *   order cannot change the result (determinism under Spark's
   *   nondeterministic merge order, unlike double-accumulating UDAFs);
-  * - the shuffle carries 32 bytes per group, never the member strings.
+  * - the shuffle carries 8·lanes bytes per group, never the member strings.
   *
-  * Lane construction (CLAUDE.md hash rules): ONE md5 per value, sliced
-  * into four 8-hex-char (32-bit) lanes — reproducible in any engine with
-  * md5 (DuckDB oracle: `min(CAST('0x' || substring(md5(v), 1+8*i, 8) AS
-  * BIGINT))`). Empty groups and null inputs leave a lane at
+  * Lane construction (CLAUDE.md hash rules): md5 sliced into 8-hex-char
+  * (32-bit) lanes, four lanes per digest BLOCK; block 0 hashes the value
+  * itself, block b > 0 hashes `b.toString + value` (the salted-widening
+  * path) — reproducible in any engine with md5 (DuckDB oracle block b:
+  * `min(CAST('0x' || substring(md5(CAST(b AS VARCHAR) || v), 1+8*i, 8)
+  * AS BIGINT))`). Empty groups and null inputs leave a lane at
   * Long.MaxValue, mirroring `min`'s null-skipping.
   *
   * The signature estimates set resemblance: P[lane_i equal] = Jaccard
-  * (Broder 1997); 4 lanes is a demonstration width — widen by hashing
-  * `concat(lane_salt, v)` per extra md5 if a use case needs tighter
-  * bounds.
+  * (Broder 1997); the estimator's std-error 1/sqrt(k) is why `minhash8`
+  * exists alongside the 4-lane demonstration width.
   */
 case class MinHashAgg(
     child: Expression,
+    lanes: Int = MinHashAgg.Lanes,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]]
   with UnaryLike[Expression] {
 
+  require(lanes >= 1 && lanes % 4 == 0,
+    s"minhash lane count must be a positive multiple of 4 (one digest " +
+      s"block yields 4 lanes), got $lanes")
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"minhash4 requires a string input, got ${other.catalogString}")
+      s"$prettyName requires a string input, got ${other.catalogString}")
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
-  override def prettyName: String = "minhash4"
+  override def prettyName: String = s"minhash$lanes"
 
   override def createAggregationBuffer(): Array[Long] =
-    Array.fill(MinHashAgg.Lanes)(Long.MaxValue)
+    Array.fill(lanes)(Long.MaxValue)
 
   // one digest instance per thread: MessageDigest is stateful and the same
   // expression object can serve several local-mode tasks concurrently
@@ -65,17 +72,29 @@ case class MinHashAgg(
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val digest = md.get().digest(v.asInstanceOf[UTF8String].getBytes)
-      var i = 0
-      while (i < MinHashAgg.Lanes) {
-        // lane i = hex chars [8i, 8i+8) of the digest = bytes [4i, 4i+4),
-        // read big-endian as an unsigned 32-bit value (always >= 0)
-        val lane = ((digest(4 * i) & 0xffL) << 24) |
-          ((digest(4 * i + 1) & 0xffL) << 16) |
-          ((digest(4 * i + 2) & 0xffL) << 8) |
-          (digest(4 * i + 3) & 0xffL)
-        if (lane < buf(i)) buf(i) = lane
-        i += 1
+      val bytes = v.asInstanceOf[UTF8String].getBytes
+      var block = 0
+      while (block * 4 < lanes) {
+        val digest =
+          if (block == 0) md.get().digest(bytes)
+          else {
+            val d = md.get()
+            d.update(block.toString.getBytes("UTF-8")) // salt: md5(b || v)
+            d.digest(bytes)
+          }
+        var i = 0
+        while (i < 4 && block * 4 + i < lanes) {
+          // lane = hex chars [8i, 8i+8) of the digest = bytes [4i, 4i+4),
+          // read big-endian as an unsigned 32-bit value (always >= 0)
+          val lane = ((digest(4 * i) & 0xffL) << 24) |
+            ((digest(4 * i + 1) & 0xffL) << 16) |
+            ((digest(4 * i + 2) & 0xffL) << 8) |
+            (digest(4 * i + 3) & 0xffL)
+          val j = block * 4 + i
+          if (lane < buf(j)) buf(j) = lane
+          i += 1
+        }
+        block += 1
       }
     }
     buf
@@ -83,7 +102,7 @@ case class MinHashAgg(
 
   override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
     var i = 0
-    while (i < MinHashAgg.Lanes) {
+    while (i < lanes) {
       if (other(i) < buf(i)) buf(i) = other(i)
       i += 1
     }
@@ -93,14 +112,14 @@ case class MinHashAgg(
   override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(MinHashAgg.Lanes * 8)
+    val bb = ByteBuffer.allocate(lanes * 8)
     buf.foreach(bb.putLong)
     bb.array()
   }
 
   override def deserialize(bytes: Array[Byte]): Array[Long] = {
     val bb = ByteBuffer.wrap(bytes)
-    Array.fill(MinHashAgg.Lanes)(bb.getLong)
+    Array.fill(lanes)(bb.getLong)
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): MinHashAgg =

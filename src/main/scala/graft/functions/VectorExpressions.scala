@@ -227,12 +227,21 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash4", exprs => MinHashAgg(exprs.head).toAggregateExpression(),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash8",
+      exprs => MinHashAgg(exprs.head, lanes = 8).toAggregateExpression(),
+      "scala_udf")
   }
 
   /** 4-lane MinHash signature aggregate over a string column (see
     * [[MinHashAgg]]). Requires [[register]] on the session first.
     */
   def minhash4(a: Column): Column = F.call_function("minhash4", a)
+
+  /** 8-lane MinHash signature (second md5 block salted with "1" — the
+    * 1/sqrt(k) widening path). Requires [[register]] first.
+    */
+  def minhash8(a: Column): Column = F.call_function("minhash8", a)
 
   /** 16-bit SimHash over an `array<string>` of hex digests.
     * Requires [[register]] on the session first.

@@ -135,6 +135,22 @@ object LlmDedup extends Catalog {
         .orderBy("source")
     }),
 
+    // 8-lane widening of llm_minhash_sig: same one-pass mergeable sketch,
+    // lanes 4-7 sliced from a salted second digest md5('1' || text) — the
+    // generic widen-by-salt path (estimator error 1/sqrt(k)). Still one
+    // shuffle of 64-byte buffers per group.
+    "llm_minhash_wide" -> ((s, dir) => {
+      VectorFunctions.register(s)
+      table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .groupBy("source")
+        .agg(VectorFunctions.minhash8(F.col("text")).as("sig"))
+        .select(F.col("source") +:
+          (0 until 8).map(i =>
+            F.element_at(F.col("sig"), i + 1).as(s"h$i")): _*)
+        .orderBy("source")
+    }),
+
     // SimHash: classic construction — ONE md5 per distinct word; bit b's
     // ±1 vote is the parity of hex char b of that hash; bit b is set when
     // votes sum positive. Entirely narrow and zero-shuffle: the signature
@@ -405,6 +421,17 @@ object LlmDedup extends Catalog {
                 min(CAST('0x' || substring(md5(text), 9, 8) AS BIGINT)) AS h1,
                 min(CAST('0x' || substring(md5(text), 17, 8) AS BIGINT)) AS h2,
                 min(CAST('0x' || substring(md5(text), 25, 8) AS BIGINT)) AS h3
+         FROM documents GROUP BY source ORDER BY source""",
+    "llm_minhash_wide" ->
+      """SELECT source,
+                min(CAST('0x' || substring(md5(text), 1, 8) AS BIGINT)) AS h0,
+                min(CAST('0x' || substring(md5(text), 9, 8) AS BIGINT)) AS h1,
+                min(CAST('0x' || substring(md5(text), 17, 8) AS BIGINT)) AS h2,
+                min(CAST('0x' || substring(md5(text), 25, 8) AS BIGINT)) AS h3,
+                min(CAST('0x' || substring(md5('1' || text), 1, 8) AS BIGINT)) AS h4,
+                min(CAST('0x' || substring(md5('1' || text), 9, 8) AS BIGINT)) AS h5,
+                min(CAST('0x' || substring(md5('1' || text), 17, 8) AS BIGINT)) AS h6,
+                min(CAST('0x' || substring(md5('1' || text), 25, 8) AS BIGINT)) AS h7
          FROM documents GROUP BY source ORDER BY source""",
     "llm_simhash" ->
       """WITH dw AS (

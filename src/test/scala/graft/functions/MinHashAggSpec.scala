@@ -75,4 +75,23 @@ class MinHashAggSpec extends AnyFunSuite with SparkSpec with Matchers {
     viaSql.length shouldBe 4
     all(viaSql) should be >= 0L
   }
+
+  test("minhash8: lanes 0-3 equal minhash4; lanes 4-7 from the salted block") {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val df = Seq(("a", "alpha"), ("a", "beta"), ("b", "gamma")).toDF("g", "s")
+    df.createOrReplaceTempView("mh_wide_spec")
+    val wide = spark.sql(
+      "SELECT g, minhash8(s) AS w, minhash4(s) AS n FROM mh_wide_spec GROUP BY g")
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1), r.getSeq[Long](2)))
+    wide.foreach { case (_, w, n) =>
+      w.length shouldBe 8
+      w.take(4) shouldBe n // block 0 is the unsalted digest in both
+    }
+    // salted block = element-wise min of md5('1' || s) slices
+    val expected = df.filter($"g" === "a")
+      .selectExpr("min(cast(conv(substring(md5(concat('1', s)), 1, 8), 16, 10) as bigint)) as h4")
+      .head().getLong(0)
+    wide.find(_._1 == "a").get._2(4) shouldBe expected
+  }
 }
