@@ -12,11 +12,12 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.avro.{AvroRowCodec, AvroSchemaConverter}
@@ -97,13 +98,14 @@ case class AvroTable(path: String, tableSchema: StructType)
 
 class AvroScanBuilder(path: String, full: StructType)
   extends ScanBuilder with SupportsPushDownRequiredColumns
-  with SupportsPushDownFilters {
+  with SupportsPushDownFilters with SupportsPushDownAggregates {
 
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
+  private var countPushed = false
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    if (!countPushed) required = requiredSchema
 
   /** Decode-time skip filters (see [[AvroFilterEval]]). EVERY filter is
     * returned residual — Spark re-evaluates the predicate post-scan under
@@ -117,9 +119,30 @@ class AvroScanBuilder(path: String, full: StructType)
 
   override def pushedFilters(): Array[Filter] = pushed
 
+  /** Zero-decode `COUNT(*)`: Avro container blocks carry their record
+    * count in the block header, so an unfiltered global count is the sum
+    * of block counts — no record is ever deserialized. Partial pushdown
+    * only (one partial count row per file; Spark sums them), and only for
+    * a bare global COUNT(*): any residual filter, grouping, or other
+    * aggregate needs real rows. (Spark offers aggregate pushdown only
+    * when no post-scan filter remains, so `pushed.isEmpty` is belt and
+    * braces with our always-residual filter contract.)
+    */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val ok = pushed.isEmpty && agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions.head.isInstanceOf[CountStar]
+    if (ok) {
+      countPushed = true
+      required = new StructType().add("count(*)", LongType, nullable = false)
+    }
+    ok
+  }
+
   override def build(): Scan = {
     val filters = pushed
-    new Scan with Batch {
+    val counting = countPushed
+    new Scan with Batch with SupportsReportStatistics {
       override def readSchema(): StructType = required
       override def toBatch: Batch = this
       override def planInputPartitions(): Array[InputPartition] =
@@ -127,12 +150,54 @@ class AvroScanBuilder(path: String, full: StructType)
           .map(f => AvroInputPartition(f.getAbsolutePath): InputPartition)
           .toArray
       override def createReaderFactory(): PartitionReaderFactory =
-        AvroReaderFactory(required, full, filters)
+        if (counting) AvroCountReaderFactory(required)
+        else AvroReaderFactory(required, full, filters)
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new AvroMicroBatchStream(path, required, full, checkpointLocation)
+      /** Compressed on-disk bytes — a conservative (under-)estimate of
+        * the in-memory size Spark compares against the broadcast
+        * threshold; enough for the planner to broadcast genuinely small
+        * avro dimensions instead of defaulting to sizeInBytes=MAX.
+        */
+      override def estimateStatistics(): Statistics = new Statistics {
+        private val bytes =
+          AvroFileSource.listAvro(new File(path)).map(_.length()).sum
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.of(bytes)
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.empty()
+      }
       override def description(): String =
         s"graft-avro $path (${required.fieldNames.mkString(",")}) " +
-          s"PushedFilters: [${filters.mkString(", ")}]"
+          s"PushedFilters: [${filters.mkString(", ")}]" +
+          (if (counting) " PushedAggregation: [COUNT(*)]" else "")
+    }
+  }
+}
+
+/** Block-header count reader: walks container blocks via `nextBlock()`
+  * (raw buffer, no record decode) and emits ONE partial-count row.
+  */
+case class AvroCountReaderFactory(required: StructType)
+  extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = new File(partition.asInstanceOf[AvroInputPartition].file)
+    new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = !done
+      override def get(): InternalRow = {
+        val reader = new DataFileReader[GenericRecord](
+          file, new GenericDatumReader[GenericRecord]())
+        var n = 0L
+        try while (reader.hasNext) {
+          n += reader.getBlockCount
+          reader.nextBlock()
+        } finally reader.close()
+        done = true
+        InternalRow(n)
+      }
+      override def close(): Unit = ()
     }
   }
 }

@@ -174,6 +174,46 @@ class AvroFileSourceSpec extends AnyFunSuite with SparkSpec with Matchers {
     got.toSeq shouldBe Seq(0L, 1L, 2L, 10L, 11L, 12L, 13L, 14L)
   }
 
+  test("bare count(*) is answered from block headers (no record decode)") {
+    val dir = tmp()
+    spark.range(12345).selectExpr("id", "cast(id as string) as s")
+      .repartition(3).write.format("graft-avro").mode("append").save(dir)
+    // aggregates plan under AQE: unwrap the adaptive barrier to reach the
+    // scan node
+    def scanOf(df: org.apache.spark.sql.DataFrame): BatchScanExec = {
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      val root = df.queryExecution.executedPlan
+      val under = root.collectFirst {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+      }.getOrElse(root)
+      under.collectFirst { case b: BatchScanExec => b }.get
+    }
+    val counted = spark.read.format("graft-avro").load(dir)
+      .agg(F.count(F.lit(1)))
+    scanOf(counted).scan.description() should
+      include("PushedAggregation: [COUNT(*)]")
+    counted.head().getLong(0) shouldBe 12345L
+
+    // a filtered count needs real rows: must NOT push, must stay correct
+    val filtered = spark.read.format("graft-avro").load(dir)
+      .filter(F.col("id") < 100).agg(F.count(F.lit(1)))
+    scanOf(filtered).scan.description() should not include "PushedAggregation"
+    filtered.head().getLong(0) shouldBe 100L
+  }
+
+  test("reported size statistics let the planner broadcast a small avro dim") {
+    val dir = tmp()
+    spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+      .write.format("graft-avro").mode("append").save(dir)
+    val dim = spark.read.format("graft-avro").load(dir)
+    val fact = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val joined = fact.join(dim, fact("c_nationkey") === dim("n_nationkey"))
+    val hasBroadcast = joined.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin")
+    hasBroadcast shouldBe true
+    joined.count() shouldBe fact.count()
+  }
+
   test("reading an empty or missing directory fails with a clear message") {
     val err = intercept[Exception] {
       spark.read.format("graft-avro").load(tmp())
