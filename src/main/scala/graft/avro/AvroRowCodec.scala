@@ -68,6 +68,12 @@ object AvroRowCodec {
         v.asInstanceOf[java.util.Map[Any, Any]].asScala.map { case (k, mv) =>
           k.toString -> decode(mv, schema.getValueType, vt)
         }.toMap
+      // schema-drift numeric promotions (Avro resolution rules): an older
+      // file's narrower writer type decodes into the table's wider column
+      case (Type.INT, LongType)    => v.asInstanceOf[Int].toLong
+      case (Type.INT, DoubleType)  => v.asInstanceOf[Int].toDouble
+      case (Type.LONG, DoubleType) => v.asInstanceOf[Long].toDouble
+      case (Type.FLOAT, DoubleType) => v.asInstanceOf[Float].toDouble
       case _ => v // boolean / int / long / float / double primitives
     }
   }

@@ -60,13 +60,34 @@ class AvroFileSource extends TableProvider with DataSourceRegister {
     new File(Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("graft-avro requires a path")))
 
+  /** Latest-schema-wins inference with a nullability merge: the newest
+    * file's writer schema defines the column set and order (dropped
+    * columns disappear, like a table's current DDL), and any column that
+    * an older file lacks — or writes nullable — is nullable in the table
+    * view so drifted files can resolve it to null. Only file HEADERS are
+    * read (one small driver-side open per file, once at table creation);
+    * pass `.schema(...)` explicitly to pin a different view or skip the
+    * sweep on very large directories.
+    */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val files = AvroFileSource.listAvro(dir(options))
     require(files.nonEmpty, s"no .avro files under ${dir(options)}")
-    val reader = new DataFileReader[GenericRecord](
-      files.head, new GenericDatumReader[GenericRecord]())
-    try AvroSchemaConverter.toStruct(reader.getSchema)
-    finally reader.close()
+    def header(f: File): Schema = {
+      val r = new DataFileReader[GenericRecord](
+        f, new GenericDatumReader[GenericRecord]())
+      try r.getSchema finally r.close()
+    }
+    val schemas = files.sortBy(_.lastModified()).map(header).distinct
+    val base = AvroSchemaConverter.toStruct(schemas.last)
+    if (schemas.size == 1) base
+    else {
+      val structs = schemas.map(AvroSchemaConverter.toStruct)
+      StructType(base.fields.map { f =>
+        val relaxed = structs.exists(st => st.fields.find(_.name == f.name)
+          .forall(_.nullable))
+        if (relaxed && !f.nullable) f.copy(nullable = true) else f
+      })
+    }
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -293,18 +314,40 @@ case class AvroReaderFactory(required: StructType, full: StructType,
     val headReader = new DataFileReader[GenericRecord](
       file, new GenericDatumReader[GenericRecord]())
     val writerSchema = try headReader.getSchema finally headReader.close()
-    val readerSchema =
-      if (required.fieldNames.sameElements(full.fieldNames)) writerSchema
+    // Pruned READER schema, resilient to SCHEMA DRIFT across files: a
+    // column the table knows but this (older) file's writer schema lacks
+    // is synthesized from the table schema with a null default, which
+    // Avro resolution fills during decode — so a directory written over
+    // time under evolving schemas reads as one table. Fields the writer
+    // does have keep the writer's field schema (numeric promotions like
+    // int→long are finished by AvroRowCodec at decode).
+    val readerSchema = {
+      val exact = writerSchema.getFields.size == required.fields.length &&
+        required.fieldNames.forall(n => writerSchema.getField(n) != null)
+      if (exact && required.fieldNames.sameElements(full.fieldNames))
+        writerSchema
       else {
-        val keep = required.fieldNames.toSet
-        val fields = writerSchema.getFields.asScala
-          .filter(f => keep.contains(f.name))
-          .map(f => new Schema.Field(f.name, f.schema, f.doc, f.defaultVal))
+        val fields = required.fields.map { sf =>
+          writerSchema.getField(sf.name) match {
+            case null =>
+              require(sf.nullable, s"column '${sf.name}' is missing from " +
+                s"older file $file and is not nullable — cannot default")
+              val synth = AvroSchemaConverter
+                .toAvro(StructType(Seq(sf)), writerSchema.getName,
+                  Option(writerSchema.getNamespace), None)
+                .getFields.get(0)
+              new Schema.Field(synth.name, synth.schema, synth.doc,
+                Schema.Field.NULL_DEFAULT_VALUE)
+            case wf =>
+              new Schema.Field(wf.name, wf.schema, wf.doc, wf.defaultVal)
+          }
+        }
         val s = Schema.createRecord(writerSchema.getName, writerSchema.getDoc,
           writerSchema.getNamespace, false)
-        s.setFields(fields.asJava)
+        s.setFields(java.util.Arrays.asList(fields: _*))
         s
       }
+    }
     val reader = new DataFileReader[GenericRecord](file,
       new GenericDatumReader[GenericRecord](null, readerSchema))
     val toInternal =

@@ -214,6 +214,38 @@ class AvroFileSourceSpec extends AnyFunSuite with SparkSpec with Matchers {
     joined.count() shouldBe fact.count()
   }
 
+  test("schema drift: older files resolve missing columns to null defaults") {
+    val dir = tmp()
+    // v1 writer: (id, s)
+    spark.range(3).selectExpr("id", "concat('v1_', id) as s")
+      .coalesce(1).write.format("graft-avro").mode("append").save(dir)
+    Thread.sleep(20) // distinct mtime so inferSchema picks the v2 file
+    // v2 writer adds a nullable double column
+    spark.range(10, 12)
+      .selectExpr("id", "concat('v2_', id) as s", "cast(id as double) as score")
+      .coalesce(1).write.format("graft-avro").mode("append").save(dir)
+
+    val back = spark.read.format("graft-avro").load(dir)
+    back.schema.fieldNames.toSeq shouldBe Seq("id", "s", "score")
+    val rows = back.orderBy("id").collect()
+    rows.map(_.getLong(0)).toSeq shouldBe Seq(0L, 1L, 2L, 10L, 11L)
+    rows.take(3).foreach(r => r.isNullAt(2) shouldBe true)
+    rows.drop(3).map(_.getDouble(2)).toSeq shouldBe Seq(10.0, 11.0)
+    // pruning a drifted column alone still works
+    back.select("score").where(F.col("score").isNotNull).count() shouldBe 2
+  }
+
+  test("schema drift: int-written columns promote to a long/double view") {
+    import org.apache.spark.sql.types._
+    val dir = tmp()
+    spark.range(5).selectExpr("cast(id as int) as id", "cast(id as float) as x")
+      .coalesce(1).write.format("graft-avro").mode("append").save(dir)
+    val widened = StructType(Seq(
+      StructField("id", LongType), StructField("x", DoubleType)))
+    val back = spark.read.format("graft-avro").schema(widened).load(dir)
+    back.agg(F.sum("id"), F.sum("x")).head().toSeq shouldBe Seq(10L, 10.0)
+  }
+
   test("reading an empty or missing directory fails with a clear message") {
     val err = intercept[Exception] {
       spark.read.format("graft-avro").load(tmp())
