@@ -16,6 +16,7 @@ import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountS
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types.{LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -108,7 +109,8 @@ case class AvroTable(path: String, tableSchema: StructType)
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AvroScanBuilder(path, tableSchema)
@@ -391,33 +393,78 @@ class AvroWriteBuilder(path: String, schema: StructType)
       override def commit(messages: Array[WriterCommitMessage]): Unit = ()
       override def abort(messages: Array[WriterCommitMessage]): Unit = ()
     }
+
+    /** Streaming sink: one container file per (epoch, partition). The
+      * file name is a pure function of those two — a retried task
+      * rewrites the SAME file (create truncates), so replays are
+      * idempotent. Files are created lazily on the first row: idle
+      * epochs leave no empty-file litter for a downstream streaming
+      * reader's registry to churn through.
+      */
+    override def toStreaming: StreamingWrite = new StreamingWrite {
+      override def createStreamingWriterFactory(
+          info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+        new File(path).mkdirs()
+        AvroStreamingWriterFactory(path, schema)
+      }
+      override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+      override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+    }
+  }
+}
+
+private[sources] object AvroWriters {
+  /** Container-file writer; `lazyCreate` postpones file creation to the
+    * first row so empty partitions produce no file.
+    */
+  def open(path: String, schema: StructType, fileName: String,
+      lazyCreate: Boolean): DataWriter[InternalRow] = {
+    val avroSchema = AvroSchemaConverter.toAvro(schema, "topLevelRecord", None, None)
+    val file = new File(path, fileName)
+    val fromInternal =
+      ExpressionEncoder(RowEncoder.encoderFor(schema)).resolveAndBind()
+        .createDeserializer()
+
+    new DataWriter[InternalRow] {
+      private var writer: DataFileWriter[GenericRecord] = _
+      private def ensure(): DataFileWriter[GenericRecord] = {
+        if (writer == null) {
+          writer = new DataFileWriter[GenericRecord](
+            new GenericDatumWriter[GenericRecord](avroSchema))
+          writer.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+          writer.create(avroSchema, file) // truncates: task retry = rewrite
+        }
+        writer
+      }
+      if (!lazyCreate) ensure()
+
+      override def write(record: InternalRow): Unit =
+        ensure().append(
+          AvroRowCodec.fromRow(fromInternal(record), schema, avroSchema))
+      override def commit(): WriterCommitMessage = {
+        if (writer != null) writer.close()
+        new WriterCommitMessage {}
+      }
+      override def abort(): Unit =
+        if (writer != null) { writer.close(); file.delete(); () }
+      override def close(): Unit = ()
+    }
   }
 }
 
 case class AvroWriterFactory(path: String, schema: StructType)
   extends DataWriterFactory {
 
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
-    val avroSchema = AvroSchemaConverter.toAvro(schema, "topLevelRecord", None, None)
-    val writer = new DataFileWriter[GenericRecord](
-      new GenericDatumWriter[GenericRecord](avroSchema))
-    writer.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
-    val file = new File(path, f"part-$partitionId%05d-$taskId.avro")
-    writer.create(avroSchema, file)
-    val fromInternal =
-      ExpressionEncoder(RowEncoder.encoderFor(schema)).resolveAndBind()
-        .createDeserializer()
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    AvroWriters.open(path, schema, f"part-$partitionId%05d-$taskId.avro",
+      lazyCreate = false)
+}
 
-    new DataWriter[InternalRow] {
-      override def write(record: InternalRow): Unit =
-        writer.append(
-          AvroRowCodec.fromRow(fromInternal(record), schema, avroSchema))
-      override def commit(): WriterCommitMessage = {
-        writer.close()
-        new WriterCommitMessage {}
-      }
-      override def abort(): Unit = { writer.close(); file.delete(); () }
-      override def close(): Unit = ()
-    }
-  }
+case class AvroStreamingWriterFactory(path: String, schema: StructType)
+  extends StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    AvroWriters.open(path, schema,
+      f"part-e$epochId%06d-$partitionId%05d.avro", lazyCreate = true)
 }

@@ -214,6 +214,33 @@ class AvroFileSourceSpec extends AnyFunSuite with SparkSpec with Matchers {
     joined.count() shouldBe fact.count()
   }
 
+  test("avro-to-avro streaming pipeline (streaming sink, idempotent names)") {
+    val src = tmp(); val dst = tmp(); val ckpt = tmp()
+    spark.range(4).selectExpr("id").write.format("graft-avro")
+      .mode("append").save(src)
+    val q = spark.readStream.format("graft-avro")
+      .schema(spark.read.format("graft-avro").load(src).schema)
+      .load(src)
+      .writeStream.format("graft-avro")
+      .option("path", dst).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      spark.read.format("graft-avro").load(dst)
+        .agg(F.sum("id")).head().getLong(0) shouldBe 6L
+      val filesAfterFirst = AvroFileSource.listAvro(new java.io.File(dst)).size
+      // idle epochs write no empty files (lazy creation)
+      q.processAllAvailable()
+      AvroFileSource.listAvro(new java.io.File(dst)).size shouldBe filesAfterFirst
+      spark.range(10, 13).selectExpr("id").write.format("graft-avro")
+        .mode("append").save(src)
+      q.processAllAvailable()
+      val ids = spark.read.format("graft-avro").load(dst)
+        .collect().map(_.getLong(0)).sorted
+      ids.toSeq shouldBe Seq(0L, 1L, 2L, 3L, 10L, 11L, 12L)
+    } finally q.stop()
+  }
+
   test("schema drift: older files resolve missing columns to null defaults") {
     val dir = tmp()
     // v1 writer: (id, s)
