@@ -86,6 +86,74 @@ object SourceLaws extends Properties("SourceLaws") {
       (canon(back) == canon(in)) :| s"rows: ${canon(back)} vs ${canon(in)}"
   }
 
+  // ---- filter-pushdown soundness ------------------------------------
+  // The decode-time skip (AvroFilterEval) may only drop rows the query
+  // drops: for ANY predicate, filtering the avro read must equal
+  // filtering the in-memory original. Catches one-sided errors the
+  // residual re-evaluation cannot (a wrongly skipped row is unrecoverable).
+
+  private val fpSchema = StructType(Seq(
+    StructField("i", IntegerType, nullable = true),
+    StructField("l", LongType, nullable = false),
+    StructField("s", StringType, nullable = true),
+    StructField("d", DoubleType, nullable = false)))
+
+  private val fpRowGen: Gen[Row] = for {
+    i <- Gen.frequency(4 -> Gen.chooseNum(-5, 5).map(Int.box), 1 -> Gen.const(null))
+    l <- Gen.chooseNum(-50L, 50L)
+    s <- Gen.frequency(4 -> Gen.oneOf("ab", "ba", "abc", "", "zz", "a"), 1 -> Gen.const(null))
+    d <- Gen.chooseNum(-20, 20).map(_ / 4.0)
+  } yield Row(i, l, s, d)
+
+  private val leafPredGen: Gen[(String, org.apache.spark.sql.Column)] = {
+    val cmps = for {
+      (c, lit) <- Gen.oneOf(
+        Gen.chooseNum(-5, 5).map(v => ("i", F.lit(v))),
+        Gen.chooseNum(-50L, 50L).map(v => ("l", F.lit(v))),
+        Gen.chooseNum(-20, 20).map(v => ("d", F.lit(v / 4.0))))
+      op <- Gen.oneOf("=", "<", ">", "<=", ">=")
+    } yield (s"$c $op $lit", op match {
+      case "="  => F.col(c) === lit
+      case "<"  => F.col(c) < lit
+      case ">"  => F.col(c) > lit
+      case "<=" => F.col(c) <= lit
+      case ">=" => F.col(c) >= lit
+    })
+    Gen.frequency(
+      5 -> cmps,
+      1 -> Gen.oneOf("ab", "a", "z").map(p => (s"s like $p%", F.col("s").startsWith(p))),
+      1 -> Gen.oneOf("b", "c").map(p => (s"s contains $p", F.col("s").contains(p))),
+      1 -> Gen.oneOf("i", "s").map(c => (s"$c is null", F.col(c).isNull)),
+      1 -> Gen.oneOf("i", "s").map(c => (s"$c is not null", F.col(c).isNotNull)),
+      1 -> Gen.pick(2, Seq("ab", "ba", "abc", "zz")).map { vs0 =>
+        val vs = vs0.toList
+        (s"s in $vs", F.col("s").isin(vs: _*))
+      })
+  }
+
+  private def predGen(depth: Int): Gen[(String, org.apache.spark.sql.Column)] =
+    if (depth <= 0) leafPredGen
+    else Gen.frequency(
+      3 -> leafPredGen,
+      2 -> Gen.zip(predGen(depth - 1), predGen(depth - 1)).map { case ((da, a), (db, b)) =>
+        (s"($da AND $db)", a && b) },
+      2 -> Gen.zip(predGen(depth - 1), predGen(depth - 1)).map { case ((da, a), (db, b)) =>
+        (s"($da OR $db)", a || b) },
+      1 -> predGen(depth - 1).map { case (d, p) => (s"NOT $d", !p) })
+
+  property("filter pushdown never changes filter semantics") =
+    Prop.forAll(Gen.listOfN(12, fpRowGen), predGen(2)) { (rows, dp) =>
+      val (desc, pred) = dp
+      import scala.jdk.CollectionConverters._
+      val dir = Files.createTempDirectory("graft_avro_fp").toString
+      val in = spark.createDataFrame(rows.asJava, fpSchema)
+      in.write.format("graft-avro").mode("append").save(dir)
+      val avro = spark.read.format("graft-avro").schema(fpSchema).load(dir)
+      val got = canon(avro.filter(pred))
+      val want = canon(in.filter(pred))
+      (got == want) :| s"$desc: avro=$got expected=$want"
+    }
+
   // Law: minhash4 lanes are monotone non-increasing under set growth —
   // a superset's signature is element-wise <= the subset's.
   property("minhash4 lanes shrink monotonically under union") =
