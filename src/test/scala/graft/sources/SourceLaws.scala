@@ -26,7 +26,8 @@ object SourceLaws extends Properties("SourceLaws") {
     Vector("alpha", "bravo", "carol", "delta", "echo", "fox")
 
   private val leafGen: Gen[DataType] =
-    Gen.oneOf(IntegerType, LongType, DoubleType, StringType, BooleanType)
+    Gen.oneOf(IntegerType, LongType, DoubleType, StringType, BooleanType,
+      DateType, TimestampType, DecimalType(10, 2))
 
   private def valueGen(dt: DataType): Gen[Any] = dt match {
     case IntegerType => Gen.frequency(9 -> Gen.chooseNum(-1000, 1000), 1 -> Gen.const(null))
@@ -34,6 +35,12 @@ object SourceLaws extends Properties("SourceLaws") {
     case DoubleType => Gen.chooseNum(-100, 100).map(_ / 4.0)
     case StringType => Gen.alphaNumStr.map(_.take(8))
     case BooleanType => Gen.oneOf(true, false)
+    case DateType => Gen.chooseNum(0, 20000)
+      .map(d => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d.toLong)))
+    case TimestampType => Gen.chooseNum(0L, 1700000000L)
+      .map(s => java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s, 123456000L)))
+    case d: DecimalType => Gen.chooseNum(-999999L, 999999L)
+      .map(u => new java.math.BigDecimal(java.math.BigInteger.valueOf(u), d.scale))
     case s: StructType =>
       Gen.sequence[Seq[Any], Any](s.fields.toSeq.map(f => valueGen(f.dataType)))
         .map(Row.fromSeq)
