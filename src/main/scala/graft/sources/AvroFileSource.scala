@@ -14,7 +14,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
@@ -113,13 +113,15 @@ case class AvroTable(path: String, tableSchema: StructType)
       TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new AvroScanBuilder(path, tableSchema)
+    new AvroScanBuilder(path, tableSchema,
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new AvroWriteBuilder(path, info.schema())
 }
 
-class AvroScanBuilder(path: String, full: StructType)
+class AvroScanBuilder(path: String, full: StructType,
+    maxFilesPerTrigger: Option[Int] = None)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with SupportsPushDownFilters with SupportsPushDownAggregates {
 
@@ -176,7 +178,8 @@ class AvroScanBuilder(path: String, full: StructType)
         if (counting) AvroCountReaderFactory(required)
         else AvroReaderFactory(required, full, filters)
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new AvroMicroBatchStream(path, required, full, checkpointLocation)
+        new AvroMicroBatchStream(path, required, full, checkpointLocation,
+          maxFilesPerTrigger)
       /** Compressed on-disk bytes — a conservative (under-)estimate of
         * the in-memory size Spark compares against the broadcast
         * threshold; enough for the planner to broadcast genuinely small
@@ -244,7 +247,9 @@ case class AvroCountReaderFactory(required: StructType)
   * per file; compaction onto the committed prefix is future work.)
   */
 class AvroMicroBatchStream(path: String, required: StructType,
-    full: StructType, checkpointLocation: String) extends MicroBatchStream {
+    full: StructType, checkpointLocation: String,
+    maxFilesPerTrigger: Option[Int] = None)
+  extends MicroBatchStream with SupportsAdmissionControl {
 
   private case class FileCountOffset(n: Long) extends Offset {
     override def json(): String = n.toString
@@ -284,6 +289,24 @@ class AvroMicroBatchStream(path: String, required: StructType,
   override def latestOffset(): Offset = {
     discover()
     FileCountOffset(seen.size.toLong)
+  }
+
+  /** Admission control (`maxFilesPerTrigger`): bound each micro-batch to
+    * N registry slots past the start offset, so a backlog — most often a
+    * restart after a long outage — drains as several right-sized batches
+    * instead of one giant catch-up batch sized by the outage length.
+    */
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    discover()
+    val s = start.asInstanceOf[FileCountOffset].n
+    val cap = limit match {
+      case mf: ReadMaxFiles => math.min(seen.size.toLong, s + mf.maxFiles())
+      case _ => seen.size.toLong
+    }
+    FileCountOffset(cap)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

@@ -241,6 +241,26 @@ class AvroFileSourceSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("maxFilesPerTrigger bounds each micro-batch (backlog drains in steps)") {
+    val dir = tmp()
+    (0 until 3).foreach { i =>
+      spark.range(i * 10, i * 10 + 2).selectExpr("id")
+        .coalesce(1).write.format("graft-avro").mode("append").save(dir)
+    }
+    val q = spark.readStream.format("graft-avro")
+      .schema(spark.read.format("graft-avro").load(dir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .load(dir)
+      .writeStream.format("memory").queryName("avro_throttled")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      spark.table("avro_throttled").count() shouldBe 6
+      // 3-file backlog with a 1-file cap: at least 3 non-empty batches
+      q.recentProgress.count(_.numInputRows > 0) should be >= 3
+    } finally q.stop()
+  }
+
   test("schema drift: older files resolve missing columns to null defaults") {
     val dir = tmp()
     // v1 writer: (id, s)
