@@ -262,6 +262,34 @@ object LlmText extends Catalog {
         .orderBy("doc_id", "pos")
     }),
 
+    // Boilerplate detection (the CCNet/RefinedWeb dedup-within-domain
+    // step): a 3-shingle appearing in >= 3 DISTINCT documents of the
+    // same source is boilerplate (headers, nav, templates); each doc
+    // reports how much of it is boilerplate. Scale shape: per-doc
+    // DISTINCT shingles (array_distinct, no shuffle) explode once; the
+    // document-frequency aggregate and the join back are co-partitioned
+    // on (source, shingle) — the corpus text itself is never joined,
+    // only shingle keys; final per-doc rollup shuffles doc_id counts.
+    "llm_boilerplate" -> ((s, dir) => {
+      val sh = docs(s, dir)
+        .filter(F.size(F.col("w")) >= 3)
+        .select(F.col("doc_id"), F.col("source"),
+          F.explode(F.array_distinct(F.expr(
+            "transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3)))")))
+            .as("shingle"))
+      val boiler = sh.groupBy("source", "shingle")
+        .agg(F.count(F.lit(1)).as("n_with")) // rows are distinct per doc
+        .filter(F.col("n_with") >= 3)
+        .select(F.col("source"), F.col("shingle"), F.lit(1).as("isb"))
+      sh.join(boiler, Seq("source", "shingle"), "left")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).as("n_shingles"),
+          F.count(F.col("isb")).as("n_boiler"))
+        .select(F.col("doc_id"), F.col("n_shingles"), F.col("n_boiler"),
+          F.expr("(1000 * n_boiler) div n_shingles").as("boiler_permille"))
+        .orderBy("doc_id")
+    }),
+
     // Fingerprinting: full-content hash + winnowing-style minimum
     // 3-shingle hash. Narrow projection, no shuffle.
     "llm_fingerprint" -> ((s, dir) =>
@@ -452,6 +480,24 @@ object LlmText extends Catalog {
                FROM documents WHERE doc_id < 50) d,
               unnest(generate_series(1, len(d.w) - 2)) t(i)
          ORDER BY doc_id, pos""",
+    "llm_boilerplate" ->
+      """WITH w AS (
+           SELECT doc_id, source, string_split(text, ' ') AS ws
+           FROM documents WHERE len(string_split(text, ' ')) >= 3),
+         sh AS (
+           SELECT doc_id, source, unnest(list_distinct(list_transform(
+             generate_series(1, len(ws) - 2),
+             i -> array_to_string(ws[i:i+2], ' ')))) AS shingle
+           FROM w),
+         boiler AS (
+           SELECT source, shingle FROM sh
+           GROUP BY 1, 2 HAVING count(*) >= 3)
+         SELECT s.doc_id,
+                CAST(count(*) AS BIGINT) AS n_shingles,
+                CAST(count(b.shingle) AS BIGINT) AS n_boiler,
+                (1000 * count(b.shingle)) // count(*) AS boiler_permille
+         FROM sh s LEFT JOIN boiler b USING (source, shingle)
+         GROUP BY 1 ORDER BY 1""",
     "llm_fingerprint" ->
       """SELECT doc_id, md5(text) AS content_hash,
                 list_aggregate(list_transform(
