@@ -97,6 +97,12 @@ class AvroFileSource extends TableProvider with DataSourceRegister {
 }
 
 object AvroFileSource {
+  /** Default split granularity for large container files (the usual
+    * HDFS-block-sized value Spark uses for file sources); override per
+    * read with `.option("maxSplitBytes", n)`.
+    */
+  val DefaultSplitBytes: Long = 128L * 1024 * 1024
+
   def listAvro(d: File): Seq[File] =
     Option(d.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".avro")).sortBy(_.getName)
@@ -114,14 +120,17 @@ case class AvroTable(path: String, tableSchema: StructType)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AvroScanBuilder(path, tableSchema,
-      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      Option(options.get("maxSplitBytes")).map(_.toLong)
+        .getOrElse(AvroFileSource.DefaultSplitBytes))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new AvroWriteBuilder(path, info.schema())
 }
 
 class AvroScanBuilder(path: String, full: StructType,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    maxSplitBytes: Long = AvroFileSource.DefaultSplitBytes)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with SupportsPushDownFilters with SupportsPushDownAggregates {
 
@@ -171,9 +180,18 @@ class AvroScanBuilder(path: String, full: StructType,
       override def readSchema(): StructType = required
       override def toBatch: Batch = this
       override def planInputPartitions(): Array[InputPartition] =
-        AvroFileSource.listAvro(new File(path))
-          .map(f => AvroInputPartition(f.getAbsolutePath): InputPartition)
-          .toArray
+        AvroFileSource.listAvro(new File(path)).flatMap { f =>
+          // one task per container file, except files larger than the
+          // split size, which fan out as sync-aligned byte ranges — a
+          // single huge file must not pin a single task at scale
+          val len = f.length()
+          if (len <= maxSplitBytes)
+            Seq(AvroInputPartition(f.getAbsolutePath, 0L, Long.MaxValue))
+          else (0L until len by maxSplitBytes).map { off =>
+            AvroInputPartition(f.getAbsolutePath, off,
+              math.min(off + maxSplitBytes, len))
+          }
+        }.toArray[InputPartition]
       override def createReaderFactory(): PartitionReaderFactory =
         if (counting) AvroCountReaderFactory(required)
         else AvroReaderFactory(required, full, filters)
@@ -208,7 +226,8 @@ case class AvroCountReaderFactory(required: StructType)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val file = new File(partition.asInstanceOf[AvroInputPartition].file)
+    val part = partition.asInstanceOf[AvroInputPartition]
+    val file = new File(part.file)
     new PartitionReader[InternalRow] {
       private var done = false
       override def next(): Boolean = !done
@@ -216,9 +235,13 @@ case class AvroCountReaderFactory(required: StructType)
         val reader = new DataFileReader[GenericRecord](
           file, new GenericDatumReader[GenericRecord]())
         var n = 0L
-        try while (reader.hasNext) {
-          n += reader.getBlockCount
-          reader.nextBlock()
+        try {
+          if (part.start > 0) reader.sync(part.start)
+          val bound = math.min(part.end, file.length()) // pastSync overflow
+          while (reader.hasNext && !reader.pastSync(bound)) {
+            n += reader.getBlockCount
+            reader.nextBlock()
+          }
         } finally reader.close()
         done = true
         InternalRow(n)
@@ -313,8 +336,10 @@ class AvroMicroBatchStream(path: String, required: StructType,
     val s = start.asInstanceOf[FileCountOffset].n.toInt
     val e = end.asInstanceOf[FileCountOffset].n.toInt
     synchronized {
-      seen.asScala.toIndexedSeq.slice(s, e)
-        .map(f => AvroInputPartition(f): InputPartition)
+      seen.asScala.toIndexedSeq.slice(s, e) // whole files: the stream's
+        // offset granularity is the file, and arriving files are
+        // task-sized; batch reads handle the huge-file fan-out
+        .map(f => AvroInputPartition(f, 0L, Long.MaxValue): InputPartition)
         .toArray
     }
   }
@@ -326,14 +351,24 @@ class AvroMicroBatchStream(path: String, required: StructType,
   override def stop(): Unit = ()
 }
 
-case class AvroInputPartition(file: String) extends InputPartition
+/** A sync-marker-aligned byte range of one container file. The reader
+  * consumes exactly the blocks whose sync position falls in
+  * [start, end): `sync(start)` seeks to the first block boundary at or
+  * after `start` (position 0 lands after the header), `pastSync(end)`
+  * stops once the range is exhausted — so adjacent ranges partition the
+  * file's blocks with no overlap and no gap (the Hadoop AvroRecordReader
+  * contract).
+  */
+case class AvroInputPartition(file: String, start: Long, end: Long)
+  extends InputPartition
 
 case class AvroReaderFactory(required: StructType, full: StructType,
     filters: Array[Filter] = Array.empty)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val file = new File(partition.asInstanceOf[AvroInputPartition].file)
+    val part = partition.asInstanceOf[AvroInputPartition]
+    val file = new File(part.file)
     // writer schema from the file header; READER schema pruned to the
     // projected fields so Avro schema resolution skips the rest
     val headReader = new DataFileReader[GenericRecord](
@@ -375,6 +410,11 @@ case class AvroReaderFactory(required: StructType, full: StructType,
     }
     val reader = new DataFileReader[GenericRecord](file,
       new GenericDatumReader[GenericRecord](null, readerSchema))
+    if (part.start > 0) reader.sync(part.start)
+    // clamp: pastSync adds SYNC_SIZE to its argument internally, so an
+    // unbounded Long.MaxValue end would overflow negative and starve the
+    // whole-file partition
+    val bound = math.min(part.end, file.length())
     val toInternal =
       ExpressionEncoder(RowEncoder.encoderFor(required)).createSerializer()
     val keep = AvroFilterEval.build(required, filters)
@@ -384,7 +424,7 @@ case class AvroReaderFactory(required: StructType, full: StructType,
       override def next(): Boolean = {
         row = null
         // skip definitely-non-matching rows BEFORE Catalyst serialization
-        while (row == null && reader.hasNext) {
+        while (row == null && reader.hasNext && !reader.pastSync(bound)) {
           val r = AvroRowCodec.toRow(reader.next(), required)
           if (keep(r)) row = r
         }

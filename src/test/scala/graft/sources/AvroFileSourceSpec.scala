@@ -261,6 +261,28 @@ class AvroFileSourceSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("large files split at sync markers: fan-out with exact fidelity") {
+    val dir = tmp()
+    // one container file, many blocks (sync interval is per ~64KB block)
+    spark.range(60000).selectExpr("id", "md5(cast(id as string)) as h")
+      .coalesce(1).write.format("graft-avro").mode("append").save(dir)
+    val whole = spark.read.format("graft-avro").load(dir)
+    whole.rdd.getNumPartitions shouldBe 1
+
+    val split = spark.read.format("graft-avro")
+      .option("maxSplitBytes", 64 * 1024).load(dir)
+    split.rdd.getNumPartitions should be > 4
+    // every row exactly once across the ranges
+    split.count() shouldBe 60000
+    split.agg(F.sum("id")).head().getLong(0) shouldBe
+      (0L until 60000L).sum
+    // decode-time filters compose with ranges
+    split.filter(F.col("id") % 1000 === 7).count() shouldBe 60
+    // block-header count(*) pushdown composes with ranges
+    val counted = split.agg(F.count(F.lit(1)))
+    counted.head().getLong(0) shouldBe 60000L
+  }
+
   test("schema drift: older files resolve missing columns to null defaults") {
     val dir = tmp()
     // v1 writer: (id, s)
