@@ -35,11 +35,11 @@ import graft.avro.{AvroRowCodec, AvroSchemaConverter}
   * }}}
   *
   * Scale design:
-  * - one [[InputPartition]] per container file — Avro files are
-  *   block-compressed row streams, so the file is the natural split unit
-  *   (finer sync-marker splits are an optimization this local harness
-  *   cannot exercise; the partition-per-file shape already distributes an
-  *   N-file dataset across N tasks);
+  * - one [[InputPartition]] per container file, and SYNC-MARKER SPLITS
+  *   within files larger than `maxSplitBytes` (default 128 MB): Avro
+  *   block boundaries are discoverable from any byte offset via the
+  *   16-byte sync marker, so a huge file fans out as block-aligned byte
+  *   ranges instead of pinning one task;
   * - COLUMN PRUNING pushes into the Avro decoder itself via
   *   [[SupportsPushDownRequiredColumns]]: the reader passes a pruned
   *   READER schema, and Avro's writer/reader schema resolution skips the
