@@ -125,7 +125,8 @@ case class AvroTable(path: String, tableSchema: StructType)
         .getOrElse(AvroFileSource.DefaultSplitBytes))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new AvroWriteBuilder(path, info.schema())
+    new AvroWriteBuilder(path, info.schema(),
+      Option(info.options().get("codec")).getOrElse("deflate"))
 }
 
 class AvroScanBuilder(path: String, full: StructType,
@@ -438,7 +439,8 @@ case class AvroReaderFactory(required: StructType, full: StructType,
   }
 }
 
-class AvroWriteBuilder(path: String, schema: StructType)
+class AvroWriteBuilder(path: String, schema: StructType,
+    codec: String = "deflate")
   extends WriteBuilder with SupportsTruncate {
 
   private var doTruncate = false
@@ -451,7 +453,7 @@ class AvroWriteBuilder(path: String, schema: StructType)
         val d = new File(path)
         d.mkdirs()
         if (doTruncate) AvroFileSource.listAvro(d).foreach(_.delete())
-        AvroWriterFactory(path, schema)
+        AvroWriterFactory(path, schema, codec)
       }
       override def commit(messages: Array[WriterCommitMessage]): Unit = ()
       override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -468,7 +470,7 @@ class AvroWriteBuilder(path: String, schema: StructType)
       override def createStreamingWriterFactory(
           info: PhysicalWriteInfo): StreamingDataWriterFactory = {
         new File(path).mkdirs()
-        AvroStreamingWriterFactory(path, schema)
+        AvroStreamingWriterFactory(path, schema, codec)
       }
       override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
       override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
@@ -480,8 +482,18 @@ private[sources] object AvroWriters {
   /** Container-file writer; `lazyCreate` postpones file creation to the
     * first row so empty partitions produce no file.
     */
+  /** Container codec by name — "deflate" (default, level 6), "null",
+    * "snappy", "zstandard", "bzip2", "xz" (whatever this Avro build plus
+    * classpath supports; zstd and snappy ship with Spark).
+    */
+  def codecFor(name: String): org.apache.avro.file.CodecFactory =
+    name.toLowerCase match {
+      case "deflate" => org.apache.avro.file.CodecFactory.deflateCodec(6)
+      case other => org.apache.avro.file.CodecFactory.fromString(other)
+    }
+
   def open(path: String, schema: StructType, fileName: String,
-      lazyCreate: Boolean): DataWriter[InternalRow] = {
+      lazyCreate: Boolean, codec: String = "deflate"): DataWriter[InternalRow] = {
     val avroSchema = AvroSchemaConverter.toAvro(schema, "topLevelRecord", None, None)
     val file = new File(path, fileName)
     val fromInternal =
@@ -494,7 +506,7 @@ private[sources] object AvroWriters {
         if (writer == null) {
           writer = new DataFileWriter[GenericRecord](
             new GenericDatumWriter[GenericRecord](avroSchema))
-          writer.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+          writer.setCodec(codecFor(codec))
           writer.create(avroSchema, file) // truncates: task retry = rewrite
         }
         writer
@@ -515,19 +527,20 @@ private[sources] object AvroWriters {
   }
 }
 
-case class AvroWriterFactory(path: String, schema: StructType)
-  extends DataWriterFactory {
+case class AvroWriterFactory(path: String, schema: StructType,
+    codec: String = "deflate") extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     AvroWriters.open(path, schema, f"part-$partitionId%05d-$taskId.avro",
-      lazyCreate = false)
+      lazyCreate = false, codec = codec)
 }
 
-case class AvroStreamingWriterFactory(path: String, schema: StructType)
-  extends StreamingDataWriterFactory {
+case class AvroStreamingWriterFactory(path: String, schema: StructType,
+    codec: String = "deflate") extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     AvroWriters.open(path, schema,
-      f"part-e$epochId%06d-$partitionId%05d.avro", lazyCreate = true)
+      f"part-e$epochId%06d-$partitionId%05d.avro", lazyCreate = true,
+      codec = codec)
 }

@@ -283,6 +283,19 @@ class AvroFileSourceSpec extends AnyFunSuite with SparkSpec with Matchers {
     counted.head().getLong(0) shouldBe 60000L
   }
 
+  test("write codec option: zstandard / snappy / null round-trip") {
+    for (codec <- Seq("zstandard", "snappy", "null")) {
+      val dir = tmp()
+      spark.range(500).selectExpr("id", "md5(cast(id as string)) as h")
+        .write.format("graft-avro").option("codec", codec)
+        .mode("append").save(dir)
+      val back = spark.read.format("graft-avro").load(dir)
+      withClue(codec) {
+        back.agg(F.sum("id")).head().getLong(0) shouldBe (0L until 500L).sum
+      }
+    }
+  }
+
   test("schema drift: older files resolve missing columns to null defaults") {
     val dir = tmp()
     // v1 writer: (id, s)

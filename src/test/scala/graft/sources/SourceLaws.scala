@@ -161,6 +161,26 @@ object SourceLaws extends Properties("SourceLaws") {
       (got == want) :| s"$desc: avro=$got expected=$want"
     }
 
+  // Law: sync-marker splitting is invisible — ANY split size yields the
+  // same row multiset as the unsplit read (ranges partition the blocks
+  // exactly). One shared 5000-row single-file dataset; random sizes span
+  // sub-block to whole-file.
+  private lazy val splitDir: String = {
+    val dir = Files.createTempDirectory("graft_avro_split_law").toString
+    spark.range(5000).selectExpr("id", "md5(cast(id as string)) as h")
+      .coalesce(1).write.format("graft-avro").mode("append").save(dir)
+    dir
+  }
+
+  property("sync-marker splits preserve the row multiset") =
+    Prop.forAll(Gen.chooseNum(512L, 300000L)) { splitBytes =>
+      val d = spark.read.format("graft-avro")
+        .option("maxSplitBytes", splitBytes).load(splitDir)
+      val agg = d.agg(F.count(F.lit(1)), F.sum("id")).head()
+      (agg.getLong(0) == 5000L && agg.getLong(1) == (0L until 5000L).sum) :|
+        s"splitBytes=$splitBytes parts=${d.rdd.getNumPartitions}"
+    }
+
   // Law: minhash4 lanes are monotone non-increasing under set growth —
   // a superset's signature is element-wise <= the subset's.
   property("minhash4 lanes shrink monotonically under union") =
