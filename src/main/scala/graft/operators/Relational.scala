@@ -636,6 +636,26 @@ object Relational extends Catalog {
             .when(F.col("b.doc_id").isNull, "inserted")
             .otherwise("kept").as("op"))
         .orderBy("doc_id")
+    }),
+
+    // SCD type-2 dimension build from a change log: collapse consecutive
+    // duplicates to change points, then validity intervals via lead().
+    // ONE hash exchange on the dimension key serves both window passes
+    // (same partitioning; sort-within-partition only), so the build
+    // scales as a single shuffle of the changelog — the standard
+    // warehouse pattern without a self-join.
+    "q_scd2" -> ((s, dir) => {
+      val byKey = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      table(s, dir, "events")
+        .withColumn("prev", F.lag("event_type", 1).over(byKey))
+        .filter(F.col("prev").isNull ||
+          F.col("prev") =!= F.col("event_type"))
+        .select(F.col("user_id"), F.col("event_type"),
+          F.col("ts").as("valid_from"),
+          F.lead("ts", 1).over(byKey).as("valid_to"),
+          F.row_number().over(byKey).as("version"))
+        .withColumn("is_current", F.col("valid_to").isNull)
+        .orderBy("user_id", "valid_from")
     })
   )
 
@@ -991,6 +1011,23 @@ object Relational extends Catalog {
                   count(DISTINCT o_orderpriority) FROM orders)
          SELECT col_name, n_rows, n_nulls, n_distinct
          FROM p ORDER BY col_name""",
+    "q_scd2" ->
+      """WITH ordered AS (
+           SELECT user_id, event_type, ts, event_id,
+                  lag(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS prev
+           FROM events),
+         changes AS (
+           SELECT user_id, event_type, ts, event_id FROM ordered
+           WHERE prev IS NULL OR prev <> event_type)
+         SELECT user_id, event_type, ts AS valid_from,
+                lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS valid_to,
+                CAST(row_number() OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS INT) AS version,
+                lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  IS NULL AS is_current
+         FROM changes ORDER BY user_id, valid_from""",
     "q_topk_native" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice
          FROM orders
