@@ -656,7 +656,26 @@ object Relational extends Catalog {
           F.row_number().over(byKey).as("version"))
         .withColumn("is_current", F.col("valid_to").isNull)
         .orderBy("user_id", "valid_from")
-    })
+    }),
+
+    // CDC latest-state snapshot as a PARTIAL AGGREGATE: max over a
+    // (ts, event_id, payload...) struct is associative, so map-side
+    // combine reduces each partition to one row per key BEFORE the
+    // shuffle — the scale-correct form of "latest per key". The window
+    // row_number()=1 formulation shuffles and sorts the entire changelog;
+    // this shuffles at most n_keys × n_partitions pre-combined rows.
+    // Deterministic because the struct order is (ts, event_id) and
+    // event_id is unique.
+    "q_cdc_snapshot" -> ((s, dir) =>
+      table(s, dir, "events")
+        .groupBy("user_id")
+        .agg(F.max(F.struct(F.col("ts"), F.col("event_id"),
+          F.col("event_type"), F.col("value"))).as("s"))
+        .select(F.col("user_id"), F.col("s.ts").as("ts"),
+          F.col("s.event_id").as("event_id"),
+          F.col("s.event_type").as("event_type"),
+          F.col("s.value").as("value"))
+        .orderBy("user_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1028,6 +1047,15 @@ object Relational extends Catalog {
                 lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                   IS NULL AS is_current
          FROM changes ORDER BY user_id, valid_from""",
+    "q_cdc_snapshot" ->
+      """WITH m AS (
+           SELECT user_id,
+                  max({'ts': ts, 'eid': event_id, 'et': event_type,
+                       'v': value}) AS s
+           FROM events GROUP BY 1)
+         SELECT user_id, s.ts AS ts, s.eid AS event_id,
+                s.et AS event_type, s.v AS value
+         FROM m ORDER BY user_id""",
     "q_topk_native" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice
          FROM orders
