@@ -675,7 +675,45 @@ object Relational extends Catalog {
           F.col("s.event_id").as("event_id"),
           F.col("s.event_type").as("event_type"),
           F.col("s.value").as("value"))
-        .orderBy("user_id"))
+        .orderBy("user_id")),
+
+    // Funnel conversion: first signup → first purchase within 24 h.
+    // Both sides pre-aggregate/filter before the user_id join, and the
+    // conditional min is a partial aggregate — no window, no
+    // event-by-event sequence scan.
+    "q_funnel" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val signup = ev.filter(F.col("event_type") === "signup")
+        .groupBy("user_id").agg(F.min("ts").as("signup_ts"))
+      val purch = ev.filter(F.col("event_type") === "purchase")
+        .select(F.col("user_id"), F.col("ts").as("p_ts"))
+      signup.join(purch, Seq("user_id"), "left")
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min(F.when(F.col("p_ts") > F.col("signup_ts") &&
+          F.col("p_ts") <= F.col("signup_ts") + F.expr("INTERVAL 24 HOURS"),
+          F.col("p_ts"))).as("first_conv_ts"))
+        .withColumn("converted", F.col("first_conv_ts").isNotNull)
+        .orderBy("user_id")
+    }),
+
+    // Cohort retention: users bucketed by first-activity week × weeks
+    // since. Week offsets are exact integers (epoch arithmetic on
+    // week-truncated UTC timestamps), so the matrix hash-matches across
+    // engines; the distinct-activity projection shrinks the fact before
+    // the cohort join.
+    "q_cohort" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(F.col("user_id"), F.date_trunc("week", F.col("ts")).as("wk"))
+      val cohort = ev.groupBy("user_id").agg(F.min("wk").as("cohort_week"))
+      val active = ev.distinct()
+      active.join(cohort, "user_id")
+        .withColumn("week_offset",
+          ((F.unix_timestamp(F.col("wk")) -
+            F.unix_timestamp(F.col("cohort_week"))) / 604800L).cast("long"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -1047,6 +1085,32 @@ object Relational extends Catalog {
                 lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                   IS NULL AS is_current
          FROM changes ORDER BY user_id, valid_from""",
+    "q_funnel" ->
+      """WITH s AS (
+           SELECT user_id, min(ts) AS signup_ts FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+         p AS (
+           SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+         SELECT s.user_id, s.signup_ts,
+                min(CASE WHEN p.ts > s.signup_ts
+                          AND p.ts <= s.signup_ts + INTERVAL 24 HOUR
+                         THEN p.ts END) AS first_conv_ts,
+                min(CASE WHEN p.ts > s.signup_ts
+                          AND p.ts <= s.signup_ts + INTERVAL 24 HOUR
+                         THEN p.ts END) IS NOT NULL AS converted
+         FROM s LEFT JOIN p ON s.user_id = p.user_id
+         GROUP BY 1, 2 ORDER BY 1""",
+    "q_cohort" ->
+      """WITH ev AS (
+           SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+           FROM events),
+         cohort AS (
+           SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY 1)
+         SELECT c.cohort_week, (epoch(e.wk) - epoch(c.cohort_week)) // 604800
+                  AS week_offset,
+                CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+         FROM ev e JOIN cohort c ON e.user_id = c.user_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_cdc_snapshot" ->
       """WITH m AS (
            SELECT user_id,
