@@ -16,9 +16,10 @@ import org.apache.spark.sql.types.StructType
   * sound in one direction: never drop a row the query keeps.
   *
   * Soundness rules:
-  *  - `Not` / nested-column references / unknown Filter nodes are
-  *    rejected at acceptance time (a may-match over-approximation does
-  *    not survive negation);
+  *  - `Not` and unknown Filter nodes are rejected at acceptance time
+  *    (a may-match over-approximation does not survive negation);
+  *    nested struct paths ARE supported, navigated null-safely like
+  *    Catalyst's GetStructField;
   *  - with no `Not`, evaluating leaf comparisons as SQL does at the top
   *    of a WHERE (null operand → false) and composing And/Or
   *    monotonically reproduces Catalyst's Filter result exactly;
@@ -27,8 +28,9 @@ import org.apache.spark.sql.types.StructType
   */
 private[sources] object AvroFilterEval {
 
-  /** Can `f` be evaluated at decode time? Only top-level attributes of
-    * the table schema, and only null-intolerant node shapes.
+  /** Can `f` be evaluated at decode time? Attributes must resolve in
+    * the table schema — top-level fields or dotted struct paths — and
+    * only null-intolerant node shapes are allowed.
     */
   def accepts(full: StructType, f: Filter): Boolean = f match {
     case And(l, r) => accepts(full, l) && accepts(full, r)
@@ -49,7 +51,27 @@ private[sources] object AvroFilterEval {
   }
 
   private def topLevel(full: StructType, attr: String): Boolean =
-    !attr.contains('.') && full.fieldNames.contains(attr)
+    pathOf(full, attr).isDefined
+
+  /** Resolve `attr` to a field-index path: an exact top-level name wins
+    * (a column literally named "a.b"), else a dotted walk through
+    * nested structs. None if it does not resolve (filter not accepted).
+    */
+  private def pathOf(schema: StructType, attr: String): Option[List[Int]] = {
+    if (schema.fieldNames.contains(attr))
+      return Some(List(schema.fieldIndex(attr)))
+    if (!attr.contains('.') || attr.contains('`')) return None
+    var cur: org.apache.spark.sql.types.DataType = schema
+    val out = List.newBuilder[Int]
+    for (seg <- attr.split('.')) cur match {
+      case st: StructType if st.fieldNames.contains(seg) =>
+        val i = st.fieldIndex(seg)
+        out += i
+        cur = st.fields(i).dataType
+      case _ => return None
+    }
+    Some(out.result())
+  }
 
   /** Compile accepted filters into one Row predicate (conjunction).
     * `schema` is the read schema the decoded Row conforms to — Spark
@@ -86,10 +108,24 @@ private[sources] object AvroFilterEval {
     case _ => _ => true // unreachable if accepts() gated; keep = sound
   }
 
-  private def at(schema: StructType, attr: String)(p: Any => Boolean): Row => Boolean = {
-    val i = schema.fieldIndex(attr)
-    row => p(row.get(i))
-  }
+  /** Accessor for `attr` in rows of `schema`; nested paths navigate
+    * null-safely (null parent → null value, Catalyst GetStructField
+    * semantics).
+    */
+  private def at(schema: StructType, attr: String)(p: Any => Boolean): Row => Boolean =
+    pathOf(schema, attr) match {
+      case Some(i :: Nil) => row => p(row.get(i))
+      case Some(path) => row => {
+        var v: Any = row
+        for (i <- path) v = v match {
+          case null => null
+          case r: Row => r.get(i)
+          case _ => null // schema mismatch: treat as null → may not match
+        }
+        p(v)
+      }
+      case None => _ => true // unresolvable (shouldn't pass accepts): keep
+    }
 
   private def str(schema: StructType, attr: String)(p: String => Boolean): Row => Boolean =
     at(schema, attr) {

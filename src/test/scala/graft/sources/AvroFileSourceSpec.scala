@@ -125,6 +125,33 @@ class AvroFileSourceSpec extends AnyFunSuite with SparkSpec with Matchers {
     scan.scan.description() should include("n_chars")
   }
 
+  test("nested struct filters push down with null-safe navigation") {
+    val dir = tmp()
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, org.apache.spark.sql.Row("a", 10L)),
+      org.apache.spark.sql.Row(2L, null),
+      org.apache.spark.sql.Row(3L, org.apache.spark.sql.Row("b", 30L)))
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("info", StructType(Seq(
+        StructField("name", StringType), StructField("x", LongType))),
+        nullable = true)))
+    spark.createDataFrame(rows, schema)
+      .write.format("graft-avro").mode("append").save(dir)
+    val avro = spark.read.format("graft-avro").schema(schema).load(dir)
+
+    val hit = avro.filter(F.col("info.x") > 15)
+    val scan = hit.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b
+    }.head
+    scan.scan.description() should include("info.x")
+    hit.select("id").collect().map(_.getLong(0)).toSeq shouldBe Seq(3L)
+    // null parent: IsNull(info.name) is TRUE for the null struct row
+    avro.filter(F.col("info.name").isNull)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq shouldBe Seq(2L)
+  }
+
   test("Not filters are rejected from pushdown but still answered correctly") {
     val dir = tmp()
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
