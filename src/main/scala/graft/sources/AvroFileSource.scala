@@ -104,8 +104,49 @@ object AvroFileSource {
   val DefaultSplitBytes: Long = 128L * 1024 * 1024
 
   def listAvro(d: File): Seq[File] =
-    Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".avro")).sortBy(_.getName)
+    listPartitioned(d).map(_._1)
+
+  /** Recursive listing with Hive-style partition values parsed from
+    * `k=v` directory segments (URL-encoded on write; `__null__` encodes
+    * a null partition value). Flat directories yield empty maps.
+    */
+  def listPartitioned(d: File): Seq[(File, Map[String, String])] = {
+    def walk(dir: File, vals: Map[String, String]): Seq[(File, Map[String, String])] = {
+      val entries = Option(dir.listFiles()).getOrElse(Array.empty)
+      val here = entries.filter(f => f.isFile && f.getName.endsWith(".avro"))
+        .sortBy(_.getName).map(f => (f, vals))
+      val below = entries.filter(_.isDirectory).sortBy(_.getName).flatMap { sub =>
+        sub.getName.split("=", 2) match {
+          case Array(k, v) =>
+            val dec = java.net.URLDecoder.decode(v, "UTF-8")
+            walk(sub, vals + (k -> dec))
+          case _ => walk(sub, vals)
+        }
+      }
+      (here ++ below).toSeq
+    }
+    walk(d, Map.empty)
+  }
+
+  /** Cast a partition-directory string back to the column's type for
+    * pruning comparisons; None when unparsable (then never prune).
+    */
+  def castPartitionValue(raw: String, dt: org.apache.spark.sql.types.DataType): Option[Any] = {
+    import org.apache.spark.sql.types._
+    if (raw == "__null__") return Some(null)
+    try Some(dt match {
+      case StringType => raw
+      case IntegerType => raw.toInt
+      case LongType => raw.toLong
+      case DoubleType => raw.toDouble
+      case FloatType => raw.toFloat
+      case BooleanType => raw.toBoolean
+      case DateType => java.sql.Date.valueOf(raw)
+      case TimestampType => java.sql.Timestamp.valueOf(raw)
+      case _ => return None
+    })
+    catch { case _: IllegalArgumentException => None }
+  }
 }
 
 case class AvroTable(path: String, tableSchema: StructType)
@@ -126,7 +167,9 @@ case class AvroTable(path: String, tableSchema: StructType)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new AvroWriteBuilder(path, info.schema(),
-      Option(info.options().get("codec")).getOrElse("deflate"))
+      Option(info.options().get("codec")).getOrElse("deflate"),
+      Option(info.options().get("partitionBy")).toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty))
 }
 
 class AvroScanBuilder(path: String, full: StructType,
@@ -180,19 +223,41 @@ class AvroScanBuilder(path: String, full: StructType,
     new Scan with Batch with SupportsReportStatistics {
       override def readSchema(): StructType = required
       override def toBatch: Batch = this
+      /** May files under this partition-value assignment match the
+        * pushed filters? Only filters FULLY over partition columns with
+        * parseable values participate (a conjunct mixing data columns is
+        * skipped — sound, Spark re-evaluates everything anyway).
+        */
+      private def partitionMayMatch(vals: Map[String, String]): Boolean = {
+        if (vals.isEmpty || filters.isEmpty) return true
+        val bound = full.fields.filter(f => vals.contains(f.name)).flatMap(
+          f => AvroFileSource.castPartitionValue(vals(f.name), f.dataType)
+            .map(v => (f, v)))
+        if (bound.isEmpty) return true
+        val pschema = StructType(bound.map(_._1))
+        val prow = org.apache.spark.sql.Row.fromSeq(
+          bound.map(_._2).toIndexedSeq)
+        val applicable = filters.filter(AvroFilterEval.accepts(pschema, _))
+        AvroFilterEval.build(pschema, applicable)(prow)
+      }
+
       override def planInputPartitions(): Array[InputPartition] =
-        AvroFileSource.listAvro(new File(path)).flatMap { f =>
-          // one task per container file, except files larger than the
-          // split size, which fan out as sync-aligned byte ranges — a
-          // single huge file must not pin a single task at scale
-          val len = f.length()
-          if (len <= maxSplitBytes)
-            Seq(AvroInputPartition(f.getAbsolutePath, 0L, Long.MaxValue))
-          else (0L until len by maxSplitBytes).map { off =>
-            AvroInputPartition(f.getAbsolutePath, off,
-              math.min(off + maxSplitBytes, len))
-          }
-        }.toArray[InputPartition]
+        AvroFileSource.listPartitioned(new File(path))
+          // partition-directory pruning: skip whole files whose k=v path
+          // proves they cannot match — the scan never opens them
+          .filter { case (_, vals) => partitionMayMatch(vals) }
+          .flatMap { case (f, _) =>
+            // one task per container file, except files larger than the
+            // split size, which fan out as sync-aligned byte ranges — a
+            // single huge file must not pin a single task at scale
+            val len = f.length()
+            if (len <= maxSplitBytes)
+              Seq(AvroInputPartition(f.getAbsolutePath, 0L, Long.MaxValue))
+            else (0L until len by maxSplitBytes).map { off =>
+              AvroInputPartition(f.getAbsolutePath, off,
+                math.min(off + maxSplitBytes, len))
+            }
+          }.toArray[InputPartition]
       override def createReaderFactory(): PartitionReaderFactory =
         if (counting) AvroCountReaderFactory(required)
         else AvroReaderFactory(required, full, filters)
@@ -440,7 +505,7 @@ case class AvroReaderFactory(required: StructType, full: StructType,
 }
 
 class AvroWriteBuilder(path: String, schema: StructType,
-    codec: String = "deflate")
+    codec: String = "deflate", partitionBy: Seq[String] = Nil)
   extends WriteBuilder with SupportsTruncate {
 
   private var doTruncate = false
@@ -453,7 +518,7 @@ class AvroWriteBuilder(path: String, schema: StructType,
         val d = new File(path)
         d.mkdirs()
         if (doTruncate) AvroFileSource.listAvro(d).foreach(_.delete())
-        AvroWriterFactory(path, schema, codec)
+        AvroWriterFactory(path, schema, codec, partitionBy)
       }
       override def commit(messages: Array[WriterCommitMessage]): Unit = ()
       override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -470,7 +535,7 @@ class AvroWriteBuilder(path: String, schema: StructType,
       override def createStreamingWriterFactory(
           info: PhysicalWriteInfo): StreamingDataWriterFactory = {
         new File(path).mkdirs()
-        AvroStreamingWriterFactory(path, schema, codec)
+        AvroStreamingWriterFactory(path, schema, codec, partitionBy)
       }
       override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
       override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
@@ -491,6 +556,58 @@ private[sources] object AvroWriters {
       case "deflate" => org.apache.avro.file.CodecFactory.deflateCodec(6)
       case other => org.apache.avro.file.CodecFactory.fromString(other)
     }
+
+  /** Hive-style partitioned writer: routes each row to
+    * `base/col1=v1/col2=v2/fileName` (values URL-encoded, nulls as
+    * `__null__`), one lazily-created container file per value
+    * combination per task. Partition columns STAY in the file — the
+    * directory is a pruning index, not the storage of the value — so
+    * the read path needs no reconstruction. The open-writer count per
+    * task is the task's distinct value combinations: pre-repartition by
+    * the partition columns when cardinality is high (the same guidance
+    * as every file source).
+    */
+  def openPartitioned(base: String, schema: StructType, fileName: String,
+      partCols: Seq[String], codec: String): DataWriter[InternalRow] = {
+    val idx = partCols.map(schema.fieldIndex)
+    val avroSchema = AvroSchemaConverter.toAvro(schema, "topLevelRecord", None, None)
+    val fromInternal =
+      ExpressionEncoder(RowEncoder.encoderFor(schema)).resolveAndBind()
+        .createDeserializer()
+    val open = scala.collection.mutable.LinkedHashMap
+      .empty[String, (DataFileWriter[GenericRecord], File)]
+
+    new DataWriter[InternalRow] {
+      override def write(record: InternalRow): Unit = {
+        val row = fromInternal(record)
+        val sub = partCols.zip(idx).map { case (c, i) =>
+          val v = row.get(i)
+          val raw = if (v == null) "__null__"
+            else java.net.URLEncoder.encode(v.toString, "UTF-8")
+          s"$c=$raw"
+        }.mkString("/")
+        val (w, _) = open.getOrElseUpdate(sub, {
+          val dir = new File(base, sub)
+          dir.mkdirs()
+          val w = new DataFileWriter[GenericRecord](
+            new GenericDatumWriter[GenericRecord](avroSchema))
+          w.setCodec(codecFor(codec))
+          val f = new File(dir, fileName)
+          w.create(avroSchema, f)
+          (w, f)
+        })
+        w.append(AvroRowCodec.fromRow(row, schema, avroSchema))
+      }
+      override def commit(): WriterCommitMessage = {
+        open.values.foreach(_._1.close())
+        new WriterCommitMessage {}
+      }
+      override def abort(): Unit = open.values.foreach { case (w, f) =>
+        w.close(); f.delete()
+      }
+      override def close(): Unit = ()
+    }
+  }
 
   def open(path: String, schema: StructType, fileName: String,
       lazyCreate: Boolean, codec: String = "deflate"): DataWriter[InternalRow] = {
@@ -528,19 +645,28 @@ private[sources] object AvroWriters {
 }
 
 case class AvroWriterFactory(path: String, schema: StructType,
-    codec: String = "deflate") extends DataWriterFactory {
+    codec: String = "deflate", partitionBy: Seq[String] = Nil)
+  extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    AvroWriters.open(path, schema, f"part-$partitionId%05d-$taskId.avro",
-      lazyCreate = false, codec = codec)
+    if (partitionBy.nonEmpty)
+      AvroWriters.openPartitioned(path, schema,
+        f"part-$partitionId%05d-$taskId.avro", partitionBy, codec)
+    else
+      AvroWriters.open(path, schema, f"part-$partitionId%05d-$taskId.avro",
+        lazyCreate = false, codec = codec)
 }
 
 case class AvroStreamingWriterFactory(path: String, schema: StructType,
-    codec: String = "deflate") extends StreamingDataWriterFactory {
+    codec: String = "deflate", partitionBy: Seq[String] = Nil)
+  extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
-      epochId: Long): DataWriter[InternalRow] =
-    AvroWriters.open(path, schema,
-      f"part-e$epochId%06d-$partitionId%05d.avro", lazyCreate = true,
-      codec = codec)
+      epochId: Long): DataWriter[InternalRow] = {
+    val name = f"part-e$epochId%06d-$partitionId%05d.avro"
+    if (partitionBy.nonEmpty)
+      AvroWriters.openPartitioned(path, schema, name, partitionBy, codec)
+    else
+      AvroWriters.open(path, schema, name, lazyCreate = true, codec = codec)
+  }
 }

@@ -355,6 +355,40 @@ class AvroFileSourceSpec extends AnyFunSuite with SparkSpec with Matchers {
     back.agg(F.sum("id"), F.sum("x")).head().toSeq shouldBe Seq(10L, 10.0)
   }
 
+  test("partitioned writes: hive-style dirs, pruned reads, null values") {
+    val dir = tmp()
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .write.format("graft-avro").option("partitionBy", "lang")
+      .mode("append").save(dir)
+    new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted.toSeq shouldBe
+      Seq("lang=de", "lang=en", "lang=es", "lang=fr", "lang=zh")
+
+    val all = spark.read.format("graft-avro").load(dir)
+    all.count() shouldBe 500
+    // partition-directory pruning: the lang=en filter plans only the
+    // files under lang=en (1 writer task x 1 value dir = 1 partition)
+    val en = all.filter(F.col("lang") === "en")
+    val enParts = en.rdd.getNumPartitions
+    enParts should be < all.rdd.getNumPartitions
+    en.count() shouldBe spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(F.col("lang") === "en").count()
+    // lang survives IN the rows (dir is an index, not the storage)
+    en.select("lang").distinct().collect().map(_.getString(0)).toSeq shouldBe
+      Seq("en")
+
+    // null partition values round-trip through the __null__ directory
+    val d2 = tmp()
+    spark.range(4).selectExpr("id",
+      "CASE WHEN id % 2 = 0 THEN concat('g', id % 2) END as grp")
+      .write.format("graft-avro").option("partitionBy", "grp")
+      .mode("append").save(d2)
+    val back = spark.read.format("graft-avro").load(d2)
+    back.count() shouldBe 4
+    back.filter(F.col("grp").isNull).count() shouldBe 2
+  }
+
   test("reading an empty or missing directory fails with a clear message") {
     val err = intercept[Exception] {
       spark.read.format("graft-avro").load(tmp())
