@@ -117,9 +117,10 @@ object AvroFileSource {
         .sortBy(_.getName).map(f => (f, vals))
       val below = entries.filter(_.isDirectory).sortBy(_.getName).flatMap { sub =>
         sub.getName.split("=", 2) match {
-          case Array(k, v) =>
-            val dec = java.net.URLDecoder.decode(v, "UTF-8")
-            walk(sub, vals + (k -> dec))
+          // keep the RAW segment: only the exact raw "__null__" means a
+          // null value; a literal "__null__" STRING was force-encoded on
+          // write, so the raw forms differ (castPartitionValue decodes)
+          case Array(k, v) => walk(sub, vals + (k -> v))
           case _ => walk(sub, vals)
         }
       }
@@ -131,9 +132,10 @@ object AvroFileSource {
   /** Cast a partition-directory string back to the column's type for
     * pruning comparisons; None when unparsable (then never prune).
     */
-  def castPartitionValue(raw: String, dt: org.apache.spark.sql.types.DataType): Option[Any] = {
+  def castPartitionValue(rawSeg: String, dt: org.apache.spark.sql.types.DataType): Option[Any] = {
     import org.apache.spark.sql.types._
-    if (raw == "__null__") return Some(null)
+    if (rawSeg == "__null__") return Some(null)
+    val raw = java.net.URLDecoder.decode(rawSeg, "UTF-8")
     try Some(dt match {
       case StringType => raw
       case IntegerType => raw.toInt
@@ -582,8 +584,14 @@ private[sources] object AvroWriters {
         val row = fromInternal(record)
         val sub = partCols.zip(idx).map { case (c, i) =>
           val v = row.get(i)
-          val raw = if (v == null) "__null__"
-            else java.net.URLEncoder.encode(v.toString, "UTF-8")
+          val raw =
+            if (v == null) "__null__"
+            else {
+              val e = java.net.URLEncoder.encode(v.toString, "UTF-8")
+              // a literal "__null__" value must not collide with the
+              // null marker: force-encode its first byte (decodes back)
+              if (e == "__null__") "%5F_null__" else e
+            }
           s"$c=$raw"
         }.mkString("/")
         val (w, _) = open.getOrElseUpdate(sub, {

@@ -387,6 +387,16 @@ class AvroFileSourceSpec extends AnyFunSuite with SparkSpec with Matchers {
     val back = spark.read.format("graft-avro").load(d2)
     back.count() shouldBe 4
     back.filter(F.col("grp").isNull).count() shouldBe 2
+
+    // a literal "__null__" STRING must not collide with the null marker
+    val d3 = tmp()
+    spark.range(2).selectExpr("id",
+      "CASE WHEN id = 0 THEN '__null__' END as grp")
+      .write.format("graft-avro").option("partitionBy", "grp")
+      .mode("append").save(d3)
+    val b3 = spark.read.format("graft-avro").load(d3)
+    b3.filter(F.col("grp") === "__null__").count() shouldBe 1
+    b3.filter(F.col("grp").isNull).count() shouldBe 1
   }
 
   test("reading an empty or missing directory fails with a clear message") {

@@ -181,6 +181,29 @@ object SourceLaws extends Properties("SourceLaws") {
         s"splitBytes=$splitBytes parts=${d.rdd.getNumPartitions}"
     }
 
+  // Law: partition-directory pruning is invisible — a partitioned-layout
+  // read under ANY predicate equals the in-memory filter. This is the
+  // path where an unsound prune silently LOSES data (a skipped directory
+  // never reaches Spark's re-evaluation), so it gets its own law.
+  private lazy val prunedCase: (String, org.apache.spark.sql.DataFrame) = {
+    val rows = Gen.listOfN(40, fpRowGen).sample.get
+    import scala.jdk.CollectionConverters._
+    val in = spark.createDataFrame(rows.asJava, fpSchema)
+    val dir = Files.createTempDirectory("graft_avro_prune_law").toString
+    in.write.format("graft-avro").option("partitionBy", "s")
+      .mode("append").save(dir)
+    (dir, in)
+  }
+
+  property("partition pruning never changes filter results") =
+    Prop.forAll(predGen(2)) { case (desc, pred) =>
+      val (dir, in) = prunedCase
+      val got = canon(spark.read.format("graft-avro").schema(fpSchema)
+        .load(dir).filter(pred))
+      val want = canon(in.filter(pred))
+      (got == want) :| s"$desc: avro=$got expected=$want"
+    }
+
   // Law: minhash4 lanes are monotone non-increasing under set growth —
   // a superset's signature is element-wise <= the subset's.
   property("minhash4 lanes shrink monotonically under union") =
