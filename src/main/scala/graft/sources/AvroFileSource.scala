@@ -11,9 +11,10 @@ import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericR
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
@@ -222,8 +223,83 @@ class AvroScanBuilder(path: String, full: StructType,
   override def build(): Scan = {
     val filters = pushed
     val counting = countPushed
-    new Scan with Batch with SupportsReportStatistics {
+    new Scan with Batch with SupportsReportStatistics
+      with SupportsRuntimeV2Filtering {
       override def readSchema(): StructType = required
+
+      // ---- runtime partition pruning (Spark's DPP analogue for DSv2):
+      // declare the directory-layout columns as filterable; at execution
+      // Spark hands the build side of a broadcast join as IN predicates,
+      // which prune whole partition directories before any file opens.
+      private lazy val partitionCols: Seq[String] =
+        AvroFileSource.listPartitioned(new File(path)).headOption
+          .map(_._2.keys.toSeq.filter(full.fieldNames.contains))
+          .getOrElse(Nil)
+
+      @volatile private var runtimeIn: Map[String, Set[String]] = Map.empty
+
+      override def filterAttributes(): Array[NamedReference] =
+        partitionCols.map(Expressions.column).toArray
+
+      /** Normalized string key for a literal / partition value so the
+        * two representations (Catalyst internal literal vs directory
+        * string) compare reliably; None = unsupported type, skip pruning
+        * on that column (sound).
+        */
+      private def litKey(l: Literal[_]): Option[String] = {
+        import org.apache.spark.sql.types._
+        l.dataType match {
+          case StringType | IntegerType | LongType | BooleanType |
+               DoubleType | FloatType => Some(String.valueOf(l.value))
+          case DateType => Some(java.time.LocalDate
+            .ofEpochDay(l.value.asInstanceOf[Int].toLong).toString)
+          case _ => None
+        }
+      }
+
+      private def valKey(v: Any): String = v match {
+        case d: java.sql.Date => d.toLocalDate.toString
+        case x => String.valueOf(x)
+      }
+
+      override def filter(predicates: Array[Predicate]): Unit = {
+        val m = predicates.toSeq.flatMap { p =>
+          p.children() match {
+            case ch if p.name() == "IN" && ch.nonEmpty =>
+              (ch.head, ch.tail) match {
+                case (ref: NamedReference, lits)
+                    if lits.forall(_.isInstanceOf[Literal[_]]) =>
+                  val col = ref.fieldNames().mkString(".")
+                  val keys = lits.map(l => litKey(l.asInstanceOf[Literal[_]]))
+                  if (partitionCols.contains(col) && keys.forall(_.isDefined))
+                    Some(col -> keys.flatten.toSet)
+                  else None
+                case _ => None
+              }
+            case _ => None
+          }
+        }.toMap
+        runtimeIn = m
+      }
+
+      /** Do the runtime IN-sets allow this partition-value assignment?
+        * A null directory value never equals a join key (equality join
+        * semantics), so IN-filtered columns prune their null directory.
+        */
+      private def runtimeMayMatch(vals: Map[String, String]): Boolean =
+        runtimeIn.forall { case (c, keys) =>
+          vals.get(c) match {
+            case None => true
+            case Some(raw) =>
+              full.fields.find(_.name == c)
+                .flatMap(f => AvroFileSource.castPartitionValue(raw, f.dataType)) match {
+                case Some(null) => false
+                case Some(v) => keys.contains(valKey(v))
+                case None => true // unparsable: never prune on it
+              }
+          }
+        }
+
       override def toBatch: Batch = this
       /** May files under this partition-value assignment match the
         * pushed filters? Only filters FULLY over partition columns with
@@ -247,7 +323,8 @@ class AvroScanBuilder(path: String, full: StructType,
         AvroFileSource.listPartitioned(new File(path))
           // partition-directory pruning: skip whole files whose k=v path
           // proves they cannot match — the scan never opens them
-          .filter { case (_, vals) => partitionMayMatch(vals) }
+          .filter { case (_, vals) =>
+            partitionMayMatch(vals) && runtimeMayMatch(vals) }
           .flatMap { case (f, _) =>
             // one task per container file, except files larger than the
             // split size, which fan out as sync-aligned byte ranges — a

@@ -399,6 +399,26 @@ class AvroFileSourceSpec extends AnyFunSuite with SparkSpec with Matchers {
     b3.filter(F.col("grp").isNull).count() shouldBe 1
   }
 
+  test("runtime filtering: broadcast-join keys prune partition dirs") {
+    import spark.implicits._
+    val dir = tmp()
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .write.format("graft-avro").option("partitionBy", "lang")
+      .mode("append").save(dir)
+    val fact = spark.read.format("graft-avro").load(dir)
+    val dim = Seq(("en", 1), ("fr", 2)).toDF("l", "w")
+    val joined = fact.join(F.broadcast(dim), fact("lang") === dim("l"))
+    // the scan declares the partition column runtime-filterable
+    joined.queryExecution.executedPlan.toString should
+      include("RuntimeFilters: [")
+    val got = joined.groupBy("lang").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val exp = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(F.col("lang").isin("en", "fr")).groupBy("lang").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    got.toSeq shouldBe exp.toSeq
+  }
+
   test("reading an empty or missing directory fails with a clear message") {
     val err = intercept[Exception] {
       spark.read.format("graft-avro").load(tmp())
