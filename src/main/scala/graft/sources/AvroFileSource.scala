@@ -249,8 +249,11 @@ class AvroScanBuilder(path: String, full: StructType,
       private def litKey(l: Literal[_]): Option[String] = {
         import org.apache.spark.sql.types._
         l.dataType match {
-          case StringType | IntegerType | LongType | BooleanType |
-               DoubleType | FloatType => Some(String.valueOf(l.value))
+          // Float/Double are deliberately unsupported: string keying
+          // breaks on -0.0 vs 0.0 (join keys normalize them equal) and
+          // NaN (Spark joins treat NaN = NaN) — skipping = never prune
+          case StringType | IntegerType | LongType | BooleanType =>
+            Some(String.valueOf(l.value))
           case DateType => Some(java.time.LocalDate
             .ofEpochDay(l.value.asInstanceOf[Int].toLong).toString)
           case _ => None
@@ -343,16 +346,35 @@ class AvroScanBuilder(path: String, full: StructType,
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new AvroMicroBatchStream(path, required, full, checkpointLocation,
           maxFilesPerTrigger)
-      /** Compressed on-disk bytes — a conservative (under-)estimate of
-        * the in-memory size Spark compares against the broadcast
-        * threshold; enough for the planner to broadcast genuinely small
-        * avro dimensions instead of defaulting to sizeInBytes=MAX.
+      /** On-disk bytes INFLATED by a compression factor. For broadcast
+        * planning an underestimate is the unsafe direction (a table
+        * several× the threshold in memory could be auto-broadcast and
+        * OOM executors), so compressed containers are scaled up:
+        * `spark.sql.sources.fileCompressionFactor` when the user set it,
+        * else 3× for any real codec (1× for codec "null"), decided from
+        * the first file's header.
         */
       override def estimateStatistics(): Statistics = new Statistics {
-        private val bytes =
-          AvroFileSource.listAvro(new File(path)).map(_.length()).sum
+        private val files = AvroFileSource.listAvro(new File(path))
+        private val factor: Double = {
+          val conf = try org.apache.spark.sql.SparkSession.active.conf
+            .get("spark.sql.sources.fileCompressionFactor", "").toDouble
+          catch { case _: Exception => Double.NaN }
+          if (!conf.isNaN && conf > 0) conf
+          else {
+            val codec = files.headOption.flatMap { f =>
+              try {
+                val r = new DataFileReader[GenericRecord](
+                  f, new GenericDatumReader[GenericRecord]())
+                try Option(r.getMetaString("avro.codec")) finally r.close()
+              } catch { case _: Exception => None }
+            }.getOrElse("null")
+            if (codec == "null") 1.0 else 3.0
+          }
+        }
         override def sizeInBytes(): java.util.OptionalLong =
-          java.util.OptionalLong.of(bytes)
+          java.util.OptionalLong.of(
+            math.ceil(files.map(_.length()).sum * factor).toLong)
         override def numRows(): java.util.OptionalLong =
           java.util.OptionalLong.empty()
       }
@@ -592,15 +614,37 @@ class AvroWriteBuilder(path: String, schema: StructType,
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
   override def build(): Write = new Write {
+    /** Transactional batch write (the FileFormatWriter commit-protocol
+      * shape): tasks write to `*.staging` names — invisible to readers,
+      * which list only `*.avro` — and report (staged, final) pairs in
+      * their [[AvroCommitMessage]]. The job-level commit() deletes the
+      * old files (truncate mode) and renames staged → final, so a failed
+      * or aborted job leaves the previous dataset fully intact and at
+      * worst some orphaned `.staging` litter; a task attempt killed
+      * before abort() leaves a truncated `.staging` file no reader ever
+      * opens. Renames are same-directory (staged files live beside their
+      * final name, including inside partition dirs) → atomic on POSIX.
+      */
     override def toBatch: BatchWrite = new BatchWrite {
       override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-        val d = new File(path)
-        d.mkdirs()
-        if (doTruncate) AvroFileSource.listAvro(d).foreach(_.delete())
-        AvroWriterFactory(path, schema, codec, partitionBy)
+        new File(path).mkdirs()
+        AvroWriterFactory(path, schema, codec, partitionBy, staged = true)
       }
-      override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-      override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+      override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        val staged = messages.toSeq
+          .collect { case m: AvroCommitMessage => m.files }.flatten
+        if (doTruncate)
+          AvroFileSource.listAvro(new File(path)).foreach(_.delete())
+        staged.foreach { case (tmp, fin) =>
+          val t = new File(tmp)
+          if (!t.renameTo(new File(fin)))
+            throw new java.io.IOException(
+              s"graft-avro commit: rename failed $tmp -> $fin")
+        }
+      }
+      override def abort(messages: Array[WriterCommitMessage]): Unit =
+        messages.toSeq.collect { case m: AvroCommitMessage => m.files }
+          .flatten.foreach { case (tmp, _) => new File(tmp).delete() }
     }
 
     /** Streaming sink: one container file per (epoch, partition). The
@@ -621,6 +665,13 @@ class AvroWriteBuilder(path: String, schema: StructType,
     }
   }
 }
+
+/** (stagedPath, finalPath) pairs a task's writer produced; the batch
+  * commit renames them into place. Empty for streaming writers (their
+  * epoch-deterministic names are already idempotent under replay).
+  */
+case class AvroCommitMessage(files: Seq[(String, String)])
+  extends WriterCommitMessage
 
 private[sources] object AvroWriters {
   /** Container-file writer; `lazyCreate` postpones file creation to the
@@ -647,7 +698,8 @@ private[sources] object AvroWriters {
     * as every file source).
     */
   def openPartitioned(base: String, schema: StructType, fileName: String,
-      partCols: Seq[String], codec: String): DataWriter[InternalRow] = {
+      partCols: Seq[String], codec: String,
+      staged: Boolean = false): DataWriter[InternalRow] = {
     val idx = partCols.map(schema.fieldIndex)
     val avroSchema = AvroSchemaConverter.toAvro(schema, "topLevelRecord", None, None)
     val fromInternal =
@@ -677,7 +729,8 @@ private[sources] object AvroWriters {
           val w = new DataFileWriter[GenericRecord](
             new GenericDatumWriter[GenericRecord](avroSchema))
           w.setCodec(codecFor(codec))
-          val f = new File(dir, fileName)
+          val f = new File(dir,
+            if (staged) fileName + ".staging" else fileName)
           w.create(avroSchema, f)
           (w, f)
         })
@@ -685,7 +738,11 @@ private[sources] object AvroWriters {
       }
       override def commit(): WriterCommitMessage = {
         open.values.foreach(_._1.close())
-        new WriterCommitMessage {}
+        AvroCommitMessage(
+          if (staged) open.values.map { case (_, f) =>
+            f.getPath -> f.getPath.stripSuffix(".staging")
+          }.toSeq
+          else Nil)
       }
       override def abort(): Unit = open.values.foreach { case (w, f) =>
         w.close(); f.delete()
@@ -695,9 +752,12 @@ private[sources] object AvroWriters {
   }
 
   def open(path: String, schema: StructType, fileName: String,
-      lazyCreate: Boolean, codec: String = "deflate"): DataWriter[InternalRow] = {
+      lazyCreate: Boolean, codec: String = "deflate",
+      staged: Boolean = false): DataWriter[InternalRow] = {
     val avroSchema = AvroSchemaConverter.toAvro(schema, "topLevelRecord", None, None)
-    val file = new File(path, fileName)
+    val finalFile = new File(path, fileName)
+    val file =
+      if (staged) new File(path, fileName + ".staging") else finalFile
     val fromInternal =
       ExpressionEncoder(RowEncoder.encoderFor(schema)).resolveAndBind()
         .createDeserializer()
@@ -720,7 +780,10 @@ private[sources] object AvroWriters {
           AvroRowCodec.fromRow(fromInternal(record), schema, avroSchema))
       override def commit(): WriterCommitMessage = {
         if (writer != null) writer.close()
-        new WriterCommitMessage {}
+        AvroCommitMessage(
+          if (staged && writer != null)
+            Seq(file.getPath -> finalFile.getPath)
+          else Nil)
       }
       override def abort(): Unit =
         if (writer != null) { writer.close(); file.delete(); () }
@@ -730,16 +793,18 @@ private[sources] object AvroWriters {
 }
 
 case class AvroWriterFactory(path: String, schema: StructType,
-    codec: String = "deflate", partitionBy: Seq[String] = Nil)
+    codec: String = "deflate", partitionBy: Seq[String] = Nil,
+    staged: Boolean = false)
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     if (partitionBy.nonEmpty)
       AvroWriters.openPartitioned(path, schema,
-        f"part-$partitionId%05d-$taskId.avro", partitionBy, codec)
+        f"part-$partitionId%05d-$taskId.avro", partitionBy, codec,
+        staged = staged)
     else
       AvroWriters.open(path, schema, f"part-$partitionId%05d-$taskId.avro",
-        lazyCreate = false, codec = codec)
+        lazyCreate = false, codec = codec, staged = staged)
 }
 
 case class AvroStreamingWriterFactory(path: String, schema: StructType,

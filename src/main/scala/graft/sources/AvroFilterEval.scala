@@ -143,7 +143,8 @@ private[sources] object AvroFilterEval {
 
   private def eq0(x: Any, v: Any): Boolean = (x, v) match {
     case (a: Array[Byte], b: Array[Byte]) => java.util.Arrays.equals(a, b)
-    case (a: Number, b: Number)           => num(a).compareTo(num(b)) == 0
+    case (a: Number, b: Number) if !nonFinite(a) && !nonFinite(b) =>
+      num(a).compareTo(num(b)) == 0
     case _ => cmp(x, v) match {
       case Some(c) => c == 0
       case None    => true // undecidable equality: may match
@@ -152,7 +153,11 @@ private[sources] object AvroFilterEval {
 
   /** Total-order compare when both sides are understood; None otherwise. */
   private def cmp(x: Any, v: Any): Option[Int] = (x, v) match {
-    case (a: Number, b: Number)   => Some(num(a).compareTo(num(b)))
+    case (a: Number, b: Number) =>
+      // NaN/±Inf have no BigDecimal form (num() would throw) and no
+      // useful total order vs finite values: answer may-match.
+      if (nonFinite(a) || nonFinite(b)) None
+      else Some(num(a).compareTo(num(b)))
     case (a: String, b: String)   => Some(a.compareTo(b))
     case (a: Boolean, b: Boolean) => Some(a.compareTo(b))
     case (a: java.sql.Date, b: java.sql.Date)           => Some(a.compareTo(b))
@@ -164,8 +169,15 @@ private[sources] object AvroFilterEval {
     case _ => None
   }
 
+  private def nonFinite(n: Number): Boolean = n match {
+    case d: java.lang.Double => d.isNaN || d.isInfinite
+    case f: java.lang.Float  => f.isNaN || f.isInfinite
+    case _                   => false
+  }
+
   /** Exact numeric widening: Long/Int/Short/Byte and Float/Double and
-    * BigDecimal all convert to BigDecimal without loss.
+    * BigDecimal all convert to BigDecimal without loss (callers guard
+    * non-finite doubles/floats via nonFinite first).
     */
   private def num(n: Number): JBigDecimal = n match {
     case d: JBigDecimal => d

@@ -443,4 +443,79 @@ class AvroFileSourceSpec extends AnyFunSuite with SparkSpec with Matchers {
     spark.read.format("graft.sources.AvroFileSource").load(dir)
       .count() shouldBe 3
   }
+
+  // ---- transactional batch-write protocol (staged files + job commit) ----
+
+  private def internalRowOf(id: Long) = {
+    import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+    import org.apache.spark.sql.types.{LongType, StructType}
+    val schema = new StructType().add("id", LongType, nullable = false)
+    ExpressionEncoder(RowEncoder.encoderFor(schema))
+      .createSerializer()(org.apache.spark.sql.Row(id)).copy()
+  }
+
+  test("batch write abort leaves the previous dataset fully intact") {
+    import org.apache.spark.sql.types.{LongType, StructType}
+    val dir = tmp()
+    spark.range(10).write.format("graft-avro").mode("append").save(dir)
+    val schema = new StructType().add("id", LongType, nullable = false)
+    val bw = new AvroWriteBuilder(dir, schema).build().toBatch
+    val w = bw.createBatchWriterFactory(null).createWriter(0, 12345L)
+    w.write(internalRowOf(42L))
+    val msg = w.commit()
+    // task committed, job not: the staged file is invisible to readers
+    spark.read.format("graft-avro").load(dir).count() shouldBe 10
+    bw.abort(Array(msg))
+    new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".staging")) shouldBe 0
+    spark.read.format("graft-avro").load(dir).count() shouldBe 10
+  }
+
+  test("truncate is deferred to job commit; commit publishes atomically") {
+    import org.apache.spark.sql.types.{LongType, StructType}
+    val dir = tmp()
+    spark.range(10).write.format("graft-avro").mode("append").save(dir)
+    val schema = new StructType().add("id", LongType, nullable = false)
+    val builder = new AvroWriteBuilder(dir, schema)
+    builder.truncate()
+    val bw = builder.build().toBatch
+    val w = bw.createBatchWriterFactory(null).createWriter(0, 1L)
+    // truncate has NOT happened yet — old data still readable mid-job
+    spark.read.format("graft-avro").load(dir).count() shouldBe 10
+    w.write(internalRowOf(42L))
+    bw.commit(Array(w.commit()))
+    val back = spark.read.format("graft-avro").load(dir)
+    back.count() shouldBe 1
+    back.head().getLong(0) shouldBe 42L
+  }
+
+  test("overwrite via the DataFrame API leaves no staging litter") {
+    val dir = tmp()
+    spark.range(10).write.format("graft-avro").mode("append").save(dir)
+    spark.range(5).write.format("graft-avro").mode("overwrite").save(dir)
+    spark.read.format("graft-avro").load(dir).count() shouldBe 5
+    new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".staging")) shouldBe 0
+  }
+
+  test("numeric pushdown tolerates NaN and infinite values") {
+    import spark.implicits._
+    val dir = tmp()
+    val src = Seq(1.0, Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, 2.5).toDF("x")
+    src.coalesce(1).write.format("graft-avro").mode("append").save(dir)
+    val back = spark.read.format("graft-avro").load(dir)
+    // decode-time eval must answer may-match on non-finite values (it
+    // used to throw NumberFormatException from BigDecimal); Spark's
+    // residual re-evaluation then decides — results equal the in-memory
+    // DataFrame's under Spark's NaN-is-largest ordering
+    def got(f: org.apache.spark.sql.DataFrame) =
+      f.collect().map(_.getDouble(0)).map(d =>
+        if (d.isNaN) "NaN" else d.toString).sorted.toSeq
+    got(back.filter($"x" > 1.5)) shouldBe got(src.filter($"x" > 1.5))
+    got(back.filter($"x" === 1.0)) shouldBe got(src.filter($"x" === 1.0))
+    got(back.filter($"x".isin(2.5, Double.NaN))) shouldBe
+      got(src.filter($"x".isin(2.5, Double.NaN)))
+    got(back.filter($"x" <= 2.0)) shouldBe got(src.filter($"x" <= 2.0))
+  }
 }
