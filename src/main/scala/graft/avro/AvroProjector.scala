@@ -4,7 +4,6 @@ import org.apache.avro.Schema
 import org.apache.avro.generic.{GenericRecord, IndexedRecord}
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
 import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
 import org.apache.spark.sql.catalyst.plans.logical.Project
 
@@ -60,21 +59,17 @@ final class AvroProjector(spark: SparkSession, inSchema: Schema, query: String) 
 
   private val projection = UnsafeProjection.create(projectList, childOutput)
 
-  private val inEncoder = ExpressionEncoder(RowEncoder.encoderFor(struct))
-  private val toInternal = inEncoder.createSerializer()
-  private val outEncoder = ExpressionEncoder(RowEncoder.encoderFor(outputStruct))
-    .resolveAndBind()
-  private val fromInternal = outEncoder.createDeserializer()
+  // fused codecs: record → InternalRow → (UnsafeProjection) → record,
+  // with no external Row or ExpressionEncoder on either side
+  private val decode = AvroInternalCodec.decoderFor(inSchema, struct)
+  private val encode = AvroInternalCodec.encoderFor(outputStruct, outputAvroSchema)
 
   /** Project one record. Thread-confined (the compiled projection reuses
     * its output buffer); create one projector per thread for parallel use.
     */
   def apply(record: IndexedRecord): GenericRecord = {
     if (record == null) return null
-    val row = AvroRowCodec.toRow(record, struct)
-    val internal: InternalRow = toInternal(row)
-    val projected = projection(internal)
-    val outRow = fromInternal(projected)
-    AvroRowCodec.fromRow(outRow, outputStruct, outputAvroSchema)
+    val internal: InternalRow = decode(record)
+    encode(projection(internal))
   }
 }

@@ -9,7 +9,6 @@ import org.apache.avro.Schema
 import org.apache.avro.file.{DataFileReader, DataFileWriter}
 import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
@@ -22,7 +21,7 @@ import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types.{LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.avro.{AvroRowCodec, AvroSchemaConverter}
+import graft.avro.{AvroInternalCodec, AvroSchemaConverter}
 
 /** DataSource V2 source/sink for Avro CONTAINER FILES, built on the
   * engine's own Avro⇄Catalyst bridge (graft.avro) — the file-based
@@ -547,7 +546,7 @@ case class AvroReaderFactory(required: StructType, full: StructType,
     // Avro resolution fills during decode — so a directory written over
     // time under evolving schemas reads as one table. Fields the writer
     // does have keep the writer's field schema (numeric promotions like
-    // int→long are finished by AvroRowCodec at decode).
+    // int→long are finished by AvroInternalCodec at decode).
     val readerSchema = {
       val exact = writerSchema.getFields.size == required.fields.length &&
         required.fieldNames.forall(n => writerSchema.getField(n) != null)
@@ -582,24 +581,28 @@ case class AvroReaderFactory(required: StructType, full: StructType,
     // unbounded Long.MaxValue end would overflow negative and starve the
     // whole-file partition
     val bound = math.min(part.end, file.length())
-    val toInternal =
-      ExpressionEncoder(RowEncoder.encoderFor(required)).createSerializer()
+    // fused decode: GenericRecord → InternalRow in one planned pass (no
+    // external Row, no ExpressionEncoder); each decode is a fresh row, so
+    // no defensive copy either
+    val decode = AvroInternalCodec.decoderFor(readerSchema, required)
     val keep = AvroFilterEval.build(required, filters)
+    val unfiltered = filters.isEmpty
 
     new PartitionReader[InternalRow] {
-      private var row: org.apache.spark.sql.Row = _
+      private var row: InternalRow = _
       override def next(): Boolean = {
         row = null
-        // skip definitely-non-matching rows BEFORE Catalyst serialization
+        // skip definitely-non-matching rows at decode time; the filter
+        // evaluator sees a lazy external view (only referenced fields
+        // are externalized)
         while (row == null && reader.hasNext && !reader.pastSync(bound)) {
-          val r = AvroRowCodec.toRow(reader.next(), required)
-          if (keep(r)) row = r
+          val r = decode(reader.next())
+          if (unfiltered || keep(AvroInternalCodec.externalView(r, required)))
+            row = r
         }
         row != null
       }
-      override def get(): InternalRow =
-        // serializer reuses its buffer; copy so downstream can hold rows
-        toInternal(row).copy()
+      override def get(): InternalRow = row
       override def close(): Unit = reader.close()
     }
   }
@@ -702,17 +705,17 @@ private[sources] object AvroWriters {
       staged: Boolean = false): DataWriter[InternalRow] = {
     val idx = partCols.map(schema.fieldIndex)
     val avroSchema = AvroSchemaConverter.toAvro(schema, "topLevelRecord", None, None)
-    val fromInternal =
-      ExpressionEncoder(RowEncoder.encoderFor(schema)).resolveAndBind()
-        .createDeserializer()
+    val toAvro = AvroInternalCodec.encoderFor(schema, avroSchema)
     val open = scala.collection.mutable.LinkedHashMap
       .empty[String, (DataFileWriter[GenericRecord], File)]
 
     new DataWriter[InternalRow] {
       override def write(record: InternalRow): Unit = {
-        val row = fromInternal(record)
+        // externalize ONLY the partition-routing values; the payload goes
+        // through the fused InternalRow→record encoder
+        val view = AvroInternalCodec.externalView(record, schema)
         val sub = partCols.zip(idx).map { case (c, i) =>
-          val v = row.get(i)
+          val v = view.get(i)
           val raw =
             if (v == null) "__null__"
             else {
@@ -734,7 +737,7 @@ private[sources] object AvroWriters {
           w.create(avroSchema, f)
           (w, f)
         })
-        w.append(AvroRowCodec.fromRow(row, schema, avroSchema))
+        w.append(toAvro(record))
       }
       override def commit(): WriterCommitMessage = {
         open.values.foreach(_._1.close())
@@ -755,12 +758,10 @@ private[sources] object AvroWriters {
       lazyCreate: Boolean, codec: String = "deflate",
       staged: Boolean = false): DataWriter[InternalRow] = {
     val avroSchema = AvroSchemaConverter.toAvro(schema, "topLevelRecord", None, None)
+    val toAvro = AvroInternalCodec.encoderFor(schema, avroSchema)
     val finalFile = new File(path, fileName)
     val file =
       if (staged) new File(path, fileName + ".staging") else finalFile
-    val fromInternal =
-      ExpressionEncoder(RowEncoder.encoderFor(schema)).resolveAndBind()
-        .createDeserializer()
 
     new DataWriter[InternalRow] {
       private var writer: DataFileWriter[GenericRecord] = _
@@ -776,8 +777,7 @@ private[sources] object AvroWriters {
       if (!lazyCreate) ensure()
 
       override def write(record: InternalRow): Unit =
-        ensure().append(
-          AvroRowCodec.fromRow(fromInternal(record), schema, avroSchema))
+        ensure().append(toAvro(record))
       override def commit(): WriterCommitMessage = {
         if (writer != null) writer.close()
         AvroCommitMessage(
