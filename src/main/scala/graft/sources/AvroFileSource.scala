@@ -13,7 +13,8 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
@@ -165,7 +166,8 @@ case class AvroTable(path: String, tableSchema: StructType)
     new AvroScanBuilder(path, tableSchema,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
       Option(options.get("maxSplitBytes")).map(_.toLong)
-        .getOrElse(AvroFileSource.DefaultSplitBytes))
+        .getOrElse(AvroFileSource.DefaultSplitBytes),
+      Option(options.get("preservePartitioning")).exists(_.toBoolean))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new AvroWriteBuilder(path, info.schema(),
@@ -176,7 +178,8 @@ case class AvroTable(path: String, tableSchema: StructType)
 
 class AvroScanBuilder(path: String, full: StructType,
     maxFilesPerTrigger: Option[Int] = None,
-    maxSplitBytes: Long = AvroFileSource.DefaultSplitBytes)
+    maxSplitBytes: Long = AvroFileSource.DefaultSplitBytes,
+    preserveGrouping: Boolean = false)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with SupportsPushDownFilters with SupportsPushDownAggregates {
 
@@ -223,7 +226,7 @@ class AvroScanBuilder(path: String, full: StructType,
     val filters = pushed
     val counting = countPushed
     new Scan with Batch with SupportsReportStatistics
-      with SupportsRuntimeV2Filtering {
+      with SupportsRuntimeV2Filtering with SupportsReportPartitioning {
       override def readSchema(): StructType = required
 
       // ---- runtime partition pruning (Spark's DPP analogue for DSv2):
@@ -321,24 +324,86 @@ class AvroScanBuilder(path: String, full: StructType,
         AvroFilterEval.build(pschema, applicable)(prow)
       }
 
-      override def planInputPartitions(): Array[InputPartition] =
+      private def prunedFiles(): Seq[(File, Map[String, String])] =
         AvroFileSource.listPartitioned(new File(path))
           // partition-directory pruning: skip whole files whose k=v path
           // proves they cannot match — the scan never opens them
           .filter { case (_, vals) =>
             partitionMayMatch(vals) && runtimeMayMatch(vals) }
-          .flatMap { case (f, _) =>
-            // one task per container file, except files larger than the
-            // split size, which fan out as sync-aligned byte ranges — a
-            // single huge file must not pin a single task at scale
-            val len = f.length()
-            if (len <= maxSplitBytes)
-              Seq(AvroInputPartition(f.getAbsolutePath, 0L, Long.MaxValue))
-            else (0L until len by maxSplitBytes).map { off =>
-              AvroInputPartition(f.getAbsolutePath, off,
-                math.min(off + maxSplitBytes, len))
+
+      /** Catalyst-internal key value for one partition column (SPJ keys
+        * compare internally); None = type unsupported for key grouping.
+        */
+      private def internalKeyValue(raw: String,
+          dt: org.apache.spark.sql.types.DataType): Option[Any] = {
+        import org.apache.spark.sql.types._
+        dt match {
+          // float/double excluded: -0.0/NaN string round-trips disagree
+          // with join-key normalization (same reasoning as litKey)
+          case StringType | IntegerType | LongType | BooleanType | DateType =>
+            AvroFileSource.castPartitionValue(raw, dt).map {
+              case null => null
+              case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+              case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+              case v => v
             }
+          case _ => None
+        }
+      }
+
+      /** The pruned file list with each file's Catalyst-internal
+        * partition-key tuple, when the layout supports key reporting:
+        * every file carries a parseable value for every partition
+        * column of a supported type. None = flat/drifted layout.
+        */
+      private def keyedFiles(): Option[Seq[(File, InternalRow)]] = {
+        if (partitionCols.isEmpty || !preserveGrouping) return None
+        val fields = partitionCols.map(c => full.fields.find(_.name == c).get)
+        val keyed = prunedFiles().map { case (f, vals) =>
+          val key = fields.map(fld => vals.get(fld.name)
+            .flatMap(internalKeyValue(_, fld.dataType)))
+          (f, key)
+        }
+        if (keyed.exists(_._2.exists(_.isEmpty))) None
+        else Some(keyed.map { case (f, key) =>
+          (f, InternalRow.fromSeq(key.map(_.get))) })
+      }
+
+      /** Report the hive-style layout as [[KeyGroupedPartitioning]]
+        * (Iceberg's preserve-data-grouping shape): each split carries
+        * its [[HasPartitionKey]], and Spark's BatchScanExec groups
+        * same-key splits into one task, so co-partitioned avro tables
+        * join — and partition-key aggregations run — WITHOUT an
+        * exchange (storage-partitioned joins). Opt-in via
+        * `.option("preservePartitioning", true)` because the grouping
+        * trades per-file scan parallelism for exchange elimination.
+        */
+      override def outputPartitioning(): Partitioning = keyedFiles() match {
+        case Some(files) => new KeyGroupedPartitioning(
+          partitionCols.map(Expressions.identity).toArray, files.length)
+        case None => new UnknownPartitioning(0)
+      }
+
+      private def split(f: File): Seq[(String, Long, Long)] = {
+        // one task per container file, except files larger than the
+        // split size, which fan out as sync-aligned byte ranges — a
+        // single huge file must not pin a single task at scale
+        val len = f.length()
+        if (len <= maxSplitBytes) Seq((f.getAbsolutePath, 0L, Long.MaxValue))
+        else (0L until len by maxSplitBytes).map { off =>
+          (f.getAbsolutePath, off, math.min(off + maxSplitBytes, len))
+        }
+      }
+
+      override def planInputPartitions(): Array[InputPartition] =
+        keyedFiles() match {
+          case Some(files) => files.flatMap { case (f, key) =>
+            split(f).map { case (p, s, e) => AvroKeyedPartition(p, s, e, key) }
           }.toArray[InputPartition]
+          case None => prunedFiles().flatMap { case (f, _) =>
+            split(f).map { case (p, s, e) => AvroInputPartition(p, s, e) }
+          }.toArray[InputPartition]
+        }
       override def createReaderFactory(): PartitionReaderFactory =
         if (counting) AvroCountReaderFactory(required)
         else AvroReaderFactory(required, full, filters)
@@ -392,7 +457,7 @@ case class AvroCountReaderFactory(required: StructType)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val part = partition.asInstanceOf[AvroInputPartition]
+    val part = AvroReaderFactory.range(partition)
     val file = new File(part.file)
     new PartitionReader[InternalRow] {
       private var done = false
@@ -528,12 +593,85 @@ class AvroMicroBatchStream(path: String, required: StructType,
 case class AvroInputPartition(file: String, start: Long, end: Long)
   extends InputPartition
 
+/** A sync-aligned byte range that also carries its directory-derived
+  * partition-key tuple (Catalyst-internal values) for Spark's
+  * storage-partitioned join machinery: BatchScanExec groups same-key
+  * splits into one task when the partitioning is exploited.
+  */
+case class AvroKeyedPartition(file: String, start: Long, end: Long,
+    key: InternalRow) extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
+
+object AvroReaderFactory {
+  import org.apache.spark.sql.types.{ArrayType, DataType, MapType}
+
+  /** Both partition shapes read as a plain byte range (the key is
+    * planner metadata, not reader input).
+    */
+  private[sources] def range(p: InputPartition): AvroInputPartition = p match {
+    case a: AvroInputPartition => a
+    case k: AvroKeyedPartition => AvroInputPartition(k.file, k.start, k.end)
+    case other => throw new IllegalArgumentException(s"not an avro partition: $other")
+  }
+
+  /** Resolve the READER record for `required` against a file's writer
+    * record: writer fields keep their (recursively pruned) schema,
+    * missing nullable fields synthesize with a null default.
+    */
+  private[sources] def resolveReader(writer: Schema, required: StructType,
+      file: String): Schema = {
+    val fields = required.fields.map { sf =>
+      writer.getField(sf.name) match {
+        case null =>
+          require(sf.nullable, s"column '${sf.name}' is missing from " +
+            s"older file $file and is not nullable — cannot default")
+          val synth = AvroSchemaConverter
+            .toAvro(StructType(Seq(sf)), writer.getName,
+              Option(writer.getNamespace), None)
+            .getFields.get(0)
+          new Schema.Field(synth.name, synth.schema, synth.doc,
+            Schema.Field.NULL_DEFAULT_VALUE)
+        case wf =>
+          new Schema.Field(wf.name, pruneTo(wf.schema, sf.dataType, file),
+            wf.doc, wf.defaultVal)
+      }
+    }
+    val s = Schema.createRecord(writer.getName, writer.getDoc,
+      writer.getNamespace, false)
+    s.setFields(java.util.Arrays.asList(fields: _*))
+    s
+  }
+
+  /** Narrow a writer field schema to the catalyst type actually read:
+    * records recurse (keeping name identity for Avro resolution),
+    * containers recurse into elements/values, everything else passes
+    * through unchanged (promotions finish at decode).
+    */
+  private def pruneTo(ws: Schema, dt: DataType, file: String): Schema =
+    (ws.getType, dt) match {
+      case (Schema.Type.UNION, _) =>
+        val (nonNull, nullable) = AvroSchemaConverter.fromUnion(ws)
+        val pruned = pruneTo(nonNull, dt, file)
+        if (nullable)
+          Schema.createUnion(Schema.create(Schema.Type.NULL), pruned)
+        else pruned
+      case (Schema.Type.RECORD, st: StructType) =>
+        resolveReader(ws, st, file)
+      case (Schema.Type.ARRAY, ArrayType(et, _)) =>
+        Schema.createArray(pruneTo(ws.getElementType, et, file))
+      case (Schema.Type.MAP, MapType(_, vt, _)) =>
+        Schema.createMap(pruneTo(ws.getValueType, vt, file))
+      case _ => ws
+    }
+}
+
 case class AvroReaderFactory(required: StructType, full: StructType,
     filters: Array[Filter] = Array.empty)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val part = partition.asInstanceOf[AvroInputPartition]
+    val part = AvroReaderFactory.range(partition)
     val file = new File(part.file)
     // writer schema from the file header; READER schema pruned to the
     // projected fields so Avro schema resolution skips the rest
@@ -546,34 +684,14 @@ case class AvroReaderFactory(required: StructType, full: StructType,
     // Avro resolution fills during decode — so a directory written over
     // time under evolving schemas reads as one table. Fields the writer
     // does have keep the writer's field schema (numeric promotions like
-    // int→long are finished by AvroInternalCodec at decode).
-    val readerSchema = {
-      val exact = writerSchema.getFields.size == required.fields.length &&
-        required.fieldNames.forall(n => writerSchema.getField(n) != null)
-      if (exact && required.fieldNames.sameElements(full.fieldNames))
-        writerSchema
-      else {
-        val fields = required.fields.map { sf =>
-          writerSchema.getField(sf.name) match {
-            case null =>
-              require(sf.nullable, s"column '${sf.name}' is missing from " +
-                s"older file $file and is not nullable — cannot default")
-              val synth = AvroSchemaConverter
-                .toAvro(StructType(Seq(sf)), writerSchema.getName,
-                  Option(writerSchema.getNamespace), None)
-                .getFields.get(0)
-              new Schema.Field(synth.name, synth.schema, synth.doc,
-                Schema.Field.NULL_DEFAULT_VALUE)
-            case wf =>
-              new Schema.Field(wf.name, wf.schema, wf.doc, wf.defaultVal)
-          }
-        }
-        val s = Schema.createRecord(writerSchema.getName, writerSchema.getDoc,
-          writerSchema.getNamespace, false)
-        s.setFields(java.util.Arrays.asList(fields: _*))
-        s
-      }
-    }
+    // int→long are finished by AvroInternalCodec at decode). Pruning is
+    // RECURSIVE: Spark's nested-schema pruning hands `required` with
+    // struct columns narrowed to the touched subfields, and the reader
+    // record mirrors that shape, so Avro resolution SKIPS the untouched
+    // nested fields during decode (the row-format analogue of parquet's
+    // nested column pruning).
+    val readerSchema = AvroReaderFactory.resolveReader(
+      writerSchema, required, file.toString)
     val reader = new DataFileReader[GenericRecord](file,
       new GenericDatumReader[GenericRecord](null, readerSchema))
     if (part.start > 0) reader.sync(part.start)

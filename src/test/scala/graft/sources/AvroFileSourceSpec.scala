@@ -498,6 +498,71 @@ class AvroFileSourceSpec extends AnyFunSuite with SparkSpec with Matchers {
       .count(_.getName.endsWith(".staging")) shouldBe 0
   }
 
+  test("nested-column pruning narrows the scan to touched subfields") {
+    import spark.implicits._
+    val dir = tmp()
+    spark.range(200)
+      .selectExpr("id",
+        "named_struct('a', id * 2, 'b', cast(id as string), 'c', id + 7) as m")
+      .coalesce(1).write.format("graft-avro").mode("append").save(dir)
+    val q = spark.read.format("graft-avro").load(dir).select($"id", $"m.b")
+    // Spark's nested schema pruning must reach the scan: the read schema's
+    // `m` struct carries ONLY subfield b, so Avro resolution skips a and c
+    val scans = q.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b
+    }
+    scans should not be empty
+    val m = scans.head.output.find(_.name == "m")
+    m should not be empty
+    m.get.dataType match {
+      case st: org.apache.spark.sql.types.StructType
+          if st.fields.map(_.dataType).forall(
+            _.isInstanceOf[org.apache.spark.sql.types.StructType]) =>
+        fail(s"unexpected shape: ${st.simpleString}")
+      case st: org.apache.spark.sql.types.StructType =>
+        st.fieldNames.toSeq shouldBe Seq("b")
+      case other => fail(s"m is not a struct: $other")
+    }
+    q.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      .take(3) shouldBe Seq((0L, "0"), (1L, "1"), (2L, "2"))
+  }
+
+  test("storage-partitioned join: co-partitioned tables join with no shuffle") {
+    val d1 = tmp(); val d2 = tmp()
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.select("doc_id", "lang", "n_chars").write.format("graft-avro")
+      .option("partitionBy", "lang").mode("append").save(d1)
+    docs.select("doc_id", "lang", "source").write.format("graft-avro")
+      .option("partitionBy", "lang").mode("append").save(d2)
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val a = spark.read.format("graft-avro")
+        .option("preservePartitioning", "true").load(d1)
+        .groupBy("lang").agg(F.sum("n_chars").as("chars"))
+      val b = spark.read.format("graft-avro")
+        .option("preservePartitioning", "true").load(d2)
+        .groupBy("lang").count()
+      val j = a.join(b, Seq("lang"))
+      val shuffles = j.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      }
+      shuffles shouldBe empty
+      val expected = docs.groupBy("lang")
+        .agg(F.sum("n_chars").as("chars"), F.count(F.lit(1)).as("count"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      val got = j.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      got.toSeq shouldBe expected.toSeq
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("numeric pushdown tolerates NaN and infinite values") {
     import spark.implicits._
     val dir = tmp()
