@@ -167,7 +167,8 @@ case class AvroTable(path: String, tableSchema: StructType)
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
       Option(options.get("maxSplitBytes")).map(_.toLong)
         .getOrElse(AvroFileSource.DefaultSplitBytes),
-      Option(options.get("preservePartitioning")).exists(_.toBoolean))
+      Option(options.get("preservePartitioning")).exists(_.toBoolean),
+      Option(options.get("journalCompactAfter")).map(_.toInt).getOrElse(4096))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new AvroWriteBuilder(path, info.schema(),
@@ -179,13 +180,27 @@ case class AvroTable(path: String, tableSchema: StructType)
 class AvroScanBuilder(path: String, full: StructType,
     maxFilesPerTrigger: Option[Int] = None,
     maxSplitBytes: Long = AvroFileSource.DefaultSplitBytes,
-    preserveGrouping: Boolean = false)
+    preserveGrouping: Boolean = false,
+    journalCompactAfter: Int = 4096)
   extends ScanBuilder with SupportsPushDownRequiredColumns
-  with SupportsPushDownFilters with SupportsPushDownAggregates {
+  with SupportsPushDownFilters with SupportsPushDownAggregates
+  with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
   private var countPushed = false
+  private var limit: Option[Int] = None
+
+  /** LIMIT n: each partition stops DECODING after n kept rows (Spark
+    * still applies the global limit above). Partial pushdown — `false`
+    * keeps the plan's limit node — and only with no pushed filters:
+    * our filters are residual may-match, so a decode-time row count
+    * could stop before n post-filter rows are found.
+    */
+  override def pushLimit(n: Int): Boolean = {
+    if (pushed.isEmpty) limit = Some(n)
+    false
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     if (!countPushed) required = requiredSchema
@@ -406,10 +421,10 @@ class AvroScanBuilder(path: String, full: StructType,
         }
       override def createReaderFactory(): PartitionReaderFactory =
         if (counting) AvroCountReaderFactory(required)
-        else AvroReaderFactory(required, full, filters)
+        else AvroReaderFactory(required, full, filters, limit)
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new AvroMicroBatchStream(path, required, full, checkpointLocation,
-          maxFilesPerTrigger)
+          maxFilesPerTrigger, journalCompactAfter)
       /** On-disk bytes INFLATED by a compression factor. For broadcast
         * planning an underestimate is the unsafe direction (a table
         * several× the threshold in memory could be auto-broadcast and
@@ -497,12 +512,23 @@ case class AvroCountReaderFactory(required: StructType)
   * registry is rebuilt from the journal, so offset `n` always denotes
   * the same n-file prefix — files that arrived during an outage are
   * appended AFTER the journaled prefix and picked up by the next batch,
-  * preserving exactly-once across restarts. (The journal grows one line
-  * per file; compaction onto the committed prefix is future work.)
+  * preserving exactly-once across restarts.
+  *
+  * COMPACTION bounds the journal on long-running streams with source
+  * retention: after each epoch commit, the contiguous PREFIX of entries
+  * that are both (a) below the committed offset and (b) no longer on
+  * disk is dropped, and its length is carried as a `#base=<k>` header —
+  * offset `n` keeps meaning "the first n files ever discovered" (entry
+  * position = base + registry index), so checkpointed offsets survive
+  * compaction. Only prefix entries are droppable (offsets are
+  * positional), and only deleted files (a surviving file must keep its
+  * membership or discovery would re-ingest it). The rewrite goes
+  * through a temp file + atomic rename.
   */
 class AvroMicroBatchStream(path: String, required: StructType,
     full: StructType, checkpointLocation: String,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    compactAfter: Int = 4096)
   extends MicroBatchStream with SupportsAdmissionControl {
 
   private case class FileCountOffset(n: Long) extends Offset {
@@ -516,11 +542,16 @@ class AvroMicroBatchStream(path: String, required: StructType,
     new File(d, "graft-avro-seen.log")
   }
 
-  // append-order registry of discovered files, rebuilt from the journal
+  // append-order registry of discovered files, rebuilt from the journal;
+  // `base` = compacted-away prefix length (see class doc)
+  private var base = 0L
   private val seen = new java.util.LinkedHashSet[String]()
   if (journal.isFile)
     java.nio.file.Files.readAllLines(journal.toPath).asScala
-      .filter(_.nonEmpty).foreach(seen.add)
+      .filter(_.nonEmpty).foreach {
+        case l if l.startsWith("#base=") => base = l.stripPrefix("#base=").toLong
+        case l => seen.add(l)
+      }
 
   private def discover(): Unit = synchronized {
     val fresh = AvroFileSource.listAvro(new File(path))
@@ -542,7 +573,7 @@ class AvroMicroBatchStream(path: String, required: StructType,
     FileCountOffset(json.trim.toLong)
   override def latestOffset(): Offset = {
     discover()
-    FileCountOffset(seen.size.toLong)
+    FileCountOffset(base + seen.size)
   }
 
   /** Admission control (`maxFilesPerTrigger`): bound each micro-batch to
@@ -557,15 +588,18 @@ class AvroMicroBatchStream(path: String, required: StructType,
     discover()
     val s = start.asInstanceOf[FileCountOffset].n
     val cap = limit match {
-      case mf: ReadMaxFiles => math.min(seen.size.toLong, s + mf.maxFiles())
-      case _ => seen.size.toLong
+      case mf: ReadMaxFiles => math.min(base + seen.size, s + mf.maxFiles())
+      case _ => base + seen.size
     }
     FileCountOffset(cap)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[FileCountOffset].n.toInt
-    val e = end.asInstanceOf[FileCountOffset].n.toInt
+    val s = (start.asInstanceOf[FileCountOffset].n - base).toInt
+    val e = (end.asInstanceOf[FileCountOffset].n - base).toInt
+    require(s >= 0,
+      s"offset ${start.json()} predates the compacted journal prefix " +
+        s"($base entries) — checkpoint and journal are out of sync")
     synchronized {
       seen.asScala.toIndexedSeq.slice(s, e) // whole files: the stream's
         // offset granularity is the file, and arriving files are
@@ -578,7 +612,35 @@ class AvroMicroBatchStream(path: String, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     AvroReaderFactory(required, full)
 
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit = synchronized {
+    val committed = end.asInstanceOf[FileCountOffset].n
+    if (seen.size >= compactAfter) {
+      // drop the longest prefix of (committed AND deleted-from-disk)
+      // entries; stop at the first survivor — offsets are positional
+      val it = seen.asScala.iterator
+      var dropped = 0L
+      var stop = false
+      val droppable = List.newBuilder[String]
+      while (!stop && it.hasNext) {
+        val f = it.next()
+        if (base + dropped < committed && !new File(f).exists()) {
+          droppable += f
+          dropped += 1
+        } else stop = true
+      }
+      if (dropped > 0) {
+        droppable.result().foreach(seen.remove)
+        base += dropped
+        val tmp = new File(journal.getParentFile, journal.getName + ".tmp")
+        java.nio.file.Files.write(tmp.toPath,
+          (s"#base=$base" +: seen.asScala.toSeq)
+            .mkString("", "\n", "\n").getBytes("UTF-8"))
+        java.nio.file.Files.move(tmp.toPath, journal.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+  }
   override def stop(): Unit = ()
 }
 
@@ -667,7 +729,7 @@ object AvroReaderFactory {
 }
 
 case class AvroReaderFactory(required: StructType, full: StructType,
-    filters: Array[Filter] = Array.empty)
+    filters: Array[Filter] = Array.empty, limit: Option[Int] = None)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -706,10 +768,13 @@ case class AvroReaderFactory(required: StructType, full: StructType,
     val keep = AvroFilterEval.build(required, filters)
     val unfiltered = filters.isEmpty
 
+    val cap = limit.getOrElse(Int.MaxValue)
     new PartitionReader[InternalRow] {
       private var row: InternalRow = _
+      private var emitted = 0
       override def next(): Boolean = {
         row = null
+        if (emitted >= cap) return false // pushed LIMIT: stop decoding
         // skip definitely-non-matching rows at decode time; the filter
         // evaluator sees a lazy external view (only referenced fields
         // are externalized)
@@ -718,6 +783,7 @@ case class AvroReaderFactory(required: StructType, full: StructType,
           if (unfiltered || keep(AvroInternalCodec.externalView(r, required)))
             row = r
         }
+        if (row != null) emitted += 1
         row != null
       }
       override def get(): InternalRow = row

@@ -201,6 +201,55 @@ class AvroFileSourceSpec extends AnyFunSuite with SparkSpec with Matchers {
     got.toSeq shouldBe Seq(0L, 1L, 2L, 10L, 11L, 12L, 13L, 14L)
   }
 
+  test("journal compaction drops retained-out prefix, offsets survive restart") {
+    val dir = tmp(); val ckpt = tmp(); val out = tmp()
+    // four single-row files in known append order
+    (0 until 4).foreach { i =>
+      spark.range(i, i + 1).selectExpr("id").coalesce(1)
+        .write.format("graft-avro").mode("append").save(dir)
+    }
+    val schema = spark.read.format("graft-avro").load(dir).schema
+    def start() = spark.readStream.format("graft-avro").schema(schema)
+      .option("journalCompactAfter", "2").load(dir)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // Spark hands the source a per-source checkpoint subdir
+    val journal = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt)).iterator().asScala
+        .find(_.getFileName.toString == "graft-avro-seen.log")
+        .getOrElse(fail("journal not found under checkpoint")).toFile
+    }
+    val before = java.nio.file.Files.readAllLines(journal.toPath).size()
+
+    // retention deletes the two oldest consumed files (oldest = first
+    // JOURNAL entries — listing order is lexicographic, not append);
+    // the next commit compacts them out of the journal
+    java.nio.file.Files.readAllLines(journal.toPath).subList(0, 2)
+      .forEach(p => new java.io.File(p).delete())
+    spark.range(10, 11).selectExpr("id").coalesce(1)
+      .write.format("graft-avro").mode("append").save(dir)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val lines = java.nio.file.Files.readAllLines(journal.toPath)
+    lines.get(0) should startWith("#base=")
+    lines.get(0).stripPrefix("#base=").toLong should be >= 2L
+    lines.size() should be < (before + 1)
+
+    // restart AFTER compaction with a fresh file: exactly-once continues
+    spark.range(20, 21).selectExpr("id").coalesce(1)
+      .write.format("graft-avro").mode("append").save(dir)
+    val q3 = start()
+    try q3.processAllAvailable() finally q3.stop()
+    val got = spark.read.parquet(out).collect().map(_.getLong(0)).sorted
+    got.toSeq shouldBe Seq(0L, 1L, 2L, 3L, 10L, 20L)
+  }
+
   test("bare count(*) is answered from block headers (no record decode)") {
     val dir = tmp()
     spark.range(12345).selectExpr("id", "cast(id as string) as s")
@@ -561,6 +610,19 @@ class AvroFileSourceSpec extends AnyFunSuite with SparkSpec with Matchers {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
     }
+  }
+
+  test("limit pushdown caps per-partition decode, keeps the global limit") {
+    val dir = tmp()
+    spark.range(1000).selectExpr("id", "cast(id as string) as s")
+      .repartition(4).write.format("graft-avro").mode("append").save(dir)
+    val q = spark.read.format("graft-avro").load(dir).limit(7)
+    q.count() shouldBe 7
+    // a limit above a filter must NOT short-circuit decode-time skipping
+    val f = spark.read.format("graft-avro").load(dir)
+      .filter(F.col("id") >= 990).limit(5)
+    f.collect().map(_.getLong(0)).foreach(_ should be >= 990L)
+    f.count() shouldBe 5
   }
 
   test("numeric pushdown tolerates NaN and infinite values") {
