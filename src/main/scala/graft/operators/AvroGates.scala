@@ -1,0 +1,77 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+
+/** Oracle gates that route the documents table THROUGH the graft-avro
+  * DataSource V2 source/sink before aggregating, so the driver's hard
+  * correctness signal covers the source end-to-end (container write →
+  * partitioned layout → pruned/grouped read), not just the parquet path.
+  * The oracle computes the same aggregate straight from parquet — the
+  * avro round trip must be value-invisible.
+  *
+  * Each run writes to a fresh temp dir (cheap: documents is the small
+  * corpus table) so gates stay independent and re-runnable.
+  */
+object AvroGates extends Catalog {
+
+  private def roundTrip(s: SparkSession, dir: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_gate_avro").toString
+    table(s, dir, "documents")
+      .write.format("graft-avro")
+      .options(options).mode("overwrite").save(tmp)
+    s.read.format("graft-avro").load(tmp)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // parquet → avro (partitioned by lang) → filtered read: the lang
+    // filter prunes whole partition directories before any file opens,
+    // and the aggregate proves the surviving rows are value-identical
+    "q_avro_roundtrip" -> ((s, dir) => {
+      roundTrip(s, dir, Map("partitionBy" -> "lang"))
+        .filter(F.col("lang").isin("en", "de", "fr"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.sum(F.col("n_chars").cast("long")).as("chars"),
+          F.sum(F.length(F.col("text")).cast("long")).as("text_len"))
+        .orderBy("lang")
+    }),
+
+    // two co-partitioned avro tables under preservePartitioning: the
+    // join AND both partial aggregations run with zero exchanges
+    // (storage-partitioned join); results must still match the plain
+    // parquet computation exactly
+    "q_avro_spj" -> ((s, dir) => {
+      val t1 = Files.createTempDirectory("graft_gate_spj1").toString
+      val t2 = Files.createTempDirectory("graft_gate_spj2").toString
+      val docs = table(s, dir, "documents")
+      docs.select("doc_id", "lang", "n_chars").write.format("graft-avro")
+        .option("partitionBy", "lang").mode("overwrite").save(t1)
+      docs.select("doc_id", "lang", "source").write.format("graft-avro")
+        .option("partitionBy", "lang").mode("overwrite").save(t2)
+      val a = s.read.format("graft-avro")
+        .option("preservePartitioning", "true").load(t1)
+        .groupBy("lang").agg(F.sum(F.col("n_chars").cast("long")).as("chars"))
+      val b = s.read.format("graft-avro")
+        .option("preservePartitioning", "true").load(t2)
+        .groupBy("lang")
+        .agg(F.count_distinct(F.col("source")).as("n_sources"))
+      a.join(b, Seq("lang")).orderBy("lang")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_avro_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS chars,
+                CAST(sum(length(text)) AS BIGINT) AS text_len
+         FROM documents WHERE lang IN ('en','de','fr')
+         GROUP BY lang ORDER BY lang""",
+    "q_avro_spj" ->
+      """SELECT lang, CAST(sum(n_chars) AS BIGINT) AS chars,
+                count(DISTINCT source) AS n_sources
+         FROM documents GROUP BY lang ORDER BY lang"""
+  )
+}
