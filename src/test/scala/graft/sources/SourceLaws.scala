@@ -206,6 +206,69 @@ object SourceLaws extends Properties("SourceLaws") {
 
   // Law: minhash4 lanes are monotone non-increasing under set growth —
   // a superset's signature is element-wise <= the subset's.
+  /** Model-based exactly-once law for the streaming registry: random
+    * interleavings of file arrival (names deliberately interleaving
+    * lexicographically), batch consumption, epoch commits, RETENTION
+    * (deleting committed source files), and driver RESTARTS (new stream
+    * instance over the same checkpoint journal), with compaction forced
+    * low — every created file must be planned into exactly one batch.
+    */
+  private case class StreamStep(newFiles: Int, restart: Boolean, deleteFrac: Double)
+
+  private val stepGen: Gen[StreamStep] = for {
+    n <- Gen.chooseNum(0, 3)
+    r <- Gen.prob(0.3)
+    d <- Gen.oneOf(0.0, 0.5, 1.0)
+  } yield StreamStep(n, r, d)
+
+  property("journal compaction preserves exactly-once across restarts") =
+    Prop.forAll(Gen.listOfN(8, stepGen)) { steps =>
+      import org.apache.spark.sql.connector.read.streaming.ReadLimit
+      val dir = Files.createTempDirectory("graft_law_stream").toFile
+      val ckpt = Files.createTempDirectory("graft_law_ckpt").toString
+      val schema = new StructType().add("id", LongType)
+      def mkStream() =
+        new AvroMicroBatchStream(dir.getPath, schema, schema, ckpt,
+          maxFilesPerTrigger = None, compactAfter = 3)
+      var stream = mkStream()
+      var cur = stream.initialOffset()
+      var counter = 0
+      val created = scala.collection.mutable.ListBuffer.empty[String]
+      val planned = scala.collection.mutable.ListBuffer.empty[String]
+      val committed = scala.collection.mutable.ListBuffer.empty[String]
+      steps.foreach { step =>
+        if (step.restart) {
+          stream = mkStream() // rebuild from the journal
+          cur = stream.deserializeOffset(cur.json())
+        }
+        (1 to step.newFiles).foreach { _ =>
+          counter += 1
+          // (counter*37)%100 makes later names sort BETWEEN earlier ones
+          val f = new java.io.File(dir,
+            f"f-${(counter * 37) % 100}%02d-$counter.avro")
+          java.nio.file.Files.write(f.toPath, Array.emptyByteArray)
+          created += f.getAbsolutePath
+        }
+        val end = stream.latestOffset(cur, ReadLimit.allAvailable())
+        val batch = stream.planInputPartitions(cur, end)
+          .map(_.asInstanceOf[AvroInputPartition].file)
+        planned ++= batch
+        stream.commit(end)
+        committed ++= batch
+        cur = end
+        // retention: delete a fraction of the committed files
+        val k = (committed.size * step.deleteFrac).toInt
+        committed.take(k).foreach(p => new java.io.File(p).delete())
+      }
+      // drain whatever is left, then compare multisets
+      val end = stream.latestOffset(cur, ReadLimit.allAvailable())
+      planned ++= stream.planInputPartitions(cur, end)
+        .map(_.asInstanceOf[AvroInputPartition].file)
+      val ok = planned.sorted == created.sorted
+      if (!ok) println(s"created=${created.size} planned=${planned.size}")
+      ok
+    }
+
   property("minhash4 lanes shrink monotonically under union") =
     Prop.forAll(Gen.nonEmptyListOf(Gen.alphaNumStr.map(_.take(6))),
       Gen.nonEmptyListOf(Gen.alphaNumStr.map(_.take(6)))) { (a, b) =>
