@@ -76,11 +76,13 @@ object AvroInternalCodec {
         v => Decimal(new java.math.BigDecimal(
           new BigInteger(bytesOf(v)), d.scale), d.precision, d.scale)
       case (Type.INT, DateType) => identity // both are days since epoch
-      case (Type.LONG, TimestampType) => schema.getLogicalType match {
-        case _: LogicalTypes.TimestampMillis =>
-          v => Math.multiplyExact(v.asInstanceOf[Long], 1000L)
-        case _ => identity // timestamp-micros IS the internal form
-      }
+      case (Type.LONG, TimestampType | TimestampNTZType) =>
+        schema.getLogicalType match {
+          case _: LogicalTypes.TimestampMillis |
+               _: LogicalTypes.LocalTimestampMillis =>
+            v => Math.multiplyExact(v.asInstanceOf[Long], 1000L)
+          case _ => identity // (local-)timestamp-micros IS the internal form
+        }
       case (Type.RECORD, st: StructType) =>
         val dec = decoderFor(schema, st)
         v => dec(v.asInstanceOf[IndexedRecord])
@@ -170,11 +172,13 @@ object AvroInternalCodec {
         v => ByteBuffer.wrap(v.asInstanceOf[Decimal].toJavaBigDecimal
           .setScale(d.scale).unscaledValue().toByteArray)
       case (DateType, Type.INT) => identity // both are days since epoch
-      case (TimestampType, Type.LONG) => schema.getLogicalType match {
-        case _: LogicalTypes.TimestampMillis =>
-          v => Math.floorDiv(v.asInstanceOf[Long], 1000L)
-        case _ => identity // micros pass through
-      }
+      case (TimestampType | TimestampNTZType, Type.LONG) =>
+        schema.getLogicalType match {
+          case _: LogicalTypes.TimestampMillis |
+               _: LogicalTypes.LocalTimestampMillis =>
+            v => Math.floorDiv(v.asInstanceOf[Long], 1000L)
+          case _ => identity // micros pass through
+        }
       case (st: StructType, Type.RECORD) =>
         val enc = encoderFor(st, schema)
         v => enc(v.asInstanceOf[InternalRow])
@@ -235,6 +239,10 @@ object AvroInternalCodec {
       val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
       t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
       t
+    case TimestampNTZType =>
+      val us = v.asInstanceOf[Long]
+      java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
+        (Math.floorMod(us, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
     case _: DecimalType => v.asInstanceOf[Decimal].toJavaBigDecimal
     case st: StructType => externalView(v.asInstanceOf[InternalRow], st)
     case _ => v // primitives, binary; containers stay internal (see doc)

@@ -60,6 +60,14 @@ object AvroRowCodec {
             t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
             t
         }
+      case (Type.LONG, TimestampNTZType) =>
+        val us = schema.getLogicalType match {
+          case _: LogicalTypes.LocalTimestampMillis =>
+            Math.multiplyExact(v.asInstanceOf[Long], 1000L)
+          case _ => v.asInstanceOf[Long]
+        }
+        java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
+          (Math.floorMod(us, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
       case (Type.RECORD, st: StructType) => toRow(v.asInstanceOf[IndexedRecord], st)
       case (Type.ARRAY, ArrayType(et, _)) =>
         v.asInstanceOf[java.util.Collection[Any]].asScala.toSeq
@@ -120,6 +128,14 @@ object AvroRowCodec {
           case _: LogicalTypes.TimestampMillis => ts.getTime
           case _ =>
             Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+        }
+      case (TimestampNTZType, Type.LONG) =>
+        val ldt = v.asInstanceOf[java.time.LocalDateTime]
+        val us = ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          ldt.getNano / 1000L
+        schema.getLogicalType match {
+          case _: LogicalTypes.LocalTimestampMillis => Math.floorDiv(us, 1000L)
+          case _ => us
         }
       case (st: StructType, Type.RECORD) =>
         fromRow(v.asInstanceOf[Row], st, schema)

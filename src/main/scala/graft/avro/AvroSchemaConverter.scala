@@ -73,6 +73,12 @@ object AvroSchemaConverter {
             (TimestampType, false, logicalMeta(LogicalTypes.timestampMillis()))
           case Some(_: LogicalTypes.TimestampMicros) =>
             (TimestampType, false, logicalMeta(LogicalTypes.timestampMicros()))
+          case Some(_: LogicalTypes.LocalTimestampMillis) =>
+            (TimestampNTZType, false,
+              logicalMeta(LogicalTypes.localTimestampMillis()))
+          case Some(_: LogicalTypes.LocalTimestampMicros) =>
+            (TimestampNTZType, false,
+              logicalMeta(LogicalTypes.localTimestampMicros()))
           case Some(t: LogicalTypes.TimeMicros) =>
             (LongType, false, logicalMeta(t))
           case _ => (LongType, false, Metadata.empty)
@@ -235,6 +241,12 @@ object AvroSchemaConverter {
           if (md.contains(MetaLogical) && md.getString(MetaLogical) == "timestamp-millis")
             LogicalTypes.timestampMillis()
           else LogicalTypes.timestampMicros()
+        lt.addToSchema(Schema.create(Type.LONG))
+      case TimestampNTZType =>
+        val lt =
+          if (md.contains(MetaLogical) && md.getString(MetaLogical) == "local-timestamp-millis")
+            LogicalTypes.localTimestampMillis()
+          else LogicalTypes.localTimestampMicros()
         lt.addToSchema(Schema.create(Type.LONG))
       case s: StructType =>
         val nm =

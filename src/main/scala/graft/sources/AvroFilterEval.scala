@@ -166,6 +166,8 @@ private[sources] object AvroFilterEval {
       Some(a.toLocalDate.compareTo(b))
     case (a: java.sql.Timestamp, b: java.time.Instant) =>
       Some(a.toInstant.compareTo(b))
+    case (a: java.time.LocalDateTime, b: java.time.LocalDateTime) =>
+      Some(a.compareTo(b))
     case _ => None
   }
 

@@ -625,6 +625,26 @@ class AvroFileSourceSpec extends AnyFunSuite with SparkSpec with Matchers {
     f.count() shouldBe 5
   }
 
+  test("timestamp_ntz columns round-trip and filter through the source") {
+    val dir = tmp()
+    // lineitem's date columns are TIMESTAMP_NTZ in the testdata parquet
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_shipdate")
+    li.schema("l_shipdate").dataType shouldBe
+      org.apache.spark.sql.types.TimestampNTZType
+    li.write.format("graft-avro").mode("append").save(dir)
+    val back = spark.read.format("graft-avro").load(dir)
+    back.schema("l_shipdate").dataType shouldBe
+      org.apache.spark.sql.types.TimestampNTZType
+    back.count() shouldBe li.count()
+    val cut = "1995-06-15 00:00:00"
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .filter(F.col("l_shipdate") >= F.lit(cut).cast("timestamp_ntz"))
+      .agg(F.count(F.lit(1)), F.min("l_shipdate"), F.max("l_shipdate"))
+      .head().toSeq
+    agg(back) shouldBe agg(li)
+  }
+
   test("numeric pushdown tolerates NaN and infinite values") {
     import spark.implicits._
     val dir = tmp()
