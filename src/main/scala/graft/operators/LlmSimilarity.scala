@@ -162,6 +162,33 @@ object LlmSimilarity extends Catalog {
         .select(F.col("x.qid").as("i"), F.col("x.nb").as("j"),
           F.col("x.cos_m").as("cos_m"))
         .orderBy("i")
+    }),
+
+    // K-MEANS assignment pass (diversity clustering): 8 deterministic
+    // seed centroids (vec_id < 8) broadcast to the corpus; every vector
+    // joins its cosine-nearest centroid (argmax via window rank with a
+    // cid tie-break) and the per-cluster summary aggregates map-side.
+    // 100 TB shape: k is tiny (broadcast), the corpus is scanned once
+    // with NO pairwise blow-up (N·k products) and never shuffled until
+    // the k-row aggregate. Lloyd iterations would repeat this exact plan
+    // with recomputed centroid means.
+    "llm_embed_centroids" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val c = e.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").as("cid"), F.col("embedding").as("qe"),
+          F.col("ss").as("qss"))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(F.col("cos_m").desc, F.col("cid"))
+      e.crossJoin(F.broadcast(c))
+        .select(F.col("vec_id"), F.col("cid"), cosM.as("cos_m"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") === 1)
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).as("n_members"),
+          F.sum("cos_m").as("cohesion_m"),
+          F.min("vec_id").as("first_vec"),
+          F.max("vec_id").as("last_vec"))
+        .orderBy("cid")
     })
   )
 
@@ -269,6 +296,30 @@ object LlmSimilarity extends Catalog {
        SELECT x.qid AS i, x.nb AS j, x.cos_m
        FROM top1 x JOIN top1 y
          ON x.nb = y.qid AND y.nb = x.qid AND x.qid < y.qid
-       ORDER BY i""")
+       ORDER BY i"""),
+    "llm_embed_centroids" ->
+      """WITH e AS (
+           SELECT vec_id, embedding,
+                  list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS ss
+           FROM embeddings),
+         c AS (SELECT vec_id AS cid, embedding AS qe, ss AS qss
+               FROM e WHERE vec_id < 8),
+         pairs AS (
+           SELECT e.vec_id, c.cid,
+                  CAST(floor(1000000.0 *
+                    (list_sum(list_transform(generate_series(1, len(c.qe)),
+                       k -> CAST(c.qe[k] AS DOUBLE) * CAST(e.embedding[k] AS DOUBLE)))
+                     / (sqrt(c.qss) * sqrt(e.ss)))) AS BIGINT) AS cos_m
+           FROM e, c),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cos_m DESC, cid) AS rn
+           FROM pairs)
+         SELECT cid, count(*) AS n_members,
+                CAST(sum(cos_m) AS BIGINT) AS cohesion_m,
+                min(vec_id) AS first_vec, max(vec_id) AS last_vec
+         FROM ranked WHERE rn = 1
+         GROUP BY cid ORDER BY cid"""
   )
 }
