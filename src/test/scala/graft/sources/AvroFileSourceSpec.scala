@@ -645,6 +645,29 @@ class AvroFileSourceSpec extends AnyFunSuite with SparkSpec with Matchers {
     agg(back) shouldBe agg(li)
   }
 
+  test("fused encoder writes canonical avro raw values (no cancelling bugs)") {
+    val dir = tmp()
+    // one row with every logical-type carrier; values chosen so the raw
+    // avro longs/ints are hand-checkable
+    spark.sql(
+      """SELECT DATE'1970-01-11' AS d,
+                TIMESTAMP'1970-01-01 00:00:01.5' AS ts,
+                TIMESTAMP_NTZ'1970-01-01 00:00:02.25' AS tn,
+                CAST(12.34 AS DECIMAL(10,2)) AS dec""")
+      .coalesce(1).write.format("graft-avro").mode("append").save(dir)
+    val f = AvroFileSource.listAvro(new java.io.File(dir)).head
+    val r = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+      f, new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    val rec = try r.next() finally r.close()
+    rec.get("d") shouldBe 10                 // days since epoch
+    rec.get("ts") shouldBe 1500000L          // timestamp-micros (UTC session)
+    rec.get("tn") shouldBe 2250000L          // local-timestamp-micros
+    val bytes = rec.get("dec").asInstanceOf[java.nio.ByteBuffer]
+    new java.math.BigInteger({
+      val d = bytes.duplicate(); val a = new Array[Byte](d.remaining()); d.get(a); a
+    }).longValue() shouldBe 1234L            // unscaled, scale 2
+  }
+
   test("numeric pushdown tolerates NaN and infinite values") {
     import spark.implicits._
     val dir = tmp()
