@@ -107,6 +107,19 @@ object AvroFileSource {
   def listAvro(d: File): Seq[File] =
     listPartitioned(d).map(_._1)
 
+  /** Marker file claiming every `.avro` file in the directory is
+    * internally sorted (ascending, nulls first) by the named column —
+    * stamped only by write jobs that VERIFIED the order row-by-row.
+    */
+  def sortMarker(d: File): File = new File(d, "_graft_sorted_by")
+
+  def sortedColumnOf(d: File): Option[String] = {
+    val m = sortMarker(d)
+    if (!m.isFile) None
+    else Some(new String(java.nio.file.Files.readAllBytes(m.toPath),
+      "UTF-8").trim).filter(_.nonEmpty)
+  }
+
   /** Recursive listing with Hive-style partition values parsed from
     * `k=v` directory segments (URL-encoded on write; `__null__` encodes
     * a null partition value). Flat directories yield empty maps.
@@ -174,7 +187,8 @@ case class AvroTable(path: String, tableSchema: StructType)
     new AvroWriteBuilder(path, info.schema(),
       Option(info.options().get("codec")).getOrElse("deflate"),
       Option(info.options().get("partitionBy")).toSeq
-        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty))
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
+      Option(info.options().get("sortedBy")).map(_.trim).filter(_.nonEmpty))
 }
 
 class AvroScanBuilder(path: String, full: StructType,
@@ -241,8 +255,26 @@ class AvroScanBuilder(path: String, full: StructType,
     val filters = pushed
     val counting = countPushed
     new Scan with Batch with SupportsReportStatistics
-      with SupportsRuntimeV2Filtering with SupportsReportPartitioning {
+      with SupportsRuntimeV2Filtering with SupportsReportPartitioning
+      with org.apache.spark.sql.connector.read.SupportsReportOrdering {
       override def readSchema(): StructType = required
+
+      /** Report the verified sorted layout (see `sortedBy` write
+        * option): every scan partition is a single file or a
+        * sync-aligned range of one — both inherit the file's order — so
+        * downstream per-partition sorts on the marker column are
+        * eliminated. Withheld under `preservePartitioning` (SPJ may
+        * chain several files into one task, which breaks the order).
+        */
+      override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+        if (preserveGrouping) return Array.empty
+        AvroFileSource.sortedColumnOf(new File(path)) match {
+          case Some(c) if required.fieldNames.contains(c) =>
+            Array(Expressions.sort(Expressions.column(c),
+              org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+          case _ => Array.empty
+        }
+      }
 
       // ---- runtime partition pruning (Spark's DPP analogue for DSv2):
       // declare the directory-layout columns as filterable; at execution
@@ -793,10 +825,27 @@ case class AvroReaderFactory(required: StructType, full: StructType,
 }
 
 class AvroWriteBuilder(path: String, schema: StructType,
-    codec: String = "deflate", partitionBy: Seq[String] = Nil)
+    codec: String = "deflate", partitionBy: Seq[String] = Nil,
+    sortedBy: Option[String] = None)
   extends WriteBuilder with SupportsTruncate {
 
   private var doTruncate = false
+
+  // the sortedBy claim is VERIFIED while writing, which needs a total
+  // order on the column's external values — reject the rest up front
+  sortedBy.foreach { c =>
+    val f = schema.fields.find(_.name == c).getOrElse(
+      throw new IllegalArgumentException(s"sortedBy column '$c' not in schema"))
+    import org.apache.spark.sql.types._
+    f.dataType match {
+      // float/double excluded: NaN defeats pairwise order verification
+      // (Spark sorts NaN last; cmp answers "undecidable")
+      case StringType | IntegerType | LongType | ShortType | ByteType |
+           BooleanType | DateType | TimestampType | _: DecimalType => ()
+      case other => throw new IllegalArgumentException(
+        s"sortedBy does not support ${other.simpleString} (column '$c')")
+    }
+  }
 
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
@@ -815,11 +864,14 @@ class AvroWriteBuilder(path: String, schema: StructType,
     override def toBatch: BatchWrite = new BatchWrite {
       override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
         new File(path).mkdirs()
-        AvroWriterFactory(path, schema, codec, partitionBy, staged = true)
+        AvroWriterFactory(path, schema, codec, partitionBy, staged = true,
+          sortedBy = sortedBy)
       }
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         val staged = messages.toSeq
           .collect { case m: AvroCommitMessage => m.files }.flatten
+        val preExisting =
+          !doTruncate && AvroFileSource.listAvro(new File(path)).nonEmpty
         if (doTruncate)
           AvroFileSource.listAvro(new File(path)).foreach(_.delete())
         staged.foreach { case (tmp, fin) =>
@@ -827,6 +879,20 @@ class AvroWriteBuilder(path: String, schema: StructType,
           if (!t.renameTo(new File(fin)))
             throw new java.io.IOException(
               s"graft-avro commit: rename failed $tmp -> $fin")
+        }
+        // Sorted-layout marker lifecycle. The marker claims EVERY file in
+        // the directory is internally sorted by that column: a verified
+        // sortedBy write stamps it when it defines the dataset (truncate
+        // or first files) or agrees with the existing claim; any other
+        // append of new files withdraws the claim.
+        val marker = AvroFileSource.sortMarker(new File(path))
+        sortedBy match {
+          case Some(c) =>
+            val prev = AvroFileSource.sortedColumnOf(new File(path))
+            if (!preExisting || prev.contains(c))
+              java.nio.file.Files.write(marker.toPath, c.getBytes("UTF-8"))
+            else marker.delete()
+          case None => if (staged.nonEmpty) marker.delete()
         }
       }
       override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -847,7 +913,12 @@ class AvroWriteBuilder(path: String, schema: StructType,
         new File(path).mkdirs()
         AvroStreamingWriterFactory(path, schema, codec, partitionBy)
       }
-      override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+      override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+        // streamed epochs append unverified files: withdraw any
+        // sorted-layout claim the directory carried
+        AvroFileSource.sortMarker(new File(path)).delete()
+        ()
+      }
       override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
     }
   }
@@ -861,6 +932,29 @@ case class AvroCommitMessage(files: Seq[(String, String)])
   extends WriterCommitMessage
 
 private[sources] object AvroWriters {
+
+  /** Per-file order verifier for a `sortedBy` write claim: consecutive
+    * EXTERNAL values of the sort column must be non-decreasing with
+    * nulls first (Spark's default ascending order). Throws on the first
+    * violation so an unsorted job fails instead of stamping a wrong
+    * layout claim.
+    */
+  private[sources] final class OrderVerifier(col: String) {
+    private var prev: Any = _
+    private var seenNonNull = false
+    def check(v: Any): Unit = {
+      if (v == null) {
+        if (seenNonNull) throw new IllegalArgumentException(
+          s"sortedBy '$col' violated: null after non-null (nulls sort first)")
+      } else {
+        if (seenNonNull && AvroFilterEval.cmp(prev, v).exists(_ > 0))
+          throw new IllegalArgumentException(
+            s"sortedBy '$col' violated: $prev > $v")
+        prev = v
+        seenNonNull = true
+      }
+    }
+  }
   /** Container-file writer; `lazyCreate` postpones file creation to the
     * first row so empty partitions produce no file.
     */
@@ -886,12 +980,15 @@ private[sources] object AvroWriters {
     */
   def openPartitioned(base: String, schema: StructType, fileName: String,
       partCols: Seq[String], codec: String,
-      staged: Boolean = false): DataWriter[InternalRow] = {
+      staged: Boolean = false,
+      sortedBy: Option[String] = None): DataWriter[InternalRow] = {
     val idx = partCols.map(schema.fieldIndex)
+    val sortIdx = sortedBy.map(schema.fieldIndex)
     val avroSchema = AvroSchemaConverter.toAvro(schema, "topLevelRecord", None, None)
     val toAvro = AvroInternalCodec.encoderFor(schema, avroSchema)
     val open = scala.collection.mutable.LinkedHashMap
       .empty[String, (DataFileWriter[GenericRecord], File)]
+    val verifiers = scala.collection.mutable.HashMap.empty[String, OrderVerifier]
 
     new DataWriter[InternalRow] {
       override def write(record: InternalRow): Unit = {
@@ -910,6 +1007,10 @@ private[sources] object AvroWriters {
             }
           s"$c=$raw"
         }.mkString("/")
+        sortIdx.foreach { i =>
+          verifiers.getOrElseUpdate(sub, new OrderVerifier(sortedBy.get))
+            .check(view.get(i))
+        }
         val (w, _) = open.getOrElseUpdate(sub, {
           val dir = new File(base, sub)
           dir.mkdirs()
@@ -940,9 +1041,12 @@ private[sources] object AvroWriters {
 
   def open(path: String, schema: StructType, fileName: String,
       lazyCreate: Boolean, codec: String = "deflate",
-      staged: Boolean = false): DataWriter[InternalRow] = {
+      staged: Boolean = false,
+      sortedBy: Option[String] = None): DataWriter[InternalRow] = {
     val avroSchema = AvroSchemaConverter.toAvro(schema, "topLevelRecord", None, None)
     val toAvro = AvroInternalCodec.encoderFor(schema, avroSchema)
+    val sortIdx = sortedBy.map(schema.fieldIndex)
+    val verifier = sortedBy.map(new OrderVerifier(_))
     val finalFile = new File(path, fileName)
     val file =
       if (staged) new File(path, fileName + ".staging") else finalFile
@@ -960,8 +1064,13 @@ private[sources] object AvroWriters {
       }
       if (!lazyCreate) ensure()
 
-      override def write(record: InternalRow): Unit =
+      override def write(record: InternalRow): Unit = {
+        sortIdx.foreach { i =>
+          verifier.get.check(
+            AvroInternalCodec.externalView(record, schema).get(i))
+        }
         ensure().append(toAvro(record))
+      }
       override def commit(): WriterCommitMessage = {
         if (writer != null) writer.close()
         AvroCommitMessage(
@@ -978,17 +1087,18 @@ private[sources] object AvroWriters {
 
 case class AvroWriterFactory(path: String, schema: StructType,
     codec: String = "deflate", partitionBy: Seq[String] = Nil,
-    staged: Boolean = false)
+    staged: Boolean = false, sortedBy: Option[String] = None)
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     if (partitionBy.nonEmpty)
       AvroWriters.openPartitioned(path, schema,
         f"part-$partitionId%05d-$taskId.avro", partitionBy, codec,
-        staged = staged)
+        staged = staged, sortedBy = sortedBy)
     else
       AvroWriters.open(path, schema, f"part-$partitionId%05d-$taskId.avro",
-        lazyCreate = false, codec = codec, staged = staged)
+        lazyCreate = false, codec = codec, staged = staged,
+        sortedBy = sortedBy)
 }
 
 case class AvroStreamingWriterFactory(path: String, schema: StructType,

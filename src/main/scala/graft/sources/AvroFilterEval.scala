@@ -151,8 +151,10 @@ private[sources] object AvroFilterEval {
     }
   }
 
-  /** Total-order compare when both sides are understood; None otherwise. */
-  private def cmp(x: Any, v: Any): Option[Int] = (x, v) match {
+  /** Total-order compare when both sides are understood; None otherwise.
+    * Shared with the write-side `sortedBy` order verification.
+    */
+  private[sources] def cmp(x: Any, v: Any): Option[Int] = (x, v) match {
     case (a: Number, b: Number) =>
       // NaN/±Inf have no BigDecimal form (num() would throw) and no
       // useful total order vs finite values: answer may-match.

@@ -668,6 +668,47 @@ class AvroFileSourceSpec extends AnyFunSuite with SparkSpec with Matchers {
     }).longValue() shouldBe 1234L            // unscaled, scale 2
   }
 
+  test("verified sortedBy layout: reported ordering eliminates sorts") {
+    val dir = tmp()
+    spark.range(500).selectExpr("id", "id % 7 as grp")
+      .repartition(4).sortWithinPartitions("id")
+      .write.format("graft-avro").option("sortedBy", "id")
+      .mode("append").save(dir)
+    AvroFileSource.sortedColumnOf(new java.io.File(dir)) shouldBe Some("id")
+    val back = spark.read.format("graft-avro").load(dir)
+    def sorts(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }
+    // per-partition sort on the marker column is satisfied by the scan
+    sorts(back.sortWithinPartitions("id")) shouldBe empty
+    // ...but a sort on another column is not
+    sorts(back.sortWithinPartitions("grp")) should not be empty
+    back.count() shouldBe 500
+
+    // appending unverified data withdraws the claim
+    spark.range(3).selectExpr("id", "id as grp").write.format("graft-avro")
+      .mode("append").save(dir)
+    AvroFileSource.sortedColumnOf(new java.io.File(dir)) shouldBe None
+    val again = spark.read.format("graft-avro").load(dir)
+    sorts(again.sortWithinPartitions("id")) should not be empty
+  }
+
+  test("unsorted data under a sortedBy claim fails the write job") {
+    val dir = tmp()
+    spark.range(10).selectExpr("id").write.format("graft-avro")
+      .mode("append").save(dir)
+    val err = intercept[Exception] {
+      spark.range(100).selectExpr("(100 - id) as id").coalesce(1)
+        .write.format("graft-avro").option("sortedBy", "id")
+        .mode("overwrite").save(dir)
+    }
+    err.toString + Option(err.getCause).mkString should include("violated")
+    // failed job: previous dataset intact, no marker stamped
+    spark.read.format("graft-avro").load(dir).count() shouldBe 10
+    AvroFileSource.sortedColumnOf(new java.io.File(dir)) shouldBe None
+  }
+
   test("numeric pushdown tolerates NaN and infinite values") {
     import spark.implicits._
     val dir = tmp()
