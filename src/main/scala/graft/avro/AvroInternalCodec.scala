@@ -132,6 +132,7 @@ object AvroInternalCodec {
       d.get(out)
       out
     case arr: Array[Byte] => arr
+    case f: GenericFixed => f.bytes() // fixed-carrier decimals
     case other => throw new IllegalArgumentException(s"not bytes: $other")
   }
 

@@ -60,8 +60,14 @@ final class AvroProjector(spark: SparkSession, inSchema: Schema, query: String) 
   private val projection = UnsafeProjection.create(projectList, childOutput)
 
   // fused codecs: record → InternalRow → (UnsafeProjection) → record,
-  // with no external Row or ExpressionEncoder on either side
-  private val decode = AvroInternalCodec.decoderFor(inSchema, struct)
+  // with no external Row or ExpressionEncoder on either side. The
+  // decoder resolves field POSITIONS per writer schema, so a record
+  // whose actual schema reorders fields (schema drift on the topic)
+  // re-plans against that schema — cached on the last-seen instance,
+  // one plan per distinct schema in practice.
+  private var decodeSchema: Schema = inSchema
+  private var decode: IndexedRecord => InternalRow =
+    AvroInternalCodec.decoderFor(inSchema, struct)
   private val encode = AvroInternalCodec.encoderFor(outputStruct, outputAvroSchema)
 
   /** Project one record. Thread-confined (the compiled projection reuses
@@ -69,6 +75,11 @@ final class AvroProjector(spark: SparkSession, inSchema: Schema, query: String) 
     */
   def apply(record: IndexedRecord): GenericRecord = {
     if (record == null) return null
+    val rs = record.getSchema
+    if ((rs ne decodeSchema) && rs != decodeSchema) {
+      decode = AvroInternalCodec.decoderFor(rs, struct)
+      decodeSchema = rs
+    }
     val internal: InternalRow = decode(record)
     encode(projection(internal))
   }

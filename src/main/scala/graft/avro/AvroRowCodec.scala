@@ -93,6 +93,7 @@ object AvroRowCodec {
       d.get(out)
       out
     case arr: Array[Byte] => arr
+    case f: GenericFixed => f.bytes() // fixed-carrier decimals
     case other => throw new IllegalArgumentException(s"not bytes: $other")
   }
 

@@ -44,6 +44,11 @@ object AvroGates extends Catalog {
     // (storage-partitioned join); results must still match the plain
     // parquet computation exactly
     "q_avro_spj" -> ((s, dir) => {
+      // v2 bucketing activates SPJ planning; true by default on Spark 4,
+      // pinned here (guarded, one-time) so the gate exercises the
+      // exchange-free plan on any default
+      val k = "spark.sql.sources.v2.bucketing.enabled"
+      if (!s.conf.getOption(k).contains("true")) s.conf.set(k, "true")
       val t1 = Files.createTempDirectory("graft_gate_spj1").toString
       val t2 = Files.createTempDirectory("graft_gate_spj2").toString
       val docs = table(s, dir, "documents")

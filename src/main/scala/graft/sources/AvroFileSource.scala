@@ -281,7 +281,7 @@ class AvroScanBuilder(path: String, full: StructType,
       // Spark hands the build side of a broadcast join as IN predicates,
       // which prune whole partition directories before any file opens.
       private lazy val partitionCols: Seq[String] =
-        AvroFileSource.listPartitioned(new File(path)).headOption
+        listed.headOption
           .map(_._2.keys.toSeq.filter(full.fieldNames.contains))
           .getOrElse(Nil)
 
@@ -371,8 +371,15 @@ class AvroScanBuilder(path: String, full: StructType,
         AvroFilterEval.build(pschema, applicable)(prow)
       }
 
-      private def prunedFiles(): Seq[(File, Map[String, String])] =
+      // One listing walk per Scan (outputPartitioning, planInputPartitions
+      // and statistics all consume it; a scan is a point-in-time snapshot
+      // anyway). Pruning filters re-apply per call — runtime IN-sets
+      // arrive after planning starts.
+      private lazy val listed: Seq[(File, Map[String, String])] =
         AvroFileSource.listPartitioned(new File(path))
+
+      private def prunedFiles(): Seq[(File, Map[String, String])] =
+        listed
           // partition-directory pruning: skip whole files whose k=v path
           // proves they cannot match — the scan never opens them
           .filter { case (_, vals) =>
@@ -466,7 +473,7 @@ class AvroScanBuilder(path: String, full: StructType,
         * the first file's header.
         */
       override def estimateStatistics(): Statistics = new Statistics {
-        private val files = AvroFileSource.listAvro(new File(path))
+        private val files = listed.map(_._1)
         private val factor: Double = {
           val conf = try org.apache.spark.sql.SparkSession.active.conf
             .get("spark.sql.sources.fileCompressionFactor", "").toDouble
@@ -745,11 +752,13 @@ object AvroReaderFactory {
   private def pruneTo(ws: Schema, dt: DataType, file: String): Schema =
     (ws.getType, dt) match {
       case (Schema.Type.UNION, _) =>
-        val (nonNull, nullable) = AvroSchemaConverter.fromUnion(ws)
-        val pruned = pruneTo(nonNull, dt, file)
-        if (nullable)
-          Schema.createUnion(Schema.create(Schema.Type.NULL), pruned)
-        else pruned
+        // preserve the writer's branch ORDER: Avro validates a field
+        // default against the FIRST branch, so rebuilding [T, null] as
+        // [null, T] would make any non-null default invalid
+        Schema.createUnion(ws.getTypes.asScala.map {
+          case n if n.getType == Schema.Type.NULL => n
+          case t => pruneTo(t, dt, file)
+        }.asJava)
       case (Schema.Type.RECORD, st: StructType) =>
         resolveReader(ws, st, file)
       case (Schema.Type.ARRAY, ArrayType(et, _)) =>
@@ -872,13 +881,20 @@ class AvroWriteBuilder(path: String, schema: StructType,
           .collect { case m: AvroCommitMessage => m.files }.flatten
         val preExisting =
           !doTruncate && AvroFileSource.listAvro(new File(path)).nonEmpty
-        if (doTruncate)
-          AvroFileSource.listAvro(new File(path)).foreach(_.delete())
+        // publish BEFORE deleting: if a rename fails mid-commit the
+        // previous dataset is still on disk (plus some new files — the
+        // job reports failure either way); deleting first would leave
+        // NEITHER dataset on a failed overwrite
         staged.foreach { case (tmp, fin) =>
           val t = new File(tmp)
           if (!t.renameTo(new File(fin)))
             throw new java.io.IOException(
               s"graft-avro commit: rename failed $tmp -> $fin")
+        }
+        if (doTruncate) {
+          val fresh = staged.map(_._2).toSet
+          AvroFileSource.listAvro(new File(path))
+            .filterNot(f => fresh.contains(f.getPath)).foreach(_.delete())
         }
         // Sorted-layout marker lifecycle. The marker claims EVERY file in
         // the directory is internally sorted by that column: a verified

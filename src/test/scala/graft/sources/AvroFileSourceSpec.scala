@@ -709,6 +709,75 @@ class AvroFileSourceSpec extends AnyFunSuite with SparkSpec with Matchers {
     AvroFileSource.sortedColumnOf(new java.io.File(dir)) shouldBe None
   }
 
+  test("external files: [T,null] unions with defaults and fixed decimals read") {
+    import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val dir = tmp()
+    // hand-built writer schema an EXTERNAL producer could emit: a
+    // [int, null] union (non-null first) with a non-null default, and a
+    // decimal on a FIXED carrier — shapes our own writer never produces
+    val fixed = Schema.createFixed("amt_fixed", null, null, 4)
+    LogicalTypes.decimal(9, 2).addToSchema(fixed)
+    val schema = SchemaBuilder.record("ext").fields()
+      .name("id").`type`().longType().noDefault()
+      .name("count").`type`(Schema.createUnion(
+        Schema.create(Schema.Type.INT), Schema.create(Schema.Type.NULL)))
+      .withDefault(7)
+      .name("amt").`type`(fixed).noDefault()
+      .endRecord()
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, new java.io.File(dir, "ext-0.avro"))
+    (0 until 5).foreach { i =>
+      val r = new GenericData.Record(schema)
+      r.put("id", i.toLong)
+      r.put("count", if (i == 3) null else Int.box(i * 10))
+      val unscaled = java.math.BigInteger.valueOf(12345L + i)
+      val raw = unscaled.toByteArray
+      val buf = new Array[Byte](4)
+      // sign-extend into the fixed width (big-endian two's complement)
+      java.util.Arrays.fill(buf, if (unscaled.signum() < 0) (-1).toByte else 0.toByte)
+      System.arraycopy(raw, 0, buf, 4 - raw.length, raw.length)
+      r.put("amt", new GenericData.Fixed(fixed, buf))
+      w.append(r)
+    }
+    w.close()
+    val back = spark.read.format("graft-avro").load(dir)
+    // both the plain read and a filtered (pruned-schema) read must work
+    back.count() shouldBe 5
+    val row = back.filter(F.col("id") === 1).head()
+    row.getAs[Int]("count") shouldBe 10
+    row.getAs[java.math.BigDecimal]("amt").toPlainString shouldBe "123.46"
+    back.filter(F.col("count").isNull).count() shouldBe 1
+    back.select("id", "amt").agg(F.sum("amt")).head()
+      .getDecimal(0).toPlainString shouldBe "617.35"
+  }
+
+  test("projector tolerates records whose schema reorders fields") {
+    import org.apache.avro.SchemaBuilder
+    import org.apache.avro.generic.GenericData
+    val declared = SchemaBuilder.record("msg").fields()
+      .name("name").`type`().stringType().noDefault()
+      .name("age").`type`().intType().noDefault()
+      .endRecord()
+    val reordered = SchemaBuilder.record("msg").fields()
+      .name("age").`type`().intType().noDefault()
+      .name("name").`type`().stringType().noDefault()
+      .endRecord()
+    val p = new graft.avro.AvroProjector(spark, declared, "SELECT name, age")
+    val r1 = new GenericData.Record(declared)
+    r1.put("name", "ada"); r1.put("age", 36)
+    val r2 = new GenericData.Record(reordered)
+    r2.put("name", "bob"); r2.put("age", 41)
+    p(r1).get("name").toString shouldBe "ada"
+    val out2 = p(r2)
+    out2.get("name").toString shouldBe "bob"
+    out2.get("age") shouldBe 41
+    // and back to the declared order (cache re-plans again)
+    p(r1).get("age") shouldBe 36
+  }
+
   test("numeric pushdown tolerates NaN and infinite values") {
     import spark.implicits._
     val dir = tmp()
