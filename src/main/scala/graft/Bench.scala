@@ -33,10 +33,12 @@ object Bench {
     } catch { case _: Throwable => () }
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    // SPARK_GRAFT_BENCH_REPS=n (default 1): run each query n times and
+    // SPARK_GRAFT_BENCH_REPS=n (default 2): run each query n times and
     // report the BEST run — steady-state numbers with per-query codegen
-    // and shuffle-file warmup excluded, for local iteration on one query.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
+    // and shuffle-file warmup excluded. Defaulting to best-of-2 keeps one
+    // noisy window of machine contention from fabricating a regression
+    // (r5: a contiguous q18→q9 slowdown at reps=1 read as a 4× slide).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     // Stable order so residual warmup effects land on the same query.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>

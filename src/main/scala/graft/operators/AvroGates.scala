@@ -16,9 +16,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
   */
 object AvroGates extends Catalog {
 
+  /** Fresh temp dir, reaped at JVM exit — repeated bench/verify runs must
+    * not strand copies of the documents table in /tmp.
+    */
+  private def tempDir(prefix: String): String = {
+    val p = Files.createTempDirectory(prefix)
+    sys.addShutdownHook {
+      import java.nio.file.{Files => F, Path}
+      import java.util.Comparator
+      try F.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => F.deleteIfExists(f))
+      catch { case _: Throwable => () }
+    }
+    p.toString
+  }
+
   private def roundTrip(s: SparkSession, dir: String,
       options: Map[String, String] = Map.empty): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_gate_avro").toString
+    val tmp = tempDir("graft_gate_avro")
     table(s, dir, "documents")
       .write.format("graft-avro")
       .options(options).mode("overwrite").save(tmp)
@@ -49,8 +64,8 @@ object AvroGates extends Catalog {
       // exchange-free plan on any default
       val k = "spark.sql.sources.v2.bucketing.enabled"
       if (!s.conf.getOption(k).contains("true")) s.conf.set(k, "true")
-      val t1 = Files.createTempDirectory("graft_gate_spj1").toString
-      val t2 = Files.createTempDirectory("graft_gate_spj2").toString
+      val t1 = tempDir("graft_gate_spj1")
+      val t2 = tempDir("graft_gate_spj2")
       val docs = table(s, dir, "documents")
       docs.select("doc_id", "lang", "n_chars").write.format("graft-avro")
         .option("partitionBy", "lang").mode("overwrite").save(t1)

