@@ -164,6 +164,71 @@ object LlmSimilarity extends Catalog {
         .orderBy("i")
     }),
 
+    // LLOYD-ITERATED K-MEANS (3 fixed iterations): the full iterative-ML
+    // loop under the oracle — assign to nearest centroid, recompute means,
+    // reassign — the shape llm_dedup_clusters proves for graphs. All
+    // arithmetic is EXACT INTEGER so the loop is cross-engine bit-stable:
+    //  - corpus components quantize once to qx = floor(1e4·x) (BIGINT; one
+    //    IEEE op from the shared float, so floors agree);
+    //  - centroids live at 16× sub-resolution (mvec = floorDiv(16·Σqx, n),
+    //    floorDiv spelled via positive-mod so Spark `div` truncation and
+    //    DuckDB `//` agree — the numerator is made exactly divisible);
+    //  - distances are Σ(16·qx − mvec)², BIGINT, order-independent (max
+    //    |qx|≈6e3 ⇒ dist ≤ 64·(1.9e5)² ≈ 2e12 ≪ 2^63), ties → lowest cid.
+    // 100 TB shape: centroids (k≤8 rows) broadcast each pass; the corpus
+    // is scanned once per iteration with N·k products and no pairwise
+    // blow-up; the mean update is posexplode + partial-agg (≤ k·dims rows
+    // per partition reach the shuffle); every iteration's tiny centroid
+    // table is localCheckpoint()ed so the loop never replans its history.
+    "llm_embed_kmeans" -> ((s, dir) => {
+      val corpus = table(s, dir, "embeddings")
+        .select(F.col("vec_id"), F.expr(
+          "transform(embedding, x -> " +
+            "cast(floor(cast(x as double) * 10000.0) as bigint))").as("qx"))
+        .withColumn("qx16", F.expr("transform(qx, v -> v * 16)"))
+        .localCheckpoint() // scanned 3×: pin the quantized projection
+      var centroids = corpus.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").as("cid"), F.col("qx16").as("mvec"))
+        .localCheckpoint()
+      var assigned: DataFrame = corpus // placeholder; set in iteration 1
+      val w = Window.partitionBy("vec_id").orderBy(F.col("d"), F.col("cid"))
+      for (_ <- 1 to 3) {
+        assigned = corpus.crossJoin(F.broadcast(centroids))
+          .withColumn("d", F.expr(
+            "aggregate(zip_with(qx16, mvec, (a, b) -> (a - b) * (a - b)), " +
+              "cast(0 as bigint), (acc, v) -> acc + v)"))
+          .withColumn("rn", F.row_number().over(w))
+          .filter(F.col("rn") === 1)
+          .select("vec_id", "cid", "qx")
+          .localCheckpoint()
+        val sums = assigned
+          .select(F.col("cid"), F.posexplode(F.col("qx")).as(Seq("pos", "v")))
+          .groupBy("cid", "pos").agg(F.sum("v").as("sv"))
+        val counts = assigned.groupBy("cid").agg(F.count(F.lit(1)).as("n"))
+        centroids = sums.groupBy("cid")
+          .agg(F.expr(
+            "transform(array_sort(collect_list(struct(pos, sv))), t -> t.sv)")
+            .as("svec"))
+          .join(counts, "cid")
+          .select(F.col("cid"), F.expr(
+            "transform(svec, s -> (16 * s - (((16 * s) % n + n) % n)) div n)")
+            .as("mvec"))
+          .localCheckpoint()
+      }
+      assigned.groupBy("cid")
+        .agg(F.count(F.lit(1)).as("n_members"),
+          F.min("vec_id").as("first_vec"),
+          F.max("vec_id").as("last_vec"))
+        .join(centroids, "cid")
+        .select(F.col("cid"), F.col("n_members"), F.col("first_vec"),
+          F.col("last_vec"),
+          F.expr("aggregate(mvec, cast(0 as bigint), (a, v) -> a + v)")
+            .as("c_sum"),
+          F.expr("aggregate(sequence(1, size(mvec)), cast(0 as bigint), " +
+            "(a, i) -> a + element_at(mvec, i) * i)").as("c_check"))
+        .orderBy("cid")
+    }),
+
     // K-MEANS assignment pass (diversity clustering): 8 deterministic
     // seed centroids (vec_id < 8) broadcast to the corpus; every vector
     // joins its cosine-nearest centroid (argmax via window rank with a
@@ -192,6 +257,68 @@ object LlmSimilarity extends Catalog {
     })
   )
 
+  /** Unrolled 3-step Lloyd oracle. Mirrors the Spark loop exactly: same
+    * floor(1e4·x) quantization, same positive-mod floorDiv for the 16×
+    * sub-resolution means, same (d, cid) tie-break — every compared value
+    * is BIGINT so the driver hash cannot drift. (DuckDB `list_sum` →
+    * HUGEINT is confined to the window ORDER BY, never emitted.)
+    */
+  private val kmeansOracle: String = {
+    def step(i: Int): String = {
+      val prev = s"c${i - 1}"
+      s"""
+         d$i AS (
+           SELECT x.vec_id, c.cid, x.qx,
+                  list_sum(list_transform(generate_series(1, len(x.qx16)),
+                    k -> (x.qx16[k] - c.mvec[k]) * (x.qx16[k] - c.mvec[k])))
+                    AS d
+           FROM ex x, $prev c),
+         a$i AS (
+           SELECT vec_id, cid, qx FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+                         ORDER BY d, cid) AS rn
+             FROM d$i)
+           WHERE rn = 1),
+         s$i AS (
+           SELECT cid, pos, CAST(sum(v) AS BIGINT) AS sv FROM (
+             SELECT cid, unnest(qx) AS v,
+                    unnest(generate_series(1, len(qx))) AS pos
+             FROM a$i)
+           GROUP BY cid, pos),
+         n$i AS (SELECT cid, count(*) AS n FROM a$i GROUP BY cid),
+         c$i AS (
+           SELECT s.cid,
+                  list((16 * sv - (((16 * sv) % n + n) % n)) // n
+                       ORDER BY pos) AS mvec
+           FROM s$i s JOIN n$i n USING (cid)
+           GROUP BY s.cid, n.n)"""
+    }
+    s"""WITH e AS (
+         SELECT vec_id,
+                list_transform(embedding, x ->
+                  CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS qx
+         FROM embeddings),
+       ex AS (
+         SELECT vec_id, qx, list_transform(qx, v -> v * 16) AS qx16 FROM e),
+       c0 AS (
+         SELECT vec_id AS cid, qx16 AS mvec FROM ex WHERE vec_id < 8),
+       ${step(1)},
+       ${step(2)},
+       ${step(3)},
+       m AS (
+         SELECT cid, count(*) AS n_members, min(vec_id) AS first_vec,
+                max(vec_id) AS last_vec
+         FROM a3 GROUP BY cid),
+       cs AS (
+         SELECT cid, CAST(list_sum(mvec) AS BIGINT) AS c_sum,
+                CAST(list_sum(list_transform(generate_series(1, len(mvec)),
+                  i -> mvec[i] * i)) AS BIGINT) AS c_check
+         FROM c3)
+       SELECT m.cid, m.n_members, m.first_vec, m.last_vec, cs.c_sum,
+              cs.c_check
+       FROM m JOIN cs USING (cid) ORDER BY cid"""
+  }
+
   private val oracleProbe =
     """WITH e AS (
          SELECT vec_id, label, embedding,
@@ -211,6 +338,7 @@ object LlmSimilarity extends Catalog {
          FROM pairs)"""
 
   val oracles: Map[String, String] = Map(
+    "llm_embed_kmeans" -> kmeansOracle,
     "llm_embed_quant" ->
       """WITH e AS (
            SELECT vec_id, embedding,
