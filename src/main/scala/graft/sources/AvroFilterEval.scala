@@ -97,7 +97,22 @@ private[sources] object AvroFilterEval {
       at(schema, a)(x => if (x == null || v == null) x == null && v == null
                          else eq0(x, v))
     case In(a, vs) =>
-      at(schema, a)(x => x != null && vs.exists(v => v != null && eq0(x, v)))
+      // All-string value lists compile to ONE hash-set probe per row
+      // (dictionary-style pushdown) — exact semantics, since string
+      // equality needs no numeric widening. Anything else (numeric,
+      // date, mixed) stays on the linear may-match path where eq0's
+      // BigDecimal widening and undecidable→true soundness live.
+      val strs = vs.filter(_ != null)
+      if (strs.nonEmpty && strs.forall(_.isInstanceOf[String])) {
+        val set = new java.util.HashSet[String](strs.length * 2)
+        strs.foreach(v => set.add(v.asInstanceOf[String]))
+        at(schema, a) {
+          case s: String => set.contains(s)
+          case null      => false
+          case _         => true // non-string decoded value: may match
+        }
+      } else
+        at(schema, a)(x => x != null && vs.exists(v => v != null && eq0(x, v)))
     case GreaterThan(a, v)        => cmpAt(schema, a, v)(_ > 0)
     case GreaterThanOrEqual(a, v) => cmpAt(schema, a, v)(_ >= 0)
     case LessThan(a, v)           => cmpAt(schema, a, v)(_ < 0)

@@ -132,9 +132,15 @@ object SourceLaws extends Properties("SourceLaws") {
       1 -> Gen.oneOf("b", "c").map(p => (s"s contains $p", F.col("s").contains(p))),
       1 -> Gen.oneOf("i", "s").map(c => (s"$c is null", F.col(c).isNull)),
       1 -> Gen.oneOf("i", "s").map(c => (s"$c is not null", F.col(c).isNotNull)),
-      1 -> Gen.pick(2, Seq("ab", "ba", "abc", "zz")).map { vs0 =>
-        val vs = vs0.toList
+      1 -> Gen.chooseNum(1, 5).flatMap(k =>
+        Gen.pick(k, Seq("ab", "ba", "abc", "zz", "miss", "a"))).map { vs0 =>
+        val vs = vs0.toList // string In → hash-set fast path
         (s"s in $vs", F.col("s").isin(vs: _*))
+      },
+      1 -> Gen.chooseNum(1, 4).flatMap(k =>
+        Gen.pick(k, Seq(-5, -1, 0, 1, 3, 5))).map { vs0 =>
+        val vs = vs0.toList // numeric In → widening may-match path
+        (s"i in $vs", F.col("i").isin(vs.map(Int.box): _*))
       })
   }
 
