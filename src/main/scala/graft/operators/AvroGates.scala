@@ -79,6 +79,35 @@ object AvroGates extends Catalog {
         .groupBy("lang")
         .agg(F.count_distinct(F.col("source")).as("n_sources"))
       a.join(b, Seq("lang")).orderBy("lang")
+    }),
+
+    // STREAMING sink under the oracle: the documents table is staged as
+    // three parquet files, micro-batched through Structured Streaming
+    // (maxFilesPerTrigger=1 → three separate epoch commits) into the
+    // graft-avro streaming sink, then the FINAL on-disk files are read
+    // back and aggregated. Exactly-once epoch commits mean the streamed
+    // multiset must equal the batch table — the oracle aggregates the
+    // parquet original directly. Covers the full journaled-registry +
+    // epoch-commit path end-to-end, not just under ScalaTest.
+    "q_avro_stream" -> ((s, dir) => {
+      val src = tempDir("graft_gate_stream_src")
+      val out = tempDir("graft_gate_stream_out")
+      val ckpt = tempDir("graft_gate_stream_ckpt")
+      val docs = table(s, dir, "documents")
+        .select("doc_id", "lang", "n_chars", "text")
+      docs.repartition(3, F.col("doc_id")).write.mode("overwrite").parquet(src)
+      val q = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .writeStream.format("graft-avro")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start(out)
+      try q.processAllAvailable() finally q.stop()
+      s.read.format("graft-avro").load(out)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.sum(F.col("n_chars")).as("chars"),
+          F.sum(F.length(F.col("text")).cast("long")).as("text_len"))
+        .orderBy("lang")
     })
   )
 
@@ -92,6 +121,11 @@ object AvroGates extends Catalog {
     "q_avro_spj" ->
       """SELECT lang, CAST(sum(n_chars) AS BIGINT) AS chars,
                 count(DISTINCT source) AS n_sources
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "q_avro_stream" ->
+      """SELECT lang, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS chars,
+                CAST(sum(length(text)) AS BIGINT) AS text_len
          FROM documents GROUP BY lang ORDER BY lang"""
   )
 }
