@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - double dot product of two array<float>"),
       (exprs: Seq[Expression]) => FloatVecDot(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("vec_l2sq"),
+      info("vec_l2sq",
+        "vec_l2sq(a, b) - exact squared L2 distance of two array<bigint>"),
+      (exprs: Seq[Expression]) => LongVecL2(exprs.head, exprs(1))))
     ext.injectFunction((FunctionIdentifier("sorted_overlap"),
       info("sorted_overlap",
         "sorted_overlap(a, b) - intersection count of sorted distinct arrays"),

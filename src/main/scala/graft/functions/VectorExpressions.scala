@@ -70,6 +70,68 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 distance between two `array<bigint>` columns — the kernel
+  * of the exact-integer k-means loop (`llm_embed_kmeans`): per-row cost
+  * is k×dims of these, so the interpreted
+  * `aggregate(zip_with(a, b, (x, y) -> (x-y)*(x-y)), 0L, +)` lambda chain
+  * is replaced by a codegen'd primitive loop. Pure integer arithmetic:
+  * result is exact and order-independent, so the DuckDB oracle's
+  * ascending-index `list_sum` stays bit-identical. Callers guarantee the
+  * quantized components keep every (x−y)² and the 64-term sum far below
+  * 2^63 (see the llm_embed_kmeans scale note).
+  */
+case class LongVecL2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_l2sq expects two array<bigint> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      val d = x.getLong(i) - y.getLong(i)
+      sum += d * d
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val sum = ctx.freshName("sum")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $sum = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $d = $a.getLong($i) - $b.getLong($i);
+         |  $sum += $d * $d;
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Count of common elements between two SORTED, DISTINCT arrays (string
   * or long) — a two-pointer merge, so set-intersection cardinality costs
   * O(n+m) compares with no result-array allocation (Spark's
@@ -218,6 +280,8 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => FloatVecDot(exprs.head, exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_l2sq", exprs => LongVecL2(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_overlap", exprs => SortedOverlapCount(exprs.head, exprs(1)),
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -252,6 +316,12 @@ object VectorFunctions {
     * Requires [[register]] on the session first.
     */
   def vec_dot(a: Column, b: Column): Column = F.call_function("vec_dot", a, b)
+
+  /** Squared L2 distance of two `array<bigint>` columns (exact integer).
+    * Requires [[register]] on the session first.
+    */
+  def vec_l2sq(a: Column, b: Column): Column =
+    F.call_function("vec_l2sq", a, b)
 
   /** Squared L2 norm of an `array<float>` column. */
   def vec_norm2(a: Column): Column = vec_dot(a, a)

@@ -181,6 +181,7 @@ object LlmSimilarity extends Catalog {
     // per partition reach the shuffle); every iteration's tiny centroid
     // table is localCheckpoint()ed so the loop never replans its history.
     "llm_embed_kmeans" -> ((s, dir) => {
+      VectorFunctions.register(s)
       val corpus = table(s, dir, "embeddings")
         .select(F.col("vec_id"), F.expr(
           "transform(embedding, x -> " +
@@ -193,10 +194,11 @@ object LlmSimilarity extends Catalog {
       var assigned: DataFrame = corpus // placeholder; set in iteration 1
       val w = Window.partitionBy("vec_id").orderBy(F.col("d"), F.col("cid"))
       for (_ <- 1 to 3) {
+        // distance kernel: codegen'd LongVecL2 (k×dims per row — the hot
+        // loop), not the interpreted zip_with/aggregate lambda chain
         assigned = corpus.crossJoin(F.broadcast(centroids))
-          .withColumn("d", F.expr(
-            "aggregate(zip_with(qx16, mvec, (a, b) -> (a - b) * (a - b)), " +
-              "cast(0 as bigint), (acc, v) -> acc + v)"))
+          .withColumn("d",
+            VectorFunctions.vec_l2sq(F.col("qx16"), F.col("mvec")))
           .withColumn("rn", F.row_number().over(w))
           .filter(F.col("rn") === 1)
           .select("vec_id", "cid", "qx")
@@ -219,7 +221,7 @@ object LlmSimilarity extends Catalog {
         .agg(F.count(F.lit(1)).as("n_members"),
           F.min("vec_id").as("first_vec"),
           F.max("vec_id").as("last_vec"))
-        .join(centroids, "cid")
+        .join(F.broadcast(centroids), "cid")
         .select(F.col("cid"), F.col("n_members"), F.col("first_vec"),
           F.col("last_vec"),
           F.expr("aggregate(mvec, cast(0 as bigint), (a, v) -> a + v)")

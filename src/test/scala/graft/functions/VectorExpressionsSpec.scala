@@ -90,4 +90,38 @@ class VectorExpressionsSpec extends AnyWordSpec with Matchers with SparkSpec {
       r.getDouble(0) shouldBe (1.0 + 4.0 + 9.0)
     }
   }
+
+  "LongVecL2" should {
+    "compute exact squared L2 distance and agree with the HOF form" in {
+      VectorFunctions.register(spark)
+      import spark.implicits._
+      val d = Seq(
+        (Seq(1L, 2L, 3L), Seq(4L, 6L, 3L)),
+        (Seq(-100000L, 0L), Seq(100000L, -5L)),
+        (Seq(7L), Seq(7L))
+      ).toDF("x", "y")
+      val got = d.select(
+        VectorFunctions.vec_l2sq(F.col("x"), F.col("y")).as("native"),
+        F.expr("aggregate(zip_with(x, y, (a, b) -> (a - b) * (a - b)), " +
+          "cast(0 as bigint), (acc, v) -> acc + v)").as("hof"))
+        .collect()
+      got.foreach { r => r.getLong(0) shouldBe r.getLong(1) }
+      got.map(_.getLong(0)).toSeq shouldBe
+        Seq(9L + 16L, 40000000000L + 25L, 0L)
+    }
+
+    "propagate null inputs and reject non-bigint arrays" in {
+      VectorFunctions.register(spark)
+      import spark.implicits._
+      val d = Seq((Option(Seq(1L)), Seq(2L)), (None, Seq(3L)))
+        .toDF("x", "y")
+      val out = d.select(
+        VectorFunctions.vec_l2sq(F.col("x"), F.col("y")).as("l2"))
+        .collect()
+      out(0).getLong(0) shouldBe 1L
+      out(1).isNullAt(0) shouldBe true
+      an[Exception] should be thrownBy
+        df.select(VectorFunctions.vec_l2sq(F.col("a"), F.col("b"))).collect()
+    }
+  }
 }
