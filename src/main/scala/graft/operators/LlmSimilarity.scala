@@ -48,6 +48,53 @@ object LlmSimilarity extends Catalog {
     F.floor(F.lit(1000000.0) *
       (dot / (F.sqrt(F.col("qss")) * F.sqrt(F.col("ss")))))
 
+  /** Shared 3-pass integer Lloyd loop (see llm_embed_kmeans for the
+    * determinism + scale rationale). Returns (corpus, assigned,
+    * centroids): the quantized corpus (vec_id, qx, qx16), the final
+    * assignment (vec_id, cid, qx) and the final 16×-sub-resolution
+    * centroid means (cid, mvec) — all localCheckpoint()ed.
+    */
+  private def lloyd(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    VectorFunctions.register(s)
+    val corpus = table(s, dir, "embeddings")
+      .select(F.col("vec_id"), F.expr(
+        "transform(embedding, x -> " +
+          "cast(floor(cast(x as double) * 10000.0) as bigint))").as("qx"))
+      .withColumn("qx16", F.expr("transform(qx, v -> v * 16)"))
+      .localCheckpoint() // scanned 3×: pin the quantized projection
+    var centroids = corpus.filter(F.col("vec_id") < 8)
+      .select(F.col("vec_id").as("cid"), F.col("qx16").as("mvec"))
+      .localCheckpoint()
+    var assigned: DataFrame = corpus // placeholder; set in iteration 1
+    val w = Window.partitionBy("vec_id").orderBy(F.col("d"), F.col("cid"))
+    for (_ <- 1 to 3) {
+      // distance kernel: codegen'd LongVecL2 (k×dims per row — the hot
+      // loop), not the interpreted zip_with/aggregate lambda chain
+      assigned = corpus.crossJoin(F.broadcast(centroids))
+        .withColumn("d",
+          VectorFunctions.vec_l2sq(F.col("qx16"), F.col("mvec")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") === 1)
+        .select("vec_id", "cid", "qx")
+        .localCheckpoint()
+      val sums = assigned
+        .select(F.col("cid"), F.posexplode(F.col("qx")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos").agg(F.sum("v").as("sv"))
+      val counts = assigned.groupBy("cid").agg(F.count(F.lit(1)).as("n"))
+      centroids = sums.groupBy("cid")
+        .agg(F.expr(
+          "transform(array_sort(collect_list(struct(pos, sv))), t -> t.sv)")
+          .as("svec"))
+        .join(counts, "cid")
+        .select(F.col("cid"), F.expr(
+          "transform(svec, s -> (16 * s - (((16 * s) % n + n) % n)) div n)")
+          .as("mvec"))
+        .localCheckpoint()
+    }
+    (corpus, assigned, centroids)
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Brute-force cosine top-5 for queries vec_id < 20 against the corpus.
@@ -181,42 +228,7 @@ object LlmSimilarity extends Catalog {
     // per partition reach the shuffle); every iteration's tiny centroid
     // table is localCheckpoint()ed so the loop never replans its history.
     "llm_embed_kmeans" -> ((s, dir) => {
-      VectorFunctions.register(s)
-      val corpus = table(s, dir, "embeddings")
-        .select(F.col("vec_id"), F.expr(
-          "transform(embedding, x -> " +
-            "cast(floor(cast(x as double) * 10000.0) as bigint))").as("qx"))
-        .withColumn("qx16", F.expr("transform(qx, v -> v * 16)"))
-        .localCheckpoint() // scanned 3×: pin the quantized projection
-      var centroids = corpus.filter(F.col("vec_id") < 8)
-        .select(F.col("vec_id").as("cid"), F.col("qx16").as("mvec"))
-        .localCheckpoint()
-      var assigned: DataFrame = corpus // placeholder; set in iteration 1
-      val w = Window.partitionBy("vec_id").orderBy(F.col("d"), F.col("cid"))
-      for (_ <- 1 to 3) {
-        // distance kernel: codegen'd LongVecL2 (k×dims per row — the hot
-        // loop), not the interpreted zip_with/aggregate lambda chain
-        assigned = corpus.crossJoin(F.broadcast(centroids))
-          .withColumn("d",
-            VectorFunctions.vec_l2sq(F.col("qx16"), F.col("mvec")))
-          .withColumn("rn", F.row_number().over(w))
-          .filter(F.col("rn") === 1)
-          .select("vec_id", "cid", "qx")
-          .localCheckpoint()
-        val sums = assigned
-          .select(F.col("cid"), F.posexplode(F.col("qx")).as(Seq("pos", "v")))
-          .groupBy("cid", "pos").agg(F.sum("v").as("sv"))
-        val counts = assigned.groupBy("cid").agg(F.count(F.lit(1)).as("n"))
-        centroids = sums.groupBy("cid")
-          .agg(F.expr(
-            "transform(array_sort(collect_list(struct(pos, sv))), t -> t.sv)")
-            .as("svec"))
-          .join(counts, "cid")
-          .select(F.col("cid"), F.expr(
-            "transform(svec, s -> (16 * s - (((16 * s) % n + n) % n)) div n)")
-            .as("mvec"))
-          .localCheckpoint()
-      }
+      val (_, assigned, centroids) = lloyd(s, dir)
       assigned.groupBy("cid")
         .agg(F.count(F.lit(1)).as("n_members"),
           F.min("vec_id").as("first_vec"),
@@ -229,6 +241,39 @@ object LlmSimilarity extends Catalog {
           F.expr("aggregate(sequence(1, size(mvec)), cast(0 as bigint), " +
             "(a, i) -> a + element_at(mvec, i) * i)").as("c_check"))
         .orderBy("cid")
+    }),
+
+    // IVF SEARCH OVER LEARNED CELLS: the full two-operator ANN
+    // composition — the 3-pass Lloyd loop trains the coarse quantizer,
+    // then queries (vec_id < 20) probe their nprobe=2 nearest cells and
+    // exact-rank the candidates inside them (top-3 by integer L2,
+    // vec_id tie-break). Unlike llm_similar_ivf (which inherits the
+    // `label` column as its cell id) this is the real unlabeled-data
+    // scale path: cells come from the data itself. 100 TB shape: the
+    // corpus is assigned ONCE (broadcast centroids, one shuffle on cell
+    // id), each query fans out to exactly nprobe cells, candidate cost
+    // is Σ_probed |cell| — never N² — and every distance is the
+    // codegen'd vec_l2sq kernel.
+    "llm_similar_ivf_kmeans" -> ((s, dir) => {
+      val (corpus, assigned, centroids) = lloyd(s, dir)
+      val wq = Window.partitionBy("qid").orderBy(F.col("d"), F.col("cid"))
+      val probes = corpus.filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").as("qid"), F.col("qx16").as("qv"))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("d", VectorFunctions.vec_l2sq(F.col("qv"), F.col("mvec")))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 2)
+        .select("qid", "cid", "qv")
+      val cells = assigned.select("vec_id", "cid")
+        .join(corpus.select("vec_id", "qx16"), "vec_id")
+      val wr = Window.partitionBy("qid").orderBy(F.col("d"), F.col("vec_id"))
+      probes.join(cells, "cid")
+        .filter(F.col("vec_id") =!= F.col("qid"))
+        .select(F.col("qid"), F.col("vec_id"),
+          VectorFunctions.vec_l2sq(F.col("qv"), F.col("qx16")).as("d"))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 3)
+        .orderBy("qid", "rn")
     }),
 
     // K-MEANS assignment pass (diversity clustering): 8 deterministic
@@ -265,7 +310,7 @@ object LlmSimilarity extends Catalog {
     * is BIGINT so the driver hash cannot drift. (DuckDB `list_sum` →
     * HUGEINT is confined to the window ORDER BY, never emitted.)
     */
-  private val kmeansOracle: String = {
+  private val lloydCte: String = {
     def step(i: Int): String = {
       val prev = s"c${i - 1}"
       s"""
@@ -306,7 +351,10 @@ object LlmSimilarity extends Catalog {
          SELECT vec_id AS cid, qx16 AS mvec FROM ex WHERE vec_id < 8),
        ${step(1)},
        ${step(2)},
-       ${step(3)},
+       ${step(3)}"""
+  }
+
+  private val kmeansOracle: String = lloydCte + """,
        m AS (
          SELECT cid, count(*) AS n_members, min(vec_id) AS first_vec,
                 max(vec_id) AS last_vec
@@ -319,7 +367,36 @@ object LlmSimilarity extends Catalog {
        SELECT m.cid, m.n_members, m.first_vec, m.last_vec, cs.c_sum,
               cs.c_check
        FROM m JOIN cs USING (cid) ORDER BY cid"""
-  }
+
+  /** IVF probe over the learned cells: nprobe=2 nearest c3 centroids per
+    * query, exact integer-L2 top-3 within the probed cells.
+    */
+  private val ivfKmeansOracle: String = lloydCte + """,
+       probeq AS (
+         SELECT vec_id AS qid, qx16 AS qv FROM ex WHERE vec_id < 20),
+       qcell AS (
+         SELECT qid, cid, qv FROM (
+           SELECT q.qid, c.cid, q.qv,
+                  row_number() OVER (PARTITION BY q.qid ORDER BY
+                    list_sum(list_transform(generate_series(1, len(q.qv)),
+                      i -> (q.qv[i] - c.mvec[i]) * (q.qv[i] - c.mvec[i]))),
+                    c.cid) AS rn
+           FROM probeq q, c3 c)
+         WHERE rn <= 2),
+       cand AS (
+         SELECT qc.qid, a.vec_id,
+                CAST(list_sum(list_transform(generate_series(1, len(qc.qv)),
+                  i -> (qc.qv[i] - x.qx16[i]) * (qc.qv[i] - x.qx16[i])))
+                  AS BIGINT) AS d
+         FROM qcell qc
+         JOIN a3 a ON a.cid = qc.cid AND a.vec_id <> qc.qid
+         JOIN ex x ON x.vec_id = a.vec_id),
+       rankedc AS (
+         SELECT *, CAST(row_number() OVER (PARTITION BY qid
+                     ORDER BY d, vec_id) AS INT) AS rn
+         FROM cand)
+       SELECT qid, vec_id, d, rn FROM rankedc
+       WHERE rn <= 3 ORDER BY qid, rn"""
 
   private val oracleProbe =
     """WITH e AS (
@@ -341,6 +418,7 @@ object LlmSimilarity extends Catalog {
 
   val oracles: Map[String, String] = Map(
     "llm_embed_kmeans" -> kmeansOracle,
+    "llm_similar_ivf_kmeans" -> ivfKmeansOracle,
     "llm_embed_quant" ->
       """WITH e AS (
            SELECT vec_id, embedding,
