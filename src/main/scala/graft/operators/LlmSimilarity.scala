@@ -267,7 +267,9 @@ object LlmSimilarity extends Catalog {
       val cells = assigned.select("vec_id", "cid")
         .join(corpus.select("vec_id", "qx16"), "vec_id")
       val wr = Window.partitionBy("qid").orderBy(F.col("d"), F.col("vec_id"))
-      probes.join(cells, "cid")
+      // the probe side is |queries|·nprobe rows — broadcast it so the
+      // cell-id candidate join never shuffles the corpus
+      F.broadcast(probes).join(cells, "cid")
         .filter(F.col("vec_id") =!= F.col("qid"))
         .select(F.col("qid"), F.col("vec_id"),
           VectorFunctions.vec_l2sq(F.col("qv"), F.col("qx16")).as("d"))
