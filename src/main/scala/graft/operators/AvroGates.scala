@@ -108,6 +108,49 @@ object AvroGates extends Catalog {
           F.sum(F.col("n_chars")).as("chars"),
           F.sum(F.length(F.col("text")).cast("long")).as("text_len"))
         .orderBy("lang")
+    }),
+
+    // STATEFUL STREAMING under the oracle: watermarked tumbling-day
+    // window aggregation over the events stream, appended to the
+    // graft-avro sink as windows close. The 90-day watermark exceeds the
+    // data's time span, so no row is ever late-dropped regardless of
+    // which micro-batch (file) it arrives in — the result is
+    // batch-deterministic. A sentinel event far past max(ts)+delay
+    // advances the watermark over every real window end, flushing all
+    // state to files; the sentinel's own window stays open and never
+    // reaches the sink (it is filtered anyway, defensively). The value
+    // sum is per-row floor-scaled to integers so the cross-batch
+    // accumulation order cannot drift vs the oracle.
+    "q_stream_window" -> ((s, dir) => {
+      val src = tempDir("graft_gate_swin_src")
+      val out = tempDir("graft_gate_swin_out")
+      val ckpt = tempDir("graft_gate_swin_ckpt")
+      val ev = table(s, dir, "events").select("ts", "event_type", "value")
+      ev.repartition(3, F.col("event_type")).write.mode("overwrite").parquet(src)
+      val agg = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .withWatermark("ts", "90 days")
+        .groupBy(F.window(F.col("ts"), "1 day").as("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).as("n_events"),
+          F.sum(F.floor(F.col("value") * 1000).cast("long")).as("value_m"))
+        .select(F.col("w.start").as("day"), F.col("event_type"),
+          F.col("n_events"), F.col("value_m"))
+      val q = agg.writeStream.format("graft-avro")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start(out)
+      try {
+        q.processAllAvailable()
+        val maxTs = ev.agg(F.max("ts")).head().getTimestamp(0)
+        val sentinel = new java.sql.Timestamp(
+          maxTs.getTime + 92L * 86400L * 1000L)
+        import s.implicits._
+        Seq((sentinel, "zz_sentinel", 0.0)).toDF("ts", "event_type", "value")
+          .write.mode("append").parquet(src)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.format("graft-avro").load(out)
+        .filter(F.col("event_type") =!= "zz_sentinel")
+        .orderBy("day", "event_type")
     })
   )
 
@@ -126,6 +169,12 @@ object AvroGates extends Catalog {
       """SELECT lang, count(*) AS n_docs,
                 CAST(sum(n_chars) AS BIGINT) AS chars,
                 CAST(sum(length(text)) AS BIGINT) AS text_len
-         FROM documents GROUP BY lang ORDER BY lang"""
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "q_stream_window" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+                count(*) AS n_events,
+                CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+                  AS value_m
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }
