@@ -140,7 +140,12 @@ object AvroGates extends Catalog {
         .outputMode("append").start(out)
       try {
         q.processAllAvailable()
-        val maxTs = ev.agg(F.max("ts")).head().getTimestamp(0)
+        val mm = ev.agg(F.min("ts"), F.max("ts")).head()
+        val (minTs, maxTs) = (mm.getTimestamp(0), mm.getTimestamp(1))
+        // the no-late-drops guarantee rests on span < watermark delay;
+        // fail loudly if the testdata ever outgrows it
+        require(maxTs.getTime - minTs.getTime < 90L * 86400L * 1000L,
+          s"events span exceeds the 90-day watermark: $minTs .. $maxTs")
         val sentinel = new java.sql.Timestamp(
           maxTs.getTime + 92L * 86400L * 1000L)
         import s.implicits._
@@ -149,7 +154,9 @@ object AvroGates extends Catalog {
         q.processAllAvailable()
       } finally q.stop()
       s.read.format("graft-avro").load(out)
-        .filter(F.col("event_type") =!= "zz_sentinel")
+        // null-safe: a NULL event_type group must survive the sentinel
+        // filter the same way the oracle's GROUP BY keeps it
+        .filter(!F.col("event_type").eqNullSafe("zz_sentinel"))
         .orderBy("day", "event_type")
     })
   )

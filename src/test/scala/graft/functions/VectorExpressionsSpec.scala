@@ -110,6 +110,18 @@ class VectorExpressionsSpec extends AnyWordSpec with Matchers with SparkSpec {
         Seq(9L + 16L, 40000000000L + 25L, 0L)
     }
 
+    "yield null on length mismatch or null elements (HOF semantics)" in {
+      VectorFunctions.register(spark)
+      val out = spark.sql(
+        """SELECT vec_l2sq(array(1L), array(1L, 2L, 3L)) AS mismatch,
+                  vec_l2sq(array(1L, cast(null as bigint)), array(3L, 4L))
+                    AS nullelem,
+                  vec_dot(array(1.0F), array(1.0F, 2.0F)) AS dmismatch,
+                  vec_dot(array(1.0F, cast(null as float)), array(1.0F, 2.0F))
+                    AS dnullelem""").collect().head
+      (0 until 4).foreach(i => out.isNullAt(i) shouldBe true)
+    }
+
     "propagate null inputs and reject non-bigint arrays" in {
       VectorFunctions.register(spark)
       import spark.implicits._
