@@ -713,6 +713,35 @@ object Relational extends Catalog {
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct("user_id").as("n_users"))
         .orderBy("cohort_week", "week_offset")
+    }),
+
+    // GAP-FILL / RESAMPLE: dense daily scaffold per key (generated
+    // in-engine, never shuffled for its own sake), left join of the
+    // sparse daily aggregates, count gaps filled with 0 and values
+    // carried forward (last non-null over an ordered window). 100 TB
+    // shape: scaffold = distinct-keys × broadcast day-spine (linear,
+    // co-keyed with the join), one shuffle on (user_id, day), one
+    // window pass per key; values are per-row integer-scaled so sums
+    // are order-proof.
+    "q_gapfill" -> ((s, dir) => {
+      val ev = table(s, dir, "events").filter(F.col("user_id") < 50)
+        .select(F.col("user_id"),
+          F.date_trunc("day", F.col("ts")).as("day"),
+          F.floor(F.col("value") * 1000).cast("long").as("v"))
+      val daily = ev.groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).as("n"), F.sum("v").as("v_sum"))
+      val days = ev.agg(F.min("day").as("d0"), F.max("day").as("d1"))
+        .select(F.explode(F.expr("sequence(d0, d1, interval 1 day)"))
+          .as("day"))
+      val scaffold = ev.select("user_id").distinct()
+        .crossJoin(F.broadcast(days))
+      val w = Window.partitionBy("user_id").orderBy("day")
+      scaffold.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("n_filled", F.coalesce(F.col("n"), F.lit(0L)))
+        .withColumn("v_carry",
+          F.last("v_sum", ignoreNulls = true).over(w))
+        .select("user_id", "day", "n_filled", "v_carry")
+        .orderBy("user_id", "day")
     })
   )
 
@@ -1113,6 +1142,29 @@ object Relational extends Catalog {
                 CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
          FROM ev e JOIN cohort c ON e.user_id = c.user_id
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_gapfill" ->
+      """WITH ev AS (
+           SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                  CAST(floor(value * 1000) AS BIGINT) AS v
+           FROM events WHERE user_id < 50),
+         daily AS (
+           SELECT user_id, day, count(*) AS n,
+                  CAST(sum(v) AS BIGINT) AS v_sum
+           FROM ev GROUP BY 1, 2),
+         b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+         days AS (
+           SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+           FROM b),
+         scaffold AS (
+           SELECT k.user_id, d.day
+           FROM (SELECT DISTINCT user_id FROM ev) k, days d)
+         SELECT s.user_id, s.day, COALESCE(d.n, 0) AS n_filled,
+                last_value(d.v_sum IGNORE NULLS) OVER (
+                  PARTITION BY s.user_id ORDER BY s.day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS v_carry
+         FROM scaffold s LEFT JOIN daily d USING (user_id, day)
+         ORDER BY 1, 2""",
     "q_cdc_snapshot" ->
       """WITH m AS (
            SELECT user_id,

@@ -87,6 +87,27 @@ class PlanGuardSpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "q_gapfill" should {
+    "broadcast the day spine and never materialize a cartesian product" in {
+      val df = Relational.queries("q_gapfill")(spark, dir)
+      val s = df.queryExecution.executedPlan.toString
+      // keys × day-spine must be the broadcast nested-loop of the tiny
+      // generated spine; a CartesianProduct here would shuffle the key
+      // set against itself at scale
+      s should include("BroadcastNestedLoopJoin")
+      s should not include "CartesianProduct"
+    }
+  }
+
+  "llm_similar_ivf_kmeans" should {
+    "keep every join broadcast-shaped (no corpus sort-merge, no cartesian)" in {
+      val df = LlmSimilarity.queries("llm_similar_ivf_kmeans")(spark, dir)
+      val s = df.queryExecution.executedPlan.toString
+      s should not include "CartesianProduct"
+      s should not include "SortMergeJoin"
+    }
+  }
+
   "llm_inverted_index" should {
     "build in one aggregation exchange (partial + final collect_set)" in {
       val df = LlmRetrieval.queries("llm_inverted_index")(spark, dir)
