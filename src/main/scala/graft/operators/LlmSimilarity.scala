@@ -284,8 +284,8 @@ object LlmSimilarity extends Catalog {
     // cid tie-break) and the per-cluster summary aggregates map-side.
     // 100 TB shape: k is tiny (broadcast), the corpus is scanned once
     // with NO pairwise blow-up (N·k products) and never shuffled until
-    // the k-row aggregate. Lloyd iterations would repeat this exact plan
-    // with recomputed centroid means.
+    // the k-row aggregate. The iterated-Lloyd version of this plan is
+    // llm_embed_kmeans; llm_similar_ivf_kmeans searches its cells.
     "llm_embed_centroids" -> ((s, dir) => {
       val e = emb(s, dir)
       val c = e.filter(F.col("vec_id") < 8)
