@@ -67,15 +67,21 @@ object LlmSimilarity extends Catalog {
       .select(F.col("vec_id").as("cid"), F.col("qx16").as("mvec"))
       .localCheckpoint()
     var assigned: DataFrame = corpus // placeholder; set in iteration 1
-    val w = Window.partitionBy("vec_id").orderBy(F.col("d"), F.col("cid"))
     for (_ <- 1 to 3) {
       // distance kernel: codegen'd LongVecL2 (k×dims per row — the hot
-      // loop), not the interpreted zip_with/aggregate lambda chain
+      // loop), not the interpreted zip_with/aggregate lambda chain.
+      // Argmin via min_by partial aggregation, NOT a window: the window
+      // form shuffles all N·k crossed rows on vec_id per iteration,
+      // while min_by collapses to one row per vector map-side (the k
+      // candidates are adjacent after the broadcast cross join), so the
+      // shuffle carries N rows. Ties break to the lowest cid via the
+      // (d, cid) ordering struct — same as the oracle's ORDER BY d, cid.
       assigned = corpus.crossJoin(F.broadcast(centroids))
         .withColumn("d",
           VectorFunctions.vec_l2sq(F.col("qx16"), F.col("mvec")))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") === 1)
+        .groupBy("vec_id", "qx")
+        .agg(F.min_by(F.col("cid"), F.struct(F.col("d"), F.col("cid")))
+          .as("cid"))
         .select("vec_id", "cid", "qx")
         .localCheckpoint()
       val sums = assigned
