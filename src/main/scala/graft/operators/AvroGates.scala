@@ -158,6 +158,75 @@ object AvroGates extends Catalog {
         // filter the same way the oracle's GROUP BY keeps it
         .filter(!F.col("event_type").eqNullSafe("zz_sentinel"))
         .orderBy("day", "event_type")
+    }),
+
+    // STREAMING EXACT DEDUP under the oracle: the content-hash dedup
+    // (llm_dedup_exact's key) run as a stream — dropDuplicates state
+    // across micro-batches, appended to the sink. Emitting ONLY the
+    // md5 key makes the result arrival-order-independent (which
+    // duplicate survives doesn't matter when the key is the payload),
+    // so the final file set must equal the batch DISTINCT exactly.
+    "q_stream_dedup" -> ((s, dir) => {
+      val src = tempDir("graft_gate_sdedup_src")
+      val out = tempDir("graft_gate_sdedup_out")
+      val ckpt = tempDir("graft_gate_sdedup_ckpt")
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+      docs.repartition(3, F.col("doc_id")).write.mode("overwrite").parquet(src)
+      val q = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        // defensively drop null text: Spark sorts nulls first, DuckDB
+        // last, so a null key would break the ordered compare
+        .filter(F.col("text").isNotNull)
+        .select(F.md5(F.col("text")).as("h"))
+        .dropDuplicates("h")
+        .writeStream.format("graft-avro")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start(out)
+      try q.processAllAvailable() finally q.stop()
+      s.read.format("graft-avro").load(out).orderBy("h")
+    }),
+
+    // STREAM-STATIC ENRICHMENT under the oracle: the events stream
+    // broadcast-joins a static dimension (nation, via a deterministic
+    // user_id bucketing) per micro-batch, aggregates flow into the sink
+    // only after the sentinel closes the windows. Proves the static
+    // side re-resolves inside a streaming plan and the enriched
+    // multiset matches the batch join bit-for-bit.
+    "q_stream_enrich" -> ((s, dir) => {
+      val src = tempDir("graft_gate_senr_src")
+      val out = tempDir("graft_gate_senr_out")
+      val ckpt = tempDir("graft_gate_senr_ckpt")
+      val ev = table(s, dir, "events").select("ts", "user_id", "value")
+      ev.repartition(3, F.col("user_id")).write.mode("overwrite").parquet(src)
+      val nation = table(s, dir, "nation")
+        .select(F.col("n_nationkey"), F.col("n_name"))
+      val agg = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .withWatermark("ts", "90 days")
+        .join(F.broadcast(nation),
+          F.pmod(F.col("user_id"), F.lit(25)) === F.col("n_nationkey"))
+        .groupBy(F.window(F.col("ts"), "1 week").as("w"), F.col("n_name"))
+        .agg(F.count(F.lit(1)).as("n_events"),
+          F.sum(F.floor(F.col("value") * 1000).cast("long")).as("value_m"))
+        .select(F.col("w.start").as("week"), F.col("n_name"),
+          F.col("n_events"), F.col("value_m"))
+      val q = agg.writeStream.format("graft-avro")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start(out)
+      try {
+        q.processAllAvailable()
+        val maxTs = ev.agg(F.max("ts")).head().getTimestamp(0)
+        val sentinel = new java.sql.Timestamp(
+          maxTs.getTime + 92L * 86400L * 1000L)
+        import s.implicits._
+        Seq((sentinel, -1L, 0.0)).toDF("ts", "user_id", "value")
+          .write.mode("append").parquet(src)
+        q.processAllAvailable()
+      } finally q.stop()
+      // the sentinel row (user_id = -1 → pmod 24) joins a real nation but
+      // its window never closes, so it cannot reach the sink; no filter
+      // needed beyond the window-flush mechanics
+      s.read.format("graft-avro").load(out).orderBy("week", "n_name")
     })
   )
 
@@ -182,6 +251,23 @@ object AvroGates extends Catalog {
                 count(*) AS n_events,
                 CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
                   AS value_m
-         FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_stream_dedup" ->
+      """SELECT DISTINCT md5(text) AS h FROM documents
+         WHERE text IS NOT NULL ORDER BY h""",
+    // Spark's tumbling window('1 week') aligns to the 1970-01-01 epoch,
+    // NOT to DuckDB's Monday date_trunc('week') — bucket by epoch
+    // arithmetic. floor() before the BIGINT cast: DuckDB casts
+    // double→int by ROUNDING, which would shift timestamps within 0.5 s
+    // of a boundary into the wrong week.
+    "q_stream_enrich" ->
+      """SELECT TIMESTAMP '1970-01-01'
+                  + ((CAST(floor(epoch(ts)) AS BIGINT) // 604800) * 604800)
+                    * INTERVAL 1 SECOND AS week,
+                n.n_name, count(*) AS n_events,
+                CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+                  AS value_m
+         FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+         GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }
