@@ -39,8 +39,14 @@ object Bench {
     // noisy window of machine contention from fabricating a regression
     // (r5: a contiguous q18→q9 slowdown at reps=1 read as a 4× slide).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    // SPARK_GRAFT_BENCH_ONLY=sub1,sub2 (local iteration): bench only
+    // queries whose name contains a substring. Driver sets nothing.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').toSeq).getOrElse(Seq.empty)
     // Stable order so residual warmup effects land on the same query.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.isEmpty || only.exists(n.contains) }
+      .sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val ok =

@@ -215,9 +215,16 @@ object AvroGates extends Catalog {
         .outputMode("append").start(out)
       try {
         q.processAllAvailable()
-        val maxTs = ev.agg(F.max("ts")).head().getTimestamp(0)
+        val mm = ev.agg(F.min("ts"), F.max("ts")).head()
+        val (minTs, maxTs) = (mm.getTimestamp(0), mm.getTimestamp(1))
+        require(maxTs.getTime - minTs.getTime < 90L * 86400L * 1000L,
+          s"events span exceeds the 90-day watermark: $minTs .. $maxTs")
+        // slack must cover watermark delay (90d) PLUS the worst-case
+        // tail of an epoch-aligned week window past maxTs (7d): the
+        // final watermark is sentinel − 90d and every real window ends
+        // ≤ maxTs + 7d, so +99d always flushes the last week
         val sentinel = new java.sql.Timestamp(
-          maxTs.getTime + 92L * 86400L * 1000L)
+          maxTs.getTime + 99L * 86400L * 1000L)
         import s.implicits._
         Seq((sentinel, -1L, 0.0)).toDF("ts", "user_id", "value")
           .write.mode("append").parquet(src)
@@ -267,7 +274,9 @@ object AvroGates extends Catalog {
                 n.n_name, count(*) AS n_events,
                 CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
                   AS value_m
-         FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+         FROM events e
+         JOIN nation n
+           ON ((e.user_id % 25) + 25) % 25 = n.n_nationkey
          GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }
