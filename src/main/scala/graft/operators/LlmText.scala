@@ -171,6 +171,49 @@ object LlmText extends Catalog {
     // downstream scorer can apply its own weighting). Two partial-agg
     // shuffles: (doc, word) then word — both keyed on vocabulary-bounded
     // values.
+    // Deterministic train/val/test split: content-hash bucketing (first
+    // 4 md5 hex chars mod 100 → 90/5/5), so assignment is stable under
+    // reprocessing, independent of row order or partitioning, and
+    // reproducible from the text alone — the property a 100 TB corpus
+    // needs (no global shuffle, no stored split table, leakage-proof
+    // because duplicates always land in the same split).
+    "llm_split_assign" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .filter(F.col("text").isNotNull)
+        .withColumn("b",
+          F.conv(F.substring(F.md5(F.col("text")), 1, 4), 16, 10)
+            .cast("long") % 100)
+        .withColumn("split",
+          F.when(F.col("b") < 90, "train")
+            .when(F.col("b") < 95, "val").otherwise("test"))
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.sum(F.col("n_chars")).as("chars"))
+        .orderBy("split", "lang")),
+
+    // Vocabulary coverage: global top-50 tokens with the cumulative
+    // corpus-coverage fraction. The top-k is TakeOrderedAndProject
+    // (distributed bounded heaps, never a single-partition global sort
+    // of the vocabulary); only the 50 survivors cross into the
+    // single-row-total crossJoin and the tiny running-sum window.
+    "llm_vocab_coverage" -> ((s, dir) => {
+      val counts = docs(s, dir)
+        .select(F.explode(F.col("w")).as("tok"))
+        .filter(F.col("tok") =!= "")
+        .groupBy("tok").agg(F.count(F.lit(1)).as("n"))
+      val total = counts.agg(F.sum("n").as("tot"))
+      val w50 = Window.orderBy(F.col("n").desc, F.col("tok"))
+      counts.orderBy(F.col("n").desc, F.col("tok")).limit(50)
+        .crossJoin(F.broadcast(total))
+        .withColumn("rk", F.row_number().over(w50))
+        .withColumn("cov_m", F.floor(F.lit(1000000.0) *
+          F.sum("n").over(
+            w50.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          / F.col("tot")))
+        .select("rk", "tok", "n", "cov_m")
+        .orderBy("rk")
+    }),
+
     "llm_tfdf" -> ((s, dir) =>
       docs(s, dir)
         .select(F.col("doc_id"), F.explode(F.col("w")).as("word"))
@@ -411,6 +454,34 @@ object LlmText extends Catalog {
          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
               unnest(generate_series(0, (len(d.w) - 1) // 50)) t(i)
          ORDER BY doc_id, chunk_idx""",
+    "llm_split_assign" ->
+      """WITH b AS (
+           SELECT lang, n_chars,
+                  CAST('0x' || substring(md5(text), 1, 4) AS BIGINT) % 100
+                    AS b
+           FROM documents WHERE text IS NOT NULL)
+         SELECT CASE WHEN b < 90 THEN 'train'
+                     WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+                lang, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS chars
+         FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
+    "llm_vocab_coverage" ->
+      """WITH counts AS (
+           SELECT tok, count(*) AS n
+           FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                 FROM documents)
+           WHERE tok <> '' GROUP BY tok),
+         total AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM counts),
+         top AS (
+           SELECT tok, n,
+                  CAST(row_number() OVER (ORDER BY n DESC, tok) AS INT)
+                    AS rk
+           FROM counts ORDER BY n DESC, tok LIMIT 50)
+         SELECT t.rk, t.tok, t.n,
+                CAST(floor(1000000.0 * sum(t.n) OVER (ORDER BY t.rk
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  / total.tot) AS BIGINT) AS cov_m
+         FROM top t, total ORDER BY rk""",
     "llm_tfdf" ->
       """WITH tf AS (
            SELECT doc_id, word, count(*) AS tf
