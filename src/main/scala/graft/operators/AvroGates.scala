@@ -1,7 +1,5 @@
 package graft.operators
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 
 /** Oracle gates that route the documents table THROUGH the graft-avro
@@ -15,21 +13,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
   * corpus table) so gates stay independent and re-runnable.
   */
 object AvroGates extends Catalog {
-
-  /** Fresh temp dir, reaped at JVM exit — repeated bench/verify runs must
-    * not strand copies of the documents table in /tmp.
-    */
-  private def tempDir(prefix: String): String = {
-    val p = Files.createTempDirectory(prefix)
-    sys.addShutdownHook {
-      import java.nio.file.{Files => F, Path}
-      import java.util.Comparator
-      try F.walk(p).sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => F.deleteIfExists(f))
-      catch { case _: Throwable => () }
-    }
-    p.toString
-  }
 
   private def roundTrip(s: SparkSession, dir: String,
       options: Map[String, String] = Map.empty): DataFrame = {

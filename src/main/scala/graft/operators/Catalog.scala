@@ -15,6 +15,22 @@ trait Catalog {
 
   protected def table(spark: SparkSession, dir: String, name: String): DataFrame =
     Catalog.load(spark, dir, name)
+
+  /** Fresh temp dir for gates that materialize intermediate datasets,
+    * reaped at JVM exit so repeated bench/verify runs leave nothing in
+    * /tmp.
+    */
+  protected def tempDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    sys.addShutdownHook {
+      import java.nio.file.{Files => JF, Path}
+      import java.util.Comparator
+      try JF.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => JF.deleteIfExists(f))
+      catch { case _: Throwable => () }
+    }
+    p.toString
+  }
 }
 
 object Catalog {

@@ -1,7 +1,46 @@
 package graft.operators
 
-import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.{SparkSession, functions => F}
 import graft.functions.ZOrder
+
+/** Size-targeted small-file compaction — the OPTIMIZE/maintenance
+  * primitive that keeps scan task counts sane after streaming appends or
+  * over-parallel writes. The output file count comes from the REAL
+  * on-disk bytes (not row counts), so a 100 TB table compacts toward the
+  * configured target regardless of row width; the rewrite is one
+  * round-robin repartition (no keys → no skew, each output file an even
+  * byte share).
+  */
+object Compact {
+  /** Rewrite the parquet dataset at `in` into `out` targeting
+    * `targetBytes` per file; returns the chosen output file count.
+    */
+  def compact(spark: SparkSession, in: String, out: String,
+      targetBytes: Long): Int = {
+    val bytes = listBytes(in)
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(in).repartition(n)
+      .write.mode("overwrite").parquet(out)
+    n
+  }
+
+  private def isData(f: java.io.File): Boolean =
+    f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith(".")
+
+  /** Total bytes of data files under `dir` (ignores _SUCCESS, hidden
+    * .crc checksums, and other metadata).
+    */
+  def listBytes(dir: String): Long = {
+    val files = new java.io.File(dir).listFiles()
+    if (files == null) 0L else files.filter(isData).map(_.length()).sum
+  }
+
+  /** Count of data files under `dir`. */
+  def dataFiles(dir: String): Int = {
+    val files = new java.io.File(dir).listFiles()
+    if (files == null) 0 else files.count(isData)
+  }
+}
 
 /** Data-layout operators: multi-dimensional (z-order) clustering keys.
   *
@@ -25,7 +64,27 @@ object Layout extends Catalog {
           (F.col("l_partkey") % 256).as("px"),
           (F.col("l_suppkey") % 256).as("sx"))
         .withColumn("zval", ZOrder.zvalue(F.col("px"), F.col("sx"), 8))
-        .orderBy("l_orderkey", "l_linenumber"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // Small-file compaction round trip: fragment the documents table
+    // into 64 files, compact to a byte-budgeted count, and prove the
+    // rewrite is content-invisible (the oracle aggregates the original).
+    // CompactSpec asserts the file-count collapse; the gate pins the
+    // value identity under the driver's hash.
+    "q_compact" -> ((s, dir) => {
+      val frag = tempDir("graft_gate_compact_in")
+      val out = tempDir("graft_gate_compact_out")
+      table(s, dir, "documents").repartition(64)
+        .write.mode("overwrite").parquet(frag)
+      Compact.compact(s, frag, out, 32L * 1024 * 1024)
+      s.read.parquet(out)
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.sum(F.col("n_chars")).as("chars"),
+          F.min("doc_id").as("first_doc"),
+          F.max("doc_id").as("last_doc"))
+        .orderBy("lang", "source")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -36,6 +95,11 @@ object Layout extends Catalog {
                   (((l_partkey % 256 >> i) & 1) << (2*i+1)) +
                   (((l_suppkey % 256 >> i) & 1) << (2*i)))) AS BIGINT) AS zval
          FROM lineitem
-         ORDER BY l_orderkey, l_linenumber"""
+         ORDER BY l_orderkey, l_linenumber""",
+    "q_compact" ->
+      """SELECT lang, source, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS chars,
+                min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM documents GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }
