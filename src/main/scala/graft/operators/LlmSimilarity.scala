@@ -48,6 +48,30 @@ object LlmSimilarity extends Catalog {
     F.floor(F.lit(1000000.0) *
       (dot / (F.sqrt(F.col("qss")) * F.sqrt(F.col("ss")))))
 
+  /** Mutual top-1 neighbor pairs within an IVF cell — (i, j, cos_m) with
+    * i < j. Shared by llm_embed_neardup (reported raw) and
+    * llm_semantic_keep (thresholded into a drop set) so the candidate
+    * definition cannot drift between the two.
+    */
+  private def mutualPairs(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.select(F.col("label"), F.col("vec_id").as("qid"),
+      F.col("embedding").as("qe"), F.col("ss").as("qss"))
+    val w = Window.partitionBy("qid")
+      .orderBy(F.col("cos_m").desc, F.col("nb"))
+    val top1 = q.join(e, "label")
+      .filter(F.col("vec_id") =!= F.col("qid"))
+      .select(F.col("qid"), F.col("vec_id").as("nb"), cosM.as("cos_m"))
+      .withColumn("rn", F.row_number().over(w))
+      .filter(F.col("rn") === 1)
+      .select("qid", "nb", "cos_m")
+    top1.as("x").join(top1.as("y"),
+        F.col("x.nb") === F.col("y.qid") && F.col("y.nb") === F.col("x.qid") &&
+          F.col("x.qid") < F.col("y.qid"))
+      .select(F.col("x.qid").as("i"), F.col("x.nb").as("j"),
+        F.col("x.cos_m").as("cos_m"))
+  }
+
   /** Shared 3-pass integer Lloyd loop (see llm_embed_kmeans for the
     * determinism + scale rationale). Returns (corpus, assigned,
     * centroids): the quantized corpus (vec_id, qx, qx16), the final
@@ -197,24 +221,22 @@ object LlmSimilarity extends Catalog {
         .orderBy("vec_id")),
 
     // Near-dup candidates: mutual top-1 neighbors within a cell.
-    "llm_embed_neardup" -> ((s, dir) => {
-      val e = emb(s, dir)
-      val q = e.select(F.col("label"), F.col("vec_id").as("qid"),
-        F.col("embedding").as("qe"), F.col("ss").as("qss"))
-      val w = Window.partitionBy("qid")
-        .orderBy(F.col("cos_m").desc, F.col("nb"))
-      val top1 = q.join(e, "label")
-        .filter(F.col("vec_id") =!= F.col("qid"))
-        .select(F.col("qid"), F.col("vec_id").as("nb"), cosM.as("cos_m"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") === 1)
-        .select("qid", "nb", "cos_m")
-      top1.as("x").join(top1.as("y"),
-          F.col("x.nb") === F.col("y.qid") && F.col("y.nb") === F.col("x.qid") &&
-            F.col("x.qid") < F.col("y.qid"))
-        .select(F.col("x.qid").as("i"), F.col("x.nb").as("j"),
-          F.col("x.cos_m").as("cos_m"))
-        .orderBy("i")
+    "llm_embed_neardup" -> ((s, dir) =>
+      mutualPairs(s, dir).orderBy("i")),
+
+    // SEMANTIC DEDUP KEEP LIST: the near-dup pairs turned into an actual
+    // dedup decision — for every mutual-NN pair with cos_m ≥ 0.3 the
+    // larger id drops, everything else survives. The drop set is tiny
+    // (bounded by pair count) so the anti join broadcasts; the corpus is
+    // scanned once. This is the embedding-space analogue of
+    // llm_dedup_keep's MinHash survivor list.
+    "llm_semantic_keep" -> ((s, dir) => {
+      val drops = mutualPairs(s, dir)
+        .filter(F.col("cos_m") >= 300000)
+        .select(F.col("j").as("vec_id")).distinct()
+      emb(s, dir).select("vec_id", "label")
+        .join(F.broadcast(drops), Seq("vec_id"), "left_anti")
+        .orderBy("vec_id")
     }),
 
     // LLOYD-ITERATED K-MEANS (3 fixed iterations): the full iterative-ML
@@ -513,6 +535,19 @@ object LlmSimilarity extends Catalog {
        FROM top1 x JOIN top1 y
          ON x.nb = y.qid AND y.nb = x.qid AND x.qid < y.qid
        ORDER BY i"""),
+    "llm_semantic_keep" -> (oracleProbe +
+      """,
+       top1 AS (
+         SELECT qid, vec_id AS nb, cos_m FROM ranked WHERE rn = 1),
+       mut AS (
+         SELECT x.qid AS i, y.qid AS j, x.cos_m
+         FROM top1 x JOIN top1 y
+           ON x.nb = y.qid AND y.nb = x.qid AND x.qid < y.qid),
+       drops AS (
+         SELECT DISTINCT j AS vec_id FROM mut WHERE cos_m >= 300000)
+       SELECT e.vec_id, e.label FROM embeddings e
+       WHERE e.vec_id NOT IN (SELECT vec_id FROM drops)
+       ORDER BY e.vec_id"""),
     "llm_embed_centroids" ->
       """WITH e AS (
            SELECT vec_id, embedding,
