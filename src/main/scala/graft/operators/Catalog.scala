@@ -20,7 +20,14 @@ trait Catalog {
     * reaped at JVM exit so repeated bench/verify runs leave nothing in
     * /tmp.
     */
-  protected def tempDir(prefix: String): String = {
+  protected def tempDir(prefix: String): String = Catalog.tempDir(prefix)
+}
+
+object Catalog {
+  import org.apache.spark.sql.{functions => F}
+
+  /** Shutdown-hook-reaped temp dir (shared by gates and specs). */
+  def tempDir(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
     sys.addShutdownHook {
       import java.nio.file.{Files => JF, Path}
@@ -31,10 +38,6 @@ trait Catalog {
     }
     p.toString
   }
-}
-
-object Catalog {
-  import org.apache.spark.sql.{functions => F}
 
   /** Load one testdata table. The `events` table carries TIMESTAMP(NANOS)
     * which Spark 4 refuses to read natively; read nanos as long and convert

@@ -24,22 +24,26 @@ object Compact {
     n
   }
 
-  private def isData(f: java.io.File): Boolean =
-    f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith(".")
-
-  /** Total bytes of data files under `dir` (ignores _SUCCESS, hidden
-    * .crc checksums, and other metadata).
+  /** Data files under `dir`, RECURSIVE — a partitionBy layout nests its
+    * files in key=value subdirectories, and a non-recursive listing
+    * would report 0 bytes and collapse the rewrite to one partition.
+    * Hidden/metadata entries (_SUCCESS, .crc) are skipped at every
+    * level. Local-filesystem only, like the rest of this test harness;
+    * a cluster deployment would route through Hadoop's FileSystem.
     */
-  def listBytes(dir: String): Long = {
-    val files = new java.io.File(dir).listFiles()
-    if (files == null) 0L else files.filter(isData).map(_.length()).sum
+  private def walk(f: java.io.File): Seq[java.io.File] = {
+    val name = f.getName
+    if (name.startsWith("_") || name.startsWith(".")) Seq.empty
+    else if (f.isFile) Seq(f)
+    else Option(f.listFiles()).toSeq.flatten.flatMap(walk)
   }
 
-  /** Count of data files under `dir`. */
-  def dataFiles(dir: String): Int = {
-    val files = new java.io.File(dir).listFiles()
-    if (files == null) 0 else files.count(isData)
-  }
+  /** Total bytes of data files under `dir` (recursive). */
+  def listBytes(dir: String): Long =
+    walk(new java.io.File(dir)).map(_.length()).sum
+
+  /** Count of data files under `dir` (recursive). */
+  def dataFiles(dir: String): Int = walk(new java.io.File(dir)).size
 }
 
 /** Data-layout operators: multi-dimensional (z-order) clustering keys.

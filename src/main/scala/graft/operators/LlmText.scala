@@ -166,19 +166,17 @@ object LlmText extends Catalog {
         .orderBy("lang", "shard_id")
     }),
 
-    // Corpus term statistics — the integer core of TF-IDF/BM25 scoring
-    // (kept log-free: both engines' ln need not be bit-identical, and the
-    // downstream scorer can apply its own weighting). Two partial-agg
-    // shuffles: (doc, word) then word — both keyed on vocabulary-bounded
-    // values.
     // Deterministic train/val/test split: content-hash bucketing (first
     // 4 md5 hex chars mod 100 → 90/5/5), so assignment is stable under
     // reprocessing, independent of row order or partitioning, and
     // reproducible from the text alone — the property a 100 TB corpus
     // needs (no global shuffle, no stored split table, leakage-proof
-    // because duplicates always land in the same split).
+    // because duplicates always land in the same split). Repartition
+    // first: the single-row-group testdata file would otherwise run the
+    // per-row md5 pass on one core.
     "llm_split_assign" -> ((s, dir) =>
       table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .filter(F.col("text").isNotNull)
         .withColumn("b",
           F.conv(F.substring(F.md5(F.col("text")), 1, 4), 16, 10)
@@ -214,6 +212,11 @@ object LlmText extends Catalog {
         .orderBy("rk")
     }),
 
+    // Corpus term statistics — the integer core of TF-IDF/BM25 scoring
+    // (kept log-free: both engines' ln need not be bit-identical, and the
+    // downstream scorer can apply its own weighting). Two partial-agg
+    // shuffles: (doc, word) then word — both keyed on vocabulary-bounded
+    // values.
     "llm_tfdf" -> ((s, dir) =>
       docs(s, dir)
         .select(F.col("doc_id"), F.explode(F.col("w")).as("word"))
