@@ -40,6 +40,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     catalogs.flatMap(_.queries).toMap
 
+  /** All gate names INCLUDING any cross-catalog duplicates — the contract
+    * spec asserts none exist (a duplicate would silently shadow a gate in
+    * the `toMap` above).
+    */
+  def allQueryNames: Seq[String] = catalogs.flatMap(_.queries.keys)
+
   def oracleSql: Map[String, String] =
     catalogs.flatMap(_.oracles).toMap
 }

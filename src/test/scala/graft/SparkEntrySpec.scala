@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Driver-contract guards: every gate has exactly one definition and one
+  * oracle. A duplicated name across catalogs would silently shadow a gate
+  * in `toMap`; a queries/oracles key mismatch would demote a gate to the
+  * driver's weaker rows-only check without anything failing locally.
+  */
+class SparkEntrySpec extends AnyFunSuite with Matchers {
+
+  test("gate names are unique across catalogs (no silent shadowing)") {
+    val all = SparkEntry.allQueryNames
+    val dups = all.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    dups shouldBe empty
+    all.size shouldBe SparkEntry.queries.size
+  }
+
+  test("every query has an oracle and every oracle has a query") {
+    SparkEntry.queries.keySet shouldBe SparkEntry.oracleSql.keySet
+  }
+
+  test("no oracle references a table the testdata does not ship") {
+    val tables = Set("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      val froms = "(?i)(?:FROM|JOIN)\\s+([a-zA-Z_][a-zA-Z_0-9]*)".r
+        .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+      // CTE names: `name AS (` — anything FROM/JOIN-referenced that is
+      // neither a CTE nor a known table is a typo the driver hits first
+      // optional (col, ...) list covers recursive-CTE declarations
+      val ctes =
+        "(?i)([a-zA-Z_][a-zA-Z_0-9]*)\\s*(?:\\([^)]*\\))?\\s+AS\\s*\\(".r
+        .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+      val unknown = froms.filterNot(t => tables(t) || ctes(t))
+      withClue(s"$name: $unknown") { unknown shouldBe empty }
+    }
+  }
+}
