@@ -212,6 +212,27 @@ object LlmText extends Catalog {
         .orderBy("rk")
     }),
 
+    // Rarity scoring: per-document sum of integer inverse document
+    // frequency over DISTINCT words — the log-free surprisal proxy that
+    // flags boilerplate (low rarity) vs specialist text (high). idf_m =
+    // (1e6·N) intdiv df is exact integer arithmetic (positive operands,
+    // so Spark div ≡ DuckDB //); the df table shuffles once on word with
+    // partial aggregation, the one-row corpus count broadcasts.
+    "llm_rarity" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val dw = d.select(F.col("doc_id"),
+        F.explode(F.array_distinct(F.col("w"))).as("word"))
+        .filter(F.col("word") =!= "")
+      val dfreq = dw.groupBy("word").agg(F.count(F.lit(1)).as("df"))
+      val nd = d.agg(F.count(F.lit(1)).as("nd"))
+      dw.join(dfreq, "word").crossJoin(F.broadcast(nd))
+        .withColumn("idf_m", F.expr("(1000000 * nd) div df"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).as("n_distinct"),
+          F.sum("idf_m").as("rarity_m"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus term statistics — the integer core of TF-IDF/BM25 scoring
     // (kept log-free: both engines' ln need not be bit-identical, and the
     // downstream scorer can apply its own weighting). Two partial-agg
@@ -485,6 +506,20 @@ object LlmText extends Catalog {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                   / total.tot) AS BIGINT) AS cov_m
          FROM top t, total ORDER BY rk""",
+    "llm_rarity" ->
+      """WITH dw AS (
+           SELECT doc_id, word FROM (
+             SELECT doc_id,
+                    unnest(list_distinct(string_split(text, ' '))) AS word
+             FROM documents)
+           WHERE word <> ''),
+         dfreq AS (SELECT word, count(*) AS df FROM dw GROUP BY word),
+         nd AS (SELECT count(*) AS nd FROM documents)
+         SELECT d.doc_id, count(*) AS n_distinct,
+                CAST(sum((1000000 * nd.nd) // dfreq.df) AS BIGINT)
+                  AS rarity_m
+         FROM dw d JOIN dfreq USING (word), nd
+         GROUP BY d.doc_id ORDER BY d.doc_id""",
     "llm_tfdf" ->
       """WITH tf AS (
            SELECT doc_id, word, count(*) AS tf
