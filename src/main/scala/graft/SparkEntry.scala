@@ -42,9 +42,16 @@ object SparkEntry {
 
   /** All gate names INCLUDING any cross-catalog duplicates — the contract
     * spec asserts none exist (a duplicate would silently shadow a gate in
-    * the `toMap` above).
+    * the `toMap` above). Within-catalog duplicates are invisible here
+    * (the Map literal already deduped them); only cross-catalog shadowing
+    * is detectable at this layer.
     */
   def allQueryNames: Seq[String] = catalogs.flatMap(_.queries.keys)
+
+  /** Same, for oracle names — a duplicated oracle alone would silently
+    * verify a gate against the wrong SQL.
+    */
+  def allOracleNames: Seq[String] = catalogs.flatMap(_.oracles.keys)
 
   def oracleSql: Map[String, String] =
     catalogs.flatMap(_.oracles).toMap

@@ -518,7 +518,7 @@ object LlmText extends Catalog {
          SELECT d.doc_id, count(*) AS n_distinct,
                 CAST(sum((1000000 * nd.nd) // dfreq.df) AS BIGINT)
                   AS rarity_m
-         FROM dw d JOIN dfreq USING (word), nd
+         FROM dw d JOIN dfreq USING (word) CROSS JOIN nd
          GROUP BY d.doc_id ORDER BY d.doc_id""",
     "llm_tfdf" ->
       """WITH tf AS (

@@ -17,6 +17,13 @@ class SparkEntrySpec extends AnyFunSuite with Matchers {
     all.size shouldBe SparkEntry.queries.size
   }
 
+  test("oracle names are unique across catalogs (no wrong-oracle pairing)") {
+    val all = SparkEntry.allOracleNames
+    val dups = all.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    dups shouldBe empty
+    all.size shouldBe SparkEntry.oracleSql.size
+  }
+
   test("every query has an oracle and every oracle has a query") {
     SparkEntry.queries.keySet shouldBe SparkEntry.oracleSql.keySet
   }
@@ -25,8 +32,18 @@ class SparkEntrySpec extends AnyFunSuite with Matchers {
     val tables = Set("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
     SparkEntry.oracleSql.foreach { case (name, sql) =>
-      val froms = "(?i)(?:FROM|JOIN)\\s+([a-zA-Z_][a-zA-Z_0-9]*)".r
-        .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+      // capture the whole relation list after FROM/JOIN up to the next
+      // clause keyword, then take the first word of each comma-separated
+      // relation — `FROM top t, total` checks BOTH top and total.
+      // (House style: comma-relations only directly after FROM; elsewhere
+      // spell CROSS JOIN so this guard sees the reference.)
+      val seg = ("(?is)\\b(?:FROM|JOIN)\\s+([^()]*?)(?=\\bWHERE\\b|" +
+        "\\bGROUP\\b|\\bORDER\\b|\\bJOIN\\b|\\bON\\b|\\bUSING\\b|" +
+        "\\bLIMIT\\b|$)").r
+      val froms = seg.findAllMatchIn(sql)
+        .flatMap(_.group(1).split(',').iterator.map(_.trim)
+          .filter(_.nonEmpty).map(_.split("\\s+").head.toLowerCase))
+        .filter(_.matches("[a-z_][a-z_0-9]*")).toSet
       // CTE names: `name AS (` — anything FROM/JOIN-referenced that is
       // neither a CTE nor a known table is a typo the driver hits first
       // optional (col, ...) list covers recursive-CTE declarations
