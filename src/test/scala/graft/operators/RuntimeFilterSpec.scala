@@ -17,7 +17,7 @@ import org.scalatest.matchers.should.Matchers
 class RuntimeFilterSpec extends AnyFunSuite with SparkSpec with Matchers {
 
   test("a selective dim join injects a bloom filter on the fact side") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_rtf").toString
+    val dir = graft.operators.Catalog.tempDir("graft_rtf")
     spark.range(20000)
       .select(F.col("id").as("fk"), (F.col("id") % 1000).as("k"),
         F.md5(F.col("id").cast("string")).as("pay"))

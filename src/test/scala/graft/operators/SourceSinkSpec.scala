@@ -19,7 +19,7 @@ class SourceSinkSpec extends AnyWordSpec with Matchers with SparkSpec {
   "file sources" should {
     "round-trip csv and json with schemas" in {
       import spark.implicits._
-      val dir = Files.createTempDirectory("graft_src").toString
+      val dir = graft.operators.Catalog.tempDir("graft_src")
       val df = Seq((1L, "a", 1.5), (2L, "b", -2.0)).toDF("id", "name", "v")
 
       df.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
@@ -34,7 +34,7 @@ class SourceSinkSpec extends AnyWordSpec with Matchers with SparkSpec {
 
     "prune partitions on a partitioned parquet layout" in {
       import spark.implicits._
-      val dir = Files.createTempDirectory("graft_part").toString
+      val dir = graft.operators.Catalog.tempDir("graft_part")
       val df = (0 until 1000)
         .map(i => (i.toLong, s"2024-01-${"%02d".format(i % 10 + 1)}", i * 1.0))
         .toDF("id", "day", "v")

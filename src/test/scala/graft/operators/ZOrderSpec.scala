@@ -41,7 +41,7 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
 
   test("z-order clustering prunes on both dimensions; linear sort only on its leading column") {
-    val base = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val base = graft.operators.Catalog.tempDir("graft_zorder")
     val zDir = s"$base/zorder"
     val linDir = s"$base/linear"
 

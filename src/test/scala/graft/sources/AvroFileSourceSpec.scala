@@ -11,7 +11,7 @@ import org.scalatest.matchers.should.Matchers
 /** Specs for the graft-avro DataSource V2 source/sink. */
 class AvroFileSourceSpec extends AnyFunSuite with SparkSpec with Matchers {
 
-  private def tmp() = Files.createTempDirectory("graft_avro_src").toString
+  private def tmp() = graft.operators.Catalog.tempDir("graft_avro_src")
 
   test("round-trips the documents table through avro container files") {
     val dir = tmp()

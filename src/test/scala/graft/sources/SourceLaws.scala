@@ -85,7 +85,7 @@ object SourceLaws extends Properties("SourceLaws") {
   // Law: writing any schema/rows through graft-avro and reading back is
   // the identity on the row multiset (schema names preserved in order).
   property("graft-avro round trip is the identity") = Prop.forAll(caseGen) { c =>
-    val dir = Files.createTempDirectory("graft_avro_law").toString
+    val dir = graft.operators.Catalog.tempDir("graft_avro_law")
     val in = df(c)
     in.write.format("graft-avro").mode("append").save(dir)
     val back = spark.read.format("graft-avro").load(dir)
@@ -158,7 +158,7 @@ object SourceLaws extends Properties("SourceLaws") {
     Prop.forAll(Gen.listOfN(12, fpRowGen), predGen(2)) { (rows, dp) =>
       val (desc, pred) = dp
       import scala.jdk.CollectionConverters._
-      val dir = Files.createTempDirectory("graft_avro_fp").toString
+      val dir = graft.operators.Catalog.tempDir("graft_avro_fp")
       val in = spark.createDataFrame(rows.asJava, fpSchema)
       in.write.format("graft-avro").mode("append").save(dir)
       val avro = spark.read.format("graft-avro").schema(fpSchema).load(dir)
@@ -172,7 +172,7 @@ object SourceLaws extends Properties("SourceLaws") {
   // exactly). One shared 5000-row single-file dataset; random sizes span
   // sub-block to whole-file.
   private lazy val splitDir: String = {
-    val dir = Files.createTempDirectory("graft_avro_split_law").toString
+    val dir = graft.operators.Catalog.tempDir("graft_avro_split_law")
     spark.range(5000).selectExpr("id", "md5(cast(id as string)) as h")
       .coalesce(1).write.format("graft-avro").mode("append").save(dir)
     dir
@@ -195,7 +195,7 @@ object SourceLaws extends Properties("SourceLaws") {
     val rows = Gen.listOfN(40, fpRowGen).sample.get
     import scala.jdk.CollectionConverters._
     val in = spark.createDataFrame(rows.asJava, fpSchema)
-    val dir = Files.createTempDirectory("graft_avro_prune_law").toString
+    val dir = graft.operators.Catalog.tempDir("graft_avro_prune_law")
     in.write.format("graft-avro").option("partitionBy", "s")
       .mode("append").save(dir)
     (dir, in)
@@ -230,8 +230,8 @@ object SourceLaws extends Properties("SourceLaws") {
   property("journal compaction preserves exactly-once across restarts") =
     Prop.forAll(Gen.listOfN(8, stepGen)) { steps =>
       import org.apache.spark.sql.connector.read.streaming.ReadLimit
-      val dir = Files.createTempDirectory("graft_law_stream").toFile
-      val ckpt = Files.createTempDirectory("graft_law_ckpt").toString
+      val dir = new java.io.File(graft.operators.Catalog.tempDir("graft_law_stream"))
+      val ckpt = graft.operators.Catalog.tempDir("graft_law_ckpt")
       val schema = new StructType().add("id", LongType)
       def mkStream() =
         new AvroMicroBatchStream(dir.getPath, schema, schema, ckpt,

@@ -70,7 +70,7 @@ class StreamingSpec extends AnyWordSpec with Matchers with SparkSpec {
     "stream a parquet directory through a GraftSql projection" in {
       import graft.sql.GraftSql.implicits._
       import spark.implicits._
-      val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+      val dir = graft.operators.Catalog.tempDir("graft_stream")
       val batch1 = Seq(SOuter(1, SInner(1.5, "A")), SOuter(2, SInner(2.5, "B")))
       batch1.toDF().write.mode("append").parquet(dir)
 
