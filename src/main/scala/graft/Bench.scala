@@ -23,6 +23,28 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Fixed CPU-bound calibration task, run before AND after the query
+    // loop. A loaded benchmark box inflates every wall-clock number
+    // uniformly (r5 and r6 both measured ~2.4x driver-vs-clean on identical
+    // binaries); calib_sec makes that detectable from the artifact itself:
+    // the task is single-threaded, allocation-free after warmup, and
+    // deterministic, so its runtime varies only with machine contention.
+    // Normalize by comparing calib_sec against a known-quiet run's value
+    // (see README.md "Bench calibration").
+    def calibrate(): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val buf = new Array[Byte](64)
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < 300000) {
+        buf(0) = (i & 0xff).toByte
+        md.update(buf)
+        md.digest(md.digest()) // keep the result live; no allocation growth
+        i += 1
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+
     // Untimed warmup: JVM/codegen/parquet-reader init otherwise lands on
     // whichever query happens to run first.
     try {
@@ -31,6 +53,9 @@ object Bench {
       spark.read.parquet(s"$sfDir/region.parquet")
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
+
+    calibrate() // untimed: let JIT compile the loop before measuring it
+    val calibPre = calibrate()
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // SPARK_GRAFT_BENCH_REPS=n (default 2): run each query n times and
@@ -75,6 +100,12 @@ object Bench {
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }
       .mkString("{", ",", "}")
+    val calibPost = calibrate()
+    // One number for the artifact: the MAX of pre/post, i.e. the worst
+    // contention observed while the bench ran. Compare against a quiet-box
+    // reference (committed clean runs measure ~0.1-0.2 s) — if calib_sec is
+    // 2x that, every query time in this artifact is inflated by contention.
+    val calibSec = math.max(calibPre, calibPost)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // The driver captures only the LAST 2000 chars of stdout and parses the
     // JSON line out of that tail (BENCH_r1..r3 all show `parsed: null` —
@@ -88,13 +119,13 @@ object Bench {
           "llm_pipeline_e2e", "q_topk_native").contains(k)
     }
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${toJson(results)},"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"calib_sec":${fmt(calibSec)},"calib_pre":${fmt(calibPre)},"calib_post":${fmt(calibPost)},"queries":${toJson(results)},"errors":$errJson,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
         detail.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(headline)},"sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(headline)},"sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"calib_sec":${fmt(calibSec)}}"""
     // stop() BEFORE the println: the JSON line must be the LAST thing on
     // stdout (driver contract) and session teardown may log.
     spark.stop()

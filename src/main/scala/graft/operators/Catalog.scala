@@ -26,16 +26,32 @@ trait Catalog {
 object Catalog {
   import org.apache.spark.sql.{functions => F}
 
-  /** Shutdown-hook-reaped temp dir (shared by gates and specs). */
-  def tempDir(prefix: String): String = {
-    val p = java.nio.file.Files.createTempDirectory(prefix)
+  /** Shutdown-hook-reaped temp dir (shared by gates and specs). ONE hook
+    * drains a queue of registered dirs — a hook Thread per tempDir call
+    * would leave ScalaCheck-heavy test JVMs (hundreds of dirs) running
+    * hundreds of concurrent deleter threads at exit.
+    */
+  private val reapQueue =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val reaperInstalled: Unit = {
     sys.addShutdownHook {
       import java.nio.file.{Files => JF, Path}
       import java.util.Comparator
-      try JF.walk(p).sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => JF.deleteIfExists(f))
-      catch { case _: Throwable => () }
+      var p = reapQueue.poll()
+      while (p != null) {
+        try JF.walk(p).sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => JF.deleteIfExists(f))
+        catch { case _: Throwable => () }
+        p = reapQueue.poll()
+      }
     }
+    ()
+  }
+
+  def tempDir(prefix: String): String = {
+    reaperInstalled
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    reapQueue.add(p)
     p.toString
   }
 

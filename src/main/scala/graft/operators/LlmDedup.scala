@@ -18,9 +18,17 @@ import org.apache.spark.sql.{functions => F}
   *    the per-word hash array); Hamming-ball grouping on the signature is
   *    then an equality/bucket problem, not a pairwise one.
   *  - llm_ngram_jaccard demonstrates the bounded-bucket pairwise pattern:
-  *    pairs form only within (lang, source) micro-buckets; n-gram sets are
-  *    60-bit hashes so the merge compares longs. Cost is Σ|bucket|²,
-  *    tunable by bucket key.
+  *    pairs form only within (lang, source, length-band) buckets, where the
+  *    band is floor(log2 |bigram set|) and each doc fans into bands
+  *    {b..b+5}. The reporting threshold (jac >= 1/20, compared in exact
+  *    integers as 21*common >= ni+nj) implies nj <= 20*ni < 2^5*ni for any
+  *    reported pair, so qualifying pairs always share a band key — the
+  *    banding is LOSSLESS (NgramBandLaws proves the arithmetic; the DuckDB
+  *    oracle is the unbanded all-pairs query, so the driver hash re-proves
+  *    it on real data). Cost drops from Σ|lang,source bucket|² — quadratic
+  *    in "all English docs from one source" at corpus scale — to
+  *    Σ|adjacent-band window|², bounded by the doc-length distribution.
+  *    N-gram sets are 60-bit hashes so the verify merge compares longs.
   *  - llm_dedup_clusters runs label propagation to fixpoint with eager
   *    lineage checkpoints (iterative DataFrames otherwise replan their
   *    upstream exponentially).
@@ -70,6 +78,40 @@ object LlmDedup extends Catalog {
   private val jac = F.col("common").cast("double") /
     (F.col("ni") + F.col("nj") - F.col("common"))
 
+  /** (tk, doc_id, shs) — shingle sets keyed by an exact-dup group key:
+    * md5 over the sorted-distinct shingle array. Two docs share `tk` iff
+    * their shingle SETS are identical (the only state every downstream
+    * Jaccard quantity depends on), so `tk` groups are exactly the rows
+    * banding cannot distinguish.
+    */
+  private def keyedShingles(s: SparkSession, dir: String): DataFrame =
+    shingleArrays(s, dir)
+      .withColumn("tk", F.md5(F.concat_ws("", F.col("shs"))))
+
+  /** Band-join candidate pairs over exact-dup REPRESENTATIVES (min doc_id
+    * per identical shingle set). Exposed for the skew-guard spec: N
+    * identical documents collapse to ONE representative before banding, so
+    * candidate count stays O(groups²-within-band) instead of the O(N²)
+    * fan-out identical docs would otherwise create in their shared band
+    * bucket — quadratic blow-up on exactly the input dedup exists for.
+    */
+  private[operators] def bandCandidates(s: SparkSession, dir: String): DataFrame = {
+    val d = keyedShingles(s, dir)
+      .groupBy("tk").agg(F.min("doc_id").as("doc_id"), F.first("shs").as("shs"))
+    val bands = d
+      .withColumn("hs", F.transform(F.col("shs"), x => F.md5(x)))
+      .select(F.col("doc_id"),
+        F.concat(bandSig(0), bandSig(1)).as("b0"),
+        F.concat(bandSig(2), bandSig(3)).as("b1"))
+      .select(F.col("doc_id"),
+        F.expr("stack(2, 0, b0, 1, b1) as (k, mh)"))
+    bands.as("x").join(bands.as("y"),
+        F.col("x.k") === F.col("y.k") && F.col("x.mh") === F.col("y.mh") &&
+          F.col("x.doc_id") < F.col("y.doc_id"))
+      .select(F.col("x.doc_id").as("i"), F.col("y.doc_id").as("j"))
+      .distinct()
+  }
+
   /** Verified near-dup pairs: (i < j, common, ni, nj) at Jaccard ≥ 0.5.
     *
     * The 4 32-bit min-hashes pair into 2 bands of r=2 (P(candidate) =
@@ -81,22 +123,24 @@ object LlmDedup extends Catalog {
     * bounded by candidate count, and the shingle arrays travel with the
     * candidate rows so verification is a codegen'd sorted merge — no
     * per-shingle explode join over the corpus.
+    *
+    * Skew guard (stage 0): EXACT duplicates are collapsed to a min-doc_id
+    * representative per identical shingle set BEFORE banding — a corpus
+    * with many copies of one document (the very input dedup exists for)
+    * would otherwise put all copies in one band bucket and fan out O(N²)
+    * candidates that each pay the verify merge. After verification over
+    * representatives, group members are re-attached: intra-group pairs are
+    * emitted directly (Jaccard is exactly 1 — no verify needed), and each
+    * verified rep pair expands to the member cross product with i/j (and
+    * ni/nj) reordered. The oracle stays the unbanded spec, so the driver
+    * hash proves the collapse+expansion exact. MinHashSkewSpec asserts the
+    * O(N) candidate behavior directly via [[bandCandidates]].
     */
   private def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
-    val d = shingleArrays(s, dir)
-    val bands = d
-      .withColumn("hs", F.transform(F.col("shs"), x => F.md5(x)))
-      .select(F.col("doc_id"),
-        F.concat(bandSig(0), bandSig(1)).as("b0"),
-        F.concat(bandSig(2), bandSig(3)).as("b1"))
-      .select(F.col("doc_id"),
-        F.expr("stack(2, 0, b0, 1, b1) as (k, mh)"))
-    val cand = bands.as("x").join(bands.as("y"),
-        F.col("x.k") === F.col("y.k") && F.col("x.mh") === F.col("y.mh") &&
-          F.col("x.doc_id") < F.col("y.doc_id"))
-      .select(F.col("x.doc_id").as("i"), F.col("y.doc_id").as("j"))
-      .distinct()
-    cand
+    val keyed = keyedShingles(s, dir)
+    val d = keyed
+      .groupBy("tk").agg(F.min("doc_id").as("doc_id"), F.first("shs").as("shs"))
+    val repPairs = bandCandidates(s, dir)
       .join(d.select(F.col("doc_id").as("i"), F.col("shs").as("sa")), "i")
       .join(d.select(F.col("doc_id").as("j"), F.col("shs").as("sb")), "j")
       .select(F.col("i"), F.col("j"),
@@ -104,6 +148,28 @@ object LlmDedup extends Catalog {
         F.size(F.col("sa")).cast("long").as("ni"),
         F.size(F.col("sb")).cast("long").as("nj"))
       .filter(jac >= 0.5)
+    // membership (tk, doc_id, n); n travels so expansion never re-reads shs
+    val m = keyed.select(F.col("tk"), F.col("doc_id"),
+      F.size(F.col("shs")).cast("long").as("n"))
+    // intra-group pairs: identical sets, so common = ni = nj = n
+    val intra = m.as("x").join(m.as("y"),
+        F.col("x.tk") === F.col("y.tk") && F.col("x.doc_id") < F.col("y.doc_id"))
+      .select(F.col("x.doc_id").as("i"), F.col("y.doc_id").as("j"),
+        F.col("x.n").as("common"), F.col("x.n").as("ni"), F.col("y.n").as("nj"))
+    // cross-group expansion: rep pair (i,j) → members(i) × members(j),
+    // reordering ids (and their set sizes) so i < j still holds
+    val repTk = keyed.select(F.col("doc_id"), F.col("tk"))
+    val a = F.col("ma.doc_id")
+    val b = F.col("mb.doc_id")
+    val cross = repPairs
+      .join(repTk.select(F.col("doc_id").as("i"), F.col("tk").as("ta")), "i")
+      .join(repTk.select(F.col("doc_id").as("j"), F.col("tk").as("tb")), "j")
+      .join(m.as("ma"), F.col("ta") === F.col("ma.tk"))
+      .join(m.as("mb"), F.col("tb") === F.col("mb.tk"))
+      .select(F.least(a, b).as("i"), F.greatest(a, b).as("j"), F.col("common"),
+        F.when(a < b, F.col("ni")).otherwise(F.col("nj")).as("ni"),
+        F.when(a < b, F.col("nj")).otherwise(F.col("ni")).as("nj"))
+    intra.unionAll(cross)
   }
 
   val queries: Map[String, Q] = Map(
@@ -267,13 +333,17 @@ object LlmDedup extends Catalog {
         .orderBy("doc_id")
     }),
 
-    // Bucketed pairwise 2-gram Jaccard: all pairs within each
-    // (lang, source) micro-bucket, set intersection via array HOFs.
+    // Bucketed pairwise 2-gram Jaccard at reporting threshold jac >= 1/20,
+    // compared in exact integers (21*common >= ni+nj — no float boundary).
+    // Pairs form only within (lang, source, length-band) buckets; the band
+    // fan-out {b..b+5} is lossless for the threshold (see scaladoc above;
+    // NgramBandLaws has the proof, and the oracle is the UNBANDED all-pairs
+    // query so the driver hash verifies no pair was lost on real data).
     "llm_ngram_jaccard" -> ((s, dir) => {
       VectorFunctions.register(s)
       // bigrams are represented by 60-bit md5-prefix hashes: the pairwise
       // merge then compares longs instead of strings (~4x cheaper), and the
-      // 8-byte elements shrink the arrays the bucket join carries.
+      // 8-byte elements shrink the arrays the verify join carries.
       val d = table(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
         .withColumn("w", F.split(F.col("text"), " "))
@@ -284,15 +354,34 @@ object LlmDedup extends Catalog {
               F.expr("transform(sequence(1, size(w)-1), i -> concat_ws(' ', slice(w, i, 2)))")),
             bg => F.conv(F.substring(F.md5(bg), 1, 15), 16, 10).cast("long"))))
             .as("gs"))
-      val a = d.select(F.col("lang"), F.col("source"), F.col("doc_id").as("i"),
-        F.col("gs").as("ga"))
-      val b = d.select(F.col("lang"), F.col("source"), F.col("doc_id").as("j"),
-        F.col("gs").as("gb"))
-      a.join(b, Seq("lang", "source")).filter(F.col("i") < F.col("j"))
+      // band = floor(log2 n) computed as binary-digit count (pure
+      // integer/string arithmetic — no float log at power-of-2 boundaries).
+      // Candidates carry only (lang, source, band, id, n) — 5 narrow
+      // columns; the bigram arrays join in AFTER candidate distinct.
+      val keys = d
+        .withColumn("n", F.size(F.col("gs")))
+        .withColumn("band", F.length(F.conv(F.col("n"), 10, 2)).cast("int") - 1)
+        .select(F.col("lang"), F.col("source"), F.col("doc_id"), F.col("n"),
+          F.explode(F.sequence(F.col("band"), F.col("band") + 5)).as("bk"))
+      val kx = keys.select(F.col("lang"), F.col("source"), F.col("bk"),
+        F.col("doc_id").as("i"), F.col("n").as("na"))
+      val ky = keys.select(F.col("lang"), F.col("source"), F.col("bk"),
+        F.col("doc_id").as("j"), F.col("n").as("nb"))
+      val cand = kx.join(ky, Seq("lang", "source", "bk"))
+        .filter(F.col("i") < F.col("j") &&
+          // exact ratio prune implied by the threshold: nj <= 20*ni and
+          // ni <= 20*nj — kills same-band pairs that cannot qualify
+          F.greatest(F.col("na"), F.col("nb")) <=
+            F.lit(20) * F.least(F.col("na"), F.col("nb")))
+        .select("lang", "source", "i", "j").distinct()
+      cand
+        .join(d.select(F.col("doc_id").as("i"), F.col("gs").as("ga")), "i")
+        .join(d.select(F.col("doc_id").as("j"), F.col("gs").as("gb")), "j")
         .select(F.col("lang"), F.col("source"), F.col("i"), F.col("j"),
           VectorFunctions.sorted_overlap(F.col("ga"), F.col("gb")).cast("long").as("common"),
           F.size(F.col("ga")).cast("long").as("ni"),
           F.size(F.col("gb")).cast("long").as("nj"))
+        .filter(F.lit(21) * F.col("common") >= F.col("ni") + F.col("nj"))
         .withColumn("jac_m", F.floor(F.lit(1000000.0) *
           (F.col("common").cast("double") /
             (F.col("ni") + F.col("nj") - F.col("common")))))
@@ -492,6 +581,7 @@ object LlmDedup extends Catalog {
                   AS BIGINT) AS jac_m
          FROM d a JOIN d b
            ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         WHERE 21 * len(list_intersect(a.gs, b.gs)) >= len(a.gs) + len(b.gs)
          ORDER BY a.lang, a.source, i, j"""
   )
 }
