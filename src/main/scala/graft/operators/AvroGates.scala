@@ -14,6 +14,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
   */
 object AvroGates extends Catalog {
 
+  /** Watermark-advance no-data micro-batches are what flush closed-window
+    * state after a sentinel; the gates that rely on them pin the default.
+    */
+  private[operators] def pinNoDataBatches(s: SparkSession): Unit = {
+    val k = "spark.sql.streaming.noDataMicroBatches.enabled"
+    if (!s.conf.getOption(k).contains("true")) s.conf.set(k, "true")
+  }
+
   private def roundTrip(s: SparkSession, dir: String,
       options: Map[String, String] = Map.empty): DataFrame = {
     val tmp = tempDir("graft_gate_avro")
@@ -105,6 +113,11 @@ object AvroGates extends Catalog {
     // sum is per-row floor-scaled to integers so the cross-batch
     // accumulation order cannot drift vs the oracle.
     "q_stream_window" -> ((s, dir) => {
+      // the sentinel-flush mechanics need the extra no-data micro-batch
+      // that evicts closed-window state after the watermark advances; pin
+      // the default (guarded, one-time) so a conf drift cannot silently
+      // shrink the emitted row set
+      AvroGates.pinNoDataBatches(s)
       val src = tempDir("graft_gate_swin_src")
       val out = tempDir("graft_gate_swin_out")
       val ckpt = tempDir("graft_gate_swin_ckpt")
@@ -176,6 +189,7 @@ object AvroGates extends Catalog {
     // side re-resolves inside a streaming plan and the enriched
     // multiset matches the batch join bit-for-bit.
     "q_stream_enrich" -> ((s, dir) => {
+      AvroGates.pinNoDataBatches(s) // see q_stream_window
       val src = tempDir("graft_gate_senr_src")
       val out = tempDir("graft_gate_senr_out")
       val ckpt = tempDir("graft_gate_senr_ckpt")

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{SparkSession, functions => F}
+
+/** Oracle gates for the text-format sources (CSV, JSON lines) and the
+  * stream-stream join — the most common real-user entry points that were
+  * previously covered unit-only (SourceSinkSpec / StreamingSpec).
+  *
+  * The CSV/JSON gates write the documents table through the format and
+  * read it back with an EXPLICIT schema (type inference is banned at
+  * scale: a schema-inference pass reads the whole dataset twice), then
+  * aggregate with a content fingerprint (sum of 60-bit md5 prefixes over
+  * `text`) so any value corruption in the round trip — quoting, escaping,
+  * charset, type coercion — breaks the driver hash. The oracle aggregates
+  * the parquet original: the format round trip must be value-invisible.
+  */
+object SourceGates extends Catalog {
+
+  /** Per-lang aggregate whose columns pin both values and types:
+    * row multiset (n_docs), numeric fidelity (chars), string fidelity to
+    * the exact byte (text_fp — order-independent sum of per-doc 48-bit
+    * md5 prefixes; even 10^4 docs per group stays below 2^62).
+    */
+  private def contentAgg(df: org.apache.spark.sql.DataFrame) =
+    df.groupBy("lang")
+      .agg(F.count(F.lit(1)).as("n_docs"),
+        F.sum(F.col("n_chars")).as("chars"),
+        F.sum(F.conv(F.substring(F.md5(F.col("text")), 1, 12), 16, 10)
+          .cast("long")).as("text_fp"))
+      .orderBy("lang")
+
+  private val contentAggSql =
+    """SELECT lang, count(*) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS chars,
+              CAST(sum(CAST('0x' || substring(md5(text), 1, 12) AS BIGINT))
+                AS BIGINT) AS text_fp
+       FROM documents GROUP BY lang ORDER BY lang"""
+
+  val queries: Map[String, Q] = Map(
+
+    // parquet → csv (header, RFC-4180 quote-doubling) → explicit-schema
+    // read → fingerprint aggregate. escape = quote gives the standard
+    // "" doubling on write AND read, so a future corpus with embedded
+    // quotes still round-trips.
+    "q_csv_roundtrip" -> ((s, dir) => {
+      val tmp = tempDir("graft_gate_csv")
+      val docs = table(s, dir, "documents")
+      docs.write.mode("overwrite")
+        .option("header", "true").option("escape", "\"")
+        .csv(tmp)
+      contentAgg(
+        s.read.schema(docs.schema)
+          .option("header", "true").option("escape", "\"")
+          .csv(tmp))
+    }),
+
+    // parquet → JSON lines → explicit-schema read → fingerprint
+    // aggregate. JSON is schemaless on disk; the explicit read schema is
+    // what keeps doc_id/n_chars LONG instead of inferred widths.
+    "q_json_lines" -> ((s, dir) => {
+      val tmp = tempDir("graft_gate_json")
+      val docs = table(s, dir, "documents")
+      docs.write.mode("overwrite").json(tmp)
+      contentAgg(s.read.schema(docs.schema).json(tmp))
+    }),
+
+    // STREAM-STREAM INTERVAL JOIN under the oracle: clicks and purchases
+    // arrive as two file streams (3 micro-batches each), inner-joined on
+    // user with purchase within 6 hours after the click, rows appended to
+    // the graft-avro sink as they match. Inner stream-stream joins emit
+    // eagerly (no window close needed — no sentinel), and the 90-day
+    // watermarks exceed the data span so state eviction can never drop a
+    // late match: the emitted multiset must equal the batch join exactly.
+    // Timestamps are emitted as epoch micros (BIGINT) — no cross-engine
+    // timestamp rendering in the compare; event_id pairs make the ORDER BY
+    // unique.
+    "q_stream_join" -> ((s, dir) => {
+      // the watermark-advance no-data batch is load-bearing for state
+      // cleanup determinism; pin the default so a config drift cannot
+      // silently change emission
+      AvroGates.pinNoDataBatches(s)
+      val srcL = tempDir("graft_gate_sj_clicks")
+      val srcR = tempDir("graft_gate_sj_purch")
+      val out = tempDir("graft_gate_sj_out")
+      val ckpt = tempDir("graft_gate_sj_ckpt")
+      val ev = table(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      ev.filter(F.col("event_type") === "click")
+        .repartition(3, F.col("event_id"))
+        .write.mode("overwrite").parquet(srcL)
+      ev.filter(F.col("event_type") === "purchase")
+        .repartition(3, F.col("event_id"))
+        .write.mode("overwrite").parquet(srcR)
+      val clicks = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcL)
+        .withWatermark("ts", "90 days")
+        .select(F.col("event_id").as("click_id"), F.col("ts").as("cts"),
+          F.col("user_id"),
+          F.floor(F.col("value") * 1000).cast("long").as("click_m"))
+      val purchases = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcR)
+        .withWatermark("ts", "90 days")
+        .select(F.col("event_id").as("purchase_id"), F.col("ts").as("pts"),
+          F.col("user_id").as("p_user"),
+          F.floor(F.col("value") * 1000).cast("long").as("purchase_m"))
+      val joined = clicks.join(purchases,
+          F.col("user_id") === F.col("p_user") &&
+            F.col("pts") >= F.col("cts") &&
+            F.col("pts") <= F.col("cts") + F.expr("INTERVAL 6 HOURS"))
+        .select(F.col("click_id"), F.col("purchase_id"), F.col("user_id"),
+          F.unix_micros(F.col("cts")).as("cts_us"),
+          F.unix_micros(F.col("pts")).as("pts_us"),
+          F.col("click_m"), F.col("purchase_m"))
+      val q = joined.writeStream.format("graft-avro")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start(out)
+      try q.processAllAvailable() finally q.stop()
+      s.read.format("graft-avro").load(out)
+        .orderBy("click_id", "purchase_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_csv_roundtrip" -> contentAggSql,
+    "q_json_lines" -> contentAggSql,
+    "q_stream_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+                c.user_id,
+                epoch_ns(c.ts) // 1000 AS cts_us,
+                epoch_ns(p.ts) // 1000 AS pts_us,
+                CAST(floor(c.value * 1000) AS BIGINT) AS click_m,
+                CAST(floor(p.value * 1000) AS BIGINT) AS purchase_m
+         FROM events c JOIN events p
+           ON c.user_id = p.user_id
+          AND c.event_type = 'click' AND p.event_type = 'purchase'
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+         ORDER BY click_id, purchase_id"""
+  )
+}
