@@ -38,6 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("simhash16"),
       info("simhash16", "simhash16(hashes) - 16-bit simhash of hex digests"),
       (exprs: Seq[Expression]) => SimHash16(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("image_dims"),
+      info("image_dims",
+        "image_dims(bin) - [fmt_code, width, height] from a PNG/JPEG/GIF header"),
+      (exprs: Seq[Expression]) => ImageDims(exprs.head)))
     // UDTF surface: generator (table function) usable in a select list or
     // LATERAL VIEW
     ext.injectFunction((FunctionIdentifier("shingles"),

@@ -316,6 +316,8 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingles", exprs => ShingleGenerate(exprs.head, exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "image_dims", exprs => ImageDims(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash4", exprs => MinHashAgg(exprs.head).toAggregateExpression(),
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -358,4 +360,10 @@ object VectorFunctions {
     */
   def sorted_overlap(a: Column, b: Column): Column =
     F.call_function("sorted_overlap", a, b)
+
+  /** Header-parsed image dimensions of a `binary` column:
+    * `[fmt_code, width, height]` or null (see [[ImageHeader]]).
+    * Requires [[register]] on the session first.
+    */
+  def image_dims(a: Column): Column = F.call_function("image_dims", a)
 }

@@ -3,11 +3,14 @@ package graft.operators
 import org.apache.spark.sql.{functions => F}
 
 /** Multimodal-column convention (SURVEY.md §2.4): an asset is an opaque
-  * `binary` payload plus a typed `struct` metadata column. The decode /
-  * feature-extraction step is a stub (no image/audio libs in this
-  * environment — see [[graft.multimodal.StubDecoder]] for the
-  * mapPartitions plumbing); everything Spark-side (schema, projection,
-  * metadata filter, payload hashing) is real.
+  * `binary` payload plus a typed `struct` metadata column. Header-level
+  * decode (image dimensions/format from PNG/JPEG/GIF container bytes) is
+  * REAL — a codegen expression, [[graft.functions.ImageHeader]] — because
+  * it needs no codec; only the pixel-touching paths (resize, frame
+  * sampling) remain in the honestly-labelled
+  * [[graft.multimodal.StubDecoder]] (no image/audio libs in this
+  * environment). Everything Spark-side (schema, projection, metadata
+  * filter, payload hashing) is real.
   *
   * Scale notes: the asset table pattern keeps payloads as parquet binary —
   * scans that only touch metadata prune the payload column entirely
@@ -41,6 +44,59 @@ object LlmMultimodal extends Catalog {
           F.length(F.col("payload")).cast("long").as("n_bytes"),
           F.md5(F.col("payload")).as("payload_hash"))
         .orderBy("doc_id")),
+
+    // REAL header decode: synthesize valid PNG / JPEG (APP0 + SOF0 marker
+    // walk) / GIF (little-endian dims) container bytes per document, with
+    // a quarter of the corpus left as raw text (no magic → null), then
+    // parse dimensions back with the codegen image_dims expression. The
+    // oracle recomputes the synthesis formulas directly — the parser must
+    // exactly invert the container encoding, including endianness and the
+    // JPEG segment walk. No codec, no stub: these are the actual container
+    // layouts real files carry.
+    "llm_image_dims" -> ((s, dir) => {
+      import graft.functions.VectorFunctions
+      VectorFunctions.register(s)
+      import org.apache.spark.sql.Column
+      val w = (F.pmod(F.col("n_chars"), F.lit(512)) + 64).cast("int")
+      val h = (F.pmod(F.col("doc_id"), F.lit(256)) + 32).cast("int")
+      def be32(c: Column) = F.lpad(F.lower(F.hex(c)), 8, "0")
+      def be16(c: Column) = F.lpad(F.lower(F.hex(c)), 4, "0")
+      def le16(c: Column) = {
+        val b = be16(c)
+        F.concat(F.substring(b, 3, 2), F.substring(b, 1, 2))
+      }
+      // PNG: signature + IHDR(len 13) + bit-depth/color/crc tail = 33 bytes
+      val pngHex = F.concat(
+        F.lit("89504e470d0a1a0a" + "0000000d" + "49484452"),
+        be32(w), be32(h), F.lit("0806000000" + "deadbeef"))
+      // JPEG: SOI + APP0(JFIF, len 16) + SOF0(len 17, h then w) + EOI = 41
+      val jpgHex = F.concat(
+        F.lit("ffd8" + "ffe00010" + "4a46494600010100000100010000" +
+          "ffc00011" + "08"),
+        be16(h), be16(w), F.lit("03011100021101031101" + "ffd9"))
+      // GIF89a: LITTLE-endian dims + GCT flags = 13 bytes
+      val gifHex = F.concat(F.lit("474946383961"), le16(w), le16(h),
+        F.lit("f70000"))
+      val variant = F.pmod(F.col("doc_id"), F.lit(4))
+      val payload = F.when(variant === 0, F.to_binary(pngHex, F.lit("hex")))
+        .when(variant === 1, F.to_binary(jpgHex, F.lit("hex")))
+        .when(variant === 2, F.to_binary(gifHex, F.lit("hex")))
+        .otherwise(F.to_binary(F.col("text"), F.lit("utf-8")))
+      table(s, dir, "documents")
+        .select(F.col("doc_id"), payload.as("payload"))
+        .select(F.col("doc_id"),
+          VectorFunctions.image_dims(F.col("payload")).as("d"),
+          F.length(F.col("payload")).cast("long").as("n_bytes"))
+        .select(F.col("doc_id"),
+          F.when(F.element_at(F.col("d"), 1) === 1, "png")
+            .when(F.element_at(F.col("d"), 1) === 2, "jpeg")
+            .when(F.element_at(F.col("d"), 1) === 3, "gif")
+            .otherwise("unknown").as("fmt"),
+          F.coalesce(F.element_at(F.col("d"), 2), F.lit(-1)).as("width"),
+          F.coalesce(F.element_at(F.col("d"), 3), F.lit(-1)).as("height"),
+          F.col("n_bytes"))
+        .orderBy("doc_id")
+    }),
 
     // Frame sampling THROUGH the typed StubDecoder operator (every 2nd
     // 64-byte frame): the gate drives the actual flatMap expansion, and
@@ -110,6 +166,20 @@ object LlmMultimodal extends Catalog {
                 width * height * channels AS n_pixels,
                 n_bytes, payload_hash
          FROM assets WHERE width >= 128 ORDER BY doc_id""",
+    "llm_image_dims" ->
+      """SELECT doc_id,
+                CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                     WHEN 2 THEN 'gif' ELSE 'unknown' END AS fmt,
+                CASE WHEN doc_id % 4 <= 2
+                     THEN CAST((n_chars % 512) + 64 AS INT)
+                     ELSE -1 END AS width,
+                CASE WHEN doc_id % 4 <= 2
+                     THEN CAST((doc_id % 256) + 32 AS INT)
+                     ELSE -1 END AS height,
+                CAST(CASE doc_id % 4 WHEN 0 THEN 33 WHEN 1 THEN 41
+                     WHEN 2 THEN 13 ELSE length(text) END AS BIGINT)
+                  AS n_bytes
+         FROM documents ORDER BY doc_id""",
     "llm_frames" ->
       """SELECT doc_id, CAST(t.i AS INT) AS frame_idx,
                 CAST(length(substring(text, t.i*64 + 1, 64)) AS BIGINT)

@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** Container-layout unit spec for [[ImageHeader.parse]] — byte arrays built
+  * to the public PNG/JPEG/GIF specs, including the malformed shapes a real
+  * corpus serves up (truncation, missing SOF, marker fill bytes).
+  */
+class ImageHeaderSpec extends AnyFunSuite with SparkSpec with Matchers {
+
+  private def dims(bytes: Array[Byte]): Option[(Int, Int, Int)] =
+    Option(ImageHeader.parse(bytes)).map(a =>
+      (a.getInt(0), a.getInt(1), a.getInt(2)))
+
+  private def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+
+  private val pngSig = Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+
+  private def png(w: Int, h: Int): Array[Byte] =
+    bytes(pngSig ++ Seq(0, 0, 0, 13) ++ "IHDR".map(_.toInt) ++
+      Seq(w >> 24, (w >> 16) & 0xff, (w >> 8) & 0xff, w & 0xff,
+        h >> 24, (h >> 16) & 0xff, (h >> 8) & 0xff, h & 0xff,
+        8, 6, 0, 0, 0, 1, 2, 3, 4): _*)
+
+  private def jpegSeg(marker: Int, payload: Seq[Int]): Seq[Int] =
+    Seq(0xff, marker, (payload.length + 2) >> 8, (payload.length + 2) & 0xff) ++
+      payload
+
+  private def jpeg(w: Int, h: Int, fill: Boolean = false): Array[Byte] = {
+    val app0 = jpegSeg(0xe0, "JFIF".map(_.toInt) ++ Seq(0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    val sof0 = jpegSeg(0xc0, Seq(8, h >> 8, h & 0xff, w >> 8, w & 0xff,
+      3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1))
+    val pad = if (fill) Seq(0xff, 0xff) else Seq.empty // legal fill bytes
+    bytes(Seq(0xff, 0xd8) ++ app0 ++ pad ++ sof0 ++ Seq(0xff, 0xd9): _*)
+  }
+
+  private def gif(w: Int, h: Int, v: Char = '9'): Array[Byte] =
+    bytes("GIF8".map(_.toInt) ++ Seq(v.toInt, 'a'.toInt,
+      w & 0xff, w >> 8, h & 0xff, h >> 8, 0xf7, 0, 0): _*)
+
+  test("PNG IHDR big-endian dims") {
+    dims(png(640, 480)) shouldBe Some((ImageHeader.PNG, 640, 480))
+    dims(png(70000, 3)) shouldBe Some((ImageHeader.PNG, 70000, 3))
+  }
+
+  test("PNG rejects truncation and a non-IHDR first chunk") {
+    dims(png(640, 480).take(20)) shouldBe None
+    val bad = png(640, 480); bad(12) = 'X'.toByte
+    dims(bad) shouldBe None
+  }
+
+  test("JPEG walks APP0 to SOF0, height before width") {
+    dims(jpeg(1024, 768)) shouldBe Some((ImageHeader.JPEG, 1024, 768))
+  }
+
+  test("JPEG tolerates FF fill bytes before a marker") {
+    dims(jpeg(320, 200, fill = true)) shouldBe
+      Some((ImageHeader.JPEG, 320, 200))
+  }
+
+  test("JPEG with no SOF before EOI/scan returns null") {
+    val noSof = bytes(Seq(0xff, 0xd8) ++
+      jpegSeg(0xe0, Seq(1, 2, 3, 4)) ++ Seq(0xff, 0xd9): _*)
+    dims(noSof) shouldBe None
+    // C4 (DHT) is NOT a frame header even though it sits in C0-CF
+    val dht = bytes(Seq(0xff, 0xd8) ++
+      jpegSeg(0xc4, Seq(0, 1, 2, 3, 4, 5, 6)) ++ Seq(0xff, 0xd9): _*)
+    dims(dht) shouldBe None
+  }
+
+  test("GIF little-endian dims, both versions") {
+    dims(gif(800, 600)) shouldBe Some((ImageHeader.GIF, 800, 600))
+    dims(gif(2, 1, v = '7')) shouldBe Some((ImageHeader.GIF, 2, 1))
+  }
+
+  test("garbage, short, and null inputs return null") {
+    dims(null) shouldBe None
+    dims(Array.emptyByteArray) shouldBe None
+    dims("plain ascii text".getBytes("UTF-8")) shouldBe None
+    dims(bytes(0x89, 0x50)) shouldBe None
+  }
+
+  test("expression agrees with parse under codegen over a DataFrame") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (1L, png(123, 45)), (2L, jpeg(77, 88)), (3L, gif(9, 10)),
+      (4L, "not an image".getBytes("UTF-8")))
+      .toDF("id", "payload")
+      .select(F.col("id"), VectorFunctions.image_dims(F.col("payload")).as("d"))
+      .orderBy("id")
+    val rows = df.collect().map(r =>
+      r.getLong(0) -> Option(r.getSeq[Int](1)).map(_.toList))
+    rows shouldBe Array(
+      1L -> Some(List(ImageHeader.PNG, 123, 45)),
+      2L -> Some(List(ImageHeader.JPEG, 77, 88)),
+      3L -> Some(List(ImageHeader.GIF, 9, 10)),
+      4L -> None)
+  }
+}
