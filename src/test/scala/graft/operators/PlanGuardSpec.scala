@@ -108,6 +108,84 @@ class PlanGuardSpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  // The four heaviest TPC-H flavours, pinned: no cartesian anywhere, the
+  // dimension tables broadcast, and the date/flag predicates reach the
+  // parquet scans. Helpers recurse through AQE/stage wrappers because the
+  // executed plan hides finalized subtrees from a flat collect(). These
+  // run at sf0.01: at sf0.001 the selective filters leave zero rows and
+  // AQE legitimately collapses the whole plan to EmptyRelation — no scans
+  // left to assert on.
+  private val sfDir = "/root/testdata/sf0.01"
+  private def executedString(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // finalize AQE so join strategies are the real ones
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def scansOf(df: org.apache.spark.sql.DataFrame): Seq[FileSourceScanExec] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    def walk(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val here = p match { case s: FileSourceScanExec => Seq(s); case _ => Seq.empty }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      here ++ kids.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  private def pushedFilterOn(df: org.apache.spark.sql.DataFrame, col: String): Unit = {
+    val hit = scansOf(df).exists(_.metadata.get("PushedFilters")
+      .exists(_.contains(col)))
+    assert(hit, s"no parquet scan pushes a filter on $col")
+  }
+
+  "q2_min_cost_supp" should {
+    "broadcast the dims, push the part filters, and avoid cartesians" in {
+      val df = TpchMore.queries("q2_min_cost_supp")(spark, sfDir)
+      val s = executedString(df)
+      s should not include "CartesianProduct"
+      s should include("BroadcastHashJoin")
+      pushedFilterOn(df, "p_size")
+    }
+  }
+
+  "q9_profit" should {
+    "push the part name filter and keep every join hash-shaped" in {
+      val df = TpchMore.queries("q9_profit")(spark, sfDir)
+      val s = executedString(df)
+      s should not include "CartesianProduct"
+      s should include("BroadcastHashJoin")
+      pushedFilterOn(df, "p_name")
+    }
+  }
+
+  "q18_big_orders" should {
+    "avoid cartesians and read only the aggregation's lineitem columns" in {
+      val df = Relational.queries("q18_big_orders")(spark, sfDir)
+      val s = executedString(df)
+      s should not include "CartesianProduct"
+      // the big-order qualifying scan needs only the two agg columns
+      val liScans = scansOf(df).filter(
+        _.output.exists(_.name == "l_quantity"))
+      liScans should not be empty
+      all(liScans.map(_.output.map(_.name).toSet)) shouldBe
+        Set("l_orderkey", "l_quantity")
+    }
+  }
+
+  "q21_waiting_supplier" should {
+    "broadcast nation/supplier dims, push the order-status filter" in {
+      val df = TpchMore.queries("q21_waiting_supplier")(spark, sfDir)
+      val s = executedString(df)
+      s should not include "CartesianProduct"
+      s should include("BroadcastHashJoin")
+      pushedFilterOn(df, "o_orderstatus")
+    }
+  }
+
   "llm_inverted_index" should {
     "build in one aggregation exchange (partial + final collect_set)" in {
       val df = LlmRetrieval.queries("llm_inverted_index")(spark, dir)

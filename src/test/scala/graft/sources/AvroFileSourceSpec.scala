@@ -798,4 +798,89 @@ class AvroFileSourceSpec extends AnyFunSuite with SparkSpec with Matchers {
       got(src.filter($"x".isin(2.5, Double.NaN)))
     got(back.filter($"x" <= 2.0)) shouldBe got(src.filter($"x" <= 2.0))
   }
+
+  test("mid-epoch writer failure: restart recovers to an exactly-once multiset") {
+    import org.apache.spark.sql.streaming.StreamingQueryException
+    val src = tmp(); val out = tmp(); val ckpt = tmp()
+    // three input files → three epochs under maxFilesPerTrigger=1
+    Seq(0L -> 100L, 100L -> 200L, 200L -> 300L).foreach { case (a, b) =>
+      spark.range(a, b).coalesce(1).write.mode("append").parquet(src)
+    }
+    val schema = spark.read.parquet(src).schema
+
+    def start() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .repartition(2, F.col("id") % 2)
+      // the poison runs INSIDE the epoch's write-side tasks: while armed,
+      // any id >= 200 (third file) fails its task after a beat — a real
+      // mid-epoch crash through the engine's own failure path (offsets
+      // already logged, commit never reached, DataWriter.abort invoked)
+      .select(MidEpochPoison.udf(F.col("id")).as("id"))
+      .writeStream.format("graft-avro")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start(out)
+
+    MidEpochPoison.armed = true
+    val q1 = start()
+    val failure = intercept[StreamingQueryException] {
+      q1.processAllAvailable()
+      q1.awaitTermination()
+    }
+    q1.stop()
+    failure.toString should include("injected mid-epoch failure")
+
+    // the crash window is real: the engine logged the failed batch's
+    // offsets but never its commit — the canonical torn-epoch state
+    def entries(d: String) = Option(new java.io.File(ckpt, d).list())
+      .map(_.count(!_.startsWith("."))).getOrElse(0)
+    entries("offsets") should be > entries("commits")
+
+    // any uncommitted-epoch file a completed sibling task left behind is
+    // fair game for torn bytes: truncate it to half, like a crashed disk
+    // flush would — replay must rewrite it in place, not append beside it.
+    // Only the FAILED epoch's files may be torn (committed epochs are
+    // durable data the replay will never touch).
+    val failedEpoch = Option(new java.io.File(ckpt, "commits").list())
+      .map(_.filterNot(_.startsWith(".")).map(_.toLong))
+      .filter(_.nonEmpty).map(_.max + 1).getOrElse(0L)
+    val preRestart = AvroFileSource.listAvro(new java.io.File(out))
+    val uncommitted = preRestart.filter(
+      _.getName.startsWith(f"part-e$failedEpoch%06d"))
+    uncommitted.headOption.foreach { f =>
+      val ch = java.nio.channels.FileChannel.open(f.toPath,
+        java.nio.file.StandardOpenOption.WRITE)
+      try ch.truncate(math.max(1, f.length() / 2)) finally ch.close()
+    }
+    val preRestartNames = preRestart.map(_.getName).toSet
+
+    MidEpochPoison.armed = false
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    // exactly-once despite the torn epoch: every id exactly once — no
+    // loss from the truncated file, no duplicates from the replay
+    val got = spark.read.format("graft-avro").load(out)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    got shouldBe (0L until 300L)
+    // replay reused the epoch-deterministic names (idempotent rewrite,
+    // not append-beside)
+    preRestartNames.subsetOf(
+      AvroFileSource.listAvro(new java.io.File(out)).map(_.getName).toSet) shouldBe true
+  }
+}
+
+/** Failure injector for the mid-epoch crash spec: a JVM-wide switch the
+  * write-side tasks consult (local mode — executor and driver share the
+  * JVM). The sleep lets sibling tasks finish their (uncommitted) epoch
+  * files first, so the restart also exercises torn-file rewrite.
+  */
+object MidEpochPoison {
+  @volatile var armed = false
+  val udf = F.udf((v: Long) => {
+    if (armed && v >= 200) {
+      Thread.sleep(300)
+      throw new RuntimeException("injected mid-epoch failure")
+    }
+    v
+  })
 }
