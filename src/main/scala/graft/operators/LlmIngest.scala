@@ -127,6 +127,54 @@ object LlmIngest extends Catalog {
         .orderBy("doc_id")
     }),
 
+    // PERSISTED-index incremental dedup — the real nightly-ingest loop:
+    // day-1 builds an index (exact md5 keys AND a bloom sketch) and writes
+    // BOTH through the engine's own sink; the day-2 job loads them from
+    // disk, routes most rows past the join via the broadcast sketch
+    // (definitely-new short circuit) and exact-confirms only bloom
+    // positives; it then publishes index v2, which the day-3 job dedups
+    // against. At 100 TB the index is keys-only (16-byte md5s, not
+    // bodies), the sketch is a single broadcastable blob rebuilt never —
+    // each nightly run reads yesterday's artifacts instead of rescanning
+    // the corpus.
+    "llm_dedup_persistent" -> ((s, dir) => {
+      import s.implicits._
+      val idx1Dir = tempDir("graft_idx_day1")
+      val idx2Dir = tempDir("graft_idx_day2")
+      val sketchDir = tempDir("graft_idx_sketch")
+      val d = table(s, dir, "documents")
+        .withColumn("h", F.md5(F.substring(F.col("text"), 1, 60)))
+      val day = F.pmod(F.col("doc_id"), F.lit(3))
+      // day-1 job: persist the exact-key index and its bloom sketch
+      d.filter(day === 0).select("h").distinct()
+        .write.format("graft-avro").mode("overwrite").save(idx1Dir)
+      val bloomDay1 = s.read.format("graft-avro").load(idx1Dir)
+        .agg(BloomFilters.bloomAgg(s, F.col("h"), 1000000L, 1L << 23))
+        .head().getAs[Array[Byte]](0)
+      Seq(Tuple1(bloomDay1)).toDF("sketch")
+        .write.format("graft-avro").mode("overwrite").save(sketchDir)
+      // day-2 job: everything below reads the SAVED artifacts, not day-1
+      // state — the sketch round-trips as avro binary
+      val sketch = s.read.format("graft-avro").load(sketchDir)
+        .head().getAs[Array[Byte]](0)
+      val idx1 = s.read.format("graft-avro").load(idx1Dir)
+      val day2 = d.filter(day === 1)
+      val surv2 = day2
+        .filter(!BloomFilters.mightContain(s, sketch, F.col("h")))
+        .unionByName(day2
+          .filter(BloomFilters.mightContain(s, sketch, F.col("h")))
+          .join(idx1, Seq("h"), "left_anti"))
+      idx1.unionByName(day2.select("h")).distinct()
+        .write.format("graft-avro").mode("overwrite").save(idx2Dir)
+      // day-3 job against the published v2 index
+      val surv3 = d.filter(day === 2)
+        .join(s.read.format("graft-avro").load(idx2Dir), Seq("h"), "left_anti")
+      surv2.select(F.lit(2).as("day"), F.col("doc_id"), F.col("source"))
+        .unionByName(
+          surv3.select(F.lit(3).as("day"), F.col("doc_id"), F.col("source")))
+        .orderBy("doc_id")
+    }),
+
     "llm_dedup_incremental" -> ((s, dir) => {
       val d = table(s, dir, "documents")
         .withColumn("h", F.md5(F.substring(F.col("text"), 1, 60)))
@@ -196,6 +244,20 @@ object LlmIngest extends Catalog {
                 CASE WHEN grp_n >= 5 THEN len_bucket ELSE -1 END AS g_bucket,
                 CAST(grp_n AS BIGINT) AS grp_n
          FROM q ORDER BY doc_id""",
+    "llm_dedup_persistent" ->
+      """WITH k AS (
+           SELECT doc_id, source, md5(substring(text, 1, 60)) AS h,
+                  doc_id % 3 AS day
+           FROM documents),
+         i1 AS (SELECT DISTINCT h FROM k WHERE day = 0),
+         i2 AS (SELECT DISTINCT h FROM k WHERE day <= 1)
+         SELECT * FROM (
+           SELECT 2 AS day, doc_id, source FROM k
+           WHERE day = 1 AND h NOT IN (SELECT h FROM i1)
+           UNION ALL
+           SELECT 3 AS day, doc_id, source FROM k
+           WHERE day = 2 AND h NOT IN (SELECT h FROM i2))
+         ORDER BY doc_id""",
     "llm_dedup_incremental" ->
       """SELECT doc_id, source FROM documents
          WHERE doc_id % 2 = 1

@@ -40,10 +40,21 @@ class SparkEntrySpec extends AnyFunSuite with Matchers {
       val seg = ("(?is)\\b(?:FROM|JOIN)\\s+([^()]*?)(?=\\bWHERE\\b|" +
         "\\bGROUP\\b|\\bORDER\\b|\\bJOIN\\b|\\bON\\b|\\bUSING\\b|" +
         "\\bLIMIT\\b|$)").r
-      val froms = seg.findAllMatchIn(sql)
+      val segFroms = seg.findAllMatchIn(sql)
         .flatMap(_.group(1).split(',').iterator.map(_.trim)
           .filter(_.nonEmpty).map(_.split("\\s+").head.toLowerCase))
         .filter(_.matches("[a-z_][a-z_0-9]*")).toSet
+      // the segment regex cannot see INSIDE parenthesized derived tables
+      // (`FROM (SELECT ... FROM documnets)` — [^()] stops at the paren and
+      // the inner ref's terminator is `)`, not a clause keyword). A second
+      // paren-blind scan takes the single word right after each FROM/JOIN
+      // anywhere in the string; the union covers both shapes. (Would
+      // false-positive on `extract(x FROM col)` syntax — house style bans
+      // it; use epoch()/date_part() instead.)
+      val bareFroms =
+        "(?is)\\b(?:FROM|JOIN)\\s+([a-zA-Z_][a-zA-Z_0-9]*)".r
+          .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+      val froms = segFroms ++ bareFroms
       // CTE names: `name AS (` — anything FROM/JOIN-referenced that is
       // neither a CTE nor a known table is a typo the driver hits first
       // optional (col, ...) list covers recursive-CTE declarations

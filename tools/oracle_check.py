@@ -30,11 +30,18 @@ def canon_type(t):
     which is always an oracle bug (missing CAST ... AS BIGINT) here.
     """
     s = str(t).upper()
-    if s in ('TINYINT', 'SMALLINT', 'INTEGER', 'BIGINT'):
+    if s in ('TINYINT', 'SMALLINT', 'INTEGER', 'BIGINT',
+             'UTINYINT', 'USMALLINT', 'UINTEGER', 'UBIGINT'):
+        # unsigned widths fold too: pandas lands them on an int64/uint64
+        # that value-hashes like any other integer (HUGEINT stays strict —
+        # that one coerces to float64 and is always an oracle bug)
         return 'INT'
     if s == 'FLOAT':
         return 'DOUBLE'
-    if s in ('DATE', 'TIMESTAMP WITH TIME ZONE'):
+    if s in ('DATE', 'TIMESTAMP WITH TIME ZONE',
+             'TIMESTAMP_S', 'TIMESTAMP_MS', 'TIMESTAMP_NS'):
+        # second/milli/nano timestamp flavours coerce to datetime64 the
+        # same way midnight DATE does
         return 'TIMESTAMP'
     return s
 
