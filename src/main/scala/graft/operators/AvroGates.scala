@@ -22,6 +22,24 @@ object AvroGates extends Catalog {
     if (!s.conf.getOption(k).contains("true")) s.conf.set(k, "true")
   }
 
+  /** Run `body` (which starts and fully drains a streaming query) with a
+    * small shuffle-partition count, restoring the session value after.
+    * Stateful streaming operators allocate state stores per shuffle
+    * partition per micro-batch; for kilobytes of gate state, 32 partitions
+    * of per-store commit overhead dominate the wall clock. The conf is
+    * read at stream start and pinned into the checkpoint, so batch
+    * queries before/after are unaffected. At production scale the same
+    * knob is sized to state volume rather than inherited from the batch
+    * shuffle width.
+    */
+  private[operators] def withStateParallelism[T](s: SparkSession, n: Int)(
+      body: => T): T = {
+    val k = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(k)
+    s.conf.set(k, n.toString)
+    try body finally s.conf.set(k, old)
+  }
+
   private def roundTrip(s: SparkSession, dir: String,
       options: Map[String, String] = Map.empty): DataFrame = {
     val tmp = tempDir("graft_gate_avro")
@@ -131,24 +149,26 @@ object AvroGates extends Catalog {
           F.sum(F.floor(F.col("value") * 1000).cast("long")).as("value_m"))
         .select(F.col("w.start").as("day"), F.col("event_type"),
           F.col("n_events"), F.col("value_m"))
-      val q = agg.writeStream.format("graft-avro")
-        .option("checkpointLocation", ckpt)
-        .outputMode("append").start(out)
-      try {
-        q.processAllAvailable()
-        val mm = ev.agg(F.min("ts"), F.max("ts")).head()
-        val (minTs, maxTs) = (mm.getTimestamp(0), mm.getTimestamp(1))
-        // the no-late-drops guarantee rests on span < watermark delay;
-        // fail loudly if the testdata ever outgrows it
-        require(maxTs.getTime - minTs.getTime < 90L * 86400L * 1000L,
-          s"events span exceeds the 90-day watermark: $minTs .. $maxTs")
-        val sentinel = new java.sql.Timestamp(
-          maxTs.getTime + 92L * 86400L * 1000L)
-        import s.implicits._
-        Seq((sentinel, "zz_sentinel", 0.0)).toDF("ts", "event_type", "value")
-          .write.mode("append").parquet(src)
-        q.processAllAvailable()
-      } finally q.stop()
+      AvroGates.withStateParallelism(s, 4) {
+        val q = agg.writeStream.format("graft-avro")
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").start(out)
+        try {
+          q.processAllAvailable()
+          val mm = ev.agg(F.min("ts"), F.max("ts")).head()
+          val (minTs, maxTs) = (mm.getTimestamp(0), mm.getTimestamp(1))
+          // the no-late-drops guarantee rests on span < watermark delay;
+          // fail loudly if the testdata ever outgrows it
+          require(maxTs.getTime - minTs.getTime < 90L * 86400L * 1000L,
+            s"events span exceeds the 90-day watermark: $minTs .. $maxTs")
+          val sentinel = new java.sql.Timestamp(
+            maxTs.getTime + 92L * 86400L * 1000L)
+          import s.implicits._
+          Seq((sentinel, "zz_sentinel", 0.0)).toDF("ts", "event_type", "value")
+            .write.mode("append").parquet(src)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
       s.read.format("graft-avro").load(out)
         // null-safe: a NULL event_type group must survive the sentinel
         // filter the same way the oracle's GROUP BY keeps it
@@ -168,17 +188,19 @@ object AvroGates extends Catalog {
       val ckpt = tempDir("graft_gate_sdedup_ckpt")
       val docs = table(s, dir, "documents").select("doc_id", "text")
       docs.repartition(3, F.col("doc_id")).write.mode("overwrite").parquet(src)
-      val q = s.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", "1").parquet(src)
-        // defensively drop null text: Spark sorts nulls first, DuckDB
-        // last, so a null key would break the ordered compare
-        .filter(F.col("text").isNotNull)
-        .select(F.md5(F.col("text")).as("h"))
-        .dropDuplicates("h")
-        .writeStream.format("graft-avro")
-        .option("checkpointLocation", ckpt)
-        .outputMode("append").start(out)
-      try q.processAllAvailable() finally q.stop()
+      AvroGates.withStateParallelism(s, 4) {
+        val q = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+          // defensively drop null text: Spark sorts nulls first, DuckDB
+          // last, so a null key would break the ordered compare
+          .filter(F.col("text").isNotNull)
+          .select(F.md5(F.col("text")).as("h"))
+          .dropDuplicates("h")
+          .writeStream.format("graft-avro")
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").start(out)
+        try q.processAllAvailable() finally q.stop()
+      }
       s.read.format("graft-avro").load(out).orderBy("h")
     }),
 
@@ -207,26 +229,28 @@ object AvroGates extends Catalog {
           F.sum(F.floor(F.col("value") * 1000).cast("long")).as("value_m"))
         .select(F.col("w.start").as("week"), F.col("n_name"),
           F.col("n_events"), F.col("value_m"))
-      val q = agg.writeStream.format("graft-avro")
-        .option("checkpointLocation", ckpt)
-        .outputMode("append").start(out)
-      try {
-        q.processAllAvailable()
-        val mm = ev.agg(F.min("ts"), F.max("ts")).head()
-        val (minTs, maxTs) = (mm.getTimestamp(0), mm.getTimestamp(1))
-        require(maxTs.getTime - minTs.getTime < 90L * 86400L * 1000L,
-          s"events span exceeds the 90-day watermark: $minTs .. $maxTs")
-        // slack must cover watermark delay (90d) PLUS the worst-case
-        // tail of an epoch-aligned week window past maxTs (7d): the
-        // final watermark is sentinel − 90d and every real window ends
-        // ≤ maxTs + 7d, so +99d always flushes the last week
-        val sentinel = new java.sql.Timestamp(
-          maxTs.getTime + 99L * 86400L * 1000L)
-        import s.implicits._
-        Seq((sentinel, -1L, 0.0)).toDF("ts", "user_id", "value")
-          .write.mode("append").parquet(src)
-        q.processAllAvailable()
-      } finally q.stop()
+      AvroGates.withStateParallelism(s, 4) {
+        val q = agg.writeStream.format("graft-avro")
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").start(out)
+        try {
+          q.processAllAvailable()
+          val mm = ev.agg(F.min("ts"), F.max("ts")).head()
+          val (minTs, maxTs) = (mm.getTimestamp(0), mm.getTimestamp(1))
+          require(maxTs.getTime - minTs.getTime < 90L * 86400L * 1000L,
+            s"events span exceeds the 90-day watermark: $minTs .. $maxTs")
+          // slack must cover watermark delay (90d) PLUS the worst-case
+          // tail of an epoch-aligned week window past maxTs (7d): the
+          // final watermark is sentinel − 90d and every real window ends
+          // ≤ maxTs + 7d, so +99d always flushes the last week
+          val sentinel = new java.sql.Timestamp(
+            maxTs.getTime + 99L * 86400L * 1000L)
+          import s.implicits._
+          Seq((sentinel, -1L, 0.0)).toDF("ts", "user_id", "value")
+            .write.mode("append").parquet(src)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
       // the sentinel row (user_id = -1 → pmod 24) joins a real nation but
       // its window never closes, so it cannot reach the sink; no filter
       // needed beyond the window-flush mechanics

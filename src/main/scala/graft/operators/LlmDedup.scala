@@ -95,9 +95,14 @@ object LlmDedup extends Catalog {
     * fan-out identical docs would otherwise create in their shared band
     * bucket — quadratic blow-up on exactly the input dedup exists for.
     */
-  private[operators] def bandCandidates(s: SparkSession, dir: String): DataFrame = {
-    val d = keyedShingles(s, dir)
-      .groupBy("tk").agg(F.min("doc_id").as("doc_id"), F.first("shs").as("shs"))
+  private[operators] def bandCandidates(s: SparkSession, dir: String): DataFrame =
+    bandCandidatesOf(collapseDups(keyedShingles(s, dir)))
+
+  /** One representative row (min doc_id) per identical shingle set. */
+  private def collapseDups(keyed: DataFrame): DataFrame =
+    keyed.groupBy("tk").agg(F.min("doc_id").as("doc_id"), F.first("shs").as("shs"))
+
+  private def bandCandidatesOf(d: DataFrame): DataFrame = {
     val bands = d
       .withColumn("hs", F.transform(F.col("shs"), x => F.md5(x)))
       .select(F.col("doc_id"),
@@ -137,10 +142,13 @@ object LlmDedup extends Catalog {
     * O(N) candidate behavior directly via [[bandCandidates]].
     */
   private def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
-    val keyed = keyedShingles(s, dir)
-    val d = keyed
-      .groupBy("tk").agg(F.min("doc_id").as("doc_id"), F.first("shs").as("shs"))
-    val repPairs = bandCandidates(s, dir)
+    // the keyed-shingle pipeline (an md5 per shingle over the corpus) is
+    // referenced by the collapse, the intra-group join (twice), and the
+    // membership expansion (twice): materialize it ONCE — without this the
+    // narrow-but-heavy hashing pass re-executes per reference
+    val keyed = keyedShingles(s, dir).localCheckpoint()
+    val d = collapseDups(keyed).localCheckpoint()
+    val repPairs = bandCandidatesOf(d)
       .join(d.select(F.col("doc_id").as("i"), F.col("shs").as("sa")), "i")
       .join(d.select(F.col("doc_id").as("j"), F.col("shs").as("sb")), "j")
       .select(F.col("i"), F.col("j"),

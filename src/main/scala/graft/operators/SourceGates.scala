@@ -111,10 +111,15 @@ object SourceGates extends Catalog {
           F.unix_micros(F.col("cts")).as("cts_us"),
           F.unix_micros(F.col("pts")).as("pts_us"),
           F.col("click_m"), F.col("purchase_m"))
-      val q = joined.writeStream.format("graft-avro")
-        .option("checkpointLocation", ckpt)
-        .outputMode("append").start(out)
-      try q.processAllAvailable() finally q.stop()
+      // stream-stream joins allocate FOUR state stores per shuffle
+      // partition per micro-batch (left/right keyed + key-with-index) —
+      // see AvroGates.withStateParallelism for why 4, not 32
+      AvroGates.withStateParallelism(s, 4) {
+        val q = joined.writeStream.format("graft-avro")
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").start(out)
+        try q.processAllAvailable() finally q.stop()
+      }
       s.read.format("graft-avro").load(out)
         .orderBy("click_id", "purchase_id")
     })
