@@ -84,6 +84,38 @@ class ImageHeaderSpec extends AnyFunSuite with SparkSpec with Matchers {
     dims(bytes(0x89, 0x50)) shouldBe None
   }
 
+  test("never throws on arbitrary bytes (corpus-scale crash safety)") {
+    // a crashing row kills a 10-hour job; the parser's contract is
+    // null-not-throw on EVERY input. Deterministic pseudo-random fuzz —
+    // seeded, so a failure reproduces.
+    val rnd = new scala.util.Random(0xdecaf)
+    (1 to 2000).foreach { _ =>
+      val n = rnd.nextInt(64)
+      val b = new Array[Byte](n); rnd.nextBytes(b)
+      ImageHeader.parse(b) // must not throw
+    }
+    // adversarial prefixes: every truncation of each valid header must
+    // return null or the correct dims, never garbage or an exception
+    Seq(png(640, 480), jpeg(1024, 768), gif(800, 600)).foreach { full =>
+      val want = dims(full)
+      (0 to full.length).foreach { k =>
+        val got = dims(full.take(k))
+        assert(got.isEmpty || got == want, s"prefix $k of ${want.get}: $got")
+      }
+    }
+  }
+
+  test("trailing junk after a valid header never changes the result") {
+    val rnd = new scala.util.Random(0xfeed)
+    Seq(png(12, 34), jpeg(56, 78), gif(90, 12)).foreach { full =>
+      val want = dims(full)
+      (1 to 50).foreach { _ =>
+        val junk = new Array[Byte](rnd.nextInt(40)); rnd.nextBytes(junk)
+        dims(full ++ junk) shouldBe want
+      }
+    }
+  }
+
   test("expression agrees with parse under codegen over a DataFrame") {
     VectorFunctions.register(spark)
     import spark.implicits._
