@@ -2,6 +2,10 @@ package graft.operators
 
 import org.apache.spark.sql.{SparkSession, functions => F}
 
+/** One closed session emitted by q_stream_sessions' custom state handler. */
+case class StreamSession(user_id: Long, session_idx: Int, start_us: Long,
+    end_us: Long, n_events: Long)
+
 /** Oracle gates for the text-format sources (CSV, JSON lines) and the
   * stream-stream join — the most common real-user entry points that were
   * previously covered unit-only (SourceSinkSpec / StreamingSpec).
@@ -122,6 +126,90 @@ object SourceGates extends Catalog {
       }
       s.read.format("graft-avro").load(out)
         .orderBy("click_id", "purchase_id")
+    }),
+
+    // CUSTOM STATE under the oracle: gap-based sessionization (30-minute
+    // idle gap) via flatMapGroupsWithState with an EVENT-TIME timeout.
+    // Per-user state is the event-time list; NOTHING is emitted until the
+    // group's timeout fires (watermark past last-event + gap), at which
+    // point the full sorted list sessionizes in one pass — emission is
+    // therefore independent of how events split across micro-batches, and
+    // the result equals the batch definition exactly (this is the
+    // streaming twin of the q_session_window batch gate: same 9549
+    // sessions at sf0.01). The sentinel advances the watermark past every
+    // real timeout; its own group can never time out and is filtered
+    // defensively. State note for 100 TB: the full-list state is what
+    // makes arrival order irrelevant; its size is events-per-user-per-
+    // session-horizon, and a production variant bounds it by folding
+    // closed prefixes incrementally once the watermark passes them.
+    "q_stream_sessions" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      import s.implicits._
+      AvroGates.pinNoDataBatches(s)
+      val src = tempDir("graft_gate_ssess_src")
+      val out = tempDir("graft_gate_ssess_out")
+      val ckpt = tempDir("graft_gate_ssess_ckpt")
+      val ev = table(s, dir, "events").select("ts", "user_id")
+      ev.repartition(3, F.col("user_id")).write.mode("overwrite").parquet(src)
+      val gapUs = 1800000000L // 30 min in micros (exact integers only)
+      val handler = (user: Long,
+          rows: Iterator[(Long, Long, java.sql.Timestamp)],
+          state: GroupState[Seq[Long]]) =>
+        if (state.hasTimedOut) {
+          val ts = state.get.sorted
+          state.remove()
+          var out = List.empty[StreamSession]
+          var idx = 0; var start = 0L; var last = 0L; var n = 0L
+          ts.foreach { t =>
+            if (n == 0 || t - last > gapUs) {
+              if (n > 0) out ::= StreamSession(user, idx, start, last, n)
+              idx += 1; start = t; n = 0
+            }
+            last = t; n += 1
+          }
+          if (n > 0) out ::= StreamSession(user, idx, start, last, n)
+          out.reverseIterator
+        } else {
+          val cur = state.getOption.getOrElse(Seq.empty) ++ rows.map(_._2)
+          state.update(cur)
+          // fire once the watermark passes the last event plus the gap
+          state.setTimeoutTimestamp(cur.max / 1000L + 30L * 60000L)
+          Iterator.empty[StreamSession]
+        }
+      val sessions = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .withWatermark("ts", "90 days")
+        // the watermarked event-time column must SURVIVE to the stateful
+        // operator (event-time timeout is rejected otherwise) — carry it
+        // alongside the exact-integer micros the handler actually uses
+        .select(F.col("user_id"), F.unix_micros(F.col("ts")).as("ts_us"),
+          F.col("ts"))
+        .as[(Long, Long, java.sql.Timestamp)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.EventTimeTimeout())(handler)
+      AvroGates.withStateParallelism(s, 4) {
+        val q = sessions.writeStream.format("graft-avro")
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").start(out)
+        try {
+          q.processAllAvailable()
+          val mm = ev.agg(F.min("ts"), F.max("ts")).head()
+          val (minTs, maxTs) = (mm.getTimestamp(0), mm.getTimestamp(1))
+          require(maxTs.getTime - minTs.getTime < 90L * 86400L * 1000L,
+            s"events span exceeds the 90-day watermark: $minTs .. $maxTs")
+          // watermark lands at sentinel - 90d = maxTs + 9d, past every
+          // real last-event + 30min timeout
+          val sentinel = new java.sql.Timestamp(
+            maxTs.getTime + 99L * 86400L * 1000L)
+          Seq((sentinel, -1L)).toDF("ts", "user_id")
+            .write.mode("append").parquet(src)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      s.read.format("graft-avro").load(out)
+        .filter(F.col("user_id") =!= -1)
+        .orderBy("user_id", "session_idx")
     })
   )
 
@@ -139,6 +227,25 @@ object SourceGates extends Catalog {
            ON c.user_id = p.user_id
           AND c.event_type = 'click' AND p.event_type = 'purchase'
           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
-         ORDER BY click_id, purchase_id"""
+         ORDER BY click_id, purchase_id""",
+    "q_stream_sessions" ->
+      """WITH e AS (
+           SELECT user_id, epoch_ns(ts) // 1000 AS ts_us FROM events),
+         o AS (
+           SELECT user_id, ts_us,
+                  CASE WHEN lag(ts_us) OVER w IS NULL
+                         OR ts_us - lag(ts_us) OVER w > 1800000000
+                       THEN 1 ELSE 0 END AS brk
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+         s AS (
+           SELECT user_id, ts_us,
+                  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                    ROWS UNBOUNDED PRECEDING) AS INT) AS session_idx
+           FROM o)
+         SELECT user_id, session_idx,
+                min(ts_us) AS start_us, max(ts_us) AS end_us,
+                count(*) AS n_events
+         FROM s GROUP BY user_id, session_idx
+         ORDER BY user_id, session_idx"""
   )
 }
