@@ -86,6 +86,11 @@ object LlmDedup extends Catalog {
     */
   private def keyedShingles(s: SparkSession, dir: String): DataFrame =
     shingleArrays(s, dir)
+      // the separator below is a literal U+0001 byte (invisible in
+      // most editors): it cannot appear inside a shingle (shingles
+      // are space-joined words split on spaces), so the concatenation
+      // is injective on sorted-distinct sets - distinct sets can
+      // never collide into one tk via element-boundary ambiguity
       .withColumn("tk", F.md5(F.concat_ws("", F.col("shs"))))
 
   /** Band-join candidate pairs over exact-dup REPRESENTATIVES (min doc_id

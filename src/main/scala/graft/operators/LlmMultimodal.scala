@@ -177,7 +177,8 @@ object LlmMultimodal extends Catalog {
                      THEN CAST((doc_id % 256) + 32 AS INT)
                      ELSE -1 END AS height,
                 CAST(CASE doc_id % 4 WHEN 0 THEN 33 WHEN 1 THEN 41
-                     WHEN 2 THEN 13 ELSE length(text) END AS BIGINT)
+                     WHEN 2 THEN 13
+                     ELSE octet_length(encode(text)) END AS BIGINT)
                   AS n_bytes
          FROM documents ORDER BY doc_id""",
     "llm_frames" ->

@@ -55,6 +55,12 @@ object SourceGates extends Catalog {
       contentAgg(
         s.read.schema(docs.schema)
           .option("header", "true").option("escape", "\"")
+          // a quoted RFC-4180 field may contain embedded newlines; the
+          // writer quotes them, so the reader must not split records on
+          // raw \n (multiLine costs file-level parallelism — at scale
+          // you ban newlines upstream instead, but a correctness gate
+          // must read what the writer can legally produce)
+          .option("multiLine", "true")
           .csv(tmp))
     }),
 
@@ -89,6 +95,14 @@ object SourceGates extends Catalog {
       val ckpt = tempDir("graft_gate_sj_ckpt")
       val ev = table(s, dir, "events")
         .select("event_id", "ts", "user_id", "event_type", "value")
+      // the no-dropped-matches guarantee rests on span < watermark delay
+      // (state eviction could otherwise discard a joinable row); fail
+      // loudly if the testdata ever outgrows it, like the sibling gates
+      val mm = ev.agg(F.min("ts"), F.max("ts")).head()
+      require(mm.getTimestamp(1).getTime - mm.getTimestamp(0).getTime <
+          90L * 86400L * 1000L,
+        s"events span exceeds the 90-day watermark: " +
+          s"${mm.getTimestamp(0)} .. ${mm.getTimestamp(1)}")
       ev.filter(F.col("event_type") === "click")
         .repartition(3, F.col("event_id"))
         .write.mode("overwrite").parquet(srcL)

@@ -6,7 +6,7 @@ import org.scalacheck.Prop.propBoolean
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
-import graft.{SparkSpec, SparkTestSession}
+import graft.SparkSpec
 
 /** Losslessness law for llm_ngram_jaccard's length banding.
   *
@@ -37,17 +37,6 @@ object NgramBandLaws extends Properties("NgramBandLaws") {
       }
     }
 
-  // Spark's band computation (binary-digit count via conv) must agree with
-  // the arithmetic bitlength the proof uses, across the full int range the
-  // gate can see (n = distinct bigram count >= 1).
-  property("conv-based band == bitlength band") =
-    Prop.forAllNoShrink(Gen.chooseNum(1, 5000000)) { n =>
-      val spark = SparkTestSession.spark
-      val sparkBand = spark.range(1).select(
-        (F.length(F.conv(F.lit(n), 10, 2)).cast("int") - 1).as("b"))
-        .head().getInt(0)
-      (sparkBand == band(n)) :| s"n=$n spark=$sparkBand scala=${band(n)}"
-    }
 }
 
 /** Skew guard for the MinHash banding: a corpus of N identical documents —
@@ -67,6 +56,24 @@ class MinHashSkewSpec extends AnyFunSuite with SparkSpec with Matchers {
 
   private val dupText =
     "the quick brown fox jumps over the lazy dog again and again"
+
+  test("conv-based band == bitlength band (one job, exhaustive + boundaries)") {
+    // Spark's band (binary-digit count via conv) must agree with the
+    // arithmetic bitlength NgramBandLaws proves with — checked for every
+    // n in 1..65536 plus the power-of-2 boundaries up to 2^30, in ONE
+    // DataFrame job (a per-sample job here would add ~100 Spark jobs to
+    // the suite for a deterministic expression)
+    import spark.implicits._
+    val ns = (1 to 65536) ++ (17 to 30).flatMap(k =>
+      Seq((1 << k) - 1, 1 << k, (1 << k) + 1))
+    def bitBand(n: Int): Int = 32 - Integer.numberOfLeadingZeros(n) - 1
+    val mismatches = ns.toDF("n")
+      .select(F.col("n"),
+        (F.length(F.conv(F.col("n"), 10, 2)).cast("int") - 1).as("b"))
+      .collect()
+      .filter(r => r.getInt(1) != bitBand(r.getInt(0)))
+    mismatches shouldBe empty
+  }
 
   test("N identical docs collapse to zero band candidates") {
     val n = 40

@@ -808,13 +808,20 @@ class AvroFileSourceSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
     val schema = spark.read.parquet(src).schema
 
+    // the partition key values 1 and 2 have distinct murmur3 parity
+    // (pmod(hash(1),2)=1, pmod(hash(2),2)=0 — fixed seed-42 murmur, stable
+    // across versions), so poisoned rows (id >= 280, third file only) and
+    // clean rows land in DIFFERENT tasks deterministically: the clean task
+    // completes its epoch file (commit message sent, job not yet
+    // committed) while the poisoned task fails — leaving a real
+    // uncommitted file for the torn-bytes step below
     def start() = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(src)
-      .repartition(2, F.col("id") % 2)
+      .repartition(2, F.when(F.col("id") >= 280, 2).otherwise(1))
       // the poison runs INSIDE the epoch's write-side tasks: while armed,
-      // any id >= 200 (third file) fails its task after a beat — a real
-      // mid-epoch crash through the engine's own failure path (offsets
-      // already logged, commit never reached, DataWriter.abort invoked)
+      // any id >= 280 fails its task after a beat — a real mid-epoch
+      // crash through the engine's own failure path (offsets already
+      // logged, commit never reached, DataWriter.abort invoked)
       .select(MidEpochPoison.udf(F.col("id")).as("id"))
       .writeStream.format("graft-avro")
       .option("checkpointLocation", ckpt)
@@ -846,7 +853,11 @@ class AvroFileSourceSpec extends AnyFunSuite with SparkSpec with Matchers {
     val preRestart = AvroFileSource.listAvro(new java.io.File(out))
     val uncommitted = preRestart.filter(
       _.getName.startsWith(f"part-e$failedEpoch%06d"))
-    uncommitted.headOption.foreach { f =>
+    // the clean sibling task's file MUST exist (partition separation is
+    // deterministic, see start()) — without this the torn-file branch
+    // below would be silently dead and the spec's claim vacuous
+    uncommitted should not be empty
+    uncommitted.foreach { f =>
       val ch = java.nio.channels.FileChannel.open(f.toPath,
         java.nio.file.StandardOpenOption.WRITE)
       try ch.truncate(math.max(1, f.length() / 2)) finally ch.close()
@@ -877,7 +888,7 @@ class AvroFileSourceSpec extends AnyFunSuite with SparkSpec with Matchers {
 object MidEpochPoison {
   @volatile var armed = false
   val udf = F.udf((v: Long) => {
-    if (armed && v >= 200) {
+    if (armed && v >= 280) {
       Thread.sleep(300)
       throw new RuntimeException("injected mid-epoch failure")
     }
