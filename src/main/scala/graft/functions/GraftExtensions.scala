@@ -42,6 +42,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("image_dims",
         "image_dims(bin) - [fmt_code, width, height] from a PNG/JPEG/GIF header"),
       (exprs: Seq[Expression]) => ImageDims(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("byte_stats"),
+      info("byte_stats",
+        "byte_stats(bin) - [n, distinct, modal_byte, modal_count, chi2_u] byte features"),
+      (exprs: Seq[Expression]) => ByteStatsExpr(exprs.head)))
     // UDTF surface: generator (table function) usable in a select list or
     // LATERAL VIEW
     ext.injectFunction((FunctionIdentifier("shingles"),

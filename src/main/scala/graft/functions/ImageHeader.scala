@@ -97,6 +97,58 @@ object ImageHeader {
   }
 }
 
+/** Byte-distribution features of a binary payload — the codec-free
+  * feature-extraction step of the multimodal family (file-type screening,
+  * corruption detection, compressibility proxy). All quantities are exact
+  * integers so a DuckDB oracle reproduces them bit-for-bit:
+  * `[n_bytes, distinct_bytes, modal_byte, modal_count, chi2_u]` where
+  * `chi2_u = Σ_v (256·c_v − n)²` over all 256 byte values (uniformly
+  * distributed bytes — compressed/encrypted payloads — score low; text
+  * scores high). Modal tie-break: smallest byte value.
+  */
+object ByteStats {
+  def compute(bytes: Array[Byte]): ArrayData = {
+    if (bytes == null) return null
+    val counts = new Array[Long](256)
+    var i = 0
+    while (i < bytes.length) { counts(bytes(i) & 0xff) += 1; i += 1 }
+    val n = bytes.length.toLong
+    var distinct = 0L; var modal = 0L; var modalCount = 0L; var chi2 = 0L
+    var v = 0
+    while (v < 256) {
+      val c = counts(v)
+      if (c > 0) distinct += 1
+      if (c > modalCount) { modalCount = c; modal = v }
+      val d = 256L * c - n
+      chi2 += d * d
+      v += 1
+    }
+    new GenericArrayData(Array(n, distinct, modal, modalCount, chi2))
+  }
+}
+
+/** `byte_stats(binary)` → `array<bigint>` — see [[ByteStats]]. */
+case class ByteStatsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"byte_stats expects binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    ByteStats.compute(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.ByteStats.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `image_dims(binary)` → `array<int> [fmt_code, width, height]` (codes:
   * 1=png, 2=jpeg, 3=gif), null when the payload is not a recognized image
   * container. Codegen stays inside whole-stage pipelines via a static call

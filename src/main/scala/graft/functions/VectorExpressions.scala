@@ -318,6 +318,8 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "image_dims", exprs => ImageDims(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "byte_stats", exprs => ByteStatsExpr(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash4", exprs => MinHashAgg(exprs.head).toAggregateExpression(),
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -366,4 +368,10 @@ object VectorFunctions {
     * Requires [[register]] on the session first.
     */
   def image_dims(a: Column): Column = F.call_function("image_dims", a)
+
+  /** Byte-distribution features of a `binary` column:
+    * `[n_bytes, distinct, modal_byte, modal_count, chi2_u]` (see
+    * [[ByteStats]]). Requires [[register]] on the session first.
+    */
+  def byte_stats(a: Column): Column = F.call_function("byte_stats", a)
 }

@@ -98,6 +98,32 @@ object LlmMultimodal extends Catalog {
         .orderBy("doc_id")
     }),
 
+    // REAL feature extraction over the binary payload: byte-distribution
+    // features via the codegen byte_stats kernel — distinct bytes, modal
+    // byte (smallest wins ties), and an exact-integer chi-squared-vs-
+    // uniform statistic (compressed/encrypted payloads score near 0, text
+    // scores high — the standard codec-free screen for mislabeled or
+    // corrupt assets). One narrow pass, no shuffle except the oracle
+    // ORDER BY. The oracle recomputes per-character (identical bytes:
+    // the corpus is pure ASCII, like llm_frames relies on).
+    "llm_byte_stats" -> ((s, dir) => {
+      import graft.functions.VectorFunctions
+      VectorFunctions.register(s)
+      table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .filter(F.col("n_chars") > 0)
+        .select(F.col("doc_id"),
+          VectorFunctions.byte_stats(
+            F.to_binary(F.col("text"), F.lit("utf-8"))).as("st"))
+        .select(F.col("doc_id"),
+          F.element_at(F.col("st"), 1).as("n_bytes"),
+          F.element_at(F.col("st"), 2).as("distinct_bytes"),
+          F.element_at(F.col("st"), 3).as("modal_byte"),
+          F.element_at(F.col("st"), 4).as("modal_count"),
+          F.element_at(F.col("st"), 5).as("chi2_u"))
+        .orderBy("doc_id")
+    }),
+
     // Frame sampling THROUGH the typed StubDecoder operator (every 2nd
     // 64-byte frame): the gate drives the actual flatMap expansion, and
     // the oracle recomputes each sampled frame's md5 from character
@@ -181,6 +207,35 @@ object LlmMultimodal extends Catalog {
                      ELSE octet_length(encode(text)) END AS BIGINT)
                   AS n_bytes
          FROM documents ORDER BY doc_id""",
+    // per-char counts == per-byte counts on the ASCII corpus; chi2 over
+    // ABSENT byte values contributes (0*256 - n)^2 = n^2 each, folded in
+    // as (256 - distinct) * n^2 instead of materializing 256 bins
+    "llm_byte_stats" ->
+      """WITH ch AS (
+           SELECT doc_id, substring(text, t.i, 1) AS c
+           FROM documents, unnest(generate_series(1, length(text))) t(i)
+           WHERE length(text) > 0),
+         cnt AS (
+           SELECT doc_id, ord(c) AS b, CAST(count(*) AS BIGINT) AS c
+           FROM ch GROUP BY 1, 2),
+         tot AS (
+           SELECT doc_id, CAST(length(text) AS BIGINT) AS n
+           FROM documents WHERE length(text) > 0),
+         agg AS (
+           SELECT cnt.doc_id,
+                  CAST(count(*) AS BIGINT) AS distinct_bytes,
+                  first(b ORDER BY c DESC, b ASC) AS modal_byte,
+                  max(c) AS modal_count,
+                  sum((256 * c - t.n) * (256 * c - t.n)) AS present_chi2
+           FROM cnt JOIN tot t ON cnt.doc_id = t.doc_id
+           GROUP BY 1)
+         SELECT a.doc_id, t.n AS n_bytes, a.distinct_bytes,
+                CAST(a.modal_byte AS BIGINT) AS modal_byte, a.modal_count,
+                CAST(a.present_chi2
+                     + (256 - a.distinct_bytes) * t.n * t.n AS BIGINT)
+                  AS chi2_u
+         FROM agg a JOIN tot t ON a.doc_id = t.doc_id
+         ORDER BY a.doc_id""",
     "llm_frames" ->
       """SELECT doc_id, CAST(t.i AS INT) AS frame_idx,
                 CAST(length(substring(text, t.i*64 + 1, 64)) AS BIGINT)

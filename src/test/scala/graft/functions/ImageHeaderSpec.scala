@@ -116,6 +116,30 @@ class ImageHeaderSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("byte_stats: exact features on known inputs, codegen agreement") {
+    def st(b: Array[Byte]): Seq[Long] =
+      ByteStats.compute(b).toLongArray().toSeq
+    // "aab": n=3, distinct=2, modal 'a' (2), chi2 = (512-3)^2 + (256-3)^2
+    //        + 254*9
+    st("aab".getBytes("UTF-8")) shouldBe
+      Seq(3L, 2L, 'a'.toLong, 2L, 509L * 509 + 253L * 253 + 254L * 9)
+    // modal tie ("ab") breaks to the smaller byte value
+    st("ba".getBytes("UTF-8"))(2) shouldBe 'a'.toLong
+    // perfectly uniform 256-byte payload scores chi2 = 0
+    st((0 until 256).map(_.toByte).toArray) shouldBe
+      Seq(256L, 256L, 0L, 1L, 0L)
+    // empty payload is well-defined, not a crash
+    st(Array.emptyByteArray) shouldBe Seq(0L, 0L, 0L, 0L, 0L)
+
+    // codegen path agrees with the static kernel
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val got = Seq(Tuple1("aab".getBytes("UTF-8"))).toDF("p")
+      .select(VectorFunctions.byte_stats(F.col("p")))
+      .head().getSeq[Long](0)
+    got shouldBe st("aab".getBytes("UTF-8"))
+  }
+
   test("expression agrees with parse under codegen over a DataFrame") {
     VectorFunctions.register(spark)
     import spark.implicits._
