@@ -142,6 +142,84 @@ object SourceGates extends Catalog {
         .orderBy("click_id", "purchase_id")
     }),
 
+    // STREAM-STREAM LEFT OUTER interval join under the oracle — the
+    // subtle half of stream joins: matched rows emit eagerly, but an
+    // UNMATCHED click may only emit (null-padded) once the watermark
+    // proves no purchase can still arrive inside its 6-hour window, so
+    // sentinels go to BOTH streams (the global watermark is the min
+    // across sources). Null join columns are coalesced to -1 on both
+    // sides of the compare: Spark orders nulls first, DuckDB last, so a
+    // nullable ORDER BY column would break the row-ordered driver hash.
+    "q_stream_join_outer" -> ((s, dir) => {
+      AvroGates.pinNoDataBatches(s)
+      val srcL = tempDir("graft_gate_sjo_clicks")
+      val srcR = tempDir("graft_gate_sjo_purch")
+      val out = tempDir("graft_gate_sjo_out")
+      val ckpt = tempDir("graft_gate_sjo_ckpt")
+      val ev = table(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val mm = ev.agg(F.min("ts"), F.max("ts")).head()
+      require(mm.getTimestamp(1).getTime - mm.getTimestamp(0).getTime <
+          90L * 86400L * 1000L,
+        s"events span exceeds the 90-day watermark: " +
+          s"${mm.getTimestamp(0)} .. ${mm.getTimestamp(1)}")
+      ev.filter(F.col("event_type") === "click")
+        .repartition(3, F.col("event_id"))
+        .write.mode("overwrite").parquet(srcL)
+      ev.filter(F.col("event_type") === "purchase")
+        .repartition(3, F.col("event_id"))
+        .write.mode("overwrite").parquet(srcR)
+      val clicks = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcL)
+        .withWatermark("ts", "90 days")
+        .select(F.col("event_id").as("click_id"), F.col("ts").as("cts"),
+          F.col("user_id"),
+          F.floor(F.col("value") * 1000).cast("long").as("click_m"))
+      val purchases = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcR)
+        .withWatermark("ts", "90 days")
+        .select(F.col("event_id").as("purchase_id"), F.col("ts").as("pts"),
+          F.col("user_id").as("p_user"),
+          F.floor(F.col("value") * 1000).cast("long").as("purchase_m"))
+      val joined = clicks.join(purchases,
+          F.col("user_id") === F.col("p_user") &&
+            F.col("pts") >= F.col("cts") &&
+            F.col("pts") <= F.col("cts") + F.expr("INTERVAL 6 HOURS"),
+          "leftOuter")
+        .select(F.col("click_id"),
+          F.coalesce(F.col("purchase_id"), F.lit(-1L)).as("purchase_id"),
+          F.col("user_id"),
+          F.unix_micros(F.col("cts")).as("cts_us"),
+          F.coalesce(F.unix_micros(F.col("pts")), F.lit(-1L)).as("pts_us"),
+          F.col("click_m"),
+          F.coalesce(F.col("purchase_m"), F.lit(-1L)).as("purchase_m"))
+      AvroGates.withStateParallelism(s, 4) {
+        val q = joined.writeStream.format("graft-avro")
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").start(out)
+        try {
+          q.processAllAvailable()
+          // advance BOTH watermarks past maxTs + 6h (sentinel − 90d =
+          // maxTs + 9d) so every unmatched click's window provably closes
+          import s.implicits._
+          val sentinel = new java.sql.Timestamp(
+            mm.getTimestamp(1).getTime + 99L * 86400L * 1000L)
+          Seq((-1L, sentinel, -1L, "zz", 0.0))
+            .toDF("event_id", "ts", "user_id", "event_type", "value")
+            .write.mode("append").parquet(srcL)
+          Seq((-2L, sentinel, -1L, "zz", 0.0))
+            .toDF("event_id", "ts", "user_id", "event_type", "value")
+            .write.mode("append").parquet(srcR)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      s.read.format("graft-avro").load(out)
+        // the click-side sentinel is held in state (its own window never
+        // closes before the query stops) — filtered defensively
+        .filter(F.col("click_id") =!= -1)
+        .orderBy("click_id", "purchase_id")
+    }),
+
     // CUSTOM STATE under the oracle: gap-based sessionization (30-minute
     // idle gap) via flatMapGroupsWithState with an EVENT-TIME timeout.
     // Per-user state is the event-time list; NOTHING is emitted until the
@@ -241,6 +319,20 @@ object SourceGates extends Catalog {
            ON c.user_id = p.user_id
           AND c.event_type = 'click' AND p.event_type = 'purchase'
           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+         ORDER BY click_id, purchase_id""",
+    "q_stream_join_outer" ->
+      """SELECT c.event_id AS click_id,
+                COALESCE(p.event_id, -1) AS purchase_id,
+                c.user_id,
+                epoch_ns(c.ts) // 1000 AS cts_us,
+                COALESCE(epoch_ns(p.ts) // 1000, -1) AS pts_us,
+                CAST(floor(c.value * 1000) AS BIGINT) AS click_m,
+                COALESCE(CAST(floor(p.value * 1000) AS BIGINT), -1)
+                  AS purchase_m
+         FROM events c LEFT JOIN events p
+           ON c.user_id = p.user_id AND p.event_type = 'purchase'
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+         WHERE c.event_type = 'click'
          ORDER BY click_id, purchase_id""",
     "q_stream_sessions" ->
       """WITH e AS (
