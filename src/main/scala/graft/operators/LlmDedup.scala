@@ -146,7 +146,16 @@ object LlmDedup extends Catalog {
     * hash proves the collapse+expansion exact. MinHashSkewSpec asserts the
     * O(N) candidate behavior directly via [[bandCandidates]].
     */
-  private def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
+  /** The shared dedup core: materialized keyed shingles, collapsed
+    * representatives, and the verified near-dup pairs BETWEEN
+    * representatives. Consumers that need per-document results choose
+    * their own re-attachment: full pair expansion (llm_dedup_minhash —
+    * output-inherent), linear drop-set algebra (llm_dedup_keep), or
+    * star edges (llm_dedup_clusters) — the latter two never materialize
+    * the quadratic intra-group pair set a giant duplicate group implies.
+    */
+  private def dedupCore(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     // the keyed-shingle pipeline (an md5 per shingle over the corpus) is
     // referenced by the collapse, the intra-group join (twice), and the
     // membership expansion (twice): materialize it ONCE — without this the
@@ -161,6 +170,19 @@ object LlmDedup extends Catalog {
         F.size(F.col("sa")).cast("long").as("ni"),
         F.size(F.col("sb")).cast("long").as("nj"))
       .filter(jac >= 0.5)
+    (keyed, d, repPairs)
+  }
+
+  /** (rep, member) rows for every NON-representative member — the linear
+    * intra-group structure (star), never the pairwise expansion.
+    */
+  private def nonRepMembers(keyed: DataFrame, d: DataFrame): DataFrame =
+    keyed.select(F.col("tk"), F.col("doc_id"))
+      .join(d.select(F.col("tk"), F.col("doc_id").as("rep")), "tk")
+      .filter(F.col("doc_id") =!= F.col("rep"))
+
+  private def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val (keyed, _, repPairs) = dedupCore(s, dir)
     // membership (tk, doc_id, n); n travels so expansion never re-reads shs
     val m = keyed.select(F.col("tk"), F.col("doc_id"),
       F.size(F.col("shs")).cast("long").as("n"))
@@ -253,9 +275,23 @@ object LlmDedup extends Catalog {
     // near-dup pair (union-by-min within pairs), keep the rest. The drop
     // list is tiny relative to the corpus, so it broadcasts and the keep
     // step is a broadcast anti-join — the corpus is never shuffled.
+    // The drop set is computed in LINEAR work, never expanding pairs:
+    // a doc is a drop iff it is (a) a non-representative member of any
+    // exact-dup group (some smaller identical doc exists), or (b) any
+    // member of a group whose representative is the j of a verified rep
+    // pair — for rep pair (r, s) with r < s = min of its group, the j's
+    // of the expanded cross product are exactly (G_r \ {r}) ∪ G_s, and
+    // G_r \ {r} is already covered by (a). The oracle is the expanded
+    // definition, so the driver hash proves this algebra.
     "llm_dedup_keep" -> ((s, dir) => {
-      val drops = verifiedPairs(s, dir)
-        .select(F.col("j").as("doc_id")).distinct()
+      val (keyed, d, repPairs) = dedupCore(s, dir)
+      val nonRep = nonRepMembers(keyed, d).select("doc_id")
+      val hitMembers = d.select(F.col("tk"), F.col("doc_id").as("j"))
+        .join(repPairs.select("j").distinct(), "j")
+        .select("tk")
+        .join(keyed.select(F.col("tk"), F.col("doc_id")), "tk")
+        .select("doc_id")
+      val drops = nonRep.unionAll(hitMembers).distinct()
       table(s, dir, "documents")
         .join(F.broadcast(drops), Seq("doc_id"), "left_anti")
         .select("doc_id", "lang", "source", "n_chars")
@@ -270,7 +306,17 @@ object LlmDedup extends Catalog {
     // large-star/small-star, same primitive). The pair graph is tiny
     // relative to the corpus, so these joins touch only near-dup members.
     "llm_dedup_clusters" -> ((s, dir) => {
-      val pairs = verifiedPairs(s, dir).select("i", "j")
+      // The edge set is LINEAR, not the expanded pair set: exact-dup
+      // groups contribute STAR edges (rep → member) — same connectivity
+      // as the all-pairs clique a group implies, |G|−1 edges instead of
+      // |G|²/2 — and verified rep pairs contribute one edge each (their
+      // member cross products are already connected through the two
+      // stars). Components and min-labels are identical; the oracle
+      // walks the expanded graph, so the driver hash proves it.
+      val (keyed, dd, repPairs) = dedupCore(s, dir)
+      val star = nonRepMembers(keyed, dd)
+        .select(F.col("rep").as("i"), F.col("doc_id").as("j"))
+      val pairs = repPairs.select("i", "j").unionAll(star)
       // Iterative algorithms MUST truncate lineage: without the eager
       // localCheckpoint the 8-iteration loop re-plans (and re-executes)
       // the entire MinHash pipeline once per reference — exponentially.

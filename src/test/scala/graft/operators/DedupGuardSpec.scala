@@ -96,6 +96,21 @@ class MinHashSkewSpec extends AnyFunSuite with SparkSpec with Matchers {
     all(out.map(r => r.getAs[Long]("i") < r.getAs[Long]("j"))) shouldBe true
   }
 
+  test("identical docs: keep retains only the min id, clusters form one component") {
+    val n = 15
+    val docs = (1 to n).map(i =>
+      (i.toLong, dupText, "en", "web", dupText.length.toLong))
+    val dir = writeDocs(docs)
+    // linear drop-set algebra must agree with the expanded definition
+    LlmDedup.queries("llm_dedup_keep")(spark, dir)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq shouldBe Seq(1L)
+    // star edges must yield ONE component labeled by the min id
+    val clusters = LlmDedup.queries("llm_dedup_clusters")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster")))
+    clusters.map(_._1).sorted.toSeq shouldBe (1L to n.toLong)
+    all(clusters.map(_._2)) shouldBe 1L
+  }
+
   test("mixed corpus: dup group cross near-dup expands with correct sizes") {
     // two exact-dup groups whose texts are near-duplicates of each other,
     // plus an unrelated doc; expansion must cross the groups and reorder
