@@ -270,6 +270,40 @@ object LlmDedup extends Catalog {
         .orderBy("doc_id")
     }),
 
+    // SimHash SEARCH — the signature's actual use: near-dup pairs at
+    // Hamming distance <= 2 within (lang, source), candidates from the
+    // PIGEONHOLE chunk trick: the 16-bit signature splits into 3 chunks
+    // (6+5+5 bits); <= 2 differing bits touch <= 2 chunks, so qualifying
+    // pairs always share at least one whole chunk — bucket-join on
+    // (chunk_idx, chunk_value), then exact bit_count verify. LOSSLESS by
+    // pigeonhole; the oracle is the unchunked all-pairs query so the
+    // driver hash re-proves it. (Production uses 64-bit signatures with
+    // 4x16-bit chunks — identical shape, roomier buckets.)
+    "llm_simhash_pairs" -> ((s, dir) => {
+      VectorFunctions.register(s)
+      val sig = table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(F.col("doc_id"), F.col("lang"), F.col("source"),
+          F.transform(F.array_distinct(F.split(F.col("text"), " ")),
+            w => F.md5(w)).as("hsw"))
+        .select(F.col("doc_id"), F.col("lang"), F.col("source"),
+          VectorFunctions.simhash16(F.col("hsw")).as("sh"))
+      val chunks = sig.select(F.col("doc_id"), F.col("lang"),
+        F.col("source"), F.col("sh"),
+        F.expr("stack(3, 0, sh % 64, 1, (sh div 64) % 32, 2, sh div 2048) as (k, cv)"))
+      val cx = chunks.select(F.col("lang"), F.col("source"), F.col("k"),
+        F.col("cv"), F.col("doc_id").as("i"), F.col("sh").as("sa"))
+      val cy = chunks.select(F.col("lang"), F.col("source"), F.col("k"),
+        F.col("cv"), F.col("doc_id").as("j"), F.col("sh").as("sb"))
+      cx.join(cy, Seq("lang", "source", "k", "cv"))
+        .filter(F.col("i") < F.col("j"))
+        .select(F.col("lang"), F.col("source"), F.col("i"), F.col("j"),
+          F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).as("ham"))
+        .filter(F.col("ham") <= 2)
+        .distinct() // a pair can share up to 3 chunk buckets
+        .orderBy("lang", "source", "i", "j")
+    }),
+
     // Survivor materialization — the step a real dedup pipeline ends
     // with: drop every document that is the HIGHER id of a verified
     // near-dup pair (union-by-min within pairs), keep the rest. The drop
@@ -599,6 +633,33 @@ object LlmDedup extends Catalog {
                   THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT)
                   AS simhash
          FROM bits GROUP BY 1 ORDER BY doc_id""",
+    "llm_simhash_pairs" ->
+      """WITH dw AS (
+           SELECT doc_id, lang, source,
+                  unnest(list_distinct(string_split(text, ' '))) AS word
+           FROM documents),
+         votes AS (
+           SELECT doc_id, lang, source, b,
+                  CASE WHEN substring(md5(word), b + 1, 1)
+                         IN ('8','9','a','b','c','d','e','f')
+                       THEN 1 ELSE -1 END AS v
+           FROM dw, (SELECT unnest(range(0, 16)) AS b)),
+         bits AS (
+           SELECT doc_id, lang, source, b, CAST(sum(v) AS BIGINT) AS s
+           FROM votes GROUP BY 1, 2, 3, 4),
+         sig AS (
+           SELECT doc_id, lang, source,
+                  CAST(sum(CASE WHEN s > 0
+                    THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT)
+                    AS sh
+           FROM bits GROUP BY 1, 2, 3)
+         SELECT a.lang, a.source, a.doc_id AS i, b.doc_id AS j,
+                CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS ham
+         FROM sig a JOIN sig b
+           ON a.lang = b.lang AND a.source = b.source
+          AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sh, b.sh)) <= 2
+         ORDER BY a.lang, a.source, i, j""",
     "llm_decontaminate" ->
       """WITH d AS (
            SELECT doc_id, string_split(text, ' ') AS w FROM documents),
