@@ -140,6 +140,36 @@ class ImageHeaderSpec extends AnyFunSuite with SparkSpec with Matchers {
     got shouldBe st("aab".getBytes("UTF-8"))
   }
 
+  test("byte_stats agrees with a naive reference on random payloads") {
+    val rnd = new scala.util.Random(0xbeef)
+    (1 to 300).foreach { _ =>
+      val b = new Array[Byte](rnd.nextInt(200)); rnd.nextBytes(b)
+      val got = ByteStats.compute(b).toLongArray().toSeq
+      // independently derived: grouped counts, no shared arithmetic
+      val counts = b.map(_ & 0xff).groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val n = b.length.toLong
+      val modal = if (counts.isEmpty) 0L
+        else counts.toSeq.sortBy { case (v, c) => (-c, v) }.head._1.toLong
+      val chi2 = (0 until 256).map { v =>
+        val d = 256L * counts.getOrElse(v, 0L) - n; d * d
+      }.sum
+      got shouldBe Seq(n, counts.size.toLong, modal,
+        counts.values.maxOption.getOrElse(0L), chi2)
+    }
+  }
+
+  test("random valid headers parse to exactly their encoded dims") {
+    val rnd = new scala.util.Random(0xcafe)
+    (1 to 200).foreach { _ =>
+      val w = 1 + rnd.nextInt(65535); val h = 1 + rnd.nextInt(65535)
+      dims(jpeg(w, h)) shouldBe Some((ImageHeader.JPEG, w, h))
+      dims(gif(w, h)) shouldBe Some((ImageHeader.GIF, w, h))
+      // PNG dims are 32-bit: also cover values beyond uint16
+      val pw = 1 + rnd.nextInt(1 << 24); val ph = 1 + rnd.nextInt(1 << 24)
+      dims(png(pw, ph)) shouldBe Some((ImageHeader.PNG, pw, ph))
+    }
+  }
+
   test("expression agrees with parse under codegen over a DataFrame") {
     VectorFunctions.register(spark)
     import spark.implicits._

@@ -186,6 +186,24 @@ class PlanGuardSpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "llm_ngram_jaccard" should {
+    "form candidates via an equality join on the band key, never a cartesian" in {
+      val df = LlmDedup.queries("llm_ngram_jaccard")(spark, dir)
+      val s = df.queryExecution.executedPlan.toString
+      s should not include "CartesianProduct"
+      s should not include "BroadcastNestedLoopJoin"
+    }
+  }
+
+  "llm_simhash_pairs" should {
+    "form candidates via an equality join on the chunk key, never a cartesian" in {
+      val df = LlmDedup.queries("llm_simhash_pairs")(spark, dir)
+      val s = df.queryExecution.executedPlan.toString
+      s should not include "CartesianProduct"
+      s should not include "BroadcastNestedLoopJoin"
+    }
+  }
+
   "llm_inverted_index" should {
     "build in one aggregation exchange (partial + final collect_set)" in {
       val df = LlmRetrieval.queries("llm_inverted_index")(spark, dir)
