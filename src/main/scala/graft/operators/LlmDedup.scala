@@ -270,6 +270,47 @@ object LlmDedup extends Catalog {
         .orderBy("doc_id")
     }),
 
+    // Iterative GRAPH analytics — link-style rank propagation, the
+    // curation primitive behind quality/influence scoring over document
+    // graphs. The graph is deterministic: each doc emits 2 out-edges to
+    // md5-derived targets (a functional graph with constant out-degree,
+    // so the damping division is exact). Three PageRank iterations in
+    // EXACT integer arithmetic: r' = 150000 + Σ (17·r_u) div 40 — the
+    // floor runs per-edge BEFORE the sum in both engines, so the oracle
+    // (unrolled as 3 CTE steps, the llm_embed_kmeans pattern) is
+    // bit-identical. Scale shape: each iteration is one edge join + one
+    // aggregate — the canonical distributed PageRank step — with
+    // localCheckpoint per hop so the loop's lineage stays one step deep.
+    "llm_graph_rank" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val maxId = docs.agg(F.max("doc_id")).head().getLong(0)
+      val mod = maxId + 1
+      def target(off: Int) =
+        F.conv(F.substring(F.md5(F.col("text")), off, 12), 16, 10)
+          .cast("long") % mod
+      val edges = docs.select(F.col("doc_id").as("u"),
+          F.explode(F.array(target(1), target(13))).as("tv"))
+        .localCheckpoint()
+      val verts = docs.select(F.col("doc_id").as("v")).localCheckpoint()
+      var r = verts.withColumn("r", F.lit(1000000L))
+      (1 to 3).foreach { _ =>
+        val contrib = edges
+          .join(r.select(F.col("v").as("u"), F.col("r")), "u")
+          .select(F.col("tv").as("v"),
+            // integer div, NOT '/', which is float division in Spark;
+            // operands are positive so div == floor, matching DuckDB //
+            F.expr("(17 * r) div 40").as("c"))
+          .groupBy("v").agg(F.sum("c").as("cs"))
+        r = verts.join(contrib, Seq("v"), "left")
+          .select(F.col("v"),
+            (F.lit(150000L) + F.coalesce(F.col("cs"), F.lit(0L))).as("r"))
+          .localCheckpoint()
+      }
+      r.select(F.col("v").as("doc_id"), F.col("r").as("pr"))
+        .orderBy("doc_id")
+    }),
+
     // SimHash SEARCH — the signature's actual use: near-dup pairs at
     // Hamming distance <= 2 within (lang, source), candidates from the
     // PIGEONHOLE chunk trick: the 16-bit signature splits into 3 chunks
@@ -633,6 +674,31 @@ object LlmDedup extends Catalog {
                   THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT)
                   AS simhash
          FROM bits GROUP BY 1 ORDER BY doc_id""",
+    "llm_graph_rank" ->
+      """WITH mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+         e AS (
+           SELECT doc_id AS u,
+                  CAST('0x' || substring(md5(text), 1, 12) AS BIGINT) % m AS v
+           FROM documents, mx
+           UNION ALL
+           SELECT doc_id,
+                  CAST('0x' || substring(md5(text), 13, 12) AS BIGINT) % m
+           FROM documents, mx),
+         r0 AS (SELECT doc_id AS v, CAST(1000000 AS BIGINT) AS r
+                FROM documents),
+         c1 AS (SELECT e.v, CAST(sum((17 * r0.r) // 40) AS BIGINT) AS cs
+                FROM e JOIN r0 ON r0.v = e.u GROUP BY e.v),
+         r1 AS (SELECT r0.v, CAST(150000 + COALESCE(c1.cs, 0) AS BIGINT) AS r
+                FROM r0 LEFT JOIN c1 ON c1.v = r0.v),
+         c2 AS (SELECT e.v, CAST(sum((17 * r1.r) // 40) AS BIGINT) AS cs
+                FROM e JOIN r1 ON r1.v = e.u GROUP BY e.v),
+         r2 AS (SELECT r1.v, CAST(150000 + COALESCE(c2.cs, 0) AS BIGINT) AS r
+                FROM r1 LEFT JOIN c2 ON c2.v = r1.v),
+         c3 AS (SELECT e.v, CAST(sum((17 * r2.r) // 40) AS BIGINT) AS cs
+                FROM e JOIN r2 ON r2.v = e.u GROUP BY e.v),
+         r3 AS (SELECT r2.v, CAST(150000 + COALESCE(c3.cs, 0) AS BIGINT) AS r
+                FROM r2 LEFT JOIN c3 ON c3.v = r2.v)
+         SELECT v AS doc_id, r AS pr FROM r3 ORDER BY doc_id""",
     "llm_simhash_pairs" ->
       """WITH dw AS (
            SELECT doc_id, lang, source,
