@@ -73,24 +73,37 @@ object TpchMore extends Catalog {
     }),
 
     // TPC-H Q7: volume shipping between two nations, both directions.
-    // nation is broadcast twice (25 rows); the customer/supplier joins
-    // shuffle on their keys; the pair filter rides on the joined row.
+    // SCALE-CRITICAL join order: Catalyst cannot push the
+    // OR-of-conjunctions pair predicate (it references both sides), and
+    // without CBO it will not reorder the joins — so the selective nation
+    // filter is applied to each DIM first (nation pre-filtered to the two
+    // names, broadcast into supplier and customer), shrinking supplier to
+    // ~2/25 and customer to ~2/25 BEFORE any fact-fact shuffle. Each fact
+    // then inner-joins its shrunken dim (dropping ~92% of fact rows; the
+    // dim joins are left to AQE per the scale policy above — supplier/
+    // customer scale with the data), and only the two reduced facts
+    // shuffle-join on o_orderkey. The residual filter only removes the two
+    // same-nation combinations (1,1)/(2,2). At 100x this carries ~25x
+    // less volume through the exchanges than filtering after the joins.
     "q7_volume_shipping" -> ((s, dir) => {
       val li = table(s, dir, "lineitem")
         .filter(F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")) &&
           F.col("l_shipdate") < F.to_timestamp(F.lit("1999-01-01")))
-      val sup = table(s, dir, "supplier")
-      val ord = table(s, dir, "orders")
-      val cust = table(s, dir, "customer")
+      val pair = Seq("NATION_1", "NATION_2")
       val sn = table(s, dir, "nation")
+        .filter(F.col("n_name").isin(pair: _*))
         .select(F.col("n_nationkey").as("sn_key"), F.col("n_name").as("supp_nation"))
       val cn = table(s, dir, "nation")
+        .filter(F.col("n_name").isin(pair: _*))
         .select(F.col("n_nationkey").as("cn_key"), F.col("n_name").as("cust_nation"))
-      li.join(sup, li("l_suppkey") === sup("s_suppkey"))
-        .join(ord, li("l_orderkey") === ord("o_orderkey"))
-        .join(cust, ord("o_custkey") === cust("c_custkey"))
+      val sup = table(s, dir, "supplier")
         .join(F.broadcast(sn), F.col("s_nationkey") === F.col("sn_key"))
+      val cust = table(s, dir, "customer")
         .join(F.broadcast(cn), F.col("c_nationkey") === F.col("cn_key"))
+      val ord = table(s, dir, "orders")
+      val liSup = li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+      val ordCust = ord.join(cust, ord("o_custkey") === cust("c_custkey"))
+      liSup.join(ordCust, liSup("l_orderkey") === ordCust("o_orderkey"))
         .filter((F.col("supp_nation") === "NATION_1" && F.col("cust_nation") === "NATION_2") ||
           (F.col("supp_nation") === "NATION_2" && F.col("cust_nation") === "NATION_1"))
         .groupBy(F.col("supp_nation"), F.col("cust_nation"),
@@ -101,26 +114,35 @@ object TpchMore extends Catalog {
 
     // TPC-H Q8 flavour: NATION_3 suppliers' market share of PROMO-part
     // volume sold to ASIA customers, by order year, in exact units.
+    // SCALE-CRITICAL join order (same fix as q7): the ASIA region filter
+    // is folded into the nation dim FIRST (region ⋈ nation is a 5×25
+    // broadcast join), then broadcast into customer — shrinking customer
+    // to ~1/5 — before any fact-fact shuffle. orders then joins the
+    // shrunken customer, so 4/5 of order rows never reach the
+    // lineitem⋈orders exchange instead of being discarded after it.
+    // supp_nation rides into supplier the same way (no selectivity, but
+    // it removes a post-join broadcast over full fact volume).
     "q8_market_share" -> ((s, dir) => {
       val li = table(s, dir, "lineitem")
       val part = table(s, dir, "part").filter(F.col("p_type") === "PROMO")
+      val reg = table(s, dir, "region").filter(F.col("r_name") === "ASIA")
+      val cn = table(s, dir, "nation")
+        .select(F.col("n_nationkey").as("cn_key"), F.col("n_regionkey").as("cn_region"))
+        .join(F.broadcast(reg), F.col("cn_region") === F.col("r_regionkey"))
+        .select(F.col("cn_key"))
+      val sn = table(s, dir, "nation")
+        .select(F.col("n_nationkey").as("sn_key"), F.col("n_name").as("supp_nation"))
       val sup = table(s, dir, "supplier")
+        .join(F.broadcast(sn), F.col("s_nationkey") === F.col("sn_key"))
+      val cust = table(s, dir, "customer")
+        .join(F.broadcast(cn), F.col("c_nationkey") === F.col("cn_key"))
       val ord = table(s, dir, "orders")
         .filter(F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-01-01")) &&
           F.col("o_orderdate") < F.to_timestamp(F.lit("1999-01-01")))
-      val cust = table(s, dir, "customer")
-      val cn = table(s, dir, "nation")
-        .select(F.col("n_nationkey").as("cn_key"), F.col("n_regionkey").as("cn_region"))
-      val reg = table(s, dir, "region").filter(F.col("r_name") === "ASIA")
-      val sn = table(s, dir, "nation")
-        .select(F.col("n_nationkey").as("sn_key"), F.col("n_name").as("supp_nation"))
-      li.join(part, li("l_partkey") === part("p_partkey"))
+      val liSide = li.join(part, li("l_partkey") === part("p_partkey"))
         .join(sup, li("l_suppkey") === sup("s_suppkey"))
-        .join(ord, li("l_orderkey") === ord("o_orderkey"))
-        .join(cust, ord("o_custkey") === cust("c_custkey"))
-        .join(F.broadcast(cn), F.col("c_nationkey") === F.col("cn_key"))
-        .join(F.broadcast(reg), F.col("cn_region") === F.col("r_regionkey"))
-        .join(F.broadcast(sn), F.col("s_nationkey") === F.col("sn_key"))
+      val ordSide = ord.join(cust, ord("o_custkey") === cust("c_custkey"))
+      liSide.join(ordSide, liSide("l_orderkey") === ordSide("o_orderkey"))
         .groupBy(F.year(F.col("o_orderdate")).as("o_year"))
         .agg((F.sum(F.when(F.col("supp_nation") === "NATION_3", discUnits)
             .otherwise(F.lit(0.0))) / 10000.0).as("nat_vol"),

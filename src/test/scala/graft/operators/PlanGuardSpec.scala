@@ -121,20 +121,24 @@ class PlanGuardSpec extends AnyWordSpec with Matchers with SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
-  private def scansOf(df: org.apache.spark.sql.DataFrame): Seq[FileSourceScanExec] = {
-    import org.apache.spark.sql.execution.SparkPlan
+  /** Every physical node, descending through AQE stage wrappers and
+    * reused exchanges (a flat collect() hides finalized subtrees).
+    */
+  private def walkPlan(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
     import org.apache.spark.sql.execution.adaptive.QueryStageExec
-    def walk(p: SparkPlan): Seq[FileSourceScanExec] = {
-      val here = p match { case s: FileSourceScanExec => Seq(s); case _ => Seq.empty }
-      val kids = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec => Seq(q.plan)
-        case other => other.children
-      }
-      here ++ kids.flatMap(walk)
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case other => other.children
     }
-    walk(df.queryExecution.executedPlan)
+    p +: kids.flatMap(walkPlan)
   }
+
+  private def scansOf(df: org.apache.spark.sql.DataFrame): Seq[FileSourceScanExec] =
+    walkPlan(df.queryExecution.executedPlan).collect { case s: FileSourceScanExec => s }
 
   private def pushedFilterOn(df: org.apache.spark.sql.DataFrame, col: String): Unit = {
     val hit = scansOf(df).exists(_.metadata.get("PushedFilters")
@@ -183,6 +187,57 @@ class PlanGuardSpec extends AnyWordSpec with Matchers with SparkSpec {
       s should not include "CartesianProduct"
       s should include("BroadcastHashJoin")
       pushedFilterOn(df, "o_orderstatus")
+    }
+  }
+
+  /** The r7 verdict's scale flag: the selective nation/region predicate
+    * must land BEFORE the first fact-side shuffle exchange, not ride on
+    * the fully-joined row. Two assertions each: (a) the predicate is
+    * pushed into the dim's parquet scan (scan-level = before every
+    * exchange by construction); (b) any shuffle exchange whose subtree
+    * carries the fact also carries the filtered dim below it — i.e. the
+    * dim join happened pre-shuffle. (b) is checked over every shuffle so
+    * AQE's runtime broadcast conversions can't mask a regression.
+    */
+  private def shufflesOf(df: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    walkPlan(df.queryExecution.executedPlan).collect { case e: ShuffleExchangeLike => e }
+  }
+
+  private def subtreeScanCols(p: org.apache.spark.sql.execution.SparkPlan): Set[String] =
+    walkPlan(p).collect { case s: FileSourceScanExec => s }
+      .flatMap(_.output.map(_.name)).toSet
+
+  "q7_volume_shipping" should {
+    "apply the nation-pair filter before any fact-side exchange" in {
+      val df = TpchMore.queries("q7_volume_shipping")(spark, sfDir)
+      val s = executedString(df)
+      s should not include "CartesianProduct"
+      pushedFilterOn(df, "n_name") // pair predicate sits ON the nation scan
+      for (e <- shufflesOf(df)) {
+        val cols = subtreeScanCols(e)
+        if (cols.contains("l_suppkey"))
+          assert(cols.contains("n_name"),
+            "lineitem shuffled before the nation-filtered supplier join")
+        if (cols.contains("o_custkey"))
+          assert(cols.contains("n_name"),
+            "orders shuffled before the nation-filtered customer join")
+      }
+    }
+  }
+
+  "q8_market_share" should {
+    "apply the ASIA region filter before any fact-side exchange" in {
+      val df = TpchMore.queries("q8_market_share")(spark, sfDir)
+      val s = executedString(df)
+      s should not include "CartesianProduct"
+      pushedFilterOn(df, "r_name") // ASIA predicate sits ON the region scan
+      for (e <- shufflesOf(df)) {
+        val cols = subtreeScanCols(e)
+        if (cols.contains("o_custkey"))
+          assert(cols.contains("r_name"),
+            "orders shuffled before the region-filtered customer join")
+      }
     }
   }
 
