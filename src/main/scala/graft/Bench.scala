@@ -90,7 +90,7 @@ object Bench {
           }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      name -> (if (times.contains(-1.0)) -1.0 else times.min)
+      name -> (if (times.contains(-1.0)) Seq(-1.0, -1.0) else Seq(times.min, times.max))
     }
     // Locale.ROOT: a comma-decimal default locale would emit `0,123`
     // and break the driver's JSON parse.
@@ -98,6 +98,10 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def toJson(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    def toJsonSpread(rs: Seq[(String, Seq[Double])]) =
+      rs.map { case (k, vs) =>
+        "\"" + k + "\":[" + vs.map(fmt).mkString(",") + "]"
+      }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }
       .mkString("{", ",", "}")
     val calibPost = calibrate()
@@ -106,26 +110,39 @@ object Bench {
     // reference (committed clean runs measure ~0.1-0.2 s) — if calib_sec is
     // 2x that, every query time in this artifact is inflated by contention.
     val calibSec = math.max(calibPre, calibPost)
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val best = results.map { case (k, vs) => k -> vs.head }
+    val total = best.collect { case (_, v) if v >= 0 => v }.sum
     // The driver captures only the LAST 2000 chars of stdout and parses the
     // JSON line out of that tail (BENCH_r1..r3 all show `parsed: null` —
     // the full 100+-query map is ~3.4 KB, so the line's opening brace fell
     // off the tail every round). Emit a compact line: headline queries only
     // (all 22 TPC-H + the flagship LLM ops), full detail to BENCH_DETAIL
     // .json alongside.
-    val headline = results.filter { case (k, _) =>
+    val headline = best.filter { case (k, _) =>
       k.matches("q\\d+.*") ||
         Set("llm_dedup_minhash", "llm_similar_topk", "llm_decontaminate",
           "llm_pipeline_e2e", "q_topk_native").contains(k)
     }
+    // Per-query [best, worst] across the reps (r7 advice): the whole-run
+    // calib_sec proves the BOX was quiet on average, but a one-off spike
+    // hitting a single gate (r7: llm_dedup_incremental 6.05 s driver vs
+    // 0.69 s committed) is invisible to it. With both rep times in the
+    // artifact, `worst >> best` identifies a transient per-gate spike
+    // (best is the real number); `worst ≈ best ≈ slow` identifies a true
+    // regression. Full spread goes to BENCH_DETAIL.json; the compact
+    // driver line (2000-char stdout-tail contract) carries only the
+    // spiky outliers: worst ≥ 1.5× best AND ≥ 0.3 s apart.
+    val spiky = results.filter { case (_, vs) =>
+      vs.head >= 0 && vs.last >= vs.head * 1.5 && vs.last - vs.head >= 0.3
+    }
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"calib_sec":${fmt(calibSec)},"calib_pre":${fmt(calibPre)},"calib_post":${fmt(calibPost)},"queries":${toJson(results)},"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"calib_sec":${fmt(calibSec)},"calib_pre":${fmt(calibPre)},"calib_post":${fmt(calibPost)},"queries":${toJson(best)},"spread":${toJsonSpread(results)},"errors":$errJson,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
         detail.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(headline)},"sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"calib_sec":${fmt(calibSec)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(headline)},"sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"calib_sec":${fmt(calibSec)},"spread":${toJsonSpread(spiky)}}"""
     // stop() BEFORE the println: the JSON line must be the LAST thing on
     // stdout (driver contract) and session teardown may log.
     spark.stop()
