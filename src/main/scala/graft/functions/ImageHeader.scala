@@ -107,8 +107,18 @@ object ImageHeader {
   * scores high). Modal tie-break: smallest byte value.
   */
 object ByteStats {
+
+  /** Largest payload for which chi2_u provably fits in Int64: the maximum
+    * of Σ(256·c−n)² under Σc=n is n²·(255²+255) (all mass on one byte), so
+    * n ≤ 2^23 keeps the worst case ≤ 2^16·2^46 < 2^63. Larger payloads
+    * return null (byte_stats is exposed as a general SQL function — a
+    * silent wrap on a 16 MB low-entropy blob would be a wrong answer, not
+    * an error).
+    */
+  val MaxBytes: Int = 1 << 23
+
   def compute(bytes: Array[Byte]): ArrayData = {
-    if (bytes == null) return null
+    if (bytes == null || bytes.length > MaxBytes) return null
     val counts = new Array[Long](256)
     var i = 0
     while (i < bytes.length) { counts(bytes(i) & 0xff) += 1; i += 1 }
@@ -132,6 +142,8 @@ case class ByteStatsExpr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  override def nullable: Boolean = true // payloads > ByteStats.MaxBytes
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
@@ -143,7 +155,10 @@ case class ByteStatsExpr(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.ByteStats.compute($a);")
+      s"""
+         |${ev.value} = graft.functions.ByteStats.compute($a);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -78,10 +78,16 @@ object LlmMultimodal extends Catalog {
       val gifHex = F.concat(F.lit("474946383961"), le16(w), le16(h),
         F.lit("f70000"))
       val variant = F.pmod(F.col("doc_id"), F.lit(4))
+      // Variant 3 ("not an image"): the raw text is prefixed with a 0x00
+      // byte, which no container magic starts with — otherwise a corpus
+      // text that happened to start with 'GIF89a' (or another magic) would
+      // parse as an image in Spark while the oracle hardcodes 'unknown'
+      // for doc_id%4==3, a latent data-dependent mismatch.
       val payload = F.when(variant === 0, F.to_binary(pngHex, F.lit("hex")))
         .when(variant === 1, F.to_binary(jpgHex, F.lit("hex")))
         .when(variant === 2, F.to_binary(gifHex, F.lit("hex")))
-        .otherwise(F.to_binary(F.col("text"), F.lit("utf-8")))
+        .otherwise(F.concat(F.to_binary(F.lit("00"), F.lit("hex")),
+          F.to_binary(F.col("text"), F.lit("utf-8"))))
       table(s, dir, "documents")
         .select(F.col("doc_id"), payload.as("payload"))
         .select(F.col("doc_id"),
@@ -204,7 +210,7 @@ object LlmMultimodal extends Catalog {
                      ELSE -1 END AS height,
                 CAST(CASE doc_id % 4 WHEN 0 THEN 33 WHEN 1 THEN 41
                      WHEN 2 THEN 13
-                     ELSE octet_length(encode(text)) END AS BIGINT)
+                     ELSE octet_length(encode(text)) + 1 END AS BIGINT)
                   AS n_bytes
          FROM documents ORDER BY doc_id""",
     // per-char counts == per-byte counts on the ASCII corpus; chi2 over

@@ -13,7 +13,7 @@ case class StreamSession(user_id: Long, session_idx: Int, start_us: Long,
   * The CSV/JSON gates write the documents table through the format and
   * read it back with an EXPLICIT schema (type inference is banned at
   * scale: a schema-inference pass reads the whole dataset twice), then
-  * aggregate with a content fingerprint (sum of 60-bit md5 prefixes over
+  * aggregate with a content fingerprint (sum of 48-bit md5 prefixes over
   * `text`) so any value corruption in the round trip — quoting, escaping,
   * charset, type coercion — breaks the driver hash. The oracle aggregates
   * the parquet original: the format round trip must be value-invisible.

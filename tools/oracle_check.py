@@ -24,24 +24,23 @@ def canon_type(t):
     TIMESTAMP) — consistent with a pandas-coerced, value-string hash
     where int widths collapse to int and DATE/TIMESTAMP both land on
     datetime64. So: signed int widths canonicalize together, FLOAT joins
-    DOUBLE, DATE and both timestamp flavours canonicalize together, and
-    everything else (HUGEINT, DECIMAL, VARCHAR, nested) compares
-    strictly — HUGEINT deliberately so: pandas coerces it to float64,
-    which is always an oracle bug (missing CAST ... AS BIGINT) here.
+    DOUBLE, DATE canonicalizes with TIMESTAMP, and everything else
+    (HUGEINT, DECIMAL, VARCHAR, unsigned ints, TIMESTAMP_S/MS/NS, nested)
+    compares strictly — HUGEINT deliberately so: pandas coerces it to
+    float64, which is always an oracle bug (missing CAST ... AS BIGINT)
+    here. Unsigned widths and non-microsecond timestamp flavours are kept
+    STRICT on purpose: the pandas-coercion argument says they'd collapse
+    too, but only the folds above were actually calibrated against the
+    driver (r5/r6); an uncalibrated lenience here could pass locally and
+    fail on the driver. If a gate ever legitimately emits one, calibrate
+    against a driver round first — until then, cast in the oracle SQL.
     """
     s = str(t).upper()
-    if s in ('TINYINT', 'SMALLINT', 'INTEGER', 'BIGINT',
-             'UTINYINT', 'USMALLINT', 'UINTEGER', 'UBIGINT'):
-        # unsigned widths fold too: pandas lands them on an int64/uint64
-        # that value-hashes like any other integer (HUGEINT stays strict —
-        # that one coerces to float64 and is always an oracle bug)
+    if s in ('TINYINT', 'SMALLINT', 'INTEGER', 'BIGINT'):
         return 'INT'
     if s == 'FLOAT':
         return 'DOUBLE'
-    if s in ('DATE', 'TIMESTAMP WITH TIME ZONE',
-             'TIMESTAMP_S', 'TIMESTAMP_MS', 'TIMESTAMP_NS'):
-        # second/milli/nano timestamp flavours coerce to datetime64 the
-        # same way midnight DATE does
+    if s in ('DATE', 'TIMESTAMP WITH TIME ZONE'):
         return 'TIMESTAMP'
     return s
 
