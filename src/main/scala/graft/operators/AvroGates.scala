@@ -90,6 +90,74 @@ object AvroGates extends Catalog {
       a.join(b, Seq("lang")).orderBy("lang")
     }),
 
+    // WRITE-path schema evolution under the oracle: a day-1 batch is
+    // written with (doc_id, source, score:int); a day-2 batch APPENDS to
+    // the same directory with score widened int→long and a new nullable
+    // lang column. The merged read must see the latest writer's schema
+    // (latest-schema-wins inference), finish the int→long promotion at
+    // decode for day-1 rows, and resolve the missing lang to null — the
+    // oracle re-derives all of it from the parquet original.
+    "q_avro_evolve" -> ((s, dir) => {
+      val tmp = tempDir("graft_gate_evolve")
+      val d = table(s, dir, "documents")
+      d.filter(F.pmod(F.col("doc_id"), F.lit(2)) === 0)
+        .select(F.col("doc_id"), F.col("source"),
+          F.col("n_chars").cast("int").as("score"))
+        .write.format("graft-avro").mode("overwrite").save(tmp)
+      d.filter(F.pmod(F.col("doc_id"), F.lit(2)) === 1)
+        .select(F.col("doc_id"), F.col("source"),
+          (F.col("n_chars").cast("long") * 2).as("score"), F.col("lang"))
+        .write.format("graft-avro").mode("append").save(tmp)
+      s.read.format("graft-avro").load(tmp)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.sum("score").as("sum_score"),
+          F.sum(F.when(F.col("lang").isNull, 1).otherwise(0))
+            .cast("long").as("n_old"),
+          F.count(F.col("lang")).as("n_new"))
+        .orderBy("source")
+    }),
+
+    // Sink-side MERGE loop through the transactional commit — the
+    // Delta-style read-merge-publish nightly job: day-1 publishes a base
+    // table through the engine's sink; day-2 reads the PUBLISHED files
+    // (not lineage), full-outer-merges a delta of inserts + updates
+    // (q_upsert's coalesce algebra), and atomically republishes v2 via
+    // the staged-rename batch commit; day-3 repeats against v2. The gate
+    // returns the full v3 state: it must be exactly the twice-merged
+    // table the oracle re-derives — a failed or partial commit anywhere
+    // would surface as missing/stale rows. Each version lands in its own
+    // directory (the nightly-snapshot layout llm_dedup_persistent uses):
+    // readers of vN are never exposed to vN+1's in-flight state, and the
+    // overwrite commit within a directory is all-or-nothing.
+    "q_merge_publish" -> ((s, dir) => {
+      val v1 = tempDir("graft_gate_merge_v1")
+      val v2 = tempDir("graft_gate_merge_v2")
+      val v3 = tempDir("graft_gate_merge_v3")
+      val d = table(s, dir, "documents")
+      val m3 = F.pmod(F.col("doc_id"), F.lit(3))
+      val m6 = F.pmod(F.col("doc_id"), F.lit(6))
+      def snap(pred: org.apache.spark.sql.Column, mult: Int, ver: Int) =
+        d.filter(pred).select(F.col("doc_id"),
+          (F.col("n_chars") * mult).as("val"), F.lit(ver).as("ver"))
+      def merge(baseDir: String, delta: DataFrame): DataFrame = {
+        val base = s.read.format("graft-avro").load(baseDir)
+        base.as("b").join(delta.as("d"), Seq("doc_id"), "full_outer")
+          .select(F.col("doc_id"),
+            F.coalesce(F.col("d.val"), F.col("b.val")).as("val"),
+            F.coalesce(F.col("d.ver"), F.col("b.ver")).as("ver"))
+      }
+      snap(m3 === 0, 1, 1)
+        .write.format("graft-avro").mode("overwrite").save(v1)
+      // day-2: inserts (doc_id%3==1) + updates to half the base (%6==0)
+      merge(v1, snap(m3 === 1 || m6 === 0, 10, 2))
+        .write.format("graft-avro").mode("overwrite").save(v2)
+      // day-3: inserts (%3==2) + updates to half of day-2's rows (%6==1)
+      merge(v2, snap(m3 === 2 || m6 === 1, 100, 3))
+        .write.format("graft-avro").mode("overwrite").save(v3)
+      s.read.format("graft-avro").load(v3).orderBy("doc_id")
+    }),
+
     // STREAMING sink under the oracle: the documents table is staged as
     // three parquet files, micro-batched through Structured Streaming
     // (maxFilesPerTrigger=1 → three separate epoch commits) into the
@@ -269,6 +337,41 @@ object AvroGates extends Catalog {
       """SELECT lang, CAST(sum(n_chars) AS BIGINT) AS chars,
                 count(DISTINCT source) AS n_sources
          FROM documents GROUP BY lang ORDER BY lang""",
+    "q_avro_evolve" ->
+      """WITH u AS (
+           SELECT source, CAST(n_chars AS BIGINT) AS score,
+                  CAST(NULL AS VARCHAR) AS lang
+           FROM documents WHERE doc_id % 2 = 0
+           UNION ALL
+           SELECT source, CAST(n_chars AS BIGINT) * 2 AS score, lang
+           FROM documents WHERE doc_id % 2 = 1)
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(score) AS BIGINT) AS sum_score,
+                CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_old,
+                count(lang) AS n_new
+         FROM u GROUP BY source ORDER BY source""",
+    "q_merge_publish" ->
+      """WITH v1 AS (
+           SELECT doc_id, CAST(n_chars AS BIGINT) AS val, 1 AS ver
+           FROM documents WHERE doc_id % 3 = 0),
+         d2 AS (
+           SELECT doc_id, CAST(n_chars * 10 AS BIGINT) AS val, 2 AS ver
+           FROM documents WHERE doc_id % 3 = 1 OR doc_id % 6 = 0),
+         v2 AS (
+           SELECT COALESCE(d.doc_id, b.doc_id) AS doc_id,
+                  COALESCE(d.val, b.val) AS val,
+                  COALESCE(d.ver, b.ver) AS ver
+           FROM v1 b FULL OUTER JOIN d2 d ON b.doc_id = d.doc_id),
+         d3 AS (
+           SELECT doc_id, CAST(n_chars * 100 AS BIGINT) AS val, 3 AS ver
+           FROM documents WHERE doc_id % 3 = 2 OR doc_id % 6 = 1),
+         v3 AS (
+           SELECT COALESCE(d.doc_id, b.doc_id) AS doc_id,
+                  COALESCE(d.val, b.val) AS val,
+                  COALESCE(d.ver, b.ver) AS ver
+           FROM v2 b FULL OUTER JOIN d3 d ON b.doc_id = d.doc_id)
+         SELECT doc_id, val, ver FROM v3 ORDER BY doc_id""",
     "q_avro_stream" ->
       """SELECT lang, count(*) AS n_docs,
                 CAST(sum(n_chars) AS BIGINT) AS chars,
