@@ -22,14 +22,6 @@ final case class DecodedAsset(
     nBytes: Int,
     features: Array[Float])
 
-/** Resized asset: payload rewritten for the target dimensions. */
-final case class ResizedAsset(
-    docId: Long,
-    width: Int,
-    height: Int,
-    channels: Int,
-    payload: Array[Byte])
-
 /** One sampled frame of a (fake) video payload. */
 final case class Frame(
     docId: Long,
@@ -46,7 +38,10 @@ final case class Frame(
   * this environment has no image/audio codecs, so `decodeOne` derives
   * deterministic fake features from the payload bytes. Swapping in a real
   * decoder changes only the body of `decodeOne` / the batch hand-off —
-  * none of the distributed plumbing.
+  * none of the distributed plumbing. The stub now covers only feature
+  * extraction and video frames: header decode is real
+  * ([[graft.functions.ImageHeader]]) and pixel resize is real on BMP
+  * ([[Bmp.resizeAssets]]).
   *
   * Scale notes: decode is narrow per-partition work — no shuffle, linear
   * scaling; batch size bounds peak native memory per task.
@@ -76,31 +71,6 @@ object StubDecoder {
         // call; the stub decodes element-wise.
         batch.iterator.map(decodeOne)
       }
-    }
-  }
-
-  /** STUB resize — nearest-neighbor index mapping over the payload bytes
-    * (a real implementation resamples the decoded pixel buffer; the output
-    * SIZE contract — w·h·channels bytes — and the metadata rewrite are the
-    * real part).
-    */
-  def resizeOne(a: RawAsset, w: Int, h: Int): ResizedAsset = {
-    val out = Array.ofDim[Byte](w * h * a.channels)
-    if (a.payload.nonEmpty) {
-      var i = 0
-      while (i < out.length) {
-        out(i) = a.payload((i.toLong * a.payload.length / out.length).toInt)
-        i += 1
-      }
-    }
-    ResizedAsset(a.docId, w, h, a.channels, out)
-  }
-
-  /** Batched resize — same mapPartitions/batch shape as decode. */
-  def resizeAssets(assets: Dataset[RawAsset], w: Int, h: Int): Dataset[ResizedAsset] = {
-    import assets.sparkSession.implicits._
-    assets.mapPartitions { it =>
-      it.grouped(BatchSize).flatMap(_.iterator.map(resizeOne(_, w, h)))
     }
   }
 

@@ -6,10 +6,11 @@ import org.apache.spark.sql.{functions => F}
   * `binary` payload plus a typed `struct` metadata column. Header-level
   * decode (image dimensions/format from PNG/JPEG/GIF container bytes) is
   * REAL — a codegen expression, [[graft.functions.ImageHeader]] — because
-  * it needs no codec; only the pixel-touching paths (resize, frame
-  * sampling) remain in the honestly-labelled
-  * [[graft.multimodal.StubDecoder]] (no image/audio libs in this
-  * environment). Everything Spark-side (schema, projection, metadata
+  * it needs no codec; pixel-level resize is REAL on the one codec-free
+  * container (24-bpp uncompressed BMP, [[graft.multimodal.Bmp]]); only
+  * frame sampling and fake feature extraction remain in the
+  * honestly-labelled [[graft.multimodal.StubDecoder]] (no video codecs in
+  * this environment). Everything Spark-side (schema, projection, metadata
   * filter, payload hashing) is real.
   *
   * Scale notes: the asset table pattern keeps payloads as parquet binary —
@@ -159,24 +160,39 @@ object LlmMultimodal extends Catalog {
         .orderBy("doc_id", "frame_idx")
     }),
 
-    // Resize THROUGH the typed StubDecoder operator (4×4×3 target): the
-    // oracle rebuilds the nearest-neighbor byte mapping from character
-    // slices and hashes the same 48 bytes.
+    // REAL pixel-level resize on a codec-free container: each document is
+    // rendered as a byte-valid 24-bpp uncompressed Windows BMP (pixels =
+    // the document's ASCII bytes tiled across a (len%12+4)×(doc_id%12+4)
+    // grid — both up- and down-sampling vs the 8×8 target), then driven
+    // through [[graft.multimodal.Bmp.resizeAssets]]: real header parse,
+    // bottom-up/padded→packed pixel copy, nearest-neighbor resample,
+    // re-encode, and a decode of the re-encoded output (so an encoder/
+    // decoder asymmetry breaks the hash instead of hiding). The oracle
+    // re-derives every output byte from character slices: src_bytes checks
+    // encode's 4-byte row-stride math, pix_hash the resample index map.
+    // No stub anywhere on this path.
     "llm_resize" -> ((s, dir) => {
       import s.implicits._
       val assets = table(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
         .filter(F.col("n_chars") > 0)
-        .select(F.col("doc_id").as("docId"),
-          F.to_binary(F.col("text"), F.lit("utf-8")).as("payload"),
-          F.lit("img/fake").as("fmt"), F.lit(0).as("width"),
-          F.lit(0).as("height"), F.lit(3).as("channels"))
-        .as[graft.multimodal.RawAsset]
-      graft.multimodal.StubDecoder.resizeAssets(assets, 4, 4)
+        .select(F.col("doc_id"), F.col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val w = bytes.length % 12 + 4
+          val h = (id % 12).toInt + 4
+          val pix = Array.tabulate[Byte](w * h * 3)(j => bytes(j % bytes.length))
+          graft.multimodal.RawAsset(id,
+            graft.multimodal.Bmp.encode(w, h, pix), "img/bmp", w, h, 3)
+        }
+      graft.multimodal.Bmp.resizeAssets(assets, 8, 8)
         .toDF()
         .select(F.col("docId").as("doc_id"),
-          F.length(F.col("payload")).cast("long").as("n_bytes"),
-          F.md5(F.col("payload")).as("payload_hash"))
+          F.col("srcW").as("src_w"), F.col("srcH").as("src_h"),
+          F.col("srcBytes").cast("long").as("src_bytes"),
+          F.col("nBytes").cast("long").as("n_bytes"),
+          F.md5(F.col("pix")).as("pix_hash"))
         .orderBy("doc_id")
     })
   )
@@ -251,17 +267,34 @@ object LlmMultimodal extends Catalog {
               unnest(generate_series(0, (length(d.text) - 1) // 64)) t(i)
          WHERE t.i % 2 = 0 AND length(d.text) > 0
          ORDER BY doc_id, frame_idx""",
+    // Re-derives the full BMP resize path byte-for-byte: output byte i of
+    // the 8x8x3 result maps to pixel p=i//3 channel c=i%3 at (x,y) =
+    // (p%8, p//8); nearest-neighbor reads source (x*w//8, y*h//8); the
+    // source pixel byte (sy*w+sx)*3+c tiles the document text (all
+    // operands non-negative, so DuckDB // == Spark/Scala int division).
+    // src_bytes re-derives encode's padded row stride ((3w+3)//4*4).
     "llm_resize" ->
-      """WITH px AS (
-           SELECT doc_id, text, t.i AS i,
-                  (t.i * length(text)) // 48 AS idx
-           FROM documents, unnest(generate_series(0, 47)) t(i)
-           WHERE length(text) > 0),
+      """WITH d AS (
+           SELECT doc_id, text, length(text) AS n,
+                  (length(text) % 12) + 4 AS w,
+                  (doc_id % 12) + 4 AS h
+           FROM documents WHERE length(text) > 0),
+         px AS (
+           SELECT doc_id, t.i AS i,
+                  substring(text,
+                    ((((((t.i // 3) // 8) * h) // 8) * w
+                      + ((((t.i // 3) % 8) * w) // 8)) * 3
+                     + (t.i % 3)) % n + 1, 1) AS ch
+           FROM d, unnest(generate_series(0, 191)) t(i)),
          s AS (
-           SELECT doc_id,
-                  string_agg(substring(text, idx + 1, 1), '' ORDER BY i) AS sp
+           SELECT doc_id, string_agg(ch, '' ORDER BY i) AS sp
            FROM px GROUP BY doc_id)
-         SELECT doc_id, CAST(48 AS BIGINT) AS n_bytes, md5(sp) AS payload_hash
-         FROM s ORDER BY doc_id"""
+         SELECT d.doc_id,
+                CAST(d.w AS INT) AS src_w, CAST(d.h AS INT) AS src_h,
+                CAST(54 + ((d.w * 3 + 3) // 4) * 4 * d.h AS BIGINT)
+                  AS src_bytes,
+                CAST(246 AS BIGINT) AS n_bytes,
+                md5(s.sp) AS pix_hash
+         FROM d JOIN s USING (doc_id) ORDER BY d.doc_id"""
   )
 }

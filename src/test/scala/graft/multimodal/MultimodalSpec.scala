@@ -34,18 +34,27 @@ class MultimodalSpec extends AnyWordSpec with Matchers with SparkSpec {
       r0.features(3) shouldBe exp
     }
 
-    "resize payloads to the target size contract" in {
+    "resize real BMP payloads end-to-end through the distributed operator" in {
       import spark.implicits._
+      // two real 24-bpp BMPs: a 10x6 downscale case and a 3x2 upscale case
+      // (3*3=9 bytes/row -> 12-byte padded stride, the non-trivial class)
+      val pixA = Array.tabulate(10 * 6 * 3)(i => (i % 251).toByte)
+      val pixB = Array.tabulate(3 * 2 * 3)(i => (7 * i + 1).toByte)
       val assets = spark.createDataset(Seq(
-        RawAsset(1L, Array.tabulate(300)(_.toByte), "img/fake", 10, 10, 3),
-        RawAsset(2L, Array.emptyByteArray, "img/fake", 0, 0, 3)))
-      val resized = StubDecoder.resizeAssets(assets, 4, 4).collect().sortBy(_.docId)
-      resized.map(_.payload.length).toSeq shouldBe Seq(48, 48) // 4*4*3
-      resized.head.width shouldBe 4
-      // nearest-neighbor stub is deterministic: first output byte maps to
-      // source index 0, last to index (47*300/48)
-      resized.head.payload(0) shouldBe 0.toByte
-      resized.head.payload(47) shouldBe (47L * 300 / 48).toByte
+        RawAsset(1L, Bmp.encode(10, 6, pixA), "img/bmp", 10, 6, 3),
+        RawAsset(2L, Bmp.encode(3, 2, pixB), "img/bmp", 3, 2, 3)))
+        .repartition(2)
+      val out = Bmp.resizeAssets(assets, 4, 4).collect().sortBy(_.docId)
+      out.map(_.pix.length).toSeq shouldBe Seq(48, 48) // 4*4*3
+      out.map(r => (r.srcW, r.srcH)).toSeq shouldBe Seq((10, 6), (3, 2))
+      out.map(_.srcBytes).toSeq shouldBe
+        Seq(Bmp.HeaderBytes + 32 * 6, Bmp.HeaderBytes + 12 * 2)
+      // resized output BMP: 4*3=12 bytes/row, already 4-aligned
+      out.map(_.nBytes).toSeq shouldBe Seq(Bmp.HeaderBytes + 12 * 4,
+        Bmp.HeaderBytes + 12 * 4)
+      // the round-tripped pixels equal a driver-side resample of the source
+      out.head.pix shouldBe Bmp.resizeNearest(10, 6, pixA, 4, 4)
+      out(1).pix shouldBe Bmp.resizeNearest(3, 2, pixB, 4, 4)
     }
 
     "sample every Nth fixed-size frame from a payload" in {
