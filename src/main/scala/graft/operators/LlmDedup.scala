@@ -17,17 +17,18 @@ import org.apache.spark.sql.{functions => F}
   *  - llm_simhash is a fully narrow projection (one codegen'd pass over
   *    the per-word hash array); Hamming-ball grouping on the signature is
   *    then an equality/bucket problem, not a pairwise one.
-  *  - llm_ngram_jaccard demonstrates the bounded-bucket pairwise pattern:
-  *    pairs form only within (lang, source, length-band) buckets, where the
-  *    band is floor(log2 |bigram set|) and each doc fans into bands
-  *    {b..b+5}. The reporting threshold (jac >= 1/20, compared in exact
-  *    integers as 21*common >= ni+nj) implies nj <= 20*ni < 2^5*ni for any
-  *    reported pair, so qualifying pairs always share a band key — the
-  *    banding is LOSSLESS (NgramBandLaws proves the arithmetic; the DuckDB
-  *    oracle is the unbanded all-pairs query, so the driver hash re-proves
-  *    it on real data). Cost drops from Σ|lang,source bucket|² — quadratic
-  *    in "all English docs from one source" at corpus scale — to
-  *    Σ|adjacent-band window|², bounded by the doc-length distribution.
+  *  - llm_ngram_jaccard demonstrates the lossless prefix-filter pattern
+  *    (the public AllPairs/PPJoin family): each doc emits only its
+  *    p(n) = n - ceil(n/20) + 1 RAREST bigrams (document-frequency-
+  *    ascending order within (lang, source)) as candidate keys, and any
+  *    pair meeting the reporting threshold (jac >= 1/20, compared in exact
+  *    integers as 21*common >= ni+nj) provably shares a prefix element —
+  *    NgramPrefixLaws carries the smallest-common-element proof, and the
+  *    DuckDB oracle is the unbanded all-pairs query, so the driver hash
+  *    re-proves losslessness on real data. Candidates need an ACTUAL
+  *    shared rare bigram, so cost is Σ prefix-DF(g)² — strictly a subset
+  *    of the r7 length-band scheme's Σ|adjacent-band window|² (a same-band
+  *    pair with no common bigram is no longer a candidate at all).
   *    N-gram sets are 60-bit hashes so the verify merge compares longs.
   *  - llm_dedup_clusters runs label propagation to fixpoint with eager
   *    lineage checkpoints (iterative DataFrames otherwise replan their
@@ -467,17 +468,35 @@ object LlmDedup extends Catalog {
         .orderBy("doc_id")
     }),
 
-    // Bucketed pairwise 2-gram Jaccard at reporting threshold jac >= 1/20,
-    // compared in exact integers (21*common >= ni+nj — no float boundary).
-    // Pairs form only within (lang, source, length-band) buckets; the band
-    // fan-out {b..b+5} is lossless for the threshold (see scaladoc above;
-    // NgramBandLaws has the proof, and the oracle is the UNBANDED all-pairs
-    // query so the driver hash verifies no pair was lost on real data).
+    // Pairwise 2-gram Jaccard at reporting threshold jac >= 1/20, compared
+    // in exact integers (21*common >= ni+nj — no float boundary).
+    // Candidates come from LOSSLESS PREFIX FILTERING (the public AllPairs/
+    // PPJoin family): under ANY fixed total order on bigrams, a qualifying
+    // pair must share an element inside the first p(n) = n - ceil(n/20) + 1
+    // order-ranked elements of BOTH docs. Proof: common <= min(ni,nj) and
+    // 21*common >= ni+nj imply nj <= 20*ni, so common >= (ni + ni/20)/21
+    // = ni/20, i.e. common >= ceil(ni/20); let c be the smallest common
+    // bigram in the order — if c sat outside doc i's prefix, at most
+    // ceil(ni/20) - 1 elements of doc i could follow it, yet all other
+    // common elements do: contradiction (NgramPrefixLaws re-proves this on
+    // random qualifying pairs; the oracle below stays the UNBANDED
+    // all-pairs query, so the driver hash re-verifies no pair was lost on
+    // real data). The order is (df, g) ascending — bigram document
+    // frequency within (lang, source) — so each doc's prefix carries its
+    // RAREST bigrams and candidate fan-out is Σ prefix-DF(g)² over
+    // actually-shared rare bigrams: strictly a subset of the former
+    // length-band window pairs (a same-band pair with zero common bigrams
+    // is no longer a candidate at all), retiring the Σ|band window|² tail
+    // documented in r7. The exact ratio prune (max <= 20*min, implied by
+    // the threshold) still kills impossible pairs before the distinct.
     "llm_ngram_jaccard" -> ((s, dir) => {
       VectorFunctions.register(s)
+      import org.apache.spark.sql.expressions.Window
       // bigrams are represented by 60-bit md5-prefix hashes: the pairwise
       // merge then compares longs instead of strings (~4x cheaper), and the
       // 8-byte elements shrink the arrays the verify join carries.
+      // localCheckpoint: d feeds the prefix keys AND both verify joins —
+      // without it the split+md5 projection recomputes three times.
       val d = table(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
         .withColumn("w", F.split(F.col("text"), " "))
@@ -488,23 +507,29 @@ object LlmDedup extends Catalog {
               F.expr("transform(sequence(1, size(w)-1), i -> concat_ws(' ', slice(w, i, 2)))")),
             bg => F.conv(F.substring(F.md5(bg), 1, 15), 16, 10).cast("long"))))
             .as("gs"))
-      // band = floor(log2 n) computed as binary-digit count (pure
-      // integer/string arithmetic — no float log at power-of-2 boundaries).
-      // Candidates carry only (lang, source, band, id, n) — 5 narrow
+        .localCheckpoint()
+      val ex = d.select(F.col("lang"), F.col("source"), F.col("doc_id"),
+        F.size(F.col("gs")).as("n"), F.explode(F.col("gs")).as("g"))
+      val dfreq = ex.groupBy("lang", "source", "g")
+        .agg(F.count(F.lit(1)).as("df"))
+      // rank each doc's bigrams rarest-first and keep the p(n) prefix;
+      // candidate rows carry only (lang, source, g, id, n) — 5 narrow
       // columns; the bigram arrays join in AFTER candidate distinct.
-      val keys = d
-        .withColumn("n", F.size(F.col("gs")))
-        .withColumn("band", F.length(F.conv(F.col("n"), 10, 2)).cast("int") - 1)
-        .select(F.col("lang"), F.col("source"), F.col("doc_id"), F.col("n"),
-          F.explode(F.sequence(F.col("band"), F.col("band") + 5)).as("bk"))
-      val kx = keys.select(F.col("lang"), F.col("source"), F.col("bk"),
+      // localCheckpoint: the self-join below references pre on both sides
+      // and the plans don't share the df-join + window subtree otherwise
+      // (distinct aliases defeat exchange reuse — PlanAudit showed the
+      // stage duplicated).
+      val pre = ex.join(dfreq, Seq("lang", "source", "g"))
+        .withColumn("rn", F.row_number().over(
+          Window.partitionBy("doc_id").orderBy("df", "g")))
+        .filter(F.col("rn") <= F.col("n") - F.expr("(n + 19) div 20") + 1)
+        .localCheckpoint()
+      val kx = pre.select(F.col("lang"), F.col("source"), F.col("g"),
         F.col("doc_id").as("i"), F.col("n").as("na"))
-      val ky = keys.select(F.col("lang"), F.col("source"), F.col("bk"),
+      val ky = pre.select(F.col("lang"), F.col("source"), F.col("g"),
         F.col("doc_id").as("j"), F.col("n").as("nb"))
-      val cand = kx.join(ky, Seq("lang", "source", "bk"))
+      val cand = kx.join(ky, Seq("lang", "source", "g"))
         .filter(F.col("i") < F.col("j") &&
-          // exact ratio prune implied by the threshold: nj <= 20*ni and
-          // ni <= 20*nj — kills same-band pairs that cannot qualify
           F.greatest(F.col("na"), F.col("nb")) <=
             F.lit(20) * F.least(F.col("na"), F.col("nb")))
         .select("lang", "source", "i", "j").distinct()

@@ -8,35 +8,69 @@ import org.scalatest.matchers.should.Matchers
 
 import graft.SparkSpec
 
-/** Losslessness law for llm_ngram_jaccard's length banding.
+/** Losslessness laws for llm_ngram_jaccard's prefix filtering (the public
+  * AllPairs/PPJoin candidate scheme).
   *
   * The gate reports pairs with 21*common >= ni+nj (⟺ Jaccard >= 1/20) and
-  * finds candidates only where two docs share a band key, each doc fanning
-  * into {b..b+5} with b = floor(log2 n) = bitlength(n)-1. The law: for EVERY
-  * valid (ni, nj, common) triple meeting the threshold, the two fan-out
-  * ranges intersect — so banding can never lose a reported pair.
-  * (Arithmetic proof: common <= min(ni,nj) and 21*common >= ni+nj give
-  * max <= 20*min < 2^5*min, hence |b_i - b_j| <= 5.)
+  * finds candidates only where two docs share a bigram among their first
+  * p(n) = n - ceil(n/20) + 1 elements under a fixed total order. The laws:
+  * (1) the threshold forces common >= ceil(max(ni,nj)/20) — the overlap
+  * floor the prefix length is derived from; (2) for EVERY pair of sets
+  * meeting the threshold, under an arbitrary total order (random 64-bit
+  * elements; the gate's df-ascending order is just another fixed order),
+  * the two prefixes share an element — so prefix filtering can never lose
+  * a reported pair. (Proof: let c = the smallest common element; if c sat
+  * outside either prefix, at most ceil(n/20) - 1 elements of that set
+  * could follow c, yet all common elements besides c do, contradicting
+  * common >= ceil(n/20).)
   */
-object NgramBandLaws extends Properties("NgramBandLaws") {
+object NgramPrefixLaws extends Properties("NgramPrefixLaws") {
 
-  private def band(n: Int): Int = 32 - Integer.numberOfLeadingZeros(n) - 1
+  private def prefixLen(n: Int): Int = n - (n + 19) / 20 + 1
 
-  property("threshold pairs always share a band key") =
+  property("threshold implies the per-side overlap floor") =
     Prop.forAllNoShrink(
       Gen.chooseNum(1, 1000000), Gen.chooseNum(1, 1000000)
     ) { (ni, nj) =>
-      // the weakest qualifying overlap: the smallest common meeting the
-      // threshold (if any valid common can)
       val minCommon = (ni + nj + 20) / 21 // ceil((ni+nj)/21)
       val qualifiable = minCommon <= math.min(ni, nj)
       !qualifiable || {
-        val (bi, bj) = (band(ni), band(nj))
-        val overlap = (bi to bi + 5).toSet.intersect((bj to bj + 5).toSet)
-        overlap.nonEmpty :| s"ni=$ni nj=$nj bands $bi,$bj disjoint"
+        val floor = (math.max(ni, nj) + 19) / 20 // ceil(max/20)
+        (minCommon >= floor) :|
+          s"ni=$ni nj=$nj minCommon=$minCommon floor=$floor"
       }
     }
 
+  // Random qualifying pair: a shared core C plus disjoint extras sized so
+  // 21*|C| >= ni+nj exactly at or above the threshold boundary.
+  private val qualifyingPair: Gen[(Set[Long], Set[Long])] = for {
+    c <- Gen.chooseNum(1, 30)
+    extra <- Gen.chooseNum(0, 19 * c) // ea+eb <= 19c keeps the pair at jac>=1/20
+    ea <- Gen.chooseNum(0, extra)
+    core <- Gen.containerOfN[Set, Long](c, Gen.long)
+    exA <- Gen.containerOfN[Set, Long](ea, Gen.long)
+    exB <- Gen.containerOfN[Set, Long](extra - ea, Gen.long)
+  } yield (core ++ (exA -- core), core ++ (exB -- core -- exA))
+
+  property("threshold pairs always share a prefix element") =
+    Prop.forAllNoShrink(qualifyingPair) { case (a, b) =>
+      val common = a.intersect(b).size
+      // duplicate-collision in the generator can push a pair below the
+      // threshold; the law quantifies over qualifying pairs only
+      val qualifies = common >= 1 && 21 * common >= a.size + b.size
+      !qualifies || {
+        val pa = a.toSeq.sorted.take(prefixLen(a.size)).toSet
+        val pb = b.toSeq.sorted.take(prefixLen(b.size)).toSet
+        pa.intersect(pb).nonEmpty :|
+          s"ni=${a.size} nj=${b.size} common=$common prefixes disjoint"
+      }
+    }
+
+  property("prefix length is sane") =
+    Prop.forAllNoShrink(Gen.chooseNum(1, 1000000)) { n =>
+      val p = prefixLen(n)
+      (p >= 1 && p <= n && (n - p) == (n + 19) / 20 - 1) :| s"n=$n p=$p"
+    }
 }
 
 /** Skew guard for the MinHash banding: a corpus of N identical documents —
@@ -56,24 +90,6 @@ class MinHashSkewSpec extends AnyFunSuite with SparkSpec with Matchers {
 
   private val dupText =
     "the quick brown fox jumps over the lazy dog again and again"
-
-  test("conv-based band == bitlength band (one job, exhaustive + boundaries)") {
-    // Spark's band (binary-digit count via conv) must agree with the
-    // arithmetic bitlength NgramBandLaws proves with — checked for every
-    // n in 1..65536 plus the power-of-2 boundaries up to 2^30, in ONE
-    // DataFrame job (a per-sample job here would add ~100 Spark jobs to
-    // the suite for a deterministic expression)
-    import spark.implicits._
-    val ns = (1 to 65536) ++ (17 to 30).flatMap(k =>
-      Seq((1 << k) - 1, 1 << k, (1 << k) + 1))
-    def bitBand(n: Int): Int = 32 - Integer.numberOfLeadingZeros(n) - 1
-    val mismatches = ns.toDF("n")
-      .select(F.col("n"),
-        (F.length(F.conv(F.col("n"), 10, 2)).cast("int") - 1).as("b"))
-      .collect()
-      .filter(r => r.getInt(1) != bitBand(r.getInt(0)))
-    mismatches shouldBe empty
-  }
 
   test("N identical docs collapse to zero band candidates") {
     val n = 40
