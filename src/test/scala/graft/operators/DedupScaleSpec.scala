@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** End-to-end scale-up smoke for the dedup family (the MinHashSkewSpec
+  * idea, but on the real sf0.1 corpus): union the corpus with id-offset
+  * copies (3x) and assert the EXACT growth laws the scale design promises.
+  * The point is to catch nonlinear blowups no fixed SF can see — if the
+  * exact-dup collapse, drop-set algebra, or star-edge clustering silently
+  * regressed to quadratic intra-group work, these closed forms break (or
+  * the runtime guard trips) long before a 100 TB corpus would.
+  *
+  * Growth laws (provable for ANY base tk-group structure; s = group size,
+  * G = participating docs, i.e. docs with >= 3 words):
+  *  - band candidates form over exact-dup REPRESENTATIVES (min doc_id per
+  *    identical shingle set); tripling membership changes no representative
+  *    and no shingle set, so the candidate count is IDENTICAL at 3x.
+  *  - reported pairs: each group triples, C(3s,2) = 9*C(s,2) + 3s, and
+  *    cross-group products scale by 9, so pairs(3x) = 9*pairs(1x) + 3*G.
+  *  - keep: a base doc is dropped iff it is the higher id of a reported
+  *    pair; offset copies (all > every base id) can never be the lower
+  *    side of a base doc's pair, so the base survivor set is INVARIANT
+  *    and every copy is dropped (its base original is a lower-id exact dup).
+  *  - clusters: every participating doc now sits in a component (its copy
+  *    group), so rows(3x) = 3*G; component minima are unchanged for base
+  *    components and each previously-unclustered doc d seeds label d, so
+  *    labels(3x) = labels(1x) + (G - members(1x)).
+  */
+class DedupScaleSpec extends AnyFunSuite with SparkSpec with Matchers {
+
+  private val base = "/root/testdata/sf0.1"
+  private val Offset = 1000000L
+
+  private lazy val scaled3: String = {
+    val dir = Catalog.tempDir("graft_scale3_docs")
+    val d = spark.read.parquet(s"$base/documents.parquet")
+    (0 until 3).map(m => d.withColumn("doc_id", F.col("doc_id") + F.lit(m * Offset)))
+      .reduce(_ unionAll _)
+      .coalesce(4).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  // participating docs: >= 3 words => non-empty 3-shingle set
+  private lazy val g: Long = spark.read.parquet(s"$base/documents.parquet")
+    .filter(F.size(F.split(F.col("text"), " ")) >= 3).count()
+
+  private def timed[A](f: => A): (A, Long) = {
+    val t0 = System.nanoTime(); val a = f; (a, System.nanoTime() - t0)
+  }
+
+  test("3x id-offset corpus: rep-level band candidates are IDENTICAL, not 9x") {
+    val c1 = LlmDedup.bandCandidates(spark, base).count()
+    val c3 = LlmDedup.bandCandidates(spark, scaled3).count()
+    c3 shouldBe c1
+  }
+
+  test("3x corpus: reported pairs follow the exact expansion law, runtime stays linear-ish") {
+    val (p1, t1) = timed(LlmDedup.queries("llm_dedup_minhash")(spark, base).count())
+    val (p3, t3) = timed(LlmDedup.queries("llm_dedup_minhash")(spark, scaled3).count())
+    g should be > 0L
+    p1 should be > 0L
+    p3 shouldBe 9 * p1 + 3 * g
+    // smoke guard only (counts above are the real nonlinearity gate): the
+    // 3x run reads/hashes 3x the rows and expands ~9x the OUTPUT pairs,
+    // both linear in their own driver; a quadratic candidate regression
+    // would be orders beyond this generous ceiling
+    assert(t3 < 8 * t1 + 10000000000L,
+      s"3x minhash took ${t3 / 1e9}s vs 1x ${t1 / 1e9}s — superlinear blowup")
+  }
+
+  test("3x corpus: keep survivors are invariant (copies and old drops only)") {
+    val k1 = LlmDedup.queries("llm_dedup_keep")(spark, base)
+      .collect().map(_.getAs[Long]("doc_id")).sorted
+    val k3ids = LlmDedup.queries("llm_dedup_keep")(spark, scaled3)
+      .collect().map(_.getAs[Long]("doc_id")).sorted
+    // every copy is dropped; the base survivor set is exactly preserved —
+    // note docs with < 3 words have no shingles, pair with nothing (their
+    // copies are NOT exact-dup-droppable), so they survive at both scales
+    // along with their copies
+    val nonPart = spark.read.parquet(s"$base/documents.parquet")
+      .filter(F.size(F.split(F.col("text"), " ")) < 3)
+      .collect().map(_.getAs[Long]("doc_id"))
+    val expected = (k1 ++ nonPart.flatMap(d => Seq(d + Offset, d + 2 * Offset)))
+      .distinct.sorted
+    k3ids.toSeq shouldBe expected.toSeq
+  }
+
+  test("3x corpus: cluster membership is 3x with label set growing by the singletons") {
+    val c1 = LlmDedup.queries("llm_dedup_clusters")(spark, base)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster")))
+    val c3 = LlmDedup.queries("llm_dedup_clusters")(spark, scaled3)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster")))
+    c3.length.toLong shouldBe 3 * g
+    val labels1 = c1.map(_._2).distinct.length.toLong
+    val labels3 = c3.map(_._2).distinct.length.toLong
+    labels3 shouldBe labels1 + (g - c1.length)
+    // base component labels survive verbatim
+    c1.map(_._2).toSet.subsetOf(c3.map(_._2).toSet) shouldBe true
+  }
+}
