@@ -14,6 +14,19 @@ final case class BmpResized(
     nBytes: Int,
     pix: Array[Byte])
 
+/** Exact-integer per-channel pixel statistics of a decoded BMP: channel
+  * sums over the BGR triples plus the peak byte value — the real
+  * feature-extract stage of the multimodal pipeline.
+  */
+final case class BmpFeatures(
+    docId: Long,
+    w: Int,
+    h: Int,
+    sumB: Long,
+    sumG: Long,
+    sumR: Long,
+    peak: Long)
+
 /** REAL pixel-level codec for the one image container that needs no
   * compression library: Windows BMP, 24-bpp uncompressed (BITMAPFILEHEADER
   * + BITMAPINFOHEADER, bottom-up rows, 4-byte row stride padding). This
@@ -118,6 +131,33 @@ object Bmp {
       y += 1
     }
     out
+  }
+
+  /** Batched decode → per-channel exact-integer stats over a distributed
+    * asset Dataset — real pixel feature extraction (sums per BGR channel,
+    * peak byte), same mapPartitions/batch shape as the other multimodal
+    * operators.
+    */
+  def decodeFeatures(assets: Dataset[RawAsset]): Dataset[BmpFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.grouped(StubDecoder.BatchSize).flatMap(_.iterator.map { a =>
+        val (w, h, pixels) = decode(a.payload)
+        var sb = 0L; var sg = 0L; var sr = 0L; var peak = 0L
+        var j = 0
+        while (j < pixels.length) {
+          val v = pixels(j) & 0xff
+          (j % 3: @annotation.switch) match {
+            case 0 => sb += v
+            case 1 => sg += v
+            case _ => sr += v
+          }
+          if (v > peak) peak = v
+          j += 1
+        }
+        BmpFeatures(a.docId, w, h, sb, sg, sr, peak)
+      })
+    }
   }
 
   /** Batched decode → resize → re-encode → decode-back over a distributed

@@ -1,0 +1,160 @@
+package graft.multimodal
+
+import org.apache.spark.sql.Dataset
+
+/** One analysis window of a decoded PCM stream: exact-integer DSP
+  * features — energy (sum of squared samples), strict zero crossings
+  * (sign(prev)*sign(cur) < 0 within the window), and peak |amplitude|.
+  * All integers, so the DuckDB oracle re-derives them bit-exactly.
+  */
+final case class WavWindow(
+    docId: Long,
+    win: Int,
+    nBytes: Int,
+    sumsq: Long,
+    crossings: Long,
+    peak: Long)
+
+/** REAL audio codec for the one container that needs no compression
+  * library: RIFF/WAVE PCM, 16-bit little-endian mono. [[encode]] writes a
+  * byte-valid .wav any player opens; [[decode]] is a real RIFF chunk walk
+  * (magic, `fmt ` validation — PCM/mono/16-bit — arbitrary chunks skipped
+  * with even-size padding per the RIFF rule, `data` located by id, not by
+  * fixed offset); [[decimate]] and [[windowFeatures]] are real DSP over
+  * the decoded samples. The audio twin of [[Bmp]]: together they retire
+  * the stub from every payload-analysis path (frames excepted).
+  *
+  * Scale notes: all kernels are narrow per-row work (no shuffle, linear
+  * in payload bytes); the batched Dataset operator keeps the same
+  * mapPartitions shape as the rest of the multimodal family so a native
+  * SIMD kernel could replace the Scala loop without touching the plan.
+  */
+object Wav {
+
+  val HeaderBytes = 44 // RIFF(12) + fmt chunk(24) + data header(8)
+
+  /** Encode 16-bit mono PCM samples as a canonical 44-byte-header WAV. */
+  def encode(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val out = new Array[Byte](HeaderBytes + dataSize)
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+    }
+    def le32(off: Int, v: Int): Unit = {
+      le16(off, v & 0xffff); le16(off + 2, v >>> 16)
+    }
+    def tag(off: Int, t: String): Unit = {
+      var i = 0
+      while (i < 4) { out(off + i) = t.charAt(i).toByte; i += 1 }
+    }
+    tag(0, "RIFF"); le32(4, out.length - 8); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16) // PCM fmt chunk body is 16 bytes
+    le16(20, 1) // audio format: PCM
+    le16(22, 1) // channels: mono
+    le32(24, sampleRate)
+    le32(28, sampleRate * 2) // byte rate
+    le16(32, 2) // block align
+    le16(34, 16) // bits per sample
+    tag(36, "data"); le32(40, dataSize)
+    var i = 0
+    while (i < samples.length) {
+      le16(HeaderBytes + 2 * i, samples(i) & 0xffff)
+      i += 1
+    }
+    out
+  }
+
+  /** Parse a PCM WAV → (sampleRate, samples). Real RIFF chunk walk:
+    * unknown chunks (LIST, fact, …) are skipped via their declared size
+    * (odd sizes padded to even, the RIFF rule); `fmt ` must declare
+    * PCM / mono / 16-bit; `data` is found by chunk id wherever it sits.
+    */
+  def decode(bytes: Array[Byte]): (Int, Array[Short]) = {
+    def u16(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    def i32(off: Int): Int = u16(off) | (u16(off + 2) << 16)
+    def tag(off: Int): String =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    require(bytes.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
+      "not a WAV payload")
+    var off = 12
+    var rate = -1
+    var samples: Array[Short] = null
+    while (off + 8 <= bytes.length && (rate < 0 || samples == null)) {
+      val id = tag(off)
+      val size = i32(off + 4)
+      require(size >= 0 && off + 8 + size <= bytes.length,
+        s"truncated chunk $id")
+      if (id == "fmt ") {
+        require(u16(off + 8) == 1, s"unsupported format ${u16(off + 8)}")
+        require(u16(off + 10) == 1, s"unsupported channels ${u16(off + 10)}")
+        require(u16(off + 22) == 16, s"unsupported bits ${u16(off + 22)}")
+        rate = i32(off + 12)
+      } else if (id == "data") {
+        val n = size / 2
+        samples = new Array[Short](n)
+        var i = 0
+        while (i < n) { samples(i) = u16(off + 8 + 2 * i).toShort; i += 1 }
+      }
+      off += 8 + size + (size & 1) // RIFF pads odd chunks to even
+    }
+    require(rate >= 0, "missing fmt chunk")
+    require(samples != null, "missing data chunk")
+    (rate, samples)
+  }
+
+  /** Integer decimation: keep every k-th sample (the codec-free resample —
+    * a production pipeline adds an anti-alias filter before this step).
+    */
+  def decimate(samples: Array[Short], k: Int): Array[Short] = {
+    require(k >= 1, s"decimation factor $k")
+    val out = new Array[Short]((samples.length + k - 1) / k)
+    var i = 0
+    while (i < out.length) { out(i) = samples(i * k); i += 1 }
+    out
+  }
+
+  /** Exact-integer features per fixed window: (sumsq, crossings, peak).
+    * Crossings are strictly within-window (the first sample of each window
+    * has no predecessor), counting strict sign flips: prev*cur < 0.
+    */
+  def windowFeatures(samples: Array[Short], win: Int): Array[(Long, Long, Long)] = {
+    require(win >= 1, s"window $win")
+    val nw = samples.length / win // trailing partial window dropped
+    val out = new Array[(Long, Long, Long)](nw)
+    var w = 0
+    while (w < nw) {
+      var sumsq = 0L; var crossings = 0L; var peak = 0L
+      var i = w * win
+      val end = i + win
+      while (i < end) {
+        val s = samples(i).toLong
+        sumsq += s * s
+        if (i > w * win && samples(i - 1).toLong * s < 0) crossings += 1
+        val a = math.abs(s)
+        if (a > peak) peak = a
+        i += 1
+      }
+      out(w) = (sumsq, crossings, peak)
+      w += 1
+    }
+    out
+  }
+
+  /** Batched decode → per-window features over a distributed asset
+    * Dataset (same mapPartitions/batch shape as the frame sampler and the
+    * BMP resizer): one row per (doc, window).
+    */
+  def analyzeAssets(assets: Dataset[RawAsset], win: Int): Dataset[WavWindow] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.grouped(StubDecoder.BatchSize).flatMap(_.iterator.flatMap { a =>
+        val (_, samples) = decode(a.payload)
+        windowFeatures(samples, win).iterator.zipWithIndex.map {
+          case ((sumsq, crossings, peak), w) =>
+            WavWindow(a.docId, w, a.payload.length, sumsq, crossings, peak)
+        }
+      })
+    }
+  }
+}

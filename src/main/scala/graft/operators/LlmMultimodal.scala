@@ -194,6 +194,66 @@ object LlmMultimodal extends Catalog {
           F.col("nBytes").cast("long").as("n_bytes"),
           F.md5(F.col("pix")).as("pix_hash"))
         .orderBy("doc_id")
+    }),
+
+    // REAL pixel feature extraction (the decode/feature-extract stage of
+    // the multimodal pipeline, now stub-free for images): same synthesized
+    // BMP containers as llm_resize, decoded by the real codec, with
+    // exact-integer per-channel sums (BMP stores BGR triples) and the peak
+    // byte — the oracle re-derives every channel sum from character tiles.
+    "llm_image_features" -> ((s, dir) => {
+      import s.implicits._
+      val assets = table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .filter(F.col("n_chars") > 0)
+        .select(F.col("doc_id"), F.col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val w = bytes.length % 12 + 4
+          val h = (id % 12).toInt + 4
+          val pix = Array.tabulate[Byte](w * h * 3)(j => bytes(j % bytes.length))
+          graft.multimodal.RawAsset(id,
+            graft.multimodal.Bmp.encode(w, h, pix), "img/bmp", w, h, 3)
+        }
+      graft.multimodal.Bmp.decodeFeatures(assets)
+        .toDF()
+        .select(F.col("docId").as("doc_id"),
+          F.col("w").as("width"), F.col("h").as("height"),
+          F.col("sumB").as("sum_b"), F.col("sumG").as("sum_g"),
+          F.col("sumR").as("sum_r"), F.col("peak"))
+        .orderBy("doc_id")
+    }),
+
+    // REAL audio decode + windowed DSP features on the codec-free audio
+    // container (RIFF/WAVE PCM16 mono): synthesize a deterministic
+    // 256-sample waveform from the document's characters, encode a
+    // byte-valid .wav, decode through the real RIFF chunk walk, and emit
+    // one row per 64-sample window with exact-integer energy (Σ s²),
+    // strict zero crossings (prev·cur < 0, window-local), and peak |s| —
+    // the oracle recomputes every sample and a window lag in SQL.
+    "llm_audio_features" -> ((s, dir) => {
+      import s.implicits._
+      val assets = table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .filter(F.col("n_chars") > 0)
+        .select(F.col("doc_id"), F.col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val samples = Array.tabulate[Short](256) { i =>
+            (((bytes(i % bytes.length) & 0xff) * 997 + i * 131) % 65536
+              - 32768).toShort
+          }
+          graft.multimodal.RawAsset(id,
+            graft.multimodal.Wav.encode(8000, samples), "aud/wav", 0, 0, 1)
+        }
+      graft.multimodal.Wav.analyzeAssets(assets, 64)
+        .toDF()
+        .select(F.col("docId").as("doc_id"), F.col("win"),
+          F.col("nBytes").cast("long").as("n_bytes"),
+          F.col("sumsq"), F.col("crossings"), F.col("peak"))
+        .orderBy("doc_id", "win")
     })
   )
 
@@ -295,6 +355,57 @@ object LlmMultimodal extends Catalog {
                   AS src_bytes,
                 CAST(246 AS BIGINT) AS n_bytes,
                 md5(s.sp) AS pix_hash
-         FROM d JOIN s USING (doc_id) ORDER BY d.doc_id"""
+         FROM d JOIN s USING (doc_id) ORDER BY d.doc_id""",
+    // Channel c of pixel byte j is j % 3 (BGR triples); byte j tiles the
+    // document text, so each channel sum is an ord() aggregate over every
+    // third character tile — exact integers end to end.
+    "llm_image_features" ->
+      """WITH d AS (
+           SELECT doc_id, text, length(text) AS n,
+                  (length(text) % 12) + 4 AS w,
+                  (doc_id % 12) + 4 AS h
+           FROM documents WHERE length(text) > 0),
+         px AS (
+           SELECT doc_id, t.i % 3 AS c,
+                  ord(substring(text, (t.i % n) + 1, 1)) AS v
+           FROM d, unnest(generate_series(0, w * h * 3 - 1)) t(i)),
+         agg AS (
+           SELECT doc_id,
+                  CAST(sum(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_b,
+                  CAST(sum(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g,
+                  CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_r,
+                  CAST(max(v) AS BIGINT) AS peak
+           FROM px GROUP BY 1)
+         SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+                a.sum_b, a.sum_g, a.sum_r, a.peak
+         FROM d JOIN agg a USING (doc_id) ORDER BY d.doc_id""",
+    // Re-derives the synthesized waveform sample by sample (all operands
+    // non-negative before the -32768 shift, so % agrees across engines),
+    // then window-local lag for strict sign flips; n_bytes checks encode's
+    // 44-byte header + 512-byte data layout.
+    "llm_audio_features" ->
+      """WITH d AS (
+           SELECT doc_id, text, length(text) AS n
+           FROM documents WHERE length(text) > 0),
+         smp AS (
+           SELECT doc_id, t.i AS i,
+                  ((ord(substring(text, (t.i % n) + 1, 1)) * 997
+                    + t.i * 131) % 65536) - 32768 AS s
+           FROM d, unnest(generate_series(0, 255)) t(i)),
+         lagged AS (
+           SELECT doc_id, i, s,
+                  lag(s) OVER (PARTITION BY doc_id, i // 64 ORDER BY i)
+                    AS prev
+           FROM smp),
+         feat AS (
+           SELECT doc_id, CAST(i // 64 AS INT) AS win,
+                  CAST(sum(CAST(s AS BIGINT) * s) AS BIGINT) AS sumsq,
+                  CAST(count(CASE WHEN prev * s < 0 THEN 1 END) AS BIGINT)
+                    AS crossings,
+                  CAST(max(abs(s)) AS BIGINT) AS peak
+           FROM lagged GROUP BY 1, 2)
+         SELECT doc_id, win, CAST(556 AS BIGINT) AS n_bytes,
+                sumsq, crossings, peak
+         FROM feat ORDER BY doc_id, win"""
   )
 }

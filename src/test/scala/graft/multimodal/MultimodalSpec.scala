@@ -6,32 +6,32 @@ import org.scalatest.wordspec.AnyWordSpec
 
 class MultimodalSpec extends AnyWordSpec with Matchers with SparkSpec {
 
-  "StubDecoder" should {
-    "decode a distributed asset Dataset with batched mapPartitions" in {
+  "the multimodal operators" should {
+    "analyze WAV assets with batched mapPartitions (distributed, > BatchSize)" in {
       import spark.implicits._
       val n = 200 // > BatchSize so grouping actually batches
       val assets = spark.createDataset((0 until n).map { i =>
-        RawAsset(i.toLong, s"payload-$i".getBytes("UTF-8"), "img/fake",
-          64 + i, 32 + i, 3)
+        // 128 samples = 2 windows of 64; a pure alternating-sign square
+        // wave of amplitude i+1 has known features in every window
+        val amp = (i + 1).toShort
+        val samples = Array.tabulate[Short](128)(j =>
+          (if (j % 2 == 0) amp else (-amp).toShort))
+        RawAsset(i.toLong, Wav.encode(8000, samples), "aud/wav", 0, 0, 1)
       }).repartition(3)
 
-      val decoded = StubDecoder.decodeAssets(assets)
-
-      // Encoder-derived schema is the typed contract of the decode stage.
-      decoded.schema.fieldNames.toSeq shouldBe
-        Seq("docId", "fmt", "width", "height", "nBytes", "features")
-      val rows = decoded.collect().sortBy(_.docId)
-      rows should have length n.toLong
-      val r0 = rows.head
-      r0.nBytes shouldBe "payload-0".getBytes("UTF-8").length
-      r0.features.length shouldBe 4
-      r0.features(0) shouldBe 64f
-      r0.features(1) shouldBe 32f
-      r0.features(2) shouldBe 2f
-      // deterministic fake "mean pixel"
-      val exp = "payload-0".getBytes("UTF-8").map(_ & 0xff).sum.toFloat /
-        "payload-0".length
-      r0.features(3) shouldBe exp
+      val rows = Wav.analyzeAssets(assets, 64).collect()
+        .sortBy(r => (r.docId, r.win))
+      // Encoder-derived schema is the typed contract of the analyze stage.
+      Wav.analyzeAssets(assets, 64).schema.fieldNames.toSeq shouldBe
+        Seq("docId", "win", "nBytes", "sumsq", "crossings", "peak")
+      rows should have length (2 * n).toLong
+      val r0 = rows.filter(_.docId == 4L)
+      r0.map(_.win).toSeq shouldBe Seq(0, 1)
+      // every sample of doc 4 is ±5: energy 64*25, 63 strict sign flips
+      all(r0.map(_.sumsq)) shouldBe 64L * 25
+      all(r0.map(_.crossings)) shouldBe 63L
+      all(r0.map(_.peak)) shouldBe 5L
+      all(rows.map(_.nBytes)) shouldBe Wav.HeaderBytes + 256
     }
 
     "resize real BMP payloads end-to-end through the distributed operator" in {
@@ -76,13 +76,22 @@ class MultimodalSpec extends AnyWordSpec with Matchers with SparkSpec {
     "preserve per-row determinism independent of partitioning" in {
       import spark.implicits._
       val assets = (0 until 50).map { i =>
-        RawAsset(i.toLong, Array.fill(i + 1)(i.toByte), "img/fake", 10, 10, 1)
+        val pix = Array.tabulate((3 + i % 5) * 2 * 3)(j => (i * 31 + j).toByte)
+        RawAsset(i.toLong, Bmp.encode(3 + i % 5, 2, pix), "img/bmp",
+          3 + i % 5, 2, 3)
       }
-      val a = StubDecoder.decodeAssets(spark.createDataset(assets).repartition(1))
-        .collect().sortBy(_.docId).map(d => (d.docId, d.features.toSeq))
-      val b = StubDecoder.decodeAssets(spark.createDataset(assets).repartition(7))
-        .collect().sortBy(_.docId).map(d => (d.docId, d.features.toSeq))
+      val a = Bmp.decodeFeatures(spark.createDataset(assets).repartition(1))
+        .collect().sortBy(_.docId)
+        .map(f => (f.docId, f.w, f.h, f.sumB, f.sumG, f.sumR, f.peak))
+      val b = Bmp.decodeFeatures(spark.createDataset(assets).repartition(7))
+        .collect().sortBy(_.docId)
+        .map(f => (f.docId, f.w, f.h, f.sumB, f.sumG, f.sumR, f.peak))
       a shouldBe b
+      // channel sums re-derivable on the driver from the raw pixels
+      val i0 = 7
+      val pix = Array.tabulate((3 + i0 % 5) * 2 * 3)(j => (i0 * 31 + j).toByte)
+      a(i0)._4 shouldBe pix.indices.filter(_ % 3 == 0).map(pix(_) & 0xff).sum.toLong
+      a(i0)._7 shouldBe pix.map(_ & 0xff).max.toLong
     }
   }
 }
