@@ -141,16 +141,19 @@ object Wav {
     out
   }
 
-  /** Batched decode → per-window features over a distributed asset
-    * Dataset (same mapPartitions/batch shape as the frame sampler and the
-    * BMP resizer): one row per (doc, window).
+  /** Batched decode → (optional) decimation → per-window features over a
+    * distributed asset Dataset (same mapPartitions/batch shape as the
+    * frame sampler and the BMP resizer): one row per (doc, window).
+    * `every` > 1 analyzes the decimated stream — the audio resample path.
     */
-  def analyzeAssets(assets: Dataset[RawAsset], win: Int): Dataset[WavWindow] = {
+  def analyzeAssets(assets: Dataset[RawAsset], win: Int,
+      every: Int = 1): Dataset[WavWindow] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       it.grouped(StubDecoder.BatchSize).flatMap(_.iterator.flatMap { a =>
         val (_, samples) = decode(a.payload)
-        windowFeatures(samples, win).iterator.zipWithIndex.map {
+        val stream = if (every == 1) samples else decimate(samples, every)
+        windowFeatures(stream, win).iterator.zipWithIndex.map {
           case ((sumsq, crossings, peak), w) =>
             WavWindow(a.docId, w, a.payload.length, sumsq, crossings, peak)
         }

@@ -254,6 +254,35 @@ object LlmMultimodal extends Catalog {
           F.col("nBytes").cast("long").as("n_bytes"),
           F.col("sumsq"), F.col("crossings"), F.col("peak"))
         .orderBy("doc_id", "win")
+    }),
+
+    // The audio RESAMPLE path under the oracle: same waveform, decimated
+    // by 3 (keep samples 0,3,6,… — real integer decimation through
+    // [[graft.multimodal.Wav.decimate]]) before windowing; 86 decimated
+    // samples yield exactly one full 64-sample window. The oracle indexes
+    // the original sample formula at 3m — any off-by-one in the decimation
+    // stride or the partial-window drop breaks every feature.
+    "llm_audio_decimate" -> ((s, dir) => {
+      import s.implicits._
+      val assets = table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .filter(F.col("n_chars") > 0)
+        .select(F.col("doc_id"), F.col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val samples = Array.tabulate[Short](256) { i =>
+            (((bytes(i % bytes.length) & 0xff) * 997 + i * 131) % 65536
+              - 32768).toShort
+          }
+          graft.multimodal.RawAsset(id,
+            graft.multimodal.Wav.encode(8000, samples), "aud/wav", 0, 0, 1)
+        }
+      graft.multimodal.Wav.analyzeAssets(assets, 64, every = 3)
+        .toDF()
+        .select(F.col("docId").as("doc_id"), F.col("win"),
+          F.col("sumsq"), F.col("crossings"), F.col("peak"))
+        .orderBy("doc_id", "win")
     })
   )
 
@@ -406,6 +435,31 @@ object LlmMultimodal extends Catalog {
            FROM lagged GROUP BY 1, 2)
          SELECT doc_id, win, CAST(556 AS BIGINT) AS n_bytes,
                 sumsq, crossings, peak
+         FROM feat ORDER BY doc_id, win""",
+    // Decimated stream: sample m of the decimated signal is original
+    // sample 3m; one full 64-sample window (m = 0..63), the 22-sample
+    // tail dropped exactly as windowFeatures drops partial windows.
+    "llm_audio_decimate" ->
+      """WITH d AS (
+           SELECT doc_id, text, length(text) AS n
+           FROM documents WHERE length(text) > 0),
+         smp AS (
+           SELECT doc_id, t.m AS m,
+                  ((ord(substring(text, ((t.m * 3) % n) + 1, 1)) * 997
+                    + t.m * 3 * 131) % 65536) - 32768 AS s
+           FROM d, unnest(generate_series(0, 63)) t(m)),
+         lagged AS (
+           SELECT doc_id, m, s,
+                  lag(s) OVER (PARTITION BY doc_id ORDER BY m) AS prev
+           FROM smp),
+         feat AS (
+           SELECT doc_id,
+                  CAST(sum(CAST(s AS BIGINT) * s) AS BIGINT) AS sumsq,
+                  CAST(count(CASE WHEN prev * s < 0 THEN 1 END) AS BIGINT)
+                    AS crossings,
+                  CAST(max(abs(s)) AS BIGINT) AS peak
+           FROM lagged GROUP BY 1)
+         SELECT doc_id, CAST(0 AS INT) AS win, sumsq, crossings, peak
          FROM feat ORDER BY doc_id, win"""
   )
 }
