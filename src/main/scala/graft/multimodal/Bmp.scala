@@ -45,7 +45,10 @@ object Bmp {
 
   val HeaderBytes = 54 // 14 (file header) + 40 (BITMAPINFOHEADER)
 
-  private def stride(w: Int): Int = (w * 3 + 3) / 4 * 4
+  /** 24-bpp DIB rows pad to 4-byte boundaries — shared with the AVI
+    * frame codec, whose '00db' frames are this exact pixel layout.
+    */
+  private[multimodal] def stride(w: Int): Int = (w * 3 + 3) / 4 * 4
 
   /** Encode top-down row-major packed BGR triples as a 24-bpp BMP. */
   def encode(w: Int, h: Int, pixels: Array[Byte]): Array[Byte] = {

@@ -5,13 +5,16 @@ import org.apache.spark.sql.{functions => F}
 /** Multimodal-column convention (SURVEY.md §2.4): an asset is an opaque
   * `binary` payload plus a typed `struct` metadata column. Header-level
   * decode (image dimensions/format from PNG/JPEG/GIF container bytes) is
-  * REAL — a codegen expression, [[graft.functions.ImageHeader]] — because
-  * it needs no codec; pixel-level resize is REAL on the one codec-free
-  * container (24-bpp uncompressed BMP, [[graft.multimodal.Bmp]]); only
-  * frame sampling and fake feature extraction remain in the
-  * honestly-labelled [[graft.multimodal.StubDecoder]] (no video codecs in
-  * this environment). Everything Spark-side (schema, projection, metadata
-  * filter, payload hashing) is real.
+  * REAL — a codegen expression, [[graft.functions.ImageHeader]] — and so
+  * is every container-aware stage, each on the codec-free container of
+  * its modality: pixel resize and channel features on 24-bpp BMP
+  * ([[graft.multimodal.Bmp]]), audio decode / windowed DSP / decimation
+  * on RIFF/WAVE PCM16 ([[graft.multimodal.Wav]]), video frame sampling
+  * on uncompressed-DIB RIFF AVI ([[graft.multimodal.Avi]]).
+  * [[graft.multimodal.StubDecoder]] retains only container-agnostic
+  * byte-slice sampling (the fallback for codec-bearing payloads — no
+  * pretend decode anywhere). Everything Spark-side (schema, projection,
+  * metadata filter, payload hashing) is real.
   *
   * Scale notes: the asset table pattern keeps payloads as parquet binary —
   * scans that only touch metadata prune the payload column entirely
@@ -283,6 +286,43 @@ object LlmMultimodal extends Catalog {
         .select(F.col("docId").as("doc_id"), F.col("win"),
           F.col("sumsq"), F.col("crossings"), F.col("peak"))
         .orderBy("doc_id", "win")
+    }),
+
+    // REAL video frame sampling on the codec-free container (RIFF AVI
+    // with uncompressed 24-bpp DIB '00db' frames): synthesize a 6-frame
+    // video per document (frame f's pixels tile the text with a 17·f
+    // character offset), encode a byte-valid .avi, decode through the
+    // real nested RIFF walk, keep every 2nd frame, and hash each frame's
+    // decoded top-down pixels. The oracle re-derives all three kept
+    // frames character-by-character — the parser must exactly invert the
+    // hdrl/strl/strf/movi layout, the bottom-up row order, and the
+    // 4-byte stride padding. The last stub is gone: every multimodal
+    // stage (headers, pixels, audio, video frames) now walks a real
+    // container.
+    "llm_video_frames" -> ((s, dir) => {
+      import s.implicits._
+      val assets = table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .filter(F.col("n_chars") > 0)
+        .select(F.col("doc_id"), F.col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val w = bytes.length % 8 + 4
+          val h = (id % 6).toInt + 4
+          val frames = (0 until 6).map(f =>
+            Array.tabulate[Byte](w * h * 3)(j =>
+              bytes((j + 17 * f) % bytes.length)))
+          graft.multimodal.RawAsset(id,
+            graft.multimodal.Avi.encode(w, h, 25, frames), "vid/avi", w, h, 3)
+        }
+      graft.multimodal.Avi.sampleFrames(assets, 2)
+        .toDF()
+        .select(F.col("docId").as("doc_id"),
+          F.col("frameIdx").as("frame_idx"),
+          F.col("w").as("width"), F.col("h").as("height"),
+          F.md5(F.col("pix")).as("pix_hash"))
+        .orderBy("doc_id", "frame_idx")
     })
   )
 
@@ -460,6 +500,29 @@ object LlmMultimodal extends Catalog {
                   CAST(max(abs(s)) AS BIGINT) AS peak
            FROM lagged GROUP BY 1)
          SELECT doc_id, CAST(0 AS INT) AS win, sumsq, crossings, peak
-         FROM feat ORDER BY doc_id, win"""
+         FROM feat ORDER BY doc_id, win""",
+    // Kept frame f (0, 2, 4) byte j of the w*h*3 packed pixels tiles the
+    // text at offset 17*f — the parser must return exactly the synthesized
+    // top-down packed bytes for the hashes to agree.
+    "llm_video_frames" ->
+      """WITH d AS (
+           SELECT doc_id, text, length(text) AS n,
+                  (length(text) % 8) + 4 AS w,
+                  (doc_id % 6) + 4 AS h
+           FROM documents WHERE length(text) > 0),
+         px AS (
+           SELECT d.doc_id, t.f AS frame_idx, t2.j AS j,
+                  substring(d.text, ((t2.j + 17 * t.f) % d.n) + 1, 1) AS ch
+           FROM d,
+                unnest(generate_series(0, 5)) t(f),
+                unnest(generate_series(0, d.w * d.h * 3 - 1)) t2(j)
+           WHERE t.f % 2 = 0),
+         s AS (
+           SELECT doc_id, frame_idx, string_agg(ch, '' ORDER BY j) AS sp
+           FROM px GROUP BY 1, 2)
+         SELECT d.doc_id, CAST(s.frame_idx AS INT) AS frame_idx,
+                CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+                md5(s.sp) AS pix_hash
+         FROM d JOIN s USING (doc_id) ORDER BY doc_id, frame_idx"""
   )
 }

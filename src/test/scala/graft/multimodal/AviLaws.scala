@@ -1,0 +1,82 @@
+package graft.multimodal
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+/** ScalaCheck laws for the real AVI codec. Pure JVM — no Spark session:
+  * encode/decode are driver-side kernels; the distributed sampler is
+  * exercised in MultimodalSpec and the llm_video_frames gate.
+  */
+object AviLaws extends Properties("AviLaws") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(60)
+
+  private val dimGen = Gen.choose(1, 12)
+
+  private def framesGen(w: Int, h: Int): Gen[List[Array[Byte]]] = for {
+    n <- Gen.choose(0, 6)
+    fs <- Gen.listOfN(n, Gen.containerOfN[Array, Byte](w * h * 3,
+      Gen.choose(Byte.MinValue, Byte.MaxValue)))
+  } yield fs
+
+  // Round-trip identity across stride classes and frame counts.
+  property("decode-encode round trip") = Prop.forAll(dimGen, dimGen) { (w, h) =>
+    Prop.forAll(framesGen(w, h)) { fs =>
+      val (w2, h2, fs2) = Avi.decode(Avi.encode(w, h, 25, fs))
+      w2 == w && h2 == h && fs2.length == fs.length &&
+        fs2.zip(fs).forall { case (a, b) => java.util.Arrays.equals(a, b) }
+    }
+  }
+
+  // The container is byte-valid: magics, RIFF size, avih frame count and
+  // dims, strf BITMAPINFOHEADER fields.
+  property("encoded header fields") = Prop.forAll(dimGen, dimGen) { (w, h) =>
+    Prop.forAll(framesGen(w, h)) { fs =>
+      val b = Avi.encode(w, h, 25, fs)
+      def u16(off: Int) = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+      def i32(off: Int) = u16(off) | (u16(off + 2) << 16)
+      def tag(off: Int) = new String(b, off, 4, "US-ASCII")
+      tag(0) == "RIFF" && tag(8) == "AVI " && i32(4) == b.length - 8 &&
+        tag(12) == "LIST" && tag(20) == "hdrl" && tag(24) == "avih" &&
+        i32(32) == 40000 && // 25 fps -> 40000 us per frame
+        i32(48) == fs.length && i32(64) == w && i32(68) == h
+    }
+  }
+
+  // Real RIFF walk: a JUNK chunk (odd size, padded) spliced between the
+  // hdrl and movi lists must be skipped, not mis-parsed.
+  property("chunk walk skips junk chunks") = Prop.forAll(dimGen, dimGen) { (w, h) =>
+    Prop.forAll(framesGen(w, h)) { fs =>
+      val base = Avi.encode(w, h, 25, fs)
+      // hdrl LIST spans [12, 12 + 8 + hdrlSize); compute from its size field
+      def i32(off: Int) = (base(off) & 0xff) | ((base(off + 1) & 0xff) << 8) |
+        ((base(off + 2) & 0xff) << 16) | ((base(off + 3) & 0xff) << 24)
+      val splice = 12 + 8 + i32(16)
+      val junk = Array[Byte]('J', 'U', 'N', 'K', 5, 0, 0, 0,
+        1, 2, 3, 4, 5, 0) // 5 data bytes + 1 RIFF pad
+      val out = base.take(splice) ++ junk ++ base.drop(splice)
+      val total = out.length - 8
+      out(4) = total.toByte; out(5) = (total >> 8).toByte
+      out(6) = (total >> 16).toByte; out(7) = (total >> 24).toByte
+      val (w2, h2, fs2) = Avi.decode(out)
+      w2 == w && h2 == h && fs2.length == fs.length &&
+        fs2.zip(fs).forall { case (a, b) => java.util.Arrays.equals(a, b) }
+    }
+  }
+
+  property("malformed rejection") = Prop.forAll(dimGen, dimGen) { (w, h) =>
+    Prop.forAll(framesGen(w, h)) { fs =>
+      val good = Avi.encode(w, h, 25, fs)
+      val badMagic = good.clone(); badMagic(9) = 'X'.toByte
+      // strf bpp field sits at hdrl list + avih + strl header offsets;
+      // find it from the known fixed layout: 12+8+4+8+56+8+4+8+56+8 = 'strf'
+      val strfData = 12 + 8 + 4 + 8 + 56 + 8 + 4 + 8 + 56 + 8
+      val badBpp = good.clone(); badBpp(strfData + 14) = 8.toByte
+      val badComp = good.clone(); badComp(strfData + 16) = 1.toByte
+      val truncated = java.util.Arrays.copyOf(good, good.length - 1)
+      Seq(badMagic, badBpp, badComp).forall { b =>
+        scala.util.Try(Avi.decode(b)).isFailure
+      } && (fs.isEmpty || scala.util.Try(Avi.decode(truncated)).isFailure)
+    }
+  }
+}

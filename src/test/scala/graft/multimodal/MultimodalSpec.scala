@@ -57,6 +57,22 @@ class MultimodalSpec extends AnyWordSpec with Matchers with SparkSpec {
       out(1).pix shouldBe Bmp.resizeNearest(3, 2, pixB, 4, 4)
     }
 
+    "sample every Nth REAL AVI frame through the distributed operator" in {
+      import spark.implicits._
+      // 5 frames of 5x3 (15 bytes/row -> 16-byte padded stride, the
+      // non-trivial class); keep frames 0, 2, 4
+      val frames = (0 until 5).map(f =>
+        Array.tabulate(5 * 3 * 3)(j => (f * 37 + j).toByte))
+      val assets = spark.createDataset(Seq(
+        RawAsset(3L, Avi.encode(5, 3, 25, frames), "vid/avi", 5, 3, 3)))
+      val out = Avi.sampleFrames(assets, 2).collect().sortBy(_.frameIdx)
+      out.map(_.frameIdx).toSeq shouldBe Seq(0, 2, 4)
+      out.map(r => (r.w, r.h)).distinct.toSeq shouldBe Seq((5, 3))
+      out.zip(Seq(0, 2, 4)).foreach { case (vf, f) =>
+        vf.pix shouldBe frames(f)
+      }
+    }
+
     "sample every Nth fixed-size frame from a payload" in {
       import spark.implicits._
       // 10 frames of 8 bytes + one 4-byte tail frame
