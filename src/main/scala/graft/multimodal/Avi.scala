@@ -12,6 +12,16 @@ final case class VideoFrame(
     h: Int,
     pix: Array[Byte])
 
+/** Motion between consecutive frames: exact-integer sum of absolute
+  * per-byte differences plus the peak single-byte difference, indexed by
+  * the later frame.
+  */
+final case class FrameMotion(
+    docId: Long,
+    frameIdx: Int,
+    motion: Long,
+    peakDiff: Long)
+
 /** REAL video container codec for the one format that needs no
   * compression library: RIFF AVI with uncompressed 24-bpp DIB frames
   * ('00db' chunks — the layout Video-for-Windows wrote before codecs).
@@ -156,6 +166,34 @@ object Avi {
     walk(12, bytes.length, inMovi = false)
     require(w > 0, "missing strf header")
     (w, h, frames.result())
+  }
+
+  /** Batched decode → inter-frame motion over a distributed asset
+    * Dataset: for every consecutive frame pair, the exact-integer sum of
+    * absolute per-byte differences and the peak single-byte difference —
+    * the codec-free motion signal (static slideshows score ~0, cuts and
+    * motion score high), the standard curation screen for mislabeled or
+    * low-information video. One row per pair, indexed by the later frame.
+    */
+  def frameMotion(assets: Dataset[RawAsset]): Dataset[FrameMotion] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.grouped(StubDecoder.BatchSize).flatMap(_.iterator.flatMap { a =>
+        val (_, _, frames) = decode(a.payload)
+        frames.iterator.zip(frames.iterator.drop(1)).zipWithIndex.map {
+          case ((prev, cur), i) =>
+            var sum = 0L; var peak = 0L
+            var j = 0
+            while (j < cur.length) {
+              val d = math.abs((cur(j) & 0xff) - (prev(j) & 0xff)).toLong
+              sum += d
+              if (d > peak) peak = d
+              j += 1
+            }
+            FrameMotion(a.docId, i + 1, sum, peak)
+        }
+      })
+    }
   }
 
   /** Batched decode → every-Nth-frame sampling over a distributed asset

@@ -323,6 +323,37 @@ object LlmMultimodal extends Catalog {
           F.col("w").as("width"), F.col("h").as("height"),
           F.md5(F.col("pix")).as("pix_hash"))
         .orderBy("doc_id", "frame_idx")
+    }),
+
+    // Temporal video analysis on the same real container: per-pair
+    // inter-frame motion (exact-integer sum of absolute byte diffs +
+    // peak diff) — the codec-free static-vs-dynamic curation signal. The
+    // oracle re-derives every byte difference from the 17·f character
+    // offsets, so the decoded frame ORDER matters too (a swapped pair
+    // changes the diffs).
+    "llm_video_motion" -> ((s, dir) => {
+      import s.implicits._
+      val assets = table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .filter(F.col("n_chars") > 0)
+        .select(F.col("doc_id"), F.col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val w = bytes.length % 8 + 4
+          val h = (id % 6).toInt + 4
+          val frames = (0 until 6).map(f =>
+            Array.tabulate[Byte](w * h * 3)(j =>
+              bytes((j + 17 * f) % bytes.length)))
+          graft.multimodal.RawAsset(id,
+            graft.multimodal.Avi.encode(w, h, 25, frames), "vid/avi", w, h, 3)
+        }
+      graft.multimodal.Avi.frameMotion(assets)
+        .toDF()
+        .select(F.col("docId").as("doc_id"),
+          F.col("frameIdx").as("frame_idx"),
+          F.col("motion"), F.col("peakDiff").as("peak_diff"))
+        .orderBy("doc_id", "frame_idx")
     })
   )
 
@@ -523,6 +554,30 @@ object LlmMultimodal extends Catalog {
          SELECT d.doc_id, CAST(s.frame_idx AS INT) AS frame_idx,
                 CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
                 md5(s.sp) AS pix_hash
-         FROM d JOIN s USING (doc_id) ORDER BY doc_id, frame_idx"""
+         FROM d JOIN s USING (doc_id) ORDER BY doc_id, frame_idx""",
+    // Byte j of frame f tiles the text at offset 17*f, so the motion sum
+    // is an abs-difference aggregate between the two character tiles.
+    "llm_video_motion" ->
+      """WITH d AS (
+           SELECT doc_id, text, length(text) AS n,
+                  (length(text) % 8) + 4 AS w,
+                  (doc_id % 6) + 4 AS h
+           FROM documents WHERE length(text) > 0),
+         px AS (
+           SELECT d.doc_id, t.f AS frame_idx,
+                  abs(ord(substring(d.text, ((t2.j + 17 * t.f) % d.n) + 1, 1))
+                    - ord(substring(d.text,
+                        ((t2.j + 17 * (t.f - 1)) % d.n) + 1, 1))) AS dd
+           FROM d,
+                unnest(generate_series(1, 5)) t(f),
+                unnest(generate_series(0, d.w * d.h * 3 - 1)) t2(j)),
+         agg AS (
+           SELECT doc_id, frame_idx,
+                  CAST(sum(dd) AS BIGINT) AS motion,
+                  CAST(max(dd) AS BIGINT) AS peak_diff
+           FROM px GROUP BY 1, 2)
+         SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx, motion,
+                peak_diff
+         FROM agg ORDER BY doc_id, frame_idx"""
   )
 }

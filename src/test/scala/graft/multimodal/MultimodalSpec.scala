@@ -73,6 +73,22 @@ class MultimodalSpec extends AnyWordSpec with Matchers with SparkSpec {
       }
     }
 
+    "compute inter-frame motion on real AVI frames" in {
+      import spark.implicits._
+      // frame 0 all zeros; frame 1 all 3s; frame 2: one byte jumps to 103
+      val z = Array.fill[Byte](2 * 2 * 3)(0)
+      val threes = Array.fill[Byte](2 * 2 * 3)(3)
+      val spike = threes.clone(); spike(7) = 103.toByte
+      val assets = spark.createDataset(Seq(
+        RawAsset(11L, Avi.encode(2, 2, 25, Seq(z, threes, spike)),
+          "vid/avi", 2, 2, 3)))
+      val out = Avi.frameMotion(assets).collect().sortBy(_.frameIdx)
+      out.map(_.frameIdx).toSeq shouldBe Seq(1, 2)
+      // 12 bytes each moving 0->3; then one byte 3->103
+      out.map(_.motion).toSeq shouldBe Seq(36L, 100L)
+      out.map(_.peakDiff).toSeq shouldBe Seq(3L, 100L)
+    }
+
     "sample every Nth fixed-size frame from a payload" in {
       import spark.implicits._
       // 10 frames of 8 bytes + one 4-byte tail frame
