@@ -134,19 +134,25 @@ object Avi {
       while (off + 8 <= to) {
         val id = tag(off)
         val size = i32(off + 4)
-        require(size >= 0 && off + 8 + size <= to, s"truncated chunk $id")
+        // Long math: a forged size near Int.MaxValue must fail this
+        // require, not wrap negative and walk out of bounds
+        require(size >= 0 && off.toLong + 8 + size <= to, s"truncated chunk $id")
         if (id == "LIST") {
+          require(size >= 4, s"short LIST chunk $size")
           val listType = tag(off + 8)
           if (listType == "hdrl" || listType == "strl" || listType == "movi")
             walk(off + 12, off + 8 + size, inMovi || listType == "movi")
         } else if (id == "strf") {
+          require(size >= StrfBytes, s"short strf chunk $size")
           require(u16(off + 8 + 14) == 24,
             s"unsupported bpp ${u16(off + 8 + 14)}")
           require(i32(off + 8 + 16) == 0,
             s"unsupported compression ${i32(off + 8 + 16)}")
           w = i32(off + 8 + 4)
           h = i32(off + 8 + 8)
-          require(w > 0 && h > 0, s"unsupported frame dims ${w}x$h")
+          // dim cap keeps stride*h and w*h*3 inside Int (see Bmp.decode)
+          require(w > 0 && h > 0 && w <= (1 << 14) && h <= (1 << 14),
+            s"unsupported frame dims ${w}x$h")
         } else if (inMovi && id == "00db") {
           require(w > 0, "frame chunk before strf header")
           val rowBytes = Bmp.stride(w)

@@ -95,11 +95,17 @@ object Bmp {
     val dataOff = i32(10)
     val w = i32(18)
     val h = i32(22) // positive = bottom-up (the only form encode emits)
-    require(w > 0 && h > 0, s"unsupported BMP dims ${w}x$h")
+    // dim cap keeps w*h*3 inside Int and bounds the allocation a hostile
+    // header can demand; all byte-bound checks run in Long so forged
+    // sizes cannot overflow their way past a require
+    require(w > 0 && h > 0 && w <= (1 << 14) && h <= (1 << 14),
+      s"unsupported BMP dims ${w}x$h")
     require(u16(28) == 24, s"unsupported bpp ${u16(28)}")
     require(i32(30) == 0, s"unsupported compression ${i32(30)}")
     val rowBytes = stride(w)
-    require(bytes.length >= dataOff + rowBytes * h, "truncated pixel array")
+    require(dataOff >= HeaderBytes &&
+      bytes.length.toLong >= dataOff.toLong + rowBytes.toLong * h,
+      "truncated pixel array")
     val pixels = new Array[Byte](w * h * 3)
     var y = 0
     while (y < h) {

@@ -83,9 +83,12 @@ object Wav {
     while (off + 8 <= bytes.length && (rate < 0 || samples == null)) {
       val id = tag(off)
       val size = i32(off + 4)
-      require(size >= 0 && off + 8 + size <= bytes.length,
+      // Long math: a forged size near Int.MaxValue must fail this require,
+      // not wrap negative and walk out of bounds
+      require(size >= 0 && off.toLong + 8 + size <= bytes.length,
         s"truncated chunk $id")
       if (id == "fmt ") {
+        require(size >= 16, s"short fmt chunk $size")
         require(u16(off + 8) == 1, s"unsupported format ${u16(off + 8)}")
         require(u16(off + 10) == 1, s"unsupported channels ${u16(off + 10)}")
         require(u16(off + 22) == 16, s"unsupported bits ${u16(off + 22)}")

@@ -1,0 +1,78 @@
+package graft.multimodal
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+import scala.util.{Failure, Success, Try}
+
+/** Totality fuzz for the three real codecs: `decode` on ARBITRARY bytes —
+  * pure junk or corrupted real containers — must either succeed or fail
+  * with the controlled IllegalArgumentException the `require` contract
+  * promises. No ArrayIndexOutOfBounds, NegativeArraySize, or arithmetic
+  * overflow may escape: at corpus scale corrupt payloads are a certainty,
+  * and an uncontrolled error class in a task kills the stage retry-storm
+  * way instead of landing in the quarantine path a pipeline filters on.
+  * (The bounds checks run in Long and cap dims precisely so forged header
+  * sizes cannot overflow past a require — this suite is the proof.)
+  */
+object CodecFuzzLaws extends Properties("CodecFuzzLaws") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(200)
+
+  private def controlled(f: => Any): Prop = Try(f) match {
+    case Success(_) => Prop.passed
+    case Failure(_: IllegalArgumentException) => Prop.passed
+    case Failure(e) => Prop.falsified :| s"uncontrolled ${e.getClass.getName}: ${e.getMessage}"
+  }
+
+  private val junkGen: Gen[Array[Byte]] = Gen.choose(0, 300).flatMap(n =>
+    Gen.containerOfN[Array, Byte](n, Gen.choose(Byte.MinValue, Byte.MaxValue)))
+
+  // corruption: up to 12 (position, byte) patches over a valid container
+  private def corrupt(base: Array[Byte]): Gen[Array[Byte]] =
+    if (base.isEmpty) Gen.const(base)
+    else Gen.listOf(Gen.zip(Gen.choose(0, base.length - 1),
+        Gen.choose(Byte.MinValue, Byte.MaxValue)))
+      .map { patches =>
+        val out = base.clone()
+        patches.take(12).foreach { case (i, b) => out(i) = b }
+        out
+      }
+
+  private val bmpGen: Gen[Array[Byte]] = for {
+    w <- Gen.choose(1, 9); h <- Gen.choose(1, 9)
+    pix <- Gen.containerOfN[Array, Byte](w * h * 3,
+      Gen.choose(Byte.MinValue, Byte.MaxValue))
+    out <- corrupt(Bmp.encode(w, h, pix))
+  } yield out
+
+  private val wavGen: Gen[Array[Byte]] = for {
+    n <- Gen.choose(0, 64)
+    s <- Gen.containerOfN[Array, Short](n,
+      Gen.choose(Short.MinValue, Short.MaxValue))
+    out <- corrupt(Wav.encode(8000, s))
+  } yield out
+
+  private val aviGen: Gen[Array[Byte]] = for {
+    w <- Gen.choose(1, 6); h <- Gen.choose(1, 6)
+    nf <- Gen.choose(0, 3)
+    fs <- Gen.listOfN(nf, Gen.containerOfN[Array, Byte](w * h * 3,
+      Gen.choose(Byte.MinValue, Byte.MaxValue)))
+    out <- corrupt(Avi.encode(w, h, 25, fs))
+  } yield out
+
+  property("Bmp.decode total on junk") =
+    Prop.forAll(junkGen)(b => controlled(Bmp.decode(b)))
+  property("Bmp.decode total on corrupted containers") =
+    Prop.forAll(bmpGen)(b => controlled(Bmp.decode(b)))
+
+  property("Wav.decode total on junk") =
+    Prop.forAll(junkGen)(b => controlled(Wav.decode(b)))
+  property("Wav.decode total on corrupted containers") =
+    Prop.forAll(wavGen)(b => controlled(Wav.decode(b)))
+
+  property("Avi.decode total on junk") =
+    Prop.forAll(junkGen)(b => controlled(Avi.decode(b)))
+  property("Avi.decode total on corrupted containers") =
+    Prop.forAll(aviGen)(b => controlled(Avi.decode(b)))
+}
