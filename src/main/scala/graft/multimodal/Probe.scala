@@ -1,0 +1,50 @@
+package graft.multimodal
+
+import org.apache.spark.sql.Dataset
+
+import scala.util.Try
+
+/** Probe result for one asset: did its container decode, and how many
+  * content units (pixels / samples / frames) does it hold.
+  */
+final case class MediaProbe(
+    docId: Long,
+    fmt: String,
+    ok: Boolean,
+    units: Long)
+
+/** Mixed-modality payload probe — the first stage of a media ingest:
+  * route every payload through the codec its metadata claims, record the
+  * content-unit count on success, and QUARANTINE failures instead of
+  * letting them kill the task (decode totality — success or
+  * IllegalArgumentException, CodecFuzzLaws — is what makes the Try here
+  * sound: no error class escapes the row boundary). At corpus scale the
+  * quarantine stream feeds a triage table; the good stream carries real
+  * decoded inventory counts for downstream planning.
+  *
+  * Scale notes: narrow per-row work, one pass, no shuffle; same batched
+  * mapPartitions shape as the rest of the family.
+  */
+object Probe {
+
+  def probeAssets(assets: Dataset[RawAsset]): Dataset[MediaProbe] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.grouped(StubDecoder.BatchSize).flatMap(_.iterator.map { a =>
+        val units = Try {
+          a.fmt match {
+            case "img/bmp" =>
+              val (w, h, _) = Bmp.decode(a.payload); w.toLong * h
+            case "aud/wav" =>
+              val (_, samples) = Wav.decode(a.payload); samples.length.toLong
+            case "vid/avi" =>
+              val (_, _, frames) = Avi.decode(a.payload); frames.length.toLong
+            case other =>
+              throw new IllegalArgumentException(s"unknown format $other")
+          }
+        }
+        MediaProbe(a.docId, a.fmt, units.isSuccess, units.getOrElse(0L))
+      })
+    }
+  }
+}

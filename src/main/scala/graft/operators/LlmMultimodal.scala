@@ -354,6 +354,54 @@ object LlmMultimodal extends Catalog {
           F.col("frameIdx").as("frame_idx"),
           F.col("motion"), F.col("peakDiff").as("peak_diff"))
         .orderBy("doc_id", "frame_idx")
+    }),
+
+    // Mixed-modality probe + QUARANTINE — the ingest front door: each doc
+    // carries a BMP, WAV, or AVI payload (doc_id % 3) through the real
+    // codec its metadata claims; every 5th payload has its magic byte
+    // corrupted and MUST land in quarantine (decode fails controlled,
+    // the row survives, the stage doesn't die — the operational contract
+    // CodecFuzzLaws proves). Content-unit counts on the good stream are
+    // real decoded inventory (pixels / samples / frames).
+    "llm_media_quarantine" -> ((s, dir) => {
+      import s.implicits._
+      val assets = table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .filter(F.col("n_chars") > 0)
+        .select(F.col("doc_id"), F.col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val (fmt, payload) = (id % 3) match {
+            case 0 =>
+              val w = bytes.length % 12 + 4
+              val h = (id % 12).toInt + 4
+              val pix = Array.tabulate[Byte](w * h * 3)(j =>
+                bytes(j % bytes.length))
+              ("img/bmp", graft.multimodal.Bmp.encode(w, h, pix))
+            case 1 =>
+              val samples = Array.tabulate[Short](256) { i =>
+                (((bytes(i % bytes.length) & 0xff) * 997 + i * 131) % 65536
+                  - 32768).toShort
+              }
+              ("aud/wav", graft.multimodal.Wav.encode(8000, samples))
+            case _ =>
+              val w = bytes.length % 8 + 4
+              val h = (id % 6).toInt + 4
+              val frames = (0 until 6).map(f =>
+                Array.tabulate[Byte](w * h * 3)(j =>
+                  bytes((j + 17 * f) % bytes.length)))
+              ("vid/avi", graft.multimodal.Avi.encode(w, h, 25, frames))
+          }
+          if (id % 5 == 0) payload(0) = 'X'.toByte // corrupt the magic
+          graft.multimodal.RawAsset(id, payload, fmt, 0, 0, 0)
+        }
+      graft.multimodal.Probe.probeAssets(assets)
+        .toDF()
+        .select(F.col("docId").as("doc_id"), F.col("fmt"),
+          F.when(F.col("ok"), "ok").otherwise("quarantined").as("status"),
+          F.col("units"))
+        .orderBy("doc_id")
     })
   )
 
@@ -578,6 +626,22 @@ object LlmMultimodal extends Catalog {
            FROM px GROUP BY 1, 2)
          SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx, motion,
                 peak_diff
-         FROM agg ORDER BY doc_id, frame_idx"""
+         FROM agg ORDER BY doc_id, frame_idx""",
+    // Quarantine routing is fully deterministic: every 5th doc's magic
+    // byte is corrupted (decode must fail controlled → status
+    // 'quarantined', units 0); good payloads report real decoded
+    // inventory — pixels for BMP, 256 samples for WAV, 6 frames for AVI.
+    "llm_media_quarantine" ->
+      """SELECT doc_id,
+                CASE doc_id % 3 WHEN 0 THEN 'img/bmp' WHEN 1 THEN 'aud/wav'
+                     ELSE 'vid/avi' END AS fmt,
+                CASE WHEN doc_id % 5 = 0 THEN 'quarantined' ELSE 'ok' END
+                  AS status,
+                CAST(CASE WHEN doc_id % 5 = 0 THEN 0
+                     WHEN doc_id % 3 = 0
+                       THEN ((length(text) % 12) + 4) * ((doc_id % 12) + 4)
+                     WHEN doc_id % 3 = 1 THEN 256
+                     ELSE 6 END AS BIGINT) AS units
+         FROM documents WHERE length(text) > 0 ORDER BY doc_id"""
   )
 }
