@@ -1,0 +1,258 @@
+package graft.multimodal
+
+import org.apache.spark.sql.Dataset
+
+/** Decoded PNG asset: dims, exact-integer per-channel sums over the RGB
+  * triples, and the decoded top-down packed pixel bytes (what a feature
+  * extractor consumes and what the oracle re-derives).
+  */
+final case class PngDecoded(
+    docId: Long,
+    w: Int,
+    h: Int,
+    sumR: Long,
+    sumG: Long,
+    sumB: Long,
+    pix: Array[Byte])
+
+/** REAL compressed-image codec with zero external dependencies: PNG,
+  * 8-bit truecolor RGB (color type 2), built entirely on the JDK's
+  * `java.util.zip.{Deflater, Inflater, CRC32}`.
+  *
+  * [[encode]] emits a byte-valid .png any viewer opens: signature, IHDR,
+  * one zlib-deflated IDAT of filtered scanlines, IEND — and deliberately
+  * varies the row filter (`y % 5` → None/Sub/Up/Average/Paeth) so every
+  * decoder filter path is exercised by every image taller than 4 rows.
+  * [[decode]] is the real thing: chunk walk with CRC32 verification,
+  * IHDR validation, IDAT concatenation, bounded Inflater inflate, and
+  * per-row unfiltering including the Paeth predictor.
+  *
+  * Totality contract (CodecFuzzLaws): decode on arbitrary bytes either
+  * succeeds or throws IllegalArgumentException — zlib's checked
+  * DataFormatException and a lying chunk length are both converted; all
+  * byte-bound checks run in Long so forged sizes cannot overflow past a
+  * require.
+  *
+  * Scale notes: narrow per-row kernels, linear in payload bytes, no
+  * shuffle; the batched Dataset operator keeps the family's
+  * mapPartitions shape.
+  */
+object Png {
+
+  private val Signature =
+    Array[Byte](137.toByte, 'P', 'N', 'G', 13, 10, 26, 10)
+  private val Bpp = 3 // 8-bit RGB
+
+  private def u32be(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+  private def putU32be(b: Array[Byte], off: Int, v: Long): Unit = {
+    b(off) = (v >>> 24).toByte; b(off + 1) = (v >>> 16).toByte
+    b(off + 2) = (v >>> 8).toByte; b(off + 3) = v.toByte
+  }
+
+  /** a = left, b = above, c = upper-left — the spec's predictor. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](12 + data.length)
+    putU32be(out, 0, data.length.toLong)
+    typ.getBytes("US-ASCII").copyToArray(out, 4)
+    data.copyToArray(out, 8)
+    val crc = new java.util.zip.CRC32
+    crc.update(out, 4, 4 + data.length)
+    putU32be(out, 8 + data.length, crc.getValue)
+    out
+  }
+
+  /** Encode top-down row-major packed RGB triples as an 8-bit truecolor
+    * PNG. Row y uses filter type y % 5, computed with the real filter
+    * math, so decode exercises all five unfilter paths.
+    */
+  def encode(w: Int, h: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(pixels.length == w * h * Bpp,
+      s"expected ${w * h * Bpp} pixel bytes, got ${pixels.length}")
+    val rowBytes = w * Bpp
+    val raw = new Array[Byte]((rowBytes + 1) * h) // +1 filter byte per row
+    var y = 0
+    while (y < h) {
+      val ft = y % 5
+      raw(y * (rowBytes + 1)) = ft.toByte
+      var x = 0
+      while (x < rowBytes) {
+        val cur = pixels(y * rowBytes + x) & 0xff
+        val left = if (x >= Bpp) pixels(y * rowBytes + x - Bpp) & 0xff else 0
+        val up = if (y > 0) pixels((y - 1) * rowBytes + x) & 0xff else 0
+        val ul =
+          if (y > 0 && x >= Bpp) pixels((y - 1) * rowBytes + x - Bpp) & 0xff
+          else 0
+        val filtered = ft match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case _ => cur - paeth(left, up, ul)
+        }
+        raw(y * (rowBytes + 1) + 1 + x) = filtered.toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION)
+    val idat =
+      try {
+        deflater.setInput(raw); deflater.finish()
+        val buf = new Array[Byte](raw.length + 64)
+        val bos = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+        while (!deflater.finished())
+          bos.write(buf, 0, deflater.deflate(buf))
+        bos.toByteArray
+      } finally deflater.end()
+    val ihdr = new Array[Byte](13)
+    putU32be(ihdr, 0, w.toLong); putU32be(ihdr, 4, h.toLong)
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = 2 // color type: truecolor RGB
+    // 10..12: compression 0, filter 0, interlace 0
+    Signature ++ chunk("IHDR", ihdr) ++ chunk("IDAT", idat) ++ chunk("IEND",
+      Array.emptyByteArray)
+  }
+
+  /** Parse an 8-bit truecolor PNG → (w, h, top-down packed RGB pixels).
+    * Real chunk walk with CRC32 verification, IHDR validation, bounded
+    * zlib inflate, and full five-filter per-row unfiltering.
+    */
+  def decode(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    require(bytes.length >= Signature.length + 12 &&
+      java.util.Arrays.equals(
+        java.util.Arrays.copyOf(bytes, Signature.length), Signature),
+      "not a PNG payload")
+    var off = Signature.length
+    var w = 0; var h = 0; var seenIhdr = false
+    val idat = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done) {
+      require(off.toLong + 12 <= bytes.length, "truncated chunk header")
+      val len = u32be(bytes, off)
+      require(len <= bytes.length.toLong - off - 12, "chunk length past EOF")
+      val typ = new String(bytes, off + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(bytes, off + 4, 4 + len.toInt)
+      require(crc.getValue == u32be(bytes, off + 8 + len.toInt),
+        s"bad CRC on $typ chunk")
+      typ match {
+        case "IHDR" =>
+          require(!seenIhdr && len == 13, "malformed IHDR")
+          seenIhdr = true
+          val wl = u32be(bytes, off + 8); val hl = u32be(bytes, off + 12)
+          // dim cap keeps w*h*3 inside Int and bounds the allocation a
+          // hostile header can demand (same cap as Bmp.decode)
+          require(wl > 0 && hl > 0 && wl <= (1 << 14) && hl <= (1 << 14),
+            s"unsupported PNG dims ${wl}x$hl")
+          w = wl.toInt; h = hl.toInt
+          require(bytes(off + 16) == 8, "unsupported bit depth")
+          require(bytes(off + 17) == 2, "unsupported color type")
+          require(bytes(off + 18) == 0 && bytes(off + 19) == 0 &&
+            bytes(off + 20) == 0,
+            "unsupported compression/filter/interlace")
+        case "IDAT" =>
+          require(seenIhdr, "IDAT before IHDR")
+          idat.write(bytes, off + 8, len.toInt)
+        case "IEND" => done = true
+        case _ => () // ancillary chunks legal in the wild; CRC checked above
+      }
+      off += 12 + len.toInt
+    }
+    require(seenIhdr, "missing IHDR")
+    val rowBytes = w * Bpp
+    val expected = (rowBytes + 1) * h
+    // zlib's max expansion is 1032:1 — a tiny forged file claiming huge
+    // dims cannot make us allocate the full raster before inflating
+    require(idat.size().toLong * 1032 + 64 >= expected,
+      "IDAT too small for claimed dims")
+    val raw = new Array[Byte](expected)
+    val inflater = new java.util.zip.Inflater()
+    try {
+      inflater.setInput(idat.toByteArray)
+      var total = 0
+      while (total < expected && !inflater.finished()) {
+        val n =
+          try inflater.inflate(raw, total, expected - total)
+          catch {
+            case e: java.util.zip.DataFormatException =>
+              throw new IllegalArgumentException(s"corrupt IDAT: ${e.getMessage}")
+          }
+        if (n == 0 && inflater.needsInput())
+          throw new IllegalArgumentException("truncated IDAT stream")
+        total += n
+      }
+      require(total == expected && (inflater.finished() ||
+        inflater.inflate(new Array[Byte](1)) == 0),
+        s"IDAT inflates to wrong length (want $expected)")
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        throw new IllegalArgumentException(s"corrupt IDAT: ${e.getMessage}")
+    } finally inflater.end()
+    val pixels = new Array[Byte](w * h * Bpp)
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (rowBytes + 1)) & 0xff
+      require(ft <= 4, s"unknown filter type $ft")
+      var x = 0
+      while (x < rowBytes) {
+        val f = raw(y * (rowBytes + 1) + 1 + x) & 0xff
+        val left = if (x >= Bpp) pixels(y * rowBytes + x - Bpp) & 0xff else 0
+        val up = if (y > 0) pixels((y - 1) * rowBytes + x) & 0xff else 0
+        val ul =
+          if (y > 0 && x >= Bpp) pixels((y - 1) * rowBytes + x - Bpp) & 0xff
+          else 0
+        val recon = ft match {
+          case 0 => f
+          case 1 => f + left
+          case 2 => f + up
+          case 3 => f + (left + up) / 2
+          case _ => f + paeth(left, up, ul)
+        }
+        pixels(y * rowBytes + x) = recon.toByte
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, pixels)
+  }
+
+  /** Batched decode → feature-extract over a distributed asset Dataset,
+    * with the family's double round-trip: the decoded pixels are
+    * RE-ENCODED and decoded again, and the two decodes must agree — an
+    * encoder/decoder asymmetry (filter math, CRC, inflate bounds) breaks
+    * the gate hash instead of hiding.
+    */
+  def decodeAssets(assets: Dataset[RawAsset]): Dataset[PngDecoded] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.grouped(StubDecoder.BatchSize).flatMap(_.iterator.map { a =>
+        val (w, h, pix) = decode(a.payload)
+        val (w2, h2, pix2) = decode(encode(w, h, pix))
+        require(w2 == w && h2 == h && java.util.Arrays.equals(pix, pix2),
+          "PNG round-trip mismatch")
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var j = 0
+        while (j < pix2.length) {
+          val v = pix2(j) & 0xff
+          (j % 3: @annotation.switch) match {
+            case 0 => sr += v
+            case 1 => sg += v
+            case _ => sb += v
+          }
+          j += 1
+        }
+        PngDecoded(a.docId, w, h, sr, sg, sb, pix2)
+      })
+    }
+  }
+}

@@ -35,6 +35,8 @@ object Probe {
           a.fmt match {
             case "img/bmp" =>
               val (w, h, _) = Bmp.decode(a.payload); w.toLong * h
+            case "img/png" =>
+              val (w, h, _) = Png.decode(a.payload); w.toLong * h
             case "aud/wav" =>
               val (_, samples) = Wav.decode(a.payload); samples.length.toLong
             case "vid/avi" =>

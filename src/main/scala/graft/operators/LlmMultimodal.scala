@@ -228,6 +228,41 @@ object LlmMultimodal extends Catalog {
         .orderBy("doc_id")
     }),
 
+    // REAL compressed-image decode under the oracle: the same pixel tiles
+    // as llm_image_features, round-tripped through a genuine PNG
+    // ([[graft.multimodal.Png]]) — zlib-deflated IDAT, per-row filters
+    // cycling None/Sub/Up/Average/Paeth (every image here is ≥4 rows tall,
+    // so all five unfilter paths run), CRC-checked chunk walk, bounded
+    // Inflater inflate. PNG is lossless, so the oracle re-derives every
+    // decoded byte and channel sum from character tiles exactly as it
+    // does for BMP — compression is invisible to the hash, which is the
+    // point: the gate passes only if inflate + unfilter reproduce the
+    // source raster bit-exactly.
+    "llm_png_pixels" -> ((s, dir) => {
+      import s.implicits._
+      val assets = table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .filter(F.col("n_chars") > 0)
+        .select(F.col("doc_id"), F.col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val w = bytes.length % 12 + 4
+          val h = (id % 12).toInt + 4
+          val pix = Array.tabulate[Byte](w * h * 3)(j => bytes(j % bytes.length))
+          graft.multimodal.RawAsset(id,
+            graft.multimodal.Png.encode(w, h, pix), "img/png", w, h, 3)
+        }
+      graft.multimodal.Png.decodeAssets(assets)
+        .toDF()
+        .select(F.col("docId").as("doc_id"),
+          F.col("w").as("width"), F.col("h").as("height"),
+          F.col("sumR").as("sum_r"), F.col("sumG").as("sum_g"),
+          F.col("sumB").as("sum_b"),
+          F.md5(F.col("pix")).as("pix_hash"))
+        .orderBy("doc_id")
+    }),
+
     // REAL audio decode + windowed DSP features on the codec-free audio
     // container (RIFF/WAVE PCM16 mono): synthesize a deterministic
     // 256-sample waveform from the document's characters, encode a
@@ -527,6 +562,32 @@ object LlmMultimodal extends Catalog {
          SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
                 a.sum_b, a.sum_g, a.sum_r, a.peak
          FROM d JOIN agg a USING (doc_id) ORDER BY d.doc_id""",
+    // PNG is lossless: the decoded raster equals the source tiles, so the
+    // oracle is the BMP-features oracle plus the pixel-string hash (PNG
+    // triples are RGB, so c=0 is the red sum here vs blue for BMP).
+    "llm_png_pixels" ->
+      """WITH d AS (
+           SELECT doc_id, text, length(text) AS n,
+                  (length(text) % 12) + 4 AS w,
+                  (doc_id % 12) + 4 AS h
+           FROM documents WHERE length(text) > 0),
+         px AS (
+           SELECT doc_id, t.i AS i, t.i % 3 AS c,
+                  substring(text, (t.i % n) + 1, 1) AS ch
+           FROM d, unnest(generate_series(0, w * h * 3 - 1)) t(i)),
+         s AS (
+           SELECT doc_id, string_agg(ch, '' ORDER BY i) AS sp,
+                  CAST(sum(CASE WHEN c = 0 THEN ord(ch) END) AS BIGINT)
+                    AS sum_r,
+                  CAST(sum(CASE WHEN c = 1 THEN ord(ch) END) AS BIGINT)
+                    AS sum_g,
+                  CAST(sum(CASE WHEN c = 2 THEN ord(ch) END) AS BIGINT)
+                    AS sum_b
+           FROM px GROUP BY doc_id)
+         SELECT d.doc_id, CAST(d.w AS INT) AS width,
+                CAST(d.h AS INT) AS height,
+                s.sum_r, s.sum_g, s.sum_b, md5(s.sp) AS pix_hash
+         FROM d JOIN s USING (doc_id) ORDER BY d.doc_id""",
     // Re-derives the synthesized waveform sample by sample (all operands
     // non-negative before the -32768 shift, so % agrees across engines),
     // then window-local lag for strict sign flips; n_bytes checks encode's

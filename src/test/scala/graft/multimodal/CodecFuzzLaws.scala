@@ -61,6 +61,13 @@ object CodecFuzzLaws extends Properties("CodecFuzzLaws") {
     out <- corrupt(Avi.encode(w, h, 25, fs))
   } yield out
 
+  private val pngGen: Gen[Array[Byte]] = for {
+    w <- Gen.choose(1, 9); h <- Gen.choose(1, 9)
+    pix <- Gen.containerOfN[Array, Byte](w * h * 3,
+      Gen.choose(Byte.MinValue, Byte.MaxValue))
+    out <- corrupt(Png.encode(w, h, pix))
+  } yield out
+
   property("Bmp.decode total on junk") =
     Prop.forAll(junkGen)(b => controlled(Bmp.decode(b)))
   property("Bmp.decode total on corrupted containers") =
@@ -75,4 +82,22 @@ object CodecFuzzLaws extends Properties("CodecFuzzLaws") {
     Prop.forAll(junkGen)(b => controlled(Avi.decode(b)))
   property("Avi.decode total on corrupted containers") =
     Prop.forAll(aviGen)(b => controlled(Avi.decode(b)))
+
+  property("Png.decode total on junk") =
+    Prop.forAll(junkGen)(b => controlled(Png.decode(b)))
+  property("Png.decode total on corrupted containers") =
+    Prop.forAll(pngGen)(b => controlled(Png.decode(b)))
+
+  // Lossless round-trip: heights ≥ 5 exercise every filter type
+  // (encode cycles y % 5 through None/Sub/Up/Average/Paeth).
+  property("Png encode/decode round-trips pixels exactly") = Prop.forAll(
+    for {
+      w <- Gen.choose(1, 12); h <- Gen.choose(5, 12)
+      pix <- Gen.containerOfN[Array, Byte](w * h * 3,
+        Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield (w, h, pix)) { case (w, h, pix) =>
+    val (w2, h2, out) = Png.decode(Png.encode(w, h, pix))
+    Prop(w2 == w && h2 == h && java.util.Arrays.equals(out, pix)) :|
+      s"round-trip mismatch at ${w}x$h"
+  }
 }
