@@ -324,9 +324,40 @@ object AvroGates extends Catalog {
       // needed beyond the window-flush mechanics
       s.read.format("graft-avro").load(out).orderBy("week", "n_name")
     })
+,
+
+    // Zone-map pruned read under the oracle: lineitem goes through the
+    // sink range-partitioned and verified-sorted on l_orderkey, so the
+    // batch commit records each file's key range in the _graft_zones
+    // manifest; the selective key-range read back prunes whole
+    // non-overlapping files inside planInputPartitions (ZoneMapSpec pins
+    // strictly-fewer-files) and the aggregate must still match the
+    // parquet truth exactly — a wrongly-pruned file would drop rows.
+    "q_avro_zonemap" -> ((s, dir) => {
+      val tmp = tempDir("graft_gate_zonemap")
+      table(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+        .repartitionByRange(8, F.col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+        .write.format("graft-avro").option("sortedBy", "l_orderkey")
+        .mode("overwrite").save(tmp)
+      s.read.format("graft-avro").load(tmp)
+        .filter(F.col("l_orderkey") < 2000)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).as("n_lines"),
+          F.round(F.sum("l_quantity"), 2).as("sum_qty"),
+          F.round(F.sum("l_extendedprice"), 2).as("sum_price"))
+        .orderBy("l_returnflag")
+    })
   )
 
   val oracles: Map[String, String] = Map(
+    "q_avro_zonemap" ->
+      """SELECT l_returnflag, count(*) AS n_lines,
+                round(sum(l_quantity), 2) AS sum_qty,
+                round(sum(l_extendedprice), 2) AS sum_price
+         FROM lineitem WHERE l_orderkey < 2000
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_avro_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,
                 CAST(sum(n_chars) AS BIGINT) AS chars,

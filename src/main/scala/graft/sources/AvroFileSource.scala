@@ -113,6 +113,45 @@ object AvroFileSource {
     */
   def sortMarker(d: File): File = new File(d, "_graft_sorted_by")
 
+  /** Per-file zone-map manifest (Iceberg-manifest analogue, one tiny
+    * sidecar instead of a header read per file): tab-separated lines
+    * `relPath TAB minEnc TAB maxEnc` over the `_graft_sorted_by` column,
+    * values URL-encoded (so tabs/newlines cannot occur). Written only by
+    * verified `sortedBy` batch commits and deleted whenever the sort
+    * marker is withdrawn; files without an entry are simply never
+    * pruned, so a partial manifest is sound.
+    */
+  def zoneFile(d: File): File = new File(d, "_graft_zones")
+
+  private[sources] def zoneEncode(v: Any): String =
+    java.net.URLEncoder.encode(v.toString, "UTF-8")
+
+  /** Raw manifest entries keyed by relative path. Tolerates a corrupt
+    * manifest by dropping malformed lines (never-prune is sound).
+    */
+  private[sources] def readZonesRaw(zf: File): Map[String, (String, String)] =
+    try {
+      scala.io.Source.fromFile(zf, "UTF-8").getLines().flatMap { line =>
+        line.split('\t') match {
+          case Array(rel, mn, mx) => Some(rel -> (mn, mx))
+          case _ => None
+        }
+      }.toMap
+    } catch { case _: Exception => Map.empty }
+
+  /** Manifest parsed to external values of the zone column's type, keyed
+    * by ABSOLUTE file path (what the scan's listing yields). Entries
+    * whose values fail to parse are dropped — their files scan normally.
+    */
+  private[sources] def readZones(zf: File, base: File,
+      dt: org.apache.spark.sql.types.DataType): Map[String, (Any, Any)] =
+    readZonesRaw(zf).flatMap { case (rel, (mn, mx)) =>
+      for {
+        lo <- castPartitionValue(mn, dt) if lo != null
+        hi <- castPartitionValue(mx, dt) if hi != null
+      } yield new File(base, rel).getAbsolutePath -> (lo, hi)
+    }
+
   def sortedColumnOf(d: File): Option[String] = {
     val m = sortMarker(d)
     if (!m.isFile) None
@@ -378,12 +417,43 @@ class AvroScanBuilder(path: String, full: StructType,
       private lazy val listed: Seq[(File, Map[String, String])] =
         AvroFileSource.listPartitioned(new File(path))
 
+      /** Per-file [min, max] of the verified sort column, from the
+        * `_graft_zones` manifest a sortedBy batch commit writes. One tiny
+        * manifest read per scan — no per-file header open — and files
+        * without an entry (appends from other writers never happen while
+        * the marker survives, but all-null or unparseable-type files do)
+        * simply scan normally. At scale this is the difference between
+        * opening 1% and 100% of a sorted table's files on a selective
+        * predicate.
+        */
+      private lazy val zoneColumn: Option[String] =
+        AvroFileSource.sortedColumnOf(new File(path))
+      private lazy val zoneRanges: Map[String, (Any, Any)] =
+        if (filters.isEmpty) Map.empty
+        else {
+          val dir = new File(path)
+          (for {
+            c <- zoneColumn
+            fld <- full.fields.find(_.name == c)
+            zf = AvroFileSource.zoneFile(dir)
+            if zf.isFile
+          } yield AvroFileSource.readZones(zf, dir, fld.dataType))
+            .getOrElse(Map.empty)
+        }
+      private def zoneMayKeep(f: File): Boolean =
+        zoneRanges.get(f.getAbsolutePath) match {
+          case Some((mn, mx)) => filters.forall(
+            AvroFilterEval.zoneMayMatch(zoneColumn.get, mn, mx, _))
+          case None => true
+        }
+
       private def prunedFiles(): Seq[(File, Map[String, String])] =
         listed
           // partition-directory pruning: skip whole files whose k=v path
           // proves they cannot match — the scan never opens them
-          .filter { case (_, vals) =>
-            partitionMayMatch(vals) && runtimeMayMatch(vals) }
+          .filter { case (f, vals) =>
+            partitionMayMatch(vals) && runtimeMayMatch(vals) &&
+              zoneMayKeep(f) }
 
       /** Catalyst-internal key value for one partition column (SPJ keys
         * compare internally); None = type unsupported for key grouping.
@@ -902,13 +972,41 @@ class AvroWriteBuilder(path: String, schema: StructType,
         // or first files) or agrees with the existing claim; any other
         // append of new files withdraws the claim.
         val marker = AvroFileSource.sortMarker(new File(path))
+        val zonesF = AvroFileSource.zoneFile(new File(path))
         sortedBy match {
           case Some(c) =>
             val prev = AvroFileSource.sortedColumnOf(new File(path))
-            if (!preExisting || prev.contains(c))
+            if (!preExisting || prev.contains(c)) {
               java.nio.file.Files.write(marker.toPath, c.getBytes("UTF-8"))
-            else marker.delete()
-          case None => if (staged.nonEmpty) marker.delete()
+              // Zone-map manifest: fold this job's per-file min/max into
+              // the directory manifest. Keys are base-relative paths; an
+              // agreeing append merges with surviving prior entries
+              // (truncated files drop out via the existence filter).
+              val base = new File(path).getAbsoluteFile.toPath
+              val fresh = messages.toSeq
+                .collect { case m: AvroCommitMessage => m.zones }.flatten
+                .map { case (fin, mn, mx) =>
+                  base.relativize(new File(fin).getAbsoluteFile.toPath)
+                    .toString -> (mn, mx)
+                }
+              val prior =
+                if (preExisting && zonesF.isFile)
+                  AvroFileSource.readZonesRaw(zonesF)
+                else Map.empty[String, (String, String)]
+              val alive = AvroFileSource.listAvro(new File(path))
+                .map(f => base.relativize(f.getAbsoluteFile.toPath).toString)
+                .toSet
+              val merged = (prior ++ fresh).filter { case (rel, _) =>
+                alive.contains(rel) }
+              val tmp = new File(zonesF.getPath + ".staging")
+              java.nio.file.Files.write(tmp.toPath,
+                merged.toSeq.sortBy(_._1).map { case (rel, (mn, mx)) =>
+                  s"$rel\t$mn\t$mx"
+                }.mkString("\n").getBytes("UTF-8"))
+              if (!tmp.renameTo(zonesF)) throw new java.io.IOException(
+                s"graft-avro commit: rename failed $tmp -> $zonesF")
+            } else { marker.delete(); zonesF.delete() }
+          case None => if (staged.nonEmpty) { marker.delete(); zonesF.delete() }
         }
       }
       override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -931,8 +1029,9 @@ class AvroWriteBuilder(path: String, schema: StructType,
       }
       override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
         // streamed epochs append unverified files: withdraw any
-        // sorted-layout claim the directory carried
+        // sorted-layout claim (and its zone manifest) the directory carried
         AvroFileSource.sortMarker(new File(path)).delete()
+        AvroFileSource.zoneFile(new File(path)).delete()
         ()
       }
       override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
@@ -943,8 +1042,12 @@ class AvroWriteBuilder(path: String, schema: StructType,
 /** (stagedPath, finalPath) pairs a task's writer produced; the batch
   * commit renames them into place. Empty for streaming writers (their
   * epoch-deterministic names are already idempotent under replay).
+  * `zones` carries (finalPath, encodedMin, encodedMax) of the verified
+  * sort column per written file — the job commit folds them into the
+  * directory's `_graft_zones` manifest for read-time file skipping.
   */
-case class AvroCommitMessage(files: Seq[(String, String)])
+case class AvroCommitMessage(files: Seq[(String, String)],
+    zones: Seq[(String, String, String)] = Nil)
   extends WriterCommitMessage
 
 private[sources] object AvroWriters {
@@ -956,6 +1059,7 @@ private[sources] object AvroWriters {
     * layout claim.
     */
   private[sources] final class OrderVerifier(col: String) {
+    private var first: Any = _
     private var prev: Any = _
     private var seenNonNull = false
     def check(v: Any): Unit = {
@@ -966,10 +1070,16 @@ private[sources] object AvroWriters {
         if (seenNonNull && AvroFilterEval.cmp(prev, v).exists(_ > 0))
           throw new IllegalArgumentException(
             s"sortedBy '$col' violated: $prev > $v")
+        if (!seenNonNull) first = v
         prev = v
         seenNonNull = true
       }
     }
+    /** The verified file's non-null value range — free zone-map stats:
+      * in a verified-sorted file min is the first non-null value and max
+      * the last. None for an all-null file (which is then never pruned).
+      */
+    def zone: Option[(Any, Any)] = if (seenNonNull) Some((first, prev)) else None
   }
   /** Container-file writer; `lazyCreate` postpones file creation to the
     * first row so empty partitions produce no file.
@@ -1046,7 +1156,15 @@ private[sources] object AvroWriters {
           if (staged) open.values.map { case (_, f) =>
             f.getPath -> f.getPath.stripSuffix(".staging")
           }.toSeq
-          else Nil)
+          else Nil,
+          zones =
+            if (staged) open.toSeq.flatMap { case (sub, (_, f)) =>
+              verifiers.get(sub).flatMap(_.zone).map { case (mn, mx) =>
+                (f.getPath.stripSuffix(".staging"),
+                  AvroFileSource.zoneEncode(mn), AvroFileSource.zoneEncode(mx))
+              }
+            }
+            else Nil)
       }
       override def abort(): Unit = open.values.foreach { case (w, f) =>
         w.close(); f.delete()
@@ -1092,7 +1210,14 @@ private[sources] object AvroWriters {
         AvroCommitMessage(
           if (staged && writer != null)
             Seq(file.getPath -> finalFile.getPath)
-          else Nil)
+          else Nil,
+          zones =
+            if (staged && writer != null)
+              verifier.flatMap(_.zone).map { case (mn, mx) =>
+                (finalFile.getPath, AvroFileSource.zoneEncode(mn),
+                  AvroFileSource.zoneEncode(mx))
+              }.toSeq
+            else Nil)
       }
       override def abort(): Unit =
         if (writer != null) { writer.close(); file.delete(); () }

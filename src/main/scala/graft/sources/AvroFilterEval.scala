@@ -53,6 +53,42 @@ private[sources] object AvroFilterEval {
   private def topLevel(full: StructType, attr: String): Boolean =
     pathOf(full, attr).isDefined
 
+  /** May a file whose `col` values (non-null) all lie in [mn, mx] contain
+    * a row matching `f`? Zone-map file pruning — the over-approximation
+    * must be sound in one direction only (never prune a file with a
+    * matching row), so every undecidable comparison, filter over another
+    * column, or unknown node answers true. Note the zone covers only
+    * non-null values and a verified-sorted file stores nulls FIRST, so
+    * IsNull must always may-match.
+    */
+  def zoneMayMatch(col: String, mn: Any, mx: Any, f: Filter): Boolean = {
+    // cmp undecidable → treat the bound as unknown → may match
+    def le(a: Any, b: Any) = cmp(a, b).forall(_ <= 0)
+    def lt(a: Any, b: Any) = cmp(a, b).forall(_ < 0)
+    def inRange(v: Any) = v == null || (le(mn, v) && le(v, mx))
+    f match {
+      case And(l, r) => zoneMayMatch(col, mn, mx, l) && zoneMayMatch(col, mn, mx, r)
+      case Or(l, r)  => zoneMayMatch(col, mn, mx, l) || zoneMayMatch(col, mn, mx, r)
+      case EqualTo(a, v) if a == col        => inRange(v)
+      case EqualNullSafe(a, v) if a == col  => inRange(v)
+      case GreaterThan(a, v) if a == col    => cmp(mx, v).forall(_ > 0)
+      case GreaterThanOrEqual(a, v) if a == col => cmp(mx, v).forall(_ >= 0)
+      case LessThan(a, v) if a == col       => lt(mn, v)
+      case LessThanOrEqual(a, v) if a == col => le(mn, v)
+      case In(a, vs) if a == col            => vs.isEmpty || vs.exists(inRange)
+      case StringStartsWith(a, p) if a == col =>
+        // matching strings lie in [p, pNext) where pNext bumps p's last
+        // char; an empty or maxed-out prefix keeps the upper bound open
+        val lower = cmp(mx, p).forall(_ >= 0)
+        val upper = p.isEmpty || p.last == Char.MaxValue ||
+          lt(mn, p.init + (p.last + 1).toChar)
+        lower && upper
+      case _ => true // IsNull (nulls sort first, outside the zone),
+                     // IsNotNull (zone exists ⇒ non-nulls exist), other
+                     // columns, contains/endsWith, unknown nodes
+    }
+  }
+
   /** Resolve `attr` to a field-index path: an exact top-level name wins
     * (a column literally named "a.b"), else a dotted walk through
     * nested structs. None if it does not resolve (filter not accepted).

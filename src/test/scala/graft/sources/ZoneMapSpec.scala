@@ -1,0 +1,167 @@
+package graft.sources
+
+import java.io.File
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** Zone-map file skipping: a verified `sortedBy` batch write records each
+  * file's [min, max] of the sort column in the `_graft_zones` manifest,
+  * and a selective pushed predicate prunes whole files from
+  * `planInputPartitions` — they are never opened. The 100 TB claim in
+  * one sentence: a range-partitioned sorted table answers a selective
+  * predicate by opening the overlapping files only, and these specs pin
+  * (a) strictly-fewer-files, (b) unchanged answers, and (c) the manifest
+  * lifecycle (withdrawn with the sort marker).
+  */
+class ZoneMapSpec extends AnyFunSuite with SparkSpec with Matchers {
+
+  private def tmp(): String = graft.operators.Catalog.tempDir("graft_zones")
+
+  private def scanPartitions(df: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val root = df.queryExecution.executedPlan
+    val under = root.collectFirst {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+    }.getOrElse(root)
+    under.collect { case b: BatchScanExec => b }.head.inputPartitions.size
+  }
+
+  /** 10k rows over k = 0..9999, range-partitioned into 8 sorted files. */
+  private def writeSorted(dir: String): Unit = {
+    spark.range(0, 10000).toDF("k")
+      .withColumn("payload", F.md5(F.col("k").cast("string")))
+      .repartitionByRange(8, F.col("k"))
+      .sortWithinPartitions("k")
+      .write.format("graft-avro").option("sortedBy", "k")
+      .mode("overwrite").save(dir)
+  }
+
+  test("selective predicate on a sorted table opens strictly fewer files") {
+    val dir = tmp()
+    writeSorted(dir)
+    val nFiles = AvroFileSource.listAvro(new File(dir)).size
+    nFiles should be > 4 // range partitioning actually spread the data
+    new File(dir, "_graft_zones") should exist
+
+    val all = spark.read.format("graft-avro").load(dir)
+    scanPartitions(all) shouldBe nFiles
+
+    // top-of-range predicate: only the last file's zone overlaps
+    val top = all.filter(F.col("k") >= 9500)
+    val topParts = scanPartitions(top)
+    topParts should be < nFiles
+    topParts should be >= 1
+    top.count() shouldBe 500
+
+    // point lookup: exactly one file's [min,max] contains the key
+    val point = all.filter(F.col("k") === 1234)
+    scanPartitions(point) shouldBe 1
+    point.select("payload").head().getString(0) shouldBe
+      spark.range(1234, 1235).select(F.md5(F.col("id").cast("string")))
+        .head().getString(0)
+
+    // a range straddling a file boundary keeps both files and all rows
+    val mid = all.filter(F.col("k") >= 2400 && F.col("k") < 2600)
+    scanPartitions(mid) should be < nFiles
+    mid.count() shouldBe 200
+
+    // IN-list prunes to the union of containing files
+    val in = all.filter(F.col("k").isin(10, 9990))
+    scanPartitions(in) should be <= 2
+    in.count() shouldBe 2
+  }
+
+  test("zone pruning never changes answers (cross-checked vs in-memory truth)") {
+    val dir = tmp()
+    writeSorted(dir)
+    val avro = spark.read.format("graft-avro").load(dir)
+    val truth = spark.range(0, 10000).toDF("k")
+      .withColumn("payload", F.md5(F.col("k").cast("string")))
+    for (pred <- Seq(
+        F.col("k") < 3, F.col("k") > 9996, F.col("k") === 0,
+        F.col("k") === 9999, F.col("k").between(4999, 5001),
+        F.col("k") < 0, F.col("k") > 100000)) {
+      val got = avro.filter(pred).agg(
+        F.count(F.lit(1)), F.sum("k")).head()
+      val want = truth.filter(pred).agg(
+        F.count(F.lit(1)), F.sum("k")).head()
+      got shouldBe want
+    }
+  }
+
+  test("string zones prune equality and prefix predicates") {
+    val dir = tmp()
+    spark.range(0, 2600).toDF("i")
+      // aa, ab, ..., zz: two-letter keys in sorted order, 26 per letter
+      .selectExpr("char(97 + CAST(i / 100 AS INT)) || " +
+        "char(97 + CAST(i / 4 AS INT) % 25) AS s", "i AS v")
+      .repartitionByRange(6, F.col("s"), F.col("v"))
+      .sortWithinPartitions("s", "v")
+      .write.format("graft-avro").option("sortedBy", "s")
+      .mode("overwrite").save(dir)
+    val nFiles = AvroFileSource.listAvro(new File(dir)).size
+    val avro = spark.read.format("graft-avro").load(dir)
+    val eq = avro.filter(F.col("s") === "aa")
+    scanPartitions(eq) should be < nFiles
+    eq.count() shouldBe 4
+    val pre = avro.filter(F.col("s").startsWith("z"))
+    scanPartitions(pre) should be < nFiles
+    pre.count() shouldBe 100
+  }
+
+  test("nulls sort first, stay outside the zone, and are never lost") {
+    val dir = tmp()
+    spark.range(0, 1000).toDF("i")
+      .selectExpr("CASE WHEN i < 50 THEN NULL ELSE i END AS k", "i AS v")
+      .repartitionByRange(4, F.col("k"))
+      .sortWithinPartitions("k")
+      .write.format("graft-avro").option("sortedBy", "k")
+      .mode("overwrite").save(dir)
+    val avro = spark.read.format("graft-avro").load(dir)
+    avro.filter(F.col("k").isNull).count() shouldBe 50
+    avro.filter(F.col("k").isNotNull).count() shouldBe 950
+    avro.filter(F.col("k") >= 990).count() shouldBe 10
+  }
+
+  test("an unsorted append withdraws the manifest and pruning stops") {
+    val dir = tmp()
+    writeSorted(dir)
+    new File(dir, "_graft_zones") should exist
+    // append WITHOUT sortedBy: the layout claim (and manifest) must go
+    spark.range(20000, 20010).toDF("k")
+      .withColumn("payload", F.md5(F.col("k").cast("string")))
+      .write.format("graft-avro").mode("append").save(dir)
+    new File(dir, "_graft_sorted_by") shouldNot exist
+    new File(dir, "_graft_zones") shouldNot exist
+    val avro = spark.read.format("graft-avro").load(dir)
+    val nFiles = AvroFileSource.listAvro(new File(dir)).size
+    scanPartitions(avro.filter(F.col("k") >= 9500)) shouldBe nFiles
+    avro.filter(F.col("k") >= 9500).count() shouldBe 510
+  }
+
+  test("an agreeing sorted append merges zones and still prunes") {
+    val dir = tmp()
+    writeSorted(dir)
+    val before = AvroFileSource.listAvro(new File(dir)).size
+    spark.range(10000, 12000).toDF("k")
+      .withColumn("payload", F.md5(F.col("k").cast("string")))
+      .repartitionByRange(2, F.col("k"))
+      .sortWithinPartitions("k")
+      .write.format("graft-avro").option("sortedBy", "k")
+      .mode("append").save(dir)
+    val after = AvroFileSource.listAvro(new File(dir)).size
+    after should be > before
+    val avro = spark.read.format("graft-avro").load(dir)
+    // old-range predicate: the appended files' zones exclude them
+    val old = avro.filter(F.col("k") < 100)
+    scanPartitions(old) should be < after
+    old.count() shouldBe 100
+    // new-range predicate stays correct
+    avro.filter(F.col("k") >= 11000).count() shouldBe 1000
+  }
+}
