@@ -285,20 +285,23 @@ object LlmSimilarity extends Catalog {
     "llm_similar_ivf_kmeans" -> ((s, dir) => {
       val (corpus, assigned, centroids) = lloyd(s, dir)
       val wq = Window.partitionBy("qid").orderBy(F.col("d"), F.col("cid"))
-      // nprobe=5 of 8 cells: pinned by the AnnRecallSpec quality contract.
-      // Measured recall@3 vs exhaustive same-metric search at sf0.01 by
-      // nprobe: 1→0.55, 2→0.63, 3→0.77, 4→0.88, 5→0.93 — the synthetic
-      // embeddings are near-uniform, so recall tracks the corpus fraction
-      // probed; 5 is the smallest nprobe over the 0.9 floor. On clustered
-      // real-world embeddings the same plan holds recall at far smaller
-      // nprobe/k fractions; the plan SHAPE (Σ_probed |cell| candidates,
-      // never N²) is what scales.
+      // nprobe=6 of 8 cells: pinned by the AnnRecallSpec quality contract
+      // (recall@3 ≥ 0.9 at BOTH sf0.01 and sf0.1, full-precision and
+      // int8-quantized ranking). Measured recall@3 vs exhaustive
+      // same-metric search at sf0.01 by nprobe: 1→0.55, 2→0.63, 3→0.77,
+      // 4→0.88, 5→0.93 — but the 4x sf0.1 corpus measured 0.883 at
+      // nprobe=5 (the synthetic embeddings are near-uniform, so recall
+      // tracks the corpus fraction probed, with per-SF noise); 6 is the
+      // smallest nprobe holding the floor at every asserted scale. On
+      // clustered real-world embeddings the same plan holds recall at far
+      // smaller nprobe/k fractions; the plan SHAPE (Σ_probed |cell|
+      // candidates, never N²) is what scales.
       val probes = corpus.filter(F.col("vec_id") < 20)
         .select(F.col("vec_id").as("qid"), F.col("qx16").as("qv"))
         .crossJoin(F.broadcast(centroids))
         .withColumn("d", VectorFunctions.vec_l2sq(F.col("qv"), F.col("mvec")))
         .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= 5)
+        .filter(F.col("rn") <= 6)
         .select("qid", "cid", "qv")
       val cells = assigned.select("vec_id", "cid")
         .join(corpus.select("vec_id", "qx16"), "vec_id")
@@ -406,7 +409,7 @@ object LlmSimilarity extends Catalog {
               cs.c_check
        FROM m JOIN cs USING (cid) ORDER BY cid"""
 
-  /** IVF probe over the learned cells: nprobe=5 nearest c3 centroids per
+  /** IVF probe over the learned cells: nprobe=6 nearest c3 centroids per
     * query, exact integer-L2 top-3 within the probed cells.
     */
   private val ivfKmeansOracle: String = lloydCte + """,
@@ -420,7 +423,7 @@ object LlmSimilarity extends Catalog {
                       i -> (q.qv[i] - c.mvec[i]) * (q.qv[i] - c.mvec[i]))),
                     c.cid) AS rn
            FROM probeq q, c3 c)
-         WHERE rn <= 5),
+         WHERE rn <= 6),
        cand AS (
          SELECT qc.qid, a.vec_id,
                 CAST(list_sum(list_transform(generate_series(1, len(qc.qv)),
