@@ -326,6 +326,61 @@ object AvroGates extends Catalog {
     })
 ,
 
+    // EXACTLY-ONCE ACROSS A RESTART under the oracle (unit-proven in
+    // AvroFileSourceSpec; this gate makes it a driver-checked contract):
+    // half the corpus streams through graft-avro source → sink and the
+    // query is KILLED once at least one micro-batch has committed
+    // (maxFilesPerTrigger=1 leaves later files pending). While the
+    // stream is down the other half arrives with file names that sort
+    // BEFORE the committed prefix — the adversarial case a sorted-listing
+    // offset rebuild double-counts or skips; the append-order journal in
+    // the checkpoint must not. The restarted query resumes from the
+    // journaled offset, re-runs the possibly-torn uncommitted epoch onto
+    // the same idempotent (epoch, partition) file names, and drains. The
+    // final sink table must equal the full corpus EXACTLY once — any
+    // replayed row doubles a count, any skipped file starves one — which
+    // the oracle checks per-lang. Deterministic by construction: whatever
+    // instant the kill lands on, exactly-once forces the same final table.
+    "q_stream_restart" -> ((s, dir) => {
+      val src = tempDir("graft_gate_restart_src")
+      val out = tempDir("graft_gate_restart_out")
+      val ckpt = tempDir("graft_gate_restart_ckpt")
+      val stage = tempDir("graft_gate_restart_stage")
+      val docs = table(s, dir, "documents")
+        .select("doc_id", "lang", "n_chars", "text")
+      docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) === 0)
+        .repartition(3, F.col("doc_id"))
+        .write.format("graft-avro").mode("overwrite").save(src)
+      def start() = s.readStream.format("graft-avro").schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").load(src)
+        .writeStream.format("graft-avro")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start(out)
+      val q1 = start()
+      try {
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (Option(q1.lastProgress).forall(_.numInputRows == 0) &&
+            q1.isActive && System.nanoTime() < deadline)
+          Thread.sleep(25)
+      } finally q1.stop() // kill mid-stream; pending files stay unread
+      docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) === 1)
+        .repartition(3, F.col("doc_id"))
+        .write.format("graft-avro").mode("overwrite").save(stage)
+      graft.sources.AvroFileSource.listAvro(new java.io.File(stage))
+        .zipWithIndex.foreach { case (f, i) =>
+          java.nio.file.Files.move(f.toPath,
+            new java.io.File(src, s"0000-outage-$i.avro").toPath)
+        }
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      s.read.format("graft-avro").load(out)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.sum(F.col("n_chars")).as("chars"),
+          F.sum(F.length(F.col("text")).cast("long")).as("text_len"))
+        .orderBy("lang")
+    }),
+
     // Zone-map pruned read under the oracle: lineitem goes through the
     // sink range-partitioned and verified-sorted on l_orderkey, so the
     // batch commit records each file's key range in the _graft_zones
@@ -352,6 +407,13 @@ object AvroGates extends Catalog {
   )
 
   val oracles: Map[String, String] = Map(
+    // exactly-once across the kill/restart: the sink must hold the FULL
+    // corpus once — identical to the uninterrupted-stream oracle
+    "q_stream_restart" ->
+      """SELECT lang, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS chars,
+                CAST(sum(length(text)) AS BIGINT) AS text_len
+         FROM documents GROUP BY lang ORDER BY lang""",
     "q_avro_zonemap" ->
       """SELECT l_returnflag, count(*) AS n_lines,
                 round(sum(l_quantity), 2) AS sum_qty,
