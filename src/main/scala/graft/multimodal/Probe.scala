@@ -25,7 +25,47 @@ final case class MediaProbe(
   * Scale notes: narrow per-row work, one pass, no shuffle; same batched
   * mapPartitions shape as the rest of the family.
   */
+/** A probed asset with its payload retained: the router row the
+  * end-to-end media pipeline branches on — downstream per-modality
+  * operators filter `ok && fmt` and feed the payload straight to the
+  * real codec, all inside one lazy DataFrame job (no driver round-trip
+  * between probe and feature extraction).
+  */
+final case class RoutedAsset(
+    docId: Long,
+    fmt: String,
+    ok: Boolean,
+    payload: Array[Byte],
+    width: Int,
+    height: Int,
+    channels: Int)
+
 object Probe {
+
+  /** Probe AND keep the payload: quarantine routing as a narrow one-pass
+    * tag, so the per-modality branches are plain filters over the tagged
+    * stream (each branch re-decodes through its real codec — payload
+    * bytes are touched twice, shuffled never).
+    */
+  def routeAssets(assets: Dataset[RawAsset]): Dataset[RoutedAsset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.grouped(StubDecoder.BatchSize).flatMap(_.iterator.map { a =>
+        val ok = Try {
+          a.fmt match {
+            case "img/bmp" => Bmp.decode(a.payload)
+            case "img/png" => Png.decode(a.payload)
+            case "aud/wav" => Wav.decode(a.payload)
+            case "vid/avi" => Avi.decode(a.payload)
+            case other =>
+              throw new IllegalArgumentException(s"unknown format $other")
+          }
+        }.isSuccess
+        RoutedAsset(a.docId, a.fmt, ok, a.payload, a.width, a.height,
+          a.channels)
+      })
+    }
+  }
 
   def probeAssets(assets: Dataset[RawAsset]): Dataset[MediaProbe] = {
     import assets.sparkSession.implicits._

@@ -437,6 +437,94 @@ object LlmMultimodal extends Catalog {
           F.when(F.col("ok"), "ok").otherwise("quarantined").as("status"),
           F.col("units"))
         .orderBy("doc_id")
+    }),
+
+    // END-TO-END MIXED-MEDIA PIPELINE in one job: the quarantine probe
+    // ([[graft.multimodal.Probe.routeAssets]]) tags every payload once,
+    // then four plain filters branch the tagged stream into the REAL
+    // per-modality operators — BMP → pixel features, WAV → windowed DSP,
+    // AVI → frame motion, PNG → inflate+unfilter features — while
+    // corrupt payloads (every 5th, magic byte clobbered) surface as
+    // quarantined rows with zeroed features. Probe → branch → extract →
+    // union is one lazy plan: no driver round-trips anywhere, every
+    // branch a narrow per-row kernel (the only shuffles are the tiny
+    // per-doc WAV/AVI summary aggregates). The oracle re-derives all
+    // four feature streams AND the quarantine routing from the text
+    // tiles, so a mis-routed or double-routed payload breaks the hash.
+    "llm_media_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val assets = table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .filter(F.col("n_chars") > 0)
+        .select(F.col("doc_id"), F.col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val (fmt, payload) = (id % 4) match {
+            case 0 =>
+              val w = bytes.length % 12 + 4
+              val h = (id % 12).toInt + 4
+              val pix = Array.tabulate[Byte](w * h * 3)(j =>
+                bytes(j % bytes.length))
+              ("img/bmp", graft.multimodal.Bmp.encode(w, h, pix))
+            case 1 =>
+              val samples = Array.tabulate[Short](256) { i =>
+                (((bytes(i % bytes.length) & 0xff) * 997 + i * 131) % 65536
+                  - 32768).toShort
+              }
+              ("aud/wav", graft.multimodal.Wav.encode(8000, samples))
+            case 2 =>
+              val w = bytes.length % 8 + 4
+              val h = (id % 6).toInt + 4
+              val frames = (0 until 6).map(f =>
+                Array.tabulate[Byte](w * h * 3)(j =>
+                  bytes((j + 17 * f) % bytes.length)))
+              ("vid/avi", graft.multimodal.Avi.encode(w, h, 25, frames))
+            case _ =>
+              val w = bytes.length % 12 + 4
+              val h = (id % 12).toInt + 4
+              val pix = Array.tabulate[Byte](w * h * 3)(j =>
+                bytes(j % bytes.length))
+              ("img/png", graft.multimodal.Png.encode(w, h, pix))
+          }
+          if (id % 5 == 0) payload(0) = 'X'.toByte // corrupt the magic
+          graft.multimodal.RawAsset(id, payload, fmt, 0, 0, 0)
+        }
+      val routed = graft.multimodal.Probe.routeAssets(assets)
+      def branch(fmt: String) = routed
+        .filter(r => r.ok && r.fmt == fmt)
+        .map(r => graft.multimodal.RawAsset(r.docId, r.payload, r.fmt,
+          r.width, r.height, r.channels))
+      val okRow = F.lit("ok").as("status")
+      val bmp = graft.multimodal.Bmp.decodeFeatures(branch("img/bmp"))
+        .toDF()
+        .select(F.col("docId").as("doc_id"), F.lit("img/bmp").as("fmt"),
+          okRow, (F.col("sumB") + F.col("sumG") + F.col("sumR")).as("f1"),
+          F.col("peak").as("f2"))
+      val wav = graft.multimodal.Wav.analyzeAssets(branch("aud/wav"), 64)
+        .toDF()
+        .groupBy(F.col("docId").as("doc_id"))
+        .agg(F.sum("sumsq").as("f1"), F.sum("crossings").as("f2"))
+        .select(F.col("doc_id"), F.lit("aud/wav").as("fmt"), okRow,
+          F.col("f1"), F.col("f2"))
+      val avi = graft.multimodal.Avi.frameMotion(branch("vid/avi"))
+        .toDF()
+        .groupBy(F.col("docId").as("doc_id"))
+        .agg(F.sum("motion").as("f1"), F.max("peakDiff").as("f2"))
+        .select(F.col("doc_id"), F.lit("vid/avi").as("fmt"), okRow,
+          F.col("f1"), F.col("f2"))
+      val png = graft.multimodal.Png.decodeAssets(branch("img/png"))
+        .toDF()
+        .select(F.col("docId").as("doc_id"), F.lit("img/png").as("fmt"),
+          okRow, (F.col("sumR") + F.col("sumG") + F.col("sumB")).as("f1"),
+          (F.col("w") * F.col("h")).cast("long").as("f2"))
+      val quarantined = routed.filter(r => !r.ok).toDF()
+        .select(F.col("docId").as("doc_id"), F.col("fmt"),
+          F.lit("quarantined").as("status"),
+          F.lit(0L).as("f1"), F.lit(0L).as("f2"))
+      bmp.unionByName(wav).unionByName(avi).unionByName(png)
+        .unionByName(quarantined)
+        .orderBy("doc_id")
     })
   )
 
@@ -703,6 +791,75 @@ object LlmMultimodal extends Catalog {
                        THEN ((length(text) % 12) + 4) * ((doc_id % 12) + 4)
                      WHEN doc_id % 3 = 1 THEN 256
                      ELSE 6 END AS BIGINT) AS units
-         FROM documents WHERE length(text) > 0 ORDER BY doc_id"""
+         FROM documents WHERE length(text) > 0 ORDER BY doc_id""",
+    // Re-derives all four modality feature streams AND the quarantine
+    // routing from text tiles: BMP/PNG pixel sums over w·h·3 tiles
+    // (peak for BMP, pixel count for PNG), WAV Σs² + window-local sign
+    // flips over the synthesized 256-sample waveform, AVI Σ|frame diff|
+    // + peak diff over the 5 inter-frame deltas; corrupt payloads
+    // (doc_id % 5 = 0) must appear exactly once as zeroed quarantine rows.
+    "llm_media_pipeline" ->
+      """WITH d AS (
+           SELECT doc_id, text, length(text) AS n
+           FROM documents WHERE length(text) > 0),
+         bmp AS (
+           SELECT doc_id, CAST(sum(v) AS BIGINT) AS f1,
+                  CAST(max(v) AS BIGINT) AS f2
+           FROM (SELECT d.doc_id,
+                        ord(substring(d.text, (t.i % d.n) + 1, 1)) AS v
+                 FROM d, unnest(generate_series(0,
+                        ((d.n % 12) + 4) * ((d.doc_id % 12) + 4) * 3 - 1)) t(i)
+                 WHERE d.doc_id % 4 = 0 AND d.doc_id % 5 <> 0)
+           GROUP BY doc_id),
+         wav AS (
+           SELECT doc_id, CAST(sum(CAST(s AS BIGINT) * s) AS BIGINT) AS f1,
+                  CAST(count(CASE WHEN i % 64 <> 0 AND prev * s < 0
+                             THEN 1 END) AS BIGINT) AS f2
+           FROM (SELECT doc_id, i, s,
+                        lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+                 FROM (SELECT d.doc_id, t.i AS i,
+                         ((ord(substring(d.text, (t.i % d.n) + 1, 1)) * 997
+                           + t.i * 131) % 65536) - 32768 AS s
+                       FROM d, unnest(generate_series(0, 255)) t(i)
+                       WHERE d.doc_id % 4 = 1 AND d.doc_id % 5 <> 0))
+           GROUP BY doc_id),
+         avi AS (
+           SELECT doc_id, CAST(sum(dd) AS BIGINT) AS f1,
+                  CAST(max(dd) AS BIGINT) AS f2
+           FROM (SELECT d.doc_id,
+                   abs(ord(substring(d.text,
+                         ((t2.j + 17 * t.f) % d.n) + 1, 1))
+                     - ord(substring(d.text,
+                         ((t2.j + 17 * (t.f - 1)) % d.n) + 1, 1))) AS dd
+                 FROM d,
+                      unnest(generate_series(1, 5)) t(f),
+                      unnest(generate_series(0,
+                        ((d.n % 8) + 4) * ((d.doc_id % 6) + 4) * 3 - 1)) t2(j)
+                 WHERE d.doc_id % 4 = 2 AND d.doc_id % 5 <> 0)
+           GROUP BY doc_id),
+         png AS (
+           SELECT doc_id, CAST(sum(v) AS BIGINT) AS f1,
+                  CAST(((any_value(n) % 12) + 4) * ((doc_id % 12) + 4)
+                    AS BIGINT) AS f2
+           FROM (SELECT d.doc_id, d.n,
+                        ord(substring(d.text, (t.i % d.n) + 1, 1)) AS v
+                 FROM d, unnest(generate_series(0,
+                        ((d.n % 12) + 4) * ((d.doc_id % 12) + 4) * 3 - 1)) t(i)
+                 WHERE d.doc_id % 4 = 3 AND d.doc_id % 5 <> 0)
+           GROUP BY doc_id),
+         routed AS (
+           SELECT doc_id,
+                  CASE doc_id % 4 WHEN 0 THEN 'img/bmp' WHEN 1 THEN 'aud/wav'
+                       WHEN 2 THEN 'vid/avi' ELSE 'img/png' END AS fmt,
+                  CASE WHEN doc_id % 5 = 0 THEN 'quarantined' ELSE 'ok' END
+                    AS status
+           FROM d)
+         SELECT r.doc_id, r.fmt, r.status,
+                CAST(coalesce(b.f1, w.f1, a.f1, p.f1, 0) AS BIGINT) AS f1,
+                CAST(coalesce(b.f2, w.f2, a.f2, p.f2, 0) AS BIGINT) AS f2
+         FROM routed r
+         LEFT JOIN bmp b USING (doc_id) LEFT JOIN wav w USING (doc_id)
+         LEFT JOIN avi a USING (doc_id) LEFT JOIN png p USING (doc_id)
+         ORDER BY r.doc_id"""
   )
 }
