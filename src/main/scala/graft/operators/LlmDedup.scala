@@ -108,7 +108,10 @@ object LlmDedup extends Catalog {
   private def collapseDups(keyed: DataFrame): DataFrame =
     keyed.groupBy("tk").agg(F.min("doc_id").as("doc_id"), F.first("shs").as("shs"))
 
-  private def bandCandidatesOf(d: DataFrame): DataFrame = {
+  // private[operators]: BandSkewSpec drives a deliberately hot band
+  // (hundreds of DISTINCT sets sharing one band signature — the shape
+  // exact-dup collapse cannot absorb) straight through this join
+  private[operators] def bandCandidatesOf(d: DataFrame): DataFrame = {
     val bands = d
       .withColumn("hs", F.transform(F.col("shs"), x => F.md5(x)))
       .select(F.col("doc_id"),
