@@ -114,10 +114,14 @@ object Avi {
   }
 
   /** Parse an uncompressed-DIB AVI → (w, h, top-down packed frames).
-    * Real nested RIFF walk: hdrl is located by list type and strf parsed
-    * wherever it sits (validating 24-bpp BI_RGB); movi's '00db' chunks
-    * are collected in order, each size-checked against the stride math;
-    * unknown chunks/lists (JUNK, idx1, audio streams) skip by size.
+    * Real nested RIFF walk: hdrl is located by list type; each strl's
+    * strh is read for its stream fourCC and strf is parsed as a
+    * BITMAPINFOHEADER only for the 'vids' stream (an audio strl's
+    * WAVEFORMATEX strf is skipped by TYPE, not by size, and a second
+    * video stream is rejected rather than silently overwriting dims);
+    * movi's '00db' chunks are collected in order — including inside
+    * interleaved 'rec ' grouping lists — each size-checked against the
+    * stride math; unknown chunks/lists (JUNK, idx1) skip by size.
     */
   def decode(bytes: Array[Byte]): (Int, Int, Vector[Array[Byte]]) = {
     def u16(off: Int): Int =
@@ -128,6 +132,9 @@ object Avi {
     require(bytes.length >= 12 && tag(0) == "RIFF" && tag(8) == "AVI ",
       "not an AVI payload")
     var w = -1; var h = -1
+    // fccType of the most recent strh: RIFF puts strh before strf inside
+    // each strl, so this routes the following strf by stream type
+    var streamType = ""
     val frames = Vector.newBuilder[Array[Byte]]
     def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
       var off = from
@@ -140,9 +147,14 @@ object Avi {
         if (id == "LIST") {
           require(size >= 4, s"short LIST chunk $size")
           val listType = tag(off + 8)
-          if (listType == "hdrl" || listType == "strl" || listType == "movi")
+          if (listType == "hdrl" || listType == "strl" ||
+              listType == "movi" || (inMovi && listType == "rec "))
             walk(off + 12, off + 8 + size, inMovi || listType == "movi")
-        } else if (id == "strf") {
+        } else if (id == "strh") {
+          require(size >= 4, s"short strh chunk $size")
+          streamType = tag(off + 8)
+        } else if (id == "strf" && streamType == "vids") {
+          require(w < 0, "multiple video streams")
           require(size >= StrfBytes, s"short strf chunk $size")
           require(u16(off + 8 + 14) == 24,
             s"unsupported bpp ${u16(off + 8 + 14)}")

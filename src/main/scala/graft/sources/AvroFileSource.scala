@@ -79,7 +79,10 @@ class AvroFileSource extends TableProvider with DataSourceRegister {
         f, new GenericDatumReader[GenericRecord]())
       try r.getSchema finally r.close()
     }
-    val schemas = files.sortBy(_.lastModified()).map(header).distinct
+    // name tie-break: two write batches can land in the same lastModified
+    // millisecond, and listing order must not decide which schema "wins"
+    val schemas = files.sortBy(f => (f.lastModified(), f.getName))
+      .map(header).distinct
     val base = AvroSchemaConverter.toStruct(schemas.last)
     if (schemas.size == 1) base
     else {

@@ -64,6 +64,73 @@ object AviLaws extends Properties("AviLaws") {
     }
   }
 
+  // ---- minimal RIFF assembler for container variants the encoder never
+  // emits (interleaved audio streams, 'rec ' grouping lists) ----
+  private def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+  private def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+    (v >> 16).toByte, (v >> 24).toByte)
+  private def chunk(id: String, data: Array[Byte]): Array[Byte] =
+    id.getBytes("US-ASCII") ++ le32(data.length) ++ data ++
+      (if ((data.length & 1) == 1) Array[Byte](0) else Array.emptyByteArray)
+  private def list(typ: String, body: Array[Byte]): Array[Byte] =
+    chunk("LIST", typ.getBytes("US-ASCII") ++ body)
+  private def strh(fcc: String): Array[Byte] =
+    chunk("strh", fcc.getBytes("US-ASCII") ++ new Array[Byte](52))
+  private def strfVids(w: Int, h: Int): Array[Byte] =
+    chunk("strf", le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+      le32(0) ++ le32(((w * 3 + 3) / 4 * 4) * h) ++ le32(2835) ++
+      le32(2835) ++ le32(0) ++ le32(0))
+  private def strfAuds: Array[Byte] = // 16-byte WAVEFORMATEX (PCM mono)
+    chunk("strf", le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++
+      le16(2) ++ le16(16))
+  private def dib(w: Int, h: Int, pix: Array[Byte]): Array[Byte] = {
+    val rb = (w * 3 + 3) / 4 * 4
+    val d = new Array[Byte](rb * h)
+    for (y <- 0 until h) System.arraycopy(pix, y * w * 3, d, (h - 1 - y) * rb, w * 3)
+    d
+  }
+  private def avi(hdrl: Array[Byte], movi: Array[Byte]): Array[Byte] =
+    chunk("RIFF", "AVI ".getBytes("US-ASCII") ++
+      list("hdrl", hdrl) ++ list("movi", movi))
+
+  // an interleaved audio stream must be skipped by strh TYPE: its
+  // 16-byte WAVEFORMATEX strf would fail the BITMAPINFOHEADER size check
+  // if mis-routed (the audio strl deliberately comes FIRST)
+  property("audio strl is skipped by stream type") =
+    Prop.forAll(dimGen, dimGen) { (w, h) =>
+      Prop.forAll(framesGen(w, h)) { fs =>
+        val bytes = avi(
+          list("strl", strh("auds") ++ strfAuds) ++
+            list("strl", strh("vids") ++ strfVids(w, h)),
+          fs.flatMap(f => chunk("00db", dib(w, h, f))).toArray)
+        val (w2, h2, got) = Avi.decode(bytes)
+        w2 == w && h2 == h && got.length == fs.length &&
+          got.zip(fs).forall { case (a, b) => java.util.Arrays.equals(a, b) }
+      }
+    }
+
+  property("frames inside 'rec ' grouping lists are found") =
+    Prop.forAll(dimGen, dimGen) { (w, h) =>
+      Prop.forAll(framesGen(w, h)) { fs =>
+        val bytes = avi(
+          list("strl", strh("vids") ++ strfVids(w, h)),
+          list("rec ", fs.flatMap(f => chunk("00db", dib(w, h, f))).toArray))
+        val (w2, h2, got) = Avi.decode(bytes)
+        w2 == w && h2 == h && got.length == fs.length &&
+          got.zip(fs).forall { case (a, b) => java.util.Arrays.equals(a, b) }
+      }
+    }
+
+  property("a second video stream is rejected, not silently adopted") =
+    Prop.forAll(dimGen, dimGen) { (w, h) =>
+      val bytes = avi(
+        list("strl", strh("vids") ++ strfVids(w, h)) ++
+          list("strl", strh("vids") ++ strfVids(w + 1, h + 1)),
+        Array.emptyByteArray)
+      scala.util.Try(Avi.decode(bytes)).failed.toOption
+        .exists(_.isInstanceOf[IllegalArgumentException])
+    }
+
   property("malformed rejection") = Prop.forAll(dimGen, dimGen) { (w, h) =>
     Prop.forAll(framesGen(w, h)) { fs =>
       val good = Avi.encode(w, h, 25, fs)

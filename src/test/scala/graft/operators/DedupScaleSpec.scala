@@ -64,12 +64,13 @@ class DedupScaleSpec extends AnyFunSuite with SparkSpec with Matchers {
     g should be > 0L
     p1 should be > 0L
     p3 shouldBe 9 * p1 + 3 * g
-    // smoke guard only (counts above are the real nonlinearity gate): the
-    // 3x run reads/hashes 3x the rows and expands ~9x the OUTPUT pairs,
-    // both linear in their own driver; a quadratic candidate regression
-    // would be orders beyond this generous ceiling
-    assert(t3 < 8 * t1 + 10000000000L,
-      s"3x minhash took ${t3 / 1e9}s vs 1x ${t1 / 1e9}s — superlinear blowup")
+    // informational only: the count laws above ARE the nonlinearity gate
+    // (a quadratic candidate regression breaks them exactly); wall-clock
+    // on a shared CI box is load-sensitive — a GC pause or noisy neighbor
+    // must not flake the suite — so the timing is reported, not asserted
+    info(f"3x minhash wall-clock: ${t3 / 1e9}%.2fs vs 1x ${t1 / 1e9}%.2fs" +
+      (if (t3 >= 8 * t1 + 10000000000L) " (superlinear-looking; see counts)"
+       else ""))
   }
 
   test("3x corpus: keep survivors are invariant (copies and old drops only)") {
