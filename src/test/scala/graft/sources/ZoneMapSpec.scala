@@ -128,6 +128,30 @@ class ZoneMapSpec extends AnyFunSuite with SparkSpec with Matchers {
     avro.filter(F.col("k") >= 990).count() shouldBe 10
   }
 
+  test("zone pruning composes with hive partition-directory pruning") {
+    val dir = tmp()
+    spark.range(0, 8000).toDF("k")
+      .withColumn("p", F.when(F.pmod(F.col("k"), F.lit(2)) === 0, "even")
+        .otherwise("odd"))
+      .repartitionByRange(4, F.col("k"))
+      .sortWithinPartitions("k") // order-preserving routing: each
+      // partition-dir file receives a k-sorted subsequence, so the
+      // per-sub OrderVerifier stamps zones under BOTH partition dirs
+      .write.format("graft-avro")
+      .option("partitionBy", "p").option("sortedBy", "k")
+      .mode("overwrite").save(dir)
+    val nFiles = AvroFileSource.listAvro(new File(dir)).size
+    nFiles should be >= 8 // 4 range tasks x 2 partition values
+    val avro = spark.read.format("graft-avro").load(dir)
+    val q = avro.filter(F.col("p") === "even" && F.col("k") >= 7000)
+    // directory pruning alone leaves half the files; the zone manifest
+    // must cut within the surviving directory too
+    scanPartitions(q) should be < nFiles / 2
+    q.count() shouldBe 500
+    q.agg(F.sum("k")).head().getLong(0) shouldBe
+      (7000L until 8000L).filter(_ % 2 == 0).sum
+  }
+
   test("an unsorted append withdraws the manifest and pruning stops") {
     val dir = tmp()
     writeSorted(dir)
