@@ -55,6 +55,7 @@ object Probe {
           a.fmt match {
             case "img/bmp" => Bmp.decode(a.payload)
             case "img/png" => Png.decode(a.payload)
+            case "img/gif" => Gif.decode(a.payload)
             case "aud/wav" => Wav.decode(a.payload)
             case "vid/avi" => Avi.decode(a.payload)
             case other =>
@@ -77,6 +78,8 @@ object Probe {
               val (w, h, _) = Bmp.decode(a.payload); w.toLong * h
             case "img/png" =>
               val (w, h, _) = Png.decode(a.payload); w.toLong * h
+            case "img/gif" =>
+              val (w, h, _) = Gif.decode(a.payload); w.toLong * h
             case "aud/wav" =>
               val (_, samples) = Wav.decode(a.payload); samples.length.toLong
             case "vid/avi" =>

@@ -263,6 +263,39 @@ object LlmMultimodal extends Catalog {
         .orderBy("doc_id")
     }),
 
+    // SECOND compressed-image family under the oracle: the same tiles as
+    // the other image gates (single channel this time — GIF is
+    // palette-indexed), round-tripped through a genuine GIF89a with a
+    // REAL variable-width LZW coder ([[graft.multimodal.Gif]]). The
+    // tiled corpus text makes the dictionary genuinely compress, so
+    // width growth (9→10 bits at 512 entries) and the KwKwK case run on
+    // real gate data; LZW is lossless, so the oracle re-derives every
+    // decoded index byte from character tiles — the gate passes only if
+    // dictionary rebuild reproduces the source stream bit-exactly.
+    "llm_gif_pixels" -> ((s, dir) => {
+      import s.implicits._
+      val assets = table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .filter(F.col("n_chars") > 0)
+        .select(F.col("doc_id"), F.col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val w = bytes.length % 12 + 4
+          val h = (id % 12).toInt + 4
+          val idx = Array.tabulate[Byte](w * h)(j => bytes(j % bytes.length))
+          graft.multimodal.RawAsset(id,
+            graft.multimodal.Gif.encode(w, h, idx), "img/gif", w, h, 1)
+        }
+      graft.multimodal.Gif.decodeAssets(assets)
+        .toDF()
+        .select(F.col("docId").as("doc_id"),
+          F.col("w").as("width"), F.col("h").as("height"),
+          F.col("sumIdx").as("sum_idx"), F.col("peakIdx").as("peak_idx"),
+          F.md5(F.col("idx")).as("idx_hash"))
+        .orderBy("doc_id")
+    }),
+
     // REAL audio decode + windowed DSP features on the codec-free audio
     // container (RIFF/WAVE PCM16 mono): synthesize a deterministic
     // 256-sample waveform from the document's characters, encode a
@@ -650,6 +683,27 @@ object LlmMultimodal extends Catalog {
          SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
                 a.sum_b, a.sum_g, a.sum_r, a.peak
          FROM d JOIN agg a USING (doc_id) ORDER BY d.doc_id""",
+    // LZW is lossless: the decoded index stream equals the single-channel
+    // source tiles (w·h of them, not w·h·3 — GIF is palette-indexed).
+    "llm_gif_pixels" ->
+      """WITH d AS (
+           SELECT doc_id, text, length(text) AS n,
+                  (length(text) % 12) + 4 AS w,
+                  (doc_id % 12) + 4 AS h
+           FROM documents WHERE length(text) > 0),
+         px AS (
+           SELECT doc_id, t.i AS i,
+                  substring(text, (t.i % n) + 1, 1) AS ch
+           FROM d, unnest(generate_series(0, w * h - 1)) t(i)),
+         s AS (
+           SELECT doc_id, string_agg(ch, '' ORDER BY i) AS sp,
+                  CAST(sum(ord(ch)) AS BIGINT) AS sum_idx,
+                  CAST(max(ord(ch)) AS BIGINT) AS peak_idx
+           FROM px GROUP BY doc_id)
+         SELECT d.doc_id, CAST(d.w AS INT) AS width,
+                CAST(d.h AS INT) AS height,
+                s.sum_idx, s.peak_idx, md5(s.sp) AS idx_hash
+         FROM d JOIN s USING (doc_id) ORDER BY d.doc_id""",
     // PNG is lossless: the decoded raster equals the source tiles, so the
     // oracle is the BMP-features oracle plus the pixel-string hash (PNG
     // triples are RGB, so c=0 is the red sum here vs blue for BMP).

@@ -83,6 +83,18 @@ object CodecFuzzLaws extends Properties("CodecFuzzLaws") {
   property("Avi.decode total on corrupted containers") =
     Prop.forAll(aviGen)(b => controlled(Avi.decode(b)))
 
+  private val gifGen: Gen[Array[Byte]] = for {
+    w <- Gen.choose(1, 9); h <- Gen.choose(1, 9)
+    idx <- Gen.containerOfN[Array, Byte](w * h,
+      Gen.choose(Byte.MinValue, Byte.MaxValue))
+    out <- corrupt(Gif.encode(w, h, idx))
+  } yield out
+
+  property("Gif.decode total on junk") =
+    Prop.forAll(junkGen)(b => controlled(Gif.decode(b)))
+  property("Gif.decode total on corrupted containers") =
+    Prop.forAll(gifGen)(b => controlled(Gif.decode(b)))
+
   property("Png.decode total on junk") =
     Prop.forAll(junkGen)(b => controlled(Png.decode(b)))
   property("Png.decode total on corrupted containers") =
