@@ -523,7 +523,10 @@ object LlmMultimodal extends Catalog {
           if (id % 5 == 0) payload(0) = 'X'.toByte // corrupt the magic
           graft.multimodal.RawAsset(id, payload, fmt, 0, 0, 0)
         }
-      val routed = graft.multimodal.Probe.routeAssets(assets)
+      // one probe pass, pinned: five downstream branches (four feature
+      // extractors + quarantine) would otherwise each recompute
+      // synthesize+probe over the corpus — at scale, five full passes
+      val routed = graft.multimodal.Probe.routeAssets(assets).localCheckpoint()
       def branch(fmt: String) = routed
         .filter(r => r.ok && r.fmt == fmt)
         .map(r => graft.multimodal.RawAsset(r.docId, r.payload, r.fmt,
