@@ -317,6 +317,46 @@ object LlmSimilarity extends Catalog {
         .orderBy("qid", "rn")
     }),
 
+    // IVF SEARCH OVER THE int8 STORAGE LAYOUT — the production
+    // composition a curation pipeline actually deploys: coarse
+    // quantizer = the Lloyd cells, candidate re-rank = integer L2 over
+    // llm_embed_quant's int8 vectors (1 byte/dim shipped, not 4). All
+    // quantized components are BIGINTs derived by floor semantics both
+    // engines share (proven by llm_embed_quant), so the search is
+    // oracle-deterministic end to end; AnnRecallSpec pins recall@3 ≥
+    // 0.9 of THIS gate's plan against exhaustive full-precision truth
+    // at sf0.01 and sf0.1. Same 100 TB shape as llm_similar_ivf_kmeans:
+    // broadcast probes, Σ_probed |cell| candidates, never N².
+    "llm_similar_ivf_quant" -> ((s, dir) => {
+      val (corpus, assigned, centroids) = lloyd(s, dir)
+      val q8 = emb(s, dir)
+        .filter(F.col("ss") > 0.0)
+        .withColumn("nrm", F.sqrt(F.col("ss")))
+        .withColumn("q8", F.expr(
+          "transform(embedding, x -> greatest(cast(-127 as bigint), " +
+            "least(cast(127 as bigint), floor(cast(x as double) / nrm * 127.0))))"))
+        .select("vec_id", "q8")
+      val wq = Window.partitionBy("qid").orderBy(F.col("d"), F.col("cid"))
+      val probes = corpus.filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").as("qid"), F.col("qx16").as("qv"))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("d", VectorFunctions.vec_l2sq(F.col("qv"), F.col("mvec")))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 6)
+        .select("qid", "cid")
+        .join(q8.select(F.col("vec_id").as("qid"), F.col("q8").as("qq8")),
+          "qid")
+      val cells = assigned.select("vec_id", "cid").join(q8, "vec_id")
+      val wr = Window.partitionBy("qid").orderBy(F.col("d"), F.col("vec_id"))
+      F.broadcast(probes).join(cells, "cid")
+        .filter(F.col("vec_id") =!= F.col("qid"))
+        .select(F.col("qid"), F.col("vec_id"),
+          VectorFunctions.vec_l2sq(F.col("qq8"), F.col("q8")).as("d"))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 3)
+        .orderBy("qid", "rn")
+    }),
+
     // K-MEANS assignment pass (diversity clustering): 8 deterministic
     // seed centroids (vec_id < 8) broadcast to the corpus; every vector
     // joins its cosine-nearest centroid (argmax via window rank with a
@@ -439,6 +479,50 @@ object LlmSimilarity extends Catalog {
        SELECT qid, vec_id, d, rn FROM rankedc
        WHERE rn <= 3 ORDER BY qid, rn"""
 
+  /** IVF over the int8 layout: same probed cells, candidates re-ranked
+    * by integer L2 over the quantized vectors (floor semantics shared
+    * with llm_embed_quant's oracle).
+    */
+  private val ivfQuantOracle: String = lloydCte + """,
+       qss AS (
+         SELECT vec_id, embedding,
+                list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS ss
+         FROM embeddings),
+       q8 AS (
+         SELECT vec_id,
+                list_transform(embedding, x ->
+                  greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT),
+                    CAST(floor(CAST(x AS DOUBLE) / sqrt(ss) * 127.0)
+                      AS BIGINT)))) AS q
+         FROM qss WHERE ss > 0.0),
+       probeq AS (
+         SELECT vec_id AS qid, qx16 AS qv FROM ex WHERE vec_id < 20),
+       qcell AS (
+         SELECT qid, cid FROM (
+           SELECT q.qid, c.cid,
+                  row_number() OVER (PARTITION BY q.qid ORDER BY
+                    list_sum(list_transform(generate_series(1, len(q.qv)),
+                      i -> (q.qv[i] - c.mvec[i]) * (q.qv[i] - c.mvec[i]))),
+                    c.cid) AS rn
+           FROM probeq q, c3 c)
+         WHERE rn <= 6),
+       cand AS (
+         SELECT qc.qid, a.vec_id,
+                CAST(list_sum(list_transform(generate_series(1, len(qq.q)),
+                  i -> (qq.q[i] - x.q[i]) * (qq.q[i] - x.q[i])))
+                  AS BIGINT) AS d
+         FROM qcell qc
+         JOIN q8 qq ON qq.vec_id = qc.qid
+         JOIN a3 a ON a.cid = qc.cid AND a.vec_id <> qc.qid
+         JOIN q8 x ON x.vec_id = a.vec_id),
+       rankedc AS (
+         SELECT *, CAST(row_number() OVER (PARTITION BY qid
+                     ORDER BY d, vec_id) AS INT) AS rn
+         FROM cand)
+       SELECT qid, vec_id, d, rn FROM rankedc
+       WHERE rn <= 3 ORDER BY qid, rn"""
+
   private val oracleProbe =
     """WITH e AS (
          SELECT vec_id, label, embedding,
@@ -460,6 +544,7 @@ object LlmSimilarity extends Catalog {
   val oracles: Map[String, String] = Map(
     "llm_embed_kmeans" -> kmeansOracle,
     "llm_similar_ivf_kmeans" -> ivfKmeansOracle,
+    "llm_similar_ivf_quant" -> ivfQuantOracle,
     "llm_embed_quant" ->
       """WITH e AS (
            SELECT vec_id, embedding,

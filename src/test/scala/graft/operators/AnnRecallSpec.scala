@@ -61,42 +61,18 @@ class AnnRecallSpec extends AnyWordSpec with Matchers with SparkSpec {
     recallOf(ivf, exactTop3(corpus), s"$dir full-precision")
   }
 
-  /** The gate's IVF plan with the candidate re-rank swapped to L2 over
-    * the int8 vectors `llm_embed_quant` emits (floor(127·x/‖v‖) clamped
-    * to [-127,127]) — cell selection stays on the full-precision
-    * centroids, so any recall loss vs [[exactTop3]] is attributable to
-    * IVF + quantization, the production storage layout.
+  /** Recall of the SHIPPED quantized gate (`llm_similar_ivf_quant`):
+    * cell selection on the full-precision centroids, candidate re-rank
+    * by L2 over the int8 vectors `llm_embed_quant` emits — so any
+    * recall loss vs [[exactTop3]] is attributable to IVF +
+    * quantization, the production storage layout, and the contract pins
+    * the exact plan the driver oracle-checks (no spec/gate drift).
     */
   private def quantizedRecall(dir: String): Double = {
-    val (corpus, assigned, centroids) = LlmSimilarity.lloyd(spark, dir)
-    val qvec = spark.read.parquet(s"$dir/embeddings.parquet")
-      .withColumn("ss", VectorFunctions.vec_norm2(F.col("embedding")))
-      .filter(F.col("ss") > 0.0)
-      .withColumn("nrm", F.sqrt(F.col("ss")))
-      .withColumn("q8", F.expr(
-        "transform(embedding, x -> greatest(cast(-127 as bigint), " +
-          "least(cast(127 as bigint), floor(cast(x as double) / nrm * 127.0))))"))
-      .select("vec_id", "q8")
-    val wq = W.partitionBy("qid").orderBy(F.col("d"), F.col("cid"))
-    val probes = corpus.filter(F.col("vec_id") < 20)
-      .select(F.col("vec_id").as("qid"), F.col("qx16").as("qv"))
-      .crossJoin(F.broadcast(centroids))
-      .withColumn("d", VectorFunctions.vec_l2sq(F.col("qv"), F.col("mvec")))
-      .withColumn("rn", F.row_number().over(wq))
-      .filter(F.col("rn") <= 6) // mirror the gate's nprobe
-      .select("qid", "cid")
-      .join(qvec.select(F.col("vec_id").as("qid"), F.col("q8").as("qq8")),
-        "qid")
-    val cells = assigned.select("vec_id", "cid").join(qvec, "vec_id")
-    val wr = W.partitionBy("qid").orderBy(F.col("d"), F.col("vec_id"))
-    val ivf = F.broadcast(probes).join(cells, "cid")
-      .filter(F.col("vec_id") =!= F.col("qid"))
-      .select(F.col("qid"), F.col("vec_id"),
-        VectorFunctions.vec_l2sq(F.col("qq8"), F.col("q8")).as("d"))
-      .withColumn("rn", F.row_number().over(wr))
-      .filter(F.col("rn") <= 3)
+    val ivf = LlmSimilarity.queries("llm_similar_ivf_quant")(spark, dir)
       .select("qid", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (corpus, _, _) = LlmSimilarity.lloyd(spark, dir)
     recallOf(ivf, exactTop3(corpus), s"$dir int8-quantized")
   }
 
