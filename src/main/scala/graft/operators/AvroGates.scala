@@ -381,6 +381,62 @@ object AvroGates extends Catalog {
         .orderBy("lang")
     }),
 
+    // STATEFUL exactly-once across a restart: q_stream_restart proves
+    // the stateless source replay; this gate kills a windowed
+    // AGGREGATION while its window sums live only in the state store
+    // (nothing has reached the sink yet — windows close on watermark
+    // advance, which the sentinel triggers in phase 2). The restarted
+    // query must recover per-window partial state from the checkpointed
+    // store, drain the remaining files, and flush on the sentinel; lost
+    // state starves a window's count, replayed state doubles it — the
+    // oracle compares against the batch aggregation either way.
+    // Deterministic whatever instant the kill lands on.
+    "q_stream_restart_agg" -> ((s, dir) => {
+      AvroGates.pinNoDataBatches(s)
+      val src = tempDir("graft_gate_ragg_src")
+      val out = tempDir("graft_gate_ragg_out")
+      val ckpt = tempDir("graft_gate_ragg_ckpt")
+      val ev = table(s, dir, "events").select("ts", "event_type", "value")
+      ev.repartition(3, F.col("event_type")).write.mode("overwrite").parquet(src)
+      def agg = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .withWatermark("ts", "90 days")
+        .groupBy(F.window(F.col("ts"), "1 day").as("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).as("n_events"),
+          F.sum(F.floor(F.col("value") * 1000).cast("long")).as("value_m"))
+        .select(F.col("w.start").as("day"), F.col("event_type"),
+          F.col("n_events"), F.col("value_m"))
+      def start() = agg.writeStream.format("graft-avro")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start(out)
+      AvroGates.withStateParallelism(s, 4) {
+        val q1 = start()
+        try {
+          val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+          while (Option(q1.lastProgress).forall(_.numInputRows == 0) &&
+              q1.isActive && System.nanoTime() < deadline)
+            Thread.sleep(25)
+        } finally q1.stop() // kill: window sums exist ONLY in the store
+        val q2 = start()
+        try {
+          q2.processAllAvailable()
+          val mm = ev.agg(F.min("ts"), F.max("ts")).head()
+          val (minTs, maxTs) = (mm.getTimestamp(0), mm.getTimestamp(1))
+          require(maxTs.getTime - minTs.getTime < 90L * 86400L * 1000L,
+            s"events span exceeds the 90-day watermark: $minTs .. $maxTs")
+          val sentinel = new java.sql.Timestamp(
+            maxTs.getTime + 92L * 86400L * 1000L)
+          import s.implicits._
+          Seq((sentinel, "zz_sentinel", 0.0)).toDF("ts", "event_type", "value")
+            .write.mode("append").parquet(src)
+          q2.processAllAvailable()
+        } finally q2.stop()
+      }
+      s.read.format("graft-avro").load(out)
+        .filter(!F.col("event_type").eqNullSafe("zz_sentinel"))
+        .orderBy("day", "event_type")
+    }),
+
     // Zone-map pruned read under the oracle: lineitem goes through the
     // sink range-partitioned and verified-sorted on l_orderkey, so the
     // batch commit records each file's key range in the _graft_zones
@@ -414,6 +470,14 @@ object AvroGates extends Catalog {
                 CAST(sum(n_chars) AS BIGINT) AS chars,
                 CAST(sum(length(text)) AS BIGINT) AS text_len
          FROM documents GROUP BY lang ORDER BY lang""",
+    // state-store recovery must reproduce the batch aggregation exactly
+    // (same oracle as the uninterrupted q_stream_window)
+    "q_stream_restart_agg" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+                count(*) AS n_events,
+                CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+                  AS value_m
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_avro_zonemap" ->
       """SELECT l_returnflag, count(*) AS n_lines,
                 round(sum(l_quantity), 2) AS sum_qty,
