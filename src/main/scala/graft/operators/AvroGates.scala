@@ -437,6 +437,25 @@ object AvroGates extends Catalog {
         .orderBy("day", "event_type")
     }),
 
+    // Metadata-served MIN/MAX under the oracle: the same sorted write,
+    // then a bare min/max of the sort column — answered entirely from
+    // the _graft_zones manifest with ZERO data files opened (ZoneMapSpec
+    // proves it on truncated files). The Iceberg metadata-aggregate
+    // shape: on a 100 TB sorted table this is a driver-side manifest
+    // fold, not a scan.
+    "q_avro_minmax" -> ((s, dir) => {
+      val tmp = tempDir("graft_gate_minmax")
+      table(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .repartitionByRange(8, F.col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+        .write.format("graft-avro").option("sortedBy", "l_orderkey")
+        .mode("overwrite").save(tmp)
+      s.read.format("graft-avro").load(tmp)
+        .agg(F.min("l_orderkey").as("min_key"),
+          F.max("l_orderkey").as("max_key"))
+    }),
+
     // Zone-map pruned read under the oracle: lineitem goes through the
     // sink range-partitioned and verified-sorted on l_orderkey, so the
     // batch commit records each file's key range in the _graft_zones
@@ -478,6 +497,9 @@ object AvroGates extends Catalog {
                 CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
                   AS value_m
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_avro_minmax" ->
+      """SELECT min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+         FROM lineitem""",
     "q_avro_zonemap" ->
       """SELECT l_returnflag, count(*) AS n_lines,
                 round(sum(l_quantity), 2) AS sum_qty,

@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
@@ -259,7 +259,7 @@ class AvroScanBuilder(path: String, full: StructType,
   }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    if (!countPushed) required = requiredSchema
+    if (!countPushed && minMaxIsMin.isEmpty) required = requiredSchema
 
   /** Decode-time skip filters (see [[AvroFilterEval]]). EVERY filter is
     * returned residual — Spark re-evaluates the predicate post-scan under
@@ -283,19 +283,66 @@ class AvroScanBuilder(path: String, full: StructType,
     * braces with our always-residual filter contract.)
     */
   override def pushAggregation(agg: Aggregation): Boolean = {
-    val ok = pushed.isEmpty && agg.groupByExpressions.isEmpty &&
-      agg.aggregateExpressions.length == 1 &&
-      agg.aggregateExpressions.head.isInstanceOf[CountStar]
-    if (ok) {
+    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return false
+    val exprs = agg.aggregateExpressions
+    if (exprs.length == 1 && exprs.head.isInstanceOf[CountStar]) {
       countPushed = true
       required = new StructType().add("count(*)", LongType, nullable = false)
+      return true
+    }
+    // Zero-OPEN MIN/MAX of the verified sort column, served entirely
+    // from the zone manifest (the Iceberg metadata-aggregate trick): a
+    // sorted table answers min/max without touching a single data file.
+    // Sound because the marker guarantees every file came from a
+    // verified sortedBy commit, so every file with a non-null value has
+    // a manifest entry (all-null files legitimately have none and
+    // contribute nothing to min/max — SQL semantics ignore nulls).
+    // Rejected unless the manifest exists and every entry parses; any
+    // doubt falls back to the normal full scan.
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case r: NamedReference => Some(r.fieldNames.mkString("."))
+      case _ => None
+    }
+    val wanted = exprs.toSeq.map {
+      case m: Min => colOf(m.column).map(c => (c, true))
+      case m: Max => colOf(m.column).map(c => (c, false))
+      case _ => None
+    }
+    val sortCol = AvroFileSource.sortedColumnOf(new File(path))
+    val zf = AvroFileSource.zoneFile(new File(path))
+    val ok = wanted.nonEmpty && wanted.forall(_.isDefined) &&
+      sortCol.isDefined && zf.isFile &&
+      wanted.flatten.forall(_._1 == sortCol.get) && {
+        val dt = full.fields.find(_.name == sortCol.get).map(_.dataType)
+        dt.exists { d =>
+          val raw = AvroFileSource.readZonesRaw(zf)
+          val parsed = AvroFileSource.readZones(zf, new File(path), d)
+          minMaxDt = d
+          minMaxZones = raw
+          parsed.size == raw.size // every entry parses, else fall back
+        }
+      }
+    if (ok) {
+      minMaxIsMin = wanted.flatten.map(_._2)
+      required = StructType(minMaxIsMin.map { isMin =>
+        org.apache.spark.sql.types.StructField(
+          s"${if (isMin) "min" else "max"}(${sortCol.get})", minMaxDt)
+      })
     }
     ok
   }
 
+  private var minMaxIsMin: Seq[Boolean] = Nil
+  private var minMaxDt: org.apache.spark.sql.types.DataType = LongType
+  private var minMaxZones: Map[String, (String, String)] = Map.empty
+
   override def build(): Scan = {
     val filters = pushed
     val counting = countPushed
+    val aggIsMin = minMaxIsMin
+    val aggDt = minMaxDt
+    val aggZones = minMaxZones
     new Scan with Batch with SupportsReportStatistics
       with SupportsRuntimeV2Filtering with SupportsReportPartitioning
       with org.apache.spark.sql.connector.read.SupportsReportOrdering {
@@ -523,7 +570,17 @@ class AvroScanBuilder(path: String, full: StructType,
       }
 
       override def planInputPartitions(): Array[InputPartition] =
-        keyedFiles() match {
+        if (aggIsMin.nonEmpty) {
+          // manifest-served min/max: one tiny partition per file WITH a
+          // zone entry (all-null files have none and contribute nothing);
+          // no data file is ever opened
+          val base = new File(path).getAbsoluteFile.toPath
+          listed.flatMap { case (f, _) =>
+            aggZones
+              .get(base.relativize(f.getAbsoluteFile.toPath).toString)
+              .map { case (mn, mx) => AvroZoneAggPartition(mn, mx) }
+          }.toArray[InputPartition]
+        } else keyedFiles() match {
           case Some(files) => files.flatMap { case (f, key) =>
             split(f).map { case (p, s, e) => AvroKeyedPartition(p, s, e, key) }
           }.toArray[InputPartition]
@@ -533,6 +590,7 @@ class AvroScanBuilder(path: String, full: StructType,
         }
       override def createReaderFactory(): PartitionReaderFactory =
         if (counting) AvroCountReaderFactory(required)
+        else if (aggIsMin.nonEmpty) AvroZoneAggReaderFactory(aggIsMin, aggDt)
         else AvroReaderFactory(required, full, filters, limit)
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new AvroMicroBatchStream(path, required, full, checkpointLocation,
@@ -572,7 +630,14 @@ class AvroScanBuilder(path: String, full: StructType,
       override def description(): String =
         s"graft-avro $path (${required.fieldNames.mkString(",")}) " +
           s"PushedFilters: [${filters.mkString(", ")}]" +
-          (if (counting) " PushedAggregation: [COUNT(*)]" else "")
+          (if (counting) " PushedAggregation: [COUNT(*)]"
+           else if (aggIsMin.nonEmpty)
+             " PushedAggregation: [" +
+               required.fieldNames.map { n =>
+                 // MIN(col)/MAX(col): uppercase the function, not the column
+                 n.take(3).toUpperCase(java.util.Locale.ROOT) + n.drop(3)
+               }.mkString(", ") + "]"
+           else "")
     }
   }
 }
@@ -603,6 +668,43 @@ case class AvroCountReaderFactory(required: StructType)
         } finally reader.close()
         done = true
         InternalRow(n)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** One zone-manifest entry for the metadata-served MIN/MAX path: the
+  * URL-encoded min and max of the sort column for one file. Carries no
+  * file path on purpose — the reader never opens anything.
+  */
+case class AvroZoneAggPartition(minEnc: String, maxEnc: String)
+  extends InputPartition
+
+/** Emits one partial-aggregate row per zone entry: for each pushed
+  * Min/Max, the file's manifest min or max parsed back to the column
+  * type and converted to Catalyst internal form. Spark's partial
+  * aggregation combines the per-file rows — zero data files opened.
+  */
+case class AvroZoneAggReaderFactory(isMin: Seq[Boolean],
+    dt: org.apache.spark.sql.types.DataType)
+  extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val part = partition.asInstanceOf[AvroZoneAggPartition]
+    new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = !done
+      override def get(): InternalRow = {
+        done = true
+        val toInternal = org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToCatalystConverter(dt)
+        def v(enc: String): Any = toInternal(
+          AvroFileSource.castPartitionValue(enc, dt).getOrElse(
+            throw new IllegalStateException(
+              s"unparseable zone value '$enc' (validated at pushdown)")))
+        InternalRow.fromSeq(
+          isMin.map(m => v(if (m) part.minEnc else part.maxEnc)))
       }
       override def close(): Unit = ()
     }

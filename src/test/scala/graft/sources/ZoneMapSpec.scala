@@ -152,6 +152,51 @@ class ZoneMapSpec extends AnyFunSuite with SparkSpec with Matchers {
       (7000L until 8000L).filter(_ % 2 == 0).sum
   }
 
+  test("min/max of the sort column is served from the manifest, zero files opened") {
+    val dir = tmp()
+    writeSorted(dir)
+    val avro = spark.read.format("graft-avro").load(dir)
+    val agg = avro.agg(F.min("k"), F.max("k"))
+    // the pushed aggregate is visible in the plan...
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val root = agg.queryExecution.executedPlan
+    val under = root.collectFirst {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+    }.getOrElse(root)
+    val scan = under.collectFirst { case b: BatchScanExec => b }.get
+    scan.scan.description() should include("PushedAggregation: [MIN(k), MAX(k)]")
+    agg.head() shouldBe org.apache.spark.sql.Row(0L, 9999L)
+
+    // ...and the proof it never opens data files: truncate every .avro
+    // to a single byte (any read attempt would throw) — the manifest
+    // still answers
+    AvroFileSource.listAvro(new File(dir)).foreach { f =>
+      val ch = new java.io.RandomAccessFile(f, "rw")
+      try ch.setLength(1) finally ch.close()
+    }
+    spark.read.format("graft-avro").schema(avro.schema).load(dir)
+      .agg(F.min("k"), F.max("k"))
+      .head() shouldBe org.apache.spark.sql.Row(0L, 9999L)
+  }
+
+  test("min/max falls back to a real scan when the column or manifest does not qualify") {
+    val dir = tmp()
+    writeSorted(dir)
+    val avro = spark.read.format("graft-avro").load(dir)
+    // non-sort column: must NOT be served from the manifest — and must
+    // still be correct (md5 payloads: compare against recomputed truth)
+    val truth = spark.range(0, 10000)
+      .select(F.md5(F.col("id").cast("string")).as("payload"))
+      .agg(F.min("payload"), F.max("payload")).head()
+    avro.agg(F.min("payload"), F.max("payload")).head() shouldBe truth
+    // mixed with count: rejected (count needs block headers) — correct
+    avro.agg(F.min("k"), F.count(F.lit(1))).head() shouldBe
+      org.apache.spark.sql.Row(0L, 10000L)
+    // a filter forces the real scan path
+    avro.filter(F.col("k") >= 9000).agg(F.min("k")).head() shouldBe
+      org.apache.spark.sql.Row(9000L)
+  }
+
   test("an unsorted append withdraws the manifest and pruning stops") {
     val dir = tmp()
     writeSorted(dir)
