@@ -108,6 +108,18 @@ class PlanGuardSpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "llm_similar_ivf_quant" should {
+    "keep the int8 candidate join cell-keyed and cartesian-free" in {
+      // the production storage-layout search must keep the same plan
+      // shape as the full-precision gate: probes broadcast into the
+      // cell-id equality join, never a pairwise blow-up
+      val df = LlmSimilarity.queries("llm_similar_ivf_quant")(spark, dir)
+      val s = df.queryExecution.executedPlan.toString
+      s should not include "CartesianProduct"
+      s should include("BroadcastHashJoin")
+    }
+  }
+
   // The four heaviest TPC-H flavours, pinned: no cartesian anywhere, the
   // dimension tables broadcast, and the date/flag predicates reach the
   // parquet scans. Helpers recurse through AQE/stage wrappers because the
