@@ -474,16 +474,18 @@ object LlmMultimodal extends Catalog {
 
     // END-TO-END MIXED-MEDIA PIPELINE in one job: the quarantine probe
     // ([[graft.multimodal.Probe.routeAssets]]) tags every payload once,
-    // then four plain filters branch the tagged stream into the REAL
+    // then five plain filters branch the tagged stream into the REAL
     // per-modality operators — BMP → pixel features, WAV → windowed DSP,
-    // AVI → frame motion, PNG → inflate+unfilter features — while
-    // corrupt payloads (every 5th, magic byte clobbered) surface as
-    // quarantined rows with zeroed features. Probe → branch → extract →
-    // union is one lazy plan: no driver round-trips anywhere, every
-    // branch a narrow per-row kernel (the only shuffles are the tiny
-    // per-doc WAV/AVI summary aggregates). The oracle re-derives all
-    // four feature streams AND the quarantine routing from the text
-    // tiles, so a mis-routed or double-routed payload breaks the hash.
+    // AVI → frame motion, PNG → inflate+unfilter features, GIF → LZW
+    // index features — while corrupt payloads (every 7th, magic byte
+    // clobbered; stride coprime to the 5-way modality split so every
+    // modality sees quarantines) surface as quarantined rows with zeroed
+    // features. Probe → branch → extract → union is one lazy plan: no
+    // driver round-trips anywhere, every branch a narrow per-row kernel
+    // (the only shuffles are the tiny per-doc WAV/AVI summary
+    // aggregates). The oracle re-derives all five feature streams AND
+    // the quarantine routing from the text tiles, so a mis-routed or
+    // double-routed payload breaks the hash.
     "llm_media_pipeline" -> ((s, dir) => {
       import s.implicits._
       val assets = table(s, dir, "documents")
@@ -493,7 +495,7 @@ object LlmMultimodal extends Catalog {
         .as[(Long, String)]
         .map { case (id, text) =>
           val bytes = text.getBytes("UTF-8")
-          val (fmt, payload) = (id % 4) match {
+          val (fmt, payload) = (id % 5) match {
             case 0 =>
               val w = bytes.length % 12 + 4
               val h = (id % 12).toInt + 4
@@ -513,14 +515,20 @@ object LlmMultimodal extends Catalog {
                 Array.tabulate[Byte](w * h * 3)(j =>
                   bytes((j + 17 * f) % bytes.length)))
               ("vid/avi", graft.multimodal.Avi.encode(w, h, 25, frames))
-            case _ =>
+            case 3 =>
               val w = bytes.length % 12 + 4
               val h = (id % 12).toInt + 4
               val pix = Array.tabulate[Byte](w * h * 3)(j =>
                 bytes(j % bytes.length))
               ("img/png", graft.multimodal.Png.encode(w, h, pix))
+            case _ =>
+              val w = bytes.length % 12 + 4
+              val h = (id % 12).toInt + 4
+              val idx = Array.tabulate[Byte](w * h)(j =>
+                bytes(j % bytes.length))
+              ("img/gif", graft.multimodal.Gif.encode(w, h, idx))
           }
-          if (id % 5 == 0) payload(0) = 'X'.toByte // corrupt the magic
+          if (id % 7 == 0) payload(0) = 'X'.toByte // corrupt the magic
           graft.multimodal.RawAsset(id, payload, fmt, 0, 0, 0)
         }
       // one probe pass, pinned: five downstream branches (four feature
@@ -554,12 +562,16 @@ object LlmMultimodal extends Catalog {
         .select(F.col("docId").as("doc_id"), F.lit("img/png").as("fmt"),
           okRow, (F.col("sumR") + F.col("sumG") + F.col("sumB")).as("f1"),
           (F.col("w") * F.col("h")).cast("long").as("f2"))
+      val gif = graft.multimodal.Gif.decodeAssets(branch("img/gif"))
+        .toDF()
+        .select(F.col("docId").as("doc_id"), F.lit("img/gif").as("fmt"),
+          okRow, F.col("sumIdx").as("f1"), F.col("peakIdx").as("f2"))
       val quarantined = routed.filter(r => !r.ok).toDF()
         .select(F.col("docId").as("doc_id"), F.col("fmt"),
           F.lit("quarantined").as("status"),
           F.lit(0L).as("f1"), F.lit(0L).as("f2"))
       bmp.unionByName(wav).unionByName(avi).unionByName(png)
-        .unionByName(quarantined)
+        .unionByName(gif).unionByName(quarantined)
         .orderBy("doc_id")
     })
   )
@@ -849,12 +861,13 @@ object LlmMultimodal extends Catalog {
                      WHEN doc_id % 3 = 1 THEN 256
                      ELSE 6 END AS BIGINT) AS units
          FROM documents WHERE length(text) > 0 ORDER BY doc_id""",
-    // Re-derives all four modality feature streams AND the quarantine
+    // Re-derives all five modality feature streams AND the quarantine
     // routing from text tiles: BMP/PNG pixel sums over w·h·3 tiles
-    // (peak for BMP, pixel count for PNG), WAV Σs² + window-local sign
-    // flips over the synthesized 256-sample waveform, AVI Σ|frame diff|
-    // + peak diff over the 5 inter-frame deltas; corrupt payloads
-    // (doc_id % 5 = 0) must appear exactly once as zeroed quarantine rows.
+    // (peak for BMP, pixel count for PNG), GIF index sum/peak over w·h
+    // single-channel tiles, WAV Σs² + window-local sign flips over the
+    // synthesized 256-sample waveform, AVI Σ|frame diff| + peak diff
+    // over the 5 inter-frame deltas; corrupt payloads (doc_id % 7 = 0)
+    // must appear exactly once as zeroed quarantine rows.
     "llm_media_pipeline" ->
       """WITH d AS (
            SELECT doc_id, text, length(text) AS n
@@ -866,7 +879,7 @@ object LlmMultimodal extends Catalog {
                         ord(substring(d.text, (t.i % d.n) + 1, 1)) AS v
                  FROM d, unnest(generate_series(0,
                         ((d.n % 12) + 4) * ((d.doc_id % 12) + 4) * 3 - 1)) t(i)
-                 WHERE d.doc_id % 4 = 0 AND d.doc_id % 5 <> 0)
+                 WHERE d.doc_id % 5 = 0 AND d.doc_id % 7 <> 0)
            GROUP BY doc_id),
          wav AS (
            SELECT doc_id, CAST(sum(CAST(s AS BIGINT) * s) AS BIGINT) AS f1,
@@ -878,7 +891,7 @@ object LlmMultimodal extends Catalog {
                          ((ord(substring(d.text, (t.i % d.n) + 1, 1)) * 997
                            + t.i * 131) % 65536) - 32768 AS s
                        FROM d, unnest(generate_series(0, 255)) t(i)
-                       WHERE d.doc_id % 4 = 1 AND d.doc_id % 5 <> 0))
+                       WHERE d.doc_id % 5 = 1 AND d.doc_id % 7 <> 0))
            GROUP BY doc_id),
          avi AS (
            SELECT doc_id, CAST(sum(dd) AS BIGINT) AS f1,
@@ -892,7 +905,7 @@ object LlmMultimodal extends Catalog {
                       unnest(generate_series(1, 5)) t(f),
                       unnest(generate_series(0,
                         ((d.n % 8) + 4) * ((d.doc_id % 6) + 4) * 3 - 1)) t2(j)
-                 WHERE d.doc_id % 4 = 2 AND d.doc_id % 5 <> 0)
+                 WHERE d.doc_id % 5 = 2 AND d.doc_id % 7 <> 0)
            GROUP BY doc_id),
          png AS (
            SELECT doc_id, CAST(sum(v) AS BIGINT) AS f1,
@@ -902,21 +915,34 @@ object LlmMultimodal extends Catalog {
                         ord(substring(d.text, (t.i % d.n) + 1, 1)) AS v
                  FROM d, unnest(generate_series(0,
                         ((d.n % 12) + 4) * ((d.doc_id % 12) + 4) * 3 - 1)) t(i)
-                 WHERE d.doc_id % 4 = 3 AND d.doc_id % 5 <> 0)
+                 WHERE d.doc_id % 5 = 3 AND d.doc_id % 7 <> 0)
+           GROUP BY doc_id),
+         gif AS (
+           SELECT doc_id, CAST(sum(v) AS BIGINT) AS f1,
+                  CAST(max(v) AS BIGINT) AS f2
+           FROM (SELECT d.doc_id,
+                        ord(substring(d.text, (t.i % d.n) + 1, 1)) AS v
+                 FROM d, unnest(generate_series(0,
+                        ((d.n % 12) + 4) * ((d.doc_id % 12) + 4) - 1)) t(i)
+                 WHERE d.doc_id % 5 = 4 AND d.doc_id % 7 <> 0)
            GROUP BY doc_id),
          routed AS (
            SELECT doc_id,
-                  CASE doc_id % 4 WHEN 0 THEN 'img/bmp' WHEN 1 THEN 'aud/wav'
-                       WHEN 2 THEN 'vid/avi' ELSE 'img/png' END AS fmt,
-                  CASE WHEN doc_id % 5 = 0 THEN 'quarantined' ELSE 'ok' END
+                  CASE doc_id % 5 WHEN 0 THEN 'img/bmp' WHEN 1 THEN 'aud/wav'
+                       WHEN 2 THEN 'vid/avi' WHEN 3 THEN 'img/png'
+                       ELSE 'img/gif' END AS fmt,
+                  CASE WHEN doc_id % 7 = 0 THEN 'quarantined' ELSE 'ok' END
                     AS status
            FROM d)
          SELECT r.doc_id, r.fmt, r.status,
-                CAST(coalesce(b.f1, w.f1, a.f1, p.f1, 0) AS BIGINT) AS f1,
-                CAST(coalesce(b.f2, w.f2, a.f2, p.f2, 0) AS BIGINT) AS f2
+                CAST(coalesce(b.f1, w.f1, a.f1, p.f1, g.f1, 0) AS BIGINT)
+                  AS f1,
+                CAST(coalesce(b.f2, w.f2, a.f2, p.f2, g.f2, 0) AS BIGINT)
+                  AS f2
          FROM routed r
          LEFT JOIN bmp b USING (doc_id) LEFT JOIN wav w USING (doc_id)
          LEFT JOIN avi a USING (doc_id) LEFT JOIN png p USING (doc_id)
+         LEFT JOIN gif g USING (doc_id)
          ORDER BY r.doc_id"""
   )
 }
