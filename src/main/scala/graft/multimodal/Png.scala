@@ -187,8 +187,9 @@ object Png {
             case e: java.util.zip.DataFormatException =>
               throw new IllegalArgumentException(s"corrupt IDAT: ${e.getMessage}")
           }
-        if (n == 0 && inflater.needsInput())
-          throw new IllegalArgumentException("truncated IDAT stream")
+        if (n == 0 && (inflater.needsInput() || inflater.needsDictionary()))
+          throw new IllegalArgumentException(
+            "truncated IDAT stream or preset-dictionary zlib (FDICT) — unsupported")
         total += n
       }
       require(total == expected && (inflater.finished() ||

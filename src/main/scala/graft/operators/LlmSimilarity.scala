@@ -273,7 +273,7 @@ object LlmSimilarity extends Catalog {
 
     // IVF SEARCH OVER LEARNED CELLS: the full two-operator ANN
     // composition — the 3-pass Lloyd loop trains the coarse quantizer,
-    // then queries (vec_id < 20) probe their nprobe=5 nearest cells and
+    // then queries (vec_id < 20) probe their nprobe=6 nearest cells and
     // exact-rank the candidates inside them (top-3 by integer L2,
     // vec_id tie-break). Unlike llm_similar_ivf (which inherits the
     // `label` column as its cell id) this is the real unlabeled-data

@@ -316,11 +316,20 @@ class AvroScanBuilder(path: String, full: StructType,
       wanted.flatten.forall(_._1 == sortCol.get) && {
         val dt = full.fields.find(_.name == sortCol.get).map(_.dataType)
         dt.exists { d =>
+          // Float/Double excluded: OrderVerifier's cmp answers may-match
+          // around NaN, so a sorted claim verifies vacuously and the zone
+          // records first/last, not min/max under Spark's NaN-sorts-
+          // greatest ordering — max could silently drop a NaN. Zone
+          // PRUNING on these types stays sound (NaN compares may-match);
+          // only the metadata-served aggregate is withheld.
+          d != org.apache.spark.sql.types.DoubleType &&
+          d != org.apache.spark.sql.types.FloatType && {
           val raw = AvroFileSource.readZonesRaw(zf)
           val parsed = AvroFileSource.readZones(zf, new File(path), d)
           minMaxDt = d
           minMaxZones = raw
           parsed.size == raw.size // every entry parses, else fall back
+          }
         }
       }
     if (ok) {
@@ -1094,22 +1103,31 @@ class AvroWriteBuilder(path: String, schema: StructType,
                   base.relativize(new File(fin).getAbsoluteFile.toPath)
                     .toString -> (mn, mx)
                 }
-              val prior =
-                if (preExisting && zonesF.isFile)
-                  AvroFileSource.readZonesRaw(zonesF)
-                else Map.empty[String, (String, String)]
-              val alive = AvroFileSource.listAvro(new File(path))
-                .map(f => base.relativize(f.getAbsoluteFile.toPath).toString)
-                .toSet
-              val merged = (prior ++ fresh).filter { case (rel, _) =>
-                alive.contains(rel) }
-              val tmp = new File(zonesF.getPath + ".staging")
-              java.nio.file.Files.write(tmp.toPath,
-                merged.toSeq.sortBy(_._1).map { case (rel, (mn, mx)) =>
-                  s"$rel\t$mn\t$mx"
-                }.mkString("\n").getBytes("UTF-8"))
-              if (!tmp.renameTo(zonesF)) throw new java.io.IOException(
-                s"graft-avro commit: rename failed $tmp -> $zonesF")
+              // Coverage guard: only write/merge the manifest when this
+              // job defines the dataset or a manifest already covers the
+              // prior files. An agreeing append onto a legacy sorted
+              // table (marker present, no manifest) would otherwise
+              // publish a manifest covering ONLY the appended files, and
+              // the manifest-served MIN/MAX would silently ignore the
+              // uncovered ones.
+              if (!preExisting || zonesF.isFile) {
+                val prior =
+                  if (preExisting && zonesF.isFile)
+                    AvroFileSource.readZonesRaw(zonesF)
+                  else Map.empty[String, (String, String)]
+                val alive = AvroFileSource.listAvro(new File(path))
+                  .map(f => base.relativize(f.getAbsoluteFile.toPath).toString)
+                  .toSet
+                val merged = (prior ++ fresh).filter { case (rel, _) =>
+                  alive.contains(rel) }
+                val tmp = new File(zonesF.getPath + ".staging")
+                java.nio.file.Files.write(tmp.toPath,
+                  merged.toSeq.sortBy(_._1).map { case (rel, (mn, mx)) =>
+                    s"$rel\t$mn\t$mx"
+                  }.mkString("\n").getBytes("UTF-8"))
+                if (!tmp.renameTo(zonesF)) throw new java.io.IOException(
+                  s"graft-avro commit: rename failed $tmp -> $zonesF")
+              } else zonesF.delete()
             } else { marker.delete(); zonesF.delete() }
           case None => if (staged.nonEmpty) { marker.delete(); zonesF.delete() }
         }

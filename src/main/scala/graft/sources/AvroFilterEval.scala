@@ -211,7 +211,12 @@ private[sources] object AvroFilterEval {
       // useful total order vs finite values: answer may-match.
       if (nonFinite(a) || nonFinite(b)) None
       else Some(num(a).compareTo(num(b)))
-    case (a: String, b: String)   => Some(a.compareTo(b))
+    case (a: String, b: String)   =>
+      // UTF-8 byte order, matching Spark's UTF8String binary comparison —
+      // String.compareTo (UTF-16 code units) diverges for supplementary
+      // chars vs U+E000–U+FFFF, which would make zone pruning unsound.
+      Some(org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)))
     case (a: Boolean, b: Boolean) => Some(a.compareTo(b))
     case (a: java.sql.Date, b: java.sql.Date)           => Some(a.compareTo(b))
     case (a: java.sql.Timestamp, b: java.sql.Timestamp) => Some(a.compareTo(b))

@@ -100,6 +100,42 @@ object CodecFuzzLaws extends Properties("CodecFuzzLaws") {
   property("Png.decode total on corrupted containers") =
     Prop.forAll(pngGen)(b => controlled(Png.decode(b)))
 
+  // A zlib stream with FDICT (preset dictionary) set makes
+  // Inflater.inflate() return 0 with needsInput()==false and
+  // finished()==false forever: decode must throw, not spin. (Regression:
+  // the quarantine path feeds decode untrusted payloads by design — a
+  // crafted asset must land in quarantine, never hang the task.)
+  property("Png.decode rejects FDICT zlib instead of looping") = {
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](12 + data.length)
+      out(0) = 0; out(1) = 0; out(2) = 0; out(3) = data.length.toByte
+      typ.getBytes("US-ASCII").copyToArray(out, 4)
+      data.copyToArray(out, 8)
+      val crc = new java.util.zip.CRC32
+      crc.update(out, 4, 4 + data.length)
+      val v = crc.getValue
+      out(8 + data.length) = (v >>> 24).toByte
+      out(9 + data.length) = (v >>> 16).toByte
+      out(10 + data.length) = (v >>> 8).toByte
+      out(11 + data.length) = v.toByte
+      out
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(3) = 1; ihdr(7) = 1 // 1x1
+    ihdr(8) = 8; ihdr(9) = 2 // 8-bit truecolor
+    // zlib header 0x78 0x20: FDICT bit set, (CMF*256+FLG) % 31 == 0,
+    // then a 4-byte DICTID and no deflate data.
+    val idat = Array[Byte](0x78, 0x20, 1, 2, 3, 4)
+    val sig = Array[Byte](137.toByte, 'P', 'N', 'G', 13, 10, 26, 10)
+    val png = sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", idat) ++
+      chunk("IEND", Array.emptyByteArray)
+    Try(Png.decode(png)) match {
+      case Failure(_: IllegalArgumentException) => Prop.passed
+      case Success(_) => Prop.falsified :| "decoded an FDICT stream?"
+      case Failure(e) => Prop.falsified :| s"uncontrolled ${e.getClass.getName}"
+    }
+  }
+
   // Lossless round-trip: heights ≥ 5 exercise every filter type
   // (encode cycles y % 5 through None/Sub/Up/Average/Paeth).
   property("Png encode/decode round-trips pixels exactly") = Prop.forAll(

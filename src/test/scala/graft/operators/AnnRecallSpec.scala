@@ -76,7 +76,7 @@ class AnnRecallSpec extends AnyWordSpec with Matchers with SparkSpec {
     recallOf(ivf, exactTop3(corpus), s"$dir int8-quantized")
   }
 
-  "llm_similar_ivf_kmeans (nprobe=5 of 8 cells)" should {
+  "llm_similar_ivf_kmeans (nprobe=6 of 8 cells)" should {
     "achieve recall@3 >= 0.9 vs exhaustive same-metric search at sf0.01" in {
       fullPrecisionRecall("/root/testdata/sf0.01") should be >= 0.9
     }

@@ -114,6 +114,31 @@ class ZoneMapSpec extends AnyFunSuite with SparkSpec with Matchers {
     pre.count() shouldBe 100
   }
 
+  test("string zones use UTF-8 byte order (supplementary chars vs U+E000)") {
+    // Spark sorts strings by UTF8String binary (code-point) order:
+    // U+E000 < U+10000. UTF-16 code-unit order says the opposite (the
+    // surrogate pair 0xD800,0xDC00 < 0xE000) — a String.compareTo-based
+    // zone would mis-verify this sorted write and could wrongly prune
+    // files whose bounds straddle the divergence.
+    val dir = tmp()
+    val sup = new String(Character.toChars(0x10000)) // U+10000
+    val pua = "\uE000" // BMP private-use, between surrogates and FFFF
+    spark.createDataFrame(Seq(
+        ("a", 1L), ("b", 2L), (pua, 3L), (sup, 4L), (sup + "z", 5L)))
+      .toDF("s", "v")
+      .repartitionByRange(3, F.col("s"))
+      .sortWithinPartitions("s")
+      .write.format("graft-avro").option("sortedBy", "s")
+      .mode("overwrite").save(dir)
+    new File(dir, "_graft_zones") should exist // verification accepted
+    val avro = spark.read.format("graft-avro").load(dir)
+    // every row stays findable through zone pruning
+    avro.filter(F.col("s") === sup).count() shouldBe 1
+    avro.filter(F.col("s") === pua).count() shouldBe 1
+    avro.filter(F.col("s") > pua).count() shouldBe 2
+    avro.count() shouldBe 5
+  }
+
   test("nulls sort first, stay outside the zone, and are never lost") {
     val dir = tmp()
     spark.range(0, 1000).toDF("i")
@@ -211,6 +236,73 @@ class ZoneMapSpec extends AnyFunSuite with SparkSpec with Matchers {
     val nFiles = AvroFileSource.listAvro(new File(dir)).size
     scanPartitions(avro.filter(F.col("k") >= 9500)) shouldBe nFiles
     avro.filter(F.col("k") >= 9500).count() shouldBe 510
+  }
+
+  test("a legacy sorted table (marker, no manifest) never gains a partial manifest") {
+    val dir = tmp()
+    writeSorted(dir)
+    // simulate a table written before zone maps existed: the sort marker
+    // survives but no manifest covers the files
+    new File(dir, "_graft_zones").delete() shouldBe true
+    spark.range(10000, 12000).toDF("k")
+      .withColumn("payload", F.md5(F.col("k").cast("string")))
+      .repartitionByRange(2, F.col("k"))
+      .sortWithinPartitions("k")
+      .write.format("graft-avro").option("sortedBy", "k")
+      .mode("append").save(dir)
+    // the agreeing append keeps the layout claim but must NOT publish a
+    // manifest covering only its own files — metadata-served MIN/MAX
+    // over a partial manifest would silently ignore the legacy files
+    new File(dir, "_graft_sorted_by") should exist
+    new File(dir, "_graft_zones") shouldNot exist
+    val avro = spark.read.format("graft-avro").load(dir)
+    // min lives in an uncovered legacy file: the real scan must find it
+    avro.agg(F.min("k"), F.max("k")).head() shouldBe
+      org.apache.spark.sql.Row(0L, 11999L)
+  }
+
+  test("double sort column: NaN-unsafe min/max is never served from metadata") {
+    // layer 1: the write builder refuses a float/double sortedBy claim
+    // outright (NaN defeats pairwise order verification), so no manifest
+    // for such a column can ever be produced by this writer
+    val dir = tmp()
+    val nan = spark.range(0, 100).toDF("i")
+      .selectExpr("CASE WHEN i = 99 THEN CAST('NaN' AS DOUBLE) " +
+        "ELSE CAST(i AS DOUBLE) END AS d")
+      .repartitionByRange(2, F.col("d"))
+      .sortWithinPartitions("d") // Spark sorts NaN greatest
+    val e = intercept[Exception] {
+      nan.write.format("graft-avro").option("sortedBy", "d")
+        .mode("overwrite").save(dir)
+    }
+    e.getMessage should include("sortedBy does not support double")
+
+    // layer 2 (defense in depth): even with a hand-placed marker and
+    // manifest claiming a double column, pushAggregation withholds the
+    // metadata-served MIN/MAX — a real scan keeps the NaN max that a
+    // first/last zone would drop
+    val dir2 = tmp()
+    nan.write.format("graft-avro").mode("overwrite").save(dir2)
+    java.nio.file.Files.write(new File(dir2, "_graft_sorted_by").toPath,
+      "d".getBytes("UTF-8"))
+    val base = new File(dir2).getAbsoluteFile.toPath
+    val forged = AvroFileSource.listAvro(new File(dir2))
+      .map(f => base.relativize(f.getAbsoluteFile.toPath).toString)
+      .sorted.map(rel => s"$rel\t0.0\t50.0").mkString("\n")
+    java.nio.file.Files.write(new File(dir2, "_graft_zones").toPath,
+      forged.getBytes("UTF-8"))
+    val agg = spark.read.format("graft-avro").load(dir2)
+      .agg(F.min("d"), F.max("d"))
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val root = agg.queryExecution.executedPlan
+    val under = root.collectFirst {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+    }.getOrElse(root)
+    val scan = under.collectFirst { case b: BatchScanExec => b }.get
+    scan.scan.description() should not include "PushedAggregation"
+    val row = agg.head()
+    row.getDouble(0) shouldBe 0.0
+    row.getDouble(1).isNaN shouldBe true
   }
 
   test("an agreeing sorted append merges zones and still prunes") {
