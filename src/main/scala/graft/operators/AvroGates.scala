@@ -478,6 +478,30 @@ object AvroGates extends Catalog {
           F.round(F.sum("l_quantity"), 2).as("sum_qty"),
           F.round(F.sum("l_extendedprice"), 2).as("sum_price"))
         .orderBy("l_returnflag")
+    }),
+
+    // All-column zone pruning under the oracle: the table is range-
+    // partitioned by supplier but carries NO sortedBy claim — the
+    // per-file min/max every batch commit records in _graft_zones_cols
+    // is what prunes the selective supplier predicate (ZoneMapSpec pins
+    // strictly-fewer-files on unsorted tables). The 100 TB shape: ANY
+    // clustered column bounds file scans, not just the one verified
+    // sort column, exactly like parquet row-group stats — but served
+    // from one tiny manifest instead of a footer read per file.
+    "q_avro_zonemap_any" -> ((s, dir) => {
+      val tmp = tempDir("graft_gate_zonemap_any")
+      table(s, dir, "lineitem")
+        .select("l_suppkey", "l_orderkey", "l_quantity", "l_returnflag")
+        .repartitionByRange(8, F.col("l_suppkey"))
+        .write.format("graft-avro") // unsorted: col zones do the work
+        .mode("overwrite").save(tmp)
+      s.read.format("graft-avro").load(tmp)
+        .filter(F.col("l_suppkey") < 50)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).as("n_lines"),
+          F.round(F.sum("l_quantity"), 2).as("sum_qty"),
+          F.max("l_orderkey").as("max_key"))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -505,6 +529,12 @@ object AvroGates extends Catalog {
                 round(sum(l_quantity), 2) AS sum_qty,
                 round(sum(l_extendedprice), 2) AS sum_price
          FROM lineitem WHERE l_orderkey < 2000
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_avro_zonemap_any" ->
+      """SELECT l_returnflag, count(*) AS n_lines,
+                round(sum(l_quantity), 2) AS sum_qty,
+                max(l_orderkey) AS max_key
+         FROM lineitem WHERE l_suppkey < 50
          GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_avro_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,

@@ -155,6 +155,55 @@ object AvroFileSource {
       } yield new File(base, rel).getAbsolutePath -> (lo, hi)
     }
 
+  /** All-column zone manifest: per-file min/max for EVERY primitive leaf
+    * column (nested leaves under dotted names), written on every batch
+    * commit regardless of sort state — the writer tracks bounds while
+    * encoding rows, no second pass. Lines are
+    * `relPath TAB colEnc TAB typeName TAB minEnc TAB maxEnc`; the
+    * recorded type guards schema evolution (a retyped column's old
+    * entries stop applying — string order over stringified longs would
+    * invert the range and prune wrongly). Pruning-only: files without an
+    * entry for a column simply scan, so a partial manifest is sound —
+    * unlike `_graft_zones`, whose verified-sorted lifecycle also backs
+    * the metadata-served MIN/MAX.
+    */
+  def colZoneFile(d: File): File = new File(d, "_graft_zones_cols")
+
+  /** Raw all-column manifest keyed by relative path; values stay
+    * URL-encoded for lossless merge-and-rewrite. Malformed lines drop
+    * (never-prune is sound).
+    */
+  private[sources] def readColZonesRaw(zf: File)
+      : Map[String, Seq[(String, String, String, String)]] =
+    try {
+      scala.io.Source.fromFile(zf, "UTF-8").getLines().flatMap { line =>
+        line.split('\t') match {
+          case Array(rel, col, dt, mn, mx) => Some(rel -> ((col, dt, mn, mx)))
+          case _ => None
+        }
+      }.toSeq.groupMap(_._1)(_._2)
+    } catch { case _: Exception => Map.empty }
+
+  /** All-column manifest parsed to external values, keyed by ABSOLUTE
+    * file path then dotted column name. Entries whose recorded type
+    * disagrees with the current read schema, or whose values fail to
+    * parse, are dropped — their files scan normally.
+    */
+  private[sources] def readColZones(zf: File, base: File, full: StructType)
+      : Map[String, Map[String, (Any, Any)]] =
+    readColZonesRaw(zf).map { case (rel, entries) =>
+      new File(base, rel).getAbsolutePath -> entries.flatMap {
+        case (colEnc, dtName, mn, mx) =>
+          val col = java.net.URLDecoder.decode(colEnc, "UTF-8")
+          for {
+            dt <- AvroFilterEval.leafType(full, col)
+            if dt.simpleString == dtName
+            lo <- castPartitionValue(mn, dt) if lo != null
+            hi <- castPartitionValue(mx, dt) if hi != null
+          } yield col -> (lo, hi)
+      }.toMap
+    }.filter(_._2.nonEmpty)
+
   def sortedColumnOf(d: File): Option[String] = {
     val m = sortMarker(d)
     if (!m.isFile) None
@@ -198,6 +247,9 @@ object AvroFileSource {
       case LongType => raw.toLong
       case DoubleType => raw.toDouble
       case FloatType => raw.toFloat
+      case ShortType => raw.toShort
+      case ByteType => raw.toByte
+      case _: DecimalType => new java.math.BigDecimal(raw)
       case BooleanType => raw.toBoolean
       case DateType => java.sql.Date.valueOf(raw)
       case TimestampType => java.sql.Timestamp.valueOf(raw)
@@ -499,12 +551,37 @@ class AvroScanBuilder(path: String, full: StructType,
           } yield AvroFileSource.readZones(zf, dir, fld.dataType))
             .getOrElse(Map.empty)
         }
-      private def zoneMayKeep(f: File): Boolean =
-        zoneRanges.get(f.getAbsolutePath) match {
+      /** All-column per-file ranges from `_graft_zones_cols` — written on
+        * every batch commit, so pruning works on ANY pushed-filter column
+        * of an unsorted table too (the sorted `_graft_zones` path above
+        * additionally feeds the metadata-served MIN/MAX). One manifest
+        * read per scan.
+        */
+      private lazy val colZoneRanges: Map[String, Map[String, (Any, Any)]] =
+        if (filters.isEmpty) Map.empty
+        else {
+          val dir = new File(path)
+          val zf = AvroFileSource.colZoneFile(dir)
+          if (zf.isFile) AvroFileSource.readColZones(zf, dir, full)
+          else Map.empty
+        }
+
+      private def zoneMayKeep(f: File): Boolean = {
+        val sortOk = zoneRanges.get(f.getAbsolutePath) match {
           case Some((mn, mx)) => filters.forall(
             AvroFilterEval.zoneMayMatch(zoneColumn.get, mn, mx, _))
           case None => true
         }
+        // a file survives only if EVERY pushed filter may-matches under
+        // EVERY column bound we hold for it (filters are conjunctive;
+        // zoneMayMatch answers true for filters over other columns)
+        sortOk && (colZoneRanges.get(f.getAbsolutePath) match {
+          case Some(byCol) => filters.forall(flt => byCol.forall {
+            case (c, (mn, mx)) => AvroFilterEval.zoneMayMatch(c, mn, mx, flt)
+          })
+          case None => true
+        })
+      }
 
       private def prunedFiles(): Seq[(File, Map[String, String])] =
         listed
@@ -1131,6 +1208,38 @@ class AvroWriteBuilder(path: String, schema: StructType,
             } else { marker.delete(); zonesF.delete() }
           case None => if (staged.nonEmpty) { marker.delete(); zonesF.delete() }
         }
+        // All-column zone manifest: folded on EVERY batch commit, sorted
+        // or not — pruning-only, so partial coverage is sound (absent
+        // entries just scan) and no preExisting guard is needed; fresh
+        // entries overwrite a rewritten file's stale ones and truncated
+        // files drop out via the existence filter.
+        val colZonesF = AvroFileSource.colZoneFile(new File(path))
+        val base = new File(path).getAbsoluteFile.toPath
+        val colFresh = messages.toSeq
+          .collect { case m: AvroCommitMessage => m.colZones }.flatten
+          .map { case (fin, entries) =>
+            base.relativize(new File(fin).getAbsoluteFile.toPath)
+              .toString -> entries
+          }
+        if (colFresh.nonEmpty || colZonesF.isFile) {
+          val prior =
+            if (colZonesF.isFile) AvroFileSource.readColZonesRaw(colZonesF)
+            else Map.empty[String, Seq[(String, String, String, String)]]
+          val alive = AvroFileSource.listAvro(new File(path))
+            .map(f => base.relativize(f.getAbsoluteFile.toPath).toString)
+            .toSet
+          val merged = (prior ++ colFresh).filter { case (rel, _) =>
+            alive.contains(rel) }
+          val tmp = new File(colZonesF.getPath + ".staging")
+          java.nio.file.Files.write(tmp.toPath,
+            merged.toSeq.sortBy(_._1).flatMap { case (rel, entries) =>
+              entries.map { case (col, dt, mn, mx) =>
+                s"$rel\t$col\t$dt\t$mn\t$mx"
+              }
+            }.mkString("\n").getBytes("UTF-8"))
+          if (!tmp.renameTo(colZonesF)) throw new java.io.IOException(
+            s"graft-avro commit: rename failed $tmp -> $colZonesF")
+        }
       }
       override def abort(messages: Array[WriterCommitMessage]): Unit =
         messages.toSeq.collect { case m: AvroCommitMessage => m.files }
@@ -1170,7 +1279,8 @@ class AvroWriteBuilder(path: String, schema: StructType,
   * directory's `_graft_zones` manifest for read-time file skipping.
   */
 case class AvroCommitMessage(files: Seq[(String, String)],
-    zones: Seq[(String, String, String)] = Nil)
+    zones: Seq[(String, String, String)] = Nil,
+    colZones: Seq[(String, Seq[(String, String, String, String)])] = Nil)
   extends WriterCommitMessage
 
 private[sources] object AvroWriters {
@@ -1203,6 +1313,118 @@ private[sources] object AvroWriters {
       * the last. None for an all-null file (which is then never pruned).
       */
     def zone: Option[(Any, Any)] = if (seenNonNull) Some((first, prev)) else None
+  }
+
+  /** Per-file min/max tracker for every primitive leaf column — the
+    * all-column zone manifest's write side. Runs on every batch write
+    * (sorted or not): one type-specialized compare per leaf per row, no
+    * BigDecimal churn in the hot path. Float/double leaves go DEAD on
+    * the first non-finite value (NaN breaks the ordering a finite range
+    * promises — Spark compares NaN greatest, so a finite max would
+    * wrongly prune `col > largeValue`); dead or all-null leaves emit no
+    * entry, and absent entries are never pruned.
+    */
+  private[sources] final class ColumnStats(schema: StructType) {
+    import org.apache.spark.sql.types._
+
+    // UTF-8 byte order == code-point order, allocation-free (the zone
+    // contract: match UTF8String binary comparison, not UTF-16 units)
+    private def cpCompare(a: String, b: String): Int = {
+      var i = 0; var j = 0
+      while (i < a.length && j < b.length) {
+        val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+        if (ca != cb) return Integer.compare(ca, cb)
+        i += Character.charCount(ca); j += Character.charCount(cb)
+      }
+      Integer.compare(a.length - i, b.length - j)
+    }
+
+    private def cmpFor(dt: DataType): Option[(Any, Any) => Int] = dt match {
+      case StringType => Some((a, b) =>
+        cpCompare(a.asInstanceOf[String], b.asInstanceOf[String]))
+      case LongType => Some((a, b) => java.lang.Long.compare(
+        a.asInstanceOf[Long], b.asInstanceOf[Long]))
+      case IntegerType => Some((a, b) => Integer.compare(
+        a.asInstanceOf[Int], b.asInstanceOf[Int]))
+      case ShortType => Some((a, b) => java.lang.Short.compare(
+        a.asInstanceOf[Short], b.asInstanceOf[Short]))
+      case ByteType => Some((a, b) => java.lang.Byte.compare(
+        a.asInstanceOf[Byte], b.asInstanceOf[Byte]))
+      case DoubleType => Some((a, b) => java.lang.Double.compare(
+        a.asInstanceOf[Double], b.asInstanceOf[Double]))
+      case FloatType => Some((a, b) => java.lang.Float.compare(
+        a.asInstanceOf[Float], b.asInstanceOf[Float]))
+      case BooleanType => Some((a, b) => java.lang.Boolean.compare(
+        a.asInstanceOf[Boolean], b.asInstanceOf[Boolean]))
+      case DateType => Some((a, b) =>
+        a.asInstanceOf[java.sql.Date].compareTo(b.asInstanceOf[java.sql.Date]))
+      case TimestampType => Some((a, b) => a.asInstanceOf[java.sql.Timestamp]
+        .compareTo(b.asInstanceOf[java.sql.Timestamp]))
+      case _: DecimalType => Some((a, b) => a.asInstanceOf[java.math.BigDecimal]
+        .compareTo(b.asInstanceOf[java.math.BigDecimal]))
+      case _ => None
+    }
+
+    // (dotted name, field-index path, recorded type, comparator)
+    private val leaves: Array[(String, Array[Int], DataType, (Any, Any) => Int)] = {
+      val out = Array.newBuilder[(String, Array[Int], DataType, (Any, Any) => Int)]
+      def walk(st: StructType, prefix: String, path: List[Int]): Unit =
+        st.fields.zipWithIndex.foreach { case (f, i) =>
+          val name = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+          f.dataType match {
+            case s: StructType => walk(s, name, i :: path)
+            case dt => cmpFor(dt).foreach(c =>
+              out += ((name, (i :: path).reverse.toArray, dt, c)))
+          }
+        }
+      walk(schema, "", Nil)
+      out.result()
+    }
+
+    private val mins = new Array[Any](leaves.length)
+    private val maxs = new Array[Any](leaves.length)
+    private val dead = new Array[Boolean](leaves.length)
+
+    private def nonFinite(v: Any): Boolean = v match {
+      case d: java.lang.Double => d.isNaN || d.isInfinite
+      case f: java.lang.Float  => f.isNaN || f.isInfinite
+      case _ => false
+    }
+
+    def update(view: org.apache.spark.sql.Row): Unit = {
+      var l = 0
+      while (l < leaves.length) {
+        if (!dead(l)) {
+          val (_, path, _, cmp) = leaves(l)
+          var v: Any = view.get(path(0))
+          var d = 1
+          while (d < path.length && v != null) {
+            v = v.asInstanceOf[org.apache.spark.sql.Row].get(path(d))
+            d += 1
+          }
+          if (v != null) {
+            if (nonFinite(v)) dead(l) = true
+            else if (mins(l) == null) { mins(l) = v; maxs(l) = v }
+            else {
+              if (cmp(v, mins(l)) < 0) mins(l) = v
+              if (cmp(v, maxs(l)) > 0) maxs(l) = v
+            }
+          }
+        }
+        l += 1
+      }
+    }
+
+    /** Settled bounds: (dotted name, typeName, minEnc, maxEnc) for every
+      * live leaf that saw a non-null value.
+      */
+    def stats: Seq[(String, String, String, String)] =
+      leaves.indices.collect {
+        case l if !dead(l) && mins(l) != null =>
+          val (name, _, dt, _) = leaves(l)
+          (java.net.URLEncoder.encode(name, "UTF-8"), dt.simpleString,
+            AvroFileSource.zoneEncode(mins(l)), AvroFileSource.zoneEncode(maxs(l)))
+      }.toSeq
   }
   /** Container-file writer; `lazyCreate` postpones file creation to the
     * first row so empty partitions produce no file.
@@ -1238,11 +1460,12 @@ private[sources] object AvroWriters {
     val open = scala.collection.mutable.LinkedHashMap
       .empty[String, (DataFileWriter[GenericRecord], File)]
     val verifiers = scala.collection.mutable.HashMap.empty[String, OrderVerifier]
+    val colStats = scala.collection.mutable.HashMap.empty[String, ColumnStats]
 
     new DataWriter[InternalRow] {
       override def write(record: InternalRow): Unit = {
-        // externalize ONLY the partition-routing values; the payload goes
-        // through the fused InternalRow→record encoder
+        // externalize ONLY the partition-routing + stats values; the
+        // payload goes through the fused InternalRow→record encoder
         val view = AvroInternalCodec.externalView(record, schema)
         val sub = partCols.zip(idx).map { case (c, i) =>
           val v = view.get(i)
@@ -1260,6 +1483,8 @@ private[sources] object AvroWriters {
           verifiers.getOrElseUpdate(sub, new OrderVerifier(sortedBy.get))
             .check(view.get(i))
         }
+        if (staged)
+          colStats.getOrElseUpdate(sub, new ColumnStats(schema)).update(view)
         val (w, _) = open.getOrElseUpdate(sub, {
           val dir = new File(base, sub)
           dir.mkdirs()
@@ -1286,6 +1511,12 @@ private[sources] object AvroWriters {
                 (f.getPath.stripSuffix(".staging"),
                   AvroFileSource.zoneEncode(mn), AvroFileSource.zoneEncode(mx))
               }
+            }
+            else Nil,
+          colZones =
+            if (staged) open.toSeq.flatMap { case (sub, (_, f)) =>
+              colStats.get(sub).map(_.stats).filter(_.nonEmpty)
+                .map(f.getPath.stripSuffix(".staging") -> _)
             }
             else Nil)
       }
@@ -1321,10 +1552,14 @@ private[sources] object AvroWriters {
       }
       if (!lazyCreate) ensure()
 
+      private val colStats =
+        if (staged) new ColumnStats(schema) else null
+
       override def write(record: InternalRow): Unit = {
-        sortIdx.foreach { i =>
-          verifier.get.check(
-            AvroInternalCodec.externalView(record, schema).get(i))
+        if (sortIdx.isDefined || colStats != null) {
+          val view = AvroInternalCodec.externalView(record, schema)
+          sortIdx.foreach(i => verifier.get.check(view.get(i)))
+          if (colStats != null) colStats.update(view)
         }
         ensure().append(toAvro(record))
       }
@@ -1340,6 +1575,10 @@ private[sources] object AvroWriters {
                 (finalFile.getPath, AvroFileSource.zoneEncode(mn),
                   AvroFileSource.zoneEncode(mx))
               }.toSeq
+            else Nil,
+          colZones =
+            if (staged && writer != null && colStats.stats.nonEmpty)
+              Seq(finalFile.getPath -> colStats.stats)
             else Nil)
       }
       override def abort(): Unit =

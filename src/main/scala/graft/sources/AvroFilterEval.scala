@@ -78,9 +78,13 @@ private[sources] object AvroFilterEval {
       case In(a, vs) if a == col            => vs.isEmpty || vs.exists(inRange)
       case StringStartsWith(a, p) if a == col =>
         // matching strings lie in [p, pNext) where pNext bumps p's last
-        // char; an empty or maxed-out prefix keeps the upper bound open
+        // char; an empty or maxed-out prefix keeps the upper bound open.
+        // A trailing HIGH SURROGATE also stays open: under code-point
+        // order a p-prefixed string completes the pair to >= U+10000,
+        // which sorts ABOVE the bumped unpaired 0xDC00 bound.
         val lower = cmp(mx, p).forall(_ >= 0)
         val upper = p.isEmpty || p.last == Char.MaxValue ||
+          Character.isHighSurrogate(p.last) ||
           lt(mn, p.init + (p.last + 1).toChar)
         lower && upper
       case _ => true // IsNull (nulls sort first, outside the zone),
@@ -88,6 +92,20 @@ private[sources] object AvroFilterEval {
                      // columns, contains/endsWith, unknown nodes
     }
   }
+
+  /** The data type `attr` resolves to under the same resolution rule as
+    * [[pathOf]] — exact top-level name first, then a dotted struct walk.
+    * Shared with the all-column zone manifest (write AND read side must
+    * agree on the leaf a dotted name denotes).
+    */
+  private[sources] def leafType(schema: StructType, attr: String)
+      : Option[org.apache.spark.sql.types.DataType] =
+    pathOf(schema, attr).map { path =>
+      path.foldLeft(schema: org.apache.spark.sql.types.DataType) {
+        case (st: StructType, i) => st.fields(i).dataType
+        case (other, _) => other // unreachable: pathOf walks structs only
+      }
+    }
 
   /** Resolve `attr` to a field-index path: an exact top-level name wins
     * (a column literally named "a.b"), else a dotted walk through

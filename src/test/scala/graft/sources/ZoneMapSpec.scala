@@ -222,20 +222,26 @@ class ZoneMapSpec extends AnyFunSuite with SparkSpec with Matchers {
       org.apache.spark.sql.Row(9000L)
   }
 
-  test("an unsorted append withdraws the manifest and pruning stops") {
+  test("an unsorted append withdraws the sorted claim; col zones keep pruning") {
     val dir = tmp()
     writeSorted(dir)
     new File(dir, "_graft_zones") should exist
-    // append WITHOUT sortedBy: the layout claim (and manifest) must go
+    // append WITHOUT sortedBy: the layout claim (and sort manifest) must
+    // go — no more outputOrdering or metadata-served MIN/MAX
     spark.range(20000, 20010).toDF("k")
       .withColumn("payload", F.md5(F.col("k").cast("string")))
       .write.format("graft-avro").mode("append").save(dir)
     new File(dir, "_graft_sorted_by") shouldNot exist
     new File(dir, "_graft_zones") shouldNot exist
+    // ...but per-file column bounds don't depend on sortedness: the
+    // all-column manifest survives the append and still prunes
+    new File(dir, "_graft_zones_cols") should exist
     val avro = spark.read.format("graft-avro").load(dir)
     val nFiles = AvroFileSource.listAvro(new File(dir)).size
-    scanPartitions(avro.filter(F.col("k") >= 9500)) shouldBe nFiles
+    scanPartitions(avro.filter(F.col("k") >= 9500)) should be < nFiles
     avro.filter(F.col("k") >= 9500).count() shouldBe 510
+    avro.agg(F.min("k"), F.max("k")).head() shouldBe
+      org.apache.spark.sql.Row(0L, 20009L)
   }
 
   test("a legacy sorted table (marker, no manifest) never gains a partial manifest") {
@@ -303,6 +309,105 @@ class ZoneMapSpec extends AnyFunSuite with SparkSpec with Matchers {
     val row = agg.head()
     row.getDouble(0) shouldBe 0.0
     row.getDouble(1).isNaN shouldBe true
+  }
+
+  test("all-column zones prune a non-sort column on an UNSORTED table") {
+    val dir = tmp()
+    spark.range(0, 10000).toDF("k")
+      .withColumn("v", F.col("k") * 3)
+      .withColumn("payload", F.md5(F.col("k").cast("string")))
+      .repartitionByRange(8, F.col("k"))
+      .write.format("graft-avro") // NO sortedBy claim
+      .mode("overwrite").save(dir)
+    new File(dir, "_graft_sorted_by") shouldNot exist
+    new File(dir, "_graft_zones") shouldNot exist
+    new File(dir, "_graft_zones_cols") should exist
+    val nFiles = AvroFileSource.listAvro(new File(dir)).size
+    nFiles should be > 4
+    val avro = spark.read.format("graft-avro").load(dir)
+    // k is range-partitioned but UNVERIFIED-sorted: the per-file
+    // min/max still bounds it, so the predicate prunes whole files
+    val top = avro.filter(F.col("k") >= 9500)
+    scanPartitions(top) should be < nFiles
+    top.count() shouldBe 500
+    // ...and so does the derived column v = 3k, which no sort marker
+    // ever covered
+    val vs = avro.filter(F.col("v") < 300)
+    scanPartitions(vs) should be < nFiles
+    vs.count() shouldBe 100
+    vs.agg(F.sum("k")).head().getLong(0) shouldBe (0L until 100L).sum
+  }
+
+  test("all-column zones prune non-sort columns of a sorted table too") {
+    val dir = tmp()
+    spark.range(0, 10000).toDF("k")
+      .withColumn("v", F.col("k") * 2) // correlated with the file layout
+      .withColumn("payload", F.md5(F.col("k").cast("string")))
+      .repartitionByRange(8, F.col("k"))
+      .sortWithinPartitions("k")
+      .write.format("graft-avro").option("sortedBy", "k")
+      .mode("overwrite").save(dir)
+    val nFiles = AvroFileSource.listAvro(new File(dir)).size
+    val avro = spark.read.format("graft-avro").load(dir)
+    val q = avro.filter(F.col("v") >= 19000) // not the sort column
+    scanPartitions(q) should be < nFiles
+    q.count() shouldBe 500
+    // both manifests compose: sort-zone on k AND col-zone on v
+    val both = avro.filter(F.col("k") >= 4000 && F.col("v") < 10000)
+    scanPartitions(both) should be < nFiles
+    both.count() shouldBe 1000
+  }
+
+  test("all-column zones cover nested struct leaves via dotted paths") {
+    val dir = tmp()
+    spark.range(0, 8000).toDF("k")
+      .withColumn("s", F.struct(F.col("k").as("a"),
+        F.md5(F.col("k").cast("string")).as("b")))
+      .repartitionByRange(4, F.col("k"))
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    val nFiles = AvroFileSource.listAvro(new File(dir)).size
+    val avro = spark.read.format("graft-avro").load(dir)
+    val q = avro.filter(F.col("s.a") >= 7500)
+    scanPartitions(q) should be < nFiles
+    q.count() shouldBe 500
+  }
+
+  test("a retyped column's stale zone entries stop applying") {
+    val dir = tmp()
+    spark.range(0, 1000).toDF("x")
+      .repartitionByRange(4, F.col("x"))
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    val zf = new File(dir, "_graft_zones_cols")
+    zf should exist
+    // simulate a schema change the manifest predates: claim the entries
+    // were written for a STRING column ("9" > "10" in string order — an
+    // inverted range that would prune wrongly if trusted)
+    val doctored = scala.io.Source.fromFile(zf, "UTF-8").getLines()
+      .map(_.replace("\tbigint\t", "\tstring\t")).mkString("\n")
+    java.nio.file.Files.write(zf.toPath, doctored.getBytes("UTF-8"))
+    val avro = spark.read.format("graft-avro").load(dir)
+    val nFiles = AvroFileSource.listAvro(new File(dir)).size
+    // type mismatch ⇒ entries dropped ⇒ no pruning, answers intact
+    scanPartitions(avro.filter(F.col("x") === 50)) shouldBe nFiles
+    avro.filter(F.col("x") === 50).count() shouldBe 1
+    avro.count() shouldBe 1000
+  }
+
+  test("double columns with NaN emit no zone entry and are never pruned") {
+    val dir = tmp()
+    spark.range(0, 1000).toDF("k")
+      .withColumn("d", F.when(F.col("k") === 999,
+        F.lit(Double.NaN)).otherwise(F.col("k").cast("double")))
+      .repartitionByRange(4, F.col("k"))
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    val avro = spark.read.format("graft-avro").load(dir)
+    val nFiles = AvroFileSource.listAvro(new File(dir)).size
+    // the NaN file's d-leaf went dead; finite files still carry bounds.
+    // Spark compares NaN greatest: d > 990 matches 991..998 AND NaN
+    avro.filter(F.col("d") > 990).count() shouldBe 9
+    // k (long) still prunes in the same table
+    scanPartitions(avro.filter(F.col("k") < 100)) should be < nFiles
+    avro.filter(F.col("k") < 100).count() shouldBe 100
   }
 
   test("an agreeing sorted append merges zones and still prunes") {
