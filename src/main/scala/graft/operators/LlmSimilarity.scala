@@ -125,6 +125,81 @@ object LlmSimilarity extends Catalog {
     (corpus, assigned, centroids)
   }
 
+  /** The IVF search plan shared by llm_similar_ivf_kmeans (index built
+    * in-job) and llm_similar_ivf_persist (index read back from the
+    * graft-avro sink): queries (vec_id < 20) probe their nprobe=6
+    * nearest centroids, candidates are exact integer-L2 top-3 within the
+    * probed cells.
+    *
+    * nprobe=6 of 8 cells is pinned by the AnnRecallSpec quality contract
+    * (recall@3 ≥ 0.9 at BOTH sf0.01 and sf0.1, full-precision and
+    * int8-quantized ranking). Measured recall@3 vs exhaustive
+    * same-metric search at sf0.01 by nprobe: 1→0.55, 2→0.63, 3→0.77,
+    * 4→0.88, 5→0.93 — but the 4x sf0.1 corpus measured 0.883 at
+    * nprobe=5 (the synthetic embeddings are near-uniform, so recall
+    * tracks the corpus fraction probed, with per-SF noise); 6 is the
+    * smallest nprobe holding the floor at every asserted scale. On
+    * clustered real-world embeddings the same plan holds recall at far
+    * smaller nprobe/k fractions; the plan SHAPE (Σ_probed |cell|
+    * candidates, never N²) is what scales.
+    */
+  private def ivfSearch(corpus: DataFrame, assigned: DataFrame,
+      centroids: DataFrame): DataFrame = {
+    val wq = Window.partitionBy("qid").orderBy(F.col("d"), F.col("cid"))
+    val probes = corpus.filter(F.col("vec_id") < 20)
+      .select(F.col("vec_id").as("qid"), F.col("qx16").as("qv"))
+      .crossJoin(F.broadcast(centroids))
+      .withColumn("d", VectorFunctions.vec_l2sq(F.col("qv"), F.col("mvec")))
+      .withColumn("rn", F.row_number().over(wq))
+      .filter(F.col("rn") <= 6)
+      .select("qid", "cid", "qv")
+    val cells = assigned.select("vec_id", "cid")
+      .join(corpus.select("vec_id", "qx16"), "vec_id")
+    val wr = Window.partitionBy("qid").orderBy(F.col("d"), F.col("vec_id"))
+    // the probe side is |queries|·nprobe rows — broadcast it so the
+    // cell-id candidate join never shuffles the corpus
+    F.broadcast(probes).join(cells, "cid")
+      .filter(F.col("vec_id") =!= F.col("qid"))
+      .select(F.col("qid"), F.col("vec_id"),
+        VectorFunctions.vec_l2sq(F.col("qv"), F.col("qx16")).as("d"))
+      .withColumn("rn", F.row_number().over(wr))
+      .filter(F.col("rn") <= 3)
+      .orderBy("qid", "rn")
+  }
+
+  /** Build job: train the coarse quantizer and publish centroids + cell
+    * assignments through the graft-avro sink. Returns the two artifact
+    * directories.
+    */
+  private[operators] def buildIvfIndex(s: SparkSession, dir: String)
+      : (String, String) = {
+    val cenDir = tempDir("graft_ivf_centroids")
+    val asgDir = tempDir("graft_ivf_assign")
+    val (_, assigned, centroids) = lloyd(s, dir)
+    centroids.select("cid", "mvec")
+      .write.format("graft-avro").mode("overwrite").save(cenDir)
+    assigned.select("vec_id", "cid")
+      .write.format("graft-avro").mode("overwrite").save(asgDir)
+    (cenDir, asgDir)
+  }
+
+  /** Day-2 search job: everything below reads the PUBLISHED index — no
+    * Lloyd iteration, no localCheckpoint. The corpus side is only the
+    * deterministic qx16 quantization projection (narrow, loop-free).
+    */
+  private[operators] def searchPersistedIvf(s: SparkSession, dir: String,
+      cenDir: String, asgDir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val corpus = table(s, dir, "embeddings")
+      .select(F.col("vec_id"), F.expr(
+        "transform(embedding, x -> " +
+          "cast(floor(cast(x as double) * 10000.0) as bigint) * 16)")
+        .as("qx16"))
+    val centroids = s.read.format("graft-avro").load(cenDir)
+    val assigned = s.read.format("graft-avro").load(asgDir)
+    ivfSearch(corpus, assigned, centroids)
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Brute-force cosine top-5 for queries vec_id < 20 against the corpus.
@@ -284,37 +359,25 @@ object LlmSimilarity extends Catalog {
     // codegen'd vec_l2sq kernel.
     "llm_similar_ivf_kmeans" -> ((s, dir) => {
       val (corpus, assigned, centroids) = lloyd(s, dir)
-      val wq = Window.partitionBy("qid").orderBy(F.col("d"), F.col("cid"))
-      // nprobe=6 of 8 cells: pinned by the AnnRecallSpec quality contract
-      // (recall@3 ≥ 0.9 at BOTH sf0.01 and sf0.1, full-precision and
-      // int8-quantized ranking). Measured recall@3 vs exhaustive
-      // same-metric search at sf0.01 by nprobe: 1→0.55, 2→0.63, 3→0.77,
-      // 4→0.88, 5→0.93 — but the 4x sf0.1 corpus measured 0.883 at
-      // nprobe=5 (the synthetic embeddings are near-uniform, so recall
-      // tracks the corpus fraction probed, with per-SF noise); 6 is the
-      // smallest nprobe holding the floor at every asserted scale. On
-      // clustered real-world embeddings the same plan holds recall at far
-      // smaller nprobe/k fractions; the plan SHAPE (Σ_probed |cell|
-      // candidates, never N²) is what scales.
-      val probes = corpus.filter(F.col("vec_id") < 20)
-        .select(F.col("vec_id").as("qid"), F.col("qx16").as("qv"))
-        .crossJoin(F.broadcast(centroids))
-        .withColumn("d", VectorFunctions.vec_l2sq(F.col("qv"), F.col("mvec")))
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= 6)
-        .select("qid", "cid", "qv")
-      val cells = assigned.select("vec_id", "cid")
-        .join(corpus.select("vec_id", "qx16"), "vec_id")
-      val wr = Window.partitionBy("qid").orderBy(F.col("d"), F.col("vec_id"))
-      // the probe side is |queries|·nprobe rows — broadcast it so the
-      // cell-id candidate join never shuffles the corpus
-      F.broadcast(probes).join(cells, "cid")
-        .filter(F.col("vec_id") =!= F.col("qid"))
-        .select(F.col("qid"), F.col("vec_id"),
-          VectorFunctions.vec_l2sq(F.col("qv"), F.col("qx16")).as("d"))
-        .withColumn("rn", F.row_number().over(wr))
-        .filter(F.col("rn") <= 3)
-        .orderBy("qid", "rn")
+      ivfSearch(corpus, assigned, centroids)
+    }),
+
+    // BUILD ONCE, SEARCH MANY — the deployment shape of the IVF index.
+    // The build job trains the coarse quantizer (the one Lloyd loop) and
+    // PUBLISHES centroids + cell assignments through the engine's own
+    // graft-avro sink; the day-2 search job reads those artifacts back
+    // from files and runs the exact llm_similar_ivf_kmeans search plan —
+    // zero Lloyd iterations, zero localCheckpoint rounds (IvfPersistSpec
+    // plan-guards the search side: index from BatchScan, no ExistingRDD).
+    // Only the cheap deterministic qx16 projection re-derives from the
+    // corpus — vectors live in the lake; the index persists the LEARNED
+    // structure. Sharing ivfSearch with the in-job gate plus the shared
+    // oracle pins day-2 search equality. 100 TB: the train cost is paid
+    // once per index version, every nightly search is a broadcast-probe
+    // candidate join over Σ_probed |cell| rows.
+    "llm_similar_ivf_persist" -> ((s, dir) => {
+      val (cenDir, asgDir) = buildIvfIndex(s, dir)
+      searchPersistedIvf(s, dir, cenDir, asgDir)
     }),
 
     // IVF SEARCH OVER THE int8 STORAGE LAYOUT — the production
@@ -544,6 +607,9 @@ object LlmSimilarity extends Catalog {
   val oracles: Map[String, String] = Map(
     "llm_embed_kmeans" -> kmeansOracle,
     "llm_similar_ivf_kmeans" -> ivfKmeansOracle,
+    // day-2 search equality: the persisted-index search must reproduce
+    // the in-job plan's answer exactly — same oracle, bit for bit
+    "llm_similar_ivf_persist" -> ivfKmeansOracle,
     "llm_similar_ivf_quant" -> ivfQuantOracle,
     "llm_embed_quant" ->
       """WITH e AS (
