@@ -40,6 +40,27 @@ object AvroGates extends Catalog {
     try body finally s.conf.set(k, old)
   }
 
+  /** Run `body` (a start-to-drain streaming query) on the RocksDB state
+    * store provider, restoring the session conf after. The in-memory
+    * HDFS-backed default holds every key on the executor heap — at
+    * 100 TB stream state must spill, and RocksDB is Spark's production
+    * answer (native memtable+SST per store, changelog into the
+    * checkpoint). The conf is read at stream START and pinned into the
+    * checkpoint, so the restart inside `body` recovers FROM the RocksDB
+    * checkpoint — which is exactly what the restart gates prove.
+    */
+  private[operators] def withRocksDbStateStore[T](s: SparkSession)(
+      body: => T): T = {
+    val k = "spark.sql.streaming.stateStore.providerClass"
+    val old = s.conf.getOption(k)
+    s.conf.set(k, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try body finally old match {
+      case Some(v) => s.conf.set(k, v)
+      case None => s.conf.unset(k)
+    }
+  }
+
   private def roundTrip(s: SparkSession, dir: String,
       options: Map[String, String] = Map.empty): DataFrame = {
     val tmp = tempDir("graft_gate_avro")
@@ -409,7 +430,12 @@ object AvroGates extends Catalog {
       def start() = agg.writeStream.format("graft-avro")
         .option("checkpointLocation", ckpt)
         .outputMode("append").start(out)
+      // RocksDB provider: the kill lands while the window sums live only
+      // in RocksDB memtables/SSTs + the changelog in the checkpoint —
+      // the restart recovers custom state from THAT, not the in-memory
+      // default (which holds all state on-heap and cannot spill at scale)
       AvroGates.withStateParallelism(s, 4) {
+       AvroGates.withRocksDbStateStore(s) {
         val q1 = start()
         try {
           val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
@@ -431,6 +457,7 @@ object AvroGates extends Catalog {
             .write.mode("append").parquet(src)
           q2.processAllAvailable()
         } finally q2.stop()
+       }
       }
       s.read.format("graft-avro").load(out)
         .filter(!F.col("event_type").eqNullSafe("zz_sentinel"))

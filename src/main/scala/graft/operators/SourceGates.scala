@@ -280,12 +280,27 @@ object SourceGates extends Catalog {
         .groupByKey(_._1)
         .flatMapGroupsWithState(OutputMode.Append(),
           GroupStateTimeout.EventTimeTimeout())(handler)
+      def start() = sessions.writeStream.format("graft-avro")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start(out)
+      // RocksDB provider + a mid-stream kill: the per-user event lists
+      // (CUSTOM flatMapGroupsWithState state) exist only in RocksDB and
+      // its checkpoint changelog when the kill lands — the restart must
+      // recover them from there or sessions split/vanish, which the
+      // oracle catches per (user, session_idx). At 100 TB per-user state
+      // cannot live on-heap; this is the provider that spills.
       AvroGates.withStateParallelism(s, 4) {
-        val q = sessions.writeStream.format("graft-avro")
-          .option("checkpointLocation", ckpt)
-          .outputMode("append").start(out)
+       AvroGates.withRocksDbStateStore(s) {
+        val q1 = start()
         try {
-          q.processAllAvailable()
+          val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+          while (Option(q1.lastProgress).forall(_.numInputRows == 0) &&
+              q1.isActive && System.nanoTime() < deadline)
+            Thread.sleep(25)
+        } finally q1.stop() // kill: session state lives ONLY in RocksDB
+        val q2 = start()
+        try {
+          q2.processAllAvailable()
           val mm = ev.agg(F.min("ts"), F.max("ts")).head()
           val (minTs, maxTs) = (mm.getTimestamp(0), mm.getTimestamp(1))
           require(maxTs.getTime - minTs.getTime < 90L * 86400L * 1000L,
@@ -296,8 +311,9 @@ object SourceGates extends Catalog {
             maxTs.getTime + 99L * 86400L * 1000L)
           Seq((sentinel, -1L)).toDF("ts", "user_id")
             .write.mode("append").parquet(src)
-          q.processAllAvailable()
-        } finally q.stop()
+          q2.processAllAvailable()
+        } finally q2.stop()
+       }
       }
       s.read.format("graft-avro").load(out)
         .filter(F.col("user_id") =!= -1)
