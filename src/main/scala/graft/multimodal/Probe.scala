@@ -56,6 +56,7 @@ object Probe {
             case "img/bmp" => Bmp.decode(a.payload)
             case "img/png" => Png.decode(a.payload)
             case "img/gif" => Gif.decode(a.payload)
+            case "img/jpeg" => Jpeg.decode(a.payload)
             case "aud/wav" => Wav.decode(a.payload)
             case "vid/avi" => Avi.decode(a.payload)
             case other =>
@@ -80,6 +81,8 @@ object Probe {
               val (w, h, _) = Png.decode(a.payload); w.toLong * h
             case "img/gif" =>
               val (w, h, _) = Gif.decode(a.payload); w.toLong * h
+            case "img/jpeg" =>
+              val (w, h, _) = Jpeg.decode(a.payload); w.toLong * h
             case "aud/wav" =>
               val (_, samples) = Wav.decode(a.payload); samples.length.toLong
             case "vid/avi" =>

@@ -296,6 +296,46 @@ object LlmMultimodal extends Catalog {
         .orderBy("doc_id")
     }),
 
+    // THIRD compressed-image family under the oracle — entropy-coded
+    // transform coding ([[graft.multimodal.Jpeg]]): baseline sequential
+    // grayscale JPEG with the full real pipeline (FDCT, flat quant,
+    // zigzag, DC-predicted Huffman, AC RLE bitstream with 0xFF00
+    // stuffing, IDCT). JPEG is LOSSY in general, so unlike PNG/GIF the
+    // gate data is deliberately 8x8-BLOCK-CONSTANT gray tiles (one text
+    // byte per block): a constant block's DCT is a lone DC coefficient
+    // and reconstructs bit-exactly (JpegLaws pins the law), so the
+    // oracle re-derives every decoded byte from block-index tiles — the
+    // gate passes only if the Huffman walk, DC prediction chain,
+    // dequant and IDCT reproduce the raster exactly. Up to 4x4 MCUs per
+    // image exercise multi-block DC chains on real corpus bytes.
+    "llm_jpeg_pixels" -> ((s, dir) => {
+      import s.implicits._
+      val assets = table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .filter(F.col("n_chars") > 0)
+        .select(F.col("doc_id"), F.col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val w = bytes.length % 20 + 8
+          val h = (id % 20).toInt + 8
+          val wB = (w + 7) / 8
+          val pix = Array.tabulate[Byte](w * h) { j =>
+            val x = j % w; val y = j / w
+            bytes(((y / 8) * wB + (x / 8)) % bytes.length)
+          }
+          graft.multimodal.RawAsset(id,
+            graft.multimodal.Jpeg.encode(w, h, pix), "img/jpeg", w, h, 1)
+        }
+      graft.multimodal.Jpeg.decodeAssets(assets)
+        .toDF()
+        .select(F.col("docId").as("doc_id"),
+          F.col("w").as("width"), F.col("h").as("height"),
+          F.col("sumV").as("sum_v"),
+          F.md5(F.col("pix")).as("pix_hash"))
+        .orderBy("doc_id")
+    }),
+
     // REAL audio decode + windowed DSP features on the codec-free audio
     // container (RIFF/WAVE PCM16 mono): synthesize a deterministic
     // 256-sample waveform from the document's characters, encode a
@@ -495,7 +535,7 @@ object LlmMultimodal extends Catalog {
         .as[(Long, String)]
         .map { case (id, text) =>
           val bytes = text.getBytes("UTF-8")
-          val (fmt, payload) = (id % 5) match {
+          val (fmt, payload) = (id % 6) match {
             case 0 =>
               val w = bytes.length % 12 + 4
               val h = (id % 12).toInt + 4
@@ -521,19 +561,28 @@ object LlmMultimodal extends Catalog {
               val pix = Array.tabulate[Byte](w * h * 3)(j =>
                 bytes(j % bytes.length))
               ("img/png", graft.multimodal.Png.encode(w, h, pix))
-            case _ =>
+            case 4 =>
               val w = bytes.length % 12 + 4
               val h = (id % 12).toInt + 4
               val idx = Array.tabulate[Byte](w * h)(j =>
                 bytes(j % bytes.length))
               ("img/gif", graft.multimodal.Gif.encode(w, h, idx))
+            case _ => // block-constant tiles: the JPEG exactness contract
+              val w = bytes.length % 20 + 8
+              val h = (id % 20).toInt + 8
+              val wB = (w + 7) / 8
+              val pix = Array.tabulate[Byte](w * h) { j =>
+                val x = j % w; val y = j / w
+                bytes(((y / 8) * wB + (x / 8)) % bytes.length)
+              }
+              ("img/jpeg", graft.multimodal.Jpeg.encode(w, h, pix))
           }
           if (id % 7 == 0) payload(0) = 'X'.toByte // corrupt the magic
           graft.multimodal.RawAsset(id, payload, fmt, 0, 0, 0)
         }
-      // one probe pass, pinned: five downstream branches (four feature
+      // one probe pass, pinned: seven downstream branches (six modality
       // extractors + quarantine) would otherwise each recompute
-      // synthesize+probe over the corpus — at scale, five full passes
+      // synthesize+probe over the corpus — at scale, seven full passes
       val routed = graft.multimodal.Probe.routeAssets(assets).localCheckpoint()
       def branch(fmt: String) = routed
         .filter(r => r.ok && r.fmt == fmt)
@@ -566,12 +615,17 @@ object LlmMultimodal extends Catalog {
         .toDF()
         .select(F.col("docId").as("doc_id"), F.lit("img/gif").as("fmt"),
           okRow, F.col("sumIdx").as("f1"), F.col("peakIdx").as("f2"))
+      val jpeg = graft.multimodal.Jpeg.decodeAssets(branch("img/jpeg"))
+        .toDF()
+        .select(F.col("docId").as("doc_id"), F.lit("img/jpeg").as("fmt"),
+          okRow, F.col("sumV").as("f1"),
+          (F.col("w") * F.col("h")).cast("long").as("f2"))
       val quarantined = routed.filter(r => !r.ok).toDF()
         .select(F.col("docId").as("doc_id"), F.col("fmt"),
           F.lit("quarantined").as("status"),
           F.lit(0L).as("f1"), F.lit(0L).as("f2"))
       bmp.unionByName(wav).unionByName(avi).unionByName(png)
-        .unionByName(gif).unionByName(quarantined)
+        .unionByName(gif).unionByName(jpeg).unionByName(quarantined)
         .orderBy("doc_id")
     })
   )
@@ -745,6 +799,31 @@ object LlmMultimodal extends Catalog {
                 CAST(d.h AS INT) AS height,
                 s.sum_r, s.sum_g, s.sum_b, md5(s.sp) AS pix_hash
          FROM d JOIN s USING (doc_id) ORDER BY d.doc_id""",
+    // JPEG decodes block-constant tiles exactly (flat quant, DC-only
+    // blocks — see the gate comment), so the oracle re-derives every
+    // decoded gray byte from its 8x8 BLOCK index: pixel (x, y) carries
+    // the text char at block (x//8, y//8) in row-major block order.
+    "llm_jpeg_pixels" ->
+      """WITH d AS (
+           SELECT doc_id, text, length(text) AS n,
+                  (length(text) % 20) + 8 AS w,
+                  (doc_id % 20) + 8 AS h,
+                  ((length(text) % 20) + 8 + 7) // 8 AS wb
+           FROM documents WHERE length(text) > 0),
+         px AS (
+           SELECT doc_id, t.i AS i,
+                  substring(text,
+                    ((((t.i // w) // 8) * wb + ((t.i % w) // 8)) % n) + 1,
+                    1) AS ch
+           FROM d, unnest(generate_series(0, w * h - 1)) t(i)),
+         s AS (
+           SELECT doc_id, string_agg(ch, '' ORDER BY i) AS sp,
+                  CAST(sum(ord(ch)) AS BIGINT) AS sum_v
+           FROM px GROUP BY doc_id)
+         SELECT d.doc_id, CAST(d.w AS INT) AS width,
+                CAST(d.h AS INT) AS height,
+                s.sum_v, md5(s.sp) AS pix_hash
+         FROM d JOIN s USING (doc_id) ORDER BY d.doc_id""",
     // Re-derives the synthesized waveform sample by sample (all operands
     // non-negative before the -32768 shift, so % agrees across engines),
     // then window-local lag for strict sign flips; n_bytes checks encode's
@@ -879,7 +958,7 @@ object LlmMultimodal extends Catalog {
                         ord(substring(d.text, (t.i % d.n) + 1, 1)) AS v
                  FROM d, unnest(generate_series(0,
                         ((d.n % 12) + 4) * ((d.doc_id % 12) + 4) * 3 - 1)) t(i)
-                 WHERE d.doc_id % 5 = 0 AND d.doc_id % 7 <> 0)
+                 WHERE d.doc_id % 6 = 0 AND d.doc_id % 7 <> 0)
            GROUP BY doc_id),
          wav AS (
            SELECT doc_id, CAST(sum(CAST(s AS BIGINT) * s) AS BIGINT) AS f1,
@@ -891,7 +970,7 @@ object LlmMultimodal extends Catalog {
                          ((ord(substring(d.text, (t.i % d.n) + 1, 1)) * 997
                            + t.i * 131) % 65536) - 32768 AS s
                        FROM d, unnest(generate_series(0, 255)) t(i)
-                       WHERE d.doc_id % 5 = 1 AND d.doc_id % 7 <> 0))
+                       WHERE d.doc_id % 6 = 1 AND d.doc_id % 7 <> 0))
            GROUP BY doc_id),
          avi AS (
            SELECT doc_id, CAST(sum(dd) AS BIGINT) AS f1,
@@ -905,7 +984,7 @@ object LlmMultimodal extends Catalog {
                       unnest(generate_series(1, 5)) t(f),
                       unnest(generate_series(0,
                         ((d.n % 8) + 4) * ((d.doc_id % 6) + 4) * 3 - 1)) t2(j)
-                 WHERE d.doc_id % 5 = 2 AND d.doc_id % 7 <> 0)
+                 WHERE d.doc_id % 6 = 2 AND d.doc_id % 7 <> 0)
            GROUP BY doc_id),
          png AS (
            SELECT doc_id, CAST(sum(v) AS BIGINT) AS f1,
@@ -915,7 +994,7 @@ object LlmMultimodal extends Catalog {
                         ord(substring(d.text, (t.i % d.n) + 1, 1)) AS v
                  FROM d, unnest(generate_series(0,
                         ((d.n % 12) + 4) * ((d.doc_id % 12) + 4) * 3 - 1)) t(i)
-                 WHERE d.doc_id % 5 = 3 AND d.doc_id % 7 <> 0)
+                 WHERE d.doc_id % 6 = 3 AND d.doc_id % 7 <> 0)
            GROUP BY doc_id),
          gif AS (
            SELECT doc_id, CAST(sum(v) AS BIGINT) AS f1,
@@ -924,25 +1003,38 @@ object LlmMultimodal extends Catalog {
                         ord(substring(d.text, (t.i % d.n) + 1, 1)) AS v
                  FROM d, unnest(generate_series(0,
                         ((d.n % 12) + 4) * ((d.doc_id % 12) + 4) - 1)) t(i)
-                 WHERE d.doc_id % 5 = 4 AND d.doc_id % 7 <> 0)
+                 WHERE d.doc_id % 6 = 4 AND d.doc_id % 7 <> 0)
+           GROUP BY doc_id),
+         jd AS (
+           SELECT doc_id, text, n, (n % 20) + 8 AS w, (doc_id % 20) + 8 AS h,
+                  ((n % 20) + 8 + 7) // 8 AS wb
+           FROM d WHERE doc_id % 6 = 5 AND doc_id % 7 <> 0),
+         jpeg AS (
+           SELECT doc_id, CAST(sum(v) AS BIGINT) AS f1,
+                  CAST(any_value(w) * any_value(h) AS BIGINT) AS f2
+           FROM (SELECT jd.doc_id, jd.w, jd.h,
+                        ord(substring(jd.text,
+                          ((((t.i // jd.w) // 8) * jd.wb
+                            + ((t.i % jd.w) // 8)) % jd.n) + 1, 1)) AS v
+                 FROM jd, unnest(generate_series(0, jd.w * jd.h - 1)) t(i))
            GROUP BY doc_id),
          routed AS (
            SELECT doc_id,
-                  CASE doc_id % 5 WHEN 0 THEN 'img/bmp' WHEN 1 THEN 'aud/wav'
+                  CASE doc_id % 6 WHEN 0 THEN 'img/bmp' WHEN 1 THEN 'aud/wav'
                        WHEN 2 THEN 'vid/avi' WHEN 3 THEN 'img/png'
-                       ELSE 'img/gif' END AS fmt,
+                       WHEN 4 THEN 'img/gif' ELSE 'img/jpeg' END AS fmt,
                   CASE WHEN doc_id % 7 = 0 THEN 'quarantined' ELSE 'ok' END
                     AS status
            FROM d)
          SELECT r.doc_id, r.fmt, r.status,
-                CAST(coalesce(b.f1, w.f1, a.f1, p.f1, g.f1, 0) AS BIGINT)
-                  AS f1,
-                CAST(coalesce(b.f2, w.f2, a.f2, p.f2, g.f2, 0) AS BIGINT)
-                  AS f2
+                CAST(coalesce(b.f1, w.f1, a.f1, p.f1, g.f1, j.f1, 0)
+                  AS BIGINT) AS f1,
+                CAST(coalesce(b.f2, w.f2, a.f2, p.f2, g.f2, j.f2, 0)
+                  AS BIGINT) AS f2
          FROM routed r
          LEFT JOIN bmp b USING (doc_id) LEFT JOIN wav w USING (doc_id)
          LEFT JOIN avi a USING (doc_id) LEFT JOIN png p USING (doc_id)
-         LEFT JOIN gif g USING (doc_id)
+         LEFT JOIN gif g USING (doc_id) LEFT JOIN jpeg j USING (doc_id)
          ORDER BY r.doc_id"""
   )
 }

@@ -62,6 +62,59 @@ class BenchAdjudicateSpec extends AnyFunSuite {
     assert(Bench.classify(Seq(0.12, 0.04), Seq(quiet, quiet), quiet) === "stable")
   }
 
+  // == Cross-round adjudication (r10): the r9 hole was stable-but-slower
+  // gates whose code was byte-identical to the prior round — env drift
+  // masquerading as regression, resolvable only by a judge git-diff. The
+  // plan fingerprint settles it from the artifacts alone. ==
+
+  test("stable + slower + same fingerprint adjudicates env-drift") {
+    val v = Bench.adjudicateCrossRound("stable", bestNow = 1.6,
+      prevBest = Some(0.4), fpNow = Some("abcd"), fpPrev = Some("abcd"))
+    assert(v === "env-drift")
+  }
+
+  test("stable + slower + different fingerprint adjudicates regression") {
+    val v = Bench.adjudicateCrossRound("stable", 1.6, Some(0.4),
+      Some("abcd"), Some("ef01"))
+    assert(v === "regression")
+  }
+
+  test("stable + slower without a baseline fingerprint stays inconclusive") {
+    assert(Bench.adjudicateCrossRound("stable", 1.6, Some(0.4),
+      Some("abcd"), None) === "slower-no-baseline")
+    assert(Bench.adjudicateCrossRound("stable", 1.6, None,
+      Some("abcd"), Some("abcd")) === "stable")
+  }
+
+  test("stable within the regression thresholds passes through") {
+    // 1.4x / sub-0.3s: jitter, not a regression — fingerprint irrelevant
+    assert(Bench.adjudicateCrossRound("stable", 0.56, Some(0.40),
+      Some("abcd"), Some("ef01")) === "stable")
+    assert(Bench.adjudicateCrossRound("stable", 0.15, Some(0.05),
+      Some("abcd"), Some("ef01")) === "stable")
+  }
+
+  test("non-stable verdicts pass through untouched") {
+    for (v <- Seq("contended", "spiky", "spiky-contended", "error"))
+      assert(Bench.adjudicateCrossRound(v, 1.6, Some(0.4),
+        Some("a"), Some("b")) === v)
+  }
+
+  test("readPrevDetail parses queries + fingerprints and degrades to empty") {
+    val f = java.nio.file.Files.createTempFile("bench_detail", ".json")
+    java.nio.file.Files.write(f,
+      """{"queries":{"q1":0.42,"q2":1.0},"fingerprints":{"q1":"abcd"}}"""
+        .getBytes("UTF-8"))
+    val (q, fp) = Bench.readPrevDetail(f.toString)
+    assert(q === Map("q1" -> 0.42, "q2" -> 1.0))
+    assert(fp === Map("q1" -> "abcd"))
+    // old-format artifact (no fingerprints field) and missing file
+    java.nio.file.Files.write(f, """{"queries":{"q1":0.42}}""".getBytes("UTF-8"))
+    assert(Bench.readPrevDetail(f.toString)._2 === Map.empty)
+    assert(Bench.readPrevDetail("/nonexistent/x.json") ===
+      ((Map.empty, Map.empty)))
+  }
+
   test("probe kernel is contention-sensitive and ~10 ms quiet") {
     // warm then measure: the probe must be cheap enough to precede every
     // gate (< 100 ms even on a loaded box) and strictly positive.

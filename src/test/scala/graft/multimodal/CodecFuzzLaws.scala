@@ -95,6 +95,18 @@ object CodecFuzzLaws extends Properties("CodecFuzzLaws") {
   property("Gif.decode total on corrupted containers") =
     Prop.forAll(gifGen)(b => controlled(Gif.decode(b)))
 
+  private val jpegGen: Gen[Array[Byte]] = for {
+    w <- Gen.choose(1, 16); h <- Gen.choose(1, 16)
+    pix <- Gen.containerOfN[Array, Byte](w * h,
+      Gen.choose(Byte.MinValue, Byte.MaxValue))
+    out <- corrupt(Jpeg.encode(w, h, pix))
+  } yield out
+
+  property("Jpeg.decode total on junk") =
+    Prop.forAll(junkGen)(b => controlled(Jpeg.decode(b)))
+  property("Jpeg.decode total on corrupted containers") =
+    Prop.forAll(jpegGen)(b => controlled(Jpeg.decode(b)))
+
   property("Png.decode total on junk") =
     Prop.forAll(junkGen)(b => controlled(Png.decode(b)))
   property("Png.decode total on corrupted containers") =

@@ -1,0 +1,102 @@
+package graft.multimodal
+
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** Laws for the baseline JPEG codec, targeted at what the gate leans on
+  * (block-constant EXACT round trip — the oracle re-derives decoded
+  * bytes, so this law carries the gate) and at the decode paths the
+  * exact gate data cannot reach (AC run/size symbols, ZRL, bounded lossy
+  * error on arbitrary content, DC prediction chains across many blocks).
+  */
+object JpegLaws extends Properties("JpegLaws") {
+
+  private def blockConstant(w: Int, h: Int, vals: Array[Byte]): Array[Byte] = {
+    val wB = (w + 7) / 8
+    Array.tabulate[Byte](w * h) { j =>
+      val x = j % w; val y = j / w
+      vals(((y / 8) * wB + (x / 8)) % vals.length)
+    }
+  }
+
+  // THE gate contract: with the flat quant table, a block-constant image
+  // round-trips bit-exactly — a constant block's DCT is a lone DC
+  // coefficient and its IDCT reconstructs the constant exactly.
+  property("block-constant images round-trip EXACTLY (any dims)") =
+    Prop.forAll(for {
+      w <- Gen.choose(1, 40); h <- Gen.choose(1, 40)
+      n <- Gen.choose(1, 30)
+      vals <- Gen.containerOfN[Array, Byte](n,
+        Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield (w, h, vals)) { case (w, h, vals) =>
+      val pix = blockConstant(w, h, vals)
+      val (w2, h2, out) = Jpeg.decode(Jpeg.encode(w, h, pix))
+      Prop(w2 == w && h2 == h && java.util.Arrays.equals(out, pix)) :|
+        s"exact round-trip failed at ${w}x$h"
+    }
+
+  // long DC prediction chains (diffs both signs, categories up to 11)
+  property("many-block gradients keep the DC chain exact") =
+    Prop.forAll(Gen.choose(1, 6), Gen.choose(1, 6)) { (wb, hb) =>
+      val vals = Array.tabulate[Byte](wb * hb)(i =>
+        (if (i % 2 == 0) (i * 41) % 256 else 255 - (i * 97) % 256).toByte)
+      val pix = blockConstant(wb * 8, hb * 8, vals)
+      val (_, _, out) = Jpeg.decode(Jpeg.encode(wb * 8, hb * 8, pix))
+      Prop(java.util.Arrays.equals(out, pix)) :| "DC chain drifted"
+    }
+
+  // arbitrary content is LOSSY but bounded: flat quant steps lose at most
+  // 0.5 per coefficient; the worst-case IDCT amplification over 64
+  // half-step errors stays low single digits per pixel
+  property("arbitrary content round-trips within a small error bound") =
+    Prop.forAll(for {
+      w <- Gen.choose(1, 24); h <- Gen.choose(1, 24)
+      pix <- Gen.containerOfN[Array, Byte](w * h,
+        Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield (w, h, pix)) { case (w, h, pix) =>
+      val (w2, h2, out) = Jpeg.decode(Jpeg.encode(w, h, pix))
+      val maxErr = (0 until w * h).map(i =>
+        math.abs((out(i) & 0xff) - (pix(i) & 0xff))).max
+      Prop(w2 == w && h2 == h && maxErr <= 4) :| s"maxErr=$maxErr"
+    }
+
+  // the arbitrary-content stream exercises real AC coding: assert the
+  // payload actually carries AC symbols (it is much larger than the
+  // DC-only stream of the equivalent constant image)
+  property("random content emits a genuinely AC-coded stream") =
+    Prop.forAll(Gen.containerOfN[Array, Byte](16 * 16,
+      Gen.choose(Byte.MinValue, Byte.MaxValue))) { pix =>
+      val rich = Jpeg.encode(16, 16, pix).length
+      val flat = Jpeg.encode(16, 16, Array.fill[Byte](16 * 16)(0)).length
+      Prop(rich > flat + 16) :| s"rich=$rich flat=$flat"
+    }
+
+  property("header fields are byte-valid (SOI/SOF0 dims/EOI)") =
+    Prop.forAll(Gen.choose(1, 40), Gen.choose(1, 40)) { (w, h) =>
+      val b = Jpeg.encode(w, h, Array.fill[Byte](w * h)(42))
+      def u16(off: Int) = ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+      // SOI, then DQT(2+67), then SOF0 at a fixed offset for our writer
+      val sof = 2 + 2 + 67
+      Prop((b(0) & 0xff) == 0xFF && (b(1) & 0xff) == 0xD8 &&
+        (b(sof) & 0xff) == 0xFF && (b(sof + 1) & 0xff) == 0xC0 &&
+        u16(sof + 5) == h && u16(sof + 7) == w &&
+        (b(b.length - 2) & 0xff) == 0xFF && (b(b.length - 1) & 0xff) == 0xD9)
+    }
+
+  property("progressive / multi-component / truncated streams are rejected") =
+    Prop.forAll(Gen.choose(1, 16), Gen.choose(1, 16)) { (w, h) =>
+      val good = Jpeg.encode(w, h, Array.fill[Byte](w * h)(7))
+      // flip SOF0 -> SOF2 (progressive)
+      val prog = good.clone()
+      val sof = 2 + 2 + 67
+      prog(sof + 1) = 0xC2.toByte
+      val progRejected =
+        try { Jpeg.decode(prog); false }
+        catch { case _: IllegalArgumentException => true }
+      // cut the stream mid-scan
+      val cut = java.util.Arrays.copyOf(good, good.length - 3)
+      val cutRejected =
+        try { Jpeg.decode(cut); false }
+        catch { case _: IllegalArgumentException => true }
+      Prop(progRejected && cutRejected) :| "bad stream not rejected"
+    }
+}
