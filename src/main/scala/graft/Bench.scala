@@ -102,6 +102,11 @@ object Bench {
       .replaceAll("#\\d+", "#")
       .replaceAll("plan_id=\\d+", "plan_id=")
       .replaceAll("id: \\d+", "id:")
+      // typed-Dataset lambdas render as Class$$Lambda$N/0xADDR@HASH —
+      // N, the hidden-class address and the identity hash all vary per
+      // JVM; the owning class name before $$Lambda is what's stable
+      .replaceAll("\\$\\$Lambda\\$?[0-9/x0-9a-f]*", "\\$\\$Lambda")
+      .replaceAll("@[0-9a-f]+", "@")
       .replaceAll("\\[\\d+\\]", "[]")
       .replaceAll("\\(\\d+\\)", "()")
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -140,13 +145,20 @@ object Bench {
     * failure all degrade to empty maps — the adjudication then labels
     * slower gates "slower-no-baseline" instead of guessing.
     */
-  private[graft] def readPrevDetail(path: String)
+  private[graft] def readPrevDetail(path: String, sfDir: String)
       : (Map[String, Double], Map[String, String]) =
     try {
       import org.json4s._
       val jv = org.json4s.jackson.JsonMethods.parse(
         new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(path)), "UTF-8"))
+      // a baseline taken at a DIFFERENT scale factor is not comparable —
+      // a local sf0.001 iteration must not read the committed sf0.1
+      // artifact's times as its previous round
+      jv \ "sf" match {
+        case JString(s) if s != sfDir => return (Map.empty, Map.empty)
+        case _ => ()
+      }
       def obj(field: String): List[(String, JValue)] = jv \ field match {
         case JObject(fs) => fs
         case _ => Nil
@@ -207,7 +219,7 @@ object Bench {
     // previous round's artifact (committed by the driver): per-gate best
     // times + plan fingerprints for the cross-round adjudication. A
     // missing/old-format file degrades to "slower-no-baseline".
-    val (prevBest, prevFps) = readPrevDetail("BENCH_DETAIL.json")
+    val (prevBest, prevFps) = readPrevDetail("BENCH_DETAIL.json", sfDir)
     val fps = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val epoch = System.nanoTime()
     for (pass <- 1 to reps; (name, fn) <- gates) {

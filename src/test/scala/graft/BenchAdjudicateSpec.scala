@@ -103,15 +103,20 @@ class BenchAdjudicateSpec extends AnyFunSuite {
   test("readPrevDetail parses queries + fingerprints and degrades to empty") {
     val f = java.nio.file.Files.createTempFile("bench_detail", ".json")
     java.nio.file.Files.write(f,
-      """{"queries":{"q1":0.42,"q2":1.0},"fingerprints":{"q1":"abcd"}}"""
+      """{"sf":"/sf0.1","queries":{"q1":0.42,"q2":1.0},"fingerprints":{"q1":"abcd"}}"""
         .getBytes("UTF-8"))
-    val (q, fp) = Bench.readPrevDetail(f.toString)
+    val (q, fp) = Bench.readPrevDetail(f.toString, "/sf0.1")
     assert(q === Map("q1" -> 0.42, "q2" -> 1.0))
     assert(fp === Map("q1" -> "abcd"))
+    // a baseline at a DIFFERENT scale factor must not be compared — a
+    // local sf0.001 iteration vs the committed sf0.1 artifact
+    assert(Bench.readPrevDetail(f.toString, "/sf0.001") ===
+      ((Map.empty, Map.empty)))
     // old-format artifact (no fingerprints field) and missing file
-    java.nio.file.Files.write(f, """{"queries":{"q1":0.42}}""".getBytes("UTF-8"))
-    assert(Bench.readPrevDetail(f.toString)._2 === Map.empty)
-    assert(Bench.readPrevDetail("/nonexistent/x.json") ===
+    java.nio.file.Files.write(f,
+      """{"sf":"/sf0.1","queries":{"q1":0.42}}""".getBytes("UTF-8"))
+    assert(Bench.readPrevDetail(f.toString, "/sf0.1")._2 === Map.empty)
+    assert(Bench.readPrevDetail("/nonexistent/x.json", "/sf0.1") ===
       ((Map.empty, Map.empty)))
   }
 
