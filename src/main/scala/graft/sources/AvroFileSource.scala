@@ -1415,15 +1415,53 @@ private[sources] object AvroWriters {
       }
     }
 
+    /** String bounds are TRUNCATED parquet-style so a long-text column
+      * cannot bloat the manifest (two full document bodies per file per
+      * column at corpus scale would turn the one-manifest-read-per-scan
+      * design into a gigabyte driver read): a 64-char prefix of min is
+      * still a valid lower bound, and max truncates to a 64-char prefix
+      * with its last incrementable code unit bumped — strictly above
+      * every string sharing the prefix, hence above max. A max whose
+      * prefix has no incrementable char (all U+FFFF/high surrogates)
+      * drops the entry: absence ⇒ keep is sound.
+      */
+    private val MaxBound = 64
+    private def truncMin(s: String): String =
+      if (s.length <= MaxBound) s else s.substring(0, MaxBound)
+    private def truncMax(s: String): Option[String] = {
+      if (s.length <= MaxBound) return Some(s)
+      val p = s.substring(0, MaxBound).toCharArray
+      var i = p.length - 1
+      while (i >= 0) {
+        val c = p(i)
+        // incrementing must stay a +1 code-point step in UTF-8 order:
+        // skip chars whose successor enters the surrogate range or
+        // overflows, and skip surrogates entirely
+        if (c < 0xD7FF || (c >= 0xE000 && c < 0xFFFF))
+          return Some(new String(p, 0, i) + (c + 1).toChar)
+        i -= 1
+      }
+      None
+    }
+
     /** Settled bounds: (dotted name, typeName, minEnc, maxEnc) for every
       * live leaf that saw a non-null value.
       */
     def stats: Seq[(String, String, String, String)] =
-      leaves.indices.collect {
-        case l if !dead(l) && mins(l) != null =>
+      leaves.indices.flatMap { l =>
+        if (dead(l) || mins(l) == null) None
+        else {
           val (name, _, dt, _) = leaves(l)
-          (java.net.URLEncoder.encode(name, "UTF-8"), dt.simpleString,
-            AvroFileSource.zoneEncode(mins(l)), AvroFileSource.zoneEncode(maxs(l)))
+          val bounds = (mins(l), maxs(l)) match {
+            case (mn: String, mx: String) =>
+              truncMax(mx).map(m => (truncMin(mn): Any, m: Any))
+            case (mn, mx) => Some((mn, mx))
+          }
+          bounds.map { case (mn, mx) =>
+            (java.net.URLEncoder.encode(name, "UTF-8"), dt.simpleString,
+              AvroFileSource.zoneEncode(mn), AvroFileSource.zoneEncode(mx))
+          }
+        }
       }.toSeq
   }
   /** Container-file writer; `lazyCreate` postpones file creation to the

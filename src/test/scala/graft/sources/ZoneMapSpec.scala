@@ -410,6 +410,36 @@ class ZoneMapSpec extends AnyFunSuite with SparkSpec with Matchers {
     avro.filter(F.col("k") < 100).count() shouldBe 100
   }
 
+  test("long string bounds truncate in the manifest; pruning stays sound") {
+    val dir = tmp()
+    // 600-char strings whose ORDER is decided in the first few chars
+    // (prunable) and a second flavor sharing a 100-char prefix (bounds
+    // truncate into the shared prefix — must widen, never mis-prune)
+    spark.range(0, 2000).toDF("i")
+      .selectExpr(
+        "concat(format_string('%04d', CAST(i AS INT)), repeat('x', 596)) AS s",
+        "concat(repeat('p', 100), format_string('%04d', CAST(i AS INT))) AS t",
+        "i AS v")
+      .repartitionByRange(4, F.col("v"))
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    val zf = new File(dir, "_graft_zones_cols")
+    zf should exist
+    // no manifest line may carry a full 600-char body (64-char cap + tab
+    // fields + URL encoding stays well under 400)
+    val maxLine = scala.io.Source.fromFile(zf, "UTF-8").getLines()
+      .map(_.length).max
+    maxLine should be < 400
+    val avro = spark.read.format("graft-avro").load(dir)
+    val nFiles = AvroFileSource.listAvro(new File(dir)).size
+    // prefix-distinct column still prunes on the truncated bounds
+    val q = avro.filter(F.col("s") === ("1500" + "x" * 596))
+    scanPartitions(q) should be < nFiles
+    q.count() shouldBe 1
+    // shared-prefix column: truncated bounds are wide, answers intact
+    avro.filter(F.col("t") === ("p" * 100 + "0042")).count() shouldBe 1
+    avro.filter(F.col("t") > ("p" * 100 + "1989")).count() shouldBe 10
+  }
+
   test("an agreeing sorted append merges zones and still prunes") {
     val dir = tmp()
     writeSorted(dir)
