@@ -507,6 +507,26 @@ object AvroGates extends Catalog {
         .orderBy("l_returnflag")
     }),
 
+    // Metadata-served MIN/MAX on an UNSORTED table under the oracle: no
+    // sortedBy claim anywhere — the all-column manifest (explicit
+    // __null__ coverage markers, exact untruncated bounds) answers
+    // min/max over THREE different columns in one driver-side manifest
+    // fold; ZoneMapSpec proves zero data files are opened. The Iceberg
+    // shape without requiring a sorted layout.
+    "q_avro_minmax_any" -> ((s, dir) => {
+      val tmp = tempDir("graft_gate_minmax_any")
+      table(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_returnflag")
+        .repartition(6, F.col("l_suppkey")) // clustered but UNSORTED
+        .write.format("graft-avro").mode("overwrite").save(tmp)
+      s.read.format("graft-avro").load(tmp)
+        .agg(F.min("l_orderkey").as("min_key"),
+          F.max("l_orderkey").as("max_key"),
+          F.max("l_suppkey").as("max_supp"),
+          F.min("l_returnflag").as("min_flag"),
+          F.max("l_returnflag").as("max_flag"))
+    }),
+
     // All-column zone pruning under the oracle: the table is range-
     // partitioned by supplier but carries NO sortedBy claim — the
     // per-file min/max every batch commit records in _graft_zones_cols
@@ -557,6 +577,11 @@ object AvroGates extends Catalog {
                 round(sum(l_extendedprice), 2) AS sum_price
          FROM lineitem WHERE l_orderkey < 2000
          GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_avro_minmax_any" ->
+      """SELECT min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+                max(l_suppkey) AS max_supp,
+                min(l_returnflag) AS min_flag, max(l_returnflag) AS max_flag
+         FROM lineitem""",
     "q_avro_zonemap_any" ->
       """SELECT l_returnflag, count(*) AS n_lines,
                 round(sum(l_quantity), 2) AS sum_qty,

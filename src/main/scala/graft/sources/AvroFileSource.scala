@@ -169,6 +169,12 @@ object AvroFileSource {
     */
   def colZoneFile(d: File): File = new File(d, "_graft_zones_cols")
 
+  /** String zone bounds longer than this are truncated by the writer
+    * (parquet-style); a decoded bound of exactly this length is
+    * therefore MAYBE-truncated and unusable as an exact aggregate value.
+    */
+  val StringBoundMax = 64
+
   /** Raw all-column manifest keyed by relative path; values stay
     * URL-encoded for lossless merge-and-rewrite. Malformed lines drop
     * (never-prune is sound).
@@ -390,17 +396,114 @@ class AvroScanBuilder(path: String, full: StructType,
         org.apache.spark.sql.types.StructField(
           s"${if (isMin) "min" else "max"}(${sortCol.get})", minMaxDt)
       })
+      return true
     }
-    ok
+    // Generalized path: MIN/MAX over ANY mix of columns served from the
+    // all-column manifest — the Iceberg-manifest shape for UNSORTED
+    // tables. Sound only under FULL coverage: every alive data file must
+    // carry an entry for every wanted column (all-null files carry an
+    // explicit `__null__` marker precisely so coverage is checkable —
+    // absence means a pre-manifest or non-finite-tainted file whose true
+    // extremes are unknown). Exactness guards: float/double columns are
+    // never served (NaN-dead files simply break coverage, but belt and
+    // braces), and string bounds at the truncation cap are
+    // maybe-truncated, hence inexact, hence rejected. The fold over the
+    // manifest happens HERE, driver-side — the scan emits one tiny row.
+    val okAny = wanted.nonEmpty && wanted.forall(_.isDefined) && {
+      val zfc = AvroFileSource.colZoneFile(new File(path))
+      zfc.isFile && {
+        val dirF = new File(path)
+        val base = dirF.getAbsoluteFile.toPath
+        val raw = AvroFileSource.readColZonesRaw(zfc)
+        val alive = AvroFileSource.listAvro(dirF)
+          .map(f => base.relativize(f.getAbsoluteFile.toPath).toString)
+        val cols = wanted.flatten.map(_._1).distinct
+        import org.apache.spark.sql.types.{DoubleType, FloatType}
+        val perCol: Option[Map[String, (org.apache.spark.sql.types.DataType,
+            Option[(Any, Any)])]] = {
+          val resolved = cols.map { c =>
+            AvroFilterEval.leafType(full, c)
+              .filter(d => d != DoubleType && d != FloatType)
+              .flatMap { d =>
+                val enc = java.net.URLEncoder.encode(c, "UTF-8")
+                val perFile = alive.map { rel =>
+                  raw.getOrElse(rel, Nil).collectFirst {
+                    case (`enc`, dtN, mn, mx) if dtN == d.simpleString =>
+                      (mn, mx)
+                  }
+                }
+                if (perFile.exists(_.isEmpty)) None // uncovered file
+                else {
+                  val valued = perFile.flatten.filter(_._1 != "__null__")
+                  val parsed = valued.map { case (mn, mx) =>
+                    for {
+                      lo <- AvroFileSource.castPartitionValue(mn, d)
+                        if lo != null
+                      hi <- AvroFileSource.castPartitionValue(mx, d)
+                        if hi != null
+                      // a bound AT the cap is maybe-truncated ⇒ inexact
+                      if !Seq(lo, hi).exists {
+                        case s: String =>
+                          s.length >= AvroFileSource.StringBoundMax
+                        case _ => false
+                      }
+                    } yield (lo, hi)
+                  }
+                  if (parsed.exists(_.isEmpty)) None
+                  else {
+                    val vs = parsed.flatten
+                    if (vs.isEmpty) Some(c -> (d, None)) // all-null column
+                    else {
+                      val lo = vs.map(_._1).reduceLeft((a, b) =>
+                        if (AvroFilterEval.cmp(a, b).exists(_ <= 0)) a else b)
+                      val hi = vs.map(_._2).reduceLeft((a, b) =>
+                        if (AvroFilterEval.cmp(a, b).exists(_ >= 0)) a else b)
+                      // undecidable compares must not silently pick one
+                      val sound = vs.forall { case (a, b) =>
+                        AvroFilterEval.cmp(a, lo).isDefined &&
+                          AvroFilterEval.cmp(b, hi).isDefined
+                      }
+                      if (sound) Some(c -> (d, Some((lo, hi)))) else None
+                    }
+                  }
+                }
+              }
+          }
+          if (resolved.exists(_.isEmpty)) None
+          else Some(resolved.flatten.toMap)
+        }
+        perCol match {
+          case Some(m) =>
+            minMaxAny = wanted.flatten.map { case (c, isMin) =>
+              val (d, bounds) = m(c)
+              (s"${if (isMin) "min" else "max"}($c)", d,
+                bounds.map(b => if (isMin) b._1 else b._2))
+            }
+            true
+          case None => false
+        }
+      }
+    }
+    if (okAny) {
+      required = StructType(minMaxAny.map { case (name, d, _) =>
+        org.apache.spark.sql.types.StructField(name, d)
+      })
+    }
+    okAny
   }
 
   private var minMaxIsMin: Seq[Boolean] = Nil
   private var minMaxDt: org.apache.spark.sql.types.DataType = LongType
   private var minMaxZones: Map[String, (String, String)] = Map.empty
+  // generalized manifest-served aggregate: (output name, type, final
+  // external value — None for an all-null/empty column)
+  private var minMaxAny
+    : Seq[(String, org.apache.spark.sql.types.DataType, Option[Any])] = Nil
 
   override def build(): Scan = {
     val filters = pushed
     val counting = countPushed
+    val aggAny = minMaxAny
     val aggIsMin = minMaxIsMin
     val aggDt = minMaxDt
     val aggZones = minMaxZones
@@ -656,7 +759,11 @@ class AvroScanBuilder(path: String, full: StructType,
       }
 
       override def planInputPartitions(): Array[InputPartition] =
-        if (aggIsMin.nonEmpty) {
+        if (aggAny.nonEmpty) {
+          // the manifest fold already happened at pushdown: one partition
+          // carrying the final row, zero data files opened
+          Array[InputPartition](AvroAggRowPartition(aggAny.map(_._3)))
+        } else if (aggIsMin.nonEmpty) {
           // manifest-served min/max: one tiny partition per file WITH a
           // zone entry (all-null files have none and contribute nothing);
           // no data file is ever opened
@@ -676,6 +783,7 @@ class AvroScanBuilder(path: String, full: StructType,
         }
       override def createReaderFactory(): PartitionReaderFactory =
         if (counting) AvroCountReaderFactory(required)
+        else if (aggAny.nonEmpty) AvroAggRowReaderFactory(aggAny.map(_._2))
         else if (aggIsMin.nonEmpty) AvroZoneAggReaderFactory(aggIsMin, aggDt)
         else AvroReaderFactory(required, full, filters, limit)
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -717,7 +825,7 @@ class AvroScanBuilder(path: String, full: StructType,
         s"graft-avro $path (${required.fieldNames.mkString(",")}) " +
           s"PushedFilters: [${filters.mkString(", ")}]" +
           (if (counting) " PushedAggregation: [COUNT(*)]"
-           else if (aggIsMin.nonEmpty)
+           else if (aggIsMin.nonEmpty || aggAny.nonEmpty)
              " PushedAggregation: [" +
                required.fieldNames.map { n =>
                  // MIN(col)/MAX(col): uppercase the function, not the column
@@ -766,6 +874,35 @@ case class AvroCountReaderFactory(required: StructType)
   */
 case class AvroZoneAggPartition(minEnc: String, maxEnc: String)
   extends InputPartition
+
+/** One precomputed aggregate row (the all-column-manifest MIN/MAX fold
+  * happens driver-side at pushdown); `vals` are EXTERNAL values, None =
+  * SQL null (all-null or empty column).
+  */
+case class AvroAggRowPartition(vals: Seq[Option[Any]]) extends InputPartition
+
+case class AvroAggRowReaderFactory(
+    dts: Seq[org.apache.spark.sql.types.DataType])
+  extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val part = partition.asInstanceOf[AvroAggRowPartition]
+    new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = !done
+      override def get(): InternalRow = {
+        done = true
+        InternalRow.fromSeq(part.vals.zip(dts).map {
+          case (None, _) => null
+          case (Some(v), dt) =>
+            org.apache.spark.sql.catalyst.CatalystTypeConverters
+              .createToCatalystConverter(dt)(v)
+        })
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
 
 /** Emits one partial-aggregate row per zone entry: for each pushed
   * Min/Max, the file's manifest min or max parsed back to the column
@@ -1425,7 +1562,7 @@ private[sources] object AvroWriters {
       * prefix has no incrementable char (all U+FFFF/high surrogates)
       * drops the entry: absence ⇒ keep is sound.
       */
-    private val MaxBound = 64
+    private val MaxBound = AvroFileSource.StringBoundMax
     private def truncMin(s: String): String =
       if (s.length <= MaxBound) s else s.substring(0, MaxBound)
     private def truncMax(s: String): Option[String] = {
@@ -1445,21 +1582,31 @@ private[sources] object AvroWriters {
     }
 
     /** Settled bounds: (dotted name, typeName, minEnc, maxEnc) for every
-      * live leaf that saw a non-null value.
+      * live leaf. An ALL-NULL live leaf emits an explicit `__null__`
+      * marker pair — it contributes nothing to pruning (the read side
+      * drops null bounds) but makes COVERAGE checkable: the
+      * metadata-served MIN/MAX path may only trust the manifest when
+      * every file carries an entry for the column, and "file has only
+      * nulls" must be distinguishable from "file not covered". Dead
+      * (non-finite) leaves still emit nothing — their files genuinely
+      * are not covered.
       */
     def stats: Seq[(String, String, String, String)] =
       leaves.indices.flatMap { l =>
-        if (dead(l) || mins(l) == null) None
+        if (dead(l)) None
         else {
           val (name, _, dt, _) = leaves(l)
-          val bounds = (mins(l), maxs(l)) match {
-            case (mn: String, mx: String) =>
-              truncMax(mx).map(m => (truncMin(mn): Any, m: Any))
-            case (mn, mx) => Some((mn, mx))
-          }
+          val bounds: Option[(Any, Any)] =
+            if (mins(l) == null) Some((null, null))
+            else (mins(l), maxs(l)) match {
+              case (mn: String, mx: String) =>
+                truncMax(mx).map(m => (truncMin(mn): Any, m: Any))
+              case (mn, mx) => Some((mn, mx))
+            }
           bounds.map { case (mn, mx) =>
             (java.net.URLEncoder.encode(name, "UTF-8"), dt.simpleString,
-              AvroFileSource.zoneEncode(mn), AvroFileSource.zoneEncode(mx))
+              if (mn == null) "__null__" else AvroFileSource.zoneEncode(mn),
+              if (mx == null) "__null__" else AvroFileSource.zoneEncode(mx))
           }
         }
       }.toSeq

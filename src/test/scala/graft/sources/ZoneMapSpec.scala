@@ -410,6 +410,65 @@ class ZoneMapSpec extends AnyFunSuite with SparkSpec with Matchers {
     avro.filter(F.col("k") < 100).count() shouldBe 100
   }
 
+  test("min/max of ANY covered column serves from the col manifest, zero opens") {
+    val dir = tmp()
+    spark.range(0, 10000).toDF("k")
+      .withColumn("v", F.pmod(F.col("k") * 7, F.lit(1000)))
+      .withColumn("s", F.substring(F.md5(F.col("k").cast("string")), 1, 8))
+      .withColumn("nl", F.when(F.col("k") < 0, F.col("k"))) // all-null col
+      .repartitionByRange(6, F.col("k"))
+      .write.format("graft-avro").mode("overwrite").save(dir) // UNSORTED
+    val avro = spark.read.format("graft-avro").load(dir)
+    val agg = avro.agg(F.min("k"), F.max("k"), F.max("v"), F.min("s"),
+      F.max("nl"))
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val root = agg.queryExecution.executedPlan
+    val under = root.collectFirst {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+    }.getOrElse(root)
+    val scan = under.collectFirst { case b: BatchScanExec => b }.get
+    scan.scan.description() should include("PushedAggregation")
+    val truth = spark.range(0, 10000).toDF("k")
+      .withColumn("v", F.pmod(F.col("k") * 7, F.lit(1000)))
+      .withColumn("s", F.substring(F.md5(F.col("k").cast("string")), 1, 8))
+      .agg(F.min("k"), F.max("k"), F.max("v"), F.min("s")).head()
+    val row = agg.head()
+    (0 to 3).foreach(i => row.get(i) shouldBe truth.get(i))
+    row.isNullAt(4) shouldBe true // all-null column -> SQL null
+    // proof no data file is opened: truncate them all, ask again
+    AvroFileSource.listAvro(new File(dir)).foreach { f =>
+      val ch = new java.io.RandomAccessFile(f, "rw")
+      try ch.setLength(1) finally ch.close()
+    }
+    spark.read.format("graft-avro").schema(avro.schema).load(dir)
+      .agg(F.min("k"), F.max("v")).head() shouldBe
+      org.apache.spark.sql.Row(truth.get(0), truth.get(2))
+  }
+
+  test("any-column min/max falls back without full coverage or exact strings") {
+    val dir = tmp()
+    spark.range(0, 1000).toDF("k")
+      // strings AT/over the 64-char truncation cap: maybe-truncated
+      .withColumn("big", F.rpad(F.col("k").cast("string"), 80, "z"))
+      .repartitionByRange(3, F.col("k"))
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    val avro = spark.read.format("graft-avro").load(dir)
+    // truncated bounds are inexact: the real scan must answer
+    val truth = spark.range(0, 1000)
+      .select(F.rpad(F.col("id").cast("string"), 80, "z").as("big"))
+      .agg(F.min("big"), F.max("big")).head()
+    avro.agg(F.min("big"), F.max("big")).head() shouldBe truth
+    // drop one file's manifest lines: coverage broken -> fallback, still
+    // correct
+    val zf = new File(dir, "_graft_zones_cols")
+    val lines = scala.io.Source.fromFile(zf, "UTF-8").getLines().toSeq
+    val firstRel = lines.head.split('\t').head
+    java.nio.file.Files.write(zf.toPath,
+      lines.filterNot(_.startsWith(firstRel)).mkString("\n").getBytes("UTF-8"))
+    avro.agg(F.min("k"), F.max("k")).head() shouldBe
+      org.apache.spark.sql.Row(0L, 999L)
+  }
+
   test("long string bounds truncate in the manifest; pruning stays sound") {
     val dir = tmp()
     // 600-char strings whose ORDER is decided in the first few chars
