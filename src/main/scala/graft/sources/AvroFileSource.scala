@@ -175,6 +175,50 @@ object AvroFileSource {
     */
   val StringBoundMax = 64
 
+  /** String bounds are TRUNCATED parquet-style so a long-text column
+    * cannot bloat the manifests (two full document bodies per file per
+    * column at corpus scale would turn the one-manifest-read-per-scan
+    * design into a gigabyte driver read): a 64-char prefix of min is
+    * still a valid lower bound, and max truncates to a 64-char prefix
+    * with its last incrementable code unit bumped — strictly above
+    * every string sharing the prefix, hence above max. A max whose
+    * prefix has no incrementable char (all U+FFFF/high surrogates)
+    * yields None — the caller drops the entry (absence ⇒ keep) or keeps
+    * the full value, whichever its manifest's semantics need.
+    */
+  private[sources] def truncBoundMin(s: String): String =
+    if (s.length <= StringBoundMax) s else s.substring(0, StringBoundMax)
+  private[sources] def truncBoundMax(s: String): Option[String] = {
+    if (s.length <= StringBoundMax) return Some(s)
+    val p = s.substring(0, StringBoundMax).toCharArray
+    var i = p.length - 1
+    while (i >= 0) {
+      val c = p(i)
+      // incrementing must stay a +1 code-point step in UTF-8 order:
+      // skip chars whose successor enters the surrogate range or
+      // overflows, and skip surrogates entirely
+      if (c < 0xD7FF || (c >= 0xE000 && c < 0xFFFF))
+        return Some(new String(p, 0, i) + (c + 1).toChar)
+      i -= 1
+    }
+    None
+  }
+
+  /** Sort-manifest bound encoding: strings truncate like the all-column
+    * manifest, EXCEPT an un-bumpable max keeps its full value — the
+    * sorted MIN/MAX path treats a missing entry as all-null, so dropping
+    * is not an option there (the aggregate path separately rejects
+    * bounds at the cap as maybe-truncated).
+    */
+  private[sources] def zoneEncodeMin(v: Any): String = v match {
+    case s: String => zoneEncode(truncBoundMin(s))
+    case other => zoneEncode(other)
+  }
+  private[sources] def zoneEncodeMax(v: Any): String = v match {
+    case s: String => zoneEncode(truncBoundMax(s).getOrElse(s))
+    case other => zoneEncode(other)
+  }
+
   /** Raw all-column manifest keyed by relative path; values stay
     * URL-encoded for lossless merge-and-rewrite. Malformed lines drop
     * (never-prune is sound).
@@ -386,7 +430,15 @@ class AvroScanBuilder(path: String, full: StructType,
           val parsed = AvroFileSource.readZones(zf, new File(path), d)
           minMaxDt = d
           minMaxZones = raw
-          parsed.size == raw.size // every entry parses, else fall back
+          parsed.size == raw.size && // every entry parses, else fall back
+            // a string bound AT the truncation cap is maybe-truncated:
+            // fine for pruning (wider), NOT an exact aggregate value
+            parsed.values.forall {
+              case (lo: String, hi: String) =>
+                lo.length < AvroFileSource.StringBoundMax &&
+                  hi.length < AvroFileSource.StringBoundMax
+              case _ => true
+            }
           }
         }
       }
@@ -1552,34 +1604,9 @@ private[sources] object AvroWriters {
       }
     }
 
-    /** String bounds are TRUNCATED parquet-style so a long-text column
-      * cannot bloat the manifest (two full document bodies per file per
-      * column at corpus scale would turn the one-manifest-read-per-scan
-      * design into a gigabyte driver read): a 64-char prefix of min is
-      * still a valid lower bound, and max truncates to a 64-char prefix
-      * with its last incrementable code unit bumped — strictly above
-      * every string sharing the prefix, hence above max. A max whose
-      * prefix has no incrementable char (all U+FFFF/high surrogates)
-      * drops the entry: absence ⇒ keep is sound.
-      */
-    private val MaxBound = AvroFileSource.StringBoundMax
-    private def truncMin(s: String): String =
-      if (s.length <= MaxBound) s else s.substring(0, MaxBound)
-    private def truncMax(s: String): Option[String] = {
-      if (s.length <= MaxBound) return Some(s)
-      val p = s.substring(0, MaxBound).toCharArray
-      var i = p.length - 1
-      while (i >= 0) {
-        val c = p(i)
-        // incrementing must stay a +1 code-point step in UTF-8 order:
-        // skip chars whose successor enters the surrogate range or
-        // overflows, and skip surrogates entirely
-        if (c < 0xD7FF || (c >= 0xE000 && c < 0xFFFF))
-          return Some(new String(p, 0, i) + (c + 1).toChar)
-        i -= 1
-      }
-      None
-    }
+    private def truncMin(s: String): String = AvroFileSource.truncBoundMin(s)
+    private def truncMax(s: String): Option[String] =
+      AvroFileSource.truncBoundMax(s)
 
     /** Settled bounds: (dotted name, typeName, minEnc, maxEnc) for every
       * live leaf. An ALL-NULL live leaf emits an explicit `__null__`
@@ -1694,7 +1721,8 @@ private[sources] object AvroWriters {
             if (staged) open.toSeq.flatMap { case (sub, (_, f)) =>
               verifiers.get(sub).flatMap(_.zone).map { case (mn, mx) =>
                 (f.getPath.stripSuffix(".staging"),
-                  AvroFileSource.zoneEncode(mn), AvroFileSource.zoneEncode(mx))
+                  AvroFileSource.zoneEncodeMin(mn),
+                  AvroFileSource.zoneEncodeMax(mx))
               }
             }
             else Nil,
@@ -1757,8 +1785,8 @@ private[sources] object AvroWriters {
           zones =
             if (staged && writer != null)
               verifier.flatMap(_.zone).map { case (mn, mx) =>
-                (finalFile.getPath, AvroFileSource.zoneEncode(mn),
-                  AvroFileSource.zoneEncode(mx))
+                (finalFile.getPath, AvroFileSource.zoneEncodeMin(mn),
+                  AvroFileSource.zoneEncodeMax(mx))
               }.toSeq
             else Nil,
           colZones =

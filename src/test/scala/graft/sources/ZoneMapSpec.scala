@@ -499,6 +499,33 @@ class ZoneMapSpec extends AnyFunSuite with SparkSpec with Matchers {
     avro.filter(F.col("t") > ("p" * 100 + "1989")).count() shouldBe 10
   }
 
+  test("long SORT-column strings: manifest truncates, min/max falls back exact") {
+    val dir = tmp()
+    // 300-char sort keys, order decided in the first 4 chars
+    spark.range(0, 2000).toDF("i")
+      .selectExpr(
+        "concat(format_string('%04d', CAST(i AS INT)), repeat('y', 296)) AS s",
+        "i AS v")
+      .repartitionByRange(4, F.col("s"))
+      .sortWithinPartitions("s")
+      .write.format("graft-avro").option("sortedBy", "s")
+      .mode("overwrite").save(dir)
+    val zf = new File(dir, "_graft_zones")
+    zf should exist
+    scala.io.Source.fromFile(zf, "UTF-8").getLines()
+      .map(_.length).max should be < 400
+    val avro = spark.read.format("graft-avro").load(dir)
+    val nFiles = AvroFileSource.listAvro(new File(dir)).size
+    // truncated sort zones still prune selective predicates
+    val q = avro.filter(F.col("s") >= "1900")
+    scanPartitions(q) should be < nFiles
+    q.count() shouldBe 100
+    // maybe-truncated bounds must NOT serve min/max from metadata: the
+    // real scan answers with the exact full-length values
+    avro.agg(F.min("s"), F.max("s")).head() shouldBe
+      org.apache.spark.sql.Row("0000" + "y" * 296, "1999" + "y" * 296)
+  }
+
   test("an agreeing sorted append merges zones and still prunes") {
     val dir = tmp()
     writeSorted(dir)
