@@ -154,6 +154,13 @@ object Jpeg {
       while (nbits != 0) put(1, 1) // pad with 1s per spec
       out.toByteArray
     }
+    /** Byte-align with 1-fill and emit RSTn (markers are never stuffed;
+      * a fill byte that lands on 0xFF IS, via the normal put path).
+      */
+    def restartMarker(n: Int): Unit = {
+      while (nbits != 0) put(1, 1)
+      out.write(0xFF); out.write(0xD0 + (n & 7))
+    }
   }
 
   /** Entropy-segment reader: un-stuffs 0xFF00, stops (fails closed) at
@@ -187,6 +194,23 @@ object Jpeg {
       while (i < n) { v = (v << 1) | bit(); i += 1 }
       v
     }
+    /** Resync at a restart marker: discard partial bits, skip padding
+      * and orphaned stuffing bytes, consume the RSTn. IAE if the next
+      * marker is not a restart — fail closed, never resynchronize onto
+      * garbage.
+      */
+    def restart(): Unit = {
+      acc = 0; nbits = 0
+      while (pos + 1 < data.length &&
+          !((data(pos) & 0xff) == 0xFF && (data(pos + 1) & 0xff) != 0x00))
+        pos += 1
+      require(pos + 1 < data.length, "missing restart marker")
+      val m = data(pos + 1) & 0xff
+      if (m < 0xD0 || m > 0xD7)
+        throw new IllegalArgumentException(f"expected RSTn, got FF$m%02X")
+      pos += 2
+    }
+
     /** Position of the marker 0xFF that ends the scan (for EOI check). */
     def markerPos: Int = {
       // consume padding bits then locate the next marker
@@ -222,10 +246,13 @@ object Jpeg {
     * exactness contract above). Partial edge MCUs pad by edge
     * replication, so block-constant content stays block-constant.
     */
-  def encode(w: Int, h: Int, pixels: Array[Byte]): Array[Byte] = {
+  def encode(w: Int, h: Int, pixels: Array[Byte],
+      restartInterval: Int = 0): Array[Byte] = {
     require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff,
       s"bad dims ${w}x$h")
     require(pixels.length == w * h, s"expected ${w * h} bytes")
+    require(restartInterval >= 0 && restartInterval <= 0xffff,
+      s"bad restart interval $restartInterval")
     val out = new java.io.ByteArrayOutputStream()
     def seg(marker: Int, body: Array[Byte]): Unit = {
       out.write(0xFF); out.write(marker)
@@ -243,16 +270,25 @@ object Jpeg {
         bits.map(_.toByte) ++ vals.map(_.toByte))
     dht(0, DcBits, DcVals)
     dht(1, AcBits, AcVals)
+    if (restartInterval > 0) // DRI: restart every N MCUs (1 block = 1 MCU)
+      seg(0xDD, Array[Byte]((restartInterval >>> 8).toByte,
+        (restartInterval & 0xff).toByte))
     seg(0xDA, Array[Byte](1, 1, 0x00, 0, 63, 0)) // SOS: comp 1, DC0/AC0
 
     val bw = new BitWriter
     val wB = (w + 7) / 8; val hB = (h + 7) / 8
     val f = new Array[Double](64); val q = new Array[Int](64)
     var prevDc = 0
+    var mcu = 0; var rst = 0
     var by = 0
     while (by < hB) {
       var bx = 0
       while (bx < wB) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bw.restartMarker(rst); rst = (rst + 1) & 7
+          prevDc = 0 // DC prediction resets at every restart
+        }
+        mcu += 1
         // level-shifted block with edge replication
         var y = 0
         while (y < 8) {
@@ -324,6 +360,7 @@ object Jpeg {
     var pos = 2
     var w = -1; var h = -1
     var quant: Array[Int] = null; var compTq = -1
+    var restartInterval = 0
     var dcT: HuffTable = null; var acT: HuffTable = null
     // 16 slots: ids are 4-bit nibbles — a corrupt id must index, not
     // escape as ArrayIndexOutOfBounds (spec says 0..3, fuzz says 0..15)
@@ -394,7 +431,10 @@ object Jpeg {
             quant = quants(compTq)
             require(quant != null, "missing quant table")
             sosAt = pos + 2 + len
-          case _ => () // APPn, COM, DRI(unused: no restart markers emitted)
+          case 0xDD => // DRI: restart interval in MCUs
+            require(bodyLen >= 2, "truncated DRI")
+            restartInterval = u16(bytes, body)
+          case _ => () // APPn, COM
         }
         pos += 2 + len
       }
@@ -405,11 +445,17 @@ object Jpeg {
     val br = new BitReader(bytes, sosAt)
     val coef = new Array[Int](64); val blk = new Array[Double](64)
     var prevDc = 0
+    var mcu = 0
     try {
       var by = 0
       while (by < hB) {
         var bx = 0
         while (bx < wB) {
+          if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+            br.restart()
+            prevDc = 0 // DC prediction resets at every restart
+          }
+          mcu += 1
           java.util.Arrays.fill(coef, 0)
           val cat = dcT.decode(br)
           require(cat <= 11, "bad DC category")

@@ -97,9 +97,10 @@ object CodecFuzzLaws extends Properties("CodecFuzzLaws") {
 
   private val jpegGen: Gen[Array[Byte]] = for {
     w <- Gen.choose(1, 16); h <- Gen.choose(1, 16)
+    ri <- Gen.oneOf(0, 0, 1, 2) // half the corpus carries restart markers
     pix <- Gen.containerOfN[Array, Byte](w * h,
       Gen.choose(Byte.MinValue, Byte.MaxValue))
-    out <- corrupt(Jpeg.encode(w, h, pix))
+    out <- corrupt(Jpeg.encode(w, h, pix, ri))
   } yield out
 
   property("Jpeg.decode total on junk") =

@@ -70,6 +70,37 @@ object JpegLaws extends Properties("JpegLaws") {
       Prop(rich > flat + 16) :| s"rich=$rich flat=$flat"
     }
 
+  // restart markers: DRI + RSTn every N MCUs, DC prediction resetting at
+  // each — the stream shape every real camera/encoder emits for error
+  // resilience; alignment padding, marker cycling and resync all run
+  property("restart intervals round-trip exactly (any N vs block count)") =
+    Prop.forAll(for {
+      wb <- Gen.choose(1, 5); hb <- Gen.choose(1, 5)
+      ri <- Gen.choose(1, 8)
+      vals <- Gen.containerOfN[Array, Byte](wb * hb,
+        Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield (wb, hb, ri, vals)) { case (wb, hb, ri, vals) =>
+      val pix = blockConstant(wb * 8, hb * 8, vals)
+      val enc = Jpeg.encode(wb * 8, hb * 8, pix, restartInterval = ri)
+      val (w2, h2, out) = Jpeg.decode(enc)
+      Prop(w2 == wb * 8 && h2 == hb * 8 &&
+        java.util.Arrays.equals(out, pix)) :|
+        s"restart round-trip failed (${wb}x$hb blocks, interval $ri)"
+    }
+
+  property("restart streams with arbitrary content stay bounded-lossy") =
+    Prop.forAll(for {
+      w <- Gen.choose(9, 24); h <- Gen.choose(9, 24)
+      ri <- Gen.choose(1, 4)
+      pix <- Gen.containerOfN[Array, Byte](w * h,
+        Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield (w, h, ri, pix)) { case (w, h, ri, pix) =>
+      val (_, _, out) = Jpeg.decode(Jpeg.encode(w, h, pix, ri))
+      val maxErr = (0 until w * h).map(i =>
+        math.abs((out(i) & 0xff) - (pix(i) & 0xff))).max
+      Prop(maxErr <= 4) :| s"maxErr=$maxErr"
+    }
+
   property("header fields are byte-valid (SOI/SOF0 dims/EOI)") =
     Prop.forAll(Gen.choose(1, 40), Gen.choose(1, 40)) { (w, h) =>
       val b = Jpeg.encode(w, h, Array.fill[Byte](w * h)(42))
