@@ -324,8 +324,14 @@ object LlmMultimodal extends Catalog {
             val x = j % w; val y = j / w
             bytes(((y / 8) * wB + (x / 8)) % bytes.length)
           }
+          // a third of the corpus carries DRI/RSTn restart markers (the
+          // real-encoder stream shape) — invisible to the decoded bytes,
+          // so the oracle is unchanged while restart resync + DC reset
+          // run under the driver hash
           graft.multimodal.RawAsset(id,
-            graft.multimodal.Jpeg.encode(w, h, pix), "img/jpeg", w, h, 1)
+            graft.multimodal.Jpeg.encode(w, h, pix,
+              restartInterval = if (id % 3 == 0) 2 else 0),
+            "img/jpeg", w, h, 1)
         }
       graft.multimodal.Jpeg.decodeAssets(assets)
         .toDF()
