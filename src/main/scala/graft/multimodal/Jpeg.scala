@@ -13,10 +13,26 @@ final case class JpegDecoded(
     sumV: Long,
     pix: Array[Byte])
 
+/** Decoded 4:2:0 YCbCr JPEG asset: dims, exact-integer per-plane sums,
+  * and the three decoded planes (Y full-res; Cb/Cr quarter-res).
+  */
+final case class JpegColorDecoded(
+    docId: Long,
+    w: Int,
+    h: Int,
+    sumY: Long,
+    sumCb: Long,
+    sumCr: Long,
+    y: Array[Byte],
+    cb: Array[Byte],
+    cr: Array[Byte])
+
 /** REAL entropy-coded transform codec with zero external dependencies:
-  * baseline sequential JPEG (ITU-T T.81), 8-bit grayscale, built
-  * entirely on the JDK — the THIRD compression family next to PNG's
-  * LZ77 and GIF's LZW.
+  * baseline sequential JPEG (ITU-T T.81) — 8-bit grayscale AND 4:2:0
+  * YCbCr color (interleaved 16x16 MCUs: 4 luma blocks + Cb + Cr, the
+  * shape virtually every camera emits) — built entirely on the JDK; the
+  * THIRD compression family next to PNG's LZ77 and GIF's LZW. Restart
+  * markers (DRI/RSTn with DC-prediction reset) supported on both paths.
   *
   * [[encode]] emits a byte-valid .jpg any viewer opens: SOI, DQT, SOF0,
   * two DHTs (canonical Huffman from BITS/HUFFVAL), SOS, an MSB-first
@@ -39,8 +55,8 @@ final case class JpegDecoded(
   * Totality contract (CodecFuzzLaws): decode on arbitrary bytes either
   * succeeds or throws IllegalArgumentException; all size arithmetic is
   * bounds-checked, dims are capped, the Huffman walk and bit reader
-  * fail closed at EOF, and unsupported shapes (progressive, chroma,
-  * 12-bit) are rejected up front.
+  * fail closed at EOF, and unsupported shapes (progressive, 12-bit,
+  * other subsamplings) are rejected up front.
   *
   * Scale notes: narrow per-block kernels, linear in payload bytes, no
   * shuffle; [[decodeAssets]] keeps the family's mapPartitions shape.
@@ -241,6 +257,143 @@ object Jpeg {
     else if (v < (1 << (cat - 1))) v - (1 << cat) + 1
     else v
 
+  /** FDCT + flat quant + Huffman-write one level-shifted block; returns
+    * the new DC predictor (quantized units). `q` is caller scratch.
+    */
+  private def writeBlock(bw: BitWriter, f: Array[Double], q: Array[Int],
+      prevDc: Int): Int = {
+    var k = 0
+    while (k < 64) {
+      val u = Zig(k) % 8; val v = Zig(k) / 8
+      var s = 0.0
+      var yy = 0
+      while (yy < 8) {
+        var xx = 0
+        while (xx < 8) {
+          s += f(yy * 8 + xx) * Cos(u)(xx) * Cos(v)(yy)
+          xx += 1
+        }
+        yy += 1
+      }
+      q(k) = math.round(0.25 * Alpha(u) * Alpha(v) * s).toInt
+      k += 1
+    }
+    // DC: category + value bits of the prediction diff
+    val diff = q(0) - prevDc
+    val cat = category(diff)
+    val (dcode, dlen) = DcEnc(cat)
+    bw.put(dcode, dlen)
+    if (cat > 0)
+      bw.put(if (diff < 0) diff + (1 << cat) - 1 else diff, cat)
+    // AC: run-length with ZRL and EOB
+    var run = 0; var kk = 1
+    while (kk < 64) {
+      if (q(kk) == 0) run += 1
+      else {
+        while (run > 15) { val (zc, zl) = AcEnc(0xF0); bw.put(zc, zl); run -= 16 }
+        val sz = category(q(kk))
+        require(sz <= 10, s"AC coefficient out of range: ${q(kk)}")
+        val (c, l) = AcEnc((run << 4) | sz)
+        bw.put(c, l)
+        bw.put(if (q(kk) < 0) q(kk) + (1 << sz) - 1 else q(kk), sz)
+        run = 0
+      }
+      kk += 1
+    }
+    if (run > 0) { val (ec, el) = AcEnc(0x00); bw.put(ec, el) }
+    q(0)
+  }
+
+  /** Huffman-read + dequant one block into `coef` (raster order);
+    * returns the new DC predictor (quantized units).
+    */
+  private def readBlock(br: BitReader, dcT: HuffTable, acT: HuffTable,
+      quant: Array[Int], coef: Array[Int], prevDc: Int): Int = {
+    java.util.Arrays.fill(coef, 0)
+    val cat = dcT.decode(br)
+    require(cat <= 11, "bad DC category")
+    val dc = prevDc + extend(br.bits(cat), cat)
+    coef(0) = dc * quant(0)
+    var k = 1
+    while (k < 64) {
+      val rs = acT.decode(br)
+      if (rs == 0x00) k = 64 // EOB
+      else if (rs == 0xF0) k += 16 // ZRL
+      else {
+        k += rs >> 4
+        val sz = rs & 0x0f
+        require(k < 64, "AC index past block end")
+        coef(Zig(k)) = extend(br.bits(sz), sz) * quant(k)
+        k += 1
+      }
+    }
+    dc
+  }
+
+  /** IDCT + level shift into `blk` (values still unclamped doubles). */
+  private def idct(coef: Array[Int], blk: Array[Double]): Unit = {
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) {
+          var u = 0
+          while (u < 8) {
+            val c = coef(v * 8 + u)
+            if (c != 0) s += Alpha(u) * Alpha(v) * c * Cos(u)(x) * Cos(v)(y)
+            u += 1
+          }
+          v += 1
+        }
+        blk(y * 8 + x) = 0.25 * s + 128.0
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Level-shifted 8x8 block from `plane` at block (bx, by) with edge
+    * replication — block-constant content stays block-constant.
+    */
+  private def loadBlock(plane: Array[Byte], w: Int, h: Int, bx: Int,
+      by: Int, f: Array[Double]): Unit = {
+    var y = 0
+    while (y < 8) {
+      val sy = math.min(by * 8 + y, h - 1)
+      var x = 0
+      while (x < 8) {
+        val sx = math.min(bx * 8 + x, w - 1)
+        f(y * 8 + x) = (plane(sy * w + sx) & 0xff) - 128.0
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Clamp `blk` into the (cropped) raster at block (bx, by). */
+  private def storeBlock(blk: Array[Double], plane: Array[Byte], w: Int,
+      h: Int, bx: Int, by: Int): Unit = {
+    var y = 0
+    while (y < 8) {
+      val py = by * 8 + y
+      if (py < h) {
+        var x = 0
+        while (x < 8) {
+          val px = bx * 8 + x
+          if (px < w) {
+            val v = math.round(blk(y * 8 + x)).toInt
+            plane(py * w + px) =
+              (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+          }
+          x += 1
+        }
+      }
+      y += 1
+    }
+  }
+
   /** Encode top-down row-major 8-bit gray pixels as a baseline
     * sequential grayscale JPEG with a flat all-ones quant table (the
     * exactness contract above). Partial edge MCUs pad by edge
@@ -289,61 +442,86 @@ object Jpeg {
           prevDc = 0 // DC prediction resets at every restart
         }
         mcu += 1
-        // level-shifted block with edge replication
-        var y = 0
-        while (y < 8) {
-          val sy = math.min(by * 8 + y, h - 1)
-          var x = 0
-          while (x < 8) {
-            val sx = math.min(bx * 8 + x, w - 1)
-            f(y * 8 + x) = (pixels(sy * w + sx) & 0xff) - 128.0
-            x += 1
-          }
-          y += 1
-        }
-        // FDCT + flat quant, in zigzag order
-        var k = 0
-        while (k < 64) {
-          val u = Zig(k) % 8; val v = Zig(k) / 8
-          var s = 0.0
-          var yy = 0
-          while (yy < 8) {
-            var xx = 0
-            while (xx < 8) {
-              s += f(yy * 8 + xx) * Cos(u)(xx) * Cos(v)(yy)
-              xx += 1
-            }
-            yy += 1
-          }
-          q(k) = math.round(0.25 * Alpha(u) * Alpha(v) * s).toInt
-          k += 1
-        }
-        // DC: category + value bits of the prediction diff
-        val diff = q(0) - prevDc; prevDc = q(0)
-        val cat = category(diff)
-        val (dcode, dlen) = DcEnc(cat)
-        bw.put(dcode, dlen)
-        if (cat > 0)
-          bw.put(if (diff < 0) diff + (1 << cat) - 1 else diff, cat)
-        // AC: run-length with ZRL and EOB
-        var run = 0; var kk = 1
-        while (kk < 64) {
-          if (q(kk) == 0) run += 1
-          else {
-            while (run > 15) { val (zc, zl) = AcEnc(0xF0); bw.put(zc, zl); run -= 16 }
-            val sz = category(q(kk))
-            require(sz <= 10, s"AC coefficient out of range: ${q(kk)}")
-            val (c, l) = AcEnc((run << 4) | sz)
-            bw.put(c, l)
-            bw.put(if (q(kk) < 0) q(kk) + (1 << sz) - 1 else q(kk), sz)
-            run = 0
-          }
-          kk += 1
-        }
-        if (run > 0) { val (ec, el) = AcEnc(0x00); bw.put(ec, el) }
+        loadBlock(pixels, w, h, bx, by, f)
+        prevDc = writeBlock(bw, f, q, prevDc)
         bx += 1
       }
       by += 1
+    }
+    out.write(bw.flush())
+    out.write(0xFF); out.write(0xD9) // EOI
+    out.toByteArray
+  }
+
+  /** Encode a 4:2:0 YCbCr baseline JPEG from its three planes (Y at
+    * w x h, Cb/Cr at ceil(w/2) x ceil(h/2)) with the same flat quant
+    * table and exactness contract as [[encode]]: interleaved 16x16 MCUs
+    * (4 luma blocks + Cb + Cr), per-component DC prediction, optional
+    * restart markers.
+    */
+  def encodeColor(w: Int, h: Int, yP: Array[Byte], cbP: Array[Byte],
+      crP: Array[Byte], restartInterval: Int = 0): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff,
+      s"bad dims ${w}x$h")
+    val cw = (w + 1) / 2; val ch = (h + 1) / 2
+    require(yP.length == w * h, s"expected ${w * h} luma bytes")
+    require(cbP.length == cw * ch && crP.length == cw * ch,
+      s"expected ${cw * ch} bytes per chroma plane")
+    require(restartInterval >= 0 && restartInterval <= 0xffff,
+      s"bad restart interval $restartInterval")
+    val out = new java.io.ByteArrayOutputStream()
+    def seg(marker: Int, body: Array[Byte]): Unit = {
+      out.write(0xFF); out.write(marker)
+      out.write((body.length + 2) >>> 8); out.write((body.length + 2) & 0xff)
+      out.write(body, 0, body.length)
+    }
+    out.write(0xFF); out.write(0xD8) // SOI
+    seg(0xDB, Array[Byte](0) ++ Array.fill[Byte](64)(1)) // DQT id 0, flat
+    seg(0xC0, Array[Byte](8, // SOF0: 8-bit, 3 components, 4:2:0
+      (h >>> 8).toByte, (h & 0xff).toByte,
+      (w >>> 8).toByte, (w & 0xff).toByte,
+      3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0))
+    def dht(cls: Int, bits: Array[Int], vals: Array[Int]): Unit =
+      seg(0xC4, Array[Byte]((cls << 4).toByte) ++
+        bits.map(_.toByte) ++ vals.map(_.toByte))
+    dht(0, DcBits, DcVals)
+    dht(1, AcBits, AcVals)
+    if (restartInterval > 0)
+      seg(0xDD, Array[Byte]((restartInterval >>> 8).toByte,
+        (restartInterval & 0xff).toByte))
+    seg(0xDA, Array[Byte](3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0))
+
+    val bw = new BitWriter
+    val f = new Array[Double](64); val q = new Array[Int](64)
+    val prevDc = new Array[Int](3)
+    val mcusX = (w + 15) / 16; val mcusY = (h + 15) / 16
+    var mcu = 0; var rst = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bw.restartMarker(rst); rst = (rst + 1) & 7
+          java.util.Arrays.fill(prevDc, 0)
+        }
+        mcu += 1
+        var i = 0
+        while (i < 2) { // 4 luma blocks, left-to-right then top-to-bottom
+          var j = 0
+          while (j < 2) {
+            loadBlock(yP, w, h, 2 * mx + j, 2 * my + i, f)
+            prevDc(0) = writeBlock(bw, f, q, prevDc(0))
+            j += 1
+          }
+          i += 1
+        }
+        loadBlock(cbP, cw, ch, mx, my, f)
+        prevDc(1) = writeBlock(bw, f, q, prevDc(1))
+        loadBlock(crP, cw, ch, mx, my, f)
+        prevDc(2) = writeBlock(bw, f, q, prevDc(2))
+        mx += 1
+      }
+      my += 1
     }
     out.write(bw.flush())
     out.write(0xFF); out.write(0xD9) // EOI
@@ -355,13 +533,39 @@ object Jpeg {
     * multi-component / 12-bit streams are rejected, not mis-decoded.
     */
   def decode(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val (w, h, planes) = decodePlanes(bytes, wantColor = false)
+    (w, h, planes(0))
+  }
+
+  /** Decode a baseline sequential 4:2:0 YCbCr JPEG (three components,
+    * sampling 2x2/1x1/1x1 — the shape virtually every camera emits) to
+    * its three planes: full-resolution Y and quarter-resolution Cb/Cr
+    * (ceil(w/2) x ceil(h/2)). No RGB conversion — a curation pipeline
+    * featurizes planes; color-space math would add rounding the oracle
+    * cannot share. Succeeds or throws IllegalArgumentException.
+    */
+  def decodeColor(bytes: Array[Byte])
+      : (Int, Int, Array[Byte], Array[Byte], Array[Byte]) = {
+    val (w, h, planes) = decodePlanes(bytes, wantColor = true)
+    (w, h, planes(0), planes(1), planes(2))
+  }
+
+  /** Shared decoder: grayscale (1 component) or 4:2:0 YCbCr (3). The
+    * marker walk, Huffman machinery, restart handling and totality
+    * contract are one code path — the fuzz suite hardens both shapes.
+    */
+  private def decodePlanes(bytes: Array[Byte], wantColor: Boolean)
+      : (Int, Int, Array[Array[Byte]]) = {
     require(bytes.length >= 4 && (bytes(0) & 0xff) == 0xFF &&
       (bytes(1) & 0xff) == 0xD8, "not a JPEG (missing SOI)")
     var pos = 2
     var w = -1; var h = -1
-    var quant: Array[Int] = null; var compTq = -1
+    var nf = -1
+    // per frame component: (hSamp, vSamp, quantTableId)
+    var comps: Array[(Int, Int, Int)] = null
+    // per scan component: (dc table, ac table)
+    var scanTabs: Array[(HuffTable, HuffTable)] = null
     var restartInterval = 0
-    var dcT: HuffTable = null; var acT: HuffTable = null
     // 16 slots: ids are 4-bit nibbles — a corrupt id must index, not
     // escape as ArrayIndexOutOfBounds (spec says 0..3, fuzz says 0..15)
     val quants = new Array[Array[Int]](16)
@@ -412,24 +616,41 @@ object Jpeg {
             h = u16(bytes, body + 1); w = u16(bytes, body + 3)
             require(w > 0 && h > 0, "empty frame")
             require(w.toLong * h <= MaxPixels, "frame too large")
-            val nf = bytes(body + 5) & 0xff
-            require(nf == 1, "only grayscale (1 component) supported")
-            require((bytes(body + 7) & 0xff) == 0x11,
-              "subsampling on a single component")
-            compTq = bytes(body + 8) & 0x0f
+            nf = bytes(body + 5) & 0xff
+            require(bodyLen >= 6 + 3 * nf, "truncated SOF0 components")
+            if (wantColor)
+              require(nf == 3, "expected a 3-component YCbCr frame")
+            else
+              require(nf == 1, "only grayscale (1 component) supported")
+            comps = Array.tabulate(nf) { i =>
+              val hv = bytes(body + 7 + 3 * i) & 0xff
+              ((hv >> 4, hv & 0x0f, bytes(body + 8 + 3 * i) & 0x0f))
+            }
+            if (nf == 1)
+              require(comps(0)._1 == 1 && comps(0)._2 == 1,
+                "subsampling on a single component")
+            else
+              require(comps(0) == ((2, 2, comps(0)._3)) &&
+                comps(1)._1 == 1 && comps(1)._2 == 1 &&
+                comps(2)._1 == 1 && comps(2)._2 == 1,
+                "only 4:2:0 (2x2 luma, 1x1 chroma) supported")
           case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA |
                0xCB | 0xCD | 0xCE | 0xCF =>
             throw new IllegalArgumentException(
               "only baseline sequential (SOF0) supported")
           case 0xDA => // SOS
-            require(bodyLen >= 6, "truncated SOS")
-            require((bytes(body) & 0xff) == 1, "one scan component expected")
-            val tabs = bytes(body + 2) & 0xff
             require(w > 0, "SOS before SOF0")
-            dcT = dcTabs(tabs >> 4); acT = acTabs(tabs & 0x0f)
-            require(dcT != null && acT != null, "missing Huffman table")
-            quant = quants(compTq)
-            require(quant != null, "missing quant table")
+            require(bodyLen >= 4 + 2 * nf, "truncated SOS")
+            require((bytes(body) & 0xff) == nf,
+              "scan must cover every frame component")
+            scanTabs = Array.tabulate(nf) { i =>
+              val tabs = bytes(body + 2 + 2 * i) & 0xff
+              val dcT = dcTabs(tabs >> 4); val acT = acTabs(tabs & 0x0f)
+              require(dcT != null && acT != null, "missing Huffman table")
+              (dcT, acT)
+            }
+            comps.foreach { case (_, _, tq) =>
+              require(quants(tq) != null, "missing quant table") }
             sosAt = pos + 2 + len
           case 0xDD => // DRI: restart interval in MCUs
             require(bodyLen >= 2, "truncated DRI")
@@ -440,93 +661,71 @@ object Jpeg {
       }
     }
 
-    val wB = (w + 7) / 8; val hB = (h + 7) / 8
-    val pix = new Array[Byte](w * h)
+    // plane geometry: full-res Y; 4:2:0 chroma at ceil(w/2) x ceil(h/2)
+    val dims: Array[(Int, Int)] =
+      if (nf == 1) Array((w, h))
+      else Array((w, h), ((w + 1) / 2, (h + 1) / 2), ((w + 1) / 2, (h + 1) / 2))
+    val planes = dims.map { case (pw, ph) => new Array[Byte](pw * ph) }
     val br = new BitReader(bytes, sosAt)
     val coef = new Array[Int](64); val blk = new Array[Double](64)
-    var prevDc = 0
+    val prevDc = new Array[Int](nf)
     var mcu = 0
+    // MCU grid: 8x8 for grayscale, 16x16 for 4:2:0
+    val mcuPx = if (nf == 1) 8 else 16
+    val mcusX = (w + mcuPx - 1) / mcuPx; val mcusY = (h + mcuPx - 1) / mcuPx
     try {
-      var by = 0
-      while (by < hB) {
-        var bx = 0
-        while (bx < wB) {
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
           if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
             br.restart()
-            prevDc = 0 // DC prediction resets at every restart
+            java.util.Arrays.fill(prevDc, 0) // DC prediction resets
           }
           mcu += 1
-          java.util.Arrays.fill(coef, 0)
-          val cat = dcT.decode(br)
-          require(cat <= 11, "bad DC category")
-          prevDc += extend(br.bits(cat), cat)
-          coef(0) = prevDc * quant(0)
-          var k = 1
-          while (k < 64) {
-            val rs = acT.decode(br)
-            if (rs == 0x00) k = 64 // EOB
-            else if (rs == 0xF0) k += 16 // ZRL
-            else {
-              k += rs >> 4
-              val sz = rs & 0x0f
-              require(k < 64, "AC index past block end")
-              coef(Zig(k)) = extend(br.bits(sz), sz) * quant(k)
-              k += 1
-            }
-          }
-          // IDCT + level shift + clamp into the (cropped) raster
-          var y = 0
-          while (y < 8) {
-            var x = 0
-            while (x < 8) {
-              var s = 0.0
-              var v = 0
-              while (v < 8) {
-                var u = 0
-                while (u < 8) {
-                  val c = coef(v * 8 + u)
-                  if (c != 0) s += Alpha(u) * Alpha(v) * c * Cos(u)(x) * Cos(v)(y)
-                  u += 1
-                }
-                v += 1
+          if (nf == 1) {
+            prevDc(0) = readBlock(br, scanTabs(0)._1, scanTabs(0)._2,
+              quants(comps(0)._3), coef, prevDc(0))
+            idct(coef, blk)
+            storeBlock(blk, planes(0), w, h, mx, my)
+          } else {
+            // 4 luma blocks, left-to-right then top-to-bottom, then Cb, Cr
+            var i = 0
+            while (i < 2) {
+              var j = 0
+              while (j < 2) {
+                prevDc(0) = readBlock(br, scanTabs(0)._1, scanTabs(0)._2,
+                  quants(comps(0)._3), coef, prevDc(0))
+                idct(coef, blk)
+                storeBlock(blk, planes(0), w, h, 2 * mx + j, 2 * my + i)
+                j += 1
               }
-              blk(y * 8 + x) = 0.25 * s + 128.0
-              x += 1
+              i += 1
             }
-            y += 1
-          }
-          y = 0
-          while (y < 8) {
-            val py = by * 8 + y
-            if (py < h) {
-              var x = 0
-              while (x < 8) {
-                val px = bx * 8 + x
-                if (px < w) {
-                  val v = math.round(blk(y * 8 + x)).toInt
-                  pix(py * w + px) =
-                    (if (v < 0) 0 else if (v > 255) 255 else v).toByte
-                }
-                x += 1
-              }
+            var c = 1
+            while (c <= 2) {
+              prevDc(c) = readBlock(br, scanTabs(c)._1, scanTabs(c)._2,
+                quants(comps(c)._3), coef, prevDc(c))
+              idct(coef, blk)
+              storeBlock(blk, planes(c), dims(c)._1, dims(c)._2, mx, my)
+              c += 1
             }
-            y += 1
           }
-          bx += 1
+          mx += 1
         }
-        by += 1
+        my += 1
       }
     } catch {
       case e: ArrayIndexOutOfBoundsException =>
-        // coef(Zig(k)) with a forged k is range-checked above; any other
-        // index escape is converted to honor the totality contract
+        // coef(Zig(k)) with a forged k is range-checked in readBlock; any
+        // other index escape is converted to honor the totality contract
         throw new IllegalArgumentException(s"corrupt scan: ${e.getMessage}")
     }
     // the scan must terminate at EOI (possibly after padding bits)
     val mp = br.markerPos
     require(mp + 1 < bytes.length && (bytes(mp + 1) & 0xff) == 0xD9,
       "scan not terminated by EOI")
-    (w, h, pix)
+    (w, h, planes)
   }
 
   /** Batched Dataset decode — the same mapPartitions shape as the other
@@ -542,6 +741,23 @@ object Jpeg {
         var j = 0
         while (j < pix.length) { sv += pix(j) & 0xff; j += 1 }
         JpegDecoded(a.docId, w, h, sv, pix)
+      })
+    }
+  }
+
+  /** Batched 4:2:0 color decode — same mapPartitions shape. */
+  def decodeColorAssets(assets: Dataset[RawAsset])
+      : Dataset[JpegColorDecoded] = {
+    import assets.sparkSession.implicits._
+    def sum(p: Array[Byte]): Long = {
+      var s = 0L; var j = 0
+      while (j < p.length) { s += p(j) & 0xff; j += 1 }
+      s
+    }
+    assets.mapPartitions { it =>
+      it.grouped(StubDecoder.BatchSize).flatMap(_.iterator.map { a =>
+        val (w, h, y, cb, cr) = decodeColor(a.payload)
+        JpegColorDecoded(a.docId, w, h, sum(y), sum(cb), sum(cr), y, cb, cr)
       })
     }
   }

@@ -342,6 +342,51 @@ object LlmMultimodal extends Catalog {
         .orderBy("doc_id")
     }),
 
+    // COLOR JPEG — the 4:2:0 YCbCr shape virtually every camera emits:
+    // interleaved 16x16 MCUs (4 luma + Cb + Cr blocks), per-component DC
+    // prediction, a third of the corpus with restart markers. Same
+    // block-constant exactness contract per PLANE (full-res Y tiles,
+    // quarter-res chroma tiles, distinct text offsets per plane), so the
+    // oracle re-derives all three planes byte for byte; no RGB
+    // conversion — pipelines featurize planes, and color-space rounding
+    // would break the shared hash.
+    "llm_jpeg_color" -> ((s, dir) => {
+      import s.implicits._
+      val assets = table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .filter(F.col("n_chars") > 0)
+        .select(F.col("doc_id"), F.col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val n = bytes.length
+          val w = n % 20 + 8
+          val h = (id % 20).toInt + 8
+          val cw = (w + 1) / 2; val ch = (h + 1) / 2
+          val wBy = (w + 7) / 8; val wBc = (cw + 7) / 8
+          def plane(pw: Int, phh: Int, wB: Int, off: Int) =
+            Array.tabulate[Byte](pw * phh) { j =>
+              val x = j % pw; val y = j / pw
+              bytes(((y / 8) * wB + (x / 8) + off) % n)
+            }
+          graft.multimodal.RawAsset(id,
+            graft.multimodal.Jpeg.encodeColor(w, h,
+              plane(w, h, wBy, 0), plane(cw, ch, wBc, 3),
+              plane(cw, ch, wBc, 11),
+              restartInterval = if (id % 3 == 0) 2 else 0),
+            "img/jpeg-color", w, h, 3)
+        }
+      graft.multimodal.Jpeg.decodeColorAssets(assets)
+        .toDF()
+        .select(F.col("docId").as("doc_id"),
+          F.col("w").as("width"), F.col("h").as("height"),
+          F.col("sumY").as("sum_y"), F.col("sumCb").as("sum_cb"),
+          F.col("sumCr").as("sum_cr"),
+          F.md5(F.concat(F.col("y"), F.col("cb"), F.col("cr")))
+            .as("planes_hash"))
+        .orderBy("doc_id")
+    }),
+
     // REAL audio decode + windowed DSP features on the codec-free audio
     // container (RIFF/WAVE PCM16 mono): synthesize a deterministic
     // 256-sample waveform from the document's characters, encode a
@@ -830,6 +875,56 @@ object LlmMultimodal extends Catalog {
                 CAST(d.h AS INT) AS height,
                 s.sum_v, md5(s.sp) AS pix_hash
          FROM d JOIN s USING (doc_id) ORDER BY d.doc_id""",
+    // 4:2:0 color: three block-constant planes re-derived per plane
+    // (full-res Y, quarter-res chroma with +3/+11 tile offsets), hash
+    // over y||cb||cr concatenation.
+    "llm_jpeg_color" ->
+      """WITH d AS (
+           SELECT doc_id, text, length(text) AS n,
+                  (length(text) % 20) + 8 AS w,
+                  (doc_id % 20) + 8 AS h,
+                  ((length(text) % 20) + 8 + 7) // 8 AS wby,
+                  ((length(text) % 20) + 8 + 1) // 2 AS cw,
+                  ((doc_id % 20) + 8 + 1) // 2 AS ch
+           FROM documents WHERE length(text) > 0),
+         d2 AS (SELECT *, (cw + 7) // 8 AS wbc FROM d),
+         py AS (
+           SELECT doc_id, t.i AS i,
+                  substring(text,
+                    ((((t.i // w) // 8) * wby + ((t.i % w) // 8)) % n) + 1,
+                    1) AS ch_
+           FROM d2, unnest(generate_series(0, w * h - 1)) t(i)),
+         pcb AS (
+           SELECT doc_id, t.i AS i,
+                  substring(text,
+                    ((((t.i // cw) // 8) * wbc + ((t.i % cw) // 8) + 3) % n)
+                      + 1, 1) AS ch_
+           FROM d2, unnest(generate_series(0, cw * ch - 1)) t(i)),
+         pcr AS (
+           SELECT doc_id, t.i AS i,
+                  substring(text,
+                    ((((t.i // cw) // 8) * wbc + ((t.i % cw) // 8) + 11) % n)
+                      + 1, 1) AS ch_
+           FROM d2, unnest(generate_series(0, cw * ch - 1)) t(i)),
+         sy AS (
+           SELECT doc_id, string_agg(ch_, '' ORDER BY i) AS sp,
+                  CAST(sum(ord(ch_)) AS BIGINT) AS sum_y
+           FROM py GROUP BY doc_id),
+         scb AS (
+           SELECT doc_id, string_agg(ch_, '' ORDER BY i) AS sp,
+                  CAST(sum(ord(ch_)) AS BIGINT) AS sum_cb
+           FROM pcb GROUP BY doc_id),
+         scr AS (
+           SELECT doc_id, string_agg(ch_, '' ORDER BY i) AS sp,
+                  CAST(sum(ord(ch_)) AS BIGINT) AS sum_cr
+           FROM pcr GROUP BY doc_id)
+         SELECT d2.doc_id, CAST(d2.w AS INT) AS width,
+                CAST(d2.h AS INT) AS height,
+                sy.sum_y, scb.sum_cb, scr.sum_cr,
+                md5(sy.sp || scb.sp || scr.sp) AS planes_hash
+         FROM d2 JOIN sy USING (doc_id) JOIN scb USING (doc_id)
+              JOIN scr USING (doc_id)
+         ORDER BY d2.doc_id""",
     // Re-derives the synthesized waveform sample by sample (all operands
     // non-negative before the -32768 shift, so % agrees across engines),
     // then window-local lag for strict sign flips; n_bytes checks encode's

@@ -108,6 +108,21 @@ object CodecFuzzLaws extends Properties("CodecFuzzLaws") {
   property("Jpeg.decode total on corrupted containers") =
     Prop.forAll(jpegGen)(b => controlled(Jpeg.decode(b)))
 
+  private val jpegColorGen: Gen[Array[Byte]] = for {
+    w <- Gen.choose(1, 16); h <- Gen.choose(1, 16)
+    ri <- Gen.oneOf(0, 0, 1)
+    y <- Gen.containerOfN[Array, Byte](w * h,
+      Gen.choose(Byte.MinValue, Byte.MaxValue))
+    c <- Gen.containerOfN[Array, Byte](((w + 1) / 2) * ((h + 1) / 2),
+      Gen.choose(Byte.MinValue, Byte.MaxValue))
+    out <- corrupt(Jpeg.encodeColor(w, h, y, c, c, ri))
+  } yield out
+
+  property("Jpeg.decodeColor total on junk") =
+    Prop.forAll(junkGen)(b => controlled(Jpeg.decodeColor(b)))
+  property("Jpeg.decodeColor total on corrupted containers") =
+    Prop.forAll(jpegColorGen)(b => controlled(Jpeg.decodeColor(b)))
+
   property("Png.decode total on junk") =
     Prop.forAll(junkGen)(b => controlled(Png.decode(b)))
   property("Png.decode total on corrupted containers") =

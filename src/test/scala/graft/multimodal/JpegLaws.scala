@@ -101,6 +101,59 @@ object JpegLaws extends Properties("JpegLaws") {
       Prop(maxErr <= 4) :| s"maxErr=$maxErr"
     }
 
+  // == 4:2:0 YCbCr color ==
+
+  private def colorPlanes(w: Int, h: Int, yv: Array[Byte], cv: Array[Byte],
+      rv: Array[Byte]): (Array[Byte], Array[Byte], Array[Byte]) = {
+    val cw = (w + 1) / 2; val ch = (h + 1) / 2
+    (blockConstant(w, h, yv),
+      { val p = blockConstant(cw, ch, cv); p },
+      { val p = blockConstant(cw, ch, rv); p })
+  }
+
+  property("4:2:0 block-constant planes round-trip EXACTLY (any dims)") =
+    Prop.forAll(for {
+      w <- Gen.choose(1, 40); h <- Gen.choose(1, 40)
+      ri <- Gen.oneOf(0, 0, 1, 3)
+      yv <- Gen.containerOfN[Array, Byte](9, Gen.choose(Byte.MinValue, Byte.MaxValue))
+      cv <- Gen.containerOfN[Array, Byte](5, Gen.choose(Byte.MinValue, Byte.MaxValue))
+      rv <- Gen.containerOfN[Array, Byte](7, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield (w, h, ri, yv, cv, rv)) { case (w, h, ri, yv, cv, rv) =>
+      val (yP, cbP, crP) = colorPlanes(w, h, yv, cv, rv)
+      val enc = Jpeg.encodeColor(w, h, yP, cbP, crP, restartInterval = ri)
+      val (w2, h2, y2, cb2, cr2) = Jpeg.decodeColor(enc)
+      Prop(w2 == w && h2 == h &&
+        java.util.Arrays.equals(y2, yP) &&
+        java.util.Arrays.equals(cb2, cbP) &&
+        java.util.Arrays.equals(cr2, crP)) :|
+        s"color round-trip failed at ${w}x$h ri=$ri"
+    }
+
+  property("4:2:0 arbitrary planes stay bounded-lossy") =
+    Prop.forAll(for {
+      w <- Gen.choose(1, 24); h <- Gen.choose(1, 24)
+      yP <- Gen.containerOfN[Array, Byte](w * h,
+        Gen.choose(Byte.MinValue, Byte.MaxValue))
+      c <- Gen.containerOfN[Array, Byte](((w + 1) / 2) * ((h + 1) / 2),
+        Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield (w, h, yP, c)) { case (w, h, yP, c) =>
+      val (_, _, y2, cb2, _) = Jpeg.decodeColor(Jpeg.encodeColor(w, h, yP, c, c))
+      def err(a: Array[Byte], b: Array[Byte]) =
+        a.indices.map(i => math.abs((a(i) & 0xff) - (b(i) & 0xff))).max
+      Prop(err(y2, yP) <= 4 && err(cb2, c) <= 4) :| "color error bound"
+    }
+
+  property("grayscale decode rejects color streams and vice versa") =
+    Prop.forAll(Gen.choose(1, 16), Gen.choose(1, 16)) { (w, h) =>
+      val cw = (w + 1) / 2; val ch = (h + 1) / 2
+      val color = Jpeg.encodeColor(w, h, Array.fill[Byte](w * h)(7),
+        Array.fill[Byte](cw * ch)(8), Array.fill[Byte](cw * ch)(9))
+      val gray = Jpeg.encode(w, h, Array.fill[Byte](w * h)(7))
+      def rejected(f: => Any) =
+        try { f; false } catch { case _: IllegalArgumentException => true }
+      Prop(rejected(Jpeg.decode(color)) && rejected(Jpeg.decodeColor(gray)))
+    }
+
   property("header fields are byte-valid (SOI/SOF0 dims/EOI)") =
     Prop.forAll(Gen.choose(1, 40), Gen.choose(1, 40)) { (w, h) =>
       val b = Jpeg.encode(w, h, Array.fill[Byte](w * h)(42))
