@@ -394,6 +394,33 @@ object Jpeg {
     }
   }
 
+  /** Shared header emission for both encoders: SOI, flat DQT, SOF0 with
+    * the given component spec, the two DHTs, optional DRI, SOS.
+    */
+  private def writeHeaders(out: java.io.ByteArrayOutputStream, w: Int,
+      h: Int, sofComps: Array[Byte], sosBody: Array[Byte],
+      restartInterval: Int): Unit = {
+    def seg(marker: Int, body: Array[Byte]): Unit = {
+      out.write(0xFF); out.write(marker)
+      out.write((body.length + 2) >>> 8); out.write((body.length + 2) & 0xff)
+      out.write(body, 0, body.length)
+    }
+    out.write(0xFF); out.write(0xD8) // SOI
+    seg(0xDB, Array[Byte](0) ++ Array.fill[Byte](64)(1)) // DQT id 0, flat
+    seg(0xC0, Array[Byte](8, // SOF0: 8-bit precision
+      (h >>> 8).toByte, (h & 0xff).toByte,
+      (w >>> 8).toByte, (w & 0xff).toByte) ++ sofComps)
+    def dht(cls: Int, bits: Array[Int], vals: Array[Int]): Unit =
+      seg(0xC4, Array[Byte]((cls << 4).toByte) ++
+        bits.map(_.toByte) ++ vals.map(_.toByte))
+    dht(0, DcBits, DcVals)
+    dht(1, AcBits, AcVals)
+    if (restartInterval > 0) // DRI: restart every N MCUs
+      seg(0xDD, Array[Byte]((restartInterval >>> 8).toByte,
+        (restartInterval & 0xff).toByte))
+    seg(0xDA, sosBody)
+  }
+
   /** Encode top-down row-major 8-bit gray pixels as a baseline
     * sequential grayscale JPEG with a flat all-ones quant table (the
     * exactness contract above). Partial edge MCUs pad by edge
@@ -407,26 +434,10 @@ object Jpeg {
     require(restartInterval >= 0 && restartInterval <= 0xffff,
       s"bad restart interval $restartInterval")
     val out = new java.io.ByteArrayOutputStream()
-    def seg(marker: Int, body: Array[Byte]): Unit = {
-      out.write(0xFF); out.write(marker)
-      out.write((body.length + 2) >>> 8); out.write((body.length + 2) & 0xff)
-      out.write(body, 0, body.length)
-    }
-    out.write(0xFF); out.write(0xD8) // SOI
-    seg(0xDB, Array[Byte](0) ++ Array.fill[Byte](64)(1)) // DQT id 0, flat
-    seg(0xC0, Array[Byte](8, // SOF0: 8-bit precision
-      (h >>> 8).toByte, (h & 0xff).toByte,
-      (w >>> 8).toByte, (w & 0xff).toByte,
-      1, 1, 0x11, 0)) // 1 component, id 1, 1x1 sampling, quant table 0
-    def dht(cls: Int, bits: Array[Int], vals: Array[Int]): Unit =
-      seg(0xC4, Array[Byte]((cls << 4).toByte) ++
-        bits.map(_.toByte) ++ vals.map(_.toByte))
-    dht(0, DcBits, DcVals)
-    dht(1, AcBits, AcVals)
-    if (restartInterval > 0) // DRI: restart every N MCUs (1 block = 1 MCU)
-      seg(0xDD, Array[Byte]((restartInterval >>> 8).toByte,
-        (restartInterval & 0xff).toByte))
-    seg(0xDA, Array[Byte](1, 1, 0x00, 0, 63, 0)) // SOS: comp 1, DC0/AC0
+    writeHeaders(out, w, h,
+      sofComps = Array[Byte](1, 1, 0x11, 0), // 1 comp, 1x1, quant 0
+      sosBody = Array[Byte](1, 1, 0x00, 0, 63, 0), // comp 1, DC0/AC0
+      restartInterval = restartInterval)
 
     val bw = new BitWriter
     val wB = (w + 7) / 8; val hB = (h + 7) / 8
@@ -470,26 +481,11 @@ object Jpeg {
     require(restartInterval >= 0 && restartInterval <= 0xffff,
       s"bad restart interval $restartInterval")
     val out = new java.io.ByteArrayOutputStream()
-    def seg(marker: Int, body: Array[Byte]): Unit = {
-      out.write(0xFF); out.write(marker)
-      out.write((body.length + 2) >>> 8); out.write((body.length + 2) & 0xff)
-      out.write(body, 0, body.length)
-    }
-    out.write(0xFF); out.write(0xD8) // SOI
-    seg(0xDB, Array[Byte](0) ++ Array.fill[Byte](64)(1)) // DQT id 0, flat
-    seg(0xC0, Array[Byte](8, // SOF0: 8-bit, 3 components, 4:2:0
-      (h >>> 8).toByte, (h & 0xff).toByte,
-      (w >>> 8).toByte, (w & 0xff).toByte,
-      3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0))
-    def dht(cls: Int, bits: Array[Int], vals: Array[Int]): Unit =
-      seg(0xC4, Array[Byte]((cls << 4).toByte) ++
-        bits.map(_.toByte) ++ vals.map(_.toByte))
-    dht(0, DcBits, DcVals)
-    dht(1, AcBits, AcVals)
-    if (restartInterval > 0)
-      seg(0xDD, Array[Byte]((restartInterval >>> 8).toByte,
-        (restartInterval & 0xff).toByte))
-    seg(0xDA, Array[Byte](3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0))
+    writeHeaders(out, w, h,
+      sofComps = Array[Byte](3, // 3 components: 2x2 luma, 1x1 chroma
+        1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0),
+      sosBody = Array[Byte](3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0),
+      restartInterval = restartInterval)
 
     val bw = new BitWriter
     val f = new Array[Double](64); val q = new Array[Int](64)

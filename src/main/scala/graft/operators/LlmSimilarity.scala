@@ -171,10 +171,10 @@ object LlmSimilarity extends Catalog {
     * assignments through the graft-avro sink. Returns the two artifact
     * directories.
     */
-  private[operators] def buildIvfIndex(s: SparkSession, dir: String)
-      : (String, String) = {
-    val cenDir = tempDir("graft_ivf_centroids")
-    val asgDir = tempDir("graft_ivf_assign")
+  private[operators] def buildIvfIndex(s: SparkSession, dir: String,
+      into: Option[(String, String)] = None): (String, String) = {
+    val (cenDir, asgDir) = into.getOrElse(
+      (tempDir("graft_ivf_centroids"), tempDir("graft_ivf_assign")))
     val (_, assigned, centroids) = lloyd(s, dir)
     centroids.select("cid", "mvec")
       .write.format("graft-avro").mode("overwrite").save(cenDir)

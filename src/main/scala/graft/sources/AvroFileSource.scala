@@ -134,12 +134,15 @@ object AvroFileSource {
     */
   private[sources] def readZonesRaw(zf: File): Map[String, (String, String)] =
     try {
-      scala.io.Source.fromFile(zf, "UTF-8").getLines().flatMap { line =>
-        line.split('\t') match {
-          case Array(rel, mn, mx) => Some(rel -> (mn, mx))
-          case _ => None
-        }
-      }.toMap
+      val src = scala.io.Source.fromFile(zf, "UTF-8")
+      try {
+        src.getLines().flatMap { line =>
+          line.split('\t') match {
+            case Array(rel, mn, mx) => Some(rel -> (mn, mx))
+            case _ => None
+          }
+        }.toMap
+      } finally src.close()
     } catch { case _: Exception => Map.empty }
 
   /** Manifest parsed to external values of the zone column's type, keyed
@@ -187,7 +190,16 @@ object AvroFileSource {
     * the full value, whichever its manifest's semantics need.
     */
   private[sources] def truncBoundMin(s: String): String =
-    if (s.length <= StringBoundMax) s else s.substring(0, StringBoundMax)
+    if (s.length <= StringBoundMax) s
+    else {
+      val p = s.substring(0, StringBoundMax).toCharArray
+      // a cut mid-surrogate-pair leaves a trailing lone high surrogate
+      // (which UTF8String would render as '?'): replace with U+0000 —
+      // still <= every string extending the shorter prefix, and the
+      // length stays AT the cap so truncation remains detectable
+      if (Character.isHighSurrogate(p(p.length - 1))) p(p.length - 1) = ' '
+      new String(p)
+    }
   private[sources] def truncBoundMax(s: String): Option[String] = {
     if (s.length <= StringBoundMax) return Some(s)
     val p = s.substring(0, StringBoundMax).toCharArray
@@ -197,8 +209,16 @@ object AvroFileSource {
       // incrementing must stay a +1 code-point step in UTF-8 order:
       // skip chars whose successor enters the surrogate range or
       // overflows, and skip surrogates entirely
-      if (c < 0xD7FF || (c >= 0xE000 && c < 0xFFFF))
-        return Some(new String(p, 0, i) + (c + 1).toChar)
+      if (c < 0xD7FF || (c >= 0xE000 && c < 0xFFFF)) {
+        // pad back to the cap with U+0000 so the result length is
+        // ALWAYS StringBoundMax — the aggregate paths detect
+        // maybe-truncated bounds by length, and a bump at an earlier
+        // index would otherwise come out short and masquerade as an
+        // exact value; comparison is decided at the bumped position,
+        // so any suffix keeps the bound strictly above the original
+        val bumped = new String(p, 0, i) + (c + 1).toChar
+        return Some(bumped + " " * (StringBoundMax - bumped.length))
+      }
       i -= 1
     }
     None
@@ -226,12 +246,16 @@ object AvroFileSource {
   private[sources] def readColZonesRaw(zf: File)
       : Map[String, Seq[(String, String, String, String)]] =
     try {
-      scala.io.Source.fromFile(zf, "UTF-8").getLines().flatMap { line =>
-        line.split('\t') match {
-          case Array(rel, col, dt, mn, mx) => Some(rel -> ((col, dt, mn, mx)))
-          case _ => None
-        }
-      }.toSeq.groupMap(_._1)(_._2)
+      val src = scala.io.Source.fromFile(zf, "UTF-8")
+      try {
+        src.getLines().flatMap { line =>
+          line.split('\t') match {
+            case Array(rel, col, dt, mn, mx) =>
+              Some(rel -> ((col, dt, mn, mx)))
+            case _ => None
+          }
+        }.toSeq.groupMap(_._1)(_._2)
+      } finally src.close()
     } catch { case _: Exception => Map.empty }
 
   /** All-column manifest parsed to external values, keyed by ABSOLUTE
@@ -1567,7 +1591,15 @@ private[sources] object AvroWriters {
           }
         }
       walk(schema, "", Nil)
-      out.result()
+      // AMBIGUOUS dotted names are dropped entirely: a top-level column
+      // literally named "a.b" and a nested leaf a.b would write manifest
+      // entries under the identical key, and the read side could apply
+      // one column's bounds to the other — unsound pruning. Absence ⇒
+      // keep is the only safe answer for both.
+      val all = out.result()
+      val dup = all.groupBy(_._1).collect { case (n, ls) if ls.length > 1 => n }
+        .toSet
+      all.filterNot(l => dup.contains(l._1))
     }
 
     private val mins = new Array[Any](leaves.length)
@@ -1630,10 +1662,17 @@ private[sources] object AvroWriters {
                 truncMax(mx).map(m => (truncMin(mn): Any, m: Any))
               case (mn, mx) => Some((mn, mx))
             }
+          // a REAL string value "__null__" must not collide with the
+          // all-null coverage marker (same escape as the partition-dir
+          // writer: force-encode the first byte; URL-decodes back)
+          def enc(v: Any): String = {
+            val e = AvroFileSource.zoneEncode(v)
+            if (e == "__null__") "%5F_null__" else e
+          }
           bounds.map { case (mn, mx) =>
             (java.net.URLEncoder.encode(name, "UTF-8"), dt.simpleString,
-              if (mn == null) "__null__" else AvroFileSource.zoneEncode(mn),
-              if (mx == null) "__null__" else AvroFileSource.zoneEncode(mx))
+              if (mn == null) "__null__" else enc(mn),
+              if (mx == null) "__null__" else enc(mx))
           }
         }
       }.toSeq

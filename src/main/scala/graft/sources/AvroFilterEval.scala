@@ -78,14 +78,18 @@ private[sources] object AvroFilterEval {
       case In(a, vs) if a == col            => vs.isEmpty || vs.exists(inRange)
       case StringStartsWith(a, p) if a == col =>
         // matching strings lie in [p, pNext) where pNext bumps p's last
-        // char; an empty or maxed-out prefix keeps the upper bound open.
-        // A trailing HIGH SURROGATE also stays open: under code-point
-        // order a p-prefixed string completes the pair to >= U+10000,
-        // which sorts ABOVE the bumped unpaired 0xDC00 bound.
+        // char; the upper bound stays OPEN (true) whenever the bump is
+        // not a provable +1 code-point step: empty/maxed prefixes, any
+        // trailing surrogate (a high surrogate's pair completes to
+        // >= U+10000 above the bump; bumping away a LOW surrogate
+        // orphans the preceding high one), and 0xD7FF (whose successor
+        // 0xD800 is itself a lone surrogate — UTF8String renders lone
+        // surrogates as '?', which would collapse the bound BELOW p and
+        // wrongly prune files holding matches).
         val lower = cmp(mx, p).forall(_ >= 0)
-        val upper = p.isEmpty || p.last == Char.MaxValue ||
-          Character.isHighSurrogate(p.last) ||
-          lt(mn, p.init + (p.last + 1).toChar)
+        val bumpable = p.nonEmpty && (p.last < 0xD7FF ||
+          (p.last >= 0xE000 && p.last < Char.MaxValue))
+        val upper = !bumpable || lt(mn, p.init + (p.last + 1).toChar)
         lower && upper
       case _ => true // IsNull (nulls sort first, outside the zone),
                      // IsNotNull (zone exists ⇒ non-nulls exist), other

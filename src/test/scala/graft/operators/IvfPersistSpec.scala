@@ -38,12 +38,18 @@ class IvfPersistSpec extends AnyFunSuite with SparkSpec with Matchers {
 
   test("a rebuilt index version overwrites cleanly and still answers") {
     val (cenDir, asgDir) = LlmSimilarity.buildIvfIndex(spark, dir)
-    // nightly rebuild: same artifacts, overwrite mode — the truncate
-    // commit swaps the files atomically under the same paths
-    val (cenDir2, asgDir2) = LlmSimilarity.buildIvfIndex(spark, dir)
-    val a = LlmSimilarity.searchPersistedIvf(spark, dir, cenDir, asgDir).collect()
-    val b = LlmSimilarity.searchPersistedIvf(spark, dir, cenDir2, asgDir2).collect()
-    a shouldBe b
-    a.length should be > 0
+    val before =
+      LlmSimilarity.searchPersistedIvf(spark, dir, cenDir, asgDir).collect()
+    // nightly rebuild into the SAME directories: the truncate commit
+    // must swap the files under the existing paths — stale files or
+    // manifests surviving the overwrite would corrupt day-2 search
+    val (c2, a2) = LlmSimilarity.buildIvfIndex(spark, dir,
+      into = Some((cenDir, asgDir)))
+    c2 shouldBe cenDir
+    a2 shouldBe asgDir
+    val after =
+      LlmSimilarity.searchPersistedIvf(spark, dir, cenDir, asgDir).collect()
+    after shouldBe before
+    after.length should be > 0
   }
 }

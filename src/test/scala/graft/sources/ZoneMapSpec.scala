@@ -445,6 +445,23 @@ class ZoneMapSpec extends AnyFunSuite with SparkSpec with Matchers {
       org.apache.spark.sql.Row(truth.get(0), truth.get(2))
   }
 
+  test("a literal '__null__' value never masquerades as the all-null marker") {
+    val dir = tmp()
+    spark.range(0, 100).toDF("k")
+      .selectExpr("CASE WHEN k = 0 THEN '__null__' ELSE " +
+        "concat('v', lpad(cast(k AS string), 3, '0')) END AS s", "k")
+      .repartitionByRange(2, F.col("k"))
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    val avro = spark.read.format("graft-avro").load(dir)
+    // '_' (0x5F) < 'v': the literal string IS the true min — an
+    // unescaped bound would be mistaken for the all-null coverage
+    // marker, the file's bounds dropped, and the metadata-served MIN
+    // would wrongly come from the other file
+    avro.agg(F.min("s"), F.max("s")).head() shouldBe
+      org.apache.spark.sql.Row("__null__", "v099")
+    avro.filter(F.col("s") === "__null__").count() shouldBe 1
+  }
+
   test("any-column min/max falls back without full coverage or exact strings") {
     val dir = tmp()
     spark.range(0, 1000).toDF("k")
