@@ -22,6 +22,14 @@ import org.apache.spark.sql.{functions => F}
   */
 object Sketches extends Catalog {
 
+  /** HLL estimate numerator: alpha_64 * m^2 * 2^55, folded left-to-right in
+    * double exactly as the oracle folds it (each step correctly rounded →
+    * bit-identical across engines). 2^55 scales the harmonic sum into exact
+    * integer space: Z = Σ_buckets 2^(55-M_j) is a BIGINT (≤ 64·2^55 = 2^61),
+    * so the only float op in the whole sketch is this one division.
+    */
+  private val HllNumer: Double = 0.709 * 4096.0 * 3.6028797018963968e16
+
   val queries: Map[String, Q] = Map(
 
     // HyperLogLog++ distinct-user counts per event type, checked against
@@ -62,6 +70,81 @@ object Sketches extends Catalog {
             F.col("le").cast("double") >= F.lit(0.45) * F.col("n_vals"))
             .as("rank_ok"))
         .orderBy("event_type")
+    }),
+
+    // Hand-rolled HyperLogLog whose ESTIMATE the oracle reproduces
+    // bit-exactly (unlike q_approx_distinct, which can only pin Spark's
+    // opaque HLL++ behind an error-bound boolean). m=64 buckets; the hash
+    // is 60 bits of shared md5; rho = leading-zero count of the remaining
+    // 54-bit word, computed exactly via length(bin(w)) in both engines.
+    // The harmonic sum is kept in exact integer space scaled by 2^55; the
+    // single float op (numerator / Z) is a correctly-rounded IEEE divide,
+    // identical in Spark and DuckDB, so floor() lands identically.
+    //
+    // Scale (100 TB): the per-(event_type, bucket) MAX(rho) is associative
+    // mergeable state — the plan shows a partial_max HashAggregate, so
+    // executors exchange at most 64 small ints per group, never user_ids.
+    // This is the sketch you'd actually run where the exact
+    // countDistinct's shuffle of every distinct key is unaffordable.
+    "q_sketch_hll" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val hashed = ev.select(F.col("event_type"), F.col("user_id"),
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      val rho = hashed.select(F.col("event_type"),
+        F.pmod(F.col("h"), F.lit(64L)).as("bucket"),
+        F.expr("h div 64").as("w"))
+        .select(F.col("event_type"), F.col("bucket"),
+          F.when(F.col("w") === 0L, F.lit(55))
+            .otherwise(F.lit(55) - F.length(F.bin(F.col("w")))).as("rho"))
+      val mj = rho.groupBy("event_type", "bucket").agg(F.max("rho").as("m_j"))
+      // Complete the 64-bucket grid so empty buckets contribute 2^55 to Z.
+      val grid = ev.select("event_type").distinct()
+        .select(F.col("event_type"),
+          F.explode(F.sequence(F.lit(0L), F.lit(63L))).as("bucket"))
+      val z = grid.join(mj, Seq("event_type", "bucket"), "left")
+        .select(F.col("event_type"), F.coalesce(F.col("m_j"), F.lit(0)).as("m_j"))
+        .groupBy("event_type")
+        .agg(F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 55 - m_j)")).as("z"),
+          F.sum(F.when(F.col("m_j") === 0, 1L).otherwise(0L)).as("empty_buckets"))
+      val exact = ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").as("exact_users"))
+      exact.join(F.broadcast(z), Seq("event_type"))
+        .select(F.col("event_type"), F.col("exact_users"),
+          F.floor(F.lit(HllNumer) / F.col("z")).cast("long").as("hll_est"),
+          F.col("empty_buckets"))
+        .orderBy("event_type")
+    }),
+
+    // Count-min sketch heavy hitters, cross-engine exact: d=3 hash rows
+    // (disjoint 28-bit slices of ONE md5, per the slice-don't-reseed rule),
+    // w=256 counters. The estimate min_r counter[r][h_r(u)] is pure integer
+    // arithmetic, and the CMS one-sided guarantee (never under-counts) is
+    // emitted as a checked column.
+    //
+    // Scale (100 TB): the sketch is 768 counters regardless of input size —
+    // a map-side-combined groupBy on (r, b) — and the candidate probe joins
+    // against it broadcast. Production would stream the fixed-size sketch
+    // per shard and merge by counter addition (associative); the exact
+    // top-k here is the verification side, not the scale path.
+    "q_sketch_cms" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      def hr(r: Int) = F.pmod(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1 + 7 * r, 7), 16, 10)
+          .cast("long"), F.lit(256L))
+      val triples = ev.select(F.col("user_id"),
+        F.posexplode(F.array(hr(0), hr(1), hr(2)))).toDF("user_id", "r", "b")
+      val sketch = triples.groupBy("r", "b").agg(F.count(F.lit(1)).as("cnt"))
+      val exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).as("true_cnt"))
+      val cand = exact.orderBy(F.col("true_cnt").desc, F.col("user_id")).limit(10)
+      val candH = cand.select(F.col("user_id"), F.col("true_cnt"),
+        F.posexplode(F.array(hr(0), hr(1), hr(2)))).toDF("user_id", "true_cnt", "r", "b")
+      candH.join(F.broadcast(sketch), Seq("r", "b"))
+        .groupBy("user_id", "true_cnt")
+        .agg(F.min("cnt").as("cms_est"))
+        .select(F.col("user_id"), F.col("true_cnt"), F.col("cms_est"),
+          (F.col("cms_est") >= F.col("true_cnt")).as("never_under"))
+        .orderBy(F.col("true_cnt").desc, F.col("user_id"))
     })
   )
 
@@ -73,6 +156,55 @@ object Sketches extends Catalog {
          FROM events GROUP BY 1 ORDER BY 1""",
     "q_approx_quantile" ->
       """SELECT event_type, count(*) AS n_vals, TRUE AS rank_ok
-         FROM events GROUP BY 1 ORDER BY 1"""
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q_sketch_hll" ->
+      s"""WITH h AS (
+            SELECT event_type,
+                   CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+            FROM events),
+          r AS (
+            SELECT event_type, h % 64 AS bucket,
+                   CASE WHEN h // 64 = 0 THEN 55
+                        ELSE 55 - length(bin(h // 64)) END AS rho
+            FROM h),
+          mj AS (SELECT event_type, bucket, max(rho) AS m_j FROM r GROUP BY 1, 2),
+          grid AS (SELECT t.event_type, gs.bucket
+                   FROM (SELECT DISTINCT event_type FROM events) t
+                   CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bucket) gs),
+          filled AS (SELECT g.event_type, COALESCE(m.m_j, 0) AS m_j
+                     FROM grid g LEFT JOIN mj m
+                       ON g.event_type = m.event_type AND g.bucket = m.bucket),
+          z AS (SELECT event_type,
+                  CAST(sum(CAST(1 AS BIGINT) << (55 - m_j)) AS BIGINT) AS z,
+                  CAST(sum(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS BIGINT) AS empty_buckets
+                FROM filled GROUP BY 1),
+          exact AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
+                    FROM events GROUP BY 1)
+          SELECT e.event_type, e.exact_users,
+                 CAST(floor($HllNumer / z.z) AS BIGINT) AS hll_est,
+                 z.empty_buckets
+          FROM exact e JOIN z ON e.event_type = z.event_type
+          ORDER BY e.event_type""",
+    "q_sketch_cms" ->
+      """WITH hh AS (
+           SELECT user_id,
+             CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 7) AS BIGINT) % 256 AS h0,
+             CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 8, 7) AS BIGINT) % 256 AS h1,
+             CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 15, 7) AS BIGINT) % 256 AS h2
+           FROM events),
+         tr AS (
+           SELECT user_id, 0 AS r, h0 AS b FROM hh
+           UNION ALL SELECT user_id, 1, h1 FROM hh
+           UNION ALL SELECT user_id, 2, h2 FROM hh),
+         sketch AS (SELECT r, b, CAST(count(*) AS BIGINT) AS cnt FROM tr GROUP BY 1, 2),
+         exact AS (SELECT user_id, count(*) AS true_cnt FROM events GROUP BY 1),
+         cand AS (SELECT * FROM exact ORDER BY true_cnt DESC, user_id LIMIT 10),
+         ch AS (SELECT DISTINCT c.user_id, c.true_cnt, t.r, t.b
+                FROM cand c JOIN tr t ON c.user_id = t.user_id)
+         SELECT ch.user_id, ch.true_cnt, CAST(min(s.cnt) AS BIGINT) AS cms_est,
+                CAST(min(s.cnt) AS BIGINT) >= ch.true_cnt AS never_under
+         FROM ch JOIN sketch s ON ch.r = s.r AND ch.b = s.b
+         GROUP BY ch.user_id, ch.true_cnt
+         ORDER BY ch.true_cnt DESC, ch.user_id"""
   )
 }

@@ -37,4 +37,40 @@ class SketchSpec extends AnyWordSpec with Matchers with SparkSpec {
       perLang.foreach { r => r.getLong(1).toDouble shouldBe 20.0 +- 3.0 }
     }
   }
+
+  "the hand-rolled HLL (q_sketch_hll)" should {
+    "estimate within the m=64 error regime and aggregate map-side" in {
+      val rows = Sketches.queries("q_sketch_hll")(spark, "/root/testdata/sf0.01")
+      val plan = rows.queryExecution.executedPlan.toString
+      // bucket-max is mergeable state: Spark must plan a partial max
+      // (map-side combine) before the exchange, never shuffle user_ids
+      // for the sketch side.
+      plan should include("partial_max")
+      rows.collect().foreach { r =>
+        val exact = r.getLong(r.fieldIndex("exact_users")).toDouble
+        val est = r.getLong(r.fieldIndex("hll_est")).toDouble
+        // raw harmonic estimate (no small-range correction): 1.04/sqrt(64)
+        // = 13% standard error; allow 3 sigma.
+        math.abs(est - exact) / exact should be < 0.39
+      }
+    }
+  }
+
+  "the count-min sketch (q_sketch_cms)" should {
+    "never under-count and stay within the (d=3, w=256) collision bound" in {
+      val rows = Sketches.queries("q_sketch_cms")(spark, "/root/testdata/sf0.01")
+        .collect()
+      rows should have length 10
+      rows.foreach { r =>
+        val est = r.getLong(r.fieldIndex("cms_est"))
+        val tru = r.getLong(r.fieldIndex("true_cnt"))
+        r.getBoolean(r.fieldIndex("never_under")) shouldBe true
+        est should be >= tru
+      }
+      // with 3 independent rows the min-estimate should beat any single
+      // row's collision noise: at least one candidate is estimated exactly
+      rows.exists(r => r.getLong(r.fieldIndex("cms_est")) ==
+        r.getLong(r.fieldIndex("true_cnt"))) shouldBe true
+    }
+  }
 }
