@@ -58,6 +58,7 @@ object Probe {
             case "img/gif" => Gif.decode(a.payload)
             case "img/jpeg" => Jpeg.decode(a.payload)
             case "aud/wav" => Wav.decode(a.payload)
+            case "aud/mulaw" => Wav.decodeMulaw(a.payload)
             case "vid/avi" => Avi.decode(a.payload)
             case other =>
               throw new IllegalArgumentException(s"unknown format $other")
@@ -85,6 +86,9 @@ object Probe {
               val (w, h, _) = Jpeg.decode(a.payload); w.toLong * h
             case "aud/wav" =>
               val (_, samples) = Wav.decode(a.payload); samples.length.toLong
+            case "aud/mulaw" =>
+              val (_, samples) = Wav.decodeMulaw(a.payload)
+              samples.length.toLong
             case "vid/avi" =>
               val (_, _, frames) = Avi.decode(a.payload); frames.length.toLong
             case other =>

@@ -64,12 +64,15 @@ object Wav {
     out
   }
 
-  /** Parse a PCM WAV → (sampleRate, samples). Real RIFF chunk walk:
-    * unknown chunks (LIST, fact, …) are skipped via their declared size
-    * (odd sizes padded to even, the RIFF rule); `fmt ` must declare
-    * PCM / mono / 16-bit; `data` is found by chunk id wherever it sits.
+  /** Shared RIFF chunk walk: locate `fmt ` + `data`, validate the format
+    * tag / channel count / sample width against the caller's expectation,
+    * and return (sampleRate, dataOffset, dataSize). Unknown chunks
+    * (LIST, fact, …) are skipped via their declared size (odd sizes
+    * padded to even, the RIFF rule); `data` is found by chunk id
+    * wherever it sits.
     */
-  def decode(bytes: Array[Byte]): (Int, Array[Short]) = {
+  private def walk(bytes: Array[Byte], wantFormat: Int,
+      wantBits: Int): (Int, Int, Int) = {
     def u16(off: Int): Int =
       (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
     def i32(off: Int): Int = u16(off) | (u16(off + 2) << 16)
@@ -79,8 +82,9 @@ object Wav {
       "not a WAV payload")
     var off = 12
     var rate = -1
-    var samples: Array[Short] = null
-    while (off + 8 <= bytes.length && (rate < 0 || samples == null)) {
+    var dataOff = -1
+    var dataSize = -1
+    while (off + 8 <= bytes.length && (rate < 0 || dataOff < 0)) {
       val id = tag(off)
       val size = i32(off + 4)
       // Long math: a forged size near Int.MaxValue must fail this require,
@@ -89,20 +93,109 @@ object Wav {
         s"truncated chunk $id")
       if (id == "fmt ") {
         require(size >= 16, s"short fmt chunk $size")
-        require(u16(off + 8) == 1, s"unsupported format ${u16(off + 8)}")
+        require(u16(off + 8) == wantFormat, s"unsupported format ${u16(off + 8)}")
         require(u16(off + 10) == 1, s"unsupported channels ${u16(off + 10)}")
-        require(u16(off + 22) == 16, s"unsupported bits ${u16(off + 22)}")
+        require(u16(off + 22) == wantBits, s"unsupported bits ${u16(off + 22)}")
         rate = i32(off + 12)
       } else if (id == "data") {
-        val n = size / 2
-        samples = new Array[Short](n)
-        var i = 0
-        while (i < n) { samples(i) = u16(off + 8 + 2 * i).toShort; i += 1 }
+        dataOff = off + 8
+        dataSize = size
       }
       off += 8 + size + (size & 1) // RIFF pads odd chunks to even
     }
     require(rate >= 0, "missing fmt chunk")
-    require(samples != null, "missing data chunk")
+    require(dataOff >= 0, "missing data chunk")
+    (rate, dataOff, dataSize)
+  }
+
+  /** Parse a PCM WAV → (sampleRate, samples). `fmt ` must declare
+    * PCM / mono / 16-bit.
+    */
+  def decode(bytes: Array[Byte]): (Int, Array[Short]) = {
+    val (rate, dataOff, dataSize) = walk(bytes, wantFormat = 1, wantBits = 16)
+    val n = dataSize / 2
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      samples(i) = ((bytes(dataOff + 2 * i) & 0xff) |
+        ((bytes(dataOff + 2 * i + 1) & 0xff) << 8)).toShort
+      i += 1
+    }
+    (rate, samples)
+  }
+
+  // ---- G.711 mu-law (WAVE format tag 7) ----------------------------------
+
+  /** Expand one mu-law code to linear PCM16 — the standard G.711 segment
+    * expansion (CCITT G.711; Sun g711.c `ulaw2linear`): complement, then
+    * t = (8·mantissa + 0x84) << exponent, sign from bit 7. Pure integer
+    * arithmetic, so the DuckDB oracle re-derives it bit-exactly in SQL.
+    */
+  def mulawExpand(u: Int): Short = {
+    val c = (~u) & 0xff
+    val t = (8 * (c & 0x0f) + 0x84) << ((c >> 4) & 0x07)
+    (if ((c & 0x80) != 0) 0x84 - t else t - 0x84).toShort
+  }
+
+  private lazy val mulawTable: Array[Short] =
+    Array.tabulate[Short](256)(mulawExpand)
+
+  /** Compress linear PCM16 to the nearest mu-law code (ties → the smaller
+    * code). Exact inverse of [[mulawExpand]] on every code except 0x7f
+    * (negative zero — 0xff and 0x7f both expand to 0, the one collision
+    * in the G.711 code space).
+    */
+  def mulawCompress(pcm: Int): Int = {
+    var best = 0
+    var bestErr = Long.MaxValue
+    var u = 0
+    while (u < 256) {
+      val e = math.abs(mulawTable(u).toLong - pcm)
+      if (e < bestErr) { bestErr = e; best = u }
+      u += 1
+    }
+    best
+  }
+
+  /** Encode raw mu-law bytes as a byte-valid format-7 WAV (8-bit mono). */
+  def encodeMulaw(sampleRate: Int, ulaw: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](HeaderBytes + ulaw.length)
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+    }
+    def le32(off: Int, v: Int): Unit = {
+      le16(off, v & 0xffff); le16(off + 2, v >>> 16)
+    }
+    def tag(off: Int, t: String): Unit = {
+      var i = 0
+      while (i < 4) { out(off + i) = t.charAt(i).toByte; i += 1 }
+    }
+    tag(0, "RIFF"); le32(4, out.length - 8); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16)
+    le16(20, 7) // audio format: G.711 mu-law
+    le16(22, 1) // channels: mono
+    le32(24, sampleRate)
+    le32(28, sampleRate) // byte rate: one byte per sample
+    le16(32, 1) // block align
+    le16(34, 8) // bits per sample
+    tag(36, "data"); le32(40, ulaw.length)
+    System.arraycopy(ulaw, 0, out, HeaderBytes, ulaw.length)
+    out
+  }
+
+  /** Parse a format-7 WAV and expand to linear PCM16 → (sampleRate,
+    * samples). The same real chunk walk as [[decode]], then the G.711
+    * expansion per byte — a genuine (lossy-coded) audio decode with zero
+    * external libraries.
+    */
+  def decodeMulaw(bytes: Array[Byte]): (Int, Array[Short]) = {
+    val (rate, dataOff, dataSize) = walk(bytes, wantFormat = 7, wantBits = 8)
+    val samples = new Array[Short](dataSize)
+    var i = 0
+    while (i < dataSize) {
+      samples(i) = mulawTable(bytes(dataOff + i) & 0xff)
+      i += 1
+    }
     (rate, samples)
   }
 
@@ -157,6 +250,24 @@ object Wav {
         val (_, samples) = decode(a.payload)
         val stream = if (every == 1) samples else decimate(samples, every)
         windowFeatures(stream, win).iterator.zipWithIndex.map {
+          case ((sumsq, crossings, peak), w) =>
+            WavWindow(a.docId, w, a.payload.length, sumsq, crossings, peak)
+        }
+      })
+    }
+  }
+
+  /** The mu-law twin of [[analyzeAssets]]: real format-7 decode (chunk
+    * walk + G.711 expansion) then the same windowed DSP features. Same
+    * mapPartitions/batch shape as every multimodal kernel — no shuffle,
+    * linear in payload bytes.
+    */
+  def analyzeMulawAssets(assets: Dataset[RawAsset], win: Int): Dataset[WavWindow] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.grouped(StubDecoder.BatchSize).flatMap(_.iterator.flatMap { a =>
+        val (_, samples) = decodeMulaw(a.payload)
+        windowFeatures(samples, win).iterator.zipWithIndex.map {
           case ((sumsq, crossings, peak), w) =>
             WavWindow(a.docId, w, a.payload.length, sumsq, crossings, peak)
         }

@@ -447,6 +447,37 @@ object LlmMultimodal extends Catalog {
         .orderBy("doc_id", "win")
     }),
 
+    // REAL lossy audio decompression: G.711 mu-law (WAVE format tag 7),
+    // the telephony codec. Each document synthesizes 256 mu-law CODES
+    // from its text, wraps them in a byte-valid format-7 WAV, and the
+    // engine decodes via the real RIFF walk + the standard G.711 segment
+    // expansion (complement, t = (8·mantissa + 0x84) << exponent, signed)
+    // before the same windowed DSP features as the PCM gate. The
+    // expansion is pure integer arithmetic, so the oracle re-derives the
+    // decoded PCM bit-exactly in SQL — any error in the complement, the
+    // bias, the shift, or the sign branch breaks every feature.
+    "llm_audio_mulaw" -> ((s, dir) => {
+      import s.implicits._
+      val assets = table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .filter(F.col("n_chars") > 0)
+        .select(F.col("doc_id"), F.col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val ulaw = Array.tabulate[Byte](256) { i =>
+            (((bytes(i % bytes.length) & 0xff) * 31 + i * 7) % 256).toByte
+          }
+          graft.multimodal.RawAsset(id,
+            graft.multimodal.Wav.encodeMulaw(8000, ulaw), "aud/mulaw", 0, 0, 1)
+        }
+      graft.multimodal.Wav.analyzeMulawAssets(assets, 64)
+        .toDF()
+        .select(F.col("docId").as("doc_id"), F.col("win"),
+          F.col("sumsq"), F.col("crossings"), F.col("peak"))
+        .orderBy("doc_id", "win")
+    }),
+
     // REAL video frame sampling on the codec-free container (RIFF AVI
     // with uncompressed 24-bpp DIB '00db' frames): synthesize a 6-frame
     // video per document (frame f's pixels tile the text with a 17·f
@@ -977,6 +1008,42 @@ object LlmMultimodal extends Catalog {
                   CAST(max(abs(s)) AS BIGINT) AS peak
            FROM lagged GROUP BY 1)
          SELECT doc_id, CAST(0 AS INT) AS win, sumsq, crossings, peak
+         FROM feat ORDER BY doc_id, win""",
+    // The G.711 expansion in SQL: c = 255 - u (the complement),
+    // mantissa = c % 16, exponent = (c // 16) % 8, sign = bit 7;
+    // t = (8·mantissa + 132) << exponent; sample = ±(t - 132). Bit-for-bit
+    // the formula in graft.multimodal.Wav.mulawExpand.
+    "llm_audio_mulaw" ->
+      """WITH d AS (
+           SELECT doc_id, text, length(text) AS n
+           FROM documents WHERE length(text) > 0),
+         code AS (
+           SELECT doc_id, t.i AS i,
+                  (ord(substring(text, (t.i % n) + 1, 1)) * 31 + t.i * 7)
+                    % 256 AS u
+           FROM d, unnest(generate_series(0, 255)) t(i)),
+         pcm AS (
+           SELECT doc_id, i,
+                  CASE WHEN (255 - u) >= 128
+                       THEN 132 - ((8 * ((255 - u) % 16) + 132)
+                                   << (((255 - u) // 16) % 8))
+                       ELSE ((8 * ((255 - u) % 16) + 132)
+                             << (((255 - u) // 16) % 8)) - 132
+                  END AS s
+           FROM code),
+         lagged AS (
+           SELECT doc_id, i, s,
+                  lag(s) OVER (PARTITION BY doc_id, i // 64 ORDER BY i)
+                    AS prev
+           FROM pcm),
+         feat AS (
+           SELECT doc_id, CAST(i // 64 AS INT) AS win,
+                  CAST(sum(CAST(s AS BIGINT) * s) AS BIGINT) AS sumsq,
+                  CAST(count(CASE WHEN prev * s < 0 THEN 1 END) AS BIGINT)
+                    AS crossings,
+                  CAST(max(abs(s)) AS BIGINT) AS peak
+           FROM lagged GROUP BY 1, 2)
+         SELECT doc_id, win, sumsq, crossings, peak
          FROM feat ORDER BY doc_id, win""",
     // Kept frame f (0, 2, 4) byte j of the w*h*3 packed pixels tiles the
     // text at offset 17*f — the parser must return exactly the synthesized

@@ -77,6 +77,10 @@ object CodecFuzzLaws extends Properties("CodecFuzzLaws") {
     Prop.forAll(junkGen)(b => controlled(Wav.decode(b)))
   property("Wav.decode total on corrupted containers") =
     Prop.forAll(wavGen)(b => controlled(Wav.decode(b)))
+  property("Wav.decodeMulaw total on junk") =
+    Prop.forAll(junkGen)(b => controlled(Wav.decodeMulaw(b)))
+  property("Wav.decodeMulaw total on corrupted containers") =
+    Prop.forAll(wavGen)(b => controlled(Wav.decodeMulaw(b)))
 
   property("Avi.decode total on junk") =
     Prop.forAll(junkGen)(b => controlled(Avi.decode(b)))

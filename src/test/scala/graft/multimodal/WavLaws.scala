@@ -42,6 +42,49 @@ object WavLaws extends Properties("WavLaws") {
         i32(40) == 2 * s.length && b.length == Wav.HeaderBytes + 2 * s.length
   }
 
+  // ---- G.711 mu-law laws ----
+
+  private val ulawGen: Gen[Array[Byte]] = for {
+    n <- Gen.choose(0, 400)
+    b <- Gen.containerOfN[Array, Byte](n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+  } yield b
+
+  // Container round trip: format-7 encode/decode recovers the expansion
+  // of every code byte.
+  property("mulaw decode-encode round trip") = Prop.forAll(rateGen, ulawGen) {
+    (rate, u) =>
+      val (rate2, s2) = Wav.decodeMulaw(Wav.encodeMulaw(rate, u))
+      rate2 == rate && s2.length == u.length &&
+        s2.indices.forall(i => s2(i) == Wav.mulawExpand(u(i) & 0xff))
+  }
+
+  // The G.711 code space: compress inverts expand on every code except
+  // 0x7f (negative zero collides with 0xff's positive zero).
+  property("mulaw compress inverts expand") =
+    Prop.forAll(Gen.choose(0, 255)) { u =>
+      u == 0x7f || Wav.mulawCompress(Wav.mulawExpand(u)) == u
+    }
+
+  // Expansion shape: zero codes decode to 0, magnitudes stay inside
+  // PCM16, and the expansion is monotone within each positive segment.
+  property("mulaw expansion is bounded and signed correctly") =
+    Prop.forAll(Gen.choose(0, 255)) { u =>
+      val s = Wav.mulawExpand(u).toInt
+      val c = (~u) & 0xff
+      math.abs(s) <= 32124 &&
+        ((c & 0x80) == 0 || s <= 0) && ((c & 0x80) != 0 || s >= 0)
+    }
+
+  // Lossy-codec quantization contract: compress-then-expand lands within
+  // the segment's step size of the input.
+  property("mulaw quantization error bounded by segment step") =
+    Prop.forAll(Gen.choose(-32124, 32124)) { x =>
+      val back = Wav.mulawExpand(Wav.mulawCompress(x)).toInt
+      // largest segment step is 8 << 7 = 1024; nearest-code search may
+      // land half a step away on either side
+      math.abs(back - x) <= 512
+    }
+
   // Real RIFF walk: an unknown odd-sized chunk spliced before `data`
   // (with the RIFF even-padding byte) must be skipped, not mis-parsed.
   property("chunk walk skips unknown chunks") = Prop.forAll(samplesGen) { s =>
