@@ -549,6 +549,53 @@ object AvroGates extends Catalog {
           F.round(F.sum("l_quantity"), 2).as("sum_qty"),
           F.max("l_orderkey").as("max_key"))
         .orderBy("l_returnflag")
+    }),
+
+    // Row-level DELETE as merge-on-read: equality deletes on TWO columns
+    // publish as a tiny sidecar (no data file rewritten), and every
+    // subsequent read — including with the delete columns pruned from
+    // the projection — applies them exactly at decode time. The oracle
+    // is the NOT IN mirror over the parquet source; metadata-served
+    // COUNT/MIN/MAX self-disable while the sidecar exists (spec-pinned).
+    "q_avro_delete" -> ((s, dir) => {
+      val tmp = tempDir("graft_gate_delete")
+      table(s, dir, "documents")
+        .write.format("graft-avro").mode("overwrite").save(tmp)
+      graft.sources.AvroMaintenance.deleteWhere(s, tmp, "source",
+        Seq("src3", "src7"))
+      graft.sources.AvroMaintenance.deleteWhere(s, tmp, "doc_id",
+        Seq(11L, 22L, 33L))
+      s.read.format("graft-avro").load(tmp)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.sum("n_chars").as("chars"),
+          F.sum(F.length(F.col("text")).cast("long")).as("text_len"))
+        .orderBy("lang")
+    }),
+
+    // Compaction (OPTIMIZE): a 24-way fragmented table with pending
+    // equality deletes bin-packs into byte-budgeted files in a fresh
+    // directory through the normal transactional commit — deletes are
+    // applied PHYSICALLY (no sidecar on the output), and the output's
+    // all-column zone manifest is complete, proven here by serving
+    // min/max(doc_id) from metadata on the compacted table (zero file
+    // opens — the broadcast single-row join below). CompactAvroSpec pins
+    // the file-count collapse and sidecar lifecycle.
+    "q_avro_compact" -> ((s, dir) => {
+      val in = tempDir("graft_gate_compact_av_in")
+      val out = tempDir("graft_gate_compact_av_out")
+      table(s, dir, "documents").repartition(24)
+        .write.format("graft-avro").mode("overwrite").save(in)
+      graft.sources.AvroMaintenance.deleteWhere(s, in, "source",
+        Seq("src5"))
+      graft.sources.AvroMaintenance.compactTo(s, in, out, 4L * 1024 * 1024)
+      val t = s.read.format("graft-avro").load(out)
+      val bounds = t.agg(F.min("doc_id").as("min_id"),
+        F.max("doc_id").as("max_id"))
+      t.groupBy("lang")
+        .agg(F.count(F.lit(1)).as("n_docs"), F.sum("n_chars").as("chars"))
+        .crossJoin(F.broadcast(bounds))
+        .orderBy("lang")
     })
   )
 
@@ -588,6 +635,21 @@ object AvroGates extends Catalog {
                 max(l_orderkey) AS max_key
          FROM lineitem WHERE l_suppkey < 50
          GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_avro_delete" ->
+      """SELECT lang, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS chars,
+                CAST(sum(length(text)) AS BIGINT) AS text_len
+         FROM documents
+         WHERE source NOT IN ('src3', 'src7')
+           AND doc_id NOT IN (11, 22, 33)
+         GROUP BY lang ORDER BY lang""",
+    "q_avro_compact" ->
+      """WITH live AS (SELECT * FROM documents WHERE source <> 'src5')
+         SELECT lang, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS chars,
+                (SELECT min(doc_id) FROM live) AS min_id,
+                (SELECT max(doc_id) FROM live) AS max_id
+         FROM live GROUP BY lang ORDER BY lang""",
     "q_avro_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,
                 CAST(sum(n_chars) AS BIGINT) AS chars,

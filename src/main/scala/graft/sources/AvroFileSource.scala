@@ -172,6 +172,71 @@ object AvroFileSource {
     */
   def colZoneFile(d: File): File = new File(d, "_graft_zones_cols")
 
+  /** Equality-delete sidecar (the Iceberg equality-delete-file analogue
+    * for a directory table): tab-separated lines
+    * `colEnc TAB typeSimpleString TAB valueEnc` (URL-encoded), each line
+    * an independent predicate — a row is DELETED when ANY line's column
+    * equals its value. Readers apply the set EXACTLY at decode time
+    * (merge-on-read); compaction to a new directory applies it
+    * physically and drops the sidecar. Presence of the sidecar disables
+    * every metadata-served aggregate (zero-decode COUNT(*), manifest
+    * MIN/MAX) — a deleted row could carry the extreme value — while zone
+    * PRUNING stays sound (pruning keeps files; deletes drop rows).
+    */
+  def deleteFile(d: File): File = new File(d, "_graft_deletes")
+
+  private[sources] def readDeletesRaw(df: File): Seq[(String, String, String)] = {
+    val src = scala.io.Source.fromFile(df, "UTF-8")
+    try src.getLines().filter(_.nonEmpty).map { line =>
+      line.split('\t') match {
+        case Array(c, t, v) => (c, t, v)
+        case _ => throw new IllegalStateException(
+          s"graft-avro: corrupt delete sidecar line '$line' in $df")
+      }
+    }.toList
+    finally src.close()
+  }
+
+  /** Delete-supported column types: exact external equality is decidable
+    * and encoding round-trips losslessly.
+    */
+  private[sources] def deletableType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType | IntegerType | LongType | ShortType | ByteType |
+           BooleanType => true
+      case _ => false
+    }
+  }
+
+  /** Parse the sidecar against the table schema → per-column deleted
+    * value sets. UNLIKE the zone manifests, a delete that cannot be
+    * interpreted must FAIL the read, not be skipped: skipping would
+    * resurrect deleted rows.
+    */
+  private[sources] def readDeletes(df: File,
+      full: StructType): Seq[(String, Set[Any])] =
+    readDeletesRaw(df)
+      .map { case (cEnc, tName, vEnc) =>
+        val c = java.net.URLDecoder.decode(cEnc, "UTF-8")
+        val dt = full.fields.find(_.name == c).map(_.dataType).getOrElse(
+          throw new IllegalStateException(
+            s"graft-avro: delete sidecar references unknown column '$c'"))
+        if (!deletableType(dt) || dt.simpleString != tName)
+          throw new IllegalStateException(
+            s"graft-avro: delete sidecar type '$tName' does not match " +
+              s"column '$c' (${dt.simpleString})")
+        val v = castPartitionValue(vEnc, dt).getOrElse(
+          throw new IllegalStateException(
+            s"graft-avro: unparsable delete value '$vEnc' for column '$c'"))
+        // SQL equality semantics: `col = NULL` matches nothing, so a null
+        // delete value is a meaningless (and likely corrupt) entry
+        if (v == null) throw new IllegalStateException(
+          s"graft-avro: null delete value for column '$c'")
+        (c, v)
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toSeq
+
   /** String zone bounds longer than this are truncated by the writer
     * (parquet-style); a decoded bound of exactly this length is
     * therefore MAYBE-truncated and unusable as an exact aggregate value.
@@ -410,6 +475,11 @@ class AvroScanBuilder(path: String, full: StructType,
     */
   override def pushAggregation(agg: Aggregation): Boolean = {
     if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return false
+    // Equality deletes invalidate every metadata-served aggregate: a
+    // deleted row still counts in block headers and may carry a zone
+    // extreme. Merge-on-read tables answer aggregates from real
+    // (delete-filtered) rows only.
+    if (AvroFileSource.deleteFile(new File(path)).isFile) return false
     val exprs = agg.aggregateExpressions
     if (exprs.length == 1 && exprs.head.isInstanceOf[CountStar]) {
       countPushed = true
@@ -861,7 +931,15 @@ class AvroScanBuilder(path: String, full: StructType,
         if (counting) AvroCountReaderFactory(required)
         else if (aggAny.nonEmpty) AvroAggRowReaderFactory(aggAny.map(_._2))
         else if (aggIsMin.nonEmpty) AvroZoneAggReaderFactory(aggIsMin, aggDt)
-        else AvroReaderFactory(required, full, filters, limit)
+        else {
+          // merge-on-read: parse the equality-delete sidecar ONCE at plan
+          // time (a corrupt sidecar fails the read here, driver-side)
+          val delF = AvroFileSource.deleteFile(new File(path))
+          val dels =
+            if (delF.isFile) AvroFileSource.readDeletes(delF, full)
+            else Nil
+          AvroReaderFactory(required, full, filters, limit, dels)
+        }
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new AvroMicroBatchStream(path, required, full, checkpointLocation,
           maxFilesPerTrigger, journalCompactAfter)
@@ -1122,8 +1200,14 @@ class AvroMicroBatchStream(path: String, required: StructType,
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    AvroReaderFactory(required, full)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // streaming reads are merge-on-read too: a replayed micro-batch must
+    // not resurrect rows deleted since the file was registered
+    val delF = AvroFileSource.deleteFile(new File(path))
+    val dels =
+      if (delF.isFile) AvroFileSource.readDeletes(delF, full) else Nil
+    AvroReaderFactory(required, full, deletes = dels)
+  }
 
   override def commit(end: Offset): Unit = synchronized {
     val committed = end.asInstanceOf[FileCountOffset].n
@@ -1244,7 +1328,8 @@ object AvroReaderFactory {
 }
 
 case class AvroReaderFactory(required: StructType, full: StructType,
-    filters: Array[Filter] = Array.empty, limit: Option[Int] = None)
+    filters: Array[Filter] = Array.empty, limit: Option[Int] = None,
+    deletes: Seq[(String, Set[Any])] = Nil)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -1267,8 +1352,19 @@ case class AvroReaderFactory(required: StructType, full: StructType,
     // record mirrors that shape, so Avro resolution SKIPS the untouched
     // nested fields during decode (the row-format analogue of parquet's
     // nested column pruning).
+    // Equality deletes must be evaluated even when the delete column is
+    // pruned out of the projection: decode the union schema, apply the
+    // delete check EXACTLY, and project back down before emitting.
+    val extraDelCols = deletes.map(_._1).distinct
+      .filterNot(c => required.fieldNames.contains(c))
+      .map(c => full.fields.find(_.name == c).getOrElse(
+        throw new IllegalStateException(
+          s"graft-avro: delete column '$c' missing from table schema")))
+    val decodeSchema =
+      if (extraDelCols.isEmpty) required
+      else StructType(required.fields ++ extraDelCols)
     val readerSchema = AvroReaderFactory.resolveReader(
-      writerSchema, required, file.toString)
+      writerSchema, decodeSchema, file.toString)
     val reader = new DataFileReader[GenericRecord](file,
       new GenericDatumReader[GenericRecord](null, readerSchema))
     if (part.start > 0) reader.sync(part.start)
@@ -1279,9 +1375,15 @@ case class AvroReaderFactory(required: StructType, full: StructType,
     // fused decode: GenericRecord → InternalRow in one planned pass (no
     // external Row, no ExpressionEncoder); each decode is a fresh row, so
     // no defensive copy either
-    val decode = AvroInternalCodec.decoderFor(readerSchema, required)
-    val keep = AvroFilterEval.build(required, filters)
+    val decode = AvroInternalCodec.decoderFor(readerSchema, decodeSchema)
+    val keep = AvroFilterEval.build(decodeSchema, filters)
     val unfiltered = filters.isEmpty
+    // (ordinal, deleted values) pairs against the DECODE schema; the
+    // check runs on external values so numeric promotions are finished
+    val delChecks = deletes.map { case (c, vs) =>
+      (decodeSchema.fieldIndex(c), vs)
+    }
+    val nReq = required.length
 
     val cap = limit.getOrElse(Int.MaxValue)
     new PartitionReader[InternalRow] {
@@ -1295,10 +1397,28 @@ case class AvroReaderFactory(required: StructType, full: StructType,
         // are externalized)
         while (row == null && reader.hasNext && !reader.pastSync(bound)) {
           val r = decode(reader.next())
-          if (unfiltered || keep(AvroInternalCodec.externalView(r, required)))
-            row = r
+          val view = AvroInternalCodec.externalView(r, decodeSchema)
+          val deleted = delChecks.nonEmpty && delChecks.exists {
+            case (i, vs) => val v = view.get(i); v != null && vs.contains(v)
+          }
+          if (!deleted && (unfiltered || keep(view))) row = r
         }
-        if (row != null) emitted += 1
+        if (row != null) {
+          emitted += 1
+          if (extraDelCols.nonEmpty) {
+            // project the widened decode row back down to `required`
+            val out = new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(nReq)
+            var i = 0
+            while (i < nReq) {
+              out.update(i,
+                if (row.isNullAt(i)) null
+                else row.get(i, required(i).dataType))
+              i += 1
+            }
+            row = out
+          }
+        }
         row != null
       }
       override def get(): InternalRow = row
@@ -1369,6 +1489,9 @@ class AvroWriteBuilder(path: String, schema: StructType,
           val fresh = staged.map(_._2).toSet
           AvroFileSource.listAvro(new File(path))
             .filterNot(f => fresh.contains(f.getPath)).foreach(_.delete())
+          // an overwrite defines a new dataset: stale equality deletes
+          // must not apply to the replacement rows
+          AvroFileSource.deleteFile(new File(path)).delete()
         }
         // Sorted-layout marker lifecycle. The marker claims EVERY file in
         // the directory is internally sorted by that column: a verified

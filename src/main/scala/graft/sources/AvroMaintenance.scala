@@ -1,0 +1,95 @@
+package graft.sources
+
+import java.io.File
+
+import org.apache.spark.sql.SparkSession
+
+/** Table-maintenance operations for graft-avro directory tables — the
+  * DELETE / OPTIMIZE pair every merge-on-read format needs at 100 TB:
+  *
+  *  - [[deleteWhere]] publishes equality deletes as a tiny sidecar
+  *    (`_graft_deletes`), O(values) metadata — no data file is touched.
+  *    Every subsequent read (batch AND streaming) applies the set
+  *    exactly at decode time; metadata-served aggregates self-disable.
+  *  - [[compactTo]] rewrites the table bin-packed by on-disk bytes into
+  *    a fresh directory THROUGH the normal transactional write path, so
+  *    the copy applies pending deletes physically, carries no sidecar,
+  *    and gets a complete all-column zone manifest from the commit — the
+  *    merge-on-read → copy-on-write transition.
+  *
+  * Compaction writes to a NEW directory rather than in place: readers of
+  * the old path stay consistent for as long as the old directory exists,
+  * and the swap is the caller's (atomic rename / view repoint) decision —
+  * the same publish discipline as the engine's merge-publish loop.
+  */
+object AvroMaintenance {
+
+  /** Append equality-delete predicates for `col` to the sidecar
+    * (merged with any existing entries, deduplicated, atomic rename).
+    * Values must be non-null and of the column's external type; only
+    * exact-equality-decidable types are allowed (string + integral +
+    * boolean — see [[AvroFileSource.deletableType]]).
+    */
+  def deleteWhere(spark: SparkSession, dir: String, col: String,
+      values: Seq[Any]): Unit = {
+    val d = new File(dir)
+    val schema = spark.read.format("graft-avro").load(dir).schema
+    val f = schema.fields.find(_.name == col).getOrElse(
+      throw new IllegalArgumentException(
+        s"delete column '$col' not in table schema"))
+    require(AvroFileSource.deletableType(f.dataType),
+      s"delete does not support ${f.dataType.simpleString} (column '$col')")
+    require(values.nonEmpty, "no delete values given")
+    values.foreach { v =>
+      require(v != null, "null delete values match nothing (SQL equality)")
+      // round-trip guard: the sidecar stores the string form, so the
+      // value must parse back to an equal external value
+      val enc = java.net.URLEncoder.encode(v.toString, "UTF-8")
+      val back = AvroFileSource.castPartitionValue(enc, f.dataType)
+      require(back.contains(v),
+        s"delete value '$v' does not round-trip as ${f.dataType.simpleString}")
+    }
+    val delF = AvroFileSource.deleteFile(d)
+    val cEnc = java.net.URLEncoder.encode(col, "UTF-8")
+    val fresh = values.map(v =>
+      (cEnc, f.dataType.simpleString,
+        java.net.URLEncoder.encode(v.toString, "UTF-8")))
+    val prior =
+      if (delF.isFile) AvroFileSource.readDeletesRaw(delF) else Nil
+    val merged = (prior ++ fresh).distinct
+    val tmp = new File(delF.getPath + ".staging")
+    java.nio.file.Files.write(tmp.toPath,
+      merged.map { case (c, t, v) => s"$c\t$t\t$v" }
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+    if (!tmp.renameTo(delF))
+      throw new java.io.IOException(
+        s"graft-avro delete: rename failed $tmp -> $delF")
+  }
+
+  /** On-disk bytes of the table's alive data files. */
+  def listBytes(dir: String): Long =
+    AvroFileSource.listAvro(new File(dir)).map(_.length()).sum
+
+  /** Alive data-file count. */
+  def dataFiles(dir: String): Int =
+    AvroFileSource.listAvro(new File(dir)).size
+
+  /** Bin-pack `in` into ceil(bytes / targetBytes) files at `out`,
+    * applying any pending equality deletes (they ride the read).
+    * Returns the file count written. The rewrite goes through the
+    * standard batch commit, so `out` is transactionally published with a
+    * fresh `_graft_zones_cols` manifest and NO delete sidecar. The sort
+    * marker is not carried: repartitioning destroys per-file order, and
+    * an unverified claim must never be stamped.
+    */
+  def compactTo(spark: SparkSession, in: String, out: String,
+      targetBytes: Long): Int = {
+    require(targetBytes > 0, s"target bytes $targetBytes")
+    val bytes = listBytes(in)
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.format("graft-avro").load(in)
+      .repartition(n)
+      .write.format("graft-avro").mode("overwrite").save(out)
+    n
+  }
+}
