@@ -116,6 +116,42 @@ object Sketches extends Catalog {
         .orderBy("event_type")
     }),
 
+    // Fixed-width histogram quantile: the mergeable-state alternative to
+    // percentile_approx whose answer the oracle reproduces EXACTLY.
+    // Values quantize to integers once (floor(value·1000), the engine's
+    // iterative-loop rule), buckets are width-1000 floor divisions, and
+    // the median is the first bucket whose cumulative count reaches
+    // ceil(n/2) — every step exact integer arithmetic in both engines.
+    //
+    // Scale (100 TB): the per-(event_type, bucket) counts are classic
+    // map-side-combinable state bounded by the value range, not the row
+    // count; the cumulative walk runs over the tiny histogram. This is
+    // the equi-width-histogram quantile any warehouse serves at scale,
+    // with the sketch→answer path fully under the oracle (the
+    // percentile_approx gate q_approx_quantile can only pin a rank
+    // bound).
+    "q_sketch_quantile_hist" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = table(s, dir, "events")
+      // events.value >= 0 in this corpus, so div == floor division
+      val hist = ev
+        .select(F.col("event_type"),
+          F.expr("CAST(floor(value * 1000) AS BIGINT) div 1000").as("b"))
+        .groupBy("event_type", "b").agg(F.count(F.lit(1)).as("c"))
+      val w = Window.partitionBy("event_type").orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wn = Window.partitionBy("event_type")
+      hist
+        .withColumn("cum", F.sum("c").over(w))
+        .withColumn("n", F.sum("c").over(wn))
+        .groupBy("event_type")
+        .agg(F.min("n").as("n_vals"),
+          F.min(F.when(F.col("cum") >= F.expr("(n + 1) div 2"), F.col("b")))
+            .as("med_bucket"),
+          F.count(F.lit(1)).as("hist_nnz"))
+        .orderBy("event_type")
+    }),
+
     // Count-min sketch heavy hitters, cross-engine exact: d=3 hash rows
     // (disjoint 28-bit slices of ONE md5, per the slice-don't-reseed rule),
     // w=256 counters. The estimate min_r counter[r][h_r(u)] is pure integer
@@ -185,6 +221,23 @@ object Sketches extends Catalog {
                  z.empty_buckets
           FROM exact e JOIN z ON e.event_type = z.event_type
           ORDER BY e.event_type""",
+    "q_sketch_quantile_hist" ->
+      """WITH q AS (
+           SELECT event_type,
+                  CAST(floor(value * 1000) AS BIGINT) // 1000 AS b
+           FROM events),
+         h AS (SELECT event_type, b, CAST(count(*) AS BIGINT) AS c
+               FROM q GROUP BY 1, 2),
+         cum AS (SELECT event_type, b, c,
+                  sum(c) OVER (PARTITION BY event_type ORDER BY b) AS cum,
+                  sum(c) OVER (PARTITION BY event_type) AS n
+                 FROM h)
+         SELECT event_type,
+                CAST(min(n) AS BIGINT) AS n_vals,
+                CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN b END)
+                  AS BIGINT) AS med_bucket,
+                CAST(count(*) AS BIGINT) AS hist_nnz
+         FROM cum GROUP BY event_type ORDER BY event_type""",
     "q_sketch_cms" ->
       """WITH hh AS (
            SELECT user_id,

@@ -56,6 +56,28 @@ class SketchSpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "the histogram quantile (q_sketch_quantile_hist)" should {
+    "place the median bucket around the true rank-median element" in {
+      val sfDir = "/root/testdata/sf0.001"
+      val rows = Sketches.queries("q_sketch_quantile_hist")(spark, sfDir)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      // exact lower median per group, from a full sort (test-only)
+      val exact = spark.read.parquet(s"$sfDir/events.parquet")
+        .groupBy("event_type")
+        .agg(F.expr("sort_array(collect_list(value))" +
+          "[CAST((count(value) + 1) DIV 2 AS INT) - 1]").as("med"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      exact.foreach { case (et, med) =>
+        val (n, bucket, nnz) = rows(et)
+        n should be > 0L
+        nnz should be > 1L
+        // the true median element quantizes into exactly that bucket
+        (math.floor(med * 1000) / 1000).toLong shouldBe bucket
+      }
+    }
+  }
+
   "the count-min sketch (q_sketch_cms)" should {
     "never under-count and stay within the (d=3, w=256) collision bound" in {
       val rows = Sketches.queries("q_sketch_cms")(spark, "/root/testdata/sf0.01")
