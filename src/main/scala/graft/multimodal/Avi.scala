@@ -113,6 +113,150 @@ object Avi {
     out
   }
 
+  // ---- Motion JPEG ('MJPG') ----------------------------------------------
+
+  /** The 'MJPG' fourcc as the little-endian BITMAPINFOHEADER
+    * biCompression value.
+    */
+  private val MjpgFourcc =
+    'M'.toInt | ('J'.toInt << 8) | ('P'.toInt << 16) | ('G'.toInt << 24)
+
+  /** Encode pre-compressed baseline JPEG frames as a Motion-JPEG AVI —
+    * the first COMPRESSED video container: strh 'vids'/'MJPG', strf
+    * biCompression 'MJPG', frames as '00dc' (compressed) chunks holding
+    * the raw JPEG bytes, odd sizes padded per the RIFF rule. The
+    * container is transparent: decode returns exactly what
+    * [[Jpeg.decode]] yields per frame (law-pinned in AviLaws).
+    */
+  def encodeMjpeg(w: Int, h: Int, fps: Int,
+      jpegFrames: Seq[Array[Byte]]): Array[Byte] = {
+    require(fps >= 1, s"fps $fps")
+    require(jpegFrames.nonEmpty, "no frames")
+    val maxFrame = jpegFrames.map(_.length).max
+    val hdrlSize = 4 + 8 + AvihBytes + 8 + 4 + 8 + StrhBytes + 8 + StrfBytes
+    val moviSize = 4 + jpegFrames.map(f => 8 + f.length + (f.length & 1)).sum
+    val out = new Array[Byte](12 + 8 + hdrlSize + 8 + moviSize)
+    var p = 0
+    def le16(v: Int): Unit = {
+      out(p) = v.toByte; out(p + 1) = (v >> 8).toByte; p += 2
+    }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16(v >>> 16) }
+    def tag(t: String): Unit = {
+      var i = 0
+      while (i < 4) { out(p) = t.charAt(i).toByte; p += 1; i += 1 }
+    }
+    tag("RIFF"); le32(out.length - 8); tag("AVI ")
+    tag("LIST"); le32(hdrlSize); tag("hdrl")
+    tag("avih"); le32(AvihBytes)
+    le32(1000000 / fps)
+    le32(fps * maxFrame)
+    le32(0); le32(0)
+    le32(jpegFrames.length)
+    le32(0); le32(1)
+    le32(maxFrame)
+    le32(w); le32(h)
+    le32(0); le32(0); le32(0); le32(0)
+    tag("LIST"); le32(4 + 8 + StrhBytes + 8 + StrfBytes); tag("strl")
+    tag("strh"); le32(StrhBytes)
+    tag("vids"); tag("MJPG")
+    le32(0); le32(0); le32(0)
+    le32(1); le32(fps); le32(0)
+    le32(jpegFrames.length)
+    le32(maxFrame)
+    le32(0xffffffff)
+    le32(0)
+    le16(0); le16(0); le16(w); le16(h)
+    tag("strf"); le32(StrfBytes)
+    le32(StrfBytes)
+    le32(w); le32(h)
+    le16(1); le16(24)
+    le32(MjpgFourcc) // biCompression: 'MJPG'
+    le32(maxFrame)
+    le32(2835); le32(2835); le32(0); le32(0)
+    tag("LIST"); le32(moviSize); tag("movi")
+    jpegFrames.foreach { f =>
+      tag("00dc"); le32(f.length)
+      System.arraycopy(f, 0, out, p, f.length)
+      p += f.length + (f.length & 1) // RIFF even padding
+    }
+    out
+  }
+
+  /** Parse a Motion-JPEG AVI and DECOMPRESS every frame through the real
+    * baseline-JPEG codec → (w, h, top-down grayscale planes). The same
+    * nested RIFF walk as [[decode]], routed by biCompression: '00dc'
+    * chunks carry entropy-coded JPEG streams, each Huffman-decoded,
+    * dequantized and IDCT'd by [[Jpeg.decode]], with frame dims
+    * validated against the stream header.
+    */
+  def decodeMjpeg(bytes: Array[Byte]): (Int, Int, Vector[Array[Byte]]) = {
+    def u16(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    def i32(off: Int): Int = u16(off) | (u16(off + 2) << 16)
+    def tag(off: Int): String =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    require(bytes.length >= 12 && tag(0) == "RIFF" && tag(8) == "AVI ",
+      "not an AVI payload")
+    var w = -1; var h = -1
+    var streamType = ""
+    val frames = Vector.newBuilder[Array[Byte]]
+    def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
+      var off = from
+      while (off + 8 <= to) {
+        val id = tag(off)
+        val size = i32(off + 4)
+        require(size >= 0 && off.toLong + 8 + size <= to, s"truncated chunk $id")
+        if (id == "LIST") {
+          require(size >= 4, s"short LIST chunk $size")
+          val listType = tag(off + 8)
+          if (listType == "hdrl" || listType == "strl" ||
+              listType == "movi" || (inMovi && listType == "rec "))
+            walk(off + 12, off + 8 + size, inMovi || listType == "movi")
+        } else if (id == "strh") {
+          require(size >= 4, s"short strh chunk $size")
+          streamType = tag(off + 8)
+        } else if (id == "strf" && streamType == "vids") {
+          require(w < 0, "multiple video streams")
+          require(size >= StrfBytes, s"short strf chunk $size")
+          require(i32(off + 8 + 16) == MjpgFourcc,
+            s"not an MJPG stream (compression ${i32(off + 8 + 16)})")
+          w = i32(off + 8 + 4)
+          h = i32(off + 8 + 8)
+          require(w > 0 && h > 0 && w <= (1 << 14) && h <= (1 << 14),
+            s"unsupported frame dims ${w}x$h")
+        } else if (inMovi && id == "00dc") {
+          require(w > 0, "frame chunk before strf header")
+          val jpeg = java.util.Arrays.copyOfRange(bytes, off + 8,
+            off + 8 + size)
+          val (fw, fh, pix) = Jpeg.decode(jpeg)
+          require(fw == w && fh == h,
+            s"frame dims ${fw}x$fh != stream dims ${w}x$h")
+          frames += pix
+        }
+        off += 8 + size + (size & 1)
+      }
+    }
+    walk(12, bytes.length, inMovi = false)
+    require(w > 0, "missing strf header")
+    (w, h, frames.result())
+  }
+
+  /** Batched MJPEG decode over a distributed asset Dataset: one row per
+    * (doc, frame) with the decompressed grayscale plane — the same
+    * mapPartitions/batch shape as every multimodal kernel.
+    */
+  def decodeMjpegAssets(assets: Dataset[RawAsset]): Dataset[VideoFrame] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.grouped(StubDecoder.BatchSize).flatMap(_.iterator.flatMap { a =>
+        val (w, h, frames) = decodeMjpeg(a.payload)
+        frames.iterator.zipWithIndex.map { case (pix, i) =>
+          VideoFrame(a.docId, i, w, h, pix)
+        }
+      })
+    }
+  }
+
   /** Parse an uncompressed-DIB AVI → (w, h, top-down packed frames).
     * Real nested RIFF walk: hdrl is located by list type; each strl's
     * strh is read for its stream fourCC and strf is parsed as a

@@ -60,6 +60,7 @@ object Probe {
             case "aud/wav" => Wav.decode(a.payload)
             case "aud/mulaw" => Wav.decodeMulaw(a.payload)
             case "vid/avi" => Avi.decode(a.payload)
+            case "vid/mjpeg" => Avi.decodeMjpeg(a.payload)
             case other =>
               throw new IllegalArgumentException(s"unknown format $other")
           }
@@ -91,6 +92,9 @@ object Probe {
               samples.length.toLong
             case "vid/avi" =>
               val (_, _, frames) = Avi.decode(a.payload); frames.length.toLong
+            case "vid/mjpeg" =>
+              val (_, _, frames) = Avi.decodeMjpeg(a.payload)
+              frames.length.toLong
             case other =>
               throw new IllegalArgumentException(s"unknown format $other")
           }

@@ -387,6 +387,51 @@ object LlmMultimodal extends Catalog {
         .orderBy("doc_id")
     }),
 
+    // COMPRESSED video under the oracle — Motion JPEG: the first video
+    // container whose FRAMES are entropy-coded (strh 'vids'/'MJPG',
+    // biCompression 'MJPG', '00dc' chunks of real baseline-JPEG
+    // streams). Decode composes the two real codecs — the nested RIFF
+    // walk routes each compressed chunk through the full Huffman /
+    // dequant / IDCT pipeline — and the container is transparent
+    // (AviLaws law: decodeMjpeg ≡ Jpeg.decode per frame). Gate frames
+    // are 8x8-block-constant tiles offset 17·f per frame (the video
+    // gate's motion pattern), so the lossy codec is oracle-exact and
+    // the oracle re-derives every frame's plane byte-for-byte. The
+    // middle frame carries restart markers.
+    "llm_video_mjpeg" -> ((s, dir) => {
+      import s.implicits._
+      val assets = table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .filter(F.col("n_chars") > 0)
+        .select(F.col("doc_id"), F.col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val n = bytes.length
+          val w = n % 20 + 8
+          val h = (id % 20).toInt + 8
+          val wB = (w + 7) / 8
+          val frames = (0 until 3).map { f =>
+            val pix = Array.tabulate[Byte](w * h) { j =>
+              val x = j % w; val y = j / w
+              bytes(((y / 8) * wB + (x / 8) + 17 * f) % n)
+            }
+            graft.multimodal.Jpeg.encode(w, h, pix,
+              restartInterval = if (f == 1) 2 else 0)
+          }
+          graft.multimodal.RawAsset(id,
+            graft.multimodal.Avi.encodeMjpeg(w, h, 5, frames),
+            "vid/mjpeg", w, h, 1)
+        }
+      graft.multimodal.Avi.decodeMjpegAssets(assets)
+        .toDF()
+        .select(F.col("docId").as("doc_id"),
+          F.col("frameIdx").as("frame_idx"),
+          F.col("w").as("width"), F.col("h").as("height"),
+          F.md5(F.col("pix")).as("pix_hash"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // REAL audio decode + windowed DSP features on the codec-free audio
     // container (RIFF/WAVE PCM16 mono): synthesize a deterministic
     // 256-sample waveform from the document's characters, encode a
@@ -1009,6 +1054,31 @@ object LlmMultimodal extends Catalog {
            FROM lagged GROUP BY 1)
          SELECT doc_id, CAST(0 AS INT) AS win, sumsq, crossings, peak
          FROM feat ORDER BY doc_id, win""",
+    // Each MJPEG frame f re-derived as the 17·f-offset block tile; the
+    // md5 over the tile string equals the hash of the decompressed
+    // plane bytes (ASCII corpus).
+    "llm_video_mjpeg" ->
+      """WITH d AS (
+           SELECT doc_id, text, length(text) AS n,
+                  (length(text) % 20) + 8 AS w,
+                  (doc_id % 20) + 8 AS h,
+                  ((length(text) % 20) + 8 + 7) // 8 AS wb
+           FROM documents WHERE length(text) > 0),
+         px AS (
+           SELECT doc_id, t.f AS f, t2.i AS i,
+                  substring(text,
+                    ((((t2.i // w) // 8) * wb + ((t2.i % w) // 8)
+                      + 17 * t.f) % n) + 1,
+                    1) AS ch
+           FROM d, unnest(generate_series(0, 2)) t(f),
+                unnest(generate_series(0, w * h - 1)) t2(i)),
+         s AS (
+           SELECT doc_id, f, string_agg(ch, '' ORDER BY i) AS sp
+           FROM px GROUP BY 1, 2)
+         SELECT d.doc_id, CAST(s.f AS INT) AS frame_idx,
+                CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+                md5(s.sp) AS pix_hash
+         FROM d JOIN s USING (doc_id) ORDER BY doc_id, frame_idx""",
     // The G.711 expansion in SQL: c = 255 - u (the complement),
     // mantissa = c % 16, exponent = (c // 16) % 8, sign = bit 7;
     // t = (8·mantissa + 132) << exponent; sample = ±(t - 132). Bit-for-bit

@@ -43,6 +43,49 @@ object AviLaws extends Properties("AviLaws") {
     }
   }
 
+  // ---- Motion JPEG laws ----
+
+  private def grayFramesGen(w: Int, h: Int): Gen[List[Array[Byte]]] = for {
+    n <- Gen.choose(1, 4)
+    fs <- Gen.listOfN(n, Gen.containerOfN[Array, Byte](w * h,
+      Gen.choose(Byte.MinValue, Byte.MaxValue)))
+  } yield fs
+
+  // Container transparency: the MJPEG wrap adds nothing lossy — decoding
+  // the container equals decoding each JPEG stream directly, for
+  // arbitrary (non-block-constant, genuinely lossy) frames.
+  property("mjpeg container is transparent over Jpeg.decode") =
+    Prop.forAll(Gen.choose(8, 24), Gen.choose(8, 24)) { (w, h) =>
+      Prop.forAll(grayFramesGen(w, h)) { fs =>
+        val jpegs = fs.map(p => Jpeg.encode(w, h, p))
+        val (w2, h2, out) = Avi.decodeMjpeg(Avi.encodeMjpeg(w, h, 5, jpegs))
+        val direct = jpegs.map { j =>
+          val (_, _, pix) = Jpeg.decode(j); pix
+        }
+        w2 == w && h2 == h && out.length == fs.length &&
+          out.zip(direct).forall { case (a, b) =>
+            java.util.Arrays.equals(a, b)
+          }
+      }
+    }
+
+  // Odd-sized JPEG streams force the RIFF even-padding rule through the
+  // '00dc' path; frame dims that disagree with strf must be rejected.
+  property("mjpeg rejects frames that disagree with the stream header") =
+    Prop.forAll(Gen.choose(8, 16)) { w =>
+      val good = Jpeg.encode(w, w, Array.fill[Byte](w * w)(7))
+      val bad = Jpeg.encode(w + 8, w, Array.fill[Byte]((w + 8) * w)(7))
+      val container = Avi.encodeMjpeg(w, w, 5, Seq(good))
+      // splice the wrong-dims jpeg in place of the good one by
+      // re-encoding a container that LIES about its dims
+      val lying = Avi.encodeMjpeg(w, w, 5, Seq(bad))
+      val rejected =
+        try { Avi.decodeMjpeg(lying); false }
+        catch { case _: IllegalArgumentException => true }
+      val goodDecodes = Avi.decodeMjpeg(container)._3.length == 1
+      rejected && goodDecodes
+    }
+
   // Real RIFF walk: a JUNK chunk (odd size, padded) spliced between the
   // hdrl and movi lists must be skipped, not mis-parsed.
   property("chunk walk skips junk chunks") = Prop.forAll(dimGen, dimGen) { (w, h) =>

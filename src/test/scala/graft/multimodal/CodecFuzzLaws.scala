@@ -82,6 +82,17 @@ object CodecFuzzLaws extends Properties("CodecFuzzLaws") {
   property("Wav.decodeMulaw total on corrupted containers") =
     Prop.forAll(wavGen)(b => controlled(Wav.decodeMulaw(b)))
 
+  private val mjpegGen: Gen[Array[Byte]] = for {
+    w <- Gen.choose(8, 16)
+    p <- Gen.containerOfN[Array, Byte](w * w,
+      Gen.choose(Byte.MinValue, Byte.MaxValue))
+    out <- corrupt(Avi.encodeMjpeg(w, w, 5, Seq(Jpeg.encode(w, w, p))))
+  } yield out
+  property("Avi.decodeMjpeg total on junk") =
+    Prop.forAll(junkGen)(b => controlled(Avi.decodeMjpeg(b)))
+  property("Avi.decodeMjpeg total on corrupted containers") =
+    Prop.forAll(mjpegGen)(b => controlled(Avi.decodeMjpeg(b)))
+
   property("Avi.decode total on junk") =
     Prop.forAll(junkGen)(b => controlled(Avi.decode(b)))
   property("Avi.decode total on corrupted containers") =
