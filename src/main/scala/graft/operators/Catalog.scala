@@ -55,11 +55,14 @@ object Catalog {
     p.toString
   }
 
-  /** Load one testdata table. The `events` table carries TIMESTAMP(NANOS)
-    * which Spark 4 refuses to read natively; read nanos as long and convert
-    * to a micros timestamp with integer division (a double division would
-    * lose precision on ~1e18 nano values). DuckDB's TIMESTAMP is micros, so
-    * the oracle sees the identical truncation.
+  /** Load one testdata table. The `events` table's `ts` column has
+    * shipped as TIMESTAMP(NANOS) in some testdata generations (which
+    * Spark 4 refuses to read natively — read nanos as long and truncate
+    * with integer division; a double division would lose precision on
+    * ~1e18 nano values) and as plain micros in others. Branch on the
+    * actual read schema and normalize every generation to a session-UTC
+    * TimestampType — DuckDB's TIMESTAMP is micros, so the oracle sees
+    * identical values either way.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
@@ -67,8 +70,15 @@ object Catalog {
       // every load would thrash the per-session plan cache).
       val k = "spark.sql.legacy.parquet.nanosAsLong"
       if (!spark.conf.getOption(k).contains("true")) spark.conf.set(k, "true")
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      raw.schema("ts").dataType match {
+        case LongType => // nanos surfaced as long under the legacy conf
+          raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        case TimestampNTZType => // micros; NTZ→LTZ is a no-op under UTC
+          raw.withColumn("ts", F.col("ts").cast(TimestampType))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 }
