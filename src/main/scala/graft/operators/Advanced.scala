@@ -203,6 +203,50 @@ object Advanced extends Catalog {
         .agg(F.count(F.lit(1)).as("n_orders"),
           F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).as("cents_total"))
         .orderBy("o_orderpriority")
+    }),
+
+    // Recursive query / graph traversal: multi-source BFS hop distance
+    // over an md5-derived 2-out edge graph, iterated TO FIXPOINT
+    // (frontier-empty), not a fixed unroll — the oracle is a true
+    // `WITH RECURSIVE` (DuckDB's recursive-union min-distance), so this
+    // gate proves the iterative DataFrame loop ≡ recursive SQL. Scale
+    // shape: each hop is one shuffle join on the frontier (the Pregel
+    // step) + an anti-join against the known set; localCheckpoint per
+    // hop keeps lineage one step deep, and the loop stops the moment
+    // the frontier dies (~log N hops on this graph), with a 30-hop
+    // safety cap mirrored in the oracle's WHERE d < 30.
+    "q_graph_bfs" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val mod = docs.agg(F.max("doc_id")).head().getLong(0) + 1
+      def target(off: Int) =
+        F.conv(F.substring(F.md5(F.col("text")), off, 12), 16, 10)
+          .cast("long") % mod
+      val edges = docs.select(F.col("doc_id").as("u"),
+          F.explode(F.array(target(1), target(13))).as("v"))
+        .localCheckpoint()
+      var known = docs.select(F.col("doc_id").as("v"))
+        .filter(F.col("v") % 23 === 0)
+        .withColumn("dist", F.lit(0L)).localCheckpoint()
+      var frontier = known.select("v")
+      var hop = 0L
+      var done = false
+      while (!done && hop < 30) {
+        hop += 1
+        val next = edges
+          .join(frontier.select(F.col("v").as("u")), "u")
+          .select("v").distinct()
+          .join(known, Seq("v"), "left_anti")
+          .withColumn("dist", F.lit(hop))
+          .localCheckpoint()
+        if (next.isEmpty) done = true
+        else {
+          known = known.unionByName(next).localCheckpoint()
+          frontier = next.select("v")
+        }
+      }
+      known.select(F.col("v").as("doc_id"), F.col("dist"))
+        .orderBy("doc_id")
     })
   )
 
@@ -301,6 +345,28 @@ object Advanced extends Catalog {
          FROM orders
          WHERE o_custkey IN
            (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
-         GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // true recursive CTE: recursive-union dedup on (v, d) pairs bounds
+    // the iteration, min(d) recovers the BFS distance; the d < 30 cap
+    // mirrors the Spark loop's safety bound exactly
+    "q_graph_bfs" ->
+      """WITH RECURSIVE
+           mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+           e AS (
+             SELECT doc_id AS u,
+                    CAST('0x' || substring(md5(text), 1, 12) AS BIGINT) % m
+                      AS v
+             FROM documents, mx
+             UNION ALL
+             SELECT doc_id,
+                    CAST('0x' || substring(md5(text), 13, 12) AS BIGINT) % m
+             FROM documents, mx),
+           bfs(v, d) AS (
+             SELECT doc_id, 0 FROM documents WHERE doc_id % 23 = 0
+             UNION
+             SELECT e.v, bfs.d + 1 FROM bfs JOIN e ON e.u = bfs.v
+             WHERE bfs.d < 30)
+         SELECT v AS doc_id, CAST(min(d) AS BIGINT) AS dist
+         FROM bfs GROUP BY v ORDER BY doc_id"""
   )
 }

@@ -596,6 +596,36 @@ object AvroGates extends Catalog {
         .agg(F.count(F.lit(1)).as("n_docs"), F.sum("n_chars").as("chars"))
         .crossJoin(F.broadcast(bounds))
         .orderBy("lang")
+    }),
+
+    // Time travel (snapshot isolation): four commits — overwrite, append,
+    // equality delete, overwrite — each mint a version in the
+    // `_graft_snapshots` delta journal; `versionAsOf` reads reconstruct
+    // every historical state exactly, INCLUDING the delete sidecar in
+    // force at that version (v3 applies it, v2 predates it, v4's
+    // overwrite cleared it) and the archived files the final overwrite
+    // replaced. AvroSnapshotSpec drives timestampAsOf, schema-changing
+    // travel, the vacuum (expireSnapshots) and the error contracts.
+    "q_avro_timetravel" -> ((s, dir) => {
+      val tmp = tempDir("graft_gate_timetravel")
+      val n = table(s, dir, "nation")
+      n.filter(F.col("n_regionkey") < 2)
+        .write.format("graft-avro").mode("overwrite").save(tmp) // v1
+      n.filter(F.col("n_regionkey") >= 2 && F.col("n_regionkey") < 4)
+        .write.format("graft-avro").mode("append").save(tmp)    // v2
+      graft.sources.AvroMaintenance.deleteWhere(s, tmp,
+        "n_regionkey", Seq(1))                                  // v3
+      n.filter(F.col("n_regionkey") >= 3)
+        .write.format("graft-avro").mode("overwrite").save(tmp) // v4
+      (1 to 4).map { v =>
+        s.read.format("graft-avro").option("versionAsOf", v.toLong)
+          .load(tmp)
+          .agg(F.count(F.lit(1)).as("n_rows"),
+            F.sum("n_nationkey").as("sum_key"),
+            F.sum(F.length(F.col("n_name")).cast("long")).as("name_len"))
+          .select(F.lit(v).as("version"), F.col("n_rows"),
+            F.col("sum_key"), F.col("name_len"))
+      }.reduce(_.unionByName(_)).orderBy("version")
     })
   )
 
@@ -635,6 +665,28 @@ object AvroGates extends Catalog {
                 max(l_orderkey) AS max_key
          FROM lineitem WHERE l_suppkey < 50
          GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // each CTE re-derives one historical version's content from the
+    // source table: v1 = first overwrite, v2 = + append, v3 = v2 minus
+    // the equality delete, v4 = final overwrite (delete cleared)
+    "q_avro_timetravel" ->
+      """WITH v1 AS (SELECT * FROM nation WHERE n_regionkey < 2),
+              v2 AS (SELECT * FROM nation WHERE n_regionkey < 4),
+              v3 AS (SELECT * FROM nation
+                     WHERE n_regionkey < 4 AND n_regionkey <> 1),
+              v4 AS (SELECT * FROM nation WHERE n_regionkey >= 3)
+         SELECT 1 AS version, count(*) AS n_rows,
+                CAST(sum(n_nationkey) AS BIGINT) AS sum_key,
+                CAST(sum(length(n_name)) AS BIGINT) AS name_len FROM v1
+         UNION ALL
+         SELECT 2, count(*), CAST(sum(n_nationkey) AS BIGINT),
+                CAST(sum(length(n_name)) AS BIGINT) FROM v2
+         UNION ALL
+         SELECT 3, count(*), CAST(sum(n_nationkey) AS BIGINT),
+                CAST(sum(length(n_name)) AS BIGINT) FROM v3
+         UNION ALL
+         SELECT 4, count(*), CAST(sum(n_nationkey) AS BIGINT),
+                CAST(sum(length(n_name)) AS BIGINT) FROM v4
+         ORDER BY version""",
     "q_avro_delete" ->
       """SELECT lang, count(*) AS n_docs,
                 CAST(sum(n_chars) AS BIGINT) AS chars,

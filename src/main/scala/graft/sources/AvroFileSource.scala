@@ -72,7 +72,19 @@ class AvroFileSource extends TableProvider with DataSourceRegister {
     * sweep on very large directories.
     */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val files = AvroFileSource.listAvro(dir(options))
+    val d = dir(options)
+    val travel = AvroFileSource.resolveTravelVersion(d,
+      Option(options.get("versionAsOf")).map(_.toLong),
+      Option(options.get("timestampAsOf")).map(_.toLong))
+    val files = travel match {
+      case Some(v) =>
+        // a snapshot's schema is inferred over ITS file set — an
+        // overwrite that changed the schema must not leak the new
+        // column set into a pre-overwrite version
+        AvroFileSource.readSnapshots(d).find(_.version == v).get.files
+          .map(AvroFileSource.resolveSnapshotFile(d, _))
+      case None => AvroFileSource.listAvro(d)
+    }
     require(files.nonEmpty, s"no .avro files under ${dir(options)}")
     def header(f: File): Schema = {
       val r = new DataFileReader[GenericRecord](
@@ -216,7 +228,24 @@ object AvroFileSource {
     */
   private[sources] def readDeletes(df: File,
       full: StructType): Seq[(String, Set[Any])] =
-    readDeletesRaw(df)
+    parseDeletes(readDeletesRaw(df), full)
+
+  /** Parse raw sidecar CONTENT (as archived in a snapshot-journal entry)
+    * with the same strictness as a live sidecar read.
+    */
+  private[sources] def parseDeleteContent(content: String,
+      full: StructType): Seq[(String, Set[Any])] =
+    parseDeletes(content.split('\n').toSeq.filter(_.nonEmpty).map { line =>
+      line.split('\t') match {
+        case Array(c, t, v) => (c, t, v)
+        case _ => throw new IllegalStateException(
+          s"graft-avro: corrupt archived delete line '$line'")
+      }
+    }, full)
+
+  private[sources] def parseDeletes(raw: Seq[(String, String, String)],
+      full: StructType): Seq[(String, Set[Any])] =
+    raw
       .map { case (cEnc, tName, vEnc) =>
         val c = java.net.URLDecoder.decode(cEnc, "UTF-8")
         val dt = full.fields.find(_.name == c).map(_.dataType).getOrElse(
@@ -236,6 +265,181 @@ object AvroFileSource {
         (c, v)
       }
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toSeq
+
+  // ------------------------------------------------------------------
+  // Snapshot journal (time travel) — the Iceberg snapshot-log analogue.
+  //
+  // `_graft_snapshots` is an append-only, DELTA-ENCODED version log: one
+  // line per committed version,
+  //
+  //   version TAB millis TAB kind TAB deletes TAB fileDeltas
+  //
+  // where `fileDeltas` is a comma list of `+<rel>` / `-<rel>` changes vs
+  // the previous version's file set (URL-encoded relative paths) and
+  // `deletes` is the URL-encoded `_graft_deletes` content when it CHANGED
+  // this version (`~` = carried forward, `-` = none). Delta encoding
+  // keeps the journal O(total file churn), not O(versions × files) — the
+  // property that lets a 100 TB table with thousands of snapshots keep a
+  // journal in the kilobytes. The file is rewritten via staging + atomic
+  // rename like every other manifest.
+  //
+  // Overwrites ARCHIVE replaced data files under `_graft_archive/<rel>`
+  // (same relative layout, so partition values still parse) instead of
+  // deleting them; `versionAsOf` resolution is live-first then archive —
+  // sound because batch file names carry a random component and can
+  // never recur across generations. [[AvroMaintenance.expireSnapshots]]
+  // is the vacuum: it drops old versions and deletes archived files no
+  // kept snapshot references.
+  // ------------------------------------------------------------------
+
+  def snapshotsFile(d: File): File = new File(d, "_graft_snapshots")
+  def archiveDir(d: File): File = new File(d, "_graft_archive")
+
+  /** One reconstructed snapshot: `files` are table-relative data-file
+    * paths; `deletes` is the raw equality-delete sidecar content in force
+    * at this version (None = no deletes).
+    */
+  case class Snapshot(version: Long, millis: Long, kind: String,
+      deletes: Option[String], files: Seq[String])
+
+  /** Replay the delta journal into cumulative snapshots, oldest first.
+    * STRICT like the delete sidecar: time travel serves query RESULTS,
+    * so a malformed journal must fail the read, not silently skip
+    * versions (a dropped `-` delta would resurrect an overwritten file).
+    */
+  def readSnapshots(d: File): Seq[Snapshot] = {
+    val jf = snapshotsFile(d)
+    if (!jf.isFile) return Nil
+    val src = scala.io.Source.fromFile(jf, "UTF-8")
+    val lines = try src.getLines().filter(_.nonEmpty).toList finally src.close()
+    var files = Vector.empty[String]
+    var dels: Option[String] = None
+    var prevV = -1L // expireSnapshots may rebase the journal start
+    lines.map { line =>
+      line.split('\t') match {
+        case Array(v, ms, kindEnc, delEnc, deltasEnc) =>
+          val version = v.toLong
+          if (prevV >= 0 && version != prevV + 1)
+            throw new IllegalStateException(
+              s"graft-avro: snapshot journal gap at version $version in $jf")
+          prevV = version
+          dels = delEnc match {
+            case "~" => dels // carried forward unchanged
+            case "-" => None
+            case enc => Some(java.net.URLDecoder.decode(enc, "UTF-8"))
+          }
+          if (deltasEnc != "-") deltasEnc.split(',').foreach { tok =>
+            val rel = java.net.URLDecoder.decode(tok.drop(1), "UTF-8")
+            tok.charAt(0) match {
+              case '+' =>
+                if (files.contains(rel)) throw new IllegalStateException(
+                  s"graft-avro: duplicate add of '$rel' at version $version")
+                files :+= rel
+              case '-' =>
+                if (!files.contains(rel)) throw new IllegalStateException(
+                  s"graft-avro: remove of unknown '$rel' at version $version")
+                files = files.filterNot(_ == rel)
+              case _ => throw new IllegalStateException(
+                s"graft-avro: bad snapshot delta '$tok' in $jf")
+            }
+          }
+          Snapshot(version, ms.toLong,
+            java.net.URLDecoder.decode(kindEnc, "UTF-8"), dels, files)
+        case _ => throw new IllegalStateException(
+          s"graft-avro: corrupt snapshot journal line '$line' in $jf")
+      }
+    }
+  }
+
+  /** Record the directory's CURRENT state (live data files + delete
+    * sidecar) as the next version. No-ops when nothing changed since the
+    * last snapshot — idle streaming epochs and empty appends must not
+    * mint empty versions. Called at the END of every successful commit
+    * (batch, streaming epoch, delete publication), when the new state is
+    * fully visible.
+    */
+  def appendSnapshot(d: File, kind: String): Unit = {
+    val base = d.getAbsoluteFile.toPath
+    val live = listAvro(d)
+      .map(f => base.relativize(f.getAbsoluteFile.toPath).toString).sorted
+    val delF = deleteFile(d)
+    val dels =
+      if (delF.isFile)
+        Some(new String(java.nio.file.Files.readAllBytes(delF.toPath), "UTF-8"))
+      else None
+    val prior = readSnapshots(d)
+    val last = prior.lastOption
+    if (last.exists(s => s.files.sorted == live && s.deletes == dels)) return
+    val prevFiles = last.map(_.files.toSet).getOrElse(Set.empty)
+    val deltas =
+      live.filterNot(prevFiles).map(r =>
+        "+" + java.net.URLEncoder.encode(r, "UTF-8")) ++
+      (prevFiles -- live).toSeq.sorted.map(r =>
+        "-" + java.net.URLEncoder.encode(r, "UTF-8"))
+    val delCol =
+      if (last.map(_.deletes).getOrElse(None) == dels) "~"
+      else dels.map(java.net.URLEncoder.encode(_, "UTF-8")).getOrElse("-")
+    val line = Seq(
+      (last.map(_.version).getOrElse(0L) + 1).toString,
+      System.currentTimeMillis().toString,
+      java.net.URLEncoder.encode(kind, "UTF-8"),
+      delCol,
+      if (deltas.isEmpty) "-" else deltas.mkString(",")).mkString("\t")
+    val jf = snapshotsFile(d)
+    val existing =
+      if (jf.isFile)
+        new String(java.nio.file.Files.readAllBytes(jf.toPath), "UTF-8")
+      else ""
+    val tmp = new File(jf.getPath + ".staging")
+    java.nio.file.Files.write(tmp.toPath,
+      (existing + line + "\n").getBytes("UTF-8"))
+    if (!tmp.renameTo(jf)) throw new java.io.IOException(
+      s"graft-avro commit: rename failed $tmp -> $jf")
+  }
+
+  /** Resolve a snapshot's relative path to its physical file: live
+    * first (names are generation-unique), then the archive. A miss means
+    * the snapshot was vacuumed by [[AvroMaintenance.expireSnapshots]].
+    */
+  def resolveSnapshotFile(d: File, rel: String): File = {
+    val live = new File(d, rel)
+    if (live.isFile) live
+    else {
+      val arch = new File(archiveDir(d), rel)
+      if (arch.isFile) arch
+      else throw new IllegalStateException(
+        s"graft-avro: snapshot file '$rel' no longer exists under $d " +
+          "(expired/vacuumed snapshot)")
+    }
+  }
+
+  /** Resolve `versionAsOf` / `timestampAsOf` options to a concrete
+    * version. Exactly one may be set; timestamp resolution picks the
+    * LATEST version committed at-or-before the millis instant (the
+    * Iceberg/Delta convention).
+    */
+  def resolveTravelVersion(d: File,
+      versionAsOf: Option[Long], timestampAsOf: Option[Long]): Option[Long] = {
+    if (versionAsOf.isEmpty && timestampAsOf.isEmpty) return None
+    require(versionAsOf.isEmpty || timestampAsOf.isEmpty,
+      "graft-avro: set at most one of versionAsOf / timestampAsOf")
+    val snaps = readSnapshots(d)
+    require(snaps.nonEmpty,
+      s"graft-avro: no snapshot journal under $d (table predates time travel)")
+    versionAsOf match {
+      case Some(v) =>
+        require(snaps.exists(_.version == v),
+          s"graft-avro: no snapshot version $v under $d " +
+            s"(have ${snaps.head.version}..${snaps.last.version})")
+        Some(v)
+      case None =>
+        val ts = timestampAsOf.get
+        val at = snaps.filter(_.millis <= ts)
+        require(at.nonEmpty,
+          s"graft-avro: no snapshot at or before timestamp $ts under $d")
+        Some(at.last.version)
+    }
+  }
 
   /** String zone bounds longer than this are truncated by the writer
     * (parquet-style); a decoded bound of exactly this length is
@@ -359,7 +563,12 @@ object AvroFileSource {
       val entries = Option(dir.listFiles()).getOrElse(Array.empty)
       val here = entries.filter(f => f.isFile && f.getName.endsWith(".avro"))
         .sortBy(_.getName).map(f => (f, vals))
-      val below = entries.filter(_.isDirectory).sortBy(_.getName).flatMap { sub =>
+      // `_graft*` subdirectories are engine metadata (the snapshot
+      // archive), never data partitions — a hive layout can't produce
+      // them since partition dir names are `key=value`
+      val below = entries.filter(d => d.isDirectory &&
+          !d.getName.startsWith("_graft"))
+        .sortBy(_.getName).flatMap { sub =>
         sub.getName.split("=", 2) match {
           // keep the RAW segment: only the exact raw "__null__" means a
           // null value; a literal "__null__" STRING was force-encoded on
@@ -414,21 +623,30 @@ case class AvroTable(path: String, tableSchema: StructType)
       Option(options.get("maxSplitBytes")).map(_.toLong)
         .getOrElse(AvroFileSource.DefaultSplitBytes),
       Option(options.get("preservePartitioning")).exists(_.toBoolean),
-      Option(options.get("journalCompactAfter")).map(_.toInt).getOrElse(4096))
+      Option(options.get("journalCompactAfter")).map(_.toInt).getOrElse(4096),
+      AvroFileSource.resolveTravelVersion(new File(path),
+        Option(options.get("versionAsOf")).map(_.toLong),
+        Option(options.get("timestampAsOf")).map(_.toLong)))
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(info.options().get("versionAsOf") == null &&
+        info.options().get("timestampAsOf") == null,
+      "graft-avro: time travel is a read option; writes always target " +
+        "the current version")
     new AvroWriteBuilder(path, info.schema(),
       Option(info.options().get("codec")).getOrElse("deflate"),
       Option(info.options().get("partitionBy")).toSeq
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
       Option(info.options().get("sortedBy")).map(_.trim).filter(_.nonEmpty))
+  }
 }
 
 class AvroScanBuilder(path: String, full: StructType,
     maxFilesPerTrigger: Option[Int] = None,
     maxSplitBytes: Long = AvroFileSource.DefaultSplitBytes,
     preserveGrouping: Boolean = false,
-    journalCompactAfter: Int = 4096)
+    journalCompactAfter: Int = 4096,
+    travelVersion: Option[Long] = None)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with SupportsPushDownFilters with SupportsPushDownAggregates
   with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
@@ -475,6 +693,10 @@ class AvroScanBuilder(path: String, full: StructType,
     */
   override def pushAggregation(agg: Aggregation): Boolean = {
     if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return false
+    // Time travel: every metadata-served aggregate reads CURRENT-state
+    // manifests (block counts, zone bounds), which need not describe the
+    // requested snapshot. Historical reads answer from real rows only.
+    if (travelVersion.nonEmpty) return false
     // Equality deletes invalidate every metadata-served aggregate: a
     // deleted row still counts in block headers and may carry a zone
     // extreme. Merge-on-read tables answer aggregates from real
@@ -667,6 +889,9 @@ class AvroScanBuilder(path: String, full: StructType,
         */
       override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
         if (preserveGrouping) return Array.empty
+        // the sort marker claims the CURRENT directory contents; a
+        // snapshot's archived files were never verified under it
+        if (travelVersion.nonEmpty) return Array.empty
         AvroFileSource.sortedColumnOf(new File(path)) match {
           case Some(c) if required.fieldNames.contains(c) =>
             Array(Expressions.sort(Expressions.column(c),
@@ -773,9 +998,31 @@ class AvroScanBuilder(path: String, full: StructType,
       // One listing walk per Scan (outputPartitioning, planInputPartitions
       // and statistics all consume it; a scan is a point-in-time snapshot
       // anyway). Pruning filters re-apply per call — runtime IN-sets
-      // arrive after planning starts.
+      // arrive after planning starts. A time-travel scan lists the
+      // SNAPSHOT's files instead (live-first, then archive), re-deriving
+      // partition values from each recorded relative path — the archive
+      // preserves the relative layout exactly so `k=v` segments parse
+      // the same.
+      private lazy val travelSnapshot: Option[AvroFileSource.Snapshot] =
+        travelVersion.map { v =>
+          AvroFileSource.readSnapshots(new File(path))
+            .find(_.version == v).getOrElse(throw new IllegalStateException(
+              s"graft-avro: snapshot version $v vanished from $path"))
+        }
       private lazy val listed: Seq[(File, Map[String, String])] =
-        AvroFileSource.listPartitioned(new File(path))
+        travelSnapshot match {
+          case Some(snap) => snap.files.sorted.map { rel =>
+            val f = AvroFileSource.resolveSnapshotFile(new File(path), rel)
+            val vals = rel.split('/').dropRight(1).flatMap { seg =>
+              seg.split("=", 2) match {
+                case Array(k, v) => Some(k -> v)
+                case _ => None
+              }
+            }.toMap
+            (f, vals)
+          }
+          case None => AvroFileSource.listPartitioned(new File(path))
+        }
 
       /** Per-file [min, max] of the verified sort column, from the
         * `_graft_zones` manifest a sortedBy batch commit writes. One tiny
@@ -787,7 +1034,8 @@ class AvroScanBuilder(path: String, full: StructType,
         * predicate.
         */
       private lazy val zoneColumn: Option[String] =
-        AvroFileSource.sortedColumnOf(new File(path))
+        if (travelVersion.nonEmpty) None // marker describes CURRENT layout
+        else AvroFileSource.sortedColumnOf(new File(path))
       private lazy val zoneRanges: Map[String, (Any, Any)] =
         if (filters.isEmpty) Map.empty
         else {
@@ -807,7 +1055,7 @@ class AvroScanBuilder(path: String, full: StructType,
         * read per scan.
         */
       private lazy val colZoneRanges: Map[String, Map[String, (Any, Any)]] =
-        if (filters.isEmpty) Map.empty
+        if (filters.isEmpty || travelVersion.nonEmpty) Map.empty
         else {
           val dir = new File(path)
           val zf = AvroFileSource.colZoneFile(dir)
@@ -933,16 +1181,26 @@ class AvroScanBuilder(path: String, full: StructType,
         else if (aggIsMin.nonEmpty) AvroZoneAggReaderFactory(aggIsMin, aggDt)
         else {
           // merge-on-read: parse the equality-delete sidecar ONCE at plan
-          // time (a corrupt sidecar fails the read here, driver-side)
-          val delF = AvroFileSource.deleteFile(new File(path))
-          val dels =
-            if (delF.isFile) AvroFileSource.readDeletes(delF, full)
-            else Nil
+          // time (a corrupt sidecar fails the read here, driver-side).
+          // A time-travel read applies the SNAPSHOT's recorded deletes —
+          // the current sidecar may postdate (or predate) the version.
+          val dels = travelSnapshot match {
+            case Some(snap) => snap.deletes
+              .map(AvroFileSource.parseDeleteContent(_, full)).getOrElse(Nil)
+            case None =>
+              val delF = AvroFileSource.deleteFile(new File(path))
+              if (delF.isFile) AvroFileSource.readDeletes(delF, full)
+              else Nil
+          }
           AvroReaderFactory(required, full, filters, limit, dels)
         }
-      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+        require(travelVersion.isEmpty,
+          "graft-avro: time travel is batch-only (a stream tails the " +
+            "CURRENT version by definition)")
         new AvroMicroBatchStream(path, required, full, checkpointLocation,
           maxFilesPerTrigger, journalCompactAfter)
+      }
       /** On-disk bytes INFLATED by a compression factor. For broadcast
         * planning an underestimate is the unsafe direction (a table
         * several× the threshold in memory could be auto-broadcast and
@@ -1487,8 +1745,22 @@ class AvroWriteBuilder(path: String, schema: StructType,
         }
         if (doTruncate) {
           val fresh = staged.map(_._2).toSet
-          AvroFileSource.listAvro(new File(path))
-            .filterNot(f => fresh.contains(f.getPath)).foreach(_.delete())
+          // replaced files are ARCHIVED, not deleted: earlier snapshot
+          // versions still reference them (time travel); the relative
+          // layout is preserved so partition values keep parsing.
+          // expireSnapshots is the explicit vacuum.
+          val dirF = new File(path)
+          val base = dirF.getAbsoluteFile.toPath
+          AvroFileSource.listAvro(dirF)
+            .filterNot(f => fresh.contains(f.getPath)).foreach { f =>
+              val rel = base.relativize(f.getAbsoluteFile.toPath).toString
+              val dst = new File(AvroFileSource.archiveDir(dirF), rel)
+              dst.getParentFile.mkdirs()
+              if (dst.exists()) throw new java.io.IOException(
+                s"graft-avro commit: archive collision $dst")
+              if (!f.renameTo(dst)) throw new java.io.IOException(
+                s"graft-avro commit: archive move failed $f -> $dst")
+            }
           // an overwrite defines a new dataset: stale equality deletes
           // must not apply to the replacement rows
           AvroFileSource.deleteFile(new File(path)).delete()
@@ -1576,6 +1848,9 @@ class AvroWriteBuilder(path: String, schema: StructType,
           if (!tmp.renameTo(colZonesF)) throw new java.io.IOException(
             s"graft-avro commit: rename failed $tmp -> $colZonesF")
         }
+        // snapshot LAST: the journal records the fully-published state
+        AvroFileSource.appendSnapshot(new File(path),
+          if (doTruncate) "overwrite" else "append")
       }
       override def abort(messages: Array[WriterCommitMessage]): Unit =
         messages.toSeq.collect { case m: AvroCommitMessage => m.files }
@@ -1600,7 +1875,8 @@ class AvroWriteBuilder(path: String, schema: StructType,
         // sorted-layout claim (and its zone manifest) the directory carried
         AvroFileSource.sortMarker(new File(path)).delete()
         AvroFileSource.zoneFile(new File(path)).delete()
-        ()
+        // idle epochs no-op inside appendSnapshot (state unchanged)
+        AvroFileSource.appendSnapshot(new File(path), s"epoch-$epochId")
       }
       override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
     }
@@ -1968,15 +2244,22 @@ case class AvroWriterFactory(path: String, schema: StructType,
     staged: Boolean = false, sortedBy: Option[String] = None)
   extends DataWriterFactory {
 
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    // Batch names carry a random component: task ids restart across
+    // Spark applications, so `part-<pid>-<tid>` alone can RECUR across
+    // generations writing the same directory — and time travel resolves
+    // a snapshot's relative paths live-first, which is only sound when a
+    // name can never be reused by a later generation.
+    val uniq = java.util.UUID.randomUUID().toString.take(8)
+    val name = f"part-$partitionId%05d-$taskId-$uniq.avro"
     if (partitionBy.nonEmpty)
-      AvroWriters.openPartitioned(path, schema,
-        f"part-$partitionId%05d-$taskId.avro", partitionBy, codec,
+      AvroWriters.openPartitioned(path, schema, name, partitionBy, codec,
         staged = staged, sortedBy = sortedBy)
     else
-      AvroWriters.open(path, schema, f"part-$partitionId%05d-$taskId.avro",
+      AvroWriters.open(path, schema, name,
         lazyCreate = false, codec = codec, staged = staged,
         sortedBy = sortedBy)
+  }
 }
 
 case class AvroStreamingWriterFactory(path: String, schema: StructType,

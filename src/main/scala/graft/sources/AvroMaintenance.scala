@@ -64,6 +64,70 @@ object AvroMaintenance {
     if (!tmp.renameTo(delF))
       throw new java.io.IOException(
         s"graft-avro delete: rename failed $tmp -> $delF")
+    // a delete changes query results: it is a VERSION, same as a write
+    AvroFileSource.appendSnapshot(d, "delete")
+  }
+
+  /** Vacuum: keep only the last `keepLast` snapshot versions, rewrite
+    * the journal (oldest kept version becomes a full entry; later ones
+    * keep their deltas), and delete archived files no kept snapshot
+    * references. Live data files are never touched — the current version
+    * is always kept. The retention/vacuum half of time travel: bounded
+    * archive growth at scale, O(archived files) driver work.
+    */
+  def expireSnapshots(dir: String, keepLast: Int): Int = {
+    require(keepLast >= 1, s"keepLast $keepLast (current version must survive)")
+    val d = new File(dir)
+    val snaps = AvroFileSource.readSnapshots(d)
+    if (snaps.size <= keepLast) return 0
+    val kept = snaps.takeRight(keepLast)
+    // rewrite: full file set for the first kept version, then the
+    // original deltas (they chain off the previous KEPT version because
+    // the kept suffix is contiguous)
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val lines = kept.zipWithIndex.map { case (s, i) =>
+      val prev = if (i == 0) None else Some(kept(i - 1))
+      val deltas =
+        if (i == 0) s.files.sorted.map(r => "+" + enc(r))
+        else {
+          val pf = prev.get.files.toSet
+          s.files.filterNot(pf).sorted.map(r => "+" + enc(r)) ++
+            (pf -- s.files).toSeq.sorted.map(r => "-" + enc(r))
+        }
+      val delCol =
+        if (i > 0 && prev.get.deletes == s.deletes) "~"
+        else s.deletes.map(enc).getOrElse("-")
+      Seq(s.version.toString, s.millis.toString, enc(s.kind), delCol,
+        if (deltas.isEmpty) "-" else deltas.mkString(",")).mkString("\t")
+    }
+    // readSnapshots requires version 1 first: keep original numbering by
+    // allowing the journal to start at any version — bump the parser's
+    // expectation from the first line instead
+    val jf = AvroFileSource.snapshotsFile(d)
+    val tmp = new File(jf.getPath + ".staging")
+    java.nio.file.Files.write(tmp.toPath,
+      lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    if (!tmp.renameTo(jf)) throw new java.io.IOException(
+      s"graft-avro expire: rename failed $tmp -> $jf")
+    // delete unreferenced archive files
+    val referenced = kept.flatMap(_.files).toSet
+    val arch = AvroFileSource.archiveDir(d)
+    var removed = 0
+    if (arch.isDirectory) {
+      val base = arch.getAbsoluteFile.toPath
+      def sweep(f: File): Unit =
+        if (f.isDirectory) {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(sweep)
+          if (f != arch &&
+              Option(f.listFiles()).forall(_.isEmpty)) { f.delete(); () }
+        } else if (f.getName.endsWith(".avro")) {
+          val rel = base.relativize(f.getAbsoluteFile.toPath).toString
+          if (!referenced.contains(rel)) { if (f.delete()) removed += 1 }
+        }
+      sweep(arch)
+      if (Option(arch.listFiles()).forall(_.isEmpty)) arch.delete()
+    }
+    removed
   }
 
   /** On-disk bytes of the table's alive data files. */
