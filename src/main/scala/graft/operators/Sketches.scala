@@ -116,6 +116,93 @@ object Sketches extends Catalog {
         .orderBy("event_type")
     }),
 
+    // KMV (k-minimum-values) distinct sketch, est = (k-1)·2^48 / h_(k) —
+    // the bottom-k companion to HLL whose state is the k smallest hash
+    // values, and the ONLY classic distinct sketch that also supports
+    // SET OPERATIONS (see q_sketch_kmv_jaccard). Fully integer: 48-bit
+    // md5 hashes, (k-1)·2^48 < 2^54, and the final estimate is one
+    // integer floor-division (positive operands, so Spark `div` ≡
+    // DuckDB `//`) — bit-exact cross-engine with zero float ops, one
+    // better than the HLL gate's single IEEE divide. Groups with fewer
+    // than k distinct hashes short-circuit to the exact sketch size
+    // (the standard KMV small-set rule), exercised at sf0.001.
+    //
+    // Scale (100 TB): bottom-k is associative mergeable state; the
+    // distinct+window here shuffles only (event_type, h) pairs after
+    // partial distinct, and the sketch side of every join is ≤ k rows
+    // per group — broadcast territory at any corpus size.
+    "q_sketch_kmv" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = table(s, dir, "events")
+      val dh = ev.select(F.col("event_type"),
+          F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12),
+            16, 10).cast("long").as("h"))
+        .distinct()
+      val ranked = dh.withColumn("rn",
+        F.row_number().over(Window.partitionBy("event_type").orderBy("h")))
+      val kth = ranked.filter(F.col("rn") === 64)
+        .select(F.col("event_type"), F.col("h").as("hk"))
+      val nh = dh.groupBy("event_type").agg(F.count(F.lit(1)).as("n_h"))
+      val exact = ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").as("exact_users"))
+      exact.join(nh, Seq("event_type"))
+        .join(F.broadcast(kth), Seq("event_type"), "left")
+        .select(F.col("event_type"), F.col("exact_users"),
+          F.when(F.col("hk").isNull, F.col("n_h"))
+            .otherwise(F.expr(s"(63 * ${1L << 48}) div hk"))
+            .cast("long").as("kmv_est"))
+        .orderBy("event_type")
+    }),
+
+    // KMV set algebra — the reason to keep bottom-k sketches at all:
+    // two per-type sketches estimate their UNION (bottom-k of the
+    // merged hash sets) and INTERSECTION (|SU ∩ SA ∩ SB|/k of the
+    // union estimate) without touching the raw data again. Exact
+    // integer arithmetic end to end; the oracle replays the identical
+    // sketch algebra, and exact distinct counts ride along so the
+    // estimates' error is visible in the artifact.
+    "q_sketch_kmv_jaccard" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = table(s, dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+      val dh = ev.select(F.col("event_type"),
+          F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12),
+            16, 10).cast("long").as("h"))
+        .distinct()
+      // per-type bottom-k sketches
+      val sk = dh.withColumn("rn",
+          F.row_number().over(Window.partitionBy("event_type").orderBy("h")))
+        .filter(F.col("rn") <= 64)
+        .select("event_type", "h").localCheckpoint()
+      val sa = sk.filter(F.col("event_type") === "click").select("h")
+      val sb = sk.filter(F.col("event_type") === "view").select("h")
+      // union sketch: bottom-k of the merged sketch hash sets
+      val su = sa.unionByName(sb).distinct()
+        .withColumn("rn", F.row_number().over(
+          Window.partitionBy().orderBy("h")))
+        .filter(F.col("rn") <= 64)
+      val uk = su.agg(F.max("h").as("hu"), F.count(F.lit(1)).as("nu"))
+      val common = su.join(sa, Seq("h"), "left_semi")
+        .join(sb, Seq("h"), "left_semi")
+        .agg(F.count(F.lit(1)).as("n_common"))
+      val exact = ev.groupBy("user_id")
+        .agg(F.countDistinct("event_type").as("nt"))
+        .agg(F.count(F.lit(1)).as("exact_union"),
+          F.sum(F.when(F.col("nt") === 2, 1L).otherwise(0L))
+            .as("exact_inter"))
+      common.crossJoin(F.broadcast(uk)).crossJoin(F.broadcast(exact))
+        .select(F.col("n_common"), F.col("exact_union"), F.col("exact_inter"),
+          F.when(F.col("nu") < 64, F.col("nu"))
+            .otherwise(F.expr(s"(63 * ${1L << 48}) div hu"))
+            .cast("long").as("union_est"),
+          F.col("nu"))
+        // ρ = n_common/|SU|; when the union sketch is the whole hash set
+        // (nu < k) this degenerates to the exact intersection, as it must
+        .withColumn("inter_est",
+          F.expr("(n_common * union_est) div nu").cast("long"))
+        .drop("nu")
+    }),
+
     // Fixed-width histogram quantile: the mergeable-state alternative to
     // percentile_approx whose answer the oracle reproduces EXACTLY.
     // Values quantize to integers once (floor(value·1000), the engine's
@@ -193,6 +280,67 @@ object Sketches extends Catalog {
     "q_approx_quantile" ->
       """SELECT event_type, count(*) AS n_vals, TRUE AS rank_ok
          FROM events GROUP BY 1 ORDER BY 1""",
+    "q_sketch_kmv" ->
+      s"""WITH dh AS (
+            SELECT DISTINCT event_type,
+                   CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 12)
+                     AS BIGINT) AS h
+            FROM events),
+          r AS (
+            SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type ORDER BY h)
+                     AS rn
+            FROM dh),
+          kth AS (SELECT event_type, h AS hk FROM r WHERE rn = 64),
+          nh AS (SELECT event_type, count(*) AS n_h FROM dh GROUP BY 1),
+          ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
+                 FROM events GROUP BY 1)
+          SELECT ex.event_type, ex.exact_users,
+                 CAST(CASE WHEN kth.hk IS NULL THEN nh.n_h
+                      ELSE (63 * ${1L << 48}) // kth.hk END AS BIGINT)
+                   AS kmv_est
+          FROM ex
+          JOIN nh ON nh.event_type = ex.event_type
+          LEFT JOIN kth ON kth.event_type = ex.event_type
+          ORDER BY ex.event_type""",
+    "q_sketch_kmv_jaccard" ->
+      s"""WITH ev AS (SELECT * FROM events
+                      WHERE event_type IN ('click', 'view')),
+          dh AS (
+            SELECT DISTINCT event_type,
+                   CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 12)
+                     AS BIGINT) AS h
+            FROM ev),
+          sk AS (SELECT event_type, h FROM (
+                   SELECT event_type, h,
+                          row_number() OVER (PARTITION BY event_type
+                                             ORDER BY h) AS rn
+                   FROM dh)
+                 WHERE rn <= 64),
+          sa AS (SELECT h FROM sk WHERE event_type = 'click'),
+          sb AS (SELECT h FROM sk WHERE event_type = 'view'),
+          su AS (SELECT h FROM (
+                   SELECT h, row_number() OVER (ORDER BY h) AS rn
+                   FROM (SELECT DISTINCT h FROM (
+                           SELECT h FROM sa UNION ALL SELECT h FROM sb)))
+                 WHERE rn <= 64),
+          uk AS (SELECT max(h) AS hu, count(*) AS nu FROM su),
+          cm AS (SELECT count(*) AS n_common FROM su
+                 WHERE h IN (SELECT h FROM sa)
+                   AND h IN (SELECT h FROM sb)),
+          ex AS (SELECT count(*) AS exact_union,
+                        CAST(sum(CASE WHEN nt = 2 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS exact_inter
+                 FROM (SELECT user_id, count(DISTINCT event_type) AS nt
+                       FROM ev GROUP BY 1)),
+          est AS (SELECT n_common, exact_union, exact_inter, nu,
+                         CAST(CASE WHEN nu < 64 THEN nu
+                              ELSE (63 * ${1L << 48}) // hu END AS BIGINT)
+                           AS union_est
+                  FROM cm, uk, ex)
+          SELECT n_common, exact_union, exact_inter, union_est,
+                 CAST((n_common * union_est) // nu AS BIGINT) AS inter_est
+          FROM est""",
     "q_sketch_hll" ->
       s"""WITH h AS (
             SELECT event_type,

@@ -38,6 +38,43 @@ class SketchSpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "the KMV bottom-k sketch (q_sketch_kmv)" should {
+    "estimate within the k=64 error regime, integer-only" in {
+      val rows = Sketches.queries("q_sketch_kmv")(spark, "/root/testdata/sf0.01")
+        .collect()
+      rows should not be empty
+      rows.foreach { r =>
+        val exact = r.getLong(r.fieldIndex("exact_users")).toDouble
+        val est = r.getLong(r.fieldIndex("kmv_est")).toDouble
+        // KMV rsd ~ 1/sqrt(k-2) = 12.7%; allow 3 sigma
+        math.abs(est - exact) / exact should be < 0.39
+      }
+    }
+
+    "fall back to the exact sketch size below k distinct values" in {
+      // sf0.001 has 15 users per type — under k=64 the estimate IS exact
+      Sketches.queries("q_sketch_kmv")(spark, "/root/testdata/sf0.001")
+        .collect().foreach { r =>
+          r.getLong(r.fieldIndex("kmv_est")) shouldBe
+            r.getLong(r.fieldIndex("exact_users"))
+        }
+    }
+  }
+
+  "KMV set algebra (q_sketch_kmv_jaccard)" should {
+    "recover union and intersection within the sketch error" in {
+      val r = Sketches.queries("q_sketch_kmv_jaccard")(
+        spark, "/root/testdata/sf0.01").collect().head
+      val exactU = r.getLong(r.fieldIndex("exact_union")).toDouble
+      val exactI = r.getLong(r.fieldIndex("exact_inter")).toDouble
+      val estU = r.getLong(r.fieldIndex("union_est")).toDouble
+      val estI = r.getLong(r.fieldIndex("inter_est")).toDouble
+      math.abs(estU - exactU) / exactU should be < 0.39
+      // intersection compounds two estimates; allow a looser band
+      math.abs(estI - exactI) / exactI should be < 0.5
+    }
+  }
+
   "the hand-rolled HLL (q_sketch_hll)" should {
     "estimate within the m=64 error regime and aggregate map-side" in {
       val rows = Sketches.queries("q_sketch_hll")(spark, "/root/testdata/sf0.01")
