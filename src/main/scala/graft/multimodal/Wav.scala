@@ -71,7 +71,7 @@ object Wav {
     * padded to even, the RIFF rule); `data` is found by chunk id
     * wherever it sits.
     */
-  private def walk(bytes: Array[Byte], wantFormat: Int,
+  private[multimodal] def walk(bytes: Array[Byte], wantFormat: Int,
       wantBits: Int): (Int, Int, Int) = {
     def u16(off: Int): Int =
       (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)

@@ -523,6 +523,45 @@ object LlmMultimodal extends Catalog {
         .orderBy("doc_id", "win")
     }),
 
+    // REAL adaptive-predictive audio decompression: IMA ADPCM (WAVE
+    // format 0x11), 4-bit differential coding — a SEQUENTIAL state
+    // machine (predictor + step index adapt per sample), unlike every
+    // codec before it. Each document synthesizes 128 PCM16 samples from
+    // its text, compresses them 4:1 through the real encoder, and the
+    // engine decodes the blocks back (RIFF walk, seed samples, nibble
+    // codes, 89-entry step table). The oracle replays the ENTIRE
+    // encoder/decoder recurrence as a 128-deep recursive CTE in pure
+    // integer arithmetic — any error in the bit-test quantizer, the
+    // step/8 bias, a clamp, or the index adaptation derails every
+    // subsequent sample of the stream and breaks all four features.
+    // quant_err exposes the loss itself: reconstruction vs original.
+    "llm_audio_adpcm" -> ((s, dir) => {
+      import s.implicits._
+      val synth: (String, Int) => Array[Short] = (text, n) => {
+        val b = text.getBytes("UTF-8")
+        Array.tabulate[Short](n) { i =>
+          ((((b((i * 5) % b.length) & 0xff) * 157 + i * 331) % 4001
+            - 2000) * 8).toShort
+        }
+      }
+      val assets = table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .filter(F.col("n_chars") > 0)
+        .select(F.col("doc_id"), F.col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          (id, graft.multimodal.Adpcm.encode(8000, synth(text, 128)), text)
+        }
+      graft.multimodal.Adpcm.analyzeAssets(assets, synth)
+        .toDF()
+        .select(F.col("docId").as("doc_id"),
+          F.col("nSamples").cast("long").as("n_samples"),
+          F.col("reconSum").as("recon_sum"),
+          F.col("finalPred").as("final_pred"),
+          F.col("quantErr").as("quant_err"), F.col("peak"))
+        .orderBy("doc_id")
+    }),
+
     // REAL video frame sampling on the codec-free container (RIFF AVI
     // with uncompressed 24-bpp DIB '00db' frames): synthesize a 6-frame
     // video per document (frame f's pixels tile the text with a 17·f
@@ -1115,6 +1154,84 @@ object LlmMultimodal extends Catalog {
            FROM lagged GROUP BY 1, 2)
          SELECT doc_id, win, sumsq, crossings, peak
          FROM feat ORDER BY doc_id, win""",
+    // The IMA ADPCM recurrence as SQL: x = the synthesized samples; the
+    // recursive term joins the previous state (pred, idx) to sample i+1
+    // and the step table, re-derives the encoder's 4-bit code with the
+    // same bit-test cascade (b2/b1/b0 against step, step//2, step//4),
+    // reconstructs pred ± (step//8 + b2·step + b1·step//2 + b0·step//4)
+    // with int16 clamps, and adapts idx through the standard delta table
+    // — block seeds (i % 64 = 0) reset pred to the verbatim sample and
+    // carry idx, exactly like the container's block headers.
+    "llm_audio_adpcm" -> {
+      val steps = graft.multimodal.Adpcm.StepTable.mkString("[", ",", "]")
+      s"""WITH RECURSIVE
+         d AS (SELECT doc_id, text, length(text) AS n
+               FROM documents WHERE length(text) > 0),
+         x AS (
+           SELECT doc_id, t.i AS i,
+                  ((ord(substring(text, ((t.i * 5) % n) + 1, 1)) * 157
+                    + t.i * 331) % 4001 - 2000) * 8 AS x
+           FROM d, (SELECT unnest(generate_series(0, 127)) AS i) t),
+         st AS (SELECT i.i AS idx, l.l[i.i + 1] AS s
+                FROM (SELECT $steps AS l) l,
+                     (SELECT unnest(generate_series(0, 88)) AS i) i),
+         rec(doc_id, i, pred, idx) AS (
+           SELECT doc_id, 0, x, 0 FROM x WHERE i = 0
+           UNION ALL
+           SELECT doc_id, i,
+                  CASE WHEN i % 64 = 0 THEN x
+                       WHEN sign = 1 THEN
+                         CASE WHEN pred - diff < -32768 THEN -32768
+                              ELSE pred - diff END
+                       ELSE
+                         CASE WHEN pred + diff > 32767 THEN 32767
+                              ELSE pred + diff END
+                  END,
+                  CASE WHEN i % 64 = 0 THEN idx
+                       WHEN newidx < 0 THEN 0
+                       WHEN newidx > 88 THEN 88 ELSE newidx END
+           FROM (
+             SELECT q.*,
+                    (q.step // 8) + q.b2 * q.step + q.b1 * (q.step // 2)
+                      + q.b0 * (q.step // 4) AS diff,
+                    q.idx + (CASE q.b2 * 4 + q.b1 * 2 + q.b0
+                             WHEN 4 THEN 2 WHEN 5 THEN 4
+                             WHEN 6 THEN 6 WHEN 7 THEN 8
+                             ELSE -1 END) AS newidx
+             FROM (
+               SELECT p.*,
+                      CASE WHEN p.mag
+                             - (CASE WHEN p.mag >= p.step
+                                THEN p.step ELSE 0 END)
+                             - (CASE WHEN p.mag - (CASE WHEN p.mag >= p.step
+                                  THEN p.step ELSE 0 END) >= p.step // 2
+                                THEN p.step // 2 ELSE 0 END)
+                             >= p.step // 4 THEN 1 ELSE 0 END AS b0,
+                      CASE WHEN p.mag - (CASE WHEN p.mag >= p.step
+                             THEN p.step ELSE 0 END) >= p.step // 2
+                           THEN 1 ELSE 0 END AS b1,
+                      CASE WHEN p.mag >= p.step THEN 1 ELSE 0 END AS b2
+               FROM (
+                 SELECT r.doc_id, x.i, x.x, r.pred, r.idx, st.s AS step,
+                        CASE WHEN x.x - r.pred < 0 THEN 1 ELSE 0 END AS sign,
+                        abs(x.x - r.pred) AS mag
+                 FROM rec r
+                 JOIN x ON x.doc_id = r.doc_id AND x.i = r.i + 1
+                 JOIN st ON st.idx = r.idx
+               ) p
+             ) q
+           )
+         )
+         SELECT rec.doc_id, count(*) AS n_samples,
+                CAST(sum(rec.pred * (rec.i + 1)) AS BIGINT) AS recon_sum,
+                CAST(max(CASE WHEN rec.i = 127 THEN rec.pred END) AS BIGINT)
+                  AS final_pred,
+                CAST(sum(abs(rec.pred - x.x)) AS BIGINT) AS quant_err,
+                CAST(max(abs(rec.pred)) AS BIGINT) AS peak
+         FROM rec JOIN x ON x.doc_id = rec.doc_id AND x.i = rec.i
+         GROUP BY rec.doc_id ORDER BY rec.doc_id"""
+    },
+
     // Kept frame f (0, 2, 4) byte j of the w*h*3 packed pixels tiles the
     // text at offset 17*f — the parser must return exactly the synthesized
     // top-down packed bytes for the hashes to agree.

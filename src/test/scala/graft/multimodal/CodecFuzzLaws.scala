@@ -179,6 +179,59 @@ object CodecFuzzLaws extends Properties("CodecFuzzLaws") {
     }
   }
 
+  private val adpcmGen: Gen[Array[Byte]] = for {
+    nb <- Gen.choose(1, 3)
+    s <- Gen.containerOfN[Array, Short](nb * Adpcm.Block,
+      Gen.choose(Short.MinValue, Short.MaxValue))
+    out <- corrupt(Adpcm.encode(8000, s))
+  } yield out
+
+  property("Adpcm.decode total on junk") =
+    Prop.forAll(junkGen)(b => controlled(Adpcm.decode(b)))
+  property("Adpcm.decode total on corrupted containers") =
+    Prop.forAll(adpcmGen)(b => controlled(Adpcm.decode(b)))
+
+  // ADPCM is LOSSY but deterministic: decode(encode(x)) must equal the
+  // encoder's own reconstruction walk — verified here by an independent
+  // straight-line reimplementation of the codec recurrence (the same
+  // one the DuckDB oracle replays as a recursive CTE). Full-range
+  // samples exercise both int16 clamps and the step table's top end.
+  property("Adpcm decode equals the reference reconstruction") = Prop.forAll(
+    for {
+      nb <- Gen.choose(1, 3)
+      s <- Gen.containerOfN[Array, Short](nb * Adpcm.Block,
+        Gen.choose(Short.MinValue, Short.MaxValue))
+    } yield s) { s =>
+    def clamp(v: Int, lo: Int, hi: Int) = math.max(lo, math.min(hi, v))
+    val recon = new Array[Short](s.length)
+    var pred = 0; var idx = 0
+    var i = 0
+    while (i < s.length) {
+      if (i % Adpcm.Block == 0) { pred = s(i).toInt; recon(i) = s(i) }
+      else {
+        val step = Adpcm.StepTable(idx)
+        val delta = s(i) - pred
+        var mag = math.abs(delta)
+        var code = if (delta < 0) 8 else 0
+        if (mag >= step) { code |= 4; mag -= step }
+        if (mag >= step / 2) { code |= 2; mag -= step / 2 }
+        if (mag >= step / 4) code |= 1
+        val diff = step / 8 +
+          (if ((code & 4) != 0) step else 0) +
+          (if ((code & 2) != 0) step / 2 else 0) +
+          (if ((code & 1) != 0) step / 4 else 0)
+        pred = clamp(if ((code & 8) != 0) pred - diff else pred + diff,
+          -32768, 32767)
+        idx = clamp(idx + Adpcm.IndexDelta(code & 7), 0, 88)
+        recon(i) = pred.toShort
+      }
+      i += 1
+    }
+    val (rate, out) = Adpcm.decode(Adpcm.encode(8000, s))
+    Prop(rate == 8000 && java.util.Arrays.equals(out, recon)) :|
+      s"ADPCM reconstruction mismatch over ${s.length} samples"
+  }
+
   // Lossless round-trip: heights ≥ 5 exercise every filter type
   // (encode cycles y % 5 through None/Sub/Up/Average/Paeth).
   property("Png encode/decode round-trips pixels exactly") = Prop.forAll(
