@@ -626,6 +626,38 @@ object AvroGates extends Catalog {
           .select(F.lit(v).as("version"), F.col("n_rows"),
             F.col("sum_key"), F.col("name_len"))
       }.reduce(_.unionByName(_)).orderBy("version")
+    }),
+
+    // Incremental (CDC-style) consumption off the snapshot journal: the
+    // nightly-ETL primitive — "give me exactly the rows appended since
+    // my last watermark version" without rescanning history. Changeset
+    // (1, latest] spans two appends; (2, 3] isolates one. The
+    // append-only soundness guard (an overwrite/delete inside the range
+    // fails the read rather than emitting a wrong changeset) is pinned
+    // in AvroSnapshotSpec.
+    "q_avro_incremental" -> ((s, dir) => {
+      val tmp = tempDir("graft_gate_incr")
+      val n = table(s, dir, "nation")
+      n.filter(F.col("n_regionkey") === 0)
+        .write.format("graft-avro").mode("overwrite").save(tmp) // v1
+      n.filter(F.col("n_regionkey") === 1)
+        .write.format("graft-avro").mode("append").save(tmp)    // v2
+      n.filter(F.col("n_regionkey").isin(2, 3))
+        .write.format("graft-avro").mode("append").save(tmp)    // v3
+      def changeset(rangeId: Int, opts: Map[String, String]) = {
+        var r = s.read.format("graft-avro")
+        opts.foreach { case (k, v) => r = r.option(k, v) }
+        r.load(tmp)
+          .agg(F.count(F.lit(1)).as("n_rows"),
+            F.sum("n_nationkey").as("sum_key"))
+          .select(F.lit(rangeId).as("range_id"), F.col("n_rows"),
+            F.col("sum_key"))
+      }
+      changeset(1, Map("fromVersion" -> "1")) // v2+v3, toVersion = latest
+        .unionByName(changeset(2,
+          Map("fromVersion" -> "2", "toVersion" -> "3"))) // v3 only
+        .unionByName(changeset(3, Map("fromVersion" -> "0"))) // everything
+        .orderBy("range_id")
     })
   )
 
@@ -687,6 +719,19 @@ object AvroGates extends Catalog {
          SELECT 4, count(*), CAST(sum(n_nationkey) AS BIGINT),
                 CAST(sum(length(n_name)) AS BIGINT) FROM v4
          ORDER BY version""",
+    // range (1, latest] = regionkeys 1..3; (2, 3] = regionkeys 2..3;
+    // (0, latest] = the whole table
+    "q_avro_incremental" ->
+      """SELECT 1 AS range_id, count(*) AS n_rows,
+                CAST(sum(n_nationkey) AS BIGINT) AS sum_key
+         FROM nation WHERE n_regionkey IN (1, 2, 3)
+         UNION ALL
+         SELECT 2, count(*), CAST(sum(n_nationkey) AS BIGINT)
+         FROM nation WHERE n_regionkey IN (2, 3)
+         UNION ALL
+         SELECT 3, count(*), CAST(sum(n_nationkey) AS BIGINT)
+         FROM nation WHERE n_regionkey IN (0, 1, 2, 3)
+         ORDER BY range_id""",
     "q_avro_delete" ->
       """SELECT lang, count(*) AS n_docs,
                 CAST(sum(n_chars) AS BIGINT) AS chars,

@@ -76,14 +76,22 @@ class AvroFileSource extends TableProvider with DataSourceRegister {
     val travel = AvroFileSource.resolveTravelVersion(d,
       Option(options.get("versionAsOf")).map(_.toLong),
       Option(options.get("timestampAsOf")).map(_.toLong))
-    val files = travel match {
-      case Some(v) =>
+    val inc = AvroFileSource.resolveIncremental(d,
+      Option(options.get("fromVersion")).map(_.toLong),
+      Option(options.get("toVersion")).map(_.toLong))
+    require(travel.isEmpty || inc.isEmpty,
+      "graft-avro: versionAsOf/timestampAsOf and fromVersion are exclusive")
+    val files = (travel, inc) match {
+      case (Some(v), _) =>
         // a snapshot's schema is inferred over ITS file set — an
         // overwrite that changed the schema must not leak the new
         // column set into a pre-overwrite version
         AvroFileSource.readSnapshots(d).find(_.version == v).get.files
           .map(AvroFileSource.resolveSnapshotFile(d, _))
-      case None => AvroFileSource.listAvro(d)
+      case (None, Some((f, t))) =>
+        AvroFileSource.incrementalFiles(d, f, t)
+          .map(AvroFileSource.resolveSnapshotFile(d, _))
+      case _ => AvroFileSource.listAvro(d)
     }
     require(files.nonEmpty, s"no .avro files under ${dir(options)}")
     def header(f: File): Schema = {
@@ -413,6 +421,68 @@ object AvroFileSource {
     }
   }
 
+  /** Incremental (CDC-style) read: the files APPENDED strictly after
+    * `fromVersion` up to and including `toVersion` — the Iceberg
+    * incremental-append scan, the shape nightly ETL consumes a 100 TB
+    * table with (process only what arrived since the last watermark,
+    * never rescan history). Sound only while every version in the range
+    * is purely additive: an overwrite, a compaction, or an equality
+    * delete inside the range means the delta is NOT expressible as
+    * appended rows, and the read must fail loudly rather than emit a
+    * wrong changeset.
+    */
+  def incrementalFiles(d: File, fromV: Long, toV: Long): Seq[String] = {
+    require(fromV >= 0 && toV > fromV,
+      s"graft-avro: bad incremental range ($fromV, $toV]")
+    val snaps = readSnapshots(d)
+    require(snaps.nonEmpty,
+      s"graft-avro: no snapshot journal under $d (table predates time travel)")
+    require(snaps.exists(_.version == toV),
+      s"graft-avro: no snapshot version $toV under $d " +
+        s"(have ${snaps.head.version}..${snaps.last.version})")
+    require(fromV == 0 || snaps.exists(_.version == fromV),
+      s"graft-avro: no snapshot version $fromV under $d " +
+        s"(have ${snaps.head.version}..${snaps.last.version})")
+    val inRange = snaps.filter(s => s.version > fromV && s.version <= toV)
+    val baseFiles =
+      if (fromV == 0) Set.empty[String]
+      else snaps.find(_.version == fromV).get.files.toSet
+    // additive-only guard: each version must keep every prior file and
+    // the delete sidecar must not change across the range
+    val baseDels =
+      if (fromV == 0) None else snaps.find(_.version == fromV).get.deletes
+    var prev = baseFiles
+    inRange.foreach { s =>
+      require(prev.subsetOf(s.files.toSet),
+        s"graft-avro: version ${s.version} (${s.kind}) removed files — " +
+          "the incremental range is not append-only")
+      require(s.deletes == baseDels,
+        s"graft-avro: version ${s.version} changed equality deletes — " +
+          "the incremental range is not append-only")
+      prev = s.files.toSet
+    }
+    (snaps.find(_.version == toV).get.files.toSet -- baseFiles)
+      .toSeq.sorted
+  }
+
+  /** Resolve `fromVersion` / `toVersion` options to a concrete
+    * incremental range. `fromVersion` is required for an incremental
+    * read (0 = since the beginning); `toVersion` defaults to the latest
+    * version.
+    */
+  def resolveIncremental(d: File,
+      fromVersion: Option[Long], toVersion: Option[Long]): Option[(Long, Long)] = {
+    if (fromVersion.isEmpty) {
+      require(toVersion.isEmpty,
+        "graft-avro: toVersion requires fromVersion")
+      return None
+    }
+    val snaps = readSnapshots(d)
+    require(snaps.nonEmpty,
+      s"graft-avro: no snapshot journal under $d (table predates time travel)")
+    Some((fromVersion.get, toVersion.getOrElse(snaps.last.version)))
+  }
+
   /** Resolve `versionAsOf` / `timestampAsOf` options to a concrete
     * version. Exactly one may be set; timestamp resolution picks the
     * LATEST version committed at-or-before the millis instant (the
@@ -626,11 +696,15 @@ case class AvroTable(path: String, tableSchema: StructType)
       Option(options.get("journalCompactAfter")).map(_.toInt).getOrElse(4096),
       AvroFileSource.resolveTravelVersion(new File(path),
         Option(options.get("versionAsOf")).map(_.toLong),
-        Option(options.get("timestampAsOf")).map(_.toLong)))
+        Option(options.get("timestampAsOf")).map(_.toLong)),
+      AvroFileSource.resolveIncremental(new File(path),
+        Option(options.get("fromVersion")).map(_.toLong),
+        Option(options.get("toVersion")).map(_.toLong)))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(info.options().get("versionAsOf") == null &&
-        info.options().get("timestampAsOf") == null,
+        info.options().get("timestampAsOf") == null &&
+        info.options().get("fromVersion") == null,
       "graft-avro: time travel is a read option; writes always target " +
         "the current version")
     new AvroWriteBuilder(path, info.schema(),
@@ -646,7 +720,8 @@ class AvroScanBuilder(path: String, full: StructType,
     maxSplitBytes: Long = AvroFileSource.DefaultSplitBytes,
     preserveGrouping: Boolean = false,
     journalCompactAfter: Int = 4096,
-    travelVersion: Option[Long] = None)
+    travelVersion: Option[Long] = None,
+    incRange: Option[(Long, Long)] = None)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with SupportsPushDownFilters with SupportsPushDownAggregates
   with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
@@ -693,10 +768,11 @@ class AvroScanBuilder(path: String, full: StructType,
     */
   override def pushAggregation(agg: Aggregation): Boolean = {
     if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return false
-    // Time travel: every metadata-served aggregate reads CURRENT-state
-    // manifests (block counts, zone bounds), which need not describe the
-    // requested snapshot. Historical reads answer from real rows only.
-    if (travelVersion.nonEmpty) return false
+    // Time travel / incremental: every metadata-served aggregate reads
+    // CURRENT-state manifests (block counts, zone bounds), which need
+    // not describe the requested snapshot or changeset. Historical
+    // reads answer from real rows only.
+    if (travelVersion.nonEmpty || incRange.nonEmpty) return false
     // Equality deletes invalidate every metadata-served aggregate: a
     // deleted row still counts in block headers and may carry a zone
     // extreme. Merge-on-read tables answer aggregates from real
@@ -891,7 +967,7 @@ class AvroScanBuilder(path: String, full: StructType,
         if (preserveGrouping) return Array.empty
         // the sort marker claims the CURRENT directory contents; a
         // snapshot's archived files were never verified under it
-        if (travelVersion.nonEmpty) return Array.empty
+        if (travelVersion.nonEmpty || incRange.nonEmpty) return Array.empty
         AvroFileSource.sortedColumnOf(new File(path)) match {
           case Some(c) if required.fieldNames.contains(c) =>
             Array(Expressions.sort(Expressions.column(c),
@@ -1003,15 +1079,29 @@ class AvroScanBuilder(path: String, full: StructType,
       // partition values from each recorded relative path — the archive
       // preserves the relative layout exactly so `k=v` segments parse
       // the same.
-      private lazy val travelSnapshot: Option[AvroFileSource.Snapshot] =
+      /** (relative files, delete-sidecar content) when the scan targets
+        * history instead of the live directory: a versionAsOf snapshot,
+        * or a fromVersion..toVersion incremental changeset (whose
+        * append-only soundness incrementalFiles() enforces).
+        */
+      private lazy val travelState: Option[(Seq[String], Option[String])] =
         travelVersion.map { v =>
-          AvroFileSource.readSnapshots(new File(path))
+          val snap = AvroFileSource.readSnapshots(new File(path))
             .find(_.version == v).getOrElse(throw new IllegalStateException(
               s"graft-avro: snapshot version $v vanished from $path"))
-        }
+          (snap.files, snap.deletes)
+        }.orElse(incRange.map { case (fromV, toV) =>
+          val files = AvroFileSource.incrementalFiles(new File(path),
+            fromV, toV)
+          // deletes are proven UNCHANGED across the range, and were in
+          // force when the appended rows landed — they apply
+          val dels = AvroFileSource.readSnapshots(new File(path))
+            .find(_.version == toV).get.deletes
+          (files, dels)
+        })
       private lazy val listed: Seq[(File, Map[String, String])] =
-        travelSnapshot match {
-          case Some(snap) => snap.files.sorted.map { rel =>
+        travelState match {
+          case Some((files, _)) => files.sorted.map { rel =>
             val f = AvroFileSource.resolveSnapshotFile(new File(path), rel)
             val vals = rel.split('/').dropRight(1).flatMap { seg =>
               seg.split("=", 2) match {
@@ -1034,7 +1124,7 @@ class AvroScanBuilder(path: String, full: StructType,
         * predicate.
         */
       private lazy val zoneColumn: Option[String] =
-        if (travelVersion.nonEmpty) None // marker describes CURRENT layout
+        if (travelVersion.nonEmpty || incRange.nonEmpty) None // current-layout claim
         else AvroFileSource.sortedColumnOf(new File(path))
       private lazy val zoneRanges: Map[String, (Any, Any)] =
         if (filters.isEmpty) Map.empty
@@ -1055,7 +1145,8 @@ class AvroScanBuilder(path: String, full: StructType,
         * read per scan.
         */
       private lazy val colZoneRanges: Map[String, Map[String, (Any, Any)]] =
-        if (filters.isEmpty || travelVersion.nonEmpty) Map.empty
+        if (filters.isEmpty || travelVersion.nonEmpty || incRange.nonEmpty)
+          Map.empty
         else {
           val dir = new File(path)
           val zf = AvroFileSource.colZoneFile(dir)
@@ -1184,8 +1275,8 @@ class AvroScanBuilder(path: String, full: StructType,
           // time (a corrupt sidecar fails the read here, driver-side).
           // A time-travel read applies the SNAPSHOT's recorded deletes —
           // the current sidecar may postdate (or predate) the version.
-          val dels = travelSnapshot match {
-            case Some(snap) => snap.deletes
+          val dels = travelState match {
+            case Some((_, del)) => del
               .map(AvroFileSource.parseDeleteContent(_, full)).getOrElse(Nil)
             case None =>
               val delF = AvroFileSource.deleteFile(new File(path))
@@ -1195,7 +1286,7 @@ class AvroScanBuilder(path: String, full: StructType,
           AvroReaderFactory(required, full, filters, limit, dels)
         }
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
-        require(travelVersion.isEmpty,
+        require(travelVersion.isEmpty && incRange.isEmpty,
           "graft-avro: time travel is batch-only (a stream tails the " +
             "CURRENT version by definition)")
         new AvroMicroBatchStream(path, required, full, checkpointLocation,

@@ -206,6 +206,42 @@ class AvroSnapshotSpec extends AnyFunSuite with SparkSpec with Matchers {
     keys(v1) shouldBe (0L until 20L).toSet
   }
 
+  test("incremental reads return exactly the appended rows; non-append ranges fail") {
+    val dir = tmp()
+    writeRange(dir, 0, 10, "overwrite") // v1
+    writeRange(dir, 10, 15, "append")   // v2
+    writeRange(dir, 15, 25, "append")   // v3
+    def inc(opts: (String, String)*) = {
+      var r = spark.read.format("graft-avro")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      r.load(dir)
+    }
+    keys(inc("fromVersion" -> "1")) shouldBe (10L until 25L).toSet
+    keys(inc("fromVersion" -> "2", "toVersion" -> "3")) shouldBe
+      (15L until 25L).toSet
+    keys(inc("fromVersion" -> "0", "toVersion" -> "1")) shouldBe
+      (0L until 10L).toSet
+    // a delete inside the range breaks append-only soundness
+    AvroMaintenance.deleteWhere(spark, dir, "k", Seq(12L)) // v4
+    intercept[IllegalArgumentException] {
+      inc("fromVersion" -> "3").collect()
+    }.getMessage should include("not append-only")
+    // ...but a range ending before it still reads
+    keys(inc("fromVersion" -> "1", "toVersion" -> "3")) shouldBe
+      (10L until 25L).toSet
+    // an overwrite inside the range likewise fails
+    writeRange(dir, 100, 105, "overwrite") // v5
+    intercept[IllegalArgumentException] {
+      inc("fromVersion" -> "2").collect()
+    }.getMessage should include("not append-only")
+    intercept[IllegalArgumentException] {
+      inc("toVersion" -> "2").collect()
+    }.getMessage should include("requires fromVersion")
+    intercept[IllegalArgumentException] {
+      inc("fromVersion" -> "1", "versionAsOf" -> "2").collect()
+    }.getMessage should include("exclusive")
+  }
+
   test("streaming epochs snapshot; idle epochs mint no version") {
     val dir = tmp()
     val src = tmp()
