@@ -986,9 +986,41 @@ class AvroScanBuilder(path: String, full: StructType,
           .getOrElse(Nil)
 
       @volatile private var runtimeIn: Map[String, Set[String]] = Map.empty
+      // runtime IN-sets against column zones: EXTERNAL values per column
+      @volatile private var runtimeZoneVals: Map[String, Set[Any]] = Map.empty
 
+      /** Columns eligible for runtime ZONE pruning: covered by the
+        * all-column manifest somewhere, of a type whose internal→external
+        * literal conversion and zone ordering are both exact. Together
+        * with the partition columns these are the attributes Spark may
+        * hand us join-key IN-sets for — the DPP analogue extended from
+        * directory layout to per-file zones, so an unpartitioned (but
+        * zoned) fact table still skips whole files under a selective
+        * broadcast join.
+        */
+      private lazy val rtZoneCols: Seq[String] = {
+        import org.apache.spark.sql.types._
+        if (travelVersion.nonEmpty || incRange.nonEmpty) Nil
+        else zonesAll.valuesIterator.flatMap(_.keysIterator).toSeq.distinct
+          .filter { c =>
+            AvroFilterEval.leafType(full, c).exists {
+              case StringType | IntegerType | LongType | BooleanType |
+                   ShortType | ByteType => true
+              case _ => false
+            }
+          }
+      }
+
+      /** Only columns surviving in the scan OUTPUT may be declared:
+        * Spark resolves these refs against the pruned read schema
+        * (V2ExpressionUtils.resolveRefs), and an unresolvable declared
+        * attribute is an AnalysisException, not a skipped filter. A
+        * join key is necessarily projected, so this loses nothing.
+        */
       override def filterAttributes(): Array[NamedReference] =
-        partitionCols.map(Expressions.column).toArray
+        (partitionCols ++ rtZoneCols).distinct
+          .filter(readSchema().fieldNames.contains)
+          .map(Expressions.column).toArray
 
       /** Normalized string key for a literal / partition value so the
         * two representations (Catalyst internal literal vs directory
@@ -1014,25 +1046,71 @@ class AvroScanBuilder(path: String, full: StructType,
         case x => String.valueOf(x)
       }
 
+      /** Internal literal → EXTERNAL value for zone comparison; None =
+        * type unsupported (skip — never prune). The same safe-type set
+        * as zone recording; floats excluded for the litKey reasons.
+        */
+      private def litExternal(l: Literal[_]): Option[Any] = {
+        import org.apache.spark.sql.types._
+        l.dataType match {
+          case StringType => Some(String.valueOf(l.value))
+          case IntegerType | LongType | BooleanType | ShortType | ByteType =>
+            Option(l.value)
+          case _ => None
+        }
+      }
+
       override def filter(predicates: Array[Predicate]): Unit = {
-        val m = predicates.toSeq.flatMap { p =>
+        val ins = predicates.toSeq.flatMap { p =>
           p.children() match {
             case ch if p.name() == "IN" && ch.nonEmpty =>
               (ch.head, ch.tail) match {
                 case (ref: NamedReference, lits)
                     if lits.forall(_.isInstanceOf[Literal[_]]) =>
-                  val col = ref.fieldNames().mkString(".")
-                  val keys = lits.map(l => litKey(l.asInstanceOf[Literal[_]]))
-                  if (partitionCols.contains(col) && keys.forall(_.isDefined))
-                    Some(col -> keys.flatten.toSet)
-                  else None
+                  Some((ref.fieldNames().mkString("."),
+                    lits.toSeq.map(_.asInstanceOf[Literal[_]])))
                 case _ => None
               }
             case _ => None
           }
+        }
+        runtimeIn = ins.flatMap { case (col, lits) =>
+          val keys = lits.map(litKey)
+          if (partitionCols.contains(col) && keys.forall(_.isDefined))
+            Some(col -> keys.flatten.toSet)
+          else None
         }.toMap
-        runtimeIn = m
+        // zone-set cap: a huge build side would cost files×values driver
+        // checks for little selectivity — skipping entirely is sound
+        runtimeZoneVals = ins.flatMap { case (col, lits) =>
+          val vs = lits.map(litExternal)
+          if (rtZoneCols.contains(col) && lits.size <= 10000 &&
+              vs.forall(_.isDefined))
+            Some(col -> vs.flatten.toSet)
+          else None
+        }.toMap
       }
+
+      /** Zone check for the runtime IN-sets: a file survives when, for
+        * every filtered column, it has no bounds (absence ⇒ scan) or at
+        * least one IN value may land inside [lo, hi] (undecidable
+        * compares keep the file — same soundness rules as zoneMayKeep).
+        */
+      private def runtimeZoneKeep(f: File): Boolean =
+        runtimeZoneVals.isEmpty || {
+          val byCol = zonesAll.getOrElse(f.getAbsolutePath, Map.empty)
+          runtimeZoneVals.forall { case (c, vs) =>
+            byCol.get(c) match {
+              case None => true
+              case Some((lo, hi)) => vs.exists { v =>
+                (AvroFilterEval.cmp(v, lo), AvroFilterEval.cmp(v, hi)) match {
+                  case (Some(a), Some(b)) => a >= 0 && b <= 0
+                  case _ => true // undecidable: keep
+                }
+              }
+            }
+          }
+        }
 
       /** Do the runtime IN-sets allow this partition-value assignment?
         * A null directory value never equals a join key (equality join
@@ -1144,15 +1222,21 @@ class AvroScanBuilder(path: String, full: StructType,
         * additionally feeds the metadata-served MIN/MAX). One manifest
         * read per scan.
         */
-      private lazy val colZoneRanges: Map[String, Map[String, (Any, Any)]] =
-        if (filters.isEmpty || travelVersion.nonEmpty || incRange.nonEmpty)
-          Map.empty
+      /** All-column zones read once per scan regardless of static
+        * filters — the runtime (join-key) pruning path needs them even
+        * on an unfiltered scan. Time travel reads none (the manifest
+        * describes the CURRENT file set).
+        */
+      private lazy val zonesAll: Map[String, Map[String, (Any, Any)]] =
+        if (travelVersion.nonEmpty || incRange.nonEmpty) Map.empty
         else {
           val dir = new File(path)
           val zf = AvroFileSource.colZoneFile(dir)
           if (zf.isFile) AvroFileSource.readColZones(zf, dir, full)
           else Map.empty
         }
+      private lazy val colZoneRanges: Map[String, Map[String, (Any, Any)]] =
+        if (filters.isEmpty) Map.empty else zonesAll
 
       private def zoneMayKeep(f: File): Boolean = {
         val sortOk = zoneRanges.get(f.getAbsolutePath) match {
@@ -1177,7 +1261,7 @@ class AvroScanBuilder(path: String, full: StructType,
           // proves they cannot match — the scan never opens them
           .filter { case (f, vals) =>
             partitionMayMatch(vals) && runtimeMayMatch(vals) &&
-              zoneMayKeep(f) }
+              zoneMayKeep(f) && runtimeZoneKeep(f) }
 
       /** Catalyst-internal key value for one partition column (SPJ keys
         * compare internally); None = type unsupported for key grouping.

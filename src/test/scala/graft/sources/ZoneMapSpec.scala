@@ -563,4 +563,58 @@ class ZoneMapSpec extends AnyFunSuite with SparkSpec with Matchers {
     // new-range predicate stays correct
     avro.filter(F.col("k") >= 11000).count() shouldBe 1000
   }
+
+  test("runtime join-key IN-sets prune whole files via column zones") {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    import org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    val dir = tmp()
+    // four UNPARTITIONED, UNSORTED files with disjoint k ranges — only
+    // the all-column zone manifest knows the ranges
+    (0 until 4).foreach { i =>
+      spark.range(i * 100L, i * 100L + 100).toDF("k")
+        .withColumn("payload", F.md5(F.col("k").cast("string")))
+        .coalesce(1)
+        .write.format("graft-avro")
+        .mode(if (i == 0) "overwrite" else "append").save(dir)
+    }
+    val schema = spark.read.format("graft-avro").load(dir).schema
+    val scan = new AvroScanBuilder(dir, schema).build()
+    val rt = scan.asInstanceOf[SupportsRuntimeV2Filtering]
+    // k is declared runtime-filterable purely via its zone coverage
+    rt.filterAttributes().map(_.fieldNames().mkString(".")) should
+      contain("k")
+    scan.toBatch.planInputPartitions().length shouldBe 4
+    // join-key IN-set {5, 142}: files 2 and 3 can't match — skipped
+    rt.filter(Array(new Predicate("IN", Array[
+        org.apache.spark.sql.connector.expressions.Expression](
+      Expressions.column("k"),
+      Expressions.literal(5L), Expressions.literal(142L)))))
+    scan.toBatch.planInputPartitions().length shouldBe 2
+    // values outside every zone prune ALL files
+    rt.filter(Array(new Predicate("IN", Array[
+        org.apache.spark.sql.connector.expressions.Expression](
+      Expressions.column("k"), Expressions.literal(9999L)))))
+    scan.toBatch.planInputPartitions().length shouldBe 0
+  }
+
+  test("runtime zone pruning keeps broadcast-join answers exact") {
+    import spark.implicits._
+    val dir = tmp()
+    (0 until 4).foreach { i =>
+      spark.range(i * 100L, i * 100L + 100).toDF("k")
+        .withColumn("payload", F.md5(F.col("k").cast("string")))
+        .coalesce(1)
+        .write.format("graft-avro")
+        .mode(if (i == 0) "overwrite" else "append").save(dir)
+    }
+    val fact = spark.read.format("graft-avro").load(dir)
+    val dim = Seq(7L, 42L, 205L, 399L).toDF("j")
+    val joined = fact.join(F.broadcast(dim), fact("k") === dim("j"))
+    // Spark injects the runtime filter for the declared attribute
+    joined.queryExecution.executedPlan.toString should
+      include("RuntimeFilters: [")
+    joined.select("k").collect().map(_.getLong(0)).sorted.toSeq shouldBe
+      Seq(7L, 42L, 205L, 399L)
+  }
 }
