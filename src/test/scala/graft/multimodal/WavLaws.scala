@@ -59,11 +59,16 @@ object WavLaws extends Properties("WavLaws") {
   }
 
   // The G.711 code space: compress inverts expand on every code except
-  // 0x7f (negative zero collides with 0xff's positive zero).
+  // 0xff — the one collision: 0x7f (negative zero) and 0xff (positive
+  // zero) both expand to 0, and compress breaks the tie to the SMALLER
+  // code, so 0x7f round-trips and 0xff is the loser.
   property("mulaw compress inverts expand") =
     Prop.forAll(Gen.choose(0, 255)) { u =>
-      u == 0x7f || Wav.mulawCompress(Wav.mulawExpand(u)) == u
+      u == 0xff || Wav.mulawCompress(Wav.mulawExpand(u)) == u
     }
+  property("the 0xff collision maps to 0x7f, the equal-valued code") =
+    Prop(Wav.mulawExpand(0xff) == 0 &&
+      Wav.mulawCompress(Wav.mulawExpand(0xff)) == 0x7f)
 
   // Expansion shape: zero codes decode to 0, magnitudes stay inside
   // PCM16, and the expansion is monotone within each positive segment.
