@@ -628,6 +628,32 @@ object AvroGates extends Catalog {
       }.reduce(_.unionByName(_)).orderBy("version")
     }),
 
+    // Per-file bloom sidecars: equality/IN membership pruning for
+    // hash-scattered high-cardinality keys — where every file's zone
+    // range spans the domain and range pruning is useless, a point
+    // lookup opens ~1 file of 12 via the `bloomFor` manifest. This gate
+    // pins the ANSWERS through the pruned scans (doc_id IN-list +
+    // source equality); BloomSkipSpec pins the file-count collapse and
+    // zero-false-negative law.
+    "q_avro_bloom" -> ((s, dir) => {
+      val tmp = tempDir("graft_gate_bloom")
+      table(s, dir, "documents")
+        .repartition(12, F.col("doc_id"))
+        .write.format("graft-avro").option("bloomFor", "doc_id,source")
+        .mode("overwrite").save(tmp)
+      val t = s.read.format("graft-avro").load(tmp)
+      val byId = t.filter(F.col("doc_id").isin(3L, 57L, 211L))
+        .agg(F.count(F.lit(1)).as("n_rows"),
+          F.sum("n_chars").as("chars"))
+        .select(F.lit("by_id").as("probe"), F.col("n_rows"), F.col("chars"))
+      val bySrc = t.filter(F.col("source") === "src7")
+        .agg(F.count(F.lit(1)).as("n_rows"),
+          F.sum("n_chars").as("chars"))
+        .select(F.lit("by_source").as("probe"), F.col("n_rows"),
+          F.col("chars"))
+      byId.unionByName(bySrc).orderBy("probe")
+    }),
+
     // Incremental (CDC-style) consumption off the snapshot journal: the
     // nightly-ETL primitive — "give me exactly the rows appended since
     // my last watermark version" without rescanning history. Changeset
@@ -719,6 +745,14 @@ object AvroGates extends Catalog {
          SELECT 4, count(*), CAST(sum(n_nationkey) AS BIGINT),
                 CAST(sum(length(n_name)) AS BIGINT) FROM v4
          ORDER BY version""",
+    "q_avro_bloom" ->
+      """SELECT 'by_id' AS probe, count(*) AS n_rows,
+                CAST(sum(n_chars) AS BIGINT) AS chars
+         FROM documents WHERE doc_id IN (3, 57, 211)
+         UNION ALL
+         SELECT 'by_source', count(*), CAST(sum(n_chars) AS BIGINT)
+         FROM documents WHERE source = 'src7'
+         ORDER BY probe""",
     // range (1, latest] = regionkeys 1..3; (2, 3] = regionkeys 2..3;
     // (0, latest] = the whole table
     "q_avro_incremental" ->

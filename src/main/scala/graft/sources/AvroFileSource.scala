@@ -275,6 +275,99 @@ object AvroFileSource {
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toSeq
 
   // ------------------------------------------------------------------
+  // Per-file bloom sidecars (`_graft_blooms`) — equality/IN membership
+  // pruning for scattered high-cardinality keys. Manifest lines:
+  // `rel TAB colEnc TAB type TAB base64(bits)`; partial coverage is
+  // sound (absence ⇒ scan), lifecycle mirrors `_graft_zones_cols`.
+  // ------------------------------------------------------------------
+
+  val BloomBits = 1 << 15 // 4 KB of bits per (file, column)
+  val BloomHashes = 5
+
+  def bloomFile(d: File): File = new File(d, "_graft_blooms")
+
+  private def bloomHash2(s: String): (Long, Long) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val bb = java.nio.ByteBuffer.wrap(md)
+    (bb.getLong(0), bb.getLong(8))
+  }
+
+  private[sources] def bloomAdd(bits: Array[Long], value: String): Unit = {
+    val (h1, h2) = bloomHash2(value)
+    var i = 0
+    while (i < BloomHashes) {
+      val b = java.lang.Math.floorMod(h1 + i * h2, BloomBits.toLong).toInt
+      bits(b >> 6) |= 1L << (b & 63)
+      i += 1
+    }
+  }
+
+  private[sources] def bloomMightContain(bits: Array[Long],
+      value: String): Boolean = {
+    val (h1, h2) = bloomHash2(value)
+    var i = 0
+    while (i < BloomHashes) {
+      val b = java.lang.Math.floorMod(h1 + i * h2, BloomBits.toLong).toInt
+      if ((bits(b >> 6) & (1L << (b & 63))) == 0) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Column types whose canonical toString is identical between the
+    * writer's external value and a pushed-filter/join-key literal.
+    */
+  private[sources] def bloomableType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType | IntegerType | LongType | ShortType | ByteType |
+           BooleanType => true
+      case _ => false
+    }
+  }
+
+  /** Raw bloom manifest keyed by relative path (values stay encoded for
+    * lossless merge); malformed lines drop — never-prune stays sound.
+    */
+  private[sources] def readBloomsRaw(bf: File)
+      : Map[String, Seq[(String, String, String)]] =
+    try {
+      val src = scala.io.Source.fromFile(bf, "UTF-8")
+      try {
+        src.getLines().flatMap { line =>
+          line.split('\t') match {
+            case Array(rel, col, dt, bits) => Some(rel -> ((col, dt, bits)))
+            case _ => None
+          }
+        }.toSeq.groupMap(_._1)(_._2)
+      } finally src.close()
+    } catch { case _: Exception => Map.empty }
+
+  /** Parsed manifest: ABSOLUTE path → column → bit array. Entries whose
+    * recorded type disagrees with the current read schema are dropped
+    * (their files scan normally).
+    */
+  private[sources] def readBlooms(bf: File, base: File, full: StructType)
+      : Map[String, Map[String, Array[Long]]] =
+    readBloomsRaw(bf).map { case (rel, entries) =>
+      new File(base, rel).getAbsolutePath -> entries.flatMap {
+        case (colEnc, dtName, b64) =>
+          val col = java.net.URLDecoder.decode(colEnc, "UTF-8")
+          for {
+            dt <- AvroFilterEval.leafType(full, col)
+            if dt.simpleString == dtName && bloomableType(dt)
+            bytes <- scala.util.Try(
+              java.util.Base64.getDecoder.decode(b64)).toOption
+            if bytes.length == BloomBits / 8
+          } yield {
+            val bb = java.nio.ByteBuffer.wrap(bytes)
+            col -> Array.fill(BloomBits / 64)(bb.getLong)
+          }
+      }.toMap
+    }.filter(_._2.nonEmpty)
+
+  // ------------------------------------------------------------------
   // Snapshot journal (time travel) — the Iceberg snapshot-log analogue.
   //
   // `_graft_snapshots` is an append-only, DELTA-ENCODED version log: one
@@ -711,7 +804,9 @@ case class AvroTable(path: String, tableSchema: StructType)
       Option(info.options().get("codec")).getOrElse("deflate"),
       Option(info.options().get("partitionBy")).toSeq
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
-      Option(info.options().get("sortedBy")).map(_.trim).filter(_.nonEmpty))
+      Option(info.options().get("sortedBy")).map(_.trim).filter(_.nonEmpty),
+      Option(info.options().get("bloomFor")).toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty))
   }
 }
 
@@ -1238,6 +1333,57 @@ class AvroScanBuilder(path: String, full: StructType,
       private lazy val colZoneRanges: Map[String, Map[String, (Any, Any)]] =
         if (filters.isEmpty) Map.empty else zonesAll
 
+      /** Per-file bloom sidecars, one manifest read per scan; empty
+        * under time travel (the manifest describes live files).
+        */
+      private lazy val bloomsAll: Map[String, Map[String, Array[Long]]] =
+        if (travelVersion.nonEmpty || incRange.nonEmpty) Map.empty
+        else {
+          val dir = new File(path)
+          val bf = AvroFileSource.bloomFile(dir)
+          if (bf.isFile) AvroFileSource.readBlooms(bf, dir, full)
+          else Map.empty
+        }
+
+      /** Membership pruning from STATIC pushed equality/IN filters: a
+        * file is skippable when some conjunct's every candidate value is
+        * definitely absent from the file's bloom. Absence of a bloom ⇒
+        * keep; null values never match an equality filter anyway.
+        */
+      private def bloomMayKeep(f: File): Boolean =
+        bloomsAll.isEmpty || filters.isEmpty || {
+          val byCol = bloomsAll.getOrElse(f.getAbsolutePath, Map.empty)
+          byCol.isEmpty || {
+            import org.apache.spark.sql.sources._
+            filters.forall {
+              case EqualTo(c, v) if v != null && byCol.contains(c) =>
+                AvroFileSource.bloomMightContain(byCol(c), v.toString)
+              case EqualNullSafe(c, v) if v != null && byCol.contains(c) =>
+                AvroFileSource.bloomMightContain(byCol(c), v.toString)
+              case In(c, vs) if byCol.contains(c) && vs != null =>
+                vs.exists(v => v != null &&
+                  AvroFileSource.bloomMightContain(byCol(c), v.toString))
+              case _ => true
+            }
+          }
+        }
+
+      /** Membership pruning from RUNTIME join-key IN-sets (the same
+        * sets runtimeZoneKeep checks against zone ranges — blooms catch
+        * the scattered-key case ranges cannot).
+        */
+      private def runtimeBloomKeep(f: File): Boolean =
+        runtimeZoneVals.isEmpty || bloomsAll.isEmpty || {
+          val byCol = bloomsAll.getOrElse(f.getAbsolutePath, Map.empty)
+          byCol.isEmpty || runtimeZoneVals.forall { case (c, vs) =>
+            byCol.get(c) match {
+              case None => true
+              case Some(bits) => vs.exists(v =>
+                AvroFileSource.bloomMightContain(bits, v.toString))
+            }
+          }
+        }
+
       private def zoneMayKeep(f: File): Boolean = {
         val sortOk = zoneRanges.get(f.getAbsolutePath) match {
           case Some((mn, mx)) => filters.forall(
@@ -1261,7 +1407,8 @@ class AvroScanBuilder(path: String, full: StructType,
           // proves they cannot match — the scan never opens them
           .filter { case (f, vals) =>
             partitionMayMatch(vals) && runtimeMayMatch(vals) &&
-              zoneMayKeep(f) && runtimeZoneKeep(f) }
+              zoneMayKeep(f) && runtimeZoneKeep(f) &&
+              bloomMayKeep(f) && runtimeBloomKeep(f) }
 
       /** Catalyst-internal key value for one partition column (SPJ keys
         * compare internally); None = type unsupported for key grouping.
@@ -1862,8 +2009,16 @@ case class AvroReaderFactory(required: StructType, full: StructType,
 
 class AvroWriteBuilder(path: String, schema: StructType,
     codec: String = "deflate", partitionBy: Seq[String] = Nil,
-    sortedBy: Option[String] = None)
+    sortedBy: Option[String] = None, bloomFor: Seq[String] = Nil)
   extends WriteBuilder with SupportsTruncate {
+
+  bloomFor.foreach { c =>
+    val f = schema.fields.find(_.name == c).getOrElse(
+      throw new IllegalArgumentException(
+        s"bloomFor column '$c' not in schema"))
+    require(AvroFileSource.bloomableType(f.dataType),
+      s"bloomFor does not support ${f.dataType.simpleString} (column '$c')")
+  }
 
   private var doTruncate = false
 
@@ -1901,7 +2056,7 @@ class AvroWriteBuilder(path: String, schema: StructType,
       override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
         new File(path).mkdirs()
         AvroWriterFactory(path, schema, codec, partitionBy, staged = true,
-          sortedBy = sortedBy)
+          sortedBy = sortedBy, bloomFor = bloomFor)
       }
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         val staged = messages.toSeq
@@ -2023,6 +2178,35 @@ class AvroWriteBuilder(path: String, schema: StructType,
           if (!tmp.renameTo(colZonesF)) throw new java.io.IOException(
             s"graft-avro commit: rename failed $tmp -> $colZonesF")
         }
+        // Bloom manifest: same lifecycle as the all-column zones —
+        // pruning-only, partial coverage sound, truncated files drop
+        // out via the existence filter.
+        val bloomF = AvroFileSource.bloomFile(new File(path))
+        val bloomFresh = messages.toSeq
+          .collect { case m: AvroCommitMessage => m.blooms }.flatten
+          .map { case (fin, entries) =>
+            base.relativize(new File(fin).getAbsoluteFile.toPath)
+              .toString -> entries
+          }
+        if (bloomFresh.nonEmpty || bloomF.isFile) {
+          val prior =
+            if (bloomF.isFile) AvroFileSource.readBloomsRaw(bloomF)
+            else Map.empty[String, Seq[(String, String, String)]]
+          val alive = AvroFileSource.listAvro(new File(path))
+            .map(f => base.relativize(f.getAbsoluteFile.toPath).toString)
+            .toSet
+          val merged = (prior ++ bloomFresh).filter { case (rel, _) =>
+            alive.contains(rel) }
+          val tmp = new File(bloomF.getPath + ".staging")
+          java.nio.file.Files.write(tmp.toPath,
+            merged.toSeq.sortBy(_._1).flatMap { case (rel, entries) =>
+              entries.map { case (col, dt, bits) =>
+                s"$rel\t$col\t$dt\t$bits"
+              }
+            }.mkString("\n").getBytes("UTF-8"))
+          if (!tmp.renameTo(bloomF)) throw new java.io.IOException(
+            s"graft-avro commit: rename failed $tmp -> $bloomF")
+        }
         // snapshot LAST: the journal records the fully-published state
         AvroFileSource.appendSnapshot(new File(path),
           if (doTruncate) "overwrite" else "append")
@@ -2067,7 +2251,8 @@ class AvroWriteBuilder(path: String, schema: StructType,
   */
 case class AvroCommitMessage(files: Seq[(String, String)],
     zones: Seq[(String, String, String)] = Nil,
-    colZones: Seq[(String, Seq[(String, String, String, String)])] = Nil)
+    colZones: Seq[(String, Seq[(String, String, String, String)])] = Nil,
+    blooms: Seq[(String, Seq[(String, String, String)])] = Nil)
   extends WriterCommitMessage
 
 private[sources] object AvroWriters {
@@ -2251,6 +2436,50 @@ private[sources] object AvroWriters {
         }
       }.toSeq
   }
+  /** Per-file bloom filters for the named columns — the equality/IN
+    * file-skipping index for HIGH-CARDINALITY SCATTERED keys, where
+    * zones cannot prune (every file's [min,max] spans the domain) but
+    * membership can: a point lookup on a hash-distributed key opens
+    * ~1 file instead of all of them. m=2^15 bits / k=5 double-hashed
+    * md5 probes per value (~1% false positives to ~4.5k distinct
+    * values/file; false positives only weaken pruning, never break
+    * it). Values hash on their canonical external toString — the same
+    * representation the read side derives from a pushed filter value.
+    */
+  private[sources] final class BloomBuilder(schema: StructType,
+      cols: Seq[String]) {
+    import AvroFileSource.{BloomBits, BloomHashes}
+    private val idx = cols.map(schema.fieldIndex)
+    private val bits = Array.fill(cols.size)(new Array[Long](BloomBits / 64))
+    private val seen = Array.fill(cols.size)(false)
+
+    def update(view: org.apache.spark.sql.Row): Unit = {
+      var c = 0
+      while (c < idx.length) {
+        val v = view.get(idx(c))
+        if (v != null) {
+          seen(c) = true
+          AvroFileSource.bloomAdd(bits(c), v.toString)
+        }
+        c += 1
+      }
+    }
+
+    /** (colEnc, typeName, base64 bits) per column that saw a value —
+      * all-null columns emit nothing (absence ⇒ keep, sound).
+      */
+    def stats: Seq[(String, String, String)] =
+      cols.indices.filter(seen).map { c =>
+        (java.net.URLEncoder.encode(cols(c), "UTF-8"),
+          schema.fields(idx(c)).dataType.simpleString,
+          java.util.Base64.getEncoder.encodeToString {
+            val bb = java.nio.ByteBuffer.allocate(bits(c).length * 8)
+            bits(c).foreach(bb.putLong)
+            bb.array()
+          })
+      }
+  }
+
   /** Container-file writer; `lazyCreate` postpones file creation to the
     * first row so empty partitions produce no file.
     */
@@ -2277,7 +2506,8 @@ private[sources] object AvroWriters {
   def openPartitioned(base: String, schema: StructType, fileName: String,
       partCols: Seq[String], codec: String,
       staged: Boolean = false,
-      sortedBy: Option[String] = None): DataWriter[InternalRow] = {
+      sortedBy: Option[String] = None,
+      bloomFor: Seq[String] = Nil): DataWriter[InternalRow] = {
     val idx = partCols.map(schema.fieldIndex)
     val sortIdx = sortedBy.map(schema.fieldIndex)
     val avroSchema = AvroSchemaConverter.toAvro(schema, "topLevelRecord", None, None)
@@ -2286,6 +2516,7 @@ private[sources] object AvroWriters {
       .empty[String, (DataFileWriter[GenericRecord], File)]
     val verifiers = scala.collection.mutable.HashMap.empty[String, OrderVerifier]
     val colStats = scala.collection.mutable.HashMap.empty[String, ColumnStats]
+    val bloomStats = scala.collection.mutable.HashMap.empty[String, BloomBuilder]
 
     new DataWriter[InternalRow] {
       override def write(record: InternalRow): Unit = {
@@ -2308,8 +2539,12 @@ private[sources] object AvroWriters {
           verifiers.getOrElseUpdate(sub, new OrderVerifier(sortedBy.get))
             .check(view.get(i))
         }
-        if (staged)
+        if (staged) {
           colStats.getOrElseUpdate(sub, new ColumnStats(schema)).update(view)
+          if (bloomFor.nonEmpty)
+            bloomStats.getOrElseUpdate(sub, new BloomBuilder(schema, bloomFor))
+              .update(view)
+        }
         val (w, _) = open.getOrElseUpdate(sub, {
           val dir = new File(base, sub)
           dir.mkdirs()
@@ -2344,6 +2579,12 @@ private[sources] object AvroWriters {
               colStats.get(sub).map(_.stats).filter(_.nonEmpty)
                 .map(f.getPath.stripSuffix(".staging") -> _)
             }
+            else Nil,
+          blooms =
+            if (staged) open.toSeq.flatMap { case (sub, (_, f)) =>
+              bloomStats.get(sub).map(_.stats).filter(_.nonEmpty)
+                .map(f.getPath.stripSuffix(".staging") -> _)
+            }
             else Nil)
       }
       override def abort(): Unit = open.values.foreach { case (w, f) =>
@@ -2356,7 +2597,8 @@ private[sources] object AvroWriters {
   def open(path: String, schema: StructType, fileName: String,
       lazyCreate: Boolean, codec: String = "deflate",
       staged: Boolean = false,
-      sortedBy: Option[String] = None): DataWriter[InternalRow] = {
+      sortedBy: Option[String] = None,
+      bloomFor: Seq[String] = Nil): DataWriter[InternalRow] = {
     val avroSchema = AvroSchemaConverter.toAvro(schema, "topLevelRecord", None, None)
     val toAvro = AvroInternalCodec.encoderFor(schema, avroSchema)
     val sortIdx = sortedBy.map(schema.fieldIndex)
@@ -2380,12 +2622,16 @@ private[sources] object AvroWriters {
 
       private val colStats =
         if (staged) new ColumnStats(schema) else null
+      private val bloomStats =
+        if (staged && bloomFor.nonEmpty) new BloomBuilder(schema, bloomFor)
+        else null
 
       override def write(record: InternalRow): Unit = {
         if (sortIdx.isDefined || colStats != null) {
           val view = AvroInternalCodec.externalView(record, schema)
           sortIdx.foreach(i => verifier.get.check(view.get(i)))
           if (colStats != null) colStats.update(view)
+          if (bloomStats != null) bloomStats.update(view)
         }
         ensure().append(toAvro(record))
       }
@@ -2405,6 +2651,11 @@ private[sources] object AvroWriters {
           colZones =
             if (staged && writer != null && colStats.stats.nonEmpty)
               Seq(finalFile.getPath -> colStats.stats)
+            else Nil,
+          blooms =
+            if (staged && writer != null && bloomStats != null &&
+                bloomStats.stats.nonEmpty)
+              Seq(finalFile.getPath -> bloomStats.stats)
             else Nil)
       }
       override def abort(): Unit =
@@ -2416,7 +2667,8 @@ private[sources] object AvroWriters {
 
 case class AvroWriterFactory(path: String, schema: StructType,
     codec: String = "deflate", partitionBy: Seq[String] = Nil,
-    staged: Boolean = false, sortedBy: Option[String] = None)
+    staged: Boolean = false, sortedBy: Option[String] = None,
+    bloomFor: Seq[String] = Nil)
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
@@ -2429,11 +2681,11 @@ case class AvroWriterFactory(path: String, schema: StructType,
     val name = f"part-$partitionId%05d-$taskId-$uniq.avro"
     if (partitionBy.nonEmpty)
       AvroWriters.openPartitioned(path, schema, name, partitionBy, codec,
-        staged = staged, sortedBy = sortedBy)
+        staged = staged, sortedBy = sortedBy, bloomFor = bloomFor)
     else
       AvroWriters.open(path, schema, name,
         lazyCreate = false, codec = codec, staged = staged,
-        sortedBy = sortedBy)
+        sortedBy = sortedBy, bloomFor = bloomFor)
   }
 }
 

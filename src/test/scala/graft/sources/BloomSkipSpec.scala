@@ -1,0 +1,136 @@
+package graft.sources
+
+import java.io.File
+
+import org.apache.spark.sql.connector.expressions.Expressions
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** Per-file bloom sidecars (`_graft_blooms`): equality/IN membership
+  * pruning for HASH-SCATTERED high-cardinality keys — the case zone
+  * ranges cannot touch, because every file's [min,max] spans the whole
+  * domain. Pinned here: point lookups open ~1 file of 8 while zone
+  * pruning alone keeps all 8; zero false negatives over every present
+  * key; the runtime join-key path; manifest lifecycle across
+  * overwrites; and the unsupported-type write guard.
+  */
+class BloomSkipSpec extends AnyFunSuite with SparkSpec with Matchers {
+
+  private def tmp(): String = graft.operators.Catalog.tempDir("graft_bloom")
+
+  /** 8 files of ~100 HASH-SCATTERED keys each (hash partition on k):
+    * every file's k-range spans nearly the whole 0..799 domain — zones
+    * are useless, blooms are not — and each key lives in exactly one
+    * file.
+    */
+  private def writeScattered(dir: String): Unit =
+    spark.range(0, 800).toDF("k")
+      .withColumn("payload", F.md5(F.col("k").cast("string")))
+      .repartition(8, F.col("k"))
+      .write.format("graft-avro").option("bloomFor", "k")
+      .mode("overwrite").save(dir)
+
+  private def scanParts(dir: String,
+      filters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
+      runtimeIn: Seq[Long] = Nil): Int = {
+    val schema = spark.read.format("graft-avro").load(dir).schema
+    val sb = new AvroScanBuilder(dir, schema)
+    if (filters.nonEmpty) sb.pushFilters(filters.toArray)
+    val scan = sb.build()
+    if (runtimeIn.nonEmpty)
+      scan.asInstanceOf[SupportsRuntimeV2Filtering].filter(Array(
+        new Predicate("IN", (Expressions.column("k") +:
+          runtimeIn.map(v => Expressions.literal(v))).toArray[
+            org.apache.spark.sql.connector.expressions.Expression])))
+    scan.toBatch.planInputPartitions().length
+  }
+
+  test("point lookups on scattered keys open ~1 file; zones alone keep all") {
+    val dir = tmp()
+    writeScattered(dir)
+    AvroFileSource.listAvro(new File(dir)).size shouldBe 8
+    AvroFileSource.bloomFile(new File(dir)) should exist
+    import org.apache.spark.sql.sources.EqualTo
+    // zone pruning alone cannot help (every file spans the domain):
+    // the bloom must cut 8 -> ~1 (false positives may keep a stray)
+    scanParts(dir, Seq(EqualTo("k", 42L))) should be <= 2
+    scanParts(dir) shouldBe 8
+    // and answers stay exact through the pruned scan
+    val avro = spark.read.format("graft-avro").load(dir)
+    avro.filter(F.col("k") === 42L).select("payload").head().getString(0) shouldBe
+      spark.range(42, 43).select(F.md5(F.col("id").cast("string")))
+        .head().getString(0)
+  }
+
+  test("zero false negatives: every present key's file survives pruning") {
+    val dir = tmp()
+    writeScattered(dir)
+    val avro = spark.read.format("graft-avro").load(dir)
+    // every 13th key: each equality lookup must return its row
+    (0L until 800L by 13).foreach { k =>
+      avro.filter(F.col("k") === k).count() shouldBe 1
+    }
+    // absent keys prune everything (no file contains them)
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    scanParts(dir, Seq(EqualTo("k", 100000L))) shouldBe 0
+    // IN over two files' keys keeps <= 2 (+ false positives)
+    scanParts(dir, Seq(In("k", Array(3L, 12L)))) should be <= 3
+  }
+
+  test("runtime join-key IN-sets prune through blooms too") {
+    val dir = tmp()
+    writeScattered(dir)
+    scanParts(dir, runtimeIn = Seq(7L)) should be <= 2
+    scanParts(dir, runtimeIn = Seq(7L, 16L)) should be <= 3
+    // end-to-end: broadcast join keyed on k answers exactly
+    import spark.implicits._
+    val fact = spark.read.format("graft-avro").load(dir)
+    val dim = Seq(7L, 16L, 399L).toDF("j")
+    fact.join(F.broadcast(dim), fact("k") === dim("j"))
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq shouldBe
+      Seq(7L, 16L, 399L)
+  }
+
+  test("manifest lifecycle: overwrites replace entries, plain appends leave gaps") {
+    val dir = tmp()
+    writeScattered(dir)
+    // an append WITHOUT bloomFor adds uncovered files: pruning still
+    // sound (absent entries always scan), lookups into the new file work
+    spark.range(10000, 10005).toDF("k")
+      .withColumn("payload", F.md5(F.col("k").cast("string")))
+      .coalesce(1)
+      .write.format("graft-avro").mode("append").save(dir)
+    val avro = spark.read.format("graft-avro").load(dir)
+    avro.filter(F.col("k") === 10002L).count() shouldBe 1
+    avro.filter(F.col("k") === 42L).count() shouldBe 1
+    // overwrite rewrites the manifest for the fresh file set only
+    spark.range(0, 10).toDF("k")
+      .withColumn("payload", F.md5(F.col("k").cast("string")))
+      .coalesce(1)
+      .write.format("graft-avro").option("bloomFor", "k")
+      .mode("overwrite").save(dir)
+    val raw = AvroFileSource.readBloomsRaw(
+      AvroFileSource.bloomFile(new File(dir)))
+    raw.keySet.size shouldBe 1 // only the new generation's file
+    spark.read.format("graft-avro").load(dir).count() shouldBe 10
+  }
+
+  test("bloomFor rejects unsupported column types") {
+    val dir = tmp()
+    intercept[IllegalArgumentException] {
+      spark.range(3).toDF("k").withColumn("d", F.col("k").cast("double"))
+        .write.format("graft-avro").option("bloomFor", "d")
+        .mode("overwrite").save(dir)
+    }.getMessage should include("does not support")
+    intercept[IllegalArgumentException] {
+      spark.range(3).toDF("k")
+        .write.format("graft-avro").option("bloomFor", "nope")
+        .mode("overwrite").save(dir)
+    }.getMessage should include("not in schema")
+  }
+}
