@@ -75,7 +75,8 @@ class AvroFileSource extends TableProvider with DataSourceRegister {
     val d = dir(options)
     val travel = AvroFileSource.resolveTravelVersion(d,
       Option(options.get("versionAsOf")).map(_.toLong),
-      Option(options.get("timestampAsOf")).map(_.toLong))
+      Option(options.get("timestampAsOf")).map(_.toLong),
+      Option(options.get("tagAsOf")))
     val inc = AvroFileSource.resolveIncremental(d,
       Option(options.get("fromVersion")).map(_.toLong),
       Option(options.get("toVersion")).map(_.toLong))
@@ -420,9 +421,11 @@ object AvroFileSource {
       line.split('\t') match {
         case Array(v, ms, kindEnc, delEnc, deltasEnc) =>
           val version = v.toLong
-          if (prevV >= 0 && version != prevV + 1)
+          // strictly increasing, gaps allowed: the tag-aware vacuum
+          // keeps non-contiguous versions and re-deltas between them
+          if (prevV >= 0 && version <= prevV)
             throw new IllegalStateException(
-              s"graft-avro: snapshot journal gap at version $version in $jf")
+              s"graft-avro: non-increasing snapshot version $version in $jf")
           prevV = version
           dels = delEnc match {
             case "~" => dels // carried forward unchanged
@@ -514,6 +517,39 @@ object AvroFileSource {
     }
   }
 
+  /** Named refs (`_graft_refs`): human-named pointers at snapshot
+    * versions — Iceberg tags. `nameEnc TAB version` lines; tags resolve
+    * through the same versionAsOf machinery and PIN their versions
+    * against [[AvroMaintenance.expireSnapshots]].
+    */
+  def refsFile(d: File): File = new File(d, "_graft_refs")
+
+  def readRefs(d: File): Map[String, Long] = {
+    val rf = refsFile(d)
+    if (!rf.isFile) return Map.empty
+    val src = scala.io.Source.fromFile(rf, "UTF-8")
+    try src.getLines().filter(_.nonEmpty).map { line =>
+      line.split('\t') match {
+        case Array(n, v) => java.net.URLDecoder.decode(n, "UTF-8") -> v.toLong
+        case _ => throw new IllegalStateException(
+          s"graft-avro: corrupt refs line '$line' in $rf")
+      }
+    }.toMap
+    finally src.close()
+  }
+
+  private[sources] def writeRefs(d: File, refs: Map[String, Long]): Unit = {
+    val rf = refsFile(d)
+    if (refs.isEmpty) { rf.delete(); return }
+    val tmp = new File(rf.getPath + ".staging")
+    java.nio.file.Files.write(tmp.toPath,
+      refs.toSeq.sortBy(_._1).map { case (n, v) =>
+        s"${java.net.URLEncoder.encode(n, "UTF-8")}\t$v"
+      }.mkString("", "\n", "\n").getBytes("UTF-8"))
+    if (!tmp.renameTo(rf)) throw new java.io.IOException(
+      s"graft-avro refs: rename failed $tmp -> $rf")
+  }
+
   /** Incremental (CDC-style) read: the files APPENDED strictly after
     * `fromVersion` up to and including `toVersion` — the Iceberg
     * incremental-append scan, the shape nightly ETL consumes a 100 TB
@@ -582,14 +618,22 @@ object AvroFileSource {
     * Iceberg/Delta convention).
     */
   def resolveTravelVersion(d: File,
-      versionAsOf: Option[Long], timestampAsOf: Option[Long]): Option[Long] = {
-    if (versionAsOf.isEmpty && timestampAsOf.isEmpty) return None
-    require(versionAsOf.isEmpty || timestampAsOf.isEmpty,
-      "graft-avro: set at most one of versionAsOf / timestampAsOf")
+      versionAsOf: Option[Long], timestampAsOf: Option[Long],
+      tagAsOf: Option[String] = None): Option[Long] = {
+    if (versionAsOf.isEmpty && timestampAsOf.isEmpty && tagAsOf.isEmpty)
+      return None
+    require(Seq(versionAsOf, timestampAsOf, tagAsOf).count(_.nonEmpty) == 1,
+      "graft-avro: set at most one of versionAsOf / timestampAsOf / tagAsOf")
+    val fromTag = tagAsOf.map { t =>
+      readRefs(d).getOrElse(t, throw new IllegalArgumentException(
+        s"graft-avro: no tag '$t' under $d " +
+          s"(have ${readRefs(d).keys.toSeq.sorted.mkString(", ")})"))
+    }
+    val effVersion = versionAsOf.orElse(fromTag)
     val snaps = readSnapshots(d)
     require(snaps.nonEmpty,
       s"graft-avro: no snapshot journal under $d (table predates time travel)")
-    versionAsOf match {
+    effVersion match {
       case Some(v) =>
         require(snaps.exists(_.version == v),
           s"graft-avro: no snapshot version $v under $d " +
@@ -789,7 +833,8 @@ case class AvroTable(path: String, tableSchema: StructType)
       Option(options.get("journalCompactAfter")).map(_.toInt).getOrElse(4096),
       AvroFileSource.resolveTravelVersion(new File(path),
         Option(options.get("versionAsOf")).map(_.toLong),
-        Option(options.get("timestampAsOf")).map(_.toLong)),
+        Option(options.get("timestampAsOf")).map(_.toLong),
+        Option(options.get("tagAsOf"))),
       AvroFileSource.resolveIncremental(new File(path),
         Option(options.get("fromVersion")).map(_.toLong),
         Option(options.get("toVersion")).map(_.toLong)))
@@ -797,7 +842,8 @@ case class AvroTable(path: String, tableSchema: StructType)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(info.options().get("versionAsOf") == null &&
         info.options().get("timestampAsOf") == null &&
-        info.options().get("fromVersion") == null,
+        info.options().get("fromVersion") == null &&
+        info.options().get("tagAsOf") == null,
       "graft-avro: time travel is a read option; writes always target " +
         "the current version")
     new AvroWriteBuilder(path, info.schema(),

@@ -68,6 +68,29 @@ object AvroMaintenance {
     AvroFileSource.appendSnapshot(d, "delete")
   }
 
+  /** Tag a snapshot version with a stable name (Iceberg tags): resolved
+    * by `.option("tagAsOf", name)` reads and PINNED against
+    * [[expireSnapshots]] until dropped.
+    */
+  def tag(dir: String, name: String, version: Long): Unit = {
+    require(name.nonEmpty, "empty tag name")
+    val d = new File(dir)
+    val snaps = AvroFileSource.readSnapshots(d)
+    require(snaps.exists(_.version == version),
+      s"graft-avro: cannot tag unknown version $version " +
+        s"(have ${snaps.map(_.version).mkString(", ")})")
+    AvroFileSource.writeRefs(d,
+      AvroFileSource.readRefs(d) + (name -> version))
+  }
+
+  /** Remove a tag; its version becomes expirable again. */
+  def dropTag(dir: String, name: String): Unit = {
+    val d = new File(dir)
+    val refs = AvroFileSource.readRefs(d)
+    require(refs.contains(name), s"graft-avro: no tag '$name' to drop")
+    AvroFileSource.writeRefs(d, refs - name)
+  }
+
   /** Vacuum: keep only the last `keepLast` snapshot versions, rewrite
     * the journal (oldest kept version becomes a full entry; later ones
     * keep their deltas), and delete archived files no kept snapshot
@@ -79,11 +102,15 @@ object AvroMaintenance {
     require(keepLast >= 1, s"keepLast $keepLast (current version must survive)")
     val d = new File(dir)
     val snaps = AvroFileSource.readSnapshots(d)
-    if (snaps.size <= keepLast) return 0
-    val kept = snaps.takeRight(keepLast)
-    // rewrite: full file set for the first kept version, then the
-    // original deltas (they chain off the previous KEPT version because
-    // the kept suffix is contiguous)
+    // tagged versions are PINNED: the vacuum keeps last-N ∪ tagged
+    val pinned = AvroFileSource.readRefs(d).values.toSet
+    val keepV = snaps.takeRight(keepLast).map(_.version).toSet ++ pinned
+    val kept = snaps.filter(s => keepV.contains(s.version))
+    if (kept.size == snaps.size) return 0
+    // rewrite: full file set for the first kept version, then re-deltaed
+    // changes between consecutive KEPT versions (which need not be
+    // contiguous once tags pin old versions — the journal parser allows
+    // gaps but enforces strictly-increasing versions)
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
     val lines = kept.zipWithIndex.map { case (s, i) =>
       val prev = if (i == 0) None else Some(kept(i - 1))

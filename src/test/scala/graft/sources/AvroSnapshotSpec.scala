@@ -242,6 +242,43 @@ class AvroSnapshotSpec extends AnyFunSuite with SparkSpec with Matchers {
     }.getMessage should include("exclusive")
   }
 
+  test("tags name versions, pin them through the vacuum, and drop cleanly") {
+    val dir = tmp()
+    writeRange(dir, 0, 10, "overwrite")  // v1
+    writeRange(dir, 10, 15, "overwrite") // v2
+    writeRange(dir, 20, 30, "overwrite") // v3
+    writeRange(dir, 40, 45, "overwrite") // v4
+    AvroMaintenance.tag(dir, "baseline", 1L)
+    // tagAsOf reads the tagged version exactly
+    keys(spark.read.format("graft-avro").option("tagAsOf", "baseline")
+      .load(dir)) shouldBe (0L until 10L).toSet
+    // the vacuum keeps last-2 AND the pinned v1; v2 expires
+    AvroMaintenance.expireSnapshots(dir, keepLast = 2)
+    val snaps = AvroFileSource.readSnapshots(new File(dir))
+    snaps.map(_.version) shouldBe Seq(1L, 3L, 4L) // gap at 2 is legal
+    keys(spark.read.format("graft-avro").option("tagAsOf", "baseline")
+      .load(dir)) shouldBe (0L until 10L).toSet
+    keys(readAt(dir, 3)) shouldBe (20L until 30L).toSet
+    intercept[IllegalArgumentException] { readAt(dir, 2) }
+    // errors: unknown tag, tag of unknown version, double option
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-avro").option("tagAsOf", "nope").load(dir)
+    }.getMessage should include("no tag 'nope'")
+    intercept[IllegalArgumentException] {
+      AvroMaintenance.tag(dir, "bad", 99L)
+    }.getMessage should include("unknown version")
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-avro").option("tagAsOf", "baseline")
+        .option("versionAsOf", 3L).load(dir)
+    }.getMessage should include("at most one")
+    // dropping the tag releases the pin: the next vacuum expires v1
+    AvroMaintenance.dropTag(dir, "baseline")
+    AvroMaintenance.expireSnapshots(dir, keepLast = 2)
+    AvroFileSource.readSnapshots(new File(dir))
+      .map(_.version) shouldBe Seq(3L, 4L)
+    intercept[IllegalArgumentException] { readAt(dir, 1) }
+  }
+
   test("streaming epochs snapshot; idle epochs mint no version") {
     val dir = tmp()
     val src = tmp()
