@@ -170,6 +170,29 @@ object Adpcm {
     (rate, out)
   }
 
+  /** Reconstruction-only features for the media-pipeline branch (no
+    * original samples available there): position-weighted recon sum +
+    * peak amplitude. Same batched mapPartitions shape as every codec.
+    */
+  def decodeFeatures(assets: Dataset[RawAsset]): Dataset[(Long, Long, Long)] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.grouped(StubDecoder.BatchSize).flatMap(_.iterator.map { a =>
+        val (_, recon) = decode(a.payload)
+        var reconSum = 0L; var peak = 0L
+        var i = 0
+        while (i < recon.length) {
+          val r = recon(i).toLong
+          reconSum += r * (i + 1)
+          val m = math.abs(r)
+          if (m > peak) peak = m
+          i += 1
+        }
+        (a.docId, reconSum, peak)
+      })
+    }
+  }
+
   /** Distributed decode + feature pass: re-synthesizes each doc's
     * original samples from `text` (the same deterministic function the
     * asset builder used) purely to measure the codec's quantization

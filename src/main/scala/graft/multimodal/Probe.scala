@@ -59,6 +59,7 @@ object Probe {
             case "img/jpeg" => Jpeg.decode(a.payload)
             case "aud/wav" => Wav.decode(a.payload)
             case "aud/mulaw" => Wav.decodeMulaw(a.payload)
+            case "aud/adpcm" => Adpcm.decode(a.payload)
             case "vid/avi" => Avi.decode(a.payload)
             case "vid/mjpeg" => Avi.decodeMjpeg(a.payload)
             case other =>
@@ -89,6 +90,9 @@ object Probe {
               val (_, samples) = Wav.decode(a.payload); samples.length.toLong
             case "aud/mulaw" =>
               val (_, samples) = Wav.decodeMulaw(a.payload)
+              samples.length.toLong
+            case "aud/adpcm" =>
+              val (_, samples) = Adpcm.decode(a.payload)
               samples.length.toLong
             case "vid/avi" =>
               val (_, _, frames) = Avi.decode(a.payload); frames.length.toLong

@@ -680,11 +680,12 @@ object LlmMultimodal extends Catalog {
 
     // END-TO-END MIXED-MEDIA PIPELINE in one job: the quarantine probe
     // ([[graft.multimodal.Probe.routeAssets]]) tags every payload once,
-    // then five plain filters branch the tagged stream into the REAL
+    // then seven plain filters branch the tagged stream into the REAL
     // per-modality operators — BMP → pixel features, WAV → windowed DSP,
     // AVI → frame motion, PNG → inflate+unfilter features, GIF → LZW
-    // index features — while corrupt payloads (every 7th, magic byte
-    // clobbered; stride coprime to the 5-way modality split so every
+    // index features, JPEG → IDCT sums, ADPCM → adaptive-predictive
+    // reconstruction — while corrupt payloads (every 6th, magic byte
+    // clobbered; stride coprime to the 7-way modality split so every
     // modality sees quarantines) surface as quarantined rows with zeroed
     // features. Probe → branch → extract → union is one lazy plan: no
     // driver round-trips anywhere, every branch a narrow per-row kernel
@@ -701,7 +702,7 @@ object LlmMultimodal extends Catalog {
         .as[(Long, String)]
         .map { case (id, text) =>
           val bytes = text.getBytes("UTF-8")
-          val (fmt, payload) = (id % 6) match {
+          val (fmt, payload) = (id % 7) match {
             case 0 =>
               val w = bytes.length % 12 + 4
               val h = (id % 12).toInt + 4
@@ -733,7 +734,7 @@ object LlmMultimodal extends Catalog {
               val idx = Array.tabulate[Byte](w * h)(j =>
                 bytes(j % bytes.length))
               ("img/gif", graft.multimodal.Gif.encode(w, h, idx))
-            case _ => // block-constant tiles: the JPEG exactness contract
+            case 5 => // block-constant tiles: the JPEG exactness contract
               val w = bytes.length % 20 + 8
               val h = (id % 20).toInt + 8
               val wB = (w + 7) / 8
@@ -742,8 +743,14 @@ object LlmMultimodal extends Catalog {
                 bytes(((y / 8) * wB + (x / 8)) % bytes.length)
               }
               ("img/jpeg", graft.multimodal.Jpeg.encode(w, h, pix))
+            case _ => // sequential predictive coding: the ADPCM stream
+              val samples = Array.tabulate[Short](128) { i =>
+                ((((bytes((i * 5) % bytes.length) & 0xff) * 157 + i * 331)
+                  % 4001 - 2000) * 8).toShort
+              }
+              ("aud/adpcm", graft.multimodal.Adpcm.encode(8000, samples))
           }
-          if (id % 7 == 0) payload(0) = 'X'.toByte // corrupt the magic
+          if (id % 6 == 0) payload(0) = 'X'.toByte // corrupt the magic
           graft.multimodal.RawAsset(id, payload, fmt, 0, 0, 0)
         }
       // one probe pass, pinned: seven downstream branches (six modality
@@ -786,12 +793,17 @@ object LlmMultimodal extends Catalog {
         .select(F.col("docId").as("doc_id"), F.lit("img/jpeg").as("fmt"),
           okRow, F.col("sumV").as("f1"),
           (F.col("w") * F.col("h")).cast("long").as("f2"))
+      val adpcm = graft.multimodal.Adpcm.decodeFeatures(branch("aud/adpcm"))
+        .toDF("doc_id", "f1", "f2")
+        .select(F.col("doc_id"), F.lit("aud/adpcm").as("fmt"), okRow,
+          F.col("f1"), F.col("f2"))
       val quarantined = routed.filter(r => !r.ok).toDF()
         .select(F.col("docId").as("doc_id"), F.col("fmt"),
           F.lit("quarantined").as("status"),
           F.lit(0L).as("f1"), F.lit(0L).as("f2"))
       bmp.unionByName(wav).unionByName(avi).unionByName(png)
-        .unionByName(gif).unionByName(jpeg).unionByName(quarantined)
+        .unionByName(gif).unionByName(jpeg).unionByName(adpcm)
+        .unionByName(quarantined)
         .orderBy("doc_id")
     })
   )
@@ -1303,7 +1315,7 @@ object LlmMultimodal extends Catalog {
     // over the 5 inter-frame deltas; corrupt payloads (doc_id % 7 = 0)
     // must appear exactly once as zeroed quarantine rows.
     "llm_media_pipeline" ->
-      """WITH d AS (
+      """WITH RECURSIVE d AS (
            SELECT doc_id, text, length(text) AS n
            FROM documents WHERE length(text) > 0),
          bmp AS (
@@ -1313,7 +1325,7 @@ object LlmMultimodal extends Catalog {
                         ord(substring(d.text, (t.i % d.n) + 1, 1)) AS v
                  FROM d, unnest(generate_series(0,
                         ((d.n % 12) + 4) * ((d.doc_id % 12) + 4) * 3 - 1)) t(i)
-                 WHERE d.doc_id % 6 = 0 AND d.doc_id % 7 <> 0)
+                 WHERE d.doc_id % 7 = 0 AND d.doc_id % 6 <> 0)
            GROUP BY doc_id),
          wav AS (
            SELECT doc_id, CAST(sum(CAST(s AS BIGINT) * s) AS BIGINT) AS f1,
@@ -1325,7 +1337,7 @@ object LlmMultimodal extends Catalog {
                          ((ord(substring(d.text, (t.i % d.n) + 1, 1)) * 997
                            + t.i * 131) % 65536) - 32768 AS s
                        FROM d, unnest(generate_series(0, 255)) t(i)
-                       WHERE d.doc_id % 6 = 1 AND d.doc_id % 7 <> 0))
+                       WHERE d.doc_id % 7 = 1 AND d.doc_id % 6 <> 0))
            GROUP BY doc_id),
          avi AS (
            SELECT doc_id, CAST(sum(dd) AS BIGINT) AS f1,
@@ -1339,7 +1351,7 @@ object LlmMultimodal extends Catalog {
                       unnest(generate_series(1, 5)) t(f),
                       unnest(generate_series(0,
                         ((d.n % 8) + 4) * ((d.doc_id % 6) + 4) * 3 - 1)) t2(j)
-                 WHERE d.doc_id % 6 = 2 AND d.doc_id % 7 <> 0)
+                 WHERE d.doc_id % 7 = 2 AND d.doc_id % 6 <> 0)
            GROUP BY doc_id),
          png AS (
            SELECT doc_id, CAST(sum(v) AS BIGINT) AS f1,
@@ -1349,7 +1361,7 @@ object LlmMultimodal extends Catalog {
                         ord(substring(d.text, (t.i % d.n) + 1, 1)) AS v
                  FROM d, unnest(generate_series(0,
                         ((d.n % 12) + 4) * ((d.doc_id % 12) + 4) * 3 - 1)) t(i)
-                 WHERE d.doc_id % 6 = 3 AND d.doc_id % 7 <> 0)
+                 WHERE d.doc_id % 7 = 3 AND d.doc_id % 6 <> 0)
            GROUP BY doc_id),
          gif AS (
            SELECT doc_id, CAST(sum(v) AS BIGINT) AS f1,
@@ -1358,12 +1370,12 @@ object LlmMultimodal extends Catalog {
                         ord(substring(d.text, (t.i % d.n) + 1, 1)) AS v
                  FROM d, unnest(generate_series(0,
                         ((d.n % 12) + 4) * ((d.doc_id % 12) + 4) - 1)) t(i)
-                 WHERE d.doc_id % 6 = 4 AND d.doc_id % 7 <> 0)
+                 WHERE d.doc_id % 7 = 4 AND d.doc_id % 6 <> 0)
            GROUP BY doc_id),
          jd AS (
            SELECT doc_id, text, n, (n % 20) + 8 AS w, (doc_id % 20) + 8 AS h,
                   ((n % 20) + 8 + 7) // 8 AS wb
-           FROM d WHERE doc_id % 6 = 5 AND doc_id % 7 <> 0),
+           FROM d WHERE doc_id % 7 = 5 AND doc_id % 6 <> 0),
          jpeg AS (
            SELECT doc_id, CAST(sum(v) AS BIGINT) AS f1,
                   CAST(any_value(w) * any_value(h) AS BIGINT) AS f2
@@ -1373,23 +1385,85 @@ object LlmMultimodal extends Catalog {
                             + ((t.i % jd.w) // 8)) % jd.n) + 1, 1)) AS v
                  FROM jd, unnest(generate_series(0, jd.w * jd.h - 1)) t(i))
            GROUP BY doc_id),
+         ax AS (
+           SELECT doc_id, t.i AS i,
+                  ((ord(substring(text, ((t.i * 5) % n) + 1, 1)) * 157
+                    + t.i * 331) % 4001 - 2000) * 8 AS x
+           FROM d, (SELECT unnest(generate_series(0, 127)) AS i) t
+           WHERE doc_id % 7 = 6 AND doc_id % 6 <> 0),
+         ast AS (SELECT i.i AS idx, l.l[i.i + 1] AS s
+                 FROM (SELECT [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,20350,22385,24623,27086,29794,32767] AS l) l,
+                      (SELECT unnest(generate_series(0, 88)) AS i) i),
+         arec(doc_id, i, pred, idx) AS (
+           SELECT doc_id, 0, x, 0 FROM ax WHERE i = 0
+           UNION ALL
+           SELECT doc_id, i,
+                  CASE WHEN i % 64 = 0 THEN x
+                       WHEN sign = 1 THEN
+                         CASE WHEN pred - diff < -32768 THEN -32768
+                              ELSE pred - diff END
+                       ELSE
+                         CASE WHEN pred + diff > 32767 THEN 32767
+                              ELSE pred + diff END
+                  END,
+                  CASE WHEN i % 64 = 0 THEN idx
+                       WHEN newidx < 0 THEN 0
+                       WHEN newidx > 88 THEN 88 ELSE newidx END
+           FROM (
+             SELECT q.*,
+                    (q.step // 8) + q.b2 * q.step + q.b1 * (q.step // 2)
+                      + q.b0 * (q.step // 4) AS diff,
+                    q.idx + (CASE q.b2 * 4 + q.b1 * 2 + q.b0
+                             WHEN 4 THEN 2 WHEN 5 THEN 4
+                             WHEN 6 THEN 6 WHEN 7 THEN 8
+                             ELSE -1 END) AS newidx
+             FROM (
+               SELECT p.*,
+                      CASE WHEN p.mag
+                             - (CASE WHEN p.mag >= p.step
+                                THEN p.step ELSE 0 END)
+                             - (CASE WHEN p.mag - (CASE WHEN p.mag >= p.step
+                                  THEN p.step ELSE 0 END) >= p.step // 2
+                                THEN p.step // 2 ELSE 0 END)
+                             >= p.step // 4 THEN 1 ELSE 0 END AS b0,
+                      CASE WHEN p.mag - (CASE WHEN p.mag >= p.step
+                             THEN p.step ELSE 0 END) >= p.step // 2
+                           THEN 1 ELSE 0 END AS b1,
+                      CASE WHEN p.mag >= p.step THEN 1 ELSE 0 END AS b2
+               FROM (
+                 SELECT r.doc_id, x.i, x.x, r.pred, r.idx, ast.s AS step,
+                        CASE WHEN x.x - r.pred < 0 THEN 1 ELSE 0 END AS sign,
+                        abs(x.x - r.pred) AS mag
+                 FROM arec r
+                 JOIN ax x ON x.doc_id = r.doc_id AND x.i = r.i + 1
+                 JOIN ast ON ast.idx = r.idx
+               ) p
+             ) q
+           )
+         ),
+         adpcm AS (
+           SELECT doc_id, CAST(sum(pred * (i + 1)) AS BIGINT) AS f1,
+                  CAST(max(abs(pred)) AS BIGINT) AS f2
+           FROM arec GROUP BY doc_id),
          routed AS (
            SELECT doc_id,
-                  CASE doc_id % 6 WHEN 0 THEN 'img/bmp' WHEN 1 THEN 'aud/wav'
+                  CASE doc_id % 7 WHEN 0 THEN 'img/bmp' WHEN 1 THEN 'aud/wav'
                        WHEN 2 THEN 'vid/avi' WHEN 3 THEN 'img/png'
-                       WHEN 4 THEN 'img/gif' ELSE 'img/jpeg' END AS fmt,
-                  CASE WHEN doc_id % 7 = 0 THEN 'quarantined' ELSE 'ok' END
+                       WHEN 4 THEN 'img/gif' WHEN 5 THEN 'img/jpeg'
+                       ELSE 'aud/adpcm' END AS fmt,
+                  CASE WHEN doc_id % 6 = 0 THEN 'quarantined' ELSE 'ok' END
                     AS status
            FROM d)
          SELECT r.doc_id, r.fmt, r.status,
-                CAST(coalesce(b.f1, w.f1, a.f1, p.f1, g.f1, j.f1, 0)
+                CAST(coalesce(b.f1, w.f1, a.f1, p.f1, g.f1, j.f1, ad.f1, 0)
                   AS BIGINT) AS f1,
-                CAST(coalesce(b.f2, w.f2, a.f2, p.f2, g.f2, j.f2, 0)
+                CAST(coalesce(b.f2, w.f2, a.f2, p.f2, g.f2, j.f2, ad.f2, 0)
                   AS BIGINT) AS f2
          FROM routed r
          LEFT JOIN bmp b USING (doc_id) LEFT JOIN wav w USING (doc_id)
          LEFT JOIN avi a USING (doc_id) LEFT JOIN png p USING (doc_id)
          LEFT JOIN gif g USING (doc_id) LEFT JOIN jpeg j USING (doc_id)
+         LEFT JOIN adpcm ad USING (doc_id)
          ORDER BY r.doc_id"""
   )
 }
