@@ -628,6 +628,28 @@ object AvroGates extends Catalog {
       }.reduce(_.unionByName(_)).orderBy("version")
     }),
 
+    // OPTIMIZE ZORDER on the avro source: clusterBy interleaves both
+    // dimensions' scaled bits and rewrites, after which the all-column
+    // zones prune on EITHER column (AvroClusterSpec pins the file
+    // skipping both ways); this gate pins unchanged ANSWERS through the
+    // clustered layout for selective predicates on each dimension.
+    "q_avro_cluster" -> ((s, dir) => {
+      val in = tempDir("graft_gate_cluster_in")
+      val out = tempDir("graft_gate_cluster_out")
+      table(s, dir, "documents").repartition(8)
+        .write.format("graft-avro").mode("overwrite").save(in)
+      graft.sources.AvroMaintenance.clusterBy(s, in, out,
+        "doc_id", "n_chars", 8)
+      val t = s.read.format("graft-avro").load(out)
+      val byId = t.filter(F.col("doc_id") < 40)
+        .agg(F.count(F.lit(1)).as("n_rows"), F.sum("n_chars").as("chars"))
+        .select(F.lit("by_id").as("dim"), F.col("n_rows"), F.col("chars"))
+      val byLen = t.filter(F.col("n_chars") >= 900)
+        .agg(F.count(F.lit(1)).as("n_rows"), F.sum("n_chars").as("chars"))
+        .select(F.lit("by_len").as("dim"), F.col("n_rows"), F.col("chars"))
+      byId.unionByName(byLen).orderBy("dim")
+    }),
+
     // Per-file bloom sidecars: equality/IN membership pruning for
     // hash-scattered high-cardinality keys — where every file's zone
     // range spans the domain and range pruning is useless, a point
@@ -745,6 +767,14 @@ object AvroGates extends Catalog {
          SELECT 4, count(*), CAST(sum(n_nationkey) AS BIGINT),
                 CAST(sum(length(n_name)) AS BIGINT) FROM v4
          ORDER BY version""",
+    "q_avro_cluster" ->
+      """SELECT 'by_id' AS dim, count(*) AS n_rows,
+                CAST(sum(n_chars) AS BIGINT) AS chars
+         FROM documents WHERE doc_id < 40
+         UNION ALL
+         SELECT 'by_len', count(*), CAST(sum(n_chars) AS BIGINT)
+         FROM documents WHERE n_chars >= 900
+         ORDER BY dim""",
     "q_avro_bloom" ->
       """SELECT 'by_id' AS probe, count(*) AS n_rows,
                 CAST(sum(n_chars) AS BIGINT) AS chars

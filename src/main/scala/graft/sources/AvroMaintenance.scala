@@ -68,6 +68,64 @@ object AvroMaintenance {
     AvroFileSource.appendSnapshot(d, "delete")
   }
 
+  /** Sort-preserving compaction: bin-pack like [[compactTo]] but
+    * range-partition + sort on `col` and write under a VERIFIED
+    * `sortedBy` claim, so the output keeps the sorted-layout marker,
+    * the sort-zone manifest, and therefore metadata-served MIN/MAX and
+    * selective file skipping — the OPTIMIZE that repairs both file
+    * count AND clustering in one pass. Deletes apply on the way through
+    * (they ride the read).
+    */
+  def compactSortedTo(spark: SparkSession, in: String, out: String,
+      col: String, targetBytes: Long): Int = {
+    require(targetBytes > 0, s"target bytes $targetBytes")
+    val bytes = listBytes(in)
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    import org.apache.spark.sql.functions.{col => c}
+    spark.read.format("graft-avro").load(in)
+      .repartitionByRange(n, c(col))
+      .sortWithinPartitions(col)
+      .write.format("graft-avro").option("sortedBy", col)
+      .mode("overwrite").save(out)
+    n
+  }
+
+  /** Multi-dimensional clustering rewrite (OPTIMIZE ZORDER): interleave
+    * the named columns' rank bits into a z-value, range-partition on it,
+    * and rewrite — after which the all-column zone manifest gives BOTH
+    * columns tight per-file ranges, so selective predicates on EITHER
+    * dimension skip files. The z-value is layout-only; the schema is
+    * unchanged.
+    */
+  def clusterBy(spark: SparkSession, in: String, out: String,
+      colX: String, colY: String, targetFiles: Int): Int = {
+    require(targetFiles >= 1, s"target files $targetFiles")
+    import org.apache.spark.sql.functions.{col => c, lit, max, min}
+    val df = spark.read.format("graft-avro").load(in)
+    // min/max linear scaling to 16 bits per dimension: one tiny
+    // broadcastable aggregate instead of a global rank window (which
+    // would funnel the corpus through one task at scale); skewed
+    // domains cluster less evenly but the layout stays correct —
+    // pruning is always best-effort
+    val b = df.agg(min(c(colX)).cast("double").as("x0"),
+      max(c(colX)).cast("double").as("x1"),
+      min(c(colY)).cast("double").as("y0"),
+      max(c(colY)).cast("double").as("y1")).head()
+    def scale(col: org.apache.spark.sql.Column, lo: Double, hi: Double) =
+      if (hi <= lo) lit(0L)
+      else ((col.cast("double") - lit(lo)) / lit(hi - lo) *
+        lit((1 << 16) - 1)).cast("long")
+    df
+      .withColumn("__z", graft.functions.ZOrder.zvalue(
+        scale(c(colX), b.getDouble(0), b.getDouble(1)),
+        scale(c(colY), b.getDouble(2), b.getDouble(3)), 16))
+      .repartitionByRange(targetFiles, c("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.format("graft-avro").mode("overwrite").save(out)
+    targetFiles
+  }
+
   /** Tag a snapshot version with a stable name (Iceberg tags): resolved
     * by `.option("tagAsOf", name)` reads and PINNED against
     * [[expireSnapshots]] until dropped.
