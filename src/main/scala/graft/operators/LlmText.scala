@@ -68,6 +68,32 @@ object LlmText extends Catalog {
           F.count(F.lit(1)).as("n_copies"))
         .orderBy("keep_id")),
 
+    // Unicode NFC canonicalization — the normalization pass that must
+    // precede hash dedup: the same visible text arrives precomposed
+    // (U+00E9) and decomposed (e + U+0301) from different crawls, and
+    // without NFC the two forms hash apart. Each doc synthesizes its
+    // decomposed twin (a combining acute after every vowel), the native
+    // codegen nfc_normalize expression composes it back, and DuckDB's
+    // nfc_normalize (the identical Unicode algorithm) re-derives length
+    // shrink + post-NFC md5 — a one-codepoint disagreement anywhere in
+    // the composition tables breaks every hash.
+    "llm_text_nfc" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      table(s, dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .select(F.col("doc_id"), F.expr(
+          "array_join(transform(split(text, ''), ch -> " +
+            "CASE WHEN ch IN ('a','e','i','o','u') " +
+            "THEN concat(ch, '\u0301') ELSE ch END), '')").as("deco"))
+        .select(F.col("doc_id"),
+          F.length(F.col("deco")).cast("long").as("pre_len"),
+          F.expr("nfc_normalize(deco)").as("norm"))
+        .select(F.col("doc_id"), F.col("pre_len"),
+          F.length(F.col("norm")).cast("long").as("post_len"),
+          F.md5(F.col("norm").cast("binary")).as("norm_hash"))
+        .orderBy("doc_id")
+    }),
+
     // Quality stats: everything derives from integers so the doubles are
     // bit-identical across engines. No explode — array HOFs only.
     "llm_text_stats" -> ((s, dir) =>
@@ -371,6 +397,25 @@ object LlmText extends Catalog {
   )
 
   val oracles: Map[String, String] = Map(
+    // per-char rebuild (no regex backreferences — DuckDB's RE2 rewrite
+    // handling is not portable), then DuckDB's own nfc_normalize: the
+    // two engines must agree on every composition the canonical tables
+    // define for the decomposed twins
+    "llm_text_nfc" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n
+                    FROM documents WHERE length(text) > 0),
+         chars AS (
+           SELECT doc_id, t.i AS i, substring(text, t.i, 1) AS ch
+           FROM d, unnest(generate_series(1, d.n)) t(i)),
+         deco AS (
+           SELECT doc_id,
+                  string_agg(CASE WHEN ch IN ('a','e','i','o','u')
+                    THEN ch || chr(769) ELSE ch END, '' ORDER BY i) AS s
+           FROM chars GROUP BY doc_id)
+         SELECT doc_id, CAST(length(s) AS BIGINT) AS pre_len,
+                CAST(length(nfc_normalize(s)) AS BIGINT) AS post_len,
+                md5(nfc_normalize(s)) AS norm_hash
+         FROM deco ORDER BY doc_id""",
     "llm_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
                 count(*) AS n_copies

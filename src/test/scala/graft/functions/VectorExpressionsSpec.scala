@@ -136,4 +136,32 @@ class VectorExpressionsSpec extends AnyWordSpec with Matchers with SparkSpec {
         df.select(VectorFunctions.vec_l2sq(F.col("a"), F.col("b"))).collect()
     }
   }
+
+  "nfc_normalize" should {
+    "compose decomposed sequences, pass NFC text through, and be idempotent" in {
+      VectorFunctions.register(spark)
+      import spark.implicits._
+      val deco = "é"      // e + combining acute
+      val composed = "\u00e9" // precomposed
+      val rows = Seq(deco, composed, "plain ascii", "", "😀x")
+        .toDF("s")
+        .selectExpr("s", "nfc_normalize(s) AS n",
+          "nfc_normalize(nfc_normalize(s)) AS nn", "length(s) AS l",
+          "length(nfc_normalize(s)) AS ln")
+        .collect()
+      rows(0).getString(1) shouldBe composed // composition happened
+      rows(0).getInt(3) shouldBe 2
+      rows(0).getInt(4) shouldBe 1
+      rows(1).getString(1) shouldBe composed // already-NFC passthrough
+      rows(2).getString(1) shouldBe "plain ascii"
+      rows(3).getString(1) shouldBe ""
+      rows(4).getString(1) shouldBe "😀x" // non-BMP untouched
+      rows.foreach(r => r.getString(2) shouldBe r.getString(1)) // idempotent
+      // null propagates; non-string rejected at analysis
+      Seq[Option[String]](None).toDF("s")
+        .selectExpr("nfc_normalize(s)").collect().head.isNullAt(0) shouldBe true
+      an[Exception] should be thrownBy
+        spark.range(1).selectExpr("nfc_normalize(id)").collect()
+    }
+  }
 }
