@@ -205,6 +205,57 @@ object Advanced extends Catalog {
         .orderBy("o_orderpriority")
     }),
 
+    // WEIGHTED shortest paths (multi-source SSSP): distributed
+    // Bellman-Ford — relax every edge against the current distance
+    // table each round, keep per-vertex minima, iterate to FIXPOINT
+    // detected by the (count, sum) fingerprint (distances only ever
+    // decrease and the reached set only grows, so the pair is a
+    // monotone convergence witness costing one tiny aggregate per
+    // round). The oracle is a WEIGHTED recursive CTE: paths extend
+    // while total weight < 60, recursive-union dedup on (v, d) bounds
+    // the search, min(d) per vertex = the shortest distance (positive
+    // weights make prefix totals monotone, so the cap never cuts a
+    // shorter path's prefix). Same Pregel scale shape as q_graph_bfs:
+    // one shuffle join per round, localCheckpoint per step.
+    "q_graph_sssp" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val mod = docs.agg(F.max("doc_id")).head().getLong(0) + 1
+      def target(off: Int) =
+        F.conv(F.substring(F.md5(F.col("text")), off, 12), 16, 10)
+          .cast("long") % mod
+      def weight(off: Int) =
+        F.conv(F.substring(F.md5(F.col("text")), off, 4), 16, 10)
+          .cast("long") % 9 + 1
+      val edges = docs.select(F.col("doc_id").as("u"),
+          F.explode(F.array(
+            F.struct(target(1).as("v"), weight(25).as("w")),
+            F.struct(target(13).as("v"), weight(29).as("w")))).as("e"))
+        .select(F.col("u"), F.col("e.v").as("v"), F.col("e.w").as("w"))
+        .localCheckpoint()
+      var dist = docs.select(F.col("doc_id").as("v"))
+        .filter(F.col("v") % 29 === 0)
+        .withColumn("d", F.lit(0L)).localCheckpoint()
+      var fp = (-1L, -1L)
+      var round = 0
+      var done = false
+      while (!done && round < 40) {
+        round += 1
+        val relaxed = edges
+          .join(dist.select(F.col("v").as("u"), F.col("d")), "u")
+          .select(F.col("v"), (F.col("d") + F.col("w")).as("d"))
+        dist = dist.unionByName(relaxed)
+          .groupBy("v").agg(F.min("d").as("d"))
+          .localCheckpoint()
+        val r = dist.agg(F.count(F.lit(1)), F.sum("d")).head()
+        val now = (r.getLong(0), r.getLong(1))
+        if (now == fp) done = true else fp = now
+      }
+      dist.filter(F.col("d") < 60)
+        .select(F.col("v").as("doc_id"), F.col("d").as("dist"))
+        .orderBy("doc_id")
+    }),
+
     // Recursive query / graph traversal: multi-source BFS hop distance
     // over an md5-derived 2-out edge graph, iterated TO FIXPOINT
     // (frontier-empty), not a fixed unroll — the oracle is a true
@@ -346,6 +397,34 @@ object Advanced extends Catalog {
          WHERE o_custkey IN
            (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // weighted recursion: extend while the path total stays under 60;
+    // positive weights ⇒ prefix totals are monotone, so the cap never
+    // truncates a prefix of a shorter path — min(d) is exact for every
+    // vertex whose true distance is < 60, and the Spark side's
+    // converged Bellman-Ford filters to the same set
+    "q_graph_sssp" ->
+      """WITH RECURSIVE
+           mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+           e AS (
+             SELECT doc_id AS u,
+                    CAST('0x' || substring(md5(text), 1, 12) AS BIGINT) % m
+                      AS v,
+                    CAST('0x' || substring(md5(text), 25, 4) AS BIGINT) % 9
+                      + 1 AS w
+             FROM documents, mx
+             UNION ALL
+             SELECT doc_id,
+                    CAST('0x' || substring(md5(text), 13, 12) AS BIGINT) % m,
+                    CAST('0x' || substring(md5(text), 29, 4) AS BIGINT) % 9
+                      + 1
+             FROM documents, mx),
+           sp(v, d) AS (
+             SELECT doc_id, 0 FROM documents WHERE doc_id % 29 = 0
+             UNION
+             SELECT e.v, sp.d + e.w FROM sp JOIN e ON e.u = sp.v
+             WHERE sp.d + e.w < 60)
+         SELECT v AS doc_id, CAST(min(d) AS BIGINT) AS dist
+         FROM sp GROUP BY v ORDER BY doc_id""",
     // true recursive CTE: recursive-union dedup on (v, d) pairs bounds
     // the iteration, min(d) recovers the BFS distance; the d < 30 cap
     // mirrors the Spark loop's safety bound exactly
