@@ -628,6 +628,37 @@ object AvroGates extends Catalog {
       }.reduce(_.unionByName(_)).orderBy("version")
     }),
 
+    // Row-level CDC between arbitrary versions: when the file-level
+    // incremental read refuses (deletes/overwrites in the range), the
+    // version DIFF still answers "what changed" — two versionAsOf reads
+    // bag-subtracted both ways (EXCEPT ALL, so duplicate multiplicity
+    // is respected). Here v1→v3 spans an equality delete AND an append:
+    // the diff surfaces the deleted rows as removed and the appended
+    // rows as added, from the journal alone.
+    "q_avro_diff" -> ((s, dir) => {
+      val tmp = tempDir("graft_gate_diff")
+      val n = table(s, dir, "nation")
+      n.filter(F.col("n_regionkey") < 3)
+        .write.format("graft-avro").mode("overwrite").save(tmp) // v1
+      graft.sources.AvroMaintenance.deleteWhere(s, tmp,
+        "n_regionkey", Seq(1))                                  // v2
+      n.filter(F.col("n_regionkey") >= 3)
+        .write.format("graft-avro").mode("append").save(tmp)    // v3
+      def at(v: Long) = s.read.format("graft-avro")
+        .option("versionAsOf", v).load(tmp)
+      val added = at(3).exceptAll(at(1))
+        .agg(F.count(F.lit(1)).as("n_rows"),
+          F.sum("n_nationkey").as("sum_key"))
+        .select(F.lit("added").as("change"), F.col("n_rows"),
+          F.col("sum_key"))
+      val removed = at(1).exceptAll(at(3))
+        .agg(F.count(F.lit(1)).as("n_rows"),
+          F.sum("n_nationkey").as("sum_key"))
+        .select(F.lit("removed").as("change"), F.col("n_rows"),
+          F.col("sum_key"))
+      added.unionByName(removed).orderBy("change")
+    }),
+
     // OPTIMIZE ZORDER on the avro source: clusterBy interleaves both
     // dimensions' scaled bits and rewrites, after which the all-column
     // zones prune on EITHER column (AvroClusterSpec pins the file
@@ -767,6 +798,16 @@ object AvroGates extends Catalog {
          SELECT 4, count(*), CAST(sum(n_nationkey) AS BIGINT),
                 CAST(sum(length(n_name)) AS BIGINT) FROM v4
          ORDER BY version""",
+    // v1 = rk<3; v3 = (rk<3 minus the rk=1 delete) + rk>=3 appends:
+    // added = rk>=3, removed = rk=1
+    "q_avro_diff" ->
+      """SELECT 'added' AS change, count(*) AS n_rows,
+                CAST(sum(n_nationkey) AS BIGINT) AS sum_key
+         FROM nation WHERE n_regionkey >= 3
+         UNION ALL
+         SELECT 'removed', count(*), CAST(sum(n_nationkey) AS BIGINT)
+         FROM nation WHERE n_regionkey = 1
+         ORDER BY change""",
     "q_avro_cluster" ->
       """SELECT 'by_id' AS dim, count(*) AS n_rows,
                 CAST(sum(n_chars) AS BIGINT) AS chars
