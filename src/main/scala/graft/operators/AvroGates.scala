@@ -659,6 +659,40 @@ object AvroGates extends Catalog {
       added.unionByName(removed).orderBy("change")
     }),
 
+    // Row-level MERGE (upsert) by key, on versioned equality deletes:
+    // each mergeInto publishes a version-stamped delete of the incoming
+    // keys plus a transactional append, and the stamp rule (delete at V
+    // applies only to files born < V) keeps the fresh rows alive. The
+    // script exercises all the hard paths at once — a key deleted then
+    // RESURRECTED by a later merge (doc_id 8), a key deleted forever
+    // (16), keys replaced twice where the LATEST merge wins (doc_id ≡ 9
+    // mod 12), and plain inserts-or-replacements either side. The oracle
+    // folds the same update batches over the parquet source with
+    // anti-join + union semantics.
+    "q_avro_merge" -> ((s, dir) => {
+      val tmp = tempDir("graft_gate_merge")
+      val docs = table(s, dir, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      docs.write.format("graft-avro").mode("overwrite").save(tmp)   // v1
+      graft.sources.AvroMaintenance.deleteWhere(s, tmp, "doc_id",
+        Seq(8L, 16L))                                               // v2
+      val u1 = docs.filter(F.col("doc_id") % 4 === 1)
+        .withColumn("source", F.lit("m1"))
+        .withColumn("n_chars", F.col("n_chars") * 10)
+      graft.sources.AvroMaintenance.mergeInto(s, tmp, u1, "doc_id") // v3,v4
+      val u2 = docs
+        .filter(F.col("doc_id") % 6 === 3 || F.col("doc_id") === 8)
+        .withColumn("source", F.lit("m2"))
+        .withColumn("n_chars", F.col("n_chars") * 100)
+      graft.sources.AvroMaintenance.mergeInto(s, tmp, u2, "doc_id") // v5,v6
+      s.read.format("graft-avro").load(tmp)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.sum("n_chars").as("chars"),
+          F.sum(F.length(F.col("text")).cast("long")).as("text_len"))
+        .orderBy("source")
+    }),
+
     // OPTIMIZE ZORDER on the avro source: clusterBy interleaves both
     // dimensions' scaled bits and rewrites, after which the all-column
     // zones prune on EITHER column (AvroClusterSpec pins the file
@@ -808,6 +842,32 @@ object AvroGates extends Catalog {
          SELECT 'removed', count(*), CAST(sum(n_nationkey) AS BIGINT)
          FROM nation WHERE n_regionkey = 1
          ORDER BY change""",
+    // fold the merge script over the parquet source: base minus the two
+    // deleted ids, then each update batch as delete-matched + union
+    "q_avro_merge" ->
+      """WITH live AS (
+           SELECT doc_id, text, lang, source, n_chars FROM documents
+           WHERE doc_id NOT IN (8, 16)),
+         u1 AS (
+           SELECT doc_id, text, lang, 'm1' AS source,
+                  n_chars * 10 AS n_chars
+           FROM documents WHERE doc_id % 4 = 1),
+         v1 AS (
+           SELECT * FROM live
+           WHERE doc_id NOT IN (SELECT doc_id FROM u1)
+           UNION ALL SELECT * FROM u1),
+         u2 AS (
+           SELECT doc_id, text, lang, 'm2' AS source,
+                  n_chars * 100 AS n_chars
+           FROM documents WHERE doc_id % 6 = 3 OR doc_id = 8),
+         v2 AS (
+           SELECT * FROM v1
+           WHERE doc_id NOT IN (SELECT doc_id FROM u2)
+           UNION ALL SELECT * FROM u2)
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS chars,
+                CAST(sum(length(text)) AS BIGINT) AS text_len
+         FROM v2 GROUP BY source ORDER BY source""",
     "q_avro_cluster" ->
       """SELECT 'by_id' AS dim, count(*) AS n_rows,
                 CAST(sum(n_chars) AS BIGINT) AS chars

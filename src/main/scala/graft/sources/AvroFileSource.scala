@@ -195,28 +195,51 @@ object AvroFileSource {
 
   /** Equality-delete sidecar (the Iceberg equality-delete-file analogue
     * for a directory table): tab-separated lines
-    * `colEnc TAB typeSimpleString TAB valueEnc` (URL-encoded), each line
-    * an independent predicate — a row is DELETED when ANY line's column
-    * equals its value. Readers apply the set EXACTLY at decode time
-    * (merge-on-read); compaction to a new directory applies it
-    * physically and drops the sidecar. Presence of the sidecar disables
-    * every metadata-served aggregate (zero-decode COUNT(*), manifest
-    * MIN/MAX) — a deleted row could carry the extreme value — while zone
-    * PRUNING stays sound (pruning keeps files; deletes drop rows).
+    * `colEnc TAB typeSimpleString TAB valueEnc [TAB version]`
+    * (URL-encoded), each line an independent predicate — a row is
+    * DELETED when ANY line's column equals its value. Readers apply the
+    * set EXACTLY at decode time (merge-on-read); compaction to a new
+    * directory applies it physically and drops the sidecar. Presence of
+    * the sidecar disables every metadata-served aggregate (zero-decode
+    * COUNT(*), manifest MIN/MAX) — a deleted row could carry the extreme
+    * value — while zone PRUNING stays sound (pruning keeps files;
+    * deletes drop rows).
+    *
+    * The optional 4th field is the SNAPSHOT VERSION the delete committed
+    * at (the Iceberg sequence-number analogue): a stamped entry applies
+    * only to data files BORN at a strictly earlier version (see
+    * [[fileBirths]]), so a row re-inserted AFTER the delete — the upsert
+    * half of a MERGE — survives instead of being killed by a stale
+    * predicate. Legacy 3-field lines have no stamp and apply to every
+    * file, which is exactly the pre-versioning behavior.
     */
   def deleteFile(d: File): File = new File(d, "_graft_deletes")
 
-  private[sources] def readDeletesRaw(df: File): Seq[(String, String, String)] = {
+  /** One parsed-but-unresolved sidecar line; `stamp` None = legacy
+    * entry, applies to every file.
+    */
+  private[sources] final case class RawDelete(
+      col: String, tpe: String, value: String, stamp: Option[Long])
+
+  private[sources] def readDeletesRaw(df: File): Seq[RawDelete] = {
     val src = scala.io.Source.fromFile(df, "UTF-8")
-    try src.getLines().filter(_.nonEmpty).map { line =>
-      line.split('\t') match {
-        case Array(c, t, v) => (c, t, v)
-        case _ => throw new IllegalStateException(
-          s"graft-avro: corrupt delete sidecar line '$line' in $df")
-      }
-    }.toList
+    try src.getLines().filter(_.nonEmpty).map(parseDeleteLine(_, df.toString))
+      .toList
     finally src.close()
   }
+
+  private def parseDeleteLine(line: String, where: String): RawDelete =
+    line.split('\t') match {
+      case Array(c, t, v) => RawDelete(c, t, v, None)
+      case Array(c, t, v, s) =>
+        val stamp = try s.toLong catch {
+          case _: NumberFormatException => throw new IllegalStateException(
+            s"graft-avro: corrupt delete version '$s' in $where")
+        }
+        RawDelete(c, t, v, Some(stamp))
+      case _ => throw new IllegalStateException(
+        s"graft-avro: corrupt delete sidecar line '$line' in $where")
+    }
 
   /** Delete-supported column types: exact external equality is decidable
     * and encoding round-trips losslessly.
@@ -230,50 +253,60 @@ object AvroFileSource {
     }
   }
 
-  /** Parse the sidecar against the table schema → per-column deleted
-    * value sets. UNLIKE the zone manifests, a delete that cannot be
-    * interpreted must FAIL the read, not be skipped: skipping would
-    * resurrect deleted rows.
+  /** One resolved delete predicate: external-typed value plus the
+    * optional version stamp gating which files it applies to.
+    */
+  private[sources] final case class DeleteEntry(
+      col: String, value: Any, stamp: Option[Long])
+
+  /** Parse the sidecar against the table schema → resolved entries.
+    * UNLIKE the zone manifests, a delete that cannot be interpreted must
+    * FAIL the read, not be skipped: skipping would resurrect deleted
+    * rows.
     */
   private[sources] def readDeletes(df: File,
-      full: StructType): Seq[(String, Set[Any])] =
+      full: StructType): Seq[DeleteEntry] =
     parseDeletes(readDeletesRaw(df), full)
 
   /** Parse raw sidecar CONTENT (as archived in a snapshot-journal entry)
     * with the same strictness as a live sidecar read.
     */
   private[sources] def parseDeleteContent(content: String,
-      full: StructType): Seq[(String, Set[Any])] =
-    parseDeletes(content.split('\n').toSeq.filter(_.nonEmpty).map { line =>
-      line.split('\t') match {
-        case Array(c, t, v) => (c, t, v)
-        case _ => throw new IllegalStateException(
-          s"graft-avro: corrupt archived delete line '$line'")
-      }
-    }, full)
+      full: StructType): Seq[DeleteEntry] =
+    parseDeletes(content.split('\n').toSeq.filter(_.nonEmpty)
+      .map(parseDeleteLine(_, "archived snapshot entry")), full)
 
-  private[sources] def parseDeletes(raw: Seq[(String, String, String)],
-      full: StructType): Seq[(String, Set[Any])] =
-    raw
-      .map { case (cEnc, tName, vEnc) =>
-        val c = java.net.URLDecoder.decode(cEnc, "UTF-8")
-        val dt = full.fields.find(_.name == c).map(_.dataType).getOrElse(
-          throw new IllegalStateException(
-            s"graft-avro: delete sidecar references unknown column '$c'"))
-        if (!deletableType(dt) || dt.simpleString != tName)
-          throw new IllegalStateException(
-            s"graft-avro: delete sidecar type '$tName' does not match " +
-              s"column '$c' (${dt.simpleString})")
-        val v = castPartitionValue(vEnc, dt).getOrElse(
-          throw new IllegalStateException(
-            s"graft-avro: unparsable delete value '$vEnc' for column '$c'"))
-        // SQL equality semantics: `col = NULL` matches nothing, so a null
-        // delete value is a meaningless (and likely corrupt) entry
-        if (v == null) throw new IllegalStateException(
-          s"graft-avro: null delete value for column '$c'")
-        (c, v)
-      }
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toSeq
+  private[sources] def parseDeletes(raw: Seq[RawDelete],
+      full: StructType): Seq[DeleteEntry] =
+    raw.map { case RawDelete(cEnc, tName, vEnc, stamp) =>
+      val c = java.net.URLDecoder.decode(cEnc, "UTF-8")
+      val dt = full.fields.find(_.name == c).map(_.dataType).getOrElse(
+        throw new IllegalStateException(
+          s"graft-avro: delete sidecar references unknown column '$c'"))
+      if (!deletableType(dt) || dt.simpleString != tName)
+        throw new IllegalStateException(
+          s"graft-avro: delete sidecar type '$tName' does not match " +
+            s"column '$c' (${dt.simpleString})")
+      val v = castPartitionValue(vEnc, dt).getOrElse(
+        throw new IllegalStateException(
+          s"graft-avro: unparsable delete value '$vEnc' for column '$c'"))
+      // SQL equality semantics: `col = NULL` matches nothing, so a null
+      // delete value is a meaningless (and likely corrupt) entry
+      if (v == null) throw new IllegalStateException(
+        s"graft-avro: null delete value for column '$c'")
+      DeleteEntry(c, v, stamp)
+    }
+
+  /** Restrict entries to those in force for a file born at `birth`, and
+    * group into the per-column value sets the decode check consumes. An
+    * unstamped (legacy) entry applies everywhere; a stamped one only to
+    * strictly older files — a file appended at-or-after the delete's
+    * version must keep its rows (MERGE re-insert semantics).
+    */
+  private[sources] def applicableDeletes(entries: Seq[DeleteEntry],
+      birth: Long): Seq[(String, Set[Any])] =
+    entries.filter(_.stamp.forall(_ > birth))
+      .groupBy(_.col).view.mapValues(_.map(_.value).toSet).toSeq
 
   // ------------------------------------------------------------------
   // Per-file bloom sidecars (`_graft_blooms`) — equality/IN membership
@@ -433,7 +466,12 @@ object AvroFileSource {
             case enc => Some(java.net.URLDecoder.decode(enc, "UTF-8"))
           }
           if (deltasEnc != "-") deltasEnc.split(',').foreach { tok =>
-            val rel = java.net.URLDecoder.decode(tok.drop(1), "UTF-8")
+            // add tokens may carry an explicit `@birth` suffix (written by
+            // the vacuum's rebase so original birth versions survive the
+            // journal rewrite); '@' never appears inside the URL-encoded
+            // path, so the split is unambiguous
+            val rel = java.net.URLDecoder.decode(
+              splitBirthSuffix(tok.drop(1))._1, "UTF-8")
             tok.charAt(0) match {
               case '+' =>
                 if (files.contains(rel)) throw new IllegalStateException(
@@ -454,6 +492,71 @@ object AvroFileSource {
       }
     }
   }
+
+  /** Split an add-token body into (encoded rel path, explicit birth).
+    * `relEnc@7` → (relEnc, Some(7)); plain `relEnc` → (relEnc, None).
+    */
+  private[sources] def splitBirthSuffix(body: String): (String, Option[Long]) =
+    body.indexOf('@') match {
+      case -1 => (body, None)
+      case i =>
+        val b = try body.substring(i + 1).toLong catch {
+          case _: NumberFormatException => throw new IllegalStateException(
+            s"graft-avro: corrupt birth suffix in snapshot token '$body'")
+        }
+        (body.substring(0, i), Some(b))
+    }
+
+  /** Per-file BIRTH versions (relative path → first version containing
+    * the file), replayed from the journal. Two conventions keep legacy
+    * tables sound: files first seen in the journal's FIRST line get
+    * birth 0 unless an explicit `@birth` says otherwise (they may
+    * predate the journal — a deleteWhere that jumpstarts journaling on
+    * an old table must still apply to them), and files absent from the
+    * journal entirely read as birth 0 at the call site (every delete
+    * applies — the legacy global behavior). Versioned deletes consume
+    * this: an entry stamped V applies only to files with birth < V.
+    */
+  def fileBirths(d: File): Map[String, Long] = {
+    val jf = snapshotsFile(d)
+    if (!jf.isFile) return Map.empty
+    val src = scala.io.Source.fromFile(jf, "UTF-8")
+    val lines = try src.getLines().filter(_.nonEmpty).toList finally src.close()
+    var births = Map.empty[String, Long]
+    var first = true
+    lines.foreach { line =>
+      line.split('\t') match {
+        case Array(v, _, _, _, deltasEnc) =>
+          val version = v.toLong
+          if (deltasEnc != "-") deltasEnc.split(',').foreach { tok =>
+            if (tok.charAt(0) == '+') {
+              val (relEnc, explicit) = splitBirthSuffix(tok.drop(1))
+              val rel = java.net.URLDecoder.decode(relEnc, "UTF-8")
+              if (!births.contains(rel))
+                births += rel -> explicit.getOrElse(if (first) 0L else version)
+            }
+          }
+          first = false
+        case _ => throw new IllegalStateException(
+          s"graft-avro: corrupt snapshot journal line '$line' in $jf")
+      }
+    }
+    births
+  }
+
+  /** [[fileBirths]] re-keyed by ABSOLUTE physical path (both the live
+    * and archived location — time-travel partitions may read either), so
+    * the per-partition reader can look its file up directly. Skipped
+    * (empty) when no delete entry carries a stamp: only versioned
+    * entries consult births, and the map is O(files) driver metadata.
+    */
+  private[sources] def birthsByPhysicalPath(d: File,
+      dels: Seq[DeleteEntry]): Map[String, Long] =
+    if (!dels.exists(_.stamp.nonEmpty)) Map.empty
+    else fileBirths(d).iterator.flatMap { case (rel, b) =>
+      Iterator(new File(d, rel).getAbsolutePath -> b,
+        new File(archiveDir(d), rel).getAbsolutePath -> b)
+    }.toMap
 
   /** Record the directory's CURRENT state (live data files + delete
     * sidecar) as the next version. No-ops when nothing changed since the
@@ -1560,7 +1663,8 @@ class AvroScanBuilder(path: String, full: StructType,
               if (delF.isFile) AvroFileSource.readDeletes(delF, full)
               else Nil
           }
-          AvroReaderFactory(required, full, filters, limit, dels)
+          AvroReaderFactory(required, full, filters, limit, dels,
+            AvroFileSource.birthsByPhysicalPath(new File(path), dels))
         }
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
         require(travelVersion.isEmpty && incRange.isEmpty,
@@ -1828,11 +1932,14 @@ class AvroMicroBatchStream(path: String, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // streaming reads are merge-on-read too: a replayed micro-batch must
-    // not resurrect rows deleted since the file was registered
+    // not resurrect rows deleted since the file was registered — and the
+    // version-stamp rule applies the same way (a delete committed BEFORE
+    // a file landed must not kill that file's rows on replay)
     val delF = AvroFileSource.deleteFile(new File(path))
     val dels =
       if (delF.isFile) AvroFileSource.readDeletes(delF, full) else Nil
-    AvroReaderFactory(required, full, deletes = dels)
+    AvroReaderFactory(required, full, deletes = dels,
+      births = AvroFileSource.birthsByPhysicalPath(new File(path), dels))
   }
 
   override def commit(end: Offset): Unit = synchronized {
@@ -1955,12 +2062,18 @@ object AvroReaderFactory {
 
 case class AvroReaderFactory(required: StructType, full: StructType,
     filters: Array[Filter] = Array.empty, limit: Option[Int] = None,
-    deletes: Seq[(String, Set[Any])] = Nil)
+    deletes: Seq[AvroFileSource.DeleteEntry] = Nil,
+    births: Map[String, Long] = Map.empty)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val part = AvroReaderFactory.range(partition)
     val file = new File(part.file)
+    // versioned merge-on-read: restrict the sidecar to entries in force
+    // for THIS file's birth version (absent from the journal ⇒ birth 0 ⇒
+    // every delete applies — the legacy, maximally-deleting behavior)
+    val fileDeletes = AvroFileSource.applicableDeletes(deletes,
+      births.getOrElse(file.getAbsolutePath, 0L))
     // writer schema from the file header; READER schema pruned to the
     // projected fields so Avro schema resolution skips the rest
     val headReader = new DataFileReader[GenericRecord](
@@ -1981,7 +2094,7 @@ case class AvroReaderFactory(required: StructType, full: StructType,
     // Equality deletes must be evaluated even when the delete column is
     // pruned out of the projection: decode the union schema, apply the
     // delete check EXACTLY, and project back down before emitting.
-    val extraDelCols = deletes.map(_._1).distinct
+    val extraDelCols = fileDeletes.map(_._1).distinct
       .filterNot(c => required.fieldNames.contains(c))
       .map(c => full.fields.find(_.name == c).getOrElse(
         throw new IllegalStateException(
@@ -2006,7 +2119,7 @@ case class AvroReaderFactory(required: StructType, full: StructType,
     val unfiltered = filters.isEmpty
     // (ordinal, deleted values) pairs against the DECODE schema; the
     // check runs on external values so numeric promotions are finished
-    val delChecks = deletes.map { case (c, vs) =>
+    val delChecks = fileDeletes.map { case (c, vs) =>
       (decodeSchema.fieldIndex(c), vs)
     }
     val nReq = required.length

@@ -2,7 +2,7 @@ package graft.sources
 
 import java.io.File
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Table-maintenance operations for graft-avro directory tables — the
   * DELETE / OPTIMIZE pair every merge-on-read format needs at 100 TB:
@@ -51,21 +51,73 @@ object AvroMaintenance {
     }
     val delF = AvroFileSource.deleteFile(d)
     val cEnc = java.net.URLEncoder.encode(col, "UTF-8")
+    // stamp fresh entries with the version this delete will commit as
+    // (the Iceberg sequence number): they apply only to files born
+    // strictly earlier, so rows appended AFTER the delete — a MERGE
+    // re-insert — survive. On a journal-less legacy table the stamp is 1
+    // and pre-journal files read as birth 0, so the delete still applies.
+    val stamp = AvroFileSource.readSnapshots(d)
+      .lastOption.map(_.version + 1).getOrElse(1L)
     val fresh = values.map(v =>
-      (cEnc, f.dataType.simpleString,
-        java.net.URLEncoder.encode(v.toString, "UTF-8")))
+      AvroFileSource.RawDelete(cEnc, f.dataType.simpleString,
+        java.net.URLEncoder.encode(v.toString, "UTF-8"), Some(stamp)))
     val prior =
       if (delF.isFile) AvroFileSource.readDeletesRaw(delF) else Nil
-    val merged = (prior ++ fresh).distinct
+    // re-deleting a value REPLACES any prior entry for it (keep the
+    // newest stamp): the caller's intent is "delete from the table as it
+    // stands now", and a stale unstamped entry left behind would keep
+    // killing future re-inserts
+    val freshKeys = fresh.map(r => (r.col, r.tpe, r.value)).toSet
+    val merged =
+      prior.filterNot(r => freshKeys((r.col, r.tpe, r.value))) ++ fresh
     val tmp = new File(delF.getPath + ".staging")
     java.nio.file.Files.write(tmp.toPath,
-      merged.map { case (c, t, v) => s"$c\t$t\t$v" }
-        .mkString("", "\n", "\n").getBytes("UTF-8"))
+      merged.map { r =>
+        s"${r.col}\t${r.tpe}\t${r.value}" +
+          r.stamp.map(s => s"\t$s").getOrElse("")
+      }.mkString("", "\n", "\n").getBytes("UTF-8"))
     if (!tmp.renameTo(delF))
       throw new java.io.IOException(
         s"graft-avro delete: rename failed $tmp -> $delF")
     // a delete changes query results: it is a VERSION, same as a write
     AvroFileSource.appendSnapshot(d, "delete")
+  }
+
+  /** Row-level MERGE (upsert) by equality key: every table row whose
+    * `keyCol` appears in `updates` is replaced by the update row; keys
+    * the table lacks are plain inserts. Published as TWO snapshot
+    * versions through the existing commit primitives — a version-stamped
+    * equality delete of the incoming keys, then a transactional append
+    * of the update rows (whose files are BORN after the delete's stamp,
+    * so the stamp rule keeps them). A reader between the two versions
+    * sees a consistent subset state (base minus matched keys), never
+    * duplicates; a crash between them re-runs idempotently (the rerun's
+    * delete re-stamps and the append lands once).
+    *
+    * Driver cost is O(distinct update keys) — the same bound as the
+    * delete sidecar those keys become. For update batches beyond sidecar
+    * scale, compact first (equality deletes are metadata, not data).
+    */
+  def mergeInto(spark: SparkSession, dir: String, updates: DataFrame,
+      keyCol: String): Unit = {
+    val tableSchema = spark.read.format("graft-avro").load(dir).schema
+    require(updates.schema.fieldNames.toSet == tableSchema.fieldNames.toSet,
+      s"merge schema mismatch: table has " +
+        s"[${tableSchema.fieldNames.mkString(",")}], updates have " +
+        s"[${updates.schema.fieldNames.mkString(",")}]")
+    import org.apache.spark.sql.functions.col
+    // pin the batch: keys are collected AND rows appended from the SAME
+    // materialization (a non-deterministic updates plan must not diverge
+    // between the delete and the insert half)
+    val pinned = updates
+      .select(tableSchema.fieldNames.toIndexedSeq.map(col): _*)
+      .localCheckpoint()
+    // null keys match no equality delete (SQL semantics) and are plain
+    // inserts; they are appended but excluded from the delete set
+    val keys = pinned.select(keyCol).distinct().collect()
+      .map(_.get(0)).filter(_ != null).toSeq
+    if (keys.nonEmpty) deleteWhere(spark, dir, keyCol, keys)
+    pinned.write.format("graft-avro").mode("append").save(dir)
   }
 
   /** Sort-preserving compaction: bin-pack like [[compactTo]] but
@@ -170,13 +222,20 @@ object AvroMaintenance {
     // contiguous once tags pin old versions — the journal parser allows
     // gaps but enforces strictly-increasing versions)
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    // capture per-file births BEFORE the rewrite: the rebase collapses
+    // early versions, and without explicit `@birth` suffixes a delete
+    // stamped in the collapsed range would stop applying to the files it
+    // was meant for (resurrecting rows). Unknown files default to birth
+    // 0 — the maximally-deleting, never-resurrecting direction.
+    val births = AvroFileSource.fileBirths(d)
+    def add(r: String) = "+" + enc(r) + "@" + births.getOrElse(r, 0L)
     val lines = kept.zipWithIndex.map { case (s, i) =>
       val prev = if (i == 0) None else Some(kept(i - 1))
       val deltas =
-        if (i == 0) s.files.sorted.map(r => "+" + enc(r))
+        if (i == 0) s.files.sorted.map(add)
         else {
           val pf = prev.get.files.toSet
-          s.files.filterNot(pf).sorted.map(r => "+" + enc(r)) ++
+          s.files.filterNot(pf).sorted.map(add) ++
             (pf -- s.files).toSeq.sorted.map(r => "-" + enc(r))
         }
       val delCol =
