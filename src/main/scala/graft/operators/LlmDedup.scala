@@ -548,10 +548,75 @@ object LlmDedup extends Catalog {
           (F.col("common").cast("double") /
             (F.col("ni") + F.col("nj") - F.col("common")))))
         .orderBy("lang", "source", "i", "j")
+    }),
+
+    // EXACT substring-level duplication (the suffix-array dedup family:
+    // find every maximal character span whose k-grams all repeat
+    // somewhere in the corpus — within OR across documents). The
+    // distributed shape: explode each doc into its k=20 character grams
+    // (positions are data-parallel, no state), one shuffle groups grams
+    // to find those occurring >= 2 times, a join marks the duplicated
+    // positions, and the per-doc gaps-and-islands window (i - row_number)
+    // merges consecutive duplicated positions into MAXIMAL spans — the
+    // same re-expression that made the BPE greedy scan oracle-able.
+    // At 100 TB: cost is one shuffle on the gram key (combine-heavy:
+    // counts collapse before the join) + one window partitioned by
+    // doc_id (bounded by document length). Nothing is ever pairwise.
+    "llm_substring_dup" -> ((s, dir) => {
+      val k = 20
+      val pos = table(s, dir, "documents")
+        .select(F.col("doc_id"), F.col("text"))
+        .filter(F.length(F.col("text")) >= k) // sequence(1,0) counts DOWN
+        .select(F.col("doc_id"),
+          F.explode(F.sequence(F.lit(1),
+            F.length(F.col("text")) - (k - 1))).as("i"),
+          F.col("text"))
+        .select(F.col("doc_id"), F.col("i"),
+          F.expr(s"substring(text, i, $k)").as("gram"))
+      val dup = pos.groupBy("gram").agg(F.count(F.lit(1)).as("cnt"))
+        .filter(F.col("cnt") >= 2).select("gram")
+      val marked = pos.join(dup, "gram").select("doc_id", "i")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("i")
+      val spans = marked
+        .withColumn("grp", F.col("i") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(F.min("i").as("s"), (F.max("i") + F.lit(k - 1)).as("e"))
+      spans.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).as("n_spans"),
+          F.sum(F.col("e") - F.col("s") + 1).as("dup_chars"),
+          F.max(F.col("e") - F.col("s") + 1).cast("long").as("max_span"))
+        .orderBy("doc_id")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // same gram/mark/island pipeline in SQL; i stays BIGINT from
+    // generate_series (cast only at substr), sums cast off HUGEINT
+    "llm_substring_dup" ->
+      """WITH pos AS (
+           SELECT doc_id, i, substr(text, CAST(i AS INT), 20) AS gram
+           FROM documents,
+                LATERAL (SELECT unnest(generate_series(1,
+                  length(text) - 19)) AS i)
+           WHERE length(text) >= 20),
+         dup AS (
+           SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2),
+         marked AS (
+           SELECT doc_id, i FROM pos
+           WHERE gram IN (SELECT gram FROM dup)),
+         isl AS (
+           SELECT doc_id, i,
+                  i - row_number() OVER (PARTITION BY doc_id ORDER BY i)
+                    AS grp
+           FROM marked),
+         spans AS (
+           SELECT doc_id, min(i) AS s, max(i) + 19 AS e
+           FROM isl GROUP BY doc_id, grp)
+         SELECT doc_id, count(*) AS n_spans,
+                CAST(sum(e - s + 1) AS BIGINT) AS dup_chars,
+                CAST(max(e - s + 1) AS BIGINT) AS max_span
+         FROM spans GROUP BY doc_id ORDER BY doc_id""",
     "llm_dedup_minhash" ->
       """WITH d AS (
            SELECT doc_id, string_split(text, ' ') AS w FROM documents),
