@@ -583,6 +583,63 @@ object LlmSimilarity extends Catalog {
         .orderBy("qid", "rn")
     }),
 
+    // IVF + PQ — the full FAISS-style IVFPQ composition (by_residual
+    // off): the coarse Lloyd quantizer restricts candidates to nprobe=6
+    // probed cells, the PQ codebooks rank those candidates by ADC (8
+    // integer table lookups per candidate, float vectors untouched), and
+    // only the 100-deep ADC shortlist pays the exact integer-L2 re-rank.
+    // 100 TB shape: this is THE deployed billion-scale layout — per
+    // query the work is Σ_probed |cell| code-table lookups (bytes, not
+    // vectors) + 20 exact kernels; both index artifacts (centroids,
+    // codebooks) broadcast. The oracle splices the PQ subspace steps
+    // onto the shared Lloyd CTE and replays probe → ADC → re-rank
+    // integer-exactly; IvfPqRecallSpec pins shortlist containment.
+    "llm_similar_ivfpq" -> ((s, dir) => {
+      val (corpus, assigned, centroids) = lloyd(s, dir)
+      val (subs, codes, cb) = pqTrain(s, dir)
+      val wq = Window.partitionBy("qid").orderBy(F.col("d"), F.col("ccid"))
+      val probes = corpus.filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").as("qid"), F.col("qx16").as("qv"))
+        .crossJoin(F.broadcast(centroids
+          .select(F.col("cid").as("ccid"), F.col("mvec"))))
+        .withColumn("d",
+          VectorFunctions.vec_l2sq(F.col("qv"), F.col("mvec")))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 6)
+        .select("qid", "ccid")
+      val qdt = subs.filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").as("qid"), F.col("sub"), F.col("sq16"))
+        .join(F.broadcast(cb), "sub")
+        .withColumn("dq",
+          VectorFunctions.vec_l2sq(F.col("sq16"), F.col("mvec")))
+        .select("qid", "sub", "cid", "dq")
+      val cand = assigned.select(F.col("vec_id"), F.col("cid").as("ccid"))
+        .join(F.broadcast(probes), "ccid")
+        .filter(F.col("vec_id") =!= F.col("qid"))
+        .select("qid", "vec_id")
+      val adc = cand.join(codes.select("vec_id", "sub", "cid"), "vec_id")
+        .join(F.broadcast(qdt), Seq("qid", "sub", "cid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("dq").as("adc_d"))
+      val wAdc = Window.partitionBy("qid")
+        .orderBy(F.col("adc_d"), F.col("vec_id"))
+      val shortlist = adc.withColumn("srn", F.row_number().over(wAdc))
+        .filter(F.col("srn") <= 100).select("qid", "vec_id")
+      val full = corpus.select("vec_id", "qx16")
+      val qv = full.filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").as("qid"), F.col("qx16").as("qv"))
+      val wEx = Window.partitionBy("qid")
+        .orderBy(F.col("exact_d"), F.col("vec_id"))
+      shortlist.join(full, "vec_id").join(F.broadcast(qv), "qid")
+        .withColumn("exact_d",
+          VectorFunctions.vec_l2sq(F.col("qx16"), F.col("qv")))
+        .withColumn("rn", F.row_number().over(wEx))
+        .filter(F.col("rn") <= 3)
+        .select(F.col("qid"), F.col("rn"), F.col("vec_id"),
+          F.col("exact_d"))
+        .orderBy("qid", "rn")
+    }),
+
     // K-MEANS assignment pass (diversity clustering): 8 deterministic
     // seed centroids (vec_id < 8) broadcast to the corpus; every vector
     // joins its cosine-nearest centroid (argmax via window rank with a
@@ -666,7 +723,7 @@ object LlmSimilarity extends Catalog {
     * pa2 keeps each assignment's distance so the distortion sum is
     * checkable; pc2 is the final 16×-resolution codebook.
     */
-  private val pqCte: String = {
+  private val pqSteps: String = {
     def step(i: Int): String = {
       val prev = s"pc${i - 1}"
       s"""
@@ -697,12 +754,7 @@ object LlmSimilarity extends Catalog {
            FROM ps$i s JOIN pn$i n USING (sub, cid)
            GROUP BY s.sub, s.cid, n.n)"""
     }
-    s"""WITH e AS (
-         SELECT vec_id,
-                list_transform(embedding, x ->
-                  CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS qx
-         FROM embeddings),
-       sx AS (
+    s"""sx AS (
          SELECT vec_id, s.s AS sub,
                 list_transform(generate_series(1, 8),
                   i -> qx[s.s * 8 + i]) AS sq1,
@@ -714,6 +766,19 @@ object LlmSimilarity extends Catalog {
        ${step(1)},
        ${step(2)}"""
   }
+
+  /** Standalone PQ oracle prelude: the shared quantization CTE plus the
+    * subspace steps. [[ivfPqOracle]] instead splices [[pqSteps]] after
+    * [[lloydCte]] (whose `e` is the identical quantization), so the
+    * coarse quantizer and the codebooks train over one shared WITH.
+    */
+  private val pqCte: String =
+    s"""WITH e AS (
+         SELECT vec_id,
+                list_transform(embedding, x ->
+                  CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS qx
+         FROM embeddings),
+       $pqSteps"""
 
   private val pqEmbedOracle: String = pqCte + """,
        m AS (
@@ -873,6 +938,60 @@ object LlmSimilarity extends Catalog {
        SELECT qid, vec_id, d, rn FROM rankedc
        WHERE rn <= 3 ORDER BY qid, rn"""
 
+  /** IVFPQ: coarse probe (lloydCte's c3/a3) gates the candidates, ADC
+    * over the PQ codes (pqSteps' pa2/pc2, spliced after lloydCte so
+    * both share the one `e` quantization) ranks them, exact integer L2
+    * re-ranks the 100-deep shortlist.
+    */
+  private val ivfPqOracle: String = lloydCte + ",\n" + pqSteps + """,
+       probeq AS (
+         SELECT vec_id AS qid, qx16 AS qv FROM ex WHERE vec_id < 20),
+       qcell AS (
+         SELECT qid, cid AS ccid FROM (
+           SELECT q.qid, c.cid,
+                  row_number() OVER (PARTITION BY q.qid ORDER BY
+                    list_sum(list_transform(generate_series(1, len(q.qv)),
+                      i -> (q.qv[i] - c.mvec[i]) * (q.qv[i] - c.mvec[i]))),
+                    c.cid) AS rn
+           FROM probeq q, c3 c)
+         WHERE rn <= 6),
+       qdt AS (
+         SELECT x.vec_id AS qid, x.sub, c.cid,
+                CAST(list_sum(list_transform(generate_series(1, len(x.sq16)),
+                  i -> (x.sq16[i] - c.mvec[i]) * (x.sq16[i] - c.mvec[i])))
+                  AS BIGINT) AS dq
+         FROM sx x JOIN pc2 c ON c.sub = x.sub
+         WHERE x.vec_id < 20),
+       candq AS (
+         SELECT qc.qid, a.vec_id
+         FROM qcell qc
+         JOIN a3 a ON a.cid = qc.ccid AND a.vec_id <> qc.qid),
+       adc AS (
+         SELECT cd.qid, cd.vec_id, CAST(sum(q.dq) AS BIGINT) AS adc_d
+         FROM candq cd
+         JOIN pa2 p ON p.vec_id = cd.vec_id
+         JOIN qdt q ON q.qid = cd.qid AND q.sub = p.sub AND q.cid = p.cid
+         GROUP BY cd.qid, cd.vec_id),
+       short AS (
+         SELECT qid, vec_id FROM (
+           SELECT *, row_number() OVER (PARTITION BY qid
+                       ORDER BY adc_d, vec_id) AS srn
+           FROM adc)
+         WHERE srn <= 100),
+       rer AS (
+         SELECT s.qid, s.vec_id,
+                CAST(list_sum(list_transform(generate_series(1, len(fv.qx16)),
+                  i -> (fv.qx16[i] - qv.qx16[i]) * (fv.qx16[i] - qv.qx16[i])))
+                  AS BIGINT) AS exact_d
+         FROM short s
+         JOIN ex fv ON fv.vec_id = s.vec_id
+         JOIN ex qv ON qv.vec_id = s.qid)
+       SELECT qid, CAST(rn AS INT) AS rn, vec_id, exact_d FROM (
+         SELECT *, row_number() OVER (PARTITION BY qid
+                     ORDER BY exact_d, vec_id) AS rn
+         FROM rer)
+       WHERE rn <= 3 ORDER BY qid, rn"""
+
   private val oracleProbe =
     """WITH e AS (
          SELECT vec_id, label, embedding,
@@ -901,6 +1020,7 @@ object LlmSimilarity extends Catalog {
     // the in-job plan's answer exactly — same oracle, bit for bit
     "llm_similar_ivf_persist" -> ivfKmeansOracle,
     "llm_similar_ivf_quant" -> ivfQuantOracle,
+    "llm_similar_ivfpq" -> ivfPqOracle,
     "llm_embed_quant" ->
       """WITH e AS (
            SELECT vec_id, embedding,
