@@ -322,6 +322,14 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "byte_stats", exprs => ByteStatsExpr(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hilbert2", exprs => HilbertIndex(exprs.head, exprs(1),
+        exprs(2).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"hilbert2 bits must be an integer literal, got $other")
+        }), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash4", exprs => MinHashAgg(exprs.head).toAggregateExpression(),
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -364,6 +372,12 @@ object VectorFunctions {
     */
   def sorted_overlap(a: Column, b: Column): Column =
     F.call_function("sorted_overlap", a, b)
+
+  /** Hilbert curve index of two bigint columns over a 2^bits grid (see
+    * [[Hilbert]]). Requires [[register]] on the session first.
+    */
+  def hilbert2(x: Column, y: Column, bits: Int): Column =
+    F.call_function("hilbert2", x.cast("long"), y.cast("long"), F.lit(bits))
 
   /** Header-parsed image dimensions of a `binary` column:
     * `[fmt_code, width, height]` or null (see [[ImageHeader]]).

@@ -70,6 +70,26 @@ object Layout extends Catalog {
         .withColumn("zval", ZOrder.zvalue(F.col("px"), F.col("sx"), 8))
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // Hilbert index of the same (partkey, suppkey) bucket pair — the
+    // layout curve with unit-step locality (consecutive indices are
+    // adjacent grid cells, so each range-partitioned file covers ONE
+    // contiguous region where a z-range covers disconnected blocks).
+    // The kernel is a codegen'd native expression (the per-level
+    // rotate/reflect is a sequential recurrence, not an interleave);
+    // the oracle unrolls the same 8 levels as CTE steps. HilbertLaws
+    // proves bijectivity + adjacency; AvroClusterSpec drives the curve
+    // through clusterBy and proves both dimensions prune.
+    "q_hilbert" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      table(s, dir, "lineitem")
+        .select(F.col("l_orderkey"), F.col("l_linenumber"),
+          (F.col("l_partkey") % 256).as("px"),
+          (F.col("l_suppkey") % 256).as("sx"))
+        .withColumn("hval", graft.functions.VectorFunctions.hilbert2(
+          F.col("px"), F.col("sx"), 8))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // Small-file compaction round trip: fragment the documents table
     // into 64 files, compact to a byte-budgeted count, and prove the
     // rewrite is content-invisible (the oracle aggregates the original).
@@ -91,7 +111,41 @@ object Layout extends Catalog {
     })
   )
 
+  /** The Hilbert recurrence unrolled: one CTE step per level (s = 128
+    * down to 1), each computing the quadrant bits (rx, ry), accumulating
+    * d += s²·((3rx) XOR ry) — expressed as 3rx + ry(1−2rx), identical
+    * integer arithmetic in both engines — and applying the
+    * reflect-then-swap rotation. Matches Hilbert.xy2d line for line.
+    */
+  private val hilbertOracle: String = {
+    val steps = (7 to 0 by -1).zipWithIndex.map { case (k, i) =>
+      val s = 1L << k
+      s"""h${i + 1} AS (
+           SELECT l_orderkey, l_linenumber, px, sx,
+                  d + ${s * s} * (3 * rx + ry * (1 - 2 * rx)) AS d,
+                  CASE WHEN ry = 0 THEN
+                    (CASE WHEN rx = 1 THEN $s - 1 - y ELSE y END)
+                  ELSE x END AS x,
+                  CASE WHEN ry = 0 THEN
+                    (CASE WHEN rx = 1 THEN $s - 1 - x ELSE x END)
+                  ELSE y END AS y
+           FROM (SELECT *, (x >> $k) & 1 AS rx, (y >> $k) & 1 AS ry
+                 FROM h$i) t)"""
+    }.mkString(",\n       ")
+    s"""WITH h0 AS (
+         SELECT l_orderkey, l_linenumber,
+                l_partkey % 256 AS px, l_suppkey % 256 AS sx,
+                CAST(l_partkey % 256 AS BIGINT) AS x,
+                CAST(l_suppkey % 256 AS BIGINT) AS y,
+                CAST(0 AS BIGINT) AS d
+         FROM lineitem),
+       $steps
+       SELECT l_orderkey, l_linenumber, px, sx, d AS hval
+       FROM h8 ORDER BY l_orderkey, l_linenumber"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_hilbert" -> hilbertOracle,
     "q_zorder" ->
       """SELECT l_orderkey, l_linenumber,
                 l_partkey % 256 AS px, l_suppkey % 256 AS sx,

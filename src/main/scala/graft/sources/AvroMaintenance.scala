@@ -142,16 +142,22 @@ object AvroMaintenance {
     n
   }
 
-  /** Multi-dimensional clustering rewrite (OPTIMIZE ZORDER): interleave
-    * the named columns' rank bits into a z-value, range-partition on it,
-    * and rewrite — after which the all-column zone manifest gives BOTH
-    * columns tight per-file ranges, so selective predicates on EITHER
-    * dimension skip files. The z-value is layout-only; the schema is
-    * unchanged.
+  /** Multi-dimensional clustering rewrite (OPTIMIZE ZORDER / HILBERT):
+    * map the named columns onto a space-filling curve index,
+    * range-partition on it, and rewrite — after which the all-column
+    * zone manifest gives BOTH columns tight per-file ranges, so
+    * selective predicates on EITHER dimension skip files. The curve
+    * value is layout-only; the schema is unchanged. `curve` picks the
+    * index: "z" (Morton interleave, the flat-bit default) or "hilbert"
+    * (unit-step locality — each file covers one CONTIGUOUS region
+    * instead of disconnected z-blocks, typically fewer overlapping
+    * files per box predicate at scale).
     */
   def clusterBy(spark: SparkSession, in: String, out: String,
-      colX: String, colY: String, targetFiles: Int): Int = {
+      colX: String, colY: String, targetFiles: Int,
+      curve: String = "z"): Int = {
     require(targetFiles >= 1, s"target files $targetFiles")
+    require(curve == "z" || curve == "hilbert", s"unknown curve '$curve'")
     import org.apache.spark.sql.functions.{col => c, lit, max, min}
     val df = spark.read.format("graft-avro").load(in)
     // min/max linear scaling to 16 bits per dimension: one tiny
@@ -167,10 +173,14 @@ object AvroMaintenance {
       if (hi <= lo) lit(0L)
       else ((col.cast("double") - lit(lo)) / lit(hi - lo) *
         lit((1 << 16) - 1)).cast("long")
+    if (curve == "hilbert") graft.functions.VectorFunctions.register(spark)
+    def curveCol(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      if (curve == "hilbert") graft.functions.VectorFunctions.hilbert2(x, y, 16)
+      else graft.functions.ZOrder.zvalue(x, y, 16)
     df
-      .withColumn("__z", graft.functions.ZOrder.zvalue(
+      .withColumn("__z", curveCol(
         scale(c(colX), b.getDouble(0), b.getDouble(1)),
-        scale(c(colY), b.getDouble(2), b.getDouble(3)), 16))
+        scale(c(colY), b.getDouble(2), b.getDouble(3))))
       .repartitionByRange(targetFiles, c("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

@@ -76,4 +76,27 @@ class AvroClusterSpec extends AnyFunSuite with SparkSpec with Matchers {
     tOut.filter(F.col("y") === 5L).count() shouldBe 100
     tOut.count() shouldBe 10000
   }
+
+  test("clusterBy curve=hilbert prunes both dimensions with contiguous files") {
+    val in = tmp(); val out = tmp()
+    spark.range(0, 10000).toDF("i")
+      .select((F.col("i") % 100).as("x"), (F.col("i") / 100).cast("long").as("y"),
+        F.md5(F.col("i").cast("string")).as("payload"))
+      .repartition(8)
+      .write.format("graft-avro").mode("overwrite").save(in)
+    AvroMaintenance.clusterBy(spark, in, out, "x", "y", 16,
+      curve = "hilbert")
+    val tOut = spark.read.format("graft-avro").load(out)
+    val nOut = AvroMaintenance.dataFiles(out)
+    scanParts(tOut.filter(F.col("x") === 5L)) should be < nOut
+    scanParts(tOut.filter(F.col("y") === 5L)) should be < nOut
+    // box predicate: the Hilbert layout's contiguous file regions must
+    // confine a 10x10 box to a small fraction of the files
+    scanParts(tOut.filter(F.col("x") < 10 && F.col("y") < 10)) should
+      be <= (nOut / 4)
+    tOut.filter(F.col("x") === 5L).count() shouldBe 100
+    tOut.filter(F.col("y") === 5L).count() shouldBe 100
+    tOut.filter(F.col("x") < 10 && F.col("y") < 10).count() shouldBe 100
+    tOut.count() shouldBe 10000
+  }
 }
