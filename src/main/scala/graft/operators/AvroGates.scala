@@ -208,6 +208,52 @@ object AvroGates extends Catalog {
         .orderBy("lang")
     }),
 
+    // STREAMING CDC-APPLY: a change feed consumed with foreachBatch,
+    // each micro-batch upserted into a live graft-avro table via
+    // mergeInto — the continuous ingestion loop a 100 TB curated table
+    // actually runs (stream in, merge by key, table stays
+    // duplicate-free and queryable throughout). Update batches carry
+    // DISJOINT key sets so the final state is arrival-order-independent
+    // (the file stream orders epochs by listing, which is not a
+    // contract); replace-vs-insert routing is still exercised against
+    // the base (two batches replace thirds of it, one inserts beyond
+    // it). Oracle = base anti-joined with the folded updates.
+    "q_stream_merge" -> ((s, dir) => {
+      val src = tempDir("graft_gate_smerge_src")
+      val tgt = tempDir("graft_gate_smerge_tgt")
+      val ckpt = tempDir("graft_gate_smerge_ckpt")
+      val docs = table(s, dir, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+      docs.withColumn("ver", F.lit(0L))
+        .write.format("graft-avro").mode("overwrite").save(tgt)
+      val u1 = docs.filter(F.col("doc_id") % 3 === 0)
+        .withColumn("n_chars", F.col("n_chars") * 10)
+        .withColumn("ver", F.lit(1L))
+      val u2 = docs.filter(F.col("doc_id") % 3 === 1)
+        .withColumn("n_chars", F.col("n_chars") * 100)
+        .withColumn("ver", F.lit(2L))
+      val u3 = docs.filter(F.col("doc_id") % 5 === 0)
+        .withColumn("doc_id", F.col("doc_id") + 10000)
+        .withColumn("ver", F.lit(3L))
+      Seq(u1, u2, u3).foreach(
+        _.repartition(1).write.mode("append").parquet(src))
+      val q = s.readStream.schema(u1.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          graft.sources.AvroMaintenance.mergeInto(s, tgt, b, "doc_id")
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.format("graft-avro").load(tgt)
+        .groupBy("ver")
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.sum("n_chars").as("chars"),
+          F.countDistinct("lang").as("n_langs"))
+        .orderBy("ver")
+    }),
+
     // STATEFUL STREAMING under the oracle: watermarked tumbling-day
     // window aggregation over the events stream, appended to the
     // graft-avro sink as windows close. The 90-day watermark exceeds the
@@ -962,6 +1008,25 @@ object AvroGates extends Catalog {
                 CAST(sum(n_chars) AS BIGINT) AS chars,
                 CAST(sum(length(text)) AS BIGINT) AS text_len
          FROM documents GROUP BY lang ORDER BY lang""",
+    // survivors of the base = doc_id % 3 = 2 (u1 replaced %3=0, u2
+    // replaced %3=1); u3 inserted fresh ids beyond the corpus
+    "q_stream_merge" ->
+      """WITH fin AS (
+           SELECT doc_id, lang, n_chars, 0 AS ver FROM documents
+           WHERE doc_id % 3 = 2
+           UNION ALL
+           SELECT doc_id, lang, n_chars * 10, 1 FROM documents
+           WHERE doc_id % 3 = 0
+           UNION ALL
+           SELECT doc_id, lang, n_chars * 100, 2 FROM documents
+           WHERE doc_id % 3 = 1
+           UNION ALL
+           SELECT doc_id + 10000, lang, n_chars, 3 FROM documents
+           WHERE doc_id % 5 = 0)
+         SELECT ver, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS chars,
+                count(DISTINCT lang) AS n_langs
+         FROM fin GROUP BY ver ORDER BY ver""",
     "q_stream_window" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
                 count(*) AS n_events,
