@@ -402,6 +402,87 @@ object AvroFileSource {
     }.filter(_._2.nonEmpty)
 
   // ------------------------------------------------------------------
+  // Commit-time statistics (`_graft_rows`, `_graft_ndv`) — ANALYZE-free
+  // planner statistics. Every staged batch commit records per-file row
+  // counts (free: the writer counts appends); the opt-in `ndvFor` write
+  // option additionally folds a 256-register HLL per (file, column).
+  // The read side serves EXACT numRows and merged NDV estimates through
+  // DSv2 Statistics/columnStats — but only when every live file is
+  // covered AND no delete sidecar exists (deleted rows would overcount)
+  // AND the scan targets the live version; any doubt serves nothing,
+  // which Spark treats as "unknown" (always sound). Estimates feed the
+  // planner only — query RESULTS never touch these manifests.
+  // ------------------------------------------------------------------
+
+  val NdvRegisters = 256
+
+  def rowsFile(d: File): File = new File(d, "_graft_rows")
+  def ndvFile(d: File): File = new File(d, "_graft_ndv")
+
+  /** `rel TAB nrows` lines; malformed lines drop (stats only — absence
+    * just withholds the estimate).
+    */
+  private[sources] def readRowsRaw(f: File): Map[String, Long] =
+    try {
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try src.getLines().flatMap { line =>
+        line.split('\t') match {
+          case Array(rel, n) => scala.util.Try(rel -> n.toLong).toOption
+          case _ => None
+        }
+      }.toMap finally src.close()
+    } catch { case _: Exception => Map.empty }
+
+  /** `rel TAB colEnc TAB type TAB base64(registers)` lines, keyed by
+    * relative path; malformed lines drop.
+    */
+  private[sources] def readNdvRaw(f: File)
+      : Map[String, Seq[(String, String, String)]] =
+    try {
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try {
+        src.getLines().flatMap { line =>
+          line.split('\t') match {
+            case Array(rel, col, dt, regs) => Some(rel -> ((col, dt, regs)))
+            case _ => None
+          }
+        }.toSeq.groupMap(_._1)(_._2)
+      } finally src.close()
+    } catch { case _: Exception => Map.empty }
+
+  /** Fold one value into an HLL register array (m=256): register index =
+    * top 8 bits of the 64-bit md5 prefix, rank = leading-zero count of
+    * the remaining 56 bits + 1. Registers merge across files by
+    * element-wise max — the standard mergeable-sketch property that
+    * makes per-file stats foldable into a table estimate at plan time.
+    */
+  private[sources] def ndvAdd(regs: Array[Byte], value: String): Unit = {
+    val (h1, _) = bloomHash2(value)
+    val idx = (h1 >>> 56).toInt
+    val rank = math.min(java.lang.Long.numberOfLeadingZeros((h1 << 8) | 1L) + 1, 57)
+    if (rank > regs(idx)) regs(idx) = rank.toByte
+  }
+
+  /** Standard HLL estimate with linear-counting small-range correction.
+    * Planner metadata only — needs no cross-engine determinism.
+    */
+  private[sources] def ndvEstimate(regs: Array[Byte]): Long = {
+    val m = regs.length
+    var sum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < m) {
+      sum += math.pow(2.0, -regs(i).toDouble)
+      if (regs(i) == 0) zeros += 1
+      i += 1
+    }
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    var e = alpha * m * m / sum
+    if (e <= 2.5 * m && zeros > 0) e = m * math.log(m.toDouble / zeros)
+    math.round(e)
+  }
+
+  // ------------------------------------------------------------------
   // Snapshot journal (time travel) — the Iceberg snapshot-log analogue.
   //
   // `_graft_snapshots` is an append-only, DELTA-ENCODED version log: one
@@ -955,6 +1036,8 @@ case class AvroTable(path: String, tableSchema: StructType)
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
       Option(info.options().get("sortedBy")).map(_.trim).filter(_.nonEmpty),
       Option(info.options().get("bloomFor")).toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
+      Option(info.options().get("ndvFor")).toSeq
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty))
   }
 }
@@ -1702,8 +1785,84 @@ class AvroScanBuilder(path: String, full: StructType,
         override def sizeInBytes(): java.util.OptionalLong =
           java.util.OptionalLong.of(
             math.ceil(files.map(_.length()).sum * factor).toLong)
-        override def numRows(): java.util.OptionalLong =
-          java.util.OptionalLong.empty()
+
+        /** Stats are servable only for the LIVE version with no pending
+          * deletes (a deleted row still counts in the manifests) —
+          * historical reads answer "unknown" and plan conservatively.
+          */
+        private def statsServable: Boolean =
+          travelVersion.isEmpty && incRange.isEmpty &&
+            !AvroFileSource.deleteFile(new File(path)).isFile
+        private lazy val liveRels: Seq[String] = {
+          val base = new File(path).getAbsoluteFile.toPath
+          listed.map { case (f, _) =>
+            base.relativize(f.getAbsoluteFile.toPath).toString
+          }
+        }
+
+        /** EXACT row count from the `_graft_rows` manifest — served only
+          * under FULL coverage (a file outside the manifest, e.g. a
+          * streamed epoch or a legacy write, withholds the total rather
+          * than undercount it).
+          */
+        override def numRows(): java.util.OptionalLong = {
+          if (!statsServable) return java.util.OptionalLong.empty()
+          val m = AvroFileSource.readRowsRaw(
+            AvroFileSource.rowsFile(new File(path)))
+          if (liveRels.nonEmpty && liveRels.forall(m.contains))
+            java.util.OptionalLong.of(liveRels.map(m).sum)
+          else java.util.OptionalLong.empty()
+        }
+
+        /** Per-column NDV estimates from the opt-in `_graft_ndv` HLL
+          * manifest: per-file registers merge by element-wise max, and a
+          * column is served only when every live file carries a
+          * type-matching entry for it (all-null files emit none, which
+          * correctly withholds the column).
+          */
+        override def columnStats(): java.util.Map[
+            org.apache.spark.sql.connector.expressions.NamedReference,
+            org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+          val out = new java.util.HashMap[
+            org.apache.spark.sql.connector.expressions.NamedReference,
+            org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+          if (!statsServable) return out
+          val nd = AvroFileSource.readNdvRaw(
+            AvroFileSource.ndvFile(new File(path)))
+          if (liveRels.isEmpty || !liveRels.forall(nd.contains)) return out
+          val perFile = liveRels.map(nd)
+          val cols = perFile.head.map(e => (e._1, e._2)).toSet
+          cols.foreach { case (colEnc, dtName) =>
+            val col = java.net.URLDecoder.decode(colEnc, "UTF-8")
+            val typeOk = AvroFilterEval.leafType(full, col)
+              .exists(_.simpleString == dtName)
+            val regsPerFile = perFile.map(_.collectFirst {
+              case (c, dt, b64) if c == colEnc && dt == dtName =>
+                scala.util.Try(
+                  java.util.Base64.getDecoder.decode(b64)).toOption
+                  .filter(_.length == AvroFileSource.NdvRegisters)
+            }.flatten)
+            if (typeOk && regsPerFile.forall(_.isDefined)) {
+              val merged = new Array[Byte](AvroFileSource.NdvRegisters)
+              regsPerFile.flatten.foreach { r =>
+                var i = 0
+                while (i < merged.length) {
+                  if (r(i) > merged(i)) merged(i) = r(i)
+                  i += 1
+                }
+              }
+              val est = AvroFileSource.ndvEstimate(merged)
+              out.put(
+                org.apache.spark.sql.connector.expressions.Expressions
+                  .column(col),
+                new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                  override def distinctCount(): java.util.OptionalLong =
+                    java.util.OptionalLong.of(est)
+                })
+            }
+          }
+          out
+        }
       }
       override def description(): String =
         s"graft-avro $path (${required.fieldNames.mkString(",")}) " +
@@ -2168,7 +2327,8 @@ case class AvroReaderFactory(required: StructType, full: StructType,
 
 class AvroWriteBuilder(path: String, schema: StructType,
     codec: String = "deflate", partitionBy: Seq[String] = Nil,
-    sortedBy: Option[String] = None, bloomFor: Seq[String] = Nil)
+    sortedBy: Option[String] = None, bloomFor: Seq[String] = Nil,
+    ndvFor: Seq[String] = Nil)
   extends WriteBuilder with SupportsTruncate {
 
   bloomFor.foreach { c =>
@@ -2177,6 +2337,14 @@ class AvroWriteBuilder(path: String, schema: StructType,
         s"bloomFor column '$c' not in schema"))
     require(AvroFileSource.bloomableType(f.dataType),
       s"bloomFor does not support ${f.dataType.simpleString} (column '$c')")
+  }
+
+  ndvFor.foreach { c =>
+    val f = schema.fields.find(_.name == c).getOrElse(
+      throw new IllegalArgumentException(
+        s"ndvFor column '$c' not in schema"))
+    require(AvroFileSource.bloomableType(f.dataType),
+      s"ndvFor does not support ${f.dataType.simpleString} (column '$c')")
   }
 
   private var doTruncate = false
@@ -2215,7 +2383,7 @@ class AvroWriteBuilder(path: String, schema: StructType,
       override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
         new File(path).mkdirs()
         AvroWriterFactory(path, schema, codec, partitionBy, staged = true,
-          sortedBy = sortedBy, bloomFor = bloomFor)
+          sortedBy = sortedBy, bloomFor = bloomFor, ndvFor = ndvFor)
       }
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         val staged = messages.toSeq
@@ -2366,6 +2534,59 @@ class AvroWriteBuilder(path: String, schema: StructType,
           if (!tmp.renameTo(bloomF)) throw new java.io.IOException(
             s"graft-avro commit: rename failed $tmp -> $bloomF")
         }
+        // Row-count manifest: every staged commit covers its files (the
+        // count is free at write time); same alive-filtered merge. Reads
+        // serve EXACT numRows only under full coverage + no deletes.
+        val rowsF = AvroFileSource.rowsFile(new File(path))
+        val rowsFresh = messages.toSeq
+          .collect { case m: AvroCommitMessage => m.rows }.flatten
+          .map { case (fin, n) =>
+            base.relativize(new File(fin).getAbsoluteFile.toPath)
+              .toString -> n
+          }
+        if (rowsFresh.nonEmpty || rowsF.isFile) {
+          val prior =
+            if (rowsF.isFile) AvroFileSource.readRowsRaw(rowsF)
+            else Map.empty[String, Long]
+          val alive = AvroFileSource.listAvro(new File(path))
+            .map(f => base.relativize(f.getAbsoluteFile.toPath).toString)
+            .toSet
+          val merged = (prior ++ rowsFresh).filter { case (rel, _) =>
+            alive.contains(rel) }
+          val tmp = new File(rowsF.getPath + ".staging")
+          java.nio.file.Files.write(tmp.toPath,
+            merged.toSeq.sortBy(_._1).map { case (rel, n) => s"$rel\t$n" }
+              .mkString("\n").getBytes("UTF-8"))
+          if (!tmp.renameTo(rowsF)) throw new java.io.IOException(
+            s"graft-avro commit: rename failed $tmp -> $rowsF")
+        }
+        // NDV sketch manifest (opt-in ndvFor): same lifecycle.
+        val ndvF = AvroFileSource.ndvFile(new File(path))
+        val ndvFresh = messages.toSeq
+          .collect { case m: AvroCommitMessage => m.ndvs }.flatten
+          .map { case (fin, entries) =>
+            base.relativize(new File(fin).getAbsoluteFile.toPath)
+              .toString -> entries
+          }
+        if (ndvFresh.nonEmpty || ndvF.isFile) {
+          val prior =
+            if (ndvF.isFile) AvroFileSource.readNdvRaw(ndvF)
+            else Map.empty[String, Seq[(String, String, String)]]
+          val alive = AvroFileSource.listAvro(new File(path))
+            .map(f => base.relativize(f.getAbsoluteFile.toPath).toString)
+            .toSet
+          val merged = (prior ++ ndvFresh).filter { case (rel, _) =>
+            alive.contains(rel) }
+          val tmp = new File(ndvF.getPath + ".staging")
+          java.nio.file.Files.write(tmp.toPath,
+            merged.toSeq.sortBy(_._1).flatMap { case (rel, entries) =>
+              entries.map { case (col, dt, regs) =>
+                s"$rel\t$col\t$dt\t$regs"
+              }
+            }.mkString("\n").getBytes("UTF-8"))
+          if (!tmp.renameTo(ndvF)) throw new java.io.IOException(
+            s"graft-avro commit: rename failed $tmp -> $ndvF")
+        }
         // snapshot LAST: the journal records the fully-published state
         AvroFileSource.appendSnapshot(new File(path),
           if (doTruncate) "overwrite" else "append")
@@ -2411,7 +2632,9 @@ class AvroWriteBuilder(path: String, schema: StructType,
 case class AvroCommitMessage(files: Seq[(String, String)],
     zones: Seq[(String, String, String)] = Nil,
     colZones: Seq[(String, Seq[(String, String, String, String)])] = Nil,
-    blooms: Seq[(String, Seq[(String, String, String)])] = Nil)
+    blooms: Seq[(String, Seq[(String, String, String)])] = Nil,
+    rows: Seq[(String, Long)] = Nil,
+    ndvs: Seq[(String, Seq[(String, String, String)])] = Nil)
   extends WriterCommitMessage
 
 private[sources] object AvroWriters {
@@ -2639,6 +2862,40 @@ private[sources] object AvroWriters {
       }
   }
 
+  /** Per-file HLL NDV sketches for the opt-in `ndvFor` columns: one
+    * 256-register array per column, merged across files by element-wise
+    * max at plan time. Values hash on their canonical external toString
+    * (the same convention as the bloom sidecar) — an estimate feeds the
+    * planner, so hash-representation consistency matters more than
+    * type-level canonicalization.
+    */
+  private[sources] final class NdvBuilder(schema: StructType,
+      cols: Seq[String]) {
+    private val idx = cols.map(schema.fieldIndex)
+    private val regs =
+      Array.fill(cols.size)(new Array[Byte](AvroFileSource.NdvRegisters))
+    private val seen = Array.fill(cols.size)(false)
+
+    def update(view: org.apache.spark.sql.Row): Unit = {
+      var c = 0
+      while (c < idx.length) {
+        val v = view.get(idx(c))
+        if (v != null) {
+          seen(c) = true
+          AvroFileSource.ndvAdd(regs(c), v.toString)
+        }
+        c += 1
+      }
+    }
+
+    def stats: Seq[(String, String, String)] =
+      cols.indices.filter(seen).map { c =>
+        (java.net.URLEncoder.encode(cols(c), "UTF-8"),
+          schema.fields(idx(c)).dataType.simpleString,
+          java.util.Base64.getEncoder.encodeToString(regs(c)))
+      }
+  }
+
   /** Container-file writer; `lazyCreate` postpones file creation to the
     * first row so empty partitions produce no file.
     */
@@ -2666,7 +2923,8 @@ private[sources] object AvroWriters {
       partCols: Seq[String], codec: String,
       staged: Boolean = false,
       sortedBy: Option[String] = None,
-      bloomFor: Seq[String] = Nil): DataWriter[InternalRow] = {
+      bloomFor: Seq[String] = Nil,
+      ndvFor: Seq[String] = Nil): DataWriter[InternalRow] = {
     val idx = partCols.map(schema.fieldIndex)
     val sortIdx = sortedBy.map(schema.fieldIndex)
     val avroSchema = AvroSchemaConverter.toAvro(schema, "topLevelRecord", None, None)
@@ -2676,6 +2934,8 @@ private[sources] object AvroWriters {
     val verifiers = scala.collection.mutable.HashMap.empty[String, OrderVerifier]
     val colStats = scala.collection.mutable.HashMap.empty[String, ColumnStats]
     val bloomStats = scala.collection.mutable.HashMap.empty[String, BloomBuilder]
+    val ndvStats = scala.collection.mutable.HashMap.empty[String, NdvBuilder]
+    val rowCounts = scala.collection.mutable.HashMap.empty[String, Long]
 
     new DataWriter[InternalRow] {
       override def write(record: InternalRow): Unit = {
@@ -2703,6 +2963,10 @@ private[sources] object AvroWriters {
           if (bloomFor.nonEmpty)
             bloomStats.getOrElseUpdate(sub, new BloomBuilder(schema, bloomFor))
               .update(view)
+          if (ndvFor.nonEmpty)
+            ndvStats.getOrElseUpdate(sub, new NdvBuilder(schema, ndvFor))
+              .update(view)
+          rowCounts.updateWith(sub)(c => Some(c.getOrElse(0L) + 1L))
         }
         val (w, _) = open.getOrElseUpdate(sub, {
           val dir = new File(base, sub)
@@ -2744,6 +3008,18 @@ private[sources] object AvroWriters {
               bloomStats.get(sub).map(_.stats).filter(_.nonEmpty)
                 .map(f.getPath.stripSuffix(".staging") -> _)
             }
+            else Nil,
+          rows =
+            if (staged) open.toSeq.map { case (sub, (_, f)) =>
+              f.getPath.stripSuffix(".staging") ->
+                rowCounts.getOrElse(sub, 0L)
+            }
+            else Nil,
+          ndvs =
+            if (staged) open.toSeq.flatMap { case (sub, (_, f)) =>
+              ndvStats.get(sub).map(_.stats).filter(_.nonEmpty)
+                .map(f.getPath.stripSuffix(".staging") -> _)
+            }
             else Nil)
       }
       override def abort(): Unit = open.values.foreach { case (w, f) =>
@@ -2757,7 +3033,8 @@ private[sources] object AvroWriters {
       lazyCreate: Boolean, codec: String = "deflate",
       staged: Boolean = false,
       sortedBy: Option[String] = None,
-      bloomFor: Seq[String] = Nil): DataWriter[InternalRow] = {
+      bloomFor: Seq[String] = Nil,
+      ndvFor: Seq[String] = Nil): DataWriter[InternalRow] = {
     val avroSchema = AvroSchemaConverter.toAvro(schema, "topLevelRecord", None, None)
     val toAvro = AvroInternalCodec.encoderFor(schema, avroSchema)
     val sortIdx = sortedBy.map(schema.fieldIndex)
@@ -2784,6 +3061,10 @@ private[sources] object AvroWriters {
       private val bloomStats =
         if (staged && bloomFor.nonEmpty) new BloomBuilder(schema, bloomFor)
         else null
+      private val ndvStats =
+        if (staged && ndvFor.nonEmpty) new NdvBuilder(schema, ndvFor)
+        else null
+      private var nRows = 0L
 
       override def write(record: InternalRow): Unit = {
         if (sortIdx.isDefined || colStats != null) {
@@ -2791,7 +3072,9 @@ private[sources] object AvroWriters {
           sortIdx.foreach(i => verifier.get.check(view.get(i)))
           if (colStats != null) colStats.update(view)
           if (bloomStats != null) bloomStats.update(view)
+          if (ndvStats != null) ndvStats.update(view)
         }
+        nRows += 1
         ensure().append(toAvro(record))
       }
       override def commit(): WriterCommitMessage = {
@@ -2815,6 +3098,15 @@ private[sources] object AvroWriters {
             if (staged && writer != null && bloomStats != null &&
                 bloomStats.stats.nonEmpty)
               Seq(finalFile.getPath -> bloomStats.stats)
+            else Nil,
+          rows =
+            if (staged && writer != null)
+              Seq(finalFile.getPath -> nRows)
+            else Nil,
+          ndvs =
+            if (staged && writer != null && ndvStats != null &&
+                ndvStats.stats.nonEmpty)
+              Seq(finalFile.getPath -> ndvStats.stats)
             else Nil)
       }
       override def abort(): Unit =
@@ -2827,7 +3119,7 @@ private[sources] object AvroWriters {
 case class AvroWriterFactory(path: String, schema: StructType,
     codec: String = "deflate", partitionBy: Seq[String] = Nil,
     staged: Boolean = false, sortedBy: Option[String] = None,
-    bloomFor: Seq[String] = Nil)
+    bloomFor: Seq[String] = Nil, ndvFor: Seq[String] = Nil)
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
@@ -2840,11 +3132,12 @@ case class AvroWriterFactory(path: String, schema: StructType,
     val name = f"part-$partitionId%05d-$taskId-$uniq.avro"
     if (partitionBy.nonEmpty)
       AvroWriters.openPartitioned(path, schema, name, partitionBy, codec,
-        staged = staged, sortedBy = sortedBy, bloomFor = bloomFor)
+        staged = staged, sortedBy = sortedBy, bloomFor = bloomFor,
+        ndvFor = ndvFor)
     else
       AvroWriters.open(path, schema, name,
         lazyCreate = false, codec = codec, staged = staged,
-        sortedBy = sortedBy, bloomFor = bloomFor)
+        sortedBy = sortedBy, bloomFor = bloomFor, ndvFor = ndvFor)
   }
 }
 

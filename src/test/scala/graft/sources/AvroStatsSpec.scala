@@ -1,0 +1,119 @@
+package graft.sources
+
+import java.io.File
+
+import org.apache.spark.sql.connector.read.SupportsReportStatistics
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** ANALYZE-free planner statistics: every staged commit records exact
+  * per-file row counts (`_graft_rows`, free at write time) and the
+  * opt-in `ndvFor` option folds per-(file, column) HLL sketches
+  * (`_graft_ndv`) that merge by register max at plan time. Serving rules
+  * pinned here: EXACT numRows only under full coverage of the live file
+  * set, everything withheld while a delete sidecar exists (deleted rows
+  * still count in the manifests) or under time travel, uncovered files
+  * (streamed epochs, legacy writes, foreign files) withhold rather than
+  * undercount, and the NDV estimate stays within sketch tolerance of
+  * the truth across a multi-file merge.
+  */
+class AvroStatsSpec extends AnyFunSuite with SparkSpec with Matchers {
+
+  private def tmp(): String = graft.operators.Catalog.tempDir("graft_stats")
+
+  private def stats(df: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val root = df.queryExecution.executedPlan
+    val under = root.collectFirst {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+    }.getOrElse(root)
+    under.collect { case b: BatchScanExec => b }.head
+      .scan.asInstanceOf[SupportsReportStatistics].estimateStatistics()
+  }
+
+  test("numRows is exact, survives appends, and needs zero file opens") {
+    val dir = tmp()
+    spark.range(0, 5000).toDF("k")
+      .withColumn("payload", F.md5(F.col("k").cast("string")))
+      .repartition(8)
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    val t = spark.read.format("graft-avro").load(dir)
+    stats(t).numRows().getAsLong shouldBe 5000L
+    // append widens the count; the manifest merge covers the new files
+    spark.range(5000, 5250).toDF("k")
+      .withColumn("payload", F.md5(F.col("k").cast("string")))
+      .write.format("graft-avro").mode("append").save(dir)
+    stats(spark.read.format("graft-avro").load(dir))
+      .numRows().getAsLong shouldBe 5250L
+  }
+
+  test("ndvFor serves a merged HLL distinct estimate within tolerance") {
+    val dir = tmp()
+    // 5000 rows, 1000 distinct grp values spread over 8 files: the
+    // per-file sketches each see a subset; only the merged registers
+    // can estimate the global cardinality
+    spark.range(0, 5000).toDF("k")
+      .withColumn("grp", (F.col("k") % 1000))
+      .repartition(8)
+      .write.format("graft-avro").mode("overwrite")
+      .option("ndvFor", "grp,k").save(dir)
+    val cs = stats(spark.read.format("graft-avro").load(dir)).columnStats()
+    cs.isEmpty shouldBe false
+    val byName = cs.entrySet().iterator()
+    var got = Map.empty[String, Long]
+    while (byName.hasNext) {
+      val e = byName.next()
+      got += e.getKey.fieldNames().mkString(".") ->
+        e.getValue.distinctCount().getAsLong
+    }
+    got.keySet shouldBe Set("grp", "k")
+    // m=256 HLL standard error ~6.5%; assert a loose 15% envelope
+    got("grp").toDouble shouldBe 1000.0 +- 150.0
+    got("k").toDouble shouldBe 5000.0 +- 750.0
+  }
+
+  test("a delete sidecar withholds numRows and column stats") {
+    val dir = tmp()
+    spark.range(0, 100).toDF("k")
+      .withColumn("grp", F.col("k") % 10)
+      .write.format("graft-avro").mode("overwrite")
+      .option("ndvFor", "grp").save(dir)
+    stats(spark.read.format("graft-avro").load(dir))
+      .numRows().isPresent shouldBe true
+    AvroMaintenance.deleteWhere(spark, dir, "k", Seq(5L))
+    val s2 = stats(spark.read.format("graft-avro").load(dir))
+    s2.numRows().isPresent shouldBe false // 100 would overcount by 1
+    s2.columnStats().isEmpty shouldBe true
+  }
+
+  test("an uncovered file withholds the total instead of undercounting") {
+    val dir = tmp()
+    spark.range(0, 100).toDF("k").repartition(1)
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    // a foreign data file (streamed epoch / legacy write analogue):
+    // listed by readers, absent from the rows manifest
+    val src = AvroFileSource.listAvro(new File(dir)).head
+    java.nio.file.Files.copy(src.toPath,
+      new File(dir, "part-foreign.avro").toPath)
+    val s = stats(spark.read.format("graft-avro").load(dir))
+    s.numRows().isPresent shouldBe false
+    // the data itself still reads fine (200 rows now)
+    spark.read.format("graft-avro").load(dir).count() shouldBe 200
+  }
+
+  test("time travel plans without served statistics") {
+    val dir = tmp()
+    spark.range(0, 50).toDF("k")
+      .write.format("graft-avro").mode("overwrite").save(dir) // v1
+    spark.range(50, 80).toDF("k")
+      .write.format("graft-avro").mode("append").save(dir)    // v2
+    stats(spark.read.format("graft-avro").load(dir))
+      .numRows().getAsLong shouldBe 80L
+    stats(spark.read.format("graft-avro").option("versionAsOf", 1).load(dir))
+      .numRows().isPresent shouldBe false
+  }
+}
