@@ -14,7 +14,7 @@ import graft.operators._
   */
 object SparkEntry {
 
-  private val catalogs: Seq[Catalog] = Seq(Projections, Relational, TpchMore, Advanced, Sketches, Layout, LlmText, LlmBpe, LlmDedup, LlmSimilarity, LlmMultimodal, LlmIngest, LlmRetrieval, AvroGates, SourceGates)
+  private val catalogs: Seq[Catalog] = Seq(Projections, Relational, TpchMore, Advanced, Quality, Sketches, Layout, LlmText, LlmBpe, LlmDedup, LlmSimilarity, LlmMultimodal, LlmIngest, LlmRetrieval, AvroGates, SourceGates)
 
   /** Flagship query on sf=0.001: revenue by region across the whole star
     * schema (two broadcast dims + two fact joins + aggregation).

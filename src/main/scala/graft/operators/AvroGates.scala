@@ -705,6 +705,43 @@ object AvroGates extends Catalog {
       added.unionByName(removed).orderBy("change")
     }),
 
+    // Incremental aggregate maintenance (materialized-view algebra): the
+    // grouped aggregate at v3 is NEVER recomputed from v3's rows — it is
+    // the stored v1 aggregate ⊕ the aggregate of the v1→v3 row-level
+    // changelog. count and sum form a commutative group, so removed rows
+    // fold in with negated sign and the merge is one tiny re-aggregation
+    // of (base ∪ +delta ∪ −delta) partial states. At 100 TB this is the
+    // difference between re-scanning the world and scanning only the
+    // change set: the base aggregate is a stored artifact and the delta
+    // side is proportional to the changelog, not the table. The oracle
+    // recomputes the v3 state directly, so the gate proves the
+    // incremental algebra lands on exactly the full-recompute answer.
+    "q_avro_agg_incr" -> ((s, dir) => {
+      val tmp = tempDir("graft_gate_aggincr")
+      val docs = table(s, dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+      docs.filter(F.col("doc_id") % 3 =!= 0)
+        .write.format("graft-avro").mode("overwrite").save(tmp)   // v1
+      docs.filter(F.col("doc_id") % 6 === 0)
+        .write.format("graft-avro").mode("append").save(tmp)      // v2
+      graft.sources.AvroMaintenance.deleteWhere(s, tmp, "doc_id",
+        Seq(2L, 4L, 6L, 8L, 10L))                                 // v3
+      def at(v: Long) = s.read.format("graft-avro")
+        .option("versionAsOf", v).load(tmp)
+      def signed(df: org.apache.spark.sql.DataFrame, sign: Int) =
+        df.groupBy("lang")
+          .agg((F.count(F.lit(1)) * sign).as("n_docs"),
+            (F.sum("n_chars") * sign).as("chars"))
+      val base = signed(at(1), 1)
+      val added = signed(at(3).exceptAll(at(1)), 1)
+      val removed = signed(at(1).exceptAll(at(3)), -1)
+      base.unionByName(added).unionByName(removed)
+        .groupBy("lang")
+        .agg(F.sum("n_docs").as("n_docs"), F.sum("chars").as("chars"))
+        .filter(F.col("n_docs") > 0)
+        .orderBy("lang")
+    }),
+
     // Row-level MERGE (upsert) by key, on versioned equality deletes:
     // each mergeInto publishes a version-stamped delete of the incoming
     // keys plus a transactional append, and the stamp rule (delete at V
@@ -888,6 +925,17 @@ object AvroGates extends Catalog {
          SELECT 'removed', count(*), CAST(sum(n_nationkey) AS BIGINT)
          FROM nation WHERE n_regionkey = 1
          ORDER BY change""",
+    // direct recompute of the v3 state the incremental algebra must hit:
+    // v1 (doc_id%3!=0) ∪ v2 appends (doc_id%6=0) minus the deleted ids
+    "q_avro_agg_incr" ->
+      """SELECT lang, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS chars
+         FROM documents
+         WHERE (doc_id % 3 <> 0 OR doc_id % 6 = 0)
+           AND doc_id NOT IN (2, 4, 6, 8, 10)
+         GROUP BY lang
+         HAVING count(*) > 0
+         ORDER BY lang""",
     // fold the merge script over the parquet source: base minus the two
     // deleted ids, then each update batch as delete-matched + union
     "q_avro_merge" ->

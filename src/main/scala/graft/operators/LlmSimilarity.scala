@@ -34,6 +34,24 @@ object LlmSimilarity extends Catalog {
     * identical accumulation order to the `aggregate`/`zip_with` HOF form,
     * but a primitive loop instead of an interpreted lambda per element.
     */
+  /** ±1 sign matrix for signed random projection, 16 output dims × 64
+    * input dims. Seeded from md5("rp{i}_{j}") — the parity of the FIRST
+    * hex nibble — because md5 is the one hash both engines share: the
+    * oracle re-derives the identical matrix with SQL
+    * `md5('rp'||i||'_'||j)`, so the projection is bit-exact
+    * cross-engine. Computed once on the driver and folded into the plan
+    * as a literal.
+    */
+  private lazy val rpSigns: Seq[Seq[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until 16).map { j =>
+      (0 until 64).map { i =>
+        val h = md.digest(s"rp${i}_${j}".getBytes("UTF-8"))
+        if (((h(0) >> 4) & 0xf) % 2 == 0) 1 else -1
+      }
+    }
+  }
+
   private def emb(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(s)
     table(s, dir, "embeddings")
@@ -354,6 +372,43 @@ object LlmSimilarity extends Catalog {
           F.expr("aggregate(sequence(1, size(q)), cast(0 as bigint), " +
             "(a, i) -> a + element_at(q, i) * i)").as("qcheck"))
         .orderBy("vec_id")),
+
+    // Signed random projection (Achlioptas/SRP): 64-dim float vectors →
+    // 16 integer components via a data-independent ±1 matrix derived
+    // from md5 (the shared cross-engine hash), quantized floor(1024·x)
+    // so every multiply-accumulate is exact BIGINT arithmetic. The sign
+    // matrix is a broadcast literal folded into codegen — per row the
+    // projection is 16×64 integer MACs with NO shuffle and no driver
+    // round-trip, which is the 100 TB-friendly way to cut embedding
+    // dimensionality ahead of LSH banding or coarse clustering
+    // (projection preserves angles in expectation; sign bits of these
+    // components ARE a 16-bit SRP-LSH code). Output follows the
+    // llm_embed_quant convention: leading components + order-weighted
+    // checksum instead of raw arrays.
+    "llm_embed_rproj" -> ((s, dir) => {
+      val signsExpr = "array(" + rpSigns.map(r =>
+        "array(" + r.mkString(",") + ")").mkString(",") + ")"
+      table(s, dir, "embeddings")
+        .withColumn("q", F.expr(
+          "transform(embedding, x -> " +
+            "cast(floor(1024.0d * cast(x as double)) as bigint))"))
+        .withColumn("proj", F.expr(
+          s"transform($signsExpr, r -> " +
+            "aggregate(zip_with(r, q, (sg, qq) -> sg * qq), " +
+            "cast(0 as bigint), (a, x) -> a + x))"))
+        .select(F.col("vec_id"),
+          F.expr("element_at(proj, 1)").as("p0"),
+          F.expr("element_at(proj, 2)").as("p1"),
+          F.expr("element_at(proj, 3)").as("p2"),
+          F.expr("element_at(proj, 4)").as("p3"),
+          F.expr("aggregate(proj, cast(0 as bigint), (a, x) -> a + x)")
+            .as("psum"),
+          F.array_min(F.col("proj")).as("pmin"),
+          F.array_max(F.col("proj")).as("pmax"),
+          F.expr("aggregate(sequence(1, size(proj)), cast(0 as bigint), " +
+            "(a, i) -> a + element_at(proj, i) * i)").as("pcheck"))
+        .orderBy("vec_id")
+    }),
 
     // Near-dup candidates: mutual top-1 neighbors within a cell.
     "llm_embed_neardup" -> ((s, dir) =>
@@ -1021,6 +1076,35 @@ object LlmSimilarity extends Catalog {
     "llm_similar_ivf_persist" -> ivfKmeansOracle,
     "llm_similar_ivf_quant" -> ivfQuantOracle,
     "llm_similar_ivfpq" -> ivfPqOracle,
+    // re-derive the ±1 matrix from SQL md5 and replay the exact integer
+    // MACs; q[i] is 1-based list indexing over the quantized vector
+    "llm_embed_rproj" ->
+      """WITH e AS (
+           SELECT vec_id,
+                  list_transform(embedding, x ->
+                    CAST(floor(1024.0 * CAST(x AS DOUBLE)) AS BIGINT)) AS q
+           FROM embeddings),
+         sj AS (SELECT unnest(generate_series(0, 15)) AS j),
+         si AS (SELECT unnest(generate_series(1, 64)) AS i),
+         signs AS (
+           SELECT j, i,
+                  CASE WHEN CAST('0x' ||
+                         substr(md5('rp' || (i - 1) || '_' || j), 1, 1)
+                       AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS sg
+           FROM sj, si),
+         flat AS (
+           SELECT e.vec_id, s.j, CAST(sum(s.sg * e.q[s.i]) AS BIGINT) AS pv
+           FROM e, signs s
+           GROUP BY 1, 2),
+         proj AS (
+           SELECT vec_id, list(pv ORDER BY j) AS p
+           FROM flat GROUP BY vec_id)
+         SELECT vec_id, p[1] AS p0, p[2] AS p1, p[3] AS p2, p[4] AS p3,
+                CAST(list_sum(p) AS BIGINT) AS psum,
+                list_min(p) AS pmin, list_max(p) AS pmax,
+                CAST(list_sum(list_transform(generate_series(1, len(p)),
+                  i -> p[i] * i)) AS BIGINT) AS pcheck
+         FROM proj ORDER BY vec_id""",
     "llm_embed_quant" ->
       """WITH e AS (
            SELECT vec_id, embedding,
