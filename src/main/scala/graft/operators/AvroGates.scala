@@ -742,6 +742,63 @@ object AvroGates extends Catalog {
         .orderBy("lang")
     }),
 
+    // DESCRIBE HISTORY: the operational audit surface every versioned
+    // table needs — one row per snapshot with the commit kind, live
+    // file count and delete-sidecar state, replayed purely from the
+    // delta journal (O(churn) driver metadata, no data file opened).
+    // Deterministic because file counts are pinned by explicit
+    // repartition and the timestamp column is deliberately excluded.
+    "q_avro_history" -> ((s, dir) => {
+      val tmp = tempDir("graft_gate_history")
+      val n = table(s, dir, "nation")
+      n.filter(F.col("n_regionkey") < 3).repartition(2)
+        .write.format("graft-avro").mode("overwrite").save(tmp)   // v1
+      n.filter(F.col("n_regionkey") >= 3).repartition(1)
+        .write.format("graft-avro").mode("append").save(tmp)      // v2
+      graft.sources.AvroMaintenance.deleteWhere(s, tmp,
+        "n_nationkey", Seq(0L))                                   // v3
+      n.filter(F.col("n_regionkey") === 1).repartition(1)
+        .write.format("graft-avro").mode("overwrite").save(tmp)   // v4
+      val hist = graft.sources.AvroFileSource
+        .readSnapshots(new java.io.File(tmp))
+        .map(sn => (sn.version, sn.kind, sn.files.size.toLong,
+          sn.deletes.nonEmpty))
+      import s.implicits._
+      hist.toDF("version", "kind", "n_files", "has_deletes")
+        .orderBy("version")
+    }),
+
+    // Write-audit-publish: incoming data is staged on a BRANCH (an
+    // append-only overlay invisible to main), audited through the
+    // branch read (main-at-fork ∪ overlay — exactly the state a publish
+    // would produce), and fast-forward published as ONE atomic snapshot
+    // (files move, nothing is rewritten). The production ingestion
+    // discipline at 100 TB: a bad batch is dropped with main never
+    // having seen a byte of it. The audit here gates on a real
+    // constraint count over the branch view before publishing.
+    "q_avro_wap" -> ((s, dir) => {
+      val tmp = tempDir("graft_gate_wap")
+      val docs = table(s, dir, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+      docs.filter(F.col("doc_id") % 2 === 0)
+        .write.format("graft-avro").mode("overwrite").save(tmp)    // v1
+      graft.sources.AvroMaintenance.createBranch(tmp, "stage")
+      docs.filter(F.col("doc_id") % 2 === 1)
+        .withColumn("source", F.lit("staged"))
+        .write.format("graft-avro").mode("append")
+        .option("branch", "stage").save(tmp)
+      val audit = s.read.format("graft-avro")
+        .option("branch", "stage").load(tmp)
+        .filter(F.col("n_chars") < 0 || F.col("doc_id").isNull).count()
+      if (audit > 0) graft.sources.AvroMaintenance.dropBranch(tmp, "stage")
+      else graft.sources.AvroMaintenance.publishBranch(tmp, "stage") // v2
+      s.read.format("graft-avro").load(tmp)
+        .groupBy(F.col("source").as("src"))
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.sum("n_chars").as("chars"))
+        .orderBy("src")
+    }),
+
     // Row-level MERGE (upsert) by key, on versioned equality deletes:
     // each mergeInto publishes a version-stamped delete of the incoming
     // keys plus a transactional append, and the stamp rule (delete at V
@@ -936,6 +993,24 @@ object AvroGates extends Catalog {
          GROUP BY lang
          HAVING count(*) > 0
          ORDER BY lang""",
+    // the journal replay is fully determined by the gate's script:
+    // 2-file overwrite, 1-file append, sidecar delete, 1-file truncate
+    // (which also clears the sidecar)
+    "q_avro_history" ->
+      """SELECT * FROM (VALUES
+           (1, 'overwrite', 2, false),
+           (2, 'append',    3, false),
+           (3, 'delete',    3, true),
+           (4, 'overwrite', 1, false))
+           AS t(version, kind, n_files, has_deletes)
+         ORDER BY version""",
+    // the audited publish lands: odd ids staged with source 'staged',
+    // even ids unchanged
+    "q_avro_wap" ->
+      """SELECT CASE WHEN doc_id % 2 = 1 THEN 'staged' ELSE source END
+                  AS src,
+                count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+         FROM documents GROUP BY 1 ORDER BY src""",
     // fold the merge script over the parquet source: base minus the two
     // deleted ids, then each update batch as delete-matched + union
     "q_avro_merge" ->

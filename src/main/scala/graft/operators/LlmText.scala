@@ -169,6 +169,30 @@ object LlmText extends Catalog {
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")),
 
+    // EXACT-QUOTA stratified sampling: each stratum keeps precisely
+    // ceil(10%) of its rows — rate sampling (llm_sample) hits quotas
+    // only in expectation, but a token-budgeted mixture needs exact
+    // allocations. Selection is the md5-least rows per stratum (seeded,
+    // reproducible, no RNG) via ONE rank window per stratum — the price
+    // of exactness is a shuffle by stratum key, which AQE skew-splits if
+    // a language dominates; the quota `(n+9) div 10` stays in integer
+    // arithmetic on both engines.
+    "llm_quota_sample" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang")
+        .orderBy(F.col("h").asc, F.col("doc_id").asc)
+      table(s, dir, "documents")
+        .withColumn("h", F.md5(F.concat(F.lit("qs:"), F.col("text"))))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_lang", F.count(F.lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("lang")))
+        .filter(F.col("rn") <= F.expr("(n_lang + 9) div 10"))
+        .select(F.col("doc_id"), F.col("lang"),
+          F.col("rn").cast("int").as("rn"),
+          F.col("n_lang").as("n_lang"))
+        .orderBy("doc_id")
+    }),
+
     // End-to-end pipeline composition: stratified sample → quality filter
     // → token-budget shard assignment → per-shard stats. One narrow
     // filtered scan feeding a windowed cumsum and a small aggregate —
@@ -482,6 +506,17 @@ object LlmText extends Catalog {
          WHERE substring(md5('s1:' || text), 1, 1) <
                CASE WHEN lang = 'en' THEN '8'
                     WHEN lang = 'de' THEN '4' ELSE '2' END
+         ORDER BY doc_id""",
+    "llm_quota_sample" ->
+      """WITH ranked AS (
+           SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY md5('qs:' || text), doc_id) AS rn,
+                  count(*) OVER (PARTITION BY lang) AS n_lang
+           FROM documents)
+         SELECT doc_id, lang, CAST(rn AS INT) AS rn, n_lang
+         FROM ranked
+         WHERE rn <= (n_lang + 9) // 10
          ORDER BY doc_id""",
     "llm_pipeline_e2e" ->
       """WITH sampled AS (

@@ -82,6 +82,9 @@ class AvroFileSource extends TableProvider with DataSourceRegister {
       Option(options.get("toVersion")).map(_.toLong))
     require(travel.isEmpty || inc.isEmpty,
       "graft-avro: versionAsOf/timestampAsOf and fromVersion are exclusive")
+    val branch = Option(options.get("branch")).map(_.trim).filter(_.nonEmpty)
+    require(branch.isEmpty || (travel.isEmpty && inc.isEmpty),
+      "graft-avro: branch is exclusive with time travel / incremental reads")
     val files = (travel, inc) match {
       case (Some(v), _) =>
         // a snapshot's schema is inferred over ITS file set — an
@@ -92,7 +95,19 @@ class AvroFileSource extends TableProvider with DataSourceRegister {
       case (None, Some((f, t))) =>
         AvroFileSource.incrementalFiles(d, f, t)
           .map(AvroFileSource.resolveSnapshotFile(d, _))
-      case _ => AvroFileSource.listAvro(d)
+      case _ => branch match {
+        case Some(b) =>
+          // branch view = main's fork snapshot + the overlay's live
+          // files; overlay files sort newest so a drifted branch schema
+          // wins, with the usual nullability merge
+          val (forkV, bd) = AvroFileSource.branchFork(d, b)
+          AvroFileSource.readSnapshots(d).find(_.version == forkV)
+            .getOrElse(throw new IllegalStateException(
+              s"graft-avro: branch '$b' fork version $forkV vanished"))
+            .files.map(AvroFileSource.resolveSnapshotFile(d, _)) ++
+            AvroFileSource.listAvro(bd)
+        case None => AvroFileSource.listAvro(d)
+      }
     }
     require(files.nonEmpty, s"no .avro files under ${dir(options)}")
     def header(f: File): Schema = {
@@ -734,6 +749,53 @@ object AvroFileSource {
       s"graft-avro refs: rename failed $tmp -> $rf")
   }
 
+  // ------------------------------------------------------------------
+  // Branches (write-audit-publish) — append-only staging overlays.
+  //
+  // A branch is a self-contained graft-avro table directory under
+  // `_graft_branches/<name>/` inside the main table (the `_graft` prefix
+  // keeps it invisible to every main-table listing walk), plus a
+  // `_graft_fork` file recording the main-journal version it forked
+  // from. Branch WRITES are ordinary batch commits into the overlay —
+  // they get the full commit stack (snapshot journal, zone/bloom/stats
+  // manifests) for free and never touch main's state. A branch READ
+  // serves main's FORK-version snapshot unioned with the overlay's live
+  // files, so audits (row counts, q_validate-style checks) see exactly
+  // what a publish would produce. Publish is strictly FAST-FORWARD:
+  // main must still sit at the fork version, data files move (rename,
+  // never rewrite) into main preserving relative layout — sound because
+  // batch file names carry a generation-unique random component — and
+  // one commit snapshot makes the whole staged set visible atomically.
+  // Branches are append-only: an overlay delete sidecar or a truncate
+  // through the branch write path fails loudly, which is what keeps the
+  // publish a pure file move.
+  // ------------------------------------------------------------------
+
+  def branchesDir(d: File): File = new File(d, "_graft_branches")
+
+  def branchDir(d: File, name: String): File = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '_' || c == '-'),
+      s"graft-avro: bad branch name '$name' (letters/digits/_/- only)")
+    new File(branchesDir(d), name)
+  }
+
+  def branchForkFile(bd: File): File = new File(bd, "_graft_fork")
+
+  /** Resolve an existing branch to (fork version, overlay dir); loud
+    * failure when the branch does not exist — reads and writes must
+    * never invent an implicit empty branch.
+    */
+  def branchFork(d: File, name: String): (Long, File) = {
+    val bd = branchDir(d, name)
+    val ff = branchForkFile(bd)
+    require(bd.isDirectory && ff.isFile,
+      s"graft-avro: no branch '$name' under $d (createBranch first)")
+    val v = new String(java.nio.file.Files.readAllBytes(ff.toPath),
+      "UTF-8").trim.toLong
+    (v, bd)
+  }
+
   /** Incremental (CDC-style) read: the files APPENDED strictly after
     * `fromVersion` up to and including `toVersion` — the Iceberg
     * incremental-append scan, the shape nightly ETL consumes a 100 TB
@@ -1021,7 +1083,8 @@ case class AvroTable(path: String, tableSchema: StructType)
         Option(options.get("tagAsOf"))),
       AvroFileSource.resolveIncremental(new File(path),
         Option(options.get("fromVersion")).map(_.toLong),
-        Option(options.get("toVersion")).map(_.toLong)))
+        Option(options.get("toVersion")).map(_.toLong)),
+      Option(options.get("branch")).map(_.trim).filter(_.nonEmpty))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(info.options().get("versionAsOf") == null &&
@@ -1030,7 +1093,17 @@ case class AvroTable(path: String, tableSchema: StructType)
         info.options().get("tagAsOf") == null,
       "graft-avro: time travel is a read option; writes always target " +
         "the current version")
-    new AvroWriteBuilder(path, info.schema(),
+    // a branch write is an ordinary batch commit into the overlay dir —
+    // the full commit stack (journal, zones, blooms, stats) rides along;
+    // the overlay must already exist (createBranch first) and stays
+    // append-only (truncate through this path fails in the builder)
+    val branchW =
+      Option(info.options().get("branch")).map(_.trim).filter(_.nonEmpty)
+    val target = branchW match {
+      case Some(b) => AvroFileSource.branchFork(new File(path), b)._2.getPath
+      case None => path
+    }
+    new AvroWriteBuilder(target, info.schema(),
       Option(info.options().get("codec")).getOrElse("deflate"),
       Option(info.options().get("partitionBy")).toSeq
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
@@ -1038,7 +1111,8 @@ case class AvroTable(path: String, tableSchema: StructType)
       Option(info.options().get("bloomFor")).toSeq
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
       Option(info.options().get("ndvFor")).toSeq
-        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty))
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
+      branchWrite = branchW.nonEmpty)
   }
 }
 
@@ -1048,10 +1122,14 @@ class AvroScanBuilder(path: String, full: StructType,
     preserveGrouping: Boolean = false,
     journalCompactAfter: Int = 4096,
     travelVersion: Option[Long] = None,
-    incRange: Option[(Long, Long)] = None)
+    incRange: Option[(Long, Long)] = None,
+    branch: Option[String] = None)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with SupportsPushDownFilters with SupportsPushDownAggregates
   with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+
+  require(branch.isEmpty || (travelVersion.isEmpty && incRange.isEmpty),
+    "graft-avro: branch is exclusive with time travel / incremental reads")
 
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
@@ -1099,7 +1177,7 @@ class AvroScanBuilder(path: String, full: StructType,
     // CURRENT-state manifests (block counts, zone bounds), which need
     // not describe the requested snapshot or changeset. Historical
     // reads answer from real rows only.
-    if (travelVersion.nonEmpty || incRange.nonEmpty) return false
+    if (travelVersion.nonEmpty || incRange.nonEmpty || branch.nonEmpty) return false
     // Equality deletes invalidate every metadata-served aggregate: a
     // deleted row still counts in block headers and may carry a zone
     // extreme. Merge-on-read tables answer aggregates from real
@@ -1294,7 +1372,7 @@ class AvroScanBuilder(path: String, full: StructType,
         if (preserveGrouping) return Array.empty
         // the sort marker claims the CURRENT directory contents; a
         // snapshot's archived files were never verified under it
-        if (travelVersion.nonEmpty || incRange.nonEmpty) return Array.empty
+        if (travelVersion.nonEmpty || incRange.nonEmpty || branch.nonEmpty) return Array.empty
         AvroFileSource.sortedColumnOf(new File(path)) match {
           case Some(c) if required.fieldNames.contains(c) =>
             Array(Expressions.sort(Expressions.column(c),
@@ -1327,7 +1405,7 @@ class AvroScanBuilder(path: String, full: StructType,
         */
       private lazy val rtZoneCols: Seq[String] = {
         import org.apache.spark.sql.types._
-        if (travelVersion.nonEmpty || incRange.nonEmpty) Nil
+        if (travelVersion.nonEmpty || incRange.nonEmpty || branch.nonEmpty) Nil
         else zonesAll.valuesIterator.flatMap(_.keysIterator).toSeq.distinct
           .filter { c =>
             AvroFilterEval.leafType(full, c).exists {
@@ -1504,19 +1582,56 @@ class AvroScanBuilder(path: String, full: StructType,
             .find(_.version == toV).get.deletes
           (files, dels)
         })
+      /** Branch (WAP) read state: physical files of main's fork
+        * snapshot plus the overlay's live files, the fork snapshot's
+        * delete-sidecar content, and overlay-file births pinned to
+        * Long.MaxValue so VERSION-STAMPED fork deletes never touch rows
+        * the branch itself appended (unstamped legacy entries keep
+        * their documented apply-everywhere contract). The overlay must
+        * not carry its own delete sidecar — branches are append-only.
+        */
+      private lazy val branchState: Option[(
+          Seq[(File, Map[String, String])], Option[String],
+          Map[String, Long])] =
+        branch.map { b =>
+          val d = new File(path)
+          val (forkV, bd) = AvroFileSource.branchFork(d, b)
+          val snap = AvroFileSource.readSnapshots(d)
+            .find(_.version == forkV).getOrElse(
+              throw new IllegalStateException(
+                s"graft-avro: branch '$b' fork version $forkV vanished " +
+                  s"from $path (expired snapshot?)"))
+          require(!AvroFileSource.deleteFile(bd).isFile,
+            s"graft-avro: branch '$b' carries a delete sidecar; " +
+              "branches are append-only overlays")
+          val mainFiles = snap.files.sorted.map { rel =>
+            (AvroFileSource.resolveSnapshotFile(d, rel), partValsOf(rel))
+          }
+          val overlay = AvroFileSource.listPartitioned(bd)
+          val births = overlay.map { case (f, _) =>
+            f.getAbsolutePath -> Long.MaxValue
+          }.toMap
+          (mainFiles ++ overlay, snap.deletes, births)
+        }
+
+      private def partValsOf(rel: String): Map[String, String] =
+        rel.split('/').dropRight(1).flatMap { seg =>
+          seg.split("=", 2) match {
+            case Array(k, v) => Some(k -> v)
+            case _ => None
+          }
+        }.toMap
+
       private lazy val listed: Seq[(File, Map[String, String])] =
         travelState match {
           case Some((files, _)) => files.sorted.map { rel =>
-            val f = AvroFileSource.resolveSnapshotFile(new File(path), rel)
-            val vals = rel.split('/').dropRight(1).flatMap { seg =>
-              seg.split("=", 2) match {
-                case Array(k, v) => Some(k -> v)
-                case _ => None
-              }
-            }.toMap
-            (f, vals)
+            (AvroFileSource.resolveSnapshotFile(new File(path), rel),
+              partValsOf(rel))
           }
-          case None => AvroFileSource.listPartitioned(new File(path))
+          case None => branchState match {
+            case Some((files, _, _)) => files
+            case None => AvroFileSource.listPartitioned(new File(path))
+          }
         }
 
       /** Per-file [min, max] of the verified sort column, from the
@@ -1529,7 +1644,7 @@ class AvroScanBuilder(path: String, full: StructType,
         * predicate.
         */
       private lazy val zoneColumn: Option[String] =
-        if (travelVersion.nonEmpty || incRange.nonEmpty) None // current-layout claim
+        if (travelVersion.nonEmpty || incRange.nonEmpty || branch.nonEmpty) None // current-layout claim
         else AvroFileSource.sortedColumnOf(new File(path))
       private lazy val zoneRanges: Map[String, (Any, Any)] =
         if (filters.isEmpty) Map.empty
@@ -1555,7 +1670,7 @@ class AvroScanBuilder(path: String, full: StructType,
         * describes the CURRENT file set).
         */
       private lazy val zonesAll: Map[String, Map[String, (Any, Any)]] =
-        if (travelVersion.nonEmpty || incRange.nonEmpty) Map.empty
+        if (travelVersion.nonEmpty || incRange.nonEmpty || branch.nonEmpty) Map.empty
         else {
           val dir = new File(path)
           val zf = AvroFileSource.colZoneFile(dir)
@@ -1569,7 +1684,7 @@ class AvroScanBuilder(path: String, full: StructType,
         * under time travel (the manifest describes live files).
         */
       private lazy val bloomsAll: Map[String, Map[String, Array[Long]]] =
-        if (travelVersion.nonEmpty || incRange.nonEmpty) Map.empty
+        if (travelVersion.nonEmpty || incRange.nonEmpty || branch.nonEmpty) Map.empty
         else {
           val dir = new File(path)
           val bf = AvroFileSource.bloomFile(dir)
@@ -1738,8 +1853,9 @@ class AvroScanBuilder(path: String, full: StructType,
           // time (a corrupt sidecar fails the read here, driver-side).
           // A time-travel read applies the SNAPSHOT's recorded deletes —
           // the current sidecar may postdate (or predate) the version.
-          val dels = travelState match {
-            case Some((_, del)) => del
+          val dels = travelState.map(_._2)
+            .orElse(branchState.map(_._2)) match {
+            case Some(del) => del
               .map(AvroFileSource.parseDeleteContent(_, full)).getOrElse(Nil)
             case None =>
               val delF = AvroFileSource.deleteFile(new File(path))
@@ -1747,12 +1863,13 @@ class AvroScanBuilder(path: String, full: StructType,
               else Nil
           }
           AvroReaderFactory(required, full, filters, limit, dels,
-            AvroFileSource.birthsByPhysicalPath(new File(path), dels))
+            AvroFileSource.birthsByPhysicalPath(new File(path), dels) ++
+              branchState.map(_._3).getOrElse(Map.empty))
         }
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
-        require(travelVersion.isEmpty && incRange.isEmpty,
-          "graft-avro: time travel is batch-only (a stream tails the " +
-            "CURRENT version by definition)")
+        require(travelVersion.isEmpty && incRange.isEmpty && branch.isEmpty,
+          "graft-avro: time travel and branch reads are batch-only (a " +
+            "stream tails the CURRENT version by definition)")
         new AvroMicroBatchStream(path, required, full, checkpointLocation,
           maxFilesPerTrigger, journalCompactAfter)
       }
@@ -1791,7 +1908,7 @@ class AvroScanBuilder(path: String, full: StructType,
           * historical reads answer "unknown" and plan conservatively.
           */
         private def statsServable: Boolean =
-          travelVersion.isEmpty && incRange.isEmpty &&
+          travelVersion.isEmpty && incRange.isEmpty && branch.isEmpty &&
             !AvroFileSource.deleteFile(new File(path)).isFile
         private lazy val liveRels: Seq[String] = {
           val base = new File(path).getAbsoluteFile.toPath
@@ -2328,7 +2445,7 @@ case class AvroReaderFactory(required: StructType, full: StructType,
 class AvroWriteBuilder(path: String, schema: StructType,
     codec: String = "deflate", partitionBy: Seq[String] = Nil,
     sortedBy: Option[String] = None, bloomFor: Seq[String] = Nil,
-    ndvFor: Seq[String] = Nil)
+    ndvFor: Seq[String] = Nil, branchWrite: Boolean = false)
   extends WriteBuilder with SupportsTruncate {
 
   bloomFor.foreach { c =>
@@ -2365,7 +2482,14 @@ class AvroWriteBuilder(path: String, schema: StructType,
     }
   }
 
-  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def truncate(): WriteBuilder = {
+    // append-only staging overlay: an overwrite would make publish a
+    // rewrite instead of a pure file move — refuse loudly
+    if (branchWrite) throw new IllegalArgumentException(
+      "graft-avro: branches are append-only (write-audit-publish " +
+        "staging); publish or drop the branch instead of overwriting it")
+    doTruncate = true; this
+  }
 
   override def build(): Write = new Write {
     /** Transactional batch write (the FileFormatWriter commit-protocol

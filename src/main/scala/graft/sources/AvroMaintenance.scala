@@ -188,6 +188,126 @@ object AvroMaintenance {
     targetFiles
   }
 
+  // ------------------------------------------------------------------
+  // Branches — write-audit-publish staging (see the branch section in
+  // AvroFileSource for the storage model).
+  // ------------------------------------------------------------------
+
+  /** Fork a branch at main's current version. The overlay starts empty;
+    * stage data with `.option("branch", name)` writes, audit with
+    * `.option("branch", name)` reads (main-at-fork ∪ overlay), then
+    * [[publishBranch]] or [[dropBranch]]. The fork version is pinned
+    * against [[expireSnapshots]] via a `branch/<name>` ref. Returns the
+    * fork version.
+    */
+  def createBranch(dir: String, name: String): Long = {
+    val d = new File(dir)
+    // jumpstart journaling on a legacy table so the fork version exists
+    if (!AvroFileSource.snapshotsFile(d).isFile)
+      AvroFileSource.appendSnapshot(d, "branch-base")
+    val snaps = AvroFileSource.readSnapshots(d)
+    require(snaps.nonEmpty,
+      s"graft-avro: cannot branch '$dir' before its first commit")
+    val bd = AvroFileSource.branchDir(d, name)
+    require(!bd.exists(), s"graft-avro: branch '$name' already exists")
+    java.nio.file.Files.createDirectories(bd.toPath)
+    val forkV = snaps.last.version
+    java.nio.file.Files.write(AvroFileSource.branchForkFile(bd).toPath,
+      s"$forkV\n".getBytes("UTF-8"))
+    tag(dir, s"branch/$name", forkV)
+    forkV
+  }
+
+  /** Fast-forward publish: move the overlay's staged files into main
+    * (rename, never rewrite — names are generation-unique) and commit
+    * ONE snapshot that makes the whole set visible atomically. Refuses
+    * loudly when main advanced past the fork version (non-fast-forward:
+    * re-stage on a fresh branch) — the optimistic-concurrency rule that
+    * keeps publish exactly-once under concurrent writers. Additive
+    * manifests (all-column zones, blooms, row counts, NDV sketches)
+    * merge verbatim because relative paths are preserved; the sort
+    * claim does NOT survive an unverified append, so main's marker and
+    * sort-zone manifest are withdrawn together when files land. The
+    * branch is consumed (its files moved), so it is dropped. Returns
+    * main's new current version.
+    */
+  def publishBranch(dir: String, name: String): Long = {
+    val d = new File(dir)
+    val (forkV, bd) = AvroFileSource.branchFork(d, name)
+    val cur = AvroFileSource.readSnapshots(d).lastOption
+      .map(_.version).getOrElse(0L)
+    require(cur == forkV,
+      s"graft-avro: non-fast-forward publish of branch '$name' — main " +
+        s"is at v$cur, branch forked at v$forkV; re-stage on a fresh " +
+        "branch")
+    require(!AvroFileSource.deleteFile(bd).isFile,
+      s"graft-avro: branch '$name' carries a delete sidecar; branches " +
+        "are append-only overlays")
+    val base = bd.getAbsoluteFile.toPath
+    val moved = AvroFileSource.listAvro(bd).map { f =>
+      val rel = base.relativize(f.getAbsoluteFile.toPath).toString
+      val tgt = new File(d, rel)
+      if (tgt.exists()) throw new IllegalStateException(
+        s"graft-avro publish: target '$rel' already exists under $dir")
+      Option(tgt.getParentFile).foreach(_.mkdirs())
+      if (!f.renameTo(tgt)) throw new java.io.IOException(
+        s"graft-avro publish: rename failed $f -> $tgt")
+      rel
+    }
+    if (moved.nonEmpty) {
+      // additive manifests merge line-verbatim (absence ⇒ scan / stats
+      // withhold, so a partial result stays sound either way)
+      appendManifest(AvroFileSource.colZoneFile(bd),
+        AvroFileSource.colZoneFile(d))
+      appendManifest(AvroFileSource.bloomFile(bd),
+        AvroFileSource.bloomFile(d))
+      appendManifest(AvroFileSource.rowsFile(bd),
+        AvroFileSource.rowsFile(d))
+      appendManifest(AvroFileSource.ndvFile(bd), AvroFileSource.ndvFile(d))
+      // an unverified append invalidates the exact-ordering claim:
+      // marker and sort-zone manifest are withdrawn TOGETHER
+      AvroFileSource.sortMarker(d).delete()
+      AvroFileSource.zoneFile(d).delete()
+      AvroFileSource.appendSnapshot(d, s"publish:$name")
+    }
+    dropBranch(dir, name)
+    AvroFileSource.readSnapshots(d).last.version
+  }
+
+  /** Abandon a branch: delete the overlay and unpin its fork ref. */
+  def dropBranch(dir: String, name: String): Unit = {
+    val d = new File(dir)
+    val bd = AvroFileSource.branchDir(d, name)
+    require(bd.isDirectory, s"graft-avro: no branch '$name' to drop")
+    import java.nio.file.{Files => JF, Path}
+    JF.walk(bd.toPath).sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(p => JF.deleteIfExists(p))
+    val refs = AvroFileSource.readRefs(d)
+    if (refs.contains(s"branch/$name"))
+      AvroFileSource.writeRefs(d, refs - s"branch/$name")
+  }
+
+  /** Append src manifest's lines to dst (creating it if absent) via the
+    * staging + atomic-rename discipline every manifest write uses.
+    */
+  private def appendManifest(src: File, dst: File): Unit = {
+    if (!src.isFile) return
+    val add = new String(
+      java.nio.file.Files.readAllBytes(src.toPath), "UTF-8")
+    if (add.isEmpty) return
+    val existing =
+      if (dst.isFile)
+        new String(java.nio.file.Files.readAllBytes(dst.toPath), "UTF-8")
+      else ""
+    val joined =
+      if (existing.isEmpty || existing.endsWith("\n")) existing + add
+      else existing + "\n" + add
+    val tmp = new File(dst.getPath + ".staging")
+    java.nio.file.Files.write(tmp.toPath, joined.getBytes("UTF-8"))
+    if (!tmp.renameTo(dst)) throw new java.io.IOException(
+      s"graft-avro publish: rename failed $tmp -> $dst")
+  }
+
   /** Tag a snapshot version with a stable name (Iceberg tags): resolved
     * by `.option("tagAsOf", name)` reads and PINNED against
     * [[expireSnapshots]] until dropped.
