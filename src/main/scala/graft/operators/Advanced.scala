@@ -298,8 +298,77 @@ object Advanced extends Catalog {
       }
       known.select(F.col("v").as("doc_id"), F.col("dist"))
         .orderBy("doc_id")
+    }),
+
+    // Triangle counting via DEGREE ORIENTATION — the algorithm that
+    // scales to trillion-edge graphs: orient every undirected edge from
+    // its (degree, id)-smaller endpoint to the larger, so out-degrees
+    // are bounded by O(sqrt m) on bounded-arboricity graphs and wedge
+    // generation (the quadratic step of naive counting) never explodes
+    // on hub vertices. Each triangle is then counted EXACTLY once at
+    // its (degree, id)-minimal apex: two shuffle joins — wedges on the
+    // apex key, closure against the canonical undirected edge set on
+    // the (lo, hi) pair — no broadcast, no N². Per-vertex counts come
+    // from one final explode + groupBy. The oracle replays the same
+    // orientation in plain SQL joins.
+    "q_graph_triangles" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val mod = docs.agg(F.max("doc_id")).head().getLong(0) + 1
+      def target(off: Int) =
+        F.conv(F.substring(F.md5(F.col("text")), off, 12), 16, 10)
+          .cast("long") % mod
+      // 4-out md5 graph (denser than the BFS graph so triangles exist),
+      // canonicalized to the undirected simple edge set a < b.
+      val raw = docs.select(F.col("doc_id").as("u"),
+          F.explode(F.array(target(1), target(9), target(17), target(25)))
+            .as("v"))
+      triangleCounts(raw)
+        .select(F.col("x").as("doc_id"), F.col("n_tri"))
+        .orderBy("doc_id")
     })
   )
+
+  /** Per-vertex triangle counts of the undirected simple graph induced by a
+    * directed multigraph edge list (u, v) — self-loops and duplicate edges
+    * are canonicalized away. Degree-oriented: out-degrees bounded by
+    * O(sqrt m), each triangle generated exactly once at its (deg, id)-lex
+    * minimal apex. Returns (x, n_tri) for every vertex on ≥1 triangle.
+    */
+  def triangleCounts(rawEdges: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val und = rawEdges
+      .filter(F.col("u") =!= F.col("v"))
+      .select(F.least(F.col("u"), F.col("v")).as("a"),
+        F.greatest(F.col("u"), F.col("v")).as("b"))
+      .distinct()
+      .localCheckpoint() // reused by degree, orientation, and closure
+    val deg = und.select(F.col("a").as("x"))
+      .unionAll(und.select(F.col("b").as("x")))
+      .groupBy("x").agg(F.count(F.lit(1)).as("d"))
+    // Orient a→b when (deg_a, a) <lex (deg_b, b); ties on degree break
+    // by id, so the orientation is a DAG under a total order.
+    val oriented = und
+      .join(deg.select(F.col("x").as("a"), F.col("d").as("da")), "a")
+      .join(deg.select(F.col("x").as("b"), F.col("d").as("db")), "b")
+      .select(
+        F.when(F.col("da") < F.col("db") ||
+            (F.col("da") === F.col("db") && F.col("a") < F.col("b")),
+            F.struct(F.col("a").as("u"), F.col("b").as("v")))
+          .otherwise(F.struct(F.col("b").as("u"), F.col("a").as("v")))
+          .as("e"))
+      .select(F.col("e.u").as("u"), F.col("e.v").as("v"))
+    // Wedges at the apex u (both out-neighbors, id-ordered once so each
+    // unordered pair appears exactly once), closed against `und`.
+    val o1 = oriented.select(F.col("u"), F.col("v").as("x"))
+    val o2 = oriented.select(F.col("u"), F.col("v").as("y"))
+    val tri = o1.join(o2, "u").filter(F.col("x") < F.col("y"))
+      .join(und, F.col("x") === F.col("a") && F.col("y") === F.col("b"))
+      .select(F.col("u"), F.col("x"), F.col("y"))
+    tri.select(F.explode(F.array(F.col("u"), F.col("x"), F.col("y")))
+        .as("x"))
+      .groupBy("x").agg(F.count(F.lit(1)).as("n_tri"))
+  }
 
   /** Shared Spark/DuckDB moment-statistics SQL — identical text modulo the
     * table name so the double arithmetic parenthesization matches exactly.
@@ -446,6 +515,52 @@ object Advanced extends Catalog {
              SELECT e.v, bfs.d + 1 FROM bfs JOIN e ON e.u = bfs.v
              WHERE bfs.d < 30)
          SELECT v AS doc_id, CAST(min(d) AS BIGINT) AS dist
-         FROM bfs GROUP BY v ORDER BY doc_id"""
+         FROM bfs GROUP BY v ORDER BY doc_id""",
+    // same degree orientation in plain SQL: canonical undirected set,
+    // degree table, (deg, id)-lex orientation, id-ordered wedges at the
+    // apex, closure membership against the canonical set — each triangle
+    // surfaces exactly once, then fans out to its three corners
+    "q_graph_triangles" ->
+      """WITH
+           mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+           raw AS (
+             SELECT doc_id AS u,
+                    CAST('0x' || substring(md5(text), 1, 12) AS BIGINT) % m AS v
+             FROM documents, mx
+             UNION ALL
+             SELECT doc_id,
+                    CAST('0x' || substring(md5(text), 9, 12) AS BIGINT) % m
+             FROM documents, mx
+             UNION ALL
+             SELECT doc_id,
+                    CAST('0x' || substring(md5(text), 17, 12) AS BIGINT) % m
+             FROM documents, mx
+             UNION ALL
+             SELECT doc_id,
+                    CAST('0x' || substring(md5(text), 25, 12) AS BIGINT) % m
+             FROM documents, mx),
+           und AS (
+             SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+             FROM raw WHERE u <> v),
+           deg AS (
+             SELECT x, count(*) AS d FROM (
+               SELECT a AS x FROM und UNION ALL SELECT b FROM und)
+             GROUP BY x),
+           oriented AS (
+             SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND und.a < und.b)
+                         THEN und.a ELSE und.b END AS u,
+                    CASE WHEN da.d < db.d OR (da.d = db.d AND und.a < und.b)
+                         THEN und.b ELSE und.a END AS v
+             FROM und
+             JOIN deg da ON da.x = und.a
+             JOIN deg db ON db.x = und.b),
+           tri AS (
+             SELECT o1.u, o1.v AS x, o2.v AS y
+             FROM oriented o1
+             JOIN oriented o2 ON o1.u = o2.u AND o1.v < o2.v
+             JOIN und ON und.a = o1.v AND und.b = o2.v)
+         SELECT c AS doc_id, CAST(count(*) AS BIGINT) AS n_tri
+         FROM (SELECT unnest([u, x, y]) AS c FROM tri)
+         GROUP BY c ORDER BY doc_id"""
   )
 }
