@@ -326,8 +326,52 @@ object Advanced extends Catalog {
       triangleCounts(raw)
         .select(F.col("x").as("doc_id"), F.col("n_tri"))
         .orderBy("doc_id")
+    }),
+
+    // SKYLINE (Pareto frontier, minimize both dims) — the multi-objective
+    // "best tradeoffs" operator. Naive dominance is an N² self-join; the
+    // scale shape exploits distributivity (skyline(A∪B) =
+    // skyline(skyline(A) ∪ skyline(B))): phase 1 computes per-bucket
+    // skylines with a PARTITIONED sorted sweep (one shuffle, no global
+    // funnel), phase 2 re-sweeps only the tiny survivor set globally.
+    // Each sweep is two window mins — strictly-smaller-size running min
+    // + same-size group min — so dominance is decided without any join.
+    // Money in exact integer cents; the oracle is the N² NOT EXISTS.
+    "q_skyline" -> ((s, dir) => {
+      val pts = table(s, dir, "part").select(
+        F.col("p_partkey"),
+        F.col("p_size"),
+        F.round(F.col("p_retailprice") * 100).cast("long").as("cents"))
+      skyline2D(skyline2D(pts, Some(F.pmod(F.col("p_partkey"), F.lit(32)))),
+          None)
+        .orderBy("p_partkey")
     })
   )
+
+  /** One skyline sweep (minimize p_size then cents): survivors are rows not
+    * dominated within their bucket (or globally when `bucket` is None).
+    * A row is dominated iff some row has strictly smaller size and ≤ cost
+    * (the running min over size < s), or equal size and strictly smaller
+    * cost (the size-group min). Ties on both dims survive together —
+    * neither dominates.
+    */
+  def skyline2D(pts: org.apache.spark.sql.DataFrame,
+      bucket: Option[org.apache.spark.sql.Column])
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withB = pts.withColumn("_b", bucket.getOrElse(F.lit(0)))
+    val wPrev = (if (bucket.isDefined) Window.partitionBy("_b")
+                 else Window.partitionBy())
+      .orderBy("p_size").rangeBetween(Window.unboundedPreceding, -1)
+    val wSame = if (bucket.isDefined) Window.partitionBy("_b", "p_size")
+                else Window.partitionBy("p_size")
+    withB
+      .withColumn("_m1", F.min("cents").over(wPrev))
+      .withColumn("_m2", F.min("cents").over(wSame))
+      .filter((F.col("_m1").isNull || F.col("_m1") > F.col("cents")) &&
+        F.col("_m2") === F.col("cents"))
+      .drop("_b", "_m1", "_m2")
+  }
 
   /** Per-vertex triangle counts of the undirected simple graph induced by a
     * directed multigraph edge list (u, v) — self-loops and duplicate edges
@@ -561,6 +605,21 @@ object Advanced extends Catalog {
              JOIN und ON und.a = o1.v AND und.b = o2.v)
          SELECT c AS doc_id, CAST(count(*) AS BIGINT) AS n_tri
          FROM (SELECT unnest([u, x, y]) AS c FROM tri)
-         GROUP BY c ORDER BY doc_id"""
+         GROUP BY c ORDER BY doc_id""",
+    // the quadratic dominance definition the distributed two-phase sweep
+    // must reproduce exactly: dominated = somebody ≤ on both dims and
+    // strictly < on at least one; both-dim ties survive together
+    "q_skyline" ->
+      """WITH pts AS (
+           SELECT p_partkey, p_size,
+                  CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+           FROM part)
+         SELECT p_partkey, p_size, cents
+         FROM pts p
+         WHERE NOT EXISTS (
+           SELECT 1 FROM pts q
+           WHERE q.p_size <= p.p_size AND q.cents <= p.cents
+             AND (q.p_size < p.p_size OR q.cents < p.cents))
+         ORDER BY p_partkey"""
   )
 }

@@ -100,4 +100,25 @@ class AdvancedSpec extends AnyFunSuite with SparkSpec with Matchers {
     rows.length shouldBe 10
     all(rows.map(_.getAs[Boolean]("cms_ok"))) shouldBe true
   }
+
+  test("two-phase skyline equals brute-force dominance on random points") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 4) {
+      // duplicates on purpose: small value ranges force both-dim ties
+      val pts = Seq.fill(300)(
+        (rnd.nextLong().abs % 100000, rnd.nextInt(12), rnd.nextInt(40).toLong))
+      val df = pts.toDF("p_partkey", "p_size", "cents")
+      val got = Advanced.skyline2D(
+          Advanced.skyline2D(df, Some(F.pmod(F.col("p_partkey"), F.lit(7)))),
+          None)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val want = pts.filter { case (_, s, c) =>
+        !pts.exists { case (_, s2, c2) =>
+          s2 <= s && c2 <= c && (s2 < s || c2 < c)
+        }
+      }.toSet
+      got shouldBe want
+    }
+  }
 }
