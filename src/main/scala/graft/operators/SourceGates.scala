@@ -6,6 +6,75 @@ import org.apache.spark.sql.{SparkSession, functions => F}
 case class StreamSession(user_id: Long, session_idx: Int, start_us: Long,
     end_us: Long, n_events: Long)
 
+/** One per-user profile emitted by q_stream_tws's StatefulProcessor. */
+case class TwsProfile(user_id: Long, n_events: Long, value_m: Long,
+    first_us: Long, last_us: Long, type_counts: String)
+
+/** `transformWithState` processor (the Spark-4 arbitrary-state API that
+  * supersedes flatMapGroupsWithState): typed state cells — a ValueState
+  * aggregate (n, Σmillis, first_us, last_us), a MapState of per-event-type
+  * counts, and a ValueState tracking the one live event-time timer so it
+  * can be deleted/re-registered as later events arrive. Every merge is
+  * order-independent (counts/sums/min/max), and NOTHING is emitted until
+  * the timer fires (watermark past last-event + 30 min), so the output is
+  * independent of micro-batch splits and equals the batch GROUP BY — the
+  * oracle-exactness contract shared with q_stream_sessions.
+  */
+class TwsProfileProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, Long, String, java.sql.Timestamp), TwsProfile] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{MapState, OutputMode, TTLConfig,
+    TimeMode, TimerValues, ValueState}
+
+  private val gapMs = 30L * 60000L
+  @transient private var agg: ValueState[(Long, Long, Long, Long)] = _
+  @transient private var types: MapState[String, Long] = _
+  @transient private var timerAt: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    agg = getHandle.getValueState("agg",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+    types = getHandle.getMapState("types",
+      Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    timerAt = getHandle.getValueState("timerAt",
+      Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long,
+      rows: Iterator[(Long, Long, Long, String, java.sql.Timestamp)],
+      tv: TimerValues): Iterator[TwsProfile] = {
+    var (n, sm, f, l) =
+      if (agg.exists()) agg.get() else (0L, 0L, Long.MaxValue, Long.MinValue)
+    rows.foreach { case (_, us, m, et, _) =>
+      n += 1; sm += m
+      if (us < f) f = us
+      if (us > l) l = us
+      types.updateValue(et,
+        (if (types.containsKey(et)) types.getValue(et) else 0L) + 1L)
+    }
+    agg.update((n, sm, f, l))
+    val expiry = l / 1000L + gapMs
+    if (!timerAt.exists() || timerAt.get() != expiry) {
+      if (timerAt.exists()) getHandle.deleteTimer(timerAt.get())
+      getHandle.registerTimer(expiry)
+      timerAt.update(expiry)
+    }
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, tv: TimerValues,
+      info: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+      : Iterator[TwsProfile] = {
+    val (n, sm, f, l) = agg.get()
+    val tc = types.iterator().toSeq.sortBy(_._1)
+      .map { case (et, c) => s"$et:$c" }.mkString(",")
+    agg.clear(); types.clear(); timerAt.clear()
+    Iterator.single(TwsProfile(key, n, sm, f, l, tc))
+  }
+}
+
 /** Oracle gates for the text-format sources (CSV, JSON lines) and the
   * stream-stream join — the most common real-user entry points that were
   * previously covered unit-only (SourceSinkSpec / StreamingSpec).
@@ -318,6 +387,72 @@ object SourceGates extends Catalog {
       s.read.format("graft-avro").load(out)
         .filter(F.col("user_id") =!= -1)
         .orderBy("user_id", "session_idx")
+    }),
+
+    // transformWithState (the Spark-4 arbitrary-state API, RocksDB-only):
+    // per-user profile — event count, exact-integer value sum, first/last
+    // event micros, and per-type counts from a MapState — emitted solely
+    // by event-time TIMERS (watermark past last event + 30 min), so
+    // micro-batch splits are invisible and the stream equals the batch
+    // GROUP BY. A mid-stream kill lands while the profiles exist only in
+    // the TWS state format inside RocksDB + its changelog; the restart
+    // must recover ValueState, MapState AND the registered timers, or
+    // counts drop / timers never fire — the oracle catches both.
+    "q_stream_tws" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      import s.implicits._
+      AvroGates.pinNoDataBatches(s)
+      val src = tempDir("graft_gate_tws_src")
+      val out = tempDir("graft_gate_tws_out")
+      val ckpt = tempDir("graft_gate_tws_ckpt")
+      val ev = table(s, dir, "events")
+        .select("ts", "user_id", "event_type", "value")
+      ev.repartition(3, F.col("user_id")).write.mode("overwrite").parquet(src)
+      val profiles = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .withWatermark("ts", "90 days")
+        // exact integers for the handler; the watermarked ts column must
+        // survive to the stateful operator (event-time mode requires it)
+        .select(F.col("user_id"), F.unix_micros(F.col("ts")).as("ts_us"),
+          F.floor(F.col("value") * 1000).cast("long").as("m"),
+          F.col("event_type"), F.col("ts"))
+        .as[(Long, Long, Long, String, java.sql.Timestamp)]
+        .groupByKey(_._1)
+        .transformWithState(new TwsProfileProcessor,
+          TimeMode.EventTime(), OutputMode.Append())
+      def start() = profiles.writeStream.format("graft-avro")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start(out)
+      AvroGates.withStateParallelism(s, 4) {
+       AvroGates.withRocksDbStateStore(s) {
+        val q1 = start()
+        try {
+          val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+          while (Option(q1.lastProgress).forall(_.numInputRows == 0) &&
+              q1.isActive && System.nanoTime() < deadline)
+            Thread.sleep(25)
+        } finally q1.stop() // kill: profile state + timers live ONLY in RocksDB
+        val q2 = start()
+        try {
+          q2.processAllAvailable()
+          val mm = ev.agg(F.min("ts"), F.max("ts")).head()
+          val (minTs, maxTs) = (mm.getTimestamp(0), mm.getTimestamp(1))
+          require(maxTs.getTime - minTs.getTime < 90L * 86400L * 1000L,
+            s"events span exceeds the 90-day watermark: $minTs .. $maxTs")
+          // watermark lands at sentinel - 90d = maxTs + 9d, past every
+          // real last-event + 30min timer
+          val sentinel = new java.sql.Timestamp(
+            maxTs.getTime + 99L * 86400L * 1000L)
+          Seq((sentinel, -1L, "zz", 0.0))
+            .toDF("ts", "user_id", "event_type", "value")
+            .write.mode("append").parquet(src)
+          q2.processAllAvailable()
+        } finally q2.stop()
+       }
+      }
+      s.read.format("graft-avro").load(out)
+        .filter(F.col("user_id") =!= -1)
+        .orderBy("user_id")
     })
   )
 
@@ -368,6 +503,27 @@ object SourceGates extends Catalog {
                 min(ts_us) AS start_us, max(ts_us) AS end_us,
                 count(*) AS n_events
          FROM s GROUP BY user_id, session_idx
-         ORDER BY user_id, session_idx"""
+         ORDER BY user_id, session_idx""",
+    // the batch definition the timer-gated stream must reproduce: plain
+    // per-user GROUP BY plus an ordered per-type count roll-up string
+    "q_stream_tws" ->
+      """WITH t AS (
+           SELECT user_id, event_type, count(*) AS c
+           FROM events GROUP BY user_id, event_type),
+         tc AS (
+           SELECT user_id,
+                  string_agg(event_type || ':' || c, ',' ORDER BY event_type)
+                    AS type_counts
+           FROM t GROUP BY user_id)
+         SELECT e.user_id,
+                count(*) AS n_events,
+                CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+                  AS value_m,
+                min(epoch_ns(ts) // 1000) AS first_us,
+                max(epoch_ns(ts) // 1000) AS last_us,
+                tc.type_counts
+         FROM events e JOIN tc ON tc.user_id = e.user_id
+         GROUP BY e.user_id, tc.type_counts
+         ORDER BY e.user_id"""
   )
 }
