@@ -529,6 +529,29 @@ object AvroGates extends Catalog {
           F.max("l_orderkey").as("max_key"))
     }),
 
+    // Declared write distribution (RequiresDistributionAndOrdering): the
+    // SINK requests range partitioning + per-task ordering on l_orderkey
+    // via requestSort=true — no repartitionByRange / sortWithinPartitions
+    // in user code — and Spark inserts the exchange + sort itself. The
+    // verified sortedBy claim (OrderVerifier throws on any unsorted file)
+    // proves the declared layout was actually applied; the selective read
+    // back then prunes whole files off the zone manifest the commit
+    // stamped, and the aggregate must still match the parquet truth.
+    "q_avro_sortreq" -> ((s, dir) => {
+      val tmp = tempDir("graft_gate_sortreq")
+      table(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+        .write.format("graft-avro").option("sortedBy", "l_orderkey")
+        .option("requestSort", "true")
+        .mode("overwrite").save(tmp)
+      s.read.format("graft-avro").load(tmp)
+        .filter(F.col("l_orderkey").between(3000, 9000))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).as("n_lines"),
+          F.round(F.sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // Zone-map pruned read under the oracle: lineitem goes through the
     // sink range-partitioned and verified-sorted on l_orderkey, so the
     // batch commit records each file's key range in the _graft_zones
@@ -938,6 +961,11 @@ object AvroGates extends Catalog {
                 round(sum(l_quantity), 2) AS sum_qty,
                 round(sum(l_extendedprice), 2) AS sum_price
          FROM lineitem WHERE l_orderkey < 2000
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_avro_sortreq" ->
+      """SELECT l_returnflag, count(*) AS n_lines,
+                round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem WHERE l_orderkey BETWEEN 3000 AND 9000
          GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_avro_minmax_any" ->
       """SELECT min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,

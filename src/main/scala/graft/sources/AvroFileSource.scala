@@ -1112,7 +1112,9 @@ case class AvroTable(path: String, tableSchema: StructType)
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
       Option(info.options().get("ndvFor")).toSeq
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
-      branchWrite = branchW.nonEmpty)
+      branchWrite = branchW.nonEmpty,
+      requestSort =
+        Option(info.options().get("requestSort")).exists(_.toBoolean))
   }
 }
 
@@ -2445,8 +2447,16 @@ case class AvroReaderFactory(required: StructType, full: StructType,
 class AvroWriteBuilder(path: String, schema: StructType,
     codec: String = "deflate", partitionBy: Seq[String] = Nil,
     sortedBy: Option[String] = None, bloomFor: Seq[String] = Nil,
-    ndvFor: Seq[String] = Nil, branchWrite: Boolean = false)
+    ndvFor: Seq[String] = Nil, branchWrite: Boolean = false,
+    requestSort: Boolean = false)
   extends WriteBuilder with SupportsTruncate {
+
+  // `requestSort` makes the WRITE declare its layout needs to Spark
+  // (RequiresDistributionAndOrdering) instead of trusting the caller to
+  // pre-arrange rows — pointless without a layout to request
+  require(!requestSort || sortedBy.isDefined || partitionBy.nonEmpty,
+    "graft-avro: requestSort=true needs sortedBy and/or partitionBy — " +
+      "there is no layout to request otherwise")
 
   bloomFor.foreach { c =>
     val f = schema.fields.find(_.name == c).getOrElse(
@@ -2491,7 +2501,40 @@ class AvroWriteBuilder(path: String, schema: StructType,
     doTruncate = true; this
   }
 
-  override def build(): Write = new Write {
+  override def build(): Write = new Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+    import org.apache.spark.sql.connector.distributions.{Distribution,
+      Distributions}
+    import org.apache.spark.sql.connector.expressions.{Expressions,
+      NullOrdering, SortDirection, SortOrder => VSortOrder}
+
+    /** Declared write layout (Iceberg's write-distribution pattern): with
+      * `requestSort`, Spark itself inserts the exchange + sort this sink
+      * needs — clustered on the partition columns when partitioned (each
+      * hive dir written by one task: no small-file fan-out), RANGE-
+      * partitioned on the sort column otherwise (globally sorted,
+      * non-overlapping files — the zone-pruning optimum). The in-task
+      * ordering below then makes the verified `sortedBy` claim succeed
+      * WITHOUT the caller pre-sorting; ascending nulls-first matches
+      * OrderVerifier exactly. Without `requestSort` both answers are
+      * no-ops (unspecified + empty) and the plan is untouched.
+      */
+    override def requiredDistribution(): Distribution =
+      if (!requestSort) Distributions.unspecified()
+      else if (partitionBy.nonEmpty)
+        Distributions.clustered(
+          partitionBy.map(Expressions.column(_): org.apache.spark.sql
+            .connector.expressions.Expression).toArray)
+      else Distributions.ordered(sortOrders)
+
+    override def requiredOrdering(): Array[VSortOrder] =
+      if (!requestSort) Array.empty else sortOrders
+
+    private def sortOrders: Array[VSortOrder] =
+      (partitionBy ++ sortedBy.filterNot(partitionBy.contains)).map { c =>
+        Expressions.sort(Expressions.column(c),
+          SortDirection.ASCENDING, NullOrdering.NULLS_FIRST)
+      }.toArray
     /** Transactional batch write (the FileFormatWriter commit-protocol
       * shape): tasks write to `*.staging` names — invisible to readers,
       * which list only `*.avro` — and report (staged, final) pairs in
