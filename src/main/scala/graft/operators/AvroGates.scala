@@ -529,6 +529,33 @@ object AvroGates extends Catalog {
           F.max("l_orderkey").as("max_key"))
     }),
 
+    // PARTITION EVOLUTION under the oracle: half of orders lands
+    // partitioned by o_orderpriority, the other half is APPENDED under a
+    // different spec (o_orderstatus) — the mixed-spec table must read as
+    // one dataset, with the priority filter pruning old-spec dirs by
+    // path and new-spec files only via their column zones (absence of a
+    // segment ⇒ keep), so not one row is lost across the spec change.
+    // The aggregate re-derives from the parquet original.
+    "q_avro_partevolve" -> ((s, dir) => {
+      val tmp = tempDir("graft_gate_pevolve")
+      val orders = table(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority",
+          "o_totalprice")
+      orders.filter(F.col("o_orderkey") % 2 === 0)
+        .write.format("graft-avro").option("partitionBy", "o_orderpriority")
+        .mode("overwrite").save(tmp)
+      orders.filter(F.col("o_orderkey") % 2 === 1)
+        .write.format("graft-avro").option("partitionBy", "o_orderstatus")
+        .mode("append").save(tmp)
+      s.read.format("graft-avro").load(tmp)
+        .filter(F.col("o_orderpriority") === "1-URGENT")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).as("n_orders"),
+          F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .as("cents_total"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Declared write distribution (RequiresDistributionAndOrdering): the
     // SINK requests range partitioning + per-task ordering on l_orderkey
     // via requestSort=true — no repartitionByRange / sortWithinPartitions
@@ -967,6 +994,12 @@ object AvroGates extends Catalog {
                 round(sum(l_quantity), 2) AS sum_qty
          FROM lineitem WHERE l_orderkey BETWEEN 3000 AND 9000
          GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_avro_partevolve" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents_total
+         FROM orders WHERE o_orderpriority = '1-URGENT'
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q_avro_minmax_any" ->
       """SELECT min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
                 max(l_suppkey) AS max_supp,

@@ -1387,10 +1387,19 @@ class AvroScanBuilder(path: String, full: StructType,
       // declare the directory-layout columns as filterable; at execution
       // Spark hands the build side of a broadcast join as IN predicates,
       // which prune whole partition directories before any file opens.
+      // UNION over all files' `k=v` segments, not the first file's:
+      // under PARTITION EVOLUTION (appends written with a different
+      // partitionBy) the directory carries several specs at once, and
+      // every spec's columns must stay filterable — each file is pruned
+      // against the values ITS OWN path carries (partitionMayMatch /
+      // runtimeMayMatch treat a missing segment as "keep", so old-spec
+      // filters never wrongly prune new-spec files and vice versa).
+      // Per-file insertion order (outer dir first) is preserved;
+      // `distinct` keeps the first occurrence so uniform layouts report
+      // the same column order as before.
       private lazy val partitionCols: Seq[String] =
-        listed.headOption
-          .map(_._2.keys.toSeq.filter(full.fieldNames.contains))
-          .getOrElse(Nil)
+        listed.flatMap(_._2.keys.toSeq).distinct
+          .filter(full.fieldNames.contains)
 
       @volatile private var runtimeIn: Map[String, Set[String]] = Map.empty
       // runtime IN-sets against column zones: EXTERNAL values per column
