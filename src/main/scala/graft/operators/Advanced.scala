@@ -328,6 +328,13 @@ object Advanced extends Catalog {
         .orderBy("doc_id")
     }),
 
+    // Recursive CTE through spark.sql — see mgmtChainSql. The temp view
+    // is the raw parquet table; everything else is the shared SQL text.
+    "q_recursive_sql" -> ((s, dir) => {
+      table(s, dir, "supplier").createOrReplaceTempView("supplier")
+      s.sql(mgmtChainSql("div"))
+    }),
+
     // SKYLINE (Pareto frontier, minimize both dims) — the multi-objective
     // "best tradeoffs" operator. Naive dominance is an N² self-join; the
     // scale shape exploits distributivity (skyline(A∪B) =
@@ -347,6 +354,30 @@ object Advanced extends Catalog {
         .orderBy("p_partkey")
     })
   )
+
+  /** True recursive CTE ON THE ENGINE'S OWN SQL SURFACE (Spark 4
+    * recursion): the SAME query text — modulo the one integer-division
+    * dialect token (Spark `div`, DuckDB `//`, equal on the positive keys
+    * here) — runs through `spark.sql` AND the oracle. Management-chain
+    * walk over the binary tree `parent(k) = k div 2` rooted at supplier 1:
+    * depth + running minimum balance along the ancestor chain. Spark
+    * executes each recursion level as one shuffle join off the previous
+    * frontier (the Pregel shape the hand-built BFS/SSSP loops use), so
+    * the declarative form scales the same way.
+    */
+  private def mgmtChainSql(div: String): String =
+    s"""WITH RECURSIVE s AS (
+       |  SELECT s_suppkey, CAST(round(s_acctbal * 100) AS BIGINT) AS bal
+       |  FROM supplier),
+       |chain AS (
+       |  SELECT s_suppkey, 0 AS depth, bal AS min_bal
+       |  FROM s WHERE s_suppkey = 1
+       |  UNION ALL
+       |  SELECT c.s_suppkey, p.depth + 1, LEAST(p.min_bal, c.bal)
+       |  FROM chain p JOIN s c ON c.s_suppkey $div 2 = p.s_suppkey
+       |  WHERE c.s_suppkey <> 1)
+       |SELECT s_suppkey, depth, min_bal FROM chain
+       |ORDER BY s_suppkey""".stripMargin
 
   /** One skyline sweep (minimize p_size then cents): survivors are rows not
     * dominated within their bucket (or globally when `bucket` is None).
@@ -606,6 +637,7 @@ object Advanced extends Catalog {
          SELECT c AS doc_id, CAST(count(*) AS BIGINT) AS n_tri
          FROM (SELECT unnest([u, x, y]) AS c FROM tri)
          GROUP BY c ORDER BY doc_id""",
+    "q_recursive_sql" -> mgmtChainSql("//"),
     // the quadratic dominance definition the distributed two-phase sweep
     // must reproduce exactly: dominated = somebody ≤ on both dims and
     // strictly < on at least one; both-dim ties survive together
