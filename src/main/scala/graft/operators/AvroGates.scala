@@ -529,6 +529,25 @@ object AvroGates extends Catalog {
           F.max("l_orderkey").as("max_key"))
     }),
 
+    // `files` metadata table under the oracle: a clustered partitioned
+    // write (requestSort ⇒ exactly one file per hive dir) makes the
+    // per-file physical record counts equal the per-partition GROUP BY —
+    // so the metadata table's block-header counts (zero rows decoded,
+    // header walk distributed over executors) are checked row-for-row
+    // against the data itself.
+    "q_avro_files" -> ((s, dir) => {
+      val tmp = tempDir("graft_gate_files")
+      table(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .write.format("graft-avro")
+        .option("partitionBy", "o_orderpriority")
+        .option("requestSort", "true")
+        .mode("overwrite").save(tmp)
+      graft.sources.AvroMaintenance.filesTable(s, tmp)
+        .select(F.col("part"), F.col("n_records"))
+        .orderBy("part")
+    }),
+
     // PARTITION EVOLUTION under the oracle: half of orders lands
     // partitioned by o_orderpriority, the other half is APPENDED under a
     // different spec (o_orderstatus) — the mixed-spec table must read as
@@ -994,6 +1013,10 @@ object AvroGates extends Catalog {
                 round(sum(l_quantity), 2) AS sum_qty
          FROM lineitem WHERE l_orderkey BETWEEN 3000 AND 9000
          GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_avro_files" ->
+      """SELECT 'o_orderpriority=' || o_orderpriority AS part,
+                count(*) AS n_records
+         FROM orders GROUP BY o_orderpriority ORDER BY part""",
     "q_avro_partevolve" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))

@@ -404,6 +404,48 @@ object AvroMaintenance {
     removed
   }
 
+  /** `files` METADATA TABLE (the Iceberg `table$files` analogue): one row
+    * per live data file — relative path, the hive partition prefix (""
+    * for flat files), on-disk bytes, and the PHYSICAL record count read
+    * from the container block headers (zero rows decoded; pending
+    * equality deletes are merge-on-read and do NOT reduce these counts).
+    * The listing is driver-side metadata — same as planning — but the
+    * per-file header walk is DISTRIBUTED over executors, so a
+    * million-file table inspects at cluster speed, not driver speed.
+    */
+  def filesTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = new File(dir).getAbsoluteFile.toPath
+    val rels = AvroFileSource.listPartitioned(new File(dir)).map {
+      case (f, _) => base.relativize(f.getAbsoluteFile.toPath).toString
+    }
+    val root = base.toString
+    val slices = math.max(1, math.min(rels.size, 32))
+    spark.createDataset(rels).repartition(slices)
+      .mapPartitions { it =>
+        it.map { rel =>
+          val f = new File(root, rel)
+          val r = new org.apache.avro.file.DataFileReader(f,
+            new org.apache.avro.generic.GenericDatumReader[
+              org.apache.avro.generic.GenericRecord]())
+          var n = 0L
+          try while (r.hasNext) { n += r.getBlockCount; r.nextBlock() }
+          finally r.close()
+          // surface DECODED partition values (the writer URL-encodes
+          // segment values; `__null__` is the null marker, kept verbatim)
+          val part = rel.split('/').dropRight(1).map { seg =>
+            seg.split("=", 2) match {
+              case Array(k, v) if v != "__null__" =>
+                k + "=" + java.net.URLDecoder.decode(v, "UTF-8")
+              case _ => seg
+            }
+          }.mkString("/")
+          (rel, part, f.length(), n)
+        }
+      }
+      .toDF("rel", "part", "bytes", "n_records")
+  }
+
   /** On-disk bytes of the table's alive data files. */
   def listBytes(dir: String): Long =
     AvroFileSource.listAvro(new File(dir)).map(_.length()).sum

@@ -74,6 +74,18 @@ class AvroPartEvolveSpec extends AnyFunSuite with SparkSpec with Matchers {
     back.filter(F.col("pa") === "px").count() shouldBe 50
   }
 
+  test("files metadata table reports both specs with exact counts") {
+    val dir = tmp()
+    writeEvolved(dir)
+    val ft = AvroMaintenance.filesTable(spark, dir).collect()
+    ft.length shouldBe 4
+    ft.map(_.getAs[String]("rel")).distinct.length shouldBe 4
+    ft.map(_.getAs[String]("part")).sorted shouldBe
+      Array("pa=p0", "pa=p1", "pb=q0", "pb=q1")
+    ft.map(_.getAs[Long]("n_records")).sum shouldBe 200L
+    all(ft.map(_.getAs[Long]("bytes"))) should be > 0L
+  }
+
   test("SPJ key reporting declines on a mixed layout") {
     val dir = tmp()
     writeEvolved(dir)
