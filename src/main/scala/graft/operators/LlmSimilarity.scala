@@ -296,6 +296,28 @@ object LlmSimilarity extends Catalog {
         .orderBy("qid", "rn")
     }),
 
+    // HARD-NEGATIVE MINING (contrastive training prep): for each query,
+    // the top-3 most-similar vectors whose label DIFFERS — near the
+    // anchor in embedding space but of another class, exactly the
+    // negatives a contrastive loss wants. Broadcast query batch × corpus
+    // scan (Q·N work, the honest shape for a bounded mining batch);
+    // at full-corpus scale the candidate set restricts to IVF probes of
+    // neighboring cells first, as in llm_similar_ivf_kmeans.
+    "llm_hard_negatives" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").as("qid"), F.col("label").as("qlabel"),
+          F.col("embedding").as("qe"), F.col("ss").as("qss"))
+      val w = Window.partitionBy("qid")
+        .orderBy(F.col("cos_m").desc, F.col("vec_id"))
+      e.crossJoin(F.broadcast(q))
+        .filter(F.col("label") =!= F.col("qlabel"))
+        .select(F.col("qid"), F.col("vec_id"), cosM.as("cos_m"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .orderBy("qid", "rn")
+    }),
+
     // IVF probe: every vector searches its own label cell, top-3.
     "llm_similar_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -1150,6 +1172,28 @@ object LlmSimilarity extends Catalog {
            FROM pairs)
          SELECT qid, vec_id, cos_m, rn FROM ranked
          WHERE rn <= 5 ORDER BY qid, rn""",
+    "llm_hard_negatives" ->
+      """WITH e AS (
+           SELECT vec_id, label, embedding,
+                  list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS ss
+           FROM embeddings),
+         q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qe,
+                      ss AS qss
+               FROM e WHERE vec_id < 20),
+         pairs AS (
+           SELECT q.qid, e.vec_id,
+                  CAST(floor(1000000.0 *
+                    (list_sum(list_transform(generate_series(1, len(q.qe)),
+                       k -> CAST(q.qe[k] AS DOUBLE) * CAST(e.embedding[k] AS DOUBLE)))
+                     / (sqrt(q.qss) * sqrt(e.ss)))) AS BIGINT) AS cos_m
+           FROM q JOIN e ON e.label <> q.qlabel),
+         ranked AS (
+           SELECT *, CAST(row_number() OVER (PARTITION BY qid
+                       ORDER BY cos_m DESC, vec_id) AS INT) AS rn
+           FROM pairs)
+         SELECT qid, vec_id, cos_m, rn FROM ranked
+         WHERE rn <= 3 ORDER BY qid, rn""",
     "llm_similar_lsh" ->
       """WITH e AS (
            SELECT vec_id, embedding,

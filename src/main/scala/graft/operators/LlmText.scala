@@ -313,6 +313,22 @@ object LlmText extends Catalog {
         .orderBy("lang", "doc_id")
     }),
 
+    // Curriculum ordering: the training-order op — rank docs easiest-
+    // first (longer docs ≈ harder here; any integer difficulty signal
+    // slots in) WITHIN each language, then interleave languages
+    // round-robin by rank so every training window sees a language mix.
+    // No global row_number funnel: (rank, lang) IS the curriculum
+    // position; per-lang ranking is one partitioned window shuffle.
+    "llm_curriculum" -> ((s, dir) => {
+      val w = Window.partitionBy("lang")
+        .orderBy(F.col("n_words"), F.col("doc_id"))
+      docs(s, dir)
+        .select(F.col("doc_id"), F.col("lang"),
+          F.size(F.col("w")).cast("long").as("n_words"))
+        .withColumn("rank", F.row_number().over(w))
+        .orderBy("rank", "lang", "doc_id")
+    }),
+
     // Context chunking: split each document into fixed 50-word windows
     // (the training-sequence prep step). Narrow explode; chunk count is
     // derived per row, no shuffle before the oracle ORDER BY.
@@ -549,6 +565,14 @@ object LlmText extends Catalog {
                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
                FROM documents)
          ORDER BY lang, doc_id""",
+    "llm_curriculum" ->
+      """SELECT doc_id, lang, n_words,
+                CAST(row_number() OVER (PARTITION BY lang
+                  ORDER BY n_words, doc_id) AS INT) AS rank
+         FROM (SELECT doc_id, lang,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+               FROM documents)
+         ORDER BY rank, lang, doc_id""",
     "llm_chunks" ->
       """SELECT doc_id, CAST(t.i AS INT) AS chunk_idx,
                 CAST(length(array_to_string(w[t.i*50 + 1 : t.i*50 + 50], ' '))
