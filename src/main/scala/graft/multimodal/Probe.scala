@@ -60,6 +60,7 @@ object Probe {
             case "aud/wav" => Wav.decode(a.payload)
             case "aud/mulaw" => Wav.decodeMulaw(a.payload)
             case "aud/adpcm" => Adpcm.decode(a.payload)
+            case "aud/flac" => Flac.decode(a.payload)
             case "vid/avi" => Avi.decode(a.payload)
             case "vid/mjpeg" => Avi.decodeMjpeg(a.payload)
             case other =>
@@ -93,6 +94,9 @@ object Probe {
               samples.length.toLong
             case "aud/adpcm" =>
               val (_, samples) = Adpcm.decode(a.payload)
+              samples.length.toLong
+            case "aud/flac" =>
+              val (_, samples) = Flac.decode(a.payload)
               samples.length.toLong
             case "vid/avi" =>
               val (_, _, frames) = Avi.decode(a.payload); frames.length.toLong

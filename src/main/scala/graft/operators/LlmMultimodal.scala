@@ -562,6 +562,39 @@ object LlmMultimodal extends Catalog {
         .orderBy("doc_id")
     }),
 
+    // REAL FLAC subset (the FIFTH compression family: linear-predictive
+    // entropy coding) — each document synthesizes 512 small-amplitude
+    // samples, encodes them as a spec-shaped FLAC stream (STREAMINFO,
+    // CRC-8/CRC-16-protected frames, fixed order-2 prediction, one Rice
+    // partition with exact per-frame best-k), and decodes distributed.
+    // Lossless ⇒ the oracle re-derives the features from the synthesis
+    // formula directly; n_bytes additionally pins the ENCODER — the
+    // oracle replays the Rice bit-cost argmin and the whole bit-layout
+    // arithmetic, so one drifted bit in the writer fails the gate.
+    // Round-trip + CRC + totality are fuzz-proven in CodecFuzzLaws.
+    "llm_audio_flac" -> ((s, dir) => {
+      import s.implicits._
+      val assets = table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .filter(F.col("n_chars") > 0)
+        .select(F.col("doc_id"), F.col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val b = text.getBytes("UTF-8")
+          val samples = Array.tabulate[Short](512) { i =>
+            (((b(i % b.length) & 0xff) * 997 + i * 131) % 4096 - 2048).toShort
+          }
+          graft.multimodal.RawAsset(id,
+            graft.multimodal.Flac.encode(44100, samples), "aud/flac", 0, 0, 1)
+        }
+      graft.multimodal.Flac.analyzeAssets(assets)
+        .toDF()
+        .select(F.col("docId").as("doc_id"),
+          F.col("nSamples").as("n_samples"),
+          F.col("wsum"), F.col("peak"), F.col("nBytes").as("n_bytes"))
+        .orderBy("doc_id")
+    }),
+
     // REAL video frame sampling on the codec-free container (RIFF AVI
     // with uncompressed 24-bpp DIB '00db' frames): synthesize a 6-frame
     // video per document (frame f's pixels tile the text with a 17·f
@@ -702,7 +735,7 @@ object LlmMultimodal extends Catalog {
         .as[(Long, String)]
         .map { case (id, text) =>
           val bytes = text.getBytes("UTF-8")
-          val (fmt, payload) = (id % 7) match {
+          val (fmt, payload) = (id % 8) match {
             case 0 =>
               val w = bytes.length % 12 + 4
               val h = (id % 12).toInt + 4
@@ -743,19 +776,25 @@ object LlmMultimodal extends Catalog {
                 bytes(((y / 8) * wB + (x / 8)) % bytes.length)
               }
               ("img/jpeg", graft.multimodal.Jpeg.encode(w, h, pix))
-            case _ => // sequential predictive coding: the ADPCM stream
+            case 6 => // sequential predictive coding: the ADPCM stream
               val samples = Array.tabulate[Short](128) { i =>
                 ((((bytes((i * 5) % bytes.length) & 0xff) * 157 + i * 331)
                   % 4001 - 2000) * 8).toShort
               }
               ("aud/adpcm", graft.multimodal.Adpcm.encode(8000, samples))
+            case _ => // linear-predictive entropy coding: the FLAC stream
+              val samples = Array.tabulate[Short](512) { i =>
+                (((bytes(i % bytes.length) & 0xff) * 997 + i * 131) % 4096
+                  - 2048).toShort
+              }
+              ("aud/flac", graft.multimodal.Flac.encode(44100, samples))
           }
           if (id % 6 == 0) payload(0) = 'X'.toByte // corrupt the magic
           graft.multimodal.RawAsset(id, payload, fmt, 0, 0, 0)
         }
-      // one probe pass, pinned: seven downstream branches (six modality
+      // one probe pass, pinned: nine downstream branches (eight modality
       // extractors + quarantine) would otherwise each recompute
-      // synthesize+probe over the corpus — at scale, seven full passes
+      // synthesize+probe over the corpus — at scale, nine full passes
       val routed = graft.multimodal.Probe.routeAssets(assets).localCheckpoint()
       def branch(fmt: String) = routed
         .filter(r => r.ok && r.fmt == fmt)
@@ -797,13 +836,17 @@ object LlmMultimodal extends Catalog {
         .toDF("doc_id", "f1", "f2")
         .select(F.col("doc_id"), F.lit("aud/adpcm").as("fmt"), okRow,
           F.col("f1"), F.col("f2"))
+      val flac = graft.multimodal.Flac.analyzeAssets(branch("aud/flac"))
+        .toDF()
+        .select(F.col("docId").as("doc_id"), F.lit("aud/flac").as("fmt"),
+          okRow, F.col("wsum").as("f1"), F.col("peak").as("f2"))
       val quarantined = routed.filter(r => !r.ok).toDF()
         .select(F.col("docId").as("doc_id"), F.col("fmt"),
           F.lit("quarantined").as("status"),
           F.lit(0L).as("f1"), F.lit(0L).as("f2"))
       bmp.unionByName(wav).unionByName(avi).unionByName(png)
         .unionByName(gif).unionByName(jpeg).unionByName(adpcm)
-        .unionByName(quarantined)
+        .unionByName(flac).unionByName(quarantined)
         .orderBy("doc_id")
     })
   )
@@ -1166,6 +1209,58 @@ object LlmMultimodal extends Catalog {
            FROM lagged GROUP BY 1, 2)
          SELECT doc_id, win, sumsq, crossings, peak
          FROM feat ORDER BY doc_id, win""",
+    // FLAC features + the full ENCODER bit-cost arithmetic in SQL:
+    // synthesized samples → per-frame order-2 residuals (window lag
+    // within each 256-sample frame) → zigzag fold → exact Rice
+    // parameter argmin over k ∈ 0..14 (ties to smallest k, mirroring
+    // Flac.bestK) → per-frame payload bits 48(header)+8(subframe)+
+    // 32(warmup)+10(residual header)+Σ((u>>k)+1+k), byte-ceil, +2 CRC
+    // bytes; file = 4 magic + 38 STREAMINFO + frames. All operands
+    // non-negative before the -2048 shift, so % agrees across engines.
+    "llm_audio_flac" ->
+      """WITH d AS (
+           SELECT doc_id, text, length(text) AS n
+           FROM documents WHERE length(text) > 0),
+         smp AS (
+           SELECT doc_id, t.i AS i,
+                  ((ord(substring(text, (t.i % n) + 1, 1)) * 997
+                    + t.i * 131) % 4096) - 2048 AS s
+           FROM d, unnest(generate_series(0, 511)) t(i)),
+         res AS (
+           SELECT doc_id, i // 256 AS f, i % 256 AS j,
+                  s - 2 * lag(s, 1) OVER w + lag(s, 2) OVER w AS r
+           FROM smp
+           WINDOW w AS (PARTITION BY doc_id, i // 256 ORDER BY i)),
+         folded AS (
+           SELECT doc_id, f,
+                  CASE WHEN r >= 0 THEN 2 * r ELSE -2 * r - 1 END AS u
+           FROM res WHERE j >= 2),
+         kcost AS (
+           SELECT doc_id, f, kk.k AS k,
+                  CAST(sum((u >> kk.k) + 1 + kk.k) AS BIGINT) AS bits
+           FROM folded,
+                (SELECT unnest(generate_series(0, 14)) AS k) kk
+           GROUP BY doc_id, f, kk.k),
+         bestk AS (
+           SELECT doc_id, f, bits FROM (
+             SELECT doc_id, f, bits,
+                    row_number() OVER (PARTITION BY doc_id, f
+                      ORDER BY bits, k) AS rn
+             FROM kcost) WHERE rn = 1),
+         frames AS (
+           SELECT doc_id,
+                  CAST(sum((48 + 8 + 32 + 10 + bits + 7) // 8 + 2)
+                    AS BIGINT) AS fbytes
+           FROM bestk GROUP BY doc_id),
+         feat AS (
+           SELECT doc_id,
+                  CAST(sum(CAST(s AS BIGINT) * (i + 1)) AS BIGINT) AS wsum,
+                  CAST(max(abs(s)) AS BIGINT) AS peak
+           FROM smp GROUP BY doc_id)
+         SELECT feat.doc_id, CAST(512 AS BIGINT) AS n_samples, wsum, peak,
+                CAST(42 + fbytes AS BIGINT) AS n_bytes
+         FROM feat JOIN frames ON frames.doc_id = feat.doc_id
+         ORDER BY feat.doc_id""",
     // The IMA ADPCM recurrence as SQL: x = the synthesized samples; the
     // recursive term joins the previous state (pred, idx) to sample i+1
     // and the step table, re-derives the encoder's 4-bit code with the
@@ -1312,7 +1407,8 @@ object LlmMultimodal extends Catalog {
     // (peak for BMP, pixel count for PNG), GIF index sum/peak over w·h
     // single-channel tiles, WAV Σs² + window-local sign flips over the
     // synthesized 256-sample waveform, AVI Σ|frame diff| + peak diff
-    // over the 5 inter-frame deltas; corrupt payloads (doc_id % 7 = 0)
+    // over the 5 inter-frame deltas, FLAC position-weighted sample sum +
+    // peak over the 512-sample synthesis; corrupt payloads (doc_id % 6 = 0)
     // must appear exactly once as zeroed quarantine rows.
     "llm_media_pipeline" ->
       """WITH RECURSIVE d AS (
@@ -1325,7 +1421,7 @@ object LlmMultimodal extends Catalog {
                         ord(substring(d.text, (t.i % d.n) + 1, 1)) AS v
                  FROM d, unnest(generate_series(0,
                         ((d.n % 12) + 4) * ((d.doc_id % 12) + 4) * 3 - 1)) t(i)
-                 WHERE d.doc_id % 7 = 0 AND d.doc_id % 6 <> 0)
+                 WHERE d.doc_id % 8 = 0 AND d.doc_id % 6 <> 0)
            GROUP BY doc_id),
          wav AS (
            SELECT doc_id, CAST(sum(CAST(s AS BIGINT) * s) AS BIGINT) AS f1,
@@ -1337,7 +1433,7 @@ object LlmMultimodal extends Catalog {
                          ((ord(substring(d.text, (t.i % d.n) + 1, 1)) * 997
                            + t.i * 131) % 65536) - 32768 AS s
                        FROM d, unnest(generate_series(0, 255)) t(i)
-                       WHERE d.doc_id % 7 = 1 AND d.doc_id % 6 <> 0))
+                       WHERE d.doc_id % 8 = 1 AND d.doc_id % 6 <> 0))
            GROUP BY doc_id),
          avi AS (
            SELECT doc_id, CAST(sum(dd) AS BIGINT) AS f1,
@@ -1351,7 +1447,7 @@ object LlmMultimodal extends Catalog {
                       unnest(generate_series(1, 5)) t(f),
                       unnest(generate_series(0,
                         ((d.n % 8) + 4) * ((d.doc_id % 6) + 4) * 3 - 1)) t2(j)
-                 WHERE d.doc_id % 7 = 2 AND d.doc_id % 6 <> 0)
+                 WHERE d.doc_id % 8 = 2 AND d.doc_id % 6 <> 0)
            GROUP BY doc_id),
          png AS (
            SELECT doc_id, CAST(sum(v) AS BIGINT) AS f1,
@@ -1361,7 +1457,7 @@ object LlmMultimodal extends Catalog {
                         ord(substring(d.text, (t.i % d.n) + 1, 1)) AS v
                  FROM d, unnest(generate_series(0,
                         ((d.n % 12) + 4) * ((d.doc_id % 12) + 4) * 3 - 1)) t(i)
-                 WHERE d.doc_id % 7 = 3 AND d.doc_id % 6 <> 0)
+                 WHERE d.doc_id % 8 = 3 AND d.doc_id % 6 <> 0)
            GROUP BY doc_id),
          gif AS (
            SELECT doc_id, CAST(sum(v) AS BIGINT) AS f1,
@@ -1370,12 +1466,12 @@ object LlmMultimodal extends Catalog {
                         ord(substring(d.text, (t.i % d.n) + 1, 1)) AS v
                  FROM d, unnest(generate_series(0,
                         ((d.n % 12) + 4) * ((d.doc_id % 12) + 4) - 1)) t(i)
-                 WHERE d.doc_id % 7 = 4 AND d.doc_id % 6 <> 0)
+                 WHERE d.doc_id % 8 = 4 AND d.doc_id % 6 <> 0)
            GROUP BY doc_id),
          jd AS (
            SELECT doc_id, text, n, (n % 20) + 8 AS w, (doc_id % 20) + 8 AS h,
                   ((n % 20) + 8 + 7) // 8 AS wb
-           FROM d WHERE doc_id % 7 = 5 AND doc_id % 6 <> 0),
+           FROM d WHERE doc_id % 8 = 5 AND doc_id % 6 <> 0),
          jpeg AS (
            SELECT doc_id, CAST(sum(v) AS BIGINT) AS f1,
                   CAST(any_value(w) * any_value(h) AS BIGINT) AS f2
@@ -1390,7 +1486,7 @@ object LlmMultimodal extends Catalog {
                   ((ord(substring(text, ((t.i * 5) % n) + 1, 1)) * 157
                     + t.i * 331) % 4001 - 2000) * 8 AS x
            FROM d, (SELECT unnest(generate_series(0, 127)) AS i) t
-           WHERE doc_id % 7 = 6 AND doc_id % 6 <> 0),
+           WHERE doc_id % 8 = 6 AND doc_id % 6 <> 0),
          ast AS (SELECT i.i AS idx, l.l[i.i + 1] AS s
                  FROM (SELECT [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,20350,22385,24623,27086,29794,32767] AS l) l,
                       (SELECT unnest(generate_series(0, 88)) AS i) i),
@@ -1445,25 +1541,37 @@ object LlmMultimodal extends Catalog {
            SELECT doc_id, CAST(sum(pred * (i + 1)) AS BIGINT) AS f1,
                   CAST(max(abs(pred)) AS BIGINT) AS f2
            FROM arec GROUP BY doc_id),
+         flac AS (
+           SELECT doc_id, CAST(sum(CAST(s AS BIGINT) * (i + 1)) AS BIGINT)
+                    AS f1,
+                  CAST(max(abs(s)) AS BIGINT) AS f2
+           FROM (SELECT d.doc_id, t.i AS i,
+                        ((ord(substring(d.text, (t.i % d.n) + 1, 1)) * 997
+                          + t.i * 131) % 4096) - 2048 AS s
+                 FROM d, unnest(generate_series(0, 511)) t(i)
+                 WHERE d.doc_id % 8 = 7 AND d.doc_id % 6 <> 0)
+           GROUP BY doc_id),
          routed AS (
            SELECT doc_id,
-                  CASE doc_id % 7 WHEN 0 THEN 'img/bmp' WHEN 1 THEN 'aud/wav'
+                  CASE doc_id % 8 WHEN 0 THEN 'img/bmp' WHEN 1 THEN 'aud/wav'
                        WHEN 2 THEN 'vid/avi' WHEN 3 THEN 'img/png'
                        WHEN 4 THEN 'img/gif' WHEN 5 THEN 'img/jpeg'
-                       ELSE 'aud/adpcm' END AS fmt,
+                       WHEN 6 THEN 'aud/adpcm'
+                       ELSE 'aud/flac' END AS fmt,
                   CASE WHEN doc_id % 6 = 0 THEN 'quarantined' ELSE 'ok' END
                     AS status
            FROM d)
          SELECT r.doc_id, r.fmt, r.status,
-                CAST(coalesce(b.f1, w.f1, a.f1, p.f1, g.f1, j.f1, ad.f1, 0)
-                  AS BIGINT) AS f1,
-                CAST(coalesce(b.f2, w.f2, a.f2, p.f2, g.f2, j.f2, ad.f2, 0)
-                  AS BIGINT) AS f2
+                CAST(coalesce(b.f1, w.f1, a.f1, p.f1, g.f1, j.f1, ad.f1,
+                    fl.f1, 0) AS BIGINT) AS f1,
+                CAST(coalesce(b.f2, w.f2, a.f2, p.f2, g.f2, j.f2, ad.f2,
+                    fl.f2, 0) AS BIGINT) AS f2
          FROM routed r
          LEFT JOIN bmp b USING (doc_id) LEFT JOIN wav w USING (doc_id)
          LEFT JOIN avi a USING (doc_id) LEFT JOIN png p USING (doc_id)
          LEFT JOIN gif g USING (doc_id) LEFT JOIN jpeg j USING (doc_id)
          LEFT JOIN adpcm ad USING (doc_id)
+         LEFT JOIN flac fl USING (doc_id)
          ORDER BY r.doc_id"""
   )
 }

@@ -244,4 +244,29 @@ object CodecFuzzLaws extends Properties("CodecFuzzLaws") {
     Prop(w2 == w && h2 == h && java.util.Arrays.equals(out, pix)) :|
       s"round-trip mismatch at ${w}x$h"
   }
+
+  // amplitudes within ±2^13 keep the order-2 residuals inside the
+  // subset's 4-bit Rice parameter bound (encode enforces it)
+  private val flacSamplesGen: Gen[Array[Short]] = for {
+    nf <- Gen.choose(1, 3)
+    s <- Gen.containerOfN[Array, Short](nf * Flac.Block,
+      Gen.choose[Short]((-8192).toShort, 8191.toShort))
+  } yield s
+
+  private val flacGen: Gen[Array[Byte]] =
+    flacSamplesGen.flatMap(s => corrupt(Flac.encode(8000, s)))
+
+  property("Flac.decode total on junk") =
+    Prop.forAll(junkGen)(b => controlled(Flac.decode(b)))
+  property("Flac.decode total on corrupted containers") =
+    Prop.forAll(flacGen)(b => controlled(Flac.decode(b)))
+
+  // FLAC is LOSSLESS: decode ∘ encode must be the identity — and both
+  // frame CRCs must hold along the way (decode verifies them).
+  property("Flac encode/decode round-trips samples exactly") =
+    Prop.forAll(flacSamplesGen) { s =>
+      val (rate, out) = Flac.decode(Flac.encode(44100, s))
+      Prop(rate == 44100 && java.util.Arrays.equals(out, s)) :|
+        s"FLAC round-trip mismatch over ${s.length} samples"
+    }
 }
