@@ -529,6 +529,32 @@ object AvroGates extends Catalog {
           F.max("l_orderkey").as("max_key"))
     }),
 
+    // COLUMN RENAME without data rewrite under the oracle: half of
+    // orders lands under the old column name, the table renames
+    // o_totalprice → price (one `_graft_colmap` line, zero bytes of
+    // data touched), and the other half appends under the NEW name.
+    // Old files decode through Avro reader-field aliases; the aggregate
+    // over the unified `price` column must equal the parquet truth over
+    // o_totalprice — one row lost or mis-aliased breaks the hash.
+    "q_avro_rename" -> ((s, dir) => {
+      val tmp = tempDir("graft_gate_rename")
+      val orders = table(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      orders.filter(F.col("o_orderkey") % 2 === 0)
+        .write.format("graft-avro").mode("overwrite").save(tmp)
+      graft.sources.AvroMaintenance.renameColumn(s, tmp,
+        "o_totalprice", "price")
+      orders.filter(F.col("o_orderkey") % 2 === 1)
+        .withColumnRenamed("o_totalprice", "price")
+        .write.format("graft-avro").mode("append").save(tmp)
+      s.read.format("graft-avro").load(tmp)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).as("n_orders"),
+          F.sum(F.round(F.col("price") * 100).cast("long"))
+            .as("cents_total"))
+        .orderBy("o_orderstatus")
+    }),
+
     // `files` metadata table under the oracle: a clustered partitioned
     // write (requestSort ⇒ exactly one file per hive dir) makes the
     // per-file physical record counts equal the per-partition GROUP BY —
@@ -1017,6 +1043,11 @@ object AvroGates extends Catalog {
       """SELECT 'o_orderpriority=' || o_orderpriority AS part,
                 count(*) AS n_records
          FROM orders GROUP BY o_orderpriority ORDER BY part""",
+    "q_avro_rename" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents_total
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q_avro_partevolve" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))

@@ -115,20 +115,43 @@ class AvroFileSource extends TableProvider with DataSourceRegister {
         f, new GenericDatumReader[GenericRecord]())
       try r.getSchema finally r.close()
     }
+    // column renames surface per file BEFORE the merge: a rename applies
+    // to files born before its version, so an old file's historical name
+    // and a new file's current name align into one column (and a
+    // re-added old name stays a separate, new column)
+    val renames = AvroFileSource.readColmap(d)
+    val births: Map[String, Long] =
+      if (renames.isEmpty) Map.empty else AvroFileSource.fileBirths(d)
+    def renamedStruct(f: File, st: StructType): StructType =
+      if (renames.isEmpty) st
+      else {
+        val base = d.getAbsoluteFile.toPath
+        val rel0 = base.relativize(f.getAbsoluteFile.toPath).toString
+        val rel =
+          if (rel0.startsWith("_graft_archive/"))
+            rel0.stripPrefix("_graft_archive/")
+          else rel0
+        val b = births.getOrElse(rel, 0L)
+        StructType(st.fields.map { fld =>
+          val nn = renames.foldLeft(fld.name) { case (n, (v, from, to)) =>
+            if (b < v && n == from) to else n
+          }
+          if (nn == fld.name) fld else fld.copy(name = nn)
+        })
+      }
     // name tie-break: two write batches can land in the same lastModified
     // millisecond, and listing order must not decide which schema "wins"
-    val schemas = files.sortBy(f => (f.lastModified(), f.getName))
-      .map(header).distinct
-    val base = AvroSchemaConverter.toStruct(schemas.last)
-    if (schemas.size == 1) base
-    else {
-      val structs = schemas.map(AvroSchemaConverter.toStruct)
+    val structs = files.sortBy(f => (f.lastModified(), f.getName))
+      .map(f => renamedStruct(f, AvroSchemaConverter.toStruct(header(f))))
+      .distinct
+    val base = structs.last
+    if (structs.size == 1) base
+    else
       StructType(base.fields.map { f =>
         val relaxed = structs.exists(st => st.fields.find(_.name == f.name)
           .forall(_.nullable))
         if (relaxed && !f.nullable) f.copy(nullable = true) else f
       })
-    }
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -229,6 +252,35 @@ object AvroFileSource {
     * file, which is exactly the pre-versioning behavior.
     */
   def deleteFile(d: File): File = new File(d, "_graft_deletes")
+
+  /** COLUMN-RENAME mapping sidecar (`_graft_colmap`): ordered
+    * `version TAB fromEnc TAB toEnc` lines, one per rename. A rename
+    * applies to files whose BIRTH version is `< version` (files written
+    * after it already carry the new name — which also makes RE-ADDING a
+    * renamed-away name unambiguous: the old file's field maps away, the
+    * new file's same-named field is the new column). Readers decode old
+    * files through Avro reader-field ALIASES, so no data is rewritten.
+    * A sidecar that fails to parse must FAIL the read — a dropped line
+    * silently nulls a whole column.
+    */
+  def colmapFile(d: File): File = new File(d, "_graft_colmap")
+
+  def readColmap(d: File): Seq[(Long, String, String)] = {
+    val f = colmapFile(d)
+    if (!f.isFile) return Nil
+    val src = scala.io.Source.fromFile(f, "UTF-8")
+    val lines = try src.getLines().filter(_.nonEmpty).toList finally src.close()
+    lines.map { line =>
+      line.split('\t') match {
+        case Array(v, fromEnc, toEnc) =>
+          (v.toLong, java.net.URLDecoder.decode(fromEnc, "UTF-8"),
+            java.net.URLDecoder.decode(toEnc, "UTF-8"))
+        case _ => throw new IllegalStateException(
+          s"graft-avro: corrupt _graft_colmap line '$line' — refusing " +
+            "to read (a dropped rename would silently null a column)")
+      }
+    }
+  }
 
   /** One parsed-but-unresolved sidecar line; `stamp` None = legacy
     * entry, applies to every file.
@@ -647,8 +699,8 @@ object AvroFileSource {
     * entries consult births, and the map is O(files) driver metadata.
     */
   private[sources] def birthsByPhysicalPath(d: File,
-      dels: Seq[DeleteEntry]): Map[String, Long] =
-    if (!dels.exists(_.stamp.nonEmpty)) Map.empty
+      dels: Seq[DeleteEntry], force: Boolean = false): Map[String, Long] =
+    if (!force && !dels.exists(_.stamp.nonEmpty)) Map.empty
     else fileBirths(d).iterator.flatMap { case (rel, b) =>
       Iterator(new File(d, rel).getAbsolutePath -> b,
         new File(archiveDir(d), rel).getAbsolutePath -> b)
@@ -1185,6 +1237,12 @@ class AvroScanBuilder(path: String, full: StructType,
     // extreme. Merge-on-read tables answer aggregates from real
     // (delete-filtered) rows only.
     if (AvroFileSource.deleteFile(new File(path)).isFile) return false
+    // Column renames invalidate metadata-served MIN/MAX the same way:
+    // old files' zone entries live under historical names, and a
+    // RE-ADDED old name would satisfy "full coverage" with the renamed
+    // column's stale bounds (whose rows now read as null). Renamed
+    // tables answer aggregates from real rows.
+    if (AvroFileSource.colmapFile(new File(path)).isFile) return false
     val exprs = agg.aggregateExpressions
     if (exprs.length == 1 && exprs.head.isInstanceOf[CountStar]) {
       countPushed = true
@@ -1873,9 +1931,12 @@ class AvroScanBuilder(path: String, full: StructType,
               if (delF.isFile) AvroFileSource.readDeletes(delF, full)
               else Nil
           }
+          val renames = AvroFileSource.readColmap(new File(path))
           AvroReaderFactory(required, full, filters, limit, dels,
-            AvroFileSource.birthsByPhysicalPath(new File(path), dels) ++
-              branchState.map(_._3).getOrElse(Map.empty))
+            AvroFileSource.birthsByPhysicalPath(new File(path), dels,
+              force = renames.nonEmpty) ++
+              branchState.map(_._3).getOrElse(Map.empty),
+            renames)
         }
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
         require(travelVersion.isEmpty && incRange.isEmpty && branch.isEmpty,
@@ -1920,7 +1981,10 @@ class AvroScanBuilder(path: String, full: StructType,
           */
         private def statsServable: Boolean =
           travelVersion.isEmpty && incRange.isEmpty && branch.isEmpty &&
-            !AvroFileSource.deleteFile(new File(path)).isFile
+            !AvroFileSource.deleteFile(new File(path)).isFile &&
+            // renamed tables: NDV entries live under historical names —
+            // a re-added name would serve the OLD column's registers
+            !AvroFileSource.colmapFile(new File(path)).isFile
         private lazy val liveRels: Seq[String] = {
           val base = new File(path).getAbsoluteFile.toPath
           listed.map { case (f, _) =>
@@ -2225,8 +2289,11 @@ class AvroMicroBatchStream(path: String, required: StructType,
     val delF = AvroFileSource.deleteFile(new File(path))
     val dels =
       if (delF.isFile) AvroFileSource.readDeletes(delF, full) else Nil
+    val renames = AvroFileSource.readColmap(new File(path))
     AvroReaderFactory(required, full, deletes = dels,
-      births = AvroFileSource.birthsByPhysicalPath(new File(path), dels))
+      births = AvroFileSource.birthsByPhysicalPath(new File(path), dels,
+        force = renames.nonEmpty),
+      renames = renames)
   }
 
   override def commit(end: Offset): Unit = synchronized {
@@ -2296,12 +2363,27 @@ object AvroReaderFactory {
 
   /** Resolve the READER record for `required` against a file's writer
     * record: writer fields keep their (recursively pruned) schema,
-    * missing nullable fields synthesize with a null default.
+    * missing nullable fields synthesize with a null default. Under a
+    * column-rename mapping, a field this (older) file spells by its
+    * historical name is read through a reader-field ALIAS; a writer
+    * field whose name was renamed AWAY for this file never serves a
+    * same-named current column (the re-added-name case).
     */
   private[sources] def resolveReader(writer: Schema, required: StructType,
-      file: String): Schema = {
+      file: String, renamedAway: Set[String] = Set.empty,
+      fileNameOf: String => String = identity): Schema = {
     val fields = required.fields.map { sf =>
-      writer.getField(sf.name) match {
+      val hist = fileNameOf(sf.name)
+      val (wf, aliasOf) =
+        if (hist != sf.name) {
+          val h = writer.getField(hist)
+          // the file may already carry the current name (birth-version
+          // boundary cases resolve in favor of what the file really has)
+          if (h != null) (h, Some(hist))
+          else (writer.getField(sf.name), None)
+        } else if (renamedAway.contains(sf.name)) (null, None)
+        else (writer.getField(sf.name), None)
+      wf match {
         case null =>
           require(sf.nullable, s"column '${sf.name}' is missing from " +
             s"older file $file and is not nullable — cannot default")
@@ -2312,13 +2394,31 @@ object AvroReaderFactory {
           new Schema.Field(synth.name, synth.schema, synth.doc,
             Schema.Field.NULL_DEFAULT_VALUE)
         case wf =>
-          new Schema.Field(wf.name, pruneTo(wf.schema, sf.dataType, file),
-            wf.doc, wf.defaultVal)
+          val f = new Schema.Field(sf.name,
+            pruneTo(wf.schema, sf.dataType, file), wf.doc, wf.defaultVal)
+          aliasOf.foreach(f.addAlias)
+          f
       }
     }
+    // A renamed-away writer field whose OLD name collides with a
+    // required (re-added) column must not resolve into it by name.
+    // Avro aliases cannot say "don't match" — so a SHADOW reader field
+    // captures the writer field via an alias under a throwaway name,
+    // leaving the real reader field to its null default. Only needed
+    // when the alias consumer (the renamed column) is pruned out of
+    // this projection; decoderFor ignores fields it wasn't asked for.
+    val names = required.fieldNames.toSet
+    val consumed = fields.flatMap(_.aliases().asScala).toSet
+    val shadows = renamedAway.toSeq.sorted
+      .filter(rn => names.contains(rn) && !consumed.contains(rn))
+      .flatMap(rn => Option(writer.getField(rn)).map { wf =>
+        val f = new Schema.Field("__graft_shadow_" + rn, wf.schema, null)
+        f.addAlias(rn)
+        f
+      })
     val s = Schema.createRecord(writer.getName, writer.getDoc,
       writer.getNamespace, false)
-    s.setFields(java.util.Arrays.asList(fields: _*))
+    s.setFields(java.util.Arrays.asList((fields ++ shadows): _*))
     s
   }
 
@@ -2350,12 +2450,22 @@ object AvroReaderFactory {
 case class AvroReaderFactory(required: StructType, full: StructType,
     filters: Array[Filter] = Array.empty, limit: Option[Int] = None,
     deletes: Seq[AvroFileSource.DeleteEntry] = Nil,
-    births: Map[String, Long] = Map.empty)
+    births: Map[String, Long] = Map.empty,
+    renames: Seq[(Long, String, String)] = Nil)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val part = AvroReaderFactory.range(partition)
     val file = new File(part.file)
+    // column-rename view for THIS file: renames with version > birth
+    // apply (later files already carry the new names)
+    val birth = births.getOrElse(file.getAbsolutePath, 0L)
+    val renamedAway: Set[String] =
+      renames.collect { case (v, from, _) if birth < v => from }.toSet
+    val fileNameOf: String => String = cur =>
+      renames.reverseIterator.foldLeft(cur) { case (n, (v, from, to)) =>
+        if (birth < v && n == to) from else n
+      }
     // versioned merge-on-read: restrict the sidecar to entries in force
     // for THIS file's birth version (absent from the journal ⇒ birth 0 ⇒
     // every delete applies — the legacy, maximally-deleting behavior)
@@ -2390,7 +2500,7 @@ case class AvroReaderFactory(required: StructType, full: StructType,
       if (extraDelCols.isEmpty) required
       else StructType(required.fields ++ extraDelCols)
     val readerSchema = AvroReaderFactory.resolveReader(
-      writerSchema, decodeSchema, file.toString)
+      writerSchema, decodeSchema, file.toString, renamedAway, fileNameOf)
     val reader = new DataFileReader[GenericRecord](file,
       new GenericDatumReader[GenericRecord](null, readerSchema))
     if (part.start > 0) reader.sync(part.start)

@@ -404,6 +404,54 @@ object AvroMaintenance {
     removed
   }
 
+  /** RENAME a top-level column WITHOUT rewriting a byte of data (the
+    * Iceberg schema-evolution capability hive-style name matching
+    * cannot give): appends `version TAB from TAB to` to the
+    * `_graft_colmap` sidecar. Readers decode pre-rename files through
+    * Avro reader-field aliases; files written after the rename carry
+    * the new name natively — which also keeps RE-ADDING the old name
+    * later unambiguous (birth-version rule). Refuses loudly when the
+    * rename would change delete-sidecar semantics or a branch overlay
+    * exists (overlay files have no birth version on main's journal).
+    * Old-name zone/bloom/NDV manifest entries simply stop matching —
+    * absence means scan, so pruning degrades, correctness doesn't. The
+    * verified-sort marker IS translated (the data is still sorted by
+    * the renamed column).
+    */
+  def renameColumn(spark: SparkSession, dir: String, from: String,
+      to: String): Unit = {
+    val d = new File(dir)
+    val cur = spark.read.format("graft-avro").load(dir).schema
+    require(cur.fieldNames.contains(from),
+      s"graft-avro rename: no column '$from' in ${cur.fieldNames.mkString(",")}")
+    require(!cur.fieldNames.contains(to),
+      s"graft-avro rename: column '$to' already exists")
+    require(!AvroFileSource.deleteFile(d).isFile ||
+      !new String(java.nio.file.Files.readAllBytes(
+        AvroFileSource.deleteFile(d).toPath), "UTF-8")
+        .linesIterator.exists(_.startsWith(
+          java.net.URLEncoder.encode(from, "UTF-8") + "\t")),
+      s"graft-avro rename: pending equality deletes reference '$from' — " +
+        "compact first")
+    require(!AvroFileSource.branchesDir(d).isDirectory ||
+      AvroFileSource.branchesDir(d).listFiles().forall(!_.isDirectory),
+      "graft-avro rename: drop or publish branches first (overlay files " +
+        "carry no birth version on the main journal)")
+    val v = AvroFileSource.readSnapshots(d).lastOption
+      .map(_.version).getOrElse(0L) + 1
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val f = AvroFileSource.colmapFile(d)
+    val line = s"$v\t${enc(from)}\t${enc(to)}\n"
+    java.nio.file.Files.write(f.toPath, line.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    // the verified-sort claim follows its column's new name
+    if (AvroFileSource.sortedColumnOf(d).contains(from)) {
+      java.nio.file.Files.write(AvroFileSource.sortMarker(d).toPath,
+        to.getBytes("UTF-8"))
+    }
+  }
+
   /** `files` METADATA TABLE (the Iceberg `table$files` analogue): one row
     * per live data file — relative path, the hive partition prefix (""
     * for flat files), on-disk bytes, and the PHYSICAL record count read
