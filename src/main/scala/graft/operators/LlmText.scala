@@ -313,6 +313,34 @@ object LlmText extends Catalog {
         .orderBy("lang", "doc_id")
     }),
 
+    // PARAGRAPH-LEVEL exact dedup (the C4/RefinedWeb sub-document pass):
+    // explode docs into fixed 10-word paragraphs, keep each distinct
+    // paragraph ONLY at its corpus-wide first occurrence ((doc_id, idx)
+    // order), and reassemble what survives per document. One shuffle on
+    // the paragraph text (the dedup key), deterministic reassembly via
+    // sort_array over (idx, para) structs — collect_list alone is
+    // arrival-ordered and would break the hash.
+    "llm_paragraph_dedup" -> ((s, dir) => {
+      val paras = docs(s, dir)
+        .select(F.col("doc_id"),
+          F.posexplode(F.expr(
+            "transform(sequence(0, (size(w)-1) div 10), i -> " +
+              "concat_ws(' ', slice(w, i*10 + 1, 10)))")))
+        .select(F.col("doc_id"), F.col("pos").as("para_idx"),
+          F.col("col").as("para"))
+      val w = Window.partitionBy("para").orderBy("doc_id", "para_idx")
+      paras.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") === 1)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).as("n_kept"),
+          F.sort_array(F.collect_list(F.struct(
+            F.col("para_idx"), F.col("para")))).as("ps"))
+        .select(F.col("doc_id"), F.col("n_kept"),
+          F.md5(F.concat_ws(" ",
+            F.expr("transform(ps, x -> x.para)"))).as("kept_hash"))
+        .orderBy("doc_id")
+    }),
+
     // Curriculum ordering: the training-order op — rank docs easiest-
     // first (longer docs ≈ harder here; any integer difficulty signal
     // slots in) WITHIN each language, then interleave languages
@@ -565,6 +593,25 @@ object LlmText extends Catalog {
                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
                FROM documents)
          ORDER BY lang, doc_id""",
+    // same first-occurrence rule: row_number over (doc_id, para_idx)
+    // within each distinct paragraph text; reassembly string_agg is
+    // para_idx-ordered to mirror the engine's sort_array
+    "llm_paragraph_dedup" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         p AS (
+           SELECT doc_id, t.i AS para_idx,
+                  array_to_string(l[t.i*10 + 1 : t.i*10 + 10], ' ') AS para
+           FROM w, unnest(generate_series(0,
+                  CAST((len(l) - 1) // 10 AS INT))) t(i)),
+         k AS (
+           SELECT doc_id, para_idx, para,
+                  row_number() OVER (PARTITION BY para
+                    ORDER BY doc_id, para_idx) AS rn
+           FROM p)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                md5(string_agg(para, ' ' ORDER BY para_idx)) AS kept_hash
+         FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""",
     "llm_curriculum" ->
       """SELECT doc_id, lang, n_words,
                 CAST(row_number() OVER (PARTITION BY lang
