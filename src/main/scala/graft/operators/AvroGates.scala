@@ -529,6 +529,29 @@ object AvroGates extends Catalog {
           F.max("l_orderkey").as("max_key"))
     }),
 
+    // POSITIONAL deletes under the oracle: lineitem lands as ONE file in
+    // (l_orderkey, l_linenumber) order, three physical ordinals die via
+    // the `_graft_posdel` sidecar (no data rewrite), and the aggregate
+    // over what survives must equal the oracle's row_number-based
+    // exclusion — an off-by-one in the decode ordinal, a split that
+    // resets the counter, or a resurrected row all break the hash.
+    "q_avro_posdel" -> ((s, dir) => {
+      val tmp = tempDir("graft_gate_posdel")
+      table(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .coalesce(1).sortWithinPartitions("l_orderkey", "l_linenumber")
+        .write.format("graft-avro").mode("overwrite").save(tmp)
+      val rel = graft.sources.AvroFileSource
+        .listAvro(new java.io.File(tmp)).head.getName
+      graft.sources.AvroMaintenance.deleteAtPositions(tmp, rel,
+        Seq(0L, 17L, 999L))
+      s.read.format("graft-avro").load(tmp)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).as("n_lines"),
+          F.round(F.sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // COLUMN RENAME without data rewrite under the oracle: half of
     // orders lands under the old column name, the table renames
     // o_totalprice → price (one `_graft_colmap` line, zero bytes of
@@ -1043,6 +1066,16 @@ object AvroGates extends Catalog {
       """SELECT 'o_orderpriority=' || o_orderpriority AS part,
                 count(*) AS n_records
          FROM orders GROUP BY o_orderpriority ORDER BY part""",
+    "q_avro_posdel" ->
+      """WITH o AS (
+           SELECT l_returnflag, l_quantity,
+                  row_number() OVER (ORDER BY l_orderkey, l_linenumber)
+                    - 1 AS p
+           FROM lineitem)
+         SELECT l_returnflag, count(*) AS n_lines,
+                round(sum(l_quantity), 2) AS sum_qty
+         FROM o WHERE p NOT IN (0, 17, 999)
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_avro_rename" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))

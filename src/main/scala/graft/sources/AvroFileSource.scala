@@ -253,6 +253,38 @@ object AvroFileSource {
     */
   def deleteFile(d: File): File = new File(d, "_graft_deletes")
 
+  /** POSITIONAL-delete sidecar (`_graft_posdel`): `relEnc TAB p1,p2,…`
+    * lines — absolute row ordinals (0-based decode order) deleted from
+    * one live file. The second merge-on-read flavor next to equality
+    * deletes: kill a specific physical row without touching the data.
+    * Files carrying positional deletes are never byte-range split (the
+    * ordinal is only countable from the file start), and every
+    * metadata-served aggregate / statistic self-disables while the
+    * sidecar exists. Current-state overlay ONLY: time-travel /
+    * incremental / branch reads refuse while it is present (compact to
+    * materialize first). Corrupt sidecars fail the read — a dropped
+    * line resurrects rows.
+    */
+  def posdelFile(d: File): File = new File(d, "_graft_posdel")
+
+  def readPosdel(d: File): Map[String, Array[Long]] = {
+    val f = posdelFile(d)
+    if (!f.isFile) return Map.empty
+    val src = scala.io.Source.fromFile(f, "UTF-8")
+    val lines = try src.getLines().filter(_.nonEmpty).toList finally src.close()
+    lines.map { line =>
+      line.split('\t') match {
+        case Array(relEnc, csv) =>
+          val ps = csv.split(',').map(_.toLong).distinct.sorted
+          require(ps.forall(_ >= 0), s"negative position in '$line'")
+          java.net.URLDecoder.decode(relEnc, "UTF-8") -> ps
+        case _ => throw new IllegalStateException(
+          s"graft-avro: corrupt _graft_posdel line '$line' — refusing " +
+            "to read (a dropped line resurrects deleted rows)")
+      }
+    }.toMap
+  }
+
   /** COLUMN-RENAME mapping sidecar (`_graft_colmap`): ordered
     * `version TAB fromEnc TAB toEnc` lines, one per rename. A rename
     * applies to files whose BIRTH version is `< version` (files written
@@ -1122,7 +1154,18 @@ case class AvroTable(path: String, tableSchema: StructType)
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
       TableCapability.STREAMING_WRITE)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // positional deletes are a CURRENT-state overlay (ordinals against
+    // today's files, not journaled per version): historical reads would
+    // silently mis-apply them — refuse until a compaction materializes
+    require(!AvroFileSource.posdelFile(new File(path)).isFile ||
+      (options.get("versionAsOf") == null &&
+        options.get("timestampAsOf") == null &&
+        options.get("tagAsOf") == null &&
+        options.get("fromVersion") == null &&
+        options.get("branch") == null),
+      "graft-avro: time-travel / incremental / branch reads are " +
+        "unavailable while positional deletes are pending — compact first")
     new AvroScanBuilder(path, tableSchema,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
       Option(options.get("maxSplitBytes")).map(_.toLong)
@@ -1137,6 +1180,7 @@ case class AvroTable(path: String, tableSchema: StructType)
         Option(options.get("fromVersion")).map(_.toLong),
         Option(options.get("toVersion")).map(_.toLong)),
       Option(options.get("branch")).map(_.trim).filter(_.nonEmpty))
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(info.options().get("versionAsOf") == null &&
@@ -1237,6 +1281,9 @@ class AvroScanBuilder(path: String, full: StructType,
     // extreme. Merge-on-read tables answer aggregates from real
     // (delete-filtered) rows only.
     if (AvroFileSource.deleteFile(new File(path)).isFile) return false
+    // positional deletes: dead rows still count in block headers and
+    // may hold a zone extreme — aggregates come from real rows
+    if (AvroFileSource.posdelFile(new File(path)).isFile) return false
     // Column renames invalidate metadata-served MIN/MAX the same way:
     // old files' zone entries live under historical names, and a
     // RE-ADDED old name would satisfy "full coverage" with the renamed
@@ -1879,12 +1926,25 @@ class AvroScanBuilder(path: String, full: StructType,
         case None => new UnknownPartitioning(0)
       }
 
+      // absolute-path-keyed positional deletes (live + archive); files
+      // carrying them are read whole — an ordinal only counts from the
+      // file start
+      private lazy val posdelsByPath: Map[String, Array[Long]] = {
+        val d = new File(path)
+        AvroFileSource.readPosdel(d).flatMap { case (rel, ps) =>
+          Seq(new File(d, rel).getAbsolutePath -> ps,
+            new File(AvroFileSource.archiveDir(d), rel).getAbsolutePath -> ps)
+        }
+      }
+
       private def split(f: File): Seq[(String, Long, Long)] = {
         // one task per container file, except files larger than the
         // split size, which fan out as sync-aligned byte ranges — a
         // single huge file must not pin a single task at scale
         val len = f.length()
-        if (len <= maxSplitBytes) Seq((f.getAbsolutePath, 0L, Long.MaxValue))
+        if (len <= maxSplitBytes ||
+            posdelsByPath.contains(f.getAbsolutePath))
+          Seq((f.getAbsolutePath, 0L, Long.MaxValue))
         else (0L until len by maxSplitBytes).map { off =>
           (f.getAbsolutePath, off, math.min(off + maxSplitBytes, len))
         }
@@ -1936,7 +1996,7 @@ class AvroScanBuilder(path: String, full: StructType,
             AvroFileSource.birthsByPhysicalPath(new File(path), dels,
               force = renames.nonEmpty) ++
               branchState.map(_._3).getOrElse(Map.empty),
-            renames)
+            renames, posdelsByPath)
         }
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
         require(travelVersion.isEmpty && incRange.isEmpty && branch.isEmpty,
@@ -1982,6 +2042,7 @@ class AvroScanBuilder(path: String, full: StructType,
         private def statsServable: Boolean =
           travelVersion.isEmpty && incRange.isEmpty && branch.isEmpty &&
             !AvroFileSource.deleteFile(new File(path)).isFile &&
+            !AvroFileSource.posdelFile(new File(path)).isFile &&
             // renamed tables: NDV entries live under historical names —
             // a re-added name would serve the OLD column's registers
             !AvroFileSource.colmapFile(new File(path)).isFile
@@ -2290,10 +2351,14 @@ class AvroMicroBatchStream(path: String, required: StructType,
     val dels =
       if (delF.isFile) AvroFileSource.readDeletes(delF, full) else Nil
     val renames = AvroFileSource.readColmap(new File(path))
+    val d = new File(path)
+    val posdels = AvroFileSource.readPosdel(d).map { case (rel, ps) =>
+      new File(d, rel).getAbsolutePath -> ps
+    }
     AvroReaderFactory(required, full, deletes = dels,
       births = AvroFileSource.birthsByPhysicalPath(new File(path), dels,
         force = renames.nonEmpty),
-      renames = renames)
+      renames = renames, posdels = posdels)
   }
 
   override def commit(end: Offset): Unit = synchronized {
@@ -2451,7 +2516,8 @@ case class AvroReaderFactory(required: StructType, full: StructType,
     filters: Array[Filter] = Array.empty, limit: Option[Int] = None,
     deletes: Seq[AvroFileSource.DeleteEntry] = Nil,
     births: Map[String, Long] = Map.empty,
-    renames: Seq[(Long, String, String)] = Nil)
+    renames: Seq[(Long, String, String)] = Nil,
+    posdels: Map[String, Array[Long]] = Map.empty)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -2521,10 +2587,18 @@ case class AvroReaderFactory(required: StructType, full: StructType,
     }
     val nReq = required.length
 
+    // positional deletes for THIS file: whole-file reads only (split()
+    // never ranges such files; a foreign range here would be a bug)
+    val posdel: Array[Long] =
+      posdels.getOrElse(file.getAbsolutePath, Array.emptyLongArray)
+    require(posdel.isEmpty || part.start == 0L,
+      s"graft-avro: positional deletes require whole-file reads ($file)")
+
     val cap = limit.getOrElse(Int.MaxValue)
     new PartitionReader[InternalRow] {
       private var row: InternalRow = _
       private var emitted = 0
+      private var ordinal = -1L
       override def next(): Boolean = {
         row = null
         if (emitted >= cap) return false // pushed LIMIT: stop decoding
@@ -2533,11 +2607,16 @@ case class AvroReaderFactory(required: StructType, full: StructType,
         // are externalized)
         while (row == null && reader.hasNext && !reader.pastSync(bound)) {
           val r = decode(reader.next())
-          val view = AvroInternalCodec.externalView(r, decodeSchema)
-          val deleted = delChecks.nonEmpty && delChecks.exists {
-            case (i, vs) => val v = view.get(i); v != null && vs.contains(v)
+          ordinal += 1
+          val posDeleted = posdel.length > 0 &&
+            java.util.Arrays.binarySearch(posdel, ordinal) >= 0
+          if (!posDeleted) {
+            val view = AvroInternalCodec.externalView(r, decodeSchema)
+            val deleted = delChecks.nonEmpty && delChecks.exists {
+              case (i, vs) => val v = view.get(i); v != null && vs.contains(v)
+            }
+            if (!deleted && (unfiltered || keep(view))) row = r
           }
-          if (!deleted && (unfiltered || keep(view))) row = r
         }
         if (row != null) {
           emitted += 1
@@ -2704,9 +2783,10 @@ class AvroWriteBuilder(path: String, schema: StructType,
               if (!f.renameTo(dst)) throw new java.io.IOException(
                 s"graft-avro commit: archive move failed $f -> $dst")
             }
-          // an overwrite defines a new dataset: stale equality deletes
-          // must not apply to the replacement rows
+          // an overwrite defines a new dataset: stale equality AND
+          // positional deletes must not apply to the replacement rows
           AvroFileSource.deleteFile(new File(path)).delete()
+          AvroFileSource.posdelFile(new File(path)).delete()
         }
         // Sorted-layout marker lifecycle. The marker claims EVERY file in
         // the directory is internally sorted by that column: a verified

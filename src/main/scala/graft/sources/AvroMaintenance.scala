@@ -404,6 +404,45 @@ object AvroMaintenance {
     removed
   }
 
+  /** POSITIONAL delete: kill specific physical rows of one live file by
+    * their 0-based decode ordinals — the second merge-on-read flavor
+    * next to equality deletes (Iceberg v2 carries both). O(positions)
+    * metadata, no data rewrite; readers skip the ordinals exactly at
+    * decode, byte-range splitting self-disables for the file, and every
+    * metadata-served aggregate/statistic stands down while the sidecar
+    * exists. Positions are validated against the file's physical row
+    * count (block headers — zero rows decoded).
+    */
+  def deleteAtPositions(dir: String, rel: String,
+      positions: Seq[Long]): Unit = {
+    require(positions.nonEmpty, "no positions given")
+    val d = new File(dir)
+    val f = new File(d, rel)
+    require(f.isFile && rel.endsWith(".avro") && !rel.startsWith("_graft"),
+      s"graft-avro positional delete: '$rel' is not a live data file")
+    val reader = new org.apache.avro.file.DataFileReader(f,
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    var n = 0L
+    try while (reader.hasNext) { n += reader.getBlockCount; reader.nextBlock() }
+    finally reader.close()
+    require(positions.forall(p => p >= 0 && p < n),
+      s"graft-avro positional delete: positions outside [0, $n) for $rel")
+    val prior = AvroFileSource.readPosdel(d)
+    val merged = prior + (rel ->
+      (prior.getOrElse(rel, Array.emptyLongArray) ++ positions)
+        .distinct.sorted)
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val out = merged.toSeq.sortBy(_._1).map { case (r, ps) =>
+      s"${enc(r)}\t${ps.mkString(",")}"
+    }.mkString("\n")
+    val sidecar = AvroFileSource.posdelFile(d)
+    val tmp = new File(sidecar.getPath + ".staging")
+    java.nio.file.Files.write(tmp.toPath, out.getBytes("UTF-8"))
+    if (!tmp.renameTo(sidecar)) throw new java.io.IOException(
+      s"graft-avro positional delete: rename failed $tmp -> $sidecar")
+  }
+
   /** RENAME a top-level column WITHOUT rewriting a byte of data (the
     * Iceberg schema-evolution capability hive-style name matching
     * cannot give): appends `version TAB from TAB to` to the
