@@ -529,6 +529,23 @@ object AvroGates extends Catalog {
           F.max("l_orderkey").as("max_key"))
     }),
 
+    // METADATA COLUMNS under the oracle: a single verified-order file
+    // makes `_graft_pos` a pure function of the sort key — the hidden
+    // column (SupportsMetadataColumns, invisible to SELECT *) must equal
+    // the oracle's row_number ordinal exactly, for every row it serves.
+    "q_avro_metacols" -> ((s, dir) => {
+      val tmp = tempDir("graft_gate_metacols")
+      table(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .coalesce(1).sortWithinPartitions("l_orderkey", "l_linenumber")
+        .write.format("graft-avro").mode("overwrite").save(tmp)
+      s.read.format("graft-avro").load(tmp)
+        .select(F.col("_graft_pos").as("pos"),
+          F.col("l_orderkey"), F.col("l_linenumber"))
+        .filter(F.col("pos") < 1000)
+        .orderBy("pos")
+    }),
+
     // POSITIONAL deletes under the oracle: lineitem lands as ONE file in
     // (l_orderkey, l_linenumber) order, three physical ordinals die via
     // the `_graft_posdel` sidecar (no data rewrite), and the aggregate
@@ -1066,6 +1083,11 @@ object AvroGates extends Catalog {
       """SELECT 'o_orderpriority=' || o_orderpriority AS part,
                 count(*) AS n_records
          FROM orders GROUP BY o_orderpriority ORDER BY part""",
+    "q_avro_metacols" ->
+      """SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1
+                AS pos,
+              l_orderkey, l_linenumber
+         FROM lineitem QUALIFY pos < 1000 ORDER BY pos""",
     "q_avro_posdel" ->
       """WITH o AS (
            SELECT l_returnflag, l_quantity,

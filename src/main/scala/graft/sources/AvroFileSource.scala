@@ -19,7 +19,7 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, 
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.avro.{AvroInternalCodec, AvroSchemaConverter}
@@ -165,6 +165,10 @@ object AvroFileSource {
     * read with `.option("maxSplitBytes", n)`.
     */
   val DefaultSplitBytes: Long = 128L * 1024 * 1024
+
+  /** Metadata-column names (see [[AvroTable.metadataColumns]]). */
+  val MetaFile = "_graft_file"
+  val MetaPos = "_graft_pos"
 
   def listAvro(d: File): Seq[File] =
     listPartitioned(d).map(_._1)
@@ -1145,10 +1149,39 @@ object AvroFileSource {
 }
 
 case class AvroTable(path: String, tableSchema: StructType)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   override def name(): String = s"graft-avro:$path"
   override def schema(): StructType = tableSchema
+
+  /** Hidden METADATA COLUMNS (the Iceberg `_file`/`_pos` analogue):
+    * `_graft_file` is the table-relative path of the row's data file,
+    * `_graft_pos` its 0-based physical ordinal in that file — exactly
+    * the coordinates [[AvroMaintenance.deleteAtPositions]] consumes, so
+    * `SELECT _graft_file, _graft_pos WHERE <bad>` → positional delete
+    * is a closed loop. Requesting `_graft_pos` disables byte-range
+    * splitting (an ordinal only counts from the file start).
+    */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = {
+    import org.apache.spark.sql.connector.catalog.MetadataColumn
+    Array(
+      new MetadataColumn {
+        override def name(): String = AvroFileSource.MetaFile
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          StringType
+        override def isNullable: Boolean = false
+        override def comment(): String = "table-relative data file path"
+      },
+      new MetadataColumn {
+        override def name(): String = AvroFileSource.MetaPos
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          LongType
+        override def isNullable: Boolean = false
+        override def comment(): String = "0-based physical row ordinal"
+      })
+  }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
@@ -1943,7 +1976,8 @@ class AvroScanBuilder(path: String, full: StructType,
         // single huge file must not pin a single task at scale
         val len = f.length()
         if (len <= maxSplitBytes ||
-            posdelsByPath.contains(f.getAbsolutePath))
+            posdelsByPath.contains(f.getAbsolutePath) ||
+            required.fieldNames.contains(AvroFileSource.MetaPos))
           Seq((f.getAbsolutePath, 0L, Long.MaxValue))
         else (0L until len by maxSplitBytes).map { off =>
           (f.getAbsolutePath, off, math.min(off + maxSplitBytes, len))
@@ -1996,7 +2030,7 @@ class AvroScanBuilder(path: String, full: StructType,
             AvroFileSource.birthsByPhysicalPath(new File(path), dels,
               force = renames.nonEmpty) ++
               branchState.map(_._3).getOrElse(Map.empty),
-            renames, posdelsByPath)
+            renames, posdelsByPath, root = path)
         }
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
         require(travelVersion.isEmpty && incRange.isEmpty && branch.isEmpty,
@@ -2358,7 +2392,7 @@ class AvroMicroBatchStream(path: String, required: StructType,
     AvroReaderFactory(required, full, deletes = dels,
       births = AvroFileSource.birthsByPhysicalPath(new File(path), dels,
         force = renames.nonEmpty),
-      renames = renames, posdels = posdels)
+      renames = renames, posdels = posdels, root = path)
   }
 
   override def commit(end: Offset): Unit = synchronized {
@@ -2517,7 +2551,8 @@ case class AvroReaderFactory(required: StructType, full: StructType,
     deletes: Seq[AvroFileSource.DeleteEntry] = Nil,
     births: Map[String, Long] = Map.empty,
     renames: Seq[(Long, String, String)] = Nil,
-    posdels: Map[String, Array[Long]] = Map.empty)
+    posdels: Map[String, Array[Long]] = Map.empty,
+    root: String = "")
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -2554,17 +2589,23 @@ case class AvroReaderFactory(required: StructType, full: StructType,
     // record mirrors that shape, so Avro resolution SKIPS the untouched
     // nested fields during decode (the row-format analogue of parquet's
     // nested column pruning).
+    // Hidden metadata columns never decode from Avro — split them off
+    // and fill per row at emit (file path once, ordinal from the
+    // posdel counter, which runs regardless).
+    val metaNames = Set(AvroFileSource.MetaFile, AvroFileSource.MetaPos)
+    val dataRequired = StructType(
+      required.fields.filterNot(f => metaNames.contains(f.name)))
     // Equality deletes must be evaluated even when the delete column is
     // pruned out of the projection: decode the union schema, apply the
     // delete check EXACTLY, and project back down before emitting.
     val extraDelCols = fileDeletes.map(_._1).distinct
-      .filterNot(c => required.fieldNames.contains(c))
+      .filterNot(c => dataRequired.fieldNames.contains(c))
       .map(c => full.fields.find(_.name == c).getOrElse(
         throw new IllegalStateException(
           s"graft-avro: delete column '$c' missing from table schema")))
     val decodeSchema =
-      if (extraDelCols.isEmpty) required
-      else StructType(required.fields ++ extraDelCols)
+      if (extraDelCols.isEmpty) dataRequired
+      else StructType(dataRequired.fields ++ extraDelCols)
     val readerSchema = AvroReaderFactory.resolveReader(
       writerSchema, decodeSchema, file.toString, renamedAway, fileNameOf)
     val reader = new DataFileReader[GenericRecord](file,
@@ -2586,13 +2627,30 @@ case class AvroReaderFactory(required: StructType, full: StructType,
       (decodeSchema.fieldIndex(c), vs)
     }
     val nReq = required.length
+    // per-required-field source: -1 = file path, -2 = ordinal,
+    // ≥ 0 = position in the decoded row (decodeSchema prefix order)
+    val outIdx: Array[Int] = required.fields.map(_.name match {
+      case AvroFileSource.MetaFile => -1
+      case AvroFileSource.MetaPos => -2
+      case n => dataRequired.fieldIndex(n)
+    })
+    val hasMeta = outIdx.exists(_ < 0)
+    lazy val relPath = org.apache.spark.unsafe.types.UTF8String.fromString {
+      val abs = file.getAbsoluteFile.toPath
+      if (root.nonEmpty)
+        new File(root).getAbsoluteFile.toPath.relativize(abs).toString
+      else abs.toString
+    }
 
     // positional deletes for THIS file: whole-file reads only (split()
-    // never ranges such files; a foreign range here would be a bug)
+    // never ranges such files; a foreign range here would be a bug) —
+    // and the `_graft_pos` ordinal is only countable the same way
     val posdel: Array[Long] =
       posdels.getOrElse(file.getAbsolutePath, Array.emptyLongArray)
     require(posdel.isEmpty || part.start == 0L,
       s"graft-avro: positional deletes require whole-file reads ($file)")
+    require(!outIdx.contains(-2) || part.start == 0L,
+      s"graft-avro: _graft_pos requires whole-file reads ($file)")
 
     val cap = limit.getOrElse(Int.MaxValue)
     new PartitionReader[InternalRow] {
@@ -2620,15 +2678,20 @@ case class AvroReaderFactory(required: StructType, full: StructType,
         }
         if (row != null) {
           emitted += 1
-          if (extraDelCols.nonEmpty) {
-            // project the widened decode row back down to `required`
+          if (hasMeta || extraDelCols.nonEmpty) {
+            // reshape the decoded row to `required`: project the widened
+            // delete columns away and fill the metadata columns
             val out = new org.apache.spark.sql.catalyst.expressions
               .GenericInternalRow(nReq)
             var i = 0
             while (i < nReq) {
-              out.update(i,
-                if (row.isNullAt(i)) null
-                else row.get(i, required(i).dataType))
+              out.update(i, outIdx(i) match {
+                case -1 => relPath
+                case -2 => ordinal
+                case j =>
+                  if (row.isNullAt(j)) null
+                  else row.get(j, dataRequired(j).dataType)
+              })
               i += 1
             }
             row = out
