@@ -529,6 +529,32 @@ object AvroGates extends Catalog {
           F.max("l_orderkey").as("max_key"))
     }),
 
+    // THE SQL SURFACE under the oracle: a registered GraftCatalog turns
+    // plain spark.sql into the whole lifecycle — CREATE NAMESPACE, CTAS
+    // into a graft-avro directory, metadata DELETE FROM (equality
+    // predicates → the sidecar, zero rows rewritten), and the final
+    // SELECT back. Idempotent (DROP IF EXISTS) so bench reps re-enter
+    // cleanly through the session-cached catalog instance.
+    "q_avro_sqlddl" -> ((s, dir) => {
+      if (!s.conf.getOption("spark.sql.catalog.graft_gate").isDefined) {
+        s.conf.set("spark.sql.catalog.graft_gate",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_gate.root",
+          tempDir("graft_gate_cat"))
+      }
+      table(s, dir, "customer").createOrReplaceTempView("cust_src_cat")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.gate")
+      s.sql("DROP TABLE IF EXISTS graft_gate.gate.cust")
+      s.sql("CREATE TABLE graft_gate.gate.cust AS " +
+        "SELECT c_custkey, c_mktsegment, c_acctbal FROM cust_src_cat")
+      s.sql("DELETE FROM graft_gate.gate.cust WHERE c_custkey IN (1, 7, 42)")
+      s.sql("""SELECT c_mktsegment, count(*) AS n_cust,
+              |       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+              |         AS BIGINT) AS cents
+              |FROM graft_gate.gate.cust
+              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    }),
+
     // METADATA COLUMNS under the oracle: a single verified-order file
     // makes `_graft_pos` a pure function of the sort key — the hidden
     // column (SupportsMetadataColumns, invisible to SELECT *) must equal
@@ -1083,6 +1109,12 @@ object AvroGates extends Catalog {
       """SELECT 'o_orderpriority=' || o_orderpriority AS part,
                 count(*) AS n_records
          FROM orders GROUP BY o_orderpriority ORDER BY part""",
+    "q_avro_sqlddl" ->
+      """SELECT c_mktsegment, count(*) AS n_cust,
+                CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+         FROM customer WHERE c_custkey NOT IN (1, 7, 42)
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q_avro_metacols" ->
       """SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1
                 AS pos,

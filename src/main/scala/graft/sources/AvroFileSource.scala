@@ -1148,9 +1148,74 @@ object AvroFileSource {
   }
 }
 
-case class AvroTable(path: String, tableSchema: StructType)
+case class AvroTable(path: String, tableSchema: StructType,
+    defaultPartitionBy: Seq[String] = Nil)
   extends Table with SupportsRead with SupportsWrite
-  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+  with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
+
+  /** SQL `DELETE FROM … WHERE` as a METADATA operation: predicates that
+    * translate to exact equality/IN sets on one deletable column become
+    * `_graft_deletes` sidecar entries (AvroMaintenance.deleteWhere — no
+    * data rewrite); everything else is refused so Spark reports the
+    * operation unsupported instead of silently deleting the wrong rows.
+    */
+  private def translateDelete(
+      ps: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Option[Seq[(String, Seq[Any])]] = {
+    import org.apache.spark.sql.connector.expressions.{Literal,
+      NamedReference}
+    def ext(l: Literal[_]): Option[Any] = l.value() match {
+      case null => None
+      case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+      case v: java.lang.Long => Some(v)
+      case v: java.lang.Integer => Some(v)
+      case v: java.lang.Short => Some(v)
+      case v: java.lang.Byte => Some(v)
+      case v: java.lang.Boolean => Some(v)
+      case _ => None
+    }
+    def one(p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+        : Option[(String, Seq[Any])] = {
+      val kids = p.children()
+      p.name() match {
+        case "=" | "IN" if kids.nonEmpty =>
+          (kids.head, kids.tail) match {
+            case (r: NamedReference, lits)
+                if r.fieldNames().length == 1 &&
+                  lits.forall(_.isInstanceOf[Literal[_]]) =>
+              val col = r.fieldNames()(0)
+              val ok = tableSchema.fields.find(_.name == col)
+                .exists(f => AvroFileSource.deletableType(f.dataType))
+              val vals = lits.toSeq
+                .map(l => ext(l.asInstanceOf[Literal[_]]))
+              if (ok && vals.nonEmpty && vals.forall(_.isDefined))
+                Some(col -> vals.flatten)
+              else None
+            case _ => None
+          }
+        case _ => None
+      }
+    }
+    val all = ps.toSeq.map(one)
+    if (all.nonEmpty && all.forall(_.isDefined)) Some(all.flatten) else None
+  }
+
+  override def canDeleteWhere(
+      ps: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Boolean = translateDelete(ps).isDefined
+
+  override def deleteWhere(
+      ps: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    val ts = translateDelete(ps).getOrElse(throw new IllegalStateException(
+      "graft-avro: deleteWhere called with untranslatable predicates"))
+    val spark = org.apache.spark.sql.SparkSession.active
+    ts.groupBy(_._1).foreach { case (col, entries) =>
+      AvroMaintenance.deleteWhere(spark, path, col,
+        entries.flatMap(_._2).distinct)
+    }
+  }
 
   override def name(): String = s"graft-avro:$path"
   override def schema(): StructType = tableSchema
@@ -1234,8 +1299,11 @@ case class AvroTable(path: String, tableSchema: StructType)
     }
     new AvroWriteBuilder(target, info.schema(),
       Option(info.options().get("codec")).getOrElse("deflate"),
-      Option(info.options().get("partitionBy")).toSeq
-        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
+      // catalog tables carry their DDL partitioning; an explicit write
+      // option overrides it
+      Option(info.options().get("partitionBy")).map(_.split(',').toSeq
+          .map(_.trim).filter(_.nonEmpty))
+        .getOrElse(defaultPartitionBy),
       Option(info.options().get("sortedBy")).map(_.trim).filter(_.nonEmpty),
       Option(info.options().get("bloomFor")).toSeq
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),

@@ -1,0 +1,197 @@
+package graft.sources
+
+import java.io.File
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException,
+  NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange,
+  SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A DSv2 [[TableCatalog]] over a directory tree of graft-avro tables —
+  * the SQL-surface entry point: register as
+  * `spark.sql.catalog.<name> = graft.sources.GraftCatalog` with
+  * `spark.sql.catalog.<name>.root = /data/root`, then
+  * `CREATE NAMESPACE`, `CREATE TABLE [AS SELECT]`, `INSERT INTO`,
+  * `SELECT`, and metadata `DELETE FROM … WHERE` all work through plain
+  * `spark.sql`. Layout: `root/ns…/table/` — each table directory is an
+  * ordinary graft-avro dataset (every sidecar/manifest feature rides
+  * along). An empty created table persists its DDL schema (and default
+  * partition columns) in a `_graft_schema` sidecar; once data exists the
+  * usual latest-schema-wins inference takes over, so SQL DDL and
+  * path-based writes stay interchangeable.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catName: String = _
+  private var root: File = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    root = new File(Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft catalog '$name' needs option 'root'")))
+    root.mkdirs()
+  }
+
+  override def name(): String = catName
+
+  private def check(seg: String): String = {
+    require(seg.nonEmpty && !seg.contains('/') && !seg.contains('\\') &&
+      seg != "." && seg != ".." && !seg.startsWith("_graft"),
+      s"graft catalog: illegal name segment '$seg'")
+    seg
+  }
+
+  private def nsDir(ns: Array[String]): File =
+    ns.foldLeft(root)((d, s) => new File(d, check(s)))
+
+  private def tableDir(ident: Identifier): File =
+    new File(nsDir(ident.namespace()), check(ident.name()))
+
+  private def schemaFile(d: File): File = new File(d, "_graft_schema")
+
+  private def hasData(d: File): Boolean =
+    AvroFileSource.listAvro(d).nonEmpty
+
+  // ---- tables ---------------------------------------------------------
+
+  override def listTables(ns: Array[String]): Array[Identifier] = {
+    val d = nsDir(ns)
+    if (!d.isDirectory) throw new NoSuchNamespaceException(ns)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !f.getName.startsWith("_graft"))
+      .filter(f => schemaFile(f).isFile || hasData(f))
+      .map(f => Identifier.of(ns, f.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean = {
+    val d = tableDir(ident)
+    d.isDirectory && (schemaFile(d).isFile || hasData(d))
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val d = tableDir(ident)
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val (ddlSchema: Option[StructType], parts: Seq[String]) =
+      if (schemaFile(d).isFile) {
+        val lines = new String(java.nio.file.Files.readAllBytes(
+          schemaFile(d).toPath), "UTF-8").split('\n')
+        (Some(org.apache.spark.sql.types.DataType.fromJson(lines(0))
+          .asInstanceOf[StructType]),
+          if (lines.length > 1 && lines(1).nonEmpty)
+            lines(1).split(',').toSeq else Nil)
+      } else (None, Nil)
+    val schema =
+      if (hasData(d)) {
+        // live data wins (latest-schema-wins evolution, renames applied)
+        val opts = new CaseInsensitiveStringMap(
+          Map("path" -> d.getPath).asJava)
+        new AvroFileSource().inferSchema(opts)
+      } else ddlSchema.getOrElse(
+        throw new IllegalStateException(
+          s"graft catalog: table $ident has neither data nor a schema"))
+    AvroTable(d.getPath, schema, defaultPartitionBy = parts)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : Table = {
+    val d = tableDir(ident)
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val parts = partitions.toSeq.map {
+      case t if t.name() == "identity" && t.references().length == 1 &&
+          t.references()(0).fieldNames().length == 1 =>
+        t.references()(0).fieldNames()(0)
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: only identity partitioning is supported, got $other")
+    }
+    parts.foreach(c => require(schema.fieldNames.contains(c),
+      s"graft catalog: partition column '$c' not in schema"))
+    d.mkdirs()
+    java.nio.file.Files.write(schemaFile(d).toPath,
+      (schema.json + "\n" + parts.mkString(",")).getBytes("UTF-8"))
+    AvroTable(d.getPath, schema, defaultPartitionBy = parts)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog: ALTER TABLE is not supported — use " +
+        "AvroMaintenance (renameColumn, deleteWhere, compactTo, …)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val d = tableDir(ident)
+    if (!tableExists(ident)) return false
+    import java.nio.file.{Files => JF, Path}
+    JF.walk(d.toPath).sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(p => JF.deleteIfExists(p))
+    true
+  }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    if (!tableExists(from)) throw new NoSuchTableException(from)
+    if (tableExists(to)) throw new TableAlreadyExistsException(to)
+    val src = tableDir(from)
+    val dst = tableDir(to)
+    dst.getParentFile.mkdirs()
+    if (!src.renameTo(dst)) throw new java.io.IOException(
+      s"graft catalog: rename failed $src -> $dst")
+  }
+
+  // ---- namespaces -----------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] =
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !f.getName.startsWith("_graft"))
+      .map(f => Array(f.getName))
+
+  override def listNamespaces(ns: Array[String]): Array[Array[String]] = {
+    if (ns.isEmpty) return listNamespaces()
+    val d = nsDir(ns)
+    if (!d.isDirectory) throw new NoSuchNamespaceException(ns)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !f.getName.startsWith("_graft") &&
+        !schemaFile(f).isFile && !hasData(f))
+      .map(f => ns :+ f.getName)
+  }
+
+  override def namespaceExists(ns: Array[String]): Boolean =
+    ns.isEmpty || nsDir(ns).isDirectory
+
+  override def loadNamespaceMetadata(ns: Array[String])
+      : util.Map[String, String] = {
+    if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
+    Map("location" -> nsDir(ns).getPath).asJava
+  }
+
+  override def createNamespace(ns: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    val d = nsDir(ns)
+    require(!d.isDirectory, s"namespace ${ns.mkString(".")} already exists")
+    d.mkdirs()
+    ()
+  }
+
+  override def alterNamespace(ns: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog: ALTER NAMESPACE is not supported")
+
+  override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean = {
+    val d = nsDir(ns)
+    if (!d.isDirectory) return false
+    val empty = Option(d.listFiles()).forall(_.isEmpty)
+    require(empty || cascade,
+      s"namespace ${ns.mkString(".")} is not empty")
+    import java.nio.file.{Files => JF, Path}
+    JF.walk(d.toPath).sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(p => JF.deleteIfExists(p))
+    true
+  }
+}

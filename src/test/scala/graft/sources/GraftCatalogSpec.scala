@@ -1,0 +1,89 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** The SQL surface end-to-end through [[GraftCatalog]]: namespaces, DDL,
+  * CTAS, INSERT INTO, SELECT, metadata DELETE FROM, RENAME, DROP — every
+  * statement through plain `spark.sql`, every table an ordinary
+  * graft-avro directory underneath.
+  */
+class GraftCatalogSpec extends AnyFunSuite with SparkSpec with Matchers {
+
+  private lazy val root = graft.operators.Catalog.tempDir("graft_cat_root")
+
+  private def init(): Unit = {
+    spark.conf.set("spark.sql.catalog.graft_t",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_t.root", root)
+  }
+
+  test("DDL + insert + select + metadata delete round trip in SQL") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_t.lab")
+    spark.sql("DROP TABLE IF EXISTS graft_t.lab.ev")
+    spark.sql("CREATE TABLE graft_t.lab.ev (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft_t.lab.ev " +
+      "SELECT id, concat('x', id) FROM range(100)")
+    spark.sql("SELECT count(*) FROM graft_t.lab.ev")
+      .head().getLong(0) shouldBe 100
+    // metadata DELETE: equality predicates land in the sidecar
+    spark.sql("DELETE FROM graft_t.lab.ev WHERE k IN (1, 5, 9)")
+    AvroFileSource.deleteFile(
+      new java.io.File(s"$root/lab/ev")).isFile shouldBe true
+    spark.sql("SELECT count(*), sum(k) FROM graft_t.lab.ev").head() match {
+      case r =>
+        r.getLong(0) shouldBe 97
+        r.getLong(1) shouldBe (0L until 100L).sum - 15
+    }
+    // non-translatable DELETE must refuse loudly, not delete wrong rows
+    intercept[Exception] {
+      spark.sql("DELETE FROM graft_t.lab.ev WHERE k > 50")
+    }
+  }
+
+  test("CTAS, rename, drop") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_t.lab2")
+    spark.sql("DROP TABLE IF EXISTS graft_t.lab2.src")
+    spark.sql("DROP TABLE IF EXISTS graft_t.lab2.dst")
+    spark.sql("CREATE TABLE graft_t.lab2.src AS " +
+      "SELECT id AS k, id * 2 AS v FROM range(50)")
+    spark.sql("SELECT sum(v) FROM graft_t.lab2.src")
+      .head().getLong(0) shouldBe (0L until 50L).map(_ * 2).sum
+    // the target identifier is resolved WITHIN the source's catalog
+    spark.sql("ALTER TABLE graft_t.lab2.src RENAME TO lab2.dst")
+    spark.sql("SHOW TABLES IN graft_t.lab2").collect()
+      .map(_.getString(1)).toSeq shouldBe Seq("dst")
+    spark.sql("DROP TABLE graft_t.lab2.dst")
+    spark.sql("SHOW TABLES IN graft_t.lab2").count() shouldBe 0
+  }
+
+  test("partitioned DDL table writes hive dirs from its DDL spec") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_t.lab3")
+    spark.sql("DROP TABLE IF EXISTS graft_t.lab3.pt")
+    spark.sql("CREATE TABLE graft_t.lab3.pt (k BIGINT, part STRING) " +
+      "PARTITIONED BY (part)")
+    spark.sql("INSERT INTO graft_t.lab3.pt " +
+      "SELECT id, concat('p', id % 2) FROM range(20)")
+    val dirs = new java.io.File(s"$root/lab3/pt").listFiles()
+      .filter(_.isDirectory).map(_.getName).filterNot(_.startsWith("_graft"))
+    dirs.sorted.toSeq shouldBe Seq("part=p0", "part=p1")
+    // partition pruning straight from SQL
+    spark.sql("SELECT count(*) FROM graft_t.lab3.pt WHERE part = 'p0'")
+      .head().getLong(0) shouldBe 10
+  }
+
+  test("empty created table reads as empty with its DDL schema") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_t.lab4")
+    spark.sql("DROP TABLE IF EXISTS graft_t.lab4.e")
+    spark.sql("CREATE TABLE graft_t.lab4.e (a INT, b STRING)")
+    val df = spark.sql("SELECT * FROM graft_t.lab4.e")
+    df.schema.fieldNames.toSeq shouldBe Seq("a", "b")
+    df.count() shouldBe 0
+  }
+}
