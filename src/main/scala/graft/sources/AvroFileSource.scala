@@ -1149,7 +1149,8 @@ object AvroFileSource {
 }
 
 case class AvroTable(path: String, tableSchema: StructType,
-    defaultPartitionBy: Seq[String] = Nil)
+    defaultPartitionBy: Seq[String] = Nil,
+    travelOptions: Map[String, String] = Map.empty)
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
   with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
@@ -1252,7 +1253,15 @@ case class AvroTable(path: String, tableSchema: StructType,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
       TableCapability.STREAMING_WRITE)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+  override def newScanBuilder(options0: CaseInsensitiveStringMap): ScanBuilder = {
+    // SQL `VERSION AS OF` / `TIMESTAMP AS OF` arrives as catalog-bound
+    // travel options (GraftCatalog.loadTable(_, version/timestamp)) —
+    // merged here so the whole travel machinery is shared with the
+    // path-based read options
+    val options =
+      if (travelOptions.isEmpty) options0
+      else new CaseInsensitiveStringMap(
+        (options0.asScala ++ travelOptions).asJava)
     // positional deletes are a CURRENT-state overlay (ordinals against
     // today's files, not journaled per version): historical reads would
     // silently mis-apply them — refuse until a compaction materializes
@@ -1281,6 +1290,8 @@ case class AvroTable(path: String, tableSchema: StructType,
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(travelOptions.isEmpty,
+      "graft-avro: a VERSION AS OF / TIMESTAMP AS OF table is read-only")
     require(info.options().get("versionAsOf") == null &&
         info.options().get("timestampAsOf") == null &&
         info.options().get("fromVersion") == null &&

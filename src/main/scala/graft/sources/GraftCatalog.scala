@@ -100,6 +100,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     AvroTable(d.getPath, schema, defaultPartitionBy = parts)
   }
 
+  /** SQL `VERSION AS OF x`: numeric = snapshot version, anything else =
+    * a named tag (so `VERSION AS OF 'release-1'` reads the tagged
+    * snapshot). The table's schema is re-inferred over the SNAPSHOT's
+    * own files — an overwrite that changed the schema must not leak the
+    * new column set into a pre-overwrite version.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val d = tableDir(ident)
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val travel = scala.util.Try(version.toLong).toOption match {
+      case Some(v) => Map("versionAsOf" -> v.toString)
+      case None => Map("tagAsOf" -> version)
+    }
+    val schema = new AvroFileSource().inferSchema(
+      new CaseInsensitiveStringMap(
+        (travel + ("path" -> d.getPath)).asJava))
+    AvroTable(d.getPath, schema, travelOptions = travel)
+  }
+
+  /** SQL `TIMESTAMP AS OF t`: DSv2 hands MICROseconds since epoch; the
+    * snapshot journal stamps millis.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val d = tableDir(ident)
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val travel = Map("timestampAsOf" -> (timestamp / 1000L).toString)
+    val schema = new AvroFileSource().inferSchema(
+      new CaseInsensitiveStringMap(
+        (travel + ("path" -> d.getPath)).asJava))
+    AvroTable(d.getPath, schema, travelOptions = travel)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String])
       : Table = {

@@ -77,6 +77,28 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec with Matchers {
       .head().getLong(0) shouldBe 10
   }
 
+  test("SQL time travel: VERSION AS OF, tags, and TIMESTAMP AS OF") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_t.lab5")
+    spark.sql("DROP TABLE IF EXISTS graft_t.lab5.tt")
+    spark.sql("CREATE TABLE graft_t.lab5.tt AS SELECT id AS k FROM range(10)")
+    val dir = s"$root/lab5/tt"
+    AvroMaintenance.tag(dir, "first", 1L)
+    spark.sql("INSERT INTO graft_t.lab5.tt SELECT id FROM range(10, 30)")
+    spark.sql("SELECT count(*) FROM graft_t.lab5.tt").head().getLong(0) shouldBe 30
+    spark.sql("SELECT count(*) FROM graft_t.lab5.tt VERSION AS OF 1")
+      .head().getLong(0) shouldBe 10
+    spark.sql("SELECT count(*) FROM graft_t.lab5.tt VERSION AS OF 'first'")
+      .head().getLong(0) shouldBe 10
+    // a timestamp far in the future resolves to the latest version
+    spark.sql("SELECT count(*) FROM graft_t.lab5.tt " +
+      "TIMESTAMP AS OF '2099-01-01'").head().getLong(0) shouldBe 30
+    // travel tables are read-only
+    intercept[Exception] {
+      spark.sql("INSERT INTO graft_t.lab5.tt VERSION AS OF 1 VALUES (99)")
+    }
+  }
+
   test("empty created table reads as empty with its DDL schema") {
     init()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_t.lab4")
