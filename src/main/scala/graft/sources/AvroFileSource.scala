@@ -1206,6 +1206,32 @@ case class AvroTable(path: String, tableSchema: StructType,
       ps: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
       : Boolean = translateDelete(ps).isDefined
 
+  /** SQL `TRUNCATE TABLE` as a VERSIONED operation: every live file is
+    * archived (earlier snapshots still reference it — time travel works
+    * across the truncate; expireSnapshots is the vacuum), both delete
+    * sidecars clear, and the journal minting records the empty state.
+    * Mirrors the write-path truncate commit exactly, minus new files.
+    */
+  override def truncateTable(): Boolean = {
+    require(travelOptions.isEmpty,
+      "graft-avro: a VERSION AS OF / TIMESTAMP AS OF table is read-only")
+    val dirF = new File(path)
+    val base = dirF.getAbsoluteFile.toPath
+    AvroFileSource.listAvro(dirF).foreach { f =>
+      val rel = base.relativize(f.getAbsoluteFile.toPath).toString
+      val dst = new File(AvroFileSource.archiveDir(dirF), rel)
+      dst.getParentFile.mkdirs()
+      if (dst.exists()) throw new java.io.IOException(
+        s"graft-avro truncate: archive collision $dst")
+      if (!f.renameTo(dst)) throw new java.io.IOException(
+        s"graft-avro truncate: archive move failed $f -> $dst")
+    }
+    AvroFileSource.deleteFile(dirF).delete()
+    AvroFileSource.posdelFile(dirF).delete()
+    AvroFileSource.appendSnapshot(dirF, "truncate")
+    true
+  }
+
   override def deleteWhere(
       ps: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
       : Unit = {

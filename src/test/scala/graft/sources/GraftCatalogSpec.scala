@@ -99,6 +99,21 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("TRUNCATE TABLE is versioned: current empty, history intact") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_t.lab6")
+    spark.sql("DROP TABLE IF EXISTS graft_t.lab6.tr")
+    spark.sql("CREATE TABLE graft_t.lab6.tr AS SELECT id AS k FROM range(25)")
+    spark.sql("TRUNCATE TABLE graft_t.lab6.tr")
+    spark.sql("SELECT count(*) FROM graft_t.lab6.tr").head().getLong(0) shouldBe 0
+    // the pre-truncate snapshot still reads in full
+    spark.sql("SELECT count(*) FROM graft_t.lab6.tr VERSION AS OF 1")
+      .head().getLong(0) shouldBe 25
+    // and the table accepts new data afterwards
+    spark.sql("INSERT INTO graft_t.lab6.tr SELECT id FROM range(5)")
+    spark.sql("SELECT count(*) FROM graft_t.lab6.tr").head().getLong(0) shouldBe 5
+  }
+
   test("empty created table reads as empty with its DDL schema") {
     init()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_t.lab4")
