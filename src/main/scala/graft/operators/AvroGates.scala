@@ -555,6 +555,36 @@ object AvroGates extends Catalog {
               |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
     }),
 
+    // ROW-LEVEL SQL under the oracle: UPDATE doubles the price of 'F'
+    // orders (group-based copy-on-write — only files holding matches are
+    // rewritten, via the dynamic _graft_file group filter), then a
+    // NON-equality DELETE takes the same rewrite path. The final
+    // aggregate must equal the oracle's CASE/WHERE re-derivation — a
+    // dropped unmatched row in a rewritten group, a double-applied
+    // update, or a resurrected deleted row all break the hash.
+    "q_avro_update" -> ((s, dir) => {
+      if (!s.conf.getOption("spark.sql.catalog.graft_gate").isDefined) {
+        s.conf.set("spark.sql.catalog.graft_gate",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_gate.root",
+          tempDir("graft_gate_cat"))
+      }
+      table(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .createOrReplaceTempView("ord_src_cat")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.gate")
+      s.sql("DROP TABLE IF EXISTS graft_gate.gate.ord")
+      s.sql("CREATE TABLE graft_gate.gate.ord AS SELECT * FROM ord_src_cat")
+      s.sql("UPDATE graft_gate.gate.ord SET o_totalprice = " +
+        "o_totalprice * 2 WHERE o_orderstatus = 'F'")
+      s.sql("DELETE FROM graft_gate.gate.ord WHERE o_orderkey % 100 < 3")
+      s.sql("""SELECT o_orderstatus, count(*) AS n_orders,
+              |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              |         AS BIGINT) AS cents
+              |FROM graft_gate.gate.ord
+              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
+
     // METADATA COLUMNS under the oracle: a single verified-order file
     // makes `_graft_pos` a pure function of the sort key — the hidden
     // column (SupportsMetadataColumns, invisible to SELECT *) must equal
@@ -1109,6 +1139,13 @@ object AvroGates extends Catalog {
       """SELECT 'o_orderpriority=' || o_orderpriority AS part,
                 count(*) AS n_records
          FROM orders GROUP BY o_orderpriority ORDER BY part""",
+    "q_avro_update" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+                CAST(sum(CAST(round((CASE WHEN o_orderstatus = 'F'
+                       THEN o_totalprice * 2 ELSE o_totalprice END) * 100)
+                  AS BIGINT)) AS BIGINT) AS cents
+         FROM orders WHERE o_orderkey % 100 >= 3
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q_avro_sqlddl" ->
       """SELECT c_mktsegment, count(*) AS n_cust,
                 CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))

@@ -1153,7 +1153,45 @@ case class AvroTable(path: String, tableSchema: StructType,
     travelOptions: Map[String, String] = Map.empty)
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
-  with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
+  with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** SQL `UPDATE` / `MERGE INTO` / rewrite-`DELETE` — GROUP-BASED
+    * copy-on-write: Spark scans the table through this operation's scan
+    * (which declares `_graft_file` runtime-filterable, so a dynamic
+    * subquery narrows it to the files that actually contain matches),
+    * computes the replacement rows, and writes them through this
+    * operation's write — whose commit archives EXACTLY the scanned
+    * files and publishes the rewrites as one snapshot. Equality `DELETE
+    * FROM` keeps taking the pure-metadata sidecar path (canDeleteWhere);
+    * everything else lands here.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(travelOptions.isEmpty,
+      "graft-avro: a VERSION AS OF / TIMESTAMP AS OF table is read-only")
+    () => new org.apache.spark.sql.connector.write.RowLevelOperation {
+      private val captured =
+        new java.util.concurrent.atomic.AtomicReference[Set[String]](
+          Set.empty)
+      override def command()
+          : org.apache.spark.sql.connector.write.RowLevelOperation.Command =
+        info.command()
+      override def newScanBuilder(
+          options: CaseInsensitiveStringMap): ScanBuilder =
+        new AvroScanBuilder(path, tableSchema,
+          rowLevelCapture = Some(captured))
+      override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =
+        new AvroWriteBuilder(path, winfo.schema(),
+          partitionBy = defaultPartitionBy,
+          replaceRels = Some(() => captured.get()))
+      override def requiredMetadataAttributes()
+          : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .column(AvroFileSource.MetaFile))
+    }
+  }
 
   /** SQL `DELETE FROM … WHERE` as a METADATA operation: predicates that
     * translate to exact equality/IN sets on one deletable column become
@@ -1359,7 +1397,13 @@ class AvroScanBuilder(path: String, full: StructType,
     journalCompactAfter: Int = 4096,
     travelVersion: Option[Long] = None,
     incRange: Option[(Long, Long)] = None,
-    branch: Option[String] = None)
+    branch: Option[String] = None,
+    // group-based row-level ops (UPDATE / MERGE / rewrite-DELETE): the
+    // scan declares `_graft_file` runtime-filterable so Spark narrows it
+    // to the affected files, and records the file set it finally planned
+    // — the write side replaces EXACTLY those files at commit
+    rowLevelCapture: Option[
+      java.util.concurrent.atomic.AtomicReference[Set[String]]] = None)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with SupportsPushDownFilters with SupportsPushDownAggregates
   with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
@@ -1676,10 +1720,16 @@ class AvroScanBuilder(path: String, full: StructType,
         * attribute is an AnalysisException, not a skipped filter. A
         * join key is necessarily projected, so this loses nothing.
         */
-      override def filterAttributes(): Array[NamedReference] =
-        (partitionCols ++ rtZoneCols).distinct
-          .filter(readSchema().fieldNames.contains)
+      override def filterAttributes(): Array[NamedReference] = {
+        val meta =
+          if (rowLevelCapture.isDefined &&
+              readSchema().fieldNames.contains(AvroFileSource.MetaFile))
+            Seq(AvroFileSource.MetaFile)
+          else Nil
+        ((partitionCols ++ rtZoneCols).distinct
+          .filter(readSchema().fieldNames.contains) ++ meta)
           .map(Expressions.column).toArray
+      }
 
       /** Normalized string key for a literal / partition value so the
         * two representations (Catalyst internal literal vs directory
@@ -1739,6 +1789,14 @@ class AvroScanBuilder(path: String, full: StructType,
             Some(col -> keys.flatten.toSet)
           else None
         }.toMap
+        // row-level group filtering: an IN-set on the `_graft_file`
+        // metadata column narrows the scan to the affected files
+        ins.find(_._1 == AvroFileSource.MetaFile).foreach {
+          case (_, lits) =>
+            val vals = lits.map(litKey)
+            if (vals.forall(_.isDefined))
+              runtimeFileSet = Some(vals.flatten.toSet)
+        }
         // zone-set cap: a huge build side would cost files×values driver
         // checks for little selectivity — skipping entirely is sound
         runtimeZoneVals = ins.flatMap { case (col, lits) =>
@@ -2002,6 +2060,13 @@ class AvroScanBuilder(path: String, full: StructType,
         })
       }
 
+      @volatile private var runtimeFileSet: Option[Set[String]] = None
+
+      /** Table-relative path of a data file (the `_graft_file` value). */
+      private def relOf(f: File): String =
+        new File(path).getAbsoluteFile.toPath
+          .relativize(f.getAbsoluteFile.toPath).toString
+
       private def prunedFiles(): Seq[(File, Map[String, String])] =
         listed
           // partition-directory pruning: skip whole files whose k=v path
@@ -2009,7 +2074,8 @@ class AvroScanBuilder(path: String, full: StructType,
           .filter { case (f, vals) =>
             partitionMayMatch(vals) && runtimeMayMatch(vals) &&
               zoneMayKeep(f) && runtimeZoneKeep(f) &&
-              bloomMayKeep(f) && runtimeBloomKeep(f) }
+              bloomMayKeep(f) && runtimeBloomKeep(f) &&
+              runtimeFileSet.forall(_.contains(relOf(f))) }
 
       /** Catalyst-internal key value for one partition column (SPJ keys
         * compare internally); None = type unsupported for key grouping.
@@ -2108,7 +2174,12 @@ class AvroScanBuilder(path: String, full: StructType,
           case Some(files) => files.flatMap { case (f, key) =>
             split(f).map { case (p, s, e) => AvroKeyedPartition(p, s, e, key) }
           }.toArray[InputPartition]
-          case None => prunedFiles().flatMap { case (f, _) =>
+          case None =>
+            // row-level ops: remember exactly which files this scan
+            // serves — the write replaces them at commit
+            rowLevelCapture.foreach(
+              _.set(prunedFiles().map(p => relOf(p._1)).toSet))
+            prunedFiles().flatMap { case (f, _) =>
             split(f).map { case (p, s, e) => AvroInputPartition(p, s, e) }
           }.toArray[InputPartition]
         }
@@ -2131,7 +2202,15 @@ class AvroScanBuilder(path: String, full: StructType,
               else Nil
           }
           val renames = AvroFileSource.readColmap(new File(path))
-          AvroReaderFactory(required, full, filters, limit, dels,
+          // ROW-LEVEL contract: pushed filters prune FILES (a pruned
+          // file provably holds no match, so it is not an affected
+          // group), but must never skip ROWS — Spark rewrites whole
+          // groups, and a decode-time row skip would drop every
+          // unmatched row of a replaced file
+          val rowFilters =
+            if (rowLevelCapture.isDefined) Array.empty[Filter] else filters
+          val rowLimit = if (rowLevelCapture.isDefined) None else limit
+          AvroReaderFactory(required, full, rowFilters, rowLimit, dels,
             AvroFileSource.birthsByPhysicalPath(new File(path), dels,
               force = renames.nonEmpty) ++
               branchState.map(_._3).getOrElse(Map.empty),
@@ -2814,7 +2893,11 @@ class AvroWriteBuilder(path: String, schema: StructType,
     codec: String = "deflate", partitionBy: Seq[String] = Nil,
     sortedBy: Option[String] = None, bloomFor: Seq[String] = Nil,
     ndvFor: Seq[String] = Nil, branchWrite: Boolean = false,
-    requestSort: Boolean = false)
+    requestSort: Boolean = false,
+    // group-based row-level ops: at commit, archive exactly these
+    // table-relative files (the op's rewritten scan set) — evaluated
+    // lazily because the scan populates it during execution
+    replaceRels: Option[() => Set[String]] = None)
   extends WriteBuilder with SupportsTruncate {
 
   // `requestSort` makes the WRITE declare its layout needs to Spark
@@ -2955,6 +3038,43 @@ class AvroWriteBuilder(path: String, schema: StructType,
           // positional deletes must not apply to the replacement rows
           AvroFileSource.deleteFile(new File(path)).delete()
           AvroFileSource.posdelFile(new File(path)).delete()
+        }
+        replaceRels.foreach { thunk =>
+          // group-based row-level op: archive EXACTLY the files the
+          // operation's scan served (their contents were rewritten into
+          // the staged files); untouched files — and the table-wide
+          // equality-delete sidecar, whose version stamps keep it off
+          // the new files — stay as they are. Positional deletes of the
+          // replaced files drop with them.
+          val rels = thunk()
+          val dirF = new File(path)
+          rels.toSeq.sorted.foreach { rel =>
+            val f = new File(dirF, rel)
+            if (!f.isFile) throw new java.io.IOException(
+              s"graft-avro row-level commit: replaced file vanished $f")
+            val dst = new File(AvroFileSource.archiveDir(dirF), rel)
+            dst.getParentFile.mkdirs()
+            if (dst.exists()) throw new java.io.IOException(
+              s"graft-avro row-level commit: archive collision $dst")
+            if (!f.renameTo(dst)) throw new java.io.IOException(
+              s"graft-avro row-level commit: archive move failed $f -> $dst")
+          }
+          val pd = AvroFileSource.readPosdel(dirF)
+          if (pd.nonEmpty) {
+            val kept = pd -- rels
+            val sidecar = AvroFileSource.posdelFile(dirF)
+            if (kept.isEmpty) { sidecar.delete(); () }
+            else {
+              def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+              val out = kept.toSeq.sortBy(_._1).map { case (r, ps) =>
+                s"${enc(r)}\t${ps.mkString(",")}"
+              }.mkString("\n")
+              val tmp = new File(sidecar.getPath + ".staging")
+              java.nio.file.Files.write(tmp.toPath, out.getBytes("UTF-8"))
+              if (!tmp.renameTo(sidecar)) throw new java.io.IOException(
+                s"graft-avro row-level commit: rename failed $tmp")
+            }
+          }
         }
         // Sorted-layout marker lifecycle. The marker claims EVERY file in
         // the directory is internally sorted by that column: a verified

@@ -38,10 +38,11 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec with Matchers {
         r.getLong(0) shouldBe 97
         r.getLong(1) shouldBe (0L until 100L).sum - 15
     }
-    // non-translatable DELETE must refuse loudly, not delete wrong rows
-    intercept[Exception] {
-      spark.sql("DELETE FROM graft_t.lab.ev WHERE k > 50")
-    }
+    // non-translatable DELETE falls back to group-based copy-on-write
+    // (AvroRowLevelSpec) — and stays exact
+    spark.sql("DELETE FROM graft_t.lab.ev WHERE k > 50")
+    spark.sql("SELECT count(*) FROM graft_t.lab.ev")
+      .head().getLong(0) shouldBe 48
   }
 
   test("CTAS, rename, drop") {
