@@ -555,6 +555,31 @@ object AvroGates extends Catalog {
               |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
     }),
 
+    // VERSIONED TRUNCATE under the oracle: load region, TRUNCATE (live
+    // files archive, the journal minting records the empty state), then
+    // reload only the sub-Asia rows — the final table must hold exactly
+    // the second load, while VERSION AS OF 1 (proven in
+    // GraftCatalogSpec) still serves the first.
+    "q_avro_truncate" -> ((s, dir) => {
+      if (!s.conf.getOption("spark.sql.catalog.graft_gate").isDefined) {
+        s.conf.set("spark.sql.catalog.graft_gate",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_gate.root",
+          tempDir("graft_gate_cat"))
+      }
+      table(s, dir, "nation").createOrReplaceTempView("nat_src_cat")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.gate")
+      s.sql("DROP TABLE IF EXISTS graft_gate.gate.nat")
+      s.sql("CREATE TABLE graft_gate.gate.nat AS SELECT * FROM nat_src_cat")
+      s.sql("TRUNCATE TABLE graft_gate.gate.nat")
+      s.sql("INSERT INTO graft_gate.gate.nat " +
+        "SELECT * FROM nat_src_cat WHERE n_regionkey = 2")
+      s.sql("""SELECT n_regionkey, count(*) AS n_nations,
+              |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+              |FROM graft_gate.gate.nat
+              |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+    }),
+
     // ROW-LEVEL SQL under the oracle: UPDATE doubles the price of 'F'
     // orders (group-based copy-on-write — only files holding matches are
     // rewritten, via the dynamic _graft_file group filter), then a
@@ -1139,6 +1164,11 @@ object AvroGates extends Catalog {
       """SELECT 'o_orderpriority=' || o_orderpriority AS part,
                 count(*) AS n_records
          FROM orders GROUP BY o_orderpriority ORDER BY part""",
+    "q_avro_truncate" ->
+      """SELECT n_regionkey, count(*) AS n_nations,
+                CAST(sum(CAST(n_nationkey AS BIGINT)) AS BIGINT) AS key_sum
+         FROM nation WHERE n_regionkey = 2
+         GROUP BY n_regionkey ORDER BY n_regionkey""",
     "q_avro_update" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
                 CAST(sum(CAST(round((CASE WHEN o_orderstatus = 'F'
