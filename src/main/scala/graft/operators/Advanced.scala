@@ -300,6 +300,59 @@ object Advanced extends Catalog {
         .orderBy("doc_id")
     }),
 
+    // CONNECTED COMPONENTS by min-label propagation to fixpoint — the
+    // Pregel/GraphFrames CC shape: symmetrize the md5 edge set once,
+    // then each round is ONE shuffle join (labels to neighbors) + a
+    // min-aggregate, localCheckpoint'd so lineage stays a step deep;
+    // rounds ≈ component diameter (~log N on this random 2-out graph).
+    // Labels flow THROUGH phantom endpoints (md5 targets that are not
+    // document ids) exactly as the oracle's recursive reachability
+    // does; the output restricts to real documents. Converge-or-fail
+    // guard: a non-converged answer must never publish.
+    "q_graph_cc" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      // BLOCK-LOCAL random graph (one md5 out-edge per node, confined
+      // to the node's 16-id block): a global 2-out graph collapses into
+      // one giant component — a 1-row gate pins nothing. Block edges
+      // keep >= N/16 components, each block fragmenting further under
+      // its own functional-graph structure, at every SF.
+      def target(off: Int) = F.expr(
+        s"(doc_id div 16) * 16 + CAST(conv(substring(md5(text), $off, 12)" +
+          ", 16, 10) AS BIGINT) % 16")
+      val raw = docs.select(F.col("doc_id").as("u"), target(1).as("v"))
+        .filter(F.col("u") =!= F.col("v"))
+      val edges = raw.select("u", "v")
+        .unionByName(raw.select(F.col("v").as("u"), F.col("u").as("v")))
+        .distinct().localCheckpoint()
+      var lab = docs.select(F.col("doc_id").as("v"))
+        .unionByName(edges.select("v"))
+        .unionByName(edges.select(F.col("u").as("v")))
+        .distinct()
+        .withColumn("lab", F.col("v")).localCheckpoint()
+      var fp = (-1L, -1L)
+      var round = 0
+      var done = false
+      while (!done && round < 60) {
+        round += 1
+        val prop = edges
+          .join(lab.select(F.col("v").as("u"), F.col("lab")), "u")
+          .select(F.col("v"), F.col("lab"))
+        lab = lab.unionByName(prop)
+          .groupBy("v").agg(F.min("lab").as("lab"))
+          .localCheckpoint()
+        val r = lab.agg(F.count(F.lit(1)), F.sum("lab")).head()
+        val now = (r.getLong(0), r.getLong(1))
+        if (now == fp) done = true else fp = now
+      }
+      require(done, s"q_graph_cc: min-label propagation did not " +
+        s"converge in $round rounds")
+      lab.join(docs.select(F.col("doc_id").as("v")), "v")
+        .groupBy(F.col("lab").as("comp"))
+        .agg(F.count(F.lit(1)).as("size"))
+        .orderBy("comp")
+    }),
+
     // Triangle counting via DEGREE ORIENTATION — the algorithm that
     // scales to trillion-edge graphs: orient every undirected edge from
     // its (degree, id)-smaller endpoint to the larger, so out-degrees
@@ -591,6 +644,29 @@ object Advanced extends Catalog {
              WHERE bfs.d < 30)
          SELECT v AS doc_id, CAST(min(d) AS BIGINT) AS dist
          FROM bfs GROUP BY v ORDER BY doc_id""",
+    // true recursive reachability (pair-set fixpoint, no depth cap
+    // needed — (v, u) pairs are finite and UNION dedups); component
+    // label = min reachable vertex id, phantoms included, then sizes
+    // over real documents only — exactly the Spark loop's restriction
+    "q_graph_cc" ->
+      """WITH RECURSIVE
+           raw AS (
+             SELECT doc_id AS u,
+                    (doc_id // 16) * 16 +
+                      CAST('0x' || substring(md5(text), 1, 12) AS BIGINT) % 16
+                      AS v
+             FROM documents),
+           e AS (
+             SELECT u, v FROM raw WHERE u <> v
+             UNION
+             SELECT v, u FROM raw WHERE u <> v),
+           r(v, u) AS (
+             SELECT doc_id, doc_id FROM documents
+             UNION
+             SELECT r.v, e.v FROM r JOIN e ON e.u = r.u),
+           lab AS (SELECT v, min(u) AS comp FROM r GROUP BY v)
+         SELECT comp, count(*) AS size
+         FROM lab GROUP BY comp ORDER BY comp""",
     // same degree orientation in plain SQL: canonical undirected set,
     // degree table, (deg, id)-lex orientation, id-ordered wedges at the
     // apex, closure membership against the canonical set — each triangle

@@ -555,6 +555,155 @@ object AvroGates extends Catalog {
               |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
     }),
 
+    // SQL CALL procedures under the oracle: a full maintenance lifecycle
+    // through `CALL cat.system.*` — rollback_to_version physically
+    // restores v1 (the doubled v2 generation archives out), then
+    // add_constraint polices the final insert. The aggregate must equal
+    // v1 ∪ the policed insert exactly: a rollback that leaves a v2 file
+    // live, resurrects nothing, or a constraint decorator that drops a
+    // valid row all break the hash.
+    "q_avro_call" -> ((s, dir) => {
+      if (!s.conf.getOption("spark.sql.catalog.graft_gate").isDefined) {
+        s.conf.set("spark.sql.catalog.graft_gate",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_gate.root",
+          tempDir("graft_gate_cat"))
+      }
+      table(s, dir, "supplier").createOrReplaceTempView("sup_src_cat")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.gate")
+      s.sql("DROP TABLE IF EXISTS graft_gate.gate.sup")
+      s.sql("CREATE TABLE graft_gate.gate.sup AS " +
+        "SELECT s_suppkey, s_nationkey, s_acctbal FROM sup_src_cat")
+      s.sql("INSERT INTO graft_gate.gate.sup " +
+        "SELECT s_suppkey + 1000000, s_nationkey, s_acctbal * 2 " +
+        "FROM sup_src_cat")
+      s.sql("CALL graft_gate.system.rollback_to_version('gate.sup', 1)")
+      s.sql("CALL graft_gate.system.add_constraint('gate.sup', " +
+        "'bal_known', 's_acctbal IS NOT NULL')")
+      s.sql("INSERT INTO graft_gate.gate.sup " +
+        "SELECT s_suppkey + 2000000, s_nationkey, s_acctbal " +
+        "FROM sup_src_cat WHERE s_nationkey < 5")
+      s.sql("""SELECT s_nationkey, count(*) AS n_supp,
+              |       CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT))
+              |         AS BIGINT) AS cents
+              |FROM graft_gate.gate.sup
+              |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)
+    }),
+
+    // CHECK CONSTRAINTS under the oracle: both write generations pass
+    // through enforced validation (an ad-hoc `check` option, then a
+    // stored table constraint) — the decorator must be EXACTLY
+    // transparent for valid rows: a dropped, duplicated, or reordered
+    // row in the constrained path breaks the hash. The rejection path
+    // (violations fail atomically, null passes) is pinned in
+    // ConstraintSpec.
+    "q_avro_constraint" -> ((s, dir) => {
+      val tmp = tempDir("graft_gate_chk")
+      table(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+        .write.format("graft-avro")
+        .option("check", "l_quantity > 0 AND l_returnflag IN ('A','N','R')")
+        .mode("overwrite").save(tmp)
+      graft.sources.AvroMaintenance.addConstraint(s, tmp,
+        "qty_pos", "l_quantity > 0")
+      table(s, dir, "lineitem")
+        .filter(F.col("l_orderkey") % 7 === 0)
+        .select((F.col("l_orderkey") + 20000000L).as("l_orderkey"),
+          F.col("l_quantity"), F.col("l_returnflag"))
+        .write.format("graft-avro").mode("append").save(tmp)
+      s.read.format("graft-avro").load(tmp)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).as("n_lines"),
+          F.round(F.sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // SCHEMA EVOLUTION (ADD COLUMN) under the oracle: rows inserted
+    // before the ALTER must serve null in the added column (reader-
+    // schema synthesis — zero files rewritten), rows inserted after
+    // carry real values; the aggregate distinguishes the two via
+    // coalesce(bonus, -1), so a default applied to the wrong side, a
+    // missing column, or a dropped pre-ALTER row all break the hash.
+    "q_avro_addcol" -> ((s, dir) => {
+      if (!s.conf.getOption("spark.sql.catalog.graft_gate").isDefined) {
+        s.conf.set("spark.sql.catalog.graft_gate",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_gate.root",
+          tempDir("graft_gate_cat"))
+      }
+      table(s, dir, "nation").createOrReplaceTempView("nat_src_cat")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.gate")
+      s.sql("DROP TABLE IF EXISTS graft_gate.gate.natadd")
+      s.sql("CREATE TABLE graft_gate.gate.natadd AS " +
+        "SELECT n_nationkey, n_name, n_regionkey FROM nat_src_cat " +
+        "WHERE n_regionkey < 3")
+      s.sql("ALTER TABLE graft_gate.gate.natadd ADD COLUMN bonus BIGINT")
+      s.sql("INSERT INTO graft_gate.gate.natadd " +
+        "SELECT n_nationkey, n_name, n_regionkey, " +
+        "CAST(n_nationkey * 10 AS BIGINT) FROM nat_src_cat " +
+        "WHERE n_regionkey >= 3")
+      s.sql("""SELECT n_regionkey, count(*) AS n_rows,
+              |       CAST(sum(coalesce(bonus, -1)) AS BIGINT) AS bonus_sum,
+              |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+              |FROM graft_gate.gate.natadd
+              |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+    }),
+
+    // SCHEMA EVOLUTION (RENAME + DROP) under the oracle: the rename is
+    // pure metadata (pre-rename files decode through a reader alias),
+    // the drop hides a column without touching data, and the post-drop
+    // INSERT proves the table keeps accepting the evolved shape. The
+    // final aggregate reads THROUGH the renamed column over both file
+    // generations.
+    "q_avro_dropcol" -> ((s, dir) => {
+      if (!s.conf.getOption("spark.sql.catalog.graft_gate").isDefined) {
+        s.conf.set("spark.sql.catalog.graft_gate",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_gate.root",
+          tempDir("graft_gate_cat"))
+      }
+      table(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+        .createOrReplaceTempView("ordevo_src_cat")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.gate")
+      s.sql("DROP TABLE IF EXISTS graft_gate.gate.ordevo")
+      s.sql("CREATE TABLE graft_gate.gate.ordevo AS " +
+        "SELECT * FROM ordevo_src_cat")
+      s.sql("ALTER TABLE graft_gate.gate.ordevo " +
+        "RENAME COLUMN o_totalprice TO price")
+      s.sql("ALTER TABLE graft_gate.gate.ordevo DROP COLUMN o_orderpriority")
+      s.sql("INSERT INTO graft_gate.gate.ordevo " +
+        "SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice * 2 " +
+        "FROM ordevo_src_cat WHERE o_orderkey % 10 = 0")
+      s.sql("""SELECT o_orderstatus, count(*) AS n_orders,
+              |       CAST(sum(CAST(round(price * 100) AS BIGINT))
+              |         AS BIGINT) AS cents
+              |FROM graft_gate.gate.ordevo
+              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
+
+    // ROLLBACK under the oracle: overwrite v1 (full region set) with a
+    // filtered v2, then rollbackTo(1) — archived files must physically
+    // restore, the replaced generation archive out, and the final read
+    // serve exactly v1's content as a NEW journal version (history
+    // stays append-only; derived stats manifests drop — absence=scan).
+    "q_avro_rollback" -> ((s, dir) => {
+      val tmp = tempDir("graft_gate_rollback")
+      val nat = table(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      nat.write.format("graft-avro").mode("overwrite").save(tmp)      // v1
+      nat.filter(F.col("n_regionkey") < 2)
+        .write.format("graft-avro").mode("overwrite").save(tmp)       // v2
+      graft.sources.AvroMaintenance.rollbackTo(tmp, 1L)               // v3
+      s.read.format("graft-avro").load(tmp)
+        .groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).as("n_nations"),
+          F.sum("n_nationkey").cast("long").as("key_sum"),
+          F.sum(F.length(F.col("n_name"))).cast("long").as("name_len"))
+        .orderBy("n_regionkey")
+    }),
+
     // VERSIONED TRUNCATE under the oracle: load region, TRUNCATE (live
     // files archive, the journal minting records the empty state), then
     // reload only the sub-Asia rows — the final table must hold exactly
@@ -1169,6 +1318,54 @@ object AvroGates extends Catalog {
                 CAST(sum(CAST(n_nationkey AS BIGINT)) AS BIGINT) AS key_sum
          FROM nation WHERE n_regionkey = 2
          GROUP BY n_regionkey ORDER BY n_regionkey""",
+    // post-lifecycle state = v1 (rollback undid the doubled insert)
+    // plus the constrained nationkey<5 re-insert
+    "q_avro_call" ->
+      """WITH orig AS (SELECT s_nationkey, s_acctbal FROM supplier),
+         extra AS (SELECT s_nationkey, s_acctbal FROM supplier
+                   WHERE s_nationkey < 5),
+         unioned AS (SELECT * FROM orig UNION ALL SELECT * FROM extra)
+         SELECT s_nationkey, count(*) AS n_supp,
+                CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+         FROM unioned GROUP BY s_nationkey ORDER BY s_nationkey""",
+    // both constrained generations: the full table + the %7 re-append
+    "q_avro_constraint" ->
+      """WITH orig AS (SELECT l_returnflag, l_quantity FROM lineitem),
+         extra AS (SELECT l_returnflag, l_quantity FROM lineitem
+                   WHERE l_orderkey % 7 = 0),
+         unioned AS (SELECT * FROM orig UNION ALL SELECT * FROM extra)
+         SELECT l_returnflag, count(*) AS n_lines,
+                round(sum(l_quantity), 2) AS sum_qty
+         FROM unioned GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // pre-ALTER rows (regionkey < 3) read the added column as null →
+    // coalesce(-1); post-ALTER inserts carry key*10
+    "q_avro_addcol" ->
+      """SELECT n_regionkey, count(*) AS n_rows,
+                CAST(sum(CASE WHEN n_regionkey >= 3
+                         THEN n_nationkey * 10 ELSE -1 END)
+                  AS BIGINT) AS bonus_sum,
+                CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    // the full original table (read through the renamed column) plus
+    // the post-drop inserts at doubled price
+    "q_avro_dropcol" ->
+      """WITH orig AS (
+           SELECT o_orderstatus, o_totalprice AS price FROM orders),
+         dbl AS (
+           SELECT o_orderstatus, o_totalprice * 2 AS price FROM orders
+           WHERE o_orderkey % 10 = 0),
+         unioned AS (SELECT * FROM orig UNION ALL SELECT * FROM dbl)
+         SELECT o_orderstatus, count(*) AS n_orders,
+                CAST(sum(CAST(round(price * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+         FROM unioned GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // rollback restores exactly version 1 = the unfiltered nation set
+    "q_avro_rollback" ->
+      """SELECT n_regionkey, count(*) AS n_nations,
+                CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+                CAST(sum(length(n_name)) AS BIGINT) AS name_len
+         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
     "q_avro_update" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
                 CAST(sum(CAST(round((CASE WHEN o_orderstatus = 'F'

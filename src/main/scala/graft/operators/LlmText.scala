@@ -461,7 +461,56 @@ object LlmText extends Catalog {
           F.array_min(F.transform(
             F.expr("transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3)))"),
             x => F.md5(x))).as("min_shingle_hash"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Character-bigram language-model scoring (the KenLM-shaped quality
+    // signal, integer-exact): each doc's score is the mean corpus
+    // "information" of its bigrams, with log2 replaced by the EXACT
+    // integer bit length (length(bin(count)) — bit-identical in both
+    // engines, no float log anywhere). Scale shape: the model is the
+    // bigram count table — a BOUNDED vocabulary (charset², ~10k rows at
+    // web scale) → broadcast join; the corpus text shuffles only its
+    // (doc_id, bigram) keys for the two aggregations, never re-joins
+    // itself. Final per-doc divide is positive-integer floor → `div`
+    // ≡ `//`.
+    "llm_bigram_lm" -> ((s, dir) => {
+      val grams = table(s, dir, "documents")
+        .filter(F.length(F.col("text")) >= 2)
+        .select(F.col("doc_id"), F.col("lang"),
+          F.explode(F.expr(
+            "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
+            .as("bg"))
+      val model = grams.groupBy("bg").agg(F.count(F.lit(1)).as("cnt"))
+        .select(F.col("bg"),
+          F.length(F.bin(F.col("cnt"))).cast("long").as("bits"))
+      grams.join(F.broadcast(model), Seq("bg"))
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).as("n_bg"), F.sum("bits").as("sum_bits"))
+        .select(F.col("lang"),
+          F.expr("(1000 * sum_bits) div n_bg").as("score_milli"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.sum("score_milli").cast("long").as("sum_score"),
+          F.min("score_milli").cast("long").as("min_score"),
+          F.max("score_milli").cast("long").as("max_score"))
+        .orderBy("lang")
+    }),
+
+    // Greedy longest-match-first segmentation against a frozen subword
+    // vocab (the WordPiece decoding rule) as ONE codegen kernel per row
+    // (graft.functions.GreedySegmentExpr) — embarrassingly parallel,
+    // zero shuffles before the final sort; the oracle's recursive CTE
+    // replays the exact greedy walk, and sum of squared token lengths
+    // pins every boundary, not just the count.
+    "llm_greedy_segment" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      table(s, dir, "documents")
+        .selectExpr("doc_id", "greedy_segment(text) AS seg")
+        .select(F.col("doc_id"),
+          F.col("seg").getItem(0).as("n_tokens"),
+          F.col("seg").getItem(1).as("sum_sq"))
+        .orderBy("doc_id")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -766,6 +815,52 @@ object LlmText extends Catalog {
                   x -> md5(x)), 'min') AS min_shingle_hash
          FROM (SELECT doc_id, text, string_split(text, ' ') AS w
                FROM documents)
-         WHERE len(w) >= 3 ORDER BY doc_id"""
+         WHERE len(w) >= 3 ORDER BY doc_id""",
+    // bit length (length(bin(n))) is the exact integer log2 both
+    // engines agree on; HUGEINT sums cast back down after the floor
+    // divide
+    "llm_bigram_lm" ->
+      """WITH g AS (
+           SELECT doc_id, lang,
+                  unnest(list_transform(generate_series(1, length(text) - 1),
+                    i -> substr(text, i, 2))) AS bg
+           FROM documents WHERE length(text) >= 2),
+         m AS (SELECT bg, length(bin(count(*))) AS bits FROM g GROUP BY bg),
+         sc AS (SELECT doc_id, lang, count(*) AS n_bg,
+                       sum(bits) AS sum_bits
+                FROM g JOIN m USING (bg) GROUP BY doc_id, lang)
+         SELECT lang, count(*) AS n_docs,
+                CAST(sum((1000 * sum_bits) // n_bg) AS BIGINT) AS sum_score,
+                CAST(min((1000 * sum_bits) // n_bg) AS BIGINT) AS min_score,
+                CAST(max((1000 * sum_bits) // n_bg) AS BIGINT) AS max_score
+         FROM sc GROUP BY lang ORDER BY lang""",
+    // the recursive CTE replays the greedy longest-match walk one token
+    // per iteration; the vocab literals are spliced from the SAME
+    // frozen arrays the codegen kernel compiles in
+    "llm_greedy_segment" -> {
+      def lits(a: Array[String]) = a.map(g => s"'$g'").mkString(", ")
+      val v4 = lits(graft.functions.GreedySegment.Grams4)
+      val v3 = lits(graft.functions.GreedySegment.Grams3)
+      val v2 = lits(graft.functions.GreedySegment.Grams2)
+      s"""WITH RECURSIVE seg AS (
+           SELECT doc_id, text, 0 AS pos, 0 AS n_tok, 0 AS sum_sq
+           FROM documents
+           UNION ALL
+           SELECT doc_id, text, pos + l, n_tok + 1, sum_sq + l * l
+           FROM (
+             SELECT doc_id, text, pos, n_tok, sum_sq,
+                    CASE WHEN length(text) - pos >= 4
+                              AND substr(text, pos + 1, 4) IN ($v4) THEN 4
+                         WHEN length(text) - pos >= 3
+                              AND substr(text, pos + 1, 3) IN ($v3) THEN 3
+                         WHEN length(text) - pos >= 2
+                              AND substr(text, pos + 1, 2) IN ($v2) THEN 2
+                         ELSE 1 END AS l
+             FROM seg WHERE pos < length(text)) x
+         )
+         SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+                CAST(sum_sq AS BIGINT) AS sum_sq
+         FROM seg WHERE pos = length(text) ORDER BY doc_id"""
+    }
   )
 }

@@ -145,13 +145,23 @@ class AvroFileSource extends TableProvider with DataSourceRegister {
       .map(f => renamedStruct(f, AvroSchemaConverter.toStruct(header(f))))
       .distinct
     val base = structs.last
-    if (structs.size == 1) base
-    else
-      StructType(base.fields.map { f =>
-        val relaxed = structs.exists(st => st.fields.find(_.name == f.name)
-          .forall(_.nullable))
-        if (relaxed && !f.nullable) f.copy(nullable = true) else f
-      })
+    val merged =
+      if (structs.size == 1) base
+      else
+        StructType(base.fields.map { f =>
+          val relaxed = structs.exists(st => st.fields.find(_.name == f.name)
+            .forall(_.nullable))
+          if (relaxed && !f.nullable) f.copy(nullable = true) else f
+        })
+    // ALTER TABLE column evolution rides on top of file inference:
+    // ADD appends a nullable column the files don't carry yet, DROP
+    // hides a retired one. Time travel / incremental reads apply only
+    // the entries in force at their upper version (an ALTER mints its
+    // own journal version). Branch reads apply everything — evolution
+    // ops refuse to run while branches exist, so every entry predates
+    // the fork.
+    AvroFileSource.applyEvo(d, merged,
+      travel.orElse(inc.map(_._2)))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -314,6 +324,122 @@ object AvroFileSource {
         case _ => throw new IllegalStateException(
           s"graft-avro: corrupt _graft_colmap line '$line' — refusing " +
             "to read (a dropped rename would silently null a column)")
+      }
+    }
+  }
+
+  /** CHECK-CONSTRAINT sidecar (`_graft_constraints`): `nameEnc TAB
+    * exprEnc` lines, one per table-level constraint. Every batch AND
+    * streaming write through the table validates each row against every
+    * stored constraint (plus any ad-hoc `check` write option) BEFORE the
+    * row reaches a file — a violating row fails the task, and the
+    * transactional commit protocol guarantees the previous dataset is
+    * untouched. SQL CHECK semantics: a row violates only when the
+    * expression is definitely FALSE (null passes — mirror of
+    * `EqualNullSafe(expr, false)`).
+    */
+  def constraintsFile(d: File): File = new File(d, "_graft_constraints")
+
+  def readConstraints(d: File): Seq[(String, String)] = {
+    val f = constraintsFile(d)
+    if (!f.isFile) return Nil
+    val src = scala.io.Source.fromFile(f, "UTF-8")
+    val lines = try src.getLines().filter(_.nonEmpty).toList finally src.close()
+    lines.map { line =>
+      line.split('\t') match {
+        case Array(n, e) =>
+          (java.net.URLDecoder.decode(n, "UTF-8"),
+            java.net.URLDecoder.decode(e, "UTF-8"))
+        case _ => throw new IllegalStateException(
+          s"graft-avro: corrupt _graft_constraints line '$line' — " +
+            "refusing to write (a dropped line silently disables a check)")
+      }
+    }
+  }
+
+  def writeConstraints(d: File, cs: Seq[(String, String)]): Unit = {
+    val f = constraintsFile(d)
+    if (cs.isEmpty) { f.delete(); return }
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val tmp = new File(f.getPath + ".staging")
+    java.nio.file.Files.write(tmp.toPath,
+      cs.map { case (n, e) => s"${enc(n)}\t${enc(e)}" }
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+    if (!tmp.renameTo(f)) throw new java.io.IOException(
+      s"graft-avro constraints: rename failed $tmp -> $f")
+  }
+
+  /** SCHEMA-EVOLUTION sidecar (`_graft_evo`): ordered
+    * `version TAB op TAB payloadEnc` lines — `op` is `add` (payload = a
+    * one-field StructType json, the appended nullable column) or `drop`
+    * (payload = the retired column name). Each entry's `version` is a
+    * snapshot version MINTED by the ALTER itself (a forced no-file-delta
+    * journal entry), so time travel is exact: a read AS OF v applies
+    * only entries with version <= v. Live reads apply every entry, in
+    * order. Two invariants keep name-based resolution sound without
+    * Iceberg field ids:
+    *   - dropped names are RETIRED forever — addColumn refuses to reuse
+    *     them and every batch/streaming write refuses a schema carrying
+    *     one (otherwise old files' same-named bytes would resurrect into
+    *     the "new" column);
+    *   - added columns are always nullable (old files synthesize null
+    *     through the reader-schema default, `resolveReader`).
+    * A sidecar that fails to parse must FAIL the read — a dropped `drop`
+    * line resurrects a retired column.
+    */
+  def evoFile(d: File): File = new File(d, "_graft_evo")
+
+  def readEvo(d: File): Seq[(Long, String, String)] = {
+    val f = evoFile(d)
+    if (!f.isFile) return Nil
+    val src = scala.io.Source.fromFile(f, "UTF-8")
+    val lines = try src.getLines().filter(_.nonEmpty).toList finally src.close()
+    lines.map { line =>
+      line.split('\t') match {
+        case Array(v, op, payloadEnc) if op == "add" || op == "drop" =>
+          (v.toLong, op, java.net.URLDecoder.decode(payloadEnc, "UTF-8"))
+        case _ => throw new IllegalStateException(
+          s"graft-avro: corrupt _graft_evo line '$line' — refusing to " +
+            "read (a dropped line changes the visible column set)")
+      }
+    }
+  }
+
+  def appendEvo(d: File, version: Long, op: String, payload: String): Unit = {
+    val line = s"$version\t$op\t" +
+      java.net.URLEncoder.encode(payload, "UTF-8") + "\n"
+    java.nio.file.Files.write(evoFile(d).toPath, line.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    ()
+  }
+
+  /** Names retired by a `drop` entry (any version) — never writable or
+    * re-addable again on this table.
+    */
+  def retiredColumns(d: File): Set[String] =
+    readEvo(d).collect { case (_, "drop", n) => n }.toSet
+
+  /** Apply the evolution journal to an inferred schema: entries with
+    * version <= `asOf` (all of them when None = live read), in order.
+    * An `add` whose column the files already carry (written after the
+    * ALTER) is a no-op — file inference placed it; a `drop` removes the
+    * column wherever it came from.
+    */
+  def applyEvo(d: File, st: StructType, asOf: Option[Long]): StructType = {
+    val entries = readEvo(d).filter { case (v, _, _) => asOf.forall(v <= _) }
+    if (entries.isEmpty) return st
+    entries.foldLeft(st) { case (s, (_, op, payload)) =>
+      op match {
+        case "add" =>
+          val f = org.apache.spark.sql.types.DataType.fromJson(payload)
+            .asInstanceOf[StructType].fields.headOption.getOrElse(
+              throw new IllegalStateException(
+                s"graft-avro: empty add-column payload in ${evoFile(d)}"))
+          if (s.fieldNames.contains(f.name)) s
+          else StructType(s.fields :+ f.copy(nullable = true))
+        case "drop" =>
+          StructType(s.fields.filterNot(_.name == payload))
       }
     }
   }
@@ -749,7 +875,7 @@ object AvroFileSource {
     * (batch, streaming epoch, delete publication), when the new state is
     * fully visible.
     */
-  def appendSnapshot(d: File, kind: String): Unit = {
+  def appendSnapshot(d: File, kind: String, force: Boolean = false): Unit = {
     val base = d.getAbsoluteFile.toPath
     val live = listAvro(d)
       .map(f => base.relativize(f.getAbsoluteFile.toPath).toString).sorted
@@ -760,7 +886,11 @@ object AvroFileSource {
       else None
     val prior = readSnapshots(d)
     val last = prior.lastOption
-    if (last.exists(s => s.files.sorted == live && s.deletes == dels)) return
+    // `force` mints a version even with no state delta — metadata-only
+    // operations (ALTER TABLE column evolution, rollback bookkeeping)
+    // need their own journal version for AS OF reads to bracket them
+    if (!force &&
+      last.exists(s => s.files.sorted == live && s.deletes == dels)) return
     val prevFiles = last.map(_.files.toSet).getOrElse(Set.empty)
     val deltas =
       live.filterNot(prevFiles).map(r =>
@@ -1386,7 +1516,11 @@ case class AvroTable(path: String, tableSchema: StructType,
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
       branchWrite = branchW.nonEmpty,
       requestSort =
-        Option(info.options().get("requestSort")).exists(_.toBoolean))
+        Option(info.options().get("requestSort")).exists(_.toBoolean),
+      checkOption =
+        Option(info.options().get("check")).map(_.trim).filter(_.nonEmpty),
+      // constraints govern from the MAIN table even for branch staging
+      constraintsDir = Some(path))
   }
 }
 
@@ -2897,8 +3031,64 @@ class AvroWriteBuilder(path: String, schema: StructType,
     // group-based row-level ops: at commit, archive exactly these
     // table-relative files (the op's rewritten scan set) — evaluated
     // lazily because the scan populates it during execution
-    replaceRels: Option[() => Set[String]] = None)
+    replaceRels: Option[() => Set[String]] = None,
+    // CHECK enforcement: ad-hoc `check` write option + the directory
+    // whose `_graft_constraints` sidecar governs this write (the MAIN
+    // table even for branch-overlay writes, so staged data can never
+    // dodge a table constraint)
+    checkOption: Option[String] = None,
+    constraintsDir: Option[String] = None)
   extends WriteBuilder with SupportsTruncate {
+
+  /** Constraints compiled ONCE, driver-side, against the write schema:
+    * parse → analyze over a LocalRelation of the write's attributes →
+    * bind ordinals. The shipped expression is
+    * `EqualNullSafe(cond, false)` — true means the row DEFINITELY
+    * violates (null passes, SQL CHECK semantics). Resolution failures
+    * (constraint references a column this write lacks), non-boolean or
+    * non-deterministic expressions all fail the write at plan time.
+    */
+  private[sources] lazy val compiledChecks
+      : Seq[(String, String,
+        org.apache.spark.sql.catalyst.expressions.Expression)] = {
+    val stored = AvroFileSource.readConstraints(
+      new File(constraintsDir.getOrElse(path)))
+    val all = stored ++ checkOption.map(e => ("check", e)).toSeq
+    if (all.isEmpty) Nil
+    else {
+      import org.apache.spark.sql.catalyst.expressions.{BindReferences,
+        EqualNullSafe, Literal => CLit, SubqueryExpression}
+      import org.apache.spark.sql.catalyst.plans.logical.{
+        Filter => LFilter, LocalRelation}
+      val spark = org.apache.spark.sql.SparkSession.active
+      val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils
+        .toAttributes(schema)
+      all.map { case (name, exprStr) =>
+        val parsed = spark.sessionState.sqlParser.parseExpression(exprStr)
+        val analyzed = spark.sessionState.analyzer
+          .execute(LFilter(parsed, LocalRelation(attrs)))
+        val cond = analyzed.collectFirst {
+          case f: LFilter => f.condition
+        }.getOrElse(throw new IllegalStateException(
+          s"graft-avro constraint '$name': analysis lost the filter"))
+        require(cond.resolved,
+          s"graft-avro CHECK constraint '$name': cannot resolve " +
+            s"'$exprStr' against columns ${schema.fieldNames.mkString(", ")}")
+        require(cond.dataType == org.apache.spark.sql.types.BooleanType,
+          s"graft-avro CHECK constraint '$name': '$exprStr' is not boolean")
+        require(cond.deterministic &&
+          !cond.exists(_.isInstanceOf[SubqueryExpression]),
+          s"graft-avro CHECK constraint '$name': '$exprStr' must be " +
+            "deterministic and subquery-free")
+        val bound = BindReferences.bindReference(
+          EqualNullSafe(cond, CLit(false,
+            org.apache.spark.sql.types.BooleanType))
+            : org.apache.spark.sql.catalyst.expressions.Expression,
+          attrs)
+        (name, exprStr, bound)
+      }
+    }
+  }
 
   // `requestSort` makes the WRITE declare its layout needs to Spark
   // (RequiresDistributionAndOrdering) instead of trusting the caller to
@@ -2921,6 +3111,18 @@ class AvroWriteBuilder(path: String, schema: StructType,
         s"ndvFor column '$c' not in schema"))
     require(AvroFileSource.bloomableType(f.dataType),
       s"ndvFor does not support ${f.dataType.simpleString} (column '$c')")
+  }
+
+  // RETIRED names (ALTER TABLE DROP COLUMN) may never be written again:
+  // name-based resolution would resurrect the old files' same-named
+  // bytes into the "new" column. Checked at plan time, driver-side.
+  {
+    val retired = AvroFileSource.retiredColumns(new File(path))
+    val clash = schema.fieldNames.filter(retired.contains)
+    require(clash.isEmpty,
+      s"graft-avro: column name(s) ${clash.mkString(", ")} were dropped " +
+        "from this table and are retired — pick a new name (name-based " +
+        "resolution would resurrect pre-drop file data)")
   }
 
   private var doTruncate = false
@@ -2998,8 +3200,11 @@ class AvroWriteBuilder(path: String, schema: StructType,
     override def toBatch: BatchWrite = new BatchWrite {
       override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
         new File(path).mkdirs()
-        AvroWriterFactory(path, schema, codec, partitionBy, staged = true,
-          sortedBy = sortedBy, bloomFor = bloomFor, ndvFor = ndvFor)
+        val base = AvroWriterFactory(path, schema, codec, partitionBy,
+          staged = true, sortedBy = sortedBy, bloomFor = bloomFor,
+          ndvFor = ndvFor)
+        if (compiledChecks.isEmpty) base
+        else CheckedWriterFactory(base, compiledChecks)
       }
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         val staged = messages.toSeq
@@ -3261,7 +3466,10 @@ class AvroWriteBuilder(path: String, schema: StructType,
       override def createStreamingWriterFactory(
           info: PhysicalWriteInfo): StreamingDataWriterFactory = {
         new File(path).mkdirs()
-        AvroStreamingWriterFactory(path, schema, codec, partitionBy)
+        val base = AvroStreamingWriterFactory(path, schema, codec,
+          partitionBy)
+        if (compiledChecks.isEmpty) base
+        else CheckedStreamingWriterFactory(base, compiledChecks)
       }
       override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
         // streamed epochs append unverified files: withdraw any
@@ -3807,4 +4015,55 @@ case class AvroStreamingWriterFactory(path: String, schema: StructType,
     else
       AvroWriters.open(path, schema, name, lazyCreate = true, codec = codec)
   }
+}
+
+/** CHECK-constraint enforcement, shared by the batch and streaming
+  * wrappers: each shipped expression is the driver-compiled
+  * `EqualNullSafe(cond, false)` — true ⇒ the row DEFINITELY violates
+  * (null passes, SQL CHECK semantics). Predicates codegen per task
+  * (Predicate.create falls back to interpreted), rows are checked
+  * BEFORE they reach the file writer, and the thrown task failure keeps
+  * the transactional commit from ever publishing.
+  */
+private object CheckedWriters {
+  import org.apache.spark.sql.catalyst.expressions.{BasePredicate,
+    Expression, Predicate => CPredicate}
+
+  def wrap(inner: DataWriter[InternalRow],
+      checks: Seq[(String, String, Expression)]): DataWriter[InternalRow] = {
+    val preds: Seq[(String, String, BasePredicate)] =
+      checks.map { case (n, e, b) => (n, e, CPredicate.create(b)) }
+    new DataWriter[InternalRow] {
+      override def write(r: InternalRow): Unit = {
+        preds.foreach { case (n, ex, p) =>
+          if (p.eval(r)) throw new IllegalArgumentException(
+            s"graft-avro CHECK constraint '$n' violated: ($ex) is false " +
+              "for an input row — no data was published")
+        }
+        inner.write(r)
+      }
+      override def commit(): WriterCommitMessage = inner.commit()
+      override def abort(): Unit = inner.abort()
+      override def close(): Unit = inner.close()
+    }
+  }
+}
+
+case class CheckedWriterFactory(inner: DataWriterFactory,
+    checks: Seq[(String, String,
+      org.apache.spark.sql.catalyst.expressions.Expression)])
+  extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    CheckedWriters.wrap(inner.createWriter(partitionId, taskId), checks)
+}
+
+case class CheckedStreamingWriterFactory(inner: StreamingDataWriterFactory,
+    checks: Seq[(String, String,
+      org.apache.spark.sql.catalyst.expressions.Expression)])
+  extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    CheckedWriters.wrap(inner.createWriter(partitionId, taskId, epochId),
+      checks)
 }

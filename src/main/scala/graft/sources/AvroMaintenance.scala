@@ -458,13 +458,21 @@ object AvroMaintenance {
     * the renamed column).
     */
   def renameColumn(spark: SparkSession, dir: String, from: String,
-      to: String): Unit = {
+      to: String): Unit = renameColumn(dir, from, to)
+
+  /** Sessionless variant (schema comes from the source's own driver-side
+    * inference) — the SQL catalog's ALTER TABLE entry point.
+    */
+  def renameColumn(dir: String, from: String, to: String): Unit = {
     val d = new File(dir)
-    val cur = spark.read.format("graft-avro").load(dir).schema
+    val cur = currentSchema(dir)
     require(cur.fieldNames.contains(from),
       s"graft-avro rename: no column '$from' in ${cur.fieldNames.mkString(",")}")
     require(!cur.fieldNames.contains(to),
       s"graft-avro rename: column '$to' already exists")
+    require(!AvroFileSource.retiredColumns(d).contains(to),
+      s"graft-avro rename: '$to' was dropped earlier and is retired on " +
+        "this table (the evolution replay would re-hide it)")
     require(!AvroFileSource.deleteFile(d).isFile ||
       !new String(java.nio.file.Files.readAllBytes(
         AvroFileSource.deleteFile(d).toPath), "UTF-8")
@@ -489,6 +497,199 @@ object AvroMaintenance {
       java.nio.file.Files.write(AvroFileSource.sortMarker(d).toPath,
         to.getBytes("UTF-8"))
     }
+  }
+
+  /** Current table schema straight from the source's inference (no
+    * SparkSession needed — the header sweep and every sidecar overlay
+    * are driver-side metadata), so the SQL catalog can run schema
+    * evolution without a session handle.
+    */
+  private def currentSchema(dir: String)
+      : org.apache.spark.sql.types.StructType = {
+    import scala.jdk.CollectionConverters._
+    new AvroFileSource().inferSchema(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        Map("path" -> dir).asJava))
+  }
+
+  private def requireNoBranches(d: File, op: String): Unit =
+    require(!AvroFileSource.branchesDir(d).isDirectory ||
+      AvroFileSource.branchesDir(d).listFiles().forall(!_.isDirectory),
+      s"graft-avro $op: drop or publish branches first (evolution must " +
+        "predate every branch fork)")
+
+  /** ALTER TABLE ADD COLUMN without touching a data file: appends a
+    * version-stamped `add` entry to the `_graft_evo` sidecar after
+    * minting a metadata-only snapshot version (so AS OF reads bracket
+    * the ALTER exactly). The column is forced nullable — older files
+    * synthesize null through the reader-schema default; files written
+    * afterwards carry it natively. Reusing a DROPPED name is refused
+    * forever: name-based resolution would resurrect pre-drop bytes.
+    */
+  def addColumn(dir: String,
+      field: org.apache.spark.sql.types.StructField): Unit = {
+    val d = new File(dir)
+    requireNoBranches(d, "add-column")
+    val cur = currentSchema(dir)
+    require(!cur.fieldNames.contains(field.name),
+      s"graft-avro add-column: column '${field.name}' already exists")
+    require(!AvroFileSource.retiredColumns(d).contains(field.name),
+      s"graft-avro add-column: '${field.name}' was dropped earlier and " +
+        "is retired on this table — pick a new name")
+    AvroFileSource.appendSnapshot(d, "add-column", force = true)
+    val v = AvroFileSource.readSnapshots(d).last.version
+    AvroFileSource.appendEvo(d, v, "add",
+      org.apache.spark.sql.types.StructType(
+        Seq(field.copy(nullable = true))).json)
+  }
+
+  /** ALTER TABLE DROP COLUMN without rewriting data: a version-stamped
+    * `drop` entry hides the column from every live read; pre-drop
+    * snapshots (AS OF < the ALTER's version) still serve it. The name is
+    * retired permanently (see [[addColumn]]). Refuses while pending
+    * equality deletes reference the column (their semantics would become
+    * unevaluable) and withdraws the verified-sort claim + zone manifest
+    * when the sort column itself is dropped (absence ⇒ scan, sound).
+    */
+  def dropColumn(dir: String, name: String): Unit = {
+    val d = new File(dir)
+    requireNoBranches(d, "drop-column")
+    val cur = currentSchema(dir)
+    require(cur.fieldNames.contains(name),
+      s"graft-avro drop-column: no column '$name' in " +
+        cur.fieldNames.mkString(","))
+    require(cur.fields.length >= 2,
+      "graft-avro drop-column: cannot drop the last column")
+    require(!AvroFileSource.deleteFile(d).isFile ||
+      !new String(java.nio.file.Files.readAllBytes(
+        AvroFileSource.deleteFile(d).toPath), "UTF-8")
+        .linesIterator.exists(_.startsWith(
+          java.net.URLEncoder.encode(name, "UTF-8") + "\t")),
+      s"graft-avro drop-column: pending equality deletes reference " +
+        s"'$name' — compact first")
+    require(!AvroFileSource.listPartitioned(d)
+      .flatMap(_._2.keys).contains(name),
+      s"graft-avro drop-column: '$name' is a partition column — " +
+        "file layout depends on it")
+    AvroFileSource.appendSnapshot(d, "drop-column", force = true)
+    val v = AvroFileSource.readSnapshots(d).last.version
+    AvroFileSource.appendEvo(d, v, "drop", name)
+    if (AvroFileSource.sortedColumnOf(d).contains(name)) {
+      AvroFileSource.sortMarker(d).delete()
+      AvroFileSource.zoneFile(d).delete()
+      ()
+    }
+  }
+
+  /** Add a table-level CHECK constraint (Delta-parity): validates the
+    * EXISTING data first (zero definitely-false rows — null passes, SQL
+    * CHECK semantics), then records `name -> expr` in the
+    * `_graft_constraints` sidecar. Every subsequent batch/streaming
+    * write — including branch staging and row-level-op rewrites —
+    * validates each row before it reaches a file; a violation fails the
+    * task and the transactional commit leaves the table untouched.
+    */
+  def addConstraint(spark: SparkSession, dir: String, name: String,
+      expr: String): Unit = {
+    require(name.nonEmpty && !name.contains('\t') && !name.contains('\n'),
+      s"graft-avro constraint: bad name '$name'")
+    val d = new File(dir)
+    val existing = AvroFileSource.readConstraints(d)
+    require(!existing.exists(_._1 == name),
+      s"graft-avro constraint: '$name' already exists")
+    if (AvroFileSource.listAvro(d).nonEmpty) {
+      import org.apache.spark.sql.{functions => F}
+      val violations = spark.read.format("graft-avro").load(dir)
+        .filter(F.expr(s"($expr) <=> false")).limit(1).count()
+      require(violations == 0L,
+        s"graft-avro constraint '$name': existing rows violate ($expr)")
+    }
+    AvroFileSource.writeConstraints(d, existing :+ (name -> expr))
+  }
+
+  /** Remove a CHECK constraint; future writes stop validating it. */
+  def dropConstraint(dir: String, name: String): Unit = {
+    val d = new File(dir)
+    val existing = AvroFileSource.readConstraints(d)
+    require(existing.exists(_._1 == name),
+      s"graft-avro constraint: no constraint '$name' to drop")
+    AvroFileSource.writeConstraints(d, existing.filterNot(_._1 == name))
+  }
+
+  /** ROLLBACK to an earlier snapshot version as a NEW version (Iceberg's
+    * rollback semantics: history is append-only, the journal gains a
+    * `rollback` entry whose state equals version `v`). Purely physical
+    * restore — archived files of `v` move back live, live files not in
+    * `v` archive out, and the equality-delete sidecar reverts to the
+    * snapshot's recorded content. Derived per-file statistics manifests
+    * (sort marker, zone maps, blooms, row counts, NDV) are DELETED
+    * rather than rewound: their lifecycle tracks commits, not arbitrary
+    * file moves, and absence only degrades pruning, never correctness
+    * (rebuild via compact/OPTIMIZE). Schema evolution entries are NOT
+    * rolled back — like Iceberg, rollback restores data state, the
+    * current schema stays current. Refuses with positional deletes
+    * pending (their state is not journaled) or active branches.
+    * Returns the newly minted version.
+    */
+  def rollbackTo(dir: String, version: Long): Long = {
+    val d = new File(dir)
+    requireNoBranches(d, "rollback")
+    require(!AvroFileSource.posdelFile(d).isFile,
+      "graft-avro rollback: positional deletes are pending and not " +
+        "journaled — compact first")
+    val snaps = AvroFileSource.readSnapshots(d)
+    val target = snaps.find(_.version == version).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-avro rollback: unknown version $version " +
+          s"(have ${snaps.map(_.version).mkString(", ")})"))
+    require(version != snaps.last.version,
+      s"graft-avro rollback: $version is already the current version")
+    val base = d.getAbsoluteFile.toPath
+    val live = AvroFileSource.listAvro(d)
+      .map(f => base.relativize(f.getAbsoluteFile.toPath).toString).toSet
+    val want = target.files.toSet
+    // restore first, retire second: a crash mid-way leaves a superset of
+    // both versions on disk — readable — never a half-missing table
+    (want -- live).toSeq.sorted.foreach { rel =>
+      val src = new File(AvroFileSource.archiveDir(d), rel)
+      if (!src.isFile) throw new IllegalStateException(
+        s"graft-avro rollback: file '$rel' of version $version was " +
+          "vacuumed (expireSnapshots) — cannot restore")
+      val dst = new File(d, rel)
+      dst.getParentFile.mkdirs()
+      if (dst.exists()) throw new java.io.IOException(
+        s"graft-avro rollback: live collision $dst")
+      if (!src.renameTo(dst)) throw new java.io.IOException(
+        s"graft-avro rollback: restore failed $src -> $dst")
+    }
+    (live -- want).toSeq.sorted.foreach { rel =>
+      val src = new File(d, rel)
+      val dst = new File(AvroFileSource.archiveDir(d), rel)
+      dst.getParentFile.mkdirs()
+      if (dst.exists()) throw new java.io.IOException(
+        s"graft-avro rollback: archive collision $dst")
+      if (!src.renameTo(dst)) throw new java.io.IOException(
+        s"graft-avro rollback: archive move failed $src -> $dst")
+    }
+    // delete sidecar reverts to the snapshot's recorded content
+    val delF = AvroFileSource.deleteFile(d)
+    target.deletes match {
+      case Some(content) =>
+        val tmp = new File(delF.getPath + ".staging")
+        java.nio.file.Files.write(tmp.toPath, content.getBytes("UTF-8"))
+        if (!tmp.renameTo(delF)) throw new java.io.IOException(
+          s"graft-avro rollback: rename failed $tmp -> $delF")
+      case None => delF.delete()
+    }
+    // stats/layout manifests describe the pre-rollback live set — drop
+    // them all (absence ⇒ scan); partial coverage of the sort-zone
+    // manifest in particular would be UNSOUND for metadata MIN/MAX
+    Seq(AvroFileSource.sortMarker(d), AvroFileSource.zoneFile(d),
+      AvroFileSource.colZoneFile(d), AvroFileSource.bloomFile(d),
+      AvroFileSource.rowsFile(d), AvroFileSource.ndvFile(d))
+      .foreach(_.delete())
+    AvroFileSource.appendSnapshot(d, "rollback", force = true)
+    AvroFileSource.readSnapshots(d).last.version
   }
 
   /** `files` METADATA TABLE (the Iceberg `table$files` analogue): one row

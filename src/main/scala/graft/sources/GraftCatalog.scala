@@ -26,7 +26,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * usual latest-schema-wins inference takes over, so SQL DDL and
   * path-based writes stay interchangeable.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catName: String = _
   private var root: File = _
@@ -152,10 +153,95 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     AvroTable(d.getPath, schema, defaultPartitionBy = parts)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: ALTER TABLE is not supported — use " +
-        "AvroMaintenance (renameColumn, deleteWhere, compactTo, …)")
+  /** ALTER TABLE column evolution: ADD COLUMN (appended, forced
+    * nullable), DROP COLUMN, RENAME COLUMN — all metadata-only
+    * (`_graft_evo` / `_graft_colmap` sidecars, zero data files
+    * rewritten) on data-backed tables, a `_graft_schema` sidecar
+    * rewrite on empty DDL tables. Top-level columns only (the Avro
+    * bridge's evolution machinery is name-based at record top level),
+    * no custom positions, and names dropped from a data-backed table
+    * are retired forever (see [[AvroMaintenance.dropColumn]]).
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val d = tableDir(ident)
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val withData = hasData(d)
+    // empty DDL tables evolve by rewriting their schema sidecar — reuse
+    // it as a tiny functional state thread so several changes compose
+    def sidecarState(): (StructType, Seq[String]) = {
+      val lines = new String(java.nio.file.Files.readAllBytes(
+        schemaFile(d).toPath), "UTF-8").split('\n')
+      (org.apache.spark.sql.types.DataType.fromJson(lines(0))
+        .asInstanceOf[StructType],
+        if (lines.length > 1 && lines(1).nonEmpty)
+          lines(1).split(',').toSeq else Nil)
+    }
+    def writeSidecar(schema: StructType, parts: Seq[String]): Unit = {
+      java.nio.file.Files.write(schemaFile(d).toPath,
+        (schema.json + "\n" + parts.mkString(",")).getBytes("UTF-8"))
+      ()
+    }
+    def singleName(fieldNames: Array[String], what: String): String = {
+      require(fieldNames.length == 1,
+        s"graft catalog: $what supports top-level columns only, got " +
+          fieldNames.mkString("."))
+      fieldNames(0)
+    }
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        val name = singleName(a.fieldNames(), "ADD COLUMN")
+        require(a.position() == null,
+          "graft catalog: ADD COLUMN FIRST/AFTER is not supported — " +
+            "columns append at the end")
+        require(a.isNullable,
+          "graft catalog: added columns must be nullable (existing rows " +
+            "can only default to null)")
+        val field = org.apache.spark.sql.types.StructField(
+          name, a.dataType(), nullable = true)
+        if (withData) AvroMaintenance.addColumn(d.getPath, field)
+        else {
+          val (st, parts) = sidecarState()
+          require(!st.fieldNames.contains(name),
+            s"graft catalog: column '$name' already exists")
+          writeSidecar(StructType(st.fields :+ field), parts)
+        }
+      case del: TableChange.DeleteColumn =>
+        val name = singleName(del.fieldNames(), "DROP COLUMN")
+        if (withData) {
+          // the DDL sidecar's default-partition list outlives the data
+          // inference — future INSERTs still partition by it
+          require(!schemaFile(d).isFile || !sidecarState()._2.contains(name),
+            s"graft catalog: '$name' is a partition column")
+          AvroMaintenance.dropColumn(d.getPath, name)
+        } else {
+          val (st, parts) = sidecarState()
+          require(st.fieldNames.contains(name) || del.ifExists(),
+            s"graft catalog: no column '$name' to drop")
+          require(!parts.contains(name),
+            s"graft catalog: '$name' is a partition column")
+          writeSidecar(StructType(
+            st.fields.filterNot(_.name == name)), parts)
+        }
+      case rn: TableChange.RenameColumn =>
+        val from = singleName(rn.fieldNames(), "RENAME COLUMN")
+        if (withData) AvroMaintenance.renameColumn(d.getPath, from,
+          rn.newName())
+        else {
+          val (st, parts) = sidecarState()
+          require(st.fieldNames.contains(from),
+            s"graft catalog: no column '$from' to rename")
+          require(!st.fieldNames.contains(rn.newName()),
+            s"graft catalog: column '${rn.newName()}' already exists")
+          require(!parts.contains(from),
+            s"graft catalog: '$from' is a partition column")
+          writeSidecar(StructType(st.fields.map(f =>
+            if (f.name == from) f.copy(name = rn.newName()) else f)), parts)
+        }
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported ALTER TABLE change $other")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val d = tableDir(ident)
@@ -174,6 +260,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     dst.getParentFile.mkdirs()
     if (!src.renameTo(dst)) throw new java.io.IOException(
       s"graft catalog: rename failed $src -> $dst")
+  }
+
+  // ---- procedures (SQL CALL) ------------------------------------------
+
+  /** `CALL <cat>.system.<proc>('ns.tbl', …)` — the maintenance surface
+    * (rollback, snapshot expiry, tags, CHECK constraints) resolved
+    * against this catalog's directory layout; see [[GraftProcedures]].
+    */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().sameElements(GraftProcedures.Namespace),
+      s"graft catalog: procedures live under the 'system' namespace, " +
+        s"got ${ident.namespace().mkString(".")}")
+    GraftProcedures.load(ident.name(), { tableRef =>
+      val parts = tableRef.split('.')
+      require(parts.length >= 1 && parts.forall(_.nonEmpty),
+        s"graft catalog: bad table reference '$tableRef'")
+      val id = Identifier.of(parts.dropRight(1), parts.last)
+      if (!tableExists(id)) throw new NoSuchTableException(id)
+      tableDir(id)
+    })
+  }
+
+  override def listProcedures(ns: Array[String]): Array[Identifier] = {
+    if (!ns.sameElements(GraftProcedures.Namespace)) return Array.empty
+    GraftProcedures.names
+      .map(n => Identifier.of(GraftProcedures.Namespace, n)).toArray
   }
 
   // ---- namespaces -----------------------------------------------------

@@ -1,0 +1,138 @@
+package graft.sources
+
+import java.io.File
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure,
+  ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType,
+  StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL `CALL` maintenance procedures for [[GraftCatalog]] — the Iceberg
+  * procedure set through Spark 4's DSv2 ProcedureCatalog:
+  *
+  * {{{
+  *   CALL cat.system.rollback_to_version('ns.tbl', 3)
+  *   CALL cat.system.expire_snapshots('ns.tbl', 5)
+  *   CALL cat.system.create_tag('ns.tbl', 'release-1', 3)
+  *   CALL cat.system.drop_tag('ns.tbl', 'release-1')
+  *   CALL cat.system.add_constraint('ns.tbl', 'qty_pos', 'qty > 0')
+  *   CALL cat.system.drop_constraint('ns.tbl', 'qty_pos')
+  * }}}
+  *
+  * Each call delegates to the corresponding [[AvroMaintenance]] op and
+  * returns its outcome as a one-row LocalScan. The table argument is a
+  * CATALOG-RELATIVE identifier (`ns.tbl`), resolved against the same
+  * directory layout as every other catalog statement. Every procedure is
+  * non-deterministic (it mutates and reports on-disk state), which also
+  * keeps Spark from caching or re-running the call.
+  */
+object GraftProcedures {
+
+  val Namespace: Array[String] = Array("system")
+
+  def names: Seq[String] = Seq("rollback_to_version", "expire_snapshots",
+    "create_tag", "drop_tag", "add_constraint", "drop_constraint")
+
+  /** One result row (catalyst values, strings as UTF8String). */
+  private case class ResultScan(schema: StructType, row: Seq[Any])
+      extends LocalScan {
+    override def readSchema(): StructType = schema
+    override def rows(): Array[InternalRow] =
+      Array(InternalRow.fromSeq(row))
+  }
+
+  private def out(fields: (String, DataType)*): StructType =
+    StructType(fields.map { case (n, t) =>
+      org.apache.spark.sql.types.StructField(n, t, nullable = false)
+    })
+
+  private def param(n: String, t: DataType): ProcedureParameter =
+    ProcedureParameter.in(n, t).build()
+
+  /** A procedure over a resolved table directory. `run` gets the raw
+    * argument row and returns (schema, row values).
+    */
+  private final class Proc(procName: String, desc: String,
+      params: Array[ProcedureParameter],
+      run: InternalRow => (StructType, Seq[Any]))
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = desc
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val (schema, row) = run(input)
+      java.util.List.of(ResultScan(schema, row): Scan).iterator()
+    }
+  }
+
+  def load(name: String, resolveDir: String => File): UnboundProcedure = {
+    def dirOf(input: InternalRow): String = {
+      val ident = input.getUTF8String(0)
+      require(ident != null, "graft procedure: table argument is null")
+      resolveDir(ident.toString).getPath
+    }
+    name match {
+      case "rollback_to_version" => new Proc(name,
+        "physically restore an earlier snapshot version as a new version",
+        Array(param("table", StringType), param("version", LongType)),
+        in => {
+          val v = AvroMaintenance.rollbackTo(dirOf(in), in.getLong(1))
+          (out("restored_version" -> LongType, "current_version" -> LongType),
+            Seq(in.getLong(1), v))
+        })
+      case "expire_snapshots" => new Proc(name,
+        "vacuum: keep the last N (and tagged) versions, delete " +
+          "unreferenced archive files",
+        Array(param("table", StringType), param("keep_last", IntegerType)),
+        in => {
+          val removed = AvroMaintenance.expireSnapshots(dirOf(in),
+            in.getInt(1))
+          (out("removed_files" -> LongType), Seq(removed.toLong))
+        })
+      case "create_tag" => new Proc(name,
+        "pin a named tag at a snapshot version",
+        Array(param("table", StringType), param("tag", StringType),
+          param("version", LongType)),
+        in => {
+          AvroMaintenance.tag(dirOf(in), in.getUTF8String(1).toString,
+            in.getLong(2))
+          (out("tag" -> StringType, "version" -> LongType),
+            Seq(in.getUTF8String(1).copy(), in.getLong(2)))
+        })
+      case "drop_tag" => new Proc(name,
+        "remove a named tag; its version becomes expirable",
+        Array(param("table", StringType), param("tag", StringType)),
+        in => {
+          AvroMaintenance.dropTag(dirOf(in), in.getUTF8String(1).toString)
+          (out("dropped" -> StringType), Seq(in.getUTF8String(1).copy()))
+        })
+      case "add_constraint" => new Proc(name,
+        "add a CHECK constraint (validates existing rows first)",
+        Array(param("table", StringType), param("name", StringType),
+          param("expr", StringType)),
+        in => {
+          AvroMaintenance.addConstraint(
+            org.apache.spark.sql.SparkSession.active, dirOf(in),
+            in.getUTF8String(1).toString, in.getUTF8String(2).toString)
+          (out("constraint" -> StringType, "expr" -> StringType),
+            Seq(in.getUTF8String(1).copy(), in.getUTF8String(2).copy()))
+        })
+      case "drop_constraint" => new Proc(name,
+        "remove a CHECK constraint",
+        Array(param("table", StringType), param("name", StringType)),
+        in => {
+          AvroMaintenance.dropConstraint(dirOf(in),
+            in.getUTF8String(1).toString)
+          (out("dropped" -> StringType), Seq(in.getUTF8String(1).copy()))
+        })
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: unknown procedure system.$other " +
+          s"(have ${names.mkString(", ")})")
+    }
+  }
+}
