@@ -555,6 +555,41 @@ object AvroGates extends Catalog {
               |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
     }),
 
+    // SQL METADATA TABLES under the oracle: a scripted lifecycle (CTAS,
+    // append, metadata delete, tag, constraint) then one query over the
+    // `.history` / `.refs` / `.constraints` suffix tables — the
+    // journal's versions/kinds/delete flags, the pinned tag, and the
+    // stored constraint must equal the oracle's literal expectation
+    // row-for-row.
+    "q_avro_metatables" -> ((s, dir) => {
+      if (!s.conf.getOption("spark.sql.catalog.graft_gate").isDefined) {
+        s.conf.set("spark.sql.catalog.graft_gate",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_gate.root",
+          tempDir("graft_gate_cat"))
+      }
+      table(s, dir, "region").createOrReplaceTempView("reg_src_cat")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.gate")
+      s.sql("DROP TABLE IF EXISTS graft_gate.gate.meta")
+      s.sql("CREATE TABLE graft_gate.gate.meta AS SELECT * FROM reg_src_cat")
+      s.sql("INSERT INTO graft_gate.gate.meta " +
+        "SELECT * FROM reg_src_cat WHERE r_regionkey < 2")
+      s.sql("DELETE FROM graft_gate.gate.meta WHERE r_regionkey IN (4)")
+      s.sql("CALL graft_gate.system.create_tag('gate.meta', 'base', 1)")
+      s.sql("CALL graft_gate.system.add_constraint('gate.meta', " +
+        "'key_pos', 'r_regionkey >= 0')")
+      s.sql("""SELECT 'v' || CAST(version AS STRING) AS item,
+              |       kind AS info, has_deletes
+              |FROM graft_gate.gate.meta.history
+              |UNION ALL
+              |SELECT 'tag:' || name, 'v' || CAST(version AS STRING), false
+              |FROM graft_gate.gate.meta.refs
+              |UNION ALL
+              |SELECT 'chk:' || name, expr, false
+              |FROM graft_gate.gate.meta.constraints
+              |ORDER BY item, info""".stripMargin)
+    }),
+
     // SQL CALL procedures under the oracle: a full maintenance lifecycle
     // through `CALL cat.system.*` — rollback_to_version physically
     // restores v1 (the doubled v2 generation archives out), then
@@ -642,9 +677,15 @@ object AvroGates extends Catalog {
         "SELECT n_nationkey, n_name, n_regionkey, " +
         "CAST(n_nationkey * 10 AS BIGINT) FROM nat_src_cat " +
         "WHERE n_regionkey >= 3")
+      // a DEFAULT'd add AFTER all inserts: every physical file lacks
+      // the column, so every row must decode the declared literal
+      s.sql("ALTER TABLE graft_gate.gate.natadd " +
+        "ADD COLUMN tier STRING DEFAULT 'std'")
       s.sql("""SELECT n_regionkey, count(*) AS n_rows,
               |       CAST(sum(coalesce(bonus, -1)) AS BIGINT) AS bonus_sum,
-              |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+              |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+              |       CAST(sum(CASE WHEN tier = 'std' THEN 1 ELSE 0 END)
+              |         AS BIGINT) AS n_std
               |FROM graft_gate.gate.natadd
               |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
     }),
@@ -1318,6 +1359,17 @@ object AvroGates extends Catalog {
                 CAST(sum(CAST(n_nationkey AS BIGINT)) AS BIGINT) AS key_sum
          FROM nation WHERE n_regionkey = 2
          GROUP BY n_regionkey ORDER BY n_regionkey""",
+    // the lifecycle's journal/refs/constraint state is fully scripted —
+    // the oracle is the literal expectation
+    "q_avro_metatables" ->
+      """SELECT * FROM (VALUES
+           ('v1', 'append', false),
+           ('v2', 'append', false),
+           ('v3', 'delete', true),
+           ('tag:base', 'v1', false),
+           ('chk:key_pos', 'r_regionkey >= 0', false))
+           t(item, info, has_deletes)
+         ORDER BY item, info""",
     // post-lifecycle state = v1 (rollback undid the doubled insert)
     // plus the constrained nationkey<5 re-insert
     "q_avro_call" ->
@@ -1345,7 +1397,8 @@ object AvroGates extends Catalog {
                 CAST(sum(CASE WHEN n_regionkey >= 3
                          THEN n_nationkey * 10 ELSE -1 END)
                   AS BIGINT) AS bonus_sum,
-                CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+                CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+                count(*) AS n_std
          FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
     // the full original table (read through the renamed column) plus
     // the post-drop inserts at doubled price

@@ -420,6 +420,36 @@ object AvroFileSource {
   def retiredColumns(d: File): Set[String] =
     readEvo(d).collect { case (_, "drop", n) => n }.toSet
 
+  // DEFAULT-value metadata keys for ALTER TABLE ADD COLUMN … DEFAULT v:
+  // the typed literal (for decode-time synthesis on files lacking the
+  // column) plus Spark's own CURRENT_DEFAULT/EXISTS_DEFAULT sql-text
+  // keys, which make INSERTs with explicit column lists fill the
+  // default through the standard analyzer path.
+  val DefaultKindKey = "graft.defaultKind"
+  val DefaultValueKey = "graft.defaultValue"
+
+  /** The declared ADD COLUMN default as the Java object Avro's schema
+    * builder accepts as a field default (types restricted at ALTER
+    * time to int/long/double/boolean/string).
+    */
+  def declaredDefault(sf: org.apache.spark.sql.types.StructField)
+      : Option[AnyRef] = {
+    if (!sf.metadata.contains(DefaultKindKey)) return None
+    Some(sf.metadata.getString(DefaultKindKey) match {
+      case "int" =>
+        Integer.valueOf(sf.metadata.getLong(DefaultValueKey).toInt)
+      case "long" =>
+        java.lang.Long.valueOf(sf.metadata.getLong(DefaultValueKey))
+      case "double" =>
+        java.lang.Double.valueOf(sf.metadata.getDouble(DefaultValueKey))
+      case "boolean" =>
+        java.lang.Boolean.valueOf(sf.metadata.getBoolean(DefaultValueKey))
+      case "string" => sf.metadata.getString(DefaultValueKey)
+      case other => throw new IllegalStateException(
+        s"graft-avro: unknown default kind '$other' on '${sf.name}'")
+    })
+  }
+
   /** Apply the evolution journal to an inferred schema: entries with
     * version <= `asOf` (all of them when None = live read), in order.
     * An `add` whose column the files already carry (written after the
@@ -436,7 +466,16 @@ object AvroFileSource {
             .asInstanceOf[StructType].fields.headOption.getOrElse(
               throw new IllegalStateException(
                 s"graft-avro: empty add-column payload in ${evoFile(d)}"))
-          if (s.fieldNames.contains(f.name)) s
+          if (s.fieldNames.contains(f.name))
+            // files already carry the column (written post-ALTER): keep
+            // their type/position but re-attach the ALTER's metadata —
+            // INSERT-default resolution and decode-time synthesis for
+            // any remaining old files both live there
+            StructType(s.fields.map(x =>
+              if (x.name == f.name &&
+                  f.metadata != org.apache.spark.sql.types.Metadata.empty)
+                x.copy(metadata = f.metadata)
+              else x))
           else StructType(s.fields :+ f.copy(nullable = true))
         case "drop" =>
           StructType(s.fields.filterNot(_.name == payload))
@@ -1285,6 +1324,21 @@ case class AvroTable(path: String, tableSchema: StructType,
   with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
   with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** Stored CHECK constraints surfaced to Spark (DESCRIBE, analyzer
+    * awareness): enforced, and VALID — addConstraint validated existing
+    * rows and every write since was policed by the writer decorator.
+    */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    AvroFileSource.readConstraints(new File(path)).map { case (n, e) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint
+        .check(n).predicateSql(e).enforced(true)
+        .validationStatus(org.apache.spark.sql.connector.catalog
+          .constraints.Constraint.ValidationStatus.VALID)
+        .build()
+        : org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
 
   /** SQL `UPDATE` / `MERGE INTO` / rewrite-`DELETE` — GROUP-BASED
     * copy-on-write: Spark scans the table through this operation's scan
@@ -2804,12 +2858,29 @@ object AvroReaderFactory {
         case null =>
           require(sf.nullable, s"column '${sf.name}' is missing from " +
             s"older file $file and is not nullable — cannot default")
-          val synth = AvroSchemaConverter
-            .toAvro(StructType(Seq(sf)), writer.getName,
-              Option(writer.getNamespace), None)
-            .getFields.get(0)
-          new Schema.Field(synth.name, synth.schema, synth.doc,
-            Schema.Field.NULL_DEFAULT_VALUE)
+          AvroFileSource.declaredDefault(sf) match {
+            case Some(v) =>
+              // ALTER TABLE … DEFAULT v: files lacking the column serve
+              // the declared literal, not null. The synthesized union
+              // must lead with the VALUE branch — Avro validates a
+              // field default against the FIRST union branch only.
+              val base = AvroSchemaConverter
+                .toAvro(StructType(Seq(
+                  sf.copy(nullable = false,
+                    metadata = org.apache.spark.sql.types.Metadata.empty))),
+                  writer.getName, Option(writer.getNamespace), None)
+                .getFields.get(0)
+              val sch = Schema.createUnion(base.schema,
+                Schema.create(Schema.Type.NULL))
+              new Schema.Field(sf.name, sch, null, v)
+            case None =>
+              val synth = AvroSchemaConverter
+                .toAvro(StructType(Seq(sf)), writer.getName,
+                  Option(writer.getNamespace), None)
+                .getFields.get(0)
+              new Schema.Field(synth.name, synth.schema, synth.doc,
+                Schema.Field.NULL_DEFAULT_VALUE)
+          }
         case wf =>
           val f = new Schema.Field(sf.name,
             pruneTo(wf.schema, sf.dataType, file), wf.doc, wf.defaultVal)

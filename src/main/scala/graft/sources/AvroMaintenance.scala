@@ -581,6 +581,29 @@ object AvroMaintenance {
     }
   }
 
+  /** IN-PLACE bin-pack compaction: rewrite the table into
+    * ceil(bytes/targetBytes) files in its OWN directory through the
+    * normal transactional overwrite — pending equality AND positional
+    * deletes apply on the read side and clear physically, the replaced
+    * generation archives (time travel intact), and a fresh all-column
+    * zone manifest rides the commit. The read is `localCheckpoint`ed
+    * EAGERLY first: a lazy plan would still be scanning the directory
+    * while the overwrite replaces it. Returns the file count written.
+    * (compactTo remains the to-a-new-directory variant for
+    * reader-isolation swaps.)
+    */
+  def compactInPlace(spark: SparkSession, dir: String,
+      targetBytes: Long): Int = {
+    require(targetBytes > 0, s"target bytes $targetBytes")
+    val bytes = listBytes(dir)
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val pinned = spark.read.format("graft-avro").load(dir)
+      .repartition(n)
+      .localCheckpoint(true)
+    pinned.write.format("graft-avro").mode("overwrite").save(dir)
+    n
+  }
+
   /** Add a table-level CHECK constraint (Delta-parity): validates the
     * EXISTING data first (zero definitely-false rows — null passes, SQL
     * CHECK semantics), then records `name -> expr` in the

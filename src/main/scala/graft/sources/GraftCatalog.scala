@@ -43,6 +43,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catName
 
+  /** Declared so ALTER TABLE … ADD COLUMN … DEFAULT v reaches
+    * [[alterTable]] (Spark gates DEFAULT syntax on this capability).
+    */
+  override def capabilities()
+      : util.Set[org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability] =
+    Set(org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_COLUMN_DEFAULT_VALUE,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_TABLE_CONSTRAINT).asJava
+
   private def check(seg: String): String = {
     require(seg.nonEmpty && !seg.contains('/') && !seg.contains('\\') &&
       seg != "." && seg != ".." && !seg.startsWith("_graft"),
@@ -78,6 +89,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def loadTable(ident: Identifier): Table = {
+    // metadata-table suffix: `cat.ns.tbl.history` arrives as
+    // namespace [ns, tbl] + name "history" — serve the sidecar view
+    // when the base identifier is a real table and no actual table
+    // shadows the suffixed name
+    if (!tableExists(ident) && ident.namespace().nonEmpty &&
+        GraftMetaTables.Names.contains(ident.name())) {
+      val base = Identifier.of(ident.namespace().dropRight(1),
+        ident.namespace().last)
+      if (tableExists(base))
+        return GraftMetaTables(
+          (ident.namespace() :+ ident.name()).mkString("."),
+          ident.name(), tableDir(base))
+    }
     val d = tableDir(ident)
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val (ddlSchema: Option[StructType], parts: Seq[String]) =
@@ -195,9 +219,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "columns append at the end")
         require(a.isNullable,
           "graft catalog: added columns must be nullable (existing rows " +
-            "can only default to null)")
+            "resolve to the DEFAULT, or null without one)")
+        val meta = Option(a.defaultValue()).map { dv =>
+          val lit = dv.getValue
+          require(lit != null,
+            "graft catalog: only literal DEFAULT values are supported")
+          val b = new org.apache.spark.sql.types.MetadataBuilder()
+          import org.apache.spark.sql.types._
+          (a.dataType(), lit.value()) match {
+            case (IntegerType, v: java.lang.Integer) =>
+              b.putString(AvroFileSource.DefaultKindKey, "int")
+                .putLong(AvroFileSource.DefaultValueKey, v.longValue())
+            case (LongType, v: java.lang.Long) =>
+              b.putString(AvroFileSource.DefaultKindKey, "long")
+                .putLong(AvroFileSource.DefaultValueKey, v.longValue())
+            case (DoubleType, v: java.lang.Double) =>
+              b.putString(AvroFileSource.DefaultKindKey, "double")
+                .putDouble(AvroFileSource.DefaultValueKey, v.doubleValue())
+            case (BooleanType, v: java.lang.Boolean) =>
+              b.putString(AvroFileSource.DefaultKindKey, "boolean")
+                .putBoolean(AvroFileSource.DefaultValueKey, v.booleanValue())
+            case (StringType, v: org.apache.spark.unsafe.types.UTF8String) =>
+              b.putString(AvroFileSource.DefaultKindKey, "string")
+                .putString(AvroFileSource.DefaultValueKey, v.toString)
+            case (t, v) => throw new UnsupportedOperationException(
+              s"graft catalog: DEFAULT for type ${t.simpleString} " +
+                s"(literal $v) is not supported — int/long/double/" +
+                "boolean/string only")
+          }
+          // Spark's analyzer fills INSERT column-list gaps from these
+          b.putString("CURRENT_DEFAULT", dv.getSql)
+            .putString("EXISTS_DEFAULT", dv.getSql)
+            .build()
+        }.getOrElse(org.apache.spark.sql.types.Metadata.empty)
         val field = org.apache.spark.sql.types.StructField(
-          name, a.dataType(), nullable = true)
+          name, a.dataType(), nullable = true, metadata = meta)
         if (withData) AvroMaintenance.addColumn(d.getPath, field)
         else {
           val (st, parts) = sidecarState()
@@ -237,6 +293,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           writeSidecar(StructType(st.fields.map(f =>
             if (f.name == from) f.copy(name = rn.newName()) else f)), parts)
         }
+      case ac: TableChange.AddConstraint =>
+        ac.constraint() match {
+          case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            require(c.predicateSql() != null && c.predicateSql().nonEmpty,
+              "graft catalog: CHECK constraint needs a predicate")
+            AvroMaintenance.addConstraint(
+              org.apache.spark.sql.SparkSession.active, d.getPath,
+              c.name(), c.predicateSql())
+          case other => throw new UnsupportedOperationException(
+            "graft catalog: only CHECK constraints are enforced — " +
+              s"${other.toDDL} (PK/FK/UNIQUE are informational) is not " +
+              "stored")
+        }
+      case dcst: TableChange.DropConstraint =>
+        if (AvroFileSource.readConstraints(d).exists(_._1 == dcst.name()))
+          AvroMaintenance.dropConstraint(d.getPath, dcst.name())
+        else require(dcst.ifExists(),
+          s"graft catalog: no constraint '${dcst.name()}' to drop")
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER TABLE change $other")
     }

@@ -34,7 +34,8 @@ object GraftProcedures {
   val Namespace: Array[String] = Array("system")
 
   def names: Seq[String] = Seq("rollback_to_version", "expire_snapshots",
-    "create_tag", "drop_tag", "add_constraint", "drop_constraint")
+    "create_tag", "drop_tag", "add_constraint", "drop_constraint",
+    "compact")
 
   /** One result row (catalyst values, strings as UTF8String). */
   private case class ResultScan(schema: StructType, row: Seq[Any])
@@ -121,6 +122,16 @@ object GraftProcedures {
             in.getUTF8String(1).toString, in.getUTF8String(2).toString)
           (out("constraint" -> StringType, "expr" -> StringType),
             Seq(in.getUTF8String(1).copy(), in.getUTF8String(2).copy()))
+        })
+      case "compact" => new Proc(name,
+        "in-place bin-pack rewrite: applies pending deletes physically, " +
+          "archives the replaced generation, fresh zone manifest",
+        Array(param("table", StringType), param("target_bytes", LongType)),
+        in => {
+          val n = AvroMaintenance.compactInPlace(
+            org.apache.spark.sql.SparkSession.active, dirOf(in),
+            in.getLong(1))
+          (out("files_written" -> LongType), Seq(n.toLong))
         })
       case "drop_constraint" => new Proc(name,
         "remove a CHECK constraint",

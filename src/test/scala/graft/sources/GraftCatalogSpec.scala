@@ -215,6 +215,127 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("SQL metadata tables: history, files, refs, constraints suffixes") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_t.lab11")
+    spark.sql("DROP TABLE IF EXISTS graft_t.lab11.mt")
+    spark.sql("CREATE TABLE graft_t.lab11.mt AS SELECT id AS k FROM range(10)")
+    spark.sql("INSERT INTO graft_t.lab11.mt SELECT id FROM range(10, 20)")
+    spark.sql("DELETE FROM graft_t.lab11.mt WHERE k IN (1)")
+    spark.sql("CALL graft_t.system.create_tag('lab11.mt', 'v1', 1)")
+    spark.sql("CALL graft_t.system.add_constraint('lab11.mt', 'pos', 'k >= 0')")
+
+    val hist = spark.sql("SELECT version, kind, has_deletes " +
+      "FROM graft_t.lab11.mt.history ORDER BY version").collect()
+    hist.map(_.getLong(0)).toSeq shouldBe Seq(1L, 2L, 3L)
+    hist.map(_.getString(1)).toSeq shouldBe Seq("append", "append", "delete")
+    hist.map(_.getBoolean(2)).toSeq shouldBe Seq(false, false, true)
+
+    val nFiles = spark.sql("SELECT count(*), sum(bytes) " +
+      "FROM graft_t.lab11.mt.files").head()
+    nFiles.getLong(0) should be >= 1L
+    nFiles.getLong(1) should be > 0L
+
+    spark.sql("SELECT name, version FROM graft_t.lab11.mt.refs").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq shouldBe
+      Seq(("v1", 1L))
+    spark.sql("SELECT name, expr FROM graft_t.lab11.mt.constraints")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq shouldBe
+      Seq(("pos", "k >= 0"))
+
+    // a real table named like a suffix is never shadowed
+    spark.sql("DROP TABLE IF EXISTS graft_t.lab11.history")
+    spark.sql("CREATE TABLE graft_t.lab11.history AS " +
+      "SELECT id AS h FROM range(3)")
+    spark.sql("SELECT count(*) FROM graft_t.lab11.history")
+      .head().getLong(0) shouldBe 3
+  }
+
+  test("CALL compact: in-place bin-pack materializes deletes, history intact") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_t.lab12")
+    spark.sql("DROP TABLE IF EXISTS graft_t.lab12.cp")
+    spark.sql("CREATE TABLE graft_t.lab12.cp AS SELECT id AS k FROM range(100)")
+    spark.sql("INSERT INTO graft_t.lab12.cp SELECT id FROM range(100, 200)")
+    spark.sql("DELETE FROM graft_t.lab12.cp WHERE k IN (5, 105)")
+    val dir = s"$root/lab12/cp"
+    AvroMaintenance.dataFiles(dir) should be > 1
+    val written = spark
+      .sql("CALL graft_t.system.compact('lab12.cp', 1000000000)")
+      .head().getLong(0)
+    written shouldBe 1L
+    AvroMaintenance.dataFiles(dir) shouldBe 1
+    // deletes applied physically, sidecar gone
+    AvroFileSource.deleteFile(new java.io.File(dir)).isFile shouldBe false
+    spark.sql("SELECT count(*), sum(k) FROM graft_t.lab12.cp").head() match {
+      case r =>
+        r.getLong(0) shouldBe 198
+        r.getLong(1) shouldBe (0L until 200L).sum - 5 - 105
+    }
+    // the pre-compact generation still travels (files archived, not lost)
+    spark.sql("SELECT count(*) FROM graft_t.lab12.cp VERSION AS OF 2")
+      .head().getLong(0) shouldBe 200
+  }
+
+  test("ADD COLUMN DEFAULT: old rows serve it, INSERT column lists fill it") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_t.lab13")
+    spark.sql("DROP TABLE IF EXISTS graft_t.lab13.df")
+    spark.sql("CREATE TABLE graft_t.lab13.df AS SELECT id AS k FROM range(5)")
+    spark.sql("ALTER TABLE graft_t.lab13.df " +
+      "ADD COLUMN tier STRING DEFAULT 'basic'")
+    // pre-ALTER files lack the column physically; decode synthesizes
+    // the declared default, not null
+    spark.sql("SELECT count(*) FROM graft_t.lab13.df WHERE tier = 'basic'")
+      .head().getLong(0) shouldBe 5
+    // INSERT with an explicit column list fills the default via
+    // Spark's CURRENT_DEFAULT resolution
+    spark.sql("INSERT INTO graft_t.lab13.df (k) VALUES (100)")
+    spark.sql("SELECT tier FROM graft_t.lab13.df WHERE k = 100")
+      .head().getString(0) shouldBe "basic"
+    // explicit values still win
+    spark.sql("INSERT INTO graft_t.lab13.df VALUES (101, 'pro')")
+    spark.sql("SELECT count(*) FROM graft_t.lab13.df WHERE tier = 'basic'")
+      .head().getLong(0) shouldBe 6
+    spark.sql("SELECT count(*) FROM graft_t.lab13.df WHERE tier = 'pro'")
+      .head().getLong(0) shouldBe 1
+    // numeric default on a second ALTER: every existing row (incl. the
+    // post-first-ALTER inserts) serves 7
+    spark.sql("ALTER TABLE graft_t.lab13.df ADD COLUMN score BIGINT DEFAULT 7")
+    spark.sql("SELECT sum(score) FROM graft_t.lab13.df")
+      .head().getLong(0) shouldBe 7L * 7
+    // travel to before the first ALTER still lacks both columns
+    spark.sql("SELECT * FROM graft_t.lab13.df VERSION AS OF 1")
+      .schema.fieldNames.toSeq shouldBe Seq("k")
+  }
+
+  test("SQL ADD CONSTRAINT CHECK: stored, enforced, droppable, described") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_t.lab14")
+    spark.sql("DROP TABLE IF EXISTS graft_t.lab14.cc")
+    spark.sql("CREATE TABLE graft_t.lab14.cc AS SELECT id AS k FROM range(10)")
+    spark.sql("ALTER TABLE graft_t.lab14.cc " +
+      "ADD CONSTRAINT k_small CHECK (k < 1000)")
+    // stored in the sidecar, surfaced through Table.constraints
+    AvroFileSource.readConstraints(
+      new java.io.File(s"$root/lab14/cc")).map(_._1) shouldBe Seq("k_small")
+    // enforced on write
+    intercept[Exception] {
+      spark.sql("INSERT INTO graft_t.lab14.cc VALUES (5000)")
+    }
+    spark.sql("SELECT count(*) FROM graft_t.lab14.cc")
+      .head().getLong(0) shouldBe 10
+    // adding a constraint existing data violates is refused
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft_t.lab14.cc " +
+        "ADD CONSTRAINT impossible CHECK (k > 100)")
+    }
+    spark.sql("ALTER TABLE graft_t.lab14.cc DROP CONSTRAINT k_small")
+    spark.sql("INSERT INTO graft_t.lab14.cc VALUES (5000)")
+    spark.sql("SELECT count(*) FROM graft_t.lab14.cc")
+      .head().getLong(0) shouldBe 11
+  }
+
   test("ALTER TABLE guards: NOT NULL add, positioned add, nested names") {
     init()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_t.lab9")
