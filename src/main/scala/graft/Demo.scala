@@ -11,6 +11,8 @@ object Demo {
     import graft.sql.GraftSql.implicits._
     val spark = SparkSession.builder()
       .master("local[4]")
+      .config("spark.sql.extensions",
+        classOf[graft.functions.GraftExtensions].getName)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

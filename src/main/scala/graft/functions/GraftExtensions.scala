@@ -62,5 +62,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator extension: logical TopKPerKey → partial/final exec
     // pair (see graft.plans.TopKPerKey)
     ext.injectPlannerStrategy(_ => new graft.plans.TopKStrategy)
+    // persistent-view relation resolution for GraftCatalog (OSS Spark
+    // ships the ViewCatalog API without the analyzer wiring)
+    ext.injectResolutionRule(session =>
+      graft.sources.ResolveGraftViews(session))
   }
 }

@@ -555,6 +555,40 @@ object AvroGates extends Catalog {
               |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
     }),
 
+    // SQL VIEWS under the oracle: a persistent view (`_graft_view_*`
+    // sidecar, resolved by the injected ResolveGraftViews analyzer
+    // rule) created over HALF the table, then read AFTER the second
+    // half lands — the view must re-analyze live at every read, so a
+    // stale captured plan (instead of re-resolution) breaks the hash.
+    // DDL goes through CALL (OSS Spark ships no v2 CREATE VIEW exec);
+    // reads are plain SQL.
+    "q_avro_view" -> ((s, dir) => {
+      if (!s.conf.getOption("spark.sql.catalog.graft_gate").isDefined) {
+        s.conf.set("spark.sql.catalog.graft_gate",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_gate.root",
+          tempDir("graft_gate_cat"))
+      }
+      table(s, dir, "customer").createOrReplaceTempView("custv_src_cat")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.gate")
+      // idempotent for bench reps: remove any prior view sidecar
+      scala.util.Try(
+        s.sql("CALL graft_gate.system.drop_view('gate.custview')"))
+      s.sql("DROP TABLE IF EXISTS graft_gate.gate.custbase")
+      s.sql("CREATE TABLE graft_gate.gate.custbase AS " +
+        "SELECT c_custkey, c_mktsegment, c_acctbal FROM custv_src_cat " +
+        "WHERE c_custkey % 2 = 0")
+      s.sql("CALL graft_gate.system.create_view('gate.custview', " +
+        "'SELECT c_mktsegment, count(*) AS n_cust, " +
+        "CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) " +
+        "AS cents FROM graft_gate.gate.custbase GROUP BY c_mktsegment')")
+      s.sql("INSERT INTO graft_gate.gate.custbase " +
+        "SELECT c_custkey, c_mktsegment, c_acctbal FROM custv_src_cat " +
+        "WHERE c_custkey % 2 = 1")
+      s.sql("SELECT * FROM graft_gate.gate.custview " +
+        "ORDER BY c_mktsegment")
+    }),
+
     // SQL METADATA TABLES under the oracle: a scripted lifecycle (CTAS,
     // append, metadata delete, tag, constraint) then one query over the
     // `.history` / `.refs` / `.constraints` suffix tables — the
@@ -1359,6 +1393,12 @@ object AvroGates extends Catalog {
                 CAST(sum(CAST(n_nationkey AS BIGINT)) AS BIGINT) AS key_sum
          FROM nation WHERE n_regionkey = 2
          GROUP BY n_regionkey ORDER BY n_regionkey""",
+    // the view re-resolves over the FULL table (both insert halves)
+    "q_avro_view" ->
+      """SELECT c_mktsegment, count(*) AS n_cust,
+                CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     // the lifecycle's journal/refs/constraint state is fully scripted —
     // the oracle is the literal expectation
     "q_avro_metatables" ->

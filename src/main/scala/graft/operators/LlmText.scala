@@ -474,12 +474,16 @@ object LlmText extends Catalog {
     // itself. Final per-doc divide is positive-integer floor → `div`
     // ≡ `//`.
     "llm_bigram_lm" -> ((s, dir) => {
+      // the exploded bigram stream feeds BOTH the model aggregate and
+      // the scoring join — localCheckpoint materializes it once instead
+      // of re-exploding the corpus per consumer
       val grams = table(s, dir, "documents")
         .filter(F.length(F.col("text")) >= 2)
         .select(F.col("doc_id"), F.col("lang"),
           F.explode(F.expr(
             "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
             .as("bg"))
+        .localCheckpoint()
       val model = grams.groupBy("bg").agg(F.count(F.lit(1)).as("cnt"))
         .select(F.col("bg"),
           F.length(F.bin(F.col("cnt"))).cast("long").as("bits"))
@@ -493,6 +497,42 @@ object LlmText extends Catalog {
           F.sum("score_milli").cast("long").as("sum_score"),
           F.min("score_milli").cast("long").as("min_score"),
           F.max("score_milli").cast("long").as("max_score"))
+        .orderBy("lang")
+    }),
+
+    // Zipf-law fit over per-language character frequencies — the
+    // corpus-statistics sanity check (natural text follows a power law;
+    // synthetic/corrupted shards do not). log2 is replaced by the EXACT
+    // integer bit length on both rank and count, the regression runs on
+    // exact BIGINT moments (q_regr pattern), and the final slope is one
+    // identically-parenthesized double formula — bit-exact cross-engine
+    // with zero libm calls. Scale shape: char frequencies are a bounded
+    // aggregate (|charset| per language), the rank window runs over
+    // ~100 rows per language, moments are one partial-agg pass.
+    "llm_char_zipf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val freq = table(s, dir, "documents")
+        .select(F.col("lang"),
+          F.explode(F.split(F.col("text"), "")).as("c"))
+        .filter(F.col("c") =!= "")
+        .groupBy("lang", "c").agg(F.count(F.lit(1)).as("cnt"))
+      val ranked = freq.withColumn("r",
+          F.row_number().over(Window.partitionBy("lang")
+            .orderBy(F.col("cnt").desc, F.col("c"))))
+        .filter(F.col("r") <= 32)
+        .select(F.col("lang"),
+          F.length(F.bin(F.col("r"))).cast("long").as("x"),
+          F.length(F.bin(F.col("cnt"))).cast("long").as("y"))
+      ranked.groupBy("lang")
+        .agg(F.count(F.lit(1)).as("n"),
+          F.sum("x").as("sx"), F.sum("y").as("sy"),
+          F.sum(F.col("x") * F.col("y")).as("sxy"),
+          F.sum(F.col("x") * F.col("x")).as("sxx"))
+        .select(F.col("lang"), F.col("n"),
+          ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast("double") /
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+              .cast("double")).as("zipf_slope"))
         .orderBy("lang")
     }),
 
@@ -834,6 +874,34 @@ object LlmText extends Catalog {
                 CAST(min((1000 * sum_bits) // n_bg) AS BIGINT) AS min_score,
                 CAST(max((1000 * sum_bits) // n_bg) AS BIGINT) AS max_score
          FROM sc GROUP BY lang ORDER BY lang""",
+    // integer bit-length points + exact BIGINT moments + one
+    // identically-parenthesized double divide = bit-exact slope
+    "llm_char_zipf" ->
+      """WITH chars AS (
+           SELECT lang,
+                  unnest(list_transform(generate_series(1, length(text)),
+                    i -> substr(text, i, 1))) AS c
+           FROM documents),
+         freq AS (SELECT lang, c, count(*) AS cnt
+                  FROM chars GROUP BY lang, c),
+         ranked AS (
+           SELECT lang,
+                  CAST(length(bin(row_number() OVER (PARTITION BY lang
+                    ORDER BY cnt DESC, c))) AS BIGINT) AS x,
+                  CAST(length(bin(cnt)) AS BIGINT) AS y,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY cnt DESC, c) AS r
+           FROM freq QUALIFY r <= 32),
+         m AS (SELECT lang, count(*) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx
+               FROM ranked GROUP BY lang)
+         SELECT lang, n,
+                CAST(n * sxy - sx * sy AS DOUBLE) /
+                  CAST(n * sxx - sx * sx AS DOUBLE) AS zipf_slope
+         FROM m ORDER BY lang""",
     // the recursive CTE replays the greedy longest-match walk one token
     // per iteration; the vocab literals are spliced from the SAME
     // frozen arrays the codegen kernel compiles in

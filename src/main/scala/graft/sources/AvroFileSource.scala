@@ -779,6 +779,61 @@ object AvroFileSource {
   def snapshotsFile(d: File): File = new File(d, "_graft_snapshots")
   def archiveDir(d: File): File = new File(d, "_graft_archive")
 
+  // ------------------------------------------------------------------
+  // COMMIT SERIALIZATION. Every metadata mutation (journal append,
+  // manifest merge, sidecar rewrite, archive moves) is a read-modify-
+  // write over shared files: two concurrent committers would lose one
+  // writer's journal line and could leave the sort-zone manifest
+  // PARTIALLY covering the directory — which the metadata-served
+  // MIN/MAX path trusts. All state-mutating entry points therefore run
+  // under a per-table commit lock: a JVM-interned monitor (threads in
+  // one driver) plus an OS advisory FileLock on `_graft_lockfile`
+  // (separate driver processes on a shared local FS). Data-file task
+  // writes need no lock — names are generation-unique; only the
+  // driver-side commit section serializes, so lock hold time is
+  // O(metadata), never O(data).
+  // ------------------------------------------------------------------
+
+  private val commitMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  // RE-ENTRANCY: composed maintenance ops (createBranch → tag) nest
+  // lock acquisitions on the same thread; the JVM monitor is naturally
+  // re-entrant but an OS FileLock is NOT (same-JVM re-acquisition
+  // throws OverlappingFileLockException) — a per-thread depth map makes
+  // the whole helper re-entrant.
+  private val commitLockDepth
+      : ThreadLocal[scala.collection.mutable.Map[String, Int]] =
+    ThreadLocal.withInitial(() => scala.collection.mutable.Map.empty)
+
+  def withCommitLock[T](d: File)(body: => T): T = {
+    val key = d.getAbsolutePath
+    val depths = commitLockDepth.get()
+    if (depths.getOrElse(key, 0) > 0) {
+      depths(key) += 1
+      try body finally depths(key) -= 1
+    } else {
+      val monitor = commitMonitors.computeIfAbsent(key, _ => new Object)
+      monitor.synchronized {
+        d.mkdirs()
+        val lf = new File(d, "_graft_lockfile")
+        val ch = java.nio.channels.FileChannel.open(lf.toPath,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val lock = ch.lock()
+          try {
+            depths(key) = 1
+            try body finally {
+              depths(key) -= 1
+              if (depths(key) == 0) { depths.remove(key); () }
+            }
+          } finally lock.release()
+        } finally ch.close()
+      }
+    }
+  }
+
   /** One reconstructed snapshot: `files` are table-relative data-file
     * paths; `deletes` is the raw equality-delete sidecar content in force
     * at this version (None = no deletes).
@@ -1438,6 +1493,7 @@ case class AvroTable(path: String, tableSchema: StructType,
     require(travelOptions.isEmpty,
       "graft-avro: a VERSION AS OF / TIMESTAMP AS OF table is read-only")
     val dirF = new File(path)
+    AvroFileSource.withCommitLock(dirF) {
     val base = dirF.getAbsoluteFile.toPath
     AvroFileSource.listAvro(dirF).foreach { f =>
       val rel = base.relativize(f.getAbsoluteFile.toPath).toString
@@ -1452,6 +1508,7 @@ case class AvroTable(path: String, tableSchema: StructType,
     AvroFileSource.posdelFile(dirF).delete()
     AvroFileSource.appendSnapshot(dirF, "truncate")
     true
+    }
   }
 
   override def deleteWhere(
@@ -3277,7 +3334,12 @@ class AvroWriteBuilder(path: String, schema: StructType,
         if (compiledChecks.isEmpty) base
         else CheckedWriterFactory(base, compiledChecks)
       }
-      override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      override def commit(messages: Array[WriterCommitMessage]): Unit =
+        AvroFileSource.withCommitLock(new File(path)) {
+          commitImpl(messages)
+        }
+
+      private def commitImpl(messages: Array[WriterCommitMessage]): Unit = {
         val staged = messages.toSeq
           .collect { case m: AvroCommitMessage => m.files }.flatten
         val preExisting =
@@ -3542,14 +3604,15 @@ class AvroWriteBuilder(path: String, schema: StructType,
         if (compiledChecks.isEmpty) base
         else CheckedStreamingWriterFactory(base, compiledChecks)
       }
-      override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-        // streamed epochs append unverified files: withdraw any
-        // sorted-layout claim (and its zone manifest) the directory carried
-        AvroFileSource.sortMarker(new File(path)).delete()
-        AvroFileSource.zoneFile(new File(path)).delete()
-        // idle epochs no-op inside appendSnapshot (state unchanged)
-        AvroFileSource.appendSnapshot(new File(path), s"epoch-$epochId")
-      }
+      override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+        AvroFileSource.withCommitLock(new File(path)) {
+          // streamed epochs append unverified files: withdraw any
+          // sorted-layout claim (and its zone manifest) the directory carried
+          AvroFileSource.sortMarker(new File(path)).delete()
+          AvroFileSource.zoneFile(new File(path)).delete()
+          // idle epochs no-op inside appendSnapshot (state unchanged)
+          AvroFileSource.appendSnapshot(new File(path), s"epoch-$epochId")
+        }
       override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
     }
   }

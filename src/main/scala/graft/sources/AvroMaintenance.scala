@@ -49,6 +49,7 @@ object AvroMaintenance {
       require(back.contains(v),
         s"delete value '$v' does not round-trip as ${f.dataType.simpleString}")
     }
+    AvroFileSource.withCommitLock(d) {
     val delF = AvroFileSource.deleteFile(d)
     val cEnc = java.net.URLEncoder.encode(col, "UTF-8")
     // stamp fresh entries with the version this delete will commit as
@@ -81,6 +82,7 @@ object AvroMaintenance {
         s"graft-avro delete: rename failed $tmp -> $delF")
     // a delete changes query results: it is a VERSION, same as a write
     AvroFileSource.appendSnapshot(d, "delete")
+    }
   }
 
   /** Row-level MERGE (upsert) by equality key: every table row whose
@@ -202,6 +204,7 @@ object AvroMaintenance {
     */
   def createBranch(dir: String, name: String): Long = {
     val d = new File(dir)
+    AvroFileSource.withCommitLock(d) {
     // jumpstart journaling on a legacy table so the fork version exists
     if (!AvroFileSource.snapshotsFile(d).isFile)
       AvroFileSource.appendSnapshot(d, "branch-base")
@@ -216,6 +219,7 @@ object AvroMaintenance {
       s"$forkV\n".getBytes("UTF-8"))
     tag(dir, s"branch/$name", forkV)
     forkV
+    }
   }
 
   /** Fast-forward publish: move the overlay's staged files into main
@@ -233,6 +237,7 @@ object AvroMaintenance {
     */
   def publishBranch(dir: String, name: String): Long = {
     val d = new File(dir)
+    AvroFileSource.withCommitLock(d) {
     val (forkV, bd) = AvroFileSource.branchFork(d, name)
     val cur = AvroFileSource.readSnapshots(d).lastOption
       .map(_.version).getOrElse(0L)
@@ -272,6 +277,7 @@ object AvroMaintenance {
     }
     dropBranch(dir, name)
     AvroFileSource.readSnapshots(d).last.version
+    }
   }
 
   /** Abandon a branch: delete the overlay and unpin its fork ref. */
@@ -315,20 +321,24 @@ object AvroMaintenance {
   def tag(dir: String, name: String, version: Long): Unit = {
     require(name.nonEmpty, "empty tag name")
     val d = new File(dir)
+    AvroFileSource.withCommitLock(d) {
     val snaps = AvroFileSource.readSnapshots(d)
     require(snaps.exists(_.version == version),
       s"graft-avro: cannot tag unknown version $version " +
         s"(have ${snaps.map(_.version).mkString(", ")})")
     AvroFileSource.writeRefs(d,
       AvroFileSource.readRefs(d) + (name -> version))
+    }
   }
 
   /** Remove a tag; its version becomes expirable again. */
   def dropTag(dir: String, name: String): Unit = {
     val d = new File(dir)
+    AvroFileSource.withCommitLock(d) {
     val refs = AvroFileSource.readRefs(d)
     require(refs.contains(name), s"graft-avro: no tag '$name' to drop")
     AvroFileSource.writeRefs(d, refs - name)
+    }
   }
 
   /** Vacuum: keep only the last `keepLast` snapshot versions, rewrite
@@ -341,6 +351,7 @@ object AvroMaintenance {
   def expireSnapshots(dir: String, keepLast: Int): Int = {
     require(keepLast >= 1, s"keepLast $keepLast (current version must survive)")
     val d = new File(dir)
+    AvroFileSource.withCommitLock(d) {
     val snaps = AvroFileSource.readSnapshots(d)
     // tagged versions are PINNED: the vacuum keeps last-N ∪ tagged
     val pinned = AvroFileSource.readRefs(d).values.toSet
@@ -402,6 +413,7 @@ object AvroMaintenance {
       if (Option(arch.listFiles()).forall(_.isEmpty)) arch.delete()
     }
     removed
+    }
   }
 
   /** POSITIONAL delete: kill specific physical rows of one live file by
@@ -417,6 +429,7 @@ object AvroMaintenance {
       positions: Seq[Long]): Unit = {
     require(positions.nonEmpty, "no positions given")
     val d = new File(dir)
+    AvroFileSource.withCommitLock(d) {
     val f = new File(d, rel)
     require(f.isFile && rel.endsWith(".avro") && !rel.startsWith("_graft"),
       s"graft-avro positional delete: '$rel' is not a live data file")
@@ -441,6 +454,7 @@ object AvroMaintenance {
     java.nio.file.Files.write(tmp.toPath, out.getBytes("UTF-8"))
     if (!tmp.renameTo(sidecar)) throw new java.io.IOException(
       s"graft-avro positional delete: rename failed $tmp -> $sidecar")
+    }
   }
 
   /** RENAME a top-level column WITHOUT rewriting a byte of data (the
@@ -484,6 +498,7 @@ object AvroMaintenance {
       AvroFileSource.branchesDir(d).listFiles().forall(!_.isDirectory),
       "graft-avro rename: drop or publish branches first (overlay files " +
         "carry no birth version on the main journal)")
+    AvroFileSource.withCommitLock(d) {
     val v = AvroFileSource.readSnapshots(d).lastOption
       .map(_.version).getOrElse(0L) + 1
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
@@ -496,6 +511,8 @@ object AvroMaintenance {
     if (AvroFileSource.sortedColumnOf(d).contains(from)) {
       java.nio.file.Files.write(AvroFileSource.sortMarker(d).toPath,
         to.getBytes("UTF-8"))
+    }
+    ()
     }
   }
 
@@ -529,6 +546,7 @@ object AvroMaintenance {
   def addColumn(dir: String,
       field: org.apache.spark.sql.types.StructField): Unit = {
     val d = new File(dir)
+    AvroFileSource.withCommitLock(d) {
     requireNoBranches(d, "add-column")
     val cur = currentSchema(dir)
     require(!cur.fieldNames.contains(field.name),
@@ -541,6 +559,7 @@ object AvroMaintenance {
     AvroFileSource.appendEvo(d, v, "add",
       org.apache.spark.sql.types.StructType(
         Seq(field.copy(nullable = true))).json)
+    }
   }
 
   /** ALTER TABLE DROP COLUMN without rewriting data: a version-stamped
@@ -553,6 +572,7 @@ object AvroMaintenance {
     */
   def dropColumn(dir: String, name: String): Unit = {
     val d = new File(dir)
+    AvroFileSource.withCommitLock(d) {
     requireNoBranches(d, "drop-column")
     val cur = currentSchema(dir)
     require(cur.fieldNames.contains(name),
@@ -578,6 +598,7 @@ object AvroMaintenance {
       AvroFileSource.sortMarker(d).delete()
       AvroFileSource.zoneFile(d).delete()
       ()
+    }
     }
   }
 
@@ -617,6 +638,7 @@ object AvroMaintenance {
     require(name.nonEmpty && !name.contains('\t') && !name.contains('\n'),
       s"graft-avro constraint: bad name '$name'")
     val d = new File(dir)
+    AvroFileSource.withCommitLock(d) {
     val existing = AvroFileSource.readConstraints(d)
     require(!existing.exists(_._1 == name),
       s"graft-avro constraint: '$name' already exists")
@@ -628,15 +650,18 @@ object AvroMaintenance {
         s"graft-avro constraint '$name': existing rows violate ($expr)")
     }
     AvroFileSource.writeConstraints(d, existing :+ (name -> expr))
+    }
   }
 
   /** Remove a CHECK constraint; future writes stop validating it. */
   def dropConstraint(dir: String, name: String): Unit = {
     val d = new File(dir)
+    AvroFileSource.withCommitLock(d) {
     val existing = AvroFileSource.readConstraints(d)
     require(existing.exists(_._1 == name),
       s"graft-avro constraint: no constraint '$name' to drop")
     AvroFileSource.writeConstraints(d, existing.filterNot(_._1 == name))
+    }
   }
 
   /** ROLLBACK to an earlier snapshot version as a NEW version (Iceberg's
@@ -656,6 +681,7 @@ object AvroMaintenance {
     */
   def rollbackTo(dir: String, version: Long): Long = {
     val d = new File(dir)
+    AvroFileSource.withCommitLock(d) {
     requireNoBranches(d, "rollback")
     require(!AvroFileSource.posdelFile(d).isFile,
       "graft-avro rollback: positional deletes are pending and not " +
@@ -713,6 +739,7 @@ object AvroMaintenance {
       .foreach(_.delete())
     AvroFileSource.appendSnapshot(d, "rollback", force = true)
     AvroFileSource.readSnapshots(d).last.version
+    }
   }
 
   /** `files` METADATA TABLE (the Iceberg `table$files` analogue): one row

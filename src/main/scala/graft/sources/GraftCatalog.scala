@@ -27,7 +27,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * path-based writes stay interchangeable.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.ViewCatalog {
 
   private var catName: String = _
   private var root: File = _
@@ -347,20 +348,114 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     require(ident.namespace().sameElements(GraftProcedures.Namespace),
       s"graft catalog: procedures live under the 'system' namespace, " +
         s"got ${ident.namespace().mkString(".")}")
-    GraftProcedures.load(ident.name(), { tableRef =>
-      val parts = tableRef.split('.')
-      require(parts.length >= 1 && parts.forall(_.nonEmpty),
-        s"graft catalog: bad table reference '$tableRef'")
-      val id = Identifier.of(parts.dropRight(1), parts.last)
-      if (!tableExists(id)) throw new NoSuchTableException(id)
-      tableDir(id)
-    })
+    GraftProcedures.load(ident.name(), this)
   }
+
+  /** Catalog-relative `ns….name` reference → the table's directory
+    * (procedures' table argument).
+    */
+  private[sources] def resolveTableDir(tableRef: String): File = {
+    val id = parseRef(tableRef)
+    if (!tableExists(id)) throw new NoSuchTableException(id)
+    tableDir(id)
+  }
+
+  private[sources] def parseRef(ref: String): Identifier = {
+    val parts = ref.split('.')
+    require(parts.length >= 1 && parts.forall(_.nonEmpty),
+      s"graft catalog: bad reference '$ref'")
+    Identifier.of(parts.dropRight(1), parts.last)
+  }
+
+  private[sources] def namespaceDir(ns: Array[String]): File = nsDir(ns)
+  private[sources] def catalogName: String = catName
+  private[sources] def tableExistsIdent(id: Identifier): Boolean =
+    tableExists(id)
 
   override def listProcedures(ns: Array[String]): Array[Identifier] = {
     if (!ns.sameElements(GraftProcedures.Namespace)) return Array.empty
     GraftProcedures.names
       .map(n => Identifier.of(GraftProcedures.Namespace, n)).toArray
+  }
+
+  // ---- views (SQL CREATE/DROP/ALTER/SHOW VIEW) ------------------------
+
+  /** Persistent SQL views, stored per-namespace as `_graft_view_<name>`
+    * sidecars (see [[GraftViews]]): `CREATE [OR REPLACE] VIEW`,
+    * `SELECT` through them (Spark re-analyzes the stored SQL in the
+    * stored catalog/namespace context), `ALTER VIEW SET/UNSET
+    * TBLPROPERTIES`, `RENAME`, `DROP`, `SHOW VIEWS`.
+    */
+  override def listViews(ns: String*): Array[Identifier] = {
+    val nsArr = ns.toArray
+    val d = nsDir(nsArr)
+    if (!d.isDirectory) throw new NoSuchNamespaceException(nsArr)
+    GraftViews.list(d).map(n => Identifier.of(nsArr, n)).toArray
+  }
+
+  override def loadView(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.View =
+    GraftViews.read(nsDir(ident.namespace()), ident).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident))
+
+  override def viewExists(ident: Identifier): Boolean =
+    GraftViews.viewFile(nsDir(ident.namespace()), ident.name()).isFile
+
+  override def createView(info: org.apache.spark.sql.connector.catalog
+      .ViewInfo): org.apache.spark.sql.connector.catalog.View = {
+    val ident = info.ident()
+    check(ident.name())
+    val d = nsDir(ident.namespace())
+    if (!d.isDirectory) throw new NoSuchNamespaceException(ident.namespace())
+    if (viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(ident)
+    if (tableExists(ident)) throw new IllegalArgumentException(
+      s"graft catalog: a table named $ident already exists")
+    GraftViews.write(d, info)
+    loadView(ident)
+  }
+
+  override def alterView(ident: Identifier,
+      changes: org.apache.spark.sql.connector.catalog.ViewChange*)
+      : org.apache.spark.sql.connector.catalog.View = {
+    import org.apache.spark.sql.connector.catalog.ViewChange
+    val v = loadView(ident)
+    val props = changes.foldLeft(v.properties().asScala.toMap) {
+      case (p, set: ViewChange.SetProperty) =>
+        p + (set.property() -> set.value())
+      case (p, rm: ViewChange.RemoveProperty) => p - rm.property()
+      case (_, other) => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported ALTER VIEW change $other")
+    }
+    GraftViews.write(nsDir(ident.namespace()),
+      new org.apache.spark.sql.connector.catalog.ViewInfo(ident,
+        v.query(), v.currentCatalog(), v.currentNamespace(), v.schema(),
+        v.queryColumnNames(), v.columnAliases(), v.columnComments(),
+        props.asJava))
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    GraftViews.viewFile(nsDir(ident.namespace()), ident.name()).delete()
+
+  override def renameView(from: Identifier, to: Identifier): Unit = {
+    if (!viewExists(from))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(from)
+    if (viewExists(to))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(to)
+    check(to.name())
+    val v = loadView(from)
+    GraftViews.write(nsDir(to.namespace()),
+      new org.apache.spark.sql.connector.catalog.ViewInfo(to,
+        v.query(), v.currentCatalog(), v.currentNamespace(), v.schema(),
+        v.queryColumnNames(), v.columnAliases(), v.columnComments(),
+        v.properties()))
+    GraftViews.viewFile(nsDir(from.namespace()), from.name()).delete()
+    ()
   }
 
   // ---- namespaces -----------------------------------------------------

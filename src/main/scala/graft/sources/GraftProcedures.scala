@@ -35,7 +35,7 @@ object GraftProcedures {
 
   def names: Seq[String] = Seq("rollback_to_version", "expire_snapshots",
     "create_tag", "drop_tag", "add_constraint", "drop_constraint",
-    "compact")
+    "compact", "create_view", "drop_view")
 
   /** One result row (catalyst values, strings as UTF8String). */
   private case class ResultScan(schema: StructType, row: Seq[Any])
@@ -71,11 +71,11 @@ object GraftProcedures {
     }
   }
 
-  def load(name: String, resolveDir: String => File): UnboundProcedure = {
+  def load(name: String, cat: GraftCatalog): UnboundProcedure = {
     def dirOf(input: InternalRow): String = {
       val ident = input.getUTF8String(0)
       require(ident != null, "graft procedure: table argument is null")
-      resolveDir(ident.toString).getPath
+      cat.resolveTableDir(ident.toString).getPath
     }
     name match {
       case "rollback_to_version" => new Proc(name,
@@ -140,6 +140,48 @@ object GraftProcedures {
           AvroMaintenance.dropConstraint(dirOf(in),
             in.getUTF8String(1).toString)
           (out("dropped" -> StringType), Seq(in.getUTF8String(1).copy()))
+        })
+      case "create_view" => new Proc(name,
+        "store a persistent SQL view (text must fully qualify its " +
+          "table references; validated by analyzing it now)",
+        Array(param("view", StringType), param("sql", StringType)),
+        in => {
+          val ref = in.getUTF8String(0)
+          val sqlText = in.getUTF8String(1)
+          require(ref != null && sqlText != null,
+            "graft procedure: view/sql arguments must be non-null")
+          val ident = cat.parseRef(ref.toString)
+          val spark = org.apache.spark.sql.SparkSession.active
+          // analyze NOW: an unreferencable or unparsable view must fail
+          // at CREATE, not at first read
+          val schema = spark.sql(sqlText.toString).schema
+          val nsD = cat.namespaceDir(ident.namespace())
+          require(nsD.isDirectory,
+            s"graft catalog: no namespace ${ident.namespace().mkString(".")}")
+          require(!GraftViews.viewFile(nsD, ident.name()).isFile,
+            s"graft catalog: view $ident already exists (drop_view first)")
+          require(!cat.tableExistsIdent(ident),
+            s"graft catalog: a table named $ident already exists")
+          GraftViews.write(nsD,
+            new org.apache.spark.sql.connector.catalog.ViewInfo(ident,
+              sqlText.toString, cat.catalogName, ident.namespace(), schema,
+              schema.fieldNames, Array.empty, Array.empty,
+              new java.util.HashMap[String, String]()))
+          (out("view" -> StringType, "n_columns" -> LongType),
+            Seq(ref.copy(), schema.fields.length.toLong))
+        })
+      case "drop_view" => new Proc(name,
+        "remove a persistent SQL view",
+        Array(param("view", StringType)),
+        in => {
+          val ref = in.getUTF8String(0)
+          require(ref != null, "graft procedure: view argument is null")
+          val ident = cat.parseRef(ref.toString)
+          val f = GraftViews.viewFile(
+            cat.namespaceDir(ident.namespace()), ident.name())
+          require(f.isFile, s"graft catalog: no view $ident to drop")
+          require(f.delete(), s"graft catalog: could not delete $f")
+          (out("dropped" -> StringType), Seq(ref.copy()))
         })
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unknown procedure system.$other " +

@@ -9,6 +9,10 @@ object SparkTestSession {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // same extension set as the Verify/Bench mains: native functions,
+      // TopK strategy, and persistent-view resolution
+      .config("spark.sql.extensions",
+        classOf[graft.functions.GraftExtensions].getName)
       .config("spark.sql.warehouse.dir",
         graft.operators.Catalog.tempDir("graft_wh"))
       .config("spark.sql.shuffle.partitions", "4")

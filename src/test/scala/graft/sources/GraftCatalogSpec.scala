@@ -336,6 +336,45 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec with Matchers {
       .head().getLong(0) shouldBe 11
   }
 
+  test("persistent views: CALL create_view, live SELECT through, drop") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_t.lab15")
+    spark.sql("DROP TABLE IF EXISTS graft_t.lab15.base")
+    GraftViews.viewFile(
+      new java.io.File(s"$root/lab15"), "v").delete()
+    spark.sql("CREATE TABLE graft_t.lab15.base AS " +
+      "SELECT id AS k, id % 3 AS m FROM range(30)")
+    spark.sql("CALL graft_t.system.create_view('lab15.v', " +
+      "'SELECT m, count(*) AS n, sum(k) AS s " +
+      "FROM graft_t.lab15.base GROUP BY m')")
+    spark.sql("SELECT * FROM graft_t.lab15.v ORDER BY m").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe
+      Seq((0L, 10L), (1L, 10L), (2L, 10L))
+    // views are LIVE over the base table: re-analyzed at every read
+    spark.sql("INSERT INTO graft_t.lab15.base VALUES (90, 0)")
+    spark.sql("SELECT n FROM graft_t.lab15.v WHERE m = 0")
+      .head().getLong(0) shouldBe 11
+    // views compose: a view over the view
+    spark.sql("CALL graft_t.system.create_view('lab15.v2', " +
+      "'SELECT sum(n) AS total FROM graft_t.lab15.v')")
+    spark.sql("SELECT total FROM graft_t.lab15.v2")
+      .head().getLong(0) shouldBe 31
+    // create-time validation: a broken definition never stores
+    intercept[Exception] {
+      spark.sql("CALL graft_t.system.create_view('lab15.bad', " +
+        "'SELECT nope FROM graft_t.lab15.base')")
+    }
+    GraftViews.viewFile(
+      new java.io.File(s"$root/lab15"), "bad").isFile shouldBe false
+    // duplicate create refused; drop re-opens the name
+    intercept[Exception] {
+      spark.sql("CALL graft_t.system.create_view('lab15.v', 'SELECT 1')")
+    }
+    spark.sql("CALL graft_t.system.drop_view('lab15.v2')")
+    intercept[Exception] { spark.sql("SELECT * FROM graft_t.lab15.v2") }
+    spark.sql("CALL graft_t.system.drop_view('lab15.v')")
+  }
+
   test("ALTER TABLE guards: NOT NULL add, positioned add, nested names") {
     init()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_t.lab9")
