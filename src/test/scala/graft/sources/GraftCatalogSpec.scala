@@ -375,6 +375,32 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec with Matchers {
     spark.sql("CALL graft_t.system.drop_view('lab15.v')")
   }
 
+  test("readStream.table tails a catalog table exactly-once across runs") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_t.lab16")
+    spark.sql("DROP TABLE IF EXISTS graft_t.lab16.st")
+    spark.sql("CREATE TABLE graft_t.lab16.st AS SELECT id AS k FROM range(10)")
+    val out = graft.operators.Catalog.tempDir("graft_cat_stream_out")
+    val ckpt = graft.operators.Catalog.tempDir("graft_cat_stream_ckpt")
+    def drain(): Unit = {
+      val q = spark.readStream.table("graft_t.lab16.st")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      ()
+    }
+    drain()
+    spark.read.parquet(out).count() shouldBe 10L
+    // second run over the SAME checkpoint: only the new append lands
+    spark.sql("INSERT INTO graft_t.lab16.st SELECT id FROM range(10, 25)")
+    drain()
+    val got = spark.read.parquet(out)
+    got.count() shouldBe 25L
+    got.agg(F.sum("k")).head().getLong(0) shouldBe (0L until 25L).sum
+  }
+
   test("ALTER TABLE guards: NOT NULL add, positioned add, nested names") {
     init()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_t.lab9")
