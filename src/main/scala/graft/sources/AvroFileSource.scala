@@ -3243,9 +3243,12 @@ class AvroWriteBuilder(path: String, schema: StructType,
 
   // RETIRED names (ALTER TABLE DROP COLUMN) may never be written again:
   // name-based resolution would resurrect the old files' same-named
-  // bytes into the "new" column. Checked at plan time, driver-side.
+  // bytes into the "new" column. Checked at plan time, driver-side —
+  // against the MAIN table's journal even for branch-overlay staging
+  // (constraintsDir points there), so staged data cannot dodge it.
   {
-    val retired = AvroFileSource.retiredColumns(new File(path))
+    val retired = AvroFileSource.retiredColumns(
+      new File(constraintsDir.getOrElse(path)))
     val clash = schema.fieldNames.filter(retired.contains)
     require(clash.isEmpty,
       s"graft-avro: column name(s) ${clash.mkString(", ")} were dropped " +

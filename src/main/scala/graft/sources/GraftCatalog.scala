@@ -120,9 +120,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         val opts = new CaseInsensitiveStringMap(
           Map("path" -> d.getPath).asJava)
         new AvroFileSource().inferSchema(opts)
-      } else ddlSchema.getOrElse(
-        throw new IllegalStateException(
-          s"graft catalog: table $ident has neither data nor a schema"))
+      } else {
+        // an evolved-then-truncated table must keep its ALTERs: replay
+        // renames (the DDL schema predates every rename version) and
+        // the evolution journal over the sidecar schema too
+        val base = ddlSchema.getOrElse(
+          throw new IllegalStateException(
+            s"graft catalog: table $ident has neither data nor a schema"))
+        val renamed = StructType(base.fields.map { f =>
+          val nn = AvroFileSource.readColmap(d)
+            .foldLeft(f.name) { case (n, (_, from, to)) =>
+              if (n == from) to else n
+            }
+          if (nn == f.name) f else f.copy(name = nn)
+        })
+        AvroFileSource.applyEvo(d, renamed, None)
+      }
     AvroTable(d.getPath, schema, defaultPartitionBy = parts)
   }
 

@@ -152,6 +152,31 @@ object GraftProcedures {
             "graft procedure: view/sql arguments must be non-null")
           val ident = cat.parseRef(ref.toString)
           val spark = org.apache.spark.sql.SparkSession.active
+          // the stored text is re-analyzed in FUTURE sessions, so every
+          // table reference must be fully qualified (catalog.ns….table)
+          // — a bare name would capture whatever temp view or session
+          // default happens to exist at read time. CTE names are local
+          // and exempt.
+          locally {
+            import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+            import org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith
+            val parsed = spark.sessionState.sqlParser
+              .parsePlan(sqlText.toString)
+            val ctes = parsed.collect {
+              case w: UnresolvedWith => w.cteRelations.map(_._1)
+            }.flatten.toSet
+            val bad = parsed.collect {
+              case u: UnresolvedRelation
+                  if u.multipartIdentifier.length < 3 &&
+                    !(u.multipartIdentifier.length == 1 &&
+                      ctes(u.multipartIdentifier.head)) =>
+                u.multipartIdentifier.mkString(".")
+            }
+            require(bad.isEmpty,
+              s"graft catalog: view SQL must fully qualify table " +
+                s"references (catalog.namespace.table) — got: " +
+                bad.mkString(", "))
+          }
           // analyze NOW: an unreferencable or unparsable view must fail
           // at CREATE, not at first read
           val schema = spark.sql(sqlText.toString).schema

@@ -28,7 +28,17 @@ case class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan] {
         expand(u.multipartIdentifier).getOrElse(u)
     }
 
+  /** Views currently being expanded on this thread: nested analysis
+    * re-enters this rule for views-over-views, so a definition cycle
+    * would otherwise recurse to stack overflow instead of failing with
+    * a diagnosable error.
+    */
+  private def expanding: java.util.ArrayDeque[String] =
+    ResolveGraftViews.expandStack.get()
+
   private def expand(parts: Seq[String]): Option[LogicalPlan] = {
+    // (companion holds the per-thread stack so every rule instance —
+    // one per session — shares it within a thread)
     val mgr = spark.sessionState.catalogManager
     if (!mgr.isCatalogRegistered(parts.head)) return None
     mgr.catalog(parts.head) match {
@@ -36,11 +46,30 @@ case class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan] {
         val ident = Identifier.of(parts.tail.dropRight(1).toArray, parts.last)
         if (!g.viewExists(ident)) None
         else {
+          val key = parts.mkString(".")
+          if (expanding.contains(key)) throw new IllegalStateException(
+            s"graft catalog: recursive view definition — $key references " +
+              s"itself through ${expanding.toArray.mkString(" -> ")}")
           val v = g.loadView(ident)
-          Some(SubqueryAlias(parts.last,
-            spark.sessionState.sqlParser.parsePlan(v.query())))
+          // NESTED analysis of the stored text (the same re-entrant
+          // pattern session views use): substitution-batch rules like
+          // CTESubstitution already ran for the OUTER plan, so a merely
+          // parsed subtree would leave the view's own CTE references
+          // unresolved. Unresolvable leftovers still surface at the
+          // outer CheckAnalysis.
+          val parsed = spark.sessionState.sqlParser.parsePlan(v.query())
+          expanding.push(key)
+          try Some(SubqueryAlias(parts.last,
+            spark.sessionState.analyzer.execute(parsed)))
+          finally { expanding.pop(); () }
         }
       case _ => None
     }
   }
+}
+
+object ResolveGraftViews {
+  private val expandStack
+      : ThreadLocal[java.util.ArrayDeque[String]] =
+    ThreadLocal.withInitial(() => new java.util.ArrayDeque[String]())
 }

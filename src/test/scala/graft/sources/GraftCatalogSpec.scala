@@ -373,6 +373,19 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec with Matchers {
     spark.sql("CALL graft_t.system.drop_view('lab15.v2')")
     intercept[Exception] { spark.sql("SELECT * FROM graft_t.lab15.v2") }
     spark.sql("CALL graft_t.system.drop_view('lab15.v')")
+    // unqualified references (temp-view capture hazard) are refused at
+    // create; CTE-local names are exempt
+    spark.range(3).toDF("z").createOrReplaceTempView("leaky_tmp")
+    intercept[Exception] {
+      spark.sql("CALL graft_t.system.create_view('lab15.bad2', " +
+        "'SELECT z FROM leaky_tmp')")
+    }
+    spark.sql("CALL graft_t.system.create_view('lab15.cte_ok', " +
+      "'WITH w AS (SELECT k FROM graft_t.lab15.base) " +
+      "SELECT count(*) AS n FROM w')")
+    spark.sql("SELECT n FROM graft_t.lab15.cte_ok")
+      .head().getLong(0) shouldBe 31
+    spark.sql("CALL graft_t.system.drop_view('lab15.cte_ok')")
   }
 
   test("readStream.table tails a catalog table exactly-once across runs") {
@@ -399,6 +412,55 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec with Matchers {
     val got = spark.read.parquet(out)
     got.count() shouldBe 25L
     got.agg(F.sum("k")).head().getLong(0) shouldBe (0L until 25L).sum
+  }
+
+  test("a view-definition cycle fails with a diagnosis, not a stack overflow") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_t.lab18")
+    spark.sql("DROP TABLE IF EXISTS graft_t.lab18.b")
+    spark.sql("CREATE TABLE graft_t.lab18.b AS SELECT id AS k FROM range(3)")
+    val nsD = new java.io.File(s"$root/lab18")
+    GraftViews.viewFile(nsD, "va").delete()
+    GraftViews.viewFile(nsD, "vb").delete()
+    spark.sql("CALL graft_t.system.create_view('lab18.va', " +
+      "'SELECT k FROM graft_t.lab18.b')")
+    spark.sql("CALL graft_t.system.create_view('lab18.vb', " +
+      "'SELECT k FROM graft_t.lab18.va')")
+    // craft the cycle by rewriting va's sidecar behind the procedure's
+    // validation (a hostile/corrupted metadata scenario)
+    val ia = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("lab18"), "va")
+    GraftViews.write(nsD,
+      new org.apache.spark.sql.connector.catalog.ViewInfo(ia,
+        "SELECT k FROM graft_t.lab18.vb", "graft_t", Array("lab18"),
+        new org.apache.spark.sql.types.StructType()
+          .add("k", org.apache.spark.sql.types.LongType),
+        Array("k"), Array.empty, Array.empty,
+        new java.util.HashMap[String, String]()))
+    val err = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_t.lab18.vb").collect()
+    }
+    val msgs = Iterator.iterate(err: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(e => Option(e.getMessage).getOrElse(""))
+      .mkString("; ")
+    msgs should include("recursive view")
+    spark.sql("CALL graft_t.system.drop_view('lab18.vb')")
+    spark.sql("CALL graft_t.system.drop_view('lab18.va')")
+  }
+
+  test("TRUNCATE keeps evolved columns (evo journal replays over the sidecar)") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_t.lab17")
+    spark.sql("DROP TABLE IF EXISTS graft_t.lab17.tv")
+    spark.sql("CREATE TABLE graft_t.lab17.tv AS SELECT id AS k FROM range(5)")
+    spark.sql("ALTER TABLE graft_t.lab17.tv ADD COLUMN tag STRING")
+    spark.sql("TRUNCATE TABLE graft_t.lab17.tv")
+    // the empty table still shows the evolved shape, and inserts use it
+    spark.sql("SELECT * FROM graft_t.lab17.tv").schema.fieldNames.toSeq shouldBe
+      Seq("k", "tag")
+    spark.sql("INSERT INTO graft_t.lab17.tv VALUES (1, 'x')")
+    spark.sql("SELECT tag FROM graft_t.lab17.tv WHERE k = 1")
+      .head().getString(0) shouldBe "x"
   }
 
   test("ALTER TABLE guards: NOT NULL add, positioned add, nested names") {

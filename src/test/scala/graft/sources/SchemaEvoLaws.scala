@@ -1,0 +1,108 @@
+package graft.sources
+
+import java.io.File
+
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+import graft.avro.AvroSchemaConverter
+
+/** Model-based laws for ALTER TABLE column evolution: a random history
+  * of writes / ADD COLUMN / DROP COLUMN drives the REAL machinery
+  * (header-only avro files through the same sidecars, `_graft_evo`
+  * journal entries, snapshot minting, schema inference) against a
+  * trivial column-list model. Checked invariants, every step and every
+  * reachable version:
+  *
+  *  - live inference equals the model's current visible column list,
+  *    in order (adds append, drops remove in place);
+  *  - `versionAsOf` inference equals the model's list AS OF that
+  *    version — each ALTER's own minted version brackets it exactly;
+  *  - retired names never re-add and never rename onto.
+  *
+  * Pure driver-side (schema inference reads only headers), so dozens
+  * of random histories run in seconds with no Spark jobs.
+  */
+object SchemaEvoLaws extends Properties("SchemaEvoLaws") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(30)
+
+  sealed trait Op
+  case object Write extends Op
+  case object Add extends Op
+  case object Drop extends Op
+
+  private val opsGen: Gen[List[Op]] =
+    Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, Gen.frequency(
+      4 -> Gen.const(Write: Op), 3 -> Gen.const(Add: Op),
+      2 -> Gen.const(Drop: Op))))
+
+  /** Header-only avro file carrying exactly `cols` (all nullable long):
+    * schema laws need real headers, not rows.
+    */
+  private def writeFile(d: File, cols: Seq[String], n: Int): Unit = {
+    val st = StructType(cols.map(c => StructField(c, LongType)))
+    val schema = AvroSchemaConverter.toAvro(st, "row", None, None)
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, new File(d, f"part-$n%05d.avro"))
+    w.close()
+    AvroFileSource.appendSnapshot(d, "append")
+  }
+
+  private def inferredCols(d: File, asOf: Option[Long]): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val opts = Map("path" -> d.getPath) ++
+      asOf.map(v => "versionAsOf" -> v.toString)
+    new AvroFileSource().inferSchema(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts.asJava))
+      .fieldNames.toSeq
+  }
+
+  property("live and as-of inference both equal the model at every step") =
+    Prop.forAll(opsGen) { ops =>
+      val d = new File(graft.operators.Catalog.tempDir("graft_evolaw"))
+      val pool = Iterator.from(0).map(i => s"c$i")
+      var cols = Vector("c_base")        // model: current visible list
+      var retired = Set.empty[String]
+      var fileNo = 0
+      var versions = Map.empty[Long, Vector[String]]
+      writeFile(d, cols, { fileNo += 1; fileNo }) // the table must exist
+      versions += AvroFileSource.readSnapshots(d).last.version -> cols
+      var ok = true
+      ops.foreach { op =>
+        op match {
+          case Write =>
+            writeFile(d, cols, { fileNo += 1; fileNo })
+          case Add =>
+            val name = pool.next()
+            AvroMaintenance.addColumn(d.getPath, StructField(name, LongType))
+            cols :+= name
+          case Drop if cols.size >= 2 =>
+            // drop a deterministic victim (the middle column) so drops
+            // hit both file-born and evo-added columns across runs
+            val victim = cols(cols.size / 2)
+            AvroMaintenance.dropColumn(d.getPath, victim)
+            cols = cols.filterNot(_ == victim)
+            retired += victim
+          case Drop => () // cannot drop the last column
+        }
+        versions += AvroFileSource.readSnapshots(d).last.version -> cols
+        ok &&= inferredCols(d, None) == cols
+      }
+      // retired names are closed forever
+      retired.foreach { r =>
+        ok &&= scala.util.Try(
+          AvroMaintenance.addColumn(d.getPath, StructField(r, LongType)))
+          .isFailure
+      }
+      // every recorded version replays its own column list
+      versions.foreach { case (v, expect) =>
+        ok &&= inferredCols(d, Some(v)) == expect
+      }
+      ok
+    }
+}
