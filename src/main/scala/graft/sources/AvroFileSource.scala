@@ -3345,6 +3345,23 @@ class AvroWriteBuilder(path: String, schema: StructType,
       private def commitImpl(messages: Array[WriterCommitMessage]): Unit = {
         val staged = messages.toSeq
           .collect { case m: AvroCommitMessage => m.files }.flatten
+        // ROW-LEVEL CONFLICT CHECK — before ANYTHING publishes: every
+        // file this operation's scan served must still be live. A
+        // concurrent row-level op that committed first archived its
+        // scan set; discovering that AFTER the staged renames would
+        // leave this loser's files published next to the winner's —
+        // rows duplicated by a "failed" job (CommitLockSpec pins this).
+        // Under the table commit lock the check-then-archive is atomic
+        // vs every other commit.
+        val replaceSet: Option[Set[String]] = replaceRels.map(_())
+        replaceSet.foreach { rels =>
+          val gone = rels.filterNot(rel => new File(path, rel).isFile)
+          if (gone.nonEmpty) throw new IllegalStateException(
+            "graft-avro row-level commit: concurrent update conflict — " +
+              s"replaced file(s) ${gone.mkString(", ")} were rewritten " +
+              "by another commit; nothing was published, retry the " +
+              "operation against the current state")
+        }
         val preExisting =
           !doTruncate && AvroFileSource.listAvro(new File(path)).nonEmpty
         // publish BEFORE deleting: if a rename fails mid-commit the
@@ -3380,14 +3397,14 @@ class AvroWriteBuilder(path: String, schema: StructType,
           AvroFileSource.deleteFile(new File(path)).delete()
           AvroFileSource.posdelFile(new File(path)).delete()
         }
-        replaceRels.foreach { thunk =>
+        replaceSet.foreach { rels =>
           // group-based row-level op: archive EXACTLY the files the
           // operation's scan served (their contents were rewritten into
           // the staged files); untouched files — and the table-wide
           // equality-delete sidecar, whose version stamps keep it off
           // the new files — stay as they are. Positional deletes of the
-          // replaced files drop with them.
-          val rels = thunk()
+          // replaced files drop with them. (Liveness was verified above,
+          // BEFORE publish, under the commit lock.)
           val dirF = new File(path)
           rels.toSeq.sorted.foreach { rel =>
             val f = new File(dirF, rel)

@@ -88,6 +88,42 @@ class CommitLockSpec extends AnyFunSuite with SparkSpec with Matchers {
     vs.distinct.size shouldBe vs.size
   }
 
+  test("concurrent row-level UPDATEs: winners apply exactly once, losers fail loudly") {
+    val root = graft.operators.Catalog.tempDir("graft_lock_cat")
+    spark.conf.set("spark.sql.catalog.graft_lk",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_lk.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_lk.ns")
+    spark.sql("DROP TABLE IF EXISTS graft_lk.ns.up")
+    spark.sql("CREATE TABLE graft_lk.ns.up AS " +
+      "SELECT id AS k, CAST(0 AS BIGINT) AS v FROM range(100)")
+    // both updates hit the SAME rows → the same files: if B scanned the
+    // pre-A generation, its commit finds the file already archived and
+    // fails LOUDLY (snapshot-isolation conflict) instead of silently
+    // losing A's update; if B scanned after A committed, both apply.
+    val pool = Executors.newFixedThreadPool(2)
+    val outcomes = try {
+      val futs = (1 to 2).map { _ =>
+        pool.submit(new Callable[Boolean] {
+          override def call(): Boolean =
+            try {
+              spark.sql("UPDATE graft_lk.ns.up SET v = v + 1 WHERE k < 50")
+              true
+            } catch { case _: Exception => false }
+        })
+      }
+      futs.map(_.get(180, TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    val wins = outcomes.count(identity)
+    wins should be >= 1
+    // the final state reflects EXACTLY the successful updates — never a
+    // lost update, never a double application
+    spark.sql("SELECT sum(v) FROM graft_lk.ns.up").head().getLong(0) shouldBe
+      50L * wins
+    spark.sql("SELECT count(*) FROM graft_lk.ns.up")
+      .head().getLong(0) shouldBe 100L
+  }
+
   test("re-entrant composed ops still work (createBranch nests tag)") {
     val dir = tmp()
     spark.range(0, 5).toDF("k")
