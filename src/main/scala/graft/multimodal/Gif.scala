@@ -110,6 +110,14 @@ object Gif {
       i += 1
     }
     if (prefix >= 0) putCode(prefix)
+    // END-OF-STREAM WIDTH EDGE: the decoder defines one more entry on
+    // receiving that final data code and grows its width at 2^w − 1 —
+    // if the dictionary lands exactly on that boundary, EOI must be
+    // emitted at the GROWN width or the decoder starves reading it
+    // (GifLaws seed pgTQQnaS… caught the truncated-stream mismatch;
+    // mid-stream codes are immune because the encoder's 2^w growth
+    // stays exactly one define ahead).
+    if (nextCode == (1 << codeWidth) - 1 && codeWidth < 12) codeWidth += 1
     putCode(EoiCode)
     if (bitCnt > 0) blocks.write((bitBuf & 0xff).toInt)
     // 255-byte sub-block framing

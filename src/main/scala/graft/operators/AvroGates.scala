@@ -555,6 +555,38 @@ object AvroGates extends Catalog {
               |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
     }),
 
+    // COMPACTION INVISIBILITY under the oracle: metadata-delete, then
+    // CALL system.compact — the in-place bin-pack must materialize the
+    // deletes, drop the sidecar, collapse the file count, and leave the
+    // logical content EXACTLY unchanged; the post-compact aggregate is
+    // hash-compared against the oracle's direct re-derivation. A row
+    // lost in the rewrite, a delete resurrected by the cleared sidecar,
+    // or a double-applied delete all break the hash.
+    "q_avro_compact_sql" -> ((s, dir) => {
+      if (!s.conf.getOption("spark.sql.catalog.graft_gate").isDefined) {
+        s.conf.set("spark.sql.catalog.graft_gate",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_gate.root",
+          tempDir("graft_gate_cat"))
+      }
+      table(s, dir, "part")
+        .select("p_partkey", "p_brand", "p_retailprice")
+        .createOrReplaceTempView("part_src_cat")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.gate")
+      s.sql("DROP TABLE IF EXISTS graft_gate.gate.pcomp")
+      s.sql("CREATE TABLE graft_gate.gate.pcomp AS " +
+        "SELECT * FROM part_src_cat WHERE p_partkey % 2 = 0")
+      s.sql("INSERT INTO graft_gate.gate.pcomp " +
+        "SELECT * FROM part_src_cat WHERE p_partkey % 2 = 1")
+      s.sql("DELETE FROM graft_gate.gate.pcomp WHERE p_partkey IN (2, 3, 5)")
+      s.sql("CALL graft_gate.system.compact('gate.pcomp', 1000000000)")
+      s.sql("""SELECT p_brand, count(*) AS n_parts,
+              |       CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT))
+              |         AS BIGINT) AS cents
+              |FROM graft_gate.gate.pcomp
+              |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+    }),
+
     // SQL VIEWS under the oracle: a persistent view (`_graft_view_*`
     // sidecar, resolved by the injected ResolveGraftViews analyzer
     // rule) created over HALF the table, then read AFTER the second
@@ -1393,6 +1425,13 @@ object AvroGates extends Catalog {
                 CAST(sum(CAST(n_nationkey AS BIGINT)) AS BIGINT) AS key_sum
          FROM nation WHERE n_regionkey = 2
          GROUP BY n_regionkey ORDER BY n_regionkey""",
+    // compaction is logically invisible: full table minus the deletes
+    "q_avro_compact_sql" ->
+      """SELECT p_brand, count(*) AS n_parts,
+                CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+         FROM part WHERE p_partkey NOT IN (2, 3, 5)
+         GROUP BY p_brand ORDER BY p_brand""",
     // the view re-resolves over the FULL table (both insert halves)
     "q_avro_view" ->
       """SELECT c_mktsegment, count(*) AS n_cust,

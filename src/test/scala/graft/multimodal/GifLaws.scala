@@ -15,12 +15,36 @@ object GifLaws extends Properties("GifLaws") {
       s"round-trip mismatch at ${w}x$h"
   }
 
-  property("small images round-trip exactly") = Prop.forAll(
+  // noShrink: shrinking the (w, h, idx) tuple breaks the w*h ==
+  // idx.length invariant (a shrunk 0x0 crashes before the property),
+  // masking the real counterexample
+  property("small images round-trip exactly") = Prop.forAllNoShrink(
     for {
       w <- Gen.choose(1, 16); h <- Gen.choose(1, 16)
       idx <- Gen.containerOfN[Array, Byte](w * h,
         Gen.choose(Byte.MinValue, Byte.MaxValue))
     } yield (w, h, idx)) { case (w, h, idx) => roundTrip(w, h, idx) }
+
+  // PINNED regression (found by seed pgTQQnaS…, reduced to Random(3)):
+  // a 16x16 image whose dictionary lands exactly on the 2^w − 1
+  // boundary at the FINAL data code — the decoder grows its width
+  // before reading EOI, so the encoder must emit EOI at the grown
+  // width or the stream truncates.
+  property("end-of-stream width boundary round-trips (pinned)") = {
+    val rnd = new scala.util.Random(3)
+    val idx = Array.fill[Byte](256)(rnd.nextInt(256).toByte)
+    roundTrip(16, 16, idx)
+  }
+
+  // and the same edge swept densely: many random small images, where
+  // the final-code boundary is reachable (256-entry alphabet, ~2^9
+  // dictionary entries at end of a 256-pixel image)
+  property("dense 16x16 sweep crosses the final-code boundary") =
+    Prop.forAllNoShrink(Gen.choose(0, 100000)) { seed =>
+      val rnd = new scala.util.Random(seed)
+      val idx = Array.fill[Byte](256)(rnd.nextInt(256).toByte)
+      roundTrip(16, 16, idx)
+    }
 
   // 64x64 random bytes build ~4k dictionary entries: the code stream
   // crosses every width boundary (9→10→11→12) AND the full-table Clear
