@@ -562,6 +562,10 @@ object LlmDedup extends Catalog {
     // At 100 TB: cost is one shuffle on the gram key (combine-heavy:
     // counts collapse before the join) + one window partitioned by
     // doc_id (bounded by document length). Nothing is ever pairwise.
+    // The shuffle key is an 8-byte md5 slice of the gram, NOT the
+    // ~20-byte gram string — halves shuffle row width at identical
+    // semantics (both engines hash identically, so a collision marks
+    // the same position in gate and oracle alike).
     "llm_substring_dup" -> ((s, dir) => {
       val k = 20
       val pos = table(s, dir, "documents")
@@ -572,10 +576,11 @@ object LlmDedup extends Catalog {
             F.length(F.col("text")) - (k - 1))).as("i"),
           F.col("text"))
         .select(F.col("doc_id"), F.col("i"),
-          F.expr(s"substring(text, i, $k)").as("gram"))
-      val dup = pos.groupBy("gram").agg(F.count(F.lit(1)).as("cnt"))
-        .filter(F.col("cnt") >= 2).select("gram")
-      val marked = pos.join(dup, "gram").select("doc_id", "i")
+          F.conv(F.substring(F.md5(F.expr(s"substring(text, i, $k)")),
+            1, 15), 16, 10).cast("long").as("g"))
+      val dup = pos.groupBy("g").agg(F.count(F.lit(1)).as("cnt"))
+        .filter(F.col("cnt") >= 2).select("g")
+      val marked = pos.join(dup, "g").select("doc_id", "i")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy("i")
       val spans = marked
@@ -592,19 +597,23 @@ object LlmDedup extends Catalog {
 
   val oracles: Map[String, String] = Map(
     // same gram/mark/island pipeline in SQL; i stays BIGINT from
-    // generate_series (cast only at substr), sums cast off HUGEINT
+    // generate_series (cast only at substr), sums cast off HUGEINT;
+    // gram keyed by the same 15-hex-char md5 slice as the gate
+    // (hex->int rule: conv(h,16,10) ≡ CAST('0x'||h AS BIGINT))
     "llm_substring_dup" ->
       """WITH pos AS (
-           SELECT doc_id, i, substr(text, CAST(i AS INT), 20) AS gram
+           SELECT doc_id, i,
+                  CAST('0x' || substring(md5(substr(text, CAST(i AS INT),
+                    20)), 1, 15) AS BIGINT) AS g
            FROM documents,
                 LATERAL (SELECT unnest(generate_series(1,
                   length(text) - 19)) AS i)
            WHERE length(text) >= 20),
          dup AS (
-           SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2),
+           SELECT g FROM pos GROUP BY g HAVING count(*) >= 2),
          marked AS (
            SELECT doc_id, i FROM pos
-           WHERE gram IN (SELECT gram FROM dup)),
+           WHERE g IN (SELECT g FROM dup)),
          isl AS (
            SELECT doc_id, i,
                   i - row_number() OVER (PARTITION BY doc_id ORDER BY i)

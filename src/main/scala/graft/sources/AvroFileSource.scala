@@ -106,7 +106,9 @@ class AvroFileSource extends TableProvider with DataSourceRegister {
               s"graft-avro: branch '$b' fork version $forkV vanished"))
             .files.map(AvroFileSource.resolveSnapshotFile(d, _)) ++
             AvroFileSource.listAvro(bd)
-        case None => AvroFileSource.listAvro(d)
+        // live schema: same journal-served listing as scan planning, so
+        // inference and planning always agree on the file set
+        case None => AvroFileSource.listLive(d).map(_._1)
       }
     }
     require(files.nonEmpty, s"no .avro files under ${dir(options)}")
@@ -280,6 +282,34 @@ object AvroFileSource {
     * line resurrects rows.
     */
   def posdelFile(d: File): File = new File(d, "_graft_posdel")
+
+  /** Fingerprint of the table's merge-on-read delete state (equality +
+    * positional sidecars) for row-level conflict detection. A concurrent
+    * `deleteWhere` / `deleteAtPositions` landing between a row-level
+    * op's SCAN and its COMMIT would be silently lost: the rewritten
+    * files get birth versions later than the delete's stamp (equality),
+    * or the commit drops the replaced files' positional entries, so the
+    * delete stops applying to rows the rewrite carried forward — with
+    * no error. The row-level scan records this fingerprint when it
+    * plans; the commit, under the table lock and before publishing
+    * anything, fails loudly if it moved.
+    */
+  def deleteStateFingerprint(d: File): String = {
+    def bytesOf(f: File): Array[Byte] =
+      if (f.isFile) java.nio.file.Files.readAllBytes(f.toPath)
+      else Array.empty[Byte]
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(bytesOf(deleteFile(d)))
+    md.update(Array[Byte](0))
+    md.update(bytesOf(posdelFile(d)))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** What a row-level operation's scan actually served: the
+    * table-relative files to replace at commit, plus the delete-sidecar
+    * fingerprint at planning time (None until the scan has planned).
+    */
+  case class RowLevelScanState(rels: Set[String], deleteFp: Option[String])
 
   def readPosdel(d: File): Map[String, Array[Long]] = {
     val f = posdelFile(d)
@@ -852,6 +882,10 @@ object AvroFileSource {
     val src = scala.io.Source.fromFile(jf, "UTF-8")
     val lines = try src.getLines().filter(_.nonEmpty).toList finally src.close()
     var files = Vector.empty[String]
+    // O(1) membership next to the ordered vector: the replay is on the
+    // scan-planning hot path (listLive), so per-token `contains` over
+    // the vector would make it O(versions × files)
+    var fileSet = Set.empty[String]
     var dels: Option[String] = None
     var prevV = -1L // expireSnapshots may rebase the journal start
     lines.map { line =>
@@ -878,13 +912,15 @@ object AvroFileSource {
               splitBirthSuffix(tok.drop(1))._1, "UTF-8")
             tok.charAt(0) match {
               case '+' =>
-                if (files.contains(rel)) throw new IllegalStateException(
+                if (fileSet.contains(rel)) throw new IllegalStateException(
                   s"graft-avro: duplicate add of '$rel' at version $version")
                 files :+= rel
+                fileSet += rel
               case '-' =>
-                if (!files.contains(rel)) throw new IllegalStateException(
+                if (!fileSet.contains(rel)) throw new IllegalStateException(
                   s"graft-avro: remove of unknown '$rel' at version $version")
                 files = files.filterNot(_ == rel)
+                fileSet -= rel
               case _ => throw new IllegalStateException(
                 s"graft-avro: bad snapshot delta '$tok' in $jf")
             }
@@ -1347,6 +1383,38 @@ object AvroFileSource {
     walk(d, Map.empty)
   }
 
+  /** Hive-style partition values parsed from a table-RELATIVE path's
+    * `k=v` directory segments (raw, still URL-encoded — the same shape
+    * [[listPartitioned]]'s walk produces).
+    */
+  def partValsOfRel(rel: String): Map[String, String] =
+    rel.split('/').dropRight(1).flatMap { seg =>
+      seg.split("=", 2) match {
+        case Array(k, v) => Some(k -> v)
+        case _ => None
+      }
+    }.toMap
+
+  /** The LIVE file listing for scan planning, served from the snapshot
+    * journal when one exists: one sidecar read instead of a recursive
+    * directory walk — at object-store scale (100k+ files) the walk is
+    * the planning bottleneck, and every commit path already journals
+    * the exact live set under the table lock, so the last snapshot IS
+    * the live state. Directories without a journal (legacy/foreign
+    * writers) fall back to the walk. Consequence, pinned by
+    * JournalPlanSpec: once a table is journaled, a file smuggled into
+    * the directory outside a commit is invisible until a commit
+    * journals it — Iceberg semantics, and strictly safer than racing a
+    * half-visible write.
+    */
+  def listLive(d: File): Seq[(File, Map[String, String])] =
+    readSnapshots(d).lastOption match {
+      case Some(snap) => snap.files.sorted.map { rel =>
+        (new File(d, rel), partValsOfRel(rel))
+      }
+      case None => listPartitioned(d)
+    }
+
   /** Cast a partition-directory string back to the column's type for
     * pruning comparisons; None when unparsable (then never prune).
     */
@@ -1411,9 +1479,9 @@ case class AvroTable(path: String, tableSchema: StructType,
     require(travelOptions.isEmpty,
       "graft-avro: a VERSION AS OF / TIMESTAMP AS OF table is read-only")
     () => new org.apache.spark.sql.connector.write.RowLevelOperation {
-      private val captured =
-        new java.util.concurrent.atomic.AtomicReference[Set[String]](
-          Set.empty)
+      private val captured = new java.util.concurrent.atomic
+        .AtomicReference[AvroFileSource.RowLevelScanState](
+          AvroFileSource.RowLevelScanState(Set.empty, None))
       override def command()
           : org.apache.spark.sql.connector.write.RowLevelOperation.Command =
         info.command()
@@ -1424,7 +1492,7 @@ case class AvroTable(path: String, tableSchema: StructType,
       override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =
         new AvroWriteBuilder(path, winfo.schema(),
           partitionBy = defaultPartitionBy,
-          replaceRels = Some(() => captured.get()))
+          replaceState = Some(() => captured.get()))
       override def requiredMetadataAttributes()
           : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
         Array(org.apache.spark.sql.connector.expressions.Expressions
@@ -1647,8 +1715,8 @@ class AvroScanBuilder(path: String, full: StructType,
     // scan declares `_graft_file` runtime-filterable so Spark narrows it
     // to the affected files, and records the file set it finally planned
     // — the write side replaces EXACTLY those files at commit
-    rowLevelCapture: Option[
-      java.util.concurrent.atomic.AtomicReference[Set[String]]] = None)
+    rowLevelCapture: Option[java.util.concurrent.atomic
+      .AtomicReference[AvroFileSource.RowLevelScanState]] = None)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with SupportsPushDownFilters with SupportsPushDownAggregates
   with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
@@ -2172,12 +2240,7 @@ class AvroScanBuilder(path: String, full: StructType,
         }
 
       private def partValsOf(rel: String): Map[String, String] =
-        rel.split('/').dropRight(1).flatMap { seg =>
-          seg.split("=", 2) match {
-            case Array(k, v) => Some(k -> v)
-            case _ => None
-          }
-        }.toMap
+        AvroFileSource.partValsOfRel(rel)
 
       private lazy val listed: Seq[(File, Map[String, String])] =
         travelState match {
@@ -2187,7 +2250,8 @@ class AvroScanBuilder(path: String, full: StructType,
           }
           case None => branchState match {
             case Some((files, _, _)) => files
-            case None => AvroFileSource.listPartitioned(new File(path))
+            // journal-served when one exists — no directory walk
+            case None => AvroFileSource.listLive(new File(path))
           }
         }
 
@@ -2421,9 +2485,15 @@ class AvroScanBuilder(path: String, full: StructType,
           }.toArray[InputPartition]
           case None =>
             // row-level ops: remember exactly which files this scan
-            // serves — the write replaces them at commit
+            // serves — the write replaces them at commit — and the
+            // delete-sidecar fingerprint at this moment, so the commit
+            // can detect a concurrent deleteWhere/deleteAtPositions
+            // whose effect the rewrite would otherwise silently lose
             rowLevelCapture.foreach(
-              _.set(prunedFiles().map(p => relOf(p._1)).toSet))
+              _.set(AvroFileSource.RowLevelScanState(
+                prunedFiles().map(p => relOf(p._1)).toSet,
+                Some(AvroFileSource.deleteStateFingerprint(
+                  new File(path))))))
             prunedFiles().flatMap { case (f, _) =>
             split(f).map { case (p, s, e) => AvroInputPartition(p, s, e) }
           }.toArray[InputPartition]
@@ -3156,10 +3226,11 @@ class AvroWriteBuilder(path: String, schema: StructType,
     sortedBy: Option[String] = None, bloomFor: Seq[String] = Nil,
     ndvFor: Seq[String] = Nil, branchWrite: Boolean = false,
     requestSort: Boolean = false,
-    // group-based row-level ops: at commit, archive exactly these
-    // table-relative files (the op's rewritten scan set) — evaluated
+    // group-based row-level ops: at commit, archive exactly the
+    // table-relative files the op's scan served, and verify the delete
+    // sidecars are untouched since that scan planned — evaluated
     // lazily because the scan populates it during execution
-    replaceRels: Option[() => Set[String]] = None,
+    replaceState: Option[() => AvroFileSource.RowLevelScanState] = None,
     // CHECK enforcement: ad-hoc `check` write option + the directory
     // whose `_graft_constraints` sidecar governs this write (the MAIN
     // table even for branch-overlay writes, so staged data can never
@@ -3353,15 +3424,32 @@ class AvroWriteBuilder(path: String, schema: StructType,
         // rows duplicated by a "failed" job (CommitLockSpec pins this).
         // Under the table commit lock the check-then-archive is atomic
         // vs every other commit.
-        val replaceSet: Option[Set[String]] = replaceRels.map(_())
-        replaceSet.foreach { rels =>
-          val gone = rels.filterNot(rel => new File(path, rel).isFile)
-          if (gone.nonEmpty) throw new IllegalStateException(
-            "graft-avro row-level commit: concurrent update conflict — " +
-              s"replaced file(s) ${gone.mkString(", ")} were rewritten " +
-              "by another commit; nothing was published, retry the " +
-              "operation against the current state")
-        }
+        val replaceSet: Option[Set[String]] =
+          replaceState.map(_()).map { st =>
+            val gone = st.rels.filterNot(rel => new File(path, rel).isFile)
+            if (gone.nonEmpty) throw new IllegalStateException(
+              "graft-avro row-level commit: concurrent update conflict — " +
+                s"replaced file(s) ${gone.mkString(", ")} were rewritten " +
+                "by another commit; nothing was published, retry the " +
+                "operation against the current state")
+            // and the DELETE sidecars must be exactly as the scan saw
+            // them: a deleteWhere/deleteAtPositions that landed since
+            // would silently stop applying to the rewritten rows (their
+            // birth versions postdate the delete's stamp; positional
+            // entries of replaced files drop at this commit) — a lost
+            // delete, the same anomaly family as the liveness check
+            st.deleteFp.foreach { fp =>
+              val now =
+                AvroFileSource.deleteStateFingerprint(new File(path))
+              if (now != fp) throw new IllegalStateException(
+                "graft-avro row-level commit: concurrent delete " +
+                  "conflict — the table's delete sidecars changed " +
+                  "since this operation's scan planned; nothing was " +
+                  "published, retry the operation against the current " +
+                  "state")
+            }
+            st.rels
+          }
         val preExisting =
           !doTruncate && AvroFileSource.listAvro(new File(path)).nonEmpty
         // publish BEFORE deleting: if a rename fails mid-commit the

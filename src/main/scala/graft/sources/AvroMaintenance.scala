@@ -101,7 +101,7 @@ object AvroMaintenance {
     * scale, compact first (equality deletes are metadata, not data).
     */
   def mergeInto(spark: SparkSession, dir: String, updates: DataFrame,
-      keyCol: String): Unit = {
+      keyCol: String, maxKeys: Int = MaxMergeSidecarKeys): Unit = {
     val tableSchema = spark.read.format("graft-avro").load(dir).schema
     require(updates.schema.fieldNames.toSet == tableSchema.fieldNames.toSet,
       s"merge schema mismatch: table has " +
@@ -115,12 +115,28 @@ object AvroMaintenance {
       .select(tableSchema.fieldNames.toIndexedSeq.map(col): _*)
       .localCheckpoint()
     // null keys match no equality delete (SQL semantics) and are plain
-    // inserts; they are appended but excluded from the delete set
-    val keys = pinned.select(keyCol).distinct().collect()
+    // inserts; they are appended but excluded from the delete set.
+    // The collect is bounded BEFORE it can OOM the driver: limit+1 rows
+    // come back at most, and over-scale batches get a contract error
+    // routing them to the copy-on-write path instead of a heap dump.
+    val keys = pinned.select(keyCol).distinct()
+      .limit(maxKeys + 1).collect()
       .map(_.get(0)).filter(_ != null).toSeq
+    require(keys.length <= maxKeys,
+      s"graft-avro mergeInto: update batch has more than " +
+        s"$maxKeys distinct '$keyCol' keys — beyond sidecar " +
+        "scale. Use SQL MERGE INTO (copy-on-write row-level op, fully " +
+        "distributed) or compact first and retry with smaller batches")
     if (keys.nonEmpty) deleteWhere(spark, dir, keyCol, keys)
     pinned.write.format("graft-avro").mode("append").save(dir)
   }
+
+  /** Ceiling on [[mergeInto]]'s driver-collected distinct-key set: the
+    * keys become equality-delete sidecar lines read by every subsequent
+    * scan, so the bound is a sidecar-health contract, not just an OOM
+    * guard.
+    */
+  val MaxMergeSidecarKeys: Int = 100000
 
   /** Sort-preserving compaction: bin-pack like [[compactTo]] but
     * range-partition + sort on `col` and write under a VERIFIED

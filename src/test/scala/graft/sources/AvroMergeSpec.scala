@@ -125,6 +125,19 @@ class AvroMergeSpec extends AnyFunSuite with SparkSpec with Matchers {
     t.count() shouldBe 19
   }
 
+  test("mergeInto refuses an over-scale key batch with a routing error") {
+    val dir = tmp()
+    base(dir)
+    val ex = intercept[IllegalArgumentException] {
+      AvroMaintenance.mergeInto(spark, dir,
+        updates((0L until 20L).toSeq, "big"), "k", maxKeys = 10)
+    }
+    ex.getMessage should include("MERGE INTO")
+    // nothing was published: no delete sidecar, no appended rows
+    AvroFileSource.deleteFile(new File(dir)).isFile shouldBe false
+    spark.read.format("graft-avro").load(dir).count() shouldBe 100
+  }
+
   test("mergeInto rejects a mismatched update schema") {
     val dir = tmp()
     base(dir)

@@ -94,11 +94,14 @@ class AvroStatsSpec extends AnyFunSuite with SparkSpec with Matchers {
     val dir = tmp()
     spark.range(0, 100).toDF("k").repartition(1)
       .write.format("graft-avro").mode("overwrite").save(dir)
-    // a foreign data file (streamed epoch / legacy write analogue):
-    // listed by readers, absent from the rows manifest
+    // a foreign data file on a LEGACY (unjournaled) table: the walk
+    // fallback lists it, the rows manifest doesn't cover it. (On a
+    // journaled table the file would simply be invisible until a
+    // commit journals it — JournalPlanSpec pins that.)
     val src = AvroFileSource.listAvro(new File(dir)).head
     java.nio.file.Files.copy(src.toPath,
       new File(dir, "part-foreign.avro").toPath)
+    AvroFileSource.snapshotsFile(new File(dir)).delete() shouldBe true
     val s = stats(spark.read.format("graft-avro").load(dir))
     s.numRows().isPresent shouldBe false
     // the data itself still reads fine (200 rows now)

@@ -17,6 +17,18 @@ import graft.SparkSpec
   * tasks stay lock-free (names are generation-unique); only the
   * driver-side commit section serializes.
   */
+/** Latches coordinating the concurrent-DELETE conflict test: executor
+  * threads share this JVM in local mode, so the UDF can signal/await.
+  */
+object DeleteConflictSync {
+  @volatile var scanStarted = new java.util.concurrent.CountDownLatch(1)
+  @volatile var deleteDone = new java.util.concurrent.CountDownLatch(1)
+  def reset(): Unit = {
+    scanStarted = new java.util.concurrent.CountDownLatch(1)
+    deleteDone = new java.util.concurrent.CountDownLatch(1)
+  }
+}
+
 class CommitLockSpec extends AnyFunSuite with SparkSpec with Matchers {
 
   private def tmp(): String = graft.operators.Catalog.tempDir("graft_lock")
@@ -122,6 +134,68 @@ class CommitLockSpec extends AnyFunSuite with SparkSpec with Matchers {
       50L * wins
     spark.sql("SELECT count(*) FROM graft_lk.ns.up")
       .head().getLong(0) shouldBe 100L
+  }
+
+  test("row-level commit detects a concurrent equality DELETE (lost-delete guard)") {
+    val root = graft.operators.Catalog.tempDir("graft_lock_del")
+    spark.conf.set("spark.sql.catalog.graft_ld",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_ld.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_ld.ns")
+    spark.sql("DROP TABLE IF EXISTS graft_ld.ns.t")
+    spark.sql("CREATE TABLE graft_ld.ns.t AS " +
+      "SELECT id AS k, CAST(0 AS BIGINT) AS v FROM range(100)")
+    val dir = new File(root, "ns/t").getAbsolutePath
+    // the UDF gates the UPDATE's rewrite tasks open: first row signals
+    // the scan has planned (fingerprint recorded), then every task
+    // blocks until the conflicting deleteWhere has committed — so the
+    // delete provably lands between the row-level scan and its commit
+    DeleteConflictSync.reset()
+    spark.udf.register("gate_inc", (v: Long) => {
+      DeleteConflictSync.scanStarted.countDown()
+      DeleteConflictSync.deleteDone.await(60, TimeUnit.SECONDS)
+      v + 1
+    })
+    val pool = Executors.newFixedThreadPool(1)
+    try {
+      val upd = pool.submit(new Callable[Option[Throwable]] {
+        override def call(): Option[Throwable] =
+          try { spark.sql(
+            "UPDATE graft_ld.ns.t SET v = gate_inc(v) WHERE k < 50"); None }
+          catch { case e: Throwable => Some(e) }
+      })
+      DeleteConflictSync.scanStarted.await(60, TimeUnit.SECONDS) shouldBe true
+      // concurrent equality delete on a row inside the rewritten range:
+      // if the UPDATE commits anyway, its rewritten files get births
+      // later than this delete's stamp and k=10 silently resurrects
+      AvroMaintenance.deleteWhere(spark, dir, "k", Seq(10L))
+      DeleteConflictSync.deleteDone.countDown()
+      val err = upd.get(180, TimeUnit.SECONDS)
+      err should not be empty
+      val msgs = Iterator.iterate(err.get)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString("\n")
+      msgs should include("concurrent delete conflict")
+    } finally pool.shutdown()
+    // the delete survived and the failed UPDATE published nothing
+    spark.sql("SELECT count(*) FROM graft_ld.ns.t")
+      .head().getLong(0) shouldBe 99L
+    spark.sql("SELECT sum(v) FROM graft_ld.ns.t").head().getLong(0) shouldBe 0L
+  }
+
+  test("delete-state fingerprint moves on either sidecar") {
+    val dir = tmp()
+    spark.range(0, 10).toDF("k").coalesce(1)
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    val d = new File(dir)
+    val fp0 = AvroFileSource.deleteStateFingerprint(d)
+    AvroMaintenance.deleteWhere(spark, dir, "k", Seq(3L))
+    val fp1 = AvroFileSource.deleteStateFingerprint(d)
+    fp1 should not be fp0
+    val base = d.getAbsoluteFile.toPath
+    val rel = base.relativize(
+      AvroFileSource.listAvro(d).head.getAbsoluteFile.toPath).toString
+    AvroMaintenance.deleteAtPositions(dir, rel, Seq(0L))
+    AvroFileSource.deleteStateFingerprint(d) should not be fp1
   }
 
   test("re-entrant composed ops still work (createBranch nests tag)") {
