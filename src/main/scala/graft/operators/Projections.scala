@@ -79,6 +79,16 @@ object Projections extends Catalog {
         .sql("SELECT c_custkey, acct.bal as bal")
         .orderBy("c_custkey")),
 
+    // Reference parity: trailing WHERE/ORDER BY/LIMIT clauses parse and
+    // are IGNORED — the reference reads only the select list out of the
+    // Calcite tree (AvroSql.scala:75,79), so the "filter" must not
+    // filter. The oracle is therefore the UNFILTERED projection.
+    "proj_where_ignored" -> ((s, dir) =>
+      table(s, dir, "customer")
+        .sql("SELECT c_custkey, c_name as name FROM t " +
+          "WHERE c_custkey < 0 ORDER BY name LIMIT 5")
+        .orderBy("c_custkey")),
+
     // O10: projection inside array elements (transform), flattened back out
     "proj_array_rebuild" -> ((s, dir) =>
       table(s, dir, "lineitem")
@@ -105,6 +115,9 @@ object Projections extends Catalog {
     "proj_nested_flatten" ->
       """SELECT o_orderkey, o_totalprice AS price, o_orderdate AS dt
          FROM orders ORDER BY o_orderkey""",
+    "proj_where_ignored" ->
+      """SELECT c_custkey, c_name AS name
+         FROM customer ORDER BY c_custkey""",
     "proj_withstructure" ->
       """SELECT o_orderkey, o_totalprice AS price
          FROM orders ORDER BY o_orderkey""",

@@ -61,9 +61,37 @@ class SelectParserSpec extends AnyWordSpec with Matchers {
       an[IllegalArgumentException] should be thrownBy SelectParser.parse(null)
     }
 
-    "reject trailing garbage" in {
+    "accept and ignore WHERE / ORDER BY / LIMIT tails (reference reads only the select list)" in {
+      SelectParser.parse("SELECT a, b FROM t WHERE x > 1") shouldBe
+        SelectQuery(Seq(Field("a"), Field("b")), Some("t"),
+          withStructure = false)
+      SelectParser.parse("SELECT a FROM t ORDER BY a DESC LIMIT 10") shouldBe
+        SelectQuery(Seq(Field("a")), Some("t"), withStructure = false)
+      SelectParser.parse(
+        "SELECT a FROM t GROUP BY a HAVING count(x) > 2") shouldBe
+        SelectQuery(Seq(Field("a")), Some("t"), withStructure = false)
+      // the tail never swallows the terminal withstructure marker
+      SelectParser.parse("SELECT a FROM t WHERE x = 1 withstructure") shouldBe
+        SelectQuery(Seq(Field("a")), Some("t"), withStructure = true)
+    }
+
+    "still reject trailing garbage that is no known clause" in {
       an[IllegalArgumentException] should be thrownBy
-        SelectParser.parse("SELECT a FROM t WHERE x = 1")
+        SelectParser.parse("SELECT a FROM t bogus trailing words")
+    }
+
+    "reject clause keywords as bare aliases" in {
+      an[IllegalArgumentException] should be thrownBy
+        SelectParser.parse("SELECT a AS where")
+    }
+
+    "enforce the 250-char identifier cap (reference AvroSql.scala:49)" in {
+      val ok = "a" * 250
+      SelectParser.parse(s"SELECT $ok").fields.head.name shouldBe ok
+      an[IllegalArgumentException] should be thrownBy
+        SelectParser.parse("SELECT " + "a" * 251)
+      an[IllegalArgumentException] should be thrownBy
+        SelectParser.parse("SELECT `" + "a" * 251 + "`")
     }
   }
 }
