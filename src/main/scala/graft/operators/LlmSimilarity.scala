@@ -278,6 +278,74 @@ object LlmSimilarity extends Catalog {
     ivfSearch(corpus, assigned, centroids)
   }
 
+  /** The ADC search plan shared by llm_similar_pq (codes/codebook from
+    * the in-job trainer) and llm_similar_pq_persist (read back from the
+    * graft-avro index artifacts): each query builds its m x k distance
+    * table against the codebook (broadcast), every corpus code row
+    * contributes one table lookup, partial-summed map-side into N rows
+    * per query, top-3 by (adc_d, vec_id).
+    */
+  private def pqAdcSearch(qsubs: DataFrame, codes: DataFrame,
+      cb: DataFrame): DataFrame = {
+    val qdt = qsubs
+      .join(F.broadcast(cb), "sub")
+      .withColumn("dq",
+        VectorFunctions.vec_l2sq(F.col("sq16"), F.col("mvec")))
+      .select("qid", "sub", "cid", "dq")
+    val adc = codes.select("vec_id", "sub", "cid")
+      .join(F.broadcast(qdt), Seq("sub", "cid"))
+      .filter(F.col("vec_id") =!= F.col("qid"))
+      .groupBy("qid", "vec_id")
+      .agg(F.sum("dq").as("adc_d"))
+    val w = Window.partitionBy("qid")
+      .orderBy(F.col("adc_d"), F.col("vec_id"))
+    adc.withColumn("rn", F.row_number().over(w))
+      .filter(F.col("rn") <= 3)
+      .select(F.col("qid"), F.col("rn"), F.col("vec_id"), F.col("adc_d"))
+      .orderBy("qid", "rn")
+  }
+
+  /** Build job for the persisted PQ index: one pqTrain run, codebook +
+    * codes published through the graft-avro sink. The pairing the
+    * trainer defines (codes = last-pass assignment vs the previous
+    * codebook, ADC tables vs the FINAL codebook) is preserved because
+    * both artifacts are written from the same run.
+    */
+  private[operators] def buildPqIndex(s: SparkSession, dir: String,
+      into: Option[(String, String)] = None): (String, String) = {
+    val (cbDir, codesDir) = into.getOrElse(
+      (tempDir("graft_pq_codebook"), tempDir("graft_pq_codes")))
+    val (_, codes, cb) = pqTrain(s, dir)
+    cb.select("sub", "cid", "mvec")
+      .write.format("graft-avro").mode("overwrite").save(cbDir)
+    codes.select("vec_id", "sub", "cid")
+      .write.format("graft-avro").mode("overwrite").save(codesDir)
+    (cbDir, codesDir)
+  }
+
+  /** Day-2 PQ search: codebook + codes read back from the published
+    * index — zero Lloyd passes, zero localCheckpoint rounds; only the
+    * deterministic query-subvector projection re-derives from the
+    * corpus (PqPersistSpec plan-guards this).
+    */
+  private[operators] def searchPersistedPq(s: SparkSession, dir: String,
+      cbDir: String, codesDir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val qsubs = table(s, dir, "embeddings")
+      .filter(F.col("vec_id") < 20)
+      .select(F.col("vec_id"), F.expr(
+        "transform(embedding, x -> " +
+          "cast(floor(cast(x as double) * 10000.0) as bigint))").as("qx"))
+      .select(F.col("vec_id"), F.posexplode(F.expr(
+        "transform(sequence(0, 7), s -> slice(qx, s * 8 + 1, 8))"))
+        .as(Seq("sub", "sq1")))
+      .select(F.col("vec_id").as("qid"), F.col("sub"),
+        F.expr("transform(sq1, v -> v * 16)").as("sq16"))
+    val cb = s.read.format("graft-avro").load(cbDir)
+    val codes = s.read.format("graft-avro").load(codesDir)
+    pqAdcSearch(qsubs, codes, cb)
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Brute-force cosine top-5 for queries vec_id < 20 against the corpus.
@@ -553,23 +621,23 @@ object LlmSimilarity extends Catalog {
     // lookup join, and ranking exactly — integer end to end.
     "llm_similar_pq" -> ((s, dir) => {
       val (subs, codes, cb) = pqTrain(s, dir)
-      val qdt = subs.filter(F.col("vec_id") < 20)
-        .select(F.col("vec_id").as("qid"), F.col("sub"), F.col("sq16"))
-        .join(F.broadcast(cb), "sub")
-        .withColumn("dq",
-          VectorFunctions.vec_l2sq(F.col("sq16"), F.col("mvec")))
-        .select("qid", "sub", "cid", "dq")
-      val adc = codes.select("vec_id", "sub", "cid")
-        .join(F.broadcast(qdt), Seq("sub", "cid"))
-        .filter(F.col("vec_id") =!= F.col("qid"))
-        .groupBy("qid", "vec_id")
-        .agg(F.sum("dq").as("adc_d"))
-      val w = Window.partitionBy("qid")
-        .orderBy(F.col("adc_d"), F.col("vec_id"))
-      adc.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select(F.col("qid"), F.col("rn"), F.col("vec_id"), F.col("adc_d"))
-        .orderBy("qid", "rn")
+      pqAdcSearch(subs.filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").as("qid"), F.col("sub"), F.col("sq16")),
+        codes, cb)
+    }),
+
+    // BUILD ONCE, SEARCH MANY for the PQ index — the same deployment
+    // shape as llm_similar_ivf_persist: the build job trains all 8
+    // codebooks once and publishes codebook + codes through the
+    // graft-avro sink; day-2 ADC search reloads them with ZERO Lloyd
+    // passes (plan-guarded by PqPersistSpec — no LogicalRDD in the
+    // search plan). Shares pqAdcSearch and the DuckDB oracle with the
+    // in-job gate, pinning day-2 equality. 100 TB: the 85x-compressed
+    // codes table is the only per-vector state the nightly search
+    // touches; the codebook (64 rows) broadcasts.
+    "llm_similar_pq_persist" -> ((s, dir) => {
+      val (cbDir, codesDir) = buildPqIndex(s, dir)
+      searchPersistedPq(s, dir, cbDir, codesDir)
     }),
 
     // PQ SHORTLIST + EXACT RE-RANK — the deployed two-stage composition
@@ -1090,6 +1158,9 @@ object LlmSimilarity extends Catalog {
   val oracles: Map[String, String] = Map(
     "llm_embed_pq" -> pqEmbedOracle,
     "llm_similar_pq" -> pqSearchOracle,
+    // persisted-index search replays the identical ADC plan from the
+    // published artifacts — same oracle by construction
+    "llm_similar_pq_persist" -> pqSearchOracle,
     "llm_similar_pq_rerank" -> pqRerankOracle,
     "llm_embed_kmeans" -> kmeansOracle,
     "llm_similar_ivf_kmeans" -> ivfKmeansOracle,
