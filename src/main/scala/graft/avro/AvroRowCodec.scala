@@ -40,6 +40,9 @@ object AvroRowCodec {
 
   private[avro] def decode(v: Any, schema0: Schema, dt: DataType): Any = {
     if (v == null) return null
+    if (schema0.getType == Type.UNION &&
+        AvroSchemaConverter.unionBranches(schema0)._1.length >= 2)
+      return decodeUnion(v, schema0, dt)
     val schema = nonNull(schema0)
     (schema.getType, dt) match {
       case (Type.STRING, StringType) => v.toString
@@ -97,6 +100,24 @@ object AvroRowCodec {
     case other => throw new IllegalArgumentException(s"not bytes: $other")
   }
 
+  /** Multi-branch union value → tagged-struct Row: `tag` names the
+    * active branch (resolved against the runtime datum, Avro's own
+    * union dispatch), the matching branch field carries the decoded
+    * value, every other branch field is null.
+    */
+  private def decodeUnion(v: Any, union: Schema, dt: DataType): Row = {
+    val st = dt.asInstanceOf[StructType]
+    val idx = GenericData.get().resolveUnion(union, v)
+    val active = union.getTypes.get(idx)
+    val name = AvroSchemaConverter.branchName(active)
+    val values = st.fields.map { f =>
+      if (f.name == AvroSchemaConverter.UnionTagField) name
+      else if (f.name == name) decode(v, active, f.dataType)
+      else null
+    }
+    new GenericRowWithSchema(values.toArray[Any], st)
+  }
+
   /** External Spark Row → Avro record conforming to `avroSchema`. */
   def fromRow(row: Row, struct: StructType, avroSchema: Schema): GenericRecord = {
     val rec = new GenericData.Record(avroSchema)
@@ -110,6 +131,22 @@ object AvroRowCodec {
 
   private[avro] def encode(v: Any, dt: DataType, schema0: Schema): Any = {
     if (v == null) return null
+    if (schema0.getType == Type.UNION &&
+        AvroSchemaConverter.unionBranches(schema0)._1.length >= 2) {
+      // tagged-struct Row → the branch the tag names, encoded with that
+      // branch's schema (round trip of decodeUnion)
+      val row = v.asInstanceOf[Row]
+      val st = dt.asInstanceOf[StructType]
+      val tag = row.getAs[String](
+        st.fieldIndex(AvroSchemaConverter.UnionTagField))
+      require(tag != null, "union carrier row has a null tag")
+      val branch = AvroSchemaConverter.unionBranches(schema0)._1
+        .find(AvroSchemaConverter.branchName(_) == tag)
+        .getOrElse(throw new IllegalArgumentException(
+          s"tag '$tag' names no branch of $schema0"))
+      val bi = st.fieldIndex(tag)
+      return encode(row.get(bi), st.fields(bi).dataType, branch)
+    }
     val schema = nonNull(schema0)
     (dt, schema.getType) match {
       case (StringType, Type.ENUM) =>

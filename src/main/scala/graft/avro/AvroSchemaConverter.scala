@@ -34,6 +34,8 @@ object AvroSchemaConverter {
   private[avro] val MetaEnumSymbols = "avro.enum.symbols"
   private[avro] val MetaFixedName = "avro.fixed.name"
   private[avro] val MetaFixedSize = "avro.fixed.size"
+  private[avro] val MetaUnionBranches = "avro.union.branches"
+  private[avro] val UnionTagField = "tag"
 
   /** Unwrap a union: `[null,T]`, `[T,null]`, `[T]` → (T, nullable).
     * Anything else throws, matching AvroSchemaSql.scala:40-47.
@@ -49,13 +51,62 @@ object AvroSchemaConverter {
     }
   }
 
-  /** Avro schema → (Spark DataType, nullable, metadata for the holder). */
-  def toDataType(schema: Schema): (DataType, Boolean, Metadata) = {
+  /** A union's non-null branches plus its nullability — the lenient
+    * companion of [[fromUnion]] for the multi-branch extension.
+    */
+  private[avro] def unionBranches(u: Schema): (Seq[Schema], Boolean) = {
+    val ts = u.getTypes.asScala.toSeq
+    (ts.filterNot(_.getType == Type.NULL), ts.exists(_.getType == Type.NULL))
+  }
+
+  /** Spark field name for a union branch: the simple name for named
+    * types (record/enum/fixed), the Avro type name otherwise — the same
+    * identifiers Avro's own JSON encoding tags branches with. Unique by
+    * the Avro spec within one union, except same-simple-name records in
+    * different namespaces, which we reject.
+    */
+  private[avro] def branchName(s: Schema): String = s.getType match {
+    case Type.RECORD | Type.ENUM | Type.FIXED => s.getName
+    case t => t.getName.toLowerCase
+  }
+
+  /** Avro schema → (Spark DataType, nullable, metadata for the holder).
+    *
+    * MULTI-BRANCH UNION EXTENSION (the reference rejects these,
+    * AvroSchemaSql.scala:40-47; real Kafka schemas have them): a union
+    * with ≥2 non-null branches maps to a TAGGED STRUCT
+    * `{tag: string, <branch1>, <branch2>, …}` — `tag` names the active
+    * branch, exactly one branch field is non-null. The holder metadata
+    * records the branch names under `avro.union.branches`, which is how
+    * [[toAvro]] knows to reconstruct the union (round-trip fidelity,
+    * AvroBridgeSpec). Strict reference parity stays available via
+    * `toStruct(schema, strictUnions = true)`.
+    */
+  def toDataType(schema: Schema): (DataType, Boolean, Metadata) =
+    toDataType(schema, strictUnions = false)
+
+  def toDataType(schema: Schema, strictUnions: Boolean)
+      : (DataType, Boolean, Metadata) = {
     val logical = Option(schema.getLogicalType)
     schema.getType match {
+      case Type.UNION
+          if !strictUnions && unionBranches(schema)._1.length >= 2 =>
+        val (branches, nullable) = unionBranches(schema)
+        val names = branches.map(branchName)
+        require(names.distinct.length == names.length,
+          s"union branches must have distinct names, got $names in $schema")
+        val fields = StructField(UnionTagField, StringType,
+          nullable = false) +: branches.map { b =>
+          val (dt, _, md) = toDataType(b, strictUnions)
+          // every branch field is null except the active one
+          StructField(branchName(b), dt, nullable = true, metadata = md)
+        }
+        (StructType(fields), nullable,
+          new MetadataBuilder()
+            .putStringArray(MetaUnionBranches, names.toArray).build())
       case Type.UNION =>
         val (inner, nullable) = fromUnion(schema)
-        val (dt, innerNullable, md) = toDataType(inner)
+        val (dt, innerNullable, md) = toDataType(inner, strictUnions)
         (dt, nullable || innerNullable, md)
       case Type.BOOLEAN => (BooleanType, false, Metadata.empty)
       case Type.DOUBLE => (DoubleType, false, Metadata.empty)
@@ -113,13 +164,13 @@ object AvroSchemaConverter {
           .putStringArray(MetaEnumSymbols, schema.getEnumSymbols.asScala.toArray)
           .build())
       case Type.RECORD =>
-        (toStruct(schema), false, recordMeta(schema))
+        (toStruct(schema, strictUnions), false, recordMeta(schema))
       case Type.ARRAY =>
-        val (et, en, _) = toDataType(schema.getElementType)
+        val (et, en, _) = toDataType(schema.getElementType, strictUnions)
         (ArrayType(et, containsNull = en), false,
           elementMeta(schema.getElementType))
       case Type.MAP =>
-        val (vt, vn, _) = toDataType(schema.getValueType)
+        val (vt, vn, _) = toDataType(schema.getValueType, strictUnions)
         (MapType(StringType, vt, valueContainsNull = vn), false,
           elementMeta(schema.getValueType))
     }
@@ -140,7 +191,14 @@ object AvroSchemaConverter {
     * reference's supported shapes).
     */
   private def elementMeta(element: Schema): Metadata = {
-    val e = if (element.getType == Type.UNION) fromUnion(element)._1 else element
+    val e = element.getType match {
+      case Type.UNION => unionBranches(element)._1 match {
+        case Seq(one) => one
+        // multi-branch element: names ride on the branch fields instead
+        case _ => return Metadata.empty
+      }
+      case _ => element
+    }
     e.getType match {
       case Type.RECORD => recordMeta(e)
       case Type.ENUM => new MetadataBuilder()
@@ -155,11 +213,18 @@ object AvroSchemaConverter {
     }
   }
 
-  /** Avro RECORD schema → StructType with `avro.*` metadata. */
-  def toStruct(schema: Schema): StructType = {
+  /** Avro RECORD schema → StructType with `avro.*` metadata. Pass
+    * `strictUnions = true` for exact reference parity (multi-branch
+    * unions rejected, AvroSchemaSql.scala:40-47) instead of the
+    * tagged-struct extension.
+    */
+  def toStruct(schema: Schema): StructType =
+    toStruct(schema, strictUnions = false)
+
+  def toStruct(schema: Schema, strictUnions: Boolean): StructType = {
     require(schema.getType == Type.RECORD, s"expected RECORD, got $schema")
     StructType(schema.getFields.asScala.toSeq.map { f =>
-      val (dt, nullable, typeMeta) = toDataType(f.schema())
+      val (dt, nullable, typeMeta) = toDataType(f.schema(), strictUnions)
       val mb = new MetadataBuilder().withMetadata(typeMeta)
       Option(f.doc()).foreach(mb.putString(MetaFieldDoc, _))
       if (!f.aliases().isEmpty)
@@ -200,7 +265,13 @@ object AvroSchemaConverter {
   }
 
   private def nullable(s: Schema): Schema =
-    Schema.createUnion(java.util.Arrays.asList(Schema.create(Type.NULL), s))
+    // a union-carrier field flattens: Avro forbids nested unions, so
+    // [A, B] nullable becomes [null, A, B], never [null, [A, B]]
+    if (s.getType == Type.UNION)
+      Schema.createUnion(
+        (Schema.create(Type.NULL) +: s.getTypes.asScala.toSeq).asJava)
+    else
+      Schema.createUnion(java.util.Arrays.asList(Schema.create(Type.NULL), s))
 
   private def fieldSchema(dt: DataType, md: Metadata, fieldName: String): Schema =
     dt match {
@@ -248,6 +319,17 @@ object AvroSchemaConverter {
             LogicalTypes.localTimestampMillis()
           else LogicalTypes.localTimestampMicros()
         lt.addToSchema(Schema.create(Type.LONG))
+      case s: StructType if md.contains(MetaUnionBranches) =>
+        // tagged union carrier → reconstruct the original multi-branch
+        // union from the branch fields (tag is representation-only)
+        val names = md.getStringArray(MetaUnionBranches)
+        val byName = s.fields.map(f => f.name -> f).toMap
+        val branches = names.toSeq.map { n =>
+          val bf = byName.getOrElse(n, throw new IllegalArgumentException(
+            s"union carrier struct lost branch field '$n'"))
+          fieldSchema(bf.dataType, bf.metadata, n)
+        }
+        Schema.createUnion(branches.asJava)
       case s: StructType =>
         val nm =
           if (md.contains(MetaRecordName)) md.getString(MetaRecordName)

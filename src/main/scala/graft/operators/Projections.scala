@@ -89,6 +89,39 @@ object Projections extends Catalog {
           "WHERE c_custkey < 0 ORDER BY name LIMIT 5")
         .orderBy("c_custkey")),
 
+    // Multi-branch union EXTENSION (the reference rejects [A, B] unions,
+    // AvroSchemaSql.scala:40-47): Avro records with a [string, int]
+    // union field cross the bridge as a tagged struct
+    // {tag, string, int} and project with dotted paths like any struct.
+    // The record-level bridge is driver-side by definition (same
+    // contract as AvroSql's per-record API); the bounded `part` table
+    // stands in for a Kafka message stream.
+    "proj_union_branch" -> ((s, dir) => {
+      import org.apache.avro.{Schema => ASchema, SchemaBuilder}
+      import org.apache.avro.generic.GenericData
+      val unionS = ASchema.createUnion(java.util.Arrays.asList(
+        ASchema.create(ASchema.Type.STRING),
+        ASchema.create(ASchema.Type.INT)))
+      val recS = SchemaBuilder.record("PartAttr").namespace("graft")
+        .fields()
+        .requiredLong("p_partkey")
+        .name("attr").`type`(unionS).noDefault()
+        .endRecord()
+      val recs = table(s, dir, "part")
+        .select("p_partkey", "p_brand", "p_size").collect().toSeq.map { r =>
+          val g = new GenericData.Record(recS)
+          val k = r.getLong(0)
+          g.put("p_partkey", k)
+          g.put("attr",
+            if (k % 2 == 0) r.getString(1) else Int.box(r.getInt(2)))
+          g
+        }
+      graft.avro.AvroBridge.toDF(s, recS, recs)
+        .sql("SELECT p_partkey, attr.tag as tag, " +
+          "attr.string as sval, attr.int as ival")
+        .orderBy("p_partkey")
+    }),
+
     // O10: projection inside array elements (transform), flattened back out
     "proj_array_rebuild" -> ((s, dir) =>
       table(s, dir, "lineitem")
@@ -118,6 +151,13 @@ object Projections extends Catalog {
     "proj_where_ignored" ->
       """SELECT c_custkey, c_name AS name
          FROM customer ORDER BY c_custkey""",
+    "proj_union_branch" ->
+      """SELECT p_partkey,
+              CASE WHEN p_partkey % 2 = 0 THEN 'string' ELSE 'int' END
+                AS tag,
+              CASE WHEN p_partkey % 2 = 0 THEN p_brand END AS sval,
+              CASE WHEN p_partkey % 2 = 1 THEN p_size END AS ival
+         FROM part ORDER BY p_partkey""",
     "proj_withstructure" ->
       """SELECT o_orderkey, o_totalprice AS price
          FROM orders ORDER BY o_orderkey""",

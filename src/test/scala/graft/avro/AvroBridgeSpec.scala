@@ -104,13 +104,15 @@ class AvroBridgeSpec extends AnyWordSpec with Matchers with SparkSpec {
       addr("street2").dataType.asInstanceOf[StructType]("name").dataType shouldBe StringType
     }
 
-    "reject multi-type unions, as the reference does (AvroSchemaSql.scala:45)" in {
+    "reject multi-type unions under strictUnions, as the reference does (AvroSchemaSql.scala:45)" in {
       val bad = Schema.createUnion(java.util.Arrays.asList(
         Schema.create(Schema.Type.STRING), Schema.create(Schema.Type.INT)))
       val rec = SchemaBuilder.record("R").fields()
         .name("u").`type`(bad).noDefault().endRecord()
       an[IllegalArgumentException] should be thrownBy
-        AvroSchemaConverter.toStruct(rec)
+        AvroSchemaConverter.toStruct(rec, strictUnions = true)
+      // default mode is the tagged-struct extension, which accepts them
+      AvroSchemaConverter.toStruct(rec)("u").dataType shouldBe a[StructType]
     }
 
     "map logical types to native Spark types" in {
@@ -356,6 +358,82 @@ class AvroBridgeSpec extends AnyWordSpec with Matchers with SparkSpec {
       m("name") shouldBe "pepperoni"
       val ings = m("ingredients").asInstanceOf[Seq[Map[String, Any]]]
       ings.map(_("name")) shouldBe Seq("pepperoni", "onions")
+    }
+  }
+
+  "multi-branch unions (extension; reference rejects, AvroSchemaSql.scala:40-47)" should {
+    val unionSchema = SchemaBuilder.record("Holder").namespace("fix")
+      .fields()
+      .requiredLong("id")
+      .name("val").`type`(Schema.createUnion(java.util.Arrays.asList(
+        Schema.create(Schema.Type.STRING),
+        Schema.create(Schema.Type.INT)))).noDefault()
+      .name("opt").`type`(Schema.createUnion(java.util.Arrays.asList(
+        Schema.create(Schema.Type.NULL),
+        Schema.create(Schema.Type.LONG),
+        Schema.create(Schema.Type.BOOLEAN)))).noDefault()
+      .endRecord()
+
+    def holder(id: Long, v: Any, o: Any) = {
+      val r = new GenericData.Record(unionSchema)
+      r.put("id", id); r.put("val", v); r.put("opt", o); r
+    }
+
+    "map to a tagged struct with branch metadata" in {
+      val st = AvroSchemaConverter.toStruct(unionSchema)
+      val vf = st("val")
+      vf.nullable shouldBe false
+      val vt = vf.dataType.asInstanceOf[StructType]
+      vt.fieldNames.toSeq shouldBe Seq("tag", "string", "int")
+      vf.metadata.getStringArray("avro.union.branches").toSeq shouldBe
+        Seq("string", "int")
+      val of = st("opt")
+      of.nullable shouldBe true // null branch → nullable carrier
+      of.dataType.asInstanceOf[StructType].fieldNames.toSeq shouldBe
+        Seq("tag", "long", "boolean")
+    }
+
+    "stay rejected under strictUnions reference parity" in {
+      an[IllegalArgumentException] should be thrownBy
+        AvroSchemaConverter.toStruct(unionSchema, strictUnions = true)
+    }
+
+    "round-trip values through the bridge" in {
+      import graft.sql.GraftSql.implicits._
+      val recs = Seq(
+        holder(1L, "abc", 7L),
+        holder(2L, Int.box(42), Boolean.box(true)),
+        holder(3L, "xyz", null))
+      val df = AvroBridge.toDF(spark, unionSchema, recs)
+      val rows = df.sql("SELECT id, val.tag as t, val.string as s, " +
+        "val.int as i, opt.tag as ot").orderBy("id").collect()
+      rows.map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)), Option(r.get(3)), Option(r.getString(4)))) shouldBe
+        Array(
+          (1L, "string", Some("abc"), None, Some("long")),
+          (2L, "int", None, Some(42), Some("boolean")),
+          (3L, "string", Some("xyz"), None, None))
+
+      // identity round trip: records → DF → records under the SAME union
+      val (outSchema, back) = AvroBridge.fromDF(
+        AvroBridge.toDF(spark, unionSchema, recs), "Holder", Some("fix"))
+      outSchema.getField("val").schema().getType shouldBe Schema.Type.UNION
+      outSchema.getField("val").schema().getTypes.asScala
+        .map(_.getType) shouldBe Seq(Schema.Type.STRING, Schema.Type.INT)
+      outSchema.getField("opt").schema().getTypes.asScala
+        .map(_.getType) shouldBe
+        Seq(Schema.Type.NULL, Schema.Type.LONG, Schema.Type.BOOLEAN)
+      back.map(r => (r.get("id"), r.get("val").toString)) shouldBe
+        Seq((1L, "abc"), (2L, "42"), (3L, "xyz"))
+      back.map(r => Option(r.get("opt"))) shouldBe
+        Seq(Some(7L), Some(true), None)
+    }
+
+    "unpack to a tagged map" in {
+      val m = AvroUnpacker(holder(9L, Int.box(5), null), unionSchema)
+        .asInstanceOf[Map[String, Any]]
+      m("val") shouldBe Map("tag" -> "int", "int" -> 5)
+      Option(m("opt")) shouldBe None
     }
   }
 
