@@ -60,7 +60,40 @@ object AvroInternalCodec {
     }
   }
 
+  /** Multi-branch union → tagged-struct InternalRow, planned once per
+    * (union, struct): branch converters and field ordinals resolve up
+    * front; per value only Avro's own union dispatch runs.
+    */
+  private def unionConverter(union: Schema, dt: DataType): Any => Any = {
+    import scala.jdk.CollectionConverters._
+    val st = dt.asInstanceOf[StructType]
+    val tagIdx = st.fieldIndex(AvroSchemaConverter.UnionTagField)
+    val gd = GenericData.get()
+    val byIdx: Array[(Int, UTF8String, Any => Any)] =
+      union.getTypes.asScala.toArray.map { b =>
+        if (b.getType == Type.NULL) null
+        else {
+          val name = AvroSchemaConverter.branchName(b)
+          val fi = st.fieldIndex(name)
+          (fi, UTF8String.fromString(name),
+            converter(b, st.fields(fi).dataType))
+        }
+      }
+    v => {
+      // v is non-null (callers short-circuit nulls), so the resolved
+      // branch is never the NULL slot
+      val e = byIdx(gd.resolveUnion(union, v))
+      val vals = new Array[Any](st.fields.length)
+      vals(tagIdx) = e._2
+      vals(e._1) = e._3(v)
+      new GenericInternalRow(vals)
+    }
+  }
+
   private def converter(schema0: Schema, dt: DataType): Any => Any = {
+    if (schema0.getType == Type.UNION &&
+        AvroSchemaConverter.unionBranches(schema0)._1.length >= 2)
+      return unionConverter(schema0, dt)
     val schema = nonNull(schema0)
     (schema.getType, dt) match {
       case (Type.STRING | Type.ENUM, StringType) => {
@@ -160,7 +193,34 @@ object AvroInternalCodec {
     }
   }
 
+  /** Tagged-struct InternalRow → the branch the tag names (round trip
+    * of [[unionConverter]] — a union-bearing table read back through
+    * graft-avro and rewritten keeps its union).
+    */
+  private def outUnionConverter(dt: DataType, union: Schema): Any => Any = {
+    val st = dt.asInstanceOf[StructType]
+    val tagIdx = st.fieldIndex(AvroSchemaConverter.UnionTagField)
+    val byName: Map[String, (Int, DataType, Any => Any)] =
+      AvroSchemaConverter.unionBranches(union)._1.map { b =>
+        val name = AvroSchemaConverter.branchName(b)
+        val fi = st.fieldIndex(name)
+        name -> ((fi, st.fields(fi).dataType,
+          outConverter(st.fields(fi).dataType, b)))
+      }.toMap
+    v => {
+      val row = v.asInstanceOf[InternalRow]
+      val tag = row.getUTF8String(tagIdx).toString
+      val (fi, fdt, conv) = byName.getOrElse(tag,
+        throw new IllegalArgumentException(
+          s"tag '$tag' names no branch of $union"))
+      if (row.isNullAt(fi)) null else conv(row.get(fi, fdt))
+    }
+  }
+
   private def outConverter(dt: DataType, schema0: Schema): Any => Any = {
+    if (schema0.getType == Type.UNION &&
+        AvroSchemaConverter.unionBranches(schema0)._1.length >= 2)
+      return outUnionConverter(dt, schema0)
     val schema = nonNull(schema0)
     (dt, schema.getType) match {
       case (StringType, Type.ENUM) =>

@@ -353,6 +353,51 @@ object Advanced extends Catalog {
         .orderBy("comp")
     }),
 
+    // PAGERANK, exact-integer: the iterative-scoring member of the
+    // graph family (BFS = reachability, SSSP = distance, CC = identity,
+    // triangles = local density, PageRank = global importance). The
+    // directed graph is two block-local md5 out-edges per document,
+    // restricted to real target ids; K=3 synchronous iterations of
+    // pr' = (15·S + 85·Σ pr(u) div deg(u)) div 100 at scale S=10^6 —
+    // every step integer (positive ⇒ Spark div ≡ DuckDB //), so the
+    // oracle's three unrolled CTE steps are bit-exact. No dangling
+    // redistribution in EITHER engine (identical simplification).
+    // Scale shape: each iteration is ONE shuffle join (scores to
+    // out-edges) + one aggregate, localCheckpoint'd; the edge set with
+    // degrees is built once and pinned.
+    "q_graph_pagerank" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(F.col("doc_id"), F.col("text"))
+        .repartition(s.sparkContext.defaultParallelism)
+      def target(off: Int) = F.expr(
+        s"(doc_id div 16) * 16 + CAST(conv(substring(md5(text), $off, " +
+          "12), 16, 10) AS BIGINT) % 16")
+      val ids = docs.select(F.col("doc_id")).localCheckpoint()
+      val raw = docs.select(F.col("doc_id").as("u"), target(1).as("v"))
+        .unionByName(
+          docs.select(F.col("doc_id").as("u"), target(13).as("v")))
+        .filter(F.col("u") =!= F.col("v")).distinct()
+      val edges = raw
+        .join(ids.select(F.col("doc_id").as("v")), "v").select("u", "v")
+      val deg = edges.groupBy("u").agg(F.count(F.lit(1)).as("deg"))
+      val withDeg = edges.join(deg, "u").localCheckpoint()
+      var pr = ids.select(F.col("doc_id").as("v"),
+        F.lit(1000000L).as("pr"))
+      for (_ <- 1 to 3) {
+        val contrib = withDeg
+          .join(pr.select(F.col("v").as("u"), F.col("pr")), "u")
+          .select(F.col("v"), F.expr("pr div deg").as("c"))
+        pr = ids.select(F.col("doc_id").as("v"))
+          .join(contrib.groupBy("v").agg(F.sum("c").as("sc")),
+            Seq("v"), "left")
+          .select(F.col("v"),
+            F.expr("(15 * 1000000 + 85 * coalesce(sc, 0L)) div 100")
+              .as("pr"))
+          .localCheckpoint()
+      }
+      pr.select(F.col("v").as("doc_id"), F.col("pr")).orderBy("doc_id")
+    }),
+
     // Triangle counting via DEGREE ORIENTATION — the algorithm that
     // scales to trillion-edge graphs: orient every undirected edge from
     // its (degree, id)-smaller endpoint to the larger, so out-degrees
@@ -667,6 +712,50 @@ object Advanced extends Catalog {
            lab AS (SELECT v, min(u) AS comp FROM r GROUP BY v)
          SELECT comp, count(*) AS size
          FROM lab GROUP BY comp ORDER BY comp""",
+    // three unrolled integer PageRank steps; every arithmetic step
+    // mirrors the Spark loop exactly (positive // ≡ div, sums cast off
+    // HUGEINT, coalesce for in-degree-0 nodes)
+    "q_graph_pagerank" ->
+      """WITH raw AS (
+           SELECT doc_id AS u,
+                  (doc_id // 16) * 16 +
+                    CAST('0x' || substring(md5(text), 1, 12) AS BIGINT)
+                      % 16 AS v
+           FROM documents
+           UNION
+           SELECT doc_id,
+                  (doc_id // 16) * 16 +
+                    CAST('0x' || substring(md5(text), 13, 12) AS BIGINT)
+                      % 16
+           FROM documents),
+         e AS (
+           SELECT DISTINCT u, v FROM raw
+           WHERE u <> v AND v IN (SELECT doc_id FROM documents)),
+         deg AS (SELECT u, count(*) AS d FROM e GROUP BY u),
+         ed AS (SELECT e.u, e.v, deg.d FROM e JOIN deg ON deg.u = e.u),
+         n AS (SELECT doc_id AS v FROM documents),
+         p0 AS (SELECT doc_id AS v, CAST(1000000 AS BIGINT) AS pr
+                FROM documents),
+         p1 AS (SELECT n.v,
+                  (15 * 1000000 + 85 * COALESCE(s.sc, 0)) // 100 AS pr
+                FROM n LEFT JOIN (
+                  SELECT ed.v, CAST(SUM(p0.pr // ed.d) AS BIGINT) AS sc
+                  FROM ed JOIN p0 ON p0.v = ed.u GROUP BY ed.v) s
+                  ON s.v = n.v),
+         p2 AS (SELECT n.v,
+                  (15 * 1000000 + 85 * COALESCE(s.sc, 0)) // 100 AS pr
+                FROM n LEFT JOIN (
+                  SELECT ed.v, CAST(SUM(p1.pr // ed.d) AS BIGINT) AS sc
+                  FROM ed JOIN p1 ON p1.v = ed.u GROUP BY ed.v) s
+                  ON s.v = n.v),
+         p3 AS (SELECT n.v,
+                  (15 * 1000000 + 85 * COALESCE(s.sc, 0)) // 100 AS pr
+                FROM n LEFT JOIN (
+                  SELECT ed.v, CAST(SUM(p2.pr // ed.d) AS BIGINT) AS sc
+                  FROM ed JOIN p2 ON p2.v = ed.u GROUP BY ed.v) s
+                  ON s.v = n.v)
+         SELECT v AS doc_id, CAST(pr AS BIGINT) AS pr
+         FROM p3 ORDER BY doc_id""",
     // same degree orientation in plain SQL: canonical undirected set,
     // degree table, (deg, id)-lex orientation, id-ordered wedges at the
     // apex, closure membership against the canonical set — each triangle

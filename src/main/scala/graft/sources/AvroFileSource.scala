@@ -676,28 +676,57 @@ object AvroFileSource {
       } finally src.close()
     } catch { case _: Exception => Map.empty }
 
+  /** Driver-heap ceiling on decoded bloom entries per scan: each
+    * (file, column) entry is 4 KB of bits, so 32768 entries ≈ 128 MB.
+    * A manifest that would exceed the cap AFTER column filtering
+    * disables bloom pruning for the scan instead of ballooning the
+    * driver — absence ⇒ scan is always sound. At 100k files, cap-free
+    * planning survives as long as the scan references ≤ ~0.3 bloomed
+    * columns on average; beyond that the right tool is partitioning or
+    * zones, not per-file membership bits.
+    */
+  val MaxBloomEntriesPerScan = 32768
+
   /** Parsed manifest: ABSOLUTE path → column → bit array. Entries whose
     * recorded type disagrees with the current read schema are dropped
-    * (their files scan normally).
+    * (their files scan normally). Only columns in `cols` decode — the
+    * scan passes exactly the columns its equality/IN filters and
+    * runtime join-key sets reference, so driver heap scales with the
+    * QUERY's bloomed columns, not the table's. Returns empty (pruning
+    * off, sound) when the filtered entry count exceeds `maxEntries`.
     */
-  private[sources] def readBlooms(bf: File, base: File, full: StructType)
-      : Map[String, Map[String, Array[Long]]] =
-    readBloomsRaw(bf).map { case (rel, entries) =>
+  /** Test observability: manifest parse count (BloomScaleSpec proves a
+    * filterless scan never reads the bloom manifest at all).
+    */
+  private[sources] val bloomManifestReads =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  private[sources] def readBlooms(bf: File, base: File, full: StructType,
+      cols: Set[String] = null,
+      maxEntries: Int = MaxBloomEntriesPerScan)
+      : Map[String, Map[String, Array[Long]]] = {
+    bloomManifestReads.incrementAndGet()
+    var decoded = 0
+    val out = readBloomsRaw(bf).map { case (rel, entries) =>
       new File(base, rel).getAbsolutePath -> entries.flatMap {
         case (colEnc, dtName, b64) =>
           val col = java.net.URLDecoder.decode(colEnc, "UTF-8")
           for {
             dt <- AvroFilterEval.leafType(full, col)
-            if dt.simpleString == dtName && bloomableType(dt)
+            if (cols == null || cols.contains(col)) &&
+              dt.simpleString == dtName && bloomableType(dt)
             bytes <- scala.util.Try(
               java.util.Base64.getDecoder.decode(b64)).toOption
             if bytes.length == BloomBits / 8
           } yield {
+            decoded += 1
             val bb = java.nio.ByteBuffer.wrap(bytes)
             col -> Array.fill(BloomBits / 64)(bb.getLong)
           }
       }.toMap
     }.filter(_._2.nonEmpty)
+    if (decoded > maxEntries) Map.empty else out
+  }
 
   // ------------------------------------------------------------------
   // Commit-time statistics (`_graft_rows`, `_graft_ndv`) — ANALYZE-free
@@ -837,7 +866,14 @@ object AvroFileSource {
     ThreadLocal.withInitial(() => scala.collection.mutable.Map.empty)
 
   def withCommitLock[T](d: File)(body: => T): T = {
-    val key = d.getAbsolutePath
+    // CANONICAL path: two spellings of one table dir (symlink, `.`/`..`
+    // segments) must serialize on the same monitor — keyed on the
+    // absolute path they'd bypass the JVM monitor and then collide on
+    // the OS FileLock with OverlappingFileLockException instead of
+    // blocking
+    val key =
+      try d.getCanonicalPath catch { case _: java.io.IOException =>
+        d.getAbsolutePath }
     val depths = commitLockDepth.get()
     if (depths.getOrElse(key, 0) > 0) {
       depths(key) += 1
@@ -2301,16 +2337,48 @@ class AvroScanBuilder(path: String, full: StructType,
       private lazy val colZoneRanges: Map[String, Map[String, (Any, Any)]] =
         if (filters.isEmpty) Map.empty else zonesAll
 
-      /** Per-file bloom sidecars, one manifest read per scan; empty
-        * under time travel (the manifest describes live files).
+      /** Columns some CURRENT filter can actually test against a bloom:
+        * static equality/IN conjuncts plus runtime join-key IN-sets.
+        * Recomputed on call — runtime filters arrive after planning.
         */
-      private lazy val bloomsAll: Map[String, Map[String, Array[Long]]] =
-        if (travelVersion.nonEmpty || incRange.nonEmpty || branch.nonEmpty) Map.empty
+      private def bloomRelevantCols(): Set[String] = {
+        import org.apache.spark.sql.sources._
+        val static = filters.toSeq.collect {
+          case EqualTo(c, v) if v != null => c
+          case EqualNullSafe(c, v) if v != null => c
+          case In(c, vs) if vs != null => c
+        }
+        (static ++ runtimeZoneVals.keys).toSet
+      }
+
+      // decoded bloom entries for exactly the relevant columns, cached
+      // per column set (one manifest read per distinct set — in
+      // practice once at plan time and once more if runtime filters
+      // arrive). Loading NOTHING when no filter can use a bloom is the
+      // 100k-file memory guard: heap scales with the query's bloomed
+      // columns, never the table's, and readBlooms' entry cap bounds
+      // the worst case (BloomScaleSpec pins both).
+      @volatile private var bloomCache
+          : Option[(Set[String], Map[String, Map[String, Array[Long]]])] =
+        None
+
+      private def bloomsAll: Map[String, Map[String, Array[Long]]] =
+        if (travelVersion.nonEmpty || incRange.nonEmpty || branch.nonEmpty)
+          Map.empty
         else {
-          val dir = new File(path)
-          val bf = AvroFileSource.bloomFile(dir)
-          if (bf.isFile) AvroFileSource.readBlooms(bf, dir, full)
-          else Map.empty
+          val rel = bloomRelevantCols()
+          if (rel.isEmpty) Map.empty
+          else bloomCache match {
+            case Some((cols, m)) if cols == rel => m
+            case _ =>
+              val dir = new File(path)
+              val bf = AvroFileSource.bloomFile(dir)
+              val m =
+                if (bf.isFile) AvroFileSource.readBlooms(bf, dir, full, rel)
+                else Map.empty[String, Map[String, Array[Long]]]
+              bloomCache = Some((rel, m))
+              m
+          }
         }
 
       /** Membership pruning from STATIC pushed equality/IN filters: a

@@ -432,6 +432,33 @@ object AvroMaintenance {
     }
   }
 
+  /** Delete LIVE-directory data files that NO snapshot references —
+    * orphans smuggled in outside any commit (foreign writers, aborted
+    * copies). Scan planning serves the file list from the snapshot
+    * journal, so orphans are already invisible to queries; this is the
+    * explicit disk reclaim (Iceberg's remove_orphan_files analogue).
+    * Refuses on unjournaled directories: there the walk fallback serves
+    * every file, so nothing is provably orphaned. Archive files belong
+    * to [[expireSnapshots]], not this sweep.
+    */
+  def removeOrphans(dir: String): Int = {
+    val d = new File(dir)
+    AvroFileSource.withCommitLock(d) {
+      val snaps = AvroFileSource.readSnapshots(d)
+      require(snaps.nonEmpty,
+        s"graft-avro removeOrphans: $dir has no snapshot journal — an " +
+          "unjournaled directory serves every file, nothing is orphaned")
+      val referenced = snaps.flatMap(_.files).toSet
+      val base = d.getAbsoluteFile.toPath
+      var removed = 0
+      AvroFileSource.listAvro(d).foreach { f =>
+        val rel = base.relativize(f.getAbsoluteFile.toPath).toString
+        if (!referenced.contains(rel) && f.delete()) removed += 1
+      }
+      removed
+    }
+  }
+
   /** POSITIONAL delete: kill specific physical rows of one live file by
     * their 0-based decode ordinals — the second merge-on-read flavor
     * next to equality deletes (Iceberg v2 carries both). O(positions)
@@ -634,10 +661,23 @@ object AvroMaintenance {
     require(targetBytes > 0, s"target bytes $targetBytes")
     val bytes = listBytes(dir)
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val pinned = spark.read.format("graft-avro").load(dir)
-      .repartition(n)
-      .localCheckpoint(true)
-    pinned.write.format("graft-avro").mode("overwrite").save(dir)
+    // preserve the Hive-style layout: the partition spec is the union
+    // of existing k=v segments (partition values also live in the
+    // files, so the rewrite can re-derive the directories) — without
+    // this, compacting a partitioned table would silently flatten it
+    // and permanently degrade pruning and SPJ
+    val partCols = AvroFileSource.listPartitioned(new java.io.File(dir))
+      .flatMap(_._2.keys).distinct
+    import org.apache.spark.sql.{functions => F}
+    val red = spark.read.format("graft-avro").load(dir)
+    val pinned = (if (partCols.nonEmpty)
+      // co-locate each partition value in one task, or the write fans
+      // out to (tasks x values) small files — the opposite of compaction
+      red.repartition(n, partCols.map(F.col): _*)
+    else red.repartition(n)).localCheckpoint(true)
+    val w = pinned.write.format("graft-avro").mode("overwrite")
+    (if (partCols.nonEmpty) w.option("partitionBy", partCols.mkString(","))
+     else w).save(dir)
     n
   }
 

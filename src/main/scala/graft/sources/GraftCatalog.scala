@@ -176,6 +176,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       : Table = {
     val d = tableDir(ident)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    // mirror createView's converse guard: a table must not silently
+    // shadow a persistent view (reads would resolve to the table while
+    // SHOW VIEWS still lists the view)
+    if (viewExists(ident)) throw new IllegalStateException(
+      s"graft catalog: a view named ${ident.toString} exists — " +
+        "DROP the view first (CALL system.drop_view)")
     val parts = partitions.toSeq.map {
       case t if t.name() == "identity" && t.references().length == 1 &&
           t.references()(0).fieldNames().length == 1 =>
@@ -289,6 +295,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"graft catalog: no column '$name' to drop")
           require(!parts.contains(name),
             s"graft catalog: '$name' is a partition column")
+          // same last-column guard as the data-backed path — a
+          // zero-field schema is unwritable either way. Names are NOT
+          // retired here, intentionally: there are no old data bytes a
+          // re-added name could resurrect on a never-written table.
+          require(!st.fieldNames.contains(name) || st.fields.length >= 2,
+            s"graft catalog: cannot drop the last column '$name'")
           writeSidecar(StructType(
             st.fields.filterNot(_.name == name)), parts)
         }
@@ -343,6 +355,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def renameTable(from: Identifier, to: Identifier): Unit = {
     if (!tableExists(from)) throw new NoSuchTableException(from)
     if (tableExists(to)) throw new TableAlreadyExistsException(to)
+    if (viewExists(to)) throw new IllegalStateException(
+      s"graft catalog: a view named ${to.toString} exists — " +
+        "DROP the view first (CALL system.drop_view)")
     val src = tableDir(from)
     val dst = tableDir(to)
     dst.getParentFile.mkdirs()

@@ -35,7 +35,7 @@ object GraftProcedures {
 
   def names: Seq[String] = Seq("rollback_to_version", "expire_snapshots",
     "create_tag", "drop_tag", "add_constraint", "drop_constraint",
-    "compact", "create_view", "drop_view")
+    "compact", "remove_orphans", "create_view", "drop_view")
 
   /** One result row (catalyst values, strings as UTF8String). */
   private case class ResultScan(schema: StructType, row: Seq[Any])
@@ -132,6 +132,14 @@ object GraftProcedures {
             org.apache.spark.sql.SparkSession.active, dirOf(in),
             in.getLong(1))
           (out("files_written" -> LongType), Seq(n.toLong))
+        })
+      case "remove_orphans" => new Proc(name,
+        "delete live data files no snapshot references (smuggled in " +
+          "outside any commit) — queries already ignore them",
+        Array(param("table", StringType)),
+        in => {
+          val n = AvroMaintenance.removeOrphans(dirOf(in))
+          (out("files_removed" -> LongType), Seq(n.toLong))
         })
       case "drop_constraint" => new Proc(name,
         "remove a CHECK constraint",

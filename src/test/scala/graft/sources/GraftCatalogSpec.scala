@@ -475,4 +475,82 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec with Matchers {
       spark.sql("ALTER TABLE graft_t.lab9.g ADD COLUMN f BIGINT FIRST")
     }
   }
+
+  test("CALL compact preserves a Hive-partitioned layout") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_t.lab20")
+    spark.sql("DROP TABLE IF EXISTS graft_t.lab20.pc")
+    spark.sql("CREATE TABLE graft_t.lab20.pc (k BIGINT, p BIGINT) " +
+      "PARTITIONED BY (p)")
+    spark.sql("INSERT INTO graft_t.lab20.pc " +
+      "SELECT id, id % 3 FROM range(90)")
+    spark.sql("INSERT INTO graft_t.lab20.pc " +
+      "SELECT id, id % 3 FROM range(90, 180)")
+    val dir = s"$root/lab20/pc"
+    def partKeys(): Set[String] =
+      AvroFileSource.listPartitioned(new java.io.File(dir))
+        .flatMap(_._2.keySet).toSet
+    partKeys() shouldBe Set("p")
+    spark.sql("CALL graft_t.system.compact('lab20.pc', 1000000000)")
+    // the layout survived the rewrite: still k=v dirs, still prunable
+    partKeys() shouldBe Set("p")
+    AvroFileSource.listPartitioned(new java.io.File(dir))
+      .map(_._2("p")).toSet shouldBe Set("0", "1", "2")
+    spark.sql("SELECT count(*) FROM graft_t.lab20.pc WHERE p = 1")
+      .head().getLong(0) shouldBe 60
+    spark.sql("SELECT count(*) FROM graft_t.lab20.pc")
+      .head().getLong(0) shouldBe 180
+  }
+
+  test("CREATE TABLE and RENAME refuse to shadow a persistent view") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_t.lab21")
+    spark.sql("DROP TABLE IF EXISTS graft_t.lab21.base")
+    spark.sql("CREATE TABLE graft_t.lab21.base AS " +
+      "SELECT id AS k FROM range(5)")
+    spark.sql("CALL graft_t.system.create_view('lab21.vshadow', " +
+      "'SELECT k FROM graft_t.lab21.base')")
+    val e1 = intercept[Exception] {
+      spark.sql("CREATE TABLE graft_t.lab21.vshadow AS " +
+        "SELECT id AS k FROM range(3)")
+    }
+    e1.getMessage should include("view")
+    spark.sql("DROP TABLE IF EXISTS graft_t.lab21.other")
+    spark.sql("CREATE TABLE graft_t.lab21.other AS " +
+      "SELECT id AS k FROM range(3)")
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_t.lab21.other RENAME TO lab21.vshadow")
+    }
+    e2.getMessage should include("view")
+    // the view still resolves
+    spark.sql("SELECT count(*) FROM graft_t.lab21.vshadow")
+      .head().getLong(0) shouldBe 5
+  }
+
+  test("CALL remove_orphans sweeps unjournaled files through SQL") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_t.lab23")
+    spark.sql("DROP TABLE IF EXISTS graft_t.lab23.o")
+    spark.sql("CREATE TABLE graft_t.lab23.o AS SELECT id AS k FROM range(10)")
+    val dir = new java.io.File(s"$root/lab23/o")
+    val donor = AvroFileSource.listAvro(dir).head
+    java.nio.file.Files.copy(donor.toPath,
+      new java.io.File(dir, "zz_orphan.avro").toPath)
+    spark.sql("CALL graft_t.system.remove_orphans('lab23.o')")
+      .head().getLong(0) shouldBe 1L
+    spark.sql("SELECT count(*) FROM graft_t.lab23.o")
+      .head().getLong(0) shouldBe 10L
+  }
+
+  test("empty DDL table refuses to drop its last column") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_t.lab22")
+    spark.sql("DROP TABLE IF EXISTS graft_t.lab22.e")
+    spark.sql("CREATE TABLE graft_t.lab22.e (a BIGINT, b STRING)")
+    spark.sql("ALTER TABLE graft_t.lab22.e DROP COLUMN b")
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_t.lab22.e DROP COLUMN a")
+    }
+    e.getMessage should include("last column")
+  }
 }

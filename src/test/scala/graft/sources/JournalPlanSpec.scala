@@ -52,6 +52,27 @@ class JournalPlanSpec extends AnyFunSuite with SparkSpec with Matchers {
       (30L + 5L + donorRows)
   }
 
+  test("remove_orphans reclaims smuggled files; journaled files survive") {
+    val dir = tmp()
+    spark.range(0, 20).toDF("k").coalesce(1)
+      .write.format("graft-avro").mode("overwrite").save(dir)   // v1
+    spark.range(20, 30).toDF("k").coalesce(1)
+      .write.format("graft-avro").mode("append").save(dir)      // v2
+    val d = new File(dir)
+    val donor = AvroFileSource.listAvro(d).head
+    java.nio.file.Files.copy(donor.toPath,
+      new File(d, "zz_orphan.avro").toPath)
+    AvroFileSource.listAvro(d).size shouldBe 3
+    AvroMaintenance.removeOrphans(dir) shouldBe 1
+    AvroFileSource.listAvro(d).size shouldBe 2
+    spark.read.format("graft-avro").load(dir).count() shouldBe 30L
+    // idempotent; and an unjournaled dir refuses loudly
+    AvroMaintenance.removeOrphans(dir) shouldBe 0
+    AvroFileSource.snapshotsFile(d).delete() shouldBe true
+    an[IllegalArgumentException] should be thrownBy
+      AvroMaintenance.removeOrphans(dir)
+  }
+
   test("unjournaled directory falls back to the walk") {
     val dir = tmp()
     spark.range(0, 15).toDF("k").coalesce(1)
