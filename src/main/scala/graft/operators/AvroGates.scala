@@ -1091,6 +1091,30 @@ object AvroGates extends Catalog {
         .orderBy("lang")
     }),
 
+    // CDC read (net changes between versions): three commits — base
+    // overwrite, append, equality delete — then readChanges(v1, v3)
+    // reconstructs the NET row-level diff. The delete makes the range
+    // non-additive, forcing the semantic-diff path (two EXCEPT ALLs
+    // over the version states); a row appended at v2 and deleted at v3
+    // nets to NOTHING, which the oracle's set algebra mirrors. The
+    // additive fast path (adds-only ⇒ scan just the new files, no
+    // shuffle) is plan-guarded in CdcSpec.
+    "q_avro_cdc" -> ((s, dir) => {
+      val tmp = tempDir("graft_gate_cdc")
+      val docs = table(s, dir, "documents")
+      docs.filter(F.col("doc_id") % 4 === 0)
+        .write.format("graft-avro").mode("overwrite").save(tmp) // v1
+      docs.filter(F.col("doc_id") % 4 === 1)
+        .write.format("graft-avro").mode("append").save(tmp)    // v2
+      graft.sources.AvroMaintenance.deleteWhere(s, tmp, "source",
+        Seq("src2"))                                            // v3
+      graft.sources.AvroMaintenance.readChanges(s, tmp, 1L, 3L)
+        .groupBy(F.col("_change_type").as("change"), F.col("lang"))
+        .agg(F.count(F.lit(1)).as("n"),
+          F.sum("n_chars").as("chars"))
+        .orderBy("change", "lang")
+    }),
+
     // Compaction (OPTIMIZE): a 24-way fragmented table with pending
     // equality deletes bin-packs into byte-budgeted files in a fresh
     // directory through the normal transactional commit — deletes are
@@ -1672,6 +1696,20 @@ object AvroGates extends Catalog {
          WHERE source NOT IN ('src3', 'src7')
            AND doc_id NOT IN (11, 22, 33)
          GROUP BY lang ORDER BY lang""",
+    // net diff reconstructed from the raw table: inserts = v2 appends
+    // surviving the v3 delete; deletes = v1 rows the delete killed; a
+    // v2 append with source='src2' appears in NEITHER (net nothing)
+    "q_avro_cdc" ->
+      """WITH ins AS (
+           SELECT 'insert' AS change, lang, n_chars FROM documents
+           WHERE doc_id % 4 = 1 AND source <> 'src2'),
+         del AS (
+           SELECT 'delete' AS change, lang, n_chars FROM documents
+           WHERE doc_id % 4 = 0 AND source = 'src2'),
+         ch AS (SELECT * FROM ins UNION ALL SELECT * FROM del)
+         SELECT change, lang, count(*) AS n,
+                CAST(sum(n_chars) AS BIGINT) AS chars
+         FROM ch GROUP BY change, lang ORDER BY change, lang""",
     "q_avro_compact" ->
       """WITH live AS (SELECT * FROM documents WHERE source <> 'src5')
          SELECT lang, count(*) AS n_docs,

@@ -459,6 +459,73 @@ object AvroMaintenance {
     }
   }
 
+  /** NET row-level changes between two snapshot versions — the CDC
+    * read. Additive ranges (per-version file superset, deletes
+    * untouched — exactly the incremental-read guard) take the FAST
+    * PATH: only the files added in the range are scanned and every row
+    * is an `insert`; zero shuffles, zero diff compute. Any other
+    * history (equality deletes, overwrites, row-level rewrites) falls
+    * back to the SEMANTIC DIFF: toV-state EXCEPT ALL fromV-state are
+    * the inserts, fromV EXCEPT ALL toV the deletes — bag semantics
+    * (duplicate rows diff by multiplicity), one hash-aggregate shuffle
+    * each, the honest cost of net changes across arbitrary history.
+    * Output = the table's columns plus `_change_type`
+    * ('insert' | 'delete'). A row rewritten in place with identical
+    * values nets to NO change, which is what "net" means.
+    */
+  def readChanges(spark: SparkSession, dir: String, fromV: Long,
+      toV: Long): DataFrame = {
+    require(fromV < toV, s"fromVersion $fromV must precede toVersion $toV")
+    import org.apache.spark.sql.{functions => F}
+    val additive =
+      try { AvroFileSource.incrementalFiles(new File(dir), fromV, toV); true }
+      catch { case _: IllegalStateException | _: IllegalArgumentException =>
+        false }
+    if (additive)
+      spark.read.format("graft-avro")
+        .option("fromVersion", fromV).option("toVersion", toV).load(dir)
+        .withColumn("_change_type", F.lit("insert"))
+    else {
+      val a = spark.read.format("graft-avro")
+        .option("versionAsOf", fromV).load(dir)
+      val b = spark.read.format("graft-avro")
+        .option("versionAsOf", toV).load(dir)
+      require(a.schema.fieldNames.sameElements(b.schema.fieldNames),
+        s"graft-avro readChanges: schema changed across $fromV..$toV " +
+          s"(${a.schema.fieldNames.mkString(",")} vs " +
+          s"${b.schema.fieldNames.mkString(",")}) — diff the versions " +
+          "explicitly")
+      b.exceptAll(a).withColumn("_change_type", F.lit("insert"))
+        .unionByName(
+          a.exceptAll(b).withColumn("_change_type", F.lit("delete")))
+    }
+  }
+
+  /** Register data files that landed in the directory OUTSIDE any
+    * commit (foreign writers, bulk copies) as a new snapshot version —
+    * Iceberg's add_files analogue, the import counterpart of
+    * [[removeOrphans]]. Under journal-served planning such files are
+    * invisible until journaled; this mints the version that adopts
+    * them. The commit walk already records the directory's full state,
+    * so adoption is exactly one [[AvroFileSource.appendSnapshot]] under
+    * the table lock. Returns the number of files adopted (0 = no-op,
+    * no version minted).
+    */
+  def addFiles(dir: String): Int = {
+    val d = new File(dir)
+    AvroFileSource.withCommitLock(d) {
+      val before = AvroFileSource.readSnapshots(d).lastOption
+        .map(_.files.toSet).getOrElse(Set.empty)
+      val base = d.getAbsoluteFile.toPath
+      val live = AvroFileSource.listAvro(d)
+        .map(f => base.relativize(f.getAbsoluteFile.toPath).toString).toSet
+      val fresh = live -- before
+      if (fresh.nonEmpty)
+        AvroFileSource.appendSnapshot(d, "add-files")
+      fresh.size
+    }
+  }
+
   /** POSITIONAL delete: kill specific physical rows of one live file by
     * their 0-based decode ordinals — the second merge-on-read flavor
     * next to equality deletes (Iceberg v2 carries both). O(positions)

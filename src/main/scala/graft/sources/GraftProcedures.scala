@@ -35,7 +35,7 @@ object GraftProcedures {
 
   def names: Seq[String] = Seq("rollback_to_version", "expire_snapshots",
     "create_tag", "drop_tag", "add_constraint", "drop_constraint",
-    "compact", "remove_orphans", "create_view", "drop_view")
+    "compact", "remove_orphans", "add_files", "create_view", "drop_view")
 
   /** One result row (catalyst values, strings as UTF8String). */
   private case class ResultScan(schema: StructType, row: Seq[Any])
@@ -140,6 +140,14 @@ object GraftProcedures {
         in => {
           val n = AvroMaintenance.removeOrphans(dirOf(in))
           (out("files_removed" -> LongType), Seq(n.toLong))
+        })
+      case "add_files" => new Proc(name,
+        "adopt data files that landed outside any commit as a new " +
+          "snapshot version (import counterpart of remove_orphans)",
+        Array(param("table", StringType)),
+        in => {
+          val n = AvroMaintenance.addFiles(dirOf(in))
+          (out("files_added" -> LongType), Seq(n.toLong))
         })
       case "drop_constraint" => new Proc(name,
         "remove a CHECK constraint",

@@ -73,6 +73,27 @@ class JournalPlanSpec extends AnyFunSuite with SparkSpec with Matchers {
       AvroMaintenance.removeOrphans(dir)
   }
 
+  test("add_files adopts smuggled files as a new version") {
+    val dir = tmp()
+    spark.range(0, 20).toDF("k").coalesce(1)
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    val d = new File(dir)
+    val donor = AvroFileSource.listAvro(d).head
+    java.nio.file.Files.copy(donor.toPath,
+      new File(d, "zz_import.avro").toPath)
+    // invisible until adopted
+    spark.read.format("graft-avro").load(dir).count() shouldBe 20L
+    AvroMaintenance.addFiles(dir) shouldBe 1
+    spark.read.format("graft-avro").load(dir).count() shouldBe 40L
+    // versioned: pre-adoption state still travels
+    spark.read.format("graft-avro").option("versionAsOf", 1)
+      .load(dir).count() shouldBe 20L
+    // idempotent no-op mints no version
+    val vs = AvroFileSource.readSnapshots(d).map(_.version)
+    AvroMaintenance.addFiles(dir) shouldBe 0
+    AvroFileSource.readSnapshots(d).map(_.version) shouldBe vs
+  }
+
   test("unjournaled directory falls back to the walk") {
     val dir = tmp()
     spark.range(0, 15).toDF("k").coalesce(1)
