@@ -1091,6 +1091,33 @@ object AvroGates extends Catalog {
         .orderBy("lang")
     }),
 
+    // Metadata-only TYPE WIDENING (ALTER COLUMN TYPE): v1 writes p_size
+    // as INT, the ALTER widens it to BIGINT without touching a file
+    // (old bytes promote at decode — Avro's own resolution rule), and
+    // the v3 append carries values only a BIGINT can hold. One
+    // aggregation spans both generations, so the oracle pins the
+    // promotion arithmetic exactly.
+    "q_avro_widen" -> ((s, dir) => {
+      val tmp = tempDir("graft_gate_widen")
+      val part = table(s, dir, "part")
+      part.select(F.col("p_partkey"), F.col("p_size"), F.col("p_brand"))
+        .filter(F.col("p_partkey") % 2 === 0)
+        .write.format("graft-avro").mode("overwrite").save(tmp)  // v1
+      graft.sources.AvroMaintenance.widenColumn(tmp, "p_size",
+        org.apache.spark.sql.types.LongType)                     // v2
+      part.select(F.col("p_partkey"),
+          (F.col("p_size").cast("long") * 1000000000L).as("p_size"),
+          F.col("p_brand"))
+        .filter(F.col("p_partkey") % 2 === 1)
+        .write.format("graft-avro").mode("append").save(tmp)     // v3
+      s.read.format("graft-avro").load(tmp)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).as("n"),
+          F.sum("p_size").as("size_sum"),
+          F.max("p_size").as("size_max"))
+        .orderBy("p_brand")
+    }),
+
     // CDC read (net changes between versions): three commits — base
     // overwrite, append, equality delete — then readChanges(v1, v3)
     // reconstructs the NET row-level diff. The delete makes the range
@@ -1696,6 +1723,17 @@ object AvroGates extends Catalog {
          WHERE source NOT IN ('src3', 'src7')
            AND doc_id NOT IN (11, 22, 33)
          GROUP BY lang ORDER BY lang""",
+    "q_avro_widen" ->
+      """SELECT p_brand, count(*) AS n,
+                CAST(sum(CASE WHEN p_partkey % 2 = 0
+                  THEN CAST(p_size AS BIGINT)
+                  ELSE CAST(p_size AS BIGINT) * 1000000000 END)
+                  AS BIGINT) AS size_sum,
+                CAST(max(CASE WHEN p_partkey % 2 = 0
+                  THEN CAST(p_size AS BIGINT)
+                  ELSE CAST(p_size AS BIGINT) * 1000000000 END)
+                  AS BIGINT) AS size_max
+         FROM part GROUP BY p_brand ORDER BY p_brand""",
     // net diff reconstructed from the raw table: inserts = v2 appends
     // surviving the v3 delete; deletes = v1 rows the delete killed; a
     // v2 append with source='src2' appears in NEITHER (net nothing)

@@ -426,7 +426,8 @@ object AvroFileSource {
     val lines = try src.getLines().filter(_.nonEmpty).toList finally src.close()
     lines.map { line =>
       line.split('\t') match {
-        case Array(v, op, payloadEnc) if op == "add" || op == "drop" =>
+        case Array(v, op, payloadEnc)
+            if op == "add" || op == "drop" || op == "widen" =>
           (v.toLong, op, java.net.URLDecoder.decode(payloadEnc, "UTF-8"))
         case _ => throw new IllegalStateException(
           s"graft-avro: corrupt _graft_evo line '$line' — refusing to " +
@@ -509,6 +510,17 @@ object AvroFileSource {
           else StructType(s.fields :+ f.copy(nullable = true))
         case "drop" =>
           StructType(s.fields.filterNot(_.name == payload))
+        case "widen" =>
+          // type override along Avro promotions: files keep their
+          // narrow bytes (decode promotes), inference reads the wide
+          // type. Applies whether files carry the old or new type —
+          // newest-file-wins merge and the journal agree on the result.
+          val f = org.apache.spark.sql.types.DataType.fromJson(payload)
+            .asInstanceOf[StructType].fields.headOption.getOrElse(
+              throw new IllegalStateException(
+                s"graft-avro: empty widen payload in ${evoFile(d)}"))
+          StructType(s.fields.map(x =>
+            if (x.name == f.name) x.copy(dataType = f.dataType) else x))
       }
     }
   }

@@ -712,6 +712,61 @@ object AvroMaintenance {
     }
   }
 
+  /** ALTER TABLE ALTER COLUMN TYPE — metadata-only type WIDENING along
+    * Avro's own resolution promotions (int→long, int→double,
+    * long→double, float→double): a version-stamped `widen` entry
+    * changes the inferred type; old files keep their narrow bytes and
+    * promote at decode (the reader keeps the writer's field type,
+    * [[AvroFileSource.resolveReader]]'s pruneTo — "promotions finish at
+    * decode"); files written afterwards carry the wide type natively,
+    * and inference's newest-file-wins merge plus the journal override
+    * agree on the result. Narrowing is refused (bytes would truncate).
+    * Typed sidecars stay sound by construction: all-column zones and
+    * blooms DROP entries whose recorded type mismatches the read type
+    * (absence ⇒ scan); the sort-zone manifest's stringified bounds
+    * parse under the wider type exactly. Pending equality deletes on
+    * the column are refused (their recorded type would stop matching —
+    * compact first); partition columns are refused (directory values
+    * are layout).
+    */
+  def widenColumn(dir: String, name: String,
+      newType: org.apache.spark.sql.types.DataType): Unit = {
+    import org.apache.spark.sql.types._
+    val d = new File(dir)
+    AvroFileSource.withCommitLock(d) {
+    requireNoBranches(d, "widen-column")
+    val cur = currentSchema(dir)
+    val f = cur.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-avro widen-column: no column '$name' in " +
+          cur.fieldNames.mkString(",")))
+    val ok = (f.dataType, newType) match {
+      case (IntegerType, LongType | DoubleType) => true
+      case (LongType, DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+    require(ok, s"graft-avro widen-column: ${f.dataType.simpleString} -> " +
+      s"${newType.simpleString} is not an Avro resolution promotion " +
+      "(int->long, int->double, long->double, float->double)")
+    require(!AvroFileSource.deleteFile(d).isFile ||
+      !new String(java.nio.file.Files.readAllBytes(
+        AvroFileSource.deleteFile(d).toPath), "UTF-8")
+        .linesIterator.exists(_.startsWith(
+          java.net.URLEncoder.encode(name, "UTF-8") + "\t")),
+      s"graft-avro widen-column: pending equality deletes reference " +
+        s"'$name' — compact first")
+    require(!AvroFileSource.listPartitioned(d)
+      .flatMap(_._2.keys).contains(name),
+      s"graft-avro widen-column: '$name' is a partition column — " +
+        "directory values are typed layout")
+    AvroFileSource.appendSnapshot(d, "widen-column", force = true)
+    val v = AvroFileSource.readSnapshots(d).last.version
+    AvroFileSource.appendEvo(d, v, "widen",
+      StructType(Seq(StructField(name, newType))).json)
+    }
+  }
+
   /** IN-PLACE bin-pack compaction: rewrite the table into
     * ceil(bytes/targetBytes) files in its OWN directory through the
     * normal transactional overwrite — pending equality AND positional

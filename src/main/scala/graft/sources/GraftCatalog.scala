@@ -319,6 +319,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           writeSidecar(StructType(st.fields.map(f =>
             if (f.name == from) f.copy(name = rn.newName()) else f)), parts)
         }
+      case ut: TableChange.UpdateColumnType =>
+        val name = singleName(ut.fieldNames(), "ALTER COLUMN TYPE")
+        if (withData) AvroMaintenance.widenColumn(d.getPath, name,
+          ut.newDataType())
+        else {
+          import org.apache.spark.sql.types._
+          val (st, parts) = sidecarState()
+          val f = st.fields.find(_.name == name).getOrElse(
+            throw new IllegalArgumentException(
+              s"graft catalog: no column '$name' to alter"))
+          val ok = (f.dataType, ut.newDataType()) match {
+            case (IntegerType, LongType | DoubleType) => true
+            case (LongType, DoubleType) => true
+            case (FloatType, DoubleType) => true
+            case _ => false
+          }
+          require(ok, s"graft catalog: ${f.dataType.simpleString} -> " +
+            s"${ut.newDataType().simpleString} is not a widening " +
+            "promotion (int->long, int->double, long->double, " +
+            "float->double)")
+          require(!parts.contains(name),
+            s"graft catalog: '$name' is a partition column")
+          writeSidecar(StructType(st.fields.map(x =>
+            if (x.name == name) x.copy(dataType = ut.newDataType())
+            else x)), parts)
+        }
       case ac: TableChange.AddConstraint =>
         ac.constraint() match {
           case c: org.apache.spark.sql.connector.catalog.constraints.Check =>

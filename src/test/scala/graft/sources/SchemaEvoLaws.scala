@@ -4,20 +4,22 @@ import java.io.File
 
 import org.apache.avro.file.DataFileWriter
 import org.apache.avro.generic.{GenericDatumWriter, GenericRecord}
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType,
+  LongType, StructField, StructType}
 import org.scalacheck.{Gen, Prop, Properties, Test}
 
 import graft.avro.AvroSchemaConverter
 
 /** Model-based laws for ALTER TABLE column evolution: a random history
-  * of writes / ADD COLUMN / DROP COLUMN drives the REAL machinery
-  * (header-only avro files through the same sidecars, `_graft_evo`
-  * journal entries, snapshot minting, schema inference) against a
-  * trivial column-list model. Checked invariants, every step and every
-  * reachable version:
+  * of writes / ADD COLUMN / DROP COLUMN / ALTER COLUMN TYPE drives the
+  * REAL machinery (header-only avro files through the same sidecars,
+  * `_graft_evo` journal entries, snapshot minting, schema inference)
+  * against a trivial (name, type)-list model. Checked invariants, every
+  * step and every reachable version:
   *
-  *  - live inference equals the model's current visible column list,
-  *    in order (adds append, drops remove in place);
+  *  - live inference equals the model's current visible (name, type)
+  *    list, in order (adds append, drops remove in place, widens change
+  *    a type in place);
   *  - `versionAsOf` inference equals the model's list AS OF that
   *    version — each ALTER's own minted version brackets it exactly;
   *  - retired names never re-add and never rename onto.
@@ -34,17 +36,19 @@ object SchemaEvoLaws extends Properties("SchemaEvoLaws") {
   case object Write extends Op
   case object Add extends Op
   case object Drop extends Op
+  case object Widen extends Op
 
   private val opsGen: Gen[List[Op]] =
     Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, Gen.frequency(
       4 -> Gen.const(Write: Op), 3 -> Gen.const(Add: Op),
-      2 -> Gen.const(Drop: Op))))
+      2 -> Gen.const(Drop: Op), 2 -> Gen.const(Widen: Op))))
 
-  /** Header-only avro file carrying exactly `cols` (all nullable long):
+  /** Header-only avro file carrying exactly `cols` (all nullable):
     * schema laws need real headers, not rows.
     */
-  private def writeFile(d: File, cols: Seq[String], n: Int): Unit = {
-    val st = StructType(cols.map(c => StructField(c, LongType)))
+  private def writeFile(d: File, cols: Seq[(String, DataType)],
+      n: Int): Unit = {
+    val st = StructType(cols.map { case (c, t) => StructField(c, t) })
     val schema = AvroSchemaConverter.toAvro(st, "row", None, None)
     val w = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](schema))
@@ -53,23 +57,32 @@ object SchemaEvoLaws extends Properties("SchemaEvoLaws") {
     AvroFileSource.appendSnapshot(d, "append")
   }
 
-  private def inferredCols(d: File, asOf: Option[Long]): Seq[String] = {
+  private def inferred(d: File, asOf: Option[Long])
+      : Seq[(String, DataType)] = {
     import scala.jdk.CollectionConverters._
     val opts = Map("path" -> d.getPath) ++
       asOf.map(v => "versionAsOf" -> v.toString)
     new AvroFileSource().inferSchema(
       new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts.asJava))
-      .fieldNames.toSeq
+      .fields.toSeq.map(f => (f.name, f.dataType))
+  }
+
+  private def widened(t: DataType): Option[DataType] = t match {
+    case IntegerType => Some(LongType)
+    case LongType => Some(DoubleType)
+    case _ => None
   }
 
   property("live and as-of inference both equal the model at every step") =
     Prop.forAll(opsGen) { ops =>
       val d = new File(graft.operators.Catalog.tempDir("graft_evolaw"))
       val pool = Iterator.from(0).map(i => s"c$i")
-      var cols = Vector("c_base")        // model: current visible list
+      // model: current visible (name, type) list; new columns start
+      // INT so the widen chain int -> long -> double is reachable
+      var cols = Vector[(String, DataType)](("c_base", IntegerType))
       var retired = Set.empty[String]
       var fileNo = 0
-      var versions = Map.empty[Long, Vector[String]]
+      var versions = Map.empty[Long, Vector[(String, DataType)]]
       writeFile(d, cols, { fileNo += 1; fileNo }) // the table must exist
       versions += AvroFileSource.readSnapshots(d).last.version -> cols
       var ok = true
@@ -79,19 +92,32 @@ object SchemaEvoLaws extends Properties("SchemaEvoLaws") {
             writeFile(d, cols, { fileNo += 1; fileNo })
           case Add =>
             val name = pool.next()
-            AvroMaintenance.addColumn(d.getPath, StructField(name, LongType))
-            cols :+= name
+            AvroMaintenance.addColumn(d.getPath,
+              StructField(name, IntegerType))
+            cols :+= ((name, IntegerType))
           case Drop if cols.size >= 2 =>
             // drop a deterministic victim (the middle column) so drops
             // hit both file-born and evo-added columns across runs
-            val victim = cols(cols.size / 2)
+            val victim = cols(cols.size / 2)._1
             AvroMaintenance.dropColumn(d.getPath, victim)
-            cols = cols.filterNot(_ == victim)
+            cols = cols.filterNot(_._1 == victim)
             retired += victim
           case Drop => () // cannot drop the last column
+          case Widen =>
+            // widen a deterministic victim: the first still-widenable
+            // column, exercising both file-born and evo-added ones
+            cols.zipWithIndex.collectFirst {
+              case ((n, t), i) if widened(t).isDefined => (n, t, i)
+            } match {
+              case Some((name, t, i)) =>
+                val nt = widened(t).get
+                AvroMaintenance.widenColumn(d.getPath, name, nt)
+                cols = cols.updated(i, (name, nt))
+              case None => () // all doubles already
+            }
         }
         versions += AvroFileSource.readSnapshots(d).last.version -> cols
-        ok &&= inferredCols(d, None) == cols
+        ok &&= inferred(d, None) == cols
       }
       // retired names are closed forever
       retired.foreach { r =>
@@ -101,7 +127,7 @@ object SchemaEvoLaws extends Properties("SchemaEvoLaws") {
       }
       // every recorded version replays its own column list
       versions.foreach { case (v, expect) =>
-        ok &&= inferredCols(d, Some(v)) == expect
+        ok &&= inferred(d, Some(v)) == expect
       }
       ok
     }

@@ -138,6 +138,69 @@ class SchemaEvoSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("ALTER COLUMN TYPE widens metadata-only: old files promote at decode") {
+    val dir = tmp()
+    writeKV(dir, 0, 10, "overwrite")                          // v1: grp int
+    AvroMaintenance.widenColumn(dir, "grp",
+      org.apache.spark.sql.types.LongType)                    // v2
+    val t = spark.read.format("graft-avro").load(dir)
+    t.schema("grp").dataType shouldBe LongType
+    t.agg(F.sum("grp")).head().getLong(0) shouldBe
+      (0 until 10).map(_ % 5).sum.toLong
+    // post-widen appends carry the wide type natively
+    spark.range(10, 15).toDF("k")
+      .withColumn("grp", F.col("k") % 5) // long already
+      .repartition(1)
+      .write.format("graft-avro").mode("append").save(dir)    // v3
+    val t2 = spark.read.format("graft-avro").load(dir)
+    t2.schema("grp").dataType shouldBe LongType
+    t2.count() shouldBe 15
+    // AS OF pre-widen still serves the narrow type
+    spark.read.format("graft-avro").option("versionAsOf", 1)
+      .load(dir).schema("grp").dataType shouldBe
+      org.apache.spark.sql.types.IntegerType
+    // filters and aggregation on the promoted column stay exact
+    t2.filter(F.col("grp") === 2L).count() shouldBe 3
+  }
+
+  test("widen guards: narrowing, unknown column, delete reference, non-promotion") {
+    val dir = tmp()
+    writeKV(dir, 0, 10, "overwrite")
+    an[Exception] should be thrownBy AvroMaintenance.widenColumn(
+      dir, "k", org.apache.spark.sql.types.IntegerType) // narrowing
+    an[Exception] should be thrownBy AvroMaintenance.widenColumn(
+      dir, "nope", LongType)
+    an[Exception] should be thrownBy AvroMaintenance.widenColumn(
+      dir, "grp", org.apache.spark.sql.types.StringType)
+    AvroMaintenance.deleteWhere(spark, dir, "grp", Seq(4))
+    val e = intercept[IllegalArgumentException] {
+      AvroMaintenance.widenColumn(dir, "grp", LongType)
+    }
+    e.getMessage should include("compact first")
+  }
+
+  test("SQL ALTER COLUMN TYPE widens through the catalog (data-backed and empty)") {
+    val root = graft.operators.Catalog.tempDir("graft_widen_cat")
+    spark.conf.set("spark.sql.catalog.graft_w",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_w.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_w.ns")
+    spark.sql("DROP TABLE IF EXISTS graft_w.ns.w")
+    spark.sql("CREATE TABLE graft_w.ns.w AS " +
+      "SELECT CAST(id AS INT) AS k, CAST(id * 2 AS INT) AS v FROM range(10)")
+    spark.sql("ALTER TABLE graft_w.ns.w ALTER COLUMN v TYPE BIGINT")
+    spark.table("graft_w.ns.w").schema("v").dataType shouldBe LongType
+    spark.sql("SELECT sum(v) FROM graft_w.ns.w").head().getLong(0) shouldBe 90L
+    // empty DDL table: sidecar rewrite path
+    spark.sql("DROP TABLE IF EXISTS graft_w.ns.e")
+    spark.sql("CREATE TABLE graft_w.ns.e (a INT, b FLOAT)")
+    spark.sql("ALTER TABLE graft_w.ns.e ALTER COLUMN b TYPE DOUBLE")
+    spark.table("graft_w.ns.e").schema("b").dataType shouldBe
+      org.apache.spark.sql.types.DoubleType
+    an[Exception] should be thrownBy
+      spark.sql("ALTER TABLE graft_w.ns.e ALTER COLUMN a TYPE STRING")
+  }
+
   test("evolution entries survive journal vacuum and corrupt evo fails reads") {
     val dir = tmp()
     writeKV(dir, 0, 10, "overwrite")
