@@ -924,9 +924,48 @@ object AvroFileSource {
     * so a malformed journal must fail the read, not silently skip
     * versions (a dropped `-` delta would resurrect an overwritten file).
     */
+  /** Parse caches for the snapshot journal, keyed by the journal file's
+    * (lastModified, length) — every journal mutation is an atomic
+    * rename that changes both (appends strictly grow; rewrites stamp
+    * fresh millis), so a hit is a safe serve. This is the planning-cost
+    * complement of journal-served listing: without it every scan of
+    * every query re-parses O(versions × files) text. Bounded: cleared
+    * wholesale past [[MaxJournalCacheTables]] tables (tests mint
+    * thousands of temp tables per JVM).
+    */
+  private val MaxJournalCacheTables = 64
+  private val snapshotsCache = new java.util.concurrent
+    .ConcurrentHashMap[String, (Long, Long, Seq[Snapshot])]()
+  private val birthsCache = new java.util.concurrent
+    .ConcurrentHashMap[String, (Long, Long, Map[String, Long])]()
+  /** Test observability: actual journal text parses (JournalCacheSpec). */
+  private[sources] val journalParses =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def cachedJournal[T](jf: File,
+      cache: java.util.concurrent.ConcurrentHashMap[String, (Long, Long, T)])
+      (parse: => T): T = {
+    val key = jf.getAbsolutePath
+    val mt = jf.lastModified()
+    val ln = jf.length()
+    val hit = cache.get(key)
+    if (hit != null && hit._1 == mt && hit._2 == ln) hit._3
+    else {
+      val v = parse
+      if (cache.size >= MaxJournalCacheTables) cache.clear()
+      cache.put(key, (mt, ln, v))
+      v
+    }
+  }
+
   def readSnapshots(d: File): Seq[Snapshot] = {
     val jf = snapshotsFile(d)
     if (!jf.isFile) return Nil
+    cachedJournal(jf, snapshotsCache)(parseSnapshots(jf))
+  }
+
+  private def parseSnapshots(jf: File): Seq[Snapshot] = {
+    journalParses.incrementAndGet()
     val src = scala.io.Source.fromFile(jf, "UTF-8")
     val lines = try src.getLines().filter(_.nonEmpty).toList finally src.close()
     var files = Vector.empty[String]
@@ -1008,6 +1047,11 @@ object AvroFileSource {
   def fileBirths(d: File): Map[String, Long] = {
     val jf = snapshotsFile(d)
     if (!jf.isFile) return Map.empty
+    cachedJournal(jf, birthsCache)(parseBirths(jf))
+  }
+
+  private def parseBirths(jf: File): Map[String, Long] = {
+    journalParses.incrementAndGet()
     val src = scala.io.Source.fromFile(jf, "UTF-8")
     val lines = try src.getLines().filter(_.nonEmpty).toList finally src.close()
     var births = Map.empty[String, Long]
