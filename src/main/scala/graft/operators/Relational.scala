@@ -742,6 +742,49 @@ object Relational extends Catalog {
           F.last("v_sum", ignoreNulls = true).over(w))
         .select("user_id", "day", "n_filled", "v_carry")
         .orderBy("user_id", "day")
+    }),
+
+    // EWMA — exponentially weighted moving average per user, the
+    // sequential-recurrence member of the time-series family:
+    // s_1 = x_1, s_t = (x_t + 3·s_{t-1}) div 4 (α = 1/4), inputs
+    // quantized ONCE to integer cents so every step is exact and the
+    // DuckDB recursive-CTE oracle replays it bit for bit (the same
+    // quantize-then-integer-recurrence discipline as the ADPCM codec).
+    // Scale shape: one shuffle groups each user's bounded event list;
+    // the fold is a per-row array pass (session-scale groups — for
+    // unbounded keys this becomes transformWithState, q_stream_tws).
+    "q_ewma" -> ((s, dir) => {
+      val e = table(s, dir, "events")
+        .select(F.col("user_id"),
+          F.unix_micros(F.col("ts")).as("us"), F.col("event_id"),
+          F.floor(F.col("value") * 100).cast("long").as("x"))
+      e.groupBy("user_id")
+        .agg(F.expr("array_sort(collect_list(struct(us, event_id, x)))")
+          .as("arr"))
+        .select(F.col("user_id"),
+          F.expr("aggregate(arr, cast(-1 as bigint), " +
+            "(s, e) -> if(s = -1, e.x, (e.x + 3 * s) div 4))").as("ewma"),
+          F.size(F.col("arr")).cast("long").as("n"))
+        .orderBy("user_id")
+    }),
+
+    // OHLC resampling — open/high/low/close bars per (user, hour), the
+    // standard time-series downsample: open/close are min_by/max_by on
+    // the (ts, event_id) total order (ties impossible), high/low plain
+    // min/max, all on integer cents. One partial-aggregatable shuffle.
+    "q_ohlc" -> ((s, dir) => {
+      val e = table(s, dir, "events")
+        .select(F.col("user_id"),
+          F.date_trunc("hour", F.col("ts")).as("hr"),
+          F.unix_micros(F.col("ts")).as("us"), F.col("event_id"),
+          F.floor(F.col("value") * 100).cast("long").as("x"))
+      e.groupBy("user_id", "hr")
+        .agg(
+          F.expr("min_by(x, struct(us, event_id))").as("open"),
+          F.max("x").as("high"), F.min("x").as("low"),
+          F.expr("max_by(x, struct(us, event_id))").as("close"),
+          F.count(F.lit(1)).as("n"))
+        .orderBy("user_id", "hr")
     })
   )
 
@@ -1165,6 +1208,53 @@ object Relational extends Catalog {
                   AS v_carry
          FROM scaffold s LEFT JOIN daily d USING (user_id, day)
          ORDER BY 1, 2""",
+    // the recurrence replayed one row per iteration (true sequential
+    // recursion, same pattern as llm_audio_adpcm); every value integer
+    "q_ewma" ->
+      """WITH RECURSIVE e AS (
+           SELECT user_id, epoch_us(ts) AS us, event_id,
+                  CAST(floor(value * 100) AS BIGINT) AS x
+           FROM events),
+         ord AS (
+           SELECT user_id, x, row_number() OVER (
+             PARTITION BY user_id ORDER BY us, event_id) AS rn
+           FROM e),
+         cnt AS (SELECT user_id, count(*) AS n FROM ord GROUP BY 1),
+         rec(user_id, rn, s) AS (
+           SELECT user_id, rn, x FROM ord WHERE rn = 1
+           UNION ALL
+           SELECT o.user_id, o.rn, (o.x + 3 * r.s) // 4
+           FROM rec r JOIN ord o
+             ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+         SELECT r.user_id, CAST(r.s AS BIGINT) AS ewma,
+                CAST(c.n AS BIGINT) AS n
+         FROM rec r JOIN cnt c ON c.user_id = r.user_id AND r.rn = c.n
+         ORDER BY r.user_id""",
+    "q_ohlc" ->
+      """WITH e AS (
+           SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+                  epoch_us(ts) AS us, event_id,
+                  CAST(floor(value * 100) AS BIGINT) AS x
+           FROM events),
+         w AS (
+           SELECT user_id, hr, x,
+                  row_number() OVER (PARTITION BY user_id, hr
+                    ORDER BY us, event_id) AS ra,
+                  row_number() OVER (PARTITION BY user_id, hr
+                    ORDER BY us DESC, event_id DESC) AS rd
+           FROM e),
+         oc AS (
+           SELECT user_id, hr,
+                  max(CASE WHEN ra = 1 THEN x END) AS open,
+                  max(CASE WHEN rd = 1 THEN x END) AS close
+           FROM w GROUP BY 1, 2),
+         hl AS (
+           SELECT user_id, hr, max(x) AS high, min(x) AS low,
+                  count(*) AS n
+           FROM e GROUP BY 1, 2)
+         SELECT o.user_id, o.hr, o.open, hl.high, hl.low, o.close, hl.n
+         FROM oc o JOIN hl ON hl.user_id = o.user_id AND hl.hr = o.hr
+         ORDER BY o.user_id, o.hr""",
     "q_cdc_snapshot" ->
       """WITH m AS (
            SELECT user_id,
