@@ -263,6 +263,41 @@ object LlmMultimodal extends Catalog {
         .orderBy("doc_id")
     }),
 
+    // FOURTH compressed-image family under the oracle — pure RUN-LENGTH
+    // coding ([[graft.multimodal.Tga]], type-11 RLE grayscale). RLE is
+    // simple enough that the ORACLE REPLAYS THE ENCODER: two
+    // gaps-and-islands window passes recompute the exact encoded byte
+    // count (runs ≥ 2 → 2-byte packets per 128-chunk; maximal stretches
+    // of singleton islands → raw packets of ≤ 128 literals + headers),
+    // so the gate pins every greedy packet-boundary decision, not just
+    // losslessness — the same encoder-pinning discipline as FLAC's
+    // n_bytes. Pixels tile the corpus text with 3-pixel stretches so
+    // real data exercises both packet kinds.
+    "llm_image_tga" -> ((s, dir) => {
+      import s.implicits._
+      val assets = table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .filter(F.col("n_chars") > 0)
+        .select(F.col("doc_id"), F.col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val w = bytes.length % 16 + 4
+          val h = (id % 12).toInt + 4
+          val pix = Array.tabulate[Byte](w * h)(j =>
+            bytes((j / 3) % bytes.length))
+          graft.multimodal.RawAsset(id,
+            graft.multimodal.Tga.encode(w, h, pix), "img/tga", w, h, 1)
+        }
+      graft.multimodal.Tga.decodeAssets(assets)
+        .toDF()
+        .select(F.col("docId").as("doc_id"),
+          F.col("w").as("width"), F.col("h").as("height"),
+          F.col("sumPix").as("sum_pix"), F.col("nBytes").as("n_bytes"),
+          F.md5(F.col("pix")).as("pix_hash"))
+        .orderBy("doc_id")
+    }),
+
     // SECOND compressed-image family under the oracle: the same tiles as
     // the other image gates (single channel this time — GIF is
     // palette-indexed), round-tripped through a genuine GIF89a with a
@@ -975,6 +1010,65 @@ object LlmMultimodal extends Catalog {
          FROM d JOIN agg a USING (doc_id) ORDER BY d.doc_id""",
     // LZW is lossless: the decoded index stream equals the single-channel
     // source tiles (w·h of them, not w·h·3 — GIF is palette-indexed).
+    // the RLE encoder replayed in SQL: first islands pass groups equal
+    // consecutive pixels per scanline, second pass groups consecutive
+    // SINGLETON islands into raw stretches (seg = running count of
+    // run-islands before each); costs chunk at 128 exactly as the
+    // greedy encoder does. 18 = the TGA header.
+    "llm_image_tga" ->
+      """WITH d AS (
+           SELECT doc_id, text, length(text) AS n,
+                  (length(text) % 16) + 4 AS w,
+                  (doc_id % 12) + 4 AS h
+           FROM documents WHERE length(text) > 0),
+         px AS (
+           SELECT doc_id, t.i AS i, (t.i // w) AS y, (t.i % w) AS x,
+                  substring(text, CAST(((t.i // 3) % n) + 1 AS INT), 1)
+                    AS ch
+           FROM d, unnest(generate_series(0, w * h - 1)) t(i)),
+         isl0 AS (
+           SELECT doc_id, i, y, x, ch,
+                  CASE WHEN lag(ch) OVER (
+                      PARTITION BY doc_id, y ORDER BY x)
+                    IS DISTINCT FROM ch THEN 1 ELSE 0 END AS brk
+           FROM px),
+         isl1 AS (
+           SELECT doc_id, y, ch,
+                  sum(brk) OVER (PARTITION BY doc_id, y ORDER BY x)
+                    AS grp
+           FROM isl0),
+         runs AS (
+           SELECT doc_id, y, grp, count(*) AS len
+           FROM isl1 GROUP BY 1, 2, 3),
+         runs2 AS (
+           SELECT doc_id, y, grp, len,
+                  sum(CASE WHEN len >= 2 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id, y ORDER BY grp) AS seg
+           FROM runs),
+         runcost AS (
+           SELECT doc_id,
+                  CAST(sum(2 * ((len + 127) // 128)) AS BIGINT) AS b
+           FROM runs2 WHERE len >= 2 GROUP BY 1),
+         rawgrp AS (
+           SELECT doc_id, y, seg, count(*) AS m
+           FROM runs2 WHERE len = 1 GROUP BY 1, 2, 3),
+         rawcost AS (
+           SELECT doc_id,
+                  CAST(sum(m + (m + 127) // 128) AS BIGINT) AS b
+           FROM rawgrp GROUP BY 1),
+         feat AS (
+           SELECT doc_id, string_agg(ch, '' ORDER BY i) AS sp,
+                  CAST(sum(ord(ch)) AS BIGINT) AS sum_pix
+           FROM px GROUP BY doc_id)
+         SELECT d.doc_id, CAST(d.w AS INT) AS width,
+                CAST(d.h AS INT) AS height, f.sum_pix,
+                CAST(18 + COALESCE(rc.b, 0) + COALESCE(wc.b, 0)
+                  AS BIGINT) AS n_bytes,
+                md5(f.sp) AS pix_hash
+         FROM d JOIN feat f USING (doc_id)
+         LEFT JOIN runcost rc USING (doc_id)
+         LEFT JOIN rawcost wc USING (doc_id)
+         ORDER BY d.doc_id""",
     "llm_gif_pixels" ->
       """WITH d AS (
            SELECT doc_id, text, length(text) AS n,

@@ -245,6 +245,50 @@ object CodecFuzzLaws extends Properties("CodecFuzzLaws") {
       s"round-trip mismatch at ${w}x$h"
   }
 
+  private val tgaGen: Gen[Array[Byte]] = for {
+    w <- Gen.choose(1, 12); h <- Gen.choose(1, 12)
+    // biased toward runs so both packet kinds appear in the container
+    pix <- Gen.containerOfN[Array, Byte](w * h,
+      Gen.frequency(3 -> Gen.const(7.toByte),
+        2 -> Gen.choose(Byte.MinValue, Byte.MaxValue)))
+    out <- corrupt(Tga.encode(w, h, pix))
+  } yield out
+
+  property("Tga.decode total on junk") =
+    Prop.forAll(junkGen)(b => controlled(Tga.decode(b)))
+  property("Tga.decode total on corrupted containers") =
+    Prop.forAll(tgaGen)(b => controlled(Tga.decode(b)))
+
+  // TGA RLE is LOSSLESS, and the greedy encoder is canonical: decode
+  // then re-encode must reproduce the exact byte stream (the oracle's
+  // SQL cost replay depends on this canonicity).
+  property("Tga encode/decode round-trips and re-encodes canonically") =
+    Prop.forAll(for {
+      w <- Gen.choose(1, 14); h <- Gen.choose(1, 14)
+      pix <- Gen.containerOfN[Array, Byte](w * h,
+        Gen.frequency(3 -> Gen.const(42.toByte),
+          2 -> Gen.choose(Byte.MinValue, Byte.MaxValue)))
+    } yield (w, h, pix)) { case (w, h, pix) =>
+      val enc = Tga.encode(w, h, pix)
+      val (w2, h2, out) = Tga.decode(enc)
+      val re = Tga.encode(w2, h2, out)
+      Prop(w2 == w && h2 == h && java.util.Arrays.equals(out, pix) &&
+        java.util.Arrays.equals(re, enc)) :|
+        s"TGA round-trip mismatch at ${w}x$h"
+    }
+
+  // long-run chunking: a constant row longer than 128 must split into
+  // ceil(w/128) run packets, which the decoder reassembles exactly
+  property("Tga 128-chunking round-trips wide constant images") =
+    Prop.forAll(Gen.choose(129, 400)) { w =>
+      val pix = Array.fill[Byte](w * 2)(9)
+      val enc = Tga.encode(w, 2, pix)
+      val (w2, h2, out) = Tga.decode(enc)
+      Prop(w2 == w && h2 == 2 && java.util.Arrays.equals(out, pix) &&
+        enc.length == 18 + 2 * 2 * ((w + 127) / 128)) :|
+        s"TGA chunking mismatch at width $w (${enc.length} bytes)"
+    }
+
   // amplitudes within ±2^13 keep the order-2 residuals inside the
   // subset's 4-bit Rice parameter bound (encode enforces it)
   private val flacSamplesGen: Gen[Array[Short]] = for {
