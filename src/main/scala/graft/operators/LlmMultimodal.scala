@@ -1028,9 +1028,9 @@ object LlmMultimodal extends Catalog {
            FROM d, unnest(generate_series(0, w * h - 1)) t(i)),
          isl0 AS (
            SELECT doc_id, i, y, x, ch,
-                  CASE WHEN lag(ch) OVER (
-                      PARTITION BY doc_id, y ORDER BY x)
-                    IS DISTINCT FROM ch THEN 1 ELSE 0 END AS brk
+                  CASE WHEN x = 0 OR lag(ch) OVER (
+                      PARTITION BY doc_id, y ORDER BY x) <> ch
+                    THEN 1 ELSE 0 END AS brk
            FROM px),
          isl1 AS (
            SELECT doc_id, y, ch,
