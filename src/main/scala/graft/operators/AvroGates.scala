@@ -656,6 +656,37 @@ object AvroGates extends Catalog {
               |ORDER BY item, info""".stripMargin)
     }),
 
+    // `partitions` METADATA TABLE under the oracle: a partitioned
+    // catalog table written twice (CTAS + INSERT), each write hash-
+    // clustered on the partition column so every priority value lands
+    // in exactly one task → exactly one file per partition per write.
+    // The meta view must aggregate the listing to (part, n_files=2)
+    // with URL-DECODED partition values ('4-NOT SPECIFIED' carries a
+    // space that rides the directory segment as '+').
+    "q_avro_partitions" -> ((s, dir) => {
+      if (!s.conf.getOption("spark.sql.catalog.graft_gate").isDefined) {
+        s.conf.set("spark.sql.catalog.graft_gate",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_gate.root",
+          tempDir("graft_gate_cat"))
+      }
+      table(s, dir, "orders").createOrReplaceTempView("ord_src_part")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.gate")
+      s.sql("DROP TABLE IF EXISTS graft_gate.gate.pmeta")
+      s.sql("""CREATE TABLE graft_gate.gate.pmeta
+              |PARTITIONED BY (o_orderpriority) AS
+              |SELECT /*+ REPARTITION(o_orderpriority) */
+              |       o_orderkey, o_totalprice, o_orderpriority
+              |FROM ord_src_part""".stripMargin)
+      s.sql("""INSERT INTO graft_gate.gate.pmeta
+              |SELECT /*+ REPARTITION(o_orderpriority) */
+              |       o_orderkey + 1000000, o_totalprice, o_orderpriority
+              |FROM ord_src_part WHERE o_orderkey % 3 = 0""".stripMargin)
+      s.sql("""SELECT part, n_files
+              |FROM graft_gate.gate.pmeta.partitions
+              |ORDER BY part""".stripMargin)
+    }),
+
     // SQL CALL procedures under the oracle: a full maintenance lifecycle
     // through `CALL cat.system.*` — rollback_to_version physically
     // restores v1 (the doubled v2 generation archives out), then
@@ -1500,6 +1531,12 @@ object AvroGates extends Catalog {
            ('chk:key_pos', 'r_regionkey >= 0', false))
            t(item, info, has_deletes)
          ORDER BY item, info""",
+    // both writes are clustered on the partition column → exactly one
+    // file per partition per write; values URL-decode back to the data
+    "q_avro_partitions" ->
+      """SELECT 'o_orderpriority=' || o_orderpriority AS part,
+                2 AS n_files
+         FROM orders GROUP BY o_orderpriority ORDER BY part""",
     // post-lifecycle state = v1 (rollback undid the doubled insert)
     // plus the constrained nationkey<5 re-insert
     "q_avro_call" ->

@@ -31,10 +31,28 @@ import org.apache.spark.unsafe.types.UTF8String
   *    that.
   *  - `refs`: named refs (tags and branch pins) → versions.
   *  - `constraints`: CHECK constraints in force.
+  *  - `partitions`: live `k=v` partitions aggregated from the listing
+  *    (part, n_files, bytes) — the compaction-planning view (many
+  *    small files in one partition = a compact candidate). Same
+  *    O(listing) contract as `files`; no record counts.
   */
 object GraftMetaTables {
 
-  val Names: Set[String] = Set("history", "files", "refs", "constraints")
+  val Names: Set[String] =
+    Set("history", "files", "refs", "constraints", "partitions")
+
+  /** URL-decoded `k=v/k2=v2` partition prefix of a table-relative path
+    * ('+' decodes to space — the raw segment would leak encoding into
+    * results).
+    */
+  private def partPrefix(rel: String): String =
+    rel.split('/').dropRight(1).map { seg =>
+      seg.split("=", 2) match {
+        case Array(k, v) if v != "__null__" =>
+          k + "=" + java.net.URLDecoder.decode(v, "UTF-8")
+        case _ => seg
+      }
+    }.mkString("/")
 
   def apply(qualified: String, kind: String, dir: File): Table = {
     val (schema, rows): (StructType, () => Array[InternalRow]) = kind match {
@@ -57,16 +75,27 @@ object GraftMetaTables {
           val base = dir.getAbsoluteFile.toPath
           AvroFileSource.listPartitioned(dir).map { case (f, _) =>
             val rel = base.relativize(f.getAbsoluteFile.toPath).toString
-            val part = rel.split('/').dropRight(1).map { seg =>
-              seg.split("=", 2) match {
-                case Array(k, v) if v != "__null__" =>
-                  k + "=" + java.net.URLDecoder.decode(v, "UTF-8")
-                case _ => seg
-              }
-            }.mkString("/")
             InternalRow(UTF8String.fromString(rel),
-              UTF8String.fromString(part), f.length())
+              UTF8String.fromString(partPrefix(rel)), f.length())
           }.toArray
+        })
+      case "partitions" => (
+        StructType(Seq(
+          StructField("part", StringType, nullable = false),
+          StructField("n_files", IntegerType, nullable = false),
+          StructField("bytes", LongType, nullable = false))),
+        () => {
+          val base = dir.getAbsoluteFile.toPath
+          AvroFileSource.listPartitioned(dir).toSeq
+            .map { case (f, _) =>
+              val rel = base.relativize(f.getAbsoluteFile.toPath).toString
+              (partPrefix(rel), f.length())
+            }
+            .groupBy(_._1).toSeq.sortBy(_._1)
+            .map { case (p, fs) =>
+              InternalRow(UTF8String.fromString(p), fs.size,
+                fs.map(_._2).sum)
+            }.toArray
         })
       case "refs" => (
         StructType(Seq(

@@ -251,6 +251,25 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec with Matchers {
       .head().getLong(0) shouldBe 3
   }
 
+  test("partitions metadata table: per-partition file counts, URL-decoded") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_t.lab11p")
+    spark.sql("DROP TABLE IF EXISTS graft_t.lab11p.pt")
+    // 'a b' forces a URL-encoded directory segment (space → '+')
+    spark.sql("""CREATE TABLE graft_t.lab11p.pt PARTITIONED BY (g) AS
+                |SELECT /*+ REPARTITION(1) */ id AS k,
+                |       CASE WHEN id % 2 = 0 THEN 'a b' ELSE 'c' END AS g
+                |FROM range(10)""".stripMargin)
+    spark.sql("""INSERT INTO graft_t.lab11p.pt
+                |SELECT /*+ REPARTITION(1) */ id, 'c' FROM range(5)
+                |""".stripMargin)
+    val parts = spark.sql("SELECT part, n_files, bytes " +
+      "FROM graft_t.lab11p.pt.partitions ORDER BY part").collect()
+    parts.map(r => (r.getString(0), r.getInt(1))).toSeq shouldBe
+      Seq(("g=a b", 1), ("g=c", 2))
+    all(parts.map(_.getLong(2))) should be > 0L
+  }
+
   test("CALL compact: in-place bin-pack materializes deletes, history intact") {
     init()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_t.lab12")
