@@ -500,6 +500,79 @@ object LlmText extends Catalog {
         .orderBy("lang")
     }),
 
+    // Winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03 —
+    // the MOSS selection rule): char 5-gram hashes, one fingerprint
+    // per window of w=4 — the window's RIGHTMOST minimum. The argmin
+    // is packed into ONE integer (h * 2^21 + (2^20 - i): smaller hash
+    // wins, ties break to the larger position) so selection is a
+    // single window MIN — no self-join, no second argmax pass. The
+    // 32-bit md5-slice hash keeps the pack inside 53 bits. Scale
+    // shape: explode → one per-doc window pass → distinct; all work
+    // is narrow per-doc, one shuffle on doc_id.
+    "llm_winnow" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val g = table(s, dir, "documents")
+        .filter(F.length(F.col("text")) >= 8)
+        .select(F.col("doc_id"),
+          (F.length(F.col("text")) - 4).cast("long").as("n"),
+          F.posexplode(F.expr(
+            """transform(sequence(1, length(text) - 4),
+              |  i -> cast(conv(substring(md5(substring(text, i, 5)),
+              |                 1, 8), 16, 10) as bigint))""".stripMargin))
+            .as(Seq("pos0", "h")))
+        .select(F.col("doc_id"), F.col("n"),
+          (F.col("pos0") + 1).cast("long").as("i"),
+          (F.col("h") * 2097152L +
+            (F.lit(1048576L) - F.col("pos0") - 1L)).as("v"))
+      g.withColumn("mv", F.min("v").over(
+          Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)))
+        .filter(F.col("i") <= F.col("n") - 3)
+        .select(F.col("doc_id"), F.col("n"),
+          F.expr("mv div 2097152").as("h"),
+          (F.lit(1048576L) - F.expr("mv % 2097152")).as("p"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg((F.max("n") - 3).as("n_win"),
+          F.count(F.lit(1)).as("n_fp"),
+          F.sum("h").as("fp_sum"))
+        .orderBy("doc_id")
+    }),
+
+    // Held-out LM quality scoring (the CCNet/KenLM recipe): a char-
+    // bigram model trained on the EVEN half of the corpus scores the
+    // ODD half, add-one smoothing for unseen bigrams (bit length of
+    // count+1; unseen → 1). Information = exact integer bit length →
+    // bit-exact cross-engine, zero libm. Scale shape: the model is a
+    // bounded charset² aggregate → broadcast left join; held-out text
+    // shuffles once on doc_id.
+    "llm_lm_holdout" -> ((s, dir) => {
+      val grams = table(s, dir, "documents")
+        .filter(F.length(F.col("text")) >= 2)
+        .select(F.col("doc_id"), F.col("lang"),
+          F.explode(F.expr(
+            "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
+            .as("bg"))
+        .localCheckpoint()
+      val model = grams.filter(F.col("doc_id") % 2 === 0)
+        .groupBy("bg").agg(F.count(F.lit(1)).as("cnt"))
+        .select(F.col("bg"),
+          F.length(F.bin(F.col("cnt") + 1)).cast("long").as("bits"))
+      grams.filter(F.col("doc_id") % 2 === 1)
+        .join(F.broadcast(model), Seq("bg"), "left")
+        .select(F.col("doc_id"), F.col("lang"),
+          F.coalesce(F.col("bits"), F.lit(1L)).as("bits"))
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).as("n_bg"), F.sum("bits").as("sum_bits"))
+        .select(F.col("lang"),
+          F.expr("(1000 * sum_bits) div n_bg").as("score_milli"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.sum("score_milli").cast("long").as("sum_score"),
+          F.min("score_milli").cast("long").as("min_score"),
+          F.max("score_milli").cast("long").as("max_score"))
+        .orderBy("lang")
+    }),
+
     // Zipf-law fit over per-language character frequencies — the
     // corpus-statistics sanity check (natural text follows a power law;
     // synthetic/corrupted shards do not). log2 is replaced by the EXACT
@@ -869,6 +942,48 @@ object LlmText extends Catalog {
          sc AS (SELECT doc_id, lang, count(*) AS n_bg,
                        sum(bits) AS sum_bits
                 FROM g JOIN m USING (bg) GROUP BY doc_id, lang)
+         SELECT lang, count(*) AS n_docs,
+                CAST(sum((1000 * sum_bits) // n_bg) AS BIGINT) AS sum_score,
+                CAST(min((1000 * sum_bits) // n_bg) AS BIGINT) AS min_score,
+                CAST(max((1000 * sum_bits) // n_bg) AS BIGINT) AS max_score
+         FROM sc GROUP BY lang ORDER BY lang""",
+    // the packed argmin (h*2^21 + (2^20 - i)) makes rightmost-min
+    // selection a plain window MIN; all values positive so % and //
+    // agree with Spark's % and div
+    "llm_winnow" ->
+      """WITH d AS (SELECT doc_id, text, length(text) - 4 AS n
+                    FROM documents WHERE length(text) >= 8),
+         g AS (SELECT doc_id, n, i,
+                      CAST('0x' || substr(md5(substr(text, CAST(i AS INT), 5)),
+                                          1, 8) AS BIGINT)
+                        * 2097152 + (1048576 - i) AS v
+               FROM d, unnest(generate_series(1, n)) t(i)),
+         m AS (SELECT doc_id, n, i,
+                      min(v) OVER (PARTITION BY doc_id ORDER BY i
+                                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                        AS mv
+               FROM g),
+         sel AS (SELECT DISTINCT doc_id, n, mv // 2097152 AS h,
+                        1048576 - (mv % 2097152) AS p
+                 FROM m WHERE i <= n - 3)
+         SELECT doc_id, CAST(max(n) - 3 AS BIGINT) AS n_win,
+                count(*) AS n_fp,
+                CAST(sum(h) AS BIGINT) AS fp_sum
+         FROM sel GROUP BY doc_id ORDER BY doc_id""",
+    // train/score split on doc_id parity; bit length of count+1 is the
+    // add-one-smoothed information, unseen bigrams coalesce to 1
+    "llm_lm_holdout" ->
+      """WITH g AS (
+           SELECT doc_id, lang,
+                  unnest(list_transform(generate_series(1, length(text) - 1),
+                    i -> substr(text, i, 2))) AS bg
+           FROM documents WHERE length(text) >= 2),
+         m AS (SELECT bg, length(bin(count(*) + 1)) AS bits
+               FROM g WHERE doc_id % 2 = 0 GROUP BY bg),
+         ho AS (SELECT * FROM g WHERE doc_id % 2 = 1),
+         sc AS (SELECT doc_id, lang, count(*) AS n_bg,
+                       CAST(sum(coalesce(bits, 1)) AS BIGINT) AS sum_bits
+                FROM ho LEFT JOIN m USING (bg) GROUP BY doc_id, lang)
          SELECT lang, count(*) AS n_docs,
                 CAST(sum((1000 * sum_bits) // n_bg) AS BIGINT) AS sum_score,
                 CAST(min((1000 * sum_bits) // n_bg) AS BIGINT) AS min_score,
