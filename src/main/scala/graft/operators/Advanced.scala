@@ -65,6 +65,50 @@ object Advanced extends Catalog {
       s.sql(statsMomentsSql("v_li_mom"))
     }),
 
+    // Bitmap-index set algebra (the roaring-style audience-overlap
+    // pattern): per event_type, engaged users (≥14 events) become a
+    // bitmap of 62-bit words (word = user div 62; the word value is the
+    // OR of 1<<bit — a plain sum, since engaged (type, user) pairs are
+    // distinct); pairwise audience overlap is then pure word algebra —
+    // AND + popcount — never a row-level set intersection. Scale shape:
+    // a bitmap is |users|/62 words per type (~16M words for 1B users),
+    // the pair join runs word-to-word, and the raw event table is
+    // touched exactly once. 62-bit words keep 1<<bit inside signed
+    // range in both engines.
+    "q_bitmap_users" -> ((s, dir) => {
+      table(s, dir, "events").createOrReplaceTempView("v_ev_bm")
+      s.sql(
+        """WITH eng AS (
+          |  SELECT event_type, user_id
+          |  FROM v_ev_bm GROUP BY event_type, user_id
+          |  HAVING count(*) >= 14),
+          |bm AS (
+          |  SELECT event_type, user_id div 62 AS word,
+          |         CAST(sum(shiftleft(CAST(1 AS BIGINT),
+          |                  CAST(user_id % 62 AS INT))) AS BIGINT) AS val
+          |  FROM eng GROUP BY event_type, user_id div 62),
+          |card AS (
+          |  SELECT event_type,
+          |         CAST(sum(bit_count(val)) AS BIGINT) AS n_users
+          |  FROM bm GROUP BY event_type),
+          |inter AS (
+          |  SELECT a.event_type AS t1, b.event_type AS t2,
+          |         CAST(sum(bit_count(a.val & b.val)) AS BIGINT) AS n_both
+          |  FROM bm a JOIN bm b
+          |    ON a.word = b.word AND a.event_type < b.event_type
+          |  GROUP BY a.event_type, b.event_type)
+          |SELECT ca.event_type AS t1, cb.event_type AS t2,
+          |       coalesce(i.n_both, 0) AS n_both,
+          |       ca.n_users + cb.n_users - coalesce(i.n_both, 0) AS n_either,
+          |       (1000 * coalesce(i.n_both, 0))
+          |         div (ca.n_users + cb.n_users - coalesce(i.n_both, 0))
+          |         AS jacc_milli
+          |FROM card ca JOIN card cb ON ca.event_type < cb.event_type
+          |LEFT JOIN inter i
+          |  ON i.t1 = ca.event_type AND i.t2 = cb.event_type
+          |ORDER BY t1, t2""".stripMargin)
+    }),
+
     // Count-min-sketch heavy hitters over document tokens, with the sketch
     // accuracy contract checked in-engine (cf. Sketches.scala): the CMS
     // estimate must over-approximate (no under-counting, structurally) and
@@ -631,6 +675,38 @@ object Advanced extends Catalog {
          FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
          WHERE length(token) > 0
          GROUP BY token ORDER BY exact_cnt DESC, token LIMIT 10""",
+    // identical word algebra: << for shiftleft, // for div; engaged
+    // pairs are distinct so the word value sum IS the bitwise OR
+    "q_bitmap_users" ->
+      """WITH eng AS (
+           SELECT event_type, user_id
+           FROM events GROUP BY event_type, user_id
+           HAVING count(*) >= 14),
+         bm AS (
+           SELECT event_type, user_id // 62 AS word,
+                  CAST(sum(CAST(1 AS BIGINT) << CAST(user_id % 62 AS INT))
+                    AS BIGINT) AS val
+           FROM eng GROUP BY event_type, user_id // 62),
+         card AS (
+           SELECT event_type,
+                  CAST(sum(bit_count(val)) AS BIGINT) AS n_users
+           FROM bm GROUP BY event_type),
+         inter AS (
+           SELECT a.event_type AS t1, b.event_type AS t2,
+                  CAST(sum(bit_count(a.val & b.val)) AS BIGINT) AS n_both
+           FROM bm a JOIN bm b
+             ON a.word = b.word AND a.event_type < b.event_type
+           GROUP BY a.event_type, b.event_type)
+         SELECT ca.event_type AS t1, cb.event_type AS t2,
+                coalesce(i.n_both, 0) AS n_both,
+                ca.n_users + cb.n_users - coalesce(i.n_both, 0) AS n_either,
+                (1000 * coalesce(i.n_both, 0))
+                  // (ca.n_users + cb.n_users - coalesce(i.n_both, 0))
+                  AS jacc_milli
+         FROM card ca JOIN card cb ON ca.event_type < cb.event_type
+         LEFT JOIN inter i
+           ON i.t1 = ca.event_type AND i.t2 = cb.event_type
+         ORDER BY t1, t2""",
     "q_bloom_prefilter" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)

@@ -594,6 +594,45 @@ object LlmDedup extends Catalog {
           F.sum(F.col("e") - F.col("s") + 1).as("dup_chars"),
           F.max(F.col("e") - F.col("s") + 1).cast("long").as("max_span"))
         .orderBy("doc_id")
+    }),
+
+    // Content-defined chunking (the gear/Rabin boundary trick behind
+    // FastCDC and storage dedup, here for shared-paragraph detection):
+    // a cut lands wherever the local 8-gram hash ≡ 0 (mod 64), so
+    // identical passages chunk IDENTICALLY regardless of their byte
+    // offset — the property fixed-width llm_chunks lacks. The boundary
+    // predicate is a PURE per-position function (no min-size skip —
+    // real FastCDC's skip is a sequential scan; dropping it keeps
+    // every position independently testable), so chunking is
+    // embarrassingly parallel: explode → filter → one per-doc lead()
+    // window → chunk-hash aggregate. Expected chunk ≈ 64 chars.
+    "llm_cdc_chunks" -> ((s, dir) => {
+      val k = 8
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("i")
+      table(s, dir, "documents")
+        .filter(F.length(F.col("text")) >= k)
+        .select(F.col("doc_id"), F.col("lang"), F.col("text"),
+          F.length(F.col("text")).cast("long").as("len"))
+        .select(F.col("doc_id"), F.col("lang"), F.col("text"), F.col("len"),
+          F.explode(F.sequence(F.lit(1),
+            (F.col("len") - (k - 1)).cast("int"))).as("i"))
+        .filter(F.col("i") === 1 || F.expr(
+          s"""cast(conv(substring(md5(substring(text, i, $k)), 1, 6),
+             |     16, 10) as bigint) % 64""".stripMargin) === 0)
+        .withColumn("nxt", F.lead("i", 1).over(w))
+        .select(F.col("doc_id"), F.col("lang"),
+          (F.coalesce(F.col("nxt").cast("long"), F.col("len") + 1)
+            - F.col("i")).as("clen"),
+          F.md5(F.expr(
+            "substring(text, i, cast(coalesce(nxt, len + 1) - i as int))"))
+            .as("ch"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).as("n_chunks"),
+          F.countDistinct("ch").as("n_uniq"),
+          F.sum("clen").cast("long").as("sum_len"),
+          F.max("clen").cast("long").as("max_len"))
+        .orderBy("lang")
     })
   )
 
@@ -627,6 +666,30 @@ object LlmDedup extends Catalog {
                 CAST(sum(e - s + 1) AS BIGINT) AS dup_chars,
                 CAST(max(e - s + 1) AS BIGINT) AS max_span
          FROM spans GROUP BY doc_id ORDER BY doc_id""",
+    // same pure boundary predicate (8-gram md5-slice ≡ 0 mod 64, cut
+    // forced at position 1), chunk length from lead(); all values
+    // positive so % agrees with Spark
+    "llm_cdc_chunks" ->
+      """WITH d AS (SELECT doc_id, lang, text, length(text) AS len
+                    FROM documents WHERE length(text) >= 8),
+         b AS (SELECT doc_id, lang, text, len, i
+               FROM d, unnest(generate_series(1, len - 7)) t(i)
+               WHERE i = 1 OR
+                 CAST('0x' || substr(md5(substr(text, CAST(i AS INT), 8)),
+                                     1, 6) AS BIGINT) % 64 = 0),
+         c AS (SELECT doc_id, lang,
+                      coalesce(lead(i) OVER (PARTITION BY doc_id ORDER BY i),
+                               len + 1) - i AS clen,
+                      md5(substr(text, CAST(i AS INT),
+                        CAST(coalesce(lead(i) OVER (PARTITION BY doc_id
+                                                    ORDER BY i),
+                                      len + 1) - i AS INT))) AS ch
+               FROM b)
+         SELECT lang, count(*) AS n_chunks,
+                count(DISTINCT ch) AS n_uniq,
+                CAST(sum(clen) AS BIGINT) AS sum_len,
+                CAST(max(clen) AS BIGINT) AS max_len
+         FROM c GROUP BY lang ORDER BY lang""",
     "llm_dedup_minhash" ->
       """WITH d AS (
            SELECT doc_id, string_split(text, ' ') AS w FROM documents),
