@@ -538,6 +538,45 @@ object LlmText extends Catalog {
         .orderBy("doc_id")
     }),
 
+    // Dictionary compression under the oracle: a REAL LZSS coder
+    // ([[graft.multimodal.Lzss]], window 64, lengths 3..10) runs over
+    // truncated docs, round-trips in-engine (decode must reproduce the
+    // input or the task throws), and reports parse stats + encoded
+    // size. The oracle REPLAYS the greedy parse as a recursive CTE —
+    // each step's "longest match in window" is a correlated EXISTS
+    // over (offset, length) substr-equality candidates — so the hash
+    // pins every match/literal decision AND the bit-exact size model,
+    // not just losslessness. ASCII-guarded (char ≡ byte) so SQL char
+    // offsets equal codec byte offsets; %16 sampling + 240-char cap
+    // bound the oracle's recursion. Scale shape: pure per-row kernel
+    // work after a narrow projection — no shuffle, linear in bytes.
+    "llm_text_lzss" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .filter(F.col("doc_id") % 16 === 0 &&
+          F.length(F.col("text")) > 0 &&
+          F.length(F.col("text")) === F.expr("octet_length(text)"))
+        .select(F.col("doc_id"),
+          F.expr("substring(text, 1, 240)").as("tx"))
+        .as[(Long, String)]
+        .map { case (id, tx) =>
+          val data = tx.getBytes("UTF-8")
+          val (enc, st) = graft.multimodal.Lzss.encode(data)
+          val dec = graft.multimodal.Lzss.decode(enc)
+          require(java.util.Arrays.equals(dec, data),
+            s"lzss round-trip failed for doc $id")
+          (id, st.nLit.toLong, st.nMatch.toLong, st.matchChars.toLong,
+            enc.length.toLong, new String(dec, "UTF-8"))
+        }
+        .toDF("doc_id", "n_lit", "n_match", "match_chars", "enc_bytes",
+          "dec")
+        .select(F.col("doc_id"), F.col("n_lit"), F.col("n_match"),
+          F.col("match_chars"), F.col("enc_bytes"),
+          F.md5(F.col("dec")).as("rt_hash"))
+        .orderBy("doc_id")
+    }),
+
     // Held-out LM quality scoring (the CCNet/KenLM recipe): a char-
     // bigram model trained on the EVEN half of the corpus scores the
     // ODD half, add-one smoothing for unseen bigrams (bit length of
@@ -970,6 +1009,50 @@ object LlmText extends Catalog {
                 count(*) AS n_fp,
                 CAST(sum(h) AS BIGINT) AS fp_sum
          FROM sel GROUP BY doc_id ORDER BY doc_id""",
+    // the greedy LZSS parse replayed one token per recursion step:
+    // bl = longest l with a window match (NULL → literal); the size
+    // model is 9 bits per literal, 10 per match, 4 header bytes
+    "llm_text_lzss" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id, substr(text, 1, 240) AS tx,
+                  length(substr(text, 1, 240)) AS L
+           FROM documents
+           WHERE doc_id % 16 = 0 AND length(text) > 0
+             AND octet_length(encode(text)) = length(text)),
+         st AS (
+           SELECT doc_id, tx, L, CAST(1 AS BIGINT) AS p,
+                  CAST(0 AS BIGINT) AS n_lit,
+                  CAST(0 AS BIGINT) AS n_match,
+                  CAST(0 AS BIGINT) AS match_chars
+           FROM d
+           UNION ALL
+           SELECT doc_id, tx, L,
+                  p + CASE WHEN bl IS NULL THEN 1 ELSE bl END,
+                  n_lit + CASE WHEN bl IS NULL THEN 1 ELSE 0 END,
+                  n_match + CASE WHEN bl IS NULL THEN 0 ELSE 1 END,
+                  match_chars + coalesce(bl, 0)
+           FROM (
+             SELECT s.doc_id, s.tx, s.L, s.p, s.n_lit, s.n_match,
+                    s.match_chars,
+                    (SELECT max(l)
+                     FROM (SELECT unnest(generate_series(3, 10)) AS l) ls
+                     WHERE l <= s.L - s.p + 1
+                       AND EXISTS (
+                         SELECT 1
+                         FROM (SELECT unnest(generate_series(
+                                CASE WHEN s.p > 64 THEN s.p - 64
+                                     ELSE 1 END,
+                                s.p - 1)) AS q) qs
+                         WHERE substr(s.tx, CAST(q AS INT), CAST(l AS INT))
+                             = substr(s.tx, CAST(s.p AS INT),
+                                      CAST(l AS INT)))) AS bl
+             FROM st s WHERE s.p <= s.L
+           ) stepped)
+         SELECT doc_id, n_lit, n_match, match_chars,
+                4 + (9 * n_lit + 10 * n_match + 7) // 8 AS enc_bytes,
+                md5(tx) AS rt_hash
+         FROM st WHERE p > L
+         ORDER BY doc_id""",
     // train/score split on doc_id parity; bit length of count+1 is the
     // add-one-smoothed information, unseen bigrams coalesce to 1
     "llm_lm_holdout" ->
