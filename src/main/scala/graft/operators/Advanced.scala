@@ -76,37 +76,46 @@ object Advanced extends Catalog {
     // touched exactly once. 62-bit words keep 1<<bit inside signed
     // range in both engines.
     "q_bitmap_users" -> ((s, dir) => {
-      table(s, dir, "events").createOrReplaceTempView("v_ev_bm")
-      s.sql(
-        """WITH eng AS (
-          |  SELECT event_type, user_id
-          |  FROM v_ev_bm GROUP BY event_type, user_id
-          |  HAVING count(*) >= 14),
-          |bm AS (
-          |  SELECT event_type, user_id div 62 AS word,
-          |         CAST(sum(shiftleft(CAST(1 AS BIGINT),
-          |                  CAST(user_id % 62 AS INT))) AS BIGINT) AS val
-          |  FROM eng GROUP BY event_type, user_id div 62),
-          |card AS (
-          |  SELECT event_type,
-          |         CAST(sum(bit_count(val)) AS BIGINT) AS n_users
-          |  FROM bm GROUP BY event_type),
-          |inter AS (
-          |  SELECT a.event_type AS t1, b.event_type AS t2,
-          |         CAST(sum(bit_count(a.val & b.val)) AS BIGINT) AS n_both
-          |  FROM bm a JOIN bm b
-          |    ON a.word = b.word AND a.event_type < b.event_type
-          |  GROUP BY a.event_type, b.event_type)
-          |SELECT ca.event_type AS t1, cb.event_type AS t2,
-          |       coalesce(i.n_both, 0) AS n_both,
-          |       ca.n_users + cb.n_users - coalesce(i.n_both, 0) AS n_either,
-          |       (1000 * coalesce(i.n_both, 0))
-          |         div (ca.n_users + cb.n_users - coalesce(i.n_both, 0))
-          |         AS jacc_milli
-          |FROM card ca JOIN card cb ON ca.event_type < cb.event_type
-          |LEFT JOIN inter i
-          |  ON i.t1 = ca.event_type AND i.t2 = cb.event_type
-          |ORDER BY t1, t2""".stripMargin)
+      // the bitmap is the tiny derived artifact every later step reads
+      // — localCheckpoint materializes it ONCE, so the raw event scan
+      // runs exactly once (a CTE spelling re-scans the fact table per
+      // consumer: Spark inlines WITH)
+      val bm = table(s, dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).as("n"))
+        .filter(F.col("n") >= 14)
+        .select(F.col("event_type"),
+          F.expr("user_id div 62").as("word"),
+          F.expr("shiftleft(cast(1 as bigint), cast(user_id % 62 as int))")
+            .as("b"))
+        .groupBy("event_type", "word")
+        .agg(F.sum("b").cast("long").as("val"))
+        .localCheckpoint()
+      val card = bm.groupBy("event_type")
+        .agg(F.sum(F.expr("bit_count(val)")).cast("long").as("n_users"))
+      val inter = bm.as("a")
+        .join(bm.as("b"),
+          F.col("a.word") === F.col("b.word") &&
+            F.col("a.event_type") < F.col("b.event_type"))
+        .select(F.col("a.event_type").as("t1"),
+          F.col("b.event_type").as("t2"),
+          F.col("a.val").bitwiseAND(F.col("b.val")).as("and_val"))
+        .groupBy("t1", "t2")
+        .agg(F.sum(F.expr("bit_count(and_val)")).cast("long").as("n_both"))
+      card.as("ca")
+        .join(card.as("cb"),
+          F.col("ca.event_type") < F.col("cb.event_type"))
+        .select(F.col("ca.event_type").as("t1"),
+          F.col("cb.event_type").as("t2"),
+          F.col("ca.n_users").as("na"), F.col("cb.n_users").as("nb"))
+        .join(inter, Seq("t1", "t2"), "left")
+        .withColumn("n_both", F.coalesce(F.col("n_both"), F.lit(0L)))
+        .withColumn("n_either",
+          F.col("na") + F.col("nb") - F.col("n_both"))
+        .select(F.col("t1"), F.col("t2"), F.col("n_both"),
+          F.col("n_either"),
+          F.expr("(1000 * n_both) div n_either").as("jacc_milli"))
+        .orderBy("t1", "t2")
     }),
 
     // Count-min-sketch heavy hitters over document tokens, with the sketch
