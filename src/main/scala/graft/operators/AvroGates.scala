@@ -687,6 +687,49 @@ object AvroGates extends Catalog {
               |ORDER BY part""".stripMargin)
     }),
 
+    // INCREMENTAL MATERIALIZED VIEW under the oracle: create over v1,
+    // append v2 and v3 to the source, refresh — which reads ONLY the
+    // delta through the additive-only incremental path and combines
+    // with the stored partials. The final view rows must equal a full
+    // recompute over all three generations exactly: a refresh that
+    // re-reads v1, loses a delta row, or mis-combines breaks the hash.
+    "q_avro_matview" -> ((s, dir) => {
+      if (!s.conf.getOption("spark.sql.catalog.graft_gate").isDefined) {
+        s.conf.set("spark.sql.catalog.graft_gate",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_gate.root",
+          tempDir("graft_gate_cat"))
+      }
+      table(s, dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity",
+          "l_extendedprice")
+        .createOrReplaceTempView("li_src_mv")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.gate")
+      s.sql("DROP TABLE IF EXISTS graft_gate.gate.mv")
+      s.sql("DROP TABLE IF EXISTS graft_gate.gate.mvsrc")
+      s.sql("CREATE TABLE graft_gate.gate.mvsrc AS " +
+        "SELECT * FROM li_src_mv") // v1
+      s.sql("""CALL graft_gate.system.create_matview('gate.mv',
+              |  'gate.mvsrc',
+              |  'SELECT l_returnflag AS flag, count(*) AS n_lines,
+              |     CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+              |       AS BIGINT) AS cents,
+              |     CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+              |       AS BIGINT) AS qty_c
+              |   FROM __SRC__ GROUP BY l_returnflag',
+              |  'SELECT flag, CAST(sum(n_lines) AS BIGINT) AS n_lines,
+              |     CAST(sum(cents) AS BIGINT) AS cents,
+              |     CAST(sum(qty_c) AS BIGINT) AS qty_c
+              |   FROM __ACC__ GROUP BY flag')""".stripMargin)
+      s.sql("INSERT INTO graft_gate.gate.mvsrc " +
+        "SELECT * FROM li_src_mv WHERE l_orderkey % 5 = 0") // v2
+      s.sql("INSERT INTO graft_gate.gate.mvsrc " +
+        "SELECT * FROM li_src_mv WHERE l_orderkey % 7 = 0") // v3
+      s.sql("CALL graft_gate.system.refresh_matview('gate.mv')")
+      s.sql("SELECT flag, n_lines, cents, qty_c " +
+        "FROM graft_gate.gate.mv ORDER BY flag")
+    }),
+
     // SQL CALL procedures under the oracle: a full maintenance lifecycle
     // through `CALL cat.system.*` — rollback_to_version physically
     // restores v1 (the doubled v2 generation archives out), then
@@ -1537,6 +1580,27 @@ object AvroGates extends Catalog {
       """SELECT 'o_orderpriority=' || o_orderpriority AS part,
                 2 AS n_files
          FROM orders GROUP BY o_orderpriority ORDER BY part""",
+    // refresh ≡ full recompute over all three source generations
+    "q_avro_matview" ->
+      """WITH orig AS (
+           SELECT l_returnflag, l_quantity, l_extendedprice
+           FROM lineitem),
+         e5 AS (
+           SELECT l_returnflag, l_quantity, l_extendedprice
+           FROM lineitem WHERE l_orderkey % 5 = 0),
+         e7 AS (
+           SELECT l_returnflag, l_quantity, l_extendedprice
+           FROM lineitem WHERE l_orderkey % 7 = 0),
+         unioned AS (
+           SELECT * FROM orig
+           UNION ALL SELECT * FROM e5
+           UNION ALL SELECT * FROM e7)
+         SELECT l_returnflag AS flag, count(*) AS n_lines,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents,
+                CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                  AS BIGINT) AS qty_c
+         FROM unioned GROUP BY flag ORDER BY flag""",
     // post-lifecycle state = v1 (rollback undid the doubled insert)
     // plus the constrained nationkey<5 re-insert
     "q_avro_call" ->

@@ -422,6 +422,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   private[sources] def namespaceDir(ns: Array[String]): File = nsDir(ns)
+  private[sources] def tableDirIdent(id: Identifier): File = tableDir(id)
   private[sources] def catalogName: String = catName
   private[sources] def tableExistsIdent(id: Identifier): Boolean =
     tableExists(id)

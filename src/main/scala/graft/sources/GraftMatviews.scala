@@ -1,0 +1,152 @@
+package graft.sources
+
+import java.io.File
+import java.net.{URLDecoder, URLEncoder}
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+
+/** Incremental MATERIALIZED VIEWS over graft-avro tables — the
+  * partial/final aggregate split (the same contract Spark's own
+  * two-phase HashAggregate runs in-memory) made durable across
+  * batches.
+  *
+  * A matview is an ordinary graft-avro table (readable by path or
+  * through the catalog) plus a `_graft_matview` sidecar recording the
+  * source directory, the PARTIAL aggregate SQL (over the placeholder
+  * `__SRC__`), the COMBINE SQL (over `__ACC__`, which binds to
+  * previously-combined rows ∪ fresh partials — so its aggregates must
+  * be the merge step: sum of sums, sum of counts, min of mins), and
+  * the last refreshed source version.
+  *
+  * Refresh reads ONLY the source versions committed since the last
+  * refresh, through the additive-only incremental path: O(delta +
+  * |view|) work, never a source rescan — the property that makes a
+  * 100 TB fact table's rollup maintainable. A non-additive source
+  * history since the last refresh (delete / overwrite / rollback)
+  * fails the incremental read LOUDLY rather than silently serving a
+  * stale or wrong aggregate; recreate the view to resync.
+  *
+  * The caller supplies the combine SQL explicitly instead of the
+  * engine deriving it by parsing the partial SQL — deriving combine
+  * rules for arbitrary expressions is exactly the trap (AVG, DISTINCT)
+  * that silently breaks incremental view maintenance; the explicit
+  * split keeps the contract checkable: create() validates that
+  * combining the initial partials preserves the schema.
+  */
+object GraftMatviews {
+
+  def sidecar(dir: File): File = new File(dir, "_graft_matview")
+
+  final case class Spec(srcDir: String, aggSql: String, mergeSql: String,
+      lastVersion: Long)
+
+  private def enc(s: String): String =
+    URLEncoder.encode(s, StandardCharsets.UTF_8)
+
+  private def dec(s: String): String =
+    URLDecoder.decode(s, StandardCharsets.UTF_8)
+
+  def readSpec(viewDir: File): Spec = {
+    val f = sidecar(viewDir)
+    require(f.isFile, s"graft matview: $viewDir has no _graft_matview " +
+      "sidecar (not a materialized view)")
+    val line = new String(Files.readAllBytes(f.toPath),
+      StandardCharsets.UTF_8).trim
+    line.split("\t", -1) match {
+      case Array(src, agg, merge, v) =>
+        Spec(dec(src), dec(agg), dec(merge), v.toLong)
+      case _ => throw new IllegalArgumentException(
+        s"graft matview: corrupt sidecar $f")
+    }
+  }
+
+  private def writeSpec(viewDir: File, spec: Spec): Unit = {
+    val tmp = new File(viewDir, "_graft_matview.staging")
+    Files.write(tmp.toPath,
+      (enc(spec.srcDir) + "\t" + enc(spec.aggSql) + "\t" +
+        enc(spec.mergeSql) + "\t" + spec.lastVersion + "\n")
+        .getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp.toPath, sidecar(viewDir).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private val viewSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  private def currentVersion(srcDir: String): Long =
+    AvroFileSource.readSnapshots(new File(srcDir))
+      .lastOption.map(_.version).getOrElse(0L)
+
+  /** Full initial build: partial SQL over the whole source, combined
+    * once (validates the split), written as the matview table. Returns
+    * the source version the view now reflects.
+    */
+  def create(spark: SparkSession, viewDir: String, srcDir: String,
+      aggSql: String, mergeSql: String): Long = {
+    require(aggSql.contains("__SRC__"),
+      "graft matview: aggregate SQL must read FROM __SRC__")
+    require(mergeSql.contains("__ACC__"),
+      "graft matview: combine SQL must read FROM __ACC__")
+    require(!sidecar(new File(viewDir)).isFile,
+      s"graft matview: $viewDir already is a materialized view " +
+        "(drop it first)")
+    val ver = currentVersion(srcDir)
+    val id = viewSeq.incrementAndGet()
+    val srcView = s"graft_mv_src_$id"
+    val accView = s"graft_mv_acc_$id"
+    spark.read.format("graft-avro").load(srcDir)
+      .createOrReplaceTempView(srcView)
+    val partial = spark.sql(aggSql.replace("__SRC__", srcView))
+    partial.createOrReplaceTempView(accView)
+    val combined = spark.sql(mergeSql.replace("__ACC__", accView))
+    // names + types only: aggregates legitimately flip nullability
+    // (count(*) is non-null, sum-of-counts is nullable)
+    require(combined.schema.map(f => (f.name, f.dataType)) ==
+        partial.schema.map(f => (f.name, f.dataType)),
+      "graft matview: combine SQL must preserve the partial schema — " +
+        s"partial ${partial.schema.simpleString} vs combined " +
+        combined.schema.simpleString)
+    combined.write.format("graft-avro").mode("overwrite").save(viewDir)
+    writeSpec(new File(viewDir), Spec(
+      new File(srcDir).getCanonicalPath, aggSql, mergeSql, ver))
+    ver
+  }
+
+  /** Incremental refresh: partials over the source's new versions,
+    * combined with the current (already aggregated) view rows, and the
+    * view overwritten. Returns (fromExclusive, to) — equal when the
+    * source has not moved and the refresh was a no-op.
+    */
+  def refresh(spark: SparkSession, viewDir: String): (Long, Long) = {
+    val spec = readSpec(new File(viewDir))
+    val cur = currentVersion(spec.srcDir)
+    if (cur == spec.lastVersion) return (cur, cur)
+    require(cur > spec.lastVersion,
+      s"graft matview: source went BACKWARDS (v$cur < " +
+        s"v${spec.lastVersion}) — rolled back or expired; recreate " +
+        "the view")
+    val id = viewSeq.incrementAndGet()
+    val srcView = s"graft_mv_src_$id"
+    val accView = s"graft_mv_acc_$id"
+    // additive-only incremental read: deletes/overwrites since the
+    // last refresh fail here, loudly
+    spark.read.format("graft-avro")
+      .option("fromVersion", spec.lastVersion.toString)
+      .option("toVersion", cur.toString)
+      .load(spec.srcDir)
+      .createOrReplaceTempView(srcView)
+    val deltaPartial = spark.sql(spec.aggSql.replace("__SRC__", srcView))
+    spark.read.format("graft-avro").load(viewDir)
+      .unionByName(deltaPartial)
+      .createOrReplaceTempView(accView)
+    // materialize BEFORE the same-directory overwrite (the
+    // compactInPlace rule: a lazy plan would scan mid-replace)
+    val merged = spark.sql(spec.mergeSql.replace("__ACC__", accView))
+      .localCheckpoint(true)
+    merged.write.format("graft-avro").mode("overwrite").save(viewDir)
+    writeSpec(new File(viewDir), spec.copy(lastVersion = cur))
+    (spec.lastVersion, cur)
+  }
+}

@@ -35,7 +35,8 @@ object GraftProcedures {
 
   def names: Seq[String] = Seq("rollback_to_version", "expire_snapshots",
     "create_tag", "drop_tag", "add_constraint", "drop_constraint",
-    "compact", "remove_orphans", "add_files", "create_view", "drop_view")
+    "compact", "remove_orphans", "add_files", "create_view", "drop_view",
+    "create_matview", "refresh_matview")
 
   /** One result row (catalyst values, strings as UTF8String). */
   private case class ResultScan(schema: StructType, row: Seq[Any])
@@ -223,6 +224,47 @@ object GraftProcedures {
           require(f.isFile, s"graft catalog: no view $ident to drop")
           require(f.delete(), s"graft catalog: could not delete $f")
           (out("dropped" -> StringType), Seq(ref.copy()))
+        })
+      case "create_matview" => new Proc(name,
+        "materialize a partial/combine aggregate over a source table " +
+          "(agg_sql reads __SRC__, merge_sql combines __ACC__); " +
+          "refresh_matview later folds in only new source versions",
+        Array(param("view", StringType), param("source", StringType),
+          param("agg_sql", StringType), param("merge_sql", StringType)),
+        in => {
+          val viewRef = in.getUTF8String(0)
+          val srcRef = in.getUTF8String(1)
+          val aggSql = in.getUTF8String(2)
+          val mergeSql = in.getUTF8String(3)
+          require(viewRef != null && srcRef != null && aggSql != null &&
+            mergeSql != null,
+            "graft procedure: create_matview arguments must be non-null")
+          val ident = cat.parseRef(viewRef.toString)
+          val nsD = cat.namespaceDir(ident.namespace())
+          require(nsD.isDirectory,
+            s"graft catalog: no namespace ${ident.namespace().mkString(".")}")
+          require(!cat.tableExistsIdent(ident),
+            s"graft catalog: a table named $ident already exists")
+          require(!GraftViews.viewFile(nsD, ident.name()).isFile,
+            s"graft catalog: a view named $ident already exists")
+          val srcDir = cat.resolveTableDir(srcRef.toString)
+          val v = GraftMatviews.create(
+            org.apache.spark.sql.SparkSession.active,
+            cat.tableDirIdent(ident).getPath, srcDir.getPath,
+            aggSql.toString, mergeSql.toString)
+          (out("view" -> StringType, "source_version" -> LongType),
+            Seq(viewRef.copy(), v))
+        })
+      case "refresh_matview" => new Proc(name,
+        "fold the source's new versions into a materialized view " +
+          "(additive-only incremental read; rewritten history fails " +
+          "loudly — recreate the view)",
+        Array(param("view", StringType)),
+        in => {
+          val (from, to) = GraftMatviews.refresh(
+            org.apache.spark.sql.SparkSession.active, dirOf(in))
+          (out("from_version" -> LongType, "to_version" -> LongType),
+            Seq(from, to))
         })
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unknown procedure system.$other " +

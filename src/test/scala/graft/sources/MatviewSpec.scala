@@ -1,0 +1,93 @@
+package graft.sources
+
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+import graft.operators.Catalog
+
+/** Incremental materialized views (GraftMatviews): refresh must equal a
+  * full recompute while reading only the source delta, a no-op refresh
+  * must report so, and every unsound shortcut — rewritten source
+  * history, double create — must fail loudly.
+  */
+class MatviewSpec extends AnyFunSuite with SparkSpec with Matchers {
+
+  private val agg =
+    """SELECT k, count(*) AS n,
+      |  CAST(sum(CAST(v AS BIGINT)) AS BIGINT) AS s
+      |FROM __SRC__ GROUP BY k""".stripMargin
+  private val merge =
+    """SELECT k, CAST(sum(n) AS BIGINT) AS n,
+      |  CAST(sum(s) AS BIGINT) AS s
+      |FROM __ACC__ GROUP BY k""".stripMargin
+
+  private def writeGen(dir: String, from: Int, until: Int,
+      mode: String): Unit = {
+    val s = spark
+    import s.implicits._
+    (from until until).map(i => (i.toLong % 7, i.toLong))
+      .toDF("k", "v")
+      .write.format("graft-avro").mode(mode).save(dir)
+  }
+
+  private def viewRows(dir: String): Map[Long, (Long, Long)] =
+    spark.read.format("graft-avro").load(dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+
+  test("refresh equals full recompute and reads only the delta") {
+    val src = Catalog.tempDir("graft_mv_src")
+    val mv = Catalog.tempDir("graft_mv_view")
+    writeGen(src, 0, 100, "overwrite") // v1
+    val v0 = GraftMatviews.create(spark, mv, src, agg, merge)
+    v0 shouldBe 1L
+
+    writeGen(src, 100, 150, "append") // v2
+    writeGen(src, 150, 230, "append") // v3
+    val (from, to) = GraftMatviews.refresh(spark, mv)
+    (from, to) shouldBe (1L, 3L)
+
+    val expect = (0 until 230).groupBy(_ % 7).map { case (k, vs) =>
+      k.toLong -> (vs.size.toLong, vs.map(_.toLong).sum)
+    }
+    viewRows(mv) shouldBe expect
+
+    // the source has not moved: refresh reports a no-op
+    val (f2, t2) = GraftMatviews.refresh(spark, mv)
+    f2 shouldBe t2
+    viewRows(mv) shouldBe expect
+  }
+
+  test("rewritten source history fails the refresh loudly") {
+    val src = Catalog.tempDir("graft_mv_src2")
+    val mv = Catalog.tempDir("graft_mv_view2")
+    writeGen(src, 0, 50, "overwrite")
+    GraftMatviews.create(spark, mv, src, agg, merge)
+    writeGen(src, 50, 80, "append")
+    // an equality delete makes the window non-additive
+    AvroMaintenance.deleteWhere(spark, src, "k", Seq(3L))
+    val e = intercept[Exception] {
+      GraftMatviews.refresh(spark, mv)
+    }
+    e.getMessage.toLowerCase should include regex "additive|delete"
+  }
+
+  test("double create and refresh of a non-view fail with diagnoses") {
+    val src = Catalog.tempDir("graft_mv_src3")
+    val mv = Catalog.tempDir("graft_mv_view3")
+    writeGen(src, 0, 10, "overwrite")
+    GraftMatviews.create(spark, mv, src, agg, merge)
+    intercept[IllegalArgumentException] {
+      GraftMatviews.create(spark, mv, src, agg, merge)
+    }.getMessage should include("already")
+    intercept[IllegalArgumentException] {
+      GraftMatviews.refresh(spark, src)
+    }.getMessage should include("_graft_matview")
+    intercept[IllegalArgumentException] {
+      GraftMatviews.create(spark, Catalog.tempDir("graft_mv_view4"),
+        src, "SELECT k FROM nowhere", merge)
+    }.getMessage should include("__SRC__")
+  }
+}
