@@ -118,6 +118,46 @@ object Advanced extends Catalog {
         .orderBy("t1", "t2")
     }),
 
+    // Spatial radius self-join via GRID BUCKETING: points (md5-derived
+    // integer coords on a 1000×1000 plane) pair up iff dist² ≤ 100.
+    // Each point replicates into its 3×3 neighborhood of 10×10 cells
+    // and joins the other side's HOME cell — an equi-join on cell keys
+    // whose candidate set is the density-bounded neighborhood, never
+    // the N² plane; each true pair surfaces exactly once (the partner
+    // home cell is unique). The oracle deliberately evaluates the
+    // NAIVE all-pairs filter — a genuinely different plan reaching the
+    // same rows, so a grid that misses a boundary-straddling pair (the
+    // classic off-by-one-cell bug) breaks the hash. Scale shape: one
+    // 9× replication + one shuffle on cell keys; AQE handles dense-
+    // cell skew the same way it handles any hot join key.
+    "q_spatial_grid" -> ((s, dir) => {
+      val pts = table(s, dir, "customer")
+        .select(F.col("c_custkey").as("id"),
+          F.col("c_mktsegment").as("seg"),
+          F.expr("CAST(conv(substring(md5(CAST(c_custkey AS STRING)), 1, 6), 16, 10) AS BIGINT) % 1000").as("x"),
+          F.expr("CAST(conv(substring(md5(CAST(c_custkey AS STRING)), 7, 6), 16, 10) AS BIGINT) % 1000").as("y"))
+      val probe = pts
+        .withColumn("dx", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .withColumn("dy", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .select(F.col("id").as("a_id"), F.col("seg"),
+          F.col("x").as("ax"), F.col("y").as("ay"),
+          (F.expr("x div 10") + F.col("dx")).as("cx"),
+          (F.expr("y div 10") + F.col("dy")).as("cy"))
+      val home = pts.select(F.col("id").as("b_id"),
+        F.col("x").as("bx"), F.col("y").as("by"),
+        F.expr("x div 10").as("cx"), F.expr("y div 10").as("cy"))
+      probe.join(home, Seq("cx", "cy"))
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("d2",
+          (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) +
+            (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by")))
+        .filter(F.col("d2") <= 100)
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).as("n_pairs"),
+          F.sum("d2").cast("long").as("sum_d2"))
+        .orderBy("seg")
+    }),
+
     // Count-min-sketch heavy hitters over document tokens, with the sketch
     // accuracy contract checked in-engine (cf. Sketches.scala): the CMS
     // estimate must over-approximate (no under-counting, structurally) and
@@ -684,6 +724,27 @@ object Advanced extends Catalog {
          FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
          WHERE length(token) > 0
          GROUP BY token ORDER BY exact_cnt DESC, token LIMIT 10""",
+    // the NAIVE all-pairs evaluation of the same radius predicate — a
+    // different plan whose agreement proves the grid loses no
+    // boundary-straddling pair; a < b orientation matches the gate
+    "q_spatial_grid" ->
+      """WITH pts AS (
+           SELECT c_custkey AS id, c_mktsegment AS seg,
+                  CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)),
+                               1, 6) AS BIGINT) % 1000 AS x,
+                  CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)),
+                               7, 6) AS BIGINT) % 1000 AS y
+           FROM customer),
+         pairs AS (
+           SELECT a.seg,
+                  (a.x - b.x) * (a.x - b.x)
+                    + (a.y - b.y) * (a.y - b.y) AS d2
+           FROM pts a JOIN pts b ON a.id < b.id
+           WHERE (a.x - b.x) * (a.x - b.x)
+                   + (a.y - b.y) * (a.y - b.y) <= 100)
+         SELECT seg, count(*) AS n_pairs,
+                CAST(sum(d2) AS BIGINT) AS sum_d2
+         FROM pairs GROUP BY seg ORDER BY seg""",
     // identical word algebra: << for shiftleft, // for div; engaged
     // pairs are distinct so the word value sum IS the bitwise OR
     "q_bitmap_users" ->
