@@ -174,6 +174,30 @@ object AvroMaintenance {
   def clusterBy(spark: SparkSession, in: String, out: String,
       colX: String, colY: String, targetFiles: Int,
       curve: String = "z"): Int = {
+    clustered(spark, in, colX, colY, targetFiles, curve)
+      .write.format("graft-avro").mode("overwrite").save(out)
+    targetFiles
+  }
+
+  /** In-place re-layout (`CALL system.cluster`): the same space-curve
+    * sort written back over the source table. The clustered rows are
+    * materialized BEFORE the overwrite (the compactInPlace rule — a
+    * lazy plan would scan the directory mid-replace); the replaced
+    * generation archives through the normal overwrite commit, so time
+    * travel across the re-layout works.
+    */
+  def clusterInPlace(spark: SparkSession, dir: String,
+      colX: String, colY: String, targetFiles: Int,
+      curve: String = "z"): Int = {
+    clustered(spark, dir, colX, colY, targetFiles, curve)
+      .localCheckpoint(true)
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    targetFiles
+  }
+
+  private def clustered(spark: SparkSession, in: String,
+      colX: String, colY: String, targetFiles: Int,
+      curve: String): org.apache.spark.sql.DataFrame = {
     require(targetFiles >= 1, s"target files $targetFiles")
     require(curve == "z" || curve == "hilbert", s"unknown curve '$curve'")
     import org.apache.spark.sql.functions.{col => c, lit, max, min}
@@ -202,8 +226,6 @@ object AvroMaintenance {
       .repartitionByRange(targetFiles, c("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-      .write.format("graft-avro").mode("overwrite").save(out)
-    targetFiles
   }
 
   // ------------------------------------------------------------------

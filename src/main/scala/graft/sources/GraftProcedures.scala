@@ -35,8 +35,8 @@ object GraftProcedures {
 
   def names: Seq[String] = Seq("rollback_to_version", "expire_snapshots",
     "create_tag", "drop_tag", "add_constraint", "drop_constraint",
-    "compact", "remove_orphans", "add_files", "create_view", "drop_view",
-    "create_matview", "refresh_matview")
+    "compact", "cluster", "remove_orphans", "add_files", "create_view",
+    "drop_view", "create_matview", "refresh_matview")
 
   /** One result row (catalyst values, strings as UTF8String). */
   private case class ResultScan(schema: StructType, row: Seq[Any])
@@ -132,6 +132,24 @@ object GraftProcedures {
           val n = AvroMaintenance.compactInPlace(
             org.apache.spark.sql.SparkSession.active, dirOf(in),
             in.getLong(1))
+          (out("files_written" -> LongType), Seq(n.toLong))
+        })
+      case "cluster" => new Proc(name,
+        "in-place space-curve re-layout on two columns ('z' or " +
+          "'hilbert'): co-locates value neighborhoods so zone pruning " +
+          "bites on both dimensions",
+        Array(param("table", StringType), param("col_x", StringType),
+          param("col_y", StringType), param("target_files", IntegerType),
+          param("curve", StringType)),
+        in => {
+          val cx = in.getUTF8String(1)
+          val cy = in.getUTF8String(2)
+          val curve = in.getUTF8String(4)
+          require(cx != null && cy != null && curve != null,
+            "graft procedure: cluster arguments must be non-null")
+          val n = AvroMaintenance.clusterInPlace(
+            org.apache.spark.sql.SparkSession.active, dirOf(in),
+            cx.toString, cy.toString, in.getInt(3), curve.toString)
           (out("files_written" -> LongType), Seq(n.toLong))
         })
       case "remove_orphans" => new Proc(name,

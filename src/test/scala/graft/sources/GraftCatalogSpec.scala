@@ -270,6 +270,34 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec with Matchers {
     all(parts.map(_.getLong(2))) should be > 0L
   }
 
+  test("CALL cluster: in-place z-order re-layout, rows intact, travelable") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_t.lab11z")
+    spark.sql("DROP TABLE IF EXISTS graft_t.lab11z.zc")
+    spark.sql("""CREATE TABLE graft_t.lab11z.zc AS
+                |SELECT id AS a, (id * 37) % 1000 AS b, id * 2 AS v
+                |FROM range(2000)""".stripMargin)
+    val before = spark.sql(
+      "SELECT CAST(sum(a) AS BIGINT), CAST(sum(v) AS BIGINT), count(*) " +
+        "FROM graft_t.lab11z.zc").head()
+    val n = spark.sql(
+      "CALL graft_t.system.cluster('lab11z.zc', 'a', 'b', 4, 'z')").head()
+    n.getLong(0) shouldBe 4L
+    spark.sql(
+      "SELECT CAST(sum(a) AS BIGINT), CAST(sum(v) AS BIGINT), count(*) " +
+        "FROM graft_t.lab11z.zc").head() shouldBe before
+    // the re-layout is its own snapshot: travel to v1 still serves the
+    // pre-cluster generation
+    spark.sql("SELECT count(*) FROM graft_t.lab11z.zc VERSION AS OF 1")
+      .head().getLong(0) shouldBe 2000L
+    spark.sql("SELECT count(*) FROM graft_t.lab11z.zc.files")
+      .head().getLong(0) shouldBe 4L
+    intercept[Exception] {
+      spark.sql(
+        "CALL graft_t.system.cluster('lab11z.zc', 'a', 'b', 4, 'peano')")
+    }.getMessage should include("curve")
+  }
+
   test("CALL compact: in-place bin-pack materializes deletes, history intact") {
     init()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_t.lab12")
