@@ -596,6 +596,48 @@ object LlmDedup extends Catalog {
         .orderBy("doc_id")
     }),
 
+    // MOSS-style overlap detection on WINNOWING fingerprints (the
+    // application the SIGMOD'03 selection exists for): docs sharing
+    // >= 5 selected fingerprint hashes are reported as likely-overlap
+    // pairs. The pair join runs per fingerprint BUCKET, and hashes
+    // selected in > 20 docs are dropped first — the standard MOSS
+    // stop-fingerprint move (a boilerplate gram everyone shares would
+    // otherwise make one bucket quadratic); with the cap, candidate
+    // work is bounded by cap² per hash. Same k=5/w=4 parameters and
+    // packed-argmin window MIN as llm_winnow.
+    "llm_winnow_pairs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val g = table(s, dir, "documents")
+        .filter(F.length(F.col("text")) >= 8)
+        .select(F.col("doc_id"),
+          (F.length(F.col("text")) - 4).cast("long").as("n"),
+          F.posexplode(F.expr(
+            """transform(sequence(1, length(text) - 4),
+              |  i -> cast(conv(substring(md5(substring(text, i, 5)),
+              |                 1, 8), 16, 10) as bigint))""".stripMargin))
+            .as(Seq("pos0", "h")))
+        .select(F.col("doc_id"), F.col("n"),
+          (F.col("pos0") + 1).cast("long").as("i"),
+          (F.col("h") * 2097152L +
+            (F.lit(1048576L) - F.col("pos0") - 1L)).as("v"))
+      val sel = g.withColumn("mv", F.min("v").over(
+          Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)))
+        .filter(F.col("i") <= F.col("n") - 3)
+        .select(F.col("doc_id"), F.expr("mv div 2097152").as("h"))
+        .distinct()
+      val keep = sel.groupBy("h").agg(F.count(F.lit(1)).as("df"))
+        .filter(F.col("df").between(2, 20)).select("h")
+      val mk = sel.join(keep, "h")
+      mk.as("a")
+        .join(mk.as("b"), F.col("a.h") === F.col("b.h") &&
+          F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").as("a_id"),
+          F.col("b.doc_id").as("b_id"))
+        .agg(F.count(F.lit(1)).as("n_shared"))
+        .filter(F.col("n_shared") >= 5)
+        .orderBy("a_id", "b_id")
+    }),
+
     // Content-defined chunking (the gear/Rabin boundary trick behind
     // FastCDC and storage dedup, here for shared-paragraph detection):
     // a cut lands wherever the local 8-gram hash ≡ 0 (mod 64), so
@@ -666,6 +708,31 @@ object LlmDedup extends Catalog {
                 CAST(sum(e - s + 1) AS BIGINT) AS dup_chars,
                 CAST(max(e - s + 1) AS BIGINT) AS max_span
          FROM spans GROUP BY doc_id ORDER BY doc_id""",
+    // same winnow selection (packed argmin, window MIN), then the
+    // stop-fingerprint cap and the per-bucket pair join
+    "llm_winnow_pairs" ->
+      """WITH d AS (SELECT doc_id, text, length(text) - 4 AS n
+                    FROM documents WHERE length(text) >= 8),
+         g AS (SELECT doc_id, n, i,
+                      CAST('0x' || substr(md5(substr(text, CAST(i AS INT), 5)),
+                                          1, 8) AS BIGINT)
+                        * 2097152 + (1048576 - i) AS v
+               FROM d, unnest(generate_series(1, n)) t(i)),
+         m AS (SELECT doc_id, n, i,
+                      min(v) OVER (PARTITION BY doc_id ORDER BY i
+                                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                        AS mv
+               FROM g),
+         sel AS (SELECT DISTINCT doc_id, mv // 2097152 AS h
+                 FROM m WHERE i <= n - 3),
+         keep AS (SELECT h FROM sel GROUP BY h
+                  HAVING count(*) BETWEEN 2 AND 20),
+         mk AS (SELECT s.doc_id, s.h FROM sel s JOIN keep USING (h))
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                count(*) AS n_shared
+         FROM mk a JOIN mk b ON a.h = b.h AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 5
+         ORDER BY a_id, b_id""",
     // same pure boundary predicate (8-gram md5-slice ≡ 0 mod 64, cut
     // forced at position 1), chunk length from lead(); all values
     // positive so % agrees with Spark
