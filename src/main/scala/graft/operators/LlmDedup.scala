@@ -607,19 +607,19 @@ object LlmDedup extends Catalog {
     // packed-argmin window MIN as llm_winnow.
     "llm_winnow_pairs" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // positions explode FIRST so the md5 hash runs codegen'd, not in
+      // an interpreted transform() lambda (same rewrite as llm_winnow)
       val g = table(s, dir, "documents")
         .filter(F.length(F.col("text")) >= 8)
-        .select(F.col("doc_id"),
+        .select(F.col("doc_id"), F.col("text"),
           (F.length(F.col("text")) - 4).cast("long").as("n"),
-          F.posexplode(F.expr(
-            """transform(sequence(1, length(text) - 4),
-              |  i -> cast(conv(substring(md5(substring(text, i, 5)),
-              |                 1, 8), 16, 10) as bigint))""".stripMargin))
-            .as(Seq("pos0", "h")))
+          F.explode(F.sequence(F.lit(1),
+            (F.length(F.col("text")) - 4))).as("iRaw"))
         .select(F.col("doc_id"), F.col("n"),
-          (F.col("pos0") + 1).cast("long").as("i"),
-          (F.col("h") * 2097152L +
-            (F.lit(1048576L) - F.col("pos0") - 1L)).as("v"))
+          F.col("iRaw").cast("long").as("i"),
+          (F.expr("""cast(conv(substring(md5(substring(text, iRaw, 5)),
+                         1, 8), 16, 10) as bigint)""") * 2097152L +
+            (F.lit(1048576L) - F.col("iRaw").cast("long"))).as("v"))
       val sel = g.withColumn("mv", F.min("v").over(
           Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)))
         .filter(F.col("i") <= F.col("n") - 3)

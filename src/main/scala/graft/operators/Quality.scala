@@ -123,7 +123,41 @@ object Quality extends Catalog {
           F.expr("(length(seq) - length(replace(seq, 'vp', ''))) div 2")
             .as("n_vp"),
           F.col("seq").rlike("s.*p").as("matched"))
-        .orderBy("user_id"))
+        .orderBy("user_id")),
+
+    // WINSORIZATION on exact order statistics: per group, clamp values
+    // at the p05/p95 ranks before aggregating — the robust-mean move
+    // that keeps a fat-tailed metric from being owned by outliers.
+    // Rank positions come from row_number over integer cents (the
+    // VALUE at rank k is the k-th order statistic regardless of how
+    // ties permute), bounds join back as a 3-row broadcast. One sort
+    // shuffle per group — the same cost as any exact percentile.
+    "q_winsorize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cents = table(s, dir, "lineitem")
+        .select(F.col("l_returnflag").as("flag"),
+          F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("c"))
+      val n = cents.groupBy("flag").agg(F.count(F.lit(1)).as("n"))
+        .select(F.col("flag"), F.col("n"),
+          F.expr("greatest(1L, (5 * n) div 100)").as("k05"),
+          F.expr("greatest(1L, (95 * n) div 100)").as("k95"))
+      val ranked = cents.withColumn("rn", F.row_number().over(
+          Window.partitionBy("flag").orderBy("c")).cast("long"))
+        .join(F.broadcast(n), "flag")
+      val bounds = ranked
+        .filter(F.col("rn") === F.col("k05") ||
+          F.col("rn") === F.col("k95"))
+        .groupBy("flag")
+        .agg(F.min("c").as("lo"), F.max("c").as("hi"))
+      cents.join(F.broadcast(bounds), "flag")
+        .select(F.col("flag"), F.col("lo"), F.col("hi"),
+          F.expr("least(greatest(c, lo), hi)").as("w"))
+        .groupBy("flag", "lo", "hi")
+        .agg(F.count(F.lit(1)).as("n_rows"),
+          F.sum("w").cast("long").as("winsor_cents"))
+        .select("flag", "n_rows", "lo", "hi", "winsor_cents")
+        .orderBy("flag")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -179,6 +213,32 @@ object Quality extends Catalog {
                 CAST(length(seq) AS BIGINT) AS seq_len,
                 (length(seq) - length(replace(seq, 'vp', ''))) // 2 AS n_vp,
                 regexp_matches(seq, 's.*p') AS matched
-         FROM seqs ORDER BY user_id"""
+         FROM seqs ORDER BY user_id""",
+    // identical rank arithmetic: the value at row_number k is the k-th
+    // order statistic however ties permute; // ≡ div on positive n
+    "q_winsorize" ->
+      """WITH cents AS (
+           SELECT l_returnflag AS flag,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+           FROM lineitem),
+         grp AS (
+           SELECT flag, count(*) AS n,
+                  greatest(1, (5 * count(*)) // 100) AS k05,
+                  greatest(1, (95 * count(*)) // 100) AS k95
+           FROM cents GROUP BY flag),
+         ranked AS (
+           SELECT flag, c,
+                  row_number() OVER (PARTITION BY flag ORDER BY c) AS rn
+           FROM cents),
+         bounds AS (
+           SELECT r.flag, min(r.c) AS lo, max(r.c) AS hi
+           FROM ranked r JOIN grp g ON r.flag = g.flag
+           WHERE r.rn = g.k05 OR r.rn = g.k95
+           GROUP BY r.flag)
+         SELECT c.flag, count(*) AS n_rows, b.lo, b.hi,
+                CAST(sum(least(greatest(c.c, b.lo), b.hi)) AS BIGINT)
+                  AS winsor_cents
+         FROM cents c JOIN bounds b ON c.flag = b.flag
+         GROUP BY c.flag, b.lo, b.hi ORDER BY c.flag"""
   )
 }
