@@ -1478,6 +1478,32 @@ object AvroGates extends Catalog {
       byId.unionByName(bySrc).orderBy("probe")
     }),
 
+    // TRIGRAM bloom sidecars under the oracle: substring predicates
+    // (LIKE '%s%' / prefix / suffix) read through the trigram-pruned
+    // path and must return exactly what an unindexed scan of the same
+    // corpus returns — a trigram set that wrongly prunes a file
+    // holding a match (the only unsound failure mode) breaks counts
+    // and sums against DuckDB's direct evaluation.
+    "q_avro_trigram" -> ((s, dir) => {
+      val tmp = tempDir("graft_gate_trgm")
+      table(s, dir, "documents")
+        .repartition(12, F.col("doc_id"))
+        .write.format("graft-avro").option("trigramFor", "text,source")
+        .mode("overwrite").save(tmp)
+      val t = s.read.format("graft-avro").load(tmp)
+      def probe(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(F.count(F.lit(1)).as("n_rows"),
+          F.coalesce(F.sum("n_chars"), F.lit(0L)).as("chars"))
+          .select(F.lit(name).as("probe"), F.col("n_rows"),
+            F.col("chars"))
+      probe("contains", t.filter(F.col("text").contains("the")))
+        .unionByName(probe("absent",
+          t.filter(F.col("text").contains("zqxjkvbn"))))
+        .unionByName(probe("prefix",
+          t.filter(F.col("source").startsWith("src1"))))
+        .orderBy("probe")
+    }),
+
     // Incremental (CDC-style) consumption off the snapshot journal: the
     // nightly-ETL primitive — "give me exactly the rows appended since
     // my last watermark version" without rescanning history. Changeset
@@ -1802,6 +1828,21 @@ object AvroGates extends Catalog {
          UNION ALL
          SELECT 'by_source', count(*), CAST(sum(n_chars) AS BIGINT)
          FROM documents WHERE source = 'src7'
+         ORDER BY probe""",
+    // DuckDB evaluates the substring predicates directly — agreement
+    // proves the trigram-pruned read lost no matching file
+    "q_avro_trigram" ->
+      """SELECT 'contains' AS probe, count(*) AS n_rows,
+                coalesce(CAST(sum(n_chars) AS BIGINT), 0) AS chars
+         FROM documents WHERE contains(text, 'the')
+         UNION ALL
+         SELECT 'absent', count(*),
+                coalesce(CAST(sum(n_chars) AS BIGINT), 0)
+         FROM documents WHERE contains(text, 'zqxjkvbn')
+         UNION ALL
+         SELECT 'prefix', count(*),
+                coalesce(CAST(sum(n_chars) AS BIGINT), 0)
+         FROM documents WHERE starts_with(source, 'src1')
          ORDER BY probe""",
     // range (1, latest] = regionkeys 1..3; (2, 3] = regionkeys 2..3;
     // (0, latest] = the whole table

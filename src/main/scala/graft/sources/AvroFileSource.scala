@@ -659,6 +659,17 @@ object AvroFileSource {
     true
   }
 
+  /** Trigram bloom entries ride the SAME `_graft_blooms` manifest under
+    * this type tag; the equality reader's `recorded type == read type`
+    * guard drops them (and this reader drops equality entries), so the
+    * two kinds can never answer each other's membership questions.
+    */
+  val TrigramTypeTag = "trigram:string"
+
+  private[sources] def trigramsOf(s: String): Seq[String] =
+    if (s.length < 3) Nil
+    else (0 to s.length - 3).map(i => s.substring(i, i + 3))
+
   /** Column types whose canonical toString is identical between the
     * writer's external value and a pushed-filter/join-key literal.
     */
@@ -715,7 +726,8 @@ object AvroFileSource {
 
   private[sources] def readBlooms(bf: File, base: File, full: StructType,
       cols: Set[String] = null,
-      maxEntries: Int = MaxBloomEntriesPerScan)
+      maxEntries: Int = MaxBloomEntriesPerScan,
+      trigram: Boolean = false)
       : Map[String, Map[String, Array[Long]]] = {
     bloomManifestReads.incrementAndGet()
     var decoded = 0
@@ -726,7 +738,10 @@ object AvroFileSource {
           for {
             dt <- AvroFilterEval.leafType(full, col)
             if (cols == null || cols.contains(col)) &&
-              dt.simpleString == dtName && bloomableType(dt)
+              (if (trigram)
+                dtName == TrigramTypeTag &&
+                  dt == org.apache.spark.sql.types.StringType
+              else dt.simpleString == dtName && bloomableType(dt))
             bytes <- scala.util.Try(
               java.util.Base64.getDecoder.decode(b64)).toOption
             if bytes.length == BloomBits / 8
@@ -1785,6 +1800,8 @@ case class AvroTable(path: String, tableSchema: StructType,
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
       Option(info.options().get("ndvFor")).toSeq
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
+      Option(info.options().get("trigramFor")).toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
       branchWrite = branchW.nonEmpty,
       requestSort =
         Option(info.options().get("requestSort")).exists(_.toBoolean),
@@ -2476,6 +2493,72 @@ class AvroScanBuilder(path: String, full: StructType,
           }
         }
 
+      /** Substring-predicate columns some pushed filter can test
+        * against a TRIGRAM bloom: contains / startsWith / endsWith
+        * needles of length >= 3 (prefix and suffix matches imply
+        * containment, so the same entry serves all three).
+        */
+      private def trigramRelevantCols(): Set[String] = {
+        import org.apache.spark.sql.sources._
+        filters.toSeq.collect {
+          case StringContains(c, v) if v != null && v.length >= 3 => c
+          case StringStartsWith(c, v) if v != null && v.length >= 3 => c
+          case StringEndsWith(c, v) if v != null && v.length >= 3 => c
+        }.toSet
+      }
+
+      @volatile private var trigramCache
+          : Option[(Set[String], Map[String, Map[String, Array[Long]]])] =
+        None
+
+      private def trigramsAll: Map[String, Map[String, Array[Long]]] =
+        if (travelVersion.nonEmpty || incRange.nonEmpty || branch.nonEmpty)
+          Map.empty
+        else {
+          val rel = trigramRelevantCols()
+          if (rel.isEmpty) Map.empty
+          else trigramCache match {
+            case Some((cols, m)) if cols == rel => m
+            case _ =>
+              val dir = new File(path)
+              val bf = AvroFileSource.bloomFile(dir)
+              val m =
+                if (bf.isFile)
+                  AvroFileSource.readBlooms(bf, dir, full, rel,
+                    trigram = true)
+                else Map.empty[String, Map[String, Array[Long]]]
+              trigramCache = Some((rel, m))
+              m
+          }
+        }
+
+      /** Substring pruning: a row containing needle s necessarily
+        * contains EVERY trigram of s, so a file whose trigram bloom
+        * definitely lacks one of them holds no match. Bloom false
+        * positives only cause keeps; absence of an entry ⇒ keep.
+        */
+      private def trigramMayKeep(f: File): Boolean =
+        trigramsAll.isEmpty || {
+          val byCol = trigramsAll.getOrElse(f.getAbsolutePath, Map.empty)
+          byCol.isEmpty || {
+            import org.apache.spark.sql.sources._
+            def ok(c: String, v: String): Boolean = byCol.get(c) match {
+              case None => true
+              case Some(bits) => AvroFileSource.trigramsOf(v)
+                .forall(AvroFileSource.bloomMightContain(bits, _))
+            }
+            filters.forall {
+              case StringContains(c, v) if v != null && v.length >= 3 =>
+                ok(c, v)
+              case StringStartsWith(c, v) if v != null && v.length >= 3 =>
+                ok(c, v)
+              case StringEndsWith(c, v) if v != null && v.length >= 3 =>
+                ok(c, v)
+              case _ => true
+            }
+          }
+        }
+
       private def zoneMayKeep(f: File): Boolean = {
         val sortOk = zoneRanges.get(f.getAbsolutePath) match {
           case Some((mn, mx)) => filters.forall(
@@ -2508,6 +2591,7 @@ class AvroScanBuilder(path: String, full: StructType,
             partitionMayMatch(vals) && runtimeMayMatch(vals) &&
               zoneMayKeep(f) && runtimeZoneKeep(f) &&
               bloomMayKeep(f) && runtimeBloomKeep(f) &&
+              trigramMayKeep(f) &&
               runtimeFileSet.forall(_.contains(relOf(f))) }
 
       /** Catalyst-internal key value for one partition column (SPJ keys
@@ -3348,7 +3432,8 @@ case class AvroReaderFactory(required: StructType, full: StructType,
 class AvroWriteBuilder(path: String, schema: StructType,
     codec: String = "deflate", partitionBy: Seq[String] = Nil,
     sortedBy: Option[String] = None, bloomFor: Seq[String] = Nil,
-    ndvFor: Seq[String] = Nil, branchWrite: Boolean = false,
+    ndvFor: Seq[String] = Nil, trigramFor: Seq[String] = Nil,
+    branchWrite: Boolean = false,
     requestSort: Boolean = false,
     // group-based row-level ops: at commit, archive exactly the
     // table-relative files the op's scan served, and verify the delete
@@ -3426,6 +3511,15 @@ class AvroWriteBuilder(path: String, schema: StructType,
         s"bloomFor column '$c' not in schema"))
     require(AvroFileSource.bloomableType(f.dataType),
       s"bloomFor does not support ${f.dataType.simpleString} (column '$c')")
+  }
+
+  trigramFor.foreach { c =>
+    val f = schema.fields.find(_.name == c).getOrElse(
+      throw new IllegalArgumentException(
+        s"trigramFor column '$c' not in schema"))
+    require(f.dataType == org.apache.spark.sql.types.StringType,
+      s"trigramFor only supports string columns (column '$c' is " +
+        f.dataType.simpleString + ")")
   }
 
   ndvFor.foreach { c =>
@@ -3528,7 +3622,7 @@ class AvroWriteBuilder(path: String, schema: StructType,
         new File(path).mkdirs()
         val base = AvroWriterFactory(path, schema, codec, partitionBy,
           staged = true, sortedBy = sortedBy, bloomFor = bloomFor,
-          ndvFor = ndvFor)
+          ndvFor = ndvFor, trigramFor = trigramFor)
         if (compiledChecks.isEmpty) base
         else CheckedWriterFactory(base, compiledChecks)
       }
@@ -4057,11 +4151,15 @@ private[sources] object AvroWriters {
     * representation the read side derives from a pushed filter value.
     */
   private[sources] final class BloomBuilder(schema: StructType,
-      cols: Seq[String]) {
-    import AvroFileSource.{BloomBits, BloomHashes}
+      cols: Seq[String], trigramCols: Seq[String] = Nil) {
+    import AvroFileSource.BloomBits
     private val idx = cols.map(schema.fieldIndex)
     private val bits = Array.fill(cols.size)(new Array[Long](BloomBits / 64))
     private val seen = Array.fill(cols.size)(false)
+    private val tIdx = trigramCols.map(schema.fieldIndex)
+    private val tBits =
+      Array.fill(trigramCols.size)(new Array[Long](BloomBits / 64))
+    private val tSeen = Array.fill(trigramCols.size)(false)
 
     def update(view: org.apache.spark.sql.Row): Unit = {
       var c = 0
@@ -4073,20 +4171,44 @@ private[sources] object AvroWriters {
         }
         c += 1
       }
+      c = 0
+      while (c < tIdx.length) {
+        val v = view.get(tIdx(c))
+        if (v != null) {
+          // seen flips on ANY non-null value, even ones too short to
+          // carry a trigram: an emitted all-zero set soundly prunes
+          // needles of length >= 3 that no short value can contain
+          tSeen(c) = true
+          val s = v.toString
+          var i = 0
+          while (i + 3 <= s.length) {
+            AvroFileSource.bloomAdd(tBits(c), s.substring(i, i + 3))
+            i += 1
+          }
+        }
+        c += 1
+      }
     }
 
+    private def b64(a: Array[Long]): String =
+      java.util.Base64.getEncoder.encodeToString {
+        val bb = java.nio.ByteBuffer.allocate(a.length * 8)
+        a.foreach(bb.putLong)
+        bb.array()
+      }
+
     /** (colEnc, typeName, base64 bits) per column that saw a value —
-      * all-null columns emit nothing (absence ⇒ keep, sound).
+      * all-null columns emit nothing (absence ⇒ keep, sound). Trigram
+      * entries carry [[AvroFileSource.TrigramTypeTag]] so neither
+      * reader kind can decode the other's bits.
       */
     def stats: Seq[(String, String, String)] =
       cols.indices.filter(seen).map { c =>
         (java.net.URLEncoder.encode(cols(c), "UTF-8"),
-          schema.fields(idx(c)).dataType.simpleString,
-          java.util.Base64.getEncoder.encodeToString {
-            val bb = java.nio.ByteBuffer.allocate(bits(c).length * 8)
-            bits(c).foreach(bb.putLong)
-            bb.array()
-          })
+          schema.fields(idx(c)).dataType.simpleString, b64(bits(c)))
+      } ++ trigramCols.indices.filter(tSeen).map { c =>
+        (java.net.URLEncoder.encode(trigramCols(c), "UTF-8"),
+          AvroFileSource.TrigramTypeTag, b64(tBits(c)))
       }
   }
 
@@ -4152,7 +4274,8 @@ private[sources] object AvroWriters {
       staged: Boolean = false,
       sortedBy: Option[String] = None,
       bloomFor: Seq[String] = Nil,
-      ndvFor: Seq[String] = Nil): DataWriter[InternalRow] = {
+      ndvFor: Seq[String] = Nil,
+      trigramFor: Seq[String] = Nil): DataWriter[InternalRow] = {
     val idx = partCols.map(schema.fieldIndex)
     val sortIdx = sortedBy.map(schema.fieldIndex)
     val avroSchema = AvroSchemaConverter.toAvro(schema, "topLevelRecord", None, None)
@@ -4188,8 +4311,9 @@ private[sources] object AvroWriters {
         }
         if (staged) {
           colStats.getOrElseUpdate(sub, new ColumnStats(schema)).update(view)
-          if (bloomFor.nonEmpty)
-            bloomStats.getOrElseUpdate(sub, new BloomBuilder(schema, bloomFor))
+          if (bloomFor.nonEmpty || trigramFor.nonEmpty)
+            bloomStats.getOrElseUpdate(sub,
+                new BloomBuilder(schema, bloomFor, trigramFor))
               .update(view)
           if (ndvFor.nonEmpty)
             ndvStats.getOrElseUpdate(sub, new NdvBuilder(schema, ndvFor))
@@ -4262,7 +4386,8 @@ private[sources] object AvroWriters {
       staged: Boolean = false,
       sortedBy: Option[String] = None,
       bloomFor: Seq[String] = Nil,
-      ndvFor: Seq[String] = Nil): DataWriter[InternalRow] = {
+      ndvFor: Seq[String] = Nil,
+      trigramFor: Seq[String] = Nil): DataWriter[InternalRow] = {
     val avroSchema = AvroSchemaConverter.toAvro(schema, "topLevelRecord", None, None)
     val toAvro = AvroInternalCodec.encoderFor(schema, avroSchema)
     val sortIdx = sortedBy.map(schema.fieldIndex)
@@ -4287,7 +4412,8 @@ private[sources] object AvroWriters {
       private val colStats =
         if (staged) new ColumnStats(schema) else null
       private val bloomStats =
-        if (staged && bloomFor.nonEmpty) new BloomBuilder(schema, bloomFor)
+        if (staged && (bloomFor.nonEmpty || trigramFor.nonEmpty))
+          new BloomBuilder(schema, bloomFor, trigramFor)
         else null
       private val ndvStats =
         if (staged && ndvFor.nonEmpty) new NdvBuilder(schema, ndvFor)
@@ -4347,7 +4473,8 @@ private[sources] object AvroWriters {
 case class AvroWriterFactory(path: String, schema: StructType,
     codec: String = "deflate", partitionBy: Seq[String] = Nil,
     staged: Boolean = false, sortedBy: Option[String] = None,
-    bloomFor: Seq[String] = Nil, ndvFor: Seq[String] = Nil)
+    bloomFor: Seq[String] = Nil, ndvFor: Seq[String] = Nil,
+    trigramFor: Seq[String] = Nil)
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
@@ -4361,11 +4488,12 @@ case class AvroWriterFactory(path: String, schema: StructType,
     if (partitionBy.nonEmpty)
       AvroWriters.openPartitioned(path, schema, name, partitionBy, codec,
         staged = staged, sortedBy = sortedBy, bloomFor = bloomFor,
-        ndvFor = ndvFor)
+        ndvFor = ndvFor, trigramFor = trigramFor)
     else
       AvroWriters.open(path, schema, name,
         lazyCreate = false, codec = codec, staged = staged,
-        sortedBy = sortedBy, bloomFor = bloomFor, ndvFor = ndvFor)
+        sortedBy = sortedBy, bloomFor = bloomFor, ndvFor = ndvFor,
+        trigramFor = trigramFor)
   }
 }
 
