@@ -107,7 +107,13 @@ object Tga {
       s"not an RLE-grayscale TGA (type ${bytes(2) & 0xff})")
     val w = (bytes(12) & 0xff) | ((bytes(13) & 0xff) << 8)
     val h = (bytes(14) & 0xff) | ((bytes(15) & 0xff) << 8)
-    require(w > 0 && h > 0, s"bad TGA dims ${w}x$h")
+    // product cap IN LONG: two 16-bit dims multiply past Int.MaxValue
+    // (0xffff² ≈ 4.3e9), so an unchecked w*h from a forged header
+    // wraps NEGATIVE and escapes as NegativeArraySizeException — the
+    // fuzz suite's catch. 2^26 pixels bounds the allocation at 64 MB
+    // while keeping every dim encode can emit decodable.
+    require(w > 0 && h > 0 && w.toLong * h <= (1L << 26),
+      s"bad TGA dims ${w}x$h")
     require((bytes(16) & 0xff) == 8, "only 8-bit grayscale supported")
     val desc = bytes(17) & 0xff
     require((desc & 0x10) == 0, "right-to-left TGA not supported")

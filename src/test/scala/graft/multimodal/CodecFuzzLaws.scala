@@ -254,6 +254,21 @@ object CodecFuzzLaws extends Properties("CodecFuzzLaws") {
     out <- corrupt(Tga.encode(w, h, pix))
   } yield out
 
+  // regression pin: 0xffff × 0xffff dims overflow Int in w*h — must be
+  // the controlled reject, never NegativeArraySizeException (found by
+  // the corrupted-container fuzz; the Long product cap is the fix)
+  property("Tga.decode rejects dim-product-overflow headers") = {
+    val forged = new Array[Byte](20)
+    forged(2) = 11
+    forged(12) = -1; forged(13) = -1 // w = 0xffff
+    forged(14) = -1; forged(15) = -1 // h = 0xffff
+    forged(16) = 8
+    Try(Tga.decode(forged)) match {
+      case Failure(_: IllegalArgumentException) => Prop.passed
+      case r => Prop.falsified :| s"expected controlled reject, got $r"
+    }
+  }
+
   property("Tga.decode total on junk") =
     Prop.forAll(junkGen)(b => controlled(Tga.decode(b)))
   property("Tga.decode total on corrupted containers") =
