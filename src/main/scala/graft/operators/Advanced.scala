@@ -158,6 +158,92 @@ object Advanced extends Catalog {
         .orderBy("seg")
     }),
 
+    // Grid-based DBSCAN (deterministic min-label variant): core points
+    // have >= 4 points (self included) within eps=8; clusters are the
+    // connected components of the core-core eps-graph, labeled by
+    // their minimum core id; border points (non-core within eps of a
+    // core) attach to the SMALLEST adjacent core label — textbook
+    // DBSCAN leaves border assignment scan-order-dependent, and the
+    // min rule is the standard determinization. Scale shape: the
+    // eps-neighborhood comes from the same 3×3 grid-cell join as
+    // q_spatial_grid (cell = eps, candidates bounded by local
+    // density), min-label propagation localCheckpoints per hop with a
+    // loud convergence guard, and component diameters are bounded at
+    // subcritical density (the point count is capped below continuum
+    // percolation, where one giant component would make single-label
+    // clustering meaningless anyway). Oracle: NAIVE all-pairs
+    // neighborhoods + recursive-reachability labels — two different
+    // plans, same clusters.
+    "q_spatial_dbscan" -> ((s, dir) => {
+      val pts = table(s, dir, "customer")
+        .filter(F.col("c_custkey") <= 3000)
+        .select(F.col("c_custkey").as("id"),
+          F.expr("CAST(conv(substring(md5(CAST(c_custkey AS STRING)), 1, 6), 16, 10) AS BIGINT) % 1000").as("x"),
+          F.expr("CAST(conv(substring(md5(CAST(c_custkey AS STRING)), 7, 6), 16, 10) AS BIGINT) % 1000").as("y"))
+        .localCheckpoint()
+      val probe = pts
+        .withColumn("dx", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .withColumn("dy", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .select(F.col("id").as("a_id"),
+          F.col("x").as("ax"), F.col("y").as("ay"),
+          (F.expr("x div 8") + F.col("dx")).as("cx"),
+          (F.expr("y div 8") + F.col("dy")).as("cy"))
+      val home = pts.select(F.col("id").as("b_id"),
+        F.col("x").as("bx"), F.col("y").as("by"),
+        F.expr("x div 8").as("cx"), F.expr("y div 8").as("cy"))
+      val nbr = probe.join(home, Seq("cx", "cy"))
+        .filter(F.col("a_id") =!= F.col("b_id"))
+        .filter(
+          ((F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) +
+            (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by")))
+            <= 64)
+        .select("a_id", "b_id").localCheckpoint()
+      val core = nbr.groupBy("a_id")
+        .agg((F.count(F.lit(1)) + 1).as("deg"))
+        .filter(F.col("deg") >= 4)
+        .select(F.col("a_id").as("id")).localCheckpoint()
+      val ce = nbr
+        .join(core.select(F.col("id").as("a_id")), "a_id")
+        .join(core.select(F.col("id").as("b_id")), "b_id")
+        .select(F.col("a_id").as("u"), F.col("b_id").as("v"))
+        .localCheckpoint()
+      var lab = core.select(F.col("id").as("v"))
+        .withColumn("lab", F.col("v")).localCheckpoint()
+      var fp = (-1L, -1L)
+      var round = 0
+      var done = false
+      while (!done && round < 30) {
+        round += 1
+        val prop = ce
+          .join(lab.select(F.col("v").as("u"), F.col("lab")), "u")
+          .select(F.col("v"), F.col("lab"))
+        lab = lab.unionByName(prop)
+          .groupBy("v").agg(F.min("lab").as("lab"))
+          .localCheckpoint()
+        val r = lab.agg(F.count(F.lit(1)),
+          F.coalesce(F.sum("lab"), F.lit(0L))).head()
+        val now = (r.getLong(0), r.getLong(1))
+        if (now == fp) done = true else fp = now
+      }
+      require(done, s"q_spatial_dbscan: label propagation did not " +
+        s"converge in $round rounds")
+      val border = nbr
+        .join(core.select(F.col("id").as("b_id")), "b_id")
+        .join(core.select(F.col("id").as("a_id")), Seq("a_id"),
+          "left_anti")
+        .join(lab.select(F.col("v").as("b_id"), F.col("lab")), "b_id")
+        .groupBy("a_id").agg(F.min("lab").as("lab"))
+      lab.select(F.col("lab"), F.lit(1L).as("c"), F.lit(0L).as("b"))
+        .unionByName(border.select(F.col("lab"), F.lit(0L).as("c"),
+          F.lit(1L).as("b")))
+        .groupBy("lab")
+        .agg(F.sum("c").cast("long").as("n_core"),
+          F.sum("b").cast("long").as("n_border"))
+        .select(F.col("lab").as("cluster_id"), F.col("n_core"),
+          F.col("n_border"))
+        .orderBy("cluster_id")
+    }),
+
     // Count-min-sketch heavy hitters over document tokens, with the sketch
     // accuracy contract checked in-engine (cf. Sketches.scala): the CMS
     // estimate must over-approximate (no under-counting, structurally) and
@@ -745,6 +831,48 @@ object Advanced extends Catalog {
          SELECT seg, count(*) AS n_pairs,
                 CAST(sum(d2) AS BIGINT) AS sum_d2
          FROM pairs GROUP BY seg ORDER BY seg""",
+    // naive all-pairs neighborhoods + recursive-reachability labels:
+    // a different plan than the grid join + propagation loop, same
+    // clusters (q_graph_cc's pair-set fixpoint pattern)
+    "q_spatial_dbscan" ->
+      """WITH RECURSIVE pts AS (
+           SELECT c_custkey AS id,
+                  CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)),
+                               1, 6) AS BIGINT) % 1000 AS x,
+                  CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)),
+                               7, 6) AS BIGINT) % 1000 AS y
+           FROM customer WHERE c_custkey <= 3000),
+         nbr AS (
+           SELECT a.id AS a_id, b.id AS b_id
+           FROM pts a JOIN pts b ON a.id <> b.id
+           WHERE (a.x - b.x) * (a.x - b.x)
+                   + (a.y - b.y) * (a.y - b.y) <= 64),
+         core AS (
+           SELECT a_id AS id FROM nbr
+           GROUP BY a_id HAVING count(*) + 1 >= 4),
+         ce AS (
+           SELECT n.a_id AS u, n.b_id AS v FROM nbr n
+           JOIN core c1 ON n.a_id = c1.id
+           JOIN core c2 ON n.b_id = c2.id),
+         reach(u, v) AS (
+           SELECT id AS u, id AS v FROM core
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN ce e ON r.v = e.u),
+         clab AS (SELECT u AS id, min(v) AS lab FROM reach GROUP BY u),
+         border AS (
+           SELECT n.a_id, min(cl.lab) AS lab
+           FROM nbr n
+           JOIN core c ON n.b_id = c.id
+           JOIN clab cl ON cl.id = n.b_id
+           WHERE n.a_id NOT IN (SELECT id FROM core)
+           GROUP BY n.a_id)
+         SELECT lab AS cluster_id,
+                CAST(sum(c) AS BIGINT) AS n_core,
+                CAST(sum(b) AS BIGINT) AS n_border
+         FROM (SELECT lab, 1 AS c, 0 AS b FROM clab
+               UNION ALL
+               SELECT lab, 0 AS c, 1 AS b FROM border) t
+         GROUP BY lab ORDER BY cluster_id""",
     // identical word algebra: << for shiftleft, // for div; engaged
     // pairs are distinct so the word value sum IS the bitwise OR
     "q_bitmap_users" ->
