@@ -60,6 +60,46 @@ object LlmRetrieval extends Catalog {
             .as("postings_hash"))
         .orderBy("token", "block_id")),
 
+    // Rice/Golomb-coded POSTING LISTS — the inverted-index compression
+    // step (Lucene/PForDelta territory) under the oracle: per token,
+    // the sorted doc-id list becomes [first, gap, gap, …] and the Rice
+    // parameter k is chosen by the EXACT integer bit-cost argmin
+    // Σ((v >> k) + 1 + k) over k ∈ 0..14, ties to the smallest k —
+    // the same Rice math the FLAC oracle already pins. Every value is
+    // an integer, so the encoded size is bit-exact cross-engine with
+    // no encoder to run. Scale shape: one shuffle builds the postings,
+    // the 15-way k sweep is a narrow explode + re-aggregate on the
+    // (token, k) key, the argmin a per-token window.
+    "llm_postings_rice" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val vals = docs(s, dir)
+        .select(F.col("doc_id"), F.explode(F.col("w")).as("token"))
+        .filter(F.length(F.col("token")) >= 3)
+        .groupBy("token")
+        .agg(F.sort_array(F.collect_set("doc_id")).as("ids"))
+        .filter(F.size(F.col("ids")) >= 2)
+        .select(F.col("token"),
+          F.size(F.col("ids")).cast("long").as("n_docs"),
+          F.explode(F.expr(
+            "transform(ids, (x, i) -> IF(i = 0, x, x - element_at(ids, i)))"))
+            .as("v"))
+      val costs = vals
+        .withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(14))))
+        .groupBy("token", "k")
+        .agg(F.max("n_docs").as("n_docs"),
+          F.sum(F.expr("shiftright(v, cast(k as int)) + 1 + k"))
+            .cast("long").as("bits"))
+      costs
+        .withColumn("rn", F.row_number().over(
+          Window.partitionBy("token")
+            .orderBy(F.col("bits"), F.col("k"))))
+        .filter(F.col("rn") === 1)
+        .select(F.col("token"), F.col("n_docs"),
+          F.col("k").cast("long").as("best_k"), F.col("bits"),
+          F.expr("(bits + 7) div 8").as("bytes"))
+        .orderBy("token")
+    }),
+
     // BM25 top-50 for the fixed query {spark, merge, vector}. df per term
     // and avgdl are one-row aggregates (cross-joined, i.e. broadcast);
     // scoring is a narrow projection; final rank is a 50-row top-k.
@@ -110,6 +150,38 @@ object LlmRetrieval extends Catalog {
                   AS postings_hash
          FROM pairs GROUP BY token, block_id
          ORDER BY token, block_id""",
+    // same gap stream via lag(), same Rice cost sum, same
+    // row_number-over-(bits, k) argmin as the FLAC oracle
+    "llm_postings_rice" ->
+      """WITH pairs AS (
+           SELECT DISTINCT doc_id, t.w AS token
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                 FROM documents) t(doc_id, w)
+           WHERE length(t.w) >= 3),
+         sized AS (
+           SELECT token, count(*) AS n_docs FROM pairs
+           GROUP BY token HAVING count(*) >= 2),
+         vals AS (
+           SELECT p.token, s.n_docs,
+                  coalesce(p.doc_id - lag(p.doc_id) OVER (
+                    PARTITION BY p.token ORDER BY p.doc_id),
+                    p.doc_id) AS v
+           FROM pairs p JOIN sized s ON p.token = s.token),
+         costs AS (
+           SELECT token, k, max(n_docs) AS n_docs,
+                  CAST(sum((v >> CAST(k AS INT)) + 1 + k) AS BIGINT)
+                    AS bits
+           FROM vals, (SELECT unnest(generate_series(0, 14)) AS k) ks
+           GROUP BY token, k),
+         best AS (
+           SELECT token, n_docs, k, bits,
+                  row_number() OVER (PARTITION BY token
+                                     ORDER BY bits, k) AS rn
+           FROM costs)
+         SELECT token, CAST(n_docs AS BIGINT) AS n_docs,
+                CAST(k AS BIGINT) AS best_k, bits,
+                (bits + 7) // 8 AS bytes
+         FROM best WHERE rn = 1 ORDER BY token""",
     "llm_bm25" ->
       """WITH d AS (
            SELECT doc_id, string_split(text, ' ') AS w,
