@@ -305,6 +305,32 @@ object Relational extends Catalog {
           F.regexp_extract(F.col("props"), "\"k\": (\\d+)", 1).cast("int").as("k"))
         .orderBy("event_id")),
 
+    // Spark 4 VARIANT over the semi-structured props payload:
+    // parse_json → a binary variant column, typed extraction with
+    // variant_get, safe extraction of an absent path with
+    // try_variant_get (NULL, not an error), and schema_of_variant for
+    // shape profiling. The oracle extracts the same numbers through
+    // DuckDB's JSON type — engine-specific schema STRINGS never cross
+    // the comparison, only their distinct COUNT does.
+    "q_variant_extract" -> ((s, dir) => {
+      table(s, dir, "events").createOrReplaceTempView("v_ev_var")
+      s.sql(
+        """SELECT event_type, count(*) AS n,
+          |       CAST(sum(variant_get(parse_json(props), '$.k',
+          |                            'bigint')) AS BIGINT) AS k_sum,
+          |       CAST(min(variant_get(parse_json(props), '$.k',
+          |                            'bigint')) AS BIGINT) AS k_min,
+          |       CAST(max(variant_get(parse_json(props), '$.k',
+          |                            'bigint')) AS BIGINT) AS k_max,
+          |       count(DISTINCT schema_of_variant(parse_json(props)))
+          |         AS n_shapes,
+          |       CAST(sum(CASE WHEN try_variant_get(parse_json(props),
+          |                       '$.missing', 'bigint') IS NULL
+          |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_absent
+          |FROM v_ev_var GROUP BY event_type ORDER BY event_type
+          |""".stripMargin)
+    }),
+
     // CASE bucketing + aggregation
     "q_case_agg" -> ((s, dir) =>
       table(s, dir, "customer")
@@ -954,6 +980,22 @@ object Relational extends Catalog {
       """SELECT event_id,
                 CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k
          FROM events ORDER BY event_id""",
+    // DuckDB's JSON type plays the variant: typed extraction, absent
+    // paths as NULL, json_structure for the shape count
+    "q_variant_extract" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                  AS BIGINT) AS k_sum,
+                CAST(min(CAST(json_extract(props, '$.k') AS BIGINT))
+                  AS BIGINT) AS k_min,
+                CAST(max(CAST(json_extract(props, '$.k') AS BIGINT))
+                  AS BIGINT) AS k_max,
+                count(DISTINCT CAST(json_structure(props) AS VARCHAR))
+                  AS n_shapes,
+                CAST(sum(CASE WHEN json_extract(props, '$.missing')
+                              IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_absent
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q_case_agg" ->
       """SELECT c_mktsegment,
                 CASE WHEN c_acctbal < 0 THEN 'negative'
