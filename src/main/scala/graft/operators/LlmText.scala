@@ -539,6 +539,34 @@ object LlmText extends Catalog {
         .orderBy("doc_id")
     }),
 
+    // DATASET CARD: the one-row corpus profile every published
+    // training set ships (size, language spread, dup rate, length
+    // shape, vocabulary) — computed in two aggregate passes (doc-level
+    // multi-aggregate + token distinct) joined as 1-row broadcasts,
+    // all integer-exact. The single output row is the entire driver
+    // footprint at any corpus size.
+    "llm_dataset_card" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val docAgg = d.agg(
+        F.count(F.lit(1)).as("n_docs"),
+        F.countDistinct(F.col("lang")).as("n_langs"),
+        F.sum("n_chars").cast("long").as("total_chars"),
+        F.countDistinct(F.md5(F.col("text"))).as("n_uniq"),
+        F.count_if(F.length(F.col("text")) < 50).as("n_short"),
+        F.count_if(F.length(F.col("text")) ===
+          F.expr("octet_length(text)")).as("n_ascii"))
+      val vocab = d
+        .select(F.explode(F.split(F.col("text"), " ")).as("t"))
+        .filter(F.length(F.col("t")) >= 3)
+        .agg(F.countDistinct("t").as("vocab_size"))
+      docAgg.crossJoin(F.broadcast(vocab))
+        .select(F.col("n_docs"), F.col("n_langs"), F.col("total_chars"),
+          F.expr("total_chars div n_docs").as("mean_chars"),
+          (F.col("n_docs") - F.col("n_uniq")).as("n_dup"),
+          F.expr("(1000 * (n_docs - n_uniq)) div n_docs").as("dup_milli"),
+          F.col("n_short"), F.col("n_ascii"), F.col("vocab_size"))
+    }),
+
     // Dictionary compression under the oracle: a REAL LZSS coder
     // ([[graft.multimodal.Lzss]], window 64, lengths 3..10) runs over
     // truncated docs, round-trips in-engine (decode must reproduce the
@@ -1010,6 +1038,28 @@ object LlmText extends Catalog {
                 count(*) AS n_fp,
                 CAST(sum(h) AS BIGINT) AS fp_sum
          FROM sel GROUP BY doc_id ORDER BY doc_id""",
+    // two 1-row aggregates joined; every metric integer-exact
+    "llm_dataset_card" ->
+      """WITH da AS (
+           SELECT count(*) AS n_docs,
+                  count(DISTINCT lang) AS n_langs,
+                  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                  count(DISTINCT md5(text)) AS n_uniq,
+                  count(*) FILTER (WHERE length(text) < 50) AS n_short,
+                  count(*) FILTER (WHERE length(text) =
+                    octet_length(encode(text))) AS n_ascii
+           FROM documents),
+         vb AS (
+           SELECT count(DISTINCT t.w) AS vocab_size
+           FROM (SELECT unnest(string_split(text, ' ')) AS w
+                 FROM documents) t(w)
+           WHERE length(t.w) >= 3)
+         SELECT n_docs, n_langs, total_chars,
+                total_chars // n_docs AS mean_chars,
+                n_docs - n_uniq AS n_dup,
+                (1000 * (n_docs - n_uniq)) // n_docs AS dup_milli,
+                n_short, n_ascii, vocab_size
+         FROM da, vb""",
     // the greedy LZSS parse replayed one token per recursion step:
     // bl = longest l with a window match (NULL → literal); the size
     // model is 9 bits per literal, 10 per match, 4 header bytes
