@@ -331,6 +331,53 @@ object Relational extends Catalog {
           |""".stripMargin)
     }),
 
+    // INTERVAL UNION (merge overlapping spans — the dedup step of any
+    // availability/coverage computation): each event opens a 5-minute
+    // interval; per user, overlapping-or-touching intervals merge via
+    // gaps-and-islands — a new island starts where the running max of
+    // previous ends stays short of the next start. Exact integer
+    // micros end to end; one shuffle on user_id, two window passes.
+    "q_interval_union" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val iv = table(s, dir, "events")
+        .select(F.col("user_id"),
+          F.unix_micros(F.col("ts")).as("st"))
+        .withColumn("en", F.col("st") + 300000000L)
+      val w = Window.partitionBy("user_id").orderBy("st", "en")
+      iv.withColumn("prevMax",
+          F.max("en").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("brk",
+          F.when(F.col("prevMax").isNull ||
+            F.col("prevMax") < F.col("st"), 1L).otherwise(0L))
+        .withColumn("grp", F.sum("brk").over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "grp")
+        .agg(F.min("st").as("st"), F.max("en").as("en"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).as("n_spans"),
+          F.sum(F.col("en") - F.col("st")).cast("long")
+            .as("covered_us"),
+          F.max(F.col("en") - F.col("st")).cast("long")
+            .as("longest_us"))
+        .orderBy("user_id")
+    }),
+
+    // Spark 4 SQL PIPE SYNTAX (`|>`): the same aggregation written as
+    // a linear pipeline — FROM |> WHERE |> AGGREGATE … GROUP BY |>
+    // ORDER BY — must equal the oracle's classic SELECT exactly; this
+    // pins the engine's pipe-operator surface, not new semantics.
+    "q_pipe_syntax" -> ((s, dir) => {
+      table(s, dir, "orders").createOrReplaceTempView("v_ord_pipe")
+      s.sql(
+        """FROM v_ord_pipe
+          ||> WHERE o_totalprice > 1000
+          ||> AGGREGATE count(*) AS n_orders,
+          |     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+          |       AS BIGINT) AS cents
+          |   GROUP BY o_orderpriority
+          ||> ORDER BY o_orderpriority""".stripMargin)
+    }),
+
     // CASE bucketing + aggregation
     "q_case_agg" -> ((s, dir) =>
       table(s, dir, "customer")
@@ -980,6 +1027,43 @@ object Relational extends Catalog {
       """SELECT event_id,
                 CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k
          FROM events ORDER BY event_id""",
+    // identical islands arithmetic; epoch_us(ts) = Spark unix_micros
+    "q_interval_union" ->
+      """WITH iv AS (
+           SELECT user_id, epoch_us(ts) AS st,
+                  epoch_us(ts) + 300000000 AS en
+           FROM events),
+         marked AS (
+           SELECT user_id, st, en,
+                  max(en) OVER (PARTITION BY user_id ORDER BY st, en
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS prevMax
+           FROM iv),
+         brk AS (
+           SELECT user_id, st, en,
+                  CASE WHEN prevMax IS NULL OR prevMax < st
+                       THEN 1 ELSE 0 END AS b
+           FROM marked),
+         grp AS (
+           SELECT user_id, st, en,
+                  sum(b) OVER (PARTITION BY user_id ORDER BY st, en
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS g
+           FROM brk),
+         spans AS (
+           SELECT user_id, min(st) AS st, max(en) AS en
+           FROM grp GROUP BY user_id, g)
+         SELECT user_id, count(*) AS n_spans,
+                CAST(sum(en - st) AS BIGINT) AS covered_us,
+                CAST(max(en - st) AS BIGINT) AS longest_us
+         FROM spans GROUP BY user_id ORDER BY user_id""",
+    // the pipe query must equal the classic SELECT
+    "q_pipe_syntax" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+         FROM orders WHERE o_totalprice > 1000
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     // DuckDB's JSON type plays the variant: typed extraction, absent
     // paths as NULL, json_structure for the shape count
     "q_variant_extract" ->
