@@ -362,6 +362,33 @@ object Relational extends Catalog {
         .orderBy("user_id")
     }),
 
+    // TIME-WEIGHTED AVERAGE (the metrics-system aggregation: a value
+    // holds until the next observation, so its weight is the gap to
+    // the successor): per user, Σ cents·Δt over Σ Δt in exact integer
+    // micros — the last observation carries no interval and drops out,
+    // the same convention as any step-function integral. One shuffle,
+    // one lead() window, one aggregate; the final divide is a positive
+    // floor div.
+    "q_time_weighted_avg" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      table(s, dir, "events")
+        .select(F.col("user_id"), F.col("event_id"),
+          F.unix_micros(F.col("ts")).as("us"),
+          F.expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+        .withColumn("nxt", F.lead("us", 1).over(w))
+        .filter(F.col("nxt").isNotNull)
+        .withColumn("dt", F.col("nxt") - F.col("us"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).as("n_obs"),
+          F.sum("dt").cast("long").as("span_us"),
+          F.sum(F.col("cents") * F.col("dt")).cast("long").as("wsum"))
+        .filter(F.col("span_us") > 0)
+        .select(F.col("user_id"), F.col("n_obs"), F.col("span_us"),
+          F.expr("wsum div span_us").as("twa_cents"))
+        .orderBy("user_id")
+    }),
+
     // Spark 4 SQL PIPE SYNTAX (`|>`): the same aggregation written as
     // a linear pipeline — FROM |> WHERE |> AGGREGATE … GROUP BY |>
     // ORDER BY — must equal the oracle's classic SELECT exactly; this
@@ -1057,6 +1084,25 @@ object Relational extends Catalog {
                 CAST(sum(en - st) AS BIGINT) AS covered_us,
                 CAST(max(en - st) AS BIGINT) AS longest_us
          FROM spans GROUP BY user_id ORDER BY user_id""",
+    // identical step-function integral; wsum can exceed 2^63? no:
+    // cents < 2^17, dt < 2^40, n < 2^17 ⇒ wsum < 2^63 comfortably
+    "q_time_weighted_avg" ->
+      """WITH obs AS (
+           SELECT user_id, event_id, epoch_us(ts) AS us,
+                  CAST(floor(value * 100) AS BIGINT) AS cents
+           FROM events),
+         gapped AS (
+           SELECT user_id, cents,
+                  lead(us) OVER (PARTITION BY user_id
+                                 ORDER BY us, event_id) - us AS dt
+           FROM obs),
+         agg AS (
+           SELECT user_id, count(*) AS n_obs,
+                  CAST(sum(dt) AS BIGINT) AS span_us,
+                  CAST(sum(cents * dt) AS BIGINT) AS wsum
+           FROM gapped WHERE dt IS NOT NULL GROUP BY user_id)
+         SELECT user_id, n_obs, span_us, wsum // span_us AS twa_cents
+         FROM agg WHERE span_us > 0 ORDER BY user_id""",
     // the pipe query must equal the classic SELECT
     "q_pipe_syntax" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
