@@ -362,6 +362,26 @@ object Relational extends Catalog {
         .orderBy("user_id")
     }),
 
+    // MODE with a deterministic tie-break (engines disagree on which
+    // mode to return, so the contract is pinned: the SMALLEST value
+    // among the most frequent): count per (group, value), then one
+    // argmax window ordered (count desc, value asc). Quantity is
+    // integer-valued in TPC-H; floor-scale makes that explicit.
+    "q_mode" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cnt = table(s, dir, "lineitem")
+        .select(F.col("l_returnflag").as("flag"),
+          F.expr("CAST(floor(l_quantity) AS BIGINT)").as("qty"))
+        .groupBy("flag", "qty").agg(F.count(F.lit(1)).as("n"))
+      cnt.withColumn("rn", F.row_number().over(
+          Window.partitionBy("flag")
+            .orderBy(F.col("n").desc, F.col("qty"))))
+        .filter(F.col("rn") === 1)
+        .select(F.col("flag"), F.col("qty").as("mode_qty"),
+          F.col("n").as("mode_n"))
+        .orderBy("flag")
+    }),
+
     // TIME-WEIGHTED AVERAGE (the metrics-system aggregation: a value
     // holds until the next observation, so its weight is the gap to
     // the successor): per user, Σ cents·Δt over Σ Δt in exact integer
@@ -1084,6 +1104,21 @@ object Relational extends Catalog {
                 CAST(sum(en - st) AS BIGINT) AS covered_us,
                 CAST(max(en - st) AS BIGINT) AS longest_us
          FROM spans GROUP BY user_id ORDER BY user_id""",
+    // same argmax: count desc, value asc — never DuckDB's own mode()
+    // (its tie choice is unspecified)
+    "q_mode" ->
+      """WITH cnt AS (
+           SELECT l_returnflag AS flag,
+                  CAST(floor(l_quantity) AS BIGINT) AS qty,
+                  count(*) AS n
+           FROM lineitem GROUP BY flag, qty),
+         ranked AS (
+           SELECT flag, qty, n,
+                  row_number() OVER (PARTITION BY flag
+                                     ORDER BY n DESC, qty) AS rn
+           FROM cnt)
+         SELECT flag, qty AS mode_qty, CAST(n AS BIGINT) AS mode_n
+         FROM ranked WHERE rn = 1 ORDER BY flag""",
     // identical step-function integral; wsum can exceed 2^63? no:
     // cents < 2^17, dt < 2^40, n < 2^17 ⇒ wsum < 2^63 comfortably
     "q_time_weighted_avg" ->
