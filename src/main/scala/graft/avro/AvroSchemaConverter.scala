@@ -95,6 +95,9 @@ object AvroSchemaConverter {
         val names = branches.map(branchName)
         require(names.distinct.length == names.length,
           s"union branches must have distinct names, got $names in $schema")
+        require(!names.contains(UnionTagField),
+          s"union branch name '$UnionTagField' collides with the carrier " +
+            s"struct's tag field, got $names in $schema")
         val fields = StructField(UnionTagField, StringType,
           nullable = false) +: branches.map { b =>
           val (dt, _, md) = toDataType(b, strictUnions)

@@ -78,7 +78,7 @@ object Quality extends Catalog {
       val fkOrders = orders.join(customer,
         F.col("o_custkey") === F.col("c_custkey"), "left_anti")
         .agg(F.count(F.lit(1)).as("violations"))
-        .crossJoin(orders.agg(F.count(F.lit(1)).as("total")))
+        .crossJoin(F.broadcast(orders.agg(F.count(F.lit(1)).as("total"))))
         .select(F.lit("orders_fk_customer").as("check_name"),
           F.col("violations"), F.col("total"))
 
@@ -87,7 +87,7 @@ object Quality extends Catalog {
       val noOrders = customer.join(orders,
         F.col("c_custkey") === F.col("o_custkey"), "left_anti")
         .agg(F.count(F.lit(1)).as("violations"))
-        .crossJoin(customer.agg(F.count(F.lit(1)).as("total")))
+        .crossJoin(F.broadcast(customer.agg(F.count(F.lit(1)).as("total"))))
         .select(F.lit("customer_without_orders").as("check_name"),
           F.col("violations"), F.col("total"))
 

@@ -866,10 +866,14 @@ object Relational extends Catalog {
 
     // EWMA — exponentially weighted moving average per user, the
     // sequential-recurrence member of the time-series family:
-    // s_1 = x_1, s_t = (x_t + 3·s_{t-1}) div 4 (α = 1/4), inputs
+    // s_1 = x_1, s_t = floor((x_t + 3·s_{t-1}) / 4) (α = 1/4), inputs
     // quantized ONCE to integer cents so every step is exact and the
     // DuckDB recursive-CTE oracle replays it bit for bit (the same
     // quantize-then-integer-recurrence discipline as the ADPCM codec).
+    // The fold state is a (init, s) struct — no sentinel value that a
+    // legitimate input could collide with — and the divide subtracts the
+    // positive mod first so Spark `div` (truncating) equals DuckDB `//`
+    // (flooring) even for negative intermediate values.
     // Scale shape: one shuffle groups each user's bounded event list;
     // the fold is a per-row array pass (session-scale groups — for
     // unbounded keys this becomes transformWithState, q_stream_tws).
@@ -882,8 +886,13 @@ object Relational extends Catalog {
         .agg(F.expr("array_sort(collect_list(struct(us, event_id, x)))")
           .as("arr"))
         .select(F.col("user_id"),
-          F.expr("aggregate(arr, cast(-1 as bigint), " +
-            "(s, e) -> if(s = -1, e.x, (e.x + 3 * s) div 4))").as("ewma"),
+          F.expr("aggregate(arr, " +
+            "named_struct('init', false, 's', cast(0 as bigint)), " +
+            "(acc, e) -> if(NOT acc.init, " +
+            "named_struct('init', true, 's', e.x), " +
+            "named_struct('init', true, 's', " +
+            "(e.x + 3 * acc.s - pmod(e.x + 3 * acc.s, 4)) div 4)), " +
+            "acc -> acc.s)").as("ewma"),
           F.size(F.col("arr")).cast("long").as("n"))
         .orderBy("user_id")
     }),

@@ -278,10 +278,13 @@ object TpchMore extends Catalog {
           F.col("n_name"))
       val part = table(s, dir, "part")
         .filter(F.col("p_size") === 15 && F.col("p_type") === "ECONOMY")
+      // cand feeds both sides of the min-join: checkpoint so distinct
+      // aliasing can never defeat exchange reuse and recompute the subtree.
       val cand = part.join(ps, part("p_partkey") === ps("l_partkey"))
         .join(eu, F.col("l_suppkey") === F.col("s_suppkey"))
         .select(F.col("p_partkey"), F.col("p_name"), F.col("s_suppkey"),
           F.col("s_name"), F.col("s_acctbal"), F.col("n_name"))
+        .localCheckpoint(true)
       val mins = cand.groupBy(F.col("p_partkey").as("mp"))
         .agg(F.min("s_acctbal").as("mb"))
       cand.join(mins,
