@@ -38,6 +38,33 @@ object TpchMore extends Catalog {
   private val discUnits = F.round(F.col("l_extendedprice") * 100, 0) *
     F.round((F.lit(1) - F.col("l_discount")) * 100, 0)
 
+  /** q2's candidate subtree (part ⋈ part-supplier links ⋈ EUROPE
+    * suppliers), pre-checkpoint. Exposed so PlanGuardSpec can assert the
+    * p_size pushdown on the REAL scan: the gate checkpoints this subtree
+    * (it feeds both sides of the min-join), which replaces the file scan
+    * with an RDD scan in the final plan and would otherwise hide the
+    * pushed filter from the guard.
+    */
+  private[graft] def q2Candidates(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val ps = table(s, dir, "lineitem")
+      .select(F.col("l_partkey"), F.col("l_suppkey")).distinct()
+    val eu = table(s, dir, "supplier")
+      .join(F.broadcast(table(s, dir, "nation")),
+        F.col("s_nationkey") === F.col("n_nationkey"))
+      .join(F.broadcast(table(s, dir, "region")
+        .filter(F.col("r_name") === "EUROPE")),
+        F.col("n_regionkey") === F.col("r_regionkey"))
+      .select(F.col("s_suppkey"), F.col("s_name"), F.col("s_acctbal"),
+        F.col("n_name"))
+    val part = table(s, dir, "part")
+      .filter(F.col("p_size") === 15 && F.col("p_type") === "ECONOMY")
+    part.join(ps, part("p_partkey") === ps("l_partkey"))
+      .join(eu, F.col("l_suppkey") === F.col("s_suppkey"))
+      .select(F.col("p_partkey"), F.col("p_name"), F.col("s_suppkey"),
+        F.col("s_name"), F.col("s_acctbal"), F.col("n_name"))
+  }
+
   /** revenue-at-discount (price·discount) in the same exact units. */
   private val rebateUnits = F.round(F.col("l_extendedprice") * 100, 0) *
     F.round(F.col("l_discount") * 100, 0)
@@ -266,25 +293,11 @@ object TpchMore extends Catalog {
     // joined back on (part, acctbal) equality — exact stored doubles, no
     // arithmetic, so the equality is engine-stable.
     "q2_min_cost_supp" -> ((s, dir) => {
-      val ps = table(s, dir, "lineitem")
-        .select(F.col("l_partkey"), F.col("l_suppkey")).distinct()
-      val eu = table(s, dir, "supplier")
-        .join(F.broadcast(table(s, dir, "nation")),
-          F.col("s_nationkey") === F.col("n_nationkey"))
-        .join(F.broadcast(table(s, dir, "region")
-          .filter(F.col("r_name") === "EUROPE")),
-          F.col("n_regionkey") === F.col("r_regionkey"))
-        .select(F.col("s_suppkey"), F.col("s_name"), F.col("s_acctbal"),
-          F.col("n_name"))
-      val part = table(s, dir, "part")
-        .filter(F.col("p_size") === 15 && F.col("p_type") === "ECONOMY")
       // cand feeds both sides of the min-join: checkpoint so distinct
       // aliasing can never defeat exchange reuse and recompute the subtree.
-      val cand = part.join(ps, part("p_partkey") === ps("l_partkey"))
-        .join(eu, F.col("l_suppkey") === F.col("s_suppkey"))
-        .select(F.col("p_partkey"), F.col("p_name"), F.col("s_suppkey"),
-          F.col("s_name"), F.col("s_acctbal"), F.col("n_name"))
-        .localCheckpoint(true)
+      // Pushdown on the pre-checkpoint subtree is guarded via q2Candidates
+      // (PlanGuardSpec) — the checkpointed plan no longer exposes the scan.
+      val cand = q2Candidates(s, dir).localCheckpoint(true)
       val mins = cand.groupBy(F.col("p_partkey").as("mp"))
         .agg(F.min("s_acctbal").as("mb"))
       cand.join(mins,

@@ -164,7 +164,13 @@ class PlanGuardSpec extends AnyWordSpec with Matchers with SparkSpec {
       val s = executedString(df)
       s should not include "CartesianProduct"
       s should include("BroadcastHashJoin")
-      pushedFilterOn(df, "p_size")
+      // The gate checkpoints the candidate subtree (it feeds both sides of
+      // the min-join), so the final plan scans an RDD — assert the p_size
+      // pushdown on the pre-checkpoint subtree the gate actually builds.
+      val cand = TpchMore.q2Candidates(spark, sfDir)
+      val cs = executedString(cand)
+      cs should not include "CartesianProduct"
+      pushedFilterOn(cand, "p_size")
     }
   }
 
