@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, functions => F}
+
+/** A/B throughput check for the graft-avro vectorized decode path:
+  * scans one flat table (written once) with `columnar` on vs off and
+  * prints per-iteration wall times plus the median speedup.
+  *
+  * Usage: runMain graft.ColumnarAb [rows] [iters]
+  */
+object ColumnarAb {
+  def main(args: Array[String]): Unit = {
+    val rows = if (args.length > 0) args(0).toLong else 5000000L
+    val iters = if (args.length > 1) args(1).toInt else 5
+    val codec = if (args.length > 2) args(2) else "deflate"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions",
+        classOf[graft.functions.GraftExtensions].getName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dir = operators.Catalog.tempDir("columnar_ab")
+    spark.range(rows).selectExpr(
+        "id",
+        "cast(id % 9973 as double) as d",
+        "cast(id % 2 = 0 as boolean) as b",
+        "md5(cast(id as string)) as s1",
+        "repeat(cast(id % 1000 as string), 4) as s2")
+      .repartition(32)
+      .write.format("graft-avro").option("codec", codec)
+      .mode("append").save(dir)
+
+    val numsOnly = sys.env.get("COLUMNAR_AB_NUMS").exists(_.toBoolean)
+    def scan(columnar: Boolean): Double = {
+      val t0 = System.nanoTime()
+      val df = spark.read.format("graft-avro")
+        .option("columnar", columnar).load(dir)
+      val agg =
+        if (numsOnly) df.agg(F.sum("id"), F.sum("d"))
+        else df.agg(F.sum("id"), F.sum("d"), F.sum(F.length(F.col("s1"))),
+          F.sum(F.length(F.col("s2"))), F.count(F.when(F.col("b"), 1)))
+      agg.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    scan(true); scan(false) // warmup both code paths
+
+    val (on, off) = (Array.ofDim[Double](iters), Array.ofDim[Double](iters))
+    for (i <- 0 until iters) {
+      off(i) = scan(false)
+      on(i) = scan(true)
+      println(f"iter ${i + 1}: row ${off(i)}%.3f s, columnar ${on(i)}%.3f s")
+    }
+    def med(a: Array[Double]) = a.sorted.apply(a.length / 2)
+    println(f"""{"rows":$rows,"row_sec":${med(off)}%.3f,""" +
+      f""""columnar_sec":${med(on)}%.3f,""" +
+      f""""speedup":${med(off) / med(on)}%.2f}""")
+    spark.stop()
+  }
+}

@@ -182,6 +182,11 @@ object AvroFileSource {
   val MetaFile = "_graft_file"
   val MetaPos = "_graft_pos"
 
+  /** Rows per [[org.apache.spark.sql.vectorized.ColumnarBatch]] on the
+    * vectorized decode path (Spark's own parquet reader default).
+    */
+  val ColumnarBatchRows = 4096
+
   def listAvro(d: File): Seq[File] =
     listPartitioned(d).map(_._1)
 
@@ -1766,7 +1771,11 @@ case class AvroTable(path: String, tableSchema: StructType,
       AvroFileSource.resolveIncremental(new File(path),
         Option(options.get("fromVersion")).map(_.toLong),
         Option(options.get("toVersion")).map(_.toLong)),
-      Option(options.get("branch")).map(_.trim).filter(_.nonEmpty))
+      Option(options.get("branch")).map(_.trim).filter(_.nonEmpty),
+      columnarRows =
+        if (Option(options.get("columnar")).forall(_.toBoolean))
+          AvroFileSource.ColumnarBatchRows
+        else 0)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -1820,6 +1829,10 @@ class AvroScanBuilder(path: String, full: StructType,
     travelVersion: Option[Long] = None,
     incRange: Option[(Long, Long)] = None,
     branch: Option[String] = None,
+    // vectorized decode batch size; 0 disables (`.option("columnar",
+    // false)`) — fallback cases are decided per factory, this is the
+    // user-level master switch
+    columnarRows: Int = AvroFileSource.ColumnarBatchRows,
     // group-based row-level ops (UPDATE / MERGE / rewrite-DELETE): the
     // scan declares `_graft_file` runtime-filterable so Spark narrows it
     // to the affected files, and records the file set it finally planned
@@ -2737,7 +2750,8 @@ class AvroScanBuilder(path: String, full: StructType,
             AvroFileSource.birthsByPhysicalPath(new File(path), dels,
               force = renames.nonEmpty) ++
               branchState.map(_._3).getOrElse(Map.empty),
-            renames, posdelsByPath, root = path)
+            renames, posdelsByPath, root = path,
+            columnarBatch = columnarRows)
         }
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
         require(travelVersion.isEmpty && incRange.isEmpty && branch.isEmpty,
@@ -3276,14 +3290,95 @@ case class AvroReaderFactory(required: StructType, full: StructType,
     births: Map[String, Long] = Map.empty,
     renames: Seq[(Long, String, String)] = Nil,
     posdels: Map[String, Array[Long]] = Map.empty,
-    root: String = "")
+    root: String = "", columnarBatch: Int = 0)
   extends PartitionReaderFactory {
 
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+  import org.apache.spark.sql.types._
+
+  /** Columnar (vectorized) decode: flat primitive-leaf projections with
+    * no merge-on-read state batch straight into [[OnHeapColumnVector]]s,
+    * feeding whole-stage codegen's columnar scan path (the codegen'd
+    * ColumnarToRow reads vector slots directly — far cheaper per row
+    * than boxed GenericInternalRow field access). Row fallback for
+    * nested/array/map/union projections, metadata columns, and any
+    * delete-bearing read (equality or positional) — exactly the cases
+    * whose per-row bookkeeping the batch loop omits. The decision is
+    * factory-level (Spark requires all-or-nothing across partitions).
+    */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    columnarBatch > 0 && deletes.isEmpty && posdels.isEmpty &&
+      renames.isEmpty &&
+      required.fields.forall { f =>
+        f.name != AvroFileSource.MetaFile &&
+          f.name != AvroFileSource.MetaPos && vectorizable(f.dataType)
+      }
+
+  private def vectorizable(dt: DataType): Boolean = dt match {
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType | DateType | TimestampType |
+         TimestampNTZType | StringType | BinaryType => true
+    case _ => false
+  }
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
     val part = AvroReaderFactory.range(partition)
     val file = new File(part.file)
-    // column-rename view for THIS file: renames with version > birth
-    // apply (later files already carry the new names)
+    val readerSchema = resolveFor(file, required)
+    // direct block-bytes → vector decode: no GenericRecord, no boxed
+    // fields, no intermediate InternalRow (see VectorAvroDatumReader).
+    // Residual filters are NOT evaluated at decode here — ours are
+    // always residual, so Spark re-applies every one of them on the
+    // (vectorized, codegen'd) consume side; a decode-time row skip
+    // would only save downstream work the columnar filter does cheaper.
+    val vdr = new VectorAvroDatumReader(readerSchema, required)
+    val reader = new DataFileReader[AnyRef](file, vdr)
+    if (part.start > 0) reader.sync(part.start)
+    val bound = math.min(part.end, file.length())
+    val cap = limit.getOrElse(Int.MaxValue)
+
+    new PartitionReader[ColumnarBatch] {
+      private val vectors =
+        OnHeapColumnVector.allocateColumns(columnarBatch, required)
+      private val batch =
+        new ColumnarBatch(vectors.asInstanceOf[Array[ColumnVector]])
+      private var emitted = 0
+      private var exhausted = false
+      vdr.target(vectors.asInstanceOf[
+        Array[org.apache.spark.sql.execution.vectorized.WritableColumnVector]])
+      override def next(): Boolean = {
+        if (exhausted) return false
+        var i = 0
+        while (i < vectors.length) { vectors(i).reset(); i += 1 }
+        var n = 0
+        while (n < columnarBatch && emitted < cap &&
+            reader.hasNext && !reader.pastSync(bound)) {
+          vdr.row(n)
+          reader.next(null)
+          n += 1
+          emitted += 1
+        }
+        batch.setNumRows(n)
+        if (n == 0) { exhausted = true; false } else true
+      }
+      override def get(): ColumnarBatch = batch
+      override def close(): Unit = { reader.close(); batch.close() }
+    }
+  }
+
+  /** Shared open-a-byte-range plumbing for both decode paths: resolve
+    * the pruned reader schema against the file's writer schema (with
+    * the rename view for this file's birth version), seek to the sync
+    * range, and build the fused GenericRecord→InternalRow decoder.
+    */
+  /** Resolve the pruned READER schema for `decodeSchema` against this
+    * file's writer schema, applying the column-rename view for the
+    * file's birth version (renames with version > birth read through
+    * reader-field aliases; renamed-away names get shadow fields).
+    */
+  private def resolveFor(file: File, decodeSchema: StructType): Schema = {
     val birth = births.getOrElse(file.getAbsolutePath, 0L)
     val renamedAway: Set[String] =
       renames.collect { case (v, from, _) if birth < v => from }.toSet
@@ -3291,28 +3386,37 @@ case class AvroReaderFactory(required: StructType, full: StructType,
       renames.reverseIterator.foldLeft(cur) { case (n, (v, from, to)) =>
         if (birth < v && n == to) from else n
       }
+    val headReader = new DataFileReader[GenericRecord](
+      file, new GenericDatumReader[GenericRecord]())
+    val writerSchema = try headReader.getSchema finally headReader.close()
+    AvroReaderFactory.resolveReader(
+      writerSchema, decodeSchema, file.toString, renamedAway, fileNameOf)
+  }
+
+  private def openRange(partition: InputPartition, decodeSchema: StructType)
+      : (DataFileReader[GenericRecord], Long,
+         org.apache.avro.generic.IndexedRecord => InternalRow) = {
+    val part = AvroReaderFactory.range(partition)
+    val file = new File(part.file)
+    val readerSchema = resolveFor(file, decodeSchema)
+    val reader = new DataFileReader[GenericRecord](file,
+      new GenericDatumReader[GenericRecord](null, readerSchema))
+    if (part.start > 0) reader.sync(part.start)
+    // clamp: pastSync adds SYNC_SIZE to its argument internally, so an
+    // unbounded Long.MaxValue end would overflow negative and starve the
+    // whole-file partition
+    val bound = math.min(part.end, file.length())
+    (reader, bound, AvroInternalCodec.decoderFor(readerSchema, decodeSchema))
+  }
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val part = AvroReaderFactory.range(partition)
+    val file = new File(part.file)
     // versioned merge-on-read: restrict the sidecar to entries in force
     // for THIS file's birth version (absent from the journal ⇒ birth 0 ⇒
     // every delete applies — the legacy, maximally-deleting behavior)
     val fileDeletes = AvroFileSource.applicableDeletes(deletes,
       births.getOrElse(file.getAbsolutePath, 0L))
-    // writer schema from the file header; READER schema pruned to the
-    // projected fields so Avro schema resolution skips the rest
-    val headReader = new DataFileReader[GenericRecord](
-      file, new GenericDatumReader[GenericRecord]())
-    val writerSchema = try headReader.getSchema finally headReader.close()
-    // Pruned READER schema, resilient to SCHEMA DRIFT across files: a
-    // column the table knows but this (older) file's writer schema lacks
-    // is synthesized from the table schema with a null default, which
-    // Avro resolution fills during decode — so a directory written over
-    // time under evolving schemas reads as one table. Fields the writer
-    // does have keep the writer's field schema (numeric promotions like
-    // int→long are finished by AvroInternalCodec at decode). Pruning is
-    // RECURSIVE: Spark's nested-schema pruning hands `required` with
-    // struct columns narrowed to the touched subfields, and the reader
-    // record mirrors that shape, so Avro resolution SKIPS the untouched
-    // nested fields during decode (the row-format analogue of parquet's
-    // nested column pruning).
     // Hidden metadata columns never decode from Avro — split them off
     // and fill per row at emit (file path once, ordinal from the
     // posdel counter, which runs regardless).
@@ -3330,19 +3434,13 @@ case class AvroReaderFactory(required: StructType, full: StructType,
     val decodeSchema =
       if (extraDelCols.isEmpty) dataRequired
       else StructType(dataRequired.fields ++ extraDelCols)
-    val readerSchema = AvroReaderFactory.resolveReader(
-      writerSchema, decodeSchema, file.toString, renamedAway, fileNameOf)
-    val reader = new DataFileReader[GenericRecord](file,
-      new GenericDatumReader[GenericRecord](null, readerSchema))
-    if (part.start > 0) reader.sync(part.start)
-    // clamp: pastSync adds SYNC_SIZE to its argument internally, so an
-    // unbounded Long.MaxValue end would overflow negative and starve the
-    // whole-file partition
-    val bound = math.min(part.end, file.length())
-    // fused decode: GenericRecord → InternalRow in one planned pass (no
-    // external Row, no ExpressionEncoder); each decode is a fresh row, so
-    // no defensive copy either
-    val decode = AvroInternalCodec.decoderFor(readerSchema, decodeSchema)
+    // openRange resolves the pruned READER schema against this file's
+    // writer schema (schema drift: missing nullable fields synthesize
+    // with null/declared defaults; renames apply via the birth-version
+    // view; promotions finish at decode) and returns the fused
+    // GenericRecord → InternalRow decoder — one planned pass, no
+    // external Row, each decode a fresh row so no defensive copy.
+    val (reader, bound, decode) = openRange(partition, decodeSchema)
     val keep = AvroFilterEval.build(decodeSchema, filters)
     val unfiltered = filters.isEmpty
     // (ordinal, deleted values) pairs against the DECODE schema; the

@@ -1,0 +1,369 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.Schema.Type
+import org.apache.avro.io.{DatumReader, Decoder, DecoderFactory, ResolvingDecoder}
+import org.apache.avro.util.Utf8
+import org.apache.spark.sql.execution.vectorized.WritableColumnVector
+import org.apache.spark.sql.types._
+
+/** Vectorized Avro decode: a [[DatumReader]] that appends each record's
+  * fields STRAIGHT into [[WritableColumnVector]] slots off the block's
+  * [[ResolvingDecoder]] — no GenericRecord, no boxed field values, no
+  * intermediate InternalRow. This is the per-core decode lever: the row
+  * path allocates a GenericRecord + one object per field per record and
+  * then copies again; this path is readLong→putLong.
+  *
+  * Schema resolution rides Avro's own resolver exactly like
+  * GenericDatumReader: writer-extra fields skip via the grammar,
+  * reader-synthesized fields (schema drift / ADD COLUMN) serve their
+  * embedded defaults, and numeric promotions surface as direct
+  * readLong/readDouble calls. `readFieldOrder` hands reader fields in
+  * writer order; each maps to its vector by reader position.
+  *
+  * Value semantics mirror [[graft.avro.AvroInternalCodec]]: date ints
+  * and timestamp micros pass through (Avro's logical representations
+  * ARE Catalyst's), timestamp-millis scale with multiplyExact, enum
+  * symbols become their UTF-8 bytes.
+  *
+  * Scope (enforced by `AvroReaderFactory.supportColumnarReads`): flat
+  * primitive-leaf projections only — no nested/array/map/multi-branch
+  * union columns, no rename views (alias/shadow fields stay on the row
+  * path).
+  */
+private[sources] final class VectorAvroDatumReader(
+    readerSchema: Schema, struct: StructType) extends DatumReader[AnyRef] {
+
+  private var writer: Schema = _
+  private var resolver: ResolvingDecoder = _
+  // direct plan over the WRITER schema (null = use the resolver path)
+  private var direct: Array[(Decoder, Array[WritableColumnVector], Int) => Unit] = _
+
+  // per-record target, set by the partition reader before each next()
+  private var vectors: Array[WritableColumnVector] = _
+  private var rowId: Int = 0
+  def target(vs: Array[WritableColumnVector]): Unit = vectors = vs
+  def row(i: Int): Unit = rowId = i
+  /** Visible for tests: true when the parser-free fast path planned. */
+  private[sources] def isDirect: Boolean = direct != null
+
+  override def setSchema(s: Schema): Unit = {
+    writer = s; resolver = null
+    direct = DirectVectorPlan.build(s, readerSchema, struct)
+  }
+
+  private type Append = (ResolvingDecoder, WritableColumnVector, Int) => Unit
+
+  private val appenders: Array[Append] = struct.fields.map { sf =>
+    val f = readerSchema.getField(sf.name)
+    require(f != null, s"Avro reader schema has no field '${sf.name}'")
+    fieldAppender(f.schema(), sf.dataType)
+  }
+
+  private def fieldAppender(s: Schema, dt: DataType): Append =
+    if (s.getType == Type.UNION) {
+      val types = s.getTypes.asScala.toArray
+      val nullIdx = types.indexWhere(_.getType == Type.NULL)
+      val branches: Array[Append] = types.map {
+        case n if n.getType == Type.NULL => null
+        case t => valueAppender(t, dt)
+      }
+      (in, v, i) => {
+        val b = in.readIndex()
+        if (b == nullIdx) { in.readNull(); v.putNull(i) }
+        else branches(b)(in, v, i)
+      }
+    } else valueAppender(s, dt)
+
+  private def valueAppender(s: Schema, dt: DataType): Append =
+    (s.getType, dt) match {
+      case (Type.STRING, StringType) =>
+        // scratch Utf8: the backing buffer is reused across records and
+        // putByteArray copies out of it immediately
+        val scratch = new Utf8()
+        (in, v, i) => {
+          val u = in.readString(scratch)
+          v.putByteArray(i, u.getBytes, 0, u.getByteLength); ()
+        }
+      case (Type.ENUM, StringType) =>
+        val syms = s.getEnumSymbols.asScala
+          .map(_.getBytes(StandardCharsets.UTF_8)).toArray
+        (in, v, i) => {
+          val b = syms(in.readEnum())
+          v.putByteArray(i, b, 0, b.length); ()
+        }
+      case (Type.BYTES, BinaryType) =>
+        var scratch: java.nio.ByteBuffer = null
+        (in, v, i) => {
+          scratch = in.readBytes(scratch)
+          if (scratch.hasArray)
+            v.putByteArray(i, scratch.array(),
+              scratch.arrayOffset() + scratch.position(), scratch.remaining())
+          else {
+            val tmp = new Array[Byte](scratch.remaining())
+            scratch.duplicate().get(tmp)
+            v.putByteArray(i, tmp, 0, tmp.length)
+          }
+          ()
+        }
+      case (Type.FIXED, BinaryType) =>
+        val size = s.getFixedSize
+        val tmp = new Array[Byte](size)
+        (in, v, i) => { in.readFixed(tmp, 0, size); v.putByteArray(i, tmp, 0, size); () }
+      case (Type.BOOLEAN, BooleanType) =>
+        (in, v, i) => v.putBoolean(i, in.readBoolean())
+      case (Type.INT, ByteType) =>
+        (in, v, i) => v.putByte(i, in.readInt().toByte)
+      case (Type.INT, ShortType) =>
+        (in, v, i) => v.putShort(i, in.readInt().toShort)
+      case (Type.INT, IntegerType | DateType) =>
+        (in, v, i) => v.putInt(i, in.readInt())
+      case (Type.INT | Type.LONG, LongType) =>
+        // resolver finishes the int→long promotion: readLong works for
+        // either writer width
+        (in, v, i) => v.putLong(i, in.readLong())
+      case (Type.LONG, TimestampType | TimestampNTZType) =>
+        s.getLogicalType match {
+          case _: org.apache.avro.LogicalTypes.TimestampMillis |
+               _: org.apache.avro.LogicalTypes.LocalTimestampMillis =>
+            (in, v, i) =>
+              v.putLong(i, Math.multiplyExact(in.readLong(), 1000L))
+          case _ => // (local-)timestamp-micros IS the internal form
+            (in, v, i) => v.putLong(i, in.readLong())
+        }
+      case (Type.FLOAT, FloatType) =>
+        (in, v, i) => v.putFloat(i, in.readFloat())
+      case (Type.INT | Type.LONG | Type.FLOAT | Type.DOUBLE, DoubleType) =>
+        // promotions resolve the same way: readDouble serves any of them
+        (in, v, i) => v.putDouble(i, in.readDouble())
+      case other => throw new IllegalStateException(
+        s"graft-avro: field shape $other is not vectorizable (factory " +
+          "support check should have fallen back to the row path)")
+    }
+
+  override def read(reuse: AnyRef, in: Decoder): AnyRef = {
+    if (direct != null) {
+      // parser-free: raw varint/byte reads in writer field order, with
+      // hand-rolled skips for unprojected fields
+      var k = 0
+      while (k < direct.length) { direct(k)(in, vectors, rowId); k += 1 }
+      return null
+    }
+    if (resolver == null)
+      resolver = DecoderFactory.get().resolvingDecoder(
+        Schema.applyAliases(writer, readerSchema), readerSchema, null)
+    resolver.configure(in)
+    val order = resolver.readFieldOrder()
+    var k = 0
+    while (k < order.length) {
+      val pos = order(k).pos()
+      appenders(pos)(resolver, vectors(pos), rowId)
+      k += 1
+    }
+    resolver.drain()
+    null
+  }
+}
+
+/** Planner for the parser-free decode path: walks the WRITER record
+  * once and compiles one step per writer field — append-to-vector for
+  * projected fields, a type-driven skip for the rest — plus trailing
+  * putNull steps for reader-synthesized (drifted) columns. Every
+  * primitive lands as a raw [[Decoder]] call (readLong/readDouble/...)
+  * with none of the ResolvingDecoder grammar machine's per-read symbol
+  * processing, which profiling shows dominates Avro decode cost.
+  *
+  * Returns null when the shape needs real resolution — a non-null
+  * declared default (ALTER TABLE ADD COLUMN DEFAULT serves the literal
+  * via the resolver's embedded-default grammar), or any writer/reader
+  * pairing outside the supported promotions — and the caller keeps the
+  * ResolvingDecoder path.
+  */
+private[sources] object DirectVectorPlan {
+
+  private type Step = (Decoder, Array[WritableColumnVector], Int) => Unit
+
+  def build(writer0: Schema, readerSchema: Schema, struct: StructType)
+      : Array[Step] = {
+    val writer =
+      if (writer0.getType == Type.UNION)
+        writer0.getTypes.asScala.find(_.getType != Type.NULL).getOrElse(writer0)
+      else writer0
+    if (writer.getType != Type.RECORD) return null
+    val colOf: Map[String, Int] =
+      struct.fieldNames.zipWithIndex.toMap
+    val steps = Vector.newBuilder[Step]
+    for (wf <- writer.getFields.asScala) {
+      colOf.get(wf.name) match {
+        case Some(idx) =>
+          val step = appendStep(wf.schema(), struct(idx).dataType, idx)
+          if (step == null) return null
+          steps += step
+        case None =>
+          val skip = skipStep(wf.schema())
+          if (skip == null) return null
+          steps += skip
+      }
+    }
+    // reader columns the writer lacks (schema drift): constant null,
+    // unless a non-null declared default exists — that needs the
+    // resolver's embedded-default machinery
+    val present = writer.getFields.asScala.map(_.name).toSet
+    for ((sf, idx) <- struct.fields.zipWithIndex if !present(sf.name)) {
+      val rf = readerSchema.getField(sf.name)
+      if (rf == null) return null
+      val d = rf.defaultVal()
+      if (d != null && d != org.apache.avro.JsonProperties.NULL_VALUE)
+        return null
+      steps += ((_, vs, i) => vs(idx).putNull(i))
+    }
+    steps.result().toArray
+  }
+
+  /** Append one writer-typed value into vector `idx`, or null when the
+    * (writer, catalyst) pairing is outside the direct repertoire.
+    */
+  private def appendStep(ws: Schema, dt: DataType, idx: Int): Step =
+    if (ws.getType == Type.UNION) {
+      val types = ws.getTypes.asScala.toArray
+      val nullIdx = types.indexWhere(_.getType == Type.NULL)
+      val branches: Array[Step] = types.map {
+        case n if n.getType == Type.NULL => null
+        case t => valueStep(t, dt, idx)
+      }
+      if (branches.exists(b => b == null) &&
+          branches.zipWithIndex.exists { case (b, i) => b == null && i != nullIdx })
+        null
+      else (in, vs, i) => {
+        val b = in.readIndex()
+        if (b == nullIdx) { in.readNull(); vs(idx).putNull(i) }
+        else branches(b)(in, vs, i)
+      }
+    } else valueStep(ws, dt, idx)
+
+  private def valueStep(ws: Schema, dt: DataType, idx: Int): Step =
+    (ws.getType, dt) match {
+      case (Type.STRING, StringType) =>
+        val scratch = new Utf8()
+        (in, vs, i) => {
+          val u = in.readString(scratch)
+          vs(idx).putByteArray(i, u.getBytes, 0, u.getByteLength); ()
+        }
+      case (Type.ENUM, StringType) =>
+        val syms = ws.getEnumSymbols.asScala
+          .map(_.getBytes(StandardCharsets.UTF_8)).toArray
+        (in, vs, i) => {
+          val b = syms(in.readEnum())
+          vs(idx).putByteArray(i, b, 0, b.length); ()
+        }
+      case (Type.BYTES, BinaryType) =>
+        var scratch: java.nio.ByteBuffer = null
+        (in, vs, i) => {
+          scratch = in.readBytes(scratch)
+          if (scratch.hasArray)
+            vs(idx).putByteArray(i, scratch.array(),
+              scratch.arrayOffset() + scratch.position(), scratch.remaining())
+          else {
+            val tmp = new Array[Byte](scratch.remaining())
+            scratch.duplicate().get(tmp)
+            vs(idx).putByteArray(i, tmp, 0, tmp.length)
+          }
+          ()
+        }
+      case (Type.FIXED, BinaryType) =>
+        val size = ws.getFixedSize
+        val tmp = new Array[Byte](size)
+        (in, vs, i) => {
+          in.readFixed(tmp, 0, size); vs(idx).putByteArray(i, tmp, 0, size); ()
+        }
+      case (Type.BOOLEAN, BooleanType) =>
+        (in, vs, i) => vs(idx).putBoolean(i, in.readBoolean())
+      case (Type.INT, ByteType) =>
+        (in, vs, i) => vs(idx).putByte(i, in.readInt().toByte)
+      case (Type.INT, ShortType) =>
+        (in, vs, i) => vs(idx).putShort(i, in.readInt().toShort)
+      case (Type.INT, IntegerType | DateType) =>
+        (in, vs, i) => vs(idx).putInt(i, in.readInt())
+      case (Type.INT, LongType) => // int→long promotion, done inline
+        (in, vs, i) => vs(idx).putLong(i, in.readInt().toLong)
+      case (Type.LONG, LongType) =>
+        (in, vs, i) => vs(idx).putLong(i, in.readLong())
+      case (Type.LONG, TimestampType | TimestampNTZType) =>
+        ws.getLogicalType match {
+          case _: org.apache.avro.LogicalTypes.TimestampMillis |
+               _: org.apache.avro.LogicalTypes.LocalTimestampMillis =>
+            (in, vs, i) =>
+              vs(idx).putLong(i, Math.multiplyExact(in.readLong(), 1000L))
+          case _ =>
+            (in, vs, i) => vs(idx).putLong(i, in.readLong())
+        }
+      case (Type.FLOAT, FloatType) =>
+        (in, vs, i) => vs(idx).putFloat(i, in.readFloat())
+      case (Type.INT, DoubleType) =>
+        (in, vs, i) => vs(idx).putDouble(i, in.readInt().toDouble)
+      case (Type.LONG, DoubleType) =>
+        (in, vs, i) => vs(idx).putDouble(i, in.readLong().toDouble)
+      case (Type.FLOAT, DoubleType) =>
+        (in, vs, i) => vs(idx).putDouble(i, in.readFloat().toDouble)
+      case (Type.DOUBLE, DoubleType) =>
+        (in, vs, i) => vs(idx).putDouble(i, in.readDouble())
+      case _ => null
+    }
+
+  /** Consume-and-discard one writer-typed value (recursive for
+    * containers; block-skips honor Avro's negative-count byte-length
+    * fast path via skipArray/skipMap).
+    */
+  private def skipStep(ws: Schema): Step = ws.getType match {
+    case Type.NULL => (in, _, _) => in.readNull()
+    case Type.BOOLEAN => (in, _, _) => { in.readBoolean(); () }
+    case Type.INT => (in, _, _) => { in.readInt(); () }
+    case Type.LONG => (in, _, _) => { in.readLong(); () }
+    case Type.FLOAT => (in, _, _) => { in.readFloat(); () }
+    case Type.DOUBLE => (in, _, _) => { in.readDouble(); () }
+    case Type.STRING => (in, _, _) => in.skipString()
+    case Type.BYTES => (in, _, _) => in.skipBytes()
+    case Type.FIXED =>
+      val size = ws.getFixedSize
+      (in, _, _) => in.skipFixed(size)
+    case Type.ENUM => (in, _, _) => { in.readEnum(); () }
+    case Type.UNION =>
+      val branches = ws.getTypes.asScala.map(skipStep).toArray
+      if (branches.exists(_ == null)) null
+      else (in, vs, i) => branches(in.readIndex())(in, vs, i)
+    case Type.RECORD =>
+      val fields = ws.getFields.asScala.map(f => skipStep(f.schema())).toArray
+      if (fields.exists(_ == null)) null
+      else (in, vs, i) => {
+        var k = 0
+        while (k < fields.length) { fields(k)(in, vs, i); k += 1 }
+      }
+    case Type.ARRAY =>
+      val elem = skipStep(ws.getElementType)
+      if (elem == null) null
+      else (in, vs, i) => {
+        var n = in.skipArray()
+        while (n > 0) {
+          var k = 0L
+          while (k < n) { elem(in, vs, i); k += 1 }
+          n = in.skipArray()
+        }
+      }
+    case Type.MAP =>
+      val value = skipStep(ws.getValueType)
+      if (value == null) null
+      else (in, vs, i) => {
+        var n = in.skipMap()
+        while (n > 0) {
+          var k = 0L
+          while (k < n) { in.skipString(); value(in, vs, i); k += 1 }
+          n = in.skipMap()
+        }
+      }
+    case _ => null
+  }
+}

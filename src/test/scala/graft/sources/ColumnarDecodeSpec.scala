@@ -1,0 +1,152 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Vectorized (ColumnarBatch) decode path of graft-avro.
+  *
+  * Contract: flat primitive-leaf projections with no merge-on-read
+  * state decode into OnHeapColumnVectors (the scan reports columnar and
+  * Spark inserts ColumnarToRow); nested/metadata/delete-bearing reads
+  * fall back to the row decoder with identical results.
+  */
+class ColumnarDecodeSpec extends AnyFunSuite with SparkSpec with Matchers {
+
+  private def tmp() = graft.operators.Catalog.tempDir("graft_columnar")
+
+  private def scanOf(df: DataFrame): BatchScanExec = {
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case o => o.children
+      }
+      p +: kids.flatMap(walk)
+    }
+    val scans = walk(df.queryExecution.executedPlan)
+      .collect { case b: BatchScanExec => b }
+    scans should not be empty
+    scans.head
+  }
+
+  private def isColumnar(df: DataFrame): Boolean = scanOf(df).supportsColumnar
+
+  test("flat primitive projection scans columnar and round-trips exactly") {
+    val dir = tmp()
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.repartition(3).write.format("graft-avro").mode("append").save(dir)
+    val back = spark.read.format("graft-avro").load(dir)
+    assert(isColumnar(back), "flat primitive scan should be columnar")
+
+    def sig(df: DataFrame) = df
+      .select(F.md5(F.concat_ws("|",
+        F.col("doc_id"), F.col("text"), F.col("lang"),
+        F.col("source"), F.col("n_chars"))).as("h"))
+      .agg(F.sum(F.conv(F.substring(F.col("h"), 1, 8), 16, 10).cast("long")))
+      .head().getLong(0)
+    sig(back) shouldBe sig(docs)
+  }
+
+  test("columnar survives sync-range splits of one large file") {
+    val dir = tmp()
+    spark.range(200000)
+      .selectExpr("id", "cast(id % 97 as double) as d",
+        "repeat(cast(id as string), 8) as s")
+      .coalesce(1)
+      .write.format("graft-avro").mode("append").save(dir)
+    val back = spark.read.format("graft-avro")
+      .option("maxSplitBytes", 256 * 1024).load(dir)
+    back.rdd.getNumPartitions should be > 1
+    assert(isColumnar(back))
+    back.count() shouldBe 200000
+    back.agg(F.sum("id")).head().getLong(0) shouldBe
+      (0L until 200000L).sum
+  }
+
+  test("residual filters still apply on the columnar path") {
+    val dir = tmp()
+    spark.range(1000).selectExpr("id", "id % 10 as m")
+      .write.format("graft-avro").mode("append").save(dir)
+    val f = spark.read.format("graft-avro").load(dir)
+      .filter(F.col("m") === 3 && F.col("id") < 500)
+    assert(isColumnar(f))
+    f.count() shouldBe 50
+    // nulls: vector putNull path
+    val dir2 = tmp()
+    spark.range(100)
+      .selectExpr("id", "if(id % 3 = 0, null, cast(id as string)) as s")
+      .write.format("graft-avro").mode("append").save(dir2)
+    val back = spark.read.format("graft-avro").load(dir2)
+    assert(isColumnar(back))
+    back.filter(F.col("s").isNull).count() shouldBe 34
+  }
+
+  test("nested, array, and metadata-column reads fall back to rows") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, ("alice", 10.5), Seq("a", "b")), (2L, ("bob", -3.0), Seq("c")))
+      .toDF("id", "info", "tags")
+      .write.format("graft-avro").mode("append").save(dir)
+    val nested = spark.read.format("graft-avro").load(dir)
+    assert(!isColumnar(nested), "struct/array projection must stay row-based")
+    // pruning to the flat leaves alone re-enables columnar
+    val flat = spark.read.format("graft-avro").load(dir).select("id")
+    assert(isColumnar(flat))
+    flat.agg(F.sum("id")).head().getLong(0) shouldBe 3L
+
+    val withMeta = spark.read.format("graft-avro").load(dir)
+      .select(F.col("id"), F.col("_graft_file"))
+    assert(!isColumnar(withMeta), "metadata columns must stay row-based")
+    withMeta.count() shouldBe 2
+  }
+
+  test("schema drift across files serves nulls on the columnar path") {
+    val dir = tmp()
+    // older file: two columns; newer file adds a third
+    spark.range(10).selectExpr("id", "cast(id as string) as s")
+      .write.format("graft-avro").mode("append").save(dir)
+    spark.range(10, 20)
+      .selectExpr("id", "cast(id as string) as s", "id * 2 as extra")
+      .write.format("graft-avro").mode("append").save(dir)
+    val back = spark.read.format("graft-avro").load(dir)
+    assert(isColumnar(back))
+    back.count() shouldBe 20
+    back.filter(F.col("extra").isNull).count() shouldBe 10
+    back.agg(F.sum("extra")).head().getLong(0) shouldBe
+      (10L until 20L).map(_ * 2).sum
+  }
+
+  test("ADD COLUMN DEFAULT literals survive the columnar path") {
+    // the direct plan refuses non-null declared defaults; the resolver
+    // fallback inside the columnar reader must serve the literal
+    val root = tmp()
+    spark.conf.set("spark.sql.catalog.gcol",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcol.root", root)
+    spark.sql("DROP TABLE IF EXISTS gcol.ns.defaults")
+    spark.sql("CREATE TABLE gcol.ns.defaults (id BIGINT)")
+    spark.sql("INSERT INTO gcol.ns.defaults VALUES (1), (2)")
+    spark.sql("ALTER TABLE gcol.ns.defaults ADD COLUMN tag STRING DEFAULT 'x'")
+    spark.sql("INSERT INTO gcol.ns.defaults VALUES (3, 'y')")
+    val rows = spark.sql(
+        "SELECT id, tag FROM gcol.ns.defaults ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    rows shouldBe Array((1L, "x"), (2L, "x"), (3L, "y"))
+  }
+
+  test("equality-delete sidecars force the row path and apply exactly") {
+    val dir = tmp()
+    spark.range(100).selectExpr("id", "id % 4 as g")
+      .write.format("graft-avro").mode("append").save(dir)
+    val pre = spark.read.format("graft-avro").load(dir)
+    assert(isColumnar(pre))
+    AvroMaintenance.deleteWhere(spark, dir, "g", Seq(1L))
+    val post = spark.read.format("graft-avro").load(dir)
+    assert(!isColumnar(post), "delete-bearing read must stay row-based")
+    post.count() shouldBe 75
+  }
+}
