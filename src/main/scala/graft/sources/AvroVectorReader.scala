@@ -122,9 +122,13 @@ private[sources] final class VectorAvroDatumReader(
         (in, v, i) => v.putShort(i, in.readInt().toShort)
       case (Type.INT, IntegerType | DateType) =>
         (in, v, i) => v.putInt(i, in.readInt())
-      case (Type.INT | Type.LONG, LongType) =>
-        // resolver finishes the int→long promotion: readLong works for
-        // either writer width
+      case (Type.INT, LongType) =>
+        // widen-evo contract: resolveReader keeps the writer's NARROW
+        // schema for present fields, so the resolver grammar holds an
+        // INT terminal — the promotion happens HERE, never via
+        // readLong (which would throw AvroTypeException mid-grammar)
+        (in, v, i) => v.putLong(i, in.readInt().toLong)
+      case (Type.LONG, LongType) =>
         (in, v, i) => v.putLong(i, in.readLong())
       case (Type.LONG, TimestampType | TimestampNTZType) =>
         s.getLogicalType match {
@@ -137,8 +141,15 @@ private[sources] final class VectorAvroDatumReader(
         }
       case (Type.FLOAT, FloatType) =>
         (in, v, i) => v.putFloat(i, in.readFloat())
-      case (Type.INT | Type.LONG | Type.FLOAT | Type.DOUBLE, DoubleType) =>
-        // promotions resolve the same way: readDouble serves any of them
+      // same narrow-terminal rule for the double promotions: read the
+      // reader field's ACTUAL width, widen in Scala
+      case (Type.INT, DoubleType) =>
+        (in, v, i) => v.putDouble(i, in.readInt().toDouble)
+      case (Type.LONG, DoubleType) =>
+        (in, v, i) => v.putDouble(i, in.readLong().toDouble)
+      case (Type.FLOAT, DoubleType) =>
+        (in, v, i) => v.putDouble(i, in.readFloat().toDouble)
+      case (Type.DOUBLE, DoubleType) =>
         (in, v, i) => v.putDouble(i, in.readDouble())
       case other => throw new IllegalStateException(
         s"graft-avro: field shape $other is not vectorizable (factory " +
@@ -189,11 +200,13 @@ private[sources] object DirectVectorPlan {
 
   def build(writer0: Schema, readerSchema: Schema, struct: StructType)
       : Array[Step] = {
-    val writer =
-      if (writer0.getType == Type.UNION)
-        writer0.getTypes.asScala.find(_.getType != Type.NULL).getOrElse(writer0)
-      else writer0
-    if (writer.getType != Type.RECORD) return null
+    // A top-level UNION writer would need a per-record readIndex step
+    // the compiled plan doesn't have — unwrapping to a branch here
+    // would silently misparse the stream. Fall back to the resolver
+    // path (currently unreachable: resolveFor rejects non-record
+    // writers first, but keep the trap closed).
+    if (writer0.getType != Type.RECORD) return null
+    val writer = writer0
     val colOf: Map[String, Int] =
       struct.fieldNames.zipWithIndex.toMap
     val steps = Vector.newBuilder[Step]

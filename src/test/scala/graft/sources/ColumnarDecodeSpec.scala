@@ -138,6 +138,31 @@ class ColumnarDecodeSpec extends AnyFunSuite with SparkSpec with Matchers {
     rows shouldBe Array((1L, "x"), (2L, "x"), (3L, "y"))
   }
 
+  test("widened column + ADD COLUMN DEFAULT decodes on the resolver fallback") {
+    // The non-null declared default pushes old files onto the
+    // resolver path, where resolveReader keeps the writer's NARROW
+    // int/float schema for present fields — the appenders must widen
+    // at decode (readInt().toLong), never readLong into an INT
+    // grammar terminal (the r13 AvroTypeException regression).
+    val root = tmp()
+    spark.conf.set("spark.sql.catalog.gwide",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gwide.root", root)
+    spark.sql("DROP TABLE IF EXISTS gwide.ns.w")
+    spark.sql("CREATE TABLE gwide.ns.w (id BIGINT, x INT, f FLOAT)")
+    spark.sql("INSERT INTO gwide.ns.w VALUES (1, 10, 1.5), (2, 20, 2.5)")
+    spark.sql("ALTER TABLE gwide.ns.w ALTER COLUMN x TYPE BIGINT")
+    spark.sql("ALTER TABLE gwide.ns.w ALTER COLUMN f TYPE DOUBLE")
+    spark.sql("ALTER TABLE gwide.ns.w ADD COLUMN tag STRING DEFAULT 'x'")
+    spark.sql("INSERT INTO gwide.ns.w VALUES (3, 30, 3.5, 'y')")
+    val rows = spark.sql(
+        "SELECT id, x, f, tag FROM gwide.ns.w ORDER BY id")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    rows shouldBe Array((1L, 10L, 1.5, "x"), (2L, 20L, 2.5, "x"),
+      (3L, 30L, 3.5, "y"))
+  }
+
   test("equality-delete sidecars force the row path and apply exactly") {
     val dir = tmp()
     spark.range(100).selectExpr("id", "id % 4 as g")
