@@ -12,7 +12,8 @@ object ColumnarAb {
   def main(args: Array[String]): Unit = {
     val rows = if (args.length > 0) args(0).toLong else 5000000L
     val iters = if (args.length > 1) args(1).toInt else 5
-    val codec = if (args.length > 2) args(2) else "deflate"
+    val codec = if (args.length > 2) args(2)
+      else graft.sources.AvroFileSource.DefaultCodec
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

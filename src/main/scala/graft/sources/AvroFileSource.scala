@@ -48,7 +48,7 @@ import graft.avro.{AvroInternalCodec, AvroSchemaConverter}
   *   deserialization, the row-format analogue of parquet column pruning
   *   (filters intentionally stay in Spark: a row-oriented container has
   *   no column statistics to prune with);
-  * - the writer emits one container file per task with a deflate codec,
+  * - the writer emits one container file per task with a zstandard codec,
   *   schema derived through [[AvroSchemaConverter.toAvro]] (so Catalyst
   *   metadata → Avro logical types/doc/props round-trip).
   */
@@ -186,6 +186,17 @@ object AvroFileSource {
     * vectorized decode path (Spark's own parquet reader default).
     */
   val ColumnarBatchRows = 4096
+
+  /** Default container codec for every write path. zstandard (zstd-jni
+    * ships on the Spark classpath): measured vs deflate it both
+    * compresses faster at write AND decompresses ~3× faster at scan —
+    * under deflate the per-core decode ceiling is the Inflater, which
+    * masked the vectorized reader's win entirely (r13 A/B: 0.94–1.17×
+    * deflate vs 1.31× zstd, see OPERATORS.md). Readers always honor
+    * the codec recorded in each file's metadata, so mixed-codec
+    * directories read fine and the change is not a format break.
+    */
+  val DefaultCodec = "zstandard"
 
   def listAvro(d: File): Seq[File] =
     listPartitioned(d).map(_._1)
@@ -724,9 +735,14 @@ object AvroFileSource {
     * off, sound) when the filtered entry count exceeds `maxEntries`.
     */
   /** Test observability: manifest parse count (BloomScaleSpec proves a
-    * filterless scan never reads the bloom manifest at all).
+    * filterless scan never reads the bloom manifest at all) and
+    * Base64-decoded entry count (BloomScaleSpec proves an over-cap
+    * manifest decodes ZERO bit arrays — the cap short-circuits before
+    * any 4 KB materialization, not after).
     */
   private[sources] val bloomManifestReads =
+    new java.util.concurrent.atomic.AtomicLong(0)
+  private[sources] val bloomEntriesDecoded =
     new java.util.concurrent.atomic.AtomicLong(0)
 
   private[sources] def readBlooms(bf: File, base: File, full: StructType,
@@ -735,29 +751,46 @@ object AvroFileSource {
       trigram: Boolean = false)
       : Map[String, Map[String, Array[Long]]] = {
     bloomManifestReads.incrementAndGet()
-    var decoded = 0
-    val out = readBloomsRaw(bf).map { case (rel, entries) =>
-      new File(base, rel).getAbsolutePath -> entries.flatMap {
-        case (colEnc, dtName, b64) =>
-          val col = java.net.URLDecoder.decode(colEnc, "UTF-8")
-          for {
-            dt <- AvroFilterEval.leafType(full, col)
-            if (cols == null || cols.contains(col)) &&
-              (if (trigram)
-                dtName == TrigramTypeTag &&
-                  dt == org.apache.spark.sql.types.StringType
-              else dt.simpleString == dtName && bloomableType(dt))
-            bytes <- scala.util.Try(
-              java.util.Base64.getDecoder.decode(b64)).toOption
-            if bytes.length == BloomBits / 8
-          } yield {
-            decoded += 1
+    // relevant = matches this scan's columns/types; only these cost heap
+    def relevant(colEnc: String, dtName: String): Boolean = {
+      val col = java.net.URLDecoder.decode(colEnc, "UTF-8")
+      AvroFilterEval.leafType(full, col).exists { dt =>
+        (cols == null || cols.contains(col)) &&
+          (if (trigram)
+            dtName == TrigramTypeTag &&
+              dt == org.apache.spark.sql.types.StringType
+          else dt.simpleString == dtName && bloomableType(dt))
+      }
+    }
+    def lines[A](f: Iterator[(String, String, String, String)] => A): A = {
+      val src = scala.io.Source.fromFile(bf, "UTF-8")
+      try f(src.getLines().flatMap { line =>
+        line.split('\t') match {
+          case Array(rel, col, dt, bits) => Some((rel, col, dt, bits))
+          case _ => None
+        }
+      }) finally src.close()
+    }
+    try {
+      // Count pass FIRST, Base64-free and short-circuiting: an over-cap
+      // manifest (100k-file tables) must cost O(cap) line parses, never
+      // materialize ~400 MB of bit arrays it then discards.
+      val overCap = lines(_.filter(e => relevant(e._2, e._3))
+        .drop(maxEntries).hasNext)
+      if (overCap) return Map.empty
+      lines(_.flatMap { case (rel, colEnc, dtName, b64) =>
+        if (!relevant(colEnc, dtName)) None
+        else scala.util.Try(java.util.Base64.getDecoder.decode(b64))
+          .toOption.filter(_.length == BloomBits / 8).map { bytes =>
+            bloomEntriesDecoded.incrementAndGet()
             val bb = java.nio.ByteBuffer.wrap(bytes)
-            col -> Array.fill(BloomBits / 64)(bb.getLong)
+            (new File(base, rel).getAbsolutePath,
+              java.net.URLDecoder.decode(colEnc, "UTF-8"),
+              Array.fill(BloomBits / 64)(bb.getLong))
           }
-      }.toMap
-    }.filter(_._2.nonEmpty)
-    if (decoded > maxEntries) Map.empty else out
+      }.toSeq.groupMap(_._1)(e => (e._2, e._3)).view
+        .mapValues(_.toMap).toMap.filter(_._2.nonEmpty))
+    } catch { case _: Exception => Map.empty }
   }
 
   // ------------------------------------------------------------------
@@ -1798,7 +1831,7 @@ case class AvroTable(path: String, tableSchema: StructType,
       case None => path
     }
     new AvroWriteBuilder(target, info.schema(),
-      Option(info.options().get("codec")).getOrElse("deflate"),
+      Option(info.options().get("codec")).getOrElse(AvroFileSource.DefaultCodec),
       // catalog tables carry their DDL partitioning; an explicit write
       // option overrides it
       Option(info.options().get("partitionBy")).map(_.split(',').toSeq
@@ -3528,7 +3561,7 @@ case class AvroReaderFactory(required: StructType, full: StructType,
 }
 
 class AvroWriteBuilder(path: String, schema: StructType,
-    codec: String = "deflate", partitionBy: Seq[String] = Nil,
+    codec: String = AvroFileSource.DefaultCodec, partitionBy: Seq[String] = Nil,
     sortedBy: Option[String] = None, bloomFor: Seq[String] = Nil,
     ndvFor: Seq[String] = Nil, trigramFor: Seq[String] = Nil,
     branchWrite: Boolean = false,
@@ -4347,9 +4380,9 @@ private[sources] object AvroWriters {
   /** Container-file writer; `lazyCreate` postpones file creation to the
     * first row so empty partitions produce no file.
     */
-  /** Container codec by name — "deflate" (default, level 6), "null",
-    * "snappy", "zstandard", "bzip2", "xz" (whatever this Avro build plus
-    * classpath supports; zstd and snappy ship with Spark).
+  /** Container codec by name — "zstandard" (default), "deflate"
+    * (level 6), "null", "snappy", "bzip2", "xz" (whatever this Avro
+    * build plus classpath supports; zstd and snappy ship with Spark).
     */
   def codecFor(name: String): org.apache.avro.file.CodecFactory =
     name.toLowerCase match {
@@ -4480,7 +4513,7 @@ private[sources] object AvroWriters {
   }
 
   def open(path: String, schema: StructType, fileName: String,
-      lazyCreate: Boolean, codec: String = "deflate",
+      lazyCreate: Boolean, codec: String = AvroFileSource.DefaultCodec,
       staged: Boolean = false,
       sortedBy: Option[String] = None,
       bloomFor: Seq[String] = Nil,
@@ -4569,7 +4602,7 @@ private[sources] object AvroWriters {
 }
 
 case class AvroWriterFactory(path: String, schema: StructType,
-    codec: String = "deflate", partitionBy: Seq[String] = Nil,
+    codec: String = AvroFileSource.DefaultCodec, partitionBy: Seq[String] = Nil,
     staged: Boolean = false, sortedBy: Option[String] = None,
     bloomFor: Seq[String] = Nil, ndvFor: Seq[String] = Nil,
     trigramFor: Seq[String] = Nil)
@@ -4596,7 +4629,7 @@ case class AvroWriterFactory(path: String, schema: StructType,
 }
 
 case class AvroStreamingWriterFactory(path: String, schema: StructType,
-    codec: String = "deflate", partitionBy: Seq[String] = Nil)
+    codec: String = AvroFileSource.DefaultCodec, partitionBy: Seq[String] = Nil)
   extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,

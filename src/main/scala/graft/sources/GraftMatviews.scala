@@ -39,6 +39,42 @@ object GraftMatviews {
 
   def sidecar(dir: File): File = new File(dir, "_graft_matview")
 
+  /** Per-view refresh serialization. Two concurrent refreshes that both
+    * read lastVersion=v would each fold the same source delta and
+    * double-count; the lock makes the read-spec → incremental-read →
+    * combine → overwrite → write-spec sequence atomic per view (the
+    * loser re-reads the spec under the lock and no-ops). NOT the table
+    * commit lock: the body runs a graft-avro WRITE job on the view dir,
+    * whose commit takes `_graft_lockfile` itself — this lock lives on a
+    * separate file (`_graft_matview_lock`), so the two never overlap.
+    * In-JVM threads serialize on a canonical-path-keyed monitor
+    * (FileLock is not re-entrant and overlapping locks throw);
+    * cross-process writers serialize on the FileLock.
+    */
+  private val monitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Test seam: latch-gated concurrency specs block the first entrant
+    * INSIDE the critical section to prove the second serializes.
+    */
+  @volatile private[sources] var testInLock: () => Unit = () => ()
+
+  private def withViewLock[A](viewDir: File)(body: => A): A = {
+    viewDir.mkdirs()
+    val mon = monitors.computeIfAbsent(
+      viewDir.getCanonicalPath, _ => new Object)
+    mon.synchronized {
+      val ch = java.nio.channels.FileChannel.open(
+        new File(viewDir, "_graft_matview_lock").toPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try { testInLock(); body } finally lock.release()
+      } finally ch.close()
+    }
+  }
+
   final case class Spec(srcDir: String, aggSql: String, mergeSql: String,
       lastVersion: Long)
 
@@ -84,7 +120,7 @@ object GraftMatviews {
     * the source version the view now reflects.
     */
   def create(spark: SparkSession, viewDir: String, srcDir: String,
-      aggSql: String, mergeSql: String): Long = {
+      aggSql: String, mergeSql: String): Long = withViewLock(new File(viewDir)) {
     require(aggSql.contains("__SRC__"),
       "graft matview: aggregate SQL must read FROM __SRC__")
     require(mergeSql.contains("__ACC__"),
@@ -119,7 +155,11 @@ object GraftMatviews {
     * view overwritten. Returns (fromExclusive, to) — equal when the
     * source has not moved and the refresh was a no-op.
     */
-  def refresh(spark: SparkSession, viewDir: String): (Long, Long) = {
+  def refresh(spark: SparkSession, viewDir: String): (Long, Long) =
+      withViewLock(new File(viewDir)) {
+    // spec (and its lastVersion) read UNDER the lock: a refresh that
+    // waited here sees the winner's updated lastVersion and no-ops
+    // instead of re-folding the same delta
     val spec = readSpec(new File(viewDir))
     val cur = currentVersion(spec.srcDir)
     if (cur == spec.lastVersion) return (cur, cur)

@@ -76,9 +76,18 @@ class BloomScaleSpec extends AnyFunSuite with SparkSpec with Matchers {
     writeTwoCol(dir)
     val d = new File(dir)
     val schema = spark.read.format("graft-avro").load(dir).schema
-    // 8 files x 2 columns = 16 entries; a cap of 3 refuses them all
+    // 8 files x 2 columns = 16 entries; a cap of 3 refuses them all —
+    // and the refusal must happen BEFORE any Base64 materialization
+    // (the count pass short-circuits; a 100k-file manifest costs O(cap)
+    // line parses on the driver, not ~400 MB of decoded bit arrays)
+    val decodedBefore = AvroFileSource.bloomEntriesDecoded.get()
     AvroFileSource.readBlooms(AvroFileSource.bloomFile(d), d, schema,
       maxEntries = 3) shouldBe Map.empty
+    AvroFileSource.bloomEntriesDecoded.get() shouldBe decodedBefore
+    // an under-cap read decodes exactly the filtered entries
+    AvroFileSource.readBlooms(AvroFileSource.bloomFile(d), d, schema,
+      cols = Set("k")).size shouldBe 8
+    AvroFileSource.bloomEntriesDecoded.get() shouldBe (decodedBefore + 8)
     // scans stay correct without pruning (absence => scan)
     spark.read.format("graft-avro").load(dir)
       .filter(F.col("k") === 42L).count() shouldBe 1

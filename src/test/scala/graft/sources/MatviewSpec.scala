@@ -1,5 +1,7 @@
 package graft.sources
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{functions => F}
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
@@ -72,6 +74,45 @@ class MatviewSpec extends AnyFunSuite with SparkSpec with Matchers {
       GraftMatviews.refresh(spark, mv)
     }
     e.getMessage.toLowerCase should include regex "additive|delete"
+  }
+
+  test("concurrent refreshes serialize: the loser no-ops, no double-count") {
+    val src = Catalog.tempDir("graft_mv_src_cc")
+    val mv = Catalog.tempDir("graft_mv_view_cc")
+    writeGen(src, 0, 100, "overwrite") // v1
+    GraftMatviews.create(spark, mv, src, agg, merge)
+    writeGen(src, 100, 160, "append") // v2 — the delta both will race for
+
+    // latch-gate: thread A enters the critical section and parks; B
+    // must NOT get past the lock while A holds it
+    val aInside = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val first = new java.util.concurrent.atomic.AtomicBoolean(true)
+    GraftMatviews.testInLock = () =>
+      if (first.getAndSet(false)) { aInside.countDown(); release.await() }
+    try {
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      def refresher() = new Thread(() =>
+        try results.add(GraftMatviews.refresh(spark, mv))
+        catch { case t: Throwable => errs.add(t) })
+      val a = refresher(); a.start()
+      aInside.await()
+      val b = refresher(); b.start()
+      // B is queued behind the per-view lock while A parks inside it
+      b.join(1500); b.isAlive shouldBe true
+      release.countDown()
+      a.join(60000); b.join(60000)
+      errs.asScala shouldBe empty
+      // exactly one applied 1->2; the other re-read the spec under the
+      // lock, saw lastVersion=2, and no-op'd
+      results.asScala.toSet shouldBe Set((1L, 2L), (2L, 2L))
+    } finally GraftMatviews.testInLock = () => ()
+
+    val expect = (0 until 160).groupBy(_ % 7).map { case (k, vs) =>
+      k.toLong -> (vs.size.toLong, vs.map(_.toLong).sum)
+    }
+    viewRows(mv) shouldBe expect
   }
 
   test("double create and refresh of a non-view fail with diagnoses") {
