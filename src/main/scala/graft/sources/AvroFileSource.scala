@@ -664,16 +664,7 @@ object AvroFileSource {
   }
 
   private[sources] def bloomMightContain(bits: Array[Long],
-      value: String): Boolean = {
-    val (h1, h2) = bloomHash2(value)
-    var i = 0
-    while (i < BloomHashes) {
-      val b = java.lang.Math.floorMod(h1 + i * h2, BloomBits.toLong).toInt
-      if ((bits(b >> 6) & (1L << (b & 63))) == 0) return false
-      i += 1
-    }
-    true
-  }
+      value: String): Boolean = probeHit(bits, bloomHash2(value))
 
   /** Trigram bloom entries ride the SAME `_graft_blooms` manifest under
     * this type tag; the equality reader's `recorded type == read type`
@@ -715,82 +706,92 @@ object AvroFileSource {
       } finally src.close()
     } catch { case _: Exception => Map.empty }
 
-  /** Driver-heap ceiling on decoded bloom entries per scan: each
-    * (file, column) entry is 4 KB of bits, so 32768 entries ≈ 128 MB.
-    * A manifest that would exceed the cap AFTER column filtering
-    * disables bloom pruning for the scan instead of ballooning the
-    * driver — absence ⇒ scan is always sound. At 100k files, cap-free
-    * planning survives as long as the scan references ≤ ~0.3 bloomed
-    * columns on average; beyond that the right tool is partitioning or
-    * zones, not per-file membership bits.
-    */
-  val MaxBloomEntriesPerScan = 32768
-
-  /** Parsed manifest: ABSOLUTE path → column → bit array. Entries whose
-    * recorded type disagrees with the current read schema are dropped
-    * (their files scan normally). Only columns in `cols` decode — the
-    * scan passes exactly the columns its equality/IN filters and
-    * runtime join-key sets reference, so driver heap scales with the
-    * QUERY's bloomed columns, not the table's. Returns empty (pruning
-    * off, sound) when the filtered entry count exceeds `maxEntries`.
-    */
   /** Test observability: manifest parse count (BloomScaleSpec proves a
     * filterless scan never reads the bloom manifest at all) and
-    * Base64-decoded entry count (BloomScaleSpec proves an over-cap
-    * manifest decodes ZERO bit arrays — the cap short-circuits before
-    * any 4 KB materialization, not after).
+    * Base64-decoded entry count (BloomScaleSpec proves decode work
+    * scales with the scan's probed columns and that verdict memory
+    * stays O(dropped files) at any manifest size).
     */
   private[sources] val bloomManifestReads =
     new java.util.concurrent.atomic.AtomicLong(0)
   private[sources] val bloomEntriesDecoded =
     new java.util.concurrent.atomic.AtomicLong(0)
 
-  private[sources] def readBlooms(bf: File, base: File, full: StructType,
-      cols: Set[String] = null,
-      maxEntries: Int = MaxBloomEntriesPerScan,
-      trigram: Boolean = false)
-      : Map[String, Map[String, Array[Long]]] = {
+  /** One pushed predicate's membership question against one column's
+    * bloom entry. `any` = equality/IN semantics (the file may match iff
+    * SOME candidate value might be present); `!any` = a substring
+    * needle (the file may match iff EVERY trigram might be present).
+    * Hashes are precomputed once per scan — md5 per value per FILE
+    * would dominate planning on wide manifests.
+    */
+  private[sources] final case class BloomProbe(any: Boolean,
+      hashes: Seq[(Long, Long)])
+
+  private[sources] def bloomProbeEq(values: Iterable[String]): BloomProbe =
+    BloomProbe(any = true, values.toSeq.map(bloomHash2))
+
+  private[sources] def bloomProbeSubstring(needle: String): BloomProbe =
+    BloomProbe(any = false, trigramsOf(needle).map(bloomHash2))
+
+  private def probeHit(bits: Array[Long], h: (Long, Long)): Boolean = {
+    var i = 0
+    while (i < BloomHashes) {
+      val b = java.lang.Math.floorMod(h._1 + i * h._2, BloomBits.toLong).toInt
+      if ((bits(b >> 6) & (1L << (b & 63))) == 0) return false
+      i += 1
+    }
+    true
+  }
+
+  private[sources] def probePass(bits: Array[Long], p: BloomProbe): Boolean =
+    if (p.any) p.hashes.exists(probeHit(bits, _))
+    else p.hashes.forall(probeHit(bits, _))
+
+  /** Streaming membership pruning: evaluate every probe against the
+    * manifest AS IT STREAMS and retain only the files some probe
+    * definitively rules out. Driver heap is O(dropped paths) plus ONE
+    * transient 4 KB bit array — never the decoded manifest — so
+    * membership pruning survives any table size (this replaces the
+    * earlier 32k-entry cap that stood pruning down exactly on the
+    * large tables where it pays most). Soundness: entries whose
+    * recorded type disagrees with the read schema are ignored; a file
+    * with no entry for a probed column is kept (absence ⇒ scan,
+    * partial coverage fine); any parse failure keeps everything.
+    */
+  private[sources] def bloomDroppedFiles(bf: File, base: File,
+      full: StructType, probes: Map[String, Seq[BloomProbe]],
+      trigram: Boolean = false): Set[String] = {
+    if (probes.isEmpty || !bf.isFile) return Set.empty
     bloomManifestReads.incrementAndGet()
-    // relevant = matches this scan's columns/types; only these cost heap
-    def relevant(colEnc: String, dtName: String): Boolean = {
-      val col = java.net.URLDecoder.decode(colEnc, "UTF-8")
-      AvroFilterEval.leafType(full, col).exists { dt =>
-        (cols == null || cols.contains(col)) &&
-          (if (trigram)
-            dtName == TrigramTypeTag &&
-              dt == org.apache.spark.sql.types.StringType
-          else dt.simpleString == dtName && bloomableType(dt))
-      }
-    }
-    def lines[A](f: Iterator[(String, String, String, String)] => A): A = {
-      val src = scala.io.Source.fromFile(bf, "UTF-8")
-      try f(src.getLines().flatMap { line =>
-        line.split('\t') match {
-          case Array(rel, col, dt, bits) => Some((rel, col, dt, bits))
-          case _ => None
-        }
-      }) finally src.close()
-    }
+    val dropped = scala.collection.mutable.HashSet.empty[String]
     try {
-      // Count pass FIRST, Base64-free and short-circuiting: an over-cap
-      // manifest (100k-file tables) must cost O(cap) line parses, never
-      // materialize ~400 MB of bit arrays it then discards.
-      val overCap = lines(_.filter(e => relevant(e._2, e._3))
-        .drop(maxEntries).hasNext)
-      if (overCap) return Map.empty
-      lines(_.flatMap { case (rel, colEnc, dtName, b64) =>
-        if (!relevant(colEnc, dtName)) None
-        else scala.util.Try(java.util.Base64.getDecoder.decode(b64))
-          .toOption.filter(_.length == BloomBits / 8).map { bytes =>
-            bloomEntriesDecoded.incrementAndGet()
-            val bb = java.nio.ByteBuffer.wrap(bytes)
-            (new File(base, rel).getAbsolutePath,
-              java.net.URLDecoder.decode(colEnc, "UTF-8"),
-              Array.fill(BloomBits / 64)(bb.getLong))
-          }
-      }.toSeq.groupMap(_._1)(e => (e._2, e._3)).view
-        .mapValues(_.toMap).toMap.filter(_._2.nonEmpty))
-    } catch { case _: Exception => Map.empty }
+      val src = scala.io.Source.fromFile(bf, "UTF-8")
+      try src.getLines().foreach { line =>
+        line.split('\t') match {
+          case Array(rel, colEnc, dtName, b64) =>
+            val col = java.net.URLDecoder.decode(colEnc, "UTF-8")
+            val ps = probes.getOrElse(col, Nil)
+            val typeOk = ps.nonEmpty &&
+              AvroFilterEval.leafType(full, col).exists { dt =>
+                if (trigram)
+                  dtName == TrigramTypeTag &&
+                    dt == org.apache.spark.sql.types.StringType
+                else dt.simpleString == dtName && bloomableType(dt)
+              }
+            if (typeOk)
+              scala.util.Try(java.util.Base64.getDecoder.decode(b64))
+                .toOption.filter(_.length == BloomBits / 8).foreach { bytes =>
+                  bloomEntriesDecoded.incrementAndGet()
+                  val bb = java.nio.ByteBuffer.wrap(bytes)
+                  val bits = Array.fill(BloomBits / 64)(bb.getLong)
+                  if (!ps.forall(probePass(bits, _)))
+                    dropped += new File(base, rel).getAbsolutePath
+                }
+          case _ => ()
+        }
+      } finally src.close()
+      dropped.toSet
+    } catch { case _: Exception => Set.empty }
   }
 
   // ------------------------------------------------------------------
@@ -2456,154 +2457,102 @@ class AvroScanBuilder(path: String, full: StructType,
       private lazy val colZoneRanges: Map[String, Map[String, (Any, Any)]] =
         if (filters.isEmpty) Map.empty else zonesAll
 
-      /** Columns some CURRENT filter can actually test against a bloom:
-        * static equality/IN conjuncts plus runtime join-key IN-sets.
-        * Recomputed on call — runtime filters arrive after planning.
+      /** Membership probes from the CURRENT filter state: static
+        * equality/IN conjuncts plus runtime join-key IN-sets, one
+        * probe per predicate, value hashes precomputed. Recomputed on
+        * call — runtime filters arrive after planning.
         */
-      private def bloomRelevantCols(): Set[String] = {
+      private def bloomProbeMap(): Map[String, Seq[AvroFileSource.BloomProbe]] = {
         import org.apache.spark.sql.sources._
         val static = filters.toSeq.collect {
-          case EqualTo(c, v) if v != null => c
-          case EqualNullSafe(c, v) if v != null => c
-          case In(c, vs) if vs != null => c
+          case EqualTo(c, v) if v != null =>
+            c -> AvroFileSource.bloomProbeEq(Seq(v.toString))
+          case EqualNullSafe(c, v) if v != null =>
+            c -> AvroFileSource.bloomProbeEq(Seq(v.toString))
+          case In(c, vs) if vs != null =>
+            c -> AvroFileSource.bloomProbeEq(
+              vs.toSeq.filter(_ != null).map(_.toString))
         }
-        (static ++ runtimeZoneVals.keys).toSet
+        val runtime = runtimeZoneVals.toSeq.map { case (c, vs) =>
+          c -> AvroFileSource.bloomProbeEq(vs.map(_.toString))
+        }
+        (static ++ runtime).groupMap(_._1)(_._2)
       }
 
-      // decoded bloom entries for exactly the relevant columns, cached
-      // per column set (one manifest read per distinct set — in
-      // practice once at plan time and once more if runtime filters
-      // arrive). Loading NOTHING when no filter can use a bloom is the
-      // 100k-file memory guard: heap scales with the query's bloomed
-      // columns, never the table's, and readBlooms' entry cap bounds
-      // the worst case (BloomScaleSpec pins both).
-      @volatile private var bloomCache
-          : Option[(Set[String], Map[String, Map[String, Array[Long]]])] =
-        None
+      // Streaming bloom verdicts, cached per runtime-filter state (one
+      // manifest pass at plan time, one more if runtime join keys
+      // arrive). Heap is O(dropped files) — the decoded bits are
+      // transient inside bloomDroppedFiles — so membership pruning
+      // survives 100k-file manifests instead of standing down at a
+      // cap; probing NOTHING when no filter can use a bloom keeps the
+      // filterless scan at zero manifest reads (BloomScaleSpec pins
+      // all three properties).
+      @volatile private var bloomDropCache
+          : Option[(Map[String, Set[Any]], Set[String])] = None
 
-      private def bloomsAll: Map[String, Map[String, Array[Long]]] =
+      private def bloomDropped: Set[String] =
         if (travelVersion.nonEmpty || incRange.nonEmpty || branch.nonEmpty)
-          Map.empty
-        else {
-          val rel = bloomRelevantCols()
-          if (rel.isEmpty) Map.empty
-          else bloomCache match {
-            case Some((cols, m)) if cols == rel => m
-            case _ =>
-              val dir = new File(path)
-              val bf = AvroFileSource.bloomFile(dir)
-              val m =
-                if (bf.isFile) AvroFileSource.readBlooms(bf, dir, full, rel)
-                else Map.empty[String, Map[String, Array[Long]]]
-              bloomCache = Some((rel, m))
-              m
-          }
+          Set.empty
+        else bloomDropCache match {
+          case Some((k, s)) if k == runtimeZoneVals => s
+          case _ =>
+            val key = runtimeZoneVals
+            val dir = new File(path)
+            val s = AvroFileSource.bloomDroppedFiles(
+              AvroFileSource.bloomFile(dir), dir, full, bloomProbeMap())
+            bloomDropCache = Some((key, s))
+            s
         }
 
-      /** Membership pruning from STATIC pushed equality/IN filters: a
-        * file is skippable when some conjunct's every candidate value is
-        * definitely absent from the file's bloom. Absence of a bloom ⇒
-        * keep; null values never match an equality filter anyway.
+      /** Membership pruning from static equality/IN filters AND
+        * runtime join-key IN-sets (blooms catch the scattered-key case
+        * zone ranges cannot): a file is skippable when some probe's
+        * every candidate value is definitely absent from its bloom.
+        * Absence of an entry ⇒ keep; null values never match an
+        * equality filter anyway.
         */
       private def bloomMayKeep(f: File): Boolean =
-        bloomsAll.isEmpty || filters.isEmpty || {
-          val byCol = bloomsAll.getOrElse(f.getAbsolutePath, Map.empty)
-          byCol.isEmpty || {
-            import org.apache.spark.sql.sources._
-            filters.forall {
-              case EqualTo(c, v) if v != null && byCol.contains(c) =>
-                AvroFileSource.bloomMightContain(byCol(c), v.toString)
-              case EqualNullSafe(c, v) if v != null && byCol.contains(c) =>
-                AvroFileSource.bloomMightContain(byCol(c), v.toString)
-              case In(c, vs) if byCol.contains(c) && vs != null =>
-                vs.exists(v => v != null &&
-                  AvroFileSource.bloomMightContain(byCol(c), v.toString))
-              case _ => true
-            }
-          }
-        }
+        !bloomDropped.contains(f.getAbsolutePath)
 
-      /** Membership pruning from RUNTIME join-key IN-sets (the same
-        * sets runtimeZoneKeep checks against zone ranges — blooms catch
-        * the scattered-key case ranges cannot).
+      /** Substring probes: contains / startsWith / endsWith needles of
+        * length >= 3 (prefix and suffix matches imply containment, so
+        * the same trigram entry serves all three). A row containing
+        * needle s necessarily contains EVERY trigram of s, so a file
+        * whose trigram bloom definitely lacks one holds no match;
+        * false positives only cause keeps.
         */
-      private def runtimeBloomKeep(f: File): Boolean =
-        runtimeZoneVals.isEmpty || bloomsAll.isEmpty || {
-          val byCol = bloomsAll.getOrElse(f.getAbsolutePath, Map.empty)
-          byCol.isEmpty || runtimeZoneVals.forall { case (c, vs) =>
-            byCol.get(c) match {
-              case None => true
-              case Some(bits) => vs.exists(v =>
-                AvroFileSource.bloomMightContain(bits, v.toString))
-            }
-          }
-        }
-
-      /** Substring-predicate columns some pushed filter can test
-        * against a TRIGRAM bloom: contains / startsWith / endsWith
-        * needles of length >= 3 (prefix and suffix matches imply
-        * containment, so the same entry serves all three).
-        */
-      private def trigramRelevantCols(): Set[String] = {
+      private def trigramProbeMap(): Map[String, Seq[AvroFileSource.BloomProbe]] = {
         import org.apache.spark.sql.sources._
         filters.toSeq.collect {
-          case StringContains(c, v) if v != null && v.length >= 3 => c
-          case StringStartsWith(c, v) if v != null && v.length >= 3 => c
-          case StringEndsWith(c, v) if v != null && v.length >= 3 => c
-        }.toSet
+          case StringContains(c, v) if v != null && v.length >= 3 =>
+            c -> AvroFileSource.bloomProbeSubstring(v)
+          case StringStartsWith(c, v) if v != null && v.length >= 3 =>
+            c -> AvroFileSource.bloomProbeSubstring(v)
+          case StringEndsWith(c, v) if v != null && v.length >= 3 =>
+            c -> AvroFileSource.bloomProbeSubstring(v)
+        }.groupMap(_._1)(_._2)
       }
 
-      @volatile private var trigramCache
-          : Option[(Set[String], Map[String, Map[String, Array[Long]]])] =
-        None
+      // trigram needles are static-only (no runtime component), so the
+      // verdict set resolves once per scan
+      @volatile private var trigramDropCache: Option[Set[String]] = None
 
-      private def trigramsAll: Map[String, Map[String, Array[Long]]] =
+      private def trigramDropped: Set[String] =
         if (travelVersion.nonEmpty || incRange.nonEmpty || branch.nonEmpty)
-          Map.empty
-        else {
-          val rel = trigramRelevantCols()
-          if (rel.isEmpty) Map.empty
-          else trigramCache match {
-            case Some((cols, m)) if cols == rel => m
-            case _ =>
-              val dir = new File(path)
-              val bf = AvroFileSource.bloomFile(dir)
-              val m =
-                if (bf.isFile)
-                  AvroFileSource.readBlooms(bf, dir, full, rel,
-                    trigram = true)
-                else Map.empty[String, Map[String, Array[Long]]]
-              trigramCache = Some((rel, m))
-              m
-          }
+          Set.empty
+        else trigramDropCache match {
+          case Some(s) => s
+          case None =>
+            val dir = new File(path)
+            val s = AvroFileSource.bloomDroppedFiles(
+              AvroFileSource.bloomFile(dir), dir, full, trigramProbeMap(),
+              trigram = true)
+            trigramDropCache = Some(s)
+            s
         }
 
-      /** Substring pruning: a row containing needle s necessarily
-        * contains EVERY trigram of s, so a file whose trigram bloom
-        * definitely lacks one of them holds no match. Bloom false
-        * positives only cause keeps; absence of an entry ⇒ keep.
-        */
       private def trigramMayKeep(f: File): Boolean =
-        trigramsAll.isEmpty || {
-          val byCol = trigramsAll.getOrElse(f.getAbsolutePath, Map.empty)
-          byCol.isEmpty || {
-            import org.apache.spark.sql.sources._
-            def ok(c: String, v: String): Boolean = byCol.get(c) match {
-              case None => true
-              case Some(bits) => AvroFileSource.trigramsOf(v)
-                .forall(AvroFileSource.bloomMightContain(bits, _))
-            }
-            filters.forall {
-              case StringContains(c, v) if v != null && v.length >= 3 =>
-                ok(c, v)
-              case StringStartsWith(c, v) if v != null && v.length >= 3 =>
-                ok(c, v)
-              case StringEndsWith(c, v) if v != null && v.length >= 3 =>
-                ok(c, v)
-              case _ => true
-            }
-          }
-        }
+        !trigramDropped.contains(f.getAbsolutePath)
 
       private def zoneMayKeep(f: File): Boolean = {
         val sortOk = zoneRanges.get(f.getAbsolutePath) match {
@@ -2636,8 +2585,7 @@ class AvroScanBuilder(path: String, full: StructType,
           .filter { case (f, vals) =>
             partitionMayMatch(vals) && runtimeMayMatch(vals) &&
               zoneMayKeep(f) && runtimeZoneKeep(f) &&
-              bloomMayKeep(f) && runtimeBloomKeep(f) &&
-              trigramMayKeep(f) &&
+              bloomMayKeep(f) && trigramMayKeep(f) &&
               runtimeFileSet.forall(_.contains(relOf(f))) }
 
       /** Catalyst-internal key value for one partition column (SPJ keys

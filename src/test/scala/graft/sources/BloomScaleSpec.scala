@@ -57,38 +57,51 @@ class BloomScaleSpec extends AnyFunSuite with SparkSpec with Matchers {
     AvroFileSource.bloomManifestReads.get() shouldBe (before + 1)
   }
 
-  test("decoding restricts to the filtered columns") {
+  test("decode work restricts to the probed columns") {
     val dir = tmp()
     writeTwoCol(dir)
     val d = new File(dir)
     val schema = spark.read.format("graft-avro").load(dir).schema
-    val all = AvroFileSource.readBlooms(
-      AvroFileSource.bloomFile(d), d, schema)
-    all.values.flatMap(_.keySet).toSet shouldBe Set("k", "tag")
-    val only = AvroFileSource.readBlooms(
-      AvroFileSource.bloomFile(d), d, schema, cols = Set("k"))
-    only.values.flatMap(_.keySet).toSet shouldBe Set("k")
-    only.size shouldBe 8 // one entry per file, 4 KB each — not 2x
+    // probing only k decodes the 8 k-entries, never tag's 8
+    val before = AvroFileSource.bloomEntriesDecoded.get()
+    val dropped = AvroFileSource.bloomDroppedFiles(
+      AvroFileSource.bloomFile(d), d, schema,
+      Map("k" -> Seq(AvroFileSource.bloomProbeEq(Seq("42")))))
+    AvroFileSource.bloomEntriesDecoded.get() shouldBe (before + 8)
+    // k=42 lives in exactly one hash partition's file
+    dropped.size shouldBe 7
   }
 
-  test("the entry cap degrades to no-pruning, never an OOM") {
+  test("pruning survives manifests far past the old 32k-entry cap") {
     val dir = tmp()
     writeTwoCol(dir)
     val d = new File(dir)
     val schema = spark.read.format("graft-avro").load(dir).schema
-    // 8 files x 2 columns = 16 entries; a cap of 3 refuses them all —
-    // and the refusal must happen BEFORE any Base64 materialization
-    // (the count pass short-circuits; a 100k-file manifest costs O(cap)
-    // line parses on the driver, not ~400 MB of decoded bit arrays)
-    val decodedBefore = AvroFileSource.bloomEntriesDecoded.get()
-    AvroFileSource.readBlooms(AvroFileSource.bloomFile(d), d, schema,
-      maxEntries = 3) shouldBe Map.empty
-    AvroFileSource.bloomEntriesDecoded.get() shouldBe decodedBefore
-    // an under-cap read decodes exactly the filtered entries
-    AvroFileSource.readBlooms(AvroFileSource.bloomFile(d), d, schema,
-      cols = Set("k")).size shouldBe 8
-    AvroFileSource.bloomEntriesDecoded.get() shouldBe (decodedBefore + 8)
-    // scans stay correct without pruning (absence => scan)
+    // Forge a 33k-entry manifest (one shared 4 KB payload holding only
+    // "present") on top of the real 8 files' entries: the r13 design
+    // stood pruning down past 32768 entries; the streaming verdict
+    // path must keep pruning with heap = O(dropped paths) + ONE
+    // transient bit array, decoding each entry exactly once.
+    val bits = Array.ofDim[Long](AvroFileSource.BloomBits / 64)
+    AvroFileSource.bloomAdd(bits, "present")
+    val bb = java.nio.ByteBuffer.allocate(AvroFileSource.BloomBits / 8)
+    bits.foreach(bb.putLong)
+    val b64 = java.util.Base64.getEncoder.encodeToString(bb.array())
+    val forged = new File(d, "_graft_blooms_forged")
+    val w = new java.io.PrintWriter(forged, "UTF-8")
+    try (0 until 33000).foreach(i => w.println(s"fake-$i.avro\tk\tbigint\t$b64"))
+    finally w.close()
+
+    val before = AvroFileSource.bloomEntriesDecoded.get()
+    val missing = AvroFileSource.bloomDroppedFiles(forged, d, schema,
+      Map("k" -> Seq(AvroFileSource.bloomProbeEq(Seq("absent")))))
+    missing.size shouldBe 33000 // every forged file pruned, no stand-down
+    AvroFileSource.bloomEntriesDecoded.get() shouldBe (before + 33000)
+    val kept = AvroFileSource.bloomDroppedFiles(forged, d, schema,
+      Map("k" -> Seq(AvroFileSource.bloomProbeEq(Seq("present")))))
+    kept shouldBe empty
+    // scans stay correct with pruning active (bloom never lies: the
+    // real manifest's verdicts only drop files without the key)
     spark.read.format("graft-avro").load(dir)
       .filter(F.col("k") === 42L).count() shouldBe 1
   }

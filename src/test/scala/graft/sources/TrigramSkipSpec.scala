@@ -74,25 +74,48 @@ class TrigramSkipSpec extends AnyFunSuite with SparkSpec with Matchers {
     val dir = tmp()
     spark.range(0, 100).toDF("k")
       .withColumn("doc", F.concat(F.lit("val_"), F.col("k").cast("string")))
-      .repartition(2, F.col("k") % 2)
+      // range-partition: hash partitioning can land both halves in one
+      // partition, leaving an entry-less empty file that always keeps
+      .repartitionByRange(2, F.col("k"))
       .write.format("graft-avro")
       .option("bloomFor", "doc").option("trigramFor", "doc")
       .mode("overwrite").save(dir)
     val d = new File(dir)
     val schema = spark.read.format("graft-avro").load(dir).schema
-    val eq = AvroFileSource.readBlooms(
-      AvroFileSource.bloomFile(d), d, schema)
-    val tg = AvroFileSource.readBlooms(
-      AvroFileSource.bloomFile(d), d, schema, trigram = true)
-    eq should not be empty
-    tg should not be empty
-    // same manifest, disjoint decodings: the equality bits answer
-    // exact values, the trigram bits answer trigrams — and the bit
-    // arrays genuinely differ
-    eq.keySet shouldBe tg.keySet
-    eq.foreach { case (f, byCol) =>
-      byCol("doc") should not equal tg(f)("doc")
-    }
+    val bf = AvroFileSource.bloomFile(d)
+    // same manifest, disjoint verdicts: equality mode must consult
+    // only the exact-value bits, trigram mode only the trigram bits
+    // (exact-value bits answering trigram questions, or vice versa,
+    // would be garbage verdicts). "val_7" lives in the low-k file;
+    // trigram "_93" (of doc "val_93") exists only in the high-k one.
+    val eqDrop = AvroFileSource.bloomDroppedFiles(bf, d, schema,
+      Map("doc" -> Seq(AvroFileSource.bloomProbeEq(Seq("val_7")))))
+    eqDrop.size shouldBe 1
+    val tgDrop = AvroFileSource.bloomDroppedFiles(bf, d, schema,
+      Map("doc" -> Seq(AvroFileSource.bloomProbeSubstring("_93"))),
+      trigram = true)
+    tgDrop.size shouldBe 1
+    // mutual invisibility under a one-kind manifest: a trigram-mode
+    // read of an equality-only manifest (and the reverse) matches no
+    // entry's type tag — NOTHING dropped even for absent needles,
+    // because the other kind's bits are not consulted at all
+    val eqOnly = tmp()
+    spark.range(0, 50).toDF("k")
+      .withColumn("doc", F.concat(F.lit("val_"), F.col("k").cast("string")))
+      .coalesce(1).write.format("graft-avro")
+      .option("bloomFor", "doc").mode("overwrite").save(eqOnly)
+    AvroFileSource.bloomDroppedFiles(
+      AvroFileSource.bloomFile(new File(eqOnly)), new File(eqOnly), schema,
+      Map("doc" -> Seq(AvroFileSource.bloomProbeSubstring("zzz"))),
+      trigram = true) shouldBe empty
+    val tgOnly = tmp()
+    spark.range(0, 50).toDF("k")
+      .withColumn("doc", F.concat(F.lit("val_"), F.col("k").cast("string")))
+      .coalesce(1).write.format("graft-avro")
+      .option("trigramFor", "doc").mode("overwrite").save(tgOnly)
+    AvroFileSource.bloomDroppedFiles(
+      AvroFileSource.bloomFile(new File(tgOnly)), new File(tgOnly), schema,
+      Map("doc" -> Seq(AvroFileSource.bloomProbeEq(Seq("zzz"))))) shouldBe empty
     // equality pruning still behaves with both kinds present
     import org.apache.spark.sql.sources.{EqualTo, StringContains}
     scanParts(dir, Seq(EqualTo("doc", "val_7"))) should be <= 2
