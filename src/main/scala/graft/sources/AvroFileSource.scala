@@ -285,17 +285,20 @@ object AvroFileSource {
     */
   def deleteFile(d: File): File = new File(d, "_graft_deletes")
 
-  /** POSITIONAL-delete sidecar (`_graft_posdel`): `relEnc TAB p1,p2,…`
-    * lines — absolute row ordinals (0-based decode order) deleted from
-    * one live file. The second merge-on-read flavor next to equality
+  /** POSITIONAL-delete sidecar (`_graft_posdel`): one line per file,
+    * `relEnc TAB p1,p2,…` (sparse CSV) or `relEnc TAB B:base64(bitset)`
+    * (dense deletion vector — the writer picks whichever is smaller) —
+    * absolute row ordinals (0-based decode order) deleted from one
+    * live file. The second merge-on-read flavor next to equality
     * deletes: kill a specific physical row without touching the data.
-    * Files carrying positional deletes are never byte-range split (the
-    * ordinal is only countable from the file start), and every
-    * metadata-served aggregate / statistic self-disables while the
-    * sidecar exists. Current-state overlay ONLY: time-travel /
-    * incremental / branch reads refuse while it is present (compact to
-    * materialize first). Corrupt sidecars fail the read — a dropped
-    * line resurrects rows.
+    * Files carrying positional deletes byte-range split normally since
+    * r16 (each range seeds its ordinal from a block-header prefix
+    * walk), and COUNT(*) pushdown / numRows stats stay exact by
+    * subtracting the validated positions; MIN/MAX aggregates and NDV
+    * still stand down (a dead row may hold the extreme). Current-state
+    * overlay ONLY: time-travel / incremental / branch reads refuse
+    * while it is present (compact to materialize first). Corrupt
+    * sidecars fail the read — a dropped line resurrects rows.
     */
   def posdelFile(d: File): File = new File(d, "_graft_posdel")
 
@@ -334,8 +337,8 @@ object AvroFileSource {
     val lines = try src.getLines().filter(_.nonEmpty).toList finally src.close()
     lines.map { line =>
       line.split('\t') match {
-        case Array(relEnc, csv) =>
-          val ps = csv.split(',').map(_.toLong).distinct.sorted
+        case Array(relEnc, field) =>
+          val ps = decodePosdelPositions(field)
           require(ps.forall(_ >= 0), s"negative position in '$line'")
           java.net.URLDecoder.decode(relEnc, "UTF-8") -> ps
         case _ => throw new IllegalStateException(
@@ -343,6 +346,112 @@ object AvroFileSource {
             "to read (a dropped line resurrects deleted rows)")
       }
     }.toMap
+  }
+
+  /** DELETION-VECTOR encoding of one file's positions: `B:` + base64
+    * of the little-endian long words of a bitset over [0, maxOrdinal].
+    * The writer picks whichever of bitmap/CSV is smaller, so dense
+    * delete sets (the UPDATE-heavy case) stay compact while sparse
+    * ones on huge files stay CSV — both flavors parse forever.
+    */
+  private[sources] def encodePosdelField(ps: Array[Long]): String = {
+    val csv = ps.mkString(",")
+    val maxP = ps.last // ps sorted ascending, nonempty
+    // bitmap byte budget: words * 8 → ceil(/3)*4 base64 chars + tag
+    val words = (maxP >> 6).toInt + 1
+    val b64len = 2 + ((words * 8 + 2) / 3) * 4
+    if (maxP < (1L << 31) && b64len < csv.length) {
+      val bits = new Array[Long](words)
+      ps.foreach(p => bits((p >> 6).toInt) |= 1L << (p & 63))
+      val bb = java.nio.ByteBuffer.allocate(words * 8)
+      bits.foreach(bb.putLong)
+      "B:" + java.util.Base64.getEncoder.encodeToString(bb.array())
+    } else csv
+  }
+
+  private def decodePosdelPositions(field: String): Array[Long] =
+    if (field.startsWith("B:")) {
+      val bytes = java.util.Base64.getDecoder.decode(field.substring(2))
+      require(bytes.length % 8 == 0,
+        s"graft-avro: corrupt posdel bitmap (${bytes.length} bytes)")
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val out = Array.newBuilder[Long]
+      var w = 0
+      while (w < bytes.length / 8) {
+        val word = bb.getLong
+        var b = 0
+        while (b < 64) {
+          if ((word & (1L << b)) != 0) out += (w.toLong << 6) + b
+          b += 1
+        }
+        w += 1
+      }
+      out.result()
+    } else field.split(',').map(_.toLong).distinct.sorted
+
+  private[sources] def writePosdelSidecar(d: File,
+      entries0: Map[String, Array[Long]]): Unit = {
+    val entries = entries0.filter(_._2.nonEmpty)
+    val sidecar = posdelFile(d)
+    if (entries.isEmpty) { sidecar.delete(); return }
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val out = entries.toSeq.sortBy(_._1).map { case (r, ps) =>
+      s"${enc(r)}\t${encodePosdelField(ps)}"
+    }.mkString("\n")
+    val tmp = new File(sidecar.getPath + ".staging")
+    java.nio.file.Files.write(tmp.toPath, out.getBytes("UTF-8"))
+    if (!tmp.renameTo(sidecar)) throw new java.io.IOException(
+      s"graft-avro positional delete: rename failed $tmp -> $sidecar")
+  }
+
+  /** Records in the container blocks a byte-range split starting at
+    * `start` will NOT read — the ordinal base that makes positional
+    * deletes and `_graft_pos` split-safe (before r16, any file with
+    * either was read whole: one task pinned per file, no matter its
+    * size). Block membership mirrors the decode loop's `sync(start)` /
+    * `pastSync(end)` exactly: a block belongs to the split containing
+    * `blockStart - 16` (its preceding sync's offset), so the prefix is
+    * every block with `blockStart - 16 < start`. The walk reads ONLY
+    * the two zigzag-varlong block-header fields and seeks over
+    * payload+sync — no decompression, no record decode: ~20 bytes of
+    * I/O per block instead of re-reading the prefix bytes.
+    */
+  private[sources] def recordsBefore(file: File, start: Long): Long = {
+    if (start <= 0L) return 0L
+    // first block offset = end of the container header's trailing sync
+    val firstBlock = {
+      val r = new org.apache.avro.file.DataFileReader[AnyRef](file,
+        new org.apache.avro.generic.GenericDatumReader[AnyRef]())
+      try { r.sync(0L); r.previousSync() } finally r.close()
+    }
+    val len = file.length()
+    val raf = new java.io.RandomAccessFile(file, "r")
+    try {
+      var off = firstBlock
+      var n = 0L
+      val buf = new Array[Byte](20)
+      while (off < len && off - 16 < start) {
+        raf.seek(off)
+        val got = raf.read(buf)
+        var p = 0
+        def varlong(): Long = {
+          var shift = 0; var acc = 0L; var b = 0
+          do {
+            require(p < got, s"graft-avro: truncated block header in $file")
+            b = buf(p) & 0xff; p += 1
+            acc |= (b & 0x7fL) << shift; shift += 7
+          } while ((b & 0x80) != 0)
+          (acc >>> 1) ^ -(acc & 1)
+        }
+        val count = varlong()
+        val size = varlong()
+        require(count >= 0 && size >= 0,
+          s"graft-avro: negative block header in $file at $off")
+        n += count
+        off += p + size + 16 // two varlongs + payload + sync marker
+      }
+      n
+    } finally raf.close()
   }
 
   /** COLUMN-RENAME mapping sidecar (`_graft_colmap`): ordered
@@ -1932,9 +2041,6 @@ class AvroScanBuilder(path: String, full: StructType,
     // extreme. Merge-on-read tables answer aggregates from real
     // (delete-filtered) rows only.
     if (AvroFileSource.deleteFile(new File(path)).isFile) return false
-    // positional deletes: dead rows still count in block headers and
-    // may hold a zone extreme — aggregates come from real rows
-    if (AvroFileSource.posdelFile(new File(path)).isFile) return false
     // Column renames invalidate metadata-served MIN/MAX the same way:
     // old files' zone entries live under historical names, and a
     // RE-ADDED old name would satisfy "full coverage" with the renamed
@@ -1943,10 +2049,16 @@ class AvroScanBuilder(path: String, full: StructType,
     if (AvroFileSource.colmapFile(new File(path)).isFile) return false
     val exprs = agg.aggregateExpressions
     if (exprs.length == 1 && exprs.head.isInstanceOf[CountStar]) {
+      // COUNT(*) survives positional deletes: block-header totals minus
+      // the (validated, distinct) deleted positions — the adjustment
+      // partition is planned in planInputPartitions
       countPushed = true
       required = new StructType().add("count(*)", LongType, nullable = false)
       return true
     }
+    // positional deletes: dead rows may hold a zone extreme — MIN/MAX
+    // aggregates come from real rows while the sidecar exists
+    if (AvroFileSource.posdelFile(new File(path)).isFile) return false
     // Zero-OPEN MIN/MAX of the verified sort column, served entirely
     // from the zone manifest (the Iceberg metadata-aggregate trick): a
     // sorted table answers min/max without touching a single data file.
@@ -2641,9 +2753,8 @@ class AvroScanBuilder(path: String, full: StructType,
         case None => new UnknownPartitioning(0)
       }
 
-      // absolute-path-keyed positional deletes (live + archive); files
-      // carrying them are read whole — an ordinal only counts from the
-      // file start
+      // absolute-path-keyed positional deletes (live + archive); split
+      // ranges seed their ordinal via the block-header prefix walk
       private lazy val posdelsByPath: Map[String, Array[Long]] = {
         val d = new File(path)
         AvroFileSource.readPosdel(d).flatMap { case (rel, ps) =>
@@ -2655,11 +2766,13 @@ class AvroScanBuilder(path: String, full: StructType,
       private def split(f: File): Seq[(String, Long, Long)] = {
         // one task per container file, except files larger than the
         // split size, which fan out as sync-aligned byte ranges — a
-        // single huge file must not pin a single task at scale
+        // single huge file must not pin a single task at scale.
+        // Positional deletes and `_graft_pos` split fine since r16:
+        // each range derives its starting ordinal from a block-header
+        // prefix walk (recordsBefore), so absolute ordinals stay
+        // countable without reading from the file start.
         val len = f.length()
-        if (len <= maxSplitBytes ||
-            posdelsByPath.contains(f.getAbsolutePath) ||
-            required.fieldNames.contains(AvroFileSource.MetaPos))
+        if (len <= maxSplitBytes)
           Seq((f.getAbsolutePath, 0L, Long.MaxValue))
         else (0L until len by maxSplitBytes).map { off =>
           (f.getAbsolutePath, off, math.min(off + maxSplitBytes, len))
@@ -2681,24 +2794,37 @@ class AvroScanBuilder(path: String, full: StructType,
               .get(base.relativize(f.getAbsoluteFile.toPath).toString)
               .map { case (mn, mx) => AvroZoneAggPartition(mn, mx) }
           }.toArray[InputPartition]
-        } else keyedFiles() match {
-          case Some(files) => files.flatMap { case (f, key) =>
-            split(f).map { case (p, s, e) => AvroKeyedPartition(p, s, e, key) }
-          }.toArray[InputPartition]
-          case None =>
-            // row-level ops: remember exactly which files this scan
-            // serves — the write replaces them at commit — and the
-            // delete-sidecar fingerprint at this moment, so the commit
-            // can detect a concurrent deleteWhere/deleteAtPositions
-            // whose effect the rewrite would otherwise silently lose
-            rowLevelCapture.foreach(
-              _.set(AvroFileSource.RowLevelScanState(
-                prunedFiles().map(p => relOf(p._1)).toSet,
-                Some(AvroFileSource.deleteStateFingerprint(
-                  new File(path))))))
-            prunedFiles().flatMap { case (f, _) =>
-            split(f).map { case (p, s, e) => AvroInputPartition(p, s, e) }
-          }.toArray[InputPartition]
+        } else {
+          val base: Array[InputPartition] = keyedFiles() match {
+            case Some(files) => files.flatMap { case (f, key) =>
+              split(f).map { case (p, s, e) => AvroKeyedPartition(p, s, e, key) }
+            }.toArray[InputPartition]
+            case None =>
+              // row-level ops: remember exactly which files this scan
+              // serves — the write replaces them at commit — and the
+              // delete-sidecar fingerprint at this moment, so the commit
+              // can detect a concurrent deleteWhere/deleteAtPositions
+              // whose effect the rewrite would otherwise silently lose
+              rowLevelCapture.foreach(
+                _.set(AvroFileSource.RowLevelScanState(
+                  prunedFiles().map(p => relOf(p._1)).toSet,
+                  Some(AvroFileSource.deleteStateFingerprint(
+                    new File(path))))))
+              prunedFiles().flatMap { case (f, _) =>
+                split(f).map { case (p, s, e) => AvroInputPartition(p, s, e) }
+              }.toArray[InputPartition]
+          }
+          // COUNT(*) under positional deletes: dead rows still count in
+          // block headers, so one extra partition carries the exact
+          // negative adjustment (positions are validated in-range and
+          // distinct at write time — the subtraction is exact)
+          val deadRows =
+            if (counting)
+              AvroFileSource.readPosdel(new File(path))
+                .values.map(_.length.toLong).sum
+            else 0L
+          if (deadRows > 0L) base :+ AvroCountAdjustPartition(-deadRows)
+          else base
         }
       override def createReaderFactory(): PartitionReaderFactory =
         if (counting) AvroCountReaderFactory(required)
@@ -2778,10 +2904,15 @@ class AvroScanBuilder(path: String, full: StructType,
         private def statsServable: Boolean =
           travelVersion.isEmpty && incRange.isEmpty && branch.isEmpty &&
             !AvroFileSource.deleteFile(new File(path)).isFile &&
-            !AvroFileSource.posdelFile(new File(path)).isFile &&
             // renamed tables: NDV entries live under historical names —
             // a re-added name would serve the OLD column's registers
             !AvroFileSource.colmapFile(new File(path)).isFile
+        // positional deletes: numRows stays exact by subtracting the
+        // validated positions; NDV is withheld (which values died is
+        // unknowable from the sidecar)
+        private def posdelDead: Long =
+          AvroFileSource.readPosdel(new File(path))
+            .values.map(_.length.toLong).sum
         private lazy val liveRels: Seq[String] = {
           val base = new File(path).getAbsoluteFile.toPath
           listed.map { case (f, _) =>
@@ -2799,7 +2930,7 @@ class AvroScanBuilder(path: String, full: StructType,
           val m = AvroFileSource.readRowsRaw(
             AvroFileSource.rowsFile(new File(path)))
           if (liveRels.nonEmpty && liveRels.forall(m.contains))
-            java.util.OptionalLong.of(liveRels.map(m).sum)
+            java.util.OptionalLong.of(liveRels.map(m).sum - posdelDead)
           else java.util.OptionalLong.empty()
         }
 
@@ -2815,7 +2946,7 @@ class AvroScanBuilder(path: String, full: StructType,
           val out = new java.util.HashMap[
             org.apache.spark.sql.connector.expressions.NamedReference,
             org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-          if (!statsServable) return out
+          if (!statsServable || posdelDead > 0L) return out
           val nd = AvroFileSource.readNdvRaw(
             AvroFileSource.ndvFile(new File(path)))
           if (liveRels.isEmpty || !liveRels.forall(nd.contains)) return out
@@ -2871,10 +3002,25 @@ class AvroScanBuilder(path: String, full: StructType,
 /** Block-header count reader: walks container blocks via `nextBlock()`
   * (raw buffer, no record decode) and emits ONE partial-count row.
   */
+/** One constant COUNT(*) partial — the negative adjustment that makes
+  * the block-header count exact under positional deletes.
+  */
+case class AvroCountAdjustPartition(delta: Long) extends InputPartition
+
 case class AvroCountReaderFactory(required: StructType)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    partition match {
+      case AvroCountAdjustPartition(delta) =>
+        return new PartitionReader[InternalRow] {
+          private var done = false
+          override def next(): Boolean = { val r = !done; done = true; r }
+          override def get(): InternalRow = InternalRow(delta)
+          override def close(): Unit = ()
+        }
+      case _ => ()
+    }
     val part = AvroReaderFactory.range(partition)
     val file = new File(part.file)
     new PartitionReader[InternalRow] {
@@ -3445,21 +3591,22 @@ case class AvroReaderFactory(required: StructType, full: StructType,
       else abs.toString
     }
 
-    // positional deletes for THIS file: whole-file reads only (split()
-    // never ranges such files; a foreign range here would be a bug) —
-    // and the `_graft_pos` ordinal is only countable the same way
+    // positional deletes for THIS file; ordinals are absolute from the
+    // file start, so a byte-range split seeds its counter with the
+    // record count of the blocks before it (header-only prefix walk —
+    // the same base serves the `_graft_pos` metadata column)
     val posdel: Array[Long] =
       posdels.getOrElse(file.getAbsolutePath, Array.emptyLongArray)
-    require(posdel.isEmpty || part.start == 0L,
-      s"graft-avro: positional deletes require whole-file reads ($file)")
-    require(!outIdx.contains(-2) || part.start == 0L,
-      s"graft-avro: _graft_pos requires whole-file reads ($file)")
+    val ordinalBase: Long =
+      if (part.start > 0L && (posdel.nonEmpty || outIdx.contains(-2)))
+        AvroFileSource.recordsBefore(file, part.start)
+      else 0L
 
     val cap = limit.getOrElse(Int.MaxValue)
     new PartitionReader[InternalRow] {
       private var row: InternalRow = _
       private var emitted = 0
-      private var ordinal = -1L
+      private var ordinal = ordinalBase - 1L
       override def next(): Boolean = {
         row = null
         if (emitted >= cap) return false // pushed LIMIT: stop decoding
@@ -3803,21 +3950,8 @@ class AvroWriteBuilder(path: String, schema: StructType,
               s"graft-avro row-level commit: archive move failed $f -> $dst")
           }
           val pd = AvroFileSource.readPosdel(dirF)
-          if (pd.nonEmpty) {
-            val kept = pd -- rels
-            val sidecar = AvroFileSource.posdelFile(dirF)
-            if (kept.isEmpty) { sidecar.delete(); () }
-            else {
-              def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
-              val out = kept.toSeq.sortBy(_._1).map { case (r, ps) =>
-                s"${enc(r)}\t${ps.mkString(",")}"
-              }.mkString("\n")
-              val tmp = new File(sidecar.getPath + ".staging")
-              java.nio.file.Files.write(tmp.toPath, out.getBytes("UTF-8"))
-              if (!tmp.renameTo(sidecar)) throw new java.io.IOException(
-                s"graft-avro row-level commit: rename failed $tmp")
-            }
-          }
+          if (pd.nonEmpty)
+            AvroFileSource.writePosdelSidecar(dirF, pd -- rels)
         }
         // Sorted-layout marker lifecycle. The marker claims EVERY file in
         // the directory is internally sorted by that column: a verified

@@ -577,15 +577,7 @@ object AvroMaintenance {
     val merged = prior + (rel ->
       (prior.getOrElse(rel, Array.emptyLongArray) ++ positions)
         .distinct.sorted)
-    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
-    val out = merged.toSeq.sortBy(_._1).map { case (r, ps) =>
-      s"${enc(r)}\t${ps.mkString(",")}"
-    }.mkString("\n")
-    val sidecar = AvroFileSource.posdelFile(d)
-    val tmp = new File(sidecar.getPath + ".staging")
-    java.nio.file.Files.write(tmp.toPath, out.getBytes("UTF-8"))
-    if (!tmp.renameTo(sidecar)) throw new java.io.IOException(
-      s"graft-avro positional delete: rename failed $tmp -> $sidecar")
+    AvroFileSource.writePosdelSidecar(d, merged)
     }
   }
 

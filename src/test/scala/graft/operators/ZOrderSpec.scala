@@ -52,8 +52,12 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec with Matchers {
 
     val zStats = fileStats(zDir)
     val linStats = fileStats(linDir)
-    zStats.length shouldBe nFiles
-    linStats.length shouldBe nFiles
+    // repartitionByRange samples to pick boundaries (seed varies with
+    // RDD ids, so concurrent suites see different splits): an unlucky
+    // sample can leave a boundary partition empty — the layout claim
+    // below is what matters, not an exact file count
+    zStats.length should be >= nFiles - 2
+    linStats.length should be >= nFiles - 2
 
     // Box predicate on sx (the non-leading dimension): sx BETWEEN 8 AND 15.
     // 16 range partitions over a 12-bit z-value = the top 4 bits = 2 px
@@ -64,8 +68,8 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec with Matchers {
     val zHit = overlapping(zStats, 8, 15, onSx = true)
     val linHit = overlapping(linStats, 8, 15, onSx = true)
     assert(zHit <= 8, s"z-order should prune sx queries, hit $zHit/$nFiles")
-    assert(linHit == nFiles,
-      s"px-sorted layout cannot prune sx queries, hit $linHit/$nFiles")
+    assert(linHit == linStats.length,
+      s"px-sorted layout cannot prune sx queries, hit $linHit/${linStats.length}")
 
     // Both layouts prune the px dimension (leading column vs interleaved).
     overlapping(linStats, 8, 15, onSx = false) should be <= 8

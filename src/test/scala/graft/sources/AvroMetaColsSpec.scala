@@ -53,7 +53,7 @@ class AvroMetaColsSpec extends AnyFunSuite with SparkSpec with Matchers {
     files.map(_.split('/').head).sorted.toSeq shouldBe Seq("part=p0", "part=p1")
   }
 
-  test("_graft_pos forces whole-file reads on large files") {
+  test("_graft_pos stays absolute across byte-range splits") {
     val dir = tmp()
     spark.range(20000)
       .selectExpr("id as k", "repeat('x', 200) as pad").coalesce(1)
@@ -71,8 +71,10 @@ class AvroMetaColsSpec extends AnyFunSuite with SparkSpec with Matchers {
     def load() = spark.read.format("graft-avro")
       .option("maxSplitBytes", "262144").load(dir)
     parts(load().select("k")) should be > 1
-    parts(load().select("k", "_graft_pos")) shouldBe 1
-    // and the ordinals really are absolute
+    // projecting the ordinal no longer pins one task per file: each
+    // split seeds its counter from the block-header prefix walk
+    parts(load().select("k", "_graft_pos")) should be > 1
+    // and the ordinals really are absolute, split or not
     load().select(F.col("k"), F.col("_graft_pos"))
       .filter(F.col("k") =!= F.col("_graft_pos")).count() shouldBe 0
   }
