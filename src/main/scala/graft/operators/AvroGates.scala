@@ -730,6 +730,57 @@ object AvroGates extends Catalog {
         "FROM graft_gate.gate.mv ORDER BY flag")
     }),
 
+    // JOIN matview under the oracle: V = orders ⋈ customer maintained
+    // incrementally from BOTH sides' appends by the delta-join
+    // expansion ΔV = ΔL⋈R_new ∪ L_old⋈ΔR (version-pinned reads; the
+    // ΔL⋈ΔR cross term rides in the first term). Both sources move
+    // before ONE refresh, so all three delta terms are exercised; the
+    // oracle is the full join over the complete parquet tables — any
+    // dropped or double-counted delta row breaks the hash. The 100 TB
+    // shape: refresh work is O(delta ⋈ …), never a re-join of two fact
+    // tables (MatviewSpec pins the algebra and the loud non-additive
+    // failure).
+    "q_avro_matview_join" -> ((s, dir) => {
+      if (!s.conf.getOption("spark.sql.catalog.graft_gate").isDefined) {
+        s.conf.set("spark.sql.catalog.graft_gate",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_gate.root",
+          tempDir("graft_gate_cat"))
+      }
+      table(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+        .createOrReplaceTempView("ord_src_mvj")
+      table(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .createOrReplaceTempView("cust_src_mvj")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.gate")
+      s.sql("DROP TABLE IF EXISTS graft_gate.gate.mvj")
+      s.sql("DROP TABLE IF EXISTS graft_gate.gate.mvjord")
+      s.sql("DROP TABLE IF EXISTS graft_gate.gate.mvjcust")
+      s.sql("CREATE TABLE graft_gate.gate.mvjord AS " +
+        "SELECT * FROM ord_src_mvj WHERE o_orderkey % 2 = 0") // L v1
+      s.sql("CREATE TABLE graft_gate.gate.mvjcust AS " +
+        "SELECT * FROM cust_src_mvj WHERE c_custkey % 2 = 0") // R v1
+      s.sql("""CALL graft_gate.system.create_join_matview('gate.mvj',
+              |  'gate.mvjord', 'gate.mvjcust',
+              |  'SELECT o_orderkey, o_custkey, o_orderpriority,
+              |     c_mktsegment
+              |   FROM __L__ JOIN __R__ ON o_custkey = c_custkey')"""
+        .stripMargin)
+      // both sides move before one refresh
+      s.sql("INSERT INTO graft_gate.gate.mvjord " +
+        "SELECT * FROM ord_src_mvj WHERE o_orderkey % 2 = 1") // L v2
+      s.sql("INSERT INTO graft_gate.gate.mvjcust " +
+        "SELECT * FROM cust_src_mvj WHERE c_custkey % 2 = 1") // R v2
+      s.sql("CALL graft_gate.system.refresh_join_matview('gate.mvj')")
+      s.sql("""SELECT c_mktsegment, o_orderpriority,
+              |  count(*) AS n_orders,
+              |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+              |FROM graft_gate.gate.mvj
+              |GROUP BY c_mktsegment, o_orderpriority
+              |ORDER BY c_mktsegment, o_orderpriority""".stripMargin)
+    }),
+
     // SQL CALL procedures under the oracle: a full maintenance lifecycle
     // through `CALL cat.system.*` — rollback_to_version physically
     // restores v1 (the doubled v2 generation archives out), then
@@ -1141,6 +1192,46 @@ object AvroGates extends Catalog {
           F.round(F.sum("l_quantity"), 2).as("sum_qty"),
           F.max("l_orderkey").as("max_key"))
         .orderBy("l_returnflag")
+    }),
+
+    // Zone-DECIDED filtered COUNT(*): when every live file either
+    // all-matches or none-matches the predicate (provable from the
+    // column-zone manifest, or a partition-path point value), the
+    // filter is accepted as FULLY pushed — no post-scan Filter — and
+    // the residual-free count is served from block headers alone, zero
+    // rows decoded (AvroZoneDecideSpec pins the plan shape). The
+    // 100 TB shape: a partition- or cluster-aligned `WHERE` on a
+    // petabyte table answers COUNT from metadata, like Iceberg's
+    // manifest-served counts. cnt_part exercises the partition-value
+    // route, cnt_zone the per-file zone-bound route (two appends with
+    // disjoint key ranges; the boundary predicate decides both files).
+    "q_avro_count_filtered" -> ((s, dir) => {
+      val tmpP = tempDir("graft_gate_cntf_part")
+      table(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+        .write.format("graft-avro")
+        .option("partitionBy", "o_orderpriority")
+        .mode("overwrite").save(tmpP)
+      val tmpZ = tempDir("graft_gate_cntf_zone")
+      val li = table(s, dir, "lineitem")
+        // parquet columns read nullable; zone decisions require a
+        // non-nullable column (bounds cover non-null values only) —
+        // coalesce restores non-nullability, values are all non-null
+        .select(F.coalesce(F.col("l_orderkey"), F.lit(0L)).as("okey"),
+          F.col("l_quantity"))
+      // boundary 600 is interior at EVERY SF (sf0.001 keys reach 1499)
+      // so both appends are non-empty — an empty file writes __null__
+      // zone markers, which decline to decide
+      li.filter(F.col("okey") <= 600).coalesce(1)
+        .write.format("graft-avro").mode("overwrite").save(tmpZ)
+      li.filter(F.col("okey") > 600).coalesce(1)
+        .write.format("graft-avro").mode("append").save(tmpZ)
+      val cntPart = s.read.format("graft-avro").load(tmpP)
+        .filter(F.col("o_orderpriority") === "1-URGENT")
+        .agg(F.count(F.lit(1)).as("cnt_part"))
+      val cntZone = s.read.format("graft-avro").load(tmpZ)
+        .filter(F.col("okey") <= 600)
+        .agg(F.count(F.lit(1)).as("cnt_zone"))
+      cntPart.crossJoin(cntZone)
     }),
 
     // Row-level DELETE as merge-on-read: equality deletes on TWO columns
@@ -1562,6 +1653,11 @@ object AvroGates extends Catalog {
                 round(sum(l_extendedprice), 2) AS sum_price
          FROM lineitem WHERE l_orderkey < 2000
          GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_avro_count_filtered" ->
+      """SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders
+                 WHERE o_orderpriority = '1-URGENT') AS cnt_part,
+                (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+                 WHERE l_orderkey <= 600) AS cnt_zone""",
     "q_avro_sortreq" ->
       """SELECT l_returnflag, count(*) AS n_lines,
                 round(sum(l_quantity), 2) AS sum_qty
@@ -1607,6 +1703,13 @@ object AvroGates extends Catalog {
                 2 AS n_files
          FROM orders GROUP BY o_orderpriority ORDER BY part""",
     // refresh ≡ full recompute over all three source generations
+    "q_avro_matview_join" ->
+      """SELECT c_mktsegment, o_orderpriority,
+                count(*) AS n_orders,
+                CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment, o_orderpriority
+         ORDER BY c_mktsegment, o_orderpriority""",
     "q_avro_matview" ->
       """WITH orig AS (
            SELECT l_returnflag, l_quantity, l_extendedprice

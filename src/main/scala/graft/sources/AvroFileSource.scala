@@ -1991,31 +1991,116 @@ class AvroScanBuilder(path: String, full: StructType,
 
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
+  private var fullyPushed: Array[Filter] = Array.empty
+  // (files the decisions covered, files EVERY fully-pushed filter
+  // all-matches) — absolute paths, pinned at pushFilters time
+  private var decidedState: Option[(Set[String], Set[String])] = None
+  // does ANY filter remain for Spark to re-evaluate post-scan?
+  private var anyResidual = false
   private var countPushed = false
   private var limit: Option[Int] = None
 
   /** LIMIT n: each partition stops DECODING after n kept rows (Spark
     * still applies the global limit above). Partial pushdown — `false`
-    * keeps the plan's limit node — and only with no pushed filters:
-    * our filters are residual may-match, so a decode-time row count
-    * could stop before n post-filter rows are found.
+    * keeps the plan's limit node — and only when no RESIDUAL filter
+    * remains: our ordinary filters are residual may-match, so a
+    * decode-time row count could stop before n post-filter rows are
+    * found. Zone-DECIDED (fully pushed) filters are fine: every decoded
+    * row of a kept file matches, so kept-row counts are post-filter
+    * counts.
     */
   override def pushLimit(n: Int): Boolean = {
-    if (pushed.isEmpty) limit = Some(n)
+    if (!anyResidual) limit = Some(n)
     false
   }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     if (!countPushed && minMaxIsMin.isEmpty) required = requiredSchema
 
-  /** Decode-time skip filters (see [[AvroFilterEval]]). EVERY filter is
-    * returned residual — Spark re-evaluates the predicate post-scan under
-    * codegen — so the pushed set is purely a row-skip optimization and
-    * Spark keeps filter-referenced columns in the required schema.
+  /** Decode-time skip filters (see [[AvroFilterEval]]). By default every
+    * filter is returned residual — Spark re-evaluates the predicate
+    * post-scan under codegen — so the pushed set is purely a row-skip
+    * optimization and Spark keeps filter-referenced columns in the
+    * required schema.
+    *
+    * EXCEPT zone/partition-DECIDED filters (tryFullPushdown): when the
+    * column-zone manifest (or hive partition values) proves EVERY live
+    * file either all-matches or none-matches a filter, that filter is
+    * accepted as FULLY pushed — the scan serves exactly the all-match
+    * files whole, Spark re-applies nothing, and (residual-free)
+    * COUNT(*) over a filtered scan can answer from block headers alone.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(AvroFilterEval.accepts(full, _))
-    filters
+    val (fp, st) = tryFullPushdown(filters)
+    fullyPushed = fp
+    decidedState = st
+    val residual = filters.filterNot(f => fullyPushed.exists(_ eq f))
+    anyResidual = residual.nonEmpty
+    residual
+  }
+
+  /** Attempt per-file tri-state decisions for each filter over the live
+    * listing. A filter is fully pushable iff EVERY live file decides
+    * (all-match or none-match); the keep-set is the files where every
+    * such filter all-matches. Soundness gates:
+    *  - current-state reads only (manifests describe the live set);
+    *  - no column renames (zone entries live under historical names);
+    *  - zone bounds answer only for TOP-LEVEL, NON-NULLABLE, non-float
+    *    columns (bounds cover non-null values; a null row matches no
+    *    compare — non-nullability makes "all rows" = "all values";
+    *    float/double excluded for NaN exactness, matching the
+    *    metadata-aggregate rule);
+    *  - partition-path values answer for any column regardless of
+    *    nullability (the value is materialized into every row of the
+    *    file, a constant non-null point by construction);
+    *  - absence of a bound, an unparseable value, or an undecidable
+    *    compare means "undecided" and the filter stays residual.
+    * Equality/positional delete sidecars DON'T stand this down: deletes
+    * remove rows, and a subset of an all-match file still all-matches
+    * (COUNT pushdown has its own delete guards).
+    */
+  private def tryFullPushdown(filters: Array[Filter])
+      : (Array[Filter], Option[(Set[String], Set[String])]) = {
+    val stand = (Array.empty[Filter], None)
+    if (filters.isEmpty) return stand
+    if (travelVersion.nonEmpty || incRange.nonEmpty || branch.nonEmpty)
+      return stand
+    val dir = new File(path)
+    if (AvroFileSource.colmapFile(dir).isFile) return stand
+    val files = AvroFileSource.listLive(dir)
+    val zf = AvroFileSource.colZoneFile(dir)
+    val zones =
+      if (zf.isFile) AvroFileSource.readColZones(zf, dir, full)
+      else Map.empty[String, Map[String, (Any, Any)]]
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    val zoneEligible: Set[String] = full.fields.collect {
+      case fld if !fld.nullable && fld.dataType != DoubleType &&
+          fld.dataType != FloatType => fld.name
+    }.toSet
+    def boundsFor(f: File, partVals: Map[String, String])(col: String)
+        : Option[(Any, Any)] =
+      partVals.get(col) match {
+        case Some(raw) =>
+          full.fields.find(_.name == col).flatMap(fld =>
+            AvroFileSource.castPartitionValue(raw, fld.dataType))
+            .filter(_ != null).map(v => (v, v))
+        case None =>
+          if (!zoneEligible(col)) None
+          else zones.getOrElse(f.getAbsolutePath, Map.empty).get(col)
+      }
+    val decisions: Array[Option[IndexedSeq[Boolean]]] = filters.map { flt =>
+      val perFile = files.toIndexedSeq.map { case (f, pv) =>
+        AvroFilterEval.zoneDecides(boundsFor(f, pv), flt)
+      }
+      if (perFile.forall(_.isDefined)) Some(perFile.map(_.get)) else None
+    }
+    val fullIdx = decisions.zipWithIndex.collect { case (Some(_), i) => i }
+    if (fullIdx.isEmpty) return stand
+    val keep = files.zipWithIndex.collect { case ((f, _), j)
+        if fullIdx.forall(i => decisions(i).get(j)) => f.getAbsolutePath }
+    (fullIdx.map(filters), Some(
+      (files.map(_._1.getAbsolutePath).toSet, keep.toSet)))
   }
 
   override def pushedFilters(): Array[Filter] = pushed
@@ -2030,7 +2115,11 @@ class AvroScanBuilder(path: String, full: StructType,
     * braces with our always-residual filter contract.)
     */
   override def pushAggregation(agg: Aggregation): Boolean = {
-    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return false
+    // Residual-free filters only: either none, or every one is
+    // zone/partition-DECIDED (fully pushed) — the kept files then
+    // answer COUNT(*) from block headers alone. Any residual filter
+    // needs real rows (Spark would not offer pushdown then anyway).
+    if (anyResidual || agg.groupByExpressions.nonEmpty) return false
     // Time travel / incremental: every metadata-served aggregate reads
     // CURRENT-state manifests (block counts, zone bounds), which need
     // not describe the requested snapshot or changeset. Historical
@@ -2056,6 +2145,11 @@ class AvroScanBuilder(path: String, full: StructType,
       required = new StructType().add("count(*)", LongType, nullable = false)
       return true
     }
+    // Everything below serves MIN/MAX from manifests folded over ALL
+    // live files — any filter (even a fully-pushed one, which restricts
+    // the file set) invalidates that fold. COUNT(*) above composes with
+    // decided filters because its partitions follow prunedFiles.
+    if (pushed.nonEmpty || fullyPushed.nonEmpty) return false
     // positional deletes: dead rows may hold a zone extreme — MIN/MAX
     // aggregates come from real rows while the sidecar exists
     if (AvroFileSource.posdelFile(new File(path)).isFile) return false
@@ -2221,6 +2315,7 @@ class AvroScanBuilder(path: String, full: StructType,
 
   override def build(): Scan = {
     val filters = pushed
+    val decided = decidedState
     val counting = countPushed
     val aggAny = minMaxAny
     val aggIsMin = minMaxIsMin
@@ -2690,12 +2785,29 @@ class AvroScanBuilder(path: String, full: StructType,
         new File(path).getAbsoluteFile.toPath
           .relativize(f.getAbsoluteFile.toPath).toString
 
+      /** Fully-pushed (zone-decided) filters: serve EXACTLY the decided
+        * keep-set — Spark re-applies nothing, so emitting any row of a
+        * non-all-match file would be wrong. The decisions were pinned
+        * over the live listing at pushFilters time; a file that appears
+        * afterwards (concurrent commit between pushdown and planning)
+        * was never decided and must fail LOUDLY, not scan.
+        */
+      private def decidedKeep(f: File): Boolean = decided match {
+        case Some((over, keep)) =>
+          require(over.contains(f.getAbsolutePath),
+            s"graft-avro: ${f.getName} appeared after filter-pushdown " +
+              "decisions were pinned (concurrent commit) — rerun the query")
+          keep.contains(f.getAbsolutePath)
+        case None => true
+      }
+
       private def prunedFiles(): Seq[(File, Map[String, String])] =
         listed
           // partition-directory pruning: skip whole files whose k=v path
           // proves they cannot match — the scan never opens them
           .filter { case (f, vals) =>
-            partitionMayMatch(vals) && runtimeMayMatch(vals) &&
+            decidedKeep(f) &&
+              partitionMayMatch(vals) && runtimeMayMatch(vals) &&
               zoneMayKeep(f) && runtimeZoneKeep(f) &&
               bloomMayKeep(f) && trigramMayKeep(f) &&
               runtimeFileSet.forall(_.contains(relOf(f))) }
@@ -2817,12 +2929,16 @@ class AvroScanBuilder(path: String, full: StructType,
           // COUNT(*) under positional deletes: dead rows still count in
           // block headers, so one extra partition carries the exact
           // negative adjustment (positions are validated in-range and
-          // distinct at write time — the subtraction is exact)
+          // distinct at write time — the subtraction is exact). Only
+          // PLANNED files' deads count: under fully-pushed decided
+          // filters the pruned files' rows (dead or alive) are out
           val deadRows =
-            if (counting)
+            if (counting) {
+              val keptRels = prunedFiles().map(p => relOf(p._1)).toSet
               AvroFileSource.readPosdel(new File(path))
+                .filter { case (rel, _) => keptRels(rel) }
                 .values.map(_.length.toLong).sum
-            else 0L
+            } else 0L
           if (deadRows > 0L) base :+ AvroCountAdjustPartition(-deadRows)
           else base
         }
@@ -2876,7 +2992,13 @@ class AvroScanBuilder(path: String, full: StructType,
         * the first file's header.
         */
       override def estimateStatistics(): Statistics = new Statistics {
-        private val files = listed.map(_._1)
+        // fully-pushed decided filters restrict the scan to the pinned
+        // keep-set: stats describe exactly those files (post-"filter")
+        private val files = decided match {
+          case Some((_, keep)) =>
+            listed.map(_._1).filter(f => keep.contains(f.getAbsolutePath))
+          case None => listed.map(_._1)
+        }
         private val factor: Double = {
           val conf = try org.apache.spark.sql.SparkSession.active.conf
             .get("spark.sql.sources.fileCompressionFactor", "").toDouble
@@ -2908,14 +3030,17 @@ class AvroScanBuilder(path: String, full: StructType,
             // a re-added name would serve the OLD column's registers
             !AvroFileSource.colmapFile(new File(path)).isFile
         // positional deletes: numRows stays exact by subtracting the
-        // validated positions; NDV is withheld (which values died is
-        // unknowable from the sidecar)
-        private def posdelDead: Long =
+        // validated positions OF THE COUNTED FILES; NDV is withheld
+        // (which values died is unknowable from the sidecar)
+        private def posdelDead: Long = {
+          val rels = liveRels.toSet
           AvroFileSource.readPosdel(new File(path))
+            .filter { case (rel, _) => rels(rel) }
             .values.map(_.length.toLong).sum
+        }
         private lazy val liveRels: Seq[String] = {
           val base = new File(path).getAbsoluteFile.toPath
-          listed.map { case (f, _) =>
+          files.map { f =>
             base.relativize(f.getAbsoluteFile.toPath).toString
           }
         }

@@ -97,6 +97,96 @@ private[sources] object AvroFilterEval {
     }
   }
 
+  /** Tri-state FILE decision for full filter pushdown: Some(true) =
+    * EVERY row of the file matches `f`, Some(false) = NO row matches,
+    * None = undecided. `boundsOf(col)` yields the file's exact-ordered
+    * [mn, mx] over ALL rows of that column; the CALLER guarantees the
+    * column holds no nulls in this file (non-nullable schema field, or
+    * a partition-path point value, which is constant by construction) —
+    * columns without that guarantee must answer None.
+    *
+    * Sound under WIDENED bounds (truncated string zones record
+    * mn' <= true-min and mx' >= true-max): every all-match rule below
+    * derives "true-min/max clears v" from the recorded bound on the
+    * conservative side (mn' > v ⇒ true-min > v; mx' < v ⇒ true-max < v;
+    * mn' = mx' = v pinches every value to v), and every none-match rule
+    * is ordinary zone pruning. Undecidable comparisons (cmp = None)
+    * answer None.
+    */
+  def zoneDecides(boundsOf: String => Option[(Any, Any)], f: Filter)
+      : Option[Boolean] = {
+    // lower-bound decision: `all` answers from cmp(mn, v), `none` from
+    // cmp(mx, v) (GreaterThan shapes); `hi = true` swaps the roles
+    // (LessThan shapes answer `all` from the max bound)
+    def range(a: String, v: Any, hi: Boolean)(
+        all: Int => Boolean, none: Int => Boolean): Option[Boolean] =
+      if (v == null) None
+      else boundsOf(a).flatMap { case (mn, mx) =>
+        val (cAll, cNone) =
+          if (hi) (cmp(mx, v), cmp(mn, v)) else (cmp(mn, v), cmp(mx, v))
+        if (cAll.exists(all)) Some(true)
+        else if (cNone.exists(none)) Some(false)
+        else None
+      }
+    // EqualTo: all iff both bounds pin v; none iff v surely outside
+    def point(a: String, v: Any): Option[Boolean] =
+      if (v == null) None
+      else boundsOf(a).flatMap { case (mn, mx) =>
+        (cmp(mn, v), cmp(mx, v)) match {
+          case (Some(c1), Some(c2)) =>
+            if (c1 == 0 && c2 == 0) Some(true)
+            else if (c1 > 0 || c2 < 0) Some(false)
+            else None
+          case (Some(c1), _) if c1 > 0 => Some(false)
+          case (_, Some(c2)) if c2 < 0 => Some(false)
+          case _ => None
+        }
+      }
+    def d(f: Filter): Option[Boolean] = f match {
+      case And(l, r) => (d(l), d(r)) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), x) => x
+        case (x, Some(true)) => x
+        case _ => None
+      }
+      case Or(l, r) => (d(l), d(r)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), x) => x
+        case (x, Some(false)) => x
+        case _ => None
+      }
+      case EqualTo(a, v)       => point(a, v)
+      case EqualNullSafe(a, v) =>
+        // no-null guarantee: <=> NULL matches nothing in this file
+        if (v == null) boundsOf(a).map(_ => false) else point(a, v)
+      case GreaterThan(a, v) =>
+        range(a, v, hi = false)(all = _ > 0, none = _ <= 0)
+      case GreaterThanOrEqual(a, v) =>
+        range(a, v, hi = false)(all = _ >= 0, none = _ < 0)
+      case LessThan(a, v) =>
+        range(a, v, hi = true)(all = _ < 0, none = _ >= 0)
+      case LessThanOrEqual(a, v) =>
+        range(a, v, hi = true)(all = _ <= 0, none = _ > 0)
+      case In(a, vs0) =>
+        val vs = Option(vs0).map(_.filter(_ != null)).getOrElse(Array.empty[Any])
+        if (vs.isEmpty) boundsOf(a).map(_ => false)
+        else boundsOf(a).flatMap { case (mn, mx) =>
+          // all: the file is a single point and some value hits it
+          if (cmp(mn, mx).contains(0) && vs.exists(v => cmp(v, mn).contains(0)))
+            Some(true)
+          // none: every value lies surely outside [mn, mx]
+          else if (vs.forall(v => cmp(v, mn).exists(_ < 0) ||
+                                  cmp(v, mx).exists(_ > 0)))
+            Some(false)
+          else None
+        }
+      case IsNotNull(a) => boundsOf(a).map(_ => true)  // no-null guarantee
+      case IsNull(a)    => boundsOf(a).map(_ => false)
+      case _ => None // Not, string matchers, unknown nodes: undecided
+    }
+    d(f)
+  }
+
   /** The data type `attr` resolves to under the same resolution rule as
     * [[pathOf]] — exact top-level name first, then a dotted struct walk.
     * Shared with the all-column zone manifest (write AND read side must

@@ -1,0 +1,157 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.FilterExec
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Zone/partition-DECIDED full filter pushdown: when the column-zone
+  * manifest (or hive partition values) proves every live file either
+  * all-matches or none-matches a filter, the filter is accepted as
+  * fully pushed — no post-scan Filter node — and a residual-free
+  * filtered COUNT(*) answers from block headers alone. Soundness
+  * stand-downs: nullable columns, interior (undecided) predicates,
+  * missing manifests.
+  */
+class AvroZoneDecideSpec extends AnyFunSuite with SparkSpec with Matchers {
+
+  private def tmp() = graft.operators.Catalog.tempDir("graft_zdecide")
+
+  /** 4 single-file appends with disjoint k ranges: [0,99] [100,199]
+    * [200,299] [300,399] — exact, deterministic per-file zone bounds.
+    */
+  private def rangedTable(): String = {
+    val dir = tmp()
+    (0 until 4).foreach { b =>
+      spark.range(b * 100L, b * 100L + 100L)
+        .selectExpr("id as k", "id * 2 as v").coalesce(1)
+        .write.format("graft-avro")
+        .mode(if (b == 0) "overwrite" else "append").save(dir)
+    }
+    dir
+  }
+
+  private def load(dir: String): DataFrame =
+    spark.read.format("graft-avro").load(dir)
+
+  private def filterNodes(df: DataFrame): Seq[FilterExec] =
+    df.queryExecution.sparkPlan.collect { case f: FilterExec => f }
+
+  test("boundary predicate fully pushes: no Filter node, exact rows") {
+    val dir = rangedTable()
+    val df = load(dir).filter("k < 200")
+    filterNodes(df) shouldBe empty // every file decided -> nothing residual
+    df.count() shouldBe 200
+    df.agg(F.sum("k")).head().getLong(0) shouldBe (0L until 200L).sum
+    // >= boundary from the other side
+    val hi = load(dir).filter("k >= 300")
+    filterNodes(hi) shouldBe empty
+    hi.agg(F.sum("v")).head().getLong(0) shouldBe (300L until 400L).map(_ * 2).sum
+    // conjunction of two decided filters
+    val mid = load(dir).filter("k >= 100 AND k <= 299")
+    filterNodes(mid) shouldBe empty
+    mid.count() shouldBe 200
+  }
+
+  test("filtered COUNT(*) serves from block headers when decided") {
+    val dir = rangedTable()
+    val counted = load(dir).filter("k <= 199").agg(F.count(F.lit(1)))
+    counted.queryExecution.executedPlan.toString should
+      include("PushedAggregation: [COUNT(*)]")
+    counted.head().getLong(0) shouldBe 200L
+  }
+
+  test("interior predicate stays residual: Filter node present, count unfused") {
+    val dir = rangedTable()
+    val df = load(dir).filter("k < 150") // cuts inside file [100,199]
+    filterNodes(df) should not be empty
+    df.count() shouldBe 150
+    val counted = load(dir).filter("k < 150").agg(F.count(F.lit(1)))
+    (counted.queryExecution.executedPlan.toString should not)
+      .include("PushedAggregation")
+    counted.head().getLong(0) shouldBe 150L
+  }
+
+  test("nullable columns never decide (null rows match no compare)") {
+    val dir = tmp()
+    // n is nullable WITH nulls; every non-null n < 1000, so a wrong
+    // all-match claim would resurrect the null rows
+    spark.range(100)
+      .selectExpr("id as k", "if(id % 10 = 0, cast(null as long), id) as n")
+      .coalesce(1).write.format("graft-avro").mode("overwrite").save(dir)
+    val df = load(dir).filter("n < 1000")
+    filterNodes(df) should not be empty
+    df.count() shouldBe 90
+  }
+
+  test("missing zone manifest stands down") {
+    val dir = rangedTable()
+    AvroFileSource.colZoneFile(new java.io.File(dir)).delete() shouldBe true
+    val df = load(dir).filter("k < 200")
+    filterNodes(df) should not be empty
+    df.count() shouldBe 200
+  }
+
+  test("partition values decide any predicate on the partition column") {
+    val dir = tmp()
+    spark.range(300)
+      .selectExpr("id as k", "concat('p', cast(id % 3 as string)) as p")
+      .write.format("graft-avro").option("partitionBy", "p")
+      .mode("overwrite").save(dir)
+    val eq = load(dir).filter("p = 'p1'")
+    filterNodes(eq) shouldBe empty
+    eq.count() shouldBe 100
+    val in = load(dir).filter("p IN ('p0', 'p2')")
+    filterNodes(in) shouldBe empty
+    in.count() shouldBe 200
+    val counted = load(dir).filter("p = 'p0'").agg(F.count(F.lit(1)))
+    counted.queryExecution.executedPlan.toString should
+      include("PushedAggregation: [COUNT(*)]")
+    counted.head().getLong(0) shouldBe 100L
+  }
+
+  test("decided COUNT(*) subtracts positional deletes of KEPT files only") {
+    val dir = rangedTable()
+    val base = new java.io.File(dir)
+    val byName = AvroFileSource.listAvro(base)
+      .map(f => f -> {
+        // first k in the file identifies its range bucket
+        val df = spark.read.format("graft-avro").load(dir)
+          .filter(F.col("_graft_file") === f.getName)
+        df.agg(F.min("k")).head().getLong(0)
+      }).toMap
+    val kept = byName.collectFirst { case (f, mn) if mn == 0L => f }.get
+    val pruned = byName.collectFirst { case (f, mn) if mn == 300L => f }.get
+    AvroMaintenance.deleteAtPositions(dir, kept.getName, Seq(1L, 2L))
+    AvroMaintenance.deleteAtPositions(dir, pruned.getName, Seq(5L))
+    val counted = load(dir).filter("k < 200").agg(F.count(F.lit(1)))
+    counted.queryExecution.executedPlan.toString should
+      include("PushedAggregation: [COUNT(*)]")
+    counted.head().getLong(0) shouldBe 198L // 200 - the 2 kept-file deads
+    // unfiltered count still subtracts all three
+    load(dir).agg(F.count(F.lit(1))).head().getLong(0) shouldBe 397L
+  }
+
+  test("equality deletes compose with decided row scans, refuse count pushdown") {
+    val dir = rangedTable()
+    AvroMaintenance.deleteWhere(spark, dir, "k", Seq(50L, 350L))
+    val df = load(dir).filter("k < 200")
+    filterNodes(df) shouldBe empty // subset of an all-match file still all-matches
+    df.count() shouldBe 199
+    val counted = load(dir).filter("k < 200").agg(F.count(F.lit(1)))
+    (counted.queryExecution.executedPlan.toString should not)
+      .include("PushedAggregation")
+    counted.head().getLong(0) shouldBe 199L
+  }
+
+  test("metadata MIN/MAX stands down under any filter") {
+    val dir = rangedTable()
+    val agg = load(dir).filter("k >= 200").agg(F.min("v"), F.max("v"))
+    (agg.queryExecution.executedPlan.toString should not)
+      .include("PushedAggregation: [MIN")
+    agg.head() match {
+      case r => (r.getLong(0), r.getLong(1)) shouldBe ((400L, 798L))
+    }
+  }
+}
