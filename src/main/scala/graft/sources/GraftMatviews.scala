@@ -125,7 +125,8 @@ object GraftMatviews {
       "graft matview: aggregate SQL must read FROM __SRC__")
     require(mergeSql.contains("__ACC__"),
       "graft matview: combine SQL must read FROM __ACC__")
-    require(!sidecar(new File(viewDir)).isFile,
+    require(!sidecar(new File(viewDir)).isFile &&
+        !joinSidecar(new File(viewDir)).isFile,
       s"graft matview: $viewDir already is a materialized view " +
         "(drop it first)")
     val ver = currentVersion(srcDir)
@@ -188,5 +189,140 @@ object GraftMatviews {
     merged.write.format("graft-avro").mode("overwrite").save(viewDir)
     writeSpec(new File(viewDir), spec.copy(lastVersion = cur))
     (spec.lastVersion, cur)
+  }
+
+  // ---------------------------------------------------------------- joins
+
+  /** JOIN matviews: `V = L ⋈ R` maintained incrementally from BOTH
+    * sides' append-only deltas by the classic delta-join expansion
+    *
+    *   ΔV = ΔL ⋈ R@curR  ∪  L@lastL ⋈ ΔR
+    *
+    * (the ΔL⋈ΔR cross term rides inside the first term because the
+    * right side is read at its NEW version; the second term reads the
+    * left at its OLD version — both pinned with versionAsOf so a
+    * concurrent commit between version lookup and read cannot skew the
+    * algebra). The view is APPEND-maintained — the join result is
+    * row-additive under row-additive inputs (inner joins, bag
+    * semantics) — so refresh work is O(Δ ⋈ …), never a re-join of two
+    * 100 TB fact tables. Non-additive source history (delete /
+    * overwrite / rollback) fails the incremental read loudly; recreate
+    * to resync. Aggregates over a join maintain compositionally: layer
+    * an aggregate matview (partial/combine) OVER the join view's
+    * directory.
+    */
+  def joinSidecar(dir: File): File = new File(dir, "_graft_mvjoin")
+
+  final case class JoinSpec(leftDir: String, rightDir: String,
+      joinSql: String, lastLeft: Long, lastRight: Long)
+
+  def readJoinSpec(viewDir: File): JoinSpec = {
+    val f = joinSidecar(viewDir)
+    require(f.isFile, s"graft matview: $viewDir has no _graft_mvjoin " +
+      "sidecar (not a join materialized view)")
+    val line = new String(Files.readAllBytes(f.toPath),
+      StandardCharsets.UTF_8).trim
+    line.split("\t", -1) match {
+      case Array(l, r, sql, lv, rv) =>
+        JoinSpec(dec(l), dec(r), dec(sql), lv.toLong, rv.toLong)
+      case _ => throw new IllegalArgumentException(
+        s"graft matview: corrupt join sidecar $f")
+    }
+  }
+
+  private def writeJoinSpec(viewDir: File, spec: JoinSpec): Unit = {
+    val tmp = new File(viewDir, "_graft_mvjoin.staging")
+    Files.write(tmp.toPath,
+      (enc(spec.leftDir) + "\t" + enc(spec.rightDir) + "\t" +
+        enc(spec.joinSql) + "\t" + spec.lastLeft + "\t" +
+        spec.lastRight + "\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp.toPath, joinSidecar(viewDir).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Full initial build of `joinSql` (reads FROM `__L__` and `__R__`),
+    * written as the view table; records both sources' current versions.
+    */
+  def createJoin(spark: SparkSession, viewDir: String, leftDir: String,
+      rightDir: String, joinSql: String): (Long, Long) =
+      withViewLock(new File(viewDir)) {
+    require(joinSql.contains("__L__") && joinSql.contains("__R__"),
+      "graft matview: join SQL must read FROM __L__ and __R__")
+    val vd = new File(viewDir)
+    require(!joinSidecar(vd).isFile && !sidecar(vd).isFile,
+      s"graft matview: $viewDir already is a materialized view " +
+        "(drop it first)")
+    val lv = currentVersion(leftDir)
+    val rv = currentVersion(rightDir)
+    require(lv > 0 && rv > 0, "graft matview: join sources must be " +
+      "journaled graft-avro tables (no snapshot journal found)")
+    val id = viewSeq.incrementAndGet()
+    val (lView, rView) = (s"graft_mvj_l_$id", s"graft_mvj_r_$id")
+    spark.read.format("graft-avro").option("versionAsOf", lv.toString)
+      .load(leftDir).createOrReplaceTempView(lView)
+    spark.read.format("graft-avro").option("versionAsOf", rv.toString)
+      .load(rightDir).createOrReplaceTempView(rView)
+    spark.sql(joinSql.replace("__L__", lView).replace("__R__", rView))
+      .write.format("graft-avro").mode("overwrite").save(viewDir)
+    writeJoinSpec(vd, JoinSpec(new File(leftDir).getCanonicalPath,
+      new File(rightDir).getCanonicalPath, joinSql, lv, rv))
+    (lv, rv)
+  }
+
+  /** Incremental join refresh: appends the two delta terms to the view.
+    * Returns ((fromL, toL), (fromR, toR)) — both pairs equal when
+    * neither source moved (no-op).
+    */
+  def refreshJoin(spark: SparkSession, viewDir: String)
+      : ((Long, Long), (Long, Long)) = withViewLock(new File(viewDir)) {
+    val spec = readJoinSpec(new File(viewDir))
+    val curL = currentVersion(spec.leftDir)
+    val curR = currentVersion(spec.rightDir)
+    require(curL >= spec.lastLeft && curR >= spec.lastRight,
+      s"graft matview: a source went BACKWARDS (left v$curL/" +
+        s"v${spec.lastLeft}, right v$curR/v${spec.lastRight}) — rolled " +
+        "back or expired; recreate the view")
+    if (curL == spec.lastLeft && curR == spec.lastRight)
+      return ((curL, curL), (curR, curR))
+    val id = viewSeq.incrementAndGet()
+    def bind(df: org.apache.spark.sql.DataFrame, name: String): String = {
+      df.createOrReplaceTempView(name); name
+    }
+    // ΔL ⋈ R@curR (carries the ΔL⋈ΔR cross term)
+    val term1 = if (curL > spec.lastLeft) {
+      val l = bind(spark.read.format("graft-avro")
+        .option("fromVersion", spec.lastLeft.toString)
+        .option("toVersion", curL.toString)
+        .load(spec.leftDir), s"graft_mvj_dl_$id")
+      val r = bind(spark.read.format("graft-avro")
+        .option("versionAsOf", curR.toString)
+        .load(spec.rightDir), s"graft_mvj_rn_$id")
+      Some(spark.sql(
+        spec.joinSql.replace("__L__", l).replace("__R__", r)))
+    } else None
+    // L@lastL ⋈ ΔR
+    val term2 = if (curR > spec.lastRight) {
+      val l = bind(spark.read.format("graft-avro")
+        .option("versionAsOf", spec.lastLeft.toString)
+        .load(spec.leftDir), s"graft_mvj_lo_$id")
+      val r = bind(spark.read.format("graft-avro")
+        .option("fromVersion", spec.lastRight.toString)
+        .option("toVersion", curR.toString)
+        .load(spec.rightDir), s"graft_mvj_dr_$id")
+      Some(spark.sql(
+        spec.joinSql.replace("__L__", l).replace("__R__", r)))
+    } else None
+    val delta = (term1, term2) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None) => a
+      case (None, b) => b.get
+    }
+    // append-only maintenance: the view dir is not being replaced, no
+    // checkpoint needed — the delta reads source dirs, not the view
+    delta.write.format("graft-avro").mode("append").save(viewDir)
+    writeJoinSpec(new File(viewDir),
+      spec.copy(lastLeft = curL, lastRight = curR))
+    ((spec.lastLeft, curL), (spec.lastRight, curR))
   }
 }

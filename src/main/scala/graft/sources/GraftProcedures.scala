@@ -36,7 +36,8 @@ object GraftProcedures {
   def names: Seq[String] = Seq("rollback_to_version", "expire_snapshots",
     "create_tag", "drop_tag", "add_constraint", "drop_constraint",
     "compact", "cluster", "remove_orphans", "add_files", "create_view",
-    "drop_view", "create_matview", "refresh_matview")
+    "drop_view", "create_matview", "refresh_matview",
+    "create_join_matview", "refresh_join_matview")
 
   /** One result row (catalyst values, strings as UTF8String). */
   private case class ResultScan(schema: StructType, row: Seq[Any])
@@ -283,6 +284,49 @@ object GraftProcedures {
             org.apache.spark.sql.SparkSession.active, dirOf(in))
           (out("from_version" -> LongType, "to_version" -> LongType),
             Seq(from, to))
+        })
+      case "create_join_matview" => new Proc(name,
+        "materialize a join of two tables (join_sql reads __L__ and " +
+          "__R__); refresh_join_matview later appends only the " +
+          "delta-join terms from each side's new versions",
+        Array(param("view", StringType), param("left", StringType),
+          param("right", StringType), param("join_sql", StringType)),
+        in => {
+          val viewRef = in.getUTF8String(0)
+          val leftRef = in.getUTF8String(1)
+          val rightRef = in.getUTF8String(2)
+          val joinSql = in.getUTF8String(3)
+          require(viewRef != null && leftRef != null && rightRef != null &&
+            joinSql != null,
+            "graft procedure: create_join_matview arguments must be non-null")
+          val ident = cat.parseRef(viewRef.toString)
+          val nsD = cat.namespaceDir(ident.namespace())
+          require(nsD.isDirectory,
+            s"graft catalog: no namespace ${ident.namespace().mkString(".")}")
+          require(!cat.tableExistsIdent(ident),
+            s"graft catalog: a table named $ident already exists")
+          require(!GraftViews.viewFile(nsD, ident.name()).isFile,
+            s"graft catalog: a view named $ident already exists")
+          val (lv, rv) = GraftMatviews.createJoin(
+            org.apache.spark.sql.SparkSession.active,
+            cat.tableDirIdent(ident).getPath,
+            cat.resolveTableDir(leftRef.toString).getPath,
+            cat.resolveTableDir(rightRef.toString).getPath,
+            joinSql.toString)
+          (out("view" -> StringType, "left_version" -> LongType,
+            "right_version" -> LongType), Seq(viewRef.copy(), lv, rv))
+        })
+      case "refresh_join_matview" => new Proc(name,
+        "append the delta-join terms of both sources' new versions to " +
+          "a join materialized view (additive-only; rewritten history " +
+          "fails loudly — recreate the view)",
+        Array(param("view", StringType)),
+        in => {
+          val ((fl, tl), (fr, tr)) = GraftMatviews.refreshJoin(
+            org.apache.spark.sql.SparkSession.active, dirOf(in))
+          (out("left_from" -> LongType, "left_to" -> LongType,
+            "right_from" -> LongType, "right_to" -> LongType),
+            Seq(fl, tl, fr, tr))
         })
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unknown procedure system.$other " +

@@ -115,6 +115,97 @@ class MatviewSpec extends AnyFunSuite with SparkSpec with Matchers {
     viewRows(mv) shouldBe expect
   }
 
+  // ---------------------------------------------------------------- joins
+
+  private val joinSql =
+    """SELECT l.k AS k, l.v AS lv, r.w AS rw
+      |FROM __L__ l JOIN __R__ r ON l.k = r.k""".stripMargin
+
+  private def writePairs(dir: String, rows: Seq[(Long, Long)],
+      cols: (String, String), mode: String): Unit = {
+    val s = spark
+    import s.implicits._
+    rows.toDF(cols._1, cols._2)
+      .write.format("graft-avro").mode(mode).save(dir)
+  }
+
+  private def joinRows(dir: String): Seq[(Long, Long, Long)] =
+    spark.read.format("graft-avro").load(dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+
+  test("join refresh equals full re-join across both sides' deltas") {
+    val l = Catalog.tempDir("graft_mvj_l")
+    val r = Catalog.tempDir("graft_mvj_r")
+    val mv = Catalog.tempDir("graft_mvj_v")
+    // duplicate keys on both sides: bag semantics must survive
+    val l1 = Seq((1L, 10L), (1L, 11L), (2L, 20L), (9L, 90L))
+    val r1 = Seq((1L, 100L), (2L, 200L), (2L, 201L), (8L, 800L))
+    writePairs(l, l1, ("k", "v"), "overwrite")
+    writePairs(r, r1, ("k", "w"), "overwrite")
+    GraftMatviews.createJoin(spark, mv, l, r, joinSql) shouldBe ((1L, 1L))
+
+    def expect(ls: Seq[(Long, Long)], rs: Seq[(Long, Long)]) =
+      (for { (lk, lv) <- ls; (rk, rw) <- rs if lk == rk }
+        yield (lk, lv, rw)).sorted
+    joinRows(mv) shouldBe expect(l1, r1)
+
+    // BOTH sides move before one refresh: exercises ΔL⋈R_new,
+    // L_old⋈ΔR, and the ΔL⋈ΔR cross term in a single pass
+    val l2 = Seq((2L, 21L), (8L, 80L), (3L, 30L))
+    val r2 = Seq((1L, 101L), (9L, 900L), (3L, 300L))
+    writePairs(l, l2, ("k", "v"), "append")
+    writePairs(r, r2, ("k", "w"), "append")
+    GraftMatviews.refreshJoin(spark, mv) shouldBe (((1L, 2L), (1L, 2L)))
+    joinRows(mv) shouldBe expect(l1 ++ l2, r1 ++ r2)
+
+    // one-sided move
+    val l3 = Seq((9L, 91L))
+    writePairs(l, l3, ("k", "v"), "append")
+    GraftMatviews.refreshJoin(spark, mv) shouldBe (((2L, 3L), (2L, 2L)))
+    joinRows(mv) shouldBe expect(l1 ++ l2 ++ l3, r1 ++ r2)
+
+    // no-op
+    GraftMatviews.refreshJoin(spark, mv) shouldBe (((3L, 3L), (2L, 2L)))
+    joinRows(mv) shouldBe expect(l1 ++ l2 ++ l3, r1 ++ r2)
+  }
+
+  test("join refresh fails loudly on a non-additive source window") {
+    val l = Catalog.tempDir("graft_mvj_l2")
+    val r = Catalog.tempDir("graft_mvj_r2")
+    val mv = Catalog.tempDir("graft_mvj_v2")
+    writePairs(l, Seq((1L, 10L)), ("k", "v"), "overwrite")
+    writePairs(r, Seq((1L, 100L)), ("k", "w"), "overwrite")
+    GraftMatviews.createJoin(spark, mv, l, r, joinSql)
+    writePairs(r, Seq((2L, 200L)), ("k", "w"), "append")
+    AvroMaintenance.deleteWhere(spark, r, "k", Seq(1L))
+    val e = intercept[Exception] { GraftMatviews.refreshJoin(spark, mv) }
+    e.getMessage.toLowerCase should include regex "additive|delete"
+  }
+
+  test("join view create/refresh guardrails") {
+    val l = Catalog.tempDir("graft_mvj_l3")
+    val r = Catalog.tempDir("graft_mvj_r3")
+    val mv = Catalog.tempDir("graft_mvj_v3")
+    writePairs(l, Seq((1L, 10L)), ("k", "v"), "overwrite")
+    writePairs(r, Seq((1L, 100L)), ("k", "w"), "overwrite")
+    GraftMatviews.createJoin(spark, mv, l, r, joinSql)
+    intercept[IllegalArgumentException] {
+      GraftMatviews.createJoin(spark, mv, l, r, joinSql)
+    }.getMessage should include("already")
+    // an aggregate view dir refuses join refresh and vice versa
+    intercept[IllegalArgumentException] {
+      GraftMatviews.refreshJoin(spark, l)
+    }.getMessage should include("_graft_mvjoin")
+    intercept[IllegalArgumentException] {
+      GraftMatviews.refresh(spark, mv)
+    }.getMessage should include("_graft_matview")
+    intercept[IllegalArgumentException] {
+      GraftMatviews.createJoin(spark, Catalog.tempDir("graft_mvj_v4"),
+        l, r, "SELECT 1 FROM __L__")
+    }.getMessage should include("__R__")
+  }
+
   test("double create and refresh of a non-view fail with diagnoses") {
     val src = Catalog.tempDir("graft_mv_src3")
     val mv = Catalog.tempDir("graft_mv_view3")
