@@ -3547,59 +3547,128 @@ case class AvroReaderFactory(required: StructType, full: StructType,
 
   import org.apache.spark.sql.types._
 
-  /** Columnar (vectorized) decode: flat primitive-leaf projections with
-    * no merge-on-read state batch straight into [[OnHeapColumnVector]]s,
-    * feeding whole-stage codegen's columnar scan path (the codegen'd
-    * ColumnarToRow reads vector slots directly — far cheaper per row
-    * than boxed GenericInternalRow field access). Row fallback for
-    * nested/array/map/union projections, metadata columns, and any
-    * delete-bearing read (equality or positional) — exactly the cases
-    * whose per-row bookkeeping the batch loop omits. The decision is
-    * factory-level (Spark requires all-or-nothing across partitions).
+  /** Columnar (vectorized) decode: flat primitive-leaf projections
+    * batch straight into [[OnHeapColumnVector]]s, feeding whole-stage
+    * codegen's columnar scan path (the codegen'd ColumnarToRow reads
+    * vector slots directly — far cheaper per row than boxed
+    * GenericInternalRow field access). Merge-on-read state decodes
+    * columnar too since r16: equality deletes evaluate against the
+    * freshly-decoded vector slot (the delete column is widened into the
+    * decode schema when pruned away, exactly like the row path) and
+    * positional deletes check the absolute ordinal — a dead row's slot
+    * is scrubbed and re-decoded over, so batches stay dense. Row
+    * fallback remains for nested/array/map/union projections, metadata
+    * columns, and rename views. The decision is factory-level (Spark
+    * requires all-or-nothing across partitions).
     */
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    columnarBatch > 0 && deletes.isEmpty && posdels.isEmpty &&
-      renames.isEmpty &&
+    columnarBatch > 0 && renames.isEmpty &&
       required.fields.forall { f =>
         f.name != AvroFileSource.MetaFile &&
           f.name != AvroFileSource.MetaPos && vectorizable(f.dataType)
-      }
+      } &&
+      // widened-in delete columns must be vectorizable too
+      // (deletableType already restricts them to flat exact primitives)
+      deletes.forall(e => full.fields.exists(f =>
+        f.name == e.col && vectorizable(f.dataType)))
 
   private def vectorizable(dt: DataType): Boolean = dt match {
     case BooleanType | ByteType | ShortType | IntegerType | LongType |
          FloatType | DoubleType | DateType | TimestampType |
-         TimestampNTZType | StringType | BinaryType => true
+         TimestampNTZType | StringType | BinaryType |
+         _: DecimalType => true
     case _ => false
   }
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    import org.apache.spark.sql.execution.vectorized.{OnHeapColumnVector, WritableColumnVector}
     import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
     val part = AvroReaderFactory.range(partition)
     val file = new File(part.file)
-    val readerSchema = resolveFor(file, required)
+    // merge-on-read on the columnar path: widen pruned-away delete
+    // columns into the decode schema (row-path rule) — the batch
+    // exposes only the `required` prefix
+    val fileDeletes = AvroFileSource.applicableDeletes(deletes,
+      births.getOrElse(file.getAbsolutePath, 0L))
+    val extraDelCols = fileDeletes.map(_._1).distinct
+      .filterNot(c => required.fieldNames.contains(c))
+      .map(c => full.fields.find(_.name == c).getOrElse(
+        throw new IllegalStateException(
+          s"graft-avro: delete column '$c' missing from table schema")))
+    val decodeStruct =
+      if (extraDelCols.isEmpty) required
+      else StructType(required.fields ++ extraDelCols)
+    val readerSchema = resolveFor(file, decodeStruct)
     // direct block-bytes → vector decode: no GenericRecord, no boxed
     // fields, no intermediate InternalRow (see VectorAvroDatumReader).
     // Residual filters are NOT evaluated at decode here — ours are
     // always residual, so Spark re-applies every one of them on the
     // (vectorized, codegen'd) consume side; a decode-time row skip
     // would only save downstream work the columnar filter does cheaper.
-    val vdr = new VectorAvroDatumReader(readerSchema, required)
+    val vdr = new VectorAvroDatumReader(readerSchema, decodeStruct)
     val reader = new DataFileReader[AnyRef](file, vdr)
     if (part.start > 0) reader.sync(part.start)
     val bound = math.min(part.end, file.length())
     val cap = limit.getOrElse(Int.MaxValue)
 
+    // per-delete-check matcher over the freshly-decoded slot: external
+    // equality on the vector's internal form (delete value types are
+    // restricted to exact flat primitives by deletableType)
+    val delMatchers: Array[(Array[WritableColumnVector], Int) => Boolean] =
+      fileDeletes.map { case (c, vs) =>
+        val idx = decodeStruct.fieldIndex(c)
+        decodeStruct(idx).dataType match {
+          case StringType =>
+            val set = vs.map(v => org.apache.spark.unsafe.types.UTF8String
+              .fromString(v.asInstanceOf[String]))
+            (vecs: Array[WritableColumnVector], n: Int) =>
+              !vecs(idx).isNullAt(n) && set.contains(vecs(idx).getUTF8String(n))
+          case LongType =>
+            val set = vs.map(_.asInstanceOf[Long])
+            (vecs: Array[WritableColumnVector], n: Int) =>
+              !vecs(idx).isNullAt(n) && set.contains(vecs(idx).getLong(n))
+          case IntegerType =>
+            val set = vs.map(_.asInstanceOf[Int])
+            (vecs: Array[WritableColumnVector], n: Int) =>
+              !vecs(idx).isNullAt(n) && set.contains(vecs(idx).getInt(n))
+          case ShortType =>
+            val set = vs.map(_.asInstanceOf[Short])
+            (vecs: Array[WritableColumnVector], n: Int) =>
+              !vecs(idx).isNullAt(n) && set.contains(vecs(idx).getShort(n))
+          case ByteType =>
+            val set = vs.map(_.asInstanceOf[Byte])
+            (vecs: Array[WritableColumnVector], n: Int) =>
+              !vecs(idx).isNullAt(n) && set.contains(vecs(idx).getByte(n))
+          case BooleanType =>
+            val set = vs.map(_.asInstanceOf[Boolean])
+            (vecs: Array[WritableColumnVector], n: Int) =>
+              !vecs(idx).isNullAt(n) && set.contains(vecs(idx).getBoolean(n))
+          case other => throw new IllegalStateException(
+            s"graft-avro: undeletable column type $other reached the " +
+              "columnar delete matcher")
+        }
+      }.toArray
+
+    // positional deletes: absolute ordinals, split ranges seed from the
+    // block-header prefix walk (same contract as the row path)
+    val posdel: Array[Long] =
+      posdels.getOrElse(file.getAbsolutePath, Array.emptyLongArray)
+    val ordinalBase: Long =
+      if (part.start > 0L && posdel.nonEmpty)
+        AvroFileSource.recordsBefore(file, part.start)
+      else 0L
+
+    val nReq = required.length
     new PartitionReader[ColumnarBatch] {
       private val vectors =
-        OnHeapColumnVector.allocateColumns(columnarBatch, required)
-      private val batch =
-        new ColumnarBatch(vectors.asInstanceOf[Array[ColumnVector]])
+        OnHeapColumnVector.allocateColumns(columnarBatch, decodeStruct)
+      private val batch = new ColumnarBatch(
+        vectors.take(nReq).asInstanceOf[Array[ColumnVector]])
       private var emitted = 0
       private var exhausted = false
-      vdr.target(vectors.asInstanceOf[
-        Array[org.apache.spark.sql.execution.vectorized.WritableColumnVector]])
+      private var ordinal = ordinalBase - 1L
+      vdr.target(vectors.asInstanceOf[Array[WritableColumnVector]])
       override def next(): Boolean = {
         if (exhausted) return false
         var i = 0
@@ -3609,14 +3678,38 @@ case class AvroReaderFactory(required: StructType, full: StructType,
             reader.hasNext && !reader.pastSync(bound)) {
           vdr.row(n)
           reader.next(null)
-          n += 1
-          emitted += 1
+          ordinal += 1
+          val dead = (posdel.length > 0 &&
+              java.util.Arrays.binarySearch(posdel, ordinal) >= 0) || {
+            var k = 0; var hit = false
+            while (!hit && k < delMatchers.length) {
+              hit = delMatchers(k)(vectors.asInstanceOf[
+                Array[WritableColumnVector]], n)
+              k += 1
+            }
+            hit
+          }
+          if (dead) {
+            // scrub the slot for reuse: a dead decode may have set null
+            // bits the next occupant won't overwrite (values just
+            // overwrite; orphaned var-length bytes are harmless)
+            var j = 0
+            while (j < vectors.length) { vectors(j).putNotNull(n); j += 1 }
+          } else {
+            n += 1
+            emitted += 1
+          }
         }
         batch.setNumRows(n)
         if (n == 0) { exhausted = true; false } else true
       }
       override def get(): ColumnarBatch = batch
-      override def close(): Unit = { reader.close(); batch.close() }
+      override def close(): Unit = {
+        reader.close(); batch.close()
+        // the widened delete vectors live outside the batch
+        var j = nReq
+        while (j < vectors.length) { vectors(j).close(); j += 1 }
+      }
     }
   }
 

@@ -151,6 +151,28 @@ private[sources] final class VectorAvroDatumReader(
         (in, v, i) => v.putDouble(i, in.readFloat().toDouble)
       case (Type.DOUBLE, DoubleType) =>
         (in, v, i) => v.putDouble(i, in.readDouble())
+      // decimals: unscaled big-endian two's-complement bytes; the
+      // CATALYST field's (precision, scale) governs, mirroring
+      // AvroInternalCodec's row decode exactly
+      case (Type.BYTES, d: DecimalType) =>
+        var scratch: java.nio.ByteBuffer = null
+        (in, v, i) => {
+          scratch = in.readBytes(scratch)
+          val arr = new Array[Byte](scratch.remaining())
+          scratch.duplicate().get(arr)
+          v.putDecimal(i, org.apache.spark.sql.types.Decimal(
+            new java.math.BigDecimal(new java.math.BigInteger(arr),
+              d.scale), d.precision, d.scale), d.precision)
+        }
+      case (Type.FIXED, d: DecimalType) =>
+        val size = s.getFixedSize
+        val tmp = new Array[Byte](size)
+        (in, v, i) => {
+          in.readFixed(tmp, 0, size)
+          v.putDecimal(i, org.apache.spark.sql.types.Decimal(
+            new java.math.BigDecimal(new java.math.BigInteger(tmp),
+              d.scale), d.precision, d.scale), d.precision)
+        }
       case other => throw new IllegalStateException(
         s"graft-avro: field shape $other is not vectorizable (factory " +
           "support check should have fallen back to the row path)")
@@ -324,6 +346,25 @@ private[sources] object DirectVectorPlan {
         (in, vs, i) => vs(idx).putDouble(i, in.readFloat().toDouble)
       case (Type.DOUBLE, DoubleType) =>
         (in, vs, i) => vs(idx).putDouble(i, in.readDouble())
+      case (Type.BYTES, d: DecimalType) =>
+        var scratch: java.nio.ByteBuffer = null
+        (in, vs, i) => {
+          scratch = in.readBytes(scratch)
+          val arr = new Array[Byte](scratch.remaining())
+          scratch.duplicate().get(arr)
+          vs(idx).putDecimal(i, org.apache.spark.sql.types.Decimal(
+            new java.math.BigDecimal(new java.math.BigInteger(arr),
+              d.scale), d.precision, d.scale), d.precision)
+        }
+      case (Type.FIXED, d: DecimalType) =>
+        val size = ws.getFixedSize
+        val tmp = new Array[Byte](size)
+        (in, vs, i) => {
+          in.readFixed(tmp, 0, size)
+          vs(idx).putDecimal(i, org.apache.spark.sql.types.Decimal(
+            new java.math.BigDecimal(new java.math.BigInteger(tmp),
+              d.scale), d.precision, d.scale), d.precision)
+        }
       case _ => null
     }
 

@@ -163,7 +163,7 @@ class ColumnarDecodeSpec extends AnyFunSuite with SparkSpec with Matchers {
       (3L, 30L, 3.5, "y"))
   }
 
-  test("equality-delete sidecars force the row path and apply exactly") {
+  test("equality deletes apply ON the columnar path, batches stay dense") {
     val dir = tmp()
     spark.range(100).selectExpr("id", "id % 4 as g")
       .write.format("graft-avro").mode("append").save(dir)
@@ -171,7 +171,66 @@ class ColumnarDecodeSpec extends AnyFunSuite with SparkSpec with Matchers {
     assert(isColumnar(pre))
     AvroMaintenance.deleteWhere(spark, dir, "g", Seq(1L))
     val post = spark.read.format("graft-avro").load(dir)
-    assert(!isColumnar(post), "delete-bearing read must stay row-based")
+    assert(isColumnar(post),
+      "equality deletes decode columnar since r16 (slot re-decode)")
     post.count() shouldBe 75
+    post.agg(F.sum("id")).head().getLong(0) shouldBe
+      (0L until 100L).filter(_ % 4 != 1).sum
+    // the delete column pruned from the projection still kills exactly
+    // (widened into the decode schema, exposed-batch prefix unchanged)
+    val pruned = spark.read.format("graft-avro").load(dir).select("id")
+    assert(isColumnar(pruned))
+    pruned.collect().map(_.getLong(0)).sorted shouldBe
+      (0L until 100L).filter(_ % 4 != 1).toArray
+  }
+
+  test("positional deletes apply on the columnar path across splits") {
+    val dir = tmp()
+    spark.range(20000)
+      .selectExpr("id as k", "repeat('x', 200) as pad").coalesce(1)
+      .write.format("graft-avro").option("codec", "null")
+      .mode("overwrite").save(dir)
+    val rel = AvroFileSource.listAvro(new java.io.File(dir)).head.getName
+    val dead = Seq(0L, 5L, 4999L, 5000L, 9999L, 15000L, 19999L)
+    AvroMaintenance.deleteAtPositions(dir, rel, dead)
+    val df = spark.read.format("graft-avro")
+      .option("maxSplitBytes", "262144").load(dir).select("k")
+    assert(isColumnar(df), "posdel-bearing read decodes columnar")
+    df.count() shouldBe (20000 - dead.size)
+    df.agg(F.sum("k")).head().getLong(0) shouldBe
+      ((0L until 20000L).sum - dead.sum)
+  }
+
+  test("an all-dead stretch longer than one batch stays exact") {
+    val dir = tmp()
+    // one file, 10k rows; kill rows 1000..8999 (8000 consecutive —
+    // spans two 4096-row batch windows entirely)
+    spark.range(10000)
+      .selectExpr("id as k", "if(id >= 1000 and id < 9000, 1L, 0L) as z")
+      .coalesce(1).write.format("graft-avro").mode("overwrite").save(dir)
+    AvroMaintenance.deleteWhere(spark, dir, "z", Seq(1L))
+    val df = spark.read.format("graft-avro").load(dir).select("k")
+    assert(isColumnar(df))
+    df.collect().map(_.getLong(0)).sorted shouldBe
+      ((0L until 1000L) ++ (9000L until 10000L)).toArray
+  }
+
+  test("decimal columns decode columnar and round-trip exactly") {
+    val dir = tmp()
+    spark.range(1000)
+      .selectExpr("id",
+        "CAST(CAST(id AS DECIMAL(9,2)) / 7 AS DECIMAL(12,4)) AS small",
+        "CAST(CAST(id AS DECIMAL(30,0)) * 1234567890123456789 AS DECIMAL(38,6)) AS big",
+        "CAST(-id AS DECIMAL(18,3)) AS neg")
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    val back = spark.read.format("graft-avro").load(dir)
+    assert(isColumnar(back), "decimal projection should be columnar")
+    val row = spark.read.format("graft-avro").option("columnar", "false")
+      .load(dir)
+    back.orderBy("id").collect() shouldBe row.orderBy("id").collect()
+    // spot values: exact decimal arithmetic survived both paths
+    val d = back.filter("id = 700").head()
+    d.getDecimal(1) shouldBe new java.math.BigDecimal("100.0000")
+    d.getDecimal(3) shouldBe new java.math.BigDecimal("-700.000")
   }
 }
