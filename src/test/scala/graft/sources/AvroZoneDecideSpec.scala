@@ -145,6 +145,32 @@ class AvroZoneDecideSpec extends AnyFunSuite with SparkSpec with Matchers {
     counted.head().getLong(0) shouldBe 199L
   }
 
+  test("row-level UPDATE/DELETE with a decided predicate stays group-exact") {
+    // fully-pushed filters restrict a row-level op's scan to the decided
+    // keep-set; pruned (none-match) files must survive untouched and
+    // kept files rewrite completely — the group contract
+    val root = tmp()
+    spark.conf.set("spark.sql.catalog.gzd",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gzd.root", root)
+    spark.sql("DROP TABLE IF EXISTS gzd.ns.t")
+    spark.sql("CREATE TABLE gzd.ns.t (k BIGINT NOT NULL, v BIGINT)")
+    // two disjoint-range single-file generations: [0,99], [100,199]
+    spark.range(100).selectExpr("id as k", "id as v").coalesce(1)
+      .writeTo("gzd.ns.t").append()
+    spark.range(100, 200).selectExpr("id as k", "id as v").coalesce(1)
+      .writeTo("gzd.ns.t").append()
+    spark.sql("UPDATE gzd.ns.t SET v = v + 1000 WHERE k < 100")
+    val after = spark.sql("SELECT k, v FROM gzd.ns.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    after shouldBe (0L until 200L).map(k =>
+      (k, if (k < 100) k + 1000 else k)).toArray
+    spark.sql("DELETE FROM gzd.ns.t WHERE k >= 100 AND k <= 199")
+    spark.sql("SELECT count(*) FROM gzd.ns.t").head().getLong(0) shouldBe 100
+    spark.sql("SELECT sum(v) FROM gzd.ns.t").head().getLong(0) shouldBe
+      (0L until 100L).map(_ + 1000).sum
+  }
+
   test("metadata MIN/MAX stands down under any filter") {
     val dir = rangedTable()
     val agg = load(dir).filter("k >= 200").agg(F.min("v"), F.max("v"))
