@@ -730,6 +730,58 @@ object AvroGates extends Catalog {
         "FROM graft_gate.gate.mv ORDER BY flag")
     }),
 
+    // Grouped zero-decode COUNT under the oracle: every row of a file
+    // carries its directory's partition values, so COUNT(*) GROUP BY
+    // the partition column is one block-header walk per file — zero
+    // rows decoded (AvroGroupCountSpec pins the plan + posdel/evolution
+    // stand-downs). The 100 TB shape: per-partition row accounting on a
+    // petabyte table straight from metadata, the Iceberg
+    // partitions-table query as a plain GROUP BY.
+    "q_avro_count_grouped" -> ((s, dir) => {
+      val tmp = tempDir("graft_gate_cntg")
+      table(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+        .write.format("graft-avro")
+        .option("partitionBy", "o_orderpriority")
+        .mode("overwrite").save(tmp)
+      s.read.format("graft-avro").load(tmp)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Zone-decided RANGE DELETE under the oracle: two disjoint-keyrange
+    // generations, then `DELETE WHERE okey > 600` — every gen-2 file
+    // all-matches (zones prove it) and every gen-1 file none-matches,
+    // so the delete is pure metadata: all-match files archive out, no
+    // rewrite (AvroZoneDecideSpec pins untouched survivor bytes and the
+    // rewrite fallback for undecided predicates). The Iceberg
+    // drop-partition shape generalized to any zone-clustered column.
+    "q_avro_delete_ranged" -> ((s, dir) => {
+      if (!s.conf.getOption("spark.sql.catalog.graft_gate").isDefined) {
+        s.conf.set("spark.sql.catalog.graft_gate",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_gate.root",
+          tempDir("graft_gate_cat"))
+      }
+      table(s, dir, "lineitem")
+        .select(F.coalesce(F.col("l_orderkey"), F.lit(0L)).as("okey"),
+          F.col("l_quantity"), F.col("l_returnflag"))
+        .createOrReplaceTempView("li_src_dlr")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.gate")
+      s.sql("DROP TABLE IF EXISTS graft_gate.gate.dlr")
+      s.sql("CREATE TABLE graft_gate.gate.dlr " +
+        "(okey BIGINT NOT NULL, l_quantity DOUBLE, l_returnflag STRING)")
+      s.sql("INSERT INTO graft_gate.gate.dlr " +
+        "SELECT * FROM li_src_dlr WHERE okey <= 600")
+      s.sql("INSERT INTO graft_gate.gate.dlr " +
+        "SELECT * FROM li_src_dlr WHERE okey > 600")
+      s.sql("DELETE FROM graft_gate.gate.dlr WHERE okey > 600")
+      s.sql("""SELECT l_returnflag, count(*) AS n_lines,
+              |  round(sum(l_quantity), 2) AS sum_qty
+              |FROM graft_gate.gate.dlr
+              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
+
     // JOIN matview under the oracle: V = orders ⋈ customer maintained
     // incrementally from BOTH sides' appends by the delta-join
     // expansion ΔV = ΔL⋈R_new ∪ L_old⋈ΔR (version-pinned reads; the
@@ -1703,6 +1755,14 @@ object AvroGates extends Catalog {
                 2 AS n_files
          FROM orders GROUP BY o_orderpriority ORDER BY part""",
     // refresh ≡ full recompute over all three source generations
+    "q_avro_count_grouped" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_avro_delete_ranged" ->
+      """SELECT l_returnflag, count(*) AS n_lines,
+                round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem WHERE l_orderkey <= 600
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_avro_matview_join" ->
       """SELECT c_mktsegment, o_orderpriority,
                 count(*) AS n_orders,

@@ -1603,6 +1603,47 @@ object AvroFileSource {
       }.toMap
     }.filter(_._2.nonEmpty)
 
+  /** Per-live-file EXACT-bounds providers for tri-state filter
+    * decisions ([[AvroFilterEval.zoneDecides]]): each file pairs with a
+    * `col => Option[(mn, mx)]` answering from its hive partition-path
+    * value (an exact non-null point for ANY column — the value is
+    * materialized into every row) or its column-zone entry (only for
+    * TOP-LEVEL, NON-NULLABLE, non-float columns: zone bounds cover
+    * non-null values, and a null row matches no compare, so
+    * non-nullability is what makes "all values" mean "all rows";
+    * float/double excluded for NaN exactness). None (whole call) when a
+    * column-rename view exists — zone entries live under historical
+    * names. Shared by full filter pushdown and zone-decided metadata
+    * DELETE; both must stay decision-compatible.
+    */
+  private[sources] def decisionBounds(dir: File, full: StructType)
+      : Option[Seq[(File, String => Option[(Any, Any)])]] = {
+    if (colmapFile(dir).isFile) return None
+    val files = listLive(dir)
+    val zf = colZoneFile(dir)
+    val zones =
+      if (zf.isFile) readColZones(zf, dir, full)
+      else Map.empty[String, Map[String, (Any, Any)]]
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    val zoneEligible: Set[String] = full.fields.collect {
+      case fld if !fld.nullable && fld.dataType != DoubleType &&
+          fld.dataType != FloatType => fld.name
+    }.toSet
+    Some(files.map { case (f, partVals) =>
+      val boundsOf: String => Option[(Any, Any)] = col =>
+        partVals.get(col) match {
+          case Some(raw) =>
+            full.fields.find(_.name == col).flatMap(fld =>
+              castPartitionValue(raw, fld.dataType))
+              .filter(_ != null).map(v => (v, v))
+          case None =>
+            if (!zoneEligible(col)) None
+            else zones.getOrElse(f.getAbsolutePath, Map.empty).get(col)
+        }
+      (f, boundsOf)
+    })
+  }
+
   def sortedColumnOf(d: File): Option[String] = {
     val m = sortMarker(d)
     if (!m.isFile) None
@@ -1692,6 +1733,126 @@ object AvroFileSource {
       case _ => return None
     })
     catch { case _: IllegalArgumentException => None }
+  }
+
+  /** Job-commit fold of the four pruning/stat manifests (all-column
+    * zones, blooms, per-file row counts, NDV sketches) — alive-filtered
+    * merge of prior entries with this commit's fresh ones. Shared by the
+    * batch write commit and the delta (merge-on-read) row-level commit;
+    * all four are pruning/stat-only, so partial coverage is sound.
+    */
+  private[sources] def foldStatsManifests(dirF: File,
+      messages: Seq[AvroCommitMessage]): Unit = {
+    // All-column zone manifest: folded on EVERY batch commit, sorted
+    // or not — pruning-only, so partial coverage is sound (absent
+    // entries just scan) and no preExisting guard is needed; fresh
+    // entries overwrite a rewritten file's stale ones and truncated
+    // files drop out via the existence filter.
+    val colZonesF = colZoneFile(dirF)
+    val base = dirF.getAbsoluteFile.toPath
+    val colFresh = messages.flatMap(_.colZones)
+      .map { case (fin, entries) =>
+        base.relativize(new File(fin).getAbsoluteFile.toPath)
+          .toString -> entries
+      }
+    if (colFresh.nonEmpty || colZonesF.isFile) {
+      val prior =
+        if (colZonesF.isFile) readColZonesRaw(colZonesF)
+        else Map.empty[String, Seq[(String, String, String, String)]]
+      val alive = listAvro(dirF)
+        .map(f => base.relativize(f.getAbsoluteFile.toPath).toString)
+        .toSet
+      val merged = (prior ++ colFresh).filter { case (rel, _) =>
+        alive.contains(rel) }
+      val tmp = new File(colZonesF.getPath + ".staging")
+      java.nio.file.Files.write(tmp.toPath,
+        merged.toSeq.sortBy(_._1).flatMap { case (rel, entries) =>
+          entries.map { case (col, dt, mn, mx) =>
+            s"$rel\t$col\t$dt\t$mn\t$mx"
+          }
+        }.mkString("\n").getBytes("UTF-8"))
+      if (!tmp.renameTo(colZonesF)) throw new java.io.IOException(
+        s"graft-avro commit: rename failed $tmp -> $colZonesF")
+    }
+    // Bloom manifest: same lifecycle as the all-column zones —
+    // pruning-only, partial coverage sound, truncated files drop
+    // out via the existence filter.
+    val bloomF = bloomFile(dirF)
+    val bloomFresh = messages.flatMap(_.blooms)
+      .map { case (fin, entries) =>
+        base.relativize(new File(fin).getAbsoluteFile.toPath)
+          .toString -> entries
+      }
+    if (bloomFresh.nonEmpty || bloomF.isFile) {
+      val prior =
+        if (bloomF.isFile) readBloomsRaw(bloomF)
+        else Map.empty[String, Seq[(String, String, String)]]
+      val alive = listAvro(dirF)
+        .map(f => base.relativize(f.getAbsoluteFile.toPath).toString)
+        .toSet
+      val merged = (prior ++ bloomFresh).filter { case (rel, _) =>
+        alive.contains(rel) }
+      val tmp = new File(bloomF.getPath + ".staging")
+      java.nio.file.Files.write(tmp.toPath,
+        merged.toSeq.sortBy(_._1).flatMap { case (rel, entries) =>
+          entries.map { case (col, dt, bits) =>
+            s"$rel\t$col\t$dt\t$bits"
+          }
+        }.mkString("\n").getBytes("UTF-8"))
+      if (!tmp.renameTo(bloomF)) throw new java.io.IOException(
+        s"graft-avro commit: rename failed $tmp -> $bloomF")
+    }
+    // Row-count manifest: every staged commit covers its files (the
+    // count is free at write time); same alive-filtered merge. Reads
+    // serve EXACT numRows only under full coverage + no deletes.
+    val rowsF = rowsFile(dirF)
+    val rowsFresh = messages.flatMap(_.rows)
+      .map { case (fin, n) =>
+        base.relativize(new File(fin).getAbsoluteFile.toPath)
+          .toString -> n
+      }
+    if (rowsFresh.nonEmpty || rowsF.isFile) {
+      val prior =
+        if (rowsF.isFile) readRowsRaw(rowsF)
+        else Map.empty[String, Long]
+      val alive = listAvro(dirF)
+        .map(f => base.relativize(f.getAbsoluteFile.toPath).toString)
+        .toSet
+      val merged = (prior ++ rowsFresh).filter { case (rel, _) =>
+        alive.contains(rel) }
+      val tmp = new File(rowsF.getPath + ".staging")
+      java.nio.file.Files.write(tmp.toPath,
+        merged.toSeq.sortBy(_._1).map { case (rel, n) => s"$rel\t$n" }
+          .mkString("\n").getBytes("UTF-8"))
+      if (!tmp.renameTo(rowsF)) throw new java.io.IOException(
+        s"graft-avro commit: rename failed $tmp -> $rowsF")
+    }
+    // NDV sketch manifest (opt-in ndvFor): same lifecycle.
+    val ndvF = ndvFile(dirF)
+    val ndvFresh = messages.flatMap(_.ndvs)
+      .map { case (fin, entries) =>
+        base.relativize(new File(fin).getAbsoluteFile.toPath)
+          .toString -> entries
+      }
+    if (ndvFresh.nonEmpty || ndvF.isFile) {
+      val prior =
+        if (ndvF.isFile) readNdvRaw(ndvF)
+        else Map.empty[String, Seq[(String, String, String)]]
+      val alive = listAvro(dirF)
+        .map(f => base.relativize(f.getAbsoluteFile.toPath).toString)
+        .toSet
+      val merged = (prior ++ ndvFresh).filter { case (rel, _) =>
+        alive.contains(rel) }
+      val tmp = new File(ndvF.getPath + ".staging")
+      java.nio.file.Files.write(tmp.toPath,
+        merged.toSeq.sortBy(_._1).flatMap { case (rel, entries) =>
+          entries.map { case (col, dt, regs) =>
+            s"$rel\t$col\t$dt\t$regs"
+          }
+        }.mkString("\n").getBytes("UTF-8"))
+      if (!tmp.renameTo(ndvF)) throw new java.io.IOException(
+        s"graft-avro commit: rename failed $tmp -> $ndvF")
+    }
   }
 }
 
@@ -1802,9 +1963,107 @@ case class AvroTable(path: String, tableSchema: StructType,
     if (all.nonEmpty && all.forall(_.isDefined)) Some(all.flatten) else None
   }
 
+  /** V2 Predicate → v1 Filter for the zone-decided file-drop path.
+    * Only shapes [[AvroFilterEval.zoneDecides]] understands; literal
+    * values restricted to the exact external primitives + dates. A
+    * `None` means the predicate can't take the metadata path.
+    */
+  private def v2ToV1(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    import org.apache.spark.sql.sources._
+    def ext(l: Literal[_]): Option[Any] = l.value() match {
+      case null => None
+      case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+      case v: java.lang.Long => Some(v)
+      case v: java.lang.Integer =>
+        l.dataType() match {
+          case org.apache.spark.sql.types.DateType => Some(
+            java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v.toLong)))
+          case _ => Some(v)
+        }
+      case v: java.lang.Short => Some(v)
+      case v: java.lang.Byte => Some(v)
+      case v: java.lang.Boolean => Some(v)
+      case _ => None
+    }
+    def refLit(kids: Array[org.apache.spark.sql.connector.expressions
+        .Expression]): Option[(String, Any)] = kids match {
+      case Array(r: NamedReference, l: Literal[_])
+          if r.fieldNames().length == 1 =>
+        ext(l).map(v => (r.fieldNames()(0), v))
+      case _ => None
+    }
+    p.name() match {
+      case "AND" => p.children() match {
+        case Array(a: Predicate, b: Predicate) =>
+          for (l <- v2ToV1(a); r <- v2ToV1(b)) yield And(l, r)
+        case _ => None
+      }
+      case "OR" => p.children() match {
+        case Array(a: Predicate, b: Predicate) =>
+          for (l <- v2ToV1(a); r <- v2ToV1(b)) yield Or(l, r)
+        case _ => None
+      }
+      case "=" => refLit(p.children()).map { case (c, v) => EqualTo(c, v) }
+      case "<" => refLit(p.children()).map { case (c, v) => LessThan(c, v) }
+      case "<=" => refLit(p.children()).map { case (c, v) => LessThanOrEqual(c, v) }
+      case ">" => refLit(p.children()).map { case (c, v) => GreaterThan(c, v) }
+      case ">=" => refLit(p.children()).map { case (c, v) => GreaterThanOrEqual(c, v) }
+      case "IN" => (p.children().headOption, p.children().drop(1)) match {
+        case (Some(r: NamedReference), lits)
+            if r.fieldNames().length == 1 &&
+              lits.forall(_.isInstanceOf[Literal[_]]) =>
+          val vals = lits.map(l => ext(l.asInstanceOf[Literal[_]]))
+          if (vals.forall(_.isDefined))
+            Some(In(r.fieldNames()(0), vals.flatten))
+          else None
+        case _ => None
+      }
+      case "IS_NULL" => p.children() match {
+        case Array(r: NamedReference) if r.fieldNames().length == 1 =>
+          Some(IsNull(r.fieldNames()(0)))
+        case _ => None
+      }
+      case "IS_NOT_NULL" => p.children() match {
+        case Array(r: NamedReference) if r.fieldNames().length == 1 =>
+          Some(IsNotNull(r.fieldNames()(0)))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** Zone-DECIDED metadata DELETE (the Iceberg drop-partition shape):
+    * when every live file either all-matches or none-matches the
+    * predicate conjunction — provable from partition-path values or
+    * column zones — the delete is pure metadata: all-match files
+    * archive out (their rows all die), none-match files are untouched,
+    * no data rewrite anywhere. Undecidable anywhere → None, and Spark
+    * falls back to the group-based rewrite. Returns the files to drop.
+    */
+  private def zoneDropPlan(
+      ps: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Option[Seq[File]] = {
+    if (travelOptions.nonEmpty || ps.isEmpty) return None
+    val v1 = ps.toSeq.map(v2ToV1)
+    if (v1.exists(_.isEmpty)) return None
+    // rows die iff ALL conjuncts match: decide the conjunction per file
+    val cond = v1.flatten.reduce(org.apache.spark.sql.sources.And(_, _))
+    val bounds = AvroFileSource.decisionBounds(new File(path), tableSchema)
+      .getOrElse(return None)
+    val decisions = bounds.map { case (f, boundsOf) =>
+      (f, AvroFilterEval.zoneDecides(boundsOf, cond))
+    }
+    if (decisions.exists(_._2.isEmpty)) None
+    else Some(decisions.collect { case (f, Some(true)) => f })
+  }
+
   override def canDeleteWhere(
       ps: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
-      : Boolean = translateDelete(ps).isDefined
+      : Boolean = translateDelete(ps).isDefined || zoneDropPlan(ps).isDefined
 
   /** SQL `TRUNCATE TABLE` as a VERSIONED operation: every live file is
     * archived (earlier snapshots still reference it — time travel works
@@ -1836,14 +2095,43 @@ case class AvroTable(path: String, tableSchema: StructType,
 
   override def deleteWhere(
       ps: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
-      : Unit = {
-    val ts = translateDelete(ps).getOrElse(throw new IllegalStateException(
-      "graft-avro: deleteWhere called with untranslatable predicates"))
-    val spark = org.apache.spark.sql.SparkSession.active
-    ts.groupBy(_._1).foreach { case (col, entries) =>
-      AvroMaintenance.deleteWhere(spark, path, col,
-        entries.flatMap(_._2).distinct)
-    }
+      : Unit = translateDelete(ps) match {
+    case Some(ts) =>
+      val spark = org.apache.spark.sql.SparkSession.active
+      ts.groupBy(_._1).foreach { case (col, entries) =>
+        AvroMaintenance.deleteWhere(spark, path, col,
+          entries.flatMap(_._2).distinct)
+      }
+    case None =>
+      // zone-decided file drop. The plan is RECOMPUTED under the commit
+      // lock — a commit between canDeleteWhere and here could add an
+      // undecided file, and archiving from a stale plan would delete
+      // wrong rows; a no-longer-decidable state fails loudly instead.
+      val dirF = new File(path)
+      AvroFileSource.withCommitLock(dirF) {
+        val drop = zoneDropPlan(ps).getOrElse(throw new IllegalStateException(
+          "graft-avro: DELETE no longer zone-decidable (concurrent " +
+            "commit changed the table) — retry the statement"))
+        if (drop.nonEmpty) {
+          val base = dirF.getAbsoluteFile.toPath
+          val rels = drop.map(f =>
+            base.relativize(f.getAbsoluteFile.toPath).toString).toSet
+          drop.foreach { f =>
+            val rel = base.relativize(f.getAbsoluteFile.toPath).toString
+            val dst = new File(AvroFileSource.archiveDir(dirF), rel)
+            dst.getParentFile.mkdirs()
+            if (dst.exists()) throw new java.io.IOException(
+              s"graft-avro delete: archive collision $dst")
+            if (!f.renameTo(dst)) throw new java.io.IOException(
+              s"graft-avro delete: archive move failed $f -> $dst")
+          }
+          // positional deletes of dropped files die with their file
+          val pd = AvroFileSource.readPosdel(dirF)
+          if (pd.exists(e => rels.contains(e._1)))
+            AvroFileSource.writePosdelSidecar(dirF, pd -- rels)
+          AvroFileSource.appendSnapshot(dirF, "delete")
+        }
+      }
   }
 
   override def name(): String = s"graft-avro:$path"
@@ -2066,44 +2354,76 @@ class AvroScanBuilder(path: String, full: StructType,
     if (filters.isEmpty) return stand
     if (travelVersion.nonEmpty || incRange.nonEmpty || branch.nonEmpty)
       return stand
-    val dir = new File(path)
-    if (AvroFileSource.colmapFile(dir).isFile) return stand
-    val files = AvroFileSource.listLive(dir)
-    val zf = AvroFileSource.colZoneFile(dir)
-    val zones =
-      if (zf.isFile) AvroFileSource.readColZones(zf, dir, full)
-      else Map.empty[String, Map[String, (Any, Any)]]
-    import org.apache.spark.sql.types.{DoubleType, FloatType}
-    val zoneEligible: Set[String] = full.fields.collect {
-      case fld if !fld.nullable && fld.dataType != DoubleType &&
-          fld.dataType != FloatType => fld.name
-    }.toSet
-    def boundsFor(f: File, partVals: Map[String, String])(col: String)
-        : Option[(Any, Any)] =
-      partVals.get(col) match {
-        case Some(raw) =>
-          full.fields.find(_.name == col).flatMap(fld =>
-            AvroFileSource.castPartitionValue(raw, fld.dataType))
-            .filter(_ != null).map(v => (v, v))
-        case None =>
-          if (!zoneEligible(col)) None
-          else zones.getOrElse(f.getAbsolutePath, Map.empty).get(col)
-      }
+    val bounds = AvroFileSource.decisionBounds(new File(path), full)
+      .getOrElse(return stand)
     val decisions: Array[Option[IndexedSeq[Boolean]]] = filters.map { flt =>
-      val perFile = files.toIndexedSeq.map { case (f, pv) =>
-        AvroFilterEval.zoneDecides(boundsFor(f, pv), flt)
+      val perFile = bounds.toIndexedSeq.map { case (_, boundsOf) =>
+        AvroFilterEval.zoneDecides(boundsOf, flt)
       }
       if (perFile.forall(_.isDefined)) Some(perFile.map(_.get)) else None
     }
     val fullIdx = decisions.zipWithIndex.collect { case (Some(_), i) => i }
     if (fullIdx.isEmpty) return stand
-    val keep = files.zipWithIndex.collect { case ((f, _), j)
+    val keep = bounds.zipWithIndex.collect { case ((f, _), j)
         if fullIdx.forall(i => decisions(i).get(j)) => f.getAbsolutePath }
     (fullIdx.map(filters), Some(
-      (files.map(_._1.getAbsolutePath).toSet, keep.toSet)))
+      (bounds.map(_._1.getAbsolutePath).toSet, keep.toSet)))
   }
 
   override def pushedFilters(): Array[Filter] = pushed
+
+  // COUNT(*) GROUP BY these partition-path columns (empty = ungrouped)
+  private var groupCountCols: Seq[String] = Nil
+
+  /** Zero-decode `COUNT(*) GROUP BY <partition-path columns>`: every
+    * row of a file carries its directory's partition values, so the
+    * file's whole block-header count belongs to ONE group — each file
+    * emits (partition values, partial count) and Spark's final
+    * aggregate sums per key. Zero rows decoded, like the ungrouped
+    * path; composes with zone-decided filters (partitions follow
+    * prunedFiles) and positional deletes (per-file subtraction).
+    * Sound only when EVERY live file carries a parseable value of a
+    * supported exact type for EVERY grouped column — partition
+    * evolution (a file missing a segment) stands the whole thing down.
+    */
+  private def pushGroupedCount(agg: Aggregation): Boolean = {
+    import org.apache.spark.sql.types._
+    if (travelVersion.nonEmpty || incRange.nonEmpty || branch.nonEmpty)
+      return false
+    if (AvroFileSource.deleteFile(new File(path)).isFile) return false
+    if (AvroFileSource.colmapFile(new File(path)).isFile) return false
+    val exprs = agg.aggregateExpressions
+    if (exprs.length != 1 || !exprs.head.isInstanceOf[CountStar]) return false
+    val names = agg.groupByExpressions.toSeq.map {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        Some(r.fieldNames()(0))
+      case _ => None
+    }
+    if (names.exists(_.isEmpty)) return false
+    val cols = names.flatten
+    val fields = cols.map(n => full.fields.find(_.name == n))
+    if (fields.exists(_.isEmpty)) return false
+    val supported = fields.flatten.forall(_.dataType match {
+      case StringType | IntegerType | LongType | ShortType | ByteType |
+           BooleanType | DateType => true
+      case _ => false // float/double string keying is unsound; others inexact
+    })
+    if (!supported) return false
+    val covered = AvroFileSource.listLive(new File(path)).forall {
+      case (_, pv) => fields.flatten.forall { f =>
+        // Some(null) (a __null__ segment) is a genuine null group key
+        pv.get(f.name).exists(raw =>
+          AvroFileSource.castPartitionValue(raw, f.dataType).isDefined)
+      }
+    }
+    if (!covered) return false
+    groupCountCols = cols
+    countPushed = true
+    required = StructType(fields.flatten.toArray :+
+      org.apache.spark.sql.types.StructField(
+        "count(*)", LongType, nullable = false))
+    true
+  }
 
   /** Zero-decode `COUNT(*)`: Avro container blocks carry their record
     * count in the block header, so an unfiltered global count is the sum
@@ -2119,7 +2439,8 @@ class AvroScanBuilder(path: String, full: StructType,
     // zone/partition-DECIDED (fully pushed) — the kept files then
     // answer COUNT(*) from block headers alone. Any residual filter
     // needs real rows (Spark would not offer pushdown then anyway).
-    if (anyResidual || agg.groupByExpressions.nonEmpty) return false
+    if (anyResidual) return false
+    if (agg.groupByExpressions.nonEmpty) return pushGroupedCount(agg)
     // Time travel / incremental: every metadata-served aggregate reads
     // CURRENT-state manifests (block counts, zone bounds), which need
     // not describe the requested snapshot or changeset. Historical
@@ -2317,6 +2638,7 @@ class AvroScanBuilder(path: String, full: StructType,
     val filters = pushed
     val decided = decidedState
     val counting = countPushed
+    val groupCols = groupCountCols
     val aggAny = minMaxAny
     val aggIsMin = minMaxIsMin
     val aggDt = minMaxDt
@@ -2906,6 +3228,24 @@ class AvroScanBuilder(path: String, full: StructType,
               .get(base.relativize(f.getAbsoluteFile.toPath).toString)
               .map { case (mn, mx) => AvroZoneAggPartition(mn, mx) }
           }.toArray[InputPartition]
+        } else if (counting && groupCols.nonEmpty) {
+          // grouped zero-decode count: one ranged block-header count per
+          // split, tagged with the file's raw partition values; posdel
+          // dead rows subtract on the file's FIRST split (the positions
+          // are per-file totals, and every split shares the group key)
+          val pd = AvroFileSource.readPosdel(new File(path))
+          prunedFiles().flatMap { case (f, pv) =>
+            val raws = groupCols.map(c => pv.getOrElse(c,
+              throw new IllegalStateException(
+                s"graft-avro: ${f.getName} lacks partition value '$c' " +
+                  "(appeared after grouped-count pushdown) — rerun")))
+            val dead = pd.getOrElse(relOf(f), Array.emptyLongArray)
+              .length.toLong
+            split(f).zipWithIndex.map { case ((p, s, e), i) =>
+              AvroGroupCountPartition(p, s, e, raws,
+                if (i == 0) -dead else 0L)
+            }
+          }.toArray[InputPartition]
         } else {
           val base: Array[InputPartition] = keyedFiles() match {
             case Some(files) => files.flatMap { case (f, key) =>
@@ -3112,7 +3452,9 @@ class AvroScanBuilder(path: String, full: StructType,
       override def description(): String =
         s"graft-avro $path (${required.fieldNames.mkString(",")}) " +
           s"PushedFilters: [${filters.mkString(", ")}]" +
-          (if (counting) " PushedAggregation: [COUNT(*)]"
+          (if (counting)
+            " PushedAggregation: [COUNT(*)]" + (if (groupCols.nonEmpty)
+              s" PushedGroupBy: [${groupCols.mkString(", ")}]" else "")
            else if (aggIsMin.nonEmpty || aggAny.nonEmpty)
              " PushedAggregation: [" +
                required.fieldNames.map { n =>
@@ -3132,42 +3474,64 @@ class AvroScanBuilder(path: String, full: StructType,
   */
 case class AvroCountAdjustPartition(delta: Long) extends InputPartition
 
+/** One ranged block-header count tagged with its file's RAW partition
+  * values (the grouped-count pushdown): the reader emits
+  * (group values…, count + delta), converting raw segment strings to
+  * internal forms against the required schema on the executor.
+  */
+case class AvroGroupCountPartition(file: String, start: Long, end: Long,
+    raws: Seq[String], delta: Long) extends InputPartition
+
 case class AvroCountReaderFactory(required: StructType)
   extends PartitionReaderFactory {
+
+  private def countRange(file: File, start: Long, end: Long): Long = {
+    val reader = new DataFileReader[GenericRecord](
+      file, new GenericDatumReader[GenericRecord]())
+    var n = 0L
+    try {
+      if (start > 0) reader.sync(start)
+      val bound = math.min(end, file.length()) // pastSync overflow
+      while (reader.hasNext && !reader.pastSync(bound)) {
+        n += reader.getBlockCount
+        reader.nextBlock()
+      }
+    } finally reader.close()
+    n
+  }
+
+  private def oneRow(row: => InternalRow): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = !done
+      override def get(): InternalRow = { done = true; row }
+      override def close(): Unit = ()
+    }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     partition match {
       case AvroCountAdjustPartition(delta) =>
-        return new PartitionReader[InternalRow] {
-          private var done = false
-          override def next(): Boolean = { val r = !done; done = true; r }
-          override def get(): InternalRow = InternalRow(delta)
-          override def close(): Unit = ()
+        return oneRow(InternalRow(delta))
+      case AvroGroupCountPartition(file, start, end, raws, delta) =>
+        import org.apache.spark.sql.types._
+        return oneRow {
+          val n = countRange(new File(file), start, end) + delta
+          val keys = raws.zip(required.fields.init).map { case (raw, f) =>
+            AvroFileSource.castPartitionValue(raw, f.dataType) match {
+              case Some(null) | None => null // __null__ segment = null key
+              case Some(s: String) =>
+                org.apache.spark.unsafe.types.UTF8String.fromString(s)
+              case Some(d: java.sql.Date) =>
+                d.toLocalDate.toEpochDay.toInt
+              case Some(v) => v
+            }
+          }
+          InternalRow.fromSeq(keys :+ java.lang.Long.valueOf(n))
         }
       case _ => ()
     }
     val part = AvroReaderFactory.range(partition)
-    val file = new File(part.file)
-    new PartitionReader[InternalRow] {
-      private var done = false
-      override def next(): Boolean = !done
-      override def get(): InternalRow = {
-        val reader = new DataFileReader[GenericRecord](
-          file, new GenericDatumReader[GenericRecord]())
-        var n = 0L
-        try {
-          if (part.start > 0) reader.sync(part.start)
-          val bound = math.min(part.end, file.length()) // pastSync overflow
-          while (reader.hasNext && !reader.pastSync(bound)) {
-            n += reader.getBlockCount
-            reader.nextBlock()
-          }
-        } finally reader.close()
-        done = true
-        InternalRow(n)
-      }
-      override def close(): Unit = ()
-    }
+    oneRow(InternalRow(countRange(new File(part.file), part.start, part.end)))
   }
 }
 
@@ -4222,120 +4586,10 @@ class AvroWriteBuilder(path: String, schema: StructType,
             } else { marker.delete(); zonesF.delete() }
           case None => if (staged.nonEmpty) { marker.delete(); zonesF.delete() }
         }
-        // All-column zone manifest: folded on EVERY batch commit, sorted
-        // or not — pruning-only, so partial coverage is sound (absent
-        // entries just scan) and no preExisting guard is needed; fresh
-        // entries overwrite a rewritten file's stale ones and truncated
-        // files drop out via the existence filter.
-        val colZonesF = AvroFileSource.colZoneFile(new File(path))
-        val base = new File(path).getAbsoluteFile.toPath
-        val colFresh = messages.toSeq
-          .collect { case m: AvroCommitMessage => m.colZones }.flatten
-          .map { case (fin, entries) =>
-            base.relativize(new File(fin).getAbsoluteFile.toPath)
-              .toString -> entries
-          }
-        if (colFresh.nonEmpty || colZonesF.isFile) {
-          val prior =
-            if (colZonesF.isFile) AvroFileSource.readColZonesRaw(colZonesF)
-            else Map.empty[String, Seq[(String, String, String, String)]]
-          val alive = AvroFileSource.listAvro(new File(path))
-            .map(f => base.relativize(f.getAbsoluteFile.toPath).toString)
-            .toSet
-          val merged = (prior ++ colFresh).filter { case (rel, _) =>
-            alive.contains(rel) }
-          val tmp = new File(colZonesF.getPath + ".staging")
-          java.nio.file.Files.write(tmp.toPath,
-            merged.toSeq.sortBy(_._1).flatMap { case (rel, entries) =>
-              entries.map { case (col, dt, mn, mx) =>
-                s"$rel\t$col\t$dt\t$mn\t$mx"
-              }
-            }.mkString("\n").getBytes("UTF-8"))
-          if (!tmp.renameTo(colZonesF)) throw new java.io.IOException(
-            s"graft-avro commit: rename failed $tmp -> $colZonesF")
-        }
-        // Bloom manifest: same lifecycle as the all-column zones —
-        // pruning-only, partial coverage sound, truncated files drop
-        // out via the existence filter.
-        val bloomF = AvroFileSource.bloomFile(new File(path))
-        val bloomFresh = messages.toSeq
-          .collect { case m: AvroCommitMessage => m.blooms }.flatten
-          .map { case (fin, entries) =>
-            base.relativize(new File(fin).getAbsoluteFile.toPath)
-              .toString -> entries
-          }
-        if (bloomFresh.nonEmpty || bloomF.isFile) {
-          val prior =
-            if (bloomF.isFile) AvroFileSource.readBloomsRaw(bloomF)
-            else Map.empty[String, Seq[(String, String, String)]]
-          val alive = AvroFileSource.listAvro(new File(path))
-            .map(f => base.relativize(f.getAbsoluteFile.toPath).toString)
-            .toSet
-          val merged = (prior ++ bloomFresh).filter { case (rel, _) =>
-            alive.contains(rel) }
-          val tmp = new File(bloomF.getPath + ".staging")
-          java.nio.file.Files.write(tmp.toPath,
-            merged.toSeq.sortBy(_._1).flatMap { case (rel, entries) =>
-              entries.map { case (col, dt, bits) =>
-                s"$rel\t$col\t$dt\t$bits"
-              }
-            }.mkString("\n").getBytes("UTF-8"))
-          if (!tmp.renameTo(bloomF)) throw new java.io.IOException(
-            s"graft-avro commit: rename failed $tmp -> $bloomF")
-        }
-        // Row-count manifest: every staged commit covers its files (the
-        // count is free at write time); same alive-filtered merge. Reads
-        // serve EXACT numRows only under full coverage + no deletes.
-        val rowsF = AvroFileSource.rowsFile(new File(path))
-        val rowsFresh = messages.toSeq
-          .collect { case m: AvroCommitMessage => m.rows }.flatten
-          .map { case (fin, n) =>
-            base.relativize(new File(fin).getAbsoluteFile.toPath)
-              .toString -> n
-          }
-        if (rowsFresh.nonEmpty || rowsF.isFile) {
-          val prior =
-            if (rowsF.isFile) AvroFileSource.readRowsRaw(rowsF)
-            else Map.empty[String, Long]
-          val alive = AvroFileSource.listAvro(new File(path))
-            .map(f => base.relativize(f.getAbsoluteFile.toPath).toString)
-            .toSet
-          val merged = (prior ++ rowsFresh).filter { case (rel, _) =>
-            alive.contains(rel) }
-          val tmp = new File(rowsF.getPath + ".staging")
-          java.nio.file.Files.write(tmp.toPath,
-            merged.toSeq.sortBy(_._1).map { case (rel, n) => s"$rel\t$n" }
-              .mkString("\n").getBytes("UTF-8"))
-          if (!tmp.renameTo(rowsF)) throw new java.io.IOException(
-            s"graft-avro commit: rename failed $tmp -> $rowsF")
-        }
-        // NDV sketch manifest (opt-in ndvFor): same lifecycle.
-        val ndvF = AvroFileSource.ndvFile(new File(path))
-        val ndvFresh = messages.toSeq
-          .collect { case m: AvroCommitMessage => m.ndvs }.flatten
-          .map { case (fin, entries) =>
-            base.relativize(new File(fin).getAbsoluteFile.toPath)
-              .toString -> entries
-          }
-        if (ndvFresh.nonEmpty || ndvF.isFile) {
-          val prior =
-            if (ndvF.isFile) AvroFileSource.readNdvRaw(ndvF)
-            else Map.empty[String, Seq[(String, String, String)]]
-          val alive = AvroFileSource.listAvro(new File(path))
-            .map(f => base.relativize(f.getAbsoluteFile.toPath).toString)
-            .toSet
-          val merged = (prior ++ ndvFresh).filter { case (rel, _) =>
-            alive.contains(rel) }
-          val tmp = new File(ndvF.getPath + ".staging")
-          java.nio.file.Files.write(tmp.toPath,
-            merged.toSeq.sortBy(_._1).flatMap { case (rel, entries) =>
-              entries.map { case (col, dt, regs) =>
-                s"$rel\t$col\t$dt\t$regs"
-              }
-            }.mkString("\n").getBytes("UTF-8"))
-          if (!tmp.renameTo(ndvF)) throw new java.io.IOException(
-            s"graft-avro commit: rename failed $tmp -> $ndvF")
-        }
+        // pruning/stat manifests (col-zones, blooms, rows, NDV):
+        // shared fold with the delta row-level commit
+        AvroFileSource.foldStatsManifests(new File(path),
+          messages.toSeq.collect { case m: AvroCommitMessage => m })
         // snapshot LAST: the journal records the fully-published state
         AvroFileSource.appendSnapshot(new File(path),
           if (doTruncate) "overwrite" else "append")

@@ -1,0 +1,106 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Zero-decode COUNT(*) GROUP BY partition-path columns: every row of a
+  * file carries its directory's partition values, so each file emits
+  * (values, block-header count) and Spark sums per key — no record is
+  * ever decoded. Stand-downs: non-partition grouping columns, partition
+  * evolution (a file missing a segment), equality deletes.
+  */
+class AvroGroupCountSpec extends AnyFunSuite with SparkSpec with Matchers {
+
+  private def tmp() = graft.operators.Catalog.tempDir("graft_gcount")
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("grouped count serves from block headers, exact per key") {
+    val dir = tmp()
+    spark.range(1000)
+      .selectExpr("id as k", "concat('p', cast(id % 7 as string)) as p")
+      .write.format("graft-avro").option("partitionBy", "p")
+      .mode("overwrite").save(dir)
+    val df = spark.read.format("graft-avro").load(dir)
+      .groupBy("p").count()
+    plan(df) should include("PushedGroupBy: [p]")
+    plan(df) should include("PushedAggregation: [COUNT(*)]")
+    df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap shouldBe
+      (0 until 7).map(i => s"p$i" ->
+        (0 until 1000).count(_ % 7 == i).toLong).toMap
+  }
+
+  test("null partition values count under the null key") {
+    val dir = tmp()
+    spark.range(100)
+      .selectExpr("id as k",
+        "if(id % 10 = 0, null, concat('g', cast(id % 2 as string))) as p")
+      .write.format("graft-avro").option("partitionBy", "p")
+      .mode("overwrite").save(dir)
+    val df = spark.read.format("graft-avro").load(dir)
+      .groupBy("p").count()
+    plan(df) should include("PushedGroupBy: [p]")
+    val got = df.collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    got(None) shouldBe 10L
+    got(Some("g1")) shouldBe 50L // odd ids are never % 10 == 0
+    got(Some("g0")) shouldBe 40L
+  }
+
+  test("positional deletes subtract from their file's group") {
+    val dir = tmp()
+    spark.range(100)
+      .selectExpr("id as k", "if(id < 50, 'a', 'b') as p")
+      .write.format("graft-avro").option("partitionBy", "p")
+      .mode("overwrite").save(dir)
+    val rel = AvroFileSource.listPartitioned(new java.io.File(dir))
+      .collectFirst { case (f, pv) if pv.get("p").contains("a") =>
+        new java.io.File(dir).getAbsoluteFile.toPath
+          .relativize(f.getAbsoluteFile.toPath).toString }.get
+    AvroMaintenance.deleteAtPositions(dir, rel, Seq(0L, 1L, 2L))
+    val df = spark.read.format("graft-avro").load(dir)
+      .groupBy("p").count()
+    plan(df) should include("PushedGroupBy: [p]")
+    df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap shouldBe
+      Map("a" -> 47L, "b" -> 50L)
+  }
+
+  test("non-partition grouping and partition evolution stand down") {
+    val dir = tmp()
+    spark.range(100)
+      .selectExpr("id as k", "concat('p', cast(id % 3 as string)) as p")
+      .write.format("graft-avro").option("partitionBy", "p")
+      .mode("overwrite").save(dir)
+    // grouping on a data column: real rows
+    val byK = spark.read.format("graft-avro").load(dir)
+      .groupBy(F.expr("k % 2").as("m")).count()
+    (plan(byK) should not).include("PushedGroupBy")
+    byK.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      Map(0L -> 50L, 1L -> 50L)
+    // a flat append breaks coverage: stands down, counts stay exact
+    spark.range(100, 120)
+      .selectExpr("id as k", "concat('p', cast(id % 3 as string)) as p")
+      .write.format("graft-avro").mode("append").save(dir)
+    val evolved = spark.read.format("graft-avro").load(dir)
+      .groupBy("p").count()
+    (plan(evolved) should not).include("PushedGroupBy")
+    evolved.agg(F.sum("count")).head().getLong(0) shouldBe 120L
+  }
+
+  test("composes with a decided filter: filtered grouped count, zero decode") {
+    val dir = tmp()
+    spark.range(300)
+      .selectExpr("id as k", "concat('p', cast(id % 3 as string)) as p")
+      .write.format("graft-avro").option("partitionBy", "p")
+      .mode("overwrite").save(dir)
+    val df = spark.read.format("graft-avro").load(dir)
+      .filter("p IN ('p0', 'p2')").groupBy("p").count()
+    plan(df) should include("PushedGroupBy: [p]")
+    plan(df) should include("PushedAggregation: [COUNT(*)]")
+    df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap shouldBe
+      Map("p0" -> 100L, "p2" -> 100L)
+  }
+}

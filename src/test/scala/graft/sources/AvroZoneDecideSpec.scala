@@ -171,6 +171,93 @@ class AvroZoneDecideSpec extends AnyFunSuite with SparkSpec with Matchers {
       (0L until 100L).map(_ + 1000).sum
   }
 
+  test("zone-decided DELETE is metadata-only: files archive, no rewrite") {
+    val root = tmp()
+    spark.conf.set("spark.sql.catalog.gzdd",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gzdd.root", root)
+    spark.sql("DROP TABLE IF EXISTS gzdd.ns.t")
+    spark.sql("CREATE TABLE gzdd.ns.t (k BIGINT NOT NULL, v BIGINT)")
+    (0 until 4).foreach { b =>
+      spark.range(b * 100L, b * 100L + 100L)
+        .selectExpr("id as k", "id as v").coalesce(1)
+        .writeTo("gzdd.ns.t").append()
+    }
+    val dir = new java.io.File(root, "ns/t")
+    val before = AvroFileSource.listAvro(dir)
+      .map(f => f.getName -> f.lastModified()).toMap
+    before should have size 4
+    val verPre = AvroFileSource.readSnapshots(dir).last.version
+
+    spark.sql("DELETE FROM gzdd.ns.t WHERE k >= 200") // decided: 2 files
+    val after = AvroFileSource.listAvro(dir)
+      .map(f => f.getName -> f.lastModified()).toMap
+    after should have size 2
+    // survivors are the SAME files, byte-untouched (no rewrite)
+    after.foreach { case (n, m) => before(n) shouldBe m }
+    AvroFileSource.archiveDir(dir)
+      .listFiles().count(_.getName.endsWith(".avro")) shouldBe 2
+    spark.sql("SELECT count(*), sum(v) FROM gzdd.ns.t").head() match {
+      case r => (r.getLong(0), r.getLong(1)) shouldBe
+        ((200L, (0L until 200L).sum))
+    }
+    // a version was minted; time travel to the pre-delete state works
+    AvroFileSource.readSnapshots(dir).last.version shouldBe (verPre + 1)
+    spark.read.format("graft-avro")
+      .option("versionAsOf", verPre.toString).load(dir.getPath)
+      .count() shouldBe 400
+    // positional deletes of dropped files died with them; kept ones hold
+    spark.sql("DELETE FROM gzdd.ns.t WHERE k < 100") // decided: 1 file
+    spark.sql("SELECT count(*) FROM gzdd.ns.t").head().getLong(0) shouldBe 100
+  }
+
+  test("undecided DELETE predicate falls back to the group rewrite") {
+    val root = tmp()
+    spark.conf.set("spark.sql.catalog.gzdu",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gzdu.root", root)
+    spark.sql("DROP TABLE IF EXISTS gzdu.ns.t")
+    spark.sql("CREATE TABLE gzdu.ns.t (k BIGINT NOT NULL, v BIGINT)")
+    (0 until 2).foreach { b =>
+      spark.range(b * 100L, b * 100L + 100L)
+        .selectExpr("id as k", "id as v").coalesce(1)
+        .writeTo("gzdu.ns.t").append()
+    }
+    // 150 is interior to file [100,199]: not decidable -> rewrite path
+    spark.sql("DELETE FROM gzdu.ns.t WHERE k >= 150")
+    spark.sql("SELECT count(*), sum(k) FROM gzdu.ns.t").head() match {
+      case r => (r.getLong(0), r.getLong(1)) shouldBe
+        ((150L, (0L until 150L).sum))
+    }
+  }
+
+  test("zone-decided DELETE drops posdel entries of dropped files only") {
+    val root = tmp()
+    spark.conf.set("spark.sql.catalog.gzdp",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gzdp.root", root)
+    spark.sql("DROP TABLE IF EXISTS gzdp.ns.t")
+    spark.sql("CREATE TABLE gzdp.ns.t (k BIGINT NOT NULL)")
+    (0 until 2).foreach { b =>
+      spark.range(b * 100L, b * 100L + 100L).selectExpr("id as k")
+        .coalesce(1).writeTo("gzdp.ns.t").append()
+    }
+    val dir = new java.io.File(root, "ns/t")
+    // identify files by their min k
+    val byMin = AvroFileSource.listAvro(dir).map { f =>
+      val mn = spark.read.format("graft-avro").load(dir.getPath)
+        .filter(F.col("_graft_file") === f.getName)
+        .agg(F.min("k")).head().getLong(0)
+      mn -> f.getName
+    }.toMap
+    AvroMaintenance.deleteAtPositions(dir.getPath, byMin(0L), Seq(3L))
+    AvroMaintenance.deleteAtPositions(dir.getPath, byMin(100L), Seq(7L))
+    spark.sql("DELETE FROM gzdp.ns.t WHERE k >= 100")
+    // dropped file's entry is gone, kept file's still applies
+    AvroFileSource.readPosdel(dir).keySet shouldBe Set(byMin(0L))
+    spark.sql("SELECT count(*) FROM gzdp.ns.t").head().getLong(0) shouldBe 99
+  }
+
   test("metadata MIN/MAX stands down under any filter") {
     val dir = rangedTable()
     val agg = load(dir).filter("k >= 200").agg(F.min("v"), F.max("v"))
