@@ -782,6 +782,70 @@ object AvroGates extends Catalog {
               |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     }),
 
+    // MERGE-ON-READ row-level DELETE under the oracle: with
+    // `_graft_rowlevel` = merge-on-read, a DELETE whose predicate is
+    // neither equality-translatable nor zone-decided writes POSITION
+    // deletes (SupportsDelta) instead of rewriting every matched file —
+    // O(deleted rows) metadata, data files byte-untouched
+    // (AvroMorDeltaSpec pins that). The 100 TB shape: a sparse
+    // compliance delete on a petabyte table costs megabytes, not a
+    // petabyte rewrite.
+    "q_avro_delete_mor" -> ((s, dir) => {
+      if (!s.conf.getOption("spark.sql.catalog.graft_gate").isDefined) {
+        s.conf.set("spark.sql.catalog.graft_gate",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_gate.root",
+          tempDir("graft_gate_cat"))
+      }
+      table(s, dir, "lineitem")
+        .select(F.coalesce(F.col("l_orderkey"), F.lit(0L)).as("okey"),
+          F.col("l_quantity"), F.col("l_returnflag"))
+        .createOrReplaceTempView("li_src_mord")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.gate")
+      s.sql("DROP TABLE IF EXISTS graft_gate.gate.mord")
+      s.sql("CREATE TABLE graft_gate.gate.mord " +
+        "(okey BIGINT NOT NULL, l_quantity DOUBLE, l_returnflag STRING)")
+      s.sql("INSERT INTO graft_gate.gate.mord SELECT * FROM li_src_mord")
+      s.sql("CALL graft_gate.system.set_row_level_mode('gate.mord', " +
+        "'merge-on-read')")
+      s.sql("DELETE FROM graft_gate.gate.mord WHERE okey % 7 = 3")
+      s.sql("""SELECT l_returnflag, count(*) AS n_lines,
+              |  round(sum(l_quantity), 2) AS sum_qty
+              |FROM graft_gate.gate.mord
+              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
+
+    // MERGE-ON-READ UPDATE under the oracle: delete+insert pairing —
+    // matched rows die positionally, replacements append as new files;
+    // untouched files never rewrite (AvroMorDeltaSpec). Predicate and
+    // arithmetic kept integer-exact-on-doubles (+100) so both engines
+    // agree bit-for-bit after round(sum, 2).
+    "q_avro_update_mor" -> ((s, dir) => {
+      if (!s.conf.getOption("spark.sql.catalog.graft_gate").isDefined) {
+        s.conf.set("spark.sql.catalog.graft_gate",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_gate.root",
+          tempDir("graft_gate_cat"))
+      }
+      table(s, dir, "lineitem")
+        .select(F.coalesce(F.col("l_orderkey"), F.lit(0L)).as("okey"),
+          F.col("l_quantity"), F.col("l_returnflag"))
+        .createOrReplaceTempView("li_src_moru")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.gate")
+      s.sql("DROP TABLE IF EXISTS graft_gate.gate.moru")
+      s.sql("CREATE TABLE graft_gate.gate.moru " +
+        "(okey BIGINT NOT NULL, l_quantity DOUBLE, l_returnflag STRING)")
+      s.sql("INSERT INTO graft_gate.gate.moru SELECT * FROM li_src_moru")
+      s.sql("CALL graft_gate.system.set_row_level_mode('gate.moru', " +
+        "'merge-on-read')")
+      s.sql("UPDATE graft_gate.gate.moru SET l_quantity = " +
+        "l_quantity + 100 WHERE okey % 11 = 5")
+      s.sql("""SELECT l_returnflag, count(*) AS n_lines,
+              |  round(sum(l_quantity), 2) AS sum_qty
+              |FROM graft_gate.gate.moru
+              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
+
     // JOIN matview under the oracle: V = orders ⋈ customer maintained
     // incrementally from BOTH sides' appends by the delta-join
     // expansion ΔV = ΔL⋈R_new ∪ L_old⋈ΔR (version-pinned reads; the
@@ -1762,6 +1826,18 @@ object AvroGates extends Catalog {
       """SELECT l_returnflag, count(*) AS n_lines,
                 round(sum(l_quantity), 2) AS sum_qty
          FROM lineitem WHERE l_orderkey <= 600
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_avro_delete_mor" ->
+      """SELECT l_returnflag, count(*) AS n_lines,
+                round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem WHERE COALESCE(l_orderkey, 0) % 7 <> 3
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_avro_update_mor" ->
+      """SELECT l_returnflag, count(*) AS n_lines,
+                round(sum(CASE WHEN COALESCE(l_orderkey, 0) % 11 = 5
+                          THEN l_quantity + 100 ELSE l_quantity END), 2)
+                  AS sum_qty
+         FROM lineitem
          GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_avro_matview_join" ->
       """SELECT c_mktsegment, o_orderpriority,

@@ -302,6 +302,34 @@ object AvroFileSource {
     */
   def posdelFile(d: File): File = new File(d, "_graft_posdel")
 
+  /** Row-level operation mode marker: absent (or `copy-on-write`) =
+    * group-based rewrite of every file holding a match — the right
+    * trade when updates touch a large fraction of each file; present
+    * with `merge-on-read` = delta-based ([[SupportsDelta]]): DELETE
+    * appends positions to `_graft_posdel`, UPDATE/MERGE pair those
+    * position deletes with plain appended files — O(changed rows)
+    * instead of O(rewritten files), the right trade for sparse changes
+    * to a huge table. Set via
+    * [[AvroMaintenance.setRowLevelMode]] / `CALL system.set_row_level_mode`.
+    */
+  def rowLevelModeFile(d: File): File = new File(d, "_graft_rowlevel")
+
+  val CopyOnWrite = "copy-on-write"
+  val MergeOnRead = "merge-on-read"
+
+  def rowLevelMode(d: File): String = {
+    val f = rowLevelModeFile(d)
+    if (!f.isFile) CopyOnWrite
+    else {
+      val m = new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
+      require(m == CopyOnWrite || m == MergeOnRead,
+        s"graft-avro: corrupt _graft_rowlevel sidecar '$m' — expected " +
+          s"$CopyOnWrite or $MergeOnRead")
+      m
+    }
+  }
+
   /** Fingerprint of the table's merge-on-read delete state (equality +
     * positional sidecars) for row-level conflict detection. A concurrent
     * `deleteWhere` / `deleteAtPositions` landing between a row-level
@@ -1879,21 +1907,61 @@ case class AvroTable(path: String, tableSchema: StructType,
         : org.apache.spark.sql.connector.catalog.constraints.Constraint
     }.toArray
 
-  /** SQL `UPDATE` / `MERGE INTO` / rewrite-`DELETE` — GROUP-BASED
-    * copy-on-write: Spark scans the table through this operation's scan
-    * (which declares `_graft_file` runtime-filterable, so a dynamic
-    * subquery narrows it to the files that actually contain matches),
-    * computes the replacement rows, and writes them through this
-    * operation's write — whose commit archives EXACTLY the scanned
-    * files and publishes the rewrites as one snapshot. Equality `DELETE
-    * FROM` keeps taking the pure-metadata sidecar path (canDeleteWhere);
-    * everything else lands here.
+  /** SQL `UPDATE` / `MERGE INTO` / rewrite-`DELETE`. Two modes, chosen
+    * by the `_graft_rowlevel` sidecar ([[AvroFileSource.rowLevelMode]]):
+    *
+    * GROUP-BASED copy-on-write (default): Spark scans the table through
+    * this operation's scan (which declares `_graft_file`
+    * runtime-filterable, so a dynamic subquery narrows it to the files
+    * that actually contain matches), computes the replacement rows, and
+    * writes them through this operation's write — whose commit archives
+    * EXACTLY the scanned files and publishes the rewrites as one
+    * snapshot.
+    *
+    * DELTA-BASED merge-on-read ([[SupportsDelta]]): the scan serves
+    * ONLY the matched rows (filters push and row-skip normally — no
+    * group-exactness needed, file pruning via zones/blooms applies),
+    * row identity is the `(_graft_file, _graft_pos)` metadata pair, and
+    * the write turns deletes into `_graft_posdel` positions and
+    * update/merge inserts into plain appended files
+    * ([[AvroDeltaWriteBuilder]]). O(changed rows), not O(rewritten
+    * files) — the sparse-update shape a 100 TB table needs.
+    *
+    * Equality `DELETE FROM` keeps taking the pure-metadata sidecar path
+    * and zone-decided DELETE the file-drop path (canDeleteWhere) in
+    * BOTH modes; everything else lands here.
     */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(travelOptions.isEmpty,
       "graft-avro: a VERSION AS OF / TIMESTAMP AS OF table is read-only")
+    if (AvroFileSource.rowLevelMode(new File(path)) ==
+        AvroFileSource.MergeOnRead)
+      return () => new org.apache.spark.sql.connector.write.RowLevelOperation
+          with org.apache.spark.sql.connector.write.SupportsDelta {
+        override def command()
+            : org.apache.spark.sql.connector.write.RowLevelOperation.Command =
+          info.command()
+        override def newScanBuilder(
+            options: CaseInsensitiveStringMap): ScanBuilder =
+          new AvroScanBuilder(path, tableSchema)
+        override def rowId()
+            : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+          Array(
+            org.apache.spark.sql.connector.expressions.Expressions
+              .column(AvroFileSource.MetaFile),
+            org.apache.spark.sql.connector.expressions.Expressions
+              .column(AvroFileSource.MetaPos))
+        override def representUpdateAsDeleteAndInsert(): Boolean = true
+        override def newWriteBuilder(winfo: LogicalWriteInfo)
+            : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+          new AvroDeltaWriteBuilder(path, winfo,
+            partitionBy = defaultPartitionBy)
+        override def requiredMetadataAttributes()
+            : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+          Array.empty
+      }
     () => new org.apache.spark.sql.connector.write.RowLevelOperation {
       private val captured = new java.util.concurrent.atomic
         .AtomicReference[AvroFileSource.RowLevelScanState](
@@ -4643,6 +4711,166 @@ case class AvroCommitMessage(files: Seq[(String, String)],
     rows: Seq[(String, Long)] = Nil,
     ndvs: Seq[(String, Seq[(String, String, String)])] = Nil)
   extends WriterCommitMessage
+
+/** Per-task result of a delta (merge-on-read) row-level write: the
+  * positions this task deleted, keyed by table-relative file, plus the
+  * normal staged-file message of its inserts (if any).
+  */
+case class AvroDeltaCommitMessage(deletes: Map[String, Array[Long]],
+    inner: Option[AvroCommitMessage]) extends WriterCommitMessage
+
+/** Delta (merge-on-read) row-level write ([[SupportsDelta]]): DELETE
+  * rows arrive as `(_graft_file, _graft_pos)` ids and fold into the
+  * `_graft_posdel` sidecar — O(deleted rows) metadata, untouched data
+  * files; UPDATE/MERGE (represented as delete+insert) additionally
+  * append their replacement rows as ordinary staged files. The commit,
+  * under the table lock: verifies every position-deleted file is still
+  * live (a concurrent copy-on-write rewrite archiving it would orphan
+  * the positions — loud snapshot-isolation conflict instead), verifies
+  * the delete sidecars are unchanged since the write planned when the
+  * op carries inserts (a delete landing mid-update would silently miss
+  * the re-inserted rows), publishes staged inserts, withdraws the
+  * sorted-layout claim (an unsorted append like any other), folds the
+  * pruning/stat manifests, merges the position sidecar, and journals a
+  * snapshot when files changed. Pure position deletes stay unjournaled,
+  * exactly like [[AvroMaintenance.deleteAtPositions]].
+  */
+class AvroDeltaWriteBuilder(path: String, info: LogicalWriteInfo,
+    partitionBy: Seq[String] = Nil,
+    codec: String = AvroFileSource.DefaultCodec)
+  extends org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+
+  override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+    new org.apache.spark.sql.connector.write.DeltaWrite {
+      // delete-sidecar state pinned when the write plans: the commit
+      // re-reads and fails loudly if a concurrent equality/positional
+      // delete landed while an UPDATE/MERGE was computing its inserts
+      private val deleteFpAtPlan =
+        AvroFileSource.deleteStateFingerprint(new File(path))
+
+      override def toBatch: org.apache.spark.sql.connector.write
+          .DeltaBatchWrite =
+        new org.apache.spark.sql.connector.write.DeltaBatchWrite {
+          override def createBatchWriterFactory(pinfo: PhysicalWriteInfo)
+              : org.apache.spark.sql.connector.write.DeltaWriterFactory = {
+            new File(path).mkdirs()
+            val rowIdSchema = {
+              val o = info.rowIdSchema()
+              require(o.isPresent,
+                "graft-avro delta write: no rowId schema on the write info")
+              o.get()
+            }
+            // CHECK constraints guard the INSERT side exactly like a
+            // plain write (reuse the driver-side compile)
+            val checks = new AvroWriteBuilder(path, info.schema(),
+              partitionBy = partitionBy).compiledChecks
+            AvroDeltaWriterFactory(path, info.schema(), rowIdSchema,
+              codec, partitionBy, checks)
+          }
+
+          override def commit(messages: Array[WriterCommitMessage]): Unit = {
+            val dirF = new File(path)
+            AvroFileSource.withCommitLock(dirF) {
+              val msgs = messages.toSeq
+                .collect { case m: AvroDeltaCommitMessage => m }
+              val dels: Map[String, Array[Long]] =
+                msgs.flatMap(_.deletes.toSeq).groupBy(_._1).map {
+                  case (rel, xs) =>
+                    rel -> xs.flatMap(_._2).distinct.sorted.toArray
+                }
+              val innerMsgs = msgs.flatMap(_.inner)
+              val staged = innerMsgs.flatMap(_.files)
+              // conflict checks BEFORE anything publishes
+              val gone = dels.keySet
+                .filterNot(rel => new File(dirF, rel).isFile)
+              if (gone.nonEmpty) throw new IllegalStateException(
+                "graft-avro delta commit: concurrent update conflict — " +
+                  s"position-deleted file(s) ${gone.mkString(", ")} were " +
+                  "rewritten by another commit; nothing was published, " +
+                  "retry the operation against the current state")
+              if (staged.nonEmpty &&
+                  AvroFileSource.deleteStateFingerprint(dirF) !=
+                    deleteFpAtPlan)
+                throw new IllegalStateException(
+                  "graft-avro delta commit: concurrent delete conflict — " +
+                    "the table's delete sidecars changed since this " +
+                    "operation planned; nothing was published, retry the " +
+                    "operation against the current state")
+              staged.foreach { case (tmp, fin) =>
+                if (!new File(tmp).renameTo(new File(fin)))
+                  throw new java.io.IOException(
+                    s"graft-avro delta commit: rename failed $tmp -> $fin")
+              }
+              if (dels.nonEmpty) {
+                val prior = AvroFileSource.readPosdel(dirF)
+                AvroFileSource.writePosdelSidecar(dirF,
+                  prior ++ dels.map { case (rel, ps) =>
+                    rel -> (prior.getOrElse(rel, Array.emptyLongArray) ++ ps)
+                      .distinct.sorted
+                  })
+              }
+              if (staged.nonEmpty) {
+                // appended files are unsorted: the verified-sort claim
+                // (and its zone manifest) withdraws, same as any append
+                AvroFileSource.sortMarker(dirF).delete()
+                AvroFileSource.zoneFile(dirF).delete()
+                AvroFileSource.foldStatsManifests(dirF, innerMsgs)
+                AvroFileSource.appendSnapshot(dirF, "update")
+              }
+            }
+          }
+
+          override def abort(messages: Array[WriterCommitMessage]): Unit =
+            messages.toSeq.collect { case m: AvroDeltaCommitMessage => m }
+              .flatMap(_.inner).flatMap(_.files)
+              .foreach { case (tmp, _) => new File(tmp).delete() }
+        }
+    }
+}
+
+case class AvroDeltaWriterFactory(path: String, schema: StructType,
+    rowIdSchema: StructType, codec: String, partitionBy: Seq[String],
+    checks: Seq[(String, String,
+      org.apache.spark.sql.catalyst.expressions.Expression)])
+  extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] = {
+    val fileIdx = rowIdSchema.fieldIndex(AvroFileSource.MetaFile)
+    val posIdx = rowIdSchema.fieldIndex(AvroFileSource.MetaPos)
+    new org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+      private val dels = scala.collection.mutable.HashMap
+        .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+      // insert file created lazily: a pure DELETE task leaves no litter
+      private var inner: DataWriter[InternalRow] = null
+      private def innerWriter(): DataWriter[InternalRow] = {
+        if (inner == null) {
+          val base = AvroWriterFactory(path, schema, codec, partitionBy,
+            staged = true).createWriter(partitionId, taskId)
+          inner =
+            if (checks.isEmpty) base else CheckedWriters.wrap(base, checks)
+        }
+        inner
+      }
+      override def delete(meta: InternalRow, id: InternalRow): Unit =
+        dels.getOrElseUpdate(id.getUTF8String(fileIdx).toString,
+          scala.collection.mutable.ArrayBuffer.empty[Long]) +=
+          id.getLong(posIdx)
+      override def update(meta: InternalRow, id: InternalRow,
+          row: InternalRow): Unit = throw new IllegalStateException(
+        "graft-avro delta write: update() is unreachable — updates are " +
+          "represented as delete+insert")
+      override def insert(row: InternalRow): Unit = innerWriter().write(row)
+      override def commit(): WriterCommitMessage =
+        AvroDeltaCommitMessage(
+          dels.map { case (k, v) => k -> v.toArray }.toMap,
+          if (inner == null) None
+          else Some(inner.commit().asInstanceOf[AvroCommitMessage]))
+      override def abort(): Unit = if (inner != null) inner.abort()
+      override def close(): Unit = if (inner != null) inner.close()
+    }
+  }
+}
 
 private[sources] object AvroWriters {
 

@@ -557,6 +557,27 @@ object AvroMaintenance {
     * exists. Positions are validated against the file's physical row
     * count (block headers — zero rows decoded).
     */
+  /** Choose how SQL UPDATE / MERGE / rewrite-DELETE execute on this
+    * table: `copy-on-write` (default — rewrite every file holding a
+    * match, reads stay sidecar-free) or `merge-on-read` (delta-based:
+    * deletes become `_graft_posdel` positions, updates pair them with
+    * plain appends — O(changed rows), the sparse-update shape; readers
+    * pay the merge until the next compaction). The marker only affects
+    * FUTURE operations; pending sidecars from either mode read the same.
+    */
+  def setRowLevelMode(dir: String, mode: String): Unit = {
+    require(mode == AvroFileSource.CopyOnWrite ||
+      mode == AvroFileSource.MergeOnRead,
+      s"graft-avro: unknown row-level mode '$mode' — expected " +
+        s"${AvroFileSource.CopyOnWrite} or ${AvroFileSource.MergeOnRead}")
+    val d = new File(dir)
+    AvroFileSource.withCommitLock(d) {
+      val f = AvroFileSource.rowLevelModeFile(d)
+      if (mode == AvroFileSource.CopyOnWrite) { f.delete(); () }
+      else java.nio.file.Files.write(f.toPath, mode.getBytes("UTF-8"))
+    }
+  }
+
   def deleteAtPositions(dir: String, rel: String,
       positions: Seq[Long]): Unit = {
     require(positions.nonEmpty, "no positions given")

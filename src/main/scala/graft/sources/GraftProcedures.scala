@@ -36,6 +36,7 @@ object GraftProcedures {
   def names: Seq[String] = Seq("rollback_to_version", "expire_snapshots",
     "create_tag", "drop_tag", "add_constraint", "drop_constraint",
     "compact", "cluster", "remove_orphans", "add_files", "create_view",
+    "set_row_level_mode",
     "drop_view", "create_matview", "refresh_matview",
     "create_join_matview", "refresh_join_matview")
 
@@ -134,6 +135,16 @@ object GraftProcedures {
             org.apache.spark.sql.SparkSession.active, dirOf(in),
             in.getLong(1))
           (out("files_written" -> LongType), Seq(n.toLong))
+        })
+      case "set_row_level_mode" => new Proc(name,
+        "row-level op execution mode: 'copy-on-write' (rewrite matched " +
+          "files) or 'merge-on-read' (position-delete sidecar + appends)",
+        Array(param("table", StringType), param("mode", StringType)),
+        in => {
+          val mode = in.getUTF8String(1).toString
+          AvroMaintenance.setRowLevelMode(dirOf(in), mode)
+          (out("mode" -> StringType),
+            Seq(org.apache.spark.unsafe.types.UTF8String.fromString(mode)))
         })
       case "cluster" => new Proc(name,
         "in-place space-curve re-layout on two columns ('z' or " +
