@@ -749,6 +749,25 @@ object AvroGates extends Catalog {
         .orderBy("o_orderpriority")
     }),
 
+    // Grouped metadata MIN/MAX under the oracle: per-partition extremes
+    // + counts fold from per-file col-zone bounds and block headers —
+    // zero rows decoded (AvroGroupStatsSpec pins the plan and the
+    // stand-downs). The per-partition Iceberg-manifest stats query as a
+    // plain GROUP BY, at any table size.
+    "q_avro_minmax_grouped" -> ((s, dir) => {
+      val tmp = tempDir("graft_gate_mmg")
+      table(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+        .write.format("graft-avro")
+        .option("partitionBy", "o_orderpriority")
+        .mode("overwrite").save(tmp)
+      s.read.format("graft-avro").load(tmp)
+        .groupBy("o_orderpriority")
+        .agg(F.min("o_orderkey").as("min_okey"),
+          F.max("o_orderkey").as("max_okey"),
+          F.count(F.lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Zone-decided RANGE DELETE under the oracle: two disjoint-keyrange
     // generations, then `DELETE WHERE okey > 600` — every gen-2 file
     // all-matches (zones prove it) and every gen-1 file none-matches,
@@ -1821,6 +1840,12 @@ object AvroGates extends Catalog {
     // refresh ≡ full recompute over all three source generations
     "q_avro_count_grouped" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_avro_minmax_grouped" ->
+      """SELECT o_orderpriority,
+                min(o_orderkey) AS min_okey,
+                max(o_orderkey) AS max_okey,
+                CAST(count(*) AS BIGINT) AS n_orders
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_avro_delete_ranged" ->
       """SELECT l_returnflag, count(*) AS n_lines,

@@ -2461,7 +2461,6 @@ class AvroScanBuilder(path: String, full: StructType,
     if (AvroFileSource.deleteFile(new File(path)).isFile) return false
     if (AvroFileSource.colmapFile(new File(path)).isFile) return false
     val exprs = agg.aggregateExpressions
-    if (exprs.length != 1 || !exprs.head.isInstanceOf[CountStar]) return false
     val names = agg.groupByExpressions.toSeq.map {
       case r: NamedReference if r.fieldNames().length == 1 =>
         Some(r.fieldNames()(0))
@@ -2485,11 +2484,120 @@ class AvroScanBuilder(path: String, full: StructType,
       }
     }
     if (!covered) return false
+    if (exprs.length == 1 && exprs.head.isInstanceOf[CountStar]) {
+      groupCountCols = cols
+      countPushed = true
+      required = StructType(fields.flatten.toArray :+
+        org.apache.spark.sql.types.StructField(
+          "count(*)", LongType, nullable = false))
+      true
+    } else pushGroupedStats(cols, fields.flatten, exprs)
+  }
+
+  // grouped metadata stats: per output expr ("count","") | ("min"|"max",
+  // col); per live file (abs path) the pre-resolved cells — ("count",""),
+  // ("val", rawManifestBound) or ("null","")
+  private var groupAggSpecs: Seq[(String, String)] = Nil
+  private var groupAggCells: Map[String, Seq[(String, String)]] = Map.empty
+
+  /** Grouped metadata MIN/MAX (+COUNT) by partition-path columns:
+    * `SELECT p, min(c), max(c), count(*) … GROUP BY p` served with zero
+    * rows decoded — each file contributes one row of (partition values,
+    * its col-zone bounds per MIN/MAX column, its block-header count) and
+    * Spark's final aggregate folds per key: min-of-mins, max-of-maxes,
+    * sum-of-counts. The per-partition Iceberg-manifest stats query as a
+    * plain GROUP BY. Soundness mirrors the ungrouped generalized path:
+    * FULL col-zone coverage of every live file for every probed column
+    * (explicit `__null__` markers make all-null files checkable — those
+    * contribute SQL-ignored nulls), recorded type tag must equal the
+    * read type, float/double never served (NaN), bounds at the string
+    * truncation cap are maybe-truncated ⇒ inexact ⇒ stand down, and
+    * positional deletes stand the whole thing down (a dead row may hold
+    * the extreme AND breaks the counts). Composes with zone-DECIDED
+    * filters: every kept file all-matches, so its full-file bounds ARE
+    * its matching-rows bounds (partitions follow prunedFiles).
+    */
+  private def pushGroupedStats(cols: Seq[String],
+      gFields: Seq[org.apache.spark.sql.types.StructField],
+      exprs: Array[org.apache.spark.sql.connector.expressions.aggregate
+        .AggregateFunc]): Boolean = {
+    import org.apache.spark.sql.types._
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        Some(r.fieldNames()(0))
+      case _ => None
+    }
+    val specs: Seq[Option[(String, String)]] = exprs.toSeq.map {
+      case _: CountStar => Some(("count", ""))
+      case m: Min => colOf(m.column).map(c => ("min", c))
+      case m: Max => colOf(m.column).map(c => ("max", c))
+      case _ => None
+    }
+    if (specs.isEmpty || specs.exists(_.isEmpty)) return false
+    val sp = specs.flatten
+    val dirF = new File(path)
+    if (AvroFileSource.posdelFile(dirF).isFile) return false
+    val mmCols = sp.collect { case (k, c) if k != "count" => c }.distinct
+    val types: Map[String, DataType] = {
+      val resolved = mmCols.map { c =>
+        AvroFilterEval.leafType(full, c)
+          .filter(d => d != DoubleType && d != FloatType)
+          .map(c -> _)
+      }
+      if (resolved.exists(_.isEmpty)) return false
+      resolved.flatten.toMap
+    }
+    val cells: Map[String, Seq[(String, String)]] = if (mmCols.isEmpty) {
+      AvroFileSource.listLive(dirF)
+        .map(f => f._1.getAbsolutePath -> sp.map(_ => ("count", "")))
+        .toMap
+    } else {
+      val zfc = AvroFileSource.colZoneFile(dirF)
+      if (!zfc.isFile) return false
+      val raw = AvroFileSource.readColZonesRaw(zfc)
+      val base = dirF.getAbsoluteFile.toPath
+      val perFile = AvroFileSource.listLive(dirF).map { case (f, _) =>
+        val rel = base.relativize(f.getAbsoluteFile.toPath).toString
+        val resolved: Seq[Option[(String, String)]] = sp.map {
+          case ("count", _) => Some(("count", ""))
+          case (kind, c) =>
+            val d = types(c)
+            val enc = java.net.URLEncoder.encode(c, "UTF-8")
+            raw.getOrElse(rel, Nil).collectFirst {
+              case (`enc`, dtN, mn, mx) if dtN == d.simpleString => (mn, mx)
+            }.flatMap { case (mn, mx) =>
+              if (mn == "__null__") Some(("null", ""))
+              else {
+                val bound = if (kind == "min") mn else mx
+                AvroFileSource.castPartitionValue(bound, d)
+                  .filter(_ != null)
+                  .filter {
+                    // a bound AT the cap is maybe-truncated ⇒ inexact
+                    case s: String =>
+                      s.length < AvroFileSource.StringBoundMax
+                    case _ => true
+                  }
+                  .map(_ => ("val", bound))
+              }
+            }
+        }
+        if (resolved.exists(_.isEmpty)) None // uncovered/unparseable file
+        else Some(f.getAbsolutePath -> resolved.flatten)
+      }
+      if (perFile.exists(_.isEmpty)) return false
+      perFile.flatten.toMap
+    }
     groupCountCols = cols
-    countPushed = true
-    required = StructType(fields.flatten.toArray :+
-      org.apache.spark.sql.types.StructField(
-        "count(*)", LongType, nullable = false))
+    groupAggSpecs = sp
+    groupAggCells = cells
+    required = StructType(gFields ++ sp.map {
+      case ("count", _) =>
+        org.apache.spark.sql.types.StructField(
+          "count(*)", LongType, nullable = false)
+      case (kind, c) =>
+        org.apache.spark.sql.types.StructField(s"$kind($c)", types(c))
+    })
     true
   }
 
@@ -2707,6 +2815,8 @@ class AvroScanBuilder(path: String, full: StructType,
     val decided = decidedState
     val counting = countPushed
     val groupCols = groupCountCols
+    val groupSpecs = groupAggSpecs
+    val groupCells = groupAggCells
     val aggAny = minMaxAny
     val aggIsMin = minMaxIsMin
     val aggDt = minMaxDt
@@ -3296,6 +3406,23 @@ class AvroScanBuilder(path: String, full: StructType,
               .get(base.relativize(f.getAbsoluteFile.toPath).toString)
               .map { case (mn, mx) => AvroZoneAggPartition(mn, mx) }
           }.toArray[InputPartition]
+        } else if (groupSpecs.nonEmpty) {
+          // grouped metadata stats: one tiny row per kept file carrying
+          // its partition values + pre-resolved zone-bound cells (+ a
+          // block-header count when requested); Spark folds per key.
+          // Zero rows decoded; composes with zone-decided filters via
+          // prunedFiles.
+          prunedFiles().map { case (f, pv) =>
+            val raws = groupCols.map(c => pv.getOrElse(c,
+              throw new IllegalStateException(
+                s"graft-avro: ${f.getName} lacks partition value '$c' " +
+                  "(appeared after grouped-stats pushdown) — rerun")))
+            val cells = groupCells.getOrElse(f.getAbsolutePath,
+              throw new IllegalStateException(
+                s"graft-avro: ${f.getName} appeared after grouped-stats " +
+                  "pushdown (no resolved zone cells) — rerun"))
+            AvroGroupStatsPartition(f.getAbsolutePath, raws, cells)
+          }.toArray[InputPartition]
         } else if (counting && groupCols.nonEmpty) {
           // grouped zero-decode count: one ranged block-header count per
           // split, tagged with the file's raw partition values; posdel
@@ -3351,7 +3478,7 @@ class AvroScanBuilder(path: String, full: StructType,
           else base
         }
       override def createReaderFactory(): PartitionReaderFactory =
-        if (counting) AvroCountReaderFactory(required)
+        if (counting || groupSpecs.nonEmpty) AvroCountReaderFactory(required)
         else if (aggAny.nonEmpty) AvroAggRowReaderFactory(aggAny.map(_._2))
         else if (aggIsMin.nonEmpty) AvroZoneAggReaderFactory(aggIsMin, aggDt)
         else {
@@ -3523,6 +3650,12 @@ class AvroScanBuilder(path: String, full: StructType,
           (if (counting)
             " PushedAggregation: [COUNT(*)]" + (if (groupCols.nonEmpty)
               s" PushedGroupBy: [${groupCols.mkString(", ")}]" else "")
+           else if (groupSpecs.nonEmpty)
+             " PushedAggregation: [" + groupSpecs.map {
+               case ("count", _) => "COUNT(*)"
+               case (k, c) => s"${k.toUpperCase(java.util.Locale.ROOT)}($c)"
+             }.mkString(", ") + "]" +
+               s" PushedGroupBy: [${groupCols.mkString(", ")}]"
            else if (aggIsMin.nonEmpty || aggAny.nonEmpty)
              " PushedAggregation: [" +
                required.fieldNames.map { n =>
@@ -3550,6 +3683,16 @@ case class AvroCountAdjustPartition(delta: Long) extends InputPartition
 case class AvroGroupCountPartition(file: String, start: Long, end: Long,
     raws: Seq[String], delta: Long) extends InputPartition
 
+/** One file's contribution to a grouped metadata-stats aggregate: its
+  * raw partition values plus one pre-resolved cell per pushed
+  * expression — `("count","")` = ranged block-header count of the whole
+  * file, `("val", rawZoneBound)` = the file's manifest min/max (decoded
+  * against the required schema on the executor), `("null","")` = an
+  * all-null column (SQL MIN/MAX ignore it).
+  */
+case class AvroGroupStatsPartition(file: String, raws: Seq[String],
+    cells: Seq[(String, String)]) extends InputPartition
+
 case class AvroCountReaderFactory(required: StructType)
   extends PartitionReaderFactory {
 
@@ -3568,6 +3711,22 @@ case class AvroCountReaderFactory(required: StructType)
     n
   }
 
+  /** Raw partition-segment / zone-manifest value → catalyst internal
+    * form against the required field type (`__null__` and unparseable
+    * both land on null — for group keys that IS the null key; for
+    * stat cells the pushdown pre-validated parseability).
+    */
+  private def toInternal(raw: String,
+      dt: org.apache.spark.sql.types.DataType): Any =
+    AvroFileSource.castPartitionValue(raw, dt) match {
+      case Some(null) | None => null
+      case Some(s: String) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      case Some(d: java.sql.Date) =>
+        d.toLocalDate.toEpochDay.toInt
+      case Some(v) => v
+    }
+
   private def oneRow(row: => InternalRow): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private var done = false
@@ -3581,20 +3740,28 @@ case class AvroCountReaderFactory(required: StructType)
       case AvroCountAdjustPartition(delta) =>
         return oneRow(InternalRow(delta))
       case AvroGroupCountPartition(file, start, end, raws, delta) =>
-        import org.apache.spark.sql.types._
         return oneRow {
           val n = countRange(new File(file), start, end) + delta
           val keys = raws.zip(required.fields.init).map { case (raw, f) =>
-            AvroFileSource.castPartitionValue(raw, f.dataType) match {
-              case Some(null) | None => null // __null__ segment = null key
-              case Some(s: String) =>
-                org.apache.spark.unsafe.types.UTF8String.fromString(s)
-              case Some(d: java.sql.Date) =>
-                d.toLocalDate.toEpochDay.toInt
-              case Some(v) => v
-            }
+            toInternal(raw, f.dataType)
           }
           InternalRow.fromSeq(keys :+ java.lang.Long.valueOf(n))
+        }
+      case AvroGroupStatsPartition(file, raws, cells) =>
+        return oneRow {
+          val nKeys = raws.length
+          val keys = raws.zip(required.fields.take(nKeys)).map {
+            case (raw, f) => toInternal(raw, f.dataType)
+          }
+          val aggs = cells.zip(required.fields.drop(nKeys)).map {
+            case (("count", _), _) => java.lang.Long.valueOf(
+              countRange(new File(file), 0L, Long.MaxValue))
+            case (("null", _), _) => null
+            case (("val", enc), f) => toInternal(enc, f.dataType)
+            case ((k, _), _) => throw new IllegalStateException(
+              s"graft-avro grouped stats: unknown cell kind '$k'")
+          }
+          InternalRow.fromSeq(keys ++ aggs)
         }
       case _ => ()
     }
