@@ -865,6 +865,72 @@ object AvroGates extends Catalog {
               |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     }),
 
+    // STREAMING UPSERT into a MERGE-ON-READ table: the q_stream_merge
+    // ingestion loop re-expressed through SQL MERGE INTO on a
+    // merge-on-read catalog table — each micro-batch's matched rows die
+    // POSITIONALLY (including rows appended by earlier batches) and
+    // replacements append; no file is ever rewritten across the whole
+    // run (AvroMorDeltaSpec pins the mechanics). Update batches carry
+    // DISJOINT key sets so the final state is arrival-order-independent.
+    // The 100 TB shape: continuous CDC-apply whose write amplification
+    // is O(changed rows) per batch, not O(files touched).
+    "q_stream_upsert_mor" -> ((s, dir) => {
+      if (!s.conf.getOption("spark.sql.catalog.graft_gate").isDefined) {
+        s.conf.set("spark.sql.catalog.graft_gate",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_gate.root",
+          tempDir("graft_gate_cat"))
+      }
+      val src = tempDir("graft_gate_smor_src")
+      val ckpt = tempDir("graft_gate_smor_ckpt")
+      val docs = table(s, dir, "documents")
+        .select(F.coalesce(F.col("doc_id"), F.lit(0L)).as("doc_id"),
+          F.col("lang"), F.col("n_chars"))
+      docs.withColumn("ver", F.lit(0L))
+        .createOrReplaceTempView("smor_base")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.gate")
+      s.sql("DROP TABLE IF EXISTS graft_gate.gate.smor")
+      s.sql("CREATE TABLE graft_gate.gate.smor (doc_id BIGINT NOT NULL, " +
+        "lang STRING, n_chars BIGINT, ver BIGINT)")
+      s.sql("INSERT INTO graft_gate.gate.smor SELECT * FROM smor_base")
+      s.sql("CALL graft_gate.system.set_row_level_mode('gate.smor', " +
+        "'merge-on-read')")
+      val u1 = docs.filter(F.col("doc_id") % 3 === 0)
+        .withColumn("n_chars", F.col("n_chars") * 10)
+        .withColumn("ver", F.lit(1L))
+      val u2 = docs.filter(F.col("doc_id") % 3 === 1)
+        .withColumn("n_chars", F.col("n_chars") * 100)
+        .withColumn("ver", F.lit(2L))
+      val u3 = docs.filter(F.col("doc_id") % 5 === 0)
+        .withColumn("doc_id", F.col("doc_id") + 10000)
+        .withColumn("ver", F.lit(3L))
+      Seq(u1, u2, u3).foreach(
+        _.repartition(1).write.mode("append").parquet(src))
+      val q = s.readStream.schema(u1.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          b.createOrReplaceTempView("smor_up")
+          b.sparkSession.sql(
+            """MERGE INTO graft_gate.gate.smor t USING smor_up u
+              |ON t.doc_id = u.doc_id
+              |WHEN MATCHED THEN UPDATE SET lang = u.lang,
+              |  n_chars = u.n_chars, ver = u.ver
+              |WHEN NOT MATCHED THEN INSERT (doc_id, lang, n_chars, ver)
+              |  VALUES (u.doc_id, u.lang, u.n_chars, u.ver)
+              |""".stripMargin)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.sql("""SELECT ver, count(*) AS n_docs,
+              |  sum(n_chars) AS chars,
+              |  count(DISTINCT lang) AS n_langs
+              |FROM graft_gate.gate.smor
+              |GROUP BY ver ORDER BY ver""".stripMargin)
+    }),
+
     // JOIN matview under the oracle: V = orders ⋈ customer maintained
     // incrementally from BOTH sides' appends by the delta-join
     // expansion ΔV = ΔL⋈R_new ∪ L_old⋈ΔR (version-pinned reads; the
@@ -2214,6 +2280,23 @@ object AvroGates extends Catalog {
     // survivors of the base = doc_id % 3 = 2 (u1 replaced %3=0, u2
     // replaced %3=1); u3 inserted fresh ids beyond the corpus
     "q_stream_merge" ->
+      """WITH fin AS (
+           SELECT doc_id, lang, n_chars, 0 AS ver FROM documents
+           WHERE doc_id % 3 = 2
+           UNION ALL
+           SELECT doc_id, lang, n_chars * 10, 1 FROM documents
+           WHERE doc_id % 3 = 0
+           UNION ALL
+           SELECT doc_id, lang, n_chars * 100, 2 FROM documents
+           WHERE doc_id % 3 = 1
+           UNION ALL
+           SELECT doc_id + 10000, lang, n_chars, 3 FROM documents
+           WHERE doc_id % 5 = 0)
+         SELECT ver, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS chars,
+                count(DISTINCT lang) AS n_langs
+         FROM fin GROUP BY ver ORDER BY ver""",
+    "q_stream_upsert_mor" ->
       """WITH fin AS (
            SELECT doc_id, lang, n_chars, 0 AS ver FROM documents
            WHERE doc_id % 3 = 2

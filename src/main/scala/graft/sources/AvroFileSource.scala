@@ -3594,11 +3594,17 @@ class AvroScanBuilder(path: String, full: StructType,
           else java.util.OptionalLong.empty()
         }
 
-        /** Per-column NDV estimates from the opt-in `_graft_ndv` HLL
-          * manifest: per-file registers merge by element-wise max, and a
-          * column is served only when every live file carries a
-          * type-matching entry for it (all-null files emit none, which
-          * correctly withholds the column).
+        /** Per-column statistics for Spark's CBO: NDV estimates from the
+          * opt-in `_graft_ndv` HLL manifest (per-file registers merge by
+          * element-wise max; a column is served only when every live
+          * file carries a type-matching entry — all-null files emit
+          * none, which correctly withholds the column) PLUS exact
+          * min/max for integral/date columns folded from the all-column
+          * zone manifest under the same full-coverage + type-tag rules
+          * as the metadata aggregate (`__null__` markers keep all-null
+          * files coverage-checkable while contributing no bounds;
+          * strings are withheld — truncated bounds are inexact and CBO
+          * range estimation doesn't use them; floats never — NaN).
           */
         override def columnStats(): java.util.Map[
             org.apache.spark.sql.connector.expressions.NamedReference,
@@ -3607,39 +3613,122 @@ class AvroScanBuilder(path: String, full: StructType,
             org.apache.spark.sql.connector.expressions.NamedReference,
             org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
           if (!statsServable || posdelDead > 0L) return out
-          val nd = AvroFileSource.readNdvRaw(
-            AvroFileSource.ndvFile(new File(path)))
-          if (liveRels.isEmpty || !liveRels.forall(nd.contains)) return out
-          val perFile = liveRels.map(nd)
-          val cols = perFile.head.map(e => (e._1, e._2)).toSet
-          cols.foreach { case (colEnc, dtName) =>
-            val col = java.net.URLDecoder.decode(colEnc, "UTF-8")
-            val typeOk = AvroFilterEval.leafType(full, col)
-              .exists(_.simpleString == dtName)
-            val regsPerFile = perFile.map(_.collectFirst {
-              case (c, dt, b64) if c == colEnc && dt == dtName =>
-                scala.util.Try(
-                  java.util.Base64.getDecoder.decode(b64)).toOption
-                  .filter(_.length == AvroFileSource.NdvRegisters)
-            }.flatten)
-            if (typeOk && regsPerFile.forall(_.isDefined)) {
-              val merged = new Array[Byte](AvroFileSource.NdvRegisters)
-              regsPerFile.flatten.foreach { r =>
-                var i = 0
-                while (i < merged.length) {
-                  if (r(i) > merged(i)) merged(i) = r(i)
-                  i += 1
-                }
-              }
-              val est = AvroFileSource.ndvEstimate(merged)
-              out.put(
-                org.apache.spark.sql.connector.expressions.Expressions
-                  .column(col),
-                new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
-                  override def distinctCount(): java.util.OptionalLong =
-                    java.util.OptionalLong.of(est)
-                })
+          if (liveRels.isEmpty) return out
+          val ndvByCol: Map[String, Long] = {
+            val nd = AvroFileSource.readNdvRaw(
+              AvroFileSource.ndvFile(new File(path)))
+            if (!liveRels.forall(nd.contains)) Map.empty
+            else {
+              val perFile = liveRels.map(nd)
+              val cols = perFile.head.map(e => (e._1, e._2)).toSet
+              cols.toSeq.flatMap { case (colEnc, dtName) =>
+                val col = java.net.URLDecoder.decode(colEnc, "UTF-8")
+                val typeOk = AvroFilterEval.leafType(full, col)
+                  .exists(_.simpleString == dtName)
+                val regsPerFile = perFile.map(_.collectFirst {
+                  case (c, dt, b64) if c == colEnc && dt == dtName =>
+                    scala.util.Try(
+                      java.util.Base64.getDecoder.decode(b64)).toOption
+                      .filter(_.length == AvroFileSource.NdvRegisters)
+                }.flatten)
+                if (typeOk && regsPerFile.forall(_.isDefined)) {
+                  val merged = new Array[Byte](AvroFileSource.NdvRegisters)
+                  regsPerFile.flatten.foreach { r =>
+                    var i = 0
+                    while (i < merged.length) {
+                      if (r(i) > merged(i)) merged(i) = r(i)
+                      i += 1
+                    }
+                  }
+                  Some(col -> AvroFileSource.ndvEstimate(merged))
+                } else None
+              }.toMap
             }
+          }
+          val boundsByCol: Map[String, (Any, Any)] = {
+            import org.apache.spark.sql.types._
+            val zfc = AvroFileSource.colZoneFile(new File(path))
+            if (!zfc.isFile) Map.empty
+            else {
+              val raw = AvroFileSource.readColZonesRaw(zfc)
+              full.fields.toSeq.flatMap { fld =>
+                val eligible = fld.dataType match {
+                  case LongType | IntegerType | ShortType | ByteType |
+                       DateType => true
+                  case _ => false
+                }
+                if (!eligible) None
+                else {
+                  val enc = java.net.URLEncoder.encode(fld.name, "UTF-8")
+                  val per = liveRels.map { rel =>
+                    raw.getOrElse(rel, Nil).collectFirst {
+                      case (`enc`, dtN, mn, mx)
+                          if dtN == fld.dataType.simpleString => (mn, mx)
+                    }
+                  }
+                  if (per.exists(_.isEmpty)) None // uncovered file
+                  else {
+                    val parsed = per.flatten
+                      .filter(_._1 != "__null__").map { case (mn, mx) =>
+                        for {
+                          lo <- AvroFileSource
+                            .castPartitionValue(mn, fld.dataType)
+                            if lo != null
+                          hi <- AvroFileSource
+                            .castPartitionValue(mx, fld.dataType)
+                            if hi != null
+                        } yield (lo, hi)
+                      }
+                    if (parsed.isEmpty || parsed.exists(_.isEmpty)) None
+                    else {
+                      val vs = parsed.flatten
+                      val lo = vs.map(_._1).reduceLeft((a, b) =>
+                        if (AvroFilterEval.cmp(a, b).exists(_ <= 0)) a
+                        else b)
+                      val hi = vs.map(_._2).reduceLeft((a, b) =>
+                        if (AvroFilterEval.cmp(a, b).exists(_ >= 0)) a
+                        else b)
+                      val sound = vs.forall { case (a, b) =>
+                        AvroFilterEval.cmp(a, lo).isDefined &&
+                          AvroFilterEval.cmp(b, hi).isDefined
+                      }
+                      // catalyst-internal representation for the plan
+                      // stats (dates are epoch days)
+                      def internal(v: Any): Any = v match {
+                        case d: java.sql.Date =>
+                          d.toLocalDate.toEpochDay.toInt
+                        case x => x
+                      }
+                      if (sound)
+                        Some(fld.name -> (internal(lo), internal(hi)))
+                      else None
+                    }
+                  }
+                }
+              }.toMap
+            }
+          }
+          (ndvByCol.keySet ++ boundsByCol.keySet).foreach { col =>
+            out.put(
+              org.apache.spark.sql.connector.expressions.Expressions
+                .column(col),
+              new org.apache.spark.sql.connector.read.colstats
+                  .ColumnStatistics {
+                override def distinctCount(): java.util.OptionalLong =
+                  ndvByCol.get(col)
+                    .map(java.util.OptionalLong.of)
+                    .getOrElse(java.util.OptionalLong.empty())
+                override def min(): java.util.Optional[Object] =
+                  boundsByCol.get(col)
+                    .map(b => java.util.Optional.of(
+                      b._1.asInstanceOf[Object]))
+                    .getOrElse(java.util.Optional.empty[Object]())
+                override def max(): java.util.Optional[Object] =
+                  boundsByCol.get(col)
+                    .map(b => java.util.Optional.of(
+                      b._2.asInstanceOf[Object]))
+                    .getOrElse(java.util.Optional.empty[Object]())
+              })
           }
           out
         }

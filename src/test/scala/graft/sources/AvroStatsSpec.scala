@@ -76,6 +76,42 @@ class AvroStatsSpec extends AnyFunSuite with SparkSpec with Matchers {
     got("k").toDouble shouldBe 5000.0 +- 750.0
   }
 
+  test("zone-manifest min/max serve as CBO column stats, exact") {
+    val dir = tmp()
+    spark.range(0, 5000).toDF("k")
+      .withColumn("payload", F.md5(F.col("k").cast("string")))
+      .withColumn("d", F.expr("date_add(date'2024-01-01', " +
+        "cast(k % 400 as int))"))
+      .repartition(8)
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    val cs = stats(spark.read.format("graft-avro").load(dir)).columnStats()
+    var got = Map.empty[String, (Any, Any)]
+    val it = cs.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue.min().isPresent)
+        got += e.getKey.fieldNames().mkString(".") ->
+          ((e.getValue.min().get(), e.getValue.max().get()))
+    }
+    got.keySet shouldBe Set("k", "d") // strings withheld (truncation)
+    got("k") shouldBe ((0L, 4999L))
+    // dates serve as catalyst epoch days
+    val d0 = java.time.LocalDate.of(2024, 1, 1).toEpochDay.toInt
+    got("d") shouldBe ((d0, d0 + 399))
+  }
+
+  test("positional deletes withhold column stats (dead extremes)") {
+    val dir = tmp()
+    spark.range(0, 100).toDF("k").coalesce(1)
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    stats(spark.read.format("graft-avro").load(dir))
+      .columnStats().isEmpty shouldBe false
+    val rel = AvroFileSource.listAvro(new java.io.File(dir)).head.getName
+    AvroMaintenance.deleteAtPositions(dir, rel, Seq(99L)) // kills max
+    val s2 = stats(spark.read.format("graft-avro").load(dir))
+    s2.columnStats().isEmpty shouldBe true
+  }
+
   test("a delete sidecar withholds numRows and column stats") {
     val dir = tmp()
     spark.range(0, 100).toDF("k")
