@@ -768,6 +768,42 @@ object AvroGates extends Catalog {
         .orderBy("o_orderpriority")
     }),
 
+    // Metadata-served SUM/COUNT(col)/AVG under the oracle: per-file
+    // exact sums + non-null counts ride the col-zone manifest under a
+    // `sum:` type tag, and the whole aggregate mix folds driver-side —
+    // zero rows decoded (AvroSumMetaSpec pins the plan, the ANSI
+    // overflow stand-down, and NULL semantics). The 100 TB shape: a
+    // petabyte fact table's SUM/AVG answered from one manifest read.
+    "q_avro_sum_meta" -> ((s, dir) => {
+      val tmp = tempDir("graft_gate_summ")
+      table(s, dir, "lineitem").select("l_orderkey", "l_linenumber")
+        .write.format("graft-avro").mode("overwrite").save(tmp)
+      s.read.format("graft-avro").load(tmp)
+        .agg(F.sum("l_orderkey").as("sum_okey"),
+          F.count("l_orderkey").as("n_okey"),
+          F.sum("l_linenumber").as("sum_line"),
+          F.min("l_orderkey").as("min_okey"),
+          F.max("l_orderkey").as("max_okey"),
+          F.count(F.lit(1)).as("n_rows"))
+    }),
+
+    // Grouped variant: per-partition SUM/COUNT partial cells resolved
+    // at pushdown, folded by Spark's final aggregate — the Iceberg
+    // per-partition accounting query extended from counts to sums.
+    "q_avro_sum_grouped" -> ((s, dir) => {
+      val tmp = tempDir("graft_gate_sumg")
+      table(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+        .write.format("graft-avro")
+        .option("partitionBy", "o_orderpriority")
+        .mode("overwrite").save(tmp)
+      s.read.format("graft-avro").load(tmp)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("o_orderkey").as("sum_okey"),
+          F.count("o_orderkey").as("n_okey"),
+          F.count(F.lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Zone-decided RANGE DELETE under the oracle: two disjoint-keyrange
     // generations, then `DELETE WHERE okey > 600` — every gen-2 file
     // all-matches (zones prove it) and every gen-1 file none-matches,
@@ -1911,6 +1947,20 @@ object AvroGates extends Catalog {
       """SELECT o_orderpriority,
                 min(o_orderkey) AS min_okey,
                 max(o_orderkey) AS max_okey,
+                CAST(count(*) AS BIGINT) AS n_orders
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_avro_sum_meta" ->
+      """SELECT CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
+                count(l_orderkey) AS n_okey,
+                CAST(sum(l_linenumber) AS BIGINT) AS sum_line,
+                min(l_orderkey) AS min_okey,
+                max(l_orderkey) AS max_okey,
+                count(*) AS n_rows
+         FROM lineitem""",
+    "q_avro_sum_grouped" ->
+      """SELECT o_orderpriority,
+                CAST(sum(o_orderkey) AS BIGINT) AS sum_okey,
+                count(o_orderkey) AS n_okey,
                 CAST(count(*) AS BIGINT) AS n_orders
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_avro_delete_ranged" ->

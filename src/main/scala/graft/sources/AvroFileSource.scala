@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
@@ -2532,13 +2532,18 @@ class AvroScanBuilder(path: String, full: StructType,
       case _: CountStar => Some(("count", ""))
       case m: Min => colOf(m.column).map(c => ("min", c))
       case m: Max => colOf(m.column).map(c => ("max", c))
+      case s: Sum if !s.isDistinct => colOf(s.column).map(c => ("sum", c))
+      case c: Count if !c.isDistinct => colOf(c.column).map(c2 => ("cnt", c2))
       case _ => None
     }
     if (specs.isEmpty || specs.exists(_.isEmpty)) return false
     val sp = specs.flatten
     val dirF = new File(path)
     if (AvroFileSource.posdelFile(dirF).isFile) return false
-    val mmCols = sp.collect { case (k, c) if k != "count" => c }.distinct
+    val mmCols = sp.collect { case (k, c) if k == "min" || k == "max" => c }
+      .distinct
+    val sumCols = sp.collect { case (k, c) if k == "sum" || k == "cnt" => c }
+      .distinct
     val types: Map[String, DataType] = {
       val resolved = mmCols.map { c =>
         AvroFilterEval.leafType(full, c)
@@ -2548,11 +2553,26 @@ class AvroScanBuilder(path: String, full: StructType,
       if (resolved.exists(_.isEmpty)) return false
       resolved.flatten.toMap
     }
-    val cells: Map[String, Seq[(String, String)]] = if (mmCols.isEmpty) {
-      AvroFileSource.listLive(dirF)
-        .map(f => f._1.getAbsolutePath -> sp.map(_ => ("count", "")))
-        .toMap
-    } else {
+    // SUM/COUNT(col) cells come from the same manifest's `sum:` entries;
+    // integral leaf types only (the writer records no others)
+    val sumTypes: Map[String, DataType] = {
+      val resolved = sumCols.map { c =>
+        AvroFilterEval.leafType(full, c)
+          .filter {
+            case ByteType | ShortType | IntegerType | LongType => true
+            case _ => false
+          }
+          .map(c -> _)
+      }
+      if (resolved.exists(_.isEmpty)) return false
+      resolved.flatten.toMap
+    }
+    val cells: Map[String, Seq[(String, String)]] =
+      if (mmCols.isEmpty && sumCols.isEmpty) {
+        AvroFileSource.listLive(dirF)
+          .map(f => f._1.getAbsolutePath -> sp.map(_ => ("count", "")))
+          .toMap
+      } else {
       val zfc = AvroFileSource.colZoneFile(dirF)
       if (!zfc.isFile) return false
       val raw = AvroFileSource.readColZonesRaw(zfc)
@@ -2561,6 +2581,22 @@ class AvroScanBuilder(path: String, full: StructType,
         val rel = base.relativize(f.getAbsoluteFile.toPath).toString
         val resolved: Seq[Option[(String, String)]] = sp.map {
           case ("count", _) => Some(("count", ""))
+          case (kind @ ("sum" | "cnt"), c) =>
+            val d = sumTypes(c)
+            val enc = java.net.URLEncoder.encode(c, "UTF-8")
+            val tag = "sum:" + d.simpleString
+            raw.getOrElse(rel, Nil).collectFirst {
+              case (`enc`, `tag`, s, n) => (s, n)
+            }.flatMap { case (s, n) =>
+              (s.toLongOption, n.toLongOption) match {
+                case (Some(_), Some(nv)) if nv >= 0 =>
+                  // an all-null file's SUM partial must be NULL, not 0
+                  if (kind == "cnt") Some(("cntv", n))
+                  else if (nv == 0L) Some(("null", ""))
+                  else Some(("sumv", s))
+                case _ => None
+              }
+            }
           case (kind, c) =>
             val d = types(c)
             val enc = java.net.URLEncoder.encode(c, "UTF-8")
@@ -2595,6 +2631,11 @@ class AvroScanBuilder(path: String, full: StructType,
       case ("count", _) =>
         org.apache.spark.sql.types.StructField(
           "count(*)", LongType, nullable = false)
+      case ("sum", c) =>
+        org.apache.spark.sql.types.StructField(s"sum($c)", LongType)
+      case ("cnt", c) =>
+        org.apache.spark.sql.types.StructField(
+          s"count($c)", LongType, nullable = false)
       case (kind, c) =>
         org.apache.spark.sql.types.StructField(s"$kind($c)", types(c))
     })
@@ -2708,26 +2749,45 @@ class AvroScanBuilder(path: String, full: StructType,
       })
       return true
     }
-    // Generalized path: MIN/MAX over ANY mix of columns served from the
-    // all-column manifest — the Iceberg-manifest shape for UNSORTED
-    // tables. Sound only under FULL coverage: every alive data file must
-    // carry an entry for every wanted column (all-null files carry an
-    // explicit `__null__` marker precisely so coverage is checkable —
-    // absence means a pre-manifest or non-finite-tainted file whose true
-    // extremes are unknown). Exactness guards: float/double columns are
-    // never served (NaN-dead files simply break coverage, but belt and
-    // braces), and string bounds at the truncation cap are
-    // maybe-truncated, hence inexact, hence rejected. The fold over the
-    // manifest happens HERE, driver-side — the scan emits one tiny row.
-    val okAny = wanted.nonEmpty && wanted.forall(_.isDefined) && {
-      val zfc = AvroFileSource.colZoneFile(new File(path))
-      zfc.isFile && {
-        val dirF = new File(path)
+    // Generalized path: MIN/MAX/SUM/COUNT over ANY mix of columns served
+    // from the all-column manifest — the Iceberg-manifest shape for
+    // UNSORTED tables. Sound only under FULL coverage: every alive data
+    // file must carry an entry for every wanted column (all-null files
+    // carry an explicit `__null__` marker — and a (0,0) sum cell —
+    // precisely so coverage is checkable; absence means a pre-manifest,
+    // non-finite-tainted, or sum-overflowed file whose true stats are
+    // unknown). Exactness guards: float/double columns are never served
+    // (NaN-dead files simply break coverage, but belt and braces),
+    // string bounds at the truncation cap are maybe-truncated, hence
+    // inexact, hence rejected, and the driver-side sum fold uses
+    // addExact (overflow stands down to a real scan). SUM/COUNT(col)
+    // serve integral columns only; COUNT(*) folds the row-count
+    // manifest. AVG needs no special case: Spark's partial-pushdown
+    // rewrite splits it into SUM + COUNT before offering the push.
+    // The fold happens HERE, driver-side — the scan emits one tiny row.
+    val specsAny: Seq[Option[(String, String)]] = exprs.toSeq.map {
+      case m: Min => colOf(m.column).map(("min", _))
+      case m: Max => colOf(m.column).map(("max", _))
+      case s: Sum if !s.isDistinct => colOf(s.column).map(("sum", _))
+      case c: Count if !c.isDistinct => colOf(c.column).map(("cnt", _))
+      case _: CountStar => Some(("cnt*", ""))
+      case _ => None
+    }
+    val okAny = specsAny.nonEmpty && specsAny.forall(_.isDefined) && {
+      val dirF = new File(path)
+      val zfc = AvroFileSource.colZoneFile(dirF)
+      val sp = specsAny.flatten
+      val mmCols = sp.collect { case ("min" | "max", c) => c }.distinct
+      val sumCols = sp.collect { case ("sum" | "cnt", c) => c }.distinct
+      val needZones = mmCols.nonEmpty || sumCols.nonEmpty
+      (!needZones || zfc.isFile) && {
         val base = dirF.getAbsoluteFile.toPath
-        val raw = AvroFileSource.readColZonesRaw(zfc)
+        val raw =
+          if (needZones) AvroFileSource.readColZonesRaw(zfc)
+          else Map.empty[String, Seq[(String, String, String, String)]]
         val alive = AvroFileSource.listAvro(dirF)
           .map(f => base.relativize(f.getAbsoluteFile.toPath).toString)
-        val cols = wanted.flatten.map(_._1).distinct
+        val cols = mmCols
         import org.apache.spark.sql.types.{DoubleType, FloatType}
         val perCol: Option[Map[String, (org.apache.spark.sql.types.DataType,
             Option[(Any, Any)])]] = {
@@ -2782,21 +2842,85 @@ class AvroScanBuilder(path: String, full: StructType,
           if (resolved.exists(_.isEmpty)) None
           else Some(resolved.flatten.toMap)
         }
-        perCol match {
-          case Some(m) =>
-            minMaxAny = wanted.flatten.map { case (c, isMin) =>
-              val (d, bounds) = m(c)
-              (s"${if (isMin) "min" else "max"}($c)", d,
-                bounds.map(b => if (isMin) b._1 else b._2))
+        // exact per-column (sum, non-null count) folded over every live
+        // file's sum cells; integral leaf types only, full coverage
+        // required, addExact throughout (an overflowing FOLD also
+        // stands down — per-file sums were exact but the total wraps)
+        val perSum: Option[Map[String, (Long, Long)]] = {
+          import org.apache.spark.sql.types._
+          val resolved = sumCols.map { c =>
+            AvroFilterEval.leafType(full, c)
+              .filter {
+                case ByteType | ShortType | IntegerType | LongType => true
+                case _ => false
+              }
+              .flatMap { d =>
+                val enc = java.net.URLEncoder.encode(c, "UTF-8")
+                val tag = "sum:" + d.simpleString
+                val perFile = alive.map { rel =>
+                  raw.getOrElse(rel, Nil).collectFirst {
+                    case (`enc`, `tag`, s, n) =>
+                      for {
+                        sv <- s.toLongOption
+                        nv <- n.toLongOption if nv >= 0
+                      } yield (sv, nv)
+                  }.flatten
+                }
+                if (perFile.exists(_.isEmpty)) None // uncovered file
+                else try {
+                  val total = perFile.flatten.foldLeft((0L, 0L)) {
+                    case ((s, n), (fs, fn)) =>
+                      (Math.addExact(s, fs), Math.addExact(n, fn))
+                  }
+                  Some(c -> total)
+                } catch { case _: ArithmeticException => None }
+              }
+          }
+          if (resolved.exists(_.isEmpty)) None
+          else Some(resolved.flatten.toMap)
+        }
+        // COUNT(*) folds the row-count manifest under full coverage
+        // (posdel already stood the whole aggregate path down above)
+        val totalRows: Option[Long] =
+          if (!sp.exists(_._1 == "cnt*")) Some(0L)
+          else {
+            val rf = AvroFileSource.rowsFile(dirF)
+            if (!rf.isFile) None
+            else {
+              val rows = AvroFileSource.readRowsRaw(rf)
+              if (alive.forall(rows.contains)) Some(alive.map(rows).sum)
+              else None
+            }
+          }
+        (perCol, perSum, totalRows) match {
+          case (Some(m), Some(sm), Some(rows)) =>
+            minMaxAny = sp.map {
+              case (kind @ ("min" | "max"), c) =>
+                val (d, bounds) = m(c)
+                (s"$kind($c)", d,
+                  bounds.map(b => if (kind == "min") b._1 else b._2))
+              case ("sum", c) =>
+                // SQL SUM over zero non-null values is NULL, and a
+                // 0-sum partial would masquerade as a real 0 upstream
+                val (s, n) = sm(c)
+                (s"sum($c)", LongType: org.apache.spark.sql.types.DataType,
+                  if (n == 0L) None else Some(s))
+              case ("cnt", c) =>
+                (s"count($c)", LongType: org.apache.spark.sql.types.DataType,
+                  Some(sm(c)._2))
+              case _ =>
+                ("count(*)", LongType: org.apache.spark.sql.types.DataType,
+                  Some(rows))
             }
             true
-          case None => false
+          case _ => false
         }
       }
     }
     if (okAny) {
       required = StructType(minMaxAny.map { case (name, d, _) =>
-        org.apache.spark.sql.types.StructField(name, d)
+        org.apache.spark.sql.types.StructField(name, d,
+          nullable = !name.startsWith("count"))
       })
     }
     okAny
@@ -3847,6 +3971,10 @@ case class AvroCountReaderFactory(required: StructType)
               countRange(new File(file), 0L, Long.MaxValue))
             case (("null", _), _) => null
             case (("val", enc), f) => toInternal(enc, f.dataType)
+            // pre-resolved exact SUM / non-null-COUNT partials (the
+            // pushdown validated parseability)
+            case (("sumv", s), _) => java.lang.Long.valueOf(s.toLong)
+            case (("cntv", n), _) => java.lang.Long.valueOf(n.toLong)
             case ((k, _), _) => throw new IllegalStateException(
               s"graft-avro grouped stats: unknown cell kind '$k'")
           }
@@ -5238,6 +5366,19 @@ private[sources] object AvroWriters {
     private val maxs = new Array[Any](leaves.length)
     private val dead = new Array[Boolean](leaves.length)
 
+    // Exact per-file SUM + non-null COUNT for integral leaves, the
+    // extra manifest cells behind metadata-served SUM/COUNT(col)/AVG.
+    // Accumulated with addExact: an overflowing file simply emits no
+    // sum entry (coverage breaks -> the aggregate falls back to a real
+    // scan, which reproduces Spark's native wrap semantics).
+    private val summable: Array[Boolean] = leaves.map(_._3 match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    })
+    private val sums = new Array[Long](leaves.length)
+    private val cnts = new Array[Long](leaves.length)
+    private val sumDead = new Array[Boolean](leaves.length)
+
     private def nonFinite(v: Any): Boolean = v match {
       case d: java.lang.Double => d.isNaN || d.isInfinite
       case f: java.lang.Float  => f.isNaN || f.isInfinite
@@ -5261,6 +5402,13 @@ private[sources] object AvroWriters {
             else {
               if (cmp(v, mins(l)) < 0) mins(l) = v
               if (cmp(v, maxs(l)) > 0) maxs(l) = v
+            }
+            if (summable(l) && !sumDead(l)) {
+              try {
+                sums(l) = Math.addExact(sums(l),
+                  v.asInstanceOf[Number].longValue)
+                cnts(l) += 1
+              } catch { case _: ArithmeticException => sumDead(l) = true }
             }
           }
         }
@@ -5307,7 +5455,19 @@ private[sources] object AvroWriters {
               if (mx == null) "__null__" else enc(mx))
           }
         }
-      }.toSeq
+      }.toSeq ++
+        // SUM cells ride the same manifest under a `sum:`-prefixed type
+        // tag — every bounds consumer guards on `dt == simpleString`, so
+        // the two entry kinds are mutually invisible (the trigram-bloom
+        // precedent) and the merge/truncate lifecycle is inherited.
+        // Layout: min slot = exact sum, max slot = non-null count. An
+        // all-null live leaf emits (0, 0) so coverage stays checkable.
+        leaves.indices.collect {
+          case l if summable(l) && !sumDead(l) =>
+            val (name, _, dt, _) = leaves(l)
+            (java.net.URLEncoder.encode(name, "UTF-8"),
+              "sum:" + dt.simpleString, sums(l).toString, cnts(l).toString)
+        }
   }
   /** Per-file bloom filters for the named columns — the equality/IN
     * file-skipping index for HIGH-CARDINALITY SCATTERED keys, where
