@@ -768,6 +768,32 @@ object AvroGates extends Catalog {
         .orderBy("o_orderpriority")
     }),
 
+    // CDC changes read under the oracle: three generations (append,
+    // append, overwrite), then the NET row diff v1 -> v3 as
+    // insert/delete-tagged rows — the Iceberg table_changes shape
+    // (AvroChangesSpec pins the guards: changed equality deletes and
+    // pending posdel refuse, intra-range churn nets out). The 100 TB
+    // shape: downstream sync reads exactly the delta files, never the
+    // unchanged bulk.
+    "q_avro_cdc_read" -> ((s, dir) => {
+      val tmp = tempDir("graft_gate_cdc")
+      val li = table(s, dir, "lineitem")
+        .select(F.coalesce(F.col("l_orderkey"), F.lit(0L)).as("okey"),
+          F.col("l_returnflag"), F.col("l_quantity"))
+      li.filter("okey <= 300")
+        .write.format("graft-avro").mode("overwrite").save(tmp) // v1
+      li.filter("okey > 300 AND okey <= 600")
+        .write.format("graft-avro").mode("append").save(tmp) // v2
+      li.filter("okey > 600")
+        .write.format("graft-avro").mode("overwrite").save(tmp) // v3
+      graft.sources.AvroMaintenance.changes(s, tmp, 1L, 3L)
+        .withColumnRenamed("_change_type", "change_type")
+        .groupBy("change_type", "l_returnflag")
+        .agg(F.count(F.lit(1)).as("n_lines"),
+          F.round(F.sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy("change_type", "l_returnflag")
+    }),
+
     // Metadata-served SUM/COUNT(col)/AVG under the oracle: per-file
     // exact sums + non-null counts ride the col-zone manifest under a
     // `sum:` type tag, and the whole aggregate mix folds driver-side —
@@ -1949,6 +1975,20 @@ object AvroGates extends Catalog {
                 max(o_orderkey) AS max_okey,
                 CAST(count(*) AS BIGINT) AS n_orders
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_avro_cdc_read" ->
+      """WITH ins AS (
+           SELECT 'insert' AS change_type, l_returnflag, l_quantity
+           FROM lineitem WHERE COALESCE(l_orderkey, 0) > 600),
+         del AS (
+           SELECT 'delete' AS change_type, l_returnflag, l_quantity
+           FROM lineitem WHERE COALESCE(l_orderkey, 0) <= 300),
+         unioned AS (
+           SELECT * FROM ins UNION ALL SELECT * FROM del)
+         SELECT change_type, l_returnflag, count(*) AS n_lines,
+                round(sum(l_quantity), 2) AS sum_qty
+         FROM unioned
+         GROUP BY change_type, l_returnflag
+         ORDER BY change_type, l_returnflag""",
     "q_avro_sum_meta" ->
       """SELECT CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
                 count(l_orderkey) AS n_okey,

@@ -2274,7 +2274,15 @@ case class AvroTable(path: String, tableSchema: StructType,
       columnarRows =
         if (Option(options.get("columnar")).forall(_.toBoolean))
           AvroFileSource.ColumnarBatchRows
-        else 0)
+        else 0,
+      restrictFiles = {
+        val rf = Option(options.get("restrictFiles")).map(s =>
+          s.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+        require(rf.isEmpty || options.get("versionAsOf") != null,
+          "graft-avro: restrictFiles is internal to snapshot-pinned " +
+            "reads (requires versionAsOf)")
+        rf
+      })
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -2337,7 +2345,13 @@ class AvroScanBuilder(path: String, full: StructType,
     // to the affected files, and records the file set it finally planned
     // — the write side replaces EXACTLY those files at commit
     rowLevelCapture: Option[java.util.concurrent.atomic
-      .AtomicReference[AvroFileSource.RowLevelScanState]] = None)
+      .AtomicReference[AvroFileSource.RowLevelScanState]] = None,
+    // INTERNAL (AvroMaintenance.changes): restrict a versionAsOf scan
+    // to this set of the snapshot's relative paths — the CDC reader
+    // serves "rows of the files added/removed between two versions"
+    // without re-reading the unchanged bulk. Schema inference still
+    // runs over the FULL snapshot (a subset must not narrow the view).
+    restrictFiles: Option[Set[String]] = None)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with SupportsPushDownFilters with SupportsPushDownAggregates
   with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
@@ -3231,10 +3245,12 @@ class AvroScanBuilder(path: String, full: StructType,
 
       private lazy val listed: Seq[(File, Map[String, String])] =
         travelState match {
-          case Some((files, _)) => files.sorted.map { rel =>
-            (AvroFileSource.resolveSnapshotFile(new File(path), rel),
-              partValsOf(rel))
-          }
+          case Some((files, _)) => files.sorted
+            .filter(rel => restrictFiles.forall(_.contains(rel)))
+            .map { rel =>
+              (AvroFileSource.resolveSnapshotFile(new File(path), rel),
+                partValsOf(rel))
+            }
           case None => branchState match {
             case Some((files, _, _)) => files
             // journal-served when one exists — no directory walk

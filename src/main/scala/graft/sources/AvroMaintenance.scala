@@ -24,6 +24,96 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object AvroMaintenance {
 
+  /** CDC changes read: the NET row-level difference between two
+    * snapshot versions as a DataFrame tagged with `_change_type`
+    * (`insert` | `delete`) — the Iceberg `table_changes` shape, and the
+    * way a downstream pipeline syncs with a 100 TB table without ever
+    * rescanning it. File-delta semantics: rows of files present at
+    * `toVersion` but not `fromVersion` are inserts, rows of files
+    * present at `fromVersion` but not `toVersion` are deletes; a file
+    * that came AND went inside the range (append then overwrite)
+    * contributes nothing — this is the net diff, not the event log. A
+    * physical rewrite (compaction) of unchanged rows therefore surfaces
+    * as delete+insert pairs of equal rows, which is also what Iceberg's
+    * changelog emits for copy-on-write rewrites.
+    *
+    * Exactness guards (all loud failures, never a silent wrong
+    * changeset): the equality-delete sidecar must be BYTE-IDENTICAL at
+    * the two versions (a changed delete set is a row-level diff that
+    * whole-file deltas cannot express); positional deletes must not be
+    * pending (they are a current-state overlay, not journaled per
+    * version); both versions must exist in the journal (`fromVersion`
+    * 0 = since the beginning). Each side reads through the normal
+    * versionAsOf machinery (archive resolution, snapshot deletes,
+    * schema as-of), restricted to its delta files — unchanged bulk is
+    * never opened. Output schema = `toVersion`'s schema: delete-side
+    * rows null-fill columns added since `fromVersion`, and columns
+    * dropped inside the range are omitted.
+    */
+  def changes(spark: SparkSession, dir: String, fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    val d = new File(dir)
+    val snaps = AvroFileSource.readSnapshots(d)
+    require(snaps.nonEmpty,
+      s"graft-avro changes: no snapshot journal under $dir")
+    require(toVersion > fromVersion && fromVersion >= 0,
+      s"graft-avro changes: bad range ($fromVersion, $toVersion]")
+    require(snaps.exists(_.version == toVersion),
+      s"graft-avro changes: no snapshot version $toVersion under $dir " +
+        s"(have ${snaps.head.version}..${snaps.last.version})")
+    require(fromVersion == 0 || snaps.exists(_.version == fromVersion),
+      s"graft-avro changes: no snapshot version $fromVersion under $dir " +
+        s"(have ${snaps.head.version}..${snaps.last.version})")
+    require(!AvroFileSource.posdelFile(d).isFile,
+      "graft-avro changes: positional deletes are pending (a " +
+        "current-state overlay, not journaled per version) — compact " +
+        "first")
+    val fromSnap = snaps.find(_.version == fromVersion)
+    val toSnap = snaps.find(_.version == toVersion).get
+    require(fromSnap.flatMap(_.deletes) == toSnap.deletes,
+      "graft-avro changes: the equality-delete sidecar changed between " +
+        s"versions $fromVersion and $toVersion — the row-level diff is " +
+        "not expressible as whole-file changes")
+    val fromFiles = fromSnap.map(_.files.toSet).getOrElse(Set.empty)
+    val toFiles = toSnap.files.toSet
+    val added = (toFiles -- fromFiles).toSeq.sorted
+    val removed = (fromFiles -- toFiles).toSeq.sorted
+    def side(v: Long, rels: Seq[String]): DataFrame =
+      spark.read.format("graft-avro")
+        .option("versionAsOf", v)
+        .option("restrictFiles", rels.mkString(","))
+        .load(dir)
+    def tag(df: DataFrame, t: String): DataFrame = {
+      require(!df.columns.contains("_change_type"),
+        "graft-avro changes: the table already has a _change_type column")
+      df.withColumn("_change_type", F.lit(t))
+    }
+    (added.nonEmpty, removed.nonEmpty) match {
+      case (true, false) => tag(side(toVersion, added), "insert")
+      case (false, true) => tag(side(fromVersion, removed), "delete")
+      case (false, false) =>
+        // empty diff: serve an empty frame at a real snapshot's schema
+        val anchor =
+          if (toSnap.files.nonEmpty) side(toVersion, toSnap.files)
+          else if (fromFiles.nonEmpty)
+            side(fromVersion, fromFiles.toSeq.sorted)
+          else throw new IllegalArgumentException(
+            "graft-avro changes: both versions are empty — no schema " +
+              "to serve an (empty) changeset under")
+        tag(anchor.where(F.lit(false)), "insert")
+      case (true, true) =>
+        val ins = tag(side(toVersion, added), "insert")
+        val del = side(fromVersion, removed)
+        // align the delete side to the TO schema (before the tag column)
+        val aligned = del.select(ins.schema.fields.init.map { f =>
+          if (del.columns.contains(f.name)) F.col(f.name)
+          else F.lit(null).cast(f.dataType).as(f.name)
+        }.toIndexedSeq: _*)
+        ins.unionByName(tag(aligned, "delete"))
+    }
+  }
+
   /** Append equality-delete predicates for `col` to the sidecar
     * (merged with any existing entries, deduplicated, atomic rename).
     * Values must be non-null and of the column's external type; only

@@ -1,0 +1,123 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** CDC changes read (AvroMaintenance.changes): the net row-level diff
+  * between two snapshot versions as insert/delete-tagged rows, served
+  * from exactly the delta files via the versionAsOf machinery. Guards:
+  * changed equality deletes and pending positional deletes refuse
+  * loudly; an intra-range append+overwrite nets out to nothing.
+  */
+class AvroChangesSpec extends AnyFunSuite with SparkSpec with Matchers {
+
+  private def tmp() = graft.operators.Catalog.tempDir("graft_cdc")
+
+  private def byType(df: DataFrame): Map[String, Set[Long]] =
+    df.collect()
+      .groupBy(_.getAs[String]("_change_type"))
+      .map { case (t, rows) => t -> rows.map(_.getAs[Long]("k")).toSet }
+
+  test("append-only range yields inserts only") {
+    val dir = tmp()
+    spark.range(10).selectExpr("id as k")
+      .write.format("graft-avro").mode("overwrite").save(dir) // v1
+    spark.range(10, 15).selectExpr("id as k")
+      .write.format("graft-avro").mode("append").save(dir) // v2
+    val got = byType(AvroMaintenance.changes(spark, dir, 1, 2))
+    got shouldBe Map("insert" -> (10L until 15L).toSet)
+  }
+
+  test("overwrite surfaces deletes; intra-range churn nets out") {
+    val dir = tmp()
+    spark.range(10).selectExpr("id as k")
+      .write.format("graft-avro").mode("overwrite").save(dir) // v1: A
+    spark.range(10, 15).selectExpr("id as k")
+      .write.format("graft-avro").mode("append").save(dir) // v2: +B
+    spark.range(100, 103).selectExpr("id as k")
+      .write.format("graft-avro").mode("overwrite").save(dir) // v3: C
+    // net diff v1 -> v3: B appeared AND vanished inside the range
+    byType(AvroMaintenance.changes(spark, dir, 1, 3)) shouldBe Map(
+      "insert" -> (100L until 103L).toSet,
+      "delete" -> (0L until 10L).toSet)
+    byType(AvroMaintenance.changes(spark, dir, 2, 3)) shouldBe Map(
+      "insert" -> (100L until 103L).toSet,
+      "delete" -> (0L until 15L).toSet)
+    // from the beginning: everything at v3 is an insert
+    byType(AvroMaintenance.changes(spark, dir, 0, 3)) shouldBe Map(
+      "insert" -> (100L until 103L).toSet)
+  }
+
+  test("changed equality deletes refuse; unchanged carried deletes pass") {
+    val dir = tmp()
+    spark.range(10).selectExpr("id as k", "cast(id as string) as s")
+      .write.format("graft-avro").mode("overwrite").save(dir) // v1
+    AvroMaintenance.deleteWhere(spark, dir, "k", Seq(3L)) // v2: deletes
+    val ex = intercept[IllegalArgumentException] {
+      AvroMaintenance.changes(spark, dir, 1, 2)
+    }
+    ex.getMessage should include("equality-delete sidecar changed")
+    // after the delete, an append carries the SAME sidecar: the range
+    // v2 -> v3 is expressible, and the snapshot's deletes apply to the
+    // insert side (k=3 was in v1's files, not the delta — irrelevant)
+    spark.range(20, 23).selectExpr("id as k", "cast(id as string) as s")
+      .write.format("graft-avro").mode("append").save(dir) // v3
+    byType(AvroMaintenance.changes(spark, dir, 2, 3)) shouldBe Map(
+      "insert" -> (20L until 23L).toSet)
+  }
+
+  test("pending positional deletes refuse") {
+    val dir = tmp()
+    spark.range(10).selectExpr("id as k")
+      .coalesce(1)
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    val rel = AvroFileSource.listLive(new java.io.File(dir)).head._1
+    val relName = new java.io.File(dir).getAbsoluteFile.toPath
+      .relativize(rel.getAbsoluteFile.toPath).toString
+    AvroMaintenance.deleteAtPositions(dir, relName, Seq(0L))
+    val ex = intercept[IllegalArgumentException] {
+      AvroMaintenance.changes(spark, dir, 0, 1)
+    }
+    ex.getMessage should include("positional deletes")
+  }
+
+  test("compaction surfaces as equal-row delete+insert pairs") {
+    val dir = tmp()
+    spark.range(10).selectExpr("id as k").repartition(4)
+      .write.format("graft-avro").mode("overwrite").save(dir) // v1
+    AvroMaintenance.compactInPlace(spark, dir, 512L * 1024 * 1024) // v2
+    val got = byType(AvroMaintenance.changes(spark, dir, 1, 2))
+    got("insert") shouldBe (0L until 10L).toSet
+    got("delete") shouldBe (0L until 10L).toSet
+  }
+
+  test("delete side null-fills columns added inside the range") {
+    val dir = tmp()
+    spark.range(5).selectExpr("id as k")
+      .write.format("graft-avro").mode("overwrite").save(dir) // v1
+    spark.range(50, 53).selectExpr("id as k", "id * 2 as extra")
+      .write.format("graft-avro").mode("overwrite").save(dir) // v2
+    val ch = AvroMaintenance.changes(spark, dir, 1, 2)
+    ch.columns.toSeq shouldBe Seq("k", "extra", "_change_type")
+    val rows = ch.collect().map(r => (r.getAs[String]("_change_type"),
+      r.getAs[Long]("k"), Option(r.get(r.fieldIndex("extra"))))).toSet
+    rows.filter(_._1 == "delete").foreach(_._3 shouldBe None)
+    rows.filter(_._1 == "insert")
+      .map(t => t._2 -> t._3) shouldBe
+      (50L until 53L).map(k => k -> Some(k * 2)).toSet
+  }
+
+  test("bad versions and unjournaled dirs refuse") {
+    val dir = tmp()
+    spark.range(3).selectExpr("id as k")
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    intercept[IllegalArgumentException] {
+      AvroMaintenance.changes(spark, dir, 1, 1)
+    }
+    intercept[IllegalArgumentException] {
+      AvroMaintenance.changes(spark, dir, 0, 99)
+    }
+  }
+}
