@@ -813,6 +813,29 @@ object AvroGates extends Catalog {
           F.count(F.lit(1)).as("n_rows"))
     }),
 
+    // Filtered variant: every filter zone-DECIDED means kept files
+    // all-match, so their full-file sum/bound cells ARE matching-row
+    // stats — the driver fold restricts to the keep-set and a filtered
+    // SUM/MIN/MAX/COUNT mix still decodes zero rows (AvroSumMetaSpec
+    // pins keep-set exactness and the residual-filter stand-down).
+    "q_avro_sum_filtered" -> ((s, dir) => {
+      val tmp = tempDir("graft_gate_sumf")
+      val li = table(s, dir, "lineitem")
+        .select(F.coalesce(F.col("l_orderkey"), F.lit(0L)).as("okey"),
+          F.col("l_linenumber"))
+      li.filter("okey <= 600")
+        .write.format("graft-avro").mode("overwrite").save(tmp)
+      li.filter("okey > 600")
+        .write.format("graft-avro").mode("append").save(tmp)
+      s.read.format("graft-avro").load(tmp)
+        .filter("okey > 600")
+        .agg(F.sum("okey").as("sum_okey"),
+          F.min("okey").as("min_okey"),
+          F.max("okey").as("max_okey"),
+          F.sum("l_linenumber").as("sum_line"),
+          F.count(F.lit(1)).as("n_rows"))
+    }),
+
     // Grouped variant: per-partition SUM/COUNT partial cells resolved
     // at pushdown, folded by Spark's final aggregate — the Iceberg
     // per-partition accounting query extended from counts to sums.
@@ -1997,6 +2020,13 @@ object AvroGates extends Catalog {
                 max(l_orderkey) AS max_okey,
                 count(*) AS n_rows
          FROM lineitem""",
+    "q_avro_sum_filtered" ->
+      """SELECT CAST(sum(COALESCE(l_orderkey, 0)) AS BIGINT) AS sum_okey,
+                min(COALESCE(l_orderkey, 0)) AS min_okey,
+                max(COALESCE(l_orderkey, 0)) AS max_okey,
+                CAST(sum(l_linenumber) AS BIGINT) AS sum_line,
+                count(*) AS n_rows
+         FROM lineitem WHERE COALESCE(l_orderkey, 0) > 600""",
     "q_avro_sum_grouped" ->
       """SELECT o_orderpriority,
                 CAST(sum(o_orderkey) AS BIGINT) AS sum_okey,

@@ -2697,11 +2697,22 @@ class AvroScanBuilder(path: String, full: StructType,
       required = new StructType().add("count(*)", LongType, nullable = false)
       return true
     }
-    // Everything below serves MIN/MAX from manifests folded over ALL
-    // live files — any filter (even a fully-pushed one, which restricts
-    // the file set) invalidates that fold. COUNT(*) above composes with
-    // decided filters because its partitions follow prunedFiles.
-    if (pushed.nonEmpty || fullyPushed.nonEmpty) return false
+    // Filters and the manifest folds below: a RESIDUAL filter already
+    // returned above (rows must be decoded). When EVERY filter is
+    // zone-DECIDED, each kept file all-matches, so its full-file stats
+    // ARE its matching-row stats — the generalized fold restricts to
+    // the keep-set pinned at pushFilters. The sort-column zone path
+    // keeps standing down under any filter (its manifest fold has no
+    // per-file keep filter).
+    val keptRels: Option[Seq[String]] =
+      if (fullyPushed.isEmpty) None
+      else decidedState match {
+        case Some((_, keep)) =>
+          val base = new File(path).getAbsoluteFile.toPath
+          Some(keep.toSeq.map(p => base.relativize(
+            new File(p).getAbsoluteFile.toPath).toString).sorted)
+        case None => return false
+      }
     // positional deletes: dead rows may hold a zone extreme — MIN/MAX
     // aggregates come from real rows while the sidecar exists
     if (AvroFileSource.posdelFile(new File(path)).isFile) return false
@@ -2726,7 +2737,8 @@ class AvroScanBuilder(path: String, full: StructType,
     }
     val sortCol = AvroFileSource.sortedColumnOf(new File(path))
     val zf = AvroFileSource.zoneFile(new File(path))
-    val ok = wanted.nonEmpty && wanted.forall(_.isDefined) &&
+    val ok = keptRels.isEmpty &&
+      wanted.nonEmpty && wanted.forall(_.isDefined) &&
       sortCol.isDefined && zf.isFile &&
       wanted.flatten.forall(_._1 == sortCol.get) && {
         val dt = full.fields.find(_.name == sortCol.get).map(_.dataType)
@@ -2799,8 +2811,11 @@ class AvroScanBuilder(path: String, full: StructType,
         val raw =
           if (needZones) AvroFileSource.readColZonesRaw(zfc)
           else Map.empty[String, Seq[(String, String, String, String)]]
-        val alive = AvroFileSource.listAvro(dirF)
-          .map(f => base.relativize(f.getAbsoluteFile.toPath).toString)
+        // under fully-decided filters the fold covers the KEEP-set only:
+        // every kept file all-matches, so full-file stats are exact
+        val alive = keptRels.getOrElse(
+          AvroFileSource.listAvro(dirF)
+            .map(f => base.relativize(f.getAbsoluteFile.toPath).toString))
         val cols = mmCols
         import org.apache.spark.sql.types.{DoubleType, FloatType}
         val perCol: Option[Map[String, (org.apache.spark.sql.types.DataType,

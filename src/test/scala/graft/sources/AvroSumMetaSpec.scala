@@ -120,6 +120,55 @@ class AvroSumMetaSpec extends AnyFunSuite with SparkSpec with Matchers {
     df.collect().head.getDouble(0) shouldBe (0 until 50).sum.toDouble
   }
 
+  test("zone-DECIDED filters compose: fold restricts to the keep-set") {
+    val dir = tmp()
+    // two disjoint-keyrange generations -> every file decides k > 599
+    spark.range(600).selectExpr("id as k", "id * 3 as v")
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    spark.range(600, 1000).selectExpr("id as k", "id * 3 as v")
+      .write.format("graft-avro").mode("append").save(dir)
+    val df = spark.read.format("graft-avro").load(dir)
+      .filter("k > 599")
+      .agg(F.sum("v").as("s"), F.count("v").as("c"),
+        F.min("k").as("mn"), F.max("k").as("mx"),
+        F.count(F.lit(1)).as("n"))
+    plan(df) should include("PushedAggregation")
+    val r = df.collect().head
+    r.getLong(0) shouldBe (600L until 1000L).map(_ * 3).sum
+    r.getLong(1) shouldBe 400L
+    r.getLong(2) shouldBe 600L
+    r.getLong(3) shouldBe 999L
+    r.getLong(4) shouldBe 400L
+    // an UNDECIDED filter (cuts through a file) falls back to real rows
+    val un = spark.read.format("graft-avro").load(dir)
+      .filter("k > 500")
+      .agg(F.sum("v").as("s"))
+    (plan(un) should not).include("PushedAggregation")
+    un.collect().head.getLong(0) shouldBe
+      (501L until 1000L).map(_ * 3).sum
+  }
+
+  test("decided filters never serve the sort-zone min/max path") {
+    val dir = tmp()
+    spark.range(600).selectExpr("id as k")
+      .orderBy("k")
+      .write.format("graft-avro").option("sortedBy", "k")
+      .mode("overwrite").save(dir)
+    spark.range(600, 1000).selectExpr("id as k")
+      .orderBy("k")
+      .write.format("graft-avro").option("sortedBy", "k")
+      .mode("append").save(dir)
+    // min/max under a decided filter: served via the generalized
+    // keep-set fold (col-zones), NOT the whole-table sort-zone fold
+    val df = spark.read.format("graft-avro").load(dir)
+      .filter("k > 599")
+      .agg(F.min("k").as("mn"), F.max("k").as("mx"))
+    plan(df) should include("PushedAggregation")
+    val r = df.collect().head
+    r.getLong(0) shouldBe 600L
+    r.getLong(1) shouldBe 999L
+  }
+
   test("grouped sum/count by partition columns serves from metadata") {
     val dir = tmp()
     spark.range(900)

@@ -258,11 +258,15 @@ class AvroZoneDecideSpec extends AnyFunSuite with SparkSpec with Matchers {
     spark.sql("SELECT count(*) FROM gzdp.ns.t").head().getLong(0) shouldBe 99
   }
 
-  test("metadata MIN/MAX stands down under any filter") {
+  test("metadata MIN/MAX serves under a fully-DECIDED filter (r18)") {
+    // every file of the ranged table decides k >= 200, so the kept
+    // files all-match and their full-file bounds ARE the matching-row
+    // bounds — the fold restricts to the keep-set (AvroSumMetaSpec
+    // covers the residual-filter stand-down and the SUM variants)
     val dir = rangedTable()
     val agg = load(dir).filter("k >= 200").agg(F.min("v"), F.max("v"))
-    (agg.queryExecution.executedPlan.toString should not)
-      .include("PushedAggregation: [MIN")
+    agg.queryExecution.executedPlan.toString should
+      include("PushedAggregation: [MIN")
     agg.head() match {
       case r => (r.getLong(0), r.getLong(1)) shouldBe ((400L, 798L))
     }
