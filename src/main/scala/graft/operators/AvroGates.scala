@@ -836,6 +836,29 @@ object AvroGates extends Catalog {
           F.count(F.lit(1)).as("n_rows"))
     }),
 
+    // ANALYZE backfill under the oracle: the stats manifests are
+    // dropped (simulating a pre-stats legacy table), CALL-equivalent
+    // analyze rebuilds them in one distributed pass through the SAME
+    // per-file builders the writer uses, and the aggregate mix serves
+    // from metadata again with oracle-exact values (AvroAnalyzeSpec
+    // pins the plan flips, bloom backfill, and delete-agnosticism).
+    // The 100 TB shape: light up pruning + metadata answers on a
+    // petabyte of pre-existing files without rewriting a byte.
+    "q_avro_analyze" -> ((s, dir) => {
+      val tmp = tempDir("graft_gate_anl")
+      table(s, dir, "orders").select("o_orderkey", "o_custkey")
+        .write.format("graft-avro").mode("overwrite").save(tmp)
+      new java.io.File(tmp, "_graft_zones_cols").delete()
+      new java.io.File(tmp, "_graft_rows").delete()
+      graft.sources.AvroMaintenance.analyze(s, tmp)
+      s.read.format("graft-avro").load(tmp)
+        .agg(F.sum("o_orderkey").as("sum_okey"),
+          F.min("o_orderkey").as("min_okey"),
+          F.max("o_orderkey").as("max_okey"),
+          F.sum("o_custkey").as("sum_ckey"),
+          F.count(F.lit(1)).as("n_rows"))
+    }),
+
     // Grouped variant: per-partition SUM/COUNT partial cells resolved
     // at pushdown, folded by Spark's final aggregate — the Iceberg
     // per-partition accounting query extended from counts to sums.
@@ -2020,6 +2043,13 @@ object AvroGates extends Catalog {
                 max(l_orderkey) AS max_okey,
                 count(*) AS n_rows
          FROM lineitem""",
+    "q_avro_analyze" ->
+      """SELECT CAST(sum(o_orderkey) AS BIGINT) AS sum_okey,
+                min(o_orderkey) AS min_okey,
+                max(o_orderkey) AS max_okey,
+                CAST(sum(o_custkey) AS BIGINT) AS sum_ckey,
+                count(*) AS n_rows
+         FROM orders""",
     "q_avro_sum_filtered" ->
       """SELECT CAST(sum(COALESCE(l_orderkey, 0)) AS BIGINT) AS sum_okey,
                 min(COALESCE(l_orderkey, 0)) AS min_okey,

@@ -1087,6 +1087,88 @@ object AvroMaintenance {
       .toDF("rel", "part", "bytes", "n_records")
   }
 
+  /** ANALYZE: backfill the pruning/statistics manifests for existing
+    * data — the unlock for tables that predate the stats writers (or
+    * were assembled via add_files) to get zone pruning, zone-decided
+    * pushdown, metadata-served MIN/MAX/SUM/COUNT, CBO bounds, and
+    * (opt-in) bloom/NDV skipping WITHOUT rewriting a byte. One
+    * distributed pass: each task decodes its files through the same
+    * per-file builders the write path uses (ColumnStats / BloomBuilder
+    * / NdvBuilder over each file's OWN writer schema — identical
+    * entries, identical type tags, identical truncation/NaN/overflow
+    * rules), and the driver folds the results into the manifests under
+    * the commit lock exactly like a batch commit. Counts are PHYSICAL
+    * (the raw file contents, like the writer's), so analyze is
+    * delete-agnostic — the read-side guards keep governing how deletes
+    * interact with metadata answers. Concurrent commits are safe: the
+    * fold is alive-filtered, and files that appear after the scan are
+    * simply not covered (absence ⇒ scan). Returns the file count.
+    */
+  def analyze(spark: SparkSession, dir: String,
+      bloomFor: Seq[String] = Nil, ndvFor: Seq[String] = Nil,
+      trigramFor: Seq[String] = Nil): Int = {
+    import spark.implicits._
+    val d = new File(dir)
+    val base = d.getAbsoluteFile.toPath
+    val rels = AvroFileSource.listLive(d).map { case (f, _) =>
+      base.relativize(f.getAbsoluteFile.toPath).toString
+    }
+    if (rels.isEmpty) return 0
+    val root = base.toString
+    val (bf, nf, tf) = (bloomFor, ndvFor, trigramFor)
+    val slices = math.max(1, math.min(rels.size, 32))
+    val perFile = spark.createDataset(rels).repartition(slices)
+      .mapPartitions { it =>
+        it.map { rel =>
+          val f = new File(root, rel)
+          val r = new org.apache.avro.file.DataFileReader(f,
+            new org.apache.avro.generic.GenericDatumReader[
+              org.apache.avro.generic.GenericRecord]())
+          try {
+            val st = graft.avro.AvroSchemaConverter.toStruct(r.getSchema)
+            val top = st.fieldNames.toSet
+            val cs = new AvroWriters.ColumnStats(st)
+            val bCols = bf.filter(top)
+            val tCols = tf.filter(top)
+            val nCols = nf.filter(top)
+            val bb =
+              if (bCols.nonEmpty || tCols.nonEmpty)
+                new AvroWriters.BloomBuilder(st, bCols, tCols)
+              else null
+            val nb =
+              if (nCols.nonEmpty) new AvroWriters.NdvBuilder(st, nCols)
+              else null
+            var n = 0L
+            while (r.hasNext) {
+              val view = graft.avro.AvroRowCodec.toRow(r.next(), st)
+              cs.update(view)
+              if (bb != null) bb.update(view)
+              if (nb != null) nb.update(view)
+              n += 1
+            }
+            (rel, cs.stats,
+              if (bb == null) Seq.empty[(String, String, String)]
+              else bb.stats,
+              if (nb == null) Seq.empty[(String, String, String)]
+              else nb.stats,
+              n)
+          } finally r.close()
+        }
+      }.collect()
+    val msgs = perFile.toSeq.map { case (rel, zones, blooms, ndvs, n) =>
+      val fin = new File(root, rel).getPath
+      AvroCommitMessage(Nil,
+        colZones = if (zones.nonEmpty) Seq(fin -> zones) else Nil,
+        blooms = if (blooms.nonEmpty) Seq(fin -> blooms) else Nil,
+        rows = Seq(fin -> n),
+        ndvs = if (ndvs.nonEmpty) Seq(fin -> ndvs) else Nil)
+    }
+    AvroFileSource.withCommitLock(d) {
+      AvroFileSource.foldStatsManifests(d, msgs)
+    }
+    rels.size
+  }
+
   /** On-disk bytes of the table's alive data files. */
   def listBytes(dir: String): Long =
     AvroFileSource.listAvro(new File(dir)).map(_.length()).sum

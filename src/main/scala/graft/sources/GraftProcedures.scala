@@ -35,7 +35,8 @@ object GraftProcedures {
 
   def names: Seq[String] = Seq("rollback_to_version", "expire_snapshots",
     "create_tag", "drop_tag", "add_constraint", "drop_constraint",
-    "compact", "cluster", "remove_orphans", "add_files", "create_view",
+    "compact", "cluster", "remove_orphans", "add_files", "analyze",
+    "create_view",
     "set_row_level_mode",
     "drop_view", "create_matview", "refresh_matview",
     "create_join_matview", "refresh_join_matview")
@@ -135,6 +136,21 @@ object GraftProcedures {
             org.apache.spark.sql.SparkSession.active, dirOf(in),
             in.getLong(1))
           (out("files_written" -> LongType), Seq(n.toLong))
+        })
+      case "analyze" => new Proc(name,
+        "backfill pruning/statistics manifests (zones, sums, row " +
+          "counts; opt-in blooms/NDV/trigrams as comma lists, '' = " +
+          "none) for existing data without rewriting it",
+        Array(param("table", StringType), param("bloom_for", StringType),
+          param("ndv_for", StringType), param("trigram_for", StringType)),
+        in => {
+          def cols(i: Int): Seq[String] =
+            Option(in.getUTF8String(i)).map(_.toString).toSeq
+              .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+          val n = AvroMaintenance.analyze(
+            org.apache.spark.sql.SparkSession.active, dirOf(in),
+            cols(1), cols(2), cols(3))
+          (out("files_analyzed" -> LongType), Seq(n.toLong))
         })
       case "set_row_level_mode" => new Proc(name,
         "row-level op execution mode: 'copy-on-write' (rewrite matched " +
