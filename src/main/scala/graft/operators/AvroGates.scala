@@ -448,6 +448,45 @@ object AvroGates extends Catalog {
         .orderBy("lang")
     }),
 
+    // Trigger.AvailableNow batch-drain under the oracle: two scheduled
+    // runs over one checkpoint — the first pins the registry horizon at
+    // start, drains it in rate-limited micro-batches, and TERMINATES BY
+    // ITSELF; the second drains exactly the files that arrived between
+    // runs (AvailableNowSpec pins the horizon + no-duplicate replay).
+    // The cron-style ingestion shape: streaming exactly-once bookkeeping
+    // with batch-job lifecycles.
+    "q_stream_available_now" -> ((s, dir) => {
+      val src = tempDir("graft_gate_avnow_src")
+      val out = tempDir("graft_gate_avnow_out")
+      val ckpt = tempDir("graft_gate_avnow_ckpt")
+      val docs = table(s, dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+      def runOnce(): Unit = {
+        val q = s.readStream.format("graft-avro").schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").load(src)
+          .writeStream.format("graft-avro")
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(out)
+        require(q.awaitTermination(120000L),
+          "availableNow run did not terminate")
+      }
+      docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) === 0)
+        .repartition(3, F.col("doc_id"))
+        .write.format("graft-avro").mode("overwrite").save(src)
+      runOnce() // run 1: drains the even half, stops on its own
+      docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) === 1)
+        .repartition(3, F.col("doc_id"))
+        .write.format("graft-avro").mode("append").save(src)
+      runOnce() // run 2: drains ONLY the odd half from the checkpoint
+      s.read.format("graft-avro").load(out)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.sum(F.col("n_chars")).as("chars"))
+        .orderBy("lang")
+    }),
+
     // STATEFUL exactly-once across a restart: q_stream_restart proves
     // the stateless source replay; this gate kills a windowed
     // AGGREGATION while its window sums live only in the state store
@@ -1944,6 +1983,11 @@ object AvroGates extends Catalog {
       """SELECT lang, count(*) AS n_docs,
                 CAST(sum(n_chars) AS BIGINT) AS chars,
                 CAST(sum(length(text)) AS BIGINT) AS text_len
+         FROM documents GROUP BY lang ORDER BY lang""",
+    // two availableNow runs together drain the full corpus exactly once
+    "q_stream_available_now" ->
+      """SELECT lang, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS chars
          FROM documents GROUP BY lang ORDER BY lang""",
     // state-store recovery must reproduce the batch aggregation exactly
     // (same oracle as the uninterrupted q_stream_window)

@@ -4116,7 +4116,21 @@ class AvroMicroBatchStream(path: String, required: StructType,
     full: StructType, checkpointLocation: String,
     maxFilesPerTrigger: Option[Int] = None,
     compactAfter: Int = 4096)
-  extends MicroBatchStream with SupportsAdmissionControl {
+  extends MicroBatchStream with SupportsAdmissionControl
+  with org.apache.spark.sql.connector.read.streaming
+    .SupportsTriggerAvailableNow {
+
+  /** Trigger.AvailableNow: pin the registry end at query start; every
+    * micro-batch (still rate-limited by `maxFilesPerTrigger`) drains
+    * toward that fixed bound and the query stops there — files landing
+    * mid-run wait for the next scheduled run. The batch-drain shape for
+    * cron-style ingestion over a streaming checkpoint.
+    */
+  @volatile private var availableNowEnd: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit = {
+    discover()
+    availableNowEnd = Some(base + seen.size)
+  }
 
   private case class FileCountOffset(n: Long) extends Offset {
     override def json(): String = n.toString
@@ -4174,9 +4188,13 @@ class AvroMicroBatchStream(path: String, required: StructType,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     discover()
     val s = start.asInstanceOf[FileCountOffset].n
+    // AvailableNow pins the horizon at prepare time — later arrivals
+    // stay out of THIS run (they are already journaled; the next run's
+    // initial registry serves them in the same order)
+    val horizon = availableNowEnd.getOrElse(base + seen.size)
     val cap = limit match {
-      case mf: ReadMaxFiles => math.min(base + seen.size, s + mf.maxFiles())
-      case _ => base + seen.size
+      case mf: ReadMaxFiles => math.min(horizon, s + mf.maxFiles())
+      case _ => horizon
     }
     FileCountOffset(cap)
   }
