@@ -25,13 +25,21 @@ object ColumnarAb {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // COLUMNAR_AB_ARRAYS: embedding-shaped payload (array<float>[32])
+    // instead of the flat mixed row — measures the child-vector decode
+    val arrays = sys.env.get("COLUMNAR_AB_ARRAYS").exists(_.toBoolean)
     val dir = operators.Catalog.tempDir("columnar_ab")
-    spark.range(rows).selectExpr(
+    (if (arrays)
+      spark.range(rows).selectExpr(
+        "id",
+        "transform(sequence(0, 31), x -> cast(id % 997 + x as float)) as emb")
+    else
+      spark.range(rows).selectExpr(
         "id",
         "cast(id % 9973 as double) as d",
         "cast(id % 2 = 0 as boolean) as b",
         "md5(cast(id as string)) as s1",
-        "repeat(cast(id % 1000 as string), 4) as s2")
+        "repeat(cast(id % 1000 as string), 4) as s2"))
       .repartition(32)
       .write.format("graft-avro").option("codec", codec)
       .mode("append").save(dir)
@@ -41,8 +49,12 @@ object ColumnarAb {
       val t0 = System.nanoTime()
       val df = spark.read.format("graft-avro")
         .option("columnar", columnar).load(dir)
+      // every variant keeps at least one non-column aggregate expression
+      // so the metadata-served SUM pushdown can't skip the scan
       val agg =
-        if (numsOnly) df.agg(F.sum("id"), F.sum("d"))
+        if (arrays) df.agg(F.sum(F.size(F.col("emb"))),
+          F.sum(F.element_at(F.col("emb"), 3)))
+        else if (numsOnly) df.agg(F.sum("id"), F.sum("d"))
         else df.agg(F.sum("id"), F.sum("d"), F.sum(F.length(F.col("s1"))),
           F.sum(F.length(F.col("s2"))), F.count(F.when(F.col("b"), 1)))
       agg.write.format("noop").mode("overwrite").save()

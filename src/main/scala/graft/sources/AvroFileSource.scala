@@ -4442,6 +4442,14 @@ case class AvroReaderFactory(required: StructType, full: StructType,
          FloatType | DoubleType | DateType | TimestampType |
          TimestampNTZType | StringType | BinaryType |
          _: DecimalType => true
+    // arrays of primitive elements (the embedding-column shape) decode
+    // into the child vector; decimal/nested elements stay on rows
+    case ArrayType(et, _) => et match {
+      case BooleanType | ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | DateType | TimestampType |
+           TimestampNTZType | StringType | BinaryType => true
+      case _ => false
+    }
     case _ => false
   }
 

@@ -173,6 +173,15 @@ private[sources] final class VectorAvroDatumReader(
             new java.math.BigDecimal(new java.math.BigInteger(tmp),
               d.scale), d.precision, d.scale), d.precision)
         }
+      // arrays of primitives: append elements to the child vector, put
+      // the slice; element promotions follow the narrow-terminal rule
+      case (Type.ARRAY, ArrayType(et, _)) =>
+        val elem = DirectVectorPlan.elemAppender(s.getElementType, et)
+        if (elem == null) throw new IllegalStateException(
+          s"graft-avro: array element ${s.getElementType} -> $et is not " +
+            "vectorizable (factory check should have fallen back)")
+        val app = DirectVectorPlan.arrayAppender(elem)
+        (in, v, i) => app(in, v, i)
       case other => throw new IllegalStateException(
         s"graft-avro: field shape $other is not vectorizable (factory " +
           "support check should have fallen back to the row path)")
@@ -365,7 +374,127 @@ private[sources] object DirectVectorPlan {
             new java.math.BigDecimal(new java.math.BigInteger(tmp),
               d.scale), d.precision, d.scale), d.precision)
         }
+      case (Type.ARRAY, ArrayType(et, _)) =>
+        val elem = elemAppender(ws.getElementType, et)
+        if (elem == null) null
+        else {
+          val app = arrayAppender(elem)
+          (in, vs, i) => app(in, vs(idx), i)
+        }
       case _ => null
+    }
+
+  /** Append one array element to a CHILD vector (append-style: the
+    * child's elementsAppended cursor advances; the parent records the
+    * (start, length) slice via putArray). Shared by both decode tiers —
+    * the resolver's ResolvingDecoder IS a Decoder, and the narrow-
+    * terminal promotion rule applies to elements the same way it does
+    * to scalar fields. Null = unsupported element shape (nested
+    * containers, decimals) → the whole column falls back to rows.
+    */
+  private[sources] def elemAppender(s: Schema, dt: DataType)
+      : (Decoder, WritableColumnVector) => Unit =
+    if (s.getType == Type.UNION) {
+      val types = s.getTypes.asScala.toArray
+      val nullIdx = types.indexWhere(_.getType == Type.NULL)
+      val branches = types.map {
+        case n if n.getType == Type.NULL => null
+        case t => elemValue(t, dt)
+      }
+      if (branches.zipWithIndex.exists { case (b, i) =>
+          b == null && i != nullIdx }) null
+      else (in, child) => {
+        val b = in.readIndex()
+        if (b == nullIdx) { in.readNull(); child.appendNull(); () }
+        else branches(b)(in, child)
+      }
+    } else elemValue(s, dt)
+
+  private def elemValue(s: Schema, dt: DataType)
+      : (Decoder, WritableColumnVector) => Unit =
+    (s.getType, dt) match {
+      case (Type.STRING, StringType) =>
+        val scratch = new Utf8()
+        (in, child) => {
+          val u = in.readString(scratch)
+          child.appendByteArray(u.getBytes, 0, u.getByteLength); ()
+        }
+      case (Type.ENUM, StringType) =>
+        val syms = s.getEnumSymbols.asScala
+          .map(_.getBytes(StandardCharsets.UTF_8)).toArray
+        (in, child) => {
+          val b = syms(in.readEnum())
+          child.appendByteArray(b, 0, b.length); ()
+        }
+      case (Type.BYTES, BinaryType) =>
+        var scratch: java.nio.ByteBuffer = null
+        (in, child) => {
+          scratch = in.readBytes(scratch)
+          val tmp = new Array[Byte](scratch.remaining())
+          scratch.duplicate().get(tmp)
+          child.appendByteArray(tmp, 0, tmp.length); ()
+        }
+      case (Type.FIXED, BinaryType) =>
+        val size = s.getFixedSize
+        val tmp = new Array[Byte](size)
+        (in, child) => {
+          in.readFixed(tmp, 0, size)
+          child.appendByteArray(tmp, 0, size); ()
+        }
+      case (Type.BOOLEAN, BooleanType) =>
+        (in, child) => { child.appendBoolean(in.readBoolean()); () }
+      case (Type.INT, ByteType) =>
+        (in, child) => { child.appendByte(in.readInt().toByte); () }
+      case (Type.INT, ShortType) =>
+        (in, child) => { child.appendShort(in.readInt().toShort); () }
+      case (Type.INT, IntegerType | DateType) =>
+        (in, child) => { child.appendInt(in.readInt()); () }
+      case (Type.INT, LongType) => // narrow-terminal promotion rule
+        (in, child) => { child.appendLong(in.readInt().toLong); () }
+      case (Type.LONG, LongType) =>
+        (in, child) => { child.appendLong(in.readLong()); () }
+      case (Type.LONG, TimestampType | TimestampNTZType) =>
+        s.getLogicalType match {
+          case _: org.apache.avro.LogicalTypes.TimestampMillis |
+               _: org.apache.avro.LogicalTypes.LocalTimestampMillis =>
+            (in, child) => {
+              child.appendLong(Math.multiplyExact(in.readLong(), 1000L)); ()
+            }
+          case _ =>
+            (in, child) => { child.appendLong(in.readLong()); () }
+        }
+      case (Type.FLOAT, FloatType) =>
+        (in, child) => { child.appendFloat(in.readFloat()); () }
+      case (Type.INT, DoubleType) =>
+        (in, child) => { child.appendDouble(in.readInt().toDouble); () }
+      case (Type.LONG, DoubleType) =>
+        (in, child) => { child.appendDouble(in.readLong().toDouble); () }
+      case (Type.FLOAT, DoubleType) =>
+        (in, child) => { child.appendDouble(in.readFloat().toDouble); () }
+      case (Type.DOUBLE, DoubleType) =>
+        (in, child) => { child.appendDouble(in.readDouble()); () }
+      case _ => null
+    }
+
+  /** Decode one whole array into the parent vector's child, recording
+    * the (start, length) slice at row `i`. A dead-row re-decode simply
+    * records a fresh slice; orphaned child elements are harmless.
+    */
+  private[sources] def arrayAppender(
+      elem: (Decoder, WritableColumnVector) => Unit)
+      : (Decoder, WritableColumnVector, Int) => Unit =
+    (in, v, i) => {
+      val child = v.arrayData()
+      val start = child.getElementsAppended
+      var total = 0L
+      var n = in.readArrayStart()
+      while (n > 0) {
+        var k = 0L
+        while (k < n) { elem(in, child); k += 1 }
+        total += n
+        n = in.arrayNext()
+      }
+      v.putArray(i, start, total.toInt)
     }
 
   /** Consume-and-discard one writer-typed value (recursive for

@@ -85,23 +85,91 @@ class ColumnarDecodeSpec extends AnyFunSuite with SparkSpec with Matchers {
     back.filter(F.col("s").isNull).count() shouldBe 34
   }
 
-  test("nested, array, and metadata-column reads fall back to rows") {
+  test("nested-struct and metadata-column reads fall back to rows") {
     import spark.implicits._
     val dir = tmp()
     Seq((1L, ("alice", 10.5), Seq("a", "b")), (2L, ("bob", -3.0), Seq("c")))
       .toDF("id", "info", "tags")
       .write.format("graft-avro").mode("append").save(dir)
     val nested = spark.read.format("graft-avro").load(dir)
-    assert(!isColumnar(nested), "struct/array projection must stay row-based")
-    // pruning to the flat leaves alone re-enables columnar
-    val flat = spark.read.format("graft-avro").load(dir).select("id")
+    assert(!isColumnar(nested), "struct projection must stay row-based")
+    // pruning to flat leaves (primitive arrays included) re-enables it
+    val flat = spark.read.format("graft-avro").load(dir)
+      .select("id", "tags")
     assert(isColumnar(flat))
     flat.agg(F.sum("id")).head().getLong(0) shouldBe 3L
+    flat.select(F.explode(F.col("tags"))).collect()
+      .map(_.getString(0)).sorted.toSeq shouldBe Seq("a", "b", "c")
 
     val withMeta = spark.read.format("graft-avro").load(dir)
       .select(F.col("id"), F.col("_graft_file"))
     assert(!isColumnar(withMeta), "metadata columns must stay row-based")
     withMeta.count() shouldBe 2
+  }
+
+  test("primitive arrays decode columnar, matching the row path exactly") {
+    val dir = tmp()
+    // embeddings-like payload: nullable array column, nullable float
+    // elements, empty arrays — across several files and a split
+    spark.range(20000)
+      .selectExpr("id",
+        """CASE WHEN id % 17 = 0 THEN NULL
+           WHEN id % 13 = 0 THEN array()
+           ELSE transform(sequence(0, CAST(id % 7 AS INT)),
+             x -> CASE WHEN (id + x) % 11 = 0 THEN NULL
+                  ELSE CAST(id * 0.5 + x AS FLOAT) END)
+           END as emb""",
+        "transform(sequence(0, CAST(id % 3 AS INT)), " +
+          "x -> concat('t', cast(id % 29 as string))) as tags")
+      .repartition(3)
+      .write.format("graft-avro").mode("append").save(dir)
+    val cold = spark.read.format("graft-avro").load(dir)
+    assert(isColumnar(cold), "primitive-array projection should be columnar")
+    def sig(df: DataFrame): Long = df
+      .select(F.md5(F.concat_ws("|",
+        F.col("id"),
+        F.coalesce(F.col("emb").cast("string"), F.lit("<null>")),
+        F.col("tags").cast("string"))).as("h"))
+      .agg(F.sum(F.conv(F.substring(F.col("h"), 1, 8), 16, 10).cast("long")))
+      .head().getLong(0)
+    val rowPath = spark.read.format("graft-avro")
+      .option("columnar", "false").load(dir)
+    sig(cold) shouldBe sig(rowPath)
+    // drift: an OLDER file without the array column (the newest file's
+    // schema wins inference) serves null arrays on the columnar path
+    val dirD = tmp()
+    spark.range(10).selectExpr("id")
+      .write.format("graft-avro").mode("append").save(dirD)
+    spark.range(10, 20)
+      .selectExpr("id", "array(id, id * 2) as emb")
+      .write.format("graft-avro").mode("append").save(dirD)
+    val drifted = spark.read.format("graft-avro").load(dirD)
+    assert(isColumnar(drifted))
+    drifted.filter(F.col("emb").isNull).count() shouldBe 10L
+    drifted.select(F.explode(F.col("emb")).as("e"))
+      .agg(F.sum("e")).head().getLong(0) shouldBe
+      (10L until 20L).map(i => i + i * 2).sum
+    // arrays of structs stay on rows
+    import spark.implicits._
+    val dir2 = tmp()
+    Seq((1L, Seq((1, "x")))).toDF("id", "pairs")
+      .write.format("graft-avro").mode("append").save(dir2)
+    assert(!isColumnar(spark.read.format("graft-avro").load(dir2)))
+  }
+
+  test("arrays compose with equality deletes on the columnar path") {
+    val dir = tmp()
+    spark.range(100)
+      .selectExpr("id", "array(id, id + 1) as a")
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    AvroMaintenance.deleteWhere(spark, dir, "id", Seq(7L, 50L))
+    val back = spark.read.format("graft-avro").load(dir)
+    assert(isColumnar(back))
+    back.count() shouldBe 98
+    back.select(F.explode(F.col("a")).as("e"))
+      .agg(F.sum("e")).head().getLong(0) shouldBe
+      (0L until 100L).filterNot(Set(7L, 50L))
+        .map(i => i + (i + 1)).sum
   }
 
   test("schema drift across files serves nulls on the columnar path") {
