@@ -875,6 +875,26 @@ object AvroGates extends Catalog {
           F.count(F.lit(1)).as("n_rows"))
     }),
 
+    // Vector-payload scan under the oracle: the embeddings table
+    // (array<float>[64]) round-trips through graft-avro and aggregates
+    // per label — this exercises the r18 columnar ARRAY decode path
+    // end-to-end (elements into child vectors, slices on the parent;
+    // ColumnarDecodeSpec pins plan + row-path equality). Floats go
+    // through CAST(double) * 1000 -> floor -> BIGINT on both engines
+    // (IEEE-exact, the cross-engine float rule).
+    "q_avro_array_scan" -> ((s, dir) => {
+      val tmp = tempDir("graft_gate_arr")
+      table(s, dir, "embeddings")
+        .write.format("graft-avro").mode("overwrite").save(tmp)
+      s.read.format("graft-avro").load(tmp)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).as("n_vecs"),
+          F.sum(F.size(F.col("embedding")).cast("long")).as("n_elems"),
+          F.sum(F.floor(F.element_at(F.col("embedding"), 1).cast("double")
+            * 1000)).as("e1_m"))
+        .orderBy("label")
+    }),
+
     // ANALYZE backfill under the oracle: the stats manifests are
     // dropped (simulating a pre-stats legacy table), CALL-equivalent
     // analyze rebuilds them in one distributed pass through the SAME
@@ -2087,6 +2107,12 @@ object AvroGates extends Catalog {
                 max(l_orderkey) AS max_okey,
                 count(*) AS n_rows
          FROM lineitem""",
+    "q_avro_array_scan" ->
+      """SELECT label, count(*) AS n_vecs,
+                CAST(sum(len(embedding)) AS BIGINT) AS n_elems,
+                CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000)
+                  AS BIGINT)) AS BIGINT) AS e1_m
+         FROM embeddings GROUP BY label ORDER BY label""",
     "q_avro_analyze" ->
       """SELECT CAST(sum(o_orderkey) AS BIGINT) AS sum_okey,
                 min(o_orderkey) AS min_okey,
