@@ -895,6 +895,40 @@ object AvroGates extends Catalog {
         .orderBy("label")
     }),
 
+    // Declarative layout properties under the oracle: CREATE TABLE
+    // TBLPROPERTIES('graft.sortedBy','graft.requestSort') makes a plain
+    // SQL INSERT (which cannot pass writer options) produce the
+    // verified sorted layout — the min/max answers then serve from the
+    // sort-zone manifest and range predicates prune files
+    // (TablePropsSpec pins marker/manifest/override semantics). The
+    // 100 TB shape: layout is a TABLE declaration, not a per-job flag
+    // every writer must remember.
+    "q_avro_table_props" -> ((s, dir) => {
+      if (!s.conf.getOption("spark.sql.catalog.graft_gate").isDefined) {
+        s.conf.set("spark.sql.catalog.graft_gate",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_gate.root",
+          tempDir("graft_gate_cat"))
+      }
+      table(s, dir, "orders")
+        .select(F.coalesce(F.col("o_orderkey"), F.lit(0L)).as("okey"),
+          F.col("o_orderpriority"))
+        .createOrReplaceTempView("ord_src_props")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.gate")
+      s.sql("DROP TABLE IF EXISTS graft_gate.gate.props")
+      s.sql("""CREATE TABLE graft_gate.gate.props
+              |  (okey BIGINT NOT NULL, o_orderpriority STRING)
+              |  TBLPROPERTIES ('graft.sortedBy' = 'okey',
+              |    'graft.requestSort' = 'true')""".stripMargin)
+      // deliberately scrambled insert order — the property sorts it
+      s.sql("INSERT INTO graft_gate.gate.props " +
+        "SELECT * FROM ord_src_props ORDER BY md5(cast(okey as string))")
+      s.sql("""SELECT min(okey) AS min_okey, max(okey) AS max_okey,
+              |  (SELECT count(*) FROM graft_gate.gate.props
+              |   WHERE okey <= 100) AS n_low
+              |FROM graft_gate.gate.props""".stripMargin)
+    }),
+
     // ANALYZE backfill under the oracle: the stats manifests are
     // dropped (simulating a pre-stats legacy table), CALL-equivalent
     // analyze rebuilds them in one distributed pass through the SAME
@@ -2113,6 +2147,12 @@ object AvroGates extends Catalog {
                 CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000)
                   AS BIGINT)) AS BIGINT) AS e1_m
          FROM embeddings GROUP BY label ORDER BY label""",
+    "q_avro_table_props" ->
+      """SELECT min(COALESCE(o_orderkey, 0)) AS min_okey,
+                max(COALESCE(o_orderkey, 0)) AS max_okey,
+                (SELECT count(*) FROM orders
+                 WHERE COALESCE(o_orderkey, 0) <= 100) AS n_low
+         FROM orders""",
     "q_avro_analyze" ->
       """SELECT CAST(sum(o_orderkey) AS BIGINT) AS sum_okey,
                 min(o_orderkey) AS min_okey,

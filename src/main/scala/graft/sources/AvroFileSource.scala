@@ -217,6 +217,57 @@ object AvroFileSource {
     */
   def zoneFile(d: File): File = new File(d, "_graft_zones")
 
+  /** Declarative writer-layout properties (`_graft_props`, `k TAB v`
+    * URL-encoded lines): table-level defaults for the per-write options
+    * — `graft.sortedBy`, `graft.requestSort`, `graft.bloomFor`,
+    * `graft.ndvFor`, `graft.trigramFor`, `graft.codec` — so SQL INSERTs
+    * (which cannot pass writer options) still get the declared layout.
+    * An explicit write option always overrides the property. Set via
+    * CREATE TABLE TBLPROPERTIES / ALTER TABLE SET TBLPROPERTIES on the
+    * catalog, or [[AvroMaintenance.setTableProperties]] on a path.
+    */
+  def propsFile(d: File): File = new File(d, "_graft_props")
+
+  /** Writer-layout property keys the engine understands. */
+  val KnownProps: Set[String] = Set("graft.sortedBy", "graft.requestSort",
+    "graft.bloomFor", "graft.ndvFor", "graft.trigramFor", "graft.codec")
+
+  def readProps(d: File): Map[String, String] = {
+    val f = propsFile(d)
+    if (!f.isFile) return Map.empty
+    try {
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try src.getLines().flatMap { line =>
+        line.split('\t') match {
+          case Array(k, v) =>
+            Some(java.net.URLDecoder.decode(k, "UTF-8") ->
+              java.net.URLDecoder.decode(v, "UTF-8"))
+          case _ => None
+        }
+      }.toMap
+      finally src.close()
+    } catch { case _: Exception => Map.empty }
+  }
+
+  def writeProps(d: File, props: Map[String, String]): Unit = {
+    val unknown = props.keys.filter(k =>
+      k.startsWith("graft.") && !KnownProps.contains(k))
+    require(unknown.isEmpty,
+      s"graft-avro: unknown writer-layout propert${
+        if (unknown.size == 1) "y" else "ies"} ${unknown.mkString(", ")} " +
+        s"(known: ${KnownProps.toSeq.sorted.mkString(", ")})")
+    val f = propsFile(d)
+    if (props.isEmpty) { f.delete(); return }
+    val tmp = new File(f.getPath + ".staging")
+    java.nio.file.Files.write(tmp.toPath,
+      props.toSeq.sorted.map { case (k, v) =>
+        java.net.URLEncoder.encode(k, "UTF-8") + "\t" +
+          java.net.URLEncoder.encode(v, "UTF-8")
+      }.mkString("\n").getBytes("UTF-8"))
+    if (!tmp.renameTo(f)) throw new java.io.IOException(
+      s"graft-avro: rename failed $tmp -> $f")
+  }
+
   private[sources] def zoneEncode(v: Any): String =
     java.net.URLEncoder.encode(v.toString, "UTF-8")
 
@@ -2203,6 +2254,13 @@ case class AvroTable(path: String, tableSchema: StructType,
   }
 
   override def name(): String = s"graft-avro:$path"
+
+  /** Surface stored writer-layout properties (SHOW TBLPROPERTIES,
+    * DESCRIBE EXTENDED) — read from the sidecar, so catalog instances
+    * and path readers always agree.
+    */
+  override def properties(): util.Map[String, String] =
+    AvroFileSource.readProps(new File(path)).asJava
   override def schema(): StructType = tableSchema
 
   /** Hidden METADATA COLUMNS (the Iceberg `_file`/`_pos` analogue):
@@ -2304,23 +2362,27 @@ case class AvroTable(path: String, tableSchema: StructType,
       case Some(b) => AvroFileSource.branchFork(new File(path), b)._2.getPath
       case None => path
     }
+    // declarative writer-layout properties (`_graft_props`): table-level
+    // defaults for the per-write options, so SQL INSERTs get the
+    // declared layout; an explicit write option always overrides
+    val props = AvroFileSource.readProps(new File(path))
+    def opt(name: String): Option[String] =
+      Option(info.options().get(name)).orElse(props.get(s"graft.$name"))
+    def cols(name: String): Seq[String] =
+      opt(name).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     new AvroWriteBuilder(target, info.schema(),
-      Option(info.options().get("codec")).getOrElse(AvroFileSource.DefaultCodec),
+      opt("codec").getOrElse(AvroFileSource.DefaultCodec),
       // catalog tables carry their DDL partitioning; an explicit write
       // option overrides it
       Option(info.options().get("partitionBy")).map(_.split(',').toSeq
           .map(_.trim).filter(_.nonEmpty))
         .getOrElse(defaultPartitionBy),
-      Option(info.options().get("sortedBy")).map(_.trim).filter(_.nonEmpty),
-      Option(info.options().get("bloomFor")).toSeq
-        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
-      Option(info.options().get("ndvFor")).toSeq
-        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
-      Option(info.options().get("trigramFor")).toSeq
-        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
+      opt("sortedBy").map(_.trim).filter(_.nonEmpty),
+      cols("bloomFor"),
+      cols("ndvFor"),
+      cols("trigramFor"),
       branchWrite = branchW.nonEmpty,
-      requestSort =
-        Option(info.options().get("requestSort")).exists(_.toBoolean),
+      requestSort = opt("requestSort").exists(_.toBoolean),
       checkOption =
         Option(info.options().get("check")).map(_.trim).filter(_.nonEmpty),
       // constraints govern from the MAIN table even for branch staging

@@ -1169,6 +1169,19 @@ object AvroMaintenance {
     rels.size
   }
 
+  /** Merge writer-layout properties into `_graft_props` for a PATH
+    * table (the catalog route is ALTER TABLE SET TBLPROPERTIES). An
+    * empty-string value removes the key.
+    */
+  def setTableProperties(dir: String, props: Map[String, String]): Unit = {
+    val d = new File(dir)
+    AvroFileSource.withCommitLock(d) {
+      val merged = (AvroFileSource.readProps(d) ++ props)
+        .filter(_._2.nonEmpty)
+      AvroFileSource.writeProps(d, merged)
+    }
+  }
+
   /** On-disk bytes of the table's alive data files. */
   def listBytes(dir: String): Long =
     AvroFileSource.listAvro(new File(dir)).map(_.length()).sum

@@ -194,6 +194,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     d.mkdirs()
     java.nio.file.Files.write(schemaFile(d).toPath,
       (schema.json + "\n" + parts.mkString(",")).getBytes("UTF-8"))
+    // writer-layout properties: only graft.* keys are ours (Spark adds
+    // provider/owner/etc. to every CREATE TABLE — not stored)
+    val gp = properties.asScala.filter(_._1.startsWith("graft.")).toMap
+    if (gp.nonEmpty) AvroFileSource.writeProps(d, gp)
     AvroTable(d.getPath, schema, defaultPartitionBy = parts)
   }
 
@@ -363,6 +367,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           AvroMaintenance.dropConstraint(d.getPath, dcst.name())
         else require(dcst.ifExists(),
           s"graft catalog: no constraint '${dcst.name()}' to drop")
+      // declarative writer-layout properties (`graft.*` only — anything
+      // else is not a concept this format stores)
+      case sp: TableChange.SetProperty =>
+        require(sp.property().startsWith("graft."),
+          s"graft catalog: only graft.* table properties are stored, " +
+            s"got '${sp.property()}'")
+        AvroFileSource.writeProps(d,
+          AvroFileSource.readProps(d) + (sp.property() -> sp.value()))
+      case rp: TableChange.RemoveProperty =>
+        AvroFileSource.writeProps(d,
+          AvroFileSource.readProps(d) - rp.property())
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER TABLE change $other")
     }
