@@ -929,6 +929,40 @@ object AvroGates extends Catalog {
               |FROM graft_gate.gate.props""".stripMargin)
     }),
 
+    // Partition overwrite under the oracle: INSERT OVERWRITE
+    // PARTITION (flag = 'R') replaces exactly that partition's files
+    // (archive, no rewrite of the others) via the filter-overwrite
+    // path; untouched partitions and time travel hold
+    // (PartitionOverwriteSpec also pins dynamic mode + posdel
+    // survival). The 100 TB shape: the daily partition rewrite that
+    // never touches the rest of the table.
+    "q_avro_overwrite_part" -> ((s, dir) => {
+      if (!s.conf.getOption("spark.sql.catalog.graft_gate").isDefined) {
+        s.conf.set("spark.sql.catalog.graft_gate",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_gate.root",
+          tempDir("graft_gate_cat"))
+      }
+      table(s, dir, "lineitem")
+        .select(F.coalesce(F.col("l_orderkey"), F.lit(0L)).as("okey"),
+          F.col("l_quantity"), F.col("l_returnflag"))
+        .createOrReplaceTempView("li_src_pow")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.gate")
+      s.sql("DROP TABLE IF EXISTS graft_gate.gate.pow")
+      s.sql("""CREATE TABLE graft_gate.gate.pow
+              |  (okey BIGINT, l_quantity DOUBLE, l_returnflag STRING)
+              |  PARTITIONED BY (l_returnflag)""".stripMargin)
+      s.sql("INSERT INTO graft_gate.gate.pow SELECT * FROM li_src_pow")
+      s.sql("""INSERT OVERWRITE graft_gate.gate.pow
+              |  PARTITION (l_returnflag = 'R')
+              |  SELECT okey, l_quantity + 100
+              |  FROM li_src_pow WHERE l_returnflag = 'R'""".stripMargin)
+      s.sql("""SELECT l_returnflag, count(*) AS n_lines,
+              |  round(sum(l_quantity), 2) AS sum_qty
+              |FROM graft_gate.gate.pow
+              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
+
     // ANALYZE backfill under the oracle: the stats manifests are
     // dropped (simulating a pre-stats legacy table), CALL-equivalent
     // analyze rebuilds them in one distributed pass through the SAME
@@ -2153,6 +2187,13 @@ object AvroGates extends Catalog {
                 (SELECT count(*) FROM orders
                  WHERE COALESCE(o_orderkey, 0) <= 100) AS n_low
          FROM orders""",
+    "q_avro_overwrite_part" ->
+      """SELECT l_returnflag, count(*) AS n_lines,
+                round(sum(CASE WHEN l_returnflag = 'R'
+                          THEN l_quantity + 100 ELSE l_quantity END), 2)
+                  AS sum_qty
+         FROM lineitem
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_avro_analyze" ->
       """SELECT CAST(sum(o_orderkey) AS BIGINT) AS sum_okey,
                 min(o_orderkey) AS min_okey,

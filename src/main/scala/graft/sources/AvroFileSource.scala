@@ -2261,6 +2261,13 @@ case class AvroTable(path: String, tableSchema: StructType,
     */
   override def properties(): util.Map[String, String] =
     AvroFileSource.readProps(new File(path)).asJava
+
+  /** Declared identity partitioning (DESCRIBE, and the analyzer's
+    * static `PARTITION (p = 'x')` clause validation + constant-fill).
+    */
+  override def partitioning(): Array[Transform] =
+    defaultPartitionBy.map(c =>
+      Expressions.identity(c): Transform).toArray
   override def schema(): StructType = tableSchema
 
   /** Hidden METADATA COLUMNS (the Iceberg `_file`/`_pos` analogue):
@@ -2293,7 +2300,9 @@ case class AvroTable(path: String, tableSchema: StructType,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE,
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC)
 
   override def newScanBuilder(options0: CaseInsensitiveStringMap): ScanBuilder = {
     // SQL `VERSION AS OF` / `TIMESTAMP AS OF` arrives as catalog-bound
@@ -4825,7 +4834,9 @@ class AvroWriteBuilder(path: String, schema: StructType,
     // dodge a table constraint)
     checkOption: Option[String] = None,
     constraintsDir: Option[String] = None)
-  extends WriteBuilder with SupportsTruncate {
+  extends WriteBuilder with SupportsTruncate
+  with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite
+  with org.apache.spark.sql.connector.write.SupportsOverwriteV2 {
 
   /** Constraints compiled ONCE, driver-side, against the write schema:
     * parse → analyze over a LocalRelation of the write's attributes →
@@ -4925,6 +4936,12 @@ class AvroWriteBuilder(path: String, schema: StructType,
   }
 
   private var doTruncate = false
+  // dynamic partition overwrite: replace exactly the partition dirs the
+  // staged files land in
+  private var doDynamic = false
+  // static partition overwrite: (partition column -> external value)
+  // equalities; live files matching ALL of them archive at commit
+  private var overwriteParts: Option[Seq[(String, String)]] = None
 
   // the sortedBy claim is VERIFIED while writing, which needs a total
   // order on the column's external values — reject the rest up front
@@ -4949,6 +4966,115 @@ class AvroWriteBuilder(path: String, schema: StructType,
       "graft-avro: branches are append-only (write-audit-publish " +
         "staging); publish or drop the branch instead of overwriting it")
     doTruncate = true; this
+  }
+
+  /** Dynamic partition overwrite (`INSERT OVERWRITE` under
+    * `spark.sql.sources.partitionOverwriteMode=dynamic`): at commit,
+    * live files in exactly the partition directories the staged files
+    * landed in are archived — untouched partitions survive. The daily
+    * partition-rewrite shape: at 100 TB you replace one day, never the
+    * table. On an unpartitioned table the "partition dir" is the root,
+    * which degrades to truncate semantics by construction.
+    */
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    if (branchWrite) throw new IllegalArgumentException(
+      "graft-avro: branches are append-only (write-audit-publish " +
+        "staging); publish or drop the branch instead of overwriting it")
+    doDynamic = true; this
+  }
+
+  /** Static filter overwrite (`INSERT OVERWRITE ... PARTITION (p='x')`
+    * and `DataFrameWriterV2.overwrite(cond)`): supported exactly when
+    * every predicate is an equality on a partition column with a
+    * losslessly-stringable literal — then a file-level archive IS the
+    * row-level delete (partition values are constant per file). An
+    * always-true predicate is a truncate. Anything else refuses: a
+    * non-partition predicate would need a row rewrite, which is the
+    * DELETE/MERGE path's job.
+    */
+  override def overwrite(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : WriteBuilder = {
+    import org.apache.spark.sql.connector.expressions.
+      {Expression => VExpr, Literal => VLit, NamedReference}
+    import org.apache.spark.sql.connector.expressions.filter.
+      {Predicate => VPred}
+    if (predicates.forall(_.name() == "ALWAYS_TRUE")) return truncate()
+    if (branchWrite) throw new IllegalArgumentException(
+      "graft-avro: branches are append-only (write-audit-publish " +
+        "staging); publish or drop the branch instead of overwriting it")
+    // (partition column, external value) of a losslessly-stringable
+    // NON-NULL literal — the only shapes a dir segment can decide
+    def litStr(e: VExpr): Option[String] = e match {
+      case l: VLit[_] => l.value() match {
+        case null => None
+        case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
+        case i: java.lang.Integer => Some(i.toString)
+        case i: java.lang.Long => Some(i.toString)
+        case i: java.lang.Short => Some(i.toString)
+        case i: java.lang.Byte => Some(i.toString)
+        case b: java.lang.Boolean => Some(b.toString)
+        case _ => None // dates/floats: internal form != dir segment
+      }
+      case _ => None
+    }
+    def refName(e: VExpr): Option[String] = e match {
+      case r: NamedReference if r.fieldNames().length == 1 &&
+          partitionBy.contains(r.fieldNames()(0)) =>
+        Some(r.fieldNames()(0))
+      case _ => None
+    }
+    // Spark's static PARTITION clause arrives as the null-safe
+    // expansion `(p IS NOT NULL AND lit IS NOT NULL AND p = lit) OR
+    // (p IS NULL AND lit IS NULL)`: with a non-null literal the OR's
+    // null branch is constant-false and the IS NOT NULLs are implied
+    // by the equality — simplify accordingly.
+    def constFalse(p: VPred): Boolean = p.name() match {
+      case "IS_NULL" => litStr(p.children()(0)).isDefined
+      case "AND" => p.children().exists {
+        case q: VPred => constFalse(q)
+        case _ => false
+      }
+      case _ => false
+    }
+    def extract(p: VPred): Option[(String, String)] = p.name() match {
+      case "=" | "<=>" => p.children() match {
+        case Array(r, l) =>
+          for { c <- refName(r); v <- litStr(l) } yield (c, v)
+        case _ => None
+      }
+      case "OR" => p.children().toSeq match {
+        case Seq(a: VPred, b: VPred) =>
+          if (constFalse(b)) extract(a)
+          else if (constFalse(a)) extract(b)
+          else None
+        case _ => None
+      }
+      case "AND" =>
+        val kids = p.children().toSeq.collect { case q: VPred => q }
+        if (kids.length != p.children().length) return None
+        // drop constant-true conjuncts (IS NOT NULL over the literal)
+        val rest = kids.filterNot(q =>
+          q.name() == "IS_NOT_NULL" && litStr(q.children()(0)).isDefined)
+        val eqs = rest.flatMap(extract)
+        val others = rest.filter(q => extract(q).isEmpty)
+        // exactly one equality; the rest must be IS NOT NULL on ITS ref
+        // (implied by the equality)
+        if (eqs.length == 1 && others.forall(q =>
+            q.name() == "IS_NOT_NULL" &&
+              refName(q.children()(0)).contains(eqs.head._1)))
+          Some(eqs.head)
+        else None
+      case _ => None
+    }
+    val eqs = predicates.toSeq.map { p =>
+      extract(p).getOrElse(throw new UnsupportedOperationException(
+        "graft-avro: overwrite-by-filter supports only equality on a " +
+          s"partition column (string/integral/boolean), got $p — use " +
+          "DELETE/MERGE for row-level conditions"))
+    }
+    overwriteParts = Some(eqs)
+    this
   }
 
   override def build(): Write = new Write
@@ -5081,6 +5207,69 @@ class AvroWriteBuilder(path: String, schema: StructType,
           // positional deletes must not apply to the replacement rows
           AvroFileSource.deleteFile(new File(path)).delete()
           AvroFileSource.posdelFile(new File(path)).delete()
+        } else if (doDynamic || overwriteParts.nonEmpty) {
+          // PARTIAL overwrite: archive exactly the replaced partitions'
+          // live files; untouched partitions (and the stamped equality
+          // sidecar, whose version gates keep it off the new files'
+          // later births) survive. Positional deletes of archived files
+          // drop with them, like the row-level replace path.
+          val dirF = new File(path)
+          val base = dirF.getAbsoluteFile.toPath
+          val fresh = staged.map(_._2).toSet
+          def relOf(f: File): String =
+            base.relativize(f.getAbsoluteFile.toPath).toString
+          // a LEGACY unstamped delete entry applies to every file — it
+          // would keep deleting from the replacement rows too
+          val delF = AvroFileSource.deleteFile(dirF)
+          if (delF.isFile &&
+              AvroFileSource.readDeletesRaw(delF).exists(_.stamp.isEmpty))
+            throw new IllegalStateException(
+              "graft-avro: partial overwrite under legacy unstamped " +
+                "equality deletes would re-delete replacement rows — " +
+                "compact first")
+          val freshDirs: Set[String] = staged.map { case (_, fin) =>
+            val rel = base.relativize(
+              new File(fin).getAbsoluteFile.toPath).toString
+            rel.lastIndexOf('/') match {
+              case -1 => ""
+              case i => rel.take(i)
+            }
+          }.toSet
+          val victims = AvroFileSource.listAvro(dirF)
+            .filterNot(f => fresh.contains(f.getPath))
+            .filter { f =>
+              val rel = relOf(f)
+              if (doDynamic) {
+                val dir = rel.lastIndexOf('/') match {
+                  case -1 => ""
+                  case i => rel.take(i)
+                }
+                freshDirs.contains(dir)
+              } else overwriteParts.get.forall { case (c, v) =>
+                AvroFileSource.partValsOfRel(rel).get(c) match {
+                  case Some(raw) => raw != "__null__" &&
+                    java.net.URLDecoder.decode(raw, "UTF-8") == v
+                  case None => throw new IllegalStateException(
+                    s"graft-avro: live file $rel lacks partition " +
+                      s"segment '$c' (partition evolution) — static " +
+                      "partition overwrite needs every live file " +
+                      "decided; compact or use dynamic mode")
+                }
+              }
+            }
+          victims.foreach { f =>
+            val rel = relOf(f)
+            val dst = new File(AvroFileSource.archiveDir(dirF), rel)
+            dst.getParentFile.mkdirs()
+            if (dst.exists()) throw new java.io.IOException(
+              s"graft-avro commit: archive collision $dst")
+            if (!f.renameTo(dst)) throw new java.io.IOException(
+              s"graft-avro commit: archive move failed $f -> $dst")
+          }
+          val pd = AvroFileSource.readPosdel(dirF)
+          if (pd.nonEmpty)
+            AvroFileSource.writePosdelSidecar(dirF,
+              pd -- victims.map(relOf))
         }
         replaceSet.foreach { rels =>
           // group-based row-level op: archive EXACTLY the files the
@@ -5163,7 +5352,9 @@ class AvroWriteBuilder(path: String, schema: StructType,
           messages.toSeq.collect { case m: AvroCommitMessage => m })
         // snapshot LAST: the journal records the fully-published state
         AvroFileSource.appendSnapshot(new File(path),
-          if (doTruncate) "overwrite" else "append")
+          if (doTruncate || doDynamic || overwriteParts.nonEmpty)
+            "overwrite"
+          else "append")
       }
       override def abort(messages: Array[WriterCommitMessage]): Unit =
         messages.toSeq.collect { case m: AvroCommitMessage => m.files }
@@ -5835,84 +6026,109 @@ private[sources] object AvroWriters {
       sortedBy: Option[String] = None,
       bloomFor: Seq[String] = Nil,
       ndvFor: Seq[String] = Nil,
-      trigramFor: Seq[String] = Nil): DataWriter[InternalRow] = {
+      trigramFor: Seq[String] = Nil,
+      targetFileBytes: Option[Long] = None): DataWriter[InternalRow] = {
     val avroSchema = AvroSchemaConverter.toAvro(schema, "topLevelRecord", None, None)
     val toAvro = AvroInternalCodec.encoderFor(schema, avroSchema)
     val sortIdx = sortedBy.map(schema.fieldIndex)
-    val verifier = sortedBy.map(new OrderVerifier(_))
-    val finalFile = new File(path, fileName)
-    val file =
-      if (staged) new File(path, fileName + ".staging") else finalFile
+    // rolling only applies to staged batch writes: the streaming
+    // writer's epoch-deterministic names are its idempotency contract
+    val roll: Option[Long] = targetFileBytes.filter(_ => staged)
 
-    new DataWriter[InternalRow] {
-      private var writer: DataFileWriter[GenericRecord] = _
-      private def ensure(): DataFileWriter[GenericRecord] = {
-        if (writer == null) {
-          writer = new DataFileWriter[GenericRecord](
-            new GenericDatumWriter[GenericRecord](avroSchema))
-          writer.setCodec(codecFor(codec))
-          writer.create(avroSchema, file) // truncates: task retry = rewrite
-        }
-        writer
+    /** One container file plus its per-file stat builders — the rolling
+      * writer's unit. Stats and the sort verifier are PER SEGMENT so a
+      * rolled file gets its own zone bounds, sum cells, blooms, and row
+      * count, exactly like a separate task file.
+      */
+    final class Segment(seq: Int) {
+      val finalFile: File = new File(path,
+        if (seq == 0) fileName
+        else fileName.stripSuffix(".avro") + s"-r$seq.avro")
+      val file: File =
+        if (staged) new File(path, finalFile.getName + ".staging")
+        else finalFile
+      val writer: DataFileWriter[GenericRecord] = {
+        val w = new DataFileWriter[GenericRecord](
+          new GenericDatumWriter[GenericRecord](avroSchema))
+        w.setCodec(codecFor(codec))
+        w.create(avroSchema, file) // truncates: task retry = rewrite
+        w
       }
-      if (!lazyCreate) ensure()
-
-      private val colStats =
-        if (staged) new ColumnStats(schema) else null
-      private val bloomStats =
+      val verifier: Option[OrderVerifier] = sortedBy.map(new OrderVerifier(_))
+      val colStats: ColumnStats = if (staged) new ColumnStats(schema) else null
+      val bloomStats: BloomBuilder =
         if (staged && (bloomFor.nonEmpty || trigramFor.nonEmpty))
           new BloomBuilder(schema, bloomFor, trigramFor)
         else null
-      private val ndvStats =
+      val ndvStats: NdvBuilder =
         if (staged && ndvFor.nonEmpty) new NdvBuilder(schema, ndvFor)
         else null
-      private var nRows = 0L
+      var nRows = 0L
+    }
+
+    new DataWriter[InternalRow] {
+      private var closed: List[Segment] = Nil
+      private var cur: Segment = _
+      private var nextSeq = 0
+      private var sinceCheck = 0
+      private def ensure(): Segment = {
+        if (cur == null) { cur = new Segment(nextSeq); nextSeq += 1 }
+        cur
+      }
+      if (!lazyCreate) ensure()
 
       override def write(record: InternalRow): Unit = {
-        if (sortIdx.isDefined || colStats != null) {
+        val seg = ensure()
+        if (sortIdx.isDefined || seg.colStats != null) {
           val view = AvroInternalCodec.externalView(record, schema)
-          sortIdx.foreach(i => verifier.get.check(view.get(i)))
-          if (colStats != null) colStats.update(view)
-          if (bloomStats != null) bloomStats.update(view)
-          if (ndvStats != null) ndvStats.update(view)
+          sortIdx.foreach(i => seg.verifier.get.check(view.get(i)))
+          if (seg.colStats != null) seg.colStats.update(view)
+          if (seg.bloomStats != null) seg.bloomStats.update(view)
+          if (seg.ndvStats != null) seg.ndvStats.update(view)
         }
-        nRows += 1
-        ensure().append(toAvro(record))
+        seg.nRows += 1
+        seg.writer.append(toAvro(record))
+        // roll on the observed on-disk size (lags by at most one
+        // unflushed container block — bounded overshoot, no forced
+        // sync that would shrink compression blocks)
+        roll.foreach { target =>
+          sinceCheck += 1
+          if (sinceCheck >= 256) {
+            sinceCheck = 0
+            if (seg.file.length() >= target) {
+              seg.writer.close()
+              closed ::= seg
+              cur = null
+            }
+          }
+        }
       }
       override def commit(): WriterCommitMessage = {
-        if (writer != null) writer.close()
+        if (cur != null) { cur.writer.close(); closed ::= cur; cur = null }
+        val segs = closed.reverse
+        if (!staged || segs.isEmpty) return AvroCommitMessage(Nil)
         AvroCommitMessage(
-          if (staged && writer != null)
-            Seq(file.getPath -> finalFile.getPath)
-          else Nil,
-          zones =
-            if (staged && writer != null)
-              verifier.flatMap(_.zone).map { case (mn, mx) =>
-                (finalFile.getPath, AvroFileSource.zoneEncodeMin(mn),
-                  AvroFileSource.zoneEncodeMax(mx))
-              }.toSeq
-            else Nil,
-          colZones =
-            if (staged && writer != null && colStats.stats.nonEmpty)
-              Seq(finalFile.getPath -> colStats.stats)
-            else Nil,
-          blooms =
-            if (staged && writer != null && bloomStats != null &&
-                bloomStats.stats.nonEmpty)
-              Seq(finalFile.getPath -> bloomStats.stats)
-            else Nil,
-          rows =
-            if (staged && writer != null)
-              Seq(finalFile.getPath -> nRows)
-            else Nil,
-          ndvs =
-            if (staged && writer != null && ndvStats != null &&
-                ndvStats.stats.nonEmpty)
-              Seq(finalFile.getPath -> ndvStats.stats)
-            else Nil)
+          segs.map(s => s.file.getPath -> s.finalFile.getPath),
+          zones = segs.flatMap(s =>
+            s.verifier.flatMap(_.zone).map { case (mn, mx) =>
+              (s.finalFile.getPath, AvroFileSource.zoneEncodeMin(mn),
+                AvroFileSource.zoneEncodeMax(mx))
+            }),
+          colZones = segs.flatMap(s =>
+            Option(s.colStats).map(_.stats).filter(_.nonEmpty)
+              .map(s.finalFile.getPath -> _)),
+          blooms = segs.flatMap(s =>
+            Option(s.bloomStats).map(_.stats).filter(_.nonEmpty)
+              .map(s.finalFile.getPath -> _)),
+          rows = segs.map(s => s.finalFile.getPath -> s.nRows),
+          ndvs = segs.flatMap(s =>
+            Option(s.ndvStats).map(_.stats).filter(_.nonEmpty)
+              .map(s.finalFile.getPath -> _)))
       }
-      override def abort(): Unit =
-        if (writer != null) { writer.close(); file.delete(); () }
+      override def abort(): Unit = {
+        if (cur != null) { cur.writer.close(); closed ::= cur; cur = null }
+        closed.foreach(s => s.file.delete())
+      }
       override def close(): Unit = ()
     }
   }
