@@ -230,7 +230,8 @@ object AvroFileSource {
 
   /** Writer-layout property keys the engine understands. */
   val KnownProps: Set[String] = Set("graft.sortedBy", "graft.requestSort",
-    "graft.bloomFor", "graft.ndvFor", "graft.trigramFor", "graft.codec")
+    "graft.bloomFor", "graft.ndvFor", "graft.trigramFor", "graft.codec",
+    "graft.targetFileBytes")
 
   def readProps(d: File): Map[String, String] = {
     val f = propsFile(d)
@@ -2395,7 +2396,9 @@ case class AvroTable(path: String, tableSchema: StructType,
       checkOption =
         Option(info.options().get("check")).map(_.trim).filter(_.nonEmpty),
       // constraints govern from the MAIN table even for branch staging
-      constraintsDir = Some(path))
+      constraintsDir = Some(path),
+      targetFileBytes = opt("targetFileBytes").map(_.trim.toLong)
+        .filter(_ > 0L))
   }
 }
 
@@ -4833,7 +4836,10 @@ class AvroWriteBuilder(path: String, schema: StructType,
     // table even for branch-overlay writes, so staged data can never
     // dodge a table constraint)
     checkOption: Option[String] = None,
-    constraintsDir: Option[String] = None)
+    constraintsDir: Option[String] = None,
+    // roll container files at ~this many on-disk bytes (staged batch
+    // writes only) — bounds file sizes on huge tasks
+    targetFileBytes: Option[Long] = None)
   extends WriteBuilder with SupportsTruncate
   with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite
   with org.apache.spark.sql.connector.write.SupportsOverwriteV2 {
@@ -5127,7 +5133,8 @@ class AvroWriteBuilder(path: String, schema: StructType,
         new File(path).mkdirs()
         val base = AvroWriterFactory(path, schema, codec, partitionBy,
           staged = true, sortedBy = sortedBy, bloomFor = bloomFor,
-          ndvFor = ndvFor, trigramFor = trigramFor)
+          ndvFor = ndvFor, trigramFor = trigramFor,
+          targetFileBytes = targetFileBytes)
         if (compiledChecks.isEmpty) base
         else CheckedWriterFactory(base, compiledChecks)
       }
@@ -5914,18 +5921,48 @@ private[sources] object AvroWriters {
       sortedBy: Option[String] = None,
       bloomFor: Seq[String] = Nil,
       ndvFor: Seq[String] = Nil,
-      trigramFor: Seq[String] = Nil): DataWriter[InternalRow] = {
+      trigramFor: Seq[String] = Nil,
+      targetFileBytes: Option[Long] = None): DataWriter[InternalRow] = {
     val idx = partCols.map(schema.fieldIndex)
     val sortIdx = sortedBy.map(schema.fieldIndex)
     val avroSchema = AvroSchemaConverter.toAvro(schema, "topLevelRecord", None, None)
     val toAvro = AvroInternalCodec.encoderFor(schema, avroSchema)
-    val open = scala.collection.mutable.LinkedHashMap
-      .empty[String, (DataFileWriter[GenericRecord], File)]
-    val verifiers = scala.collection.mutable.HashMap.empty[String, OrderVerifier]
-    val colStats = scala.collection.mutable.HashMap.empty[String, ColumnStats]
-    val bloomStats = scala.collection.mutable.HashMap.empty[String, BloomBuilder]
-    val ndvStats = scala.collection.mutable.HashMap.empty[String, NdvBuilder]
-    val rowCounts = scala.collection.mutable.HashMap.empty[String, Long]
+    val roll: Option[Long] = targetFileBytes.filter(_ => staged)
+
+    // per-(partition dir, roll generation) unit: own container file,
+    // own stats/verifier — same Segment idea as the flat writer
+    final class Seg(sub: String, seq: Int) {
+      val file: File = {
+        val dir = new File(base, sub)
+        dir.mkdirs()
+        val name =
+          if (seq == 0) fileName
+          else fileName.stripSuffix(".avro") + s"-r$seq.avro"
+        new File(dir, if (staged) name + ".staging" else name)
+      }
+      val writer: DataFileWriter[GenericRecord] = {
+        val w = new DataFileWriter[GenericRecord](
+          new GenericDatumWriter[GenericRecord](avroSchema))
+        w.setCodec(codecFor(codec))
+        w.create(avroSchema, file)
+        w
+      }
+      val verifier: Option[OrderVerifier] = sortedBy.map(new OrderVerifier(_))
+      val colStats: ColumnStats = if (staged) new ColumnStats(schema) else null
+      val bloomStats: BloomBuilder =
+        if (staged && (bloomFor.nonEmpty || trigramFor.nonEmpty))
+          new BloomBuilder(schema, bloomFor, trigramFor)
+        else null
+      val ndvStats: NdvBuilder =
+        if (staged && ndvFor.nonEmpty) new NdvBuilder(schema, ndvFor)
+        else null
+      var nRows = 0L
+      var sinceCheck = 0
+    }
+
+    val open = scala.collection.mutable.LinkedHashMap.empty[String, Seg]
+    val nextSeq = scala.collection.mutable.HashMap.empty[String, Int]
+    var closedSegs: List[Seg] = Nil
 
     new DataWriter[InternalRow] {
       override def write(record: InternalRow): Unit = {
@@ -5944,77 +5981,60 @@ private[sources] object AvroWriters {
             }
           s"$c=$raw"
         }.mkString("/")
-        sortIdx.foreach { i =>
-          verifiers.getOrElseUpdate(sub, new OrderVerifier(sortedBy.get))
-            .check(view.get(i))
-        }
-        if (staged) {
-          colStats.getOrElseUpdate(sub, new ColumnStats(schema)).update(view)
-          if (bloomFor.nonEmpty || trigramFor.nonEmpty)
-            bloomStats.getOrElseUpdate(sub,
-                new BloomBuilder(schema, bloomFor, trigramFor))
-              .update(view)
-          if (ndvFor.nonEmpty)
-            ndvStats.getOrElseUpdate(sub, new NdvBuilder(schema, ndvFor))
-              .update(view)
-          rowCounts.updateWith(sub)(c => Some(c.getOrElse(0L) + 1L))
-        }
-        val (w, _) = open.getOrElseUpdate(sub, {
-          val dir = new File(base, sub)
-          dir.mkdirs()
-          val w = new DataFileWriter[GenericRecord](
-            new GenericDatumWriter[GenericRecord](avroSchema))
-          w.setCodec(codecFor(codec))
-          val f = new File(dir,
-            if (staged) fileName + ".staging" else fileName)
-          w.create(avroSchema, f)
-          (w, f)
+        val seg = open.getOrElseUpdate(sub, {
+          val s = new Seg(sub, nextSeq.getOrElse(sub, 0))
+          nextSeq(sub) = nextSeq.getOrElse(sub, 0) + 1
+          s
         })
-        w.append(toAvro(record))
+        sortIdx.foreach(i => seg.verifier.get.check(view.get(i)))
+        if (staged) {
+          seg.colStats.update(view)
+          if (seg.bloomStats != null) seg.bloomStats.update(view)
+          if (seg.ndvStats != null) seg.ndvStats.update(view)
+          seg.nRows += 1
+        }
+        seg.writer.append(toAvro(record))
+        roll.foreach { target =>
+          seg.sinceCheck += 1
+          if (seg.sinceCheck >= 256) {
+            seg.sinceCheck = 0
+            if (seg.file.length() >= target) {
+              seg.writer.close()
+              closedSegs ::= seg
+              open.remove(sub)
+              ()
+            }
+          }
+        }
       }
       override def commit(): WriterCommitMessage = {
-        open.values.foreach(_._1.close())
+        open.values.foreach { s => s.writer.close(); closedSegs ::= s }
+        open.clear()
+        val segs = closedSegs.reverse
+        if (!staged) return AvroCommitMessage(Nil)
+        def fin(s: Seg): String = s.file.getPath.stripSuffix(".staging")
         AvroCommitMessage(
-          if (staged) open.values.map { case (_, f) =>
-            f.getPath -> f.getPath.stripSuffix(".staging")
-          }.toSeq
-          else Nil,
-          zones =
-            if (staged) open.toSeq.flatMap { case (sub, (_, f)) =>
-              verifiers.get(sub).flatMap(_.zone).map { case (mn, mx) =>
-                (f.getPath.stripSuffix(".staging"),
-                  AvroFileSource.zoneEncodeMin(mn),
-                  AvroFileSource.zoneEncodeMax(mx))
-              }
-            }
-            else Nil,
-          colZones =
-            if (staged) open.toSeq.flatMap { case (sub, (_, f)) =>
-              colStats.get(sub).map(_.stats).filter(_.nonEmpty)
-                .map(f.getPath.stripSuffix(".staging") -> _)
-            }
-            else Nil,
-          blooms =
-            if (staged) open.toSeq.flatMap { case (sub, (_, f)) =>
-              bloomStats.get(sub).map(_.stats).filter(_.nonEmpty)
-                .map(f.getPath.stripSuffix(".staging") -> _)
-            }
-            else Nil,
-          rows =
-            if (staged) open.toSeq.map { case (sub, (_, f)) =>
-              f.getPath.stripSuffix(".staging") ->
-                rowCounts.getOrElse(sub, 0L)
-            }
-            else Nil,
-          ndvs =
-            if (staged) open.toSeq.flatMap { case (sub, (_, f)) =>
-              ndvStats.get(sub).map(_.stats).filter(_.nonEmpty)
-                .map(f.getPath.stripSuffix(".staging") -> _)
-            }
-            else Nil)
+          segs.map(s => s.file.getPath -> fin(s)),
+          zones = segs.flatMap(s =>
+            s.verifier.flatMap(_.zone).map { case (mn, mx) =>
+              (fin(s), AvroFileSource.zoneEncodeMin(mn),
+                AvroFileSource.zoneEncodeMax(mx))
+            }),
+          colZones = segs.flatMap(s =>
+            Option(s.colStats).map(_.stats).filter(_.nonEmpty)
+              .map(fin(s) -> _)),
+          blooms = segs.flatMap(s =>
+            Option(s.bloomStats).map(_.stats).filter(_.nonEmpty)
+              .map(fin(s) -> _)),
+          rows = segs.map(s => fin(s) -> s.nRows),
+          ndvs = segs.flatMap(s =>
+            Option(s.ndvStats).map(_.stats).filter(_.nonEmpty)
+              .map(fin(s) -> _)))
       }
-      override def abort(): Unit = open.values.foreach { case (w, f) =>
-        w.close(); f.delete()
+      override def abort(): Unit = {
+        open.values.foreach { s => s.writer.close(); closedSegs ::= s }
+        open.clear()
+        closedSegs.foreach(s => s.file.delete())
       }
       override def close(): Unit = ()
     }
@@ -6138,7 +6158,8 @@ case class AvroWriterFactory(path: String, schema: StructType,
     codec: String = AvroFileSource.DefaultCodec, partitionBy: Seq[String] = Nil,
     staged: Boolean = false, sortedBy: Option[String] = None,
     bloomFor: Seq[String] = Nil, ndvFor: Seq[String] = Nil,
-    trigramFor: Seq[String] = Nil)
+    trigramFor: Seq[String] = Nil,
+    targetFileBytes: Option[Long] = None)
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
@@ -6152,12 +6173,13 @@ case class AvroWriterFactory(path: String, schema: StructType,
     if (partitionBy.nonEmpty)
       AvroWriters.openPartitioned(path, schema, name, partitionBy, codec,
         staged = staged, sortedBy = sortedBy, bloomFor = bloomFor,
-        ndvFor = ndvFor, trigramFor = trigramFor)
+        ndvFor = ndvFor, trigramFor = trigramFor,
+        targetFileBytes = targetFileBytes)
     else
       AvroWriters.open(path, schema, name,
         lazyCreate = false, codec = codec, staged = staged,
         sortedBy = sortedBy, bloomFor = bloomFor, ndvFor = ndvFor,
-        trigramFor = trigramFor)
+        trigramFor = trigramFor, targetFileBytes = targetFileBytes)
   }
 }
 
