@@ -28,8 +28,19 @@ object ColumnarAb {
     // COLUMNAR_AB_ARRAYS: embedding-shaped payload (array<float>[32])
     // instead of the flat mixed row — measures the child-vector decode
     val arrays = sys.env.get("COLUMNAR_AB_ARRAYS").exists(_.toBoolean)
+    // COLUMNAR_AB_STRUCTS: nested-record payload — measures the
+    // struct-children decode
+    val structs = sys.env.get("COLUMNAR_AB_STRUCTS").exists(_.toBoolean)
     val dir = operators.Catalog.tempDir("columnar_ab")
-    (if (arrays)
+    (if (structs)
+      spark.range(rows).selectExpr(
+        "id",
+        """named_struct(
+             'name', md5(cast(id as string)),
+             'score', cast(id % 9973 as double),
+             'inner', named_struct('a', id * 2, 'b',
+               cast(id % 2 = 0 as boolean))) as info""")
+    else if (arrays)
       spark.range(rows).selectExpr(
         "id",
         "transform(sequence(0, 31), x -> cast(id % 997 + x as float)) as emb")
@@ -52,7 +63,10 @@ object ColumnarAb {
       // every variant keeps at least one non-column aggregate expression
       // so the metadata-served SUM pushdown can't skip the scan
       val agg =
-        if (arrays) df.agg(F.sum(F.size(F.col("emb"))),
+        if (structs) df.agg(
+          F.sum(F.length(F.col("info.name"))),
+          F.sum("info.score"), F.sum("info.inner.a"))
+        else if (arrays) df.agg(F.sum(F.size(F.col("emb"))),
           F.sum(F.element_at(F.col("emb"), 3)))
         else if (numsOnly) df.agg(F.sum("id"), F.sum("d"))
         else df.agg(F.sum("id"), F.sum("d"), F.sum(F.length(F.col("s1"))),

@@ -34,7 +34,7 @@ object AvroSchemaConverter {
   private[avro] val MetaEnumSymbols = "avro.enum.symbols"
   private[avro] val MetaFixedName = "avro.fixed.name"
   private[avro] val MetaFixedSize = "avro.fixed.size"
-  private[avro] val MetaUnionBranches = "avro.union.branches"
+  private[graft] val MetaUnionBranches = "avro.union.branches"
   private[avro] val UnionTagField = "tag"
 
   /** Unwrap a union: `[null,T]`, `[T,null]`, `[T]` → (T, nullable).

@@ -4504,12 +4504,31 @@ case class AvroReaderFactory(required: StructType, full: StructType,
     columnarBatch > 0 && renames.isEmpty &&
       required.fields.forall { f =>
         f.name != AvroFileSource.MetaFile &&
-          f.name != AvroFileSource.MetaPos && vectorizable(f.dataType)
+          f.name != AvroFileSource.MetaPos &&
+          // judge shape + union tags against the FULL table schema:
+          // nested column pruning rebuilds `required` struct fields
+          // WITHOUT their metadata, so the tagged-union marker only
+          // survives on `full` (conservative: a union anywhere inside
+          // the full column keeps the whole column on rows)
+          full.fields.find(_.name == f.name).exists(vectorizableField)
       } &&
       // widened-in delete columns must be vectorizable too
       // (deletableType already restricts them to flat exact primitives)
       deletes.forall(e => full.fields.exists(f =>
-        f.name == e.col && vectorizable(f.dataType)))
+        f.name == e.col && vectorizableField(f)))
+
+  /** Field-level check: a struct FIELD that is really a multi-branch
+    * Avro union (tagged via `avro.union.branches` metadata) decodes
+    * through resolveUnion on the row path — the avro side is a UNION,
+    * not a RECORD, so the vector planners must never see it.
+    */
+  private def vectorizableField(f: StructField): Boolean =
+    !f.metadata.contains(
+      graft.avro.AvroSchemaConverter.MetaUnionBranches) &&
+      (f.dataType match {
+        case st: StructType => st.fields.forall(vectorizableField)
+        case dt => vectorizable(dt)
+      })
 
   private def vectorizable(dt: DataType): Boolean = dt match {
     case BooleanType | ByteType | ShortType | IntegerType | LongType |
@@ -4519,6 +4538,13 @@ case class AvroReaderFactory(required: StructType, full: StructType,
     // arrays of primitive elements (the embedding-column shape) decode
     // into the child vector; decimal/nested elements stay on rows
     case ArrayType(et, _) => et match {
+      case BooleanType | ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | DateType | TimestampType |
+           TimestampNTZType | StringType | BinaryType => true
+      case _ => false
+    }
+    // string-keyed maps of primitive values: keys/values children
+    case MapType(StringType, vt, _) => vt match {
       case BooleanType | ByteType | ShortType | IntegerType | LongType |
            FloatType | DoubleType | DateType | TimestampType |
            TimestampNTZType | StringType | BinaryType => true
@@ -4639,9 +4665,21 @@ case class AvroReaderFactory(required: StructType, full: StructType,
           if (dead) {
             // scrub the slot for reuse: a dead decode may have set null
             // bits the next occupant won't overwrite (values just
-            // overwrite; orphaned var-length bytes are harmless)
+            // overwrite; orphaned var-length bytes are harmless).
+            // Recurse into STRUCT children — their slot-indexed null
+            // bits have the same staleness hazard; array/map children
+            // are append-cursor-based and never reuse a slot.
+            def scrub(v: WritableColumnVector): Unit = {
+              v.putNotNull(n)
+              v.dataType() match {
+                case st: org.apache.spark.sql.types.StructType =>
+                  var k = 0
+                  while (k < st.length) { scrub(v.getChild(k)); k += 1 }
+                case _ => ()
+              }
+            }
             var j = 0
-            while (j < vectors.length) { vectors(j).putNotNull(n); j += 1 }
+            while (j < vectors.length) { scrub(vectors(j)); j += 1 }
           } else {
             n += 1
             emitted += 1

@@ -182,6 +182,34 @@ private[sources] final class VectorAvroDatumReader(
             "vectorizable (factory check should have fallen back)")
         val app = DirectVectorPlan.arrayAppender(elem)
         (in, v, i) => app(in, v, i)
+      // string-keyed maps of primitive values: keys/values children in
+      // lockstep, one shared (start, length) slice on the parent
+      case (Type.MAP, MapType(StringType, vt, _)) =>
+        val valApp = DirectVectorPlan.elemAppender(s.getValueType, vt)
+        if (valApp == null) throw new IllegalStateException(
+          s"graft-avro: map value ${s.getValueType} -> $vt is not " +
+            "vectorizable (factory check should have fallen back)")
+        val app = DirectVectorPlan.mapAppender(valApp)
+        (in, v, i) => app(in, v, i)
+      // nested records: the resolver hands THIS level's reader fields
+      // in writer order too (readFieldOrder is per-record in the
+      // grammar), so nested drift resolves exactly like the top level
+      case (Type.RECORD, st: StructType) =>
+        val fieldApps: Array[Append] = st.fields.map { sf =>
+          val f = s.getField(sf.name)
+          require(f != null,
+            s"Avro nested reader schema has no field '${sf.name}'")
+          fieldAppender(f.schema(), sf.dataType)
+        }
+        (in, v, i) => {
+          val order = in.readFieldOrder()
+          var k = 0
+          while (k < order.length) {
+            val pos = order(k).pos()
+            fieldApps(pos)(in, v.getChild(pos), i)
+            k += 1
+          }
+        }
       case other => throw new IllegalStateException(
         s"graft-avro: field shape $other is not vectorizable (factory " +
           "support check should have fallen back to the row path)")
@@ -271,115 +299,153 @@ private[sources] object DirectVectorPlan {
   /** Append one writer-typed value into vector `idx`, or null when the
     * (writer, catalyst) pairing is outside the direct repertoire.
     */
-  private def appendStep(ws: Schema, dt: DataType, idx: Int): Step =
+  private def appendStep(ws: Schema, dt: DataType, idx: Int): Step = {
+    val f = appendInto(ws, dt)
+    if (f == null) null else (in, vs, i) => f(in, vs(idx), i)
+  }
+
+  /** Append one (possibly nullable-union-wrapped) writer value into an
+    * EXPLICIT target vector — the building block nested records use.
+    * Null = unsupported shape.
+    */
+  private def appendInto(ws: Schema, dt: DataType)
+      : (Decoder, WritableColumnVector, Int) => Unit =
     if (ws.getType == Type.UNION) {
       val types = ws.getTypes.asScala.toArray
       val nullIdx = types.indexWhere(_.getType == Type.NULL)
-      val branches: Array[Step] = types.map {
+      val branches = types.map {
         case n if n.getType == Type.NULL => null
-        case t => valueStep(t, dt, idx)
+        case t => valueInto(t, dt)
       }
-      if (branches.exists(b => b == null) &&
-          branches.zipWithIndex.exists { case (b, i) => b == null && i != nullIdx })
-        null
-      else (in, vs, i) => {
+      if (branches.zipWithIndex.exists { case (b, i) =>
+          b == null && i != nullIdx }) null
+      else (in, v, i) => {
         val b = in.readIndex()
-        if (b == nullIdx) { in.readNull(); vs(idx).putNull(i) }
-        else branches(b)(in, vs, i)
+        if (b == nullIdx) { in.readNull(); v.putNull(i) }
+        else branches(b)(in, v, i)
       }
-    } else valueStep(ws, dt, idx)
+    } else valueInto(ws, dt)
 
-  private def valueStep(ws: Schema, dt: DataType, idx: Int): Step =
+  private def valueInto(ws: Schema, dt: DataType)
+      : (Decoder, WritableColumnVector, Int) => Unit =
     (ws.getType, dt) match {
       case (Type.STRING, StringType) =>
         val scratch = new Utf8()
-        (in, vs, i) => {
+        (in, v, i) => {
           val u = in.readString(scratch)
-          vs(idx).putByteArray(i, u.getBytes, 0, u.getByteLength); ()
+          v.putByteArray(i, u.getBytes, 0, u.getByteLength); ()
         }
       case (Type.ENUM, StringType) =>
         val syms = ws.getEnumSymbols.asScala
           .map(_.getBytes(StandardCharsets.UTF_8)).toArray
-        (in, vs, i) => {
+        (in, v, i) => {
           val b = syms(in.readEnum())
-          vs(idx).putByteArray(i, b, 0, b.length); ()
+          v.putByteArray(i, b, 0, b.length); ()
         }
       case (Type.BYTES, BinaryType) =>
         var scratch: java.nio.ByteBuffer = null
-        (in, vs, i) => {
+        (in, v, i) => {
           scratch = in.readBytes(scratch)
           if (scratch.hasArray)
-            vs(idx).putByteArray(i, scratch.array(),
+            v.putByteArray(i, scratch.array(),
               scratch.arrayOffset() + scratch.position(), scratch.remaining())
           else {
             val tmp = new Array[Byte](scratch.remaining())
             scratch.duplicate().get(tmp)
-            vs(idx).putByteArray(i, tmp, 0, tmp.length)
+            v.putByteArray(i, tmp, 0, tmp.length)
           }
           ()
         }
       case (Type.FIXED, BinaryType) =>
         val size = ws.getFixedSize
         val tmp = new Array[Byte](size)
-        (in, vs, i) => {
-          in.readFixed(tmp, 0, size); vs(idx).putByteArray(i, tmp, 0, size); ()
+        (in, v, i) => {
+          in.readFixed(tmp, 0, size); v.putByteArray(i, tmp, 0, size); ()
         }
       case (Type.BOOLEAN, BooleanType) =>
-        (in, vs, i) => vs(idx).putBoolean(i, in.readBoolean())
+        (in, v, i) => v.putBoolean(i, in.readBoolean())
       case (Type.INT, ByteType) =>
-        (in, vs, i) => vs(idx).putByte(i, in.readInt().toByte)
+        (in, v, i) => v.putByte(i, in.readInt().toByte)
       case (Type.INT, ShortType) =>
-        (in, vs, i) => vs(idx).putShort(i, in.readInt().toShort)
+        (in, v, i) => v.putShort(i, in.readInt().toShort)
       case (Type.INT, IntegerType | DateType) =>
-        (in, vs, i) => vs(idx).putInt(i, in.readInt())
+        (in, v, i) => v.putInt(i, in.readInt())
       case (Type.INT, LongType) => // int→long promotion, done inline
-        (in, vs, i) => vs(idx).putLong(i, in.readInt().toLong)
+        (in, v, i) => v.putLong(i, in.readInt().toLong)
       case (Type.LONG, LongType) =>
-        (in, vs, i) => vs(idx).putLong(i, in.readLong())
+        (in, v, i) => v.putLong(i, in.readLong())
       case (Type.LONG, TimestampType | TimestampNTZType) =>
         ws.getLogicalType match {
           case _: org.apache.avro.LogicalTypes.TimestampMillis |
                _: org.apache.avro.LogicalTypes.LocalTimestampMillis =>
-            (in, vs, i) =>
-              vs(idx).putLong(i, Math.multiplyExact(in.readLong(), 1000L))
+            (in, v, i) =>
+              v.putLong(i, Math.multiplyExact(in.readLong(), 1000L))
           case _ =>
-            (in, vs, i) => vs(idx).putLong(i, in.readLong())
+            (in, v, i) => v.putLong(i, in.readLong())
         }
       case (Type.FLOAT, FloatType) =>
-        (in, vs, i) => vs(idx).putFloat(i, in.readFloat())
+        (in, v, i) => v.putFloat(i, in.readFloat())
       case (Type.INT, DoubleType) =>
-        (in, vs, i) => vs(idx).putDouble(i, in.readInt().toDouble)
+        (in, v, i) => v.putDouble(i, in.readInt().toDouble)
       case (Type.LONG, DoubleType) =>
-        (in, vs, i) => vs(idx).putDouble(i, in.readLong().toDouble)
+        (in, v, i) => v.putDouble(i, in.readLong().toDouble)
       case (Type.FLOAT, DoubleType) =>
-        (in, vs, i) => vs(idx).putDouble(i, in.readFloat().toDouble)
+        (in, v, i) => v.putDouble(i, in.readFloat().toDouble)
       case (Type.DOUBLE, DoubleType) =>
-        (in, vs, i) => vs(idx).putDouble(i, in.readDouble())
+        (in, v, i) => v.putDouble(i, in.readDouble())
       case (Type.BYTES, d: DecimalType) =>
         var scratch: java.nio.ByteBuffer = null
-        (in, vs, i) => {
+        (in, v, i) => {
           scratch = in.readBytes(scratch)
           val arr = new Array[Byte](scratch.remaining())
           scratch.duplicate().get(arr)
-          vs(idx).putDecimal(i, org.apache.spark.sql.types.Decimal(
+          v.putDecimal(i, org.apache.spark.sql.types.Decimal(
             new java.math.BigDecimal(new java.math.BigInteger(arr),
               d.scale), d.precision, d.scale), d.precision)
         }
       case (Type.FIXED, d: DecimalType) =>
         val size = ws.getFixedSize
         val tmp = new Array[Byte](size)
-        (in, vs, i) => {
+        (in, v, i) => {
           in.readFixed(tmp, 0, size)
-          vs(idx).putDecimal(i, org.apache.spark.sql.types.Decimal(
+          v.putDecimal(i, org.apache.spark.sql.types.Decimal(
             new java.math.BigDecimal(new java.math.BigInteger(tmp),
               d.scale), d.precision, d.scale), d.precision)
         }
       case (Type.ARRAY, ArrayType(et, _)) =>
         val elem = elemAppender(ws.getElementType, et)
         if (elem == null) null
+        else arrayAppender(elem)
+      case (Type.MAP, MapType(StringType, vt, _)) =>
+        val valApp = elemAppender(ws.getValueType, vt)
+        if (valApp == null) null
+        else mapAppender(valApp)
+      // nested records, direct tier: the WRITER's field order drives;
+      // writer-extra fields skip, and a catalyst field the writer lacks
+      // needs the resolver's default machinery — bail to that path
+      case (Type.RECORD, st: StructType) =>
+        val colOf = st.fieldNames.zipWithIndex.toMap
+        val present = ws.getFields.asScala.map(_.name).toSet
+        if (st.fields.exists(f => !present(f.name))) null
         else {
-          val app = arrayAppender(elem)
-          (in, vs, i) => app(in, vs(idx), i)
+          val steps = ws.getFields.asScala.map { wf =>
+            colOf.get(wf.name) match {
+              case Some(k) =>
+                val f = appendInto(wf.schema(), st(k).dataType)
+                if (f == null) return null
+                (in: Decoder, v: WritableColumnVector, i: Int) =>
+                  f(in, v.getChild(k), i)
+              case None =>
+                val sk = skipStep(wf.schema())
+                if (sk == null) return null
+                (in: Decoder, v: WritableColumnVector, i: Int) =>
+                  sk(in, null, i)
+            }
+          }.toArray
+          (in, v, i) => {
+            var k = 0
+            while (k < steps.length) { steps(k)(in, v, i); k += 1 }
+          }
         }
       case _ => null
     }
@@ -496,6 +562,35 @@ private[sources] object DirectVectorPlan {
       }
       v.putArray(i, start, total.toInt)
     }
+
+  /** Decode one whole string-keyed map: keys and values append to the
+    * two children in lockstep, the parent records one shared
+    * (start, length) slice — the vectorized MapType layout.
+    */
+  private[sources] def mapAppender(
+      valApp: (Decoder, WritableColumnVector) => Unit)
+      : (Decoder, WritableColumnVector, Int) => Unit = {
+    val scratch = new Utf8()
+    (in, v, i) => {
+      val keys = v.getChild(0)
+      val vals = v.getChild(1)
+      val start = keys.getElementsAppended
+      var total = 0L
+      var n = in.readMapStart()
+      while (n > 0) {
+        var k = 0L
+        while (k < n) {
+          val u = in.readString(scratch)
+          keys.appendByteArray(u.getBytes, 0, u.getByteLength)
+          valApp(in, vals)
+          k += 1
+        }
+        total += n
+        n = in.mapNext()
+      }
+      v.putArray(i, start, total.toInt)
+    }
+  }
 
   /** Consume-and-discard one writer-typed value (recursive for
     * containers; block-skips honor Avro's negative-count byte-length

@@ -85,15 +85,16 @@ class ColumnarDecodeSpec extends AnyFunSuite with SparkSpec with Matchers {
     back.filter(F.col("s").isNull).count() shouldBe 34
   }
 
-  test("nested-struct and metadata-column reads fall back to rows") {
+  test("struct/array projections are columnar; metadata columns are not") {
     import spark.implicits._
     val dir = tmp()
     Seq((1L, ("alice", 10.5), Seq("a", "b")), (2L, ("bob", -3.0), Seq("c")))
       .toDF("id", "info", "tags")
       .write.format("graft-avro").mode("append").save(dir)
     val nested = spark.read.format("graft-avro").load(dir)
-    assert(!isColumnar(nested), "struct projection must stay row-based")
-    // pruning to flat leaves (primitive arrays included) re-enables it
+    assert(isColumnar(nested), "struct projections decode columnar (r18)")
+    nested.select("info._1").collect().map(_.getString(0)).sorted
+      .toSeq shouldBe Seq("alice", "bob")
     val flat = spark.read.format("graft-avro").load(dir)
       .select("id", "tags")
     assert(isColumnar(flat))
@@ -155,6 +156,91 @@ class ColumnarDecodeSpec extends AnyFunSuite with SparkSpec with Matchers {
     Seq((1L, Seq((1, "x")))).toDF("id", "pairs")
       .write.format("graft-avro").mode("append").save(dir2)
     assert(!isColumnar(spark.read.format("graft-avro").load(dir2)))
+  }
+
+  test("structs and maps decode columnar, matching the row path exactly") {
+    import spark.implicits._
+    val dir = tmp()
+    spark.range(20000)
+      .selectExpr("id",
+        // nullable struct with nullable fields, incl. a nested array
+        """CASE WHEN id % 19 = 0 THEN NULL ELSE named_struct(
+             'name', CASE WHEN id % 7 = 0 THEN NULL
+                     ELSE concat('u', cast(id % 977 as string)) END,
+             'score', id * 0.25,
+             'hist', transform(sequence(0, CAST(id % 4 AS INT)),
+                       x -> id + x)) END as info""",
+        // string-keyed map with nullable values, sometimes empty/null
+        """CASE WHEN id % 23 = 0 THEN NULL
+           WHEN id % 13 = 0 THEN map()
+           ELSE map('a', id, 'b',
+             CASE WHEN id % 11 = 0 THEN NULL ELSE id * 2 END) END as m""")
+      .repartition(3)
+      .write.format("graft-avro").mode("append").save(dir)
+    val cold = spark.read.format("graft-avro").load(dir)
+    assert(isColumnar(cold), "struct/map projection should be columnar")
+    def sig(df: DataFrame): Long = df
+      .select(F.md5(F.concat_ws("|",
+        F.col("id"),
+        F.coalesce(F.col("info").cast("string"), F.lit("<null>")),
+        F.coalesce(F.to_json(F.col("m")), F.lit("<null>")))).as("h"))
+      .agg(F.sum(F.conv(F.substring(F.col("h"), 1, 8), 16, 10).cast("long")))
+      .head().getLong(0)
+    val rowPath = spark.read.format("graft-avro")
+      .option("columnar", "false").load(dir)
+    sig(cold) shouldBe sig(rowPath)
+    // nested-field aggregates line up
+    cold.agg(F.sum(F.col("info.hist")(0))).head() shouldBe
+      rowPath.agg(F.sum(F.col("info.hist")(0))).head()
+    // multi-branch tagged-union structs must STAY on the row path:
+    // a foreign [string, long] union file infers as a tagged struct
+    // whose avro side is a UNION, not a RECORD
+    val dir2 = tmp()
+    import org.apache.avro.{Schema, SchemaBuilder}
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter,
+      GenericRecord}
+    val unionS = Schema.createUnion(java.util.Arrays.asList(
+      Schema.create(Schema.Type.STRING), Schema.create(Schema.Type.LONG)))
+    val recS = SchemaBuilder.record("U").namespace("fix").fields()
+      .requiredLong("uid")
+      .name("v").`type`(unionS).noDefault()
+      .endRecord()
+    val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](recS))
+    w.create(recS, new java.io.File(dir2, "foreign.avro"))
+    try (0 until 10).foreach { i =>
+      val r = new GenericData.Record(recS)
+      r.put("uid", i.toLong)
+      r.put("v", if (i % 2 == 0) s"s$i" else Long.box(i * 10L))
+      w.append(r)
+    } finally w.close()
+    val uread = spark.read.format("graft-avro").load(dir2)
+    assert(!isColumnar(uread), "tagged-union structs must stay row-based")
+    uread.count() shouldBe 10
+  }
+
+  test("struct null-bit scrub survives dead rows from deletes") {
+    val dir = tmp()
+    spark.range(100)
+      .selectExpr("id",
+        "named_struct('a', CASE WHEN id % 2 = 0 THEN NULL " +
+          "ELSE cast(id as string) END, 'b', id * 3) as st")
+      .coalesce(1)
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    // kill odd ids (whose st.a is NON-null): the next occupant of each
+    // scrubbed slot is an even id with st.a NULL — and vice versa risks
+    // stale child null bits without the recursive scrub
+    AvroMaintenance.deleteWhere(spark, dir, "id",
+      (1L until 100L by 2).toSeq)
+    val back = spark.read.format("graft-avro").load(dir)
+    assert(isColumnar(back))
+    val rows = back.select("id", "st.a", "st.b").collect()
+    rows.length shouldBe 50
+    rows.foreach { r =>
+      r.getLong(0) % 2 shouldBe 0L
+      r.isNullAt(1) shouldBe true
+      r.getLong(2) shouldBe r.getLong(0) * 3
+    }
   }
 
   test("arrays compose with equality deletes on the columnar path") {
