@@ -929,6 +929,28 @@ object AvroGates extends Catalog {
               |FROM graft_gate.gate.props""".stripMargin)
     }),
 
+    // Map-column scan under the oracle: a string-keyed map column
+    // round-trips through graft-avro (r18 columnar map decode: keys/
+    // values child vectors, shared slice) and element_at aggregates
+    // reproduce the flat computation exactly.
+    "q_avro_map_scan" -> ((s, dir) => {
+      val tmp = tempDir("graft_gate_map")
+      table(s, dir, "lineitem")
+        .select(F.col("l_returnflag"),
+          F.map(
+            F.lit("qty"), F.floor(F.col("l_quantity") * 100).cast("long"),
+            F.lit("tax"), F.floor(F.col("l_tax") * 1000).cast("long"))
+            .as("m"))
+        .write.format("graft-avro").mode("overwrite").save(tmp)
+      s.read.format("graft-avro").load(tmp)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).as("n_lines"),
+          F.sum(F.element_at(F.col("m"), "qty")).as("qty_c"),
+          F.sum(F.element_at(F.col("m"), "tax")).as("tax_m"),
+          F.sum(F.size(F.col("m")).cast("long")).as("n_entries"))
+        .orderBy("l_returnflag")
+    }),
+
     // Partition overwrite under the oracle: INSERT OVERWRITE
     // PARTITION (flag = 'R') replaces exactly that partition's files
     // (archive, no rewrite of the others) via the filter-overwrite
@@ -2187,6 +2209,15 @@ object AvroGates extends Catalog {
                 (SELECT count(*) FROM orders
                  WHERE COALESCE(o_orderkey, 0) <= 100) AS n_low
          FROM orders""",
+    "q_avro_map_scan" ->
+      """SELECT l_returnflag, count(*) AS n_lines,
+                CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT))
+                  AS BIGINT) AS qty_c,
+                CAST(sum(CAST(floor(l_tax * 1000) AS BIGINT))
+                  AS BIGINT) AS tax_m,
+                CAST(2 * count(*) AS BIGINT) AS n_entries
+         FROM lineitem
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_avro_overwrite_part" ->
       """SELECT l_returnflag, count(*) AS n_lines,
                 round(sum(CASE WHEN l_returnflag = 'R'
