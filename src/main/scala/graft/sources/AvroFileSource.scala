@@ -231,7 +231,7 @@ object AvroFileSource {
   /** Writer-layout property keys the engine understands. */
   val KnownProps: Set[String] = Set("graft.sortedBy", "graft.requestSort",
     "graft.bloomFor", "graft.ndvFor", "graft.trigramFor", "graft.codec",
-    "graft.targetFileBytes")
+    "graft.targetFileBytes", "graft.bucketBy", "graft.preservePartitioning")
 
   def readProps(d: File): Map[String, String] = {
     val f = propsFile(d)
@@ -267,6 +267,103 @@ object AvroFileSource {
       }.mkString("\n").getBytes("UTF-8"))
     if (!tmp.renameTo(f)) throw new java.io.IOException(
       s"graft-avro: rename failed $tmp -> $f")
+  }
+
+  // ---- hash-bucket layout (hidden partitioning, the Iceberg
+  // `bucket(N, col)` transform): rows route to `<col>_bucket=<b>`
+  // directory segments, `b = bucketOf(canonicalString, N)`. The spec
+  // (col → N) lives in the `_graft_bucket` sidecar — immutable per
+  // column once defined (mixed-N segments would make filter→bucket
+  // resolution ambiguous), replaced wholesale by a truncate. Equality
+  // and IN filters (pushed or runtime join-key sets) prune to the
+  // literal's bucket; files WITHOUT the segment (pre-bucket data,
+  // partition evolution) are always kept. Under `preservePartitioning`
+  // the scan reports `bucket(N, col)` KeyGroupedPartitioning keys, so
+  // two co-bucketed tables join shuffle-free (SPJ) via the catalog's
+  // `bucket` function (GraftCatalog is a FunctionCatalog).
+  def bucketFile(d: File): File = new File(d, "_graft_bucket")
+
+  /** Directory-segment pseudo-column for a bucketed column. */
+  def bucketSegName(c: String): String = c + "_bucket"
+
+  /** Deterministic bucket of a column value's CANONICAL string (the
+    * same `v.toString` of the external value that identity partition
+    * segments use; dates are ISO `LocalDate` strings): first 8 bytes of
+    * md5 as a big-endian long, floor-mod n. Shared by the writer
+    * (routing), the scan (filter literal → target bucket), and the
+    * catalog's SQL `bucket` function (SPJ).
+    */
+  def bucketOf(canonical: String, n: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(canonical.getBytes("UTF-8"))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (md(i) & 0xffL); i += 1 }
+    java.lang.Math.floorMod(h, n.toLong).toInt
+  }
+
+  /** Parse a `col:n[,col:n…]` bucket option string. */
+  def parseBucketBy(s: String): Seq[(String, Int)] =
+    s.split(',').toSeq.map(_.trim).filter(_.nonEmpty).map { part =>
+      part.split(':') match {
+        case Array(c, n) if c.trim.nonEmpty && n.trim.matches("[0-9]+") =>
+          (c.trim, n.trim.toInt)
+        case _ => throw new IllegalArgumentException(
+          s"graft-avro: bad bucketBy entry '$part' — expected col:n")
+      }
+    }
+
+  /** The directory's bucket spec, insertion-ordered. Malformed sidecar
+    * → empty (pruning off is sound; SPJ declines).
+    */
+  def readBucketSpec(d: File): Seq[(String, Int)] = {
+    val f = bucketFile(d)
+    if (!f.isFile) return Nil
+    try {
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try src.getLines().flatMap { line =>
+        line.split('\t') match {
+          case Array(c, n) if n.matches("[0-9]+") =>
+            Some(java.net.URLDecoder.decode(c, "UTF-8") -> n.toInt)
+          case _ => None
+        }
+      }.toSeq
+      finally src.close()
+    } catch { case _: Exception => Nil }
+  }
+
+  private[sources] def writeBucketSpec(d: File,
+      spec: Seq[(String, Int)]): Unit = {
+    val f = bucketFile(d)
+    if (spec.isEmpty) { f.delete(); return }
+    val tmp = new File(f.getPath + ".staging")
+    java.nio.file.Files.write(tmp.toPath,
+      spec.map { case (c, n) =>
+        java.net.URLEncoder.encode(c, "UTF-8") + "\t" + n
+      }.mkString("\n").getBytes("UTF-8"))
+    if (!tmp.renameTo(f)) throw new java.io.IOException(
+      s"graft-avro: rename failed $tmp -> $f")
+  }
+
+  /** Merge a write's bucket spec into the sidecar under the commit
+    * lock: a column already specced must agree on N (mixed-N segments
+    * are ambiguous — refuse loudly); `replace` (truncate) installs the
+    * write's spec wholesale.
+    */
+  private[sources] def mergeBucketSpec(d: File, spec: Seq[(String, Int)],
+      replace: Boolean): Unit = {
+    if (replace) { writeBucketSpec(d, spec); return }
+    if (spec.isEmpty) return
+    val prior = readBucketSpec(d)
+    val priorMap = prior.toMap
+    spec.foreach { case (c, n) =>
+      priorMap.get(c).foreach(pn => require(pn == n,
+        s"graft-avro: bucketBy '$c:$n' conflicts with the table's " +
+          s"established spec '$c:$pn' — a column's bucket count is " +
+          "immutable (truncate to re-bucket)"))
+    }
+    val merged = prior ++ spec.filterNot(s => priorMap.contains(s._1))
+    if (merged != prior) writeBucketSpec(d, merged)
   }
 
   private[sources] def zoneEncode(v: Any): String =
@@ -2263,12 +2360,21 @@ case class AvroTable(path: String, tableSchema: StructType,
   override def properties(): util.Map[String, String] =
     AvroFileSource.readProps(new File(path)).asJava
 
-  /** Declared identity partitioning (DESCRIBE, and the analyzer's
-    * static `PARTITION (p = 'x')` clause validation + constant-fill).
+  /** Declared partitioning (DESCRIBE, and the analyzer's static
+    * `PARTITION (p = 'x')` clause validation + constant-fill): identity
+    * columns plus any established `bucket(N, col)` hidden transforms —
+    * from the sidecar once data exists, else the declared property.
     */
-  override def partitioning(): Array[Transform] =
-    defaultPartitionBy.map(c =>
-      Expressions.identity(c): Transform).toArray
+  override def partitioning(): Array[Transform] = {
+    val sidecar = AvroFileSource.readBucketSpec(new File(path))
+    val spec =
+      if (sidecar.nonEmpty) sidecar
+      else AvroFileSource.readProps(new File(path)).get("graft.bucketBy")
+        .map(AvroFileSource.parseBucketBy).getOrElse(Nil)
+    (defaultPartitionBy.map(c => Expressions.identity(c): Transform) ++
+      spec.map { case (c, n) => Expressions.bucket(n, c): Transform })
+      .toArray
+  }
   override def schema(): StructType = tableSchema
 
   /** Hidden METADATA COLUMNS (the Iceberg `_file`/`_pos` analogue):
@@ -2329,7 +2435,12 @@ case class AvroTable(path: String, tableSchema: StructType,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
       Option(options.get("maxSplitBytes")).map(_.toLong)
         .getOrElse(AvroFileSource.DefaultSplitBytes),
-      Option(options.get("preservePartitioning")).exists(_.toBoolean),
+      // SQL reads can't pass options: the table property opts a table
+      // into key-grouped reporting declaratively (explicit option wins)
+      Option(options.get("preservePartitioning"))
+        .orElse(AvroFileSource.readProps(new File(path))
+          .get("graft.preservePartitioning"))
+        .exists(_.toBoolean),
       Option(options.get("journalCompactAfter")).map(_.toInt).getOrElse(4096),
       AvroFileSource.resolveTravelVersion(new File(path),
         Option(options.get("versionAsOf")).map(_.toLong),
@@ -2398,7 +2509,9 @@ case class AvroTable(path: String, tableSchema: StructType,
       // constraints govern from the MAIN table even for branch staging
       constraintsDir = Some(path),
       targetFileBytes = opt("targetFileBytes").map(_.trim.toLong)
-        .filter(_ > 0L))
+        .filter(_ > 0L),
+      bucketBy = opt("bucketBy").map(AvroFileSource.parseBucketBy)
+        .getOrElse(Nil))
   }
 }
 
@@ -3094,6 +3207,82 @@ class AvroScanBuilder(path: String, full: StructType,
       @volatile private var runtimeIn: Map[String, Set[String]] = Map.empty
       // runtime IN-sets against column zones: EXTERNAL values per column
       @volatile private var runtimeZoneVals: Map[String, Set[Any]] = Map.empty
+      // runtime IN-sets resolved to TARGET BUCKET segments per column
+      @volatile private var runtimeBucket: Map[String, Set[String]] = Map.empty
+
+      /** The table's hash-bucket spec, live reads only: a truncate may
+        * re-bucket with a different N, so a historical snapshot's
+        * segments can't be resolved against the CURRENT sidecar —
+        * standing down is sound (files are merely kept).
+        */
+      private lazy val bucketSpec: Seq[(String, Int)] =
+        if (travelVersion.nonEmpty || incRange.nonEmpty || branch.nonEmpty) Nil
+        else AvroFileSource.readBucketSpec(new File(path))
+      private lazy val bucketByCol: Map[String, Int] = bucketSpec.toMap
+
+      /** Canonical bucket-key string of a pushed-filter EXTERNAL value;
+        * None = representation not canonical-stable → that conjunct
+        * cannot prune (sound).
+        */
+      private def bucketKeyOf(v: Any): Option[String] = v match {
+        case null => None
+        case s: String => Some(s)
+        case _: java.lang.Integer | _: java.lang.Long | _: java.lang.Short |
+             _: java.lang.Byte | _: java.lang.Boolean =>
+          Some(String.valueOf(v))
+        case d: java.sql.Date => Some(d.toLocalDate.toString)
+        case d: java.time.LocalDate => Some(d.toString)
+        case _ => None
+      }
+
+      /** Per bucketed column: the set of directory segment values an
+        * equality/IN conjunct allows. Several conjuncts on one column
+        * intersect. `__null__` segments never appear in a target set —
+        * an all-null-key file can't satisfy an equality, so it prunes.
+        */
+      private lazy val bucketTargets: Map[String, Set[String]] = {
+        if (bucketByCol.isEmpty) Map.empty
+        else {
+          import org.apache.spark.sql.sources.{And => FAnd, EqualNullSafe,
+            EqualTo, In}
+          def conjuncts(f: Filter): Seq[Filter] = f match {
+            case FAnd(a, b) => conjuncts(a) ++ conjuncts(b)
+            case x => Seq(x)
+          }
+          def target(c: String, k: String): String =
+            AvroFileSource.bucketOf(k, bucketByCol(c)).toString
+          filters.toSeq.flatMap(conjuncts).flatMap {
+            case EqualTo(c, v) if bucketByCol.contains(c) =>
+              bucketKeyOf(v).map(k => c -> Set(target(c, k)))
+            case EqualNullSafe(c, v) if v != null && bucketByCol.contains(c) =>
+              bucketKeyOf(v).map(k => c -> Set(target(c, k)))
+            case In(c, vs) if bucketByCol.contains(c) =>
+              // null elements never match; a non-canonical element
+              // disables the conjunct (sound); an all-null/empty IN
+              // matches nothing — the empty target set prunes all
+              val ks = vs.toSeq.filter(_ != null).map(bucketKeyOf)
+              if (ks.forall(_.isDefined))
+                Some(c -> ks.flatten.map(target(c, _)).toSet)
+              else None
+            case _ => None
+          }.groupMapReduce(_._1)(_._2)(_ intersect _)
+        }
+      }
+
+      /** Do the bucket targets (pushed + runtime) allow this file's
+        * segment assignment? Missing segment = keep (pre-bucket /
+        * evolved files).
+        */
+      private def bucketMayKeep(vals: Map[String, String]): Boolean = {
+        def ok(targets: Map[String, Set[String]]): Boolean =
+          targets.forall { case (c, allowed) =>
+            vals.get(AvroFileSource.bucketSegName(c)) match {
+              case None => true
+              case Some(raw) => allowed.contains(raw)
+            }
+          }
+        ok(bucketTargets) && ok(runtimeBucket)
+      }
 
       /** Columns eligible for runtime ZONE pruning: covered by the
         * all-column manifest somewhere, of a type whose internal→external
@@ -3129,7 +3318,7 @@ class AvroScanBuilder(path: String, full: StructType,
               readSchema().fieldNames.contains(AvroFileSource.MetaFile))
             Seq(AvroFileSource.MetaFile)
           else Nil
-        ((partitionCols ++ rtZoneCols).distinct
+        ((partitionCols ++ rtZoneCols ++ bucketByCol.keys).distinct
           .filter(readSchema().fieldNames.contains) ++ meta)
           .map(Expressions.column).toArray
       }
@@ -3208,6 +3397,18 @@ class AvroScanBuilder(path: String, full: StructType,
               vs.forall(_.isDefined))
             Some(col -> vs.flatten.toSet)
           else None
+        }.toMap
+        // join-key IN-sets resolve to target buckets: each key hashes to
+        // exactly one segment, so a build side of any selectivity prunes
+        // the fact table to |keys| buckets at most (same 10k cost cap)
+        runtimeBucket = ins.flatMap { case (col, lits) =>
+          bucketByCol.get(col).flatMap { n =>
+            val keys = lits.map(litKey)
+            if (lits.size <= 10000 && keys.forall(_.isDefined))
+              Some(col -> keys.flatten
+                .map(k => AvroFileSource.bucketOf(k, n).toString).toSet)
+            else None
+          }
         }.toMap
       }
 
@@ -3537,6 +3738,7 @@ class AvroScanBuilder(path: String, full: StructType,
           .filter { case (f, vals) =>
             decidedKeep(f) &&
               partitionMayMatch(vals) && runtimeMayMatch(vals) &&
+              bucketMayKeep(vals) &&
               zoneMayKeep(f) && runtimeZoneKeep(f) &&
               bloomMayKeep(f) && trigramMayKeep(f) &&
               runtimeFileSet.forall(_.contains(relOf(f))) }
@@ -3567,11 +3769,20 @@ class AvroScanBuilder(path: String, full: StructType,
         * column of a supported type. None = flat/drifted layout.
         */
       private def keyedFiles(): Option[Seq[(File, InternalRow)]] = {
-        if (partitionCols.isEmpty || !preserveGrouping) return None
+        if ((partitionCols.isEmpty && bucketSpec.isEmpty) ||
+          !preserveGrouping) return None
         val fields = partitionCols.map(c => full.fields.find(_.name == c).get)
         val keyed = prunedFiles().map { case (f, vals) =>
           val key = fields.map(fld => vals.get(fld.name)
-            .flatMap(internalKeyValue(_, fld.dataType)))
+            .flatMap(internalKeyValue(_, fld.dataType))) ++
+            // bucket key components: the segment's bucket ordinal. A
+            // missing segment or a `__null__` bucket declines key
+            // reporting entirely (an int key can't carry it)
+            bucketSpec.map { case (c, _) =>
+              vals.get(AvroFileSource.bucketSegName(c))
+                .filter(_ != "__null__")
+                .flatMap(raw => scala.util.Try(raw.toInt: Any).toOption)
+            }
           (f, key)
         }
         if (keyed.exists(_._2.exists(_.isEmpty))) None
@@ -3590,7 +3801,11 @@ class AvroScanBuilder(path: String, full: StructType,
         */
       override def outputPartitioning(): Partitioning = keyedFiles() match {
         case Some(files) => new KeyGroupedPartitioning(
-          partitionCols.map(Expressions.identity).toArray, files.length)
+          (partitionCols.map(c => Expressions.identity(c)
+            : org.apache.spark.sql.connector.expressions.Expression) ++
+            bucketSpec.map { case (c, n) => Expressions.bucket(n, c)
+              : org.apache.spark.sql.connector.expressions.Expression })
+            .toArray, files.length)
         case None => new UnknownPartitioning(0)
       }
 
@@ -4877,7 +5092,10 @@ class AvroWriteBuilder(path: String, schema: StructType,
     constraintsDir: Option[String] = None,
     // roll container files at ~this many on-disk bytes (staged batch
     // writes only) — bounds file sizes on huge tasks
-    targetFileBytes: Option[Long] = None)
+    targetFileBytes: Option[Long] = None,
+    // hidden hash-bucket partitioning: (col, N) specs routing rows to
+    // `<col>_bucket=` segments (see AvroFileSource.bucketOf)
+    bucketBy: Seq[(String, Int)] = Nil)
   extends WriteBuilder with SupportsTruncate
   with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite
   with org.apache.spark.sql.connector.write.SupportsOverwriteV2 {
@@ -4963,6 +5181,34 @@ class AvroWriteBuilder(path: String, schema: StructType,
     require(AvroFileSource.bloomableType(f.dataType),
       s"ndvFor does not support ${f.dataType.simpleString} (column '$c')")
   }
+
+  // Bucket specs: schema membership, canonical-string-stable type (the
+  // same set whose external toString ≡ filter-literal key — floats,
+  // timestamps and decimals are excluded for the litKey reasons), a
+  // positive N, no overlap with identity partitioning, and no name
+  // collision between a `<col>_bucket` segment and a real column (a
+  // same-named identity partition segment would be indistinguishable).
+  bucketBy.foreach { case (c, n) =>
+    val f = schema.fields.find(_.name == c).getOrElse(
+      throw new IllegalArgumentException(
+        s"bucketBy column '$c' not in schema"))
+    import org.apache.spark.sql.types._
+    f.dataType match {
+      case StringType | IntegerType | LongType | ShortType | ByteType |
+           BooleanType | DateType => ()
+      case other => throw new IllegalArgumentException(
+        s"bucketBy does not support ${other.simpleString} (column '$c')")
+    }
+    require(n > 0, s"bucketBy '$c:$n': bucket count must be positive")
+    require(!partitionBy.contains(c),
+      s"bucketBy column '$c' is already an identity partition column")
+    val seg = AvroFileSource.bucketSegName(c)
+    require(!schema.fieldNames.contains(seg) && !partitionBy.contains(seg),
+      s"bucketBy column '$c': segment name '$seg' collides with a " +
+        "real column")
+  }
+  require(bucketBy.map(_._1).distinct.length == bucketBy.length,
+    "bucketBy lists a column twice")
 
   // RETIRED names (ALTER TABLE DROP COLUMN) may never be written again:
   // name-based resolution would resurrect the old files' same-named
@@ -5172,7 +5418,7 @@ class AvroWriteBuilder(path: String, schema: StructType,
         val base = AvroWriterFactory(path, schema, codec, partitionBy,
           staged = true, sortedBy = sortedBy, bloomFor = bloomFor,
           ndvFor = ndvFor, trigramFor = trigramFor,
-          targetFileBytes = targetFileBytes)
+          targetFileBytes = targetFileBytes, bucketBy = bucketBy)
         if (compiledChecks.isEmpty) base
         else CheckedWriterFactory(base, compiledChecks)
       }
@@ -5184,6 +5430,18 @@ class AvroWriteBuilder(path: String, schema: StructType,
       private def commitImpl(messages: Array[WriterCommitMessage]): Unit = {
         val staged = messages.toSeq
           .collect { case m: AvroCommitMessage => m.files }.flatten
+        // bucket-spec agreement BEFORE anything publishes (the merge at
+        // the end re-checks under the same lock; this makes a conflict
+        // leave zero litter)
+        if (!doTruncate && bucketBy.nonEmpty) {
+          val prior = AvroFileSource.readBucketSpec(new File(path)).toMap
+          bucketBy.foreach { case (c, n) =>
+            prior.get(c).foreach(pn => require(pn == n,
+              s"graft-avro: bucketBy '$c:$n' conflicts with the " +
+                s"table's established spec '$c:$pn' — a column's " +
+                "bucket count is immutable (truncate to re-bucket)"))
+          }
+        }
         // ROW-LEVEL CONFLICT CHECK — before ANYTHING publishes: every
         // file this operation's scan served must still be live. A
         // concurrent row-level op that committed first archived its
@@ -5391,6 +5649,13 @@ class AvroWriteBuilder(path: String, schema: StructType,
             } else { marker.delete(); zonesF.delete() }
           case None => if (staged.nonEmpty) { marker.delete(); zonesF.delete() }
         }
+        // bucket-spec sidecar: a truncate installs this write's spec
+        // wholesale (the old files are gone); anything else merges —
+        // agreeing or fresh columns extend the spec, a conflicting N
+        // fails loudly BEFORE the journal entry (the staged files are
+        // published but unjournaled: remove_orphans reclaims them)
+        AvroFileSource.mergeBucketSpec(new File(path), bucketBy,
+          replace = doTruncate)
         // pruning/stat manifests (col-zones, blooms, rows, NDV):
         // shared fold with the delta row-level commit
         AvroFileSource.foldStatsManifests(new File(path),
@@ -5418,7 +5683,7 @@ class AvroWriteBuilder(path: String, schema: StructType,
           info: PhysicalWriteInfo): StreamingDataWriterFactory = {
         new File(path).mkdirs()
         val base = AvroStreamingWriterFactory(path, schema, codec,
-          partitionBy)
+          partitionBy, bucketBy = bucketBy)
         if (compiledChecks.isEmpty) base
         else CheckedStreamingWriterFactory(base, compiledChecks)
       }
@@ -5428,6 +5693,10 @@ class AvroWriteBuilder(path: String, schema: StructType,
           // sorted-layout claim (and its zone manifest) the directory carried
           AvroFileSource.sortMarker(new File(path)).delete()
           AvroFileSource.zoneFile(new File(path)).delete()
+          // streamed bucketed epochs extend/agree the bucket spec like
+          // any append (a conflicting N fails the epoch)
+          AvroFileSource.mergeBucketSpec(new File(path), bucketBy,
+            replace = false)
           // idle epochs no-op inside appendSnapshot (state unchanged)
           AvroFileSource.appendSnapshot(new File(path), s"epoch-$epochId")
         }
@@ -5960,8 +6229,10 @@ private[sources] object AvroWriters {
       bloomFor: Seq[String] = Nil,
       ndvFor: Seq[String] = Nil,
       trigramFor: Seq[String] = Nil,
-      targetFileBytes: Option[Long] = None): DataWriter[InternalRow] = {
+      targetFileBytes: Option[Long] = None,
+      buckets: Seq[(String, Int)] = Nil): DataWriter[InternalRow] = {
     val idx = partCols.map(schema.fieldIndex)
+    val bidx = buckets.map { case (c, _) => schema.fieldIndex(c) }
     val sortIdx = sortedBy.map(schema.fieldIndex)
     val avroSchema = AvroSchemaConverter.toAvro(schema, "topLevelRecord", None, None)
     val toAvro = AvroInternalCodec.encoderFor(schema, avroSchema)
@@ -6007,7 +6278,7 @@ private[sources] object AvroWriters {
         // externalize ONLY the partition-routing + stats values; the
         // payload goes through the fused InternalRow→record encoder
         val view = AvroInternalCodec.externalView(record, schema)
-        val sub = partCols.zip(idx).map { case (c, i) =>
+        val sub = (partCols.zip(idx).map { case (c, i) =>
           val v = view.get(i)
           val raw =
             if (v == null) "__null__"
@@ -6018,7 +6289,17 @@ private[sources] object AvroWriters {
               if (e == "__null__") "%5F_null__" else e
             }
           s"$c=$raw"
-        }.mkString("/")
+        } ++ buckets.zip(bidx).map { case ((c, n), i) =>
+          // hidden partitioning: the segment value is the HASH BUCKET
+          // of the canonical string, not the value itself — nulls get
+          // the `__null__` segment (an equality filter never matches
+          // null, so that directory prunes under any bucket target)
+          val v = view.get(i)
+          val seg =
+            if (v == null) "__null__"
+            else AvroFileSource.bucketOf(v.toString, n).toString
+          s"${AvroFileSource.bucketSegName(c)}=$seg"
+        }).mkString("/")
         val seg = open.getOrElseUpdate(sub, {
           val s = new Seg(sub, nextSeq.getOrElse(sub, 0))
           nextSeq(sub) = nextSeq.getOrElse(sub, 0) + 1
@@ -6197,7 +6478,8 @@ case class AvroWriterFactory(path: String, schema: StructType,
     staged: Boolean = false, sortedBy: Option[String] = None,
     bloomFor: Seq[String] = Nil, ndvFor: Seq[String] = Nil,
     trigramFor: Seq[String] = Nil,
-    targetFileBytes: Option[Long] = None)
+    targetFileBytes: Option[Long] = None,
+    bucketBy: Seq[(String, Int)] = Nil)
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
@@ -6208,11 +6490,11 @@ case class AvroWriterFactory(path: String, schema: StructType,
     // name can never be reused by a later generation.
     val uniq = java.util.UUID.randomUUID().toString.take(8)
     val name = f"part-$partitionId%05d-$taskId-$uniq.avro"
-    if (partitionBy.nonEmpty)
+    if (partitionBy.nonEmpty || bucketBy.nonEmpty)
       AvroWriters.openPartitioned(path, schema, name, partitionBy, codec,
         staged = staged, sortedBy = sortedBy, bloomFor = bloomFor,
         ndvFor = ndvFor, trigramFor = trigramFor,
-        targetFileBytes = targetFileBytes)
+        targetFileBytes = targetFileBytes, buckets = bucketBy)
     else
       AvroWriters.open(path, schema, name,
         lazyCreate = false, codec = codec, staged = staged,
@@ -6222,14 +6504,16 @@ case class AvroWriterFactory(path: String, schema: StructType,
 }
 
 case class AvroStreamingWriterFactory(path: String, schema: StructType,
-    codec: String = AvroFileSource.DefaultCodec, partitionBy: Seq[String] = Nil)
+    codec: String = AvroFileSource.DefaultCodec, partitionBy: Seq[String] = Nil,
+    bucketBy: Seq[(String, Int)] = Nil)
   extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] = {
     val name = f"part-e$epochId%06d-$partitionId%05d.avro"
-    if (partitionBy.nonEmpty)
-      AvroWriters.openPartitioned(path, schema, name, partitionBy, codec)
+    if (partitionBy.nonEmpty || bucketBy.nonEmpty)
+      AvroWriters.openPartitioned(path, schema, name, partitionBy, codec,
+        buckets = bucketBy)
     else
       AvroWriters.open(path, schema, name, lazyCreate = true, codec = codec)
   }

@@ -912,19 +912,32 @@ object AvroMaintenance {
     // of existing k=v segments (partition values also live in the
     // files, so the rewrite can re-derive the directories) — without
     // this, compacting a partitioned table would silently flatten it
-    // and permanently degrade pruning and SPJ
-    val partCols = AvroFileSource.listPartitioned(new java.io.File(dir))
-      .flatMap(_._2.keys).distinct
+    // and permanently degrade pruning and SPJ. Hash-bucket segments
+    // (`<col>_bucket=`) are NOT identity columns: they re-derive from
+    // the sidecar spec and are re-routed by the bucketed writer.
+    val dirF = new java.io.File(dir)
+    val bucketSpec = AvroFileSource.readBucketSpec(dirF)
+    val bucketSegs = bucketSpec
+      .map { case (c, _) => AvroFileSource.bucketSegName(c) }.toSet
+    val partCols = AvroFileSource.listPartitioned(dirF)
+      .flatMap(_._2.keys).distinct.filterNot(bucketSegs)
     import org.apache.spark.sql.{functions => F}
     val red = spark.read.format("graft-avro").load(dir)
-    val pinned = (if (partCols.nonEmpty)
+    val clusterCols = partCols ++
+      bucketSpec.map(_._1).filterNot(partCols.contains)
+    val pinned = (if (clusterCols.nonEmpty)
       // co-locate each partition value in one task, or the write fans
       // out to (tasks x values) small files — the opposite of compaction
-      red.repartition(n, partCols.map(F.col): _*)
+      red.repartition(n, clusterCols.map(F.col): _*)
     else red.repartition(n)).localCheckpoint(true)
-    val w = pinned.write.format("graft-avro").mode("overwrite")
-    (if (partCols.nonEmpty) w.option("partitionBy", partCols.mkString(","))
-     else w).save(dir)
+    val w0 = pinned.write.format("graft-avro").mode("overwrite")
+    val w1 =
+      if (partCols.nonEmpty) w0.option("partitionBy", partCols.mkString(","))
+      else w0
+    (if (bucketSpec.nonEmpty)
+      w1.option("bucketBy",
+        bucketSpec.map { case (c, bn) => s"$c:$bn" }.mkString(","))
+    else w1).save(dir)
     n
   }
 

@@ -28,7 +28,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog
-    with org.apache.spark.sql.connector.catalog.ViewCatalog {
+    with org.apache.spark.sql.connector.catalog.ViewCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catName: String = _
   private var root: File = _
@@ -182,21 +183,44 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (viewExists(ident)) throw new IllegalStateException(
       s"graft catalog: a view named ${ident.toString} exists — " +
         "DROP the view first (CALL system.drop_view)")
-    val parts = partitions.toSeq.map {
+    // identity transforms become hive-style `k=v` directories; `bucket
+    // (N, col)` transforms become the hidden hash-bucket layout
+    // (`graft.bucketBy` property → `<col>_bucket=` segments + the
+    // `_graft_bucket` sidecar on first write)
+    val idParts = partitions.toSeq.collect {
       case t if t.name() == "identity" && t.references().length == 1 &&
           t.references()(0).fieldNames().length == 1 =>
         t.references()(0).fieldNames()(0)
-      case other => throw new UnsupportedOperationException(
-        s"graft catalog: only identity partitioning is supported, got $other")
     }
-    parts.foreach(c => require(schema.fieldNames.contains(c),
-      s"graft catalog: partition column '$c' not in schema"))
+    val bucketParts = partitions.toSeq.collect {
+      case t if t.name() == "bucket" && t.references().length == 1 &&
+          t.references()(0).fieldNames().length == 1 =>
+        val n = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.value().isInstanceOf[Number] =>
+            l.value().asInstanceOf[Number].intValue()
+        }.getOrElse(throw new UnsupportedOperationException(
+          s"graft catalog: bucket transform without a numeric bucket " +
+            s"count: $t"))
+        (t.references()(0).fieldNames()(0), n)
+    }
+    require(idParts.length + bucketParts.length == partitions.length,
+      "graft catalog: only identity and bucket(n, col) partitioning " +
+        s"are supported, got ${partitions.mkString(", ")}")
+    val parts = idParts
+    (parts ++ bucketParts.map(_._1)).foreach(c =>
+      require(schema.fieldNames.contains(c),
+        s"graft catalog: partition column '$c' not in schema"))
     d.mkdirs()
     java.nio.file.Files.write(schemaFile(d).toPath,
       (schema.json + "\n" + parts.mkString(",")).getBytes("UTF-8"))
     // writer-layout properties: only graft.* keys are ours (Spark adds
     // provider/owner/etc. to every CREATE TABLE — not stored)
-    val gp = properties.asScala.filter(_._1.startsWith("graft.")).toMap
+    val gp = properties.asScala.filter(_._1.startsWith("graft.")).toMap ++
+      (if (bucketParts.nonEmpty)
+        Map("graft.bucketBy" ->
+          bucketParts.map { case (c, n) => s"$c:$n" }.mkString(","))
+      else Map.empty)
     if (gp.nonEmpty) AvroFileSource.writeProps(d, gp)
     AvroTable(d.getPath, schema, defaultPartitionBy = parts)
   }
@@ -577,5 +601,81 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     JF.walk(d.toPath).sorted(java.util.Comparator.reverseOrder[Path]())
       .forEach(p => JF.deleteIfExists(p))
     true
+  }
+
+  // ---- functions ------------------------------------------------------
+  // The catalog exposes exactly one function, `bucket(n, col)` — the
+  // transform the scans report in their KeyGroupedPartitioning keys.
+  // Spark resolves those keys against the relation's FunctionCatalog
+  // (V2ExpressionUtils), and two scans whose bound functions share a
+  // canonicalName are co-partitioned: that is what lets two co-bucketed
+  // graft tables storage-partition-join with no exchange.
+
+  override def listFunctions(ns: Array[String]): Array[Identifier] =
+    if (ns.isEmpty || namespaceExists(ns))
+      Array(Identifier.of(ns, "bucket"))
+    else throw new NoSuchNamespaceException(ns)
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name() == "bucket") GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
+}
+
+/** The catalog-exposed `bucket(n, col)` function: binds over any
+  * canonical-string-stable column type and computes EXACTLY the writer's
+  * directory routing ([[AvroFileSource.bucketOf]] over the value's
+  * canonical string). `canonicalName` is shared across all bindings —
+  * SPJ compatibility is by canonical name + equal argument literals, so
+  * two tables bucketed `col:N` with the same N co-partition.
+  */
+object GraftBucketFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction,
+    ScalarFunction}
+  import org.apache.spark.sql.types._
+
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, col): graft hash bucket of col's canonical string, mod n"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"graft bucket(n, col) takes two arguments, got $inputType")
+    val dt = inputType.fields(1).dataType
+    dt match {
+      case StringType | IntegerType | LongType | ShortType | ByteType |
+           BooleanType | DateType => ()
+      case other => throw new UnsupportedOperationException(
+        s"graft bucket: unsupported value type ${other.simpleString}")
+    }
+    new ScalarFunction[Integer] {
+      override def inputTypes(): Array[DataType] = Array(IntegerType, dt)
+      override def resultType(): DataType = IntegerType
+      override def name(): String = "bucket"
+      override def canonicalName(): String = "graft.bucket"
+      override def isResultNullable: Boolean = true
+      override def produceResult(input: InternalRow): Integer = {
+        val n = input.getInt(0)
+        if (input.isNullAt(1)) null
+        else {
+          val canonical = dt match {
+            case StringType => input.getUTF8String(1).toString
+            case IntegerType => input.getInt(1).toString
+            case LongType => input.getLong(1).toString
+            case ShortType => input.getShort(1).toString
+            case ByteType => input.getByte(1).toString
+            case BooleanType => input.getBoolean(1).toString
+            case DateType =>
+              java.time.LocalDate.ofEpochDay(input.getInt(1).toLong).toString
+            case other => throw new UnsupportedOperationException(
+              s"graft bucket over ${other.simpleString}")
+          }
+          Int.box(AvroFileSource.bucketOf(canonical, n))
+        }
+      }
+    }
   }
 }

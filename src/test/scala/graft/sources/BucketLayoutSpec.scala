@@ -1,0 +1,236 @@
+package graft.sources
+
+import java.io.File
+
+import org.apache.spark.sql.connector.expressions.Expressions
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** Hidden hash-bucket partitioning (`bucketBy=col:n`): rows route to
+  * `<col>_bucket=b` directory segments by a deterministic hash of the
+  * value's canonical string, the spec lives in the `_graft_bucket`
+  * sidecar, and equality/IN filters — pushed or runtime join-key
+  * IN-sets — prune to the literal's bucket. Unlike identity
+  * partitioning this bounds the directory fan-out by N regardless of
+  * key cardinality: the point-lookup layout for high-cardinality keys
+  * at 100 TB. Also pinned: the bucket spec's immutability, soundness
+  * across unbucketed appends (missing segment = keep), null routing,
+  * and storage-partitioned joins between co-bucketed catalog tables
+  * (zero exchanges via the catalog's `bucket` function).
+  */
+class BucketLayoutSpec extends AnyFunSuite with SparkSpec with Matchers {
+
+  private def tmp(): String = graft.operators.Catalog.tempDir("graft_bucket")
+
+  private def writeBucketed(dir: String, n: Int = 8): Unit =
+    spark.range(0, 800).toDF("k")
+      .withColumn("payload", F.md5(F.col("k").cast("string")))
+      .write.format("graft-avro").option("bucketBy", s"k:$n")
+      .mode("overwrite").save(dir)
+
+  private def scanParts(dir: String,
+      filters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
+      runtimeIn: Seq[Long] = Nil): Int = {
+    val schema = spark.read.format("graft-avro").load(dir).schema
+    val sb = new AvroScanBuilder(dir, schema)
+    if (filters.nonEmpty) sb.pushFilters(filters.toArray)
+    val scan = sb.build()
+    if (runtimeIn.nonEmpty)
+      scan.asInstanceOf[SupportsRuntimeV2Filtering].filter(Array(
+        new Predicate("IN", (Expressions.column("k") +:
+          runtimeIn.map(v => Expressions.literal(v))).toArray[
+            org.apache.spark.sql.connector.expressions.Expression])))
+    scan.toBatch.planInputPartitions().length
+  }
+
+  test("bucketed write: segments, sidecar, complete read-back") {
+    val dir = tmp()
+    writeBucketed(dir)
+    AvroFileSource.readBucketSpec(new File(dir)) shouldBe Seq("k" -> 8)
+    val segs = AvroFileSource.listPartitioned(new File(dir))
+      .flatMap(_._2.get("k_bucket")).distinct
+    segs.nonEmpty shouldBe true
+    segs.foreach(s => s.toInt should (be >= 0 and be < 8))
+    val back = spark.read.format("graft-avro").load(dir)
+    back.count() shouldBe 800
+    back.agg(F.sum("k")).head().getLong(0) shouldBe (0L until 800L).sum
+  }
+
+  test("equality and IN prune to the literal's bucket; zero false negatives") {
+    val dir = tmp()
+    writeBucketed(dir)
+    val all = scanParts(dir)
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    // a point lookup keeps only files of ONE bucket segment
+    val one = scanParts(dir, Seq(EqualTo("k", 42L)))
+    one should be < all
+    one should be <= (all + 7) / 8 + 1
+    // IN over two keys keeps at most two buckets' files
+    scanParts(dir, Seq(In("k", Array(3L, 12L)))) should
+      be <= 2 * ((all + 7) / 8 + 1)
+    // no false negatives through the full read path
+    val avro = spark.read.format("graft-avro").load(dir)
+    (0L until 800L by 53).foreach { k =>
+      avro.filter(F.col("k") === k).count() shouldBe 1
+    }
+    // IN with only nulls matches nothing and prunes everything
+    scanParts(dir, Seq(In("k", Array(null)))) shouldBe 0
+  }
+
+  test("runtime join-key IN-sets prune through buckets") {
+    val dir = tmp()
+    // a SINGLE task writes all buckets so zone bounds per bucket file
+    // span the domain: any pruning observed is the bucket's
+    spark.range(0, 800).toDF("k")
+      .withColumn("payload", F.md5(F.col("k").cast("string")))
+      .coalesce(1)
+      .write.format("graft-avro").option("bucketBy", "k:8")
+      .mode("overwrite").save(dir)
+    val all = scanParts(dir)
+    scanParts(dir, runtimeIn = Seq(7L)) should be < all
+    // end-to-end join answers exactly
+    import spark.implicits._
+    val fact = spark.read.format("graft-avro").load(dir)
+    val dim = Seq(7L, 16L, 399L).toDF("j")
+    fact.join(F.broadcast(dim), fact("k") === dim("j"))
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq shouldBe
+      Seq(7L, 16L, 399L)
+  }
+
+  test("identity + bucket segments compose") {
+    val dir = tmp()
+    spark.range(0, 400).toDF("k")
+      .withColumn("p", F.col("k") % 2)
+      .write.format("graft-avro")
+      .option("partitionBy", "p").option("bucketBy", "k:4")
+      .mode("overwrite").save(dir)
+    val vals = AvroFileSource.listPartitioned(new File(dir)).map(_._2)
+    vals.foreach { m =>
+      m.keySet should contain allOf ("p", "k_bucket")
+    }
+    import org.apache.spark.sql.sources.EqualTo
+    val all = scanParts(dir)
+    // both prunings stack: p=0 alone halves, k=10 alone quarters
+    scanParts(dir, Seq(EqualTo("p", 0L), EqualTo("k", 10L))) should
+      be < scanParts(dir, Seq(EqualTo("p", 0L)))
+    scanParts(dir, Seq(EqualTo("k", 10L))) should be < all
+    val back = spark.read.format("graft-avro").load(dir)
+    back.filter(F.col("k") === 10L).count() shouldBe 1
+    back.count() shouldBe 400
+  }
+
+  test("nulls route to __null__ and prune under equality, read under IS NULL") {
+    val dir = tmp()
+    spark.range(0, 40).toDF("i")
+      .withColumn("k", F.when(F.col("i") % 4 === 0, F.col("i"))
+        .cast("long"))
+      .write.format("graft-avro").option("bucketBy", "k:4")
+      .mode("overwrite").save(dir)
+    val segs = AvroFileSource.listPartitioned(new File(dir))
+      .flatMap(_._2.get("k_bucket")).distinct
+    segs should contain("__null__")
+    val back = spark.read.format("graft-avro").load(dir)
+    back.filter(F.col("k").isNull).count() shouldBe 30
+    back.filter(F.col("k") === 8L).count() shouldBe 1
+  }
+
+  test("spec immutability: conflicting N refuses; unbucketed appends stay sound") {
+    val dir = tmp()
+    writeBucketed(dir, n = 8)
+    // appending with a DIFFERENT N fails loudly (ambiguous segments)
+    val boom = intercept[Exception] {
+      spark.range(800, 810).toDF("k")
+        .withColumn("payload", F.md5(F.col("k").cast("string")))
+        .write.format("graft-avro").option("bucketBy", "k:16")
+        .mode("append").save(dir)
+    }
+    boom.getMessage should include("immutable")
+    // an append WITHOUT bucketBy adds segment-less files: always kept
+    spark.range(800, 810).toDF("k")
+      .withColumn("payload", F.md5(F.col("k").cast("string")))
+      .coalesce(1)
+      .write.format("graft-avro").mode("append").save(dir)
+    val avro = spark.read.format("graft-avro").load(dir)
+    avro.filter(F.col("k") === 805L).count() shouldBe 1
+    avro.filter(F.col("k") === 42L).count() shouldBe 1
+    // truncate re-buckets: the sidecar is replaced wholesale
+    spark.range(0, 10).toDF("k")
+      .withColumn("payload", F.md5(F.col("k").cast("string")))
+      .write.format("graft-avro").option("bucketBy", "k:16")
+      .mode("overwrite").save(dir)
+    AvroFileSource.readBucketSpec(new File(dir)) shouldBe Seq("k" -> 16)
+    spark.read.format("graft-avro").load(dir).count() shouldBe 10
+  }
+
+  test("bucketBy rejects unsupported types and collisions") {
+    val dir = tmp()
+    intercept[IllegalArgumentException] {
+      spark.range(3).toDF("k").withColumn("d", F.col("k").cast("double"))
+        .write.format("graft-avro").option("bucketBy", "d:4")
+        .mode("overwrite").save(dir)
+    }.getMessage should include("does not support")
+    intercept[IllegalArgumentException] {
+      spark.range(3).toDF("k")
+        .write.format("graft-avro").option("bucketBy", "nope:4")
+        .mode("overwrite").save(dir)
+    }.getMessage should include("not in schema")
+    intercept[IllegalArgumentException] {
+      spark.range(3).toDF("k")
+        .write.format("graft-avro")
+        .option("partitionBy", "k").option("bucketBy", "k:4")
+        .mode("overwrite").save(dir)
+    }.getMessage should include("identity partition")
+  }
+
+  test("compactInPlace preserves the bucket layout") {
+    val dir = tmp()
+    writeBucketed(dir)
+    AvroMaintenance.compactInPlace(spark, dir, targetBytes = 1L << 26)
+    AvroFileSource.readBucketSpec(new File(dir)) shouldBe Seq("k" -> 8)
+    AvroFileSource.listPartitioned(new File(dir))
+      .foreach { case (_, vals) => vals.keySet should contain("k_bucket") }
+    val avro = spark.read.format("graft-avro").load(dir)
+    avro.count() shouldBe 800
+    import org.apache.spark.sql.sources.EqualTo
+    scanParts(dir, Seq(EqualTo("k", 42L))) should be < scanParts(dir)
+  }
+
+  test("storage-partitioned join: co-bucketed catalog tables join with zero exchanges") {
+    val root = graft.operators.Catalog.tempDir("graft_bucket_cat")
+    spark.conf.set("spark.sql.catalog.graft_bk",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_bk.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_bk.spj")
+    spark.sql("DROP TABLE IF EXISTS graft_bk.spj.a")
+    spark.sql("DROP TABLE IF EXISTS graft_bk.spj.b")
+    spark.sql("CREATE TABLE graft_bk.spj.a (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(8, k)) " +
+      "TBLPROPERTIES ('graft.preservePartitioning'='true')")
+    spark.sql("CREATE TABLE graft_bk.spj.b (k BIGINT, w STRING) " +
+      "PARTITIONED BY (bucket(8, k)) " +
+      "TBLPROPERTIES ('graft.preservePartitioning'='true')")
+    spark.sql("INSERT INTO graft_bk.spj.a SELECT id, id * 3 FROM range(500)")
+    spark.sql("INSERT INTO graft_bk.spj.b " +
+      "SELECT id, concat('w', id) FROM range(0, 500, 2)")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val joined = spark.sql(
+        "SELECT a.k, a.v, b.w FROM graft_bk.spj.a a " +
+          "JOIN graft_bk.spj.b b ON a.k = b.k")
+      joined.count() shouldBe 250
+      joined.agg(F.sum("v")).head().getLong(0) shouldBe
+        (0L until 500L by 2).map(_ * 3).sum
+      val plan = joined.queryExecution.executedPlan.toString
+      plan should not include "Exchange"
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+}
