@@ -111,6 +111,66 @@ object AvroGates extends Catalog {
       a.join(b, Seq("lang")).orderBy("lang")
     }),
 
+    // hidden hash-bucket partitioning (`bucketBy=doc_id:16`): the
+    // directory fan-out is bounded by N regardless of key cardinality,
+    // and point/IN lookups prune to the literal's bucket — the
+    // 100 TB point-lookup layout where identity partitioning would
+    // explode into one directory per key. Values must round-trip the
+    // bucketed layout exactly.
+    "q_avro_bucket_prune" -> ((s, dir) => {
+      val tmp = tempDir("graft_gate_bucket")
+      table(s, dir, "documents").select("doc_id", "lang", "n_chars")
+        .write.format("graft-avro").option("bucketBy", "doc_id:16")
+        .mode("overwrite").save(tmp)
+      s.read.format("graft-avro").load(tmp)
+        .filter(F.col("doc_id").isin(7L, 11L, 12L, 13L, 101L))
+        .orderBy("doc_id")
+    }),
+
+    // storage-partitioned join between two CO-BUCKETED catalog tables:
+    // both sides `PARTITIONED BY (bucket(8, doc_id))` with the
+    // preservePartitioning table property, scans report bucket(8,
+    // doc_id) keys resolved through the catalog's `bucket` function,
+    // and the high-cardinality join runs with no exchange on either
+    // side — the shape identity partitioning cannot reach (one dir per
+    // doc_id is not a layout). Catalog tables are REQUIRED: bucket
+    // transforms resolve against the relation's FunctionCatalog, which
+    // path reads don't carry. BucketLayoutSpec pins the zero-exchange
+    // plan; here the joined result must match the oracle exactly.
+    "q_avro_bucket_join" -> ((s, dir) => {
+      val k = "spark.sql.sources.v2.bucketing.enabled"
+      if (!s.conf.getOption(k).contains("true")) s.conf.set(k, "true")
+      if (!s.conf.getOption("spark.sql.catalog.graft_gate").isDefined) {
+        s.conf.set("spark.sql.catalog.graft_gate",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_gate.root",
+          tempDir("graft_gate_cat"))
+      }
+      table(s, dir, "documents").select("doc_id", "lang", "n_chars")
+        .createOrReplaceTempView("docs_src_bkj")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.gate")
+      s.sql("DROP TABLE IF EXISTS graft_gate.gate.bkj_a")
+      s.sql("DROP TABLE IF EXISTS graft_gate.gate.bkj_b")
+      s.sql("CREATE TABLE graft_gate.gate.bkj_a " +
+        "(doc_id BIGINT, n_chars INT) PARTITIONED BY (bucket(8, doc_id)) " +
+        "TBLPROPERTIES ('graft.preservePartitioning'='true')")
+      s.sql("CREATE TABLE graft_gate.gate.bkj_b " +
+        "(doc_id BIGINT, lang STRING) PARTITIONED BY (bucket(8, doc_id)) " +
+        "TBLPROPERTIES ('graft.preservePartitioning'='true')")
+      s.sql("INSERT INTO graft_gate.gate.bkj_a " +
+        "SELECT doc_id, n_chars FROM docs_src_bkj")
+      s.sql("INSERT INTO graft_gate.gate.bkj_b " +
+        "SELECT doc_id, lang FROM docs_src_bkj WHERE doc_id % 3 = 0")
+      // MERGE hint (session-conf-free): at gate SF the small side would
+      // auto-broadcast and dodge the storage-partitioned path; the hint
+      // forces the sort-merge shape whose exchanges SPJ then eliminates
+      s.sql("""SELECT /*+ MERGE(b) */ b.lang, count(*) AS n_docs,
+              |       CAST(sum(a.n_chars) AS BIGINT) AS chars
+              |FROM graft_gate.gate.bkj_a a
+              |JOIN graft_gate.gate.bkj_b b ON a.doc_id = b.doc_id
+              |GROUP BY b.lang ORDER BY b.lang""".stripMargin)
+    }),
+
     // WRITE-path schema evolution under the oracle: a day-1 batch is
     // written with (doc_id, source, score:int); a day-2 batch APPENDS to
     // the same directory with score widened int→long and a new nullable
@@ -2569,6 +2629,14 @@ object AvroGates extends Catalog {
       """SELECT lang, CAST(sum(n_chars) AS BIGINT) AS chars,
                 count(DISTINCT source) AS n_sources
          FROM documents GROUP BY lang ORDER BY lang""",
+    "q_avro_bucket_prune" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE doc_id IN (7, 11, 12, 13, 101) ORDER BY doc_id""",
+    "q_avro_bucket_join" ->
+      """SELECT lang, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS chars
+         FROM documents WHERE doc_id % 3 = 0
+         GROUP BY lang ORDER BY lang""",
     "q_avro_evolve" ->
       """WITH u AS (
            SELECT source, CAST(n_chars AS BIGINT) AS score,
