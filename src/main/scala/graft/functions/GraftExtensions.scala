@@ -59,6 +59,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("minhash8", "minhash8(str) - 8-lane MinHash signature as array<bigint>"),
       (exprs: Seq[Expression]) =>
         MinHashAgg(exprs.head, lanes = 8).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("graft_bucket"),
+      info("graft_bucket",
+        "graft_bucket(col, n) - the hash bucket a bucketBy=col:n write routes this value to"),
+      (exprs: Seq[Expression]) => GraftBucketExpr(exprs.head, exprs(1))))
     // whole-operator extension: logical TopKPerKey → partial/final exec
     // pair (see graft.plans.TopKPerKey)
     ext.injectPlannerStrategy(_ => new graft.plans.TopKStrategy)

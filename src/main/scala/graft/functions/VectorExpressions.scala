@@ -338,6 +338,9 @@ object VectorFunctions {
       "minhash8",
       exprs => MinHashAgg(exprs.head, lanes = 8).toAggregateExpression(),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bucket", exprs => GraftBucketExpr(exprs.head, exprs(1)),
+      "scala_udf")
   }
 
   /** 4-lane MinHash signature aggregate over a string column (see

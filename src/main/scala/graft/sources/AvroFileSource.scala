@@ -288,19 +288,14 @@ object AvroFileSource {
 
   /** Deterministic bucket of a column value's CANONICAL string (the
     * same `v.toString` of the external value that identity partition
-    * segments use; dates are ISO `LocalDate` strings): first 8 bytes of
-    * md5 as a big-endian long, floor-mod n. Shared by the writer
-    * (routing), the scan (filter literal → target bucket), and the
-    * catalog's SQL `bucket` function (SPJ).
+    * segments use; dates are ISO `LocalDate` strings). Delegates to
+    * [[graft.functions.BucketHash]] — the single implementation shared
+    * by the writer (routing), the scan (filter literal → target
+    * bucket), the catalog's SPJ `bucket` function, and the
+    * `graft_bucket` SQL expression.
     */
-  def bucketOf(canonical: String, n: Int): Int = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(canonical.getBytes("UTF-8"))
-    var h = 0L
-    var i = 0
-    while (i < 8) { h = (h << 8) | (md(i) & 0xffL); i += 1 }
-    java.lang.Math.floorMod(h, n.toLong).toInt
-  }
+  def bucketOf(canonical: String, n: Int): Int =
+    graft.functions.BucketHash.bucket(canonical, n)
 
   /** Parse a `col:n[,col:n…]` bucket option string. */
   def parseBucketBy(s: String): Seq[(String, Int)] =

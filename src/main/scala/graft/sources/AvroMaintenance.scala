@@ -923,12 +923,18 @@ object AvroMaintenance {
       .flatMap(_._2.keys).distinct.filterNot(bucketSegs)
     import org.apache.spark.sql.{functions => F}
     val red = spark.read.format("graft-avro").load(dir)
-    val clusterCols = partCols ++
-      bucketSpec.map(_._1).filterNot(partCols.contains)
+    // co-locate by the bucket ORDINAL, not the bucket column: clustering
+    // by the raw column would spread each bucket over many tasks and
+    // fan out to tasks × N files — the opposite of compaction
+    if (bucketSpec.nonEmpty)
+      graft.functions.VectorFunctions.register(spark)
+    val clusterCols = partCols.map(F.col) ++
+      bucketSpec.map { case (c, bn) =>
+        F.call_function("graft_bucket", F.col(c), F.lit(bn)) }
     val pinned = (if (clusterCols.nonEmpty)
       // co-locate each partition value in one task, or the write fans
       // out to (tasks x values) small files — the opposite of compaction
-      red.repartition(n, clusterCols.map(F.col): _*)
+      red.repartition(n, clusterCols: _*)
     else red.repartition(n)).localCheckpoint(true)
     val w0 = pinned.write.format("graft-avro").mode("overwrite")
     val w1 =
