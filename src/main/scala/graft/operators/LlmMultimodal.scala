@@ -228,6 +228,41 @@ object LlmMultimodal extends Catalog {
         .orderBy("doc_id")
     }),
 
+    // PERCEPTUAL IMAGE HASH (pHash, DCT flavor) in exact integer
+    // arithmetic: 16×16 BMPs synthesized from character tiles run the
+    // REAL encode→decode round trip, then luminance → 2×2 block sums →
+    // integer 8×8 DCT-II (frozen cosine table, spliced into the oracle
+    // verbatim) → median-threshold 63-bit hash. Each selected document
+    // also hashes a ONE-BYTE-PERTURBED variant; the output pins both
+    // hashes and their Hamming distance — the image near-dup primitive
+    // (tiny perturbation ⇒ tiny distance) with every bit oracle-exact.
+    "llm_image_phash" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .filter(F.col("n_chars") > 0 &&
+          F.pmod(F.col("doc_id"), F.lit(5)) === 0)
+        .select(F.col("doc_id"), F.col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          def hashOf(perturb: Boolean): Long = {
+            val pix = Array.tabulate[Byte](16 * 16 * 3)(
+              j => bytes(j % bytes.length))
+            if (perturb) pix(0) = ((pix(0) + 7) % 256).toByte
+            val (w, h, dec) = graft.multimodal.Bmp.decode(
+              graft.multimodal.Bmp.encode(16, 16, pix))
+            graft.multimodal.Phash.hash64(w, h, dec)
+          }
+          (id, hashOf(false), hashOf(true))
+        }
+        .toDF("doc_id", "phash", "near_phash")
+        .select(F.col("doc_id"), F.col("phash"), F.col("near_phash"),
+          F.bit_count(F.col("phash").bitwiseXOR(F.col("near_phash")))
+            .cast("int").as("hamming"))
+        .orderBy("doc_id")
+    }),
+
     // REAL compressed-image decode under the oracle: the same pixel tiles
     // as llm_image_features, round-tripped through a genuine PNG
     // ([[graft.multimodal.Png]]) — zlib-deflated IDAT, per-row filters
@@ -887,6 +922,67 @@ object LlmMultimodal extends Catalog {
   )
 
   val oracles: Map[String, String] = Map(
+    // pHash re-derived byte-for-byte: tiled channel bytes (byte 0
+    // perturbed (+7) % 256 for the variant), luminance sums, 2×2 block
+    // sums, DCT via the SPLICED frozen cosine table (Phash.cosSqlValues
+    // — single source of truth with the Scala kernel), 32nd-order-stat
+    // median, shifts capped at 62 (the r15 `1<<63` BIGINT trap).
+    "llm_image_phash" -> s"""
+         WITH d AS (
+           SELECT doc_id, text, length(text) AS n
+           FROM documents WHERE length(text) > 0 AND doc_id % 5 = 0),
+         ctab(u, x, c) AS (VALUES ${graft.multimodal.Phash.cosSqlValues}),
+         px AS (
+           SELECT doc_id, t.j AS j,
+                  ord(substring(text, CAST((t.j % n) + 1 AS INT), 1)) AS b
+           FROM d, unnest(generate_series(0, 767)) t(j)),
+         px2 AS (
+           SELECT doc_id, j, b,
+                  CASE WHEN j = 0 THEN (b + 7) % 256 ELSE b END AS b2
+           FROM px),
+         lum AS (
+           SELECT doc_id, (j // 3) AS i,
+                  CAST(sum(b) AS BIGINT) AS v,
+                  CAST(sum(b2) AS BIGINT) AS v2
+           FROM px2 GROUP BY 1, 2),
+         blk AS (
+           SELECT doc_id, ((i // 16) // 2) AS byy, ((i % 16) // 2) AS bxx,
+                  CAST(sum(v) AS BIGINT) AS s,
+                  CAST(sum(v2) AS BIGINT) AS s2
+           FROM lum GROUP BY 1, 2, 3),
+         dct AS (
+           SELECT b.doc_id, cu.u AS u, cv.u AS v,
+                  CAST(sum(b.s * cu.c * cv.c) AS BIGINT) AS f,
+                  CAST(sum(b.s2 * cu.c * cv.c) AS BIGINT) AS f2
+           FROM blk b
+           JOIN ctab cu ON cu.x = b.byy
+           JOIN ctab cv ON cv.x = b.bxx
+           GROUP BY 1, 2, 3),
+         ac AS (SELECT * FROM dct WHERE NOT (u = 0 AND v = 0)),
+         ranked AS (
+           SELECT doc_id, u, v, f, f2,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY f)
+                    AS rn,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY f2)
+                    AS rn2
+           FROM ac),
+         med AS (
+           SELECT doc_id,
+                  max(CASE WHEN rn = 32 THEN f END) AS m,
+                  max(CASE WHEN rn2 = 32 THEN f2 END) AS m2
+           FROM ranked GROUP BY 1),
+         bits AS (
+           SELECT a.doc_id,
+                  CAST(sum(CASE WHEN a.f > m.m
+                    THEN (CAST(1 AS BIGINT) << (a.u * 8 + a.v - 1))
+                    ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS phash,
+                  CAST(sum(CASE WHEN a.f2 > m.m2
+                    THEN (CAST(1 AS BIGINT) << (a.u * 8 + a.v - 1))
+                    ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS near_phash
+           FROM ac a JOIN med m USING (doc_id) GROUP BY 1)
+         SELECT doc_id, phash, near_phash,
+                CAST(bit_count(xor(phash, near_phash)) AS INT) AS hamming
+         FROM bits ORDER BY doc_id""",
     // encode(text) is the same utf-8 byte payload; DuckDB 1.0 has no
     // md5(BLOB), and md5(text) hashes those identical bytes.
     "llm_multimodal" ->
