@@ -547,6 +547,40 @@ object AvroGates extends Catalog {
         .orderBy("lang")
     }),
 
+    // STREAMING CDC change feed under the oracle: three source commits
+    // (append, append, full-churn overwrite) replay through
+    // `readChangeFeed=true` from version 1; the sink accumulates every
+    // change row, and the per-(version, change_type) counts + sums must
+    // match the oracle's re-derivation — an overwrite surfaces as
+    // paired delete+insert generations, per-version granularity intact.
+    "q_avro_cdc_stream" -> ((s, dir) => {
+      val src = tempDir("graft_gate_cdcs_src")
+      val out = tempDir("graft_gate_cdcs_out")
+      val ckpt = tempDir("graft_gate_cdcs_ckpt")
+      val docs = table(s, dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+      docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) === 0)
+        .write.format("graft-avro").mode("overwrite").save(src) // v1
+      docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) === 1)
+        .write.format("graft-avro").mode("append").save(src) // v2
+      docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) === 2)
+        .write.format("graft-avro").mode("overwrite").save(src) // v3
+      val q = s.readStream.format("graft-avro")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .load(src)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start(out)
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(out)
+        .groupBy(F.col("_commit_version").as("version"),
+          F.col("_change_type").as("change_type"))
+        .agg(F.count(F.lit(1)).as("n_rows"),
+          F.sum(F.col("n_chars").cast("long")).as("chars"))
+        .orderBy("version", "change_type")
+    }),
+
     // STATEFUL exactly-once across a restart: q_stream_restart proves
     // the stateless source replay; this gate kills a windowed
     // AGGREGATION while its window sums live only in the state store
@@ -2195,6 +2229,28 @@ object AvroGates extends Catalog {
                 CAST(sum(CAST(n_nationkey AS BIGINT)) AS BIGINT) AS key_sum
          FROM nation WHERE n_regionkey = 2
          GROUP BY n_regionkey ORDER BY n_regionkey""",
+    // the CDC feed re-derived: v1/v2 insert generations, v3 = full
+    // churn (every earlier row deleted + the replacement inserted)
+    "q_avro_cdc_stream" ->
+      """WITH g0 AS (SELECT n_chars FROM documents WHERE doc_id % 3 = 0),
+         g1 AS (SELECT n_chars FROM documents WHERE doc_id % 3 = 1),
+         g2 AS (SELECT n_chars FROM documents WHERE doc_id % 3 = 2),
+         r1 AS (SELECT 1 AS version, 'insert' AS change_type, n_chars
+                FROM g0),
+         r2 AS (SELECT 2 AS version, 'insert' AS change_type, n_chars
+                FROM g1),
+         r3 AS (SELECT 3 AS version, 'delete' AS change_type, n_chars
+                FROM g0),
+         r4 AS (SELECT 3 AS version, 'delete' AS change_type, n_chars
+                FROM g1),
+         r5 AS (SELECT 3 AS version, 'insert' AS change_type, n_chars
+                FROM g2),
+         feed AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+                  UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
+                  UNION ALL SELECT * FROM r5)
+         SELECT CAST(version AS BIGINT) AS version, change_type,
+                count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS chars
+         FROM feed GROUP BY 1, 2 ORDER BY 1, 2""",
     // compaction is logically invisible: full table minus the deletes
     "q_avro_compact_sql" ->
       """SELECT p_brand, count(*) AS n_parts,

@@ -162,8 +162,21 @@ class AvroFileSource extends TableProvider with DataSourceRegister {
     // own journal version). Branch reads apply everything — evolution
     // ops refuse to run while branches exist, so every entry predates
     // the fork.
-    AvroFileSource.applyEvo(d, merged,
+    val evolved = AvroFileSource.applyEvo(d, merged,
       travel.orElse(inc.map(_._2)))
+    // CDC change feed (`readChangeFeed=true`, streaming): the row set is
+    // the data schema plus the change metadata every CDC consumer keys
+    // on — Delta's column names, for familiarity
+    if (Option(options.get("readChangeFeed")).exists(_.toBoolean)) {
+      require(travel.isEmpty && inc.isEmpty && branch.isEmpty,
+        "graft-avro: readChangeFeed is exclusive with time travel / " +
+          "incremental / branch reads")
+      StructType(evolved.fields.toSeq ++ Seq(
+        org.apache.spark.sql.types.StructField(
+          AvroFileSource.CdcChangeType, StringType, nullable = false),
+        org.apache.spark.sql.types.StructField(
+          AvroFileSource.CdcCommitVersion, LongType, nullable = false)))
+    } else evolved
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -181,6 +194,10 @@ object AvroFileSource {
   /** Metadata-column names (see [[AvroTable.metadataColumns]]). */
   val MetaFile = "_graft_file"
   val MetaPos = "_graft_pos"
+
+  /** CDC change-feed column names (Delta's, for familiarity). */
+  val CdcChangeType = "_change_type"
+  val CdcCommitVersion = "_commit_version"
 
   /** Rows per [[org.apache.spark.sql.vectorized.ColumnarBatch]] on the
     * vectorized decode path (Spark's own parquet reader default).
@@ -2456,7 +2473,10 @@ case class AvroTable(path: String, tableSchema: StructType,
           "graft-avro: restrictFiles is internal to snapshot-pinned " +
             "reads (requires versionAsOf)")
         rf
-      })
+      },
+      cdcFeed = Option(options.get("readChangeFeed")).exists(_.toBoolean),
+      cdcStartVersion =
+        Option(options.get("startingVersion")).map(_.toLong))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -2533,7 +2553,14 @@ class AvroScanBuilder(path: String, full: StructType,
     // serves "rows of the files added/removed between two versions"
     // without re-reading the unchanged bulk. Schema inference still
     // runs over the FULL snapshot (a subset must not narrow the view).
-    restrictFiles: Option[Set[String]] = None)
+    restrictFiles: Option[Set[String]] = None,
+    // streaming CDC change feed (`readChangeFeed=true`): offsets are
+    // journal VERSIONS; each micro-batch serves the per-version file
+    // deltas as insert/delete rows tagged `_change_type` +
+    // `_commit_version`. Streaming-only — batch CDC is
+    // AvroMaintenance.changes.
+    cdcFeed: Boolean = false,
+    cdcStartVersion: Option[Long] = None)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with SupportsPushDownFilters with SupportsPushDownAggregates
   with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
@@ -3446,7 +3473,13 @@ class AvroScanBuilder(path: String, full: StructType,
           }
         }
 
-      override def toBatch: Batch = this
+      override def toBatch: Batch = {
+        require(!cdcFeed,
+          "graft-avro: readChangeFeed is a STREAMING read " +
+            "(spark.readStream); for batch change sets use " +
+            "AvroMaintenance.changes(spark, dir, fromVersion, toVersion)")
+        this
+      }
       /** May files under this partition-value assignment match the
         * pushed filters? Only filters FULLY over partition columns with
         * parseable values participate (a conjunct mixing data columns is
@@ -3954,8 +3987,15 @@ class AvroScanBuilder(path: String, full: StructType,
         require(travelVersion.isEmpty && incRange.isEmpty && branch.isEmpty,
           "graft-avro: time travel and branch reads are batch-only (a " +
             "stream tails the CURRENT version by definition)")
-        new AvroMicroBatchStream(path, required, full, checkpointLocation,
-          maxFilesPerTrigger, journalCompactAfter)
+        if (cdcFeed)
+          new AvroCdcMicroBatchStream(path, required,
+            StructType(full.fields.filterNot(f =>
+              f.name == AvroFileSource.CdcChangeType ||
+                f.name == AvroFileSource.CdcCommitVersion)),
+            cdcStartVersion)
+        else
+          new AvroMicroBatchStream(path, required, full, checkpointLocation,
+            maxFilesPerTrigger, journalCompactAfter)
       }
       /** On-disk bytes INFLATED by a compression factor. For broadcast
         * planning an underestimate is the unsafe direction (a table
@@ -4547,6 +4587,165 @@ class AvroMicroBatchStream(path: String, required: StructType,
     }
   }
   override def stop(): Unit = ()
+}
+
+/** Streaming CDC change feed (`readStream … .option("readChangeFeed",
+  * true)`): offsets are snapshot-journal VERSIONS, and each micro-batch
+  * serves the per-version file deltas as rows tagged `_change_type`
+  * ("insert" / "delete") and `_commit_version` — the Delta CDF shape.
+  * Exactly-once for free: the journal is immutable and offsets are
+  * deterministic version numbers, so a replayed batch re-reads the SAME
+  * snapshots (archived files keep their bytes; an expireSnapshots that
+  * vacuumed a version a lagging stream still needs fails LOUDLY, never
+  * silently skips). Per-version granularity — intra-range churn is
+  * visible, so a compaction surfaces as paired delete+insert rows of
+  * equal content (the Iceberg changelog convention). The first batch
+  * starts AFTER the stream-start version by default;
+  * `startingVersion=v` replays history from version v onward.
+  *
+  * Soundness guards: the equality-delete sidecar must be UNCHANGED at
+  * every served version step (a deleteWhere delta is a row-level
+  * change no file feed can represent — compact first), and pending
+  * positional deletes refuse for the same reason. Each partition
+  * carries its version's sidecar CONTENT, so a delete that lands while
+  * the stream lags never rewrites history it postdates.
+  */
+class AvroCdcMicroBatchStream(path: String, required: StructType,
+    dataFull: StructType, startingVersion: Option[Long])
+  extends MicroBatchStream {
+
+  private def dirF = new File(path)
+  private def snaps: Seq[AvroFileSource.Snapshot] =
+    AvroFileSource.readSnapshots(dirF)
+
+  private case class VOffset(v: Long) extends Offset {
+    override def json(): String = v.toString
+  }
+
+  override def initialOffset(): Offset = {
+    val cur = snaps.lastOption.map(_.version).getOrElse(
+      throw new IllegalStateException(
+        s"graft-avro CDC: $path has no snapshot journal — write through " +
+          "the source at least once"))
+    startingVersion match {
+      case Some(v) =>
+        require(v >= 1, s"graft-avro CDC: startingVersion must be >= 1, got $v")
+        VOffset(v - 1)
+      case None => VOffset(cur)
+    }
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    VOffset(json.trim.toLong)
+
+  override def latestOffset(): Offset =
+    VOffset(snaps.lastOption.map(_.version).getOrElse(0L))
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[VOffset].v
+    val e = end.asInstanceOf[VOffset].v
+    if (e <= s) return Array.empty
+    require(!AvroFileSource.posdelFile(dirF).isFile,
+      "graft-avro CDC: positional deletes are pending (ordinals are not " +
+        "journaled per version) — compact first")
+    val byV = snaps.map(sn => sn.version -> sn).toMap
+    def snapOf(v: Long): AvroFileSource.Snapshot =
+      // version 0 = the empty pre-history state, so startingVersion=1
+      // replays the first commit as pure inserts. A REBASED journal
+      // (expireSnapshots) lost the deltas below its first kept version
+      // — serving them would fabricate history, hence the loud failure.
+      if (v == 0L) AvroFileSource.Snapshot(0L, 0L, "init", None, Nil)
+      else byV.getOrElse(v, throw new IllegalStateException(
+        s"graft-avro CDC: version $v is gone from the journal " +
+          "(expireSnapshots?) — restart the stream from a retained " +
+          "version"))
+    (s + 1 to e).iterator.flatMap { v =>
+      val cur = snapOf(v)
+      val prev = snapOf(v - 1)
+      require(cur.deletes == prev.deletes,
+        s"graft-avro CDC: the equality-delete sidecar changed at " +
+          s"version $v — a row-level delete delta is not representable " +
+          "as a file change feed; compact to materialize it first")
+      val prevSet = prev.files.toSet
+      val curSet = cur.files.toSet
+      def resolve(rel: String): String = {
+        val f = AvroFileSource.resolveSnapshotFile(dirF, rel)
+        require(f.isFile, s"graft-avro CDC: file $rel of version $v is " +
+          "gone (vacuumed?) — the stream lagged past the retention window")
+        f.getAbsolutePath
+      }
+      cur.files.filterNot(prevSet).map(rel =>
+        AvroCdcPartition(resolve(rel), "insert", v, cur.deletes)
+          : InputPartition) ++
+        prev.files.filterNot(curSet).map(rel =>
+          AvroCdcPartition(resolve(rel), "delete", v, cur.deletes)
+            : InputPartition)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val renames = AvroFileSource.readColmap(dirF)
+    // births FORCED: partitions carry their own (historical) delete
+    // sidecar content, so stamp gating may be needed even when the live
+    // sidecar is empty — the map is journal-cached and tiny
+    AvroCdcReaderFactory(required, dataFull,
+      AvroFileSource.birthsByPhysicalPath(dirF, Nil, force = true),
+      renames, path)
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** One whole changed file of one journal version, with the version's
+  * equality-delete sidecar CONTENT riding along (verified constant
+  * across the version step at plan time).
+  */
+case class AvroCdcPartition(file: String, changeType: String,
+    version: Long, deletes: Option[String]) extends InputPartition
+
+/** Decodes a changed file through the ordinary merge-on-read row path,
+  * then appends the `_change_type` / `_commit_version` constants at the
+  * positions the pruned read schema asks for.
+  */
+case class AvroCdcReaderFactory(required: StructType, dataFull: StructType,
+    births: Map[String, Long], renames: Seq[(Long, String, String)],
+    root: String) extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val cdc = p.asInstanceOf[AvroCdcPartition]
+    val dels = cdc.deletes
+      .map(AvroFileSource.parseDeleteContent(_, dataFull)).getOrElse(Nil)
+    val dataRequired = StructType(required.fields.filterNot(f =>
+      f.name == AvroFileSource.CdcChangeType ||
+        f.name == AvroFileSource.CdcCommitVersion))
+    val inner = AvroReaderFactory(dataRequired, dataFull, deletes = dels,
+      births = births, renames = renames, root = root)
+      .createReader(AvroInputPartition(cdc.file, 0L, Long.MaxValue))
+    val ct = org.apache.spark.unsafe.types.UTF8String
+      .fromString(cdc.changeType)
+    val dataIdx = dataRequired.fieldNames.zipWithIndex.toMap
+    val getters: Array[InternalRow => Any] = required.fields.map { f =>
+      f.name match {
+        case AvroFileSource.CdcChangeType => (_: InternalRow) => ct
+        case AvroFileSource.CdcCommitVersion => (_: InternalRow) => cdc.version
+        case n =>
+          val i = dataIdx(n)
+          val dt = f.dataType
+          (r: InternalRow) => if (r.isNullAt(i)) null else r.get(i, dt)
+      }
+    }
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = inner.next()
+      override def get(): InternalRow = {
+        val r = inner.get()
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          getters.map(_(r)))
+      }
+      override def close(): Unit = inner.close()
+    }
+  }
 }
 
 /** A sync-marker-aligned byte range of one container file. The reader

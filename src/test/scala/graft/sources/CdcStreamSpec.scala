@@ -1,0 +1,135 @@
+package graft.sources
+
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** Streaming CDC change feed (`readChangeFeed=true`): journal versions
+  * as offsets, per-version file deltas as insert/delete rows tagged
+  * `_change_type` + `_commit_version`, exactly-once across restarts,
+  * and the loud refusals that keep a file-level feed sound (equality-
+  * delete deltas, pending positional deletes, batch reads).
+  */
+class CdcStreamSpec extends AnyFunSuite with SparkSpec with Matchers {
+
+  private def tmp() = graft.operators.Catalog.tempDir("graft_cdc")
+
+  test("history replay + forward tail: inserts, overwrite churn, version tags") {
+    val dir = tmp()
+    spark.range(0, 5).selectExpr("id AS k")
+      .write.format("graft-avro").mode("overwrite").save(dir) // v1
+    spark.range(5, 8).selectExpr("id AS k")
+      .write.format("graft-avro").mode("append").save(dir) // v2
+
+    val q = spark.readStream.format("graft-avro")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1")
+      .load(dir)
+      .writeStream.format("memory").queryName("cdc_replay")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val hist = spark.table("cdc_replay").collect()
+      hist.length shouldBe 8
+      hist.forall(_.getString(1) == "insert") shouldBe true
+      hist.map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq shouldBe
+        ((0L until 5L).map((_, 1L)) ++ (5L until 8L).map((_, 2L)))
+
+      // an overwrite surfaces as full churn: every old row deleted at
+      // v3, the replacement rows inserted at v3
+      spark.range(100, 102).selectExpr("id AS k")
+        .write.format("graft-avro").mode("overwrite").save(dir) // v3
+      q.processAllAvailable()
+      val all = spark.table("cdc_replay")
+      all.count() shouldBe 18
+      all.filter("_change_type = 'delete' AND _commit_version = 3")
+        .select("k").collect().map(_.getLong(0)).sorted.toSeq shouldBe
+        (0L until 8L)
+      all.filter("_change_type = 'insert' AND _commit_version = 3")
+        .select("k").collect().map(_.getLong(0)).sorted.toSeq shouldBe
+        Seq(100L, 101L)
+    } finally q.stop()
+  }
+
+  test("default start is forward-only; checkpoint restart is exactly-once") {
+    val dir = tmp()
+    val out = tmp()
+    val ckpt = tmp()
+    spark.range(0, 4).selectExpr("id AS k")
+      .write.format("graft-avro").mode("overwrite").save(dir) // v1
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-avro")
+        .option("readChangeFeed", "true")
+        .load(dir)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    runOnce() // v1 predates the stream: nothing served
+    spark.read.parquet(out).count() shouldBe 0
+
+    spark.range(4, 7).selectExpr("id AS k")
+      .write.format("graft-avro").mode("append").save(dir) // v2
+    runOnce()
+    val afterV2 = spark.read.parquet(out)
+    afterV2.count() shouldBe 3
+    afterV2.select("k").collect().map(_.getLong(0)).sorted.toSeq shouldBe
+      Seq(4L, 5L, 6L)
+
+    // replaying with nothing new adds nothing (offsets are versions)
+    runOnce()
+    spark.read.parquet(out).count() shouldBe 3
+  }
+
+  test("equality-delete deltas and batch reads refuse loudly") {
+    val dir = tmp()
+    spark.range(0, 6).selectExpr("id AS k")
+      .write.format("graft-avro").mode("overwrite").save(dir) // v1
+    // a metadata deleteWhere mints a version whose only delta is the
+    // delete sidecar — not representable as a file feed
+    AvroMaintenance.deleteWhere(spark, dir, "k", Seq(2L)) // v2
+    val q = spark.readStream.format("graft-avro")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1")
+      .load(dir)
+      .writeStream.format("memory").queryName("cdc_refuse")
+      .outputMode("append").start()
+    val boom = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    boom.getMessage should include("delete")
+
+    // batch read: readChangeFeed is streaming-only
+    val batchBoom = intercept[Exception] {
+      spark.read.format("graft-avro").option("readChangeFeed", "true")
+        .load(dir).collect()
+    }
+    batchBoom.getMessage should include("STREAMING")
+  }
+
+  test("column pruning and cdc-only projections stay consistent") {
+    val dir = tmp()
+    spark.range(0, 3).selectExpr("id AS k", "id * 2 AS v")
+      .write.format("graft-avro").mode("overwrite").save(dir) // v1
+    spark.range(3, 5).selectExpr("id AS k", "id * 2 AS v")
+      .write.format("graft-avro").mode("append").save(dir) // v2
+    val q = spark.readStream.format("graft-avro")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "2")
+      .load(dir)
+      .select(F.col("v"), F.col("_commit_version"))
+      .writeStream.format("memory").queryName("cdc_prune")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      spark.table("cdc_prune").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq shouldBe
+        Seq((6L, 2L), (8L, 2L))
+    } finally q.stop()
+  }
+}
