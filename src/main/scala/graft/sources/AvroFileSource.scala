@@ -2476,7 +2476,9 @@ case class AvroTable(path: String, tableSchema: StructType,
       },
       cdcFeed = Option(options.get("readChangeFeed")).exists(_.toBoolean),
       cdcStartVersion =
-        Option(options.get("startingVersion")).map(_.toLong))
+        Option(options.get("startingVersion")).map(_.toLong),
+      cdcMaxVersions =
+        Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -2560,7 +2562,8 @@ class AvroScanBuilder(path: String, full: StructType,
     // `_commit_version`. Streaming-only — batch CDC is
     // AvroMaintenance.changes.
     cdcFeed: Boolean = false,
-    cdcStartVersion: Option[Long] = None)
+    cdcStartVersion: Option[Long] = None,
+    cdcMaxVersions: Option[Long] = None)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with SupportsPushDownFilters with SupportsPushDownAggregates
   with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
@@ -3992,7 +3995,7 @@ class AvroScanBuilder(path: String, full: StructType,
             StructType(full.fields.filterNot(f =>
               f.name == AvroFileSource.CdcChangeType ||
                 f.name == AvroFileSource.CdcCommitVersion)),
-            cdcStartVersion)
+            cdcStartVersion, cdcMaxVersions)
         else
           new AvroMicroBatchStream(path, required, full, checkpointLocation,
             maxFilesPerTrigger, journalCompactAfter)
@@ -4611,8 +4614,11 @@ class AvroMicroBatchStream(path: String, required: StructType,
   * the stream lags never rewrites history it postdates.
   */
 class AvroCdcMicroBatchStream(path: String, required: StructType,
-    dataFull: StructType, startingVersion: Option[Long])
-  extends MicroBatchStream {
+    dataFull: StructType, startingVersion: Option[Long],
+    maxVersionsPerTrigger: Option[Long] = None)
+  extends MicroBatchStream with SupportsAdmissionControl
+  with org.apache.spark.sql.connector.read.streaming
+    .SupportsTriggerAvailableNow {
 
   private def dirF = new File(path)
   private def snaps: Seq[AvroFileSource.Snapshot] =
@@ -4620,6 +4626,32 @@ class AvroCdcMicroBatchStream(path: String, required: StructType,
 
   private case class VOffset(v: Long) extends Offset {
     override def json(): String = v.toString
+  }
+
+  /** Trigger.AvailableNow: pin the version horizon at query start; the
+    * run drains to it (still `maxVersionsPerTrigger`-rate-limited) and
+    * stops — commits landing mid-run wait for the next scheduled run.
+    */
+  @volatile private var availableNowEnd: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(snaps.lastOption.map(_.version).getOrElse(0L))
+
+  /** Admission control: at most N journal versions per micro-batch, so
+    * a lagging restart drains a long history as right-sized batches.
+    */
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.map(n => ReadLimit.maxFiles(n.toInt))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[VOffset].v
+    val horizon = availableNowEnd.getOrElse(
+      snaps.lastOption.map(_.version).getOrElse(0L))
+    val cap = limit match {
+      case mf: ReadMaxFiles => math.min(horizon, s + mf.maxFiles())
+      case _ => horizon
+    }
+    VOffset(math.max(cap, s))
   }
 
   override def initialOffset(): Offset = {

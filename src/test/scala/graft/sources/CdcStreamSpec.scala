@@ -112,6 +112,35 @@ class CdcStreamSpec extends AnyFunSuite with SparkSpec with Matchers {
     batchBoom.getMessage should include("STREAMING")
   }
 
+  test("availableNow + maxVersionsPerTrigger drains history in bounded batches") {
+    val dir = tmp()
+    val out = tmp()
+    val ckpt = tmp()
+    spark.range(0, 2).selectExpr("id AS k")
+      .write.format("graft-avro").mode("overwrite").save(dir) // v1
+    spark.range(2, 4).selectExpr("id AS k")
+      .write.format("graft-avro").mode("append").save(dir) // v2
+    spark.range(4, 6).selectExpr("id AS k")
+      .write.format("graft-avro").mode("append").save(dir) // v3
+    val q = spark.readStream.format("graft-avro")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1")
+      .option("maxVersionsPerTrigger", "1") // one version per batch
+      .load(dir)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000L), "availableNow run never ended")
+    val rows = spark.read.parquet(out)
+    rows.count() shouldBe 6
+    rows.select("k").collect().map(_.getLong(0)).sorted.toSeq shouldBe
+      (0L until 6L)
+    // the rate limit forced one version per micro-batch: ≥ 3 data batches
+    rows.select("_commit_version").distinct().count() shouldBe 3
+  }
+
   test("column pruning and cdc-only projections stay consistent") {
     val dir = tmp()
     spark.range(0, 3).selectExpr("id AS k", "id * 2 AS v")
