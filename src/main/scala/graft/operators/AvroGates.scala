@@ -688,6 +688,48 @@ object AvroGates extends Catalog {
               |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
     }),
 
+    // ATOMIC CTAS/RTAS (StagingTableCatalog): the replacement query
+    // writes into a hidden staging directory and swaps in only on
+    // success — mid-gate a REPLACE with a poisoned query FAILS and the
+    // prior generation must still answer; then a successful CREATE OR
+    // REPLACE swaps the final generation the oracle verifies.
+    "q_avro_rtas" -> ((s, dir) => {
+      if (!s.conf.getOption("spark.sql.catalog.graft_gate").isDefined) {
+        s.conf.set("spark.sql.catalog.graft_gate",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_gate.root",
+          tempDir("graft_gate_cat"))
+      }
+      table(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .createOrReplaceTempView("cust_src_rtas")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.gate")
+      s.sql("DROP TABLE IF EXISTS graft_gate.gate.rtas")
+      s.sql("CREATE TABLE graft_gate.gate.rtas AS " +
+        "SELECT * FROM cust_src_rtas WHERE c_custkey % 2 = 0")
+      // a poisoned replace fails mid-write: the even-half generation
+      // must survive untouched (atomicity is what this gate pins)
+      val poisonFailed =
+        try {
+          s.sql("REPLACE TABLE graft_gate.gate.rtas AS " +
+            "SELECT assert_true(c_custkey < 0) AS a, c_custkey " +
+            "FROM cust_src_rtas")
+          false
+        } catch { case scala.util.control.NonFatal(_) => true }
+      require(poisonFailed,
+        "q_avro_rtas: poisoned REPLACE unexpectedly succeeded")
+      val survived = s.sql(
+        "SELECT count(*) FROM graft_gate.gate.rtas").head().getLong(0)
+      s.sql("CREATE OR REPLACE TABLE graft_gate.gate.rtas AS " +
+        "SELECT * FROM cust_src_rtas WHERE c_custkey % 2 = 1")
+      s.sql(s"""SELECT c_mktsegment, count(*) AS n_cust,
+               |       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+               |         AS BIGINT) AS cents,
+               |       CAST($survived AS BIGINT) AS survived
+               |FROM graft_gate.gate.rtas
+               |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    }),
+
     // COMPACTION INVISIBILITY under the oracle: metadata-delete, then
     // CALL system.compact — the in-place bin-pack must materialize the
     // deletes, drop the sidecar, collapse the file count, and leave the
@@ -2251,6 +2293,16 @@ object AvroGates extends Catalog {
          SELECT CAST(version AS BIGINT) AS version, change_type,
                 count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS chars
          FROM feed GROUP BY 1, 2 ORDER BY 1, 2""",
+    // the final generation is the odd half; `survived` re-derives the
+    // even half's count (the generation the failed REPLACE must keep)
+    "q_avro_rtas" ->
+      """SELECT c_mktsegment, count(*) AS n_cust,
+                CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                  AS BIGINT) AS cents,
+                (SELECT count(*) FROM customer WHERE c_custkey % 2 = 0)
+                  AS survived
+         FROM customer WHERE c_custkey % 2 = 1
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     // compaction is logically invisible: full table minus the deletes
     "q_avro_compact_sql" ->
       """SELECT p_brand, count(*) AS n_parts,

@@ -29,7 +29,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class GraftCatalog extends TableCatalog with SupportsNamespaces
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog
     with org.apache.spark.sql.connector.catalog.ViewCatalog
-    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   private var catName: String = _
   private var root: File = _
@@ -183,6 +184,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (viewExists(ident)) throw new IllegalStateException(
       s"graft catalog: a view named ${ident.toString} exists — " +
         "DROP the view first (CALL system.drop_view)")
+    AvroTable(d.getPath, schema,
+      defaultPartitionBy = initTableDir(d, schema, partitions, properties))
+  }
+
+  /** Shared CREATE machinery: materialize a table directory's DDL
+    * sidecars — schema + identity partition columns in `_graft_schema`,
+    * graft.* writer-layout properties (plus any `bucket(n, col)`
+    * transforms as `graft.bucketBy`) in `_graft_props`. Returns the
+    * identity partition columns. Used by [[createTable]] directly and
+    * by the atomic staged CTAS/RTAS path on its staging directory.
+    */
+  private def initTableDir(d: File, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Seq[String] = {
     // identity transforms become hive-style `k=v` directories; `bucket
     // (N, col)` transforms become the hidden hash-bucket layout
     // (`graft.bucketBy` property → `<col>_bucket=` segments + the
@@ -222,8 +237,99 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           bucketParts.map { case (c, n) => s"$c:$n" }.mkString(","))
       else Map.empty)
     if (gp.nonEmpty) AvroFileSource.writeProps(d, gp)
-    AvroTable(d.getPath, schema, defaultPartitionBy = parts)
+    parts
   }
+
+  // ---- atomic CTAS / RTAS (StagingTableCatalog) -----------------------
+  // Without staging, Spark's fallback REPLACE TABLE AS SELECT is
+  // drop-then-create: a failed query DESTROYS the table. Staged: the
+  // query writes into a hidden `_graft_stage_*` directory (invisible to
+  // listTables/listNamespaces, which skip the _graft prefix), and only
+  // a successful write swaps it into place — the old table survives any
+  // failure. The swap itself is two directory renames under the
+  // namespace commit lock (milliseconds, metadata-only); an abort
+  // deletes the staging directory.
+
+  private def deleteRecursively(d: File): Unit = {
+    if (!d.exists()) return
+    import java.nio.file.{Files => JF, Path}
+    JF.walk(d.toPath).sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(p => JF.deleteIfExists(p))
+  }
+
+  private def stage(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    require(info.constraints() == null || info.constraints().isEmpty,
+      "graft catalog: staged CREATE with constraints is not supported — " +
+        "ALTER TABLE ADD CONSTRAINT after creation")
+    if (viewExists(ident)) throw new IllegalStateException(
+      s"graft catalog: a view named ${ident.toString} exists — " +
+        "DROP the view first (CALL system.drop_view)")
+    val ns = nsDir(ident.namespace())
+    if (!ns.isDirectory) throw new NoSuchNamespaceException(ident.namespace())
+    val staging = new File(ns, s"_graft_stage_${check(ident.name())}_" +
+      java.util.UUID.randomUUID().toString.take(8))
+    val parts = initTableDir(staging, info.schema(), info.partitions(),
+      info.properties())
+    val target = tableDir(ident)
+    val inner = AvroTable(staging.getPath, info.schema(),
+      defaultPartitionBy = parts)
+    new org.apache.spark.sql.connector.catalog.StagedTable
+      with org.apache.spark.sql.connector.catalog.SupportsWrite {
+      override def name(): String = ident.toString
+      override def schema(): StructType = inner.schema()
+      override def partitioning(): Array[Transform] = inner.partitioning()
+      override def properties(): util.Map[String, String] =
+        inner.properties()
+      override def capabilities(): util.Set[
+        org.apache.spark.sql.connector.catalog.TableCapability] =
+        inner.capabilities()
+      override def newWriteBuilder(
+          lwi: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+          : org.apache.spark.sql.connector.write.WriteBuilder =
+        inner.newWriteBuilder(lwi)
+      override def commitStagedChanges(): Unit =
+        AvroFileSource.withCommitLock(ns) {
+          if (target.exists()) {
+            val trash = new File(ns, s"_graft_stage_trash_" +
+              java.util.UUID.randomUUID().toString.take(8))
+            if (!target.renameTo(trash)) throw new java.io.IOException(
+              s"graft catalog: staged swap failed to move $target aside")
+            if (!staging.renameTo(target)) {
+              trash.renameTo(target) // restore — the old table survives
+              throw new java.io.IOException(
+                s"graft catalog: staged swap failed $staging -> $target" +
+                  " — previous table restored")
+            }
+            deleteRecursively(trash)
+          } else if (!staging.renameTo(target))
+            throw new java.io.IOException(
+              s"graft catalog: staged publish failed $staging -> " +
+                s"$target (concurrent create?)")
+        }
+      override def abortStagedChanges(): Unit = deleteRecursively(staging)
+    }
+  }
+
+  override def stageCreate(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    stage(ident, info)
+  }
+
+  override def stageReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    stage(ident, info)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stage(ident, info)
 
   /** ALTER TABLE column evolution: ADD COLUMN (appended, forced
     * nullable), DROP COLUMN, RENAME COLUMN — all metadata-only
