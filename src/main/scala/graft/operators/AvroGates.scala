@@ -111,6 +111,33 @@ object AvroGates extends Catalog {
       a.join(b, Seq("lang")).orderBy("lang")
     }),
 
+    // NULLABLE data through the avro table: three generations (null-
+    // free, all-null, mixed) exercise the `cnt:` null-count cells — IS
+    // NULL file pruning, null-free zone decisions, metadata COUNT of a
+    // string column — while the grouped aggregate must stay exact.
+    "q_avro_nulls" -> ((s, dir) => {
+      val tmp = tempDir("graft_gate_nulls")
+      val docs = table(s, dir, "documents")
+      docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) === 0)
+        .select(F.col("doc_id"), F.col("lang"))
+        .write.format("graft-avro").mode("overwrite").save(tmp)
+      docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) === 1)
+        .select(F.col("doc_id"),
+          F.lit(null).cast("string").as("lang"))
+        .write.format("graft-avro").mode("append").save(tmp)
+      docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) === 2)
+        .select(F.col("doc_id"),
+          F.when(F.pmod(F.col("doc_id"), F.lit(2)) === 0, F.col("lang"))
+            .as("lang"))
+        .write.format("graft-avro").mode("append").save(tmp)
+      s.read.format("graft-avro").load(tmp)
+        .groupBy(F.col("lang").isNull.as("is_null"))
+        .agg(F.count(F.lit(1)).as("n_rows"),
+          F.count(F.col("lang")).as("n_lang"),
+          F.min("doc_id").as("min_id"), F.max("doc_id").as("max_id"))
+        .orderBy("is_null")
+    }),
+
     // hidden hash-bucket partitioning (`bucketBy=doc_id:16`): the
     // directory fan-out is bounded by N regardless of key cardinality,
     // and point/IN lookups prune to the literal's bucket — the
@@ -2737,6 +2764,21 @@ object AvroGates extends Catalog {
       """SELECT lang, CAST(sum(n_chars) AS BIGINT) AS chars,
                 count(DISTINCT source) AS n_sources
          FROM documents GROUP BY lang ORDER BY lang""",
+    "q_avro_nulls" ->
+      """WITH g0 AS (SELECT doc_id, lang FROM documents
+                     WHERE doc_id % 3 = 0),
+         g1 AS (SELECT doc_id, CAST(NULL AS VARCHAR) AS lang
+                FROM documents WHERE doc_id % 3 = 1),
+         g2 AS (SELECT doc_id,
+                       CASE WHEN doc_id % 2 = 0 THEN lang END AS lang
+                FROM documents WHERE doc_id % 3 = 2),
+         u AS (SELECT * FROM g0 UNION ALL SELECT * FROM g1
+               UNION ALL SELECT * FROM g2)
+         SELECT (lang IS NULL) AS is_null, count(*) AS n_rows,
+                count(lang) AS n_lang,
+                CAST(min(doc_id) AS BIGINT) AS min_id,
+                CAST(max(doc_id) AS BIGINT) AS max_id
+         FROM u GROUP BY 1 ORDER BY 1""",
     "q_avro_bucket_prune" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE doc_id IN (7, 11, 12, 13, 101) ORDER BY doc_id""",

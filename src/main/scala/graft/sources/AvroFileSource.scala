@@ -1792,33 +1792,73 @@ object AvroFileSource {
       }.toMap
     }.filter(_._2.nonEmpty)
 
+  /** `cnt:` cells parsed from the all-column manifest: ABSOLUTE file
+    * path → dotted column → (non-null count, row total). Entries whose
+    * recorded leaf type disagrees with the current read schema drop
+    * (type-tag invisibility, like every other cell kind).
+    */
+  private[sources] def readNullCells(zf: File, base: File, full: StructType)
+      : Map[String, Map[String, (Long, Long)]] =
+    readColZonesRaw(zf).map { case (rel, entries) =>
+      new File(base, rel).getAbsolutePath -> entries.flatMap {
+        case (colEnc, dtName, nn, total)
+            if dtName.startsWith("cnt:") &&
+              nn.matches("[0-9]+") && total.matches("[0-9]+") =>
+          val col = java.net.URLDecoder.decode(colEnc, "UTF-8")
+          AvroFilterEval.leafType(full, col)
+            .filter(dt => dtName == "cnt:" + dt.simpleString)
+            .map(_ => col -> (nn.toLong, total.toLong))
+        case _ => None
+      }.toMap
+    }.filter(_._2.nonEmpty)
+
   /** Per-live-file EXACT-bounds providers for tri-state filter
     * decisions ([[AvroFilterEval.zoneDecides]]): each file pairs with a
     * `col => Option[(mn, mx)]` answering from its hive partition-path
     * value (an exact non-null point for ANY column — the value is
-    * materialized into every row) or its column-zone entry (only for
-    * TOP-LEVEL, NON-NULLABLE, non-float columns: zone bounds cover
-    * non-null values, and a null row matches no compare, so
-    * non-nullability is what makes "all values" mean "all rows";
-    * float/double excluded for NaN exactness). None (whole call) when a
-    * column-rename view exists — zone entries live under historical
-    * names. Shared by full filter pushdown and zone-decided metadata
-    * DELETE; both must stay decision-compatible.
+    * materialized into every row) or its column-zone entry (for
+    * TOP-LEVEL non-float columns that are NON-NULLABLE — zone bounds
+    * cover non-null values, and a null row matches no compare, so
+    * no-nulls is what makes "all values" mean "all rows" — OR whose
+    * `cnt:` cell proves THIS FILE holds zero nulls; float/double
+    * excluded for NaN exactness), plus a `col => Option[(noNulls,
+    * allNulls)]` null-state provider behind IS [NOT] NULL decisions.
+    * None (whole call) when a column-rename view exists — zone entries
+    * live under historical names. Shared by full filter pushdown and
+    * zone-decided metadata DELETE; both must stay decision-compatible.
     */
   private[sources] def decisionBounds(dir: File, full: StructType)
-      : Option[Seq[(File, String => Option[(Any, Any)])]] = {
+      : Option[Seq[(File, String => Option[(Any, Any)],
+        String => Option[(Boolean, Boolean)])]] = {
     if (colmapFile(dir).isFile) return None
     val files = listLive(dir)
     val zf = colZoneFile(dir)
     val zones =
       if (zf.isFile) readColZones(zf, dir, full)
       else Map.empty[String, Map[String, (Any, Any)]]
+    val nullCells =
+      if (zf.isFile) readNullCells(zf, dir, full)
+      else Map.empty[String, Map[String, (Long, Long)]]
     import org.apache.spark.sql.types.{DoubleType, FloatType}
-    val zoneEligible: Set[String] = full.fields.collect {
-      case fld if !fld.nullable && fld.dataType != DoubleType &&
+    val nonFloat: Set[String] = full.fields.collect {
+      case fld if fld.dataType != DoubleType &&
           fld.dataType != FloatType => fld.name
     }.toSet
+    val nonNullable: Set[String] =
+      full.fields.collect { case fld if !fld.nullable => fld.name }.toSet
     Some(files.map { case (f, partVals) =>
+      val cells = nullCells.getOrElse(f.getAbsolutePath, Map.empty)
+      val nullStateOf: String => Option[(Boolean, Boolean)] = col =>
+        partVals.get(col) match {
+          // a partition-path point value is materialized into every
+          // row: non-null value ⇒ no nulls; the `__null__` dir ⇒ all
+          case Some(raw) => Some((raw != "__null__", raw == "__null__"))
+          case None =>
+            if (nonNullable.contains(col)) Some((true, false))
+            else cells.get(col).map { case (nn, total) =>
+              (nn == total, nn == 0L)
+            }
+        }
       val boundsOf: String => Option[(Any, Any)] = col =>
         partVals.get(col) match {
           case Some(raw) =>
@@ -1826,10 +1866,14 @@ object AvroFileSource {
               castPartitionValue(raw, fld.dataType))
               .filter(_ != null).map(v => (v, v))
           case None =>
-            if (!zoneEligible(col)) None
+            // the no-null guarantee zoneDecides' all-match rules need:
+            // declared non-nullable, or cnt-cell-proven for this file
+            if (!nonFloat(col)) None
+            else if (!nonNullable.contains(col) &&
+              !cells.get(col).exists { case (nn, t) => nn == t }) None
             else zones.getOrElse(f.getAbsolutePath, Map.empty).get(col)
         }
-      (f, boundsOf)
+      (f, boundsOf, nullStateOf)
     })
   }
 
@@ -2283,8 +2327,8 @@ case class AvroTable(path: String, tableSchema: StructType,
     val cond = v1.flatten.reduce(org.apache.spark.sql.sources.And(_, _))
     val bounds = AvroFileSource.decisionBounds(new File(path), tableSchema)
       .getOrElse(return None)
-    val decisions = bounds.map { case (f, boundsOf) =>
-      (f, AvroFilterEval.zoneDecides(boundsOf, cond))
+    val decisions = bounds.map { case (f, boundsOf, nullsOf) =>
+      (f, AvroFilterEval.zoneDecides(boundsOf, cond, nullsOf))
     }
     if (decisions.exists(_._2.isEmpty)) None
     else Some(decisions.collect { case (f, Some(true)) => f })
@@ -2651,14 +2695,14 @@ class AvroScanBuilder(path: String, full: StructType,
     val bounds = AvroFileSource.decisionBounds(new File(path), full)
       .getOrElse(return stand)
     val decisions: Array[Option[IndexedSeq[Boolean]]] = filters.map { flt =>
-      val perFile = bounds.toIndexedSeq.map { case (_, boundsOf) =>
-        AvroFilterEval.zoneDecides(boundsOf, flt)
+      val perFile = bounds.toIndexedSeq.map { case (_, boundsOf, nullsOf) =>
+        AvroFilterEval.zoneDecides(boundsOf, flt, nullsOf)
       }
       if (perFile.forall(_.isDefined)) Some(perFile.map(_.get)) else None
     }
     val fullIdx = decisions.zipWithIndex.collect { case (Some(_), i) => i }
     if (fullIdx.isEmpty) return stand
-    val keep = bounds.zipWithIndex.collect { case ((f, _), j)
+    val keep = bounds.zipWithIndex.collect { case ((f, _, _), j)
         if fullIdx.forall(i => decisions(i).get(j)) => f.getAbsolutePath }
     (fullIdx.map(filters), Some(
       (bounds.map(_._1.getAbsolutePath).toSet, keep.toSet)))
@@ -2779,16 +2823,25 @@ class AvroScanBuilder(path: String, full: StructType,
       if (resolved.exists(_.isEmpty)) return false
       resolved.flatten.toMap
     }
-    // SUM/COUNT(col) cells come from the same manifest's `sum:` entries;
-    // integral leaf types only (the writer records no others)
+    // SUM cells come from the manifest's `sum:` entries — integral leaf
+    // types only (exactness). COUNT(col) resolves for ANY recorded leaf
+    // type via the `cnt:` cells (r19), falling back to the integral
+    // `sum:` cell's count slot on pre-cnt manifests.
     val sumTypes: Map[String, DataType] = {
-      val resolved = sumCols.map { c =>
+      val resolved = sp.collect { case ("sum", c) => c }.distinct.map { c =>
         AvroFilterEval.leafType(full, c)
           .filter {
             case ByteType | ShortType | IntegerType | LongType => true
             case _ => false
           }
           .map(c -> _)
+      }
+      if (resolved.exists(_.isEmpty)) return false
+      resolved.flatten.toMap
+    }
+    val cntTypes: Map[String, DataType] = {
+      val resolved = sp.collect { case ("cnt", c) => c }.distinct.map { c =>
+        AvroFilterEval.leafType(full, c).map(c -> _)
       }
       if (resolved.exists(_.isEmpty)) return false
       resolved.flatten.toMap
@@ -2807,7 +2860,22 @@ class AvroScanBuilder(path: String, full: StructType,
         val rel = base.relativize(f.getAbsoluteFile.toPath).toString
         val resolved: Seq[Option[(String, String)]] = sp.map {
           case ("count", _) => Some(("count", ""))
-          case (kind @ ("sum" | "cnt"), c) =>
+          case ("cnt", c) =>
+            val d = cntTypes(c)
+            val enc = java.net.URLEncoder.encode(c, "UTF-8")
+            val cntTag = "cnt:" + d.simpleString
+            val sumTag = "sum:" + d.simpleString
+            raw.getOrElse(rel, Nil).collectFirst {
+              case (`enc`, `cntTag`, nn, _) => nn
+            }.filter(_.toLongOption.exists(_ >= 0))
+              .map(nn => ("cntv", nn))
+              .orElse { // pre-cnt manifests: the sum cell's count slot
+                raw.getOrElse(rel, Nil).collectFirst {
+                  case (`enc`, `sumTag`, _, n) => n
+                }.filter(_.toLongOption.exists(_ >= 0))
+                  .map(n => ("cntv", n))
+              }
+          case ("sum", c) =>
             val d = sumTypes(c)
             val enc = java.net.URLEncoder.encode(c, "UTF-8")
             val tag = "sum:" + d.simpleString
@@ -2817,8 +2885,7 @@ class AvroScanBuilder(path: String, full: StructType,
               (s.toLongOption, n.toLongOption) match {
                 case (Some(_), Some(nv)) if nv >= 0 =>
                   // an all-null file's SUM partial must be NULL, not 0
-                  if (kind == "cnt") Some(("cntv", n))
-                  else if (nv == 0L) Some(("null", ""))
+                  if (nv == 0L) Some(("null", ""))
                   else Some(("sumv", s))
                 case _ => None
               }
@@ -3089,7 +3156,7 @@ class AvroScanBuilder(path: String, full: StructType,
         // stands down — per-file sums were exact but the total wraps)
         val perSum: Option[Map[String, (Long, Long)]] = {
           import org.apache.spark.sql.types._
-          val resolved = sumCols.map { c =>
+          val resolved = sp.collect { case ("sum", c) => c }.distinct.map { c =>
             AvroFilterEval.leafType(full, c)
               .filter {
                 case ByteType | ShortType | IntegerType | LongType => true
@@ -3120,6 +3187,33 @@ class AvroScanBuilder(path: String, full: StructType,
           if (resolved.exists(_.isEmpty)) None
           else Some(resolved.flatten.toMap)
         }
+        // COUNT(col) for ANY recorded leaf type via the `cnt:` cells
+        // (non-null count in the min slot), falling back to the
+        // integral sum cell's count slot on pre-cnt manifests
+        val perCnt: Option[Map[String, Long]] = {
+          val resolved = sp.collect { case ("cnt", c) => c }.distinct.map { c =>
+            AvroFilterEval.leafType(full, c).flatMap { d =>
+              val enc = java.net.URLEncoder.encode(c, "UTF-8")
+              val cntTag = "cnt:" + d.simpleString
+              val sumTag = "sum:" + d.simpleString
+              val perFile = alive.map { rel =>
+                raw.getOrElse(rel, Nil).collectFirst {
+                  case (`enc`, `cntTag`, nn, _) => nn.toLongOption
+                }.flatten.filter(_ >= 0).orElse {
+                  raw.getOrElse(rel, Nil).collectFirst {
+                    case (`enc`, `sumTag`, _, n) => n.toLongOption
+                  }.flatten.filter(_ >= 0)
+                }
+              }
+              if (perFile.exists(_.isEmpty)) None // uncovered file
+              else try Some(c -> perFile.flatten
+                .foldLeft(0L)(Math.addExact))
+              catch { case _: ArithmeticException => None }
+            }
+          }
+          if (resolved.exists(_.isEmpty)) None
+          else Some(resolved.flatten.toMap)
+        }
         // COUNT(*) folds the row-count manifest under full coverage
         // (posdel already stood the whole aggregate path down above)
         val totalRows: Option[Long] =
@@ -3133,8 +3227,8 @@ class AvroScanBuilder(path: String, full: StructType,
               else None
             }
           }
-        (perCol, perSum, totalRows) match {
-          case (Some(m), Some(sm), Some(rows)) =>
+        (perCol, perSum, perCnt, totalRows) match {
+          case (Some(m), Some(sm), Some(cn), Some(rows)) =>
             minMaxAny = sp.map {
               case (kind @ ("min" | "max"), c) =>
                 val (d, bounds) = m(c)
@@ -3148,7 +3242,7 @@ class AvroScanBuilder(path: String, full: StructType,
                   if (n == 0L) None else Some(s))
               case ("cnt", c) =>
                 (s"count($c)", LongType: org.apache.spark.sql.types.DataType,
-                  Some(sm(c)._2))
+                  Some(cn(c)))
               case _ =>
                 ("count(*)", LongType: org.apache.spark.sql.types.DataType,
                   Some(rows))
@@ -3625,6 +3719,46 @@ class AvroScanBuilder(path: String, full: StructType,
       private lazy val colZoneRanges: Map[String, Map[String, (Any, Any)]] =
         if (filters.isEmpty) Map.empty else zonesAll
 
+      // `cnt:` cells for IS [NOT] NULL file pruning (colmap renames
+      // stand it down — cells live under historical names; absence of
+      // a cell = keep, as for every manifest)
+      private lazy val nullCellsAll: Map[String, Map[String, (Long, Long)]] =
+        if (travelVersion.nonEmpty || incRange.nonEmpty || branch.nonEmpty ||
+          filters.isEmpty ||
+          AvroFileSource.colmapFile(new File(path)).isFile) Map.empty
+        else {
+          val dir = new File(path)
+          val zf = AvroFileSource.colZoneFile(dir)
+          if (zf.isFile) AvroFileSource.readNullCells(zf, dir, full)
+          else Map.empty
+        }
+
+      /** IS NULL / IS NOT NULL file pruning from the `cnt:` cells: a
+        * pushed `IsNull(c)` conjunct drops files with zero nulls in c,
+        * `IsNotNull(c)` drops all-null files. Equality deletes only
+        * shrink a file's row set — a file with zero nulls still has
+        * zero nulls — so the cells stay sound under merge-on-read.
+        */
+      private def nullMayKeep(f: File): Boolean = {
+        if (nullCellsAll.isEmpty) return true
+        val cells = nullCellsAll.getOrElse(f.getAbsolutePath, Map.empty)
+        if (cells.isEmpty) return true
+        def conjuncts(flt: Filter): Seq[Filter] = flt match {
+          case org.apache.spark.sql.sources.And(a, b) =>
+            conjuncts(a) ++ conjuncts(b)
+          case x => Seq(x)
+        }
+        filters.toSeq.flatMap(conjuncts).forall {
+          case org.apache.spark.sql.sources.IsNull(c) =>
+            cells.get(c).forall { case (nn, total) => nn < total }
+          case org.apache.spark.sql.sources.IsNotNull(c) =>
+            cells.get(c).forall { case (nn, _) => nn > 0L }
+          case org.apache.spark.sql.sources.EqualNullSafe(c, null) =>
+            cells.get(c).forall { case (nn, total) => nn < total }
+          case _ => true
+        }
+      }
+
       /** Membership probes from the CURRENT filter state: static
         * equality/IN conjuncts plus runtime join-key IN-sets, one
         * probe per predicate, value hashes precomputed. Recomputed on
@@ -3769,7 +3903,7 @@ class AvroScanBuilder(path: String, full: StructType,
           .filter { case (f, vals) =>
             decidedKeep(f) &&
               partitionMayMatch(vals) && runtimeMayMatch(vals) &&
-              bucketMayKeep(vals) &&
+              bucketMayKeep(vals) && nullMayKeep(f) &&
               zoneMayKeep(f) && runtimeZoneKeep(f) &&
               bloomMayKeep(f) && trigramMayKeep(f) &&
               runtimeFileSet.forall(_.contains(relOf(f))) }
@@ -6229,6 +6363,15 @@ private[sources] object AvroWriters {
     private val cnts = new Array[Long](leaves.length)
     private val sumDead = new Array[Boolean](leaves.length)
 
+    // Per-leaf NON-NULL count + the file's row total — the `cnt:` cells
+    // behind IS [NOT] NULL file decisions, nullable-column zone
+    // eligibility (a file with zero nulls upgrades its bounds from
+    // "all values" to "all rows"), and metadata-served COUNT(col) for
+    // every leaf type. Independent of min/max deadness: a non-finite
+    // float is still non-null.
+    private val nonNulls = new Array[Long](leaves.length)
+    private var rowsSeen = 0L
+
     private def nonFinite(v: Any): Boolean = v match {
       case d: java.lang.Double => d.isNaN || d.isInfinite
       case f: java.lang.Float  => f.isNaN || f.isInfinite
@@ -6236,17 +6379,19 @@ private[sources] object AvroWriters {
     }
 
     def update(view: org.apache.spark.sql.Row): Unit = {
+      rowsSeen += 1
       var l = 0
       while (l < leaves.length) {
-        if (!dead(l)) {
-          val (_, path, _, cmp) = leaves(l)
-          var v: Any = view.get(path(0))
-          var d = 1
-          while (d < path.length && v != null) {
-            v = v.asInstanceOf[org.apache.spark.sql.Row].get(path(d))
-            d += 1
-          }
-          if (v != null) {
+        val (_, path, _, cmp) = leaves(l)
+        var v: Any = view.get(path(0))
+        var d = 1
+        while (d < path.length && v != null) {
+          v = v.asInstanceOf[org.apache.spark.sql.Row].get(path(d))
+          d += 1
+        }
+        if (v != null) {
+          nonNulls(l) += 1
+          if (!dead(l)) {
             if (nonFinite(v)) dead(l) = true
             else if (mins(l) == null) { mins(l) = v; maxs(l) = v }
             else {
@@ -6317,6 +6462,18 @@ private[sources] object AvroWriters {
             val (name, _, dt, _) = leaves(l)
             (java.net.URLEncoder.encode(name, "UTF-8"),
               "sum:" + dt.simpleString, sums(l).toString, cnts(l).toString)
+        } ++
+        // `cnt:` cells (every leaf, dead-or-not — null counting is
+        // exact regardless of non-finite values): min slot = non-null
+        // count, max slot = the file's row total. Consumers: IS [NOT]
+        // NULL tri-state decisions, nullable-column zone-decision
+        // eligibility (zero nulls ⇒ bounds cover all rows), IS NULL
+        // file pruning, metadata COUNT(col) for non-integral leaves.
+        leaves.indices.map { l =>
+          val (name, _, dt, _) = leaves(l)
+          (java.net.URLEncoder.encode(name, "UTF-8"),
+            "cnt:" + dt.simpleString, nonNulls(l).toString,
+            rowsSeen.toString)
         }
   }
   /** Per-file bloom filters for the named columns — the equality/IN

@@ -113,7 +113,8 @@ private[sources] object AvroFilterEval {
     * is ordinary zone pruning. Undecidable comparisons (cmp = None)
     * answer None.
     */
-  def zoneDecides(boundsOf: String => Option[(Any, Any)], f: Filter)
+  def zoneDecides(boundsOf: String => Option[(Any, Any)], f: Filter,
+      nullStateOf: String => Option[(Boolean, Boolean)] = _ => None)
       : Option[Boolean] = {
     // lower-bound decision: `all` answers from cmp(mn, v), `none` from
     // cmp(mx, v) (GreaterThan shapes); `hi = true` swaps the roles
@@ -157,8 +158,15 @@ private[sources] object AvroFilterEval {
       }
       case EqualTo(a, v)       => point(a, v)
       case EqualNullSafe(a, v) =>
-        // no-null guarantee: <=> NULL matches nothing in this file
-        if (v == null) boundsOf(a).map(_ => false) else point(a, v)
+        if (v == null) nullStateOf(a) match {
+          // <=> NULL matches exactly the null rows
+          case Some((noNulls, allNulls)) =>
+            if (allNulls) Some(true)
+            else if (noNulls) Some(false)
+            else None
+          // bounds presence still implies the no-null guarantee
+          case None => boundsOf(a).map(_ => false)
+        } else point(a, v)
       case GreaterThan(a, v) =>
         range(a, v, hi = false)(all = _ > 0, none = _ <= 0)
       case GreaterThanOrEqual(a, v) =>
@@ -180,8 +188,20 @@ private[sources] object AvroFilterEval {
             Some(false)
           else None
         }
-      case IsNotNull(a) => boundsOf(a).map(_ => true)  // no-null guarantee
-      case IsNull(a)    => boundsOf(a).map(_ => false)
+      case IsNotNull(a) => nullStateOf(a) match {
+        case Some((noNulls, allNulls)) =>
+          if (noNulls) Some(true)
+          else if (allNulls) Some(false)
+          else None
+        case None => boundsOf(a).map(_ => true) // no-null guarantee
+      }
+      case IsNull(a) => nullStateOf(a) match {
+        case Some((noNulls, allNulls)) =>
+          if (allNulls) Some(true)
+          else if (noNulls) Some(false)
+          else None
+        case None => boundsOf(a).map(_ => false)
+      }
       case _ => None // Not, string matchers, unknown nodes: undecided
     }
     d(f)
