@@ -1779,7 +1779,17 @@ object AvroFileSource {
     */
   private[sources] def readColZones(zf: File, base: File, full: StructType)
       : Map[String, Map[String, (Any, Any)]] =
-    readColZonesRaw(zf).map { case (rel, entries) =>
+    colZonesFromRaw(readColZonesRaw(zf), base, full)
+
+  /** Bounds view over a pre-parsed raw manifest (one parse can feed
+    * both the bounds and the null-cell views — the manifest is the
+    * largest sidecar, and scans consume both).
+    */
+  private[sources] def colZonesFromRaw(
+      raw: Map[String, Seq[(String, String, String, String)]],
+      base: File, full: StructType)
+      : Map[String, Map[String, (Any, Any)]] =
+    raw.map { case (rel, entries) =>
       new File(base, rel).getAbsolutePath -> entries.flatMap {
         case (colEnc, dtName, mn, mx) =>
           val col = java.net.URLDecoder.decode(colEnc, "UTF-8")
@@ -1799,7 +1809,13 @@ object AvroFileSource {
     */
   private[sources] def readNullCells(zf: File, base: File, full: StructType)
       : Map[String, Map[String, (Long, Long)]] =
-    readColZonesRaw(zf).map { case (rel, entries) =>
+    nullCellsFromRaw(readColZonesRaw(zf), base, full)
+
+  private[sources] def nullCellsFromRaw(
+      raw: Map[String, Seq[(String, String, String, String)]],
+      base: File, full: StructType)
+      : Map[String, Map[String, (Long, Long)]] =
+    raw.map { case (rel, entries) =>
       new File(base, rel).getAbsolutePath -> entries.flatMap {
         case (colEnc, dtName, nn, total)
             if dtName.startsWith("cnt:") &&
@@ -1833,12 +1849,11 @@ object AvroFileSource {
     if (colmapFile(dir).isFile) return None
     val files = listLive(dir)
     val zf = colZoneFile(dir)
-    val zones =
-      if (zf.isFile) readColZones(zf, dir, full)
-      else Map.empty[String, Map[String, (Any, Any)]]
-    val nullCells =
-      if (zf.isFile) readNullCells(zf, dir, full)
-      else Map.empty[String, Map[String, (Long, Long)]]
+    val raw =
+      if (zf.isFile) readColZonesRaw(zf)
+      else Map.empty[String, Seq[(String, String, String, String)]]
+    val zones = colZonesFromRaw(raw, dir, full)
+    val nullCells = nullCellsFromRaw(raw, dir, full)
     import org.apache.spark.sql.types.{DoubleType, FloatType}
     val nonFloat: Set[String] = full.fields.collect {
       case fld if fld.dataType != DoubleType &&
@@ -3708,14 +3723,17 @@ class AvroScanBuilder(path: String, full: StructType,
         * on an unfiltered scan. Time travel reads none (the manifest
         * describes the CURRENT file set).
         */
-      private lazy val zonesAll: Map[String, Map[String, (Any, Any)]] =
-        if (travelVersion.nonEmpty || incRange.nonEmpty || branch.nonEmpty) Map.empty
+      // ONE raw manifest parse per scan feeds both views below
+      private lazy val colZonesRaw
+          : Map[String, Seq[(String, String, String, String)]] =
+        if (travelVersion.nonEmpty || incRange.nonEmpty || branch.nonEmpty)
+          Map.empty
         else {
-          val dir = new File(path)
-          val zf = AvroFileSource.colZoneFile(dir)
-          if (zf.isFile) AvroFileSource.readColZones(zf, dir, full)
-          else Map.empty
+          val zf = AvroFileSource.colZoneFile(new File(path))
+          if (zf.isFile) AvroFileSource.readColZonesRaw(zf) else Map.empty
         }
+      private lazy val zonesAll: Map[String, Map[String, (Any, Any)]] =
+        AvroFileSource.colZonesFromRaw(colZonesRaw, new File(path), full)
       private lazy val colZoneRanges: Map[String, Map[String, (Any, Any)]] =
         if (filters.isEmpty) Map.empty else zonesAll
 
@@ -3723,15 +3741,10 @@ class AvroScanBuilder(path: String, full: StructType,
       // stand it down — cells live under historical names; absence of
       // a cell = keep, as for every manifest)
       private lazy val nullCellsAll: Map[String, Map[String, (Long, Long)]] =
-        if (travelVersion.nonEmpty || incRange.nonEmpty || branch.nonEmpty ||
-          filters.isEmpty ||
+        if (filters.isEmpty ||
           AvroFileSource.colmapFile(new File(path)).isFile) Map.empty
-        else {
-          val dir = new File(path)
-          val zf = AvroFileSource.colZoneFile(dir)
-          if (zf.isFile) AvroFileSource.readNullCells(zf, dir, full)
-          else Map.empty
-        }
+        else AvroFileSource.nullCellsFromRaw(colZonesRaw,
+          new File(path), full)
 
       /** IS NULL / IS NOT NULL file pruning from the `cnt:` cells: a
         * pushed `IsNull(c)` conjunct drops files with zero nulls in c,
