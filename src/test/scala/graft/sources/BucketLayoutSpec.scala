@@ -229,6 +229,15 @@ class BucketLayoutSpec extends AnyFunSuite with SparkSpec with Matchers {
         (0L until 500L by 2).map(_ * 3).sum
       val plan = joined.queryExecution.executedPlan.toString
       plan should not include "Exchange"
+      // and a groupBy on the bucket KEY is exchange-free too: equal
+      // keys share a bucket partition, so KeyGroupedPartitioning
+      // satisfies the aggregation's clustering with no shuffle
+      val agg = spark.sql(
+        "SELECT k, count(*) AS n, sum(v) AS s FROM graft_bk.spj.a GROUP BY k")
+      agg.queryExecution.executedPlan.toString should not include "Exchange"
+      agg.count() shouldBe 500
+      agg.agg(F.sum("s")).head().getLong(0) shouldBe
+        (0L until 500L).map(_ * 3).sum
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     }
