@@ -2155,7 +2155,8 @@ case class AvroTable(path: String, tableSchema: StructType,
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(travelOptions.isEmpty,
-      "graft-avro: a VERSION AS OF / TIMESTAMP AS OF table is read-only")
+      "graft-avro: a VERSION AS OF / TIMESTAMP AS OF / .changes " +
+        "table is read-only")
     if (AvroFileSource.rowLevelMode(new File(path)) ==
         AvroFileSource.MergeOnRead)
       return () => new org.apache.spark.sql.connector.write.RowLevelOperation
@@ -2361,7 +2362,8 @@ case class AvroTable(path: String, tableSchema: StructType,
     */
   override def truncateTable(): Boolean = {
     require(travelOptions.isEmpty,
-      "graft-avro: a VERSION AS OF / TIMESTAMP AS OF table is read-only")
+      "graft-avro: a VERSION AS OF / TIMESTAMP AS OF / .changes " +
+        "table is read-only")
     val dirF = new File(path)
     AvroFileSource.withCommitLock(dirF) {
     val base = dirF.getAbsoluteFile.toPath
@@ -2542,7 +2544,8 @@ case class AvroTable(path: String, tableSchema: StructType,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(travelOptions.isEmpty,
-      "graft-avro: a VERSION AS OF / TIMESTAMP AS OF table is read-only")
+      "graft-avro: a VERSION AS OF / TIMESTAMP AS OF / .changes " +
+        "table is read-only")
     require(info.options().get("versionAsOf") == null &&
         info.options().get("timestampAsOf") == null &&
         info.options().get("fromVersion") == null &&

@@ -105,6 +105,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           (ident.namespace() :+ ident.name()).mkString("."),
           ident.name(), tableDir(base))
     }
+    // `cat.ns.tbl.changes`: the streaming CDC feed as a catalog-
+    // addressable view — `spark.readStream.table("cat.ns.tbl.changes")`
+    // (+ startingVersion/maxVersionsPerTrigger reader options). Read-
+    // only; batch SELECTs refuse with a pointer at
+    // AvroMaintenance.changes. A REAL table named `changes` shadows the
+    // view, same rule as the metadata tables.
+    if (!tableExists(ident) && ident.namespace().nonEmpty &&
+        ident.name() == "changes") {
+      val base = Identifier.of(ident.namespace().dropRight(1),
+        ident.namespace().last)
+      if (tableExists(base)) {
+        val d = tableDir(base)
+        val schema = new AvroFileSource().inferSchema(
+          new CaseInsensitiveStringMap(Map("path" -> d.getPath,
+            "readChangeFeed" -> "true").asJava))
+        return AvroTable(d.getPath, schema,
+          travelOptions = Map("readChangeFeed" -> "true"))
+      }
+    }
     val d = tableDir(ident)
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val (ddlSchema: Option[StructType], parts: Seq[String]) =

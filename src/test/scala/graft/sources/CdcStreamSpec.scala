@@ -141,6 +141,38 @@ class CdcStreamSpec extends AnyFunSuite with SparkSpec with Matchers {
     rows.select("_commit_version").distinct().count() shouldBe 3
   }
 
+  test("catalog .changes view: readStream.table serves the feed; writes refuse") {
+    val root = graft.operators.Catalog.tempDir("graft_cdc_cat")
+    spark.conf.set("spark.sql.catalog.graft_cdc",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cdc.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cdc.ns")
+    spark.sql("DROP TABLE IF EXISTS graft_cdc.ns.t")
+    spark.sql("CREATE TABLE graft_cdc.ns.t AS SELECT id AS k FROM range(5)")
+    spark.sql("INSERT INTO graft_cdc.ns.t SELECT id AS k FROM range(5, 8)")
+    val q = spark.readStream
+      .option("startingVersion", "1")
+      .table("graft_cdc.ns.t.changes")
+      .writeStream.format("memory").queryName("cdc_cat")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("cdc_cat").collect()
+      rows.length shouldBe 8
+      rows.forall(_.getString(1) == "insert") shouldBe true
+      rows.map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq shouldBe
+        ((0L until 5L).map((_, 1L)) ++ (5L until 8L).map((_, 2L)))
+    } finally q.stop()
+    // the view is read-only, and a batch SELECT points at the batch API
+    intercept[Exception] {
+      spark.sql("INSERT INTO graft_cdc.ns.t.changes VALUES (1, 'x', 1)")
+    }
+    val boom = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_cdc.ns.t.changes").collect()
+    }
+    boom.getMessage should include("STREAMING")
+  }
+
   test("column pruning and cdc-only projections stay consistent") {
     val dir = tmp()
     spark.range(0, 3).selectExpr("id AS k", "id * 2 AS v")
