@@ -187,6 +187,33 @@ class BucketLayoutSpec extends AnyFunSuite with SparkSpec with Matchers {
     }.getMessage should include("identity partition")
   }
 
+  test("bucketBy + sortedBy compose: range zones and bucket pruning stack") {
+    val dir = tmp()
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan}
+    // 4 k-ranges × 4 c-buckets = 16 files; each file internally sorted
+    // by k (verified — an unsorted write would fail), zone-mapped on k,
+    // bucket-segmented on c
+    val df = spark.range(0, 800).toDF("k")
+      .withColumn("c", F.pmod(F.col("k") * 37L, F.lit(7)))
+    df.repartitionByRange(4, F.col("k")).sortWithinPartitions("k")
+      .write.format("graft-avro")
+      .option("bucketBy", "c:4").option("sortedBy", "k")
+      .mode("overwrite").save(dir)
+    val all = scanParts(dir)
+    all should be >= 8 // 4 ranges × >=2 live buckets
+    val byBucket = scanParts(dir, Seq(EqualTo("c", 3L)))
+    val byRange = scanParts(dir, Seq(GreaterThan("k", 750L)))
+    byBucket should be < all
+    byRange should be < all
+    // both prunings stack on the conjunction
+    scanParts(dir, Seq(EqualTo("c", 3L), GreaterThan("k", 750L))) should
+      be < math.min(byBucket, byRange)
+    // and the pruned read answers exactly
+    val back = spark.read.format("graft-avro").load(dir)
+    back.filter(F.col("c") === 3L && F.col("k") > 750L).count() shouldBe
+      (751L until 800L).count(v => (v * 37L) % 7L == 3L)
+  }
+
   test("compactInPlace preserves the bucket layout") {
     val dir = tmp()
     writeBucketed(dir)
