@@ -36,6 +36,7 @@ object GraftProcedures {
   def names: Seq[String] = Seq("rollback_to_version", "expire_snapshots",
     "create_tag", "drop_tag", "add_constraint", "drop_constraint",
     "compact", "cluster", "remove_orphans", "add_files", "analyze",
+    "clean_stages",
     "create_view",
     "set_row_level_mode",
     "drop_view", "create_matview", "refresh_matview",
@@ -187,6 +188,37 @@ object GraftProcedures {
         in => {
           val n = AvroMaintenance.removeOrphans(dirOf(in))
           (out("files_removed" -> LongType), Seq(n.toLong))
+        })
+      case "clean_stages" => new Proc(name,
+        "delete crash-abandoned `_graft_stage_*` staging directories " +
+          "older than min_age_minutes (aborts clean up after " +
+          "themselves; this reclaims the crash-between-write-and-" +
+          "commit leftovers — listings never see them either way)",
+        Array(param("namespace", StringType),
+          param("min_age_minutes", IntegerType)),
+        in => {
+          val nsArg = in.getUTF8String(0)
+          require(nsArg != null,
+            "graft procedure: namespace argument is null")
+          val ns = nsArg.toString.split('.').filter(_.nonEmpty)
+          val age = in.getInt(1)
+          require(age >= 0,
+            s"graft procedure: min_age_minutes must be >= 0, got $age")
+          val d = cat.namespaceDir(ns)
+          require(d.isDirectory,
+            s"graft procedure: namespace ${ns.mkString(".")} not found")
+          val cutoff = System.currentTimeMillis() - age * 60000L
+          val victims = Option(d.listFiles()).getOrElse(Array.empty)
+            .filter(f => f.isDirectory &&
+              f.getName.startsWith("_graft_stage") &&
+              f.lastModified() < cutoff)
+          victims.foreach { v =>
+            import java.nio.file.{Files => JF, Path}
+            JF.walk(v.toPath)
+              .sorted(java.util.Comparator.reverseOrder[Path]())
+              .forEach(p => JF.deleteIfExists(p))
+          }
+          (out("stages_removed" -> LongType), Seq(victims.length.toLong))
         })
       case "add_files" => new Proc(name,
         "adopt data files that landed outside any commit as a new " +

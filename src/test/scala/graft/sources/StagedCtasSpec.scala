@@ -72,6 +72,23 @@ class StagedCtasSpec extends AnyFunSuite with SparkSpec with Matchers {
     stagingLitter() shouldBe empty
   }
 
+  test("CALL system.clean_stages reclaims crash-abandoned staging dirs") {
+    init()
+    // forge a crash leftover: a staging dir nobody will ever commit
+    val stale = new File(new File(root, "ns"), "_graft_stage_zombie_abc")
+    stale.mkdirs()
+    new File(stale, "part-x.avro").createNewFile()
+    // too young under a 60-minute floor: untouched (a LIVE staged CTAS
+    // must never be swept mid-write)
+    spark.sql("CALL graft_st.system.clean_stages('ns', 60)")
+      .head().getLong(0) shouldBe 0L
+    stale.isDirectory shouldBe true
+    // age floor 0: reclaimed
+    spark.sql("CALL graft_st.system.clean_stages('ns', 0)")
+      .head().getLong(0) shouldBe 1L
+    stale.exists() shouldBe false
+  }
+
   test("staged REPLACE of a missing table refuses; CTAS over existing refuses") {
     init()
     spark.sql("DROP TABLE IF EXISTS graft_st.ns.t4")
