@@ -5529,9 +5529,10 @@ class AvroWriteBuilder(path: String, schema: StructType,
   // `requestSort` makes the WRITE declare its layout needs to Spark
   // (RequiresDistributionAndOrdering) instead of trusting the caller to
   // pre-arrange rows — pointless without a layout to request
-  require(!requestSort || sortedBy.isDefined || partitionBy.nonEmpty,
-    "graft-avro: requestSort=true needs sortedBy and/or partitionBy — " +
-      "there is no layout to request otherwise")
+  require(!requestSort || sortedBy.isDefined || partitionBy.nonEmpty ||
+    bucketBy.nonEmpty,
+    "graft-avro: requestSort=true needs sortedBy, partitionBy and/or " +
+      "bucketBy — there is no layout to request otherwise")
 
   bloomFor.foreach { c =>
     val f = schema.fields.find(_.name == c).getOrElse(
@@ -5763,10 +5764,20 @@ class AvroWriteBuilder(path: String, schema: StructType,
       */
     override def requiredDistribution(): Distribution =
       if (!requestSort) Distributions.unspecified()
-      else if (partitionBy.nonEmpty)
+      else if (partitionBy.nonEmpty || bucketBy.nonEmpty)
+        // identity columns + bucket TRANSFORMS: Spark clusters rows by
+        // the bucket ordinal itself, so each task owns whole buckets
+        // and the job lands ~N files per identity partition instead of
+        // tasks × N. The bucket transform resolves through the table's
+        // FunctionCatalog — CATALOG writes only (a path write with
+        // requestSort + bucketBy fails at analysis; repartition by
+        // graft_bucket(col, n) by hand there).
         Distributions.clustered(
-          partitionBy.map(Expressions.column(_): org.apache.spark.sql
-            .connector.expressions.Expression).toArray)
+          (partitionBy.map(Expressions.column(_): org.apache.spark.sql
+            .connector.expressions.Expression) ++
+            bucketBy.map { case (c, n) => Expressions.bucket(n, c)
+              : org.apache.spark.sql.connector.expressions.Expression })
+            .toArray)
       else Distributions.ordered(sortOrders)
 
     override def requiredOrdering(): Array[VSortOrder] =

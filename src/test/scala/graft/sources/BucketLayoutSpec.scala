@@ -214,6 +214,27 @@ class BucketLayoutSpec extends AnyFunSuite with SparkSpec with Matchers {
       (751L until 800L).count(v => (v * 37L) % 7L == 3L)
   }
 
+  test("requestSort + bucketBy: catalog INSERTs cluster by the bucket ordinal") {
+    val root = graft.operators.Catalog.tempDir("graft_bucket_wd")
+    spark.conf.set("spark.sql.catalog.graft_wd",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_wd.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_wd.ns")
+    spark.sql("DROP TABLE IF EXISTS graft_wd.ns.t")
+    // the table property makes every SQL INSERT self-arranging: Spark
+    // clusters rows by bucket(4, k) through the catalog's function, so
+    // the job lands ONE file per bucket, not tasks x buckets
+    spark.sql("CREATE TABLE graft_wd.ns.t (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k)) " +
+      "TBLPROPERTIES ('graft.requestSort'='true')")
+    spark.sql("INSERT INTO graft_wd.ns.t SELECT id, id * 2 FROM range(5000)")
+    AvroFileSource.listAvro(new File(s"$root/ns/t")).size shouldBe 4
+    spark.sql("SELECT count(*) FROM graft_wd.ns.t").head().getLong(0) shouldBe
+      5000L
+    spark.sql("SELECT sum(v) FROM graft_wd.ns.t").head().getLong(0) shouldBe
+      (0L until 5000L).map(_ * 2).sum
+  }
+
   test("compactInPlace preserves the bucket layout") {
     val dir = tmp()
     writeBucketed(dir)
