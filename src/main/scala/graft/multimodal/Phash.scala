@@ -40,6 +40,53 @@ object Phash {
     (for (u <- 0 until 8; x <- 0 until 8)
       yield s"($u, $x, ${Cos(u)(x)})").mkString(", ")
 
+  /** 56-bit audio fingerprint of a 512-sample PCM clip (the layout
+    * [[Wav.decode]] returns): 8 windows of 64 samples; per window, 8
+    * BAND ENERGIES (sums of |s| over 8-sample sub-bands — integer, no
+    * FFT needed for a fingerprint), a 1-D DCT-II over the band vector
+    * with the same frozen [[Cos]] table, and a 7-bit median-threshold
+    * code from the AC coefficients (median = the 4th order statistic
+    * of 7 — exact in both engines). Window w's code packs at bit 7·w.
+    * Magnitudes: band ≤ 8·32768, coefs ≤ 2^18·2^14·8 = 2^35 — exact in
+    * Long, and inside BIGINT for the oracle.
+    */
+  def audioHash56(samples: Array[Short]): Long = {
+    require(samples.length == 512,
+      s"audio phash expects 512 samples, got ${samples.length}")
+    var hash = 0L
+    var w = 0
+    while (w < 8) {
+      val e = new Array[Long](8)
+      var j = 0
+      while (j < 64) {
+        val v = samples(w * 64 + j).toInt
+        e(j / 8) += (if (v < 0) -v else v).toLong
+        j += 1
+      }
+      val f = new Array[Long](8)
+      var u = 0
+      while (u < 8) {
+        var acc = 0L
+        var b = 0
+        while (b < 8) { acc += e(b) * Cos(u)(b); b += 1 }
+        f(u) = acc
+        u += 1
+      }
+      val ac = java.util.Arrays.copyOfRange(f, 1, 8)
+      java.util.Arrays.sort(ac)
+      val med = ac(3)
+      var bits = 0L
+      u = 1
+      while (u < 8) {
+        if (f(u) > med) bits |= 1L << (u - 1)
+        u += 1
+      }
+      hash |= bits << (7 * w)
+      w += 1
+    }
+    hash
+  }
+
   /** 63-bit pHash of a 16×16 packed-BGR raster (the triple layout
     * [[Bmp.decode]] returns). Magnitudes: block sums ≤ 4·765, coefs ≤
     * 3060·2^28·64 ≈ 5.3e16 — exact in Long.

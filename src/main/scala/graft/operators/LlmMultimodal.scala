@@ -263,6 +263,43 @@ object LlmMultimodal extends Catalog {
         .orderBy("doc_id")
     }),
 
+    // PERCEPTUAL AUDIO FINGERPRINT (the llm_image_phash analogue for
+    // sound, exact integers end to end): the standard 512-sample
+    // synthetic waveform runs the REAL WAV encode→decode round trip,
+    // then 8 windows × 8 band energies (sums of |s|) → 1-D integer
+    // DCT-II (same frozen cosine table) → 7-bit median-threshold code
+    // per window → a 56-bit fingerprint. A variant with ONE source
+    // byte perturbed pins the perceptual contract via Hamming distance.
+    "llm_audio_phash" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .filter(F.col("n_chars") > 0 &&
+          F.pmod(F.col("doc_id"), F.lit(5)) === 0)
+        .select(F.col("doc_id"), F.col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          def hashOf(perturb: Boolean): Long = {
+            val src = bytes.clone()
+            if (perturb) src(0) = ((src(0) + 7) % 256).toByte
+            val samples = Array.tabulate[Short](512) { i =>
+              (((src(i % src.length) & 0xff) * 997 + i * 131) % 65536
+                - 32768).toShort
+            }
+            val (_, dec) = graft.multimodal.Wav.decode(
+              graft.multimodal.Wav.encode(8000, samples))
+            graft.multimodal.Phash.audioHash56(dec)
+          }
+          (id, hashOf(false), hashOf(true))
+        }
+        .toDF("doc_id", "ahash", "near_ahash")
+        .select(F.col("doc_id"), F.col("ahash"), F.col("near_ahash"),
+          F.bit_count(F.col("ahash").bitwiseXOR(F.col("near_ahash")))
+            .cast("int").as("hamming"))
+        .orderBy("doc_id")
+    }),
+
     // REAL compressed-image decode under the oracle: the same pixel tiles
     // as llm_image_features, round-tripped through a genuine PNG
     // ([[graft.multimodal.Png]]) — zlib-deflated IDAT, per-row filters
@@ -982,6 +1019,62 @@ object LlmMultimodal extends Catalog {
            FROM ac a JOIN med m USING (doc_id) GROUP BY 1)
          SELECT doc_id, phash, near_phash,
                 CAST(bit_count(xor(phash, near_phash)) AS INT) AS hamming
+         FROM bits ORDER BY doc_id""",
+    // the audio fingerprint re-derived: same synthetic waveform (byte 0
+    // perturbed (+7) % 256 for the variant — note the perturbation hits
+    // EVERY sample whose tile index i % n = 0), band |s| sums, 1-D DCT
+    // via the spliced table, 4th-order-stat median of 7 AC coefs,
+    // 7-bit codes packed at 7·w
+    "llm_audio_phash" -> s"""
+         WITH d AS (
+           SELECT doc_id, text, length(text) AS n
+           FROM documents WHERE length(text) > 0 AND doc_id % 5 = 0),
+         ctab(u, x, c) AS (VALUES ${graft.multimodal.Phash.cosSqlValues}),
+         smp AS (
+           SELECT doc_id, t.i AS i,
+                  ((ord(substring(text, (t.i % n) + 1, 1)) * 997
+                    + t.i * 131) % 65536) - 32768 AS s,
+                  (((CASE WHEN t.i % n = 0
+                      THEN (ord(substring(text, 1, 1)) + 7) % 256
+                      ELSE ord(substring(text, (t.i % n) + 1, 1)) END)
+                    * 997 + t.i * 131) % 65536) - 32768 AS s2
+           FROM d, unnest(generate_series(0, 511)) t(i)),
+         band AS (
+           SELECT doc_id, (i // 64) AS w, ((i % 64) // 8) AS b,
+                  CAST(sum(abs(s)) AS BIGINT) AS e,
+                  CAST(sum(abs(s2)) AS BIGINT) AS e2
+           FROM smp GROUP BY 1, 2, 3),
+         dct AS (
+           SELECT band.doc_id, band.w, cu.u AS u,
+                  CAST(sum(band.e * cu.c) AS BIGINT) AS f,
+                  CAST(sum(band.e2 * cu.c) AS BIGINT) AS f2
+           FROM band JOIN ctab cu ON cu.x = band.b
+           GROUP BY 1, 2, 3),
+         ac AS (SELECT * FROM dct WHERE u > 0),
+         ranked AS (
+           SELECT doc_id, w, u, f, f2,
+                  row_number() OVER (PARTITION BY doc_id, w ORDER BY f)
+                    AS rn,
+                  row_number() OVER (PARTITION BY doc_id, w ORDER BY f2)
+                    AS rn2
+           FROM ac),
+         med AS (
+           SELECT doc_id, w,
+                  max(CASE WHEN rn = 4 THEN f END) AS m,
+                  max(CASE WHEN rn2 = 4 THEN f2 END) AS m2
+           FROM ranked GROUP BY 1, 2),
+         bits AS (
+           SELECT a.doc_id,
+                  CAST(sum(CASE WHEN a.f > m.m
+                    THEN (CAST(1 AS BIGINT) << (a.u - 1 + 7 * a.w))
+                    ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS ahash,
+                  CAST(sum(CASE WHEN a.f2 > m.m2
+                    THEN (CAST(1 AS BIGINT) << (a.u - 1 + 7 * a.w))
+                    ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS near_ahash
+           FROM ac a JOIN med m ON a.doc_id = m.doc_id AND a.w = m.w
+           GROUP BY 1)
+         SELECT doc_id, ahash, near_ahash,
+                CAST(bit_count(xor(ahash, near_ahash)) AS INT) AS hamming
          FROM bits ORDER BY doc_id""",
     // encode(text) is the same utf-8 byte payload; DuckDB 1.0 has no
     // md5(BLOB), and md5(text) hashes those identical bytes.

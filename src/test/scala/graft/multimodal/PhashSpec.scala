@@ -59,6 +59,38 @@ class PhashSpec extends AnyFunSuite with Matchers {
     Phash.hash64(16, 16, tripled) shouldBe Phash.hash64(16, 16, pix)
   }
 
+  test("audio fingerprint: collision, perturbation locality, separation") {
+    def clip(f: Int => Int): Array[Short] =
+      Array.tabulate[Short](512)(i => ((f(i) % 65536) - 32768).toShort)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // identical clips collide; WAV round trip is invisible
+    val a = clip(i => (i * 997 + 131) & 0xffff)
+    val direct = Phash.audioHash56(a)
+    val (_, dec) = Wav.decode(Wav.encode(8000, a))
+    Phash.audioHash56(dec) shouldBe direct
+    // a single perturbed sample moves a few bits at most
+    (0 until 12).foreach { seed =>
+      val base = clip(i => ((i * 31 + seed * 97) * 131) & 0xffff)
+      val h0 = Phash.audioHash56(base)
+      val p = base.clone()
+      p(seed * 41 % 512) = (p(seed * 41 % 512) + 900).toShort
+      ham(h0, Phash.audioHash56(p)) should be <= 7
+    }
+    // structurally different textures sit far apart
+    def texture(seed: Int): Array[Short] =
+      clip(i => ((i / 8) * 31 + (i % 8) * (17 + seed) + seed * 5081)
+        * 127 & 0xffff)
+    val pairs = for (x <- 0 until 4; y <- (x + 1) until 4) yield (x, y)
+    pairs.foreach { case (x, y) =>
+      ham(Phash.audioHash56(texture(x)),
+        Phash.audioHash56(texture(y))) should be >= 8
+    }
+    // non-512 clips refuse
+    intercept[IllegalArgumentException] {
+      Phash.audioHash56(new Array[Short](256))
+    }
+  }
+
   test("rejects non-16x16 rasters; table matches the spliced SQL") {
     intercept[IllegalArgumentException] {
       Phash.hash64(8, 8, new Array[Byte](8 * 8 * 3))
