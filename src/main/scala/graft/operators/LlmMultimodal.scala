@@ -263,6 +263,57 @@ object LlmMultimodal extends Catalog {
         .orderBy("doc_id")
     }),
 
+    // PERCEPTUAL NEAR-DUP PAIRS via banded pHash (the image-dedup LSH
+    // shape): each corpus image hashes once, every 1-in-20 document
+    // also contributes a one-byte-perturbed CLONE, the 63-bit hashes
+    // band into 4×16-bit slices, candidate pairs share a band value
+    // (bucketed — never all-pairs), and survivors verify at Hamming
+    // ≤ 8. Standard LSH recall contract: a ≤5-bit twin can straddle
+    // all 4 bands and slip the net — the oracle replicates the SAME
+    // banding, so the result is exact either way.
+    "llm_phash_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val hashed = table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .filter(F.col("n_chars") > 0 &&
+          F.pmod(F.col("doc_id"), F.lit(5)) === 0)
+        .select(F.col("doc_id"), F.col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          def hashOf(perturb: Boolean): Long = {
+            val pix = Array.tabulate[Byte](16 * 16 * 3)(
+              j => bytes(j % bytes.length))
+            if (perturb) pix(0) = ((pix(0) + 7) % 256).toByte
+            val (w, h, dec) = graft.multimodal.Bmp.decode(
+              graft.multimodal.Bmp.encode(16, 16, pix))
+            graft.multimodal.Phash.hash64(w, h, dec)
+          }
+          (id, hashOf(false)) ::
+            (if (id % 20 == 0) List((id + 1000000L, hashOf(true)))
+            else Nil)
+        }
+        .toDF("id", "h")
+      val bands = hashed.select(F.col("id"), F.col("h"),
+        F.posexplode(F.array(
+          F.shiftright(F.col("h"), 0).bitwiseAND(F.lit(65535L)),
+          F.shiftright(F.col("h"), 16).bitwiseAND(F.lit(65535L)),
+          F.shiftright(F.col("h"), 32).bitwiseAND(F.lit(65535L)),
+          F.shiftright(F.col("h"), 48).bitwiseAND(F.lit(32767L)))))
+      val a = bands.select(F.col("id").as("a_id"), F.col("h").as("a_h"),
+        F.col("pos"), F.col("col"))
+      val b = bands.select(F.col("id").as("b_id"), F.col("h").as("b_h"),
+        F.col("pos"), F.col("col"))
+      a.join(b, Seq("pos", "col"))
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_h", "b_h").distinct()
+        .withColumn("hamming",
+          F.bit_count(F.col("a_h").bitwiseXOR(F.col("b_h"))).cast("int"))
+        .filter(F.col("hamming") <= 8)
+        .select("a_id", "b_id", "hamming")
+        .orderBy("a_id", "b_id")
+    }),
+
     // PERCEPTUAL AUDIO FINGERPRINT (the llm_image_phash analogue for
     // sound, exact integers end to end): the standard 512-sample
     // synthetic waveform runs the REAL WAV encode→decode round trip,
@@ -958,14 +1009,13 @@ object LlmMultimodal extends Catalog {
     })
   )
 
-  val oracles: Map[String, String] = Map(
-    // pHash re-derived byte-for-byte: tiled channel bytes (byte 0
-    // perturbed (+7) % 256 for the variant), luminance sums, 2×2 block
-    // sums, DCT via the SPLICED frozen cosine table (Phash.cosSqlValues
-    // — single source of truth with the Scala kernel), 32nd-order-stat
-    // median, shifts capped at 62 (the r15 `1<<63` BIGINT trap).
-    "llm_image_phash" -> s"""
-         WITH d AS (
+  /** The pHash derivation CTE chain (d → … → bits), shared verbatim by
+    * the llm_image_phash and llm_phash_pairs oracles — ONE source of
+    * truth for the SQL re-derivation, like the spliced cosine table is
+    * for the constants. Ends with `bits(doc_id, phash, near_phash)`.
+    */
+  private def phashCoreSql: String = s"""
+         d AS (
            SELECT doc_id, text, length(text) AS n
            FROM documents WHERE length(text) > 0 AND doc_id % 5 = 0),
          ctab(u, x, c) AS (VALUES ${graft.multimodal.Phash.cosSqlValues}),
@@ -1016,10 +1066,42 @@ object LlmMultimodal extends Catalog {
                   CAST(sum(CASE WHEN a.f2 > m.m2
                     THEN (CAST(1 AS BIGINT) << (a.u * 8 + a.v - 1))
                     ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS near_phash
-           FROM ac a JOIN med m USING (doc_id) GROUP BY 1)
+           FROM ac a JOIN med m USING (doc_id) GROUP BY 1)"""
+
+  val oracles: Map[String, String] = Map(
+    // pHash re-derived byte-for-byte: tiled channel bytes (byte 0
+    // perturbed (+7) % 256 for the variant), luminance sums, 2×2 block
+    // sums, DCT via the SPLICED frozen cosine table (Phash.cosSqlValues
+    // — single source of truth with the Scala kernel), 32nd-order-stat
+    // median, shifts capped at 62 (the r15 `1<<63` BIGINT trap).
+    "llm_image_phash" -> s"""
+         WITH $phashCoreSql
          SELECT doc_id, phash, near_phash,
                 CAST(bit_count(xor(phash, near_phash)) AS INT) AS hamming
          FROM bits ORDER BY doc_id""",
+    // banded near-dup pairs over the SAME phash core: population =
+    // originals ∪ perturbed clones (near_phash, ids offset 10^6),
+    // 4 band slices, bucketed candidates, Hamming-verified
+    "llm_phash_pairs" -> s"""
+         WITH $phashCoreSql,
+         orig AS (SELECT doc_id AS id, phash AS h FROM bits),
+         extra AS (SELECT doc_id + 1000000 AS id, near_phash AS h
+                   FROM bits WHERE doc_id % 20 = 0),
+         pop AS (SELECT * FROM orig UNION ALL SELECT * FROM extra),
+         bands AS (
+           SELECT id, h, t.j AS j,
+                  CASE WHEN t.j < 3 THEN (h >> (16 * t.j)) & 65535
+                       ELSE (h >> 48) & 32767 END AS v
+           FROM pop, unnest(generate_series(0, 3)) t(j)),
+         cand AS (
+           SELECT DISTINCT a.id AS a_id, b.id AS b_id,
+                  a.h AS a_h, b.h AS b_h
+           FROM bands a JOIN bands b
+             ON a.j = b.j AND a.v = b.v AND a.id < b.id)
+         SELECT a_id, b_id,
+                CAST(bit_count(xor(a_h, b_h)) AS INT) AS hamming
+         FROM cand WHERE bit_count(xor(a_h, b_h)) <= 8
+         ORDER BY a_id, b_id""",
     // the audio fingerprint re-derived: same synthetic waveform (byte 0
     // perturbed (+7) % 256 for the variant — note the perturbation hits
     // EVERY sample whose tile index i % n = 0), band |s| sums, 1-D DCT
