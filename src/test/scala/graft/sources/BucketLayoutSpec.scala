@@ -167,6 +167,31 @@ class BucketLayoutSpec extends AnyFunSuite with SparkSpec with Matchers {
     spark.read.format("graft-avro").load(dir).count() shouldBe 10
   }
 
+  test("multi-column bucketing: independent segments, per-column pruning") {
+    val dir = tmp()
+    spark.range(0, 400).toDF("k")
+      .withColumn("s", F.concat(F.lit("u"), F.pmod(F.col("k"), F.lit(50))))
+      .write.format("graft-avro").option("bucketBy", "k:4,s:3")
+      .mode("overwrite").save(dir)
+    AvroFileSource.readBucketSpec(new File(dir)) shouldBe
+      Seq("k" -> 4, "s" -> 3)
+    AvroFileSource.listPartitioned(new File(dir)).foreach { case (_, m) =>
+      m.keySet should contain allOf ("k_bucket", "s_bucket")
+    }
+    import org.apache.spark.sql.sources.EqualTo
+    val all = scanParts(dir)
+    val byK = scanParts(dir, Seq(EqualTo("k", 10L)))
+    val byS = scanParts(dir, Seq(EqualTo("s", "u10")))
+    byK should be < all
+    byS should be < all
+    // conjunction stacks both columns' bucket targets
+    scanParts(dir, Seq(EqualTo("k", 10L), EqualTo("s", "u10"))) should
+      be <= math.min(byK, byS)
+    val back = spark.read.format("graft-avro").load(dir)
+    back.filter(F.col("k") === 10L && F.col("s") === "u10").count() shouldBe 1
+    back.count() shouldBe 400
+  }
+
   test("bucketBy rejects unsupported types and collisions") {
     val dir = tmp()
     intercept[IllegalArgumentException] {

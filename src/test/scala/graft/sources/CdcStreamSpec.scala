@@ -141,6 +141,28 @@ class CdcStreamSpec extends AnyFunSuite with SparkSpec with Matchers {
     rows.select("_commit_version").distinct().count() shouldBe 3
   }
 
+  test("a stream lagging past snapshot expiry fails loudly, never skips") {
+    val dir = tmp()
+    spark.range(0, 3).selectExpr("id AS k")
+      .write.format("graft-avro").mode("overwrite").save(dir) // v1
+    spark.range(3, 6).selectExpr("id AS k")
+      .write.format("graft-avro").mode("append").save(dir) // v2
+    spark.range(6, 9).selectExpr("id AS k")
+      .write.format("graft-avro").mode("append").save(dir) // v3
+    // vacuum: rebase the journal so v1's delta is gone
+    AvroMaintenance.expireSnapshots(dir, keepLast = 1)
+    val q = spark.readStream.format("graft-avro")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "2") // needs v1 as the delta base
+      .load(dir)
+      .writeStream.format("memory").queryName("cdc_expired")
+      .outputMode("append").start()
+    val boom = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    boom.getMessage.toLowerCase should include("gone from the journal")
+  }
+
   test("catalog .changes view: readStream.table serves the feed; writes refuse") {
     val root = graft.operators.Catalog.tempDir("graft_cdc_cat")
     spark.conf.set("spark.sql.catalog.graft_cdc",
