@@ -1294,6 +1294,72 @@ object AvroGates extends Catalog {
     // DISJOINT key sets so the final state is arrival-order-independent.
     // The 100 TB shape: continuous CDC-apply whose write amplification
     // is O(changed rows) per batch, not O(files touched).
+    // END-TO-END CDC REPLICATION: the change feed of a churning source
+    // table (append, append, full-churn overwrite) drives a
+    // merge-on-read TARGET via foreachBatch MERGE — each micro-batch
+    // (one source version, rate-limited) folds to one net event per
+    // key (latest version wins; insert outranks delete within a
+    // version, since the delete names the OLD file's row) and applies
+    // as delete/update/insert. The replicated target must equal the
+    // source's LIVE content exactly — the canonical CDC mirror loop.
+    "q_avro_cdc_replicate" -> ((s, dir) => {
+      if (!s.conf.getOption("spark.sql.catalog.graft_gate").isDefined) {
+        s.conf.set("spark.sql.catalog.graft_gate",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_gate.root",
+          tempDir("graft_gate_cat"))
+      }
+      val src = tempDir("graft_gate_cdcrep_src")
+      val ckpt = tempDir("graft_gate_cdcrep_ckpt")
+      val docs = table(s, dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+      docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) === 0)
+        .write.format("graft-avro").mode("overwrite").save(src) // v1
+      docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) === 1)
+        .write.format("graft-avro").mode("append").save(src) // v2
+      docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) === 2)
+        .write.format("graft-avro").mode("overwrite").save(src) // v3
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.gate")
+      s.sql("DROP TABLE IF EXISTS graft_gate.gate.cdcrep")
+      s.sql("CREATE TABLE graft_gate.gate.cdcrep " +
+        "(doc_id BIGINT NOT NULL, lang STRING, n_chars INT)")
+      s.sql("CALL graft_gate.system.set_row_level_mode('gate.cdcrep', " +
+        "'merge-on-read')")
+      val q = s.readStream.format("graft-avro")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .option("maxVersionsPerTrigger", "1") // one version per MERGE
+        .load(src)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          b.createOrReplaceTempView("cdcrep_feed")
+          b.sparkSession.sql(
+            """MERGE INTO graft_gate.gate.cdcrep t USING (
+              |  SELECT doc_id, lang, n_chars, _change_type FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY doc_id
+              |      ORDER BY _commit_version DESC,
+              |        CASE _change_type WHEN 'insert' THEN 1 ELSE 0 END
+              |          DESC) AS rn
+              |    FROM cdcrep_feed) WHERE rn = 1) u
+              |ON t.doc_id = u.doc_id
+              |WHEN MATCHED AND u._change_type = 'delete' THEN DELETE
+              |WHEN MATCHED THEN UPDATE SET lang = u.lang,
+              |  n_chars = u.n_chars
+              |WHEN NOT MATCHED AND u._change_type = 'insert' THEN
+              |  INSERT (doc_id, lang, n_chars)
+              |  VALUES (u.doc_id, u.lang, u.n_chars)
+              |""".stripMargin)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.sql("""SELECT lang, count(*) AS n_docs,
+              |  CAST(sum(n_chars) AS BIGINT) AS chars
+              |FROM graft_gate.gate.cdcrep
+              |GROUP BY lang ORDER BY lang""".stripMargin)
+    }),
+
     "q_stream_upsert_mor" -> ((s, dir) => {
       if (!s.conf.getOption("spark.sql.catalog.graft_gate").isDefined) {
         s.conf.set("spark.sql.catalog.graft_gate",
@@ -2298,6 +2364,13 @@ object AvroGates extends Catalog {
                 CAST(sum(CAST(n_nationkey AS BIGINT)) AS BIGINT) AS key_sum
          FROM nation WHERE n_regionkey = 2
          GROUP BY n_regionkey ORDER BY n_regionkey""",
+    // the replicated mirror equals the source's LIVE content — the
+    // post-overwrite generation
+    "q_avro_cdc_replicate" ->
+      """SELECT lang, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS chars
+         FROM documents WHERE doc_id % 3 = 2
+         GROUP BY lang ORDER BY lang""",
     // the CDC feed re-derived: v1/v2 insert generations, v3 = full
     // churn (every earlier row deleted + the replacement inserted)
     "q_avro_cdc_stream" ->
