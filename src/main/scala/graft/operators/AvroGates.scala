@@ -138,6 +138,38 @@ object AvroGates extends Catalog {
         .orderBy("is_null")
     }),
 
+    // Null predicates on FLOAT columns prune and decide: null counting
+    // is finiteness-independent (a NaN/Infinity-tainted file loses its
+    // VALUE bounds but keeps an exact cnt: cell), so IS [NOT] NULL on a
+    // double column zone-decides per file — both halves of this gate
+    // serve from metadata with zero rows decoded (NullCellsSpec pins
+    // the plan + partition counts).
+    "q_avro_nulls_float" -> ((s, dir) => {
+      val tmp = tempDir("graft_gate_nullsf")
+      val docs = table(s, dir, "documents")
+        .select(F.coalesce(F.col("doc_id"), F.lit(0L)).as("doc_id"),
+          F.col("n_chars"))
+      docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) === 0)
+        .select(F.col("doc_id"), F.col("n_chars").cast("double").as("x"))
+        .coalesce(1).write.format("graft-avro").mode("overwrite").save(tmp)
+      docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) === 1)
+        .select(F.col("doc_id"), F.lit(null).cast("double").as("x"))
+        .coalesce(1).write.format("graft-avro").mode("append").save(tmp)
+      // non-finite values taint the value zones but NOT the null cells
+      docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) === 2)
+        .select(F.col("doc_id"),
+          F.when(F.pmod(F.col("doc_id"), F.lit(2)) === 0, F.lit(Double.NaN))
+            .otherwise(F.col("n_chars").cast("double")).as("x"))
+        .coalesce(1).write.format("graft-avro").mode("append").save(tmp)
+      val t = s.read.format("graft-avro").load(tmp)
+      val a = t.filter(F.col("x").isNull)
+        .agg(F.count(F.lit(1)).as("n_null"),
+          F.min("doc_id").as("min_null"), F.max("doc_id").as("max_null"))
+      val b = t.filter(F.col("x").isNotNull)
+        .agg(F.count(F.lit(1)).as("n_val"), F.count("x").as("n_x"))
+      a.crossJoin(b)
+    }),
+
     // hidden hash-bucket partitioning (`bucketBy=doc_id:16`): the
     // directory fan-out is bounded by N regardless of key cardinality,
     // and point/IN lookups prune to the literal's bucket — the
@@ -608,6 +640,82 @@ object AvroGates extends Catalog {
         .orderBy("version", "change_type")
     }),
 
+    // CDC across EQUALITY DELETES: deleteWhere versions emit the
+    // newly-hidden rows as `delete` change rows (read under the
+    // previous sidecar, matched against the new entries) instead of
+    // refusing — the feed survives routine row-level mutations. Stamp
+    // gating is load-bearing: v4's append lands AFTER the lang='en'
+    // delete, so its English rows are never re-killed, while v5's
+    // lang='de' delete (stamped later) hits all three generations.
+    "q_avro_cdc_delete" -> ((s, dir) => {
+      val src = tempDir("graft_gate_cdcd_src")
+      val out = tempDir("graft_gate_cdcd_out")
+      val ckpt = tempDir("graft_gate_cdcd_ckpt")
+      val docs = table(s, dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+      docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) === 0)
+        .write.format("graft-avro").mode("overwrite").save(src) // v1
+      docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) === 1)
+        .write.format("graft-avro").mode("append").save(src) // v2
+      graft.sources.AvroMaintenance.deleteWhere(s, src, "lang",
+        Seq("en")) // v3: row-level delta
+      docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) === 2)
+        .write.format("graft-avro").mode("append").save(src) // v4
+      graft.sources.AvroMaintenance.deleteWhere(s, src, "lang",
+        Seq("de")) // v5: hits every generation
+      val q = s.readStream.format("graft-avro")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .load(src)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start(out)
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(out)
+        .groupBy(F.col("_commit_version").as("version"),
+          F.col("_change_type").as("change_type"))
+        .agg(F.count(F.lit(1)).as("n_rows"),
+          F.sum(F.col("n_chars").cast("long")).as("chars"))
+        .orderBy("version", "change_type")
+    }),
+
+    // CDC resume past snapshot expiry: an expireSnapshots rebase drops
+    // the early deltas; with `allowInitialSnapshot=true` a
+    // from-the-beginning replay serves the first RETAINED version as a
+    // full insert snapshot and continues with real deltas — the
+    // explicit (never silent) full-replay escape hatch a lagging
+    // 100 TB consumer needs after retention passed it by.
+    "q_avro_cdc_snapshot" -> ((s, dir) => {
+      val src = tempDir("graft_gate_cdcsnap_src")
+      val out = tempDir("graft_gate_cdcsnap_out")
+      val ckpt = tempDir("graft_gate_cdcsnap_ckpt")
+      val docs = table(s, dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+      docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) === 0)
+        .write.format("graft-avro").mode("overwrite").save(src) // v1
+      docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) === 1)
+        .write.format("graft-avro").mode("append").save(src) // v2
+      docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) === 2)
+        .write.format("graft-avro").mode("overwrite").save(src) // v3
+      // vacuum: v1's delta is gone; v2 becomes the snapshot horizon
+      graft.sources.AvroMaintenance.expireSnapshots(src, keepLast = 2)
+      val q = s.readStream.format("graft-avro")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .option("allowInitialSnapshot", "true")
+        .load(src)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start(out)
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(out)
+        .groupBy(F.col("_commit_version").as("version"),
+          F.col("_change_type").as("change_type"))
+        .agg(F.count(F.lit(1)).as("n_rows"),
+          F.sum(F.col("n_chars").cast("long")).as("chars"))
+        .orderBy("version", "change_type")
+    }),
+
     // STATEFUL exactly-once across a restart: q_stream_restart proves
     // the stateless source replay; this gate kills a windowed
     // AGGREGATION while its window sums live only in the state store
@@ -1036,6 +1144,44 @@ object AvroGates extends Catalog {
           F.max("okey").as("max_okey"),
           F.sum("l_linenumber").as("sum_line"),
           F.count(F.lit(1)).as("n_rows"))
+    }),
+
+    // Metadata-served MIN/MAX UNDER decided filters, across columns:
+    // when every live file is zone- or partition-DECIDED for the
+    // filter, each kept file all-matches, so its full-file bounds of
+    // ANY column are its matching-row bounds — the fold restricts to
+    // the keep-set and the scan opens zero data files. Two flavors in
+    // one gate: a hive-partition-decided filter serving min/max of a
+    // DIFFERENT column, and a zone-decided range filter serving
+    // min/max of a column orthogonal to the filter.
+    "q_avro_minmax_filtered" -> ((s, dir) => {
+      val tmpP = tempDir("graft_gate_mmf_part")
+      table(s, dir, "orders")
+        .select(F.coalesce(F.col("o_orderkey"), F.lit(0L)).as("okey"),
+          F.col("o_orderpriority"))
+        .write.format("graft-avro")
+        .option("partitionBy", "o_orderpriority")
+        .mode("overwrite").save(tmpP)
+      val tmpZ = tempDir("graft_gate_mmf_zone")
+      val li = table(s, dir, "lineitem")
+        // zone decisions need a non-nullable filter column (bounds
+        // cover non-null values only); coalesce restores the metadata
+        .select(F.coalesce(F.col("l_orderkey"), F.lit(0L)).as("okey"),
+          F.col("l_linenumber"))
+      // boundary 600 is interior at EVERY SF (sf0.001 keys reach 1499)
+      li.filter(F.col("okey") <= 600).coalesce(1)
+        .write.format("graft-avro").mode("overwrite").save(tmpZ)
+      li.filter(F.col("okey") > 600).coalesce(1)
+        .write.format("graft-avro").mode("append").save(tmpZ)
+      val mmPart = s.read.format("graft-avro").load(tmpP)
+        .filter(F.col("o_orderpriority") === "1-URGENT")
+        .agg(F.min("okey").as("min_p"), F.max("okey").as("max_p"))
+      val mmZone = s.read.format("graft-avro").load(tmpZ)
+        .filter(F.col("okey") > 600)
+        .agg(F.min("l_linenumber").as("min_line"),
+          F.max("l_linenumber").as("max_line"),
+          F.max("okey").as("max_okey"))
+      mmPart.crossJoin(mmZone)
     }),
 
     // Vector-payload scan under the oracle: the embeddings table
@@ -2350,6 +2496,17 @@ object AvroGates extends Catalog {
                  WHERE o_orderpriority = '1-URGENT') AS cnt_part,
                 (SELECT CAST(count(*) AS BIGINT) FROM lineitem
                  WHERE l_orderkey <= 600) AS cnt_zone""",
+    "q_avro_minmax_filtered" ->
+      """SELECT (SELECT min(o_orderkey) FROM orders
+                 WHERE o_orderpriority = '1-URGENT') AS min_p,
+                (SELECT max(o_orderkey) FROM orders
+                 WHERE o_orderpriority = '1-URGENT') AS max_p,
+                (SELECT min(l_linenumber) FROM lineitem
+                 WHERE l_orderkey > 600) AS min_line,
+                (SELECT max(l_linenumber) FROM lineitem
+                 WHERE l_orderkey > 600) AS max_line,
+                (SELECT max(l_orderkey) FROM lineitem
+                 WHERE l_orderkey > 600) AS max_okey""",
     "q_avro_sortreq" ->
       """SELECT l_returnflag, count(*) AS n_lines,
                 round(sum(l_quantity), 2) AS sum_qty
@@ -2390,6 +2547,51 @@ object AvroGates extends Catalog {
          feed AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2
                   UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
                   UNION ALL SELECT * FROM r5)
+         SELECT CAST(version AS BIGINT) AS version, change_type,
+                count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS chars
+         FROM feed GROUP BY 1, 2 ORDER BY 1, 2""",
+    // equality-delete deltas in the feed: v3 deletes the English rows
+    // of generations 1+2 only; v4's append postdates that entry (stamp
+    // gating keeps its English rows); v5's delete hits all three
+    "q_avro_cdc_delete" ->
+      """WITH g0 AS (SELECT lang, n_chars FROM documents
+                     WHERE doc_id % 3 = 0),
+         g1 AS (SELECT lang, n_chars FROM documents WHERE doc_id % 3 = 1),
+         g2 AS (SELECT lang, n_chars FROM documents WHERE doc_id % 3 = 2),
+         r1 AS (SELECT 1 AS version, 'insert' AS change_type, n_chars
+                FROM g0),
+         r2 AS (SELECT 2 AS version, 'insert' AS change_type, n_chars
+                FROM g1),
+         r3 AS (SELECT 3 AS version, 'delete' AS change_type, n_chars
+                FROM (SELECT * FROM g0 UNION ALL SELECT * FROM g1)
+                WHERE lang = 'en'),
+         r4 AS (SELECT 4 AS version, 'insert' AS change_type, n_chars
+                FROM g2),
+         r5 AS (SELECT 5 AS version, 'delete' AS change_type, n_chars
+                FROM (SELECT * FROM g0 UNION ALL SELECT * FROM g1
+                      UNION ALL SELECT * FROM g2)
+                WHERE lang = 'de'),
+         feed AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+                  UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
+                  UNION ALL SELECT * FROM r5)
+         SELECT CAST(version AS BIGINT) AS version, change_type,
+                count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS chars
+         FROM feed GROUP BY 1, 2 ORDER BY 1, 2""",
+    // initial snapshot past expiry: the first retained version (v2 =
+    // generations 1+2) replays as inserts, then v3's churn as deltas
+    "q_avro_cdc_snapshot" ->
+      """WITH g0 AS (SELECT n_chars FROM documents WHERE doc_id % 3 = 0),
+         g1 AS (SELECT n_chars FROM documents WHERE doc_id % 3 = 1),
+         g2 AS (SELECT n_chars FROM documents WHERE doc_id % 3 = 2),
+         snap AS (SELECT * FROM g0 UNION ALL SELECT * FROM g1),
+         r1 AS (SELECT 2 AS version, 'insert' AS change_type, n_chars
+                FROM snap),
+         r2 AS (SELECT 3 AS version, 'delete' AS change_type, n_chars
+                FROM snap),
+         r3 AS (SELECT 3 AS version, 'insert' AS change_type, n_chars
+                FROM g2),
+         feed AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+                  UNION ALL SELECT * FROM r3)
          SELECT CAST(version AS BIGINT) AS version, change_type,
                 count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS chars
          FROM feed GROUP BY 1, 2 ORDER BY 1, 2""",
@@ -2852,6 +3054,24 @@ object AvroGates extends Catalog {
                 CAST(min(doc_id) AS BIGINT) AS min_id,
                 CAST(max(doc_id) AS BIGINT) AS max_id
          FROM u GROUP BY 1 ORDER BY 1""",
+    "q_avro_nulls_float" ->
+      """WITH g0 AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS x
+                     FROM documents WHERE doc_id % 3 = 0),
+         g1 AS (SELECT doc_id, CAST(NULL AS DOUBLE) AS x
+                FROM documents WHERE doc_id % 3 = 1),
+         g2 AS (SELECT doc_id,
+                       CASE WHEN doc_id % 2 = 0 THEN CAST('NaN' AS DOUBLE)
+                            ELSE CAST(n_chars AS DOUBLE) END AS x
+                FROM documents WHERE doc_id % 3 = 2),
+         u AS (SELECT * FROM g0 UNION ALL SELECT * FROM g1
+               UNION ALL SELECT * FROM g2)
+         SELECT (SELECT count(*) FROM u WHERE x IS NULL) AS n_null,
+                (SELECT CAST(min(doc_id) AS BIGINT) FROM u
+                 WHERE x IS NULL) AS min_null,
+                (SELECT CAST(max(doc_id) AS BIGINT) FROM u
+                 WHERE x IS NULL) AS max_null,
+                (SELECT count(*) FROM u WHERE x IS NOT NULL) AS n_val,
+                (SELECT count(x) FROM u WHERE x IS NOT NULL) AS n_x""",
     "q_avro_bucket_prune" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE doc_id IN (7, 11, 12, 13, 101) ORDER BY doc_id""",

@@ -2378,6 +2378,11 @@ case class AvroTable(path: String, tableSchema: StructType,
     }
     AvroFileSource.deleteFile(dirF).delete()
     AvroFileSource.posdelFile(dirF).delete()
+    // the documented "truncate to re-bucket" escape hatch must work
+    // through SQL TRUNCATE too, not just the DataFrame overwrite path:
+    // all live files are archived, so dropping the bucket spec is sound
+    // (bucket pruning already self-disables under travel reads)
+    AvroFileSource.bucketFile(dirF).delete()
     AvroFileSource.appendSnapshot(dirF, "truncate")
     true
     }
@@ -2539,7 +2544,9 @@ case class AvroTable(path: String, tableSchema: StructType,
       cdcStartVersion =
         Option(options.get("startingVersion")).map(_.toLong),
       cdcMaxVersions =
-        Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
+        Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
+      cdcAllowInitialSnapshot =
+        Option(options.get("allowInitialSnapshot")).exists(_.toBoolean))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -2625,7 +2632,12 @@ class AvroScanBuilder(path: String, full: StructType,
     // AvroMaintenance.changes.
     cdcFeed: Boolean = false,
     cdcStartVersion: Option[Long] = None,
-    cdcMaxVersions: Option[Long] = None)
+    cdcMaxVersions: Option[Long] = None,
+    // opt-in: a startingVersion below the journal's rebase horizon
+    // (expireSnapshots) serves the first retained version as a full
+    // insert snapshot, then continues with deltas — explicit because a
+    // silent full replay would surprise a lagging consumer
+    cdcAllowInitialSnapshot: Boolean = false)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with SupportsPushDownFilters with SupportsPushDownAggregates
   with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
@@ -4145,7 +4157,7 @@ class AvroScanBuilder(path: String, full: StructType,
             StructType(full.fields.filterNot(f =>
               f.name == AvroFileSource.CdcChangeType ||
                 f.name == AvroFileSource.CdcCommitVersion)),
-            cdcStartVersion, cdcMaxVersions)
+            cdcStartVersion, cdcMaxVersions, cdcAllowInitialSnapshot)
         else
           new AvroMicroBatchStream(path, required, full, checkpointLocation,
             maxFilesPerTrigger, journalCompactAfter)
@@ -4756,16 +4768,31 @@ class AvroMicroBatchStream(path: String, required: StructType,
   * starts AFTER the stream-start version by default;
   * `startingVersion=v` replays history from version v onward.
   *
-  * Soundness guards: the equality-delete sidecar must be UNCHANGED at
-  * every served version step (a deleteWhere delta is a row-level
-  * change no file feed can represent — compact first), and pending
-  * positional deletes refuse for the same reason. Each partition
-  * carries its version's sidecar CONTENT, so a delete that lands while
-  * the stream lags never rewrites history it postdates.
+  * Equality-delete deltas are ROW-LEVEL changes and are served as
+  * such: when the sidecar gains entries at a version step (a
+  * deleteWhere / mergeInto commit), every file common to both
+  * snapshots re-reads with the PREVIOUS sidecar applied and emits the
+  * rows matching the NEW entries as `delete` rows — exactly the rows
+  * that became invisible at that version. Symmetrically, entries that
+  * DISAPPEAR at a step (rollback) emit the re-surfacing rows as
+  * `insert`s. Per-file stamp gating rides the births map on both
+  * sides, so MERGE re-insert semantics replay exactly. Pending
+  * positional deletes still refuse (their ordinals are not journaled
+  * per version). Each partition carries its role's sidecar CONTENT —
+  * removed files read under the PREVIOUS version's deletes (their rows
+  * were visible then), added files under the CURRENT version's — so a
+  * delete landing while the stream lags never rewrites served history.
+  *
+  * `allowInitialSnapshot=true`: a startingVersion at or below the
+  * journal's rebase horizon (expireSnapshots dropped the deltas) serves
+  * the first RETAINED version as a full insert snapshot and continues
+  * with deltas from there — opt-in, because a silent full replay
+  * surprises lagging consumers; without it the stream fails loudly.
   */
 class AvroCdcMicroBatchStream(path: String, required: StructType,
     dataFull: StructType, startingVersion: Option[Long],
-    maxVersionsPerTrigger: Option[Long] = None)
+    maxVersionsPerTrigger: Option[Long] = None,
+    allowInitialSnapshot: Boolean = false)
   extends MicroBatchStream with SupportsAdmissionControl
   with org.apache.spark.sql.connector.read.streaming
     .SupportsTriggerAvailableNow {
@@ -4831,38 +4858,80 @@ class AvroCdcMicroBatchStream(path: String, required: StructType,
     require(!AvroFileSource.posdelFile(dirF).isFile,
       "graft-avro CDC: positional deletes are pending (ordinals are not " +
         "journaled per version) — compact first")
-    val byV = snaps.map(sn => sn.version -> sn).toMap
+    val all = snaps
+    val byV = all.map(sn => sn.version -> sn).toMap
+    val firstV = all.headOption.map(_.version).getOrElse(0L)
     def snapOf(v: Long): AvroFileSource.Snapshot =
       // version 0 = the empty pre-history state, so startingVersion=1
       // replays the first commit as pure inserts. A REBASED journal
       // (expireSnapshots) lost the deltas below its first kept version
-      // — serving them would fabricate history, hence the loud failure.
+      // — serving them would fabricate history, hence the loud failure
+      // (opt out via allowInitialSnapshot, handled before we get here).
       if (v == 0L) AvroFileSource.Snapshot(0L, 0L, "init", None, Nil)
       else byV.getOrElse(v, throw new IllegalStateException(
         s"graft-avro CDC: version $v is gone from the journal " +
-          "(expireSnapshots?) — restart the stream from a retained " +
-          "version"))
-    (s + 1 to e).iterator.flatMap { v =>
-      val cur = snapOf(v)
-      val prev = snapOf(v - 1)
-      require(cur.deletes == prev.deletes,
-        s"graft-avro CDC: the equality-delete sidecar changed at " +
-          s"version $v — a row-level delete delta is not representable " +
-          "as a file change feed; compact to materialize it first")
+          "(expireSnapshots?) — restart the stream from a version AFTER " +
+          s"the first retained one (startingVersion >= ${firstV + 1}) " +
+          "or from the current version, or set " +
+          "allowInitialSnapshot=true to serve the first retained " +
+          s"version ($firstV) as a full insert snapshot and continue"))
+    def resolve(rel: String, v: Long): String = {
+      val f = AvroFileSource.resolveSnapshotFile(dirF, rel)
+      require(f.isFile, s"graft-avro CDC: file $rel of version $v is " +
+        "gone (vacuumed?) — the stream lagged past the retention window")
+      f.getAbsolutePath
+    }
+    def lineSet(c: Option[String]): Set[String] =
+      c.map(_.split('\n').filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+    /** All change partitions of one version step prev → cur: whole-file
+      * inserts/deletes for the file delta, plus per-row delete/insert
+      * partitions over the COMMON files when the equality-delete
+      * sidecar changed (the mustMatch half of [[AvroCdcPartition]]).
+      */
+    def deltaParts(v: Long, prev: AvroFileSource.Snapshot,
+        cur: AvroFileSource.Snapshot): Seq[InputPartition] = {
       val prevSet = prev.files.toSet
       val curSet = cur.files.toSet
-      def resolve(rel: String): String = {
-        val f = AvroFileSource.resolveSnapshotFile(dirF, rel)
-        require(f.isFile, s"graft-avro CDC: file $rel of version $v is " +
-          "gone (vacuumed?) — the stream lagged past the retention window")
-        f.getAbsolutePath
-      }
+      val addedDel = (lineSet(cur.deletes) -- lineSet(prev.deletes))
+        .toSeq.sorted
+      val removedDel = (lineSet(prev.deletes) -- lineSet(cur.deletes))
+        .toSeq.sorted
+      val common = cur.files.filter(prevSet)
       cur.files.filterNot(prevSet).map(rel =>
-        AvroCdcPartition(resolve(rel), "insert", v, cur.deletes)
+        AvroCdcPartition(resolve(rel, v), "insert", v, cur.deletes)
           : InputPartition) ++
         prev.files.filterNot(curSet).map(rel =>
-          AvroCdcPartition(resolve(rel), "delete", v, cur.deletes)
-            : InputPartition)
+          // rows of a removed file were visible at v-1 ⇒ the PREVIOUS
+          // sidecar governs which of them the feed replays as deletes
+          AvroCdcPartition(resolve(rel, v), "delete", v, prev.deletes)
+            : InputPartition) ++
+        (if (addedDel.isEmpty) Nil
+        else common.map(rel =>
+          // newly-hidden rows: visible under prev's sidecar AND
+          // matching a NEW entry (stamp-gated per file in the reader)
+          AvroCdcPartition(resolve(rel, v), "delete", v, prev.deletes,
+            Some(addedDel.mkString("\n"))): InputPartition)) ++
+        (if (removedDel.isEmpty) Nil
+        else common.map(rel =>
+          // re-surfacing rows (rollback): visible under cur's sidecar
+          // AND previously hidden by a REMOVED entry
+          AvroCdcPartition(resolve(rel, v), "insert", v, cur.deletes,
+            Some(removedDel.mkString("\n"))): InputPartition))
+    }
+    (s + 1 to e).iterator.flatMap { v =>
+      if (v < firstV) {
+        // below the rebase horizon: reachable only when the start
+        // offset predates the retained journal — these versions are
+        // subsumed by the firstV full snapshot that follows
+        if (!allowInitialSnapshot) snapOf(v) // throws with guidance
+        Nil
+      } else if (v == firstV && firstV > 1L && !byV.contains(v - 1) &&
+          allowInitialSnapshot) {
+        // initial snapshot: the first retained version replays as pure
+        // inserts (its own sidecar applied — hidden rows never surface)
+        deltaParts(v, AvroFileSource.Snapshot(v - 1, 0L, "init", None, Nil),
+          snapOf(v))
+      } else deltaParts(v, snapOf(v - 1), snapOf(v))
     }.toArray
   }
 
@@ -4880,12 +4949,17 @@ class AvroCdcMicroBatchStream(path: String, required: StructType,
   override def stop(): Unit = ()
 }
 
-/** One whole changed file of one journal version, with the version's
-  * equality-delete sidecar CONTENT riding along (verified constant
-  * across the version step at plan time).
+/** One changed file of one journal version. `deletes` is the sidecar
+  * CONTENT governing which of the file's rows were VISIBLE in this
+  * partition's role (the previous version's sidecar for delete-side
+  * partitions, the current version's for inserts). `mustMatch` narrows
+  * a COMMON file to the rows affected by a sidecar delta: when set,
+  * only rows matching at least one of its (stamp-gated) entries emit —
+  * the per-row delete/undelete feed of a deleteWhere or rollback step.
   */
 case class AvroCdcPartition(file: String, changeType: String,
-    version: Long, deletes: Option[String]) extends InputPartition
+    version: Long, deletes: Option[String],
+    mustMatch: Option[String] = None) extends InputPartition
 
 /** Decodes a changed file through the ordinary merge-on-read row path,
   * then appends the `_change_type` / `_commit_version` constants at the
@@ -4899,9 +4973,22 @@ case class AvroCdcReaderFactory(required: StructType, dataFull: StructType,
     val cdc = p.asInstanceOf[AvroCdcPartition]
     val dels = cdc.deletes
       .map(AvroFileSource.parseDeleteContent(_, dataFull)).getOrElse(Nil)
-    val dataRequired = StructType(required.fields.filterNot(f =>
+    val mustEntries = cdc.mustMatch
+      .map(AvroFileSource.parseDeleteContent(_, dataFull)).getOrElse(Nil)
+    val dataRequired0 = StructType(required.fields.filterNot(f =>
       f.name == AvroFileSource.CdcChangeType ||
         f.name == AvroFileSource.CdcCommitVersion))
+    // widen the decode schema with the sidecar-delta columns when the
+    // projection pruned them away (the same rule the survive-set uses
+    // inside the reader) — the getters below only project `required`
+    val extraCols = mustEntries.map(_.col).distinct
+      .filterNot(dataRequired0.fieldNames.contains)
+      .map(c => dataFull.fields.find(_.name == c).getOrElse(
+        throw new IllegalStateException(
+          s"graft-avro CDC: delta column '$c' missing from table schema")))
+    val dataRequired =
+      if (extraCols.isEmpty) dataRequired0
+      else StructType(dataRequired0.fields ++ extraCols)
     val inner = AvroReaderFactory(dataRequired, dataFull, deletes = dels,
       births = births, renames = renames, root = root)
       .createReader(AvroInputPartition(cdc.file, 0L, Long.MaxValue))
@@ -4918,13 +5005,56 @@ case class AvroCdcReaderFactory(required: StructType, dataFull: StructType,
           (r: InternalRow) => if (r.isNullAt(i)) null else r.get(i, dt)
       }
     }
+    // sidecar-delta matchers: a mustMatch partition emits ONLY rows
+    // hit by at least one applicable delta entry. Applicability is the
+    // same stamp rule the survive-set uses: an entry stamped at-or-
+    // before the file's birth never governed its rows.
+    val requireMatch = cdc.mustMatch.isDefined
+    val matchers: Array[InternalRow => Boolean] =
+      AvroFileSource.applicableDeletes(mustEntries,
+        births.getOrElse(cdc.file, 0L)).map { case (c, vs) =>
+        import org.apache.spark.sql.types._
+        val idx = dataRequired.fieldIndex(c)
+        dataRequired(idx).dataType match {
+          case StringType =>
+            val set = vs.map(v => org.apache.spark.unsafe.types.UTF8String
+              .fromString(v.asInstanceOf[String]))
+            (r: InternalRow) => !r.isNullAt(idx) &&
+              set.contains(r.getUTF8String(idx))
+          case LongType =>
+            val set = vs.map(_.asInstanceOf[Long])
+            (r: InternalRow) => !r.isNullAt(idx) && set.contains(r.getLong(idx))
+          case IntegerType =>
+            val set = vs.map(_.asInstanceOf[Int])
+            (r: InternalRow) => !r.isNullAt(idx) && set.contains(r.getInt(idx))
+          case ShortType =>
+            val set = vs.map(_.asInstanceOf[Short])
+            (r: InternalRow) => !r.isNullAt(idx) && set.contains(r.getShort(idx))
+          case ByteType =>
+            val set = vs.map(_.asInstanceOf[Byte])
+            (r: InternalRow) => !r.isNullAt(idx) && set.contains(r.getByte(idx))
+          case BooleanType =>
+            val set = vs.map(_.asInstanceOf[Boolean])
+            (r: InternalRow) => !r.isNullAt(idx) &&
+              set.contains(r.getBoolean(idx))
+          case other => throw new IllegalStateException(
+            s"graft-avro CDC: undeletable column type $other reached the " +
+              "delta matcher")
+        }
+      }.toArray
     new PartitionReader[InternalRow] {
-      override def next(): Boolean = inner.next()
-      override def get(): InternalRow = {
-        val r = inner.get()
-        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          getters.map(_(r)))
+      private var row: InternalRow = _
+      override def next(): Boolean = {
+        if (requireMatch && matchers.isEmpty) return false
+        while (inner.next()) {
+          val r = inner.get()
+          if (!requireMatch || matchers.exists(_(r))) { row = r; return true }
+        }
+        false
       }
+      override def get(): InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          getters.map(_(row)))
       override def close(): Unit = inner.close()
     }
   }

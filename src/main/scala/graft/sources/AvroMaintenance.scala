@@ -37,18 +37,23 @@ object AvroMaintenance {
     * as delete+insert pairs of equal rows, which is also what Iceberg's
     * changelog emits for copy-on-write rewrites.
     *
-    * Exactness guards (all loud failures, never a silent wrong
-    * changeset): the equality-delete sidecar must be BYTE-IDENTICAL at
-    * the two versions (a changed delete set is a row-level diff that
-    * whole-file deltas cannot express); positional deletes must not be
-    * pending (they are a current-state overlay, not journaled per
-    * version); both versions must exist in the journal (`fromVersion`
-    * 0 = since the beginning). Each side reads through the normal
-    * versionAsOf machinery (archive resolution, snapshot deletes,
-    * schema as-of), restricted to its delta files — unchanged bulk is
-    * never opened. Output schema = `toVersion`'s schema: delete-side
-    * rows null-fill columns added since `fromVersion`, and columns
-    * dropped inside the range are omitted.
+    * Equality-delete sidecar deltas are ROW-LEVEL changes and are
+    * served as such: entries the sidecar GAINED inside the range emit
+    * the affected rows of files common to both versions as `delete`
+    * rows (read at `fromVersion` — where they were visible — filtered
+    * to the new entries), and entries that DISAPPEARED (rollback) emit
+    * the re-surfacing rows as `insert`s at `toVersion`. Stamp gating is
+    * exact: common files group by their applicable entry subset and
+    * each group reads once. Exactness guards (all loud failures, never
+    * a silent wrong changeset): positional deletes must not be pending
+    * (they are a current-state overlay, not journaled per version);
+    * both versions must exist in the journal (`fromVersion` 0 = since
+    * the beginning). Each side reads through the normal versionAsOf
+    * machinery (archive resolution, snapshot deletes, schema as-of),
+    * restricted to its delta files — unchanged bulk is never opened.
+    * Output schema = `toVersion`'s schema: delete-side rows null-fill
+    * columns added since `fromVersion`, and columns dropped inside the
+    * range are omitted.
     */
   def changes(spark: SparkSession, dir: String, fromVersion: Long,
       toVersion: Long): DataFrame = {
@@ -71,14 +76,17 @@ object AvroMaintenance {
         "first")
     val fromSnap = snaps.find(_.version == fromVersion)
     val toSnap = snaps.find(_.version == toVersion).get
-    require(fromSnap.flatMap(_.deletes) == toSnap.deletes,
-      "graft-avro changes: the equality-delete sidecar changed between " +
-        s"versions $fromVersion and $toVersion — the row-level diff is " +
-        "not expressible as whole-file changes")
     val fromFiles = fromSnap.map(_.files.toSet).getOrElse(Set.empty)
     val toFiles = toSnap.files.toSet
     val added = (toFiles -- fromFiles).toSeq.sorted
     val removed = (fromFiles -- toFiles).toSeq.sorted
+    def lineSet(c: Option[String]): Set[String] =
+      c.map(_.split('\n').filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+    val fromDelLines = lineSet(fromSnap.flatMap(_.deletes))
+    val toDelLines = lineSet(toSnap.deletes)
+    val addedDel = (toDelLines -- fromDelLines).toSeq.sorted
+    val removedDel = (fromDelLines -- toDelLines).toSeq.sorted
+    val common = (fromFiles & toFiles).toSeq.sorted
     def side(v: Long, rels: Seq[String]): DataFrame =
       spark.read.format("graft-avro")
         .option("versionAsOf", v)
@@ -89,28 +97,62 @@ object AvroMaintenance {
         "graft-avro changes: the table already has a _change_type column")
       df.withColumn("_change_type", F.lit(t))
     }
-    (added.nonEmpty, removed.nonEmpty) match {
-      case (true, false) => tag(side(toVersion, added), "insert")
-      case (false, true) => tag(side(fromVersion, removed), "delete")
-      case (false, false) =>
-        // empty diff: serve an empty frame at a real snapshot's schema
-        val anchor =
-          if (toSnap.files.nonEmpty) side(toVersion, toSnap.files)
-          else if (fromFiles.nonEmpty)
-            side(fromVersion, fromFiles.toSeq.sorted)
-          else throw new IllegalArgumentException(
-            "graft-avro changes: both versions are empty — no schema " +
-              "to serve an (empty) changeset under")
-        tag(anchor.where(F.lit(false)), "insert")
-      case (true, true) =>
-        val ins = tag(side(toVersion, added), "insert")
-        val del = side(fromVersion, removed)
-        // align the delete side to the TO schema (before the tag column)
-        val aligned = del.select(ins.schema.fields.init.map { f =>
-          if (del.columns.contains(f.name)) F.col(f.name)
+    /** Per-row sidecar-delta pieces over the COMMON files: rows hit by
+      * `deltaLines` entries (stamp-gated per file) read at version `v`
+      * — where the version's own sidecar already restricts the read to
+      * the rows visible in that role. Files group by their applicable
+      * entry subset so each distinct stamp exposure reads once.
+      */
+    def deltaPieces(deltaLines: Seq[String], v: Long): Seq[DataFrame] = {
+      if (deltaLines.isEmpty || common.isEmpty) return Nil
+      val schema = side(v, common).schema
+      val entries = AvroFileSource.parseDeleteContent(
+        deltaLines.mkString("\n"), schema)
+      val births = AvroFileSource.fileBirths(d)
+      common.groupBy { rel =>
+        val b = births.getOrElse(rel, 0L)
+        entries.filter(_.stamp.forall(_ > b))
+          .map(e => (e.col, e.value)).toSet
+      }.toSeq.collect { case (applicable, rels) if applicable.nonEmpty =>
+        val cond = applicable.groupBy(_._1).map { case (c, kvs) =>
+          F.col(c).isin(kvs.map(_._2).toSeq: _*)
+        }.reduce(_ || _)
+        side(v, rels.sorted).where(cond)
+      }
+    }
+    // newly-hidden rows were VISIBLE at fromVersion (its sidecar keeps
+    // them) and match a gained entry; re-surfacing rows (rollback) are
+    // visible at toVersion and match a lost entry
+    val delDeltas = deltaPieces(addedDel, fromVersion).map(tag(_, "delete"))
+    val insDeltas = deltaPieces(removedDel, toVersion).map(tag(_, "insert"))
+    val pieces =
+      (if (added.nonEmpty) Seq(tag(side(toVersion, added), "insert"))
+      else Nil) ++ insDeltas ++
+        (if (removed.nonEmpty) Seq(tag(side(fromVersion, removed), "delete"))
+        else Nil) ++ delDeltas
+    if (pieces.isEmpty) {
+      // empty diff: serve an empty frame at a real snapshot's schema
+      val anchor =
+        if (toSnap.files.nonEmpty) side(toVersion, toSnap.files)
+        else if (fromFiles.nonEmpty)
+          side(fromVersion, fromFiles.toSeq.sorted)
+        else throw new IllegalArgumentException(
+          "graft-avro changes: both versions are empty — no schema " +
+            "to serve an (empty) changeset under")
+      tag(anchor.where(F.lit(false)), "insert")
+    } else {
+      // align every piece to the TO schema (delete-side reads may lack
+      // columns added inside the range — null-fill them)
+      val toSchema =
+        (if (toSnap.files.nonEmpty) side(toVersion, toSnap.files)
+        else side(fromVersion, fromFiles.toSeq.sorted)).schema
+      val aligned = pieces.map { p =>
+        p.select((toSchema.fields.map { f =>
+          if (p.columns.contains(f.name)) F.col(f.name)
           else F.lit(null).cast(f.dataType).as(f.name)
-        }.toIndexedSeq: _*)
-        ins.unionByName(tag(aligned, "delete"))
+        } :+ F.col("_change_type")).toIndexedSeq: _*)
+      }
+      aligned.reduce(_.unionByName(_))
     }
   }
 

@@ -117,9 +117,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         ident.namespace().last)
       if (tableExists(base)) {
         val d = tableDir(base)
-        val schema = new AvroFileSource().inferSchema(
-          new CaseInsensitiveStringMap(Map("path" -> d.getPath,
-            "readChangeFeed" -> "true").asJava))
+        // base schema via the normal loadTable path (NOT raw file
+        // inference): a DDL-created never-written or truncated table has
+        // no data files to infer over — its schema lives in the
+        // `_graft_schema` sidecar. The stream itself still raises the
+        // CDC-specific "no snapshot journal" error at start when the
+        // table was never written through the source.
+        val schema = StructType(
+          loadTable(base).asInstanceOf[AvroTable].tableSchema.fields.toSeq
+            ++ Seq(
+            org.apache.spark.sql.types.StructField(
+              AvroFileSource.CdcChangeType,
+              org.apache.spark.sql.types.StringType, nullable = false),
+            org.apache.spark.sql.types.StructField(
+              AvroFileSource.CdcCommitVersion,
+              org.apache.spark.sql.types.LongType, nullable = false)))
         return AvroTable(d.getPath, schema,
           travelOptions = Map("readChangeFeed" -> "true"))
       }
@@ -311,17 +323,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       override def commitStagedChanges(): Unit =
         AvroFileSource.withCommitLock(ns) {
           if (target.exists()) {
-            val trash = new File(ns, s"_graft_stage_trash_" +
-              java.util.UUID.randomUUID().toString.take(8))
-            if (!target.renameTo(trash)) throw new java.io.IOException(
-              s"graft catalog: staged swap failed to move $target aside")
-            if (!staging.renameTo(target)) {
-              trash.renameTo(target) // restore — the old table survives
-              throw new java.io.IOException(
-                s"graft catalog: staged swap failed $staging -> $target" +
-                  " — previous table restored")
+            // ALSO hold the TARGET table's commit lock (nested — the
+            // ThreadLocal depth map composes): every table mutation
+            // (batch/stream commit, deleteWhere, …) serializes on the
+            // TABLE dir, not the namespace dir, so without this a
+            // concurrent INSERT could publish its files/journal entry
+            // into the renamed-away directory and be silently deleted
+            // with the trash. Serialized, the insert either lands before
+            // the swap (REPLACE semantics discard it, ordered) or its
+            // commit fails loudly when its staged files vanished with
+            // the old directory — never a silent loss.
+            AvroFileSource.withCommitLock(target) {
+              val trash = new File(ns, s"_graft_stage_trash_" +
+                java.util.UUID.randomUUID().toString.take(8))
+              if (!target.renameTo(trash)) throw new java.io.IOException(
+                s"graft catalog: staged swap failed to move $target aside")
+              if (!staging.renameTo(target)) {
+                trash.renameTo(target) // restore — the old table survives
+                throw new java.io.IOException(
+                  s"graft catalog: staged swap failed $staging -> $target" +
+                    " — previous table restored")
+              }
+              deleteRecursively(trash)
             }
-            deleteRecursively(trash)
           } else if (!staging.renameTo(target))
             throw new java.io.IOException(
               s"graft catalog: staged publish failed $staging -> " +

@@ -50,22 +50,43 @@ class AvroChangesSpec extends AnyFunSuite with SparkSpec with Matchers {
       "insert" -> (100L until 103L).toSet)
   }
 
-  test("changed equality deletes refuse; unchanged carried deletes pass") {
+  test("equality-delete deltas emit the newly-hidden rows as deletes") {
     val dir = tmp()
     spark.range(10).selectExpr("id as k", "cast(id as string) as s")
       .write.format("graft-avro").mode("overwrite").save(dir) // v1
-    AvroMaintenance.deleteWhere(spark, dir, "k", Seq(3L)) // v2: deletes
-    val ex = intercept[IllegalArgumentException] {
-      AvroMaintenance.changes(spark, dir, 1, 2)
-    }
-    ex.getMessage should include("equality-delete sidecar changed")
+    AvroMaintenance.deleteWhere(spark, dir, "k", Seq(3L, 7L)) // v2: deletes
+    byType(AvroMaintenance.changes(spark, dir, 1, 2)) shouldBe Map(
+      "delete" -> Set(3L, 7L))
     // after the delete, an append carries the SAME sidecar: the range
-    // v2 -> v3 is expressible, and the snapshot's deletes apply to the
+    // v2 -> v3 is insert-only, and the snapshot's deletes apply to the
     // insert side (k=3 was in v1's files, not the delta — irrelevant)
     spark.range(20, 23).selectExpr("id as k", "cast(id as string) as s")
       .write.format("graft-avro").mode("append").save(dir) // v3
     byType(AvroMaintenance.changes(spark, dir, 2, 3)) shouldBe Map(
       "insert" -> (20L until 23L).toSet)
+    // spanning both: the net diff carries the v2 deletes AND v3 inserts
+    byType(AvroMaintenance.changes(spark, dir, 1, 3)) shouldBe Map(
+      "delete" -> Set(3L, 7L), "insert" -> (20L until 23L).toSet)
+    // stamp gating: re-insert k=3 (born after the stamp), then delete
+    // k=0 — the range (3, 5] must emit ONLY k=0 as a delete (the new
+    // k=3 row survives its older entry) and k=3 as the insert
+    spark.range(3, 4).selectExpr("id as k", "cast(id as string) as s")
+      .write.format("graft-avro").mode("append").save(dir) // v4
+    AvroMaintenance.deleteWhere(spark, dir, "k", Seq(0L)) // v5
+    byType(AvroMaintenance.changes(spark, dir, 3, 5)) shouldBe Map(
+      "insert" -> Set(3L), "delete" -> Set(0L))
+  }
+
+  test("rollback across a deleteWhere re-surfaces rows as inserts") {
+    val dir = tmp()
+    spark.range(5).selectExpr("id as k")
+      .write.format("graft-avro").mode("overwrite").save(dir) // v1
+    AvroMaintenance.deleteWhere(spark, dir, "k", Seq(2L)) // v2
+    AvroMaintenance.rollbackTo(dir, 1L) // v3: entry disappears
+    byType(AvroMaintenance.changes(spark, dir, 2, 3)) shouldBe Map(
+      "insert" -> Set(2L))
+    // net across the whole arc: nothing changed
+    AvroMaintenance.changes(spark, dir, 1, 3).collect() shouldBe empty
   }
 
   test("pending positional deletes refuse") {

@@ -21,31 +21,49 @@ object CdcFeedLaws extends Properties("CdcFeedLaws") {
   private sealed trait Op
   private case class Append(vals: List[Long]) extends Op
   private case class Overwrite(vals: List[Long]) extends Op
+  private case class DeleteW(vals: List[Long]) extends Op
 
-  private val opGen: Gen[Op] = Gen.oneOf(
-    Gen.nonEmptyListOf(Gen.choose(0L, 50L)).map(v => Append(v.take(8))),
-    Gen.nonEmptyListOf(Gen.choose(100L, 150L)).map(v => Overwrite(v.take(8))))
+  private val opGen: Gen[Op] = Gen.frequency(
+    3 -> Gen.nonEmptyListOf(Gen.choose(0L, 50L)).map(v => Append(v.take(8))),
+    2 -> Gen.nonEmptyListOf(Gen.choose(100L, 150L))
+      .map(v => Overwrite(v.take(8))),
+    // equality deleteWhere: values overlap BOTH ranges so deletes
+    // sometimes hit live rows, sometimes nothing
+    2 -> Gen.nonEmptyListOf(Gen.choose(0L, 150L)).map(v => DeleteW(v.take(4))))
 
   property("feed replay folds to the live multiset over any history") =
-    Prop.forAll(Gen.choose(1, 5).flatMap(n => Gen.listOfN(n, opGen))) { ops =>
+    Prop.forAll(Gen.choose(1, 5).flatMap(n => Gen.listOfN(n, opGen))) { ops0 =>
       import spark.implicits._
       val dir = graft.operators.Catalog.tempDir("graft_cdclaw")
+      // the table must exist before a deleteWhere can reference it
+      val ops = ops0 match {
+        case (_: DeleteW) :: _ => Append(List(7L)) :: ops0
+        case _ => ops0
+      }
       var expected = Map.empty[Long, Long] // value -> multiplicity
       var first = true
       ops.foreach { op =>
-        val (vals, mode) = op match {
-          case Append(v) => (v, if (first) "overwrite" else "append")
-          case Overwrite(v) => (v, "overwrite")
-        }
         op match {
-          case _: Overwrite => expected = Map.empty
-          case _ => ()
+          case DeleteW(vals) =>
+            // an equality delete hides EVERY live copy of the value
+            AvroMaintenance.deleteWhere(spark, dir, "k", vals.distinct)
+            expected = expected -- vals
+          case _ =>
+            val (vals, mode) = op match {
+              case Append(v) => (v, if (first) "overwrite" else "append")
+              case Overwrite(v) => (v, "overwrite")
+              case _ => throw new IllegalStateException("unreachable")
+            }
+            op match {
+              case _: Overwrite => expected = Map.empty
+              case _ => ()
+            }
+            vals.foreach(v =>
+              expected = expected.updated(v, expected.getOrElse(v, 0L) + 1L))
+            vals.toDF("k").coalesce(1)
+              .write.format("graft-avro").mode(mode).save(dir)
+            first = false
         }
-        vals.foreach(v =>
-          expected = expected.updated(v, expected.getOrElse(v, 0L) + 1L))
-        vals.toDF("k").coalesce(1)
-          .write.format("graft-avro").mode(mode).save(dir)
-        first = false
       }
       val q = spark.readStream.format("graft-avro")
         .option("readChangeFeed", "true")
@@ -74,5 +92,68 @@ object CdcFeedLaws extends Properties("CdcFeedLaws") {
       (folded == expected) :| s"fold $folded != expected $expected" &&
         (live == expected) :| s"live $live != expected $expected" &&
         monotone :| "empty feed for a non-empty history"
+    }
+
+  /** allowInitialSnapshot: after an expireSnapshots rebase dropped the
+    * early deltas, a from-the-beginning replay serves the first
+    * RETAINED version as a full insert snapshot and continues with
+    * deltas — folding to the live multiset exactly, over any history.
+    */
+  property("initial snapshot past an expireSnapshots rebase folds exactly") =
+    Prop.forAll(
+      Gen.choose(2, 5).flatMap(n => Gen.listOfN(n, opGen)),
+      Gen.choose(1, 2)) { (ops0, keep) =>
+      import spark.implicits._
+      val dir = graft.operators.Catalog.tempDir("graft_cdcsnap")
+      val ops = Append(List(3L)) :: ops0
+      var expected = Map.empty[Long, Long]
+      var first = true
+      ops.foreach {
+        case DeleteW(vals) =>
+          AvroMaintenance.deleteWhere(spark, dir, "k", vals.distinct)
+          expected = expected -- vals
+        case op =>
+          val (vals, mode) = op match {
+            case Append(v) => (v, if (first) "overwrite" else "append")
+            case Overwrite(v) => (v, "overwrite")
+            case _ => throw new IllegalStateException("unreachable")
+          }
+          if (op.isInstanceOf[Overwrite]) expected = Map.empty
+          vals.foreach(v =>
+            expected = expected.updated(v, expected.getOrElse(v, 0L) + 1L))
+          vals.toDF("k").coalesce(1)
+            .write.format("graft-avro").mode(mode).save(dir)
+          first = false
+      }
+      AvroMaintenance.expireSnapshots(dir, keepLast = keep)
+      val firstKept = AvroFileSource
+        .readSnapshots(new java.io.File(dir)).head.version
+      val q = spark.readStream.format("graft-avro")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .option("allowInitialSnapshot", "true")
+        .load(dir)
+        .writeStream.format("memory").queryName("cdc_snaplaw")
+        .outputMode("append").start()
+      val feed =
+        try {
+          q.processAllAvailable()
+          spark.table("cdc_snaplaw")
+            .select("k", "_change_type", "_commit_version").collect()
+        } finally q.stop()
+      val folded = feed.foldLeft(Map.empty[Long, Long]) { (m, r) =>
+        val k = r.getLong(0)
+        val d = if (r.getString(1) == "insert") 1L else -1L
+        val n = m.getOrElse(k, 0L) + d
+        if (n == 0L) m - k else m.updated(k, n)
+      }
+      val live = spark.read.format("graft-avro").load(dir)
+        .collect().map(_.getLong(0))
+        .groupBy(identity).map { case (k, a) => k -> a.length.toLong }
+      // no version below the snapshot horizon is ever served
+      val horizonOk = feed.forall(_.getLong(2) >= firstKept)
+      (folded == expected) :| s"fold $folded != expected $expected" &&
+        (live == expected) :| s"live $live != expected $expected" &&
+        horizonOk :| s"feed served a version below horizon $firstKept"
     }
 }

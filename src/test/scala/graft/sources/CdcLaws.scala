@@ -25,13 +25,18 @@ object CdcLaws extends Properties("CdcLaws") {
   private case class Append(lo: Int, n: Int) extends Op
   private case class Overwrite(lo: Int, n: Int) extends Op
   private case object Compact extends Op
+  private case class DeleteW(vals: List[Long]) extends Op
 
   private val opGen: Gen[Op] = Gen.frequency(
     4 -> (for { lo <- Gen.chooseNum(0, 500); n <- Gen.chooseNum(1, 40) }
       yield Append(lo, n)),
     2 -> (for { lo <- Gen.chooseNum(0, 500); n <- Gen.chooseNum(1, 40) }
       yield Overwrite(lo, n)),
-    1 -> Gen.const(Compact))
+    1 -> Gen.const(Compact),
+    // equality deleteWhere: the sidecar delta must net exactly like any
+    // other history step (stamped entries, per-file applicability)
+    2 -> Gen.nonEmptyListOf(Gen.chooseNum(0L, 540L))
+      .map(v => DeleteW(v.take(4))))
 
   // signed multiset of k values at a version (k may repeat across ops)
   private def rowsAt(dir: String, v: Long): Map[Long, Long] =
@@ -55,6 +60,8 @@ object CdcLaws extends Properties("CdcLaws") {
             .write.format("graft-avro").mode("overwrite").save(dir)
         case Compact =>
           AvroMaintenance.compactInPlace(spark, dir, 512L * 1024 * 1024)
+        case DeleteW(vals) =>
+          AvroMaintenance.deleteWhere(spark, dir, "k", vals.distinct)
       }
       val snaps = AvroFileSource.readSnapshots(new java.io.File(dir))
       val versions = 0L +: snaps.map(_.version)

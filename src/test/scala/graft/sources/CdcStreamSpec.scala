@@ -86,23 +86,48 @@ class CdcStreamSpec extends AnyFunSuite with SparkSpec with Matchers {
     spark.read.parquet(out).count() shouldBe 3
   }
 
-  test("equality-delete deltas and batch reads refuse loudly") {
+  test("equality-delete deltas emit delete rows; batch reads refuse loudly") {
     val dir = tmp()
     spark.range(0, 6).selectExpr("id AS k")
       .write.format("graft-avro").mode("overwrite").save(dir) // v1
     // a metadata deleteWhere mints a version whose only delta is the
-    // delete sidecar — not representable as a file feed
-    AvroMaintenance.deleteWhere(spark, dir, "k", Seq(2L)) // v2
+    // delete sidecar: the feed serves the newly-hidden rows as deletes
+    AvroMaintenance.deleteWhere(spark, dir, "k", Seq(2L, 4L)) // v2
     val q = spark.readStream.format("graft-avro")
       .option("readChangeFeed", "true")
       .option("startingVersion", "1")
       .load(dir)
-      .writeStream.format("memory").queryName("cdc_refuse")
+      .writeStream.format("memory").queryName("cdc_deld")
       .outputMode("append").start()
-    val boom = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      try q.processAllAvailable() finally q.stop()
-    }
-    boom.getMessage should include("delete")
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("cdc_deld").collect()
+        .map(r => (r.getString(1), r.getLong(0), r.getLong(2))).sorted
+      rows.filter(_._1 == "insert").map(_._2).toSeq shouldBe (0L until 6L)
+      rows.filter(_._1 == "delete").toSeq shouldBe
+        Seq(("delete", 2L, 2L), ("delete", 4L, 2L))
+
+      // a MERGE-style re-insert AFTER the delete: the stamped entry must
+      // not re-kill the replayed insert (per-file stamp gating)
+      spark.range(4, 5).selectExpr("id AS k")
+        .write.format("graft-avro").mode("append").save(dir) // v3
+      AvroMaintenance.deleteWhere(spark, dir, "k", Seq(0L)) // v4
+      q.processAllAvailable()
+      val all = spark.table("cdc_deld").collect()
+        .map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+      all.filter(_._3 == 3L).toSeq shouldBe Seq(("insert", 4L, 3L))
+      all.filter(_._3 == 4L).toSeq shouldBe Seq(("delete", 0L, 4L))
+      // fold check: feed-replayed state == live state
+      val folded = all.foldLeft(Map.empty[Long, Long]) { (m, r) =>
+        val d = if (r._1 == "insert") 1L else -1L
+        val n = m.getOrElse(r._2, 0L) + d
+        if (n == 0L) m - r._2 else m.updated(r._2, n)
+      }
+      val live = spark.read.format("graft-avro").load(dir).collect()
+        .map(_.getLong(0)).groupBy(identity)
+        .map { case (k, a) => k -> a.length.toLong }
+      folded shouldBe live
+    } finally q.stop()
 
     // batch read: readChangeFeed is streaming-only
     val batchBoom = intercept[Exception] {
@@ -110,6 +135,56 @@ class CdcStreamSpec extends AnyFunSuite with SparkSpec with Matchers {
         .load(dir).collect()
     }
     batchBoom.getMessage should include("STREAMING")
+  }
+
+  test("delete-delta emission widens a pruned-away sidecar column") {
+    val dir = tmp()
+    spark.range(0, 5).selectExpr("id AS k", "id * 10 AS v")
+      .write.format("graft-avro").mode("overwrite").save(dir) // v1
+    AvroMaintenance.deleteWhere(spark, dir, "k", Seq(3L)) // v2
+    // project ONLY v (+ CDC columns): the matcher needs k, which the
+    // reader must widen into the decode schema and project back out
+    val q = spark.readStream.format("graft-avro")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "2")
+      .load(dir)
+      .select(F.col("v"), F.col("_change_type"), F.col("_commit_version"))
+      .writeStream.format("memory").queryName("cdc_widen")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      spark.table("cdc_widen").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq shouldBe
+        Seq((30L, "delete", 2L))
+    } finally q.stop()
+  }
+
+  test("rollback across a deleteWhere emits re-surfacing inserts") {
+    val dir = tmp()
+    spark.range(0, 4).selectExpr("id AS k")
+      .write.format("graft-avro").mode("overwrite").save(dir) // v1
+    AvroMaintenance.deleteWhere(spark, dir, "k", Seq(1L)) // v2
+    AvroMaintenance.rollbackTo(dir, 1L) // v3: sidecar entry disappears
+    val q = spark.readStream.format("graft-avro")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1")
+      .load(dir)
+      .writeStream.format("memory").queryName("cdc_undel")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("cdc_undel").collect()
+        .map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+      rows.filter(_._3 == 2L).toSeq shouldBe Seq(("delete", 1L, 2L))
+      // the rollback re-surfaces k=1 as an insert at v3
+      rows.filter(_._3 == 3L).toSeq shouldBe Seq(("insert", 1L, 3L))
+      val folded = rows.foldLeft(Map.empty[Long, Long]) { (m, r) =>
+        val d = if (r._1 == "insert") 1L else -1L
+        val n = m.getOrElse(r._2, 0L) + d
+        if (n == 0L) m - r._2 else m.updated(r._2, n)
+      }
+      folded shouldBe (0L until 4L).map(_ -> 1L).toMap
+    } finally q.stop()
   }
 
   test("availableNow + maxVersionsPerTrigger drains history in bounded batches") {

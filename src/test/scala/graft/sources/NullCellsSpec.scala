@@ -115,6 +115,36 @@ class NullCellsSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("float/double IS [NOT] NULL decides — null counting is " +
+      "finiteness-independent") {
+    val dir = tmp()
+    // file A: doubles, no nulls, includes NaN/Infinity (the value
+    // bounds go DEAD on non-finite, but the cnt: cell is exact)
+    spark.range(0, 10)
+      .selectExpr("id AS k",
+        "if(id = 3, double('NaN'), if(id = 5, double('Infinity'), " +
+          "CAST(id AS DOUBLE))) AS x")
+      .coalesce(1).write.format("graft-avro").mode("overwrite").save(dir)
+    // file B: all-null doubles
+    spark.range(10, 22)
+      .selectExpr("id AS k", "CAST(null AS DOUBLE) AS x")
+      .coalesce(1).write.format("graft-avro").mode("append").save(dir)
+    import org.apache.spark.sql.sources.{IsNotNull, IsNull}
+    scanParts(dir, Seq(IsNull("x"))) shouldBe 1 // B only
+    scanParts(dir, Seq(IsNotNull("x"))) shouldBe 1 // A only
+    val t = spark.read.format("graft-avro").load(dir)
+    // the filters DECIDE (all-or-nothing per file) ⇒ zero-decode count
+    val df = t.filter(F.col("x").isNull).agg(F.count(F.lit(1)).as("n"))
+    plan(df) should include("PushedAggregation")
+    df.head().getLong(0) shouldBe 12L
+    val df2 = t.filter(F.col("x").isNotNull).agg(F.count(F.lit(1)).as("n"))
+    plan(df2) should include("PushedAggregation")
+    df2.head().getLong(0) shouldBe 10L
+    // value answers stay exact through the pruned reads (NaN included)
+    t.filter(F.col("x").isNotNull).select(F.sum(F.col("k")))
+      .head().getLong(0) shouldBe (0L until 10L).sum
+  }
+
   test("soundness: files without cells are always kept") {
     val dir = tmp()
     writeThree(dir)
