@@ -55,6 +55,17 @@ object ColumnarAb {
       .write.format("graft-avro").option("codec", codec)
       .mode("append").save(dir)
 
+    // COLUMNAR_AB_RENAME: decode the same flat payload through a
+    // column-rename view (alias resolution on the vector path)
+    val renamed = sys.env.get("COLUMNAR_AB_RENAME").exists(_.toBoolean)
+    if (renamed && !arrays && !structs) {
+      graft.sources.AvroMaintenance.renameColumn(dir, "d", "dr")
+      graft.sources.AvroMaintenance.renameColumn(dir, "s1", "sr")
+    }
+    def rn(n: String): String =
+      if (!renamed) n
+      else n match { case "d" => "dr"; case "s1" => "sr"; case o => o }
+
     val numsOnly = sys.env.get("COLUMNAR_AB_NUMS").exists(_.toBoolean)
     def scan(columnar: Boolean): Double = {
       val t0 = System.nanoTime()
@@ -68,8 +79,9 @@ object ColumnarAb {
           F.sum("info.score"), F.sum("info.inner.a"))
         else if (arrays) df.agg(F.sum(F.size(F.col("emb"))),
           F.sum(F.element_at(F.col("emb"), 3)))
-        else if (numsOnly) df.agg(F.sum("id"), F.sum("d"))
-        else df.agg(F.sum("id"), F.sum("d"), F.sum(F.length(F.col("s1"))),
+        else if (numsOnly) df.agg(F.sum("id"), F.sum(rn("d")))
+        else df.agg(F.sum("id"), F.sum(rn("d")),
+          F.sum(F.length(F.col(rn("s1")))),
           F.sum(F.length(F.col("s2"))), F.count(F.when(F.col("b"), 1)))
       agg.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9

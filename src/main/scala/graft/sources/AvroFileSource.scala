@@ -5222,7 +5222,15 @@ case class AvroReaderFactory(required: StructType, full: StructType,
     * requires all-or-nothing across partitions).
     */
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    columnarBatch > 0 && renames.isEmpty &&
+    columnarBatch > 0 &&
+      // rename views vectorize: the alias is name indirection, not a
+      // type change — tier 1 translates writer names through the
+      // reader-field aliases, tier 2's resolver applies them natively.
+      // ONLY the re-added-historical-name case stays on rows: its
+      // SHADOW reader field would surface in readFieldOrder at a
+      // position the vector array doesn't have.
+      renames.forall { case (_, from, _) =>
+        !full.fieldNames.contains(from) } &&
       required.fields.forall { f =>
         f.name != AvroFileSource.MetaFile &&
           f.name != AvroFileSource.MetaPos &&

@@ -30,10 +30,13 @@ import org.apache.spark.sql.types._
   * ARE Catalyst's), timestamp-millis scale with multiplyExact, enum
   * symbols become their UTF-8 bytes.
   *
-  * Scope (enforced by `AvroReaderFactory.supportColumnarReads`): flat
-  * primitive-leaf projections only — no nested/array/map/multi-branch
-  * union columns, no rename views (alias/shadow fields stay on the row
-  * path).
+  * Scope (enforced by `AvroReaderFactory.supportColumnarReads`):
+  * primitive-leaf/container/nested-record projections; multi-branch
+  * union columns stay on rows. Column-RENAME views vectorize — the
+  * alias is name indirection, not a type change (tier 1 translates
+  * writer names through the reader-field aliases, tier 2's resolver
+  * applies them natively); only the re-added-historical-name case
+  * (shadow fields) keeps the row path.
   */
 private[sources] final class VectorAvroDatumReader(
     readerSchema: Schema, struct: StructType) extends DatumReader[AnyRef] {
@@ -268,9 +271,18 @@ private[sources] object DirectVectorPlan {
     val writer = writer0
     val colOf: Map[String, Int] =
       struct.fieldNames.zipWithIndex.toMap
+    // Column-rename views: resolveReader attaches the file's HISTORICAL
+    // name to the current-named reader field as an alias — translate
+    // writer names through that map so a pre-rename file's field feeds
+    // the current column. A shadow field's alias translates to the
+    // shadow name (not in colOf), so a renamed-away writer field never
+    // feeds a same-named re-added column here either.
+    val aliasOf: Map[String, String] = readerSchema.getFields.asScala
+      .flatMap(rf => rf.aliases().asScala.map(a => a -> rf.name())).toMap
+    def curName(n: String): String = aliasOf.getOrElse(n, n)
     val steps = Vector.newBuilder[Step]
     for (wf <- writer.getFields.asScala) {
-      colOf.get(wf.name) match {
+      colOf.get(curName(wf.name)) match {
         case Some(idx) =>
           val step = appendStep(wf.schema(), struct(idx).dataType, idx)
           if (step == null) return null
@@ -283,8 +295,10 @@ private[sources] object DirectVectorPlan {
     }
     // reader columns the writer lacks (schema drift): constant null,
     // unless a non-null declared default exists — that needs the
-    // resolver's embedded-default machinery
-    val present = writer.getFields.asScala.map(_.name).toSet
+    // resolver's embedded-default machinery. Presence is judged on
+    // TRANSLATED names: a renamed-away writer field does not make the
+    // re-added current column "present".
+    val present = writer.getFields.asScala.map(f => curName(f.name)).toSet
     for ((sf, idx) <- struct.fields.zipWithIndex if !present(sf.name)) {
       val rf = readerSchema.getField(sf.name)
       if (rf == null) return null

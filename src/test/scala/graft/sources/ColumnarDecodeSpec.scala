@@ -317,6 +317,80 @@ class ColumnarDecodeSpec extends AnyFunSuite with SparkSpec with Matchers {
       (3L, 30L, 3.5, "y"))
   }
 
+  test("column renames decode columnar (alias name indirection)") {
+    val dir = tmp()
+    spark.range(10).selectExpr("id", "cast(id as string) as old_s")
+      .write.format("graft-avro").mode("append").save(dir)
+    AvroMaintenance.renameColumn(dir, "old_s", "s")
+    // post-rename file carries the new name natively
+    spark.range(10, 20).selectExpr("id", "cast(id as string) as s")
+      .write.format("graft-avro").mode("append").save(dir)
+    val back = spark.read.format("graft-avro").load(dir)
+    assert(isColumnar(back), "rename views vectorize since r20")
+    back.count() shouldBe 20
+    back.select("s").collect().map(_.getString(0)).sorted shouldBe
+      (0L until 20L).map(_.toString).toArray.sorted
+    // renamed column pruned OUT: the old files' field skips cleanly
+    back.select("id").agg(F.sum("id")).head().getLong(0) shouldBe
+      (0L until 20L).sum
+  }
+
+  test("tier-1 direct plan translates writer names through aliases") {
+    import org.apache.spark.sql.types._
+    val struct = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("s", StringType)))
+    val writerStruct = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("old_s", StringType)))
+    val writer = graft.avro.AvroSchemaConverter
+      .toAvro(writerStruct, "r", None, None)
+    val reader = AvroReaderFactory.resolveReader(writer, struct, "test",
+      renamedAway = Set("old_s"),
+      fileNameOf = n => if (n == "s") "old_s" else n)
+    // the parser-free tier plans (no resolver fallback) under the alias
+    DirectVectorPlan.build(writer, reader, struct) should not be null
+  }
+
+  test("rename + widen + declared default rides the resolver tier, columnar") {
+    val root = tmp()
+    spark.conf.set("spark.sql.catalog.grw", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.grw.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS grw.ns")
+    spark.sql("DROP TABLE IF EXISTS grw.ns.t")
+    spark.sql("CREATE TABLE grw.ns.t (id BIGINT, x INT, old_s STRING)")
+    spark.sql("INSERT INTO grw.ns.t VALUES (1, 10, 'a'), (2, 20, 'b')")
+    spark.sql("ALTER TABLE grw.ns.t RENAME COLUMN old_s TO s")
+    spark.sql("ALTER TABLE grw.ns.t ALTER COLUMN x TYPE BIGINT")
+    // the non-null default forces old files onto the resolver tier —
+    // which must apply the alias AND the narrow int terminal together
+    spark.sql("ALTER TABLE grw.ns.t ADD COLUMN tag STRING DEFAULT 'x'")
+    spark.sql("INSERT INTO grw.ns.t VALUES (3, 30, 'c', 'y')")
+    val df = spark.sql("SELECT id, x, s, tag FROM grw.ns.t ORDER BY id")
+    assert(isColumnar(df))
+    df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))) shouldBe
+      Array((1L, 10L, "a", "x"), (2L, 20L, "b", "x"), (3L, 30L, "c", "y"))
+  }
+
+  test("re-added historical names keep the row path (shadow soundness)") {
+    import org.apache.spark.sql.types._
+    val dir = tmp()
+    spark.range(5).selectExpr("id", "cast(id as string) as a")
+      .write.format("graft-avro").mode("append").save(dir)
+    AvroMaintenance.renameColumn(dir, "a", "b")
+    AvroMaintenance.addColumn(dir, StructField("a", StringType)) // re-add
+    spark.range(5, 8)
+      .selectExpr("id", "cast(id as string) as b", "concat('n', id) as a")
+      .write.format("graft-avro").mode("append").save(dir)
+    val back = spark.read.format("graft-avro").load(dir)
+    assert(!isColumnar(back),
+      "a re-added historical name needs shadow fields — rows only")
+    back.filter(F.col("a").isNull).count() shouldBe 5
+    back.filter(F.col("a").isNotNull).count() shouldBe 3
+    back.agg(F.count("b")).head().getLong(0) shouldBe 8
+  }
+
   test("equality deletes apply ON the columnar path, batches stay dense") {
     val dir = tmp()
     spark.range(100).selectExpr("id", "id % 4 as g")
