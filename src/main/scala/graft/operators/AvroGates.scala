@@ -716,6 +716,46 @@ object AvroGates extends Catalog {
         .orderBy("version", "change_type")
     }),
 
+    // STREAMING ROLLING WRITER: a single-task stream honoring
+    // `targetFileBytes` splits its epoch output into bounded container
+    // files with deterministic (epoch, partition, seq) names —
+    // exactly-once survives because a replayed epoch truncate-rewrites
+    // the SAME segment series (RollingWriteSpec pins the replay). The
+    // pad length scales inversely with row count so the stream's byte
+    // volume crosses the roll target at EVERY SF.
+    "q_avro_stream_roll" -> ((s, dir) => {
+      val src = tempDir("graft_gate_sroll_src")
+      val out = tempDir("graft_gate_sroll_out")
+      val ckpt = tempDir("graft_gate_sroll_ckpt")
+      val li = table(s, dir, "lineitem")
+        .filter(F.pmod(F.coalesce(F.col("l_orderkey"), F.lit(0L)),
+          F.lit(16)) === 0)
+        .select(F.coalesce(F.col("l_orderkey"), F.lit(0L)).as("okey"),
+          F.col("l_quantity"))
+      val n = li.count()
+      val padLen = math.max(8L, 400000L / math.max(1L, n))
+      val fed = li.withColumn("pad", F.expr(s"repeat('x', $padLen)"))
+      fed.coalesce(1).write.mode("overwrite").parquet(src)
+      val q = s.readStream.schema(fed.schema).parquet(src)
+        .coalesce(1)
+        .writeStream.format("graft-avro")
+        .option("checkpointLocation", ckpt)
+        .option("targetFileBytes", (128 * 1024).toString)
+        .option("codec", "null")
+        .outputMode("append").start(out)
+      try q.processAllAvailable() finally q.stop()
+      val files = graft.sources.AvroFileSource
+        .listAvro(new java.io.File(out))
+      // rolled into >= 2 bounded files (target + generous block slack)
+      val rolled = files.size >= 2 &&
+        files.forall(_.length() < 128L * 1024 + 1024 * 1024)
+      s.read.format("graft-avro").load(out)
+        .agg(F.count(F.lit(1)).as("n_rows"),
+          F.sum(F.floor(F.col("l_quantity") * 100).cast("long")).as("qty_c"),
+          F.sum("okey").as("sum_okey"))
+        .withColumn("rolled", F.lit(rolled))
+    }),
+
     // STATEFUL exactly-once across a restart: q_stream_restart proves
     // the stateless source replay; this gate kills a windowed
     // AGGREGATION while its window sums live only in the state store
@@ -2496,6 +2536,13 @@ object AvroGates extends Catalog {
                  WHERE o_orderpriority = '1-URGENT') AS cnt_part,
                 (SELECT CAST(count(*) AS BIGINT) FROM lineitem
                  WHERE l_orderkey <= 600) AS cnt_zone""",
+    "q_avro_stream_roll" ->
+      """SELECT count(*) AS n_rows,
+                CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT))
+                  AS BIGINT) AS qty_c,
+                CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
+                TRUE AS rolled
+         FROM lineitem WHERE l_orderkey % 16 = 0""",
     "q_avro_minmax_filtered" ->
       """SELECT (SELECT min(o_orderkey) FROM orders
                  WHERE o_orderpriority = '1-URGENT') AS min_p,

@@ -328,7 +328,21 @@ object AvroFileSource {
   /** The directory's bucket spec, insertion-ordered. Malformed sidecar
     * → empty (pruning off is sound; SPJ declines).
     */
-  def readBucketSpec(d: File): Seq[(String, Int)] = {
+  def readBucketSpec(d: File): Seq[(String, Int)] =
+    readBucketSpecStamped(d).map { case (c, n, _) => (c, n) }
+
+  /** Spec entries with the journal version each column's bucketing was
+    * ESTABLISHED at (the commit that first carried it). Stamp 0 =
+    * legacy unstamped line: live reads only — a pre-stamp sidecar
+    * cannot prove which spec held at a historical version. Stamped
+    * entries make time-travel bucket pruning sound: the sidecar is
+    * immutable per column and replaced wholesale by a truncate, so a
+    * LIVE entry with `since <= v` is exactly the spec every
+    * segment-bearing file of snapshot `v` was routed under (any
+    * re-bucketing truncate between `v` and now would have replaced the
+    * entry with a younger stamp).
+    */
+  def readBucketSpecStamped(d: File): Seq[(String, Int, Long)] = {
     val f = bucketFile(d)
     if (!f.isFile) return Nil
     try {
@@ -336,7 +350,10 @@ object AvroFileSource {
       try src.getLines().flatMap { line =>
         line.split('\t') match {
           case Array(c, n) if n.matches("[0-9]+") =>
-            Some(java.net.URLDecoder.decode(c, "UTF-8") -> n.toInt)
+            Some((java.net.URLDecoder.decode(c, "UTF-8"), n.toInt, 0L))
+          case Array(c, n, v) if n.matches("[0-9]+") &&
+              v.matches("[0-9]+") =>
+            Some((java.net.URLDecoder.decode(c, "UTF-8"), n.toInt, v.toLong))
           case _ => None
         }
       }.toSeq
@@ -345,13 +362,13 @@ object AvroFileSource {
   }
 
   private[sources] def writeBucketSpec(d: File,
-      spec: Seq[(String, Int)]): Unit = {
+      spec: Seq[(String, Int, Long)]): Unit = {
     val f = bucketFile(d)
     if (spec.isEmpty) { f.delete(); return }
     val tmp = new File(f.getPath + ".staging")
     java.nio.file.Files.write(tmp.toPath,
-      spec.map { case (c, n) =>
-        java.net.URLEncoder.encode(c, "UTF-8") + "\t" + n
+      spec.map { case (c, n, v) =>
+        java.net.URLEncoder.encode(c, "UTF-8") + "\t" + n + "\t" + v
       }.mkString("\n").getBytes("UTF-8"))
     if (!tmp.renameTo(f)) throw new java.io.IOException(
       s"graft-avro: rename failed $tmp -> $f")
@@ -360,22 +377,30 @@ object AvroFileSource {
   /** Merge a write's bucket spec into the sidecar under the commit
     * lock: a column already specced must agree on N (mixed-N segments
     * are ambiguous — refuse loudly); `replace` (truncate) installs the
-    * write's spec wholesale.
+    * write's spec wholesale. Fresh entries are stamped with the version
+    * this commit will mint (called BEFORE appendSnapshot, same as the
+    * delete-sidecar stamp) so historical reads can resolve them.
     */
   private[sources] def mergeBucketSpec(d: File, spec: Seq[(String, Int)],
       replace: Boolean): Unit = {
-    if (replace) { writeBucketSpec(d, spec); return }
+    lazy val stamp = readSnapshots(d).lastOption
+      .map(_.version + 1).getOrElse(1L)
+    if (replace) {
+      writeBucketSpec(d, spec.map { case (c, n) => (c, n, stamp) })
+      return
+    }
     if (spec.isEmpty) return
-    val prior = readBucketSpec(d)
-    val priorMap = prior.toMap
+    val prior = readBucketSpecStamped(d)
+    val priorMap = prior.map { case (c, n, _) => c -> n }.toMap
     spec.foreach { case (c, n) =>
       priorMap.get(c).foreach(pn => require(pn == n,
         s"graft-avro: bucketBy '$c:$n' conflicts with the table's " +
           s"established spec '$c:$pn' — a column's bucket count is " +
           "immutable (truncate to re-bucket)"))
     }
-    val merged = prior ++ spec.filterNot(s => priorMap.contains(s._1))
-    if (merged != prior) writeBucketSpec(d, merged)
+    val fresh = spec.filterNot(s => priorMap.contains(s._1))
+      .map { case (c, n) => (c, n, stamp) }
+    if (fresh.nonEmpty) writeBucketSpec(d, prior ++ fresh)
   }
 
   private[sources] def zoneEncode(v: Any): String =
@@ -3359,14 +3384,33 @@ class AvroScanBuilder(path: String, full: StructType,
       // runtime IN-sets resolved to TARGET BUCKET segments per column
       @volatile private var runtimeBucket: Map[String, Set[String]] = Map.empty
 
-      /** The table's hash-bucket spec, live reads only: a truncate may
-        * re-bucket with a different N, so a historical snapshot's
-        * segments can't be resolved against the CURRENT sidecar —
-        * standing down is sound (files are merely kept).
+      /** The table's hash-bucket spec in force for THIS read. Live
+        * reads take the sidecar as-is. Time-travel / incremental reads
+        * resolve through the entry STAMPS: a live entry established at
+        * `since <= v` (resp. the range's lower base) is exactly the
+        * spec the snapshot's segment-bearing files were routed under —
+        * any re-bucketing truncate in between would have replaced it
+        * with a younger stamp. Unstamped (legacy) or younger entries
+        * stand down for that read (files merely kept — sound). Branch
+        * reads stay unpruned (overlay files carry no birth on main's
+        * journal). Incremental ranges are additive-only by contract, so
+        * an entry in force at the range BASE (or established inside the
+        * range — earlier files then simply lack its segment) resolves
+        * every served file.
         */
       private lazy val bucketSpec: Seq[(String, Int)] =
-        if (travelVersion.nonEmpty || incRange.nonEmpty || branch.nonEmpty) Nil
-        else AvroFileSource.readBucketSpec(new File(path))
+        if (branch.nonEmpty) Nil
+        else (travelVersion, incRange) match {
+          case (Some(v), _) =>
+            AvroFileSource.readBucketSpecStamped(new File(path)).collect {
+              case (c, n, since) if since >= 1L && since <= v => (c, n)
+            }
+          case (None, Some((_, t))) =>
+            AvroFileSource.readBucketSpecStamped(new File(path)).collect {
+              case (c, n, since) if since >= 1L && since <= t => (c, n)
+            }
+          case _ => AvroFileSource.readBucketSpec(new File(path))
+        }
       private lazy val bucketByCol: Map[String, Int] = bucketSpec.toMap
 
       /** Canonical bucket-key string of a pushed-filter EXTERNAL value;
@@ -6208,7 +6252,8 @@ class AvroWriteBuilder(path: String, schema: StructType,
           info: PhysicalWriteInfo): StreamingDataWriterFactory = {
         new File(path).mkdirs()
         val base = AvroStreamingWriterFactory(path, schema, codec,
-          partitionBy, bucketBy = bucketBy)
+          partitionBy, bucketBy = bucketBy,
+          targetFileBytes = targetFileBytes)
         if (compiledChecks.isEmpty) base
         else CheckedStreamingWriterFactory(base, compiledChecks)
       }
@@ -6784,7 +6829,9 @@ private[sources] object AvroWriters {
     val sortIdx = sortedBy.map(schema.fieldIndex)
     val avroSchema = AvroSchemaConverter.toAvro(schema, "topLevelRecord", None, None)
     val toAvro = AvroInternalCodec.encoderFor(schema, avroSchema)
-    val roll: Option[Long] = targetFileBytes.filter(_ => staged)
+    // rolling in both modes — see AvroWriters.open for the streaming
+    // exactly-once argument (deterministic (epoch, partition, seq) names)
+    val roll: Option[Long] = targetFileBytes
 
     // per-(partition dir, roll generation) unit: own container file,
     // own stats/verifier — same Segment idea as the flat writer
@@ -6918,9 +6965,13 @@ private[sources] object AvroWriters {
     val avroSchema = AvroSchemaConverter.toAvro(schema, "topLevelRecord", None, None)
     val toAvro = AvroInternalCodec.encoderFor(schema, avroSchema)
     val sortIdx = sortedBy.map(schema.fieldIndex)
-    // rolling only applies to staged batch writes: the streaming
-    // writer's epoch-deterministic names are its idempotency contract
-    val roll: Option[Long] = targetFileBytes.filter(_ => staged)
+    // rolling applies to BOTH write modes. Staged batch files publish
+    // at job commit as usual. Streaming (unstaged) keeps exactly-once:
+    // the rolled name is a pure function of (epoch, partition, seq),
+    // and roll points are deterministic for a replayed epoch's
+    // identical row sequence — a retry truncate-rewrites the SAME
+    // segment series, exactly like the single-file contract.
+    val roll: Option[Long] = targetFileBytes
 
     /** One container file plus its per-file stat builders — the rolling
       * writer's unit. Stats and the sort verifier are PER SEGMENT so a
@@ -7053,7 +7104,8 @@ case class AvroWriterFactory(path: String, schema: StructType,
 
 case class AvroStreamingWriterFactory(path: String, schema: StructType,
     codec: String = AvroFileSource.DefaultCodec, partitionBy: Seq[String] = Nil,
-    bucketBy: Seq[(String, Int)] = Nil)
+    bucketBy: Seq[(String, Int)] = Nil,
+    targetFileBytes: Option[Long] = None)
   extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
@@ -7061,9 +7113,10 @@ case class AvroStreamingWriterFactory(path: String, schema: StructType,
     val name = f"part-e$epochId%06d-$partitionId%05d.avro"
     if (partitionBy.nonEmpty || bucketBy.nonEmpty)
       AvroWriters.openPartitioned(path, schema, name, partitionBy, codec,
-        buckets = bucketBy)
+        buckets = bucketBy, targetFileBytes = targetFileBytes)
     else
-      AvroWriters.open(path, schema, name, lazyCreate = true, codec = codec)
+      AvroWriters.open(path, schema, name, lazyCreate = true, codec = codec,
+        targetFileBytes = targetFileBytes)
   }
 }
 

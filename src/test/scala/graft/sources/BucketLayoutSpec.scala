@@ -167,6 +167,58 @@ class BucketLayoutSpec extends AnyFunSuite with SparkSpec with Matchers {
     spark.read.format("graft-avro").load(dir).count() shouldBe 10
   }
 
+  test("time travel prunes through stamped specs; re-bucketing stands down") {
+    val dir = tmp()
+    writeBucketed(dir) // v1: k:8
+    spark.range(800, 1200).toDF("k")
+      .withColumn("payload", F.md5(F.col("k").cast("string")))
+      .write.format("graft-avro").option("bucketBy", "k:8")
+      .mode("append").save(dir) // v2
+    // the entry carries the establishing version
+    AvroFileSource.readBucketSpecStamped(new File(dir)) shouldBe
+      Seq(("k", 8, 1L))
+    import org.apache.spark.sql.sources.EqualTo
+    def partsAt(v: Long, filters: Seq[org.apache.spark.sql.sources.Filter])
+        : Int = {
+      val schema = spark.read.format("graft-avro")
+        .option("versionAsOf", v).load(dir).schema
+      val sb = new AvroScanBuilder(dir, schema, travelVersion = Some(v))
+      if (filters.nonEmpty) sb.pushFilters(filters.toArray)
+      sb.build().toBatch.planInputPartitions().length
+    }
+    // a point lookup at the OLD version prunes to the key's bucket
+    val allV1 = partsAt(1L, Nil)
+    val prunedV1 = partsAt(1L, Seq(EqualTo("k", 7L)))
+    prunedV1 should be < allV1
+    spark.read.format("graft-avro").option("versionAsOf", 1)
+      .load(dir).filter(F.col("k") === 7L).count() shouldBe 1
+    // re-bucket via truncate: the younger stamp stands pruning down for
+    // pre-truncate versions (their segments were routed under k:8)
+    spark.range(0, 100).toDF("k")
+      .withColumn("payload", F.md5(F.col("k").cast("string")))
+      .write.format("graft-avro").option("bucketBy", "k:16")
+      .mode("overwrite").save(dir) // v3
+    AvroFileSource.readBucketSpecStamped(new File(dir)) shouldBe
+      Seq(("k", 16, 3L))
+    partsAt(1L, Seq(EqualTo("k", 7L))) shouldBe allV1 // no pruning: sound
+    // the post-rebucket version prunes under the new spec
+    val allV3 = partsAt(3L, Nil)
+    partsAt(3L, Seq(EqualTo("k", 7L))) should be < allV3
+    // correctness across the whole arc
+    spark.read.format("graft-avro").option("versionAsOf", 1)
+      .load(dir).filter(F.col("k") === 7L).count() shouldBe 1
+    spark.read.format("graft-avro").option("versionAsOf", 3)
+      .load(dir).filter(F.col("k") === 7L).count() shouldBe 1
+    // legacy unstamped entries never answer historical reads
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      AvroFileSource.bucketFile(new File(dir)).toPath), "UTF-8")
+    java.nio.file.Files.write(
+      AvroFileSource.bucketFile(new File(dir)).toPath,
+      raw.linesIterator.map(_.split('\t').take(2).mkString("\t"))
+        .mkString("\n").getBytes("UTF-8"))
+    partsAt(3L, Seq(EqualTo("k", 7L))) shouldBe allV3 // stamp 0 ⇒ keep
+  }
+
   test("multi-column bucketing: independent segments, per-column pruning") {
     val dir = tmp()
     spark.range(0, 400).toDF("k")

@@ -81,6 +81,54 @@ class RollingWriteSpec extends AnyFunSuite with SparkSpec with Matchers {
       Map("0" -> 100000L, "1" -> 100000L)
   }
 
+  test("streaming rolls deterministically; a replayed epoch rewrites the same files") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    val dir = tmp()
+    val schema = StructType(Seq(StructField("k", LongType, nullable = false),
+      StructField("s", StringType)))
+    def attempt(): Seq[String] = {
+      val w = AvroStreamingWriterFactory(dir, schema, codec = "null",
+        targetFileBytes = Some(64L * 1024)).createWriter(0, 0L, 7L)
+      (0L until 60000L).foreach { i =>
+        w.write(InternalRow(i, UTF8String.fromString("x" * 16)))
+      }
+      w.commit()
+      AvroFileSource.listAvro(new java.io.File(dir)).map(_.getName).sorted
+    }
+    val first = attempt()
+    first.size should be > 2
+    first.foreach(_ should startWith("part-e000007-00000"))
+    val sizes = AvroFileSource.listAvro(new java.io.File(dir))
+      .map(f => f.getName -> f.length()).toMap
+    // replay of the SAME epoch (task retry): identical names, identical
+    // bytes — truncate-rewrites, never a duplicate segment
+    attempt() shouldBe first
+    AvroFileSource.listAvro(new java.io.File(dir))
+      .map(f => f.getName -> f.length()).toMap shouldBe sizes
+    spark.read.format("graft-avro").load(dir).count() shouldBe 60000L
+  }
+
+  test("a writeStream honors targetFileBytes: file count tracks bytes") {
+    val src = tmp(); val out = tmp(); val ckpt = tmp()
+    val data = spark.range(150000)
+      .selectExpr("id as k", "repeat('y', 24) as pad")
+    data.coalesce(1).write.mode("overwrite").parquet(src)
+    val q = spark.readStream.schema(data.schema).parquet(src)
+      .coalesce(1) // one task: rolling is the only way to many files
+      .writeStream.format("graft-avro")
+      .option("checkpointLocation", ckpt)
+      .option("targetFileBytes", (128 * 1024).toString)
+      .option("codec", "null")
+      .outputMode("append").start(out)
+    try q.processAllAvailable() finally q.stop()
+    val files = AvroFileSource.listAvro(new java.io.File(out))
+    files.size should be > 2
+    files.foreach(f => f.length() should be < (512L * 1024))
+    spark.read.format("graft-avro").load(out).count() shouldBe 150000L
+  }
+
   test("the table property drives SQL INSERT rolling") {
     val root = tmp()
     spark.conf.set("spark.sql.catalog.groll",
