@@ -1546,6 +1546,72 @@ object AvroGates extends Catalog {
               |GROUP BY lang ORDER BY lang""".stripMargin)
     }),
 
+    // The replication loop SURVIVING row-level mutations: a deleteWhere
+    // lands mid-history, the CDC feed serves it as delete rows, and the
+    // MERGE mirror folds to the source's live multiset — the end-to-end
+    // proof that routine deletes no longer break the flagship loop. The
+    // post-delete append's English rows stay alive on BOTH sides (stamp
+    // gating replays exactly).
+    "q_avro_cdc_replicate_del" -> ((s, dir) => {
+      if (!s.conf.getOption("spark.sql.catalog.graft_gate").isDefined) {
+        s.conf.set("spark.sql.catalog.graft_gate",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_gate.root",
+          tempDir("graft_gate_cat"))
+      }
+      val src = tempDir("graft_gate_cdcrd_src")
+      val ckpt = tempDir("graft_gate_cdcrd_ckpt")
+      val docs = table(s, dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+      docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) === 0)
+        .write.format("graft-avro").mode("overwrite").save(src) // v1
+      docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) === 1)
+        .write.format("graft-avro").mode("append").save(src) // v2
+      graft.sources.AvroMaintenance.deleteWhere(s, src, "lang",
+        Seq("en")) // v3: row-level mutation mid-history
+      docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) === 2)
+        .write.format("graft-avro").mode("append").save(src) // v4
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.gate")
+      s.sql("DROP TABLE IF EXISTS graft_gate.gate.cdcrd")
+      s.sql("CREATE TABLE graft_gate.gate.cdcrd " +
+        "(doc_id BIGINT NOT NULL, lang STRING, n_chars INT)")
+      s.sql("CALL graft_gate.system.set_row_level_mode('gate.cdcrd', " +
+        "'merge-on-read')")
+      val q = s.readStream.format("graft-avro")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .option("maxVersionsPerTrigger", "1") // one version per MERGE
+        .load(src)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          b.createOrReplaceTempView("cdcrd_feed")
+          b.sparkSession.sql(
+            """MERGE INTO graft_gate.gate.cdcrd t USING (
+              |  SELECT doc_id, lang, n_chars, _change_type FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY doc_id
+              |      ORDER BY _commit_version DESC,
+              |        CASE _change_type WHEN 'insert' THEN 1 ELSE 0 END
+              |          DESC) AS rn
+              |    FROM cdcrd_feed) WHERE rn = 1) u
+              |ON t.doc_id = u.doc_id
+              |WHEN MATCHED AND u._change_type = 'delete' THEN DELETE
+              |WHEN MATCHED THEN UPDATE SET lang = u.lang,
+              |  n_chars = u.n_chars
+              |WHEN NOT MATCHED AND u._change_type = 'insert' THEN
+              |  INSERT (doc_id, lang, n_chars)
+              |  VALUES (u.doc_id, u.lang, u.n_chars)
+              |""".stripMargin)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.sql("""SELECT lang, count(*) AS n_docs,
+              |  CAST(sum(n_chars) AS BIGINT) AS chars
+              |FROM graft_gate.gate.cdcrd
+              |GROUP BY lang ORDER BY lang""".stripMargin)
+    }),
+
     "q_stream_upsert_mor" -> ((s, dir) => {
       if (!s.conf.getOption("spark.sql.catalog.graft_gate").isDefined) {
         s.conf.set("spark.sql.catalog.graft_gate",
@@ -2394,6 +2460,45 @@ object AvroGates extends Catalog {
         .orderBy("source")
     }),
 
+    // Full three-clause SQL MERGE on the group-based row-level op path:
+    // WHEN MATCHED UPDATE + WHEN NOT MATCHED INSERT + WHEN NOT MATCHED
+    // BY SOURCE DELETE in one statement — the complete Delta/Iceberg
+    // MERGE surface. The target collapses to exactly the source's keys
+    // (matched rows rewritten, source-only inserted, target-only
+    // deleted); the oracle re-derives that closed form with one LEFT
+    // JOIN.
+    "q_avro_merge_sql" -> ((s, dir) => {
+      if (!s.conf.getOption("spark.sql.catalog.graft_gate").isDefined) {
+        s.conf.set("spark.sql.catalog.graft_gate",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_gate.root",
+          tempDir("graft_gate_cat"))
+      }
+      val docs = table(s, dir, "documents")
+        .select(F.coalesce(F.col("doc_id"), F.lit(0L)).as("doc_id"),
+          F.col("n_chars").cast("long").as("val"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.gate")
+      s.sql("DROP TABLE IF EXISTS graft_gate.gate.m3")
+      s.sql("CREATE TABLE graft_gate.gate.m3 " +
+        "(doc_id BIGINT NOT NULL, val BIGINT)")
+      docs.filter(F.col("doc_id") % 3 === 0)
+        .createOrReplaceTempView("m3_base")
+      s.sql("INSERT INTO graft_gate.gate.m3 SELECT * FROM m3_base")
+      docs.filter(F.col("doc_id") % 2 === 0)
+        .createOrReplaceTempView("m3_src")
+      s.sql("""MERGE INTO graft_gate.gate.m3 t USING m3_src s
+              |ON t.doc_id = s.doc_id
+              |WHEN MATCHED THEN UPDATE SET val = s.val * 10
+              |WHEN NOT MATCHED THEN INSERT (doc_id, val)
+              |  VALUES (s.doc_id, s.val)
+              |WHEN NOT MATCHED BY SOURCE THEN DELETE
+              |""".stripMargin)
+      s.sql("""SELECT count(*) AS n_rows,
+              |  CAST(sum(val) AS BIGINT) AS val_sum,
+              |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+              |FROM graft_gate.gate.m3""".stripMargin)
+    }),
+
     // OPTIMIZE ZORDER on the avro source: clusterBy interleaves both
     // dimensions' scaled bits and rewrites, after which the all-column
     // zones prune on EITHER column (AvroClusterSpec pins the file
@@ -2575,6 +2680,19 @@ object AvroGates extends Catalog {
                 CAST(sum(n_chars) AS BIGINT) AS chars
          FROM documents WHERE doc_id % 3 = 2
          GROUP BY lang ORDER BY lang""",
+    // the mirror equals the source's live content: generations 1+2
+    // minus the deleted English rows, plus the post-delete generation
+    // (whose English rows the stamped entry never touched)
+    "q_avro_cdc_replicate_del" ->
+      """WITH kept AS (
+           SELECT lang, n_chars FROM documents
+           WHERE doc_id % 3 IN (0, 1)
+             AND (lang IS NULL OR lang <> 'en')
+           UNION ALL
+           SELECT lang, n_chars FROM documents WHERE doc_id % 3 = 2)
+         SELECT lang, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS chars
+         FROM kept GROUP BY lang ORDER BY lang""",
     // the CDC feed re-derived: v1/v2 insert generations, v3 = full
     // churn (every earlier row deleted + the replacement inserted)
     "q_avro_cdc_stream" ->
@@ -2992,6 +3110,21 @@ object AvroGates extends Catalog {
                 CAST(sum(n_chars) AS BIGINT) AS chars,
                 CAST(sum(length(text)) AS BIGINT) AS text_len
          FROM v2 GROUP BY source ORDER BY source""",
+    // three-clause MERGE closed form: the table becomes exactly the
+    // source key set — matched keys at val*10, source-only at val,
+    // target-only gone (NOT MATCHED BY SOURCE DELETE)
+    "q_avro_merge_sql" ->
+      """WITH t0 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+         src AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS val
+                 FROM documents WHERE doc_id % 2 = 0),
+         merged AS (
+           SELECT s.doc_id,
+                  CASE WHEN t.doc_id IS NOT NULL THEN s.val * 10
+                       ELSE s.val END AS val
+           FROM src s LEFT JOIN t0 t ON t.doc_id = s.doc_id)
+         SELECT count(*) AS n_rows, CAST(sum(val) AS BIGINT) AS val_sum,
+                CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM merged""",
     "q_avro_cluster" ->
       """SELECT 'by_id' AS dim, count(*) AS n_rows,
                 CAST(sum(n_chars) AS BIGINT) AS chars

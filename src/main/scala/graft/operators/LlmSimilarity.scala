@@ -519,6 +519,51 @@ object LlmSimilarity extends Catalog {
         .orderBy("vec_id")
     }),
 
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    // pairwise cosine WITHIN LEARNED k-means clusters — the
+    // unlabeled-corpus scale path (llm_semantic_keep's mutual-NN runs
+    // inside pre-labeled cells; this one clusters first, then drops
+    // every pair member above the similarity threshold). All exact
+    // integer: cos(x,y) >= τ decided by cross-multiplication
+    // 10^4·dot² >= τ²·10^4·n2x·n2y (dot > 0), promoted to DECIMAL(38,0)
+    // — dot ≤ 64·10^8 so dot²·10^4 ≈ 4e23 stays exact in 38 digits on
+    // BOTH engines (DuckDB computes the mirror in HUGEINT). The dot
+    // comes from the codegen'd vec_l2sq identity dot = (n2x+n2y−d²)/2
+    // (always even, so truncating div == floor div). 100 TB shape:
+    // pairwise cost is Σ|cluster|² — bounded by the cluster count you
+    // train, never corpus², and each pair is ONE codegen'd L2 kernel;
+    // per-vector norms compute once before the join.
+    "llm_semdedup" -> ((s, dir) => {
+      val (_, assigned, _) = lloyd(s, dir)
+      val withN2 = assigned.withColumn("n2", F.expr(
+        "aggregate(transform(qx, v -> v * v), cast(0 as bigint), " +
+          "(a, v) -> a + v)"))
+        .localCheckpoint()
+      val x = withN2.select(F.col("cid"), F.col("vec_id").as("i"),
+        F.col("qx").as("xi"), F.col("n2").as("n2i"))
+      val y = withN2.select(F.col("cid"), F.col("vec_id").as("j"),
+        F.col("qx").as("xj"), F.col("n2").as("n2j"))
+      val pairs = x.join(y, Seq("cid"))
+        .filter(F.col("i") < F.col("j"))
+        .withColumn("d2", VectorFunctions.vec_l2sq(F.col("xi"), F.col("xj")))
+        .withColumn("dot", F.expr("(n2i + n2j - d2) div 2"))
+      val drops = pairs
+        .filter(F.col("dot") > 0 &&
+          F.col("dot").cast("decimal(38,0)") * F.col("dot") * F.lit(10000L)
+            >= F.lit(1225L).cast("decimal(38,0)") * F.col("n2i") *
+              F.col("n2j"))
+        .select(F.col("j").as("vec_id")).distinct()
+      assigned
+        .join(F.broadcast(drops.withColumn("dropped", F.lit(1L))),
+          Seq("vec_id"), "left")
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).as("n_members"),
+          F.sum(F.coalesce(F.col("dropped"), F.lit(0L))).as("n_dropped"),
+          F.sum(F.when(F.col("dropped").isNull, F.col("vec_id"))
+            .otherwise(0L)).as("keep_sum"))
+        .orderBy("cid")
+    }),
+
     // LLOYD-ITERATED K-MEANS (3 fixed iterations): the full iterative-ML
     // loop under the oracle — assign to nearest centroid, recompute means,
     // reassign — the shape llm_dedup_clusters proves for graphs. All
@@ -1163,6 +1208,33 @@ object LlmSimilarity extends Catalog {
     "llm_similar_pq_persist" -> pqSearchOracle,
     "llm_similar_pq_rerank" -> pqRerankOracle,
     "llm_embed_kmeans" -> kmeansOracle,
+    // SemDeDup: pairwise exact-integer cosine threshold inside the
+    // learned clusters; the HUGEINT cross-multiplication mirrors the
+    // Spark side's DECIMAL(38,0) promotion exactly
+    "llm_semdedup" -> (lloydCte + """,
+       sdn2 AS (
+         SELECT vec_id, cid, qx,
+                CAST(list_sum(list_transform(qx, v -> v * v)) AS BIGINT)
+                  AS n2
+         FROM a3),
+       sdp AS (
+         SELECT x.cid, x.vec_id AS i, y.vec_id AS j,
+                CAST(list_sum(list_transform(generate_series(1, len(x.qx)),
+                  k -> x.qx[k] * y.qx[k])) AS BIGINT) AS dot,
+                x.n2 AS n2i, y.n2 AS n2j
+         FROM sdn2 x JOIN sdn2 y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+       sddrops AS (
+         SELECT DISTINCT j AS vec_id FROM sdp
+         WHERE dot > 0 AND
+               CAST(dot AS HUGEINT) * dot * 10000 >=
+               CAST(1225 AS HUGEINT) * n2i * n2j)
+       SELECT a3.cid, count(*) AS n_members,
+              CAST(sum(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_dropped,
+              CAST(sum(CASE WHEN d.vec_id IS NULL THEN a3.vec_id ELSE 0 END)
+                AS BIGINT) AS keep_sum
+       FROM a3 LEFT JOIN sddrops d ON d.vec_id = a3.vec_id
+       GROUP BY a3.cid ORDER BY a3.cid"""),
     "llm_similar_ivf_kmeans" -> ivfKmeansOracle,
     // day-2 search equality: the persisted-index search must reproduce
     // the in-job plan's answer exactly — same oracle, bit for bit

@@ -500,6 +500,52 @@ object LlmText extends Catalog {
         .orderBy("lang")
     }),
 
+    // PERPLEXITY FILTER (the CCNet/Gopher curation stage): train the
+    // bigram cost model on a HELD-OUT split (doc_id % 4 != 0), score
+    // the serving split against it with OOV BACKOFF (an unseen bigram
+    // costs the 24-bit ceiling — the part in-corpus scoring like
+    // llm_bigram_lm can never exercise), then keep the
+    // better-scoring HALF (exact median split: rank by (score,
+    // doc_id), keep rank*2 <= n — SF-robust where any absolute
+    // threshold would drift with corpus-size-dependent counts). All
+    // integer: cost = 24 - floor(log2(cnt)) via length(bin(cnt)).
+    // Scale shape: the model is a bounded-vocabulary broadcast; the
+    // exact global median rank is the one non-distributive step — at
+    // 100 TB swap it for approx_percentile or a two-pass
+    // count-then-rank selection, everything else unchanged.
+    "llm_ppl_filter" -> ((s, dir) => {
+      val grams = table(s, dir, "documents")
+        .filter(F.length(F.col("text")) >= 2)
+        .select(F.col("doc_id"), F.col("lang"),
+          F.explode(F.expr(
+            "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
+            .as("bg"))
+        .localCheckpoint()
+      val model = grams.filter(F.col("doc_id") % 4 =!= 0)
+        .groupBy("bg").agg(F.count(F.lit(1)).as("cnt"))
+        .select(F.col("bg"),
+          (F.lit(24L) - F.length(F.bin(F.col("cnt"))).cast("long"))
+            .as("cost"))
+      val scored = grams.filter(F.col("doc_id") % 4 === 0)
+        .join(F.broadcast(model), Seq("bg"), "left")
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).as("n_bg"),
+          F.sum(F.coalesce(F.col("cost"), F.lit(24L))).as("sum_cost"))
+        .select(F.col("doc_id"), F.col("lang"),
+          F.expr("(1000 * sum_cost) div n_bg").as("score_milli"))
+      val n = scored.count()
+      val ranked = scored.withColumn("rk", F.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(F.col("score_milli"), F.col("doc_id"))))
+      ranked
+        .withColumn("kept", (F.col("rk") * 2 <= n).cast("long"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.sum("kept").as("n_kept"),
+          F.sum("score_milli").as("sum_score"))
+        .orderBy("lang")
+    }),
+
     // Winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03 —
     // the MOSS selection rule): char 5-gram hashes, one fingerprint
     // per window of w=4 — the window's RIGHTMOST minimum. The argmin
@@ -1015,6 +1061,35 @@ object LlmText extends Catalog {
                 CAST(min((1000 * sum_bits) // n_bg) AS BIGINT) AS min_score,
                 CAST(max((1000 * sum_bits) // n_bg) AS BIGINT) AS max_score
          FROM sc GROUP BY lang ORDER BY lang""",
+    // held-out bigram model + OOV backoff + exact better-half keep:
+    // the rank window orders (score, doc_id) identically in both
+    // engines, and n (the test-split size) is recomputed in SQL
+    "llm_ppl_filter" ->
+      """WITH g AS (
+           SELECT doc_id, lang,
+                  unnest(list_transform(generate_series(1, length(text) - 1),
+                    i -> substr(text, i, 2))) AS bg
+           FROM documents WHERE length(text) >= 2),
+         m AS (SELECT bg, 24 - length(bin(count(*))) AS cost
+               FROM g WHERE doc_id % 4 <> 0 GROUP BY bg),
+         sc AS (SELECT doc_id, lang, count(*) AS n_bg,
+                       sum(COALESCE(cost, 24)) AS sum_cost
+                FROM (SELECT t.doc_id, t.lang, m.cost
+                      FROM g t LEFT JOIN m ON m.bg = t.bg
+                      WHERE t.doc_id % 4 = 0) q
+                GROUP BY doc_id, lang),
+         scored AS (SELECT doc_id, lang,
+                           (1000 * sum_cost) // n_bg AS score_milli
+                    FROM sc),
+         ranked AS (SELECT *, row_number() OVER (
+                      ORDER BY score_milli, doc_id) AS rk,
+                      count(*) OVER () AS n
+                    FROM scored)
+         SELECT lang, count(*) AS n_docs,
+                CAST(sum(CASE WHEN rk * 2 <= n THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_kept,
+                CAST(sum(score_milli) AS BIGINT) AS sum_score
+         FROM ranked GROUP BY lang ORDER BY lang""",
     // the packed argmin (h*2^21 + (2^20 - i)) makes rightmost-min
     // selection a plain window MIN; all values positive so % and //
     // agree with Spark's % and div
