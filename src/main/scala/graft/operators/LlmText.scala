@@ -500,6 +500,37 @@ object LlmText extends Catalog {
         .orderBy("lang")
     }),
 
+    // SEQUENCE PACKING — the training-data assembly stage: documents
+    // concatenate into fixed-capacity (2048-token) training sequences,
+    // GPT-style stream-chunking (a doc belongs to the pack where its
+    // first token lands). Packing is BLOCK-LOCAL (doc_id div 64): each
+    // block packs independently, so the cumulative-sum window
+    // partitions by block and the whole operator is one windowed pass
+    // — the distributed shape real packers use (a single global stream
+    // would funnel 100 TB through one task; block-local packing costs
+    // at most one underfilled tail pack per block). Integer-exact:
+    // token counts via whitespace split, positive floor-div pack ids.
+    "llm_pack" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("blk").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      table(s, dir, "documents")
+        .select(F.coalesce(F.col("doc_id"), F.lit(0L)).as("doc_id"),
+          F.size(F.split(F.col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("blk", F.expr("doc_id div 64"))
+        .withColumn("cum", F.sum("n_tok").over(w))
+        .select(F.col("doc_id"), F.col("n_tok"),
+          (F.col("blk") * 10000 +
+            F.expr("(cum - n_tok) div 2048")).cast("long").as("pack"))
+        .groupBy("pack")
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.sum("n_tok").as("n_tokens"),
+          F.min("doc_id").as("first_doc"),
+          F.max("doc_id").as("last_doc"))
+        .orderBy("pack")
+    }),
+
     // PERPLEXITY FILTER (the CCNet/Gopher curation stage): train the
     // bigram cost model on a HELD-OUT split (doc_id % 4 != 0), score
     // the serving split against it with OOV BACKOFF (an unseen bigram
@@ -1061,6 +1092,27 @@ object LlmText extends Catalog {
                 CAST(min((1000 * sum_bits) // n_bg) AS BIGINT) AS min_score,
                 CAST(max((1000 * sum_bits) // n_bg) AS BIGINT) AS max_score
          FROM sc GROUP BY lang ORDER BY lang""",
+    // block-local stream packing: cum-sum window per block, a doc's
+    // pack = where its first token lands; all ids positive so // ≡ div
+    "llm_pack" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                  doc_id // 64 AS blk
+           FROM documents),
+         c AS (SELECT *, sum(n_tok) OVER (PARTITION BY blk ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum
+               FROM d),
+         p AS (SELECT doc_id, n_tok,
+                      CAST(blk * 10000 +
+                        (CAST(cum AS BIGINT) - n_tok) // 2048
+                        AS BIGINT) AS pack
+               FROM c)
+         SELECT pack, count(*) AS n_docs,
+                CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                CAST(min(doc_id) AS BIGINT) AS first_doc,
+                CAST(max(doc_id) AS BIGINT) AS last_doc
+         FROM p GROUP BY pack ORDER BY pack""",
     // held-out bigram model + OOV backoff + exact better-half keep:
     // the rank window orders (score, doc_id) identically in both
     // engines, and n (the test-split size) is recomputed in SQL

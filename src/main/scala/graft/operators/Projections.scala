@@ -107,7 +107,11 @@ object Projections extends Catalog {
         .requiredLong("p_partkey")
         .name("attr").`type`(unionS).noDefault()
         .endRecord()
+      // the driver-side collect is bounded BY CONSTRUCTION: the bridge
+      // demo needs a message-stream-sized batch, not the table — the
+      // deterministic key filter caps it at 4000 records at ANY SF
       val recs = table(s, dir, "part")
+        .filter(F.coalesce(F.col("p_partkey"), F.lit(0L)) <= 4000)
         .select("p_partkey", "p_brand", "p_size").collect().toSeq.map { r =>
           val g = new GenericData.Record(recS)
           val k = r.getLong(0)
@@ -157,7 +161,7 @@ object Projections extends Catalog {
                 AS tag,
               CASE WHEN p_partkey % 2 = 0 THEN p_brand END AS sval,
               CASE WHEN p_partkey % 2 = 1 THEN p_size END AS ival
-         FROM part ORDER BY p_partkey""",
+         FROM part WHERE p_partkey <= 4000 ORDER BY p_partkey""",
     "proj_withstructure" ->
       """SELECT o_orderkey, o_totalprice AS price
          FROM orders ORDER BY o_orderkey""",

@@ -89,6 +89,62 @@ class StagedCtasSpec extends AnyFunSuite with SparkSpec with Matchers {
     stale.exists() shouldBe false
   }
 
+  test("the RTAS swap serializes on the TARGET table's commit lock") {
+    // The r14-advice hole: table mutations lock the TABLE dir, the swap
+    // locked only the NAMESPACE dir — a concurrent INSERT could publish
+    // into the renamed-away directory and vanish with the trash. Now
+    // the swap nests withCommitLock(target): while any table commit
+    // holds that lock, the swap WAITS; afterwards it replaces the table
+    // (ordered REPLACE semantics, never a silent interleaved loss).
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    init()
+    spark.sql("DROP TABLE IF EXISTS graft_st.ns.tl")
+    spark.sql("CREATE TABLE graft_st.ns.tl AS SELECT id AS k FROM range(20)")
+    val target = new File(root, "ns/tl")
+    val held = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      val holder = pool.submit(new Runnable {
+        override def run(): Unit =
+          AvroFileSource.withCommitLock(target) {
+            held.countDown()
+            release.await(60, TimeUnit.SECONDS)
+            ()
+          }
+      })
+      held.await(60, TimeUnit.SECONDS) shouldBe true
+      val rtas = pool.submit(new Runnable {
+        override def run(): Unit = {
+          spark.sql(
+            "REPLACE TABLE graft_st.ns.tl AS SELECT id * 10 AS k FROM range(5)")
+          ()
+        }
+      })
+      // wait until the staged write LANDED (the only remaining step is
+      // the ms-scale swap — which must be blocked on the held lock)
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      def stagedFiles(): Int =
+        Option(new File(root, "ns").listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith("_graft_stage_tl"))
+          .flatMap(d => AvroFileSource.listAvro(d)).length
+      while (stagedFiles() == 0 && System.nanoTime() < deadline)
+        Thread.sleep(25)
+      stagedFiles() should be > 0
+      Thread.sleep(1500)
+      rtas.isDone shouldBe false // blocked on the target's commit lock
+      // the old table is fully readable while the swap waits
+      spark.sql("SELECT count(*) FROM graft_st.ns.tl")
+        .head().getLong(0) shouldBe 20
+      release.countDown()
+      rtas.get(120, TimeUnit.SECONDS)
+      holder.get(120, TimeUnit.SECONDS)
+      spark.sql("SELECT count(*) FROM graft_st.ns.tl")
+        .head().getLong(0) shouldBe 5
+      stagingLitter().filter(_.startsWith("_graft_stage_tl")) shouldBe empty
+    } finally pool.shutdown()
+  }
+
   test("staged REPLACE of a missing table refuses; CTAS over existing refuses") {
     init()
     spark.sql("DROP TABLE IF EXISTS graft_st.ns.t4")
