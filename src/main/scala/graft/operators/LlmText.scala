@@ -500,6 +500,77 @@ object LlmText extends Catalog {
         .orderBy("lang")
     }),
 
+    // PII SCRUBBING — the anonymization stage: emails and phone-shaped
+    // tokens mask to fixed placeholders via regexp_replace. The corpus
+    // text is synthetic, so each doc gets a deterministic PII suffix
+    // appended first (user<id>@example.com + 555-<id>) — the scrub
+    // then provably removes EVERY occurrence, including any naturally
+    // present. Patterns stay in the RE2 ∩ java.util.regex portable
+    // core (plain char classes, no backrefs — DuckDB backreferences
+    // are not portable) and replacements are literals. Scale shape:
+    // pure per-row map, no shuffle before the final aggregate.
+    "llm_anonymize" -> ((s, dir) => {
+      val email = "[a-z0-9._]+@[a-z0-9.]+"
+      val tel = "555-[0-9]+"
+      table(s, dir, "documents")
+        .select(F.coalesce(F.col("doc_id"), F.lit(0L)).as("doc_id"),
+          F.concat(F.col("text"), F.lit(" contact user"), F.col("doc_id"),
+            F.lit("@example.com tel 555-"), F.col("doc_id")).as("t2"))
+        .select(F.col("doc_id"),
+          F.size(F.regexp_extract_all(F.col("t2"), F.lit(email), F.lit(0)))
+            .cast("long").as("n_email"),
+          F.size(F.regexp_extract_all(F.col("t2"), F.lit(tel), F.lit(0)))
+            .cast("long").as("n_tel"),
+          F.regexp_replace(
+            F.regexp_replace(F.col("t2"), email, "<email>"),
+            tel, "<tel>").as("clean"))
+        .select(F.col("n_email"), F.col("n_tel"),
+          F.length(F.col("clean")).cast("long").as("clean_len"),
+          (F.size(F.regexp_extract_all(F.col("clean"), F.lit(email),
+            F.lit(0))) +
+            F.size(F.regexp_extract_all(F.col("clean"), F.lit(tel),
+              F.lit(0)))).cast("long").as("residual"))
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.sum("n_email").as("emails"),
+          F.sum("n_tel").as("tels"),
+          F.sum("clean_len").as("clean_chars"),
+          F.sum("residual").as("residual_pii"))
+    }),
+
+    // EPOCH-MULTIPLICITY MIXING — the third domain-weight knob next to
+    // llm_mixture (exact per-domain QUOTAS) and llm_sample (per-stratum
+    // FRACTIONS): sources repeat for k EPOCHS (weights > 1, the thing
+    // quota/fraction sampling cannot express) or down-sample, keyed on
+    // the source's numeric suffix mod 4. Up-weighting is an explode over
+    // sequence(1, k) tagged with the epoch; down-weighting is an exact
+    // hash-threshold sample (md5(doc_id) parity — the same shared-md5
+    // determinism every sketch uses, so the oracle reproduces the
+    // sample bit-for-bit; NEVER rand()). Scale shape: pure map-side
+    // row multiplication + one final aggregate — no shuffle before the
+    // groupBy, weights applied at read time, no data copied.
+    "llm_mix" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(F.coalesce(F.col("doc_id"), F.lit(0L)).as("doc_id"),
+          F.col("source"),
+          F.size(F.split(F.col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("sn",
+          F.expr("CAST(substring(source, 4) AS INT) % 4"))
+      val up = d.filter(F.col("sn") === 0)
+        .withColumn("epoch", F.explode(F.expr("sequence(1, 2)")))
+      val one = d.filter(F.col("sn") === 1).withColumn("epoch", F.lit(1))
+      val half = d.filter(F.col("sn") === 2)
+        .filter(F.expr(
+          "pmod(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)" +
+            ", 2) = 0"))
+        .withColumn("epoch", F.lit(1))
+      up.unionByName(one).unionByName(half)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).as("n_rows"),
+          F.countDistinct("doc_id").as("n_docs"),
+          F.sum("n_tok").as("n_tokens"))
+        .orderBy("source")
+    }),
+
     // SEQUENCE PACKING — the training-data assembly stage: documents
     // concatenate into fixed-capacity (2048-token) training sequences,
     // GPT-style stream-chunking (a doc belongs to the pack where its
@@ -1092,6 +1163,55 @@ object LlmText extends Catalog {
                 CAST(min((1000 * sum_bits) // n_bg) AS BIGINT) AS min_score,
                 CAST(max((1000 * sum_bits) // n_bg) AS BIGINT) AS max_score
          FROM sc GROUP BY lang ORDER BY lang""",
+    // the same portable-regex scrub over the same synthetic PII suffix;
+    // both engines count with regexp_extract_all and replace literals
+    "llm_anonymize" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  text || ' contact user' || doc_id ||
+                    '@example.com tel 555-' || doc_id AS t2
+           FROM documents),
+         sc AS (
+           SELECT doc_id,
+                  CAST(len(regexp_extract_all(t2,
+                    '[a-z0-9._]+@[a-z0-9.]+')) AS BIGINT) AS n_email,
+                  CAST(len(regexp_extract_all(t2,
+                    '555-[0-9]+')) AS BIGINT) AS n_tel,
+                  regexp_replace(regexp_replace(t2,
+                    '[a-z0-9._]+@[a-z0-9.]+', '<email>', 'g'),
+                    '555-[0-9]+', '<tel>', 'g') AS clean
+           FROM t)
+         SELECT count(*) AS n_docs,
+                CAST(sum(n_email) AS BIGINT) AS emails,
+                CAST(sum(n_tel) AS BIGINT) AS tels,
+                CAST(sum(length(clean)) AS BIGINT) AS clean_chars,
+                CAST(sum(
+                  len(regexp_extract_all(clean, '[a-z0-9._]+@[a-z0-9.]+')) +
+                  len(regexp_extract_all(clean, '555-[0-9]+')))
+                  AS BIGINT) AS residual_pii
+         FROM sc""",
+    // per-source multiplicities re-derived: x2 via a 2-row series, x1
+    // plain, deterministic half via the shared-md5 parity, rest dropped
+    "llm_mix" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                  CAST(substr(source, 4) AS INT) % 4 AS sn
+           FROM documents),
+         up AS (SELECT d.doc_id, d.source, d.n_tok FROM d,
+                  (SELECT unnest(generate_series(1, 2)) AS e) e
+                WHERE d.sn = 0),
+         one AS (SELECT doc_id, source, n_tok FROM d WHERE sn = 1),
+         half AS (SELECT doc_id, source, n_tok FROM d
+                  WHERE sn = 2 AND
+                    ((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                       1, 8) AS BIGINT) % 2) + 2) % 2 = 0),
+         mixed AS (SELECT * FROM up UNION ALL SELECT * FROM one
+                   UNION ALL SELECT * FROM half)
+         SELECT source, count(*) AS n_rows,
+                count(DISTINCT doc_id) AS n_docs,
+                CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         FROM mixed GROUP BY source ORDER BY source""",
     // block-local stream packing: cum-sum window per block, a doc's
     // pack = where its first token lands; all ids positive so // ≡ div
     "llm_pack" ->
