@@ -477,12 +477,14 @@ object LlmText extends Catalog {
       // the exploded bigram stream feeds BOTH the model aggregate and
       // the scoring join — localCheckpoint materializes it once instead
       // of re-exploding the corpus per consumer
+      // explode positions, codegen substring (see llm_ppl_filter)
       val grams = table(s, dir, "documents")
         .filter(F.length(F.col("text")) >= 2)
+        .select(F.col("doc_id"), F.col("lang"), F.col("text"),
+          F.explode(F.sequence(F.lit(1), F.length(F.col("text")) - 1))
+            .as("i"))
         .select(F.col("doc_id"), F.col("lang"),
-          F.explode(F.expr(
-            "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
-            .as("bg"))
+          F.expr("substring(text, i, 2)").as("bg"))
         .localCheckpoint()
       val model = grams.groupBy("bg").agg(F.count(F.lit(1)).as("cnt"))
         .select(F.col("bg"),
@@ -616,12 +618,16 @@ object LlmText extends Catalog {
     // 100 TB swap it for approx_percentile or a two-pass
     // count-then-rank selection, everything else unchanged.
     "llm_ppl_filter" -> ((s, dir) => {
+      // positions explode FIRST, the substring runs in a codegen
+      // projection — inside a transform() lambda it would be
+      // interpreted per element (the winnow lesson, ~2x on this path)
       val grams = table(s, dir, "documents")
         .filter(F.length(F.col("text")) >= 2)
+        .select(F.col("doc_id"), F.col("lang"), F.col("text"),
+          F.explode(F.sequence(F.lit(1), F.length(F.col("text")) - 1))
+            .as("i"))
         .select(F.col("doc_id"), F.col("lang"),
-          F.explode(F.expr(
-            "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
-            .as("bg"))
+          F.expr("substring(text, i, 2)").as("bg"))
         .localCheckpoint()
       val model = grams.filter(F.col("doc_id") % 4 =!= 0)
         .groupBy("bg").agg(F.count(F.lit(1)).as("cnt"))

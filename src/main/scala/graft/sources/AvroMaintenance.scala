@@ -526,6 +526,33 @@ object AvroMaintenance {
     // tagged versions are PINNED: the vacuum keeps last-N ∪ tagged
     val pinned = AvroFileSource.readRefs(d).values.toSet
     val keepV = snaps.takeRight(keepLast).map(_.version).toSet ++ pinned
+    expireKeeping(d, snaps, keepV)
+    }
+  }
+
+  /** TIME-based retention (the policy real deployments run: "keep 7
+    * days of history"): expire every snapshot whose commit timestamp
+    * predates `cutoffMillis`, keeping the current version and tagged
+    * versions unconditionally. Same rebase + archive sweep as
+    * [[expireSnapshots]].
+    */
+  def expireSnapshotsOlderThan(dir: String, cutoffMillis: Long): Int = {
+    val d = new File(dir)
+    AvroFileSource.withCommitLock(d) {
+    val snaps = AvroFileSource.readSnapshots(d)
+    if (snaps.isEmpty) return 0
+    val pinned = AvroFileSource.readRefs(d).values.toSet
+    val keepV = snaps.filter(_.millis >= cutoffMillis)
+      .map(_.version).toSet + snaps.last.version ++ pinned
+    expireKeeping(d, snaps, keepV)
+    }
+  }
+
+  /** Shared vacuum body: rebase the journal to the kept versions and
+    * delete unreferenced archive files. Caller holds the commit lock.
+    */
+  private def expireKeeping(d: File,
+      snaps: Seq[AvroFileSource.Snapshot], keepV: Set[Long]): Int = {
     val kept = snaps.filter(s => keepV.contains(s.version))
     if (kept.size == snaps.size) return 0
     // rewrite: full file set for the first kept version, then re-deltaed
@@ -583,7 +610,6 @@ object AvroMaintenance {
       if (Option(arch.listFiles()).forall(_.isEmpty)) arch.delete()
     }
     removed
-    }
   }
 
   /** Delete LIVE-directory data files that NO snapshot references —

@@ -100,6 +100,16 @@ object GraftProcedures {
             in.getInt(1))
           (out("removed_files" -> LongType), Seq(removed.toLong))
         })
+      case "expire_snapshots_older_than" => new Proc(name,
+        "time-based vacuum: expire snapshots committed before the " +
+          "cutoff (epoch millis); current + tagged versions survive",
+        Array(param("table", StringType),
+          param("older_than_ms", LongType)),
+        in => {
+          val removed = AvroMaintenance.expireSnapshotsOlderThan(
+            dirOf(in), in.getLong(1))
+          (out("removed_files" -> LongType), Seq(removed.toLong))
+        })
       case "create_tag" => new Proc(name,
         "pin a named tag at a snapshot version",
         Array(param("table", StringType), param("tag", StringType),

@@ -142,6 +142,33 @@ class AvroSnapshotSpec extends AnyFunSuite with SparkSpec with Matchers {
     AvroMaintenance.expireSnapshots(dir, keepLast = 2) shouldBe 0
   }
 
+  test("time-based retention expires by commit timestamp, pins current + tags") {
+    val dir = tmp()
+    writeRange(dir, 0, 10, "overwrite")  // v1
+    writeRange(dir, 10, 15, "overwrite") // v2
+    Thread.sleep(60)
+    val cutoff = System.currentTimeMillis()
+    Thread.sleep(60)
+    writeRange(dir, 20, 30, "overwrite") // v3 (after the cutoff)
+    // pin v1 with a tag: time-based expiry must keep it
+    AvroMaintenance.tag(dir, "pin1", 1L)
+    AvroMaintenance.expireSnapshotsOlderThan(dir, cutoff)
+    val snaps = AvroFileSource.readSnapshots(new File(dir))
+    snaps.map(_.version) shouldBe Seq(1L, 3L) // v2 expired, v1 tagged
+    keys(readAt(dir, 1)) shouldBe (0L until 10L).toSet
+    keys(readAt(dir, 3)) shouldBe (20L until 30L).toSet
+    intercept[IllegalArgumentException] { readAt(dir, 2) }
+    // with the tag dropped, everything before the cutoff goes — but the
+    // CURRENT version always survives, even if it predates the cutoff
+    AvroMaintenance.dropTag(dir, "pin1")
+    AvroMaintenance.expireSnapshotsOlderThan(dir,
+      System.currentTimeMillis() + 3600 * 1000L)
+    AvroFileSource.readSnapshots(new File(dir)).map(_.version) shouldBe
+      Seq(3L)
+    keys(spark.read.format("graft-avro").load(dir)) shouldBe
+      (20L until 30L).toSet
+  }
+
   test("vacuum to a single version empties the archive entirely") {
     val dir = tmp()
     writeRange(dir, 0, 10, "overwrite")

@@ -206,6 +206,15 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec with Matchers {
     spark.sql("CALL graft_t.system.drop_tag('lab10.pr', 'fat')")
     spark.sql("CALL graft_t.system.expire_snapshots('lab10.pr', 1)")
       .head().getLong(0) should be >= 0L
+    // time-based retention through CALL: a far-future cutoff expires
+    // everything but the current version
+    spark.sql("CALL graft_t.system.expire_snapshots_older_than(" +
+      s"'lab10.pr', ${System.currentTimeMillis() + 3600L * 1000})")
+      .head().getLong(0) should be >= 0L
+    AvroFileSource.readSnapshots(
+      new java.io.File(root, "lab10/pr")).size shouldBe 1
+    spark.sql("SELECT count(*) FROM graft_t.lab10.pr")
+      .head().getLong(0) shouldBe 11
     // error contracts: unknown procedure, unknown table
     intercept[Exception] {
       spark.sql("CALL graft_t.system.nope('lab10.pr')")
