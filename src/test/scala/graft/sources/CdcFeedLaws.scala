@@ -22,6 +22,7 @@ object CdcFeedLaws extends Properties("CdcFeedLaws") {
   private case class Append(vals: List[Long]) extends Op
   private case class Overwrite(vals: List[Long]) extends Op
   private case class DeleteW(vals: List[Long]) extends Op
+  private case class Rollback(pick: Int) extends Op
 
   private val opGen: Gen[Op] = Gen.frequency(
     3 -> Gen.nonEmptyListOf(Gen.choose(0L, 50L)).map(v => Append(v.take(8))),
@@ -29,18 +30,26 @@ object CdcFeedLaws extends Properties("CdcFeedLaws") {
       .map(v => Overwrite(v.take(8))),
     // equality deleteWhere: values overlap BOTH ranges so deletes
     // sometimes hit live rows, sometimes nothing
-    2 -> Gen.nonEmptyListOf(Gen.choose(0L, 150L)).map(v => DeleteW(v.take(4))))
+    2 -> Gen.nonEmptyListOf(Gen.choose(0L, 150L)).map(v => DeleteW(v.take(4))),
+    // rollback to a random earlier version: the feed must emit BOTH
+    // sidecar-delta directions (files restored/archived + entries
+    // appearing AND disappearing in one step)
+    1 -> Gen.choose(0, 1000).map(Rollback))
 
   property("feed replay folds to the live multiset over any history") =
     Prop.forAll(Gen.choose(1, 5).flatMap(n => Gen.listOfN(n, opGen))) { ops0 =>
       import spark.implicits._
       val dir = graft.operators.Catalog.tempDir("graft_cdclaw")
-      // the table must exist before a deleteWhere can reference it
+      // the table must exist before a deleteWhere/rollback can run
       val ops = ops0 match {
-        case (_: DeleteW) :: _ => Append(List(7L)) :: ops0
+        case (_: DeleteW | _: Rollback) :: _ => Append(List(7L)) :: ops0
         case _ => ops0
       }
       var expected = Map.empty[Long, Long] // value -> multiplicity
+      // per-version model states: hist(v) = the multiset at version v
+      // (index 0 = the empty pre-history) — rollback targets replay it
+      val hist = scala.collection.mutable.ArrayBuffer(
+        Map.empty[Long, Long])
       var first = true
       ops.foreach { op =>
         op match {
@@ -48,6 +57,15 @@ object CdcFeedLaws extends Properties("CdcFeedLaws") {
             // an equality delete hides EVERY live copy of the value
             AvroMaintenance.deleteWhere(spark, dir, "k", vals.distinct)
             expected = expected -- vals
+            hist += expected
+          case Rollback(pick) =>
+            val cur = hist.size - 1
+            if (cur >= 2) {
+              val target = 1 + (pick % (cur - 1))
+              AvroMaintenance.rollbackTo(dir, target.toLong)
+              expected = hist(target)
+              hist += expected
+            }
           case _ =>
             val (vals, mode) = op match {
               case Append(v) => (v, if (first) "overwrite" else "append")
@@ -105,7 +123,8 @@ object CdcFeedLaws extends Properties("CdcFeedLaws") {
       Gen.choose(1, 2)) { (ops0, keep) =>
       import spark.implicits._
       val dir = graft.operators.Catalog.tempDir("graft_cdcsnap")
-      val ops = Append(List(3L)) :: ops0
+      // rollback is the main property's concern; this one pins expiry
+      val ops = Append(List(3L)) :: ops0.filterNot(_.isInstanceOf[Rollback])
       var expected = Map.empty[Long, Long]
       var first = true
       ops.foreach {
