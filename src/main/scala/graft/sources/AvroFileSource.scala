@@ -386,7 +386,15 @@ object AvroFileSource {
     lazy val stamp = readSnapshots(d).lastOption
       .map(_.version + 1).getOrElse(1L)
     if (replace) {
-      writeBucketSpec(d, spec.map { case (c, n) => (c, n, stamp) })
+      // an overwrite that KEEPS a column's N preserves the original
+      // establishing stamp: files before and after were all routed
+      // under the same spec, so historical reads keep pruning (a
+      // compaction must not degrade time-travel bucket pruning); a
+      // CHANGED N is a true re-bucketing and stamps fresh
+      val prior = readBucketSpecStamped(d)
+        .map { case (c, n, v) => (c, n) -> v }.toMap
+      writeBucketSpec(d, spec.map { case (c, n) =>
+        (c, n, prior.get((c, n)).filter(_ >= 1L).getOrElse(stamp)) })
       return
     }
     if (spec.isEmpty) return

@@ -209,6 +209,15 @@ class BucketLayoutSpec extends AnyFunSuite with SparkSpec with Matchers {
       .load(dir).filter(F.col("k") === 7L).count() shouldBe 1
     spark.read.format("graft-avro").option("versionAsOf", 3)
       .load(dir).filter(F.col("k") === 7L).count() shouldBe 1
+    // a same-N overwrite (compaction shape) PRESERVES the establishing
+    // stamp — historical pruning survives the rewrite
+    spark.range(0, 100).toDF("k")
+      .withColumn("payload", F.md5(F.col("k").cast("string")))
+      .write.format("graft-avro").option("bucketBy", "k:16")
+      .mode("overwrite").save(dir) // v4, same N as v3's spec
+    AvroFileSource.readBucketSpecStamped(new File(dir)) shouldBe
+      Seq(("k", 16, 3L))
+    partsAt(3L, Seq(EqualTo("k", 7L))) should be < allV3
     // legacy unstamped entries never answer historical reads
     val raw = new String(java.nio.file.Files.readAllBytes(
       AvroFileSource.bucketFile(new File(dir)).toPath), "UTF-8")
