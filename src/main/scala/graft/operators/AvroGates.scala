@@ -2499,6 +2499,38 @@ object AvroGates extends Catalog {
               |FROM graft_gate.gate.m3""".stripMargin)
     }),
 
+    // PARTITION-SCOPED OPTIMIZE — the maintenance shape a 100 TB table
+    // actually runs: compact ONE hive partition's files in place (bin-
+    // packed through the static partition-overwrite commit), leave
+    // every other partition's files untouched, materialize pending
+    // equality deletes on the way. The oracle is the full content minus
+    // the deletes; files_r pins the single-file collapse.
+    "q_avro_compact_part" -> ((s, dir) => {
+      val tmp = tempDir("graft_gate_cpart")
+      val li = table(s, dir, "lineitem")
+        .select(F.coalesce(F.col("l_orderkey"), F.lit(0L)).as("okey"),
+          F.col("l_quantity"), F.col("l_returnflag"))
+      li.filter("okey % 2 = 0")
+        .write.format("graft-avro").option("partitionBy", "l_returnflag")
+        .mode("overwrite").save(tmp) // gen 1
+      li.filter("okey % 2 = 1")
+        .write.format("graft-avro").option("partitionBy", "l_returnflag")
+        .mode("append").save(tmp) // gen 2: >= 2 files per flag
+      graft.sources.AvroMaintenance.deleteWhere(s, tmp, "okey",
+        Seq(3L, 8L))
+      graft.sources.AvroMaintenance.compactPartition(s, tmp,
+        "l_returnflag", "R", 512L * 1024 * 1024)
+      val nR = graft.sources.AvroFileSource
+        .listPartitioned(new java.io.File(tmp))
+        .count(_._2.get("l_returnflag").contains("R"))
+      s.read.format("graft-avro").load(tmp)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).as("n_lines"),
+          F.sum(F.floor(F.col("l_quantity") * 100).cast("long")).as("qty_c"))
+        .withColumn("files_r", F.lit(nR.toLong))
+        .orderBy("l_returnflag")
+    }),
+
     // OPTIMIZE ZORDER on the avro source: clusterBy interleaves both
     // dimensions' scaled bits and rewrites, after which the all-column
     // zones prune on EITHER column (AvroClusterSpec pins the file
@@ -3110,6 +3142,15 @@ object AvroGates extends Catalog {
                 CAST(sum(n_chars) AS BIGINT) AS chars,
                 CAST(sum(length(text)) AS BIGINT) AS text_len
          FROM v2 GROUP BY source ORDER BY source""",
+    // content survives the partition-scoped compaction minus the
+    // materialized deletes; the compacted partition is one file
+    "q_avro_compact_part" ->
+      """SELECT l_returnflag, count(*) AS n_lines,
+                CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT))
+                  AS BIGINT) AS qty_c,
+                CAST(1 AS BIGINT) AS files_r
+         FROM lineitem WHERE COALESCE(l_orderkey, 0) NOT IN (3, 8)
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
     // three-clause MERGE closed form: the table becomes exactly the
     // source key set — matched keys at val*10, source-only at val,
     // target-only gone (NOT MATCHED BY SOURCE DELETE)

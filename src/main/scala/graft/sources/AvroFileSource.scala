@@ -2630,7 +2630,15 @@ case class AvroTable(path: String, tableSchema: StructType,
       targetFileBytes = opt("targetFileBytes").map(_.trim.toLong)
         .filter(_ > 0L),
       bucketBy = opt("bucketBy").map(AvroFileSource.parseBucketBy)
-        .getOrElse(Nil))
+        .getOrElse(Nil),
+      staticOverwritePartition =
+        Option(info.options().get("overwritePartition")).map { s =>
+          s.split("\t", 2) match {
+            case Array(c, v) if c.nonEmpty => Seq((c, v))
+            case _ => throw new IllegalArgumentException(
+              "graft-avro: overwritePartition expects 'col<TAB>value'")
+          }
+        })
   }
 }
 
@@ -5661,7 +5669,10 @@ class AvroWriteBuilder(path: String, schema: StructType,
     targetFileBytes: Option[Long] = None,
     // hidden hash-bucket partitioning: (col, N) specs routing rows to
     // `<col>_bucket=` segments (see AvroFileSource.bucketOf)
-    bucketBy: Seq[(String, Int)] = Nil)
+    bucketBy: Seq[(String, Int)] = Nil,
+    // PATH-write route to static partition overwrite (see truncate()):
+    // (partition column -> external value string) equalities
+    staticOverwritePartition: Option[Seq[(String, String)]] = None)
   extends WriteBuilder with SupportsTruncate
   with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite
   with org.apache.spark.sql.connector.write.SupportsOverwriteV2 {
@@ -5822,7 +5833,16 @@ class AvroWriteBuilder(path: String, schema: StructType,
     if (branchWrite) throw new IllegalArgumentException(
       "graft-avro: branches are append-only (write-audit-publish " +
         "staging); publish or drop the branch instead of overwriting it")
-    doTruncate = true; this
+    // `overwritePartition=col<TAB>value`: a PATH write cannot reach the
+    // SupportsOverwriteV2 predicate surface (that's the catalog INSERT
+    // OVERWRITE PARTITION route), so this option narrows a
+    // mode("overwrite") save to the STATIC single-partition semantics —
+    // the partition-scoped rewrite AvroMaintenance.compactPartition runs
+    staticOverwritePartition match {
+      case Some(eqs) => overwriteParts = Some(eqs)
+      case None => doTruncate = true
+    }
+    this
   }
 
   /** Dynamic partition overwrite (`INSERT OVERWRITE` under

@@ -1015,6 +1015,69 @@ object AvroMaintenance {
     n
   }
 
+  /** PARTITION-SCOPED in-place compaction — the OPTIMIZE a 100 TB table
+    * actually runs: rewrite ONE hive partition's files bin-packed,
+    * leave every other partition's files untouched (their names, stats
+    * entries, and sidecars survive verbatim). The rewrite reads the
+    * partition through the normal pruned merge-on-read scan (equality
+    * deletes materialize; positional deletes of the replaced files
+    * drop at commit), `localCheckpoint`s eagerly (the same-directory
+    * overwrite rule), and publishes through the STATIC partition
+    * overwrite commit — which archives exactly the partition's live
+    * files and fails loudly if any live file lacks the partition
+    * segment (partition evolution: containment would be unprovable) or
+    * a legacy unstamped equality delete exists. Returns the file count
+    * written, 0 when the partition has no live files.
+    */
+  def compactPartition(spark: SparkSession, dir: String, col: String,
+      value: Any, targetBytes: Long): Int = {
+    require(targetBytes > 0, s"target bytes $targetBytes")
+    require(value != null,
+      "graft-avro compactPartition: the __null__ partition is not " +
+        "addressable by equality — use compactInPlace")
+    val d = new java.io.File(dir)
+    val parts = AvroFileSource.listPartitioned(d)
+    // pre-flight the commit-time guard: a segment-less live file would
+    // contribute rows to the read, then fail the publish — refuse
+    // BEFORE any work instead
+    require(parts.forall(_._2.contains(col)),
+      s"graft-avro compactPartition: a live file lacks a '$col=' " +
+        "segment (partition evolution) — run a full compactInPlace")
+    val enc0 = java.net.URLEncoder.encode(value.toString, "UTF-8")
+    val seg = if (enc0 == "__null__") "%5F_null__" else enc0
+    val targets = parts.collect {
+      case (f, vals) if vals.get(col).contains(seg) => f
+    }
+    if (targets.isEmpty) return 0
+    val bytes = targets.map(_.length()).sum
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val bucketSpec = AvroFileSource.readBucketSpec(d)
+    val bucketSegs = bucketSpec
+      .map { case (c, _) => AvroFileSource.bucketSegName(c) }.toSet
+    val partCols = parts.flatMap(_._2.keys).distinct.filterNot(bucketSegs)
+    require(partCols.contains(col),
+      s"graft-avro compactPartition: '$col' is not an identity " +
+        "partition column of this table")
+    import org.apache.spark.sql.{functions => F}
+    if (bucketSpec.nonEmpty)
+      graft.functions.VectorFunctions.register(spark)
+    val clusterCols = partCols.map(F.col) ++
+      bucketSpec.map { case (c, bn) =>
+        F.call_function("graft_bucket", F.col(c), F.lit(bn)) }
+    val pinned = spark.read.format("graft-avro").load(dir)
+      .filter(F.col(col) === value)
+      .repartition(n, clusterCols: _*)
+      .localCheckpoint(true)
+    val w0 = pinned.write.format("graft-avro").mode("overwrite")
+      .option("partitionBy", partCols.mkString(","))
+      .option("overwritePartition", s"$col\t${value.toString}")
+    (if (bucketSpec.nonEmpty)
+      w0.option("bucketBy",
+        bucketSpec.map { case (c, bn) => s"$c:$bn" }.mkString(","))
+    else w0).save(dir)
+    n
+  }
+
   /** Add a table-level CHECK constraint (Delta-parity): validates the
     * EXISTING data first (zero definitely-false rows — null passes, SQL
     * CHECK semantics), then records `name -> expr` in the

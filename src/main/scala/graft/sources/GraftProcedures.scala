@@ -148,6 +148,18 @@ object GraftProcedures {
             in.getLong(1))
           (out("files_written" -> LongType), Seq(n.toLong))
         })
+      case "compact_partition" => new Proc(name,
+        "partition-scoped in-place bin-pack: rewrite ONE hive " +
+          "partition's files, others untouched",
+        Array(param("table", StringType), param("col", StringType),
+          param("value", StringType), param("target_bytes", LongType)),
+        in => {
+          val n = AvroMaintenance.compactPartition(
+            org.apache.spark.sql.SparkSession.active, dirOf(in),
+            in.getUTF8String(1).toString, in.getUTF8String(2).toString,
+            in.getLong(3))
+          (out("files_written" -> LongType), Seq(n.toLong))
+        })
       case "analyze" => new Proc(name,
         "backfill pruning/statistics manifests (zones, sums, row " +
           "counts; opt-in blooms/NDV/trigrams as comma lists, '' = " +

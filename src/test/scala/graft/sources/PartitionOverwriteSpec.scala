@@ -89,6 +89,70 @@ class PartitionOverwriteSpec extends AnyFunSuite with SparkSpec
       rel should startWith("p=a"))
   }
 
+  test("compactPartition rewrites ONE partition; others byte-untouched") {
+    val dir = tmp()
+    import java.io.File
+    // many small files per partition: 6 single-row appends per value
+    (0 until 6).foreach { i =>
+      spark.createDataFrame(Seq((i.toLong, "a"), (i + 100L, "b")))
+        .toDF("k", "p").repartition(2)
+        .write.format("graft-avro").option("partitionBy", "p")
+        .mode(if (i == 0) "overwrite" else "append").save(dir)
+    }
+    // a pending equality delete must materialize through the rewrite
+    AvroMaintenance.deleteWhere(spark, dir, "k", Seq(3L))
+    def filesOf(seg: String): Seq[String] =
+      AvroFileSource.listPartitioned(new File(dir)).collect {
+        case (f, vals) if vals.get("p").contains(seg) => f.getName
+      }
+    val aBefore = filesOf("a")
+    val bBefore = filesOf("b")
+    aBefore.size should be > 3
+    val vBefore = AvroFileSource.readSnapshots(new File(dir)).last.version
+    val n = AvroMaintenance.compactPartition(spark, dir, "p", "a",
+      512L * 1024 * 1024)
+    n shouldBe 1
+    // the compacted partition collapsed; the other is BYTE-identical
+    filesOf("a").size shouldBe 1
+    filesOf("b") shouldBe bBefore
+    // content: k=3 materialized away, everything else intact
+    val back = spark.read.format("graft-avro").load(dir)
+    back.filter(F.col("p") === "a").collect().map(_.getLong(0)).sorted
+      .toSeq shouldBe Seq(0L, 1L, 2L, 4L, 5L)
+    back.filter(F.col("p") === "b").count() shouldBe 6
+    // one new journal version; time travel across the compaction works
+    AvroFileSource.readSnapshots(new File(dir)).last.version shouldBe
+      vBefore + 1
+    spark.read.format("graft-avro").option("versionAsOf", vBefore)
+      .load(dir).filter(F.col("p") === "a").count() shouldBe 5
+    // value with no live files is a no-op
+    AvroMaintenance.compactPartition(spark, dir, "p", "zz",
+      512L * 1024 * 1024) shouldBe 0
+    // a non-partition column refuses
+    intercept[IllegalArgumentException] {
+      AvroMaintenance.compactPartition(spark, dir, "k", "1", 1024L)
+    }
+  }
+
+  test("CALL system.compact_partition drives the same rewrite") {
+    val root = mkCat("gpow5")
+    spark.sql("DROP TABLE IF EXISTS gpow5.ns.cp")
+    spark.sql("CREATE TABLE gpow5.ns.cp (k BIGINT, p STRING) " +
+      "PARTITIONED BY (p)")
+    (0 until 4).foreach { i =>
+      spark.sql(s"INSERT INTO gpow5.ns.cp VALUES ($i, 'x'), ($i, 'y')")
+    }
+    val d = new java.io.File(root, "ns/cp")
+    val before = AvroFileSource.listPartitioned(d).size
+    spark.sql("CALL gpow5.system.compact_partition('ns.cp', 'p', 'x', " +
+      s"${512L * 1024 * 1024})").head().getLong(0) shouldBe 1L
+    AvroFileSource.listPartitioned(d).size should be < before
+    spark.sql("SELECT count(*) FROM gpow5.ns.cp WHERE p = 'x'")
+      .head().getLong(0) shouldBe 4
+    spark.sql("SELECT count(*) FROM gpow5.ns.cp WHERE p = 'y'")
+      .head().getLong(0) shouldBe 4
+  }
+
   test("non-partition overwrite conditions refuse") {
     mkCat("gpow4")
     spark.sql("DROP TABLE IF EXISTS gpow4.ns.t")
