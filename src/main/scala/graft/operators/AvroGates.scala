@@ -2499,6 +2499,28 @@ object AvroGates extends Catalog {
               |FROM graft_gate.gate.m3""".stripMargin)
     }),
 
+    // DEEP CLONE (Delta CLONE parity): byte-copy the current snapshot +
+    // stats manifests into a fresh table with an independent history —
+    // the source diverges AFTER the clone and the clone must not see
+    // it. Zero decode, zero rewrite: at 100 TB this is a metadata+copy
+    // job, never a scan.
+    "q_avro_clone" -> ((s, dir) => {
+      val src = tempDir("graft_gate_clone_src")
+      val dst = tempDir("graft_gate_clone_dst") + "/t"
+      val ord = table(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      ord.write.format("graft-avro").mode("overwrite").save(src)
+      graft.sources.AvroMaintenance.cloneTo(src, dst)
+      // diverge the source: the clone's content is the snapshot's
+      ord.limit(50).write.format("graft-avro").mode("append").save(src)
+      s.read.format("graft-avro").load(dst)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).as("n_orders"),
+          F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .as("cents"))
+        .orderBy("o_orderpriority")
+    }),
+
     // PARTITION-SCOPED OPTIMIZE — the maintenance shape a 100 TB table
     // actually runs: compact ONE hive partition's files in place (bin-
     // packed through the static partition-overwrite commit), leave
@@ -3142,6 +3164,12 @@ object AvroGates extends Catalog {
                 CAST(sum(n_chars) AS BIGINT) AS chars,
                 CAST(sum(length(text)) AS BIGINT) AS text_len
          FROM v2 GROUP BY source ORDER BY source""",
+    // the clone serves the PRE-divergence snapshot exactly
+    "q_avro_clone" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     // content survives the partition-scoped compaction minus the
     // materialized deletes; the compacted partition is one file
     "q_avro_compact_part" ->

@@ -1015,6 +1015,80 @@ object AvroMaintenance {
     n
   }
 
+  /** DEEP CLONE (the Delta `CLONE` shape): copy the CURRENT snapshot's
+    * data files into a fresh directory — byte-identical, no decode, no
+    * rewrite — carrying every file-keyed statistics manifest verbatim
+    * (all-column zones, blooms, row counts, NDV sketches: their keys
+    * are relative paths, which the copy preserves), the verified-sort
+    * claim + sort zones, the bucket spec (stamps rewritten to 1 — all
+    * cloned files are version-1 files of the clone), writer-layout
+    * properties, and CHECK constraints. The clone starts a FRESH
+    * single-version journal: histories diverge from here, neither side
+    * sees the other's commits. Loud refusals where flattening births
+    * to version 1 would change row-level semantics: pending equality
+    * or positional deletes (stamped entries would re-apply to files
+    * they never governed — compact first), column renames and schema
+    * evolution entries (their version stamps reference SOURCE history
+    * — rewrite via compactTo), and live branches. Returns the file
+    * count cloned.
+    */
+  def cloneTo(in: String, out: String): Int = {
+    val src = new File(in)
+    val dst = new File(out)
+    require(!AvroFileSource.deleteFile(src).isFile,
+      "graft-avro clone: pending equality deletes — compact first " +
+        "(cloned files get fresh births; stamped entries would " +
+        "re-apply to rows they never governed)")
+    require(!AvroFileSource.posdelFile(src).isFile,
+      "graft-avro clone: pending positional deletes — compact first")
+    require(!AvroFileSource.colmapFile(src).isFile,
+      "graft-avro clone: column-rename views reference source history " +
+        "— rewrite via compactTo")
+    require(!AvroFileSource.evoFile(src).isFile,
+      "graft-avro clone: schema-evolution entries reference source " +
+        "history — rewrite via compactTo")
+    require(!AvroFileSource.branchesDir(src).isDirectory ||
+      AvroFileSource.branchesDir(src).listFiles().forall(!_.isDirectory),
+      "graft-avro clone: publish or drop branches first")
+    require(!dst.exists() ||
+      AvroFileSource.listAvro(dst).isEmpty &&
+        !AvroFileSource.snapshotsFile(dst).isFile,
+      s"graft-avro clone: target $out is not empty")
+    val live = AvroFileSource.listLive(src)
+    val base = src.getAbsoluteFile.toPath
+    import java.nio.file.{Files => JF, StandardCopyOption}
+    dst.mkdirs()
+    live.foreach { case (f, _) =>
+      val rel = base.relativize(f.getAbsoluteFile.toPath).toString
+      val t = new File(dst, rel)
+      Option(t.getParentFile).foreach(_.mkdirs())
+      JF.copy(f.toPath, t.toPath, StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+    // file-keyed stats manifests copy verbatim (relative keys preserved;
+    // the commit-side alive-filter tolerates any stragglers)
+    Seq(AvroFileSource.colZoneFile _, AvroFileSource.bloomFile _,
+      AvroFileSource.rowsFile _, AvroFileSource.ndvFile _,
+      AvroFileSource.zoneFile _, AvroFileSource.sortMarker _,
+      AvroFileSource.propsFile _, AvroFileSource.constraintsFile _)
+      .foreach { ff =>
+        val s = ff(src)
+        if (s.isFile)
+          JF.copy(s.toPath, ff(dst).toPath,
+            StandardCopyOption.REPLACE_EXISTING)
+      }
+    // bucket spec: same layout, but the clone's files are all version-1
+    // files — rewrite stamps so travel pruning works from the start
+    val bspec = AvroFileSource.readBucketSpec(src)
+    if (bspec.nonEmpty)
+      AvroFileSource.writeBucketSpec(dst,
+        bspec.map { case (c, n) => (c, n, 1L) })
+    AvroFileSource.withCommitLock(dst) {
+      AvroFileSource.appendSnapshot(dst, "clone")
+    }
+    live.size
+  }
+
   /** PARTITION-SCOPED in-place compaction — the OPTIMIZE a 100 TB table
     * actually runs: rewrite ONE hive partition's files bin-packed,
     * leave every other partition's files untouched (their names, stats

@@ -602,6 +602,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     tableDir(id)
   }
 
+  /** Directory a NOT-yet-existing table would live at — the clone /
+    * create-at target resolver (namespace must exist, name must be
+    * free of tables AND views).
+    */
+  private[sources] def resolveNewTableDir(tableRef: String): File = {
+    val id = parseRef(tableRef)
+    val ns = nsDir(id.namespace())
+    if (!ns.isDirectory) throw new NoSuchNamespaceException(id.namespace())
+    require(!tableExists(id),
+      s"graft catalog: table $tableRef already exists")
+    require(!viewExists(id),
+      s"graft catalog: a view named $tableRef exists")
+    tableDir(id)
+  }
+
   private[sources] def parseRef(ref: String): Identifier = {
     val parts = ref.split('.')
     require(parts.length >= 1 && parts.forall(_.nonEmpty),

@@ -82,6 +82,9 @@ object GraftProcedures {
       require(ident != null, "graft procedure: table argument is null")
       cat.resolveTableDir(ident.toString).getPath
     }
+    // target resolver for tables the procedure CREATES (clone)
+    def dirOfName(ref: String): String =
+      cat.resolveNewTableDir(ref).getPath
     name match {
       case "rollback_to_version" => new Proc(name,
         "physically restore an earlier snapshot version as a new version",
@@ -147,6 +150,15 @@ object GraftProcedures {
             org.apache.spark.sql.SparkSession.active, dirOf(in),
             in.getLong(1))
           (out("files_written" -> LongType), Seq(n.toLong))
+        })
+      case "clone" => new Proc(name,
+        "deep clone: byte-copy the current snapshot + stats manifests " +
+          "into a new table with a fresh history",
+        Array(param("table", StringType), param("target", StringType)),
+        in => {
+          val n = AvroMaintenance.cloneTo(dirOf(in),
+            dirOfName(in.getUTF8String(1).toString))
+          (out("files_cloned" -> LongType), Seq(n.toLong))
         })
       case "compact_partition" => new Proc(name,
         "partition-scoped in-place bin-pack: rewrite ONE hive " +
