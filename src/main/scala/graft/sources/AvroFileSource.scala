@@ -4929,12 +4929,18 @@ class AvroCdcMicroBatchStream(path: String, required: StructType,
       // (opt out via allowInitialSnapshot, handled before we get here).
       if (v == 0L) AvroFileSource.Snapshot(0L, 0L, "init", None, Nil)
       else byV.getOrElse(v, throw new IllegalStateException(
-        s"graft-avro CDC: version $v is gone from the journal " +
-          "(expireSnapshots?) — restart the stream from a version AFTER " +
-          s"the first retained one (startingVersion >= ${firstV + 1}) " +
-          "or from the current version, or set " +
-          "allowInitialSnapshot=true to serve the first retained " +
-          s"version ($firstV) as a full insert snapshot and continue"))
+        if (v < firstV)
+          s"graft-avro CDC: version $v is gone from the journal " +
+            "(expireSnapshots?) — restart the stream from a version " +
+            s"AFTER the first retained one (startingVersion >= " +
+            s"${firstV + 1}) or from the current version, or set " +
+            "allowInitialSnapshot=true to serve the first retained " +
+            s"version ($firstV) as a full insert snapshot and continue"
+        else
+          s"graft-avro CDC: version $v is missing from the journal " +
+            "(a tag-pinned expireSnapshots left a MID-journal gap) — " +
+            "the deltas through the gap are gone; restart the stream " +
+            "from the current version"))
     def resolve(rel: String, v: Long): String = {
       val f = AvroFileSource.resolveSnapshotFile(dirF, rel)
       require(f.isFile, s"graft-avro CDC: file $rel of version $v is " +
