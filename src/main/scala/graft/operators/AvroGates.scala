@@ -722,14 +722,20 @@ object AvroGates extends Catalog {
     // exactly-once survives because a replayed epoch truncate-rewrites
     // the SAME segment series (RollingWriteSpec pins the replay). The
     // pad length scales inversely with row count so the stream's byte
-    // volume crosses the roll target at EVERY SF.
+    // volume crosses the roll target at EVERY SF, and the filter
+    // MODULUS derives from the table's row count (mirrored in the
+    // oracle) so the kept-row count always clears the writer's 256-row
+    // size-check stride by a wide margin — a fixed %16 at a tiny SF
+    // could leave too few rows for any roll check to ever fire.
     "q_avro_stream_roll" -> ((s, dir) => {
       val src = tempDir("graft_gate_sroll_src")
       val out = tempDir("graft_gate_sroll_out")
       val ckpt = tempDir("graft_gate_sroll_ckpt")
-      val li = table(s, dir, "lineitem")
+      val liAll = table(s, dir, "lineitem")
+      val m = math.max(1L, math.min(16L, liAll.count() / 4096L))
+      val li = liAll
         .filter(F.pmod(F.coalesce(F.col("l_orderkey"), F.lit(0L)),
-          F.lit(16)) === 0)
+          F.lit(m)) === 0)
         .select(F.coalesce(F.col("l_orderkey"), F.lit(0L)).as("okey"),
           F.col("l_quantity"))
       val n = li.count()
@@ -1080,6 +1086,54 @@ object AvroGates extends Catalog {
         "FROM graft_gate.gate.mv ORDER BY flag")
     }),
 
+    // Matview maintenance THROUGH deletes (r16): a delta-maintained
+    // view folds the CDC changes frame with signed contributions (the
+    // classic counting algorithm) instead of failing on rewritten
+    // history. Mid-history equality DELETE kills every English row of
+    // the first two generations; the post-delete append's non-English
+    // rows land normally; a group folding to zero rows (en) VANISHES
+    // via the combine's HAVING. One refresh, O(changed rows).
+    "q_avro_matview_del" -> ((s, dir) => {
+      if (!s.conf.getOption("spark.sql.catalog.graft_gate").isDefined) {
+        s.conf.set("spark.sql.catalog.graft_gate",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_gate.root",
+          tempDir("graft_gate_cat"))
+      }
+      table(s, dir, "documents").select("doc_id", "lang", "n_chars")
+        .createOrReplaceTempView("docs_src_mvd")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.gate")
+      s.sql("DROP TABLE IF EXISTS graft_gate.gate.mvd")
+      s.sql("DROP TABLE IF EXISTS graft_gate.gate.mvdsrc")
+      s.sql("CREATE TABLE graft_gate.gate.mvdsrc AS " +
+        "SELECT * FROM docs_src_mvd") // v1
+      s.sql("""CALL graft_gate.system.create_delta_matview('gate.mvd',
+              |  'gate.mvdsrc',
+              |  'SELECT lang, count(*) AS n_docs,
+              |     CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars
+              |   FROM __SRC__ GROUP BY lang',
+              |  'SELECT lang, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+              |     CAST(sum(chars) AS BIGINT) AS chars
+              |   FROM __ACC__ GROUP BY lang
+              |   HAVING CAST(sum(n_docs) AS BIGINT) > 0',
+              |  'SELECT lang,
+              |     CAST(sum(CASE WHEN _change_type = ''insert''
+              |       THEN 1 ELSE -1 END) AS BIGINT) AS n_docs,
+              |     CAST(sum(CASE WHEN _change_type = ''insert''
+              |       THEN CAST(n_chars AS BIGINT)
+              |       ELSE -CAST(n_chars AS BIGINT) END) AS BIGINT) AS chars
+              |   FROM __CHG__ GROUP BY lang')""".stripMargin)
+      s.sql("INSERT INTO graft_gate.gate.mvdsrc " +
+        "SELECT * FROM docs_src_mvd WHERE doc_id % 3 = 1") // v2
+      s.sql("DELETE FROM graft_gate.gate.mvdsrc WHERE lang = 'en'") // v3
+      s.sql("INSERT INTO graft_gate.gate.mvdsrc " +
+        "SELECT * FROM docs_src_mvd " +
+        "WHERE doc_id % 7 = 0 AND lang <> 'en'") // v4
+      s.sql("CALL graft_gate.system.refresh_matview('gate.mvd')")
+      s.sql("SELECT lang, n_docs, chars " +
+        "FROM graft_gate.gate.mvd ORDER BY lang")
+    }),
+
     // Grouped zero-decode COUNT under the oracle: every row of a file
     // carries its directory's partition values, so COUNT(*) GROUP BY
     // the partition column is one block-header walk per file — zero
@@ -1097,6 +1151,40 @@ object AvroGates extends Catalog {
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).as("n_orders"))
         .orderBy("o_orderpriority")
+    }),
+
+    // Grouped zero-decode COUNT composing with MERGE-ON-READ positional
+    // deletes: a MoR range DELETE turns into `_graft_posdel` positions,
+    // and the grouped count still serves from block headers with each
+    // file's dead rows subtracted from ITS group (positions are
+    // per-file, every split of a file shares the partition key —
+    // AvroGroupCountSpec pins the plan). The 100 TB shape: per-partition
+    // row accounting stays metadata-only even while sparse row-level
+    // deletes accumulate between compactions.
+    "q_avro_count_grouped_del" -> ((s, dir) => {
+      if (!s.conf.getOption("spark.sql.catalog.graft_gate").isDefined) {
+        s.conf.set("spark.sql.catalog.graft_gate",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_gate.root",
+          tempDir("graft_gate_cat"))
+      }
+      table(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+        .createOrReplaceTempView("ord_src_cgd")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.gate")
+      s.sql("DROP TABLE IF EXISTS graft_gate.gate.cgd")
+      s.sql("CREATE TABLE graft_gate.gate.cgd " +
+        "(o_orderkey BIGINT NOT NULL, o_orderpriority STRING) " +
+        "PARTITIONED BY (o_orderpriority)")
+      s.sql("INSERT INTO graft_gate.gate.cgd SELECT * FROM ord_src_cgd")
+      s.sql("CALL graft_gate.system.set_row_level_mode('gate.cgd', " +
+        "'merge-on-read')")
+      // scattered mod predicate: zone-undecidable per file ⇒ the MoR
+      // delta path records positions, no file rewritten
+      s.sql("DELETE FROM graft_gate.gate.cgd WHERE o_orderkey % 10 = 3")
+      s.sql("""SELECT o_orderpriority, count(*) AS n_orders
+              |FROM graft_gate.gate.cgd
+              |GROUP BY o_orderpriority
+              |ORDER BY o_orderpriority""".stripMargin)
     }),
 
     // Grouped metadata MIN/MAX under the oracle: per-partition extremes
@@ -1609,6 +1697,87 @@ object AvroGates extends Catalog {
       s.sql("""SELECT lang, count(*) AS n_docs,
               |  CAST(sum(n_chars) AS BIGINT) AS chars
               |FROM graft_gate.gate.cdcrd
+              |GROUP BY lang ORDER BY lang""".stripMargin)
+    }),
+
+    // The round-16 flagship composition: the engine's OWN recommended
+    // write path (merge-on-read SQL UPDATE/DELETE → positional deletes)
+    // feeding the CDC replication loop. Posdel state journals per
+    // version, so the feed serves a MoR UPDATE as delete+insert rows of
+    // ONE version (the fold's insert-outranks-delete rule nets it to an
+    // update) and a MoR range DELETE as pure delete rows — the mirror
+    // folds to the source's live multiset with zero refusals.
+    "q_avro_cdc_mor" -> ((s, dir) => {
+      if (!s.conf.getOption("spark.sql.catalog.graft_gate").isDefined) {
+        s.conf.set("spark.sql.catalog.graft_gate",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_gate.root",
+          tempDir("graft_gate_cat"))
+      }
+      val root = s.conf.get("spark.sql.catalog.graft_gate.root")
+      val ckpt = tempDir("graft_gate_cdcmor_ckpt")
+      val docs = table(s, dir, "documents")
+        .filter(F.pmod(F.col("doc_id"), F.lit(4)) === 0)
+        .select("doc_id", "lang", "n_chars")
+      docs.createOrReplaceTempView("cdcmor_base")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.gate")
+      s.sql("DROP TABLE IF EXISTS graft_gate.gate.cdcmor")
+      s.sql("DROP TABLE IF EXISTS graft_gate.gate.cdcmor_m")
+      s.sql("CREATE TABLE graft_gate.gate.cdcmor " +
+        "(doc_id BIGINT NOT NULL, lang STRING, n_chars BIGINT)")
+      s.sql("CALL graft_gate.system.set_row_level_mode('gate.cdcmor', " +
+        "'merge-on-read')")
+      s.sql("INSERT INTO graft_gate.gate.cdcmor " +
+        "SELECT doc_id, lang, CAST(n_chars AS BIGINT) " +
+        "FROM cdcmor_base") // v1
+      // v2: MoR UPDATE = positional deletes + appended replacement rows
+      s.sql("UPDATE graft_gate.gate.cdcmor SET n_chars = n_chars * 10 " +
+        "WHERE doc_id % 3 = 0")
+      // v3: MoR range DELETE = a pure positional-delete version (the
+      // non-equality predicate dodges the metadata sidecar fast path)
+      s.sql("DELETE FROM graft_gate.gate.cdcmor " +
+        "WHERE doc_id % 5 = 1 AND n_chars > 500")
+      // v4: plain append after the mutations
+      s.sql("INSERT INTO graft_gate.gate.cdcmor " +
+        "SELECT doc_id + 1000000, lang, CAST(n_chars AS BIGINT) " +
+        "FROM cdcmor_base WHERE doc_id % 7 = 0")
+      s.sql("CREATE TABLE graft_gate.gate.cdcmor_m " +
+        "(doc_id BIGINT NOT NULL, lang STRING, n_chars BIGINT)")
+      s.sql("CALL graft_gate.system.set_row_level_mode('gate.cdcmor_m', " +
+        "'merge-on-read')")
+      val srcDir = s"$root/gate/cdcmor"
+      val q = s.readStream.format("graft-avro")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .option("maxVersionsPerTrigger", "1") // one version per MERGE
+        .load(srcDir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          b.createOrReplaceTempView("cdcmor_feed")
+          b.sparkSession.sql(
+            """MERGE INTO graft_gate.gate.cdcmor_m t USING (
+              |  SELECT doc_id, lang, n_chars, _change_type FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY doc_id
+              |      ORDER BY _commit_version DESC,
+              |        CASE _change_type WHEN 'insert' THEN 1 ELSE 0 END
+              |          DESC) AS rn
+              |    FROM cdcmor_feed) WHERE rn = 1) u
+              |ON t.doc_id = u.doc_id
+              |WHEN MATCHED AND u._change_type = 'delete' THEN DELETE
+              |WHEN MATCHED THEN UPDATE SET lang = u.lang,
+              |  n_chars = u.n_chars
+              |WHEN NOT MATCHED AND u._change_type = 'insert' THEN
+              |  INSERT (doc_id, lang, n_chars)
+              |  VALUES (u.doc_id, u.lang, u.n_chars)
+              |""".stripMargin)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.sql("""SELECT lang, count(*) AS n_docs,
+              |  CAST(sum(n_chars) AS BIGINT) AS chars
+              |FROM graft_gate.gate.cdcmor_m
               |GROUP BY lang ORDER BY lang""".stripMargin)
     }),
 
@@ -2696,12 +2865,15 @@ object AvroGates extends Catalog {
                 (SELECT CAST(count(*) AS BIGINT) FROM lineitem
                  WHERE l_orderkey <= 600) AS cnt_zone""",
     "q_avro_stream_roll" ->
-      """SELECT count(*) AS n_rows,
+      """WITH mm AS (SELECT GREATEST(1, LEAST(16,
+                       CAST(count(*) AS BIGINT) // 4096)) AS md
+                     FROM lineitem)
+         SELECT count(*) AS n_rows,
                 CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT))
                   AS BIGINT) AS qty_c,
                 CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
                 TRUE AS rolled
-         FROM lineitem WHERE l_orderkey % 16 = 0""",
+         FROM lineitem, mm WHERE l_orderkey % mm.md = 0""",
     "q_avro_minmax_filtered" ->
       """SELECT (SELECT min(o_orderkey) FROM orders
                  WHERE o_orderpriority = '1-URGENT') AS min_p,
@@ -2747,6 +2919,27 @@ object AvroGates extends Catalog {
          SELECT lang, count(*) AS n_docs,
                 CAST(sum(n_chars) AS BIGINT) AS chars
          FROM kept GROUP BY lang ORDER BY lang""",
+    // the mirror equals the MoR source's live content: seed, times-ten
+    // update on the %3 rows, positional range delete, then the +1M
+    // append — the whole history replayed through posdel deltas
+    "q_avro_cdc_mor" ->
+      """WITH seed AS (
+           SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+           FROM documents WHERE doc_id % 4 = 0),
+         upd AS (
+           SELECT doc_id, lang,
+                  CASE WHEN doc_id % 3 = 0 THEN n_chars * 10
+                       ELSE n_chars END AS n_chars
+           FROM seed),
+         kept AS (
+           SELECT lang, n_chars FROM upd
+           WHERE NOT (doc_id % 5 = 1 AND n_chars > 500)),
+         app AS (
+           SELECT lang, n_chars FROM seed WHERE doc_id % 7 = 0),
+         fin AS (SELECT * FROM kept UNION ALL SELECT * FROM app)
+         SELECT lang, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS chars
+         FROM fin GROUP BY lang ORDER BY lang""",
     // the CDC feed re-derived: v1/v2 insert generations, v3 = full
     // churn (every earlier row deleted + the replacement inserted)
     "q_avro_cdc_stream" ->
@@ -2858,6 +3051,10 @@ object AvroGates extends Catalog {
     "q_avro_count_grouped" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_avro_count_grouped_del" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+         FROM orders WHERE o_orderkey % 10 <> 3
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_avro_minmax_grouped" ->
       """SELECT o_orderpriority,
                 min(o_orderkey) AS min_okey,
@@ -2978,6 +3175,21 @@ object AvroGates extends Catalog {
                 CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
                   AS BIGINT) AS qty_c
          FROM unioned GROUP BY flag ORDER BY flag""",
+    // the delta-maintained view equals the live recompute: generations
+    // 1+2 minus every English row (equality delete stamped before v4),
+    // plus the post-delete non-English %7 append; the fully-deleted en
+    // group vanishes via the combine's HAVING
+    "q_avro_matview_del" ->
+      """WITH g1 AS (SELECT lang, n_chars FROM documents),
+         g2 AS (SELECT lang, n_chars FROM documents WHERE doc_id % 3 = 1),
+         g12 AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2),
+         kept AS (SELECT lang, n_chars FROM g12 WHERE lang <> 'en'),
+         g4 AS (SELECT lang, n_chars FROM documents
+                WHERE doc_id % 7 = 0 AND lang <> 'en'),
+         fin AS (SELECT * FROM kept UNION ALL SELECT * FROM g4)
+         SELECT lang, count(*) AS n_docs,
+                CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars
+         FROM fin GROUP BY lang ORDER BY lang""",
     // post-lifecycle state = v1 (rollback undid the doubled insert)
     // plus the constrained nationkey<5 re-insert
     "q_avro_call" ->

@@ -496,6 +496,18 @@ object AvroFileSource {
     */
   def posdelFile(d: File): File = new File(d, "_graft_posdel")
 
+  /** Raw posdel sidecar content (None = no sidecar) — the exact form
+    * journaled per snapshot version and compared against it to detect
+    * a legacy UNJOURNALED overlay (mutations that predate r16's posdel
+    * journaling).
+    */
+  def posdelContent(d: File): Option[String] = {
+    val f = posdelFile(d)
+    if (!f.isFile) None
+    else Some(new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+  }
+
   /** Row-level operation mode marker: absent (or `copy-on-write`) =
     * group-based rewrite of every file holding a match — the right
     * trade when updates touch a large fraction of each file; present
@@ -556,8 +568,16 @@ object AvroFileSource {
     val f = posdelFile(d)
     if (!f.isFile) return Map.empty
     val src = scala.io.Source.fromFile(f, "UTF-8")
-    val lines = try src.getLines().filter(_.nonEmpty).toList finally src.close()
-    lines.map { line =>
+    val content = try src.mkString finally src.close()
+    parsePosdelContent(content)
+  }
+
+  /** Parse raw posdel sidecar CONTENT (live file or a snapshot journal
+    * entry) with the same strictness as a live read.
+    */
+  private[sources] def parsePosdelContent(
+      content: String): Map[String, Array[Long]] =
+    content.split('\n').toSeq.filter(_.nonEmpty).map { line =>
       line.split('\t') match {
         case Array(relEnc, field) =>
           val ps = decodePosdelPositions(field)
@@ -568,7 +588,6 @@ object AvroFileSource {
             "to read (a dropped line resurrects deleted rows)")
       }
     }.toMap
-  }
 
   /** DELETION-VECTOR encoding of one file's positions: `B:` + base64
     * of the little-endian long words of a bitset over [0, maxOrdinal].
@@ -1299,10 +1318,15 @@ object AvroFileSource {
 
   /** One reconstructed snapshot: `files` are table-relative data-file
     * paths; `deletes` is the raw equality-delete sidecar content in force
-    * at this version (None = no deletes).
+    * at this version (None = no deletes); `posdels` likewise the raw
+    * positional-delete sidecar content (r16: journaled per version so
+    * CDC can serve position-delete deltas and travel reads can apply
+    * the exact historical overlay — legacy 5-field journal lines parse
+    * as "carried", which folds to None on pre-upgrade journals).
     */
   case class Snapshot(version: Long, millis: Long, kind: String,
-      deletes: Option[String], files: Seq[String])
+      deletes: Option[String], files: Seq[String],
+      posdels: Option[String] = None)
 
   /** Replay the delta journal into cumulative snapshots, oldest first.
     * STRICT like the delete sidecar: time travel serves query RESULTS,
@@ -1359,46 +1383,61 @@ object AvroFileSource {
     // the vector would make it O(versions × files)
     var fileSet = Set.empty[String]
     var dels: Option[String] = None
+    var pos: Option[String] = None
     var prevV = -1L // expireSnapshots may rebase the journal start
+    def parseLine(v: String, ms: String, kindEnc: String, delEnc: String,
+        deltasEnc: String, posEnc: String): Snapshot = {
+      val version = v.toLong
+      // strictly increasing, gaps allowed: the tag-aware vacuum
+      // keeps non-contiguous versions and re-deltas between them
+      if (prevV >= 0 && version <= prevV)
+        throw new IllegalStateException(
+          s"graft-avro: non-increasing snapshot version $version in $jf")
+      prevV = version
+      dels = delEnc match {
+        case "~" => dels // carried forward unchanged
+        case "-" => None
+        case enc => Some(java.net.URLDecoder.decode(enc, "UTF-8"))
+      }
+      pos = posEnc match {
+        case "~" => pos
+        case "-" => None
+        case enc => Some(java.net.URLDecoder.decode(enc, "UTF-8"))
+      }
+      if (deltasEnc != "-") deltasEnc.split(',').foreach { tok =>
+        // add tokens may carry an explicit `@birth` suffix (written by
+        // the vacuum's rebase so original birth versions survive the
+        // journal rewrite); '@' never appears inside the URL-encoded
+        // path, so the split is unambiguous
+        val rel = java.net.URLDecoder.decode(
+          splitBirthSuffix(tok.drop(1))._1, "UTF-8")
+        tok.charAt(0) match {
+          case '+' =>
+            if (fileSet.contains(rel)) throw new IllegalStateException(
+              s"graft-avro: duplicate add of '$rel' at version $version")
+            files :+= rel
+            fileSet += rel
+          case '-' =>
+            if (!fileSet.contains(rel)) throw new IllegalStateException(
+              s"graft-avro: remove of unknown '$rel' at version $version")
+            files = files.filterNot(_ == rel)
+            fileSet -= rel
+          case _ => throw new IllegalStateException(
+            s"graft-avro: bad snapshot delta '$tok' in $jf")
+        }
+      }
+      Snapshot(version, ms.toLong,
+        java.net.URLDecoder.decode(kindEnc, "UTF-8"), dels, files, pos)
+    }
     lines.map { line =>
       line.split('\t') match {
+        // 5-field = pre-posdel-journaling line (the posdel column reads
+        // as carried, which folds to None on all-legacy journals);
+        // 6-field appends the positional-delete sidecar state
         case Array(v, ms, kindEnc, delEnc, deltasEnc) =>
-          val version = v.toLong
-          // strictly increasing, gaps allowed: the tag-aware vacuum
-          // keeps non-contiguous versions and re-deltas between them
-          if (prevV >= 0 && version <= prevV)
-            throw new IllegalStateException(
-              s"graft-avro: non-increasing snapshot version $version in $jf")
-          prevV = version
-          dels = delEnc match {
-            case "~" => dels // carried forward unchanged
-            case "-" => None
-            case enc => Some(java.net.URLDecoder.decode(enc, "UTF-8"))
-          }
-          if (deltasEnc != "-") deltasEnc.split(',').foreach { tok =>
-            // add tokens may carry an explicit `@birth` suffix (written by
-            // the vacuum's rebase so original birth versions survive the
-            // journal rewrite); '@' never appears inside the URL-encoded
-            // path, so the split is unambiguous
-            val rel = java.net.URLDecoder.decode(
-              splitBirthSuffix(tok.drop(1))._1, "UTF-8")
-            tok.charAt(0) match {
-              case '+' =>
-                if (fileSet.contains(rel)) throw new IllegalStateException(
-                  s"graft-avro: duplicate add of '$rel' at version $version")
-                files :+= rel
-                fileSet += rel
-              case '-' =>
-                if (!fileSet.contains(rel)) throw new IllegalStateException(
-                  s"graft-avro: remove of unknown '$rel' at version $version")
-                files = files.filterNot(_ == rel)
-                fileSet -= rel
-              case _ => throw new IllegalStateException(
-                s"graft-avro: bad snapshot delta '$tok' in $jf")
-            }
-          }
-          Snapshot(version, ms.toLong,
-            java.net.URLDecoder.decode(kindEnc, "UTF-8"), dels, files)
+          parseLine(v, ms, kindEnc, delEnc, deltasEnc, "~")
+        case Array(v, ms, kindEnc, delEnc, deltasEnc, posEnc) =>
+          parseLine(v, ms, kindEnc, delEnc, deltasEnc, posEnc)
         case _ => throw new IllegalStateException(
           s"graft-avro: corrupt snapshot journal line '$line' in $jf")
       }
@@ -1442,21 +1481,22 @@ object AvroFileSource {
     var births = Map.empty[String, Long]
     var first = true
     lines.foreach { line =>
-      line.split('\t') match {
-        case Array(v, _, _, _, deltasEnc) =>
-          val version = v.toLong
-          if (deltasEnc != "-") deltasEnc.split(',').foreach { tok =>
-            if (tok.charAt(0) == '+') {
-              val (relEnc, explicit) = splitBirthSuffix(tok.drop(1))
-              val rel = java.net.URLDecoder.decode(relEnc, "UTF-8")
-              if (!births.contains(rel))
-                births += rel -> explicit.getOrElse(if (first) 0L else version)
-            }
-          }
-          first = false
-        case _ => throw new IllegalStateException(
+      val arr = line.split('\t')
+      // 5 fields = legacy, 6 = with the journaled posdel column
+      if (arr.length != 5 && arr.length != 6)
+        throw new IllegalStateException(
           s"graft-avro: corrupt snapshot journal line '$line' in $jf")
+      val version = arr(0).toLong
+      val deltasEnc = arr(4)
+      if (deltasEnc != "-") deltasEnc.split(',').foreach { tok =>
+        if (tok.charAt(0) == '+') {
+          val (relEnc, explicit) = splitBirthSuffix(tok.drop(1))
+          val rel = java.net.URLDecoder.decode(relEnc, "UTF-8")
+          if (!births.contains(rel))
+            births += rel -> explicit.getOrElse(if (first) 0L else version)
+        }
       }
+      first = false
     }
     births
   }
@@ -1486,18 +1526,20 @@ object AvroFileSource {
     val base = d.getAbsoluteFile.toPath
     val live = listAvro(d)
       .map(f => base.relativize(f.getAbsoluteFile.toPath).toString).sorted
-    val delF = deleteFile(d)
-    val dels =
-      if (delF.isFile)
-        Some(new String(java.nio.file.Files.readAllBytes(delF.toPath), "UTF-8"))
+    def sidecarContent(f: File): Option[String] =
+      if (f.isFile)
+        Some(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
       else None
+    val dels = sidecarContent(deleteFile(d))
+    val poss = sidecarContent(posdelFile(d))
     val prior = readSnapshots(d)
     val last = prior.lastOption
     // `force` mints a version even with no state delta — metadata-only
     // operations (ALTER TABLE column evolution, rollback bookkeeping)
     // need their own journal version for AS OF reads to bracket them
     if (!force &&
-      last.exists(s => s.files.sorted == live && s.deletes == dels)) return
+      last.exists(s => s.files.sorted == live && s.deletes == dels &&
+        s.posdels == poss)) return
     val prevFiles = last.map(_.files.toSet).getOrElse(Set.empty)
     val deltas =
       live.filterNot(prevFiles).map(r =>
@@ -1507,12 +1549,16 @@ object AvroFileSource {
     val delCol =
       if (last.map(_.deletes).getOrElse(None) == dels) "~"
       else dels.map(java.net.URLEncoder.encode(_, "UTF-8")).getOrElse("-")
+    val posCol =
+      if (last.map(_.posdels).getOrElse(None) == poss) "~"
+      else poss.map(java.net.URLEncoder.encode(_, "UTF-8")).getOrElse("-")
     val line = Seq(
       (last.map(_.version).getOrElse(0L) + 1).toString,
       System.currentTimeMillis().toString,
       java.net.URLEncoder.encode(kind, "UTF-8"),
       delCol,
-      if (deltas.isEmpty) "-" else deltas.mkString(",")).mkString("\t")
+      if (deltas.isEmpty) "-" else deltas.mkString(","),
+      posCol).mkString("\t")
     val jf = snapshotsFile(d)
     val existing =
       if (jf.isFile)
@@ -1651,6 +1697,8 @@ object AvroFileSource {
     // the delete sidecar must not change across the range
     val baseDels =
       if (fromV == 0) None else snaps.find(_.version == fromV).get.deletes
+    val basePos =
+      if (fromV == 0) None else snaps.find(_.version == fromV).get.posdels
     var prev = baseFiles
     inRange.foreach { s =>
       require(prev.subsetOf(s.files.toSet),
@@ -1658,6 +1706,9 @@ object AvroFileSource {
           "the incremental range is not append-only")
       require(s.deletes == baseDels,
         s"graft-avro: version ${s.version} changed equality deletes — " +
+          "the incremental range is not append-only")
+      require(s.posdels == basePos,
+        s"graft-avro: version ${s.version} changed positional deletes — " +
           "the incremental range is not append-only")
       prev = s.files.toSet
     }
@@ -2531,17 +2582,22 @@ case class AvroTable(path: String, tableSchema: StructType,
       if (travelOptions.isEmpty) options0
       else new CaseInsensitiveStringMap(
         (options0.asScala ++ travelOptions).asJava)
-    // positional deletes are a CURRENT-state overlay (ordinals against
-    // today's files, not journaled per version): historical reads would
-    // silently mis-apply them — refuse until a compaction materializes
+    // positional deletes journal per version since r16, so historical
+    // reads apply each snapshot's exact recorded overlay. The only
+    // refusal left is a LEGACY overlay (live sidecar differing from the
+    // last journaled state — its arrival versions are unknowable)
     require(!AvroFileSource.posdelFile(new File(path)).isFile ||
       (options.get("versionAsOf") == null &&
         options.get("timestampAsOf") == null &&
         options.get("tagAsOf") == null &&
         options.get("fromVersion") == null &&
-        options.get("branch") == null),
+        options.get("branch") == null) ||
+      AvroFileSource.posdelContent(new File(path)) ==
+        AvroFileSource.readSnapshots(new File(path))
+          .lastOption.flatMap(_.posdels),
       "graft-avro: time-travel / incremental / branch reads are " +
-        "unavailable while positional deletes are pending — compact first")
+        "unavailable while UNJOURNALED positional deletes are pending " +
+        "(a legacy overlay predating posdel journaling) — compact first")
     new AvroScanBuilder(path, tableSchema,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
       Option(options.get("maxSplitBytes")).map(_.toLong)
@@ -3693,25 +3749,30 @@ class AvroScanBuilder(path: String, full: StructType,
       // partition values from each recorded relative path — the archive
       // preserves the relative layout exactly so `k=v` segments parse
       // the same.
-      /** (relative files, delete-sidecar content) when the scan targets
-        * history instead of the live directory: a versionAsOf snapshot,
-        * or a fromVersion..toVersion incremental changeset (whose
-        * append-only soundness incrementalFiles() enforces).
+      /** (relative files, delete-sidecar content, posdel-sidecar
+        * content) when the scan targets history instead of the live
+        * directory: a versionAsOf snapshot, or a fromVersion..toVersion
+        * incremental changeset (whose append-only soundness
+        * incrementalFiles() enforces). Positional deletes journal per
+        * version since r16, so the snapshot's own recorded overlay
+        * applies — exactly like equality deletes.
         */
-      private lazy val travelState: Option[(Seq[String], Option[String])] =
+      private lazy val travelState
+          : Option[(Seq[String], Option[String], Option[String])] =
         travelVersion.map { v =>
           val snap = AvroFileSource.readSnapshots(new File(path))
             .find(_.version == v).getOrElse(throw new IllegalStateException(
               s"graft-avro: snapshot version $v vanished from $path"))
-          (snap.files, snap.deletes)
+          (snap.files, snap.deletes, snap.posdels)
         }.orElse(incRange.map { case (fromV, toV) =>
           val files = AvroFileSource.incrementalFiles(new File(path),
             fromV, toV)
-          // deletes are proven UNCHANGED across the range, and were in
-          // force when the appended rows landed — they apply
-          val dels = AvroFileSource.readSnapshots(new File(path))
-            .find(_.version == toV).get.deletes
-          (files, dels)
+          // deletes (both flavors) are proven UNCHANGED across the
+          // range, and were in force when the appended rows landed —
+          // they apply
+          val toSnap = AvroFileSource.readSnapshots(new File(path))
+            .find(_.version == toV).get
+          (files, toSnap.deletes, toSnap.posdels)
         })
       /** Branch (WAP) read state: physical files of main's fork
         * snapshot plus the overlay's live files, the fork snapshot's
@@ -3723,7 +3784,7 @@ class AvroScanBuilder(path: String, full: StructType,
         */
       private lazy val branchState: Option[(
           Seq[(File, Map[String, String])], Option[String],
-          Map[String, Long])] =
+          Map[String, Long], Option[String])] =
         branch.map { b =>
           val d = new File(path)
           val (forkV, bd) = AvroFileSource.branchFork(d, b)
@@ -3742,7 +3803,9 @@ class AvroScanBuilder(path: String, full: StructType,
           val births = overlay.map { case (f, _) =>
             f.getAbsolutePath -> Long.MaxValue
           }.toMap
-          (mainFiles ++ overlay, snap.deletes, births)
+          // the FORK snapshot's posdel overlay governs main's files;
+          // branch overlay files are never position-deleted (appends)
+          (mainFiles ++ overlay, snap.deletes, births, snap.posdels)
         }
 
       private def partValsOf(rel: String): Map[String, String] =
@@ -3750,14 +3813,14 @@ class AvroScanBuilder(path: String, full: StructType,
 
       private lazy val listed: Seq[(File, Map[String, String])] =
         travelState match {
-          case Some((files, _)) => files.sorted
+          case Some((files, _, _)) => files.sorted
             .filter(rel => restrictFiles.forall(_.contains(rel)))
             .map { rel =>
               (AvroFileSource.resolveSnapshotFile(new File(path), rel),
                 partValsOf(rel))
             }
           case None => branchState match {
-            case Some((files, _, _)) => files
+            case Some((files, _, _, _)) => files
             // journal-served when one exists — no directory walk
             case None => AvroFileSource.listLive(new File(path))
           }
@@ -4063,10 +4126,22 @@ class AvroScanBuilder(path: String, full: StructType,
       }
 
       // absolute-path-keyed positional deletes (live + archive); split
-      // ranges seed their ordinal via the block-header prefix walk
+      // ranges seed their ordinal via the block-header prefix walk.
+      // Historical reads apply their SNAPSHOT's recorded overlay (the
+      // live sidecar may postdate or predate the version — exactly the
+      // equality-delete rule); branches apply the fork snapshot's.
       private lazy val posdelsByPath: Map[String, Array[Long]] = {
         val d = new File(path)
-        AvroFileSource.readPosdel(d).flatMap { case (rel, ps) =>
+        val byRel: Map[String, Array[Long]] = travelState match {
+          case Some((_, _, pos)) =>
+            pos.map(AvroFileSource.parsePosdelContent).getOrElse(Map.empty)
+          case None => branchState match {
+            case Some((_, _, _, pos)) =>
+              pos.map(AvroFileSource.parsePosdelContent).getOrElse(Map.empty)
+            case None => AvroFileSource.readPosdel(d)
+          }
+        }
+        byRel.flatMap { case (rel, ps) =>
           Seq(new File(d, rel).getAbsolutePath -> ps,
             new File(AvroFileSource.archiveDir(d), rel).getAbsolutePath -> ps)
         }
@@ -4915,10 +4990,16 @@ class AvroCdcMicroBatchStream(path: String, required: StructType,
     val s = start.asInstanceOf[VOffset].v
     val e = end.asInstanceOf[VOffset].v
     if (e <= s) return Array.empty
-    require(!AvroFileSource.posdelFile(dirF).isFile,
-      "graft-avro CDC: positional deletes are pending (ordinals are not " +
-        "journaled per version) — compact first")
     val all = snaps
+    // positional deletes journal per version since r16, so the feed can
+    // serve them as exact row-level deltas; the only refusal left is a
+    // LEGACY overlay whose arrival versions are unknowable (live
+    // sidecar content differing from the last journaled state)
+    require(AvroFileSource.posdelContent(dirF) ==
+        all.lastOption.flatMap(_.posdels),
+      "graft-avro CDC: positional deletes are pending that predate " +
+        "posdel journaling (unjournaled overlay — their arrival " +
+        "versions are unknowable) — compact first")
     val byV = all.map(sn => sn.version -> sn).toMap
     val firstV = all.headOption.map(_.version).getOrElse(0L)
     def snapOf(v: Long): AvroFileSource.Snapshot =
@@ -4954,6 +5035,8 @@ class AvroCdcMicroBatchStream(path: String, required: StructType,
       * partitions over the COMMON files when the equality-delete
       * sidecar changed (the mustMatch half of [[AvroCdcPartition]]).
       */
+    def posMapOf(o: Option[String]): Map[String, Array[Long]] =
+      o.map(AvroFileSource.parsePosdelContent).getOrElse(Map.empty)
     def deltaParts(v: Long, prev: AvroFileSource.Snapshot,
         cur: AvroFileSource.Snapshot): Seq[InputPartition] = {
       val prevSet = prev.files.toSet
@@ -4963,26 +5046,57 @@ class AvroCdcMicroBatchStream(path: String, required: StructType,
       val removedDel = (lineSet(prev.deletes) -- lineSet(cur.deletes))
         .toSeq.sorted
       val common = cur.files.filter(prevSet)
+      // per-version positional-delete overlays: each partition carries
+      // the positions hidden in ITS role's snapshot, so already-dead
+      // rows never re-emit (inserts under cur's, deletes under prev's)
+      val prevPos = posMapOf(prev.posdels)
+      val curPos = posMapOf(cur.posdels)
+      def pos(m: Map[String, Array[Long]], rel: String): Array[Long] =
+        m.getOrElse(rel, Array.emptyLongArray)
       cur.files.filterNot(prevSet).map(rel =>
-        AvroCdcPartition(resolve(rel, v), "insert", v, cur.deletes)
-          : InputPartition) ++
+        AvroCdcPartition(resolve(rel, v), "insert", v, cur.deletes,
+          posdel = pos(curPos, rel)): InputPartition) ++
         prev.files.filterNot(curSet).map(rel =>
           // rows of a removed file were visible at v-1 ⇒ the PREVIOUS
           // sidecar governs which of them the feed replays as deletes
-          AvroCdcPartition(resolve(rel, v), "delete", v, prev.deletes)
-            : InputPartition) ++
+          AvroCdcPartition(resolve(rel, v), "delete", v, prev.deletes,
+            posdel = pos(prevPos, rel)): InputPartition) ++
         (if (addedDel.isEmpty) Nil
         else common.map(rel =>
           // newly-hidden rows: visible under prev's sidecar AND
           // matching a NEW entry (stamp-gated per file in the reader)
           AvroCdcPartition(resolve(rel, v), "delete", v, prev.deletes,
-            Some(addedDel.mkString("\n"))): InputPartition)) ++
+            Some(addedDel.mkString("\n")),
+            posdel = pos(prevPos, rel)): InputPartition)) ++
         (if (removedDel.isEmpty) Nil
         else common.map(rel =>
           // re-surfacing rows (rollback): visible under cur's sidecar
           // AND previously hidden by a REMOVED entry
           AvroCdcPartition(resolve(rel, v), "insert", v, cur.deletes,
-            Some(removedDel.mkString("\n"))): InputPartition))
+            Some(removedDel.mkString("\n")),
+            posdel = pos(curPos, rel)): InputPartition)) ++
+        // positional-delete deltas over common files: gained ordinals
+        // emit as `delete` rows read under prev's sidecars (a commit
+        // mutates at most ONE delete sidecar, so these never overlap
+        // the equality partitions above); lost ordinals (defensive —
+        // posdel is append-only for live files today) re-surface as
+        // inserts under cur's
+        common.flatMap { rel =>
+          val p0 = pos(prevPos, rel)
+          val p1 = pos(curPos, rel)
+          val p0s = p0.toSet
+          val p1s = p1.toSet
+          val gained = p1.filterNot(p0s)
+          val lost = p0.filterNot(p1s)
+          (if (gained.isEmpty) Nil
+          else Seq(AvroCdcPartition(resolve(rel, v), "delete", v,
+            prev.deletes, posdel = p0,
+            onlyPositions = Some(gained)): InputPartition)) ++
+            (if (lost.isEmpty) Nil
+            else Seq(AvroCdcPartition(resolve(rel, v), "insert", v,
+              cur.deletes, posdel = p1,
+              onlyPositions = Some(lost)): InputPartition))
+        }
     }
     (s + 1 to e).iterator.flatMap { v =>
       if (v < firstV) {
@@ -5025,7 +5139,12 @@ class AvroCdcMicroBatchStream(path: String, required: StructType,
   */
 case class AvroCdcPartition(file: String, changeType: String,
     version: Long, deletes: Option[String],
-    mustMatch: Option[String] = None) extends InputPartition
+    mustMatch: Option[String] = None,
+    // ordinals hidden by this role's snapshot posdel overlay (never
+    // emitted), and — for a posdel-delta partition — the ONLY ordinals
+    // to emit (the gained/lost positions of this version step)
+    posdel: Array[Long] = Array.emptyLongArray,
+    onlyPositions: Option[Array[Long]] = None) extends InputPartition
 
 /** Decodes a changed file through the ordinary merge-on-read row path,
   * then appends the `_change_type` / `_commit_version` constants at the
@@ -5052,11 +5171,25 @@ case class AvroCdcReaderFactory(required: StructType, dataFull: StructType,
       .map(c => dataFull.fields.find(_.name == c).getOrElse(
         throw new IllegalStateException(
           s"graft-avro CDC: delta column '$c' missing from table schema")))
-    val dataRequired =
+    val dataRequired1 =
       if (extraCols.isEmpty) dataRequired0
       else StructType(dataRequired0.fields ++ extraCols)
+    // a posdel-delta partition needs each row's physical ordinal to
+    // emit ONLY the gained/lost positions — ride the `_graft_pos`
+    // metadata column (filled by the same counter the posdel overlay
+    // uses, so the coordinates agree by construction)
+    val needPos = cdc.onlyPositions.isDefined &&
+      !dataRequired1.fieldNames.contains(AvroFileSource.MetaPos)
+    val dataRequired =
+      if (!needPos) dataRequired1
+      else StructType(dataRequired1.fields :+ org.apache.spark.sql.types
+        .StructField(AvroFileSource.MetaPos,
+          org.apache.spark.sql.types.LongType, nullable = false))
     val inner = AvroReaderFactory(dataRequired, dataFull, deletes = dels,
-      births = births, renames = renames, root = root)
+      births = births, renames = renames, root = root,
+      posdels =
+        if (cdc.posdel.isEmpty) Map.empty
+        else Map(cdc.file -> cdc.posdel))
       .createReader(AvroInputPartition(cdc.file, 0L, Long.MaxValue))
     val ct = org.apache.spark.unsafe.types.UTF8String
       .fromString(cdc.changeType)
@@ -5108,13 +5241,22 @@ case class AvroCdcReaderFactory(required: StructType, dataFull: StructType,
               "delta matcher")
         }
       }.toArray
+    val onlySorted: Array[Long] =
+      cdc.onlyPositions.map(_.sorted).getOrElse(Array.emptyLongArray)
+    val onlyIdx: Int =
+      if (cdc.onlyPositions.isEmpty) -1
+      else dataIdx(AvroFileSource.MetaPos)
     new PartitionReader[InternalRow] {
       private var row: InternalRow = _
       override def next(): Boolean = {
         if (requireMatch && matchers.isEmpty) return false
         while (inner.next()) {
           val r = inner.get()
-          if (!requireMatch || matchers.exists(_(r))) { row = r; return true }
+          val posOk = onlyIdx < 0 ||
+            java.util.Arrays.binarySearch(onlySorted, r.getLong(onlyIdx)) >= 0
+          if (posOk && (!requireMatch || matchers.exists(_(r)))) {
+            row = r; return true
+          }
         }
         false
       }
@@ -6293,6 +6435,20 @@ class AvroWriteBuilder(path: String, schema: StructType,
       }
       override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
         AvroFileSource.withCommitLock(new File(path)) {
+          // exactly-once straggler sweep: a failed earlier task attempt
+          // may have left THIS epoch's files the committed attempt did
+          // not reproduce (rolling retry with fewer/other segments, or a
+          // crash that skipped abort()'s cleanup). Delete every
+          // part-e<epoch>-* file not named in a task commit message
+          // BEFORE appendSnapshot's directory walk journals it.
+          val committed = messages.toSeq
+            .collect { case m: AvroCommitMessage => m.streamed }
+            .flatten.map(p => new File(p).getAbsolutePath).toSet
+          val prefix = f"part-e$epochId%06d-"
+          AvroFileSource.listAvro(new File(path))
+            .filter(f => f.getName.startsWith(prefix) &&
+              !committed.contains(f.getAbsolutePath))
+            .foreach { f => f.delete(); () }
           // streamed epochs append unverified files: withdraw any
           // sorted-layout claim (and its zone manifest) the directory carried
           AvroFileSource.sortMarker(new File(path)).delete()
@@ -6321,7 +6477,13 @@ case class AvroCommitMessage(files: Seq[(String, String)],
     colZones: Seq[(String, Seq[(String, String, String, String)])] = Nil,
     blooms: Seq[(String, Seq[(String, String, String)])] = Nil,
     rows: Seq[(String, Long)] = Nil,
-    ndvs: Seq[(String, Seq[(String, String, String)])] = Nil)
+    ndvs: Seq[(String, Seq[(String, String, String)])] = Nil,
+    // final paths an UNSTAGED (streaming) task published this epoch —
+    // the epoch commit uses these to delete stale same-epoch files a
+    // failed earlier attempt left behind (a retry that rolls FEWER
+    // segments must not let appendSnapshot journal its predecessor's
+    // higher-seq leftovers)
+    streamed: Seq[String] = Nil)
   extends WriterCommitMessage
 
 /** Per-task result of a delta (merge-on-read) row-level write: the
@@ -6427,8 +6589,14 @@ class AvroDeltaWriteBuilder(path: String, info: LogicalWriteInfo,
                 AvroFileSource.sortMarker(dirF).delete()
                 AvroFileSource.zoneFile(dirF).delete()
                 AvroFileSource.foldStatsManifests(dirF, innerMsgs)
-                AvroFileSource.appendSnapshot(dirF, "update")
               }
+              // r16: journal ALWAYS — a pure position delete mints its
+              // own version (the posdel content comparison inside
+              // appendSnapshot no-ops when nothing changed), so CDC
+              // feeds serve MoR deletes as exact row-level deltas
+              if (staged.nonEmpty || dels.nonEmpty)
+                AvroFileSource.appendSnapshot(dirF,
+                  if (staged.nonEmpty) "update" else "delete")
             }
           }
 
@@ -6959,7 +7127,8 @@ private[sources] object AvroWriters {
         open.values.foreach { s => s.writer.close(); closedSegs ::= s }
         open.clear()
         val segs = closedSegs.reverse
-        if (!staged) return AvroCommitMessage(Nil)
+        if (!staged)
+          return AvroCommitMessage(Nil, streamed = segs.map(_.file.getPath))
         def fin(s: Seg): String = s.file.getPath.stripSuffix(".staging")
         AvroCommitMessage(
           segs.map(s => s.file.getPath -> fin(s)),
@@ -7078,7 +7247,10 @@ private[sources] object AvroWriters {
       override def commit(): WriterCommitMessage = {
         if (cur != null) { cur.writer.close(); closed ::= cur; cur = null }
         val segs = closed.reverse
-        if (!staged || segs.isEmpty) return AvroCommitMessage(Nil)
+        if (!staged)
+          return AvroCommitMessage(Nil,
+            streamed = segs.map(_.finalFile.getPath))
+        if (segs.isEmpty) return AvroCommitMessage(Nil)
         AvroCommitMessage(
           segs.map(s => s.file.getPath -> s.finalFile.getPath),
           zones = segs.flatMap(s =>

@@ -70,10 +70,12 @@ object AvroMaintenance {
     require(fromVersion == 0 || snaps.exists(_.version == fromVersion),
       s"graft-avro changes: no snapshot version $fromVersion under $dir " +
         s"(have ${snaps.head.version}..${snaps.last.version})")
-    require(!AvroFileSource.posdelFile(d).isFile,
-      "graft-avro changes: positional deletes are pending (a " +
-        "current-state overlay, not journaled per version) — compact " +
-        "first")
+    // positional deletes journal per version since r16 and serve as
+    // row-level deltas below; only a LEGACY (unjournaled) overlay
+    // refuses — its arrival versions are unknowable
+    require(AvroFileSource.posdelContent(d) == snaps.last.posdels,
+      "graft-avro changes: positional deletes are pending that predate " +
+        "posdel journaling (unjournaled overlay) — compact first")
     val fromSnap = snaps.find(_.version == fromVersion)
     val toSnap = snaps.find(_.version == toVersion).get
     val fromFiles = fromSnap.map(_.files.toSet).getOrElse(Set.empty)
@@ -106,8 +108,18 @@ object AvroMaintenance {
     def deltaPieces(deltaLines: Seq[String], v: Long): Seq[DataFrame] = {
       if (deltaLines.isEmpty || common.isEmpty) return Nil
       val schema = side(v, common).schema
+      // GAINED entries (delete side, v = fromVersion) were issued at or
+      // before toVersion — parse them against the TO schema: a delete on
+      // a column ADDED inside the range is well-formed there, and since
+      // every visible-at-from row null-defaults that column, it matches
+      // nothing on the delete side — drop it, don't fail the parse.
+      val parseSchema =
+        if (v == fromVersion && toSnap.files.nonEmpty)
+          side(toVersion, toSnap.files).schema
+        else schema
       val entries = AvroFileSource.parseDeleteContent(
-        deltaLines.mkString("\n"), schema)
+          deltaLines.mkString("\n"), parseSchema)
+        .filter(e => schema.fieldNames.contains(e.col))
       val births = AvroFileSource.fileBirths(d)
       common.groupBy { rel =>
         val b = births.getOrElse(rel, 0L)
@@ -125,11 +137,49 @@ object AvroMaintenance {
     // visible at toVersion and match a lost entry
     val delDeltas = deltaPieces(addedDel, fromVersion).map(tag(_, "delete"))
     val insDeltas = deltaPieces(removedDel, toVersion).map(tag(_, "insert"))
+    // positional-delete deltas over common files: net-gained ordinals
+    // emit as `delete` rows read at fromVersion (whose own posdel
+    // overlay hides already-dead rows; gained ordinals are disjoint
+    // from it by construction), net-lost ones (defensive — posdel is
+    // append-only for live files today) re-surface at toVersion. The
+    // read rides the `_graft_file`/`_graft_pos` metadata pair, so the
+    // coordinates are exactly the sidecar's.
+    def posMapOf(o: Option[String]): Map[String, Array[Long]] =
+      o.map(AvroFileSource.parsePosdelContent).getOrElse(Map.empty)
+    val fromPos = posMapOf(fromSnap.flatMap(_.posdels))
+    val toPos = posMapOf(toSnap.posdels)
+    val commonSet = common.toSet
+    def posDelta(a: Map[String, Array[Long]], b: Map[String, Array[Long]])
+        : Map[String, Array[Long]] =
+      a.collect { case (rel, ps) if commonSet(rel) =>
+        val other = b.getOrElse(rel, Array.emptyLongArray).toSet
+        rel -> ps.filterNot(other)
+      }.filter(_._2.nonEmpty)
+    def posPieces(m: Map[String, Array[Long]], v: Long): Seq[DataFrame] =
+      if (m.isEmpty) Nil
+      else {
+        val rels = m.keys.toSeq.sorted
+        val cond = rels.map { rel =>
+          F.col(AvroFileSource.MetaFile) === rel &&
+            F.col(AvroFileSource.MetaPos).isin(m(rel).toSeq: _*)
+        }.reduce(_ || _)
+        val df = side(v, rels)
+        Seq(df.select(
+          (df.columns.toSeq.map(F.col) :+
+            F.col(AvroFileSource.MetaFile) :+
+            F.col(AvroFileSource.MetaPos)): _*)
+          .where(cond)
+          .drop(AvroFileSource.MetaFile, AvroFileSource.MetaPos))
+      }
+    val posDelPieces =
+      posPieces(posDelta(toPos, fromPos), fromVersion).map(tag(_, "delete"))
+    val posInsPieces =
+      posPieces(posDelta(fromPos, toPos), toVersion).map(tag(_, "insert"))
     val pieces =
       (if (added.nonEmpty) Seq(tag(side(toVersion, added), "insert"))
-      else Nil) ++ insDeltas ++
+      else Nil) ++ insDeltas ++ posInsPieces ++
         (if (removed.nonEmpty) Seq(tag(side(fromVersion, removed), "delete"))
-        else Nil) ++ delDeltas
+        else Nil) ++ delDeltas ++ posDelPieces
     if (pieces.isEmpty) {
       // empty diff: serve an empty frame at a real snapshot's schema
       val anchor =
@@ -579,8 +629,12 @@ object AvroMaintenance {
       val delCol =
         if (i > 0 && prev.get.deletes == s.deletes) "~"
         else s.deletes.map(enc).getOrElse("-")
+      val posCol =
+        if (i > 0 && prev.get.posdels == s.posdels) "~"
+        else s.posdels.map(enc).getOrElse("-")
       Seq(s.version.toString, s.millis.toString, enc(s.kind), delCol,
-        if (deltas.isEmpty) "-" else deltas.mkString(",")).mkString("\t")
+        if (deltas.isEmpty) "-" else deltas.mkString(","),
+        posCol).mkString("\t")
     }
     // readSnapshots requires version 1 first: keep original numbering by
     // allowing the journal to start at any version — bump the parser's
@@ -757,6 +811,10 @@ object AvroMaintenance {
       (prior.getOrElse(rel, Array.emptyLongArray) ++ positions)
         .distinct.sorted)
     AvroFileSource.writePosdelSidecar(d, merged)
+    // r16: positional deletes journal their own version (the sidecar
+    // content rides the snapshot line), so CDC feeds and travel reads
+    // can resolve the exact historical overlay instead of refusing
+    AvroFileSource.appendSnapshot(d, "posdel")
     }
   }
 
@@ -1035,6 +1093,16 @@ object AvroMaintenance {
   def cloneTo(in: String, out: String): Int = {
     val src = new File(in)
     val dst = new File(out)
+    // The whole source-side read (guards, listLive, file + manifest
+    // copies) runs under the SOURCE commit lock: a deleteWhere landing
+    // between the pending-deletes guard and the file copy would clone
+    // resurrected rows, and a concurrent sorted append merging bounds
+    // into _graft_zones before the manifest copy would hand the clone a
+    // sort-zone manifest covering a file it doesn't have. cloneTo runs
+    // no graft-avro write job, so the never-wrap-a-write-job rule does
+    // not apply; the dest lock nests inside (different dir = different
+    // lock, taken strictly after — no cycle).
+    AvroFileSource.withCommitLock(src) {
     require(!AvroFileSource.deleteFile(src).isFile,
       "graft-avro clone: pending equality deletes — compact first " +
         "(cloned files get fresh births; stamped entries would " +
@@ -1087,6 +1155,7 @@ object AvroMaintenance {
       AvroFileSource.appendSnapshot(dst, "clone")
     }
     live.size
+    }
   }
 
   /** PARTITION-SCOPED in-place compaction — the OPTIMIZE a 100 TB table
@@ -1111,6 +1180,18 @@ object AvroMaintenance {
         "addressable by equality — use compactInPlace")
     val d = new java.io.File(dir)
     val parts = AvroFileSource.listPartitioned(d)
+    val bucketSpec = AvroFileSource.readBucketSpec(d)
+    val bucketSegs = bucketSpec
+      .map { case (c, _) => AvroFileSource.bucketSegName(c) }.toSet
+    val partCols = parts.flatMap(_._2.keys).distinct.filterNot(bucketSegs)
+    // validation ORDER matters: identity-column membership first (a
+    // typo'd or bucket-segment name must not read as "partition
+    // evolution" or silently no-op on an empty target), then the
+    // commit-time evolution guard pre-flight, then the empty-target
+    // early return
+    require(partCols.contains(col),
+      s"graft-avro compactPartition: '$col' is not an identity " +
+        "partition column of this table")
     // pre-flight the commit-time guard: a segment-less live file would
     // contribute rows to the read, then fail the publish — refuse
     // BEFORE any work instead
@@ -1125,13 +1206,6 @@ object AvroMaintenance {
     if (targets.isEmpty) return 0
     val bytes = targets.map(_.length()).sum
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val bucketSpec = AvroFileSource.readBucketSpec(d)
-    val bucketSegs = bucketSpec
-      .map { case (c, _) => AvroFileSource.bucketSegName(c) }.toSet
-    val partCols = parts.flatMap(_._2.keys).distinct.filterNot(bucketSegs)
-    require(partCols.contains(col),
-      s"graft-avro compactPartition: '$col' is not an identity " +
-        "partition column of this table")
     import org.apache.spark.sql.{functions => F}
     if (bucketSpec.nonEmpty)
       graft.functions.VectorFunctions.register(spark)
@@ -1202,18 +1276,24 @@ object AvroMaintenance {
     * file moves, and absence only degrades pruning, never correctness
     * (rebuild via compact/OPTIMIZE). Schema evolution entries are NOT
     * rolled back — like Iceberg, rollback restores data state, the
-    * current schema stays current. Refuses with positional deletes
-    * pending (their state is not journaled) or active branches.
+    * current schema stays current. Both delete sidecars (equality AND
+    * positional — journaled per version since r16) revert to the
+    * snapshot's recorded content. Refuses with a LEGACY unjournaled
+    * posdel overlay pending or active branches.
     * Returns the newly minted version.
     */
   def rollbackTo(dir: String, version: Long): Long = {
     val d = new File(dir)
     AvroFileSource.withCommitLock(d) {
     requireNoBranches(d, "rollback")
-    require(!AvroFileSource.posdelFile(d).isFile,
-      "graft-avro rollback: positional deletes are pending and not " +
-        "journaled — compact first")
     val snaps = AvroFileSource.readSnapshots(d)
+    // positional deletes journal per version since r16 and revert with
+    // the rest of the state below; only a LEGACY (unjournaled) overlay
+    // refuses — its arrival versions are unknowable
+    require(AvroFileSource.posdelContent(d) ==
+        snaps.lastOption.flatMap(_.posdels),
+      "graft-avro rollback: UNJOURNALED positional deletes are pending " +
+        "(a legacy overlay predating posdel journaling) — compact first")
     val target = snaps.find(_.version == version).getOrElse(
       throw new IllegalArgumentException(
         s"graft-avro rollback: unknown version $version " +
@@ -1247,16 +1327,17 @@ object AvroMaintenance {
       if (!src.renameTo(dst)) throw new java.io.IOException(
         s"graft-avro rollback: archive move failed $src -> $dst")
     }
-    // delete sidecar reverts to the snapshot's recorded content
-    val delF = AvroFileSource.deleteFile(d)
-    target.deletes match {
-      case Some(content) =>
-        val tmp = new File(delF.getPath + ".staging")
-        java.nio.file.Files.write(tmp.toPath, content.getBytes("UTF-8"))
-        if (!tmp.renameTo(delF)) throw new java.io.IOException(
-          s"graft-avro rollback: rename failed $tmp -> $delF")
-      case None => delF.delete()
+    // delete sidecars (both flavors) revert to the snapshot's content
+    def revert(f: File, content: Option[String]): Unit = content match {
+      case Some(c) =>
+        val tmp = new File(f.getPath + ".staging")
+        java.nio.file.Files.write(tmp.toPath, c.getBytes("UTF-8"))
+        if (!tmp.renameTo(f)) throw new java.io.IOException(
+          s"graft-avro rollback: rename failed $tmp -> $f")
+      case None => f.delete(); ()
     }
+    revert(AvroFileSource.deleteFile(d), target.deletes)
+    revert(AvroFileSource.posdelFile(d), target.posdels)
     // stats/layout manifests describe the pre-rollback live set — drop
     // them all (absence ⇒ scan); partial coverage of the sort-zone
     // manifest in particular would be UNSOUND for metadata MIN/MAX

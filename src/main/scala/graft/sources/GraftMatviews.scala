@@ -75,8 +75,20 @@ object GraftMatviews {
     }
   }
 
+  /** `deltaSql` (optional, r16) upgrades the view from additive-only to
+    * DELETE-capable maintenance via the counting algorithm: it reads
+    * the CDC changes frame `__CHG__` (the source's row-level diff with
+    * `_change_type` insert/delete) and must emit partials with
+    * NEGATIVE contributions for delete rows (e.g. `sum(CASE WHEN
+    * _change_type = 'insert' THEN x ELSE -x END)`). The caller owns the
+    * signs for the same reason it owns the combine split: deriving the
+    * negation for arbitrary expressions is the classic silent-breakage
+    * trap. Groups whose rows all die fold to zero counts — drop them in
+    * the combine SQL (`HAVING`) when the view's contract is
+    * groups-with-rows-only.
+    */
   final case class Spec(srcDir: String, aggSql: String, mergeSql: String,
-      lastVersion: Long)
+      lastVersion: Long, deltaSql: Option[String] = None)
 
   private def enc(s: String): String =
     URLEncoder.encode(s, StandardCharsets.UTF_8)
@@ -93,6 +105,9 @@ object GraftMatviews {
     line.split("\t", -1) match {
       case Array(src, agg, merge, v) =>
         Spec(dec(src), dec(agg), dec(merge), v.toLong)
+      case Array(src, agg, merge, v, delta) =>
+        Spec(dec(src), dec(agg), dec(merge), v.toLong,
+          Some(dec(delta)).filter(_.nonEmpty))
       case _ => throw new IllegalArgumentException(
         s"graft matview: corrupt sidecar $f")
     }
@@ -102,7 +117,8 @@ object GraftMatviews {
     val tmp = new File(viewDir, "_graft_matview.staging")
     Files.write(tmp.toPath,
       (enc(spec.srcDir) + "\t" + enc(spec.aggSql) + "\t" +
-        enc(spec.mergeSql) + "\t" + spec.lastVersion + "\n")
+        enc(spec.mergeSql) + "\t" + spec.lastVersion +
+        spec.deltaSql.map("\t" + enc(_)).getOrElse("") + "\n")
         .getBytes(StandardCharsets.UTF_8))
     Files.move(tmp.toPath, sidecar(viewDir).toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
@@ -120,16 +136,24 @@ object GraftMatviews {
     * the source version the view now reflects.
     */
   def create(spark: SparkSession, viewDir: String, srcDir: String,
-      aggSql: String, mergeSql: String): Long = withViewLock(new File(viewDir)) {
+      aggSql: String, mergeSql: String,
+      deltaSql: Option[String] = None): Long =
+      withViewLock(new File(viewDir)) {
     require(aggSql.contains("__SRC__"),
       "graft matview: aggregate SQL must read FROM __SRC__")
     require(mergeSql.contains("__ACC__"),
       "graft matview: combine SQL must read FROM __ACC__")
+    deltaSql.foreach(d => require(d.contains("__CHG__"),
+      "graft matview: delta SQL must read FROM __CHG__ (the CDC " +
+        "changes frame with _change_type)"))
     require(!sidecar(new File(viewDir)).isFile &&
         !joinSidecar(new File(viewDir)).isFile,
       s"graft matview: $viewDir already is a materialized view " +
         "(drop it first)")
     val ver = currentVersion(srcDir)
+    require(deltaSql.isEmpty || ver > 0,
+      "graft matview: a delta-maintained view needs a journaled " +
+        "graft-avro source (no snapshot journal found)")
     val id = viewSeq.incrementAndGet()
     val srcView = s"graft_mv_src_$id"
     val accView = s"graft_mv_acc_$id"
@@ -145,9 +169,22 @@ object GraftMatviews {
       "graft matview: combine SQL must preserve the partial schema — " +
         s"partial ${partial.schema.simpleString} vs combined " +
         combined.schema.simpleString)
+    // validate the delta split up front, against a real changes frame
+    // (the from-the-beginning diff serves every current row as insert)
+    deltaSql.foreach { d =>
+      val chgView = s"graft_mv_chg_$id"
+      AvroMaintenance.changes(spark, srcDir, 0L, ver)
+        .createOrReplaceTempView(chgView)
+      val dp = spark.sql(d.replace("__CHG__", chgView))
+      require(dp.schema.map(f => (f.name, f.dataType)) ==
+          partial.schema.map(f => (f.name, f.dataType)),
+        "graft matview: delta SQL must preserve the partial schema — " +
+          s"partial ${partial.schema.simpleString} vs delta " +
+          dp.schema.simpleString)
+    }
     combined.write.format("graft-avro").mode("overwrite").save(viewDir)
     writeSpec(new File(viewDir), Spec(
-      new File(srcDir).getCanonicalPath, aggSql, mergeSql, ver))
+      new File(srcDir).getCanonicalPath, aggSql, mergeSql, ver, deltaSql))
     ver
   }
 
@@ -171,14 +208,26 @@ object GraftMatviews {
     val id = viewSeq.incrementAndGet()
     val srcView = s"graft_mv_src_$id"
     val accView = s"graft_mv_acc_$id"
-    // additive-only incremental read: deletes/overwrites since the
-    // last refresh fail here, loudly
-    spark.read.format("graft-avro")
-      .option("fromVersion", spec.lastVersion.toString)
-      .option("toVersion", cur.toString)
-      .load(spec.srcDir)
-      .createOrReplaceTempView(srcView)
-    val deltaPartial = spark.sql(spec.aggSql.replace("__SRC__", srcView))
+    val deltaPartial = spec.deltaSql match {
+      case Some(d) =>
+        // counting-algorithm maintenance: the CDC changes frame serves
+        // appends AND row-level deletes (equality, positional,
+        // overwrites) as signed contributions — O(changed rows), and a
+        // rewritten history folds instead of failing
+        val chgView = s"graft_mv_chg_$id"
+        AvroMaintenance.changes(spark, spec.srcDir,
+          spec.lastVersion, cur).createOrReplaceTempView(chgView)
+        spark.sql(d.replace("__CHG__", chgView))
+      case None =>
+        // additive-only incremental read: deletes/overwrites since the
+        // last refresh fail here, loudly
+        spark.read.format("graft-avro")
+          .option("fromVersion", spec.lastVersion.toString)
+          .option("toVersion", cur.toString)
+          .load(spec.srcDir)
+          .createOrReplaceTempView(srcView)
+        spark.sql(spec.aggSql.replace("__SRC__", srcView))
+    }
     spark.read.format("graft-avro").load(viewDir)
       .unionByName(deltaPartial)
       .createOrReplaceTempView(accView)

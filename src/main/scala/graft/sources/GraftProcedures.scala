@@ -39,8 +39,8 @@ object GraftProcedures {
     "clean_stages",
     "create_view",
     "set_row_level_mode",
-    "drop_view", "create_matview", "refresh_matview",
-    "create_join_matview", "refresh_join_matview")
+    "drop_view", "create_matview", "create_delta_matview",
+    "refresh_matview", "create_join_matview", "refresh_join_matview")
 
   /** One result row (catalyst values, strings as UTF8String). */
   private case class ResultScan(schema: StructType, row: Seq[Any])
@@ -364,6 +364,42 @@ object GraftProcedures {
             org.apache.spark.sql.SparkSession.active,
             cat.tableDirIdent(ident).getPath, srcDir.getPath,
             aggSql.toString, mergeSql.toString)
+          (out("view" -> StringType, "source_version" -> LongType),
+            Seq(viewRef.copy(), v))
+        })
+      case "create_delta_matview" => new Proc(name,
+        "materialize a DELETE-capable aggregate view: agg_sql reads " +
+          "__SRC__, merge_sql combines __ACC__, delta_sql reads the " +
+          "CDC changes frame __CHG__ with signed contributions " +
+          "(insert positive, delete negative — the counting algorithm); " +
+          "refresh_matview folds row-level deletes instead of failing",
+        Array(param("view", StringType), param("source", StringType),
+          param("agg_sql", StringType), param("merge_sql", StringType),
+          param("delta_sql", StringType)),
+        in => {
+          val viewRef = in.getUTF8String(0)
+          val srcRef = in.getUTF8String(1)
+          val aggSql = in.getUTF8String(2)
+          val mergeSql = in.getUTF8String(3)
+          val deltaSql = in.getUTF8String(4)
+          require(viewRef != null && srcRef != null && aggSql != null &&
+            mergeSql != null && deltaSql != null,
+            "graft procedure: create_delta_matview arguments must be " +
+              "non-null")
+          val ident = cat.parseRef(viewRef.toString)
+          val nsD = cat.namespaceDir(ident.namespace())
+          require(nsD.isDirectory,
+            s"graft catalog: no namespace ${ident.namespace().mkString(".")}")
+          require(!cat.tableExistsIdent(ident),
+            s"graft catalog: a table named $ident already exists")
+          require(!GraftViews.viewFile(nsD, ident.name()).isFile,
+            s"graft catalog: a view named $ident already exists")
+          val srcDir = cat.resolveTableDir(srcRef.toString)
+          val v = GraftMatviews.create(
+            org.apache.spark.sql.SparkSession.active,
+            cat.tableDirIdent(ident).getPath, srcDir.getPath,
+            aggSql.toString, mergeSql.toString,
+            Some(deltaSql.toString))
           (out("view" -> StringType, "source_version" -> LongType),
             Seq(viewRef.copy(), v))
         })

@@ -89,19 +89,32 @@ class AvroChangesSpec extends AnyFunSuite with SparkSpec with Matchers {
     AvroMaintenance.changes(spark, dir, 1, 3).collect() shouldBe empty
   }
 
-  test("pending positional deletes refuse") {
+  test("positional deletes emit as row-level delete deltas") {
     val dir = tmp()
     spark.range(10).selectExpr("id as k")
       .coalesce(1)
-      .write.format("graft-avro").mode("overwrite").save(dir)
+      .write.format("graft-avro").mode("overwrite").save(dir) // v1
     val rel = AvroFileSource.listLive(new java.io.File(dir)).head._1
     val relName = new java.io.File(dir).getAbsoluteFile.toPath
       .relativize(rel.getAbsoluteFile.toPath).toString
-    AvroMaintenance.deleteAtPositions(dir, relName, Seq(0L))
+    AvroMaintenance.deleteAtPositions(dir, relName, Seq(0L, 7L)) // v2
+    byType(AvroMaintenance.changes(spark, dir, 1, 2)) shouldBe Map(
+      "delete" -> Set(0L, 7L))
+    // net from the beginning: position-deleted rows never insert
+    byType(AvroMaintenance.changes(spark, dir, 0, 2)) shouldBe Map(
+      "insert" -> ((0L until 10L).toSet -- Set(0L, 7L)))
+    // second posdel batch: only the NEW positions emit for (2, 3]
+    AvroMaintenance.deleteAtPositions(dir, relName, Seq(3L)) // v3
+    byType(AvroMaintenance.changes(spark, dir, 2, 3)) shouldBe Map(
+      "delete" -> Set(3L))
+    // a LEGACY (unjournaled) overlay still refuses loudly
+    AvroFileSource.writePosdelSidecar(new java.io.File(dir),
+      AvroFileSource.readPosdel(new java.io.File(dir)) +
+        (relName -> Array(0L, 3L, 5L, 7L)))
     val ex = intercept[IllegalArgumentException] {
-      AvroMaintenance.changes(spark, dir, 0, 1)
+      AvroMaintenance.changes(spark, dir, 1, 2)
     }
-    ex.getMessage should include("positional deletes")
+    ex.getMessage should include("unjournaled")
   }
 
   test("compaction surfaces as equal-row delete+insert pairs") {
@@ -128,6 +141,24 @@ class AvroChangesSpec extends AnyFunSuite with SparkSpec with Matchers {
     rows.filter(_._1 == "insert")
       .map(t => t._2 -> t._3) shouldBe
       (50L until 53L).map(k => k -> Some(k * 2)).toSet
+  }
+
+  test("deleteWhere on a column ADDED inside the range: delete side empty") {
+    // the gained entry parses against the TO schema (where the delete
+    // was issued); visible-at-from rows null-default the added column,
+    // so the entry matches nothing on the delete side — the changeset
+    // must be the appended rows minus the deleted one, never a parse
+    // failure on the from-schema
+    val dir = tmp()
+    spark.range(5).selectExpr("id as k")
+      .write.format("graft-avro").mode("overwrite").save(dir) // v1
+    AvroMaintenance.addColumn(dir, org.apache.spark.sql.types
+      .StructField("extra", org.apache.spark.sql.types.LongType)) // v2
+    spark.range(50, 53).selectExpr("id as k", "id * 2 as extra")
+      .write.format("graft-avro").mode("append").save(dir) // v3
+    AvroMaintenance.deleteWhere(spark, dir, "extra", Seq(100L)) // v4
+    val got = byType(AvroMaintenance.changes(spark, dir, 1, 4))
+    got shouldBe Map("insert" -> Set(51L, 52L))
   }
 
   test("bad versions and unjournaled dirs refuse") {

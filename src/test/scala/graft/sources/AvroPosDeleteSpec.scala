@@ -139,13 +139,31 @@ class AvroPosDeleteSpec extends AnyFunSuite with SparkSpec with Matchers {
     counted.head().getLong(0) shouldBe 4996L
   }
 
-  test("historical reads refuse while positional deletes are pending") {
+  test("historical reads apply each snapshot's journaled posdel overlay") {
     val dir = tmp()
     spark.range(10).selectExpr("id as k").coalesce(1)
-      .write.format("graft-avro").mode("overwrite").save(dir)
+      .write.format("graft-avro").mode("overwrite").save(dir) // v1
     spark.range(10, 20).selectExpr("id as k").coalesce(1)
-      .write.format("graft-avro").mode("append").save(dir)
-    AvroMaintenance.deleteAtPositions(dir, rels(dir).head, Seq(1L))
+      .write.format("graft-avro").mode("append").save(dir) // v2
+    AvroMaintenance.deleteAtPositions(dir, rels(dir).head, Seq(1L)) // v3
+    // pre-delete versions serve the rows alive; the posdel version
+    // applies its own recorded overlay — never the live sidecar
+    def at(v: Int): Long =
+      spark.read.format("graft-avro").option("versionAsOf", v.toString)
+        .load(dir).count()
+    at(1) shouldBe 10L
+    at(2) shouldBe 20L
+    at(3) shouldBe 19L
+    // the posdel version replays identically to the live read
+    val liveSum = spark.read.format("graft-avro").load(dir)
+      .agg(F.sum("k")).head().getLong(0)
+    spark.read.format("graft-avro").option("versionAsOf", "3").load(dir)
+      .agg(F.sum("k")).head().getLong(0) shouldBe liveSum
+    // a LEGACY overlay (sidecar mutated without journaling) still
+    // refuses: its arrival versions are unknowable
+    AvroFileSource.writePosdelSidecar(new java.io.File(dir),
+      AvroFileSource.readPosdel(new java.io.File(dir)) +
+        (rels(dir).head -> Array(1L, 2L)))
     val err = intercept[Exception] {
       spark.read.format("graft-avro").option("versionAsOf", "1")
         .load(dir).count()

@@ -62,6 +62,51 @@ class MatviewSpec extends AnyFunSuite with SparkSpec with Matchers {
     viewRows(mv) shouldBe expect
   }
 
+  test("delta view folds deletes to a from-scratch rebuild (counting)") {
+    val src = Catalog.tempDir("graft_mv_src_d")
+    val mv = Catalog.tempDir("graft_mv_view_d")
+    writeGen(src, 0, 100, "overwrite") // v1
+    val delta =
+      """SELECT k,
+        |  CAST(sum(CASE WHEN _change_type = 'insert' THEN 1 ELSE -1 END)
+        |    AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN _change_type = 'insert' THEN CAST(v AS BIGINT)
+        |    ELSE -CAST(v AS BIGINT) END) AS BIGINT) AS s
+        |FROM __CHG__ GROUP BY k""".stripMargin
+    val mergeDrop =
+      """SELECT k, CAST(sum(n) AS BIGINT) AS n,
+        |  CAST(sum(s) AS BIGINT) AS s
+        |FROM __ACC__ GROUP BY k
+        |HAVING CAST(sum(n) AS BIGINT) > 0""".stripMargin
+    GraftMatviews.create(spark, mv, src, agg, mergeDrop, Some(delta))
+    writeGen(src, 100, 160, "append") // v2
+    // equality delete mid-history: every k=3 row of v1+v2 dies — the
+    // whole group must VANISH from the view (HAVING drops the zero)
+    AvroMaintenance.deleteWhere(spark, src, "k", Seq(3L)) // v3
+    // positional delete: two specific physical rows die
+    val base = new java.io.File(src).getAbsoluteFile.toPath
+    val rel = AvroFileSource.listLive(new java.io.File(src))
+      .map(p => base.relativize(p._1.getAbsoluteFile.toPath).toString)
+      .sorted.head
+    AvroMaintenance.deleteAtPositions(src, rel, Seq(0L, 1L)) // v4
+    writeGen(src, 160, 190, "append") // v5 (k=3 rows survive: stamped)
+    val (from, to) = GraftMatviews.refresh(spark, mv)
+    from shouldBe 1L
+    to should be >= 5L
+    // from-scratch rebuild over the LIVE table = the refreshed view
+    val expect = spark.read.format("graft-avro").load(src)
+      .groupBy("k").agg(F.count(F.lit(1)).as("n"),
+        F.sum(F.col("v").cast("long")).as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    viewRows(mv) shouldBe expect
+    // k=3 exists again (v5 postdates the stamp) — but only v5's rows
+    expect(3L)._1 shouldBe (160 until 190).count(_ % 7 == 3).toLong
+    // no-op refresh reports so
+    val (f2, t2) = GraftMatviews.refresh(spark, mv)
+    f2 shouldBe t2
+  }
+
   test("rewritten source history fails the refresh loudly") {
     val src = Catalog.tempDir("graft_mv_src2")
     val mv = Catalog.tempDir("graft_mv_view2")

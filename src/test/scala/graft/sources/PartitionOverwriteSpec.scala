@@ -128,10 +128,17 @@ class PartitionOverwriteSpec extends AnyFunSuite with SparkSpec
     // value with no live files is a no-op
     AvroMaintenance.compactPartition(spark, dir, "p", "zz",
       512L * 1024 * 1024) shouldBe 0
-    // a non-partition column refuses
-    intercept[IllegalArgumentException] {
+    // a non-partition column refuses — with the MEMBERSHIP message, not
+    // the partition-evolution one, and BEFORE the empty-target early
+    // return (a typo'd column must never silently no-op)
+    val e = intercept[IllegalArgumentException] {
       AvroMaintenance.compactPartition(spark, dir, "k", "1", 1024L)
     }
+    e.getMessage should include("not an identity partition column")
+    val e2 = intercept[IllegalArgumentException] {
+      AvroMaintenance.compactPartition(spark, dir, "nosuch", "zz", 1024L)
+    }
+    e2.getMessage should include("not an identity partition column")
   }
 
   test("CALL system.compact_partition drives the same rewrite") {

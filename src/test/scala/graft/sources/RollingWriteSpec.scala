@@ -129,6 +129,42 @@ class RollingWriteSpec extends AnyFunSuite with SparkSpec with Matchers {
     spark.read.format("graft-avro").load(out).count() shouldBe 150000L
   }
 
+  test("epoch commit sweeps a failed attempt's stale same-epoch segments") {
+    // exactly-once hazard: a crashed/retried task attempt can leave a
+    // higher-seq rolled file the committed attempt never reproduced
+    // (abort() cleanup is skipped on executor death). The epoch commit
+    // must delete every part-e<epoch>-* file not named in a task commit
+    // message BEFORE appendSnapshot journals it as live data.
+    val src = tmp(); val out = tmp(); val ckpt = tmp()
+    val data = spark.range(500).selectExpr("id as k", "'a' as pad")
+    data.coalesce(1).write.mode("overwrite").parquet(src)
+    def run(): Unit = {
+      val q = spark.readStream.schema(data.schema).parquet(src)
+        .coalesce(1)
+        .writeStream.format("graft-avro")
+        .option("checkpointLocation", ckpt)
+        .option("codec", "null")
+        .outputMode("append").start(out)
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // epoch 0 commits normally
+    val outDir = new java.io.File(out)
+    val epoch0 = AvroFileSource.listAvro(outDir)
+    epoch0 should not be empty
+    // forge a stale file a dead epoch-1 attempt "left behind": real
+    // avro bytes (a copy of an epoch-0 file) under an epoch-1 rolled name
+    val stale = new java.io.File(outDir, "part-e000001-00000-r7.avro")
+    java.nio.file.Files.copy(epoch0.head.toPath, stale.toPath)
+    // feed epoch 1 and resume: its commit must sweep the straggler
+    spark.range(500, 900).selectExpr("id as k", "'b' as pad")
+      .coalesce(1).write.mode("append").parquet(src)
+    run()
+    stale.exists() shouldBe false
+    spark.read.format("graft-avro").load(out).count() shouldBe 900L
+    spark.read.format("graft-avro").load(out)
+      .agg(F.sum("k")).head().getLong(0) shouldBe (0L until 900L).sum
+  }
+
   test("the table property drives SQL INSERT rolling") {
     val root = tmp()
     spark.conf.set("spark.sql.catalog.groll",

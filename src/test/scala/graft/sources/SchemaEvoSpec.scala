@@ -277,7 +277,7 @@ class SchemaEvoSpec extends AnyFunSuite with SparkSpec with Matchers {
       .map(_ * 10).sum
   }
 
-  test("rollback guards: unknown version, current version, pending posdel") {
+  test("rollback guards: unknown version, current version, legacy posdel") {
     val dir = tmp()
     writeKV(dir, 0, 5, "overwrite")                            // v1
     writeKV(dir, 5, 8, "append")                               // v2
@@ -287,10 +287,20 @@ class SchemaEvoSpec extends AnyFunSuite with SparkSpec with Matchers {
     intercept[IllegalArgumentException] {
       AvroMaintenance.rollbackTo(dir, 2L)
     }
+    // JOURNALED posdel rolls back with the rest of the state (r16):
+    // the position delete mints v3, rollback to v2 restores all rows
     val rel = AvroFileSource.listAvro(new File(dir)).head.getName
-    AvroMaintenance.deleteAtPositions(dir, rel, Seq(0L))
-    intercept[IllegalArgumentException] {
+    AvroMaintenance.deleteAtPositions(dir, rel, Seq(0L)) // v3
+    spark.read.format("graft-avro").load(dir).count() shouldBe 7L
+    AvroMaintenance.rollbackTo(dir, 2L) // v4
+    spark.read.format("graft-avro").load(dir).count() shouldBe 8L
+    AvroFileSource.posdelFile(new File(dir)).isFile shouldBe false
+    // a LEGACY (unjournaled) overlay still refuses
+    AvroFileSource.writePosdelSidecar(new File(dir),
+      Map(rel -> Array(0L)))
+    val e = intercept[IllegalArgumentException] {
       AvroMaintenance.rollbackTo(dir, 1L)
     }
+    e.getMessage should include("UNJOURNALED")
   }
 }
