@@ -96,10 +96,14 @@ object LlmSimilarity extends Catalog {
     * assignment (vec_id, cid, qx) and the final 16×-sub-resolution
     * centroid means (cid, mvec) — all localCheckpoint()ed.
     */
-  private[operators] def lloyd(s: SparkSession, dir: String)
+  private[operators] def lloyd(s: SparkSession, dir: String,
+      below: Option[Long] = None)
       : (DataFrame, DataFrame, DataFrame) = {
     VectorFunctions.register(s)
     val corpus = table(s, dir, "embeddings")
+      // `below` trains over a vec_id prefix only — the day-1 corpus of
+      // the incremental-index gate (seeds vec_id < 8 stay inside it)
+      .filter(below.map(b => F.col("vec_id") < b).getOrElse(F.lit(true)))
       .select(F.col("vec_id"), F.expr(
         "transform(embedding, x -> " +
           "cast(floor(cast(x as double) * 10000.0) as bigint))").as("qx"))
@@ -250,15 +254,46 @@ object LlmSimilarity extends Catalog {
     * directories.
     */
   private[operators] def buildIvfIndex(s: SparkSession, dir: String,
-      into: Option[(String, String)] = None): (String, String) = {
+      into: Option[(String, String)] = None,
+      below: Option[Long] = None): (String, String) = {
     val (cenDir, asgDir) = into.getOrElse(
       (tempDir("graft_ivf_centroids"), tempDir("graft_ivf_assign")))
-    val (_, assigned, centroids) = lloyd(s, dir)
+    val (_, assigned, centroids) = lloyd(s, dir, below)
     centroids.select("cid", "mvec")
       .write.format("graft-avro").mode("overwrite").save(cenDir)
     assigned.select("vec_id", "cid")
       .write.format("graft-avro").mode("overwrite").save(asgDir)
     (cenDir, asgDir)
+  }
+
+  /** Day-2 INCREMENTAL index maintenance: assign a batch of NEW vectors
+    * (vec_id >= `atOrAbove`) to the PERSISTED centroids — one broadcast
+    * cross join + map-side argmin, zero Lloyd iterations, zero touches
+    * of the existing assignment rows — and append the new (vec_id, cid)
+    * rows to the assignment table. This is the path that keeps a 100 TB
+    * ANN index serving while the corpus grows: train rarely, assign
+    * per-append in O(batch × k) products; the coarse quantizer drifts
+    * only as the distribution does (rebuild via [[buildIvfIndex]] when
+    * recall decays).
+    */
+  private[operators] def appendIvfAssignments(s: SparkSession, dir: String,
+      cenDir: String, asgDir: String, atOrAbove: Long): Unit = {
+    VectorFunctions.register(s)
+    val fresh = table(s, dir, "embeddings")
+      .filter(F.col("vec_id") >= atOrAbove)
+      .select(F.col("vec_id"), F.expr(
+        "transform(embedding, x -> " +
+          "cast(floor(cast(x as double) * 10000.0) as bigint) * 16)")
+        .as("qx16"))
+    val centroids = s.read.format("graft-avro").load(cenDir)
+    fresh.crossJoin(F.broadcast(centroids))
+      .withColumn("d",
+        VectorFunctions.vec_l2sq(F.col("qx16"), F.col("mvec")))
+      .groupBy("vec_id")
+      .agg(F.min_by(F.col("cid"), F.struct(F.col("d"), F.col("cid")))
+        .as("cid"))
+      .select("vec_id", "cid")
+      .write.format("graft-avro").mode("append").save(asgDir)
   }
 
   /** Day-2 search job: everything below reads the PUBLISHED index — no
@@ -630,6 +665,24 @@ object LlmSimilarity extends Catalog {
       searchPersistedIvf(s, dir, cenDir, asgDir)
     }),
 
+    // INCREMENTAL index maintenance (r16) — the day-2 APPEND path: the
+    // index trains once over the day-1 half of the corpus, the other
+    // half arrives later and ASSIGNS to the persisted centroids (one
+    // broadcast cross join + map-side argmin — zero Lloyd jobs,
+    // IvfPersistSpec plan-guards it) with the new (vec_id, cid) rows
+    // APPENDED to the assignment table. The search then serves over
+    // the merged assignments: appended vectors are immediately
+    // retrievable, nothing was retrained, nothing rewritten. 100 TB:
+    // per-append cost is O(batch x k) products + one append commit —
+    // the only sane maintenance cadence for a continuously-ingesting
+    // embedding corpus (retrain on recall decay, not per batch).
+    "llm_similar_ivf_incr" -> ((s, dir) => {
+      val cut = table(s, dir, "embeddings").count() / 2
+      val (cenDir, asgDir) = buildIvfIndex(s, dir, below = Some(cut))
+      appendIvfAssignments(s, dir, cenDir, asgDir, atOrAbove = cut)
+      searchPersistedIvf(s, dir, cenDir, asgDir)
+    }),
+
     // PRODUCT QUANTIZATION — the codebook compression layout (Jégou et
     // al., the standard ANN storage beyond scalar int8): 8 per-subspace
     // k=8 codebooks trained in ONE grouped integer-Lloyd job, every
@@ -864,16 +917,18 @@ object LlmSimilarity extends Catalog {
     * is BIGINT so the driver hash cannot drift. (DuckDB `list_sum` →
     * HUGEINT is confined to the window ORDER BY, never emitted.)
     */
-  private val lloydCte: String = {
-    def step(i: Int): String = {
-      val prev = s"c${i - 1}"
-      s"""
+  /** Lloyd steps over a named corpus CTE (`ex` = the full corpus;
+    * `exb` = the day-1 prefix of the incremental-index oracle).
+    */
+  private def lloydStep(i: Int, corpus: String): String = {
+    val prev = s"c${i - 1}"
+    s"""
          d$i AS (
            SELECT x.vec_id, c.cid, x.qx,
                   list_sum(list_transform(generate_series(1, len(x.qx16)),
                     k -> (x.qx16[k] - c.mvec[k]) * (x.qx16[k] - c.mvec[k])))
                     AS d
-           FROM ex x, $prev c),
+           FROM $corpus x, $prev c),
          a$i AS (
            SELECT vec_id, cid, qx FROM (
              SELECT *, row_number() OVER (PARTITION BY vec_id
@@ -893,20 +948,53 @@ object LlmSimilarity extends Catalog {
                        ORDER BY pos) AS mvec
            FROM s$i s JOIN n$i n USING (cid)
            GROUP BY s.cid, n.n)"""
-    }
+  }
+
+  private val lloydQuantCte: String =
     s"""WITH e AS (
          SELECT vec_id,
                 list_transform(embedding, x ->
                   CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS qx
          FROM embeddings),
        ex AS (
-         SELECT vec_id, qx, list_transform(qx, v -> v * 16) AS qx16 FROM e),
+         SELECT vec_id, qx, list_transform(qx, v -> v * 16) AS qx16 FROM e)"""
+
+  private val lloydCte: String =
+    s"""$lloydQuantCte,
        c0 AS (
          SELECT vec_id AS cid, qx16 AS mvec FROM ex WHERE vec_id < 8),
-       ${step(1)},
-       ${step(2)},
-       ${step(3)}"""
-  }
+       ${lloydStep(1, "ex")},
+       ${lloydStep(2, "ex")},
+       ${lloydStep(3, "ex")}"""
+
+  /** Incremental-index prelude: Lloyd trains over the day-1 PREFIX
+    * (vec_id < half the corpus), the appended half assigns to the
+    * FINAL centroids with zero retraining, and `aall` is the merged
+    * assignment table the search probes.
+    */
+  private val lloydIncrCte: String =
+    s"""$lloydQuantCte,
+       exb AS (
+         SELECT * FROM ex
+         WHERE vec_id < (SELECT count(*) // 2 FROM embeddings)),
+       c0 AS (
+         SELECT vec_id AS cid, qx16 AS mvec FROM exb WHERE vec_id < 8),
+       ${lloydStep(1, "exb")},
+       ${lloydStep(2, "exb")},
+       ${lloydStep(3, "exb")},
+       na AS (
+         SELECT vec_id, cid FROM (
+           SELECT x.vec_id, c.cid,
+                  row_number() OVER (PARTITION BY x.vec_id ORDER BY
+                    list_sum(list_transform(generate_series(1, len(x.qx16)),
+                      k -> (x.qx16[k] - c.mvec[k]) * (x.qx16[k] - c.mvec[k]))),
+                    c.cid) AS rn
+           FROM ex x, c3 c
+           WHERE x.vec_id >= (SELECT count(*) // 2 FROM embeddings))
+         WHERE rn = 1),
+       ab1 AS (SELECT vec_id, cid FROM a3),
+       ab2 AS (SELECT vec_id, cid FROM na),
+       aall AS (SELECT * FROM ab1 UNION ALL SELECT * FROM ab2)"""
 
   /** PQ trainer as SQL: the lloydCte pattern with a `sub` key — one
     * recursion-free unrolled 2-pass Lloyd over all 8 subspaces at once.
@@ -1055,9 +1143,10 @@ object LlmSimilarity extends Catalog {
        FROM m JOIN cs USING (cid) ORDER BY cid"""
 
   /** IVF probe over the learned cells: nprobe=6 nearest c3 centroids per
-    * query, exact integer-L2 top-3 within the probed cells.
+    * query, exact integer-L2 top-3 within the probed cells — over the
+    * named assignment CTE (`a3` day-1, `aall` after incremental appends).
     */
-  private val ivfKmeansOracle: String = lloydCte + """,
+  private def ivfSearchSql(assign: String): String = s""",
        probeq AS (
          SELECT vec_id AS qid, qx16 AS qv FROM ex WHERE vec_id < 20),
        qcell AS (
@@ -1075,7 +1164,7 @@ object LlmSimilarity extends Catalog {
                   i -> (qc.qv[i] - x.qx16[i]) * (qc.qv[i] - x.qx16[i])))
                   AS BIGINT) AS d
          FROM qcell qc
-         JOIN a3 a ON a.cid = qc.cid AND a.vec_id <> qc.qid
+         JOIN $assign a ON a.cid = qc.cid AND a.vec_id <> qc.qid
          JOIN ex x ON x.vec_id = a.vec_id),
        rankedc AS (
          SELECT *, CAST(row_number() OVER (PARTITION BY qid
@@ -1083,6 +1172,10 @@ object LlmSimilarity extends Catalog {
          FROM cand)
        SELECT qid, vec_id, d, rn FROM rankedc
        WHERE rn <= 3 ORDER BY qid, rn"""
+
+  private val ivfKmeansOracle: String = lloydCte + ivfSearchSql("a3")
+
+  private val ivfIncrOracle: String = lloydIncrCte + ivfSearchSql("aall")
 
   /** IVF over the int8 layout: same probed cells, candidates re-ranked
     * by integer L2 over the quantized vectors (floor semantics shared
@@ -1239,6 +1332,7 @@ object LlmSimilarity extends Catalog {
     // day-2 search equality: the persisted-index search must reproduce
     // the in-job plan's answer exactly — same oracle, bit for bit
     "llm_similar_ivf_persist" -> ivfKmeansOracle,
+    "llm_similar_ivf_incr" -> ivfIncrOracle,
     "llm_similar_ivf_quant" -> ivfQuantOracle,
     "llm_similar_ivfpq" -> ivfPqOracle,
     // re-derive the ±1 matrix from SQL md5 and replay the exact integer

@@ -36,6 +36,36 @@ class IvfPersistSpec extends AnyFunSuite with SparkSpec with Matchers {
     search.collect() shouldBe inJob.collect()
   }
 
+  test("incremental append assigns without retraining; search serves it") {
+    val cut = 250L // sf0.001 embeddings = 500 dense ids; day-1 = first half
+    val (cenDir, asgDir) =
+      LlmSimilarity.buildIvfIndex(spark, dir, below = Some(cut))
+    val day1 = spark.read.format("graft-avro").load(asgDir).count()
+    day1 shouldBe cut
+    // the APPEND job: one broadcast assignment pass — zero Lloyd
+    // iterations (no LogicalRDD/ExistingRDD from a localCheckpoint)
+    LlmSimilarity.appendIvfAssignments(spark, dir, cenDir, asgDir,
+      atOrAbove = cut)
+    val merged = spark.read.format("graft-avro").load(asgDir)
+    merged.count() shouldBe 500L
+    // every appended vector landed in a real cell of the persisted index
+    val cids = spark.read.format("graft-avro").load(cenDir)
+      .select("cid").collect().map(_.getLong(0)).toSet
+    merged.select("cid").collect().map(_.getLong(0)).toSet
+      .subsetOf(cids) shouldBe true
+    // day-2 search over the merged assignments: appended vectors are
+    // retrievable, and the plan has no trace of training
+    val search = LlmSimilarity.searchPersistedIvf(spark, dir, cenDir, asgDir)
+    val optimized = search.queryExecution.optimizedPlan.toString
+    optimized should not include "LogicalRDD"
+    optimized should not include "ExistingRDD"
+    val got = search.collect()
+    got.length should be > 0
+    // some appended (vec_id >= cut) vector surfaces as a neighbor —
+    // the index genuinely serves the new batch
+    got.map(_.getLong(1)).exists(_ >= cut) shouldBe true
+  }
+
   test("a rebuilt index version overwrites cleanly and still answers") {
     val (cenDir, asgDir) = LlmSimilarity.buildIvfIndex(spark, dir)
     val before =
