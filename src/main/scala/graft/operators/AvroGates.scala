@@ -2595,6 +2595,37 @@ object AvroGates extends Catalog {
         .orderBy("src")
     }),
 
+    // The branch-scoped change feed (r16): "what exactly would this
+    // branch add if published?" — every staged overlay row as an
+    // `insert` pinned at the fork version, riding the real branch scan.
+    // The stamped pre-fork delete ('en' at v2) hides main's English
+    // rows from the BRANCH READ but never touches the overlay's staged
+    // English re-append (births pinned past every stamp) — the feed
+    // must carry it. Cross-branch version ranges (main advancing past
+    // the fork) refuse, mirroring the fast-forward publish contract.
+    "q_avro_cdc_branch" -> ((s, dir) => {
+      val tmp = tempDir("graft_gate_cdcbr")
+      val docs = table(s, dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+      docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) === 0)
+        .write.format("graft-avro").mode("overwrite").save(tmp) // v1
+      graft.sources.AvroMaintenance.deleteWhere(s, tmp, "lang",
+        Seq("en")) // v2: stamped before the fork
+      graft.sources.AvroMaintenance.createBranch(tmp, "audit")
+      docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) === 1)
+        .write.format("graft-avro").mode("append")
+        .option("branch", "audit").save(tmp)
+      docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) === 2 &&
+          F.col("lang") === "en")
+        .write.format("graft-avro").mode("append")
+        .option("branch", "audit").save(tmp)
+      graft.sources.AvroMaintenance.branchChanges(s, tmp, "audit")
+        .groupBy(F.col("_change_type").as("change_type"), F.col("lang"))
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.sum(F.col("n_chars").cast("long")).as("chars"))
+        .orderBy("change_type", "lang")
+    }),
+
     // Row-level MERGE (upsert) by key, on versioned equality deletes:
     // each mergeInto publishes a version-stamped delete of the incoming
     // keys plus a transactional append, and the stamp rule (delete at V
@@ -2919,6 +2950,17 @@ object AvroGates extends Catalog {
          SELECT lang, count(*) AS n_docs,
                 CAST(sum(n_chars) AS BIGINT) AS chars
          FROM kept GROUP BY lang ORDER BY lang""",
+    // the audit feed = exactly the two staged generations, all inserts
+    // (the %3=1 subset whole, the %3=2 subset's English rows)
+    "q_avro_cdc_branch" ->
+      """WITH s1 AS (SELECT lang, n_chars FROM documents
+                     WHERE doc_id % 3 = 1),
+         s2 AS (SELECT lang, n_chars FROM documents
+                WHERE doc_id % 3 = 2 AND lang = 'en'),
+         staged AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+         SELECT 'insert' AS change_type, lang, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS chars
+         FROM staged GROUP BY lang ORDER BY change_type, lang""",
     // the mirror equals the MoR source's live content: seed, times-ten
     // update on the %3 rows, positional range delete, then the +1M
     // append — the whole history replayed through posdel deltas

@@ -500,6 +500,42 @@ object AvroMaintenance {
     }
   }
 
+  /** Branch-scoped change feed (the WAP audit question: "what exactly
+    * would this branch add if published?"): every overlay row as an
+    * `insert` tagged with the fork version — the base the audit diffs
+    * against. Branches are append-only overlays with no history of
+    * their own, so the feed is exactly the staged rows; they ride the
+    * REAL branch scan (schema union, rename views, fork-pinned delete
+    * stamps) and are isolated via the `_graft_file` metadata column's
+    * overlay prefix. Refuses when main advanced past the fork: the
+    * overlay's base is stale, publish would refuse the fast-forward,
+    * and a feed spanning main's post-fork versions is a cross-branch
+    * version range the overlay cannot express — re-stage on a fresh
+    * branch. Unknown branches refuse via the fork resolution.
+    */
+  def branchChanges(spark: SparkSession, dir: String,
+      name: String): DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    val d = new File(dir)
+    val (forkV, _) = AvroFileSource.branchFork(d, name)
+    val cur = AvroFileSource.readSnapshots(d).lastOption
+      .map(_.version).getOrElse(0L)
+    require(cur == forkV,
+      s"graft-avro branch changes: main is at v$cur but branch '$name' " +
+        s"forked at v$forkV — the feed cannot span main's post-fork " +
+        "versions (cross-branch version range); re-stage on a fresh " +
+        "branch")
+    val prefix = "_graft_branches/"
+    val df = spark.read.format("graft-avro")
+      .option("branch", name).load(dir)
+    df.select((df.columns.toSeq.map(F.col) :+
+        F.col(AvroFileSource.MetaFile)): _*)
+      .where(F.col(AvroFileSource.MetaFile).startsWith(prefix))
+      .drop(AvroFileSource.MetaFile)
+      .withColumn("_change_type", F.lit("insert"))
+      .withColumn("_commit_version", F.lit(forkV))
+  }
+
   /** Abandon a branch: delete the overlay and unpin its fork ref. */
   def dropBranch(dir: String, name: String): Unit = {
     val d = new File(dir)

@@ -104,6 +104,35 @@ class AvroBranchSpec extends AnyFunSuite with SparkSpec with Matchers {
     after should not contain 8L
   }
 
+  test("branchChanges: the overlay's audit feed, pinned at the fork") {
+    val dir = tmp()
+    writeRange(dir, 0, 50, "overwrite") // v1
+    AvroMaintenance.deleteWhere(spark, dir, "k", Seq(3L)) // v2 (stamped)
+    val forkV = AvroMaintenance.createBranch(dir, "feed")
+    writeRange(dir, 100, 130, "append", Some("feed"))
+    writeRange(dir, 3, 4, "append", Some("feed")) // re-appends a deleted key
+    val feed = AvroMaintenance.branchChanges(spark, dir, "feed")
+    feed.select("_change_type").distinct().collect()
+      .map(_.getString(0)).toSeq shouldBe Seq("insert")
+    feed.select("_commit_version").distinct().head().getLong(0) shouldBe forkV
+    // exactly the staged rows — main's rows never appear, and the
+    // re-appended key 3 IS in the feed (fork deletes never touch
+    // overlay rows)
+    keys(feed.drop("_change_type", "_commit_version")) shouldBe
+      ((100L until 130).toSet + 3L)
+    // cross-branch version range: main advances past the fork — the
+    // overlay's base is stale, the feed refuses like publish would
+    writeRange(dir, 50, 55, "append") // main moves on
+    val e = intercept[IllegalArgumentException] {
+      AvroMaintenance.branchChanges(spark, dir, "feed")
+    }
+    e.getMessage should include("cross-branch version range")
+    // unknown branches refuse via fork resolution
+    intercept[IllegalArgumentException] {
+      AvroMaintenance.branchChanges(spark, dir, "nope")
+    }
+  }
+
   test("append-only contract and audit-then-drop") {
     val dir = tmp()
     writeRange(dir, 0, 40, "overwrite")
