@@ -31,8 +31,42 @@ object ColumnarAb {
     // COLUMNAR_AB_STRUCTS: nested-record payload — measures the
     // struct-children decode
     val structs = sys.env.get("COLUMNAR_AB_STRUCTS").exists(_.toBoolean)
+    // COLUMNAR_AB_UNIONS: multi-branch tagged-union payload (a foreign
+    // [string, long] column) — measures the r16 union-index dispatch
+    val unions = sys.env.get("COLUMNAR_AB_UNIONS").exists(_.toBoolean)
     val dir = operators.Catalog.tempDir("columnar_ab")
-    (if (structs)
+    if (unions) {
+      // write REAL union files (the engine's own sink reconstructs the
+      // union from the tagged struct + metadata — round-trip it once)
+      import org.apache.avro.{Schema, SchemaBuilder}
+      import org.apache.avro.generic.{GenericData, GenericDatumWriter,
+        GenericRecord}
+      val unionS = Schema.createUnion(java.util.Arrays.asList(
+        Schema.create(Schema.Type.STRING), Schema.create(Schema.Type.LONG)))
+      val recS = SchemaBuilder.record("U").namespace("ab").fields()
+        .requiredLong("uid")
+        .name("v").`type`(unionS).noDefault()
+        .endRecord()
+      val perFile = rows / 32
+      java.util.stream.IntStream.range(0, 32).parallel().forEach { p =>
+        val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
+          new GenericDatumWriter[GenericRecord](recS))
+        w.setCodec(org.apache.avro.file.CodecFactory.fromString(
+          if (codec == "null") "null" else codec))
+        w.create(recS, new java.io.File(dir, f"u-$p%05d.avro"))
+        try {
+          var i = 0L
+          while (i < perFile) {
+            val id = p * perFile + i
+            val r = new GenericData.Record(recS)
+            r.put("uid", id)
+            r.put("v", if (id % 2 == 0) s"s$id" else Long.box(id * 10L))
+            w.append(r)
+            i += 1
+          }
+        } finally w.close()
+      }
+    } else (if (structs)
       spark.range(rows).selectExpr(
         "id",
         """named_struct(
@@ -74,7 +108,12 @@ object ColumnarAb {
       // every variant keeps at least one non-column aggregate expression
       // so the metadata-served SUM pushdown can't skip the scan
       val agg =
-        if (structs) df.agg(
+        if (unions) df.agg(
+          F.sum("uid"),
+          F.sum(F.length(F.col("v.string"))),
+          F.sum("v.long"),
+          F.count(F.when(F.col("v.tag") === "long", 1)))
+        else if (structs) df.agg(
           F.sum(F.length(F.col("info.name"))),
           F.sum("info.score"), F.sum("info.inner.a"))
         else if (arrays) df.agg(F.sum(F.size(F.col("emb"))),

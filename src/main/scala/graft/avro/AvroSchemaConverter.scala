@@ -35,7 +35,7 @@ object AvroSchemaConverter {
   private[avro] val MetaFixedName = "avro.fixed.name"
   private[avro] val MetaFixedSize = "avro.fixed.size"
   private[graft] val MetaUnionBranches = "avro.union.branches"
-  private[avro] val UnionTagField = "tag"
+  private[graft] val UnionTagField = "tag"
 
   /** Unwrap a union: `[null,T]`, `[T,null]`, `[T]` → (T, nullable).
     * Anything else throws, matching AvroSchemaSql.scala:40-47.
@@ -54,7 +54,7 @@ object AvroSchemaConverter {
   /** A union's non-null branches plus its nullability — the lenient
     * companion of [[fromUnion]] for the multi-branch extension.
     */
-  private[avro] def unionBranches(u: Schema): (Seq[Schema], Boolean) = {
+  private[graft] def unionBranches(u: Schema): (Seq[Schema], Boolean) = {
     val ts = u.getTypes.asScala.toSeq
     (ts.filterNot(_.getType == Type.NULL), ts.exists(_.getType == Type.NULL))
   }
@@ -65,7 +65,7 @@ object AvroSchemaConverter {
     * the Avro spec within one union, except same-simple-name records in
     * different namespaces, which we reject.
     */
-  private[avro] def branchName(s: Schema): String = s.getType match {
+  private[graft] def branchName(s: Schema): String = s.getType match {
     case Type.RECORD | Type.ENUM | Type.FIXED => s.getName
     case t => t.getName.toLowerCase
   }

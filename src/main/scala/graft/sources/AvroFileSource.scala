@@ -5386,6 +5386,22 @@ object AvroReaderFactory {
     */
   private def pruneTo(ws: Schema, dt: DataType, file: String): Schema =
     (ws.getType, dt) match {
+      // TAGGED multi-branch union against its carrier struct: each
+      // branch prunes against its OWN branch field's type, never the
+      // carrier (a record branch pruned against {tag, …} would
+      // mis-resolve); unknown branch names pass through unchanged
+      case (Schema.Type.UNION, st: StructType)
+          if graft.avro.AvroSchemaConverter.unionBranches(ws)
+            ._1.length >= 2 &&
+            st.fieldNames.contains(
+              graft.avro.AvroSchemaConverter.UnionTagField) =>
+        Schema.createUnion(ws.getTypes.asScala.map {
+          case n if n.getType == Schema.Type.NULL => n
+          case b =>
+            val name = graft.avro.AvroSchemaConverter.branchName(b)
+            val fi = st.fieldNames.indexOf(name)
+            if (fi < 0) b else pruneTo(b, st.fields(fi).dataType, file)
+        }.asJava)
       case (Schema.Type.UNION, _) =>
         // preserve the writer's branch ORDER: Avro validates a field
         // default against the FIRST branch, so rebuilding [T, null] as
@@ -5433,20 +5449,16 @@ case class AvroReaderFactory(required: StructType, full: StructType,
     columnarBatch > 0 &&
       // rename views vectorize: the alias is name indirection, not a
       // type change — tier 1 translates writer names through the
-      // reader-field aliases, tier 2's resolver applies them natively.
-      // ONLY the re-added-historical-name case stays on rows: its
-      // SHADOW reader field would surface in readFieldOrder at a
-      // position the vector array doesn't have.
-      renames.forall { case (_, from, _) =>
-        !full.fieldNames.contains(from) } &&
+      // reader-field aliases (a shadow-translated writer field compiles
+      // to a typed skip), tier 2's resolver applies them natively and
+      // its appenders past the vector array are pure discards — even
+      // the re-added-historical-name (shadow) case stays columnar.
       required.fields.forall { f =>
         f.name != AvroFileSource.MetaFile &&
           f.name != AvroFileSource.MetaPos &&
-          // judge shape + union tags against the FULL table schema:
-          // nested column pruning rebuilds `required` struct fields
-          // WITHOUT their metadata, so the tagged-union marker only
-          // survives on `full` (conservative: a union anywhere inside
-          // the full column keeps the whole column on rows)
+          // judge shape against the FULL table schema: nested column
+          // pruning rebuilds `required` struct fields WITHOUT their
+          // metadata, so the tagged-union marker only survives on `full`
           full.fields.find(_.name == f.name).exists(vectorizableField)
       } &&
       // widened-in delete columns must be vectorizable too
@@ -5455,17 +5467,17 @@ case class AvroReaderFactory(required: StructType, full: StructType,
         f.name == e.col && vectorizableField(f)))
 
   /** Field-level check: a struct FIELD that is really a multi-branch
-    * Avro union (tagged via `avro.union.branches` metadata) decodes
-    * through resolveUnion on the row path — the avro side is a UNION,
-    * not a RECORD, so the vector planners must never see it.
+    * Avro union (tagged via `avro.union.branches` metadata, catalyst
+    * shape {tag, <branch>…}) vectorizes since r16 — both decode tiers
+    * dispatch on the wire's union index and write every child slot —
+    * provided each branch field is itself vectorizable (the struct
+    * recursion below covers tag + branches alike).
     */
   private def vectorizableField(f: StructField): Boolean =
-    !f.metadata.contains(
-      graft.avro.AvroSchemaConverter.MetaUnionBranches) &&
-      (f.dataType match {
-        case st: StructType => st.fields.forall(vectorizableField)
-        case dt => vectorizable(dt)
-      })
+    f.dataType match {
+      case st: StructType => st.fields.forall(vectorizableField)
+      case dt => vectorizable(dt)
+    }
 
   private def vectorizable(dt: DataType): Boolean = dt match {
     case BooleanType | ByteType | ShortType | IntegerType | LongType |

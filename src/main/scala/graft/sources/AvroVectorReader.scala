@@ -61,14 +61,68 @@ private[sources] final class VectorAvroDatumReader(
 
   private type Append = (ResolvingDecoder, WritableColumnVector, Int) => Unit
 
-  private val appenders: Array[Append] = struct.fields.map { sf =>
-    val f = readerSchema.getField(sf.name)
-    require(f != null, s"Avro reader schema has no field '${sf.name}'")
-    fieldAppender(f.schema(), sf.dataType)
+  /** One appender per READER field. The first `struct.fields.length`
+    * reader fields map 1:1 onto the catalyst struct (resolveReader
+    * builds them from it in order); any fields past that are SHADOW
+    * fields (a renamed-away writer field captured under a throwaway
+    * alias so it cannot resolve into a re-added same-named column) —
+    * they consume-and-discard, no vector involved.
+    */
+  private val appenders: Array[Append] = {
+    val rfs = readerSchema.getFields.asScala.toArray
+    rfs.zipWithIndex.map { case (rf, pos) =>
+      if (pos < struct.fields.length) {
+        val sf = struct.fields(pos)
+        require(rf.name == sf.name,
+          s"Avro reader field '${rf.name}' != struct field '${sf.name}'")
+        fieldAppender(rf.schema(), sf.dataType)
+      } else {
+        val sk = DirectVectorPlan.skipStep(rf.schema())
+        require(sk != null,
+          s"Avro shadow field '${rf.name}' is not skippable: ${rf.schema}")
+        (in, _, i) => sk(in, null, i)
+      }
+    }
   }
 
   private def fieldAppender(s: Schema, dt: DataType): Append =
-    if (s.getType == Type.UNION) {
+    if (s.getType == Type.UNION &&
+        graft.avro.AvroSchemaConverter.unionBranches(s)._1.length >= 2) {
+      // TAGGED multi-branch union → struct {tag, <branch>…}: the union
+      // index picks the branch straight off the wire (no resolveUnion
+      // object dispatch); every child slot is written each row (tag +
+      // active branch value, the rest null) so the dead-row scrub
+      // protocol stays sound
+      val st = dt.asInstanceOf[StructType]
+      val types = s.getTypes.asScala.toArray
+      val nullIdx = types.indexWhere(_.getType == Type.NULL)
+      val tagIdx = st.fieldIndex(graft.avro.AvroSchemaConverter.UnionTagField)
+      val nChildren = st.fields.length
+      val branches: Array[(Int, Array[Byte], Append)] = types.map {
+        case n if n.getType == Type.NULL => null
+        case b =>
+          val name = graft.avro.AvroSchemaConverter.branchName(b)
+          val fi = st.fieldIndex(name)
+          (fi, name.getBytes(StandardCharsets.UTF_8),
+            fieldAppender(b, st.fields(fi).dataType))
+      }
+      (in, v, i) => {
+        val bi = in.readIndex()
+        if (bi == nullIdx) { in.readNull(); v.putNull(i) }
+        else {
+          val (fi, tag, app) = branches(bi)
+          v.putNotNull(i)
+          var c = 0
+          while (c < nChildren) {
+            if (c != fi && c != tagIdx) v.getChild(c).putNull(i)
+            c += 1
+          }
+          v.getChild(tagIdx).putByteArray(i, tag, 0, tag.length)
+          app(in, v.getChild(fi), i)
+          ()
+        }
+      }
+    } else if (s.getType == Type.UNION) {
       val types = s.getTypes.asScala.toArray
       val nullIdx = types.indexWhere(_.getType == Type.NULL)
       val branches: Array[Append] = types.map {
@@ -234,7 +288,10 @@ private[sources] final class VectorAvroDatumReader(
     var k = 0
     while (k < order.length) {
       val pos = order(k).pos()
-      appenders(pos)(resolver, vectors(pos), rowId)
+      // shadow fields sit past the vector array — their appenders are
+      // pure discards and never touch the (null) vector argument
+      appenders(pos)(resolver,
+        if (pos < vectors.length) vectors(pos) else null, rowId)
       k += 1
     }
     resolver.drain()
@@ -324,7 +381,50 @@ private[sources] object DirectVectorPlan {
     */
   private def appendInto(ws: Schema, dt: DataType)
       : (Decoder, WritableColumnVector, Int) => Unit =
-    if (ws.getType == Type.UNION) {
+    if (ws.getType == Type.UNION &&
+        graft.avro.AvroSchemaConverter.unionBranches(ws)._1.length >= 2) {
+      // TAGGED multi-branch union → struct {tag, <branch>…}: the wire
+      // index picks the branch; every child slot writes each row. Bail
+      // (null) on any shape surprise — the resolver tier handles it.
+      dt match {
+        case st: StructType
+            if st.fieldNames.contains(
+              graft.avro.AvroSchemaConverter.UnionTagField) =>
+          val types = ws.getTypes.asScala.toArray
+          val nullIdx = types.indexWhere(_.getType == Type.NULL)
+          val tagIdx = st.fieldIndex(
+            graft.avro.AvroSchemaConverter.UnionTagField)
+          val nChildren = st.fields.length
+          val branches: Array[(Int, Array[Byte],
+              (Decoder, WritableColumnVector, Int) => Unit)] = types.map {
+            case n if n.getType == Type.NULL => null
+            case b =>
+              val name = graft.avro.AvroSchemaConverter.branchName(b)
+              val fi = st.fieldNames.indexOf(name)
+              if (fi < 0) return null
+              val app = appendInto(b, st.fields(fi).dataType)
+              if (app == null) return null
+              (fi, name.getBytes(StandardCharsets.UTF_8), app)
+          }
+          (in, v, i) => {
+            val bi = in.readIndex()
+            if (bi == nullIdx) { in.readNull(); v.putNull(i) }
+            else {
+              val (fi, tag, app) = branches(bi)
+              v.putNotNull(i)
+              var c = 0
+              while (c < nChildren) {
+                if (c != fi && c != tagIdx) v.getChild(c).putNull(i)
+                c += 1
+              }
+              v.getChild(tagIdx).putByteArray(i, tag, 0, tag.length)
+              app(in, v.getChild(fi), i)
+              ()
+            }
+          }
+        case _ => null
+      }
+    } else if (ws.getType == Type.UNION) {
       val types = ws.getTypes.asScala.toArray
       val nullIdx = types.indexWhere(_.getType == Type.NULL)
       val branches = types.map {
@@ -610,7 +710,7 @@ private[sources] object DirectVectorPlan {
     * containers; block-skips honor Avro's negative-count byte-length
     * fast path via skipArray/skipMap).
     */
-  private def skipStep(ws: Schema): Step = ws.getType match {
+  private[sources] def skipStep(ws: Schema): Step = ws.getType match {
     case Type.NULL => (in, _, _) => in.readNull()
     case Type.BOOLEAN => (in, _, _) => { in.readBoolean(); () }
     case Type.INT => (in, _, _) => { in.readInt(); () }

@@ -192,9 +192,10 @@ class ColumnarDecodeSpec extends AnyFunSuite with SparkSpec with Matchers {
     // nested-field aggregates line up
     cold.agg(F.sum(F.col("info.hist")(0))).head() shouldBe
       rowPath.agg(F.sum(F.col("info.hist")(0))).head()
-    // multi-branch tagged-union structs must STAY on the row path:
-    // a foreign [string, long] union file infers as a tagged struct
-    // whose avro side is a UNION, not a RECORD
+    // multi-branch tagged-union structs vectorize since r16: both
+    // decode tiers dispatch on the wire's union index — a foreign
+    // [string, long] union file infers as the tagged struct AND reads
+    // columnar, matching the row path exactly
     val dir2 = tmp()
     import org.apache.avro.{Schema, SchemaBuilder}
     import org.apache.avro.generic.{GenericData, GenericDatumWriter,
@@ -215,8 +216,29 @@ class ColumnarDecodeSpec extends AnyFunSuite with SparkSpec with Matchers {
       w.append(r)
     } finally w.close()
     val uread = spark.read.format("graft-avro").load(dir2)
-    assert(!isColumnar(uread), "tagged-union structs must stay row-based")
-    uread.count() shouldBe 10
+    assert(isColumnar(uread), "tagged-union structs vectorize (r16)")
+    val urows = uread.select("uid", "v.tag", "v.string", "v.long")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)), Option(r.get(3)))).sortBy(_._1)
+    urows.length shouldBe 10
+    urows.foreach { case (uid, tag, s, l) =>
+      if (uid % 2 == 0) {
+        tag shouldBe "string"
+        s shouldBe Some(s"s$uid")
+        l shouldBe None
+      } else {
+        tag shouldBe "long"
+        s shouldBe None
+        l shouldBe Some(uid * 10L)
+      }
+    }
+    // row/columnar equality on the union column
+    val urow = spark.read.format("graft-avro")
+      .option("columnar", "false").load(dir2)
+      .select("uid", "v.tag", "v.string", "v.long").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)), Option(r.get(3)))).sortBy(_._1)
+    urows.toSeq shouldBe urow.toSeq
   }
 
   test("struct null-bit scrub survives dead rows from deletes") {
@@ -352,6 +374,43 @@ class ColumnarDecodeSpec extends AnyFunSuite with SparkSpec with Matchers {
     DirectVectorPlan.build(writer, reader, struct) should not be null
   }
 
+  test("tier-1 direct plan covers tagged unions and shadow fields") {
+    import org.apache.spark.sql.types._
+    import org.apache.avro.Schema
+    // tagged union: writer [string, long] column, catalyst carrier
+    val unionS = Schema.createUnion(java.util.Arrays.asList(
+      Schema.create(Schema.Type.STRING), Schema.create(Schema.Type.LONG)))
+    val recS = org.apache.avro.SchemaBuilder.record("U").namespace("t1")
+      .fields()
+      .requiredLong("uid")
+      .name("v").`type`(unionS).noDefault()
+      .endRecord()
+    val (dt, _, md) = graft.avro.AvroSchemaConverter.toDataType(unionS)
+    val struct = StructType(Seq(
+      StructField("uid", LongType, nullable = false),
+      StructField("v", dt, nullable = true, metadata = md)))
+    val reader = AvroReaderFactory.resolveReader(recS, struct, "test")
+    DirectVectorPlan.build(recS, reader, struct) should not be null
+    // shadow case (alias consumer 'b' PRUNED from the projection, old
+    // name 'a' re-added): the renamed-away writer field compiles to a
+    // typed skip and the re-added column null-fills — direct-plan-able
+    val pruned = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("a", StringType)))
+    val writerStruct = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("a", StringType)))
+    val writer = graft.avro.AvroSchemaConverter
+      .toAvro(writerStruct, "r", None, None)
+    val shReader = AvroReaderFactory.resolveReader(writer, pruned, "test",
+      renamedAway = Set("a"),
+      fileNameOf = identity)
+    // the shadow field exists on the reader (id, a, __graft_shadow_a)…
+    shReader.getFields.size shouldBe pruned.fields.length + 1
+    // …and tier-1 still plans (old-name bytes skip, re-added 'a' nulls)
+    DirectVectorPlan.build(writer, shReader, pruned) should not be null
+  }
+
   test("rename + widen + declared default rides the resolver tier, columnar") {
     val root = tmp()
     spark.conf.set("spark.sql.catalog.grw", classOf[GraftCatalog].getName)
@@ -373,7 +432,7 @@ class ColumnarDecodeSpec extends AnyFunSuite with SparkSpec with Matchers {
       Array((1L, 10L, "a", "x"), (2L, 20L, "b", "x"), (3L, 30L, "c", "y"))
   }
 
-  test("re-added historical names keep the row path (shadow soundness)") {
+  test("re-added historical names decode columnar (shadow discards)") {
     import org.apache.spark.sql.types._
     val dir = tmp()
     spark.range(5).selectExpr("id", "cast(id as string) as a")
@@ -384,11 +443,27 @@ class ColumnarDecodeSpec extends AnyFunSuite with SparkSpec with Matchers {
       .selectExpr("id", "cast(id as string) as b", "concat('n', id) as a")
       .write.format("graft-avro").mode("append").save(dir)
     val back = spark.read.format("graft-avro").load(dir)
-    assert(!isColumnar(back),
-      "a re-added historical name needs shadow fields — rows only")
+    // r16: shadow fields are typed discards on both tiers — the old
+    // file's renamed-away bytes are consumed, never land in the
+    // re-added column, and the scan stays columnar
+    assert(isColumnar(back),
+      "shadow-bearing rename views vectorize (r16)")
     back.filter(F.col("a").isNull).count() shouldBe 5
     back.filter(F.col("a").isNotNull).count() shouldBe 3
     back.agg(F.count("b")).head().getLong(0) shouldBe 8
+    // exact equality against the row path, all three columns
+    val sigOf = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("id", "a", "b").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)),
+          r.getString(2))).sortBy(_._1).toSeq
+    sigOf(back) shouldBe sigOf(spark.read.format("graft-avro")
+      .option("columnar", "false").load(dir))
+    // the PRUNED projection (alias consumer dropped) is the case the
+    // shadow exists for: the writer's old-name bytes must not resolve
+    // into the re-added same-named column
+    spark.read.format("graft-avro").load(dir).select("a")
+      .collect().flatMap(r => Option(r.getString(0))).sorted.toSeq shouldBe
+      Seq("n5", "n6", "n7")
   }
 
   test("equality deletes apply ON the columnar path, batches stay dense") {
