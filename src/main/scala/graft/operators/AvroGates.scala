@@ -2595,6 +2595,46 @@ object AvroGates extends Catalog {
         .orderBy("src")
     }),
 
+    // BATCH changelog read (r16): `spark.read.option("readChangeFeed",
+    // true)` with an explicit (startingVersion, endingVersion] window —
+    // the Delta-style batch CDF surface, same partitions and per-row
+    // delta machinery as the stream (posdel deltas ride the
+    // `_graft_pos` coordinates; the window here brackets an append and
+    // a positional delete, excluding v1's bulk and v4's later append).
+    "q_avro_cdc_batch" -> ((s, dir) => {
+      val src = tempDir("graft_gate_cdcb_src")
+      val docs = table(s, dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+      // v1: ONE file, physically sorted by doc_id — ordinals are ranks,
+      // so the oracle can name the position-deleted rows exactly
+      docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) === 0)
+        .coalesce(1).sortWithinPartitions("doc_id")
+        .write.format("graft-avro").mode("overwrite").save(src)
+      val rel = {
+        val d = new java.io.File(src)
+        val base = d.getAbsoluteFile.toPath
+        graft.sources.AvroFileSource.listLive(d).map { case (f, _) =>
+          base.relativize(f.getAbsoluteFile.toPath).toString
+        }.head
+      }
+      docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) === 1)
+        .write.format("graft-avro").mode("append").save(src) // v2
+      graft.sources.AvroMaintenance.deleteAtPositions(src, rel,
+        Seq(0L, 1L, 2L)) // v3: the 3 smallest doc_ids of generation 1
+      docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) === 2)
+        .write.format("graft-avro").mode("append").save(src) // v4
+      s.read.format("graft-avro")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "2")
+        .option("endingVersion", "3")
+        .load(src)
+        .groupBy(F.col("_commit_version").as("version"),
+          F.col("_change_type").as("change_type"))
+        .agg(F.count(F.lit(1)).as("n_rows"),
+          F.sum(F.col("n_chars").cast("long")).as("chars"))
+        .orderBy("version", "change_type")
+    }),
+
     // The branch-scoped change feed (r16): "what exactly would this
     // branch add if published?" — every staged overlay row as an
     // `insert` pinned at the fork version, riding the real branch scan.
@@ -2950,6 +2990,24 @@ object AvroGates extends Catalog {
          SELECT lang, count(*) AS n_docs,
                 CAST(sum(n_chars) AS BIGINT) AS chars
          FROM kept GROUP BY lang ORDER BY lang""",
+    // the (1, 3] window = v2's inserts + v3's positional deletes (the
+    // 3 rank-smallest doc_ids of the sorted %3=0 generation)
+    "q_avro_cdc_batch" ->
+      """WITH g0 AS (SELECT doc_id, n_chars FROM documents
+                     WHERE doc_id % 3 = 0),
+         g1 AS (SELECT n_chars FROM documents WHERE doc_id % 3 = 1),
+         dead AS (SELECT n_chars FROM (
+                    SELECT n_chars, row_number() OVER (ORDER BY doc_id)
+                      AS rn FROM g0)
+                  WHERE rn <= 3),
+         r2 AS (SELECT 2 AS version, 'insert' AS change_type, n_chars
+                FROM g1),
+         r3 AS (SELECT 3 AS version, 'delete' AS change_type, n_chars
+                FROM dead),
+         feed AS (SELECT * FROM r2 UNION ALL SELECT * FROM r3)
+         SELECT CAST(version AS BIGINT) AS version, change_type,
+                count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS chars
+         FROM feed GROUP BY 1, 2 ORDER BY 1, 2""",
     // the audit feed = exactly the two staged generations, all inserts
     // (the %3=1 subset whole, the %3=2 subset's English rows)
     "q_avro_cdc_branch" ->

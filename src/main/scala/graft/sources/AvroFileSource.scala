@@ -164,9 +164,9 @@ class AvroFileSource extends TableProvider with DataSourceRegister {
     // the fork.
     val evolved = AvroFileSource.applyEvo(d, merged,
       travel.orElse(inc.map(_._2)))
-    // CDC change feed (`readChangeFeed=true`, streaming): the row set is
-    // the data schema plus the change metadata every CDC consumer keys
-    // on — Delta's column names, for familiarity
+    // CDC change feed (`readChangeFeed=true`, batch or streaming): the
+    // row set is the data schema plus the change metadata every CDC
+    // consumer keys on — Delta's column names, for familiarity
     if (Option(options.get("readChangeFeed")).exists(_.toBoolean)) {
       require(travel.isEmpty && inc.isEmpty && branch.isEmpty,
         "graft-avro: readChangeFeed is exclusive with time travel / " +
@@ -2634,6 +2634,8 @@ case class AvroTable(path: String, tableSchema: StructType,
         Option(options.get("startingVersion")).map(_.toLong),
       cdcMaxVersions =
         Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
+      cdcEndVersion =
+        Option(options.get("endingVersion")).map(_.toLong),
       cdcAllowInitialSnapshot =
         Option(options.get("allowInitialSnapshot")).exists(_.toBoolean))
   }
@@ -2722,14 +2724,16 @@ class AvroScanBuilder(path: String, full: StructType,
     // without re-reading the unchanged bulk. Schema inference still
     // runs over the FULL snapshot (a subset must not narrow the view).
     restrictFiles: Option[Set[String]] = None,
-    // streaming CDC change feed (`readChangeFeed=true`): offsets are
-    // journal VERSIONS; each micro-batch serves the per-version file
-    // deltas as insert/delete rows tagged `_change_type` +
-    // `_commit_version`. Streaming-only — batch CDC is
-    // AvroMaintenance.changes.
+    // CDC change feed (`readChangeFeed=true`): offsets are journal
+    // VERSIONS; each micro-batch (or the whole batch read's
+    // (startingVersion-1, endingVersion] range) serves the per-version
+    // file deltas as insert/delete rows tagged `_change_type` +
+    // `_commit_version`. Batch reads default to the full journal and
+    // accept `endingVersion`; streams tail from `startingVersion`.
     cdcFeed: Boolean = false,
     cdcStartVersion: Option[Long] = None,
     cdcMaxVersions: Option[Long] = None,
+    cdcEndVersion: Option[Long] = None,
     // opt-in: a startingVersion below the journal's rebase horizon
     // (expireSnapshots) serves the first retained version as a full
     // insert snapshot, then continues with deltas — explicit because a
@@ -2763,7 +2767,7 @@ class AvroScanBuilder(path: String, full: StructType,
     * counts.
     */
   override def pushLimit(n: Int): Boolean = {
-    if (!anyResidual) limit = Some(n)
+    if (!anyResidual && !cdcFeed) limit = Some(n)
     false
   }
 
@@ -2784,6 +2788,13 @@ class AvroScanBuilder(path: String, full: StructType,
     * COUNT(*) over a filtered scan can answer from block headers alone.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    if (cdcFeed) {
+      // the CDC row set is version deltas, not the live listing — file
+      // pruning and decided pushdown would drop change rows; every
+      // filter stays residual and Spark re-applies it post-scan
+      anyResidual = filters.nonEmpty
+      return filters
+    }
     pushed = filters.filter(AvroFilterEval.accepts(full, _))
     val (fp, st) = tryFullPushdown(filters)
     fullyPushed = fp
@@ -2853,7 +2864,8 @@ class AvroScanBuilder(path: String, full: StructType,
     */
   private def pushGroupedCount(agg: Aggregation): Boolean = {
     import org.apache.spark.sql.types._
-    if (travelVersion.nonEmpty || incRange.nonEmpty || branch.nonEmpty)
+    if (travelVersion.nonEmpty || incRange.nonEmpty || branch.nonEmpty ||
+        cdcFeed)
       return false
     if (AvroFileSource.deleteFile(new File(path)).isFile) return false
     if (AvroFileSource.colmapFile(new File(path)).isFile) return false
@@ -3083,6 +3095,9 @@ class AvroScanBuilder(path: String, full: StructType,
     // not describe the requested snapshot or changeset. Historical
     // reads answer from real rows only.
     if (travelVersion.nonEmpty || incRange.nonEmpty || branch.nonEmpty) return false
+    // CDC feeds serve version deltas — no metadata aggregate describes
+    // that row set
+    if (cdcFeed) return false
     // Equality deletes invalidate every metadata-served aggregate: a
     // deleted row still counts in block headers and may carry a zone
     // extreme. Merge-on-read tables answer aggregates from real
@@ -3716,13 +3731,11 @@ class AvroScanBuilder(path: String, full: StructType,
           }
         }
 
-      override def toBatch: Batch = {
-        require(!cdcFeed,
-          "graft-avro: readChangeFeed is a STREAMING read " +
-            "(spark.readStream); for batch change sets use " +
-            "AvroMaintenance.changes(spark, dir, fromVersion, toVersion)")
-        this
-      }
+      // batch CDC (r16): `spark.read.option("readChangeFeed", true)`
+      // serves the (startingVersion-1, endingVersion] journal range as
+      // one batch — startingVersion defaults to 1 (the full journal),
+      // endingVersion to the current version
+      override def toBatch: Batch = this
       /** May files under this partition-value assignment match the
         * pushed filters? Only filters FULLY over partition columns with
         * parseable values participate (a conjunct mixing data columns is
@@ -4086,7 +4099,7 @@ class AvroScanBuilder(path: String, full: StructType,
         */
       private def keyedFiles(): Option[Seq[(File, InternalRow)]] = {
         if ((partitionCols.isEmpty && bucketSpec.isEmpty) ||
-          !preserveGrouping) return None
+          !preserveGrouping || cdcFeed) return None
         val fields = partitionCols.map(c => full.fields.find(_.name == c).get)
         val keyed = prunedFiles().map { case (f, vals) =>
           val key = fields.map(fld => vals.get(fld.name)
@@ -4164,7 +4177,25 @@ class AvroScanBuilder(path: String, full: StructType,
       }
 
       override def planInputPartitions(): Array[InputPartition] =
-        if (aggAny.nonEmpty) {
+        if (cdcFeed) {
+          // batch CDC: the full version range in one read (the planner
+          // and per-partition readers are exactly the stream's)
+          val cur = AvroFileSource.readSnapshots(new File(path))
+            .lastOption.map(_.version).getOrElse(
+              throw new IllegalStateException(
+                s"graft-avro CDC: $path has no snapshot journal — " +
+                  "write through the source at least once"))
+          val s = cdcStartVersion.getOrElse(1L) - 1
+          require(s >= 0,
+            s"graft-avro CDC: startingVersion must be >= 1")
+          val e = cdcEndVersion.getOrElse(cur)
+          require(e <= cur,
+            s"graft-avro CDC: endingVersion $e is beyond the current " +
+              s"version $cur")
+          require(e >= s,
+            s"graft-avro CDC: endingVersion $e predates startingVersion")
+          AvroCdcPlan.partitions(path, s, e, cdcAllowInitialSnapshot)
+        } else if (aggAny.nonEmpty) {
           // the manifest fold already happened at pushdown: one partition
           // carrying the final row, zero data files opened
           Array[InputPartition](AvroAggRowPartition(aggAny.map(_._3)))
@@ -4250,7 +4281,16 @@ class AvroScanBuilder(path: String, full: StructType,
           else base
         }
       override def createReaderFactory(): PartitionReaderFactory =
-        if (counting || groupSpecs.nonEmpty) AvroCountReaderFactory(required)
+        if (cdcFeed) {
+          val dirF = new File(path)
+          AvroCdcReaderFactory(required,
+            StructType(full.fields.filterNot(f =>
+              f.name == AvroFileSource.CdcChangeType ||
+                f.name == AvroFileSource.CdcCommitVersion)),
+            AvroFileSource.birthsByPhysicalPath(dirF, Nil, force = true),
+            AvroFileSource.readColmap(dirF), path)
+        }
+        else if (counting || groupSpecs.nonEmpty) AvroCountReaderFactory(required)
         else if (aggAny.nonEmpty) AvroAggRowReaderFactory(aggAny.map(_._2))
         else if (aggIsMin.nonEmpty) AvroZoneAggReaderFactory(aggIsMin, aggDt)
         else {
@@ -4287,12 +4327,16 @@ class AvroScanBuilder(path: String, full: StructType,
         require(travelVersion.isEmpty && incRange.isEmpty && branch.isEmpty,
           "graft-avro: time travel and branch reads are batch-only (a " +
             "stream tails the CURRENT version by definition)")
-        if (cdcFeed)
+        if (cdcFeed) {
+          require(cdcEndVersion.isEmpty,
+            "graft-avro CDC: endingVersion is a batch option — a stream " +
+              "tails the journal indefinitely")
           new AvroCdcMicroBatchStream(path, required,
             StructType(full.fields.filterNot(f =>
               f.name == AvroFileSource.CdcChangeType ||
                 f.name == AvroFileSource.CdcCommitVersion)),
             cdcStartVersion, cdcMaxVersions, cdcAllowInitialSnapshot)
+        }
         else
           new AvroMicroBatchStream(path, required, full, checkpointLocation,
             maxFilesPerTrigger, journalCompactAfter)
@@ -4339,6 +4383,7 @@ class AvroScanBuilder(path: String, full: StructType,
           */
         private def statsServable: Boolean =
           travelVersion.isEmpty && incRange.isEmpty && branch.isEmpty &&
+            !cdcFeed &&
             !AvroFileSource.deleteFile(new File(path)).isFile &&
             // renamed tables: NDV entries live under historical names —
             // a re-added name would serve the OLD column's registers
@@ -4989,8 +5034,34 @@ class AvroCdcMicroBatchStream(path: String, required: StructType,
       end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[VOffset].v
     val e = end.asInstanceOf[VOffset].v
+    AvroCdcPlan.partitions(path, s, e, allowInitialSnapshot)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val renames = AvroFileSource.readColmap(dirF)
+    // births FORCED: partitions carry their own (historical) delete
+    // sidecar content, so stamp gating may be needed even when the live
+    // sidecar is empty — the map is journal-cached and tiny
+    AvroCdcReaderFactory(required, dataFull,
+      AvroFileSource.birthsByPhysicalPath(dirF, Nil, force = true),
+      renames, path)
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** The CDC partition planner shared by the streaming micro-batch source
+  * and batch `readChangeFeed` reads: every change partition of the
+  * journal-version range (s, e].
+  */
+private[sources] object AvroCdcPlan {
+
+  def partitions(path: String, s: Long, e: Long,
+      allowInitialSnapshot: Boolean): Array[InputPartition] = {
+    val dirF = new File(path)
     if (e <= s) return Array.empty
-    val all = snaps
+    val all = AvroFileSource.readSnapshots(dirF)
     // positional deletes journal per version since r16, so the feed can
     // serve them as exact row-level deltas; the only refusal left is a
     // LEGACY overlay whose arrival versions are unknowable (live
@@ -5114,19 +5185,6 @@ class AvroCdcMicroBatchStream(path: String, required: StructType,
       } else deltaParts(v, snapOf(v - 1), snapOf(v))
     }.toArray
   }
-
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val renames = AvroFileSource.readColmap(dirF)
-    // births FORCED: partitions carry their own (historical) delete
-    // sidecar content, so stamp gating may be needed even when the live
-    // sidecar is empty — the map is journal-cached and tiny
-    AvroCdcReaderFactory(required, dataFull,
-      AvroFileSource.birthsByPhysicalPath(dirF, Nil, force = true),
-      renames, path)
-  }
-
-  override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
 }
 
 /** One changed file of one journal version. `deletes` is the sidecar

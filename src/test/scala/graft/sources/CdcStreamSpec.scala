@@ -129,12 +129,36 @@ class CdcStreamSpec extends AnyFunSuite with SparkSpec with Matchers {
       folded shouldBe live
     } finally q.stop()
 
-    // batch read: readChangeFeed is streaming-only
-    val batchBoom = intercept[Exception] {
+    // batch read (r16): the SAME feed as one version-ranged batch —
+    // default range = the full journal, filters applied post-scan
+    val batch = spark.read.format("graft-avro")
+      .option("readChangeFeed", "true").load(dir)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    batch.sorted.toSeq shouldBe spark.table("cdc_deld").collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2))).sorted.toSeq
+    // explicit (startingVersion, endingVersion] sub-range
+    val sub = spark.read.format("graft-avro")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "3")
+      .option("endingVersion", "3").load(dir)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    sub.toSeq shouldBe Seq(("insert", 4L, 3L))
+    // residual filters compose (never pruned against the live listing)
+    spark.read.format("graft-avro").option("readChangeFeed", "true")
+      .load(dir).filter("_change_type = 'delete'").count() shouldBe 3L
+    // guards: endingVersion beyond current / on a stream
+    intercept[Exception] {
       spark.read.format("graft-avro").option("readChangeFeed", "true")
-        .load(dir).collect()
-    }
-    batchBoom.getMessage should include("STREAMING")
+        .option("endingVersion", "99").load(dir).collect()
+    }.getMessage should include("beyond the current")
+    intercept[Exception] {
+      val qq = spark.readStream.format("graft-avro")
+        .option("readChangeFeed", "true")
+        .option("endingVersion", "2").load(dir)
+        .writeStream.format("memory").queryName("cdc_deld_bad")
+        .outputMode("append").start()
+      try qq.processAllAvailable() finally qq.stop()
+    }.getMessage should include("batch option")
   }
 
   test("delete-delta emission widens a pruned-away sidecar column") {
@@ -260,14 +284,19 @@ class CdcStreamSpec extends AnyFunSuite with SparkSpec with Matchers {
       rows.map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq shouldBe
         ((0L until 5L).map((_, 1L)) ++ (5L until 8L).map((_, 2L)))
     } finally q.stop()
-    // the view is read-only, and a batch SELECT points at the batch API
+    // the view is read-only…
     intercept[Exception] {
       spark.sql("INSERT INTO graft_cdc.ns.t.changes VALUES (1, 'x', 1)")
     }
-    val boom = intercept[Exception] {
-      spark.sql("SELECT * FROM graft_cdc.ns.t.changes").collect()
-    }
-    boom.getMessage should include("STREAMING")
+    // …and a batch SELECT serves the full feed since r16 (the whole
+    // journal range as inserts here — SQL surface for the changelog)
+    val sqlRows = spark.sql(
+      "SELECT k, _change_type, _commit_version " +
+        "FROM graft_cdc.ns.t.changes").collect()
+    sqlRows.length shouldBe 8
+    sqlRows.forall(_.getString(1) == "insert") shouldBe true
+    sqlRows.map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq shouldBe
+      ((0L until 5L).map((_, 1L)) ++ (5L until 8L).map((_, 2L)))
   }
 
   test("column pruning and cdc-only projections stay consistent") {
