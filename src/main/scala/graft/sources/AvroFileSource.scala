@@ -2637,7 +2637,14 @@ case class AvroTable(path: String, tableSchema: StructType,
       cdcEndVersion =
         Option(options.get("endingVersion")).map(_.toLong),
       cdcAllowInitialSnapshot =
-        Option(options.get("allowInitialSnapshot")).exists(_.toBoolean))
+        Option(options.get("allowInitialSnapshot")).exists(_.toBoolean),
+      branchOverlayOnly = {
+        val oo = Option(options.get("branchOverlayOnly"))
+          .exists(_.toBoolean)
+        require(!oo || options.get("branch") != null,
+          "graft-avro: branchOverlayOnly requires a branch read")
+        oo
+      })
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -2738,7 +2745,12 @@ class AvroScanBuilder(path: String, full: StructType,
     // (expireSnapshots) serves the first retained version as a full
     // insert snapshot, then continues with deltas — explicit because a
     // silent full replay would surprise a lagging consumer
-    cdcAllowInitialSnapshot: Boolean = false)
+    cdcAllowInitialSnapshot: Boolean = false,
+    // INTERNAL (AvroMaintenance.branchChanges): a branch read that
+    // plans ONLY the overlay's files — the audit feed must not scan
+    // main's (100 TB) bulk to discard it row-by-row. Schema inference
+    // still covers main ∪ overlay.
+    branchOverlayOnly: Boolean = false)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with SupportsPushDownFilters with SupportsPushDownAggregates
   with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
@@ -3833,7 +3845,13 @@ class AvroScanBuilder(path: String, full: StructType,
                 partValsOf(rel))
             }
           case None => branchState match {
-            case Some((files, _, _, _)) => files
+            case Some((files, _, births, _)) =>
+              // the audit feed plans ONLY the overlay (its files are
+              // the ones with pinned MaxValue births) — never a scan of
+              // main's bulk just to discard it
+              if (branchOverlayOnly)
+                files.filter(f => births.contains(f._1.getAbsolutePath))
+              else files
             // journal-served when one exists — no directory walk
             case None => AvroFileSource.listLive(new File(path))
           }
@@ -5124,6 +5142,14 @@ private[sources] object AvroCdcPlan {
       val curPos = posMapOf(cur.posdels)
       def pos(m: Map[String, Array[Long]], rel: String): Array[Long] =
         m.getOrElse(rel, Array.emptyLongArray)
+      def gainedOf(rel: String): Array[Long] = {
+        val p0s = pos(prevPos, rel).toSet
+        pos(curPos, rel).filterNot(p0s)
+      }
+      def lostOf(rel: String): Array[Long] = {
+        val p1s = pos(curPos, rel).toSet
+        pos(prevPos, rel).filterNot(p1s)
+      }
       cur.files.filterNot(prevSet).map(rel =>
         AvroCdcPartition(resolve(rel, v), "insert", v, cur.deletes,
           posdel = pos(curPos, rel)): InputPartition) ++
@@ -5135,37 +5161,36 @@ private[sources] object AvroCdcPlan {
         (if (addedDel.isEmpty) Nil
         else common.map(rel =>
           // newly-hidden rows: visible under prev's sidecar AND
-          // matching a NEW entry (stamp-gated per file in the reader)
+          // matching a NEW entry (stamp-gated per file in the reader).
+          // Ordinals the SAME step position-deletes are excluded — the
+          // posdel partition below is authoritative for those rows (a
+          // rollback can move both sidecars in one version)
           AvroCdcPartition(resolve(rel, v), "delete", v, prev.deletes,
             Some(addedDel.mkString("\n")),
-            posdel = pos(prevPos, rel)): InputPartition)) ++
+            posdel = pos(prevPos, rel),
+            notPositions = gainedOf(rel)): InputPartition)) ++
         (if (removedDel.isEmpty) Nil
         else common.map(rel =>
           // re-surfacing rows (rollback): visible under cur's sidecar
-          // AND previously hidden by a REMOVED entry
+          // AND previously hidden by a REMOVED entry; ordinals the same
+          // step position-RESTORES are the posdel partition's
           AvroCdcPartition(resolve(rel, v), "insert", v, cur.deletes,
             Some(removedDel.mkString("\n")),
-            posdel = pos(curPos, rel)): InputPartition)) ++
+            posdel = pos(curPos, rel),
+            notPositions = lostOf(rel)): InputPartition)) ++
         // positional-delete deltas over common files: gained ordinals
-        // emit as `delete` rows read under prev's sidecars (a commit
-        // mutates at most ONE delete sidecar, so these never overlap
-        // the equality partitions above); lost ordinals (defensive —
-        // posdel is append-only for live files today) re-surface as
-        // inserts under cur's
+        // emit as `delete` rows read under prev's sidecars; lost
+        // ordinals (rollback) re-surface as inserts under cur's
         common.flatMap { rel =>
-          val p0 = pos(prevPos, rel)
-          val p1 = pos(curPos, rel)
-          val p0s = p0.toSet
-          val p1s = p1.toSet
-          val gained = p1.filterNot(p0s)
-          val lost = p0.filterNot(p1s)
+          val gained = gainedOf(rel)
+          val lost = lostOf(rel)
           (if (gained.isEmpty) Nil
           else Seq(AvroCdcPartition(resolve(rel, v), "delete", v,
-            prev.deletes, posdel = p0,
+            prev.deletes, posdel = pos(prevPos, rel),
             onlyPositions = Some(gained)): InputPartition)) ++
             (if (lost.isEmpty) Nil
             else Seq(AvroCdcPartition(resolve(rel, v), "insert", v,
-              cur.deletes, posdel = p1,
+              cur.deletes, posdel = pos(curPos, rel),
               onlyPositions = Some(lost)): InputPartition))
         }
     }
@@ -5202,7 +5227,13 @@ case class AvroCdcPartition(file: String, changeType: String,
     // emitted), and — for a posdel-delta partition — the ONLY ordinals
     // to emit (the gained/lost positions of this version step)
     posdel: Array[Long] = Array.emptyLongArray,
-    onlyPositions: Option[Array[Long]] = None) extends InputPartition
+    onlyPositions: Option[Array[Long]] = None,
+    // ordinals an EQUALITY-delta partition must NOT emit: when one
+    // version step changes both sidecars (a rollback can), a row hit by
+    // both mechanisms emits exactly once — the posdel partition is
+    // authoritative for it
+    notPositions: Array[Long] = Array.emptyLongArray)
+  extends InputPartition
 
 /** Decodes a changed file through the ordinary merge-on-read row path,
   * then appends the `_change_type` / `_commit_version` constants at the
@@ -5233,10 +5264,12 @@ case class AvroCdcReaderFactory(required: StructType, dataFull: StructType,
       if (extraCols.isEmpty) dataRequired0
       else StructType(dataRequired0.fields ++ extraCols)
     // a posdel-delta partition needs each row's physical ordinal to
-    // emit ONLY the gained/lost positions — ride the `_graft_pos`
-    // metadata column (filled by the same counter the posdel overlay
-    // uses, so the coordinates agree by construction)
-    val needPos = cdc.onlyPositions.isDefined &&
+    // emit ONLY the gained/lost positions (an equality-delta one to
+    // EXCLUDE them) — ride the `_graft_pos` metadata column (filled by
+    // the same counter the posdel overlay uses, so the coordinates
+    // agree by construction)
+    val needPos = (cdc.onlyPositions.isDefined ||
+        cdc.notPositions.nonEmpty) &&
       !dataRequired1.fieldNames.contains(AvroFileSource.MetaPos)
     val dataRequired =
       if (!needPos) dataRequired1
@@ -5301,8 +5334,9 @@ case class AvroCdcReaderFactory(required: StructType, dataFull: StructType,
       }.toArray
     val onlySorted: Array[Long] =
       cdc.onlyPositions.map(_.sorted).getOrElse(Array.emptyLongArray)
-    val onlyIdx: Int =
-      if (cdc.onlyPositions.isEmpty) -1
+    val notSorted: Array[Long] = cdc.notPositions.sorted
+    val posIdx: Int =
+      if (cdc.onlyPositions.isEmpty && cdc.notPositions.isEmpty) -1
       else dataIdx(AvroFileSource.MetaPos)
     new PartitionReader[InternalRow] {
       private var row: InternalRow = _
@@ -5310,8 +5344,13 @@ case class AvroCdcReaderFactory(required: StructType, dataFull: StructType,
         if (requireMatch && matchers.isEmpty) return false
         while (inner.next()) {
           val r = inner.get()
-          val posOk = onlyIdx < 0 ||
-            java.util.Arrays.binarySearch(onlySorted, r.getLong(onlyIdx)) >= 0
+          val posOk = posIdx < 0 || {
+            val p = r.getLong(posIdx)
+            (cdc.onlyPositions.isEmpty ||
+              java.util.Arrays.binarySearch(onlySorted, p) >= 0) &&
+              (notSorted.isEmpty ||
+                java.util.Arrays.binarySearch(notSorted, p) < 0)
+          }
           if (posOk && (!requireMatch || matchers.exists(_(r)))) {
             row = r; return true
           }
@@ -5796,9 +5835,18 @@ case class AvroReaderFactory(required: StructType, full: StructType,
     val hasMeta = outIdx.exists(_ < 0)
     lazy val relPath = org.apache.spark.unsafe.types.UTF8String.fromString {
       val abs = file.getAbsoluteFile.toPath
-      if (root.nonEmpty)
-        new File(root).getAbsoluteFile.toPath.relativize(abs).toString
-      else abs.toString
+      if (root.nonEmpty) {
+        val raw =
+          new File(root).getAbsoluteFile.toPath.relativize(abs).toString
+        // a snapshot file resolved from the ARCHIVE keeps its LOGICAL
+        // table-relative identity: `_graft_file` coordinates must be
+        // location-independent (the CDC posdel-delta reads join them
+        // against sidecar rels; a travel read of an archived file must
+        // report the same value the live read did)
+        if (raw.startsWith("_graft_archive/"))
+          raw.substring("_graft_archive/".length)
+        else raw
+      } else abs.toString
     }
 
     // positional deletes for THIS file; ordinals are absolute from the

@@ -99,13 +99,37 @@ object AvroMaintenance {
         "graft-avro changes: the table already has a _change_type column")
       df.withColumn("_change_type", F.lit(t))
     }
+    // positional-delete state at both ends (journaled per version since
+    // r16): net-gained ordinals emit as `delete` rows read at
+    // fromVersion, net-lost ones (defensive — posdel is append-only for
+    // live files today) re-surface at toVersion. The reads ride the
+    // `_graft_file`/`_graft_pos` metadata pair, so the coordinates are
+    // exactly the sidecar's.
+    def posMapOf(o: Option[String]): Map[String, Array[Long]] =
+      o.map(AvroFileSource.parsePosdelContent).getOrElse(Map.empty)
+    val fromPos = posMapOf(fromSnap.flatMap(_.posdels))
+    val toPos = posMapOf(toSnap.posdels)
+    val commonSet = common.toSet
+    def posDelta(a: Map[String, Array[Long]], b: Map[String, Array[Long]])
+        : Map[String, Array[Long]] =
+      a.collect { case (rel, ps) if commonSet(rel) =>
+        val other = b.getOrElse(rel, Array.emptyLongArray).toSet
+        rel -> ps.filterNot(other)
+      }.filter(_._2.nonEmpty)
+    val gainedPos = posDelta(toPos, fromPos)
+    val lostPos = posDelta(fromPos, toPos)
     /** Per-row sidecar-delta pieces over the COMMON files: rows hit by
       * `deltaLines` entries (stamp-gated per file) read at version `v`
       * — where the version's own sidecar already restricts the read to
       * the rows visible in that role. Files group by their applicable
       * entry subset so each distinct stamp exposure reads once.
+      * `excludePos` makes the POSDEL pieces authoritative for rows
+      * killed (or resurrected) by BOTH mechanisms inside the range: a
+      * row at a net-gained ordinal that also matches a gained equality
+      * entry must emit exactly ONE delete, not two.
       */
-    def deltaPieces(deltaLines: Seq[String], v: Long): Seq[DataFrame] = {
+    def deltaPieces(deltaLines: Seq[String], v: Long,
+        excludePos: Map[String, Array[Long]]): Seq[DataFrame] = {
       if (deltaLines.isEmpty || common.isEmpty) return Nil
       val schema = side(v, common).schema
       // GAINED entries (delete side, v = fromVersion) were issued at or
@@ -129,32 +153,30 @@ object AvroMaintenance {
         val cond = applicable.groupBy(_._1).map { case (c, kvs) =>
           F.col(c).isin(kvs.map(_._2).toSeq: _*)
         }.reduce(_ || _)
-        side(v, rels.sorted).where(cond)
+        val excl = rels.filter(excludePos.contains)
+        if (excl.isEmpty) side(v, rels.sorted).where(cond)
+        else {
+          val df = side(v, rels.sorted)
+          val exclCond = excl.map { rel =>
+            F.col(AvroFileSource.MetaFile) === rel &&
+              F.col(AvroFileSource.MetaPos)
+                .isin(excludePos(rel).toSeq: _*)
+          }.reduce(_ || _)
+          df.select((df.columns.toSeq.map(F.col) :+
+              F.col(AvroFileSource.MetaFile) :+
+              F.col(AvroFileSource.MetaPos)): _*)
+            .where(cond && !exclCond)
+            .drop(AvroFileSource.MetaFile, AvroFileSource.MetaPos)
+        }
       }
     }
     // newly-hidden rows were VISIBLE at fromVersion (its sidecar keeps
     // them) and match a gained entry; re-surfacing rows (rollback) are
     // visible at toVersion and match a lost entry
-    val delDeltas = deltaPieces(addedDel, fromVersion).map(tag(_, "delete"))
-    val insDeltas = deltaPieces(removedDel, toVersion).map(tag(_, "insert"))
-    // positional-delete deltas over common files: net-gained ordinals
-    // emit as `delete` rows read at fromVersion (whose own posdel
-    // overlay hides already-dead rows; gained ordinals are disjoint
-    // from it by construction), net-lost ones (defensive — posdel is
-    // append-only for live files today) re-surface at toVersion. The
-    // read rides the `_graft_file`/`_graft_pos` metadata pair, so the
-    // coordinates are exactly the sidecar's.
-    def posMapOf(o: Option[String]): Map[String, Array[Long]] =
-      o.map(AvroFileSource.parsePosdelContent).getOrElse(Map.empty)
-    val fromPos = posMapOf(fromSnap.flatMap(_.posdels))
-    val toPos = posMapOf(toSnap.posdels)
-    val commonSet = common.toSet
-    def posDelta(a: Map[String, Array[Long]], b: Map[String, Array[Long]])
-        : Map[String, Array[Long]] =
-      a.collect { case (rel, ps) if commonSet(rel) =>
-        val other = b.getOrElse(rel, Array.emptyLongArray).toSet
-        rel -> ps.filterNot(other)
-      }.filter(_._2.nonEmpty)
+    val delDeltas = deltaPieces(addedDel, fromVersion, gainedPos)
+      .map(tag(_, "delete"))
+    val insDeltas = deltaPieces(removedDel, toVersion, lostPos)
+      .map(tag(_, "insert"))
     def posPieces(m: Map[String, Array[Long]], v: Long): Seq[DataFrame] =
       if (m.isEmpty) Nil
       else {
@@ -172,9 +194,9 @@ object AvroMaintenance {
           .drop(AvroFileSource.MetaFile, AvroFileSource.MetaPos))
       }
     val posDelPieces =
-      posPieces(posDelta(toPos, fromPos), fromVersion).map(tag(_, "delete"))
+      posPieces(gainedPos, fromVersion).map(tag(_, "delete"))
     val posInsPieces =
-      posPieces(posDelta(fromPos, toPos), toVersion).map(tag(_, "insert"))
+      posPieces(lostPos, toVersion).map(tag(_, "insert"))
     val pieces =
       (if (added.nonEmpty) Seq(tag(side(toVersion, added), "insert"))
       else Nil) ++ insDeltas ++ posInsPieces ++
@@ -526,8 +548,12 @@ object AvroMaintenance {
         "versions (cross-branch version range); re-stage on a fresh " +
         "branch")
     val prefix = "_graft_branches/"
+    // overlay-only planning: the scan never touches main's bulk (the
+    // 100 TB shape — the feed's cost is O(staged files)); the metadata
+    // prefix filter stays as defense in depth
     val df = spark.read.format("graft-avro")
-      .option("branch", name).load(dir)
+      .option("branch", name)
+      .option("branchOverlayOnly", "true").load(dir)
     df.select((df.columns.toSeq.map(F.col) :+
         F.col(AvroFileSource.MetaFile)): _*)
       .where(F.col(AvroFileSource.MetaFile).startsWith(prefix))

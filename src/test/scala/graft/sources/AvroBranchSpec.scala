@@ -120,6 +120,14 @@ class AvroBranchSpec extends AnyFunSuite with SparkSpec with Matchers {
     // overlay rows)
     keys(feed.drop("_change_type", "_commit_version")) shouldBe
       ((100L until 130).toSet + 3L)
+    // 100 TB shape: the feed PLANS only the overlay's files — main's
+    // bulk is never scanned and discarded (partition count = staged
+    // files, strictly fewer than the union read's)
+    val unionParts = readBranch(dir, "feed").rdd.getNumPartitions
+    val overlayFiles = AvroFileSource.listAvro(
+      AvroFileSource.branchDir(new java.io.File(dir), "feed")).size
+    feed.rdd.getNumPartitions shouldBe overlayFiles
+    feed.rdd.getNumPartitions should be < unionParts
     // cross-branch version range: main advances past the fork — the
     // overlay's base is stale, the feed refuses like publish would
     writeRange(dir, 50, 55, "append") // main moves on

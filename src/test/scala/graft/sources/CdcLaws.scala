@@ -26,6 +26,7 @@ object CdcLaws extends Properties("CdcLaws") {
   private case class Overwrite(lo: Int, n: Int) extends Op
   private case object Compact extends Op
   private case class DeleteW(vals: List[Long]) extends Op
+  private case class PosDel(filePick: Int, posPicks: List[Int]) extends Op
 
   private val opGen: Gen[Op] = Gen.frequency(
     4 -> (for { lo <- Gen.chooseNum(0, 500); n <- Gen.chooseNum(1, 40) }
@@ -36,7 +37,13 @@ object CdcLaws extends Properties("CdcLaws") {
     // equality deleteWhere: the sidecar delta must net exactly like any
     // other history step (stamped entries, per-file applicability)
     2 -> Gen.nonEmptyListOf(Gen.chooseNum(0L, 540L))
-      .map(v => DeleteW(v.take(4))))
+      .map(v => DeleteW(v.take(4))),
+    // positional deletes: journaled per version since r16 — both rowsAt
+    // (travel applies the snapshot's overlay) and changes (row-level
+    // posdel deltas) must agree across every pair
+    2 -> Gen.zip(Gen.chooseNum(0, 1000),
+      Gen.nonEmptyListOf(Gen.chooseNum(0, 1000)).map(_.take(3)))
+      .map { case (f, ps) => PosDel(f, ps) })
 
   // signed multiset of k values at a version (k may repeat across ops)
   private def rowsAt(dir: String, v: Long): Map[Long, Long] =
@@ -62,6 +69,24 @@ object CdcLaws extends Properties("CdcLaws") {
           AvroMaintenance.compactInPlace(spark, dir, 512L * 1024 * 1024)
         case DeleteW(vals) =>
           AvroMaintenance.deleteWhere(spark, dir, "k", vals.distinct)
+        case PosDel(filePick, posPicks) =>
+          val d = new java.io.File(dir)
+          val live = AvroFileSource.listLive(d)
+          if (live.nonEmpty) {
+            val f = live(filePick % live.size)._1
+            val rel = d.getAbsoluteFile.toPath
+              .relativize(f.getAbsoluteFile.toPath).toString
+            val reader = new org.apache.avro.file.DataFileReader(f,
+              new org.apache.avro.generic.GenericDatumReader[
+                org.apache.avro.generic.GenericRecord]())
+            var n = 0L
+            try while (reader.hasNext) {
+              n += reader.getBlockCount; reader.nextBlock()
+            } finally reader.close()
+            if (n > 0)
+              AvroMaintenance.deleteAtPositions(dir, rel,
+                posPicks.map(p => (p % n.toInt).toLong).distinct)
+          }
       }
       val snaps = AvroFileSource.readSnapshots(new java.io.File(dir))
       val versions = 0L +: snaps.map(_.version)

@@ -262,6 +262,53 @@ class CdcStreamSpec extends AnyFunSuite with SparkSpec with Matchers {
     boom.getMessage.toLowerCase should include("gone from the journal")
   }
 
+  test("a row killed by BOTH mechanisms emits once; rollback once") {
+    // posdel kills k=0 (v2), an equality entry for the same row lands
+    // (v3, no visible effect), rollback to v1 loses BOTH in one step
+    // (v4): the feed must emit exactly ONE delete and ONE re-surfacing
+    // insert for k=0 — the posdel partition is authoritative when one
+    // version step moves both sidecars
+    val dir = tmp()
+    spark.range(0, 5).selectExpr("id AS k").coalesce(1)
+      .sortWithinPartitions("k")
+      .write.format("graft-avro").mode("overwrite").save(dir) // v1
+    val d = new java.io.File(dir)
+    val rel = d.getAbsoluteFile.toPath.relativize(
+      AvroFileSource.listLive(d).head._1.getAbsoluteFile.toPath).toString
+    AvroMaintenance.deleteAtPositions(dir, rel, Seq(0L)) // v2: kills k=0
+    AvroMaintenance.deleteWhere(spark, dir, "k", Seq(0L)) // v3: same row
+    AvroMaintenance.rollbackTo(dir, 1L) // v4: both sidecars revert
+    val q = spark.readStream.format("graft-avro")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1")
+      .load(dir)
+      .writeStream.format("memory").queryName("cdc_both")
+      .outputMode("append").start()
+    val rows =
+      try {
+        q.processAllAvailable()
+        spark.table("cdc_both").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      } finally q.stop()
+    rows.filter(r => r._1 == 0L && r._2 == "delete").toSeq shouldBe
+      Seq((0L, "delete", 2L))
+    rows.filter(r => r._1 == 0L && r._2 == "insert").toSeq shouldBe
+      Seq((0L, "insert", 1L), (0L, "insert", 4L))
+    // fold == live
+    val folded = rows.foldLeft(Map.empty[Long, Long]) { (m, r) =>
+      val dd = if (r._2 == "insert") 1L else -1L
+      val n = m.getOrElse(r._1, 0L) + dd
+      if (n == 0L) m - r._1 else m.updated(r._1, n)
+    }
+    folded shouldBe (0L until 5L).map(_ -> 1L).toMap
+    // batch changes agrees on the (1, 4] net (nothing changed)
+    AvroMaintenance.changes(spark, dir, 1, 4).collect() shouldBe empty
+    // and on the (2, 4] net: k=0 resurfaces exactly once
+    AvroMaintenance.changes(spark, dir, 2, 4)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq shouldBe
+      Seq((0L, "insert"))
+  }
+
   test("catalog .changes view: readStream.table serves the feed; writes refuse") {
     val root = graft.operators.Catalog.tempDir("graft_cdc_cat")
     spark.conf.set("spark.sql.catalog.graft_cdc",
