@@ -290,6 +290,20 @@ object GraftMatviews {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** Is the (last, cur] window of BOTH sources purely additive? The
+    * same subset-per-version + unchanged-sidecars test the incremental
+    * read enforces, answered as a boolean instead of a throw — the
+    * rebuild fallback's dispatch.
+    */
+  private def additiveWindow(spec: JoinSpec, curL: Long,
+      curR: Long): Boolean = {
+    def ok(dir: String, from: Long, to: Long): Boolean =
+      from == to || scala.util.Try(
+        AvroFileSource.incrementalFiles(new File(dir), from, to)).isSuccess
+    ok(spec.leftDir, spec.lastLeft, curL) &&
+      ok(spec.rightDir, spec.lastRight, curR)
+  }
+
   /** Full initial build of `joinSql` (reads FROM `__L__` and `__R__`),
     * written as the view table; records both sources' current versions.
     */
@@ -322,8 +336,16 @@ object GraftMatviews {
   /** Incremental join refresh: appends the two delta terms to the view.
     * Returns ((fromL, toL), (fromR, toR)) — both pairs equal when
     * neither source moved (no-op).
+    *
+    * `allowRebuild = true` opts into a PINNED full re-join when the
+    * incremental window is non-additive (a delete/overwrite/rollback
+    * landed in a source): correctness is restored by recomputing the
+    * join at (curL, curR) via versionAsOf reads and overwriting the
+    * view — an explicit, expensive escape hatch (the default still
+    * fails loudly so a 100 TB re-join is never silent).
     */
-  def refreshJoin(spark: SparkSession, viewDir: String)
+  def refreshJoin(spark: SparkSession, viewDir: String,
+      allowRebuild: Boolean = false)
       : ((Long, Long), (Long, Long)) = withViewLock(new File(viewDir)) {
     val spec = readJoinSpec(new File(viewDir))
     val curL = currentVersion(spec.leftDir)
@@ -334,6 +356,23 @@ object GraftMatviews {
         "back or expired; recreate the view")
     if (curL == spec.lastLeft && curR == spec.lastRight)
       return ((curL, curL), (curR, curR))
+    if (allowRebuild && !additiveWindow(spec, curL, curR)) {
+      val id = viewSeq.incrementAndGet()
+      val (lView, rView) = (s"graft_mvj_rbl_$id", s"graft_mvj_rbr_$id")
+      spark.read.format("graft-avro").option("versionAsOf", curL.toString)
+        .load(spec.leftDir).createOrReplaceTempView(lView)
+      spark.read.format("graft-avro").option("versionAsOf", curR.toString)
+        .load(spec.rightDir).createOrReplaceTempView(rView)
+      // materialize BEFORE the same-directory overwrite (the
+      // compactInPlace rule)
+      val rebuilt = spark.sql(spec.joinSql
+        .replace("__L__", lView).replace("__R__", rView))
+        .localCheckpoint(true)
+      rebuilt.write.format("graft-avro").mode("overwrite").save(viewDir)
+      writeJoinSpec(new File(viewDir),
+        spec.copy(lastLeft = curL, lastRight = curR))
+      return ((spec.lastLeft, curL), (spec.lastRight, curR))
+    }
     val id = viewSeq.incrementAndGet()
     def bind(df: org.apache.spark.sql.DataFrame, name: String): String = {
       df.createOrReplaceTempView(name); name

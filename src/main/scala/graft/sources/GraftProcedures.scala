@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure,
   ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType,
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType,
   StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -57,6 +57,10 @@ object GraftProcedures {
 
   private def param(n: String, t: DataType): ProcedureParameter =
     ProcedureParameter.in(n, t).build()
+
+  private def paramDefault(n: String, t: DataType,
+      default: String): ProcedureParameter =
+    ProcedureParameter.in(n, t).defaultValue(default).build()
 
   /** A procedure over a resolved table directory. `run` gets the raw
     * argument row and returns (schema, row values).
@@ -448,11 +452,15 @@ object GraftProcedures {
       case "refresh_join_matview" => new Proc(name,
         "append the delta-join terms of both sources' new versions to " +
           "a join materialized view (additive-only; rewritten history " +
-          "fails loudly — recreate the view)",
-        Array(param("view", StringType)),
+          "fails loudly unless allow_rebuild=true opts into a pinned " +
+          "full re-join)",
+        Array(param("view", StringType),
+          paramDefault("allow_rebuild", BooleanType, "false")),
         in => {
+          val allowRebuild = !in.isNullAt(1) && in.getBoolean(1)
           val ((fl, tl), (fr, tr)) = GraftMatviews.refreshJoin(
-            org.apache.spark.sql.SparkSession.active, dirOf(in))
+            org.apache.spark.sql.SparkSession.active, dirOf(in),
+            allowRebuild)
           (out("left_from" -> LongType, "left_to" -> LongType,
             "right_from" -> LongType, "right_to" -> LongType),
             Seq(fl, tl, fr, tr))

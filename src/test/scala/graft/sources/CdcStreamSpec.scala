@@ -262,6 +262,38 @@ class CdcStreamSpec extends AnyFunSuite with SparkSpec with Matchers {
     boom.getMessage.toLowerCase should include("gone from the journal")
   }
 
+  test("the feed spans an ADD COLUMN: old versions null-fill the column") {
+    val dir = tmp()
+    spark.range(0, 4).selectExpr("id AS k")
+      .write.format("graft-avro").mode("overwrite").save(dir) // v1
+    AvroMaintenance.addColumn(dir,
+      org.apache.spark.sql.types.StructField("extra",
+        org.apache.spark.sql.types.LongType)) // v2 (no file delta)
+    spark.range(4, 6).selectExpr("id AS k", "id * 2 AS extra")
+      .write.format("graft-avro").mode("append").save(dir) // v3
+    val q = spark.readStream.format("graft-avro")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1")
+      .load(dir)
+      .writeStream.format("memory").queryName("cdc_evo")
+      .outputMode("append").start()
+    val rows =
+      try {
+        q.processAllAvailable()
+        spark.table("cdc_evo")
+          .select("k", "extra", "_change_type", "_commit_version")
+          .collect()
+          .map(r => (r.getLong(0), Option(r.get(1)), r.getString(2),
+            r.getLong(3))).sortBy(_._1)
+      } finally q.stop()
+    // v1's rows serve under the CURRENT (evolved) schema, extra null;
+    // v3's carry real values — all inserts, versions exact
+    rows.toSeq shouldBe Seq(
+      (0L, None, "insert", 1L), (1L, None, "insert", 1L),
+      (2L, None, "insert", 1L), (3L, None, "insert", 1L),
+      (4L, Some(8L), "insert", 3L), (5L, Some(10L), "insert", 3L))
+  }
+
   test("a row killed by BOTH mechanisms emits once; rollback once") {
     // posdel kills k=0 (v2), an equality entry for the same row lands
     // (v3, no visible effect), rollback to v1 loses BOTH in one step

@@ -226,6 +226,15 @@ class MatviewSpec extends AnyFunSuite with SparkSpec with Matchers {
     AvroMaintenance.deleteWhere(spark, r, "k", Seq(1L))
     val e = intercept[Exception] { GraftMatviews.refreshJoin(spark, mv) }
     e.getMessage.toLowerCase should include regex "additive|delete"
+    // the explicit escape hatch: allowRebuild recomputes the join at
+    // the sources' pinned CURRENT versions and overwrites the view —
+    // correct through the delete, never silent
+    GraftMatviews.refreshJoin(spark, mv, allowRebuild = true)
+    joinRows(mv) shouldBe Seq.empty // k=1 deleted on the right: no pairs
+    // and the view is consistent again: a later additive refresh works
+    writePairs(l, Seq((2L, 20L)), ("k", "v"), "append")
+    GraftMatviews.refreshJoin(spark, mv)
+    joinRows(mv) shouldBe Seq((2L, 20L, 200L))
   }
 
   test("join view create/refresh guardrails") {
