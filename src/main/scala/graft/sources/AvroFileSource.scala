@@ -4212,7 +4212,8 @@ class AvroScanBuilder(path: String, full: StructType,
               s"version $cur")
           require(e >= s,
             s"graft-avro CDC: endingVersion $e predates startingVersion")
-          AvroCdcPlan.partitions(path, s, e, cdcAllowInitialSnapshot)
+          AvroCdcPlan.partitions(path, s, e, cdcAllowInitialSnapshot,
+            maxSplitBytes)
         } else if (aggAny.nonEmpty) {
           // the manifest fold already happened at pushdown: one partition
           // carrying the final row, zero data files opened
@@ -4353,7 +4354,8 @@ class AvroScanBuilder(path: String, full: StructType,
             StructType(full.fields.filterNot(f =>
               f.name == AvroFileSource.CdcChangeType ||
                 f.name == AvroFileSource.CdcCommitVersion)),
-            cdcStartVersion, cdcMaxVersions, cdcAllowInitialSnapshot)
+            cdcStartVersion, cdcMaxVersions, cdcAllowInitialSnapshot,
+            maxSplitBytes)
         }
         else
           new AvroMicroBatchStream(path, required, full, checkpointLocation,
@@ -4990,7 +4992,8 @@ class AvroMicroBatchStream(path: String, required: StructType,
 class AvroCdcMicroBatchStream(path: String, required: StructType,
     dataFull: StructType, startingVersion: Option[Long],
     maxVersionsPerTrigger: Option[Long] = None,
-    allowInitialSnapshot: Boolean = false)
+    allowInitialSnapshot: Boolean = false,
+    maxSplitBytes: Long = AvroFileSource.DefaultSplitBytes)
   extends MicroBatchStream with SupportsAdmissionControl
   with org.apache.spark.sql.connector.read.streaming
     .SupportsTriggerAvailableNow {
@@ -5052,7 +5055,8 @@ class AvroCdcMicroBatchStream(path: String, required: StructType,
       end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[VOffset].v
     val e = end.asInstanceOf[VOffset].v
-    AvroCdcPlan.partitions(path, s, e, allowInitialSnapshot)
+    AvroCdcPlan.partitions(path, s, e, allowInitialSnapshot,
+      maxSplitBytes)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -5076,7 +5080,9 @@ class AvroCdcMicroBatchStream(path: String, required: StructType,
 private[sources] object AvroCdcPlan {
 
   def partitions(path: String, s: Long, e: Long,
-      allowInitialSnapshot: Boolean): Array[InputPartition] = {
+      allowInitialSnapshot: Boolean,
+      maxSplitBytes: Long = AvroFileSource.DefaultSplitBytes)
+      : Array[InputPartition] = {
     val dirF = new File(path)
     if (e <= s) return Array.empty
     val all = AvroFileSource.readSnapshots(dirF)
@@ -5208,6 +5214,19 @@ private[sources] object AvroCdcPlan {
         deltaParts(v, AvroFileSource.Snapshot(v - 1, 0L, "init", None, Nil),
           snapOf(v))
       } else deltaParts(v, snapOf(v - 1), snapOf(v))
+    }.flatMap {
+      // a huge changed file must not pin one task: change partitions
+      // byte-range split like any batch scan — absolute ordinals stay
+      // exact across ranges (recordsBefore seeds each split's counter,
+      // the same machinery posdel overlays and `_graft_pos` ride)
+      case p: AvroCdcPartition =>
+        val len = new File(p.file).length()
+        if (len <= maxSplitBytes) Iterator(p: InputPartition)
+        else (0L until len by maxSplitBytes).iterator.map { off =>
+          p.copy(start = off,
+            end = math.min(off + maxSplitBytes, len)): InputPartition
+        }
+      case other => Iterator(other)
     }.toArray
   }
 }
@@ -5232,7 +5251,10 @@ case class AvroCdcPartition(file: String, changeType: String,
     // version step changes both sidecars (a rollback can), a row hit by
     // both mechanisms emits exactly once — the posdel partition is
     // authoritative for it
-    notPositions: Array[Long] = Array.emptyLongArray)
+    notPositions: Array[Long] = Array.emptyLongArray,
+    // sync-aligned byte range (a huge changed file splits like any
+    // batch scan; ordinals stay absolute via the block-header seed)
+    start: Long = 0L, end: Long = Long.MaxValue)
   extends InputPartition
 
 /** Decodes a changed file through the ordinary merge-on-read row path,
@@ -5281,7 +5303,7 @@ case class AvroCdcReaderFactory(required: StructType, dataFull: StructType,
       posdels =
         if (cdc.posdel.isEmpty) Map.empty
         else Map(cdc.file -> cdc.posdel))
-      .createReader(AvroInputPartition(cdc.file, 0L, Long.MaxValue))
+      .createReader(AvroInputPartition(cdc.file, cdc.start, cdc.end))
     val ct = org.apache.spark.unsafe.types.UTF8String
       .fromString(cdc.changeType)
     val dataIdx = dataRequired.fieldNames.zipWithIndex.toMap

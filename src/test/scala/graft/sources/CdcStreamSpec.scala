@@ -262,6 +262,41 @@ class CdcStreamSpec extends AnyFunSuite with SparkSpec with Matchers {
     boom.getMessage.toLowerCase should include("gone from the journal")
   }
 
+  test("change partitions byte-range split; posdel ordinals stay exact") {
+    // a huge changed file must not pin one CDC task: partitions split
+    // like any batch scan, and absolute ordinals (posdel overlays, the
+    // gained-position delta filter) survive the ranges via the
+    // block-header seed
+    val dir = tmp()
+    spark.range(20000)
+      .selectExpr("id AS k", "repeat('x', 200) AS pad").coalesce(1)
+      .sortWithinPartitions("k")
+      .write.format("graft-avro").option("codec", "null")
+      .mode("overwrite").save(dir) // v1: one ~4MB file
+    val d = new java.io.File(dir)
+    val rel = d.getAbsoluteFile.toPath.relativize(
+      AvroFileSource.listLive(d).head._1.getAbsoluteFile.toPath).toString
+    // boundary-straddling ordinals (the posdel-splits spec's shape)
+    val dead = Seq(0L, 5L, 4999L, 5000L, 9999L, 15000L, 19999L)
+    AvroMaintenance.deleteAtPositions(dir, rel, dead) // v2
+    def feed(maxSplit: String) = spark.read.format("graft-avro")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1")
+      .option("maxSplitBytes", maxSplit)
+      .load(dir)
+    val small = feed((256 * 1024).toString)
+    small.rdd.getNumPartitions should be > 8 // genuinely split
+    val rows = small.select("k", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    rows.count(_._2 == "insert") shouldBe 20000
+    rows.filter(_._2 == "delete").map(_._1).sorted.toSeq shouldBe dead
+    // split and unsplit reads agree exactly
+    val one = feed(Long.MaxValue.toString)
+      .select("k", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    rows.sorted.toSeq shouldBe one.sorted.toSeq
+  }
+
   test("the feed spans an ADD COLUMN: old versions null-fill the column") {
     val dir = tmp()
     spark.range(0, 4).selectExpr("id AS k")
