@@ -43,6 +43,34 @@ class AvroSnapshotSpec extends AnyFunSuite with SparkSpec with Matchers {
   private def keys(df: org.apache.spark.sql.DataFrame): Set[Long] =
     df.select("k").collect().map(_.getLong(0)).toSet
 
+  test("legacy 5-field journal lines parse; upgraded lines mix in") {
+    // a pre-r16 journal has no posdel column: those lines read as
+    // "carried" (None on all-legacy journals), and a NEW commit appends
+    // a 6-field line next to them — mixed journals read forever
+    val dir = tmp()
+    writeRange(dir, 0, 10, "overwrite") // v1 (6-field, posCol "-")
+    val jf = AvroFileSource.snapshotsFile(new File(dir))
+    // strip v1's line back to the legacy 5-field form
+    val line = new String(
+      java.nio.file.Files.readAllBytes(jf.toPath), "UTF-8").trim
+    val legacy = line.split('\t').take(5).mkString("\t")
+    java.nio.file.Files.write(jf.toPath, (legacy + "\n").getBytes("UTF-8"))
+    AvroFileSource.readSnapshots(new File(dir)).last.posdels shouldBe None
+    keys(readAt(dir, 1)) shouldBe (0L until 10L).toSet
+    // a new commit upgrades the journal in place; history still reads
+    writeRange(dir, 10, 15, "append") // v2 (6-field)
+    keys(readAt(dir, 1)) shouldBe (0L until 10L).toSet
+    keys(readAt(dir, 2)) shouldBe (0L until 15L).toSet
+    // and posdel journaling works from here on
+    val d = new File(dir)
+    val rel = d.getAbsoluteFile.toPath.relativize(
+      AvroFileSource.listLive(d).head._1.getAbsoluteFile.toPath).toString
+    AvroMaintenance.deleteAtPositions(dir, rel, Seq(0L)) // v3
+    AvroFileSource.readSnapshots(d).last.posdels should not be None
+    readAt(dir, 3).count() shouldBe 14L
+    readAt(dir, 2).count() shouldBe 15L
+  }
+
   test("overwrite/append/delete each mint a version; versionAsOf replays them") {
     val dir = tmp()
     writeRange(dir, 0, 10, "overwrite")                       // v1
