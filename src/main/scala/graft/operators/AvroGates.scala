@@ -606,6 +606,41 @@ object AvroGates extends Catalog {
         .orderBy("lang")
     }),
 
+    // Byte-based admission control (r16, `maxBytesPerTrigger` — the
+    // Delta/Auto-Loader knob): a backlog drains as micro-batches sized
+    // by summed on-disk BYTES, not file count — the right cap when file
+    // sizes vary wildly (a restart must not OOM on one giant catch-up
+    // batch). The gate feeds a multi-file backlog through a tiny byte
+    // cap under AvailableNow and proves multi-batch draining via the
+    // checkpoint's committed-offset count, exact content via the agg.
+    "q_stream_bytes_trigger" -> ((s, dir) => {
+      val src = tempDir("graft_gate_bytes_src")
+      val out = tempDir("graft_gate_bytes_out")
+      val ckpt = tempDir("graft_gate_bytes_ckpt")
+      val docs = table(s, dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+      docs.repartition(6, F.col("doc_id"))
+        .write.format("graft-avro").mode("overwrite").save(src)
+      val q = s.readStream.format("graft-avro").schema(docs.schema)
+        .option("maxBytesPerTrigger", "1") // every batch = exactly 1 file
+        .load(src)
+        .writeStream.format("graft-avro")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(out)
+      require(q.awaitTermination(120000L),
+        "byte-capped availableNow run did not terminate")
+      val batches = Option(new java.io.File(ckpt, "commits").listFiles())
+        .map(_.count(f => f.getName.forall(_.isDigit))).getOrElse(0)
+      s.read.format("graft-avro").load(out)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.sum(F.col("n_chars").cast("long")).as("chars"))
+        .withColumn("multi_batch", F.lit(batches >= 6))
+        .orderBy("lang")
+    }),
+
     // STREAMING CDC change feed under the oracle: three source commits
     // (append, append, full-churn overwrite) replay through
     // `readChangeFeed=true` from version 1; the sink accumulates every
@@ -2912,6 +2947,12 @@ object AvroGates extends Catalog {
     "q_stream_available_now" ->
       """SELECT lang, count(*) AS n_docs,
                 CAST(sum(n_chars) AS BIGINT) AS chars
+         FROM documents GROUP BY lang ORDER BY lang""",
+    // byte-capped draining: exact content, >= 6 committed micro-batches
+    "q_stream_bytes_trigger" ->
+      """SELECT lang, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS chars,
+                TRUE AS multi_batch
          FROM documents GROUP BY lang ORDER BY lang""",
     // state-store recovery must reproduce the batch aggregation exactly
     // (same oracle as the uninterrupted q_stream_window)

@@ -2602,6 +2602,7 @@ case class AvroTable(path: String, tableSchema: StructType,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
       Option(options.get("maxSplitBytes")).map(_.toLong)
         .getOrElse(AvroFileSource.DefaultSplitBytes),
+      Option(options.get("maxBytesPerTrigger")).map(_.toLong),
       // SQL reads can't pass options: the table property opts a table
       // into key-grouped reporting declaratively (explicit option wins)
       Option(options.get("preservePartitioning"))
@@ -2710,6 +2711,7 @@ case class AvroTable(path: String, tableSchema: StructType,
 class AvroScanBuilder(path: String, full: StructType,
     maxFilesPerTrigger: Option[Int] = None,
     maxSplitBytes: Long = AvroFileSource.DefaultSplitBytes,
+    maxBytesPerTrigger: Option[Long] = None,
     preserveGrouping: Boolean = false,
     journalCompactAfter: Int = 4096,
     travelVersion: Option[Long] = None,
@@ -4359,7 +4361,7 @@ class AvroScanBuilder(path: String, full: StructType,
         }
         else
           new AvroMicroBatchStream(path, required, full, checkpointLocation,
-            maxFilesPerTrigger, journalCompactAfter)
+            maxFilesPerTrigger, journalCompactAfter, maxBytesPerTrigger)
       }
       /** On-disk bytes INFLATED by a compression factor. For broadcast
         * planning an underestimate is the unsafe direction (a table
@@ -4804,7 +4806,8 @@ case class AvroZoneAggReaderFactory(isMin: Seq[Boolean],
 class AvroMicroBatchStream(path: String, required: StructType,
     full: StructType, checkpointLocation: String,
     maxFilesPerTrigger: Option[Int] = None,
-    compactAfter: Int = 4096)
+    compactAfter: Int = 4096,
+    maxBytesPerTrigger: Option[Long] = None)
   extends MicroBatchStream with SupportsAdmissionControl
   with org.apache.spark.sql.connector.read.streaming
     .SupportsTriggerAvailableNow {
@@ -4866,13 +4869,49 @@ class AvroMicroBatchStream(path: String, required: StructType,
     FileCountOffset(base + seen.size)
   }
 
-  /** Admission control (`maxFilesPerTrigger`): bound each micro-batch to
-    * N registry slots past the start offset, so a backlog — most often a
-    * restart after a long outage — drains as several right-sized batches
+  /** Admission control (`maxFilesPerTrigger` / `maxBytesPerTrigger`):
+    * bound each micro-batch by registry slots and/or summed on-disk
+    * bytes past the start offset, so a backlog — most often a restart
+    * after a long outage — drains as several right-sized batches
     * instead of one giant catch-up batch sized by the outage length.
+    * Both set = a composite limit; the batch satisfies the TIGHTER one.
     */
   override def getDefaultReadLimit: ReadLimit =
-    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+    (maxFilesPerTrigger, maxBytesPerTrigger) match {
+      case (Some(f), Some(b)) =>
+        ReadLimit.compositeLimit(
+          Array(ReadLimit.maxFiles(f), ReadLimit.maxBytes(b)))
+      case (Some(f), None) => ReadLimit.maxFiles(f)
+      case (None, Some(b)) => ReadLimit.maxBytes(b)
+      case _ => ReadLimit.allAvailable()
+    }
+
+  /** Offset bound for one limit component: registry slots for maxFiles;
+    * for maxBytes, admit files until their summed length crosses the
+    * cap — always at least one (a single over-cap file must still make
+    * progress, the standard file-source convention).
+    */
+  private def capOf(limit: ReadLimit, s: Long, horizon: Long): Long =
+    limit match {
+      case mf: ReadMaxFiles => math.min(horizon, s + mf.maxFiles())
+      case mb: org.apache.spark.sql.connector.read.streaming.ReadMaxBytes =>
+        val files = synchronized {
+          seen.asScala.toIndexedSeq.slice((s - base).toInt,
+            (horizon - base).toInt)
+        }
+        var total = 0L
+        var n = 0
+        while (n < files.length &&
+            (n == 0 || total + new File(files(n)).length() <= mb.maxBytes())) {
+          total += new File(files(n)).length()
+          n += 1
+        }
+        s + n
+      case c: org.apache.spark.sql.connector.read.streaming
+          .CompositeReadLimit =>
+        c.getReadLimits.map(capOf(_, s, horizon)).min
+      case _ => horizon
+    }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     discover()
@@ -4881,11 +4920,7 @@ class AvroMicroBatchStream(path: String, required: StructType,
     // stay out of THIS run (they are already journaled; the next run's
     // initial registry serves them in the same order)
     val horizon = availableNowEnd.getOrElse(base + seen.size)
-    val cap = limit match {
-      case mf: ReadMaxFiles => math.min(horizon, s + mf.maxFiles())
-      case _ => horizon
-    }
-    FileCountOffset(cap)
+    FileCountOffset(capOf(limit, s, horizon))
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

@@ -54,4 +54,45 @@ class AvailableNowSpec extends AnyFunSuite with SparkSpec with Matchers {
     runOnce()
     spark.read.parquet(out).count() shouldBe 14L
   }
+
+  test("maxBytesPerTrigger sizes batches by summed file bytes") {
+    val dir = tmp()
+    spark.range(1200).selectExpr("id as k", "repeat('x', 40) as pad")
+      .repartition(4)
+      .write.format("graft-avro").option("codec", "null")
+      .mode("overwrite").save(dir)
+    val files = AvroFileSource.listAvro(new java.io.File(dir))
+    files.size shouldBe 4
+    val oneFile = files.map(_.length()).min
+    val schema = spark.read.format("graft-avro").load(dir).schema
+    def drain(opts: Map[String, String], out: String,
+        ckpt: String): Int = {
+      var r = spark.readStream.format("graft-avro").schema(schema)
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      val q = r.load(dir)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000L), "run never ended")
+      spark.read.parquet(out).count() shouldBe 1200L
+      Option(new java.io.File(ckpt, "commits").listFiles())
+        .map(_.count(_.getName.forall(_.isDigit))).getOrElse(0)
+    }
+    // cap below one file: every batch admits exactly one (progress is
+    // guaranteed even when a single file exceeds the cap)
+    drain(Map("maxBytesPerTrigger" -> "1"), tmp(), tmp()) shouldBe 4
+    // cap above everything: one batch
+    drain(Map("maxBytesPerTrigger" -> (1L << 30).toString),
+      tmp(), tmp()) shouldBe 1
+    // roughly two files per batch
+    drain(Map("maxBytesPerTrigger" -> (2 * oneFile + 16).toString),
+      tmp(), tmp()) shouldBe 2
+    // composite: the TIGHTER of files/bytes governs
+    drain(Map("maxBytesPerTrigger" -> (1L << 30).toString,
+      "maxFilesPerTrigger" -> "1"), tmp(), tmp()) shouldBe 4
+    drain(Map("maxBytesPerTrigger" -> "1",
+      "maxFilesPerTrigger" -> "4"), tmp(), tmp()) shouldBe 4
+  }
 }
