@@ -186,6 +186,30 @@ object AvroGates extends Catalog {
         .orderBy("doc_id")
     }),
 
+    // hidden TEMPORAL partitioning (`transformBy=ts:day`, the DDL
+    // `PARTITIONED BY (days(ts))` layout — the single most common
+    // real-table layout at 100 TB): rows route to `ts_day=<epochDay>`
+    // segments by the UTC day of the timestamp, and RAW-COLUMN range
+    // predicates prune whole day directories through the transform's
+    // monotonicity (XformLayoutSpec pins the pruned file counts; here
+    // the windowed aggregate must match the oracle exactly, including
+    // rows at both window boundaries).
+    "q_avro_part_days" -> ((s, dir) => {
+      val tmp = tempDir("graft_gate_days")
+      table(s, dir, "events").select("ts", "event_type", "value")
+        .write.format("graft-avro").option("transformBy", "ts:day")
+        .mode("overwrite").save(tmp)
+      s.read.format("graft-avro").load(tmp)
+        .filter(F.col("ts") >= F.lit(
+          java.sql.Timestamp.valueOf("2024-01-08 00:00:00")) &&
+          F.col("ts") < F.lit(
+            java.sql.Timestamp.valueOf("2024-01-22 00:00:00")))
+        .groupBy(F.to_date(F.col("ts")).as("day"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).as("n_events"),
+          F.sum(F.floor(F.col("value") * 1000).cast("long")).as("value_m"))
+        .orderBy("day", "event_type")
+    }),
+
     // storage-partitioned join between two CO-BUCKETED catalog tables:
     // both sides `PARTITIONED BY (bucket(8, doc_id))` with the
     // preservePartitioning table property, scans report bucket(8,
@@ -1345,6 +1369,39 @@ object AvroGates extends Catalog {
           F.max("l_linenumber").as("max_line"),
           F.max("okey").as("max_okey"))
       mmPart.crossJoin(mmZone)
+    }),
+
+    // HYBRID metadata MIN/MAX under POSITIONAL deletes: the posdel
+    // sidecar used to stand the zero-decode aggregate path down
+    // wholesale; now manifest cells fold over the posdel-free files
+    // and only the dirty file re-scans under the overlay — a dead row
+    // can never serve an extreme (the deleted rows here ARE the dirty
+    // generation's extremes, so a naive cell fold would be wrong).
+    // MinMaxPosdelSpec pins PushedAggregation staying in the plan.
+    "q_avro_minmax_posdel" -> ((s, dir) => {
+      val tmp = tempDir("graft_gate_mmpd")
+      val docs = table(s, dir, "documents").select("doc_id", "lang")
+      docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) === 0)
+        .coalesce(1).sortWithinPartitions("doc_id")
+        .write.format("graft-avro").mode("overwrite").save(tmp)
+      docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) === 1)
+        .coalesce(1).sortWithinPartitions("doc_id")
+        .write.format("graft-avro").mode("append").save(tmp)
+      // the odd generation's file: positions are doc_id ranks (one
+      // sorted file); kill its first and last ordinal = the smallest
+      // and largest ODD doc_id — exactly what the oracle re-derives
+      val d = new java.io.File(tmp)
+      val base = d.getAbsoluteFile.toPath
+      val relB = s.read.format("graft-avro").load(tmp)
+        .filter(F.pmod(F.col("doc_id"), F.lit(2)) === 1)
+        .select(F.col(graft.sources.AvroFileSource.MetaFile))
+        .head().getString(0)
+      val nB = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) === 1).count()
+      graft.sources.AvroMaintenance.deleteAtPositions(tmp, relB,
+        Seq(0L, nB - 1))
+      s.read.format("graft-avro").load(tmp)
+        .agg(F.min("doc_id").as("mn_id"), F.max("doc_id").as("mx_id"),
+          F.min("lang").as("mn_lang"), F.max("lang").as("mx_lang"))
     }),
 
     // Vector-payload scan under the oracle: the embeddings table
@@ -2997,6 +3054,19 @@ object AvroGates extends Catalog {
                  WHERE l_orderkey > 600) AS max_line,
                 (SELECT max(l_orderkey) FROM lineitem
                  WHERE l_orderkey > 600) AS max_okey""",
+    "q_avro_minmax_posdel" ->
+      """WITH del AS (
+           SELECT min(doc_id) AS lo, max(doc_id) AS hi
+           FROM documents WHERE doc_id % 2 = 1),
+         u AS (
+           SELECT doc_id, lang FROM documents
+           WHERE NOT (doc_id % 2 = 1 AND
+                      (doc_id = (SELECT lo FROM del) OR
+                       doc_id = (SELECT hi FROM del))))
+         SELECT CAST(min(doc_id) AS BIGINT) AS mn_id,
+                CAST(max(doc_id) AS BIGINT) AS mx_id,
+                min(lang) AS mn_lang, max(lang) AS mx_lang
+         FROM u""",
     "q_avro_sortreq" ->
       """SELECT l_returnflag, count(*) AS n_lines,
                 round(sum(l_quantity), 2) AS sum_qty
@@ -3677,6 +3747,15 @@ object AvroGates extends Catalog {
     "q_avro_bucket_prune" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE doc_id IN (7, 11, 12, 13, 101) ORDER BY doc_id""",
+    "q_avro_part_days" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type,
+                count(*) AS n_events,
+                CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+                  AS value_m
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+           AND ts < TIMESTAMP '2024-01-22 00:00:00'
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_avro_bucket_join" ->
       """SELECT lang, count(*) AS n_docs,
                 CAST(sum(n_chars) AS BIGINT) AS chars

@@ -248,7 +248,8 @@ object AvroFileSource {
   /** Writer-layout property keys the engine understands. */
   val KnownProps: Set[String] = Set("graft.sortedBy", "graft.requestSort",
     "graft.bloomFor", "graft.ndvFor", "graft.trigramFor", "graft.codec",
-    "graft.targetFileBytes", "graft.bucketBy", "graft.preservePartitioning")
+    "graft.targetFileBytes", "graft.bucketBy", "graft.transformBy",
+    "graft.preservePartitioning")
 
   def readProps(d: File): Map[String, String] = {
     val f = propsFile(d)
@@ -2467,6 +2468,7 @@ case class AvroTable(path: String, tableSchema: StructType,
     // all live files are archived, so dropping the bucket spec is sound
     // (bucket pruning already self-disables under travel reads)
     AvroFileSource.bucketFile(dirF).delete()
+    AvroTransforms.xformFile(dirF).delete()
     AvroFileSource.appendSnapshot(dirF, "truncate")
     true
     }
@@ -2533,9 +2535,23 @@ case class AvroTable(path: String, tableSchema: StructType,
       if (sidecar.nonEmpty) sidecar
       else AvroFileSource.readProps(new File(path)).get("graft.bucketBy")
         .map(AvroFileSource.parseBucketBy).getOrElse(Nil)
+    val xsidecar = AvroTransforms.read(new File(path))
+    val xspec =
+      if (xsidecar.nonEmpty) xsidecar
+      else AvroFileSource.readProps(new File(path)).get("graft.transformBy")
+        .map(AvroTransforms.parse).getOrElse(Nil)
     (defaultPartitionBy.map(c => Expressions.identity(c): Transform) ++
-      spec.map { case (c, n) => Expressions.bucket(n, c): Transform })
-      .toArray
+      spec.map { case (c, n) => Expressions.bucket(n, c): Transform } ++
+      xspec.map { x =>
+        (x.kind match {
+          case "year" => Expressions.years(x.col)
+          case "month" => Expressions.months(x.col)
+          case "day" => Expressions.days(x.col)
+          case "hour" => Expressions.hours(x.col)
+          case "trunc" => Expressions.apply("truncate",
+            Expressions.literal(x.arg), Expressions.column(x.col))
+        }): Transform
+      }).toArray
   }
   override def schema(): StructType = tableSchema
 
@@ -2697,6 +2713,8 @@ case class AvroTable(path: String, tableSchema: StructType,
         .filter(_ > 0L),
       bucketBy = opt("bucketBy").map(AvroFileSource.parseBucketBy)
         .getOrElse(Nil),
+      transformBy = opt("transformBy").map(AvroTransforms.parse)
+        .getOrElse(Nil),
       staticOverwritePartition =
         Option(info.options().get("overwritePartition")).map { s =>
           s.split("\t", 2) match {
@@ -2768,6 +2786,8 @@ class AvroScanBuilder(path: String, full: StructType,
   private var decidedState: Option[(Set[String], Set[String])] = None
   // does ANY filter remain for Spark to re-evaluate post-scan?
   private var anyResidual = false
+  // pushed equality/IN on `_graft_file` → static file restriction
+  private var staticFileRestriction: Option[Set[String]] = None
   private var countPushed = false
   private var limit: Option[Int] = None
 
@@ -2810,6 +2830,25 @@ class AvroScanBuilder(path: String, full: StructType,
       return filters
     }
     pushed = filters.filter(AvroFilterEval.accepts(full, _))
+    // equality/IN on the `_graft_file` METADATA column (not in `full`,
+    // so never in `pushed`): capture the file restriction for scan-time
+    // file pruning — the value is each row's own file path, so a
+    // non-listed file holds no matching row; the filter stays residual
+    staticFileRestriction = {
+      def conjuncts(f: Filter): Seq[Filter] = f match {
+        case org.apache.spark.sql.sources.And(a, b) =>
+          conjuncts(a) ++ conjuncts(b)
+        case x => Seq(x)
+      }
+      val sets = filters.toSeq.flatMap(conjuncts).collect {
+        case org.apache.spark.sql.sources.EqualTo(
+            AvroFileSource.MetaFile, v) if v != null =>
+          Set(String.valueOf(v))
+        case org.apache.spark.sql.sources.In(AvroFileSource.MetaFile, vs) =>
+          vs.toSeq.filter(_ != null).map(String.valueOf).toSet
+      }
+      sets.reduceOption(_ intersect _)
+    }
     val (fp, st) = tryFullPushdown(filters)
     fullyPushed = fp
     decidedState = st
@@ -3148,9 +3187,22 @@ class AvroScanBuilder(path: String, full: StructType,
             new File(p).getAbsoluteFile.toPath).toString).sorted)
         case None => return false
       }
-    // positional deletes: dead rows may hold a zone extreme — MIN/MAX
-    // aggregates come from real rows while the sidecar exists
-    if (AvroFileSource.posdelFile(new File(path)).isFile) return false
+    // positional deletes: dead rows may hold a zone extreme, so the
+    // cells of posdel-BEARING files are untrustworthy. A pure MIN/MAX
+    // aggregation goes HYBRID instead of standing down (the verdict's
+    // mostly-clean-table case): manifest cells fold over the clean
+    // files and ONLY the dirty files re-scan as real partial
+    // aggregates (their rows decode under the posdel overlay — see the
+    // okAny fold + AvroHybridAggReaderFactory). SUM/COUNT mixes can't
+    // reconstruct a dirty file's contribution from cells and still
+    // stand down, as does the whole-manifest sort-zone path.
+    val posdelDirty: Set[String] =
+      if (!AvroFileSource.posdelFile(new File(path)).isFile) Set.empty
+      else AvroFileSource.readPosdel(new File(path)).keySet
+    if (posdelDirty.nonEmpty && !exprs.toSeq.forall {
+      case _: Min | _: Max => true
+      case _ => false
+    }) return false
     // Zero-OPEN MIN/MAX of the verified sort column, served entirely
     // from the zone manifest (the Iceberg metadata-aggregate trick): a
     // sorted table answers min/max without touching a single data file.
@@ -3172,7 +3224,7 @@ class AvroScanBuilder(path: String, full: StructType,
     }
     val sortCol = AvroFileSource.sortedColumnOf(new File(path))
     val zf = AvroFileSource.zoneFile(new File(path))
-    val ok = keptRels.isEmpty &&
+    val ok = keptRels.isEmpty && posdelDirty.isEmpty &&
       wanted.nonEmpty && wanted.forall(_.isDefined) &&
       sortCol.isDefined && zf.isFile &&
       wanted.flatten.forall(_._1 == sortCol.get) && {
@@ -3251,6 +3303,14 @@ class AvroScanBuilder(path: String, full: StructType,
         val alive = keptRels.getOrElse(
           AvroFileSource.listAvro(dirF)
             .map(f => base.relativize(f.getAbsoluteFile.toPath).toString))
+        // HYBRID under positional deletes (pure MIN/MAX only — guarded
+        // above): cells fold over the CLEAN files; dirty files re-scan
+        // as real partial aggregates, so they need no coverage — but
+        // the re-scan decodes top-level columns only
+        val dirtyAlive = alive.filter(posdelDirty.contains)
+        val clean = alive.filterNot(posdelDirty.contains)
+        val hybridOk = dirtyAlive.isEmpty ||
+          mmCols.forall(full.fieldNames.contains)
         val cols = mmCols
         import org.apache.spark.sql.types.{DoubleType, FloatType}
         val perCol: Option[Map[String, (org.apache.spark.sql.types.DataType,
@@ -3260,7 +3320,7 @@ class AvroScanBuilder(path: String, full: StructType,
               .filter(d => d != DoubleType && d != FloatType)
               .flatMap { d =>
                 val enc = java.net.URLEncoder.encode(c, "UTF-8")
-                val perFile = alive.map { rel =>
+                val perFile = clean.map { rel =>
                   raw.getOrElse(rel, Nil).collectFirst {
                     case (`enc`, dtN, mn, mx) if dtN == d.simpleString =>
                       (mn, mx)
@@ -3384,7 +3444,15 @@ class AvroScanBuilder(path: String, full: StructType,
             }
           }
         (perCol, perSum, perCnt, totalRows) match {
-          case (Some(m), Some(sm), Some(cn), Some(rows)) =>
+          case (Some(m), Some(sm), Some(cn), Some(rows)) if hybridOk =>
+            if (dirtyAlive.nonEmpty) {
+              minMaxDirtyRels = dirtyAlive
+              minMaxHybridStruct =
+                StructType(mmCols.map(c => full(full.fieldIndex(c))))
+              minMaxHybridSpecs = sp.map { case (kind, c) =>
+                (kind == "min", mmCols.indexOf(c))
+              }
+            }
             minMaxAny = sp.map {
               case (kind @ ("min" | "max"), c) =>
                 val (d, bounds) = m(c)
@@ -3418,6 +3486,12 @@ class AvroScanBuilder(path: String, full: StructType,
   }
 
   private var minMaxIsMin: Seq[Boolean] = Nil
+  // hybrid MIN/MAX under posdel: rels whose cells are untrustworthy
+  // (re-scanned as partial aggregates), the decode struct of the
+  // aggregated columns, and per output column (isMin, struct ordinal)
+  private var minMaxDirtyRels: Seq[String] = Nil
+  private var minMaxHybridStruct: StructType = new StructType()
+  private var minMaxHybridSpecs: Seq[(Boolean, Int)] = Nil
   private var minMaxDt: org.apache.spark.sql.types.DataType = LongType
   private var minMaxZones: Map[String, (String, String)] = Map.empty
   // generalized manifest-served aggregate: (output name, type, final
@@ -3427,12 +3501,16 @@ class AvroScanBuilder(path: String, full: StructType,
 
   override def build(): Scan = {
     val filters = pushed
+    val staticFiles = staticFileRestriction
     val decided = decidedState
     val counting = countPushed
     val groupCols = groupCountCols
     val groupSpecs = groupAggSpecs
     val groupCells = groupAggCells
     val aggAny = minMaxAny
+    val aggDirtyRels = minMaxDirtyRels
+    val aggHybridStruct = minMaxHybridStruct
+    val aggHybridSpecs = minMaxHybridSpecs
     val aggIsMin = minMaxIsMin
     val aggDt = minMaxDt
     val aggZones = minMaxZones
@@ -3578,6 +3656,53 @@ class AvroScanBuilder(path: String, full: StructType,
         ok(bucketTargets) && ok(runtimeBucket)
       }
 
+      /** The table's temporal/truncate transform spec in force for THIS
+        * read — the same stamped resolution as [[bucketSpec]]: travel
+        * and incremental reads honor only entries established at or
+        * before their upper bound; branch reads stand down.
+        */
+      private lazy val xformSpec: Seq[Xform] =
+        if (branch.nonEmpty) Nil
+        else (travelVersion, incRange) match {
+          case (Some(v), _) =>
+            AvroTransforms.readStamped(new File(path)).collect {
+              case (x, since) if since >= 1L && since <= v => x
+            }
+          case (None, Some((_, t))) =>
+            AvroTransforms.readStamped(new File(path)).collect {
+              case (x, since) if since >= 1L && since <= t => x
+            }
+          case _ => AvroTransforms.read(new File(path))
+        }
+
+      /** Pushed-filter predicates over transform segments, per segment
+        * name (see [[AvroTransforms.checksFor]] for the monotonicity
+        * argument — unlike buckets, RANGES prune here).
+        */
+      private lazy val xformChecks: Map[String, Seq[String => Boolean]] =
+        AvroTransforms.checksFor(xformSpec, filters.toSeq)
+
+      // runtime join-key IN-sets resolved to transform segments
+      @volatile private var runtimeXform: Map[String, Set[String]] =
+        Map.empty
+
+      /** Do the transform checks (pushed + runtime) allow this file's
+        * segments? Missing segment = keep (pre-transform / evolved
+        * files), same as buckets.
+        */
+      private def xformMayKeep(vals: Map[String, String]): Boolean =
+        xformChecks.forall { case (seg, preds) =>
+          vals.get(seg) match {
+            case None => true
+            case Some(raw) => preds.forall(_(raw))
+          }
+        } && runtimeXform.forall { case (seg, allowed) =>
+          vals.get(seg) match {
+            case None => true
+            case Some(raw) => allowed.contains(raw)
+          }
+        }
+
       /** Columns eligible for runtime ZONE pruning: covered by the
         * all-column manifest somewhere, of a type whose internal→external
         * literal conversion and zone ordering are both exact. Together
@@ -3612,7 +3737,8 @@ class AvroScanBuilder(path: String, full: StructType,
               readSchema().fieldNames.contains(AvroFileSource.MetaFile))
             Seq(AvroFileSource.MetaFile)
           else Nil
-        ((partitionCols ++ rtZoneCols ++ bucketByCol.keys).distinct
+        ((partitionCols ++ rtZoneCols ++ bucketByCol.keys ++
+          xformSpec.map(_.col)).distinct
           .filter(readSchema().fieldNames.contains) ++ meta)
           .map(Expressions.column).toArray
       }
@@ -3702,6 +3828,40 @@ class AvroScanBuilder(path: String, full: StructType,
               Some(col -> keys.flatten
                 .map(k => AvroFileSource.bucketOf(k, n).toString).toSet)
             else None
+          }
+        }.toMap
+        // join-key IN-sets resolve to transform segments the same way:
+        // each key maps to exactly one segment value (day/month/… of
+        // the key), so a selective build side prunes a days-partitioned
+        // fact table to |keys| directories at most
+        runtimeXform = ins.flatMap { case (col, lits) =>
+          xformSpec.find(_.col == col).flatMap { x =>
+            if (lits.size > 10000) None
+            else {
+              // runtime literals normally carry the column's type; a
+              // bare internal-representation type (LongType micros for
+              // a timestamp column, IntegerType days for a date) falls
+              // back to the DECLARED column type — same value identity
+              val colDt = full.fields.find(_.name == col).map(_.dataType)
+              val segs = lits.map { l =>
+                AvroTransforms.internalSeg(x, l.dataType(), l.value())
+                  .orElse(colDt.flatMap { dt =>
+                    import org.apache.spark.sql.types._
+                    val compat = (dt, l.dataType()) match {
+                      case (TimestampType, LongType) => true
+                      case (TimestampNTZType, LongType) => true
+                      case (DateType, IntegerType) => true
+                      case _ => false
+                    }
+                    if (compat)
+                      AvroTransforms.internalSeg(x, dt, l.value())
+                    else None
+                  })
+              }
+              if (segs.forall(_.isDefined))
+                Some(x.segName -> segs.flatten.toSet)
+              else None
+            }
           }
         }.toMap
       }
@@ -4059,10 +4219,28 @@ class AvroScanBuilder(path: String, full: StructType,
 
       @volatile private var runtimeFileSet: Option[Set[String]] = None
 
+      /** STATICALLY pushed equality/IN conjuncts on the `_graft_file`
+        * metadata column restrict the scan to the named files — the
+        * value is constant per file (its own relative path), so a
+        * non-listed file holds no matching row. compactPartition's
+        * transform-segment rewrite reads through exactly this. The
+        * filter itself stays residual (Spark re-applies it post-scan).
+        */
+      private val staticFileSet: Option[Set[String]] = staticFiles
+
       /** Table-relative path of a data file (the `_graft_file` value). */
       private def relOf(f: File): String =
         new File(path).getAbsoluteFile.toPath
           .relativize(f.getAbsoluteFile.toPath).toString
+
+      /** [[relOf]] with the archive prefix stripped: the logical
+        * identity of a snapshot-resolved file.
+        */
+      private def logicalRelOf(f: File): String = {
+        val rel = relOf(f)
+        val arch = "_graft_archive/"
+        if (rel.startsWith(arch)) rel.substring(arch.length) else rel
+      }
 
       /** Fully-pushed (zone-decided) filters: serve EXACTLY the decided
         * keep-set — Spark re-applies nothing, so emitting any row of a
@@ -4087,10 +4265,15 @@ class AvroScanBuilder(path: String, full: StructType,
           .filter { case (f, vals) =>
             decidedKeep(f) &&
               partitionMayMatch(vals) && runtimeMayMatch(vals) &&
-              bucketMayKeep(vals) && nullMayKeep(f) &&
+              bucketMayKeep(vals) && xformMayKeep(vals) && nullMayKeep(f) &&
               zoneMayKeep(f) && runtimeZoneKeep(f) &&
               bloomMayKeep(f) && trigramMayKeep(f) &&
-              runtimeFileSet.forall(_.contains(relOf(f))) }
+              runtimeFileSet.forall(_.contains(relOf(f))) &&
+              // compare on the LOGICAL rel — the value decode fills:
+              // historical reads serve archived files from under
+              // `_graft_archive/`, but their `_graft_file` value (and
+              // any filter on it) is the original table-relative path
+              staticFileSet.forall(_.contains(logicalRelOf(f))) }
 
       /** Catalyst-internal key value for one partition column (SPJ keys
         * compare internally); None = type unsupported for key grouping.
@@ -4218,8 +4401,17 @@ class AvroScanBuilder(path: String, full: StructType,
             maxSplitBytes)
         } else if (aggAny.nonEmpty) {
           // the manifest fold already happened at pushdown: one partition
-          // carrying the final row, zero data files opened
-          Array[InputPartition](AvroAggRowPartition(aggAny.map(_._3)))
+          // carrying the clean-file row, zero clean data files opened.
+          // HYBRID under posdel: the dirty files re-scan as real partial
+          // aggregates beside it (split normally; the reader folds each
+          // range to one min/max row under the posdel overlay)
+          val head: InputPartition = AvroAggRowPartition(aggAny.map(_._3))
+          if (aggDirtyRels.isEmpty) Array(head)
+          else head +: aggDirtyRels.flatMap { rel =>
+            split(new File(new File(path), rel)).map { case (p, s, e) =>
+              AvroInputPartition(p, s, e): InputPartition
+            }
+          }.toArray
         } else if (aggIsMin.nonEmpty) {
           // manifest-served min/max: one tiny partition per file WITH a
           // zone entry (all-null files have none and contribute nothing);
@@ -4312,7 +4504,22 @@ class AvroScanBuilder(path: String, full: StructType,
             AvroFileSource.readColmap(dirF), path)
         }
         else if (counting || groupSpecs.nonEmpty) AvroCountReaderFactory(required)
-        else if (aggAny.nonEmpty) AvroAggRowReaderFactory(aggAny.map(_._2))
+        else if (aggAny.nonEmpty) {
+          val base = AvroAggRowReaderFactory(aggAny.map(_._2))
+          if (aggDirtyRels.isEmpty) base
+          else {
+            // dirty-file partial scan: rows decode over JUST the
+            // aggregated columns with the posdel overlay applied
+            // (equality deletes / renames already stood pushdown down)
+            val inner = AvroReaderFactory(aggHybridStruct, full,
+              Array.empty, None, Nil,
+              AvroFileSource.birthsByPhysicalPath(new File(path), Nil,
+                force = false),
+              Nil, posdelsByPath, root = path, columnarBatch = 0)
+            AvroHybridAggReaderFactory(base, inner, aggHybridSpecs,
+              aggHybridStruct)
+          }
+        }
         else if (aggIsMin.nonEmpty) AvroZoneAggReaderFactory(aggIsMin, aggDt)
         else {
           // merge-on-read: parse the equality-delete sidecar ONCE at plan
@@ -4743,6 +4950,69 @@ case class AvroAggRowReaderFactory(
       override def close(): Unit = ()
     }
   }
+}
+
+/** HYBRID MIN/MAX under positional deletes: the clean files' manifest
+  * fold rides in as one [[AvroAggRowPartition]] (zero decode), while
+  * each posdel-bearing file's splits arrive as ordinary
+  * [[AvroInputPartition]]s whose rows this factory folds executor-side
+  * into ONE partial (min, max, …) row — decoded under the posdel
+  * overlay, so dead rows never contribute an extreme. Spark's final
+  * aggregation combines the partials (pushAggregation never claims
+  * complete pushdown).
+  */
+case class AvroHybridAggReaderFactory(aggRow: AvroAggRowReaderFactory,
+    inner: PartitionReaderFactory,
+    specs: Seq[(Boolean, Int)], // per output: (isMin, ordinal in struct)
+    struct: StructType)
+  extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case _: AvroAggRowPartition => aggRow.createReader(partition)
+      case other =>
+        val r = inner.createReader(other)
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          private var row: InternalRow = _
+          private val ords = struct.fields.map(f =>
+            org.apache.spark.sql.catalyst.util.TypeUtils
+              .getInterpretedOrdering(f.dataType))
+          // reader rows may reuse buffers: copy a value when it becomes
+          // the running best (primitives are immutable boxes; strings
+          // clone their bytes)
+          private def own(v: Any): Any = v match {
+            case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+            case x => x
+          }
+          override def next(): Boolean = {
+            if (emitted) return false
+            val best = new Array[Any](specs.length)
+            while (r.next()) {
+              val in = r.get()
+              var si = 0
+              while (si < specs.length) {
+                val (isMin, ci) = specs(si)
+                if (!in.isNullAt(ci)) {
+                  val v = in.get(ci, struct(ci).dataType)
+                  val cur = best(si)
+                  val better = cur == null || {
+                    val c = ords(ci).compare(v, cur)
+                    if (isMin) c < 0 else c > 0
+                  }
+                  if (better) best(si) = own(v)
+                }
+                si += 1
+              }
+            }
+            row = InternalRow.fromSeq(best.toIndexedSeq)
+            emitted = true
+            true
+          }
+          override def get(): InternalRow = row
+          override def close(): Unit = r.close()
+        }
+    }
 }
 
 /** Emits one partial-aggregate row per zone entry: for each pushed
@@ -5993,6 +6263,9 @@ class AvroWriteBuilder(path: String, schema: StructType,
     // hidden hash-bucket partitioning: (col, N) specs routing rows to
     // `<col>_bucket=` segments (see AvroFileSource.bucketOf)
     bucketBy: Seq[(String, Int)] = Nil,
+    // hidden temporal/truncate partitioning: specs routing rows to
+    // `<col>_<kind>=` segments (see AvroTransforms)
+    transformBy: Seq[Xform] = Nil,
     // PATH-write route to static partition overwrite (see truncate()):
     // (partition column -> external value string) equalities
     staticOverwritePartition: Option[Seq[(String, String)]] = None)
@@ -6110,6 +6383,30 @@ class AvroWriteBuilder(path: String, schema: StructType,
   }
   require(bucketBy.map(_._1).distinct.length == bucketBy.length,
     "bucketBy lists a column twice")
+
+  // Transform specs: the bucket guard set, adapted — schema membership,
+  // kind/type agreement (AvroTransforms.typeOk — the canonical-
+  // stability reasoning), no overlap with identity or bucket
+  // partitioning, and no segment-name collision with a real column.
+  transformBy.foreach { x =>
+    val f = schema.fields.find(_.name == x.col).getOrElse(
+      throw new IllegalArgumentException(
+        s"transformBy column '${x.col}' not in schema"))
+    require(AvroTransforms.typeOk(x.kind, f.dataType),
+      s"transform '${x.render}' does not support " +
+        s"${f.dataType.simpleString} (column '${x.col}')")
+    require(!partitionBy.contains(x.col),
+      s"transformBy column '${x.col}' is already an identity partition " +
+        "column")
+    require(!bucketBy.exists(_._1 == x.col),
+      s"transformBy column '${x.col}' is already bucket-partitioned")
+    val seg = x.segName
+    require(!schema.fieldNames.contains(seg) && !partitionBy.contains(seg),
+      s"transformBy column '${x.col}': segment name '$seg' collides " +
+        "with a real column")
+  }
+  require(transformBy.map(_.col).distinct.length == transformBy.length,
+    "transformBy lists a column twice")
 
   // RETIRED names (ALTER TABLE DROP COLUMN) may never be written again:
   // name-based resolution would resurrect the old files' same-named
@@ -6338,7 +6635,8 @@ class AvroWriteBuilder(path: String, schema: StructType,
         val base = AvroWriterFactory(path, schema, codec, partitionBy,
           staged = true, sortedBy = sortedBy, bloomFor = bloomFor,
           ndvFor = ndvFor, trigramFor = trigramFor,
-          targetFileBytes = targetFileBytes, bucketBy = bucketBy)
+          targetFileBytes = targetFileBytes, bucketBy = bucketBy,
+          transformBy = transformBy)
         if (compiledChecks.isEmpty) base
         else CheckedWriterFactory(base, compiledChecks)
       }
@@ -6353,6 +6651,15 @@ class AvroWriteBuilder(path: String, schema: StructType,
         // bucket-spec agreement BEFORE anything publishes (the merge at
         // the end re-checks under the same lock; this makes a conflict
         // leave zero litter)
+        if (!doTruncate && transformBy.nonEmpty) {
+          val prior = AvroTransforms.read(new File(path))
+            .map(x => x.col -> x).toMap
+          transformBy.foreach { x =>
+            prior.get(x.col).foreach(px => require(px == x,
+              s"graft-avro: transform '${x.render}' conflicts with the " +
+                s"table's established spec '${px.render}'"))
+          }
+        }
         if (!doTruncate && bucketBy.nonEmpty) {
           val prior = AvroFileSource.readBucketSpec(new File(path)).toMap
           bucketBy.foreach { case (c, n) =>
@@ -6576,6 +6883,8 @@ class AvroWriteBuilder(path: String, schema: StructType,
         // published but unjournaled: remove_orphans reclaims them)
         AvroFileSource.mergeBucketSpec(new File(path), bucketBy,
           replace = doTruncate)
+        AvroTransforms.merge(new File(path), transformBy,
+          replace = doTruncate)
         // pruning/stat manifests (col-zones, blooms, rows, NDV):
         // shared fold with the delta row-level commit
         AvroFileSource.foldStatsManifests(new File(path),
@@ -6603,7 +6912,7 @@ class AvroWriteBuilder(path: String, schema: StructType,
           info: PhysicalWriteInfo): StreamingDataWriterFactory = {
         new File(path).mkdirs()
         val base = AvroStreamingWriterFactory(path, schema, codec,
-          partitionBy, bucketBy = bucketBy,
+          partitionBy, bucketBy = bucketBy, transformBy = transformBy,
           targetFileBytes = targetFileBytes)
         if (compiledChecks.isEmpty) base
         else CheckedStreamingWriterFactory(base, compiledChecks)
@@ -6631,6 +6940,8 @@ class AvroWriteBuilder(path: String, schema: StructType,
           // streamed bucketed epochs extend/agree the bucket spec like
           // any append (a conflicting N fails the epoch)
           AvroFileSource.mergeBucketSpec(new File(path), bucketBy,
+            replace = false)
+          AvroTransforms.merge(new File(path), transformBy,
             replace = false)
           // idle epochs no-op inside appendSnapshot (state unchanged)
           AvroFileSource.appendSnapshot(new File(path), s"epoch-$epochId")
@@ -7200,9 +7511,11 @@ private[sources] object AvroWriters {
       ndvFor: Seq[String] = Nil,
       trigramFor: Seq[String] = Nil,
       targetFileBytes: Option[Long] = None,
-      buckets: Seq[(String, Int)] = Nil): DataWriter[InternalRow] = {
+      buckets: Seq[(String, Int)] = Nil,
+      xforms: Seq[Xform] = Nil): DataWriter[InternalRow] = {
     val idx = partCols.map(schema.fieldIndex)
     val bidx = buckets.map { case (c, _) => schema.fieldIndex(c) }
+    val xidx = xforms.map(x => schema.fieldIndex(x.col))
     val sortIdx = sortedBy.map(schema.fieldIndex)
     val avroSchema = AvroSchemaConverter.toAvro(schema, "topLevelRecord", None, None)
     val toAvro = AvroInternalCodec.encoderFor(schema, avroSchema)
@@ -7271,6 +7584,12 @@ private[sources] object AvroWriters {
             if (v == null) "__null__"
             else AvroFileSource.bucketOf(v.toString, n).toString
           s"${AvroFileSource.bucketSegName(c)}=$seg"
+        } ++ xforms.zip(xidx).map { case (x, i) =>
+          // hidden temporal/truncate partitioning: the segment value is
+          // the TRANSFORM of the external value (day/month/hour/year
+          // ordinal or truncated prefix); nulls get `__null__` like
+          // buckets — compares never match null, so it prunes
+          s"${x.segName}=${AvroTransforms.segValue(x, view.get(i))}"
         }).mkString("/")
         val seg = open.getOrElseUpdate(sub, {
           val s = new Seg(sub, nextSeq.getOrElse(sub, 0))
@@ -7459,7 +7778,8 @@ case class AvroWriterFactory(path: String, schema: StructType,
     bloomFor: Seq[String] = Nil, ndvFor: Seq[String] = Nil,
     trigramFor: Seq[String] = Nil,
     targetFileBytes: Option[Long] = None,
-    bucketBy: Seq[(String, Int)] = Nil)
+    bucketBy: Seq[(String, Int)] = Nil,
+    transformBy: Seq[Xform] = Nil)
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
@@ -7470,11 +7790,12 @@ case class AvroWriterFactory(path: String, schema: StructType,
     // name can never be reused by a later generation.
     val uniq = java.util.UUID.randomUUID().toString.take(8)
     val name = f"part-$partitionId%05d-$taskId-$uniq.avro"
-    if (partitionBy.nonEmpty || bucketBy.nonEmpty)
+    if (partitionBy.nonEmpty || bucketBy.nonEmpty || transformBy.nonEmpty)
       AvroWriters.openPartitioned(path, schema, name, partitionBy, codec,
         staged = staged, sortedBy = sortedBy, bloomFor = bloomFor,
         ndvFor = ndvFor, trigramFor = trigramFor,
-        targetFileBytes = targetFileBytes, buckets = bucketBy)
+        targetFileBytes = targetFileBytes, buckets = bucketBy,
+        xforms = transformBy)
     else
       AvroWriters.open(path, schema, name,
         lazyCreate = false, codec = codec, staged = staged,
@@ -7486,15 +7807,17 @@ case class AvroWriterFactory(path: String, schema: StructType,
 case class AvroStreamingWriterFactory(path: String, schema: StructType,
     codec: String = AvroFileSource.DefaultCodec, partitionBy: Seq[String] = Nil,
     bucketBy: Seq[(String, Int)] = Nil,
+    transformBy: Seq[Xform] = Nil,
     targetFileBytes: Option[Long] = None)
   extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] = {
     val name = f"part-e$epochId%06d-$partitionId%05d.avro"
-    if (partitionBy.nonEmpty || bucketBy.nonEmpty)
+    if (partitionBy.nonEmpty || bucketBy.nonEmpty || transformBy.nonEmpty)
       AvroWriters.openPartitioned(path, schema, name, partitionBy, codec,
-        buckets = bucketBy, targetFileBytes = targetFileBytes)
+        buckets = bucketBy, xforms = transformBy,
+        targetFileBytes = targetFileBytes)
     else
       AvroWriters.open(path, schema, name, lazyCreate = true, codec = codec,
         targetFileBytes = targetFileBytes)

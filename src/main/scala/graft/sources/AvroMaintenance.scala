@@ -1107,8 +1107,11 @@ object AvroMaintenance {
     val bucketSpec = AvroFileSource.readBucketSpec(dirF)
     val bucketSegs = bucketSpec
       .map { case (c, _) => AvroFileSource.bucketSegName(c) }.toSet
+    val xformSpec = AvroTransforms.read(dirF)
+    val xformSegs = xformSpec.map(_.segName).toSet
     val partCols = AvroFileSource.listPartitioned(dirF)
       .flatMap(_._2.keys).distinct.filterNot(bucketSegs)
+      .filterNot(xformSegs)
     import org.apache.spark.sql.{functions => F}
     val red = spark.read.format("graft-avro").load(dir)
     // co-locate by the bucket ORDINAL, not the bucket column: clustering
@@ -1118,7 +1121,11 @@ object AvroMaintenance {
       graft.functions.VectorFunctions.register(spark)
     val clusterCols = partCols.map(F.col) ++
       bucketSpec.map { case (c, bn) =>
-        F.call_function("graft_bucket", F.col(c), F.lit(bn)) }
+        F.call_function("graft_bucket", F.col(c), F.lit(bn)) } ++
+      // transform segments co-locate by ANY deterministic proxy of the
+      // transform value (the writer re-derives exact segments; equal
+      // proxy ⇒ equal segment is all co-location needs)
+      xformSpec.map(x => xformClusterExpr(red, x))
     val pinned = (if (clusterCols.nonEmpty)
       // co-locate each partition value in one task, or the write fans
       // out to (tasks x values) small files — the opposite of compaction
@@ -1128,11 +1135,50 @@ object AvroMaintenance {
     val w1 =
       if (partCols.nonEmpty) w0.option("partitionBy", partCols.mkString(","))
       else w0
-    (if (bucketSpec.nonEmpty)
-      w1.option("bucketBy",
-        bucketSpec.map { case (c, bn) => s"$c:$bn" }.mkString(","))
-    else w1).save(dir)
+    val w2 =
+      if (bucketSpec.nonEmpty)
+        w1.option("bucketBy",
+          bucketSpec.map { case (c, bn) => s"$c:$bn" }.mkString(","))
+      else w1
+    (if (xformSpec.nonEmpty)
+      w2.option("transformBy", AvroTransforms.render(xformSpec))
+    else w2).save(dir)
     n
+  }
+
+  /** Deterministic cluster proxy for a transform column: rows with
+    * equal transform values map to one proxy value, so one task owns
+    * each segment (equal-proxy ⇒ equal-segment is the only contract —
+    * the proxy need not equal the segment value itself; session-tz
+    * month/year grouping may SPLIT a UTC month across two proxies at
+    * the boundary, costing at most one extra file, never corrupting
+    * routing, which the writer re-derives exactly).
+    */
+  private def xformClusterExpr(df: org.apache.spark.sql.DataFrame,
+      x: Xform): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.{functions => F}
+    val dt = df.schema(x.col).dataType
+    x.kind match {
+      case "trunc" if dt == StringType =>
+        F.substring(F.col(x.col), 1, x.arg)
+      case "trunc" =>
+        F.expr(s"`${x.col}` div ${x.arg}")
+      case "day" | "hour" if dt == DateType =>
+        F.col(x.col)
+      case "day" =>
+        F.expr(s"unix_micros(cast(`${x.col}` as timestamp)) " +
+          "div 86400000000")
+      case "hour" =>
+        F.expr(s"unix_micros(cast(`${x.col}` as timestamp)) " +
+          "div 3600000000")
+      case "month" =>
+        F.expr(s"year(`${x.col}`) * 12 + month(`${x.col}`)")
+      case "year" =>
+        F.expr(s"year(`${x.col}`)")
+      case other => throw new IllegalArgumentException(
+        s"graft-avro: unknown transform kind '$other'")
+    }
   }
 
   /** DEEP CLONE (the Delta `CLONE` shape): copy the CURRENT snapshot's
@@ -1213,6 +1259,9 @@ object AvroMaintenance {
     if (bspec.nonEmpty)
       AvroFileSource.writeBucketSpec(dst,
         bspec.map { case (c, n) => (c, n, 1L) })
+    val xspec = AvroTransforms.read(src)
+    if (xspec.nonEmpty)
+      AvroTransforms.write(dst, xspec.map(x => (x, 1L)))
     AvroFileSource.withCommitLock(dst) {
       AvroFileSource.appendSnapshot(dst, "clone")
     }
@@ -1245,15 +1294,25 @@ object AvroMaintenance {
     val bucketSpec = AvroFileSource.readBucketSpec(d)
     val bucketSegs = bucketSpec
       .map { case (c, _) => AvroFileSource.bucketSegName(c) }.toSet
+    val xformSpec = AvroTransforms.read(d)
+    val xformSegs = xformSpec.map(_.segName).toSet
     val partCols = parts.flatMap(_._2.keys).distinct.filterNot(bucketSegs)
+      .filterNot(xformSegs)
+    // `col` may name an identity partition column OR a transform
+    // SEGMENT pseudo-column (`ts_day`, `name_trunc`, …): `CALL
+    // system.compact_partition(t, 'ts_day', '20600')` is the OPTIMIZE
+    // a days-partitioned table runs. Transform targets are addressed
+    // by the transform VALUE (the segment string), matched via the
+    // `_graft_file` metadata column — no per-kind SQL needed.
+    val asXform = xformSegs.contains(col)
     // validation ORDER matters: identity-column membership first (a
     // typo'd or bucket-segment name must not read as "partition
     // evolution" or silently no-op on an empty target), then the
     // commit-time evolution guard pre-flight, then the empty-target
     // early return
-    require(partCols.contains(col),
+    require(asXform || partCols.contains(col),
       s"graft-avro compactPartition: '$col' is not an identity " +
-        "partition column of this table")
+        "partition column or transform segment of this table")
     // pre-flight the commit-time guard: a segment-less live file would
     // contribute rows to the read, then fail the publish — refuse
     // BEFORE any work instead
@@ -1271,20 +1330,38 @@ object AvroMaintenance {
     import org.apache.spark.sql.{functions => F}
     if (bucketSpec.nonEmpty)
       graft.functions.VectorFunctions.register(spark)
+    val red = spark.read.format("graft-avro").load(dir)
     val clusterCols = partCols.map(F.col) ++
       bucketSpec.map { case (c, bn) =>
-        F.call_function("graft_bucket", F.col(c), F.lit(bn)) }
-    val pinned = spark.read.format("graft-avro").load(dir)
-      .filter(F.col(col) === value)
-      .repartition(n, clusterCols: _*)
+        F.call_function("graft_bucket", F.col(c), F.lit(bn)) } ++
+      xformSpec.map(x => xformClusterExpr(red, x))
+    val filtered =
+      if (asXform) {
+        // restrict to the target segment's files by table-relative
+        // path (the `_graft_file` metadata column — the row-level
+        // group-filter precedent); a transform value is not a column,
+        // so equality on the raw column can't express it
+        val base = d.getAbsoluteFile.toPath
+        val rels = targets.map(f =>
+          base.relativize(f.getAbsoluteFile.toPath).toString)
+        red.filter(F.col(AvroFileSource.MetaFile).isin(rels: _*))
+          .drop(AvroFileSource.MetaFile)
+      } else red.filter(F.col(col) === value)
+    val pinned = filtered.repartition(n, clusterCols: _*)
       .localCheckpoint(true)
     val w0 = pinned.write.format("graft-avro").mode("overwrite")
-      .option("partitionBy", partCols.mkString(","))
       .option("overwritePartition", s"$col\t${value.toString}")
-    (if (bucketSpec.nonEmpty)
-      w0.option("bucketBy",
-        bucketSpec.map { case (c, bn) => s"$c:$bn" }.mkString(","))
-    else w0).save(dir)
+    val w1 =
+      if (partCols.nonEmpty) w0.option("partitionBy", partCols.mkString(","))
+      else w0
+    val w2 =
+      if (bucketSpec.nonEmpty)
+        w1.option("bucketBy",
+          bucketSpec.map { case (c, bn) => s"$c:$bn" }.mkString(","))
+      else w1
+    (if (xformSpec.nonEmpty)
+      w2.option("transformBy", AvroTransforms.render(xformSpec))
+    else w2).save(dir)
     n
   }
 

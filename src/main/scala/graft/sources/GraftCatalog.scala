@@ -250,11 +250,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"count: $t"))
         (t.references()(0).fieldNames()(0), n)
     }
-    require(idParts.length + bucketParts.length == partitions.length,
-      "graft catalog: only identity and bucket(n, col) partitioning " +
+    // temporal transforms (`PARTITIONED BY (days(ts))` — the Iceberg
+    // default table idiom) + `truncate(n, col)`: hidden layouts via
+    // the `graft.transformBy` property → `<col>_<kind>=` segments and
+    // the `_graft_xform` sidecar on first write (see AvroTransforms)
+    val temporalKind = Map("years" -> "year", "months" -> "month",
+      "days" -> "day", "hours" -> "hour")
+    val xformParts = partitions.toSeq.collect {
+      case t if temporalKind.contains(t.name()) &&
+          t.references().length == 1 &&
+          t.references()(0).fieldNames().length == 1 =>
+        Xform(t.references()(0).fieldNames()(0), temporalKind(t.name()), 0)
+      case t if t.name() == "truncate" && t.references().length == 1 &&
+          t.references()(0).fieldNames().length == 1 =>
+        val w = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.value().isInstanceOf[Number] =>
+            l.value().asInstanceOf[Number].intValue()
+        }.getOrElse(throw new UnsupportedOperationException(
+          s"graft catalog: truncate transform without a numeric width: $t"))
+        require(w > 0,
+          s"graft catalog: truncate width must be positive, got $w")
+        Xform(t.references()(0).fieldNames()(0), "trunc", w)
+    }
+    require(
+      idParts.length + bucketParts.length + xformParts.length ==
+        partitions.length,
+      "graft catalog: only identity, bucket(n, col), " +
+        "years/months/days/hours(col) and truncate(n, col) partitioning " +
         s"are supported, got ${partitions.mkString(", ")}")
     val parts = idParts
-    (parts ++ bucketParts.map(_._1)).foreach(c =>
+    (parts ++ bucketParts.map(_._1) ++ xformParts.map(_.col)).foreach(c =>
       require(schema.fieldNames.contains(c),
         s"graft catalog: partition column '$c' not in schema"))
     d.mkdirs()
@@ -266,6 +292,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       (if (bucketParts.nonEmpty)
         Map("graft.bucketBy" ->
           bucketParts.map { case (c, n) => s"$c:$n" }.mkString(","))
+      else Map.empty) ++
+      (if (xformParts.nonEmpty)
+        Map("graft.transformBy" -> AvroTransforms.render(xformParts))
       else Map.empty)
     if (gp.nonEmpty) AvroFileSource.writeProps(d, gp)
     parts
