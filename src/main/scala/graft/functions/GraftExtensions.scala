@@ -70,5 +70,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // ships the ViewCatalog API without the analyzer wiring)
     ext.injectResolutionRule(session =>
       graft.sources.ResolveGraftViews(session))
+    // pure-SQL batch CDC: SELECT * FROM table_changes('cat.ns.t', f, t)
+    // — a TABLE function (returns a LogicalPlan), resolved by Spark's
+    // own ResolveFunctions through the table-function registry
+    ext.injectTableFunction((FunctionIdentifier("table_changes"),
+      info("table_changes",
+        "table_changes(tbl, from[, to]) - net changelog of a graft table " +
+          "between two journal versions"),
+      (exprs: Seq[Expression]) =>
+        graft.sources.GraftTableChanges.plan(exprs)))
   }
 }

@@ -821,6 +821,131 @@ object AvroGates extends Catalog {
         .withColumn("rolled", F.lit(rolled))
     }),
 
+    // STREAMING WRITES THROUGH THE CATALOG (writeStream.toTable): the
+    // SQL-first streaming path — a DDL table whose declared layout
+    // (graft.* table properties: rolling target, bloom columns, codec)
+    // and CHECK constraint govern streaming epochs exactly like batch
+    // INSERTs. Phase 1 streams violating rows: the epoch must FAIL with
+    // nothing published (the table still answers empty). Phase 2
+    // streams clean rows: rolled files stay bounded by the declared
+    // target and the epoch-commit stat fold (r17) covers every
+    // streamed file with a doc_id bloom entry. The aggregate must
+    // match the oracle exactly.
+    "q_stream_to_table" -> ((s, dir) => {
+      if (!s.conf.getOption("spark.sql.catalog.graft_gate").isDefined) {
+        s.conf.set("spark.sql.catalog.graft_gate",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_gate.root",
+          tempDir("graft_gate_cat"))
+      }
+      val src = tempDir("graft_gate_stt_src")
+      val badSrc = tempDir("graft_gate_stt_bad")
+      val ckptBad = tempDir("graft_gate_stt_ckb")
+      val ckpt = tempDir("graft_gate_stt_ck")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.gate")
+      s.sql("DROP TABLE IF EXISTS graft_gate.gate.stream_tbl")
+      s.sql("""CREATE TABLE graft_gate.gate.stream_tbl
+              |  (doc_id BIGINT, lang STRING, n_chars BIGINT, pad STRING)
+              |  TBLPROPERTIES ('graft.targetFileBytes' = '131072',
+              |    'graft.codec' = 'null', 'graft.bloomFor' = 'doc_id')"""
+        .stripMargin)
+      s.sql("ALTER TABLE graft_gate.gate.stream_tbl " +
+        "ADD CONSTRAINT chars_nonneg CHECK (n_chars >= 0)")
+      val docs = table(s, dir, "documents")
+        .select(F.col("doc_id").cast("long").as("doc_id"), F.col("lang"),
+          F.col("n_chars").cast("long").as("n_chars"))
+      val n = docs.count()
+      // pad sized inversely with row count so the roll target is
+      // crossed at EVERY SF (the q_avro_stream_roll rule)
+      val padLen = math.max(8L, 400000L / math.max(1L, n))
+      val fed = docs.withColumn("pad", F.expr(s"repeat('x', $padLen)"))
+      fed.limit(50).withColumn("n_chars", F.lit(-1L))
+        .coalesce(1).write.mode("overwrite").parquet(badSrc)
+      val qBad = s.readStream.schema(fed.schema).parquet(badSrc)
+        .writeStream.option("checkpointLocation", ckptBad)
+        .toTable("graft_gate.gate.stream_tbl")
+      val epochFailed =
+        try { qBad.processAllAvailable(); false }
+        catch { case scala.util.control.NonFatal(_) => true }
+        finally qBad.stop()
+      val emptyAfterFail = s.sql(
+        "SELECT count(*) FROM graft_gate.gate.stream_tbl")
+        .head().getLong(0) == 0L
+      fed.coalesce(1).write.mode("overwrite").parquet(src)
+      val q = s.readStream.schema(fed.schema).parquet(src)
+        .coalesce(1)
+        .writeStream.option("checkpointLocation", ckpt)
+        .toTable("graft_gate.gate.stream_tbl")
+      try q.processAllAvailable() finally q.stop()
+      val root = s.conf.get("spark.sql.catalog.graft_gate.root")
+      val tdir = new java.io.File(new java.io.File(root, "gate"),
+        "stream_tbl")
+      val files = graft.sources.AvroFileSource.listAvro(tdir)
+      val rolled = files.size >= 2 &&
+        files.forall(_.length() < 128L * 1024 + 1024 * 1024)
+      val base = tdir.getAbsoluteFile.toPath
+      val live = files
+        .map(f => base.relativize(f.getAbsoluteFile.toPath).toString).toSet
+      val bloomF = new java.io.File(tdir, "_graft_blooms")
+      val bloomRels: Set[String] =
+        if (!bloomF.isFile) Set.empty
+        else new String(
+            java.nio.file.Files.readAllBytes(bloomF.toPath), "UTF-8")
+          .split('\n').filter(_.nonEmpty).map(_.split('\t'))
+          .collect { case a if a.length >= 2 &&
+            java.net.URLDecoder.decode(a(1), "UTF-8") == "doc_id" => a(0) }
+          .toSet
+      val blooms = live.nonEmpty && live.subsetOf(bloomRels)
+      s.sql("""SELECT lang, count(*) AS n_docs,
+              |       CAST(sum(n_chars) AS BIGINT) AS chars
+              |FROM graft_gate.gate.stream_tbl
+              |GROUP BY lang ORDER BY lang""".stripMargin)
+        .withColumn("rolled", F.lit(rolled))
+        .withColumn("blooms", F.lit(blooms))
+        .withColumn("failed_epoch", F.lit(epochFailed && emptyAfterFail))
+    }),
+
+    // PURE-SQL BATCH CDC (the table_changes TVF): three SQL-only
+    // lifecycle steps — CTAS (v1), INSERT (v2), metadata DELETE (v3) —
+    // then `SELECT ... FROM table_changes('cat.ns.t', 1, 3)` reads the
+    // net changelog with zero Scala calls. Net-diff semantics under the
+    // oracle: rows inserted AND deleted inside the range cancel, the
+    // equality-delete delta emits the from-version rows it killed as
+    // `delete` rows. The TVF resolves to the fully distributed changes
+    // plan (no driver-side materialization — that is why it is a TVF,
+    // not a CALL procedure).
+    "q_avro_table_changes" -> ((s, dir) => {
+      if (!s.conf.getOption("spark.sql.catalog.graft_gate").isDefined) {
+        s.conf.set("spark.sql.catalog.graft_gate",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_gate.root",
+          tempDir("graft_gate_cat"))
+      }
+      table(s, dir, "documents")
+        .select(F.col("doc_id").cast("long").as("doc_id"), F.col("lang"),
+          F.col("n_chars").cast("long").as("n_chars"))
+        .createOrReplaceTempView("docs_src_chg")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.gate")
+      s.sql("DROP TABLE IF EXISTS graft_gate.gate.chg")
+      s.sql("CREATE TABLE graft_gate.gate.chg AS " +
+        "SELECT * FROM docs_src_chg WHERE doc_id % 2 = 0")
+      s.sql("INSERT INTO graft_gate.gate.chg " +
+        "SELECT * FROM docs_src_chg WHERE doc_id % 2 = 1")
+      s.sql("DELETE FROM graft_gate.gate.chg WHERE lang = 'en'")
+      // the literal (1, 3] below assumes one journal version per step —
+      // fail loudly here rather than hash-mismatch if that ever drifts
+      val root = s.conf.get("spark.sql.catalog.graft_gate.root")
+      val tdir = new java.io.File(new java.io.File(root, "gate"), "chg")
+      val cur = graft.sources.AvroFileSource.readSnapshots(tdir)
+        .lastOption.map(_.version).getOrElse(0L)
+      require(cur == 3L,
+        s"q_avro_table_changes: expected journal version 3, found $cur")
+      s.sql("""SELECT _change_type, count(*) AS n_rows,
+              |       CAST(sum(n_chars) AS BIGINT) AS chars
+              |FROM table_changes('graft_gate.gate.chg', 1, 3)
+              |GROUP BY _change_type ORDER BY _change_type""".stripMargin)
+    }),
+
     // STATEFUL exactly-once across a restart: q_stream_restart proves
     // the stateless source replay; this gate kills a windowed
     // AGGREGATION while its window sums live only in the state store
@@ -3043,6 +3168,27 @@ object AvroGates extends Catalog {
                 CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
                 TRUE AS rolled
          FROM lineitem, mm WHERE l_orderkey % mm.md = 0""",
+    "q_stream_to_table" ->
+      """SELECT lang, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS chars,
+                TRUE AS rolled, TRUE AS blooms, TRUE AS failed_epoch
+         FROM documents GROUP BY lang ORDER BY lang""",
+    // net-diff mirror: odd-id rows (added at v2, en rows already dead
+    // at v3) are inserts; even-id en rows (v1 files hit by the gained
+    // delete entry) are deletes; even non-en rows are untouched bulk
+    "q_avro_table_changes" ->
+      """WITH ev AS (SELECT lang, n_chars FROM documents
+                     WHERE doc_id % 2 = 0),
+              od AS (SELECT lang, n_chars FROM documents
+                     WHERE doc_id % 2 = 1),
+              ins AS (SELECT 'insert' AS _change_type, n_chars
+                      FROM od WHERE lang <> 'en'),
+              del AS (SELECT 'delete' AS _change_type, n_chars
+                      FROM ev WHERE lang = 'en'),
+              chg AS (SELECT * FROM ins UNION ALL SELECT * FROM del)
+         SELECT _change_type, count(*) AS n_rows,
+                CAST(sum(n_chars) AS BIGINT) AS chars
+         FROM chg GROUP BY _change_type ORDER BY _change_type""",
     "q_avro_minmax_filtered" ->
       """SELECT (SELECT min(o_orderkey) FROM orders
                  WHERE o_orderpriority = '1-URGENT') AS min_p,

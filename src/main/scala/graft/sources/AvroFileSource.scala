@@ -4603,7 +4603,13 @@ class AvroScanBuilder(path: String, full: StructType,
           }
         }
         override def sizeInBytes(): java.util.OptionalLong =
-          java.util.OptionalLong.of(
+          // a change feed replays the whole version range — removed/
+          // archived files come back as delete rows, so the LIVE
+          // listing can badly undercount a churn-heavy history, and an
+          // underestimate is the unsafe direction (auto-broadcast
+          // OOM). Answer "unknown" and let Spark plan conservatively.
+          if (cdcFeed) java.util.OptionalLong.empty()
+          else java.util.OptionalLong.of(
             math.ceil(files.map(_.length()).sum * factor).toLong)
 
         /** Stats are servable only for the LIVE version with no pending
@@ -5165,16 +5171,24 @@ class AvroMicroBatchStream(path: String, required: StructType,
     limit match {
       case mf: ReadMaxFiles => math.min(horizon, s + mf.maxFiles())
       case mb: org.apache.spark.sql.connector.read.streaming.ReadMaxBytes =>
+        require(s >= base,
+          s"offset $s predates the compacted journal prefix " +
+            s"($base entries) — checkpoint and journal are out of sync")
         val files = synchronized {
           seen.asScala.toIndexedSeq.slice((s - base).toInt,
             (horizon - base).toInt)
         }
+        // one stat per candidate; a registry entry whose file has since
+        // been removed (overwrite/archive) stats as 0 — floor it at one
+        // byte so an arbitrarily long run of dead slots cannot all be
+        // admitted into a single batch
         var total = 0L
         var n = 0
-        while (n < files.length &&
-            (n == 0 || total + new File(files(n)).length() <= mb.maxBytes())) {
-          total += new File(files(n)).length()
-          n += 1
+        var full = false
+        while (n < files.length && !full) {
+          val len = math.max(new File(files(n)).length(), 1L)
+          if (n == 0 || total + len <= mb.maxBytes()) { total += len; n += 1 }
+          else full = true
         }
         s + n
       case c: org.apache.spark.sql.connector.read.streaming
@@ -6913,7 +6927,8 @@ class AvroWriteBuilder(path: String, schema: StructType,
         new File(path).mkdirs()
         val base = AvroStreamingWriterFactory(path, schema, codec,
           partitionBy, bucketBy = bucketBy, transformBy = transformBy,
-          targetFileBytes = targetFileBytes)
+          targetFileBytes = targetFileBytes,
+          bloomFor = bloomFor, ndvFor = ndvFor, trigramFor = trigramFor)
         if (compiledChecks.isEmpty) base
         else CheckedStreamingWriterFactory(base, compiledChecks)
       }
@@ -6943,6 +6958,12 @@ class AvroWriteBuilder(path: String, schema: StructType,
             replace = false)
           AvroTransforms.merge(new File(path), transformBy,
             replace = false)
+          // pruning/stat manifests fold per epoch since r17 (after the
+          // straggler sweep, so the alive-filter sees the final file
+          // set) — streamed tables keep col-zones/blooms/rows/NDV
+          // coverage, enabling metadata COUNT and file pruning
+          AvroFileSource.foldStatsManifests(new File(path),
+            messages.toSeq.collect { case m: AvroCommitMessage => m })
           // idle epochs no-op inside appendSnapshot (state unchanged)
           AvroFileSource.appendSnapshot(new File(path), s"epoch-$epochId")
         }
@@ -7541,14 +7562,15 @@ private[sources] object AvroWriters {
         w.create(avroSchema, file)
         w
       }
+      // stats run unstaged (streaming) too — see AvroWriters.open
       val verifier: Option[OrderVerifier] = sortedBy.map(new OrderVerifier(_))
-      val colStats: ColumnStats = if (staged) new ColumnStats(schema) else null
+      val colStats: ColumnStats = new ColumnStats(schema)
       val bloomStats: BloomBuilder =
-        if (staged && (bloomFor.nonEmpty || trigramFor.nonEmpty))
+        if (bloomFor.nonEmpty || trigramFor.nonEmpty)
           new BloomBuilder(schema, bloomFor, trigramFor)
         else null
       val ndvStats: NdvBuilder =
-        if (staged && ndvFor.nonEmpty) new NdvBuilder(schema, ndvFor)
+        if (ndvFor.nonEmpty) new NdvBuilder(schema, ndvFor)
         else null
       var nRows = 0L
       var sinceCheck = 0
@@ -7597,12 +7619,10 @@ private[sources] object AvroWriters {
           s
         })
         sortIdx.foreach(i => seg.verifier.get.check(view.get(i)))
-        if (staged) {
-          seg.colStats.update(view)
-          if (seg.bloomStats != null) seg.bloomStats.update(view)
-          if (seg.ndvStats != null) seg.ndvStats.update(view)
-          seg.nRows += 1
-        }
+        seg.colStats.update(view)
+        if (seg.bloomStats != null) seg.bloomStats.update(view)
+        if (seg.ndvStats != null) seg.ndvStats.update(view)
+        seg.nRows += 1
         seg.writer.append(toAvro(record))
         roll.foreach { target =>
           seg.sinceCheck += 1
@@ -7621,11 +7641,10 @@ private[sources] object AvroWriters {
         open.values.foreach { s => s.writer.close(); closedSegs ::= s }
         open.clear()
         val segs = closedSegs.reverse
-        if (!staged)
-          return AvroCommitMessage(Nil, streamed = segs.map(_.file.getPath))
+        // final path: strip the staging suffix (no-op when unstaged)
         def fin(s: Seg): String = s.file.getPath.stripSuffix(".staging")
         AvroCommitMessage(
-          segs.map(s => s.file.getPath -> fin(s)),
+          if (staged) segs.map(s => s.file.getPath -> fin(s)) else Nil,
           zones = segs.flatMap(s =>
             s.verifier.flatMap(_.zone).map { case (mn, mx) =>
               (fin(s), AvroFileSource.zoneEncodeMin(mn),
@@ -7640,7 +7659,8 @@ private[sources] object AvroWriters {
           rows = segs.map(s => fin(s) -> s.nRows),
           ndvs = segs.flatMap(s =>
             Option(s.ndvStats).map(_.stats).filter(_.nonEmpty)
-              .map(fin(s) -> _)))
+              .map(fin(s) -> _)),
+          streamed = if (staged) Nil else segs.map(_.file.getPath))
       }
       override def abort(): Unit = {
         open.values.foreach { s => s.writer.close(); closedSegs ::= s }
@@ -7689,14 +7709,18 @@ private[sources] object AvroWriters {
         w.create(avroSchema, file) // truncates: task retry = rewrite
         w
       }
+      // stats run for STREAMING (unstaged) segments too since r17: the
+      // epoch commit folds them like a batch commit, so streamed tables
+      // keep col-zones/blooms/rows/NDV coverage (metadata COUNT, zone
+      // and bloom pruning) instead of silently degrading to scan-only
       val verifier: Option[OrderVerifier] = sortedBy.map(new OrderVerifier(_))
-      val colStats: ColumnStats = if (staged) new ColumnStats(schema) else null
+      val colStats: ColumnStats = new ColumnStats(schema)
       val bloomStats: BloomBuilder =
-        if (staged && (bloomFor.nonEmpty || trigramFor.nonEmpty))
+        if (bloomFor.nonEmpty || trigramFor.nonEmpty)
           new BloomBuilder(schema, bloomFor, trigramFor)
         else null
       val ndvStats: NdvBuilder =
-        if (staged && ndvFor.nonEmpty) new NdvBuilder(schema, ndvFor)
+        if (ndvFor.nonEmpty) new NdvBuilder(schema, ndvFor)
         else null
       var nRows = 0L
     }
@@ -7741,12 +7765,12 @@ private[sources] object AvroWriters {
       override def commit(): WriterCommitMessage = {
         if (cur != null) { cur.writer.close(); closed ::= cur; cur = null }
         val segs = closed.reverse
-        if (!staged)
-          return AvroCommitMessage(Nil,
-            streamed = segs.map(_.finalFile.getPath))
         if (segs.isEmpty) return AvroCommitMessage(Nil)
+        // stats ride BOTH modes, keyed on final paths; only the
+        // staged-rename vs streamed-path bookkeeping differs
         AvroCommitMessage(
-          segs.map(s => s.file.getPath -> s.finalFile.getPath),
+          if (staged) segs.map(s => s.file.getPath -> s.finalFile.getPath)
+          else Nil,
           zones = segs.flatMap(s =>
             s.verifier.flatMap(_.zone).map { case (mn, mx) =>
               (s.finalFile.getPath, AvroFileSource.zoneEncodeMin(mn),
@@ -7761,7 +7785,8 @@ private[sources] object AvroWriters {
           rows = segs.map(s => s.finalFile.getPath -> s.nRows),
           ndvs = segs.flatMap(s =>
             Option(s.ndvStats).map(_.stats).filter(_.nonEmpty)
-              .map(s.finalFile.getPath -> _)))
+              .map(s.finalFile.getPath -> _)),
+          streamed = if (staged) Nil else segs.map(_.finalFile.getPath))
       }
       override def abort(): Unit = {
         if (cur != null) { cur.writer.close(); closed ::= cur; cur = null }
@@ -7808,7 +7833,10 @@ case class AvroStreamingWriterFactory(path: String, schema: StructType,
     codec: String = AvroFileSource.DefaultCodec, partitionBy: Seq[String] = Nil,
     bucketBy: Seq[(String, Int)] = Nil,
     transformBy: Seq[Xform] = Nil,
-    targetFileBytes: Option[Long] = None)
+    targetFileBytes: Option[Long] = None,
+    bloomFor: Seq[String] = Nil,
+    ndvFor: Seq[String] = Nil,
+    trigramFor: Seq[String] = Nil)
   extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
@@ -7817,9 +7845,11 @@ case class AvroStreamingWriterFactory(path: String, schema: StructType,
     if (partitionBy.nonEmpty || bucketBy.nonEmpty || transformBy.nonEmpty)
       AvroWriters.openPartitioned(path, schema, name, partitionBy, codec,
         buckets = bucketBy, xforms = transformBy,
+        bloomFor = bloomFor, ndvFor = ndvFor, trigramFor = trigramFor,
         targetFileBytes = targetFileBytes)
     else
       AvroWriters.open(path, schema, name, lazyCreate = true, codec = codec,
+        bloomFor = bloomFor, ndvFor = ndvFor, trigramFor = trigramFor,
         targetFileBytes = targetFileBytes)
   }
 }

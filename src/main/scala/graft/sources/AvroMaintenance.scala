@@ -107,6 +107,35 @@ object AvroMaintenance {
     // exactly the sidecar's.
     def posMapOf(o: Option[String]): Map[String, Array[Long]] =
       o.map(AvroFileSource.parsePosdelContent).getOrElse(Map.empty)
+    /** (file, pos) membership filter over a frame CARRYING the
+      * `_graft_file`/`_graft_pos` metadata columns. Small sets inline
+      * as literal predicates; past [[AvroMaintenance.PosInlineLimit]]
+      * total ordinals the set ships as a broadcast semi/anti join —
+      * a deletion-vector sidecar can carry 100k+ positions, and a
+      * literal IN-list that long blows up catalyst analysis/codegen at
+      * exactly the scale the delta-matview refresh rides this path for.
+      */
+    def filterByPositions(df: DataFrame, m: Map[String, Array[Long]],
+        negate: Boolean): DataFrame = {
+      if (m.isEmpty) return df
+      if (m.valuesIterator.map(_.length.toLong).sum <=
+          AvroMaintenance.PosInlineLimit) {
+        val cond = m.toSeq.sortBy(_._1).map { case (rel, ps) =>
+          F.col(AvroFileSource.MetaFile) === rel &&
+            F.col(AvroFileSource.MetaPos).isin(ps.toSeq: _*)
+        }.reduce(_ || _)
+        df.where(if (negate) !cond else cond)
+      } else {
+        val posDf = spark.createDataFrame(
+          m.toSeq.sortBy(_._1).flatMap { case (rel, ps) =>
+            ps.map(p => (rel, p))
+          }).toDF("__graft_chg_rel", "__graft_chg_pos")
+        df.join(F.broadcast(posDf),
+          df(AvroFileSource.MetaFile) === posDf("__graft_chg_rel") &&
+            df(AvroFileSource.MetaPos) === posDf("__graft_chg_pos"),
+          if (negate) "left_anti" else "left_semi")
+      }
+    }
     val fromPos = posMapOf(fromSnap.flatMap(_.posdels))
     val toPos = posMapOf(toSnap.posdels)
     val commonSet = common.toSet
@@ -157,15 +186,12 @@ object AvroMaintenance {
         if (excl.isEmpty) side(v, rels.sorted).where(cond)
         else {
           val df = side(v, rels.sorted)
-          val exclCond = excl.map { rel =>
-            F.col(AvroFileSource.MetaFile) === rel &&
-              F.col(AvroFileSource.MetaPos)
-                .isin(excludePos(rel).toSeq: _*)
-          }.reduce(_ || _)
-          df.select((df.columns.toSeq.map(F.col) :+
+          val withMeta = df.select((df.columns.toSeq.map(F.col) :+
               F.col(AvroFileSource.MetaFile) :+
               F.col(AvroFileSource.MetaPos)): _*)
-            .where(cond && !exclCond)
+            .where(cond)
+          filterByPositions(withMeta,
+              excludePos.view.filterKeys(excl.toSet).toMap, negate = true)
             .drop(AvroFileSource.MetaFile, AvroFileSource.MetaPos)
         }
       }
@@ -181,16 +207,12 @@ object AvroMaintenance {
       if (m.isEmpty) Nil
       else {
         val rels = m.keys.toSeq.sorted
-        val cond = rels.map { rel =>
-          F.col(AvroFileSource.MetaFile) === rel &&
-            F.col(AvroFileSource.MetaPos).isin(m(rel).toSeq: _*)
-        }.reduce(_ || _)
         val df = side(v, rels)
-        Seq(df.select(
+        val withMeta = df.select(
           (df.columns.toSeq.map(F.col) :+
             F.col(AvroFileSource.MetaFile) :+
             F.col(AvroFileSource.MetaPos)): _*)
-          .where(cond)
+        Seq(filterByPositions(withMeta, m, negate = false)
           .drop(AvroFileSource.MetaFile, AvroFileSource.MetaPos))
       }
     val posDelPieces =
@@ -341,6 +363,13 @@ object AvroMaintenance {
     * guard.
     */
   val MaxMergeSidecarKeys: Int = 100000
+
+  /** Above this many total (file, pos) ordinals, [[changes]] ships the
+    * membership set as a broadcast join instead of literal `isin`
+    * predicates (catalyst analysis/codegen cost grows with IN-list
+    * length; a deletion-vector sidecar can carry 100k+ ordinals).
+    */
+  val PosInlineLimit: Long = 1024L
 
   /** Sort-preserving compaction: bin-pack like [[compactTo]] but
     * range-partition + sort on `col` and write under a VERIFIED

@@ -1,0 +1,92 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Pure-SQL batch CDC: the `table_changes` TABLE-VALUED function,
+  * registered through `SparkSessionExtensions.injectTableFunction`
+  * (GraftExtensions) so Spark's own `ResolveFunctions` finds it like a
+  * builtin:
+  *
+  * {{{
+  *   SELECT * FROM table_changes('cat.ns.tbl', <fromVersion> [, <toVersion>])
+  * }}}
+  *
+  * expands to [[AvroMaintenance.changes]]'s plan — the net file-delta
+  * changelog between two journal versions ((from, to], `fromVersion`
+  * exclusive, Delta Lake's function surface) with `_change_type`
+  * tagging, so a SQL-only user never calls Scala for the batch change
+  * feed. The expansion is the fully distributed plan `changes` builds
+  * (versionAsOf-pinned restricted reads, broadcast position joins past
+  * the inline limit) — no driver-side row materialization, which is why
+  * this is a TVF and not a CALL procedure returning a LocalScan.
+  * Omitting `toVersion` reads up to the current version. All argument
+  * errors are loud (a TVF name, once claimed, must never silently
+  * resolve to something else).
+  */
+object GraftTableChanges {
+
+  private def str(e: Expression): Option[String] = e match {
+    case Literal(v: UTF8String, StringType) => Some(v.toString)
+    case _ => None
+  }
+  private def lng(e: Expression): Option[Long] = e match {
+    case Literal(v: Int, IntegerType) => Some(v.toLong)
+    case Literal(v: Long, LongType) => Some(v)
+    case _ => None
+  }
+
+  private val usage =
+    "table_changes expects ('cat.ns.tbl', fromVersion [, toVersion]) " +
+      "with literal arguments"
+
+  def plan(args: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
+    val (tableRef, from, to) = args match {
+      case Seq(t, f, tv) =>
+        (str(t).getOrElse(throw new IllegalArgumentException(usage)),
+          lng(f).getOrElse(throw new IllegalArgumentException(usage)),
+          Some(lng(tv).getOrElse(
+            throw new IllegalArgumentException(usage))))
+      case Seq(t, f) =>
+        (str(t).getOrElse(throw new IllegalArgumentException(usage)),
+          lng(f).getOrElse(throw new IllegalArgumentException(usage)),
+          None)
+      case _ => throw new IllegalArgumentException(usage)
+    }
+    val parts =
+      spark.sessionState.sqlParser.parseMultipartIdentifier(tableRef)
+    require(parts.length >= 3,
+      s"table_changes: fully qualify the table as 'cat.ns.tbl' " +
+        s"(got '$tableRef')")
+    val mgr = spark.sessionState.catalogManager
+    require(mgr.isCatalogRegistered(parts.head),
+      s"table_changes: no catalog named '${parts.head}' is registered")
+    mgr.catalog(parts.head) match {
+      case g: GraftCatalog =>
+        val ident =
+          Identifier.of(parts.tail.dropRight(1).toArray, parts.last)
+        val dir = g.tableDirIdent(ident)
+        require(dir.isDirectory,
+          s"table_changes: no graft table at '$tableRef'")
+        val toV = to.getOrElse(
+          AvroFileSource.readSnapshots(dir).lastOption.map(_.version)
+            .getOrElse(throw new IllegalArgumentException(
+              s"table_changes: '$tableRef' has no snapshot journal — " +
+                "write through the source at least once")))
+        // re-entrant analysis, the stored-view pattern: the changes
+        // frame is already analyzed; alias it so column references
+        // resolve under the TVF's name
+        SubqueryAlias("table_changes",
+          AvroMaintenance.changes(spark, dir.getPath, from, toV)
+            .queryExecution.analyzed)
+      case other => throw new IllegalArgumentException(
+        s"table_changes: catalog '${parts.head}' is not a graft " +
+          s"catalog (${other.getClass.getName})")
+    }
+  }
+}
