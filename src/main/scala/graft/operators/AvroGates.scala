@@ -1027,6 +1027,39 @@ object AvroGates extends Catalog {
           F.max("l_orderkey").as("max_key"))
     }),
 
+    // MULTI-COLUMN sortedBy (`sortedBy=okey,lnum`): a LEXICOGRAPHIC
+    // layout claim, declared via requestSort so Spark itself arranges
+    // the rows (ordered distribution = global range partition on the
+    // tuple + in-task sort) — a green write IS proof the compound claim
+    // verified (OrderVerifier throws on any tuple inversion). Read
+    // side: the primary-and-secondary range filter prunes through the
+    // all-column zones (tight per-file lnum ranges within okey-equal
+    // runs are exactly what the compound sort buys), and the unfiltered
+    // MIN/MAX of BOTH columns serves from metadata (SortedMultiSpec
+    // pins the claim lifecycle and prefix ordering report).
+    "q_avro_sorted_multi" -> ((s, dir) => {
+      val tmp = tempDir("graft_gate_smulti")
+      val li = table(s, dir, "lineitem")
+        .select(F.coalesce(F.col("l_orderkey"), F.lit(0L)).as("okey"),
+          F.col("l_linenumber").cast("int").as("lnum"),
+          F.col("l_quantity"))
+      li.write.format("graft-avro")
+        .option("sortedBy", "okey,lnum").option("requestSort", "true")
+        .mode("overwrite").save(tmp)
+      require(graft.sources.AvroFileSource
+        .sortedColumnsOf(new java.io.File(tmp)) == Seq("okey", "lnum"),
+        "q_avro_sorted_multi: compound sort claim not stamped")
+      val t = s.read.format("graft-avro").load(tmp)
+      val filt = t.filter(F.col("okey").between(1000L, 5000L) &&
+          F.col("lnum") >= 4)
+        .agg(F.count(F.lit(1)).as("n_rows"),
+          F.sum(F.floor(F.col("l_quantity") * 100).cast("long")).as("qty_c"))
+      val mm = t.agg(F.min("okey").as("min_okey"),
+        F.max("okey").as("max_okey"),
+        F.min("lnum").as("min_lnum"), F.max("lnum").as("max_lnum"))
+      filt.crossJoin(mm)
+    }),
+
     // THE SQL SURFACE under the oracle: a registered GraftCatalog turns
     // plain spark.sql into the whole lifecycle — CREATE NAMESPACE, CTAS
     // into a graft-avro directory, metadata DELETE FROM (equality
@@ -3173,6 +3206,20 @@ object AvroGates extends Catalog {
                 CAST(sum(n_chars) AS BIGINT) AS chars,
                 TRUE AS rolled, TRUE AS blooms, TRUE AS failed_epoch
          FROM documents GROUP BY lang ORDER BY lang""",
+    "q_avro_sorted_multi" ->
+      """WITH f AS (SELECT count(*) AS n_rows,
+                           CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT))
+                             AS BIGINT) AS qty_c
+                    FROM lineitem
+                    WHERE l_orderkey BETWEEN 1000 AND 5000
+                      AND l_linenumber >= 4),
+              m AS (SELECT CAST(min(l_orderkey) AS BIGINT) AS min_okey,
+                           CAST(max(l_orderkey) AS BIGINT) AS max_okey,
+                           min(l_linenumber) AS min_lnum,
+                           max(l_linenumber) AS max_lnum
+                    FROM lineitem)
+         SELECT n_rows, qty_c, min_okey, max_okey, min_lnum, max_lnum
+         FROM f, m""",
     // net-diff mirror: odd-id rows (added at v2, en rows already dead
     // at v3) are inserts; even-id en rows (v1 files hit by the gained
     // delete entry) are deletes; even non-en rows are untouched bulk

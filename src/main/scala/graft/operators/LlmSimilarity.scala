@@ -277,10 +277,12 @@ object LlmSimilarity extends Catalog {
     * recall decays).
     */
   private[operators] def appendIvfAssignments(s: SparkSession, dir: String,
-      cenDir: String, asgDir: String, atOrAbove: Long): Unit = {
+      cenDir: String, asgDir: String, atOrAbove: Long,
+      until: Option[Long] = None): Unit = {
     VectorFunctions.register(s)
     val fresh = table(s, dir, "embeddings")
-      .filter(F.col("vec_id") >= atOrAbove)
+      .filter(F.col("vec_id") >= atOrAbove &&
+        until.map(F.col("vec_id") < _).getOrElse(F.lit(true)))
       .select(F.col("vec_id"), F.expr(
         "transform(embedding, x -> " +
           "cast(floor(cast(x as double) * 10000.0) as bigint) * 16)")
@@ -294,6 +296,91 @@ object LlmSimilarity extends Catalog {
         .as("cid"))
       .select("vec_id", "cid")
       .write.format("graft-avro").mode("append").save(asgDir)
+  }
+
+  /** Day-N LIST MAINTENANCE under skewed growth: incremental appends
+    * ([[appendIvfAssignments]]) pile into whatever cells the frozen
+    * quantizer routes them to, and a hot list degrades recall (a probe
+    * that lands there scans a huge cell; probes elsewhere miss its
+    * vectors). This pass splits every list past the τ=1× mean — strict
+    * integer cross-multiplication `n·k > total`, no division to
+    * mirror — 2-WAY via ONE assignment pass over ONLY the oversized
+    * lists' members (seeds = the list's two lowest vec_ids; argmin with
+    * ties to the lower seed; child centroids = the same 16×-resolution
+    * integer means as [[lloyd]]). Publication touches nothing else:
+    * centroids rewrite (a tiny broadcastable table — parents out,
+    * children in, child ids allocated past the current max), while the
+    * ASSIGNMENT table keeps every untouched file byte-identical — the
+    * parents' rows die via a METADATA equality delete (sidecar, zero
+    * rewrite) and the re-assigned rows append. 100 TB: cost is
+    * O(Σ oversized |cell|) products + one append commit; recall repair
+    * without retraining the quantizer (IvfRebalanceSpec holds the
+    * recall contract after three skewed append rounds).
+    * Returns the split parent cids (empty = balanced, nothing done).
+    */
+  private[operators] def rebalanceIvfLists(s: SparkSession, dir: String,
+      cenDir: String, asgDir: String): Seq[Long] = {
+    VectorFunctions.register(s)
+    val assigned = s.read.format("graft-avro").load(asgDir)
+    val centroids = s.read.format("graft-avro").load(cenDir)
+    val counts = assigned.groupBy("cid").agg(F.count(F.lit(1)).as("n"))
+      .localCheckpoint() // tiny (one row per list); read three times
+    val total = counts.agg(F.sum("n")).head().getLong(0)
+    val k = counts.count()
+    // oversized list ids: bounded by k (the centroid count, small by
+    // construction) — a safe driver collect
+    val oversized = counts.filter(F.col("n") * k > F.lit(total))
+      .select("cid").collect().map(_.getLong(0)).sorted.toSeq
+    if (oversized.isEmpty) return Nil
+    val maxCid = centroids.agg(F.max("cid")).head().getLong(0)
+    val corpus = table(s, dir, "embeddings")
+      .select(F.col("vec_id"), F.expr(
+        "transform(embedding, x -> " +
+          "cast(floor(cast(x as double) * 10000.0) as bigint))").as("qx"))
+      .withColumn("qx16", F.expr("transform(qx, v -> v * 16)"))
+    // ONLY the oversized lists' members are ever read or rewritten
+    val members = assigned.filter(F.col("cid").isin(oversized: _*))
+      .join(corpus, "vec_id")
+      .localCheckpoint() // read twice: seed pick + reassignment
+    val wSeed = Window.partitionBy("cid").orderBy("vec_id")
+    val seeds = members.withColumn("sn", F.row_number().over(wSeed))
+      .filter(F.col("sn") <= 2)
+      .select(F.col("cid"), F.col("sn"), F.col("qx16").as("svec"))
+    import s.implicits._
+    val ranks = oversized.zipWithIndex.toDF("cid", "rk")
+    val newAsg = members.join(F.broadcast(seeds), "cid")
+      .withColumn("d", VectorFunctions.vec_l2sq(F.col("qx16"), F.col("svec")))
+      .groupBy("vec_id", "cid", "qx")
+      .agg(F.min_by(F.col("sn"), F.struct(F.col("d"), F.col("sn")))
+        .as("child"))
+      .join(F.broadcast(ranks), "cid")
+      .select(F.col("vec_id"),
+        (F.lit(maxCid + 1) + F.col("rk") * 2 + (F.col("child") - 1))
+          .cast("long").as("cid"),
+        F.col("qx"))
+      .localCheckpoint() // feeds both the append and the child means
+    val sums = newAsg
+      .select(F.col("cid"), F.posexplode(F.col("qx")).as(Seq("pos", "v")))
+      .groupBy("cid", "pos").agg(F.sum("v").as("sv"))
+    val ns = newAsg.groupBy("cid").agg(F.count(F.lit(1)).as("n"))
+    val children = sums.groupBy("cid")
+      .agg(F.expr(
+        "transform(array_sort(collect_list(struct(pos, sv))), t -> t.sv)")
+        .as("svec"))
+      .join(ns, "cid")
+      .select(F.col("cid"), F.expr(
+        "transform(svec, s -> (16 * s - (((16 * s) % n + n) % n)) div n)")
+        .as("mvec"))
+    // materialize BEFORE the same-directory overwrite (compactInPlace
+    // rule: a lazy plan would scan cenDir mid-replace)
+    centroids.filter(!F.col("cid").isin(oversized: _*))
+      .unionByName(children)
+      .localCheckpoint(true)
+      .write.format("graft-avro").mode("overwrite").save(cenDir)
+    graft.sources.AvroMaintenance.deleteWhere(s, asgDir, "cid", oversized)
+    newAsg.select("vec_id", "cid")
+      .write.format("graft-avro").mode("append").save(asgDir)
+    oversized
   }
 
   /** Day-2 search job: everything below reads the PUBLISHED index — no
@@ -681,6 +768,31 @@ object LlmSimilarity extends Catalog {
       val (cenDir, asgDir) = buildIvfIndex(s, dir, below = Some(cut))
       appendIvfAssignments(s, dir, cenDir, asgDir, atOrAbove = cut)
       searchPersistedIvf(s, dir, cenDir, asgDir)
+    }),
+
+    // LIST REBALANCE after skewed growth (r17): the day-1 index absorbs
+    // THREE append rounds against frozen centroids (batch boundaries
+    // are invisible to the per-vector argmin, so the oracle assigns the
+    // whole tail once), then every list past the 1× mean splits 2-way
+    // via one assignment pass over ONLY its members — parents die by a
+    // METADATA equality delete, children append, untouched assignment
+    // files stay byte-identical (IvfRebalanceSpec pins that and the
+    // recall contract). The search then serves over the rebalanced
+    // index; n_split pins that the split actually fired in BOTH
+    // engines. 100 TB: recall repair costs O(Σ oversized |cell|), not
+    // a retrain.
+    "llm_similar_ivf_rebalance" -> ((s, dir) => {
+      val n = table(s, dir, "embeddings").count()
+      val cut = n / 2
+      val (cenDir, asgDir) = buildIvfIndex(s, dir, below = Some(cut))
+      val b = (n - cut) / 3
+      appendIvfAssignments(s, dir, cenDir, asgDir, cut, Some(cut + b))
+      appendIvfAssignments(s, dir, cenDir, asgDir, cut + b,
+        Some(cut + 2 * b))
+      appendIvfAssignments(s, dir, cenDir, asgDir, cut + 2 * b)
+      val split = rebalanceIvfLists(s, dir, cenDir, asgDir)
+      searchPersistedIvf(s, dir, cenDir, asgDir)
+        .withColumn("n_split", F.lit(split.size))
     }),
 
     // PRODUCT QUANTIZATION — the codebook compression layout (Jégou et
@@ -1146,7 +1258,8 @@ object LlmSimilarity extends Catalog {
     * query, exact integer-L2 top-3 within the probed cells — over the
     * named assignment CTE (`a3` day-1, `aall` after incremental appends).
     */
-  private def ivfSearchSql(assign: String): String = s""",
+  private def ivfSearchSql(assign: String, cents: String = "c3",
+      extra: String = ""): String = s""",
        probeq AS (
          SELECT vec_id AS qid, qx16 AS qv FROM ex WHERE vec_id < 20),
        qcell AS (
@@ -1156,7 +1269,7 @@ object LlmSimilarity extends Catalog {
                     list_sum(list_transform(generate_series(1, len(q.qv)),
                       i -> (q.qv[i] - c.mvec[i]) * (q.qv[i] - c.mvec[i]))),
                     c.cid) AS rn
-           FROM probeq q, c3 c)
+           FROM probeq q, $cents c)
          WHERE rn <= 6),
        cand AS (
          SELECT qc.qid, a.vec_id,
@@ -1170,12 +1283,74 @@ object LlmSimilarity extends Catalog {
          SELECT *, CAST(row_number() OVER (PARTITION BY qid
                      ORDER BY d, vec_id) AS INT) AS rn
          FROM cand)
-       SELECT qid, vec_id, d, rn FROM rankedc
+       SELECT qid, vec_id, d, rn$extra FROM rankedc
        WHERE rn <= 3 ORDER BY qid, rn"""
 
   private val ivfKmeansOracle: String = lloydCte + ivfSearchSql("a3")
 
   private val ivfIncrOracle: String = lloydIncrCte + ivfSearchSql("aall")
+
+  /** Rebalance oracle: the incremental prelude (three appends ≡ one
+    * tail assignment), then the split mirrored in exact integers —
+    * oversized = `n·k > total` by cross-multiplication, seeds = the two
+    * lowest member vec_ids, one argmin pass with ties to the lower
+    * seed, child ids past max(cid), child centroids via the shared
+    * positive-mod floorDiv means — and the standard probe over the
+    * rebalanced (cfin, afin) index.
+    */
+  private val ivfRebalanceOracle: String = lloydIncrCte + s""",
+       cnts AS (SELECT cid, count(*) AS n FROM aall GROUP BY cid),
+       tot AS (SELECT CAST(sum(n) AS BIGINT) AS t,
+                      CAST(count(*) AS BIGINT) AS k FROM cnts),
+       ovs AS (SELECT cid FROM cnts, tot WHERE n * k > t),
+       mx AS (SELECT max(cid) AS m FROM c3),
+       rks AS (SELECT cid,
+                      CAST(row_number() OVER (ORDER BY cid) AS BIGINT) - 1
+                        AS rk
+               FROM ovs),
+       mem AS (SELECT a.cid, a.vec_id, x.qx, x.qx16
+               FROM aall a JOIN ex x USING (vec_id)
+               WHERE a.cid IN (SELECT cid FROM ovs)),
+       sds AS (SELECT cid, sn, qx16 AS svec FROM (
+                 SELECT cid, qx16, row_number() OVER (PARTITION BY cid
+                          ORDER BY vec_id) AS sn
+                 FROM mem)
+               WHERE sn <= 2),
+       rea AS (SELECT vec_id, cid, qx, child FROM (
+                 SELECT m.vec_id, m.cid, m.qx, s.sn AS child,
+                        row_number() OVER (PARTITION BY m.vec_id ORDER BY
+                          list_sum(list_transform(
+                            generate_series(1, len(m.qx16)),
+                            i -> (m.qx16[i] - s.svec[i]) *
+                                 (m.qx16[i] - s.svec[i]))),
+                          s.sn) AS rn
+                 FROM mem m JOIN sds s USING (cid))
+               WHERE rn = 1),
+       newa AS (SELECT r.vec_id,
+                       (SELECT m FROM mx) + 1 + k.rk * 2 + (r.child - 1)
+                         AS cid,
+                       r.qx
+                FROM rea r JOIN rks k USING (cid)),
+       csum AS (SELECT cid, pos, CAST(sum(v) AS BIGINT) AS sv FROM (
+                  SELECT cid, unnest(qx) AS v,
+                         unnest(generate_series(1, len(qx))) AS pos
+                  FROM newa)
+                GROUP BY cid, pos),
+       cnn AS (SELECT cid, count(*) AS n FROM newa GROUP BY cid),
+       cch AS (SELECT s.cid,
+                      list((16 * sv - (((16 * sv) % n + n) % n)) // n
+                           ORDER BY pos) AS mvec
+               FROM csum s JOIN cnn n USING (cid)
+               GROUP BY s.cid, n.n),
+       ckeep AS (SELECT cid, mvec FROM c3
+                 WHERE cid NOT IN (SELECT cid FROM ovs)),
+       cfin AS (SELECT * FROM ckeep UNION ALL SELECT * FROM cch),
+       akeep AS (SELECT vec_id, cid FROM aall
+                 WHERE cid NOT IN (SELECT cid FROM ovs)),
+       anew AS (SELECT vec_id, cid FROM newa),
+       afin AS (SELECT * FROM akeep UNION ALL SELECT * FROM anew)""" +
+    ivfSearchSql("afin", "cfin",
+      ", (SELECT CAST(count(*) AS INT) FROM ovs) AS n_split")
 
   /** IVF over the int8 layout: same probed cells, candidates re-ranked
     * by integer L2 over the quantized vectors (floor semantics shared
@@ -1333,6 +1508,7 @@ object LlmSimilarity extends Catalog {
     // the in-job plan's answer exactly — same oracle, bit for bit
     "llm_similar_ivf_persist" -> ivfKmeansOracle,
     "llm_similar_ivf_incr" -> ivfIncrOracle,
+    "llm_similar_ivf_rebalance" -> ivfRebalanceOracle,
     "llm_similar_ivf_quant" -> ivfQuantOracle,
     "llm_similar_ivfpq" -> ivfPqOracle,
     // re-derive the ±1 matrix from SQL md5 and replay the exact integer

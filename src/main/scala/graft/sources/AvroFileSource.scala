@@ -1255,6 +1255,19 @@ object AvroFileSource {
   def snapshotsFile(d: File): File = new File(d, "_graft_snapshots")
   def archiveDir(d: File): File = new File(d, "_graft_archive")
 
+  /** Stamp a just-archived file's mtime to NOW: the vacuum's retention
+    * grace ([[AvroMaintenance.expireSnapshots]]'s `graceMs`) clocks from
+    * ARCHIVE time, not the file's write time — a long-running scan that
+    * pinned the file before the overwrite gets the full window however
+    * old the bytes are. Best-effort (setLastModified may be refused);
+    * an unstamped file just ages out by its write time, which only ever
+    * reclaims EARLIER — never keeps garbage longer.
+    */
+  private[sources] def stampArchived(f: File): Unit = {
+    f.setLastModified(System.currentTimeMillis())
+    ()
+  }
+
   // ------------------------------------------------------------------
   // COMMIT SERIALIZATION. Every metadata mutation (journal append,
   // manifest merge, sidecar rewrite, archive moves) is a read-modify-
@@ -1977,12 +1990,31 @@ object AvroFileSource {
     })
   }
 
-  def sortedColumnOf(d: File): Option[String] = {
+  /** Parse a `sortedBy` spec: comma-separated LEXICOGRAPHIC sort
+    * columns (`"c1"` or `"c1,c2"`). A multi-column claim means every
+    * file is internally sorted by the full tuple (ascending,
+    * nulls-first per column) — which implies it is also sorted by any
+    * PREFIX, so all single-column machinery (sort-zone manifest,
+    * metadata MIN/MAX, zone pruning) keys on the head column and stays
+    * sound unchanged.
+    */
+  def sortCols(spec: String): Seq[String] =
+    spec.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** The verified sort claim's full column list (empty = no claim).
+    * Legacy single-column markers parse as one-element lists.
+    */
+  def sortedColumnsOf(d: File): Seq[String] = {
     val m = sortMarker(d)
-    if (!m.isFile) None
-    else Some(new String(java.nio.file.Files.readAllBytes(m.toPath),
-      "UTF-8").trim).filter(_.nonEmpty)
+    if (!m.isFile) Nil
+    else sortCols(new String(java.nio.file.Files.readAllBytes(m.toPath),
+      "UTF-8"))
   }
+
+  /** The PRIMARY (head) sort column — the one the `_graft_zones`
+    * manifest and metadata MIN/MAX key on.
+    */
+  def sortedColumnOf(d: File): Option[String] = sortedColumnsOf(d).headOption
 
   /** Recursive listing with Hive-style partition values parsed from
     * `k=v` directory segments (URL-encoded on write; `__null__` encodes
@@ -2460,6 +2492,7 @@ case class AvroTable(path: String, tableSchema: StructType,
         s"graft-avro truncate: archive collision $dst")
       if (!f.renameTo(dst)) throw new java.io.IOException(
         s"graft-avro truncate: archive move failed $f -> $dst")
+      AvroFileSource.stampArchived(dst)
     }
     AvroFileSource.deleteFile(dirF).delete()
     AvroFileSource.posdelFile(dirF).delete()
@@ -2505,6 +2538,7 @@ case class AvroTable(path: String, tableSchema: StructType,
               s"graft-avro delete: archive collision $dst")
             if (!f.renameTo(dst)) throw new java.io.IOException(
               s"graft-avro delete: archive move failed $f -> $dst")
+            AvroFileSource.stampArchived(dst)
           }
           // positional deletes of dropped files die with their file
           val pd = AvroFileSource.readPosdel(dirF)
@@ -3531,12 +3565,14 @@ class AvroScanBuilder(path: String, full: StructType,
         // the sort marker claims the CURRENT directory contents; a
         // snapshot's archived files were never verified under it
         if (travelVersion.nonEmpty || incRange.nonEmpty || branch.nonEmpty) return Array.empty
-        AvroFileSource.sortedColumnOf(new File(path)) match {
-          case Some(c) if required.fieldNames.contains(c) =>
-            Array(Expressions.sort(Expressions.column(c),
-              org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
-          case _ => Array.empty
-        }
+        // a lexicographic claim holds for every PREFIX of its columns,
+        // so report the longest prefix this scan still projects (a
+        // projected-out head column invalidates the tail's order)
+        AvroFileSource.sortedColumnsOf(new File(path))
+          .takeWhile(required.fieldNames.contains)
+          .map(c => Expressions.sort(Expressions.column(c),
+            org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+          .toArray
       }
 
       // ---- runtime partition pruning (Spark's DPP analogue for DSv2):
@@ -6446,8 +6482,13 @@ class AvroWriteBuilder(path: String, schema: StructType,
   private var overwriteParts: Option[Seq[(String, String)]] = None
 
   // the sortedBy claim is VERIFIED while writing, which needs a total
-  // order on the column's external values — reject the rest up front
-  sortedBy.foreach { c =>
+  // order on each column's external values — reject the rest up front.
+  // `sortedBy=c1,c2` claims LEXICOGRAPHIC order on the tuple.
+  private val sortColsList: Seq[String] =
+    sortedBy.toSeq.flatMap(AvroFileSource.sortCols)
+  require(sortColsList.distinct.length == sortColsList.length,
+    s"sortedBy lists a column twice: ${sortColsList.mkString(",")}")
+  sortColsList.foreach { c =>
     val f = schema.fields.find(_.name == c).getOrElse(
       throw new IllegalArgumentException(s"sortedBy column '$c' not in schema"))
     import org.apache.spark.sql.types._
@@ -6628,7 +6669,7 @@ class AvroWriteBuilder(path: String, schema: StructType,
       if (!requestSort) Array.empty else sortOrders
 
     private def sortOrders: Array[VSortOrder] =
-      (partitionBy ++ sortedBy.filterNot(partitionBy.contains)).map { c =>
+      (partitionBy ++ sortColsList.filterNot(partitionBy.contains)).map { c =>
         Expressions.sort(Expressions.column(c),
           SortDirection.ASCENDING, NullOrdering.NULLS_FIRST)
       }.toArray
@@ -6746,6 +6787,7 @@ class AvroWriteBuilder(path: String, schema: StructType,
                 s"graft-avro commit: archive collision $dst")
               if (!f.renameTo(dst)) throw new java.io.IOException(
                 s"graft-avro commit: archive move failed $f -> $dst")
+              AvroFileSource.stampArchived(dst)
             }
           // an overwrite defines a new dataset: stale equality AND
           // positional deletes must not apply to the replacement rows
@@ -6809,6 +6851,7 @@ class AvroWriteBuilder(path: String, schema: StructType,
               s"graft-avro commit: archive collision $dst")
             if (!f.renameTo(dst)) throw new java.io.IOException(
               s"graft-avro commit: archive move failed $f -> $dst")
+            AvroFileSource.stampArchived(dst)
           }
           val pd = AvroFileSource.readPosdel(dirF)
           if (pd.nonEmpty)
@@ -6834,6 +6877,7 @@ class AvroWriteBuilder(path: String, schema: StructType,
               s"graft-avro row-level commit: archive collision $dst")
             if (!f.renameTo(dst)) throw new java.io.IOException(
               s"graft-avro row-level commit: archive move failed $f -> $dst")
+            AvroFileSource.stampArchived(dst)
           }
           val pd = AvroFileSource.readPosdel(dirF)
           if (pd.nonEmpty)
@@ -6847,10 +6891,15 @@ class AvroWriteBuilder(path: String, schema: StructType,
         val marker = AvroFileSource.sortMarker(new File(path))
         val zonesF = AvroFileSource.zoneFile(new File(path))
         sortedBy match {
-          case Some(c) =>
-            val prev = AvroFileSource.sortedColumnOf(new File(path))
-            if (!preExisting || prev.contains(c)) {
-              java.nio.file.Files.write(marker.toPath, c.getBytes("UTF-8"))
+          case Some(_) =>
+            // agreement is on the FULL spec: an append claiming a
+            // different column list (even a prefix/extension of the
+            // established one) withdraws the claim — its files were
+            // only verified under ITS tuple
+            val prev = AvroFileSource.sortedColumnsOf(new File(path))
+            if (!preExisting || prev == sortColsList) {
+              java.nio.file.Files.write(marker.toPath,
+                sortColsList.mkString(",").getBytes("UTF-8"))
               // Zone-map manifest: fold this job's per-file min/max into
               // the directory manifest. Keys are base-relative paths; an
               // agreeing append merges with surviving prior entries
@@ -7162,33 +7211,52 @@ case class AvroDeltaWriterFactory(path: String, schema: StructType,
 private[sources] object AvroWriters {
 
   /** Per-file order verifier for a `sortedBy` write claim: consecutive
-    * EXTERNAL values of the sort column must be non-decreasing with
-    * nulls first (Spark's default ascending order). Throws on the first
+    * EXTERNAL value tuples must be non-decreasing LEXICOGRAPHICALLY
+    * with nulls first per column (Spark's default ascending order; a
+    * single-column claim is the one-element case). Throws on the first
     * violation so an unsorted job fails instead of stamping a wrong
-    * layout claim.
+    * layout claim. The tuple compare subsumes the null rule: a null
+    * primary after a non-null primary compares greater-on-the-left and
+    * throws, while a null in a SECONDARY column after non-null values
+    * is legal whenever an earlier column advanced.
     */
-  private[sources] final class OrderVerifier(col: String) {
-    private var first: Any = _
-    private var prev: Any = _
+  private[sources] final class OrderVerifier(cols: Seq[String]) {
+    def this(col: String) = this(Seq(col))
+    // nulls-first per-column compare; undecidable pairs pass (legacy
+    // cmp semantics — same-typed externals are always decidable)
+    private def cmpN(a: Any, b: Any): Int =
+      if (a == null && b == null) 0
+      else if (a == null) -1
+      else if (b == null) 1
+      else AvroFilterEval.cmp(a, b).getOrElse(0)
+    private var firstP: Any = _   // primary-column zone bounds
+    private var lastP: Any = _
     private var seenNonNull = false
-    def check(v: Any): Unit = {
-      if (v == null) {
-        if (seenNonNull) throw new IllegalArgumentException(
-          s"sortedBy '$col' violated: null after non-null (nulls sort first)")
-      } else {
-        if (seenNonNull && AvroFilterEval.cmp(prev, v).exists(_ > 0))
-          throw new IllegalArgumentException(
-            s"sortedBy '$col' violated: $prev > $v")
-        if (!seenNonNull) first = v
-        prev = v
-        seenNonNull = true
+    private var prev: Array[Any] = _
+    def check(vs: Array[Any]): Unit = {
+      if (prev != null) {
+        var i = 0
+        var c = 0
+        while (i < vs.length && c == 0) { c = cmpN(prev(i), vs(i)); i += 1 }
+        if (c > 0) throw new IllegalArgumentException(
+          s"sortedBy '${cols.mkString(",")}' violated: " +
+            s"${prev.mkString("(", ",", ")")} > ${vs.mkString("(", ",", ")")}")
+        prev = vs
+      } else prev = vs
+      val p = vs(0)
+      if (p != null) {
+        if (!seenNonNull) { firstP = p; seenNonNull = true }
+        lastP = p
       }
     }
-    /** The verified file's non-null value range — free zone-map stats:
-      * in a verified-sorted file min is the first non-null value and max
-      * the last. None for an all-null file (which is then never pruned).
+    def check(v: Any): Unit = check(Array(v))
+    /** The verified file's non-null PRIMARY-column value range — free
+      * zone-map stats: in a verified-sorted file min is the first
+      * non-null value and max the last. None for an all-null file
+      * (which is then never pruned).
       */
-    def zone: Option[(Any, Any)] = if (seenNonNull) Some((first, prev)) else None
+    def zone: Option[(Any, Any)] =
+      if (seenNonNull) Some((firstP, lastP)) else None
   }
 
   /** Per-file min/max tracker for every primitive leaf column — the
@@ -7537,7 +7605,8 @@ private[sources] object AvroWriters {
     val idx = partCols.map(schema.fieldIndex)
     val bidx = buckets.map { case (c, _) => schema.fieldIndex(c) }
     val xidx = xforms.map(x => schema.fieldIndex(x.col))
-    val sortIdx = sortedBy.map(schema.fieldIndex)
+    val sortColsList = sortedBy.toSeq.flatMap(AvroFileSource.sortCols)
+    val sortIdx = sortColsList.map(schema.fieldIndex)
     val avroSchema = AvroSchemaConverter.toAvro(schema, "topLevelRecord", None, None)
     val toAvro = AvroInternalCodec.encoderFor(schema, avroSchema)
     // rolling in both modes — see AvroWriters.open for the streaming
@@ -7563,7 +7632,9 @@ private[sources] object AvroWriters {
         w
       }
       // stats run unstaged (streaming) too — see AvroWriters.open
-      val verifier: Option[OrderVerifier] = sortedBy.map(new OrderVerifier(_))
+      val verifier: Option[OrderVerifier] =
+        if (sortColsList.nonEmpty) Some(new OrderVerifier(sortColsList))
+        else None
       val colStats: ColumnStats = new ColumnStats(schema)
       val bloomStats: BloomBuilder =
         if (bloomFor.nonEmpty || trigramFor.nonEmpty)
@@ -7618,7 +7689,8 @@ private[sources] object AvroWriters {
           nextSeq(sub) = nextSeq.getOrElse(sub, 0) + 1
           s
         })
-        sortIdx.foreach(i => seg.verifier.get.check(view.get(i)))
+        if (sortIdx.nonEmpty)
+          seg.verifier.get.check(sortIdx.map(view.get).toArray)
         seg.colStats.update(view)
         if (seg.bloomStats != null) seg.bloomStats.update(view)
         if (seg.ndvStats != null) seg.ndvStats.update(view)
@@ -7681,7 +7753,8 @@ private[sources] object AvroWriters {
       targetFileBytes: Option[Long] = None): DataWriter[InternalRow] = {
     val avroSchema = AvroSchemaConverter.toAvro(schema, "topLevelRecord", None, None)
     val toAvro = AvroInternalCodec.encoderFor(schema, avroSchema)
-    val sortIdx = sortedBy.map(schema.fieldIndex)
+    val sortColsList = sortedBy.toSeq.flatMap(AvroFileSource.sortCols)
+    val sortIdx = sortColsList.map(schema.fieldIndex)
     // rolling applies to BOTH write modes. Staged batch files publish
     // at job commit as usual. Streaming (unstaged) keeps exactly-once:
     // the rolled name is a pure function of (epoch, partition, seq),
@@ -7713,7 +7786,9 @@ private[sources] object AvroWriters {
       // epoch commit folds them like a batch commit, so streamed tables
       // keep col-zones/blooms/rows/NDV coverage (metadata COUNT, zone
       // and bloom pruning) instead of silently degrading to scan-only
-      val verifier: Option[OrderVerifier] = sortedBy.map(new OrderVerifier(_))
+      val verifier: Option[OrderVerifier] =
+        if (sortColsList.nonEmpty) Some(new OrderVerifier(sortColsList))
+        else None
       val colStats: ColumnStats = new ColumnStats(schema)
       val bloomStats: BloomBuilder =
         if (bloomFor.nonEmpty || trigramFor.nonEmpty)
@@ -7738,9 +7813,10 @@ private[sources] object AvroWriters {
 
       override def write(record: InternalRow): Unit = {
         val seg = ensure()
-        if (sortIdx.isDefined || seg.colStats != null) {
+        if (sortIdx.nonEmpty || seg.colStats != null) {
           val view = AvroInternalCodec.externalView(record, schema)
-          sortIdx.foreach(i => seg.verifier.get.check(view.get(i)))
+          if (sortIdx.nonEmpty)
+            seg.verifier.get.check(sortIdx.map(view.get).toArray)
           if (seg.colStats != null) seg.colStats.update(view)
           if (seg.bloomStats != null) seg.bloomStats.update(view)
           if (seg.ndvStats != null) seg.ndvStats.update(view)

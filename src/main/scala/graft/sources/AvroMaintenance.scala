@@ -385,9 +385,12 @@ object AvroMaintenance {
     val bytes = listBytes(in)
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     import org.apache.spark.sql.functions.{col => c}
+    // `col` may be a compound `"c1,c2"` spec: range-partition + sort on
+    // the full tuple so the rewrite re-verifies the lexicographic claim
+    val cols = AvroFileSource.sortCols(col)
     spark.read.format("graft-avro").load(in)
-      .repartitionByRange(n, c(col))
-      .sortWithinPartitions(col)
+      .repartitionByRange(n, cols.map(c): _*)
+      .sortWithinPartitions(cols.map(c): _*)
       .write.format("graft-avro").option("sortedBy", col)
       .mode("overwrite").save(out)
     n
@@ -659,15 +662,17 @@ object AvroMaintenance {
     * is always kept. The retention/vacuum half of time travel: bounded
     * archive growth at scale, O(archived files) driver work.
     */
-  def expireSnapshots(dir: String, keepLast: Int): Int = {
+  def expireSnapshots(dir: String, keepLast: Int,
+      graceMs: Long = 0L): Int = {
     require(keepLast >= 1, s"keepLast $keepLast (current version must survive)")
+    require(graceMs >= 0, s"graceMs $graceMs")
     val d = new File(dir)
     AvroFileSource.withCommitLock(d) {
     val snaps = AvroFileSource.readSnapshots(d)
     // tagged versions are PINNED: the vacuum keeps last-N ∪ tagged
     val pinned = AvroFileSource.readRefs(d).values.toSet
     val keepV = snaps.takeRight(keepLast).map(_.version).toSet ++ pinned
-    expireKeeping(d, snaps, keepV)
+    expireKeeping(d, snaps, keepV, graceMs)
     }
   }
 
@@ -677,7 +682,9 @@ object AvroMaintenance {
     * versions unconditionally. Same rebase + archive sweep as
     * [[expireSnapshots]].
     */
-  def expireSnapshotsOlderThan(dir: String, cutoffMillis: Long): Int = {
+  def expireSnapshotsOlderThan(dir: String, cutoffMillis: Long,
+      graceMs: Long = 0L): Int = {
+    require(graceMs >= 0, s"graceMs $graceMs")
     val d = new File(dir)
     AvroFileSource.withCommitLock(d) {
     val snaps = AvroFileSource.readSnapshots(d)
@@ -685,17 +692,28 @@ object AvroMaintenance {
     val pinned = AvroFileSource.readRefs(d).values.toSet
     val keepV = snaps.filter(_.millis >= cutoffMillis)
       .map(_.version).toSet + snaps.last.version ++ pinned
-    expireKeeping(d, snaps, keepV)
+    expireKeeping(d, snaps, keepV, graceMs)
     }
   }
 
   /** Shared vacuum body: rebase the journal to the kept versions and
     * delete unreferenced archive files. Caller holds the commit lock.
+    *
+    * `graceMs`: a RUNNING scan pins its file list at planInputPartitions
+    * and may still be reading an archived file when the vacuum lands —
+    * a grace window keeps unreferenced archive files on disk until
+    * `graceMs` past their ARCHIVE time (stamped into the file mtime by
+    * [[AvroFileSource.stampArchived]]). The journal still rebases
+    * immediately — only the physical delete waits — and a LATER expire
+    * call reclaims the aged survivors even when it drops no versions
+    * itself (the sweep runs on every call).
     */
   private def expireKeeping(d: File,
-      snaps: Seq[AvroFileSource.Snapshot], keepV: Set[Long]): Int = {
+      snaps: Seq[AvroFileSource.Snapshot], keepV: Set[Long],
+      graceMs: Long = 0L): Int = {
     val kept = snaps.filter(s => keepV.contains(s.version))
-    if (kept.size == snaps.size) return 0
+    if (kept.size == snaps.size)
+      return sweepArchive(d, kept.flatMap(_.files).toSet, graceMs)
     // rewrite: full file set for the first kept version, then re-deltaed
     // changes between consecutive KEPT versions (which need not be
     // contiguous once tags pin old versions — the journal parser allows
@@ -736,10 +754,18 @@ object AvroMaintenance {
       lines.mkString("", "\n", "\n").getBytes("UTF-8"))
     if (!tmp.renameTo(jf)) throw new java.io.IOException(
       s"graft-avro expire: rename failed $tmp -> $jf")
-    // delete unreferenced archive files
-    val referenced = kept.flatMap(_.files).toSet
+    sweepArchive(d, kept.flatMap(_.files).toSet, graceMs)
+  }
+
+  /** Delete archive files no kept snapshot references, honoring the
+    * retention grace: a file younger (by archive-time mtime) than
+    * `graceMs` survives this sweep and ages out on a later call.
+    */
+  private def sweepArchive(d: File, referenced: Set[String],
+      graceMs: Long): Int = {
     val arch = AvroFileSource.archiveDir(d)
     var removed = 0
+    val cutoff = System.currentTimeMillis() - graceMs
     if (arch.isDirectory) {
       val base = arch.getAbsoluteFile.toPath
       def sweep(f: File): Unit =
@@ -749,7 +775,9 @@ object AvroMaintenance {
               Option(f.listFiles()).forall(_.isEmpty)) { f.delete(); () }
         } else if (f.getName.endsWith(".avro")) {
           val rel = base.relativize(f.getAbsoluteFile.toPath).toString
-          if (!referenced.contains(rel)) { if (f.delete()) removed += 1 }
+          if (!referenced.contains(rel) && f.lastModified() <= cutoff) {
+            if (f.delete()) removed += 1
+          }
         }
       sweep(arch)
       if (Option(arch.listFiles()).forall(_.isEmpty)) arch.delete()
@@ -959,10 +987,13 @@ object AvroMaintenance {
     java.nio.file.Files.write(f.toPath, line.getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
-    // the verified-sort claim follows its column's new name
-    if (AvroFileSource.sortedColumnOf(d).contains(from)) {
+    // the verified-sort claim follows its column's new name (any
+    // position in a compound spec)
+    val sortSpec = AvroFileSource.sortedColumnsOf(d)
+    if (sortSpec.contains(from)) {
       java.nio.file.Files.write(AvroFileSource.sortMarker(d).toPath,
-        to.getBytes("UTF-8"))
+        sortSpec.map(n => if (n == from) to else n).mkString(",")
+          .getBytes("UTF-8"))
     }
     ()
     }
@@ -1046,7 +1077,10 @@ object AvroMaintenance {
     AvroFileSource.appendSnapshot(d, "drop-column", force = true)
     val v = AvroFileSource.readSnapshots(d).last.version
     AvroFileSource.appendEvo(d, v, "drop", name)
-    if (AvroFileSource.sortedColumnOf(d).contains(name)) {
+    // dropping ANY column of a compound sort claim withdraws it (the
+    // remaining columns' lexicographic order is only guaranteed for
+    // prefixes, and a dropped head breaks the tail)
+    if (AvroFileSource.sortedColumnsOf(d).contains(name)) {
       AvroFileSource.sortMarker(d).delete()
       AvroFileSource.zoneFile(d).delete()
       ()
@@ -1494,6 +1528,7 @@ object AvroMaintenance {
         s"graft-avro rollback: archive collision $dst")
       if (!src.renameTo(dst)) throw new java.io.IOException(
         s"graft-avro rollback: archive move failed $src -> $dst")
+      AvroFileSource.stampArchived(dst)
     }
     // delete sidecars (both flavors) revert to the snapshot's content
     def revert(f: File, content: Option[String]): Unit = content match {

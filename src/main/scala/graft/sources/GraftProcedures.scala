@@ -100,21 +100,23 @@ object GraftProcedures {
         })
       case "expire_snapshots" => new Proc(name,
         "vacuum: keep the last N (and tagged) versions, delete " +
-          "unreferenced archive files",
-        Array(param("table", StringType), param("keep_last", IntegerType)),
+          "unreferenced archive files older than the retention grace",
+        Array(param("table", StringType), param("keep_last", IntegerType),
+          paramDefault("grace_ms", LongType, "0")),
         in => {
           val removed = AvroMaintenance.expireSnapshots(dirOf(in),
-            in.getInt(1))
+            in.getInt(1), in.getLong(2))
           (out("removed_files" -> LongType), Seq(removed.toLong))
         })
       case "expire_snapshots_older_than" => new Proc(name,
         "time-based vacuum: expire snapshots committed before the " +
           "cutoff (epoch millis); current + tagged versions survive",
         Array(param("table", StringType),
-          param("older_than_ms", LongType)),
+          param("older_than_ms", LongType),
+          paramDefault("grace_ms", LongType, "0")),
         in => {
           val removed = AvroMaintenance.expireSnapshotsOlderThan(
-            dirOf(in), in.getLong(1))
+            dirOf(in), in.getLong(1), in.getLong(2))
           (out("removed_files" -> LongType), Seq(removed.toLong))
         })
       case "create_tag" => new Proc(name,
