@@ -224,18 +224,36 @@ object Bench {
     val (prevBest, prevFps) = readPrevDetail("BENCH_DETAIL.json", sfDir)
     val fps = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val epoch = System.nanoTime()
+    // quiet-probe estimate available AT probe time (the artifact's
+    // median is only known post-hoc): the probe runs 1/10 the
+    // calibration iterations, so a quiet probe ≈ calibPre / 10
+    val quietEst = calibPre / 10
     for (pass <- 1 to reps; (name, fn) <- gates) {
       val off = (System.nanoTime() - epoch) / 1e9
-      val p = probe()
+      // SETTLE before probing: residue of the PREVIOUS gate's teardown
+      // (async shuffle cleanup, GC of a 20 s dedup gate's heap) is
+      // single-JVM self-inflicted noise that used to inflate the next
+      // few gates' probes on EVERY pass — deterministically mislabeling
+      // them "contended" (the r16 flags: llm_dedup_*, llm_tfdf, …).
+      // Re-probe briefly until quiet; genuine box contention outlives
+      // the ~0.6 s budget and still classifies correctly.
+      var p = probe()
+      var settles = 0
+      while (p > 2 * quietEst && settles < 10) {
+        Thread.sleep(50)
+        p = probe()
+        settles += 1
+      }
       val t0 = System.nanoTime()
       try {
         val df = fn(spark, sfDir)
         df.write.format("noop").mode("overwrite").save()
-        // drop blocks left by checkpointing/caching queries so later
-        // queries aren't taxed by their memory pressure
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
         times(name) :+= (System.nanoTime() - t0) / 1e9
+        // teardown OUTSIDE the timed region, BLOCKING: a non-blocking
+        // unpersist inside the timing both taxed this gate and bled
+        // into the next gate's probe window
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
         // fingerprint OUTSIDE the timed region, first pass only (the
         // plan is a pure function of the code; pass 2 re-plans equal)
         if (pass == 1)
