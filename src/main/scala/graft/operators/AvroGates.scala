@@ -1027,6 +1027,33 @@ object AvroGates extends Catalog {
           F.max("l_orderkey").as("max_key"))
     }),
 
+    // BLOCK-LEVEL SKIPPING inside a sorted file (r17, `_graft_blockidx`):
+    // the verified sorted write records per-chunk [min, max] byte
+    // ranges (forced sync every 4096 rows), and a selective range
+    // predicate then plans only the OVERLAPPING CHUNKS as input
+    // partitions — the parquet row-group analogue for Avro containers
+    // (BlockIdxSpec pins partition counts, posdel composition, and the
+    // row-level-op stand-down). At 100 TB with ~1 GB sorted files this
+    // is the difference between reading a file and reading a block.
+    // The aggregate must match the oracle exactly.
+    "q_avro_block_skip" -> ((s, dir) => {
+      val tmp = tempDir("graft_gate_bix")
+      table(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .coalesce(1).sortWithinPartitions("l_orderkey")
+        .write.format("graft-avro").option("sortedBy", "l_orderkey")
+        .mode("overwrite").save(tmp)
+      require(graft.sources.AvroFileSource
+        .blockIdxFile(new java.io.File(tmp)).isFile,
+        "q_avro_block_skip: no block index written")
+      s.read.format("graft-avro").load(tmp)
+        .filter(F.col("l_orderkey").between(600L, 1400L))
+        .agg(F.count(F.lit(1)).as("n_rows"),
+          F.sum(F.col("l_orderkey")).as("key_sum"),
+          F.sum(F.floor(F.col("l_quantity") * 100).cast("long")).as("qty_c"),
+          F.sum(F.col("l_linenumber").cast("long")).as("line_sum"))
+    }),
+
     // MULTI-COLUMN sortedBy (`sortedBy=okey,lnum`): a LEXICOGRAPHIC
     // layout claim, declared via requestSort so Spark itself arranges
     // the rows (ordered distribution = global range partition on the
@@ -2989,6 +3016,47 @@ object AvroGates extends Catalog {
               |FROM graft_gate.gate.m3""".stripMargin)
     }),
 
+    // MERGE WITH SCHEMA EVOLUTION (the Delta-style upsert a SQL user
+    // reaches for when the source grew a column): the analyzer turns
+    // source-only columns into AddColumn changes applied through the
+    // catalog BEFORE the merge (AUTOMATIC_SCHEMA_EVOLUTION capability →
+    // the same version-stamped evo journal as an explicit ALTER), then
+    // UPDATE/INSERT * carry the new column; pre-existing rows the merge
+    // never touched null-default it at decode. The oracle re-derives
+    // the closed form: every source row lands (matched updated,
+    // unmatched inserted), target-only rows keep a NULL score.
+    "q_avro_merge_evolve" -> ((s, dir) => {
+      if (!s.conf.getOption("spark.sql.catalog.graft_gate").isDefined) {
+        s.conf.set("spark.sql.catalog.graft_gate",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_gate.root",
+          tempDir("graft_gate_cat"))
+      }
+      val docs = table(s, dir, "documents")
+        .select(F.coalesce(F.col("doc_id"), F.lit(0L)).as("doc_id"),
+          F.col("n_chars").cast("long").as("val"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.gate")
+      s.sql("DROP TABLE IF EXISTS graft_gate.gate.mev")
+      s.sql("CREATE TABLE graft_gate.gate.mev " +
+        "(doc_id BIGINT NOT NULL, val BIGINT)")
+      docs.filter(F.col("doc_id") % 3 === 0)
+        .createOrReplaceTempView("mev_base")
+      s.sql("INSERT INTO graft_gate.gate.mev SELECT * FROM mev_base")
+      docs.filter(F.col("doc_id") % 2 === 0)
+        .withColumn("score", F.col("doc_id") * 7)
+        .createOrReplaceTempView("mev_src")
+      s.sql("""MERGE WITH SCHEMA EVOLUTION INTO graft_gate.gate.mev t
+              |USING mev_src s ON t.doc_id = s.doc_id
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *
+              |""".stripMargin)
+      s.sql("""SELECT count(*) AS n_rows,
+              |  CAST(sum(val) AS BIGINT) AS val_sum,
+              |  CAST(sum(score) AS BIGINT) AS score_sum,
+              |  count(score) AS n_scored
+              |FROM graft_gate.gate.mev""".stripMargin)
+    }),
+
     // DEEP CLONE (Delta CLONE parity): byte-copy the current snapshot +
     // stats manifests into a fresh table with an independent history —
     // the source diverges AFTER the clone and the clone must not see
@@ -3206,6 +3274,13 @@ object AvroGates extends Catalog {
                 CAST(sum(n_chars) AS BIGINT) AS chars,
                 TRUE AS rolled, TRUE AS blooms, TRUE AS failed_epoch
          FROM documents GROUP BY lang ORDER BY lang""",
+    "q_avro_block_skip" ->
+      """SELECT count(*) AS n_rows,
+                CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+                CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT))
+                  AS BIGINT) AS qty_c,
+                CAST(sum(l_linenumber) AS BIGINT) AS line_sum
+         FROM lineitem WHERE l_orderkey BETWEEN 600 AND 1400""",
     "q_avro_sorted_multi" ->
       """WITH f AS (SELECT count(*) AS n_rows,
                            CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT))
@@ -3810,6 +3885,25 @@ object AvroGates extends Catalog {
          SELECT count(*) AS n_rows, CAST(sum(val) AS BIGINT) AS val_sum,
                 CAST(sum(doc_id) AS BIGINT) AS id_sum
          FROM merged""",
+    // closed form of the evolving merge: every source row lands
+    // (matched updated in place, unmatched inserted) carrying score;
+    // target-only rows (id % 3 = 0 but odd wrt 2) keep a NULL score
+    "q_avro_merge_evolve" ->
+      """WITH mb AS (SELECT COALESCE(doc_id, 0) AS doc_id,
+                            CAST(n_chars AS BIGINT) AS val
+                     FROM documents WHERE COALESCE(doc_id, 0) % 3 = 0),
+              ms AS (SELECT COALESCE(doc_id, 0) AS doc_id,
+                            CAST(n_chars AS BIGINT) AS val,
+                            COALESCE(doc_id, 0) * 7 AS score
+                     FROM documents WHERE COALESCE(doc_id, 0) % 2 = 0),
+              mk AS (SELECT doc_id, val, CAST(NULL AS BIGINT) AS score
+                     FROM mb WHERE doc_id % 2 <> 0),
+              mfin AS (SELECT * FROM mk UNION ALL SELECT * FROM ms)
+         SELECT count(*) AS n_rows,
+                CAST(sum(val) AS BIGINT) AS val_sum,
+                CAST(sum(score) AS BIGINT) AS score_sum,
+                count(score) AS n_scored
+         FROM mfin""",
     "q_avro_cluster" ->
       """SELECT 'by_id' AS dim, count(*) AS n_rows,
                 CAST(sum(n_chars) AS BIGINT) AS chars

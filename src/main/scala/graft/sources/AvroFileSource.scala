@@ -444,6 +444,56 @@ object AvroFileSource {
       } yield new File(base, rel).getAbsolutePath -> (lo, hi)
     }
 
+  /** BLOCK-RANGE zone index (`_graft_blockidx`): per-file, per-CHUNK
+    * [min, max] of the column a verified `sortedBy` write ordered the
+    * file by. A chunk is the rows between forced sync points
+    * ([[BlockIdxRows]] apart), so each entry maps to a byte range the
+    * split machinery serves directly — lines
+    * `rel TAB colEnc TAB dt TAB start TAB end TAB mnEnc TAB mxEnc`
+    * (`-` bounds = all-null chunk, kept, never pruned). Ranges are
+    * already −16-adjusted: a partition [start, end) reads exactly the
+    * chunk's blocks under the reader's sync/pastSync rule (a block
+    * belongs to the split containing blockStart − 16). Pruning-only and
+    * PER-FILE truth (a file's own chunk bounds hold whatever happens to
+    * the table-level sort claim): partial coverage is sound, absence ⇒
+    * normal split, a recorded type differing from the read type drops
+    * the file's entries, and a file whose ranges no longer tile
+    * [0, length) falls back whole. The 100 TB point: a selective
+    * predicate on a sorted table opens the overlapping CHUNKS of the
+    * overlapping files — block-level skipping INSIDE the file, the
+    * parquet row-group analogue Avro containers otherwise lack.
+    */
+  def blockIdxFile(d: File): File = new File(d, "_graft_blockidx")
+
+  /** Rows per forced-sync chunk of the block index (sorted writes). */
+  val BlockIdxRows = 4096
+
+  /** Raw block-index lines keyed by relative path (values URL-encoded,
+    * lossless merge-and-rewrite). Malformed lines drop the whole FILE's
+    * entries — a partial tiling must not masquerade as coverage.
+    */
+  private[sources] def readBlockIdxRaw(f: File)
+      : Map[String, Seq[(String, String, Long, Long, String, String)]] =
+    try {
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try {
+        val parsed = src.getLines().toSeq.map { line =>
+          line.split('\t') match {
+            case Array(rel, col, dt, s, e, mn, mx) =>
+              try Some(rel -> (col, dt, s.toLong, e.toLong, mn, mx))
+              catch { case _: NumberFormatException => Some(rel -> null) }
+            case a if a.nonEmpty => Some(a(0) -> null)
+            case _ => None
+          }
+        }
+        val grouped = parsed.flatten.groupBy(_._1)
+        grouped.collect {
+          case (rel, es) if es.forall(_._2 != null) =>
+            rel -> es.map(_._2)
+        }
+      } finally src.close()
+    } catch { case _: Exception => Map.empty }
+
   /** All-column zone manifest: per-file min/max for EVERY primitive leaf
     * column (nested leaves under dotted names), written on every batch
     * commit regardless of sort state — the writer tracks bounds while
@@ -2218,6 +2268,33 @@ object AvroFileSource {
       if (!tmp.renameTo(ndvF)) throw new java.io.IOException(
         s"graft-avro commit: rename failed $tmp -> $ndvF")
     }
+    // Block-range zone index (sorted staged writes): same alive-filtered
+    // per-file merge — per-file truth, partial coverage sound.
+    val bixF = blockIdxFile(dirF)
+    val bixFresh = messages.flatMap(_.blockIdx)
+      .map { case (fin, col, dt, chunks) =>
+        base.relativize(new File(fin).getAbsoluteFile.toPath).toString ->
+          chunks.map { case (s, e, mn, mx) => (col, dt, s, e, mn, mx) }
+      }
+    if (bixFresh.nonEmpty || bixF.isFile) {
+      val prior =
+        if (bixF.isFile) readBlockIdxRaw(bixF)
+        else Map.empty[String, Seq[(String, String, Long, Long, String, String)]]
+      val alive = listAvro(dirF)
+        .map(f => base.relativize(f.getAbsoluteFile.toPath).toString)
+        .toSet
+      val merged = (prior ++ bixFresh).filter { case (rel, _) =>
+        alive.contains(rel) }
+      val tmp = new File(bixF.getPath + ".staging")
+      java.nio.file.Files.write(tmp.toPath,
+        merged.toSeq.sortBy(_._1).flatMap { case (rel, entries) =>
+          entries.map { case (col, dt, s, e, mn, mx) =>
+            s"$rel\t$col\t$dt\t$s\t$e\t$mn\t$mx"
+          }
+        }.mkString("\n").getBytes("UTF-8"))
+      if (!tmp.renameTo(bixF)) throw new java.io.IOException(
+        s"graft-avro commit: rename failed $tmp -> $bixF")
+    }
   }
 }
 
@@ -2621,7 +2698,15 @@ case class AvroTable(path: String, tableSchema: StructType,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
       TableCapability.STREAMING_WRITE,
       TableCapability.OVERWRITE_BY_FILTER,
-      TableCapability.OVERWRITE_DYNAMIC)
+      TableCapability.OVERWRITE_DYNAMIC,
+      // MERGE INTO … WITH SCHEMA EVOLUTION: the analyzer turns source
+      // columns the target lacks into AddColumn table changes and
+      // applies them through the catalog BEFORE the merge — the same
+      // version-stamped `_graft_evo` journal as an explicit ALTER, so
+      // old files null-default the new columns at decode. Only merges
+      // carrying the explicit clause evolve; a plain MERGE still
+      // resolves strictly.
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   override def newScanBuilder(options0: CaseInsensitiveStringMap): ScanBuilder = {
     // SQL `VERSION AS OF` / `TIMESTAMP AS OF` arrives as catalog-bound
@@ -4236,6 +4321,95 @@ class AvroScanBuilder(path: String, full: StructType,
       private def trigramMayKeep(f: File): Boolean =
         !trigramDropped.contains(f.getAbsolutePath)
 
+      /** Block-range zone index, parsed once per scan: per file, the
+        * chunk byte ranges with their decoded bounds (None = all-null
+        * or unparseable chunk — always kept). Files whose entries mix
+        * columns or whose recorded type differs from the read type
+        * drop out (absence ⇒ normal split). Live reads only — the
+        * entries describe current files.
+        */
+      private lazy val blockIdxChunks
+          : Map[String, (String, Seq[(Long, Long, Option[(Any, Any)])])] =
+        if (travelVersion.nonEmpty || incRange.nonEmpty ||
+            branch.nonEmpty || cdcFeed) Map.empty
+        else {
+          val dir = new File(path)
+          val bf = AvroFileSource.blockIdxFile(dir)
+          if (!bf.isFile) Map.empty
+          else AvroFileSource.readBlockIdxRaw(bf).flatMap { case (rel, es) =>
+            val cols = es.map(e => (e._1, e._2)).distinct
+            if (cols.size != 1) None
+            else {
+              val col = java.net.URLDecoder.decode(cols.head._1, "UTF-8")
+              val fld = full.fields.find(_.name == col)
+              if (!fld.exists(_.dataType.simpleString == cols.head._2)) None
+              else {
+                val dt = fld.get.dataType
+                val chunks = es.sortBy(_._3).map {
+                  case (_, _, s, e, mn, mx) =>
+                    val bounds =
+                      if (mn == "-" || mx == "-") None
+                      else for {
+                        lo <- AvroFileSource.castPartitionValue(mn, dt)
+                        if lo != null
+                        hi <- AvroFileSource.castPartitionValue(mx, dt)
+                        if hi != null
+                      } yield (lo, hi)
+                    (s, e, bounds)
+                }
+                Some(new File(dir, rel).getAbsolutePath -> (col, chunks))
+              }
+            }
+          }
+        }
+
+      /** The file's surviving chunk ranges under the pushed conjunction
+        * — emitted as its input partitions instead of blind byte splits
+        * (block-level skipping INSIDE a sorted file) — or None = serve
+        * normally (no index, stale tiling, or nothing pruned anyway).
+        */
+      private def chunkRanges(f: File): Option[Seq[(Long, Long)]] = {
+        // nothing to prune on — skip the (lazy) sidecar read entirely
+        if (filters.isEmpty && runtimeZoneVals.isEmpty) return None
+        blockIdxChunks.get(f.getAbsolutePath).flatMap { case (col, chunks) =>
+          // coverage sanity: ranges must tile [0, length) contiguously
+          // (the file's trailing sync may sit past the last range)
+          val covers = chunks.nonEmpty && chunks.head._1 == 0L &&
+            chunks.sliding(2).forall {
+              case Seq((_, e1, _), (s2, _, _)) => e1 == s2
+              case _ => true
+            } && chunks.last._2 >= f.length() - 16
+          if (!covers) None
+          else {
+            // runtime join-key IN-set on the indexed column (DPP-style):
+            // a chunk survives when ANY key may lie in its bounds —
+            // same rule as the file-level runtimeZoneKeep
+            val runtimeVals = runtimeZoneVals.get(col)
+            val kept = chunks.filter { case (_, _, bounds) =>
+              bounds.forall { case (lo, hi) =>
+                filters.forall(
+                  AvroFilterEval.zoneMayMatch(col, lo, hi, _)) &&
+                  runtimeVals.forall(_.exists { v =>
+                    (AvroFilterEval.cmp(v, lo), AvroFilterEval.cmp(v, hi)) match {
+                      case (Some(a), Some(b)) => a >= 0 && b <= 0
+                      case _ => true // undecidable: keep
+                    }
+                  })
+              }
+            }
+            if (kept.size == chunks.size) None
+            else Some(kept.map { case (s, e, _) => (s, e) }
+              .foldLeft(List.empty[(Long, Long)]) {
+                // merge adjacent survivors, capped at the split size
+                case ((ps, pe) :: t, (s, e))
+                    if s == pe && e - ps <= maxSplitBytes =>
+                  (ps, e) :: t
+                case (acc, r) => r :: acc
+              }.reverse)
+          }
+        }
+      }
+
       private def zoneMayKeep(f: File): Boolean = {
         val sortOk = zoneRanges.get(f.getAbsolutePath) match {
           case Some((mn, mx)) => filters.forall(
@@ -4510,7 +4684,20 @@ class AvroScanBuilder(path: String, full: StructType,
                   Some(AvroFileSource.deleteStateFingerprint(
                     new File(path))))))
               prunedFiles().flatMap { case (f, _) =>
-                split(f).map { case (p, s, e) => AvroInputPartition(p, s, e) }
+                // block-level skipping: only when the scan may row-skip
+                // freely — a row-level op's scan is group-exact (every
+                // row of a kept file must be served) and fully-pushed
+                // decided filters already pinned their keep-set
+                val chunked =
+                  if (rowLevelCapture.isEmpty && decided.isEmpty)
+                    chunkRanges(f)
+                  else None
+                chunked match {
+                  case Some(rs) => rs.map { case (s, e) =>
+                    AvroInputPartition(f.getAbsolutePath, s, e) }
+                  case None => split(f).map { case (p, s, e) =>
+                    AvroInputPartition(p, s, e) }
+                }
               }.toArray[InputPartition]
           }
           // COUNT(*) under positional deletes: dead rows still count in
@@ -7039,7 +7226,12 @@ case class AvroCommitMessage(files: Seq[(String, String)],
     // failed earlier attempt left behind (a retry that rolls FEWER
     // segments must not let appendSnapshot journal its predecessor's
     // higher-seq leftovers)
-    streamed: Seq[String] = Nil)
+    streamed: Seq[String] = Nil,
+    // block-range zone index of a sorted staged write: per final path,
+    // (rangeStart, rangeEnd, minEnc|-, maxEnc|-) per chunk plus the
+    // indexed column + its type — see AvroFileSource.blockIdxFile
+    blockIdx: Seq[(String, String, String,
+      Seq[(Long, Long, String, String)])] = Nil)
   extends WriterCommitMessage
 
 /** Per-task result of a delta (merge-on-read) row-level write: the
@@ -7645,6 +7837,35 @@ private[sources] object AvroWriters {
         else null
       var nRows = 0L
       var sinceCheck = 0
+      // block-range zone index — see the flat writer's Segment
+      var bStart = 0L
+      var bRows = 0
+      var bMin: Any = _
+      var bMax: Any = _
+      var bChunks: List[(Long, Long, String, String)] = Nil
+      private def bEnc(v: Any, hi: Boolean): String =
+        if (v == null) "-"
+        else if (hi) AvroFileSource.zoneEncodeMax(v)
+        else AvroFileSource.zoneEncodeMin(v)
+      def bTrack(primary: Any): Unit = {
+        bRows += 1
+        if (primary != null) { if (bMin == null) bMin = primary; bMax = primary }
+        if (bRows >= AvroFileSource.BlockIdxRows) {
+          val p = writer.sync() - 16
+          bChunks ::= ((bStart, p, bEnc(bMin, hi = false),
+            bEnc(bMax, hi = true)))
+          bStart = p; bRows = 0; bMin = null; bMax = null
+        }
+      }
+      def bFinish(): Seq[(Long, Long, String, String)] = {
+        if (bRows > 0) {
+          bChunks ::= ((bStart, file.length(), bEnc(bMin, hi = false),
+            bEnc(bMax, hi = true)))
+          bRows = 0
+        }
+        val out = bChunks.reverse
+        if (out.size >= 2) out else Nil
+      }
     }
 
     val open = scala.collection.mutable.LinkedHashMap.empty[String, Seg]
@@ -7689,13 +7910,18 @@ private[sources] object AvroWriters {
           nextSeq(sub) = nextSeq.getOrElse(sub, 0) + 1
           s
         })
-        if (sortIdx.nonEmpty)
-          seg.verifier.get.check(sortIdx.map(view.get).toArray)
+        var primary: Any = null
+        if (sortIdx.nonEmpty) {
+          val vs = sortIdx.map(view.get).toArray
+          seg.verifier.get.check(vs)
+          primary = vs(0)
+        }
         seg.colStats.update(view)
         if (seg.bloomStats != null) seg.bloomStats.update(view)
         if (seg.ndvStats != null) seg.ndvStats.update(view)
         seg.nRows += 1
         seg.writer.append(toAvro(record))
+        if (staged && sortIdx.nonEmpty) seg.bTrack(primary)
         roll.foreach { target =>
           seg.sinceCheck += 1
           if (seg.sinceCheck >= 256) {
@@ -7732,7 +7958,19 @@ private[sources] object AvroWriters {
           ndvs = segs.flatMap(s =>
             Option(s.ndvStats).map(_.stats).filter(_.nonEmpty)
               .map(fin(s) -> _)),
-          streamed = if (staged) Nil else segs.map(_.file.getPath))
+          streamed = if (staged) Nil else segs.map(_.file.getPath),
+          blockIdx =
+            if (!staged || sortIdx.isEmpty) Nil
+            else {
+              val colEnc = java.net.URLEncoder
+                .encode(sortColsList.head, "UTF-8")
+              val dt = schema.fields(sortIdx.head).dataType.simpleString
+              segs.flatMap { s =>
+                val cs = s.bFinish()
+                if (cs.isEmpty) None
+                else Some((fin(s), colEnc, dt, cs))
+              }
+            })
       }
       override def abort(): Unit = {
         open.values.foreach { s => s.writer.close(); closedSegs ::= s }
@@ -7798,6 +8036,44 @@ private[sources] object AvroWriters {
         if (ndvFor.nonEmpty) new NdvBuilder(schema, ndvFor)
         else null
       var nRows = 0L
+      // block-range zone index (sorted staged writes): chunk = rows
+      // between forced syncs; min/max = first/last non-null primary
+      // value (the file is verified-sorted, so first/last IS min/max)
+      var bStart = 0L
+      var bRows = 0
+      var bMin: Any = _
+      var bMax: Any = _
+      var bChunks: List[(Long, Long, String, String)] = Nil
+      private def bEnc(v: Any, hi: Boolean): String =
+        if (v == null) "-"
+        else if (hi) AvroFileSource.zoneEncodeMax(v)
+        else AvroFileSource.zoneEncodeMin(v)
+      def bTrack(primary: Any): Unit = {
+        bRows += 1
+        if (primary != null) { if (bMin == null) bMin = primary; bMax = primary }
+        if (bRows >= AvroFileSource.BlockIdxRows) {
+          // sync() returns the NEXT block's start; −16 lands the
+          // boundary on the preceding sync's offset (the split rule:
+          // a block belongs to the range containing blockStart − 16)
+          val p = writer.sync() - 16
+          bChunks ::= ((bStart, p, bEnc(bMin, hi = false),
+            bEnc(bMax, hi = true)))
+          bStart = p; bRows = 0; bMin = null; bMax = null
+        }
+      }
+      /** Call AFTER writer.close(): final pending chunk ends at the
+        * on-disk length. Fewer than two chunks index nothing (the
+        * file-level zones already cover a one-chunk file).
+        */
+      def bFinish(): Seq[(Long, Long, String, String)] = {
+        if (bRows > 0) {
+          bChunks ::= ((bStart, file.length(), bEnc(bMin, hi = false),
+            bEnc(bMax, hi = true)))
+          bRows = 0
+        }
+        val out = bChunks.reverse
+        if (out.size >= 2) out else Nil
+      }
     }
 
     new DataWriter[InternalRow] {
@@ -7813,16 +8089,23 @@ private[sources] object AvroWriters {
 
       override def write(record: InternalRow): Unit = {
         val seg = ensure()
+        var primary: Any = null
         if (sortIdx.nonEmpty || seg.colStats != null) {
           val view = AvroInternalCodec.externalView(record, schema)
-          if (sortIdx.nonEmpty)
-            seg.verifier.get.check(sortIdx.map(view.get).toArray)
+          if (sortIdx.nonEmpty) {
+            val vs = sortIdx.map(view.get).toArray
+            seg.verifier.get.check(vs)
+            primary = vs(0)
+          }
           if (seg.colStats != null) seg.colStats.update(view)
           if (seg.bloomStats != null) seg.bloomStats.update(view)
           if (seg.ndvStats != null) seg.ndvStats.update(view)
         }
         seg.nRows += 1
         seg.writer.append(toAvro(record))
+        // block-range index AFTER the append so a forced sync closes a
+        // block that INCLUDES this row
+        if (staged && sortIdx.nonEmpty) seg.bTrack(primary)
         // roll on the observed on-disk size (lags by at most one
         // unflushed container block — bounded overshoot, no forced
         // sync that would shrink compression blocks)
@@ -7862,7 +8145,19 @@ private[sources] object AvroWriters {
           ndvs = segs.flatMap(s =>
             Option(s.ndvStats).map(_.stats).filter(_.nonEmpty)
               .map(s.finalFile.getPath -> _)),
-          streamed = if (staged) Nil else segs.map(_.finalFile.getPath))
+          streamed = if (staged) Nil else segs.map(_.finalFile.getPath),
+          blockIdx =
+            if (!staged || sortIdx.isEmpty) Nil
+            else {
+              val colEnc = java.net.URLEncoder
+                .encode(sortColsList.head, "UTF-8")
+              val dt = schema.fields(sortIdx.head).dataType.simpleString
+              segs.flatMap { s =>
+                val cs = s.bFinish()
+                if (cs.isEmpty) None
+                else Some((s.finalFile.getPath, colEnc, dt, cs))
+              }
+            })
       }
       override def abort(): Unit = {
         if (cur != null) { cur.writer.close(); closed ::= cur; cur = null }

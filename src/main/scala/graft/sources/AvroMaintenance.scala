@@ -543,6 +543,8 @@ object AvroMaintenance {
       appendManifest(AvroFileSource.rowsFile(bd),
         AvroFileSource.rowsFile(d))
       appendManifest(AvroFileSource.ndvFile(bd), AvroFileSource.ndvFile(d))
+      appendManifest(AvroFileSource.blockIdxFile(bd),
+        AvroFileSource.blockIdxFile(d))
       // an unverified append invalidates the exact-ordering claim:
       // marker and sort-zone manifest are withdrawn TOGETHER
       AvroFileSource.sortMarker(d).delete()
@@ -1309,6 +1311,7 @@ object AvroMaintenance {
     Seq(AvroFileSource.colZoneFile _, AvroFileSource.bloomFile _,
       AvroFileSource.rowsFile _, AvroFileSource.ndvFile _,
       AvroFileSource.zoneFile _, AvroFileSource.sortMarker _,
+      AvroFileSource.blockIdxFile _,
       AvroFileSource.propsFile _, AvroFileSource.constraintsFile _)
       .foreach { ff =>
         val s = ff(src)
@@ -1546,7 +1549,8 @@ object AvroMaintenance {
     // manifest in particular would be UNSOUND for metadata MIN/MAX
     Seq(AvroFileSource.sortMarker(d), AvroFileSource.zoneFile(d),
       AvroFileSource.colZoneFile(d), AvroFileSource.bloomFile(d),
-      AvroFileSource.rowsFile(d), AvroFileSource.ndvFile(d))
+      AvroFileSource.rowsFile(d), AvroFileSource.ndvFile(d),
+      AvroFileSource.blockIdxFile(d))
       .foreach(_.delete())
     AvroFileSource.appendSnapshot(d, "rollback", force = true)
     AvroFileSource.readSnapshots(d).last.version
@@ -1614,7 +1618,8 @@ object AvroMaintenance {
     */
   def analyze(spark: SparkSession, dir: String,
       bloomFor: Seq[String] = Nil, ndvFor: Seq[String] = Nil,
-      trigramFor: Seq[String] = Nil): Int = {
+      trigramFor: Seq[String] = Nil,
+      blockIdxFor: Option[String] = None): Int = {
     import spark.implicits._
     val d = new File(dir)
     val base = d.getAbsoluteFile.toPath
@@ -1624,6 +1629,7 @@ object AvroMaintenance {
     if (rels.isEmpty) return 0
     val root = base.toString
     val (bf, nf, tf) = (bloomFor, ndvFor, trigramFor)
+    val bix = blockIdxFor.map(_.trim).filter(_.nonEmpty)
     val slices = math.max(1, math.min(rels.size, 32))
     val perFile = spark.createDataset(rels).repartition(slices)
       .mapPartitions { it =>
@@ -1646,30 +1652,94 @@ object AvroMaintenance {
             val nb =
               if (nCols.nonEmpty) new AvroWriters.NdvBuilder(st, nCols)
               else null
+            // block-index BACKFILL: per-CHUNK exact [min, max] of the
+            // named column, chunks cut at the file's OWN block
+            // boundaries (previousSync = current block start, so the
+            // −16 convention matches the writer and the split rule)
+            // once BlockIdxRows rows accumulate. Unlike the write path,
+            // no sortedness is needed — the tracked bounds are true
+            // per-chunk min/max, sound for any layout (a Z-ordered or
+            // clustered file regains intra-file skipping this way).
+            val bixIdx = bix.filter(top.contains).map(st.fieldIndex)
+              .filter { i =>
+                import org.apache.spark.sql.types._
+                st.fields(i).dataType match {
+                  case StringType | IntegerType | LongType | ShortType |
+                       ByteType | BooleanType | DateType | TimestampType |
+                       _: DecimalType => true
+                  case _ => false // no total order / NaN hazard
+                }
+              }
+            val bixDt = bixIdx.map(i => st.fields(i).dataType.simpleString)
+            var chunkStart = 0L
+            var chunkRows = 0L
+            var cMin: Any = null
+            var cMax: Any = null
+            val chunks = Seq.newBuilder[(Long, Long, String, String)]
+            var nChunks = 0
+            def bEnc(v: Any, hi: Boolean): String =
+              if (v == null) "-"
+              else if (hi) AvroFileSource.zoneEncodeMax(v)
+              else AvroFileSource.zoneEncodeMin(v)
             var n = 0L
             while (r.hasNext) {
+              if (bixIdx.isDefined && chunkRows >= AvroFileSource.BlockIdxRows) {
+                val bs = r.previousSync() - 16
+                if (bs > chunkStart) {
+                  chunks += ((chunkStart, bs, bEnc(cMin, hi = false),
+                    bEnc(cMax, hi = true)))
+                  nChunks += 1
+                  chunkStart = bs; chunkRows = 0; cMin = null; cMax = null
+                }
+              }
               val view = graft.avro.AvroRowCodec.toRow(r.next(), st)
               cs.update(view)
               if (bb != null) bb.update(view)
               if (nb != null) nb.update(view)
+              bixIdx.foreach { i =>
+                chunkRows += 1
+                val v = view.get(i)
+                if (v != null) {
+                  if (cMin == null) { cMin = v; cMax = v }
+                  else {
+                    if (AvroFilterEval.cmp(v, cMin).exists(_ < 0)) cMin = v
+                    if (AvroFilterEval.cmp(v, cMax).exists(_ > 0)) cMax = v
+                  }
+                }
+              }
               n += 1
+            }
+            if (bixIdx.isDefined && chunkRows > 0) {
+              chunks += ((chunkStart, f.length(), bEnc(cMin, hi = false),
+                bEnc(cMax, hi = true)))
+              nChunks += 1
             }
             (rel, cs.stats,
               if (bb == null) Seq.empty[(String, String, String)]
               else bb.stats,
               if (nb == null) Seq.empty[(String, String, String)]
               else nb.stats,
-              n)
+              n,
+              // a one-chunk file indexes nothing (file-level zones
+              // already cover it)
+              if (nChunks >= 2)
+                bixIdx.map(i => (java.net.URLEncoder.encode(
+                  st.fields(i).name, "UTF-8"), bixDt.get, chunks.result()))
+              else None)
           } finally r.close()
         }
       }.collect()
-    val msgs = perFile.toSeq.map { case (rel, zones, blooms, ndvs, n) =>
-      val fin = new File(root, rel).getPath
-      AvroCommitMessage(Nil,
-        colZones = if (zones.nonEmpty) Seq(fin -> zones) else Nil,
-        blooms = if (blooms.nonEmpty) Seq(fin -> blooms) else Nil,
-        rows = Seq(fin -> n),
-        ndvs = if (ndvs.nonEmpty) Seq(fin -> ndvs) else Nil)
+    val msgs = perFile.toSeq.map {
+      case (rel, zones, blooms, ndvs, n, bchunks) =>
+        val fin = new File(root, rel).getPath
+        AvroCommitMessage(Nil,
+          colZones = if (zones.nonEmpty) Seq(fin -> zones) else Nil,
+          blooms = if (blooms.nonEmpty) Seq(fin -> blooms) else Nil,
+          rows = Seq(fin -> n),
+          ndvs = if (ndvs.nonEmpty) Seq(fin -> ndvs) else Nil,
+          blockIdx = bchunks.toSeq.map { case (colEnc, dt, cs) =>
+            (fin, colEnc, dt, cs)
+          })
     }
     AvroFileSource.withCommitLock(d) {
       AvroFileSource.foldStatsManifests(d, msgs)

@@ -181,16 +181,20 @@ object GraftProcedures {
       case "analyze" => new Proc(name,
         "backfill pruning/statistics manifests (zones, sums, row " +
           "counts; opt-in blooms/NDV/trigrams as comma lists, '' = " +
-          "none) for existing data without rewriting it",
+          "none; block_index_for = one column to chunk-index for " +
+          "intra-file skipping) for existing data without rewriting it",
         Array(param("table", StringType), param("bloom_for", StringType),
-          param("ndv_for", StringType), param("trigram_for", StringType)),
+          param("ndv_for", StringType), param("trigram_for", StringType),
+          paramDefault("block_index_for", StringType, "''")),
         in => {
           def cols(i: Int): Seq[String] =
             Option(in.getUTF8String(i)).map(_.toString).toSeq
               .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
           val n = AvroMaintenance.analyze(
             org.apache.spark.sql.SparkSession.active, dirOf(in),
-            cols(1), cols(2), cols(3))
+            cols(1), cols(2), cols(3),
+            blockIdxFor = Option(in.getUTF8String(4)).map(_.toString)
+              .map(_.trim).filter(_.nonEmpty))
           (out("files_analyzed" -> LongType), Seq(n.toLong))
         })
       case "set_row_level_mode" => new Proc(name,
