@@ -2272,9 +2272,9 @@ object AvroFileSource {
     // per-file merge — per-file truth, partial coverage sound.
     val bixF = blockIdxFile(dirF)
     val bixFresh = messages.flatMap(_.blockIdx)
-      .map { case (fin, col, dt, chunks) =>
+      .map { case (fin, lines) =>
         base.relativize(new File(fin).getAbsoluteFile.toPath).toString ->
-          chunks.map { case (s, e, mn, mx) => (col, dt, s, e, mn, mx) }
+          lines
       }
     if (bixFresh.nonEmpty || bixF.isFile) {
       val prior =
@@ -4329,7 +4329,7 @@ class AvroScanBuilder(path: String, full: StructType,
         * entries describe current files.
         */
       private lazy val blockIdxChunks
-          : Map[String, (String, Seq[(Long, Long, Option[(Any, Any)])])] =
+          : Map[String, Seq[(Long, Long, Seq[(String, (Any, Any))])]] =
         if (travelVersion.nonEmpty || incRange.nonEmpty ||
             branch.nonEmpty || cdcFeed) Map.empty
         else {
@@ -4337,28 +4337,45 @@ class AvroScanBuilder(path: String, full: StructType,
           val bf = AvroFileSource.blockIdxFile(dir)
           if (!bf.isFile) Map.empty
           else AvroFileSource.readBlockIdxRaw(bf).flatMap { case (rel, es) =>
-            val cols = es.map(e => (e._1, e._2)).distinct
-            if (cols.size != 1) None
-            else {
-              val col = java.net.URLDecoder.decode(cols.head._1, "UTF-8")
-              val fld = full.fields.find(_.name == col)
-              if (!fld.exists(_.dataType.simpleString == cols.head._2)) None
-              else {
-                val dt = fld.get.dataType
-                val chunks = es.sortBy(_._3).map {
-                  case (_, _, s, e, mn, mx) =>
-                    val bounds =
-                      if (mn == "-" || mx == "-") None
-                      else for {
-                        lo <- AvroFileSource.castPartitionValue(mn, dt)
-                        if lo != null
-                        hi <- AvroFileSource.castPartitionValue(mx, dt)
-                        if hi != null
-                      } yield (lo, hi)
-                    (s, e, bounds)
-                }
-                Some(new File(dir, rel).getAbsolutePath -> (col, chunks))
+            // per column: recorded type must equal the read type — a
+            // mismatched (renamed/retyped) column drops, others keep
+            // pruning; unparseable or "-" (all-null chunk) bounds
+            // simply contribute nothing for that chunk
+            val byCol = es.groupBy(e => (e._1, e._2))
+            val colBounds
+                : Seq[(String, Map[(Long, Long), Option[(Any, Any)]])] =
+              byCol.toSeq.flatMap { case ((colEnc, dtStr), ces) =>
+                val col = java.net.URLDecoder.decode(colEnc, "UTF-8")
+                full.fields.find(_.name == col)
+                  .filter(_.dataType.simpleString == dtStr)
+                  .map { fld =>
+                    col -> ces.map { case (_, _, s, e, mn, mx) =>
+                      val bounds =
+                        if (mn == "-" || mx == "-") None
+                        else for {
+                          lo <- AvroFileSource
+                            .castPartitionValue(mn, fld.dataType)
+                          if lo != null
+                          hi <- AvroFileSource
+                            .castPartitionValue(mx, fld.dataType)
+                          if hi != null
+                        } yield (lo, hi)
+                      (s, e) -> bounds
+                    }.toMap
+                  }
               }
+            if (colBounds.isEmpty) None
+            else {
+              // the chunk frame comes from the first column (the writer
+              // cuts every column at the same boundaries; a column
+              // missing a range contributes nothing for that chunk)
+              val frame = colBounds.head._2.keys.toSeq.sorted
+              Some(new File(dir, rel).getAbsolutePath -> frame.map {
+                case (s, e) =>
+                  (s, e, colBounds.flatMap { case (c, m) =>
+                    m.get((s, e)).flatten.map(c -> _)
+                  })
+              })
             }
           }
         }
@@ -4371,7 +4388,7 @@ class AvroScanBuilder(path: String, full: StructType,
       private def chunkRanges(f: File): Option[Seq[(Long, Long)]] = {
         // nothing to prune on — skip the (lazy) sidecar read entirely
         if (filters.isEmpty && runtimeZoneVals.isEmpty) return None
-        blockIdxChunks.get(f.getAbsolutePath).flatMap { case (col, chunks) =>
+        blockIdxChunks.get(f.getAbsolutePath).flatMap { chunks =>
           // coverage sanity: ranges must tile [0, length) contiguously
           // (the file's trailing sync may sit past the last range)
           val covers = chunks.nonEmpty && chunks.head._1 == 0L &&
@@ -4381,16 +4398,19 @@ class AvroScanBuilder(path: String, full: StructType,
             } && chunks.last._2 >= f.length() - 16
           if (!covers) None
           else {
-            // runtime join-key IN-set on the indexed column (DPP-style):
-            // a chunk survives when ANY key may lie in its bounds —
-            // same rule as the file-level runtimeZoneKeep
-            val runtimeVals = runtimeZoneVals.get(col)
-            val kept = chunks.filter { case (_, _, bounds) =>
-              bounds.forall { case (lo, hi) =>
+            // a chunk survives when EVERY indexed column's bounds
+            // may-match every pushed filter AND any runtime join-key
+            // IN-set on that column (same rule as runtimeZoneKeep) —
+            // for a compound sort spec the secondary column's bounds
+            // are tight within primary-equal runs, exactly what buys
+            // pruning on the second key
+            val kept = chunks.filter { case (_, _, cols) =>
+              cols.forall { case (col, (lo, hi)) =>
                 filters.forall(
                   AvroFilterEval.zoneMayMatch(col, lo, hi, _)) &&
-                  runtimeVals.forall(_.exists { v =>
-                    (AvroFilterEval.cmp(v, lo), AvroFilterEval.cmp(v, hi)) match {
+                  runtimeZoneVals.get(col).forall(_.exists { v =>
+                    (AvroFilterEval.cmp(v, lo),
+                      AvroFilterEval.cmp(v, hi)) match {
                       case (Some(a), Some(b)) => a >= 0 && b <= 0
                       case _ => true // undecidable: keep
                     }
@@ -7228,10 +7248,11 @@ case class AvroCommitMessage(files: Seq[(String, String)],
     // higher-seq leftovers)
     streamed: Seq[String] = Nil,
     // block-range zone index of a sorted staged write: per final path,
-    // (rangeStart, rangeEnd, minEnc|-, maxEnc|-) per chunk plus the
-    // indexed column + its type — see AvroFileSource.blockIdxFile
-    blockIdx: Seq[(String, String, String,
-      Seq[(Long, Long, String, String)])] = Nil)
+    // one line per (column, chunk) — (colEnc, dt, rangeStart, rangeEnd,
+    // minEnc|-, maxEnc|-), the sidecar's own shape — covering EVERY
+    // column of the (possibly compound) sort spec
+    blockIdx: Seq[(String,
+      Seq[(String, String, Long, Long, String, String)])] = Nil)
   extends WriterCommitMessage
 
 /** Per-task result of a delta (merge-on-read) row-level write: the
@@ -7840,27 +7861,44 @@ private[sources] object AvroWriters {
       // block-range zone index — see the flat writer's Segment
       var bStart = 0L
       var bRows = 0
-      var bMin: Any = _
-      var bMax: Any = _
-      var bChunks: List[(Long, Long, String, String)] = Nil
+      var bMins: Array[Any] = _
+      var bMaxs: Array[Any] = _
+      var bChunks: List[(Long, Long, Array[String], Array[String])] = Nil
       private def bEnc(v: Any, hi: Boolean): String =
         if (v == null) "-"
         else if (hi) AvroFileSource.zoneEncodeMax(v)
         else AvroFileSource.zoneEncodeMin(v)
-      def bTrack(primary: Any): Unit = {
+      def bTrack(vs: Array[Any]): Unit = {
+        if (bMins == null) {
+          bMins = new Array[Any](vs.length)
+          bMaxs = new Array[Any](vs.length)
+        }
         bRows += 1
-        if (primary != null) { if (bMin == null) bMin = primary; bMax = primary }
+        var i = 0
+        while (i < vs.length) {
+          val v = vs(i)
+          if (v != null) {
+            if (bMins(i) == null) { bMins(i) = v; bMaxs(i) = v }
+            else {
+              if (AvroFilterEval.cmp(v, bMins(i)).exists(_ < 0)) bMins(i) = v
+              if (AvroFilterEval.cmp(v, bMaxs(i)).exists(_ > 0)) bMaxs(i) = v
+            }
+          }
+          i += 1
+        }
         if (bRows >= AvroFileSource.BlockIdxRows) {
           val p = writer.sync() - 16
-          bChunks ::= ((bStart, p, bEnc(bMin, hi = false),
-            bEnc(bMax, hi = true)))
-          bStart = p; bRows = 0; bMin = null; bMax = null
+          bChunks ::= ((bStart, p,
+            bMins.map(bEnc(_, hi = false)), bMaxs.map(bEnc(_, hi = true))))
+          bStart = p; bRows = 0
+          java.util.Arrays.fill(bMins.asInstanceOf[Array[AnyRef]], null)
+          java.util.Arrays.fill(bMaxs.asInstanceOf[Array[AnyRef]], null)
         }
       }
-      def bFinish(): Seq[(Long, Long, String, String)] = {
+      def bFinish(): Seq[(Long, Long, Array[String], Array[String])] = {
         if (bRows > 0) {
-          bChunks ::= ((bStart, file.length(), bEnc(bMin, hi = false),
-            bEnc(bMax, hi = true)))
+          bChunks ::= ((bStart, file.length(),
+            bMins.map(bEnc(_, hi = false)), bMaxs.map(bEnc(_, hi = true))))
           bRows = 0
         }
         val out = bChunks.reverse
@@ -7910,18 +7948,17 @@ private[sources] object AvroWriters {
           nextSeq(sub) = nextSeq.getOrElse(sub, 0) + 1
           s
         })
-        var primary: Any = null
+        var sortVals: Array[Any] = null
         if (sortIdx.nonEmpty) {
-          val vs = sortIdx.map(view.get).toArray
-          seg.verifier.get.check(vs)
-          primary = vs(0)
+          sortVals = sortIdx.map(view.get).toArray
+          seg.verifier.get.check(sortVals)
         }
         seg.colStats.update(view)
         if (seg.bloomStats != null) seg.bloomStats.update(view)
         if (seg.ndvStats != null) seg.ndvStats.update(view)
         seg.nRows += 1
         seg.writer.append(toAvro(record))
-        if (staged && sortIdx.nonEmpty) seg.bTrack(primary)
+        if (staged && sortVals != null) seg.bTrack(sortVals)
         roll.foreach { target =>
           seg.sinceCheck += 1
           if (seg.sinceCheck >= 256) {
@@ -7962,13 +7999,18 @@ private[sources] object AvroWriters {
           blockIdx =
             if (!staged || sortIdx.isEmpty) Nil
             else {
-              val colEnc = java.net.URLEncoder
-                .encode(sortColsList.head, "UTF-8")
-              val dt = schema.fields(sortIdx.head).dataType.simpleString
+              val colEncs = sortColsList
+                .map(java.net.URLEncoder.encode(_, "UTF-8"))
+              val dts = sortIdx
+                .map(i => schema.fields(i).dataType.simpleString)
               segs.flatMap { s =>
                 val cs = s.bFinish()
                 if (cs.isEmpty) None
-                else Some((fin(s), colEnc, dt, cs))
+                else Some((fin(s),
+                  cs.flatMap { case (st, en, mns, mxs) =>
+                    sortColsList.indices.map(i =>
+                      (colEncs(i), dts(i), st, en, mns(i), mxs(i)))
+                  }))
               }
             })
       }
@@ -8037,38 +8079,56 @@ private[sources] object AvroWriters {
         else null
       var nRows = 0L
       // block-range zone index (sorted staged writes): chunk = rows
-      // between forced syncs; min/max = first/last non-null primary
-      // value (the file is verified-sorted, so first/last IS min/max)
+      // between forced syncs; TRUE per-chunk min/max of EVERY sort
+      // column (secondary columns are not monotone across primary
+      // runs, so cmp-tracked bounds, not first/last)
       var bStart = 0L
       var bRows = 0
-      var bMin: Any = _
-      var bMax: Any = _
-      var bChunks: List[(Long, Long, String, String)] = Nil
+      var bMins: Array[Any] = _
+      var bMaxs: Array[Any] = _
+      var bChunks: List[(Long, Long, Array[String], Array[String])] = Nil
       private def bEnc(v: Any, hi: Boolean): String =
         if (v == null) "-"
         else if (hi) AvroFileSource.zoneEncodeMax(v)
         else AvroFileSource.zoneEncodeMin(v)
-      def bTrack(primary: Any): Unit = {
-        bRows += 1
-        if (primary != null) { if (bMin == null) bMin = primary; bMax = primary }
-        if (bRows >= AvroFileSource.BlockIdxRows) {
-          // sync() returns the NEXT block's start; −16 lands the
-          // boundary on the preceding sync's offset (the split rule:
-          // a block belongs to the range containing blockStart − 16)
-          val p = writer.sync() - 16
-          bChunks ::= ((bStart, p, bEnc(bMin, hi = false),
-            bEnc(bMax, hi = true)))
-          bStart = p; bRows = 0; bMin = null; bMax = null
+      private def bCut(end: Long): Unit = {
+        bChunks ::= ((bStart, end,
+          bMins.map(bEnc(_, hi = false)), bMaxs.map(bEnc(_, hi = true))))
+        bStart = end; bRows = 0
+        java.util.Arrays.fill(bMins.asInstanceOf[Array[AnyRef]], null)
+        java.util.Arrays.fill(bMaxs.asInstanceOf[Array[AnyRef]], null)
+      }
+      def bTrack(vs: Array[Any]): Unit = {
+        if (bMins == null) {
+          bMins = new Array[Any](vs.length)
+          bMaxs = new Array[Any](vs.length)
         }
+        bRows += 1
+        var i = 0
+        while (i < vs.length) {
+          val v = vs(i)
+          if (v != null) {
+            if (bMins(i) == null) { bMins(i) = v; bMaxs(i) = v }
+            else {
+              if (AvroFilterEval.cmp(v, bMins(i)).exists(_ < 0)) bMins(i) = v
+              if (AvroFilterEval.cmp(v, bMaxs(i)).exists(_ > 0)) bMaxs(i) = v
+            }
+          }
+          i += 1
+        }
+        // sync() returns the NEXT block's start; −16 lands the
+        // boundary on the preceding sync's offset (the split rule:
+        // a block belongs to the range containing blockStart − 16)
+        if (bRows >= AvroFileSource.BlockIdxRows) bCut(writer.sync() - 16)
       }
       /** Call AFTER writer.close(): final pending chunk ends at the
         * on-disk length. Fewer than two chunks index nothing (the
         * file-level zones already cover a one-chunk file).
         */
-      def bFinish(): Seq[(Long, Long, String, String)] = {
+      def bFinish(): Seq[(Long, Long, Array[String], Array[String])] = {
         if (bRows > 0) {
-          bChunks ::= ((bStart, file.length(), bEnc(bMin, hi = false),
-            bEnc(bMax, hi = true)))
+          bChunks ::= ((bStart, file.length(),
+            bMins.map(bEnc(_, hi = false)), bMaxs.map(bEnc(_, hi = true))))
           bRows = 0
         }
         val out = bChunks.reverse
@@ -8089,13 +8149,12 @@ private[sources] object AvroWriters {
 
       override def write(record: InternalRow): Unit = {
         val seg = ensure()
-        var primary: Any = null
+        var sortVals: Array[Any] = null
         if (sortIdx.nonEmpty || seg.colStats != null) {
           val view = AvroInternalCodec.externalView(record, schema)
           if (sortIdx.nonEmpty) {
-            val vs = sortIdx.map(view.get).toArray
-            seg.verifier.get.check(vs)
-            primary = vs(0)
+            sortVals = sortIdx.map(view.get).toArray
+            seg.verifier.get.check(sortVals)
           }
           if (seg.colStats != null) seg.colStats.update(view)
           if (seg.bloomStats != null) seg.bloomStats.update(view)
@@ -8105,7 +8164,7 @@ private[sources] object AvroWriters {
         seg.writer.append(toAvro(record))
         // block-range index AFTER the append so a forced sync closes a
         // block that INCLUDES this row
-        if (staged && sortIdx.nonEmpty) seg.bTrack(primary)
+        if (staged && sortVals != null) seg.bTrack(sortVals)
         // roll on the observed on-disk size (lags by at most one
         // unflushed container block — bounded overshoot, no forced
         // sync that would shrink compression blocks)
@@ -8149,13 +8208,18 @@ private[sources] object AvroWriters {
           blockIdx =
             if (!staged || sortIdx.isEmpty) Nil
             else {
-              val colEnc = java.net.URLEncoder
-                .encode(sortColsList.head, "UTF-8")
-              val dt = schema.fields(sortIdx.head).dataType.simpleString
+              val colEncs = sortColsList
+                .map(java.net.URLEncoder.encode(_, "UTF-8"))
+              val dts = sortIdx
+                .map(i => schema.fields(i).dataType.simpleString)
               segs.flatMap { s =>
                 val cs = s.bFinish()
                 if (cs.isEmpty) None
-                else Some((s.finalFile.getPath, colEnc, dt, cs))
+                else Some((s.finalFile.getPath,
+                  cs.flatMap { case (st, en, mns, mxs) =>
+                    sortColsList.indices.map(i =>
+                      (colEncs(i), dts(i), st, en, mns(i), mxs(i)))
+                  }))
               }
             })
       }

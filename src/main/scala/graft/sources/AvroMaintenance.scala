@@ -1738,7 +1738,9 @@ object AvroMaintenance {
           rows = Seq(fin -> n),
           ndvs = if (ndvs.nonEmpty) Seq(fin -> ndvs) else Nil,
           blockIdx = bchunks.toSeq.map { case (colEnc, dt, cs) =>
-            (fin, colEnc, dt, cs)
+            (fin, cs.map { case (s, e, mn, mx) =>
+              (colEnc, dt, s, e, mn, mx)
+            })
           })
     }
     AvroFileSource.withCommitLock(d) {

@@ -143,6 +143,35 @@ class BlockIdxSpec extends AnyFunSuite with SparkSpec with Matchers {
     t.count() shouldBe 40000L
   }
 
+  test("compound sortedBy: the SECONDARY column's chunk bounds prune " +
+      "inside primary runs") {
+    val dir = tmp()
+    // two long primary runs; the secondary restarts per run, so its
+    // per-chunk bounds are tight sub-ranges except at run straddles
+    spark.range(0, 40000).toDF("k")
+      .select((F.col("k") / 20000).cast("long").as("g"),
+        (F.col("k") % 20000).cast("long").as("r"),
+        F.md5(F.col("k").cast("string")).as("payload"))
+      .coalesce(1).sortWithinPartitions("g", "r")
+      .write.format("graft-avro").option("sortedBy", "g,r")
+      .mode("overwrite").save(dir)
+    val idx = AvroFileSource.readBlockIdxRaw(
+      AvroFileSource.blockIdxFile(new File(dir)))
+    idx.size shouldBe 1
+    idx.head._2.map(_._1).distinct.size shouldBe 2 // both columns indexed
+    val nChunks = idx.head._2.size / 2
+    nChunks should be >= 5
+    val t = spark.read.format("graft-avro").load(dir)
+    // secondary-only predicate: one chunk per run (plus a straddler)
+    val q = t.filter(F.col("r").between(100L, 200L))
+    scanPartitions(q) should be < nChunks
+    q.count() shouldBe 202L
+    // primary + secondary point: a single chunk
+    val q2 = t.filter(F.col("g") === 1L && F.col("r") === 13L)
+    scanPartitions(q2) shouldBe 1
+    q2.count() shouldBe 1L
+  }
+
   test("analyze backfills a chunk index for a clustered file that " +
       "carries no sort claim (the Z-order shape)") {
     val dir = tmp()
