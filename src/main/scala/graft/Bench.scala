@@ -21,13 +21,17 @@ import org.apache.spark.sql.SparkSession
   * byte-identical to the prior round) and the [best,worst] spread read it
   * as a true regression.
   *
-  * Additionally every gate run is preceded by a ~10 ms single-threaded md5
-  * probe whose duration depends only on machine contention. The probe time
-  * and the run's start offset land in BENCH_DETAIL.json (`probes`), so a
-  * contention window is visible IN the artifact: a slow gate whose probe is
-  * also inflated (vs the run's median probe) was contended, not regressed.
-  * [[Bench.classify]] encodes the rule; BenchAdjudicateSpec proves it on a
-  * synthetic contention window. See README.md "Bench calibration".
+  * Additionally every gate run is bracketed by ~10 ms single-threaded md5
+  * probes (PRE, after a settle loop, and POST, after teardown — r18) whose
+  * duration depends only on machine contention. The probe times and the
+  * run's start offset land in BENCH_DETAIL.json (`probes` as
+  * [offset, pre, post]), so a contention window is visible IN the
+  * artifact even when it ARRIVES mid-gate: a slow gate whose pre or post
+  * probe is inflated (vs the run's median probe) was contended, not
+  * regressed. [[Bench.classify]] encodes the rule and
+  * [[Bench.adjudicateCrossRound]] re-examines every cross-round mover
+  * whose best is claimed trustworthy; BenchAdjudicateSpec proves both on
+  * synthetic contention windows. See README.md "Bench calibration".
   */
 object Bench {
 
@@ -56,32 +60,53 @@ object Bench {
     */
   def probe(): Double = md5Loop(30000)
 
-  /** Classify one gate's cross-pass evidence. `times` and `probes` are
-    * parallel per-pass sequences; `quietProbe` is the run's median probe.
+  /** Classify one gate's cross-pass evidence. `times`, `preProbes` and
+    * `postProbes` are parallel per-pass sequences (the pre-probe runs
+    * after a settle loop just before the gate, the post-probe right after
+    * its teardown); `quietProbe` is the run's median probe.
     *
     *  - "error":     some pass failed (negative time).
-    *  - "contended": the probe was inflated (>2x quiet) in EVERY pass —
+    *  - "contended": the PRE probe was inflated (>2x quiet) in EVERY pass —
     *                 even the best time is untrustworthy; a cross-round
     *                 comparison must not read this gate as regressed.
+    *                 (Pre only: the settle loop filters self-inflicted
+    *                 residue there; a post-probe can carry the gate's own
+    *                 GC tail, which must not un-trust every pass.)
     *  - "stable":    pass times agree (max ≤ 1.5x min or within 0.3 s) —
     *                 best is trustworthy; if it is slower than last round,
     *                 that IS a regression.
-    *  - "spiky-contended": passes disagree and the slow pass's probe is
-    *                 inflated — a contention window hit that pass; best is
-    *                 the real number.
+    *  - "spiky-contended": passes disagree and the slow pass's pre OR post
+    *                 probe is inflated — a contention window hit that pass
+    *                 (possibly MID-gate, landing only on the post probe);
+    *                 best is the real number.
     *  - "spiky":     passes disagree, probes quiet — unexplained transient
     *                 (GC, shuffle-file cold cache); best is the real number.
+    *
+    * The r17 hole: contention that arrived DURING a gate (quiet pre-probe)
+    * left both a 24.95 s and a 59.98 s pass on llm_winnow_pairs classified
+    * plain "spiky" with best silently standing at 5x the prior round. The
+    * post-gate probe catches the window's tail here; the cross-round rule
+    * in [[adjudicateCrossRound]] now also re-examines spiky verdicts.
     */
-  def classify(times: Seq[Double], probes: Seq[Double],
-               quietProbe: Double): String = {
+  def classify(times: Seq[Double], preProbes: Seq[Double],
+               postProbes: Seq[Double], quietProbe: Double): String = {
     if (times.exists(_ < 0)) "error"
-    else if (probes.nonEmpty && probes.min > 2 * quietProbe) "contended"
+    else if (preProbes.nonEmpty && preProbes.min > 2 * quietProbe) "contended"
     else if (times.max <= times.min * 1.5 || times.max - times.min < 0.3)
       "stable"
-    else if (probes.nonEmpty &&
-      probes(times.indexOf(times.max)) > 2 * quietProbe) "spiky-contended"
-    else "spiky"
+    else {
+      val slow = times.indexOf(times.max)
+      val hot = preProbes.lift(slow).exists(_ > 2 * quietProbe) ||
+        postProbes.lift(slow).exists(_ > 2 * quietProbe)
+      if (hot) "spiky-contended" else "spiky"
+    }
   }
+
+  /** Pre-probe-only form (r9 shape, kept for callers without post-probe
+    * evidence — identical semantics with an empty post sequence). */
+  def classify(times: Seq[Double], probes: Seq[Double],
+               quietProbe: Double): String =
+    classify(times, probes, Seq.empty, quietProbe)
 
   /** Canonical plan fingerprint: md5 of the gate's `explain(formatted)`
     * with run-varying tokens normalized — expression ids (`#12`), node
@@ -114,22 +139,30 @@ object Bench {
       .map(b => f"${b & 0xff}%02x").mkString.take(16)
   }
 
-  /** Cross-round adjudication: a gate that classified "stable" (best is
-    * trustworthy) but runs ≥1.5x and ≥0.3 s slower than the previous
-    * round's artifact is re-labeled by its plan fingerprint —
+  /** Cross-round adjudication: a gate whose BEST time stands (verdict
+    * "stable", "spiky" or "spiky-contended" — the probe evidence explains
+    * at most the WORST pass, never the best) but whose best runs ≥1.5x and
+    * ≥0.3 s slower than the previous round's artifact is re-labeled by its
+    * plan fingerprint —
     *  - same fingerprint  ⇒ "env-drift"  (code identical: slow-in-both-
     *    passes contention or box drift, NOT a regression)
     *  - different         ⇒ "regression" (the plan changed AND it got
     *    slower — a true candidate, no git-diff needed)
     *  - no baseline       ⇒ "slower-no-baseline" (first round with
     *    fingerprints, or a new gate)
-    * Non-stable verdicts pass through: their best is already suspect or
-    * already explained by the probe evidence.
+    * "contended"/"error" pass through: their best is already untrustworthy.
+    *
+    * r17 lesson: restricting this to "stable" let llm_winnow_pairs stand
+    * unflagged at 24.95 s best (5x the prior committed round) because its
+    * spread classified "spiky" — every ≥1.5x + ≥0.3 s cross-round mover
+    * whose best is claimed trustworthy must now land in exactly one of
+    * env-drift / regression / slower-no-baseline, never silently pass.
     */
   def adjudicateCrossRound(verdict: String, bestNow: Double,
       prevBest: Option[Double], fpNow: Option[String],
       fpPrev: Option[String]): String =
-    if (verdict != "stable" || bestNow < 0) verdict
+    if (!Set("stable", "spiky", "spiky-contended")(verdict) || bestNow < 0)
+      verdict
     else prevBest match {
       case Some(p) if bestNow >= p * 1.5 && bestNow - p >= 0.3 =>
         (fpNow, fpPrev) match {
@@ -215,9 +248,11 @@ object Bench {
       .sortBy(_._1)
     val times = scala.collection.mutable.LinkedHashMap[String, Vector[Double]](
       gates.map(_._1 -> Vector.empty[Double]): _*)
-    // per pass per gate: (start offset sec since bench epoch, probe sec)
-    val probes = scala.collection.mutable.LinkedHashMap[String, Vector[(Double, Double)]](
-      gates.map(_._1 -> Vector.empty[(Double, Double)]): _*)
+    // per pass per gate: (start offset sec since bench epoch,
+    // pre-gate probe sec, post-gate probe sec) — the post probe catches
+    // contention windows that ARRIVE mid-gate (quiet pre, hot post)
+    val probes = scala.collection.mutable.LinkedHashMap[String, Vector[(Double, Double, Double)]](
+      gates.map(_._1 -> Vector.empty[(Double, Double, Double)]): _*)
     // previous round's artifact (committed by the driver): per-gate best
     // times + plan fingerprints for the cross-round adjudication. A
     // missing/old-format file degrades to "slower-no-baseline".
@@ -245,6 +280,7 @@ object Bench {
         settles += 1
       }
       val t0 = System.nanoTime()
+      var fpDf: Option[org.apache.spark.sql.DataFrame] = None
       try {
         val df = fn(spark, sfDir)
         df.write.format("noop").mode("overwrite").save()
@@ -254,11 +290,7 @@ object Bench {
         // into the next gate's probe window
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
-        // fingerprint OUTSIDE the timed region, first pass only (the
-        // plan is a pure function of the code; pass 2 re-plans equal)
-        if (pass == 1)
-          try fps(name) = fingerprint(df, sfDir)
-          catch { case _: Throwable => () }
+        fpDf = Some(df)
       } catch {
         case e: Throwable =>
           if (!errors.contains(name))
@@ -266,7 +298,18 @@ object Bench {
               .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
           times(name) :+= -1.0
       }
-      probes(name) :+= ((off, p))
+      // POST-gate probe, after the blocking teardown: contention that
+      // arrived DURING the gate (quiet pre-probe — the r17 blind spot)
+      // shows in its tail here and classifies the slow pass
+      // spiky-contended instead of silently "best stands".
+      val post = probe()
+      probes(name) :+= ((off, p, post))
+      // fingerprint OUTSIDE the timed region, first pass only (the
+      // plan is a pure function of the code; pass 2 re-plans equal)
+      if (pass == 1) fpDf.foreach { df =>
+        try fps(name) = fingerprint(df, sfDir)
+        catch { case _: Throwable => () }
+      }
     }
     val results = gates.map { case (name, _) =>
       val ts = times(name)
@@ -277,7 +320,8 @@ object Bench {
     val quietProbe =
       if (allProbes.isEmpty) 0.0 else allProbes(allProbes.size / 2)
     val verdicts = gates.map { case (name, _) =>
-      val base = classify(times(name), probes(name).map(_._2), quietProbe)
+      val base = classify(times(name), probes(name).map(_._2),
+        probes(name).map(_._3), quietProbe)
       name -> adjudicateCrossRound(base, times(name).filter(_ >= 0)
           .minOption.getOrElse(-1.0),
         prevBest.get(name).filter(_ >= 0), fps.get(name), prevFps.get(name))
@@ -333,8 +377,8 @@ object Bench {
       case (k, v) if v == "contended" || v == "spiky-contended" => k
     }.take(10)
     val probeJson = probes.map { case (k, vs) =>
-      "\"" + k + "\":[" + vs.map { case (off, p) =>
-        "[" + fmt(off) + "," + fmt(p) + "]"
+      "\"" + k + "\":[" + vs.map { case (off, p, post) =>
+        "[" + fmt(off) + "," + fmt(p) + "," + fmt(post) + "]"
       }.mkString(",") + "]"
     }.mkString("{", ",", "}")
     val verdictJson = verdicts

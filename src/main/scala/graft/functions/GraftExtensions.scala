@@ -79,5 +79,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "between two journal versions"),
       (exprs: Seq[Expression]) =>
         graft.sources.GraftTableChanges.plan(exprs)))
+    // pure-SQL ANN: SELECT * FROM ivf_search('cat.ns.idx', qMax[, np, k])
+    // over an index built by CALL system.build_ivf_index
+    ext.injectTableFunction((FunctionIdentifier("ivf_search"),
+      info("ivf_search",
+        "ivf_search(idx, qMaxId[, nprobe, k]) - top-k IVF probe search " +
+          "over a persisted graft ANN index"),
+      (exprs: Seq[Expression]) =>
+        graft.sources.GraftIvfSearch.plan(exprs)))
   }
 }

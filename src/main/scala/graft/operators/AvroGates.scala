@@ -1397,6 +1397,84 @@ object AvroGates extends Catalog {
         .orderBy("o_orderpriority")
     }),
 
+    // TEMPORAL TRANSFORM × TIME TRAVEL (r18): versionAsOf reads prune
+    // through the `_graft_xform` ESTABLISHING stamps exactly like bucket
+    // stamps — a SAME-spec re-transform truncate (re-partition under the
+    // unchanged ts:day layout) preserves the stamp, so a travel read
+    // below it still prunes raw-ts ranges to day segments (kept_pruned
+    // = days in range, oracle-predicted via one-file-per-day writes); a
+    // DIFFERENT-spec truncate (ts:month) replaces the stamp and the same
+    // travel read stands down to all files (kept_standdown = total) —
+    // sound, never wrong, with identical query results either way.
+    // XformLayoutSpec pins the scan-builder mechanics; this gate pins
+    // the user-visible path end to end under the oracle.
+    "q_avro_part_days_travel" -> ((s, dir) => {
+      val tmp = tempDir("graft_gate_daytrav")
+      val ev = table(s, dir, "events").select("ts", "event_type", "value")
+      def cut(d: String) = java.sql.Timestamp.valueOf(d)
+      val d08 = cut("2024-01-08 00:00:00")
+      val d15 = cut("2024-01-15 00:00:00")
+      val d22 = cut("2024-01-22 00:00:00")
+      // one file per day per commit: repartition(day) puts each day in
+      // exactly one task and the writer splits per segment dir
+      ev.filter(F.col("ts") < d15).repartition(F.to_date(F.col("ts")))
+        .write.format("graft-avro").option("transformBy", "ts:day")
+        .mode("overwrite").save(tmp) // v1: days 1..14
+      ev.filter(F.col("ts") >= d15 && F.col("ts") < d22)
+        .repartition(F.to_date(F.col("ts")))
+        .write.format("graft-avro").option("transformBy", "ts:day")
+        .mode("append").save(tmp) // v2: days 15..21
+      // same-spec re-transform truncate: stamp PRESERVED (spec unchanged)
+      ev.filter(F.col("ts") >= d22).repartition(F.to_date(F.col("ts")))
+        .write.format("graft-avro").option("transformBy", "ts:day")
+        .mode("overwrite").save(tmp) // v3
+      def parts(df: org.apache.spark.sql.DataFrame): Long =
+        df.queryExecution.toRdd.getNumPartitions.toLong
+      val tv2 = s.read.format("graft-avro").option("versionAsOf", 2)
+        .load(tmp)
+      val keptA = parts(tv2.filter(F.col("ts") >= d08 && F.col("ts") < d22))
+      val totalA = parts(tv2)
+      // different-spec re-transform truncate: stamp REPLACED → travel
+      // pruning below it stands down
+      ev.filter(F.col("ts") >= d22)
+        .write.format("graft-avro").option("transformBy", "ts:month")
+        .mode("overwrite").save(tmp) // v4
+      val tv2b = s.read.format("graft-avro").option("versionAsOf", 2)
+        .load(tmp)
+      val keptB = parts(tv2b.filter(F.col("ts") >= d08 &&
+        F.col("ts") < d22))
+      val totalB = parts(tv2b)
+      tv2b.filter(F.col("ts") >= d08 && F.col("ts") < d22)
+        .groupBy(F.to_date(F.col("ts")).as("day"))
+        .agg(F.count(F.lit(1)).as("n_events"),
+          F.sum(F.floor(F.col("value") * 1000).cast("long")).as("value_m"))
+        .withColumn("kept_pruned", F.lit(keptA))
+        .withColumn("total_v2", F.lit(totalA))
+        .withColumn("kept_standdown", F.lit(keptB))
+        .withColumn("total_v2b", F.lit(totalB))
+        .orderBy("day")
+    }),
+
+    // Grouped zero-decode COUNT over HIDDEN day-transform segments
+    // (r18): `GROUP BY to_date(ts)` on a `transformBy=ts:day` table is
+    // answered entirely from `ts_day=N` directory names + block-header
+    // counts — the cast IS the transform (UTC epoch day), so every
+    // file's whole count belongs to the group its segment names; zero
+    // rows decoded (AvroGroupCountSpec pins PushedAggregation+
+    // PushedGroupBy in the plan and the TZ/pre-transform stand-downs).
+    // The 100 TB shape: daily row accounting on an event lake straight
+    // from metadata — the query every ingest dashboard runs hourly.
+    "q_avro_count_grouped_xform" -> ((s, dir) => {
+      val tmp = tempDir("graft_gate_cntx")
+      table(s, dir, "events").select("ts", "event_type", "value")
+        .write.format("graft-avro").option("transformBy", "ts:day")
+        .mode("overwrite").save(tmp)
+      s.read.format("graft-avro").load(tmp)
+        .groupBy(F.to_date(F.col("ts")).as("day"))
+        .agg(F.count(F.lit(1)).as("n_events"))
+        .orderBy("day")
+    }),
+
     // Grouped zero-decode COUNT composing with MERGE-ON-READ positional
     // deletes: a MoR range DELETE turns into `_graft_posdel` positions,
     // and the grouped count still serves from block headers with each
@@ -3534,6 +3612,33 @@ object AvroGates extends Catalog {
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
          FROM orders WHERE o_orderkey % 10 <> 3
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_avro_count_grouped_xform" ->
+      """SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT)
+                  AS n_events
+         FROM events GROUP BY 1 ORDER BY 1""",
+    // one file per day per commit ⇒ kept files under the pruned travel
+    // read = distinct days in the filter window; the stand-down read
+    // keeps every v2 file
+    "q_avro_part_days_travel" ->
+      """WITH g12 AS (
+           SELECT * FROM events
+           WHERE ts < TIMESTAMP '2024-01-22 00:00:00'),
+         w AS (
+           SELECT * FROM g12
+           WHERE ts >= TIMESTAMP '2024-01-08 00:00:00')
+         SELECT CAST(ts AS DATE) AS day,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+                  AS value_m,
+                (SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+                 FROM w) AS kept_pruned,
+                (SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+                 FROM g12) AS total_v2,
+                (SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+                 FROM g12) AS kept_standdown,
+                (SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+                 FROM g12) AS total_v2b
+         FROM w GROUP BY 1 ORDER BY 1""",
     "q_avro_minmax_grouped" ->
       """SELECT o_orderpriority,
                 min(o_orderkey) AS min_okey,

@@ -98,9 +98,17 @@ object LlmSimilarity extends Catalog {
     */
   private[operators] def lloyd(s: SparkSession, dir: String,
       below: Option[Long] = None)
+      : (DataFrame, DataFrame, DataFrame) =
+    lloydFrom(s, table(s, dir, "embeddings"), below)
+
+  /** [[lloyd]] over an arbitrary corpus frame with (vec_id, embedding)
+    * columns — the SQL-surface index procedures train over a catalog
+    * table instead of the testdata parquet (GraftAnnIndex). */
+  private[graft] def lloydFrom(s: SparkSession, raw: DataFrame,
+      below: Option[Long] = None)
       : (DataFrame, DataFrame, DataFrame) = {
     VectorFunctions.register(s)
-    val corpus = table(s, dir, "embeddings")
+    val corpus = raw
       // `below` trains over a vec_id prefix only — the day-1 corpus of
       // the incremental-index gate (seeds vec_id < 8 stay inside it)
       .filter(below.map(b => F.col("vec_id") < b).getOrElse(F.lit(true)))
@@ -226,14 +234,15 @@ object LlmSimilarity extends Catalog {
     * candidates, never N²) is what scales.
     */
   private def ivfSearch(corpus: DataFrame, assigned: DataFrame,
-      centroids: DataFrame): DataFrame = {
+      centroids: DataFrame, qBelow: Long = 20, nprobe: Int = 6,
+      k: Int = 3): DataFrame = {
     val wq = Window.partitionBy("qid").orderBy(F.col("d"), F.col("cid"))
-    val probes = corpus.filter(F.col("vec_id") < 20)
+    val probes = corpus.filter(F.col("vec_id") < qBelow)
       .select(F.col("vec_id").as("qid"), F.col("qx16").as("qv"))
       .crossJoin(F.broadcast(centroids))
       .withColumn("d", VectorFunctions.vec_l2sq(F.col("qv"), F.col("mvec")))
       .withColumn("rn", F.row_number().over(wq))
-      .filter(F.col("rn") <= 6)
+      .filter(F.col("rn") <= nprobe)
       .select("qid", "cid", "qv")
     val cells = assigned.select("vec_id", "cid")
       .join(corpus.select("vec_id", "qx16"), "vec_id")
@@ -245,7 +254,7 @@ object LlmSimilarity extends Catalog {
       .select(F.col("qid"), F.col("vec_id"),
         VectorFunctions.vec_l2sq(F.col("qv"), F.col("qx16")).as("d"))
       .withColumn("rn", F.row_number().over(wr))
-      .filter(F.col("rn") <= 3)
+      .filter(F.col("rn") <= k)
       .orderBy("qid", "rn")
   }
 
@@ -255,10 +264,17 @@ object LlmSimilarity extends Catalog {
     */
   private[operators] def buildIvfIndex(s: SparkSession, dir: String,
       into: Option[(String, String)] = None,
+      below: Option[Long] = None): (String, String) =
+    buildIvfIndexFrom(s, table(s, dir, "embeddings"), into, below)
+
+  /** [[buildIvfIndex]] over an arbitrary (vec_id, embedding) corpus
+    * frame — the `CALL system.build_ivf_index` path. */
+  private[graft] def buildIvfIndexFrom(s: SparkSession, raw: DataFrame,
+      into: Option[(String, String)] = None,
       below: Option[Long] = None): (String, String) = {
     val (cenDir, asgDir) = into.getOrElse(
       (tempDir("graft_ivf_centroids"), tempDir("graft_ivf_assign")))
-    val (_, assigned, centroids) = lloyd(s, dir, below)
+    val (_, assigned, centroids) = lloydFrom(s, raw, below)
     centroids.select("cid", "mvec")
       .write.format("graft-avro").mode("overwrite").save(cenDir)
     assigned.select("vec_id", "cid")
@@ -278,9 +294,17 @@ object LlmSimilarity extends Catalog {
     */
   private[operators] def appendIvfAssignments(s: SparkSession, dir: String,
       cenDir: String, asgDir: String, atOrAbove: Long,
+      until: Option[Long] = None): Unit =
+    appendIvfAssignmentsFrom(s, table(s, dir, "embeddings"), cenDir,
+      asgDir, atOrAbove, until)
+
+  /** [[appendIvfAssignments]] over an arbitrary (vec_id, embedding)
+    * corpus frame — the `CALL system.append_ivf_assignments` path. */
+  private[graft] def appendIvfAssignmentsFrom(s: SparkSession,
+      raw: DataFrame, cenDir: String, asgDir: String, atOrAbove: Long,
       until: Option[Long] = None): Unit = {
     VectorFunctions.register(s)
-    val fresh = table(s, dir, "embeddings")
+    val fresh = raw
       .filter(F.col("vec_id") >= atOrAbove &&
         until.map(F.col("vec_id") < _).getOrElse(F.lit(true)))
       .select(F.col("vec_id"), F.expr(
@@ -319,6 +343,12 @@ object LlmSimilarity extends Catalog {
     * Returns the split parent cids (empty = balanced, nothing done).
     */
   private[operators] def rebalanceIvfLists(s: SparkSession, dir: String,
+      cenDir: String, asgDir: String): Seq[Long] =
+    rebalanceIvfListsFrom(s, table(s, dir, "embeddings"), cenDir, asgDir)
+
+  /** [[rebalanceIvfLists]] over an arbitrary (vec_id, embedding) corpus
+    * frame — the `CALL system.rebalance_ivf_index` path. */
+  private[graft] def rebalanceIvfListsFrom(s: SparkSession, raw: DataFrame,
       cenDir: String, asgDir: String): Seq[Long] = {
     VectorFunctions.register(s)
     val assigned = s.read.format("graft-avro").load(asgDir)
@@ -333,7 +363,7 @@ object LlmSimilarity extends Catalog {
       .select("cid").collect().map(_.getLong(0)).sorted.toSeq
     if (oversized.isEmpty) return Nil
     val maxCid = centroids.agg(F.max("cid")).head().getLong(0)
-    val corpus = table(s, dir, "embeddings")
+    val corpus = raw
       .select(F.col("vec_id"), F.expr(
         "transform(embedding, x -> " +
           "cast(floor(cast(x as double) * 10000.0) as bigint))").as("qx"))
@@ -388,16 +418,24 @@ object LlmSimilarity extends Catalog {
     * deterministic qx16 quantization projection (narrow, loop-free).
     */
   private[operators] def searchPersistedIvf(s: SparkSession, dir: String,
-      cenDir: String, asgDir: String): DataFrame = {
+      cenDir: String, asgDir: String): DataFrame =
+    searchPersistedIvfFrom(s, table(s, dir, "embeddings"), cenDir, asgDir)
+
+  /** [[searchPersistedIvf]] over an arbitrary (vec_id, embedding) corpus
+    * frame with parametric probe shape — the `ivf_search(...)` TVF path
+    * (queries = vec_id < qBelow, nprobe nearest lists, top-k). */
+  private[graft] def searchPersistedIvfFrom(s: SparkSession, raw: DataFrame,
+      cenDir: String, asgDir: String, qBelow: Long = 20, nprobe: Int = 6,
+      k: Int = 3): DataFrame = {
     VectorFunctions.register(s)
-    val corpus = table(s, dir, "embeddings")
+    val corpus = raw
       .select(F.col("vec_id"), F.expr(
         "transform(embedding, x -> " +
           "cast(floor(cast(x as double) * 10000.0) as bigint) * 16)")
         .as("qx16"))
     val centroids = s.read.format("graft-avro").load(cenDir)
     val assigned = s.read.format("graft-avro").load(asgDir)
-    ivfSearch(corpus, assigned, centroids)
+    ivfSearch(corpus, assigned, centroids, qBelow, nprobe, k)
   }
 
   /** The ADC search plan shared by llm_similar_pq (codes/codebook from
@@ -793,6 +831,59 @@ object LlmSimilarity extends Catalog {
       val split = rebalanceIvfLists(s, dir, cenDir, asgDir)
       searchPersistedIvf(s, dir, cenDir, asgDir)
         .withColumn("n_split", F.lit(split.size))
+    }),
+
+    // SQL-SURFACE ANN LIFECYCLE (r18): the full persisted-index story —
+    // CREATE the corpus table, CALL system.build_ivf_index, three
+    // INSERT + CALL system.append_ivf_assignments rounds, CALL
+    // system.rebalance_ivf_index, then SELECT FROM the ivf_search(...)
+    // TVF — with every step a spark.sql statement, so a SQL-only user
+    // reaches build-once/search-many ANN without writing Scala. The
+    // flow mirrors llm_similar_ivf_rebalance exactly (same cut/batch
+    // boundaries, same corpus rows through the graft-avro roundtrip —
+    // float→double quantization is value-identical), so the rebalance
+    // oracle applies verbatim. The index records its corpus ref +
+    // column names in a sidecar; search resolves everything from the
+    // index name (AnnSqlSpec plan-guards zero training jobs in the
+    // TVF expansion).
+    "llm_similar_ivf_sql" -> ((s, dir) => {
+      if (s.conf.getOption("spark.sql.catalog.graft_gate").isEmpty) {
+        s.conf.set("spark.sql.catalog.graft_gate",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_gate.root",
+          tempDir("graft_gate_cat"))
+      }
+      val n = table(s, dir, "embeddings").count()
+      val cut = n / 2
+      val b = (n - cut) / 3
+      table(s, dir, "embeddings").select("vec_id", "embedding")
+        .createOrReplaceTempView("emb_src_sql")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.ann")
+      s.sql("DROP TABLE IF EXISTS graft_gate.ann.ivfidx_centroids")
+      s.sql("DROP TABLE IF EXISTS graft_gate.ann.ivfidx_assign")
+      s.sql("DROP TABLE IF EXISTS graft_gate.ann.emb")
+      s.sql("CREATE TABLE graft_gate.ann.emb AS " +
+        s"SELECT * FROM emb_src_sql WHERE vec_id < $cut")
+      s.sql("CALL graft_gate.system.build_ivf_index('ann.emb', " +
+        "'vec_id', 'embedding', 'ann.ivfidx')")
+      s.sql("INSERT INTO graft_gate.ann.emb SELECT * FROM emb_src_sql " +
+        s"WHERE vec_id >= $cut AND vec_id < ${cut + b}")
+      s.sql("CALL graft_gate.system.append_ivf_assignments(" +
+        s"'ann.ivfidx', $cut, ${cut + b})")
+      s.sql("INSERT INTO graft_gate.ann.emb SELECT * FROM emb_src_sql " +
+        s"WHERE vec_id >= ${cut + b} AND vec_id < ${cut + 2 * b}")
+      s.sql("CALL graft_gate.system.append_ivf_assignments(" +
+        s"'ann.ivfidx', ${cut + b}, ${cut + 2 * b})")
+      s.sql("INSERT INTO graft_gate.ann.emb SELECT * FROM emb_src_sql " +
+        s"WHERE vec_id >= ${cut + 2 * b}")
+      s.sql("CALL graft_gate.system.append_ivf_assignments(" +
+        s"'ann.ivfidx', ${cut + 2 * b})")
+      val nSplit = s.sql(
+        "CALL graft_gate.system.rebalance_ivf_index('ann.ivfidx')")
+        .head().getLong(0)
+      s.sql("SELECT qid, vec_id, d, rn FROM " +
+        "ivf_search('graft_gate.ann.ivfidx', 20, 6, 3) ORDER BY qid, rn")
+        .withColumn("n_split", F.lit(nSplit).cast("int"))
     }),
 
     // PRODUCT QUANTIZATION — the codebook compression layout (Jégou et
@@ -1509,6 +1600,11 @@ object LlmSimilarity extends Catalog {
     "llm_similar_ivf_persist" -> ivfKmeansOracle,
     "llm_similar_ivf_incr" -> ivfIncrOracle,
     "llm_similar_ivf_rebalance" -> ivfRebalanceOracle,
+    // the SQL-surface lifecycle reproduces the rebalance flow statement
+    // for statement (same cut and batch boundaries), so the oracle is
+    // shared — any drift between the CALL/TVF path and the Scala path
+    // breaks the hash
+    "llm_similar_ivf_sql" -> ivfRebalanceOracle,
     "llm_similar_ivf_quant" -> ivfQuantOracle,
     "llm_similar_ivfpq" -> ivfPqOracle,
     // re-derive the ±1 matrix from SQL md5 and replay the exact integer

@@ -3020,8 +3020,12 @@ class AvroScanBuilder(path: String, full: StructType,
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  // COUNT(*) GROUP BY these partition-path columns (empty = ungrouped)
+  // COUNT(*) GROUP BY these partition-path segments (empty = ungrouped)
   private var groupCountCols: Seq[String] = Nil
+  // the subset of groupCountCols that are HIDDEN day-transform segments:
+  // their raw value is an epoch-day long, translated to an ISO date at
+  // planning so the reader's DateType cast serves the group key
+  private var groupCountEpochSegs: Set[String] = Set.empty
 
   /** Zero-decode `COUNT(*) GROUP BY <partition-path columns>`: every
     * row of a file carries its directory's partition values, so the
@@ -3033,6 +3037,18 @@ class AvroScanBuilder(path: String, full: StructType,
     * Sound only when EVERY live file carries a parseable value of a
     * supported exact type for EVERY grouped column — partition
     * evolution (a file missing a segment) stands the whole thing down.
+    *
+    * Hidden DAY-transform segments serve grouped counts too (r18): a
+    * `GROUP BY to_date(ts)` / `CAST(ts AS DATE)` arrives as a V2 Cast
+    * group expression, and on a `transformBy=ts:day` table every row of
+    * a `ts_day=N` segment has exactly that cast value (UTC epoch day N —
+    * the transform IS the cast), so the segment answers the group key:
+    * emitted as the ISO date of epoch day N, `__null__` as a genuine
+    * null key. Soundness guards: the column's declared transform must be
+    * `day`, its type TIMESTAMP (session timezone UTC only — the cast is
+    * timezone-local while the transform is the UTC instant) or
+    * TIMESTAMP_NTZ (timezone-free), and every live file must carry a
+    * parseable day segment (pre-transform files stand it down).
     */
   private def pushGroupedCount(agg: Aggregation): Boolean = {
     import org.apache.spark.sql.types._
@@ -3042,37 +3058,67 @@ class AvroScanBuilder(path: String, full: StructType,
     if (AvroFileSource.deleteFile(new File(path)).isFile) return false
     if (AvroFileSource.colmapFile(new File(path)).isFile) return false
     val exprs = agg.aggregateExpressions
-    val names = agg.groupByExpressions.toSeq.map {
-      case r: NamedReference if r.fieldNames().length == 1 =>
-        Some(r.fieldNames()(0))
-      case _ => None
-    }
-    if (names.exists(_.isEmpty)) return false
-    val cols = names.flatten
-    val fields = cols.map(n => full.fields.find(_.name == n))
-    if (fields.exists(_.isEmpty)) return false
-    val supported = fields.flatten.forall(_.dataType match {
-      case StringType | IntegerType | LongType | ShortType | ByteType |
-           BooleanType | DateType => true
-      case _ => false // float/double string keying is unsound; others inexact
-    })
-    if (!supported) return false
+    lazy val dayXformCols = AvroTransforms.read(new File(path))
+      .filter(_.kind == "day").map(_.col).toSet
+    def utcSession: Boolean = try {
+      java.time.ZoneId.of(org.apache.spark.sql.internal.SQLConf.get
+        .sessionLocalTimeZone).normalized() == java.time.ZoneOffset.UTC
+    } catch { case scala.util.control.NonFatal(_) => false }
+    // each group key: (pv lookup segment, output field, epoch-day raw?)
+    val keys: Seq[Option[(String, StructField, Boolean)]] =
+      agg.groupByExpressions.toSeq.map {
+        case r: NamedReference if r.fieldNames().length == 1 =>
+          val n = r.fieldNames()(0)
+          full.fields.find(_.name == n).filter(_.dataType match {
+            case StringType | IntegerType | LongType | ShortType |
+                 ByteType | BooleanType | DateType => true
+            // float/double string keying is unsound; others inexact
+            case _ => false
+          }).map(f => (n, f, false))
+        case c: org.apache.spark.sql.connector.expressions.Cast
+            if c.dataType == DateType =>
+          (c.expression match {
+            case r: NamedReference if r.fieldNames().length == 1 =>
+              Some(r.fieldNames()(0))
+            case _ => None
+          }).filter(dayXformCols.contains)
+            .filter { n =>
+              full.fields.find(_.name == n).map(_.dataType).exists {
+                case TimestampType => utcSession
+                case TimestampNTZType => true
+                case _ => false
+              }
+            }
+            .map(n => (s"${n}_day",
+              StructField(s"${n}_day", DateType, nullable = true), true))
+        case _ => None
+      }
+    if (keys.isEmpty || keys.exists(_.isEmpty)) return false
+    val ks = keys.flatten
     val covered = AvroFileSource.listLive(new File(path)).forall {
-      case (_, pv) => fields.flatten.forall { f =>
+      case (_, pv) => ks.forall { case (seg, f, epoch) =>
         // Some(null) (a __null__ segment) is a genuine null group key
-        pv.get(f.name).exists(raw =>
-          AvroFileSource.castPartitionValue(raw, f.dataType).isDefined)
+        pv.get(seg).exists { raw =>
+          if (raw == "__null__") true
+          // epoch-day range representable as a 4-digit-year ISO date
+          // (the planning-time translation the reader re-parses)
+          else if (epoch) raw.toLongOption.exists(d =>
+            d >= -719162L && d <= 2932896L)
+          else AvroFileSource.castPartitionValue(raw, f.dataType).isDefined
+        }
       }
     }
     if (!covered) return false
     if (exprs.length == 1 && exprs.head.isInstanceOf[CountStar]) {
-      groupCountCols = cols
+      groupCountCols = ks.map(_._1)
+      groupCountEpochSegs = ks.collect { case (s, _, true) => s }.toSet
       countPushed = true
-      required = StructType(fields.flatten.toArray :+
+      required = StructType(ks.map(_._2).toArray :+
         org.apache.spark.sql.types.StructField(
           "count(*)", LongType, nullable = false))
       true
-    } else pushGroupedStats(cols, fields.flatten, exprs)
+    } else if (ks.exists(_._3)) false // stats fold is identity-keys only
+    else pushGroupedStats(ks.map(_._1), ks.map(_._2), exprs)
   }
 
   // grouped metadata stats: per output expr ("count","") | ("min"|"max",
@@ -3624,6 +3670,7 @@ class AvroScanBuilder(path: String, full: StructType,
     val decided = decidedState
     val counting = countPushed
     val groupCols = groupCountCols
+    val groupEpochSegs = groupCountEpochSegs
     val groupSpecs = groupAggSpecs
     val groupCells = groupAggCells
     val aggAny = minMaxAny
@@ -4676,10 +4723,23 @@ class AvroScanBuilder(path: String, full: StructType,
           // are per-file totals, and every split shares the group key)
           val pd = AvroFileSource.readPosdel(new File(path))
           prunedFiles().flatMap { case (f, pv) =>
-            val raws = groupCols.map(c => pv.getOrElse(c,
-              throw new IllegalStateException(
-                s"graft-avro: ${f.getName} lacks partition value '$c' " +
-                  "(appeared after grouped-count pushdown) — rerun")))
+            val raws = groupCols.map { c =>
+              val raw = pv.getOrElse(c,
+                throw new IllegalStateException(
+                  s"graft-avro: ${f.getName} lacks partition value '$c' " +
+                    "(appeared after grouped-count pushdown) — rerun"))
+              // hidden day-transform segments carry the epoch day;
+              // translate to the ISO date the reader's DateType cast
+              // parses (coverage was validated at pushdown — a file
+              // appearing since fails loudly, like a missing segment)
+              if (groupEpochSegs(c) && raw != "__null__")
+                java.time.LocalDate.ofEpochDay(raw.toLongOption.getOrElse(
+                  throw new IllegalStateException(
+                    s"graft-avro: ${f.getName} segment '$c' not an " +
+                      "epoch day (appeared after grouped-count " +
+                      "pushdown) — rerun"))).toString
+              else raw
+            }
             val dead = pd.getOrElse(relOf(f), Array.emptyLongArray)
               .length.toLong
             split(f).zipWithIndex.map { case ((p, s, e), i) =>

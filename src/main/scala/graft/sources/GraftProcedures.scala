@@ -40,7 +40,8 @@ object GraftProcedures {
     "create_view",
     "set_row_level_mode",
     "drop_view", "create_matview", "create_delta_matview",
-    "refresh_matview", "create_join_matview", "refresh_join_matview")
+    "refresh_matview", "create_join_matview", "refresh_join_matview",
+    "build_ivf_index", "append_ivf_assignments", "rebalance_ivf_index")
 
   /** One result row (catalyst values, strings as UTF8String). */
   private case class ResultScan(schema: StructType, row: Seq[Any])
@@ -470,6 +471,58 @@ object GraftProcedures {
           (out("left_from" -> LongType, "left_to" -> LongType,
             "right_from" -> LongType, "right_to" -> LongType),
             Seq(fl, tl, fr, tr))
+        })
+      case "build_ivf_index" => new Proc(name,
+        "train an IVF coarse quantizer over a corpus table " +
+          "(id_col BIGINT-castable, vec_col ARRAY of FLOAT/DOUBLE) and " +
+          "publish it as <index>_centroids / <index>_assign catalog " +
+          "tables; search via the ivf_search(...) TVF",
+        Array(param("table", StringType), param("id_col", StringType),
+          param("vec_col", StringType), param("index", StringType)),
+        in => {
+          val srcRef = in.getUTF8String(0)
+          val idCol = in.getUTF8String(1)
+          val vecCol = in.getUTF8String(2)
+          val idxRef = in.getUTF8String(3)
+          require(srcRef != null && idCol != null && vecCol != null &&
+            idxRef != null,
+            "graft procedure: build_ivf_index arguments must be non-null")
+          val nLists = GraftAnnIndex.build(
+            org.apache.spark.sql.SparkSession.active, cat,
+            srcRef.toString, idCol.toString, vecCol.toString,
+            idxRef.toString)
+          (out("index" -> StringType, "n_lists" -> LongType),
+            Seq(idxRef.copy(), nLists))
+        })
+      case "append_ivf_assignments" => new Proc(name,
+        "assign corpus rows with at_or_above <= id (< until; -1 = " +
+          "unbounded) to the persisted centroids — one broadcast argmin " +
+          "pass, zero retraining — and append them to the assignment " +
+          "table",
+        Array(param("index", StringType), param("at_or_above", LongType),
+          paramDefault("until", LongType, "-1")),
+        in => {
+          val idxRef = in.getUTF8String(0)
+          require(idxRef != null,
+            "graft procedure: append_ivf_assignments index is null")
+          val until = Some(in.getLong(2)).filter(_ >= 0)
+          val v = GraftAnnIndex.append(
+            org.apache.spark.sql.SparkSession.active, cat,
+            idxRef.toString, in.getLong(1), until)
+          (out("assign_version" -> LongType), Seq(v))
+        })
+      case "rebalance_ivf_index" => new Proc(name,
+        "split every IVF list past the 1x mean 2-way (skew repair " +
+          "after incremental appends): parents die by metadata delete, " +
+          "children append, untouched files stay byte-identical",
+        Array(param("index", StringType)),
+        in => {
+          val idxRef = in.getUTF8String(0)
+          require(idxRef != null,
+            "graft procedure: rebalance_ivf_index index is null")
+          val n = GraftAnnIndex.rebalance(
+            org.apache.spark.sql.SparkSession.active, cat, idxRef.toString)
+          (out("n_split" -> LongType), Seq(n))
         })
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unknown procedure system.$other " +

@@ -90,3 +90,70 @@ object GraftTableChanges {
     }
   }
 }
+
+/** Pure-SQL ANN search: the `ivf_search` TABLE-VALUED function over an
+  * index built by `CALL system.build_ivf_index`:
+  *
+  * {{{
+  *   SELECT * FROM ivf_search('cat.ns.idx', <qMaxId> [, <nprobe>, <k>])
+  * }}}
+  *
+  * expands to [[GraftAnnIndex.search]]'s plan — queries are the corpus
+  * rows with id < qMaxId, each probing its `nprobe` (default 6) nearest
+  * lists of the persisted index, exact integer-L2 top-`k` (default 3)
+  * within them — returning (qid, vec_id, d, rn). The corpus table and
+  * its column names resolve through the index's own `_graft_annidx`
+  * sidecar; the expansion contains ZERO training jobs (the index tables
+  * are read as ordinary graft-avro scans — AnnSqlSpec plan-guards it).
+  * Like `table_changes`, this is a TVF rather than a procedure because
+  * the result is a fully distributed plan, not a driver-side row.
+  */
+object GraftIvfSearch {
+
+  private def str(e: Expression): Option[String] = e match {
+    case Literal(v: UTF8String, StringType) => Some(v.toString)
+    case _ => None
+  }
+  private def lng(e: Expression): Option[Long] = e match {
+    case Literal(v: Int, IntegerType) => Some(v.toLong)
+    case Literal(v: Long, LongType) => Some(v)
+    case _ => None
+  }
+
+  private val usage =
+    "ivf_search expects ('cat.ns.index', qMaxId [, nprobe, k]) with " +
+      "literal arguments"
+
+  def plan(args: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
+    def bad() = throw new IllegalArgumentException(usage)
+    val (idxRef, qMax, nprobe, k) = args match {
+      case Seq(t, q) =>
+        (str(t).getOrElse(bad()), lng(q).getOrElse(bad()), 6L, 3L)
+      case Seq(t, q, np, kk) =>
+        (str(t).getOrElse(bad()), lng(q).getOrElse(bad()),
+          lng(np).getOrElse(bad()), lng(kk).getOrElse(bad()))
+      case _ => bad()
+    }
+    require(nprobe > 0 && k > 0,
+      s"ivf_search: nprobe and k must be positive (got $nprobe, $k)")
+    val parts =
+      spark.sessionState.sqlParser.parseMultipartIdentifier(idxRef)
+    require(parts.length >= 3,
+      s"ivf_search: fully qualify the index as 'cat.ns.index' " +
+        s"(got '$idxRef')")
+    val mgr = spark.sessionState.catalogManager
+    require(mgr.isCatalogRegistered(parts.head),
+      s"ivf_search: no catalog named '${parts.head}' is registered")
+    mgr.catalog(parts.head) match {
+      case g: GraftCatalog =>
+        val rel = parts.tail.mkString(".")
+        SubqueryAlias("ivf_search",
+          GraftAnnIndex.search(spark, g, rel, qMax, nprobe.toInt, k.toInt)
+            .queryExecution.analyzed)
+      case other => throw new IllegalArgumentException(
+        s"ivf_search: catalog '${parts.head}' is not a graft catalog " +
+          s"(${other.getClass.getName})")
+    }
+  }
+}

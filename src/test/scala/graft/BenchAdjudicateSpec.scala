@@ -94,10 +94,55 @@ class BenchAdjudicateSpec extends AnyFunSuite {
       Some("abcd"), Some("ef01")) === "stable")
   }
 
-  test("non-stable verdicts pass through untouched") {
-    for (v <- Seq("contended", "spiky", "spiky-contended", "error"))
+  test("untrustworthy-best verdicts pass through untouched") {
+    for (v <- Seq("contended", "error"))
       assert(Bench.adjudicateCrossRound(v, 1.6, Some(0.4),
         Some("a"), Some("b")) === v)
+  }
+
+  // == r18: the llm_winnow_pairs hole — a gate whose spread classified
+  // "spiky" (best stands!) escaped cross-round adjudication entirely and
+  // stood unflagged at 5x the prior committed round. Every verdict whose
+  // best is claimed trustworthy now adjudicates. ==
+
+  test("spiky + slower best + same fingerprint adjudicates env-drift") {
+    assert(Bench.adjudicateCrossRound("spiky", bestNow = 24.95,
+      prevBest = Some(4.67), fpNow = Some("abcd"), fpPrev = Some("abcd"))
+      === "env-drift")
+  }
+
+  test("spiky-contended + slower best + different fingerprint adjudicates regression") {
+    assert(Bench.adjudicateCrossRound("spiky-contended", 1.6, Some(0.4),
+      Some("abcd"), Some("ef01")) === "regression")
+  }
+
+  test("spiky with a best inside the thresholds passes through") {
+    // the spread was a one-pass transient; best agrees with last round
+    assert(Bench.adjudicateCrossRound("spiky", 0.45, Some(0.40),
+      Some("abcd"), Some("ef01")) === "spiky")
+  }
+
+  test("mid-gate contention (quiet pre-probe, hot post-probe on the slow pass) classifies spiky-contended") {
+    // the r17 blind spot: the window arrived DURING pass 1 — its pre
+    // probe was quiet, only the post probe saw the tail
+    val v = Bench.classify(times = Seq(24.95, 4.7),
+      preProbes = Seq(quiet, quiet * 1.1),
+      postProbes = Seq(quiet * 6, quiet), quietProbe = quiet)
+    assert(v === "spiky-contended")
+  }
+
+  test("hot post-probes never un-trust every pass (contended stays pre-probe-only)") {
+    // a heavy gate's own GC tail can land on the post probe of EVERY
+    // pass; that must not flag the gate contended (best untrustworthy)
+    val v = Bench.classify(Seq(1.6, 1.62), Seq(quiet, quiet * 1.1),
+      Seq(quiet * 5, quiet * 5), quiet)
+    assert(v === "stable")
+  }
+
+  test("quiet post-probes leave an unexplained transient spiky") {
+    val v = Bench.classify(Seq(2.0, 0.4), Seq(quiet, quiet),
+      Seq(quiet * 1.2, quiet), quiet)
+    assert(v === "spiky")
   }
 
   test("readPrevDetail parses queries + fingerprints and degrades to empty") {

@@ -1,0 +1,119 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** SQL-surface ANN index lifecycle (r18): CALL system.build_ivf_index /
+  * append_ivf_assignments / rebalance_ivf_index plus the ivf_search TVF
+  * must drive the whole persisted-IVF story without a line of Scala, and
+  * the TVF expansion must be a pure day-2 search — index tables read as
+  * ordinary graft-avro scans, ZERO training trace (no
+  * LogicalRDD/ExistingRDD leaves from a Lloyd localCheckpoint).
+  */
+class AnnSqlSpec extends AnyFunSuite with SparkSpec with Matchers {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def ensureCat(): Unit = {
+    if (spark.conf.getOption("spark.sql.catalog.ann_spec").isEmpty) {
+      spark.conf.set("spark.sql.catalog.ann_spec",
+        classOf[GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.ann_spec.root",
+        graft.operators.Catalog.tempDir("ann_spec_cat"))
+    }
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ann_spec.ns")
+  }
+
+  test("build → search via SQL matches the Scala persisted-index path") {
+    ensureCat()
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+      .createOrReplaceTempView("ann_spec_src")
+    spark.sql("DROP TABLE IF EXISTS ann_spec.ns.idx_centroids")
+    spark.sql("DROP TABLE IF EXISTS ann_spec.ns.idx_assign")
+    spark.sql("DROP TABLE IF EXISTS ann_spec.ns.emb")
+    spark.sql(
+      "CREATE TABLE ann_spec.ns.emb AS SELECT * FROM ann_spec_src")
+    val built = spark.sql("CALL ann_spec.system.build_ivf_index(" +
+      "'ns.emb', 'vec_id', 'embedding', 'ns.idx')").head()
+    built.getString(0) shouldBe "ns.idx"
+    built.getLong(1) shouldBe 8L // seeds vec_id < 8
+
+    val search = spark.sql(
+      "SELECT qid, vec_id, d, rn FROM ivf_search('ann_spec.ns.idx', 20) " +
+        "ORDER BY qid, rn")
+    // plan guard: the TVF expansion reads the published index — no
+    // checkpointed RDD leaf (the tell-tale of training inside search)
+    val optimized = search.queryExecution.optimizedPlan.toString
+    optimized should include("graft-avro")
+    optimized should not include "LogicalRDD"
+    optimized should not include "ExistingRDD"
+    search.queryExecution.executedPlan.toString should
+      not include "ExistingRDD"
+
+    // equality with the Scala path over the same corpus + index build
+    val scala = graft.operators.LlmSimilarity.queries(
+      "llm_similar_ivf_persist")(spark, dir)
+    search.collect() shouldBe scala.select("qid", "vec_id", "d", "rn")
+      .collect()
+  }
+
+  test("append + rebalance procedures maintain the index; sidecar resolves the corpus") {
+    ensureCat()
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+      .createOrReplaceTempView("ann_spec_src2")
+    spark.sql("DROP TABLE IF EXISTS ann_spec.ns.g_centroids")
+    spark.sql("DROP TABLE IF EXISTS ann_spec.ns.g_assign")
+    spark.sql("DROP TABLE IF EXISTS ann_spec.ns.emb2")
+    val n = spark.table("ann_spec_src2").count()
+    val cut = n / 2
+    spark.sql("CREATE TABLE ann_spec.ns.emb2 AS " +
+      s"SELECT * FROM ann_spec_src2 WHERE vec_id < $cut")
+    spark.sql("CALL ann_spec.system.build_ivf_index(" +
+      "'ns.emb2', 'vec_id', 'embedding', 'ns.g')")
+    spark.read.format("graft-avro")
+      .load(spark.conf.get("spark.sql.catalog.ann_spec.root") +
+        "/ns/g_assign").count() shouldBe cut
+
+    // grow the corpus, append assignments without retraining
+    spark.sql("INSERT INTO ann_spec.ns.emb2 " +
+      s"SELECT * FROM ann_spec_src2 WHERE vec_id >= $cut")
+    val v = spark.sql("CALL ann_spec.system.append_ivf_assignments(" +
+      s"'ns.g', $cut)").head().getLong(0)
+    v should be >= 2L // build committed v1; the append minted a version
+    val asg = spark.read.format("graft-avro")
+      .load(spark.conf.get("spark.sql.catalog.ann_spec.root") +
+        "/ns/g_assign")
+    asg.count() shouldBe n
+
+    // rebalance: returns the split count; assignment count is preserved
+    val nSplit = spark.sql(
+      "CALL ann_spec.system.rebalance_ivf_index('ns.g')")
+      .head().getLong(0)
+    nSplit should be >= 0L
+    asg.count() shouldBe n
+
+    // search still serves (the sidecar carried corpus ref + col names)
+    val rows = spark.sql(
+      "SELECT * FROM ivf_search('ann_spec.ns.g', 20, 6, 3)").collect()
+    rows.length should be > 0
+    rows.map(_.getAs[Long]("qid")).distinct.length shouldBe 20
+  }
+
+  test("argument errors are loud") {
+    ensureCat()
+    // unbuilt index: the sidecar is required
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT * FROM ivf_search('ann_spec.ns.nope', 5)")
+        .collect()
+    }
+    e1.getMessage should (include("ann") or include("nope"))
+    // non-literal / wrong-arity arguments
+    intercept[Exception] {
+      spark.sql("SELECT * FROM ivf_search('ann_spec.ns.idx')").collect()
+    }.getMessage should include("ivf_search")
+  }
+}

@@ -90,6 +90,66 @@ class AvroGroupCountSpec extends AnyFunSuite with SparkSpec with Matchers {
     evolved.agg(F.sum("count")).head().getLong(0) shouldBe 120L
   }
 
+  // == r18: hidden DAY-transform segments answer GROUP BY to_date(ts) ==
+
+  test("day-transform segments serve GROUP BY to_date(ts), exact incl. nulls") {
+    val dir = tmp()
+    spark.range(200)
+      .selectExpr(
+        "if(id % 50 = 49, null, " +
+          "timestamp_micros(cast(1704067200000000 + id * 7200000000 " +
+          "as bigint))) as ts", // 2024-01-01T00Z + 2h steps, some nulls
+        "id as k")
+      .write.format("graft-avro").option("transformBy", "ts:day")
+      .mode("overwrite").save(dir)
+    val df = spark.read.format("graft-avro").load(dir)
+      .groupBy(F.to_date(F.col("ts")).as("day")).count()
+    plan(df) should include("PushedAggregation: [COUNT(*)]")
+    plan(df) should include("PushedGroupBy")
+    val got = df.collect()
+      .map(r => Option(r.getDate(0)).map(_.toString) -> r.getLong(1)).toMap
+    got(None) shouldBe 4L // ids 49, 99, 149, 199
+    got(Some("2024-01-01")) shouldBe 12L
+    got.values.sum shouldBe 200L
+    // equality with the decoded plan
+    val real = spark.read.format("graft-avro").load(dir)
+      .select("ts", "k")
+      .groupBy(F.to_date(F.col("ts")).as("day")).count()
+      .collect().map(r => Option(r.getDate(0)).map(_.toString) ->
+        r.getLong(1)).toMap
+    got shouldBe real
+  }
+
+  test("xform grouped count stands down off-UTC and for pre-transform files") {
+    val dir = tmp()
+    spark.range(100)
+      .selectExpr(
+        "timestamp_micros(cast(1704067200000000 + id * 7200000000 " +
+          "as bigint)) as ts", "id as k")
+      .write.format("graft-avro").option("transformBy", "ts:day")
+      .mode("overwrite").save(dir)
+    // the cast is timezone-LOCAL while the transform is the UTC day —
+    // any non-UTC session must answer from real rows
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val offUtc = spark.read.format("graft-avro").load(dir)
+        .groupBy(F.to_date(F.col("ts")).as("day")).count()
+      (plan(offUtc) should not).include("PushedGroupBy")
+      // and the decoded answer shifts days correctly (sanity)
+      offUtc.agg(F.sum("count")).head().getLong(0) shouldBe 100L
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // a segment-less append (pre-transform shape) breaks coverage
+    spark.range(100, 110)
+      .selectExpr(
+        "timestamp_micros(cast(1704067200000000 + id * 7200000000 " +
+          "as bigint)) as ts", "id as k")
+      .write.format("graft-avro").mode("append").save(dir)
+    val evolved = spark.read.format("graft-avro").load(dir)
+      .groupBy(F.to_date(F.col("ts")).as("day")).count()
+    (plan(evolved) should not).include("PushedGroupBy")
+    evolved.agg(F.sum("count")).head().getLong(0) shouldBe 110L
+  }
+
   test("composes with a decided filter: filtered grouped count, zero decode") {
     val dir = tmp()
     spark.range(300)
