@@ -56,9 +56,16 @@ object BlockSkipAb {
     run() // untimed warmup (codegen, page cache)
     val withIdx = median((1 to iters).map(_ => run()))
     bixF.delete()
-    run() // warm the no-index path too
-    val without = median((1 to iters).map(_ => run()))
-    java.nio.file.Files.write(bixF.toPath, bixBytes) // restore
+    val without =
+      try {
+        run() // warm the no-index path too
+        median((1 to iters).map(_ => run()))
+      } finally {
+        // restore even on failure: a rerun in the same dir must not
+        // silently measure an unindexed table in BOTH arms
+        java.nio.file.Files.write(bixF.toPath, bixBytes)
+        ()
+      }
 
     def fmt(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

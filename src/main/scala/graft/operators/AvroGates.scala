@@ -1330,6 +1330,50 @@ object AvroGates extends Catalog {
         "FROM graft_gate.gate.mv ORDER BY flag")
     }),
 
+    // Matview STALENESS BUDGET (r18): the view opts into lazy refresh
+    // at read time (CALL system.set_matview_staleness) — the final
+    // SELECT below runs with NO manual refresh call after the second
+    // source generation, and must still serve the fully-folded
+    // aggregate because the catalog read noticed the view was past its
+    // budget and ran the incremental refresh itself (under the view
+    // lock; MatviewStaleSpec pins the once-only commit and the
+    // zero-version fresh read). This closes the last manual step in
+    // the pipeline story: writers append, readers always see the view
+    // within its freshness contract.
+    "q_avro_matview_stale" -> ((s, dir) => {
+      if (s.conf.getOption("spark.sql.catalog.graft_gate").isEmpty) {
+        s.conf.set("spark.sql.catalog.graft_gate",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_gate.root",
+          tempDir("graft_gate_cat"))
+      }
+      table(s, dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+        .createOrReplaceTempView("li_src_mvs")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.gate")
+      s.sql("DROP TABLE IF EXISTS graft_gate.gate.mvs")
+      s.sql("DROP TABLE IF EXISTS graft_gate.gate.mvssrc")
+      s.sql("CREATE TABLE graft_gate.gate.mvssrc AS " +
+        "SELECT * FROM li_src_mvs") // v1
+      s.sql("""CALL graft_gate.system.create_matview('gate.mvs',
+              |  'gate.mvssrc',
+              |  'SELECT l_returnflag AS flag, count(*) AS n_lines,
+              |     CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+              |       AS BIGINT) AS qty_c
+              |   FROM __SRC__ GROUP BY l_returnflag',
+              |  'SELECT flag, CAST(sum(n_lines) AS BIGINT) AS n_lines,
+              |     CAST(sum(qty_c) AS BIGINT) AS qty_c
+              |   FROM __ACC__ GROUP BY flag')""".stripMargin)
+      s.sql(
+        "CALL graft_gate.system.set_matview_staleness('gate.mvs', 0)")
+      s.sql("INSERT INTO graft_gate.gate.mvssrc " +
+        "SELECT * FROM li_src_mvs WHERE l_orderkey % 3 = 0") // v2
+      Thread.sleep(5) // move past the zero budget's stamp resolution
+      // NO refresh call: the read itself folds the delta
+      s.sql("SELECT flag, n_lines, qty_c " +
+        "FROM graft_gate.gate.mvs ORDER BY flag")
+    }),
+
     // Matview maintenance THROUGH deletes (r16): a delta-maintained
     // view folds the CDC changes frame with signed contributions (the
     // classic counting algorithm) instead of failing on rewritten
@@ -1395,6 +1439,48 @@ object AvroGates extends Catalog {
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).as("n_orders"))
         .orderBy("o_orderpriority")
+    }),
+
+    // CHUNK-LEVEL MEMBERSHIP PRUNING (r18): `chunkBloomFor` writes one
+    // bloom cell per (chunk, column) into the block-range index, so a
+    // small join-key set drops CHUNKS of a kept file — composing the
+    // 13× intra-file skipping with equality/join pruning (zone bounds
+    // can't help here: the probed rid column is a scattered hash, every
+    // chunk spans the domain). The gate REQUIRES the drop (kept chunks
+    // < total chunks — loud failure if pruning ever stops biting), then
+    // answers a broadcast join over the pruned scan; BlockIdxLaws pins
+    // the model equality and BlockIdxSpec the runtime-IN path.
+    "q_avro_block_bloom" -> ((s, dir) => {
+      val tmp = tempDir("graft_gate_cbloom")
+      def rid(c: org.apache.spark.sql.Column) =
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10)
+          .cast("long")
+      table(s, dir, "lineitem")
+        .select(F.col("l_orderkey"), F.col("l_quantity"),
+          rid(F.col("l_orderkey")).as("rid"))
+        .coalesce(1).sortWithinPartitions("l_orderkey")
+        .write.format("graft-avro").option("sortedBy", "l_orderkey")
+        .option("chunkBloomFor", "rid")
+        .mode("overwrite").save(tmp)
+      val t = s.read.format("graft-avro").load(tmp)
+      val keys = t.select("l_orderkey").distinct().orderBy("l_orderkey")
+        .limit(4).withColumn("rid", rid(F.col("l_orderkey")))
+      val keyVals = keys.select("rid") // bounded: exactly 4 values
+        .collect().map(_.getLong(0)).toSeq
+      val nChunks = (t.count() + 4095L) / 4096L
+      val kept = t.filter(F.col("rid").isin(keyVals: _*))
+        .queryExecution.toRdd.getNumPartitions.toLong
+      require(kept >= 1L && kept < nChunks,
+        s"q_avro_block_bloom: chunk blooms did not prune " +
+          s"($kept of $nChunks chunks kept)")
+      t.join(F.broadcast(keys.select("rid")), "rid")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).as("n_rows"),
+          F.sum(F.floor(F.col("l_quantity") * 100).cast("long"))
+            .as("qty_c"))
+        .withColumn("n_chunks", F.lit(nChunks))
+        .select("l_orderkey", "n_rows", "qty_c", "n_chunks")
+        .orderBy("l_orderkey")
     }),
 
     // TEMPORAL TRANSFORM × TIME TRAVEL (r18): versionAsOf reads prune
@@ -3616,6 +3702,21 @@ object AvroGates extends Catalog {
       """SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT)
                   AS n_events
          FROM events GROUP BY 1 ORDER BY 1""",
+    // the rid join key is a bijection of l_orderkey, so the oracle
+    // joins on l_orderkey directly; n_chunks = ceil(rows / 4096) (the
+    // writer cuts a chunk every 4096 rows of the single sorted file)
+    "q_avro_block_bloom" ->
+      """WITH keys AS (
+           SELECT DISTINCT l_orderkey FROM lineitem ORDER BY 1 LIMIT 4),
+         nc AS (
+           SELECT CAST((count(*) + 4095) // 4096 AS BIGINT) AS n_chunks
+           FROM lineitem)
+         SELECT l.l_orderkey, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT))
+                  AS BIGINT) AS qty_c,
+                (SELECT n_chunks FROM nc) AS n_chunks
+         FROM lineitem l JOIN keys k ON k.l_orderkey = l.l_orderkey
+         GROUP BY l.l_orderkey ORDER BY l.l_orderkey""",
     // one file per day per commit ⇒ kept files under the pruned travel
     // read = distinct days in the filter window; the stand-down read
     // keeps every v2 file
@@ -3756,6 +3857,20 @@ object AvroGates extends Catalog {
          SELECT l_returnflag AS flag, count(*) AS n_lines,
                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
                   AS BIGINT) AS cents,
+                CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                  AS BIGINT) AS qty_c
+         FROM unioned GROUP BY flag ORDER BY flag""",
+    // the staleness-budget read equals the full two-generation
+    // recompute — no refresh call appears in the gate
+    "q_avro_matview_stale" ->
+      """WITH orig AS (
+           SELECT l_returnflag, l_quantity FROM lineitem),
+         e3 AS (
+           SELECT l_returnflag, l_quantity FROM lineitem
+           WHERE l_orderkey % 3 = 0),
+         unioned AS (
+           SELECT * FROM orig UNION ALL SELECT * FROM e3)
+         SELECT l_returnflag AS flag, count(*) AS n_lines,
                 CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
                   AS BIGINT) AS qty_c
          FROM unioned GROUP BY flag ORDER BY flag""",

@@ -249,7 +249,7 @@ object AvroFileSource {
   val KnownProps: Set[String] = Set("graft.sortedBy", "graft.requestSort",
     "graft.bloomFor", "graft.ndvFor", "graft.trigramFor", "graft.codec",
     "graft.targetFileBytes", "graft.bucketBy", "graft.transformBy",
-    "graft.preservePartitioning")
+    "graft.preservePartitioning", "graft.chunkBloomFor")
 
   def readProps(d: File): Map[String, String] = {
     val f = propsFile(d)
@@ -469,30 +469,37 @@ object AvroFileSource {
   val BlockIdxRows = 4096
 
   /** Raw block-index lines keyed by relative path (values URL-encoded,
-    * lossless merge-and-rewrite). Malformed lines drop the whole FILE's
-    * entries — a partial tiling must not masquerade as coverage.
+    * lossless merge-and-rewrite). Malformed lines simply DROP (never
+    * keyed by their first token — a junk line that happened to start
+    * with another live file's rel used to null out that file's valid
+    * entries): a dropped middle chunk leaves a gap, so the read-side
+    * tiling check (ranges must cover [0, len) contiguously) already
+    * falls the file back whole — partial tilings cannot masquerade as
+    * coverage. IO/parse failure of the whole sidecar degrades to
+    * no-index (sound) but is LOGGED — silent loss of 13× skipping is
+    * undiagnosable otherwise.
     */
   private[sources] def readBlockIdxRaw(f: File)
       : Map[String, Seq[(String, String, Long, Long, String, String)]] =
     try {
       val src = scala.io.Source.fromFile(f, "UTF-8")
       try {
-        val parsed = src.getLines().toSeq.map { line =>
+        src.getLines().flatMap { line =>
           line.split('\t') match {
             case Array(rel, col, dt, s, e, mn, mx) =>
               try Some(rel -> (col, dt, s.toLong, e.toLong, mn, mx))
-              catch { case _: NumberFormatException => Some(rel -> null) }
-            case a if a.nonEmpty => Some(a(0) -> null)
+              catch { case _: NumberFormatException => None }
             case _ => None
           }
-        }
-        val grouped = parsed.flatten.groupBy(_._1)
-        grouped.collect {
-          case (rel, es) if es.forall(_._2 != null) =>
-            rel -> es.map(_._2)
-        }
+        }.toSeq.groupMap(_._1)(_._2)
       } finally src.close()
-    } catch { case _: Exception => Map.empty }
+    } catch {
+      case e: Exception =>
+        System.err.println(s"graft-avro: block index $f unreadable " +
+          s"(${e.getClass.getSimpleName}: ${e.getMessage}) — " +
+          "intra-file skipping disabled for this scan")
+        Map.empty
+    }
 
   /** All-column zone manifest: per-file min/max for EVERY primitive leaf
     * column (nested leaves under dotted names), written on every batch
@@ -1303,7 +1310,9 @@ object AvroFileSource {
   // ------------------------------------------------------------------
 
   def snapshotsFile(d: File): File = new File(d, "_graft_snapshots")
-  def archiveDir(d: File): File = new File(d, "_graft_archive")
+  private[sources] val ArchiveDirName = "_graft_archive"
+
+  def archiveDir(d: File): File = new File(d, ArchiveDirName)
 
   /** Stamp a just-archived file's mtime to NOW: the vacuum's retention
     * grace ([[AvroMaintenance.expireSnapshots]]'s `graceMs`) clocks from
@@ -1313,9 +1322,67 @@ object AvroFileSource {
     * an unstamped file just ages out by its write time, which only ever
     * reclaims EARLIER — never keeps garbage longer.
     */
+  /** `_graft_archived` sidecar: durable archive-time records
+    * (`encodedRel TAB epochMs` per line, appended under the commit
+    * lock). mtime stamping alone is best-effort — setLastModified may
+    * silently fail, and files archived before the sidecar existed age
+    * by their ORIGINAL write time, both in the unsafe direction (early
+    * reclaim under a concurrent scan's grace window). The sweep prefers
+    * the sidecar and falls back to mtime for legacy entries.
+    */
+  private[sources] def archivedStampFile(d: File): File =
+    new File(d, "_graft_archived")
+
+  private[sources] def readArchivedStamps(d: File): Map[String, Long] = {
+    val f = archivedStampFile(d)
+    if (!f.isFile) return Map.empty
+    try {
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try src.getLines().flatMap { line =>
+        line.split('\t') match {
+          case Array(rel, ms) if ms.matches("[0-9]+") =>
+            Some(java.net.URLDecoder.decode(rel, "UTF-8") -> ms.toLong)
+          case _ => None
+        }
+      }.toMap
+      finally src.close()
+    } catch { case _: Exception => Map.empty }
+  }
+
+  private[sources] def writeArchivedStamps(d: File,
+      stamps: Map[String, Long]): Unit = {
+    val f = archivedStampFile(d)
+    if (stamps.isEmpty) { f.delete(); return }
+    val tmp = new File(f.getPath + ".staging")
+    java.nio.file.Files.write(tmp.toPath,
+      stamps.toSeq.sortBy(_._1).map { case (rel, ms) =>
+        java.net.URLEncoder.encode(rel, "UTF-8") + "\t" + ms
+      }.mkString("\n").getBytes("UTF-8"))
+    if (!tmp.renameTo(f)) throw new java.io.IOException(
+      s"graft-avro: rename failed $tmp -> $f")
+  }
+
   private[sources] def stampArchived(f: File): Unit = {
-    f.setLastModified(System.currentTimeMillis())
-    ()
+    val now = System.currentTimeMillis()
+    f.setLastModified(now)
+    // durable record beside the mtime stamp: walk up to the table's
+    // `_graft_archive` root (every archived file lives under one) and
+    // append this file's archive time; all archive moves run under the
+    // table commit lock, so the append is race-free
+    var p = f.getAbsoluteFile.getParentFile
+    while (p != null && p.getName != AvroFileSource.ArchiveDirName)
+      p = p.getParentFile
+    if (p != null && p.getParentFile != null) {
+      val rel = p.toPath.relativize(f.getAbsoluteFile.toPath).toString
+      val line =
+        java.net.URLEncoder.encode(rel, "UTF-8") + "\t" + now + "\n"
+      try java.nio.file.Files.write(
+        archivedStampFile(p.getParentFile).toPath,
+        line.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      catch { case _: java.io.IOException => () } // mtime still stamped
+    }
   }
 
   // ------------------------------------------------------------------
@@ -2822,6 +2889,7 @@ case class AvroTable(path: String, tableSchema: StructType,
       cols("bloomFor"),
       cols("ndvFor"),
       cols("trigramFor"),
+      chunkBloomFor = cols("chunkBloomFor"),
       branchWrite = branchW.nonEmpty,
       requestSort = opt("requestSort").exists(_.toBoolean),
       checkOption =
@@ -4375,15 +4443,22 @@ class AvroScanBuilder(path: String, full: StructType,
         * drop out (absence ⇒ normal split). Live reads only — the
         * entries describe current files.
         */
-      private lazy val blockIdxChunks
-          : Map[String, Seq[(Long, Long, Seq[(String, (Any, Any))])]] =
+      // one sidecar parse per scan, shared by the zone-chunk and the
+      // chunk-bloom structures below
+      private lazy val blockIdxRaw
+          : Map[String, Seq[(String, String, Long, Long, String, String)]] =
         if (travelVersion.nonEmpty || incRange.nonEmpty ||
             branch.nonEmpty || cdcFeed) Map.empty
         else {
-          val dir = new File(path)
-          val bf = AvroFileSource.blockIdxFile(dir)
+          val bf = AvroFileSource.blockIdxFile(new File(path))
           if (!bf.isFile) Map.empty
-          else AvroFileSource.readBlockIdxRaw(bf).flatMap { case (rel, es) =>
+          else AvroFileSource.readBlockIdxRaw(bf)
+        }
+
+      private lazy val blockIdxChunks
+          : Map[String, Seq[(Long, Long, Seq[(String, (Any, Any))])]] = {
+          val dir = new File(path)
+          blockIdxRaw.flatMap { case (rel, es) =>
             // per column: recorded type must equal the read type — a
             // mismatched (renamed/retyped) column drops, others keep
             // pruning; unparseable or "-" (all-null chunk) bounds
@@ -4427,6 +4502,57 @@ class AvroScanBuilder(path: String, full: StructType,
           }
         }
 
+      /** Per-chunk membership cells (`chunkBloomFor` writes): per file,
+        * per chunk byte range, the decoded bloom bits per column —
+        * `bloom:<type>`-tagged sidecar lines whose recorded type equals
+        * the read leaf type (the type-tag invisibility rule). Entries
+        * for unprobed columns decode lazily but harmlessly (a file has
+        * at most a handful of chunk-bloomed columns); absence ⇒ keep.
+        */
+      private lazy val blockIdxChunkBlooms
+          : Map[String, Map[(Long, Long), Seq[(String, Array[Long])]]] = {
+        val dir = new File(path)
+        blockIdxRaw.flatMap { case (rel, es) =>
+          val cells = es.flatMap { case (colEnc, dtStr, s, e, b64, _) =>
+            if (!dtStr.startsWith("bloom:")) None
+            else {
+              val col = java.net.URLDecoder.decode(colEnc, "UTF-8")
+              full.fields.find(_.name == col)
+                .filter(f => "bloom:" + f.dataType.simpleString == dtStr &&
+                  AvroFileSource.bloomableType(f.dataType))
+                .flatMap { _ =>
+                  scala.util.Try(
+                    java.util.Base64.getDecoder.decode(b64)).toOption
+                    .filter(_.length == AvroFileSource.BloomBits / 8)
+                    .map { bytes =>
+                      val bb = java.nio.ByteBuffer.wrap(bytes)
+                      ((s, e), col ->
+                        Array.fill(AvroFileSource.BloomBits / 64)(
+                          bb.getLong))
+                    }
+                }
+            }
+          }
+          if (cells.isEmpty) None
+          else Some(new File(dir, rel).getAbsolutePath ->
+            cells.groupMap(_._1)(_._2))
+        }
+      }
+
+      // membership probes for chunk pruning, cached per runtime-filter
+      // state (md5 per value once, not per chunk)
+      @volatile private var chunkProbeCache: Option[(Map[String, Set[Any]],
+        Map[String, Seq[AvroFileSource.BloomProbe]])] = None
+      private def chunkBloomProbes
+          : Map[String, Seq[AvroFileSource.BloomProbe]] =
+        chunkProbeCache match {
+          case Some((k, p)) if k == runtimeZoneVals => p
+          case _ =>
+            val p = bloomProbeMap()
+            chunkProbeCache = Some((runtimeZoneVals, p))
+            p
+        }
+
       /** The file's surviving chunk ranges under the pushed conjunction
         * — emitted as its input partitions instead of blind byte splits
         * (block-level skipping INSIDE a sorted file) — or None = serve
@@ -4450,8 +4576,12 @@ class AvroScanBuilder(path: String, full: StructType,
             // IN-set on that column (same rule as runtimeZoneKeep) —
             // for a compound sort spec the secondary column's bounds
             // are tight within primary-equal runs, exactly what buys
-            // pruning on the second key
-            val kept = chunks.filter { case (_, _, cols) =>
+            // pruning on the second key — AND every chunk-bloom cell
+            // passes every membership probe on its column (r18: a
+            // broadcast join-key set drops CHUNKS, not just files)
+            val cellBlooms = blockIdxChunkBlooms
+              .getOrElse(f.getAbsolutePath, Map.empty)
+            val kept = chunks.filter { case (cs, ce, cols) =>
               cols.forall { case (col, (lo, hi)) =>
                 filters.forall(
                   AvroFilterEval.zoneMayMatch(col, lo, hi, _)) &&
@@ -4462,6 +4592,10 @@ class AvroScanBuilder(path: String, full: StructType,
                       case _ => true // undecidable: keep
                     }
                   })
+              } && cellBlooms.getOrElse((cs, ce), Nil).forall {
+                case (col, bits) =>
+                  chunkBloomProbes.getOrElse(col, Nil)
+                    .forall(AvroFileSource.probePass(bits, _))
               }
             }
             if (kept.size == chunks.size) None
@@ -4472,7 +4606,16 @@ class AvroScanBuilder(path: String, full: StructType,
                     if s == pe && e - ps <= maxSplitBytes =>
                   (ps, e) :: t
                 case (acc, r) => r :: acc
-              }.reverse)
+              }.reverse
+              // re-split any surviving range still past the split size
+              // (one 4096-row chunk of wide rows can exceed it) so
+              // partition sizing matches the unpruned path — the
+              // sync/pastSync block rule makes ANY byte boundary valid
+              .flatMap { case (s, e) =>
+                if (e - s <= maxSplitBytes) Seq((s, e))
+                else (s until e by maxSplitBytes).map(off =>
+                  (off, math.min(off + maxSplitBytes, e)))
+              })
           }
         }
       }
@@ -5007,16 +5150,24 @@ class AvroScanBuilder(path: String, full: StructType,
               }.toMap
             }
           }
+          val colZonesRaw: Option[Map[String,
+              Seq[(String, String, String, String)]]] = {
+            val zfc = AvroFileSource.colZoneFile(new File(path))
+            if (zfc.isFile) Some(AvroFileSource.readColZonesRaw(zfc))
+            else None
+          }
           val boundsByCol: Map[String, (Any, Any)] = {
             import org.apache.spark.sql.types._
-            val zfc = AvroFileSource.colZoneFile(new File(path))
-            if (!zfc.isFile) Map.empty
-            else {
-              val raw = AvroFileSource.readColZonesRaw(zfc)
+            colZonesRaw match {
+              case None => Map.empty
+              case Some(raw) =>
               full.fields.toSeq.flatMap { fld =>
                 val eligible = fld.dataType match {
                   case LongType | IntegerType | ShortType | ByteType |
                        DateType => true
+                  // strings serve too (r18) — the per-entry cap guard
+                  // below withholds maybe-truncated bounds
+                  case StringType => true
                   case _ => false
                 }
                 if (!eligible) None
@@ -5039,6 +5190,15 @@ class AvroScanBuilder(path: String, full: StructType,
                           hi <- AvroFileSource
                             .castPartitionValue(mx, fld.dataType)
                             if hi != null
+                          // a string bound AT the 64-char truncation cap
+                          // is maybe-truncated ⇒ inexact: withhold the
+                          // whole column (bounds below the cap are the
+                          // verbatim extremes — exact)
+                          if (fld.dataType != StringType || (
+                            lo.asInstanceOf[String].length <
+                              AvroFileSource.StringBoundMax &&
+                            hi.asInstanceOf[String].length <
+                              AvroFileSource.StringBoundMax))
                         } yield (lo, hi)
                       }
                     if (parsed.isEmpty || parsed.exists(_.isEmpty)) None
@@ -5055,10 +5215,12 @@ class AvroScanBuilder(path: String, full: StructType,
                           AvroFilterEval.cmp(b, hi).isDefined
                       }
                       // catalyst-internal representation for the plan
-                      // stats (dates are epoch days)
+                      // stats (dates are epoch days, strings UTF8String)
                       def internal(v: Any): Any = v match {
                         case d: java.sql.Date =>
                           d.toLocalDate.toEpochDay.toInt
+                        case s: String => org.apache.spark.unsafe.types
+                          .UTF8String.fromString(s)
                         case x => x
                       }
                       if (sound)
@@ -5070,7 +5232,31 @@ class AvroScanBuilder(path: String, full: StructType,
               }.toMap
             }
           }
-          (ndvByCol.keySet ++ boundsByCol.keySet).foreach { col =>
+          // exact per-column null counts from the `cnt:` cells (r18):
+          // any leaf type — non-null count and row total are recorded
+          // even for non-finite float files; full coverage required
+          val nullsByCol: Map[String, Long] = colZonesRaw match {
+            case None => Map.empty
+            case Some(raw) =>
+              full.fields.toSeq.flatMap { fld =>
+                val enc = java.net.URLEncoder.encode(fld.name, "UTF-8")
+                val tag = "cnt:" + fld.dataType.simpleString
+                val per = liveRels.map { rel =>
+                  raw.getOrElse(rel, Nil).collectFirst {
+                    case (`enc`, `tag`, nn, tot) =>
+                      (nn.toLongOption, tot.toLongOption) match {
+                        case (Some(a), Some(b)) if a >= 0 && b >= a =>
+                          Some(b - a)
+                        case _ => None
+                      }
+                  }.flatten
+                }
+                if (per.exists(_.isEmpty)) None
+                else Some(fld.name -> per.flatten.sum)
+              }.toMap
+          }
+          (ndvByCol.keySet ++ boundsByCol.keySet ++ nullsByCol.keySet)
+            .foreach { col =>
             out.put(
               org.apache.spark.sql.connector.expressions.Expressions
                 .column(col),
@@ -5090,6 +5276,10 @@ class AvroScanBuilder(path: String, full: StructType,
                     .map(b => java.util.Optional.of(
                       b._2.asInstanceOf[Object]))
                     .getOrElse(java.util.Optional.empty[Object]())
+                override def nullCount(): java.util.OptionalLong =
+                  nullsByCol.get(col)
+                    .map(java.util.OptionalLong.of)
+                    .getOrElse(java.util.OptionalLong.empty())
               })
           }
           out
@@ -6585,7 +6775,11 @@ class AvroWriteBuilder(path: String, schema: StructType,
     transformBy: Seq[Xform] = Nil,
     // PATH-write route to static partition overwrite (see truncate()):
     // (partition column -> external value string) equalities
-    staticOverwritePartition: Option[Seq[(String, String)]] = None)
+    staticOverwritePartition: Option[Seq[(String, String)]] = None,
+    // per-chunk bloom cells in `_graft_blockidx` (sorted writes only —
+    // chunk boundaries only exist where syncs are forced): equality and
+    // join-key membership pruning at CHUNK granularity
+    chunkBloomFor: Seq[String] = Nil)
   extends WriteBuilder with SupportsTruncate
   with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite
   with org.apache.spark.sql.connector.write.SupportsOverwriteV2 {
@@ -6664,6 +6858,19 @@ class AvroWriteBuilder(path: String, schema: StructType,
       s"trigramFor only supports string columns (column '$c' is " +
         f.dataType.simpleString + ")")
   }
+
+  chunkBloomFor.foreach { c =>
+    val f = schema.fields.find(_.name == c).getOrElse(
+      throw new IllegalArgumentException(
+        s"chunkBloomFor column '$c' not in schema"))
+    require(AvroFileSource.bloomableType(f.dataType),
+      s"chunkBloomFor does not support ${f.dataType.simpleString} " +
+        s"(column '$c')")
+  }
+  require(chunkBloomFor.isEmpty || sortedBy.isDefined,
+    "graft-avro: chunkBloomFor needs sortedBy — chunk boundaries only " +
+      "exist in sorted staged writes (the block-range index's forced " +
+      "syncs)")
 
   ndvFor.foreach { c =>
     val f = schema.fields.find(_.name == c).getOrElse(
@@ -6958,7 +7165,7 @@ class AvroWriteBuilder(path: String, schema: StructType,
           staged = true, sortedBy = sortedBy, bloomFor = bloomFor,
           ndvFor = ndvFor, trigramFor = trigramFor,
           targetFileBytes = targetFileBytes, bucketBy = bucketBy,
-          transformBy = transformBy)
+          transformBy = transformBy, chunkBloomFor = chunkBloomFor)
         if (compiledChecks.isEmpty) base
         else CheckedWriterFactory(base, compiledChecks)
       }
@@ -7808,6 +8015,54 @@ private[sources] object AvroWriters {
       }
   }
 
+  /** Per-CHUNK bloom accumulator for the opt-in `chunkBloomFor` columns
+    * (r18): one [[AvroFileSource.BloomBits]] set per (chunk, column),
+    * cut at the SAME forced-sync boundaries as the block-range zone
+    * chunks — the cells ride the `_graft_blockidx` sidecar under the
+    * `bloom:<type>` tag (type-tag invisibility: the zone consumer's
+    * `recorded type == read type` guard drops them and vice versa), so
+    * a broadcast join-key IN-set or equality literal can drop CHUNKS of
+    * a kept file, composing the 13× intra-file skipping with membership
+    * pruning. An all-zero cell means the chunk held no non-null value —
+    * pruning it under any equality probe is sound (null never
+    * equality-matches), unlike the file-level manifest where absence is
+    * the all-null signal.
+    */
+  private[sources] final class ChunkBloomBuilder(schema: StructType,
+      cols: Seq[String]) {
+    import AvroFileSource.BloomBits
+    private val idx = cols.map(schema.fieldIndex)
+    private var bits = Array.fill(cols.size)(new Array[Long](BloomBits / 64))
+
+    def update(view: org.apache.spark.sql.Row): Unit = {
+      var c = 0
+      while (c < idx.length) {
+        val v = view.get(idx(c))
+        if (v != null) AvroFileSource.bloomAdd(bits(c), v.toString)
+        c += 1
+      }
+    }
+
+    private def b64(a: Array[Long]): String =
+      java.util.Base64.getEncoder.encodeToString {
+        val bb = java.nio.ByteBuffer.allocate(a.length * 8)
+        a.foreach(bb.putLong)
+        bb.array()
+      }
+
+    /** The closed chunk's base64 cells (one per column), then reset. */
+    def cut(): Array[String] = {
+      val out = bits.map(b64)
+      bits = Array.fill(cols.size)(new Array[Long](BloomBits / 64))
+      out
+    }
+
+    val colEncs: Seq[String] =
+      cols.map(java.net.URLEncoder.encode(_, "UTF-8"))
+    val tags: Seq[String] =
+      idx.map(i => "bloom:" + schema.fields(i).dataType.simpleString)
+  }
+
   /** Per-file HLL NDV sketches for the opt-in `ndvFor` columns: one
     * 256-register array per column, merged across files by element-wise
     * max at plan time. Values hash on their canonical external toString
@@ -7874,7 +8129,8 @@ private[sources] object AvroWriters {
       trigramFor: Seq[String] = Nil,
       targetFileBytes: Option[Long] = None,
       buckets: Seq[(String, Int)] = Nil,
-      xforms: Seq[Xform] = Nil): DataWriter[InternalRow] = {
+      xforms: Seq[Xform] = Nil,
+      chunkBloomFor: Seq[String] = Nil): DataWriter[InternalRow] = {
     val idx = partCols.map(schema.fieldIndex)
     val bidx = buckets.map { case (c, _) => schema.fieldIndex(c) }
     val xidx = xforms.map(x => schema.fieldIndex(x.col))
@@ -7923,7 +8179,14 @@ private[sources] object AvroWriters {
       var bRows = 0
       var bMins: Array[Any] = _
       var bMaxs: Array[Any] = _
-      var bChunks: List[(Long, Long, Array[String], Array[String])] = Nil
+      var bChunks: List[(Long, Long, Array[String], Array[String],
+        Array[String])] = Nil
+      val cbStats: ChunkBloomBuilder =
+        if (staged && sortIdx.nonEmpty && chunkBloomFor.nonEmpty)
+          new ChunkBloomBuilder(schema, chunkBloomFor)
+        else null
+      private def cbCells(): Array[String] =
+        if (cbStats == null) Array.empty[String] else cbStats.cut()
       private def bEnc(v: Any, hi: Boolean): String =
         if (v == null) "-"
         else if (hi) AvroFileSource.zoneEncodeMax(v)
@@ -7949,16 +8212,19 @@ private[sources] object AvroWriters {
         if (bRows >= AvroFileSource.BlockIdxRows) {
           val p = writer.sync() - 16
           bChunks ::= ((bStart, p,
-            bMins.map(bEnc(_, hi = false)), bMaxs.map(bEnc(_, hi = true))))
+            bMins.map(bEnc(_, hi = false)), bMaxs.map(bEnc(_, hi = true)),
+            cbCells()))
           bStart = p; bRows = 0
           java.util.Arrays.fill(bMins.asInstanceOf[Array[AnyRef]], null)
           java.util.Arrays.fill(bMaxs.asInstanceOf[Array[AnyRef]], null)
         }
       }
-      def bFinish(): Seq[(Long, Long, Array[String], Array[String])] = {
+      def bFinish(): Seq[(Long, Long, Array[String], Array[String],
+          Array[String])] = {
         if (bRows > 0) {
           bChunks ::= ((bStart, file.length(),
-            bMins.map(bEnc(_, hi = false)), bMaxs.map(bEnc(_, hi = true))))
+            bMins.map(bEnc(_, hi = false)), bMaxs.map(bEnc(_, hi = true)),
+            cbCells()))
           bRows = 0
         }
         val out = bChunks.reverse
@@ -8016,6 +8282,9 @@ private[sources] object AvroWriters {
         seg.colStats.update(view)
         if (seg.bloomStats != null) seg.bloomStats.update(view)
         if (seg.ndvStats != null) seg.ndvStats.update(view)
+        // BEFORE bTrack: a cut flushed by this row's bTrack must
+        // include this row's membership bits
+        if (seg.cbStats != null) seg.cbStats.update(view)
         seg.nRows += 1
         seg.writer.append(toAvro(record))
         if (staged && sortVals != null) seg.bTrack(sortVals)
@@ -8067,9 +8336,11 @@ private[sources] object AvroWriters {
                 val cs = s.bFinish()
                 if (cs.isEmpty) None
                 else Some((fin(s),
-                  cs.flatMap { case (st, en, mns, mxs) =>
+                  cs.flatMap { case (st, en, mns, mxs, cbs) =>
                     sortColsList.indices.map(i =>
-                      (colEncs(i), dts(i), st, en, mns(i), mxs(i)))
+                      (colEncs(i), dts(i), st, en, mns(i), mxs(i))) ++
+                      cbs.indices.map(j => (s.cbStats.colEncs(j),
+                        s.cbStats.tags(j), st, en, cbs(j), "-"))
                   }))
               }
             })
@@ -8090,7 +8361,8 @@ private[sources] object AvroWriters {
       bloomFor: Seq[String] = Nil,
       ndvFor: Seq[String] = Nil,
       trigramFor: Seq[String] = Nil,
-      targetFileBytes: Option[Long] = None): DataWriter[InternalRow] = {
+      targetFileBytes: Option[Long] = None,
+      chunkBloomFor: Seq[String] = Nil): DataWriter[InternalRow] = {
     val avroSchema = AvroSchemaConverter.toAvro(schema, "topLevelRecord", None, None)
     val toAvro = AvroInternalCodec.encoderFor(schema, avroSchema)
     val sortColsList = sortedBy.toSeq.flatMap(AvroFileSource.sortCols)
@@ -8146,14 +8418,24 @@ private[sources] object AvroWriters {
       var bRows = 0
       var bMins: Array[Any] = _
       var bMaxs: Array[Any] = _
-      var bChunks: List[(Long, Long, Array[String], Array[String])] = Nil
+      var bChunks: List[(Long, Long, Array[String], Array[String],
+        Array[String])] = Nil
+      // per-chunk membership cells (chunkBloomFor), cut in lockstep
+      // with the zone chunks above
+      val cbStats: ChunkBloomBuilder =
+        if (staged && sortIdx.nonEmpty && chunkBloomFor.nonEmpty)
+          new ChunkBloomBuilder(schema, chunkBloomFor)
+        else null
+      private def cbCells(): Array[String] =
+        if (cbStats == null) Array.empty[String] else cbStats.cut()
       private def bEnc(v: Any, hi: Boolean): String =
         if (v == null) "-"
         else if (hi) AvroFileSource.zoneEncodeMax(v)
         else AvroFileSource.zoneEncodeMin(v)
       private def bCut(end: Long): Unit = {
         bChunks ::= ((bStart, end,
-          bMins.map(bEnc(_, hi = false)), bMaxs.map(bEnc(_, hi = true))))
+          bMins.map(bEnc(_, hi = false)), bMaxs.map(bEnc(_, hi = true)),
+          cbCells()))
         bStart = end; bRows = 0
         java.util.Arrays.fill(bMins.asInstanceOf[Array[AnyRef]], null)
         java.util.Arrays.fill(bMaxs.asInstanceOf[Array[AnyRef]], null)
@@ -8185,10 +8467,12 @@ private[sources] object AvroWriters {
         * on-disk length. Fewer than two chunks index nothing (the
         * file-level zones already cover a one-chunk file).
         */
-      def bFinish(): Seq[(Long, Long, Array[String], Array[String])] = {
+      def bFinish(): Seq[(Long, Long, Array[String], Array[String],
+          Array[String])] = {
         if (bRows > 0) {
           bChunks ::= ((bStart, file.length(),
-            bMins.map(bEnc(_, hi = false)), bMaxs.map(bEnc(_, hi = true))))
+            bMins.map(bEnc(_, hi = false)), bMaxs.map(bEnc(_, hi = true)),
+            cbCells()))
           bRows = 0
         }
         val out = bChunks.reverse
@@ -8219,6 +8503,9 @@ private[sources] object AvroWriters {
           if (seg.colStats != null) seg.colStats.update(view)
           if (seg.bloomStats != null) seg.bloomStats.update(view)
           if (seg.ndvStats != null) seg.ndvStats.update(view)
+          // BEFORE bTrack: a cut flushed by this row's bTrack must
+          // include this row's membership bits
+          if (seg.cbStats != null) seg.cbStats.update(view)
         }
         seg.nRows += 1
         seg.writer.append(toAvro(record))
@@ -8276,9 +8563,11 @@ private[sources] object AvroWriters {
                 val cs = s.bFinish()
                 if (cs.isEmpty) None
                 else Some((s.finalFile.getPath,
-                  cs.flatMap { case (st, en, mns, mxs) =>
+                  cs.flatMap { case (st, en, mns, mxs, cbs) =>
                     sortColsList.indices.map(i =>
-                      (colEncs(i), dts(i), st, en, mns(i), mxs(i)))
+                      (colEncs(i), dts(i), st, en, mns(i), mxs(i))) ++
+                      cbs.indices.map(j => (s.cbStats.colEncs(j),
+                        s.cbStats.tags(j), st, en, cbs(j), "-"))
                   }))
               }
             })
@@ -8299,7 +8588,8 @@ case class AvroWriterFactory(path: String, schema: StructType,
     trigramFor: Seq[String] = Nil,
     targetFileBytes: Option[Long] = None,
     bucketBy: Seq[(String, Int)] = Nil,
-    transformBy: Seq[Xform] = Nil)
+    transformBy: Seq[Xform] = Nil,
+    chunkBloomFor: Seq[String] = Nil)
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
@@ -8315,12 +8605,13 @@ case class AvroWriterFactory(path: String, schema: StructType,
         staged = staged, sortedBy = sortedBy, bloomFor = bloomFor,
         ndvFor = ndvFor, trigramFor = trigramFor,
         targetFileBytes = targetFileBytes, buckets = bucketBy,
-        xforms = transformBy)
+        xforms = transformBy, chunkBloomFor = chunkBloomFor)
     else
       AvroWriters.open(path, schema, name,
         lazyCreate = false, codec = codec, staged = staged,
         sortedBy = sortedBy, bloomFor = bloomFor, ndvFor = ndvFor,
-        trigramFor = trigramFor, targetFileBytes = targetFileBytes)
+        trigramFor = trigramFor, targetFileBytes = targetFileBytes,
+        chunkBloomFor = chunkBloomFor)
   }
 }
 

@@ -760,16 +760,23 @@ object AvroMaintenance {
   }
 
   /** Delete archive files no kept snapshot references, honoring the
-    * retention grace: a file younger (by archive-time mtime) than
-    * `graceMs` survives this sweep and ages out on a later call.
+    * retention grace: a file younger than `graceMs` survives this sweep
+    * and ages out on a later call. Archive time comes from the durable
+    * `_graft_archived` sidecar (written by every archive move), falling
+    * back to mtime for legacy entries archived before the sidecar
+    * existed — the sidecar exists because setLastModified is
+    * best-effort and an unstamped file would age by its ORIGINAL write
+    * time, reclaiming early under a concurrent scan's grace window.
     */
   private def sweepArchive(d: File, referenced: Set[String],
       graceMs: Long): Int = {
     val arch = AvroFileSource.archiveDir(d)
     var removed = 0
     val cutoff = System.currentTimeMillis() - graceMs
+    val stamps = AvroFileSource.readArchivedStamps(d)
     if (arch.isDirectory) {
       val base = arch.getAbsoluteFile.toPath
+      val onDisk = scala.collection.mutable.Set.empty[String]
       def sweep(f: File): Unit =
         if (f.isDirectory) {
           Option(f.listFiles()).getOrElse(Array.empty).foreach(sweep)
@@ -777,12 +784,20 @@ object AvroMaintenance {
               Option(f.listFiles()).forall(_.isEmpty)) { f.delete(); () }
         } else if (f.getName.endsWith(".avro")) {
           val rel = base.relativize(f.getAbsoluteFile.toPath).toString
-          if (!referenced.contains(rel) && f.lastModified() <= cutoff) {
-            if (f.delete()) removed += 1
-          }
+          val archivedMs = stamps.getOrElse(rel, f.lastModified())
+          if (!referenced.contains(rel) && archivedMs <= cutoff) {
+            if (f.delete()) removed += 1 else onDisk += rel
+          } else onDisk += rel
         }
       sweep(arch)
       if (Option(arch.listFiles()).forall(_.isEmpty)) arch.delete()
+      // prune stamp entries whose files are gone (deleted here, or
+      // restored to live by a rollback)
+      if (stamps.nonEmpty)
+        AvroFileSource.writeArchivedStamps(d,
+          stamps.filter { case (rel, _) => onDisk.contains(rel) })
+    } else if (stamps.nonEmpty) {
+      AvroFileSource.writeArchivedStamps(d, Map.empty)
     }
     removed
   }

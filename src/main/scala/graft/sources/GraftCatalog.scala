@@ -138,6 +138,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     val d = tableDir(ident)
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    // matview staleness budget (r18): a view that opted in via
+    // CALL system.set_matview_staleness refreshes itself lazily here
+    // when its last verification is older than the budget — under the
+    // view lock (concurrent readers serialize, losers no-op); fresh
+    // views cost one sidecar stat and zero jobs
+    GraftMatviews.maybeRefreshStale(
+      org.apache.spark.sql.SparkSession.active, d)
     val (ddlSchema: Option[StructType], parts: Seq[String]) =
       if (schemaFile(d).isFile) {
         val lines = new String(java.nio.file.Files.readAllBytes(

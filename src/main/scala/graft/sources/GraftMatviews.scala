@@ -87,8 +87,17 @@ object GraftMatviews {
     * the combine SQL (`HAVING`) when the view's contract is
     * groups-with-rows-only.
     */
+  /** `maxStalenessMs` (optional, r18) opts the view into LAZY refresh at
+    * read time: a catalog read older than the budget triggers the normal
+    * incremental refresh under the view lock before the table loads
+    * (see [[maybeRefreshStale]]); `refreshedAtMs` records when the view
+    * last verified itself against the source (stamped on no-op
+    * refreshes too, so a fresh view inside the budget costs reads
+    * nothing).
+    */
   final case class Spec(srcDir: String, aggSql: String, mergeSql: String,
-      lastVersion: Long, deltaSql: Option[String] = None)
+      lastVersion: Long, deltaSql: Option[String] = None,
+      maxStalenessMs: Option[Long] = None, refreshedAtMs: Long = 0L)
 
   private def enc(s: String): String =
     URLEncoder.encode(s, StandardCharsets.UTF_8)
@@ -108,6 +117,11 @@ object GraftMatviews {
       case Array(src, agg, merge, v, delta) =>
         Spec(dec(src), dec(agg), dec(merge), v.toLong,
           Some(dec(delta)).filter(_.nonEmpty))
+      case Array(src, agg, merge, v, delta, maxMs, at)
+          if maxMs.matches("-?[0-9]+") && at.matches("[0-9]+") =>
+        Spec(dec(src), dec(agg), dec(merge), v.toLong,
+          Some(dec(delta)).filter(_.nonEmpty),
+          Some(maxMs.toLong).filter(_ >= 0), at.toLong)
       case _ => throw new IllegalArgumentException(
         s"graft matview: corrupt sidecar $f")
     }
@@ -118,7 +132,9 @@ object GraftMatviews {
     Files.write(tmp.toPath,
       (enc(spec.srcDir) + "\t" + enc(spec.aggSql) + "\t" +
         enc(spec.mergeSql) + "\t" + spec.lastVersion +
-        spec.deltaSql.map("\t" + enc(_)).getOrElse("") + "\n")
+        "\t" + spec.deltaSql.map(enc).getOrElse("") +
+        "\t" + spec.maxStalenessMs.getOrElse(-1L) +
+        "\t" + spec.refreshedAtMs + "\n")
         .getBytes(StandardCharsets.UTF_8))
     Files.move(tmp.toPath, sidecar(viewDir).toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
@@ -184,8 +200,43 @@ object GraftMatviews {
     }
     combined.write.format("graft-avro").mode("overwrite").save(viewDir)
     writeSpec(new File(viewDir), Spec(
-      new File(srcDir).getCanonicalPath, aggSql, mergeSql, ver, deltaSql))
+      new File(srcDir).getCanonicalPath, aggSql, mergeSql, ver, deltaSql,
+      refreshedAtMs = System.currentTimeMillis()))
     ver
+  }
+
+  /** Opt a view into lazy refresh-on-read: a catalog read finding the
+    * view older than `maxMs` runs the normal incremental refresh first
+    * (see [[maybeRefreshStale]]). `maxMs < 0` turns it back off.
+    */
+  def setMaxStaleness(viewDir: String, maxMs: Long): Unit =
+    withViewLock(new File(viewDir)) {
+      val spec = readSpec(new File(viewDir))
+      writeSpec(new File(viewDir),
+        spec.copy(maxStalenessMs = Some(maxMs).filter(_ >= 0)))
+    }
+
+  /** The read-time staleness hook (GraftCatalog.loadTable): when the
+    * view opted in via [[setMaxStaleness]] and its last verification is
+    * older than the budget, run the normal incremental refresh — under
+    * the view lock, so concurrent readers serialize and the losers
+    * no-op. A fresh view costs a read ONE sidecar stat+parse and zero
+    * Spark jobs; a stale-but-unchanged source costs two sidecar reads
+    * and zero jobs (the no-op refresh re-stamps `refreshedAtMs`, so the
+    * next reads inside the budget skip even that).
+    */
+  def maybeRefreshStale(spark: SparkSession, viewDir: File): Unit = {
+    if (!sidecar(viewDir).isFile) return
+    val spec =
+      try readSpec(viewDir)
+      catch { case scala.util.control.NonFatal(_) => return }
+    spec.maxStalenessMs match {
+      case Some(maxMs)
+          if System.currentTimeMillis() - spec.refreshedAtMs > maxMs =>
+        refresh(spark, viewDir.getPath)
+        ()
+      case _ => ()
+    }
   }
 
   /** Incremental refresh: partials over the source's new versions,
@@ -200,7 +251,15 @@ object GraftMatviews {
     // instead of re-folding the same delta
     val spec = readSpec(new File(viewDir))
     val cur = currentVersion(spec.srcDir)
-    if (cur == spec.lastVersion) return (cur, cur)
+    if (cur == spec.lastVersion) {
+      // verified fresh: re-stamp so staleness-budget reads inside the
+      // window skip the lock entirely (only views that opted in — an
+      // ordinary view's sidecar stays byte-stable across no-ops)
+      if (spec.maxStalenessMs.nonEmpty)
+        writeSpec(new File(viewDir),
+          spec.copy(refreshedAtMs = System.currentTimeMillis()))
+      return (cur, cur)
+    }
     require(cur > spec.lastVersion,
       s"graft matview: source went BACKWARDS (v$cur < " +
         s"v${spec.lastVersion}) — rolled back or expired; recreate " +
@@ -236,7 +295,8 @@ object GraftMatviews {
     val merged = spark.sql(spec.mergeSql.replace("__ACC__", accView))
       .localCheckpoint(true)
     merged.write.format("graft-avro").mode("overwrite").save(viewDir)
-    writeSpec(new File(viewDir), spec.copy(lastVersion = cur))
+    writeSpec(new File(viewDir), spec.copy(lastVersion = cur,
+      refreshedAtMs = System.currentTimeMillis()))
     (spec.lastVersion, cur)
   }
 

@@ -41,6 +41,7 @@ object GraftProcedures {
     "set_row_level_mode",
     "drop_view", "create_matview", "create_delta_matview",
     "refresh_matview", "create_join_matview", "refresh_join_matview",
+    "set_matview_staleness",
     "build_ivf_index", "append_ivf_assignments", "rebalance_ivf_index")
 
   /** One result row (catalyst values, strings as UTF8String). */
@@ -471,6 +472,16 @@ object GraftProcedures {
           (out("left_from" -> LongType, "left_to" -> LongType,
             "right_from" -> LongType, "right_to" -> LongType),
             Seq(fl, tl, fr, tr))
+        })
+      case "set_matview_staleness" => new Proc(name,
+        "opt a materialized view into lazy refresh-on-read: a catalog " +
+          "read older than max_ms runs the incremental refresh first " +
+          "(under the view lock; fresh reads stay zero-job); " +
+          "max_ms < 0 turns it off",
+        Array(param("view", StringType), param("max_ms", LongType)),
+        in => {
+          GraftMatviews.setMaxStaleness(dirOf(in), in.getLong(1))
+          (out("max_staleness_ms" -> LongType), Seq(in.getLong(1)))
         })
       case "build_ivf_index" => new Proc(name,
         "train an IVF coarse quantizer over a corpus table " +

@@ -93,11 +93,79 @@ class AvroStatsSpec extends AnyFunSuite with SparkSpec with Matchers {
         got += e.getKey.fieldNames().mkString(".") ->
           ((e.getValue.min().get(), e.getValue.max().get()))
     }
-    got.keySet shouldBe Set("k", "d") // strings withheld (truncation)
+    // r18: strings below the 64-char truncation cap serve exactly too
+    got.keySet shouldBe Set("k", "d", "payload")
     got("k") shouldBe ((0L, 4999L))
     // dates serve as catalyst epoch days
     val d0 = java.time.LocalDate.of(2024, 1, 1).toEpochDay.toInt
     got("d") shouldBe ((d0, d0 + 399))
+    // strings serve as catalyst UTF8String, exact extremes
+    val Array(mnP, mxP) = spark.read.format("graft-avro").load(dir)
+      .agg(F.min("payload"), F.max("payload")).head()
+      .toSeq.map(_.toString).toArray
+    got("payload") shouldBe ((
+      org.apache.spark.unsafe.types.UTF8String.fromString(mnP),
+      org.apache.spark.unsafe.types.UTF8String.fromString(mxP)))
+  }
+
+  test("string bounds at the truncation cap withhold; null counts serve") {
+    val dir = tmp()
+    // `long_s` values are 70 chars — the manifest bounds sit at the
+    // 64-char cap (maybe-truncated ⇒ inexact ⇒ withheld); `short_s` is
+    // exact; `v` is null for every 10th row (cnt: cells make the null
+    // count exact per column, any type)
+    spark.range(0, 1000).toDF("k")
+      .withColumn("long_s", F.concat(F.lit("x" * 66),
+        F.format_string("%04d", F.col("k"))))
+      .withColumn("short_s", F.format_string("s%04d", F.col("k")))
+      .withColumn("v", F.expr("if(k % 10 = 0, null, k * 2)"))
+      .repartition(4)
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    val cs = stats(spark.read.format("graft-avro").load(dir)).columnStats()
+    var mm = Map.empty[String, (Any, Any)]
+    var nulls = Map.empty[String, Long]
+    val it = cs.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val n = e.getKey.fieldNames().mkString(".")
+      if (e.getValue.min().isPresent)
+        mm += n -> ((e.getValue.min().get(), e.getValue.max().get()))
+      if (e.getValue.nullCount().isPresent)
+        nulls += n -> e.getValue.nullCount().getAsLong
+    }
+    mm.contains("long_s") shouldBe false // at-cap bounds are inexact
+    mm("short_s") shouldBe ((
+      org.apache.spark.unsafe.types.UTF8String.fromString("s0000"),
+      org.apache.spark.unsafe.types.UTF8String.fromString("s0999")))
+    nulls("v") shouldBe 100L
+    nulls("k") shouldBe 0L
+    nulls("long_s") shouldBe 0L
+  }
+
+  test("column stats flow into catalyst estimation (join-order inputs)") {
+    val dir = tmp()
+    spark.range(0, 2000).toDF("k")
+      .withColumn("name",
+        F.concat(F.lit("n"), (F.col("k") % 50).cast("string")))
+      .withColumn("v", F.expr("if(k % 4 = 0, null, k)"))
+      .write.format("graft-avro").option("ndvFor", "name")
+      .mode("overwrite").save(dir)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val df = spark.read.format("graft-avro").load(dir)
+        .filter(F.col("name").isNotNull)
+      val st = df.queryExecution.optimizedPlan.stats
+      // the string join key carries NDV + exact min/max + null count —
+      // exactly the inputs join reordering weighs
+      val byName = st.attributeStats.map { case (a, s) => a.name -> s }
+      val nameStat = byName("name")
+      nameStat.distinctCount.get.toLong should be(50L +- 8L)
+      nameStat.nullCount.map(_.toLong) shouldBe Some(0L)
+      nameStat.min.map(_.toString) shouldBe Some("n0")
+      nameStat.max.map(_.toString) shouldBe Some("n9")
+      byName("v").nullCount.map(_.toLong) shouldBe Some(500L)
+      st.rowCount.map(_.toLong) shouldBe Some(2000L)
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
   }
 
   test("positional deletes withhold column stats (dead extremes)") {

@@ -69,4 +69,62 @@ class BlockIdxLaws extends AnyFunSuite with SparkSpec with Matchers {
         .headOption.map(_._2.size / 2).getOrElse(0) should be >= 2
     }
   }
+
+  // == r18: per-chunk bloom cells (`chunkBloomFor`) — membership
+  // pruning at chunk granularity. Same model-based law: the answer
+  // under chunk-bloom pruning must equal the in-memory model for
+  // point/IN predicates on a NON-sort column (whose zone bounds are
+  // wide — only the bloom can prune), plus a partition-count assertion
+  // that the pruning actually bites. ==
+
+  test("chunk-bloom-pruned answers equal the model; scattered keys prune chunks") {
+    val shapes = Seq((11L, 30000), (12L, 24000))
+    shapes.foreach { case (seed, n) =>
+      val dir = tmp()
+      val rng = new scala.util.Random(seed)
+      // sorted by g; id is a scattered ~unique key (zone bounds per
+      // chunk are uselessly wide — ONLY the bloom can prune), so a
+      // point key lives in exactly one chunk
+      val data = Array.fill(n)(
+        (rng.nextInt(1000).toLong, rng.nextLong(1L << 60)))
+        .sortBy(_._1)
+      import spark.implicits._
+      data.toSeq.toDF("g", "id")
+        .coalesce(1).sortWithinPartitions("g")
+        .write.format("graft-avro").option("sortedBy", "g")
+        .option("chunkBloomFor", "id")
+        .mode("overwrite").save(dir)
+      val t = spark.read.format("graft-avro").load(dir)
+      // cells landed in the sidecar under the bloom tag
+      val raw = AvroFileSource.readBlockIdxRaw(
+        AvroFileSource.blockIdxFile(new java.io.File(dir)))
+      val bloomLines = raw.headOption.map(_._2.count(
+        _._2.startsWith("bloom:"))).getOrElse(0)
+      val zoneLines = raw.headOption.map(_._2.count(
+        _._2 == "bigint")).getOrElse(0)
+      bloomLines shouldBe zoneLines // one cell per chunk
+      bloomLines should be >= 4
+      // point/IN predicate sweep on the bloomed column: exact answers
+      val probes = Seq(data(n / 4)._2, data(n / 2)._2, data(3 * n / 4)._2,
+        -1L /* absent value: zero rows, maximal pruning */)
+      probes.foreach { id =>
+        val want = data.count(_._2 == id).toLong
+        withClue(s"seed=$seed id=$id: ") {
+          t.filter(F.col("id") === id).count() shouldBe want
+        }
+      }
+      val in3 = probes.take(3)
+      t.filter(F.col("id").isin(in3: _*)).count() shouldBe
+        data.count(d => in3.contains(d._2)).toLong
+      // the pruning BITES: a present point key scans fewer partitions
+      // than the file's chunk count (its single home chunk plus rare
+      // false-positive keeps), an absent key scans zero (seeded, so a
+      // false positive would be deterministic and visible here)
+      def parts(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.toRdd.getNumPartitions
+      parts(t.filter(F.col("id") === data(n / 2)._2)) should
+        be < bloomLines
+      parts(t.filter(F.col("id") === -1L)) shouldBe 0
+    }
+  }
 }

@@ -44,13 +44,19 @@ class ExpireGraceSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
     // …but the pinned scan drains its full snapshot
     rdd.count() shouldBe 1000L
-    // grace elapsed (backdate the archived files): a later expire that
-    // drops NO versions still reclaims the aged survivors
+    // grace elapsed (backdate the archive stamps — the durable
+    // `_graft_archived` sidecar is authoritative since r18, with mtime
+    // only a legacy fallback): a later expire that drops NO versions
+    // still reclaims the aged survivors
+    val aged = System.currentTimeMillis() - 7200L * 1000
+    AvroFileSource.writeArchivedStamps(new File(dir),
+      AvroFileSource.readArchivedStamps(new File(dir))
+        .map { case (rel, _) => rel -> aged })
     def backdate(f: File): Unit =
       if (f.isDirectory)
         Option(f.listFiles()).getOrElse(Array.empty).foreach(backdate)
       else {
-        f.setLastModified(System.currentTimeMillis() - 7200L * 1000)
+        f.setLastModified(aged)
         ()
       }
     backdate(new File(dir, "_graft_archive"))
@@ -58,8 +64,29 @@ class ExpireGraceSpec extends AnyFunSuite with SparkSpec with Matchers {
       graceMs = 3600L * 1000)
     removed2 should be > 0
     new File(dir, "_graft_archive").isDirectory shouldBe false
+    // the stamp sidecar pruned with its files
+    AvroFileSource.readArchivedStamps(new File(dir)) shouldBe empty
     // the live table is untouched throughout
     spark.read.format("graft-avro").load(dir).count() shouldBe 1000L
+  }
+
+  test("a legacy archive (no stamp sidecar) still ages by mtime") {
+    val dir = tmp()
+    spark.range(0, 100).toDF("k")
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    spark.range(100, 300).toDF("k")
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    // simulate a pre-r18 archive: stamps never written
+    AvroFileSource.archivedStampFile(new File(dir)).delete()
+    AvroMaintenance.expireSnapshots(dir, keepLast = 1,
+      graceMs = 3600L * 1000) shouldBe 0 // young by mtime: survives
+    def backdate(f: File): Unit =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(backdate)
+      else { f.setLastModified(System.currentTimeMillis() - 7200000L); () }
+    backdate(new File(dir, "_graft_archive"))
+    AvroMaintenance.expireSnapshots(dir, keepLast = 1,
+      graceMs = 3600L * 1000) should be > 0
   }
 
   test("zero grace (the default) reclaims immediately — prior behavior") {
