@@ -87,5 +87,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "over a persisted graft ANN index"),
       (exprs: Seq[Expression]) =>
         graft.sources.GraftIvfSearch.plan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("pq_search"),
+      info("pq_search",
+        "pq_search(idx, qMaxId[, k]) - top-k ADC search over a " +
+          "persisted graft PQ index"),
+      (exprs: Seq[Expression]) =>
+        graft.sources.GraftPqSearch.plan(exprs)))
   }
 }

@@ -625,6 +625,11 @@ object LlmDedup extends Catalog {
         .filter(F.col("i") <= F.col("n") - 3)
         .select(F.col("doc_id"), F.expr("mv div 2097152").as("h"))
         .distinct()
+        // pin the selected fingerprints: sel feeds the df count AND
+        // both sides of the pair join — without the checkpoint the
+        // 5M-gram codegen-md5 + window pipeline re-runs per consumer
+        // (the fleet's most expensive gate; this is its hot path)
+        .localCheckpoint()
       val keep = sel.groupBy("h").agg(F.count(F.lit(1)).as("df"))
         .filter(F.col("df").between(2, 20)).select("h")
       val mk = sel.join(keep, "h")

@@ -171,9 +171,15 @@ object LlmSimilarity extends Catalog {
     * per (vector, subspace); nothing is ever pairwise.
     */
   private[operators] def pqTrain(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    pqTrainFrom(s, table(s, dir, "embeddings"))
+
+  /** [[pqTrain]] over an arbitrary (vec_id, embedding) corpus frame —
+    * the `CALL system.build_pq_index` path. */
+  private[graft] def pqTrainFrom(s: SparkSession, raw: DataFrame)
       : (DataFrame, DataFrame, DataFrame) = {
     VectorFunctions.register(s)
-    val corpus = table(s, dir, "embeddings")
+    val corpus = raw
       .select(F.col("vec_id"), F.expr(
         "transform(embedding, x -> " +
           "cast(floor(cast(x as double) * 10000.0) as bigint))").as("qx"))
@@ -446,7 +452,7 @@ object LlmSimilarity extends Catalog {
     * per query, top-3 by (adc_d, vec_id).
     */
   private def pqAdcSearch(qsubs: DataFrame, codes: DataFrame,
-      cb: DataFrame): DataFrame = {
+      cb: DataFrame, k: Int = 3): DataFrame = {
     val qdt = qsubs
       .join(F.broadcast(cb), "sub")
       .withColumn("dq",
@@ -460,7 +466,7 @@ object LlmSimilarity extends Catalog {
     val w = Window.partitionBy("qid")
       .orderBy(F.col("adc_d"), F.col("vec_id"))
     adc.withColumn("rn", F.row_number().over(w))
-      .filter(F.col("rn") <= 3)
+      .filter(F.col("rn") <= k)
       .select(F.col("qid"), F.col("rn"), F.col("vec_id"), F.col("adc_d"))
       .orderBy("qid", "rn")
   }
@@ -472,10 +478,16 @@ object LlmSimilarity extends Catalog {
     * both artifacts are written from the same run.
     */
   private[operators] def buildPqIndex(s: SparkSession, dir: String,
+      into: Option[(String, String)] = None): (String, String) =
+    buildPqIndexFrom(s, table(s, dir, "embeddings"), into)
+
+  /** [[buildPqIndex]] over an arbitrary (vec_id, embedding) corpus
+    * frame — the `CALL system.build_pq_index` path. */
+  private[graft] def buildPqIndexFrom(s: SparkSession, raw: DataFrame,
       into: Option[(String, String)] = None): (String, String) = {
     val (cbDir, codesDir) = into.getOrElse(
       (tempDir("graft_pq_codebook"), tempDir("graft_pq_codes")))
-    val (_, codes, cb) = pqTrain(s, dir)
+    val (_, codes, cb) = pqTrainFrom(s, raw)
     cb.select("sub", "cid", "mvec")
       .write.format("graft-avro").mode("overwrite").save(cbDir)
     codes.select("vec_id", "sub", "cid")
@@ -489,10 +501,18 @@ object LlmSimilarity extends Catalog {
     * corpus (PqPersistSpec plan-guards this).
     */
   private[operators] def searchPersistedPq(s: SparkSession, dir: String,
-      cbDir: String, codesDir: String): DataFrame = {
+      cbDir: String, codesDir: String): DataFrame =
+    searchPersistedPqFrom(s, table(s, dir, "embeddings"), cbDir, codesDir)
+
+  /** [[searchPersistedPq]] over an arbitrary (vec_id, embedding) corpus
+    * frame with parametric probe shape — the `pq_search(...)` TVF path
+    * (queries = vec_id < qBelow, ADC top-k). */
+  private[graft] def searchPersistedPqFrom(s: SparkSession, raw: DataFrame,
+      cbDir: String, codesDir: String, qBelow: Long = 20,
+      k: Int = 3): DataFrame = {
     VectorFunctions.register(s)
-    val qsubs = table(s, dir, "embeddings")
-      .filter(F.col("vec_id") < 20)
+    val qsubs = raw
+      .filter(F.col("vec_id") < qBelow)
       .select(F.col("vec_id"), F.expr(
         "transform(embedding, x -> " +
           "cast(floor(cast(x as double) * 10000.0) as bigint))").as("qx"))
@@ -503,7 +523,7 @@ object LlmSimilarity extends Catalog {
         F.expr("transform(sq1, v -> v * 16)").as("sq16"))
     val cb = s.read.format("graft-avro").load(cbDir)
     val codes = s.read.format("graft-avro").load(codesDir)
-    pqAdcSearch(qsubs, codes, cb)
+    pqAdcSearch(qsubs, codes, cb, k)
   }
 
   val queries: Map[String, Q] = Map(
@@ -939,6 +959,34 @@ object LlmSimilarity extends Catalog {
     "llm_similar_pq_persist" -> ((s, dir) => {
       val (cbDir, codesDir) = buildPqIndex(s, dir)
       searchPersistedPq(s, dir, cbDir, codesDir)
+    }),
+
+    // SQL-SURFACE PQ LIFECYCLE (r18): CREATE the corpus table, CALL
+    // system.build_pq_index, SELECT FROM the pq_search(...) TVF —
+    // the llm_similar_ivf_sql pattern for the compressed-codes index,
+    // so a SQL-only user reaches ADC search too. Shares the PQ oracle
+    // with the in-job and persisted gates (the graft-avro roundtrip is
+    // value-identical for the float embeddings); AnnSqlSpec plan-guards
+    // zero training jobs in the TVF expansion.
+    "llm_similar_pq_sql" -> ((s, dir) => {
+      if (s.conf.getOption("spark.sql.catalog.graft_gate").isEmpty) {
+        s.conf.set("spark.sql.catalog.graft_gate",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_gate.root",
+          tempDir("graft_gate_cat"))
+      }
+      table(s, dir, "embeddings").select("vec_id", "embedding")
+        .createOrReplaceTempView("emb_src_pqsql")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.ann")
+      s.sql("DROP TABLE IF EXISTS graft_gate.ann.pqidx_codebook")
+      s.sql("DROP TABLE IF EXISTS graft_gate.ann.pqidx_codes")
+      s.sql("DROP TABLE IF EXISTS graft_gate.ann.pqemb")
+      s.sql("CREATE TABLE graft_gate.ann.pqemb AS " +
+        "SELECT * FROM emb_src_pqsql")
+      s.sql("CALL graft_gate.system.build_pq_index('ann.pqemb', " +
+        "'vec_id', 'embedding', 'ann.pqidx')")
+      s.sql("SELECT qid, rn, vec_id, adc_d FROM " +
+        "pq_search('graft_gate.ann.pqidx', 20, 3) ORDER BY qid, rn")
     }),
 
     // PQ SHORTLIST + EXACT RE-RANK — the deployed two-stage composition
@@ -1565,6 +1613,9 @@ object LlmSimilarity extends Catalog {
     // persisted-index search replays the identical ADC plan from the
     // published artifacts — same oracle by construction
     "llm_similar_pq_persist" -> pqSearchOracle,
+    // the SQL lifecycle reproduces the persisted-PQ flow through
+    // CALL + TVF — same oracle, any drift breaks the hash
+    "llm_similar_pq_sql" -> pqSearchOracle,
     "llm_similar_pq_rerank" -> pqRerankOracle,
     "llm_embed_kmeans" -> kmeansOracle,
     // SemDeDup: pairwise exact-integer cosine threshold inside the

@@ -1634,8 +1634,12 @@ object AvroMaintenance {
   def analyze(spark: SparkSession, dir: String,
       bloomFor: Seq[String] = Nil, ndvFor: Seq[String] = Nil,
       trigramFor: Seq[String] = Nil,
-      blockIdxFor: Option[String] = None): Int = {
+      blockIdxFor: Option[String] = None,
+      chunkBloomFor: Seq[String] = Nil): Int = {
     import spark.implicits._
+    require(chunkBloomFor.isEmpty || blockIdxFor.exists(_.trim.nonEmpty),
+      "graft-avro analyze: chunk_bloom_for rides the block index's " +
+        "chunk frame — pass block_index_for too")
     val d = new File(dir)
     val base = d.getAbsoluteFile.toPath
     val rels = AvroFileSource.listLive(d).map { case (f, _) =>
@@ -1644,6 +1648,7 @@ object AvroMaintenance {
     if (rels.isEmpty) return 0
     val root = base.toString
     val (bf, nf, tf) = (bloomFor, ndvFor, trigramFor)
+    val cbf = chunkBloomFor
     val bix = blockIdxFor.map(_.trim).filter(_.nonEmpty)
     val slices = math.max(1, math.min(rels.size, 32))
     val perFile = spark.createDataset(rels).repartition(slices)
@@ -1686,11 +1691,24 @@ object AvroMaintenance {
                 }
               }
             val bixDt = bixIdx.map(i => st.fields(i).dataType.simpleString)
+            // per-chunk bloom cells (chunk_bloom_for), cut in lockstep
+            // with the zone chunks — membership skipping for clustered/
+            // Z-ordered files without a rewrite
+            val cbCols = cbf.filter(top).filter(c =>
+              AvroFileSource.bloomableType(
+                st.fields(st.fieldIndex(c)).dataType))
+            val cbb =
+              if (cbCols.nonEmpty && bixIdx.isDefined)
+                new AvroWriters.ChunkBloomBuilder(st, cbCols)
+              else null
+            def cbCells(): Seq[String] =
+              if (cbb == null) Nil else cbb.cut().toSeq
             var chunkStart = 0L
             var chunkRows = 0L
             var cMin: Any = null
             var cMax: Any = null
-            val chunks = Seq.newBuilder[(Long, Long, String, String)]
+            val chunks =
+              Seq.newBuilder[(Long, Long, String, String, Seq[String])]
             var nChunks = 0
             def bEnc(v: Any, hi: Boolean): String =
               if (v == null) "-"
@@ -1702,7 +1720,7 @@ object AvroMaintenance {
                 val bs = r.previousSync() - 16
                 if (bs > chunkStart) {
                   chunks += ((chunkStart, bs, bEnc(cMin, hi = false),
-                    bEnc(cMax, hi = true)))
+                    bEnc(cMax, hi = true), cbCells()))
                   nChunks += 1
                   chunkStart = bs; chunkRows = 0; cMin = null; cMax = null
                 }
@@ -1711,6 +1729,7 @@ object AvroMaintenance {
               cs.update(view)
               if (bb != null) bb.update(view)
               if (nb != null) nb.update(view)
+              if (cbb != null) cbb.update(view)
               bixIdx.foreach { i =>
                 chunkRows += 1
                 val v = view.get(i)
@@ -1726,7 +1745,7 @@ object AvroMaintenance {
             }
             if (bixIdx.isDefined && chunkRows > 0) {
               chunks += ((chunkStart, f.length(), bEnc(cMin, hi = false),
-                bEnc(cMax, hi = true)))
+                bEnc(cMax, hi = true), cbCells()))
               nChunks += 1
             }
             (rel, cs.stats,
@@ -1739,7 +1758,9 @@ object AvroMaintenance {
               // already cover it)
               if (nChunks >= 2)
                 bixIdx.map(i => (java.net.URLEncoder.encode(
-                  st.fields(i).name, "UTF-8"), bixDt.get, chunks.result()))
+                  st.fields(i).name, "UTF-8"), bixDt.get, chunks.result(),
+                  if (cbb == null) Seq.empty[String] else cbb.colEncs,
+                  if (cbb == null) Seq.empty[String] else cbb.tags))
               else None)
           } finally r.close()
         }
@@ -1752,10 +1773,13 @@ object AvroMaintenance {
           blooms = if (blooms.nonEmpty) Seq(fin -> blooms) else Nil,
           rows = Seq(fin -> n),
           ndvs = if (ndvs.nonEmpty) Seq(fin -> ndvs) else Nil,
-          blockIdx = bchunks.toSeq.map { case (colEnc, dt, cs) =>
-            (fin, cs.map { case (s, e, mn, mx) =>
-              (colEnc, dt, s, e, mn, mx)
-            })
+          blockIdx = bchunks.toSeq.map {
+            case (colEnc, dt, cs, cbEncs, cbTags) =>
+              (fin, cs.flatMap { case (s, e, mn, mx, cells) =>
+                (colEnc, dt, s, e, mn, mx) +:
+                  cells.indices.map(j =>
+                    (cbEncs(j), cbTags(j), s, e, cells(j), "-"))
+              })
           })
     }
     AvroFileSource.withCommitLock(d) {

@@ -138,4 +138,41 @@ object GraftAnnIndex {
     graft.operators.LlmSimilarity.searchPersistedIvfFrom(s,
       corpus(s, cat, m), cenDir.getPath, asgDir.getPath, qBelow, nprobe, k)
   }
+
+  // ---------------------------------------------------------------- PQ
+
+  /** Resolve an existing PQ index ref to (codebook dir, codes dir). */
+  def pqDirs(cat: GraftCatalog, indexRef: String): (File, File) = {
+    val cb = cat.resolveTableDir(indexRef + "_codebook")
+    val codes = cat.resolveTableDir(indexRef + "_codes")
+    (cb, codes)
+  }
+
+  /** Train the m=8 per-subspace codebooks over the corpus table and
+    * publish the PQ index as `<indexRef>_codebook` / `<indexRef>_codes`
+    * catalog tables (85× compression: 24 bits per vector + the shared
+    * 64-row codebook). Returns the codebook row count. */
+  def buildPq(s: SparkSession, cat: GraftCatalog, sourceRef: String,
+      idCol: String, vecCol: String, indexRef: String): Long = {
+    val m = Meta(sourceRef, idCol, vecCol)
+    val raw = corpus(s, cat, m)
+    val cbDir = cat.resolveNewTableDir(indexRef + "_codebook")
+    val codesDir = cat.resolveNewTableDir(indexRef + "_codes")
+    graft.operators.LlmSimilarity.buildPqIndexFrom(s, raw,
+      Some((cbDir.getPath, codesDir.getPath)))
+    writeMeta(cbDir, m)
+    s.read.format("graft-avro").load(cbDir.getPath).count()
+  }
+
+  /** The day-2 ADC search plan: queries = corpus rows with
+    * vec_id < qBelow, approximate distance = 8 codebook-table lookups
+    * per corpus code, top-k by (adc_d, vec_id). Full vectors are never
+    * touched at query time; zero training jobs in the plan. */
+  def searchPq(s: SparkSession, cat: GraftCatalog, indexRef: String,
+      qBelow: Long, k: Int): DataFrame = {
+    val (cbDir, codesDir) = pqDirs(cat, indexRef)
+    val m = readMeta(cbDir)
+    graft.operators.LlmSimilarity.searchPersistedPqFrom(s,
+      corpus(s, cat, m), cbDir.getPath, codesDir.getPath, qBelow, k)
+  }
 }

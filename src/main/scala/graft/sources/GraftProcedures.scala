@@ -42,7 +42,8 @@ object GraftProcedures {
     "drop_view", "create_matview", "create_delta_matview",
     "refresh_matview", "create_join_matview", "refresh_join_matview",
     "set_matview_staleness",
-    "build_ivf_index", "append_ivf_assignments", "rebalance_ivf_index")
+    "build_ivf_index", "append_ivf_assignments", "rebalance_ivf_index",
+    "build_pq_index")
 
   /** One result row (catalyst values, strings as UTF8String). */
   private case class ResultScan(schema: StructType, row: Seq[Any])
@@ -184,10 +185,13 @@ object GraftProcedures {
         "backfill pruning/statistics manifests (zones, sums, row " +
           "counts; opt-in blooms/NDV/trigrams as comma lists, '' = " +
           "none; block_index_for = one column to chunk-index for " +
-          "intra-file skipping) for existing data without rewriting it",
+          "intra-file skipping; chunk_bloom_for = columns getting " +
+          "per-chunk membership cells on that frame) for existing " +
+          "data without rewriting it",
         Array(param("table", StringType), param("bloom_for", StringType),
           param("ndv_for", StringType), param("trigram_for", StringType),
-          paramDefault("block_index_for", StringType, "''")),
+          paramDefault("block_index_for", StringType, "''"),
+          paramDefault("chunk_bloom_for", StringType, "''")),
         in => {
           def cols(i: Int): Seq[String] =
             Option(in.getUTF8String(i)).map(_.toString).toSeq
@@ -196,7 +200,8 @@ object GraftProcedures {
             org.apache.spark.sql.SparkSession.active, dirOf(in),
             cols(1), cols(2), cols(3),
             blockIdxFor = Option(in.getUTF8String(4)).map(_.toString)
-              .map(_.trim).filter(_.nonEmpty))
+              .map(_.trim).filter(_.nonEmpty),
+            chunkBloomFor = cols(5))
           (out("files_analyzed" -> LongType), Seq(n.toLong))
         })
       case "set_row_level_mode" => new Proc(name,
@@ -521,6 +526,28 @@ object GraftProcedures {
             org.apache.spark.sql.SparkSession.active, cat,
             idxRef.toString, in.getLong(1), until)
           (out("assign_version" -> LongType), Seq(v))
+        })
+      case "build_pq_index" => new Proc(name,
+        "train the per-subspace product-quantization codebooks over a " +
+          "corpus table and publish <index>_codebook / <index>_codes " +
+          "catalog tables (85x compression); search via the " +
+          "pq_search(...) TVF",
+        Array(param("table", StringType), param("id_col", StringType),
+          param("vec_col", StringType), param("index", StringType)),
+        in => {
+          val srcRef = in.getUTF8String(0)
+          val idCol = in.getUTF8String(1)
+          val vecCol = in.getUTF8String(2)
+          val idxRef = in.getUTF8String(3)
+          require(srcRef != null && idCol != null && vecCol != null &&
+            idxRef != null,
+            "graft procedure: build_pq_index arguments must be non-null")
+          val nRows = GraftAnnIndex.buildPq(
+            org.apache.spark.sql.SparkSession.active, cat,
+            srcRef.toString, idCol.toString, vecCol.toString,
+            idxRef.toString)
+          (out("index" -> StringType, "codebook_rows" -> LongType),
+            Seq(idxRef.copy(), nRows))
         })
       case "rebalance_ivf_index" => new Proc(name,
         "split every IVF list past the 1x mean 2-way (skew repair " +

@@ -157,3 +157,66 @@ object GraftIvfSearch {
     }
   }
 }
+
+/** Pure-SQL PQ/ADC search over an index built by
+  * `CALL system.build_pq_index`:
+  *
+  * {{{
+  *   SELECT * FROM pq_search('cat.ns.idx', <qMaxId> [, <k>])
+  * }}}
+  *
+  * expands to [[GraftAnnIndex.searchPq]]'s plan — each query (corpus id
+  * < qMaxId) builds its 8×8 integer distance table against the
+  * broadcast codebook, every stored code contributes 8 table lookups,
+  * top-`k` (default 3) by (adc_d, vec_id) — returning
+  * (qid, rn, vec_id, adc_d). Full vectors are never touched at query
+  * time; the corpus/column resolution and zero-training guarantee
+  * mirror [[GraftIvfSearch]].
+  */
+object GraftPqSearch {
+
+  private def str(e: Expression): Option[String] = e match {
+    case Literal(v: UTF8String, StringType) => Some(v.toString)
+    case _ => None
+  }
+  private def lng(e: Expression): Option[Long] = e match {
+    case Literal(v: Int, IntegerType) => Some(v.toLong)
+    case Literal(v: Long, LongType) => Some(v)
+    case _ => None
+  }
+
+  private val usage =
+    "pq_search expects ('cat.ns.index', qMaxId [, k]) with literal " +
+      "arguments"
+
+  def plan(args: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
+    def bad() = throw new IllegalArgumentException(usage)
+    val (idxRef, qMax, k) = args match {
+      case Seq(t, q) =>
+        (str(t).getOrElse(bad()), lng(q).getOrElse(bad()), 3L)
+      case Seq(t, q, kk) =>
+        (str(t).getOrElse(bad()), lng(q).getOrElse(bad()),
+          lng(kk).getOrElse(bad()))
+      case _ => bad()
+    }
+    require(k > 0, s"pq_search: k must be positive (got $k)")
+    val parts =
+      spark.sessionState.sqlParser.parseMultipartIdentifier(idxRef)
+    require(parts.length >= 3,
+      s"pq_search: fully qualify the index as 'cat.ns.index' " +
+        s"(got '$idxRef')")
+    val mgr = spark.sessionState.catalogManager
+    require(mgr.isCatalogRegistered(parts.head),
+      s"pq_search: no catalog named '${parts.head}' is registered")
+    mgr.catalog(parts.head) match {
+      case g: GraftCatalog =>
+        SubqueryAlias("pq_search",
+          GraftAnnIndex.searchPq(spark, g, parts.tail.mkString("."),
+            qMax, k.toInt).queryExecution.analyzed)
+      case other => throw new IllegalArgumentException(
+        s"pq_search: catalog '${parts.head}' is not a graft catalog " +
+          s"(${other.getClass.getName})")
+    }
+  }
+}

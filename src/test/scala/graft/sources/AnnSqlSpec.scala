@@ -103,6 +103,35 @@ class AnnSqlSpec extends AnyFunSuite with SparkSpec with Matchers {
     rows.map(_.getAs[Long]("qid")).distinct.length shouldBe 20
   }
 
+  test("PQ: build via CALL, ADC search via TVF, zero training trace") {
+    ensureCat()
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+      .createOrReplaceTempView("ann_spec_pq_src")
+    spark.sql("DROP TABLE IF EXISTS ann_spec.ns.p_codebook")
+    spark.sql("DROP TABLE IF EXISTS ann_spec.ns.p_codes")
+    spark.sql("DROP TABLE IF EXISTS ann_spec.ns.pqemb")
+    spark.sql(
+      "CREATE TABLE ann_spec.ns.pqemb AS SELECT * FROM ann_spec_pq_src")
+    val built = spark.sql("CALL ann_spec.system.build_pq_index(" +
+      "'ns.pqemb', 'vec_id', 'embedding', 'ns.p')").head()
+    built.getString(0) shouldBe "ns.p"
+    built.getLong(1) shouldBe 64L // m=8 subspaces x k=8 centroids
+
+    val search = spark.sql(
+      "SELECT qid, rn, vec_id, adc_d FROM pq_search('ann_spec.ns.p', 20) " +
+        "ORDER BY qid, rn")
+    val optimized = search.queryExecution.optimizedPlan.toString
+    optimized should include("graft-avro")
+    optimized should not include "LogicalRDD"
+    optimized should not include "ExistingRDD"
+
+    // equality with the Scala persisted-PQ path over the same corpus
+    val scala = graft.operators.LlmSimilarity.queries(
+      "llm_similar_pq_persist")(spark, dir)
+    search.collect() shouldBe scala.collect()
+  }
+
   test("argument errors are loud") {
     ensureCat()
     // unbuilt index: the sidecar is required

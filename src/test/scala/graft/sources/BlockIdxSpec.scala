@@ -244,6 +244,34 @@ class BlockIdxSpec extends AnyFunSuite with SparkSpec with Matchers {
     t.count() shouldBe 40000L
   }
 
+  test("analyze backfills per-chunk bloom cells alongside the zone " +
+      "frame (r18): membership skipping for a clustered file") {
+    val dir = tmp()
+    // ordered by k WITHOUT a sort claim (the Z-order shape); id is a
+    // scattered bijection only a bloom can prune on
+    spark.range(0, 40000).toDF("k")
+      .withColumn("id", F.expr("pmod(k * 48271, 1000003)").cast("long"))
+      .withColumn("payload", F.md5(F.col("k").cast("string")))
+      .coalesce(1).sortWithinPartitions("k")
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    AvroMaintenance.analyze(spark, dir, blockIdxFor = Some("k"),
+      chunkBloomFor = Seq("id"))
+    val idx = AvroFileSource.readBlockIdxRaw(
+      AvroFileSource.blockIdxFile(new File(dir))).head._2
+    val nChunks = idx.count(_._2 == "bigint")
+    idx.count(_._2.startsWith("bloom:")) shouldBe nChunks
+    nChunks should be >= 5
+    val t = spark.read.format("graft-avro").load(dir)
+    def idOf(k: Long): Long = Math.floorMod(k * 48271L, 1000003L)
+    val point = t.filter(F.col("id") === idOf(31007L))
+    scanPartitions(point) should be < nChunks
+    point.select("k").collect().map(_.getLong(0)) shouldBe Array(31007L)
+    // chunk blooms without a frame refuse loudly
+    intercept[IllegalArgumentException] {
+      AvroMaintenance.analyze(spark, dir, chunkBloomFor = Seq("id"))
+    }
+  }
+
   test("backfill of a SCRAMBLED file stays exact: true per-chunk bounds " +
       "are wide, nothing is wrongly pruned") {
     val dir = tmp()
