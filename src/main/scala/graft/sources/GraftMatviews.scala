@@ -205,15 +205,19 @@ object GraftMatviews {
     ver
   }
 
-  /** Opt a view into lazy refresh-on-read: a catalog read finding the
-    * view older than `maxMs` runs the normal incremental refresh first
-    * (see [[maybeRefreshStale]]). `maxMs < 0` turns it back off.
+  /** Opt a view (aggregate OR join matview) into lazy refresh-on-read:
+    * a catalog read finding the view older than `maxMs` runs the normal
+    * incremental refresh first (see [[maybeRefreshStale]]). `maxMs < 0`
+    * turns it back off.
     */
   def setMaxStaleness(viewDir: String, maxMs: Long): Unit =
     withViewLock(new File(viewDir)) {
-      val spec = readSpec(new File(viewDir))
-      writeSpec(new File(viewDir),
-        spec.copy(maxStalenessMs = Some(maxMs).filter(_ >= 0)))
+      val vd = new File(viewDir)
+      val budget = Some(maxMs).filter(_ >= 0)
+      if (joinSidecar(vd).isFile)
+        writeJoinSpec(vd, readJoinSpec(vd).copy(maxStalenessMs = budget))
+      else
+        writeSpec(vd, readSpec(vd).copy(maxStalenessMs = budget))
     }
 
   /** The read-time staleness hook (GraftCatalog.loadTable): when the
@@ -223,19 +227,34 @@ object GraftMatviews {
     * no-op. A fresh view costs a read ONE sidecar stat+parse and zero
     * Spark jobs; a stale-but-unchanged source costs two sidecar reads
     * and zero jobs (the no-op refresh re-stamps `refreshedAtMs`, so the
-    * next reads inside the budget skip even that).
+    * next reads inside the budget skip even that). Join views refresh
+    * with `allowRebuild = false`: a non-additive source window fails
+    * the READ loudly — the view needs a recreate or an explicit
+    * rebuild, and serving silently-stale data would be worse.
     */
   def maybeRefreshStale(spark: SparkSession, viewDir: File): Unit = {
-    if (!sidecar(viewDir).isFile) return
-    val spec =
-      try readSpec(viewDir)
-      catch { case scala.util.control.NonFatal(_) => return }
-    spec.maxStalenessMs match {
-      case Some(maxMs)
-          if System.currentTimeMillis() - spec.refreshedAtMs > maxMs =>
-        refresh(spark, viewDir.getPath)
-        ()
-      case _ => ()
+    if (sidecar(viewDir).isFile) {
+      val spec =
+        try readSpec(viewDir)
+        catch { case scala.util.control.NonFatal(_) => return }
+      spec.maxStalenessMs match {
+        case Some(maxMs)
+            if System.currentTimeMillis() - spec.refreshedAtMs > maxMs =>
+          refresh(spark, viewDir.getPath)
+          ()
+        case _ => ()
+      }
+    } else if (joinSidecar(viewDir).isFile) {
+      val spec =
+        try readJoinSpec(viewDir)
+        catch { case scala.util.control.NonFatal(_) => return }
+      spec.maxStalenessMs match {
+        case Some(maxMs)
+            if System.currentTimeMillis() - spec.refreshedAtMs > maxMs =>
+          refreshJoin(spark, viewDir.getPath)
+          ()
+        case _ => ()
+      }
     }
   }
 
@@ -323,7 +342,8 @@ object GraftMatviews {
   def joinSidecar(dir: File): File = new File(dir, "_graft_mvjoin")
 
   final case class JoinSpec(leftDir: String, rightDir: String,
-      joinSql: String, lastLeft: Long, lastRight: Long)
+      joinSql: String, lastLeft: Long, lastRight: Long,
+      maxStalenessMs: Option[Long] = None, refreshedAtMs: Long = 0L)
 
   def readJoinSpec(viewDir: File): JoinSpec = {
     val f = joinSidecar(viewDir)
@@ -334,6 +354,10 @@ object GraftMatviews {
     line.split("\t", -1) match {
       case Array(l, r, sql, lv, rv) =>
         JoinSpec(dec(l), dec(r), dec(sql), lv.toLong, rv.toLong)
+      case Array(l, r, sql, lv, rv, maxMs, at)
+          if maxMs.matches("-?[0-9]+") && at.matches("[0-9]+") =>
+        JoinSpec(dec(l), dec(r), dec(sql), lv.toLong, rv.toLong,
+          Some(maxMs.toLong).filter(_ >= 0), at.toLong)
       case _ => throw new IllegalArgumentException(
         s"graft matview: corrupt join sidecar $f")
     }
@@ -344,7 +368,10 @@ object GraftMatviews {
     Files.write(tmp.toPath,
       (enc(spec.leftDir) + "\t" + enc(spec.rightDir) + "\t" +
         enc(spec.joinSql) + "\t" + spec.lastLeft + "\t" +
-        spec.lastRight + "\n").getBytes(StandardCharsets.UTF_8))
+        spec.lastRight +
+        "\t" + spec.maxStalenessMs.getOrElse(-1L) +
+        "\t" + spec.refreshedAtMs + "\n")
+        .getBytes(StandardCharsets.UTF_8))
     Files.move(tmp.toPath, joinSidecar(viewDir).toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -389,7 +416,8 @@ object GraftMatviews {
     spark.sql(joinSql.replace("__L__", lView).replace("__R__", rView))
       .write.format("graft-avro").mode("overwrite").save(viewDir)
     writeJoinSpec(vd, JoinSpec(new File(leftDir).getCanonicalPath,
-      new File(rightDir).getCanonicalPath, joinSql, lv, rv))
+      new File(rightDir).getCanonicalPath, joinSql, lv, rv,
+      refreshedAtMs = System.currentTimeMillis()))
     (lv, rv)
   }
 
@@ -414,8 +442,14 @@ object GraftMatviews {
       s"graft matview: a source went BACKWARDS (left v$curL/" +
         s"v${spec.lastLeft}, right v$curR/v${spec.lastRight}) — rolled " +
         "back or expired; recreate the view")
-    if (curL == spec.lastLeft && curR == spec.lastRight)
+    if (curL == spec.lastLeft && curR == spec.lastRight) {
+      // verified fresh: re-stamp for staleness-budget reads (opted-in
+      // views only — ordinary sidecars stay byte-stable across no-ops)
+      if (spec.maxStalenessMs.nonEmpty)
+        writeJoinSpec(new File(viewDir),
+          spec.copy(refreshedAtMs = System.currentTimeMillis()))
       return ((curL, curL), (curR, curR))
+    }
     if (allowRebuild && !additiveWindow(spec, curL, curR)) {
       val id = viewSeq.incrementAndGet()
       val (lView, rView) = (s"graft_mvj_rbl_$id", s"graft_mvj_rbr_$id")
@@ -430,7 +464,8 @@ object GraftMatviews {
         .localCheckpoint(true)
       rebuilt.write.format("graft-avro").mode("overwrite").save(viewDir)
       writeJoinSpec(new File(viewDir),
-        spec.copy(lastLeft = curL, lastRight = curR))
+        spec.copy(lastLeft = curL, lastRight = curR,
+          refreshedAtMs = System.currentTimeMillis()))
       return ((spec.lastLeft, curL), (spec.lastRight, curR))
     }
     val id = viewSeq.incrementAndGet()
@@ -470,7 +505,8 @@ object GraftMatviews {
     // checkpoint needed — the delta reads source dirs, not the view
     delta.write.format("graft-avro").mode("append").save(viewDir)
     writeJoinSpec(new File(viewDir),
-      spec.copy(lastLeft = curL, lastRight = curR))
+      spec.copy(lastLeft = curL, lastRight = curR,
+        refreshedAtMs = System.currentTimeMillis()))
     ((spec.lastLeft, curL), (spec.lastRight, curR))
   }
 }

@@ -78,6 +78,31 @@ class MatviewStaleSpec extends AnyFunSuite with SparkSpec with Matchers {
     version(mv) shouldBe vAfter
   }
 
+  test("join matviews honor the staleness budget too") {
+    val l = s"$root/ns/jl"
+    val r = s"$root/ns/jr"
+    val mv = s"$root/ns/jv"
+    val s2 = spark
+    import s2.implicits._
+    (0 until 50).map(i => (i.toLong % 5, i.toLong)).toDF("k", "lv")
+      .write.format("graft-avro").mode("overwrite").save(l)
+    (0L until 5L).map(k => (k, k * 10)).toDF("k", "rv")
+      .write.format("graft-avro").mode("overwrite").save(r)
+    GraftMatviews.createJoin(spark, mv, l, r,
+      "SELECT a.k, a.lv, b.rv FROM __L__ a JOIN __R__ b ON a.k = b.k")
+    spark.sql("CALL mvstale.system.set_matview_staleness('ns.jv', 0)")
+    (50 until 80).map(i => (i.toLong % 5, i.toLong)).toDF("k", "lv")
+      .write.format("graft-avro").mode("append").save(l)
+    Thread.sleep(5)
+    // the catalog read folds the left delta without a refresh CALL
+    spark.table("mvstale.ns.jv").count() shouldBe 80L
+    // fresh read: journal untouched
+    Thread.sleep(5)
+    val v = version(mv)
+    spark.table("mvstale.ns.jv").count() shouldBe 80L
+    version(mv) shouldBe v
+  }
+
   test("inside the budget nothing refreshes; turning it off restores manual-only") {
     val src = s"$root/ns/src2"
     val mv = s"$root/ns/v2"
