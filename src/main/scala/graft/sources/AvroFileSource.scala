@@ -1354,10 +1354,13 @@ object AvroFileSource {
     val f = archivedStampFile(d)
     if (stamps.isEmpty) { f.delete(); return }
     val tmp = new File(f.getPath + ".staging")
+    // trailing newline is LOAD-BEARING: stampArchived APPENDS raw
+    // lines — without it the next append would concatenate onto the
+    // last entry and silently corrupt both stamps
     java.nio.file.Files.write(tmp.toPath,
       stamps.toSeq.sortBy(_._1).map { case (rel, ms) =>
-        java.net.URLEncoder.encode(rel, "UTF-8") + "\t" + ms
-      }.mkString("\n").getBytes("UTF-8"))
+        java.net.URLEncoder.encode(rel, "UTF-8") + "\t" + ms + "\n"
+      }.mkString.getBytes("UTF-8"))
     if (!tmp.renameTo(f)) throw new java.io.IOException(
       s"graft-avro: rename failed $tmp -> $f")
   }
@@ -4443,8 +4446,10 @@ class AvroScanBuilder(path: String, full: StructType,
         * drop out (absence ⇒ normal split). Live reads only — the
         * entries describe current files.
         */
-      // one sidecar parse per scan, shared by the zone-chunk and the
-      // chunk-bloom structures below
+      // one sidecar parse per scan — ZONE lines only (bloom-tagged
+      // cells are ~5.5 KB base64 each and must not sit on the driver
+      // for the scan's lifetime; the chunk-bloom verdicts below stream
+      // the file separately, the r16 bloom-verdict memory posture)
       private lazy val blockIdxRaw
           : Map[String, Seq[(String, String, Long, Long, String, String)]] =
         if (travelVersion.nonEmpty || incRange.nonEmpty ||
@@ -4453,6 +4458,9 @@ class AvroScanBuilder(path: String, full: StructType,
           val bf = AvroFileSource.blockIdxFile(new File(path))
           if (!bf.isFile) Map.empty
           else AvroFileSource.readBlockIdxRaw(bf)
+            .map { case (rel, es) =>
+              rel -> es.filterNot(_._2.startsWith("bloom:"))
+            }.filter(_._2.nonEmpty)
         }
 
       private lazy val blockIdxChunks
@@ -4502,55 +4510,71 @@ class AvroScanBuilder(path: String, full: StructType,
           }
         }
 
-      /** Per-chunk membership cells (`chunkBloomFor` writes): per file,
-        * per chunk byte range, the decoded bloom bits per column —
-        * `bloom:<type>`-tagged sidecar lines whose recorded type equals
-        * the read leaf type (the type-tag invisibility rule). Entries
-        * for unprobed columns decode lazily but harmlessly (a file has
-        * at most a handful of chunk-bloomed columns); absence ⇒ keep.
+      /** Per-chunk membership VERDICTS from the `chunkBloomFor` cells
+        * (`bloom:<type>`-tagged sidecar lines whose recorded type equals
+        * the read leaf type — the type-tag invisibility rule): per file,
+        * the chunk ranges some equality/join-key probe definitively
+        * rules out. The sidecar STREAMS — each 4 KB cell decodes into
+        * one transient array, only for PROBED columns, and the retained
+        * state is O(dropped chunks) — so chunk-level membership pruning
+        * survives any table size (the r16 file-bloom verdict posture;
+        * cached per runtime-filter state, so at most two passes per
+        * scan). Absence ⇒ keep; parse failure keeps everything.
         */
-      private lazy val blockIdxChunkBlooms
-          : Map[String, Map[(Long, Long), Seq[(String, Array[Long])]]] = {
-        val dir = new File(path)
-        blockIdxRaw.flatMap { case (rel, es) =>
-          val cells = es.flatMap { case (colEnc, dtStr, s, e, b64, _) =>
-            if (!dtStr.startsWith("bloom:")) None
-            else {
-              val col = java.net.URLDecoder.decode(colEnc, "UTF-8")
-              full.fields.find(_.name == col)
-                .filter(f => "bloom:" + f.dataType.simpleString == dtStr &&
-                  AvroFileSource.bloomableType(f.dataType))
-                .flatMap { _ =>
-                  scala.util.Try(
-                    java.util.Base64.getDecoder.decode(b64)).toOption
-                    .filter(_.length == AvroFileSource.BloomBits / 8)
-                    .map { bytes =>
-                      val bb = java.nio.ByteBuffer.wrap(bytes)
-                      ((s, e), col ->
-                        Array.fill(AvroFileSource.BloomBits / 64)(
-                          bb.getLong))
-                    }
-                }
-            }
-          }
-          if (cells.isEmpty) None
-          else Some(new File(dir, rel).getAbsolutePath ->
-            cells.groupMap(_._1)(_._2))
-        }
-      }
-
-      // membership probes for chunk pruning, cached per runtime-filter
-      // state (md5 per value once, not per chunk)
-      @volatile private var chunkProbeCache: Option[(Map[String, Set[Any]],
-        Map[String, Seq[AvroFileSource.BloomProbe]])] = None
-      private def chunkBloomProbes
-          : Map[String, Seq[AvroFileSource.BloomProbe]] =
-        chunkProbeCache match {
-          case Some((k, p)) if k == runtimeZoneVals => p
+      @volatile private var chunkBloomDropCache
+          : Option[(Map[String, Set[Any]],
+            Map[String, Set[(Long, Long)]])] = None
+      private def chunkBloomDropped: Map[String, Set[(Long, Long)]] =
+        chunkBloomDropCache match {
+          case Some((k, m)) if k == runtimeZoneVals => m
           case _ =>
-            val p = bloomProbeMap()
-            chunkProbeCache = Some((runtimeZoneVals, p))
-            p
+            val probes = bloomProbeMap()
+            val dir = new File(path)
+            val bf = AvroFileSource.blockIdxFile(dir)
+            val m: Map[String, Set[(Long, Long)]] =
+              if (probes.isEmpty || !bf.isFile ||
+                  travelVersion.nonEmpty || incRange.nonEmpty ||
+                  branch.nonEmpty || cdcFeed) Map.empty
+              else try {
+                val dropped = scala.collection.mutable
+                  .HashMap.empty[String, Set[(Long, Long)]]
+                val src = scala.io.Source.fromFile(bf, "UTF-8")
+                try src.getLines().foreach { line =>
+                  line.split('\t') match {
+                    case Array(rel, colEnc, dtStr, s, e, b64, _)
+                        if dtStr.startsWith("bloom:") &&
+                          s.forall(_.isDigit) && e.forall(_.isDigit) =>
+                      val col =
+                        java.net.URLDecoder.decode(colEnc, "UTF-8")
+                      val ps = probes.getOrElse(col, Nil)
+                      val typeOk = ps.nonEmpty &&
+                        full.fields.find(_.name == col).exists(f =>
+                          "bloom:" + f.dataType.simpleString == dtStr &&
+                            AvroFileSource.bloomableType(f.dataType))
+                      if (typeOk)
+                        scala.util.Try(
+                          java.util.Base64.getDecoder.decode(b64))
+                          .toOption
+                          .filter(_.length == AvroFileSource.BloomBits / 8)
+                          .foreach { bytes =>
+                            val bb = java.nio.ByteBuffer.wrap(bytes)
+                            val bits = Array.fill(
+                              AvroFileSource.BloomBits / 64)(bb.getLong)
+                            if (!ps.forall(
+                                AvroFileSource.probePass(bits, _))) {
+                              val abs =
+                                new File(dir, rel).getAbsolutePath
+                              dropped(abs) = dropped.getOrElse(abs,
+                                Set.empty) + ((s.toLong, e.toLong))
+                            }
+                          }
+                    case _ => ()
+                  }
+                } finally src.close()
+                dropped.toMap
+              } catch { case _: Exception => Map.empty }
+            chunkBloomDropCache = Some((runtimeZoneVals, m))
+            m
         }
 
       /** The file's surviving chunk ranges under the pushed conjunction
@@ -4576,11 +4600,11 @@ class AvroScanBuilder(path: String, full: StructType,
             // IN-set on that column (same rule as runtimeZoneKeep) —
             // for a compound sort spec the secondary column's bounds
             // are tight within primary-equal runs, exactly what buys
-            // pruning on the second key — AND every chunk-bloom cell
-            // passes every membership probe on its column (r18: a
-            // broadcast join-key set drops CHUNKS, not just files)
-            val cellBlooms = blockIdxChunkBlooms
-              .getOrElse(f.getAbsolutePath, Map.empty)
+            // pruning on the second key — AND no chunk-bloom verdict
+            // ruled it out (r18: a broadcast join-key set drops
+            // CHUNKS, not just files)
+            val bloomDroppedChunks = chunkBloomDropped
+              .getOrElse(f.getAbsolutePath, Set.empty)
             val kept = chunks.filter { case (cs, ce, cols) =>
               cols.forall { case (col, (lo, hi)) =>
                 filters.forall(
@@ -4592,11 +4616,7 @@ class AvroScanBuilder(path: String, full: StructType,
                       case _ => true // undecidable: keep
                     }
                   })
-              } && cellBlooms.getOrElse((cs, ce), Nil).forall {
-                case (col, bits) =>
-                  chunkBloomProbes.getOrElse(col, Nil)
-                    .forall(AvroFileSource.probePass(bits, _))
-              }
+              } && !bloomDroppedChunks((cs, ce))
             }
             if (kept.size == chunks.size) None
             else Some(kept.map { case (s, e, _) => (s, e) }

@@ -233,27 +233,37 @@ object GraftMatviews {
     * rebuild, and serving silently-stale data would be worse.
     */
   def maybeRefreshStale(spark: SparkSession, viewDir: File): Unit = {
+    // a sidecar that EXISTS but cannot be parsed fails the read loudly
+    // (the equality-delete/journal convention): the view may carry a
+    // staleness contract we can no longer see — serving possibly-stale
+    // data silently is exactly what the budget rules out. Only a
+    // vanished sidecar (concurrent DROP between stat and read) demotes
+    // to "not a matview".
+    def specOf[A](f: => A): Option[A] =
+      try Some(f)
+      catch {
+        case _: java.io.FileNotFoundException => None
+        case _: java.nio.file.NoSuchFileException => None
+      }
     if (sidecar(viewDir).isFile) {
-      val spec =
-        try readSpec(viewDir)
-        catch { case scala.util.control.NonFatal(_) => return }
-      spec.maxStalenessMs match {
-        case Some(maxMs)
-            if System.currentTimeMillis() - spec.refreshedAtMs > maxMs =>
-          refresh(spark, viewDir.getPath)
-          ()
-        case _ => ()
+      specOf(readSpec(viewDir)).foreach { spec =>
+        spec.maxStalenessMs match {
+          case Some(maxMs)
+              if System.currentTimeMillis() - spec.refreshedAtMs > maxMs =>
+            refresh(spark, viewDir.getPath)
+            ()
+          case _ => ()
+        }
       }
     } else if (joinSidecar(viewDir).isFile) {
-      val spec =
-        try readJoinSpec(viewDir)
-        catch { case scala.util.control.NonFatal(_) => return }
-      spec.maxStalenessMs match {
-        case Some(maxMs)
-            if System.currentTimeMillis() - spec.refreshedAtMs > maxMs =>
-          refreshJoin(spark, viewDir.getPath)
-          ()
-        case _ => ()
+      specOf(readJoinSpec(viewDir)).foreach { spec =>
+        spec.maxStalenessMs match {
+          case Some(maxMs)
+              if System.currentTimeMillis() - spec.refreshedAtMs > maxMs =>
+            refreshJoin(spark, viewDir.getPath)
+            ()
+          case _ => ()
+        }
       }
     }
   }

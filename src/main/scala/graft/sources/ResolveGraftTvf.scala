@@ -7,6 +7,45 @@ import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
+/** Shared TVF argument plumbing: literal extraction and the
+  * fully-qualified-ref → GraftCatalog resolution every graft TVF needs
+  * (one place to grow literal handling — three copies would silently
+  * diverge).
+  */
+private[sources] object GraftTvfArgs {
+
+  def str(e: Expression): Option[String] = e match {
+    case Literal(v: UTF8String, StringType) => Some(v.toString)
+    case _ => None
+  }
+
+  def lng(e: Expression): Option[Long] = e match {
+    case Literal(v: Int, IntegerType) => Some(v.toLong)
+    case Literal(v: Long, LongType) => Some(v)
+    case _ => None
+  }
+
+  /** Resolve `'cat.ns....name'` to its graft catalog + the
+    * catalog-relative remainder; every failure is loud under the TVF's
+    * name (a claimed TVF name must never silently resolve elsewhere).
+    */
+  def graftCatalog(spark: SparkSession, ref: String, fn: String,
+      what: String): (GraftCatalog, Seq[String]) = {
+    val parts = spark.sessionState.sqlParser.parseMultipartIdentifier(ref)
+    require(parts.length >= 3,
+      s"$fn: fully qualify the $what as 'cat.ns.$what' (got '$ref')")
+    val mgr = spark.sessionState.catalogManager
+    require(mgr.isCatalogRegistered(parts.head),
+      s"$fn: no catalog named '${parts.head}' is registered")
+    mgr.catalog(parts.head) match {
+      case g: GraftCatalog => (g, parts.tail)
+      case other => throw new IllegalArgumentException(
+        s"$fn: catalog '${parts.head}' is not a graft catalog " +
+          s"(${other.getClass.getName})")
+    }
+  }
+}
+
 /** Pure-SQL batch CDC: the `table_changes` TABLE-VALUED function,
   * registered through `SparkSessionExtensions.injectTableFunction`
   * (GraftExtensions) so Spark's own `ResolveFunctions` finds it like a
@@ -29,16 +68,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * resolve to something else).
   */
 object GraftTableChanges {
-
-  private def str(e: Expression): Option[String] = e match {
-    case Literal(v: UTF8String, StringType) => Some(v.toString)
-    case _ => None
-  }
-  private def lng(e: Expression): Option[Long] = e match {
-    case Literal(v: Int, IntegerType) => Some(v.toLong)
-    case Literal(v: Long, LongType) => Some(v)
-    case _ => None
-  }
+  import GraftTvfArgs.{lng, str}
 
   private val usage =
     "table_changes expects ('cat.ns.tbl', fromVersion [, toVersion]) " +
@@ -58,36 +88,23 @@ object GraftTableChanges {
           None)
       case _ => throw new IllegalArgumentException(usage)
     }
-    val parts =
-      spark.sessionState.sqlParser.parseMultipartIdentifier(tableRef)
-    require(parts.length >= 3,
-      s"table_changes: fully qualify the table as 'cat.ns.tbl' " +
-        s"(got '$tableRef')")
-    val mgr = spark.sessionState.catalogManager
-    require(mgr.isCatalogRegistered(parts.head),
-      s"table_changes: no catalog named '${parts.head}' is registered")
-    mgr.catalog(parts.head) match {
-      case g: GraftCatalog =>
-        val ident =
-          Identifier.of(parts.tail.dropRight(1).toArray, parts.last)
-        val dir = g.tableDirIdent(ident)
-        require(dir.isDirectory,
-          s"table_changes: no graft table at '$tableRef'")
-        val toV = to.getOrElse(
-          AvroFileSource.readSnapshots(dir).lastOption.map(_.version)
-            .getOrElse(throw new IllegalArgumentException(
-              s"table_changes: '$tableRef' has no snapshot journal — " +
-                "write through the source at least once")))
-        // re-entrant analysis, the stored-view pattern: the changes
-        // frame is already analyzed; alias it so column references
-        // resolve under the TVF's name
-        SubqueryAlias("table_changes",
-          AvroMaintenance.changes(spark, dir.getPath, from, toV)
-            .queryExecution.analyzed)
-      case other => throw new IllegalArgumentException(
-        s"table_changes: catalog '${parts.head}' is not a graft " +
-          s"catalog (${other.getClass.getName})")
-    }
+    val (g, rel) = GraftTvfArgs.graftCatalog(spark, tableRef,
+      "table_changes", "tbl")
+    val ident = Identifier.of(rel.dropRight(1).toArray, rel.last)
+    val dir = g.tableDirIdent(ident)
+    require(dir.isDirectory,
+      s"table_changes: no graft table at '$tableRef'")
+    val toV = to.getOrElse(
+      AvroFileSource.readSnapshots(dir).lastOption.map(_.version)
+        .getOrElse(throw new IllegalArgumentException(
+          s"table_changes: '$tableRef' has no snapshot journal — " +
+            "write through the source at least once")))
+    // re-entrant analysis, the stored-view pattern: the changes
+    // frame is already analyzed; alias it so column references
+    // resolve under the TVF's name
+    SubqueryAlias("table_changes",
+      AvroMaintenance.changes(spark, dir.getPath, from, toV)
+        .queryExecution.analyzed)
   }
 }
 
@@ -109,16 +126,7 @@ object GraftTableChanges {
   * the result is a fully distributed plan, not a driver-side row.
   */
 object GraftIvfSearch {
-
-  private def str(e: Expression): Option[String] = e match {
-    case Literal(v: UTF8String, StringType) => Some(v.toString)
-    case _ => None
-  }
-  private def lng(e: Expression): Option[Long] = e match {
-    case Literal(v: Int, IntegerType) => Some(v.toLong)
-    case Literal(v: Long, LongType) => Some(v)
-    case _ => None
-  }
+  import GraftTvfArgs.{lng, str}
 
   private val usage =
     "ivf_search expects ('cat.ns.index', qMaxId [, nprobe, k]) with " +
@@ -137,24 +145,11 @@ object GraftIvfSearch {
     }
     require(nprobe > 0 && k > 0,
       s"ivf_search: nprobe and k must be positive (got $nprobe, $k)")
-    val parts =
-      spark.sessionState.sqlParser.parseMultipartIdentifier(idxRef)
-    require(parts.length >= 3,
-      s"ivf_search: fully qualify the index as 'cat.ns.index' " +
-        s"(got '$idxRef')")
-    val mgr = spark.sessionState.catalogManager
-    require(mgr.isCatalogRegistered(parts.head),
-      s"ivf_search: no catalog named '${parts.head}' is registered")
-    mgr.catalog(parts.head) match {
-      case g: GraftCatalog =>
-        val rel = parts.tail.mkString(".")
-        SubqueryAlias("ivf_search",
-          GraftAnnIndex.search(spark, g, rel, qMax, nprobe.toInt, k.toInt)
-            .queryExecution.analyzed)
-      case other => throw new IllegalArgumentException(
-        s"ivf_search: catalog '${parts.head}' is not a graft catalog " +
-          s"(${other.getClass.getName})")
-    }
+    val (g, rel) = GraftTvfArgs.graftCatalog(spark, idxRef,
+      "ivf_search", "index")
+    SubqueryAlias("ivf_search",
+      GraftAnnIndex.search(spark, g, rel.mkString("."), qMax,
+        nprobe.toInt, k.toInt).queryExecution.analyzed)
   }
 }
 
@@ -174,16 +169,7 @@ object GraftIvfSearch {
   * mirror [[GraftIvfSearch]].
   */
 object GraftPqSearch {
-
-  private def str(e: Expression): Option[String] = e match {
-    case Literal(v: UTF8String, StringType) => Some(v.toString)
-    case _ => None
-  }
-  private def lng(e: Expression): Option[Long] = e match {
-    case Literal(v: Int, IntegerType) => Some(v.toLong)
-    case Literal(v: Long, LongType) => Some(v)
-    case _ => None
-  }
+  import GraftTvfArgs.{lng, str}
 
   private val usage =
     "pq_search expects ('cat.ns.index', qMaxId [, k]) with literal " +
@@ -201,22 +187,10 @@ object GraftPqSearch {
       case _ => bad()
     }
     require(k > 0, s"pq_search: k must be positive (got $k)")
-    val parts =
-      spark.sessionState.sqlParser.parseMultipartIdentifier(idxRef)
-    require(parts.length >= 3,
-      s"pq_search: fully qualify the index as 'cat.ns.index' " +
-        s"(got '$idxRef')")
-    val mgr = spark.sessionState.catalogManager
-    require(mgr.isCatalogRegistered(parts.head),
-      s"pq_search: no catalog named '${parts.head}' is registered")
-    mgr.catalog(parts.head) match {
-      case g: GraftCatalog =>
-        SubqueryAlias("pq_search",
-          GraftAnnIndex.searchPq(spark, g, parts.tail.mkString("."),
-            qMax, k.toInt).queryExecution.analyzed)
-      case other => throw new IllegalArgumentException(
-        s"pq_search: catalog '${parts.head}' is not a graft catalog " +
-          s"(${other.getClass.getName})")
-    }
+    val (g, rel) = GraftTvfArgs.graftCatalog(spark, idxRef,
+      "pq_search", "index")
+    SubqueryAlias("pq_search",
+      GraftAnnIndex.searchPq(spark, g, rel.mkString("."), qMax, k.toInt)
+        .queryExecution.analyzed)
   }
 }

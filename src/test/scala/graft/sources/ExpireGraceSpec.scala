@@ -70,6 +70,23 @@ class ExpireGraceSpec extends AnyFunSuite with SparkSpec with Matchers {
     spark.read.format("graft-avro").load(dir).count() shouldBe 1000L
   }
 
+  test("a stamp append AFTER a sweep rewrite keeps both entries " +
+      "(trailing-newline regression)") {
+    val dir = new File(tmp())
+    // sweep-shaped rewrite...
+    AvroFileSource.writeArchivedStamps(dir, Map("a.avro" -> 100L))
+    // ...then an archive move appends: the rewrite must have left a
+    // trailing newline or the two lines concatenate and BOTH drop
+    val arch = new File(dir, "_graft_archive")
+    arch.mkdirs()
+    val f = new File(arch, "b.avro")
+    java.nio.file.Files.write(f.toPath, Array[Byte](1))
+    AvroFileSource.stampArchived(f)
+    val stamps = AvroFileSource.readArchivedStamps(dir)
+    stamps.get("a.avro") shouldBe Some(100L)
+    stamps.contains("b.avro") shouldBe true
+  }
+
   test("a legacy archive (no stamp sidecar) still ages by mtime") {
     val dir = tmp()
     spark.range(0, 100).toDF("k")
