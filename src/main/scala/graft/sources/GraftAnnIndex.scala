@@ -42,7 +42,7 @@ object GraftAnnIndex {
   private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
   private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
 
-  private def writeMeta(cenDir: File, m: Meta): Unit = {
+  private[sources] def writeMeta(cenDir: File, m: Meta): Unit = {
     val txt = Seq(
       s"source\t${enc(m.source)}",
       s"idCol\t${enc(m.idCol)}",

@@ -132,6 +132,18 @@ class AnnSqlSpec extends AnyFunSuite with SparkSpec with Matchers {
     search.collect() shouldBe scala.collect()
   }
 
+  test("index meta sidecar round-trips hostile names; absence is loud") {
+    val d = new java.io.File(graft.operators.Catalog.tempDir("ann_meta"))
+    val m = GraftAnnIndex.Meta("ns.emb table", "vec id\t#1", "embä dding")
+    GraftAnnIndex.writeMeta(d, m)
+    GraftAnnIndex.readMeta(d) shouldBe m
+    val e = intercept[IllegalArgumentException] {
+      GraftAnnIndex.readMeta(
+        new java.io.File(graft.operators.Catalog.tempDir("ann_meta2")))
+    }
+    e.getMessage should include("build_ivf_index")
+  }
+
   test("argument errors are loud") {
     ensureCat()
     // unbuilt index: the sidecar is required
