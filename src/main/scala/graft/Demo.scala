@@ -110,6 +110,23 @@ object Demo {
     spark.read.parquet(s"$sf/documents.parquet")
       .limit(1).selectExpr("doc_id", "shingles(text, 3)").show(3, truncate = false)
 
+    println("== SQL-only ANN: CALL build_ivf_index + ivf_search() TVF ==")
+    spark.conf.set("spark.sql.catalog.demo",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.demo.root",
+      graft.operators.Catalog.tempDir("demo_cat"))
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").createOrReplaceTempView("demo_emb")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS demo.ann")
+    spark.sql("DROP TABLE IF EXISTS demo.ann.idx_centroids")
+    spark.sql("DROP TABLE IF EXISTS demo.ann.idx_assign")
+    spark.sql("DROP TABLE IF EXISTS demo.ann.emb")
+    spark.sql("CREATE TABLE demo.ann.emb AS SELECT * FROM demo_emb")
+    spark.sql("CALL demo.system.build_ivf_index(" +
+      "'ann.emb', 'vec_id', 'embedding', 'ann.idx')").show()
+    spark.sql("SELECT * FROM ivf_search('demo.ann.idx', 3, 6, 2) " +
+      "ORDER BY qid, rn").show(6)
+
     spark.stop()
   }
 }
