@@ -118,9 +118,42 @@ object Bench {
     * was byte-identical — only a judge git-diff could tell).
     */
   def fingerprint(df: org.apache.spark.sql.DataFrame, sfDir: String): String = {
-    val txt = df.queryExecution.explainString(
-      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    val canon = txt
+    val canon = canonicalPlan(df, sfDir)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(canon.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString.take(16)
+  }
+
+  /** The normalized plan text [[fingerprint]] hashes — exposed so
+    * `PlanAudit --fingerprint` can print it and two same-code runs can be
+    * diffed directly when a fingerprint is unstable.
+    *
+    * == The r18 q_profile lesson ==
+    * Spark's RewriteDistinctAggregates groups the distinct aggregates
+    * with a hash Map whose iteration order depends on expression ids —
+    * which depend on how many expressions the JVM allocated BEFORE the
+    * gate planned. Two same-code runs therefore permute (a) the gid
+    * literal each distinct group gets, (b) the Expand projection rows,
+    * and (c) every downstream attribute list (Keys/Results/
+    * hashpartitioning/FILTER gid). The canonicalization neutralizes
+    * exactly that: gid literals normalize to N, and the contents of
+    * every `[...]` list sort (recursively, innermost first) so
+    * order-permuted-but-equal lists hash identically. The cost is that
+    * a code change REORDERING a list without changing its elements
+    * (e.g. swapped sort keys) fingerprints equal — mislabeling such a
+    * slowdown "env-drift" — accepted: element-preserving reorders are
+    * rare, while the gid permutation fired a FALSE regression flag
+    * every round (BenchFingerprintSpec pins both directions).
+    */
+  def canonicalPlan(df: org.apache.spark.sql.DataFrame, sfDir: String): String =
+    canonText(df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted")),
+      sfDir)
+
+  /** Text half of [[canonicalPlan]], separated so the spec can feed
+    * forged permuted plan text without a SparkSession. */
+  private[graft] def canonText(txt: String, sfDir: String): String = {
+    val flat = txt
       .replaceAll("(file:)?" + java.util.regex.Pattern.quote(sfDir), "SF")
       .replaceAll("(file:)?/tmp/\\S*", "TMP")
       .replaceAll("Location: \\S+", "Location: X")
@@ -134,9 +167,98 @@ object Bench {
       .replaceAll("@[0-9a-f]+", "@")
       .replaceAll("\\[\\d+\\]", "[]")
       .replaceAll("\\(\\d+\\)", "()")
-    val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(canon.getBytes("UTF-8"))
-      .map(b => f"${b & 0xff}%02x").mkString.take(16)
+      // the distinct-rewrite group id: its VALUE is the unstable group
+      // ordinal, both as a compare (`gid# = 3`) and as a bare Expand
+      // projection slot (normalized inside Expand rows below)
+      .replaceAll("gid# = \\d+", "gid# = N")
+    flat.linesIterator.map { line =>
+      // Expand argument rows carry the gid ordinal as a bare literal
+      // list element — normalize only inside the nested-list shape
+      val l =
+        if (line.contains("Arguments: [["))
+          line.replaceAll("(?<=[\\[, ])\\d+(?=[,\\]])", "N")
+        else line
+      sortBrackets(sortHashPartitioning(l))
+    }.mkString("\n")
+  }
+
+  /** Sort the argument list of every `hashpartitioning(…)` occurrence —
+    * the one PAREN list the distinct-rewrite permutation reaches (the
+    * shuffle clusters on the Expand output attributes, whose order
+    * follows the unstable group order; clustering is order-insensitive
+    * for plan-identity purposes). Other function arg lists stay
+    * untouched: their order is semantic. */
+  private[graft] def sortHashPartitioning(line: String): String = {
+    val marker = "hashpartitioning("
+    val sb = new StringBuilder
+    var i = 0
+    while (i < line.length) {
+      val at = line.indexOf(marker, i)
+      if (at < 0) { sb.append(line.substring(i)); i = line.length }
+      else {
+        sb.append(line.substring(i, at)).append(marker)
+        var j = at + marker.length
+        var depth = 1
+        val items = scala.collection.mutable.ArrayBuffer.empty[String]
+        val cur = new StringBuilder
+        while (j < line.length && depth > 0) {
+          line.charAt(j) match {
+            case '(' => depth += 1; cur.append('('); j += 1
+            case ')' =>
+              depth -= 1
+              if (depth > 0) cur.append(')')
+              j += 1
+            case ',' if depth == 1 =>
+              items += cur.result(); cur.clear()
+              j += 1
+              while (j < line.length && line.charAt(j) == ' ') j += 1
+            case c => cur.append(c); j += 1
+          }
+        }
+        items += cur.result()
+        sb.append(items.sorted.mkString(", ")).append(')')
+        i = j
+      }
+    }
+    sb.result()
+  }
+
+  /** Sort the top-level comma-separated items of every `[...]` group in
+    * `s`, innermost groups first, so element-equal lists hash equal
+    * regardless of order. Commas inside nested parens/brackets do not
+    * split. Pure text transform — deterministic, idempotent. */
+  private[graft] def sortBrackets(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    def group(): String = { // positioned just past '['
+      val items = scala.collection.mutable.ArrayBuffer.empty[String]
+      val cur = new StringBuilder
+      var paren = 0
+      while (i < s.length && !(s.charAt(i) == ']' && paren == 0)) {
+        s.charAt(i) match {
+          case '[' => i += 1; cur.append('[').append(group()).append(']')
+          case '(' => paren += 1; cur.append('('); i += 1
+          // clamp: a stray ')' at depth 0 (free text) must not make
+          // later top-level commas or the closing ']' invisible
+          case ')' => paren = math.max(0, paren - 1); cur.append(')'); i += 1
+          case ',' if paren == 0 =>
+            items += cur.result(); cur.clear()
+            i += 1
+            while (i < s.length && s.charAt(i) == ' ') i += 1
+          case c => cur.append(c); i += 1
+        }
+      }
+      if (i < s.length) i += 1 // consume ']'
+      items += cur.result()
+      items.sorted.mkString(", ")
+    }
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '[' => i += 1; sb.append('[').append(group()).append(']')
+        case c => sb.append(c); i += 1
+      }
+    }
+    sb.result()
   }
 
   /** Cross-round adjudication: a gate whose BEST time stands (verdict
@@ -178,6 +300,15 @@ object Bench {
     * failure all degrade to empty maps — the adjudication then labels
     * slower gates "slower-no-baseline" instead of guessing.
     */
+  /** Canonicalization scheme version, embedded in the artifact: a
+    * baseline hashed under a DIFFERENT scheme is not comparable — its
+    * fingerprints all differ from this round's by construction, which
+    * would flag every slower gate "regression". Version mismatch drops
+    * the baseline fingerprints (times stay comparable) so movers land
+    * in "slower-no-baseline" instead. Bump when canonText changes.
+    * v2 (r19): distinct-rewrite gid + bracket/hashpartitioning sorting. */
+  private[graft] val FpVersion = 2
+
   private[graft] def readPrevDetail(path: String, sfDir: String)
       : (Map[String, Double], Map[String, String]) =
     try {
@@ -201,9 +332,16 @@ object Bench {
         case (k, JInt(v)) => k -> v.toDouble
         case (k, JDecimal(v)) => k -> v.toDouble
       }.toMap
-      val f = obj("fingerprints").collect {
-        case (k, JString(v)) => k -> v
-      }.toMap
+      val fpVer = jv \ "fp_version" match {
+        case JInt(v) => v.toInt
+        case JDouble(v) => v.toInt
+        case _ => 1 // pre-r19 artifacts carried no version
+      }
+      val f =
+        if (fpVer != FpVersion) Map.empty[String, String]
+        else obj("fingerprints").collect {
+          case (k, JString(v)) => k -> v
+        }.toMap
       (q, f)
     } catch { case _: Throwable => (Map.empty, Map.empty) }
 
@@ -242,7 +380,8 @@ object Bench {
     // queries whose name contains a substring. Driver sets nothing.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').toSeq).getOrElse(Seq.empty)
-    // Stable order so residual warmup effects land on the same query.
+    // Sorted for the ARTIFACT (stable keys); execution order is
+    // shuffled per pass below.
     val gates = SparkEntry.queries.toSeq
       .filter { case (n, _) => only.isEmpty || only.exists(n.contains) }
       .sortBy(_._1)
@@ -263,7 +402,15 @@ object Bench {
     // median is only known post-hoc): the probe runs 1/10 the
     // calibration iterations, so a quiet probe ≈ calibPre / 10
     val quietEst = calibPre / 10
-    for (pass <- 1 to reps; (name, fn) <- gates) {
+    // SEEDED RANDOM GATE ORDER PER PASS (r19): passes used to run in
+    // gate-name order, so a box-heat episode mapped to an ALPHABETIC
+    // RANGE of gates and best-of-2 correlated across passes (every
+    // round's env-drift movers were alphabetically contiguous).
+    // Shuffling decorrelates a contention window from gate identity;
+    // the seeds land in the artifact so any pass is replayable.
+    val passSeeds = (1 to reps).map(_ => scala.util.Random.nextLong())
+    val passOrder = passSeeds.map(sd => new scala.util.Random(sd).shuffle(gates))
+    for (pass <- 1 to reps; (name, fn) <- passOrder(pass - 1)) {
       val off = (System.nanoTime() - epoch) / 1e9
       // SETTLE before probing: residue of the PREVIOUS gate's teardown
       // (async shuffle cleanup, GC of a 20 s dedup gate's heap) is
@@ -307,8 +454,18 @@ object Bench {
       // fingerprint OUTSIDE the timed region, first pass only (the
       // plan is a pure function of the code; pass 2 re-plans equal)
       if (pass == 1) fpDf.foreach { df =>
-        try fps(name) = fingerprint(df, sfDir)
-        catch { case _: Throwable => () }
+        try {
+          fps(name) = fingerprint(df, sfDir)
+          // SPARK_GRAFT_FP_DUMP=name1,name2: write the canonical plan
+          // text to /tmp for diffing an unstable fingerprint across runs
+          // (the q_profile diagnosis tool — see PlanAudit --fingerprint
+          // for the isolated-session variant)
+          if (sys.env.get("SPARK_GRAFT_FP_DUMP")
+              .exists(_.split(',').contains(name)))
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"/tmp/fpdump_$name.txt"),
+              canonicalPlan(df, sfDir).getBytes("UTF-8"))
+        } catch { case _: Throwable => () }
       }
     }
     val results = gates.map { case (name, _) =>
@@ -387,8 +544,9 @@ object Bench {
       .mkString("{", ",", "}")
     val fpJson = fps.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
+    val seedsJson = passSeeds.mkString("[", ",", "]")
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_passes":$reps,"calib_sec":${fmt(calibSec)},"calib_pre":${fmt(calibPre)},"calib_post":${fmt(calibPost)},"probe_median":${fmt(quietProbe)},"queries":${toJson(best)},"spread":${toJsonSpread(results)},"probes":$probeJson,"verdicts":$verdictJson,"fingerprints":$fpJson,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_passes":$reps,"pass_seeds":$seedsJson,"fp_version":$FpVersion,"calib_sec":${fmt(calibSec)},"calib_pre":${fmt(calibPre)},"calib_post":${fmt(calibPost)},"probe_median":${fmt(quietProbe)},"queries":${toJson(best)},"spread":${toJsonSpread(results)},"probes":$probeJson,"verdicts":$verdictJson,"fingerprints":$fpJson,"errors":$errJson,"sf":"$sfDir"}"""
     try {
       // subset runs (SPARK_GRAFT_BENCH_ONLY) go to a side file: they must
       // not clobber the committed full artifact the NEXT round's

@@ -1614,6 +1614,46 @@ object AvroGates extends Catalog {
         .orderBy("o_orderpriority")
     }),
 
+    // Grouped metadata MIN/MAX under POSITIONAL DELETES (r19): a MoR
+    // DELETE leaves posdel sidecars on the files of ONE partition; the
+    // grouped stats hybrid keeps serving — clean partitions' files fold
+    // zero-decode cells, the dirty files re-scan as per-file
+    // (keys, partial MIN/MAX, surviving count) rows under the overlay,
+    // Spark merges per key (AvroGroupStatsSpec pins the plan shape and
+    // that ONLY dirty files decode). Before r19 any posdel stood the
+    // whole grouped-stats path down — every per-partition stats query
+    // on a MoR table decoded everything.
+    "q_avro_minmax_grouped_posdel" -> ((s, dir) => {
+      if (!s.conf.getOption("spark.sql.catalog.graft_gate").isDefined) {
+        s.conf.set("spark.sql.catalog.graft_gate",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_gate.root",
+          tempDir("graft_gate_cat"))
+      }
+      table(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+        .createOrReplaceTempView("ord_src_mmgp")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.gate")
+      s.sql("DROP TABLE IF EXISTS graft_gate.gate.mmgp")
+      s.sql("CREATE TABLE graft_gate.gate.mmgp " +
+        "(o_orderkey BIGINT NOT NULL, o_orderpriority STRING) " +
+        "PARTITIONED BY (o_orderpriority)")
+      s.sql("INSERT INTO graft_gate.gate.mmgp SELECT * FROM ord_src_mmgp")
+      s.sql("CALL graft_gate.system.set_row_level_mode('gate.mmgp', " +
+        "'merge-on-read')")
+      // scattered mod predicate restricted to ONE partition: the MoR
+      // delta records positions on just that partition's files — the
+      // others stay clean and keep their zero-decode cells
+      s.sql("DELETE FROM graft_gate.gate.mmgp " +
+        "WHERE o_orderkey % 10 = 3 AND o_orderpriority = '1-URGENT'")
+      s.sql("""SELECT o_orderpriority,
+              |       min(o_orderkey) AS min_okey,
+              |       max(o_orderkey) AS max_okey,
+              |       count(*) AS n_orders
+              |FROM graft_gate.gate.mmgp
+              |GROUP BY o_orderpriority
+              |ORDER BY o_orderpriority""".stripMargin)
+    }),
+
     // CDC changes read under the oracle: three generations (append,
     // append, overwrite), then the NET row diff v1 -> v3 as
     // insert/delete-tagged rows — the Iceberg table_changes shape
@@ -3746,6 +3786,14 @@ object AvroGates extends Catalog {
                 max(o_orderkey) AS max_okey,
                 CAST(count(*) AS BIGINT) AS n_orders
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_avro_minmax_grouped_posdel" ->
+      """SELECT o_orderpriority,
+                min(o_orderkey) AS min_okey,
+                max(o_orderkey) AS max_okey,
+                CAST(count(*) AS BIGINT) AS n_orders
+         FROM orders
+         WHERE NOT (o_orderkey % 10 = 3 AND o_orderpriority = '1-URGENT')
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_avro_cdc_read" ->
       """WITH ins AS (
            SELECT 'insert' AS change_type, l_returnflag, l_quantity

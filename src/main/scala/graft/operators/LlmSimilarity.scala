@@ -241,10 +241,24 @@ object LlmSimilarity extends Catalog {
     */
   private def ivfSearch(corpus: DataFrame, assigned: DataFrame,
       centroids: DataFrame, qBelow: Long = 20, nprobe: Int = 6,
-      k: Int = 3): DataFrame = {
+      k: Int = 3): DataFrame =
+    ivfSearchQ(
+      corpus.filter(F.col("vec_id") < qBelow)
+        .select(F.col("vec_id").as("qid"), F.col("qx16").as("qv")),
+      corpus, assigned, centroids, nprobe, k, excludeSelf = true)
+
+  /** The probe/candidate/top-k plan over an arbitrary QUERY frame
+    * (qid, qv) — `qv` already in the corpus's 16×-quantized integer
+    * space. `excludeSelf` drops candidates whose vec_id equals the qid
+    * (corpus-internal queries must not retrieve themselves); EXTERNAL
+    * query vectors pass false — their qid namespace is unrelated to
+    * corpus ids, so an id collision must not silently drop a true
+    * neighbor. */
+  private def ivfSearchQ(queries: DataFrame, corpus: DataFrame,
+      assigned: DataFrame, centroids: DataFrame, nprobe: Int, k: Int,
+      excludeSelf: Boolean): DataFrame = {
     val wq = Window.partitionBy("qid").orderBy(F.col("d"), F.col("cid"))
-    val probes = corpus.filter(F.col("vec_id") < qBelow)
-      .select(F.col("vec_id").as("qid"), F.col("qx16").as("qv"))
+    val probes = queries
       .crossJoin(F.broadcast(centroids))
       .withColumn("d", VectorFunctions.vec_l2sq(F.col("qv"), F.col("mvec")))
       .withColumn("rn", F.row_number().over(wq))
@@ -255,8 +269,8 @@ object LlmSimilarity extends Catalog {
     val wr = Window.partitionBy("qid").orderBy(F.col("d"), F.col("vec_id"))
     // the probe side is |queries|·nprobe rows — broadcast it so the
     // cell-id candidate join never shuffles the corpus
-    F.broadcast(probes).join(cells, "cid")
-      .filter(F.col("vec_id") =!= F.col("qid"))
+    val cand = F.broadcast(probes).join(cells, "cid")
+    (if (excludeSelf) cand.filter(F.col("vec_id") =!= F.col("qid")) else cand)
       .select(F.col("qid"), F.col("vec_id"),
         VectorFunctions.vec_l2sq(F.col("qv"), F.col("qx16")).as("d"))
       .withColumn("rn", F.row_number().over(wr))
@@ -444,6 +458,61 @@ object LlmSimilarity extends Catalog {
     ivfSearch(corpus, assigned, centroids, qBelow, nprobe, k)
   }
 
+  /** EXTERNAL-query-vector IVF search (r19): the canonical ANN use —
+    * "here is a NEW embedding, find its neighbors" — without inserting
+    * the query into the corpus (which would mutate the index). Each
+    * query vector is quantized EXACTLY as the corpus decode path
+    * (float → double → ×10000 → floor → ×16) so its integer-L2
+    * distances live in the same space as the stored assignments; no
+    * self-exclusion (the qid namespace is the caller's, unrelated to
+    * corpus ids). Queries fold into the plan as a LocalRelation —
+    * zero training jobs, zero RDD leaves (AnnSqlSpec guards). */
+  private[graft] def searchIvfVecFrom(s: SparkSession, raw: DataFrame,
+      cenDir: String, asgDir: String, queries: Seq[(Long, Seq[Float])],
+      nprobe: Int = 6, k: Int = 3): DataFrame = {
+    VectorFunctions.register(s)
+    val corpus = raw
+      .select(F.col("vec_id"), F.expr(
+        "transform(embedding, x -> " +
+          "cast(floor(cast(x as double) * 10000.0) as bigint) * 16)")
+        .as("qx16"))
+    import s.implicits._
+    val qdf = queries.toDF("qid", "qvec")
+      .select(F.col("qid"), F.expr(
+        "transform(qvec, x -> " +
+          "cast(floor(cast(x as double) * 10000.0) as bigint) * 16)")
+        .as("qv"))
+    val centroids = s.read.format("graft-avro").load(cenDir)
+    val assigned = s.read.format("graft-avro").load(asgDir)
+    ivfSearchQ(qdf, corpus, assigned, centroids, nprobe, k,
+      excludeSelf = false)
+  }
+
+  /** EXTERNAL-query-vector ADC search (r19): the [[searchIvfVecFrom]]
+    * counterpart for the PQ index — the query vector quantizes and
+    * slices into the 8 subspaces exactly as the corpus path, builds its
+    * distance table against the broadcast codebook, and ranks stored
+    * codes by table-lookup sums. Full vectors untouched; no
+    * self-exclusion. */
+  private[graft] def searchPqVecFrom(s: SparkSession, cbDir: String,
+      codesDir: String, queries: Seq[(Long, Seq[Float])],
+      k: Int = 3): DataFrame = {
+    VectorFunctions.register(s)
+    import s.implicits._
+    val qsubs = queries.toDF("qid", "qvec")
+      .select(F.col("qid"), F.expr(
+        "transform(qvec, x -> " +
+          "cast(floor(cast(x as double) * 10000.0) as bigint))").as("qx"))
+      .select(F.col("qid"), F.posexplode(F.expr(
+        "transform(sequence(0, 7), s -> slice(qx, s * 8 + 1, 8))"))
+        .as(Seq("sub", "sq1")))
+      .select(F.col("qid"), F.col("sub"),
+        F.expr("transform(sq1, v -> v * 16)").as("sq16"))
+    val cb = s.read.format("graft-avro").load(cbDir)
+    val codes = s.read.format("graft-avro").load(codesDir)
+    pqAdcSearch(qsubs, codes, cb, k, excludeSelf = false)
+  }
+
   /** The ADC search plan shared by llm_similar_pq (codes/codebook from
     * the in-job trainer) and llm_similar_pq_persist (read back from the
     * graft-avro index artifacts): each query builds its m x k distance
@@ -452,15 +521,19 @@ object LlmSimilarity extends Catalog {
     * per query, top-3 by (adc_d, vec_id).
     */
   private def pqAdcSearch(qsubs: DataFrame, codes: DataFrame,
-      cb: DataFrame, k: Int = 3): DataFrame = {
+      cb: DataFrame, k: Int = 3, excludeSelf: Boolean = true): DataFrame = {
     val qdt = qsubs
       .join(F.broadcast(cb), "sub")
       .withColumn("dq",
         VectorFunctions.vec_l2sq(F.col("sq16"), F.col("mvec")))
       .select("qid", "sub", "cid", "dq")
-    val adc = codes.select("vec_id", "sub", "cid")
+    val looked = codes.select("vec_id", "sub", "cid")
       .join(F.broadcast(qdt), Seq("sub", "cid"))
-      .filter(F.col("vec_id") =!= F.col("qid"))
+    // external query vectors keep id-colliding corpus rows: their qid
+    // namespace is the caller's, unrelated to corpus vec_ids
+    val adc = (if (excludeSelf)
+                 looked.filter(F.col("vec_id") =!= F.col("qid"))
+               else looked)
       .groupBy("qid", "vec_id")
       .agg(F.sum("dq").as("adc_d"))
     val w = Window.partitionBy("qid")
@@ -904,6 +977,46 @@ object LlmSimilarity extends Catalog {
       s.sql("SELECT qid, vec_id, d, rn FROM " +
         "ivf_search('graft_gate.ann.ivfidx', 20, 6, 3) ORDER BY qid, rn")
         .withColumn("n_split", F.lit(nSplit).cast("int"))
+    }),
+
+    // EXTERNAL-QUERY-VECTOR ANN (r19): the canonical search call —
+    // "here is a NEW embedding, find its neighbors" — through the SQL
+    // surface, WITHOUT inserting the query into the corpus (an insert
+    // would mutate the index; the r18 surface only ranked
+    // corpus-internal ids). Three deterministic query vectors (exact
+    // quarters, so float→double→×10000→floor quantizes bit-identically
+    // in both engines) splice into `ivf_search('idx', array(…), 6, 3)`
+    // as literal arrays; the TVF quantizes them exactly as the corpus
+    // decode path and probes the persisted index with ZERO training
+    // jobs (AnnSqlSpec plan-guards). No self-exclusion: an external
+    // query's id namespace is unrelated to corpus vec_ids. The oracle
+    // re-derives the same vectors in a CTE and probes the same trained
+    // index (lloydCte), sharing the qcell/cand shape with ivfSearchSql.
+    "llm_similar_ivf_qvec" -> ((s, dir) => {
+      if (s.conf.getOption("spark.sql.catalog.graft_gate").isEmpty) {
+        s.conf.set("spark.sql.catalog.graft_gate",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_gate.root",
+          tempDir("graft_gate_cat"))
+      }
+      table(s, dir, "embeddings").select("vec_id", "embedding")
+        .createOrReplaceTempView("emb_src_qv")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.ann")
+      s.sql("DROP TABLE IF EXISTS graft_gate.ann.qvidx_centroids")
+      s.sql("DROP TABLE IF EXISTS graft_gate.ann.qvidx_assign")
+      s.sql("DROP TABLE IF EXISTS graft_gate.ann.qvemb")
+      s.sql("CREATE TABLE graft_gate.ann.qvemb AS SELECT * FROM emb_src_qv")
+      s.sql("CALL graft_gate.system.build_ivf_index('ann.qvemb', " +
+        "'vec_id', 'embedding', 'ann.qvidx')")
+      (0L to 2L).map { q =>
+        val arr = qvecVals(q).map(v => BigDecimal(v.toDouble).toString)
+          .mkString("array(", ", ", ")")
+        s.sql("SELECT vec_id, d, rn FROM " +
+          s"ivf_search('graft_gate.ann.qvidx', $arr, 6, 3)")
+          .withColumn("qid", F.lit(q))
+      }.reduce(_ unionByName _)
+        .select("qid", "vec_id", "d", "rn")
+        .orderBy("qid", "rn")
     }),
 
     // PRODUCT QUANTIZATION — the codebook compression layout (Jégou et
@@ -1427,6 +1540,55 @@ object LlmSimilarity extends Catalog {
 
   private val ivfKmeansOracle: String = lloydCte + ivfSearchSql("a3")
 
+  /** Deterministic EXTERNAL query vectors for llm_similar_ivf_qvec,
+    * shared by the gate (spliced into the TVF call as array literals)
+    * and the oracle (re-derived in SQL): qvec[i] = ((qid·7 + i·13) %
+    * 21 − 10) / 4 — exact binary quarters in [−2.5, 2.5], so
+    * float→double→×10000→floor quantizes bit-identically cross-engine.
+    */
+  private def qvecVals(q: Long): Seq[Float] =
+    (0 until 64).map(i => ((q * 7 + i * 13) % 21 - 10).toFloat / 4.0f)
+
+  /** External-vector probe over the trained (c3, a3) index: the
+    * [[ivfSearchSql]] qcell/cand shape with probeq replaced by the
+    * derived query vectors and NO self-exclusion (an external query's
+    * id namespace is unrelated to corpus vec_ids). */
+  private val ivfSearchVecSql: String = s""",
+       xq AS (
+         SELECT CAST(qid AS BIGINT) AS qid,
+                list_transform(generate_series(0, 63), i ->
+                  CAST((qid * 7 + i * 13) % 21 - 10 AS DOUBLE) / 4.0) AS xv
+         FROM (SELECT unnest(generate_series(0, 2)) AS qid)),
+       probeq AS (
+         SELECT qid, list_transform(xv, x ->
+                  CAST(floor(x * 10000.0) AS BIGINT) * 16) AS qv
+         FROM xq),
+       qcell AS (
+         SELECT qid, cid, qv FROM (
+           SELECT q.qid, c.cid, q.qv,
+                  row_number() OVER (PARTITION BY q.qid ORDER BY
+                    list_sum(list_transform(generate_series(1, len(q.qv)),
+                      i -> (q.qv[i] - c.mvec[i]) * (q.qv[i] - c.mvec[i]))),
+                    c.cid) AS rn
+           FROM probeq q, c3 c)
+         WHERE rn <= 6),
+       cand AS (
+         SELECT qc.qid, a.vec_id,
+                CAST(list_sum(list_transform(generate_series(1, len(qc.qv)),
+                  i -> (qc.qv[i] - x.qx16[i]) * (qc.qv[i] - x.qx16[i])))
+                  AS BIGINT) AS d
+         FROM qcell qc
+         JOIN a3 a ON a.cid = qc.cid
+         JOIN ex x ON x.vec_id = a.vec_id),
+       rankedc AS (
+         SELECT *, CAST(row_number() OVER (PARTITION BY qid
+                     ORDER BY d, vec_id) AS INT) AS rn
+         FROM cand)
+       SELECT qid, vec_id, d, rn FROM rankedc
+       WHERE rn <= 3 ORDER BY qid, rn"""
+
+  private val ivfQvecOracle: String = lloydCte + ivfSearchVecSql
+
   private val ivfIncrOracle: String = lloydIncrCte + ivfSearchSql("aall")
 
   /** Rebalance oracle: the incremental prelude (three appends ≡ one
@@ -1656,6 +1818,7 @@ object LlmSimilarity extends Catalog {
     // shared — any drift between the CALL/TVF path and the Scala path
     // breaks the hash
     "llm_similar_ivf_sql" -> ivfRebalanceOracle,
+    "llm_similar_ivf_qvec" -> ivfQvecOracle,
     "llm_similar_ivf_quant" -> ivfQuantOracle,
     "llm_similar_ivfpq" -> ivfPqOracle,
     // re-derive the ±1 matrix from SQL md5 and replay the exact integer

@@ -3197,6 +3197,12 @@ class AvroScanBuilder(path: String, full: StructType,
   // ("val", rawManifestBound) or ("null","")
   private var groupAggSpecs: Seq[(String, String)] = Nil
   private var groupAggCells: Map[String, Seq[(String, String)]] = Map.empty
+  // grouped hybrid under posdel: abs paths of dirty files (re-scanned as
+  // per-file partial rows), the decode struct of the MIN/MAX columns,
+  // and per output spec ("count", -1) | (kind, struct ordinal)
+  private var groupHybridPaths: Set[String] = Set.empty
+  private var groupHybridStruct: StructType = new StructType()
+  private var groupHybridSpecs: Seq[(String, Int)] = Nil
 
   /** Grouped metadata MIN/MAX (+COUNT) by partition-path columns:
     * `SELECT p, min(c), max(c), count(*) … GROUP BY p` served with zero
@@ -3237,11 +3243,36 @@ class AvroScanBuilder(path: String, full: StructType,
     if (specs.isEmpty || specs.exists(_.isEmpty)) return false
     val sp = specs.flatten
     val dirF = new File(path)
-    if (AvroFileSource.posdelFile(dirF).isFile) return false
     val mmCols = sp.collect { case (k, c) if k == "min" || k == "max" => c }
       .distinct
     val sumCols = sp.collect { case (k, c) if k == "sum" || k == "cnt" => c }
       .distinct
+    // HYBRID under positional deletes (r19, the ungrouped-path shape):
+    // a dirty file's cells are untrustworthy (a dead row may hold the
+    // extreme / still counts in block headers), but its GROUP is exact —
+    // partition values are constant per file — so dirty files re-scan
+    // as real per-file partial rows (keys + in-file fold under the
+    // posdel overlay) while clean files keep the zero-decode cells.
+    // MIN/MAX (+COUNT(*), served as surviving-row counts) only: a SUM/
+    // COUNT(col) cell of a dirty file is not reconstructable and the
+    // partial-row fold doesn't re-derive them — those mixes stand down.
+    val posdelDirty: Set[String] =
+      if (!AvroFileSource.posdelFile(dirF).isFile) Set.empty
+      else AvroFileSource.readPosdel(dirF).keySet
+    val liveAll = AvroFileSource.listLive(dirF)
+    val baseP = dirF.getAbsoluteFile.toPath
+    def relOfF(f: File): String =
+      baseP.relativize(f.getAbsoluteFile.toPath).toString
+    val dirtyLive = liveAll.map(_._1).filter(f => posdelDirty(relOfF(f)))
+    if (dirtyLive.nonEmpty) {
+      if (sumCols.nonEmpty) return false
+      // the dirty re-scan decodes top-level columns only, and a
+      // count-only mix would decode a zero-column projection — keep the
+      // hybrid to the mm shape
+      if (mmCols.isEmpty || !mmCols.forall(full.fieldNames.contains))
+        return false
+    }
+    val dirtyPaths = dirtyLive.map(_.getAbsolutePath).toSet
     val types: Map[String, DataType] = {
       val resolved = mmCols.map { c =>
         AvroFilterEval.leafType(full, c)
@@ -3274,17 +3305,22 @@ class AvroScanBuilder(path: String, full: StructType,
       if (resolved.exists(_.isEmpty)) return false
       resolved.flatten.toMap
     }
+    val cleanLive = liveAll.filterNot(f => dirtyPaths(f._1.getAbsolutePath))
     val cells: Map[String, Seq[(String, String)]] =
       if (mmCols.isEmpty && sumCols.isEmpty) {
-        AvroFileSource.listLive(dirF)
+        cleanLive
           .map(f => f._1.getAbsolutePath -> sp.map(_ => ("count", "")))
           .toMap
       } else {
       val zfc = AvroFileSource.colZoneFile(dirF)
-      if (!zfc.isFile) return false
-      val raw = AvroFileSource.readColZonesRaw(zfc)
+      // coverage is required of CLEAN files only (dirty files re-scan);
+      // an all-dirty table needs no manifest at all
+      if (cleanLive.nonEmpty && !zfc.isFile) return false
+      val raw =
+        if (zfc.isFile) AvroFileSource.readColZonesRaw(zfc)
+        else Map.empty[String, Seq[(String, String, String, String)]]
       val base = dirF.getAbsoluteFile.toPath
-      val perFile = AvroFileSource.listLive(dirF).map { case (f, _) =>
+      val perFile = cleanLive.map { case (f, _) =>
         val rel = base.relativize(f.getAbsoluteFile.toPath).toString
         val resolved: Seq[Option[(String, String)]] = sp.map {
           case ("count", _) => Some(("count", ""))
@@ -3348,6 +3384,15 @@ class AvroScanBuilder(path: String, full: StructType,
     groupCountCols = cols
     groupAggSpecs = sp
     groupAggCells = cells
+    if (dirtyLive.nonEmpty) {
+      groupHybridPaths = dirtyPaths
+      groupHybridStruct =
+        StructType(mmCols.map(c => full(full.fieldIndex(c))).toArray)
+      groupHybridSpecs = sp.map {
+        case ("count", _) => ("count", -1)
+        case (k, c) => (k, mmCols.indexOf(c))
+      }
+    }
     required = StructType(gFields ++ sp.map {
       case ("count", _) =>
         org.apache.spark.sql.types.StructField(
@@ -3744,6 +3789,9 @@ class AvroScanBuilder(path: String, full: StructType,
     val groupEpochSegs = groupCountEpochSegs
     val groupSpecs = groupAggSpecs
     val groupCells = groupAggCells
+    val groupHybridP = groupHybridPaths
+    val groupHybridS = groupHybridStruct
+    val groupHybridSp = groupHybridSpecs
     val aggAny = minMaxAny
     val aggDirtyRels = minMaxDirtyRels
     val aggHybridStruct = minMaxHybridStruct
@@ -4868,16 +4916,26 @@ class AvroScanBuilder(path: String, full: StructType,
           // block-header count when requested); Spark folds per key.
           // Zero rows decoded; composes with zone-decided filters via
           // prunedFiles.
-          prunedFiles().map { case (f, pv) =>
+          prunedFiles().flatMap { case (f, pv) =>
             val raws = groupCols.map(c => pv.getOrElse(c,
               throw new IllegalStateException(
                 s"graft-avro: ${f.getName} lacks partition value '$c' " +
                   "(appeared after grouped-stats pushdown) — rerun")))
-            val cells = groupCells.getOrElse(f.getAbsolutePath,
-              throw new IllegalStateException(
-                s"graft-avro: ${f.getName} appeared after grouped-stats " +
-                  "pushdown (no resolved zone cells) — rerun"))
-            AvroGroupStatsPartition(f.getAbsolutePath, raws, cells)
+            // posdel-dirty files re-scan as per-file partial rows
+            // (keys + in-file MIN/MAX fold under the overlay); clean
+            // files keep the zero-decode cells
+            if (groupHybridP(f.getAbsolutePath))
+              split(f).map { case (p, s, e) =>
+                AvroGroupHybridPartition(p, s, e, raws): InputPartition
+              }
+            else {
+              val cells = groupCells.getOrElse(f.getAbsolutePath,
+                throw new IllegalStateException(
+                  s"graft-avro: ${f.getName} appeared after grouped-stats " +
+                    "pushdown (no resolved zone cells) — rerun"))
+              Seq(AvroGroupStatsPartition(f.getAbsolutePath, raws, cells)
+                : InputPartition)
+            }
           }.toArray[InputPartition]
         } else if (counting && groupCols.nonEmpty) {
           // grouped zero-decode count: one ranged block-header count per
@@ -4968,6 +5026,18 @@ class AvroScanBuilder(path: String, full: StructType,
                 f.name == AvroFileSource.CdcCommitVersion)),
             AvroFileSource.birthsByPhysicalPath(dirF, Nil, force = true),
             AvroFileSource.readColmap(dirF), path)
+        }
+        else if (groupSpecs.nonEmpty && groupHybridP.nonEmpty) {
+          // grouped hybrid: clean files' cells via the count factory;
+          // dirty files decode JUST the aggregated columns under the
+          // posdel overlay and fold to one (keys, partials) row
+          val inner = AvroReaderFactory(groupHybridS, full,
+            Array.empty, None, Nil,
+            AvroFileSource.birthsByPhysicalPath(new File(path), Nil,
+              force = false),
+            Nil, posdelsByPath, root = path, columnarBatch = 0)
+          AvroGroupHybridReaderFactory(AvroCountReaderFactory(required),
+            inner, groupHybridSp, groupHybridS, required, groupCols.length)
         }
         else if (counting || groupSpecs.nonEmpty) AvroCountReaderFactory(required)
         else if (aggAny.nonEmpty) {
@@ -5377,7 +5447,7 @@ case class AvroCountReaderFactory(required: StructType)
     * both land on null — for group keys that IS the null key; for
     * stat cells the pushdown pre-validated parseability).
     */
-  private def toInternal(raw: String,
+  private[sources] def toInternal(raw: String,
       dt: org.apache.spark.sql.types.DataType): Any =
     AvroFileSource.castPartitionValue(raw, dt) match {
       case Some(null) | None => null
@@ -5531,6 +5601,89 @@ case class AvroHybridAggReaderFactory(aggRow: AvroAggRowReaderFactory,
           override def get(): InternalRow = row
           override def close(): Unit = r.close()
         }
+    }
+}
+
+/** One byte-range split of a posdel-DIRTY file under the GROUPED
+  * metadata-stats hybrid (r19): carries the file's raw partition
+  * values — constant per file, so every split of it shares the group
+  * key — and folds its surviving rows executor-side.
+  */
+case class AvroGroupHybridPartition(file: String, start: Long, end: Long,
+    raws: Seq[String]) extends InputPartition
+
+/** GROUPED hybrid under positional deletes: clean files' cells rows
+  * serve through the wrapped [[AvroCountReaderFactory]]; each dirty
+  * file's split decodes JUST the aggregated columns under the posdel
+  * overlay (the `inner` row factory) and folds to ONE
+  * (group keys, partial MIN/MAX [, surviving-row count]) row. Spark's
+  * final aggregation merges per key (pushAggregation never claims
+  * complete pushdown). Mirrors [[AvroHybridAggReaderFactory]] with the
+  * group keys prepended.
+  */
+case class AvroGroupHybridReaderFactory(cells: AvroCountReaderFactory,
+    inner: PartitionReaderFactory,
+    specs: Seq[(String, Int)], // per output: ("count", -1) | (kind, ord)
+    struct: StructType, required: StructType, nKeys: Int)
+  extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case AvroGroupHybridPartition(file, start, end, raws) =>
+        val r = inner.createReader(AvroInputPartition(file, start, end))
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          private var row: InternalRow = _
+          private val ords = struct.fields.map(f =>
+            org.apache.spark.sql.catalyst.util.TypeUtils
+              .getInterpretedOrdering(f.dataType))
+          // reader rows may reuse buffers: copy a value when it becomes
+          // the running best
+          private def own(v: Any): Any = v match {
+            case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+            case x => x
+          }
+          override def next(): Boolean = {
+            if (emitted) return false
+            val best = new Array[Any](specs.length)
+            var surviving = 0L
+            while (r.next()) {
+              val in = r.get()
+              surviving += 1
+              var si = 0
+              while (si < specs.length) {
+                val (kind, ci) = specs(si)
+                if (kind != "count" && !in.isNullAt(ci)) {
+                  val v = in.get(ci, struct(ci).dataType)
+                  val cur = best(si)
+                  val better = cur == null || {
+                    val c = ords(ci).compare(v, cur)
+                    if (kind == "min") c < 0 else c > 0
+                  }
+                  if (better) best(si) = own(v)
+                }
+                si += 1
+              }
+            }
+            emitted = true
+            // a split with NO surviving rows contributes NOTHING — a
+            // (keys, count 0, null bounds) partial would resurrect a
+            // fully-deleted group that SQL says does not exist
+            if (surviving == 0L) return false
+            val keys = raws.zip(required.fields.take(nKeys)).map {
+              case (raw, f) => cells.toInternal(raw, f.dataType)
+            }
+            val aggs = specs.zipWithIndex.map {
+              case (("count", _), _) => java.lang.Long.valueOf(surviving)
+              case (_, si) => best(si)
+            }
+            row = InternalRow.fromSeq(keys ++ aggs)
+            true
+          }
+          override def get(): InternalRow = row
+          override def close(): Unit = r.close()
+        }
+      case other => cells.createReader(other)
     }
 }
 

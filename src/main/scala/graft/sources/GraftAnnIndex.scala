@@ -139,6 +139,21 @@ object GraftAnnIndex {
       corpus(s, cat, m), cenDir.getPath, asgDir.getPath, qBelow, nprobe, k)
   }
 
+  /** EXTERNAL-query-vector search (r19): neighbors of a NEW embedding
+    * that is NOT a corpus row — the canonical ANN call, reachable
+    * without inserting the query (which would mutate the index). The
+    * vector quantizes exactly as the corpus path; returns
+    * (vec_id, d, rn) — no qid column, the query is the caller's. */
+  def searchVec(s: SparkSession, cat: GraftCatalog, indexRef: String,
+      vec: Seq[Float], nprobe: Int, k: Int): DataFrame = {
+    val (cenDir, asgDir) = indexDirs(cat, indexRef)
+    val m = readMeta(cenDir)
+    graft.operators.LlmSimilarity.searchIvfVecFrom(s,
+      corpus(s, cat, m), cenDir.getPath, asgDir.getPath,
+      Seq(0L -> vec), nprobe, k)
+      .select("vec_id", "d", "rn")
+  }
+
   // ---------------------------------------------------------------- PQ
 
   /** Resolve an existing PQ index ref to (codebook dir, codes dir). */
@@ -174,5 +189,17 @@ object GraftAnnIndex {
     val m = readMeta(cbDir)
     graft.operators.LlmSimilarity.searchPersistedPqFrom(s,
       corpus(s, cat, m), cbDir.getPath, codesDir.getPath, qBelow, k)
+  }
+
+  /** [[searchVec]] for the PQ index: ADC neighbors of an external
+    * vector via codebook-table lookups only — returns
+    * (rn, vec_id, adc_d). */
+  def searchPqVec(s: SparkSession, cat: GraftCatalog, indexRef: String,
+      vec: Seq[Float], k: Int): DataFrame = {
+    val (cbDir, codesDir) = pqDirs(cat, indexRef)
+    readMeta(cbDir) // loud on a non-index ref; corpus itself unused
+    graft.operators.LlmSimilarity.searchPqVecFrom(s,
+      cbDir.getPath, codesDir.getPath, Seq(0L -> vec), k)
+      .select("rn", "vec_id", "adc_d")
   }
 }

@@ -1,10 +1,11 @@
 package graft.sources
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+import org.apache.spark.sql.catalyst.expressions.{CreateArray, Expression, Literal, UnaryMinus}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
 import org.apache.spark.sql.connector.catalog.Identifier
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Shared TVF argument plumbing: literal extraction and the
@@ -23,6 +24,59 @@ private[sources] object GraftTvfArgs {
     case Literal(v: Int, IntegerType) => Some(v.toLong)
     case Literal(v: Long, LongType) => Some(v)
     case _ => None
+  }
+
+  /** One numeric literal as double. TVF args arrive PARSED but
+    * unresolved, so `-2.5` is UnaryMinus over a Decimal literal and
+    * `0.25` is a Decimal — accept every numeric literal spelling. */
+  def num(e: Expression): Option[Double] = e match {
+    case Literal(v: org.apache.spark.sql.types.Decimal, _: DecimalType) =>
+      Some(v.toDouble)
+    case Literal(v: Double, DoubleType) => Some(v)
+    case Literal(v: Float, FloatType) => Some(v.toDouble)
+    case Literal(v: Int, IntegerType) => Some(v.toDouble)
+    case Literal(v: Long, LongType) => Some(v.toDouble)
+    case UnaryMinus(c, _) => num(c).map(v => -v)
+    // the analyzer resolves `array(-2.5, 0.25)` before the TVF builder
+    // runs, wrapping each element in a common-type Cast — unwrap (our
+    // vectors are exact binary quarters, value-preserved by any
+    // numeric cast wide enough to have passed analysis)
+    case c: org.apache.spark.sql.catalyst.expressions.Cast => num(c.child)
+    case _ => None
+  }
+
+  /** A literal `array(…)` argument as a float vector — the external
+    * ANN query. Matches the unresolved parse shape
+    * (UnresolvedFunction "array"), the analyzer-resolved CreateArray
+    * (cast-wrapped elements), and a constant-folded array literal;
+    * every element must itself be a numeric literal. */
+  def vecF(e: Expression): Option[Seq[Float]] = {
+    val elems = e match {
+      case f: UnresolvedFunction
+          if f.nameParts.map(_.toLowerCase(java.util.Locale.ROOT)) ==
+            Seq("array") => Some(f.arguments)
+      case CreateArray(children, _) => Some(children)
+      case _ => None
+    }
+    elems match {
+      case Some(es) =>
+        val vs = es.map(num)
+        if (vs.nonEmpty && vs.forall(_.isDefined))
+          Some(vs.map(_.get.toFloat)) else None
+      case None => e match {
+        case Literal(v: org.apache.spark.sql.catalyst.util.ArrayData,
+            org.apache.spark.sql.types.ArrayType(et, _)) =>
+          val n = v.numElements()
+          if (n == 0) None
+          else {
+            val ds = (0 until n).map(i =>
+              num(Literal(v.get(i, et), et)))
+            if (ds.forall(_.isDefined)) Some(ds.map(_.get.toFloat))
+            else None
+          }
+        case _ => None
+      }
+    }
   }
 
   /** Resolve `'cat.ns....name'` to its graft catalog + the
@@ -126,20 +180,20 @@ object GraftTableChanges {
   * the result is a fully distributed plan, not a driver-side row.
   */
 object GraftIvfSearch {
-  import GraftTvfArgs.{lng, str}
+  import GraftTvfArgs.{lng, str, vecF}
 
   private val usage =
-    "ivf_search expects ('cat.ns.index', qMaxId [, nprobe, k]) with " +
-      "literal arguments"
+    "ivf_search expects ('cat.ns.index', qMaxId | array(…) [, nprobe, " +
+      "k]) with literal arguments"
 
   def plan(args: Seq[Expression]): LogicalPlan = {
     val spark = SparkSession.active
     def bad() = throw new IllegalArgumentException(usage)
-    val (idxRef, qMax, nprobe, k) = args match {
+    val (idxRef, query, nprobe, k) = args match {
       case Seq(t, q) =>
-        (str(t).getOrElse(bad()), lng(q).getOrElse(bad()), 6L, 3L)
+        (str(t).getOrElse(bad()), q, 6L, 3L)
       case Seq(t, q, np, kk) =>
-        (str(t).getOrElse(bad()), lng(q).getOrElse(bad()),
+        (str(t).getOrElse(bad()), q,
           lng(np).getOrElse(bad()), lng(kk).getOrElse(bad()))
       case _ => bad()
     }
@@ -147,9 +201,20 @@ object GraftIvfSearch {
       s"ivf_search: nprobe and k must be positive (got $nprobe, $k)")
     val (g, rel) = GraftTvfArgs.graftCatalog(spark, idxRef,
       "ivf_search", "index")
-    SubqueryAlias("ivf_search",
-      GraftAnnIndex.search(spark, g, rel.mkString("."), qMax,
-        nprobe.toInt, k.toInt).queryExecution.analyzed)
+    // EXTERNAL query vector (r19): `ivf_search('idx', array(…), np, k)`
+    // ranks corpus neighbors of a NEW embedding — the canonical ANN
+    // call, no corpus insert needed; returns (vec_id, d, rn) with no
+    // qid (the query is the caller's). The long form keeps the
+    // corpus-internal qMaxId semantics and the qid column.
+    val df = vecF(query) match {
+      case Some(v) =>
+        GraftAnnIndex.searchVec(spark, g, rel.mkString("."), v,
+          nprobe.toInt, k.toInt)
+      case None =>
+        GraftAnnIndex.search(spark, g, rel.mkString("."),
+          lng(query).getOrElse(bad()), nprobe.toInt, k.toInt)
+    }
+    SubqueryAlias("ivf_search", df.queryExecution.analyzed)
   }
 }
 
@@ -169,28 +234,34 @@ object GraftIvfSearch {
   * mirror [[GraftIvfSearch]].
   */
 object GraftPqSearch {
-  import GraftTvfArgs.{lng, str}
+  import GraftTvfArgs.{lng, str, vecF}
 
   private val usage =
-    "pq_search expects ('cat.ns.index', qMaxId [, k]) with literal " +
-      "arguments"
+    "pq_search expects ('cat.ns.index', qMaxId | array(…) [, k]) with " +
+      "literal arguments"
 
   def plan(args: Seq[Expression]): LogicalPlan = {
     val spark = SparkSession.active
     def bad() = throw new IllegalArgumentException(usage)
-    val (idxRef, qMax, k) = args match {
+    val (idxRef, query, k) = args match {
       case Seq(t, q) =>
-        (str(t).getOrElse(bad()), lng(q).getOrElse(bad()), 3L)
+        (str(t).getOrElse(bad()), q, 3L)
       case Seq(t, q, kk) =>
-        (str(t).getOrElse(bad()), lng(q).getOrElse(bad()),
-          lng(kk).getOrElse(bad()))
+        (str(t).getOrElse(bad()), q, lng(kk).getOrElse(bad()))
       case _ => bad()
     }
     require(k > 0, s"pq_search: k must be positive (got $k)")
     val (g, rel) = GraftTvfArgs.graftCatalog(spark, idxRef,
       "pq_search", "index")
-    SubqueryAlias("pq_search",
-      GraftAnnIndex.searchPq(spark, g, rel.mkString("."), qMax, k.toInt)
-        .queryExecution.analyzed)
+    // external query vector: ADC neighbors of a NEW embedding —
+    // returns (rn, vec_id, adc_d), no qid (see GraftIvfSearch)
+    val df = vecF(query) match {
+      case Some(v) =>
+        GraftAnnIndex.searchPqVec(spark, g, rel.mkString("."), v, k.toInt)
+      case None =>
+        GraftAnnIndex.searchPq(spark, g, rel.mkString("."),
+          lng(query).getOrElse(bad()), k.toInt)
+    }
+    SubqueryAlias("pq_search", df.queryExecution.analyzed)
   }
 }

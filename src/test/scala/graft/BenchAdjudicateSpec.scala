@@ -148,7 +148,7 @@ class BenchAdjudicateSpec extends AnyFunSuite {
   test("readPrevDetail parses queries + fingerprints and degrades to empty") {
     val f = java.nio.file.Files.createTempFile("bench_detail", ".json")
     java.nio.file.Files.write(f,
-      """{"sf":"/sf0.1","queries":{"q1":0.42,"q2":1.0},"fingerprints":{"q1":"abcd"}}"""
+      s"""{"sf":"/sf0.1","fp_version":${Bench.FpVersion},"queries":{"q1":0.42,"q2":1.0},"fingerprints":{"q1":"abcd"}}"""
         .getBytes("UTF-8"))
     val (q, fp) = Bench.readPrevDetail(f.toString, "/sf0.1")
     assert(q === Map("q1" -> 0.42, "q2" -> 1.0))
@@ -157,6 +157,15 @@ class BenchAdjudicateSpec extends AnyFunSuite {
     // local sf0.001 iteration vs the committed sf0.1 artifact
     assert(Bench.readPrevDetail(f.toString, "/sf0.001") ===
       ((Map.empty, Map.empty)))
+    // a baseline hashed under a DIFFERENT canonicalization scheme (or a
+    // pre-version artifact) keeps its TIMES but drops fingerprints —
+    // every fp differs by construction and would flag false regressions
+    java.nio.file.Files.write(f,
+      """{"sf":"/sf0.1","queries":{"q1":0.42},"fingerprints":{"q1":"abcd"}}"""
+        .getBytes("UTF-8"))
+    val (q2, fp2) = Bench.readPrevDetail(f.toString, "/sf0.1")
+    assert(q2 === Map("q1" -> 0.42))
+    assert(fp2 === Map.empty)
     // old-format artifact (no fingerprints field) and missing file
     java.nio.file.Files.write(f,
       """{"sf":"/sf0.1","queries":{"q1":0.42}}""".getBytes("UTF-8"))

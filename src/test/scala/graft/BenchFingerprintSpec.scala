@@ -47,4 +47,67 @@ class BenchFingerprintSpec extends AnyFunSuite with SparkSpec {
       assert(a === b, name)
     }
   }
+
+  // ------------------------------------------------------- r19: q_profile
+  // RewriteDistinctAggregates orders distinct groups by expression-id
+  // hash, so two same-code runs permute the gid each group gets, the
+  // Expand projection rows, and every downstream attribute list — the
+  // ONLY gate of 324 whose fingerprint moved across same-code r18 runs,
+  // firing a false "regression" flag. These fixtures are (shortened)
+  // REAL lines from the two r18 artifacts' normalized explains.
+
+  // real shape: the gid-0 row carries the CASE WHENs and nulls for every
+  // distinct column; each distinct group's row carries ITS column + its
+  // gid ordinal — the run permutes which ordinal each column gets and
+  // every downstream attribute list
+  private val runA = Seq(
+    "Arguments: [[null, null, 0, CASE WHEN isnull(o_orderkey#L) THEN 1 ELSE 0 END], [null, o_custkey#L, 1, null], [o_orderkey#L, null, 2, null]], [o_custkey#L, o_orderkey#L, gid#]",
+    "Keys []: [o_orderkey#L, o_custkey#L, gid#]",
+    "Functions []: [partial_count(o_custkey#L) FILTER (WHERE (gid# = 1)), partial_count(o_orderkey#L) FILTER (WHERE (gid# = 2))]",
+    "Arguments: hashpartitioning(o_orderkey#L, o_custkey#L, gid#, 32), ENSURE_REQUIREMENTS, [plan_id=]"
+  ).mkString("\n")
+
+  private val runB = Seq(
+    "Arguments: [[null, null, 0, CASE WHEN isnull(o_orderkey#L) THEN 1 ELSE 0 END], [o_orderkey#L, null, 1, null], [null, o_custkey#L, 2, null]], [o_orderkey#L, o_custkey#L, gid#]",
+    "Keys []: [o_custkey#L, o_orderkey#L, gid#]",
+    "Functions []: [partial_count(o_orderkey#L) FILTER (WHERE (gid# = 1)), partial_count(o_custkey#L) FILTER (WHERE (gid# = 2))]",
+    "Arguments: hashpartitioning(o_custkey#L, o_orderkey#L, gid#, 32), ENSURE_REQUIREMENTS, [plan_id=]"
+  ).mkString("\n")
+
+  test("distinct-rewrite gid/row permutations canonicalize identically") {
+    assert(Bench.canonText(runA, dir) === Bench.canonText(runB, dir))
+  }
+
+  test("canonicalization stays SENSITIVE to element changes") {
+    // same shape, one aggregate swapped for another — must differ
+    val changed = runA.replace("partial_count(o_custkey#L)",
+      "partial_max(o_custkey#L)")
+    assert(Bench.canonText(runA, dir) !== Bench.canonText(changed, dir))
+    // a filter literal outside the Expand/gid shapes is preserved
+    val lit = "Condition: (l_quantity# > 10)"
+    assert(Bench.canonText(lit, dir) !==
+      Bench.canonText(lit.replace("10", "20"), dir))
+  }
+
+  test("sortBrackets: nested groups, parenthesized commas, stray parens") {
+    assert(Bench.sortBrackets("[b, a]") === "[a, b]")
+    assert(Bench.sortBrackets("[[z, y], [b, a]]") === "[[a, b], [y, z]]")
+    assert(Bench.sortBrackets("[f(a, b), e(c)]") === "[e(c), f(a, b)]")
+    // idempotent, empty-safe, stray-close-safe
+    assert(Bench.sortBrackets("[]") === "[]")
+    assert(Bench.sortBrackets("x) [b, a]") === "x) [a, b]")
+    assert(Bench.sortBrackets(Bench.sortBrackets("[f(a, b), e(c)]")) ===
+      Bench.sortBrackets("[f(a, b), e(c)]"))
+  }
+
+  test("q_profile plans to the same fingerprint across re-plannings") {
+    val a = Bench.fingerprint(SparkEntry.queries("q_profile")(spark, dir), dir)
+    // burn expression ids between the two plannings: the distinct
+    // groupBy hashes expression ids, so this is what historically
+    // permuted the gid assignment
+    spark.range(10).select((0 until 40).map(i => F.lit(i).as(s"c$i")): _*)
+      .queryExecution.analyzed
+    val b = Bench.fingerprint(SparkEntry.queries("q_profile")(spark, dir), dir)
+    assert(a === b)
+  }
 }

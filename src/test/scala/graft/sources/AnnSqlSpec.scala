@@ -132,6 +132,63 @@ class AnnSqlSpec extends AnyFunSuite with SparkSpec with Matchers {
     search.collect() shouldBe scala.collect()
   }
 
+  test("external query vector: ivf_search/pq_search with array(…), zero training trace") {
+    ensureCat()
+    // reuses the indexes the first/PQ tests built; rebuild if run alone
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+      .createOrReplaceTempView("ann_spec_qv_src")
+    if (!spark.catalog.tableExists("ann_spec.ns.idx_centroids")) {
+      spark.sql("DROP TABLE IF EXISTS ann_spec.ns.idx_assign")
+      spark.sql("DROP TABLE IF EXISTS ann_spec.ns.emb")
+      spark.sql(
+        "CREATE TABLE ann_spec.ns.emb AS SELECT * FROM ann_spec_qv_src")
+      spark.sql("CALL ann_spec.system.build_ivf_index(" +
+        "'ns.emb', 'vec_id', 'embedding', 'ns.idx')")
+    }
+    if (!spark.catalog.tableExists("ann_spec.ns.p_codebook")) {
+      spark.sql("DROP TABLE IF EXISTS ann_spec.ns.p_codes")
+      spark.sql("DROP TABLE IF EXISTS ann_spec.ns.pqemb")
+      spark.sql(
+        "CREATE TABLE ann_spec.ns.pqemb AS SELECT * FROM ann_spec_qv_src")
+      spark.sql("CALL ann_spec.system.build_pq_index(" +
+        "'ns.pqemb', 'vec_id', 'embedding', 'ns.p')")
+    }
+    // the query = corpus row 0's EXACT embedding, passed as an external
+    // literal array: with no self-exclusion on the vector form, the
+    // nearest neighbor at distance 0 must be vec_id 0 itself — proof
+    // the external vector quantizes exactly as the corpus path
+    val v0 = spark.table("ann_spec_qv_src")
+      .filter("vec_id = 0").head().getSeq[Float](1)
+    val arr = v0.map(f => java.math.BigDecimal.valueOf(f.toDouble)
+      .toPlainString).mkString("array(", ", ", ")")
+    val ivf = spark.sql(
+      s"SELECT vec_id, d, rn FROM ivf_search('ann_spec.ns.idx', $arr, 6, 3)")
+    val iopt = ivf.queryExecution.optimizedPlan.toString
+    iopt should include("graft-avro")
+    iopt should not include "LogicalRDD"
+    iopt should not include "ExistingRDD"
+    val irows = ivf.collect()
+    irows.length shouldBe 3
+    irows.head.getAs[Long]("vec_id") shouldBe 0L
+    irows.head.getAs[Long]("d") shouldBe 0L
+    ivf.columns should not contain "qid"
+
+    val pq = spark.sql(
+      s"SELECT rn, vec_id, adc_d FROM pq_search('ann_spec.ns.p', $arr, 3)")
+    val popt = pq.queryExecution.optimizedPlan.toString
+    popt should include("graft-avro")
+    popt should not include "LogicalRDD"
+    popt should not include "ExistingRDD"
+    val prows = pq.collect()
+    prows.length shouldBe 3
+    // ADC ranks by distance to stored CODES (codes pair with the
+    // previous codebook — CLAUDE.md PQ contract), so exact rank-1 isn't
+    // guaranteed; the self row's residual distance must still place it
+    // in the top-3
+    prows.map(_.getAs[Long]("vec_id")) should contain(0L)
+  }
+
   test("index meta sidecar round-trips hostile names; absence is loud") {
     val d = new java.io.File(graft.operators.Catalog.tempDir("ann_meta"))
     val m = GraftAnnIndex.Meta("ns.emb table", "vec id\t#1", "embä dding")

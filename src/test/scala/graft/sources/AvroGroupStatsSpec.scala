@@ -101,7 +101,7 @@ class AvroGroupStatsSpec extends AnyFunSuite with SparkSpec with Matchers {
       Map("a" -> 0L, "b" -> 50L)
   }
 
-  test("posdel dead rows force the real-row path, results stay exact") {
+  test("posdel HYBRID: stays pushed, only dirty files re-scan, exact") {
     val dir = tmp()
     spark.range(100)
       .selectExpr("id as k", "if(id < 50, 'a', 'b') as p")
@@ -113,12 +113,71 @@ class AvroGroupStatsSpec extends AnyFunSuite with SparkSpec with Matchers {
           .relativize(f.getAbsoluteFile.toPath).toString }.get
     AvroMaintenance.deleteAtPositions(dir, rel, Seq(0L)) // kills k=0
     val df = grouped(dir)
-    (plan(df) should not).include("PushedAggregation")
+    // r19: the grouped-stats hybrid serves under posdel (it used to
+    // stand the whole path down)
+    plan(df) should include("PushedAggregation")
     val got = df.collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
         r.getLong(3)))).toMap
-    got("a") shouldBe ((1L, 49L, 49L))
+    got("a") shouldBe ((1L, 49L, 49L)) // dead k=0 never serves
     got("b") shouldBe ((50L, 99L, 50L))
+    // structural pin: the dirty file arrives as hybrid (real-scan)
+    // partitions, every CLEAN file as a zero-decode cells row — the
+    // cells reader cannot decode rows at all, so clean files provably
+    // never decode
+    // sparkPlan, not executedPlan: AQE wraps the latter before execution
+    val parts = df.queryExecution.sparkPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.partitions.flatten
+    }.get
+    val hybrid = parts.collect { case h: AvroGroupHybridPartition => h }
+    val cellsP = parts.collect { case c: AvroGroupStatsPartition => c }
+    hybrid should not be empty
+    all(hybrid.map(_.file)) should endWith(rel)
+    cellsP.map(_.file).foreach(f => f should not(endWith(rel)))
+    cellsP should not be empty
+  }
+
+  test("posdel hybrid: SUM/COUNT(col) mixes still stand down, exact") {
+    val dir = tmp()
+    spark.range(100)
+      .selectExpr("id as k", "if(id < 50, 'a', 'b') as p")
+      .write.format("graft-avro").option("partitionBy", "p")
+      .mode("overwrite").save(dir)
+    val rel = AvroFileSource.listPartitioned(new java.io.File(dir))
+      .collectFirst { case (f, pv) if pv.get("p").contains("a") =>
+        new java.io.File(dir).getAbsoluteFile.toPath
+          .relativize(f.getAbsoluteFile.toPath).toString }.get
+    AvroMaintenance.deleteAtPositions(dir, rel, Seq(0L))
+    val df = spark.read.format("graft-avro").load(dir)
+      .groupBy("p").agg(F.min("k").as("mn"), F.sum("k").as("s"))
+    (plan(df) should not).include("PushedAggregation")
+    val got = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    got("a") shouldBe ((1L, (1L until 50L).sum))
+    got("b") shouldBe ((50L, (50L until 100L).sum))
+  }
+
+  test("posdel hybrid: a fully-deleted group VANISHES (no phantom key)") {
+    val dir = tmp()
+    spark.range(60)
+      .selectExpr("id as k", "if(id < 30, 'a', 'b') as p")
+      .repartition(1) // one file per partition dir: delete ALL of 'a'
+      .write.format("graft-avro").option("partitionBy", "p")
+      .mode("overwrite").save(dir)
+    val rel = AvroFileSource.listPartitioned(new java.io.File(dir))
+      .collectFirst { case (f, pv) if pv.get("p").contains("a") =>
+        new java.io.File(dir).getAbsoluteFile.toPath
+          .relativize(f.getAbsoluteFile.toPath).toString }.get
+    AvroMaintenance.deleteAtPositions(dir, rel, 0L until 30L)
+    val df = grouped(dir)
+    plan(df) should include("PushedAggregation")
+    val got = df.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(3)))).toMap
+    // SQL has no zero-row groups: a (keys, count 0, null bounds)
+    // partial would resurrect the dead group
+    got.keySet shouldBe Set("b")
+    got("b") shouldBe ((30L, 30L))
   }
 
   test("string bounds at the truncation cap stand down") {
