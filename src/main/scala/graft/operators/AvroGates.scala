@@ -1470,11 +1470,59 @@ object AvroGates extends Catalog {
       val nChunks = (t.count() + 4095L) / 4096L
       val kept = t.filter(F.col("rid").isin(keyVals: _*))
         .queryExecution.toRdd.getNumPartitions.toLong
-      require(kept >= 1L && kept < nChunks,
+      // at 2-3 chunks (sf0.001) a single deterministic bloom FP in the
+      // non-home chunk would fail a strict kept < nChunks; the pruning
+      // contract is load-bearing only at real chunk counts (ADVICE r18)
+      require(kept >= 1L &&
+        (if (nChunks >= 4L) kept < nChunks else kept <= nChunks),
         s"q_avro_block_bloom: chunk blooms did not prune " +
           s"($kept of $nChunks chunks kept)")
       t.join(F.broadcast(keys.select("rid")), "rid")
         .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).as("n_rows"),
+          F.sum(F.floor(F.col("l_quantity") * 100).cast("long"))
+            .as("qty_c"))
+        .withColumn("n_chunks", F.lit(nChunks))
+        .select("l_orderkey", "n_rows", "qty_c", "n_chunks")
+        .orderBy("l_orderkey")
+    }),
+
+    // TRIGRAM CHUNK CELLS (r19): per-chunk blooms of every trigram of a
+    // string column (`chunkTrigramFor`, tag trigram:string in
+    // `_graft_blockidx`) prune CHUNKS on substring probes — the
+    // file-level trigram rule at block granularity: a chunk whose cell
+    // definitely lacks ANY trigram of the needle holds no match. Rows
+    // carry a bucket token (md5 of l_orderkey/64), sorted by key, so a
+    // contains() probe on one bucket's token is chunk-local; the gate
+    // REQUIRES kept < total chunks at real chunk counts so the pruning
+    // can never silently rot. Before r19 a LIKE probe on a sorted file
+    // read every surviving chunk.
+    "q_avro_block_trigram" -> ((s, dir) => {
+      val tmp = tempDir("graft_gate_ctrig")
+      val bucket = F.floor(F.col("l_orderkey") / 64.0).cast("long")
+      val txt = F.concat(F.lit("doc w"),
+        F.substring(F.md5(bucket.cast("string")), 1, 10), F.lit(" body"))
+      table(s, dir, "lineitem")
+        .select(F.col("l_orderkey"), F.col("l_quantity"), txt.as("txt"))
+        .coalesce(1).sortWithinPartitions("l_orderkey")
+        .write.format("graft-avro").option("sortedBy", "l_orderkey")
+        .option("chunkTrigramFor", "txt")
+        .mode("overwrite").save(tmp)
+      val t = s.read.format("graft-avro").load(tmp)
+      // needle = the smallest key bucket's token, recomputed driver-side
+      // (one bounded min) exactly as the column expression derives it
+      val minB = t.agg(F.min("l_orderkey")).head().getLong(0) / 64L
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val needle = "w" + md.digest(minB.toString.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString.take(10)
+      val nChunks = (t.count() + 4095L) / 4096L
+      val filtered = t.filter(F.col("txt").contains(needle))
+      val kept = filtered.queryExecution.toRdd.getNumPartitions.toLong
+      require(kept >= 1L &&
+        (if (nChunks >= 4L) kept < nChunks else kept <= nChunks),
+        s"q_avro_block_trigram: trigram chunk cells did not prune " +
+          s"($kept of $nChunks chunks kept)")
+      filtered.groupBy("l_orderkey")
         .agg(F.count(F.lit(1)).as("n_rows"),
           F.sum(F.floor(F.col("l_quantity") * 100).cast("long"))
             .as("qty_c"))
@@ -3757,6 +3805,28 @@ object AvroGates extends Catalog {
                 (SELECT n_chunks FROM nc) AS n_chunks
          FROM lineitem l JOIN keys k ON k.l_orderkey = l.l_orderkey
          GROUP BY l.l_orderkey ORDER BY l.l_orderkey""",
+    // the needle re-derives in SQL from min(l_orderkey); contains() over
+    // the reconstructed token column mirrors the chunk-pruned scan
+    "q_avro_block_trigram" ->
+      """WITH src AS (
+           SELECT l_orderkey, l_quantity,
+                  'doc w' || substring(md5(CAST(CAST(floor(l_orderkey
+                    / 64.0) AS BIGINT) AS VARCHAR)), 1, 10) || ' body'
+                    AS txt
+           FROM lineitem),
+         ndl AS (
+           SELECT 'w' || substring(md5(CAST(CAST(floor(min(l_orderkey)
+             / 64.0) AS BIGINT) AS VARCHAR)), 1, 10) AS needle
+           FROM lineitem),
+         nc AS (
+           SELECT CAST((count(*) + 4095) // 4096 AS BIGINT) AS n_chunks
+           FROM lineitem)
+         SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT))
+                  AS BIGINT) AS qty_c,
+                (SELECT n_chunks FROM nc) AS n_chunks
+         FROM src, ndl WHERE contains(txt, needle)
+         GROUP BY l_orderkey ORDER BY l_orderkey""",
     // one file per day per commit ⇒ kept files under the pruned travel
     // read = distinct days in the filter window; the stand-down read
     // keeps every v2 file

@@ -249,7 +249,8 @@ object AvroFileSource {
   val KnownProps: Set[String] = Set("graft.sortedBy", "graft.requestSort",
     "graft.bloomFor", "graft.ndvFor", "graft.trigramFor", "graft.codec",
     "graft.targetFileBytes", "graft.bucketBy", "graft.transformBy",
-    "graft.preservePartitioning", "graft.chunkBloomFor")
+    "graft.preservePartitioning", "graft.chunkBloomFor",
+    "graft.chunkTrigramFor")
 
   def readProps(d: File): Map[String, String] = {
     val f = propsFile(d)
@@ -2893,6 +2894,7 @@ case class AvroTable(path: String, tableSchema: StructType,
       cols("ndvFor"),
       cols("trigramFor"),
       chunkBloomFor = cols("chunkBloomFor"),
+      chunkTrigramFor = cols("chunkTrigramFor"),
       branchWrite = branchW.nonEmpty,
       requestSort = opt("requestSort").exists(_.toBoolean),
       checkOption =
@@ -4507,7 +4509,8 @@ class AvroScanBuilder(path: String, full: StructType,
           if (!bf.isFile) Map.empty
           else AvroFileSource.readBlockIdxRaw(bf)
             .map { case (rel, es) =>
-              rel -> es.filterNot(_._2.startsWith("bloom:"))
+              rel -> es.filterNot(e => e._2.startsWith("bloom:") ||
+                e._2 == AvroFileSource.TrigramTypeTag)
             }.filter(_._2.nonEmpty)
         }
 
@@ -4577,10 +4580,15 @@ class AvroScanBuilder(path: String, full: StructType,
           case Some((k, m)) if k == runtimeZoneVals => m
           case _ =>
             val probes = bloomProbeMap()
+            // substring probes (r19): contains/startsWith/endsWith
+            // needles against `trigram:string` chunk cells — a chunk
+            // definitely lacking ANY trigram of the needle holds no
+            // match (the file-level trigram rule at chunk granularity)
+            val trigProbes = trigramProbeMap()
             val dir = new File(path)
             val bf = AvroFileSource.blockIdxFile(dir)
             val m: Map[String, Set[(Long, Long)]] =
-              if (probes.isEmpty || !bf.isFile ||
+              if ((probes.isEmpty && trigProbes.isEmpty) || !bf.isFile ||
                   travelVersion.nonEmpty || incRange.nonEmpty ||
                   branch.nonEmpty || cdcFeed) Map.empty
               else try {
@@ -4590,15 +4598,23 @@ class AvroScanBuilder(path: String, full: StructType,
                 try src.getLines().foreach { line =>
                   line.split('\t') match {
                     case Array(rel, colEnc, dtStr, s, e, b64, _)
-                        if dtStr.startsWith("bloom:") &&
+                        if (dtStr.startsWith("bloom:") ||
+                          dtStr == AvroFileSource.TrigramTypeTag) &&
                           s.forall(_.isDigit) && e.forall(_.isDigit) =>
                       val col =
                         java.net.URLDecoder.decode(colEnc, "UTF-8")
-                      val ps = probes.getOrElse(col, Nil)
+                      val isTrig = dtStr == AvroFileSource.TrigramTypeTag
+                      val ps =
+                        if (isTrig) trigProbes.getOrElse(col, Nil)
+                        else probes.getOrElse(col, Nil)
                       val typeOk = ps.nonEmpty &&
                         full.fields.find(_.name == col).exists(f =>
-                          "bloom:" + f.dataType.simpleString == dtStr &&
-                            AvroFileSource.bloomableType(f.dataType))
+                          if (isTrig)
+                            f.dataType ==
+                              org.apache.spark.sql.types.StringType
+                          else
+                            "bloom:" + f.dataType.simpleString == dtStr &&
+                              AvroFileSource.bloomableType(f.dataType))
                       if (typeOk)
                         scala.util.Try(
                           java.util.Base64.getDecoder.decode(b64))
@@ -6952,7 +6968,10 @@ class AvroWriteBuilder(path: String, schema: StructType,
     // per-chunk bloom cells in `_graft_blockidx` (sorted writes only —
     // chunk boundaries only exist where syncs are forced): equality and
     // join-key membership pruning at CHUNK granularity
-    chunkBloomFor: Seq[String] = Nil)
+    chunkBloomFor: Seq[String] = Nil,
+    // per-chunk TRIGRAM cells (r19): substring-probe pruning at CHUNK
+    // granularity — contains/startsWith/endsWith with needle >= 3
+    chunkTrigramFor: Seq[String] = Nil)
   extends WriteBuilder with SupportsTruncate
   with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite
   with org.apache.spark.sql.connector.write.SupportsOverwriteV2 {
@@ -7044,6 +7063,19 @@ class AvroWriteBuilder(path: String, schema: StructType,
     "graft-avro: chunkBloomFor needs sortedBy — chunk boundaries only " +
       "exist in sorted staged writes (the block-range index's forced " +
       "syncs)")
+
+  chunkTrigramFor.foreach { c =>
+    val f = schema.fields.find(_.name == c).getOrElse(
+      throw new IllegalArgumentException(
+        s"chunkTrigramFor column '$c' not in schema"))
+    require(f.dataType == org.apache.spark.sql.types.StringType,
+      s"chunkTrigramFor only supports string columns (column '$c' is " +
+        f.dataType.simpleString + ")")
+  }
+  require(chunkTrigramFor.isEmpty || sortedBy.isDefined,
+    "graft-avro: chunkTrigramFor needs sortedBy — chunk boundaries " +
+      "only exist in sorted staged writes (the block-range index's " +
+      "forced syncs)")
 
   ndvFor.foreach { c =>
     val f = schema.fields.find(_.name == c).getOrElse(
@@ -7338,7 +7370,8 @@ class AvroWriteBuilder(path: String, schema: StructType,
           staged = true, sortedBy = sortedBy, bloomFor = bloomFor,
           ndvFor = ndvFor, trigramFor = trigramFor,
           targetFileBytes = targetFileBytes, bucketBy = bucketBy,
-          transformBy = transformBy, chunkBloomFor = chunkBloomFor)
+          transformBy = transformBy, chunkBloomFor = chunkBloomFor,
+          chunkTrigramFor = chunkTrigramFor)
         if (compiledChecks.isEmpty) base
         else CheckedWriterFactory(base, compiledChecks)
       }
@@ -8202,10 +8235,16 @@ private[sources] object AvroWriters {
     * the all-null signal.
     */
   private[sources] final class ChunkBloomBuilder(schema: StructType,
-      cols: Seq[String]) {
+      cols: Seq[String], trigCols: Seq[String] = Nil) {
     import AvroFileSource.BloomBits
     private val idx = cols.map(schema.fieldIndex)
-    private var bits = Array.fill(cols.size)(new Array[Long](BloomBits / 64))
+    // trigram cells (r19): per chunk, the bloom of every TRIGRAM of the
+    // column's string values — contains/startsWith/endsWith probes with
+    // needle length >= 3 prune chunks by the all-of trigram rule; a
+    // zero cell (all strings shorter than 3) soundly prunes
+    private val tIdx = trigCols.map(schema.fieldIndex)
+    private var bits =
+      Array.fill(cols.size + trigCols.size)(new Array[Long](BloomBits / 64))
 
     def update(view: org.apache.spark.sql.Row): Unit = {
       var c = 0
@@ -8213,6 +8252,14 @@ private[sources] object AvroWriters {
         val v = view.get(idx(c))
         if (v != null) AvroFileSource.bloomAdd(bits(c), v.toString)
         c += 1
+      }
+      var t = 0
+      while (t < tIdx.length) {
+        val v = view.get(tIdx(t))
+        if (v != null)
+          AvroFileSource.trigramsOf(v.toString).foreach(g =>
+            AvroFileSource.bloomAdd(bits(cols.size + t), g))
+        t += 1
       }
     }
 
@@ -8226,14 +8273,16 @@ private[sources] object AvroWriters {
     /** The closed chunk's base64 cells (one per column), then reset. */
     def cut(): Array[String] = {
       val out = bits.map(b64)
-      bits = Array.fill(cols.size)(new Array[Long](BloomBits / 64))
+      bits = Array.fill(cols.size + trigCols.size)(
+        new Array[Long](BloomBits / 64))
       out
     }
 
     val colEncs: Seq[String] =
-      cols.map(java.net.URLEncoder.encode(_, "UTF-8"))
+      (cols ++ trigCols).map(java.net.URLEncoder.encode(_, "UTF-8"))
     val tags: Seq[String] =
-      idx.map(i => "bloom:" + schema.fields(i).dataType.simpleString)
+      idx.map(i => "bloom:" + schema.fields(i).dataType.simpleString) ++
+        trigCols.map(_ => AvroFileSource.TrigramTypeTag)
   }
 
   /** Per-file HLL NDV sketches for the opt-in `ndvFor` columns: one
@@ -8303,7 +8352,8 @@ private[sources] object AvroWriters {
       targetFileBytes: Option[Long] = None,
       buckets: Seq[(String, Int)] = Nil,
       xforms: Seq[Xform] = Nil,
-      chunkBloomFor: Seq[String] = Nil): DataWriter[InternalRow] = {
+      chunkBloomFor: Seq[String] = Nil,
+      chunkTrigramFor: Seq[String] = Nil): DataWriter[InternalRow] = {
     val idx = partCols.map(schema.fieldIndex)
     val bidx = buckets.map { case (c, _) => schema.fieldIndex(c) }
     val xidx = xforms.map(x => schema.fieldIndex(x.col))
@@ -8355,8 +8405,9 @@ private[sources] object AvroWriters {
       var bChunks: List[(Long, Long, Array[String], Array[String],
         Array[String])] = Nil
       val cbStats: ChunkBloomBuilder =
-        if (staged && sortIdx.nonEmpty && chunkBloomFor.nonEmpty)
-          new ChunkBloomBuilder(schema, chunkBloomFor)
+        if (staged && sortIdx.nonEmpty &&
+            (chunkBloomFor.nonEmpty || chunkTrigramFor.nonEmpty))
+          new ChunkBloomBuilder(schema, chunkBloomFor, chunkTrigramFor)
         else null
       private def cbCells(): Array[String] =
         if (cbStats == null) Array.empty[String] else cbStats.cut()
@@ -8535,7 +8586,8 @@ private[sources] object AvroWriters {
       ndvFor: Seq[String] = Nil,
       trigramFor: Seq[String] = Nil,
       targetFileBytes: Option[Long] = None,
-      chunkBloomFor: Seq[String] = Nil): DataWriter[InternalRow] = {
+      chunkBloomFor: Seq[String] = Nil,
+      chunkTrigramFor: Seq[String] = Nil): DataWriter[InternalRow] = {
     val avroSchema = AvroSchemaConverter.toAvro(schema, "topLevelRecord", None, None)
     val toAvro = AvroInternalCodec.encoderFor(schema, avroSchema)
     val sortColsList = sortedBy.toSeq.flatMap(AvroFileSource.sortCols)
@@ -8596,8 +8648,9 @@ private[sources] object AvroWriters {
       // per-chunk membership cells (chunkBloomFor), cut in lockstep
       // with the zone chunks above
       val cbStats: ChunkBloomBuilder =
-        if (staged && sortIdx.nonEmpty && chunkBloomFor.nonEmpty)
-          new ChunkBloomBuilder(schema, chunkBloomFor)
+        if (staged && sortIdx.nonEmpty &&
+            (chunkBloomFor.nonEmpty || chunkTrigramFor.nonEmpty))
+          new ChunkBloomBuilder(schema, chunkBloomFor, chunkTrigramFor)
         else null
       private def cbCells(): Array[String] =
         if (cbStats == null) Array.empty[String] else cbStats.cut()
@@ -8762,7 +8815,8 @@ case class AvroWriterFactory(path: String, schema: StructType,
     targetFileBytes: Option[Long] = None,
     bucketBy: Seq[(String, Int)] = Nil,
     transformBy: Seq[Xform] = Nil,
-    chunkBloomFor: Seq[String] = Nil)
+    chunkBloomFor: Seq[String] = Nil,
+    chunkTrigramFor: Seq[String] = Nil)
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
@@ -8778,13 +8832,14 @@ case class AvroWriterFactory(path: String, schema: StructType,
         staged = staged, sortedBy = sortedBy, bloomFor = bloomFor,
         ndvFor = ndvFor, trigramFor = trigramFor,
         targetFileBytes = targetFileBytes, buckets = bucketBy,
-        xforms = transformBy, chunkBloomFor = chunkBloomFor)
+        xforms = transformBy, chunkBloomFor = chunkBloomFor,
+        chunkTrigramFor = chunkTrigramFor)
     else
       AvroWriters.open(path, schema, name,
         lazyCreate = false, codec = codec, staged = staged,
         sortedBy = sortedBy, bloomFor = bloomFor, ndvFor = ndvFor,
         trigramFor = trigramFor, targetFileBytes = targetFileBytes,
-        chunkBloomFor = chunkBloomFor)
+        chunkBloomFor = chunkBloomFor, chunkTrigramFor = chunkTrigramFor)
   }
 }
 

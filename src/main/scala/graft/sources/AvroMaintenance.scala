@@ -1635,12 +1635,41 @@ object AvroMaintenance {
       bloomFor: Seq[String] = Nil, ndvFor: Seq[String] = Nil,
       trigramFor: Seq[String] = Nil,
       blockIdxFor: Option[String] = None,
-      chunkBloomFor: Seq[String] = Nil): Int = {
+      chunkBloomFor: Seq[String] = Nil,
+      chunkTrigramFor: Seq[String] = Nil): Int = {
     import spark.implicits._
     require(chunkBloomFor.isEmpty || blockIdxFor.exists(_.trim.nonEmpty),
       "graft-avro analyze: chunk_bloom_for rides the block index's " +
         "chunk frame — pass block_index_for too")
+    require(chunkTrigramFor.isEmpty || blockIdxFor.exists(_.trim.nonEmpty),
+      "graft-avro analyze: chunk_trigram_for rides the block index's " +
+        "chunk frame — pass block_index_for too")
     val d = new File(dir)
+    // validate chunk-cell columns LOUDLY against the LIVE inferred
+    // schema (a typo'd CALL used to backfill nothing and report
+    // success); the per-file .filter(top) below stays as
+    // schema-evolution tolerance for files that predate a column
+    if (chunkBloomFor.nonEmpty || chunkTrigramFor.nonEmpty) {
+      val live = spark.read.format("graft-avro").load(dir).schema
+      chunkBloomFor.foreach { c =>
+        val f = live.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft-avro analyze: chunk_bloom_for column '$c' not in " +
+              "the table schema"))
+        require(AvroFileSource.bloomableType(f.dataType),
+          s"graft-avro analyze: chunk_bloom_for does not support " +
+            s"${f.dataType.simpleString} (column '$c')")
+      }
+      chunkTrigramFor.foreach { c =>
+        val f = live.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft-avro analyze: chunk_trigram_for column '$c' not in " +
+              "the table schema"))
+        require(f.dataType == org.apache.spark.sql.types.StringType,
+          s"graft-avro analyze: chunk_trigram_for only supports string " +
+            s"columns (column '$c' is ${f.dataType.simpleString})")
+      }
+    }
     val base = d.getAbsoluteFile.toPath
     val rels = AvroFileSource.listLive(d).map { case (f, _) =>
       base.relativize(f.getAbsoluteFile.toPath).toString
@@ -1649,6 +1678,7 @@ object AvroMaintenance {
     val root = base.toString
     val (bf, nf, tf) = (bloomFor, ndvFor, trigramFor)
     val cbf = chunkBloomFor
+    val ctf = chunkTrigramFor
     val bix = blockIdxFor.map(_.trim).filter(_.nonEmpty)
     val slices = math.max(1, math.min(rels.size, 32))
     val perFile = spark.createDataset(rels).repartition(slices)
@@ -1697,9 +1727,12 @@ object AvroMaintenance {
             val cbCols = cbf.filter(top).filter(c =>
               AvroFileSource.bloomableType(
                 st.fields(st.fieldIndex(c)).dataType))
+            val ctCols = ctf.filter(top).filter(c =>
+              st.fields(st.fieldIndex(c)).dataType ==
+                org.apache.spark.sql.types.StringType)
             val cbb =
-              if (cbCols.nonEmpty && bixIdx.isDefined)
-                new AvroWriters.ChunkBloomBuilder(st, cbCols)
+              if ((cbCols.nonEmpty || ctCols.nonEmpty) && bixIdx.isDefined)
+                new AvroWriters.ChunkBloomBuilder(st, cbCols, ctCols)
               else null
             def cbCells(): Seq[String] =
               if (cbb == null) Nil else cbb.cut().toSeq

@@ -185,13 +185,14 @@ object GraftProcedures {
         "backfill pruning/statistics manifests (zones, sums, row " +
           "counts; opt-in blooms/NDV/trigrams as comma lists, '' = " +
           "none; block_index_for = one column to chunk-index for " +
-          "intra-file skipping; chunk_bloom_for = columns getting " +
-          "per-chunk membership cells on that frame) for existing " +
-          "data without rewriting it",
+          "intra-file skipping; chunk_bloom_for / chunk_trigram_for = " +
+          "columns getting per-chunk membership / substring cells on " +
+          "that frame) for existing data without rewriting it",
         Array(param("table", StringType), param("bloom_for", StringType),
           param("ndv_for", StringType), param("trigram_for", StringType),
           paramDefault("block_index_for", StringType, "''"),
-          paramDefault("chunk_bloom_for", StringType, "''")),
+          paramDefault("chunk_bloom_for", StringType, "''"),
+          paramDefault("chunk_trigram_for", StringType, "''")),
         in => {
           def cols(i: Int): Seq[String] =
             Option(in.getUTF8String(i)).map(_.toString).toSeq
@@ -201,7 +202,8 @@ object GraftProcedures {
             cols(1), cols(2), cols(3),
             blockIdxFor = Option(in.getUTF8String(4)).map(_.toString)
               .map(_.trim).filter(_.nonEmpty),
-            chunkBloomFor = cols(5))
+            chunkBloomFor = cols(5),
+            chunkTrigramFor = cols(6))
           (out("files_analyzed" -> LongType), Seq(n.toLong))
         })
       case "set_row_level_mode" => new Proc(name,

@@ -127,4 +127,66 @@ class BlockIdxLaws extends AnyFunSuite with SparkSpec with Matchers {
       parts(t.filter(F.col("id") === -1L)) shouldBe 0
     }
   }
+
+  // == r19: per-chunk TRIGRAM cells (`chunkTrigramFor`) — substring
+  // pruning at chunk granularity. Same model law under a
+  // contains/startsWith/endsWith sweep on a string column whose tokens
+  // scatter (zone bounds useless), plus the bite assertion. ==
+
+  test("trigram-chunk-pruned answers equal the model; substring probes prune chunks") {
+    val shapes = Seq((21L, 30000), (22L, 24000))
+    shapes.foreach { case (seed, n) =>
+      val dir = tmp()
+      val rng = new scala.util.Random(seed)
+      // sorted by g; s carries a scattered random token — only the
+      // trigram cell can prune a substring probe
+      val data = Array.fill(n) {
+        val tok = "t" + java.lang.Long.toHexString(rng.nextLong(1L << 60))
+        (rng.nextInt(1000).toLong, s"doc $tok end")
+      }.sortBy(_._1)
+      import spark.implicits._
+      data.toSeq.toDF("g", "s")
+        .coalesce(1).sortWithinPartitions("g")
+        .write.format("graft-avro").option("sortedBy", "g")
+        .option("chunkTrigramFor", "s")
+        .mode("overwrite").save(dir)
+      val t = spark.read.format("graft-avro").load(dir)
+      val raw = AvroFileSource.readBlockIdxRaw(
+        AvroFileSource.blockIdxFile(new java.io.File(dir)))
+      val trigLines = raw.headOption.map(_._2.count(
+        _._2 == AvroFileSource.TrigramTypeTag)).getOrElse(0)
+      val zoneLines = raw.headOption.map(_._2.count(
+        _._2 == "bigint")).getOrElse(0)
+      trigLines shouldBe zoneLines // one cell per chunk
+      trigLines should be >= 4
+      def tokOf(row: (Long, String)): String =
+        row._2.stripPrefix("doc ").stripSuffix(" end")
+      val probes = Seq(tokOf(data(n / 4)), tokOf(data(n / 2)),
+        tokOf(data(3 * n / 4)), "tzzzzabsent")
+      probes.foreach { tok =>
+        withClue(s"seed=$seed contains=$tok: ") {
+          t.filter(F.col("s").contains(tok)).count() shouldBe
+            data.count(_._2.contains(tok)).toLong
+        }
+        withClue(s"seed=$seed startsWith: ") {
+          t.filter(F.col("s").startsWith(s"doc $tok")).count() shouldBe
+            data.count(_._2.startsWith(s"doc $tok")).toLong
+        }
+        withClue(s"seed=$seed endsWith: ") {
+          t.filter(F.col("s").endsWith(s"$tok end")).count() shouldBe
+            data.count(_._2.endsWith(s"$tok end")).toLong
+        }
+      }
+      // the pruning BITES: a present token lives in one chunk (plus
+      // rare deterministic FP keeps); an absent token's trigrams are
+      // random-miss but 'tzz'+'zzz'... may collide — require < total,
+      // not zero
+      def parts(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.toRdd.getNumPartitions
+      parts(t.filter(F.col("s").contains(tokOf(data(n / 2))))) should
+        be < trigLines
+      parts(t.filter(F.col("s").contains("tzzzzabsent"))) should
+        be < trigLines
+    }
+  }
 }
