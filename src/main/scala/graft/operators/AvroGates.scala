@@ -2418,6 +2418,57 @@ object AvroGates extends Catalog {
               |ORDER BY c_mktsegment, o_orderpriority""".stripMargin)
     }),
 
+    // COUNTING JOIN MATVIEW THROUGH DELETES (r19): the view stores each
+    // join-result row with its multiplicity (_mv_n); refresh folds the
+    // SIGNED CDC deltas of both sides (insert +1 / delete −1, joined at
+    // pinned versions via the bilinear delta identity), so an equality
+    // DELETE in one source incrementally KILLS its join groups — no
+    // allowRebuild, no re-join of the bulk. Zero-count rows vanish via
+    // the counting merge. Before r19 any delete in a join-view source
+    // forced the pinned full re-join.
+    "q_avro_matview_join_del" -> ((s, dir) => {
+      if (!s.conf.getOption("spark.sql.catalog.graft_gate").isDefined) {
+        s.conf.set("spark.sql.catalog.graft_gate",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_gate.root",
+          tempDir("graft_gate_cat"))
+      }
+      table(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+        .createOrReplaceTempView("ord_src_mvjd")
+      table(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .createOrReplaceTempView("cust_src_mvjd")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.gate")
+      s.sql("DROP TABLE IF EXISTS graft_gate.gate.mvjd")
+      s.sql("DROP TABLE IF EXISTS graft_gate.gate.mvjdord")
+      s.sql("DROP TABLE IF EXISTS graft_gate.gate.mvjdcust")
+      s.sql("CREATE TABLE graft_gate.gate.mvjdord AS " +
+        "SELECT * FROM ord_src_mvjd WHERE o_orderkey % 2 = 0") // L v1
+      s.sql("CREATE TABLE graft_gate.gate.mvjdcust AS " +
+        "SELECT * FROM cust_src_mvjd") // R v1
+      s.sql(
+        """CALL graft_gate.system.create_counting_join_matview(
+          |  'gate.mvjd', 'gate.mvjdord', 'gate.mvjdcust',
+          |  'SELECT o_orderkey, o_custkey, o_orderpriority,
+          |     c_mktsegment
+          |   FROM __L__ JOIN __R__ ON o_custkey = c_custkey')"""
+          .stripMargin)
+      // one side appends, the other DELETES a whole segment
+      s.sql("INSERT INTO graft_gate.gate.mvjdord " +
+        "SELECT * FROM ord_src_mvjd WHERE o_orderkey % 2 = 1") // L v2
+      s.sql("DELETE FROM graft_gate.gate.mvjdcust " +
+        "WHERE c_mktsegment = 'BUILDING'") // R v2 (equality delete)
+      s.sql("CALL graft_gate.system.refresh_join_matview('gate.mvjd')")
+      // BUILDING groups must have VANISHED from the maintained view
+      s.sql("""SELECT c_mktsegment, o_orderpriority,
+              |  CAST(sum(_mv_n) AS BIGINT) AS n_orders,
+              |  CAST(sum(o_orderkey * _mv_n) AS BIGINT) AS key_sum
+              |FROM graft_gate.gate.mvjd
+              |GROUP BY c_mktsegment, o_orderpriority
+              |ORDER BY c_mktsegment, o_orderpriority""".stripMargin)
+    }),
+
     // SQL CALL procedures under the oracle: a full maintenance lifecycle
     // through `CALL cat.system.*` — rollback_to_version physically
     // restores v1 (the doubled v2 generation archives out), then
@@ -3956,6 +4007,16 @@ object AvroGates extends Catalog {
                 count(*) AS n_orders,
                 CAST(sum(o_orderkey) AS BIGINT) AS key_sum
          FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment, o_orderpriority
+         ORDER BY c_mktsegment, o_orderpriority""",
+    // the counting-maintained view must equal the join over the FULL
+    // left (v1 ∪ v2) and the delete-filtered right — BUILDING vanished
+    "q_avro_matview_join_del" ->
+      """SELECT c_mktsegment, o_orderpriority,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment <> 'BUILDING'
          GROUP BY c_mktsegment, o_orderpriority
          ORDER BY c_mktsegment, o_orderpriority""",
     "q_avro_matview" ->

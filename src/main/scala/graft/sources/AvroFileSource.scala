@@ -1347,7 +1347,16 @@ object AvroFileSource {
         }
       }.toMap
       finally src.close()
-    } catch { case _: Exception => Map.empty }
+    } catch {
+      case e: Exception =>
+        // falling back to mtime aging is the exact unsafe-early-reclaim
+        // direction this sidecar exists to prevent — degrade LOUDLY
+        // (readBlockIdxRaw posture), never silently (ADVICE r18)
+        System.err.println(s"graft-avro: archived-stamp sidecar $f " +
+          s"unreadable (${e.getClass.getSimpleName}: ${e.getMessage}) — " +
+          "expire grace falls back to best-effort file mtimes")
+        Map.empty
+    }
   }
 
   private[sources] def writeArchivedStamps(d: File,
@@ -5274,6 +5283,15 @@ class AvroScanBuilder(path: String, full: StructType,
                   // strings serve too (r18) — the per-entry cap guard
                   // below withholds maybe-truncated bounds
                   case StringType => true
+                  // timestamps (r19): the events-table join key — zone
+                  // bounds round-trip via Timestamp.valueOf exactly;
+                  // catalyst internal = epoch micros (the DateType
+                  // epoch-days precedent). Decimals round-trip via
+                  // BigDecimal toString. Both already prune via the
+                  // same encoding, so serving CBO bounds adds no new
+                  // exactness hazard.
+                  case TimestampType => true
+                  case _: DecimalType => true
                   case _ => false
                 }
                 if (!eligible) None
@@ -5327,6 +5345,11 @@ class AvroScanBuilder(path: String, full: StructType,
                           d.toLocalDate.toEpochDay.toInt
                         case s: String => org.apache.spark.unsafe.types
                           .UTF8String.fromString(s)
+                        case t: java.sql.Timestamp =>
+                          org.apache.spark.sql.catalyst.util.DateTimeUtils
+                            .fromJavaTimestamp(t)
+                        case b: java.math.BigDecimal =>
+                          org.apache.spark.sql.types.Decimal(b)
                         case x => x
                       }
                       if (sound)

@@ -91,15 +91,37 @@ object GraftAnnIndex {
   /** Train the coarse quantizer over the corpus table and publish the
     * index as `<indexRef>_centroids` / `<indexRef>_assign` catalog
     * tables. Returns the list (centroid) count. */
+  /** Best-effort recursive delete of a half-built index table dir so a
+    * failed build can simply be retried under the same name (the
+    * resolveNewTableDir name-free check would otherwise refuse until
+    * the orphans were dropped manually — ADVICE r18). Only ever called
+    * on dirs THIS build created. */
+  private def dropDir(d: File): Unit =
+    try {
+      if (d.exists()) {
+        java.nio.file.Files.walk(d.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { p.toFile.delete(); () })
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
   def build(s: SparkSession, cat: GraftCatalog, sourceRef: String,
       idCol: String, vecCol: String, indexRef: String): Long = {
     val m = Meta(sourceRef, idCol, vecCol)
     val raw = corpus(s, cat, m)
     val cenDir = cat.resolveNewTableDir(indexRef + "_centroids")
     val asgDir = cat.resolveNewTableDir(indexRef + "_assign")
-    graft.operators.LlmSimilarity.buildIvfIndexFrom(s, raw,
-      Some((cenDir.getPath, asgDir.getPath)))
-    writeMeta(cenDir, m)
+    try {
+      graft.operators.LlmSimilarity.buildIvfIndexFrom(s, raw,
+        Some((cenDir.getPath, asgDir.getPath)))
+      writeMeta(cenDir, m)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // a half-built index (tables without the sidecar) would block a
+        // retry under the same name — clean up before rethrowing
+        dropDir(cenDir); dropDir(asgDir)
+        throw e
+    }
     s.read.format("graft-avro").load(cenDir.getPath).count()
   }
 
@@ -173,9 +195,15 @@ object GraftAnnIndex {
     val raw = corpus(s, cat, m)
     val cbDir = cat.resolveNewTableDir(indexRef + "_codebook")
     val codesDir = cat.resolveNewTableDir(indexRef + "_codes")
-    graft.operators.LlmSimilarity.buildPqIndexFrom(s, raw,
-      Some((cbDir.getPath, codesDir.getPath)))
-    writeMeta(cbDir, m)
+    try {
+      graft.operators.LlmSimilarity.buildPqIndexFrom(s, raw,
+        Some((cbDir.getPath, codesDir.getPath)))
+      writeMeta(cbDir, m)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        dropDir(cbDir); dropDir(codesDir)
+        throw e
+    }
     s.read.format("graft-avro").load(cbDir.getPath).count()
   }
 

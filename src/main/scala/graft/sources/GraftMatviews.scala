@@ -353,7 +353,8 @@ object GraftMatviews {
 
   final case class JoinSpec(leftDir: String, rightDir: String,
       joinSql: String, lastLeft: Long, lastRight: Long,
-      maxStalenessMs: Option[Long] = None, refreshedAtMs: Long = 0L)
+      maxStalenessMs: Option[Long] = None, refreshedAtMs: Long = 0L,
+      counting: Boolean = false)
 
   def readJoinSpec(viewDir: File): JoinSpec = {
     val f = joinSidecar(viewDir)
@@ -368,6 +369,12 @@ object GraftMatviews {
           if maxMs.matches("-?[0-9]+") && at.matches("[0-9]+") =>
         JoinSpec(dec(l), dec(r), dec(sql), lv.toLong, rv.toLong,
           Some(maxMs.toLong).filter(_ >= 0), at.toLong)
+      case Array(l, r, sql, lv, rv, maxMs, at, mode)
+          if maxMs.matches("-?[0-9]+") && at.matches("[0-9]+") &&
+            (mode == "counting" || mode == "bag") =>
+        JoinSpec(dec(l), dec(r), dec(sql), lv.toLong, rv.toLong,
+          Some(maxMs.toLong).filter(_ >= 0), at.toLong,
+          counting = mode == "counting")
       case _ => throw new IllegalArgumentException(
         s"graft matview: corrupt join sidecar $f")
     }
@@ -380,7 +387,8 @@ object GraftMatviews {
         enc(spec.joinSql) + "\t" + spec.lastLeft + "\t" +
         spec.lastRight +
         "\t" + spec.maxStalenessMs.getOrElse(-1L) +
-        "\t" + spec.refreshedAtMs + "\n")
+        "\t" + spec.refreshedAtMs +
+        "\t" + (if (spec.counting) "counting" else "bag") + "\n")
         .getBytes(StandardCharsets.UTF_8))
     Files.move(tmp.toPath, joinSidecar(viewDir).toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
@@ -431,6 +439,93 @@ object GraftMatviews {
     (lv, rv)
   }
 
+  /** COUNTING join matview (r19): `V = γ_all-cols,count(L ⋈ R)` —
+    * the view stores each distinct join-result row with its
+    * multiplicity `_mv_n`, so row-level DELETES in either source
+    * maintain incrementally instead of forcing `allowRebuild`. Delta
+    * algebra: with SIGNED source deltas (insert +1 / delete −1, the
+    * CDC changes feed), the bag identity
+    *
+    *   ΔV = ΔL ⋈ R@curR ∪ L@lastL ⋈ ΔR
+    *
+    * is BILINEAR, so the engine runs the caller's `joinSql` separately
+    * on each side's insert and delete rows and tags the outputs ±1 —
+    * the caller writes ONE plain join projection, never sign logic.
+    * Merge = group over the view's columns, SUM the signs, and
+    * zero-count rows DROP (the counting algorithm's HAVING). Contract:
+    * `joinSql` must be a pure bag join-projection (no aggregation or
+    * DISTINCT inside — bilinearity is what makes the signed split
+    * exact). Refresh cost is O(Δ ⋈ …) + one view rewrite.
+    */
+  def createJoinCounting(spark: SparkSession, viewDir: String,
+      leftDir: String, rightDir: String, joinSql: String): (Long, Long) =
+      withViewLock(new File(viewDir)) {
+    require(joinSql.contains("__L__") && joinSql.contains("__R__"),
+      "graft matview: join SQL must read FROM __L__ and __R__")
+    val vd = new File(viewDir)
+    require(!joinSidecar(vd).isFile && !sidecar(vd).isFile,
+      s"graft matview: $viewDir already is a materialized view " +
+        "(drop it first)")
+    val lv = currentVersion(leftDir)
+    val rv = currentVersion(rightDir)
+    require(lv > 0 && rv > 0, "graft matview: join sources must be " +
+      "journaled graft-avro tables (no snapshot journal found)")
+    val id = viewSeq.incrementAndGet()
+    val (lView, rView) = (s"graft_mvjc_l_$id", s"graft_mvjc_r_$id")
+    spark.read.format("graft-avro").option("versionAsOf", lv.toString)
+      .load(leftDir).createOrReplaceTempView(lView)
+    spark.read.format("graft-avro").option("versionAsOf", rv.toString)
+      .load(rightDir).createOrReplaceTempView(rView)
+    val rows = spark.sql(
+      joinSql.replace("__L__", lView).replace("__R__", rView))
+    require(!rows.columns.contains("_mv_n"),
+      "graft matview: join SQL must not project a _mv_n column (the " +
+        "engine owns the multiplicity)")
+    rows.groupBy(rows.columns.map(org.apache.spark.sql.functions.col)
+        .toIndexedSeq: _*)
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("_mv_n"))
+      .write.format("graft-avro").mode("overwrite").save(viewDir)
+    writeJoinSpec(vd, JoinSpec(new File(leftDir).getCanonicalPath,
+      new File(rightDir).getCanonicalPath, joinSql, lv, rv,
+      refreshedAtMs = System.currentTimeMillis(), counting = true))
+    (lv, rv)
+  }
+
+  /** The signed delta term for one side: the caller's joinSql run over
+    * that side's CDC insert rows (+1) and delete rows (−1), the other
+    * side pinned at `otherSql` — exact by bilinearity.
+    */
+  private def countingTerm(spark: SparkSession, spec: JoinSpec,
+      leftSide: Boolean, from: Long, to: Long, otherView: String,
+      id: Long): Option[org.apache.spark.sql.DataFrame] = {
+    import org.apache.spark.sql.functions._
+    if (from == to) return None
+    val dir = if (leftSide) spec.leftDir else spec.rightDir
+    val chg = AvroMaintenance.changes(spark, dir, from, to)
+    val cols = chg.columns.filterNot(c =>
+      c == AvroFileSource.CdcChangeType ||
+        c == AvroFileSource.CdcCommitVersion)
+    def term(changeType: String, sign: Int)
+        : org.apache.spark.sql.DataFrame = {
+      val side = chg
+        .filter(col(AvroFileSource.CdcChangeType) === changeType)
+        .select(cols.map(col).toIndexedSeq: _*)
+      val name =
+        s"graft_mvjc_${if (leftSide) "l" else "r"}_${changeType}_$id"
+      side.createOrReplaceTempView(name)
+      val sql =
+        if (leftSide)
+          spec.joinSql.replace("__L__", name).replace("__R__", otherView)
+        else
+          spec.joinSql.replace("__L__", otherView).replace("__R__", name)
+      val out = spark.sql(sql)
+      out.groupBy(out.columns.map(col).toIndexedSeq: _*)
+        .agg((count(lit(1)) * sign).as("_mv_n"))
+    }
+    Some(term("insert", 1).unionByName(term("delete", -1)))
+  }
+
   /** Incremental join refresh: appends the two delta terms to the view.
     * Returns ((fromL, toL), (fromR, toR)) — both pairs equal when
     * neither source moved (no-op).
@@ -459,6 +554,38 @@ object GraftMatviews {
         writeJoinSpec(new File(viewDir),
           spec.copy(refreshedAtMs = System.currentTimeMillis()))
       return ((curL, curL), (curR, curR))
+    }
+    if (spec.counting) {
+      import org.apache.spark.sql.functions._
+      val id = viewSeq.incrementAndGet()
+      val rNew = s"graft_mvjc_rn_$id"
+      spark.read.format("graft-avro").option("versionAsOf", curR.toString)
+        .load(spec.rightDir).createOrReplaceTempView(rNew)
+      val lOld = s"graft_mvjc_lo_$id"
+      spark.read.format("graft-avro")
+        .option("versionAsOf", spec.lastLeft.toString)
+        .load(spec.leftDir).createOrReplaceTempView(lOld)
+      val terms = Seq(
+        countingTerm(spark, spec, leftSide = true, spec.lastLeft, curL,
+          rNew, id),
+        countingTerm(spark, spec, leftSide = false, spec.lastRight, curR,
+          lOld, id)).flatten
+      val delta = terms.reduce(_ unionByName _)
+      val view = spark.read.format("graft-avro").load(viewDir)
+      val keyCols = view.columns.filterNot(_ == "_mv_n")
+      // counting merge: multiplicities sum; rows whose count reaches
+      // zero DROP — a delete-killed join group vanishes without a
+      // rebuild. Materialize before the same-directory overwrite.
+      val merged = view.unionByName(delta)
+        .groupBy(keyCols.map(col).toIndexedSeq: _*)
+        .agg(sum("_mv_n").as("_mv_n"))
+        .filter(col("_mv_n") > 0L)
+        .localCheckpoint(true)
+      merged.write.format("graft-avro").mode("overwrite").save(viewDir)
+      writeJoinSpec(new File(viewDir),
+        spec.copy(lastLeft = curL, lastRight = curR,
+          refreshedAtMs = System.currentTimeMillis()))
+      return ((spec.lastLeft, curL), (spec.lastRight, curR))
     }
     if (allowRebuild && !additiveWindow(spec, curL, curR)) {
       val id = viewSeq.incrementAndGet()

@@ -40,7 +40,8 @@ object GraftProcedures {
     "create_view",
     "set_row_level_mode",
     "drop_view", "create_matview", "create_delta_matview",
-    "refresh_matview", "create_join_matview", "refresh_join_matview",
+    "refresh_matview", "create_join_matview",
+    "create_counting_join_matview", "refresh_join_matview",
     "set_matview_staleness",
     "build_ivf_index", "append_ivf_assignments", "rebalance_ivf_index",
     "build_pq_index")
@@ -456,6 +457,39 @@ object GraftProcedures {
           require(!GraftViews.viewFile(nsD, ident.name()).isFile,
             s"graft catalog: a view named $ident already exists")
           val (lv, rv) = GraftMatviews.createJoin(
+            org.apache.spark.sql.SparkSession.active,
+            cat.tableDirIdent(ident).getPath,
+            cat.resolveTableDir(leftRef.toString).getPath,
+            cat.resolveTableDir(rightRef.toString).getPath,
+            joinSql.toString)
+          (out("view" -> StringType, "left_version" -> LongType,
+            "right_version" -> LongType), Seq(viewRef.copy(), lv, rv))
+        })
+      case "create_counting_join_matview" => new Proc(name,
+        "materialize a join with per-row multiplicities (_mv_n): " +
+          "refresh_join_matview then maintains through row-level " +
+          "DELETES in either source via signed CDC deltas — " +
+          "zero-count rows vanish, no rebuild (join_sql must be a " +
+          "pure bag join projection reading __L__ and __R__)",
+        Array(param("view", StringType), param("left", StringType),
+          param("right", StringType), param("join_sql", StringType)),
+        in => {
+          val viewRef = in.getUTF8String(0)
+          val leftRef = in.getUTF8String(1)
+          val rightRef = in.getUTF8String(2)
+          val joinSql = in.getUTF8String(3)
+          require(viewRef != null && leftRef != null && rightRef != null &&
+            joinSql != null, "graft procedure: " +
+            "create_counting_join_matview arguments must be non-null")
+          val ident = cat.parseRef(viewRef.toString)
+          val nsD = cat.namespaceDir(ident.namespace())
+          require(nsD.isDirectory,
+            s"graft catalog: no namespace ${ident.namespace().mkString(".")}")
+          require(!cat.tableExistsIdent(ident),
+            s"graft catalog: a table named $ident already exists")
+          require(!GraftViews.viewFile(nsD, ident.name()).isFile,
+            s"graft catalog: a view named $ident already exists")
+          val (lv, rv) = GraftMatviews.createJoinCounting(
             org.apache.spark.sql.SparkSession.active,
             cat.tableDirIdent(ident).getPath,
             cat.resolveTableDir(leftRef.toString).getPath,

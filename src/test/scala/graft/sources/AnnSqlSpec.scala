@@ -201,6 +201,29 @@ class AnnSqlSpec extends AnyFunSuite with SparkSpec with Matchers {
     e.getMessage should include("build_ivf_index")
   }
 
+  test("a failed build cleans its half-built tables: retry just works") {
+    ensureCat()
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+      .createOrReplaceTempView("ann_spec_rb_src")
+    spark.sql("DROP TABLE IF EXISTS ann_spec.ns.rbidx_centroids")
+    spark.sql("DROP TABLE IF EXISTS ann_spec.ns.rbidx_assign")
+    spark.sql("DROP TABLE IF EXISTS ann_spec.ns.rbemb")
+    spark.sql(
+      "CREATE TABLE ann_spec.ns.rbemb AS SELECT * FROM ann_spec_rb_src")
+    // bogus vector column: the Lloyd job fails AFTER the table dirs
+    // were allocated — the orphans must not block the corrected retry
+    intercept[Exception] {
+      spark.sql("CALL ann_spec.system.build_ivf_index(" +
+        "'ns.rbemb', 'vec_id', 'no_such_col', 'ns.rbidx')")
+    }
+    val built = spark.sql("CALL ann_spec.system.build_ivf_index(" +
+      "'ns.rbemb', 'vec_id', 'embedding', 'ns.rbidx')").head()
+    built.getLong(1) shouldBe 8L
+    spark.sql("SELECT * FROM ivf_search('ann_spec.ns.rbidx', 5)")
+      .collect().length should be > 0
+  }
+
   test("argument errors are loud") {
     ensureCat()
     // unbuilt index: the sidecar is required

@@ -168,6 +168,37 @@ class AvroStatsSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally spark.conf.set("spark.sql.cbo.enabled", "false")
   }
 
+  test("timestamp + decimal columns serve CBO min/max (r19)") {
+    val dir = tmp()
+    spark.range(0, 1000).toDF("k")
+      .withColumn("ts", F.expr(
+        "timestamp_micros(1704067200000000 + k * 60000000)")) // 2024-01-01 + k min
+      .withColumn("price", F.expr(
+        "cast(cast(k as decimal(12,2)) / 4 as decimal(12,2))"))
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val df = spark.read.format("graft-avro").load(dir)
+        .filter(F.col("k").isNotNull)
+      val byName = df.queryExecution.optimizedPlan.stats.attributeStats
+        .map { case (a, s) => a.name -> s }
+      // catalyst internal: timestamps are epoch MICROS (the DateType
+      // epoch-days precedent); the events-table join key gets a range
+      // estimate instead of a blind guess
+      byName("ts").min.map(_.asInstanceOf[Long]) shouldBe
+        Some(1704067200000000L)
+      byName("ts").max.map(_.asInstanceOf[Long]) shouldBe
+        Some(1704067200000000L + 999L * 60000000L)
+      byName("ts").nullCount.map(_.toLong) shouldBe Some(0L)
+      val pMin = byName("price").min.get
+        .asInstanceOf[org.apache.spark.sql.types.Decimal]
+      val pMax = byName("price").max.get
+        .asInstanceOf[org.apache.spark.sql.types.Decimal]
+      pMin.toBigDecimal shouldBe BigDecimal("0.00")
+      pMax.toBigDecimal shouldBe BigDecimal("249.75")
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+  }
+
   test("positional deletes withhold column stats (dead extremes)") {
     val dir = tmp()
     spark.range(0, 100).toDF("k").coalesce(1)

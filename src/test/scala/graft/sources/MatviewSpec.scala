@@ -237,6 +237,65 @@ class MatviewSpec extends AnyFunSuite with SparkSpec with Matchers {
     joinRows(mv) shouldBe Seq((2L, 20L, 200L))
   }
 
+  test("counting join view maintains through DELETES on either side") {
+    val l = Catalog.tempDir("graft_mvjc_l")
+    val r = Catalog.tempDir("graft_mvjc_r")
+    val mv = Catalog.tempDir("graft_mvjc_v")
+    // duplicate keys: multiplicities > 1 must fold exactly
+    var lRows = Seq((1L, 10L), (1L, 11L), (2L, 20L), (3L, 30L))
+    var rRows = Seq((1L, 100L), (2L, 200L), (2L, 201L), (3L, 300L))
+    writePairs(l, lRows, ("k", "v"), "overwrite")
+    writePairs(r, rRows, ("k", "w"), "overwrite")
+    GraftMatviews.createJoinCounting(spark, mv, l, r, joinSql) shouldBe
+      ((1L, 1L))
+
+    def expect(ls: Seq[(Long, Long)], rs: Seq[(Long, Long)]) =
+      (for { (lk, lv) <- ls; (rk, rw) <- rs if lk == rk }
+        yield (lk, lv, rw)).groupBy(identity)
+        .map { case (row, xs) => (row._1, row._2, row._3, xs.size.toLong) }
+        .toSeq.sorted
+    def got(): Seq[(Long, Long, Long, Long)] =
+      spark.read.format("graft-avro").load(mv).collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+          x.getAs[Long]("_mv_n"))).toSeq.sorted
+    got() shouldBe expect(lRows, rRows)
+
+    // append on L + equality DELETE on R in one window: the signed
+    // deltas fold, k=2's groups VANISH, no rebuild flag needed
+    writePairs(l, Seq((2L, 21L), (9L, 90L)), ("k", "v"), "append")
+    lRows ++= Seq((2L, 21L), (9L, 90L))
+    AvroMaintenance.deleteWhere(spark, r, "k", Seq(2L))
+    rRows = rRows.filterNot(_._1 == 2L)
+    GraftMatviews.refreshJoin(spark, mv)
+    got() shouldBe expect(lRows, rRows)
+    got().map(_._1) should not contain 2L
+
+    // positional (MoR-style) delete on L: kills ONE of k=1's dup rows —
+    // the multiplicity decrements, the row survives at n reflecting it
+    val rel = AvroFileSource.listLive(new java.io.File(l)).map(_._1)
+      .map(f => new java.io.File(l).getAbsoluteFile.toPath
+        .relativize(f.getAbsoluteFile.toPath).toString)
+      .find { rl =>
+        spark.read.format("graft-avro").load(l)
+          .select(org.apache.spark.sql.functions
+            .col(AvroFileSource.MetaFile), org.apache.spark.sql.functions
+            .col("v"))
+          .filter("v = 10").head().getString(0) == rl
+      }.get
+    val ord = spark.read.format("graft-avro").load(l)
+      .select(org.apache.spark.sql.functions
+        .col(AvroFileSource.MetaPos), org.apache.spark.sql.functions
+        .col("v"))
+      .filter("v = 10").head().getLong(0)
+    AvroMaintenance.deleteAtPositions(l, rel, Seq(ord))
+    lRows = {
+      val i = lRows.indexOf((1L, 10L))
+      lRows.patch(i, Nil, 1)
+    }
+    GraftMatviews.refreshJoin(spark, mv)
+    got() shouldBe expect(lRows, rRows)
+  }
+
   test("join view create/refresh guardrails") {
     val l = Catalog.tempDir("graft_mvj_l3")
     val r = Catalog.tempDir("graft_mvj_r3")
