@@ -470,15 +470,26 @@ object LlmSimilarity extends Catalog {
   private[graft] def searchIvfVecFrom(s: SparkSession, raw: DataFrame,
       cenDir: String, asgDir: String, queries: Seq[(Long, Seq[Float])],
       nprobe: Int = 6, k: Int = 3): DataFrame = {
+    import s.implicits._
+    searchIvfFrameFrom(s, raw, cenDir, asgDir,
+      queries.toDF("qid", "qvec"), nprobe, k)
+  }
+
+  /** [[searchIvfVecFrom]] over an arbitrary QUERY FRAME with
+    * (qid, qvec) columns — the batch external-query path (a table of
+    * fresh embeddings finds neighbors in one call; the query side
+    * broadcasts, the corpus is never shuffled). */
+  private[graft] def searchIvfFrameFrom(s: SparkSession, raw: DataFrame,
+      cenDir: String, asgDir: String, queries: DataFrame,
+      nprobe: Int = 6, k: Int = 3): DataFrame = {
     VectorFunctions.register(s)
     val corpus = raw
       .select(F.col("vec_id"), F.expr(
         "transform(embedding, x -> " +
           "cast(floor(cast(x as double) * 10000.0) as bigint) * 16)")
         .as("qx16"))
-    import s.implicits._
-    val qdf = queries.toDF("qid", "qvec")
-      .select(F.col("qid"), F.expr(
+    val qdf = queries
+      .select(F.col("qid").cast("long").as("qid"), F.expr(
         "transform(qvec, x -> " +
           "cast(floor(cast(x as double) * 10000.0) as bigint) * 16)")
         .as("qv"))
@@ -497,10 +508,17 @@ object LlmSimilarity extends Catalog {
   private[graft] def searchPqVecFrom(s: SparkSession, cbDir: String,
       codesDir: String, queries: Seq[(Long, Seq[Float])],
       k: Int = 3): DataFrame = {
-    VectorFunctions.register(s)
     import s.implicits._
-    val qsubs = queries.toDF("qid", "qvec")
-      .select(F.col("qid"), F.expr(
+    searchPqFrameFrom(s, cbDir, codesDir, queries.toDF("qid", "qvec"), k)
+  }
+
+  /** [[searchPqVecFrom]] over an arbitrary (qid, qvec) query frame —
+    * batch external ADC queries. */
+  private[graft] def searchPqFrameFrom(s: SparkSession, cbDir: String,
+      codesDir: String, queries: DataFrame, k: Int = 3): DataFrame = {
+    VectorFunctions.register(s)
+    val qsubs = queries
+      .select(F.col("qid").cast("long").as("qid"), F.expr(
         "transform(qvec, x -> " +
           "cast(floor(cast(x as double) * 10000.0) as bigint))").as("qx"))
       .select(F.col("qid"), F.posexplode(F.expr(

@@ -176,6 +176,24 @@ object GraftAnnIndex {
       .select("vec_id", "d", "rn")
   }
 
+  /** BATCH external-query search (r19): a catalog TABLE of fresh
+    * embeddings — columns `qid` (integral) and `qvec` (float array) —
+    * finds neighbors for every row in one call; returns
+    * (qid, vec_id, d, rn). The query side broadcasts; the corpus is
+    * never shuffled. */
+  def searchVecTable(s: SparkSession, cat: GraftCatalog, indexRef: String,
+      queryRef: String, nprobe: Int, k: Int): DataFrame = {
+    val (cenDir, asgDir) = indexDirs(cat, indexRef)
+    val m = readMeta(cenDir)
+    val q = s.read.format("graft-avro")
+      .load(cat.resolveTableDir(queryRef).getPath)
+    require(q.columns.contains("qid") && q.columns.contains("qvec"),
+      s"graft ann index: query table '$queryRef' must carry columns " +
+        "(qid, qvec)")
+    graft.operators.LlmSimilarity.searchIvfFrameFrom(s,
+      corpus(s, cat, m), cenDir.getPath, asgDir.getPath, q, nprobe, k)
+  }
+
   // ---------------------------------------------------------------- PQ
 
   /** Resolve an existing PQ index ref to (codebook dir, codes dir). */
@@ -229,5 +247,21 @@ object GraftAnnIndex {
     graft.operators.LlmSimilarity.searchPqVecFrom(s,
       cbDir.getPath, codesDir.getPath, Seq(0L -> vec), k)
       .select("rn", "vec_id", "adc_d")
+  }
+
+  /** [[searchVecTable]] for the PQ index — batch external ADC queries
+    * from a (qid, qvec) catalog table; returns (qid, rn, vec_id,
+    * adc_d). */
+  def searchPqVecTable(s: SparkSession, cat: GraftCatalog,
+      indexRef: String, queryRef: String, k: Int): DataFrame = {
+    val (cbDir, codesDir) = pqDirs(cat, indexRef)
+    readMeta(cbDir)
+    val q = s.read.format("graft-avro")
+      .load(cat.resolveTableDir(queryRef).getPath)
+    require(q.columns.contains("qid") && q.columns.contains("qvec"),
+      s"graft ann index: query table '$queryRef' must carry columns " +
+        "(qid, qvec)")
+    graft.operators.LlmSimilarity.searchPqFrameFrom(s,
+      cbDir.getPath, codesDir.getPath, q, k)
   }
 }

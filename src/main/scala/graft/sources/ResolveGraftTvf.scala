@@ -183,8 +183,8 @@ object GraftIvfSearch {
   import GraftTvfArgs.{lng, str, vecF}
 
   private val usage =
-    "ivf_search expects ('cat.ns.index', qMaxId | array(…) [, nprobe, " +
-      "k]) with literal arguments"
+    "ivf_search expects ('cat.ns.index', qMaxId | array(…) | " +
+      "'cat.ns.queryTable' [, nprobe, k]) with literal arguments"
 
   def plan(args: Seq[Expression]): LogicalPlan = {
     val spark = SparkSession.active
@@ -204,15 +204,27 @@ object GraftIvfSearch {
     // EXTERNAL query vector (r19): `ivf_search('idx', array(…), np, k)`
     // ranks corpus neighbors of a NEW embedding — the canonical ANN
     // call, no corpus insert needed; returns (vec_id, d, rn) with no
-    // qid (the query is the caller's). The long form keeps the
-    // corpus-internal qMaxId semantics and the qid column.
+    // qid (the query is the caller's). A second STRING literal is a
+    // catalog QUERY TABLE ref — batch external queries, one call per
+    // table of fresh (qid, qvec) embeddings, returning (qid, vec_id,
+    // d, rn). The long form keeps the corpus-internal qMaxId
+    // semantics and the qid column.
     val df = vecF(query) match {
       case Some(v) =>
         GraftAnnIndex.searchVec(spark, g, rel.mkString("."), v,
           nprobe.toInt, k.toInt)
-      case None =>
-        GraftAnnIndex.search(spark, g, rel.mkString("."),
-          lng(query).getOrElse(bad()), nprobe.toInt, k.toInt)
+      case None => str(query) match {
+        case Some(qRef) =>
+          val (qg, qRel) = GraftTvfArgs.graftCatalog(spark, qRef,
+            "ivf_search", "queryTable")
+          require(qg eq g, "ivf_search: the query table must live in " +
+            "the index's catalog")
+          GraftAnnIndex.searchVecTable(spark, g, rel.mkString("."),
+            qRel.mkString("."), nprobe.toInt, k.toInt)
+        case None =>
+          GraftAnnIndex.search(spark, g, rel.mkString("."),
+            lng(query).getOrElse(bad()), nprobe.toInt, k.toInt)
+      }
     }
     SubqueryAlias("ivf_search", df.queryExecution.analyzed)
   }
@@ -237,8 +249,8 @@ object GraftPqSearch {
   import GraftTvfArgs.{lng, str, vecF}
 
   private val usage =
-    "pq_search expects ('cat.ns.index', qMaxId | array(…) [, k]) with " +
-      "literal arguments"
+    "pq_search expects ('cat.ns.index', qMaxId | array(…) | " +
+      "'cat.ns.queryTable' [, k]) with literal arguments"
 
   def plan(args: Seq[Expression]): LogicalPlan = {
     val spark = SparkSession.active
@@ -254,13 +266,23 @@ object GraftPqSearch {
     val (g, rel) = GraftTvfArgs.graftCatalog(spark, idxRef,
       "pq_search", "index")
     // external query vector: ADC neighbors of a NEW embedding —
-    // returns (rn, vec_id, adc_d), no qid (see GraftIvfSearch)
+    // returns (rn, vec_id, adc_d), no qid; a STRING literal is a batch
+    // (qid, qvec) query-table ref (see GraftIvfSearch)
     val df = vecF(query) match {
       case Some(v) =>
         GraftAnnIndex.searchPqVec(spark, g, rel.mkString("."), v, k.toInt)
-      case None =>
-        GraftAnnIndex.searchPq(spark, g, rel.mkString("."),
-          lng(query).getOrElse(bad()), k.toInt)
+      case None => str(query) match {
+        case Some(qRef) =>
+          val (qg, qRel) = GraftTvfArgs.graftCatalog(spark, qRef,
+            "pq_search", "queryTable")
+          require(qg eq g, "pq_search: the query table must live in " +
+            "the index's catalog")
+          GraftAnnIndex.searchPqVecTable(spark, g, rel.mkString("."),
+            qRel.mkString("."), k.toInt)
+        case None =>
+          GraftAnnIndex.searchPq(spark, g, rel.mkString("."),
+            lng(query).getOrElse(bad()), k.toInt)
+      }
     }
     SubqueryAlias("pq_search", df.queryExecution.analyzed)
   }

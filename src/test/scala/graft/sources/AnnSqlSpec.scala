@@ -201,6 +201,64 @@ class AnnSqlSpec extends AnyFunSuite with SparkSpec with Matchers {
     e.getMessage should include("build_ivf_index")
   }
 
+  test("batch external queries: ivf_search/pq_search with a query-table ref") {
+    ensureCat()
+    // relies on the indexes built by the earlier tests (rebuilt there if
+    // missing); the query table holds corpus rows 0..2 as EXTERNAL
+    // (qid, qvec) — with no self-exclusion each qid's top hit at
+    // distance 0 must be its own corpus row
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+      .createOrReplaceTempView("ann_spec_qt_corpus")
+    if (!spark.catalog.tableExists("ann_spec.ns.idx_centroids")) {
+      spark.sql("DROP TABLE IF EXISTS ann_spec.ns.idx_assign")
+      spark.sql("DROP TABLE IF EXISTS ann_spec.ns.emb")
+      spark.sql(
+        "CREATE TABLE ann_spec.ns.emb AS SELECT * FROM ann_spec_qt_corpus")
+      spark.sql("CALL ann_spec.system.build_ivf_index(" +
+        "'ns.emb', 'vec_id', 'embedding', 'ns.idx')")
+    }
+    if (!spark.catalog.tableExists("ann_spec.ns.p_codebook")) {
+      spark.sql("DROP TABLE IF EXISTS ann_spec.ns.p_codes")
+      spark.sql("DROP TABLE IF EXISTS ann_spec.ns.pqemb")
+      spark.sql(
+        "CREATE TABLE ann_spec.ns.pqemb AS SELECT * FROM ann_spec_qt_corpus")
+      spark.sql("CALL ann_spec.system.build_pq_index(" +
+        "'ns.pqemb', 'vec_id', 'embedding', 'ns.p')")
+    }
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id as qid", "embedding as qvec")
+      .filter("qid < 3")
+      .createOrReplaceTempView("ann_spec_qt_src")
+    spark.sql("DROP TABLE IF EXISTS ann_spec.ns.qtab")
+    spark.sql(
+      "CREATE TABLE ann_spec.ns.qtab AS SELECT * FROM ann_spec_qt_src")
+    val ivf = spark.sql("SELECT qid, vec_id, d, rn FROM " +
+      "ivf_search('ann_spec.ns.idx', 'ann_spec.ns.qtab', 6, 3) " +
+      "ORDER BY qid, rn")
+    val iopt = ivf.queryExecution.optimizedPlan.toString
+    iopt should not include "LogicalRDD"
+    iopt should not include "ExistingRDD"
+    val irows = ivf.collect()
+    irows.map(_.getAs[Long]("qid")).distinct.sorted shouldBe
+      Array(0L, 1L, 2L)
+    irows.filter(_.getAs[Int]("rn") == 1).foreach { r =>
+      r.getAs[Long]("vec_id") shouldBe r.getAs[Long]("qid")
+      r.getAs[Long]("d") shouldBe 0L
+    }
+    val pq = spark.sql("SELECT qid, rn, vec_id, adc_d FROM " +
+      "pq_search('ann_spec.ns.p', 'ann_spec.ns.qtab', 3) " +
+      "ORDER BY qid, rn")
+    val prows = pq.collect()
+    prows.map(_.getAs[Long]("qid")).distinct.sorted shouldBe
+      Array(0L, 1L, 2L)
+    // ADC ranks vs stored codes: self rows place in each top-3
+    (0L to 2L).foreach { q =>
+      prows.filter(_.getAs[Long]("qid") == q)
+        .map(_.getAs[Long]("vec_id")) should contain(q)
+    }
+  }
+
   test("a failed build cleans its half-built tables: retry just works") {
     ensureCat()
     spark.read.parquet(s"$dir/embeddings.parquet")
