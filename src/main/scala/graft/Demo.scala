@@ -127,6 +127,15 @@ object Demo {
     spark.sql("SELECT * FROM ivf_search('demo.ann.idx', 3, 6, 2) " +
       "ORDER BY qid, rn").show(6)
 
+    println("== external query vector: ivf_search('idx', array(...)) ==")
+    // a NEW embedding that is not a corpus row — no insert needed
+    val qv = spark.sql("SELECT embedding FROM demo_emb WHERE vec_id = 0")
+      .head().getSeq[Float](0)
+      .map(f => java.math.BigDecimal.valueOf(f.toDouble).toPlainString)
+      .mkString("array(", ", ", ")")
+    spark.sql(s"SELECT * FROM ivf_search('demo.ann.idx', $qv, 6, 2) " +
+      "ORDER BY rn").show(2)
+
     spark.stop()
   }
 }

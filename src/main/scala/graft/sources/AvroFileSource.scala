@@ -1062,13 +1062,38 @@ object AvroFileSource {
     (bb.getLong(0), bb.getLong(8))
   }
 
-  private[sources] def bloomAdd(bits: Array[Long], value: String): Unit = {
-    val (h1, h2) = bloomHash2(value)
+  private[sources] def bloomAdd(bits: Array[Long], value: String): Unit =
+    bloomAddHashed(bits, bloomHash2(value))
+
+  private[sources] def bloomAddHashed(bits: Array[Long],
+      h: (Long, Long)): Unit = {
+    val (h1, h2) = h
     var i = 0
     while (i < BloomHashes) {
       val b = java.lang.Math.floorMod(h1 + i * h2, BloomBits.toLong).toInt
       bits(b >> 6) |= 1L << (b & 63)
       i += 1
+    }
+  }
+
+  /** Memoized trigram bloom fold: one md5 per DISTINCT trigram instead
+    * of one per occurrence (write-path cost — a length-L string used
+    * to pay L−2 md5s per row; real corpora repeat a small trigram
+    * vocabulary). Cache bounded; overflow falls back to hashing. */
+  private[sources] final class TrigramHasher {
+    private val memo = new java.util.HashMap[String, (Long, Long)]()
+    def add(bits: Array[Long], s: String): Unit = {
+      var i = 0
+      while (i + 3 <= s.length) {
+        val g = s.substring(i, i + 3)
+        var h = memo.get(g)
+        if (h == null) {
+          h = bloomHash2(g)
+          if (memo.size < 65536) memo.put(g, h)
+        }
+        bloomAddHashed(bits, h)
+        i += 1
+      }
     }
   }
 
@@ -8192,6 +8217,7 @@ private[sources] object AvroWriters {
     private val tBits =
       Array.fill(trigramCols.size)(new Array[Long](BloomBits / 64))
     private val tSeen = Array.fill(trigramCols.size)(false)
+    private val trigHasher = new AvroFileSource.TrigramHasher
 
     def update(view: org.apache.spark.sql.Row): Unit = {
       var c = 0
@@ -8211,12 +8237,7 @@ private[sources] object AvroWriters {
           // carry a trigram: an emitted all-zero set soundly prunes
           // needles of length >= 3 that no short value can contain
           tSeen(c) = true
-          val s = v.toString
-          var i = 0
-          while (i + 3 <= s.length) {
-            AvroFileSource.bloomAdd(tBits(c), s.substring(i, i + 3))
-            i += 1
-          }
+          trigHasher.add(tBits(c), v.toString)
         }
         c += 1
       }
@@ -8266,6 +8287,7 @@ private[sources] object AvroWriters {
     // needle length >= 3 prune chunks by the all-of trigram rule; a
     // zero cell (all strings shorter than 3) soundly prunes
     private val tIdx = trigCols.map(schema.fieldIndex)
+    private val trigHasher = new AvroFileSource.TrigramHasher
     private var bits =
       Array.fill(cols.size + trigCols.size)(new Array[Long](BloomBits / 64))
 
@@ -8280,8 +8302,7 @@ private[sources] object AvroWriters {
       while (t < tIdx.length) {
         val v = view.get(tIdx(t))
         if (v != null)
-          AvroFileSource.trigramsOf(v.toString).foreach(g =>
-            AvroFileSource.bloomAdd(bits(cols.size + t), g))
+          trigHasher.add(bits(cols.size + t), v.toString)
         t += 1
       }
     }
