@@ -171,6 +171,12 @@ object Bench {
       // ordinal, both as a compare (`gid# = 3`) and as a bare Expand
       // projection slot (normalized inside Expand rows below)
       .replaceAll("gid# = \\d+", "gid# = N")
+      // higher-order-function lambda variables render as `lambda x_N#`
+      // where N is a GLOBAL resolution counter — it depends on how many
+      // lambdas the session resolved before this gate planned (the
+      // second instability the r19 full-run diff surfaced: 10 HOF-using
+      // gates moved when the shuffled gate order changed what ran first)
+      .replaceAll("lambda (\\w+?)_\\d+#", "lambda $1_#")
     flat.linesIterator.map { line =>
       // Expand argument rows carry the gid ordinal as a bare literal
       // list element — normalize only inside the nested-list shape
@@ -306,8 +312,9 @@ object Bench {
     * would flag every slower gate "regression". Version mismatch drops
     * the baseline fingerprints (times stay comparable) so movers land
     * in "slower-no-baseline" instead. Bump when canonText changes.
-    * v2 (r19): distinct-rewrite gid + bracket/hashpartitioning sorting. */
-  private[graft] val FpVersion = 2
+    * v2 (r19): distinct-rewrite gid + bracket/hashpartitioning sorting.
+    * v3 (r19): lambda-variable counter (`lambda x_N#`) normalization. */
+  private[graft] val FpVersion = 3
 
   private[graft] def readPrevDetail(path: String, sfDir: String)
       : (Map[String, Double], Map[String, String]) =

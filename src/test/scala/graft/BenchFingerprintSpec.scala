@@ -100,6 +100,27 @@ class BenchFingerprintSpec extends AnyFunSuite with SparkSpec {
       Bench.sortBrackets("[f(a, b), e(c)]"))
   }
 
+  test("lambda-variable counters normalize (HOF gates)") {
+    // `lambda x_N#`: N is a global resolution counter — the r19 full-run
+    // diff caught 10 HOF gates moving when the shuffled order changed
+    // what planned first
+    val a = Bench.fingerprint(
+      SparkEntry.queries("proj_map_pick")(spark, dir), dir)
+    // burn lambda ids: resolving unrelated HOFs bumps the counter
+    spark.range(4).selectExpr(
+      "transform(sequence(0, 3), x -> x + 1) as t",
+      "filter(sequence(0, 5), y -> y > 2) as f")
+      .queryExecution.optimizedPlan
+    val b = Bench.fingerprint(
+      SparkEntry.queries("proj_map_pick")(spark, dir), dir)
+    assert(a === b)
+    assert(Bench.canonText("lambda x_1#.key = lambda x_1#", dir) ===
+      Bench.canonText("lambda x_9#.key = lambda x_9#", dir))
+    // the variable NAME stays significant
+    assert(Bench.canonText("lambda x_1#", dir) !==
+      Bench.canonText("lambda y_1#", dir))
+  }
+
   test("q_profile plans to the same fingerprint across re-plannings") {
     val a = Bench.fingerprint(SparkEntry.queries("q_profile")(spark, dir), dir)
     // burn expression ids between the two plannings: the distinct
