@@ -177,6 +177,10 @@ object Bench {
       // second instability the r19 full-run diff surfaced: 10 HOF-using
       // gates moved when the shuffled gate order changed what ran first)
       .replaceAll("lambda (\\w+?)_\\d+#", "lambda $1_#")
+      // common-subexpression-elimination aliases (`_common_expr_N`)
+      // carry the same kind of global counter (third r19 class — the
+      // full-run diff caught q_validate/llm_dataset_card moving)
+      .replaceAll("_common_expr_\\d+", "_common_expr_")
     flat.linesIterator.map { line =>
       // Expand argument rows carry the gid ordinal as a bare literal
       // list element — normalize only inside the nested-list shape
@@ -313,8 +317,9 @@ object Bench {
     * the baseline fingerprints (times stay comparable) so movers land
     * in "slower-no-baseline" instead. Bump when canonText changes.
     * v2 (r19): distinct-rewrite gid + bracket/hashpartitioning sorting.
-    * v3 (r19): lambda-variable counter (`lambda x_N#`) normalization. */
-  private[graft] val FpVersion = 3
+    * v3 (r19): lambda-variable counter (`lambda x_N#`) normalization.
+    * v4 (r19): `_common_expr_N` CSE-alias counter normalization. */
+  private[graft] val FpVersion = 4
 
   private[graft] def readPrevDetail(path: String, sfDir: String)
       : (Map[String, Double], Map[String, String]) =

@@ -119,6 +119,11 @@ class BenchFingerprintSpec extends AnyFunSuite with SparkSpec {
     // the variable NAME stays significant
     assert(Bench.canonText("lambda x_1#", dir) !==
       Bench.canonText("lambda y_1#", dir))
+    // third counter class: common-subexpression-elimination aliases
+    assert(Bench.canonText(
+      "[(a# > 1) AS _common_expr_7#, (b# > 2) AS _common_expr_5#]", dir) ===
+      Bench.canonText(
+        "[(b# > 2) AS _common_expr_4#, (a# > 1) AS _common_expr_6#]", dir))
   }
 
   test("q_profile plans to the same fingerprint across re-plannings") {
