@@ -1679,7 +1679,11 @@ object AvroMaintenance {
     val (bf, nf, tf) = (bloomFor, ndvFor, trigramFor)
     val cbf = chunkBloomFor
     val ctf = chunkTrigramFor
-    val bix = blockIdxFor.map(_.trim).filter(_.nonEmpty)
+    // comma list (r19): the write path indexes EVERY sort column per
+    // chunk; the backfill now matches — one sidecar line per (col,
+    // chunk), shared boundaries
+    val bix = blockIdxFor.map(_.trim).filter(_.nonEmpty).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     val slices = math.max(1, math.min(rels.size, 32))
     val perFile = spark.createDataset(rels).repartition(slices)
       .mapPartitions { it =>
@@ -1721,6 +1725,7 @@ object AvroMaintenance {
                 }
               }
             val bixDt = bixIdx.map(i => st.fields(i).dataType.simpleString)
+            val nBix = bixIdx.size
             // per-chunk bloom cells (chunk_bloom_for), cut in lockstep
             // with the zone chunks — membership skipping for clustered/
             // Z-ordered files without a rewrite
@@ -1731,56 +1736,61 @@ object AvroMaintenance {
               st.fields(st.fieldIndex(c)).dataType ==
                 org.apache.spark.sql.types.StringType)
             val cbb =
-              if ((cbCols.nonEmpty || ctCols.nonEmpty) && bixIdx.isDefined)
+              if ((cbCols.nonEmpty || ctCols.nonEmpty) && bixIdx.nonEmpty)
                 new AvroWriters.ChunkBloomBuilder(st, cbCols, ctCols)
               else null
             def cbCells(): Seq[String] =
               if (cbb == null) Nil else cbb.cut().toSeq
             var chunkStart = 0L
             var chunkRows = 0L
-            var cMin: Any = null
-            var cMax: Any = null
-            val chunks =
-              Seq.newBuilder[(Long, Long, String, String, Seq[String])]
+            var cMins: Array[Any] = new Array[Any](nBix)
+            var cMaxs: Array[Any] = new Array[Any](nBix)
+            val chunks = Seq.newBuilder[
+              (Long, Long, Seq[String], Seq[String], Seq[String])]
             var nChunks = 0
             def bEnc(v: Any, hi: Boolean): String =
               if (v == null) "-"
               else if (hi) AvroFileSource.zoneEncodeMax(v)
               else AvroFileSource.zoneEncodeMin(v)
+            def cut(end: Long): Unit = {
+              chunks += ((chunkStart, end,
+                cMins.toSeq.map(bEnc(_, hi = false)),
+                cMaxs.toSeq.map(bEnc(_, hi = true)), cbCells()))
+              nChunks += 1
+              chunkStart = end; chunkRows = 0
+              cMins = new Array[Any](nBix); cMaxs = new Array[Any](nBix)
+            }
             var n = 0L
             while (r.hasNext) {
-              if (bixIdx.isDefined && chunkRows >= AvroFileSource.BlockIdxRows) {
+              if (bixIdx.nonEmpty && chunkRows >= AvroFileSource.BlockIdxRows) {
                 val bs = r.previousSync() - 16
-                if (bs > chunkStart) {
-                  chunks += ((chunkStart, bs, bEnc(cMin, hi = false),
-                    bEnc(cMax, hi = true), cbCells()))
-                  nChunks += 1
-                  chunkStart = bs; chunkRows = 0; cMin = null; cMax = null
-                }
+                if (bs > chunkStart) cut(bs)
               }
               val view = graft.avro.AvroRowCodec.toRow(r.next(), st)
               cs.update(view)
               if (bb != null) bb.update(view)
               if (nb != null) nb.update(view)
               if (cbb != null) cbb.update(view)
-              bixIdx.foreach { i =>
+              if (bixIdx.nonEmpty) {
                 chunkRows += 1
-                val v = view.get(i)
-                if (v != null) {
-                  if (cMin == null) { cMin = v; cMax = v }
-                  else {
-                    if (AvroFilterEval.cmp(v, cMin).exists(_ < 0)) cMin = v
-                    if (AvroFilterEval.cmp(v, cMax).exists(_ > 0)) cMax = v
+                var j = 0
+                while (j < nBix) {
+                  val v = view.get(bixIdx(j))
+                  if (v != null) {
+                    if (cMins(j) == null) { cMins(j) = v; cMaxs(j) = v }
+                    else {
+                      if (AvroFilterEval.cmp(v, cMins(j)).exists(_ < 0))
+                        cMins(j) = v
+                      if (AvroFilterEval.cmp(v, cMaxs(j)).exists(_ > 0))
+                        cMaxs(j) = v
+                    }
                   }
+                  j += 1
                 }
               }
               n += 1
             }
-            if (bixIdx.isDefined && chunkRows > 0) {
-              chunks += ((chunkStart, f.length(), bEnc(cMin, hi = false),
-                bEnc(cMax, hi = true), cbCells()))
-              nChunks += 1
-            }
+            if (bixIdx.nonEmpty && chunkRows > 0) cut(f.length())
             (rel, cs.stats,
               if (bb == null) Seq.empty[(String, String, String)]
               else bb.stats,
@@ -1789,9 +1799,9 @@ object AvroMaintenance {
               n,
               // a one-chunk file indexes nothing (file-level zones
               // already cover it)
-              if (nChunks >= 2)
-                bixIdx.map(i => (java.net.URLEncoder.encode(
-                  st.fields(i).name, "UTF-8"), bixDt.get, chunks.result(),
+              if (nChunks >= 2 && bixIdx.nonEmpty)
+                Some((bixIdx.map(i => java.net.URLEncoder.encode(
+                  st.fields(i).name, "UTF-8")).zip(bixDt), chunks.result(),
                   if (cbb == null) Seq.empty[String] else cbb.colEncs,
                   if (cbb == null) Seq.empty[String] else cbb.tags))
               else None)
@@ -1807,9 +1817,14 @@ object AvroMaintenance {
           rows = Seq(fin -> n),
           ndvs = if (ndvs.nonEmpty) Seq(fin -> ndvs) else Nil,
           blockIdx = bchunks.toSeq.map {
-            case (colEnc, dt, cs, cbEncs, cbTags) =>
-              (fin, cs.flatMap { case (s, e, mn, mx, cells) =>
-                (colEnc, dt, s, e, mn, mx) +:
+            case (colDts, cs, cbEncs, cbTags) =>
+              // one zone line per (col, chunk) — shared boundaries,
+              // matching the compound sortedBy write format — plus the
+              // chunk's cell lines once
+              (fin, cs.flatMap { case (s, e, mns, mxs, cells) =>
+                colDts.zipWithIndex.map { case ((colEnc, dt), j) =>
+                  (colEnc, dt, s, e, mns(j), mxs(j))
+                } ++
                   cells.indices.map(j =>
                     (cbEncs(j), cbTags(j), s, e, cells(j), "-"))
               })

@@ -185,7 +185,8 @@ object GraftProcedures {
       case "analyze" => new Proc(name,
         "backfill pruning/statistics manifests (zones, sums, row " +
           "counts; opt-in blooms/NDV/trigrams as comma lists, '' = " +
-          "none; block_index_for = one column to chunk-index for " +
+          "none; block_index_for = comma list of columns to chunk-index " +
+          "(shared chunk frame, one line per column) for " +
           "intra-file skipping; chunk_bloom_for / chunk_trigram_for = " +
           "columns getting per-chunk membership / substring cells on " +
           "that frame) for existing data without rewriting it",

@@ -287,6 +287,34 @@ class BlockIdxSpec extends AnyFunSuite with SparkSpec with Matchers {
       .map(_.getLong(0)) shouldBe Array(31007L)
   }
 
+  test("analyze backfills a MULTI-column chunk index (r19): both " +
+      "dimensions of a space-curve layout prune") {
+    val dir = tmp()
+    // the Z-order shape on two dims: interleave-ish layout where both
+    // k and g are locally clustered per chunk but neither is sorted
+    spark.range(0, 40000).toDF("i")
+      .withColumn("k", F.expr("(i div 200) * 200 + pmod(i, 200)"))
+      .withColumn("g", F.expr("i div 400"))
+      .withColumn("payload", F.md5(F.col("i").cast("string")))
+      .coalesce(1).sortWithinPartitions("i")
+      .drop("i")
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    AvroMaintenance.analyze(spark, dir, blockIdxFor = Some("k,g"))
+    val idx = AvroFileSource.readBlockIdxRaw(
+      AvroFileSource.blockIdxFile(new File(dir))).head._2
+    val kLines = idx.count(e => e._1 == "k" && e._2 == "bigint")
+    val gLines = idx.count(e => e._1 == "g" && e._2 == "bigint")
+    kLines shouldBe gLines // one line per (col, chunk), shared frame
+    kLines should be >= 5
+    val t = spark.read.format("graft-avro").load(dir)
+    // predicates on EITHER column prune to a strict chunk subset
+    scanPartitions(t.filter(F.col("k") === 31007L)) should be < kLines
+    scanPartitions(t.filter(F.col("g") === 17L)) should be < kLines
+    t.filter(F.col("k") === 31007L).count() shouldBe 1L
+    t.filter(F.col("g") === 17L).count() shouldBe 400L
+    t.filter(F.col("g") === 17L && F.col("k") < 7000L).count() shouldBe 200L
+  }
+
   test("backfill skips a double column (no total order under NaN)") {
     val dir = tmp()
     spark.range(0, 20000).toDF("k")
