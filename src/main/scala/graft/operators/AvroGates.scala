@@ -1702,6 +1702,43 @@ object AvroGates extends Catalog {
               |ORDER BY o_orderpriority""".stripMargin)
     }),
 
+    // r20: grouped SUM/COUNT(col) keep PushedAggregation under
+    // positional deletes — the r19 MIN/MAX hybrid extended to the full
+    // mix: clean partitions' files fold `sum:`/`cnt:` zero-decode
+    // cells, the dirty partition's files re-scan as per-file
+    // (keys, addExact sum, non-null count, surviving rows) partials
+    // under the overlay (AvroGroupStatsSpec pins only-dirty-files-
+    // decode). Before r20 ANY SUM in the mix stood the whole grouped
+    // path down the moment a MoR DELETE landed.
+    "q_avro_sum_grouped_posdel" -> ((s, dir) => {
+      if (!s.conf.getOption("spark.sql.catalog.graft_gate").isDefined) {
+        s.conf.set("spark.sql.catalog.graft_gate",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_gate.root",
+          tempDir("graft_gate_cat"))
+      }
+      table(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+        .createOrReplaceTempView("ord_src_sgp")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.gate")
+      s.sql("DROP TABLE IF EXISTS graft_gate.gate.sgp")
+      s.sql("CREATE TABLE graft_gate.gate.sgp " +
+        "(o_orderkey BIGINT NOT NULL, o_orderpriority STRING) " +
+        "PARTITIONED BY (o_orderpriority)")
+      s.sql("INSERT INTO graft_gate.gate.sgp SELECT * FROM ord_src_sgp")
+      s.sql("CALL graft_gate.system.set_row_level_mode('gate.sgp', " +
+        "'merge-on-read')")
+      s.sql("DELETE FROM graft_gate.gate.sgp " +
+        "WHERE o_orderkey % 10 = 3 AND o_orderpriority = '2-HIGH'")
+      s.sql("""SELECT o_orderpriority,
+              |       sum(o_orderkey) AS sum_okey,
+              |       count(o_orderkey) AS n_okey,
+              |       min(o_orderkey) AS min_okey,
+              |       count(*) AS n_orders
+              |FROM graft_gate.gate.sgp
+              |GROUP BY o_orderpriority
+              |ORDER BY o_orderpriority""".stripMargin)
+    }),
+
     // CDC changes read under the oracle: three generations (append,
     // append, overwrite), then the NET row diff v1 -> v3 as
     // insert/delete-tagged rows — the Iceberg table_changes shape
@@ -3914,6 +3951,15 @@ object AvroGates extends Catalog {
                 CAST(count(*) AS BIGINT) AS n_orders
          FROM orders
          WHERE NOT (o_orderkey % 10 = 3 AND o_orderpriority = '1-URGENT')
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_avro_sum_grouped_posdel" ->
+      """SELECT o_orderpriority,
+                CAST(sum(o_orderkey) AS BIGINT) AS sum_okey,
+                count(o_orderkey) AS n_okey,
+                min(o_orderkey) AS min_okey,
+                CAST(count(*) AS BIGINT) AS n_orders
+         FROM orders
+         WHERE NOT (o_orderkey % 10 = 3 AND o_orderpriority = '2-HIGH')
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_avro_cdc_read" ->
       """WITH ins AS (

@@ -3252,8 +3252,8 @@ class AvroScanBuilder(path: String, full: StructType,
     * contribute SQL-ignored nulls), recorded type tag must equal the
     * read type, float/double never served (NaN), bounds at the string
     * truncation cap are maybe-truncated ⇒ inexact ⇒ stand down, and
-    * positional deletes stand the whole thing down (a dead row may hold
-    * the extreme AND breaks the counts). Composes with zone-DECIDED
+    * positional deletes go HYBRID (dirty files re-scan as per-file
+    * partial rows — see the inline comment). Composes with zone-DECIDED
     * filters: every kept file all-matches, so its full-file bounds ARE
     * its matching-rows bounds (partitions follow prunedFiles).
     */
@@ -3289,9 +3289,10 @@ class AvroScanBuilder(path: String, full: StructType,
     // partition values are constant per file — so dirty files re-scan
     // as real per-file partial rows (keys + in-file fold under the
     // posdel overlay) while clean files keep the zero-decode cells.
-    // MIN/MAX (+COUNT(*), served as surviving-row counts) only: a SUM/
-    // COUNT(col) cell of a dirty file is not reconstructable and the
-    // partial-row fold doesn't re-derive them — those mixes stand down.
+    // r20: SUM/COUNT(col) ride the same re-scan — the dirty fold
+    // accumulates (addExact sum over surviving non-nulls, non-null
+    // count) per column, exactly the partials Spark's final aggregate
+    // expects; clean files keep their `sum:`/`cnt:` cells.
     val posdelDirty: Set[String] =
       if (!AvroFileSource.posdelFile(dirF).isFile) Set.empty
       else AvroFileSource.readPosdel(dirF).keySet
@@ -3300,12 +3301,12 @@ class AvroScanBuilder(path: String, full: StructType,
     def relOfF(f: File): String =
       baseP.relativize(f.getAbsoluteFile.toPath).toString
     val dirtyLive = liveAll.map(_._1).filter(f => posdelDirty(relOfF(f)))
+    val scanCols = (mmCols ++ sumCols).distinct
     if (dirtyLive.nonEmpty) {
-      if (sumCols.nonEmpty) return false
       // the dirty re-scan decodes top-level columns only, and a
       // count-only mix would decode a zero-column projection — keep the
-      // hybrid to the mm shape
-      if (mmCols.isEmpty || !mmCols.forall(full.fieldNames.contains))
+      // hybrid to mixes that name at least one aggregated column
+      if (scanCols.isEmpty || !scanCols.forall(full.fieldNames.contains))
         return false
     }
     val dirtyPaths = dirtyLive.map(_.getAbsolutePath).toSet
@@ -3423,10 +3424,10 @@ class AvroScanBuilder(path: String, full: StructType,
     if (dirtyLive.nonEmpty) {
       groupHybridPaths = dirtyPaths
       groupHybridStruct =
-        StructType(mmCols.map(c => full(full.fieldIndex(c))).toArray)
+        StructType(scanCols.map(c => full(full.fieldIndex(c))).toArray)
       groupHybridSpecs = sp.map {
         case ("count", _) => ("count", -1)
-        case (k, c) => (k, mmCols.indexOf(c))
+        case (k, c) => (k, scanCols.indexOf(c))
       }
     }
     required = StructType(gFields ++ sp.map {
@@ -5210,8 +5211,8 @@ class AvroScanBuilder(path: String, full: StructType,
             // a re-added name would serve the OLD column's registers
             !AvroFileSource.colmapFile(new File(path)).isFile
         // positional deletes: numRows stays exact by subtracting the
-        // validated positions OF THE COUNTED FILES; NDV is withheld
-        // (which values died is unknowable from the sidecar)
+        // validated positions OF THE COUNTED FILES; columnStats go
+        // hybrid per column (r20 — see its scaladoc)
         private def posdelDead: Long = {
           val rels = liveRels.toSet
           AvroFileSource.readPosdel(new File(path))
@@ -5250,6 +5251,16 @@ class AvroScanBuilder(path: String, full: StructType,
           * files coverage-checkable while contributing no bounds;
           * strings are withheld — truncated bounds are inexact and CBO
           * range estimation doesn't use them; floats never — NaN).
+          *
+          * POSITIONAL deletes (r20): hybrid, not wholesale stand-down.
+          * Per column: min/max fold over CLEAN files only and serve iff
+          * every dirty file's bounds sit inside the clean range (a dirty
+          * extreme may be a dead row — unknowable which); null counts
+          * serve iff every dirty file holds ZERO nulls (its dead rows
+          * then can't include one; clean files contribute exactly); NDV
+          * serves the merged pre-delete sketch — deletes only LOWER true
+          * distinct count, so the estimate stays a sound upper bound
+          * well inside the sketch's own ±6.5% tolerance class.
           */
         override def columnStats(): java.util.Map[
             org.apache.spark.sql.connector.expressions.NamedReference,
@@ -5257,8 +5268,14 @@ class AvroScanBuilder(path: String, full: StructType,
           val out = new java.util.HashMap[
             org.apache.spark.sql.connector.expressions.NamedReference,
             org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-          if (!statsServable || posdelDead > 0L) return out
+          if (!statsServable) return out
           if (liveRels.isEmpty) return out
+          val dirtyRels: Set[String] = {
+            val rels = liveRels.toSet
+            AvroFileSource.readPosdel(new File(path))
+              .filter { case (rel, ps) => rels(rel) && ps.nonEmpty }
+              .keySet
+          }
           val ndvByCol: Map[String, Long] = {
             val nd = AvroFileSource.readNdvRaw(
               AvroFileSource.ndvFile(new File(path)))
@@ -5326,12 +5343,16 @@ class AvroScanBuilder(path: String, full: StructType,
                     raw.getOrElse(rel, Nil).collectFirst {
                       case (`enc`, dtN, mn, mx)
                           if dtN == fld.dataType.simpleString => (mn, mx)
-                    }
+                    }.map(rel -> _)
                   }
                   if (per.exists(_.isEmpty)) None // uncovered file
                   else {
+                    // an all-null file (clean OR dirty) contributes no
+                    // bounds and is always safe — deletes can't mint a
+                    // non-null extreme out of nulls
                     val parsed = per.flatten
-                      .filter(_._1 != "__null__").map { case (mn, mx) =>
+                      .filter(_._2._1 != "__null__")
+                      .map { case (rel, (mn, mx)) =>
                         for {
                           lo <- AvroFileSource
                             .castPartitionValue(mn, fld.dataType)
@@ -5348,11 +5369,17 @@ class AvroScanBuilder(path: String, full: StructType,
                               AvroFileSource.StringBoundMax &&
                             hi.asInstanceOf[String].length <
                               AvroFileSource.StringBoundMax))
-                        } yield (lo, hi)
+                        } yield (rel, lo, hi)
                       }
                     if (parsed.isEmpty || parsed.exists(_.isEmpty)) None
                     else {
-                      val vs = parsed.flatten
+                      val all = parsed.flatten
+                      val vs = all.filterNot(v => dirtyRels(v._1))
+                        .map(v => (v._2, v._3))
+                      val dirtyVs = all.filter(v => dirtyRels(v._1))
+                        .map(v => (v._2, v._3))
+                      if (vs.isEmpty) None // every valued file is dirty
+                      else {
                       val lo = vs.map(_._1).reduceLeft((a, b) =>
                         if (AvroFilterEval.cmp(a, b).exists(_ <= 0)) a
                         else b)
@@ -5362,7 +5389,15 @@ class AvroScanBuilder(path: String, full: StructType,
                       val sound = vs.forall { case (a, b) =>
                         AvroFilterEval.cmp(a, lo).isDefined &&
                           AvroFilterEval.cmp(b, hi).isDefined
-                      }
+                      } &&
+                        // a dirty file whose bounds sit INSIDE the clean
+                        // range can't extend it whichever rows died; one
+                        // outside could — its extreme may be dead, the
+                        // true surviving bound unknowable
+                        dirtyVs.forall { case (a, b) =>
+                          AvroFilterEval.cmp(a, lo).exists(_ >= 0) &&
+                            AvroFilterEval.cmp(b, hi).exists(_ <= 0)
+                        }
                       // catalyst-internal representation for the plan
                       // stats (dates are epoch days, strings UTF8String)
                       def internal(v: Any): Any = v match {
@@ -5380,6 +5415,7 @@ class AvroScanBuilder(path: String, full: StructType,
                       if (sound)
                         Some(fld.name -> (internal(lo), internal(hi)))
                       else None
+                      }
                     }
                   }
                 }
@@ -5388,7 +5424,11 @@ class AvroScanBuilder(path: String, full: StructType,
           }
           // exact per-column null counts from the `cnt:` cells (r18):
           // any leaf type — non-null count and row total are recorded
-          // even for non-finite float files; full coverage required
+          // even for non-finite float files; full coverage required.
+          // Under posdel a dirty file serves only when it holds ZERO
+          // nulls (its dead rows then can't include one — the surviving
+          // null count stays exactly the clean-file sum); any null in a
+          // dirty file is maybe-dead ⇒ withhold the column.
           val nullsByCol: Map[String, Long] = colZonesRaw match {
             case None => Map.empty
             case Some(raw) =>
@@ -5406,6 +5446,8 @@ class AvroScanBuilder(path: String, full: StructType,
                   }.flatten
                 }
                 if (per.exists(_.isEmpty)) None
+                else if (liveRels.zip(per.map(_.get)).exists {
+                  case (rel, n) => dirtyRels(rel) && n > 0 }) None
                 else Some(fld.name -> per.flatten.sum)
               }.toMap
           }
@@ -5680,10 +5722,14 @@ case class AvroGroupHybridPartition(file: String, start: Long, end: Long,
   * serve through the wrapped [[AvroCountReaderFactory]]; each dirty
   * file's split decodes JUST the aggregated columns under the posdel
   * overlay (the `inner` row factory) and folds to ONE
-  * (group keys, partial MIN/MAX [, surviving-row count]) row. Spark's
-  * final aggregation merges per key (pushAggregation never claims
-  * complete pushdown). Mirrors [[AvroHybridAggReaderFactory]] with the
-  * group keys prepended.
+  * (group keys, partial MIN/MAX/SUM/COUNT(col) [, surviving-row count])
+  * row. SUM partials accumulate with `Math.addExact` — an overflow
+  * throws exactly where Spark's own ANSI sum over the same surviving
+  * rows would (never a silently wrapped value); an all-null-survivors
+  * SUM stays the NULL partial SQL expects. Spark's final aggregation
+  * merges per key (pushAggregation never claims complete pushdown).
+  * Mirrors [[AvroHybridAggReaderFactory]] with the group keys
+  * prepended.
   */
 case class AvroGroupHybridReaderFactory(cells: AvroCountReaderFactory,
     inner: PartitionReaderFactory,
@@ -5707,9 +5753,20 @@ case class AvroGroupHybridReaderFactory(cells: AvroCountReaderFactory,
             case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
             case x => x
           }
+          private def longOf(in: InternalRow, ci: Int): Long =
+            struct(ci).dataType match {
+              case org.apache.spark.sql.types.ByteType =>
+                in.getByte(ci).toLong
+              case org.apache.spark.sql.types.ShortType =>
+                in.getShort(ci).toLong
+              case org.apache.spark.sql.types.IntegerType =>
+                in.getInt(ci).toLong
+              case _ => in.getLong(ci)
+            }
           override def next(): Boolean = {
             if (emitted) return false
             val best = new Array[Any](specs.length)
+            val nn = new Array[Long](specs.length)
             var surviving = 0L
             while (r.next()) {
               val in = r.get()
@@ -5718,13 +5775,24 @@ case class AvroGroupHybridReaderFactory(cells: AvroCountReaderFactory,
               while (si < specs.length) {
                 val (kind, ci) = specs(si)
                 if (kind != "count" && !in.isNullAt(ci)) {
-                  val v = in.get(ci, struct(ci).dataType)
-                  val cur = best(si)
-                  val better = cur == null || {
-                    val c = ords(ci).compare(v, cur)
-                    if (kind == "min") c < 0 else c > 0
+                  kind match {
+                    case "cnt" => nn(si) += 1L
+                    case "sum" =>
+                      val prev =
+                        if (best(si) == null) 0L
+                        else best(si).asInstanceOf[java.lang.Long]
+                          .longValue()
+                      best(si) = java.lang.Long.valueOf(
+                        Math.addExact(prev, longOf(in, ci)))
+                    case _ =>
+                      val v = in.get(ci, struct(ci).dataType)
+                      val cur = best(si)
+                      val better = cur == null || {
+                        val c = ords(ci).compare(v, cur)
+                        if (kind == "min") c < 0 else c > 0
+                      }
+                      if (better) best(si) = own(v)
                   }
-                  if (better) best(si) = own(v)
                 }
                 si += 1
               }
@@ -5739,6 +5807,7 @@ case class AvroGroupHybridReaderFactory(cells: AvroCountReaderFactory,
             }
             val aggs = specs.zipWithIndex.map {
               case (("count", _), _) => java.lang.Long.valueOf(surviving)
+              case (("cnt", _), si) => java.lang.Long.valueOf(nn(si))
               case (_, si) => best(si)
             }
             row = InternalRow.fromSeq(keys ++ aggs)

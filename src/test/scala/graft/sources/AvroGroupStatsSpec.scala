@@ -138,24 +138,72 @@ class AvroGroupStatsSpec extends AnyFunSuite with SparkSpec with Matchers {
     cellsP should not be empty
   }
 
-  test("posdel hybrid: SUM/COUNT(col) mixes still stand down, exact") {
+  test("posdel hybrid: SUM/COUNT(col) mixes stay pushed, exact (r20)") {
     val dir = tmp()
-    spark.range(100)
-      .selectExpr("id as k", "if(id < 50, 'a', 'b') as p")
+    // coalesce(1): one in-order file per partition dir, so posdel
+    // ordinals 0 and 7 of the 'a' file are exactly k=0 and k=7
+    spark.range(100).coalesce(1)
+      .selectExpr("id as k", "if(id % 7 = 0, null, id * 2) as v",
+        "if(id < 50, 'a', 'b') as p")
       .write.format("graft-avro").option("partitionBy", "p")
       .mode("overwrite").save(dir)
     val rel = AvroFileSource.listPartitioned(new java.io.File(dir))
       .collectFirst { case (f, pv) if pv.get("p").contains("a") =>
         new java.io.File(dir).getAbsoluteFile.toPath
           .relativize(f.getAbsoluteFile.toPath).toString }.get
-    AvroMaintenance.deleteAtPositions(dir, rel, Seq(0L))
+    AvroMaintenance.deleteAtPositions(dir, rel, Seq(0L, 7L)) // k=0, k=7
     val df = spark.read.format("graft-avro").load(dir)
-      .groupBy("p").agg(F.min("k").as("mn"), F.sum("k").as("s"))
-    (plan(df) should not).include("PushedAggregation")
-    val got = df.collect()
-      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    got("a") shouldBe ((1L, (1L until 50L).sum))
-    got("b") shouldBe ((50L, (50L until 100L).sum))
+      .groupBy("p").agg(F.min("k").as("mn"), F.sum("k").as("s"),
+        F.sum("v").as("sv"), F.count("v").as("nv"),
+        F.count(F.lit(1)).as("n"))
+    // r20: SUM/COUNT(col) ride the hybrid — dirty files re-scan as
+    // per-file (keys, addExact sum, non-null count, surviving) rows
+    plan(df) should include("PushedAggregation")
+    val got = df.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))).toMap
+    // partition a: k=0 and k=7 dead; v null where k % 7 == 0 (0,7,...,49
+    // = 8 rows, of which k=0 and k=7 died → 6 surviving nulls)
+    val aliveA = (1L until 50L).filter(_ != 7L)
+    got("a") shouldBe ((1L, aliveA.sum,
+      aliveA.filter(_ % 7 != 0).map(_ * 2).sum,
+      aliveA.count(_ % 7 != 0).toLong, aliveA.length.toLong))
+    val bAll = (50L until 100L)
+    got("b") shouldBe ((50L, bAll.sum,
+      bAll.filter(_ % 7 != 0).map(_ * 2).sum,
+      bAll.count(_ % 7 != 0).toLong, 50L))
+    // structural: only the dirty file decodes (the clean files ride
+    // zero-decode cells rows)
+    val parts = df.queryExecution.sparkPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.partitions.flatten
+    }.get
+    val hybrid = parts.collect { case h: AvroGroupHybridPartition => h }
+    hybrid should not be empty
+    all(hybrid.map(_.file)) should endWith(rel)
+    parts.collect { case c: AvroGroupStatsPartition => c } should
+      not be empty
+  }
+
+  test("posdel hybrid: SUM overflow in a dirty file throws (ANSI)") {
+    val dir = tmp()
+    // ONE file of [MaxValue, MaxValue, 1]; delete the 1 — the dirty
+    // in-file fold sums two Long.MaxValue and must THROW (addExact),
+    // exactly where Spark's ANSI sum over the same surviving rows
+    // would, never a silently wrapped value
+    spark.range(3)
+      .selectExpr(s"if(id < 2, ${Long.MaxValue}L, 1L) as k", "'a' as p")
+      .repartition(1)
+      .write.format("graft-avro").option("partitionBy", "p")
+      .mode("overwrite").save(dir)
+    val rel = AvroFileSource.listPartitioned(new java.io.File(dir))
+      .collectFirst { case (f, _) =>
+        new java.io.File(dir).getAbsoluteFile.toPath
+          .relativize(f.getAbsoluteFile.toPath).toString }.get
+    AvroMaintenance.deleteAtPositions(dir, rel, Seq(2L))
+    val df = spark.read.format("graft-avro").load(dir)
+      .groupBy("p").agg(F.sum("k").as("s"))
+    an[Exception] should be thrownBy df.collect()
   }
 
   test("posdel hybrid: a fully-deleted group VANISHES (no phantom key)") {

@@ -199,7 +199,7 @@ class AvroStatsSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally spark.conf.set("spark.sql.cbo.enabled", "false")
   }
 
-  test("positional deletes withhold column stats (dead extremes)") {
+  test("posdel hybrid: dirty extremes withhold bounds, exact rows serve") {
     val dir = tmp()
     spark.range(0, 100).toDF("k").coalesce(1)
       .write.format("graft-avro").mode("overwrite").save(dir)
@@ -208,7 +208,83 @@ class AvroStatsSpec extends AnyFunSuite with SparkSpec with Matchers {
     val rel = AvroFileSource.listAvro(new java.io.File(dir)).head.getName
     AvroMaintenance.deleteAtPositions(dir, rel, Seq(99L)) // kills max
     val s2 = stats(spark.read.format("graft-avro").load(dir))
-    s2.columnStats().isEmpty shouldBe true
+    // r20 hybrid: numRows stays exact (physical − dead); the single
+    // file is dirty so its bounds may be dead rows — min/max withheld —
+    // but the file holds ZERO nulls, so the null count still serves
+    s2.numRows().getAsLong shouldBe 99L
+    val cs = s2.columnStats()
+    cs.isEmpty shouldBe false
+    val st = cs.values().iterator().next()
+    st.min().isPresent shouldBe false
+    st.nullCount().getAsLong shouldBe 0L
+  }
+
+  test("posdel hybrid: clean-file bounds serve when dirty sits inside") {
+    val dir = tmp()
+    // file A holds the global extremes [0, 999]; file B [200, 799] is
+    // strictly inside. Delete a row of B: B is dirty but cannot extend
+    // the clean range — bounds serve exactly. Then delete a row of A:
+    // the extreme-holding file is dirty — bounds withhold.
+    spark.range(0, 1000).toDF("k").coalesce(1)
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    spark.range(200, 800).toDF("k").coalesce(1)
+      .write.format("graft-avro").mode("append").save(dir)
+    val rels = AvroFileSource.listAvro(new java.io.File(dir))
+      .map(_.getName).sorted
+    // identify which rel holds the wide range via the zones manifest
+    val zf = AvroFileSource.colZoneFile(new java.io.File(dir))
+    val raw = AvroFileSource.readColZonesRaw(zf)
+    val wide = rels.find(r => raw.getOrElse(r, Nil)
+      .exists(c => c._1 == "k" && c._3 == "0")).get
+    val narrow = rels.find(_ != wide).get
+    AvroMaintenance.deleteAtPositions(dir, narrow, Seq(0L))
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val byName = spark.read.format("graft-avro").load(dir)
+        .filter(F.col("k").isNotNull)
+        .queryExecution.optimizedPlan.stats.attributeStats
+        .map { case (a, s) => a.name -> s }
+      byName("k").min.map(_.asInstanceOf[Long]) shouldBe Some(0L)
+      byName("k").max.map(_.asInstanceOf[Long]) shouldBe Some(999L)
+      byName("k").nullCount.map(_.toLong) shouldBe Some(0L)
+      // now dirty the extreme-holding file: bounds withhold
+      AvroMaintenance.deleteAtPositions(dir, wide, Seq(5L))
+      val by2 = spark.read.format("graft-avro").load(dir)
+        .filter(F.col("k").isNotNull)
+        .queryExecution.optimizedPlan.stats.attributeStats
+        .map { case (a, s) => a.name -> s }
+      by2.get("k").flatMap(_.min) shouldBe None
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+  }
+
+  test("a posdel-dirty small dimension still broadcasts under CBO") {
+    val dimDir = tmp(); val factDir = tmp()
+    spark.range(0, 200).toDF("id")
+      .withColumn("name", F.concat(F.lit("d"), F.col("id")))
+      .coalesce(1)
+      .write.format("graft-avro").mode("overwrite").save(dimDir)
+    spark.range(0, 20000).toDF("fk")
+      .withColumn("v", F.col("fk") * 2)
+      .write.format("graft-avro").mode("overwrite").save(factDir)
+    val rel = AvroFileSource.listAvro(new java.io.File(dimDir))
+      .head.getName
+    AvroMaintenance.deleteAtPositions(dimDir, rel, Seq(7L))
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val dim = spark.read.format("graft-avro").load(dimDir)
+      val fact = spark.read.format("graft-avro").load(factDir)
+      val j = fact.join(dim, F.col("fk") === F.col("id"))
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      val root = j.queryExecution.executedPlan
+      val under = root.collectFirst {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+      }.getOrElse(root)
+      under.collect {
+        case b: org.apache.spark.sql.execution.joins
+            .BroadcastHashJoinExec => b
+      } should not be empty
+      j.count() shouldBe 199L // dim row 7 is dead
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
   }
 
   test("a delete sidecar withholds numRows and column stats") {
