@@ -2506,6 +2506,66 @@ object AvroGates extends Catalog {
               |ORDER BY c_mktsegment, o_orderpriority""".stripMargin)
     }),
 
+    // N-WAY COUNTING MATVIEW (r20): the bilinear 2-way delta identity
+    // telescopes to the n-linear sum — term i joins sources before i at
+    // their OLD versions, source i's signed CDC delta, and sources
+    // after i at their NEW versions. A star-schema view
+    // (orders ⋈ customer ⋈ nation) maintains through an append on the
+    // fact AND an equality DELETE on the MIDDLE dimension in one
+    // refresh: the deleted segment's groups VANISH incrementally, no
+    // allowRebuild, no re-join of the bulk (MatviewSpec covers deltas
+    // on all three sources incl. posdel decrements).
+    "q_avro_matview_3way" -> ((s, dir) => {
+      if (!s.conf.getOption("spark.sql.catalog.graft_gate").isDefined) {
+        s.conf.set("spark.sql.catalog.graft_gate",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_gate.root",
+          tempDir("graft_gate_cat"))
+      }
+      table(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+        .createOrReplaceTempView("ord_src_mv3")
+      table(s, dir, "customer")
+        .select("c_custkey", "c_nationkey", "c_mktsegment")
+        .createOrReplaceTempView("cust_src_mv3")
+      table(s, dir, "nation")
+        .select("n_nationkey", "n_name")
+        .createOrReplaceTempView("nat_src_mv3")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.gate")
+      s.sql("DROP TABLE IF EXISTS graft_gate.gate.mv3")
+      s.sql("DROP TABLE IF EXISTS graft_gate.gate.mv3ord")
+      s.sql("DROP TABLE IF EXISTS graft_gate.gate.mv3cust")
+      s.sql("DROP TABLE IF EXISTS graft_gate.gate.mv3nat")
+      s.sql("CREATE TABLE graft_gate.gate.mv3ord AS " +
+        "SELECT * FROM ord_src_mv3 WHERE o_orderkey % 2 = 0") // S1 v1
+      s.sql("CREATE TABLE graft_gate.gate.mv3cust AS " +
+        "SELECT * FROM cust_src_mv3") // S2 v1
+      s.sql("CREATE TABLE graft_gate.gate.mv3nat AS " +
+        "SELECT * FROM nat_src_mv3") // S3 v1
+      s.sql(
+        """CALL graft_gate.system.create_nway_counting_matview(
+          |  'gate.mv3', 'gate.mv3ord,gate.mv3cust,gate.mv3nat',
+          |  'SELECT o_orderkey, o_orderpriority, c_custkey, n_name
+          |   FROM __S1__ JOIN __S2__ ON o_custkey = c_custkey
+          |   JOIN __S3__ ON c_nationkey = n_nationkey')"""
+          .stripMargin)
+      // one window: fact appends, MIDDLE dimension deletes a whole
+      // segment, last dimension appends unmatched rows
+      s.sql("INSERT INTO graft_gate.gate.mv3ord " +
+        "SELECT * FROM ord_src_mv3 WHERE o_orderkey % 2 = 1") // S1 v2
+      s.sql("DELETE FROM graft_gate.gate.mv3cust " +
+        "WHERE c_mktsegment = 'BUILDING'") // S2 v2 (equality delete)
+      s.sql("INSERT INTO graft_gate.gate.mv3nat " +
+        "SELECT n_nationkey + 100, n_name FROM nat_src_mv3") // S3 v2
+      s.sql("CALL graft_gate.system.refresh_join_matview('gate.mv3')")
+      s.sql("""SELECT n_name, o_orderpriority,
+              |  CAST(sum(_mv_n) AS BIGINT) AS n_orders,
+              |  CAST(sum(o_orderkey * _mv_n) AS BIGINT) AS key_sum
+              |FROM graft_gate.gate.mv3
+              |GROUP BY n_name, o_orderpriority
+              |ORDER BY n_name, o_orderpriority""".stripMargin)
+    }),
+
     // SQL CALL procedures under the oracle: a full maintenance lifecycle
     // through `CALL cat.system.*` — rollback_to_version physically
     // restores v1 (the doubled v2 generation archives out), then
@@ -4065,6 +4125,15 @@ object AvroGates extends Catalog {
          WHERE c_mktsegment <> 'BUILDING'
          GROUP BY c_mktsegment, o_orderpriority
          ORDER BY c_mktsegment, o_orderpriority""",
+    "q_avro_matview_3way" ->
+      """SELECT n_name, o_orderpriority,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         FROM orders JOIN customer ON o_custkey = c_custkey
+                     JOIN nation ON c_nationkey = n_nationkey
+         WHERE c_mktsegment <> 'BUILDING'
+         GROUP BY n_name, o_orderpriority
+         ORDER BY n_name, o_orderpriority""",
     "q_avro_matview" ->
       """WITH orig AS (
            SELECT l_returnflag, l_quantity, l_extendedprice

@@ -351,10 +351,26 @@ object GraftMatviews {
     */
   def joinSidecar(dir: File): File = new File(dir, "_graft_mvjoin")
 
-  final case class JoinSpec(leftDir: String, rightDir: String,
-      joinSql: String, lastLeft: Long, lastRight: Long,
-      maxStalenessMs: Option[Long] = None, refreshedAtMs: Long = 0L,
-      counting: Boolean = false)
+  /** N sources, N last-refreshed versions (r20 — the 2-way view is the
+    * n = 2 case; `leftDir`/`lastLeft` etc. remain as accessors).
+    */
+  final case class JoinSpec(sources: Seq[String], joinSql: String,
+      lastVs: Seq[Long], maxStalenessMs: Option[Long] = None,
+      refreshedAtMs: Long = 0L, counting: Boolean = false) {
+    require(sources.length == lastVs.length && sources.length >= 2)
+    def leftDir: String = sources(0)
+    def rightDir: String = sources(1)
+    def lastLeft: Long = lastVs(0)
+    def lastRight: Long = lastVs(1)
+  }
+
+  /** Placeholder names `joinSql` reads FROM: the historical `__L__`/
+    * `__R__` pair for two sources, `__S1__ … __Sn__` beyond (accepted
+    * for n = 2 as well).
+    */
+  private[sources] def placeholders(n: Int, sql: String): Seq[String] =
+    if (n == 2 && sql.contains("__L__")) Seq("__L__", "__R__")
+    else (1 to n).map(i => s"__S${i}__")
 
   def readJoinSpec(viewDir: File): JoinSpec = {
     val f = joinSidecar(viewDir)
@@ -362,17 +378,38 @@ object GraftMatviews {
       "sidecar (not a join materialized view)")
     val line = new String(Files.readAllBytes(f.toPath),
       StandardCharsets.UTF_8).trim
-    line.split("\t", -1) match {
+    val parts = line.split("\t", -1)
+    // n-way form (r20): nway <n> <dir1..dirn> <sql> <v1..vn> maxMs at mode
+    if (parts.headOption.contains("nway")) {
+      val bad = new IllegalArgumentException(
+        s"graft matview: corrupt join sidecar $f")
+      if (parts.length < 2 || !parts(1).matches("[0-9]+")) throw bad
+      val n = parts(1).toInt
+      if (n < 2 || parts.length != 2 + n + 1 + n + 3) throw bad
+      val dirs = parts.slice(2, 2 + n).toSeq.map(dec)
+      val sql = dec(parts(2 + n))
+      val vs = parts.slice(3 + n, 3 + 2 * n).toSeq.map { v =>
+        if (!v.matches("[0-9]+")) throw bad
+        v.toLong
+      }
+      val Array(maxMs, at, mode) = parts.takeRight(3)
+      if (!maxMs.matches("-?[0-9]+") || !at.matches("[0-9]+") ||
+        (mode != "counting" && mode != "bag")) throw bad
+      return JoinSpec(dirs, sql, vs,
+        Some(maxMs.toLong).filter(_ >= 0), at.toLong,
+        counting = mode == "counting")
+    }
+    parts match {
       case Array(l, r, sql, lv, rv) =>
-        JoinSpec(dec(l), dec(r), dec(sql), lv.toLong, rv.toLong)
+        JoinSpec(Seq(dec(l), dec(r)), dec(sql), Seq(lv.toLong, rv.toLong))
       case Array(l, r, sql, lv, rv, maxMs, at)
           if maxMs.matches("-?[0-9]+") && at.matches("[0-9]+") =>
-        JoinSpec(dec(l), dec(r), dec(sql), lv.toLong, rv.toLong,
+        JoinSpec(Seq(dec(l), dec(r)), dec(sql), Seq(lv.toLong, rv.toLong),
           Some(maxMs.toLong).filter(_ >= 0), at.toLong)
       case Array(l, r, sql, lv, rv, maxMs, at, mode)
           if maxMs.matches("-?[0-9]+") && at.matches("[0-9]+") &&
             (mode == "counting" || mode == "bag") =>
-        JoinSpec(dec(l), dec(r), dec(sql), lv.toLong, rv.toLong,
+        JoinSpec(Seq(dec(l), dec(r)), dec(sql), Seq(lv.toLong, rv.toLong),
           Some(maxMs.toLong).filter(_ >= 0), at.toLong,
           counting = mode == "counting")
       case _ => throw new IllegalArgumentException(
@@ -382,61 +419,95 @@ object GraftMatviews {
 
   private def writeJoinSpec(viewDir: File, spec: JoinSpec): Unit = {
     val tmp = new File(viewDir, "_graft_mvjoin.staging")
-    Files.write(tmp.toPath,
-      (enc(spec.leftDir) + "\t" + enc(spec.rightDir) + "\t" +
-        enc(spec.joinSql) + "\t" + spec.lastLeft + "\t" +
-        spec.lastRight +
-        "\t" + spec.maxStalenessMs.getOrElse(-1L) +
-        "\t" + spec.refreshedAtMs +
-        "\t" + (if (spec.counting) "counting" else "bag") + "\n")
-        .getBytes(StandardCharsets.UTF_8))
+    val line =
+      if (spec.sources.length == 2)
+        // two sources keep the historical byte layout (pre-r20 readers)
+        enc(spec.leftDir) + "\t" + enc(spec.rightDir) + "\t" +
+          enc(spec.joinSql) + "\t" + spec.lastLeft + "\t" +
+          spec.lastRight +
+          "\t" + spec.maxStalenessMs.getOrElse(-1L) +
+          "\t" + spec.refreshedAtMs +
+          "\t" + (if (spec.counting) "counting" else "bag")
+      else
+        "nway\t" + spec.sources.length + "\t" +
+          spec.sources.map(enc).mkString("\t") + "\t" +
+          enc(spec.joinSql) + "\t" + spec.lastVs.mkString("\t") +
+          "\t" + spec.maxStalenessMs.getOrElse(-1L) +
+          "\t" + spec.refreshedAtMs +
+          "\t" + (if (spec.counting) "counting" else "bag")
+    Files.write(tmp.toPath, (line + "\n").getBytes(StandardCharsets.UTF_8))
     Files.move(tmp.toPath, joinSidecar(viewDir).toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** Is the (last, cur] window of BOTH sources purely additive? The
+  /** Is the (last, cur] window of EVERY source purely additive? The
     * same subset-per-version + unchanged-sidecars test the incremental
     * read enforces, answered as a boolean instead of a throw — the
     * rebuild fallback's dispatch.
     */
-  private def additiveWindow(spec: JoinSpec, curL: Long,
-      curR: Long): Boolean = {
+  private def additiveWindow(spec: JoinSpec, curVs: Seq[Long]): Boolean = {
     def ok(dir: String, from: Long, to: Long): Boolean =
       from == to || scala.util.Try(
         AvroFileSource.incrementalFiles(new File(dir), from, to)).isSuccess
-    ok(spec.leftDir, spec.lastLeft, curL) &&
-      ok(spec.rightDir, spec.lastRight, curR)
+    spec.sources.lazyZip(spec.lastVs).lazyZip(curVs).forall {
+      case (d, from, to) => ok(d, from, to)
+    }
   }
 
   /** Full initial build of `joinSql` (reads FROM `__L__` and `__R__`),
     * written as the view table; records both sources' current versions.
     */
   def createJoin(spark: SparkSession, viewDir: String, leftDir: String,
-      rightDir: String, joinSql: String): (Long, Long) =
-      withViewLock(new File(viewDir)) {
-    require(joinSql.contains("__L__") && joinSql.contains("__R__"),
-      "graft matview: join SQL must read FROM __L__ and __R__")
+      rightDir: String, joinSql: String): (Long, Long) = {
+    val vs = createJoinN(spark, viewDir, Seq(leftDir, rightDir), joinSql,
+      counting = false)
+    (vs(0), vs(1))
+  }
+
+  /** Shared n-way initial build: validates placeholders, pins every
+    * source at its current version, runs `joinSql`, writes the view
+    * (counting mode folds multiplicities into `_mv_n` first).
+    */
+  def createJoinN(spark: SparkSession, viewDir: String,
+      srcDirs: Seq[String], joinSql: String,
+      counting: Boolean): Seq[Long] = withViewLock(new File(viewDir)) {
+    val n = srcDirs.length
+    require(n >= 2, "graft matview: a join view needs >= 2 sources")
+    val ph = placeholders(n, joinSql)
+    require(ph.forall(joinSql.contains),
+      s"graft matview: join SQL must read FROM ${ph.mkString(" and ")}")
     val vd = new File(viewDir)
     require(!joinSidecar(vd).isFile && !sidecar(vd).isFile,
       s"graft matview: $viewDir already is a materialized view " +
         "(drop it first)")
-    val lv = currentVersion(leftDir)
-    val rv = currentVersion(rightDir)
-    require(lv > 0 && rv > 0, "graft matview: join sources must be " +
+    val vs = srcDirs.map(currentVersion)
+    require(vs.forall(_ > 0), "graft matview: join sources must be " +
       "journaled graft-avro tables (no snapshot journal found)")
     val id = viewSeq.incrementAndGet()
-    val (lView, rView) = (s"graft_mvj_l_$id", s"graft_mvj_r_$id")
-    spark.read.format("graft-avro").option("versionAsOf", lv.toString)
-      .load(leftDir).createOrReplaceTempView(lView)
-    spark.read.format("graft-avro").option("versionAsOf", rv.toString)
-      .load(rightDir).createOrReplaceTempView(rView)
-    spark.sql(joinSql.replace("__L__", lView).replace("__R__", rView))
-      .write.format("graft-avro").mode("overwrite").save(viewDir)
-    writeJoinSpec(vd, JoinSpec(new File(leftDir).getCanonicalPath,
-      new File(rightDir).getCanonicalPath, joinSql, lv, rv,
-      refreshedAtMs = System.currentTimeMillis()))
-    (lv, rv)
+    val names = srcDirs.indices.map(i => s"graft_mvj_s${i}_$id")
+    srcDirs.lazyZip(vs).lazyZip(names).foreach { case (d, v, name) =>
+      spark.read.format("graft-avro").option("versionAsOf", v.toString)
+        .load(d).createOrReplaceTempView(name)
+    }
+    val sql = ph.lazyZip(names).foldLeft(joinSql) {
+      case (s, (p, name)) => s.replace(p, name)
+    }
+    val rows = spark.sql(sql)
+    val out = if (counting) {
+      require(!rows.columns.contains("_mv_n"),
+        "graft matview: join SQL must not project a _mv_n column (the " +
+          "engine owns the multiplicity)")
+      rows.groupBy(rows.columns.map(org.apache.spark.sql.functions.col)
+          .toIndexedSeq: _*)
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("_mv_n"))
+    } else rows
+    out.write.format("graft-avro").mode("overwrite").save(viewDir)
+    writeJoinSpec(vd, JoinSpec(
+      srcDirs.map(d => new File(d).getCanonicalPath), joinSql, vs,
+      refreshedAtMs = System.currentTimeMillis(), counting = counting))
+    vs
   }
 
   /** COUNTING join matview (r19): `V = γ_all-cols,count(L ⋈ R)` —
@@ -458,51 +529,37 @@ object GraftMatviews {
     * exact). Refresh cost is O(Δ ⋈ …) + one view rewrite.
     */
   def createJoinCounting(spark: SparkSession, viewDir: String,
-      leftDir: String, rightDir: String, joinSql: String): (Long, Long) =
-      withViewLock(new File(viewDir)) {
-    require(joinSql.contains("__L__") && joinSql.contains("__R__"),
-      "graft matview: join SQL must read FROM __L__ and __R__")
-    val vd = new File(viewDir)
-    require(!joinSidecar(vd).isFile && !sidecar(vd).isFile,
-      s"graft matview: $viewDir already is a materialized view " +
-        "(drop it first)")
-    val lv = currentVersion(leftDir)
-    val rv = currentVersion(rightDir)
-    require(lv > 0 && rv > 0, "graft matview: join sources must be " +
-      "journaled graft-avro tables (no snapshot journal found)")
-    val id = viewSeq.incrementAndGet()
-    val (lView, rView) = (s"graft_mvjc_l_$id", s"graft_mvjc_r_$id")
-    spark.read.format("graft-avro").option("versionAsOf", lv.toString)
-      .load(leftDir).createOrReplaceTempView(lView)
-    spark.read.format("graft-avro").option("versionAsOf", rv.toString)
-      .load(rightDir).createOrReplaceTempView(rView)
-    val rows = spark.sql(
-      joinSql.replace("__L__", lView).replace("__R__", rView))
-    require(!rows.columns.contains("_mv_n"),
-      "graft matview: join SQL must not project a _mv_n column (the " +
-        "engine owns the multiplicity)")
-    rows.groupBy(rows.columns.map(org.apache.spark.sql.functions.col)
-        .toIndexedSeq: _*)
-      .agg(org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1)).as("_mv_n"))
-      .write.format("graft-avro").mode("overwrite").save(viewDir)
-    writeJoinSpec(vd, JoinSpec(new File(leftDir).getCanonicalPath,
-      new File(rightDir).getCanonicalPath, joinSql, lv, rv,
-      refreshedAtMs = System.currentTimeMillis(), counting = true))
-    (lv, rv)
+      leftDir: String, rightDir: String, joinSql: String): (Long, Long) = {
+    val vs = createJoinN(spark, viewDir, Seq(leftDir, rightDir), joinSql,
+      counting = true)
+    (vs(0), vs(1))
   }
 
-  /** The signed delta term for one side: the caller's joinSql run over
-    * that side's CDC insert rows (+1) and delete rows (−1), the other
-    * side pinned at `otherSql` — exact by bilinearity.
+  /** N-way counting join matview (r20): the bag identity telescopes to
+    * the n-linear sum
+    *
+    *   ΔV = Σᵢ  S₁@old ⋈ … ⋈ Sᵢ₋₁@old ⋈ ΔSᵢ ⋈ Sᵢ₊₁@new ⋈ … ⋈ Sₙ@new
+    *
+    * (each term's prefix at LAST versions, suffix at CURRENT — the
+    * 2-way `ΔL ⋈ R@cur ∪ L@last ⋈ ΔR` is the n = 2 case). `joinSql`
+    * reads FROM `__S1__ … __Sn__` and must stay a pure bag projection.
     */
-  private def countingTerm(spark: SparkSession, spec: JoinSpec,
-      leftSide: Boolean, from: Long, to: Long, otherView: String,
+  def createJoinCountingN(spark: SparkSession, viewDir: String,
+      srcDirs: Seq[String], joinSql: String): Seq[Long] =
+    createJoinN(spark, viewDir, srcDirs, joinSql, counting = true)
+
+  /** The signed delta term for source `i`: the caller's joinSql run
+    * over that source's CDC insert rows (+1) and delete rows (−1),
+    * sources before `i` pinned at their OLD versions, sources after at
+    * their NEW versions — exact by multilinearity.
+    */
+  private def countingTerm(spark: SparkSession, spec: JoinSpec, i: Int,
+      from: Long, to: Long, oldViews: Seq[String], newViews: Seq[String],
       id: Long): Option[org.apache.spark.sql.DataFrame] = {
     import org.apache.spark.sql.functions._
     if (from == to) return None
-    val dir = if (leftSide) spec.leftDir else spec.rightDir
-    val chg = AvroMaintenance.changes(spark, dir, from, to)
+    val ph = placeholders(spec.sources.length, spec.joinSql)
+    val chg = AvroMaintenance.changes(spark, spec.sources(i), from, to)
     val cols = chg.columns.filterNot(c =>
       c == AvroFileSource.CdcChangeType ||
         c == AvroFileSource.CdcCommitVersion)
@@ -511,14 +568,15 @@ object GraftMatviews {
       val side = chg
         .filter(col(AvroFileSource.CdcChangeType) === changeType)
         .select(cols.map(col).toIndexedSeq: _*)
-      val name =
-        s"graft_mvjc_${if (leftSide) "l" else "r"}_${changeType}_$id"
+      val name = s"graft_mvjc_s${i}_${changeType}_$id"
       side.createOrReplaceTempView(name)
-      val sql =
-        if (leftSide)
-          spec.joinSql.replace("__L__", name).replace("__R__", otherView)
-        else
-          spec.joinSql.replace("__L__", otherView).replace("__R__", name)
+      val sql = ph.zipWithIndex.foldLeft(spec.joinSql) {
+        case (s, (p, j)) =>
+          s.replace(p,
+            if (j == i) name
+            else if (j < i) oldViews(j)
+            else newViews(j))
+      }
       val out = spark.sql(sql)
       out.groupBy(out.columns.map(col).toIndexedSeq: _*)
         .agg((count(lit(1)) * sign).as("_mv_n"))
@@ -538,38 +596,65 @@ object GraftMatviews {
     * fails loudly so a 100 TB re-join is never silent).
     */
   def refreshJoin(spark: SparkSession, viewDir: String,
+      allowRebuild: Boolean = false): ((Long, Long), (Long, Long)) = {
+    val pairs = refreshJoinN(spark, viewDir, allowRebuild)
+    (pairs(0), pairs(1))
+  }
+
+  /** Incremental join refresh, any number of sources: appends (bag) or
+    * merges (counting) the n telescoping delta terms. Returns the
+    * per-source (from, to) windows — all pairs equal when no source
+    * moved (no-op).
+    *
+    * `allowRebuild = true` opts into a PINNED full re-join when the
+    * incremental window is non-additive (a delete/overwrite/rollback
+    * landed in a source): correctness is restored by recomputing the
+    * join at the current versions via versionAsOf reads and overwriting
+    * the view — an explicit, expensive escape hatch (the default still
+    * fails loudly so a 100 TB re-join is never silent).
+    */
+  def refreshJoinN(spark: SparkSession, viewDir: String,
       allowRebuild: Boolean = false)
-      : ((Long, Long), (Long, Long)) = withViewLock(new File(viewDir)) {
+      : Seq[(Long, Long)] = withViewLock(new File(viewDir)) {
     val spec = readJoinSpec(new File(viewDir))
-    val curL = currentVersion(spec.leftDir)
-    val curR = currentVersion(spec.rightDir)
-    require(curL >= spec.lastLeft && curR >= spec.lastRight,
-      s"graft matview: a source went BACKWARDS (left v$curL/" +
-        s"v${spec.lastLeft}, right v$curR/v${spec.lastRight}) — rolled " +
-        "back or expired; recreate the view")
-    if (curL == spec.lastLeft && curR == spec.lastRight) {
+    val n = spec.sources.length
+    val ph = placeholders(n, spec.joinSql)
+    val curVs = spec.sources.map(currentVersion)
+    require(curVs.lazyZip(spec.lastVs).forall(_ >= _),
+      s"graft matview: a source went BACKWARDS (current " +
+        s"${curVs.mkString(",")} vs last ${spec.lastVs.mkString(",")})" +
+        " — rolled back or expired; recreate the view")
+    if (curVs == spec.lastVs) {
       // verified fresh: re-stamp for staleness-budget reads (opted-in
       // views only — ordinary sidecars stay byte-stable across no-ops)
       if (spec.maxStalenessMs.nonEmpty)
         writeJoinSpec(new File(viewDir),
           spec.copy(refreshedAtMs = System.currentTimeMillis()))
-      return ((curL, curL), (curR, curR))
+      return curVs.map(v => (v, v))
+    }
+    val id = viewSeq.incrementAndGet()
+    def bind(df: org.apache.spark.sql.DataFrame, name: String): String = {
+      df.createOrReplaceTempView(name); name
+    }
+    // term i reads sources BEFORE i at their OLD versions and sources
+    // AFTER i at their NEW versions (the i = first term carries every
+    // cross delta) — registration is lazy, unused views cost nothing
+    lazy val oldViews = spec.sources.indices.map { j =>
+      bind(spark.read.format("graft-avro")
+        .option("versionAsOf", spec.lastVs(j).toString)
+        .load(spec.sources(j)), s"graft_mvj_o${j}_$id")
+    }
+    lazy val newViews = spec.sources.indices.map { j =>
+      bind(spark.read.format("graft-avro")
+        .option("versionAsOf", curVs(j).toString)
+        .load(spec.sources(j)), s"graft_mvj_n${j}_$id")
     }
     if (spec.counting) {
       import org.apache.spark.sql.functions._
-      val id = viewSeq.incrementAndGet()
-      val rNew = s"graft_mvjc_rn_$id"
-      spark.read.format("graft-avro").option("versionAsOf", curR.toString)
-        .load(spec.rightDir).createOrReplaceTempView(rNew)
-      val lOld = s"graft_mvjc_lo_$id"
-      spark.read.format("graft-avro")
-        .option("versionAsOf", spec.lastLeft.toString)
-        .load(spec.leftDir).createOrReplaceTempView(lOld)
-      val terms = Seq(
-        countingTerm(spark, spec, leftSide = true, spec.lastLeft, curL,
-          rNew, id),
-        countingTerm(spark, spec, leftSide = false, spec.lastRight, curR,
-          lOld, id)).flatten
+      val terms = spec.sources.indices.flatMap { i =>
+        countingTerm(spark, spec, i, spec.lastVs(i), curVs(i),
+          oldViews, newViews, id)
+      }
       val delta = terms.reduce(_ unionByName _)
       val view = spark.read.format("graft-avro").load(viewDir)
       val keyCols = view.columns.filterNot(_ == "_mv_n")
@@ -583,67 +668,48 @@ object GraftMatviews {
         .localCheckpoint(true)
       merged.write.format("graft-avro").mode("overwrite").save(viewDir)
       writeJoinSpec(new File(viewDir),
-        spec.copy(lastLeft = curL, lastRight = curR,
+        spec.copy(lastVs = curVs,
           refreshedAtMs = System.currentTimeMillis()))
-      return ((spec.lastLeft, curL), (spec.lastRight, curR))
+      return spec.lastVs.zip(curVs)
     }
-    if (allowRebuild && !additiveWindow(spec, curL, curR)) {
-      val id = viewSeq.incrementAndGet()
-      val (lView, rView) = (s"graft_mvj_rbl_$id", s"graft_mvj_rbr_$id")
-      spark.read.format("graft-avro").option("versionAsOf", curL.toString)
-        .load(spec.leftDir).createOrReplaceTempView(lView)
-      spark.read.format("graft-avro").option("versionAsOf", curR.toString)
-        .load(spec.rightDir).createOrReplaceTempView(rView)
+    if (allowRebuild && !additiveWindow(spec, curVs)) {
       // materialize BEFORE the same-directory overwrite (the
       // compactInPlace rule)
-      val rebuilt = spark.sql(spec.joinSql
-        .replace("__L__", lView).replace("__R__", rView))
-        .localCheckpoint(true)
+      val sql = ph.lazyZip(newViews).foldLeft(spec.joinSql) {
+        case (s, (p, name)) => s.replace(p, name)
+      }
+      val rebuilt = spark.sql(sql).localCheckpoint(true)
       rebuilt.write.format("graft-avro").mode("overwrite").save(viewDir)
       writeJoinSpec(new File(viewDir),
-        spec.copy(lastLeft = curL, lastRight = curR,
+        spec.copy(lastVs = curVs,
           refreshedAtMs = System.currentTimeMillis()))
-      return ((spec.lastLeft, curL), (spec.lastRight, curR))
+      return spec.lastVs.zip(curVs)
     }
-    val id = viewSeq.incrementAndGet()
-    def bind(df: org.apache.spark.sql.DataFrame, name: String): String = {
-      df.createOrReplaceTempView(name); name
+    // bag (append-only) maintenance: term i = prefix@old ⋈ ΔSᵢ
+    // (incremental read) ⋈ suffix@new, appended to the view — the
+    // delta reads source dirs, not the view, so no checkpoint needed
+    val terms = spec.sources.indices.flatMap { i =>
+      if (curVs(i) == spec.lastVs(i)) None
+      else {
+        val d = bind(spark.read.format("graft-avro")
+          .option("fromVersion", spec.lastVs(i).toString)
+          .option("toVersion", curVs(i).toString)
+          .load(spec.sources(i)), s"graft_mvj_d${i}_$id")
+        val sql = ph.zipWithIndex.foldLeft(spec.joinSql) {
+          case (s, (p, j)) =>
+            s.replace(p,
+              if (j == i) d
+              else if (j < i) oldViews(j)
+              else newViews(j))
+        }
+        Some(spark.sql(sql))
+      }
     }
-    // ΔL ⋈ R@curR (carries the ΔL⋈ΔR cross term)
-    val term1 = if (curL > spec.lastLeft) {
-      val l = bind(spark.read.format("graft-avro")
-        .option("fromVersion", spec.lastLeft.toString)
-        .option("toVersion", curL.toString)
-        .load(spec.leftDir), s"graft_mvj_dl_$id")
-      val r = bind(spark.read.format("graft-avro")
-        .option("versionAsOf", curR.toString)
-        .load(spec.rightDir), s"graft_mvj_rn_$id")
-      Some(spark.sql(
-        spec.joinSql.replace("__L__", l).replace("__R__", r)))
-    } else None
-    // L@lastL ⋈ ΔR
-    val term2 = if (curR > spec.lastRight) {
-      val l = bind(spark.read.format("graft-avro")
-        .option("versionAsOf", spec.lastLeft.toString)
-        .load(spec.leftDir), s"graft_mvj_lo_$id")
-      val r = bind(spark.read.format("graft-avro")
-        .option("fromVersion", spec.lastRight.toString)
-        .option("toVersion", curR.toString)
-        .load(spec.rightDir), s"graft_mvj_dr_$id")
-      Some(spark.sql(
-        spec.joinSql.replace("__L__", l).replace("__R__", r)))
-    } else None
-    val delta = (term1, term2) match {
-      case (Some(a), Some(b)) => a.unionByName(b)
-      case (Some(a), None) => a
-      case (None, b) => b.get
-    }
-    // append-only maintenance: the view dir is not being replaced, no
-    // checkpoint needed — the delta reads source dirs, not the view
+    val delta = terms.reduce(_ unionByName _)
     delta.write.format("graft-avro").mode("append").save(viewDir)
     writeJoinSpec(new File(viewDir),
-      spec.copy(lastLeft = curL, lastRight = curR,
+      spec.copy(lastVs = curVs,
         refreshedAtMs = System.currentTimeMillis()))
-    ((spec.lastLeft, curL), (spec.lastRight, curR))
+    spec.lastVs.zip(curVs)
   }
 }

@@ -41,7 +41,8 @@ object GraftProcedures {
     "set_row_level_mode",
     "drop_view", "create_matview", "create_delta_matview",
     "refresh_matview", "create_join_matview",
-    "create_counting_join_matview", "refresh_join_matview",
+    "create_counting_join_matview", "create_nway_counting_matview",
+    "refresh_join_matview",
     "set_matview_staleness",
     "build_ivf_index", "append_ivf_assignments", "rebalance_ivf_index",
     "build_pq_index")
@@ -499,6 +500,43 @@ object GraftProcedures {
           (out("view" -> StringType, "left_version" -> LongType,
             "right_version" -> LongType), Seq(viewRef.copy(), lv, rv))
         })
+      case "create_nway_counting_matview" => new Proc(name,
+        "materialize an n-way join with per-row multiplicities " +
+          "(_mv_n): sources is a comma-separated table list, join_sql " +
+          "reads __S1__ … __Sn__ as a pure bag projection; " +
+          "refresh_join_matview maintains through row-level DELETES " +
+          "in ANY source via the telescoping n-linear CDC delta sum",
+        Array(param("view", StringType), param("sources", StringType),
+          param("join_sql", StringType)),
+        in => {
+          val viewRef = in.getUTF8String(0)
+          val srcsRef = in.getUTF8String(1)
+          val joinSql = in.getUTF8String(2)
+          require(viewRef != null && srcsRef != null && joinSql != null,
+            "graft procedure: create_nway_counting_matview arguments " +
+              "must be non-null")
+          val srcs = srcsRef.toString.split(",").map(_.trim)
+            .filter(_.nonEmpty).toSeq
+          require(srcs.length >= 2, "graft procedure: " +
+            "create_nway_counting_matview needs >= 2 sources")
+          val ident = cat.parseRef(viewRef.toString)
+          val nsD = cat.namespaceDir(ident.namespace())
+          require(nsD.isDirectory,
+            s"graft catalog: no namespace ${ident.namespace().mkString(".")}")
+          require(!cat.tableExistsIdent(ident),
+            s"graft catalog: a table named $ident already exists")
+          require(!GraftViews.viewFile(nsD, ident.name()).isFile,
+            s"graft catalog: a view named $ident already exists")
+          val vs = GraftMatviews.createJoinCountingN(
+            org.apache.spark.sql.SparkSession.active,
+            cat.tableDirIdent(ident).getPath,
+            srcs.map(s => cat.resolveTableDir(s).getPath),
+            joinSql.toString)
+          (out("view" -> StringType, "versions" -> StringType),
+            Seq(viewRef.copy(),
+              org.apache.spark.unsafe.types.UTF8String.fromString(
+                vs.mkString(","))))
+        })
       case "refresh_join_matview" => new Proc(name,
         "append the delta-join terms of both sources' new versions to " +
           "a join materialized view (additive-only; rewritten history " +
@@ -508,12 +546,18 @@ object GraftProcedures {
           paramDefault("allow_rebuild", BooleanType, "false")),
         in => {
           val allowRebuild = !in.isNullAt(1) && in.getBoolean(1)
-          val ((fl, tl), (fr, tr)) = GraftMatviews.refreshJoin(
+          val windows = GraftMatviews.refreshJoinN(
             org.apache.spark.sql.SparkSession.active, dirOf(in),
             allowRebuild)
-          (out("left_from" -> LongType, "left_to" -> LongType,
-            "right_from" -> LongType, "right_to" -> LongType),
-            Seq(fl, tl, fr, tr))
+          if (windows.length == 2) {
+            val ((fl, tl), (fr, tr)) = (windows(0), windows(1))
+            (out("left_from" -> LongType, "left_to" -> LongType,
+              "right_from" -> LongType, "right_to" -> LongType),
+              Seq(fl, tl, fr, tr))
+          } else
+            (out("windows" -> StringType),
+              Seq(org.apache.spark.unsafe.types.UTF8String.fromString(
+                windows.map { case (f, t) => s"$f..$t" }.mkString(","))))
         })
       case "set_matview_staleness" => new Proc(name,
         "opt a materialized view into lazy refresh-on-read: a catalog " +

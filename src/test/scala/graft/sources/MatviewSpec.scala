@@ -296,6 +296,69 @@ class MatviewSpec extends AnyFunSuite with SparkSpec with Matchers {
     got() shouldBe expect(lRows, rRows)
   }
 
+  test("3-way counting view: deltas on every source, middle delete (r20)") {
+    val a = Catalog.tempDir("graft_mvj3_a")
+    val b = Catalog.tempDir("graft_mvj3_b")
+    val c = Catalog.tempDir("graft_mvj3_c")
+    val mv = Catalog.tempDir("graft_mvj3_v")
+    val sql3 =
+      """SELECT a.k AS k, a.v AS av, b.w AS bw, c.x AS cx
+        |FROM __S1__ a JOIN __S2__ b ON a.k = b.k
+        |JOIN __S3__ c ON b.k = c.k""".stripMargin
+    // duplicate keys on every side: the 3-linear fold must stay exact
+    var aR = Seq((1L, 10L), (1L, 11L), (2L, 20L), (3L, 30L))
+    var bR = Seq((1L, 100L), (2L, 200L), (2L, 201L), (3L, 300L))
+    var cR = Seq((1L, 1000L), (2L, 2000L), (3L, 3000L), (3L, 3001L))
+    writePairs(a, aR, ("k", "v"), "overwrite")
+    writePairs(b, bR, ("k", "w"), "overwrite")
+    writePairs(c, cR, ("k", "x"), "overwrite")
+    GraftMatviews.createJoinCountingN(spark, mv, Seq(a, b, c),
+      sql3) shouldBe Seq(1L, 1L, 1L)
+
+    def expect(as: Seq[(Long, Long)], bs: Seq[(Long, Long)],
+        cs: Seq[(Long, Long)]) =
+      (for { (ak, av) <- as; (bk, bw) <- bs if ak == bk
+             (ck, cx) <- cs if bk == ck }
+        yield (ak, av, bw, cx)).groupBy(identity)
+        .map { case (row, xs) =>
+          (row._1, row._2, row._3, row._4, xs.size.toLong) }
+        .toSeq.sorted
+    def got(): Seq[(Long, Long, Long, Long, Long)] =
+      spark.read.format("graft-avro").load(mv).collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+          x.getLong(3), x.getAs[Long]("_mv_n"))).toSeq.sorted
+    got() shouldBe expect(aR, bR, cR)
+
+    // every source moves in ONE window (all cross deltas exercised) —
+    // AND an equality DELETE on the MIDDLE source kills k=2 entirely:
+    // the telescoping signed sum must vanish those groups, no rebuild
+    writePairs(a, Seq((2L, 21L), (9L, 90L)), ("k", "v"), "append")
+    aR ++= Seq((2L, 21L), (9L, 90L))
+    AvroMaintenance.deleteWhere(spark, b, "k", Seq(2L))
+    bR = bR.filterNot(_._1 == 2L)
+    writePairs(b, Seq((9L, 900L), (3L, 301L)), ("k", "w"), "append")
+    bR ++= Seq((9L, 900L), (3L, 301L))
+    writePairs(c, Seq((9L, 9000L), (1L, 1001L)), ("k", "x"), "append")
+    cR ++= Seq((9L, 9000L), (1L, 1001L))
+    GraftMatviews.refreshJoinN(spark, mv) shouldBe
+      Seq((1L, 2L), (1L, 3L), (1L, 2L))
+    got() shouldBe expect(aR, bR, cR)
+    got().map(_._1) should not contain 2L
+
+    // second window: delete on the LAST source decrements a dup group
+    AvroMaintenance.deleteWhere(spark, c, "x", Seq(3001L))
+    cR = cR.filterNot(_._2 == 3001L)
+    GraftMatviews.refreshJoinN(spark, mv) shouldBe
+      Seq((2L, 2L), (3L, 3L), (2L, 3L))
+    got() shouldBe expect(aR, bR, cR)
+
+    // sidecar round-trip: the nway form re-reads identically
+    val spec = GraftMatviews.readJoinSpec(new java.io.File(mv))
+    spec.sources.length shouldBe 3
+    spec.counting shouldBe true
+    spec.lastVs shouldBe Seq(2L, 3L, 3L)
+  }
+
   test("join view create/refresh guardrails") {
     val l = Catalog.tempDir("graft_mvj_l3")
     val r = Catalog.tempDir("graft_mvj_r3")
