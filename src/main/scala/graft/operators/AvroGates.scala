@@ -2629,6 +2629,51 @@ object AvroGates extends Catalog {
         .orderBy("l_returnflag")
     }),
 
+    // NESTED schema evolution (r20): ALTER TABLE ADD/DROP COLUMN with a
+    // dotted path evolves a struct field metadata-only — pre-ALTER
+    // files synthesize null for the added nested field through the
+    // reader-schema recursion (zero files rewritten), post-ALTER
+    // inserts carry real values, the nested DROP hides a field the
+    // final aggregate must not see, and a VERSION AS OF read below the
+    // first ALTER pins the bracket (pre-add row count). coalesce(-1)
+    // distinguishes the generations in the hash.
+    "q_avro_addcol_nested" -> ((s, dir) => {
+      if (!s.conf.getOption("spark.sql.catalog.graft_gate").isDefined) {
+        s.conf.set("spark.sql.catalog.graft_gate",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_gate.root",
+          tempDir("graft_gate_cat"))
+      }
+      table(s, dir, "nation").createOrReplaceTempView("nat_src_nst")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.gate")
+      s.sql("DROP TABLE IF EXISTS graft_gate.gate.natnest")
+      s.sql("CREATE TABLE graft_gate.gate.natnest AS " +
+        "SELECT n_nationkey, named_struct('name', n_name, " +
+        "'rk', n_regionkey) AS info FROM nat_src_nst " +
+        "WHERE n_regionkey < 3")                                   // v1
+      s.sql("ALTER TABLE graft_gate.gate.natnest " +
+        "ADD COLUMN info.bonus BIGINT")                            // v2
+      s.sql("INSERT INTO graft_gate.gate.natnest " +
+        "SELECT n_nationkey, named_struct('name', n_name, " +
+        "'rk', n_regionkey, 'bonus', CAST(n_nationkey * 10 AS BIGINT)) " +
+        "FROM nat_src_nst WHERE n_regionkey >= 3")                 // v3
+      s.sql("ALTER TABLE graft_gate.gate.natnest " +
+        "DROP COLUMN info.name")                                   // v4
+      s.sql("""WITH agg AS (
+              |  SELECT info.rk AS rk, count(*) AS n_rows,
+              |         CAST(sum(coalesce(info.bonus, -1)) AS BIGINT)
+              |           AS bonus_sum,
+              |         CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+              |  FROM graft_gate.gate.natnest GROUP BY info.rk),
+              |pre AS (
+              |  SELECT CAST(-1 AS INT) AS rk, count(*) AS n_rows,
+              |         CAST(-99 AS BIGINT) AS bonus_sum,
+              |         CAST(-99 AS BIGINT) AS key_sum
+              |  FROM graft_gate.gate.natnest VERSION AS OF 1),
+              |unioned AS (SELECT * FROM agg UNION ALL SELECT * FROM pre)
+              |SELECT * FROM unioned ORDER BY rk""".stripMargin)
+    }),
+
     // SCHEMA EVOLUTION (ADD COLUMN) under the oracle: rows inserted
     // before the ALTER must serve null in the added column (reader-
     // schema synthesis — zero files rewritten), rows inserted after
@@ -4205,6 +4250,21 @@ object AvroGates extends Catalog {
          FROM unioned GROUP BY l_returnflag ORDER BY l_returnflag""",
     // pre-ALTER rows (regionkey < 3) read the added column as null →
     // coalesce(-1); post-ALTER inserts carry key*10
+    "q_avro_addcol_nested" ->
+      """WITH agg AS (
+           SELECT n_regionkey AS rk, count(*) AS n_rows,
+                  CAST(sum(CASE WHEN n_regionkey >= 3
+                           THEN n_nationkey * 10 ELSE -1 END)
+                    AS BIGINT) AS bonus_sum,
+                  CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+           FROM nation GROUP BY n_regionkey),
+         pre AS (
+           SELECT -1 AS rk, count(*) AS n_rows,
+                  CAST(-99 AS BIGINT) AS bonus_sum,
+                  CAST(-99 AS BIGINT) AS key_sum
+           FROM nation WHERE n_regionkey < 3),
+         unioned AS (SELECT * FROM agg UNION ALL SELECT * FROM pre)
+         SELECT * FROM unioned ORDER BY rk""",
     "q_avro_addcol" ->
       """SELECT n_regionkey, count(*) AS n_rows,
                 CAST(sum(CASE WHEN n_regionkey >= 3

@@ -871,10 +871,78 @@ object AvroFileSource {
   }
 
   /** Names retired by a `drop` entry (any version) — never writable or
-    * re-addable again on this table.
+    * re-addable again on this table. Nested drops retire the full
+    * dotted path.
     */
   def retiredColumns(d: File): Set[String] =
     readEvo(d).collect { case (_, "drop", n) => n }.toSet
+
+  /** Every dotted struct path a schema carries (interior struct columns
+    * included) — the write-side retired-name check must see nested
+    * paths, or a re-written `a.b` would resurrect pre-drop bytes under
+    * the resolver's name-based nested resolution.
+    */
+  private[sources] def allStructPaths(st: StructType,
+      prefix: String = ""): Seq[String] =
+    st.fields.toSeq.flatMap { f =>
+      val p = prefix + f.name
+      p +: (f.dataType match {
+        // tagged-union carriers never evolve — their branch "fields"
+        // are wire positions, not columns
+        case s: StructType
+            if !f.metadata.contains(
+              graft.avro.AvroSchemaConverter.MetaUnionBranches) =>
+          allStructPaths(s, p + ".")
+        case _ => Nil
+      })
+    }
+
+  /** Strict navigation to the struct holding a dotted path's leaf:
+    * every intermediate must be a PLAIN struct column — never an
+    * array/map element (per-element journaled adds don't compose with
+    * split decode) and never a tagged-union carrier (branch layout is
+    * wire format, not a column set). ALTER-time validation; the read
+    * path replays leniently ([[mapStructLenient]]).
+    */
+  private[sources] def navStruct(st: StructType, parents: Seq[String],
+      ctx: String): StructType =
+    parents.foldLeft(st) { (s, seg) =>
+      val sf = s.fields.find(_.name == seg).getOrElse(
+        throw new IllegalArgumentException(
+          s"$ctx: no struct column '$seg'"))
+      require(!sf.metadata.contains(
+        graft.avro.AvroSchemaConverter.MetaUnionBranches),
+        s"$ctx: '$seg' is a tagged-union carrier — branches cannot " +
+          "evolve")
+      sf.dataType match {
+        case inner: StructType => inner
+        case other => throw new IllegalArgumentException(
+          s"$ctx: '$seg' is ${other.simpleString}, not a struct")
+      }
+    }
+
+  /** Lenient functional update of the struct at a dotted path's parent:
+    * a missing / non-struct / union-carrier intermediate leaves the
+    * schema UNCHANGED (the journal replay must never brick a read whose
+    * snapshot no longer carries the parent — an overwrite may have
+    * reshaped the table since the ALTER).
+    */
+  private[sources] def mapStructLenient(st: StructType,
+      parents: Seq[String])(f: StructType => StructType): StructType =
+    if (parents.isEmpty) f(st)
+    else {
+      val i = st.fieldNames.indexOf(parents.head)
+      if (i < 0) return st
+      val sf = st.fields(i)
+      if (sf.metadata.contains(
+          graft.avro.AvroSchemaConverter.MetaUnionBranches)) return st
+      sf.dataType match {
+        case inner: StructType =>
+          StructType(st.fields.updated(i,
+            sf.copy(dataType = mapStructLenient(inner, parents.tail)(f))))
+        case _ => st
+      }
+    }
 
   // DEFAULT-value metadata keys for ALTER TABLE ADD COLUMN … DEFAULT v:
   // the typed literal (for decode-time synthesis on files lacking the
@@ -922,7 +990,23 @@ object AvroFileSource {
             .asInstanceOf[StructType].fields.headOption.getOrElse(
               throw new IllegalStateException(
                 s"graft-avro: empty add-column payload in ${evoFile(d)}"))
-          if (s.fieldNames.contains(f.name))
+          val segs = f.name.split('.').toSeq
+          if (segs.length > 1)
+            // nested add (r20): append the leaf inside its parent
+            // struct; files written post-ALTER already carry it (keep
+            // their version). Lenient on a vanished parent — see
+            // mapStructLenient.
+            mapStructLenient(s, segs.init) { inner =>
+              val i = inner.fieldNames.indexOf(segs.last)
+              if (i >= 0)
+                // files already carry it — keep their type/position but
+                // force nullable: pre-ALTER files synthesize null
+                StructType(inner.fields.updated(i,
+                  inner.fields(i).copy(nullable = true)))
+              else StructType(
+                inner.fields :+ f.copy(name = segs.last, nullable = true))
+            }
+          else if (s.fieldNames.contains(f.name))
             // files already carry the column (written post-ALTER): keep
             // their type/position but re-attach the ALTER's metadata —
             // INSERT-default resolution and decode-time synthesis for
@@ -934,7 +1018,12 @@ object AvroFileSource {
               else x))
           else StructType(s.fields :+ f.copy(nullable = true))
         case "drop" =>
-          StructType(s.fields.filterNot(_.name == payload))
+          val segs = payload.split('.').toSeq
+          if (segs.length > 1)
+            mapStructLenient(s, segs.init) { inner =>
+              StructType(inner.fields.filterNot(_.name == segs.last))
+            }
+          else StructType(s.fields.filterNot(_.name == payload))
         case "widen" =>
           // type override along Avro promotions: files keep their
           // narrow bytes (decode promotes), inference reads the wide
@@ -7262,7 +7351,9 @@ class AvroWriteBuilder(path: String, schema: StructType,
   {
     val retired = AvroFileSource.retiredColumns(
       new File(constraintsDir.getOrElse(path)))
-    val clash = schema.fieldNames.filter(retired.contains)
+    // nested drops retire DOTTED paths — check every struct path the
+    // write schema carries, not just the top level
+    val clash = AvroFileSource.allStructPaths(schema).filter(retired.contains)
     require(clash.isEmpty,
       s"graft-avro: column name(s) ${clash.mkString(", ")} were dropped " +
         "from this table and are retired — pick a new name (name-based " +

@@ -984,6 +984,14 @@ object AvroMaintenance {
     require(!AvroFileSource.retiredColumns(d).contains(to),
       s"graft-avro rename: '$to' was dropped earlier and is retired on " +
         "this table (the evolution replay would re-hide it)")
+    // a struct with retired NESTED children keeps its name: the retired
+    // dotted paths are keyed on it, and a rename would let a fresh
+    // `newName.child` write resurrect the pre-drop bytes through the
+    // reader alias
+    require(!AvroFileSource.retiredColumns(d)
+        .exists(_.startsWith(from + ".")),
+      s"graft-avro rename: '$from' has retired nested fields — its " +
+        "name anchors their retirement and cannot change")
     require(!AvroFileSource.deleteFile(d).isFile ||
       !new String(java.nio.file.Files.readAllBytes(
         AvroFileSource.deleteFile(d).toPath), "UTF-8")
@@ -1049,8 +1057,22 @@ object AvroMaintenance {
     AvroFileSource.withCommitLock(d) {
     requireNoBranches(d, "add-column")
     val cur = currentSchema(dir)
-    require(!cur.fieldNames.contains(field.name),
-      s"graft-avro add-column: column '${field.name}' already exists")
+    val segs = field.name.split('.').toSeq
+    if (segs.length > 1) {
+      // nested add (r20): every parent must be a plain struct column;
+      // decode needs no new machinery (resolveReader's record recursion
+      // already synthesizes a null default for a reader-only nested
+      // field). DEFAULT values stay top-level-only.
+      require(!field.metadata.contains(AvroFileSource.DefaultKindKey),
+        s"graft-avro add-column: DEFAULT on nested '${field.name}' is " +
+          "not supported — nested adds fill null on existing rows")
+      val parent = AvroFileSource.navStruct(cur, segs.init,
+        s"graft-avro add-column '${field.name}'")
+      require(!parent.fieldNames.contains(segs.last),
+        s"graft-avro add-column: field '${field.name}' already exists")
+    } else
+      require(!cur.fieldNames.contains(field.name),
+        s"graft-avro add-column: column '${field.name}' already exists")
     require(!AvroFileSource.retiredColumns(d).contains(field.name),
       s"graft-avro add-column: '${field.name}' was dropped earlier and " +
         "is retired on this table — pick a new name")
@@ -1075,11 +1097,26 @@ object AvroMaintenance {
     AvroFileSource.withCommitLock(d) {
     requireNoBranches(d, "drop-column")
     val cur = currentSchema(dir)
+    val segs = name.split('.').toSeq
+    if (segs.length > 1) {
+      // nested drop (r20): the dotted path is retired forever, same
+      // rule as top level — name-based nested resolution would
+      // resurrect pre-drop bytes on a re-add
+      val parent = AvroFileSource.navStruct(cur, segs.init,
+        s"graft-avro drop-column '$name'")
+      require(parent.fieldNames.contains(segs.last),
+        s"graft-avro drop-column: no field '$name' " +
+          s"(parent has ${parent.fieldNames.mkString(",")})")
+      require(parent.fields.length >= 2,
+        s"graft-avro drop-column: cannot drop the last field of " +
+          s"struct '${segs.init.mkString(".")}'")
+    } else {
     require(cur.fieldNames.contains(name),
       s"graft-avro drop-column: no column '$name' in " +
         cur.fieldNames.mkString(","))
     require(cur.fields.length >= 2,
       "graft-avro drop-column: cannot drop the last column")
+    }
     require(!AvroFileSource.deleteFile(d).isFile ||
       !new String(java.nio.file.Files.readAllBytes(
         AvroFileSource.deleteFile(d).toPath), "UTF-8")

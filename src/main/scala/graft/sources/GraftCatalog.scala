@@ -414,10 +414,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * nullable), DROP COLUMN, RENAME COLUMN — all metadata-only
     * (`_graft_evo` / `_graft_colmap` sidecars, zero data files
     * rewritten) on data-backed tables, a `_graft_schema` sidecar
-    * rewrite on empty DDL tables. Top-level columns only (the Avro
-    * bridge's evolution machinery is name-based at record top level),
-    * no custom positions, and names dropped from a data-backed table
-    * are retired forever (see [[AvroMaintenance.dropColumn]]).
+    * rewrite on empty DDL tables. ADD/DROP COLUMN accept dotted nested
+    * paths (`a.b` — every intermediate a plain struct column; r20);
+    * RENAME and ALTER TYPE stay top-level. No custom positions, and
+    * names dropped from a data-backed table are retired forever —
+    * nested drops retire the full dotted path (see
+    * [[AvroMaintenance.dropColumn]]).
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val d = tableDir(ident)
@@ -446,7 +448,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     changes.foreach {
       case a: TableChange.AddColumn =>
-        val name = singleName(a.fieldNames(), "ADD COLUMN")
+        // dotted paths (r20): ADD COLUMN a.b appends field b inside
+        // struct column a — journaled as the dotted name, validated in
+        // AvroMaintenance.addColumn / the sidecar path below
+        val name = a.fieldNames().mkString(".")
         require(a.position() == null,
           "graft catalog: ADD COLUMN FIRST/AFTER is not supported — " +
             "columns append at the end")
@@ -490,12 +495,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         if (withData) AvroMaintenance.addColumn(d.getPath, field)
         else {
           val (st, parts) = sidecarState()
-          require(!st.fieldNames.contains(name),
-            s"graft catalog: column '$name' already exists")
-          writeSidecar(StructType(st.fields :+ field), parts)
+          val segs = a.fieldNames().toSeq
+          if (segs.length > 1) {
+            require(meta == org.apache.spark.sql.types.Metadata.empty,
+              s"graft catalog: DEFAULT on nested '$name' is not " +
+                "supported — nested adds fill null on existing rows")
+            val parent = AvroFileSource.navStruct(st, segs.init,
+              s"graft catalog: ADD COLUMN $name")
+            require(!parent.fieldNames.contains(segs.last),
+              s"graft catalog: field '$name' already exists")
+            writeSidecar(AvroFileSource.mapStructLenient(st, segs.init) {
+              inner => StructType(
+                inner.fields :+ field.copy(name = segs.last))
+            }, parts)
+          } else {
+            require(!st.fieldNames.contains(name),
+              s"graft catalog: column '$name' already exists")
+            writeSidecar(StructType(st.fields :+ field), parts)
+          }
         }
       case del: TableChange.DeleteColumn =>
-        val name = singleName(del.fieldNames(), "DROP COLUMN")
+        val name = del.fieldNames().mkString(".")
         if (withData) {
           // the DDL sidecar's default-partition list outlives the data
           // inference — future INSERTs still partition by it
@@ -504,6 +524,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           AvroMaintenance.dropColumn(d.getPath, name)
         } else {
           val (st, parts) = sidecarState()
+          val segs = del.fieldNames().toSeq
+          if (segs.length > 1) {
+            val parent = scala.util.Try(AvroFileSource.navStruct(st,
+              segs.init, s"graft catalog: DROP COLUMN $name")).toOption
+            val exists = parent.exists(_.fieldNames.contains(segs.last))
+            require(exists || del.ifExists(),
+              s"graft catalog: no field '$name' to drop")
+            if (exists) {
+              require(parent.get.fields.length >= 2,
+                s"graft catalog: cannot drop the last field of struct " +
+                  s"'${segs.init.mkString(".")}'")
+              writeSidecar(AvroFileSource.mapStructLenient(st, segs.init) {
+                inner =>
+                  StructType(inner.fields.filterNot(_.name == segs.last))
+              }, parts)
+            }
+          } else {
           require(st.fieldNames.contains(name) || del.ifExists(),
             s"graft catalog: no column '$name' to drop")
           require(!parts.contains(name),
@@ -516,6 +553,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"graft catalog: cannot drop the last column '$name'")
           writeSidecar(StructType(
             st.fields.filterNot(_.name == name)), parts)
+          }
         }
       case rn: TableChange.RenameColumn =>
         val from = singleName(rn.fieldNames(), "RENAME COLUMN")

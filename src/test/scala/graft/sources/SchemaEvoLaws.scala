@@ -37,11 +37,14 @@ object SchemaEvoLaws extends Properties("SchemaEvoLaws") {
   case object Add extends Op
   case object Drop extends Op
   case object Widen extends Op
+  case object AddNested extends Op
+  case object DropNested extends Op
 
   private val opsGen: Gen[List[Op]] =
     Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, Gen.frequency(
       4 -> Gen.const(Write: Op), 3 -> Gen.const(Add: Op),
-      2 -> Gen.const(Drop: Op), 2 -> Gen.const(Widen: Op))))
+      2 -> Gen.const(Drop: Op), 2 -> Gen.const(Widen: Op),
+      3 -> Gen.const(AddNested: Op), 2 -> Gen.const(DropNested: Op))))
 
   /** Header-only avro file carrying exactly `cols` (all nullable):
     * schema laws need real headers, not rows.
@@ -77,9 +80,21 @@ object SchemaEvoLaws extends Properties("SchemaEvoLaws") {
     Prop.forAll(opsGen) { ops =>
       val d = new File(graft.operators.Catalog.tempDir("graft_evolaw"))
       val pool = Iterator.from(0).map(i => s"c$i")
+      // nested model (r20): "s_base" is a struct column whose field
+      // list evolves through dotted ADD/DROP alongside the top level;
+      // a top-level Drop may remove the whole struct (nested ops then
+      // no-op — the parent is gone and its dotted names stay retired)
+      var nested = Vector[(String, DataType)](("f0", IntegerType))
+      def structOf(fs: Vector[(String, DataType)]): DataType =
+        StructType(fs.map { case (c, t) => StructField(c, t) })
       // model: current visible (name, type) list; new columns start
       // INT so the widen chain int -> long -> double is reachable
-      var cols = Vector[(String, DataType)](("c_base", IntegerType))
+      var cols = Vector[(String, DataType)](("c_base", IntegerType),
+        ("s_base", structOf(nested)))
+      def syncStruct(): Unit = {
+        val i = cols.indexWhere(_._1 == "s_base")
+        if (i >= 0) cols = cols.updated(i, ("s_base", structOf(nested)))
+      }
       var retired = Set.empty[String]
       var fileNo = 0
       var versions = Map.empty[Long, Vector[(String, DataType)]]
@@ -115,6 +130,21 @@ object SchemaEvoLaws extends Properties("SchemaEvoLaws") {
                 cols = cols.updated(i, (name, nt))
               case None => () // all doubles already
             }
+          case AddNested if cols.exists(_._1 == "s_base") =>
+            val name = "n" + pool.next()
+            AvroMaintenance.addColumn(d.getPath,
+              StructField(s"s_base.$name", IntegerType))
+            nested :+= ((name, IntegerType))
+            syncStruct()
+          case AddNested => () // the struct itself was dropped
+          case DropNested
+              if cols.exists(_._1 == "s_base") && nested.size >= 2 =>
+            val victim = nested(nested.size / 2)._1
+            AvroMaintenance.dropColumn(d.getPath, s"s_base.$victim")
+            nested = nested.filterNot(_._1 == victim)
+            retired += s"s_base.$victim"
+            syncStruct()
+          case DropNested => () // gone or down to the last field
         }
         versions += AvroFileSource.readSnapshots(d).last.version -> cols
         ok &&= inferred(d, None) == cols

@@ -76,6 +76,90 @@ class SchemaEvoSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("nested ADD/DROP: dotted paths evolve struct fields metadata-only (r20)") {
+    val dir = tmp()
+    def nested(lo: Int, hi: Int, withBonus: Boolean): org.apache.spark.sql.DataFrame = {
+      val base = spark.range(lo, hi).toDF("k")
+      val info =
+        if (withBonus) F.struct(
+          F.concat(F.lit("n"), F.col("k")).as("name"),
+          (F.col("k") * 2).as("score"),
+          (F.col("k") * 10).as("bonus"))
+        else F.struct(
+          F.concat(F.lit("n"), F.col("k")).as("name"),
+          (F.col("k") * 2).as("score"))
+      base.withColumn("info", info)
+    }
+    nested(0, 10, withBonus = false).repartition(2)
+      .write.format("graft-avro").mode("overwrite").save(dir)   // v1
+    AvroMaintenance.addColumn(dir, StructField("info.bonus", LongType)) // v2
+    nested(10, 15, withBonus = true).repartition(2)
+      .write.format("graft-avro").mode("append").save(dir)      // v3
+
+    val live = spark.read.format("graft-avro").load(dir)
+    val infoT = live.schema("info").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    infoT.fieldNames.toSeq shouldBe Seq("name", "score", "bonus")
+    infoT("bonus").nullable shouldBe true
+    val rows = live.select(F.col("k"), F.col("info.bonus")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    rows(3L) shouldBe -1L      // pre-ALTER file: synthesized nested null
+    rows(12L) shouldBe 120L    // post-ALTER file: real value
+
+    // travel brackets the ALTER: v1's struct lacks bonus, v2 serves it
+    def infoFields(v: Int): Seq[String] =
+      spark.read.format("graft-avro").option("versionAsOf", v).load(dir)
+        .schema("info").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fieldNames.toSeq
+    infoFields(1) shouldBe Seq("name", "score")
+    infoFields(2) shouldBe Seq("name", "score", "bonus")
+
+    // nested DROP hides the field live, pre-drop travel still serves it,
+    // and the dotted path is retired forever
+    AvroMaintenance.dropColumn(dir, "info.score")               // v4
+    spark.read.format("graft-avro").load(dir)
+      .schema("info").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq shouldBe Seq("name", "bonus")
+    infoFields(3) should contain("score")
+    intercept[IllegalArgumentException] {
+      AvroMaintenance.addColumn(dir, StructField("info.score", LongType))
+    }
+    // a write whose schema carries the retired nested path fails loudly
+    val err = intercept[Exception] {
+      nested(15, 18, withBonus = true).write.format("graft-avro")
+        .mode("append").save(dir)
+    }
+    Iterator.iterate(err: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse(""))
+      .mkString("; ") should include("retired")
+    // renaming the parent struct would detach the retired paths
+    intercept[IllegalArgumentException] {
+      AvroMaintenance.renameColumn(dir, "info", "meta")
+    }
+    // the evolved shape (sans score) keeps writing fine
+    nested(15, 18, withBonus = true)
+      .select(F.col("k"), F.struct(
+        F.col("info.name").as("name"),
+        F.col("info.bonus").as("bonus")).as("info"))
+      .write.format("graft-avro").mode("append").save(dir)      // v5
+    spark.read.format("graft-avro").load(dir).count() shouldBe 18L
+
+    // guards: missing parent, non-struct parent, last nested field
+    intercept[IllegalArgumentException] {
+      AvroMaintenance.addColumn(dir, StructField("nosuch.x", LongType))
+    }
+    intercept[IllegalArgumentException] {
+      AvroMaintenance.addColumn(dir, StructField("k.x", LongType))
+    }
+    AvroMaintenance.dropColumn(dir, "info.bonus")
+    intercept[IllegalArgumentException] {
+      AvroMaintenance.dropColumn(dir, "info.name") // last field left
+    }
+  }
+
   test("DROP COLUMN hides the column live, pre-drop travel still serves it") {
     val dir = tmp()
     writeKV(dir, 0, 10, "overwrite")                          // v1
