@@ -1932,6 +1932,57 @@ object AvroGates extends Catalog {
               |FROM graft_gate.gate.props""".stripMargin)
     }),
 
+    // INDEX INTROSPECTION metadata table (r20): `cat.ns.tbl.stats`
+    // lists per-column sidecar coverage — zone bounds, null/sum cells,
+    // blooms, trigrams, NDV, block-range chunk index, per-chunk
+    // bloom/trigram cells, row counts, the verified-sort claim — as
+    // (kind, name, detail, n_files, n_live) rows. Two appends of
+    // deterministic size (nation³ cross products, SF-independent): the
+    // big file exceeds the 4096-row chunk threshold so chunk-level
+    // sidecars cover 1 of 2 files while file-level ones cover 2 of 2 —
+    // the "why didn't this prune" debugging view, with coverage
+    // fractions pinned by the oracle.
+    "q_avro_stats_table" -> ((s, dir) => {
+      if (!s.conf.getOption("spark.sql.catalog.graft_gate").isDefined) {
+        s.conf.set("spark.sql.catalog.graft_gate",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_gate.root",
+          tempDir("graft_gate_cat"))
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.gate")
+      s.sql("DROP TABLE IF EXISTS graft_gate.gate.stt")
+      s.sql("""CREATE TABLE graft_gate.gate.stt
+              |  (k BIGINT NOT NULL, v BIGINT NOT NULL, s STRING)
+              |  TBLPROPERTIES ('graft.sortedBy' = 'k',
+              |    'graft.bloomFor' = 'v', 'graft.trigramFor' = 's',
+              |    'graft.ndvFor' = 'k', 'graft.chunkBloomFor' = 'v',
+              |    'graft.chunkTrigramFor' = 's')""".stripMargin)
+      val a = table(s, dir, "nation")
+        .select(F.col("n_nationkey").as("ka"), F.col("n_name").as("na"))
+      val b = table(s, dir, "nation")
+        .select(F.col("n_nationkey").as("kb"), F.col("n_name").as("nb"))
+      val i16 = s.range(0, 16).toDF("i")
+      // 25 * 25 * 16 = 10000 rows -> 3 forced-sync chunks in one file
+      a.crossJoin(b).crossJoin(i16)
+        .select(
+          (F.col("ka").cast("long") * 400 + F.col("kb") * 16 +
+            F.col("i")).as("k"))
+        .select(F.col("k"), F.pmod(F.col("k") * 7, F.lit(97)).as("v"),
+          F.concat(F.lit("g"), (F.col("k") % 50).cast("string")).as("s"))
+        .coalesce(1).sortWithinPartitions("k")
+        .writeTo("graft_gate.gate.stt").append()
+      // 25 rows -> single chunk: file-level sidecars cover it, chunk-
+      // level ones don't
+      a.select((F.col("ka").cast("long") + 10000).as("k"),
+          F.col("ka").cast("long").as("v"),
+          F.concat(F.lit("h"), F.col("na")).as("s"))
+        .coalesce(1).sortWithinPartitions("k")
+        .writeTo("graft_gate.gate.stt").append()
+      s.sql("""SELECT kind, name, detail, n_files, n_live
+              |FROM graft_gate.gate.stt.stats
+              |ORDER BY kind, name, detail""".stripMargin)
+    }),
+
     // Map-column scan under the oracle: a string-keyed map column
     // round-trips through graft-avro (r18 columnar map decode: keys/
     // values child vectors, shared slice) and element_at aggregates
@@ -4094,6 +4145,30 @@ object AvroGates extends Catalog {
                 CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000)
                   AS BIGINT)) AS BIGINT) AS e1_m
          FROM embeddings GROUP BY label ORDER BY label""",
+    // the gate's writes are SF-independent (nation is 25 rows at every
+    // scale factor), so the coverage matrix is a pinned constant: the
+    // 10000-row file carries chunk-level cells, the 25-row file only
+    // file-level ones
+    "q_avro_stats_table" ->
+      """SELECT * FROM (VALUES
+           ('block_index', 'k', 'bigint', 1, 2),
+           ('bloom', 'v', 'bigint', 2, 2),
+           ('chunk_bloom', 'v', 'bloom:bigint', 1, 2),
+           ('chunk_trigram', 's', 'trigram:string', 1, 2),
+           ('ndv', 'k', 'bigint', 2, 2),
+           ('null_cells', 'k', 'cnt:bigint', 2, 2),
+           ('null_cells', 's', 'cnt:string', 2, 2),
+           ('null_cells', 'v', 'cnt:bigint', 2, 2),
+           ('rows', '', '', 2, 2),
+           ('sort', 'k', 'verified', 2, 2),
+           ('sum_cells', 'k', 'sum:bigint', 2, 2),
+           ('sum_cells', 'v', 'sum:bigint', 2, 2),
+           ('trigram', 's', 'trigram:string', 2, 2),
+           ('zones', 'k', 'bigint', 2, 2),
+           ('zones', 's', 'string', 2, 2),
+           ('zones', 'v', 'bigint', 2, 2)
+         ) t(kind, name, detail, n_files, n_live)
+         ORDER BY kind, name, detail""",
     "q_avro_table_props" ->
       """SELECT min(COALESCE(o_orderkey, 0)) AS min_okey,
                 max(COALESCE(o_orderkey, 0)) AS max_okey,

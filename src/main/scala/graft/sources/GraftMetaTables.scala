@@ -35,11 +35,19 @@ import org.apache.spark.unsafe.types.UTF8String
   *    (part, n_files, bytes) — the compaction-planning view (many
   *    small files in one partition = a compact candidate). Same
   *    O(listing) contract as `files`; no record counts.
+  *  - `stats` (r20): index/statistics introspection — one row per
+  *    (kind, column) sidecar coverage entry (zones / null_cells /
+  *    sum_cells / bloom / trigram / block_index / chunk_bloom /
+  *    chunk_trigram / ndv / rows / sort) with covered-file counts vs
+  *    the live total, plus ANN indexes in the namespace whose recorded
+  *    source is this table (ann_ivf / ann_pq). The "why didn't this
+  *    prune" debugging view: a column missing its expected row, or
+  *    n_files well under n_live, is the answer.
   */
 object GraftMetaTables {
 
   val Names: Set[String] =
-    Set("history", "files", "refs", "constraints", "partitions")
+    Set("history", "files", "refs", "constraints", "partitions", "stats")
 
   /** URL-decoded `k=v/k2=v2` partition prefix of a table-relative path
     * ('+' decodes to space — the raw segment would leak encoding into
@@ -96,6 +104,124 @@ object GraftMetaTables {
               InternalRow(UTF8String.fromString(p), fs.size,
                 fs.map(_._2).sum)
             }.toArray
+        })
+      case "stats" => (
+        StructType(Seq(
+          StructField("kind", StringType, nullable = false),
+          StructField("name", StringType, nullable = false),
+          StructField("detail", StringType, nullable = false),
+          StructField("n_files", IntegerType, nullable = false),
+          StructField("n_live", IntegerType, nullable = false))),
+        () => {
+          val base = dir.getAbsoluteFile.toPath
+          val live = AvroFileSource.listLive(dir).map { case (f, _) =>
+            base.relativize(f.getAbsoluteFile.toPath).toString
+          }.toSet
+          val nLive = live.size
+          def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(String, String, String, Int)]
+          // all-column zone manifest: plain entries = min/max bounds,
+          // cnt: = null-count cells, sum: = SUM/COUNT(col) cells
+          val colZones = AvroFileSource
+            .readColZonesRaw(AvroFileSource.colZoneFile(dir))
+          colZones.view.filterKeys(live).toSeq
+            .flatMap { case (rel, es) => es.map(e => (rel, e)) }
+            .groupBy { case (_, (col, dt, _, _)) =>
+              val kind =
+                if (dt.startsWith("cnt:")) "null_cells"
+                else if (dt.startsWith("sum:")) "sum_cells"
+                else "zones"
+              (kind, dec(col), dt)
+            }
+            .foreach { case ((kind, col, dt), hits) =>
+              out += ((kind, col, dt, hits.map(_._1).distinct.size))
+            }
+          // bloom manifest: equality entries vs trigram entries by tag
+          AvroFileSource.readBloomsRaw(AvroFileSource.bloomFile(dir))
+            .view.filterKeys(live).toSeq
+            .flatMap { case (rel, es) => es.map(e => (rel, e)) }
+            .groupBy { case (_, (col, dt, _)) =>
+              val kind =
+                if (dt == AvroFileSource.TrigramTypeTag) "trigram"
+                else "bloom"
+              (kind, dec(col), dt)
+            }
+            .foreach { case ((kind, col, dt), hits) =>
+              out += ((kind, col, dt, hits.map(_._1).distinct.size))
+            }
+          // block-range chunk index: zone chunks vs per-chunk bloom /
+          // trigram cells by type tag (absence is normal — don't let
+          // the reader's unreadable-sidecar warning fire)
+          (if (AvroFileSource.blockIdxFile(dir).isFile)
+            AvroFileSource.readBlockIdxRaw(AvroFileSource.blockIdxFile(dir))
+          else Map.empty[String,
+            Seq[(String, String, Long, Long, String, String)]])
+            .view.filterKeys(live).toSeq
+            .flatMap { case (rel, es) => es.map(e => (rel, e)) }
+            .groupBy { case (_, (col, dt, _, _, _, _)) =>
+              val kind =
+                if (dt.startsWith("bloom:")) "chunk_bloom"
+                else if (dt.startsWith("trigram:")) "chunk_trigram"
+                else "block_index"
+              (kind, dec(col), dt)
+            }
+            .foreach { case ((kind, col, dt), hits) =>
+              out += ((kind, col, dt, hits.map(_._1).distinct.size))
+            }
+          // NDV HLL registers
+          AvroFileSource.readNdvRaw(AvroFileSource.ndvFile(dir))
+            .view.filterKeys(live).toSeq
+            .flatMap { case (rel, es) => es.map(e => (rel, e)) }
+            .groupBy { case (_, (col, dt, _)) => (dec(col), dt) }
+            .foreach { case ((col, dt), hits) =>
+              out += (("ndv", col, dt, hits.map(_._1).distinct.size))
+            }
+          // exact per-file row counts
+          val rows = AvroFileSource
+            .readRowsRaw(AvroFileSource.rowsFile(dir)).keySet
+          if (rows.nonEmpty)
+            out += (("rows", "", "", rows.count(live)))
+          // verified-sort claim + its primary-column zone manifest
+          val sortSpec = AvroFileSource.sortedColumnsOf(dir)
+          if (sortSpec.nonEmpty) {
+            val zoned = AvroFileSource
+              .readZonesRaw(AvroFileSource.zoneFile(dir)).keySet
+            out += (("sort", sortSpec.mkString(","), "verified",
+              zoned.count(live)))
+          }
+          // ANN indexes in the same namespace whose recorded source is
+          // THIS table (sidecar lives in the centroids / codebook dir)
+          val suffix = "/" + dir.getName
+          Option(dir.getParentFile).map(_.listFiles())
+            .filter(_ != null).getOrElse(Array.empty[File])
+            .filter(s => s.isDirectory &&
+              new File(s, "_graft_annidx").isFile)
+            .sortBy(_.getName).foreach { s =>
+              val fam =
+                if (s.getName.endsWith("_centroids")) Some("ivf")
+                else if (s.getName.endsWith("_codebook")) Some("pq")
+                else None
+              fam.foreach { f =>
+                try {
+                  val meta = GraftAnnIndex.readMeta(s)
+                  val srcPath = "/" + meta.source.replace('.', '/')
+                  if (dir.getAbsolutePath.replace('\\', '/')
+                      .endsWith(srcPath) || srcPath.endsWith(suffix))
+                    out += ((s"ann_$f",
+                      s.getName.stripSuffix("_centroids")
+                        .stripSuffix("_codebook"),
+                      s"source=${meta.source} id=${meta.idCol} " +
+                        s"vec=${meta.vecCol}", 0))
+                } catch { case scala.util.control.NonFatal(_) => () }
+              }
+            }
+          out.toSeq.sortBy(t => (t._1, t._2, t._3)).map {
+            case (kind, nm, detail, n) =>
+              InternalRow(UTF8String.fromString(kind),
+                UTF8String.fromString(nm), UTF8String.fromString(detail),
+                n, nLive)
+          }.toArray
         })
       case "refs" => (
         StructType(Seq(

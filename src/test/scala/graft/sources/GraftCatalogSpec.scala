@@ -279,6 +279,44 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec with Matchers {
     all(parts.map(_.getLong(2))) should be > 0L
   }
 
+  test("stats metadata table: sidecar coverage + ANN attribution (r20)") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_t.lab20s")
+    spark.sql("DROP TABLE IF EXISTS graft_t.lab20s.st")
+    spark.sql("""CREATE TABLE graft_t.lab20s.st (k BIGINT NOT NULL, s STRING)
+                |TBLPROPERTIES ('graft.bloomFor' = 'k',
+                |  'graft.trigramFor' = 's')""".stripMargin)
+    spark.sql("INSERT INTO graft_t.lab20s.st " +
+      "SELECT /*+ REPARTITION(2) */ id, concat('txt', id) FROM range(100)")
+    val rows = spark.sql("SELECT kind, name, n_files, n_live " +
+      "FROM graft_t.lab20s.st.stats").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3)))
+      .toSet
+    rows should contain(("bloom", "k", 2, 2))
+    rows should contain(("trigram", "s", 2, 2))
+    rows should contain(("zones", "k", 2, 2))
+    rows should contain(("null_cells", "s", 2, 2))
+    rows should contain(("sum_cells", "k", 2, 2))
+    rows should contain(("rows", "", 2, 2))
+
+    // ANN attribution: an index built over emb surfaces in EMB's stats
+    // (name + source detail), never in an unrelated table's
+    spark.sql("DROP TABLE IF EXISTS graft_t.lab20s.emb")
+    spark.sql("DROP TABLE IF EXISTS graft_t.lab20s.sidx_centroids")
+    spark.sql("DROP TABLE IF EXISTS graft_t.lab20s.sidx_assign")
+    spark.sql("CREATE TABLE graft_t.lab20s.emb AS SELECT id AS vec_id, " +
+      "array(cast(id as float), cast((id * 7) % 13 as float)) AS embedding " +
+      "FROM range(64)")
+    spark.sql("CALL graft_t.system.build_ivf_index(" +
+      "'lab20s.emb', 'vec_id', 'embedding', 'lab20s.sidx')")
+    val ann = spark.sql("SELECT name, detail FROM graft_t.lab20s.emb.stats " +
+      "WHERE kind = 'ann_ivf'").collect()
+    ann.map(_.getString(0)).toSeq shouldBe Seq("sidx")
+    ann.head.getString(1) should include("source=lab20s.emb")
+    spark.sql("SELECT count(*) FROM graft_t.lab20s.st.stats " +
+      "WHERE kind LIKE 'ann%'").head().getLong(0) shouldBe 0L
+  }
+
   test("CALL cluster: in-place z-order re-layout, rows intact, travelable") {
     init()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_t.lab11z")
