@@ -671,6 +671,59 @@ object AvroGates extends Catalog {
     // change row, and the per-(version, change_type) counts + sums must
     // match the oracle's re-derivation — an overwrite surfaces as
     // paired delete+insert generations, per-version granularity intact.
+    // STREAMING-MAINTAINED MATVIEW (r20): streaming epochs append to a
+    // graft-avro table while an agg matview over it refreshes
+    // incrementally — once mid-stream with the query LIVE (the view
+    // lock and the table's commit lock compose: the refresh writes the
+    // VIEW dir, epochs write the source, no deadlock by construction),
+    // then after a kill/restart + AvailableNow drain. The final view
+    // must equal the full fold over every generation — a lost epoch
+    // delta, a double-folded refresh, or a lock deadlock all break it.
+    "q_stream_matview" -> ((s, dir) => {
+      val in = tempDir("graft_gate_smv_in")
+      val tbl = tempDir("graft_gate_smv_tbl")
+      val view = tempDir("graft_gate_smv_view")
+      val ckpt = tempDir("graft_gate_smv_ckpt")
+      val li = table(s, dir, "lineitem").select(
+        F.coalesce(F.col("l_orderkey"), F.lit(0L)).as("okey"),
+        F.col("l_returnflag").as("flag"),
+        F.floor(F.col("l_quantity") * 100).cast("long").as("qty_c"))
+      li.filter(F.pmod(F.col("okey"), F.lit(4)) === 0)
+        .write.format("graft-avro").mode("overwrite").save(tbl) // v1
+      graft.sources.GraftMatviews.create(s, view, tbl,
+        """SELECT flag, count(*) AS n_lines,
+          |  CAST(sum(qty_c) AS BIGINT) AS qty_sum
+          |FROM __SRC__ GROUP BY flag""".stripMargin,
+        """SELECT flag, CAST(sum(n_lines) AS BIGINT) AS n_lines,
+          |  CAST(sum(qty_sum) AS BIGINT) AS qty_sum
+          |FROM __ACC__ GROUP BY flag""".stripMargin)
+      li.filter(F.pmod(F.col("okey"), F.lit(4)) === 1).repartition(2)
+        .write.format("graft-avro").mode("append").save(in)
+      def run(avNow: Boolean) = {
+        val w = s.readStream.format("graft-avro")
+          .option("maxFilesPerTrigger", "1").load(in)
+          .writeStream.format("graft-avro")
+          .option("checkpointLocation", ckpt).outputMode("append")
+        (if (avNow) w.trigger(
+          org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        else w).start(tbl)
+      }
+      val q1 = run(avNow = false)
+      q1.processAllAvailable()
+      // refresh with the streaming query still live
+      graft.sources.GraftMatviews.refresh(s, view)
+      q1.stop() // kill
+      li.filter(F.pmod(F.col("okey"), F.lit(4)) === 2).repartition(2)
+        .write.format("graft-avro").mode("append").save(in)
+      li.filter(F.pmod(F.col("okey"), F.lit(4)) === 3).repartition(2)
+        .write.format("graft-avro").mode("append").save(in)
+      val q2 = run(avNow = true) // same checkpoint, self-terminating
+      q2.awaitTermination()
+      graft.sources.GraftMatviews.refresh(s, view)
+      s.read.format("graft-avro").load(view)
+        .select("flag", "n_lines", "qty_sum").orderBy("flag")
+    }),
+
     "q_avro_cdc_stream" -> ((s, dir) => {
       val src = tempDir("graft_gate_cdcs_src")
       val out = tempDir("graft_gate_cdcs_out")
@@ -3917,6 +3970,13 @@ object AvroGates extends Catalog {
          FROM fin GROUP BY lang ORDER BY lang""",
     // the CDC feed re-derived: v1/v2 insert generations, v3 = full
     // churn (every earlier row deleted + the replacement inserted)
+    // the four pmod classes cover every lineitem row: the maintained
+    // view must equal the straight group-by fold
+    "q_stream_matview" ->
+      """SELECT l_returnflag AS flag, count(*) AS n_lines,
+                CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT))
+                  AS BIGINT) AS qty_sum
+         FROM lineitem GROUP BY l_returnflag ORDER BY flag""",
     "q_avro_cdc_stream" ->
       """WITH g0 AS (SELECT n_chars FROM documents WHERE doc_id % 3 = 0),
          g1 AS (SELECT n_chars FROM documents WHERE doc_id % 3 = 1),
