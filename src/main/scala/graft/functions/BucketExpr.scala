@@ -28,6 +28,15 @@ object BucketHash {
     */
   def dateCanonical(epochDay: Int): String =
     java.time.LocalDate.ofEpochDay(epochDay.toLong).toString
+
+  /** Canonical string of a DECIMAL value (r20): scale-normalized plain
+    * form — `stripTrailingZeros.toPlainString`, so 1.10 at scale 2 and
+    * 1.1 at scale 1 (the same numeric value under SQL equality) hash
+    * identically wherever writer values and filter literals carry
+    * different scales. toPlainString keeps 100 as "100", never "1E+2".
+    */
+  def decimalCanonical(bd: java.math.BigDecimal): String =
+    bd.stripTrailingZeros.toPlainString
 }
 
 /** `graft_bucket(col, n)`: the bucket ordinal a bucketed graft-avro
@@ -47,11 +56,12 @@ case class GraftBucketExpr(left: Expression, right: Expression)
     val okVal = left.dataType match {
       case StringType | IntegerType | LongType | ShortType | ByteType |
            BooleanType | DateType => true
+      case _: DecimalType => true
       case _ => false
     }
     if (!okVal) TypeCheckResult.TypeCheckFailure(
-      "graft_bucket expects a string/integral/boolean/date value, got " +
-        left.dataType.simpleString)
+      "graft_bucket expects a string/integral/boolean/date/decimal " +
+        "value, got " + left.dataType.simpleString)
     else if (right.dataType != IntegerType) TypeCheckResult.TypeCheckFailure(
       s"graft_bucket expects an int bucket count, got " +
         right.dataType.simpleString)
@@ -61,6 +71,8 @@ case class GraftBucketExpr(left: Expression, right: Expression)
   private def canonical(v: Any): String = left.dataType match {
     case StringType => v.toString
     case DateType => BucketHash.dateCanonical(v.asInstanceOf[Int])
+    case _: DecimalType => BucketHash.decimalCanonical(
+      v.asInstanceOf[org.apache.spark.sql.types.Decimal].toJavaBigDecimal)
     case _ => String.valueOf(v)
   }
 
@@ -76,6 +88,9 @@ case class GraftBucketExpr(left: Expression, right: Expression)
       val canon = left.dataType match {
         case StringType => s"$v.toString()"
         case DateType => s"graft.functions.BucketHash.dateCanonical($v)"
+        case _: DecimalType =>
+          s"graft.functions.BucketHash.decimalCanonical(" +
+            s"$v.toJavaBigDecimal())"
         case _ => s"String.valueOf($v)"
       }
       s"""

@@ -2036,6 +2036,36 @@ object AvroGates extends Catalog {
               |ORDER BY kind, name, detail""".stripMargin)
     }),
 
+    // DECIMAL bloom/bucket eligibility (r20): a DECIMAL(12,2)-keyed
+    // table bloom-prunes under a static IN probe with MIXED-SCALE
+    // literals — the canonical identity is the scale-normalized plain
+    // form, so 12.5, 100.25 and 250 all hit the writer's hashes
+    // (BloomSkipSpec/BucketLayoutSpec pin the pruning counts; this
+    // gate pins end-to-end answers over real l_extendedprice decimals
+    // under the oracle).
+    "q_avro_bloom_decimal" -> ((s, dir) => {
+      val tmp = tempDir("graft_gate_decbloom")
+      table(s, dir, "lineitem")
+        .select(F.coalesce(F.col("l_orderkey"), F.lit(0L)).as("okey"),
+          F.col("l_extendedprice"))
+        .withColumn("price",
+          F.expr("CAST((okey % 400) * 1.25 AS DECIMAL(12,2))"))
+        .withColumn("ext",
+          F.expr("CAST(l_extendedprice AS DECIMAL(12,2))"))
+        .repartition(8, F.col("price"))
+        .write.format("graft-avro").option("bloomFor", "price")
+        .mode("overwrite").save(tmp)
+      s.read.format("graft-avro").load(tmp)
+        .filter(F.expr(
+          "price IN (CAST(12.5 AS DECIMAL(3,1)), " +
+            "CAST(100.25 AS DECIMAL(12,2)), CAST(250 AS DECIMAL(5,0)))"))
+        .groupBy(F.expr("CAST(price * 100 AS BIGINT)").as("price_c"))
+        .agg(F.count(F.lit(1)).as("n_lines"),
+          F.expr("CAST(sum(CAST(ext * 100 AS BIGINT)) AS BIGINT)")
+            .as("ext_c"))
+        .orderBy("price_c")
+    }),
+
     // Map-column scan under the oracle: a string-keyed map column
     // round-trips through graft-avro (r18 columnar map decode: keys/
     // values child vectors, shared slice) and element_at aggregates
@@ -4235,6 +4265,17 @@ object AvroGates extends Catalog {
                 (SELECT count(*) FROM orders
                  WHERE COALESCE(o_orderkey, 0) <= 100) AS n_low
          FROM orders""",
+    "q_avro_bloom_decimal" ->
+      """WITH src AS (
+           SELECT CAST((COALESCE(l_orderkey, 0) % 400) * 1.25
+                    AS DECIMAL(12,2)) AS price,
+                  CAST(l_extendedprice AS DECIMAL(12,2)) AS ext
+           FROM lineitem)
+         SELECT CAST(price * 100 AS BIGINT) AS price_c,
+                count(*) AS n_lines,
+                CAST(sum(CAST(ext * 100 AS BIGINT)) AS BIGINT) AS ext_c
+         FROM src WHERE price IN (12.5, 100.25, 250)
+         GROUP BY price_c ORDER BY price_c""",
     "q_avro_map_scan" ->
       """SELECT l_returnflag, count(*) AS n_lines,
                 CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT))

@@ -316,6 +316,28 @@ object AvroFileSource {
   def bucketOf(canonical: String, n: Int): Int =
     graft.functions.BucketHash.bucket(canonical, n)
 
+  /** Canonical string identity of an EXTERNAL value for bloom/bucket
+    * hashing (r20): plain toString for string/integral/boolean, ISO
+    * LocalDate for dates, and scale-normalized plain form for decimals
+    * (stripTrailingZeros.toPlainString — writer values and filter
+    * literals may carry different scales for the same numeric value;
+    * SQL decimal equality is numeric, so the identity must be too).
+    * Writer routing, bloom adds, probe keys, and the SPJ/SQL bucket
+    * functions all funnel here or through [[graft.functions.BucketHash]]
+    * — keep them in lockstep.
+    */
+  private[sources] def canonicalValue(v: Any): String = v match {
+    case d: java.math.BigDecimal =>
+      graft.functions.BucketHash.decimalCanonical(d)
+    case d: scala.math.BigDecimal =>
+      graft.functions.BucketHash.decimalCanonical(d.bigDecimal)
+    case d: org.apache.spark.sql.types.Decimal =>
+      graft.functions.BucketHash.decimalCanonical(d.toJavaBigDecimal)
+    case d: java.sql.Date => d.toLocalDate.toString
+    case d: java.time.LocalDate => d.toString
+    case x => String.valueOf(x)
+  }
+
   /** Parse a `col:n[,col:n…]` bucket option string. */
   def parseBucketBy(s: String): Seq[(String, Int)] =
     s.split(',').toSeq.map(_.trim).filter(_.nonEmpty).map { part =>
@@ -1208,6 +1230,9 @@ object AvroFileSource {
     dt match {
       case StringType | IntegerType | LongType | ShortType | ByteType |
            BooleanType => true
+      // decimals (r20): canonical form is the scale-normalized plain
+      // string (see canonicalValue) — stable on both writer and probe
+      case _: DecimalType => true
       case _ => false
     }
   }
@@ -4017,6 +4042,9 @@ class AvroScanBuilder(path: String, full: StructType,
           Some(String.valueOf(v))
         case d: java.sql.Date => Some(d.toLocalDate.toString)
         case d: java.time.LocalDate => Some(d.toString)
+        case _: java.math.BigDecimal | _: scala.math.BigDecimal |
+             _: org.apache.spark.sql.types.Decimal =>
+          Some(AvroFileSource.canonicalValue(v))
         case _ => None
       }
 
@@ -4171,6 +4199,8 @@ class AvroScanBuilder(path: String, full: StructType,
             Some(String.valueOf(l.value))
           case DateType => Some(java.time.LocalDate
             .ofEpochDay(l.value.asInstanceOf[Int].toLong).toString)
+          case _: DecimalType =>
+            Some(AvroFileSource.canonicalValue(l.value))
           case _ => None
         }
       }
@@ -4525,12 +4555,14 @@ class AvroScanBuilder(path: String, full: StructType,
         import org.apache.spark.sql.sources._
         val static = filters.toSeq.collect {
           case EqualTo(c, v) if v != null =>
-            c -> AvroFileSource.bloomProbeEq(Seq(v.toString))
-          case EqualNullSafe(c, v) if v != null =>
-            c -> AvroFileSource.bloomProbeEq(Seq(v.toString))
-          case In(c, vs) if vs != null =>
             c -> AvroFileSource.bloomProbeEq(
-              vs.toSeq.filter(_ != null).map(_.toString))
+              Seq(AvroFileSource.canonicalValue(v)))
+          case EqualNullSafe(c, v) if v != null =>
+            c -> AvroFileSource.bloomProbeEq(
+              Seq(AvroFileSource.canonicalValue(v)))
+          case In(c, vs) if vs != null =>
+            c -> AvroFileSource.bloomProbeEq(vs.toSeq.filter(_ != null)
+              .map(AvroFileSource.canonicalValue))
         }
         val runtime = runtimeZoneVals.toSeq.map { case (c, vs) =>
           c -> AvroFileSource.bloomProbeEq(vs.map(_.toString))
@@ -7292,8 +7324,9 @@ class AvroWriteBuilder(path: String, schema: StructType,
   }
 
   // Bucket specs: schema membership, canonical-string-stable type (the
-  // same set whose external toString ≡ filter-literal key — floats,
-  // timestamps and decimals are excluded for the litKey reasons), a
+  // same set whose canonicalValue ≡ filter-literal key — floats and
+  // timestamps are excluded for the litKey reasons; decimals join in
+  // r20 via the scale-normalized plain form), a
   // positive N, no overlap with identity partitioning, and no name
   // collision between a `<col>_bucket` segment and a real column (a
   // same-named identity partition segment would be indistinguishable).
@@ -7305,6 +7338,7 @@ class AvroWriteBuilder(path: String, schema: StructType,
     f.dataType match {
       case StringType | IntegerType | LongType | ShortType | ByteType |
            BooleanType | DateType => ()
+      case _: DecimalType => ()
       case other => throw new IllegalArgumentException(
         s"bucketBy does not support ${other.simpleString} (column '$c')")
     }
@@ -8385,7 +8419,7 @@ private[sources] object AvroWriters {
         val v = view.get(idx(c))
         if (v != null) {
           seen(c) = true
-          AvroFileSource.bloomAdd(bits(c), v.toString)
+          AvroFileSource.bloomAdd(bits(c), AvroFileSource.canonicalValue(v))
         }
         c += 1
       }
@@ -8455,7 +8489,8 @@ private[sources] object AvroWriters {
       var c = 0
       while (c < idx.length) {
         val v = view.get(idx(c))
-        if (v != null) AvroFileSource.bloomAdd(bits(c), v.toString)
+        if (v != null)
+          AvroFileSource.bloomAdd(bits(c), AvroFileSource.canonicalValue(v))
         c += 1
       }
       var t = 0
@@ -8509,7 +8544,7 @@ private[sources] object AvroWriters {
         val v = view.get(idx(c))
         if (v != null) {
           seen(c) = true
-          AvroFileSource.ndvAdd(regs(c), v.toString)
+          AvroFileSource.ndvAdd(regs(c), AvroFileSource.canonicalValue(v))
         }
         c += 1
       }
@@ -8688,7 +8723,8 @@ private[sources] object AvroWriters {
           val v = view.get(i)
           val seg =
             if (v == null) "__null__"
-            else AvroFileSource.bucketOf(v.toString, n).toString
+            else AvroFileSource.bucketOf(
+              AvroFileSource.canonicalValue(v), n).toString
           s"${AvroFileSource.bucketSegName(c)}=$seg"
         } ++ xforms.zip(xidx).map { case (x, i) =>
           // hidden temporal/truncate partitioning: the segment value is

@@ -886,6 +886,7 @@ object GraftBucketFunction
     dt match {
       case StringType | IntegerType | LongType | ShortType | ByteType |
            BooleanType | DateType => ()
+      case _: DecimalType => ()
       case other => throw new UnsupportedOperationException(
         s"graft bucket: unsupported value type ${other.simpleString}")
     }
@@ -908,6 +909,9 @@ object GraftBucketFunction
             case BooleanType => input.getBoolean(1).toString
             case DateType =>
               java.time.LocalDate.ofEpochDay(input.getInt(1).toLong).toString
+            case d: DecimalType => graft.functions.BucketHash
+              .decimalCanonical(
+                input.getDecimal(1, d.precision, d.scale).toJavaBigDecimal)
             case other => throw new UnsupportedOperationException(
               s"graft bucket over ${other.simpleString}")
           }

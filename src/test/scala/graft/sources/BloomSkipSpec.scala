@@ -96,6 +96,39 @@ class BloomSkipSpec extends AnyFunSuite with SparkSpec with Matchers {
       Seq(7L, 16L, 399L)
   }
 
+  test("decimal keys bloom-prune; canonical identity survives scale drift (r20)") {
+    val dir = tmp()
+    // price = k * 1.25 at DECIMAL(12,2): exact 2-decimal values,
+    // hash-scattered so zones are useless and only the bloom can prune
+    spark.range(0, 800).toDF("k")
+      .withColumn("price", F.expr("CAST(k * 1.25 AS DECIMAL(12,2))"))
+      .repartition(8, F.col("price"))
+      .write.format("graft-avro").option("bloomFor", "price")
+      .mode("overwrite").save(dir)
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    def parts(f: org.apache.spark.sql.sources.Filter): Int = {
+      val schema = spark.read.format("graft-avro").load(dir).schema
+      val sb = new AvroScanBuilder(dir, schema)
+      sb.pushFilters(Array(f))
+      sb.build().toBatch.planInputPartitions().length
+    }
+    // writer scale 2 vs probe literals at scales 1, 2 and 0: all three
+    // spellings of the same numeric value hit the same canonical hash
+    parts(EqualTo("price", new java.math.BigDecimal("52.50"))) should be <= 2
+    parts(EqualTo("price", new java.math.BigDecimal("52.5"))) should be <= 2
+    parts(EqualTo("price", new java.math.BigDecimal("400"))) should be <= 2
+    parts(In("price", Array(new java.math.BigDecimal("3.75"),
+      new java.math.BigDecimal("15.00")))) should be <= 3
+    // absent value prunes everything; zero false negatives end-to-end
+    parts(EqualTo("price", new java.math.BigDecimal("52.51"))) shouldBe 0
+    val avro = spark.read.format("graft-avro").load(dir)
+    (0L until 800L by 37).foreach { k =>
+      avro.filter(F.col("price") ===
+        new java.math.BigDecimal(k * 125).movePointLeft(2))
+        .count() shouldBe 1
+    }
+  }
+
   test("manifest lifecycle: overwrites replace entries, plain appends leave gaps") {
     val dir = tmp()
     writeScattered(dir)

@@ -253,6 +253,48 @@ class BucketLayoutSpec extends AnyFunSuite with SparkSpec with Matchers {
     back.count() shouldBe 400
   }
 
+  test("decimal bucket keys: canonical identity across scales (r20)") {
+    val dir = tmp()
+    // one task writes all buckets so zone bounds span the domain: any
+    // pruning observed is the bucket's
+    spark.range(0, 800).toDF("k")
+      .withColumn("price", F.expr("CAST(k * 1.25 AS DECIMAL(12,2))"))
+      .coalesce(1)
+      .write.format("graft-avro").option("bucketBy", "price:8")
+      .mode("overwrite").save(dir)
+    AvroFileSource.readBucketSpec(new java.io.File(dir)) shouldBe
+      Seq("price" -> 8)
+    import org.apache.spark.sql.sources.EqualTo
+    def parts(f: org.apache.spark.sql.sources.Filter): Int = {
+      val schema = spark.read.format("graft-avro").load(dir).schema
+      val sb = new AvroScanBuilder(dir, schema)
+      sb.pushFilters(Array(f))
+      sb.build().toBatch.planInputPartitions().length
+    }
+    val all = scanParts(dir)
+    // scale-2 and scale-1 spellings of one value route to ONE bucket
+    parts(EqualTo("price", new java.math.BigDecimal("12.50"))) should be < all
+    parts(EqualTo("price", new java.math.BigDecimal("12.5"))) shouldBe
+      parts(EqualTo("price", new java.math.BigDecimal("12.50")))
+    // graft_bucket SQL expression agrees with the write routing at
+    // every scale spelling (the single-source-of-truth contract)
+    val b = spark.sql(
+      "SELECT graft_bucket(CAST(12.50 AS DECIMAL(12,2)), 8), " +
+        "graft_bucket(CAST(12.5 AS DECIMAL(3,1)), 8), " +
+        "graft_bucket(CAST(400 AS DECIMAL(5,0)), 8), " +
+        "graft_bucket(CAST(400.00 AS DECIMAL(12,2)), 8)").head()
+    b.getInt(0) shouldBe b.getInt(1)
+    b.getInt(2) shouldBe b.getInt(3)
+    // no false negatives through the full read path, either scale
+    val avro = spark.read.format("graft-avro").load(dir)
+    (0L until 800L by 53).foreach { k =>
+      avro.filter(F.col("price") ===
+        new java.math.BigDecimal(k * 125).movePointLeft(2))
+        .count() shouldBe 1
+    }
+    avro.filter("price = 12.5").count() shouldBe 1
+  }
+
   test("bucketBy rejects unsupported types and collisions") {
     val dir = tmp()
     intercept[IllegalArgumentException] {
