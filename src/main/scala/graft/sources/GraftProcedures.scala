@@ -42,6 +42,7 @@ object GraftProcedures {
     "drop_view", "create_matview", "create_delta_matview",
     "refresh_matview", "create_join_matview",
     "create_counting_join_matview", "create_nway_counting_matview",
+    "create_nway_join_matview",
     "refresh_join_matview",
     "set_matview_staleness",
     "build_ivf_index", "append_ivf_assignments", "rebalance_ivf_index",
@@ -500,12 +501,22 @@ object GraftProcedures {
           (out("view" -> StringType, "left_version" -> LongType,
             "right_version" -> LongType), Seq(viewRef.copy(), lv, rv))
         })
-      case "create_nway_counting_matview" => new Proc(name,
-        "materialize an n-way join with per-row multiplicities " +
-          "(_mv_n): sources is a comma-separated table list, join_sql " +
-          "reads __S1__ … __Sn__ as a pure bag projection; " +
-          "refresh_join_matview maintains through row-level DELETES " +
-          "in ANY source via the telescoping n-linear CDC delta sum",
+      case "create_nway_counting_matview" |
+           "create_nway_join_matview" =>
+        val counting = name == "create_nway_counting_matview"
+        new Proc(name,
+        if (counting)
+          "materialize an n-way join with per-row multiplicities " +
+            "(_mv_n): sources is a comma-separated table list, join_sql " +
+            "reads __S1__ … __Sn__ as a pure bag projection; " +
+            "refresh_join_matview maintains through row-level DELETES " +
+            "in ANY source via the telescoping n-linear CDC delta sum"
+        else
+          "materialize an n-way join (append-only maintenance): " +
+            "sources is a comma-separated table list, join_sql reads " +
+            "__S1__ … __Sn__; refresh_join_matview appends the " +
+            "telescoping delta terms (rewritten history fails loudly " +
+            "— use the counting variant for delete maintenance)",
         Array(param("view", StringType), param("sources", StringType),
           param("join_sql", StringType)),
         in => {
@@ -513,12 +524,11 @@ object GraftProcedures {
           val srcsRef = in.getUTF8String(1)
           val joinSql = in.getUTF8String(2)
           require(viewRef != null && srcsRef != null && joinSql != null,
-            "graft procedure: create_nway_counting_matview arguments " +
-              "must be non-null")
+            s"graft procedure: $name arguments must be non-null")
           val srcs = srcsRef.toString.split(",").map(_.trim)
             .filter(_.nonEmpty).toSeq
-          require(srcs.length >= 2, "graft procedure: " +
-            "create_nway_counting_matview needs >= 2 sources")
+          require(srcs.length >= 2,
+            s"graft procedure: $name needs >= 2 sources")
           val ident = cat.parseRef(viewRef.toString)
           val nsD = cat.namespaceDir(ident.namespace())
           require(nsD.isDirectory,
@@ -527,11 +537,11 @@ object GraftProcedures {
             s"graft catalog: a table named $ident already exists")
           require(!GraftViews.viewFile(nsD, ident.name()).isFile,
             s"graft catalog: a view named $ident already exists")
-          val vs = GraftMatviews.createJoinCountingN(
+          val vs = GraftMatviews.createJoinN(
             org.apache.spark.sql.SparkSession.active,
             cat.tableDirIdent(ident).getPath,
             srcs.map(s => cat.resolveTableDir(s).getPath),
-            joinSql.toString)
+            joinSql.toString, counting = counting)
           (out("view" -> StringType, "versions" -> StringType),
             Seq(viewRef.copy(),
               org.apache.spark.unsafe.types.UTF8String.fromString(

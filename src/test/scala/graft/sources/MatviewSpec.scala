@@ -296,6 +296,51 @@ class MatviewSpec extends AnyFunSuite with SparkSpec with Matchers {
     got() shouldBe expect(lRows, rRows)
   }
 
+  test("3-way BAG view: append-only telescoping deltas (r20)") {
+    val a = Catalog.tempDir("graft_mvb3_a")
+    val b = Catalog.tempDir("graft_mvb3_b")
+    val c = Catalog.tempDir("graft_mvb3_c")
+    val mv = Catalog.tempDir("graft_mvb3_v")
+    val sql3 =
+      """SELECT a.k AS k, a.v AS av, b.w AS bw, c.x AS cx
+        |FROM __S1__ a JOIN __S2__ b ON a.k = b.k
+        |JOIN __S3__ c ON b.k = c.k""".stripMargin
+    var aR = Seq((1L, 10L), (2L, 20L), (2L, 21L))
+    var bR = Seq((1L, 100L), (2L, 200L))
+    var cR = Seq((1L, 1000L), (2L, 2000L), (2L, 2001L))
+    writePairs(a, aR, ("k", "v"), "overwrite")
+    writePairs(b, bR, ("k", "w"), "overwrite")
+    writePairs(c, cR, ("k", "x"), "overwrite")
+    GraftMatviews.createJoinN(spark, mv, Seq(a, b, c), sql3,
+      counting = false) shouldBe Seq(1L, 1L, 1L)
+    def expect(as: Seq[(Long, Long)], bs: Seq[(Long, Long)],
+        cs: Seq[(Long, Long)]): Seq[(Long, Long, Long, Long)] =
+      (for { (ak, av) <- as; (bk, bw) <- bs if ak == bk
+             (ck, cx) <- cs if bk == ck } yield (ak, av, bw, cx)).sorted
+    def got(): Seq[(Long, Long, Long, Long)] =
+      spark.read.format("graft-avro").load(mv).collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+          x.getLong(3))).toSeq.sorted
+    got() shouldBe expect(aR, bR, cR)
+    // all three sources move in one window: every telescoping term
+    // (incl. the triple cross delta) must land exactly once
+    writePairs(a, Seq((3L, 30L), (1L, 11L)), ("k", "v"), "append")
+    aR ++= Seq((3L, 30L), (1L, 11L))
+    writePairs(b, Seq((3L, 300L), (2L, 201L)), ("k", "w"), "append")
+    bR ++= Seq((3L, 300L), (2L, 201L))
+    writePairs(c, Seq((3L, 3000L), (1L, 1001L)), ("k", "x"), "append")
+    cR ++= Seq((3L, 3000L), (1L, 1001L))
+    GraftMatviews.refreshJoinN(spark, mv) shouldBe
+      Seq((1L, 2L), (1L, 2L), (1L, 2L))
+    got() shouldBe expect(aR, bR, cR)
+    // only the middle source moves: two no-op windows
+    writePairs(b, Seq((1L, 101L)), ("k", "w"), "append")
+    bR ++= Seq((1L, 101L))
+    GraftMatviews.refreshJoinN(spark, mv) shouldBe
+      Seq((2L, 2L), (2L, 3L), (2L, 2L))
+    got() shouldBe expect(aR, bR, cR)
+  }
+
   test("3-way counting view: deltas on every source, middle delete (r20)") {
     val a = Catalog.tempDir("graft_mvj3_a")
     val b = Catalog.tempDir("graft_mvj3_b")
