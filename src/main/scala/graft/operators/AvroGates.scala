@@ -2707,6 +2707,51 @@ object AvroGates extends Catalog {
     // v1 ∪ the policed insert exactly: a rollback that leaves a v2 file
     // live, resurrects nothing, or a constraint decorator that drops a
     // valid row all break the hash.
+    // CONSTRAINT AUDIT (r20): rows adopted via CALL system.add_files
+    // bypass write-time CHECK enforcement (foreign containers are
+    // registered byte-untouched) — validate_constraints is the
+    // distributed one-pass audit that finds them. The gate smuggles a
+    // 25-row container violating BOTH constraints into a policed
+    // table, adopts it, and the audit must count exactly those rows
+    // per constraint (NULL passes; write-path rows contribute zero).
+    "q_avro_validate" -> ((s, dir) => {
+      if (!s.conf.getOption("spark.sql.catalog.graft_gate").isDefined) {
+        s.conf.set("spark.sql.catalog.graft_gate",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_gate.root",
+          tempDir("graft_gate_cat"))
+      }
+      table(s, dir, "lineitem")
+        .select(F.coalesce(F.col("l_orderkey"), F.lit(0L)).as("okey"),
+          F.floor(F.col("l_quantity") * 100).cast("long").as("qty"))
+        .createOrReplaceTempView("li_src_vc")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.gate")
+      s.sql("DROP TABLE IF EXISTS graft_gate.gate.vc")
+      s.sql("CREATE TABLE graft_gate.gate.vc AS SELECT * FROM li_src_vc")
+      s.sql("CALL graft_gate.system.add_constraint(" +
+        "'gate.vc', 'qty_pos', 'qty >= 0')")
+      s.sql("CALL graft_gate.system.add_constraint(" +
+        "'gate.vc', 'key_cap', 'okey < 100000000')")
+      // foreign container: same field names/types, every row violating
+      // both constraints — written by the engine into a SCRATCH dir,
+      // then byte-copied into the table and adopted
+      val scratch = tempDir("graft_gate_vc_smuggle")
+      table(s, dir, "nation")
+        .select((F.col("n_nationkey").cast("long") + 900000000L)
+          .as("okey"), F.lit(-5L).as("qty"))
+        .coalesce(1)
+        .write.format("graft-avro").mode("overwrite").save(scratch)
+      val part = new java.io.File(scratch).listFiles()
+        .filter(f => f.getName.endsWith(".avro")).head
+      val tblDir = new java.io.File(
+        s.conf.get("spark.sql.catalog.graft_gate.root") + "/gate/vc")
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(tblDir, "imported-0001.avro").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      s.sql("CALL graft_gate.system.add_files('gate.vc')")
+      s.sql("CALL graft_gate.system.validate_constraints('gate.vc')")
+    }),
+
     "q_avro_call" -> ((s, dir) => {
       if (!s.conf.getOption("spark.sql.catalog.graft_gate").isDefined) {
         s.conf.set("spark.sql.catalog.graft_gate",
@@ -4406,6 +4451,11 @@ object AvroGates extends Catalog {
          FROM fin GROUP BY lang ORDER BY lang""",
     // post-lifecycle state = v1 (rollback undid the doubled insert)
     // plus the constrained nationkey<5 re-insert
+    // the smuggled container is exactly 25 nation-derived rows, each
+    // violating both constraints; write-path rows contribute zero
+    "q_avro_validate" ->
+      """SELECT * FROM (VALUES (2, 50, 'qty_pos=25,key_cap=25'))
+         t(n_constraints, violations, detail)""",
     "q_avro_call" ->
       """WITH orig AS (SELECT s_nationkey, s_acctbal FROM supplier),
          extra AS (SELECT s_nationkey, s_acctbal FROM supplier

@@ -1511,6 +1511,34 @@ object AvroMaintenance {
     }
   }
 
+  /** Audit every CHECK constraint against the CURRENT data in ONE
+    * distributed pass (r20) — the read-side counterpart of write-time
+    * enforcement, for rows that entered WITHOUT passing a writer:
+    * `add_files` adopts foreign containers byte-untouched, so imported
+    * rows were never policed. Returns (name, violating-row count) per
+    * constraint under SQL CHECK semantics (a row violates iff the
+    * expression IS FALSE; NULL passes). Read-only — no lock, no
+    * version minted; the caller decides whether to deleteWhere /
+    * compact the offenders or drop the constraint.
+    */
+  def validateConstraints(spark: SparkSession, dir: String)
+      : Seq[(String, Long)] = {
+    val d = new File(dir)
+    val cs = AvroFileSource.readConstraints(d)
+    if (cs.isEmpty) return Nil
+    if (AvroFileSource.listAvro(d).isEmpty) return cs.map(_._1 -> 0L)
+    import org.apache.spark.sql.{functions => F}
+    val df = spark.read.format("graft-avro").load(dir)
+    val aggs = cs.zipWithIndex.map { case ((_, e), i) =>
+      F.sum(F.when(F.expr(s"($e) <=> false"), 1L).otherwise(0L))
+        .as(s"v$i")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cs.zipWithIndex.map { case ((n, _), i) =>
+      n -> (if (row.isNullAt(i)) 0L else row.getLong(i))
+    }
+  }
+
   /** Remove a CHECK constraint; future writes stop validating it. */
   def dropConstraint(dir: String, name: String): Unit = {
     val d = new File(dir)

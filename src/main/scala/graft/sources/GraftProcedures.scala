@@ -35,6 +35,7 @@ object GraftProcedures {
 
   def names: Seq[String] = Seq("rollback_to_version", "expire_snapshots",
     "create_tag", "drop_tag", "add_constraint", "drop_constraint",
+    "validate_constraints",
     "compact", "cluster", "remove_orphans", "add_files", "analyze",
     "clean_stages",
     "create_view",
@@ -152,6 +153,22 @@ object GraftProcedures {
             in.getUTF8String(1).toString, in.getUTF8String(2).toString)
           (out("constraint" -> StringType, "expr" -> StringType),
             Seq(in.getUTF8String(1).copy(), in.getUTF8String(2).copy()))
+        })
+      case "validate_constraints" => new Proc(name,
+        "audit every CHECK constraint against the current data in one " +
+          "distributed pass — rows adopted via add_files were never " +
+          "policed by a writer; returns per-constraint violation counts " +
+          "(NULL passes, SQL CHECK semantics)",
+        Array(param("table", StringType)),
+        in => {
+          val counts = AvroMaintenance.validateConstraints(
+            org.apache.spark.sql.SparkSession.active, dirOf(in))
+          (out("n_constraints" -> IntegerType,
+            "violations" -> LongType, "detail" -> StringType),
+            Seq(Int.box(counts.size),
+              Long.box(counts.map(_._2).sum),
+              org.apache.spark.unsafe.types.UTF8String.fromString(
+                counts.map { case (n, c) => s"$n=$c" }.mkString(","))))
         })
       case "compact" => new Proc(name,
         "in-place bin-pack rewrite: applies pending deletes physically, " +

@@ -89,6 +89,36 @@ class ConstraintSpec extends AnyFunSuite with SparkSpec with Matchers {
     spark.read.format("graft-avro").load(dir).count() shouldBe 5L
   }
 
+  test("validateConstraints audits adopted files; null passes (r20)") {
+    val dir = tmp()
+    spark.range(0, 10).toDF("k")
+      .withColumn("v", F.when(F.col("k") % 2 === 0, F.col("k") * 10))
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    AvroMaintenance.addConstraint(spark, dir, "k_pos", "k >= 0")
+    // v is NULL on odd rows: SQL CHECK null-passes — zero violations
+    AvroMaintenance.addConstraint(spark, dir, "v_big", "v >= 0")
+    AvroMaintenance.validateConstraints(spark, dir) shouldBe
+      Seq("k_pos" -> 0L, "v_big" -> 0L)
+    // smuggle a violating container (written elsewhere, byte-copied,
+    // adopted via addFiles — the path write enforcement never saw it)
+    val scratch = tmp()
+    spark.range(0, 4).toDF("k")
+      .withColumn("k", F.col("k") - 10).withColumn("v", F.lit(-1L))
+      .coalesce(1)
+      .write.format("graft-avro").mode("overwrite").save(scratch)
+    val part = new java.io.File(scratch).listFiles()
+      .filter(_.getName.endsWith(".avro")).head
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(dir, "smuggled.avro").toPath)
+    AvroMaintenance.addFiles(dir) shouldBe 1
+    AvroMaintenance.validateConstraints(spark, dir) shouldBe
+      Seq("k_pos" -> 4L, "v_big" -> 4L)
+    // no constraints -> empty audit
+    AvroMaintenance.dropConstraint(dir, "k_pos")
+    AvroMaintenance.dropConstraint(dir, "v_big")
+    AvroMaintenance.validateConstraints(spark, dir) shouldBe Nil
+  }
+
   test("plan-time failures: unresolvable and non-boolean expressions") {
     val dir = tmp()
     val e1 = intercept[Exception] {
