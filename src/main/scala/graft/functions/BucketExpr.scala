@@ -57,11 +57,14 @@ case class GraftBucketExpr(left: Expression, right: Expression)
       case StringType | IntegerType | LongType | ShortType | ByteType |
            BooleanType | DateType => true
       case _: DecimalType => true
+      // timestamp internals are epoch-micros longs — the canonical
+      // string IS String.valueOf(micros), the default branch below
+      case TimestampType | TimestampNTZType => true
       case _ => false
     }
     if (!okVal) TypeCheckResult.TypeCheckFailure(
-      "graft_bucket expects a string/integral/boolean/date/decimal " +
-        "value, got " + left.dataType.simpleString)
+      "graft_bucket expects a string/integral/boolean/date/decimal/" +
+        "timestamp value, got " + left.dataType.simpleString)
     else if (right.dataType != IntegerType) TypeCheckResult.TypeCheckFailure(
       s"graft_bucket expects an int bucket count, got " +
         right.dataType.simpleString)

@@ -2066,6 +2066,35 @@ object AvroGates extends Catalog {
         .orderBy("price_c")
     }),
 
+    // TIMESTAMP bloom eligibility (r20): event-time point lookups — a
+    // timestamp-keyed table bloom-prunes under an IN probe (canonical
+    // identity = epoch micros, TZ-independent; BloomSkipSpec/
+    // BucketLayoutSpec pin pruning counts + writer/SQL-fn agreement).
+    // One probe instant is absent by construction, exercising the
+    // prune-everything path; answers pinned by the oracle.
+    "q_avro_bloom_ts" -> ((s, dir) => {
+      val tmp = tempDir("graft_gate_tsbloom")
+      table(s, dir, "lineitem")
+        .select(F.coalesce(F.col("l_orderkey"), F.lit(0L)).as("okey"),
+          F.col("l_quantity"))
+        .withColumn("tsk", F.expr(
+          "timestamp'2024-01-01 00:00:00' + " +
+            "make_interval(0,0,0,0,0, CAST(okey % 400 AS INT), 0)"))
+        .repartition(8, F.col("tsk"))
+        .write.format("graft-avro").option("bloomFor", "tsk")
+        .mode("overwrite").save(tmp)
+      s.read.format("graft-avro").load(tmp)
+        .filter(F.expr(
+          "tsk IN (timestamp'2024-01-01 00:12:00', " +
+            "timestamp'2024-01-01 03:20:00', " +
+            "timestamp'2024-01-01 23:00:00')"))
+        .groupBy(F.expr("unix_micros(tsk)").as("ts_us"))
+        .agg(F.count(F.lit(1)).as("n_lines"),
+          F.expr("CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) " +
+            "AS BIGINT)").as("qty_c"))
+        .orderBy("ts_us")
+    }),
+
     // Map-column scan under the oracle: a string-keyed map column
     // round-trips through graft-avro (r18 columnar map decode: keys/
     // values child vectors, shared slice) and element_at aggregates
@@ -4310,6 +4339,21 @@ object AvroGates extends Catalog {
                 (SELECT count(*) FROM orders
                  WHERE COALESCE(o_orderkey, 0) <= 100) AS n_low
          FROM orders""",
+    "q_avro_bloom_ts" ->
+      """WITH src AS (
+           SELECT TIMESTAMP '2024-01-01 00:00:00' +
+                    ((COALESCE(l_orderkey, 0) % 400) * INTERVAL 1 MINUTE)
+                    AS tsk,
+                  l_quantity
+           FROM lineitem)
+         SELECT epoch_us(tsk) AS ts_us, count(*) AS n_lines,
+                CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT))
+                  AS BIGINT) AS qty_c
+         FROM src
+         WHERE tsk IN (TIMESTAMP '2024-01-01 00:12:00',
+                       TIMESTAMP '2024-01-01 03:20:00',
+                       TIMESTAMP '2024-01-01 23:00:00')
+         GROUP BY ts_us ORDER BY ts_us""",
     "q_avro_bloom_decimal" ->
       """WITH src AS (
            SELECT CAST((COALESCE(l_orderkey, 0) % 400) * 1.25

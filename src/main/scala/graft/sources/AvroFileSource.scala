@@ -335,6 +335,17 @@ object AvroFileSource {
       graft.functions.BucketHash.decimalCanonical(d.toJavaBigDecimal)
     case d: java.sql.Date => d.toLocalDate.toString
     case d: java.time.LocalDate => d.toString
+    // timestamps (r20): canonical = epoch MICROS decimal string —
+    // TZ-independent (java.sql.Timestamp / Instant wrap an absolute
+    // instant; NTZ LocalDateTime maps at UTC, matching Spark's NTZ
+    // internal micros)
+    case t: java.sql.Timestamp => String.valueOf(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
+    case t: java.time.Instant => String.valueOf(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(t))
+    case t: java.time.LocalDateTime => String.valueOf(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .localDateTimeToMicros(t))
     case x => String.valueOf(x)
   }
 
@@ -1233,6 +1244,8 @@ object AvroFileSource {
       // decimals (r20): canonical form is the scale-normalized plain
       // string (see canonicalValue) — stable on both writer and probe
       case _: DecimalType => true
+      // timestamps (r20): canonical = epoch micros, TZ-independent
+      case TimestampType | TimestampNTZType => true
       case _ => false
     }
   }
@@ -4045,6 +4058,9 @@ class AvroScanBuilder(path: String, full: StructType,
         case _: java.math.BigDecimal | _: scala.math.BigDecimal |
              _: org.apache.spark.sql.types.Decimal =>
           Some(AvroFileSource.canonicalValue(v))
+        case _: java.sql.Timestamp | _: java.time.Instant |
+             _: java.time.LocalDateTime =>
+          Some(AvroFileSource.canonicalValue(v))
         case _ => None
       }
 
@@ -4201,6 +4217,10 @@ class AvroScanBuilder(path: String, full: StructType,
             .ofEpochDay(l.value.asInstanceOf[Int].toLong).toString)
           case _: DecimalType =>
             Some(AvroFileSource.canonicalValue(l.value))
+          // V2 timestamp literals carry epoch MICROS longs — already
+          // the canonical form
+          case TimestampType | TimestampNTZType =>
+            Some(String.valueOf(l.value))
           case _ => None
         }
       }
@@ -7339,6 +7359,7 @@ class AvroWriteBuilder(path: String, schema: StructType,
       case StringType | IntegerType | LongType | ShortType | ByteType |
            BooleanType | DateType => ()
       case _: DecimalType => ()
+      case TimestampType | TimestampNTZType => ()
       case other => throw new IllegalArgumentException(
         s"bucketBy does not support ${other.simpleString} (column '$c')")
     }

@@ -887,6 +887,7 @@ object GraftBucketFunction
       case StringType | IntegerType | LongType | ShortType | ByteType |
            BooleanType | DateType => ()
       case _: DecimalType => ()
+      case TimestampType | TimestampNTZType => ()
       case other => throw new UnsupportedOperationException(
         s"graft bucket: unsupported value type ${other.simpleString}")
     }
@@ -912,6 +913,8 @@ object GraftBucketFunction
             case d: DecimalType => graft.functions.BucketHash
               .decimalCanonical(
                 input.getDecimal(1, d.precision, d.scale).toJavaBigDecimal)
+            case TimestampType | TimestampNTZType =>
+              input.getLong(1).toString
             case other => throw new UnsupportedOperationException(
               s"graft bucket over ${other.simpleString}")
           }

@@ -129,6 +129,37 @@ class BloomSkipSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("timestamp keys bloom-prune: epoch-micros canonical identity (r20)") {
+    val dir = tmp()
+    // ts = epoch + k minutes, hash-scattered: only the bloom can prune
+    spark.range(0, 800).toDF("k")
+      .withColumn("ts", F.expr(
+        "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,k,0)"))
+      .repartition(8, F.col("ts"))
+      .write.format("graft-avro").option("bloomFor", "ts")
+      .mode("overwrite").save(dir)
+    import org.apache.spark.sql.sources.EqualTo
+    def parts(f: org.apache.spark.sql.sources.Filter): Int = {
+      val schema = spark.read.format("graft-avro").load(dir).schema
+      val sb = new AvroScanBuilder(dir, schema)
+      sb.pushFilters(Array(f))
+      sb.build().toBatch.planInputPartitions().length
+    }
+    val probe = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:42:00Z"))
+    parts(EqualTo("ts", probe)) should be <= 2
+    // absent instant prunes everything
+    parts(EqualTo("ts", java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:42:01Z")))) shouldBe 0
+    // no false negatives end-to-end
+    val avro = spark.read.format("graft-avro").load(dir)
+    (0L until 800L by 97).foreach { k =>
+      avro.filter(F.col("ts") === java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-01T00:00:00Z")
+          .plusSeconds(k * 60))).count() shouldBe 1
+    }
+  }
+
   test("manifest lifecycle: overwrites replace entries, plain appends leave gaps") {
     val dir = tmp()
     writeScattered(dir)

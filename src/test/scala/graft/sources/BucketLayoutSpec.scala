@@ -295,6 +295,36 @@ class BucketLayoutSpec extends AnyFunSuite with SparkSpec with Matchers {
     avro.filter("price = 12.5").count() shouldBe 1
   }
 
+  test("timestamp bucket keys: micros canonical, SQL fn agrees (r20)") {
+    val dir = tmp()
+    spark.range(0, 800).toDF("k")
+      .withColumn("ts", F.expr(
+        "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,k,0)"))
+      .coalesce(1)
+      .write.format("graft-avro").option("bucketBy", "ts:8")
+      .mode("overwrite").save(dir)
+    import org.apache.spark.sql.sources.EqualTo
+    def parts(f: org.apache.spark.sql.sources.Filter): Int = {
+      val schema = spark.read.format("graft-avro").load(dir).schema
+      val sb = new AvroScanBuilder(dir, schema)
+      sb.pushFilters(Array(f))
+      sb.build().toBatch.planInputPartitions().length
+    }
+    val all = scanParts(dir)
+    val probe = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:42:00Z"))
+    parts(EqualTo("ts", probe)) should be < all
+    // the SQL expression routes identically to the writer
+    val b = spark.sql(
+      "SELECT graft_bucket(timestamp'2024-01-01 00:42:00', 8)").head()
+    val seg = AvroFileSource.listPartitioned(new java.io.File(dir))
+      .flatMap(_._2.get("ts_bucket")).distinct
+    seg should contain(b.getInt(0).toString)
+    // exact answers through the full read path
+    spark.read.format("graft-avro").load(dir)
+      .filter(F.col("ts") === probe).count() shouldBe 1
+  }
+
   test("bucketBy rejects unsupported types and collisions") {
     val dir = tmp()
     intercept[IllegalArgumentException] {
