@@ -35,9 +35,13 @@ object GraftAnnIndex {
 
   private val SidecarName = "_graft_annidx"
 
-  /** Index metadata: corpus table ref (catalog-relative `ns.tbl`) and
-    * the id/vector column names it was built over. */
-  final case class Meta(source: String, idCol: String, vecCol: String)
+  /** Index metadata: corpus table ref (catalog-relative `ns.tbl`), the
+    * id/vector column names it was built over, and the corpus snapshot
+    * version the index state reflects (r20 — 0 on legacy sidecars /
+    * unjournaled corpora; build and append re-stamp it, so
+    * `built@vX vs live@vY` in the stats metatable shows index lag). */
+  final case class Meta(source: String, idCol: String, vecCol: String,
+      sourceVersion: Long = 0L)
 
   private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
   private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
@@ -46,10 +50,17 @@ object GraftAnnIndex {
     val txt = Seq(
       s"source\t${enc(m.source)}",
       s"idCol\t${enc(m.idCol)}",
-      s"vecCol\t${enc(m.vecCol)}").mkString("", "\n", "\n")
+      s"vecCol\t${enc(m.vecCol)}",
+      s"sourceVersion\t${m.sourceVersion}").mkString("", "\n", "\n")
     java.nio.file.Files.write(
       new File(cenDir, SidecarName).toPath, txt.getBytes("UTF-8"))
   }
+
+  /** The corpus dir's current snapshot version (0 = unjournaled). */
+  private def corpusVersion(cat: GraftCatalog, sourceRef: String): Long =
+    try AvroFileSource.readSnapshots(cat.resolveTableDir(sourceRef))
+      .lastOption.map(_.version).getOrElse(0L)
+    catch { case scala.util.control.NonFatal(_) => 0L }
 
   /** A missing or malformed sidecar fails LOUDLY: the procedures resolve
     * the corpus through it, and guessing a corpus would search the wrong
@@ -69,7 +80,9 @@ object GraftAnnIndex {
     Meta(
       kv.getOrElse("source", sys.error(s"graft ann index: $f lacks source")),
       kv.getOrElse("idCol", sys.error(s"graft ann index: $f lacks idCol")),
-      kv.getOrElse("vecCol", sys.error(s"graft ann index: $f lacks vecCol")))
+      kv.getOrElse("vecCol", sys.error(s"graft ann index: $f lacks vecCol")),
+      kv.get("sourceVersion").flatMap(v =>
+        scala.util.Try(v.toLong).toOption).getOrElse(0L))
   }
 
   /** The corpus in the canonical (vec_id, embedding) shape the operators
@@ -107,7 +120,8 @@ object GraftAnnIndex {
 
   def build(s: SparkSession, cat: GraftCatalog, sourceRef: String,
       idCol: String, vecCol: String, indexRef: String): Long = {
-    val m = Meta(sourceRef, idCol, vecCol)
+    val m = Meta(sourceRef, idCol, vecCol,
+      corpusVersion(cat, sourceRef))
     val raw = corpus(s, cat, m)
     val cenDir = cat.resolveNewTableDir(indexRef + "_centroids")
     val asgDir = cat.resolveNewTableDir(indexRef + "_assign")
@@ -135,6 +149,10 @@ object GraftAnnIndex {
     val m = readMeta(cenDir)
     graft.operators.LlmSimilarity.appendIvfAssignmentsFrom(s,
       corpus(s, cat, m), cenDir.getPath, asgDir.getPath, atOrAbove, until)
+    // the appended assignments reflect the corpus as of NOW — re-stamp
+    // so the stats metatable's built@ vs live@ shows remaining lag only
+    writeMeta(cenDir, m.copy(
+      sourceVersion = corpusVersion(cat, m.source)))
     AvroFileSource.readSnapshots(asgDir).lastOption.map(_.version)
       .getOrElse(0L)
   }
@@ -209,7 +227,8 @@ object GraftAnnIndex {
     * 64-row codebook). Returns the codebook row count. */
   def buildPq(s: SparkSession, cat: GraftCatalog, sourceRef: String,
       idCol: String, vecCol: String, indexRef: String): Long = {
-    val m = Meta(sourceRef, idCol, vecCol)
+    val m = Meta(sourceRef, idCol, vecCol,
+      corpusVersion(cat, sourceRef))
     val raw = corpus(s, cat, m)
     val cbDir = cat.resolveNewTableDir(indexRef + "_codebook")
     val codesDir = cat.resolveNewTableDir(indexRef + "_codes")

@@ -207,12 +207,17 @@ object GraftMetaTables {
                   val meta = GraftAnnIndex.readMeta(s)
                   val srcPath = "/" + meta.source.replace('.', '/')
                   if (dir.getAbsolutePath.replace('\\', '/')
-                      .endsWith(srcPath) || srcPath.endsWith(suffix))
+                      .endsWith(srcPath) || srcPath.endsWith(suffix)) {
+                    // built@ vs live@ shows index lag behind the corpus
+                    val liveV = AvroFileSource.readSnapshots(dir)
+                      .lastOption.map(_.version).getOrElse(0L)
                     out += ((s"ann_$f",
                       s.getName.stripSuffix("_centroids")
                         .stripSuffix("_codebook"),
                       s"source=${meta.source} id=${meta.idCol} " +
-                        s"vec=${meta.vecCol}", 0))
+                        s"vec=${meta.vecCol} " +
+                        s"built@v${meta.sourceVersion} live@v$liveV", 0))
+                  }
                 } catch { case scala.util.control.NonFatal(_) => () }
               }
             }

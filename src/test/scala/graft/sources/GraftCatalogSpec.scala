@@ -313,8 +313,22 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec with Matchers {
       "WHERE kind = 'ann_ivf'").collect()
     ann.map(_.getString(0)).toSeq shouldBe Seq("sidx")
     ann.head.getString(1) should include("source=lab20s.emb")
+    ann.head.getString(1) should include("built@v1 live@v1")
     spark.sql("SELECT count(*) FROM graft_t.lab20s.st.stats " +
       "WHERE kind LIKE 'ann%'").head().getLong(0) shouldBe 0L
+    // the corpus moves past the index: built@ lags, live@ advances —
+    // the staleness signal a 100 TB pipeline reads before trusting ANN
+    spark.sql("INSERT INTO graft_t.lab20s.emb SELECT id + 64, " +
+      "array(cast(id as float), cast(id as float)) FROM range(8)")
+    spark.sql("SELECT detail FROM graft_t.lab20s.emb.stats " +
+      "WHERE kind = 'ann_ivf'").head().getString(0) should
+      include("built@v1 live@v2")
+    // append_ivf_assignments re-stamps: lag closed
+    spark.sql("CALL graft_t.system.append_ivf_assignments(" +
+      "'lab20s.sidx', 64, -1)")
+    spark.sql("SELECT detail FROM graft_t.lab20s.emb.stats " +
+      "WHERE kind = 'ann_ivf'").head().getString(0) should
+      include("built@v2 live@v2")
   }
 
   test("CALL cluster: in-place z-order re-layout, rows intact, travelable") {
