@@ -420,6 +420,11 @@ object Advanced extends Catalog {
       var done = false
       while (!done && round < 40) {
         round += 1
+        // (r20 opt note: fusing TWO relaxations per barrier was tried —
+        // monotonicity keeps the fixpoint identical — but measured SLOWER
+        // at sf0.1: the fused job pays two extra exchanges per round and
+        // exchange reuse does not offset them. One relax per barrier is
+        // the measured optimum; see OPTIMIZATION_r20.md.)
         val relaxed = edges
           .join(dist.select(F.col("v").as("u"), F.col("d")), "u")
           .select(F.col("v"), (F.col("d") + F.col("w")).as("d"))
@@ -471,7 +476,11 @@ object Advanced extends Catalog {
           .localCheckpoint()
         if (next.isEmpty) done = true
         else {
-          known = known.unionByName(next).localCheckpoint()
+          // `next` is already materialized; re-checkpointing the whole
+          // GROWING known set each hop re-wrote O(hops × |known|) rows
+          // (r20 opt) — the union of per-hop checkpointed frames reads
+          // the same bytes without the per-hop rewrite job.
+          known = known.unionByName(next)
           frontier = next.select("v")
         }
       }
@@ -562,6 +571,10 @@ object Advanced extends Catalog {
       val withDeg = edges.join(deg, "u").localCheckpoint()
       var pr = ids.select(F.col("doc_id").as("v"),
         F.lit(1000000L).as("pr"))
+      // fixed-K linear chain: each iteration's pr feeds exactly ONE
+      // consumer (the next contrib join), so the per-iteration
+      // localCheckpoint jobs were pure overhead — the 3 unrolled steps
+      // execute as one pipeline off the pinned edge table (r20 opt)
       for (_ <- 1 to 3) {
         val contrib = withDeg
           .join(pr.select(F.col("v").as("u"), F.col("pr")), "u")
@@ -572,7 +585,6 @@ object Advanced extends Catalog {
           .select(F.col("v"),
             F.expr("(15 * 1000000 + 85 * coalesce(sc, 0L)) div 100")
               .as("pr"))
-          .localCheckpoint()
       }
       pr.select(F.col("v").as("doc_id"), F.col("pr")).orderBy("doc_id")
     }),

@@ -365,6 +365,10 @@ object LlmDedup extends Catalog {
         .localCheckpoint()
       val verts = docs.select(F.col("doc_id").as("v")).localCheckpoint()
       var r = verts.withColumn("r", F.lit(1000000L))
+      // fixed-K linear chain (each step's r feeds exactly one consumer):
+      // the 3 unrolled steps execute as one pipeline off the pinned
+      // edge/vertex tables — per-step localCheckpoint jobs were pure
+      // overhead (r20 opt, same shape as q_graph_pagerank)
       (1 to 3).foreach { _ =>
         val contrib = edges
           .join(r.select(F.col("v").as("u"), F.col("r")), "u")
@@ -376,7 +380,6 @@ object LlmDedup extends Catalog {
         r = verts.join(contrib, Seq("v"), "left")
           .select(F.col("v"),
             (F.lit(150000L) + F.coalesce(F.col("cs"), F.lit(0L))).as("r"))
-          .localCheckpoint()
       }
       r.select(F.col("v").as("doc_id"), F.col("r").as("pr"))
         .orderBy("doc_id")
@@ -498,10 +501,15 @@ object LlmDedup extends Catalog {
         val parent = stepped.select(F.col("v").as("pv"), F.col("mid").as("plab"))
         val jumped = F.least(F.col("a.mid"),
           F.coalesce(F.col("p.plab"), F.col("a.mid")))
+        // checkpoint `next` itself (r20 opt): it feeds the convergence
+        // count AND both lab consumers of the next hop (the propagation
+        // join + the stepped build) — uncheckpointed, the jump join
+        // re-executed once per consumer
         val next = stepped.as("a")
           .join(parent.as("p"), F.col("a.mid") === F.col("p.pv"), "left")
           .select(F.col("a.v").as("v"), jumped.as("lab"),
             (jumped < F.col("a.old")).as("chg"))
+          .localCheckpoint()
         changed = next.filter(F.col("chg")).count()
         lab = next.select("v", "lab")
       }
@@ -647,6 +655,11 @@ object LlmDedup extends Catalog {
           F.col("text"))
         .select(F.col("doc_id"), F.col("i"),
           F.xxhash64(F.expr(s"substring(text, i, $k)")).as("g"))
+        // pos feeds BOTH the duplicated-gram aggregate and the marking
+        // join: pin it so the explode + substring + xxhash64 derivation
+        // (the gate's hot kernel, one row per character) runs once, not
+        // once per consumer (r20 opt)
+        .localCheckpoint()
       val dup = pos.groupBy("g").agg(F.count(F.lit(1)).as("cnt"))
         .filter(F.col("cnt") >= 2).select("g")
       val marked = pos.join(dup, "g").select("doc_id", "i")

@@ -119,9 +119,8 @@ object LlmSimilarity extends Catalog {
       .localCheckpoint() // scanned 3×: pin the quantized projection
     var centroids = corpus.filter(F.col("vec_id") < 8)
       .select(F.col("vec_id").as("cid"), F.col("qx16").as("mvec"))
-      .localCheckpoint()
     var assigned: DataFrame = corpus // placeholder; set in iteration 1
-    for (_ <- 1 to 3) {
+    for (it <- 1 to 3) {
       // distance kernel: codegen'd LongVecL2 (k×dims per row — the hot
       // loop), not the interpreted zip_with/aggregate lambda chain.
       // Argmin via min_by partial aggregation, NOT a window: the window
@@ -137,20 +136,30 @@ object LlmSimilarity extends Catalog {
         .agg(F.min_by(F.col("cid"), F.struct(F.col("d"), F.col("cid")))
           .as("cid"))
         .select("vec_id", "cid", "qx")
-        .localCheckpoint()
+      // Only the FINAL iteration's frames are returned (and re-consumed
+      // by callers): materialize those. The loop body itself is a LINEAR
+      // chain — assigned feeds exactly one consumer (the mean fold) and
+      // centroids exactly one (the next assignment's broadcast) — so
+      // intermediate localCheckpoints were pure job overhead (r20 opt:
+      // 8-9 jobs per training run down to 3 + tiny broadcast builds).
+      if (it == 3) assigned = assigned.localCheckpoint()
+      // cluster size n rides the per-position sum aggregate (every
+      // vector contributes exactly one row per pos, so the (cid, pos)
+      // row count IS the cid's vector count) — the separate counts
+      // aggregate + join per iteration removed one exchange each.
       val sums = assigned
         .select(F.col("cid"), F.posexplode(F.col("qx")).as(Seq("pos", "v")))
-        .groupBy("cid", "pos").agg(F.sum("v").as("sv"))
-      val counts = assigned.groupBy("cid").agg(F.count(F.lit(1)).as("n"))
+        .groupBy("cid", "pos")
+        .agg(F.sum("v").as("sv"), F.count(F.lit(1)).as("n"))
       centroids = sums.groupBy("cid")
         .agg(F.expr(
           "transform(array_sort(collect_list(struct(pos, sv))), t -> t.sv)")
-          .as("svec"))
-        .join(counts, "cid")
+          .as("svec"),
+          F.max("n").as("n"))
         .select(F.col("cid"), F.expr(
           "transform(svec, s -> (16 * s - (((16 * s) % n + n) % n)) div n)")
           .as("mvec"))
-        .localCheckpoint()
+      if (it == 3) centroids = centroids.localCheckpoint()
     }
     (corpus, assigned, centroids)
   }
@@ -192,9 +201,8 @@ object LlmSimilarity extends Catalog {
     var cb = subs.filter(F.col("vec_id") < 8)
       .select(F.col("sub"), F.col("vec_id").as("cid"),
         F.col("sq16").as("mvec"))
-      .localCheckpoint()
     var codes: DataFrame = subs // placeholder; set in iteration 1
-    for (_ <- 1 to 2) {
+    for (it <- 1 to 2) {
       codes = subs.join(F.broadcast(cb), "sub")
         .withColumn("d",
           VectorFunctions.vec_l2sq(F.col("sq16"), F.col("mvec")))
@@ -202,21 +210,25 @@ object LlmSimilarity extends Catalog {
         .agg(F.min_by(F.col("cid"), F.struct(F.col("d"), F.col("cid")))
           .as("cid"),
           F.min("d").as("d"))
-        .localCheckpoint()
+      // same r20 restructure as [[lloydFrom]]: the loop body is a linear
+      // chain, so only the final returned frames materialize, and the
+      // per-(sub, cid) size rides the per-position sum aggregate instead
+      // of a separate counts aggregate + join
+      if (it == 2) codes = codes.localCheckpoint()
       val sums = codes
         .select(F.col("sub"), F.col("cid"),
           F.posexplode(F.col("sq1")).as(Seq("pos", "v")))
-        .groupBy("sub", "cid", "pos").agg(F.sum("v").as("sv"))
-      val counts = codes.groupBy("sub", "cid").agg(F.count(F.lit(1)).as("n"))
+        .groupBy("sub", "cid", "pos")
+        .agg(F.sum("v").as("sv"), F.count(F.lit(1)).as("n"))
       cb = sums.groupBy("sub", "cid")
         .agg(F.expr(
           "transform(array_sort(collect_list(struct(pos, sv))), t -> t.sv)")
-          .as("svec"))
-        .join(counts, Seq("sub", "cid"))
+          .as("svec"),
+          F.max("n").as("n"))
         .select(F.col("sub"), F.col("cid"), F.expr(
           "transform(svec, s -> (16 * s - (((16 * s) % n + n) % n)) div n)")
           .as("mvec"))
-        .localCheckpoint()
+      if (it == 2) cb = cb.localCheckpoint()
     }
     (subs, codes, cb)
   }
