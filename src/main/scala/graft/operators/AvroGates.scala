@@ -1356,6 +1356,7 @@ object AvroGates extends Catalog {
       table(s, dir, "lineitem")
         .select("l_orderkey", "l_returnflag", "l_quantity",
           "l_extendedprice")
+        .repartition(s.sparkContext.defaultParallelism)
         .createOrReplaceTempView("li_src_mv")
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.gate")
       s.sql("DROP TABLE IF EXISTS graft_gate.gate.mv")
@@ -1808,7 +1809,8 @@ object AvroGates extends Catalog {
         .write.format("graft-avro").mode("overwrite").save(tmp) // v1
       li.filter("okey > 300 AND okey <= 600")
         .write.format("graft-avro").mode("append").save(tmp) // v2
-      li.filter("okey > 600")
+      li.filter("okey > 600") // the bulk of the table: write in parallel
+        .repartition(s.sparkContext.defaultParallelism)
         .write.format("graft-avro").mode("overwrite").save(tmp) // v3
       graft.sources.AvroMaintenance.changes(s, tmp, 1L, 3L)
         .withColumnRenamed("_change_type", "change_type")
@@ -2107,6 +2109,7 @@ object AvroGates extends Catalog {
             F.lit("qty"), F.floor(F.col("l_quantity") * 100).cast("long"),
             F.lit("tax"), F.floor(F.col("l_tax") * 1000).cast("long"))
             .as("m"))
+        .repartition(s.sparkContext.defaultParallelism)
         .write.format("graft-avro").mode("overwrite").save(tmp)
       s.read.format("graft-avro").load(tmp)
         .groupBy("l_returnflag")
@@ -2134,6 +2137,7 @@ object AvroGates extends Catalog {
       table(s, dir, "lineitem")
         .select(F.coalesce(F.col("l_orderkey"), F.lit(0L)).as("okey"),
           F.col("l_quantity"), F.col("l_returnflag"))
+        .repartition(s.sparkContext.defaultParallelism)
         .createOrReplaceTempView("li_src_pow")
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.gate")
       s.sql("DROP TABLE IF EXISTS graft_gate.gate.pow")
@@ -2208,6 +2212,7 @@ object AvroGates extends Catalog {
       table(s, dir, "lineitem")
         .select(F.coalesce(F.col("l_orderkey"), F.lit(0L)).as("okey"),
           F.col("l_quantity"), F.col("l_returnflag"))
+        .repartition(s.sparkContext.defaultParallelism)
         .createOrReplaceTempView("li_src_dlr")
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.gate")
       s.sql("DROP TABLE IF EXISTS graft_gate.gate.dlr")
@@ -2242,6 +2247,7 @@ object AvroGates extends Catalog {
       table(s, dir, "lineitem")
         .select(F.coalesce(F.col("l_orderkey"), F.lit(0L)).as("okey"),
           F.col("l_quantity"), F.col("l_returnflag"))
+        .repartition(s.sparkContext.defaultParallelism)
         .createOrReplaceTempView("li_src_mord")
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.gate")
       s.sql("DROP TABLE IF EXISTS graft_gate.gate.mord")
@@ -2272,6 +2278,7 @@ object AvroGates extends Catalog {
       table(s, dir, "lineitem")
         .select(F.coalesce(F.col("l_orderkey"), F.lit(0L)).as("okey"),
           F.col("l_quantity"), F.col("l_returnflag"))
+        .repartition(s.sparkContext.defaultParallelism)
         .createOrReplaceTempView("li_src_moru")
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.gate")
       s.sql("DROP TABLE IF EXISTS graft_gate.gate.moru")
@@ -2753,6 +2760,7 @@ object AvroGates extends Catalog {
       table(s, dir, "lineitem")
         .select(F.coalesce(F.col("l_orderkey"), F.lit(0L)).as("okey"),
           F.floor(F.col("l_quantity") * 100).cast("long").as("qty"))
+        .repartition(s.sparkContext.defaultParallelism)
         .createOrReplaceTempView("li_src_vc")
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.gate")
       s.sql("DROP TABLE IF EXISTS graft_gate.gate.vc")
@@ -2820,6 +2828,7 @@ object AvroGates extends Catalog {
       val tmp = tempDir("graft_gate_chk")
       table(s, dir, "lineitem")
         .select("l_orderkey", "l_quantity", "l_returnflag")
+        .repartition(s.sparkContext.defaultParallelism)
         .write.format("graft-avro")
         .option("check", "l_quantity > 0 AND l_returnflag IN ('A','N','R')")
         .mode("overwrite").save(tmp)
@@ -3015,6 +3024,7 @@ object AvroGates extends Catalog {
       }
       table(s, dir, "orders")
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartition(s.sparkContext.defaultParallelism)
         .createOrReplaceTempView("ord_src_cat")
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.gate")
       s.sql("DROP TABLE IF EXISTS graft_gate.gate.ord")
