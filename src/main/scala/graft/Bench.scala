@@ -365,6 +365,12 @@ object Bench {
       .config("spark.sql.extensions",
         classOf[graft.functions.GraftExtensions].getName)
       .config("spark.sql.shuffle.partitions", cpus)
+      // r20 opt note: two shuffle-machinery configs were A/B'd here
+      // (spark.shuffle.sort.bypassMergeThreshold=1 after stack samples
+      // showed BypassMergeSortShuffleWriter file-opens, and AQE
+      // coalescePartitions.parallelismFirst=false) — neither produced a
+      // reproducible win at sf0.1 (variance > effect across 4 paired
+      // runs), so the defaults stand. See OPTIMIZATION_r20.md.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -83,6 +83,10 @@ object LlmSimilarity extends Catalog {
       .withColumn("rn", F.row_number().over(w))
       .filter(F.col("rn") === 1)
       .select("qid", "nb", "cos_m")
+      // both sides of the mutuality self-join shuffle on DIFFERENT keys
+      // (x.nb vs y.qid), so exchange reuse cannot share the label join +
+      // window pipeline — pin it once (r20 opt)
+      .localCheckpoint()
     top1.as("x").join(top1.as("y"),
         F.col("x.nb") === F.col("y.qid") && F.col("y.nb") === F.col("x.qid") &&
           F.col("x.qid") < F.col("y.qid"))
@@ -421,15 +425,17 @@ object LlmSimilarity extends Catalog {
           .cast("long").as("cid"),
         F.col("qx"))
       .localCheckpoint() // feeds both the append and the child means
+    // child size rides the per-position sum aggregate (the lloydFrom r20
+    // counts-merge: every member contributes one row per pos)
     val sums = newAsg
       .select(F.col("cid"), F.posexplode(F.col("qx")).as(Seq("pos", "v")))
-      .groupBy("cid", "pos").agg(F.sum("v").as("sv"))
-    val ns = newAsg.groupBy("cid").agg(F.count(F.lit(1)).as("n"))
+      .groupBy("cid", "pos")
+      .agg(F.sum("v").as("sv"), F.count(F.lit(1)).as("n"))
     val children = sums.groupBy("cid")
       .agg(F.expr(
         "transform(array_sort(collect_list(struct(pos, sv))), t -> t.sv)")
-        .as("svec"))
-      .join(ns, "cid")
+        .as("svec"),
+        F.max("n").as("n"))
       .select(F.col("cid"), F.expr(
         "transform(svec, s -> (16 * s - (((16 * s) % n + n) % n)) div n)")
         .as("mvec"))

@@ -641,6 +641,10 @@ object LlmText extends Catalog {
           F.sum(F.coalesce(F.col("cost"), F.lit(24L))).as("sum_cost"))
         .select(F.col("doc_id"), F.col("lang"),
           F.expr("(1000 * sum_cost) div n_bg").as("score_milli"))
+        // feeds the median-rank count AND the final ranking: pin the
+        // one-row-per-doc score frame so the gram join + aggregate run
+        // once (r20 opt)
+        .localCheckpoint()
       val n = scored.count()
       val ranked = scored.withColumn("rk", F.row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -768,12 +772,16 @@ object LlmText extends Catalog {
     // bounded charset² aggregate → broadcast left join; held-out text
     // shuffles once on doc_id.
     "llm_lm_holdout" -> ((s, dir) => {
+      // positions explode FIRST so the substring runs codegen'd, not in
+      // an interpreted transform() lambda (the winnow/ppl_filter rewrite,
+      // applied here r20)
       val grams = table(s, dir, "documents")
         .filter(F.length(F.col("text")) >= 2)
         .select(F.col("doc_id"), F.col("lang"),
-          F.explode(F.expr(
-            "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
-            .as("bg"))
+          F.explode(F.sequence(F.lit(1), F.length(F.col("text")) - 1))
+            .as("i"), F.col("text"))
+        .select(F.col("doc_id"), F.col("lang"),
+          F.expr("substring(text, i, 2)").as("bg"))
         .localCheckpoint()
       val model = grams.filter(F.col("doc_id") % 2 === 0)
         .groupBy("bg").agg(F.count(F.lit(1)).as("cnt"))
