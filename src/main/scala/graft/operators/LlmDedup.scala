@@ -531,7 +531,10 @@ object LlmDedup extends Catalog {
     // contaminated docs reach the aggregate. contam_m is the
     // floor-scaled fraction of a doc's shingles that are contaminated.
     "llm_decontaminate" -> ((s, dir) => {
-      val d = shingleArrays(s, dir, sorted = false)
+      // the shingle derivation feeds BOTH the benchmark split and the
+      // corpus split below — pin it so the split + per-word shingle
+      // build runs once, not once per consumer (r20 opt)
+      val d = shingleArrays(s, dir, sorted = false).localCheckpoint()
       val bench = d.filter(F.col("doc_id") % 17 === 0)
         .select(F.explode(F.col("shs")).as("sg")).distinct()
       d.filter(F.col("doc_id") % 17 =!= 0)
