@@ -140,13 +140,15 @@ object LlmSimilarity extends Catalog {
         .agg(F.min_by(F.col("cid"), F.struct(F.col("d"), F.col("cid")))
           .as("cid"))
         .select("vec_id", "cid", "qx")
-      // Only the FINAL iteration's frames are returned (and re-consumed
-      // by callers): materialize those. The loop body itself is a LINEAR
-      // chain — assigned feeds exactly one consumer (the mean fold) and
-      // centroids exactly one (the next assignment's broadcast) — so
-      // intermediate localCheckpoints were pure job overhead (r20 opt:
-      // 8-9 jobs per training run down to 3 + tiny broadcast builds).
-      if (it == 3) assigned = assigned.localCheckpoint()
+      // r20 note: deferring ALL intermediate checkpoints (fusing the
+      // 3 iterations into one job) measured FASTER in isolated subsets
+      // but consistently SLOWER across full 337-gate passes — the fused
+      // chain's stages are structurally unique per iteration, so they
+      // recompile under full-run codegen-cache pressure, while the
+      // checkpointed loop reuses one compiled stage shape per iteration.
+      // Per-iteration materialization stays; the counts-merge below is
+      // the part that survives (one exchange + join fewer per step).
+      assigned = assigned.localCheckpoint()
       // cluster size n rides the per-position sum aggregate (every
       // vector contributes exactly one row per pos, so the (cid, pos)
       // row count IS the cid's vector count) — the separate counts
@@ -163,7 +165,7 @@ object LlmSimilarity extends Catalog {
         .select(F.col("cid"), F.expr(
           "transform(svec, s -> (16 * s - (((16 * s) % n + n) % n)) div n)")
           .as("mvec"))
-      if (it == 3) centroids = centroids.localCheckpoint()
+      centroids = centroids.localCheckpoint()
     }
     (corpus, assigned, centroids)
   }
@@ -214,11 +216,11 @@ object LlmSimilarity extends Catalog {
         .agg(F.min_by(F.col("cid"), F.struct(F.col("d"), F.col("cid")))
           .as("cid"),
           F.min("d").as("d"))
-      // same r20 restructure as [[lloydFrom]]: the loop body is a linear
-      // chain, so only the final returned frames materialize, and the
-      // per-(sub, cid) size rides the per-position sum aggregate instead
-      // of a separate counts aggregate + join
-      if (it == 2) codes = codes.localCheckpoint()
+      // same r20 outcome as [[lloydFrom]]: per-iteration checkpoints
+      // kept (full-run codegen-cache pressure penalizes fused chains);
+      // the per-(sub, cid) size rides the per-position sum aggregate
+      // instead of a separate counts aggregate + join
+      codes = codes.localCheckpoint()
       val sums = codes
         .select(F.col("sub"), F.col("cid"),
           F.posexplode(F.col("sq1")).as(Seq("pos", "v")))
@@ -232,7 +234,7 @@ object LlmSimilarity extends Catalog {
         .select(F.col("sub"), F.col("cid"), F.expr(
           "transform(svec, s -> (16 * s - (((16 * s) % n + n) % n)) div n)")
           .as("mvec"))
-      if (it == 2) cb = cb.localCheckpoint()
+      cb = cb.localCheckpoint()
     }
     (subs, codes, cb)
   }
