@@ -74,8 +74,12 @@ object AvroInternalCodec {
         if (b.getType == Type.NULL) null
         else {
           val name = AvroSchemaConverter.branchName(b)
-          val fi = st.fieldIndex(name)
-          (fi, UTF8String.fromString(name),
+          // nested column pruning may keep only a SUBSET of the branch
+          // fields (e.g. a tag-only projection): a pruned-away branch
+          // still tags the row, its value is simply discarded
+          val fi = st.fieldNames.indexOf(name)
+          if (fi < 0) (-1, UTF8String.fromString(name), null)
+          else (fi, UTF8String.fromString(name),
             converter(b, st.fields(fi).dataType))
         }
       }
@@ -85,7 +89,7 @@ object AvroInternalCodec {
       val e = byIdx(gd.resolveUnion(union, v))
       val vals = new Array[Any](st.fields.length)
       vals(tagIdx) = e._2
-      vals(e._1) = e._3(v)
+      if (e._1 >= 0) vals(e._1) = e._3(v)
       new GenericInternalRow(vals)
     }
   }
@@ -290,7 +294,7 @@ object AvroInternalCodec {
       Row.fromSeq((0 until length).map(get))
   }
 
-  private def externalize(v: Any, dt: DataType): Any = dt match {
+  private[graft] def externalize(v: Any, dt: DataType): Any = dt match {
     case StringType => v.asInstanceOf[UTF8String].toString
     case DateType =>
       java.sql.Date.valueOf(

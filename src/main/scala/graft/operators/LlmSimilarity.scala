@@ -393,8 +393,10 @@ object LlmSimilarity extends Catalog {
     val centroids = s.read.format("graft-avro").load(cenDir)
     val counts = assigned.groupBy("cid").agg(F.count(F.lit(1)).as("n"))
       .localCheckpoint() // tiny (one row per list); read three times
-    val total = counts.agg(F.sum("n")).head().getLong(0)
-    val k = counts.count()
+    // one fused driver action for (total, k) instead of two (r21)
+    val tk = counts.agg(F.sum("n"), F.count(F.lit(1))).head()
+    val total = tk.getLong(0)
+    val k = tk.getLong(1)
     // oversized list ids: bounded by k (the centroid count, small by
     // construction) — a safe driver collect
     val oversized = counts.filter(F.col("n") * k > F.lit(total))

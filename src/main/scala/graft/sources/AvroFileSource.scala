@@ -22,7 +22,7 @@ import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.avro.{AvroInternalCodec, AvroSchemaConverter}
+import graft.avro.{AvroDirectDatumWriter, AvroInternalCodec, AvroSchemaConverter}
 
 /** DataSource V2 source/sink for Avro CONTAINER FILES, built on the
   * engine's own Avro⇄Catalyst bridge (graft.avro) — the file-based
@@ -1818,10 +1818,14 @@ object AvroFileSource {
     * (batch, streaming epoch, delete publication), when the new state is
     * fully visible.
     */
-  def appendSnapshot(d: File, kind: String, force: Boolean = false): Unit = {
+  def appendSnapshot(d: File, kind: String, force: Boolean = false,
+      liveHint: Option[Seq[String]] = None): Unit = {
     val base = d.getAbsoluteFile.toPath
-    val live = listAvro(d)
-      .map(f => base.relativize(f.getAbsoluteFile.toPath).toString).sorted
+    // liveHint (r21): a commit that already walked the table dir (the
+    // stats fold / epoch straggler sweep) passes its listing through so
+    // the journal append does not re-walk — one walk per commit
+    val live = liveHint.map(_.sorted).getOrElse(listAvro(d)
+      .map(f => base.relativize(f.getAbsoluteFile.toPath).toString).sorted)
     def sidecarContent(f: File): Option[String] =
       if (f.isFile)
         Some(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
@@ -2389,7 +2393,9 @@ object AvroFileSource {
     * all four are pruning/stat-only, so partial coverage is sound.
     */
   private[sources] def foldStatsManifests(dirF: File,
-      messages: Seq[AvroCommitMessage]): Unit = {
+      messages: Seq[AvroCommitMessage],
+      aliveHint: Option[Set[String]] = None): Option[Set[String]] = {
+    var walked: Option[Set[String]] = aliveHint
     // All-column zone manifest: folded on EVERY batch commit, sorted
     // or not — pruning-only, so partial coverage is sound (absent
     // entries just scan) and no preExisting guard is needed; fresh
@@ -2397,6 +2403,18 @@ object AvroFileSource {
     // files drop out via the existence filter.
     val colZonesF = colZoneFile(dirF)
     val base = dirF.getAbsoluteFile.toPath
+    // ONE directory walk shared by all five manifest families (r21:
+    // this fold used to re-walk the table dir per family — 5 walks per
+    // commit, the dominant commit cost at large file counts). A caller
+    // that already holds the listing passes it via aliveHint; the walk
+    // actually taken is RETURNED so the journal append can reuse it.
+    def aliveSet: Set[String] = walked.getOrElse {
+      val w = listAvro(dirF)
+        .map(f => base.relativize(f.getAbsoluteFile.toPath).toString)
+        .toSet
+      walked = Some(w)
+      w
+    }
     val colFresh = messages.flatMap(_.colZones)
       .map { case (fin, entries) =>
         base.relativize(new File(fin).getAbsoluteFile.toPath)
@@ -2406,9 +2424,7 @@ object AvroFileSource {
       val prior =
         if (colZonesF.isFile) readColZonesRaw(colZonesF)
         else Map.empty[String, Seq[(String, String, String, String)]]
-      val alive = listAvro(dirF)
-        .map(f => base.relativize(f.getAbsoluteFile.toPath).toString)
-        .toSet
+      val alive = aliveSet
       val merged = (prior ++ colFresh).filter { case (rel, _) =>
         alive.contains(rel) }
       val tmp = new File(colZonesF.getPath + ".staging")
@@ -2434,9 +2450,7 @@ object AvroFileSource {
       val prior =
         if (bloomF.isFile) readBloomsRaw(bloomF)
         else Map.empty[String, Seq[(String, String, String)]]
-      val alive = listAvro(dirF)
-        .map(f => base.relativize(f.getAbsoluteFile.toPath).toString)
-        .toSet
+      val alive = aliveSet
       val merged = (prior ++ bloomFresh).filter { case (rel, _) =>
         alive.contains(rel) }
       val tmp = new File(bloomF.getPath + ".staging")
@@ -2462,9 +2476,7 @@ object AvroFileSource {
       val prior =
         if (rowsF.isFile) readRowsRaw(rowsF)
         else Map.empty[String, Long]
-      val alive = listAvro(dirF)
-        .map(f => base.relativize(f.getAbsoluteFile.toPath).toString)
-        .toSet
+      val alive = aliveSet
       val merged = (prior ++ rowsFresh).filter { case (rel, _) =>
         alive.contains(rel) }
       val tmp = new File(rowsF.getPath + ".staging")
@@ -2485,9 +2497,7 @@ object AvroFileSource {
       val prior =
         if (ndvF.isFile) readNdvRaw(ndvF)
         else Map.empty[String, Seq[(String, String, String)]]
-      val alive = listAvro(dirF)
-        .map(f => base.relativize(f.getAbsoluteFile.toPath).toString)
-        .toSet
+      val alive = aliveSet
       val merged = (prior ++ ndvFresh).filter { case (rel, _) =>
         alive.contains(rel) }
       val tmp = new File(ndvF.getPath + ".staging")
@@ -2512,9 +2522,7 @@ object AvroFileSource {
       val prior =
         if (bixF.isFile) readBlockIdxRaw(bixF)
         else Map.empty[String, Seq[(String, String, Long, Long, String, String)]]
-      val alive = listAvro(dirF)
-        .map(f => base.relativize(f.getAbsoluteFile.toPath).toString)
-        .toSet
+      val alive = aliveSet
       val merged = (prior ++ bixFresh).filter { case (rel, _) =>
         alive.contains(rel) }
       val tmp = new File(bixF.getPath + ".staging")
@@ -2527,6 +2535,7 @@ object AvroFileSource {
       if (!tmp.renameTo(bixF)) throw new java.io.IOException(
         s"graft-avro commit: rename failed $tmp -> $bixF")
     }
+    walked
   }
 }
 
@@ -7892,14 +7901,16 @@ class AvroWriteBuilder(path: String, schema: StructType,
         AvroTransforms.merge(new File(path), transformBy,
           replace = doTruncate)
         // pruning/stat manifests (col-zones, blooms, rows, NDV):
-        // shared fold with the delta row-level commit
-        AvroFileSource.foldStatsManifests(new File(path),
+        // shared fold with the delta row-level commit. The fold's one
+        // directory walk is reused by the journal append below (r21)
+        val walked = AvroFileSource.foldStatsManifests(new File(path),
           messages.toSeq.collect { case m: AvroCommitMessage => m })
         // snapshot LAST: the journal records the fully-published state
         AvroFileSource.appendSnapshot(new File(path),
           if (doTruncate || doDynamic || overwriteParts.nonEmpty)
             "overwrite"
-          else "append")
+          else "append",
+          liveHint = walked.map(_.toSeq))
       }
       override def abort(messages: Array[WriterCommitMessage]): Unit =
         messages.toSeq.collect { case m: AvroCommitMessage => m.files }
@@ -7936,10 +7947,16 @@ class AvroWriteBuilder(path: String, schema: StructType,
             .collect { case m: AvroCommitMessage => m.streamed }
             .flatten.map(p => new File(p).getAbsolutePath).toSet
           val prefix = f"part-e$epochId%06d-"
-          AvroFileSource.listAvro(new File(path))
-            .filter(f => f.getName.startsWith(prefix) &&
+          // ONE walk per epoch (r21): the sweep listing, minus what it
+          // deletes, feeds the stats fold and the journal append below
+          val listing = AvroFileSource.listAvro(new File(path))
+          val (stragglers, survivors) = listing.partition(f =>
+            f.getName.startsWith(prefix) &&
               !committed.contains(f.getAbsolutePath))
-            .foreach { f => f.delete(); () }
+          stragglers.foreach { f => f.delete(); () }
+          val baseP = new File(path).getAbsoluteFile.toPath
+          val aliveRels = survivors
+            .map(f => baseP.relativize(f.getAbsoluteFile.toPath).toString)
           // streamed epochs append unverified files: withdraw any
           // sorted-layout claim (and its zone manifest) the directory carried
           AvroFileSource.sortMarker(new File(path)).delete()
@@ -7955,9 +7972,11 @@ class AvroWriteBuilder(path: String, schema: StructType,
           // set) — streamed tables keep col-zones/blooms/rows/NDV
           // coverage, enabling metadata COUNT and file pruning
           AvroFileSource.foldStatsManifests(new File(path),
-            messages.toSeq.collect { case m: AvroCommitMessage => m })
+            messages.toSeq.collect { case m: AvroCommitMessage => m },
+            aliveHint = Some(aliveRels.toSet))
           // idle epochs no-op inside appendSnapshot (state unchanged)
-          AvroFileSource.appendSnapshot(new File(path), s"epoch-$epochId")
+          AvroFileSource.appendSnapshot(new File(path), s"epoch-$epochId",
+            liveHint = Some(aliveRels))
         }
       override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
     }
@@ -8088,20 +8107,22 @@ class AvroDeltaWriteBuilder(path: String, info: LogicalWriteInfo,
                       .distinct.sorted
                   })
               }
-              if (staged.nonEmpty) {
-                // appended files are unsorted: the verified-sort claim
-                // (and its zone manifest) withdraws, same as any append
-                AvroFileSource.sortMarker(dirF).delete()
-                AvroFileSource.zoneFile(dirF).delete()
-                AvroFileSource.foldStatsManifests(dirF, innerMsgs)
-              }
+              val walked =
+                if (staged.nonEmpty) {
+                  // appended files are unsorted: the verified-sort claim
+                  // (and its zone manifest) withdraws, same as any append
+                  AvroFileSource.sortMarker(dirF).delete()
+                  AvroFileSource.zoneFile(dirF).delete()
+                  AvroFileSource.foldStatsManifests(dirF, innerMsgs)
+                } else None
               // r16: journal ALWAYS — a pure position delete mints its
               // own version (the posdel content comparison inside
               // appendSnapshot no-ops when nothing changed), so CDC
               // feeds serve MoR deletes as exact row-level deltas
               if (staged.nonEmpty || dels.nonEmpty)
                 AvroFileSource.appendSnapshot(dirF,
-                  if (staged.nonEmpty) "update" else "delete")
+                  if (staged.nonEmpty) "update" else "delete",
+                  liveHint = walked.map(_.toSeq))
             }
           }
 
@@ -8159,6 +8180,63 @@ case class AvroDeltaWriterFactory(path: String, schema: StructType,
 
 private[sources] object AvroWriters {
 
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.types.UTF8String
+
+  // ------------------------------------------------------------------
+  // INTERNAL-value stat plumbing (r21): the per-row write hot path runs
+  // on Catalyst internal values (UTF8String, epoch-day Int, micros
+  // Long, Decimal) instead of externalizing every leaf per row — the
+  // old externalView + java.sql.Date/Timestamp/String churn was the
+  // second-largest write cost after the GenericRecord encode. External
+  // conversion now happens once per FILE at manifest emission.
+
+  /** Total-order compare on INTERNAL values, same order as
+    * [[AvroFilterEval.cmp]] on the external forms (strings are
+    * UTF8String binary order == UTF-8 byte order on both sides).
+    * None = type has no comparator here (same set the old external
+    * path supported).
+    */
+  private[sources] def internalCmp(dt: DataType): Option[(Any, Any) => Int] =
+    dt match {
+      case StringType => Some((a, b) =>
+        a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String]))
+      case LongType | TimestampType => Some((a, b) => java.lang.Long.compare(
+        a.asInstanceOf[Long], b.asInstanceOf[Long]))
+      case IntegerType | DateType => Some((a, b) => Integer.compare(
+        a.asInstanceOf[Int], b.asInstanceOf[Int]))
+      case ShortType => Some((a, b) => java.lang.Short.compare(
+        a.asInstanceOf[Short], b.asInstanceOf[Short]))
+      case ByteType => Some((a, b) => java.lang.Byte.compare(
+        a.asInstanceOf[Byte], b.asInstanceOf[Byte]))
+      case DoubleType => Some((a, b) => java.lang.Double.compare(
+        a.asInstanceOf[Double], b.asInstanceOf[Double]))
+      case FloatType => Some((a, b) => java.lang.Float.compare(
+        a.asInstanceOf[Float], b.asInstanceOf[Float]))
+      case BooleanType => Some((a, b) => java.lang.Boolean.compare(
+        a.asInstanceOf[Boolean], b.asInstanceOf[Boolean]))
+      case _: DecimalType => Some((a, b) => a.asInstanceOf[Decimal]
+        .compareTo(b.asInstanceOf[Decimal]))
+      case _ => None
+    }
+
+  /** Detach an internal value that must SURVIVE the current row: the
+    * incoming InternalRow may be a reused Unsafe buffer, so a retained
+    * UTF8String view must be copied. Everything else this path stores
+    * is boxed-fresh per `get` (primitives, Decimal) already.
+    */
+  private[sources] def copyInternal(v: Any): Any = v match {
+    case u: UTF8String => u.clone()
+    case other => other
+  }
+
+  /** Internal → external value for manifest/zone encoding (once per
+    * file or chunk, never per row). Same mapping the old per-row
+    * external view produced.
+    */
+  private[sources] def toExternal(v: Any, dt: DataType): Any =
+    if (v == null) null else graft.avro.AvroInternalCodec.externalize(v, dt)
+
   /** Per-file order verifier for a `sortedBy` write claim: consecutive
     * EXTERNAL value tuples must be non-decreasing LEXICOGRAPHICALLY
     * with nulls first per column (Spark's default ascending order; a
@@ -8169,14 +8247,19 @@ private[sources] object AvroWriters {
     * throws, while a null in a SECONDARY column after non-null values
     * is legal whenever an earlier column advanced.
     */
-  private[sources] final class OrderVerifier(cols: Seq[String]) {
+  private[sources] final class OrderVerifier(cols: Seq[String],
+      cmps: Array[(Any, Any) => Int] = null) {
     def this(col: String) = this(Seq(col))
     // nulls-first per-column compare; undecidable pairs pass (legacy
-    // cmp semantics — same-typed externals are always decidable)
-    private def cmpN(a: Any, b: Any): Int =
+    // cmp semantics — same-typed externals are always decidable).
+    // `cmps` (r21): planned INTERNAL-value comparators from the write
+    // hot path; null = external values via AvroFilterEval (tests, and
+    // any caller still feeding external tuples).
+    private def cmpN(i: Int, a: Any, b: Any): Int =
       if (a == null && b == null) 0
       else if (a == null) -1
       else if (b == null) 1
+      else if (cmps != null) cmps(i)(a, b)
       else AvroFilterEval.cmp(a, b).getOrElse(0)
     private var firstP: Any = _   // primary-column zone bounds
     private var lastP: Any = _
@@ -8186,7 +8269,7 @@ private[sources] object AvroWriters {
       if (prev != null) {
         var i = 0
         var c = 0
-        while (i < vs.length && c == 0) { c = cmpN(prev(i), vs(i)); i += 1 }
+        while (i < vs.length && c == 0) { c = cmpN(i, prev(i), vs(i)); i += 1 }
         if (c > 0) throw new IllegalArgumentException(
           s"sortedBy '${cols.mkString(",")}' violated: " +
             s"${prev.mkString("(", ",", ")")} > ${vs.mkString("(", ",", ")")}")
@@ -8220,57 +8303,27 @@ private[sources] object AvroWriters {
   private[sources] final class ColumnStats(schema: StructType) {
     import org.apache.spark.sql.types._
 
-    // UTF-8 byte order == code-point order, allocation-free (the zone
-    // contract: match UTF8String binary comparison, not UTF-16 units)
-    private def cpCompare(a: String, b: String): Int = {
-      var i = 0; var j = 0
-      while (i < a.length && j < b.length) {
-        val ca = a.codePointAt(i); val cb = b.codePointAt(j)
-        if (ca != cb) return Integer.compare(ca, cb)
-        i += Character.charCount(ca); j += Character.charCount(cb)
-      }
-      Integer.compare(a.length - i, b.length - j)
-    }
-
-    private def cmpFor(dt: DataType): Option[(Any, Any) => Int] = dt match {
-      case StringType => Some((a, b) =>
-        cpCompare(a.asInstanceOf[String], b.asInstanceOf[String]))
-      case LongType => Some((a, b) => java.lang.Long.compare(
-        a.asInstanceOf[Long], b.asInstanceOf[Long]))
-      case IntegerType => Some((a, b) => Integer.compare(
-        a.asInstanceOf[Int], b.asInstanceOf[Int]))
-      case ShortType => Some((a, b) => java.lang.Short.compare(
-        a.asInstanceOf[Short], b.asInstanceOf[Short]))
-      case ByteType => Some((a, b) => java.lang.Byte.compare(
-        a.asInstanceOf[Byte], b.asInstanceOf[Byte]))
-      case DoubleType => Some((a, b) => java.lang.Double.compare(
-        a.asInstanceOf[Double], b.asInstanceOf[Double]))
-      case FloatType => Some((a, b) => java.lang.Float.compare(
-        a.asInstanceOf[Float], b.asInstanceOf[Float]))
-      case BooleanType => Some((a, b) => java.lang.Boolean.compare(
-        a.asInstanceOf[Boolean], b.asInstanceOf[Boolean]))
-      case DateType => Some((a, b) =>
-        a.asInstanceOf[java.sql.Date].compareTo(b.asInstanceOf[java.sql.Date]))
-      case TimestampType => Some((a, b) => a.asInstanceOf[java.sql.Timestamp]
-        .compareTo(b.asInstanceOf[java.sql.Timestamp]))
-      case _: DecimalType => Some((a, b) => a.asInstanceOf[java.math.BigDecimal]
-        .compareTo(b.asInstanceOf[java.math.BigDecimal]))
-      case _ => None
-    }
-
-    // (dotted name, field-index path, recorded type, comparator)
-    private val leaves: Array[(String, Array[Int], DataType, (Any, Any) => Int)] = {
-      val out = Array.newBuilder[(String, Array[Int], DataType, (Any, Any) => Int)]
-      def walk(st: StructType, prefix: String, path: List[Int]): Unit =
+    // (dotted name, field-index path, intermediate-struct sizes,
+    // recorded type, INTERNAL-value comparator). Runs on InternalRow
+    // since r21 — same leaf eligibility as the old external path
+    // (internalCmp covers exactly the old cmpFor set; strings compare
+    // UTF8String-binary == the old code-point order).
+    private val leaves: Array[(String, Array[Int], Array[Int], DataType,
+        (Any, Any) => Int)] = {
+      val out = Array.newBuilder[(String, Array[Int], Array[Int], DataType,
+        (Any, Any) => Int)]
+      def walk(st: StructType, prefix: String, path: List[Int],
+          sizes: List[Int]): Unit =
         st.fields.zipWithIndex.foreach { case (f, i) =>
           val name = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
           f.dataType match {
-            case s: StructType => walk(s, name, i :: path)
-            case dt => cmpFor(dt).foreach(c =>
-              out += ((name, (i :: path).reverse.toArray, dt, c)))
+            case s: StructType => walk(s, name, i :: path, s.length :: sizes)
+            case dt => internalCmp(dt).foreach(c =>
+              out += ((name, (i :: path).reverse.toArray,
+                sizes.reverse.toArray, dt, c)))
           }
         }
-      walk(schema, "", Nil)
+      walk(schema, "", Nil, Nil)
       // AMBIGUOUS dotted names are dropped entirely: a top-level column
       // literally named "a.b" and a nested leaf a.b would write manifest
       // entries under the identical key, and the read side could apply
@@ -8291,7 +8344,7 @@ private[sources] object AvroWriters {
     // Accumulated with addExact: an overflowing file simply emits no
     // sum entry (coverage breaks -> the aggregate falls back to a real
     // scan, which reproduces Spark's native wrap semantics).
-    private val summable: Array[Boolean] = leaves.map(_._3 match {
+    private val summable: Array[Boolean] = leaves.map(_._4 match {
       case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
     })
@@ -8314,25 +8367,34 @@ private[sources] object AvroWriters {
       case _ => false
     }
 
-    def update(view: org.apache.spark.sql.Row): Unit = {
+    def update(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
       rowsSeen += 1
       var l = 0
       while (l < leaves.length) {
-        val (_, path, _, cmp) = leaves(l)
-        var v: Any = view.get(path(0))
-        var d = 1
-        while (d < path.length && v != null) {
-          v = v.asInstanceOf[org.apache.spark.sql.Row].get(path(d))
+        val (_, path, sizes, dt, cmp) = leaves(l)
+        // navigate nested structs on internal getters; a null parent
+        // struct makes the leaf null (same as the old external walk)
+        var g: org.apache.spark.sql.catalyst.expressions.SpecializedGetters =
+          row
+        var d = 0
+        while (d < path.length - 1 && g != null) {
+          g = if (g.isNullAt(path(d))) null else g.getStruct(path(d), sizes(d))
           d += 1
         }
+        val last = path(path.length - 1)
+        val v: Any =
+          if (g == null || g.isNullAt(last)) null else g.get(last, dt)
         if (v != null) {
           nonNulls(l) += 1
           if (!dead(l)) {
             if (nonFinite(v)) dead(l) = true
-            else if (mins(l) == null) { mins(l) = v; maxs(l) = v }
-            else {
-              if (cmp(v, mins(l)) < 0) mins(l) = v
-              if (cmp(v, maxs(l)) > 0) maxs(l) = v
+            else if (mins(l) == null) {
+              // copyInternal: a stored UTF8String must not alias the
+              // (possibly reused) incoming row buffer
+              val c = copyInternal(v); mins(l) = c; maxs(l) = c
+            } else {
+              if (cmp(v, mins(l)) < 0) mins(l) = copyInternal(v)
+              if (cmp(v, maxs(l)) > 0) maxs(l) = copyInternal(v)
             }
             if (summable(l) && !sumDead(l)) {
               try {
@@ -8365,10 +8427,11 @@ private[sources] object AvroWriters {
       leaves.indices.flatMap { l =>
         if (dead(l)) None
         else {
-          val (name, _, dt, _) = leaves(l)
+          val (name, _, _, dt, _) = leaves(l)
+          // stored values are INTERNAL — externalize once per file here
           val bounds: Option[(Any, Any)] =
             if (mins(l) == null) Some((null, null))
-            else (mins(l), maxs(l)) match {
+            else (toExternal(mins(l), dt), toExternal(maxs(l), dt)) match {
               case (mn: String, mx: String) =>
                 truncMax(mx).map(m => (truncMin(mn): Any, m: Any))
               case (mn, mx) => Some((mn, mx))
@@ -8395,7 +8458,7 @@ private[sources] object AvroWriters {
         // all-null live leaf emits (0, 0) so coverage stays checkable.
         leaves.indices.collect {
           case l if summable(l) && !sumDead(l) =>
-            val (name, _, dt, _) = leaves(l)
+            val (name, _, _, dt, _) = leaves(l)
             (java.net.URLEncoder.encode(name, "UTF-8"),
               "sum:" + dt.simpleString, sums(l).toString, cnts(l).toString)
         } ++
@@ -8406,7 +8469,7 @@ private[sources] object AvroWriters {
         // eligibility (zero nulls ⇒ bounds cover all rows), IS NULL
         // file pruning, metadata COUNT(col) for non-integral leaves.
         leaves.indices.map { l =>
-          val (name, _, dt, _) = leaves(l)
+          val (name, _, _, dt, _) = leaves(l)
           (java.net.URLEncoder.encode(name, "UTF-8"),
             "cnt:" + dt.simpleString, nonNulls(l).toString,
             rowsSeen.toString)
@@ -8619,8 +8682,10 @@ private[sources] object AvroWriters {
     val xidx = xforms.map(x => schema.fieldIndex(x.col))
     val sortColsList = sortedBy.toSeq.flatMap(AvroFileSource.sortCols)
     val sortIdx = sortColsList.map(schema.fieldIndex)
+    val sortDts = sortIdx.map(i => schema.fields(i).dataType).toArray
+    val sortCmps: Array[(Any, Any) => Int] =
+      sortDts.map(dt => internalCmp(dt).getOrElse((_: Any, _: Any) => 0))
     val avroSchema = AvroSchemaConverter.toAvro(schema, "topLevelRecord", None, None)
-    val toAvro = AvroInternalCodec.encoderFor(schema, avroSchema)
     // rolling in both modes — see AvroWriters.open for the streaming
     // exactly-once argument (deterministic (epoch, partition, seq) names)
     val roll: Option[Long] = targetFileBytes
@@ -8636,16 +8701,19 @@ private[sources] object AvroWriters {
           else fileName.stripSuffix(".avro") + s"-r$seq.avro"
         new File(dir, if (staged) name + ".staging" else name)
       }
-      val writer: DataFileWriter[GenericRecord] = {
-        val w = new DataFileWriter[GenericRecord](
-          new GenericDatumWriter[GenericRecord](avroSchema))
+      val writer: DataFileWriter[InternalRow] = {
+        // direct InternalRow→BinaryEncoder encode (GenericRecord tier
+        // only as the unplannable-shape fallback) — see AvroDirectDatumWriter
+        val w = new DataFileWriter[InternalRow](
+          AvroDirectDatumWriter(schema, avroSchema))
         w.setCodec(codecFor(codec))
         w.create(avroSchema, file)
         w
       }
       // stats run unstaged (streaming) too — see AvroWriters.open
       val verifier: Option[OrderVerifier] =
-        if (sortColsList.nonEmpty) Some(new OrderVerifier(sortColsList))
+        if (sortColsList.nonEmpty)
+          Some(new OrderVerifier(sortColsList, sortCmps))
         else None
       val colStats: ColumnStats = new ColumnStats(schema)
       val bloomStats: BloomBuilder =
@@ -8671,10 +8739,14 @@ private[sources] object AvroWriters {
         else null
       private def cbCells(): Array[String] =
         if (cbStats == null) Array.empty[String] else cbStats.cut()
-      private def bEnc(v: Any, hi: Boolean): String =
+      // sort values arrive INTERNAL (copied off the row buffer once per
+      // row); externalize only at chunk-cut encode time
+      private def bEnc(v: Any, c: Int, hi: Boolean): String =
         if (v == null) "-"
-        else if (hi) AvroFileSource.zoneEncodeMax(v)
-        else AvroFileSource.zoneEncodeMin(v)
+        else if (hi) AvroFileSource.zoneEncodeMax(toExternal(v, sortDts(c)))
+        else AvroFileSource.zoneEncodeMin(toExternal(v, sortDts(c)))
+      private def bEncAll(vs: Array[Any], hi: Boolean): Array[String] =
+        Array.tabulate(vs.length)(c => bEnc(vs(c), c, hi))
       def bTrack(vs: Array[Any]): Unit = {
         if (bMins == null) {
           bMins = new Array[Any](vs.length)
@@ -8687,8 +8759,8 @@ private[sources] object AvroWriters {
           if (v != null) {
             if (bMins(i) == null) { bMins(i) = v; bMaxs(i) = v }
             else {
-              if (AvroFilterEval.cmp(v, bMins(i)).exists(_ < 0)) bMins(i) = v
-              if (AvroFilterEval.cmp(v, bMaxs(i)).exists(_ > 0)) bMaxs(i) = v
+              if (sortCmps(i)(v, bMins(i)) < 0) bMins(i) = v
+              if (sortCmps(i)(v, bMaxs(i)) > 0) bMaxs(i) = v
             }
           }
           i += 1
@@ -8696,7 +8768,7 @@ private[sources] object AvroWriters {
         if (bRows >= AvroFileSource.BlockIdxRows) {
           val p = writer.sync() - 16
           bChunks ::= ((bStart, p,
-            bMins.map(bEnc(_, hi = false)), bMaxs.map(bEnc(_, hi = true)),
+            bEncAll(bMins, hi = false), bEncAll(bMaxs, hi = true),
             cbCells()))
           bStart = p; bRows = 0
           java.util.Arrays.fill(bMins.asInstanceOf[Array[AnyRef]], null)
@@ -8707,7 +8779,7 @@ private[sources] object AvroWriters {
           Array[String])] = {
         if (bRows > 0) {
           bChunks ::= ((bStart, file.length(),
-            bMins.map(bEnc(_, hi = false)), bMaxs.map(bEnc(_, hi = true)),
+            bEncAll(bMins, hi = false), bEncAll(bMaxs, hi = true),
             cbCells()))
           bRows = 0
         }
@@ -8722,8 +8794,9 @@ private[sources] object AvroWriters {
 
     new DataWriter[InternalRow] {
       override def write(record: InternalRow): Unit = {
-        // externalize ONLY the partition-routing + stats values; the
-        // payload goes through the fused InternalRow→record encoder
+        // externalize ONLY the partition-routing + bloom/NDV values;
+        // column stats and the sort verifier run on internal values and
+        // the payload goes straight through the direct datum writer
         val view = AvroInternalCodec.externalView(record, schema)
         val sub = (partCols.zip(idx).map { case (c, i) =>
           val v = view.get(i)
@@ -8761,17 +8834,28 @@ private[sources] object AvroWriters {
         })
         var sortVals: Array[Any] = null
         if (sortIdx.nonEmpty) {
-          sortVals = sortIdx.map(view.get).toArray
+          // INTERNAL sort values, detached once (copyInternal): the
+          // verifier's prev tuple and bTrack's bounds retain them past
+          // this row, and the incoming buffer may be reused
+          sortVals = new Array[Any](sortIdx.length)
+          var k = 0
+          while (k < sortVals.length) {
+            val i = sortIdx(k)
+            sortVals(k) =
+              if (record.isNullAt(i)) null
+              else copyInternal(record.get(i, sortDts(k)))
+            k += 1
+          }
           seg.verifier.get.check(sortVals)
         }
-        seg.colStats.update(view)
+        seg.colStats.update(record)
         if (seg.bloomStats != null) seg.bloomStats.update(view)
         if (seg.ndvStats != null) seg.ndvStats.update(view)
         // BEFORE bTrack: a cut flushed by this row's bTrack must
         // include this row's membership bits
         if (seg.cbStats != null) seg.cbStats.update(view)
         seg.nRows += 1
-        seg.writer.append(toAvro(record))
+        seg.writer.append(record)
         if (staged && sortVals != null) seg.bTrack(sortVals)
         roll.foreach { target =>
           seg.sinceCheck += 1
@@ -8796,8 +8880,10 @@ private[sources] object AvroWriters {
           if (staged) segs.map(s => s.file.getPath -> fin(s)) else Nil,
           zones = segs.flatMap(s =>
             s.verifier.flatMap(_.zone).map { case (mn, mx) =>
-              (fin(s), AvroFileSource.zoneEncodeMin(mn),
-                AvroFileSource.zoneEncodeMax(mx))
+              // verifier zone values are INTERNAL since r21
+              (fin(s),
+                AvroFileSource.zoneEncodeMin(toExternal(mn, sortDts(0))),
+                AvroFileSource.zoneEncodeMax(toExternal(mx, sortDts(0))))
             }),
           colZones = segs.flatMap(s =>
             Option(s.colStats).map(_.stats).filter(_.nonEmpty)
@@ -8850,9 +8936,11 @@ private[sources] object AvroWriters {
       chunkBloomFor: Seq[String] = Nil,
       chunkTrigramFor: Seq[String] = Nil): DataWriter[InternalRow] = {
     val avroSchema = AvroSchemaConverter.toAvro(schema, "topLevelRecord", None, None)
-    val toAvro = AvroInternalCodec.encoderFor(schema, avroSchema)
     val sortColsList = sortedBy.toSeq.flatMap(AvroFileSource.sortCols)
     val sortIdx = sortColsList.map(schema.fieldIndex)
+    val sortDts = sortIdx.map(i => schema.fields(i).dataType).toArray
+    val sortCmps: Array[(Any, Any) => Int] =
+      sortDts.map(dt => internalCmp(dt).getOrElse((_: Any, _: Any) => 0))
     // rolling applies to BOTH write modes. Staged batch files publish
     // at job commit as usual. Streaming (unstaged) keeps exactly-once:
     // the rolled name is a pure function of (epoch, partition, seq),
@@ -8873,9 +8961,11 @@ private[sources] object AvroWriters {
       val file: File =
         if (staged) new File(path, finalFile.getName + ".staging")
         else finalFile
-      val writer: DataFileWriter[GenericRecord] = {
-        val w = new DataFileWriter[GenericRecord](
-          new GenericDatumWriter[GenericRecord](avroSchema))
+      val writer: DataFileWriter[InternalRow] = {
+        // direct InternalRow→BinaryEncoder encode (GenericRecord tier
+        // only as the unplannable-shape fallback) — see AvroDirectDatumWriter
+        val w = new DataFileWriter[InternalRow](
+          AvroDirectDatumWriter(schema, avroSchema))
         w.setCodec(codecFor(codec))
         w.create(avroSchema, file) // truncates: task retry = rewrite
         w
@@ -8915,13 +9005,17 @@ private[sources] object AvroWriters {
         else null
       private def cbCells(): Array[String] =
         if (cbStats == null) Array.empty[String] else cbStats.cut()
-      private def bEnc(v: Any, hi: Boolean): String =
+      // sort values arrive INTERNAL (copied off the row buffer once per
+      // row); externalize only at chunk-cut encode time
+      private def bEnc(v: Any, c: Int, hi: Boolean): String =
         if (v == null) "-"
-        else if (hi) AvroFileSource.zoneEncodeMax(v)
-        else AvroFileSource.zoneEncodeMin(v)
+        else if (hi) AvroFileSource.zoneEncodeMax(toExternal(v, sortDts(c)))
+        else AvroFileSource.zoneEncodeMin(toExternal(v, sortDts(c)))
+      private def bEncAll(vs: Array[Any], hi: Boolean): Array[String] =
+        Array.tabulate(vs.length)(c => bEnc(vs(c), c, hi))
       private def bCut(end: Long): Unit = {
         bChunks ::= ((bStart, end,
-          bMins.map(bEnc(_, hi = false)), bMaxs.map(bEnc(_, hi = true)),
+          bEncAll(bMins, hi = false), bEncAll(bMaxs, hi = true),
           cbCells()))
         bStart = end; bRows = 0
         java.util.Arrays.fill(bMins.asInstanceOf[Array[AnyRef]], null)
@@ -8939,8 +9033,8 @@ private[sources] object AvroWriters {
           if (v != null) {
             if (bMins(i) == null) { bMins(i) = v; bMaxs(i) = v }
             else {
-              if (AvroFilterEval.cmp(v, bMins(i)).exists(_ < 0)) bMins(i) = v
-              if (AvroFilterEval.cmp(v, bMaxs(i)).exists(_ > 0)) bMaxs(i) = v
+              if (sortCmps(i)(v, bMins(i)) < 0) bMins(i) = v
+              if (sortCmps(i)(v, bMaxs(i)) > 0) bMaxs(i) = v
             }
           }
           i += 1
@@ -8958,7 +9052,7 @@ private[sources] object AvroWriters {
           Array[String])] = {
         if (bRows > 0) {
           bChunks ::= ((bStart, file.length(),
-            bMins.map(bEnc(_, hi = false)), bMaxs.map(bEnc(_, hi = true)),
+            bEncAll(bMins, hi = false), bEncAll(bMaxs, hi = true),
             cbCells()))
           bRows = 0
         }
@@ -8981,13 +9075,27 @@ private[sources] object AvroWriters {
       override def write(record: InternalRow): Unit = {
         val seg = ensure()
         var sortVals: Array[Any] = null
-        if (sortIdx.nonEmpty || seg.colStats != null) {
-          val view = AvroInternalCodec.externalView(record, schema)
-          if (sortIdx.nonEmpty) {
-            sortVals = sortIdx.map(view.get).toArray
-            seg.verifier.get.check(sortVals)
+        if (sortIdx.nonEmpty) {
+          // INTERNAL sort values, detached once (copyInternal): the
+          // verifier's prev tuple and bTrack's bounds retain them past
+          // this row, and the incoming buffer may be reused
+          sortVals = new Array[Any](sortIdx.length)
+          var k = 0
+          while (k < sortVals.length) {
+            val i = sortIdx(k)
+            sortVals(k) =
+              if (record.isNullAt(i)) null
+              else copyInternal(record.get(i, sortDts(k)))
+            k += 1
           }
-          if (seg.colStats != null) seg.colStats.update(view)
+          seg.verifier.get.check(sortVals)
+        }
+        seg.colStats.update(record)
+        if (seg.bloomStats != null || seg.ndvStats != null ||
+            seg.cbStats != null) {
+          // the lazy external view is only needed for the canonical-
+          // string hashers (bloom/NDV/chunk cells) — rarely configured
+          val view = AvroInternalCodec.externalView(record, schema)
           if (seg.bloomStats != null) seg.bloomStats.update(view)
           if (seg.ndvStats != null) seg.ndvStats.update(view)
           // BEFORE bTrack: a cut flushed by this row's bTrack must
@@ -8995,7 +9103,7 @@ private[sources] object AvroWriters {
           if (seg.cbStats != null) seg.cbStats.update(view)
         }
         seg.nRows += 1
-        seg.writer.append(toAvro(record))
+        seg.writer.append(record)
         // block-range index AFTER the append so a forced sync closes a
         // block that INCLUDES this row
         if (staged && sortVals != null) seg.bTrack(sortVals)
@@ -9025,8 +9133,10 @@ private[sources] object AvroWriters {
           else Nil,
           zones = segs.flatMap(s =>
             s.verifier.flatMap(_.zone).map { case (mn, mx) =>
-              (s.finalFile.getPath, AvroFileSource.zoneEncodeMin(mn),
-                AvroFileSource.zoneEncodeMax(mx))
+              // verifier zone values are INTERNAL since r21
+              (s.finalFile.getPath,
+                AvroFileSource.zoneEncodeMin(toExternal(mn, sortDts(0))),
+                AvroFileSource.zoneEncodeMax(toExternal(mx, sortDts(0))))
             }),
           colZones = segs.flatMap(s =>
             Option(s.colStats).map(_.stats).filter(_.nonEmpty)

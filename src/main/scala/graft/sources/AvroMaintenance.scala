@@ -1826,13 +1826,19 @@ object AvroMaintenance {
               cMins = new Array[Any](nBix); cMaxs = new Array[Any](nBix)
             }
             var n = 0L
+            // fused record→InternalRow decode (r21): ColumnStats runs on
+            // internal values; the lazy external view only materializes
+            // the columns the bloom/NDV/chunk hashers and the block-index
+            // tracker actually touch
+            val dec = graft.avro.AvroInternalCodec.decoderFor(r.getSchema, st)
             while (r.hasNext) {
               if (bixIdx.nonEmpty && chunkRows >= AvroFileSource.BlockIdxRows) {
                 val bs = r.previousSync() - 16
                 if (bs > chunkStart) cut(bs)
               }
-              val view = graft.avro.AvroRowCodec.toRow(r.next(), st)
-              cs.update(view)
+              val ir = dec(r.next())
+              cs.update(ir)
+              val view = graft.avro.AvroInternalCodec.externalView(ir, st)
               if (bb != null) bb.update(view)
               if (nb != null) nb.update(view)
               if (cbb != null) cbb.update(view)

@@ -102,9 +102,21 @@ private[sources] final class VectorAvroDatumReader(
         case n if n.getType == Type.NULL => null
         case b =>
           val name = graft.avro.AvroSchemaConverter.branchName(b)
-          val fi = st.fieldIndex(name)
-          (fi, name.getBytes(StandardCharsets.UTF_8),
-            fieldAppender(b, st.fields(fi).dataType))
+          // nested pruning may keep only a SUBSET of branch fields (a
+          // tag-only projection): a pruned-away branch still tags the
+          // row; its wire value is consumed-and-discarded (skipStep
+          // runs on a ResolvingDecoder — the shadow-field precedent)
+          val fi = st.fieldNames.indexOf(name)
+          if (fi < 0) {
+            val sk = DirectVectorPlan.skipStep(b)
+            require(sk != null,
+              s"union branch '$name' pruned away but not skippable: $b")
+            (-1, name.getBytes(StandardCharsets.UTF_8),
+              (in: ResolvingDecoder, _: WritableColumnVector, i: Int) =>
+                sk(in, null, i))
+          } else
+            (fi, name.getBytes(StandardCharsets.UTF_8),
+              fieldAppender(b, st.fields(fi).dataType))
       }
       (in, v, i) => {
         val bi = in.readIndex()
@@ -118,7 +130,7 @@ private[sources] final class VectorAvroDatumReader(
             c += 1
           }
           v.getChild(tagIdx).putByteArray(i, tag, 0, tag.length)
-          app(in, v.getChild(fi), i)
+          app(in, if (fi < 0) null else v.getChild(fi), i)
           ()
         }
       }

@@ -136,7 +136,20 @@ object GraftAnnIndex {
         dropDir(cenDir); dropDir(asgDir)
         throw e
     }
-    s.read.format("graft-avro").load(cenDir.getPath).count()
+    manifestCount(s, cenDir)
+  }
+
+  /** Row count of a just-written tiny index table: served from the
+    * `_graft_rows` manifest the commit folded (zero Spark jobs, r21);
+    * falls back to a real count if any live file lacks coverage. */
+  private def manifestCount(s: SparkSession, dir: File): Long = {
+    val base = dir.getAbsoluteFile.toPath
+    val rows = AvroFileSource.readRowsRaw(AvroFileSource.rowsFile(dir))
+    val live = AvroFileSource.listLive(dir).map { case (f, _) =>
+      base.relativize(f.getAbsoluteFile.toPath).toString
+    }
+    if (live.nonEmpty && live.forall(rows.contains)) live.map(rows).sum
+    else s.read.format("graft-avro").load(dir.getPath).count()
   }
 
   /** Assign corpus rows with `atOrAbove <= vec_id (< until)` to the
@@ -241,7 +254,7 @@ object GraftAnnIndex {
         dropDir(cbDir); dropDir(codesDir)
         throw e
     }
-    s.read.format("graft-avro").load(cbDir.getPath).count()
+    manifestCount(s, cbDir)
   }
 
   /** The day-2 ADC search plan: queries = corpus rows with
